@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Typed-ish loaders for the driver-generated star schema (TESTDATA.md).
+  *
+  * Reads stay fully declarative (`spark.read.parquet` + downstream
+  * select/filter) so Catalyst pushes predicates and column pruning into the
+  * parquet scan — at 100 TB the scan is the dominant cost and pushdown is
+  * the first-order optimization.
+  */
+object Tables {
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = read(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = read(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = read(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = read(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = read(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = read(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = read(s, d, "lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark has no native type
+    * for. Read nanos as long and truncate to micros — exactly what DuckDB
+    * (micro-precision timestamps) does, so oracle comparisons line up.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = read(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+}
