@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-row signature expressions for large-scale dedup.
+  *
+  * MinHash and SimHash signatures are computed per row in a single pass —
+  * a narrow, shuffle-free map stage. The alternative (explode shingles,
+  * groupBy doc, agg mins) shuffles |docs| * |shingles| rows; at 100 TB that
+  * is the difference between a linear scan and an unrunnable job. The only
+  * wide stage in the dedup pipeline is the subsequent band-bucket join,
+  * whose keys are uniformly distributed hashes (no skew by construction).
+  *
+  * Hashing: xorshift-mixed 64-bit (splitmix64 finalizer) over UTF-8 word
+  * bytes; the k MinHash functions are the standard (a_i * x + b_i) mod p
+  * family with p = 2^61 - 1 (Broder 1997), coefficients derived
+  * deterministically from the function index so results are reproducible
+  * across runs, partitions, and cluster sizes.
+  */
+object Hashing {
+  final val MersennePrime: Long = (1L << 61) - 1
+
+  /** splitmix64 finalizer — strong 64-bit avalanche mixer. */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** 64-bit hash of a string (FNV-1a over UTF-8 bytes, then mixed). */
+  def hash64(s: String): Long = {
+    val bytes = s.getBytes("UTF-8")
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    mix64(h)
+  }
+
+  /** i-th MinHash coefficients (a odd-ish nonzero, b) from the index. */
+  @inline def coefA(i: Int): Long = (mix64(0x5851f42d4c957f2dL + i) & MersennePrime) | 1L
+  @inline def coefB(i: Int): Long = mix64(0x14057b7ef767814fL - i) & MersennePrime
+
+  /** ((a*x + b) mod (2^61-1)) without overflow, via 128-bit mulmod. */
+  @inline def permute(x: Long, a: Long, b: Long): Long = {
+    val xm = x & MersennePrime
+    val hi = Math.multiplyHigh(a, xm)
+    val lo = a * xm
+    // fold 128-bit product mod 2^61-1: (hi*2^64 + lo) mod p, 2^64 mod p = 8
+    var r = (lo & MersennePrime) + ((lo >>> 61) | (hi << 3) & MersennePrime) + (hi >>> 58)
+    r = (r & MersennePrime) + (r >>> 61)
+    r = r + b
+    r = (r & MersennePrime) + (r >>> 61)
+    if (r >= MersennePrime) r - MersennePrime else r
+  }
+
+  def tokenize(text: String): Array[String] =
+    text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+
+  /** Word-shingle 64-bit hashes (rolling concat, one pass). */
+  def shingleHashes(text: String, shingleSize: Int): Array[Long] = {
+    val words = tokenize(text)
+    if (words.length < shingleSize) {
+      if (words.isEmpty) Array.empty else Array(hash64(words.mkString(" ")))
+    } else {
+      val out = new Array[Long](words.length - shingleSize + 1)
+      var i = 0
+      while (i + shingleSize <= words.length) {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < shingleSize) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j)); j += 1
+        }
+        out(i) = hash64(sb.toString)
+        i += 1
+      }
+      out
+    }
+  }
+
+  def minhash(text: String, numHashes: Int, shingleSize: Int): Array[Long] = {
+    val hs = shingleHashes(text, shingleSize)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < hs.length) {
+      val x = hs(i)
+      var k = 0
+      while (k < numHashes) {
+        val v = permute(x, coefA(k), coefB(k))
+        if (v < sig(k)) sig(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    if (hs.isEmpty) Array.fill(numHashes)(0L) else sig
+  }
+
+  /** 64-bit SimHash (Charikar 2002) over word 2-shingles. */
+  def simhash(text: String, shingleSize: Int): Long = {
+    val hs = shingleHashes(text, shingleSize)
+    if (hs.isEmpty) return 0L
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+}
+
+/** Array[Long] MinHash signature of a text column — one pass, no shuffle. */
+case class MinHashSignature(child: Expression, numHashes: Int, shingleSize: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val sig = Hashing.minhash(input.asInstanceOf[UTF8String].toString, numHashes, shingleSize)
+    new GenericArrayData(sig)
+  }
+  override def prettyName: String = "minhash_signature"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of a text column. */
+case class SimHash64(child: Expression, shingleSize: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    Hashing.simhash(input.asInstanceOf[UTF8String].toString, shingleSize)
+  override def prettyName: String = "simhash64"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Column-level API for graft's custom Catalyst expressions. */
+package object functions {
+  private def toCol(e: Expression): Column = Bridge.column(e)
+  private def toExpr(c: Column): Expression = Bridge.expression(c)
+
+  /** k-function MinHash signature over word shingles (array<long>). */
+  def minhash_signature(c: Column, numHashes: Int = 64, shingleSize: Int = 3): Column =
+    toCol(MinHashSignature(toExpr(c), numHashes, shingleSize))
+
+  /** 64-bit SimHash over word shingles. */
+  def simhash64(c: Column, shingleSize: Int = 2): Column =
+    toCol(SimHash64(toExpr(c), shingleSize))
+
+  /** Multi-table random-hyperplane LSH keys for a float-array embedding. */
+  def cosine_lsh_keys(c: Column, numTables: Int = 16, planesPerTable: Int = 4): Column =
+    toCol(CosineLshKeys(toExpr(c), numTables, planesPerTable))
+
+  /** Cosine similarity of two float-array embeddings (double fold). */
+  def cosine_sim(a: Column, b: Column): Column =
+    toCol(CosineSim(toExpr(a), toExpr(b)))
+}

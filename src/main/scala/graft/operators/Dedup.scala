@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{minhash_signature, simhash64}
+
+/** Training-data dedup family — SURVEY.md §2.
+  *
+  * Scale design: signature computation (md5 / MinHash / SimHash) is always
+  * a narrow per-row map — the custom expressions in [[graft.functions]]
+  * compute a full signature in one pass over the text, no explode, no
+  * shuffle. The only wide stages are groupBy/join on *hash-valued* keys,
+  * which are uniform by construction (no skew, no hot partitions). Pair
+  * enumeration is never all-pairs: candidates come from band buckets
+  * (d02), shared shingles (d03), or Hamming chunks (d04) — the standard
+  * MinHash-LSH (Broder 1997) / SimHash (Charikar 2002) constructions.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Normalized text for dedup: lowercase, collapse whitespace, trim. */
+  private val normSpark = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
+  private val normDuck  = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  // ---- d01: exact dedup via normalized 128-bit hash ----
+  // One shuffle on md5(norm-text); keeper = min doc_id per group. At 100 TB
+  // this is a single hash-partitioned aggregation — the canonical exact
+  // dedup. md5 collisions (~2^-64 at petabyte counts) are acceptable; swap
+  // to sha2-256 for stronger guarantees with the same plan shape.
+  val d01_exact_dedup: Q = (s, d) => {
+    Tables.documents(s, d)
+      .withColumn("text_hash", md5(expr(normSpark)))
+      .groupBy("text_hash")
+      .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("text_hash")
+  }
+  val d01Sql: String =
+    s"""SELECT md5($normDuck) AS text_hash,
+       min(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+       FROM documents GROUP BY 1 ORDER BY text_hash"""
+
+  // ---- d02: MinHash-LSH candidate pairs (rows-only; spec checks recall) ----
+  // k=64 signature, 16 bands x 4 rows: catches Jaccard >~ 0.5 w.h.p.
+  // Signature is one narrow pass (custom Expression); band explode is 16
+  // rows/doc; the bucket self-join touches only docs sharing a band hash.
+  val d02_minhash_lsh: Q = (s, d) => {
+    val sig = Tables.documents(s, d)
+      .select(col("doc_id"), minhash_signature(col("text"), 64, 3).as("sig"))
+    val bands = sig.select(
+      col("doc_id"),
+      explode(expr("transform(sequence(0, 15), b -> hash(slice(sig, b*4+1, 4), b))")).as("bkey"))
+    val pairs = bands.as("x").join(bands.as("y"), "bkey")
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+    val sa = sig.select(col("doc_id").as("da"), col("sig").as("sa"))
+    val sb = sig.select(col("doc_id").as("db"), col("sig").as("sb"))
+    pairs.join(sa, "da").join(sb, "db")
+      .withColumn("est_jaccard",
+        expr("size(filter(zip_with(sa, sb, (u, v) -> u = v), x -> x)) / CAST(64 AS DOUBLE)"))
+      .select("da", "db", "est_jaccard")
+      .orderBy("da", "db")
+  }
+
+  // ---- d03: word-3-gram Jaccard verified near-dup pairs ----
+  // Candidates from the shared-shingle join (never all-pairs); exact
+  // Jaccard on candidates only. Oracle replicates shingling relationally.
+  val d03_ngram_jaccard: Q = (s, d) => {
+    val shingles = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(
+             sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
+             i -> concat_ws(' ', slice(split(text, ' '), i, 3))))""")).as("sh"))
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = shingles.as("x").join(shingles.as("y"), "sh")
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= 0.5)
+      .select("da", "db", "shared", "jaccard")
+      .orderBy("da", "db")
+  }
+  val d03Sql: String =
+    """WITH w AS (SELECT doc_id, generate_subscripts(string_split(text,' '),1) i,
+                       unnest(string_split(text,' ')) w FROM documents),
+      g AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+            FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.i=a.i+1
+                     JOIN w c ON c.doc_id=a.doc_id AND c.i=a.i+2),
+      dd AS (SELECT DISTINCT doc_id, sh FROM g),
+      sizes AS (SELECT doc_id, count(*) n FROM dd GROUP BY doc_id),
+      pairs AS (SELECT x.doc_id da, y.doc_id db, count(*) shared
+                FROM dd x JOIN dd y ON x.sh=y.sh AND x.doc_id<y.doc_id GROUP BY 1,2)
+      SELECT da, db, shared,
+             CAST(shared AS DOUBLE)/(sa.n+sb.n-shared) AS jaccard
+      FROM pairs JOIN sizes sa ON da=sa.doc_id JOIN sizes sb ON db=sb.doc_id
+      WHERE CAST(shared AS DOUBLE)/(sa.n+sb.n-shared) >= 0.5
+      ORDER BY da, db"""
+
+  // ---- d04: SimHash near-dup candidates (rows-only; spec-verified) ----
+  // 64-bit signature per row (one pass); candidates share one of eight
+  // 8-bit chunks (pigeonhole: any pair within Hamming distance 7 must
+  // share one; empirically catches the 8-10 range too); verify with exact
+  // popcount on candidates only.
+  val d04_simhash: Q = (s, d) => {
+    val sigs = Tables.documents(s, d)
+      .select(col("doc_id"), simhash64(col("text"), 2).as("sh"))
+    val chunks = sigs.select(
+      col("doc_id"), col("sh"),
+      explode(expr(
+        "transform(sequence(0, 7), c -> c * 256 + int(shiftright(sh, c * 8) & 255))")).as("ckey"))
+    chunks.as("x").join(chunks.as("y"), "ckey")
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 10)
+      .orderBy("da", "db")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "d01_exact_dedup"   -> d01_exact_dedup,
+    "d02_minhash_lsh"   -> d02_minhash_lsh,
+    "d03_ngram_jaccard" -> d03_ngram_jaccard,
+    "d04_simhash"       -> d04_simhash,
+  )
+  val oracles: Map[String, String] = Map(
+    "d01_exact_dedup"   -> d01Sql,
+    "d03_ngram_jaccard" -> d03Sql,
+    // d02/d04 are LSH approximations — rows-only; DedupSpec asserts recall
+    // against d03's exact near-dup pairs.
+  )
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Stable._
+import graft.Tables
+
+/** Event-stream analytics (batch form) — SURVEY.md §2. The streaming
+  * variants of these plans live in [[graft.streaming.StreamOps]]; the
+  * batch forms are oracle-checkable and share the same aggregation logic.
+  */
+object Events {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- e01: tumbling time-window aggregation ----
+  val e01_tumbling_window: Q = (s, d) => {
+    Tables.events(s, d)
+      .groupBy(
+        date_trunc("hour", col("ts")).as("window_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("window_start", "event_type")
+  }
+  val e01Sql: String =
+    s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events, ${sqlSum("value")} AS total_value,
+       COUNT(DISTINCT user_id) AS n_users
+       FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""
+
+  // ---- e02: per-user event-type transition (funnel edge) counts ----
+  val e02_user_funnel: Q = (s, d) => {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("prev_type", lag("event_type", 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy("prev_type", "next_type")
+  }
+  val e02Sql: String =
+    """SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+      FROM (SELECT event_type,
+              lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+            FROM events) t
+      WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type ORDER BY prev_type, next_type"""
+
+  val queries: Map[String, Q] = Map(
+    "e01_tumbling_window" -> e01_tumbling_window,
+    "e02_user_funnel"     -> e02_user_funnel,
+  )
+  val oracles: Map[String, String] = Map(
+    "e01_tumbling_window" -> e01Sql,
+    "e02_user_funnel"     -> e02Sql,
+  )
+}

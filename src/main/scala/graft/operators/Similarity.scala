@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.{cosine_sim, cosine_lsh_keys}
+
+/** Similarity search over Array[Float] embeddings — SURVEY.md §2.
+  *
+  * s01 is the exact brute-force baseline: a broadcast cross join of a small
+  * query set against the corpus — at 100 TB the corpus side streams through
+  * the scan stage, queries ride along broadcast, and the per-row cosine is
+  * a single fused primitive loop ([[graft.functions.CosineSim]]).
+  *
+  * s02 is the scale path: multi-table random-hyperplane LSH. Bucket keys
+  * are computed per row (narrow), candidates come from a bucket equijoin
+  * (uniform hash keys, no skew), and exact cosine is evaluated on
+  * candidates only. Recall vs s01 is asserted in SimilaritySpec.
+  *
+  * DuckDB parity note: cosine here is a sequential double fold, verified
+  * bit-identical to DuckDB's list_dot_product over DOUBLE[] — so s01/d05
+  * hash-match the oracle exactly with no decimal detour.
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val duckCos =
+    """list_dot_product(CAST(qe AS DOUBLE[]), CAST(ce AS DOUBLE[]))
+       / (sqrt(list_dot_product(CAST(qe AS DOUBLE[]), CAST(qe AS DOUBLE[])))
+          * sqrt(list_dot_product(CAST(ce AS DOUBLE[]), CAST(ce AS DOUBLE[]))))"""
+
+  // ---- s01: exact brute-force top-k cosine (baseline) ----
+  val s01_knn_brute: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cands = e.select(col("vec_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("vec_id"))
+    cands.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .withColumn("cosine", cosine_sim(col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("qid", "rank", "vec_id", "cosine")
+      .orderBy("qid", "rank")
+  }
+  val s01Sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+       c AS (SELECT vec_id, embedding AS ce FROM embeddings),
+       p AS (SELECT qid, vec_id, $duckCos AS cosine FROM q, c WHERE vec_id <> qid)
+       SELECT qid, rn AS rank, vec_id, cosine FROM (
+         SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+         FROM p) t
+       WHERE rn <= 5 ORDER BY qid, rank"""
+
+  // ---- s02: LSH-bucketed approximate top-k (scale path; rows-only) ----
+  val s02_knn_lsh: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        cosine_lsh_keys(col("embedding"), 16, 4).as("keys"))
+    val buckets = e.select(col("vec_id"), col("embedding"), explode(col("keys")).as("bkey"))
+    val queries = buckets.join(
+      e.filter(col("vec_id") < 5).select(col("vec_id").as("qid")),
+      col("vec_id") === col("qid"))
+      .select(col("qid"), col("embedding").as("qe"), col("bkey"))
+    val cand = buckets.join(queries, "bkey")
+      .where(col("vec_id") =!= col("qid"))
+      .select("qid", "qe", "vec_id", "embedding")
+      .distinct()
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("vec_id"))
+    cand.withColumn("cosine", cosine_sim(col("qe"), col("embedding")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("qid", "rank", "vec_id", "cosine")
+      .orderBy("qid", "rank")
+  }
+
+  // ---- d05: embedding cosine near-dup pairs (threshold) ----
+  // Hash-sampled subset keeps the demonstration brute-force bounded; the
+  // production-scale variant is the same plan seeded from s02's LSH
+  // buckets instead of the cross join.
+  val d05_embedding_neardup: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).filter(col("vec_id") % 4 === 0)
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("qe"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("ce"))
+    a.join(b, col("va") < col("vb"))
+      .withColumn("cosine", cosine_sim(col("qe"), col("ce")))
+      .filter(col("cosine") >= 0.3)
+      .select("va", "vb", "cosine")
+      .orderBy("va", "vb")
+  }
+  val d05Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0)
+       SELECT a.vec_id AS va, b.vec_id AS vb,
+              list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+              / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                 * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cosine
+       FROM e a JOIN e b ON a.vec_id < b.vec_id
+       WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.3
+       ORDER BY va, vb"""
+
+  val queries: Map[String, Q] = Map(
+    "s01_knn_brute"         -> s01_knn_brute,
+    "s02_knn_lsh"           -> s02_knn_lsh,
+    "d05_embedding_neardup" -> d05_embedding_neardup,
+  )
+  val oracles: Map[String, String] = Map(
+    "s01_knn_brute"         -> s01Sql,
+    "d05_embedding_neardup" -> d05Sql,
+    // s02 is approximate by design — rows-only; SimilaritySpec asserts
+    // recall against s01.
+  )
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Hashing
+
+/** Property checks for the approximate (rows-only) dedup/similarity ops:
+  * the properties the DuckDB oracle can't express — LSH recall against the
+  * exact baselines, signature determinism, estimator accuracy.
+  */
+class DedupSimilaritySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("minhash: identical text -> identical signature; estimate tracks true jaccard") {
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    val sa = Hashing.minhash(a, 256, 3)
+    val sb = Hashing.minhash(b, 256, 3)
+    assert(sa.sameElements(Hashing.minhash(a, 256, 3)))
+    val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / 256
+    val shA = Hashing.shingleHashes(a, 3).toSet
+    val shB = Hashing.shingleHashes(b, 3).toSet
+    val trueJ = shA.intersect(shB).size.toDouble / shA.union(shB).size
+    assert(math.abs(est - trueJ) < 0.15, s"est $est vs true $trueJ")
+  }
+
+  test("simhash: small edit -> small hamming distance; unrelated -> large") {
+    val base = "spark catalyst optimizer rewrites logical plans into physical plans for execution"
+    val near = "spark catalyst optimizer rewrites logical plans into physical plans for running"
+    val far = "completely different words about cooking pasta with tomato sauce and fresh basil leaves"
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    val hNear = ham(Hashing.simhash(base, 2), Hashing.simhash(near, 2))
+    val hFar = ham(Hashing.simhash(base, 2), Hashing.simhash(far, 2))
+    assert(hNear < hFar, s"near=$hNear far=$hFar")
+    assert(hNear <= 16)
+  }
+
+  test("d02 minhash-lsh recall >= 0.9 vs exact d03 jaccard pairs") {
+    val exact = operators.Dedup.d03_ngram_jaccard(spark, sf)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = operators.Dedup.d02_minhash_lsh(spark, sf)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "no exact near-dup pairs in testdata?")
+    val recall = exact.count(cand.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall (missed ${exact -- cand})")
+  }
+
+  test("d04 simhash candidates cover exact near-dup pairs") {
+    val exact = operators.Dedup.d03_ngram_jaccard(spark, sf)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = operators.Dedup.d04_simhash(spark, sf)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(cand.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall (missed ${exact -- cand})")
+  }
+
+  test("s02 lsh knn recall >= 0.5 vs exact s01 top-5") {
+    def topk(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topk(operators.Similarity.s01_knn_brute(spark, sf))
+    val approx = topk(operators.Similarity.s02_knn_lsh(spark, sf))
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
+  test("d01 exact dedup: keeper count equals distinct normalized texts") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val distinctNorm = docs.select(
+      trim(regexp_replace(lower(col("text")), "\\s+", " "))).distinct().count()
+    val groups = operators.Dedup.d01_exact_dedup(spark, sf).count()
+    assert(groups == distinctNorm)
+  }
+}
