@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Source/sink helpers — SURVEY.md §2 "Sources / sinks".
+  *
+  * Parquet is the primary format (columnar, pushdown-friendly); csv/json
+  * round-trips cover interchange. Partitioned writes give partition-pruned
+  * reads (the 100 TB table layout: partition on the coarse filter key);
+  * bucketed writes pre-shuffle on the join key so repeated fact-fact joins
+  * skip their Exchange entirely.
+  */
+object Writers {
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def readCsv(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
+    spark.read.option("header", "true").schema(schemaDdl).csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def readJson(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
+    spark.read.schema(schemaDdl).json(path)
+
+  /** Hive-style partitioned parquet layout: one directory per value of
+    * `partitionCols`; reads with a filter on those columns list only the
+    * matching directories (partition pruning — no data files touched).
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed + sorted table: pre-shuffled on the join/agg key. A join of
+    * two tables bucketed the same way plans as a zero-Exchange sort-merge
+    * join — at 100 TB this converts every repeated join on the key from a
+    * full shuffle into a local merge.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+}

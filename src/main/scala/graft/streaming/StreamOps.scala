@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming variants of the event-analytics operators.
+  *
+  * The batch forms in [[graft.operators.Events]] are the oracle-checked
+  * semantics; these are the same logical aggregations expressed as
+  * incremental streaming plans: file source -> event-time watermark ->
+  * windowed aggregation / custom session state -> sink. Specs drive them
+  * synchronously with a memory sink (`processAllAvailable`), which
+  * exercises exactly the code path a production kafka/file stream uses.
+  *
+  * Scale notes: windowed aggs are partial-aggregated per micro-batch and
+  * state-store backed, keyed by (window, event_type) — uniform keys, no
+  * skew. The sessionizer keys state by user_id; at 100 TB you'd bound
+  * state with the same watermark-driven timeout used here.
+  */
+object StreamOps {
+
+  /** events schema as stored (ts is TIMESTAMP(NANOS) -> read as long). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of the events table (nanos -> micros, like Tables.events). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(s"$dir/events*") // glob: the file source requires a dir/glob, not a bare file
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling 1-hour event-time windows with a 2-hour watermark. */
+  def windowedCounts(spark: SparkSession, dir: String): DataFrame =
+    readEvents(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                event_type: String, value: Double)
+  case class SessionAcc(startMicros: Long, lastMicros: Long, n: Int, value: Double)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                        n_events: Int, session_value: Double)
+
+  /** Gap-based sessionizer over per-user state (30-minute inactivity gap).
+    * Emits a session whenever a new event arrives more than the gap after
+    * the previous one, or when the state times out at the watermark.
+    */
+  def sessionize(spark: SparkSession, dir: String): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapMicros = 30L * 60 * 1000 * 1000
+
+    def flush(acc: SessionAcc, userId: Long): SessionOut =
+      SessionOut(userId, new java.sql.Timestamp(acc.startMicros / 1000),
+        acc.n, acc.value)
+
+    readEvents(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, events: Iterator[Ev], state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(flush(_, userId)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = Seq.newBuilder[SessionOut]
+            var acc = state.getOption.orNull
+            sorted.foreach { e =>
+              val t = e.ts.getTime * 1000
+              if (acc == null) acc = SessionAcc(t, t, 1, e.value)
+              else if (t > acc.lastMicros + gapMicros) {
+                closed += flush(acc, userId)
+                acc = SessionAcc(t, t, 1, e.value)
+              } else acc = acc.copy(lastMicros = math.max(acc.lastMicros, t),
+                n = acc.n + 1, value = acc.value + e.value)
+            }
+            if (acc != null) {
+              state.update(acc)
+              state.setTimeoutTimestamp(acc.lastMicros / 1000 + 30 * 60 * 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class SourcesSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft_$name").toString
+
+  test("csv round-trip preserves values") {
+    val out = tmp("csv")
+    val src = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    sources.Writers.writeCsv(src, out)
+    val back = sources.Writers.readCsv(spark, out,
+      "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
+  test("json round-trip preserves values") {
+    val out = tmp("json")
+    val src = Tables.customer(spark, sf)
+      .select("c_custkey", "c_name", "c_acctbal")
+    sources.Writers.writeJson(src, out)
+    val back = sources.Writers.readJson(spark, out,
+      "c_custkey LONG, c_name STRING, c_acctbal DOUBLE")
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
+  test("partitioned write -> partition-pruned read") {
+    val out = tmp("part")
+    sources.Writers.writePartitioned(
+      Tables.orders(spark, sf), out, Seq("o_orderpriority"))
+    val pruned = spark.read.parquet(out).filter(col("o_orderpriority") === "1-URGENT")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || plan.contains("partitionFilters"),
+      s"no partition filter in plan:\n$plan")
+    val expected = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT").count()
+    assert(pruned.count() == expected)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      sources.Writers.writeBucketed(
+        Tables.orders(spark, sf).select("o_orderkey", "o_totalprice"),
+        "orders_b", "o_orderkey", 4)
+      sources.Writers.writeBucketed(
+        Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity"),
+        "lineitem_b", "l_orderkey", 4)
+      val joined = spark.table("orders_b").join(
+        spark.table("lineitem_b"),
+        col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == Tables.lineitem(spark, sf).count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+}
