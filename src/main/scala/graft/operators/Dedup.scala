@@ -66,12 +66,16 @@ object Dedup {
   // ---- d03: word-3-gram Jaccard verified near-dup pairs ----
   // Candidates from the shared-shingle join (never all-pairs); exact
   // Jaccard on candidates only. Oracle replicates shingling relationally.
+  // The join key is xxhash64(shingle), not the shingle string: an 8-byte
+  // shuffle key instead of ~20-byte strings (collision odds ~n^2/2^64 are
+  // irrelevant at any feasible shingle count).
   val d03_ngram_jaccard: Q = (s, d) => {
     val shingles = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
       .select(col("doc_id"), explode(expr(
         """array_distinct(transform(
-             sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
-             i -> concat_ws(' ', slice(split(text, ' '), i, 3))))""")).as("sh"))
+             sequence(1, greatest(size(words) - 2, 0)),
+             i -> xxhash64(concat_ws(' ', slice(words, i, 3)))))""")).as("sh"))
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = shingles.as("x").join(shingles.as("y"), "sh")
       .where(col("x.doc_id") < col("y.doc_id"))
