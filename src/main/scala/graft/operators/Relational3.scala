@@ -272,8 +272,29 @@ object Relational3 {
        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
        ORDER BY status, priority"""
 
+  // ---- q41: as-of join via the custom AsofJoinExec physical operator ----
+  // Same semantics and oracle as q34, executed by graft.plans.AsofJoinExec
+  // (sort-merge, co-partitioned) instead of the union+window composition —
+  // the DuckDB ASOF JOIN oracle proves the custom operator end-to-end.
+  val q41_asof_custom: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .agg(max("event_id").as("view_event_id"))
+      .select("v_user", "view_ts", "view_event_id")
+    graft.plans.AsofJoin.asofJoin(purchases, views, "user_id", "v_user", "ts", "view_ts")
+      .select(
+        col("event_id"), col("user_id"), col("ts"),
+        col("view_event_id"), col("view_ts"),
+        (col("ts").cast("long") - col("view_ts").cast("long")).as("gap_s"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_stats_agg"       -> q31_stats_agg,
+    "q41_asof_custom"     -> q41_asof_custom,
     "q32_lead_lag"        -> q32_lead_lag,
     "q33_ntile_ranks"     -> q33_ntile_ranks,
     "q34_asof_join"       -> q34_asof_join,
@@ -286,6 +307,7 @@ object Relational3 {
   )
   val oracles: Map[String, String] = Map(
     "q31_stats_agg"       -> q31Sql,
+    "q41_asof_custom"     -> q34Sql,
     "q32_lead_lag"        -> q32Sql,
     "q33_ntile_ranks"     -> q33Sql,
     "q34_asof_join"       -> q34Sql,
