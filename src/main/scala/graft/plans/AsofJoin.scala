@@ -117,11 +117,19 @@ case class AsofJoinExec(
 }
 
 /** Session extension entry point: SparkSession.builder()
-  * .withExtensions(new GraftExtensions) — injects the as-of strategy.
+  * .withExtensions(new GraftExtensions) — injects the as-of planner
+  * strategy and registers graft's SQL functions.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsofJoinStrategy)
+    graft.functions.Register.builders.foreach { case (name, builder) =>
+      e.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", name),
+        builder))
+    }
+  }
 }
 
 object AsofJoin {

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("custom expressions callable from spark.sql after registration") {
+    functions.Register.all(spark)
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_sql")
+    val rows = spark.sql(
+      """SELECT doc_id, simhash64(text) AS sh,
+           size(minhash_signature(text)) AS sig_len,
+           size(minhash_signature(text, 32, 2)) AS sig_len32
+         FROM docs_sql ORDER BY doc_id LIMIT 5""").collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getInt(2) == 64))
+    assert(rows.forall(_.getInt(3) == 32))
+    // SQL result must equal the Column-API result
+    val apiSh = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.functions.simhash64(col("text")).as("sh"))
+      .orderBy("doc_id").limit(5).collect().map(_.getLong(1))
+    assert(rows.map(_.getLong(1)).sameElements(apiSh))
+  }
+
+  test("cosine_sim in SQL matches Column API") {
+    functions.Register.all(spark)
+    Tables.embeddings(spark, sf).createOrReplaceTempView("emb_sql")
+    val sql = spark.sql(
+      """SELECT a.vec_id, cosine_sim(a.embedding, b.embedding) AS c
+         FROM emb_sql a JOIN emb_sql b ON b.vec_id = a.vec_id + 1
+         WHERE a.vec_id < 10 ORDER BY a.vec_id""").collect().map(_.getDouble(1))
+    assert(sql.length == 10 && sql.forall(c => c >= -1.0 && c <= 1.0))
+  }
+
+  test("TopKItems aggregator: exact top words when capacity >= vocabulary") {
+    import spark.implicits._
+    val words = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "").as[String]
+    val got = words.select(new functions.TopKItems(10, 500).toColumn).collect().head
+    val exact = words.groupByKey(identity).count().collect()
+      .sortBy { case (w, c) => (-c, w) }.take(10).toMap
+    assert(got == exact, s"sketch $got vs exact $exact")
+  }
+
+  test("m02 batch decode: deterministic, schema-typed, row-preserving") {
+    val out = operators.Multimodal.decodeBatch(spark, sf)
+    val n = Tables.documents(spark, sf).count()
+    assert(out.count() == n)
+    val a = out.orderBy("doc_id").collect()
+    val b = operators.Multimodal.decodeBatch(spark, sf).orderBy("doc_id").collect()
+    assert(a.sameElements(b), "decode not deterministic")
+    assert(a.forall(d => d.byte_len > 0 && d.fake_width < 1024 && d.fake_height < 768))
+  }
+}
