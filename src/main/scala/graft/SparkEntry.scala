@@ -10,12 +10,14 @@ object SparkEntry {
     operators.Relational.queries ++ operators.Relational2.queries ++
       operators.Relational3.queries ++ operators.Relational4.queries ++
       operators.Dedup.queries ++ operators.Similarity.queries ++
-      operators.TextAnalysis.queries ++ operators.Events.queries
+      operators.TextAnalysis.queries ++ operators.Events.queries ++
+      operators.CorpusPipeline.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.Relational2.oracles ++
       operators.Relational3.oracles ++ operators.Relational4.oracles ++
       operators.Dedup.oracles ++ operators.Similarity.oracles ++
-      operators.TextAnalysis.oracles ++ operators.Events.oracles
+      operators.TextAnalysis.oracles ++ operators.Events.oracles ++
+      operators.CorpusPipeline.oracles
 }

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.api.Pipeline
+
+/** p01: the end-to-end training-corpus cleaning pipeline — the flagship
+  * composition of the LLM-data operators (SURVEY.md §2), built with
+  * [[graft.api.Pipeline]]:
+  *
+  *   quality filter -> exact dedup (md5 keeper) -> near-dup removal
+  *   (word-3-gram Jaccard >= 0.5 against a smaller-id survivor) -> stats
+  *
+  * Every stage is a narrow map or a uniform hash-key shuffle; nothing is
+  * all-pairs. The whole pipeline is one lazy Catalyst plan and is verified
+  * end-to-end against a DuckDB CTE oracle replicating each stage.
+  */
+object CorpusPipeline {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val normExpr = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
+
+  val p01_corpus_clean: Q = (s, d) => {
+    val qualityFilter: DataFrame => DataFrame = df => {
+      val withQ = df
+        .withColumn("n_chars_m", length(col("text")).cast("long"))
+        .withColumn("n_words", size(split(trim(col("text")), " ")).cast("long"))
+        .withColumn("n_alnum", length(regexp_replace(col("text"), "[^A-Za-z0-9]", "")).cast("long"))
+        .withColumn("quality",
+          lit(0.5) * least(lit(1.0), col("n_words").cast("double") / 100.0)
+            + lit(0.5) * (col("n_alnum").cast("double") / col("n_chars_m")))
+      withQ.filter(col("quality") >= 0.6)
+    }
+
+    val exactDedup: DataFrame => DataFrame = df => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(expr(normExpr))).orderBy("doc_id")
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    }
+
+    val nearDedup: DataFrame => DataFrame = df => {
+      val shingles = df
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .select(col("doc_id"), explode(expr(
+          """array_distinct(transform(
+               sequence(1, greatest(size(words) - 2, 0)),
+               i -> xxhash64(concat_ws(' ', slice(words, i, 3)))))""")).as("sh"))
+      val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val doomed = shingles.as("x").join(shingles.as("y"), "sh")
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+        .agg(count(lit(1)).as("shared"))
+        .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+        .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+        .filter(col("shared").cast("double") / (col("na") + col("nb") - col("shared")) >= 0.5)
+        .select(col("db").as("doomed_id")).distinct()
+      df.join(doomed, col("doc_id") === col("doomed_id"), "left_anti")
+    }
+
+    val stats: DataFrame => DataFrame = df => df
+      .select(col("doc_id"), col("lang"), col("n_words"), round(col("quality"), 9).as("quality"))
+      .orderBy("doc_id")
+
+    Pipeline(
+      "quality_filter" -> qualityFilter,
+      "exact_dedup" -> exactDedup,
+      "near_dedup" -> nearDedup,
+      "stats" -> stats,
+    ).run(Tables.documents(s, d))
+  }
+
+  val p01Sql: String =
+    """WITH q AS (
+        SELECT doc_id, text, lang, n_words,
+               0.5 * least(1.0, CAST(n_words AS DOUBLE) / 100.0)
+                 + 0.5 * (CAST(n_alnum AS DOUBLE) / n_chars_m) AS quality
+        FROM (SELECT doc_id, text, lang,
+                CAST(length(text) AS BIGINT) AS n_chars_m,
+                len(string_split(trim(text), ' ')) AS n_words,
+                CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS BIGINT) AS n_alnum
+              FROM documents) a),
+      qf AS (SELECT * FROM q WHERE quality >= 0.6),
+      ed AS (SELECT * FROM (
+               SELECT *, row_number() OVER (
+                 PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                 ORDER BY doc_id) AS rn
+               FROM qf) t WHERE rn = 1),
+      w AS (SELECT doc_id, generate_subscripts(string_split(text,' '),1) i,
+                   unnest(string_split(text,' ')) w FROM ed),
+      g AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+            FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.i=a.i+1
+                     JOIN w c ON c.doc_id=a.doc_id AND c.i=a.i+2),
+      dd AS (SELECT DISTINCT doc_id, sh FROM g),
+      sizes AS (SELECT doc_id, count(*) n FROM dd GROUP BY doc_id),
+      doomed AS (SELECT DISTINCT y.doc_id AS doomed_id
+                 FROM dd x JOIN dd y ON x.sh=y.sh AND x.doc_id<y.doc_id
+                 JOIN sizes sa ON x.doc_id=sa.doc_id
+                 JOIN sizes sb ON y.doc_id=sb.doc_id
+                 GROUP BY x.doc_id, y.doc_id, sa.n, sb.n
+                 HAVING CAST(count(*) AS DOUBLE)/(sa.n+sb.n-count(*)) >= 0.5)
+      SELECT doc_id, lang, n_words, round(quality, 9) AS quality
+      FROM ed WHERE doc_id NOT IN (SELECT doomed_id FROM doomed)
+      ORDER BY doc_id"""
+
+  val queries: Map[String, Q] = Map("p01_corpus_clean" -> p01_corpus_clean)
+  val oracles: Map[String, String] = Map("p01_corpus_clean" -> p01Sql)
+}

@@ -25,6 +25,11 @@ object StreamDemo {
       .writeStream.outputMode("append").format("memory").queryName("sess").start()
     se.processAllAvailable(); se.stop()
     println(s"STREAM_SESSIONS=${spark.table("sess").count()}")
+
+    val dd = StreamOps.dedupStream(spark, dir)
+      .writeStream.outputMode("append").format("memory").queryName("dedup").start()
+    dd.processAllAvailable(); dd.stop()
+    println(s"STREAM_DEDUP_ROWS=${spark.table("dedup").count()}")
     spark.stop()
   }
 }

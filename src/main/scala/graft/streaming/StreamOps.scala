@@ -48,6 +48,20 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup with bounded state: duplicates are dropped if
+    * they arrive within the watermark window, and state for keys older
+    * than the watermark is evicted — the only way exact streaming dedup
+    * stays feasible on an unbounded 100 TB/day stream. Keyed on the
+    * payload hash (md5 of props+type), the same normalize-hash-keep-first
+    * shape as batch d01.
+    */
+  def dedupStream(spark: SparkSession, dir: String): DataFrame =
+    readEvents(spark, dir)
+      .withColumn("payload_hash",
+        md5(concat_ws("|", col("event_type"), col("props"))))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("payload_hash")
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                 event_type: String, value: Double)
   case class SessionAcc(startMicros: Long, lastMicros: Long, n: Int, value: Double)

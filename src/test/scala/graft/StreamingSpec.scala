@@ -29,6 +29,23 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming dedup: no duplicate payload hashes within the watermark") {
+    val q = streaming.StreamOps.dedupStream(spark, sf)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val out = spark.table("dedup_out")
+    val n = out.count()
+    val distinctHashes = out.select("payload_hash").distinct().count()
+    assert(n > 0)
+    assert(n == distinctHashes, s"emitted $n rows but $distinctHashes distinct hashes")
+    // never more output than input, never fewer than batch-distinct
+    val batchDistinct = Tables.events(spark, sf)
+      .selectExpr("md5(concat_ws('|', event_type, props)) h")
+      .distinct().count()
+    assert(n >= batchDistinct, s"$n < batch distinct $batchDistinct")
+  }
+
   test("streaming sessionizer emits sessions consistent with batch q27") {
     val q = streaming.StreamOps.sessionize(spark, sf)
       .writeStream.outputMode("append").format("memory")
