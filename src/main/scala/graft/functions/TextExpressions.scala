@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -101,6 +101,50 @@ object Hashing {
     if (hs.isEmpty) Array.fill(numHashes)(0L) else sig
   }
 
+  // ---- static entry points for generated (Janino) code ----
+  // Scala objects emit static forwarders, so whole-stage codegen can call
+  // these directly and the expressions stay inside the codegen'd stage.
+  def minhashData(s: UTF8String, k: Int, shingle: Int): ArrayData =
+    new GenericArrayData(minhash(s.toString, k, shingle))
+  def simhashLong(s: UTF8String, shingle: Int): Long =
+    simhash(s.toString, shingle)
+  def lshKeysData(arr: ArrayData, numTables: Int, planesPerTable: Int): ArrayData = {
+    val n = arr.numElements()
+    val keys = new Array[Int](numTables)
+    var t = 0
+    while (t < numTables) {
+      var bucket = 0
+      var p = 0
+      while (p < planesPerTable) {
+        val plane = t * planesPerTable + p
+        var dot = 0.0
+        var i = 0
+        while (i < n) {
+          val w = if ((mix64(plane.toLong * 131071L + i) & 1L) == 0L) 1.0 else -1.0
+          dot += w * arr.getFloat(i)
+          i += 1
+        }
+        if (dot > 0) bucket |= (1 << p)
+        p += 1
+      }
+      keys(t) = (t << planesPerTable) | bucket
+      t += 1
+    }
+    new GenericArrayData(keys)
+  }
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** 64-bit SimHash (Charikar 2002) over word 2-shingles. */
   def simhash(text: String, shingleSize: Int): Long = {
     val hs = shingleHashes(text, shingleSize)
@@ -123,25 +167,31 @@ object Hashing {
   }
 }
 
-/** Array[Long] MinHash signature of a text column — one pass, no shuffle. */
+/** Array[Long] MinHash signature of a text column — one pass, no shuffle,
+  * codegen'd as a static call so the stage stays whole-stage compiled.
+  */
 case class MinHashSignature(child: Expression, numHashes: Int, shingleSize: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val sig = Hashing.minhash(input.asInstanceOf[UTF8String].toString, numHashes, shingleSize)
-    new GenericArrayData(sig)
-  }
+  override def nullSafeEval(input: Any): Any =
+    Hashing.minhashData(input.asInstanceOf[UTF8String], numHashes, shingleSize)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Hashing.minhashData($c, $numHashes, $shingleSize)")
   override def prettyName: String = "minhash_signature"
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
-/** 64-bit SimHash of a text column. */
+/** 64-bit SimHash of a text column (codegen'd static call). */
 case class SimHash64(child: Expression, shingleSize: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
-    Hashing.simhash(input.asInstanceOf[UTF8String].toString, shingleSize)
+    Hashing.simhashLong(input.asInstanceOf[UTF8String], shingleSize)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Hashing.simhashLong($c, $shingleSize)")
   override def prettyName: String = "simhash64"
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

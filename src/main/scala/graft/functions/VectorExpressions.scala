@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -19,34 +19,13 @@ import org.apache.spark.sql.types._
   * p = 1 - theta/pi; 16 tables x 4 planes gives ~0.94 recall at cos 0.4.
   */
 case class CosineLshKeys(child: Expression, numTables: Int, planesPerTable: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val keys = new Array[Int](numTables)
-    var t = 0
-    while (t < numTables) {
-      var bucket = 0
-      var p = 0
-      while (p < planesPerTable) {
-        val plane = t * planesPerTable + p
-        var dot = 0.0
-        var i = 0
-        while (i < n) {
-          // deterministic +-1 weight per (plane, dim)
-          val w = if ((Hashing.mix64(plane.toLong * 131071L + i) & 1L) == 0L) 1.0 else -1.0
-          dot += w * arr.getFloat(i)
-          i += 1
-        }
-        if (dot > 0) bucket |= (1 << p)
-        p += 1
-      }
-      keys(t) = (t << planesPerTable) | bucket
-      t += 1
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(keys)
-  }
+  override def nullSafeEval(input: Any): Any =
+    Hashing.lshKeysData(input.asInstanceOf[ArrayData], numTables, planesPerTable)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Hashing.lshKeysData($c, $numTables, $planesPerTable)")
   override def prettyName: String = "cosine_lsh_keys"
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -58,22 +37,13 @@ case class CosineLshKeys(child: Expression, numTables: Int, planesPerTable: Int)
   * exactly reproducible cross-engine.
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    dot / (math.sqrt(na) * math.sqrt(nb))
-  }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    Hashing.cosine(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.Hashing.cosine($a, $b)")
   override def prettyName: String = "cosine_sim"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

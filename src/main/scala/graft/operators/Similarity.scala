@@ -101,12 +101,52 @@ object Similarity {
                 * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.3
        ORDER BY va, vb"""
 
+  // ---- s03: per-label embedding centroids ----
+  // Vector aggregation the Spark way: posexplode to (label, dim, value),
+  // decimal-exact mean per (label, dim), re-assemble ordered arrays. One
+  // uniform shuffle on (label, dim) — at 100 TB this is how you average
+  // billions of embeddings without driver involvement.
+  val s03_centroids: Q = (s, d) => {
+    import org.apache.spark.sql.types.DecimalType
+    val e = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+    // float -> DOUBLE first: DuckDB's float->decimal goes through the
+    // float's short decimal string, Spark's through its exact double
+    // value; double->decimal is exactly rounded on both.
+    e.groupBy("label", "dim")
+      .agg((sum(col("v").cast("double").cast(DecimalType(30, 10))).cast("double")
+        / count(lit(1))).as("mean_v"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("mean_v")))).as("pairs"))
+      .select(col("label"),
+        expr("transform(pairs, p -> p.mean_v)").as("centroid"))
+      .select(col("label"),
+        size(col("centroid")).cast("long").as("n_dims"),
+        round(element_at(col("centroid"), 1), 9).as("c0"),
+        round(element_at(col("centroid"), 32), 9).as("c31"),
+        round(element_at(col("centroid"), 64), 9).as("c63"))
+      .orderBy("label")
+  }
+  val s03Sql: String =
+    """WITH e AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+                       unnest(embedding) AS v FROM embeddings),
+      m AS (SELECT label, dim,
+              CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS mean_v
+            FROM e GROUP BY 1, 2)
+      SELECT label, COUNT(*) AS n_dims,
+             round(min(CASE WHEN dim = 0 THEN mean_v END), 9) AS c0,
+             round(min(CASE WHEN dim = 31 THEN mean_v END), 9) AS c31,
+             round(min(CASE WHEN dim = 63 THEN mean_v END), 9) AS c63
+      FROM m GROUP BY label ORDER BY label"""
+
   val queries: Map[String, Q] = Map(
+    "s03_centroids"         -> s03_centroids,
     "s01_knn_brute"         -> s01_knn_brute,
     "s02_knn_lsh"           -> s02_knn_lsh,
     "d05_embedding_neardup" -> d05_embedding_neardup,
   )
   val oracles: Map[String, String] = Map(
+    "s03_centroids"         -> s03Sql,
     "s01_knn_brute"         -> s01Sql,
     "d05_embedding_neardup" -> d05Sql,
     // s02 is approximate by design — rows-only; SimilaritySpec asserts

@@ -133,7 +133,40 @@ object TextAnalysis {
         CAST((octet_length(encode(text)) // 7) % 768 AS BIGINT) AS fake_height
       FROM documents ORDER BY doc_id"""
 
+  // ---- t05: TF-IDF over the corpus ----
+  // Exact integer counts everywhere until the final per-row double math
+  // (ln is bit-identical across engines on the same inputs); top terms by
+  // tf-idf per document for a bounded sample of docs.
+  val t05_tfidf: Q = (s, d) => {
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df_ = words.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(s, d).select(countDistinct("doc_id").as("n_docs"))
+    tf.join(df_, "word")
+      .join(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 9))
+      .filter(col("doc_id") % 50 === 0)
+      .select("doc_id", "word", "tf", "df", "tfidf")
+      .orderBy("doc_id", "word")
+  }
+  val t05Sql: String =
+    """WITH words AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+      w AS (SELECT * FROM words WHERE word <> ''),
+      tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+      df AS (SELECT word, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, word FROM w) GROUP BY 1),
+      nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+      SELECT doc_id, word, tf, df,
+             round(tf * ln(CAST(n_docs AS DOUBLE) / df), 9) AS tfidf
+      FROM tf JOIN df USING (word) CROSS JOIN nd
+      WHERE doc_id % 50 = 0 ORDER BY doc_id, word"""
+
   val queries: Map[String, Q] = Map(
+    "t05_tfidf"         -> t05_tfidf,
     "t01_lang_id"       -> t01_lang_id,
     "t02_quality_score" -> t02_quality_score,
     "t03_token_count"   -> t03_token_count,
@@ -141,6 +174,7 @@ object TextAnalysis {
     "m01_binary_meta"   -> m01_binary_meta,
   )
   val oracles: Map[String, String] = Map(
+    "t05_tfidf"         -> t05Sql,
     "t01_lang_id"       -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t03_token_count"   -> t03Sql,
