@@ -49,12 +49,39 @@ object Events {
       WHERE prev_type IS NOT NULL
       GROUP BY prev_type, event_type ORDER BY prev_type, next_type"""
 
+  // ---- e03: incremental aggregation (partial-agg merge) ----
+  // The batch-incremental ETL pattern: aggregates computed on yesterday's
+  // partition merge with today's by re-aggregating the partials — valid
+  // because sum/count decompose. The oracle aggregates the full table
+  // directly, proving partial+merge == direct. At 100 TB this is the
+  // difference between reprocessing a day and reprocessing the archive.
+  val e03_incremental_agg: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val cutoff = lit("2024-01-20").cast("timestamp")
+    def partial(df: DataFrame): DataFrame = df
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 6))).as("v"))
+    val old = partial(ev.filter(col("ts") < cutoff))
+    val fresh = partial(ev.filter(col("ts") >= cutoff))
+    old.unionByName(fresh)
+      .groupBy("day", "event_type")
+      .agg(sum("n").as("n_events"), sum("v").cast("double").as("total_value"))
+      .orderBy("day", "event_type")
+  }
+  val e03Sql: String =
+    s"""SELECT date_trunc('day', ts) AS day, event_type,
+       COUNT(*) AS n_events, ${sqlSum("value")} AS total_value
+       FROM events GROUP BY 1, 2 ORDER BY day, event_type"""
+
   val queries: Map[String, Q] = Map(
     "e01_tumbling_window" -> e01_tumbling_window,
     "e02_user_funnel"     -> e02_user_funnel,
+    "e03_incremental_agg" -> e03_incremental_agg,
   )
   val oracles: Map[String, String] = Map(
     "e01_tumbling_window" -> e01Sql,
     "e02_user_funnel"     -> e02Sql,
+    "e03_incremental_agg" -> e03Sql,
   )
 }
