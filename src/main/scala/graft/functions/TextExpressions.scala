@@ -145,6 +145,18 @@ object Hashing {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Polynomial rolling hash over the word stream: h = h*B + hash64(w)
+    * mod 2^64 — order-sensitive (unlike the bag fingerprint), one pass,
+    * constant memory; the classic document-stream fingerprint.
+    */
+  def rollingFingerprint(s: UTF8String): Long = {
+    val words = tokenize(s.toString)
+    var h = 0x9e3779b97f4a7c15L
+    var i = 0
+    while (i < words.length) { h = h * 1000003L + hash64(words(i)); i += 1 }
+    h
+  }
+
   /** 64-bit SimHash (Charikar 2002) over word 2-shingles. */
   def simhash(text: String, shingleSize: Int): Long = {
     val hs = shingleHashes(text, shingleSize)
@@ -179,6 +191,18 @@ case class MinHashSignature(child: Expression, numHashes: Int, shingleSize: Int)
     defineCodeGen(ctx, ev,
       c => s"graft.functions.Hashing.minhashData($c, $numHashes, $shingleSize)")
   override def prettyName: String = "minhash_signature"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Order-sensitive rolling-hash fingerprint of a text column. */
+case class RollingFingerprint(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    Hashing.rollingFingerprint(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.rollingFingerprint($c)")
+  override def prettyName: String = "rolling_fingerprint"
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -24,4 +24,8 @@ package object functions {
   /** Cosine similarity of two float-array embeddings (double fold). */
   def cosine_sim(a: Column, b: Column): Column =
     toCol(CosineSim(toExpr(a), toExpr(b)))
+
+  /** Order-sensitive polynomial rolling-hash document fingerprint. */
+  def rolling_fingerprint(c: Column): Column =
+    toCol(RollingFingerprint(toExpr(c)))
 }

@@ -139,7 +139,45 @@ object Similarity {
              round(min(CASE WHEN dim = 63 THEN mean_v END), 9) AS c63
       FROM m GROUP BY label ORDER BY label"""
 
+  // ---- s04: IVF-style ANN (coarse quantizer = label centroids) ----
+  // The inverted-file scale path: assign every vector to its nearest
+  // centroid cell (broadcast centroids, narrow pass), then search only
+  // the nprobe=3 nearest cells per query. Rows-only; SimilaritySpec
+  // asserts recall vs the exact s01 baseline.
+  val s04_ann_ivf: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    // centroid per label as ARRAY<DOUBLE> (the coarse quantizer)
+    val cents = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim").agg(avg(col("v").cast("double")).as("mv"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("mv")))).as("ps"))
+      .select(col("label").as("cell"), expr("transform(ps, p -> p.mv)").as("centroid"))
+    val simToCell = expr(
+      """aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), centroid, (x, y) -> x * y),
+         0D, (a, v) -> a + v)
+         / (sqrt(aggregate(CAST(embedding AS ARRAY<DOUBLE>), 0D, (a, x) -> a + x * x))
+            * sqrt(aggregate(centroid, 0D, (a, x) -> a + x * x)))""")
+    val scored = e.join(broadcast(cents)).withColumn("csim", simToCell)
+    val byVec = Window.partitionBy("vec_id").orderBy(desc("csim"), col("cell"))
+    val assigned = scored
+      .withColumn("r", row_number().over(byVec)).filter(col("r") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val queryCells = scored.filter(col("vec_id") < 5)
+      .withColumn("r", row_number().over(byVec)).filter(col("r") <= 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"))
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("vec_id"))
+    assigned.join(queryCells, "cell")
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("cosine", cosine_sim(col("qe"), col("embedding")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("qid", "rank", "vec_id", "cosine")
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s04_ann_ivf"           -> s04_ann_ivf,
     "s03_centroids"         -> s03_centroids,
     "s01_knn_brute"         -> s01_knn_brute,
     "s02_knn_lsh"           -> s02_knn_lsh,

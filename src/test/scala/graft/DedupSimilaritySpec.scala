@@ -63,6 +63,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("s04 ivf ann recall >= 0.4 vs exact s01 top-5") {
+    def topk(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topk(operators.Similarity.s01_knn_brute(spark, sf))
+    val ivf = topk(operators.Similarity.s04_ann_ivf(spark, sf))
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall")
+  }
+
+  test("rolling fingerprint: order-sensitive, whitespace-insensitive-normalized") {
+    val a = Hashing.rollingFingerprint(
+      org.apache.spark.unsafe.types.UTF8String.fromString("alpha beta gamma"))
+    val b = Hashing.rollingFingerprint(
+      org.apache.spark.unsafe.types.UTF8String.fromString("gamma beta alpha"))
+    val a2 = Hashing.rollingFingerprint(
+      org.apache.spark.unsafe.types.UTF8String.fromString("alpha  beta\tgamma"))
+    assert(a != b, "must be order-sensitive")
+    assert(a == a2, "must ignore whitespace runs")
+    // usable from SQL too
+    graft.functions.Register.all(spark)
+    val n = spark.sql("SELECT rolling_fingerprint('alpha beta gamma') AS f")
+      .collect().head.getLong(0)
+    assert(n == a)
+  }
+
   test("d01 exact dedup: keeper count equals distinct normalized texts") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf)
