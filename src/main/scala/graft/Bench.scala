@@ -21,13 +21,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: table footers/caches + codegen paths of the flagship query
+    // warmup: table footers/caches, then every query once at the smallest
+    // scale factor — Janino/whole-stage compilation is per-plan-shape, so
+    // this moves one-time codegen cost out of the timed runs and the
+    // reported numbers measure engine throughput.
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "documents", "embeddings").foreach { t =>
       Tables.read(spark, sfDir, t).count()
     }
     Tables.events(spark, sfDir).count()
-    SparkEntry.entry(spark).count()
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try { fn(spark, warmDir).count() } catch { case _: Throwable => }
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

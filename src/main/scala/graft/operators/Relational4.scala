@@ -120,7 +120,51 @@ object Relational4 {
          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
        GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  // ---- q47: first/last/nth value window frames ----
+  val q47_value_windows: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 30)
+      .withColumn("first_price", first("o_totalprice").over(full))
+      .withColumn("last_price", last("o_totalprice").over(full))
+      .withColumn("second_price", nth_value(col("o_totalprice"), 2).over(full))
+      .select("o_custkey", "o_orderkey", "o_totalprice",
+        "first_price", "last_price", "second_price")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+  val q47Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+        first_value(o_totalprice) OVER w AS first_price,
+        last_value(o_totalprice) OVER w AS last_price,
+        nth_value(o_totalprice, 2) OVER w AS second_price
+      FROM orders WHERE o_custkey < 30
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_custkey, o_orderkey"""
+
+  // ---- q48: ordered string aggregation (listagg) ----
+  val q48_string_agg: Q = (s, d) => {
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 300)
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(o_orderkey)), x -> CAST(x AS STRING)), ',')")
+          .as("keys_csv"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+  val q48Sql: String =
+    """SELECT o_orderpriority,
+        string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS keys_csv,
+        COUNT(*) AS n
+      FROM orders WHERE o_orderkey < 300
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   val queries: Map[String, Q] = Map(
+    "q47_value_windows"      -> q47_value_windows,
+    "q48_string_agg"         -> q48_string_agg,
     "q42_outer_distribution" -> q42_outer_distribution,
     "q43_agg_in_subquery"    -> q43_agg_in_subquery,
     "q44_min_join_back"      -> q44_min_join_back,
@@ -128,6 +172,8 @@ object Relational4 {
     "q46_scalar_subquery"    -> q46_scalar_subquery,
   )
   val oracles: Map[String, String] = Map(
+    "q47_value_windows"      -> q47Sql,
+    "q48_string_agg"         -> q48Sql,
     "q42_outer_distribution" -> q42Sql,
     "q43_agg_in_subquery"    -> q43Sql,
     "q44_min_join_back"      -> q44Sql,
