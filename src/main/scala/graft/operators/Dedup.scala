@@ -128,7 +128,43 @@ object Dedup {
       .orderBy("da", "db")
   }
 
+  // ---- d06: production-scale verified near-dup (LSH candidates + exact
+  // Jaccard on candidates only; rows-only, spec vs d03) ----
+  // This is the pipeline you run at 100 TB: MinHash-LSH prunes the pair
+  // space to banding candidates (bounded by collision probability, NOT by
+  // shared-shingle frequency), then exact shingle-set Jaccard verifies
+  // just those pairs. Unlike d03, cost does not grow with stop-shingle
+  // document frequency.
+  val d06_lsh_verified: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val sig = docs.select(col("doc_id"), minhash_signature(col("text"), 64, 3).as("sig"))
+    val bands = sig.select(
+      col("doc_id"),
+      explode(expr("transform(sequence(0, 15), b -> hash(slice(sig, b*4+1, 4), b))")).as("bkey"))
+    val cand = bands.as("x").join(bands.as("y"), "bkey")
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+    val shingleSets = docs
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(
+             sequence(1, greatest(size(words) - 2, 0)),
+             i -> xxhash64(concat_ws(' ', slice(words, i, 3)))))""").as("shs"))
+    cand
+      .join(shingleSets.select(col("doc_id").as("da"), col("shs").as("sa")), "da")
+      .join(shingleSets.select(col("doc_id").as("db"), col("shs").as("sb")), "db")
+      .withColumn("shared", expr("CAST(size(array_intersect(sa, sb)) AS BIGINT)"))
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (expr("size(sa)") + expr("size(sb)") - col("shared")))
+      .filter(col("jaccard") >= 0.5)
+      .select("da", "db", "shared", "jaccard")
+      .orderBy("da", "db")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d06_lsh_verified"  -> d06_lsh_verified,
     "d01_exact_dedup"   -> d01_exact_dedup,
     "d02_minhash_lsh"   -> d02_minhash_lsh,
     "d03_ngram_jaccard" -> d03_ngram_jaccard,

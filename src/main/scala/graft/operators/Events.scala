@@ -74,12 +74,40 @@ object Events {
        COUNT(*) AS n_events, ${sqlSum("value")} AS total_value
        FROM events GROUP BY 1, 2 ORDER BY day, event_type"""
 
+  // ---- e04: day-0 cohort retention matrix ----
+  val e04_retention: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val firstDay = ev.groupBy("user_id")
+      .agg(date_trunc("day", min("ts")).as("cohort_day"))
+    ev.select(col("user_id"), date_trunc("day", col("ts")).as("active_day"))
+      .distinct()
+      .join(broadcast(firstDay), "user_id")
+      .withColumn("day_offset",
+        datediff(col("active_day").cast("date"), col("cohort_day").cast("date")).cast("long"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct("user_id").as("n_active"))
+      .filter(col("day_offset") <= 7)
+      .orderBy("cohort_day", "day_offset")
+  }
+  val e04Sql: String =
+    """WITH f AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+                FROM events GROUP BY user_id),
+      a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS active_day FROM events)
+      SELECT cohort_day,
+             CAST(date_diff('day', CAST(cohort_day AS DATE), CAST(active_day AS DATE)) AS BIGINT) AS day_offset,
+             COUNT(DISTINCT user_id) AS n_active
+      FROM a JOIN f USING (user_id)
+      WHERE date_diff('day', CAST(cohort_day AS DATE), CAST(active_day AS DATE)) <= 7
+      GROUP BY 1, 2 ORDER BY cohort_day, day_offset"""
+
   val queries: Map[String, Q] = Map(
+    "e04_retention"       -> e04_retention,
     "e01_tumbling_window" -> e01_tumbling_window,
     "e02_user_funnel"     -> e02_user_funnel,
     "e03_incremental_agg" -> e03_incremental_agg,
   )
   val oracles: Map[String, String] = Map(
+    "e04_retention"       -> e04Sql,
     "e01_tumbling_window" -> e01Sql,
     "e02_user_funnel"     -> e02Sql,
     "e03_incremental_agg" -> e03Sql,

@@ -162,7 +162,48 @@ object Relational4 {
       FROM orders WHERE o_orderkey < 300
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  // ---- q49: scalar-function coverage sweep ----
+  val q49_misc_funcs: Q = (s, d) => {
+    Tables.part(s, d)
+      .filter(col("p_partkey") < 100)
+      .select(
+        col("p_partkey"),
+        initcap(lower(col("p_type"))).as("type_title"),
+        translate(col("p_brand"), "#", "-").as("brand_tr"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("key_padded"),
+        reverse(col("p_name")).as("name_rev"),
+        instr(col("p_name"), "a").cast("long").as("first_a"),
+        repeat(lit("ab"), 3).as("abab"),
+        greatest(col("p_size"), lit(10)).cast("long").as("size_floor10"),
+        least(col("p_retailprice"), lit(950.0)).as("price_cap"),
+        signum(col("p_retailprice") - 950.0).as("price_sign"),
+        abs(col("p_size") - 25).cast("long").as("size_dist"),
+        pow(lit(2.0), col("p_size") % 10).as("pow2"),
+        floor(col("p_retailprice")).cast("long").as("price_floor"),
+        ceil(col("p_retailprice")).cast("long").as("price_ceil"))
+      .orderBy("p_partkey")
+  }
+  val q49Sql: String =
+    """SELECT p_partkey,
+        -- DuckDB initcap doesn't exist; emulate title-case per word
+        array_to_string(list_transform(string_split(lower(p_type), ' '),
+          w -> upper(w[1]) || w[2:]), ' ') AS type_title,
+        translate(p_brand, '#', '-') AS brand_tr,
+        lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+        reverse(p_name) AS name_rev,
+        CAST(instr(p_name, 'a') AS BIGINT) AS first_a,
+        repeat('ab', 3) AS abab,
+        CAST(greatest(p_size, 10) AS BIGINT) AS size_floor10,
+        least(p_retailprice, 950.0) AS price_cap,
+        CAST(sign(p_retailprice - 950.0) AS DOUBLE) AS price_sign,
+        CAST(abs(p_size - 25) AS BIGINT) AS size_dist,
+        pow(2.0, p_size % 10) AS pow2,
+        CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+        CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil
+      FROM part WHERE p_partkey < 100 ORDER BY p_partkey"""
+
   val queries: Map[String, Q] = Map(
+    "q49_misc_funcs"         -> q49_misc_funcs,
     "q47_value_windows"      -> q47_value_windows,
     "q48_string_agg"         -> q48_string_agg,
     "q42_outer_distribution" -> q42_outer_distribution,
@@ -172,6 +213,7 @@ object Relational4 {
     "q46_scalar_subquery"    -> q46_scalar_subquery,
   )
   val oracles: Map[String, String] = Map(
+    "q49_misc_funcs"         -> q49Sql,
     "q47_value_windows"      -> q47Sql,
     "q48_string_agg"         -> q48Sql,
     "q42_outer_distribution" -> q42Sql,

@@ -63,6 +63,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("d06 lsh-verified pairs: jaccard values exact, recall >= 0.9 vs d03") {
+    val exact = operators.Dedup.d03_ngram_jaccard(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val verified = operators.Dedup.d06_lsh_verified(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val recall = exact.keys.count(verified.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+    // candidate verification must compute the same jaccard as the full join
+    verified.foreach { case (pair, j) =>
+      exact.get(pair).foreach(je => assert(j == je, s"$pair: $j vs $je"))
+    }
+    // verified set must be a subset of the true >= 0.5 pairs (no false accepts)
+    assert(verified.keys.forall(exact.contains))
+  }
+
   test("s04 ivf ann recall >= 0.4 vs exact s01 top-5") {
     def topk(df: org.apache.spark.sql.DataFrame) = df
       .select("qid", "vec_id").collect()
