@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Encodes SURVEY.md §4's scale claims as plan-shape regression tests:
+  * pushdown reaches the parquet scans, dimension joins broadcast, and
+  * fact scans read only the projected columns.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01: shipdate predicate pushed to parquet, pruned read schema") {
+    val p = plan("q01_agg_pricing")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p.take(600))
+    assert(!p.contains("l_orderkey"), "reads unprojected column l_orderkey")
+  }
+
+  test("q05: all four dimension joins broadcast, no sort-merge join") {
+    val p = plan("q05_multi_join")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) == 4, p.take(400))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q03: joins broadcast; only the aggregation shuffles, after partial agg") {
+    val p = plan("q03_join_agg_topn")
+    assert(!p.contains("SortMergeJoin"), "join should broadcast, not sort-merge")
+    val lines = p.linesIterator.toVector
+    val exchange = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(exchange >= 0)
+    assert(lines.drop(exchange).exists(_.contains("partial_sum")),
+      "no map-side partial aggregation below the exchange")
+  }
+
+  test("d02: signature computation is pre-shuffle (expression in scan stage)") {
+    val p = plan("d02_minhash_lsh")
+    // minhash_signature must appear in a Project under the file scan side,
+    // before any Exchange — i.e. the narrow map stage.
+    val lines = p.linesIterator.toVector
+    val sigLine = lines.indexWhere(_.contains("minhash_signature"))
+    assert(sigLine >= 0, "no minhash_signature in plan")
+    val exchangeBefore = lines.take(sigLine).exists(_.contains("Exchange hashpartitioning"))
+    assert(!exchangeBefore || lines.drop(sigLine).exists(_.contains("FileScan")),
+      "signature computed after a shuffle")
+  }
+
+  test("q20: global top-k plans as TakeOrderedAndProject (no full sort)") {
+    val p = plan("q20_topk_order")
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+  }
+
+  test("q26: deterministic sample filter pushes nothing but stays narrow") {
+    val p = plan("q26_hash_sample")
+    assert(!p.contains("Exchange hashpartitioning"), "sampling should not shuffle")
+  }
+}
