@@ -9,6 +9,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.Relational2.queries ++
       operators.Relational3.queries ++ operators.Relational4.queries ++
+      operators.Relational5.queries ++
       operators.Dedup.queries ++ operators.Similarity.queries ++
       operators.TextAnalysis.queries ++ operators.Events.queries ++
       operators.CorpusPipeline.queries
@@ -17,6 +18,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.Relational2.oracles ++
       operators.Relational3.oracles ++ operators.Relational4.oracles ++
+      operators.Relational5.oracles ++
       operators.Dedup.oracles ++ operators.Similarity.oracles ++
       operators.TextAnalysis.oracles ++ operators.Events.oracles ++
       operators.CorpusPipeline.oracles
