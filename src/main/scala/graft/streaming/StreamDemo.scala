@@ -30,6 +30,11 @@ object StreamDemo {
       .writeStream.outputMode("append").format("memory").queryName("dedup").start()
     dd.processAllAvailable(); dd.stop()
     println(s"STREAM_DEDUP_ROWS=${spark.table("dedup").count()}")
+
+    val sj = StreamOps.purchaseViewJoin(spark, dir)
+      .writeStream.outputMode("append").format("memory").queryName("ssjoin").start()
+    sj.processAllAvailable(); sj.stop()
+    println(s"STREAM_JOIN_ROWS=${spark.table("ssjoin").count()}")
     spark.stop()
   }
 }

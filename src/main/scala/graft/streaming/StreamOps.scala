@@ -62,6 +62,27 @@ object StreamOps {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("payload_hash")
 
+  /** Stream-stream interval join: each purchase joins the views by the
+    * same user within the preceding hour. Both sides are watermarked so
+    * the join state is bounded — Spark evicts buffered rows once the
+    * watermark passes the interval bound (the only way a stream-stream
+    * join survives unbounded input).
+    */
+  def purchaseViewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val purchases = readEvents(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val views = readEvents(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+  }
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                 event_type: String, value: Double)
   case class SessionAcc(startMicros: Long, lastMicros: Long, n: Int, value: Double)

@@ -46,6 +46,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(n >= batchDistinct, s"$n < batch distinct $batchDistinct")
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    val q = streaming.StreamOps.purchaseViewJoin(spark, sf)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssj_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("ssj_out").count()
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val batch = p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")).count()
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed > 0)
+  }
+
+  test("foreachBatch sink writes each micro-batch to parquet") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_fb").toString
+    val q = streaming.StreamOps.windowedCounts(spark, sf)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.write.mode("append").parquet(s"$outDir/agg")
+      }
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val written = spark.read.parquet(s"$outDir/agg").count()
+    assert(written > 0)
+  }
+
   test("streaming sessionizer emits sessions consistent with batch q27") {
     val q = streaming.StreamOps.sessionize(spark, sf)
       .writeStream.outputMode("append").format("memory")
