@@ -12,7 +12,7 @@ object SparkEntry {
       operators.Relational5.queries ++
       operators.Dedup.queries ++ operators.Similarity.queries ++
       operators.TextAnalysis.queries ++ operators.Events.queries ++
-      operators.CorpusPipeline.queries
+      operators.CorpusPipeline.queries ++ operators.Quality.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -21,5 +21,5 @@ object SparkEntry {
       operators.Relational5.oracles ++
       operators.Dedup.oracles ++ operators.Similarity.oracles ++
       operators.TextAnalysis.oracles ++ operators.Events.oracles ++
-      operators.CorpusPipeline.oracles
+      operators.CorpusPipeline.oracles ++ operators.Quality.oracles
 }

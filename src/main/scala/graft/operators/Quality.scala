@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-quality validation and change-detection — the ETL-framework
+  * staples (expectation checks, snapshot diffs) expressed as single
+  * aggregation / join plans.
+  */
+object Quality {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- v01: rule-based data-quality report ----
+  // Each rule is one conditional aggregate over a single scan — the whole
+  // report is one pass per table regardless of rule count.
+  val v01_data_quality: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      expr("count_if(l_quantity IS NULL)").cast("long").as("null_qty"),
+      expr("count_if(l_quantity < 1.0 OR l_quantity > 50.0)").cast("long").as("qty_out_of_range"),
+      expr("count_if(l_discount < 0.0 OR l_discount > 0.1)").cast("long").as("disc_out_of_range"),
+      expr("count_if(l_extendedprice <= 0.0)").cast("long").as("nonpositive_price"))
+      .withColumn("table_name", lit("lineitem"))
+    val ord = Tables.orders(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      expr("count_if(o_custkey IS NULL)").cast("long").as("null_qty"),
+      expr("count_if(o_totalprice <= 0.0)").cast("long").as("qty_out_of_range"),
+      expr("count_if(o_orderdate < TIMESTAMP '1990-01-01')").cast("long").as("disc_out_of_range"),
+      expr("CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)").as("nonpositive_price"))
+      .withColumn("table_name", lit("orders"))
+    li.unionByName(ord)
+      .select("table_name", "n_rows", "null_qty", "qty_out_of_range",
+        "disc_out_of_range", "nonpositive_price")
+      .orderBy("table_name")
+  }
+  val v01Sql: String =
+    """SELECT * FROM (
+        SELECT 'lineitem' AS table_name, COUNT(*) AS n_rows,
+          CAST(count_if(l_quantity IS NULL) AS BIGINT) AS null_qty,
+          CAST(count_if(l_quantity < 1.0 OR l_quantity > 50.0) AS BIGINT) AS qty_out_of_range,
+          CAST(count_if(l_discount < 0.0 OR l_discount > 0.1) AS BIGINT) AS disc_out_of_range,
+          CAST(count_if(l_extendedprice <= 0.0) AS BIGINT) AS nonpositive_price
+        FROM lineitem
+        UNION ALL
+        SELECT 'orders', COUNT(*),
+          CAST(count_if(o_custkey IS NULL) AS BIGINT),
+          CAST(count_if(o_totalprice <= 0.0) AS BIGINT),
+          CAST(count_if(o_orderdate < TIMESTAMP '1990-01-01') AS BIGINT),
+          CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+        FROM orders) t
+      ORDER BY table_name"""
+
+  // ---- q54: snapshot diff (change-data detection) ----
+  // "Old" = orders before the cutoff, "new" = a simulated next snapshot
+  // (same rows with some prices changed + late rows added). Full outer
+  // join on the key classifies inserted / deleted / changed / unchanged —
+  // the standard CDC-by-comparison pattern when the source has no log.
+  val q54_snapshot_diff: Q = (s, d) => {
+    val ord = Tables.orders(s, d)
+    val old = ord.filter(col("o_orderkey") % 10 < 8)
+      .select(col("o_orderkey").as("k_old"), col("o_totalprice").as("price_old"))
+    val neu = ord.filter(col("o_orderkey") % 10 > 1)
+      .select(col("o_orderkey").as("k_new"),
+        when(col("o_orderkey") % 3 === 0, col("o_totalprice") * 1.1)
+          .otherwise(col("o_totalprice")).as("price_new"))
+    old.join(neu, col("k_old") === col("k_new"), "full_outer")
+      .withColumn("change_type",
+        when(col("k_old").isNull, "inserted")
+          .when(col("k_new").isNull, "deleted")
+          .when(col("price_old") =!= col("price_new"), "changed")
+          .otherwise("unchanged"))
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("change_type")
+  }
+  val q54Sql: String =
+    """WITH old AS (SELECT o_orderkey AS k_old, o_totalprice AS price_old
+                  FROM orders WHERE o_orderkey % 10 < 8),
+      neu AS (SELECT o_orderkey AS k_new,
+                CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+                     ELSE o_totalprice END AS price_new
+              FROM orders WHERE o_orderkey % 10 > 1)
+      SELECT CASE WHEN k_old IS NULL THEN 'inserted'
+                  WHEN k_new IS NULL THEN 'deleted'
+                  WHEN price_old <> price_new THEN 'changed'
+                  ELSE 'unchanged' END AS change_type,
+             COUNT(*) AS n
+      FROM old FULL OUTER JOIN neu ON k_old = k_new
+      GROUP BY 1 ORDER BY change_type"""
+
+  val queries: Map[String, Q] = Map(
+    "v01_data_quality"  -> v01_data_quality,
+    "q54_snapshot_diff" -> q54_snapshot_diff,
+  )
+  val oracles: Map[String, String] = Map(
+    "v01_data_quality"  -> v01Sql,
+    "q54_snapshot_diff" -> q54Sql,
+  )
+}
