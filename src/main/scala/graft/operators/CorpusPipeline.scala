@@ -33,10 +33,15 @@ object CorpusPipeline {
       withQ.filter(col("quality") >= 0.6)
     }
 
+    // keeper = min(doc_id) per hash via groupBy, then semi-join back: the
+    // wide shuffle moves only (hash, doc_id) pairs, not document payloads
+    // — the pattern that matters when each row carries megabytes.
     val exactDedup: DataFrame => DataFrame = df => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(md5(expr(normExpr))).orderBy("doc_id")
-      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      val keepers = df
+        .select(md5(expr(normExpr)).as("h"), col("doc_id"))
+        .groupBy("h").agg(min("doc_id").as("keeper"))
+        .select(col("keeper"))
+      df.join(keepers, col("doc_id") === col("keeper"), "left_semi")
     }
 
     val nearDedup: DataFrame => DataFrame = df => {
