@@ -100,13 +100,38 @@ object Events {
       WHERE date_diff('day', CAST(cohort_day AS DATE), CAST(active_day AS DATE)) <= 7
       GROUP BY 1, 2 ORDER BY cohort_day, day_offset"""
 
+  // ---- e05: sliding (hopping) windows ----
+  // Spark's window(ts, 2h, 30m) assigns each event to the 4 overlapping
+  // epoch-aligned windows; the oracle replicates the assignment with
+  // integer epoch arithmetic (identical because both sides truncate the
+  // nanos timestamps to the same microseconds).
+  val e05_sliding_window: Q = (s, d) => {
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "2 hours", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy("window_start", "event_type")
+  }
+  val e05Sql: String =
+    s"""SELECT window_start, event_type, COUNT(*) AS n_events,
+       ${sqlSum("value")} AS total_value
+       FROM (
+         SELECT CAST(to_timestamp((epoch_us(ts) // 1800000000) * 1800 - k * 1800) AS TIMESTAMP) AS window_start,
+                ts, event_type, value
+         FROM events, (SELECT unnest(generate_series(0, 3)) AS k)
+         WHERE ts < to_timestamp((epoch_us(ts) // 1800000000) * 1800 - k * 1800 + 7200))
+       GROUP BY 1, 2 ORDER BY window_start, event_type"""
+
   val queries: Map[String, Q] = Map(
+    "e05_sliding_window"  -> e05_sliding_window,
     "e04_retention"       -> e04_retention,
     "e01_tumbling_window" -> e01_tumbling_window,
     "e02_user_funnel"     -> e02_user_funnel,
     "e03_incremental_agg" -> e03_incremental_agg,
   )
   val oracles: Map[String, String] = Map(
+    "e05_sliding_window"  -> e05Sql,
     "e04_retention"       -> e04Sql,
     "e01_tumbling_window" -> e01Sql,
     "e02_user_funnel"     -> e02Sql,
