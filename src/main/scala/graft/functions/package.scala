@@ -28,4 +28,8 @@ package object functions {
   /** Order-sensitive polynomial rolling-hash document fingerprint. */
   def rolling_fingerprint(c: Column): Column =
     toCol(RollingFingerprint(toExpr(c)))
+
+  /** KMV distinct-count sketch aggregate (struct: kth_min, n_heap, est). */
+  def kmv_distinct(c: Column, k: Int = 64): Column =
+    toCol(KMinValues(toExpr(c), k).toAggregateExpression())
 }

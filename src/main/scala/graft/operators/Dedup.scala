@@ -163,7 +163,43 @@ object Dedup {
       .orderBy("da", "db")
   }
 
+  // ---- d07: KMV distinct sketch vs exact (native TypedImperativeAggregate) ----
+  // The sketch hash is md5-prefix based, so DuckDB replicates the EXACT
+  // kth-min and estimate — a custom mergeable aggregate with a bit-exact
+  // oracle.
+  val d07_kmv_sketch: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        graft.functions.kmv_distinct(col("l_orderkey"), 64).as("kmv"),
+        countDistinct("l_orderkey").as("exact_distinct"))
+      .select(
+        col("l_returnflag"),
+        col("kmv.kth_min").as("kth_min"),
+        col("kmv.n_heap").as("n_heap"),
+        round(col("kmv.est_distinct"), 6).as("est_distinct"),
+        col("exact_distinct"))
+      .orderBy("l_returnflag")
+  }
+  val d07Sql: String =
+    """WITH h AS (SELECT DISTINCT l_returnflag,
+                ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 12))::BIGINT AS hv
+              FROM lineitem),
+      r AS (SELECT l_returnflag, hv,
+              row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn,
+              COUNT(*) OVER (PARTITION BY l_returnflag) AS n_distinct
+            FROM h)
+      SELECT l_returnflag,
+             max(hv) AS kth_min,
+             COUNT(*) AS n_heap,
+             round(CASE WHEN min(n_distinct) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                        ELSE CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / max(hv) END, 6) AS est_distinct,
+             CAST(min(n_distinct) AS BIGINT) AS exact_distinct
+      FROM r WHERE rn <= 64
+      GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   val queries: Map[String, Q] = Map(
+    "d07_kmv_sketch"    -> d07_kmv_sketch,
     "d06_lsh_verified"  -> d06_lsh_verified,
     "d01_exact_dedup"   -> d01_exact_dedup,
     "d02_minhash_lsh"   -> d02_minhash_lsh,
@@ -171,6 +207,7 @@ object Dedup {
     "d04_simhash"       -> d04_simhash,
   )
   val oracles: Map[String, String] = Map(
+    "d07_kmv_sketch"    -> d07Sql,
     "d01_exact_dedup"   -> d01Sql,
     "d03_ngram_jaccard" -> d03Sql,
     // d02/d04 are LSH approximations — rows-only; DedupSpec asserts recall

@@ -45,6 +45,19 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == exact, s"sketch $got vs exact $exact")
   }
 
+  test("kmv sketch: partition-invariant (1 vs 8 partitions) and sane estimate") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    def run(parts: Int) = Tables.lineitem(spark, sf).repartition(parts)
+      .agg(graft.functions.kmv_distinct(col("l_orderkey"), 64).as("kmv"))
+      .select("kmv.kth_min", "kmv.est_distinct").collect().head
+    val a = run(1); val b = run(8)
+    assert(a == b, s"partitioning changed sketch: $a vs $b")
+    val exact = Tables.lineitem(spark, sf)
+      .agg(countDistinct("l_orderkey")).collect().head.getLong(0)
+    val est = a.getDouble(1)
+    assert(math.abs(est - exact) / exact < 0.5, s"est $est vs exact $exact")
+  }
+
   test("m02 batch decode: deterministic, schema-typed, row-preserving") {
     val out = operators.Multimodal.decodeBatch(spark, sf)
     val n = Tables.documents(spark, sf).count()
