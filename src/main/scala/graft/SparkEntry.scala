@@ -2,9 +2,12 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The corpus-cleaning pipeline is the engine's signature composition:
+    * quality filter -> exact dedup -> near-dup removal -> stats.
+    */
   def entry(spark: SparkSession): DataFrame =
-    operators.Relational.q05_multi_join(spark, "/root/testdata/sf0.001")
+    operators.CorpusPipeline.p01_corpus_clean(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.Relational2.queries ++
