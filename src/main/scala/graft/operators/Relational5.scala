@@ -82,13 +82,40 @@ object Relational5 {
         CAST(count_if(l_tax = 0.0) AS BIGINT) AS n_taxfree
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  // ---- q55: deterministic stratified sampling ----
+  // sampleBy's semantics (per-stratum fraction) but reproducible on any
+  // cluster/partitioning: the md5 of the row key maps to a uniform
+  // [0,4096) value compared against a per-stratum threshold.
+  val q55_stratified_sample: Q = (s, d) => {
+    val u = expr("CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 3), 16, 10) AS BIGINT)")
+    val thresh = when(col("o_orderpriority") === "1-URGENT", 2048) // 50%
+      .when(col("o_orderpriority") === "2-HIGH", 1024)             // 25%
+      .otherwise(410)                                              // ~10%
+    Tables.orders(s, d)
+      .withColumn("u", u)
+      .filter(col("u") < thresh)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy("o_orderpriority")
+  }
+  val q55Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_sampled
+      FROM orders
+      WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 3))::BIGINT <
+        CASE WHEN o_orderpriority = '1-URGENT' THEN 2048
+             WHEN o_orderpriority = '2-HIGH' THEN 1024
+             ELSE 410 END
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   val queries: Map[String, Q] = Map(
+    "q55_stratified_sample" -> q55_stratified_sample,
     "q50_unpivot"        -> q50_unpivot,
     "q51_range_frame"    -> q51_range_frame,
     "q52_regexp_extract" -> q52_regexp_extract,
     "q53_bool_agg"       -> q53_bool_agg,
   )
   val oracles: Map[String, String] = Map(
+    "q55_stratified_sample" -> q55Sql,
     "q50_unpivot"        -> q50Sql,
     "q51_range_frame"    -> q51Sql,
     "q52_regexp_extract" -> q52Sql,
