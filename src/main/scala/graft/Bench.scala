@@ -2,13 +2,31 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: one JSON line with per-query wall times at the sf dir
-  * given by SPARK_GRAFT_SF_DIR. A warmup pass (flagship query + one scan
-  * per table) absorbs JVM/codegen/session initialization so the per-query
-  * numbers measure engine throughput, not cold-start; queries run in
-  * sorted name order for run-to-run comparability.
+/** Benchmark main: one JSON line with wall times at the sf dir given by
+  * SPARK_GRAFT_SF_DIR. A warmup pass (flagship query + one scan per table)
+  * absorbs JVM/codegen/session initialization so the per-query numbers
+  * measure engine throughput, not cold-start; queries run in sorted name
+  * order for run-to-run comparability.
+  *
+  * The printed line stays SHORT (headline queries only, ms precision):
+  * the harness keeps only a tail of the sbt output, and a line carrying
+  * all ~80 query timings at full double precision overflows that buffer
+  * and fails to parse (round-1 lesson). Full per-query timings go to
+  * bench_full.json in the working directory instead.
   */
 object Bench {
+  /** Representative subset printed in the one-line JSON: the heaviest
+    * relational shapes, one per capability family, plus the flagship.
+    */
+  private val headline: Seq[String] = Seq(
+    "q01_agg_pricing", "q03_join_agg_topn", "q05_multi_join",
+    "q09_window_rank", "q21_subquery_agg", "q27_sessionize",
+    "q34_asof_join", "q43_agg_in_subquery", "q45_not_in_count",
+    "d01_exact_dedup", "d06_lsh_verified", "s01_knn_brute",
+    "s04_ann_ivf", "t05_tfidf", "e05_sliding_window", "p01_corpus_clean")
+
+  private def round3(v: Double): Double = math.rint(v * 1000) / 1000
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -40,10 +58,20 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val total = round3(results.map(_._2).sum)
+    val fullJson = results
+      .map { case (k, v) => "\"" + k + "\":" + round3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val n = results.size
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$n,"queries":$fullJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
+
+    val byName = results.toMap
+    val qs = headline.filter(byName.contains)
+      .map(k => "\"" + k + "\":" + round3(byName(k)))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$n,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
