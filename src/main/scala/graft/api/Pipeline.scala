@@ -33,6 +33,18 @@ final case class Pipeline(stages: Vector[(String, DataFrame => DataFrame)]) {
   }
 }
 
+object Stage {
+  /** A materialization barrier: persist the frame at this point so stages
+    * that fan out over it (self-joins, multi-branch reuse) read the cached
+    * result instead of recomputing the whole upstream plan per branch.
+    * This is the Spark-idiomatic checkpoint you'd place before a self-join
+    * at the 100 TB scale — upstream regex/normalization work runs once.
+    */
+  def materialize(name: String): (String, DataFrame => DataFrame) =
+    name -> ((df: DataFrame) =>
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+}
+
 object Pipeline {
   def apply(stages: (String, DataFrame => DataFrame)*): Pipeline =
     Pipeline(stages.toVector)

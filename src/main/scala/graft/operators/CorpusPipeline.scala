@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.api.Pipeline
+import graft.api.{Pipeline, Stage}
 
 /** p01: the end-to-end training-corpus cleaning pipeline — the flagship
   * composition of the LLM-data operators (SURVEY.md §2), built with
@@ -67,9 +67,14 @@ object CorpusPipeline {
       .select(col("doc_id"), col("lang"), col("n_words"), round(col("quality"), 9).as("quality"))
       .orderBy("doc_id")
 
+    // The materialize barrier sits where the plan fans out: near_dedup
+    // reads the cleaned frame three ways (shingle self-join x/y + the
+    // final anti-join base), so without it the regex-heavy quality stage
+    // recomputes per branch — the dominant cost at any scale.
     Pipeline(
       "quality_filter" -> qualityFilter,
       "exact_dedup" -> exactDedup,
+      Stage.materialize("cleaned"),
       "near_dedup" -> nearDedup,
       "stats" -> stats,
     ).run(Tables.documents(s, d))

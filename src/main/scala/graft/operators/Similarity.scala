@@ -59,14 +59,17 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
         cosine_lsh_keys(col("embedding"), 16, 4).as("keys"))
     val buckets = e.select(col("vec_id"), col("embedding"), explode(col("keys")).as("bkey"))
-    val queries = buckets.join(
-      e.filter(col("vec_id") < 5).select(col("vec_id").as("qid")),
-      col("vec_id") === col("qid"))
-      .select(col("qid"), col("embedding").as("qe"), col("bkey"))
-    val cand = buckets.join(queries, "bkey")
+    // queries are just the filtered bucket rows — no join needed, and the
+    // tiny query side rides broadcast into the bucket equijoin.
+    val queries = buckets.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bkey"))
+    // a (qid, vec_id) pair can match in several bands: dedupe on the pair
+    // keys alone (keep any matched row) rather than distinct() over the
+    // full row, which would compare the embedding arrays byte-wise.
+    val cand = buckets.join(broadcast(queries), "bkey")
       .where(col("vec_id") =!= col("qid"))
       .select("qid", "qe", "vec_id", "embedding")
-      .distinct()
+      .dropDuplicates("qid", "vec_id")
     val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("vec_id"))
     cand.withColumn("cosine", cosine_sim(col("qe"), col("embedding")))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -160,11 +163,15 @@ object Similarity {
             * sqrt(aggregate(centroid, 0D, (a, x) -> a + x * x)))""")
     val scored = e.join(broadcast(cents)).withColumn("csim", simToCell)
     val byVec = Window.partitionBy("vec_id").orderBy(desc("csim"), col("cell"))
-    val assigned = scored
-      .withColumn("r", row_number().over(byVec)).filter(col("r") === 1)
+    // one ranked plan feeds both branches: assigned (r==1, all vectors)
+    // and queryCells (r<=3, query vectors). Identical subplans up to the
+    // post-window filters mean the window's exchange is computed once and
+    // reused (ReuseExchange) instead of re-running the centroid aggregation
+    // and broadcast join per branch.
+    val ranked = scored.withColumn("r", row_number().over(byVec))
+    val assigned = ranked.filter(col("r") === 1)
       .select(col("vec_id"), col("embedding"), col("cell"))
-    val queryCells = scored.filter(col("vec_id") < 5)
-      .withColumn("r", row_number().over(byVec)).filter(col("r") <= 3)
+    val queryCells = ranked.filter(col("vec_id") < 5 && col("r") <= 3)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"))
     val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("vec_id"))
     assigned.join(queryCells, "cell")
