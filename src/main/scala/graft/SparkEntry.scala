@@ -12,17 +12,21 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.Relational2.queries ++
       operators.Relational3.queries ++ operators.Relational4.queries ++
-      operators.Relational5.queries ++
-      operators.Dedup.queries ++ operators.Similarity.queries ++
-      operators.TextAnalysis.queries ++ operators.Events.queries ++
+      operators.Relational5.queries ++ operators.Relational6.queries ++
+      operators.Dedup.queries ++ operators.Dedup2.queries ++
+      operators.Similarity.queries ++
+      operators.TextAnalysis.queries ++ operators.TextAnalysis2.queries ++
+      operators.Events.queries ++ operators.Events2.queries ++
       operators.CorpusPipeline.queries ++ operators.Quality.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.Relational2.oracles ++
       operators.Relational3.oracles ++ operators.Relational4.oracles ++
-      operators.Relational5.oracles ++
-      operators.Dedup.oracles ++ operators.Similarity.oracles ++
-      operators.TextAnalysis.oracles ++ operators.Events.oracles ++
+      operators.Relational5.oracles ++ operators.Relational6.oracles ++
+      operators.Dedup.oracles ++ operators.Dedup2.oracles ++
+      operators.Similarity.oracles ++
+      operators.TextAnalysis.oracles ++ operators.TextAnalysis2.oracles ++
+      operators.Events.oracles ++ operators.Events2.oracles ++
       operators.CorpusPipeline.oracles ++ operators.Quality.oracles
 }

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Dedup family, part 2: cluster resolution and incremental ingestion —
+  * the two operations that turn pair-finding (d02-d06) into an actual
+  * corpus-dedup system.
+  *
+  * Scale design: d08 is Pregel-style iterative min-label propagation —
+  * every round is one distributed shuffle on doc_id, converging in
+  * O(cluster diameter) rounds (near-dup clusters are shallow in practice;
+  * the alternating small-star/large-star construction of Kiveris et al.
+  * 2014 gives O(log n) worst-case with the same per-round plan shape).
+  * `localCheckpoint` truncates the growing lineage each round — on a real
+  * cluster this is `checkpoint` to HDFS/S3. d09 is the nightly-ingest
+  * path: a batch never rescans the existing corpus' text, only its
+  * (hash, doc_id) index.
+  */
+object Dedup2 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Verified near-dup pairs (d03 semantics): word-3-gram Jaccard >= 0.5. */
+  private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
+    val shingles = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(
+             sequence(1, greatest(size(words) - 2, 0)),
+             i -> xxhash64(concat_ws(' ', slice(words, i, 3)))))""")).as("sh"))
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    shingles.as("x").join(shingles.as("y"), "sh")
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .filter(col("shared").cast("double") / (col("na") + col("nb") - col("shared")) >= 0.5)
+      .select("da", "db")
+  }
+
+  // ---- d08: near-dup cluster resolution (connected components) ----
+  // Pairs are edges; every document is a vertex; the cluster id is the
+  // minimum doc_id reachable through near-dup edges. Iterative min-label
+  // propagation: each round joins current labels across edges and takes
+  // the per-vertex min. Labels only ever decrease, so sum(label) is a
+  // strictly-decreasing convergence metric — one cheap agg action per
+  // round instead of a change-detection join.
+  /** Per-document cluster label: min doc_id reachable via near-dup edges.
+    * Exposed for the spec (fixpoint + pair-agreement properties).
+    */
+  def clusterLabels(s: SparkSession, d: String): DataFrame = {
+    val pairs = nearDupPairs(s, d)
+    val edges = pairs.select(col("da").as("a"), col("db").as("b"))
+      .union(pairs.select(col("db").as("a"), col("da").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Only vertices touched by an edge can ever change label — iterate over
+    // those alone (typically a small fraction of the corpus); singletons
+    // join back at the end with label = own id, never entering the loop.
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint()
+    var prevSum = BigDecimal(-1)
+    var curSum = labels.agg(sum(col("cluster_id").cast("decimal(38,0)")))
+      .collect()(0).getDecimal(0)
+    var rounds = 0
+    while (BigDecimal(curSum) != prevSum && rounds < 50) {
+      val prop = edges
+        .join(labels.withColumnRenamed("doc_id", "a"), "a")
+        .select(col("b").as("doc_id"), col("cluster_id"))
+      labels = labels.union(prop)
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint()
+      prevSum = BigDecimal(curSum)
+      curSum = labels.agg(sum(col("cluster_id").cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0)
+      rounds += 1
+    }
+    edges.unpersist()
+    val singletons = Tables.documents(s, d).select(col("doc_id"))
+      .join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
+      .withColumn("cluster_id", col("doc_id"))
+    labels.union(singletons)
+  }
+
+  val d08_dup_clusters: Q = (s, d) => {
+    clusterLabels(s, d)
+      .groupBy("cluster_id").agg(
+        count(lit(1)).as("n_members"), collect_set("doc_id").as("members"))
+      .select(col("cluster_id"), col("n_members"),
+        array_min(col("members")).as("min_doc"), array_max(col("members")).as("max_doc"))
+      .filter(col("n_members") > 1)
+      .orderBy("cluster_id")
+  }
+  // Oracle: transitive closure via recursive CTE over the same verified
+  // pairs (DuckDB recursive UNION dedups rows, so the closure terminates).
+  val d08Sql: String =
+    """WITH RECURSIVE
+      w AS (SELECT doc_id, generate_subscripts(string_split(text,' '),1) i,
+                   unnest(string_split(text,' ')) w FROM documents),
+      g AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+            FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.i=a.i+1
+                     JOIN w c ON c.doc_id=a.doc_id AND c.i=a.i+2),
+      dd AS (SELECT DISTINCT doc_id, sh FROM g),
+      sizes AS (SELECT doc_id, count(*) n FROM dd GROUP BY doc_id),
+      pairs AS (SELECT x.doc_id da, y.doc_id db, count(*) shared
+                FROM dd x JOIN dd y ON x.sh=y.sh AND x.doc_id<y.doc_id GROUP BY 1,2),
+      e AS (SELECT da, db FROM pairs JOIN sizes sa ON da=sa.doc_id
+                                     JOIN sizes sb ON db=sb.doc_id
+            WHERE CAST(shared AS DOUBLE)/(sa.n+sb.n-shared) >= 0.5),
+      ed AS (SELECT da v, db w FROM e UNION SELECT db, da FROM e),
+      reach(v, w) AS (
+        SELECT v, v FROM (SELECT DISTINCT v FROM ed) t
+        UNION
+        SELECT r.v, ed.w FROM reach r JOIN ed ON r.w = ed.v),
+      lbl AS (SELECT v AS doc_id, min(w) AS cluster_id FROM reach GROUP BY v)
+      SELECT cluster_id, COUNT(*) AS n_members,
+             min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      FROM lbl GROUP BY cluster_id HAVING COUNT(*) > 1 ORDER BY cluster_id"""
+
+  // ---- d09: incremental dedup (nightly-ingest path) ----
+  // New batch (simulated: doc_id % 5 = 0) deduped in two stages:
+  // (1) within-batch exact dedup (keep min doc_id per normalized hash),
+  // (2) anti-join against the existing corpus' hash index. At 100 TB the
+  // corpus side is just its (hash) index — never re-read, never re-hashed;
+  // both stages shuffle only 16-byte hashes.
+  private val normSpark = "md5(trim(regexp_replace(lower(text), '\\\\s+', ' ')))"
+  private val normDuck  = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+  val d09_incremental_dedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d).withColumn("h", expr(normSpark))
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0).select("h").distinct()
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val withinBatch = batch
+      .groupBy("h").agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_batch_copies"))
+    withinBatch.join(corpus, Seq("h"), "left_anti")
+      .select("doc_id", "h", "n_batch_copies")
+      .orderBy("doc_id")
+  }
+  val d09Sql: String =
+    s"""WITH docs AS (SELECT doc_id, $normDuck AS h FROM documents),
+      corpus AS (SELECT DISTINCT h FROM docs WHERE doc_id % 5 <> 0),
+      batch AS (SELECT min(doc_id) AS doc_id, h, COUNT(*) AS n_batch_copies
+                FROM docs WHERE doc_id % 5 = 0 GROUP BY h)
+      SELECT doc_id, h, n_batch_copies FROM batch
+      WHERE h NOT IN (SELECT h FROM corpus) ORDER BY doc_id"""
+
+  val queries: Map[String, Q] = Map(
+    "d08_dup_clusters"     -> d08_dup_clusters,
+    "d09_incremental_dedup" -> d09_incremental_dedup,
+  )
+  val oracles: Map[String, String] = Map(
+    "d08_dup_clusters"     -> d08Sql,
+    "d09_incremental_dedup" -> d09Sql,
+  )
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text analysis, part 2: PII redaction and repetition filtering — both
+  * per-row narrow maps (no shuffle; scale linearly with input bytes).
+  */
+object TextAnalysis2 {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- t06: PII redaction (emails / phone numbers) ----
+  // The corpus tables carry no PII, so the query synthesizes a
+  // deterministic contact string per customer and runs the real redaction
+  // operator over it: regexp_replace chains + match counting. At scale
+  // this is a zero-shuffle map over the text column.
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\+1-555-[0-9]{4}"
+
+  /** The reusable operator: redact emails+phones in `text` col. */
+  def redactPii(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+
+  val t06_pii_redact: Q = (s, d) => {
+    val synth = Tables.customer(s, d).select(
+      col("c_custkey"),
+      concat(lit("Contact "), col("c_name"), lit(" at user"), col("c_custkey"),
+        lit("@example.com or +1-555-"),
+        lpad((col("c_custkey") * 7919 % 10000).cast("string"), 4, "0"),
+        lit(" segment "), col("c_mktsegment")).as("contact"))
+    synth.select(
+        col("c_custkey"),
+        redactPii(col("contact")).as("redacted"),
+        size(regexp_extract_all(col("contact"), lit(emailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("contact"), lit(phoneRe), lit(0))).cast("long").as("n_phones"))
+      .orderBy("c_custkey")
+  }
+  val t06Sql: String =
+    """WITH synth AS (SELECT c_custkey,
+             'Contact ' || c_name || ' at user' || c_custkey || '@example.com or +1-555-'
+             || lpad(CAST(c_custkey * 7919 % 10000 AS VARCHAR), 4, '0')
+             || ' segment ' || c_mktsegment AS contact
+           FROM customer)
+      SELECT c_custkey,
+             regexp_replace(regexp_replace(contact,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted,
+             CAST(len(regexp_extract_all(contact,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(contact, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones
+      FROM synth ORDER BY c_custkey"""
+
+  // ---- t07: repetition metrics (Gopher-style quality filters) ----
+  // Per document: duplicate word-2-gram fraction, duplicate 3-gram
+  // fraction, and top-single-word frequency share. All computed inside
+  // array expressions on the already-split word list — one pass per row,
+  // no explode, no shuffle; the standard pre-training repetition filters
+  // (Rae et al. 2021 "Gopher" §A1.2) at 100 TB cost = one scan.
+  val t07_repetition: Q = (s, d) => {
+    val grams = (k: Int) =>
+      s"""CASE WHEN size(words) >= $k THEN
+            transform(sequence(1, size(words) - ${k - 1}),
+                      i -> concat_ws(' ', slice(words, i, $k)))
+          ELSE array() END"""
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .withColumn("g2", expr(grams(2)))
+      .withColumn("g3", expr(grams(3)))
+      .select(
+        col("doc_id"),
+        size(col("words")).cast("long").as("n_words"),
+        round(expr("IF(size(g2) > 0, 1.0 - CAST(size(array_distinct(g2)) AS DOUBLE) / size(g2), 0.0)"), 9)
+          .as("dup_2gram_frac"),
+        round(expr("IF(size(g3) > 0, 1.0 - CAST(size(array_distinct(g3)) AS DOUBLE) / size(g3), 0.0)"), 9)
+          .as("dup_3gram_frac"),
+        round(expr(
+          """CAST(array_max(transform(array_distinct(words),
+               w -> size(filter(words, x -> x = w)))) AS DOUBLE) / size(words)"""), 9)
+          .as("top_word_frac"))
+      .orderBy("doc_id")
+  }
+  val t07Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      g AS (SELECT doc_id, words,
+              CASE WHEN len(words) >= 2 THEN
+                list_transform(generate_series(1, len(words) - 1),
+                               i -> words[i] || ' ' || words[i + 1])
+              ELSE [] END AS g2,
+              CASE WHEN len(words) >= 3 THEN
+                list_transform(generate_series(1, len(words) - 2),
+                               i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2])
+              ELSE [] END AS g3
+            FROM w)
+      SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+             round(CASE WHEN len(g2) > 0
+               THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) ELSE 0.0 END, 9)
+               AS dup_2gram_frac,
+             round(CASE WHEN len(g3) > 0
+               THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) ELSE 0.0 END, 9)
+               AS dup_3gram_frac,
+             round(CAST(list_max(list_transform(list_distinct(words),
+                     w -> len(list_filter(words, x -> x = w)))) AS DOUBLE)
+                   / len(words), 9) AS top_word_frac
+      FROM g ORDER BY doc_id"""
+
+  val queries: Map[String, Q] = Map(
+    "t06_pii_redact" -> t06_pii_redact,
+    "t07_repetition" -> t07_repetition,
+  )
+  val oracles: Map[String, String] = Map(
+    "t06_pii_redact" -> t06Sql,
+    "t07_repetition" -> t07Sql,
+  )
+}

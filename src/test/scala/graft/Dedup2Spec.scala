@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Properties of the round-2 operators that their DuckDB oracles can't
+  * state directly: the connected-components fixpoint, repetition-metric
+  * bounds, and redaction completeness.
+  */
+class Dedup2Spec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("d08: labels are a fixpoint and agree across every verified near-dup pair") {
+    val labels = operators.Dedup2.clusterLabels(spark, sf)
+    val lmap = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every verified pair's endpoints share a label
+    val pairs = operators.Dedup.d03_ngram_jaccard(spark, sf)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      assert(lmap(a) == lmap(b), s"pair ($a,$b) split across clusters")
+    }
+    // each label is the min doc_id of its own cluster (canonical rep)
+    lmap.groupBy(_._2).foreach { case (cl, members) =>
+      assert(members.keys.min == cl, s"cluster $cl rep is not the min member")
+    }
+    // fixpoint: no label can still decrease across an edge
+    pairs.foreach { case (a, b) =>
+      assert(lmap(a) <= math.min(a, b) && lmap(b) <= math.min(a, b))
+    }
+  }
+
+  test("d09: incremental dedup result is disjoint from the corpus hashes") {
+    val out = operators.Dedup2.d09_incremental_dedup(spark, sf)
+    val batchHashes = out.select("h").collect().map(_.getString(0)).toSet
+    val corpusHashes = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 =!= 0)
+      .select(expr("md5(trim(regexp_replace(lower(text), '\\\\s+', ' ')))"))
+      .collect().map(_.getString(0)).toSet
+    assert(batchHashes.intersect(corpusHashes).isEmpty)
+    assert(out.where(col("doc_id") % 5 =!= 0).count() == 0)
+  }
+
+  test("t07: repetition fractions bounded in [0,1]; top word frac positive") {
+    val r = operators.TextAnalysis2.t07_repetition(spark, sf)
+      .agg(min("dup_2gram_frac"), max("dup_2gram_frac"),
+        min("dup_3gram_frac"), max("dup_3gram_frac"),
+        min("top_word_frac"), max("top_word_frac")).collect()(0)
+    assert(r.getDouble(0) >= 0.0 && r.getDouble(1) <= 1.0)
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(3) <= 1.0)
+    assert(r.getDouble(4) > 0.0 && r.getDouble(5) <= 1.0)
+  }
+
+  test("t06: redacted output contains no email or phone matches") {
+    val out = operators.TextAnalysis2.t06_pii_redact(spark, sf)
+    val leftovers = out.where(
+      col("redacted").rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}") ||
+        col("redacted").rlike("\\+1-555-[0-9]{4}")).count()
+    assert(leftovers == 0)
+    assert(out.where(col("n_emails") < 1 || col("n_phones") < 1).count() == 0)
+  }
+
+  test("q56: SCD2 invariants — one current row per key, closed rows precede opens") {
+    val out = operators.Relational6.q56_scd2_merge(spark, sf)
+    val byKey = out.groupBy("c_custkey")
+      .agg(sum(when(col("is_current"), 1).otherwise(0)).as("n_open"))
+    assert(byKey.where(col("n_open") =!= 1).count() == 0)
+    val bad = out.where(!col("is_current") &&
+      (col("valid_to").isNull || col("valid_to") <= col("valid_from"))).count()
+    assert(bad == 0)
+  }
+}
