@@ -16,6 +16,7 @@ object SparkEntry {
       operators.Dedup.queries ++ operators.Dedup2.queries ++
       operators.Similarity.queries ++
       operators.TextAnalysis.queries ++ operators.TextAnalysis2.queries ++
+      operators.Multimodal2.queries ++
       operators.Events.queries ++ operators.Events2.queries ++
       operators.CorpusPipeline.queries ++ operators.Quality.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -27,6 +28,7 @@ object SparkEntry {
       operators.Dedup.oracles ++ operators.Dedup2.oracles ++
       operators.Similarity.oracles ++
       operators.TextAnalysis.oracles ++ operators.TextAnalysis2.oracles ++
+      operators.Multimodal2.oracles ++
       operators.Events.oracles ++ operators.Events2.oracles ++
       operators.CorpusPipeline.oracles ++ operators.Quality.oracles
 }

@@ -71,12 +71,50 @@ object Events2 {
       SELECT day, n_new, CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT) AS cum_users
       FROM p ORDER BY day"""
 
+  // ---- e08: calendar gap-fill + forward fill (time-series resample) ----
+  // Per user: daily value sums, expanded to that user's full [first, last]
+  // calendar via sequence+explode (no driver-side calendar, no cross join
+  // against a global date table), then last-observation-carried-forward
+  // with an ignore-nulls running window. Partitioned by user — the window
+  // never crosses executor boundaries after the one shuffle.
+  val e08_gap_fill: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .filter(col("user_id") < 50)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(graft.Stable.dsum(col("value")).as("v"))
+    val cal = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"), explode(expr("sequence(d0, d1)")).as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("is_gap", col("v").isNull)
+      .withColumn("v_filled", round(last("v", ignoreNulls = true).over(w), 4))
+      .select("user_id", "day", "is_gap", "v_filled")
+      .orderBy("user_id", "day")
+  }
+  val e08Sql: String =
+    """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v
+           FROM events WHERE user_id < 50 GROUP BY 1, 2),
+      cal AS (SELECT user_id,
+                CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+              FROM (SELECT user_id, min(day) d0, max(day) d1 FROM daily GROUP BY 1) t),
+      j AS (SELECT c.user_id, c.day, d.v
+            FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day)
+      SELECT user_id, day, v IS NULL AS is_gap,
+             round(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS v_filled
+      FROM j ORDER BY user_id, day"""
+
   val queries: Map[String, Q] = Map(
     "e06_funnel_conversion"  -> e06_funnel_conversion,
     "e07_cumulative_distinct" -> e07_cumulative_distinct,
+    "e08_gap_fill"           -> e08_gap_fill,
   )
   val oracles: Map[String, String] = Map(
     "e06_funnel_conversion"  -> e06Sql,
     "e07_cumulative_distinct" -> e07Sql,
+    "e08_gap_fill"           -> e08Sql,
   )
 }

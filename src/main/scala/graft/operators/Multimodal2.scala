@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal plumbing, part 2: batch assembly for downstream decode /
+  * GPU stages.
+  */
+object Multimodal2 {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- m03: size-aware batch assembly ----
+  // Packs binary payloads into near-target-size batches per source
+  // partition: batch_id = floor(exclusive-running-bytes / target). This is
+  // the standard pre-GPU batching step — deterministic (ordered by doc_id,
+  // never rand()), one window shuffle on the source key, and the batch
+  // boundaries depend only on upstream bytes, so the same layout falls out
+  // on any cluster size. Output is per-batch stats (id range, docs, bytes).
+  val m03_size_batching: Q = (s, d) => {
+    val target = 4096L
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars").cast("long").as("bytes"))
+      .withColumn("cum_before", coalesce(sum("bytes").over(w), lit(0L)))
+      .withColumn("batch_id", floor(col("cum_before") / target).cast("long"))
+      .groupBy("source", "batch_id")
+      .agg(count(lit(1)).as("n_docs"), sum("bytes").as("batch_bytes"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("source", "batch_id")
+  }
+  val m03Sql: String =
+    """WITH c AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) AS bytes,
+             COALESCE(sum(CAST(n_chars AS BIGINT)) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+           FROM documents)
+      SELECT source, CAST(floor(cum_before / 4096.0) AS BIGINT) AS batch_id,
+             COUNT(*) AS n_docs, CAST(sum(bytes) AS BIGINT) AS batch_bytes,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM c GROUP BY 1, 2 ORDER BY source, batch_id"""
+
+  val queries: Map[String, Q] = Map("m03_size_batching" -> m03_size_batching)
+  val oracles: Map[String, String] = Map("m03_size_batching" -> m03Sql)
+}

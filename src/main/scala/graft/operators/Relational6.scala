@@ -94,12 +94,64 @@ object Relational6 {
                    / sum(n) OVER (), 9) AS cum_share
       FROM b ORDER BY bucket"""
 
+  // ---- q58: class-balanced downsampling (training-set rebalancing) ----
+  // Keep min-class-count docs per language, selected by deterministic
+  // md5 rank (reproducible across runs/engines — never rand()). One
+  // window shuffle on the class key; the min-count scalar broadcasts.
+  val q58_balanced_sample: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val ranked = docs.withColumn("rn",
+      row_number().over(Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))).cast("long"))
+    val minCount = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+      .agg(min("c").as("min_c"))
+    ranked.join(broadcast(minCount))
+      .filter(col("rn") <= col("min_c"))
+      .select("doc_id", "lang", "rn")
+      .orderBy("lang", "rn")
+  }
+  val q58Sql: String =
+    """WITH ranked AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents),
+      m AS (SELECT min(c) AS min_c FROM
+              (SELECT COUNT(*) c FROM documents GROUP BY lang) t)
+      SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+      FROM ranked, m WHERE rn <= min_c ORDER BY lang, rn"""
+
+  // ---- q59: vocabulary build (top-k terms with rank) ----
+  // The word count is the heavy stage and is fully map-side combinable;
+  // the global rank window only ever sees the already-aggregated vocab
+  // table (tiny next to the corpus), so the single-partition window is
+  // not a scale hazard.
+  val q59_vocab_topk: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(Window.orderBy(desc("n"), col("word"))).cast("long"))
+      .filter(col("rank") <= 1000)
+      .select("rank", "word", "n")
+      .orderBy("rank")
+  }
+  val q59Sql: String =
+    """SELECT CAST(row_number() OVER (ORDER BY COUNT(*) DESC, word) AS BIGINT) AS rank,
+             word, COUNT(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+      GROUP BY word QUALIFY rank <= 1000 ORDER BY rank"""
+
   val queries: Map[String, Q] = Map(
-    "q56_scd2_merge"    -> q56_scd2_merge,
-    "q57_histogram_cdf" -> q57_histogram_cdf,
+    "q56_scd2_merge"      -> q56_scd2_merge,
+    "q57_histogram_cdf"   -> q57_histogram_cdf,
+    "q58_balanced_sample" -> q58_balanced_sample,
+    "q59_vocab_topk"      -> q59_vocab_topk,
   )
   val oracles: Map[String, String] = Map(
-    "q56_scd2_merge"    -> q56Sql,
-    "q57_histogram_cdf" -> q57Sql,
+    "q56_scd2_merge"      -> q56Sql,
+    "q57_histogram_cdf"   -> q57Sql,
+    "q58_balanced_sample" -> q58Sql,
+    "q59_vocab_topk"      -> q59Sql,
   )
 }

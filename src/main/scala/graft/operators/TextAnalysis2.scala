@@ -104,12 +104,48 @@ object TextAnalysis2 {
                    / len(words), 9) AS top_word_frac
       FROM g ORDER BY doc_id"""
 
+  // ---- t08: lexical-diversity metrics (entropy + type-token ratio) ----
+  // Word-distribution Shannon entropy and TTR per document, computed
+  // entirely inside array expressions — one narrow pass. Entropy uses ln;
+  // cross-engine libm can drift in the last ulp, so values are rounded to
+  // 7 decimals on both sides (drift is ~1e-15, eight orders below).
+  val t08_entropy: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(
+        col("doc_id"),
+        size(col("words")).cast("long").as("n_words"),
+        size(array_distinct(col("words"))).cast("long").as("n_types"),
+        round(expr("CAST(size(array_distinct(words)) AS DOUBLE) / size(words)"), 9)
+          .as("type_token_ratio"),
+        round(expr(
+          """-aggregate(
+               transform(array_distinct(words),
+                 w -> CAST(size(filter(words, x -> x = w)) AS DOUBLE) / size(words)),
+               0D, (acc, p) -> acc + p * ln(p))"""), 7).as("word_entropy"))
+      .orderBy("doc_id")
+  }
+  val t08Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(words)) AS BIGINT) AS n_types,
+             round(CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 9)
+               AS type_token_ratio,
+             round(-list_sum(list_transform(list_distinct(words),
+               w -> (CAST(len(list_filter(words, x -> x = w)) AS DOUBLE) / len(words))
+                    * ln(CAST(len(list_filter(words, x -> x = w)) AS DOUBLE) / len(words)))), 7)
+               AS word_entropy
+      FROM w ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
     "t06_pii_redact" -> t06_pii_redact,
     "t07_repetition" -> t07_repetition,
+    "t08_entropy"    -> t08_entropy,
   )
   val oracles: Map[String, String] = Map(
     "t06_pii_redact" -> t06Sql,
     "t07_repetition" -> t07Sql,
+    "t08_entropy"    -> t08Sql,
   )
 }

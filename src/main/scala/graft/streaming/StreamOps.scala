@@ -83,6 +83,18 @@ object StreamOps {
         col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
   }
 
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension (customer) on the key. The static side is planned as a
+    * broadcast per micro-batch — no stream-side state, no watermark
+    * needed, and dimension updates are picked up on re-plan. This is the
+    * standard "enrich fact stream with dim table" pattern at any scale.
+    */
+  def enrichWithDim(spark: SparkSession, dir: String): DataFrame = {
+    val dim = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    readEvents(spark, dir).join(broadcast(dim), Seq("user_id"), "left")
+  }
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                 event_type: String, value: Double)
   case class SessionAcc(startMicros: Long, lastMicros: Long, n: Int, value: Double)

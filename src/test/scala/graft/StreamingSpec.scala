@@ -90,4 +90,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted > 0, "no sessions emitted")
     assert(emitted <= batchSessions)
   }
+
+  test("stream-static dim enrichment matches the batch broadcast join") {
+    val q = streaming.StreamOps.enrichWithDim(spark, sf)
+      .select("event_id", "user_id", "c_mktsegment")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enrich_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("enrich_out")
+    val batch = Tables.events(spark, sf).select("event_id", "user_id")
+      .join(Tables.customer(spark, sf)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment")),
+        Seq("user_id"), "left")
+    assert(got.count() == batch.count(), "row count drift vs batch join")
+    val mismatched = got.as("g").join(batch.as("b"), Seq("event_id"))
+      .where(not(col("g.c_mktsegment") <=> col("b.c_mktsegment"))).count()
+    assert(mismatched == 0, s"$mismatched enriched rows differ from batch")
+  }
 }
