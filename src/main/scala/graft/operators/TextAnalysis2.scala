@@ -138,14 +138,57 @@ object TextAnalysis2 {
                AS word_entropy
       FROM w ORDER BY doc_id"""
 
+  // ---- t09: edit-distance verification of near-dup candidates ----
+  // Levenshtein is O(len^2) per pair — never run it all-pairs. Here it
+  // verifies only the already-verified near-dup pairs (a bounded
+  // candidate set from the shingle/LSH stages), the same
+  // cheap-filter-then-expensive-verify layering the whole dedup family
+  // uses. Both engines implement the classic DP, so distances are
+  // integer-exact.
+  val t09_edit_distance: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    Dedup.d03_ngram_jaccard(s, d)
+      .select("da", "db", "jaccard")
+      .join(docs.select(col("doc_id").as("da"), col("text").as("ta")), "da")
+      .join(docs.select(col("doc_id").as("db"), col("text").as("tb")), "db")
+      .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
+      .withColumn("lev_sim",
+        round(lit(1.0) - col("lev") / greatest(length(col("ta")), length(col("tb"))), 9))
+      .select(col("da"), col("db"), round(col("jaccard"), 9).as("jaccard"),
+        col("lev"), col("lev_sim"))
+      .orderBy("da", "db")
+  }
+  val t09Sql: String =
+    """WITH w AS (SELECT doc_id, generate_subscripts(string_split(text,' '),1) i,
+                       unnest(string_split(text,' ')) w FROM documents),
+      g AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+            FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.i=a.i+1
+                     JOIN w c ON c.doc_id=a.doc_id AND c.i=a.i+2),
+      dd AS (SELECT DISTINCT doc_id, sh FROM g),
+      sizes AS (SELECT doc_id, count(*) n FROM dd GROUP BY doc_id),
+      pairs AS (SELECT x.doc_id da, y.doc_id db, count(*) shared
+                FROM dd x JOIN dd y ON x.sh=y.sh AND x.doc_id<y.doc_id GROUP BY 1,2),
+      v AS (SELECT da, db, CAST(shared AS DOUBLE)/(sa.n+sb.n-shared) AS jaccard
+            FROM pairs JOIN sizes sa ON da=sa.doc_id JOIN sizes sb ON db=sb.doc_id
+            WHERE CAST(shared AS DOUBLE)/(sa.n+sb.n-shared) >= 0.5)
+      SELECT da, db, round(jaccard, 9) AS jaccard,
+             CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS lev,
+             round(1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
+                   / greatest(len(ta.text), len(tb.text)), 9) AS lev_sim
+      FROM v JOIN documents ta ON v.da = ta.doc_id
+             JOIN documents tb ON v.db = tb.doc_id
+      ORDER BY da, db"""
+
   val queries: Map[String, Q] = Map(
-    "t06_pii_redact" -> t06_pii_redact,
-    "t07_repetition" -> t07_repetition,
-    "t08_entropy"    -> t08_entropy,
+    "t06_pii_redact"    -> t06_pii_redact,
+    "t07_repetition"    -> t07_repetition,
+    "t08_entropy"       -> t08_entropy,
+    "t09_edit_distance" -> t09_edit_distance,
   )
   val oracles: Map[String, String] = Map(
-    "t06_pii_redact" -> t06Sql,
-    "t07_repetition" -> t07Sql,
-    "t08_entropy"    -> t08Sql,
+    "t06_pii_redact"    -> t06Sql,
+    "t07_repetition"    -> t07Sql,
+    "t08_entropy"       -> t08Sql,
+    "t09_edit_distance" -> t09Sql,
   )
 }
