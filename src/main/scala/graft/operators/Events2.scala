@@ -107,14 +107,47 @@ object Events2 {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS v_filled
       FROM j ORDER BY user_id, day"""
 
+  // ---- e09: sessionization via the NATIVE session_window operator ----
+  // Same 30-minute-gap semantics as q27's lag+cumsum formulation, but
+  // through Spark's built-in session-window aggregation (one shuffle on
+  // user_id, sessions merged inside the agg operator — and the identical
+  // code runs under Structured Streaming with state-store-backed session
+  // merge). Oracle replicates the gap logic relationally.
+  val e09_session_window: Q = (s, d) => {
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), graft.Stable.dsum(col("value")).as("session_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("n_events"), round(col("session_value"), 4).as("session_value"))
+      .orderBy("user_id", "session_start")
+  }
+  // The oracle marks a session boundary whenever the previous event of the
+  // same user is > 30 min older, then groups by the running boundary count.
+  val e09Sql: String =
+    """WITH x AS (SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS brk
+           FROM events),
+      g AS (SELECT user_id, ts, value,
+              sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM x)
+      SELECT user_id, min(ts) AS session_start, COUNT(*) AS n_events,
+             round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 4) AS session_value
+      FROM g GROUP BY user_id, sid ORDER BY user_id, session_start"""
+
   val queries: Map[String, Q] = Map(
     "e06_funnel_conversion"  -> e06_funnel_conversion,
     "e07_cumulative_distinct" -> e07_cumulative_distinct,
     "e08_gap_fill"           -> e08_gap_fill,
+    "e09_session_window"     -> e09_session_window,
   )
   val oracles: Map[String, String] = Map(
     "e06_funnel_conversion"  -> e06Sql,
     "e07_cumulative_distinct" -> e07Sql,
     "e08_gap_fill"           -> e08Sql,
+    "e09_session_window"     -> e09Sql,
   )
 }

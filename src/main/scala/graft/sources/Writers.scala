@@ -42,4 +42,28 @@ object Writers {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Dynamic partition overwrite: replaces ONLY the partitions present in
+    * `df`, leaving sibling partitions untouched — the incremental-reload
+    * primitive for a partitioned 100 TB table (nightly re-materialization
+    * of changed days without rewriting history).
+    */
+  def overwritePartitions(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Schema-evolved read: union the schemas of all files under `path`
+    * (columns absent in older files come back null) — how a long-lived
+    * table absorbs additive schema changes without a rewrite.
+    */
+  def readMergedSchema(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 }

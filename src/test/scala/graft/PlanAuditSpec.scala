@@ -55,4 +55,35 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q26_hash_sample")
     assert(!p.contains("Exchange hashpartitioning"), "sampling should not shuffle")
   }
+
+  test("e06: event-type filters pushed to scan; purchase side broadcasts") {
+    val p = plan("e06_funnel_conversion")
+    assert(p.contains("EqualTo(event_type,view)"), "view filter not pushed")
+    assert(p.contains("EqualTo(event_type,purchase)"), "purchase filter not pushed")
+    assert(p.contains("LeftSemi"), "conversion test should be a semi join")
+  }
+
+  test("q63: SpaceSaving aggregation runs as partial agg before one shuffle") {
+    val p = plan("q63_heavy_hitters")
+    val lines = p.linesIterator.toVector
+    val exchange = lines.indexWhere(_.contains("Exchange"))
+    assert(exchange >= 0)
+    assert(lines.drop(exchange).exists(l =>
+      l.contains("partial_topkitems") || l.contains("partial_TopKItems")),
+      "no map-side partial sketch below the exchange")
+  }
+
+  test("m03: batching is one shuffle on the source key (window + agg share it)") {
+    val p = plan("m03_size_batching")
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1, s"expected 1 hash shuffle, saw $shuffles")
+  }
+
+  test("t07/t08: repetition + entropy metrics plan with no shuffle at all") {
+    Seq("t07_repetition", "t08_entropy").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$name: narrow per-row op should not shuffle (sort for output order is fine)")
+    }
+  }
 }

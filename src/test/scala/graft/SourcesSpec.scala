@@ -44,6 +44,49 @@ class SourcesSpec extends AnyFunSuite {
     assert(pruned.count() == expected)
   }
 
+  test("orc round-trip preserves values") {
+    val out = tmp("orc")
+    val src = Tables.nation(spark, sf)
+    sources.Writers.writeOrc(src, out)
+    val back = sources.Writers.readOrc(spark, out)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
+  test("dynamic partition overwrite replaces only the written partitions") {
+    val out = tmp("dynpart")
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    sources.Writers.writePartitioned(orders, out, Seq("o_orderpriority"))
+    val before = spark.read.parquet(out).count()
+    // overwrite ONE priority partition with halved prices
+    val patch = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .withColumn("o_totalprice", col("o_totalprice") / 2)
+    sources.Writers.overwritePartitions(patch, out, Seq("o_orderpriority"))
+    val after = spark.read.parquet(out)
+    assert(after.count() == before, "sibling partitions were clobbered")
+    val untouched = after.filter(col("o_orderpriority") === "2-HIGH").count()
+    assert(untouched == orders.filter(col("o_orderpriority") === "2-HIGH").count())
+    val patched = after.filter(col("o_orderpriority") === "1-URGENT")
+      .agg(sum("o_totalprice")).collect()(0).getDouble(0)
+    val expected = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .agg(sum("o_totalprice") / 2).collect()(0).getDouble(0)
+    assert(math.abs(patched - expected) < 1e-6)
+  }
+
+  test("mergeSchema read unions evolved schemas; old files get nulls") {
+    val out = tmp("evolve")
+    Tables.region(spark, sf).select("r_regionkey", "r_name")
+      .write.parquet(s"$out/batch=0")
+    Tables.region(spark, sf).select(col("r_regionkey"), col("r_name"),
+        lit("v2").as("schema_version"))
+      .write.parquet(s"$out/batch=1")
+    val merged = sources.Writers.readMergedSchema(spark, out)
+    assert(merged.columns.toSet ==
+      Set("r_regionkey", "r_name", "schema_version", "batch"))
+    assert(merged.where(col("batch") === 0 && col("schema_version").isNull).count() ==
+      Tables.region(spark, sf).count())
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
