@@ -32,4 +32,12 @@ package object functions {
   /** KMV distinct-count sketch aggregate (struct: kth_min, n_heap, est). */
   def kmv_distinct(c: Column, k: Int = 64): Column =
     toCol(KMinValues(toExpr(c), k).toAggregateExpression())
+
+  /** Distributed Bloom filter build (binary result; map-side mergeable). */
+  def bloom_agg(c: Column, numBits: Int = 1 << 20, numHashes: Int = 5): Column =
+    toCol(BloomFilterAgg(toExpr(c), numBits, numHashes).toAggregateExpression())
+
+  /** Bloom probe: may-contain test against a bloom_agg result. */
+  def bloom_might_contain(bloom: Column, value: Column, numHashes: Int = 5): Column =
+    toCol(BloomMightContain(toExpr(bloom), toExpr(value), numHashes))
 }

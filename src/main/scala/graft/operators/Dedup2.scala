@@ -145,12 +145,41 @@ object Dedup2 {
       SELECT doc_id, h, n_batch_copies FROM batch
       WHERE h NOT IN (SELECT h FROM corpus) ORDER BY doc_id"""
 
+  // ---- d10: bloom-accelerated incremental dedup (exact result) ----
+  // Same output as d09, but the corpus side first folds into a Bloom
+  // filter (distributed build: map-side OR-mergeable aggregate, one-row
+  // binary result broadcast to the probes). Batch rows the bloom rules
+  // out are definitely new and skip the anti-join; only the "maybe"
+  // rows (true dups + false positives) shuffle against the corpus index.
+  // At 100 TB the bloom is ~10 bits/key vs the full 16-byte hash index —
+  // the anti-join's shuffle shrinks by the batch's true-new fraction.
+  // False positives cost only wasted verification, never wrong results,
+  // so the query stays exact and shares d09's oracle.
+  val d10_bloom_dedup: Q = (s, d) => {
+    import graft.functions.{bloom_agg, bloom_might_contain}
+    val docs = Tables.documents(s, d).withColumn("h", expr(normSpark))
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0).select("h").distinct()
+    val bloom = corpus.agg(bloom_agg(col("h"), 1 << 16, 5).as("bloom"))
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+      .groupBy("h").agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_batch_copies"))
+      .join(broadcast(bloom))
+      .withColumn("maybe", bloom_might_contain(col("bloom"), col("h"), 5))
+    val definitelyNew = batch.filter(!col("maybe"))
+    val verified = batch.filter(col("maybe"))
+      .join(corpus, Seq("h"), "left_anti")
+    definitelyNew.select("doc_id", "h", "n_batch_copies")
+      .union(verified.select("doc_id", "h", "n_batch_copies"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "d08_dup_clusters"     -> d08_dup_clusters,
     "d09_incremental_dedup" -> d09_incremental_dedup,
+    "d10_bloom_dedup"      -> d10_bloom_dedup,
   )
   val oracles: Map[String, String] = Map(
     "d08_dup_clusters"     -> d08Sql,
     "d09_incremental_dedup" -> d09Sql,
+    "d10_bloom_dedup"      -> d09Sql, // exact same output as d09 by design
   )
 }

@@ -59,6 +59,28 @@ class Dedup2Spec extends AnyFunSuite {
     assert(out.where(col("n_emails") < 1 || col("n_phones") < 1).count() == 0)
   }
 
+  test("bloom: no false negatives; false-positive rate near theory") {
+    import graft.functions.{bloom_agg, bloom_might_contain}
+    import spark.implicits._
+    val members = (0L until 2000L).map(i => s"member_$i")
+    val outsiders = (0L until 2000L).map(i => s"outsider_$i")
+    val bloom = members.toDF("v").agg(bloom_agg(col("v"), 1 << 16, 5).as("b"))
+    val probed = members.toDF("v").union(outsiders.toDF("v"))
+      .join(broadcast(bloom))
+      .select(col("v"), bloom_might_contain(col("b"), col("v"), 5).as("hit"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    members.foreach(m => assert(probed(m), s"false negative for $m"))
+    val fp = outsiders.count(probed(_)).toDouble / outsiders.size
+    // m=65536, n=2000, k=5 -> theoretical fp ~ (1-e^(-kn/m))^k ~ 5e-5
+    assert(fp < 0.01, s"false-positive rate $fp too high")
+  }
+
+  test("d10: bloom-accelerated dedup returns exactly d09's rows") {
+    val d9 = operators.Dedup2.d09_incremental_dedup(spark, sf)
+    val d10 = operators.Dedup2.d10_bloom_dedup(spark, sf)
+    assert(d10.exceptAll(d9).isEmpty && d9.exceptAll(d10).isEmpty)
+  }
+
   test("q56: SCD2 invariants — one current row per key, closed rows precede opens") {
     val out = operators.Relational6.q56_scd2_merge(spark, sf)
     val byKey = out.groupBy("c_custkey")
