@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress harness: materializes an enlarged copy of the sf0.1 data
+  * (20x facts, 10x events, 4x documents — keys remapped so the copies are
+  * distinct rows, texts suffixed so they are distinct documents), then
+  * times representative queries at 1x and Nx and prints the scaling
+  * ratio. Sublinear ratios back SURVEY.md §4/§6's claims; anything
+  * superlinear is a plan to fix. Development tool, not driver contract.
+  *
+  * Usage: runMain graft.ScaleStress [query names...]
+  */
+object ScaleStress {
+  private val baseDir = "/root/testdata/sf0.1"
+  private val stressDir = "target/stress"
+
+  /** N copies with remapped keys: key' = key * n + i keeps uniqueness. */
+  private def replicate(df: DataFrame, n: Int, remap: Map[String, String]): DataFrame =
+    (0 until n).map { i =>
+      remap.foldLeft(df) { case (d, (c, f)) =>
+        d.withColumn(c, expr(f.replace("@I", i.toString)))
+      }
+    }.reduce(_ unionByName _)
+
+  private def build(spark: SparkSession): Unit = {
+    if (new java.io.File(s"$stressDir/_DONE").exists()) return
+    val li = Tables.lineitem(spark, baseDir)
+    replicate(li, 20, Map("l_orderkey" -> "l_orderkey * 20 + @I"))
+      .write.mode("overwrite").parquet(s"$stressDir/lineitem.parquet")
+    val ord = Tables.orders(spark, baseDir)
+    replicate(ord, 20, Map("o_orderkey" -> "o_orderkey * 20 + @I"))
+      .write.mode("overwrite").parquet(s"$stressDir/orders.parquet")
+    // store ts as a nanos BIGINT so Tables.events' nanos->micros remap
+    // applies to the rewritten file exactly as to the original
+    val ev = Tables.events(spark, baseDir)
+      .withColumn("ts", expr("unix_micros(ts) * 1000"))
+    replicate(ev, 10, Map(
+      "event_id" -> "event_id * 10 + @I",
+      "user_id"  -> "user_id * 10 + @I"))
+      .write.mode("overwrite").parquet(s"$stressDir/events.parquet")
+    val docs = Tables.documents(spark, baseDir)
+    replicate(docs, 4, Map(
+      "doc_id" -> "doc_id * 4 + @I",
+      "text"   -> "concat(text, ' uniq@I')"))
+      .write.mode("overwrite").parquet(s"$stressDir/documents.parquet")
+    Seq("region", "nation", "customer", "supplier", "part", "embeddings")
+      .foreach { t =>
+        Tables.read(spark, baseDir, t)
+          .write.mode("overwrite").parquet(s"$stressDir/$t.parquet")
+      }
+    new java.io.File(s"$stressDir/_DONE").createNewFile()
+  }
+
+  private val defaults = Seq(
+    "q01_agg_pricing", "q03_join_agg_topn", "q05_multi_join", "q19_having",
+    "q22_count_distinct", "q57_histogram_cdf", "q60_rolling_reach",
+    "e06_funnel_conversion", "e09_session_window", "m03_size_batching",
+    "d01_exact_dedup", "d10_bloom_dedup", "t07_repetition", "t08_entropy")
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    build(spark)
+
+    val qs = if (args.nonEmpty) args.toSeq else defaults
+    def time(fn: => Long): Double = {
+      val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+    }
+    println(f"""${"query"}%-24s ${"t_1x"}%8s ${"t_Nx"}%8s ratio""")
+    qs.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      fn(spark, baseDir).count() // warm codegen
+      val t1 = time(fn(spark, baseDir).count())
+      val tn = time(fn(spark, stressDir).count())
+      println(f"$n%-24s $t1%8.2f $tn%8.2f ${tn / t1}%5.1fx")
+    }
+    spark.stop()
+  }
+}
