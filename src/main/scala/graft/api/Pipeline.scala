@@ -31,6 +31,44 @@ final case class Pipeline(stages: Vector[(String, DataFrame => DataFrame)]) {
     var df = input
     stages.map { case (name, f) => df = f(df); name -> df.count() }
   }
+
+  /** Production-grade observability: tags each stage boundary with an
+    * `observe` metric (rows out), collected DURING the normal action —
+    * zero extra passes over the data, works at any scale (unlike
+    * `profile`, which re-runs the plan per stage).
+    *
+    * Metrics are harvested with a QueryExecutionListener (the documented
+    * batch-observe pattern), so they materialize for ANY action on the
+    * returned frame — count, write, collect — including actions that wrap
+    * the plan in a fresh QueryExecution. Listener delivery is async;
+    * `metrics()` polls briefly before returning what has arrived.
+    */
+  def runObserved(input: DataFrame): (DataFrame, () => Map[String, Long]) = {
+    import org.apache.spark.sql.functions.{count, lit}
+    val spark = input.sparkSession
+    val acc = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (k, row) =>
+          if (k.startsWith("stage:")) acc.put(k, row.getLong(0))
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val out = stages.foldLeft(input) { case (df, (name, f)) =>
+      f(df).observe(s"stage:$name", count(lit(1)).as("rows"))
+    }
+    val metrics = () => {
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (acc.size() < stages.size && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      import scala.jdk.CollectionConverters._
+      acc.asScala.toMap
+    }
+    (out, metrics)
+  }
 }
 
 object Stage {

@@ -30,6 +30,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(counts(0) >= counts(1) && counts(1) >= counts(2))
   }
 
+  test("runObserved reports per-stage rows from ONE action (observe metrics)") {
+    val p = api.Pipeline(
+      "all" -> identity,
+      "filter" -> (df => df.filter(col("o_totalprice") > 100000.0)),
+      "tight" -> (df => df.filter(col("o_totalprice") > 300000.0)),
+    )
+    val input = Tables.orders(spark, sf)
+    val (out, metrics) = p.runObserved(input)
+    out.count() // the single action that also materializes the metrics
+    val m = metrics()
+    val expected = p.profile(input).toMap
+    expected.foreach { case (stage, rows) =>
+      assert(m(s"stage:$stage") == rows, s"stage $stage: ${m.get(s"stage:$stage")} vs $rows")
+    }
+  }
+
   test("p01 corpus pipeline output is a subset of input docs") {
     val out = operators.CorpusPipeline.p01_corpus_clean(spark, sf)
     val n = out.count()
