@@ -183,8 +183,79 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  // ---- s05: product-quantization ANN (memory-bounded scale path) ----
+  // PQ (Jegou 2011): split the 64-dim vector into M=8 subspaces. The
+  // per-subspace codebook is built by deterministic sign-pattern
+  // quantization: codeword id = the bit pattern of (dim > subspace mean)
+  // over the 8 dims, codeword vector = centroid of that bucket — one
+  // data pass, no iterative training, up to 256 data-adaptive codewords
+  // per subspace. Each vector then stores only its 8 codeword ids
+  // (8 bytes vs 256 — the compression that keeps a 100 TB corpus' index
+  // in executor memory). Queries score candidates with the asymmetric-
+  // distance trick: one tiny LUT of query-subvector x codeword dots
+  // (broadcast), approx IP = sum of 8 LUT hits; the top-30 by approx
+  // cosine re-rank with exact cosine. Rows-only; DedupSimilaritySpec
+  // asserts recall vs s01.
+  val s05_pq_ann: Q = (s, d) => {
+    val M = 8
+    val D = 64 / M // dims per subspace
+    val e = Tables.embeddings(s, d)
+      .withColumn("xnorm", expr(
+        "sqrt(aggregate(CAST(embedding AS ARRAY<DOUBLE>), 0D, (a, x) -> a + x * x))"))
+    // per-subspace (vector, subvector) rows — shared by encode + codebook
+    val subvecs = e.select(col("vec_id"), col("xnorm"), posexplode(
+        expr(s"transform(sequence(0, ${M - 1}), m -> slice(CAST(embedding AS ARRAY<DOUBLE>), m * $D + 1, $D))"))
+        .as(Seq("m", "sv")))
+    // subspace mean vector (the quantization thresholds)
+    val means = subvecs
+      .select(col("m"), posexplode(col("sv")).as(Seq("i", "v")))
+      .groupBy("m", "i").agg(avg("v").as("mv"))
+      .groupBy("m")
+      .agg(array_sort(collect_list(struct(col("i"), col("mv")))).as("ps"))
+      .select(col("m"), expr("transform(ps, p -> p.mv)").as("mu"))
+    // codeword id: bit b set iff sv[b] > mu[b]
+    val codeExpr = expr(
+      "aggregate(transform(sv, (x, i) -> IF(x > element_at(mu, i + 1), shiftleft(1, i), 0)), 0, (a, v) -> a + v)")
+    val codes = subvecs.join(broadcast(means), "m").withColumn("code", codeExpr)
+    // codebook: bucket centroids per (subspace, code)
+    val cents = codes
+      .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("i", "v")))
+      .groupBy("m", "code", "i").agg(avg("v").as("cv"))
+      .groupBy("m", "code")
+      .agg(array_sort(collect_list(struct(col("i"), col("cv")))).as("ps"))
+      .select(col("m"), col("code"), expr("transform(ps, p -> p.cv)").as("cw"))
+    // ADC lookup table: query subvector x every codeword dot product
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("xnorm").as("qnorm"))
+    val qsub = queries.select(col("qid"), col("qnorm"), posexplode(
+        expr(s"transform(sequence(0, ${M - 1}), m -> slice(CAST(qe AS ARRAY<DOUBLE>), m * $D + 1, $D))"))
+        .as(Seq("m", "qsv")))
+    val lut = qsub.join(broadcast(cents), "m")
+      .withColumn("dot", expr("aggregate(zip_with(qsv, cw, (x, y) -> x * y), 0D, (a, v) -> a + v)"))
+      .select(col("qid"), col("qnorm"), col("m"), col("code"), col("dot"))
+    // approx cosine = sum_m LUT(q, m, code) / (|q| |x|); top-30 then exact re-rank
+    val approx = codes.join(broadcast(lut), Seq("m", "code"))
+      .groupBy("qid", "qnorm", "vec_id", "xnorm")
+      .agg(sum("dot").as("ip"))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("approx_cos", col("ip") / (col("qnorm") * col("xnorm")))
+    val wApprox = Window.partitionBy("qid").orderBy(desc("approx_cos"), col("vec_id"))
+    val shortlist = approx.withColumn("ar", row_number().over(wApprox)).filter(col("ar") <= 30)
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("vec_id"))
+    shortlist
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(queries.select(col("qid"), col("qe"))), "qid")
+      .withColumn("cosine", cosine_sim(col("qe"), col("embedding")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("qid", "rank", "vec_id", "cosine")
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "s04_ann_ivf"           -> s04_ann_ivf,
+    "s05_pq_ann"            -> s05_pq_ann,
     "s03_centroids"         -> s03_centroids,
     "s01_knn_brute"         -> s01_knn_brute,
     "s02_knn_lsh"           -> s02_knn_lsh,

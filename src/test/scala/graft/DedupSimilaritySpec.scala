@@ -88,6 +88,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall $recall")
   }
 
+  test("s05 pq ann recall >= 0.4 vs exact s01 top-5") {
+    def topk(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topk(operators.Similarity.s01_knn_brute(spark, sf))
+    val pq = topk(operators.Similarity.s05_pq_ann(spark, sf))
+    val recall = exact.count(pq.contains).toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall")
+  }
+
   test("rolling fingerprint: order-sensitive, whitespace-insensitive-normalized") {
     val a = Hashing.rollingFingerprint(
       org.apache.spark.unsafe.types.UTF8String.fromString("alpha beta gamma"))
