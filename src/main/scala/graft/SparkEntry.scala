@@ -13,7 +13,7 @@ object SparkEntry {
     operators.Relational.queries ++ operators.Relational2.queries ++
       operators.Relational3.queries ++ operators.Relational4.queries ++
       operators.Relational5.queries ++ operators.Relational6.queries ++
-      operators.Relational7.queries ++
+      operators.Relational7.queries ++ operators.Relational8.queries ++
       operators.Dedup.queries ++ operators.Dedup2.queries ++
       operators.Similarity.queries ++
       operators.TextAnalysis.queries ++ operators.TextAnalysis2.queries ++
@@ -26,7 +26,7 @@ object SparkEntry {
     operators.Relational.oracles ++ operators.Relational2.oracles ++
       operators.Relational3.oracles ++ operators.Relational4.oracles ++
       operators.Relational5.oracles ++ operators.Relational6.oracles ++
-      operators.Relational7.oracles ++
+      operators.Relational7.oracles ++ operators.Relational8.oracles ++
       operators.Dedup.oracles ++ operators.Dedup2.oracles ++
       operators.Similarity.oracles ++
       operators.TextAnalysis.oracles ++ operators.TextAnalysis2.oracles ++

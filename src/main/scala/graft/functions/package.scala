@@ -33,6 +33,11 @@ package object functions {
   def kmv_distinct(c: Column, k: Int = 64): Column =
     toCol(KMinValues(toExpr(c), k).toAggregateExpression())
 
+  /** Mergeable quantile sketch aggregate (array of type-1 quantiles;
+    * exact while input count <= capacity, bounded-memory past it). */
+  def quantile_sketch(c: Column, probs: Seq[Double], capacity: Int = 1 << 17): Column =
+    toCol(QuantileSketch(toExpr(c), probs, capacity).toAggregateExpression())
+
   /** Distributed Bloom filter build (binary result; map-side mergeable). */
   def bloom_agg(c: Column, numBits: Int = 1 << 20, numHashes: Int = 5): Column =
     toCol(BloomFilterAgg(toExpr(c), numBits, numHashes).toAggregateExpression())

@@ -58,6 +58,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(est - exact) / exact < 0.5, s"est $est vs exact $exact")
   }
 
+  test("quantile sketch: exact under capacity, partition-invariant, bounded error past it") {
+    import org.apache.spark.sql.functions.col
+    // exact + partition-invariant while n <= capacity
+    def run(parts: Int, cap: Int) = Tables.lineitem(spark, sf).repartition(parts)
+      .agg(graft.functions.quantile_sketch(
+        col("l_quantity").cast("double"), Seq(0.25, 0.5, 0.75), cap).as("qs"))
+      .select("qs").collect().head.getSeq[Double](0)
+    val a = run(1, 1 << 17); val b = run(8, 1 << 17)
+    assert(a == b, s"partitioning changed sketch: $a vs $b")
+    val sorted = Tables.lineitem(spark, sf)
+      .select(col("l_quantity").cast("double")).collect().map(_.getDouble(0)).sorted
+    val n = sorted.length
+    def disc(q: Double) = sorted(math.ceil(q * n).toInt.max(1) - 1)
+    assert(a == Seq(disc(0.25), disc(0.5), disc(0.75)), s"not exact: $a")
+    // compacting regime: small capacity must still land within rank error
+    val c = run(8, 64)
+    c.zip(Seq(0.25, 0.5, 0.75)).foreach { case (v, q) =>
+      val rank = sorted.count(_ <= v).toDouble / n
+      assert(math.abs(rank - q) < 0.15, s"q=$q got value $v at rank $rank")
+    }
+  }
+
   test("m02 batch decode: deterministic, schema-typed, row-preserving") {
     val out = operators.Multimodal.decodeBatch(spark, sf)
     val n = Tables.documents(spark, sf).count()
