@@ -138,16 +138,50 @@ object Events2 {
              round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 4) AS session_value
       FROM g GROUP BY user_id, sid ORDER BY user_id, session_start"""
 
+  // ---- e10: trending metrics (day-over-day growth + 7-day moving avg) ----
+  // The daily rollup is one shuffle on (event_type, day); the growth and
+  // moving-average windows then run over the tiny aggregated table (days ×
+  // event types), so the window stage costs nothing regardless of fact-table
+  // size. Growth is a single double division per row (bit-identical across
+  // engines); the moving average divides an exact BIGINT sum.
+  val e10_trending: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val ma = w.rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("prev_n", lag("n", 1).over(w))
+      .withColumn("dod_growth",
+        round(col("n").cast("double") / col("prev_n") - 1.0, 9))
+      .withColumn("ma7", round(avg(col("n")).over(ma), 9))
+      .select("event_type", "day", "n", "prev_n", "dod_growth", "ma7")
+      .orderBy("event_type", "day")
+  }
+  val e10Sql: String =
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+               FROM events GROUP BY 1, 2)
+      SELECT event_type, day, n,
+             lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n,
+             round(CAST(n AS DOUBLE)
+                   / lag(n) OVER (PARTITION BY event_type ORDER BY day) - 1.0, 9)
+               AS dod_growth,
+             round(avg(n) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 9) AS ma7
+      FROM daily ORDER BY event_type, day"""
+
   val queries: Map[String, Q] = Map(
     "e06_funnel_conversion"  -> e06_funnel_conversion,
     "e07_cumulative_distinct" -> e07_cumulative_distinct,
     "e08_gap_fill"           -> e08_gap_fill,
     "e09_session_window"     -> e09_session_window,
+    "e10_trending"           -> e10_trending,
   )
   val oracles: Map[String, String] = Map(
     "e06_funnel_conversion"  -> e06Sql,
     "e07_cumulative_distinct" -> e07Sql,
     "e08_gap_fill"           -> e08Sql,
     "e09_session_window"     -> e09Sql,
+    "e10_trending"           -> e10Sql,
   )
 }

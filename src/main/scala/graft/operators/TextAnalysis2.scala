@@ -179,16 +179,42 @@ object TextAnalysis2 {
              JOIN documents tb ON v.db = tb.doc_id
       ORDER BY da, db"""
 
+  // ---- t10: inverted-index posting statistics ----
+  // The corpus-indexing primitive: per term, document frequency, total
+  // term frequency, and the hottest posting. One explode + two hash
+  // aggregations, both map-side combinable; the final stats table is
+  // vocabulary-sized (≪ corpus), so the HAVING filter and sort are free.
+  // At 100 TB this is the shape of a vocabulary/posting-list build: no
+  // window over raw postings, no driver-side vocab.
+  val t10_posting_stats: Q = (s, d) => {
+    val tfs = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    tfs.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("total_tf"), max("tf").as("max_tf"))
+      .filter(col("df") >= 50)
+      .orderBy(desc("df"), desc("total_tf"), col("term"))
+  }
+  val t10Sql: String =
+    """WITH p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tfs AS (SELECT term, doc_id, COUNT(*) AS tf FROM p GROUP BY 1, 2)
+      SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+             max(tf) AS max_tf
+      FROM tfs GROUP BY term HAVING COUNT(*) >= 50
+      ORDER BY df DESC, total_tf DESC, term"""
+
   val queries: Map[String, Q] = Map(
     "t06_pii_redact"    -> t06_pii_redact,
     "t07_repetition"    -> t07_repetition,
     "t08_entropy"       -> t08_entropy,
     "t09_edit_distance" -> t09_edit_distance,
+    "t10_posting_stats" -> t10_posting_stats,
   )
   val oracles: Map[String, String] = Map(
     "t06_pii_redact"    -> t06Sql,
     "t07_repetition"    -> t07Sql,
     "t08_entropy"       -> t08Sql,
     "t09_edit_distance" -> t09Sql,
+    "t10_posting_stats" -> t10Sql,
   )
 }
