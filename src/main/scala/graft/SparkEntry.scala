@@ -14,7 +14,7 @@ object SparkEntry {
       operators.Relational3.queries ++ operators.Relational4.queries ++
       operators.Relational5.queries ++ operators.Relational6.queries ++
       operators.Relational7.queries ++ operators.Relational8.queries ++
-      operators.Dedup.queries ++ operators.Dedup2.queries ++
+      operators.Dedup.queries ++ operators.Dedup2.queries ++ operators.Dedup3.queries ++
       operators.Similarity.queries ++
       operators.TextAnalysis.queries ++ operators.TextAnalysis2.queries ++
       operators.Multimodal2.queries ++
@@ -27,7 +27,7 @@ object SparkEntry {
       operators.Relational3.oracles ++ operators.Relational4.oracles ++
       operators.Relational5.oracles ++ operators.Relational6.oracles ++
       operators.Relational7.oracles ++ operators.Relational8.oracles ++
-      operators.Dedup.oracles ++ operators.Dedup2.oracles ++
+      operators.Dedup.oracles ++ operators.Dedup2.oracles ++ operators.Dedup3.oracles ++
       operators.Similarity.oracles ++
       operators.TextAnalysis.oracles ++ operators.TextAnalysis2.oracles ++
       operators.Multimodal2.oracles ++

@@ -21,7 +21,11 @@ import graft.Tables
 object Dedup2 {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Verified near-dup pairs (d03 semantics): word-3-gram Jaccard >= 0.5. */
+  /** Verified near-dup pairs (d03 semantics): word-3-gram Jaccard >= 0.5.
+    * Uses the inverted-index join (d03 plan): on this synthetic corpus
+    * every 3-gram is frequent, so prefix filtering (d11) prunes little
+    * while adding stages — see the Dedup3 scaladoc for when each wins.
+    */
   private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
     val shingles = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("words"))

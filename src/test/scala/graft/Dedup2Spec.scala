@@ -81,6 +81,12 @@ class Dedup2Spec extends AnyFunSuite {
     assert(d10.exceptAll(d9).isEmpty && d9.exceptAll(d10).isEmpty)
   }
 
+  test("d11: prefix-filtered join returns exactly d03's verified pairs") {
+    val d3 = operators.Dedup.d03_ngram_jaccard(spark, sf)
+    val d11 = operators.Dedup3.d11_prefix_join(spark, sf)
+    assert(d11.exceptAll(d3).isEmpty && d3.exceptAll(d11).isEmpty)
+  }
+
   test("q56: SCD2 invariants — one current row per key, closed rows precede opens") {
     val out = operators.Relational6.q56_scd2_merge(spark, sf)
     val byKey = out.groupBy("c_custkey")
