@@ -14,11 +14,14 @@ object SparkEntry {
       operators.Relational3.queries ++ operators.Relational4.queries ++
       operators.Relational5.queries ++ operators.Relational6.queries ++
       operators.Relational7.queries ++ operators.Relational8.queries ++
+      operators.Relational9.queries ++
       operators.Dedup.queries ++ operators.Dedup2.queries ++ operators.Dedup3.queries ++
-      operators.Similarity.queries ++
+      operators.Similarity.queries ++ operators.Similarity2.queries ++
       operators.TextAnalysis.queries ++ operators.TextAnalysis2.queries ++
+      operators.TextAnalysis3.queries ++
       operators.Multimodal2.queries ++
       operators.Events.queries ++ operators.Events2.queries ++
+      operators.Events3.queries ++
       operators.CorpusPipeline.queries ++ operators.Quality.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,10 +30,13 @@ object SparkEntry {
       operators.Relational3.oracles ++ operators.Relational4.oracles ++
       operators.Relational5.oracles ++ operators.Relational6.oracles ++
       operators.Relational7.oracles ++ operators.Relational8.oracles ++
+      operators.Relational9.oracles ++
       operators.Dedup.oracles ++ operators.Dedup2.oracles ++ operators.Dedup3.oracles ++
-      operators.Similarity.oracles ++
+      operators.Similarity.oracles ++ operators.Similarity2.oracles ++
       operators.TextAnalysis.oracles ++ operators.TextAnalysis2.oracles ++
+      operators.TextAnalysis3.oracles ++
       operators.Multimodal2.oracles ++
       operators.Events.oracles ++ operators.Events2.oracles ++
+      operators.Events3.oracles ++
       operators.CorpusPipeline.oracles ++ operators.Quality.oracles
 }

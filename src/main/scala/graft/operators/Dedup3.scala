@@ -93,11 +93,57 @@ object Dedup3 {
   val d11_prefix_join: Q = (s, d) =>
     prefixJaccardPairs(s, d, 0.5).orderBy("da", "db")
 
+  // ---- d12: cross-document n-gram contamination ----
+  // The substring-level dedup signal of Lee et al. 2022 ("Deduplicating
+  // Training Data Makes Language Models Better") at 5-gram granularity:
+  // for every document, the fraction of its distinct word-5-grams that
+  // also appear in at least one OTHER document. Unlike t07 (within-doc
+  // repetition) this measures cross-doc contamination. Plan: one explode
+  // to distinct (doc, gram) postings, one df aggregation (map-side
+  // combinable), one join back — no pair join at all, so cost is linear
+  // in corpus size regardless of how duplicated the corpus is (the
+  // failure mode that makes pair-based d03 superlinear).
+  val d12_crossdoc_ngrams: Q = (s, d) => {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(
+             sequence(1, greatest(size(w) - 4, 0)),
+             i -> concat_ws(' ', slice(w, i, 5))))""")).as("g"))
+    val dfTbl = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    grams.join(dfTbl, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("df") >= 2, 1)).as("n_shared"))
+      .withColumn("dup_frac",
+        round(col("n_shared").cast("double") / col("n_grams"), 9))
+      .orderBy("doc_id")
+  }
+  val d12Sql: String =
+    """WITH w AS (SELECT doc_id, generate_subscripts(string_split(text,' '),1) i,
+                       unnest(string_split(text,' ')) w FROM documents),
+      g5 AS (SELECT a.doc_id,
+                    a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' ' || e.w AS g
+             FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.i=a.i+1
+                      JOIN w c ON c.doc_id=a.doc_id AND c.i=a.i+2
+                      JOIN w d ON d.doc_id=a.doc_id AND d.i=a.i+3
+                      JOIN w e ON e.doc_id=a.doc_id AND e.i=a.i+4),
+      dd AS (SELECT DISTINCT doc_id, g FROM g5),
+      df AS (SELECT g, COUNT(*) AS df FROM dd GROUP BY g)
+      SELECT doc_id, COUNT(*) AS n_grams,
+             COUNT(*) FILTER (WHERE df.df >= 2) AS n_shared,
+             round(CAST(COUNT(*) FILTER (WHERE df.df >= 2) AS DOUBLE) / COUNT(*), 9)
+               AS dup_frac
+      FROM dd JOIN df USING (g)
+      GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
-    "d11_prefix_join" -> d11_prefix_join,
+    "d11_prefix_join"     -> d11_prefix_join,
+    "d12_crossdoc_ngrams" -> d12_crossdoc_ngrams,
   )
   val oracles: Map[String, String] = Map(
     // Same result set as d03 by construction — shares its oracle.
-    "d11_prefix_join" -> Dedup.d03Sql,
+    "d11_prefix_join"     -> Dedup.d03Sql,
+    "d12_crossdoc_ngrams" -> d12Sql,
   )
 }

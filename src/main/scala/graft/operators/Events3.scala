@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event analytics, part 3: anomaly detection and marketing attribution.
+  */
+object Events3 {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- e11: z-score anomaly detection on daily event volumes ----
+  // One shuffle to the (event_type, day) rollup; the per-type moments
+  // come from exact integer sums (count, sum n, sum n^2), so mean/std —
+  // and therefore the z-scores — are bit-identical on any engine and any
+  // partitioning. The stats join is vocabulary-sized (one row per event
+  // type) and broadcasts.
+  val e11_anomaly: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("days"), sum("n").as("sn"),
+        sum(col("n") * col("n")).as("sn2"))
+      .withColumn("mean", col("sn").cast("double") / col("days"))
+      .withColumn("sd", sqrt(
+        (col("sn2").cast("double")
+          - col("sn").cast("double") * col("sn").cast("double") / col("days"))
+          / (col("days") - 1)))
+      .select("event_type", "mean", "sd")
+    daily.join(broadcast(stats), "event_type")
+      .withColumn("z", round((col("n").cast("double") - col("mean")) / col("sd"), 9))
+      .filter(abs(col("z")) > 2.0)
+      .select("event_type", "day", "n", "z")
+      .orderBy("event_type", "day")
+  }
+  val e11Sql: String =
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+               FROM events GROUP BY 1, 2),
+      st AS (SELECT event_type, COUNT(*) AS days,
+                    CAST(SUM(n) AS BIGINT) AS sn, CAST(SUM(n*n) AS BIGINT) AS sn2
+             FROM daily GROUP BY 1),
+      z AS (SELECT d.event_type, d.day, d.n,
+              round((CAST(d.n AS DOUBLE) - CAST(sn AS DOUBLE)/days)
+                / sqrt((CAST(sn2 AS DOUBLE) - CAST(sn AS DOUBLE)*CAST(sn AS DOUBLE)/days)
+                       / (days - 1)), 9) AS z
+            FROM daily d JOIN st USING (event_type))
+      SELECT event_type, day, n, z FROM z WHERE abs(z) > 2.0
+      ORDER BY event_type, day"""
+
+  // ---- e12: last-touch attribution (purchase -> latest prior click) ----
+  // One window pass over the user-partitioned event stream: a running
+  // conditional max carries the latest click timestamp forward, so every
+  // purchase reads its attribution in the same shuffle that sorted the
+  // stream — no self-join of purchases against clicks, no range-join
+  // blow-up. The strictly-preceding ROWS frame (with event_id as the
+  // deterministic tie-break) keeps a same-instant click out of its own
+  // purchase's window.
+  val e12_attribution: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .select("event_id", "user_id", "ts", "event_type")
+      .withColumn("click_ts",
+        max(when(col("event_type") === "click", col("ts"))).over(w))
+      .filter(col("event_type") === "purchase" && col("click_ts").isNotNull)
+      .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(col("click_ts")))
+      .filter(col("gap_us") <= 86400000000L) // attribute within 24h
+      .select("event_id", "user_id", "ts", "click_ts", "gap_us")
+      .orderBy("event_id")
+  }
+  val e12Sql: String =
+    """WITH a AS (SELECT event_id, user_id, ts, event_type,
+             max(CASE WHEN event_type = 'click' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ts
+           FROM events)
+      SELECT event_id, user_id, ts, click_ts,
+             epoch_us(ts) - epoch_us(click_ts) AS gap_us
+      FROM a
+      WHERE event_type = 'purchase' AND click_ts IS NOT NULL
+        AND epoch_us(ts) - epoch_us(click_ts) <= 86400000000
+      ORDER BY event_id"""
+
+  val queries: Map[String, Q] = Map(
+    "e11_anomaly"     -> e11_anomaly,
+    "e12_attribution" -> e12_attribution,
+  )
+  val oracles: Map[String, String] = Map(
+    "e11_anomaly"     -> e11Sql,
+    "e12_attribution" -> e12Sql,
+  )
+}

@@ -41,6 +41,42 @@ object Multimodal2 {
              min(doc_id) AS first_doc, max(doc_id) AS last_doc
       FROM c GROUP BY 1, 2 ORDER BY source, batch_id"""
 
-  val queries: Map[String, Q] = Map("m03_size_batching" -> m03_size_batching)
-  val oracles: Map[String, String] = Map("m03_size_batching" -> m03Sql)
+  // ---- m04: deterministic frame sampling + decode-batch assembly ----
+  // The video-side plumbing: every asset (stub: duration derived from
+  // n_chars) yields evenly-spaced frame offsets via a narrow sequence
+  // explode — no driver loop, no rand(); offsets and batch boundaries
+  // are pure functions of the asset row, so the layout is reproducible
+  // on any cluster. Downstream a decoder consumes (asset, batch) groups
+  // exactly like m02's per-partition codec.
+  val m04_frame_sample: Q = (s, d) => {
+    val assets = Tables.documents(s, d)
+      .filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("asset_id"),
+        (col("n_chars").cast("long") * 10).as("duration_ms"))
+    assets
+      .select(col("asset_id"), col("duration_ms"),
+        explode(expr("sequence(0L, duration_ms, 500L)")).as("off_ms"))
+      .withColumn("batch_id", floor(col("off_ms") / 4000.0).cast("long"))
+      .groupBy("asset_id", "batch_id")
+      .agg(count(lit(1)).as("n_frames"),
+        min("off_ms").as("first_off"), max("off_ms").as("last_off"))
+      .orderBy("asset_id", "batch_id")
+  }
+  val m04Sql: String =
+    """WITH a AS (SELECT doc_id AS asset_id, CAST(n_chars AS BIGINT)*10 AS duration_ms
+             FROM documents WHERE doc_id % 20 = 0),
+      f AS (SELECT asset_id, unnest(generate_series(0, duration_ms, 500)) AS off_ms
+            FROM a)
+      SELECT asset_id, CAST(floor(off_ms / 4000.0) AS BIGINT) AS batch_id,
+             COUNT(*) AS n_frames, min(off_ms) AS first_off, max(off_ms) AS last_off
+      FROM f GROUP BY 1, 2 ORDER BY asset_id, batch_id"""
+
+  val queries: Map[String, Q] = Map(
+    "m03_size_batching" -> m03_size_batching,
+    "m04_frame_sample"  -> m04_frame_sample,
+  )
+  val oracles: Map[String, String] = Map(
+    "m03_size_batching" -> m03Sql,
+    "m04_frame_sample"  -> m04Sql,
+  )
 }

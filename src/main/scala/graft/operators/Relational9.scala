@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Stable, Tables}
+
+/** Relational/ETL core, part 9: gaps-and-islands and FILTER-clause
+  * conditional aggregation.
+  */
+object Relational9 {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- q66: gaps-and-islands (consecutive-day activity streaks) ----
+  // The classic island key: day minus row_number is constant within a
+  // consecutive run. Everything after the distinct-day projection
+  // operates on the (user, day) table — tiny relative to the event log —
+  // and the window shuffle is the only wide stage, partitioned by
+  // user_id (no skew: one user's days fit any executor).
+  val q66_gaps_islands: Q = (s, d) => {
+    val days = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val islands = days
+      .withColumn("rn", row_number().over(w))
+      .withColumn("anchor", expr("date_sub(day, rn)"))
+    val streaks = islands.groupBy("user_id", "anchor")
+      .agg(count(lit(1)).as("len"))
+    streaks.groupBy("user_id")
+      .agg(count(lit(1)).as("n_streaks"),
+        sum("len").as("active_days"),
+        max("len").as("max_streak"))
+      .orderBy("user_id")
+  }
+  val q66Sql: String =
+    """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      isl AS (SELECT user_id, day,
+                day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS anchor
+              FROM days),
+      st AS (SELECT user_id, anchor, COUNT(*) AS len FROM isl GROUP BY 1, 2)
+      SELECT user_id, COUNT(*) AS n_streaks,
+             CAST(SUM(len) AS BIGINT) AS active_days, max(len) AS max_streak
+      FROM st GROUP BY user_id ORDER BY user_id"""
+
+  // ---- q67: FILTER-clause conditional aggregates ----
+  // Several differently-predicated aggregates in ONE pass over the fact
+  // table (no self-joins, no re-scans); all branches stay map-side
+  // combinable. Double revenue goes through the decimal-exact sum.
+  val q67_filtered_agg: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+        count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+        count(when(col("o_totalprice") > 200000.0, 1)).as("n_big"),
+        round(Stable.dsum(when(col("o_orderstatus") === "F", col("o_totalprice"))), 4)
+          .as("rev_f"))
+      .orderBy("o_orderpriority")
+  val q67Sql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_total,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+             COUNT(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+             round(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+                        FILTER (WHERE o_orderstatus = 'F') AS DOUBLE), 4) AS rev_f
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  val queries: Map[String, Q] = Map(
+    "q66_gaps_islands" -> q66_gaps_islands,
+    "q67_filtered_agg" -> q67_filtered_agg,
+  )
+  val oracles: Map[String, String] = Map(
+    "q66_gaps_islands" -> q66Sql,
+    "q67_filtered_agg" -> q67Sql,
+  )
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Similarity, part 2: a full Lloyd iteration (assign + recompute) —
+  * the refinement step that turns the s03 seed centroids / s04 coarse
+  * quantizer into an actual k-means pass.
+  */
+object Similarity2 {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- s06: one k-means refinement step over the label centroids ----
+  // Assignment is a narrow pass: the k centroid arrays broadcast to every
+  // executor and each vector scores k cosines in-row (sequential double
+  // folds — bit-identical to DuckDB's list_dot_product, so even the
+  // argmax ranking is engine-exact). Recompute uses decimal-exact
+  // per-dimension means (s03's recipe). Two shuffles total (centroid
+  // build + recompute), both on small keys; the 100 TB cost is one scan.
+  val s06_kmeans_refine: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val cents = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg((sum(col("v").cast("double").cast(DecimalType(30, 10))).cast("double")
+        / count(lit(1))).as("mv"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("mv")))).as("ps"))
+      .select(col("label").as("cl"), expr("transform(ps, p -> p.mv)").as("cent"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(embedding, cent, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (a, v) -> a + v)"))
+      .withColumn("ne", sqrt(expr(
+        "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (a, v) -> a + v)")))
+      .withColumn("nc", sqrt(expr(
+        "aggregate(transform(cent, y -> y * y), 0D, (a, v) -> a + v)")))
+      .withColumn("cos", col("dot") / (col("ne") * col("nc")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("cos"), col("cl"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cl").as("cluster"), col("embedding"))
+    assigned
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("cluster", "dim")
+      .agg(count(lit(1)).as("nm"),
+        (sum(col("v").cast("double").cast(DecimalType(30, 10))).cast("double")
+          / count(lit(1))).as("mv"))
+      .groupBy("cluster")
+      .agg(max("nm").as("n_members"),
+        round(min(when(col("dim") === 0, col("mv"))), 9).as("c0"),
+        round(min(when(col("dim") === 31, col("mv"))), 9).as("c31"),
+        round(min(when(col("dim") === 63, col("mv"))), 9).as("c63"))
+      .orderBy("cluster")
+  }
+  val s06Sql: String =
+    """WITH e AS (SELECT label, generate_subscripts(embedding,1)-1 AS dim,
+                       unnest(embedding) AS v FROM embeddings),
+      m AS (SELECT label, dim,
+              CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,10))) AS DOUBLE)/COUNT(*) AS mv
+            FROM e GROUP BY 1, 2),
+      c AS (SELECT label AS cl, list(mv ORDER BY dim) AS cent FROM m GROUP BY label),
+      a AS (SELECT vec_id, embedding, cl,
+              list_dot_product(CAST(embedding AS DOUBLE[]), cent)
+               / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(cent, cent))) AS cos
+            FROM embeddings, c),
+      r AS (SELECT vec_id, embedding, cl,
+              row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cl) AS rk
+            FROM a),
+      asg AS (SELECT vec_id, cl AS cluster, embedding FROM r WHERE rk = 1),
+      e2 AS (SELECT cluster, generate_subscripts(embedding,1)-1 AS dim,
+                    unnest(embedding) AS v FROM asg),
+      m2 AS (SELECT cluster, dim, COUNT(*) AS nm,
+               CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,10))) AS DOUBLE)/COUNT(*) AS mv
+             FROM e2 GROUP BY 1, 2)
+      SELECT cluster, max(nm) AS n_members,
+             round(min(CASE WHEN dim = 0  THEN mv END), 9) AS c0,
+             round(min(CASE WHEN dim = 31 THEN mv END), 9) AS c31,
+             round(min(CASE WHEN dim = 63 THEN mv END), 9) AS c63
+      FROM m2 GROUP BY cluster ORDER BY cluster"""
+
+  val queries: Map[String, Q] = Map(
+    "s06_kmeans_refine" -> s06_kmeans_refine,
+  )
+  val oracles: Map[String, String] = Map(
+    "s06_kmeans_refine" -> s06Sql,
+  )
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text analysis, part 3: statistical language-model scoring.
+  */
+object TextAnalysis3 {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- t11: corpus bigram-LM fluency score per document ----
+  // The classic LM-based quality filter (as in CCNet/Gopher pipelines,
+  // here with an in-corpus bigram model instead of an external one):
+  // score(doc) = mean log P(w_i | w_{i-1}), P = c(w1,w2) / c(w1·).
+  // Bigram formation is a narrow array transform (no position
+  // self-join); the two count tables are vocabulary-sized, so AQE turns
+  // both probability-attach joins into broadcasts — per-doc scoring
+  // stays one narrow pass over the exploded bigrams. Per-row log is
+  // rounded at 1e-9 (transcendental ulp), then summed exactly in
+  // decimal, so the score is partitioning-independent.
+  val t11_bigram_lm: Q = (s, d) => {
+    val bigrams = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    bigrams
+      .join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .withColumn("lp", round(log(col("c12").cast("double") / col("c1")), 9))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round((sum(col("lp").cast("decimal(30,10)")).cast("double") / count(lit(1))), 6)
+          .as("lm_score"))
+      .orderBy("doc_id")
+  }
+  val t11Sql: String =
+    """WITH w AS (SELECT doc_id, generate_subscripts(string_split(text,' '),1) i,
+                       unnest(string_split(text,' ')) w FROM documents),
+      b AS (SELECT a.doc_id, a.w AS w1, c.w AS w2
+            FROM w a JOIN w c ON a.doc_id = c.doc_id AND c.i = a.i + 1),
+      c2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM b GROUP BY 1, 2),
+      c1 AS (SELECT w1, COUNT(*) AS c1 FROM b GROUP BY 1),
+      sc AS (SELECT doc_id, round(ln(CAST(c12 AS DOUBLE) / c1), 9) AS lp
+             FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             round(CAST(SUM(CAST(lp AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 6)
+               AS lm_score
+      FROM sc GROUP BY doc_id ORDER BY doc_id"""
+
+  val queries: Map[String, Q] = Map(
+    "t11_bigram_lm" -> t11_bigram_lm,
+  )
+  val oracles: Map[String, String] = Map(
+    "t11_bigram_lm" -> t11Sql,
+  )
+}
