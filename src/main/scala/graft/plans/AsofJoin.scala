@@ -123,6 +123,7 @@ case class AsofJoinExec(
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsofJoinStrategy)
+    e.injectOptimizerRule(_ => FuzzyMatchGuardRule)
     graft.functions.Register.builders.foreach { case (name, builder) =>
       e.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),

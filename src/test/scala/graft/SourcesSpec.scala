@@ -87,6 +87,33 @@ class SourcesSpec extends AnyFunSuite {
       Tables.region(spark, sf).count())
   }
 
+  test("binaryFile source ingests opaque payloads with metadata") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bin")
+    try {
+      val payloads = Map("a.img" -> "fake-image-bytes-AAAA",
+        "b.img" -> "fake-image-bytes-BB", "c.txt" -> "not-an-image")
+      payloads.foreach { case (name, content) =>
+        java.nio.file.Files.write(dir.resolve(name), content.getBytes("UTF-8"))
+      }
+      // the multimodal ingest path: opaque binary + file metadata columns,
+      // with pushdown-style pruning via pathGlobFilter
+      val df = spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.img")
+        .load(dir.toString)
+      assert(df.columns.toSet ==
+        Set("path", "modificationTime", "length", "content"))
+      val rows = df.collect()
+      assert(rows.length == 2, "pathGlobFilter should exclude c.txt")
+      val byName = rows.map(r => r.getString(0).split('/').last ->
+        new String(r.getAs[Array[Byte]]("content"), "UTF-8")).toMap
+      assert(byName == payloads.filter(_._1.endsWith(".img")))
+      assert(rows.forall(r => r.getLong(2) ==
+        payloads(r.getString(0).split('/').last).length))
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
