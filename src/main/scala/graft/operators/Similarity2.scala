@@ -83,10 +83,59 @@ object Similarity2 {
              round(min(CASE WHEN dim = 63 THEN mv END), 9) AS c63
       FROM m2 GROUP BY cluster ORDER BY cluster"""
 
+  // ---- s07: embedding-space diagnostics (intra- vs inter-label cosine) ----
+  // The "is my label structure real?" check run before trusting any
+  // ANN/cluster pipeline: summary statistics of pairwise cosine within
+  // vs across labels, on a deterministic 1-in-4 sample of vectors
+  // (hash-style modulus, never rand()). Pairwise volume is bounded by
+  // the sample — the full-corpus version would bucket first (s02/s04).
+  // Per-row cosines are engine-exact folds; the summary means go
+  // through rounded-then-decimal sums, so both output rows hash-match.
+  val s07_pairwise_stats: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).filter(col("vec_id") % 4 === 0)
+    val a = e.select(col("vec_id").as("ida"), col("embedding").as("ea"),
+      col("label").as("la"))
+    val b = e.select(col("vec_id").as("idb"), col("embedding").as("eb"),
+      col("label").as("lb"))
+    a.join(b, col("ida") < col("idb"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, v) -> a + v)"))
+      .withColumn("na", sqrt(expr(
+        "aggregate(transform(ea, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (a, v) -> a + v)")))
+      .withColumn("nb", sqrt(expr(
+        "aggregate(transform(eb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (a, v) -> a + v)")))
+      .withColumn("cos", round(col("dot") / (col("na") * col("nb")), 9))
+      .withColumn("same_label", (col("la") === col("lb")).cast("boolean"))
+      .groupBy("same_label")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("cos").cast("decimal(30,10)")).cast("double") / count(lit(1)), 6)
+          .as("mean_cos"),
+        round(min("cos"), 9).as("min_cos"),
+        round(max("cos"), 9).as("max_cos"))
+      .orderBy("same_label")
+  }
+  val s07Sql: String =
+    """WITH e AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 4 = 0),
+      p AS (SELECT a.label AS la, b.label AS lb,
+              round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(a.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])))), 9) AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      SELECT (la = lb) AS same_label, COUNT(*) AS n_pairs,
+             round(CAST(SUM(CAST(cos AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 6)
+               AS mean_cos,
+             round(min(cos), 9) AS min_cos, round(max(cos), 9) AS max_cos
+      FROM p GROUP BY 1 ORDER BY same_label"""
+
   val queries: Map[String, Q] = Map(
-    "s06_kmeans_refine" -> s06_kmeans_refine,
+    "s06_kmeans_refine"  -> s06_kmeans_refine,
+    "s07_pairwise_stats" -> s07_pairwise_stats,
   )
   val oracles: Map[String, String] = Map(
-    "s06_kmeans_refine" -> s06Sql,
+    "s06_kmeans_refine"  -> s06Sql,
+    "s07_pairwise_stats" -> s07Sql,
   )
 }

@@ -51,10 +51,54 @@ object TextAnalysis3 {
                AS lm_score
       FROM sc GROUP BY doc_id ORDER BY doc_id"""
 
+  // ---- t12: per-document keyword extraction (top-3 TF-IDF terms) ----
+  // t05's scoring + a per-doc top-k: ranking happens inside the
+  // (doc_id)-partitioned window on the tf table — corpus-sized but
+  // narrow — never on raw tokens. Ranking key is the ROUNDED score
+  // (word as tie-break): transcendental ulp can't flip ranks between
+  // engines, so the extracted keywords are engine-exact.
+  val t12_keyword_extract: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfTbl = words.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(s, d).select(countDistinct("doc_id").as("n_docs"))
+    val scored = tf.join(dfTbl, "word").join(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 9))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("word"))).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "word", "tf", "tfidf")
+      .orderBy("doc_id", "rank")
+  }
+  val t12Sql: String =
+    """WITH words AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+      w AS (SELECT * FROM words WHERE word <> ''),
+      tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+      df AS (SELECT word, COUNT(*) AS df
+             FROM (SELECT DISTINCT doc_id, word FROM w) GROUP BY 1),
+      nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+      sc AS (SELECT doc_id, word, tf,
+               round(tf * ln(CAST(n_docs AS DOUBLE) / df), 9) AS tfidf
+             FROM tf JOIN df USING (word) CROSS JOIN nd),
+      r AS (SELECT doc_id, word, tf, tfidf,
+              row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rank
+            FROM sc)
+      SELECT doc_id, rank, word, tf, tfidf FROM r
+      WHERE rank <= 3 ORDER BY doc_id, rank"""
+
   val queries: Map[String, Q] = Map(
-    "t11_bigram_lm" -> t11_bigram_lm,
+    "t11_bigram_lm"       -> t11_bigram_lm,
+    "t12_keyword_extract" -> t12_keyword_extract,
   )
   val oracles: Map[String, String] = Map(
-    "t11_bigram_lm" -> t11Sql,
+    "t11_bigram_lm"       -> t11Sql,
+    "t12_keyword_extract" -> t12Sql,
   )
 }

@@ -86,4 +86,33 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$name: narrow per-row op should not shuffle (sort for output order is fine)")
     }
   }
+
+  test("e11: per-type stats ride a broadcast join onto the daily rollup") {
+    val p = plan("e11_anomaly")
+    assert(p.contains("BroadcastHashJoin"), "stats join should broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("e12: attribution is one window pass — no clicks-x-purchases join") {
+    val p = plan("e12_attribution")
+    assert(!p.contains("Join"), "attribution must not join event subsets")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      "one user-partitioned window shuffle expected")
+  }
+
+  test("s06: centroid assignment broadcasts the k centroids (no shuffle join)") {
+    val p = plan("s06_kmeans_refine")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "centroids should broadcast to the assignment pass")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("m04: frame sampling stays narrow until the per-asset aggregation") {
+    val p = plan("m04_frame_sample")
+    val lines = p.linesIterator.toVector
+    val explode = lines.indexWhere(_.contains("Generate explode"))
+    val exchange = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(explode >= 0 && exchange >= 0 && explode > exchange,
+      "sequence explode should sit below (after) the agg exchange in plan order")
+  }
 }
