@@ -95,6 +95,23 @@ object StreamOps {
     readEvents(spark, dir).join(broadcast(dim), Seq("user_id"), "left")
   }
 
+  /** Windowed KMV distinct-user sketch running INSIDE Structured
+    * Streaming: the custom `TypedImperativeAggregate` serializes its
+    * buffer into the state store between micro-batches and merges
+    * partials exactly like a map-side combine — the proof that the
+    * sketch family (KMV/Bloom/QuantileSketch) is streaming-safe. The
+    * estimate is deterministic (md5-prefix hashing), so the streaming
+    * result must equal the batch result on the same closed window.
+    */
+  def sketchedDistinct(spark: SparkSession, dir: String): DataFrame =
+    readEvents(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(graft.functions.kmv_distinct(col("user_id"), 64).as("kmv"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("kmv.est_distinct").as("est_users"), col("n_events"))
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                 event_type: String, value: Double)
   case class SessionAcc(startMicros: Long, lastMicros: Long, n: Int, value: Double)

@@ -46,6 +46,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(n >= batchDistinct, s"$n < batch distinct $batchDistinct")
   }
 
+  test("KMV sketch aggregates incrementally: streaming windows equal batch") {
+    val q = streaming.StreamOps.sketchedDistinct(spark, sf)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("kmv_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("kmv_out")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    assert(got.nonEmpty, "no closed windows emitted")
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(graft.functions.kmv_distinct(col("user_id"), 64).as("kmv"),
+        count(lit(1)).as("n"))
+      .select(col("window.start"), col("event_type"),
+        col("kmv.est_distinct"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    got.foreach { case (k, v) =>
+      assert(batch.get(k).contains(v),
+        s"window $k: streaming sketch $v vs batch ${batch.get(k)}")
+    }
+  }
+
   test("stream-stream interval join matches the batch range join") {
     val q = streaming.StreamOps.purchaseViewJoin(spark, sf)
       .writeStream.outputMode("append").format("memory")
