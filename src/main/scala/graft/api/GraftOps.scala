@@ -1,0 +1,188 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{bloom_agg, bloom_might_contain, cosine_lsh_keys, cosine_sim, minhash_signature, simhash64}
+
+/** The user-facing verb set: DataFrame-in / DataFrame-out operations over
+  * ANY frame (nothing here reads the test tables), so an existing
+  * pipeline can adopt the library one call at a time — either directly
+  * (`GraftOps.exactDedup(df, ...)`) or through the implicit syntax
+  * (`import graft.api.syntax._; df.exactDedup(...)`).
+  *
+  * Every verb builds a lazy Catalyst plan with the same scale properties
+  * the corresponding SparkEntry query demonstrates (one uniform-key
+  * shuffle for dedup; bucket joins, never all-pairs, for candidates;
+  * narrow per-row signature passes).
+  */
+object GraftOps {
+
+  /** Exact dedup: keep one row (min orderBy key) per normalized key.
+    * One shuffle on the hash; payloads move only in the final semi-join.
+    */
+  def exactDedup(df: DataFrame, key: Column, idCol: Column): DataFrame = {
+    val keepers = df.select(md5(key.cast("string")).as("__h"), idCol.as("__id"))
+      .groupBy("__h").agg(min("__id").as("__keep"))
+      .select(col("__keep"))
+    df.join(keepers, idCol === col("__keep"), "left_semi")
+  }
+
+  /** MinHash-LSH near-dup candidate pairs over a text column: per-row
+    * signatures (narrow), band keys, bucket equi-join — never all-pairs.
+    * Returns (id_a, id_b) with id_a < id_b.
+    */
+  def minhashCandidates(df: DataFrame, id: Column, text: Column,
+                        numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = df.select(id.as("__id"),
+      minhash_signature(text, numHashes, 3).as("__sig"))
+    val banded = sigs.select(col("__id"), explode(expr(
+      s"transform(sequence(0, ${bands - 1}), b -> " +
+        s"struct(b AS band, xxhash64(concat_ws(',', slice(__sig, b * $rowsPerBand + 1, $rowsPerBand))) AS bh))"))
+      .as("__b"))
+      .select(col("__id"), col("__b.band"), col("__b.bh"))
+    banded.as("x").join(banded.as("y"), Seq("band", "bh"))
+      .where(col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact word-n-gram Jaccard similarity join: candidates from shared
+    * shingles, verified with exact set overlap. Returns
+    * (id_a, id_b, shared, jaccard) for pairs with jaccard >= threshold.
+    */
+  def jaccardJoin(df: DataFrame, id: Column, text: Column,
+                  threshold: Double, n: Int = 3): DataFrame = {
+    val shingles = df
+      .select(id.as("__id"), split(text, " ").as("__w"))
+      .select(col("__id"), explode(expr(
+        s"""array_distinct(transform(
+             sequence(1, greatest(size(__w) - ${n - 1}, 0)),
+             i -> xxhash64(concat_ws(' ', slice(__w, i, $n)))))""")).as("__sh"))
+    val sizes = shingles.groupBy("__id").agg(count(lit(1)).as("__n"))
+    shingles.as("x").join(shingles.as("y"), "__sh")
+      .where(col("x.__id") < col("y.__id"))
+      .groupBy(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("__id").as("id_a"), col("__n").as("__na")), "id_a")
+      .join(sizes.select(col("__id").as("id_b"), col("__n").as("__nb")), "id_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("__na") + col("__nb") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "shared", "jaccard")
+  }
+
+  /** SimHash near-dup candidates: 64-bit signature per row, pairs sharing
+    * one of `chunks` signature chunks (pigeonhole over Hamming distance).
+    */
+  def simhashCandidates(df: DataFrame, id: Column, text: Column,
+                        chunks: Int = 8): DataFrame = {
+    val bits = 64 / chunks
+    val sigs = df.select(id.as("__id"), simhash64(text, 2).as("__s"))
+    val chunked = sigs.select(col("__id"), explode(expr(
+      s"transform(sequence(0, ${chunks - 1}), c -> " +
+        s"struct(c AS c, shiftright(__s, c * $bits) & ${(1L << bits) - 1} AS v))")).as("__c"))
+      .select(col("__id"), col("__c.c"), col("__c.v"))
+    chunked.as("x").join(chunked.as("y"), Seq("c", "v"))
+      .where(col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact top-k nearest neighbours by cosine for each query row; the
+    * query side must be small (it is broadcast to every candidate
+    * partition). Returns (qid, rank, id, cosine).
+    */
+  def knn(candidates: DataFrame, queries: DataFrame, k: Int,
+          candId: Column, candVec: Column,
+          qId: Column, qVec: Column): DataFrame = {
+    val c = candidates.select(candId.as("__cid"), candVec.as("__cv"))
+    val q = queries.select(qId.as("__qid"), qVec.as("__qv"))
+    val w = Window.partitionBy("__qid").orderBy(desc("__cos"), col("__cid"))
+    c.join(broadcast(q), col("__cid") =!= col("__qid"))
+      .withColumn("__cos", cosine_sim(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as("qid"), col("rank"),
+        col("__cid").as("id"), col("__cos").as("cosine"))
+  }
+
+  /** LSH-bucketed approximate nearest neighbours: random-hyperplane
+    * bucket join instead of the all-pairs scan. Same output shape as
+    * [[knn]]; recall grows with `tables`.
+    */
+  def annLsh(candidates: DataFrame, queries: DataFrame, k: Int,
+             candId: Column, candVec: Column, qId: Column, qVec: Column,
+             tables: Int = 16, planes: Int = 4): DataFrame = {
+    val c = candidates
+      .select(candId.as("__cid"), candVec.as("__cv"),
+        explode(cosine_lsh_keys(candVec, tables, planes)).as("__bk"))
+    val q = queries
+      .select(qId.as("__qid"), qVec.as("__qv"),
+        explode(cosine_lsh_keys(qVec, tables, planes)).as("__bk"))
+    val cand = c.join(broadcast(q), "__bk")
+      .where(col("__cid") =!= col("__qid"))
+      .groupBy("__qid", "__cid")
+      .agg(first("__qv").as("__qv"), first("__cv").as("__cv"))
+    val w = Window.partitionBy("__qid").orderBy(desc("__cos"), col("__cid"))
+    cand.withColumn("__cos", cosine_sim(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as("qid"), col("rank"),
+        col("__cid").as("id"), col("__cos").as("cosine"))
+  }
+
+  /** Incremental dedup of a batch against a (possibly huge) corpus key
+    * index, Bloom-accelerated: the filter is built distributed (no
+    * driver collect), definite-new rows skip the anti-join entirely, and
+    * the result stays exact.
+    */
+  def incrementalDedup(batch: DataFrame, corpusKeys: DataFrame,
+                       key: Column, corpusKey: Column,
+                       numBits: Int = 1 << 20): DataFrame = {
+    val corpus = corpusKeys.select(corpusKey.as("__h")).distinct()
+    val bloom = corpus.agg(bloom_agg(col("__h"), numBits, 5).as("__bloom"))
+    val probed = batch.withColumn("__h", key)
+      .join(broadcast(bloom))
+      .withColumn("__maybe", bloom_might_contain(col("__bloom"), col("__h"), 5))
+    val fresh = probed.filter(!col("__maybe"))
+    val verified = probed.filter(col("__maybe"))
+      .join(corpus, Seq("__h"), "left_anti")
+    fresh.unionByName(verified).drop("__bloom", "__maybe", "__h")
+  }
+
+  /** Deterministic train/val/test split on a stable key: pure function of
+    * the key (no rand()), reproducible on any cluster/partitioning.
+    */
+  def deterministicSplit(df: DataFrame, key: Column,
+                         weights: Seq[Double]): DataFrame = {
+    require(math.abs(weights.sum - 1.0) < 1e-9, "weights must sum to 1")
+    val bounds = weights.scanLeft(0.0)(_ + _).tail
+    val u = (conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
+      .cast("double") / math.pow(16, 15))
+    val splitCol = bounds.zipWithIndex.foldRight(lit(weights.size - 1)) {
+      case ((b, i), acc) => when(u < b, i).otherwise(acc)
+    }
+    df.withColumn("split", splitCol)
+  }
+}
+
+/** `import graft.api.syntax._` for method-style calls on DataFrames. */
+object syntax {
+  implicit class GraftDataFrameOps(private val df: DataFrame) extends AnyVal {
+    def exactDedup(key: Column, id: Column): DataFrame =
+      GraftOps.exactDedup(df, key, id)
+    def minhashCandidates(id: Column, text: Column): DataFrame =
+      GraftOps.minhashCandidates(df, id, text)
+    def jaccardJoin(id: Column, text: Column, threshold: Double): DataFrame =
+      GraftOps.jaccardJoin(df, id, text, threshold)
+    def simhashCandidates(id: Column, text: Column): DataFrame =
+      GraftOps.simhashCandidates(df, id, text)
+    def knn(queries: DataFrame, k: Int, candId: Column, candVec: Column,
+            qId: Column, qVec: Column): DataFrame =
+      GraftOps.knn(df, queries, k, candId, candVec, qId, qVec)
+    def deterministicSplit(key: Column, weights: Seq[Double]): DataFrame =
+      GraftOps.deterministicSplit(df, key, weights)
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** The public DataFrame-in/DataFrame-out verbs must agree with the
+  * oracle-checked SparkEntry formulations they generalize.
+  */
+class GraftOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import graft.api.{GraftOps, syntax}, syntax._
+
+  private def docs = Tables.documents(spark, sf)
+
+  test("exactDedup keeps exactly one row per normalized text") {
+    val out = docs.exactDedup(
+      expr("trim(regexp_replace(lower(text), '\\\\s+', ' '))"), col("doc_id"))
+    val norm = expr("trim(regexp_replace(lower(text), '\\\\s+', ' '))")
+    assert(out.count() == docs.select(norm).distinct().count())
+    // keeper is the min doc_id of its group
+    val bad = out.select(md5(norm.cast("string")).as("h"), col("doc_id"))
+      .join(docs.select(md5(norm.cast("string")).as("h"),
+        col("doc_id").as("other")), "h")
+      .where(col("other") < col("doc_id")).count()
+    assert(bad == 0, "kept a non-minimal representative")
+  }
+
+  test("jaccardJoin reproduces d03's verified pair set") {
+    val viaApi = docs.jaccardJoin(col("doc_id"), col("text"), 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d03 = operators.Dedup.d03_ngram_jaccard(spark, sf)
+      .select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaApi == d03)
+  }
+
+  test("minhashCandidates recalls every verified near-dup pair") {
+    val cands = docs.minhashCandidates(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truePairs = operators.Dedup.d03_ngram_jaccard(spark, sf)
+      .select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truePairs.count(cands.contains).toDouble / truePairs.size.max(1)
+    assert(recall >= 0.9, s"recall $recall below 0.9")
+  }
+
+  test("simhashCandidates recalls near-exact duplicates") {
+    val cands = docs.simhashCandidates(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val strong = operators.Dedup.d03_ngram_jaccard(spark, sf)
+      .where(col("jaccard") >= 0.9)
+      .select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = strong.count(cands.contains).toDouble / strong.size.max(1)
+    assert(recall >= 0.9, s"recall $recall below 0.9 (n=${strong.size})")
+  }
+
+  test("knn facade equals the s01 brute-force baseline") {
+    val e = Tables.embeddings(spark, sf)
+    val got = GraftOps.knn(e, e.filter(col("vec_id") < 5), 5,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"))
+      .select("qid", "rank", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = operators.Similarity.s01_knn_brute(spark, sf)
+      .select("qid", "rank", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
+  test("annLsh reaches >=0.6 recall vs exact knn at 16 tables") {
+    val e = Tables.embeddings(spark, sf)
+    val got = GraftOps.annLsh(e, e.filter(col("vec_id") < 5), 5,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"))
+      .select("qid", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = operators.Similarity.s01_knn_brute(spark, sf)
+      .select("qid", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = want.count(got.contains).toDouble / want.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
+  test("incrementalDedup equals the plain anti-join result") {
+    val hashExpr = md5(expr("trim(regexp_replace(lower(text), '\\\\s+', ' '))"))
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0).select(hashExpr.as("h"))
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val got = GraftOps.incrementalDedup(batch, corpus, hashExpr, col("h"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = batch.withColumn("h", hashExpr)
+      .join(corpus.distinct(), Seq("h"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+  }
+
+  test("deterministicSplit is partition-invariant with sane fractions") {
+    val a = docs.deterministicSplit(col("doc_id"), Seq(0.8, 0.1, 0.1))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = docs.repartition(13)
+      .deterministicSplit(col("doc_id"), Seq(0.8, 0.1, 0.1))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b, "split assignment depends on partitioning")
+    val frac = a.values.groupBy(identity).view.mapValues(_.size.toDouble / a.size)
+    assert(math.abs(frac(0) - 0.8) < 0.1 && frac.size == 3, frac.toString)
+  }
+}
