@@ -176,14 +176,49 @@ object Dedup2 {
       .orderBy("doc_id")
   }
 
+  // ---- d13: representative selection (keep the longest duplicate) ----
+  // Cluster resolution (d08) composed with the realistic keep policy:
+  // training-data dedup keeps the LONGEST member of each near-dup
+  // cluster (most content survives), not the smallest id. One window
+  // over the cluster-labeled table — document payloads never join into
+  // the iterative propagation, only (doc_id, n_chars).
+  val d13_keep_best: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val sized = clusterLabels(s, d)
+      .join(Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id")
+    sized
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .filter(col("n_members") > 1)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cluster_id").orderBy(desc("n_chars"), col("doc_id"))))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("rep_doc"),
+        col("n_members"), col("n_chars").as("rep_chars"))
+      .orderBy("cluster_id")
+  }
+  private val d08Ctes = d08Sql.substring(0, d08Sql.lastIndexOf("SELECT cluster_id"))
+  val d13Sql: String = d08Ctes +
+    """, sized AS (SELECT l.doc_id, l.cluster_id, d.n_chars
+                FROM lbl l JOIN documents d USING (doc_id)),
+      m AS (SELECT *, COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+            FROM sized),
+      r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+              ORDER BY n_chars DESC, doc_id) AS rk
+            FROM m WHERE n_members > 1)
+      SELECT cluster_id, doc_id AS rep_doc, n_members, n_chars AS rep_chars
+      FROM r WHERE rk = 1 ORDER BY cluster_id"""
+
   val queries: Map[String, Q] = Map(
     "d08_dup_clusters"     -> d08_dup_clusters,
     "d09_incremental_dedup" -> d09_incremental_dedup,
     "d10_bloom_dedup"      -> d10_bloom_dedup,
+    "d13_keep_best"        -> d13_keep_best,
   )
   val oracles: Map[String, String] = Map(
     "d08_dup_clusters"     -> d08Sql,
     "d09_incremental_dedup" -> d09Sql,
     "d10_bloom_dedup"      -> d09Sql, // exact same output as d09 by design
+    "d13_keep_best"        -> d13Sql,
   )
 }
