@@ -83,12 +83,40 @@ object Events3 {
         AND epoch_us(ts) - epoch_us(click_ts) <= 86400000000
       ORDER BY event_id"""
 
+  // ---- e13: top-k per time bucket (daily trending event types) ----
+  // The "trending now" shape: rank WITHIN each day over the daily
+  // rollup. The rank window partitions by day over an already-aggregated
+  // table (days x event-types), so whatever the fact volume, the ranking
+  // stage is constant-size — the 100 TB cost is the one rollup shuffle.
+  val e13_daily_topk: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    daily
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("day").orderBy(desc("n"), col("event_type"))).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("day", "rank", "event_type", "n")
+      .orderBy("day", "rank")
+  }
+  val e13Sql: String =
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+               FROM events GROUP BY 1, 2),
+      r AS (SELECT day, event_type, n,
+              row_number() OVER (PARTITION BY day ORDER BY n DESC, event_type) AS rank
+            FROM daily)
+      SELECT day, rank, event_type, n FROM r WHERE rank <= 3
+      ORDER BY day, rank"""
+
   val queries: Map[String, Q] = Map(
     "e11_anomaly"     -> e11_anomaly,
     "e12_attribution" -> e12_attribution,
+    "e13_daily_topk"  -> e13_daily_topk,
   )
   val oracles: Map[String, String] = Map(
     "e11_anomaly"     -> e11Sql,
     "e12_attribution" -> e12Sql,
+    "e13_daily_topk"  -> e13Sql,
   )
 }

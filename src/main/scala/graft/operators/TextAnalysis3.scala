@@ -93,12 +93,65 @@ object TextAnalysis3 {
       SELECT doc_id, rank, word, tf, tfidf FROM r
       WHERE rank <= 3 ORDER BY doc_id, rank"""
 
+  // ---- t13: train-eval contamination detector ----
+  // The benchmark-leakage check every training corpus needs: for each
+  // training doc, the fraction of its distinct 8-grams that appear
+  // anywhere in the eval set (simulated: doc_id % 10 = 0 is "eval").
+  // The eval side collapses to a DISTINCT 8-gram index (its size is the
+  // eval corpus, tiny next to training), so the membership test is one
+  // hash left-semi-style join keyed on the gram — never doc x doc. Docs
+  // above threshold get flagged for removal.
+  val t13_contamination: Q = (s, d) => {
+    def grams(df: DataFrame) = df
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(
+             sequence(1, greatest(size(w) - 7, 0)),
+             i -> concat_ws(' ', slice(w, i, 8))))""")).as("g"))
+    val docs = Tables.documents(s, d)
+    val evalIdx = grams(docs.filter(col("doc_id") % 10 === 0))
+      .select("g").distinct()
+    val train = grams(docs.filter(col("doc_id") % 10 =!= 0))
+    train
+      .join(evalIdx.withColumn("hit", lit(1L)), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("contamination",
+        round(col("n_hits").cast("double") / col("n_grams"), 9))
+      .filter(col("contamination") > 0.0)
+      .orderBy("doc_id")
+  }
+  val t13Sql: String =
+    """WITH w AS (SELECT doc_id, generate_subscripts(string_split(text,' '),1) i,
+                       unnest(string_split(text,' ')) w FROM documents),
+      g8 AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' ' ||
+                    e.w || ' ' || f.w || ' ' || g.w || ' ' || h.w AS g
+             FROM w a JOIN w b ON b.doc_id=a.doc_id AND b.i=a.i+1
+                      JOIN w c ON c.doc_id=a.doc_id AND c.i=a.i+2
+                      JOIN w d ON d.doc_id=a.doc_id AND d.i=a.i+3
+                      JOIN w e ON e.doc_id=a.doc_id AND e.i=a.i+4
+                      JOIN w f ON f.doc_id=a.doc_id AND f.i=a.i+5
+                      JOIN w g ON g.doc_id=a.doc_id AND g.i=a.i+6
+                      JOIN w h ON h.doc_id=a.doc_id AND h.i=a.i+7),
+      dd AS (SELECT DISTINCT doc_id, g FROM g8),
+      ev AS (SELECT DISTINCT g FROM dd WHERE doc_id % 10 = 0),
+      tr AS (SELECT doc_id, g FROM dd WHERE doc_id % 10 <> 0),
+      sc AS (SELECT tr.doc_id, COUNT(*) AS n_grams,
+               CAST(SUM(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+             FROM tr LEFT JOIN ev ON tr.g = ev.g GROUP BY tr.doc_id)
+      SELECT doc_id, n_grams, n_hits,
+             round(CAST(n_hits AS DOUBLE) / n_grams, 9) AS contamination
+      FROM sc WHERE CAST(n_hits AS DOUBLE) / n_grams > 0.0
+      ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
     "t11_bigram_lm"       -> t11_bigram_lm,
     "t12_keyword_extract" -> t12_keyword_extract,
+    "t13_contamination"   -> t13_contamination,
   )
   val oracles: Map[String, String] = Map(
     "t11_bigram_lm"       -> t11Sql,
     "t12_keyword_extract" -> t12Sql,
+    "t13_contamination"   -> t13Sql,
   )
 }
