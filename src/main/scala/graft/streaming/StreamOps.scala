@@ -112,6 +112,35 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("kmv.est_distinct").as("est_users"), col("n_events"))
 
+  /** Checkpointed incremental ingest (the nightly-batch pattern):
+    * processes whatever files have LANDED in `srcDir` since the last
+    * run, runs the narrow enrichment, appends to the parquet sink
+    * exactly once, and stops (`Trigger.AvailableNow`). Re-running after
+    * more files land resumes from the checkpoint offsets — already-
+    * ingested files are never reprocessed, which is the only workable
+    * contract when each nightly drop is terabytes. Returns the started
+    * query; callers await its (self-initiated) termination.
+    */
+  def incrementalIngest(spark: SparkSession, srcDir: String, outDir: String,
+                        checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.readStream
+      .schema(docSchema)
+      .parquet(s"$srcDir/*")
+      .withColumn("n_words", size(split(col("text"), " ")).cast("long"))
+      .select("doc_id", "lang", "n_chars", "n_words")
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                 event_type: String, value: Double)
   case class SessionAcc(startMicros: Long, lastMicros: Long, n: Int, value: Double)

@@ -114,6 +114,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted <= batchSessions)
   }
 
+  test("AvailableNow ingest: exactly-once across restarts as files land") {
+    val base = java.nio.file.Files.createTempDirectory("graft_incr")
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    val docs = Tables.documents(spark, sf)
+    try {
+      // night 1: first drop lands, ingest runs and stops
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.parquet(s"$src/drop1")
+      val q1 = streaming.StreamOps.incrementalIngest(spark, src, out, ckpt)
+      q1.awaitTermination()
+      val afterNight1 = spark.read.parquet(out).count()
+      assert(afterNight1 == docs.filter(col("doc_id") % 2 === 0).count())
+      // night 2: second drop lands, a NEW run resumes from the checkpoint
+      docs.filter(col("doc_id") % 2 === 1)
+        .write.parquet(s"$src/drop2")
+      val q2 = streaming.StreamOps.incrementalIngest(spark, src, out, ckpt)
+      q2.awaitTermination()
+      val finalRows = spark.read.parquet(out)
+      // every doc exactly once: drop1 was NOT reprocessed
+      assert(finalRows.count() == docs.count())
+      assert(finalRows.select("doc_id").distinct().count() == docs.count())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   test("stream-static dim enrichment matches the batch broadcast join") {
     val q = streaming.StreamOps.enrichWithDim(spark, sf)
       .select("event_id", "user_id", "c_mktsegment")
