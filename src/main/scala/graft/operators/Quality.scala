@@ -89,12 +89,47 @@ object Quality {
       FROM old FULL OUTER JOIN neu ON k_old = k_new
       GROUP BY 1 ORDER BY change_type"""
 
+  // ---- v02: declarative expectation suite via graft.api.Expectations ----
+  // The library's validation verb exercised as an oracle query: four
+  // rules (null / range / regex / uniqueness) compile into ONE wide
+  // aggregate over ONE scan, then unpivot to the per-rule report — rule
+  // count is free at any scale, only the scan costs.
+  val v02_expectations: Q = (s, d) => {
+    import graft.api.Expectations._
+    evaluate(Tables.orders(s, d), Seq(
+      NotNull("o_custkey"),
+      InRange("o_totalprice", 0.0, 600000.0),
+      Matches("o_orderpriority", "^[1-5]-"),
+      Unique(Seq("o_orderkey"))))
+      .orderBy("rule")
+  }
+  val v02Sql: String =
+    """WITH w AS (SELECT COUNT(*) AS n,
+        CAST(count_if(o_custkey IS NULL) AS BIGINT) AS v0,
+        CAST(count_if(o_totalprice IS NOT NULL
+              AND (o_totalprice < 0.0 OR o_totalprice > 600000.0)) AS BIGINT) AS v1,
+        CAST(count_if(o_orderpriority IS NOT NULL
+              AND NOT regexp_matches(o_orderpriority, '^[1-5]-')) AS BIGINT) AS v2,
+        CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v3
+      FROM orders)
+      SELECT * FROM (
+        SELECT 'not_null(o_custkey)' AS rule, n AS n_rows, v0 AS violations, v0 = 0 AS pass FROM w
+        UNION ALL
+        SELECT 'in_range(o_totalprice,0.0,600000.0)', n, v1, v1 = 0 FROM w
+        UNION ALL
+        SELECT 'matches(o_orderpriority)', n, v2, v2 = 0 FROM w
+        UNION ALL
+        SELECT 'unique(o_orderkey)', n, v3, v3 = 0 FROM w) t
+      ORDER BY rule"""
+
   val queries: Map[String, Q] = Map(
     "v01_data_quality"  -> v01_data_quality,
+    "v02_expectations"  -> v02_expectations,
     "q54_snapshot_diff" -> q54_snapshot_diff,
   )
   val oracles: Map[String, String] = Map(
     "v01_data_quality"  -> v01Sql,
+    "v02_expectations"  -> v02Sql,
     "q54_snapshot_diff" -> q54Sql,
   )
 }

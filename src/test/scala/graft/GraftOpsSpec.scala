@@ -93,6 +93,27 @@ class GraftOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("Expectations: violations counted exactly, assertAll gates") {
+    import spark.implicits._
+    import graft.api.Expectations._
+    val df = Seq(
+      (1L, Some(10.0), "ok"), (2L, None, "ok"),      // one null
+      (3L, Some(-5.0), "bad!"), (3L, Some(20.0), "ok") // range + regex + dup key
+    ).toDF("id", "v", "s")
+    val rep = evaluate(df, Seq(
+      NotNull("v"), InRange("v", 0.0, 15.0), Matches("s", "^[a-z]+$"),
+      Unique(Seq("id")))).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(rep("not_null(v)") == (1L, false))
+    assert(rep("in_range(v,0.0,15.0)") == (2L, false)) // -5 and 20
+    assert(rep("matches(s)") == (1L, false))
+    assert(rep("unique(id)") == (1L, false))
+    intercept[IllegalStateException] {
+      assertAll(df, Seq(NotNull("v")))
+    }
+    assertAll(df, Seq(NotNull("id"))) // passes quietly
+  }
+
   test("deterministicSplit is partition-invariant with sane fractions") {
     val a = docs.deterministicSplit(col("doc_id"), Seq(0.8, 0.1, 0.1))
       .select("doc_id", "split").collect()
