@@ -152,6 +152,32 @@ object GraftOps {
     fresh.unionByName(verified).drop("__bloom", "__maybe", "__h")
   }
 
+  /** Latest-record-per-key compaction (the CDC/upsert-log staple): one
+    * window shuffle on the key; `order` columns break ties (evaluated
+    * descending — most-recent-first).
+    */
+  def latestPerKey(df: DataFrame, key: Column, order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(order.map(_.desc): _*)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).drop("__rk")
+  }
+
+  /** Gap-based sessionization: appends a per-key `session_id` (1-based,
+    * in time order). One window shuffle on the key; the lag + running
+    * sum share it.
+    */
+  def sessionize(df: DataFrame, key: Column, ts: Column,
+                 gap: String = "30 minutes"): DataFrame = {
+    val byKey = Window.partitionBy(key).orderBy(ts)
+    df.withColumn("__prev", lag(ts, 1).over(byKey))
+      .withColumn("__new", when(
+        col("__prev").isNull || ts > col("__prev") + expr(s"INTERVAL $gap"),
+        1L).otherwise(0L))
+      .withColumn("session_id",
+        sum("__new").over(byKey.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__prev", "__new")
+  }
+
   /** Deterministic train/val/test split on a stable key: pure function of
     * the key (no rand()), reproducible on any cluster/partitioning.
     */
@@ -184,5 +210,14 @@ object syntax {
       GraftOps.knn(df, queries, k, candId, candVec, qId, qVec)
     def deterministicSplit(key: Column, weights: Seq[Double]): DataFrame =
       GraftOps.deterministicSplit(df, key, weights)
+    def latestPerKey(key: Column, order: Column*): DataFrame =
+      GraftOps.latestPerKey(df, key, order)
+    def sessionize(key: Column, ts: Column, gap: String = "30 minutes"): DataFrame =
+      GraftOps.sessionize(df, key, ts, gap)
+    def asofJoin(right: DataFrame, leftKey: String, rightKey: String,
+                 leftTime: String, rightTime: String): DataFrame =
+      graft.plans.AsofJoin.asofJoin(df, right, leftKey, rightKey, leftTime, rightTime)
+    def expectAll(rules: Seq[Expectations.Rule]): DataFrame =
+      Expectations.evaluate(df, rules)
   }
 }

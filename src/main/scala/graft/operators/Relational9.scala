@@ -67,12 +67,36 @@ object Relational9 {
                         FILTER (WHERE o_orderstatus = 'F') AS DOUBLE), 4) AS rev_f
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  // ---- q68: latest-record-per-key compaction ----
+  // The CDC/upsert-log staple: many change records per user, keep the
+  // most recent (ts desc, event_id desc tie-break). One window shuffle
+  // on the key — at scale this is the log-compaction pass that runs
+  // before every snapshot publish.
+  val q68_latest_per_key: Q = (s, d) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(desc("ts"), desc("event_id"))
+    Tables.events(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+      .orderBy("user_id")
+  }
+  val q68Sql: String =
+    """SELECT user_id, event_id, ts, event_type, value FROM (
+        SELECT user_id, event_id, ts, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rk
+        FROM events) t
+      WHERE rk = 1 ORDER BY user_id"""
+
   val queries: Map[String, Q] = Map(
-    "q66_gaps_islands" -> q66_gaps_islands,
-    "q67_filtered_agg" -> q67_filtered_agg,
+    "q66_gaps_islands"   -> q66_gaps_islands,
+    "q67_filtered_agg"   -> q67_filtered_agg,
+    "q68_latest_per_key" -> q68_latest_per_key,
   )
   val oracles: Map[String, String] = Map(
-    "q66_gaps_islands" -> q66Sql,
-    "q67_filtered_agg" -> q67Sql,
+    "q66_gaps_islands"   -> q66Sql,
+    "q67_filtered_agg"   -> q67Sql,
+    "q68_latest_per_key" -> q68Sql,
   )
 }

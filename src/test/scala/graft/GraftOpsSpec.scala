@@ -93,6 +93,22 @@ class GraftOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("latestPerKey and sessionize agree with the oracle query formulations") {
+    val ev = Tables.events(spark, sf)
+    val got = ev.latestPerKey(col("user_id"), col("ts"), col("event_id"))
+      .select("user_id", "event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = operators.Relational9.q68_latest_per_key(spark, sf)
+      .select("user_id", "event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    val s1 = ev.sessionize(col("user_id"), col("ts"))
+      .groupBy("user_id", "session_id").count()
+    val s2 = operators.Relational2.q27_sessionize(spark, sf)
+      .select(col("user_id"), col("session_id"), col("n_events").as("count"))
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+  }
+
   test("Expectations: violations counted exactly, assertAll gates") {
     import spark.implicits._
     import graft.api.Expectations._
