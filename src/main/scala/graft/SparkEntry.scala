@@ -18,7 +18,7 @@ object SparkEntry {
       operators.Dedup.queries ++ operators.Dedup2.queries ++ operators.Dedup3.queries ++
       operators.Similarity.queries ++ operators.Similarity2.queries ++
       operators.TextAnalysis.queries ++ operators.TextAnalysis2.queries ++
-      operators.TextAnalysis3.queries ++
+      operators.TextAnalysis3.queries ++ operators.TextAnalysis4.queries ++
       operators.Multimodal2.queries ++
       operators.Events.queries ++ operators.Events2.queries ++
       operators.Events3.queries ++
@@ -34,7 +34,7 @@ object SparkEntry {
       operators.Dedup.oracles ++ operators.Dedup2.oracles ++ operators.Dedup3.oracles ++
       operators.Similarity.oracles ++ operators.Similarity2.oracles ++
       operators.TextAnalysis.oracles ++ operators.TextAnalysis2.oracles ++
-      operators.TextAnalysis3.oracles ++
+      operators.TextAnalysis3.oracles ++ operators.TextAnalysis4.oracles ++
       operators.Multimodal2.oracles ++
       operators.Events.oracles ++ operators.Events2.oracles ++
       operators.Events3.oracles ++

@@ -89,14 +89,61 @@ object Relational9 {
         FROM events) t
       WHERE rk = 1 ORDER BY user_id"""
 
+  // ---- q69: overlapping-interval coalescing (merge intervals) ----
+  // Each order opens a 30-day activity interval; merge overlaps per
+  // customer into maximal islands. Running-max-of-end over a key window
+  // is the O(n log n) single-shuffle plan — no self-join, no interval
+  // pair blowup. Tie rows are identical tuples, so the ROWS-frame
+  // running sum is order-invariant across engines.
+  val q69_merge_intervals: Q = (s, d) => {
+    val iv = Tables.orders(s, d)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("s0"))
+      .withColumn("e0", date_add(col("s0"), 30))
+    val w = Window.partitionBy("o_custkey").orderBy("s0", "e0")
+    val marked = iv
+      .withColumn("pmax",
+        max("e0").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("newi",
+        when(col("pmax").isNull || col("s0") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("grp",
+        sum("newi").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val merged = marked.groupBy("o_custkey", "grp")
+      .agg(min("s0").as("m_start"), max("e0").as("m_end"),
+        count(lit(1)).as("n_orders"))
+    merged.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(datediff(col("m_end"), col("m_start"))).cast("long").as("covered_days"),
+        max("n_orders").as("max_merged"))
+      .orderBy("o_custkey")
+  }
+  val q69Sql: String =
+    """WITH iv AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS s0,
+                        CAST(o_orderdate AS DATE) + 30 AS e0 FROM orders),
+      m AS (SELECT o_custkey, s0, e0,
+              max(e0) OVER (PARTITION BY o_custkey ORDER BY s0, e0
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+            FROM iv),
+      g AS (SELECT *, CASE WHEN pmax IS NULL OR s0 > pmax THEN 1 ELSE 0 END AS newi FROM m),
+      gg AS (SELECT *, SUM(newi) OVER (PARTITION BY o_custkey ORDER BY s0, e0
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM g),
+      mg AS (SELECT o_custkey, grp, min(s0) AS m_start, max(e0) AS m_end,
+                    COUNT(*) AS n_orders
+             FROM gg GROUP BY 1, 2)
+      SELECT o_custkey, COUNT(*) AS n_intervals,
+             CAST(SUM(m_end - m_start) AS BIGINT) AS covered_days,
+             max(n_orders) AS max_merged
+      FROM mg GROUP BY o_custkey ORDER BY o_custkey"""
+
   val queries: Map[String, Q] = Map(
-    "q66_gaps_islands"   -> q66_gaps_islands,
-    "q67_filtered_agg"   -> q67_filtered_agg,
-    "q68_latest_per_key" -> q68_latest_per_key,
+    "q66_gaps_islands"    -> q66_gaps_islands,
+    "q67_filtered_agg"    -> q67_filtered_agg,
+    "q68_latest_per_key"  -> q68_latest_per_key,
+    "q69_merge_intervals" -> q69_merge_intervals,
   )
   val oracles: Map[String, String] = Map(
-    "q66_gaps_islands"   -> q66Sql,
-    "q67_filtered_agg"   -> q67Sql,
-    "q68_latest_per_key" -> q68Sql,
+    "q66_gaps_islands"    -> q66Sql,
+    "q67_filtered_agg"    -> q67Sql,
+    "q68_latest_per_key"  -> q68Sql,
+    "q69_merge_intervals" -> q69Sql,
   )
 }
