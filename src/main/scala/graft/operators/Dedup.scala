@@ -69,27 +69,50 @@ object Dedup {
   // The join key is xxhash64(shingle), not the shingle string: an 8-byte
   // shuffle key instead of ~20-byte strings (collision odds ~n^2/2^64 are
   // irrelevant at any feasible shingle count).
-  val d03_ngram_jaccard: Q = (s, d) => {
-    val shingles = Tables.documents(s, d)
+  // The per-doc shingle count is computed NARROWLY (size of the distinct
+  // array, before the explode) and carried through the join, so the plan
+  // never re-shingles the corpus for a sizes table — na/nb ride the
+  // groupBy keys (functionally determined by da/db: cardinality
+  // unchanged, row just 16 bytes wider). The exploded signature table is
+  // persisted before the self-join: shingling runs ONCE, both join sides
+  // scan the cache (without the barrier Catalyst re-derives the shingle
+  // expression on each side, plus once more in each side's inferred
+  // size>0 filter — 4 full re-shinglings of the corpus). Persisting the
+  // signature table before the candidate join is also the 100 TB shape:
+  // it's the smallest thing worth materializing and every downstream
+  // stage reuses it.
+  /** Verified near-dup pairs (word-3-gram Jaccard >= 0.5), persisted.
+    * This is THE reusable unit of the dedup family: clustering (d08),
+    * keep-best (d13), and edit-distance verification (t09) all consume
+    * the same pair set — the persist means the candidate join runs once
+    * per session, every consumer reads the (tiny) verified set from
+    * cache. Spark's CacheManager matches by canonicalized plan, so
+    * independent invocations share the entry.
+    */
+  def verifiedPairs(s: SparkSession, d: String): DataFrame = {
+    val shingled = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("words"))
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), expr(
         """array_distinct(transform(
              sequence(1, greatest(size(words) - 2, 0)),
-             i -> xxhash64(concat_ws(' ', slice(words, i, 3)))))""")).as("sh"))
-    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = shingles.as("x").join(shingles.as("y"), "sh")
-      .where(col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+             i -> xxhash64(concat_ws(' ', slice(words, i, 3)))))""").as("shs"))
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n"),
+        explode(col("shs")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val x = shingled.select(col("doc_id").as("da"), col("n").as("na"), col("sh"))
+    val y = shingled.select(col("doc_id").as("db"), col("n").as("nb"), col("sh"))
+    x.join(y, "sh")
+      .where(col("da") < col("db"))
+      .groupBy("da", "db", "na", "nb")
       .agg(count(lit(1)).as("shared"))
-    pairs
-      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
-      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
       .withColumn("jaccard",
         col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
       .filter(col("jaccard") >= 0.5)
       .select("da", "db", "shared", "jaccard")
-      .orderBy("da", "db")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
+
+  val d03_ngram_jaccard: Q = (s, d) => verifiedPairs(s, d).orderBy("da", "db")
   val d03Sql: String =
     """WITH w AS (SELECT doc_id, generate_subscripts(string_split(text,' '),1) i,
                        unnest(string_split(text,' ')) w FROM documents),

@@ -26,23 +26,8 @@ object Dedup2 {
     * every 3-gram is frequent, so prefix filtering (d11) prunes little
     * while adding stages — see the Dedup3 scaladoc for when each wins.
     */
-  private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
-    val shingles = Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("words"))
-      .select(col("doc_id"), explode(expr(
-        """array_distinct(transform(
-             sequence(1, greatest(size(words) - 2, 0)),
-             i -> xxhash64(concat_ws(' ', slice(words, i, 3)))))""")).as("sh"))
-    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    shingles.as("x").join(shingles.as("y"), "sh")
-      .where(col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-      .agg(count(lit(1)).as("shared"))
-      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
-      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
-      .filter(col("shared").cast("double") / (col("na") + col("nb") - col("shared")) >= 0.5)
-      .select("da", "db")
-  }
+  private def nearDupPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.verifiedPairs(s, d).select("da", "db")
 
   // ---- d08: near-dup cluster resolution (connected components) ----
   // Pairs are edges; every document is a vertex; the cluster id is the

@@ -147,7 +147,7 @@ object TextAnalysis2 {
   // integer-exact.
   val t09_edit_distance: Q = (s, d) => {
     val docs = Tables.documents(s, d).select("doc_id", "text")
-    Dedup.d03_ngram_jaccard(s, d)
+    Dedup.verifiedPairs(s, d)
       .select("da", "db", "jaccard")
       .join(docs.select(col("doc_id").as("da"), col("text").as("ta")), "da")
       .join(docs.select(col("doc_id").as("db"), col("text").as("tb")), "db")
