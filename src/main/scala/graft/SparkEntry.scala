@@ -22,7 +22,8 @@ object SparkEntry {
       operators.Multimodal2.queries ++
       operators.Events.queries ++ operators.Events2.queries ++
       operators.Events3.queries ++
-      operators.CorpusPipeline.queries ++ operators.Quality.queries
+      operators.CorpusPipeline.queries ++ operators.Quality.queries ++
+      operators.MLPrep.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -38,5 +39,6 @@ object SparkEntry {
       operators.Multimodal2.oracles ++
       operators.Events.oracles ++ operators.Events2.oracles ++
       operators.Events3.oracles ++
-      operators.CorpusPipeline.oracles ++ operators.Quality.oracles
+      operators.CorpusPipeline.oracles ++ operators.Quality.oracles ++
+      operators.MLPrep.oracles
 }

@@ -109,14 +109,41 @@ object Events3 {
       SELECT day, rank, event_type, n FROM r WHERE rank <= 3
       ORDER BY day, rank"""
 
+  // ---- e14: duplicate-delivery rate per hour ----
+  // At-least-once ingestion monitoring: rows vs distinct event ids per
+  // hour window. The duplicated feed is simulated by re-appending every
+  // 7th event. count + count(distinct id) per window is one partial-agg
+  // pass; at scale the distinct count stays shuffle-bounded because the
+  // grouping key (hour) partitions the id space.
+  val e14_dup_rate: Q = (s, d) => {
+    val ev = Tables.events(s, d).select("event_id", "ts")
+    val dupd = ev.union(ev.filter(col("event_id") % 7 === 0))
+    dupd.groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n_rows"), countDistinct("event_id").as("n_unique"))
+      .withColumn("dup_rate",
+        round(lit(1.0) - col("n_unique").cast("double") / col("n_rows"), 9))
+      .orderBy("hr")
+  }
+  val e14Sql: String =
+    """WITH feed AS (
+        SELECT event_id, ts FROM events
+        UNION ALL
+        SELECT event_id, ts FROM events WHERE event_id % 7 = 0)
+      SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS n_rows,
+             COUNT(DISTINCT event_id) AS n_unique,
+             round(1.0 - CAST(COUNT(DISTINCT event_id) AS DOUBLE) / COUNT(*), 9) AS dup_rate
+      FROM feed GROUP BY 1 ORDER BY hr"""
+
   val queries: Map[String, Q] = Map(
     "e11_anomaly"     -> e11_anomaly,
     "e12_attribution" -> e12_attribution,
     "e13_daily_topk"  -> e13_daily_topk,
+    "e14_dup_rate"    -> e14_dup_rate,
   )
   val oracles: Map[String, String] = Map(
     "e11_anomaly"     -> e11Sql,
     "e12_attribution" -> e12Sql,
     "e13_daily_topk"  -> e13Sql,
+    "e14_dup_rate"    -> e14Sql,
   )
 }

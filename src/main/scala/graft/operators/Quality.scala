@@ -122,14 +122,81 @@ object Quality {
         SELECT 'unique(o_orderkey)', n, v3, v3 = 0 FROM w) t
       ORDER BY rule"""
 
+  // ---- v03: referential-integrity audit ----
+  // FK orphan counts across the star schema, one row per relationship.
+  // Each check is a left_anti join against the (broadcast) referenced
+  // key set — the canonical scale plan for FK validation: the fact side
+  // streams, the dimension key set ships to executors, no fact shuffle.
+  // events.user_id -> customer is an intentionally-violated relation so
+  // the report exercises its non-zero path.
+  val v03_ref_integrity: Q = (s, d) => {
+    def check(name: String, fact: DataFrame, fk: String,
+              dim: DataFrame, pk: String): DataFrame = {
+      val total = fact.agg(count(lit(1)).as("n_rows"))
+      val orphans = fact
+        .join(broadcast(dim.select(col(pk))), col(fk) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      total.crossJoin(orphans).select(
+        lit(name).as("fk"), col("n_rows"), col("n_orphans"))
+    }
+    val checks = Seq(
+      check("events.user_id->customer", Tables.events(s, d), "user_id",
+        Tables.customer(s, d), "c_custkey"),
+      check("lineitem.l_orderkey->orders", Tables.lineitem(s, d), "l_orderkey",
+        Tables.orders(s, d), "o_orderkey"),
+      check("lineitem.l_partkey->part", Tables.lineitem(s, d), "l_partkey",
+        Tables.part(s, d), "p_partkey"),
+      check("lineitem.l_suppkey->supplier", Tables.lineitem(s, d), "l_suppkey",
+        Tables.supplier(s, d), "s_suppkey"),
+      check("nation.n_regionkey->region", Tables.nation(s, d), "n_regionkey",
+        Tables.region(s, d), "r_regionkey"),
+      check("orders.o_custkey->customer", Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey"))
+    checks.reduce(_.unionByName(_)).orderBy("fk")
+  }
+  val v03Sql: String =
+    """SELECT * FROM (
+        SELECT 'events.user_id->customer' AS fk,
+               (SELECT COUNT(*) FROM events) AS n_rows,
+               (SELECT COUNT(*) FROM events e WHERE NOT EXISTS
+                 (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)) AS n_orphans
+        UNION ALL
+        SELECT 'lineitem.l_orderkey->orders',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+                 (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+                 (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        UNION ALL
+        SELECT 'lineitem.l_suppkey->supplier',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+                 (SELECT 1 FROM supplier su WHERE su.s_suppkey = l.l_suppkey))
+        UNION ALL
+        SELECT 'nation.n_regionkey->region',
+               (SELECT COUNT(*) FROM nation),
+               (SELECT COUNT(*) FROM nation n WHERE NOT EXISTS
+                 (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+        UNION ALL
+        SELECT 'orders.o_custkey->customer',
+               (SELECT COUNT(*) FROM orders),
+               (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+                 (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      ) t ORDER BY fk"""
+
   val queries: Map[String, Q] = Map(
     "v01_data_quality"  -> v01_data_quality,
     "v02_expectations"  -> v02_expectations,
+    "v03_ref_integrity" -> v03_ref_integrity,
     "q54_snapshot_diff" -> q54_snapshot_diff,
   )
   val oracles: Map[String, String] = Map(
     "v01_data_quality"  -> v01Sql,
     "v02_expectations"  -> v02Sql,
+    "v03_ref_integrity" -> v03Sql,
     "q54_snapshot_diff" -> q54Sql,
   )
 }

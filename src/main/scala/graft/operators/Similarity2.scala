@@ -130,9 +130,38 @@ object Similarity2 {
              round(min(cos), 9) AS min_cos, round(max(cos), 9) AS max_cos
       FROM p GROUP BY 1 ORDER BY same_label"""
 
+  // ---- s08: ANN recall evaluation harness (rows-only) ----
+  // Recall@k of each approximate variant (hyperplane-LSH s02, IVF s04)
+  // against the exact brute-force top-k (s01), per query then averaged.
+  // This is the eval loop every ANN deployment runs after (re)building an
+  // index: hit sets join on (qid, vec_id) — never re-scoring vectors —
+  // so the evaluation costs candidates, not distance computations.
+  // Rows-only: LSH bucketing isn't expressible in the SQL oracle; the
+  // spec asserts the recall floor and that exact-vs-exact recall is 1.
+  val s08_ann_recall: Q = (s, d) => {
+    val exact = Similarity.s01_knn_brute(s, d).select("qid", "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kPerQ = exact.groupBy("qid").agg(count(lit(1)).as("k"))
+    def recallOf(name: String, approx: DataFrame): DataFrame = {
+      val hits = exact
+        .join(approx.select("qid", "vec_id"), Seq("qid", "vec_id"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("hits"))
+      kPerQ.join(hits, Seq("qid"), "left")
+        .select(col("qid"), col("k"), coalesce(col("hits"), lit(0L)).as("hits"))
+        .agg(count(lit(1)).as("n_queries"),
+          round(sum(col("hits").cast("double") / col("k").cast("double"))
+            / count(lit(1)), 6).as("mean_recall"))
+        .select(lit(name).as("variant"), col("n_queries"), col("mean_recall"))
+    }
+    recallOf("lsh", Similarity.s02_knn_lsh(s, d))
+      .unionByName(recallOf("ivf", Similarity.s04_ann_ivf(s, d)))
+      .orderBy("variant")
+  }
+
   val queries: Map[String, Q] = Map(
     "s06_kmeans_refine"  -> s06_kmeans_refine,
     "s07_pairwise_stats" -> s07_pairwise_stats,
+    "s08_ann_recall"     -> s08_ann_recall,
   )
   val oracles: Map[String, String] = Map(
     "s06_kmeans_refine"  -> s06Sql,

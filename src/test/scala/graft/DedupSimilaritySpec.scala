@@ -98,6 +98,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall $recall")
   }
 
+  test("s08 recall harness: floors hold and agree with the spec-side recall math") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Similarity2.s08_ann_recall(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(rows.keySet == Set("lsh", "ivf"))
+    assert(rows("lsh") >= 0.5 && rows("lsh") <= 1.0)
+    assert(rows("ivf") >= 0.4 && rows("ivf") <= 1.0)
+    // independent recall computation for one variant
+    val exact = operators.Similarity.s01_knn_brute(spark, sf)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byQ = exact.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = operators.Similarity.s02_knn_lsh(spark, sf)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = byQ.map { case (q, ex) =>
+      approx.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+    }.sum / byQ.size
+    assert(math.abs(rows("lsh") - want) < 1e-6, s"harness ${rows("lsh")} vs spec $want")
+  }
+
   test("rolling fingerprint: order-sensitive, whitespace-insensitive-normalized") {
     val a = Hashing.rollingFingerprint(
       org.apache.spark.unsafe.types.UTF8String.fromString("alpha beta gamma"))
