@@ -54,19 +54,25 @@ object GraftOps {
     */
   def jaccardJoin(df: DataFrame, id: Column, text: Column,
                   threshold: Double, n: Int = 3): DataFrame = {
-    val shingles = df
+    // Same shape as the d03 operator: the per-row shingle count is
+    // computed narrowly before the explode and carried through the join
+    // (no separate sizes aggregation), and the signature table is
+    // persisted so both self-join sides read one cache.
+    val shingled = df
       .select(id.as("__id"), split(text, " ").as("__w"))
-      .select(col("__id"), explode(expr(
+      .select(col("__id"), expr(
         s"""array_distinct(transform(
              sequence(1, greatest(size(__w) - ${n - 1}, 0)),
-             i -> xxhash64(concat_ws(' ', slice(__w, i, $n)))))""")).as("__sh"))
-    val sizes = shingles.groupBy("__id").agg(count(lit(1)).as("__n"))
-    shingles.as("x").join(shingles.as("y"), "__sh")
-      .where(col("x.__id") < col("y.__id"))
-      .groupBy(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+             i -> xxhash64(concat_ws(' ', slice(__w, i, $n)))))""").as("__shs"))
+      .select(col("__id"), size(col("__shs")).cast("long").as("__n"),
+        explode(col("__shs")).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val x = shingled.select(col("__id").as("id_a"), col("__n").as("__na"), col("__sh"))
+    val y = shingled.select(col("__id").as("id_b"), col("__n").as("__nb"), col("__sh"))
+    x.join(y, "__sh")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "__na", "__nb")
       .agg(count(lit(1)).as("shared"))
-      .join(sizes.select(col("__id").as("id_a"), col("__n").as("__na")), "id_a")
-      .join(sizes.select(col("__id").as("id_b"), col("__n").as("__nb")), "id_b")
       .withColumn("jaccard",
         col("shared").cast("double") / (col("__na") + col("__nb") - col("shared")))
       .filter(col("jaccard") >= threshold)
@@ -178,6 +184,97 @@ object GraftOps {
       .drop("__prev", "__new")
   }
 
+  /** Fixed-size overlapping chunking of a whitespace-tokenized text
+    * column (LLM context-window prep): one output row per chunk with
+    * `chunk_id`, `chunk_tokens`, `chunk` appended. The last start is the
+    * smallest stride multiple whose window reaches the end (every token
+    * covered, no fully-subsumed tail chunk). Narrow sequence+explode+
+    * slice — zero shuffle at any corpus size.
+    */
+  def chunk(df: DataFrame, text: Column,
+            chunkSize: Int = 512, stride: Int = 384): DataFrame = {
+    require(stride > 0 && chunkSize >= stride, "need 0 < stride <= chunkSize")
+    val lastStart = expr(s"CASE WHEN __n <= $chunkSize THEN 0 " +
+      s"ELSE ((__n - $chunkSize + ${stride - 1}) div $stride) * $stride END")
+    df.withColumn("__w", split(text, "\\s+"))
+      .withColumn("__n", size(col("__w")))
+      .filter(col("__n") > 0)
+      .withColumn("__start", explode(sequence(lit(0), lastStart, lit(stride))))
+      .withColumn("chunk_id", (col("__start") / stride).cast("long"))
+      .withColumn("chunk_tokens",
+        least(lit(chunkSize), col("__n") - col("__start")).cast("long"))
+      .withColumn("chunk", array_join(
+        slice(col("__w"), col("__start") + 1,
+          least(lit(chunkSize), col("__n") - col("__start"))), " "))
+      .drop("__w", "__n", "__start")
+  }
+
+  /** Okapi BM25 score of every row for a fixed query-term set; returns
+    * (id, n_terms, bm25). Exact integer tf/df/dl; corpus stats ride
+    * broadcasts — two narrow aggregations plus vocabulary-keyed joins.
+    */
+  def bm25(df: DataFrame, id: Column, text: Column, terms: Seq[String],
+           k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    val words = df.select(id.as("__id"), explode(split(lower(text), "\\s+")).as("__word"))
+      .filter(col("__word") =!= "")
+    val dl = words.groupBy("__id").agg(count(lit(1)).as("__dl"))
+    val stats = dl.agg(count(lit(1)).as("__nd"), sum("__dl").as("__sdl"))
+    val tf = words.filter(col("__word").isin(terms: _*))
+      .groupBy("__id", "__word").agg(count(lit(1)).as("__tf"))
+    val dfT = tf.groupBy("__word").agg(count(lit(1)).as("__df"))
+    val idf = log(lit(1.0) +
+      ((col("__nd") - col("__df")).cast("double") + lit(0.5)) /
+        (col("__df").cast("double") + lit(0.5)))
+    val denom = col("__tf").cast("double") +
+      lit(k1) * (lit(1 - b) + lit(b) * col("__dl").cast("double") /
+        (col("__sdl").cast("double") / col("__nd")))
+    tf.join(broadcast(dfT), "__word")
+      .join(dl, "__id")
+      .join(broadcast(stats))
+      .withColumn("__score", idf * (col("__tf").cast("double") * lit(k1 + 1)) / denom)
+      .groupBy(col("__id").as("id"))
+      .agg(count(lit(1)).as("n_terms"), sum("__score").as("bm25"))
+  }
+
+  /** Appends per-`group` z-score (`z`) and min-max (`minmax`) scaled
+    * versions of `value`. Statistics come from one exact decimal-moment
+    * aggregation (order-independent at any partitioning) and ride a
+    * broadcast join back — no window over the fact table.
+    */
+  def featureScale(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val stats = df.groupBy(group.as("__g")).agg(
+      count(lit(1)).as("__n"),
+      graft.Stable.dsum(value).as("__sv"),
+      graft.Stable.dsum(value * value).as("__sv2"),
+      min(value).as("__min"), max(value).as("__max"))
+    val mean = col("__sv") / col("__n")
+    df.join(broadcast(stats), group === col("__g"))
+      .withColumn("z", (value - mean) / sqrt(col("__sv2") / col("__n") - mean * mean))
+      .withColumn("minmax",
+        (value - col("__min")) / (col("__max") - col("__min")))
+      .drop("__g", "__n", "__sv", "__sv2", "__min", "__max")
+  }
+
+  /** Coalesces overlapping `[start, end]` intervals per key: one merged
+    * row per maximal island (`key`, `start`, `end`, `n_merged`).
+    * Running-max-of-end over one key window — no interval self-join.
+    */
+  def mergeIntervals(df: DataFrame, key: Column,
+                     start: Column, end: Column): DataFrame = {
+    val w = Window.partitionBy("__k").orderBy("__s", "__e")
+    df.select(key.as("__k"), start.as("__s"), end.as("__e"))
+      .withColumn("__pmax",
+        max("__e").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new", when(
+        col("__pmax").isNull || col("__s") > col("__pmax"), 1L).otherwise(0L))
+      .withColumn("__grp",
+        sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("__k").as("key"), col("__grp"))
+      .agg(min("__s").as("start"), max("__e").as("end"),
+        count(lit(1)).as("n_merged"))
+      .drop("__grp")
+  }
+
   /** Deterministic train/val/test split on a stable key: pure function of
     * the key (no rand()), reproducible on any cluster/partitioning.
     */
@@ -219,5 +316,13 @@ object syntax {
       graft.plans.AsofJoin.asofJoin(df, right, leftKey, rightKey, leftTime, rightTime)
     def expectAll(rules: Seq[Expectations.Rule]): DataFrame =
       Expectations.evaluate(df, rules)
+    def chunk(text: Column, chunkSize: Int = 512, stride: Int = 384): DataFrame =
+      GraftOps.chunk(df, text, chunkSize, stride)
+    def bm25(id: Column, text: Column, terms: Seq[String]): DataFrame =
+      GraftOps.bm25(df, id, text, terms)
+    def featureScale(group: Column, value: Column): DataFrame =
+      GraftOps.featureScale(df, group, value)
+    def mergeIntervals(key: Column, start: Column, end: Column): DataFrame =
+      GraftOps.mergeIntervals(df, key, start, end)
   }
 }

@@ -109,6 +109,49 @@ class GraftOpsSpec extends AnyFunSuite {
     assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
   }
 
+  test("chunk/bm25/featureScale/mergeIntervals agree with oracle query formulations") {
+    val docs = Tables.documents(spark, sf)
+    // chunk vs t15 (facade splits \s+, t15 splits ' ' — identical on this corpus)
+    val gotC = GraftOps.chunk(docs, lower(col("text")), 32, 24)
+      .select(col("doc_id"), col("chunk_id"), md5(col("chunk")).as("m")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    val wantC = operators.TextAnalysis4.t15_chunking(spark, sf)
+      .select("doc_id", "chunk_id", "chunk_md5").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(gotC == wantC)
+    // bm25 vs t14 top-25
+    val gotB = GraftOps.bm25(docs, col("doc_id"), col("text"),
+        Seq("spark", "hash", "window"))
+      .select(col("id"), round(col("bm25"), 4).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val wantB = operators.TextAnalysis4.t14_bm25(spark, sf)
+      .select(col("doc_id"), round(col("bm25"), 4).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(wantB.forall { case (k, v) => gotB.get(k).contains(v) },
+      "facade bm25 disagrees with t14 on the top-25 docs")
+    // featureScale vs q70 sample
+    val ev = Tables.events(spark, sf)
+    val gotF = GraftOps.featureScale(ev, col("event_type"), col("value"))
+      .filter(col("event_id") % 97 === 0)
+      .select(col("event_id"), round(col("z"), 6).as("z"), round(col("minmax"), 6).as("m"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val wantF = operators.MLPrep.q70_feature_scale(spark, sf)
+      .select("event_id", "z", "mm")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(gotF == wantF)
+    // mergeIntervals vs q69 rollup
+    val iv = Tables.orders(spark, sf)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("s0"))
+      .withColumn("e0", date_add(col("s0"), 30))
+    val gotM = GraftOps.mergeIntervals(iv, col("o_custkey"), col("s0"), col("e0"))
+      .groupBy(col("key").as("o_custkey"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(datediff(col("end"), col("start"))).cast("long").as("covered_days"),
+        max("n_merged").as("max_merged"))
+    val wantM = operators.Relational9.q69_merge_intervals(spark, sf)
+    assert(gotM.exceptAll(wantM).isEmpty && wantM.exceptAll(gotM).isEmpty)
+  }
+
   test("Expectations: violations counted exactly, assertAll gates") {
     import spark.implicits._
     import graft.api.Expectations._
