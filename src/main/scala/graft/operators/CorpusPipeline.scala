@@ -113,6 +113,45 @@ object CorpusPipeline {
       FROM ed WHERE doc_id NOT IN (SELECT doomed_id FROM doomed)
       ORDER BY doc_id"""
 
-  val queries: Map[String, Q] = Map("p01_corpus_clean" -> p01_corpus_clean)
-  val oracles: Map[String, String] = Map("p01_corpus_clean" -> p01Sql)
+  // ---- p02: quality-weighted resampling ----
+  // Importance sampling toward high-quality documents (the DCLM-style
+  // corpus reweighting step): accept doc with probability
+  // quality / max(quality), using a deterministic md5-derived uniform —
+  // reproducible on any cluster/partitioning, no rand(). The quality
+  // model is t02's composite; the global max rides a broadcast. One
+  // narrow scoring pass + one 1-row broadcast: linear at any corpus
+  // size, shuffle-free except the scalar max.
+  val p02_quality_resample: Q = (s, d) => {
+    val q = TextAnalysis.t02_quality_score(s, d).select("doc_id", "quality")
+    val qmax = q.agg(max("quality").as("qmax"))
+    q.join(broadcast(qmax))
+      .withColumn("u",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").cast("double") / lit(4294967296.0))
+      .filter(col("u") < col("quality") / col("qmax"))
+      .select(col("doc_id"), round(col("quality"), 9).as("quality"),
+        round(col("u"), 9).as("u"))
+      .orderBy("doc_id")
+  }
+  private val t02Core =
+    TextAnalysis.t02Sql.substring(0, TextAnalysis.t02Sql.lastIndexOf("ORDER BY"))
+  val p02Sql: String =
+    s"""WITH t02 AS ($t02Core),
+      q AS (SELECT doc_id, quality FROM t02),
+      mx AS (SELECT max(quality) AS qmax FROM q),
+      s AS (SELECT doc_id, quality,
+              ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                / CAST(4294967296 AS DOUBLE) AS u
+            FROM q CROSS JOIN mx
+            WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                / CAST(4294967296 AS DOUBLE) < quality / qmax)
+      SELECT doc_id, round(quality, 9) AS quality, round(u, 9) AS u
+      FROM s ORDER BY doc_id"""
+
+  val queries: Map[String, Q] = Map(
+    "p01_corpus_clean"    -> p01_corpus_clean,
+    "p02_quality_resample" -> p02_quality_resample)
+  val oracles: Map[String, String] = Map(
+    "p01_corpus_clean"    -> p01Sql,
+    "p02_quality_resample" -> p02Sql)
 }
