@@ -44,20 +44,25 @@ object CorpusPipeline {
       df.join(keepers, col("doc_id") === col("keeper"), "left_semi")
     }
 
+    // Carried-count + persist-barrier shape (see Dedup.verifiedPairs):
+    // the cleaned frame is shingled ONCE; both self-join sides and the
+    // size counts come from the one cached signature table.
     val nearDedup: DataFrame => DataFrame = df => {
-      val shingles = df
+      val shingled = df
         .select(col("doc_id"), split(col("text"), " ").as("words"))
-        .select(col("doc_id"), explode(expr(
+        .select(col("doc_id"), expr(
           """array_distinct(transform(
                sequence(1, greatest(size(words) - 2, 0)),
-               i -> xxhash64(concat_ws(' ', slice(words, i, 3)))))""")).as("sh"))
-      val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val doomed = shingles.as("x").join(shingles.as("y"), "sh")
-        .where(col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+               i -> xxhash64(concat_ws(' ', slice(words, i, 3)))))""").as("shs"))
+        .select(col("doc_id"), size(col("shs")).cast("long").as("n"),
+          explode(col("shs")).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val x = shingled.select(col("doc_id").as("da"), col("n").as("na"), col("sh"))
+      val y = shingled.select(col("doc_id").as("db"), col("n").as("nb"), col("sh"))
+      val doomed = x.join(y, "sh")
+        .where(col("da") < col("db"))
+        .groupBy("da", "db", "na", "nb")
         .agg(count(lit(1)).as("shared"))
-        .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
-        .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
         .filter(col("shared").cast("double") / (col("na") + col("nb") - col("shared")) >= 0.5)
         .select(col("db").as("doomed_id")).distinct()
       df.join(doomed, col("doc_id") === col("doomed_id"), "left_anti")
