@@ -173,6 +173,29 @@ class GraftOpsSpec extends AnyFunSuite {
     assertAll(df, Seq(NotNull("id"))) // passes quietly
   }
 
+  test("new verbs are partition-invariant (repartitioned input, identical output)") {
+    val ev = Tables.events(spark, sf)
+    val ev13 = ev.repartition(13)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    assert(rows(ev.latestPerKey(col("user_id"), col("ts"), col("event_id"))) ==
+      rows(ev13.latestPerKey(col("user_id"), col("ts"), col("event_id"))))
+    assert(rows(ev.sessionize(col("user_id"), col("ts"))
+        .select("event_id", "session_id")) ==
+      rows(ev13.sessionize(col("user_id"), col("ts"))
+        .select("event_id", "session_id")))
+    val docs = Tables.documents(spark, sf)
+    assert(rows(GraftOps.chunk(docs, col("text"), 32, 24)
+        .select("doc_id", "chunk_id", "chunk_tokens")) ==
+      rows(GraftOps.chunk(docs.repartition(7), col("text"), 32, 24)
+        .select("doc_id", "chunk_id", "chunk_tokens")))
+    val iv = Tables.orders(spark, sf)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("s0"))
+      .withColumn("e0", date_add(col("s0"), 30))
+    assert(rows(GraftOps.mergeIntervals(iv, col("o_custkey"), col("s0"), col("e0"))) ==
+      rows(GraftOps.mergeIntervals(iv.repartition(11), col("o_custkey"), col("s0"), col("e0"))))
+  }
+
   test("deterministicSplit is partition-invariant with sane fractions") {
     val a = docs.deterministicSplit(col("doc_id"), Seq(0.8, 0.1, 0.1))
       .select("doc_id", "split").collect()
