@@ -1,0 +1,80 @@
+package graft.api
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** Config-driven transformations: a JSON job spec compiled to ONE lazy
+  * DataFrame plan — the migration surface for config-first ETL frameworks
+  * whose pipelines are lists of declarative steps rather than code.
+  *
+  * {{{
+  * {"source": "documents",
+  *  "steps": [
+  *    {"op": "withColumn", "name": "n_words", "expr": "size(split(text, ' '))"},
+  *    {"op": "filter", "expr": "n_words >= 10"},
+  *    {"op": "join", "right": "langs", "on": ["lang"], "how": "left"},
+  *    {"op": "agg", "groupBy": ["lang"], "aggs": [["n", "count(1)"]]},
+  *    {"op": "orderBy", "cols": ["lang"]}]}
+  * }}}
+  *
+  * Expressions are Spark SQL fragments (`expr(...)`), so every codegen'd
+  * builtin — and every graft function registered via
+  * `graft.functions.Register.all` — is available to config authors. The
+  * whole spec stays declarative: Catalyst sees one plan and optimizes
+  * across step boundaries (filter pushdown through earlier steps, column
+  * pruning of unused config columns), exactly as hand-written code would.
+  */
+object TransformSpec {
+  private val om = new ObjectMapper()
+
+  /** Compile and apply a JSON job spec. `catalog` resolves `source` and
+    * join `right` names to frames (a production deployment would back
+    * this with a metastore lookup).
+    */
+  def run(json: String, catalog: Map[String, DataFrame]): DataFrame = {
+    val root = om.readTree(json)
+    val src = root.path("source").asText()
+    require(catalog.contains(src), s"unknown source '$src'")
+    root.path("steps").elements().asScala
+      .foldLeft(catalog(src))((df, step) => apply(df, step, catalog))
+  }
+
+  private def strings(n: JsonNode): Seq[String] =
+    n.elements().asScala.map(_.asText()).toSeq
+
+  private def apply(df: DataFrame, step: JsonNode,
+                    catalog: Map[String, DataFrame]): DataFrame = {
+    step.path("op").asText() match {
+      case "filter" => df.filter(expr(step.path("expr").asText()))
+      case "select" => df.select(strings(step.path("cols")).map(expr): _*)
+      case "withColumn" =>
+        df.withColumn(step.path("name").asText(), expr(step.path("expr").asText()))
+      case "drop" => df.drop(strings(step.path("cols")): _*)
+      case "distinct" => df.distinct()
+      case "limit" => df.limit(step.path("n").asInt())
+      case "orderBy" => df.orderBy(strings(step.path("cols")).map(expr): _*)
+      case "join" =>
+        val rightName = step.path("right").asText()
+        require(catalog.contains(rightName), s"unknown join table '$rightName'")
+        val how = if (step.has("how")) step.path("how").asText() else "inner"
+        df.join(catalog(rightName), strings(step.path("on")), how)
+      case "agg" =>
+        val aggs = step.path("aggs").elements().asScala.map { pair =>
+          expr(pair.get(1).asText()).as(pair.get(0).asText())
+        }.toSeq
+        val keys = strings(step.path("groupBy"))
+        if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+        else df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      case "union" =>
+        val otherName = step.path("other").asText()
+        require(catalog.contains(otherName), s"unknown union table '$otherName'")
+        df.unionByName(catalog(otherName))
+      case "dedup" =>
+        GraftOps.exactDedup(df,
+          expr(step.path("key").asText()), expr(step.path("id").asText()))
+      case other => throw new IllegalArgumentException(s"unknown op '$other'")
+    }
+  }
+}

@@ -153,10 +153,40 @@ object CorpusPipeline {
       SELECT doc_id, round(quality, 9) AS quality, round(u, 9) AS u
       FROM s ORDER BY doc_id"""
 
+  // ---- p03: config-driven declarative job ----
+  // The whole query is a JSON job spec compiled by graft.api.TransformSpec
+  // — the migration path for config-first ETL frameworks: dedup, derive,
+  // filter, aggregate, order, all declared as data. Catalyst still sees
+  // ONE plan (the runner is a fold over steps), so cross-step
+  // optimization (pushdown, pruning) is identical to hand-written code.
+  val p03JobJson: String =
+    """{"source": "documents", "steps": [
+      {"op": "dedup", "key": "lower(text)", "id": "doc_id"},
+      {"op": "withColumn", "name": "n_words",
+       "expr": "CAST(size(split(text, ' ')) AS BIGINT)"},
+      {"op": "filter", "expr": "n_words >= 20"},
+      {"op": "agg", "groupBy": ["lang", "source"],
+       "aggs": [["n", "count(1)"], ["avg_words", "round(avg(n_words), 6)"]]},
+      {"op": "orderBy", "cols": ["lang", "source"]}]}"""
+  val p03_declarative_job: Q = (s, d) =>
+    graft.api.TransformSpec.run(p03JobJson,
+      Map("documents" -> Tables.documents(s, d)))
+  val p03Sql: String =
+    """WITH dd AS (SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY md5(lower(text))
+            ORDER BY doc_id) AS rn FROM documents) t WHERE rn = 1),
+      w AS (SELECT lang, source, len(string_split(text, ' ')) AS n_words
+            FROM dd)
+      SELECT lang, source, COUNT(*) AS n, round(avg(n_words), 6) AS avg_words
+      FROM w WHERE n_words >= 20
+      GROUP BY 1, 2 ORDER BY lang, source"""
+
   val queries: Map[String, Q] = Map(
-    "p01_corpus_clean"    -> p01_corpus_clean,
-    "p02_quality_resample" -> p02_quality_resample)
+    "p01_corpus_clean"     -> p01_corpus_clean,
+    "p02_quality_resample" -> p02_quality_resample,
+    "p03_declarative_job"  -> p03_declarative_job)
   val oracles: Map[String, String] = Map(
-    "p01_corpus_clean"    -> p01Sql,
-    "p02_quality_resample" -> p02Sql)
+    "p01_corpus_clean"     -> p01Sql,
+    "p02_quality_resample" -> p02Sql,
+    "p03_declarative_job"  -> p03Sql)
 }

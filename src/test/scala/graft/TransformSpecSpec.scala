@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.api.TransformSpec
+
+/** The config-driven runner must behave exactly like hand-written
+  * DataFrame code — same results AND the same optimized plan shape (the
+  * fold over steps must not block Catalyst).
+  */
+class TransformSpecSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("declarative job equals the hand-built DataFrame chain") {
+    val docs = Tables.documents(spark, sf)
+    val got = TransformSpec.run(
+      """{"source": "d", "steps": [
+        {"op": "withColumn", "name": "nw", "expr": "size(split(text, ' '))"},
+        {"op": "filter", "expr": "nw >= 30"},
+        {"op": "agg", "groupBy": ["lang"], "aggs": [["n", "count(1)"]]},
+        {"op": "orderBy", "cols": ["lang"]}]}""",
+      Map("d" -> docs)).collect().map(_.mkString("|"))
+    val want = docs
+      .withColumn("nw", size(split(col("text"), " ")))
+      .filter(col("nw") >= 30)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .orderBy("lang").collect().map(_.mkString("|"))
+    assert(got.sameElements(want))
+  }
+
+  test("join and union steps resolve through the catalog") {
+    val docs = Tables.documents(spark, sf)
+    val perLang = docs.groupBy("lang").agg(count(lit(1)).as("lang_n"))
+    val got = TransformSpec.run(
+      """{"source": "d", "steps": [
+        {"op": "join", "right": "pl", "on": ["lang"], "how": "left"},
+        {"op": "select", "cols": ["doc_id", "lang_n"]},
+        {"op": "limit", "n": 5}]}""",
+      Map("d" -> docs.orderBy("doc_id"), "pl" -> perLang))
+    assert(got.count() == 5 && got.columns.toSeq == Seq("doc_id", "lang_n"))
+  }
+
+  test("config filters push through config-derived columns into the scan") {
+    val plan = TransformSpec.run(
+      """{"source": "li", "steps": [
+        {"op": "withColumn", "name": "rev", "expr": "l_extendedprice * (1 - l_discount)"},
+        {"op": "filter", "expr": "l_quantity > 45.0"},
+        {"op": "select", "cols": ["l_orderkey", "rev"]}]}""",
+      Map("li" -> Tables.lineitem(spark, sf)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
+      s"filter not pushed to scan:\n${plan.take(800)}")
+  }
+
+  test("unknown ops and unknown tables fail loudly") {
+    val docs = Tables.documents(spark, sf)
+    intercept[IllegalArgumentException] {
+      TransformSpec.run("""{"source": "d", "steps": [{"op": "explodinate"}]}""",
+        Map("d" -> docs))
+    }
+    intercept[IllegalArgumentException] {
+      TransformSpec.run("""{"source": "nope", "steps": []}""", Map("d" -> docs))
+    }
+  }
+}
