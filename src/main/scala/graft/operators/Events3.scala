@@ -134,16 +134,52 @@ object Events3 {
              round(1.0 - CAST(COUNT(DISTINCT event_id) AS DOUBLE) / COUNT(*), 9) AS dup_rate
       FROM feed GROUP BY 1 ORDER BY hr"""
 
+  // ---- e15: inter-arrival gap statistics per event type ----
+  // Lag over the per-type time order, then exact integer microsecond
+  // gaps (no double drift) aggregated per type. The window partitions on
+  // event_type (few, large partitions — acceptable because the output is
+  // type-cardinality; for high-cardinality keys this same plan shards
+  // naturally). Event-id tie-break makes the order total, so the lag is
+  // deterministic on any cluster.
+  val e15_interarrival: Q = (s, d) => {
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap", col("us") - lag("us", 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum("gap").as("total_gap_us"),
+        max("gap").as("max_gap_us"),
+        min("gap").as("min_gap_us"))
+      .withColumn("avg_gap_us",
+        round(col("total_gap_us").cast("double") / col("n_gaps"), 6))
+      .orderBy("event_type")
+  }
+  val e15Sql: String =
+    """WITH g AS (SELECT event_type,
+          epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+            PARTITION BY event_type ORDER BY ts, event_id) AS gap
+        FROM events)
+      SELECT event_type, COUNT(*) AS n_gaps,
+             CAST(SUM(gap) AS BIGINT) AS total_gap_us,
+             max(gap) AS max_gap_us, min(gap) AS min_gap_us,
+             round(CAST(SUM(gap) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_gap_us
+      FROM g WHERE gap IS NOT NULL
+      GROUP BY event_type ORDER BY event_type"""
+
   val queries: Map[String, Q] = Map(
-    "e11_anomaly"     -> e11_anomaly,
-    "e12_attribution" -> e12_attribution,
-    "e13_daily_topk"  -> e13_daily_topk,
-    "e14_dup_rate"    -> e14_dup_rate,
+    "e11_anomaly"      -> e11_anomaly,
+    "e12_attribution"  -> e12_attribution,
+    "e13_daily_topk"   -> e13_daily_topk,
+    "e14_dup_rate"     -> e14_dup_rate,
+    "e15_interarrival" -> e15_interarrival,
   )
   val oracles: Map[String, String] = Map(
     "e11_anomaly"     -> e11Sql,
     "e12_attribution" -> e12Sql,
-    "e13_daily_topk"  -> e13Sql,
-    "e14_dup_rate"    -> e14Sql,
+    "e13_daily_topk"   -> e13Sql,
+    "e14_dup_rate"     -> e14Sql,
+    "e15_interarrival" -> e15Sql,
   )
 }
