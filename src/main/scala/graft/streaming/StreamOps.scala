@@ -112,6 +112,24 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("kmv.est_distinct").as("est_users"), col("n_events"))
 
+  /** Windowed heavy hitters through the state store: the SpaceSaving
+    * `TopKItems` aggregator's partial buffers merge across micro-batches
+    * exactly as they merge across partitions in batch, so closed
+    * streaming windows equal the batch result while capacity covers the
+    * key cardinality. One row per (window, item, count).
+    */
+  def windowedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val topk = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKItems(3, 64),
+      org.apache.spark.sql.Encoders.STRING)
+    readEvents(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(topk(col("event_type")).as("topk"))
+      .select(col("window.start").as("window_start"),
+        explode(col("topk")).as(Seq("event_type", "n")))
+  }
+
   /** Checkpointed incremental ingest (the nightly-batch pattern):
     * processes whatever files have LANDED in `srcDir` since the last
     * run, runs the narrow enrichment, appends to the parquet sink

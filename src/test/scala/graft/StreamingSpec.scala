@@ -69,6 +69,30 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("windowed SpaceSaving top-k: closed streaming windows equal batch") {
+    val q = streaming.StreamOps.windowedTopK(spark, sf)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("topk_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("topk_out")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty, "no closed windows emitted")
+    import spark.implicits._
+    val topkCol = new graft.functions.TopKItems(3, 64).toColumn
+    val batch = Tables.events(spark, sf)
+      .select(window(col("ts"), "6 hours").getField("start").as("ws"),
+        col("event_type"))
+      .as[(java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(topkCol.name("topk"))
+      .flatMap { case (ws, m) => m.map { case (t, n) => (ws, t, n) } }
+      .collect().map { case (ws, t, n) => (ws, t) -> n }.toMap
+    got.foreach { case (k, n) =>
+      assert(batch.get(k).contains(n), s"$k: stream $n vs batch ${batch.get(k)}")
+    }
+  }
+
   test("stream-stream interval join matches the batch range join") {
     val q = streaming.StreamOps.purchaseViewJoin(spark, sf)
       .writeStream.outputMode("append").format("memory")
