@@ -103,6 +103,9 @@ object Dedup3 {
   // combinable), one join back — no pair join at all, so cost is linear
   // in corpus size regardless of how duplicated the corpus is (the
   // failure mode that makes pair-based d03 superlinear).
+  // The postings table is persisted: without the barrier both the df
+  // aggregation and the join-back side re-run the 5-gram explode (plus
+  // Catalyst's inferred size>0 filter re-derives it once more per side).
   val d12_crossdoc_ngrams: Q = (s, d) => {
     val grams = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -110,6 +113,7 @@ object Dedup3 {
         """array_distinct(transform(
              sequence(1, greatest(size(w) - 4, 0)),
              i -> concat_ws(' ', slice(w, i, 5))))""")).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfTbl = grams.groupBy("g").agg(count(lit(1)).as("df"))
     grams.join(dfTbl, "g")
       .groupBy("doc_id")
