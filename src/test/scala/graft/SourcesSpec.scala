@@ -114,6 +114,35 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("corrupt-record ingest: PERMISSIVE quarantines, DROPMALFORMED drops, count agrees") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_corrupt").toString
+    Files.write(Paths.get(dir, "data.json"), Seq(
+      """{"id": 1, "v": "ok"}""",
+      """{"id": 2, "v": "also ok"}""",
+      """{"id": broken not json""",
+      """{"id": 4, "v": "fine"}""",
+      """]]]""").mkString("\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_corrupt_record", org.apache.spark.sql.types.StringType)))
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir).cache()
+    val bad = permissive.filter(col("_corrupt_record").isNotNull)
+    val good = permissive.filter(col("_corrupt_record").isNull)
+    assert(bad.count() == 2, "quarantine lane should hold exactly the 2 bad lines")
+    assert(good.count() == 3)
+    val dropped = spark.read
+      .schema(schema.copy(fields = schema.fields.dropRight(1)))
+      .option("mode", "DROPMALFORMED").json(dir)
+    assert(dropped.count() == good.count(),
+      "DROPMALFORMED must agree with the PERMISSIVE good lane")
+    permissive.unpersist()
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
