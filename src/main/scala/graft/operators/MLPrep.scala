@@ -79,12 +79,60 @@ object MLPrep {
         CAST(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END AS BIGINT) AS s_p
       FROM orders WHERE o_orderkey % 50 = 0 ORDER BY o_orderkey"""
 
+  // ---- q72: decile lift table (equi-depth bucketing, no global sort) ----
+  // The model-eval gains table: score deciles vs response rate. Deciles
+  // come from exact interpolated percentiles (one agg) broadcast back and
+  // assigned by comparison — NOT ntile over a global ORDER BY, which
+  // would funnel every row through one partition at scale. Rates are
+  // integer-count ratios, engine-exact.
+  val q72_decile_lift: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val bounds = ev.agg(expr(
+      "percentile(value, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))")
+      .as("bs"))
+    val overall = ev.agg(
+      count(lit(1)).as("n_all"),
+      count(when(col("event_type") === "purchase", 1)).as("p_all"))
+    ev.join(broadcast(bounds)).join(broadcast(overall))
+      .withColumn("decile",
+        expr("CAST(size(filter(bs, b -> value > b)) + 1 AS BIGINT)"))
+      .groupBy("decile", "n_all", "p_all")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("event_type") === "purchase", 1)).as("purchases"))
+      .withColumn("rate",
+        round(col("purchases").cast("double") / col("n"), 9))
+      .withColumn("lift",
+        round((col("purchases").cast("double") / col("n"))
+          / (col("p_all").cast("double") / col("n_all")), 9))
+      .select("decile", "n", "purchases", "rate", "lift")
+      .orderBy("decile")
+  }
+  val q72Sql: String =
+    """WITH bs AS (SELECT quantile_cont(value,
+            [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs FROM events),
+      ov AS (SELECT COUNT(*) AS n_all,
+                    COUNT(*) FILTER (WHERE event_type = 'purchase') AS p_all
+             FROM events),
+      a AS (SELECT e.event_type,
+              len(list_filter(bs.bs, b -> e.value > b)) + 1 AS decile
+            FROM events e CROSS JOIN bs),
+      g AS (SELECT decile, COUNT(*) AS n,
+                   COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchases
+            FROM a GROUP BY 1)
+      SELECT CAST(decile AS BIGINT) AS decile, n, purchases,
+             round(CAST(purchases AS DOUBLE) / n, 9) AS rate,
+             round((CAST(purchases AS DOUBLE) / n)
+               / (CAST(p_all AS DOUBLE) / n_all), 9) AS lift
+      FROM g CROSS JOIN ov ORDER BY decile"""
+
   val queries: Map[String, Q] = Map(
     "q70_feature_scale" -> q70_feature_scale,
     "q71_one_hot"       -> q71_one_hot,
+    "q72_decile_lift"   -> q72_decile_lift,
   )
   val oracles: Map[String, String] = Map(
     "q70_feature_scale" -> q70Sql,
     "q71_one_hot"       -> q71Sql,
+    "q72_decile_lift"   -> q72Sql,
   )
 }
