@@ -71,6 +71,20 @@ object TransformSpec {
         val otherName = step.path("other").asText()
         require(catalog.contains(otherName), s"unknown union table '$otherName'")
         df.unionByName(catalog(otherName))
+      case "rename" =>
+        step.path("map").properties().asScala.foldLeft(df)((d, e) =>
+          d.withColumnRenamed(e.getKey, e.getValue.asText()))
+      case "cast" =>
+        step.path("map").properties().asScala.foldLeft(df)((d, e) =>
+          d.withColumn(e.getKey, col(e.getKey).cast(e.getValue.asText())))
+      case "sample" =>
+        // deterministic md5-threshold sample, never rand(): reproducible
+        // on any cluster (same recipe as q26/deterministicSplit)
+        val frac = step.path("fraction").asDouble()
+        val key = expr(step.path("key").asText())
+        df.filter(
+          conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+            .cast("long").cast("double") / lit(4294967296.0) < frac)
       case "dedup" =>
         GraftOps.exactDedup(df,
           expr(step.path("key").asText()), expr(step.path("id").asText()))

@@ -52,6 +52,29 @@ class TransformSpecSpec extends AnyFunSuite {
       s"filter not pushed to scan:\n${plan.take(800)}")
   }
 
+  test("rename, cast and deterministic sample steps") {
+    val docs = Tables.documents(spark, sf)
+    val out = TransformSpec.run(
+      """{"source": "d", "steps": [
+        {"op": "rename", "map": {"doc_id": "id"}},
+        {"op": "cast", "map": {"n_chars": "double"}},
+        {"op": "sample", "fraction": 0.5, "key": "id"},
+        {"op": "select", "cols": ["id", "n_chars"]}]}""",
+      Map("d" -> docs))
+    assert(out.columns.toSeq == Seq("id", "n_chars"))
+    assert(out.schema("n_chars").dataType.typeName == "double")
+    val n = out.count()
+    assert(n > 100 && n < 400, s"~50% sample of 500 docs, got $n")
+    // deterministic: same spec, same rows
+    val again = TransformSpec.run(
+      """{"source": "d", "steps": [
+        {"op": "rename", "map": {"doc_id": "id"}},
+        {"op": "sample", "fraction": 0.5, "key": "id"},
+        {"op": "select", "cols": ["id"]}]}""",
+      Map("d" -> docs)).collect().map(_.getLong(0)).toSet
+    assert(out.collect().map(_.getLong(0)).toSet == again)
+  }
+
   test("unknown ops and unknown tables fail loudly") {
     val docs = Tables.documents(spark, sf)
     intercept[IllegalArgumentException] {
