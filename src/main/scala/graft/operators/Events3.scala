@@ -168,12 +168,64 @@ object Events3 {
       FROM g WHERE gap IS NOT NULL
       GROUP BY event_type ORDER BY event_type"""
 
+  // ---- e16: RFM segmentation ----
+  // Recency / frequency / monetary quintile scores per user, reported as
+  // the segment distribution. Quintile boundaries come from exact
+  // percentiles over the per-user rollup (one agg + broadcast, same
+  // no-global-sort pattern as q72); monetary uses the decimal-exact sum.
+  // Output is at most 5^3 segment rows regardless of user count.
+  val e16_rfm: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val perUser = ev.groupBy("user_id").agg(
+      max(to_date(col("ts"))).as("last_day"),
+      count(lit(1)).cast("double").as("freq"),
+      graft.Stable.dsum(col("value")).as("mon"))
+    val refDay = ev.agg(max(to_date(col("ts"))).as("ref_day"))
+    val withR = perUser.join(broadcast(refDay))
+      .withColumn("rec", datediff(col("ref_day"), col("last_day")).cast("double"))
+    val bounds = withR.agg(
+      expr("percentile(rec, array(0.2D, 0.4D, 0.6D, 0.8D))").as("rb"),
+      expr("percentile(freq, array(0.2D, 0.4D, 0.6D, 0.8D))").as("fb"),
+      expr("percentile(mon, array(0.2D, 0.4D, 0.6D, 0.8D))").as("mb"))
+    withR.join(broadcast(bounds))
+      .withColumn("r_score",
+        expr("CAST(5 - size(filter(rb, b -> rec > b)) AS BIGINT)"))
+      .withColumn("f_score",
+        expr("CAST(size(filter(fb, b -> freq > b)) + 1 AS BIGINT)"))
+      .withColumn("m_score",
+        expr("CAST(size(filter(mb, b -> mon > b)) + 1 AS BIGINT)"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+  val e16Sql: String =
+    """WITH pu AS (SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
+            CAST(COUNT(*) AS DOUBLE) AS freq,
+            CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS mon
+          FROM events GROUP BY user_id),
+      rd AS (SELECT max(CAST(ts AS DATE)) AS ref_day FROM events),
+      wr AS (SELECT user_id, freq, mon,
+               CAST(ref_day - last_day AS DOUBLE) AS rec
+             FROM pu CROSS JOIN rd),
+      bs AS (SELECT quantile_cont(rec, [0.2, 0.4, 0.6, 0.8]) AS rb,
+                    quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fb,
+                    quantile_cont(mon, [0.2, 0.4, 0.6, 0.8]) AS mb
+             FROM wr),
+      sc AS (SELECT
+               CAST(5 - len(list_filter(rb, b -> rec > b)) AS BIGINT) AS r_score,
+               CAST(len(list_filter(fb, b -> freq > b)) + 1 AS BIGINT) AS f_score,
+               CAST(len(list_filter(mb, b -> mon > b)) + 1 AS BIGINT) AS m_score
+             FROM wr CROSS JOIN bs)
+      SELECT r_score, f_score, m_score, COUNT(*) AS n_users
+      FROM sc GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score"""
+
   val queries: Map[String, Q] = Map(
     "e11_anomaly"      -> e11_anomaly,
     "e12_attribution"  -> e12_attribution,
     "e13_daily_topk"   -> e13_daily_topk,
     "e14_dup_rate"     -> e14_dup_rate,
     "e15_interarrival" -> e15_interarrival,
+    "e16_rfm"          -> e16_rfm,
   )
   val oracles: Map[String, String] = Map(
     "e11_anomaly"     -> e11Sql,
@@ -181,5 +233,6 @@ object Events3 {
     "e13_daily_topk"   -> e13Sql,
     "e14_dup_rate"     -> e14Sql,
     "e15_interarrival" -> e15Sql,
+    "e16_rfm"          -> e16Sql,
   )
 }

@@ -125,14 +125,52 @@ object MLPrep {
                / (CAST(p_all AS DOUBLE) / n_all), 9) AS lift
       FROM g CROSS JOIN ov ORDER BY decile"""
 
+  // ---- q74: smoothed target encoding ----
+  // Mean-target encoding with additive smoothing toward the global mean
+  // (k = 10): enc = (pos_cat + k * global_rate) / (n_cat + k). All
+  // inputs are exact integer counts from ONE pass; the encoder table is
+  // category-sized and rides a broadcast wherever it's applied.
+  val q74_target_encode: Q = (s, d) => {
+    val K = 10.0
+    val o = Tables.orders(s, d)
+    val global = o.agg(
+      count(lit(1)).as("n_all"),
+      count(when(col("o_orderstatus") === "F", 1)).as("pos_all"))
+    o.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("o_orderstatus") === "F", 1)).as("pos"))
+      .join(broadcast(global))
+      .withColumn("global_rate",
+        col("pos_all").cast("double") / col("n_all"))
+      .withColumn("enc",
+        round((col("pos").cast("double") + lit(K) * col("global_rate"))
+          / (col("n").cast("double") + lit(K)), 9))
+      .select(col("o_orderpriority"), col("n"), col("pos"),
+        round(col("global_rate"), 9).as("global_rate"), col("enc"))
+      .orderBy("o_orderpriority")
+  }
+  val q74Sql: String =
+    """WITH g AS (SELECT COUNT(*) AS n_all,
+            COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS pos_all FROM orders),
+      c AS (SELECT o_orderpriority, COUNT(*) AS n,
+              COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS pos
+            FROM orders GROUP BY 1)
+      SELECT o_orderpriority, n, pos,
+             round(CAST(pos_all AS DOUBLE) / n_all, 9) AS global_rate,
+             round((CAST(pos AS DOUBLE) + 10.0 * (CAST(pos_all AS DOUBLE) / n_all))
+               / (CAST(n AS DOUBLE) + 10.0), 9) AS enc
+      FROM c CROSS JOIN g ORDER BY o_orderpriority"""
+
   val queries: Map[String, Q] = Map(
     "q70_feature_scale" -> q70_feature_scale,
     "q71_one_hot"       -> q71_one_hot,
     "q72_decile_lift"   -> q72_decile_lift,
+    "q74_target_encode" -> q74_target_encode,
   )
   val oracles: Map[String, String] = Map(
     "q70_feature_scale" -> q70Sql,
     "q71_one_hot"       -> q71Sql,
     "q72_decile_lift"   -> q72Sql,
+    "q74_target_encode" -> q74Sql,
   )
 }

@@ -134,16 +134,48 @@ object Relational9 {
              max(n_orders) AS max_merged
       FROM mg GROUP BY o_custkey ORDER BY o_custkey"""
 
+  // ---- q73: weighted aggregates ----
+  // Quantity-weighted price stats per return flag. Factors cast to
+  // decimal BEFORE the product (the proven exact-product recipe, see
+  // q31): sums stay order-independent and partial-agg friendly; the
+  // single division runs in double identically on both engines.
+  val q73_weighted_stats: Q = (s, d) => {
+    val D = org.apache.spark.sql.types.DecimalType(18, 6)
+    val qd = col("l_quantity").cast(D)
+    val pd = col("l_extendedprice").cast(D)
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(qd).cast("double").as("w_total"),
+        sum(qd * pd).cast("double").as("wx"))
+      .withColumn("wavg_price", round(col("wx") / col("w_total"), 6))
+      .select("l_returnflag", "n", "w_total", "wavg_price")
+      .orderBy("l_returnflag")
+  }
+  val q73Sql: String =
+    """SELECT l_returnflag, n, w_total, round(wx / w_total, 6) AS wavg_price
+      FROM (SELECT l_returnflag, COUNT(*) AS n,
+              CAST(SUM(qd) AS DOUBLE) AS w_total,
+              CAST(SUM(qd * pd) AS DOUBLE) AS wx
+            FROM (SELECT l_returnflag,
+                    CAST(l_quantity AS DECIMAL(19,6)) AS qd,
+                    CAST(l_extendedprice AS DECIMAL(19,6)) AS pd
+                  FROM lineitem) r
+            GROUP BY l_returnflag) t
+      ORDER BY l_returnflag"""
+
   val queries: Map[String, Q] = Map(
     "q66_gaps_islands"    -> q66_gaps_islands,
     "q67_filtered_agg"    -> q67_filtered_agg,
     "q68_latest_per_key"  -> q68_latest_per_key,
     "q69_merge_intervals" -> q69_merge_intervals,
+    "q73_weighted_stats"  -> q73_weighted_stats,
   )
   val oracles: Map[String, String] = Map(
     "q66_gaps_islands"    -> q66Sql,
     "q67_filtered_agg"    -> q67Sql,
     "q68_latest_per_key"  -> q68Sql,
     "q69_merge_intervals" -> q69Sql,
+    "q73_weighted_stats"  -> q73Sql,
   )
 }
