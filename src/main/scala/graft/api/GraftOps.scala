@@ -275,6 +275,54 @@ object GraftOps {
       .drop("__grp")
   }
 
+  /** One-hot indicator columns for a STATIC vocabulary (stable schema —
+    * what a feature store needs). Pure narrow map, zero shuffle.
+    * Output columns are `prefix_<value>` with non-alnum chars mapped to _.
+    */
+  def oneHot(df: DataFrame, category: Column, vocab: Seq[String],
+             prefix: String = "is"): DataFrame =
+    vocab.foldLeft(df) { (d, v) =>
+      val safe = v.map(c => if (c.isLetterOrDigit) c else '_')
+      d.withColumn(s"${prefix}_$safe",
+        when(category === v, 1L).otherwise(0L))
+    }
+
+  /** Smoothed mean-target encoding: appends `<name>` with
+    * (pos + k * globalRate) / (n + k) per category. One counting pass;
+    * the category-sized encoder table rides a broadcast back on.
+    */
+  def targetEncode(df: DataFrame, category: Column, target: Column,
+                   k: Double = 10.0, name: String = "target_enc"): DataFrame = {
+    val global = df.agg(
+      count(lit(1)).as("__n_all"),
+      count(when(target, 1)).as("__pos_all"))
+    val enc = df.groupBy(category.as("__cat"))
+      .agg(count(lit(1)).as("__n"), count(when(target, 1)).as("__pos"))
+      .join(broadcast(global))
+      .withColumn(name,
+        (col("__pos").cast("double")
+          + lit(k) * (col("__pos_all").cast("double") / col("__n_all")))
+          / (col("__n").cast("double") + lit(k)))
+      .select(col("__cat"), col(name))
+    df.join(broadcast(enc), category === col("__cat"), "left")
+      .drop("__cat")
+  }
+
+  /** Equi-depth bucket id (1-based) for `value` from exact global
+    * percentiles at `probs` — broadcast boundaries + comparison, never a
+    * global-sort ntile. Appends `bucket`.
+    */
+  def quantileBucket(df: DataFrame, value: Column,
+                     probs: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    val arr = probs.map(p => s"${p}D").mkString("array(", ", ", ")")
+    val valued = df.withColumn("__qb_v", value.cast("double"))
+    val bounds = valued.agg(expr(s"percentile(__qb_v, $arr)").as("__qb"))
+    valued.join(broadcast(bounds))
+      .withColumn("bucket",
+        expr("CAST(size(filter(__qb, b -> __qb_v > b)) + 1 AS BIGINT)"))
+      .drop("__qb", "__qb_v")
+  }
+
   /** Deterministic train/val/test split on a stable key: pure function of
     * the key (no rand()), reproducible on any cluster/partitioning.
     */
@@ -324,5 +372,11 @@ object syntax {
       GraftOps.featureScale(df, group, value)
     def mergeIntervals(key: Column, start: Column, end: Column): DataFrame =
       GraftOps.mergeIntervals(df, key, start, end)
+    def oneHot(category: Column, vocab: Seq[String]): DataFrame =
+      GraftOps.oneHot(df, category, vocab)
+    def targetEncode(category: Column, target: Column): DataFrame =
+      GraftOps.targetEncode(df, category, target)
+    def quantileBucket(value: Column, probs: Seq[Double]): DataFrame =
+      GraftOps.quantileBucket(df, value, probs)
   }
 }

@@ -173,6 +173,38 @@ class GraftOpsSpec extends AnyFunSuite {
     assertAll(df, Seq(NotNull("id"))) // passes quietly
   }
 
+  test("oneHot/targetEncode/quantileBucket agree with oracle query formulations") {
+    val o = Tables.orders(spark, sf)
+    // oneHot vs q71 columns
+    val gotO = GraftOps.oneHot(o.filter(col("o_orderkey") % 50 === 0),
+        col("o_orderstatus"), Seq("F", "O", "P"), "s")
+      .select(col("o_orderkey"), col("s_F"), col("s_O"), col("s_P"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val wantO = operators.MLPrep.q71_one_hot(spark, sf)
+      .select("o_orderkey", "s_f", "s_o", "s_p")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(gotO == wantO)
+    // targetEncode vs q74 encoder values
+    val gotT = GraftOps.targetEncode(o, col("o_orderpriority"),
+        col("o_orderstatus") === "F")
+      .select(col("o_orderpriority"), round(col("target_enc"), 9).as("e"))
+      .distinct().collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val wantT = operators.MLPrep.q74_target_encode(spark, sf)
+      .select("o_orderpriority", "enc")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(gotT == wantT)
+    // quantileBucket: deciles of event value reproduce q72's assignment
+    val ev = Tables.events(spark, sf)
+    val gotQ = GraftOps.quantileBucket(ev, col("value"),
+        Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))
+      .groupBy("bucket").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantQ = operators.MLPrep.q72_decile_lift(spark, sf)
+      .select("decile", "n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotQ == wantQ)
+  }
+
   test("new verbs are partition-invariant (repartitioned input, identical output)") {
     val ev = Tables.events(spark, sf)
     val ev13 = ev.repartition(13)
