@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Stable, Tables}
 
 /** Data-quality validation and change-detection — the ETL-framework
   * staples (expectation checks, snapshot diffs) expressed as single
@@ -187,16 +187,81 @@ object Quality {
                  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
       ) t ORDER BY fk"""
 
+  // ---- v04: population-stability drift (PSI) ----
+  // The model-monitoring staple: distribution shift of `value` between
+  // the first and second half of the event stream (median-ts split),
+  // per event type. Equi-width bins from the global min/max (broadcast),
+  // PSI = sum((p2 - p1) * ln(p2 / p1)) over bins with both sides
+  // populated. Two counting passes over one scan shape, engine-exact
+  // counts; the only doubles are the final closed form (rounded 1e-9).
+  val v04_psi_drift: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val split = ev.agg(expr("percentile(unix_micros(ts), 0.5D)").as("mid"))
+    val range = ev.agg(min("value").as("vmin"), max("value").as("vmax"))
+    val binned = ev.join(broadcast(split)).join(broadcast(range))
+      .withColumn("half",
+        when(unix_micros(col("ts")) <= col("mid"), "a").otherwise("b"))
+      .withColumn("bin",
+        least(lit(9), floor((col("value") - col("vmin"))
+          / ((col("vmax") - col("vmin")) / 10.0)).cast("int")).cast("long"))
+    val counts = binned.groupBy("event_type", "bin")
+      .agg(count(when(col("half") === "a", 1)).as("na"),
+        count(when(col("half") === "b", 1)).as("nb"))
+    val totals = counts.groupBy("event_type")
+      .agg(sum("na").as("ta"), sum("nb").as("tb"))
+    counts.join(totals, "event_type")
+      .filter(col("na") > 0 && col("nb") > 0)
+      .withColumn("term",
+        (col("nb").cast("double") / col("tb") - col("na").cast("double") / col("ta"))
+          * log((col("nb").cast("double") / col("tb"))
+            / (col("na").cast("double") / col("ta"))))
+      .groupBy("event_type")
+      // terms are ~1e-6..1e-3, so they are scaled by 1e6 before the
+      // decimal(30,6) stable sum (keeps 1e-12 granularity) and scaled
+      // back after — order-independent and exact on both engines.
+      .agg(count(lit(1)).as("n_bins"),
+        round(Stable.dsum(round(col("term"), 12) * lit(1000000.0)) / lit(1000000.0), 9)
+          .as("psi"))
+      .orderBy("event_type")
+  }
+  val v04Sql: String =
+    """WITH sp AS (SELECT quantile_cont(epoch_us(ts), 0.5) AS mid FROM events),
+      rg AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events),
+      b AS (SELECT event_type,
+              CASE WHEN epoch_us(ts) <= mid THEN 'a' ELSE 'b' END AS half,
+              CAST(least(9, CAST(floor((value - vmin)
+                / ((vmax - vmin) / 10.0)) AS INT)) AS BIGINT) AS bin
+            FROM events CROSS JOIN sp CROSS JOIN rg),
+      c AS (SELECT event_type, bin,
+              COUNT(*) FILTER (WHERE half = 'a') AS na,
+              COUNT(*) FILTER (WHERE half = 'b') AS nb
+            FROM b GROUP BY 1, 2),
+      t AS (SELECT event_type, CAST(SUM(na) AS BIGINT) AS ta,
+                   CAST(SUM(nb) AS BIGINT) AS tb
+            FROM c GROUP BY 1),
+      terms AS (SELECT c.event_type,
+              round((CAST(nb AS DOUBLE) / tb - CAST(na AS DOUBLE) / ta)
+                * ln((CAST(nb AS DOUBLE) / tb) / (CAST(na AS DOUBLE) / ta)), 12)
+                AS term
+            FROM c JOIN t ON c.event_type = t.event_type
+            WHERE na > 0 AND nb > 0)
+      SELECT event_type, COUNT(*) AS n_bins,
+             round(CAST(SUM(CAST(term * CAST(1000000 AS DOUBLE) AS DECIMAL(30,6)))
+                        AS DOUBLE) / CAST(1000000 AS DOUBLE), 9) AS psi
+      FROM terms GROUP BY event_type ORDER BY event_type"""
+
   val queries: Map[String, Q] = Map(
     "v01_data_quality"  -> v01_data_quality,
     "v02_expectations"  -> v02_expectations,
     "v03_ref_integrity" -> v03_ref_integrity,
+    "v04_psi_drift"     -> v04_psi_drift,
     "q54_snapshot_diff" -> q54_snapshot_diff,
   )
   val oracles: Map[String, String] = Map(
     "v01_data_quality"  -> v01Sql,
     "v02_expectations"  -> v02Sql,
     "v03_ref_integrity" -> v03Sql,
+    "v04_psi_drift"     -> v04Sql,
     "q54_snapshot_diff" -> q54Sql,
   )
 }
