@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.Tables
+import graft.{Stable, Tables}
 
 /** Similarity, part 2: a full Lloyd iteration (assign + recompute) —
   * the refinement step that turns the s03 seed centroids / s04 coarse
@@ -158,13 +158,57 @@ object Similarity2 {
       .orderBy("variant")
   }
 
+  // ---- s09: int8 scalar quantization of embeddings ----
+  // The vector-storage compression step (4x smaller than float32): per-
+  // dimension min/max (one agg, broadcast back), codes = rounded linear
+  // scale to 0..255, report per-label reconstruction error. FLOAT values
+  // go through DOUBLE before any decimal/compare (the cross-engine cast
+  // rule); codes and errors are then pure per-row double arithmetic —
+  // bit-identical on both engines.
+  val s09_scalar_quant: Q = (s, d) => {
+    val dims = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "vf")))
+      .withColumn("v", col("vf").cast("double")).drop("vf")
+    val stats = dims.groupBy("dim").agg(min("v").as("dmin"), max("v").as("dmax"))
+    val coded = dims.join(broadcast(stats), "dim")
+      .withColumn("code",
+        round((col("v") - col("dmin")) * lit(255.0) / (col("dmax") - col("dmin")), 0)
+          .cast("long"))
+      .withColumn("recon",
+        col("dmin") + col("code") * (col("dmax") - col("dmin")) / lit(255.0))
+      .withColumn("err", abs(col("v") - col("recon")))
+    coded.groupBy("label")
+      .agg(count(lit(1)).as("n_values"),
+        round(Stable.dsum(col("err")) / count(lit(1)), 9).as("avg_abs_err"),
+        round(max("err"), 9).as("max_abs_err"))
+      .orderBy("label")
+  }
+  val s09Sql: String =
+    """WITH e AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+                       CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+      st AS (SELECT dim, min(v) AS dmin, max(v) AS dmax FROM e GROUP BY 1),
+      c AS (SELECT label, v, dmin, dmax,
+              CAST(round((v - dmin) * 255.0 / (dmax - dmin), 0) AS BIGINT) AS code
+            FROM e JOIN st USING (dim)),
+      r AS (SELECT label,
+              abs(v - (dmin + code * (dmax - dmin) / 255.0)) AS err
+            FROM c)
+      SELECT label, COUNT(*) AS n_values,
+             round(CAST(SUM(CAST(err AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 9)
+               AS avg_abs_err,
+             round(max(err), 9) AS max_abs_err
+      FROM r GROUP BY label ORDER BY label"""
+
   val queries: Map[String, Q] = Map(
     "s06_kmeans_refine"  -> s06_kmeans_refine,
     "s07_pairwise_stats" -> s07_pairwise_stats,
     "s08_ann_recall"     -> s08_ann_recall,
+    "s09_scalar_quant"   -> s09_scalar_quant,
   )
   val oracles: Map[String, String] = Map(
     "s06_kmeans_refine"  -> s06Sql,
     "s07_pairwise_stats" -> s07Sql,
+    "s09_scalar_quant"   -> s09Sql,
   )
 }
