@@ -228,6 +228,28 @@ class GraftOpsSpec extends AnyFunSuite {
       rows(GraftOps.mergeIntervals(iv.repartition(11), col("o_custkey"), col("s0"), col("e0"))))
   }
 
+  test("facade verbs behave on empty and singleton inputs") {
+    import spark.implicits._
+    val emptyDocs = Seq.empty[(Long, String)].toDF("id", "text")
+    assert(GraftOps.chunk(emptyDocs, col("text"), 32, 24).count() == 0)
+    assert(GraftOps.jaccardJoin(emptyDocs, col("id"), col("text"), 0.5).count() == 0)
+    assert(GraftOps.bm25(emptyDocs, col("id"), col("text"), Seq("x")).count() == 0)
+    val oneEvent = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L))
+      .toDF("event_id", "ts", "user_id")
+    val lpk = GraftOps.latestPerKey(oneEvent, col("user_id"), Seq(col("ts")))
+    assert(lpk.count() == 1)
+    val sess = GraftOps.sessionize(oneEvent, col("user_id"), col("ts"))
+    assert(sess.select("session_id").head().getLong(0) == 1L)
+    val oneIv = Seq((1L, java.sql.Date.valueOf("2024-01-01"),
+      java.sql.Date.valueOf("2024-01-31"))).toDF("k", "s", "e")
+    val mi = GraftOps.mergeIntervals(oneIv, col("k"), col("s"), col("e"))
+    assert(mi.count() == 1 && mi.head().getLong(3) == 1L)
+    // chunk of a 1-token doc: one chunk, full coverage
+    val tiny = Seq((1L, "word")).toDF("id", "text")
+    val ch = GraftOps.chunk(tiny, col("text"), 32, 24).collect()
+    assert(ch.length == 1 && ch(0).getAs[Long]("chunk_tokens") == 1L)
+  }
+
   test("deterministicSplit is partition-invariant with sane fractions") {
     val a = docs.deterministicSplit(col("doc_id"), Seq(0.8, 0.1, 0.1))
       .select("doc_id", "split").collect()
