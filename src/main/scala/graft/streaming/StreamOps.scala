@@ -112,6 +112,33 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("kmv.est_distinct").as("est_users"), col("n_events"))
 
+  /** documents schema as stored. */
+  val docsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming corpus front door: quality-score each arriving document
+    * and tag its lane (keep / low_quality / quarantine) as it lands.
+    * Stateless narrow per-row logic — no watermark, no state store;
+    * each micro-batch costs exactly one scan of the new files, so the
+    * gate keeps up with any ingest rate. Downstream sinks split on
+    * `lane` (the m05 pattern, incremental).
+    */
+  def qualityGate(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(docsSchema).parquet(s"$dir/documents*")
+      .withColumn("byte_len", length(encode(col("text"), "UTF-8")).cast("long"))
+      .withColumn("n_words", size(split(trim(col("text")), " ")).cast("long"))
+      .withColumn("quality",
+        lit(0.5) * least(lit(1.0), col("n_words").cast("double") / 100.0)
+          + lit(0.5) * (length(regexp_replace(col("text"), "[^A-Za-z0-9]", ""))
+            .cast("double") / length(col("text"))))
+      .withColumn("lane",
+        when(col("byte_len") % 251 === 0, "quarantine")
+          .when(col("quality") < 0.6, "low_quality")
+          .otherwise("keep"))
+      .select("doc_id", "source", "lane", "quality")
+
   /** Windowed heavy hitters through the state store: the SpaceSaving
     * `TopKItems` aggregator's partial buffers merge across micro-batches
     * exactly as they merge across partitions in batch, so closed

@@ -69,6 +69,30 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming quality gate: lane assignment equals the batch computation") {
+    val q = streaming.StreamOps.qualityGate(spark, sf)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gate_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("gate_out").groupBy("lane").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = Tables.documents(spark, sf)
+      .withColumn("byte_len", length(encode(col("text"), "UTF-8")).cast("long"))
+      .withColumn("n_words", size(split(trim(col("text")), " ")).cast("long"))
+      .withColumn("quality",
+        lit(0.5) * least(lit(1.0), col("n_words").cast("double") / 100.0)
+          + lit(0.5) * (length(regexp_replace(col("text"), "[^A-Za-z0-9]", ""))
+            .cast("double") / length(col("text"))))
+      .withColumn("lane",
+        when(col("byte_len") % 251 === 0, "quarantine")
+          .when(col("quality") < 0.6, "low_quality")
+          .otherwise("keep"))
+      .groupBy("lane").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == batch, s"stream $got vs batch $batch")
+    assert(got.values.sum == Tables.documents(spark, sf).count())
+  }
+
   test("windowed SpaceSaving top-k: closed streaming windows equal batch") {
     val q = streaming.StreamOps.windowedTopK(spark, sf)
       .writeStream.outputMode("append").format("memory")
