@@ -141,13 +141,58 @@ object Dedup3 {
       FROM dd JOIN df USING (g)
       GROUP BY doc_id ORDER BY doc_id"""
 
+  // ---- d14: semantic dedup (SemDeDup-style within-cluster pruning) ----
+  // Abbas et al. 2023: cluster the embedding space coarsely, then prune
+  // near-identical vectors WITHIN each cluster only — the pair join is
+  // bounded by cluster size, never corpus². Here the stored label plays
+  // the coarse cluster (s03/s06 build exactly such an assignment);
+  // "doomed" = any vector with a lower-id neighbour above the cosine
+  // threshold in its cluster, so the keep set is deterministic with no
+  // greedy order dependence. Per-row cosines are sequential double folds
+  // — engine-exact (the d05/s07 recipe).
+  val d14_semantic_dedup: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("label"), col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = e.select(col("label"), col("vec_id").as("vb"), col("embedding").as("eb"))
+    val doomed = a.join(b, "label")
+      .where(col("va") < col("vb"))
+      .withColumn("cos", expr(
+        """aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, v) -> a + v)
+           / (sqrt(aggregate(transform(ea, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (a, v) -> a + v))
+              * sqrt(aggregate(transform(eb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (a, v) -> a + v)))"""))
+      .filter(col("cos") >= 0.3)
+      .select(col("vb").as("vec_id")).distinct()
+    e.join(doomed, Seq("vec_id"), "left_anti")
+      .groupBy("label").agg(count(lit(1)).as("n_kept"))
+      .join(e.groupBy("label").agg(count(lit(1)).as("n_total")), "label")
+      .withColumn("n_removed", col("n_total") - col("n_kept"))
+      .select("label", "n_total", "n_kept", "n_removed")
+      .orderBy("label")
+  }
+  val d14Sql: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+                FROM embeddings),
+      doomed AS (SELECT DISTINCT b.vec_id
+                 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+                 WHERE list_dot_product(a.emb, b.emb)
+                   / (sqrt(list_dot_product(a.emb, a.emb))
+                      * sqrt(list_dot_product(b.emb, b.emb))) >= 0.3),
+      kept AS (SELECT label, COUNT(*) AS n_kept FROM e
+               WHERE vec_id NOT IN (SELECT vec_id FROM doomed)
+               GROUP BY label),
+      tot AS (SELECT label, COUNT(*) AS n_total FROM e GROUP BY label)
+      SELECT label, n_total, n_kept, n_total - n_kept AS n_removed
+      FROM kept JOIN tot USING (label) ORDER BY label"""
+
   val queries: Map[String, Q] = Map(
     "d11_prefix_join"     -> d11_prefix_join,
     "d12_crossdoc_ngrams" -> d12_crossdoc_ngrams,
+    "d14_semantic_dedup"  -> d14_semantic_dedup,
   )
   val oracles: Map[String, String] = Map(
     // Same result set as d03 by construction — shares its oracle.
     "d11_prefix_join"     -> Dedup.d03Sql,
     "d12_crossdoc_ngrams" -> d12Sql,
+    "d14_semantic_dedup"  -> d14Sql,
   )
 }
