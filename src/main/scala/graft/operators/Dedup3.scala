@@ -156,10 +156,8 @@ object Dedup3 {
     val b = e.select(col("label"), col("vec_id").as("vb"), col("embedding").as("eb"))
     val doomed = a.join(b, "label")
       .where(col("va") < col("vb"))
-      .withColumn("cos", expr(
-        """aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, v) -> a + v)
-           / (sqrt(aggregate(transform(ea, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (a, v) -> a + v))
-              * sqrt(aggregate(transform(eb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (a, v) -> a + v)))"""))
+      .withColumn("cos",
+        graft.functions.cosine_sim(col("ea"), col("eb")))
       .filter(col("cos") >= 0.3)
       .select(col("vb").as("vec_id")).distinct()
     e.join(doomed, Seq("vec_id"), "left_anti")
