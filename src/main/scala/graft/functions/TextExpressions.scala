@@ -132,17 +132,41 @@ object Hashing {
     }
     new GenericArrayData(keys)
   }
-  def cosine(a: ArrayData, b: ArrayData): Double = {
+  def cosine(a: ArrayData, b: ArrayData): Double =
+    cosineGen(a, b, aDouble = false, bDouble = false)
+
+  /** Cosine over float OR double arrays (flags chosen from the child
+    * dataTypes at plan time). Three independent sequential accumulators —
+    * each is the same left fold DuckDB's list_dot_product performs, so
+    * results stay bit-identical cross-engine for any type combination.
+    */
+  def cosineGen(a: ArrayData, b: ArrayData,
+                aDouble: Boolean, bDouble: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
+      val x = if (aDouble) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (bDouble) b.getDouble(i) else b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Plain sequential-fold dot product (same order semantics as cosine). */
+  def dotGen(a: ArrayData, b: ArrayData,
+             aDouble: Boolean, bDouble: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aDouble) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (bDouble) b.getDouble(i) else b.getFloat(i).toDouble
+      dot += x * y
+      i += 1
+    }
+    dot
   }
 
   /** Polynomial rolling hash over the word stream: h = h*B + hash64(w)

@@ -31,20 +31,48 @@ case class CosineLshKeys(child: Expression, numTables: Int, planesPerTable: Int)
     copy(child = newChild)
 }
 
-/** Cosine similarity between two float-array columns, computed as a
-  * sequential left fold in double — bit-identical to DuckDB's
-  * list_dot_product over DOUBLE[] (verified empirically), so results are
-  * exactly reproducible cross-engine.
+/** Cosine similarity between two numeric-array columns (float or double
+  * element type, any mix — resolved from the child dataTypes at plan
+  * time), computed as a sequential left fold in double — bit-identical
+  * to DuckDB's list_dot_product over DOUBLE[] (verified empirically), so
+  * results are exactly reproducible cross-engine.
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
+  private def isDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
   override def dataType: DataType = DoubleType
   override def nullSafeEval(l: Any, r: Any): Any =
-    Hashing.cosine(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    Hashing.cosineGen(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      isDouble(left), isDouble(right))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.Hashing.cosine($a, $b)")
+      (a, b) => s"graft.functions.Hashing.cosineGen($a, $b, ${isDouble(left)}, ${isDouble(right)})")
   override def prettyName: String = "cosine_sim"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Sequential-fold dot product over numeric-array columns (float or
+  * double, any mix) — the ADC/LUT scoring primitive; same order
+  * semantics as [[CosineSim]].
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def isDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    Hashing.dotGen(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      isDouble(left), isDouble(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.Hashing.dotGen($a, $b, ${isDouble(left)}, ${isDouble(right)})")
+  override def prettyName: String = "dot_product"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

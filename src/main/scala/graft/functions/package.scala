@@ -21,9 +21,14 @@ package object functions {
   def cosine_lsh_keys(c: Column, numTables: Int = 16, planesPerTable: Int = 4): Column =
     toCol(CosineLshKeys(toExpr(c), numTables, planesPerTable))
 
-  /** Cosine similarity of two float-array embeddings (double fold). */
+  /** Cosine similarity of two numeric-array embeddings (double fold;
+    * float or double element types, any mix). */
   def cosine_sim(a: Column, b: Column): Column =
     toCol(CosineSim(toExpr(a), toExpr(b)))
+
+  /** Sequential-fold dot product (float or double arrays, any mix). */
+  def dot_product(a: Column, b: Column): Column =
+    toCol(DotProduct(toExpr(a), toExpr(b)))
 
   /** Order-sensitive polynomial rolling-hash document fingerprint. */
   def rolling_fingerprint(c: Column): Column =

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.functions.{cosine_sim, cosine_lsh_keys}
+import graft.functions.{cosine_sim, cosine_lsh_keys, dot_product}
 
 /** Similarity search over Array[Float] embeddings — SURVEY.md §2.
   *
@@ -156,12 +156,11 @@ object Similarity {
       .groupBy("label")
       .agg(array_sort(collect_list(struct(col("dim"), col("mv")))).as("ps"))
       .select(col("label").as("cell"), expr("transform(ps, p -> p.mv)").as("centroid"))
-    val simToCell = expr(
-      """aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), centroid, (x, y) -> x * y),
-         0D, (a, v) -> a + v)
-         / (sqrt(aggregate(CAST(embedding AS ARRAY<DOUBLE>), 0D, (a, x) -> a + x * x))
-            * sqrt(aggregate(centroid, 0D, (a, x) -> a + x * x)))""")
-    val scored = e.join(broadcast(cents)).withColumn("csim", simToCell)
+    // mixed float/double arrays go through the codegen'd CosineSim
+    // expression (same sequential-fold semantics as the SQL aggregate
+    // form, ~4x faster: higher-order functions are not codegen'd)
+    val scored = e.join(broadcast(cents))
+      .withColumn("csim", cosine_sim(col("embedding"), col("centroid")))
     val byVec = Window.partitionBy("vec_id").orderBy(desc("csim"), col("cell"))
     // one ranked plan feeds both branches: assigned (r==1, all vectors)
     // and queryCells (r<=3, query vectors). Identical subplans up to the
@@ -232,7 +231,7 @@ object Similarity {
         expr(s"transform(sequence(0, ${M - 1}), m -> slice(CAST(qe AS ARRAY<DOUBLE>), m * $D + 1, $D))"))
         .as(Seq("m", "qsv")))
     val lut = qsub.join(broadcast(cents), "m")
-      .withColumn("dot", expr("aggregate(zip_with(qsv, cw, (x, y) -> x * y), 0D, (a, v) -> a + v)"))
+      .withColumn("dot", dot_product(col("qsv"), col("cw")))
       .select(col("qid"), col("qnorm"), col("m"), col("code"), col("dot"))
     // approx cosine = sum_m LUT(q, m, code) / (|q| |x|); top-30 then exact re-rank
     val approx = codes.join(broadcast(lut), Seq("m", "code"))

@@ -31,13 +31,7 @@ object Similarity2 {
       .agg(array_sort(collect_list(struct(col("dim"), col("mv")))).as("ps"))
       .select(col("label").as("cl"), expr("transform(ps, p -> p.mv)").as("cent"))
     val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(embedding, cent, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (a, v) -> a + v)"))
-      .withColumn("ne", sqrt(expr(
-        "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (a, v) -> a + v)")))
-      .withColumn("nc", sqrt(expr(
-        "aggregate(transform(cent, y -> y * y), 0D, (a, v) -> a + v)")))
-      .withColumn("cos", col("dot") / (col("ne") * col("nc")))
+      .withColumn("cos", graft.functions.cosine_sim(col("embedding"), col("cent")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("vec_id").orderBy(desc("cos"), col("cl"))))
       .filter(col("rk") === 1)
@@ -98,13 +92,8 @@ object Similarity2 {
     val b = e.select(col("vec_id").as("idb"), col("embedding").as("eb"),
       col("label").as("lb"))
     a.join(b, col("ida") < col("idb"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, v) -> a + v)"))
-      .withColumn("na", sqrt(expr(
-        "aggregate(transform(ea, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (a, v) -> a + v)")))
-      .withColumn("nb", sqrt(expr(
-        "aggregate(transform(eb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (a, v) -> a + v)")))
-      .withColumn("cos", round(col("dot") / (col("na") * col("nb")), 9))
+      .withColumn("cos",
+        round(graft.functions.cosine_sim(col("ea"), col("eb")), 9))
       .withColumn("same_label", (col("la") === col("lb")).cast("boolean"))
       .groupBy("same_label")
       .agg(count(lit(1)).as("n_pairs"),
