@@ -39,6 +39,10 @@ object Register {
       case Seq(a, b) => CosineSim(a, b)
       case args => throw new IllegalArgumentException(s"cosine_sim(a, b): got ${args.size} args")
     },
+    "dot_product" -> {
+      case Seq(a, b) => DotProduct(a, b)
+      case args => throw new IllegalArgumentException(s"dot_product(a, b): got ${args.size} args")
+    },
     "rolling_fingerprint" -> {
       case Seq(c) => RollingFingerprint(c)
       case args => throw new IllegalArgumentException(s"rolling_fingerprint(text): got ${args.size} args")
