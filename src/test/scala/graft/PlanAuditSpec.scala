@@ -9,6 +9,33 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanAuditSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("PlanAudit.summarize counts wide stages and sees pushdown") {
+    import org.apache.spark.sql.functions._
+    import graft.api.PlanAudit
+    // narrow map: no exchange at all
+    val narrow = Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).as("len"))
+    assert(PlanAudit.isShuffleFree(narrow))
+    val sNarrow = PlanAudit.summarize(narrow)
+    assert(sNarrow.scans == 1 && sNarrow.exchanges == 0)
+    // filtered agg: pushdown visible, exactly one shuffle
+    val agg = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") > 10.0)
+      .groupBy("l_returnflag").agg(count(lit(1)))
+    val sAgg = PlanAudit.summarize(agg)
+    assert(sAgg.exchanges == 1, s"expected one shuffle, got $sAgg")
+    assert(sAgg.pushedFilters.exists(_.contains("GreaterThan(l_quantity,10.0)")))
+    // broadcast join: broadcast exchange, no hash-shuffle of the fact side
+    val bj = Tables.orders(spark, sf)
+      .join(broadcast(Tables.customer(spark, sf)),
+        col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_name")
+    val sBj = PlanAudit.summarize(bj)
+    assert(sBj.broadcasts == 1 && sBj.exchanges == 0, s"got $sBj")
+  }
+
+  import SparkTestSession._
+
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
