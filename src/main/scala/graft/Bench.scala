@@ -30,6 +30,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Optional comma-separated subset for targeted optimization loops
+    // (skips the full-suite warmup+run); full bench when unset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -49,14 +53,17 @@ object Bench {
     }
     Tables.events(spark, sfDir).count()
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
+    val selected = only
+      .map(names => SparkEntry.queries.filter(kv => names(kv._1)))
+      .getOrElse(SparkEntry.queries)
+    selected.foreach { case (_, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => }
     }
 
     // best-of-2 per query: a single pass is hostage to GC pauses and OS
     // scheduling noise (observed ±40% on sub-second queries); the min of
     // two runs is a stabler throughput estimate at 2x bench wall time.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -69,12 +76,15 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + round3(v) }
       .mkString("{", ",", "}")
     val n = results.size
-    java.nio.file.Files.write(
+    if (only.isEmpty) java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$n,"queries":$fullJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
 
     val byName = results.toMap
-    val qs = headline.filter(byName.contains)
+    // targeted runs print every selected query; full runs print the
+    // short headline subset (the harness tail-buffer constraint above)
+    val qs = if (only.isDefined) fullJson
+    else headline.filter(byName.contains)
       .map(k => "\"" + k + "\":" + round3(byName(k)))
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$n,"queries":$qs,"sf":"$sfDir"}""")

@@ -127,7 +127,11 @@ object CorpusPipeline {
   // narrow scoring pass + one 1-row broadcast: linear at any corpus
   // size, shuffle-free except the scalar max.
   val p02_quality_resample: Q = (s, d) => {
+    // persisted: the scalar-max branch and the scoring branch otherwise
+    // each re-run the whole t02 quality pass over the corpus — a barrier
+    // on the (doc_id, quality) projection halves the scan count.
     val q = TextAnalysis.t02_quality_score(s, d).select("doc_id", "quality")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qmax = q.agg(max("quality").as("qmax"))
     q.join(broadcast(qmax))
       .withColumn("u",

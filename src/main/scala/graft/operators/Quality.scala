@@ -124,35 +124,51 @@ object Quality {
 
   // ---- v03: referential-integrity audit ----
   // FK orphan counts across the star schema, one row per relationship.
-  // Each check is a left_anti join against the (broadcast) referenced
-  // key set — the canonical scale plan for FK validation: the fact side
-  // streams, the dimension key set ships to executors, no fact shuffle.
+  // Plan: ONE pass per fact table — every FK of that table left-joins
+  // its (broadcast, distinct) referenced key set in the same stage, and
+  // a single aggregate counts rows plus null-match violations for all of
+  // them, unpivoted to one row per relationship. The fact side streams
+  // exactly once no matter how many FKs it carries (lineitem: 3 checks,
+  // 1 scan), dimension key sets ship to executors, no fact shuffle.
   // events.user_id -> customer is an intentionally-violated relation so
   // the report exercises its non-zero path.
   val v03_ref_integrity: Q = (s, d) => {
-    def check(name: String, fact: DataFrame, fk: String,
-              dim: DataFrame, pk: String): DataFrame = {
-      val total = fact.agg(count(lit(1)).as("n_rows"))
-      val orphans = fact
-        .join(broadcast(dim.select(col(pk))), col(fk) === col(pk), "left_anti")
-        .agg(count(lit(1)).as("n_orphans"))
-      total.crossJoin(orphans).select(
-        lit(name).as("fk"), col("n_rows"), col("n_orphans"))
+    /** One scan of `fact` covering all `(name, fk, dimKeys)` checks. */
+    def checkAll(fact: DataFrame, checks: Seq[(String, String, DataFrame)]): DataFrame = {
+      val joined = checks.zipWithIndex.foldLeft(fact) {
+        case (df, ((_, fk, dimKeys), i)) =>
+          val k = s"__pk$i"
+          df.join(broadcast(dimKeys.toDF(k).distinct()),
+            col(fk) === col(k), "left")
+      }
+      val aggs = count(lit(1)).as("n_rows") +:
+        checks.indices.map(i =>
+          count(when(col(s"__pk$i").isNull, 1)).as(s"__v$i"))
+      val wide = joined.agg(aggs.head, aggs.tail: _*)
+      val stack = checks.zipWithIndex
+        .map { case ((name, _, _), i) => s"'${name}', __v$i" }
+        .mkString(", ")
+      wide.select(expr(
+        s"stack(${checks.size}, $stack) AS (fk, n_orphans)"), col("n_rows"))
+        .select("fk", "n_rows", "n_orphans")
     }
-    val checks = Seq(
-      check("events.user_id->customer", Tables.events(s, d), "user_id",
-        Tables.customer(s, d), "c_custkey"),
-      check("lineitem.l_orderkey->orders", Tables.lineitem(s, d), "l_orderkey",
-        Tables.orders(s, d), "o_orderkey"),
-      check("lineitem.l_partkey->part", Tables.lineitem(s, d), "l_partkey",
-        Tables.part(s, d), "p_partkey"),
-      check("lineitem.l_suppkey->supplier", Tables.lineitem(s, d), "l_suppkey",
-        Tables.supplier(s, d), "s_suppkey"),
-      check("nation.n_regionkey->region", Tables.nation(s, d), "n_regionkey",
-        Tables.region(s, d), "r_regionkey"),
-      check("orders.o_custkey->customer", Tables.orders(s, d), "o_custkey",
-        Tables.customer(s, d), "c_custkey"))
-    checks.reduce(_.unionByName(_)).orderBy("fk")
+    val customerKeys = Tables.customer(s, d).select("c_custkey")
+    Seq(
+      checkAll(Tables.events(s, d), Seq(
+        ("events.user_id->customer", "user_id", customerKeys))),
+      checkAll(Tables.lineitem(s, d), Seq(
+        ("lineitem.l_orderkey->orders", "l_orderkey",
+          Tables.orders(s, d).select("o_orderkey")),
+        ("lineitem.l_partkey->part", "l_partkey",
+          Tables.part(s, d).select("p_partkey")),
+        ("lineitem.l_suppkey->supplier", "l_suppkey",
+          Tables.supplier(s, d).select("s_suppkey")))),
+      checkAll(Tables.nation(s, d), Seq(
+        ("nation.n_regionkey->region", "n_regionkey",
+          Tables.region(s, d).select("r_regionkey")))),
+      checkAll(Tables.orders(s, d), Seq(
+        ("orders.o_custkey->customer", "o_custkey", customerKeys)))
+    ).reduce(_.unionByName(_)).orderBy("fk")
   }
   val v03Sql: String =
     """SELECT * FROM (

@@ -215,7 +215,12 @@ object Similarity {
     // codeword id: bit b set iff sv[b] > mu[b]
     val codeExpr = expr(
       "aggregate(transform(sv, (x, i) -> IF(x > element_at(mu, i + 1), shiftleft(1, i), 0)), 0, (a, v) -> a + v)")
+    // persisted: both the codebook aggregation and the ADC scoring join
+    // consume the encoded rows — without the barrier each re-runs the
+    // slice-explode + threshold join (n_vec x M rows, tiny vs the work
+    // of re-deriving them).
     val codes = subvecs.join(broadcast(means), "m").withColumn("code", codeExpr)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // codebook: bucket centroids per (subspace, code)
     val cents = codes
       .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("i", "v")))

@@ -112,8 +112,11 @@ object TextAnalysis3 {
     val evalIdx = grams(docs.filter(col("doc_id") % 10 === 0))
       .select("g").distinct()
     val train = grams(docs.filter(col("doc_id") % 10 =!= 0))
+    // eval benchmarks are MBs even when the training corpus is 100 TB:
+    // broadcasting the distinct-gram index keeps the train gram table's
+    // only shuffle the per-doc aggregation (vs also shuffling on gram).
     train
-      .join(evalIdx.withColumn("hit", lit(1L)), Seq("g"), "left")
+      .join(broadcast(evalIdx.withColumn("hit", lit(1L))), Seq("g"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
       .withColumn("contamination",
