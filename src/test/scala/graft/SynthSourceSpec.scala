@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** The custom DataSourceV2 connector (graft.sources.SynthDocsSource):
+  * planning-time partition pruning from pushed filters, column pruning,
+  * determinism, and short-name registration.
+  */
+class SynthSourceSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def synth(rows: Long = 1000, partitions: Int = 8): DataFrame =
+    spark.read.format("graft-synth")
+      .option("rows", rows).option("partitions", partitions).load()
+
+  test("reads the declared row count with the declared schema") {
+    val df = synth()
+    assert(df.count() == 1000)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("doc_id", "lang", "source", "text", "n_chars"))
+    assert(df.agg(countDistinct("doc_id")).head.getLong(0) == 1000)
+  }
+
+  test("two reads are cell-identical (deterministic generation)") {
+    val a = synth(500, 4)
+    val b = synth(500, 7) // different partitioning, same content
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("doc_id range filter is pushed and prunes input partitions") {
+    val full = synth(1000, 8)
+    assert(full.rdd.getNumPartitions == 8)
+    // ids 900..999 live in the last of 8 width-125 ranges
+    val filtered = synth(1000, 8).filter(col("doc_id") >= 900)
+    assert(filtered.rdd.getNumPartitions == 1,
+      "planner should drop partitions whose id range cannot match")
+    assert(filtered.count() == 100)
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("graft-synth"), scan)
+    // the handled predicate is re-applied nowhere: bounds live in the scan
+    assert(scan.contains("bounds=[900,999]"), scan)
+  }
+
+  test("equality filter narrows to a single row without post-filtering") {
+    val one = synth(1000, 8).filter(col("doc_id") === 421)
+    assert(one.rdd.getNumPartitions == 1)
+    assert(one.count() == 1)
+    assert(one.head.getLong(0) == 421)
+  }
+
+  test("non-id filters stay post-scan and still evaluate correctly") {
+    val en = synth(300, 4).filter(col("lang") === "en")
+    val n = en.count()
+    assert(n > 0 && n < 300)
+    assert(en.select("lang").distinct().head.getString(0) == "en")
+  }
+
+  test("column pruning reaches the reader (scan output excludes text)") {
+    val slim = synth(200, 2).select("doc_id", "lang")
+    val scanLine = slim.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("BatchScan")).getOrElse("")
+    assert(scanLine.nonEmpty)
+    // DSv2 prints the pruned output attribute list on the BatchScan node
+    assert(!scanLine.contains("text#"),
+      s"text should be pruned from the scan output: $scanLine")
+    assert(slim.count() == 200)
+  }
+
+  test("n_chars matches the generated text length") {
+    val df = synth(100, 2)
+    assert(df.filter(length(col("text")) =!= col("n_chars")).isEmpty)
+  }
+}
