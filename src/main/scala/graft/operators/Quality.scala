@@ -133,13 +133,17 @@ object Quality {
   // events.user_id -> customer is an intentionally-violated relation so
   // the report exercises its non-zero path.
   val v03_ref_integrity: Q = (s, d) => {
-    /** One scan of `fact` covering all `(name, fk, dimKeys)` checks. */
+    /** One scan of `fact` covering all `(name, fk, dimKeys)` checks.
+      * `dimKeys` must be a key column (unique) — true for the referenced
+      * PKs here, and audited independently by v01's uniqueness rule —
+      * so the left joins cannot multiply fact rows and the dim sides
+      * broadcast raw, with no pre-broadcast Deduplicate exchange.
+      */
     def checkAll(fact: DataFrame, checks: Seq[(String, String, DataFrame)]): DataFrame = {
       val joined = checks.zipWithIndex.foldLeft(fact) {
         case (df, ((_, fk, dimKeys), i)) =>
           val k = s"__pk$i"
-          df.join(broadcast(dimKeys.toDF(k).distinct()),
-            col(fk) === col(k), "left")
+          df.join(broadcast(dimKeys.toDF(k)), col(fk) === col(k), "left")
       }
       val aggs = count(lit(1)).as("n_rows") +:
         checks.indices.map(i =>
