@@ -164,12 +164,49 @@ object Relational9 {
             GROUP BY l_returnflag) t
       ORDER BY l_returnflag"""
 
+  // ---- q75: key-sequence gap detection (completeness audit) ----
+  // Missing ranges in the order-key sequence as seen from LINEITEM —
+  // i.e. orders that never produced a line item (the feed-completeness
+  // question every ingest pipeline asks of an expected-contiguous key).
+  // The naive formulation — lead() over ALL keys with no partition key —
+  // funnels the entire table through one task; this plan keeps every
+  // corpus-sized stage partitioned: two self anti-joins (shuffled on
+  // the key) find gap BOUNDARIES (k+1 missing -> a gap starts at k+1;
+  // k-1 missing -> a gap ends at k-1), and only the gap set — audit-
+  // sized, orders of magnitude smaller than the keys — pays a global
+  // row_number to pair the i-th start with the i-th end.
+  val q75_id_gaps: Q = (s, d) => {
+    val keys = Tables.lineitem(s, d).select(col("l_orderkey").as("k")).distinct()
+    val bounds = keys.agg(min("k").as("mn"), max("k").as("mx"))
+    val starts = keys.as("a")
+      .join(keys.as("b"), col("a.k") + 1 === col("b.k"), "left_anti")
+      .join(broadcast(bounds)).filter(col("k") < col("mx"))
+      .select((col("k") + 1).as("gap_lo"))
+    val ends = keys.as("a")
+      .join(keys.as("b"), col("a.k") - 1 === col("b.k"), "left_anti")
+      .join(broadcast(bounds)).filter(col("k") > col("mn"))
+      .select((col("k") - 1).as("gap_hi"))
+    val i = Window.orderBy("gap_lo")
+    val j = Window.orderBy("gap_hi")
+    starts.withColumn("i", row_number().over(i))
+      .join(ends.withColumn("i", row_number().over(j)), "i")
+      .select(col("gap_lo"), col("gap_hi"),
+        (col("gap_hi") - col("gap_lo") + 1).as("gap_len"))
+      .orderBy("gap_lo")
+  }
+  val q75Sql: String =
+    """WITH k AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+      nx AS (SELECT k, lead(k) OVER (ORDER BY k) AS nk FROM k)
+      SELECT k + 1 AS gap_lo, nk - 1 AS gap_hi, nk - k - 1 AS gap_len
+      FROM nx WHERE nk > k + 1 ORDER BY gap_lo"""
+
   val queries: Map[String, Q] = Map(
     "q66_gaps_islands"    -> q66_gaps_islands,
     "q67_filtered_agg"    -> q67_filtered_agg,
     "q68_latest_per_key"  -> q68_latest_per_key,
     "q69_merge_intervals" -> q69_merge_intervals,
     "q73_weighted_stats"  -> q73_weighted_stats,
+    "q75_id_gaps"         -> q75_id_gaps,
   )
   val oracles: Map[String, String] = Map(
     "q66_gaps_islands"    -> q66Sql,
@@ -177,5 +214,6 @@ object Relational9 {
     "q68_latest_per_key"  -> q68Sql,
     "q69_merge_intervals" -> q69Sql,
     "q73_weighted_stats"  -> q73Sql,
+    "q75_id_gaps"         -> q75Sql,
   )
 }

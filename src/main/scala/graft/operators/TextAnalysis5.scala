@@ -50,6 +50,51 @@ object TextAnalysis5 {
              round((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 6) AS intercept
       FROM m"""
 
-  val queries: Map[String, Q] = Map("t16_zipf_fit" -> t16_zipf_fit)
-  val oracles: Map[String, String] = Map("t16_zipf_fit" -> t16Sql)
+  // ---- t17: per-document n-gram novelty (arrival order) ----
+  // For each doc, the fraction of its distinct 4-grams whose FIRST
+  // corpus occurrence (by doc_id arrival order) is this doc — the
+  // "novel text" signal used to value later-arriving data and to spot
+  // scraped re-posts (complement of d12's contamination view). Plan:
+  // one explode to distinct (doc, gram) postings, min(doc_id) per gram
+  // (map-side combinable), one gram-keyed join back — linear in corpus
+  // size, no doc x doc work, same scan discipline as d12.
+  val t17_novelty: Q = (s, d) => {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(
+             sequence(1, greatest(size(w) - 3, 0)),
+             i -> concat_ws(' ', slice(w, i, 4))))""")).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val firstSeen = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+    grams.join(firstSeen, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_grams"), 9))
+      .orderBy("doc_id")
+  }
+  val t17Sql: String =
+    """WITH w AS (SELECT doc_id, generate_subscripts(string_split(text,' '),1) i,
+                       unnest(string_split(text,' ')) w FROM documents),
+      g4 AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w AS g
+             FROM w a JOIN w b ON b.doc_id=a.doc_id AND b.i=a.i+1
+                      JOIN w c ON c.doc_id=a.doc_id AND c.i=a.i+2
+                      JOIN w d ON d.doc_id=a.doc_id AND d.i=a.i+3),
+      dd AS (SELECT DISTINCT doc_id, g FROM g4),
+      fs AS (SELECT g, min(doc_id) AS first_doc FROM dd GROUP BY g)
+      SELECT doc_id, COUNT(*) AS n_grams,
+             CAST(COUNT(*) FILTER (WHERE first_doc = doc_id) AS BIGINT) AS n_novel,
+             round(CAST(COUNT(*) FILTER (WHERE first_doc = doc_id) AS DOUBLE)
+               / COUNT(*), 9) AS novelty
+      FROM dd JOIN fs USING (g)
+      GROUP BY doc_id ORDER BY doc_id"""
+
+  val queries: Map[String, Q] = Map(
+    "t16_zipf_fit" -> t16_zipf_fit,
+    "t17_novelty"  -> t17_novelty)
+  val oracles: Map[String, String] = Map(
+    "t16_zipf_fit" -> t16Sql,
+    "t17_novelty"  -> t17Sql)
 }
