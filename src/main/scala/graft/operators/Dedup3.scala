@@ -61,7 +61,10 @@ object Dedup3 {
     * d08/t09/p01 keep the d03 plan. On a realistic Zipf-distributed
     * corpus the prefix is dominated by near-unique shingles (df 1-2) and
     * the candidate set collapses to near the true-pair count — that is
-    * the regime this operator exists for.
+    * the regime this operator exists for. The same goes for the length
+    * filter inside the candidate join: uniform doc sizes here make it a
+    * no-op, but on real corpora (size spread >> 1/t) it removes most
+    * size-incompatible bucket pairs before they reach the distinct.
     */
   def prefixJaccardPairsOf(docs: DataFrame, t: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -74,9 +77,13 @@ object Dedup3 {
       .withColumn("rn", row_number().over(byDoc.orderBy("df", "tok")))
       .withColumn("n", count(lit(1)).over(byDoc))
       .filter(col("rn") <= col("n") - ceil(lit(t) * col("n")).cast("int") + 1)
-      .select("doc_id", "tok")
+      .select("doc_id", "tok", "n")
+    // length filter (lossless): J(a,b) >= t forces t*max(na,nb) <=
+    // min(na,nb), so size-incompatible bucket pairs are dropped BEFORE
+    // the distinct and the verification join-backs ever see them.
     val cands = pref.as("x").join(pref.as("y"), "tok")
-      .where(col("x.doc_id") < col("y.doc_id"))
+      .where(col("x.doc_id") < col("y.doc_id") &&
+        greatest(col("x.n"), col("y.n")) * t <= least(col("x.n"), col("y.n")))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
     cands
