@@ -275,6 +275,50 @@ object GraftOps {
       .drop("__grp")
   }
 
+  /** Missing ranges in an expected-contiguous key sequence: one row per
+    * gap (`gap_lo`, `gap_hi`, `gap_len`). The q75 plan: anti-joins find
+    * gap boundaries with the key stream fully partitioned; only the
+    * audit-sized gap set pays a global window.
+    */
+  def idGaps(df: DataFrame, key: Column): DataFrame = {
+    val keys = df.select(key.cast("long").as("k")).distinct()
+    val bounds = keys.agg(min("k").as("mn"), max("k").as("mx"))
+    val starts = keys.as("a")
+      .join(keys.as("b"), col("a.k") + 1 === col("b.k"), "left_anti")
+      .join(broadcast(bounds)).filter(col("k") < col("mx"))
+      .select((col("k") + 1).as("gap_lo"))
+    val ends = keys.as("a")
+      .join(keys.as("b"), col("a.k") - 1 === col("b.k"), "left_anti")
+      .join(broadcast(bounds)).filter(col("k") > col("mn"))
+      .select((col("k") - 1).as("gap_hi"))
+    starts.withColumn("__i", row_number().over(Window.orderBy("gap_lo")))
+      .join(ends.withColumn("__i", row_number().over(Window.orderBy("gap_hi"))), "__i")
+      .select(col("gap_lo"), col("gap_hi"),
+        (col("gap_hi") - col("gap_lo") + 1).as("gap_len"))
+  }
+
+  /** Per-document first-occurrence n-gram novelty in `order` (defaults
+    * to the id itself — arrival order): appends nothing, returns
+    * (`id`, `n_grams`, `n_novel`, `novelty`). The t17 plan: min-order
+    * per gram, gram-keyed join back, linear in corpus size.
+    */
+  def novelty(df: DataFrame, id: Column, text: Column, n: Int = 4): DataFrame = {
+    require(n >= 1, "n-gram size must be >= 1")
+    val grams = df
+      .select(id.as("__id"), split(text, "\\s+").as("__w"))
+      .select(col("__id"), explode(expr(
+        s"""array_distinct(transform(
+             sequence(1, greatest(size(__w) - ${n - 1}, 0)),
+             i -> concat_ws(' ', slice(__w, i, $n))))""")).as("__g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val firstSeen = grams.groupBy("__g").agg(min("__id").as("__first"))
+    grams.join(firstSeen, "__g")
+      .groupBy(col("__id").as("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("__first") === col("__id"), 1)).as("n_novel"))
+      .withColumn("novelty", col("n_novel").cast("double") / col("n_grams"))
+  }
+
   /** One-hot indicator columns for a STATIC vocabulary (stable schema —
     * what a feature store needs). Pure narrow map, zero shuffle.
     * Output columns are `prefix_<value>` with non-alnum chars mapped to _.
@@ -378,5 +422,9 @@ object syntax {
       GraftOps.targetEncode(df, category, target)
     def quantileBucket(value: Column, probs: Seq[Double]): DataFrame =
       GraftOps.quantileBucket(df, value, probs)
+    def idGaps(key: Column): DataFrame =
+      GraftOps.idGaps(df, key)
+    def novelty(id: Column, text: Column, n: Int = 4): DataFrame =
+      GraftOps.novelty(df, id, text, n)
   }
 }

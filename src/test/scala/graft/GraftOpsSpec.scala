@@ -250,6 +250,28 @@ class GraftOpsSpec extends AnyFunSuite {
     assert(ch.length == 1 && ch(0).getAs[Long]("chunk_tokens") == 1L)
   }
 
+  test("idGaps and novelty agree with their oracle query formulations") {
+    // idGaps vs q75 on the lineitem order-key stream
+    val got = GraftOps.idGaps(Tables.lineitem(spark, sf), col("l_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = operators.Relational9.q75_id_gaps(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty)
+    // novelty vs t17 (facade splits \s+, t17 splits ' ' — same corpus)
+    val gotN = GraftOps.novelty(Tables.documents(spark, sf),
+        col("doc_id"), col("text"), 4)
+      .select(col("id"), col("n_grams"), col("n_novel")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val wantN = operators.TextAnalysis5.t17_novelty(spark, sf)
+      .select("doc_id", "n_grams", "n_novel").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(gotN == wantN)
+    // gap-free sequence -> empty report
+    import spark.implicits._
+    val dense = (0L to 99L).toDF("k")
+    assert(GraftOps.idGaps(dense, col("k")).count() == 0)
+  }
+
   test("deterministicSplit is partition-invariant with sane fractions") {
     val a = docs.deterministicSplit(col("doc_id"), Seq(0.8, 0.1, 0.1))
       .select("doc_id", "split").collect()
