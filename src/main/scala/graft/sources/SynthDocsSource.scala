@@ -4,6 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -47,7 +48,8 @@ class SynthDocsSource extends TableProvider with DataSourceRegister {
     new SynthTable(
       java.lang.Long.parseLong(Option(properties.get("rows")).getOrElse("1000")),
       Integer.parseInt(Option(properties.get("partitions")).getOrElse("4")),
-      java.lang.Long.parseLong(Option(properties.get("seed")).getOrElse("42")))
+      java.lang.Long.parseLong(Option(properties.get("seed")).getOrElse("42")),
+      java.lang.Long.parseLong(Option(properties.get("rowsPerBatch")).getOrElse("100")))
 }
 
 object SynthDocsSource {
@@ -91,17 +93,19 @@ object SynthDocsSource {
   }
 }
 
-private[sources] class SynthTable(rows: Long, partitions: Int, seed: Long)
+private[sources] class SynthTable(rows: Long, partitions: Int, seed: Long,
+                                  rowsPerBatch: Long)
   extends Table with SupportsRead {
   override def name(): String = s"graft_synth($rows rows)"
   override def schema(): StructType = SynthDocsSource.fullSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SynthScanBuilder(rows, partitions, seed)
+    new SynthScanBuilder(rows, partitions, seed, rowsPerBatch)
 }
 
-private[sources] class SynthScanBuilder(rows: Long, partitions: Int, seed: Long)
+private[sources] class SynthScanBuilder(rows: Long, partitions: Int, seed: Long,
+                                        rowsPerBatch: Long = 100)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var lo: Long = 0L            // inclusive doc_id lower bound
@@ -140,14 +144,17 @@ private[sources] class SynthScanBuilder(rows: Long, partitions: Int, seed: Long)
     required = requiredSchema
 
   override def build(): Scan =
-    new SynthScan(rows, partitions, seed, lo, hi, required, pushed)
+    new SynthScan(rows, partitions, seed, lo, hi, required, pushed, rowsPerBatch)
 }
 
 private[sources] class SynthScan(rows: Long, partitions: Int, seed: Long,
                                  lo: Long, hi: Long, required: StructType,
-                                 pushed: Array[Filter]) extends Scan with Batch {
+                                 pushed: Array[Filter], rowsPerBatch: Long = 100)
+  extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SynthMicroBatchStream(rows, seed, rowsPerBatch, required)
   override def description(): String =
     s"graft-synth rows=$rows bounds=[$lo,$hi] PushedFilters: ${pushed.mkString("[", ", ", "]")}"
 
@@ -168,6 +175,54 @@ private[sources] class SynthScan(rows: Long, partitions: Int, seed: Long,
 }
 
 private[sources] case class SynthPartition(first: Long, last: Long) extends InputPartition
+
+/** Offsets are simply "ids generated so far" — a monotone high-water
+  * mark, serialized as its decimal string for the checkpoint log.
+  */
+private[sources] case class SynthOffset(id: Long) extends Offset {
+  override def json(): String = id.toString
+}
+
+/** Micro-batch stream over the same generator: each batch covers the id
+  * range (start, end] with at most `rowsPerBatch` new ids per trigger,
+  * until `rows` are exhausted. Pacing goes through
+  * `SupportsAdmissionControl.latestOffset(start, limit)` — the form
+  * that RECEIVES the restored start offset — rather than the legacy
+  * zero-argument `latestOffset`: a freshly constructed stream on
+  * restart has no instance state, and deriving "next" from a mutable
+  * high-water mark regresses the offset log below the checkpoint and
+  * re-delivers committed batches (observed: 400 duplicate rows). With
+  * admission control the stream is stateless; restart resumption is
+  * exactly the kafka-source consumer-offset replay guarantee.
+  */
+private[sources] class SynthMicroBatchStream(rows: Long, seed: Long,
+                                             rowsPerBatch: Long,
+                                             required: StructType)
+  extends MicroBatchStream with SupportsAdmissionControl {
+  private def id(o: Offset): Long = o match {
+    case SynthOffset(i) => i
+    case other => java.lang.Long.parseLong(other.json()) // restored form
+  }
+  override def initialOffset(): Offset = SynthOffset(0L)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    SynthOffset(math.min(rows, id(start) + rowsPerBatch))
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-control form latestOffset(start, limit) is used")
+  override def deserializeOffset(json: String): Offset =
+    SynthOffset(java.lang.Long.parseLong(json))
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = id(start)
+    val e = id(end)
+    if (e <= s) Array.empty
+    else Array(SynthPartition(s, e - 1))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(seed, required)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 private[sources] class SynthReaderFactory(seed: Long, required: StructType)
   extends PartitionReaderFactory {

@@ -72,4 +72,44 @@ class SynthSourceSpec extends AnyFunSuite {
     val df = synth(100, 2)
     assert(df.filter(length(col("text")) =!= col("n_chars")).isEmpty)
   }
+
+  test("micro-batch stream delivers all rows in rowsPerBatch slices") {
+    val q = spark.readStream.format("graft-synth")
+      .option("rows", 1000).option("rowsPerBatch", 300).load()
+      .writeStream.format("memory").queryName("synth_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("synth_stream")
+      assert(got.count() == 1000)
+      assert(got.agg(countDistinct("doc_id")).head.getLong(0) == 1000)
+      // 1000 rows at <=300/batch: at least 4 non-empty micro-batches
+      val n = q.recentProgress.count(_.numInputRows > 0)
+      assert(n >= 4, s"expected >=4 micro-batches, saw $n")
+      // streamed content == batch content (same generator, same seed)
+      val batch = synth(1000, 4)
+      assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+    } finally q.stop()
+  }
+
+  test("restart resumes from the checkpointed offset (no re-delivery)") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_synth_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_synth_out").toString
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-synth")
+        .option("rows", 600).option("rowsPerBatch", 200).load()
+        .select("doc_id", "lang")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(spark.read.parquet(out).count() == 600)
+    run() // restart against the same checkpoint: source is exhausted
+    // a correct source replays nothing after its committed final offset
+    val back = spark.read.parquet(out)
+    assert(back.count() == 600, "restart must not re-deliver committed batches")
+    assert(back.agg(countDistinct("doc_id")).head.getLong(0) == 600)
+  }
 }
