@@ -219,6 +219,42 @@ object Events3 {
       SELECT r_score, f_score, m_score, COUNT(*) AS n_users
       FROM sc GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score"""
 
+  // ---- e17: rolling active users (DAU / WAU / MAU) ----
+  // The engagement staple. Scale plan: ONE distinct (day, user) rollup
+  // off the event stream (the only corpus-sized shuffle — everything
+  // downstream works on users x active-days, orders of magnitude
+  // smaller), then a range join against the broadcast day spine fans
+  // each rollup row to the <=7 / <=28 target days it supports, and
+  // per-day distinct counts aggregate that. Exact by construction; the
+  // sketch path (q30/d07's HLL/KMV family) is the approximate
+  // alternative when even the rollup-x-window fan-out is too hot.
+  val e17_active_users: Q = (s, d) => {
+    val du = Tables.events(s, d)
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val days = du.select(col("d").as("td")).distinct()
+    def rolling(win: Int, name: String) = du
+      .join(broadcast(days),
+        col("d") <= col("td") && col("d") >= date_sub(col("td"), win - 1))
+      .groupBy("td").agg(countDistinct("user_id").as(name))
+    rolling(1, "dau")
+      .join(rolling(7, "wau"), "td")
+      .join(rolling(28, "mau"), "td")
+      .select(col("td").as("day"), col("dau"), col("wau"), col("mau"))
+      .orderBy("day")
+  }
+  val e17Sql: String =
+    """WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d,
+                        user_id FROM events),
+      days AS (SELECT DISTINCT d AS td FROM du)
+      SELECT td AS day,
+        (SELECT COUNT(DISTINCT user_id) FROM du WHERE du.d = days.td) AS dau,
+        (SELECT COUNT(DISTINCT user_id) FROM du
+          WHERE du.d BETWEEN days.td - 6 AND days.td) AS wau,
+        (SELECT COUNT(DISTINCT user_id) FROM du
+          WHERE du.d BETWEEN days.td - 27 AND days.td) AS mau
+      FROM days ORDER BY day"""
+
   val queries: Map[String, Q] = Map(
     "e11_anomaly"      -> e11_anomaly,
     "e12_attribution"  -> e12_attribution,
@@ -226,6 +262,7 @@ object Events3 {
     "e14_dup_rate"     -> e14_dup_rate,
     "e15_interarrival" -> e15_interarrival,
     "e16_rfm"          -> e16_rfm,
+    "e17_active_users" -> e17_active_users,
   )
   val oracles: Map[String, String] = Map(
     "e11_anomaly"     -> e11Sql,
@@ -234,5 +271,6 @@ object Events3 {
     "e14_dup_rate"     -> e14Sql,
     "e15_interarrival" -> e15Sql,
     "e16_rfm"          -> e16Sql,
+    "e17_active_users" -> e17Sql,
   )
 }
