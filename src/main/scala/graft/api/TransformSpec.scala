@@ -88,6 +88,32 @@ object TransformSpec {
       case "dedup" =>
         GraftOps.exactDedup(df,
           expr(step.path("key").asText()), expr(step.path("id").asText()))
+      case "nearDedup" =>
+        // LSH-verified near-dup removal (the d06 pipeline) behind one
+        // config line: keep the lexicographically-first doc per near-dup
+        // pair, drop the rest
+        val t = if (step.has("threshold")) step.path("threshold").asDouble() else 0.8
+        val id = expr(step.path("id").asText())
+        val doomed = GraftOps.jaccardJoin(df,
+            id, expr(step.path("text").asText()), t)
+          .select(col("id_b").as("__doomed")).distinct()
+        df.join(doomed, id === col("__doomed"), "left_anti")
+      case "split" =>
+        // appends `split` (0-based bucket index) deterministically; a
+        // downstream filter step selects the train/val/test lane
+        val weights = step.path("weights").elements().asScala
+          .map(_.asDouble()).toSeq
+        GraftOps.deterministicSplit(df, expr(step.path("key").asText()), weights)
+      case "expect" =>
+        // inline data-quality gate: runs ONE eager validation pass over
+        // the frame-so-far when the spec compiles and throws if any rule
+        // is violated (rules as "name: sql-predicate") — the deliberate
+        // exception to the one-lazy-plan rule, because a gate that only
+        // fires after the sink has written defeats its purpose
+        val rules = step.path("rules").properties().asScala.map(e =>
+          Expectations.Satisfies(e.getKey, expr(e.getValue.asText()))).toSeq
+        Expectations.assertAll(df, rules)
+        df
       case other => throw new IllegalArgumentException(s"unknown op '$other'")
     }
   }

@@ -160,7 +160,7 @@ object CorpusPipeline {
   // ---- p03: config-driven declarative job ----
   // The whole query is a JSON job spec compiled by graft.api.TransformSpec
   // — the migration path for config-first ETL frameworks: dedup, derive,
-  // filter, aggregate, order, all declared as data. Catalyst still sees
+  // filter, aggregate, order, near-dedup, split, expectation gates, all declared as data. Catalyst still sees
   // ONE plan (the runner is a fold over steps), so cross-step
   // optimization (pushdown, pruning) is identical to hand-written code.
   val p03JobJson: String =

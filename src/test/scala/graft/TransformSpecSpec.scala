@@ -75,6 +75,52 @@ class TransformSpecSpec extends AnyFunSuite {
     assert(out.collect().map(_.getLong(0)).toSet == again)
   }
 
+  test("nearDedup step agrees with the jaccardJoin keep-set") {
+    val docs = Tables.documents(spark, sf)
+    val got = TransformSpec.run(
+      """{"source": "d", "steps": [
+        {"op": "nearDedup", "id": "doc_id", "text": "lower(text)",
+         "threshold": 0.5},
+        {"op": "select", "cols": ["doc_id"]},
+        {"op": "orderBy", "cols": ["doc_id"]}]}""",
+      Map("d" -> docs)).collect().map(_.getLong(0)).toSeq
+    val doomed = api.GraftOps.jaccardJoin(
+        docs, org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lower(
+          org.apache.spark.sql.functions.col("text")), 0.5)
+      .select("id_b").collect().map(_.getLong(0)).toSet
+    val want = docs.select("doc_id").collect().map(_.getLong(0))
+      .filterNot(doomed).sorted.toSeq
+    assert(got == want && doomed.nonEmpty)
+  }
+
+  test("split step assigns deterministic lanes a filter can select") {
+    val docs = Tables.documents(spark, sf)
+    val spec =
+      """{"source": "d", "steps": [
+        {"op": "split", "key": "doc_id", "weights": [0.8, 0.1, 0.1]},
+        {"op": "filter", "expr": "split = 0"}]}"""
+    val a = TransformSpec.run(spec, Map("d" -> docs)).count()
+    val b = TransformSpec.run(spec, Map("d" -> docs.repartition(9))).count()
+    assert(a == b && a > 0 && a < docs.count())
+  }
+
+  test("expect step passes clean data and fails violated rules at action") {
+    val docs = Tables.documents(spark, sf)
+    val ok = TransformSpec.run(
+      """{"source": "d", "steps": [
+        {"op": "expect", "rules": {"has_id": "doc_id IS NOT NULL"}},
+        {"op": "agg", "groupBy": [], "aggs": [["n", "count(1)"]]}]}""",
+      Map("d" -> docs))
+    assert(ok.head.getLong(0) == docs.count())
+    intercept[IllegalStateException] {
+      TransformSpec.run(
+        """{"source": "d", "steps": [
+          {"op": "expect", "rules": {"huge": "n_chars > 1000000"}}]}""",
+        Map("d" -> docs))
+    }
+  }
+
   test("unknown ops and unknown tables fail loudly") {
     val docs = Tables.documents(spark, sf)
     intercept[IllegalArgumentException] {
