@@ -270,7 +270,45 @@ object Quality {
                         AS DOUBLE) / CAST(1000000 AS DOUBLE), 9) AS psi
       FROM terms GROUP BY event_type ORDER BY event_type"""
 
+  // ---- v05: dataset profile (describe() as one pass) ----
+  // The profiling staple every ETL framework ships: per-column count /
+  // nulls / min / max / mean over the numeric columns — computed as ONE
+  // wide aggregate over ONE scan (never a job per column, the naive
+  // describe() trap at 100 TB), then unpivoted to a row per column.
+  // Means go through the decimal-stable sum so the report is engine-
+  // exact; all profiled columns here are non-null in the dataset, and
+  // n_null comes from count(*) - count(col) like SQL.
+  val v05_profile: Q = (s, d) => {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val li = Tables.lineitem(s, d)
+    val aggs = count(lit(1)).as("n") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"cnt_$c"),
+        min(col(c)).cast("double").as(s"min_$c"),
+        max(col(c)).cast("double").as(s"max_$c"),
+        round(Stable.davg(col(c)), 9).as(s"mean_$c"))
+    }
+    val wide = li.agg(aggs.head, aggs.tail: _*)
+    val stack = cols.map(c =>
+      s"'$c', cnt_$c, min_$c, max_$c, mean_$c").mkString(", ")
+    wide.select(col("n"), expr(
+        s"stack(${cols.size}, $stack) AS (column_name, n_filled, min_v, max_v, mean_v)"))
+      .select(col("column_name"), col("n").as("n_rows"),
+        (col("n") - col("n_filled")).as("n_null"),
+        col("min_v"), col("max_v"), col("mean_v"))
+      .orderBy("column_name")
+  }
+  val v05Sql: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+           CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+           CAST(MIN($c) AS DOUBLE) AS min_v, CAST(MAX($c) AS DOUBLE) AS max_v,
+           round(${Stable.sqlAvg(c)}, 9) AS mean_v FROM lineitem"""
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(one).mkString("SELECT * FROM (", " UNION ALL ", ") t ORDER BY column_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "v05_profile"       -> v05_profile,
     "v01_data_quality"  -> v01_data_quality,
     "v02_expectations"  -> v02_expectations,
     "v03_ref_integrity" -> v03_ref_integrity,
@@ -278,6 +316,7 @@ object Quality {
     "q54_snapshot_diff" -> q54_snapshot_diff,
   )
   val oracles: Map[String, String] = Map(
+    "v05_profile"       -> v05Sql,
     "v01_data_quality"  -> v01Sql,
     "v02_expectations"  -> v02Sql,
     "v03_ref_integrity" -> v03Sql,
