@@ -31,4 +31,19 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+
+  /** SQL-first front door: every table as a temp view (events with its
+    * nanos->micros fix baked in) plus all graft functions registered —
+    * after this, the entire engine is usable from `spark.sql(...)`
+    * alone, which is how notebook/BI users and SQL-only migrations
+    * consume it. Views are lazy logical plans: no data is read here,
+    * and pushdown through a view is identical to the DataFrame path.
+    */
+  def registerAll(s: SparkSession, d: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(t => read(s, d, t).createOrReplaceTempView(t))
+    events(s, d).createOrReplaceTempView("events")
+    functions.Register.all(s)
+  }
 }

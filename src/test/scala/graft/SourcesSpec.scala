@@ -10,6 +10,21 @@ class SourcesSpec extends AnyFunSuite {
   private def tmp(name: String): String =
     Files.createTempDirectory(s"graft_$name").toString
 
+  test("registerAll makes the engine fully SQL-consumable") {
+    Tables.registerAll(spark, sf)
+    // a table view, the fixed events view, and a registered custom
+    // function all resolve from pure SQL
+    val r = spark.sql("""
+      SELECT count(*) AS n,
+        (SELECT count(*) FROM events WHERE ts IS NOT NULL) AS ne,
+        (SELECT cosine_sim(embedding, embedding) FROM embeddings
+          WHERE vec_id = 0) AS self_cos
+      FROM lineitem""").head()
+    assert(r.getLong(0) == Tables.lineitem(spark, sf).count())
+    assert(r.getLong(1) == Tables.events(spark, sf).count())
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+
   test("csv round-trip preserves values") {
     val out = tmp("csv")
     val src = Tables.orders(spark, sf)
