@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources._
@@ -106,7 +107,8 @@ private[sources] class SynthTable(rows: Long, partitions: Int, seed: Long,
 
 private[sources] class SynthScanBuilder(rows: Long, partitions: Int, seed: Long,
                                         rowsPerBatch: Long = 100)
-  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+  with SupportsPushDownAggregates {
 
   private var lo: Long = 0L            // inclusive doc_id lower bound
   private var hi: Long = rows - 1      // inclusive doc_id upper bound
@@ -143,8 +145,49 @@ private[sources] class SynthScanBuilder(rows: Long, partitions: Int, seed: Long,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** COUNT(*) with no grouping is answerable from the id bounds alone —
+    * complete pushdown: the scan returns the FINAL one-row answer and no
+    * document is ever generated. (Only offered when every filter was
+    * absorbed above; Spark won't ask otherwise.)
+    */
+  private var countPushed = 0 // number of pushed COUNT(*) columns
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().forall(_.isInstanceOf[CountStar])
+  override def pushAggregation(agg: Aggregation): Boolean =
+    supportCompletePushDown(agg) && {
+      countPushed = agg.aggregateExpressions().length
+      true
+    }
+
   override def build(): Scan =
-    new SynthScan(rows, partitions, seed, lo, hi, required, pushed, rowsPerBatch)
+    if (countPushed > 0)
+      new SynthCountScan(math.max(0L, hi - lo + 1), countPushed, pushed)
+    else
+      new SynthScan(rows, partitions, seed, lo, hi, required, pushed, rowsPerBatch)
+}
+
+/** The planning-time COUNT(*) answer: one partition, one row. */
+private[sources] class SynthCountScan(count: Long, nCols: Int,
+                                      pushedF: Array[Filter])
+  extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType((0 until nCols).map(i => StructField(s"count_$i", LongType, false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-synth aggPushed=count($count) PushedFilters: ${pushedF.mkString("[", ", ", "]")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SynthPartition(0, 0))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val c = count
+    val n = nCols
+    (_: InputPartition) => new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = InternalRow.fromSeq(Seq.fill(n)(c))
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private[sources] class SynthScan(rows: Long, partitions: Int, seed: Long,

@@ -73,6 +73,21 @@ class SynthSourceSpec extends AnyFunSuite {
     assert(df.filter(length(col("text")) =!= col("n_chars")).isEmpty)
   }
 
+  test("COUNT(*) pushes down completely: answered from bounds, no generation") {
+    val big = spark.read.format("graft-synth")
+      .option("rows", 2000000000L).option("partitions", 64).load()
+    // 2e9 rows would take minutes to generate; the pushed count is instant
+    val t0 = System.nanoTime()
+    assert(big.count() == 2000000000L)
+    val dt = (System.nanoTime() - t0) / 1e9
+    assert(dt < 30, s"count took ${dt}s — aggregate was not pushed")
+    val counted = big.filter(col("doc_id") >= 1999999000L)
+    assert(counted.count() == 1000)
+    val scan = counted.groupBy().count()
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("aggPushed=count(1000)"), scan)
+  }
+
   test("micro-batch stream delivers all rows in rowsPerBatch slices") {
     val q = spark.readStream.format("graft-synth")
       .option("rows", 1000).option("rowsPerBatch", 300).load()
