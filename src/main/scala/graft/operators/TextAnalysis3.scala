@@ -26,6 +26,10 @@ object TextAnalysis3 {
         "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))"))
         .as("b"))
       .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      // persisted: the two count aggregations and the probe side are
+      // three consumers of the exploded bigram table — the barrier
+      // makes the explode run once instead of three times
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
     bigrams
