@@ -141,9 +141,12 @@ object TextAnalysis {
     val words = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
       .filter(col("word") =!= "")
+    // df derives from tf (its rows are the distinct (doc, word) pairs):
+    // no second explode, no distinct — and because the tf subplan is
+    // IDENTICAL on both sides of the join, ReuseExchange computes its
+    // shuffle once (a persist here would only add cache-write overhead)
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val df_ = words.select("doc_id", "word").distinct()
-      .groupBy("word").agg(count(lit(1)).as("df"))
+    val df_ = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(s, d).select(countDistinct("doc_id").as("n_docs"))
     tf.join(df_, "word")
       .join(broadcast(nDocs))

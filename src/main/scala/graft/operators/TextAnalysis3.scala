@@ -66,9 +66,13 @@ object TextAnalysis3 {
     val words = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
       .filter(col("word") =!= "")
+    // df falls out of tf for free: tf's rows ARE the distinct
+    // (doc, word) pairs, so counting them per word needs no second
+    // explode and no distinct; identical tf subplans on both join
+    // sides share one shuffle via ReuseExchange (persist would only
+    // add cache-write overhead — measured).
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val dfTbl = words.select("doc_id", "word").distinct()
-      .groupBy("word").agg(count(lit(1)).as("df"))
+    val dfTbl = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(s, d).select(countDistinct("doc_id").as("n_docs"))
     val scored = tf.join(dfTbl, "word").join(broadcast(nDocs))
       .withColumn("tfidf",
