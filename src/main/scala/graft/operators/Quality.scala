@@ -307,7 +307,62 @@ object Quality {
       .map(one).mkString("SELECT * FROM (", " UNION ALL ", ") t ORDER BY column_name")
   }
 
+  // ---- v06: correlation matrix (feature-engineering audit) ----
+  // Pairwise Pearson correlation across the numeric columns as ONE
+  // aggregate pass: per-column exact decimal sums + per-pair exact
+  // decimal cross-moments (q31's recipe: cast FACTORS to DECIMAL(18,6)
+  // before multiplying — the decimal product is exact where casting the
+  // double product is not), closed form in double, rounded 1e-9 to
+  // absorb cross-engine FMA. n(n-1)/2 extra aggregates, zero extra
+  // scans — df.corr() per pair would be a scan per pair.
+  val v06_corr_matrix: Q = (s, d) => {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val D = org.apache.spark.sql.types.DecimalType(18, 6)
+    def dc(c: String) = col(c).cast(D)
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = count(lit(1)).as("n") +:
+      (cols.flatMap(c => Seq(
+        sum(dc(c)).cast("double").as(s"s_$c"),
+        sum(dc(c) * dc(c)).cast("double").as(s"ss_$c"))) ++
+        pairs.map { case (a, b) =>
+          sum(dc(a) * dc(b)).cast("double").as(s"sp_${a}_$b") })
+    val wide = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+    val stack = pairs.map { case (a, b) =>
+      s"'$a', '$b', sp_${a}_$b, s_$a, ss_$a, s_$b, ss_$b"
+    }.mkString(", ")
+    wide.select(col("n"), expr(
+        s"stack(${pairs.size}, $stack) AS (col_a, col_b, sxy, sx, sxx, sy, syy)"))
+      .select(col("col_a"), col("col_b"),
+        round((col("sxy") - col("sx") * col("sy") / col("n"))
+          / (sqrt(col("sxx") - col("sx") * col("sx") / col("n"))
+            * sqrt(col("syy") - col("sy") * col("sy") / col("n"))), 9).as("corr"))
+      .orderBy("col_a", "col_b")
+  }
+  val v06Sql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val moments = (cols.flatMap(c => Seq(
+      s"CAST(SUM(d_$c) AS DOUBLE) AS s_$c",
+      s"CAST(SUM(d_$c * d_$c) AS DOUBLE) AS ss_$c")) ++
+      (for { i <- cols.indices; j <- cols.indices if i < j }
+        yield s"CAST(SUM(d_${cols(i)} * d_${cols(j)}) AS DOUBLE) AS sp_${cols(i)}_${cols(j)}"))
+      .mkString(", ")
+    val casts = cols.map(c => s"CAST($c AS DECIMAL(19,6)) AS d_$c").mkString(", ")
+    val rows = (for { i <- cols.indices; j <- cols.indices if i < j } yield {
+      val (a, b) = (cols(i), cols(j))
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+         round((sp_${a}_$b - s_$a*s_$b/n)
+           / (sqrt(ss_$a - s_$a*s_$a/n) * sqrt(ss_$b - s_$b*s_$b/n)), 9) AS corr
+         FROM m"""
+    }).mkString(" UNION ALL ")
+    s"""WITH m AS (SELECT COUNT(*) AS n, $moments
+        FROM (SELECT $casts FROM lineitem) r)
+      SELECT * FROM ($rows) t ORDER BY col_a, col_b"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "v06_corr_matrix"   -> v06_corr_matrix,
     "v05_profile"       -> v05_profile,
     "v01_data_quality"  -> v01_data_quality,
     "v02_expectations"  -> v02_expectations,
@@ -316,6 +371,7 @@ object Quality {
     "q54_snapshot_diff" -> q54_snapshot_diff,
   )
   val oracles: Map[String, String] = Map(
+    "v06_corr_matrix"   -> v06Sql,
     "v05_profile"       -> v05Sql,
     "v01_data_quality"  -> v01Sql,
     "v02_expectations"  -> v02Sql,
