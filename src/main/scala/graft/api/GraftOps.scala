@@ -319,6 +319,59 @@ object GraftOps {
       .withColumn("novelty", col("n_novel").cast("double") / col("n_grams"))
   }
 
+  /** Per-column profile (describe() done right): count / nulls / min /
+    * max / mean for every listed numeric column as ONE wide aggregate
+    * over ONE scan, unpivoted to a row per column. Means use the
+    * decimal-stable sum, so the report is identical on any cluster.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__cnt_$c"),
+        min(col(c)).cast("double").as(s"__min_$c"),
+        max(col(c)).cast("double").as(s"__max_$c"),
+        graft.Stable.davg(col(c)).as(s"__mean_$c"))
+    }
+    val stack = cols.map(c =>
+      s"'$c', __cnt_$c, __min_$c, __max_$c, __mean_$c").mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("__n"), expr(
+        s"stack(${cols.size}, $stack) AS (column_name, n_filled, min_v, max_v, mean_v)"))
+      .select(col("column_name"), col("__n").as("n_rows"),
+        (col("__n") - col("n_filled")).as("n_null"),
+        col("min_v"), col("max_v"), col("mean_v"))
+  }
+
+  /** Pairwise Pearson correlation over the listed numeric columns in
+    * ONE scan (`(col_a, col_b, corr)` per pair): exact decimal
+    * cross-moments, closed form in double. `df.stat.corr` costs a scan
+    * per pair; this costs n(n-1)/2 extra AGGREGATES.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    val D = org.apache.spark.sql.types.DecimalType(18, 6)
+    def dc(c: String) = col(c).cast(D)
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+      yield (cols(i), cols(j))
+    val aggs = count(lit(1)).as("__n") +:
+      (cols.flatMap(c => Seq(
+        sum(dc(c)).cast("double").as(s"__s_$c"),
+        sum(dc(c) * dc(c)).cast("double").as(s"__ss_$c"))) ++
+        pairs.map { case (a, b) =>
+          sum(dc(a) * dc(b)).cast("double").as(s"__sp_${a}_$b") })
+    val stack = pairs.map { case (a, b) =>
+      s"'$a', '$b', __sp_${a}_$b, __s_$a, __ss_$a, __s_$b, __ss_$b"
+    }.mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("__n"), expr(
+        s"stack(${pairs.size}, $stack) AS (col_a, col_b, __sxy, __sx, __sxx, __sy, __syy)"))
+      .select(col("col_a"), col("col_b"),
+        round((col("__sxy") - col("__sx") * col("__sy") / col("__n"))
+          / (sqrt(col("__sxx") - col("__sx") * col("__sx") / col("__n"))
+            * sqrt(col("__syy") - col("__sy") * col("__sy") / col("__n"))), 9)
+          .as("corr"))
+  }
+
   /** One-hot indicator columns for a STATIC vocabulary (stable schema —
     * what a feature store needs). Pure narrow map, zero shuffle.
     * Output columns are `prefix_<value>` with non-alnum chars mapped to _.
@@ -426,5 +479,9 @@ object syntax {
       GraftOps.idGaps(df, key)
     def novelty(id: Column, text: Column, n: Int = 4): DataFrame =
       GraftOps.novelty(df, id, text, n)
+    def profile(cols: Seq[String]): DataFrame =
+      GraftOps.profile(df, cols)
+    def corrMatrix(cols: Seq[String]): DataFrame =
+      GraftOps.corrMatrix(df, cols)
   }
 }

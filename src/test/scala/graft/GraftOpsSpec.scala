@@ -272,6 +272,29 @@ class GraftOpsSpec extends AnyFunSuite {
     assert(GraftOps.idGaps(dense, col("k")).count() == 0)
   }
 
+  test("profile and corrMatrix agree with their oracle query formulations") {
+    val li = Tables.lineitem(spark, sf)
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val gotP = GraftOps.profile(li, cols)
+      .select(col("column_name"), col("n_rows"), col("n_null"),
+        col("min_v"), col("max_v"), round(col("mean_v"), 9).as("m"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val wantP = operators.Quality.v05_profile(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(gotP == wantP)
+    val gotC = GraftOps.corrMatrix(li, cols)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val wantC = operators.Quality.v06_corr_matrix(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(gotC == wantC && gotC.size == 6)
+    // single-pass shape: profile/corrMatrix never scan once per column
+    val nScans = "lineitem\\.parquet".r
+      .findAllIn(GraftOps.corrMatrix(li, cols).queryExecution.executedPlan.toString).size
+    assert(nScans == 1, s"corrMatrix scanned lineitem $nScans times")
+  }
+
   test("deterministicSplit is partition-invariant with sane fractions") {
     val a = docs.deterministicSplit(col("doc_id"), Seq(0.8, 0.1, 0.1))
       .select("doc_id", "split").collect()
