@@ -189,11 +189,73 @@ object Similarity2 {
              round(max(err), 9) AS max_abs_err
       FROM r GROUP BY label ORDER BY label"""
 
+  // ---- s10: MMR diversified retrieval (rows-only) ----
+  // Maximal Marginal Relevance (Carbonell & Goldstein 1998) — the RAG
+  // re-ranking step: from each query's top-25 cosine candidates, greedily
+  // pick k=5 maximizing lambda*sim(q,c) - (1-lambda)*max_{s in S} sim(c,s),
+  // trading relevance against redundancy with what's already selected.
+  // Plan: the candidate generation is s01's broadcast scoring capped at
+  // 25; the greedy step is inherently sequential PER QUERY but independent
+  // ACROSS queries, so it runs as `flatMapGroups` over the (qid)-grouped
+  // candidates — per-group state is <= 25 vectors, executors parallelize
+  // across queries, nothing iterates on the driver. Ties broken by vec_id;
+  // scores rounded 1e-9 pre-comparison so selection is engine-exact.
+  // Rows-only: greedy selection isn't ANSI-SQL-expressible; the spec
+  // asserts lambda=1 degenerates to exactly s01's top-5, output shape,
+  // and partition invariance.
+  def mmrSelect(s: SparkSession, d: String, lambda: Double, k: Int): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("vec_id"))
+    val cands = e.select(col("vec_id"), col("embedding").as("ce"))
+      .join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .withColumn("cosine", round(graft.functions.cosine_sim(col("qe"), col("ce")), 9))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= 25)
+      .select(col("qid"), col("vec_id"), col("cosine"), col("ce"))
+      .as[(Long, Long, Double, Array[Float])]
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var i = 0; var ab = 0.0; var aa = 0.0; var bb = 0.0
+      while (i < a.length) { ab += a(i).toDouble * b(i); aa += a(i).toDouble * a(i); bb += b(i).toDouble * b(i); i += 1 }
+      math.rint(ab / (math.sqrt(aa) * math.sqrt(bb)) * 1e9) / 1e9
+    }
+    cands.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cs = it.toArray.sortBy(c => (-c._3, c._2)) // by relevance, vec_id tie-break
+        val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Long)]
+        val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
+        while (chosen.size < math.min(k, cs.length)) {
+          var bestIdx = -1; var bestScore = Double.NegativeInfinity
+          cs.indices.foreach { i =>
+            if (!chosen.contains(i)) {
+              val red = if (chosen.isEmpty) 0.0
+                else chosen.map(j => cos(cs(i)._4, cs(j)._4)).max
+              val score = math.rint((lambda * cs(i)._3 - (1 - lambda) * red) * 1e9) / 1e9
+              if (score > bestScore ||
+                  (score == bestScore && (bestIdx < 0 || cs(i)._2 < cs(bestIdx)._2))) {
+                bestScore = score; bestIdx = i
+              }
+            }
+          }
+          chosen += bestIdx
+          selected += ((qid, cs(bestIdx)._2, cs(bestIdx)._3, chosen.size.toLong))
+        }
+        selected.iterator
+      }
+      .toDF("qid", "vec_id", "cosine", "pick")
+      .select("qid", "pick", "vec_id", "cosine")
+      .orderBy("qid", "pick")
+  }
+  val s10_mmr_diversify: Q = (s, d) => mmrSelect(s, d, 0.7, 5)
+
   val queries: Map[String, Q] = Map(
     "s06_kmeans_refine"  -> s06_kmeans_refine,
     "s07_pairwise_stats" -> s07_pairwise_stats,
     "s08_ann_recall"     -> s08_ann_recall,
     "s09_scalar_quant"   -> s09_scalar_quant,
+    "s10_mmr_diversify"  -> s10_mmr_diversify,
   )
   val oracles: Map[String, String] = Map(
     "s06_kmeans_refine"  -> s06Sql,

@@ -134,6 +134,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(n == a)
   }
 
+  test("s10 mmr: lambda=1 degenerates to s01 top-5; diversified set stays in candidates") {
+    val pure = operators.Similarity2.mmrSelect(spark, sf, 1.0, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val base = operators.Similarity.s01_knn_brute(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pure == base, "lambda=1 MMR must equal pure relevance ranking")
+    val div = operators.Similarity2.s10_mmr_diversify(spark, sf).collect()
+    assert(div.length == 25) // 5 queries x 5 picks
+    val byQ = div.groupBy(_.getLong(0))
+    assert(byQ.values.forall(_.length == 5))
+    // every pick comes from that query's top-25 candidate pool
+    val pool = operators.Similarity2.mmrSelect(spark, sf, 1.0, 25)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(div.forall(r => pool((r.getLong(0), r.getLong(2)))))
+    // first pick is always the top-relevance candidate
+    val first = div.filter(_.getLong(1) == 1L)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val top1 = base.collect { case ((q, 1L), v) => q -> v }
+    assert(first == top1)
+  }
+
   test("d01 exact dedup: keeper count equals distinct normalized texts") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf)
