@@ -319,6 +319,22 @@ object GraftOps {
       .withColumn("novelty", col("n_novel").cast("double") / col("n_grams"))
   }
 
+  /** Conform a frame to a target schema (DDL string): target columns in
+    * target order, existing columns cast to the target type, missing
+    * columns added as typed nulls, extra columns dropped. The ingestion
+    * staple that lets heterogeneous feeds union into one long-lived
+    * table; pure narrow projection, zero shuffle, idempotent.
+    */
+  def conform(df: DataFrame, targetDdl: String): DataFrame = {
+    val target = org.apache.spark.sql.types.StructType.fromDDL(targetDdl)
+    val have = df.columns.toSet
+    df.select(target.fields.toIndexedSeq.map { f =>
+      val c = if (have(f.name)) col(f.name).cast(f.dataType)
+        else lit(null).cast(f.dataType)
+      c.as(f.name)
+    }: _*)
+  }
+
   /** Per-column profile (describe() done right): count / nulls / min /
     * max / mean for every listed numeric column as ONE wide aggregate
     * over ONE scan, unpivoted to a row per column. Means use the
@@ -483,5 +499,7 @@ object syntax {
       GraftOps.profile(df, cols)
     def corrMatrix(cols: Seq[String]): DataFrame =
       GraftOps.corrMatrix(df, cols)
+    def conform(targetDdl: String): DataFrame =
+      GraftOps.conform(df, targetDdl)
   }
 }

@@ -272,6 +272,27 @@ class GraftOpsSpec extends AnyFunSuite {
     assert(GraftOps.idGaps(dense, col("k")).count() == 0)
   }
 
+  test("conform aligns schema: order, casts, typed nulls, dropped extras, idempotent") {
+    import spark.implicits._
+    val feed = Seq((1, "a", 2.5), (2, "b", 3.5)).toDF("id", "extra", "score")
+    val ddl = "id BIGINT, score DECIMAL(10,2), label STRING"
+    val out = GraftOps.conform(feed, ddl)
+    // names + types align (nullability may tighten when the source is non-null)
+    assert(out.schema.map(f => (f.name, f.dataType)) ==
+      org.apache.spark.sql.types.StructType.fromDDL(ddl).map(f => (f.name, f.dataType)))
+    assert(out.columns.toSeq == Seq("id", "score", "label"))
+    val rows = out.orderBy("id").collect()
+    assert(rows(0).getLong(0) == 1L)
+    assert(rows(0).getDecimal(1).toPlainString == "2.50")
+    assert(rows(0).isNullAt(2), "missing column must be null")
+    // idempotent + unionable with an already-conformed frame
+    val again = GraftOps.conform(out, ddl)
+    assert(again.exceptAll(out).isEmpty && out.exceptAll(again).isEmpty)
+    assert(out.unionByName(again).count() == 4)
+    // zero shuffle: pure projection
+    assert(api.PlanAudit.isShuffleFree(GraftOps.conform(feed, ddl)))
+  }
+
   test("profile and corrMatrix agree with their oracle query formulations") {
     val li = Tables.lineitem(spark, sf)
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
