@@ -104,6 +104,10 @@ object TransformSpec {
         val weights = step.path("weights").elements().asScala
           .map(_.asDouble()).toSeq
         GraftOps.deterministicSplit(df, expr(step.path("key").asText()), weights)
+      case "conform" =>
+        GraftOps.conform(df, step.path("schema").asText())
+      case "profile" =>
+        GraftOps.profile(df, strings(step.path("cols")))
       case "expect" =>
         // inline data-quality gate: runs ONE eager validation pass over
         // the frame-so-far when the spec compiles and throws if any rule

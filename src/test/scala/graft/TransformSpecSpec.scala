@@ -121,6 +121,20 @@ class TransformSpecSpec extends AnyFunSuite {
     }
   }
 
+  test("conform and profile steps compose in a config job") {
+    val docs = Tables.documents(spark, sf)
+    val out = TransformSpec.run(
+      """{"source": "d", "steps": [
+        {"op": "conform", "schema": "doc_id BIGINT, n_chars DOUBLE, missing STRING"},
+        {"op": "profile", "cols": ["doc_id", "n_chars"]},
+        {"op": "orderBy", "cols": ["column_name"]}]}""",
+      Map("d" -> docs)).collect()
+    assert(out.length == 2)
+    val byCol = out.map(r => r.getString(0) -> r).toMap
+    assert(byCol("doc_id").getLong(1) == docs.count())
+    assert(byCol("n_chars").getLong(2) == 0) // cast double, still non-null
+  }
+
   test("unknown ops and unknown tables fail loudly") {
     val docs = Tables.documents(spark, sf)
     intercept[IllegalArgumentException] {
