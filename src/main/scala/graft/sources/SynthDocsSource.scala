@@ -193,11 +193,30 @@ private[sources] class SynthCountScan(count: Long, nCols: Int,
 private[sources] class SynthScan(rows: Long, partitions: Int, seed: Long,
                                  lo: Long, hi: Long, required: StructType,
                                  pushed: Array[Filter], rowsPerBatch: Long = 100)
-  extends Scan with Batch {
+  extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new SynthMicroBatchStream(rows, seed, rowsPerBatch, required)
+
+  /** Post-pushdown size estimate: row count is exact from the pruned id
+    * bounds; bytes use a per-column width model (`text` dominates at
+    * ~240 chars). Reporting statistics lets Catalyst choose broadcast
+    * joins for small synth tables WITHOUT a hint — the planner autonomy
+    * every production source (parquet footers, iceberg manifests)
+    * provides its optimizer.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val n = math.max(0L, hi - lo + 1)
+    private val widths = Map("doc_id" -> 8L, "lang" -> 4L, "source" -> 6L,
+      "text" -> 280L, "n_chars" -> 8L)
+    private val rowBytes =
+      math.max(8L, required.fieldNames.map(widths.getOrElse(_, 16L)).sum)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(n * rowBytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(n)
+  }
   override def description(): String =
     s"graft-synth rows=$rows bounds=[$lo,$hi] PushedFilters: ${pushed.mkString("[", ", ", "]")}"
 

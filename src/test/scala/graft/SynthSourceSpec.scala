@@ -73,6 +73,21 @@ class SynthSourceSpec extends AnyFunSuite {
     assert(df.filter(length(col("text")) =!= col("n_chars")).isEmpty)
   }
 
+  test("reported statistics drive an unhinted broadcast join") {
+    // small synth side: stats say ~100 rows * ~300 B << the 10 MB
+    // autoBroadcastJoinThreshold, so the planner must pick broadcast
+    // WITHOUT any broadcast() hint
+    val dim = spark.read.format("graft-synth")
+      .option("rows", 100).option("partitions", 2).load()
+      .select(col("doc_id"), col("lang"))
+    val fact = Tables.orders(spark, sf)
+    val joined = fact.join(dim, fact("o_orderkey") === dim("doc_id"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"stats-reported small side should broadcast unhinted: $plan")
+    assert(joined.count() == 100)
+  }
+
   test("COUNT(*) pushes down completely: answered from bounds, no generation") {
     val big = spark.read.format("graft-synth")
       .option("rows", 2000000000L).option("partitions", 64).load()
