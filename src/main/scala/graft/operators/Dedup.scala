@@ -152,12 +152,19 @@ object Dedup {
   }
 
   // ---- d06: production-scale verified near-dup (LSH candidates + exact
-  // Jaccard on candidates only; rows-only, spec vs d03) ----
+  // Jaccard on candidates only) ----
   // This is the pipeline you run at 100 TB: MinHash-LSH prunes the pair
   // space to banding candidates (bounded by collision probability, NOT by
   // shared-shingle frequency), then exact shingle-set Jaccard verifies
   // just those pairs. Unlike d03, cost does not grow with stop-shingle
   // document frequency.
+  // Oracle: shares d03's SQL. At 16 bands x 4 rows a true pair at
+  // jaccard t is missed with probability (1 - t^4)^16 — ~1e-18 at the
+  // seeded t≈0.98 — so the verified output EQUALS the exact join's
+  // (checked empirically at sf0.001/0.01/0.1: identical at all three);
+  // the spec still asserts recall and no-false-accepts independently,
+  // so a corpus where banding actually lost a pair would fail the spec
+  // before it failed the oracle.
   val d06_lsh_verified: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val sig = docs.select(col("doc_id"), minhash_signature(col("text"), 64, 3).as("sig"))
@@ -233,6 +240,9 @@ object Dedup {
     "d07_kmv_sketch"    -> d07Sql,
     "d01_exact_dedup"   -> d01Sql,
     "d03_ngram_jaccard" -> d03Sql,
+    // banding at 16x4 cannot miss the seeded t≈0.98 pairs (see scaladoc),
+    // so the verified output equals d03's and shares its oracle
+    "d06_lsh_verified"  -> d03Sql,
     // d02/d04 are LSH approximations — rows-only; DedupSpec asserts recall
     // against d03's exact near-dup pairs.
   )
