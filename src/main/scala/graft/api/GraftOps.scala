@@ -319,6 +319,55 @@ object GraftOps {
       .withColumn("novelty", col("n_novel").cast("double") / col("n_grams"))
   }
 
+  /** Map-side pruning stage of [[topKPerKey]]: per input partition, a
+    * bounded heap per key keeps only that partition's k best rows
+    * (score desc, tie asc). No shuffle; output ≤ keysInPartition x k
+    * rows per partition. Any row in the global per-key top-k is by
+    * definition in its own partition's per-key top-k, so the pruning
+    * is lossless for the final ranking. mapPartitions is deliberate
+    * here: this is the map-side-combine pattern for an operation
+    * (bounded rank) that partial aggregation cannot express.
+    */
+  def partialTopK(df: DataFrame, key: String, score: String, tie: String,
+                  k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val schema = df.schema
+    val ki = schema.fieldIndex(key)
+    val si = schema.fieldIndex(score)
+    val ti = schema.fieldIndex(tie)
+    def num(v: Any): Double = v.asInstanceOf[Number].doubleValue
+    // rank tuple: smaller = better; the queue pops its max (= worst kept)
+    val worstFirst = Ordering.by[org.apache.spark.sql.Row, (Double, Double)](
+      r => (-num(r.get(si)), num(r.get(ti))))
+    df.mapPartitions { rows =>
+      val heaps = scala.collection.mutable.HashMap
+        .empty[Any, scala.collection.mutable.PriorityQueue[org.apache.spark.sql.Row]]
+      rows.foreach { r =>
+        val h = heaps.getOrElseUpdate(r.get(ki),
+          scala.collection.mutable.PriorityQueue.empty(worstFirst))
+        if (h.size < k) h.enqueue(r)
+        else if (worstFirst.lt(r, h.head)) { h.dequeue(); h.enqueue(r) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** Exact top-k rows per key (score desc, ties by `tie` asc, like
+    * `row_number`): [[partialTopK]] shrinks each partition to at most
+    * k rows per key BEFORE the shuffle, then one window ranks the
+    * survivors. Identical output to the plain window formulation, but
+    * the exchange moves ~partitions x keys x k rows instead of the
+    * whole table — the difference between shuffling 100 TB and
+    * shuffling megabytes when k is small. Appends `rn` (1-based).
+    */
+  def topKPerKey(df: DataFrame, key: String, score: String, tie: String,
+                 k: Int): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(desc(score), col(tie))
+    partialTopK(df, key, score, tie, k)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
   /** Conform a frame to a target schema (DDL string): target columns in
     * target order, existing columns cast to the target type, missing
     * columns added as typed nulls, extra columns dropped. The ingestion
@@ -501,5 +550,7 @@ object syntax {
       GraftOps.corrMatrix(df, cols)
     def conform(targetDdl: String): DataFrame =
       GraftOps.conform(df, targetDdl)
+    def topKPerKey(key: String, score: String, tie: String, k: Int): DataFrame =
+      GraftOps.topKPerKey(df, key, score, tie, k)
   }
 }

@@ -200,7 +200,22 @@ object Relational9 {
       SELECT k + 1 AS gap_lo, nk - 1 AS gap_hi, nk - k - 1 AS gap_len
       FROM nx WHERE nk > k + 1 ORDER BY gap_lo"""
 
+  // ---- q76: map-side bounded top-k per key ----
+  // q09's semantics through graft.api.GraftOps.topKPerKey: per-partition
+  // bounded heaps keep each key's k best rows BEFORE the shuffle, so the
+  // exchange moves ~partitions x keys x k rows instead of the whole
+  // table — the map-side-combine pattern applied to ranking, which
+  // Spark's window operator cannot do on its own. Output (and oracle)
+  // identical to q09: the pruning is provably lossless and the final
+  // window uses the same (score desc, key asc) tie-break.
+  val q76_topk_mapside: Q = (s, d) =>
+    graft.api.GraftOps.topKPerKey(Tables.orders(s, d),
+        "o_orderpriority", "o_totalprice", "o_orderkey", 3)
+      .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderpriority", "rn")
+
   val queries: Map[String, Q] = Map(
+    "q76_topk_mapside"    -> q76_topk_mapside,
     "q66_gaps_islands"    -> q66_gaps_islands,
     "q67_filtered_agg"    -> q67_filtered_agg,
     "q68_latest_per_key"  -> q68_latest_per_key,
@@ -209,6 +224,8 @@ object Relational9 {
     "q75_id_gaps"         -> q75_id_gaps,
   )
   val oracles: Map[String, String] = Map(
+    // identical output to q09 by construction — shares its oracle
+    "q76_topk_mapside"    -> Relational.q09Sql,
     "q66_gaps_islands"    -> q66Sql,
     "q67_filtered_agg"    -> q67Sql,
     "q68_latest_per_key"  -> q68Sql,

@@ -272,6 +272,31 @@ class GraftOpsSpec extends AnyFunSuite {
     assert(GraftOps.idGaps(dense, col("k")).count() == 0)
   }
 
+  test("topKPerKey: equals the window formulation, prunes pre-shuffle, partition-invariant") {
+    val ev = Tables.events(spark, sf)
+    val got = GraftOps.topKPerKey(ev, "event_type", "value", "event_id", 3)
+      .select("event_type", "rn", "event_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("value").desc, col("event_id"))
+    val want = ev.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3).select("event_type", "rn", "event_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want && got.nonEmpty)
+    // partition invariance
+    val re = GraftOps.topKPerKey(ev.repartition(13), "event_type", "value", "event_id", 3)
+      .select("event_type", "rn", "event_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(re == want)
+    // the map-side stage bounds what reaches the shuffle:
+    // <= numPartitions x distinctKeys x k rows survive pruning
+    val parts = ev.rdd.getNumPartitions
+    val keys = ev.select("event_type").distinct().count()
+    val pruned = GraftOps.partialTopK(ev, "event_type", "value", "event_id", 3).count()
+    assert(pruned <= parts * keys * 3, s"pruned=$pruned parts=$parts keys=$keys")
+    assert(pruned < ev.count(), "pruning must shrink the shuffle input")
+  }
+
   test("conform aligns schema: order, casts, typed nulls, dropped extras, idempotent") {
     import spark.implicits._
     val feed = Seq((1, "a", 2.5), (2, "b", 3.5)).toDF("id", "extra", "score")
