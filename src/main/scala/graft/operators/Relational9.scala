@@ -214,7 +214,33 @@ object Relational9 {
       .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
       .orderBy("o_orderpriority", "rn")
 
+  // ---- q77: as-of join with tolerance ----
+  // pandas merge_asof(tolerance=...) semantics: the latest prior match
+  // counts only if it is RECENT enough (here: view within 1 hour before
+  // the purchase); staler matches become non-matches (nulls), exactly
+  // like an expiring quote. Same single-shuffle union+window plan as
+  // q34 — tolerance is a post-attach projection, costing nothing extra.
+  val q77_asof_tolerance: Q = (s, d) => {
+    val tolS = 3600L
+    val base = Relational3.q34_asof_join(s, d)
+    val ok = col("gap_s").isNotNull && col("gap_s") <= tolS
+    base.select(
+        col("event_id"), col("user_id"), col("ts"),
+        when(ok, col("view_event_id")).as("view_event_id"),
+        when(ok, col("view_ts")).as("view_ts"),
+        when(ok, col("gap_s")).as("gap_s"))
+      .orderBy("event_id")
+  }
+  val q77Sql: String =
+    s"""WITH a AS (${Relational3.q34Sql.replace("ORDER BY p.event_id", "")})
+      SELECT event_id, user_id, ts,
+        CASE WHEN gap_s <= 3600 THEN view_event_id END AS view_event_id,
+        CASE WHEN gap_s <= 3600 THEN view_ts END AS view_ts,
+        CASE WHEN gap_s <= 3600 THEN gap_s END AS gap_s
+      FROM a ORDER BY event_id"""
+
   val queries: Map[String, Q] = Map(
+    "q77_asof_tolerance"  -> q77_asof_tolerance,
     "q76_topk_mapside"    -> q76_topk_mapside,
     "q66_gaps_islands"    -> q66_gaps_islands,
     "q67_filtered_agg"    -> q67_filtered_agg,
@@ -224,6 +250,7 @@ object Relational9 {
     "q75_id_gaps"         -> q75_id_gaps,
   )
   val oracles: Map[String, String] = Map(
+    "q77_asof_tolerance"  -> q77Sql,
     // identical output to q09 by construction — shares its oracle
     "q76_topk_mapside"    -> Relational.q09Sql,
     "q66_gaps_islands"    -> q66Sql,
