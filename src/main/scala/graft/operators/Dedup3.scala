@@ -189,15 +189,79 @@ object Dedup3 {
       SELECT label, n_total, n_kept, n_total - n_kept AS n_removed
       FROM kept JOIN tot USING (label) ORDER BY label"""
 
+  // ---- d15: dedup manifest (per-document disposition + lineage) ----
+  // The auditability artifact a production cleaning pipeline must emit:
+  // one row per document saying what happened to it and WHY —
+  // 'exact_dup' (with the normalized-text keeper it duplicates),
+  // 'near_dup' (with its smallest-id jaccard>=0.5 predecessor among
+  // exact-dedup survivors), or 'kept'. Stage order matches p01: exact
+  // dedup first (cheap, halves the near-dup input), near-dup pairs
+  // computed over survivors only. ref_doc for near-dups is the
+  // immediate predecessor, not the cluster root — d08/d13 resolve full
+  // clusters when that's needed. Cost: d01 + d03 on survivors, plus a
+  // vocabulary of unions; nothing new is quadratic.
+  val d15_dedup_manifest: Q = (s, d) => {
+    val normExpr = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val hashed = docs.withColumn("h", md5(expr(normExpr)))
+    val keepers = hashed.groupBy("h").agg(min("doc_id").as("ref"))
+    val withRef = hashed.join(keepers, "h")
+    val exactDups = withRef.filter(col("doc_id") =!= col("ref"))
+      .select(col("doc_id"), lit("exact_dup").as("status"), col("ref").as("ref_doc"))
+    val survivors = withRef.filter(col("doc_id") === col("ref"))
+      .select("doc_id", "text")
+    val doomedRef = graft.api.GraftOps
+      .jaccardJoin(survivors, col("doc_id"), col("text"), 0.5)
+      .groupBy(col("id_b").as("doc_id")).agg(min("id_a").as("ref_doc"))
+    val nearDups = doomedRef
+      .select(col("doc_id"), lit("near_dup").as("status"), col("ref_doc"))
+    val kept = survivors.join(doomedRef, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit("kept").as("status"),
+        lit(null).cast("long").as("ref_doc"))
+    exactDups.unionByName(nearDups).unionByName(kept).orderBy("doc_id")
+  }
+  val d15Sql: String =
+    """WITH h AS (SELECT doc_id, text,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+           FROM documents),
+      k AS (SELECT h, min(doc_id) AS ref FROM h GROUP BY h),
+      wr AS (SELECT h.doc_id, h.text, k.ref FROM h JOIN k USING (h)),
+      sv AS (SELECT doc_id, text FROM wr WHERE doc_id = ref),
+      w AS (SELECT doc_id, generate_subscripts(string_split(text,' '),1) i,
+                 unnest(string_split(text,' ')) w FROM sv),
+      g AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+            FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.i=a.i+1
+                     JOIN w c ON c.doc_id=a.doc_id AND c.i=a.i+2),
+      dd AS (SELECT DISTINCT doc_id, sh FROM g),
+      sizes AS (SELECT doc_id, count(*) n FROM dd GROUP BY doc_id),
+      pairs AS (SELECT x.doc_id da, y.doc_id db, count(*) shared
+                FROM dd x JOIN dd y ON x.sh=y.sh AND x.doc_id<y.doc_id
+                GROUP BY 1, 2),
+      vp AS (SELECT da, db FROM pairs JOIN sizes sa ON da=sa.doc_id
+                                      JOIN sizes sb ON db=sb.doc_id
+             WHERE CAST(shared AS DOUBLE)/(sa.n+sb.n-shared) >= 0.5),
+      doomed AS (SELECT db AS doc_id, min(da) AS ref_doc FROM vp GROUP BY db)
+      SELECT doc_id, status, ref_doc FROM (
+        SELECT doc_id, 'exact_dup' AS status, ref AS ref_doc FROM wr
+        WHERE doc_id <> ref
+        UNION ALL
+        SELECT doc_id, 'near_dup', ref_doc FROM doomed
+        UNION ALL
+        SELECT sv.doc_id, 'kept', NULL FROM sv
+        WHERE sv.doc_id NOT IN (SELECT doc_id FROM doomed)) t
+      ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
     "d11_prefix_join"     -> d11_prefix_join,
     "d12_crossdoc_ngrams" -> d12_crossdoc_ngrams,
     "d14_semantic_dedup"  -> d14_semantic_dedup,
+    "d15_dedup_manifest"  -> d15_dedup_manifest,
   )
   val oracles: Map[String, String] = Map(
     // Same result set as d03 by construction — shares its oracle.
     "d11_prefix_join"     -> Dedup.d03Sql,
     "d12_crossdoc_ngrams" -> d12Sql,
     "d14_semantic_dedup"  -> d14Sql,
+    "d15_dedup_manifest"  -> d15Sql,
   )
 }

@@ -87,6 +87,22 @@ class Dedup2Spec extends AnyFunSuite {
     assert(d11.exceptAll(d3).isEmpty && d3.exceptAll(d11).isEmpty)
   }
 
+  test("d15: manifest covers every doc exactly once; statuses partition consistently") {
+    val out = operators.Dedup3.d15_dedup_manifest(spark, sf).cache()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(out.count() == nDocs)
+    assert(out.select("doc_id").distinct().count() == nDocs)
+    // kept rows have no ref; dup rows reference an earlier doc marked kept or exact-keeper
+    assert(out.where(col("status") === "kept" && col("ref_doc").isNotNull).count() == 0)
+    assert(out.where(col("status") =!= "kept" &&
+      (col("ref_doc").isNull || col("ref_doc") >= col("doc_id"))).count() == 0)
+    // a near_dup's ref must itself be a survivor of exact dedup (status kept or near_dup)
+    val refStatus = out.where(col("status") === "near_dup")
+      .join(out.select(col("doc_id").as("ref_doc"), col("status").as("ref_status")), "ref_doc")
+    assert(refStatus.where(col("ref_status") === "exact_dup").count() == 0)
+    out.unpersist()
+  }
+
   test("q56: SCD2 invariants — one current row per key, closed rows precede opens") {
     val out = operators.Relational6.q56_scd2_merge(spark, sf)
     val byKey = out.groupBy("c_custkey")
