@@ -19,7 +19,7 @@ object SparkEntry {
       operators.Similarity.queries ++ operators.Similarity2.queries ++
       operators.TextAnalysis.queries ++ operators.TextAnalysis2.queries ++
       operators.TextAnalysis3.queries ++ operators.TextAnalysis4.queries ++
-      operators.TextAnalysis5.queries ++
+      operators.TextAnalysis5.queries ++ operators.TextAnalysis6.queries ++
       operators.Multimodal2.queries ++
       operators.Events.queries ++ operators.Events2.queries ++
       operators.Events3.queries ++
@@ -37,7 +37,7 @@ object SparkEntry {
       operators.Similarity.oracles ++ operators.Similarity2.oracles ++
       operators.TextAnalysis.oracles ++ operators.TextAnalysis2.oracles ++
       operators.TextAnalysis3.oracles ++ operators.TextAnalysis4.oracles ++
-      operators.TextAnalysis5.oracles ++
+      operators.TextAnalysis5.oracles ++ operators.TextAnalysis6.oracles ++
       operators.Multimodal2.oracles ++
       operators.Events.oracles ++ operators.Events2.oracles ++
       operators.Events3.oracles ++

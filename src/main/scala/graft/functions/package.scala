@@ -43,6 +43,14 @@ package object functions {
   def quantile_sketch(c: Column, probs: Seq[Double], capacity: Int = 1 << 17): Column =
     toCol(QuantileSketch(toExpr(c), probs, capacity).toAggregateExpression())
 
+  /** Count-Min frequency sketch build (binary result; map-side mergeable). */
+  def countmin_agg(c: Column, depth: Int = 4, width: Int = 1024): Column =
+    toCol(CountMinAgg(toExpr(c), depth, width).toAggregateExpression())
+
+  /** Point-frequency estimate against a countmin_agg sketch (>= truth). */
+  def cms_estimate(sketch: Column, value: Column, depth: Int = 4, width: Int = 1024): Column =
+    toCol(CmsEstimate(toExpr(sketch), toExpr(value), depth, width))
+
   /** Distributed Bloom filter build (binary result; map-side mergeable). */
   def bloom_agg(c: Column, numBits: Int = 1 << 20, numHashes: Int = 5): Column =
     toCol(BloomFilterAgg(toExpr(c), numBits, numHashes).toAggregateExpression())

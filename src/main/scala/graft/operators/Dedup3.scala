@@ -251,13 +251,54 @@ object Dedup3 {
         WHERE sv.doc_id NOT IN (SELECT doc_id FROM doomed)) t
       ORDER BY doc_id"""
 
+  // ---- d16: cross-source duplication overlap matrix ----
+  // Provenance analytics over d12's inverted 5-gram index: for every
+  // source pair, the number of distinct 5-grams they share — which
+  // feeds scrape-overlap triage ("source B is 90% a re-crawl of A")
+  // before any doc-level dedup runs. Plan: distinct (gram, source)
+  // postings (one explode + one distinct shuffle, computed ONCE —
+  // the self-join's two sides are the identical subplan, so
+  // ReuseExchange shares the exchange), then a gram-keyed join whose
+  // per-gram expansion is bounded by the SOURCE count (metadata-sized,
+  // ~20), never by docs — linear in index size at any corpus scale.
+  val d16_source_overlap: Q = (s, d) => {
+    val idx = Tables.documents(s, d)
+      .select(col("source"), split(col("text"), " ").as("w"))
+      .select(col("source"), explode(expr(
+        """array_distinct(transform(
+             sequence(1, greatest(size(w) - 4, 0)),
+             i -> concat_ws(' ', slice(w, i, 5))))""")).as("g"))
+      .distinct()
+    idx.as("x")
+      .join(idx.as("y"), col("x.g") === col("y.g") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .orderBy("src_a", "src_b")
+  }
+  val d16Sql: String =
+    """WITH w AS (SELECT doc_id, source,
+                       generate_subscripts(string_split(text,' '),1) i,
+                       unnest(string_split(text,' ')) w FROM documents),
+      g5 AS (SELECT a.source,
+                    a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' ' || e.w AS g
+             FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.i=a.i+1
+                      JOIN w c ON c.doc_id=a.doc_id AND c.i=a.i+2
+                      JOIN w d ON d.doc_id=a.doc_id AND d.i=a.i+3
+                      JOIN w e ON e.doc_id=a.doc_id AND e.i=a.i+4),
+      dd AS (SELECT DISTINCT source, g FROM g5)
+      SELECT x.source AS src_a, y.source AS src_b, COUNT(*) AS shared_grams
+      FROM dd x JOIN dd y ON x.g = y.g AND x.source < y.source
+      GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val queries: Map[String, Q] = Map(
+    "d16_source_overlap"  -> d16_source_overlap,
     "d11_prefix_join"     -> d11_prefix_join,
     "d12_crossdoc_ngrams" -> d12_crossdoc_ngrams,
     "d14_semantic_dedup"  -> d14_semantic_dedup,
     "d15_dedup_manifest"  -> d15_dedup_manifest,
   )
   val oracles: Map[String, String] = Map(
+    "d16_source_overlap"  -> d16Sql,
     // Same result set as d03 by construction — shares its oracle.
     "d11_prefix_join"     -> Dedup.d03Sql,
     "d12_crossdoc_ngrams" -> d12Sql,

@@ -107,12 +107,55 @@ object Multimodal2 {
       SELECT source, reason, COUNT(*) AS n, CAST(sum(byte_len) AS BIGINT) AS bytes
       FROM r GROUP BY 1, 2 ORDER BY source, reason"""
 
+  // ---- m06: magic-byte modality routing ----
+  // The dispatch step in front of per-modality decode pools: classify
+  // each opaque payload by its leading bytes (FFD8 jpeg / 4944 mp3 /
+  // 0000..66747970 mp4 in a real lake; here the payloads are synthetic,
+  // so the stand-in magic is the first hex digit of md5(payload) —
+  // deterministic and oracle-replicable), then report per-lane volume
+  // so decode capacity can be provisioned. The plumbing is the real
+  // pattern: binary column in, a narrow CASE over a prefix (never a
+  // full-payload scan), one partial-agg pass for the lane stats.
+  val m06_modality_route: Q = (s, d) => {
+    val routed = Tables.documents(s, d)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .withColumn("magic", substring(md5(col("payload")), 1, 1))
+      .withColumn("modality",
+        when(col("magic") <= "5", "image")
+          .when(col("magic") <= "a", "audio")
+          .when(col("magic") <= "d", "video")
+          .otherwise("text"))
+      .withColumn("byte_len", length(col("payload")).cast("long"))
+    routed.groupBy("modality")
+      .agg(count(lit(1)).as("n_assets"),
+        sum("byte_len").as("total_bytes"),
+        max("byte_len").as("max_bytes"))
+      .orderBy("modality")
+  }
+  val m06Sql: String =
+    """WITH r AS (SELECT
+          CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+          substring(md5(text), 1, 1) AS magic
+        FROM documents),
+      m AS (SELECT byte_len,
+          CASE WHEN magic <= '5' THEN 'image'
+               WHEN magic <= 'a' THEN 'audio'
+               WHEN magic <= 'd' THEN 'video'
+               ELSE 'text' END AS modality
+        FROM r)
+      SELECT modality, COUNT(*) AS n_assets,
+             CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+             max(byte_len) AS max_bytes
+      FROM m GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, Q] = Map(
+    "m06_modality_route" -> m06_modality_route,
     "m03_size_batching" -> m03_size_batching,
     "m04_frame_sample"  -> m04_frame_sample,
     "m05_quarantine"    -> m05_quarantine,
   )
   val oracles: Map[String, String] = Map(
+    "m06_modality_route" -> m06Sql,
     "m03_size_batching" -> m03Sql,
     "m04_frame_sample"  -> m04Sql,
     "m05_quarantine"    -> m05Sql,

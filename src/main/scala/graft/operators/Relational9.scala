@@ -239,7 +239,32 @@ object Relational9 {
         CASE WHEN gap_s <= 3600 THEN gap_s END AS gap_s
       FROM a ORDER BY event_id"""
 
+  // ---- q78: Count-Min frequency estimates ----
+  // The bounded-memory frequency-table path for streams and 100 TB
+  // scans: one groupless sketch aggregate (depth x width counters ride
+  // map-side partial agg; memory is capacity-bounded, not
+  // cardinality-bounded), broadcast to the key list, point-estimated
+  // per key. Estimates are >= truth by construction and engine-exact
+  // here: with 5 keys and width 1024, no key shares all 4 counter rows
+  // (deterministic md5 row-hashes — verified at every SF), so the
+  // oracle is the exact count. CmsSpec asserts the overestimate bound
+  // under forced collisions (width 4).
+  val q78_countmin_freq: Q = (s, d) => {
+    import graft.functions.{countmin_agg, cms_estimate}
+    val ev = Tables.events(s, d)
+    val sketch = ev.agg(countmin_agg(col("event_type")).as("cms"))
+    ev.groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+      .join(broadcast(sketch))
+      .select(col("event_type"), col("n_exact"),
+        cms_estimate(col("cms"), col("event_type")).as("n_est"))
+      .orderBy("event_type")
+  }
+  val q78Sql: String =
+    """SELECT event_type, COUNT(*) AS n_exact, COUNT(*) AS n_est
+      FROM events GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, Q] = Map(
+    "q78_countmin_freq"   -> q78_countmin_freq,
     "q77_asof_tolerance"  -> q77_asof_tolerance,
     "q76_topk_mapside"    -> q76_topk_mapside,
     "q66_gaps_islands"    -> q66_gaps_islands,
@@ -250,6 +275,7 @@ object Relational9 {
     "q75_id_gaps"         -> q75_id_gaps,
   )
   val oracles: Map[String, String] = Map(
+    "q78_countmin_freq"   -> q78Sql,
     "q77_asof_tolerance"  -> q77Sql,
     // identical output to q09 by construction — shares its oracle
     "q76_topk_mapside"    -> Relational.q09Sql,

@@ -58,6 +58,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(est - exact) / exact < 0.5, s"est $est vs exact $exact")
   }
 
+  test("count-min sketch: overestimate bound under forced collisions; exact at width 1024; partition-invariant") {
+    import graft.functions.{countmin_agg, cms_estimate}
+    val ev = Tables.events(spark, sf)
+    val exact = ev.groupBy("event_type").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def estimates(width: Int, parts: Int): Map[String, Long] = {
+      val sk = ev.repartition(parts)
+        .agg(countmin_agg(col("event_type"), 4, width).as("cms"))
+      ev.select("event_type").distinct()
+        .join(broadcast(sk))
+        .select(col("event_type"), cms_estimate(col("cms"), col("event_type"), 4, width).as("est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    // width 4 << 5 keys: collisions are certain, estimates must only ever overshoot
+    val tight = estimates(4, 8)
+    exact.foreach { case (k, n) => assert(tight(k) >= n, s"CMS undershot $k: ${tight(k)} < $n") }
+    assert(tight.values.sum > exact.values.sum, "width 4 over 5 keys must collide somewhere")
+    // width 1024: every key has a collision-free row -> exact, and merge-order invariant
+    assert(estimates(1024, 1) == exact)
+    assert(estimates(1024, 8) == exact)
+  }
+
   test("quantile sketch: exact under capacity, partition-invariant, bounded error past it") {
     import org.apache.spark.sql.functions.col
     // exact + partition-invariant while n <= capacity
