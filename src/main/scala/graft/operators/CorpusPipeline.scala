@@ -185,12 +185,66 @@ object CorpusPipeline {
       FROM w WHERE n_words >= 20
       GROUP BY 1, 2 ORDER BY lang, source"""
 
+  // ---- p04: dataset card ----
+  // The datasheet a corpus release ships with (Gebru et al. 2021
+  // "Datasheets for Datasets"): one tall (metric, value) frame with
+  // volume, provenance, language mix, and duplication-rate facts.
+  // Three bounded passes over documents, each partial-agg friendly:
+  // the wide scalar agg (count/sum/distincts), the per-lang rollup
+  // (language cardinality is tiny), and the normalized-hash distinct
+  // for the exact-dup count — nothing quadratic, nothing driver-side;
+  // output size is metrics + languages, independent of corpus size.
+  val p04_dataset_card: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val scalars = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("total_chars"),
+        countDistinct("source").as("n_sources"),
+        countDistinct("lang").as("n_langs"),
+        min(col("n_chars").cast("long")).as("min_chars"),
+        max(col("n_chars").cast("long")).as("max_chars"))
+      .select(expr(
+        """stack(6, 'n_docs', n_docs, 'total_chars', total_chars,
+                    'n_sources', n_sources, 'n_langs', n_langs,
+                    'min_chars', min_chars, 'max_chars', max_chars)
+           AS (metric, value)"""))
+    val perLang = docs.groupBy("lang")
+      .agg(count(lit(1)).as("value"))
+      .select(concat(lit("lang:"), col("lang")).as("metric"), col("value"))
+    val dupes = docs
+      .select(md5(expr(normExpr)).as("h"))
+      .agg(count(lit(1)).as("n"), countDistinct("h").as("u"))
+      .select(lit("exact_dups").as("metric"), (col("n") - col("u")).as("value"))
+    scalars.unionByName(perLang).unionByName(dupes).orderBy("metric")
+  }
+  val p04Sql: String =
+    s"""WITH s AS (SELECT COUNT(*) AS n_docs,
+            CAST(sum(n_chars) AS BIGINT) AS total_chars,
+            CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+            CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+            min(n_chars) AS min_chars, max(n_chars) AS max_chars
+          FROM documents),
+      card AS (
+        SELECT 'n_docs' AS metric, n_docs AS value FROM s
+        UNION ALL SELECT 'total_chars', total_chars FROM s
+        UNION ALL SELECT 'n_sources', n_sources FROM s
+        UNION ALL SELECT 'n_langs', n_langs FROM s
+        UNION ALL SELECT 'min_chars', min_chars FROM s
+        UNION ALL SELECT 'max_chars', max_chars FROM s
+        UNION ALL SELECT 'lang:' || lang, COUNT(*) FROM documents GROUP BY lang
+        UNION ALL SELECT 'exact_dups',
+          COUNT(*) - COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+        FROM documents)
+      SELECT metric, value FROM card ORDER BY metric"""
+
   val queries: Map[String, Q] = Map(
     "p01_corpus_clean"     -> p01_corpus_clean,
     "p02_quality_resample" -> p02_quality_resample,
-    "p03_declarative_job"  -> p03_declarative_job)
+    "p03_declarative_job"  -> p03_declarative_job,
+    "p04_dataset_card"     -> p04_dataset_card)
   val oracles: Map[String, String] = Map(
     "p01_corpus_clean"     -> p01Sql,
     "p02_quality_resample" -> p02Sql,
-    "p03_declarative_job"  -> p03Sql)
+    "p03_declarative_job"  -> p03Sql,
+    "p04_dataset_card"     -> p04Sql)
 }

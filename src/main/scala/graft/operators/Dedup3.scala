@@ -290,7 +290,54 @@ object Dedup3 {
       FROM dd x JOIN dd y ON x.g = y.g AND x.source < y.source
       GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  // ---- d17: containment near-dup pairs (one-sided Jaccard) ----
+  // Symmetric Jaccard misses SUBSET duplication — a tweet quoted inside
+  // an article, a doc embedded in a crawl concatenation — where
+  // |A∩B|/|A∪B| is small but containment |A∩B|/|A| ≈ 1 (Broder 1997
+  // defines both; substring-dedup work targets exactly this case). Same
+  // candidate discipline as d03 (shared-shingle join — a contained doc
+  // shares ALL its shingles, so candidates can't miss it), verification
+  // adds both direction ratios; emitted when either side is ≥ 0.8.
+  // Ratios are single IEEE divisions of exact ints — engine-exact.
+  val d17_containment: Q = (s, d) => {
+    val sets = shingleSets(Tables.documents(s, d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = sets.select(col("doc_id"), explode(col("sh")).as("tok"))
+    val cands = rows.as("x").join(rows.as("y"),
+        col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+    cands
+      .join(sets.select(col("doc_id").as("da"), col("sh").as("sha"), col("n").as("na")), "da")
+      .join(sets.select(col("doc_id").as("db"), col("sh").as("shb"), col("n").as("nb")), "db")
+      .withColumn("shared", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("cont_ab", col("shared").cast("double") / col("na"))
+      .withColumn("cont_ba", col("shared").cast("double") / col("nb"))
+      .filter(col("cont_ab") >= 0.8 || col("cont_ba") >= 0.8)
+      .select(col("da"), col("db"), col("shared"),
+        col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),
+        col("cont_ab"), col("cont_ba"))
+      .orderBy("da", "db")
+  }
+  val d17Sql: String =
+    """WITH w AS (SELECT doc_id, generate_subscripts(string_split(text,' '),1) i,
+                       unnest(string_split(text,' ')) w FROM documents),
+      g AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+            FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.i=a.i+1
+                     JOIN w c ON c.doc_id=a.doc_id AND c.i=a.i+2),
+      dd AS (SELECT DISTINCT doc_id, sh FROM g),
+      sizes AS (SELECT doc_id, count(*) n FROM dd GROUP BY doc_id),
+      pairs AS (SELECT x.doc_id da, y.doc_id db, count(*) shared
+                FROM dd x JOIN dd y ON x.sh=y.sh AND x.doc_id<y.doc_id GROUP BY 1,2)
+      SELECT da, db, shared, sa.n AS na, sb.n AS nb,
+             CAST(shared AS DOUBLE)/sa.n AS cont_ab,
+             CAST(shared AS DOUBLE)/sb.n AS cont_ba
+      FROM pairs JOIN sizes sa ON da=sa.doc_id JOIN sizes sb ON db=sb.doc_id
+      WHERE CAST(shared AS DOUBLE)/sa.n >= 0.8 OR CAST(shared AS DOUBLE)/sb.n >= 0.8
+      ORDER BY da, db"""
+
   val queries: Map[String, Q] = Map(
+    "d17_containment"     -> d17_containment,
     "d16_source_overlap"  -> d16_source_overlap,
     "d11_prefix_join"     -> d11_prefix_join,
     "d12_crossdoc_ngrams" -> d12_crossdoc_ngrams,
@@ -298,6 +345,7 @@ object Dedup3 {
     "d15_dedup_manifest"  -> d15_dedup_manifest,
   )
   val oracles: Map[String, String] = Map(
+    "d17_containment"     -> d17Sql,
     "d16_source_overlap"  -> d16Sql,
     // Same result set as d03 by construction — shares its oracle.
     "d11_prefix_join"     -> Dedup.d03Sql,
