@@ -499,6 +499,90 @@ object GraftOps {
     }
     df.withColumn("split", splitCol)
   }
+
+  /** Containment (one-sided Jaccard) near-dup pairs: emitted when either
+    * |A∩B|/|A| or |A∩B|/|B| >= threshold — catches subset duplication
+    * (quoted/embedded docs) that symmetric jaccardJoin misses. Same
+    * carried-count shared-shingle plan as jaccardJoin (a contained doc
+    * shares ALL its shingles, so the candidate join is lossless).
+    */
+  def containmentJoin(df: DataFrame, id: Column, text: Column,
+                      threshold: Double, n: Int = 3): DataFrame = {
+    val shingled = df
+      .select(id.as("__id"), split(text, " ").as("__w"))
+      .select(col("__id"), expr(
+        s"""array_distinct(transform(
+             sequence(1, greatest(size(__w) - ${n - 1}, 0)),
+             i -> xxhash64(concat_ws(' ', slice(__w, i, $n)))))""").as("__shs"))
+      .select(col("__id"), size(col("__shs")).cast("long").as("__n"),
+        explode(col("__shs")).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val x = shingled.select(col("__id").as("id_a"), col("__n").as("__na"), col("__sh"))
+    val y = shingled.select(col("__id").as("id_b"), col("__n").as("__nb"), col("__sh"))
+    x.join(y, "__sh")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "__na", "__nb")
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("cont_ab", col("shared").cast("double") / col("__na"))
+      .withColumn("cont_ba", col("shared").cast("double") / col("__nb"))
+      .filter(col("cont_ab") >= threshold || col("cont_ba") >= threshold)
+      .select("id_a", "id_b", "shared", "cont_ab", "cont_ba")
+  }
+
+  /** Gopher-style rule-suite filter decision over any (id, text) frame:
+    * appends exact rule metrics, a per-rule failure bitmask (1 word
+    * count, 2 mean word length, 4 alphabetic fraction, 8 stopword
+    * floor), and a keep flag — one narrow pass, every drop attributable.
+    */
+  def gopherFilter(df: DataFrame, text: Column,
+                   minWords: Int = 40, maxWords: Int = 100000,
+                   stopwords: Seq[String] =
+                     Seq("the", "a", "and", "of", "to", "in", "is", "for", "on", "with"))
+      : DataFrame = {
+    val sw = stopwords.map(w => s"'$w'").mkString(", ")
+    df.withColumn("__t", text)
+      .withColumn("n_words", size(split(trim(col("__t")), " ")).cast("long"))
+      .withColumn("mean_wlen",
+        length(regexp_replace(col("__t"), " ", "")).cast("double") / col("n_words"))
+      .withColumn("frac_alpha",
+        expr("CAST(size(filter(split(lower(__t), ' '), w -> w RLIKE '^[a-z]+$')) AS BIGINT)")
+          .cast("double") / col("n_words"))
+      .withColumn("n_stop",
+        expr(s"CAST(size(filter(array($sw), sw -> array_contains(split(lower(__t), ' '), sw))) AS BIGINT)"))
+      .withColumn("reasons",
+        (when(col("n_words") < minWords || col("n_words") > maxWords, 1).otherwise(0)
+          + when(col("mean_wlen") < 3.0 || col("mean_wlen") > 10.0, 2).otherwise(0)
+          + when(col("frac_alpha") < 0.9, 4).otherwise(0)
+          + when(col("n_stop") < 2, 8).otherwise(0)).cast("int"))
+      .withColumn("keep", col("reasons") === 0)
+      .drop("__t")
+  }
+
+  /** Per-row dedup disposition manifest over any (id, text) frame:
+    * 'exact_dup' (with its normalized-text keeper), 'near_dup' (with its
+    * smallest-id Jaccard>=threshold predecessor among exact survivors),
+    * or 'kept' — the lineage artifact a production cleaning run emits.
+    * Exact stage first (cheap, shrinks the near-dup input), jaccardJoin
+    * over survivors only.
+    */
+  def dedupManifest(df: DataFrame, id: Column, text: Column,
+                    threshold: Double = 0.5): DataFrame = {
+    val hashed = df.select(id.as("id"), text.as("__t"))
+      .withColumn("__h", md5(expr(
+        "trim(regexp_replace(lower(__t), '\\\\s+', ' '))")))
+    val keepers = hashed.groupBy("__h").agg(min("id").as("__ref"))
+    val withRef = hashed.join(keepers, "__h")
+    val exactDups = withRef.filter(col("id") =!= col("__ref"))
+      .select(col("id"), lit("exact_dup").as("status"), col("__ref").as("ref_id"))
+    val survivors = withRef.filter(col("id") === col("__ref")).select("id", "__t")
+    val doomedRef = jaccardJoin(survivors, col("id"), col("__t"), threshold)
+      .groupBy(col("id_b").as("id")).agg(min("id_a").as("ref_id"))
+    val nearDups = doomedRef.select(col("id"), lit("near_dup").as("status"), col("ref_id"))
+    val kept = survivors.join(doomedRef, Seq("id"), "left_anti")
+      .select(col("id"), lit("kept").as("status"),
+        lit(null).cast(doomedRef.schema("ref_id").dataType).as("ref_id"))
+    exactDups.unionByName(nearDups).unionByName(kept)
+  }
 }
 
 /** `import graft.api.syntax._` for method-style calls on DataFrames. */
@@ -552,5 +636,11 @@ object syntax {
       GraftOps.conform(df, targetDdl)
     def topKPerKey(key: String, score: String, tie: String, k: Int): DataFrame =
       GraftOps.topKPerKey(df, key, score, tie, k)
+    def containmentJoin(id: Column, text: Column, threshold: Double): DataFrame =
+      GraftOps.containmentJoin(df, id, text, threshold)
+    def gopherFilter(text: Column): DataFrame =
+      GraftOps.gopherFilter(df, text)
+    def dedupManifest(id: Column, text: Column, threshold: Double = 0.5): DataFrame =
+      GraftOps.dedupManifest(df, id, text, threshold)
   }
 }

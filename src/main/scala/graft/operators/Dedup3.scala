@@ -299,24 +299,25 @@ object Dedup3 {
   // shares ALL its shingles, so candidates can't miss it), verification
   // adds both direction ratios; emitted when either side is ≥ 0.8.
   // Ratios are single IEEE divisions of exact ints — engine-exact.
+  // Plan is d03's carried-count shape (sizes ride the groupBy keys, the
+  // exploded signature table is persisted once for both self-join
+  // sides): shared counts fall out of the co-occurrence aggregation
+  // directly — no distinct-candidates stage, no array join-backs.
   val d17_containment: Q = (s, d) => {
-    val sets = shingleSets(Tables.documents(s, d))
+    val shingled = shingleSets(Tables.documents(s, d))
+      .select(col("doc_id"), col("n").cast("long").as("n"),
+        explode(col("sh")).as("tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rows = sets.select(col("doc_id"), explode(col("sh")).as("tok"))
-    val cands = rows.as("x").join(rows.as("y"),
-        col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-      .distinct()
-    cands
-      .join(sets.select(col("doc_id").as("da"), col("sh").as("sha"), col("n").as("na")), "da")
-      .join(sets.select(col("doc_id").as("db"), col("sh").as("shb"), col("n").as("nb")), "db")
-      .withColumn("shared", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+    val x = shingled.select(col("doc_id").as("da"), col("n").as("na"), col("tok"))
+    val y = shingled.select(col("doc_id").as("db"), col("n").as("nb"), col("tok"))
+    x.join(y, "tok")
+      .where(col("da") < col("db"))
+      .groupBy("da", "db", "na", "nb")
+      .agg(count(lit(1)).as("shared"))
       .withColumn("cont_ab", col("shared").cast("double") / col("na"))
       .withColumn("cont_ba", col("shared").cast("double") / col("nb"))
       .filter(col("cont_ab") >= 0.8 || col("cont_ba") >= 0.8)
-      .select(col("da"), col("db"), col("shared"),
-        col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),
-        col("cont_ab"), col("cont_ba"))
+      .select("da", "db", "shared", "na", "nb", "cont_ab", "cont_ba")
       .orderBy("da", "db")
   }
   val d17Sql: String =

@@ -233,13 +233,20 @@ object Events3 {
       .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val days = du.select(col("d").as("td")).distinct()
-    def rolling(win: Int, name: String) = du
-      .join(broadcast(days),
-        col("d") <= col("td") && col("d") >= date_sub(col("td"), win - 1))
-      .groupBy("td").agg(countDistinct("user_id").as(name))
-    rolling(1, "dau")
-      .join(rolling(7, "wau"), "td")
-      .join(rolling(28, "mau"), "td")
+    // One pass: each (day, user) activity row contributes to the next 28
+    // report days via a NARROW offset explode + broadcast equi-join on
+    // the day spine (drops trailing days past the data) — replication is
+    // bounded by the window length, and no nested-loop range join ever
+    // forms. The three windows then fall out of ONE distinct-aggregate
+    // over the offset (dau: off=0, wau: off<7, mau: all), instead of
+    // three separate join+agg jobs over the rollup.
+    du.select(col("user_id"), col("d"), explode(expr("sequence(0, 27)")).as("off"))
+      .withColumn("td", expr("date_add(d, CAST(off AS INT))"))
+      .join(broadcast(days), "td")
+      .groupBy("td").agg(
+        countDistinct(when(col("off") === 0, col("user_id"))).as("dau"),
+        countDistinct(when(col("off") <= 6, col("user_id"))).as("wau"),
+        countDistinct("user_id").as("mau"))
       .select(col("td").as("day"), col("dau"), col("wau"), col("mau"))
       .orderBy("day")
   }

@@ -341,6 +341,25 @@ class GraftOpsSpec extends AnyFunSuite {
     assert(nScans == 1, s"corrMatrix scanned lineitem $nScans times")
   }
 
+  test("containmentJoin / gopherFilter / dedupManifest agree with their oracle query formulations") {
+    val viaApi = docs.containmentJoin(col("doc_id"), col("text"), 0.8)
+      .select(col("id_a").as("da"), col("id_b").as("db"),
+        col("shared"), col("cont_ab"), col("cont_ba"))
+    val d17 = operators.Dedup3.d17_containment(spark, sf)
+      .select("da", "db", "shared", "cont_ab", "cont_ba")
+    assert(viaApi.exceptAll(d17).isEmpty && d17.exceptAll(viaApi).isEmpty)
+
+    val gf = docs.gopherFilter(col("text"))
+      .select("doc_id", "n_words", "mean_wlen", "frac_alpha", "n_stop", "reasons", "keep")
+    val t18 = operators.TextAnalysis6.t18_gopher_filter(spark, sf)
+    assert(gf.exceptAll(t18).isEmpty && t18.exceptAll(gf).isEmpty)
+
+    val dm = docs.dedupManifest(col("doc_id"), col("text"), 0.5)
+      .select(col("id").as("doc_id"), col("status"), col("ref_id").as("ref_doc"))
+    val d15 = operators.Dedup3.d15_dedup_manifest(spark, sf)
+    assert(dm.exceptAll(d15).isEmpty && d15.exceptAll(dm).isEmpty)
+  }
+
   test("deterministicSplit is partition-invariant with sane fractions") {
     val a = docs.deterministicSplit(col("doc_id"), Seq(0.8, 0.1, 0.1))
       .select("doc_id", "split").collect()
