@@ -62,10 +62,47 @@ object TextAnalysis6 {
              reasons = 0 AS keep
       FROM r ORDER BY doc_id"""
 
+  // ---- t19: corpus token-budget report ----
+  // The planning number every training run starts from: tokens per
+  // source, raw vs what survives exact dedup — i.e. how much of each
+  // source's volume is real and how much is re-crawl. One narrow token
+  // count per row, one hash-keyed min per normalized text (d01's
+  // keeper rule), one partial-agg rollup over the metadata-sized source
+  // dimension; conditional sum avoids a second pass for the kept lane.
+  val t19_token_budget: Q = (s, d) => {
+    val normExpr = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("toks"),
+        md5(expr(normExpr)).as("h"))
+    val keepers = toks.groupBy("h").agg(min("doc_id").as("keeper"))
+    toks.join(keepers, "h")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("toks").as("raw_tokens"),
+        sum(when(col("doc_id") === col("keeper"), col("toks"))
+          .otherwise(lit(0L))).as("deduped_tokens"))
+      .orderBy("source")
+  }
+  val t19Sql: String =
+    """WITH t AS (SELECT doc_id, source,
+            CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks,
+            md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+          FROM documents),
+      k AS (SELECT h, min(doc_id) AS keeper FROM t GROUP BY h)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS raw_tokens,
+             CAST(sum(CASE WHEN doc_id = keeper THEN toks ELSE 0 END) AS BIGINT)
+               AS deduped_tokens
+      FROM t JOIN k USING (h)
+      GROUP BY source ORDER BY source"""
+
   val queries: Map[String, Q] = Map(
     "t18_gopher_filter" -> t18_gopher_filter,
+    "t19_token_budget"  -> t19_token_budget,
   )
   val oracles: Map[String, String] = Map(
     "t18_gopher_filter" -> t18Sql,
+    "t19_token_budget"  -> t19Sql,
   )
 }
