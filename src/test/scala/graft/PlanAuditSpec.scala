@@ -170,4 +170,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(explode >= 0 && exchange >= 0 && explode > exchange,
       "sequence explode should sit below (after) the agg exchange in plan order")
   }
+
+  test("t18: rule-suite filter is a pure narrow pass (no shuffle)") {
+    val p = plan("t18_gopher_filter")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "every rule is an array/string expression in the scan stage")
+  }
+
+  test("m06: modality routing is one partial-agg pass (single shuffle, partial below it)") {
+    val p = plan("m06_modality_route")
+    val lines = p.linesIterator.toVector
+    assert(lines.count(_.contains("Exchange hashpartitioning")) == 1, p.take(400))
+    val exchange = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(lines.drop(exchange).exists(_.contains("partial_")),
+      "no map-side partial aggregation below the exchange")
+  }
+
+  test("e17: day-spine join broadcasts; no nested-loop range join forms") {
+    val p = plan("e17_active_users")
+    assert(p.contains("BroadcastHashJoin"), "day spine should broadcast equi-join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "range condition must be rewritten to offset-explode equi-join")
+  }
+
+  test("q78: count-min sketch aggregates partially before the single shuffle") {
+    val p = plan("q78_countmin_freq")
+    assert(p.contains("partial_countmin_agg"),
+      "sketch buffers must merge map-side like any builtin aggregate")
+  }
 }
