@@ -15,14 +15,16 @@ object SparkEntry {
       operators.Relational5.queries ++ operators.Relational6.queries ++
       operators.Relational7.queries ++ operators.Relational8.queries ++
       operators.Relational9.queries ++
+      operators.Relational10.queries ++
       operators.Dedup.queries ++ operators.Dedup2.queries ++ operators.Dedup3.queries ++
+      operators.Dedup4.queries ++
       operators.Similarity.queries ++ operators.Similarity2.queries ++
       operators.TextAnalysis.queries ++ operators.TextAnalysis2.queries ++
       operators.TextAnalysis3.queries ++ operators.TextAnalysis4.queries ++
       operators.TextAnalysis5.queries ++ operators.TextAnalysis6.queries ++
-      operators.Multimodal2.queries ++
+      operators.Multimodal2.queries ++ operators.Multimodal3.queries ++
       operators.Events.queries ++ operators.Events2.queries ++
-      operators.Events3.queries ++
+      operators.Events3.queries ++ operators.Events4.queries ++
       operators.CorpusPipeline.queries ++ operators.Quality.queries ++
       operators.MLPrep.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -33,14 +35,16 @@ object SparkEntry {
       operators.Relational5.oracles ++ operators.Relational6.oracles ++
       operators.Relational7.oracles ++ operators.Relational8.oracles ++
       operators.Relational9.oracles ++
+      operators.Relational10.oracles ++
       operators.Dedup.oracles ++ operators.Dedup2.oracles ++ operators.Dedup3.oracles ++
+      operators.Dedup4.oracles ++
       operators.Similarity.oracles ++ operators.Similarity2.oracles ++
       operators.TextAnalysis.oracles ++ operators.TextAnalysis2.oracles ++
       operators.TextAnalysis3.oracles ++ operators.TextAnalysis4.oracles ++
       operators.TextAnalysis5.oracles ++ operators.TextAnalysis6.oracles ++
-      operators.Multimodal2.oracles ++
+      operators.Multimodal2.oracles ++ operators.Multimodal3.oracles ++
       operators.Events.oracles ++ operators.Events2.oracles ++
-      operators.Events3.oracles ++
+      operators.Events3.oracles ++ operators.Events4.oracles ++
       operators.CorpusPipeline.oracles ++ operators.Quality.oracles ++
       operators.MLPrep.oracles
 }

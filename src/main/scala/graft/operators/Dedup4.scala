@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.minhash_signature
+
+/** Dedup, part 4: sub-document (span-level) dedup and signature-based
+  * similarity estimation.
+  */
+object Dedup4 {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- d18: span-level exact dedup with document reconstruction ----
+  // Line/paragraph-level dedup (RefinedWeb / Falcon style: drop repeated
+  // boilerplate spans corpus-wide, keep the document shell) adapted to
+  // this corpus's single-line texts: the unit is a fixed 10-word span.
+  // Every span's first occurrence (min doc_id, then min pos) survives;
+  // later occurrences are dropped and each doc is re-assembled from its
+  // surviving spans in order.
+  //
+  // Scale shape: the span table is a narrow explode (rows ~ corpus
+  // words / 10, never pairs); the ONLY wide stage is one row_number
+  // window keyed by the span text — uniformly distributed by content,
+  // no skew beyond true duplication. Reconstruction groups by doc_id
+  // (second shuffle, keyed by the corpus's own primary key). Payload
+  // discipline: the span strings themselves ride the shuffle ONCE each;
+  // nothing quadratic anywhere.
+  val d18_span_dedup: Q = (s, d) => {
+    val spans = Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .filter(size(col("words")) > 0)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, CAST(ceil(size(words) / 10.0) AS INT) - 1)," +
+          " i -> array_join(slice(words, i * 10 + 1, 10), ' '))")))
+      .withColumnRenamed("col", "span")
+    val w = Window.partitionBy("span").orderBy("doc_id", "pos")
+    spans
+      .withColumn("keep", row_number().over(w) === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        nullif(array_join(transform(array_sort(
+          collect_list(when(col("keep"), struct(col("pos"), col("span")))),
+        ), x => x.getField("span")), " "), lit("")).as("text_kept"))
+      .orderBy("doc_id")
+  }
+  val d18Sql: String =
+    """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+             FROM documents WHERE len(string_split_regex(trim(text), '\s+')) > 0),
+      sp AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+               array_to_string(words[(i*10+1):(i*10+10)], ' ') AS span
+             FROM w, UNNEST(range(CAST(ceil(len(words) / 10.0) AS BIGINT))) AS t(i)),
+      k AS (SELECT doc_id, pos, span,
+               row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) = 1 AS keep
+             FROM sp)
+      SELECT doc_id, COUNT(*) AS n_spans,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             nullif(string_agg(span, ' ' ORDER BY pos) FILTER (WHERE keep), '')
+               AS text_kept
+      FROM k GROUP BY doc_id ORDER BY doc_id"""
+
+  // ---- d19: MinHash Jaccard estimation vs exact (rows-only) ----
+  // The estimator the 100 TB path relies on: at scale you verify LSH
+  // candidates from the SIGNATURES (64 longs per doc) instead of
+  // re-reading and re-shingling the texts — this op quantifies that
+  // trade on this corpus. For each verified near-dup pair (d03's exact
+  // shared-shingle Jaccard), estimate J from the fraction of agreeing
+  // MinHash components (Broder 1997: P[min-agree] = J, k=64 ⇒ σ ≈
+  // √(J(1−J)/64) ≤ 0.0625). Signatures are per-row narrow expressions;
+  // the pair join carries 512-byte signatures, never texts. Approximate
+  // by design → rows-only; Dedup4Spec asserts the error bound.
+  val d19_minhash_estimate: Q = (s, d) => {
+    val sigs = Tables.documents(s, d)
+      .select(col("doc_id"), minhash_signature(col("text"), 64, 3).as("sig"))
+    val pairs = Dedup.d03_ngram_jaccard(s, d)
+    pairs
+      .join(sigs.withColumnRenamed("doc_id", "da").withColumnRenamed("sig", "sig_a"), "da")
+      .join(sigs.withColumnRenamed("doc_id", "db").withColumnRenamed("sig", "sig_b"), "db")
+      .withColumn("jaccard_est",
+        expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END)," +
+          " 0, (acc, v) -> acc + v)").cast("double") / lit(64.0))
+      .select(col("da"), col("db"), col("jaccard").as("jaccard_exact"),
+        round(col("jaccard_est"), 6).as("jaccard_est"))
+      .orderBy("da", "db")
+  }
+
+  // ---- d20: blocked entity resolution (fuzzy record matching) ----
+  // The record-linkage pattern: a cheap BLOCKING key bounds the
+  // candidate space (records can only match within a block — block size
+  // is a constant set by the key design, so pair work grows linearly
+  // with data, never corpus²), then an expensive verifier (Levenshtein)
+  // runs on candidates only. Blocking key here: name prefix — customer
+  // names are 'Customer#%09d', so the 7-digit prefix caps blocks at 100
+  // records; lev ≤ 1 then finds near-identical names (one-digit typos).
+  // The levenshtein(a,b) <= 1 join condition is exactly the shape
+  // FuzzyMatchGuardRule rewrites into a length-guard + banded O(k·n)
+  // thresholded distance. Output is the per-block audit (candidates
+  // examined vs matches found), the blocking-quality report an ER
+  // pipeline tunes against.
+  val d20_entity_resolution: Q = (s, d) => {
+    val recs = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"),
+        substring(col("c_name"), 10, 7).as("blk"))
+    val pairs = recs.as("a").join(recs.as("b"),
+      col("a.blk") === col("b.blk") && col("a.c_custkey") < col("b.c_custkey"))
+    pairs
+      .groupBy(col("a.blk").as("block_key"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(levenshtein(col("a.c_name"), col("b.c_name")) <= 1, 1L)
+          .otherwise(0L)).as("n_matches"))
+      .orderBy("block_key")
+  }
+  val d20Sql: String =
+    """WITH r AS (SELECT c_custkey, c_name, substring(c_name, 10, 7) AS blk
+             FROM customer)
+      SELECT a.blk AS block_key, COUNT(*) AS n_candidates,
+             CAST(sum(CASE WHEN levenshtein(a.c_name, b.c_name) <= 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_matches
+      FROM r a JOIN r b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+      GROUP BY a.blk ORDER BY block_key"""
+
+  val queries: Map[String, Q] = Map(
+    "d18_span_dedup"        -> d18_span_dedup,
+    "d19_minhash_estimate"  -> d19_minhash_estimate,
+    "d20_entity_resolution" -> d20_entity_resolution,
+  )
+  val oracles: Map[String, String] = Map(
+    "d18_span_dedup"        -> d18Sql,
+    "d20_entity_resolution" -> d20Sql,
+  )
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event analytics, part 4: sequence/path mining. */
+object Events4 {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- e18: top event-type paths (3-step sequences) ----
+  // Clickstream path analysis: the most common ordered 3-event
+  // sequences across users (what do people DO in what order). One
+  // window shuffle keyed by user_id (lead() twice over the per-user
+  // timeline — consecutive steps, no self-join), then a partial-agg
+  // count over the tiny path vocabulary and a top-10. The user-keyed
+  // window is the natural partitioning at scale: each user's timeline
+  // is one partition-local sequence; path counting is map-side
+  // combinable over ≤ |event_types|³ keys.
+  val e18_path_analysis: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("s2", lead("event_type", 1).over(w))
+      .withColumn("s3", lead("event_type", 2).over(w))
+      .filter(col("s2").isNotNull && col("s3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("s2").as("step2"), col("s3").as("step3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("step1"), col("step2"), col("step3"))
+      .limit(10)
+  }
+  val e18Sql: String =
+    """WITH seq AS (SELECT event_type AS step1,
+            lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step2,
+            lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step3
+          FROM events)
+      SELECT step1, step2, step3, COUNT(*) AS n_paths
+      FROM seq WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+      GROUP BY 1, 2, 3
+      ORDER BY n_paths DESC, step1, step2, step3 LIMIT 10"""
+
+  // ---- e19: session-level quality rollup ----
+  // The session KPI layer on top of q27's gap sessionization: per day,
+  // session count, bounce rate (single-event sessions), mean events and
+  // mean duration per session. The sessionization window is the only
+  // fact-table-wide stage (shared with q27 — same plan prefix); the
+  // rollup aggregates the much smaller session table on the day key.
+  // All inputs to the ratios are exact integers (counts, microsecond
+  // longs), so the final single IEEE divisions are engine-exact.
+  val e19_session_stats: Q = (s, d) => {
+    val sessions = Relational2.q27_sessionize(s, d)
+    sessions
+      .withColumn("day", to_date(col("session_start")))
+      .withColumn("dur_us",
+        (unix_micros(col("session_end")) - unix_micros(col("session_start"))))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("n_bounce"),
+        sum("n_events").as("total_events"),
+        sum("dur_us").as("total_dur_us"))
+      .select(col("day"), col("n_sessions"), col("n_bounce"),
+        (col("n_bounce").cast("double") / col("n_sessions")).as("bounce_rate"),
+        (col("total_events").cast("double") / col("n_sessions")).as("avg_events"),
+        (col("total_dur_us").cast("double") / col("n_sessions") / lit(1000000.0))
+          .as("avg_duration_s"))
+      .orderBy("day")
+  }
+  val e19Sql: String =
+    """WITH sess AS (
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM (
+          SELECT user_id, ts,
+            CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+          FROM (
+            SELECT user_id, event_id, ts,
+              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+            FROM events) f) g
+        GROUP BY user_id, session_id),
+      d AS (SELECT CAST(session_start AS DATE) AS day,
+              n_events,
+              epoch_us(session_end) - epoch_us(session_start) AS dur_us
+            FROM sess)
+      SELECT day, COUNT(*) AS n_sessions,
+             CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+             CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS bounce_rate,
+             CAST(sum(n_events) AS DOUBLE) / COUNT(*) AS avg_events,
+             CAST(sum(dur_us) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_duration_s
+      FROM d GROUP BY day ORDER BY day"""
+
+  val queries: Map[String, Q] = Map(
+    "e18_path_analysis" -> e18_path_analysis,
+    "e19_session_stats" -> e19_session_stats,
+  )
+  val oracles: Map[String, String] = Map(
+    "e18_path_analysis" -> e18Sql,
+    "e19_session_stats" -> e19Sql,
+  )
+}
