@@ -583,6 +583,48 @@ object GraftOps {
         lit(null).cast(doomedRef.schema("ref_id").dataType).as("ref_id"))
     exactDups.unionByName(nearDups).unionByName(kept)
   }
+
+  /** Span-level dedup with reconstruction over any (id, text) frame:
+    * fixed `spanWords`-word spans, first occurrence (min id, then span
+    * position) survives corpus-wide, each row re-assembled from its
+    * surviving spans in order. Narrow span explode + ONE content-keyed
+    * window; nothing quadratic. Returns (id, n_spans, n_kept, text_kept).
+    */
+  def spanDedup(df: DataFrame, id: Column, text: Column,
+                spanWords: Int = 10): DataFrame = {
+    val spans = df.select(id.as("id"), split(trim(text), "\\s+").as("__w"))
+      .filter(size(col("__w")) > 0)
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(0, CAST(ceil(size(__w) / ${spanWords}.0) AS INT) - 1)," +
+          s" i -> array_join(slice(__w, i * $spanWords + 1, $spanWords), ' '))")))
+      .withColumnRenamed("col", "__span")
+    val w = Window.partitionBy("__span").orderBy("id", "pos")
+    spans
+      .withColumn("__keep", row_number().over(w) === 1)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        nullif(array_join(transform(array_sort(
+          collect_list(when(col("__keep"), struct(col("pos"), col("__span")))),
+        ), x => x.getField("__span")), " "), lit("")).as("text_kept"))
+  }
+
+  /** Blocked fuzzy record matching (entity resolution): candidates form
+    * only within a blocking key (block size is bounded by key design ⇒
+    * pair work linear in data), Levenshtein-verified at `maxDistance`.
+    * Returns matched pairs (id_a, id_b, distance) with id_a < id_b. The
+    * lev <= k condition is the shape FuzzyMatchGuardRule rewrites into a
+    * length guard + banded thresholded distance.
+    */
+  def blockedMatch(df: DataFrame, id: Column, name: Column, block: Column,
+                   maxDistance: Int = 1): DataFrame = {
+    val recs = df.select(id.as("__id"), name.as("__n"), block.as("__b"))
+    recs.as("a").join(recs.as("b"),
+        col("a.__b") === col("b.__b") && col("a.__id") < col("b.__id") &&
+          levenshtein(col("a.__n"), col("b.__n")) <= maxDistance)
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        levenshtein(col("a.__n"), col("b.__n")).as("distance"))
+  }
 }
 
 /** `import graft.api.syntax._` for method-style calls on DataFrames. */
@@ -642,5 +684,10 @@ object syntax {
       GraftOps.gopherFilter(df, text)
     def dedupManifest(id: Column, text: Column, threshold: Double = 0.5): DataFrame =
       GraftOps.dedupManifest(df, id, text, threshold)
+    def spanDedup(id: Column, text: Column, spanWords: Int = 10): DataFrame =
+      GraftOps.spanDedup(df, id, text, spanWords)
+    def blockedMatch(id: Column, name: Column, block: Column,
+                     maxDistance: Int = 1): DataFrame =
+      GraftOps.blockedMatch(df, id, name, block, maxDistance)
   }
 }

@@ -360,6 +360,28 @@ class GraftOpsSpec extends AnyFunSuite {
     assert(dm.exceptAll(d15).isEmpty && d15.exceptAll(dm).isEmpty)
   }
 
+  test("spanDedup / blockedMatch agree with their oracle query formulations") {
+    val sd = docs.spanDedup(col("doc_id"), col("text"))
+      .select(col("id").as("doc_id"), col("n_spans"), col("n_kept"), col("text_kept"))
+    val d18 = operators.Dedup4.d18_span_dedup(spark, sf)
+    assert(sd.exceptAll(d18).isEmpty && d18.exceptAll(sd).isEmpty)
+
+    // blockedMatch pair count per block must equal d20's n_matches
+    val cust = Tables.customer(spark, sf)
+    val bm = cust.blockedMatch(col("c_custkey"), col("c_name"),
+        substring(col("c_name"), 10, 7))
+    val got = bm.join(cust, col("id_a") === col("c_custkey"))
+      .groupBy(substring(col("c_name"), 10, 7).as("block_key"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = operators.Dedup4.d20_entity_resolution(spark, sf)
+      .filter(col("n_matches") > 0)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == want, s"$got vs $want")
+    // every reported pair really is within distance 1
+    assert(bm.filter(col("distance") > 1).count() == 0)
+  }
+
   test("deterministicSplit is partition-invariant with sane fractions") {
     val a = docs.deterministicSplit(col("doc_id"), Seq(0.8, 0.1, 0.1))
       .select("doc_id", "split").collect()
