@@ -201,21 +201,30 @@ object Dedup3 {
   // clusters when that's needed. Cost: d01 + d03 on survivors, plus a
   // vocabulary of unions; nothing new is quadratic.
   val d15_dedup_manifest: Q = (s, d) => {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val normExpr = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val hashed = docs.withColumn("h", md5(expr(normExpr)))
+    // Fan-out barriers carry IDS AND HASHES ONLY — the text column stays
+    // out of every persisted table (at 100 TB a cached payload column is
+    // a second copy of the corpus). withRef: one pruned scan + one md5
+    // pass + one keeper groupBy, reused by all three branches; doomedRef:
+    // the expensive shingle pair join runs ONCE, reused by the near_dup
+    // and kept branches (previously each union branch recomputed it).
+    val hashed = docs.select(col("doc_id"), md5(expr(normExpr)).as("h"))
     val keepers = hashed.groupBy("h").agg(min("doc_id").as("ref"))
-    val withRef = hashed.join(keepers, "h")
+    val withRef = hashed.join(keepers, "h").select("doc_id", "ref")
+      .persist(MEMORY_AND_DISK)
     val exactDups = withRef.filter(col("doc_id") =!= col("ref"))
       .select(col("doc_id"), lit("exact_dup").as("status"), col("ref").as("ref_doc"))
-    val survivors = withRef.filter(col("doc_id") === col("ref"))
-      .select("doc_id", "text")
+    val survivorIds = withRef.filter(col("doc_id") === col("ref")).select("doc_id")
+    val survivors = docs.join(survivorIds, Seq("doc_id"), "left_semi")
     val doomedRef = graft.api.GraftOps
       .jaccardJoin(survivors, col("doc_id"), col("text"), 0.5)
       .groupBy(col("id_b").as("doc_id")).agg(min("id_a").as("ref_doc"))
+      .persist(MEMORY_AND_DISK)
     val nearDups = doomedRef
       .select(col("doc_id"), lit("near_dup").as("status"), col("ref_doc"))
-    val kept = survivors.join(doomedRef, Seq("doc_id"), "left_anti")
+    val kept = survivorIds.join(doomedRef, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), lit("kept").as("status"),
         lit(null).cast("long").as("ref_doc"))
     exactDups.unionByName(nearDups).unionByName(kept).orderBy("doc_id")

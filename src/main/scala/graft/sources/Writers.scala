@@ -49,6 +49,23 @@ object Writers {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Fixed-width (mainframe/EBCDIC-export style) text ingest: one
+    * substring projection per field off the raw `text` source — a purely
+    * narrow scan stage (codegen'd substrings, no regex, no shuffle), so
+    * it scales exactly like the parquet path. `fields` is
+    * (name, startPos1Based, length, typeDdl); values are trimmed then
+    * try_cast (ANSI-safe), with cast failures surfacing as nulls for a
+    * downstream Expectations gate to quarantine.
+    */
+  def readFixedWidth(spark: SparkSession, path: String,
+                     fields: Seq[(String, Int, Int, String)]): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val raw = spark.read.text(path)
+    raw.select(fields.map { case (name, start, len, ddl) =>
+      expr(s"try_cast(trim(substring(value, $start, $len)) AS $ddl)").as(name)
+    }: _*)
+  }
+
   /** Dynamic partition overwrite: replaces ONLY the partitions present in
     * `df`, leaving sibling partitions untouched — the incremental-reload
     * primitive for a partitioned 100 TB table (nightly re-materialization

@@ -158,6 +158,28 @@ class SourcesSpec extends AnyFunSuite {
     permissive.unpersist()
   }
 
+  test("fixed-width text ingest parses positional fields; bad casts null out") {
+    val dir = tmp("fixedwidth")
+    // 6-char key, 10-char name, 8-char amount (one malformed row)
+    val lines = Seq(
+      "000001Widget     00012.50",
+      "000002Gadget     00099.99",
+      "00000XBroken     notanum ")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part.txt"),
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+    val df = sources.Writers.readFixedWidth(spark, dir, Seq(
+      ("item_key", 1, 6, "bigint"),
+      ("item_name", 7, 11, "string"),
+      ("amount", 18, 8, "double")))
+    val rows = df.orderBy(col("item_name")).collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getString(1)).toSeq == Seq("Broken", "Gadget", "Widget"))
+    assert(rows(2).getLong(0) == 1L && rows(2).getDouble(2) == 12.50)
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(2), "malformed casts must null out")
+    // narrow plan: no Exchange anywhere in a pure projection read
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
