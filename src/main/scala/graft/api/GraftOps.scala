@@ -567,18 +567,25 @@ object GraftOps {
     */
   def dedupManifest(df: DataFrame, id: Column, text: Column,
                     threshold: Double = 0.5): DataFrame = {
-    val hashed = df.select(id.as("id"), text.as("__t"))
-      .withColumn("__h", md5(expr(
-        "trim(regexp_replace(lower(__t), '\\\\s+', ' '))")))
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Same barrier discipline as the d15 operator: persisted fan-out
+    // points carry ids and hashes ONLY (never the text payload), and the
+    // expensive pair join runs once across the three union branches.
+    val base = df.select(id.as("id"), text.as("__t"))
+    val hashed = base.select(col("id"), md5(expr(
+      "trim(regexp_replace(lower(__t), '\\\\s+', ' '))")).as("__h"))
     val keepers = hashed.groupBy("__h").agg(min("id").as("__ref"))
-    val withRef = hashed.join(keepers, "__h")
+    val withRef = hashed.join(keepers, "__h").select("id", "__ref")
+      .persist(MEMORY_AND_DISK)
     val exactDups = withRef.filter(col("id") =!= col("__ref"))
       .select(col("id"), lit("exact_dup").as("status"), col("__ref").as("ref_id"))
-    val survivors = withRef.filter(col("id") === col("__ref")).select("id", "__t")
+    val survivorIds = withRef.filter(col("id") === col("__ref")).select("id")
+    val survivors = base.join(survivorIds, Seq("id"), "left_semi")
     val doomedRef = jaccardJoin(survivors, col("id"), col("__t"), threshold)
       .groupBy(col("id_b").as("id")).agg(min("id_a").as("ref_id"))
+      .persist(MEMORY_AND_DISK)
     val nearDups = doomedRef.select(col("id"), lit("near_dup").as("status"), col("ref_id"))
-    val kept = survivors.join(doomedRef, Seq("id"), "left_anti")
+    val kept = survivorIds.join(doomedRef, Seq("id"), "left_anti")
       .select(col("id"), lit("kept").as("status"),
         lit(null).cast(doomedRef.schema("ref_id").dataType).as("ref_id"))
     exactDups.unionByName(nearDups).unionByName(kept)
