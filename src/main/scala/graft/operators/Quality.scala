@@ -361,7 +361,38 @@ object Quality {
       SELECT * FROM ($rows) t ORDER BY col_a, col_b"""
   }
 
+  // ---- v07: feed-freshness / latency audit ----
+  // The pipeline-monitoring staple: per event feed, last-seen time, lag
+  // behind the freshest feed, and a staleness flag against a 24h SLA.
+  // One partial-agg pass over the fact table (max/count decompose);
+  // the corpus watermark comes from a window over the feed-count-sized
+  // rollup, never a second scan. Lag is an exact integer microsecond
+  // difference; the hour conversion is one IEEE division.
+  val v07_freshness: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), max("ts").as("last_ts"))
+      .withColumn("watermark", max("last_ts").over(Window.partitionBy()))
+      .select(col("event_type"), col("n_events"), col("last_ts"),
+        ((unix_micros(col("watermark")) - unix_micros(col("last_ts")))
+          .cast("double") / lit(3600000000.0)).as("lag_hours"))
+      .withColumn("stale", col("lag_hours") > 24.0)
+      .orderBy("event_type")
+  }
+  val v07Sql: String =
+    """WITH f AS (SELECT event_type, COUNT(*) AS n_events, max(ts) AS last_ts
+           FROM events GROUP BY event_type),
+      w AS (SELECT *, max(last_ts) OVER () AS watermark FROM f)
+      SELECT event_type, n_events, last_ts,
+             CAST(epoch_us(watermark) - epoch_us(last_ts) AS DOUBLE)
+               / 3600000000.0 AS lag_hours,
+             (CAST(epoch_us(watermark) - epoch_us(last_ts) AS DOUBLE)
+               / 3600000000.0) > 24.0 AS stale
+      FROM w ORDER BY event_type"""
+
   val queries: Map[String, Q] = Map(
+    "v07_freshness"     -> v07_freshness,
     "v06_corr_matrix"   -> v06_corr_matrix,
     "v05_profile"       -> v05_profile,
     "v01_data_quality"  -> v01_data_quality,
@@ -371,6 +402,7 @@ object Quality {
     "q54_snapshot_diff" -> q54_snapshot_diff,
   )
   val oracles: Map[String, String] = Map(
+    "v07_freshness"     -> v07Sql,
     "v06_corr_matrix"   -> v06Sql,
     "v05_profile"       -> v05Sql,
     "v01_data_quality"  -> v01Sql,

@@ -198,4 +198,48 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_countmin_agg"),
       "sketch buffers must merge map-side like any builtin aggregate")
   }
+
+  test("d18: span dedup has no cartesian/nested-loop stage (content-keyed window only)") {
+    val p = plan("d18_span_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "span dedup must never form document pairs")
+  }
+
+  test("q79: dimension joins broadcast; fact rolls up before touching the dim") {
+    val p = plan("q79_dim_build")
+    assert(p.contains("BroadcastHashJoin"), "nation must broadcast into the dim")
+    assert(!p.contains("CartesianProduct"))
+    // the orders rollup partially aggregates before its shuffle
+    assert(p.contains("partial_count") || p.contains("partial"),
+      "fact rollup must be map-side combinable")
+  }
+
+  test("e18: path mining is one user-keyed window + partial-agg path count") {
+    val p = plan("e18_path_analysis")
+    val lines = p.linesIterator.toVector
+    assert(lines.count(_.contains("Exchange hashpartitioning")) <= 2,
+      "expected only the user window shuffle + path-count shuffle")
+    assert(p.contains("partial_count"), "path counting must combine map-side")
+  }
+
+  test("d20: blocked ER joins on the blocking key (hash join, never all-pairs)") {
+    val p = plan("d20_entity_resolution")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must form only within blocks via an equi-join on the key")
+  }
+
+  test("m07: CAS ledger — payload bytes never enter a shuffle") {
+    val p = plan("m07_asset_dedup")
+    // the shuffled columns are (h, source, bytes[, doc_id]) — text/payload
+    // must be projected away before every exchange
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("Exchange hashpartitioning")).foreach {
+      case (l, _) => assert(!l.contains("text"), s"payload rides a shuffle: $l")
+    }
+  }
+
+  test("t20: vocabulary rollup partially aggregates; windows run post-rollup only") {
+    val p = plan("t20_vocab_coverage")
+    assert(p.contains("partial_count"), "word counting must combine map-side")
+  }
 }
