@@ -104,6 +104,17 @@ object TransformSpec {
         val weights = step.path("weights").elements().asScala
           .map(_.asDouble()).toSeq
         GraftOps.deterministicSplit(df, expr(step.path("key").asText()), weights)
+      case "spanDedup" =>
+        // sub-document span dedup with reconstruction (the d18 pipeline)
+        // behind one config line: replaces the text column with the
+        // deduped reconstruction, keeps span accounting columns
+        val words = if (step.has("spanWords")) step.path("spanWords").asInt() else 10
+        GraftOps.spanDedup(df,
+          expr(step.path("id").asText()), expr(step.path("text").asText()), words)
+      case "sessionize" =>
+        val gap = if (step.has("gap")) step.path("gap").asText() else "30 minutes"
+        GraftOps.sessionize(df,
+          expr(step.path("key").asText()), expr(step.path("ts").asText()), gap)
       case "conform" =>
         GraftOps.conform(df, step.path("schema").asText())
       case "profile" =>

@@ -135,6 +135,31 @@ class TransformSpecSpec extends AnyFunSuite {
     assert(byCol("n_chars").getLong(2) == 0) // cast double, still non-null
   }
 
+  test("spanDedup and sessionize steps agree with their facade verbs") {
+    val docs = Tables.documents(spark, sf)
+    val got = TransformSpec.run(
+      """{"source": "d", "steps": [
+        {"op": "spanDedup", "id": "doc_id", "text": "text"},
+        {"op": "orderBy", "cols": ["id"]}]}""",
+      Map("d" -> docs)).collect()
+    val want = api.GraftOps.spanDedup(docs,
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .orderBy("id").collect()
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+
+    val ev = Tables.events(spark, sf)
+    val sessions = TransformSpec.run(
+      """{"source": "e", "steps": [
+        {"op": "sessionize", "key": "user_id", "ts": "ts", "gap": "30 minutes"},
+        {"op": "agg", "groupBy": [], "aggs": [["n", "count(*)"]]}]}""",
+      Map("e" -> ev)).collect()(0).getLong(0)
+    val direct = api.GraftOps.sessionize(ev,
+      org.apache.spark.sql.functions.col("user_id"),
+      org.apache.spark.sql.functions.col("ts"), "30 minutes").count()
+    assert(sessions == direct && sessions > 0)
+  }
+
   test("unknown ops and unknown tables fail loudly") {
     val docs = Tables.documents(spark, sf)
     intercept[IllegalArgumentException] {
