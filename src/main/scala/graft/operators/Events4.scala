@@ -92,12 +92,55 @@ object Events4 {
              CAST(sum(dur_us) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_duration_s
       FROM d GROUP BY day ORDER BY day"""
 
+  // ---- e20: event-time lateness audit (watermark design) ----
+  // The number that sets a streaming watermark: how late does data
+  // actually arrive? Arrival order proxy is event_id (monotone ingest
+  // id); per feed, the running event-time high-watermark (one
+  // cumulative-max window, keyed by the feed — the same partitioning a
+  // per-feed stream would have) gives each event's lateness =
+  // watermark − ts. Report: late fraction, max and p95 lateness per
+  // feed — read directly as the withWatermark() bound that would keep
+  // ≥95% of the data. Lateness values are exact integer microseconds;
+  // p95 interpolation follows the q29 exact-percentile discipline.
+  val e20_lateness_audit: Q = (s, d) => {
+    val w = Window.partitionBy("event_type").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(s, d)
+      .select(col("event_type"), col("event_id"), col("ts"))
+      .withColumn("late_us",
+        unix_micros(max("ts").over(w)) - unix_micros(col("ts")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 0L, 1L).otherwise(0L)).as("n_late"),
+        max("late_us").as("max_late_us"),
+        expr("percentile(late_us, 0.95)").as("p95_late_us"))
+      .select(col("event_type"), col("n_events"), col("n_late"),
+        (col("n_late").cast("double") / col("n_events")).as("late_frac"),
+        col("max_late_us"), col("p95_late_us"))
+      .orderBy("event_type")
+  }
+  val e20Sql: String =
+    """WITH l AS (SELECT event_type,
+            epoch_us(max(ts) OVER (PARTITION BY event_type ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+              - epoch_us(ts) AS late_us
+          FROM events)
+      SELECT event_type, COUNT(*) AS n_events,
+             CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+             CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               AS late_frac,
+             max(late_us) AS max_late_us,
+             quantile_cont(late_us, 0.95) AS p95_late_us
+      FROM l GROUP BY event_type ORDER BY event_type"""
+
   val queries: Map[String, Q] = Map(
     "e18_path_analysis" -> e18_path_analysis,
     "e19_session_stats" -> e19_session_stats,
+    "e20_lateness_audit" -> e20_lateness_audit,
   )
   val oracles: Map[String, String] = Map(
     "e18_path_analysis" -> e18Sql,
     "e19_session_stats" -> e19Sql,
+    "e20_lateness_audit" -> e20Sql,
   )
 }

@@ -50,10 +50,53 @@ object Relational10 {
       FROM dim LEFT JOIN f ON c_custkey = o_custkey
       ORDER BY customer_sk"""
 
+  // ---- q80: MERGE upsert application ----
+  // The Delta/Iceberg MERGE INTO semantics as one relational pass: apply
+  // a change batch (updates + inserts + tombstone deletes) to a base
+  // snapshot via ONE full-outer join on the key — matched+tombstone rows
+  // drop, matched rows take the batch value, unmatched batch rows
+  // insert, unmatched base rows carry over. q54 classifies changes; this
+  // APPLIES them. One key-uniform shuffle, payloads ride it once;
+  // exactly the plan a table-format MERGE compiles to when the whole
+  // base partition set is touched.
+  val q80_merge_apply: Q = (s, d) => {
+    val base = Tables.orders(s, d).filter(col("o_orderkey") % 10 < 8)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+    val batch = Tables.orders(s, d).filter(col("o_orderkey") % 10 > 5)
+      .select(col("o_orderkey").as("bk"),
+        (col("o_totalprice") * 1.1).as("bprice"),
+        (col("o_orderkey") % 7 === 0).as("tombstone"))
+    base.join(batch, col("k") === col("bk"), "full_outer")
+      .filter(!coalesce(col("tombstone"), lit(false)))
+      .select(
+        coalesce(col("k"), col("bk")).as("k"),
+        coalesce(col("bprice"), col("price")).as("price"),
+        when(col("k").isNull, "inserted")
+          .when(col("bk").isNull, "carried")
+          .otherwise("updated").as("row_origin"))
+      .orderBy("k")
+  }
+  val q80Sql: String =
+    """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS price
+                   FROM orders WHERE o_orderkey % 10 < 8),
+      batch AS (SELECT o_orderkey AS bk, o_totalprice * 1.1 AS bprice,
+                  o_orderkey % 7 = 0 AS tombstone
+                FROM orders WHERE o_orderkey % 10 > 5)
+      SELECT COALESCE(k, bk) AS k,
+             COALESCE(bprice, price) AS price,
+             CASE WHEN k IS NULL THEN 'inserted'
+                  WHEN bk IS NULL THEN 'carried'
+                  ELSE 'updated' END AS row_origin
+      FROM base FULL OUTER JOIN batch ON k = bk
+      WHERE NOT COALESCE(tombstone, false)
+      ORDER BY k"""
+
   val queries: Map[String, Q] = Map(
-    "q79_dim_build" -> q79_dim_build,
+    "q79_dim_build"   -> q79_dim_build,
+    "q80_merge_apply" -> q80_merge_apply,
   )
   val oracles: Map[String, String] = Map(
-    "q79_dim_build" -> q79Sql,
+    "q79_dim_build"   -> q79Sql,
+    "q80_merge_apply" -> q80Sql,
   )
 }
