@@ -309,7 +309,7 @@ object GraftOps {
       .select(col("__id"), explode(expr(
         s"""array_distinct(transform(
              sequence(1, greatest(size(__w) - ${n - 1}, 0)),
-             i -> concat_ws(' ', slice(__w, i, $n))))""")).as("__g"))
+             i -> xxhash64(concat_ws(' ', slice(__w, i, $n)))))""")).as("__g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val firstSeen = grams.groupBy("__g").agg(min("__id").as("__first"))
     grams.join(firstSeen, "__g")

@@ -114,12 +114,15 @@ object Dedup3 {
   // aggregation and the join-back side re-run the 5-gram explode (plus
   // Catalyst's inferred size>0 filter re-derives it once more per side).
   val d12_crossdoc_ngrams: Q = (s, d) => {
+    // gram keys are 64-bit xxhash64 (d03's discipline): the cached
+    // postings, the df shuffle, and the join-back all move longs, not
+    // ~40-byte strings; exact vs the string-keyed oracle at all SFs
     val grams = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(expr(
         """array_distinct(transform(
              sequence(1, greatest(size(w) - 4, 0)),
-             i -> concat_ws(' ', slice(w, i, 5))))""")).as("g"))
+             i -> xxhash64(concat_ws(' ', slice(w, i, 5)))))""")).as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfTbl = grams.groupBy("g").agg(count(lit(1)).as("df"))
     grams.join(dfTbl, "g")
@@ -271,12 +274,17 @@ object Dedup3 {
   // per-gram expansion is bounded by the SOURCE count (metadata-sized,
   // ~20), never by docs — linear in index size at any corpus scale.
   val d16_source_overlap: Q = (s, d) => {
+    // grams ride every shuffle as 64-bit xxhash64 keys, not ~40-byte
+    // strings — the same engine-side hashing discipline d03/jaccardJoin
+    // use (distinct-hash counts equal distinct-gram counts absent a
+    // 64-bit collision; verified exact against the string-keyed DuckDB
+    // oracle at all SFs)
     val idx = Tables.documents(s, d)
       .select(col("source"), split(col("text"), " ").as("w"))
       .select(col("source"), explode(expr(
         """array_distinct(transform(
              sequence(1, greatest(size(w) - 4, 0)),
-             i -> concat_ws(' ', slice(w, i, 5))))""")).as("g"))
+             i -> xxhash64(concat_ws(' ', slice(w, i, 5)))))""")).as("g"))
       .distinct()
     idx.as("x")
       .join(idx.as("y"), col("x.g") === col("y.g") && col("x.source") < col("y.source"))
