@@ -133,14 +133,72 @@ object Events4 {
              quantile_cont(late_us, 0.95) AS p95_late_us
       FROM l GROUP BY event_type ORDER BY event_type"""
 
+  // ---- e21: cohort lifetime-value (LTV) curve ----
+  // e04's retention matrix counts WHO comes back; the LTV curve sums
+  // WHAT they're worth: cumulative value per cohort by days since
+  // signup, per-user average. Plan: per-user day rollup (one partial
+  // agg), broadcast the user-sized cohort table, aggregate the
+  // cohort×offset matrix (bounded output), then one running-sum window
+  // over that matrix — never over the fact table. Value sums follow the
+  // Stable decimal discipline so cumulative amounts are engine-exact.
+  val e21_cohort_ltv: Q = (s, d) => {
+    import graft.Stable
+    val ev = Tables.events(s, d)
+    val firstDay = ev.groupBy("user_id")
+      .agg(date_trunc("day", min("ts")).as("cohort_day"))
+    val cohortSize = firstDay.groupBy("cohort_day")
+      .agg(count(lit(1)).as("n_users"))
+    val daily = ev
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"), col("value"))
+      .join(broadcast(firstDay), "user_id")
+      .withColumn("day_offset",
+        datediff(col("day").cast("date"), col("cohort_day").cast("date")).cast("long"))
+      .filter(col("day_offset") <= 7)
+      .groupBy("cohort_day", "day_offset")
+      .agg(sum(col("value").cast("decimal(30,6)")).as("day_value"))
+    val w = Window.partitionBy("cohort_day").orderBy("day_offset")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("cum_value", sum("day_value").over(w).cast("double"))
+      .join(broadcast(cohortSize), "cohort_day")
+      .select(col("cohort_day"), col("day_offset"),
+        col("day_value").cast("double").as("day_value"),
+        col("cum_value"),
+        (col("cum_value") / col("n_users")).as("ltv_per_user"))
+      .orderBy("cohort_day", "day_offset")
+  }
+  val e21Sql: String =
+    """WITH f AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+                FROM events GROUP BY user_id),
+      cs AS (SELECT cohort_day, COUNT(*) AS n_users FROM f GROUP BY cohort_day),
+      daily AS (SELECT cohort_day,
+            CAST(date_diff('day', CAST(cohort_day AS DATE),
+                 CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS day_offset,
+            SUM(CAST(value AS DECIMAL(30,6))) AS day_value
+          FROM events e JOIN f USING (user_id)
+          WHERE date_diff('day', CAST(cohort_day AS DATE),
+                 CAST(date_trunc('day', ts) AS DATE)) <= 7
+          GROUP BY 1, 2),
+      cum AS (SELECT cohort_day, day_offset,
+            CAST(day_value AS DOUBLE) AS day_value,
+            CAST(SUM(day_value) OVER (PARTITION BY cohort_day ORDER BY day_offset
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_value
+          FROM daily)
+      SELECT cohort_day, day_offset, day_value, cum_value,
+             cum_value / n_users AS ltv_per_user
+      FROM cum JOIN cs USING (cohort_day)
+      ORDER BY cohort_day, day_offset"""
+
   val queries: Map[String, Q] = Map(
     "e18_path_analysis" -> e18_path_analysis,
     "e19_session_stats" -> e19_session_stats,
     "e20_lateness_audit" -> e20_lateness_audit,
+    "e21_cohort_ltv"    -> e21_cohort_ltv,
   )
   val oracles: Map[String, String] = Map(
     "e18_path_analysis" -> e18Sql,
     "e19_session_stats" -> e19Sql,
     "e20_lateness_audit" -> e20Sql,
+    "e21_cohort_ltv"    -> e21Sql,
   )
 }

@@ -91,12 +91,38 @@ object Relational10 {
       WHERE NOT COALESCE(tombstone, false)
       ORDER BY k"""
 
+  // ---- q81: multi-measure pivot ----
+  // q11 pivots one measure; real report builds pivot SEVERAL (here
+  // sum(quantity) and row count per return-flag column). Spark compiles
+  // groupBy().pivot().agg(m1, m2) to ONE partial-agg pass with
+  // measure×pivot-value conditional aggregates — the oracle states that
+  // plan explicitly as FILTER-clause aggregates. Sums follow the Stable
+  // decimal discipline.
+  val q81_pivot_multi: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(Stable.dsum(col("l_quantity")).as("qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_linestatus")
+  }
+  val q81Sql: String = {
+    def cell(f: String) =
+      s"""CAST(SUM(CAST(l_quantity AS DECIMAL(30,6)))
+            FILTER (WHERE l_returnflag = '$f') AS DOUBLE) AS "${f}_qty",
+          COUNT(*) FILTER (WHERE l_returnflag = '$f') AS "${f}_cnt""""
+    s"""SELECT l_linestatus, ${Seq("A", "N", "R").map(cell).mkString(", ")}
+       FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""
+  }
+
   val queries: Map[String, Q] = Map(
     "q79_dim_build"   -> q79_dim_build,
     "q80_merge_apply" -> q80_merge_apply,
+    "q81_pivot_multi" -> q81_pivot_multi,
   )
   val oracles: Map[String, String] = Map(
     "q79_dim_build"   -> q79Sql,
     "q80_merge_apply" -> q80Sql,
+    "q81_pivot_multi" -> q81Sql,
   )
 }
