@@ -47,6 +47,10 @@ object Register {
       case Seq(c) => RollingFingerprint(c)
       case args => throw new IllegalArgumentException(s"rolling_fingerprint(text): got ${args.size} args")
     },
+    "jaro_winkler" -> {
+      case Seq(a, b) => JaroWinkler(a, b)
+      case args => throw new IllegalArgumentException(s"jaro_winkler(a, b): got ${args.size} args")
+    },
   )
 
   /** Register all custom functions on an existing session (idempotent). */

@@ -34,6 +34,11 @@ package object functions {
   def rolling_fingerprint(c: Column): Column =
     toCol(RollingFingerprint(toExpr(c)))
 
+  /** Jaro-Winkler similarity in [0,1] (record-linkage standard;
+    * value-exact DuckDB parity, 0.7 boost threshold). */
+  def jaro_winkler(a: Column, b: Column): Column =
+    toCol(JaroWinkler(toExpr(a), toExpr(b)))
+
   /** KMV distinct-count sketch aggregate (struct: kth_min, n_heap, est). */
   def kmv_distinct(c: Column, k: Int = 64): Column =
     toCol(KMinValues(toExpr(c), k).toAggregateExpression())

@@ -115,14 +115,55 @@ object Relational10 {
        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""
   }
 
+  // ---- q82: robust statistics (MAD + trimmed mean) ----
+  // Outlier-resistant stats the mean/stddev family (q31) can't give:
+  // per group, the median absolute deviation and the 10–90% trimmed
+  // mean. Two passes over the fact table, each partial-agg friendly,
+  // stitched by BROADCAST joins on the group-sized quantile table —
+  // never a fact-side window. Exact-percentile discipline from q29;
+  // the trimmed mean numerator is a Stable decimal sum.
+  val q82_robust_stats: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select("l_returnflag", "l_quantity")
+    val qs = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("med"),
+        expr("percentile(l_quantity, 0.1)").as("lo"),
+        expr("percentile(l_quantity, 0.9)").as("hi"))
+    li.join(broadcast(qs), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(first("med").as("median"),
+        expr("percentile(abs(l_quantity - med), 0.5)").as("mad"),
+        Stable.dsum(when(col("l_quantity") >= col("lo")
+            && col("l_quantity") <= col("hi"), col("l_quantity"))).as("trim_sum"),
+        count(when(col("l_quantity") >= col("lo")
+            && col("l_quantity") <= col("hi"), 1)).as("trim_n"))
+      .select(col("l_returnflag"), col("median"), col("mad"),
+        (col("trim_sum") / col("trim_n")).as("trimmed_mean"))
+      .orderBy("l_returnflag")
+  }
+  val q82Sql: String =
+    s"""WITH q AS (SELECT l_returnflag,
+            quantile_cont(l_quantity, 0.5) AS med,
+            quantile_cont(l_quantity, 0.1) AS lo,
+            quantile_cont(l_quantity, 0.9) AS hi
+          FROM lineitem GROUP BY l_returnflag)
+      SELECT l.l_returnflag, any_value(med) AS median,
+             quantile_cont(abs(l_quantity - med), 0.5) AS mad,
+             ${Stable.sqlSum("CASE WHEN l_quantity >= lo AND l_quantity <= hi THEN l_quantity END")}
+               / COUNT(CASE WHEN l_quantity >= lo AND l_quantity <= hi THEN 1 END)
+               AS trimmed_mean
+      FROM lineitem l JOIN q USING (l_returnflag)
+      GROUP BY l.l_returnflag ORDER BY l_returnflag"""
+
   val queries: Map[String, Q] = Map(
-    "q79_dim_build"   -> q79_dim_build,
-    "q80_merge_apply" -> q80_merge_apply,
-    "q81_pivot_multi" -> q81_pivot_multi,
+    "q79_dim_build"    -> q79_dim_build,
+    "q80_merge_apply"  -> q80_merge_apply,
+    "q81_pivot_multi"  -> q81_pivot_multi,
+    "q82_robust_stats" -> q82_robust_stats,
   )
   val oracles: Map[String, String] = Map(
-    "q79_dim_build"   -> q79Sql,
-    "q80_merge_apply" -> q80Sql,
-    "q81_pivot_multi" -> q81Sql,
+    "q79_dim_build"    -> q79Sql,
+    "q80_merge_apply"  -> q80Sql,
+    "q81_pivot_multi"  -> q81Sql,
+    "q82_robust_stats" -> q82Sql,
   )
 }

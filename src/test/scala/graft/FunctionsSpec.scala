@@ -102,6 +102,27 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("jaro_winkler: textbook values, bounds, symmetry, SQL registration") {
+    import graft.functions.StringSim.jaroWinkler
+    // canonical record-linkage examples (Winkler 1990)
+    assert(math.abs(jaroWinkler("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jaroWinkler("DWAYNE", "DUANE") - 0.8400000000000001) < 1e-12)
+    assert(math.abs(jaroWinkler("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-12)
+    assert(jaroWinkler("abc", "abc") == 1.0 && jaroWinkler("abc", "xyz") == 0.0)
+    assert(jaroWinkler("", "") == 0.0, "empty-vs-empty is 0 (DuckDB parity)")
+    // boost threshold: no prefix bonus at jaro <= 0.7
+    assert(jaroWinkler("abcdzzzzzz", "abcdyyyyyy") == 0.6)
+    // symmetry through the codegen'd expression + SQL registration
+    functions.Register.all(spark)
+    val r = spark.sql(
+      """SELECT jaro_winkler(c_name, reverse(c_name)) AS ab,
+                jaro_winkler(reverse(c_name), c_name) AS ba
+         FROM parquet.`/root/testdata/sf0.001/customer.parquet` LIMIT 50""")
+      .collect()
+    assert(r.forall(x => x.getDouble(0) == x.getDouble(1)))
+    assert(r.forall(x => x.getDouble(0) >= 0.0 && x.getDouble(0) <= 1.0))
+  }
+
   test("m02 batch decode: deterministic, schema-typed, row-preserving") {
     val out = operators.Multimodal.decodeBatch(spark, sf)
     val n = Tables.documents(spark, sf).count()
