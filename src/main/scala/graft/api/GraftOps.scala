@@ -632,6 +632,25 @@ object GraftOps {
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
         levenshtein(col("a.__n"), col("b.__n")).as("distance"))
   }
+
+  /** Best-match record linkage: each record's single highest-scoring
+    * in-block candidate by Jaro-Winkler (the d21 plan — rank on the
+    * ROUNDED score with unique id tie-break, so ranking is reproducible
+    * across engines and partitionings). Returns (id, match_id, jw).
+    */
+  def bestMatch(df: DataFrame, id: Column, name: Column,
+                block: Column): DataFrame = {
+    import graft.functions.jaro_winkler
+    val recs = df.select(id.as("__id"), name.as("__n"), block.as("__b"))
+    val w = Window.partitionBy("id").orderBy(desc("jw"), col("match_id"))
+    recs.as("a").join(recs.as("b"),
+        col("a.__b") === col("b.__b") && col("a.__id") =!= col("b.__id"))
+      .select(col("a.__id").as("id"), col("b.__id").as("match_id"),
+        round(jaro_winkler(col("a.__n"), col("b.__n")), 9).as("jw"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+  }
 }
 
 /** `import graft.api.syntax._` for method-style calls on DataFrames. */
@@ -696,5 +715,7 @@ object syntax {
     def blockedMatch(id: Column, name: Column, block: Column,
                      maxDistance: Int = 1): DataFrame =
       GraftOps.blockedMatch(df, id, name, block, maxDistance)
+    def bestMatch(id: Column, name: Column, block: Column): DataFrame =
+      GraftOps.bestMatch(df, id, name, block)
   }
 }

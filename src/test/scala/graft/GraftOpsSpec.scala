@@ -380,6 +380,13 @@ class GraftOpsSpec extends AnyFunSuite {
     assert(got == want, s"$got vs $want")
     // every reported pair really is within distance 1
     assert(bm.filter(col("distance") > 1).count() == 0)
+
+    // bestMatch agrees with the d21 query formulation
+    val viaApi = cust.bestMatch(col("c_custkey"), col("c_name"),
+        substring(col("c_name"), 10, 7))
+      .select(col("id").as("id_a"), col("match_id").as("id_b"), col("jw"))
+    val d21 = operators.Dedup4.d21_fuzzy_scores(spark, sf)
+    assert(viaApi.exceptAll(d21).isEmpty && d21.exceptAll(viaApi).isEmpty)
   }
 
   test("deterministicSplit is partition-invariant with sane fractions") {
