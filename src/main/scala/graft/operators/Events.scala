@@ -81,7 +81,11 @@ object Events {
       .agg(date_trunc("day", min("ts")).as("cohort_day"))
     ev.select(col("user_id"), date_trunc("day", col("ts")).as("active_day"))
       .distinct()
-      .join(broadcast(firstDay), "user_id")
+      // no broadcast() hint: the cohort table is USER-sized — small here,
+      // but at 1B users a forced broadcast is the wrong plan. Unhinted,
+      // Catalyst/AQE broadcasts while it fits and degrades to a shuffle
+      // join keyed on user_id past that.
+      .join(firstDay, "user_id")
       .withColumn("day_offset",
         datediff(col("active_day").cast("date"), col("cohort_day").cast("date")).cast("long"))
       .groupBy("cohort_day", "day_offset")

@@ -150,7 +150,9 @@ object Events4 {
       .agg(count(lit(1)).as("n_users"))
     val daily = ev
       .select(col("user_id"), date_trunc("day", col("ts")).as("day"), col("value"))
-      .join(broadcast(firstDay), "user_id")
+      // unhinted join: the cohort table is USER-sized (see e04) — AQE
+      // broadcasts while it fits, shuffles on user_id past that
+      .join(firstDay, "user_id")
       .withColumn("day_offset",
         datediff(col("day").cast("date"), col("cohort_day").cast("date")).cast("long"))
       .filter(col("day_offset") <= 7)
@@ -160,7 +162,7 @@ object Events4 {
       .rowsBetween(Window.unboundedPreceding, 0)
     daily
       .withColumn("cum_value", sum("day_value").over(w).cast("double"))
-      .join(broadcast(cohortSize), "cohort_day")
+      .join(broadcast(cohortSize), "cohort_day") // day-count-sized: always tiny
       .select(col("cohort_day"), col("day_offset"),
         col("day_value").cast("double").as("day_value"),
         col("cum_value"),
