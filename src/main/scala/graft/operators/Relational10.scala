@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.{Stable, Tables}
 
 /** Relational / ETL core, part 10: warehouse-build verbs. */
@@ -154,16 +155,60 @@ object Relational10 {
       FROM lineitem l JOIN q USING (l_returnflag)
       GROUP BY l.l_returnflag ORDER BY l_returnflag"""
 
+  // ---- q83: higher moments (skewness / kurtosis) ----
+  // Distribution-shape stats q31 stops short of. Spark's builtin
+  // skewness()/kurtosis() stream double moments (order-dependent, not
+  // reproducible cross-engine); here the power sums are EXACT — per-row
+  // powers in double (bit-identical IEEE ops on both engines), each
+  // cast to decimal for order-independent summation — and the closed
+  // forms are rounded at 1e-9 (the q31/v06 discipline). One partial-agg
+  // pass; population moments.
+  val q83_higher_moments: Q = (s, d) => {
+    val D = DecimalType(30, 6)
+    val x = col("l_quantity")
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x.cast(D)).cast("double").as("s1"),
+        sum((x * x).cast(D)).cast("double").as("s2"),
+        sum((x * x * x).cast(D)).cast("double").as("s3"),
+        sum((x * x * x * x).cast(D)).cast("double").as("s4"))
+      .select(col("l_returnflag"), col("n"),
+        round(col("s1") / col("n"), 9).as("mean"),
+        round(expr("""(s3/n - 3*(s1/n)*(s2/n) + 2*pow(s1/n, 3))
+            / pow(s2/n - pow(s1/n, 2), 1.5)"""), 9).as("skewness"),
+        round(expr("""(s4/n - 4*(s1/n)*(s3/n) + 6*pow(s1/n, 2)*(s2/n)
+              - 3*pow(s1/n, 4))
+            / pow(s2/n - pow(s1/n, 2), 2) - 3"""), 9).as("kurtosis_excess"))
+      .orderBy("l_returnflag")
+  }
+  val q83Sql: String =
+    """WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS s1,
+          CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS s2,
+          CAST(SUM(CAST(l_quantity*l_quantity*l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS s3,
+          CAST(SUM(CAST(l_quantity*l_quantity*l_quantity*l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS s4
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+        round(s1/n, 9) AS mean,
+        round((s3/n - 3*(s1/n)*(s2/n) + 2*pow(s1/n, 3))
+            / pow(s2/n - pow(s1/n, 2), 1.5), 9) AS skewness,
+        round((s4/n - 4*(s1/n)*(s3/n) + 6*pow(s1/n, 2)*(s2/n) - 3*pow(s1/n, 4))
+            / pow(s2/n - pow(s1/n, 2), 2) - 3, 9) AS kurtosis_excess
+      FROM m ORDER BY l_returnflag"""
+
   val queries: Map[String, Q] = Map(
-    "q79_dim_build"    -> q79_dim_build,
-    "q80_merge_apply"  -> q80_merge_apply,
-    "q81_pivot_multi"  -> q81_pivot_multi,
-    "q82_robust_stats" -> q82_robust_stats,
+    "q79_dim_build"     -> q79_dim_build,
+    "q80_merge_apply"   -> q80_merge_apply,
+    "q81_pivot_multi"   -> q81_pivot_multi,
+    "q82_robust_stats"  -> q82_robust_stats,
+    "q83_higher_moments" -> q83_higher_moments,
   )
   val oracles: Map[String, String] = Map(
-    "q79_dim_build"    -> q79Sql,
-    "q80_merge_apply"  -> q80Sql,
-    "q81_pivot_multi"  -> q81Sql,
-    "q82_robust_stats" -> q82Sql,
+    "q79_dim_build"     -> q79Sql,
+    "q80_merge_apply"   -> q80Sql,
+    "q81_pivot_multi"   -> q81Sql,
+    "q82_robust_stats"  -> q82Sql,
+    "q83_higher_moments" -> q83Sql,
   )
 }
