@@ -226,6 +226,12 @@ class GraftOpsSpec extends AnyFunSuite {
       .withColumn("e0", date_add(col("s0"), 30))
     assert(rows(GraftOps.mergeIntervals(iv, col("o_custkey"), col("s0"), col("e0"))) ==
       rows(GraftOps.mergeIntervals(iv.repartition(11), col("o_custkey"), col("s0"), col("e0"))))
+    assert(rows(GraftOps.spanDedup(docs, col("doc_id"), col("text"))) ==
+      rows(GraftOps.spanDedup(docs.repartition(9), col("doc_id"), col("text"))))
+    val cust = Tables.customer(spark, sf)
+    val blk = substring(col("c_name"), 10, 7)
+    assert(rows(GraftOps.bestMatch(cust, col("c_custkey"), col("c_name"), blk)) ==
+      rows(GraftOps.bestMatch(cust.repartition(9), col("c_custkey"), col("c_name"), blk)))
   }
 
   test("facade verbs behave on empty and singleton inputs") {
