@@ -105,7 +105,7 @@ private[sources] class SynthTable(rows: Long, partitions: Int, seed: Long,
     new SynthScanBuilder(rows, partitions, seed, rowsPerBatch)
 }
 
-private[sources] class SynthScanBuilder(rows: Long, partitions: Int, seed: Long,
+private[graft] class SynthScanBuilder(rows: Long, partitions: Int, seed: Long,
                                         rowsPerBatch: Long = 100)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
   with SupportsPushDownAggregates {
@@ -190,12 +190,38 @@ private[sources] class SynthCountScan(count: Long, nCols: Int,
   }
 }
 
-private[sources] class SynthScan(rows: Long, partitions: Int, seed: Long,
+private[graft] class SynthScan(rows: Long, partitions: Int, seed: Long,
                                  lo: Long, hi: Long, required: StructType,
                                  pushed: Array[Filter], rowsPerBatch: Long = 100)
-  extends Scan with Batch with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportStatistics
+  with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  // ---- runtime filtering (the V2 dynamic-partition-pruning hook) ----
+  // At execution time Spark can hand the scan filters derived from a
+  // completed join build side (doc_id IN (...)); narrowing [lo, hi] with
+  // them drops input partitions that static pushdown could not — the
+  // DSv2 analog of DPP skipping parquet partitions. Semantics stay
+  // correct because runtime pruning may return a superset: ids inside
+  // the narrowed bounds but outside the IN-set are discarded by the join
+  // itself.
+  private var rtLo: Long = Long.MinValue
+  private var rtHi: Long = Long.MaxValue
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("doc_id"))
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("doc_id", vs) if vs.nonEmpty =>
+      val ids = vs.collect { case n: Number => n.longValue }
+      if (ids.nonEmpty) {
+        rtLo = math.max(rtLo, ids.min); rtHi = math.min(rtHi, ids.max)
+      }
+    case EqualTo("doc_id", v: Number) =>
+      rtLo = math.max(rtLo, v.longValue); rtHi = math.min(rtHi, v.longValue)
+    case _ => () // unusable runtime filter: prune nothing, stay correct
+  }
+  private def effLo: Long = math.max(lo, rtLo)
+  private def effHi: Long = math.min(hi, rtHi)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new SynthMicroBatchStream(rows, seed, rowsPerBatch, required)
 
@@ -224,11 +250,12 @@ private[sources] class SynthScan(rows: Long, partitions: Int, seed: Long,
     * here, at planning time — the pruning a filter pushdown exists for.
     */
   override def planInputPartitions(): Array[InputPartition] = {
+    val (l, h) = (effLo, effHi)
     val per = math.max(1L, (rows + partitions - 1) / partitions)
     (0 until partitions).iterator
       .map { p => SynthPartition(p * per, math.min((p + 1) * per, rows) - 1) }
-      .filter(ip => ip.last >= ip.first && ip.last >= lo && ip.first <= hi)
-      .map(ip => SynthPartition(math.max(ip.first, lo), math.min(ip.last, hi))
+      .filter(ip => ip.last >= ip.first && ip.last >= l && ip.first <= h)
+      .map(ip => SynthPartition(math.max(ip.first, l), math.min(ip.last, h))
         : InputPartition)
       .toArray
   }
@@ -236,7 +263,7 @@ private[sources] class SynthScan(rows: Long, partitions: Int, seed: Long,
     new SynthReaderFactory(seed, required)
 }
 
-private[sources] case class SynthPartition(first: Long, last: Long) extends InputPartition
+private[graft] case class SynthPartition(first: Long, last: Long) extends InputPartition
 
 /** Offsets are simply "ids generated so far" — a monotone high-water
   * mark, serialized as its decimal string for the checkpoint log.

@@ -50,6 +50,38 @@ class SynthSourceSpec extends AnyFunSuite {
     assert(one.head.getLong(0) == 421)
   }
 
+  test("runtime filtering (DPP hook): join-derived id filters drop partitions at execution") {
+    // unit-level: drive the SupportsRuntimeFiltering contract directly —
+    // the end-to-end trigger depends on planner heuristics, the contract
+    // itself must prune deterministically
+    import org.apache.spark.sql.sources.{In, EqualTo}
+    val scan = new sources.SynthScan(1000, 8, 42L,
+      0, 999, sources.SynthDocsSource.fullSchema, Array.empty)
+    assert(scan.planInputPartitions().length == 8)
+    assert(scan.filterAttributes().map(_.describe()).toSeq == Seq("doc_id"))
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](In("doc_id", Array[Any](901L, 930L, 999L))))
+    assert(scan.planInputPartitions().length == 1,
+      "IN-set bounds [901,999] must prune to the last width-125 range")
+    val eq = new sources.SynthScan(1000, 8, 42L,
+      0, 999, sources.SynthDocsSource.fullSchema, Array.empty)
+    eq.filter(Array[org.apache.spark.sql.sources.Filter](EqualTo("doc_id", java.lang.Long.valueOf(3L))))
+    val ps = eq.planInputPartitions()
+    assert(ps.length == 1 && ps(0).asInstanceOf[sources.SynthPartition] ==
+      sources.SynthPartition(3L, 3L))
+    // an unusable runtime filter prunes nothing (correctness over cleverness)
+    val noop = new sources.SynthScan(1000, 8, 42L,
+      0, 999, sources.SynthDocsSource.fullSchema, Array.empty)
+    noop.filter(Array[org.apache.spark.sql.sources.Filter](EqualTo("lang", "en")))
+    assert(noop.planInputPartitions().length == 8)
+    // end-to-end: a selective join over the runtime-filterable column is
+    // still exactly correct (pruning may pass a superset; the join trims)
+    import spark.implicits._
+    val dim = Seq(3L, 907L).toDF("doc_id")
+    val joined = synth(1000, 8).join(dim, "doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(joined.toSeq == Seq(3L, 907L))
+  }
+
   test("non-id filters stay post-scan and still evaluate correctly") {
     val en = synth(300, 4).filter(col("lang") === "en")
     val n = en.count()
