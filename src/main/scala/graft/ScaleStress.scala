@@ -74,6 +74,9 @@ object ScaleStress {
     def time(fn: => Long): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
+    // queries whose near-dup pair join honors graft.neardup.strategy:
+    // timed a second way with the banded-LSH routing (the 100 TB config)
+    val lshRouted = Set("d15_dedup_manifest", "p01_corpus_clean")
     println(f"""${"query"}%-24s ${"t_1x"}%8s ${"t_Nx"}%8s ratio""")
     qs.foreach { n =>
       val fn = SparkEntry.queries(n)
@@ -81,6 +84,15 @@ object ScaleStress {
       val t1 = time(fn(spark, baseDir).count())
       val tn = time(fn(spark, stressDir).count())
       println(f"$n%-24s $t1%8.2f $tn%8.2f ${tn / t1}%5.1fx")
+      if (lshRouted(n)) {
+        spark.conf.set("graft.neardup.strategy", "lsh")
+        spark.sharedState.cacheManager.clearCache()
+        val tl1 = time(fn(spark, baseDir).count())
+        val tln = time(fn(spark, stressDir).count())
+        println(f"${n + "[lsh]"}%-24s $tl1%8.2f $tln%8.2f ${tln / tl1}%5.1fx")
+        spark.conf.unset("graft.neardup.strategy")
+        spark.sharedState.cacheManager.clearCache()
+      }
     }
     spark.stop()
   }

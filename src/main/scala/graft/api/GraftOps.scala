@@ -33,10 +33,11 @@ object GraftOps {
     * Returns (id_a, id_b) with id_a < id_b.
     */
   def minhashCandidates(df: DataFrame, id: Column, text: Column,
-                        numHashes: Int = 64, bands: Int = 16): DataFrame = {
+                        numHashes: Int = 64, bands: Int = 16,
+                        shingleWords: Int = 3): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sigs = df.select(id.as("__id"),
-      minhash_signature(text, numHashes, 3).as("__sig"))
+      minhash_signature(text, numHashes, shingleWords).as("__sig"))
     val banded = sigs.select(col("__id"), explode(expr(
       s"transform(sequence(0, ${bands - 1}), b -> " +
         s"struct(b AS band, xxhash64(concat_ws(',', slice(__sig, b * $rowsPerBand + 1, $rowsPerBand))) AS bh))"))
@@ -79,6 +80,64 @@ object GraftOps {
       .select("id_a", "id_b", "shared", "jaccard")
   }
 
+  /** Exact-verified Jaccard pairs with MinHash-LSH banding candidates —
+    * the d06 path as a reusable verb. Candidate volume is bounded by
+    * band-collision probability, NOT by shared-shingle document
+    * frequency: on a heavily duplicated corpus the shared-shingle
+    * self-join in [[jaccardJoin]] expands O(df²) per hot shingle, while
+    * banding emits <= `bands` bucket rows per doc regardless. A true
+    * pair at jaccard t is missed w.p. (1 - t^r)^b (r = numHashes/bands)
+    * — at the 16×4 default, ~1e-18 for t≈0.98 copies; tune bands up for
+    * recall closer to the threshold. Verification (exact set
+    * intersection over sorted hash arrays) touches candidates only, so
+    * output pairs match [[jaccardJoin]] exactly up to banding recall.
+    */
+  def jaccardJoinBanded(df: DataFrame, id: Column, text: Column,
+                        threshold: Double, n: Int = 3,
+                        numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val sets = df
+      .select(id.as("__id"), split(text, " ").as("__w"))
+      .select(col("__id"), expr(
+        s"""array_sort(array_distinct(transform(
+             sequence(1, greatest(size(__w) - ${n - 1}, 0)),
+             i -> xxhash64(concat_ws(' ', slice(__w, i, $n))))))""").as("__shs"))
+      .withColumn("__n", size(col("__shs")).cast("long"))
+    minhashCandidates(df, id, text, numHashes, bands, n)
+      .join(sets.select(col("__id").as("id_a"), col("__shs").as("__sa"),
+        col("__n").as("__na")), "id_a")
+      .join(sets.select(col("__id").as("id_b"), col("__shs").as("__sb"),
+        col("__n").as("__nb")), "id_b")
+      .withColumn("shared", size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("__na") + col("__nb") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "shared", "jaccard")
+  }
+
+  /** Near-dup pair strategy dispatch: "shingle" = exact shared-shingle
+    * candidates ([[jaccardJoin]] — exact at any threshold, but per-hot-
+    * shingle candidate cost O(df²)); "lsh" = MinHash-banded candidates
+    * ([[jaccardJoinBanded]] — candidate volume bounded by collision
+    * probability, recall (1-(1-t^4)^16 at defaults), the 100 TB path).
+    * The session default comes from spark conf `graft.neardup.strategy`
+    * when callers pass "session".
+    */
+  def nearDupPairs(df: DataFrame, id: Column, text: Column,
+                   threshold: Double, n: Int = 3,
+                   strategy: String = "shingle"): DataFrame = {
+    val s = strategy match {
+      case "session" =>
+        df.sparkSession.conf.get("graft.neardup.strategy", "shingle")
+      case other => other
+    }
+    s match {
+      case "lsh" => jaccardJoinBanded(df, id, text, threshold, n)
+      case "shingle" => jaccardJoin(df, id, text, threshold, n)
+      case bad => throw new IllegalArgumentException(
+        s"unknown near-dup strategy '$bad' (expected shingle|lsh)")
+    }
+  }
+
   /** SimHash near-dup candidates: 64-bit signature per row, pairs sharing
     * one of `chunks` signature chunks (pigeonhole over Hamming distance).
     */
@@ -94,6 +153,83 @@ object GraftOps {
       .where(col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
       .distinct()
+  }
+
+  /** Deterministic distributed k-means over an embedding column — the
+    * coarse quantizer SemDeDup/IVF-style pipelines need (Abbas et al.
+    * 2023 use ~100k clusters so the within-cluster pair join stays
+    * bounded). Seeds are the `k` vectors with the smallest
+    * md5(id) — a distributed top-k (TakeOrderedAndProject), NOT an
+    * unpartitioned corpus rank; the seed-numbering window then runs
+    * over k rows only. Each round is s06's Lloyd step: assignment
+    * broadcasts the k centroid arrays and scores cosines in-row
+    * (corpus×k narrow work, no shuffle of vectors), recompute is one
+    * per-(cluster, dim) decimal-exact mean. `iters` assignment rounds
+    * run with `iters - 1` recomputes between them, so iters=1 is
+    * seed-quantization and iters=2 is one full Lloyd refinement. Every
+    * step (hash seeding, cosine argmax with cluster-id tiebreak,
+    * decimal means) is engine-exact and replicable in ANSI SQL — d22's
+    * DuckDB oracle replays the whole loop. Centroids stay a DataFrame
+    * end-to-end (no driver collect); the broadcast holds to
+    * k×dims ≈ 10⁷ doubles, the documented ceiling of this driver.
+    *
+    * Returns (id, cluster) with cluster in 1..k.
+    */
+  def kmeans(df: DataFrame, id: Column, vec: Column,
+             k: Int, iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = df.select(id.as("__id"),
+        transform(vec, x => x.cast("double")).as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = e.withColumn("__h", md5(col("__id").cast("string")))
+      .orderBy("__h", "__id").limit(k)
+    val cents0 = seeds
+      .withColumn("cluster",
+        row_number().over(Window.orderBy("__h", "__id")).cast("long"))
+      .select(col("cluster"), col("__v").as("__cent"))
+    def assign(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .withColumn("__cos", cosine_sim(col("__v"), col("__cent")))
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy("__id").orderBy(desc("__cos"), col("cluster"))))
+        .filter(col("__rk") === 1)
+        .select(col("__id"), col("cluster"), col("__v"))
+    def recompute(asg: DataFrame): DataFrame = asg
+      .select(col("cluster"), posexplode(col("__v")).as(Seq("__dim", "__x")))
+      .groupBy("cluster", "__dim")
+      .agg((sum(col("__x").cast(DecimalType(30, 10))).cast("double")
+        / count(lit(1))).as("__mv"))
+      .groupBy("cluster")
+      .agg(array_sort(collect_list(struct(col("__dim"), col("__mv")))).as("__ps"))
+      .select(col("cluster"), expr("transform(__ps, p -> p.__mv)").as("__cent"))
+    val lastAsg = (2 to iters).foldLeft(assign(cents0)) { (asg, _) =>
+      assign(recompute(asg))
+    }
+    lastAsg.select(col("__id").as("id"), col("cluster"))
+  }
+
+  /** SemDeDup within-cluster semantic pruning over ANY cluster
+    * assignment (Abbas et al. 2023): a row is doomed iff a lower-id
+    * row in its cluster has cosine >= threshold — deterministic, no
+    * greedy order dependence. The pair join is bounded by the largest
+    * cluster, so the quantizer choice IS the scale knob: stored labels
+    * give corpus/|labels| (fine when labels are fine-grained), a
+    * [[kmeans]] assignment with k ≈ corpus/1000 bounds clusters near
+    * 1000 regardless of label skew. Returns (id, cluster, keep).
+    */
+  def semanticDedup(df: DataFrame, id: Column, vec: Column, cluster: Column,
+                    threshold: Double): DataFrame = {
+    val e = df.select(id.as("id"), vec.as("__v"), cluster.as("cluster"))
+    val a = e.select(col("cluster"), col("id").as("__ia"), col("__v").as("__va"))
+    val b = e.select(col("cluster"), col("id").as("__ib"), col("__v").as("__vb"))
+    val doomed = a.join(b, "cluster")
+      .where(col("__ia") < col("__ib"))
+      .withColumn("__cos", cosine_sim(col("__va"), col("__vb")))
+      .filter(col("__cos") >= threshold)
+      .select(col("__ib").as("id")).distinct()
+    e.join(doomed.withColumn("__doomed", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cluster"),
+        coalesce(!col("__doomed"), lit(true)).as("keep"))
   }
 
   /** Exact top-k nearest neighbours by cosine for each query row; the
@@ -502,31 +638,76 @@ object GraftOps {
 
   /** Containment (one-sided Jaccard) near-dup pairs: emitted when either
     * |A∩B|/|A| or |A∩B|/|B| >= threshold — catches subset duplication
-    * (quoted/embedded docs) that symmetric jaccardJoin misses. Same
-    * carried-count shared-shingle plan as jaccardJoin (a contained doc
-    * shares ALL its shingles, so the candidate join is lossless).
+    * (quoted/embedded docs) that symmetric jaccardJoin misses.
+    *
+    * Candidate discipline is the PPJoin prefix filter ADAPTED TO
+    * CONTAINMENT (lossless): `max(cont) = shared / min(na, nb)`, so a
+    * qualifying pair shares >= ceil(t * n_small) shingles. Order every
+    * doc's shingles by ascending document frequency (rarest first) and
+    * index only the SMALLER side's prefix of length
+    * `n - ceil(t*n) + 1`; the suffix holds ceil(t*n) - 1 slots, fewer
+    * than the required overlap, so at least one shared shingle sits in
+    * the small side's prefix — and trivially in the big side's FULL
+    * posting list. The prefix×full equi-join therefore loses no true
+    * pair, while per-token expansion drops from df² (the old full×full
+    * co-occurrence join) to prefix_df × df — and under df-ascending
+    * ordering hot "stop shingles" almost never enter a prefix, so their
+    * posting lists are probed, never self-joined. Verification touches
+    * DISTINCT candidates only: one array_intersect over two sorted
+    * arrays per pair, not a count aggregation over every co-occurrence
+    * row. (4× duplicated sf0.1 stress corpus: 25s → ~4s.)
+    *
+    * `maxDf > 0` additionally drops shingles with document frequency
+    * above the cap from the PROBE side — a documented-recall escape
+    * hatch for corpora whose prefix sets still contain globally hot
+    * shingles (e.g. every doc shorter than 1/t words of boilerplate).
+    * The default 0 keeps the join exact.
+    *
+    * Returns (id_a, id_b, shared, n_a, n_b, cont_ab, cont_ba),
+    * id_a < id_b.
     */
   def containmentJoin(df: DataFrame, id: Column, text: Column,
-                      threshold: Double, n: Int = 3): DataFrame = {
-    val shingled = df
+                      threshold: Double, n: Int = 3, maxDf: Long = 0L): DataFrame = {
+    val sets = df
       .select(id.as("__id"), split(text, " ").as("__w"))
       .select(col("__id"), expr(
-        s"""array_distinct(transform(
+        s"""array_sort(array_distinct(transform(
              sequence(1, greatest(size(__w) - ${n - 1}, 0)),
-             i -> xxhash64(concat_ws(' ', slice(__w, i, $n)))))""").as("__shs"))
-      .select(col("__id"), size(col("__shs")).cast("long").as("__n"),
-        explode(col("__shs")).as("__sh"))
+             i -> xxhash64(concat_ws(' ', slice(__w, i, $n))))))""").as("__shs"))
+      .withColumn("__n", size(col("__shs")).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val x = shingled.select(col("__id").as("id_a"), col("__n").as("__na"), col("__sh"))
-    val y = shingled.select(col("__id").as("id_b"), col("__n").as("__nb"), col("__sh"))
-    x.join(y, "__sh")
-      .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "__na", "__nb")
-      .agg(count(lit(1)).as("shared"))
-      .withColumn("cont_ab", col("shared").cast("double") / col("__na"))
-      .withColumn("cont_ba", col("shared").cast("double") / col("__nb"))
+    val rows = sets.select(col("__id"), col("__n"), explode(col("__shs")).as("__tok"))
+    val dfTbl = rows.groupBy("__tok").agg(count(lit(1)).as("__df"))
+    // prefix of the (potentially) smaller side, rarest shingles first;
+    // the window is doc-partitioned — parallel across the corpus
+    val pref = rows.join(dfTbl, "__tok")
+      .withColumn("__rn", row_number()
+        .over(Window.partitionBy("__id").orderBy("__df", "__tok")))
+      .filter(col("__rn") <=
+        col("__n") - ceil(lit(threshold) * col("__n")).cast("long") + 1)
+      .select(col("__id").as("__xa"), col("__n").as("__pna"), col("__tok"))
+    val probe0 = rows.select(col("__id").as("__xb"), col("__n").as("__pnb"), col("__tok"))
+    val probe = if (maxDf > 0)
+      probe0.join(dfTbl.filter(col("__df") <= maxDf).select("__tok"), "__tok")
+    else probe0
+    // x must be the size-lex-min side (ties broken by id) so each true
+    // pair is generated exactly once, from its contained side's prefix
+    val cand = pref.join(probe, "__tok")
+      .where(col("__pna") < col("__pnb") ||
+        (col("__pna") === col("__pnb") && col("__xa") < col("__xb")))
+      .select(least(col("__xa"), col("__xb")).as("id_a"),
+        greatest(col("__xa"), col("__xb")).as("id_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("__id").as("id_a"), col("__shs").as("__sa"),
+        col("__n").as("n_a")), "id_a")
+      .join(sets.select(col("__id").as("id_b"), col("__shs").as("__sb"),
+        col("__n").as("n_b")), "id_b")
+      .withColumn("shared", size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .withColumn("cont_ab", col("shared").cast("double") / col("n_a"))
+      .withColumn("cont_ba", col("shared").cast("double") / col("n_b"))
       .filter(col("cont_ab") >= threshold || col("cont_ba") >= threshold)
-      .select("id_a", "id_b", "shared", "cont_ab", "cont_ba")
+      .select("id_a", "id_b", "shared", "n_a", "n_b", "cont_ab", "cont_ba")
   }
 
   /** Gopher-style rule-suite filter decision over any (id, text) frame:
@@ -562,11 +743,14 @@ object GraftOps {
     * 'exact_dup' (with its normalized-text keeper), 'near_dup' (with its
     * smallest-id Jaccard>=threshold predecessor among exact survivors),
     * or 'kept' — the lineage artifact a production cleaning run emits.
-    * Exact stage first (cheap, shrinks the near-dup input), jaccardJoin
-    * over survivors only.
+    * Exact stage first (cheap, shrinks the near-dup input), near-dup
+    * pairs over survivors only. `strategy` routes the pair join
+    * ([[nearDupPairs]]): "shingle" (exact), "lsh" (banded, the 100 TB
+    * path), or "session" (spark conf `graft.neardup.strategy`).
     */
   def dedupManifest(df: DataFrame, id: Column, text: Column,
-                    threshold: Double = 0.5): DataFrame = {
+                    threshold: Double = 0.5,
+                    strategy: String = "session"): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // Same barrier discipline as the d15 operator: persisted fan-out
     // points carry ids and hashes ONLY (never the text payload), and the
@@ -581,7 +765,8 @@ object GraftOps {
       .select(col("id"), lit("exact_dup").as("status"), col("__ref").as("ref_id"))
     val survivorIds = withRef.filter(col("id") === col("__ref")).select("id")
     val survivors = base.join(survivorIds, Seq("id"), "left_semi")
-    val doomedRef = jaccardJoin(survivors, col("id"), col("__t"), threshold)
+    val doomedRef = nearDupPairs(survivors, col("id"), col("__t"), threshold,
+        strategy = strategy)
       .groupBy(col("id_b").as("id")).agg(min("id_a").as("ref_id"))
       .persist(MEMORY_AND_DISK)
     val nearDups = doomedRef.select(col("id"), lit("near_dup").as("status"), col("ref_id"))
@@ -662,11 +847,21 @@ object syntax {
       GraftOps.minhashCandidates(df, id, text)
     def jaccardJoin(id: Column, text: Column, threshold: Double): DataFrame =
       GraftOps.jaccardJoin(df, id, text, threshold)
+    def jaccardJoinBanded(id: Column, text: Column, threshold: Double): DataFrame =
+      GraftOps.jaccardJoinBanded(df, id, text, threshold)
+    def nearDupPairs(id: Column, text: Column, threshold: Double,
+                     strategy: String = "session"): DataFrame =
+      GraftOps.nearDupPairs(df, id, text, threshold, strategy = strategy)
     def simhashCandidates(id: Column, text: Column): DataFrame =
       GraftOps.simhashCandidates(df, id, text)
     def knn(queries: DataFrame, k: Int, candId: Column, candVec: Column,
             qId: Column, qVec: Column): DataFrame =
       GraftOps.knn(df, queries, k, candId, candVec, qId, qVec)
+    def kmeans(id: Column, vec: Column, k: Int, iters: Int = 2): DataFrame =
+      GraftOps.kmeans(df, id, vec, k, iters)
+    def semanticDedup(id: Column, vec: Column, cluster: Column,
+                      threshold: Double): DataFrame =
+      GraftOps.semanticDedup(df, id, vec, cluster, threshold)
     def deterministicSplit(key: Column, weights: Seq[Double]): DataFrame =
       GraftOps.deterministicSplit(df, key, weights)
     def latestPerKey(key: Column, order: Column*): DataFrame =
@@ -708,8 +903,9 @@ object syntax {
       GraftOps.containmentJoin(df, id, text, threshold)
     def gopherFilter(text: Column): DataFrame =
       GraftOps.gopherFilter(df, text)
-    def dedupManifest(id: Column, text: Column, threshold: Double = 0.5): DataFrame =
-      GraftOps.dedupManifest(df, id, text, threshold)
+    def dedupManifest(id: Column, text: Column, threshold: Double = 0.5,
+                      strategy: String = "session"): DataFrame =
+      GraftOps.dedupManifest(df, id, text, threshold, strategy)
     def spanDedup(id: Column, text: Column, spanWords: Int = 10): DataFrame =
       GraftOps.spanDedup(df, id, text, spanWords)
     def blockedMatch(id: Column, name: Column, block: Column,

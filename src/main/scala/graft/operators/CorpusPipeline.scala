@@ -44,27 +44,17 @@ object CorpusPipeline {
       df.join(keepers, col("doc_id") === col("keeper"), "left_semi")
     }
 
-    // Carried-count + persist-barrier shape (see Dedup.verifiedPairs):
-    // the cleaned frame is shingled ONCE; both self-join sides and the
-    // size counts come from the one cached signature table.
+    // Pair join routed by spark conf `graft.neardup.strategy` ("session"
+    // dispatch): "shingle" (default) is the exact carried-count shared-
+    // shingle plan (see Dedup.verifiedPairs — shingled once, persisted,
+    // both self-join sides read the cache); "lsh" is d06's banded path,
+    // whose candidate volume is bounded by band-collision probability
+    // instead of shared-shingle df² — the setting a duplicated 100 TB
+    // corpus runs with (SURVEY §6 stress table).
     val nearDedup: DataFrame => DataFrame = df => {
-      val shingled = df
-        .select(col("doc_id"), split(col("text"), " ").as("words"))
-        .select(col("doc_id"), expr(
-          """array_distinct(transform(
-               sequence(1, greatest(size(words) - 2, 0)),
-               i -> xxhash64(concat_ws(' ', slice(words, i, 3)))))""").as("shs"))
-        .select(col("doc_id"), size(col("shs")).cast("long").as("n"),
-          explode(col("shs")).as("sh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val x = shingled.select(col("doc_id").as("da"), col("n").as("na"), col("sh"))
-      val y = shingled.select(col("doc_id").as("db"), col("n").as("nb"), col("sh"))
-      val doomed = x.join(y, "sh")
-        .where(col("da") < col("db"))
-        .groupBy("da", "db", "na", "nb")
-        .agg(count(lit(1)).as("shared"))
-        .filter(col("shared").cast("double") / (col("na") + col("nb") - col("shared")) >= 0.5)
-        .select(col("db").as("doomed_id")).distinct()
+      val doomed = graft.api.GraftOps
+        .nearDupPairs(df, col("doc_id"), col("text"), 0.5, strategy = "session")
+        .select(col("id_b").as("doomed_id")).distinct()
       df.join(doomed, col("doc_id") === col("doomed_id"), "left_anti")
     }
 

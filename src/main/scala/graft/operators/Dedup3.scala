@@ -221,8 +221,13 @@ object Dedup3 {
       .select(col("doc_id"), lit("exact_dup").as("status"), col("ref").as("ref_doc"))
     val survivorIds = withRef.filter(col("doc_id") === col("ref")).select("doc_id")
     val survivors = docs.join(survivorIds, Seq("doc_id"), "left_semi")
+    // strategy "session": spark conf `graft.neardup.strategy` routes the
+    // pair join — "shingle" (default, exact) or "lsh" (d06's banded
+    // path, candidate volume bounded by collision probability — the
+    // setting a 100 TB run uses; see SURVEY §6 stress table)
     val doomedRef = graft.api.GraftOps
-      .jaccardJoin(survivors, col("doc_id"), col("text"), 0.5)
+      .nearDupPairs(survivors, col("doc_id"), col("text"), 0.5,
+        strategy = "session")
       .groupBy(col("id_b").as("doc_id")).agg(min("id_a").as("ref_doc"))
       .persist(MEMORY_AND_DISK)
     val nearDups = doomedRef
@@ -311,32 +316,24 @@ object Dedup3 {
   // Symmetric Jaccard misses SUBSET duplication — a tweet quoted inside
   // an article, a doc embedded in a crawl concatenation — where
   // |A∩B|/|A∪B| is small but containment |A∩B|/|A| ≈ 1 (Broder 1997
-  // defines both; substring-dedup work targets exactly this case). Same
-  // candidate discipline as d03 (shared-shingle join — a contained doc
-  // shares ALL its shingles, so candidates can't miss it), verification
-  // adds both direction ratios; emitted when either side is ≥ 0.8.
-  // Ratios are single IEEE divisions of exact ints — engine-exact.
-  // Plan is d03's carried-count shape (sizes ride the groupBy keys, the
-  // exploded signature table is persisted once for both self-join
-  // sides): shared counts fall out of the co-occurrence aggregation
-  // directly — no distinct-candidates stage, no array join-backs.
-  val d17_containment: Q = (s, d) => {
-    val shingled = shingleSets(Tables.documents(s, d))
-      .select(col("doc_id"), col("n").cast("long").as("n"),
-        explode(col("sh")).as("tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val x = shingled.select(col("doc_id").as("da"), col("n").as("na"), col("tok"))
-    val y = shingled.select(col("doc_id").as("db"), col("n").as("nb"), col("tok"))
-    x.join(y, "tok")
-      .where(col("da") < col("db"))
-      .groupBy("da", "db", "na", "nb")
-      .agg(count(lit(1)).as("shared"))
-      .withColumn("cont_ab", col("shared").cast("double") / col("na"))
-      .withColumn("cont_ba", col("shared").cast("double") / col("nb"))
-      .filter(col("cont_ab") >= 0.8 || col("cont_ba") >= 0.8)
-      .select("da", "db", "shared", "na", "nb", "cont_ab", "cont_ba")
+  // defines both; substring-dedup work targets exactly this case).
+  // Candidates come from GraftOps.containmentJoin's prefix-probe filter
+  // (PPJoin adapted to containment: a qualifying pair shares
+  // >= ceil(t * n_small) shingles, so the SMALLER side's df-ascending
+  // prefix of length n - ceil(t*n) + 1 must hit the larger side's full
+  // posting list) — lossless, so the output is identical to the old
+  // full×full co-occurrence join, but per-shingle candidate expansion
+  // is prefix_df × df instead of df², and hot "stop shingles" sort out
+  // of every prefix. Verification is one array_intersect per DISTINCT
+  // candidate. Ratios are single IEEE divisions of exact ints —
+  // engine-exact vs the string-keyed DuckDB oracle.
+  val d17_containment: Q = (s, d) =>
+    graft.api.GraftOps
+      .containmentJoin(Tables.documents(s, d), col("doc_id"), col("text"), 0.8)
+      .select(col("id_a").as("da"), col("id_b").as("db"), col("shared"),
+        col("n_a").as("na"), col("n_b").as("nb"),
+        col("cont_ab"), col("cont_ba"))
       .orderBy("da", "db")
-  }
   val d17Sql: String =
     """WITH w AS (SELECT doc_id, generate_subscripts(string_split(text,' '),1) i,
                        unnest(string_split(text,' ')) w FROM documents),

@@ -157,15 +157,80 @@ object Dedup4 {
               ORDER BY jw DESC, id_b) AS rk FROM p)
       SELECT id_a, id_b, jw FROM k WHERE rk = 1 ORDER BY id_a"""
 
+  // ---- d22: SemDeDup with a real k-means coarse quantizer ----
+  // d14 uses the stored label as its coarse cluster — fine when labels
+  // are fine-grained, quadratic in corpus/|labels| when they aren't.
+  // This is the production configuration Abbas et al. 2023 actually
+  // describe: cluster the embedding space with k-means (k sized so
+  // clusters stay ~constant — corpus/1000 at scale), then prune within
+  // k-means cells. GraftOps.kmeans is deterministic end-to-end
+  // (md5-seeded init, cosine argmax with cluster tiebreak, decimal-mean
+  // recompute), so the ENTIRE two-assignment Lloyd loop replays in
+  // ANSI SQL and this query is hash-exact against DuckDB — no
+  // rows-only cop-out despite being an iterative ML kernel.
+  val d22_semdedup_kmeans: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val asg = graft.api.GraftOps
+      .kmeans(e, col("vec_id"), col("embedding"), k = 25, iters = 2)
+      .withColumnRenamed("id", "vec_id")
+    graft.api.GraftOps
+      .semanticDedup(e.join(asg, "vec_id"),
+        col("vec_id"), col("embedding"), col("cluster"), 0.3)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("n_removed", col("n_total") - col("n_kept"))
+      .select("cluster", "n_total", "n_kept", "n_removed")
+      .orderBy("cluster")
+  }
+  val d22Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      sr AS (SELECT vec_id, v, row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cluster FROM e),
+      c0 AS (SELECT cluster, v AS cent FROM sr WHERE cluster <= 25),
+      x1 AS (SELECT e.vec_id, e.v, c0.cluster,
+               list_dot_product(e.v, c0.cent)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(c0.cent, c0.cent))) AS cos
+             FROM e CROSS JOIN c0),
+      a1 AS (SELECT vec_id, v, cluster FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cos DESC, cluster) AS rk FROM x1) t WHERE rk = 1),
+      u1 AS (SELECT cluster, generate_subscripts(v,1)-1 AS dim, unnest(v) AS x
+             FROM a1),
+      m1 AS (SELECT cluster, dim,
+               CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE)/COUNT(*) AS mv
+             FROM u1 GROUP BY 1, 2),
+      c1 AS (SELECT cluster, list(mv ORDER BY dim) AS cent FROM m1 GROUP BY cluster),
+      x2 AS (SELECT e.vec_id, e.v, c1.cluster,
+               list_dot_product(e.v, c1.cent)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(c1.cent, c1.cent))) AS cos
+             FROM e CROSS JOIN c1),
+      a2 AS (SELECT vec_id, v, cluster FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cos DESC, cluster) AS rk FROM x2) t WHERE rk = 1),
+      doomed AS (SELECT DISTINCT b.vec_id
+                 FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                 WHERE list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))) >= 0.3)
+      SELECT cluster, COUNT(*) AS n_total,
+             COUNT(*) FILTER (WHERE vec_id NOT IN (SELECT vec_id FROM doomed)) AS n_kept,
+             COUNT(*) FILTER (WHERE vec_id IN (SELECT vec_id FROM doomed)) AS n_removed
+      FROM a2 GROUP BY cluster ORDER BY cluster"""
+
   val queries: Map[String, Q] = Map(
     "d18_span_dedup"        -> d18_span_dedup,
     "d19_minhash_estimate"  -> d19_minhash_estimate,
     "d20_entity_resolution" -> d20_entity_resolution,
     "d21_fuzzy_scores"      -> d21_fuzzy_scores,
+    "d22_semdedup_kmeans"   -> d22_semdedup_kmeans,
   )
   val oracles: Map[String, String] = Map(
     "d18_span_dedup"        -> d18Sql,
     "d20_entity_resolution" -> d20Sql,
     "d21_fuzzy_scores"      -> d21Sql,
+    "d22_semdedup_kmeans"   -> d22Sql,
   )
 }

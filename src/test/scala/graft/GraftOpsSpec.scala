@@ -348,9 +348,32 @@ class GraftOpsSpec extends AnyFunSuite {
   }
 
   test("containmentJoin / gopherFilter / dedupManifest agree with their oracle query formulations") {
+    // independent reference: the naive full×full shared-shingle
+    // co-occurrence plan (d17's pre-round-3 formulation) — the
+    // prefix-probe candidate filter must be lossless against it
+    val naive = {
+      val shingled = docs
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), expr(
+          """array_distinct(transform(
+               sequence(1, greatest(size(w) - 2, 0)),
+               i -> xxhash64(concat_ws(' ', slice(w, i, 3)))))""").as("shs"))
+        .select(col("doc_id"), size(col("shs")).cast("long").as("n"),
+          explode(col("shs")).as("tok"))
+      val x = shingled.select(col("doc_id").as("da"), col("n").as("na"), col("tok"))
+      val y = shingled.select(col("doc_id").as("db"), col("n").as("nb"), col("tok"))
+      x.join(y, "tok").where(col("da") < col("db"))
+        .groupBy("da", "db", "na", "nb")
+        .agg(count(lit(1)).as("shared"))
+        .withColumn("cont_ab", col("shared").cast("double") / col("na"))
+        .withColumn("cont_ba", col("shared").cast("double") / col("nb"))
+        .filter(col("cont_ab") >= 0.8 || col("cont_ba") >= 0.8)
+        .select("da", "db", "shared", "cont_ab", "cont_ba")
+    }
     val viaApi = docs.containmentJoin(col("doc_id"), col("text"), 0.8)
       .select(col("id_a").as("da"), col("id_b").as("db"),
         col("shared"), col("cont_ab"), col("cont_ba"))
+    assert(viaApi.exceptAll(naive).isEmpty && naive.exceptAll(viaApi).isEmpty)
     val d17 = operators.Dedup3.d17_containment(spark, sf)
       .select("da", "db", "shared", "cont_ab", "cont_ba")
     assert(viaApi.exceptAll(d17).isEmpty && d17.exceptAll(viaApi).isEmpty)
@@ -364,6 +387,29 @@ class GraftOpsSpec extends AnyFunSuite {
       .select(col("id").as("doc_id"), col("status"), col("ref_id").as("ref_doc"))
     val d15 = operators.Dedup3.d15_dedup_manifest(spark, sf)
     assert(dm.exceptAll(d15).isEmpty && d15.exceptAll(dm).isEmpty)
+  }
+
+  test("jaccardJoinBanded matches the exact shingle join; lsh-routed manifest matches shingle-routed") {
+    // the banded path verifies exactly — only candidate RECALL is
+    // probabilistic, and at 16×4 bands the seeded near-dup pairs
+    // (jaccard ≈ 0.98) are missed w.p. ~1e-18, so outputs are equal
+    val exact = docs.jaccardJoin(col("doc_id"), col("text"), 0.5)
+    val banded = docs.jaccardJoinBanded(col("doc_id"), col("text"), 0.5)
+    assert(banded.exceptAll(exact).isEmpty && exact.exceptAll(banded).isEmpty)
+
+    val viaShingle = docs.dedupManifest(col("doc_id"), col("text"), 0.5, "shingle")
+    val viaLsh = docs.dedupManifest(col("doc_id"), col("text"), 0.5, "lsh")
+    assert(viaLsh.exceptAll(viaShingle).isEmpty && viaShingle.exceptAll(viaLsh).isEmpty)
+
+    // "session" honors the spark conf
+    spark.conf.set("graft.neardup.strategy", "lsh")
+    try {
+      val pairs = docs.nearDupPairs(col("doc_id"), col("text"), 0.5)
+      assert(pairs.exceptAll(exact).isEmpty && exact.exceptAll(pairs).isEmpty)
+    } finally spark.conf.unset("graft.neardup.strategy")
+    intercept[IllegalArgumentException] {
+      docs.nearDupPairs(col("doc_id"), col("text"), 0.5, strategy = "bogus")
+    }
   }
 
   test("spanDedup / blockedMatch agree with their oracle query formulations") {
