@@ -183,9 +183,14 @@ object GraftOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seeds = e.withColumn("__h", md5(col("__id").cast("string")))
       .orderBy("__h", "__id").limit(k)
+    // numbering window runs over the k pruned seeds only; the pid
+    // group key (constant: GlobalLimit emits one partition, and a lit
+    // would be folded away) keeps WindowExec off its unpartitioned path
     val cents0 = seeds
+      .withColumn("__g", spark_partition_id())
       .withColumn("cluster",
-        row_number().over(Window.orderBy("__h", "__id")).cast("long"))
+        row_number().over(Window.partitionBy("__g").orderBy("__h", "__id"))
+          .cast("long"))
       .select(col("cluster"), col("__v").as("__cent"))
     def assign(cents: DataFrame): DataFrame =
       e.crossJoin(broadcast(cents))
@@ -309,8 +314,12 @@ object GraftOps {
     * sum share it.
     */
   def sessionize(df: DataFrame, key: Column, ts: Column,
-                 gap: String = "30 minutes"): DataFrame = {
-    val byKey = Window.partitionBy(key).orderBy(ts)
+                 gap: String = "30 minutes",
+                 tiebreak: Seq[Column] = Nil): DataFrame = {
+    // rows with EQUAL timestamps get partition-dependent lag order
+    // unless `tiebreak` extends (ts, ...) to a total order — pass a
+    // unique id (q27 orders by (ts, event_id)) whenever ts can repeat
+    val byKey = Window.partitionBy(key).orderBy(ts +: tiebreak: _*)
     df.withColumn("__prev", lag(ts, 1).over(byKey))
       .withColumn("__new", when(
         col("__prev").isNull || ts > col("__prev") + expr(s"INTERVAL $gap"),
@@ -427,8 +436,11 @@ object GraftOps {
       .join(keys.as("b"), col("a.k") - 1 === col("b.k"), "left_anti")
       .join(broadcast(bounds)).filter(col("k") > col("mn"))
       .select((col("k") - 1).as("gap_hi"))
-    starts.withColumn("__i", row_number().over(Window.orderBy("gap_lo")))
-      .join(ends.withColumn("__i", row_number().over(Window.orderBy("gap_hi"))), "__i")
+    // boundary numbering via globalRank: the gap set is audit-sized on
+    // healthy data but can approach key-count on pathological input —
+    // range-partitioned rank keeps even that case off a single task
+    globalRank(starts, col("gap_lo")).withColumnRenamed("rank", "__i")
+      .join(globalRank(ends, col("gap_hi")).withColumnRenamed("rank", "__i"), "__i")
       .select(col("gap_lo"), col("gap_hi"),
         (col("gap_hi") - col("gap_lo") + 1).as("gap_len"))
   }
@@ -503,6 +515,57 @@ object GraftOps {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
   }
+
+  /** Exact global row_number over arbitrarily large input WITHOUT the
+    * single-task unpartitioned window: range-repartition on the sort
+    * key (each partition holds a contiguous key range), rank within
+    * each partition in parallel, then add per-partition row-count
+    * offsets. The offset collect is partition-count rows — metadata-
+    * sized — never data; they ride a broadcast hash join back onto the
+    * ranked partitions, so the whole verb stays lazy (no driver
+    * collect). At web scale this is the difference between ranking a
+    * 10⁹-term vocabulary on one task and on every core in the cluster.
+    * Appends `rank` (1-based; 1 = first row in `order`, which must be
+    * a total order for a deterministic result).
+    */
+  def globalRank(df: DataFrame, order: Column*): DataFrame = {
+    val parted = df.repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exclusive prefix sum of per-partition row counts = rank offsets;
+    // partition-count rows, coalesced to one explicit partition and
+    // grouped on its (now-constant) pid — a lit key would fold away
+    val offsets = parted.groupBy("__pid").agg(count(lit(1)).as("__c"))
+      .coalesce(1)
+      .withColumn("__g", spark_partition_id())
+      .withColumn("__off",
+        sum("__c").over(Window.partitionBy("__g").orderBy("__pid")) - col("__c"))
+      .select("__pid", "__off")
+    parted.join(broadcast(offsets), "__pid")
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("__pid").orderBy(order: _*))
+          .cast("long") + col("__off"))
+      .drop("__pid", "__off")
+  }
+
+  /** Exact global top-k with rank: TakeOrderedAndProject prune (per-
+    * partition bounded heaps; only k×partitions rows reach the merge)
+    * then a rank window over the k survivors, partitioned on a
+    * constant — the single task is explicitly bounded by k, and
+    * WindowExec's unpartitioned-window path never engages. The q59
+    * vocabulary discipline: the heavy word rollup stays map-side
+    * combinable and distributed; ranking touches k rows.
+    */
+  def globalTopK(df: DataFrame, score: String, tie: String, k: Int): DataFrame =
+    // the group key must be spark_partition_id(), not lit(1):
+    // FoldablePropagation strips a constant partition key and the plan
+    // regresses to the unpartitioned WindowExec. GlobalLimit emits ONE
+    // partition, so the materialized pid is a genuine constant here.
+    df.orderBy(desc(score), col(tie)).limit(k)
+      .withColumn("__g", spark_partition_id())
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("__g").orderBy(desc(score), col(tie))).cast("long"))
+      .drop("__g")
 
   /** Conform a frame to a target schema (DDL string): target columns in
     * target order, existing columns cast to the target type, missing
@@ -866,8 +929,9 @@ object syntax {
       GraftOps.deterministicSplit(df, key, weights)
     def latestPerKey(key: Column, order: Column*): DataFrame =
       GraftOps.latestPerKey(df, key, order)
-    def sessionize(key: Column, ts: Column, gap: String = "30 minutes"): DataFrame =
-      GraftOps.sessionize(df, key, ts, gap)
+    def sessionize(key: Column, ts: Column, gap: String = "30 minutes",
+                   tiebreak: Seq[Column] = Nil): DataFrame =
+      GraftOps.sessionize(df, key, ts, gap, tiebreak)
     def asofJoin(right: DataFrame, leftKey: String, rightKey: String,
                  leftTime: String, rightTime: String): DataFrame =
       graft.plans.AsofJoin.asofJoin(df, right, leftKey, rightKey, leftTime, rightTime)

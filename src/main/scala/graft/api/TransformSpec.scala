@@ -106,15 +106,30 @@ object TransformSpec {
         GraftOps.deterministicSplit(df, expr(step.path("key").asText()), weights)
       case "spanDedup" =>
         // sub-document span dedup with reconstruction (the d18 pipeline)
-        // behind one config line: replaces the text column with the
-        // deduped reconstruction, keeps span accounting columns
+        // behind one config line: GENUINELY replaces the text column in
+        // the pipeline frame (all other columns survive) and appends the
+        // n_spans/n_kept accounting; rows whose every span was deduped
+        // away get a null text. spanDedup itself returns only
+        // (id, n_spans, n_kept, text_kept), so the result is joined back
+        // on the id.
         val words = if (step.has("spanWords")) step.path("spanWords").asInt() else 10
-        GraftOps.spanDedup(df,
-          expr(step.path("id").asText()), expr(step.path("text").asText()), words)
+        val idExpr = step.path("id").asText()
+        val textCol = step.path("text").asText()
+        val sd = GraftOps.spanDedup(df, expr(idExpr), expr(textCol), words)
+          .withColumnRenamed("id", "__sd_id")
+        df.join(sd, expr(idExpr) === col("__sd_id"), "left")
+          .withColumn(textCol, col("text_kept"))
+          .drop("__sd_id", "text_kept")
       case "sessionize" =>
         val gap = if (step.has("gap")) step.path("gap").asText() else "30 minutes"
+        // optional "tiebreak" column extends (ts, ...) to a total order —
+        // required for run-invariant session ids when ts can repeat
+        // (the q27 discipline: it orders by (ts, event_id))
+        val tiebreak =
+          if (step.has("tiebreak")) Seq(expr(step.path("tiebreak").asText())) else Nil
         GraftOps.sessionize(df,
-          expr(step.path("key").asText()), expr(step.path("ts").asText()), gap)
+          expr(step.path("key").asText()), expr(step.path("ts").asText()), gap,
+          tiebreak)
       case "conform" =>
         GraftOps.conform(df, step.path("schema").asText())
       case "profile" =>

@@ -1,8 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** String-similarity kernels for fuzzy matching / entity resolution.
@@ -76,9 +76,23 @@ object StringSim {
     jaroWinkler(a.toString, b.toString)
 }
 
-/** jaro_winkler(a, b): Jaro-Winkler similarity in [0, 1] (codegen'd). */
+/** jaro_winkler(a, b): Jaro-Winkler similarity in [0, 1] (codegen'd).
+  *
+  * Declares string inputs (ExpectsInputTypes), so a mistyped SQL call
+  * — `jaro_winkler(l_orderkey, ...)` — fails at ANALYSIS time with a
+  * type error, with implicit casts applied where Spark's standard
+  * string coercions allow, instead of surfacing as a Janino compile
+  * error or ClassCastException mid-job. Comparison operates on UTF-16
+  * code units (like java.lang.String): for non-BMP text (surrogate
+  * pairs) scores can diverge from DuckDB's codepoint-based
+  * jaro_winkler_similarity — the d21 oracle parity scope is BMP
+  * strings, which the fuzz spec's generator stays within.
+  */
 case class JaroWinkler(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  // AbstractDataType is private[sql]; the inferred Seq[DataType] result
+  // type conforms covariantly, so the override stays legal from here
+  override def inputTypes = Seq[DataType](StringType, StringType)
   override def dataType: DataType = DoubleType
   override def nullSafeEval(l: Any, r: Any): Any =
     StringSim.jwGen(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])

@@ -116,7 +116,15 @@ object Dedup3 {
   val d12_crossdoc_ngrams: Q = (s, d) => {
     // gram keys are 64-bit xxhash64 (d03's discipline): the cached
     // postings, the df shuffle, and the join-back all move longs, not
-    // ~40-byte strings; exact vs the string-keyed oracle at all SFs
+    // ~40-byte strings; exact vs the string-keyed oracle at all SFs.
+    // Honest bound for the count-bearing ops on this key (d12/d16/t13/
+    // t17/novelty): at ~1e12 distinct grams (the 100 TB regime) the
+    // birthday estimate is ~3e4 64-bit collisions — a ~1e-8 relative
+    // perturbation of df/overlap counts, i.e. collision-approximate at
+    // extreme scale while remaining exact at any testable size. If a
+    // deployment needs exactness beyond that, widen the key to 128 bits
+    // (two salted xxhash64 columns or md5 halves) — same plan shape,
+    // 2x shuffle-key bytes.
     val grams = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(expr(

@@ -365,15 +365,18 @@ object Quality {
   // The pipeline-monitoring staple: per event feed, last-seen time, lag
   // behind the freshest feed, and a staleness flag against a 24h SLA.
   // One partial-agg pass over the fact table (max/count decompose);
-  // the corpus watermark comes from a window over the feed-count-sized
-  // rollup, never a second scan. Lag is an exact integer microsecond
-  // difference; the hour conversion is one IEEE division.
+  // the corpus watermark is a 1-row broadcast off the feed-count-sized
+  // rollup (persisted — both branches read the cache), never a second
+  // fact scan and never an unpartitioned window. Lag is an exact
+  // integer microsecond difference; the hour conversion is one IEEE
+  // division.
   val v07_freshness: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
-    Tables.events(s, d)
+    val feeds = Tables.events(s, d)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"), max("ts").as("last_ts"))
-      .withColumn("watermark", max("last_ts").over(Window.partitionBy()))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    feeds
+      .crossJoin(broadcast(feeds.agg(max("last_ts").as("watermark"))))
       .select(col("event_type"), col("n_events"), col("last_ts"),
         ((unix_micros(col("watermark")) - unix_micros(col("last_ts")))
           .cast("double") / lit(3600000000.0)).as("lag_hours"))

@@ -68,18 +68,25 @@ object Relational6 {
   // ---- q57: equi-width histogram + cumulative distribution ----
   // One aggregation on the bucket key (uniform by construction), then a
   // tiny window over the ~dozen bucket rows for the CDF — the heavy stage
-  // is map-side-combinable, the window is O(buckets), not O(rows).
+  // is map-side-combinable, the window is O(buckets), not O(rows). The
+  // bucket table is coalesced to one explicit partition and grouped on
+  // its (now-constant) pid — a lit key would be folded away — so
+  // WindowExec never takes its unpartitioned path.
   val q57_histogram_cdf: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val b = Tables.orders(s, d)
       .withColumn("bucket", floor(col("o_totalprice") / 50000.0).cast("long"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"), graft.Stable.dsum(col("o_totalprice")).as("sum_price"))
-    val total = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      .coalesce(1)
+      .withColumn("g", spark_partition_id())
+    val total = Window.partitionBy("g").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     b.withColumn("cum_n", sum("n").over(total))
       .withColumn("cum_share",
         round(col("cum_n").cast("double") / sum("n").over(
-          Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)), 9))
+          Window.partitionBy("g").orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)), 9))
       .select("bucket", "n", "sum_price", "cum_n", "cum_share")
       .orderBy("bucket")
   }
@@ -122,20 +129,21 @@ object Relational6 {
       FROM ranked, m WHERE rn <= min_c ORDER BY lang, rn"""
 
   // ---- q59: vocabulary build (top-k terms with rank) ----
-  // The word count is the heavy stage and is fully map-side combinable;
-  // the global rank window only ever sees the already-aggregated vocab
-  // table (tiny next to the corpus), so the single-partition window is
-  // not a scale hazard.
-  val q59_vocab_topk: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
-    Tables.documents(s, d)
-      .select(explode(split(col("text"), " ")).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("n"))
-      .withColumn("rank", row_number().over(Window.orderBy(desc("n"), col("word"))).cast("long"))
-      .filter(col("rank") <= 1000)
+  // The word count is the heavy stage and is fully map-side combinable.
+  // Ranking goes through GraftOps.globalTopK — TakeOrderedAndProject
+  // prunes to the k best via per-partition bounded heaps (k×partitions
+  // rows reach the merge, never the vocabulary), and the rank window
+  // runs over the k survivors only. At web scale the vocab table is
+  // 10⁸–10⁹ distinct tokens; an unpartitioned rank window there would
+  // BE the job.
+  val q59_vocab_topk: Q = (s, d) =>
+    graft.api.GraftOps.globalTopK(
+        Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("n")),
+        "n", "word", 1000)
       .select("rank", "word", "n")
       .orderBy("rank")
-  }
   val q59Sql: String =
     """SELECT CAST(row_number() OVER (ORDER BY COUNT(*) DESC, word) AS BIGINT) AS rank,
              word, COUNT(*) AS n

@@ -109,9 +109,13 @@ object Relational7 {
     val words = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("word")).as[String]
     val topk = new graft.functions.TopKItems(10, 64).toColumn
-    words.select(topk.as[Map[String, Long]].name("topk"))
-      .select(explode(col("topk")).as(Seq("word", "n")))
-      .withColumn("rank", row_number().over(Window.orderBy(desc("n"), col("word"))).cast("long"))
+    // the rank input is the exploded sketch — ≤ capacity rows by
+    // construction — but globalTopK keeps even that off the
+    // unpartitioned-window path (explicit constant partition)
+    graft.api.GraftOps.globalTopK(
+        words.select(topk.as[Map[String, Long]].name("topk"))
+          .select(explode(col("topk")).as(Seq("word", "n"))),
+        "n", "word", 10)
       .select("rank", "word", "n")
       .orderBy("rank")
   }

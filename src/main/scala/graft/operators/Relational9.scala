@@ -186,10 +186,14 @@ object Relational9 {
       .join(keys.as("b"), col("a.k") - 1 === col("b.k"), "left_anti")
       .join(broadcast(bounds)).filter(col("k") > col("mn"))
       .select((col("k") - 1).as("gap_hi"))
-    val i = Window.orderBy("gap_lo")
-    val j = Window.orderBy("gap_hi")
-    starts.withColumn("i", row_number().over(i))
-      .join(ends.withColumn("i", row_number().over(j)), "i")
+    // boundary numbering via GraftOps.globalRank (range-partitioned
+    // rank + metadata-sized offsets): healthy data has an audit-sized
+    // gap set, but pathological input can make it key-count-sized —
+    // this keeps even that case off a single task
+    graft.api.GraftOps.globalRank(starts, col("gap_lo"))
+      .withColumnRenamed("rank", "i")
+      .join(graft.api.GraftOps.globalRank(ends, col("gap_hi"))
+        .withColumnRenamed("rank", "i"), "i")
       .select(col("gap_lo"), col("gap_hi"),
         (col("gap_hi") - col("gap_lo") + 1).as("gap_len"))
       .orderBy("gap_lo")

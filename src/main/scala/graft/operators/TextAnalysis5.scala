@@ -12,19 +12,21 @@ object TextAnalysis5 {
   // ---- t16: Zipf-law fit over the vocabulary ----
   // OLS of ln(freq) on ln(rank) — the standard corpus sanity check (a
   // natural corpus fits slope ~ -1; this synthetic one is near-uniform,
-  // which the fit exposes). Moments are decimal-stable sums over the
-  // VOCABULARY table (tiny at any corpus size — the only global window
-  // runs there, never on the corpus), and the closed form solves in
-  // double, rounded 1e-6 to absorb cross-engine FMA.
+  // which the fit exposes). Unlike q59/t20 the fit needs EVERY word's
+  // rank (ln r is a regressor), so top-k pruning can't apply; ranking
+  // goes through GraftOps.globalRank — range-partitioned rank +
+  // per-partition offsets — which keeps the 10⁸–10⁹-term web-scale
+  // vocabulary off a single task. Moments are decimal-stable sums, and
+  // the closed form solves in double, rounded 1e-6 to absorb
+  // cross-engine FMA.
   val t16_zipf_fit: Q = (s, d) => {
     val words = Tables.documents(s, d)
       .select(explode(split(lower(col("text")), " ")).as("word"))
       .filter(col("word") =!= "")
     val vocab = words.groupBy("word").agg(count(lit(1)).as("c"))
-    val ranked = vocab.withColumn("r",
-      row_number().over(Window.orderBy(desc("c"), asc("word"))).cast("long"))
+    val ranked = graft.api.GraftOps.globalRank(vocab, desc("c"), asc("word"))
     val pts = ranked.select(
-      log(col("r").cast("double")).as("x"), log(col("c").cast("double")).as("y"))
+      log(col("rank").cast("double")).as("x"), log(col("c").cast("double")).as("y"))
     pts.agg(
         count(lit(1)).as("n"),
         Stable.dsum(col("x")).as("sx"), Stable.dsum(col("y")).as("sy"),

@@ -13,22 +13,24 @@ object TextAnalysis7 {
   // The tokenizer-design number: what fraction of all corpus tokens do
   // the top-k vocabulary words cover (k = 10/100/1000)? Token counting
   // is one map-side-combinable word rollup (the only corpus-wide
-  // stage); ranking and the cumulative sums run over the VOCABULARY-
-  // sized table — orders of magnitude smaller than the corpus (the q59
-  // discipline). One wide aggregate computes every k's covered count in
-  // a single pass; stack() unpivots to the tall report.
+  // stage). Only the top max(k) words can contribute to any covered
+  // count, so ranking goes through GraftOps.globalTopK (bounded-heap
+  // prune, rank over 1000 survivors) — the full vocabulary (10⁸–10⁹
+  // terms at web scale) never meets a rank window; it pays one extra
+  // map-side-combinable total next to the pruned conditional sums.
   val t20_vocab_coverage: Q = (s, d) => {
     val counts = Tables.documents(s, d)
       .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-    val ranked = counts.withColumn("rk",
-      row_number().over(Window.orderBy(desc("cnt"), asc("word"))))
-    ranked
-      .agg(sum("cnt").as("total"),
-        sum(when(col("rk") <= 10, col("cnt")).otherwise(0L)).as("c10"),
-        sum(when(col("rk") <= 100, col("cnt")).otherwise(0L)).as("c100"),
-        sum(when(col("rk") <= 1000, col("cnt")).otherwise(0L)).as("c1000"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = counts.agg(sum("cnt").as("total"))
+    graft.api.GraftOps.globalTopK(counts, "cnt", "word", 1000)
+      .agg(
+        sum(when(col("rank") <= 10, col("cnt")).otherwise(0L)).as("c10"),
+        sum(when(col("rank") <= 100, col("cnt")).otherwise(0L)).as("c100"),
+        sum(when(col("rank") <= 1000, col("cnt")).otherwise(0L)).as("c1000"))
+      .crossJoin(broadcast(total))
       .select(expr(
         "stack(3, 10L, c10, 100L, c100, 1000L, c1000) AS (k, covered_tokens)"),
         col("total").as("total_tokens"))

@@ -56,10 +56,27 @@ object Writers {
     * (name, startPos1Based, length, typeDdl); values are trimmed then
     * try_cast (ANSI-safe), with cast failures surfacing as nulls for a
     * downstream Expectations gate to quarantine.
+    *
+    * Offsets are CHARACTER positions on the decoded line, so layouts
+    * are assumed single-byte-encoded (ASCII / latin-1 / an
+    * EBCDIC-to-ASCII conversion) — the usual case for fixed-width
+    * exports. A multibyte UTF-8 character in the data would shift every
+    * subsequent field's byte offsets; byte-positional layouts need a
+    * binary-substring variant, deliberately out of scope here. Field
+    * names and type DDL are validated (identifier / type-ish shape)
+    * before entering the generated expression — the layout tuple is
+    * config, not a SQL injection surface.
     */
   def readFixedWidth(spark: SparkSession, path: String,
                      fields: Seq[(String, Int, Int, String)]): DataFrame = {
     import org.apache.spark.sql.functions.expr
+    val ident = "^[A-Za-z_][A-Za-z0-9_]*$".r
+    val typeDdl = "^[A-Za-z0-9_ (),]+$".r
+    fields.foreach { case (name, start, len, ddl) =>
+      require(ident.matches(name), s"invalid field name '$name'")
+      require(typeDdl.matches(ddl), s"invalid type DDL '$ddl' for field '$name'")
+      require(start >= 1 && len >= 1, s"invalid slice [$start, $len] for '$name'")
+    }
     val raw = spark.read.text(path)
     raw.select(fields.map { case (name, start, len, ddl) =>
       expr(s"try_cast(trim(substring(value, $start, $len)) AS $ddl)").as(name)

@@ -412,6 +412,65 @@ class GraftOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("globalRank / globalTopK equal the unpartitioned-window rank, partition-invariantly") {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = docs.select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    val want = vocab.withColumn("rank",
+        row_number().over(Window.partitionBy(lit(1)).orderBy(desc("n"), col("word"))).cast("long"))
+      .select("word", "n", "rank")
+    val got = GraftOps.globalRank(vocab, desc("n"), col("word"))
+      .select("word", "n", "rank")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // invariant under input partitioning
+    val got7 = GraftOps.globalRank(vocab.repartition(7), desc("n"), col("word"))
+      .select("word", "n", "rank")
+    assert(got7.exceptAll(want).isEmpty && want.exceptAll(got7).isEmpty)
+    // top-k prune path agrees with the full rank's first k
+    val k = 25
+    val gotK = GraftOps.globalTopK(vocab, "n", "word", k).select("word", "n", "rank")
+    val wantK = want.filter(col("rank") <= k)
+    assert(gotK.exceptAll(wantK).isEmpty && wantK.exceptAll(gotK).isEmpty)
+    // no unpartitioned window anywhere in either plan
+    Seq(got, gotK).foreach { df =>
+      val unpartitioned = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(unpartitioned.isEmpty, "found an unpartitioned window")
+    }
+  }
+
+  test("kmeans bounds SemDeDup clusters on skew-labeled data; assignment is deterministic") {
+    val e = Tables.embeddings(spark, sf)
+    val n = e.count()
+    // pathological quantizer input: every row shares ONE label, so the
+    // label-as-cluster pair join would be n² — kmeans must split it
+    val skewed = e.withColumn("label", lit("only"))
+    val asg = GraftOps.kmeans(skewed, col("vec_id"), col("embedding"), k = 20, iters = 2)
+    assert(asg.count() == n)
+    assert(asg.select("id").distinct().count() == n, "one cluster per id")
+    val sizes = asg.groupBy("cluster").agg(count(lit(1)).as("c"))
+    val maxC = sizes.agg(max("c")).head().getLong(0)
+    assert(maxC <= n / 3,
+      s"largest kmeans cluster $maxC exceeds n/3 = ${n / 3} — pair join not bounded")
+    val range = asg.agg(min("cluster"), max("cluster")).head()
+    assert(range.getLong(0) >= 1 && range.getLong(1) <= 20)
+    // partition invariance: same assignment from a differently-sliced input
+    val asg7 = GraftOps.kmeans(skewed.repartition(7), col("vec_id"), col("embedding"), 20, 2)
+    assert(asg.exceptAll(asg7).isEmpty && asg7.exceptAll(asg).isEmpty)
+    // semanticDedup over the label quantizer reproduces d14's keep stats
+    val byLabel = GraftOps.semanticDedup(e, col("vec_id"), col("embedding"),
+        col("label"), 0.3)
+      .groupBy(col("cluster").as("label"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("n_removed", col("n_total") - col("n_kept"))
+      .select("label", "n_total", "n_kept", "n_removed")
+    val d14 = operators.Dedup3.d14_semantic_dedup(spark, sf)
+    assert(byLabel.exceptAll(d14).isEmpty && d14.exceptAll(byLabel).isEmpty)
+  }
+
   test("spanDedup / blockedMatch agree with their oracle query formulations") {
     val sd = docs.spanDedup(col("doc_id"), col("text"))
       .select(col("id").as("doc_id"), col("n_spans"), col("n_kept"), col("text_kept"))

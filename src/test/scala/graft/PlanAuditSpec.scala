@@ -242,4 +242,20 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("t20_vocab_coverage")
     assert(p.contains("partial_count"), "word counting must combine map-side")
   }
+
+  test("NO query plans an unpartitioned window (whole-suite audit)") {
+    // `WindowExec: No Partition Defined` = the whole input funnels
+    // through ONE task — the single worst silent scale hazard. Every
+    // global ranking in the repo goes through globalRank/globalTopK or
+    // an explicitly bounded coalesced-pid window instead; this pins it.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      val bad = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      if (bad.nonEmpty) Some(s"$name (${bad.size})") else None
+    }
+    assert(offenders.isEmpty, s"unpartitioned windows in: ${offenders.mkString(", ")}")
+  }
 }

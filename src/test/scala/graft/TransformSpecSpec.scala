@@ -136,17 +136,26 @@ class TransformSpecSpec extends AnyFunSuite {
   }
 
   test("spanDedup and sessionize steps agree with their facade verbs") {
+    import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf)
+    // the step REPLACES the text column in the pipeline frame: every
+    // other input column must survive, text must equal the verb's
+    // text_kept reconstruction, accounting columns ride along
     val got = TransformSpec.run(
       """{"source": "d", "steps": [
         {"op": "spanDedup", "id": "doc_id", "text": "text"},
-        {"op": "orderBy", "cols": ["id"]}]}""",
-      Map("d" -> docs)).collect()
-    val want = api.GraftOps.spanDedup(docs,
-        org.apache.spark.sql.functions.col("doc_id"),
-        org.apache.spark.sql.functions.col("text"))
-      .orderBy("id").collect()
-    assert(got.toSeq == want.toSeq && got.nonEmpty)
+        {"op": "orderBy", "cols": ["doc_id"]}]}""",
+      Map("d" -> docs))
+    assert(docs.columns.toSet.subsetOf(got.columns.toSet),
+      s"step dropped input columns: ${docs.columns.toSet -- got.columns.toSet}")
+    val want = api.GraftOps.spanDedup(docs, col("doc_id"), col("text"))
+    val gotPairs = got.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val wantPairs = want.collect()
+      .map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(gotPairs == wantPairs && gotPairs.nonEmpty)
+    // non-text columns pass through unchanged
+    assert(got.select("doc_id", "lang").exceptAll(docs.select("doc_id", "lang")).isEmpty)
 
     val ev = Tables.events(spark, sf)
     val sessions = TransformSpec.run(
