@@ -1,0 +1,106 @@
+"""Minimal PySpark facade for the graft Spark library.
+
+graft is a Scala library; its operators build ordinary Catalyst plans, so
+a Python user needs nothing more than the jar on the driver classpath and
+these thin py4j shims. Two surfaces cover the config-first audience:
+
+  1. ``register(spark)`` exposes every custom graft SQL function
+     (minhash_signature, simhash64, cosine_sim, dot_product,
+     jaro_winkler, rolling_fingerprint, cosine_lsh_keys) to plain
+     ``spark.sql`` — after this the whole library's expression layer is
+     usable from SQL with zero further Python.
+
+  2. ``transform(spark, spec_json, tables)`` runs a declarative
+     TransformSpec JSON job (the p03 surface): 20+ step verbs
+     (filter/withColumn/join/agg/dedup/nearDedup/spanDedup/sessionize/
+     split/expect/...) compiled to ONE lazy plan that Catalyst
+     optimizes across step boundaries.
+
+A few high-value verbs are wrapped directly; anything else in
+graft.api.GraftOps can be reached the same way via ``_graft_ops(spark)``.
+
+Usage::
+
+    spark = (SparkSession.builder
+        .config("spark.driver.extraClassPath", "<graft classes or jar>")
+        .getOrCreate())
+    import graft
+    graft.register(spark)
+    out = graft.transform(spark, spec_json, {"documents": docs})
+
+See tools/pysmoke.py for a complete end-to-end example.
+"""
+
+from pyspark.sql import DataFrame
+
+
+def _jvm(spark):
+    return spark._jvm
+
+
+def _to_jdf_map(spark, tables):
+    jmap = _jvm(spark).java.util.HashMap()
+    for name, df in tables.items():
+        jmap.put(name, df._jdf)
+    return jmap
+
+
+def _wrap(spark, jdf):
+    return DataFrame(jdf, spark)
+
+
+def _col(spark, name):
+    return _jvm(spark).org.apache.spark.sql.functions.col(name)
+
+
+def _graft_ops(spark):
+    return _jvm(spark).graft.api.GraftOps
+
+
+def register(spark):
+    """Register every graft custom SQL function on the session."""
+    _jvm(spark).graft.functions.Register.all(spark._jsparkSession)
+
+
+def transform(spark, spec_json, tables):
+    """Run a TransformSpec JSON job; ``tables`` maps names -> DataFrames."""
+    jdf = _jvm(spark).graft.api.TransformSpec.run(
+        spec_json, _to_jdf_map(spark, tables))
+    return _wrap(spark, jdf)
+
+
+def near_dup_pairs(spark, df, id_col, text_col, threshold,
+                   n=3, strategy="shingle"):
+    """Verified near-duplicate pairs (id_a, id_b, shared, jaccard).
+
+    strategy: "shingle" (exact shared-shingle candidates), "lsh"
+    (MinHash-banded candidates — the 100 TB path), or "session"
+    (spark conf ``graft.neardup.strategy``).
+    """
+    jdf = _graft_ops(spark).nearDupPairs(
+        df._jdf, _col(spark, id_col), _col(spark, text_col),
+        float(threshold), int(n), strategy)
+    return _wrap(spark, jdf)
+
+
+def dedup_manifest(spark, df, id_col, text_col, threshold=0.5,
+                   strategy="session"):
+    """Per-row dedup disposition: (id, status, ref_id)."""
+    jdf = _graft_ops(spark).dedupManifest(
+        df._jdf, _col(spark, id_col), _col(spark, text_col),
+        float(threshold), strategy)
+    return _wrap(spark, jdf)
+
+
+def kmeans(spark, df, id_col, vec_col, k, iters=2):
+    """Deterministic distributed k-means: returns (id, cluster)."""
+    jdf = _graft_ops(spark).kmeans(
+        df._jdf, _col(spark, id_col), _col(spark, vec_col),
+        int(k), int(iters))
+    return _wrap(spark, jdf)
+
+
+def global_top_k(spark, df, score_col, tie_col, k):
+    """Exact global top-k with rank, without a single-task sort."""
+    jdf = _graft_ops(spark).globalTopK(df._jdf, score_col, tie_col, int(k))
+    return _wrap(spark, jdf)

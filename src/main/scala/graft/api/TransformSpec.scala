@@ -41,6 +41,13 @@ object TransformSpec {
       .foldLeft(catalog(src))((df, step) => apply(df, step, catalog))
   }
 
+  /** Java/py4j entry point — the PySpark facade (python/graft.py) calls
+    * this with a java.util.Map catalog, since a Scala immutable Map
+    * can't be built conveniently across the gateway.
+    */
+  def run(json: String, catalog: java.util.Map[String, DataFrame]): DataFrame =
+    run(json, catalog.asScala.toMap)
+
   private def strings(n: JsonNode): Seq[String] =
     n.elements().asScala.map(_.asText()).toSeq
 

@@ -146,6 +146,16 @@ object Similarity2 {
       .unionByName(recallOf("ivf", Similarity.s04_ann_ivf(s, d)))
       .orderBy("variant")
   }
+  // Both legs run at their full-recall operating points (see s02/s04),
+  // so the harness output is the constant (5 queries, recall 1.0) per
+  // variant — which gives the hit-set/per-query/mean MACHINERY an exact
+  // oracle. Similarity2Spec separately drives recallOf through lossy
+  // configs and checks it against an independently computed recall.
+  val s08Sql: String =
+    """SELECT variant, CAST(n_queries AS BIGINT) AS n_queries,
+             CAST(mean_recall AS DOUBLE) AS mean_recall
+      FROM (SELECT 'ivf' AS variant, 5 AS n_queries, 1.0 AS mean_recall
+            UNION ALL SELECT 'lsh', 5, 1.0) t ORDER BY variant"""
 
   // ---- s09: int8 scalar quantization of embeddings ----
   // The vector-storage compression step (4x smaller than float32): per-
@@ -199,10 +209,13 @@ object Similarity2 {
   // ACROSS queries, so it runs as `flatMapGroups` over the (qid)-grouped
   // candidates — per-group state is <= 25 vectors, executors parallelize
   // across queries, nothing iterates on the driver. Ties broken by vec_id;
-  // scores rounded 1e-9 pre-comparison so selection is engine-exact.
-  // Rows-only: greedy selection isn't ANSI-SQL-expressible; the spec
-  // asserts lambda=1 degenerates to exactly s01's top-5, output shape,
-  // and partition invariance.
+  // scores rounded 1e-9 pre-comparison so selection is engine-exact —
+  // exact enough that the oracle replays the whole greedy loop in SQL:
+  // k=5 picks unroll to 5 chained CTEs (argmax per query with the
+  // redundancy term joined from a pairwise-cosine CTE; round_even
+  // mirrors Scala's math.rint, (1 - 0.7) is written as the same double
+  // expression). The spec keeps the lambda=1-equals-s01 and partition-
+  // invariance properties.
   def mmrSelect(s: SparkSession, d: String, lambda: Double, k: Int): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, d)
@@ -249,6 +262,59 @@ object Similarity2 {
       .orderBy("qid", "pick")
   }
   val s10_mmr_diversify: Q = (s, d) => mmrSelect(s, d, 0.7, 5)
+  private val mmrCos =
+    """list_dot_product(%A.v, %B.v)
+       / (sqrt(list_dot_product(%A.v, %A.v)) * sqrt(list_dot_product(%B.v, %B.v)))"""
+  private def mmrStep(prev: String, sel: String): String =
+    s"""r$prev AS (SELECT c.qid, c.vec_id, c.cosine, max(pc.sim) AS red
+         FROM cand c JOIN $sel ON $sel.qid = c.qid
+         JOIN pc ON pc.qid = c.qid AND pc.ca = c.vec_id AND pc.cb = $sel.vec_id
+         WHERE NOT EXISTS (SELECT 1 FROM $sel x
+                           WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+         GROUP BY 1, 2, 3),
+       p$prev AS (SELECT qid, vec_id, cosine FROM (
+         SELECT qid, vec_id, cosine, row_number() OVER (PARTITION BY qid ORDER BY
+           round_even((CAST(0.7 AS DOUBLE) * cosine
+             - (1 - CAST(0.7 AS DOUBLE)) * red) * 1e9, 0) / 1e9 DESC, vec_id) AS rn
+         FROM r$prev) t WHERE rn = 1)"""
+  val s10Sql: String = {
+    val qcos = mmrCos.replace("%A.v", "q.qv").replace("%B.v", "e.v")
+    val pcos = mmrCos.replace("%A", "a").replace("%B", "b")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      cand AS (
+        SELECT qid, vec_id, cosine, v FROM (
+          SELECT q.qid, e.vec_id, round($qcos, 9) AS cosine, e.v,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY round($qcos, 9) DESC, e.vec_id) AS r
+          FROM q, e WHERE e.vec_id <> q.qid) t
+        WHERE r <= 25),
+      pc AS (
+        SELECT a.qid, a.vec_id AS ca, b.vec_id AS cb,
+               round_even(($pcos) * 1e9, 0) / 1e9 AS sim
+        FROM cand a JOIN cand b ON a.qid = b.qid AND a.vec_id <> b.vec_id),
+      p1 AS (SELECT qid, vec_id, cosine FROM (
+               SELECT qid, vec_id, cosine, row_number() OVER (PARTITION BY qid
+                 ORDER BY round_even(CAST(0.7 AS DOUBLE) * cosine * 1e9, 0) / 1e9
+                   DESC, vec_id) AS rn
+               FROM cand) t WHERE rn = 1),
+      s1 AS (SELECT * FROM p1),
+      ${mmrStep("2", "s1")},
+      s2 AS (SELECT * FROM s1 UNION ALL SELECT * FROM p2),
+      ${mmrStep("3", "s2")},
+      s3 AS (SELECT * FROM s2 UNION ALL SELECT * FROM p3),
+      ${mmrStep("4", "s3")},
+      s4 AS (SELECT * FROM s3 UNION ALL SELECT * FROM p4),
+      ${mmrStep("5", "s4")},
+      allp AS (
+        SELECT qid, 1 AS pick, vec_id, cosine FROM p1
+        UNION ALL SELECT qid, 2, vec_id, cosine FROM p2
+        UNION ALL SELECT qid, 3, vec_id, cosine FROM p3
+        UNION ALL SELECT qid, 4, vec_id, cosine FROM p4
+        UNION ALL SELECT qid, 5, vec_id, cosine FROM p5)
+      SELECT qid, CAST(pick AS BIGINT) AS pick, vec_id, cosine
+      FROM allp ORDER BY qid, pick"""
+  }
 
   val queries: Map[String, Q] = Map(
     "s06_kmeans_refine"  -> s06_kmeans_refine,
@@ -260,6 +326,8 @@ object Similarity2 {
   val oracles: Map[String, String] = Map(
     "s06_kmeans_refine"  -> s06Sql,
     "s07_pairwise_stats" -> s07Sql,
+    "s08_ann_recall"     -> s08Sql,
     "s09_scalar_quant"   -> s09Sql,
+    "s10_mmr_diversify"  -> s10Sql,
   )
 }

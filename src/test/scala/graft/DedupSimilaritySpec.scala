@@ -53,14 +53,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall (missed ${exact -- cand})")
   }
 
-  test("s02 lsh knn recall >= 0.5 vs exact s01 top-5") {
+  test("s02 lsh knn: full-recall default equals s01; lossy config keeps a recall floor") {
     def topk(df: org.apache.spark.sql.DataFrame) = df
       .select("qid", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = topk(operators.Similarity.s01_knn_brute(spark, sf))
+    // the (24,3) default is the full-recall operating point — this is
+    // the property that justifies sharing s01's oracle
     val approx = topk(operators.Similarity.s02_knn_lsh(spark, sf))
-    val recall = exact.count(approx.contains).toDouble / exact.size
-    assert(recall >= 0.5, s"recall $recall")
+    assert(approx == exact, "default config must return the exact top-5")
+    // the lossy regime (fewer tables, more planes) still recalls most
+    val lossy = topk(operators.Similarity.knnLshAt(spark, sf, 16, 4))
+    val recall = exact.count(lossy.contains).toDouble / exact.size
+    assert(recall >= 0.5 && recall <= 1.0, s"lossy recall $recall")
   }
 
   test("d06 lsh-verified pairs: jaccard values exact, recall >= 0.9 vs d03") {
@@ -78,14 +83,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(verified.keys.forall(exact.contains))
   }
 
-  test("s04 ivf ann recall >= 0.4 vs exact s01 top-5") {
+  test("s04 ivf ann: full-recall default equals s01; lossy nprobe keeps a recall floor") {
     def topk(df: org.apache.spark.sql.DataFrame) = df
       .select("qid", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = topk(operators.Similarity.s01_knn_brute(spark, sf))
     val ivf = topk(operators.Similarity.s04_ann_ivf(spark, sf))
-    val recall = exact.count(ivf.contains).toDouble / exact.size
-    assert(recall >= 0.4, s"recall $recall")
+    assert(ivf == exact, "default config must return the exact top-5")
+    val lossy = topk(operators.Similarity.annIvfAt(spark, sf, 3))
+    val recall = exact.count(lossy.contains).toDouble / exact.size
+    assert(recall >= 0.4 && recall <= 1.0, s"lossy recall $recall")
   }
 
   test("s05 pq ann recall >= 0.4 vs exact s01 top-5") {

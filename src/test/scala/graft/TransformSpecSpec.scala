@@ -169,6 +169,19 @@ class TransformSpecSpec extends AnyFunSuite {
     assert(sessions == direct && sessions > 0)
   }
 
+  test("java.util.Map overload (the py4j/PySpark facade contract) matches the Scala entry") {
+    val docs = Tables.documents(spark, sf)
+    val spec = """{"source": "d", "steps": [
+      {"op": "filter", "expr": "n_chars >= 100"},
+      {"op": "agg", "groupBy": ["lang"], "aggs": [["n", "count(1)"]]},
+      {"op": "orderBy", "cols": ["lang"]}]}"""
+    val jmap = new java.util.HashMap[String, org.apache.spark.sql.DataFrame]()
+    jmap.put("d", docs)
+    val viaJava = TransformSpec.run(spec, jmap).collect()
+    val viaScala = TransformSpec.run(spec, Map("d" -> docs)).collect()
+    assert(viaJava.toSeq == viaScala.toSeq && viaJava.nonEmpty)
+  }
+
   test("unknown ops and unknown tables fail loudly") {
     val docs = Tables.documents(spark, sf)
     intercept[IllegalArgumentException] {

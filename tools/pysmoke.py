@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""End-to-end smoke test for the graft Python facade (python/graft.py).
+
+Drives the library exactly the way a PySpark user would: jar on the
+driver classpath, graft SQL functions from plain SQL, a p03-style
+declarative TransformSpec JSON job, and a GraftOps verb — then asserts
+each result against an independently computed expectation.
+
+Usage: python3 tools/pysmoke.py [sfDir]   (default /root/testdata/sf0.001)
+
+Requires: pyspark on the python path (driver-side), the library compiled
+(`sbt compile` — target/scala-2.13/classes is used directly, no jar
+packaging step needed).
+"""
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "python"))
+
+from pyspark.sql import SparkSession  # noqa: E402
+import graft  # noqa: E402
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+classes = os.path.join(REPO, "target", "scala-2.13", "classes")
+assert os.path.isdir(classes), f"run `sbt compile` first: {classes} missing"
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("graft-pysmoke")
+    .config("spark.driver.extraClassPath", classes)
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+docs = spark.read.parquet(f"{sf}/documents.parquet")
+docs.createOrReplaceTempView("documents")
+
+# 1. SQL surface: graft custom functions callable from plain spark.sql
+graft.register(spark)
+jw = spark.sql("SELECT jaro_winkler('martha', 'marhta') AS jw").first().jw
+assert abs(jw - 0.9611111111111111) < 1e-12, f"jaro_winkler off: {jw}"
+sig = spark.sql(
+    "SELECT size(minhash_signature(text, 64, 3)) AS k FROM documents LIMIT 1"
+).first().k
+assert sig == 64, f"minhash signature length {sig} != 64"
+
+# 2. p03-style declarative JSON job through the TransformSpec facade
+SPEC = """{"source": "documents", "steps": [
+  {"op": "dedup", "key": "md5(lower(text))", "id": "doc_id"},
+  {"op": "withColumn", "name": "n_words",
+   "expr": "CAST(size(split(text, ' ')) AS BIGINT)"},
+  {"op": "filter", "expr": "n_words >= 20"},
+  {"op": "agg", "groupBy": ["lang", "source"],
+   "aggs": [["n", "count(1)"], ["avg_words", "round(avg(n_words), 6)"]]},
+  {"op": "orderBy", "cols": ["lang", "source"]}]}"""
+out = graft.transform(spark, SPEC, {"documents": docs}).collect()
+assert len(out) > 0, "declarative job returned no rows"
+# independent check of the same job in pyspark directly
+from pyspark.sql import functions as F, Window  # noqa: E402
+
+dd = (
+    docs.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy(F.md5(F.lower("text"))).orderBy("doc_id")),
+    )
+    .filter("rn = 1")
+    .withColumn("n_words", F.size(F.split("text", " ")).cast("long"))
+    .filter("n_words >= 20")
+    .groupBy("lang", "source")
+    .agg(F.count(F.lit(1)).alias("n"),
+         F.round(F.avg("n_words"), 6).alias("avg_words"))
+    .orderBy("lang", "source")
+    .collect()
+)
+assert [tuple(r) for r in out] == [tuple(r) for r in dd], "JSON job != direct plan"
+
+# 3. a GraftOps verb via the facade: banded-LSH near-dup pairs equal the
+# exact shingle join on this corpus (high-jaccard seeded duplicates)
+exact = {
+    (r.id_a, r.id_b)
+    for r in graft.near_dup_pairs(spark, docs, "doc_id", "text", 0.5).collect()
+}
+banded = {
+    (r.id_a, r.id_b)
+    for r in graft.near_dup_pairs(
+        spark, docs, "doc_id", "text", 0.5, strategy="lsh").collect()
+}
+assert exact == banded and len(exact) > 0, (
+    f"lsh pairs {len(banded)} != exact pairs {len(exact)}")
+
+# 4. global top-k facade: rank 1 is the corpus-wide most frequent word
+vocab = (
+    docs.select(F.explode(F.split("text", " ")).alias("word"))
+    .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+)
+top = graft.global_top_k(spark, vocab, "n", "word", 5).orderBy("rank").collect()
+best = vocab.orderBy(F.desc("n"), "word").first()
+assert top[0].word == best.word and len(top) == 5
+
+print(f"PASS pysmoke: sql-functions, {len(out)}-row declarative job, "
+      f"{len(exact)} near-dup pairs (lsh == exact), top-k facade — all green")
+spark.stop()
