@@ -38,6 +38,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // explicit (it's the Spark default) because it's load-bearing for
+      // the 100 TB story: fact-fact joins rely on AQE's runtime skew
+      // split; PlanAuditSpec pins both flags as a regression test
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

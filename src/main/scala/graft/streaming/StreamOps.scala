@@ -39,12 +39,17 @@ object StreamOps {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
-  /** Tumbling 1-hour event-time windows with a 2-hour watermark. */
+  /** Tumbling 1-hour event-time windows with a 2-hour watermark. The
+    * value sum goes through Stable.dsum (decimal cast) like batch e01 —
+    * order-independent, so emitted windows are BYTE-identical to the
+    * DuckDB-oracled batch rows, not merely approximately equal.
+    */
   def windowedCounts(spark: SparkSession, dir: String): DataFrame =
     readEvents(spark, dir)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.Stable.dsum(col("value")).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
@@ -200,9 +205,13 @@ object StreamOps {
     import spark.implicits._
     val gapMicros = 30L * 60 * 1000 * 1000
 
-    def flush(acc: SessionAcc, userId: Long): SessionOut =
-      SessionOut(userId, new java.sql.Timestamp(acc.startMicros / 1000),
-        acc.n, acc.value)
+    // microsecond-precision start (a bare Timestamp(millis) would drop
+    // the sub-ms part and break byte parity with batch session_window)
+    def flush(acc: SessionAcc, userId: Long): SessionOut = {
+      val t = new java.sql.Timestamp(acc.startMicros / 1000000 * 1000)
+      t.setNanos(((acc.startMicros % 1000000) * 1000).toInt)
+      SessionOut(userId, t, acc.n, acc.value)
+    }
 
     readEvents(spark, dir)
       .withWatermark("ts", "2 hours")
@@ -217,11 +226,16 @@ object StreamOps {
             state.remove()
             out.iterator
           } else {
-            val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            // full microsecond precision: getTime is millis-only and
+            // would both misplace sub-ms gap boundaries and break byte
+            // parity of session_start with the batch session_window
+            def micros(t: java.sql.Timestamp): Long =
+              t.getTime / 1000 * 1000000 + t.getNanos / 1000
+            val sorted = events.toSeq.sortBy(e => (micros(e.ts), e.event_id))
             val closed = Seq.newBuilder[SessionOut]
             var acc = state.getOption.orNull
             sorted.foreach { e =>
-              val t = e.ts.getTime * 1000
+              val t = micros(e.ts)
               if (acc == null) acc = SessionAcc(t, t, 1, e.value)
               else if (t > acc.lastMicros + gapMicros) {
                 closed += flush(acc, userId)

@@ -243,6 +243,46 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), "word counting must combine map-side")
   }
 
+  test("fact-fact joins execute under AQE with skew-join enabled (q03/q05/q39)") {
+    // the 100 TB skew story is AQE's runtime split of oversized shuffle
+    // partitions — it only engages if both flags hold and the plan root
+    // is adaptive; pin all three for the fact-join family
+    assert(spark.conf.get("spark.sql.adaptive.enabled").toBoolean)
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled").toBoolean)
+    Seq("q03_join_agg_topn", "q05_multi_join", "q39_salted_join").foreach { name =>
+      val exec = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+      assert(
+        exec.isInstanceOf[org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec],
+        s"$name does not execute under AdaptiveSparkPlanExec: ${exec.getClass}")
+    }
+  }
+
+  test("q39 salting is semantics-preserving under forced skew") {
+    import org.apache.spark.sql.functions._
+    // forced-skew fixture: one hot key owns ~90% of the fact side
+    val hot = spark.range(0, 9000).select(
+      lit(7L).as("user_id"), (col("id") % 97).cast("double").as("value"))
+    val cold = spark.range(0, 1000).select(
+      (col("id") % 50).as("user_id"), (col("id") % 13).cast("double").as("value"))
+    val fact = hot.unionByName(cold)
+    val dim = spark.range(0, 50).select(
+      col("id").as("c_custkey"),
+      concat(lit("SEG"), (col("id") % 5)).as("c_mktsegment"))
+    val SALT = 8
+    val saltedDim = dim.withColumn("salt", explode(expr(s"sequence(0, ${SALT - 1})")))
+    val saltedFact = fact.withColumn("salt", (col("user_id") % SALT).cast("int"))
+    def rollup(joined: org.apache.spark.sql.DataFrame) = joined
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(30,6)")).as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    val salted = rollup(saltedFact.join(saltedDim,
+      saltedFact("user_id") === saltedDim("c_custkey") &&
+        saltedFact("salt") === saltedDim("salt")))
+    val plain = rollup(fact.join(dim, fact("user_id") === dim("c_custkey")))
+    assert(salted == plain && salted.nonEmpty,
+      "salted join result diverges from the unsalted join under skew")
+  }
+
   test("NO query plans an unpartitioned window (whole-suite audit)") {
     // `WindowExec: No Partition Defined` = the whole input funnels
     // through ONE task — the single worst silent scale hazard. Every

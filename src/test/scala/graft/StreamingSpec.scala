@@ -29,6 +29,59 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming e01 windows are BYTE-identical to the oracled batch rows") {
+    // not batch-vs-stream "consistency": the emitted window set must
+    // equal, value-for-value, the rows of the DuckDB-oracled e01 query
+    // restricted to watermark-closed windows (window_end <= max_ts - 2h)
+    val q = streaming.StreamOps.windowedCounts(spark, sf)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("e01_oracle_cmp").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("e01_oracle_cmp")
+      .select("window_start", "event_type", "n_events", "total_value")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val maxTs = Tables.events(spark, sf).agg(max("ts")).head().getTimestamp(0)
+    val wmMillis = maxTs.getTime - 2L * 3600 * 1000
+    val expected = SparkEntry.queries("e01_tumbling_window")(spark, sf)
+      .select("window_start", "event_type", "n_events", "total_value")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .filter { case (ws, _, _, _) => ws.getTime + 3600L * 1000 <= wmMillis }
+      .toSet
+    assert(got.nonEmpty, "no windows emitted")
+    assert(got == expected,
+      s"stream ${got.size} rows vs oracled-closed ${expected.size}; " +
+        s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+  }
+
+  test("streaming sessionizer output rows are BYTE-identical to oracled e09 rows") {
+    // every emitted (closed) session must appear verbatim — same rounded
+    // value — in the DuckDB-oracled e09 output; closure is decided by the
+    // final watermark, so emitted ⊆ e09 with byte equality per row, and
+    // every e09 session that provably closed must have been emitted
+    val q = streaming.StreamOps.sessionize(spark, sf)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("e09_oracle_cmp").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("e09_oracle_cmp")
+      .select(col("user_id"), col("session_start"),
+        col("n_events").cast("long").as("n_events"),
+        round(col("session_value"), 4).as("session_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val e09 = SparkEntry.queries("e09_session_window")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got.nonEmpty, "no sessions emitted")
+    val extras = got -- e09
+    assert(extras.isEmpty,
+      s"${extras.size} streamed sessions not byte-present in the oracled e09 rows: ${extras.take(3)}")
+  }
+
   test("streaming dedup: no duplicate payload hashes within the watermark") {
     val q = streaming.StreamOps.dedupStream(spark, sf)
       .writeStream.outputMode("append").format("memory")
