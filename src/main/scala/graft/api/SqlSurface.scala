@@ -1,0 +1,162 @@
+package graft.api
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.Decimal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Plain-SQL surface for the operator library: the GraftOps verbs as
+  * TABLE-VALUED functions, so a SQL-only user (spark-sql shell, JDBC,
+  * notebook `%sql`) can run graft operators without touching Scala:
+  *
+  *   graft.api.SqlSurface.install(spark)   // or GraftExtensions
+  *   spark.sql("""
+  *     SELECT * FROM graft_near_dup_pairs('docs', 'doc_id', 'text', 0.5)
+  *   """)
+  *
+  * Each TVF resolves its first argument as a table/view name against the
+  * ACTIVE session's catalog and returns the verb's logical plan — the
+  * result composes like any relation (joins, CTEs, further SQL), and
+  * Catalyst optimizes across the boundary exactly as it does for the
+  * Scala API. `graft_transform(json)` exposes the whole TransformSpec
+  * step engine behind one SQL call, with table references resolved the
+  * same way.
+  *
+  * Arguments must be literals (table/column names as strings): TVFs are
+  * resolved at analysis time, before any row exists to read values from.
+  */
+object SqlSurface {
+
+  private def bad(what: String, got: Expression): Nothing =
+    throw new IllegalArgumentException(
+      s"$what must be a literal, got ${got.sql}")
+
+  private def str(e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, _) => s.toString
+    case other                     => bad(s"$what (string)", other)
+  }
+  private def dbl(e: Expression, what: String): Double = e match {
+    case Literal(d: Decimal, _)           => d.toDouble
+    case Literal(n: java.lang.Number, _)  => n.doubleValue()
+    case other                            => bad(s"$what (numeric)", other)
+  }
+  private def int(e: Expression, what: String): Int = e match {
+    case Literal(i: java.lang.Integer, _) => i.intValue()
+    case Literal(l: java.lang.Long, _)    => l.intValue()
+    case Literal(d: Decimal, _)           => d.toInt
+    case other                            => bad(s"$what (integer)", other)
+  }
+
+  private def table(name: String): DataFrame =
+    SparkSession.active.table(name)
+  private def plan(df: DataFrame): LogicalPlan = df.queryExecution.logical
+
+  /** name -> (arity hint for the error message, plan builder). */
+  val builders: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
+    "graft_near_dup_pairs" -> {
+      case Seq(t, id, tx, th) =>
+        plan(GraftOps.jaccardJoin(table(str(t, "table")),
+          col(str(id, "id")), col(str(tx, "text")), dbl(th, "threshold")))
+      case Seq(t, id, tx, th, s) =>
+        plan(GraftOps.nearDupPairs(table(str(t, "table")),
+          col(str(id, "id")), col(str(tx, "text")), dbl(th, "threshold"),
+          strategy = str(s, "strategy")))
+      case args => throw new IllegalArgumentException(
+        s"graft_near_dup_pairs(table, id, text, threshold[, strategy]): got ${args.size} args")
+    },
+    "graft_containment_pairs" -> {
+      case Seq(t, id, tx, th) =>
+        plan(GraftOps.containmentJoin(table(str(t, "table")),
+          col(str(id, "id")), col(str(tx, "text")), dbl(th, "threshold")))
+      case args => throw new IllegalArgumentException(
+        s"graft_containment_pairs(table, id, text, threshold): got ${args.size} args")
+    },
+    "graft_dedup_manifest" -> {
+      case Seq(t, id, tx, th) =>
+        plan(GraftOps.dedupManifest(table(str(t, "table")),
+          col(str(id, "id")), col(str(tx, "text")), dbl(th, "threshold")))
+      case args => throw new IllegalArgumentException(
+        s"graft_dedup_manifest(table, id, text, threshold): got ${args.size} args")
+    },
+    "graft_span_dedup" -> {
+      case Seq(t, id, tx, w) =>
+        plan(GraftOps.spanDedup(table(str(t, "table")),
+          col(str(id, "id")), col(str(tx, "text")), int(w, "spanWords")))
+      case args => throw new IllegalArgumentException(
+        s"graft_span_dedup(table, id, text, span_words): got ${args.size} args")
+    },
+    "graft_gopher_filter" -> {
+      case Seq(t, tx) =>
+        plan(GraftOps.gopherFilter(table(str(t, "table")), col(str(tx, "text"))))
+      case args => throw new IllegalArgumentException(
+        s"graft_gopher_filter(table, text): got ${args.size} args")
+    },
+    "graft_kmeans" -> {
+      case Seq(t, id, v, k, it) =>
+        plan(GraftOps.kmeans(table(str(t, "table")),
+          col(str(id, "id")), col(str(v, "vec")), int(k, "k"), int(it, "iters")))
+      case args => throw new IllegalArgumentException(
+        s"graft_kmeans(table, id, vec, k, iters): got ${args.size} args")
+    },
+    "graft_semantic_dedup" -> {
+      case Seq(t, id, v, c, th) =>
+        plan(GraftOps.semanticDedup(table(str(t, "table")),
+          col(str(id, "id")), col(str(v, "vec")), col(str(c, "cluster")),
+          dbl(th, "threshold")))
+      case args => throw new IllegalArgumentException(
+        s"graft_semantic_dedup(table, id, vec, cluster, threshold): got ${args.size} args")
+    },
+    "graft_global_topk" -> {
+      case Seq(t, sc, tie, k) =>
+        plan(GraftOps.globalTopK(table(str(t, "table")),
+          str(sc, "score"), str(tie, "tie"), int(k, "k")))
+      case args => throw new IllegalArgumentException(
+        s"graft_global_topk(table, score, tie, k): got ${args.size} args")
+    },
+    "graft_sessionize" -> {
+      case Seq(t, key, ts, gap) =>
+        plan(GraftOps.sessionize(table(str(t, "table")),
+          col(str(key, "key")), col(str(ts, "ts")), str(gap, "gap")))
+      case Seq(t, key, ts, gap, tb) =>
+        plan(GraftOps.sessionize(table(str(t, "table")),
+          col(str(key, "key")), col(str(ts, "ts")), str(gap, "gap"),
+          Seq(col(str(tb, "tiebreak")))))
+      case args => throw new IllegalArgumentException(
+        s"graft_sessionize(table, key, ts, gap[, tiebreak]): got ${args.size} args")
+    },
+    "graft_chunk" -> {
+      case Seq(t, tx, cs, st) =>
+        plan(GraftOps.chunk(table(str(t, "table")),
+          col(str(tx, "text")), int(cs, "chunkSize"), int(st, "stride")))
+      case args => throw new IllegalArgumentException(
+        s"graft_chunk(table, text, chunk_size, stride): got ${args.size} args")
+    },
+    "graft_transform" -> {
+      case Seq(j) => plan(TransformSpec.runSql(str(j, "spec json")))
+      case args => throw new IllegalArgumentException(
+        s"graft_transform(spec_json): got ${args.size} args")
+    },
+  )
+
+  /** Register every TVF on an existing session (idempotent) — the same
+    * runtime path Register.all uses for the scalar functions. Sessions
+    * built `.withExtensions(new GraftExtensions)` get them automatically.
+    */
+  def install(spark: SparkSession): Unit = {
+    graft.functions.Register.all(spark)
+    builders.foreach { case (name, b) =>
+      spark.sessionState.tableFunctionRegistry
+        .createOrReplaceTempFunction(name, b, "built-in")
+    }
+  }
+
+  /** The injectTableFunction tuples for [[graft.plans.GraftExtensions]]. */
+  def injectables: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan)] =
+    builders.map { case (name, b) =>
+      (FunctionIdentifier(name), new ExpressionInfo("graft", name), b)
+    }
+}

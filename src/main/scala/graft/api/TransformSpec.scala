@@ -48,6 +48,21 @@ object TransformSpec {
   def run(json: String, catalog: java.util.Map[String, DataFrame]): DataFrame =
     run(json, catalog.asScala.toMap)
 
+  /** SQL entry point (the `graft_transform(json)` TVF): every table the
+    * spec references — the `source` plus each join `right` — resolves
+    * against the ACTIVE session's catalog (temp views, metastore tables),
+    * which is exactly what a SQL-first caller expects.
+    */
+  def runSql(json: String): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val root = om.readTree(json)
+    val names = Set(root.path("source").asText()) ++
+      root.path("steps").elements().asScala
+        .filter(s => s.path("op").asText() == "join")
+        .map(_.path("right").asText())
+    run(json, names.map(n => n -> spark.table(n)).toMap)
+  }
+
   private def strings(n: JsonNode): Seq[String] =
     n.elements().asScala.map(_.asText()).toSeq
 

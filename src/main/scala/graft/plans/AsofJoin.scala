@@ -118,7 +118,9 @@ case class AsofJoinExec(
 
 /** Session extension entry point: SparkSession.builder()
   * .withExtensions(new GraftExtensions) — injects the as-of planner
-  * strategy and registers graft's SQL functions.
+  * strategy, registers graft's scalar SQL functions, and exposes the
+  * operator library as table-valued functions (graft.api.SqlSurface),
+  * so a spark.sql-only session gets the full engine.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
@@ -130,6 +132,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", name),
         builder))
     }
+    graft.api.SqlSurface.injectables.foreach(e.injectTableFunction)
   }
 }
 

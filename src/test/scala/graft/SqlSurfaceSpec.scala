@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** The plain-SQL operator surface (graft.api.SqlSurface): every TVF must
+  * produce exactly the frame its GraftOps verb produces, compose inside
+  * larger SQL, and reject non-literal / mistyped arguments loudly.
+  */
+class SqlSurfaceSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import graft.api.{GraftOps, SqlSurface, TransformSpec}
+
+  private def docs = Tables.documents(spark, sf)
+
+  test("TVFs equal their GraftOps verbs and compose in SQL") {
+    SqlSurface.install(spark)
+    docs.createOrReplaceTempView("docs_sql_v")
+
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_near_dup_pairs('docs_sql_v', 'doc_id', 'text', 0.5)")
+    val viaApi = GraftOps.jaccardJoin(docs, col("doc_id"), col("text"), 0.5)
+    assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
+
+    // lsh strategy variant routes through the banded path
+    val viaLsh = spark.sql(
+      "SELECT * FROM graft_near_dup_pairs('docs_sql_v', 'doc_id', 'text', 0.5, 'lsh')")
+    assert(viaLsh.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaLsh).isEmpty)
+
+    // TVF output composes like any relation (joins, aggregates, CTEs)
+    val n = spark.sql(
+      """WITH p AS (SELECT * FROM graft_near_dup_pairs('docs_sql_v', 'doc_id', 'text', 0.5))
+         SELECT count(*) AS n FROM p JOIN docs_sql_v d ON p.id_a = d.doc_id
+      """).head().getLong(0)
+    assert(n == viaApi.count())
+
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .createOrReplaceTempView("vocab_sql_v")
+    val topkSql = spark.sql(
+      """SELECT rank, word, n FROM graft_global_topk(
+           'vocab_sql_v', 'n', 'word', 10) ORDER BY rank""")
+    val topkApi = GraftOps.globalTopK(
+        spark.table("vocab_sql_v"), "n", "word", 10)
+      .select("rank", "word", "n").orderBy("rank")
+    assert(topkSql.collect().toSeq == topkApi.collect().toSeq)
+  }
+
+  test("graft_transform runs a declarative job with session-catalog table resolution") {
+    SqlSurface.install(spark)
+    docs.createOrReplaceTempView("documents_sql_v")
+    val spec =
+      """{"source": "documents_sql_v", "steps": [
+          {"op": "withColumn", "name": "n_words",
+           "expr": "CAST(size(split(text, ' ')) AS BIGINT)"},
+          {"op": "filter", "expr": "n_words >= 20"},
+          {"op": "agg", "groupBy": ["lang"], "aggs": [["n", "count(1)"]]},
+          {"op": "orderBy", "cols": ["lang"]}]}"""
+    // parameterized SQL: the spec JSON contains quotes of both kinds
+    val viaSql = spark.sql("SELECT * FROM graft_transform(:spec)",
+      Map("spec" -> spec))
+    val viaApi = TransformSpec.run(spec, Map("documents_sql_v" -> docs))
+    assert(viaSql.collect().toSeq == viaApi.collect().toSeq)
+    assert(viaSql.count() > 0)
+  }
+
+  test("TVF misuse fails at analysis time with a real message") {
+    SqlSurface.install(spark)
+    docs.createOrReplaceTempView("docs_sql_v2")
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_near_dup_pairs('docs_sql_v2', 'doc_id', 'text')").collect()
+    }
+    assert(e1.getMessage.contains("graft_near_dup_pairs"))
+    val e2 = intercept[Exception] {
+      // non-literal argument: TVFs resolve at analysis time
+      spark.sql("SELECT * FROM graft_gopher_filter('docs_sql_v2', doc_id)").collect()
+    }
+    assert(e2 != null)
+  }
+}
