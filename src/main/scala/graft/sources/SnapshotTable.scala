@@ -1,0 +1,177 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Minimal transactional table format — the missing ACID sink for
+  * MERGE/upsert workloads (q80 computes merge semantics; this applies
+  * them to storage safely), built from the same primitive the early
+  * table formats used: an ATOMIC MANIFEST SWAP over immutable data
+  * files. No external dependency.
+  *
+  * Layout:
+  * {{{
+  *   <table>/data/s<uuid>/part-*.parquet     immutable snapshot segments
+  *   <table>/_manifests/v<N>.json            file list + schema for version N
+  * }}}
+  *
+  * Commit protocol: write the new manifest to a temp name, then
+  * `FileSystem.rename` it to `v<N+1>.json`. Rename-if-absent is atomic
+  * on HDFS (and local fs); if another writer committed N+1 first the
+  * rename fails and the commit throws — optimistic concurrency, the
+  * loser retries on a fresh read. Readers resolve the highest manifest
+  * and read exactly its file list: a crashed writer leaves only an
+  * orphaned temp/segment (never a torn table), and every prior version
+  * stays readable (time travel). On object stores without atomic rename
+  * (raw S3) this needs the usual commit-service substitution — the same
+  * caveat the production formats carry.
+  *
+  * Scale notes: appends reuse prior segments (manifest = old files + new
+  * segment — no rewrite); upsert/delete are copy-on-write over the
+  * CURRENT snapshot (one distributed anti-join/union job, no driver data
+  * movement); the manifest holds file paths only (KB-sized until file
+  * counts reach millions, at which point you shard manifests — out of
+  * scope here).
+  */
+object SnapshotTable {
+  private case class Manifest(version: Int, schemaDdl: String, files: Seq[String])
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestDir(path: String) = new Path(path, "_manifests")
+
+  private def parse(json: String): Manifest = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = om.readTree(json)
+    import scala.jdk.CollectionConverters._
+    Manifest(n.path("version").asInt(), n.path("schema").asText(),
+      n.path("files").elements().asScala.map(_.asText()).toSeq)
+  }
+
+  private def render(m: Manifest): String = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    root.put("version", m.version)
+    root.put("schema", m.schemaDdl)
+    val arr = root.putArray("files")
+    m.files.foreach(arr.add)
+    om.writeValueAsString(root)
+  }
+
+  /** Highest committed version, 0 if the table does not exist yet. */
+  def latestVersion(spark: SparkSession, path: String): Int = {
+    val dir = manifestDir(path)
+    val f = fs(spark, path)
+    if (!f.exists(dir)) 0
+    else f.listStatus(dir).map(_.getPath.getName)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toInt }
+      .foldLeft(0)(math.max)
+  }
+
+  private def readManifest(spark: SparkSession, path: String, version: Int): Manifest = {
+    val p = new Path(manifestDir(path), s"v$version.json")
+    val f = fs(spark, path)
+    require(f.exists(p), s"snapshot table $path has no version $version")
+    val in = f.open(p)
+    try parse(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+  }
+
+  /** Write a new immutable segment and return its file paths. */
+  private def writeSegment(df: DataFrame, path: String): Seq[String] = {
+    val seg = s"data/s${java.util.UUID.randomUUID().toString.take(12)}"
+    val segPath = s"$path/$seg"
+    df.write.mode("errorifexists").parquet(segPath)
+    val f = fs(df.sparkSession, path)
+    f.listStatus(new Path(segPath)).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet"))
+      .map(p => s"$seg/${p.getName}").toSeq
+  }
+
+  /** Atomic commit of `files` as version `base + 1`; throws on conflict. */
+  private def commit(spark: SparkSession, path: String, base: Int,
+                     schemaDdl: String, files: Seq[String]): Int = {
+    val next = base + 1
+    val f = fs(spark, path)
+    val dir = manifestDir(path)
+    f.mkdirs(dir)
+    val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write(render(Manifest(next, schemaDdl, files)).getBytes("UTF-8"))
+    finally out.close()
+    val target = new Path(dir, s"v$next.json")
+    // rename-if-absent IS the transaction: exactly one writer wins v<next>
+    val won = !f.exists(target) && f.rename(tmp, target)
+    if (!won) {
+      f.delete(tmp, false)
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot table $path: version $next was committed concurrently; " +
+          "re-read the latest snapshot and retry")
+    }
+    next
+  }
+
+  /** Create version 1 from `df` (table must not exist). */
+  def create(df: DataFrame, path: String): Int = {
+    require(latestVersion(df.sparkSession, path) == 0,
+      s"snapshot table $path already exists")
+    commit(df.sparkSession, path, 0, df.schema.toDDL, writeSegment(df, path))
+  }
+
+  /** Append-only commit: new segment + all prior files. `expectedVersion`
+    * (0 = resolve latest) pins the snapshot this write was based on —
+    * the explicit optimistic-CAS surface: if someone else committed that
+    * version number first, the commit throws instead of silently
+    * clobbering, and the caller re-reads and retries.
+    */
+  def append(df: DataFrame, path: String, expectedVersion: Int = 0): Int = {
+    val spark = df.sparkSession
+    val base =
+      if (expectedVersion > 0) expectedVersion else latestVersion(spark, path)
+    require(base > 0, s"snapshot table $path does not exist")
+    val cur = readManifest(spark, path, base)
+    require(df.schema.toDDL == cur.schemaDdl,
+      s"append schema ${df.schema.toDDL} != table schema ${cur.schemaDdl}")
+    commit(spark, path, base, cur.schemaDdl, cur.files ++ writeSegment(df, path))
+  }
+
+  /** Read a specific version (time travel), or the latest when `version`
+    * is 0.
+    */
+  def read(spark: SparkSession, path: String, version: Int = 0): DataFrame = {
+    val v = if (version > 0) version else latestVersion(spark, path)
+    val m = readManifest(spark, path, v)
+    if (m.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
+    else spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
+      .parquet(m.files.map(fp => s"$path/$fp"): _*)
+  }
+
+  /** MERGE (upsert): rows in `changes` replace current rows with equal
+    * `keys`; unmatched `changes` rows insert. Copy-on-write: one
+    * distributed anti-join + union writes the next snapshot; the commit
+    * is still the atomic manifest swap, so readers never observe a
+    * half-merged table.
+    */
+  def upsert(spark: SparkSession, path: String, changes: DataFrame,
+             keys: Seq[String], expectedVersion: Int = 0): Int = {
+    val base =
+      if (expectedVersion > 0) expectedVersion else latestVersion(spark, path)
+    val cur = read(spark, path, base)
+    val merged = cur.join(changes.select(keys.map(col): _*).distinct(),
+        keys, "left_anti")
+      .unionByName(changes.select(cur.columns.map(col): _*))
+    commit(spark, path, base, cur.schema.toDDL, writeSegment(merged, path))
+  }
+
+  /** Copy-on-write delete of rows matching `predicate` (SQL fragment). */
+  def delete(spark: SparkSession, path: String, predicate: String): Int = {
+    val base = latestVersion(spark, path)
+    val cur = read(spark, path, base)
+    commit(spark, path, base, cur.schema.toDDL,
+      writeSegment(cur.filter(!expr(predicate)), path))
+  }
+}
