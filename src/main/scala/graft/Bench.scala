@@ -19,10 +19,10 @@ object Bench {
     * relational shapes, one per capability family, plus the flagship.
     */
   private val headline: Seq[String] = Seq(
-    "q01_agg_pricing", "q03_join_agg_topn", "q05_multi_join",
+    "q01_agg_pricing", "q03_join_agg_topn", "q04_semi_join", "q05_multi_join",
     "q09_window_rank", "q21_subquery_agg", "q27_sessionize",
     "q34_asof_join", "q43_agg_in_subquery", "q45_not_in_count",
-    "d01_exact_dedup", "d06_lsh_verified", "s01_knn_brute",
+    "d01_exact_dedup", "d06_lsh_verified", "d17_containment", "s01_knn_brute",
     "s04_ann_ivf", "t05_tfidf", "e05_sliding_window", "p01_corpus_clean")
 
   private def round3(v: Double): Double = math.rint(v * 1000) / 1000

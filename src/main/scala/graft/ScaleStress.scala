@@ -57,7 +57,8 @@ object ScaleStress {
     "q01_agg_pricing", "q03_join_agg_topn", "q05_multi_join", "q19_having",
     "q22_count_distinct", "q57_histogram_cdf", "q60_rolling_reach",
     "e06_funnel_conversion", "e09_session_window", "m03_size_batching",
-    "d01_exact_dedup", "d10_bloom_dedup", "t07_repetition", "t08_entropy")
+    "d01_exact_dedup", "d10_bloom_dedup", "t07_repetition", "t08_entropy",
+    "d15_dedup_manifest", "d17_containment", "p01_corpus_clean")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -139,6 +139,15 @@ object SqlSurface {
       case args => throw new IllegalArgumentException(
         s"graft_transform(spec_json): got ${args.size} args")
     },
+    "graft_snapshot_read" -> {
+      case Seq(p) =>
+        plan(graft.sources.SnapshotTable.read(SparkSession.active, str(p, "path")))
+      case Seq(p, v) =>
+        plan(graft.sources.SnapshotTable.read(SparkSession.active,
+          str(p, "path"), int(v, "version")))
+      case args => throw new IllegalArgumentException(
+        s"graft_snapshot_read(path[, version]): got ${args.size} args")
+    },
   )
 
   /** Register every TVF on an existing session (idempotent) — the same

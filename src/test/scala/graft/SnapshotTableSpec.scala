@@ -52,6 +52,12 @@ class SnapshotTableSpec extends AnyFunSuite {
 
     SnapshotTable.delete(spark, path, "id >= 100")
     assert(SnapshotTable.read(spark, path).count() == 50)
+
+    // SQL surface: time travel from plain SQL
+    graft.api.SqlSurface.install(spark)
+    val viaSql = spark.sql(
+      s"SELECT count(*) AS n FROM graft_snapshot_read('$path', 2)").head().getLong(0)
+    assert(viaSql == 55L)
   }
 
   test("conflicting commit of the same version loses cleanly (optimistic CAS)") {
