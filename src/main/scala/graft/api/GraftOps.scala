@@ -963,6 +963,10 @@ object syntax {
       GraftOps.conform(df, targetDdl)
     def topKPerKey(key: String, score: String, tie: String, k: Int): DataFrame =
       GraftOps.topKPerKey(df, key, score, tie, k)
+    def globalRank(order: Column*): DataFrame =
+      GraftOps.globalRank(df, order: _*)
+    def globalTopK(score: String, tie: String, k: Int): DataFrame =
+      GraftOps.globalTopK(df, score, tie, k)
     def containmentJoin(id: Column, text: Column, threshold: Double): DataFrame =
       GraftOps.containmentJoin(df, id, text, threshold)
     def gopherFilter(text: Column): DataFrame =

@@ -88,8 +88,20 @@ object Dedup {
     * per session, every consumer reads the (tiny) verified set from
     * cache. Spark's CacheManager matches by canonicalized plan, so
     * independent invocations share the entry.
+    *
+    * Spark conf `graft.neardup.strategy` routes the candidate join for
+    * the WHOLE family at once: "shingle" (default — the exact shared-
+    * shingle plan below) or "lsh" (d06's banded path, candidate volume
+    * bounded by collision probability — what a duplicated 100 TB corpus
+    * sets, and then d03/d08/d13/t09/d15/p01 all inherit it).
     */
   def verifiedPairs(s: SparkSession, d: String): DataFrame = {
+    if (s.conf.get("graft.neardup.strategy", "shingle") == "lsh")
+      return graft.api.GraftOps
+        .jaccardJoinBanded(Tables.documents(s, d), col("doc_id"), col("text"), 0.5)
+        .select(col("id_a").as("da"), col("id_b").as("db"),
+          col("shared"), col("jaccard"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shingled = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .select(col("doc_id"), expr(

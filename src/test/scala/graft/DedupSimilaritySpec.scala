@@ -68,6 +68,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5 && recall <= 1.0, s"lossy recall $recall")
   }
 
+  test("graft.neardup.strategy=lsh routes the whole pair family, outputs unchanged here") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    val d03Exact = rows(operators.Dedup.d03_ngram_jaccard(spark, sf))
+    val d08Exact = rows(operators.Dedup2.d08_dup_clusters(spark, sf))
+    spark.conf.set("graft.neardup.strategy", "lsh")
+    try {
+      // banding recall is 1.0 on the seeded corpus, so the routed family
+      // must reproduce the exact results bit-for-bit
+      assert(rows(operators.Dedup.d03_ngram_jaccard(spark, sf)) == d03Exact)
+      assert(rows(operators.Dedup2.d08_dup_clusters(spark, sf)) == d08Exact)
+    } finally {
+      spark.conf.unset("graft.neardup.strategy")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("d06 lsh-verified pairs: jaccard values exact, recall >= 0.9 vs d03") {
     val exact = operators.Dedup.d03_ngram_jaccard(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap

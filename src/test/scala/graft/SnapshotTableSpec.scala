@@ -60,6 +60,28 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(viaSql == 55L)
   }
 
+  test("streaming foreachBatch ingest: each micro-batch commits an ACID snapshot") {
+    // the Delta-shaped incremental-ingest pattern with no external
+    // format: stream -> foreachBatch -> atomic snapshot commit; a reader
+    // at any moment sees a complete committed version, never a partial
+    // micro-batch
+    val path = tmp()
+    val q = streaming.StreamOps.readEvents(spark, sf)
+      .select(col("event_id"), col("event_type"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (SnapshotTable.latestVersion(batch.sparkSession, path) == 0)
+          SnapshotTable.create(batch, path)
+        else SnapshotTable.append(batch, path)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val n = SnapshotTable.read(spark, path).count()
+    assert(n == Tables.events(spark, sf).count(), s"snapshot rows $n")
+    assert(SnapshotTable.latestVersion(spark, path) >= 1)
+  }
+
   test("conflicting commit of the same version loses cleanly (optimistic CAS)") {
     val path = tmp()
     SnapshotTable.create(spark.range(0, 10).toDF("id"), path)
