@@ -42,12 +42,19 @@ object TextAnalysis8 {
           .cast("double") / lit(4294967296.0) * 2.0 - 1.0, 9))
       .groupBy("doc_id", "n_words")
       .agg(sum(col("weight").cast("decimal(20,10)")).as("logit_sum"))
+    // logit ships UNROUNDED: decimal→double cast and IEEE division are
+    // bit-exact on both engines, while round(x, 9) is NOT safe here —
+    // the exact-decimal sum divided by an integer can land exactly on a
+    // .5e-9 boundary, where Spark's BigDecimal HALF_UP and DuckDB's
+    // float-path round() disagree by 1 ulp (observed at sf0.1). The
+    // sigmoid IS rounded: transcendental outputs carry full-entropy
+    // mantissas, the standard §5 case.
     scored
       .withColumn("logit",
         col("logit_sum").cast("double") / col("n_words").cast("double"))
       .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-col("logit"))), 9))
       .withColumn("keep", col("score") >= 0.5)
-      .select(col("doc_id"), col("n_words"), round(col("logit"), 9).as("logit"),
+      .select(col("doc_id"), col("n_words"), col("logit"),
         col("score"), col("keep"))
       .orderBy("doc_id")
   }
@@ -65,7 +72,7 @@ object TextAnalysis8 {
              FROM f GROUP BY 1, 2),
       lg AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
                CAST(logit_sum AS DOUBLE) / n_words AS logit FROM sc)
-      SELECT doc_id, n_words, round(logit, 9) AS logit,
+      SELECT doc_id, n_words, logit,
              round(1.0 / (1.0 + exp(-logit)), 9) AS score,
              (round(1.0 / (1.0 + exp(-logit)), 9) >= 0.5) AS keep
       FROM lg ORDER BY doc_id"""

@@ -167,6 +167,20 @@ object SnapshotTable {
     commit(spark, path, base, cur.schema.toDDL, writeSegment(merged, path))
   }
 
+  /** Write-audit-publish: run an Expectations rule suite over `df` and
+    * commit (create or append) ONLY if every rule passes — the gated-
+    * publish pattern, with the audit on the exact data being committed
+    * and the publish still the atomic manifest swap. A failing rule
+    * throws before any manifest exists, so readers never see unaudited
+    * rows; the orphaned segment of a failed audit is never referenced.
+    */
+  def commitGated(df: DataFrame, path: String,
+                  rules: Seq[graft.api.Expectations.Rule]): Int = {
+    graft.api.Expectations.assertAll(df, rules)
+    if (latestVersion(df.sparkSession, path) == 0) create(df, path)
+    else append(df, path)
+  }
+
   /** Copy-on-write delete of rows matching `predicate` (SQL fragment). */
   def delete(spark: SparkSession, path: String, predicate: String): Int = {
     val base = latestVersion(spark, path)

@@ -60,6 +60,22 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(viaSql == 55L)
   }
 
+  test("commitGated: write-audit-publish refuses to publish failing data") {
+    import graft.api.Expectations
+    val path = tmp()
+    val good = spark.range(0, 20).select(col("id"), (col("id") % 5).as("v"))
+    val rules = Seq(Expectations.Satisfies("v_bounded", col("v") < 5),
+      Expectations.NotNull("id"))
+    assert(SnapshotTable.commitGated(good, path, rules) == 1)
+    // bad batch: audit fails, nothing publishes, table version unchanged
+    val bad = spark.range(20, 30).select(col("id"), lit(99L).as("v"))
+    intercept[IllegalStateException] {
+      SnapshotTable.commitGated(bad, path, rules)
+    }
+    assert(SnapshotTable.latestVersion(spark, path) == 1)
+    assert(SnapshotTable.read(spark, path).count() == 20)
+  }
+
   test("streaming foreachBatch ingest: each micro-batch commits an ACID snapshot") {
     // the Delta-shaped incremental-ingest pattern with no external
     // format: stream -> foreachBatch -> atomic snapshot commit; a reader
