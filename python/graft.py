@@ -62,6 +62,13 @@ def register(spark):
     _jvm(spark).graft.functions.Register.all(spark._jsparkSession)
 
 
+def install_sql(spark):
+    """Register the scalar functions AND the operator table-valued
+    functions (graft_near_dup_pairs, graft_transform, ...), so the whole
+    library is reachable from plain ``spark.sql``."""
+    _jvm(spark).graft.api.SqlSurface.install(spark._jsparkSession)
+
+
 def transform(spark, spec_json, tables):
     """Run a TransformSpec JSON job; ``tables`` maps names -> DataFrames."""
     jdf = _jvm(spark).graft.api.TransformSpec.run(

@@ -529,7 +529,14 @@ object GraftOps {
     * a total order for a deterministic result).
     */
   def globalRank(df: DataFrame, order: Column*): DataFrame = {
-    val parted = df.repartitionByRange(order: _*)
+    // input persisted: RangePartitioner SAMPLES the input in a separate
+    // pass before the exchange reads it again — without the barrier any
+    // expensive upstream (q75's anti-joins: 11x at 20x keys) executes
+    // twice. parted persisted separately: the offsets aggregation and
+    // the ranked output are two reads, and the nondeterministic pid
+    // column defeats ReuseExchange's canonical matching.
+    val in = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val parted = in.repartitionByRange(order: _*)
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exclusive prefix sum of per-partition row counts = rank offsets;

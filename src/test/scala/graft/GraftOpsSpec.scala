@@ -439,6 +439,13 @@ class GraftOpsSpec extends AnyFunSuite {
       }
       assert(unpartitioned.isEmpty, "found an unpartitioned window")
     }
+    // edges: empty input; k larger than the row count
+    val empty = vocab.filter(lit(false))
+    assert(GraftOps.globalRank(empty, desc("n"), col("word")).count() == 0)
+    assert(GraftOps.globalTopK(empty, "n", "word", 5).count() == 0)
+    val all = GraftOps.globalTopK(vocab, "n", "word", 1000000)
+    assert(all.count() == vocab.count())
+    assert(all.agg(max("rank")).head().getLong(0) == vocab.count())
   }
 
   test("kmeans bounds SemDeDup clusters on skew-labeled data; assignment is deterministic") {

@@ -93,6 +93,13 @@ banded = {
 assert exact == banded and len(exact) > 0, (
     f"lsh pairs {len(banded)} != exact pairs {len(exact)}")
 
+# 3b. TVF surface from python-driven SQL
+graft.install_sql(spark)
+tvf = spark.sql(
+    "SELECT * FROM graft_near_dup_pairs('documents', 'doc_id', 'text', 0.5)"
+)
+assert {(r.id_a, r.id_b) for r in tvf.collect()} == exact, "TVF != facade verb"
+
 # 4. global top-k facade: rank 1 is the corpus-wide most frequent word
 vocab = (
     docs.select(F.explode(F.split("text", " ")).alias("word"))
@@ -103,5 +110,5 @@ best = vocab.orderBy(F.desc("n"), "word").first()
 assert top[0].word == best.word and len(top) == 5
 
 print(f"PASS pysmoke: sql-functions, {len(out)}-row declarative job, "
-      f"{len(exact)} near-dup pairs (lsh == exact), top-k facade — all green")
+      f"{len(exact)} near-dup pairs (lsh == exact == TVF), top-k facade — all green")
 spark.stop()
