@@ -111,3 +111,29 @@ def global_top_k(spark, df, score_col, tie_col, k):
     """Exact global top-k with rank, without a single-task sort."""
     jdf = _graft_ops(spark).globalTopK(df._jdf, score_col, tie_col, int(k))
     return _wrap(spark, jdf)
+
+
+def decode_assets(df, id_col, bytes_col, decode_fn, out_schema,
+                  batch_rows=64):
+    """Multimodal decode plumbing over ``mapInPandas``: feeds the opaque
+    binary column through ``decode_fn`` (a per-row python callable
+    ``bytes -> dict`` matching ``out_schema``) in bounded pandas batches.
+    The heavy libraries (PIL/av/...) live only inside ``decode_fn`` on
+    the executors; Spark sees typed columns and plans around them. Batch
+    size is re-chunked locally so one corrupt or giant asset can't blow
+    up a whole arrow batch.
+    """
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[lo:lo + batch_rows]
+                rows = []
+                for _, r in chunk.iterrows():
+                    out = decode_fn(r[bytes_col])
+                    out[id_col] = r[id_col]
+                    rows.append(out)
+                yield pd.DataFrame(rows)
+
+    return df.select(id_col, bytes_col).mapInPandas(run, schema=out_schema)

@@ -100,6 +100,30 @@ tvf = spark.sql(
 )
 assert {(r.id_a, r.id_b) for r in tvf.collect()} == exact, "TVF != facade verb"
 
+# 3c. multimodal decode plumbing: mapInPandas over an opaque binary
+# column with a deterministic stand-in decoder (real pipelines swap in
+# PIL/av inside decode_fn; schema/batching/typing is what's under test)
+bin_df = docs.select(
+    F.col("doc_id"), F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+
+def fake_decode(b):
+    # stand-in for an image/audio codec: deterministic "dimensions"
+    return {"n_bytes": int(len(b)), "width": int(len(b) % 640),
+            "ok": bool(len(b) > 0)}
+
+
+decoded = graft.decode_assets(
+    bin_df, "doc_id", "payload", fake_decode,
+    "n_bytes BIGINT, width BIGINT, ok BOOLEAN, doc_id BIGINT")
+dd = decoded.collect()
+want_bytes = {r.doc_id: r.n for r in
+              docs.select("doc_id", F.length(F.encode(F.col("text"), "UTF-8"))
+                          .alias("n")).collect()}
+assert len(dd) == docs.count()
+assert all(r.n_bytes == want_bytes[r.doc_id] and r.ok for r in dd), \
+    "decode batches mangled rows"
+
 # 4. global top-k facade: rank 1 is the corpus-wide most frequent word
 vocab = (
     docs.select(F.explode(F.split("text", " ")).alias("word"))
