@@ -183,22 +183,27 @@ object GraftOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seeds = e.withColumn("__h", md5(col("__id").cast("string")))
       .orderBy("__h", "__id").limit(k)
-    // numbering window runs over the k pruned seeds only; the pid
-    // group key (constant: GlobalLimit emits one partition, and a lit
-    // would be folded away) keeps WindowExec off its unpartitioned path
-    val cents0 = seeds
-      .withColumn("__g", spark_partition_id())
+    // numbering window runs over the k pruned seeds only
+    val cents0 = boundedSingleGroup(seeds)
       .withColumn("cluster",
         row_number().over(Window.partitionBy("__g").orderBy("__h", "__id"))
           .cast("long"))
       .select(col("cluster"), col("__v").as("__cent"))
+    // argmax as a map-side-combinable MAX over (cos, -cluster): same
+    // semantics as rank-1 of (cos desc, cluster asc) — the tiebreak pair
+    // is unique per row so the comparator never reaches the carried
+    // payload fields — but each partition collapses its k candidate rows
+    // per vector BEFORE the exchange, so the shuffle moves one row per
+    // doc instead of k copies of every embedding (the window formulation
+    // shuffled corpus × k vectors)
     def assign(cents: DataFrame): DataFrame =
       e.crossJoin(broadcast(cents))
         .withColumn("__cos", cosine_sim(col("__v"), col("__cent")))
-        .withColumn("__rk", row_number().over(
-          Window.partitionBy("__id").orderBy(desc("__cos"), col("cluster"))))
-        .filter(col("__rk") === 1)
-        .select(col("__id"), col("cluster"), col("__v"))
+        .groupBy("__id")
+        .agg(max(struct(col("__cos"), (-col("cluster")).as("__nc"),
+          col("cluster"), col("__v"))).as("__best"))
+        .select(col("__id"), col("__best.cluster").as("cluster"),
+          col("__best.__v").as("__v"))
     def recompute(asg: DataFrame): DataFrame = asg
       .select(col("cluster"), posexplode(col("__v")).as(Seq("__dim", "__x")))
       .groupBy("cluster", "__dim")
@@ -516,6 +521,18 @@ object GraftOps {
       .filter(col("rn") <= k)
   }
 
+  /** One EXPLICIT bounded partition for a window over a provably small
+    * frame: coalesce to a single partition, then materialize
+    * spark_partition_id() as group key `__g`. The pid, NOT lit(1):
+    * FoldablePropagation strips a constant partition key and the plan
+    * regresses to the unpartitioned WindowExec (single unbounded task)
+    * this idiom exists to avoid. Callers window over
+    * `Window.partitionBy("__g")` and drop the column; the whole-suite
+    * PlanAuditSpec window audit backstops every use.
+    */
+  def boundedSingleGroup(df: DataFrame): DataFrame =
+    df.coalesce(1).withColumn("__g", spark_partition_id())
+
   /** Exact global row_number over arbitrarily large input WITHOUT the
     * single-task unpartitioned window: range-repartition on the sort
     * key (each partition holds a contiguous key range), rank within
@@ -540,14 +557,12 @@ object GraftOps {
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exclusive prefix sum of per-partition row counts = rank offsets;
-    // partition-count rows, coalesced to one explicit partition and
-    // grouped on its (now-constant) pid — a lit key would fold away
-    val offsets = parted.groupBy("__pid").agg(count(lit(1)).as("__c"))
-      .coalesce(1)
-      .withColumn("__g", spark_partition_id())
-      .withColumn("__off",
-        sum("__c").over(Window.partitionBy("__g").orderBy("__pid")) - col("__c"))
-      .select("__pid", "__off")
+    // partition-count rows, windowed inside one explicit bounded group
+    val offsets =
+      boundedSingleGroup(parted.groupBy("__pid").agg(count(lit(1)).as("__c")))
+        .withColumn("__off",
+          sum("__c").over(Window.partitionBy("__g").orderBy("__pid")) - col("__c"))
+        .select("__pid", "__off")
     parted.join(broadcast(offsets), "__pid")
       .withColumn("rank",
         row_number().over(Window.partitionBy("__pid").orderBy(order: _*))
@@ -564,12 +579,7 @@ object GraftOps {
     * combinable and distributed; ranking touches k rows.
     */
   def globalTopK(df: DataFrame, score: String, tie: String, k: Int): DataFrame =
-    // the group key must be spark_partition_id(), not lit(1):
-    // FoldablePropagation strips a constant partition key and the plan
-    // regresses to the unpartitioned WindowExec. GlobalLimit emits ONE
-    // partition, so the materialized pid is a genuine constant here.
-    df.orderBy(desc(score), col(tie)).limit(k)
-      .withColumn("__g", spark_partition_id())
+    boundedSingleGroup(df.orderBy(desc(score), col(tie)).limit(k))
       .withColumn("rank", row_number().over(
         Window.partitionBy("__g").orderBy(desc(score), col(tie))).cast("long"))
       .drop("__g")

@@ -57,9 +57,12 @@ object SqlSurface {
   /** name -> (arity hint for the error message, plan builder). */
   val builders: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "graft_near_dup_pairs" -> {
+      // "session" default: the TVF honors graft.neardup.strategy like
+      // every other pair join in the library (README's one-switch claim)
       case Seq(t, id, tx, th) =>
-        plan(GraftOps.jaccardJoin(table(str(t, "table")),
-          col(str(id, "id")), col(str(tx, "text")), dbl(th, "threshold")))
+        plan(GraftOps.nearDupPairs(table(str(t, "table")),
+          col(str(id, "id")), col(str(tx, "text")), dbl(th, "threshold"),
+          strategy = "session"))
       case Seq(t, id, tx, th, s) =>
         plan(GraftOps.nearDupPairs(table(str(t, "table")),
           col(str(id, "id")), col(str(tx, "text")), dbl(th, "threshold"),

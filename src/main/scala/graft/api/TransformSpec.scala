@@ -56,10 +56,15 @@ object TransformSpec {
   def runSql(json: String): DataFrame = {
     val spark = org.apache.spark.sql.SparkSession.active
     val root = om.readTree(json)
+    // every table-referencing step verb: join reads "right", union "other"
     val names = Set(root.path("source").asText()) ++
-      root.path("steps").elements().asScala
-        .filter(s => s.path("op").asText() == "join")
-        .map(_.path("right").asText())
+      root.path("steps").elements().asScala.flatMap { s =>
+        s.path("op").asText() match {
+          case "join"  => Some(s.path("right").asText())
+          case "union" => Some(s.path("other").asText())
+          case _       => None
+        }
+      }
     run(json, names.map(n => n -> spark.table(n)).toMap)
   }
 

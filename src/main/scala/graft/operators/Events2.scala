@@ -58,14 +58,12 @@ object Events2 {
   val e07_cumulative_distinct: Q = (s, d) => {
     val first = Tables.events(s, d)
       .groupBy("user_id").agg(min(to_date(col("ts"))).as("day"))
-    // running sum over day-count rows — calendar-bounded, coalesced to
-    // one explicit partition and grouped on its (now-constant) pid; a
-    // lit key would fold away and re-trigger the unpartitioned WindowExec
-    val perDay = first.groupBy("day").agg(count(lit(1)).as("n_new"))
-      .coalesce(1)
-      .withColumn("g", spark_partition_id())
+    // running sum over day-count rows — calendar-bounded, inside
+    // GraftOps.boundedSingleGroup's explicit bounded partition
+    val perDay = graft.api.GraftOps.boundedSingleGroup(
+      first.groupBy("day").agg(count(lit(1)).as("n_new")))
     perDay.withColumn("cum_users",
-        sum("n_new").over(Window.partitionBy("g").orderBy("day")
+        sum("n_new").over(Window.partitionBy("__g").orderBy("day")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select("day", "n_new", "cum_users")
       .orderBy("day")

@@ -68,24 +68,23 @@ object Relational6 {
   // ---- q57: equi-width histogram + cumulative distribution ----
   // One aggregation on the bucket key (uniform by construction), then a
   // tiny window over the ~dozen bucket rows for the CDF — the heavy stage
-  // is map-side-combinable, the window is O(buckets), not O(rows). The
-  // bucket table is coalesced to one explicit partition and grouped on
-  // its (now-constant) pid — a lit key would be folded away — so
-  // WindowExec never takes its unpartitioned path.
+  // is map-side-combinable, the window is O(buckets), not O(rows),
+  // run inside GraftOps.boundedSingleGroup's explicit bounded partition
+  // so WindowExec never takes its unpartitioned path.
   val q57_histogram_cdf: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val b = Tables.orders(s, d)
-      .withColumn("bucket", floor(col("o_totalprice") / 50000.0).cast("long"))
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("n"), graft.Stable.dsum(col("o_totalprice")).as("sum_price"))
-      .coalesce(1)
-      .withColumn("g", spark_partition_id())
-    val total = Window.partitionBy("g").orderBy("bucket")
+    val b = graft.api.GraftOps.boundedSingleGroup(
+      Tables.orders(s, d)
+        .withColumn("bucket", floor(col("o_totalprice") / 50000.0).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          graft.Stable.dsum(col("o_totalprice")).as("sum_price")))
+    val total = Window.partitionBy("__g").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     b.withColumn("cum_n", sum("n").over(total))
       .withColumn("cum_share",
         round(col("cum_n").cast("double") / sum("n").over(
-          Window.partitionBy("g").orderBy("bucket")
+          Window.partitionBy("__g").orderBy("bucket")
             .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)), 9))
       .select("bucket", "n", "sum_price", "cum_n", "cum_share")
       .orderBy("bucket")

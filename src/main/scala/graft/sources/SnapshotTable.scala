@@ -42,6 +42,16 @@ object SnapshotTable {
 
   private def manifestDir(path: String) = new Path(path, "_manifests")
 
+  /** (name, type) shape — nullability-insensitive: an in-memory frame is
+    * often NOT NULL where the parquet read-back is nullable; that
+    * difference is not schema drift.
+    */
+  private def shape(s: org.apache.spark.sql.types.StructType)
+      : Seq[(String, org.apache.spark.sql.types.DataType)] =
+    s.fields.toSeq.map(f => (f.name, f.dataType))
+  private def shapeOfDdl(ddl: String) =
+    shape(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+
   private def parse(json: String): Manifest = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val n = om.readTree(json)
@@ -102,10 +112,23 @@ object SnapshotTable {
     try out.write(render(Manifest(next, schemaDdl, files)).getBytes("UTF-8"))
     finally out.close()
     val target = new Path(dir, s"v$next.json")
-    // rename-if-absent IS the transaction: exactly one writer wins v<next>
-    val won = !f.exists(target) && f.rename(tmp, target)
+    // publish-if-absent IS the transaction: exactly one writer wins
+    // v<next>. POSIX rename REPLACES an existing destination, so a
+    // check-then-rename on a local fs is a lost-commit TOCTOU; on local
+    // paths we hard-LINK the fully-written temp to the target instead —
+    // link(2) is atomic and fails with EEXIST — and on HDFS rename
+    // itself refuses an existing destination atomically. (Raw object
+    // stores without an atomic no-replace primitive need a commit
+    // service, the same caveat the production formats carry.)
+    val won =
+      if (f.getScheme == "file") {
+        val nioTmp = java.nio.file.Paths.get(tmp.toUri.getPath)
+        val nioTarget = java.nio.file.Paths.get(target.toUri.getPath)
+        try { java.nio.file.Files.createLink(nioTarget, nioTmp); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else !f.exists(target) && f.rename(tmp, target)
+    f.delete(tmp, false)
     if (!won) {
-      f.delete(tmp, false)
       throw new java.util.ConcurrentModificationException(
         s"snapshot table $path: version $next was committed concurrently; " +
           "re-read the latest snapshot and retry")
@@ -132,7 +155,7 @@ object SnapshotTable {
       if (expectedVersion > 0) expectedVersion else latestVersion(spark, path)
     require(base > 0, s"snapshot table $path does not exist")
     val cur = readManifest(spark, path, base)
-    require(df.schema.toDDL == cur.schemaDdl,
+    require(shape(df.schema) == shapeOfDdl(cur.schemaDdl),
       s"append schema ${df.schema.toDDL} != table schema ${cur.schemaDdl}")
     commit(spark, path, base, cur.schemaDdl, cur.files ++ writeSegment(df, path))
   }
@@ -161,9 +184,15 @@ object SnapshotTable {
     val base =
       if (expectedVersion > 0) expectedVersion else latestVersion(spark, path)
     val cur = read(spark, path, base)
+    val aligned = changes.select(cur.columns.map(col): _*)
+    // same guard as append: without it unionByName type-widening could
+    // commit a segment whose parquet types diverge from the pinned
+    // manifest schema, making the new version unreadable
+    require(shape(aligned.schema) == shape(cur.schema),
+      s"upsert schema ${aligned.schema.toDDL} != table schema ${cur.schema.toDDL}")
     val merged = cur.join(changes.select(keys.map(col): _*).distinct(),
         keys, "left_anti")
-      .unionByName(changes.select(cur.columns.map(col): _*))
+      .unionByName(aligned)
     commit(spark, path, base, cur.schema.toDDL, writeSegment(merged, path))
   }
 

@@ -206,10 +206,11 @@ object StreamOps {
     val gapMicros = 30L * 60 * 1000 * 1000
 
     // microsecond-precision start (a bare Timestamp(millis) would drop
-    // the sub-ms part and break byte parity with batch session_window)
+    // the sub-ms part and break byte parity with batch session_window);
+    // floorDiv/floorMod so pre-epoch timestamps split correctly too
     def flush(acc: SessionAcc, userId: Long): SessionOut = {
-      val t = new java.sql.Timestamp(acc.startMicros / 1000000 * 1000)
-      t.setNanos(((acc.startMicros % 1000000) * 1000).toInt)
+      val t = new java.sql.Timestamp(Math.floorDiv(acc.startMicros, 1000000L) * 1000)
+      t.setNanos((Math.floorMod(acc.startMicros, 1000000L) * 1000).toInt)
       SessionOut(userId, t, acc.n, acc.value)
     }
 
@@ -228,9 +229,10 @@ object StreamOps {
           } else {
             // full microsecond precision: getTime is millis-only and
             // would both misplace sub-ms gap boundaries and break byte
-            // parity of session_start with the batch session_window
+            // parity of session_start with the batch session_window;
+            // floorDiv so pre-epoch times don't round toward zero
             def micros(t: java.sql.Timestamp): Long =
-              t.getTime / 1000 * 1000000 + t.getNanos / 1000
+              Math.floorDiv(t.getTime, 1000L) * 1000000 + t.getNanos / 1000
             val sorted = events.toSeq.sortBy(e => (micros(e.ts), e.event_id))
             val closed = Seq.newBuilder[SessionOut]
             var acc = state.getOption.orNull

@@ -53,6 +53,14 @@ class SnapshotTableSpec extends AnyFunSuite {
     SnapshotTable.delete(spark, path, "id >= 100")
     assert(SnapshotTable.read(spark, path).count() == 50)
 
+    // schema drift refuses BEFORE committing (type change would make
+    // the new version unreadable against the pinned manifest schema)
+    val drifted = spark.range(0, 3)
+      .select(col("id").cast("double").as("id"), lit("x").as("tag"))
+    intercept[IllegalArgumentException] {
+      SnapshotTable.upsert(spark, path, drifted, Seq("id"))
+    }
+
     // SQL surface: time travel from plain SQL
     graft.api.SqlSurface.install(spark)
     val viaSql = spark.sql(
@@ -115,5 +123,39 @@ class SnapshotTableSpec extends AnyFunSuite {
     // the loser retries against the fresh snapshot and succeeds
     assert(SnapshotTable.append(loser, path) == 3)
     assert(SnapshotTable.read(spark, path).count() == 30)
+  }
+
+  test("racing writers: exactly one commit of a version wins (true concurrency)") {
+    // 6 threads, same base version, simultaneous commits — the atomic
+    // no-replace publish (hard link on local fs) must admit exactly one;
+    // a check-then-rename TOCTOU would let several "succeed" and lose
+    // all but the last manifest silently
+    val path = tmp()
+    SnapshotTable.create(spark.range(0, 10).toDF("id"), path)
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(6)
+    val gate = new CountDownLatch(1)
+    val outcomes = (0 until 6).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Either[Throwable, Int]] {
+        def call(): Either[Throwable, Int] = {
+          val df = spark.range(100L * i, 100L * i + 10).toDF("id")
+          gate.await()
+          try Right(SnapshotTable.append(df, path, expectedVersion = 1))
+          catch { case t: Throwable => Left(t) }
+        }
+      })
+    }
+    gate.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    val results = outcomes.map(_.get())
+    val winners = results.collect { case Right(v) => v }
+    val losers = results.collect { case Left(t) => t }
+    assert(winners == Seq(2).padTo(winners.size, 2) && winners.size == 1,
+      s"expected exactly one v2 winner, got $results")
+    assert(losers.forall(_.isInstanceOf[java.util.ConcurrentModificationException]))
+    // the committed table matches the winner's content (20 rows, v2)
+    assert(SnapshotTable.latestVersion(spark, path) == 2)
+    assert(SnapshotTable.read(spark, path).count() == 20)
   }
 }

@@ -80,6 +80,35 @@ class StreamingSpec extends AnyFunSuite {
     val extras = got -- e09
     assert(extras.isEmpty,
       s"${extras.size} streamed sessions not byte-present in the oracled e09 rows: ${extras.take(3)}")
+    // completeness: every session that PROVABLY closed must have been
+    // emitted — closed means a later same-user session exists (in-batch
+    // closure) or the event-time timeout fired (end + 30min <= final
+    // watermark = max_ts - 2h). Squeezed between this floor and the
+    // e09 ⊇ got ceiling, a sessionizer that silently drops sessions
+    // cannot pass.
+    val ev = Tables.events(spark, sf)
+    val maxTsMs = ev.agg(max("ts")).head().getTimestamp(0).getTime
+    val wmMs = maxTsMs - 2L * 3600 * 1000
+    val sessions = ev
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.Stable.dsum(col("value")).as("session_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"),
+        round(col("session_value"), 4).as("session_value"))
+      .collect()
+    val lastStartByUser = sessions.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getTimestamp(1).getTime).max).toMap
+    val mustEmit = sessions.filter { r =>
+      val closedInBatch =
+        r.getTimestamp(1).getTime < lastStartByUser(r.getLong(0))
+      // session_window end = last event + gap; timeout fires at end
+      val closedByTimeout = r.getTimestamp(2).getTime <= wmMs
+      closedInBatch || closedByTimeout
+    }.map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3), r.getDouble(4))).toSet
+    val missing = mustEmit -- got
+    assert(missing.isEmpty,
+      s"${missing.size} provably-closed sessions were not emitted: ${missing.take(3)}")
   }
 
   test("streaming dedup: no duplicate payload hashes within the watermark") {

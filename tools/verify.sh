@@ -2,7 +2,7 @@
 # Local correctness loop: Spark Verify dump at sf0.01 -> DuckDB compare,
 # then the Python-facade smoke test (skipped when pyspark isn't on the
 # driver python path).
-set -e
+set -e -o pipefail
 cd /root/repo
 SF=${1:-/root/testdata/sf0.01}
 OUT=${2:-/tmp/verify_out}
