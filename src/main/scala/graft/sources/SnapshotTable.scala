@@ -217,4 +217,43 @@ object SnapshotTable {
     commit(spark, path, base, cur.schema.toDDL,
       writeSegment(cur.filter(!expr(predicate)), path))
   }
+
+  /** Compaction (the OPTIMIZE analog): rewrite the current snapshot's
+    * rows into one fresh segment with `numFiles` files and commit it as
+    * the next version — small-file pressure from many appends drops to
+    * a bounded file count, rows and schema unchanged, prior versions
+    * untouched (time travel still works until [[vacuum]]).
+    */
+  def compact(spark: SparkSession, path: String, numFiles: Int = 1): Int = {
+    val base = latestVersion(spark, path)
+    val cur = read(spark, path, base)
+    commit(spark, path, base, cur.schema.toDDL,
+      writeSegment(cur.repartition(numFiles), path))
+  }
+
+  /** Retention cleanup (the VACUUM analog): drop every manifest older
+    * than the newest `keepVersions`, then delete data segments no
+    * remaining manifest references. Runs AFTER readers of dropped
+    * versions are assumed gone — the standard retention contract; the
+    * latest `keepVersions` snapshots stay byte-identical.
+    */
+  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 2): Unit = {
+    require(keepVersions >= 1, "must keep at least the latest version")
+    val latest = latestVersion(spark, path)
+    val f = fs(spark, path)
+    val keepFrom = math.max(1, latest - keepVersions + 1)
+    val kept = (keepFrom to latest).map(readManifest(spark, path, _))
+    val referenced = kept.flatMap(_.files).toSet
+    (1 until keepFrom).foreach { v =>
+      f.delete(new Path(manifestDir(path), s"v$v.json"), false)
+    }
+    val dataDir = new Path(path, "data")
+    if (f.exists(dataDir)) f.listStatus(dataDir).foreach { seg =>
+      val segRel = s"data/${seg.getPath.getName}"
+      val segFiles = f.listStatus(seg.getPath).map(_.getPath.getName)
+        .filter(_.endsWith(".parquet")).map(n => s"$segRel/$n")
+      if (segFiles.nonEmpty && segFiles.forall(!referenced.contains(_)))
+        f.delete(seg.getPath, true)
+    }
+  }
 }

@@ -125,6 +125,34 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.read(spark, path).count() == 30)
   }
 
+  test("compact + vacuum: fewer files, rows unchanged, retention drops old versions") {
+    val path = tmp()
+    SnapshotTable.create(spark.range(0, 40).toDF("id"), path)
+    (1 to 4).foreach { i =>
+      SnapshotTable.append(spark.range(40L * i, 40L * i + 40).toDF("id"), path)
+    }
+    val before = SnapshotTable.read(spark, path)
+    val rowsBefore = before.collect().map(_.getLong(0)).sorted.toSeq
+    assert(before.inputFiles.length >= 5, "expected one+ file per append")
+    val v = SnapshotTable.compact(spark, path, numFiles = 1)
+    val after = SnapshotTable.read(spark, path)
+    assert(after.inputFiles.length == 1, "compaction must bound the file count")
+    assert(after.collect().map(_.getLong(0)).sorted.toSeq == rowsBefore)
+    // prior version still time-travels until vacuumed
+    assert(SnapshotTable.read(spark, path, v - 1).count() == 200)
+
+    SnapshotTable.vacuum(spark, path, keepVersions = 1)
+    // latest intact, old manifests gone, orphaned segments deleted
+    assert(SnapshotTable.read(spark, path).collect()
+      .map(_.getLong(0)).sorted.toSeq == rowsBefore)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.read(spark, path, version = 1)
+    }
+    val dataDir = new java.io.File(new java.net.URI("file:" + path + "/data"))
+    assert(dataDir.listFiles().length == 1,
+      "vacuum must delete segments no kept manifest references")
+  }
+
   test("racing writers: exactly one commit of a version wins (true concurrency)") {
     // 6 threads, same base version, simultaneous commits — the atomic
     // no-replace publish (hard link on local fs) must admit exactly one;
