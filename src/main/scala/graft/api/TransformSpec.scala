@@ -116,15 +116,24 @@ object TransformSpec {
         GraftOps.exactDedup(df,
           expr(step.path("key").asText()), expr(step.path("id").asText()))
       case "nearDedup" =>
-        // LSH-verified near-dup removal (the d06 pipeline) behind one
-        // config line: keep the lexicographically-first doc per near-dup
-        // pair, drop the rest
+        // near-dup removal behind one config line: keep the
+        // lexicographically-first doc per pair, drop the rest. Optional
+        // "strategy": "shingle" (exact), "lsh" (banded, the 100 TB
+        // path), or the default "session" (spark conf
+        // graft.neardup.strategy — the library-wide one-switch routing)
         val t = if (step.has("threshold")) step.path("threshold").asDouble() else 0.8
+        val strat =
+          if (step.has("strategy")) step.path("strategy").asText() else "session"
         val id = expr(step.path("id").asText())
-        val doomed = GraftOps.jaccardJoin(df,
-            id, expr(step.path("text").asText()), t)
+        val doomed = GraftOps.nearDupPairs(df,
+            id, expr(step.path("text").asText()), t, strategy = strat)
           .select(col("id_b").as("__doomed")).distinct()
         df.join(doomed, id === col("__doomed"), "left_anti")
+      case "topk" =>
+        // exact global top-k with rank, the q59 discipline (bounded-heap
+        // prune, never a corpus-wide single-task sort)
+        GraftOps.globalTopK(df, step.path("score").asText(),
+          step.path("tie").asText(), step.path("k").asInt())
       case "split" =>
         // appends `split` (0-based bucket index) deterministically; a
         // downstream filter step selects the train/val/test lane

@@ -94,6 +94,33 @@ class TransformSpecSpec extends AnyFunSuite {
     assert(got == want && doomed.nonEmpty)
   }
 
+  test("nearDedup strategy option and topk step agree with their verbs") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    def run(strategy: String) = TransformSpec.run(
+      s"""{"source": "d", "steps": [
+        {"op": "nearDedup", "id": "doc_id", "text": "text",
+         "threshold": 0.5, "strategy": "$strategy"},
+        {"op": "orderBy", "cols": ["doc_id"]}]}""",
+      Map("d" -> docs)).select("doc_id")
+    // lsh-routed keep set equals the exact one on this corpus
+    val exact = run("shingle")
+    val lsh = run("lsh")
+    assert(lsh.exceptAll(exact).isEmpty && exact.exceptAll(lsh).isEmpty)
+
+    val topk = TransformSpec.run(
+      """{"source": "v", "steps": [
+        {"op": "topk", "score": "n", "tie": "word", "k": 7},
+        {"op": "orderBy", "cols": ["rank"]}]}""",
+      Map("v" -> docs.select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))))
+    val want = api.GraftOps.globalTopK(
+        docs.select(explode(split(col("text"), " ")).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("n")), "n", "word", 7)
+      .orderBy("rank")
+    assert(topk.collect().toSeq == want.collect().toSeq && topk.count() == 7)
+  }
+
   test("split step assigns deterministic lanes a filter can select") {
     val docs = Tables.documents(spark, sf)
     val spec =
