@@ -46,6 +46,37 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(topkSql.collect().toSeq == topkApi.collect().toSeq)
   }
 
+  test("remaining TVFs pin their argument plumbing against the verbs") {
+    SqlSurface.install(spark)
+    docs.createOrReplaceTempView("docs_sql_v3")
+    val cases: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "SELECT * FROM graft_containment_pairs('docs_sql_v3', 'doc_id', 'text', 0.8)" ->
+        GraftOps.containmentJoin(docs, col("doc_id"), col("text"), 0.8),
+      "SELECT * FROM graft_span_dedup('docs_sql_v3', 'doc_id', 'text', 10)" ->
+        GraftOps.spanDedup(docs, col("doc_id"), col("text"), 10),
+      "SELECT * FROM graft_gopher_filter('docs_sql_v3', 'text')" ->
+        GraftOps.gopherFilter(docs, col("text")),
+      "SELECT * FROM graft_chunk('docs_sql_v3', 'text', 64, 48)" ->
+        GraftOps.chunk(docs, col("text"), 64, 48),
+      "SELECT * FROM graft_dedup_manifest('docs_sql_v3', 'doc_id', 'text', 0.5)" ->
+        GraftOps.dedupManifest(docs, col("doc_id"), col("text"), 0.5),
+    )
+    cases.foreach { case (sql, verb) =>
+      val viaSql = spark.sql(sql)
+      assert(viaSql.exceptAll(verb).isEmpty && verb.exceptAll(viaSql).isEmpty, sql)
+    }
+    val e = Tables.embeddings(spark, sf)
+    e.createOrReplaceTempView("emb_sql_v")
+    val asgSql = spark.sql("SELECT * FROM graft_kmeans('emb_sql_v', 'vec_id', 'embedding', 10, 2)")
+    val asgVerb = GraftOps.kmeans(e, col("vec_id"), col("embedding"), 10, 2)
+    assert(asgSql.exceptAll(asgVerb).isEmpty && asgVerb.exceptAll(asgSql).isEmpty)
+    val sdSql = spark.sql(
+      "SELECT * FROM graft_semantic_dedup('emb_sql_v', 'vec_id', 'embedding', 'label', 0.3)")
+    val sdVerb = GraftOps.semanticDedup(e, col("vec_id"), col("embedding"),
+      col("label"), 0.3)
+    assert(sdSql.exceptAll(sdVerb).isEmpty && sdVerb.exceptAll(sdSql).isEmpty)
+  }
+
   test("graft_transform runs a declarative job with session-catalog table resolution") {
     SqlSurface.install(spark)
     docs.createOrReplaceTempView("documents_sql_v")
