@@ -377,6 +377,17 @@ class GraftOpsSpec extends AnyFunSuite {
     val d17 = operators.Dedup3.d17_containment(spark, sf)
       .select("da", "db", "shared", "cont_ab", "cont_ba")
     assert(viaApi.exceptAll(d17).isEmpty && d17.exceptAll(viaApi).isEmpty)
+    // the documented-recall df-cap: a cap above every shingle's df is
+    // lossless; a tight cap may only LOSE pairs, never invent them, and
+    // surviving pairs keep their exact verified values
+    val base = GraftOps.containmentJoin(docs, col("doc_id"), col("text"), 0.8)
+    val uncapped = GraftOps.containmentJoin(docs, col("doc_id"), col("text"),
+      0.8, maxDf = 1000000L)
+    assert(uncapped.exceptAll(base).isEmpty && base.exceptAll(uncapped).isEmpty)
+    val capped = GraftOps.containmentJoin(docs, col("doc_id"), col("text"),
+      0.8, maxDf = 2L)
+    assert(capped.exceptAll(base).isEmpty,
+      "df cap must only lose pairs (subset with exact values), never invent or alter them")
 
     val gf = docs.gopherFilter(col("text"))
       .select("doc_id", "n_words", "mean_wlen", "frac_alpha", "n_stop", "reasons", "keep")
