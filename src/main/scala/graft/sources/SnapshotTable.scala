@@ -232,28 +232,55 @@ object SnapshotTable {
   }
 
   /** Retention cleanup (the VACUUM analog): drop every manifest older
-    * than the newest `keepVersions`, then delete data segments no
-    * remaining manifest references. Runs AFTER readers of dropped
-    * versions are assumed gone — the standard retention contract; the
-    * latest `keepVersions` snapshots stay byte-identical.
+    * than the newest `keepVersions` that still EXISTS (earlier vacuums
+    * may have removed a prefix — only the manifest listing decides, one
+    * RPC, never per-version probes), then delete data segments no kept
+    * manifest references, plus crashed-writer temp manifests. Segments
+    * (and temp manifests) younger than `graceMs` are spared: a
+    * concurrent writer stages its segment BEFORE publishing the
+    * manifest, so reclaiming fresh unreferenced files would let that
+    * writer commit a torn table — the same modification-time grace
+    * window the production formats use. Kept snapshots stay
+    * byte-identical; run with the default grace unless all writers are
+    * known quiesced.
     */
-  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 2): Unit = {
+  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 2,
+             graceMs: Long = 3600L * 1000): Unit = {
     require(keepVersions >= 1, "must keep at least the latest version")
-    val latest = latestVersion(spark, path)
     val f = fs(spark, path)
-    val keepFrom = math.max(1, latest - keepVersions + 1)
-    val kept = (keepFrom to latest).map(readManifest(spark, path, _))
-    val referenced = kept.flatMap(_.files).toSet
-    (1 until keepFrom).foreach { v =>
-      f.delete(new Path(manifestDir(path), s"v$v.json"), false)
+    val mdir = manifestDir(path)
+    if (!f.exists(mdir)) return
+    val now = System.currentTimeMillis()
+    val statuses = f.listStatus(mdir)
+    val versions = statuses.map(_.getPath.getName).collect {
+      case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toInt
+    }.sorted.toSeq
+    if (versions.isEmpty) return
+    val keepFrom = math.max(versions.min, versions.max - keepVersions + 1)
+    val referenced = versions.filter(_ >= keepFrom)
+      .flatMap(v => readManifest(spark, path, v).files).toSet
+    versions.filter(_ < keepFrom).foreach { v =>
+      f.delete(new Path(mdir, s"v$v.json"), false)
     }
+    statuses.filter { st =>
+      st.getPath.getName.startsWith(".tmp-") &&
+        now - st.getModificationTime > graceMs
+    }.foreach(st => f.delete(st.getPath, false))
     val dataDir = new Path(path, "data")
     if (f.exists(dataDir)) f.listStatus(dataDir).foreach { seg =>
-      val segRel = s"data/${seg.getPath.getName}"
-      val segFiles = f.listStatus(seg.getPath).map(_.getPath.getName)
-        .filter(_.endsWith(".parquet")).map(n => s"$segRel/$n")
-      if (segFiles.nonEmpty && segFiles.forall(!referenced.contains(_)))
-        f.delete(seg.getPath, true)
+      // directory mtime moves when files land in it, so a fresh mtime
+      // marks an in-flight writer's staging segment — spare it
+      val fresh = now - seg.getModificationTime <= graceMs
+      if (!fresh) {
+        val segRel = s"data/${seg.getPath.getName}"
+        val segFiles = f.listStatus(seg.getPath).map(_.getPath.getName)
+          .filter(_.endsWith(".parquet")).map(n => s"$segRel/$n")
+        // forall on an EMPTY list is true: segments holding no parquet
+        // at all (crashed writer, empty write) are reclaimed too
+        if (segFiles.forall(!referenced.contains(_)))
+          f.delete(seg.getPath, true)
+      }
     }
   }
 }

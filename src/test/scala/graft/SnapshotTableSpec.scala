@@ -141,7 +141,10 @@ class SnapshotTableSpec extends AnyFunSuite {
     // prior version still time-travels until vacuumed
     assert(SnapshotTable.read(spark, path, v - 1).count() == 200)
 
-    SnapshotTable.vacuum(spark, path, keepVersions = 1)
+    // graceMs=0: the test's writers are quiesced; the default 1h grace
+    // exists to protect concurrent writers' staged-but-uncommitted
+    // segments from reclamation
+    SnapshotTable.vacuum(spark, path, keepVersions = 1, graceMs = 0L)
     // latest intact, old manifests gone, orphaned segments deleted
     assert(SnapshotTable.read(spark, path).collect()
       .map(_.getLong(0)).sorted.toSeq == rowsBefore)
@@ -151,6 +154,23 @@ class SnapshotTableSpec extends AnyFunSuite {
     val dataDir = new java.io.File(new java.net.URI("file:" + path + "/data"))
     assert(dataDir.listFiles().length == 1,
       "vacuum must delete segments no kept manifest references")
+
+    // a later vacuum with WIDER retention than remains must not crash
+    // (regression: it used to readManifest versions a prior vacuum
+    // removed) and must be a no-op on the kept data
+    SnapshotTable.append(spark.range(1000, 1010).toDF("id"), path)
+    SnapshotTable.vacuum(spark, path, keepVersions = 10, graceMs = 0L)
+    assert(SnapshotTable.read(spark, path).count() == rowsBefore.size + 10)
+
+    // fresh segments are spared by the grace window even when
+    // unreferenced (simulates an in-flight writer's staging dir)
+    val staged = new java.io.File(dataDir, "sinflight")
+    staged.mkdirs()
+    new java.io.FileWriter(new java.io.File(staged, "part-0.parquet")).close()
+    SnapshotTable.vacuum(spark, path, keepVersions = 10, graceMs = 3600 * 1000L)
+    assert(staged.exists(), "grace window must spare fresh segments")
+    SnapshotTable.vacuum(spark, path, keepVersions = 10, graceMs = 0L)
+    assert(!staged.exists(), "quiesced vacuum reclaims unreferenced segments")
   }
 
   test("racing writers: exactly one commit of a version wins (true concurrency)") {
