@@ -209,6 +209,44 @@ class TransformSpecSpec extends AnyFunSuite {
     assert(viaJava.toSeq == viaScala.toSeq && viaJava.nonEmpty)
   }
 
+  test("fuzz: random step pipelines equal the directly-composed plans (fixed seed)") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+    val rnd = new scala.util.Random(20260813L)
+    // step generators: (json fragment, equivalent direct transform)
+    type Step = (String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+    def randStep(): Step = rnd.nextInt(5) match {
+      case 0 =>
+        val q = 5 + rnd.nextInt(40)
+        (s"""{"op": "filter", "expr": "l_quantity >= $q"}""",
+          df => df.filter(col("l_quantity") >= q))
+      case 1 =>
+        val m = 2 + rnd.nextInt(7)
+        (s"""{"op": "withColumn", "name": "kmod", "expr": "l_orderkey % $m"}""",
+          df => df.withColumn("kmod", expr(s"l_orderkey % $m")))
+      case 2 =>
+        ("""{"op": "select", "cols": ["l_orderkey", "l_partkey", "l_quantity", "l_returnflag"]}""",
+          df => df.select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag"))
+      case 3 =>
+        val f = 2 + rnd.nextInt(4)
+        (s"""{"op": "filter", "expr": "l_partkey % $f = 0"}""",
+          df => df.filter(expr(s"l_partkey % $f = 0")))
+      case _ =>
+        ("""{"op": "distinct"}""", df => df.distinct())
+    }
+    (1 to 12).foreach { i =>
+      val steps = Seq.fill(1 + rnd.nextInt(4))(randStep())
+      val json =
+        s"""{"source": "li", "steps": [${steps.map(_._1).mkString(", ")}]}"""
+      val got = TransformSpec.run(json, Map("li" -> li))
+      val want = steps.map(_._2).foldLeft(li)((df, f) => f(df))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"pipeline #$i diverged: $json")
+      assert(got.columns.toSeq == want.columns.toSeq, s"pipeline #$i schema: $json")
+    }
+  }
+
   test("unknown ops and unknown tables fail loudly") {
     val docs = Tables.documents(spark, sf)
     intercept[IllegalArgumentException] {
