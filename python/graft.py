@@ -113,17 +113,48 @@ def global_top_k(spark, df, score_col, tie_col, k):
     return _wrap(spark, jdf)
 
 
+def _field_names(schema):
+    """Field names of a StructType or a DDL string (top-level commas
+    only — nested ``struct<...>``/``array<...>`` commas are skipped)."""
+    try:
+        return list(schema.fieldNames())
+    except AttributeError:
+        names, depth, cur = [], 0, []
+        for ch in str(schema) + ",":
+            if ch in "<([":
+                depth += 1
+            elif ch in ">)]":
+                depth -= 1
+            if ch == "," and depth == 0:
+                tok = "".join(cur).strip()
+                if tok:
+                    names.append(tok.split()[0].strip("`").rstrip(":"))
+                cur = []
+            else:
+                cur.append(ch)
+        return names
+
+
 def decode_assets(df, id_col, bytes_col, decode_fn, out_schema,
                   batch_rows=64):
     """Multimodal decode plumbing over ``mapInPandas``: feeds the opaque
     binary column through ``decode_fn`` (a per-row python callable
     ``bytes -> dict`` matching ``out_schema``) in bounded pandas batches.
     The heavy libraries (PIL/av/...) live only inside ``decode_fn`` on
-    the executors; Spark sees typed columns and plans around them. Batch
-    size is re-chunked locally so one corrupt or giant asset can't blow
-    up a whole arrow batch.
+    the executors; Spark sees typed columns and plans around them.
+
+    Fault isolation is per ROW, not per task: local re-chunking bounds
+    the memory one giant asset pins, and ``decode_fn`` is wrapped so a
+    raising row degrades to null feature columns instead of failing the
+    task (a single corrupt asset in a 100 TB scan must quarantine, not
+    kill the job — the m05 lane-split policy). When ``out_schema`` has
+    an ``ok`` boolean / ``error`` string field they are filled (False /
+    the exception message) so the quarantine lane is selectable
+    downstream; otherwise all-null features mark the failures.
     """
     import pandas as pd
+
+    fields = _field_names(out_schema)
 
     def run(batches):
         for pdf in batches:
@@ -131,7 +162,18 @@ def decode_assets(df, id_col, bytes_col, decode_fn, out_schema,
                 chunk = pdf.iloc[lo:lo + batch_rows]
                 rows = []
                 for _, r in chunk.iterrows():
-                    out = decode_fn(r[bytes_col])
+                    try:
+                        out = dict(decode_fn(r[bytes_col]))
+                        if "ok" in fields:
+                            out.setdefault("ok", True)
+                        if "error" in fields:
+                            out.setdefault("error", None)
+                    except Exception as e:  # quarantine the row, keep the task
+                        out = {f: None for f in fields if f != id_col}
+                        if "ok" in fields:
+                            out["ok"] = False
+                        if "error" in fields:
+                            out["error"] = str(e)
                     out[id_col] = r[id_col]
                     rows.append(out)
                 yield pd.DataFrame(rows)

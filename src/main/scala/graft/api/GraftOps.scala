@@ -3,6 +3,7 @@ package graft.api
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 import graft.functions.{bloom_agg, bloom_might_contain, cosine_lsh_keys, cosine_sim, minhash_signature, simhash64}
 
 /** The user-facing verb set: DataFrame-in / DataFrame-out operations over
@@ -17,6 +18,37 @@ import graft.functions.{bloom_agg, bloom_might_contain, cosine_lsh_keys, cosine_
   * narrow per-row signature passes).
   */
 object GraftOps {
+
+  // ---- intermediate-cache accounting -------------------------------
+  // Several verbs persist fan-out intermediates (signature tables,
+  // range-partitioned inputs, centroid rounds). The verbs return LAZY
+  // frames, so the verb itself can never know when the caller's final
+  // action has run — unpersisting inside would recompute the branch.
+  // Instead every internal persist is TRACKED here, and long-lived
+  // sessions (notebooks, SqlSurface TVF servers, loops over
+  // dedupManifest) call [[releaseCaches]] between jobs. One-shot jobs
+  // can ignore this: caches die with the session, and
+  // `spark.catalog.clearCache()` (which Bench issues between queries)
+  // also drops them.
+  private val trackedCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def persistTracked(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    trackedCaches.add(p)
+    p
+  }
+
+  /** Unpersist every intermediate a graft verb has cached so far in
+    * this JVM (blocking=false: Spark reclaims the blocks
+    * asynchronously). Call between jobs in long-lived sessions; frames
+    * already fully consumed lose nothing, frames still lazily pending
+    * will recompute their branch if re-used after release.
+    */
+  def releaseCaches(): Unit = {
+    var df = trackedCaches.poll()
+    while (df != null) { df.unpersist(false); df = trackedCaches.poll() }
+  }
 
   /** Exact dedup: keep one row (min orderBy key) per normalized key.
     * One shuffle on the hash; payloads move only in the final semi-join.
@@ -67,7 +99,7 @@ object GraftOps {
              i -> xxhash64(concat_ws(' ', slice(__w, i, $n)))))""").as("__shs"))
       .select(col("__id"), size(col("__shs")).cast("long").as("__n"),
         explode(col("__shs")).as("__sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .pipe(persistTracked)
     val x = shingled.select(col("__id").as("id_a"), col("__n").as("__na"), col("__sh"))
     val y = shingled.select(col("__id").as("id_b"), col("__n").as("__nb"), col("__sh"))
     x.join(y, "__sh")
@@ -170,8 +202,22 @@ object GraftOps {
     * step (hash seeding, cosine argmax with cluster-id tiebreak,
     * decimal means) is engine-exact and replicable in ANSI SQL — d22's
     * DuckDB oracle replays the whole loop. Centroids stay a DataFrame
-    * end-to-end (no driver collect); the broadcast holds to
-    * k×dims ≈ 10⁷ doubles, the documented ceiling of this driver.
+    * end-to-end (no driver collect).
+    *
+    * Scale: a single broadcast holds to k×dims ≈ 10⁷ cells (the
+    * `graft.kmeans.broadcastCells` conf, ~80 MB of doubles). Past it —
+    * SemDeDup's own recipe at 100 TB is k ≈ corpus/1000 with 768-dim
+    * embeddings, 10⁸–10⁹ cells — assignment switches to BLOCKED
+    * broadcasts: the round's centroid table is persisted (k rows, tiny)
+    * and broadcast in cluster-id range chunks, each chunk scoring the
+    * corpus with a payload-free partial argmax; because
+    * max(struct(cos, -cluster)) is associative, the per-chunk partials
+    * merge in the same ONE aggregate (map-side max-of-maxes — each task
+    * collapses its chunk candidates before the exchange, so the shuffle
+    * moves chunk-count narrow (cos, cluster) rows per doc, never the
+    * embedding). Vectors rejoin once per round for the recompute. The
+    * chunked path is value-identical to the single broadcast — the spec
+    * pins equality with the ceiling forced below k×dims.
     *
     * Returns (id, cluster) with cluster in 1..k.
     */
@@ -180,7 +226,7 @@ object GraftOps {
     import org.apache.spark.sql.types.DecimalType
     val e = df.select(id.as("__id"),
         transform(vec, x => x.cast("double")).as("__v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .pipe(persistTracked)
     val seeds = e.withColumn("__h", md5(col("__id").cast("string")))
       .orderBy("__h", "__id").limit(k)
     // numbering window runs over the k pruned seeds only
@@ -189,6 +235,15 @@ object GraftOps {
         row_number().over(Window.partitionBy("__g").orderBy("__h", "__id"))
           .cast("long"))
       .select(col("cluster"), col("__v").as("__cent"))
+    val spark = df.sparkSession
+    val maxCells = spark.conf.getOption("graft.kmeans.broadcastCells")
+      .map(_.toLong).getOrElse(10000000L)
+    // dims probed from one row (one tiny job — the chunk count must be
+    // known at plan time): nChunks = ceil(k*dims / maxCells) blocks of
+    // contiguous cluster ids, each under the broadcast budget.
+    val dims = e.select(size(col("__v"))).head.getInt(0).toLong.max(1L)
+    val nChunks = math.min(k.toLong,
+      math.max(1L, (k.toLong * dims + maxCells - 1) / maxCells)).toInt
     // argmax as a map-side-combinable MAX over (cos, -cluster): same
     // semantics as rank-1 of (cos desc, cluster asc) — the tiebreak pair
     // is unique per row so the comparator never reaches the carried
@@ -197,14 +252,44 @@ object GraftOps {
     // doc instead of k copies of every embedding (the window formulation
     // shuffled corpus × k vectors)
     def assign(cents: DataFrame): DataFrame =
-      e.crossJoin(broadcast(cents))
-        .withColumn("__cos", cosine_sim(col("__v"), col("__cent")))
-        .groupBy("__id")
-        .agg(max(struct(col("__cos"), (-col("cluster")).as("__nc"),
-          col("cluster"), col("__v"))).as("__best"))
-        .select(col("__id"), col("__best.cluster").as("cluster"),
-          col("__best.__v").as("__v"))
-    def recompute(asg: DataFrame): DataFrame = asg
+      if (nChunks <= 1) {
+        e.crossJoin(broadcast(cents))
+          .withColumn("__cos", cosine_sim(col("__v"), col("__cent")))
+          .groupBy("__id")
+          .agg(max(struct(col("__cos"), (-col("cluster")).as("__nc"),
+            col("cluster"), col("__v"))).as("__best"))
+          .select(col("__id"), col("__best.cluster").as("cluster"),
+            col("__best.__v").as("__v"))
+      } else {
+        // blocked path: persist the round's centroids (k rows) so each
+        // chunk filter reads the tiny cached table instead of re-running
+        // the corpus-sized recompute, then union the per-chunk scored
+        // candidates under ONE aggregate. The struct drops the vector
+        // payload — nChunks narrow rows per doc ride the shuffle — and
+        // the recompute's vectors come back from the persisted corpus
+        // via one id-keyed join.
+        val c = cents.pipe(persistTracked)
+        val per = math.max(1, math.ceil(k.toDouble / nChunks).toInt)
+        val scored = (0 until nChunks).map { i =>
+          val lo = i.toLong * per + 1
+          val hi = math.min(k.toLong, (i + 1).toLong * per)
+          e.crossJoin(broadcast(c.filter(col("cluster").between(lo, hi))))
+            .select(col("__id"),
+              cosine_sim(col("__v"), col("__cent")).as("__cos"),
+              col("cluster"))
+        }.reduce(_ union _)
+        scored
+          .groupBy("__id")
+          .agg(max(struct(col("__cos"), (-col("cluster")).as("__nc"),
+            col("cluster"))).as("__best"))
+          .select(col("__id"), col("__best.cluster").as("cluster"))
+      }
+    // chunked assignments are payload-free — rejoin the persisted corpus
+    // for the vectors only when a recompute actually follows (the final
+    // round's assignment never pays the join)
+    def recompute(asg0: DataFrame): DataFrame = {
+      val asg = if (asg0.columns.contains("__v")) asg0 else asg0.join(e, "__id")
+      asg
       .select(col("cluster"), posexplode(col("__v")).as(Seq("__dim", "__x")))
       .groupBy("cluster", "__dim")
       .agg((sum(col("__x").cast(DecimalType(30, 10))).cast("double")
@@ -212,6 +297,7 @@ object GraftOps {
       .groupBy("cluster")
       .agg(array_sort(collect_list(struct(col("__dim"), col("__mv")))).as("__ps"))
       .select(col("cluster"), expr("transform(__ps, p -> p.__mv)").as("__cent"))
+    }
     val lastAsg = (2 to iters).foldLeft(assign(cents0)) { (asg, _) =>
       assign(recompute(asg))
     }
@@ -463,7 +549,7 @@ object GraftOps {
         s"""array_distinct(transform(
              sequence(1, greatest(size(__w) - ${n - 1}, 0)),
              i -> xxhash64(concat_ws(' ', slice(__w, i, $n)))))""")).as("__g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .pipe(persistTracked)
     val firstSeen = grams.groupBy("__g").agg(min("__id").as("__first"))
     grams.join(firstSeen, "__g")
       .groupBy(col("__id").as("id"))
@@ -552,10 +638,10 @@ object GraftOps {
     // twice. parted persisted separately: the offsets aggregation and
     // the ranked output are two reads, and the nondeterministic pid
     // column defeats ReuseExchange's canonical matching.
-    val in = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val in = df.pipe(persistTracked)
     val parted = in.repartitionByRange(order: _*)
       .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .pipe(persistTracked)
     // exclusive prefix sum of per-partition row counts = rank offsets;
     // partition-count rows, windowed inside one explicit bounded group
     val offsets =
@@ -755,7 +841,7 @@ object GraftOps {
              sequence(1, greatest(size(__w) - ${n - 1}, 0)),
              i -> xxhash64(concat_ws(' ', slice(__w, i, $n))))))""").as("__shs"))
       .withColumn("__n", size(col("__shs")).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .pipe(persistTracked)
     val rows = sets.select(col("__id"), col("__n"), explode(col("__shs")).as("__tok"))
     val dfTbl = rows.groupBy("__tok").agg(count(lit(1)).as("__df"))
     // prefix of the (potentially) smaller side, rarest shingles first;
@@ -831,7 +917,6 @@ object GraftOps {
   def dedupManifest(df: DataFrame, id: Column, text: Column,
                     threshold: Double = 0.5,
                     strategy: String = "session"): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // Same barrier discipline as the d15 operator: persisted fan-out
     // points carry ids and hashes ONLY (never the text payload), and the
     // expensive pair join runs once across the three union branches.
@@ -840,7 +925,7 @@ object GraftOps {
       "trim(regexp_replace(lower(__t), '\\\\s+', ' '))")).as("__h"))
     val keepers = hashed.groupBy("__h").agg(min("id").as("__ref"))
     val withRef = hashed.join(keepers, "__h").select("id", "__ref")
-      .persist(MEMORY_AND_DISK)
+      .pipe(persistTracked)
     val exactDups = withRef.filter(col("id") =!= col("__ref"))
       .select(col("id"), lit("exact_dup").as("status"), col("__ref").as("ref_id"))
     val survivorIds = withRef.filter(col("id") === col("__ref")).select("id")
@@ -848,7 +933,7 @@ object GraftOps {
     val doomedRef = nearDupPairs(survivors, col("id"), col("__t"), threshold,
         strategy = strategy)
       .groupBy(col("id_b").as("id")).agg(min("id_a").as("ref_id"))
-      .persist(MEMORY_AND_DISK)
+      .pipe(persistTracked)
     val nearDups = doomedRef.select(col("id"), lit("near_dup").as("status"), col("ref_id"))
     val kept = survivorIds.join(doomedRef, Seq("id"), "left_anti")
       .select(col("id"), lit("kept").as("status"),

@@ -163,6 +163,11 @@ object Similarity {
   // — that exactness is what lets s04 share s01's oracle; the spec
   // keeps the lossy nprobe=3 regime via annIvfAt, and production runs
   // k ≈ corpus/1000 kmeans cells where nprobe ≪ k.
+  /** nprobe <= 0 means "probe every cell" — the full-recall operating
+    * point stated structurally instead of as a count pinned to the
+    * current corpus (a regenerated testdata set with more label cells
+    * stays full-recall instead of silently going lossy).
+    */
   def annIvfAt(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     val e = Tables.embeddings(s, d)
     // centroid per label as ARRAY<DOUBLE> (the coarse quantizer)
@@ -186,7 +191,8 @@ object Similarity {
     val ranked = scored.withColumn("r", row_number().over(byVec))
     val assigned = ranked.filter(col("r") === 1)
       .select(col("vec_id"), col("embedding"), col("cell"))
-    val queryCells = ranked.filter(col("vec_id") < 5 && col("r") <= nprobe)
+    val probe = if (nprobe > 0) col("r") <= nprobe else lit(true)
+    val queryCells = ranked.filter(col("vec_id") < 5 && probe)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"))
     val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("vec_id"))
     assigned.join(queryCells, "cell")
@@ -197,15 +203,17 @@ object Similarity {
       .select("qid", "rank", "vec_id", "cosine")
       .orderBy("qid", "rank")
   }
-  // Default nprobe = the cell count: on THIS corpus the 10 label cells
-  // overlap so heavily in cosine space that every top-5 list spans most
-  // cells — the full-recall operating point IS "probe everything", and
-  // pretending otherwise would just be a lossy config. The oracle then
-  // pins the IVF machinery (assignment, probe join, re-rank) exactly;
-  // SimilaritySpec keeps the lossy-regime assertion via annIvfAt(3),
-  // and at production scale (k ≈ corpus/1000 kmeans cells) nprobe ≪ k
-  // is the operating point.
-  val s04_ann_ivf: Q = (s, d) => annIvfAt(s, d, 10)
+  // Default = probe-every-cell (nprobe=0 sentinel, not a hardcoded cell
+  // count): on THIS corpus the label cells overlap so heavily in cosine
+  // space that every top-5 list spans most cells — the full-recall
+  // operating point IS "probe everything", and pretending otherwise
+  // would just be a lossy config. Stated structurally, the claim
+  // survives testdata regeneration with a different cell count. The
+  // oracle then pins the IVF machinery (assignment, probe join,
+  // re-rank) exactly; DedupSimilaritySpec keeps the lossy-regime
+  // assertion via annIvfAt(3), and at production scale
+  // (k ≈ corpus/1000 kmeans cells) nprobe ≪ k is the operating point.
+  val s04_ann_ivf: Q = (s, d) => annIvfAt(s, d, 0)
 
   // ---- s05: product-quantization ANN (memory-bounded scale path) ----
   // PQ (Jegou 2011): split the 64-dim vector into M=8 subspaces. The

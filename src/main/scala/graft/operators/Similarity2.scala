@@ -149,8 +149,13 @@ object Similarity2 {
   // Both legs run at their full-recall operating points (see s02/s04),
   // so the harness output is the constant (5 queries, recall 1.0) per
   // variant — which gives the hit-set/per-query/mean MACHINERY an exact
-  // oracle. Similarity2Spec separately drives recallOf through lossy
-  // configs and checks it against an independently computed recall.
+  // oracle. NOTE the oracle's scope, stated plainly: it pins the
+  // HARNESS SHAPE (that the hit-set joins and per-query/mean rollup
+  // produce these rows when recall is total), not an independently
+  // recomputed recall — a constant literal cannot re-derive the ANN
+  // results. The independent recall verification lives in
+  // Similarity2Spec, which drives recallOf through lossy configs and
+  // checks it against a separately computed ground-truth recall.
   val s08Sql: String =
     """SELECT variant, CAST(n_queries AS BIGINT) AS n_queries,
              CAST(mean_recall AS DOUBLE) AS mean_recall

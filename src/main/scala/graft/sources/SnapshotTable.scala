@@ -35,12 +35,64 @@ import org.apache.spark.sql.functions._
   * scope here).
   */
 object SnapshotTable {
+  /** The commit primitive behind every version publish — the LogStore
+    * seam the production table formats expose (Delta's `LogStore`,
+    * Iceberg's catalog commit): publish a fully-written temp manifest at
+    * `target` iff absent, atomically, returning whether this writer won.
+    *
+    * The default resolves per filesystem capability: local fs uses
+    * link(2) (atomic, EEXIST on conflict — POSIX rename would silently
+    * REPLACE), HDFS uses rename (refuses an existing destination
+    * atomically). Raw object stores (S3) have NEITHER primitive — a
+    * blind PUT replaces and check-then-put is a lost-commit TOCTOU — so
+    * there the caller must [[register]] a store that supplies mutual
+    * exclusion externally (conditional put, a lock table a la Delta's
+    * S3 LogStore, a catalog service). The race spec proves the contract
+    * holds for a store built on exactly those non-atomic semantics.
+    */
+  trait CommitStore {
+    /** true = this writer published `target`; false = it already existed
+      * (another writer won). Must be atomic: two racers on the same
+      * target must never both see true.
+      */
+    def publishIfAbsent(f: FileSystem, tmp: Path, target: Path): Boolean
+  }
+
+  /** link(2) on local fs; no-replace rename elsewhere (HDFS contract). */
+  object DefaultCommitStore extends CommitStore {
+    def publishIfAbsent(f: FileSystem, tmp: Path, target: Path): Boolean =
+      if (f.getScheme == "file") {
+        val nioTmp = java.nio.file.Paths.get(tmp.toUri.getPath)
+        val nioTarget = java.nio.file.Paths.get(target.toUri.getPath)
+        try { java.nio.file.Files.createLink(nioTarget, nioTmp); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else !f.exists(target) && f.rename(tmp, target)
+  }
+
+  @volatile private var stores: Map[String, CommitStore] = Map.empty
+
+  /** Bind a [[CommitStore]] for a filesystem scheme ("s3a", ...); pass
+    * null to restore the default. Mirrors Delta's per-scheme LogStore
+    * configuration.
+    */
+  def register(scheme: String, store: CommitStore): Unit = synchronized {
+    stores = if (store == null) stores - scheme else stores + (scheme -> store)
+  }
+
+  private def storeFor(scheme: String): CommitStore =
+    stores.getOrElse(scheme, DefaultCommitStore)
+
   private case class Manifest(version: Int, schemaDdl: String, files: Seq[String])
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def manifestDir(path: String) = new Path(path, "_manifests")
+
+  // strict numeric match (digit count bounded so toInt can't overflow):
+  // a stray non-numeric file in _manifests (vbackup.json) must be
+  // ignored, not throw and make the whole table unreadable
+  private val ManifestName = "^v([0-9]{1,9})\\.json$".r
 
   /** (name, type) shape — nullability-insensitive: an in-memory frame is
     * often NOT NULL where the parquet read-back is nullable; that
@@ -76,8 +128,7 @@ object SnapshotTable {
     val f = fs(spark, path)
     if (!f.exists(dir)) 0
     else f.listStatus(dir).map(_.getPath.getName)
-      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
-        s.stripPrefix("v").stripSuffix(".json").toInt }
+      .collect { case ManifestName(n) => n.toInt }
       .foldLeft(0)(math.max)
   }
 
@@ -113,20 +164,10 @@ object SnapshotTable {
     finally out.close()
     val target = new Path(dir, s"v$next.json")
     // publish-if-absent IS the transaction: exactly one writer wins
-    // v<next>. POSIX rename REPLACES an existing destination, so a
-    // check-then-rename on a local fs is a lost-commit TOCTOU; on local
-    // paths we hard-LINK the fully-written temp to the target instead —
-    // link(2) is atomic and fails with EEXIST — and on HDFS rename
-    // itself refuses an existing destination atomically. (Raw object
-    // stores without an atomic no-replace primitive need a commit
-    // service, the same caveat the production formats carry.)
-    val won =
-      if (f.getScheme == "file") {
-        val nioTmp = java.nio.file.Paths.get(tmp.toUri.getPath)
-        val nioTarget = java.nio.file.Paths.get(target.toUri.getPath)
-        try { java.nio.file.Files.createLink(nioTarget, nioTmp); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } else !f.exists(target) && f.rename(tmp, target)
+    // v<next>. The primitive is pluggable per scheme ([[CommitStore]]);
+    // see DefaultCommitStore for the local/HDFS mechanics and the
+    // object-store caveat.
+    val won = storeFor(f.getScheme).publishIfAbsent(f, tmp, target)
     f.delete(tmp, false)
     if (!won) {
       throw new java.util.ConcurrentModificationException(
@@ -190,7 +231,20 @@ object SnapshotTable {
     // manifest schema, making the new version unreadable
     require(shape(aligned.schema) == shape(cur.schema),
       s"upsert schema ${aligned.schema.toDDL} != table schema ${cur.schema.toDDL}")
-    val merged = cur.join(changes.select(keys.map(col): _*).distinct(),
+    // MERGE contract (matches Delta/Iceberg): at most ONE source row per
+    // key — two change rows with the same key would BOTH land in the new
+    // snapshot (the anti-join removes current matches, the union keeps
+    // all of `aligned`), silently corrupting key uniqueness. Last-writer-
+    // wins is the caller's policy to apply (latestPerKey) before calling.
+    val keyCols = keys.map(col)
+    val Array(nRows, nKeys) = changes
+      .agg(count(lit(1)), count_distinct(struct(keyCols: _*)))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    require(nRows == nKeys,
+      s"upsert changes contain ${nRows - nKeys} duplicate row(s) per key " +
+        s"(${keys.mkString(",")}): MERGE requires at most one source row " +
+        "per key — dedupe (e.g. GraftOps.latestPerKey) before upserting")
+    val merged = cur.join(changes.select(keyCols: _*).distinct(),
         keys, "left_anti")
       .unionByName(aligned)
     commit(spark, path, base, cur.schema.toDDL, writeSegment(merged, path))
@@ -252,10 +306,8 @@ object SnapshotTable {
     if (!f.exists(mdir)) return
     val now = System.currentTimeMillis()
     val statuses = f.listStatus(mdir)
-    val versions = statuses.map(_.getPath.getName).collect {
-      case s if s.startsWith("v") && s.endsWith(".json") =>
-        s.stripPrefix("v").stripSuffix(".json").toInt
-    }.sorted.toSeq
+    val versions = statuses.map(_.getPath.getName)
+      .collect { case ManifestName(n) => n.toInt }.sorted.toSeq
     if (versions.isEmpty) return
     val keepFrom = math.max(versions.min, versions.max - keepVersions + 1)
     val referenced = versions.filter(_ >= keepFrom)

@@ -489,6 +489,30 @@ class GraftOpsSpec extends AnyFunSuite {
     assert(byLabel.exceptAll(d14).isEmpty && d14.exceptAll(byLabel).isEmpty)
   }
 
+  test("kmeans blocked assignment past the broadcast ceiling equals the single broadcast exactly") {
+    val e = Tables.embeddings(spark, sf)
+    // default ceiling (1e7 cells) -> single-broadcast path
+    val single = GraftOps.kmeans(e, col("vec_id"), col("embedding"), k = 20, iters = 2)
+    // force the ceiling below k×dims (20×64 = 1280 cells): 300 cells -> 5
+    // cluster-id chunks — the blocked path a 768-dim k≈corpus/1000
+    // SemDeDup quantizer takes at 100 TB, exercised here by shrinking the
+    // budget instead of inflating the data
+    spark.conf.set("graft.kmeans.broadcastCells", "300")
+    try {
+      val blocked = GraftOps.kmeans(e, col("vec_id"), col("embedding"), k = 20, iters = 2)
+      assert(blocked.exceptAll(single).isEmpty && single.exceptAll(blocked).isEmpty,
+        "blocked centroid assignment diverged from the single broadcast")
+      // partition invariance holds on the blocked path too
+      val blocked7 = GraftOps.kmeans(e.repartition(7), col("vec_id"), col("embedding"), 20, 2)
+      assert(blocked.exceptAll(blocked7).isEmpty && blocked7.exceptAll(blocked).isEmpty)
+      // degenerate budget (below one centroid's cells): one cluster per
+      // chunk, capped at k chunks — still exact
+      spark.conf.set("graft.kmeans.broadcastCells", "1")
+      val oneEach = GraftOps.kmeans(e, col("vec_id"), col("embedding"), 20, 2)
+      assert(oneEach.exceptAll(single).isEmpty && single.exceptAll(oneEach).isEmpty)
+    } finally spark.conf.unset("graft.kmeans.broadcastCells")
+  }
+
   test("spanDedup / blockedMatch agree with their oracle query formulations") {
     val sd = docs.spanDedup(col("doc_id"), col("text"))
       .select(col("id").as("doc_id"), col("n_spans"), col("n_kept"), col("text_kept"))

@@ -173,6 +173,101 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(!staged.exists(), "quiesced vacuum reclaims unreferenced segments")
   }
 
+  test("upsert refuses multiple change rows per key (MERGE source-match contract)") {
+    val path = tmp()
+    SnapshotTable.create(
+      spark.range(0, 20).select(col("id"), lit("old").as("tag")), path)
+    // two change rows for key 5: Delta/Iceberg MERGE raises on multiple
+    // source matches — silently committing both would corrupt key
+    // uniqueness in the new snapshot
+    val dupChanges = spark.range(5, 6).select(col("id"), lit("a").as("tag"))
+      .unionByName(spark.range(5, 6).select(col("id"), lit("b").as("tag")))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.upsert(spark, path, dupChanges, Seq("id"))
+    }
+    assert(e.getMessage.contains("duplicate"))
+    // nothing committed; table still at v1
+    assert(SnapshotTable.latestVersion(spark, path) == 1)
+    // caller dedupes (last-writer-wins policy applied explicitly) and wins
+    val deduped = graft.api.GraftOps.latestPerKey(
+      dupChanges, col("id"), Seq(col("tag")))
+    assert(SnapshotTable.upsert(spark, path, deduped, Seq("id")) == 2)
+    assert(SnapshotTable.read(spark, path).filter(col("id") === 5)
+      .count() == 1)
+  }
+
+  test("stray non-numeric files in _manifests are ignored, not fatal") {
+    val path = tmp()
+    SnapshotTable.create(spark.range(0, 10).toDF("id"), path)
+    // a backup/editor-droppings file next to the manifests used to throw
+    // NumberFormatException from every listing site and brick the table
+    val mdir = new java.io.File(new java.net.URI("file:" + path + "/_manifests"))
+    new java.io.FileWriter(new java.io.File(mdir, "vbackup.json")).close()
+    new java.io.FileWriter(new java.io.File(mdir, "v1.json.bak")).close()
+    assert(SnapshotTable.latestVersion(spark, path) == 1)
+    assert(SnapshotTable.read(spark, path).count() == 10)
+    SnapshotTable.append(spark.range(10, 20).toDF("id"), path)
+    SnapshotTable.vacuum(spark, path, keepVersions = 1, graceMs = 0L)
+    assert(SnapshotTable.read(spark, path).count() == 20)
+  }
+
+  test("pluggable CommitStore: race holds on a store with object-store (non-atomic) semantics") {
+    // Emulates raw S3: no atomic no-replace primitive — existence check
+    // and a blindly-replacing PUT are separate operations. Atomicity
+    // comes from EXTERNAL mutual exclusion around the check+put (the
+    // public Delta S3 LogStore design: a lock table / conditional put);
+    // here an in-JVM mutex stands in for that coordination service.
+    // The race spec must still admit exactly one winner through this
+    // store — proving SnapshotTable's ACID contract survives the
+    // primitive swap, and the seam is where an S3 user plugs in.
+    object S3LikeStore extends SnapshotTable.CommitStore {
+      val mutex = new Object
+      var puts = 0
+      def publishIfAbsent(f: org.apache.hadoop.fs.FileSystem,
+                          tmp: org.apache.hadoop.fs.Path,
+                          target: org.apache.hadoop.fs.Path): Boolean =
+        mutex.synchronized {
+          if (f.exists(target)) false
+          else {
+            val in = f.open(tmp)
+            val bytes = try in.readAllBytes() finally in.close()
+            val out = f.create(target, true) // object-store PUT: replaces
+            try out.write(bytes) finally out.close()
+            puts += 1
+            true
+          }
+        }
+    }
+    SnapshotTable.register("file", S3LikeStore)
+    try {
+      val path = tmp()
+      SnapshotTable.create(spark.range(0, 10).toDF("id"), path)
+      import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+      val pool = Executors.newFixedThreadPool(6)
+      val gate = new CountDownLatch(1)
+      val outcomes = (0 until 6).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Either[Throwable, Int]] {
+          def call(): Either[Throwable, Int] = {
+            val df = spark.range(100L * i, 100L * i + 10).toDF("id")
+            gate.await()
+            try Right(SnapshotTable.append(df, path, expectedVersion = 1))
+            catch { case t: Throwable => Left(t) }
+          }
+        })
+      }
+      gate.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+      val results = outcomes.map(_.get())
+      assert(results.collect { case Right(v) => v } == Seq(2),
+        s"expected exactly one v2 winner through the fake store, got $results")
+      assert(results.collect { case Left(t) => t }
+        .forall(_.isInstanceOf[java.util.ConcurrentModificationException]))
+      assert(S3LikeStore.puts >= 2, "fake store must have served the commits")
+      assert(SnapshotTable.read(spark, path).count() == 20)
+    } finally SnapshotTable.register("file", null)
+  }
+
   test("racing writers: exactly one commit of a version wins (true concurrency)") {
     // 6 threads, same base version, simultaneous commits — the atomic
     // no-replace publish (hard link on local fs) must admit exactly one;

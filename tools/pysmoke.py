@@ -124,6 +124,27 @@ assert len(dd) == docs.count()
 assert all(r.n_bytes == want_bytes[r.doc_id] and r.ok for r in dd), \
     "decode batches mangled rows"
 
+
+# 3d. per-ROW fault isolation: a decoder raising on some assets must
+# quarantine those rows (ok=False, error set, null features) while the
+# rest of the batch — and the task — survives
+def flaky_decode(b):
+    if len(b) % 2 == 1:
+        raise ValueError("corrupt asset")
+    return {"n_bytes": int(len(b)), "width": int(len(b) % 640)}
+
+
+flaky = graft.decode_assets(
+    bin_df, "doc_id", "payload", flaky_decode,
+    "n_bytes BIGINT, width BIGINT, ok BOOLEAN, error STRING, doc_id BIGINT"
+).collect()
+assert len(flaky) == docs.count(), "quarantine must keep every row"
+bad = [r for r in flaky if not r.ok]
+good = [r for r in flaky if r.ok]
+assert bad and good, "corpus should exercise both lanes"
+assert all(r.n_bytes is None and "corrupt" in r.error for r in bad)
+assert all(r.n_bytes == want_bytes[r.doc_id] and r.error is None for r in good)
+
 # 4. global top-k facade: rank 1 is the corpus-wide most frequent word
 vocab = (
     docs.select(F.explode(F.split("text", " ")).alias("word"))
