@@ -543,12 +543,15 @@ object GraftOps {
     */
   def novelty(df: DataFrame, id: Column, text: Column, n: Int = 4): DataFrame = {
     require(n >= 1, "n-gram size must be >= 1")
+    // 128-bit md5 gram keys (the d12 discipline): first-occurrence
+    // counts stay collision-exact at 1e12-gram scale, 16-byte shuffle
+    // keys instead of gram strings
     val grams = df
       .select(id.as("__id"), split(text, "\\s+").as("__w"))
       .select(col("__id"), explode(expr(
         s"""array_distinct(transform(
              sequence(1, greatest(size(__w) - ${n - 1}, 0)),
-             i -> xxhash64(concat_ws(' ', slice(__w, i, $n)))))""")).as("__g"))
+             i -> unhex(md5(concat_ws(' ', slice(__w, i, $n))))))""")).as("__g"))
       .pipe(persistTracked)
     val firstSeen = grams.groupBy("__g").agg(min("__id").as("__first"))
     grams.join(firstSeen, "__g")

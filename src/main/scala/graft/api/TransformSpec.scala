@@ -56,13 +56,14 @@ object TransformSpec {
   def runSql(json: String): DataFrame = {
     val spark = org.apache.spark.sql.SparkSession.active
     val root = om.readTree(json)
-    // every table-referencing step verb: join reads "right", union "other"
+    // every table-referencing step verb: join/asof read "right",
+    // union reads "other"
     val names = Set(root.path("source").asText()) ++
       root.path("steps").elements().asScala.flatMap { s =>
         s.path("op").asText() match {
-          case "join"  => Some(s.path("right").asText())
-          case "union" => Some(s.path("other").asText())
-          case _       => None
+          case "join" | "asof" => Some(s.path("right").asText())
+          case "union"         => Some(s.path("other").asText())
+          case _               => None
         }
       }
     run(json, names.map(n => n -> spark.table(n)).toMap)
@@ -166,6 +167,54 @@ object TransformSpec {
         GraftOps.sessionize(df,
           expr(step.path("key").asText()), expr(step.path("ts").asText()), gap,
           tiebreak)
+      case "window" =>
+        // window functions behind one config line:
+        //   {"op": "window", "name": "rk", "expr": "row_number()",
+        //    "partitionBy": ["k"], "orderBy": ["ts", "id"],
+        //    "frame": "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW"?}
+        // partitionBy is REQUIRED non-empty — the engine forbids
+        // unpartitioned windows (single-task scans at scale); global
+        // ranking goes through the "topk" step's bounded-heap prune.
+        // The OVER clause is assembled as SQL so every frame Spark's
+        // parser accepts (ROWS/RANGE, interval ranges) is reachable.
+        val parts = strings(step.path("partitionBy"))
+        require(parts.nonEmpty,
+          "window step requires non-empty partitionBy (unpartitioned " +
+            "windows are single-task at scale; use the 'topk' step for " +
+            "global ranking)")
+        val orders = strings(step.path("orderBy"))
+        val over = s"PARTITION BY ${parts.mkString(", ")}" +
+          (if (orders.nonEmpty) s" ORDER BY ${orders.mkString(", ")}" else "") +
+          (if (step.has("frame")) " " + step.path("frame").asText() else "")
+        df.withColumn(step.path("name").asText(),
+          expr(s"${step.path("expr").asText()} OVER ($over)"))
+      case "pivot" =>
+        // {"op": "pivot", "groupBy": [...], "pivot": "col",
+        //  "values": [...]?, "aggs": [["alias", "expr"], ...]}
+        // With "values" given the pivot lowers to one partial-agg pass
+        // (FILTER-clause aggregates — the q11/q81 plan); omitting it
+        // adds Spark's distinct-values discovery pass first, fine for
+        // exploration, not for the 100 TB path.
+        val pAggs = step.path("aggs").elements().asScala.map { pair =>
+          expr(pair.get(1).asText()).as(pair.get(0).asText())
+        }.toSeq
+        val gb = df.groupBy(strings(step.path("groupBy")).map(col): _*)
+        val pv =
+          if (step.has("values"))
+            gb.pivot(step.path("pivot").asText(), strings(step.path("values")))
+          else gb.pivot(step.path("pivot").asText())
+        pv.agg(pAggs.head, pAggs.tail: _*)
+      case "asof" =>
+        // as-of join (latest right row at or before the left time, per
+        // key) through the custom AsofJoinExec — co-partitioned
+        // sort-merge, one shuffle per side (the q41 operator):
+        //   {"op": "asof", "right": "quotes", "leftKey": "k",
+        //    "rightKey": "k", "leftTime": "ts", "rightTime": "ts"}
+        val rightName = step.path("right").asText()
+        require(catalog.contains(rightName), s"unknown asof table '$rightName'")
+        graft.plans.AsofJoin.asofJoin(df, catalog(rightName),
+          step.path("leftKey").asText(), step.path("rightKey").asText(),
+          step.path("leftTime").asText(), step.path("rightTime").asText())
       case "conform" =>
         GraftOps.conform(df, step.path("schema").asText())
       case "profile" =>

@@ -114,23 +114,23 @@ object Dedup3 {
   // aggregation and the join-back side re-run the 5-gram explode (plus
   // Catalyst's inferred size>0 filter re-derives it once more per side).
   val d12_crossdoc_ngrams: Q = (s, d) => {
-    // gram keys are 64-bit xxhash64 (d03's discipline): the cached
-    // postings, the df shuffle, and the join-back all move longs, not
-    // ~40-byte strings; exact vs the string-keyed oracle at all SFs.
-    // Honest bound for the count-bearing ops on this key (d12/d16/t13/
-    // t17/novelty): at ~1e12 distinct grams (the 100 TB regime) the
-    // birthday estimate is ~3e4 64-bit collisions — a ~1e-8 relative
-    // perturbation of df/overlap counts, i.e. collision-approximate at
-    // extreme scale while remaining exact at any testable size. If a
-    // deployment needs exactness beyond that, widen the key to 128 bits
-    // (two salted xxhash64 columns or md5 halves) — same plan shape,
-    // 2x shuffle-key bytes.
+    // gram keys are 128-bit md5 (binary(16)): the cached postings, the
+    // df shuffle, and the join-back move 16-byte keys, not ~40-byte
+    // strings — and unlike the previous 64-bit xxhash64 keys the counts
+    // stay EXACT at the 100 TB regime: at ~1e12 distinct grams the
+    // 64-bit birthday estimate was ~3e4 collisions (a ~1e-8 relative
+    // perturbation of df/overlap counts), while 128 bits puts the
+    // expected collision count at ~1e-14 — exact for every physically
+    // reachable corpus. Same discipline on all count-bearing gram ops
+    // (d12/d16/t13/t17/novelty); the Jaccard-verify family keeps 64-bit
+    // keys (a collision there perturbs one similarity score, not an
+    // exact count).
     val grams = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(expr(
         """array_distinct(transform(
              sequence(1, greatest(size(w) - 4, 0)),
-             i -> xxhash64(concat_ws(' ', slice(w, i, 5)))))""")).as("g"))
+             i -> unhex(md5(concat_ws(' ', slice(w, i, 5))))))""")).as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfTbl = grams.groupBy("g").agg(count(lit(1)).as("df"))
     grams.join(dfTbl, "g")
@@ -287,17 +287,16 @@ object Dedup3 {
   // per-gram expansion is bounded by the SOURCE count (metadata-sized,
   // ~20), never by docs — linear in index size at any corpus scale.
   val d16_source_overlap: Q = (s, d) => {
-    // grams ride every shuffle as 64-bit xxhash64 keys, not ~40-byte
-    // strings — the same engine-side hashing discipline d03/jaccardJoin
-    // use (distinct-hash counts equal distinct-gram counts absent a
-    // 64-bit collision; verified exact against the string-keyed DuckDB
-    // oracle at all SFs)
+    // grams ride every shuffle as 128-bit md5 keys (binary(16), the
+    // d12 discipline): 2.5x narrower than the ~40-byte strings AND
+    // collision-exact at 1e12-gram scale, where the previous 64-bit
+    // keys made shared-gram counts probabilistic
     val idx = Tables.documents(s, d)
       .select(col("source"), split(col("text"), " ").as("w"))
       .select(col("source"), explode(expr(
         """array_distinct(transform(
              sequence(1, greatest(size(w) - 4, 0)),
-             i -> xxhash64(concat_ws(' ', slice(w, i, 5)))))""")).as("g"))
+             i -> unhex(md5(concat_ws(' ', slice(w, i, 5))))))""")).as("g"))
       .distinct()
     idx.as("x")
       .join(idx.as("y"), col("x.g") === col("y.g") && col("x.source") < col("y.source"))

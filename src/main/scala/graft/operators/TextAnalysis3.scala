@@ -110,15 +110,16 @@ object TextAnalysis3 {
   // hash left-semi-style join keyed on the gram — never doc x doc. Docs
   // above threshold get flagged for removal.
   val t13_contamination: Q = (s, d) => {
-    // gram keys are 64-bit xxhash64 (d03's discipline): the broadcast
-    // index and the probe side carry longs, not ~60-byte strings —
-    // exact vs the string-keyed oracle at all SFs
+    // gram keys are 128-bit md5 (binary(16), the d12 discipline): the
+    // broadcast index and probe side carry 16-byte keys, not ~60-byte
+    // strings, and the hit counts stay collision-exact at 1e12-gram
+    // scale (64-bit keys made them probabilistic there)
     def grams(df: DataFrame) = df
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(expr(
         """array_distinct(transform(
              sequence(1, greatest(size(w) - 7, 0)),
-             i -> xxhash64(concat_ws(' ', slice(w, i, 8)))))""")).as("g"))
+             i -> unhex(md5(concat_ws(' ', slice(w, i, 8))))))""")).as("g"))
     val docs = Tables.documents(s, d)
     val evalIdx = grams(docs.filter(col("doc_id") % 10 === 0))
       .select("g").distinct()

@@ -61,15 +61,16 @@ object TextAnalysis5 {
   // (map-side combinable), one gram-keyed join back — linear in corpus
   // size, no doc x doc work, same scan discipline as d12.
   val t17_novelty: Q = (s, d) => {
-    // gram keys are 64-bit xxhash64 (d03's discipline): the cached
-    // postings, the min-doc shuffle, and the join-back move longs, not
-    // strings — exact vs the string-keyed oracle at all SFs
+    // gram keys are 128-bit md5 (binary(16), the d12 discipline): the
+    // cached postings, the min-doc shuffle, and the join-back move
+    // 16-byte keys, not strings, and first-occurrence counts stay
+    // collision-exact at 1e12-gram scale
     val grams = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(expr(
         """array_distinct(transform(
              sequence(1, greatest(size(w) - 3, 0)),
-             i -> xxhash64(concat_ws(' ', slice(w, i, 4)))))""")).as("g"))
+             i -> unhex(md5(concat_ws(' ', slice(w, i, 4))))))""")).as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val firstSeen = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
     grams.join(firstSeen, "g")

@@ -196,6 +196,90 @@ class TransformSpecSpec extends AnyFunSuite {
     assert(sessions == direct && sessions > 0)
   }
 
+  test("window step equals the direct window plan and refuses unpartitioned windows") {
+    val ev = Tables.events(spark, sf)
+    val got = TransformSpec.run(
+      """{"source": "e", "steps": [
+        {"op": "window", "name": "rk", "expr": "row_number()",
+         "partitionBy": ["user_id"], "orderBy": ["ts", "event_id"]},
+        {"op": "filter", "expr": "rk <= 3"},
+        {"op": "select", "cols": ["user_id", "event_id", "rk"]},
+        {"op": "orderBy", "cols": ["user_id", "rk"]}]}""",
+      Map("e" -> ev))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val want = ev.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3).select("user_id", "event_id", "rk")
+      .orderBy("user_id", "rk")
+    assert(got.collect().map(_.mkString("|"))
+      .sameElements(want.collect().map(_.mkString("|"))))
+    // a frame spec rides through the SQL OVER clause
+    val framed = TransformSpec.run(
+      """{"source": "e", "steps": [
+        {"op": "window", "name": "mv", "expr": "avg(value)",
+         "partitionBy": ["user_id"], "orderBy": ["ts", "event_id"],
+         "frame": "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW"}]}""",
+      Map("e" -> ev))
+    val wantF = ev.withColumn("mv",
+      avg("value").over(w.rowsBetween(-2, 0)))
+    assert(framed.exceptAll(wantF).isEmpty && wantF.exceptAll(framed).isEmpty)
+    // the engine's no-unpartitioned-window rule holds at the config surface
+    val e = intercept[IllegalArgumentException] {
+      TransformSpec.run(
+        """{"source": "e", "steps": [
+          {"op": "window", "name": "rk", "expr": "row_number()",
+           "partitionBy": [], "orderBy": ["ts"]}]}""",
+        Map("e" -> ev))
+    }
+    assert(e.getMessage.contains("partitionBy"))
+  }
+
+  test("pivot step equals the direct pivot plan (values given: one pass)") {
+    val li = Tables.lineitem(spark, sf)
+    val got = TransformSpec.run(
+      """{"source": "li", "steps": [
+        {"op": "pivot", "groupBy": ["l_linestatus"], "pivot": "l_returnflag",
+         "values": ["A", "N", "R"],
+         "aggs": [["qty", "sum(cast(l_quantity AS decimal(30,6)))"]]},
+        {"op": "orderBy", "cols": ["l_linestatus"]}]}""",
+      Map("li" -> li))
+    val want = li.groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(col("l_quantity").cast("decimal(30,6)")).as("qty"))
+      .orderBy("l_linestatus")
+    assert(got.collect().map(_.mkString("|"))
+      .sameElements(want.collect().map(_.mkString("|"))))
+  }
+
+  test("asof step matches the AsofJoin operator and resolves through the TVF catalog") {
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+    val got = TransformSpec.run(
+      """{"source": "p", "steps": [
+        {"op": "asof", "right": "c", "leftKey": "p_user", "rightKey": "user_id",
+         "leftTime": "p_ts", "rightTime": "click_ts"}]}""",
+      Map("p" -> purchases, "c" -> clicks))
+    val want = graft.plans.AsofJoin.asofJoin(purchases, clicks,
+      "p_user", "user_id", "p_ts", "click_ts")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.count() == purchases.count(), "asof keeps every left row")
+    // TVF passthrough: the asof step's "right" resolves from the session
+    // catalog inside graft_transform, like join/union already do
+    purchases.createOrReplaceTempView("ts_purchases")
+    clicks.createOrReplaceTempView("ts_clicks")
+    graft.api.SqlSurface.install(spark)
+    val viaSql = spark.sql(
+      """SELECT * FROM graft_transform('{"source": "ts_purchases", "steps": [
+           {"op": "asof", "right": "ts_clicks",
+            "leftKey": "p_user", "rightKey": "user_id",
+            "leftTime": "p_ts", "rightTime": "click_ts"}]}')""")
+    assert(viaSql.exceptAll(want).isEmpty && want.exceptAll(viaSql).isEmpty)
+  }
+
   test("java.util.Map overload (the py4j/PySpark facade contract) matches the Scala entry") {
     val docs = Tables.documents(spark, sf)
     val spec = """{"source": "d", "steps": [
