@@ -25,7 +25,9 @@ object ScaleStress {
     }.reduce(_ unionByName _)
 
   private def build(spark: SparkSession): Unit = {
-    if (new java.io.File(s"$stressDir/_DONE").exists()) return
+    // marker versioned: _DONE2 added the 8x embedding replication —
+    // a stale round-3 stress set must rebuild
+    if (new java.io.File(s"$stressDir/_DONE2").exists()) return
     val li = Tables.lineitem(spark, baseDir)
     replicate(li, 20, Map("l_orderkey" -> "l_orderkey * 20 + @I"))
       .write.mode("overwrite").parquet(s"$stressDir/lineitem.parquet")
@@ -45,20 +47,55 @@ object ScaleStress {
       "doc_id" -> "doc_id * 4 + @I",
       "text"   -> "concat(text, ' uniq@I')"))
       .write.mode("overwrite").parquet(s"$stressDir/documents.parquet")
-    Seq("region", "nation", "customer", "supplier", "part", "embeddings")
+    // embeddings: 8x with DISTINCT vectors — each copy gets a small
+    // deterministic per-copy, per-dim perturbation (stays float, stays
+    // in the same cosine neighborhood so label cells remain meaningful
+    // while no two copies are identical vectors)
+    val emb = Tables.embeddings(spark, baseDir)
+    replicate(emb, 8, Map(
+      "vec_id"    -> "vec_id * 8 + @I",
+      "embedding" ->
+        ("transform(embedding, (x, j) -> CAST(x + (@I - 3.5) * 0.003 * " +
+          "(1 + j % 5) AS FLOAT))")))
+      .write.mode("overwrite").parquet(s"$stressDir/embeddings.parquet")
+    Seq("region", "nation", "customer", "supplier", "part")
       .foreach { t =>
         Tables.read(spark, baseDir, t)
           .write.mode("overwrite").parquet(s"$stressDir/$t.parquet")
       }
-    new java.io.File(s"$stressDir/_DONE").createNewFile()
+    new java.io.File(s"$stressDir/_DONE2").createNewFile()
   }
+
+  /** Stress-only entries beyond SparkEntry.queries: the similarity
+    * family's LOSSY operating points (the full-recall defaults the
+    * oracles pin are exactness configs; production ANN runs lossy), and
+    * semanticDedup with k SCALED WITH THE DATA — the SemDeDup scale
+    * claim that k, not corpus size, bounds the within-cluster pair join
+    * (k=25 at 1x -> k=200 at 8x keeps mean cluster size flat).
+    */
+  private val extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s02_lsh[lossy 6x3]"  -> ((s, d) => operators.Similarity.knnLshAt(s, d, 6, 3)),
+    "s04_ivf[nprobe=3]"   -> ((s, d) => operators.Similarity.annIvfAt(s, d, 3)),
+    "semdedup[k~n/230]" -> { (s, d) =>
+      import graft.api.GraftOps
+      val e = Tables.embeddings(s, d)
+      val k = if (d == stressDir) 200 else 25
+      val asg = GraftOps.kmeans(e, col("vec_id"), col("embedding"), k, iters = 2)
+      GraftOps.semanticDedup(
+        e.join(asg, e("vec_id") === asg("id")).drop("id"),
+        col("vec_id"), col("embedding"), col("cluster"), 0.9)
+    })
 
   private val defaults = Seq(
     "q01_agg_pricing", "q03_join_agg_topn", "q05_multi_join", "q19_having",
     "q22_count_distinct", "q57_histogram_cdf", "q60_rolling_reach",
     "e06_funnel_conversion", "e09_session_window", "m03_size_batching",
     "d01_exact_dedup", "d10_bloom_dedup", "t07_repetition", "t08_entropy",
-    "d15_dedup_manifest", "d17_containment", "p01_corpus_clean")
+    "d15_dedup_manifest", "d17_containment", "p01_corpus_clean",
+    // similarity family (8x embeddings since round 4)
+    "s01_knn_brute", "s02_knn_lsh", "s04_ann_ivf", "d05_embedding_neardup",
+    "d14_semantic_dedup", "d22_semdedup_kmeans",
+    "s02_lsh[lossy 6x3]", "s04_ivf[nprobe=3]", "semdedup[k~n/230]")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -73,6 +110,7 @@ object ScaleStress {
     build(spark)
 
     val qs = if (args.nonEmpty) args.toSeq else defaults
+    val allQueries = SparkEntry.queries ++ extraQueries
     def time(fn: => Long): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
@@ -81,7 +119,7 @@ object ScaleStress {
     val lshRouted = Set("d15_dedup_manifest", "p01_corpus_clean")
     println(f"""${"query"}%-24s ${"t_1x"}%8s ${"t_Nx"}%8s ratio""")
     qs.foreach { n =>
-      val fn = SparkEntry.queries(n)
+      val fn = allQueries(n)
       fn(spark, baseDir).count() // warm codegen
       val t1 = time(fn(spark, baseDir).count())
       val tn = time(fn(spark, stressDir).count())

@@ -26,7 +26,9 @@ object SparkEntry {
       operators.Multimodal2.queries ++ operators.Multimodal3.queries ++
       operators.Events.queries ++ operators.Events2.queries ++
       operators.Events3.queries ++ operators.Events4.queries ++
+      operators.Events5.queries ++
       operators.CorpusPipeline.queries ++ operators.Quality.queries ++
+      operators.Quality2.queries ++
       operators.MLPrep.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -47,6 +49,8 @@ object SparkEntry {
       operators.Multimodal2.oracles ++ operators.Multimodal3.oracles ++
       operators.Events.oracles ++ operators.Events2.oracles ++
       operators.Events3.oracles ++ operators.Events4.oracles ++
+      operators.Events5.oracles ++
       operators.CorpusPipeline.oracles ++ operators.Quality.oracles ++
+      operators.Quality2.oracles ++
       operators.MLPrep.oracles
 }

@@ -21,6 +21,27 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Auxiliary oracle input: the Spark-computed MinHash signature table.
+    // The FNV+splitmix hash family inside minhash_signature is not
+    // expressible in DuckDB SQL, but everything DOWNSTREAM of the
+    // signatures (banding, candidate join, agreement estimation) is pure
+    // relational logic — so d02/d19's oracles read this dump (fixed path,
+    // overwritten per run) and replay that logic exactly in DuckDB.
+    // Signature GENERATION stays spec-covered (HashingPropertiesSpec).
+    Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.functions.minhash_signature(
+          org.apache.spark.sql.functions.col("text"), 64, 3).as("sig"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet("/tmp/graft_aux/minhash_sigs")
+    // same recipe for d04: SimHash64 signatures; DuckDB replays the
+    // Hamming-chunk bucketing and popcount verification bitwise-exactly
+    Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.functions.simhash64(
+          org.apache.spark.sql.functions.col("text"), 2).as("sh"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet("/tmp/graft_aux/simhash_sigs")
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

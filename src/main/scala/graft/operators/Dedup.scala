@@ -63,6 +63,34 @@ object Dedup {
       .orderBy("da", "db")
   }
 
+  // d02 oracle (round 4, rows-only -> exact): Verify dumps the Spark-
+  // computed signature table to /tmp/graft_aux/minhash_sigs (the hash
+  // family is not SQL-expressible, but everything AFTER it is), and
+  // DuckDB replays banding + candidate join + agreement estimation ON
+  // those signatures. One semantic note: Spark buckets on
+  // hash(slice, b) — murmur3 of the band values — while the SQL joins
+  // on the band values themselves; equal values ⟹ equal hash, so the
+  // two differ only under a murmur3 collision between different slices
+  // of the same band (none at any tested SF, and a collision could only
+  // ADD a low-estimate candidate row). Signature generation itself
+  // stays property-spec covered (HashingPropertiesSpec).
+  val d02Sql: String =
+    """WITH sigs AS (SELECT doc_id, sig
+                   FROM read_parquet('/tmp/graft_aux/minhash_sigs/*.parquet')),
+      b AS (SELECT unnest(generate_series(0, 15)) AS b),
+      bands AS (SELECT doc_id, b, sig[b*4+1 : b*4+4] AS bv FROM sigs, b),
+      cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+               FROM bands x JOIN bands y
+                 ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id),
+      j AS (SELECT da, db, sa.sig AS s_a, sb.sig AS s_b
+            FROM cand JOIN sigs sa ON sa.doc_id = da
+                      JOIN sigs sb ON sb.doc_id = db),
+      i AS (SELECT unnest(generate_series(1, 64)) AS i)
+      SELECT da, db,
+             CAST(SUM(CASE WHEN s_a[i.i] = s_b[i.i] THEN 1 ELSE 0 END)
+               AS DOUBLE) / 64 AS est_jaccard
+      FROM j, i GROUP BY da, db ORDER BY da, db"""
+
   // ---- d03: word-3-gram Jaccard verified near-dup pairs ----
   // Candidates from the shared-shingle join (never all-pairs); exact
   // Jaccard on candidates only. Oracle replicates shingling relationally.
@@ -162,6 +190,23 @@ object Dedup {
       .filter(col("hamming") <= 10)
       .orderBy("da", "db")
   }
+  // d04 oracle (round 4, rows-only -> exact): the SimHash bit-mixing is
+  // in-expression only, but the signatures Verify dumps to
+  // /tmp/graft_aux/simhash_sigs replay bitwise-exactly in DuckDB — both
+  // engines use arithmetic >> on signed 64-bit, & 255 masks the sign
+  // extension identically, and bit_count(xor(...)) is the same popcount.
+  val d04Sql: String =
+    """WITH sigs AS (SELECT doc_id, sh
+                   FROM read_parquet('/tmp/graft_aux/simhash_sigs/*.parquet')),
+      c AS (SELECT unnest(generate_series(0, 7)) AS c),
+      chunks AS (SELECT doc_id, sh, c.c * 256 + CAST((sh >> (c.c * 8)) & 255 AS INT)
+                   AS ckey FROM sigs, c),
+      cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
+                      x.sh AS s_a, y.sh AS s_b
+               FROM chunks x JOIN chunks y
+                 ON x.ckey = y.ckey AND x.doc_id < y.doc_id)
+      SELECT da, db, CAST(bit_count(xor(s_a, s_b)) AS BIGINT) AS hamming
+      FROM cand WHERE bit_count(xor(s_a, s_b)) <= 10 ORDER BY da, db"""
 
   // ---- d06: production-scale verified near-dup (LSH candidates + exact
   // Jaccard on candidates only) ----
@@ -255,7 +300,11 @@ object Dedup {
     // banding at 16x4 cannot miss the seeded t≈0.98 pairs (see scaladoc),
     // so the verified output equals d03's and shares its oracle
     "d06_lsh_verified"  -> d03Sql,
-    // d02/d04 are LSH approximations — rows-only; DedupSpec asserts recall
-    // against d03's exact near-dup pairs.
+    // d02/d04: exact oracles over the Verify-dumped signature tables
+    // (DuckDB replays banding / Hamming-chunking / estimation on the
+    // signatures; generation itself stays spec-covered, and the recall
+    // specs vs d03 are retained).
+    "d02_minhash_lsh"   -> d02Sql,
+    "d04_simhash"       -> d04Sql,
   )
 }

@@ -85,6 +85,36 @@ object Dedup4 {
         round(col("jaccard_est"), 6).as("jaccard_est"))
       .orderBy("da", "db")
   }
+  // d19 oracle (round 4, rows-only -> exact): the estimator's INPUT
+  // signatures come from Verify's /tmp/graft_aux dump (the d02 recipe);
+  // the verified pairs + exact Jaccard replay d03's relational SQL; the
+  // estimate is the agreeing-component fraction over generate_series.
+  // Every k/64 has <= 6 decimal digits (64 = 2^6), so round(x, 6) is the
+  // identity on both engines — no rounding-mode hazard.
+  val d19Sql: String =
+    """WITH w AS (SELECT doc_id, generate_subscripts(string_split(text,' '),1) i,
+                       unnest(string_split(text,' ')) w FROM documents),
+      g AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+            FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.i=a.i+1
+                     JOIN w c ON c.doc_id=a.doc_id AND c.i=a.i+2),
+      dd AS (SELECT DISTINCT doc_id, sh FROM g),
+      sizes AS (SELECT doc_id, count(*) n FROM dd GROUP BY doc_id),
+      pairs AS (SELECT x.doc_id da, y.doc_id db, count(*) shared
+                FROM dd x JOIN dd y ON x.sh=y.sh AND x.doc_id<y.doc_id GROUP BY 1,2),
+      verified AS (SELECT da, db,
+                          CAST(shared AS DOUBLE)/(sa.n+sb.n-shared) AS jaccard
+                   FROM pairs JOIN sizes sa ON da=sa.doc_id
+                              JOIN sizes sb ON db=sb.doc_id
+                   WHERE CAST(shared AS DOUBLE)/(sa.n+sb.n-shared) >= 0.5),
+      sigs AS (SELECT doc_id, sig
+               FROM read_parquet('/tmp/graft_aux/minhash_sigs/*.parquet')),
+      i AS (SELECT unnest(generate_series(1, 64)) AS i)
+      SELECT v.da, v.db, v.jaccard AS jaccard_exact,
+             round(CAST(SUM(CASE WHEN sa.sig[i.i] = sb.sig[i.i] THEN 1 ELSE 0 END)
+               AS DOUBLE) / 64, 6) AS jaccard_est
+      FROM verified v JOIN sigs sa ON sa.doc_id = v.da
+                      JOIN sigs sb ON sb.doc_id = v.db, i
+      GROUP BY v.da, v.db, v.jaccard ORDER BY v.da, v.db"""
 
   // ---- d20: blocked entity resolution (fuzzy record matching) ----
   // The record-linkage pattern: a cheap BLOCKING key bounds the
@@ -229,6 +259,7 @@ object Dedup4 {
   )
   val oracles: Map[String, String] = Map(
     "d18_span_dedup"        -> d18Sql,
+    "d19_minhash_estimate"  -> d19Sql,
     "d20_entity_resolution" -> d20Sql,
     "d21_fuzzy_scores"      -> d21Sql,
     "d22_semdedup_kmeans"   -> d22Sql,

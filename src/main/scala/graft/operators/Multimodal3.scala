@@ -50,10 +50,72 @@ object Multimodal3 {
       FROM a JOIN o USING (h)
       GROUP BY source ORDER BY source"""
 
+  // ---- m08: asset snapshot diff (incremental crawl reconciliation) ----
+  // Between two crawls of the same asset space you need the delta
+  // BEFORE paying decode/embed costs: which payloads are new, which
+  // vanished, which changed content under the same id, which are
+  // byte-identical (skip them). q54 classifies row-level CDC; this is
+  // the ASSET form — classification by content hash, so a re-downloaded
+  // byte-identical payload is "unchanged" no matter its metadata, and
+  // the decode queue is exactly the added+changed set. Snapshots here
+  // are deterministic slices of documents (old = doc_id % 3 <> 0,
+  // new = doc_id % 5 <> 0, with every doc_id % 7 = 0 payload revised) —
+  // in production, two SnapshotTable versions or crawl manifests. Plan:
+  // narrow hash pass per side (payload bytes never shuffle — 128-bit
+  // hashes + lengths do), ONE full-outer join on asset id, constant-size
+  // status rollup with byte totals.
+  val m08_asset_diff: Q = (s, d) => {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val old = base.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id").as("id_o"),
+        md5(encode(col("text"), "UTF-8")).as("h_o"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("b_o"))
+    val neu = base.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("payload",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      .select(col("doc_id").as("id_n"),
+        md5(encode(col("payload"), "UTF-8")).as("h_n"),
+        length(encode(col("payload"), "UTF-8")).cast("long").as("b_n"))
+    old.join(neu, col("id_o") === col("id_n"), "full_outer")
+      .withColumn("status",
+        when(col("id_o").isNull, "added")
+          .when(col("id_n").isNull, "removed")
+          .when(col("h_o") =!= col("h_n"), "changed")
+          .otherwise("unchanged"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_assets"),
+        sum(coalesce(col("b_n"), lit(0L))).as("bytes_new"),
+        sum(coalesce(col("b_o"), lit(0L))).as("bytes_old"))
+      .orderBy("status")
+  }
+  val m08Sql: String =
+    """WITH o AS (SELECT doc_id AS id_o, md5(text) AS h_o,
+             CAST(octet_length(encode(text)) AS BIGINT) AS b_o
+           FROM documents WHERE doc_id % 3 <> 0),
+      n AS (SELECT doc_id AS id_n,
+             md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS h_n,
+             CAST(octet_length(encode(
+               CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END))
+               AS BIGINT) AS b_n
+           FROM documents WHERE doc_id % 5 <> 0),
+      j AS (SELECT *,
+             CASE WHEN id_o IS NULL THEN 'added'
+                  WHEN id_n IS NULL THEN 'removed'
+                  WHEN h_o <> h_n THEN 'changed'
+                  ELSE 'unchanged' END AS status
+            FROM o FULL OUTER JOIN n ON id_o = id_n)
+      SELECT status, COUNT(*) AS n_assets,
+             CAST(SUM(COALESCE(b_n, 0)) AS BIGINT) AS bytes_new,
+             CAST(SUM(COALESCE(b_o, 0)) AS BIGINT) AS bytes_old
+      FROM j GROUP BY status ORDER BY status"""
+
   val queries: Map[String, Q] = Map(
     "m07_asset_dedup" -> m07_asset_dedup,
+    "m08_asset_diff"  -> m08_asset_diff,
   )
   val oracles: Map[String, String] = Map(
     "m07_asset_dedup" -> m07Sql,
+    "m08_asset_diff"  -> m08Sql,
   )
 }

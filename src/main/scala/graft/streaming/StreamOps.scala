@@ -18,8 +18,49 @@ import org.apache.spark.sql.types._
   * state-store backed, keyed by (window, event_type) — uniform keys, no
   * skew. The sessionizer keys state by user_id; at 100 TB you'd bound
   * state with the same watermark-driven timeout used here.
+  *
+  * ==The message-bus contract (no broker in this environment)==
+  *
+  * Production streams arrive from a partitioned log (Kafka-shaped:
+  * per-partition offsets, committed offset log, bounded admission per
+  * trigger). This library's stand-in for that contract is the
+  * `graft-synth` V2 micro-batch source
+  * ([[graft.sources.SynthDocsSource]] / `SynthMicroBatchStream`),
+  * which implements the SAME DataSourceV2 streaming surface a Kafka
+  * source implements, point for point:
+  *
+  *  - '''offsets''': a monotone row-count offset plays the role of the
+  *    per-partition offset vector; `initialOffset`/`deserializeOffset`/
+  *    `commit` are the offset-log round-trip (spec-pinned: a
+  *    checkpointed restart resumes WITHOUT re-delivery).
+  *  - '''admission control''': `SupportsAdmissionControl.
+  *    latestOffset(start, limit)` bounds rows admitted per micro-batch
+  *    (`rowsPerBatch` = `maxOffsetsPerTrigger`); the zero-arg
+  *    `latestOffset()` deliberately throws, pinning Spark to the
+  *    restart-safe form — a stateless stream can never regress the
+  *    offset log.
+  *  - '''planning''': `planInputPartitions(start, end)` carves the
+  *    admitted range into splits exactly as Kafka's source carves
+  *    topic-partition ranges.
+  *
+  * Swapping in a real broker is therefore a source-string change
+  * (`format("kafka")` + subscribe options) — every transform,
+  * watermark, state op, and sink in this file is source-agnostic.
+  * [[readSocket]] is the third leg: the quick-look TCP tap (Spark's
+  * built-in `socket` source) for demos and smoke tests — NOT
+  * replayable (no offsets), so nothing durable may hang off it; the
+  * spec uses it to prove the transforms run against a live push
+  * source with zero file involvement.
   */
 object StreamOps {
+
+  /** Quick-look TCP line tap (Spark's `socket` source): one `value`
+    * string column. No offsets, no replay — demo/smoke only; durable
+    * pipelines use the file or V2 micro-batch sources above.
+    */
+  def readSocket(spark: SparkSession, host: String, port: Int): DataFrame =
+    spark.readStream.format("socket")
+      .option("host", host).option("port", port).load()
 
   /** events schema as stored (ts is TIMESTAMP(NANOS) -> read as long). */
   val rawSchema: StructType = StructType(Seq(

@@ -46,6 +46,66 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
   }
 
+  test("avro round-trip preserves values and types (no spark-avro needed)") {
+    val out = tmp("avro") + "/t"
+    val src = Tables.events(spark, sf).select(
+      col("event_id"), col("ts"), col("user_id"), col("event_type"),
+      col("value"), split(col("event_type"), "_").as("tags"),
+      encode(col("event_type"), "UTF-8").as("payload"),
+      to_date(col("ts")).as("day"),
+      (col("event_id") % 2 === 0).as("even"),
+      col("event_id").cast("int").as("small"),
+      col("value").cast("float").as("valf"))
+    sources.AvroIO.write(src, out)
+    val back = sources.AvroIO.read(spark, out)
+    // schema round-trips by name and type (nullability aside)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      src.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.count() == src.count())
+    assert(back.exceptAll(back.sparkSession.createDataFrame(
+      src.collectAsList(), src.schema)).isEmpty &&
+      src.exceptAll(back).isEmpty && back.exceptAll(src).isEmpty)
+  }
+
+  test("avro mergeSchema-style evolution: old files surface nulls for new fields") {
+    val dir = tmp("avro_evo") + "/t"
+    val v1 = spark.range(0, 10).select(col("id"), lit("a").as("tag"))
+    sources.AvroIO.write(v1, dir + "/batch1")
+    // evolved writer adds a column
+    val v2 = spark.range(10, 15).select(col("id"), lit("b").as("tag"),
+      (col("id") * 2).as("score"))
+    sources.AvroIO.write(v2, dir + "/batch2")
+    // one merged read over both batches' files
+    val fs = new java.io.File(new java.net.URI("file:" + dir))
+    val flat = tmp("avro_flat") + "/t"
+    new java.io.File(new java.net.URI("file:" + flat)).mkdirs()
+    Seq("batch1", "batch2").foreach { b =>
+      new java.io.File(fs, b).listFiles().filter(_.getName.endsWith(".avro"))
+        .foreach { f =>
+          java.nio.file.Files.copy(f.toPath,
+            java.nio.file.Paths.get(flat, b + "_" + f.getName))
+        }
+    }
+    val merged = sources.AvroIO.read(spark, flat)
+    assert(merged.columns.toSeq == Seq("id", "tag", "score"))
+    assert(merged.count() == 15)
+    // pre-evolution rows surface null in the new column; new rows carry it
+    assert(merged.filter(col("score").isNull).count() == 10)
+    assert(merged.filter(col("id") === 12).head().getLong(2) == 24L)
+    // type conflict on a shared name refuses loudly
+    val bad = spark.range(0, 3).select(col("id").cast("string").as("id"))
+    sources.AvroIO.write(bad, dir + "/batch_bad")
+    new java.io.File(new java.io.File(new java.net.URI("file:" + dir)), "batch_bad")
+      .listFiles().filter(_.getName.endsWith(".avro")).foreach { f =>
+        java.nio.file.Files.copy(f.toPath,
+          java.nio.file.Paths.get(flat, "bad_" + f.getName))
+      }
+    val e = intercept[IllegalArgumentException] {
+      sources.AvroIO.read(spark, flat).count()
+    }
+    assert(e.getMessage.contains("additive"))
+  }
+
   test("partitioned write -> partition-pruned read") {
     val out = tmp("part")
     sources.Writers.writePartitioned(

@@ -270,6 +270,53 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("socket source smoke: live TCP push drives the same transform surface") {
+    // The message-bus story's third leg (see StreamOps scaladoc): a live
+    // push source with zero file involvement. A local server socket
+    // stands in for the tap; the transform (parse + filter + projection)
+    // is the same source-agnostic surface the file / V2 micro-batch
+    // streams use. Socket streams have no offsets — smoke only.
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getLoopbackAddress)
+    val lines = (1 to 20).map(i => s"evt,$i,${i * 10}")
+    val writer = new Thread(() => {
+      val sock = server.accept()
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      lines.foreach(out.println)
+      out.flush()
+      // keep the connection open until the query is done reading; the
+      // main thread closes the server which unblocks this socket
+      try Thread.sleep(30000) catch { case _: InterruptedException => }
+      sock.close()
+    })
+    writer.setDaemon(true)
+    writer.start()
+    val q = streaming.StreamOps
+      .readSocket(spark, "127.0.0.1", server.getLocalPort)
+      .select(split(col("value"), ",").as("f"))
+      .select(col("f").getItem(0).as("kind"),
+        col("f").getItem(1).cast("long").as("id"),
+        col("f").getItem(2).cast("long").as("v"))
+      .filter(col("id") % 2 === 0)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("socket_smoke").start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      def n(): Long = spark.table("socket_smoke").count()
+      while (n() < 10 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(n() == 10, s"expected 10 even-id rows, got ${n()}")
+      val sum = spark.table("socket_smoke").agg(sum_distinct(col("v")))
+        .head().getLong(0)
+      assert(sum == (2 to 20 by 2).map(_ * 10).sum,
+        "socket rows mangled in transform")
+    } finally {
+      q.stop()
+      writer.interrupt()
+      server.close()
+    }
+  }
+
   test("stream-static dim enrichment matches the batch broadcast join") {
     val q = streaming.StreamOps.enrichWithDim(spark, sf)
       .select("event_id", "user_id", "c_mktsegment")
