@@ -15,7 +15,7 @@ object SparkEntry {
       operators.Relational5.queries ++ operators.Relational6.queries ++
       operators.Relational7.queries ++ operators.Relational8.queries ++
       operators.Relational9.queries ++
-      operators.Relational10.queries ++
+      operators.Relational10.queries ++ operators.Relational11.queries ++
       operators.Dedup.queries ++ operators.Dedup2.queries ++ operators.Dedup3.queries ++
       operators.Dedup4.queries ++
       operators.Similarity.queries ++ operators.Similarity2.queries ++
@@ -38,7 +38,7 @@ object SparkEntry {
       operators.Relational5.oracles ++ operators.Relational6.oracles ++
       operators.Relational7.oracles ++ operators.Relational8.oracles ++
       operators.Relational9.oracles ++
-      operators.Relational10.oracles ++
+      operators.Relational10.oracles ++ operators.Relational11.oracles ++
       operators.Dedup.oracles ++ operators.Dedup2.oracles ++ operators.Dedup3.oracles ++
       operators.Dedup4.oracles ++
       operators.Similarity.oracles ++ operators.Similarity2.oracles ++

@@ -110,12 +110,70 @@ object Multimodal3 {
              CAST(SUM(COALESCE(b_o, 0)) AS BIGINT) AS bytes_old
       FROM j GROUP BY status ORDER BY status"""
 
+  // ---- m09: byte-shingle asset near-dup (codec-agnostic) ----
+  // CAS dedup (m07) only catches byte-IDENTICAL payloads; assets that
+  // differ by a few bytes (retouched header, appended metadata,
+  // truncated tail) need near-dup detection on the RAW BYTES — no codec
+  // involved, so it works on any modality the container can't decode.
+  // Byte 4-grams (8 hex chars over the hex encoding) play the shingles;
+  // candidates from the shared-shingle join, exact Jaccard verification
+  // on candidates only — d03's candidate discipline applied to binary.
+  // Hash-sampled subset (doc_id % 4) bounds the demonstration exactly
+  // like d05; the production corpus runs the same plan seeded from
+  // MinHash bands over the byte shingles. Shingles ride the shuffle as
+  // 64-bit xxhash64 (Jaccard-verify family policy: a collision perturbs
+  // one score, not a count). Hex casing: Spark and DuckDB both emit
+  // uppercase hex, so shingle sets agree byte-for-byte.
+  val m09_asset_neardup: Q = (s, d) => {
+    val assets = Tables.documents(s, d)
+      .filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), hex(encode(col("text"), "UTF-8")).as("hx"))
+    val shingled = assets
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(
+             sequence(1, greatest(length(hx) - 7, 1), 2),
+             i -> xxhash64(substring(hx, i, 8))))""").as("shs"))
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n"),
+        explode(col("shs")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val x = shingled.select(col("doc_id").as("id_a"), col("n").as("na"), col("sh"))
+    val y = shingled.select(col("doc_id").as("id_b"), col("n").as("nb"), col("sh"))
+    x.join(y, "sh")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "na", "nb")
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= 0.4)
+      .select("id_a", "id_b", "shared", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+  // byte-aligned stride 2 over the hex string = byte 4-grams
+  val m09Sql: String =
+    """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx
+                FROM documents WHERE doc_id % 4 = 0),
+      g AS (SELECT DISTINCT doc_id, substr(hx, i, 8) AS sh
+            FROM h, LATERAL (SELECT unnest(generate_series(1,
+              greatest(length(hx) - 7, 1), 2)) AS i) t),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+      pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS shared
+                FROM g x JOIN g y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                GROUP BY 1, 2)
+      SELECT id_a, id_b, shared,
+             CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+      FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+                 JOIN sizes sb ON id_b = sb.doc_id
+      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.4
+      ORDER BY id_a, id_b"""
+
   val queries: Map[String, Q] = Map(
-    "m07_asset_dedup" -> m07_asset_dedup,
-    "m08_asset_diff"  -> m08_asset_diff,
+    "m07_asset_dedup"   -> m07_asset_dedup,
+    "m08_asset_diff"    -> m08_asset_diff,
+    "m09_asset_neardup" -> m09_asset_neardup,
   )
   val oracles: Map[String, String] = Map(
-    "m07_asset_dedup" -> m07Sql,
-    "m08_asset_diff"  -> m08Sql,
+    "m07_asset_dedup"   -> m07Sql,
+    "m08_asset_diff"    -> m08Sql,
+    "m09_asset_neardup" -> m09Sql,
   )
 }

@@ -130,6 +130,14 @@ object AvroIO {
       classOf[NullWritable],
       classOf[AvroKeyOutputFormat[GenericRecord]],
       job.getConfiguration)
+    // schema sidecar: an EMPTY dataset may produce zero part files
+    // (nothing to commit), and a later read must still know the schema —
+    // the same reason parquet writes _metadata-bearing footers even for
+    // empty outputs
+    val fs = new Path(path).getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(path, "_schema.avsc"), true)
+    try out.write(schemaJson.getBytes("UTF-8")) finally out.close()
   }
 
   private def toRecord(row: Row, st: StructType, avro: Schema): GenericRecord = {
@@ -165,6 +173,10 @@ object AvroIO {
            schema: StructType = null): DataFrame = {
     val target = Option(schema).getOrElse(mergedSchema(spark, path))
     val targetDdl = target.toDDL
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.globStatus(new Path(s"$path/*.avro")).isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], target) // empty write: sidecar schema only
     val rdd = spark.sparkContext.newAPIHadoopFile(
       s"$path/*.avro",
       classOf[AvroKeyInputFormat[GenericRecord]],
@@ -211,7 +223,19 @@ object AvroIO {
   def mergedSchema(spark: SparkSession, path: String): StructType = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.globStatus(new Path(s"$path/*.avro")).map(_.getPath)
-    require(files.nonEmpty, s"no .avro files under $path")
+    if (files.isEmpty) {
+      // empty dataset: schema comes from the write-time sidecar
+      val sidecar = new Path(path, "_schema.avsc")
+      require(fs.exists(sidecar),
+        s"no .avro files and no _schema.avsc sidecar under $path")
+      val in = fs.open(sidecar)
+      val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val parsed = new Schema.Parser().parse(json)
+      return StructType(parsed.getFields.asScala.map { f =>
+        val (dt, nullable) = toSparkType(f.schema())
+        StructField(f.name(), dt, nullable)
+      }.toArray)
+    }
     val fieldOrder = scala.collection.mutable.LinkedHashMap[String, StructField]()
     val seenIn = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
     files.foreach { f =>

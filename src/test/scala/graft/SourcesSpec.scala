@@ -67,6 +67,16 @@ class SourcesSpec extends AnyFunSuite {
       src.exceptAll(back).isEmpty && back.exceptAll(src).isEmpty)
   }
 
+  test("avro empty write round-trips schema with zero rows") {
+    val out = tmp("avro_empty") + "/t"
+    val src = spark.range(0).select(col("id"), lit("x").as("tag"))
+    sources.AvroIO.write(src, out)
+    val back = sources.AvroIO.read(spark, out)
+    assert(back.count() == 0)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      src.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+  }
+
   test("avro mergeSchema-style evolution: old files surface nulls for new fields") {
     val dir = tmp("avro_evo") + "/t"
     val v1 = spark.range(0, 10).select(col("id"), lit("a").as("tag"))
