@@ -16,8 +16,9 @@ object SparkEntry {
       operators.Relational7.queries ++ operators.Relational8.queries ++
       operators.Relational9.queries ++
       operators.Relational10.queries ++ operators.Relational11.queries ++
+      operators.Relational12.queries ++
       operators.Dedup.queries ++ operators.Dedup2.queries ++ operators.Dedup3.queries ++
-      operators.Dedup4.queries ++
+      operators.Dedup4.queries ++ operators.Dedup5.queries ++
       operators.Similarity.queries ++ operators.Similarity2.queries ++
       operators.TextAnalysis.queries ++ operators.TextAnalysis2.queries ++
       operators.TextAnalysis3.queries ++ operators.TextAnalysis4.queries ++
@@ -39,8 +40,9 @@ object SparkEntry {
       operators.Relational7.oracles ++ operators.Relational8.oracles ++
       operators.Relational9.oracles ++
       operators.Relational10.oracles ++ operators.Relational11.oracles ++
+      operators.Relational12.oracles ++
       operators.Dedup.oracles ++ operators.Dedup2.oracles ++ operators.Dedup3.oracles ++
-      operators.Dedup4.oracles ++
+      operators.Dedup4.oracles ++ operators.Dedup5.oracles ++
       operators.Similarity.oracles ++ operators.Similarity2.oracles ++
       operators.TextAnalysis.oracles ++ operators.TextAnalysis2.oracles ++
       operators.TextAnalysis3.oracles ++ operators.TextAnalysis4.oracles ++

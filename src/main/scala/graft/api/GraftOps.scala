@@ -673,6 +673,55 @@ object GraftOps {
         Window.partitionBy("__g").orderBy(desc(score), col(tie))).cast("long"))
       .drop("__g")
 
+  /** Exact 2-D Pareto frontier (skyline): the distinct (maxCol, minCol)
+    * cells no other cell dominates — dominance = maxCol >= AND
+    * minCol <= with at least one strict. Returns the frontier cells
+    * with their row counts (`n_rows`), ordered by maxCol.
+    *
+    * The naive formulation is a NOT-EXISTS self-join — cells², dead at
+    * scale. This is the distributed sweep-line instead: after
+    * collapsing to distinct cells (one hash aggregate; cells, not rows,
+    * is the working set from here on), order by (minCol asc, maxCol
+    * desc). A cell is on the frontier iff NO earlier cell in that order
+    * has maxCol >= its own — i.e. iff its maxCol strictly exceeds the
+    * running prefix-max. The prefix-max decomposes exactly like
+    * globalRank's prefix-count: range-repartition on the sweep order,
+    * per-partition prefix max in parallel windows, then per-partition
+    * max offsets (partition-count rows, metadata-sized) broadcast back
+    * as each partition's carry-in. One range exchange + one bounded
+    * window per partition, cells² never materializes; at 10⁹ cells the
+    * sweep is a linear scan per partition.
+    *
+    * Correctness of the sweep on DISTINCT cells: an earlier cell has
+    * (minCol <, ) or (minCol ==, maxCol >) — either way, prefix-max >=
+    * mine implies a dominating cell exists (equal maxCol at lower
+    * minCol, or greater maxCol at equal-or-lower minCol; exact
+    * duplicates are impossible post-distinct), and conversely.
+    */
+  def skyline2d(df: DataFrame, maxCol: String, minCol: String): DataFrame = {
+    val cells = df.groupBy(maxCol, minCol).agg(count(lit(1)).as("n_rows"))
+    val parted = cells.repartitionByRange(col(minCol).asc, col(maxCol).desc)
+      .withColumn("__pid", spark_partition_id())
+      .pipe(persistTracked)
+    val sweep = Window.partitionBy("__pid")
+      .orderBy(col(minCol).asc, col(maxCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = boundedSingleGroup(
+        parted.groupBy("__pid").agg(max(maxCol).as("__pmax")))
+      .withColumn("__carry", max("__pmax").over(
+        Window.partitionBy("__g").orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select("__pid", "__carry")
+    // greatest() skips nulls: null iff no preceding cell exists at all
+    // (first cell of the whole sweep), which is always on the frontier
+    val prev = greatest(col("__lmax"), col("__carry"))
+    parted
+      .withColumn("__lmax", max(maxCol).over(sweep))
+      .join(broadcast(carry), "__pid")
+      .filter(prev.isNull || col(maxCol) > prev)
+      .select(maxCol, minCol, "n_rows")
+  }
+
   /** Conform a frame to a target schema (DDL string): target columns in
     * target order, existing columns cast to the target type, missing
     * columns added as typed nulls, extra columns dropped. The ingestion
@@ -1072,6 +1121,8 @@ object syntax {
       GraftOps.globalRank(df, order: _*)
     def globalTopK(score: String, tie: String, k: Int): DataFrame =
       GraftOps.globalTopK(df, score, tie, k)
+    def skyline2d(maxCol: String, minCol: String): DataFrame =
+      GraftOps.skyline2d(df, maxCol, minCol)
     def containmentJoin(id: Column, text: Column, threshold: Double): DataFrame =
       GraftOps.containmentJoin(df, id, text, threshold)
     def gopherFilter(text: Column): DataFrame =

@@ -51,6 +51,10 @@ object Register {
       case Seq(a, b) => JaroWinkler(a, b)
       case args => throw new IllegalArgumentException(s"jaro_winkler(a, b): got ${args.size} args")
     },
+    "zorder2" -> {
+      case Seq(x, y) => ZOrder2(x, y)
+      case args => throw new IllegalArgumentException(s"zorder2(x, y): got ${args.size} args")
+    },
   )
 
   /** Register all custom functions on an existing session (idempotent). */

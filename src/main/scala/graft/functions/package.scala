@@ -63,4 +63,9 @@ package object functions {
   /** Bloom probe: may-contain test against a bloom_agg result. */
   def bloom_might_contain(bloom: Column, value: Column, numHashes: Int = 5): Column =
     toCol(BloomMightContain(toExpr(bloom), toExpr(value), numHashes))
+
+  /** 32-bit Morton (z-order) interleave of two 16-bit int coordinates —
+    * the multi-dimensional clustering key for layout-aware writes. */
+  def zorder2(x: Column, y: Column): Column =
+    toCol(ZOrder2(toExpr(x), toExpr(y)))
 }

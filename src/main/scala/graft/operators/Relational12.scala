@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.zorder2
+
+/** Relational/ETL core, part 12. */
+object Relational12 {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- q85: 2-D Pareto frontier (skyline) ----
+  // "Best tradeoff" queries — largest part for the money, freshest doc
+  // per token cost — are dominance queries: keep the points no other
+  // point beats on BOTH axes. The textbook NOT-EXISTS self-join is
+  // cells² and dead at scale; GraftOps.skyline2d runs the distributed
+  // sweep-line instead (distinct cells -> range-repartition on the
+  // sweep order -> parallel per-partition prefix-max windows ->
+  // partition-count carry-in maxima broadcast back), so the frontier
+  // of 10⁹ cells costs one hash agg + one range exchange + a linear
+  // scan per partition. The oracle replays literal NOT-EXISTS
+  // dominance — quadratic is fine for DuckDB at sf0.01, and agreeing
+  // with it proves the sweep decomposition exact.
+  val q85_skyline: Q = (s, d) => {
+    graft.api.GraftOps.skyline2d(Tables.part(s, d), "p_size", "p_retailprice")
+      .orderBy("p_size", "p_retailprice")
+  }
+  val q85Sql: String =
+    """WITH cells AS (SELECT p_size, p_retailprice, COUNT(*) AS n_rows
+                    FROM part GROUP BY 1, 2)
+      SELECT p_size, p_retailprice, n_rows FROM cells c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM cells o
+        WHERE o.p_size >= c.p_size AND o.p_retailprice <= c.p_retailprice
+          AND (o.p_size > c.p_size OR o.p_retailprice < c.p_retailprice))
+      ORDER BY p_size, p_retailprice"""
+
+  // ---- q86: weighted sampling without replacement (per stratum) ----
+  // Curation pipelines sample "5 docs per language, longer docs more
+  // likely" — weighted sampling WITHOUT replacement, which naive
+  // weight-proportional Bernoulli doesn't give. This is the
+  // exponential-clock form of Efraimidis-Spirakis A-ES reservoir
+  // sampling: per row draw t = -ln(u)/w (u uniform, w the weight); the
+  // k smallest t per stratum are exactly a weighted draw without
+  // replacement. One narrow map + one partitioned rank window — no
+  // shuffle beyond the window's, and on a stream the same keys feed a
+  // per-key size-k heap (the reservoir form). u is the deterministic
+  // md5-derived uniform (p02's discipline), so the sample is
+  // reproducible across runs, partitions, and cluster sizes — and
+  // replayable by the oracle. Output t rounded 1e-9 (ln is correctly
+  // rounded on both engines for these 2^32-grid inputs in practice;
+  // rounding absorbs any last-ulp divergence).
+  val q86_weighted_sample: Q = (s, d) => {
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") + lit(1.0)) / lit(4294967297.0)
+    val w = Window.partitionBy("lang")
+      .orderBy(col("t").asc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .withColumn("t", -log(u) / col("n_chars").cast("double"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"),
+        round(col("t"), 9).as("clock"))
+      .orderBy("lang", "rk")
+  }
+  val q86Sql: String =
+    """WITH t AS (
+        SELECT lang, doc_id, n_chars,
+               -ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    + 1.0) / 4294967297.0) / CAST(n_chars AS DOUBLE) AS t
+        FROM documents),
+      r AS (SELECT lang, doc_id, n_chars, t,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY t, doc_id) AS rk
+            FROM t)
+      SELECT lang, rk, doc_id, n_chars, round(t, 9) AS clock
+      FROM r WHERE rk <= 5 ORDER BY lang, rk"""
+
+  // ---- q87: z-order layout audit ----
+  // The data-layout story at 100 TB: files written in Morton-key order
+  // carry narrow min/max stats on EVERY z-dimension, so range
+  // predicates on ANY of them prune files at planning time (Delta
+  // OPTIMIZE ZORDER / Iceberg z-sort). This operator computes the
+  // 32-bit Morton key with the codegen'd ZOrder2 expression (customer
+  // × order-day as the two dims), buckets by z-prefix (z >> 18 — each
+  // bucket = one would-be file), and emits the per-bucket min/max of
+  // both dimensions: the audit a table-layout service runs to verify
+  // clustering quality before flipping reads to the new layout. The
+  // oracle replays the bit interleave as shift/mask arithmetic in SQL
+  // — proving the codegen'd kernel exact. Plan: one narrow map + one
+  // bucket-count-sized aggregate; the real write path adds only
+  // repartitionByRange(z) before the sink.
+  val q87_zorder: Q = (s, d) => {
+    Tables.orders(s, d)
+      .select(
+        (col("o_custkey") % 65536).cast("int").as("x"),
+        (datediff(to_date(col("o_orderdate")), lit("1992-01-01")) % 65536)
+          .cast("int").as("y"))
+      .withColumn("z", zorder2(col("x"), col("y")))
+      .groupBy(shiftright(col("z"), 18).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min("x").cast("long").as("min_x"), max("x").cast("long").as("max_x"),
+        min("y").cast("long").as("min_y"), max("y").cast("long").as("max_y"))
+      .orderBy("bucket")
+  }
+  val q87Sql: String =
+    """WITH b AS (
+        SELECT o_orderkey, o_custkey % 65536 AS x,
+               (CAST(o_orderdate AS DATE) - DATE '1992-01-01') % 65536 AS y
+        FROM orders),
+      z AS (
+        SELECT x, y,
+               CAST((SELECT SUM(((x >> g.i) & 1)::BIGINT << (2 * g.i)) +
+                            SUM(((y >> g.i) & 1)::BIGINT << (2 * g.i + 1))
+                     FROM generate_series(0, 15) g(i)) AS BIGINT) AS z
+        FROM b)
+      SELECT z >> 18 AS bucket, COUNT(*) AS n,
+             CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x,
+             CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y
+      FROM z GROUP BY 1 ORDER BY bucket"""
+
+  val queries: Map[String, Q] = Map(
+    "q85_skyline"         -> q85_skyline,
+    "q86_weighted_sample" -> q86_weighted_sample,
+    "q87_zorder"          -> q87_zorder,
+  )
+  val oracles: Map[String, String] = Map(
+    "q85_skyline"         -> q85Sql,
+    "q86_weighted_sample" -> q86Sql,
+    "q87_zorder"          -> q87Sql,
+  )
+}

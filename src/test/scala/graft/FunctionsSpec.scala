@@ -123,6 +123,51 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.forall(x => x.getDouble(0) >= 0.0 && x.getDouble(0) <= 1.0))
   }
 
+  test("zorder2: fuzz vs bit-loop reference, dimension masking, SQL registration") {
+    import graft.functions.Layout
+    // reference: the literal definition, bit by bit
+    def ref(x: Int, y: Int): Long = {
+      var z = 0L
+      for (i <- 0 until 16) {
+        z |= ((x >> i) & 1).toLong << (2 * i)
+        z |= ((y >> i) & 1).toLong << (2 * i + 1)
+      }
+      z
+    }
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 20000) {
+      val x = rnd.nextInt() & 0xffff
+      val y = rnd.nextInt() & 0xffff
+      assert(Layout.morton2(x, y) == ref(x, y))
+    }
+    // corners + the interleave identities
+    assert(Layout.morton2(0, 0) == 0L)
+    assert(Layout.morton2(0xffff, 0xffff) == 0xffffffffL)
+    assert(Layout.morton2(0xffff, 0) == 0x55555555L)
+    assert(Layout.morton2(0, 0xffff) == 0xaaaaaaaaL)
+    // inputs past 16 bits are masked, not wrapped into the other dim
+    assert(Layout.morton2(0x1ffff, 3) == Layout.morton2(0xffff, 3))
+    // monotone in each dim when the other is fixed (what makes z-ranges
+    // prunable by per-dimension min/max)
+    for (_ <- 0 until 1000) {
+      val y = rnd.nextInt() & 0xffff
+      val a = rnd.nextInt() & 0xffff
+      val b = rnd.nextInt() & 0xffff
+      if (a < b) assert(Layout.morton2(a, y) < Layout.morton2(b, y))
+      if (a > b) assert(Layout.morton2(a, y) > Layout.morton2(b, y))
+    }
+    // codegen'd expression through SQL registration
+    functions.Register.all(spark)
+    val r = spark.sql(
+      """SELECT CAST(o_orderkey % 65536 AS INT) AS x,
+                CAST(o_custkey % 65536 AS INT) AS y,
+                zorder2(CAST(o_orderkey % 65536 AS INT),
+                        CAST(o_custkey % 65536 AS INT)) AS z
+         FROM parquet.`/root/testdata/sf0.001/orders.parquet` LIMIT 200""")
+      .collect()
+    assert(r.forall(row => row.getLong(2) == ref(row.getInt(0), row.getInt(1))))
+  }
+
   test("m02 batch decode: deterministic, schema-typed, row-preserving") {
     val out = operators.Multimodal.decodeBatch(spark, sf)
     val n = Tables.documents(spark, sf).count()

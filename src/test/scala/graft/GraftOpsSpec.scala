@@ -459,6 +459,49 @@ class GraftOpsSpec extends AnyFunSuite {
     assert(all.agg(max("rank")).head().getLong(0) == vocab.count())
   }
 
+  test("skyline2d equals brute-force NOT-EXISTS dominance, partition-invariantly") {
+    // a frame with real dominance structure: (quantity maximize,
+    // price minimize) cells from lineitem
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_quantity").cast("long").as("q"),
+        col("l_extendedprice").as("p"))
+    val cells = li.groupBy("q", "p").agg(count(lit(1)).as("n_rows"))
+    val want = cells.as("c").join(cells.as("o"),
+        col("o.q") >= col("c.q") && col("o.p") <= col("c.p") &&
+          (col("o.q") > col("c.q") || col("o.p") < col("c.p")),
+        "left_anti")
+      .select(col("q"), col("p"), col("n_rows"))
+    val got = GraftOps.skyline2d(li, "q", "p")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // frontier is a strict staircase: sorted by q asc, price strictly rises
+    val rows = got.orderBy("q").collect()
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(0) < b.getLong(0) && a.getDouble(1) < b.getDouble(1))
+      case _ => ()
+    }
+    // invariant under input partitioning
+    val got7 = GraftOps.skyline2d(li.repartition(7), "q", "p")
+    assert(got7.exceptAll(want).isEmpty && want.exceptAll(got7).isEmpty)
+    // no unpartitioned window in the sweep
+    val unpartitioned = got.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty, "found an unpartitioned window")
+    // edges: empty input; single row; total-order input (all on frontier)
+    assert(GraftOps.skyline2d(li.filter(lit(false)), "q", "p").count() == 0)
+    val one = li.limit(1)
+    assert(GraftOps.skyline2d(one, "q", "p").count() == 1)
+    val chain = spark.range(10).select(col("id").as("q"),
+      col("id").cast("double").as("p"))
+    assert(GraftOps.skyline2d(chain, "q", "p").count() == 10)
+    // and an anti-chain where one point dominates all
+    val dominated = spark.range(10).select(col("id").as("q"),
+      (lit(100.0) - col("id")).as("p"))
+    assert(GraftOps.skyline2d(dominated, "q", "p").count() == 1)
+  }
+
   test("kmeans bounds SemDeDup clusters on skew-labeled data; assignment is deterministic") {
     val e = Tables.embeddings(spark, sf)
     val n = e.count()
