@@ -24,6 +24,7 @@ object SparkEntry {
       operators.TextAnalysis3.queries ++ operators.TextAnalysis4.queries ++
       operators.TextAnalysis5.queries ++ operators.TextAnalysis6.queries ++
       operators.TextAnalysis7.queries ++ operators.TextAnalysis8.queries ++
+      operators.TextAnalysis9.queries ++ operators.Graph.queries ++
       operators.Multimodal2.queries ++ operators.Multimodal3.queries ++
       operators.Events.queries ++ operators.Events2.queries ++
       operators.Events3.queries ++ operators.Events4.queries ++
@@ -48,6 +49,7 @@ object SparkEntry {
       operators.TextAnalysis3.oracles ++ operators.TextAnalysis4.oracles ++
       operators.TextAnalysis5.oracles ++ operators.TextAnalysis6.oracles ++
       operators.TextAnalysis7.oracles ++ operators.TextAnalysis8.oracles ++
+      operators.TextAnalysis9.oracles ++ operators.Graph.oracles ++
       operators.Multimodal2.oracles ++ operators.Multimodal3.oracles ++
       operators.Events.oracles ++ operators.Events2.oracles ++
       operators.Events3.oracles ++ operators.Events4.oracles ++

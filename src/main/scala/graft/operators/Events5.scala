@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.{Stable, Tables}
 
 /** Event analytics, part 5. */
@@ -56,10 +57,89 @@ object Events5 {
              round(${Stable.sqlAvg("lag_s")}, 9) AS lag_mean_s
       FROM c GROUP BY day ORDER BY day"""
 
+  // ---- e23: EWMA smoothing of the daily value series ----
+  // The ops-dashboard smoother: exponentially weighted moving average
+  // (alpha = 0.3) of each event type's daily value total. EWMA's
+  // recurrence is inherently sequential, which is exactly why it's
+  // worth having as a FIRST-CLASS operator: the engine's shape is
+  // per-key (series fit in one task; key count provides parallelism),
+  // so it's ONE shuffle on event_type, then a per-key fold over the
+  // sorted day array — no iteration over the cluster, no day-count
+  // joins. Arithmetic is integer fixed-point (decimal-exact daily sums
+  // quantized to 1e-6 "micro-units", then acc' = (3*x + 7*acc) div 10
+  // in int64) so the fold is engine-exact: no float recurrence drift,
+  // and the DuckDB oracle replays it with list_reduce, hash-exact.
+  // At 100 TB the daily pre-aggregation is the only fact-scale stage.
+  val e23_ewma: Q = (s, d) => {
+    Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg((sum(col("value").cast(DecimalType(30, 6))) * 1000000)
+        .cast("long").as("x6"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), max("day").as("last_day"),
+        sort_array(collect_list(struct(col("day"), col("x6")))).as("s"))
+      .withColumn("ewma_micro", expr(
+        """aggregate(slice(s, 2, size(s) - 1), s[0].x6,
+             (acc, e) -> (3 * e.x6 + 7 * acc) div 10)"""))
+      .select("event_type", "n_days", "last_day", "ewma_micro")
+      .orderBy("event_type")
+  }
+  val e23Sql: String =
+    """WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(30,6))) * 1000000 AS BIGINT) AS x6
+        FROM events GROUP BY 1, 2),
+      g AS (SELECT event_type, COUNT(*) AS n_days, MAX(day) AS last_day,
+                   list(x6 ORDER BY day) AS xs
+            FROM daily GROUP BY 1)
+      SELECT event_type, n_days, last_day,
+             list_reduce(xs, (acc, x) -> (3 * x + 7 * acc) // 10) AS ewma_micro
+      FROM g ORDER BY event_type"""
+
+  // ---- e24: first-order Markov transition matrix of event types ----
+  // "What do users do next": P(next event type | current event type),
+  // the base model behind next-action prediction, anomaly scoring of
+  // sessions, and synthetic-journey generation. Per-user successor
+  // pairs come from ONE lead() in the user-keyed sort window (the same
+  // single shuffle every sequence op here rides); the transition
+  // matrix is then an event-type² aggregate — metadata-sized however
+  // big the fact table is. Probabilities are single IEEE divisions of
+  // exact counts, bit-identical cross-engine.
+  val e24_markov: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .select("user_id", "ts", "event_id", "event_type")
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("src").agg(sum("n").as("tot"))
+    pairs.join(totals, "src")
+      .withColumn("p", round(col("n").cast("double") / col("tot").cast("double"), 9))
+      .select("src", "dst", "n", "p")
+      .orderBy("src", "dst")
+  }
+  val e24Sql: String =
+    """WITH s AS (
+        SELECT event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events),
+      c AS (SELECT event_type AS src, nxt AS dst, COUNT(*) AS n
+            FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      t AS (SELECT src, SUM(n) AS tot FROM c GROUP BY 1)
+      SELECT src, dst, n,
+             round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 9) AS p
+      FROM c JOIN t USING (src) ORDER BY src, dst"""
+
   val queries: Map[String, Q] = Map(
     "e22_conversion_lag" -> e22_conversion_lag,
+    "e23_ewma"           -> e23_ewma,
+    "e24_markov"         -> e24_markov,
   )
   val oracles: Map[String, String] = Map(
     "e22_conversion_lag" -> e22Sql,
+    "e23_ewma"           -> e23Sql,
+    "e24_markov"         -> e24Sql,
   )
 }

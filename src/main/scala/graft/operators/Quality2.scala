@@ -74,10 +74,68 @@ object Quality2 {
        ORDER BY column_name, metric"""
   }
 
+  // ---- v10: Benford first-digit audit (fabrication / corruption) ----
+  // The forensic-accounting classic applied to feed QA: naturally
+  // occurring money amounts follow Benford's law (P(d) = log10(1+1/d));
+  // a feed whose first-digit histogram deviates sharply was truncated,
+  // defaulted, synthesized, or unit-shifted upstream. One narrow map
+  // derives the first significant digit ARITHMETICALLY (price -> exact
+  // DECIMAL cents -> leading digit of the integer's decimal string —
+  // no float log10, no engine-dependent double formatting), one
+  // 9-row aggregate, and the total rides a broadcast scalar join —
+  // a single fact-table scan at any corpus size. Expected shares are
+  // 9 fixed literals (same parsed doubles both engines), so share and
+  // deviation are bit-exact cross-engine.
+  val v10_benford: Q = (s, d) => {
+    val benford = "CAST(CASE first_digit " +
+      "WHEN 1 THEN 0.301029996 WHEN 2 THEN 0.176091259 " +
+      "WHEN 3 THEN 0.124938737 WHEN 4 THEN 0.096910013 " +
+      "WHEN 5 THEN 0.079181246 WHEN 6 THEN 0.066946790 " +
+      "WHEN 7 THEN 0.057991947 WHEN 8 THEN 0.051152522 " +
+      "ELSE 0.045757491 END AS DOUBLE)"
+    val digits = Tables.lineitem(s, d)
+      .select((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("cents"))
+      .select(substring(col("cents").cast("string"), 1, 1).cast("int")
+        .as("first_digit"))
+      .groupBy("first_digit").agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum("n").as("tot"))
+    digits.crossJoin(broadcast(total))
+      .withColumn("share",
+        round(col("n").cast("double") / col("tot").cast("double"), 9))
+      .withColumn("expected", expr(benford))
+      .withColumn("abs_dev", round(abs(col("share") - col("expected")), 9))
+      .select("first_digit", "n", "share", "expected", "abs_dev")
+      .orderBy("first_digit")
+  }
+  val v10Sql: String =
+    """WITH c AS (
+        SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS cents
+        FROM lineitem),
+      dg AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INT)
+                      AS first_digit, COUNT(*) AS n
+             FROM c GROUP BY 1),
+      t AS (SELECT SUM(n) AS tot FROM dg),
+      sh AS (SELECT first_digit, n,
+               round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 9) AS share,
+               CAST(CASE first_digit
+                 WHEN 1 THEN 0.301029996 WHEN 2 THEN 0.176091259
+                 WHEN 3 THEN 0.124938737 WHEN 4 THEN 0.096910013
+                 WHEN 5 THEN 0.079181246 WHEN 6 THEN 0.066946790
+                 WHEN 7 THEN 0.057991947 WHEN 8 THEN 0.051152522
+                 ELSE 0.045757491 END AS DOUBLE) AS expected
+             FROM dg, t)
+      SELECT first_digit, n, share, expected,
+             round(abs(share - expected), 9) AS abs_dev
+      FROM sh ORDER BY first_digit"""
+
   val queries: Map[String, Q] = Map(
     "v08_schema_drift" -> v08_schema_drift,
+    "v10_benford"      -> v10_benford,
   )
   val oracles: Map[String, String] = Map(
     "v08_schema_drift" -> v08Sql,
+    "v10_benford"      -> v10Sql,
   )
 }

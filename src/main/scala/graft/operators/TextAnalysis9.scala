@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text analysis, part 9: corpus-level collocation mining. */
+object TextAnalysis9 {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- t23: PMI collocations (multi-word expression mining) ----
+  // Pointwise mutual information over word bigrams — the standard
+  // collocation signal (Church & Hanks 1990) behind phrase vocabulary
+  // induction and tokenizer-merge candidates. Emitted as the PMI RATIO
+  // p(xy)/(p(x)p(y)) rather than its log: every factor is an exact
+  // integer count, so the score is a fixed parenthesization of IEEE
+  // divisions/multiplies — bit-identical cross-engine with NO
+  // transcendental (log) in the pipeline (ranking by ratio = ranking
+  // by PMI; the log is monotone). Plan: one token explode feeds the
+  // unigram count and (shifted against itself) the bigram count; both
+  // aggregates are map-side combinable; corpus totals ride broadcast
+  // scalar joins; the bigram->unigram attach is two joins on the word
+  // key (vocab-sized, never corpus-sized); the global top-25 is
+  // TakeOrderedAndProject on the rounded score with lexicographic
+  // tiebreak (cross-engine ranking discipline). The n12 >= 5 floor is
+  // the standard guard against PMI's rare-pair degeneracy.
+  val t23_pmi_collocations: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val uni = toks
+      .select(explode(col("w")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("nw"))
+    val bi = toks
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))"))
+        .as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("n12"))
+    val totU = uni.agg(sum("nw").cast("double").as("u"))
+    val totB = bi.agg(sum("n12").cast("double").as("bt"))
+    bi.filter(col("n12") >= 5)
+      .join(uni.withColumnRenamed("word", "w1").withColumnRenamed("nw", "n1"), "w1")
+      .join(uni.withColumnRenamed("word", "w2").withColumnRenamed("nw", "n2"), "w2")
+      .crossJoin(broadcast(totU)).crossJoin(broadcast(totB))
+      .withColumn("pmi_ratio", round(
+        (col("n12").cast("double") / col("bt"))
+          / ((col("n1").cast("double") / col("u"))
+             * (col("n2").cast("double") / col("u"))), 6))
+      .select("w1", "w2", "n12", "n1", "n2", "pmi_ratio")
+      .orderBy(desc("pmi_ratio"), col("w1"), col("w2"))
+      .limit(25)
+  }
+  val t23Sql: String =
+    """WITH w AS (SELECT doc_id,
+                       generate_subscripts(string_split(text, ' '), 1) AS i,
+                       unnest(string_split(text, ' ')) AS word
+               FROM documents),
+      uni AS (SELECT word, COUNT(*) AS nw FROM w GROUP BY 1),
+      b AS (SELECT a.word AS w1, c.word AS w2
+            FROM w a JOIN w c ON a.doc_id = c.doc_id AND c.i = a.i + 1),
+      bi AS (SELECT w1, w2, COUNT(*) AS n12 FROM b GROUP BY 1, 2),
+      tu AS (SELECT CAST(SUM(nw) AS DOUBLE) AS u FROM uni),
+      tb AS (SELECT CAST(SUM(n12) AS DOUBLE) AS bt FROM bi)
+      SELECT w1, w2, n12, u1.nw AS n1, u2.nw AS n2,
+             round((CAST(n12 AS DOUBLE) / bt)
+                   / ((CAST(u1.nw AS DOUBLE) / u)
+                      * (CAST(u2.nw AS DOUBLE) / u)), 6) AS pmi_ratio
+      FROM bi
+        JOIN uni u1 ON bi.w1 = u1.word
+        JOIN uni u2 ON bi.w2 = u2.word, tu, tb
+      WHERE n12 >= 5
+      ORDER BY pmi_ratio DESC, w1, w2
+      LIMIT 25"""
+
+  val queries: Map[String, Q] = Map(
+    "t23_pmi_collocations" -> t23_pmi_collocations,
+  )
+  val oracles: Map[String, String] = Map(
+    "t23_pmi_collocations" -> t23Sql,
+  )
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property specs for the graph / time-series / audit operators added in
+  * round 4 — the invariants the DuckDB hash compare doesn't state
+  * explicitly (it proves engine agreement; these prove the MATH).
+  */
+class GraphSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("g01 pagerank: ranks positive, mass conserved under dangling redistribution") {
+    val rows = operators.Graph.g01_pagerank(spark, sf).collect()
+    assert(rows.length == 25)
+    val prs = rows.map(_.getAs[Double]("pr"))
+    assert(prs.forall(_ > 0.0))
+    // dangling mass redistributes uniformly, so total rank stays 1 up to
+    // the per-iteration 1e-12 rounding (25 nodes x 3 iterations) — this
+    // holds even at sf0.001 where most nations have no suppliers
+    assert(math.abs(prs.sum - 1.0) < 1e-9, s"mass = ${prs.sum}")
+    // damping floor: no node can fall below (1-d)/N
+    assert(prs.forall(_ >= 0.15 / 25 - 1e-12))
+  }
+
+  test("g02 copurchase: pairs ordered, weights descending, bounded by orders") {
+    val rows = operators.Graph.g02_copurchase(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    assert(rows.forall(r => r.getAs[Long]("part_a") < r.getAs[Long]("part_b")))
+    val ws = rows.map(_.getAs[Long]("n_orders"))
+    assert(ws.zip(ws.tail).forall { case (a, b) => a >= b })
+    val nOrders = Tables.orders(spark, sf).count()
+    assert(ws.head <= nOrders)
+  }
+
+  test("e23 ewma: smoothed value stays inside the daily series envelope") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg((sum(col("value").cast(DecimalType(30, 6))) * 1000000)
+        .cast("long").as("x6"))
+      .groupBy("event_type")
+      .agg(min("x6").as("lo"), max("x6").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = operators.Events5.e23_ewma(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (lo, hi) = daily(r.getAs[String]("event_type"))
+      val e = r.getAs[Long]("ewma_micro")
+      // integer-floor steps can undershoot the min by < 1 micro-unit/step
+      assert(e >= lo - r.getAs[Long]("n_days") && e <= hi,
+        s"${r.getAs[String]("event_type")}: $e outside [$lo, $hi]")
+    }
+  }
+
+  test("e24 markov: per-source probabilities sum to ~1, counts positive") {
+    val rows = operators.Events5.e24_markov(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("src")).foreach { case (src, rs) =>
+      val tot = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(tot - 1.0) < 1e-6, s"$src sums to $tot")
+      assert(rs.forall(_.getAs[Long]("n") > 0))
+    }
+  }
+
+  test("v10 benford: 9 digits, shares sum to 1, deviation = |share-expected|") {
+    val rows = operators.Quality2.v10_benford(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("first_digit")).toSeq == (1 to 9))
+    val shares = rows.map(_.getAs[Double]("share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-6)
+    rows.foreach { r =>
+      val dev = math.abs(r.getAs[Double]("share") - r.getAs[Double]("expected"))
+      assert(math.abs(dev - r.getAs[Double]("abs_dev")) < 1e-9)
+    }
+  }
+
+  test("t23 pmi: every pair clears the count floor; scores descend") {
+    val rows = operators.TextAnalysis9.t23_pmi_collocations(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    assert(rows.forall(_.getAs[Long]("n12") >= 5))
+    val scores = rows.map(_.getAs[Double]("pmi_ratio"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // PMI ratio of an observed bigram is strictly positive
+    assert(scores.forall(_ > 0.0))
+  }
+}
