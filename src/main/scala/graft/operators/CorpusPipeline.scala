@@ -227,14 +227,84 @@ object CorpusPipeline {
         FROM documents)
       SELECT metric, value FROM card ORDER BY metric"""
 
+  // ---- p05: domain-mixture sampling (training-mix curriculum) ----
+  // The pretraining-mix step: given TARGET shares per domain (here the
+  // lang column: en 0.30, others 0.175 each) and the tokens actually
+  // available, find the largest total budget the corpus supports —
+  // B = min over domains of avail_l / share_l, the classic waterfill:
+  // the binding domain is kept whole, every other domain downsamples
+  // to rate_l = share_l·B / avail_l so the OUTPUT mixture hits the
+  // target exactly. Docs are then kept by the p02 deterministic
+  // md5-uniform (reproducible across runs, partitions, clusters — and
+  // replayable by the oracle). Plan: one narrow token-count pass
+  // (persisted — the availability aggregate and the sampling pass
+  // otherwise each rescan the corpus), a DOMAIN-sized rate table
+  // broadcast back, one filter, one combinable rollup. At 100 TB the
+  // rate table is still a handful of rows; nothing here scales with
+  // anything but the one corpus scan. Rates are fixed IEEE ops over
+  // exact integer token counts — bit-identical cross-engine.
+  val p05_mixture_sample: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val avail = toks.groupBy("lang")
+      .agg(count(lit(1)).as("docs_avail"), sum("ntok").as("toks_avail"))
+      .withColumn("w", when(col("lang") === "en", lit(0.30)).otherwise(lit(0.175)))
+    val budget = avail.agg(
+      min(col("toks_avail").cast("double") / col("w")).as("budget"))
+    val rates = avail.crossJoin(broadcast(budget))
+      .withColumn("rate", least(lit(1.0),
+        col("w") * col("budget") / col("toks_avail").cast("double")))
+    val kept = toks
+      .join(broadcast(rates.select("lang", "rate")), "lang")
+      .filter(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").cast("double") / lit(4294967296.0) < col("rate"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs_kept"), sum("ntok").as("toks_kept"))
+    rates.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("toks_avail"), round(col("rate"), 9).as("rate"),
+        coalesce(col("docs_kept"), lit(0L)).as("docs_kept"),
+        coalesce(col("toks_kept"), lit(0L)).as("toks_kept"))
+      .orderBy("lang")
+  }
+  val p05Sql: String =
+    """WITH t AS (SELECT doc_id, lang,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+               FROM documents),
+      a AS (SELECT lang, COUNT(*) AS docs_avail,
+                   CAST(SUM(ntok) AS BIGINT) AS toks_avail,
+                   CASE WHEN lang = 'en' THEN CAST(0.30 AS DOUBLE)
+                        ELSE CAST(0.175 AS DOUBLE) END AS w
+            FROM t GROUP BY lang),
+      b AS (SELECT MIN(CAST(toks_avail AS DOUBLE) / w) AS budget FROM a),
+      r AS (SELECT lang, toks_avail,
+                   LEAST(CAST(1.0 AS DOUBLE),
+                         w * budget / CAST(toks_avail AS DOUBLE)) AS rate
+            FROM a, b),
+      k AS (SELECT t.lang, COUNT(*) AS docs_kept,
+                   CAST(SUM(ntok) AS BIGINT) AS toks_kept
+            FROM t JOIN r ON t.lang = r.lang
+            WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    / CAST(4294967296 AS DOUBLE) < rate
+            GROUP BY 1)
+      SELECT r.lang, toks_avail, round(rate, 9) AS rate,
+             CAST(COALESCE(docs_kept, 0) AS BIGINT) AS docs_kept,
+             CAST(COALESCE(toks_kept, 0) AS BIGINT) AS toks_kept
+      FROM r LEFT JOIN k ON r.lang = k.lang
+      ORDER BY r.lang"""
+
   val queries: Map[String, Q] = Map(
     "p01_corpus_clean"     -> p01_corpus_clean,
     "p02_quality_resample" -> p02_quality_resample,
     "p03_declarative_job"  -> p03_declarative_job,
-    "p04_dataset_card"     -> p04_dataset_card)
+    "p04_dataset_card"     -> p04_dataset_card,
+    "p05_mixture_sample"   -> p05_mixture_sample)
   val oracles: Map[String, String] = Map(
     "p01_corpus_clean"     -> p01Sql,
     "p02_quality_resample" -> p02Sql,
     "p03_declarative_job"  -> p03Sql,
-    "p04_dataset_card"     -> p04Sql)
+    "p04_dataset_card"     -> p04Sql,
+    "p05_mixture_sample"   -> p05Sql)
 }

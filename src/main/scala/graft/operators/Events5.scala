@@ -132,14 +132,81 @@ object Events5 {
              round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 9) AS p
       FROM c JOIN t USING (src) ORDER BY src, dst"""
 
+  // ---- e25: bot / automation scoring from inter-arrival regularity ----
+  // Humans are bursty; schedulers are metronomes. The classic traffic
+  // signal is the coefficient of variation of a user's inter-event
+  // gaps: a Poisson (human-ish) process has cv ≈ 1, cron-like traffic
+  // cv ≈ 0. Plan: ONE user-keyed sort window produces the gaps (the
+  // same single fact-scale shuffle every sequence op here rides), then
+  // a per-user aggregate of exact integer moments — gaps are WHOLE
+  // SECONDS (integer div of exact microsecond longs), their sums and
+  // squared sums ride DECIMAL(38,0) (exact, order-independent, scale-0
+  // so the decimal→double cast is ONE correctly-rounded conversion on
+  // both engines), and mean/variance/cv are a fixed parenthesization
+  // of IEEE ops (var clamped at 0 before sqrt — E[x²]−mean² can go
+  // −ulp). The cv < 0.9 flag marks "more regular than Poisson"; the
+  // n ≥ 10 floor keeps the estimator meaningful. Output is user-sized
+  // — at 100 TB this is the per-entity profile shape: fact-scale work
+  // is one window + one combinable aggregate, nothing pairwise.
+  val e25_bot_score: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select("user_id", "ts", "event_id")
+      .withColumn("gap_us",
+        unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+      .withColumn("gap_s", expr("gap_us div 1000000"))
+      .filter(col("gap_s").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_s").cast(DecimalType(38, 0))).cast("double").as("s1"),
+        sum((col("gap_s") * col("gap_s")).cast(DecimalType(38, 0)))
+          .cast("double").as("s2"))
+      .filter(col("n_gaps") >= 10)
+      .withColumn("mean_gap_s", col("s1") / col("n_gaps").cast("double"))
+      .withColumn("varg", greatest(
+        col("s2") / col("n_gaps").cast("double")
+          - col("mean_gap_s") * col("mean_gap_s"), lit(0.0)))
+      .withColumn("cv_gap", sqrt(col("varg")) / col("mean_gap_s"))
+      .select(col("user_id"), col("n_gaps"),
+        round(col("mean_gap_s"), 9).as("mean_gap_s"),
+        round(col("cv_gap"), 9).as("cv_gap"),
+        (col("cv_gap") < 0.9).as("metronomic"))
+      .orderBy("user_id")
+  }
+  val e25Sql: String =
+    """WITH g AS (
+        SELECT user_id,
+               (epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id))
+                - epoch_us(ts)) // 1000000 AS gap_s
+        FROM events),
+      a AS (SELECT user_id, COUNT(*) AS n_gaps,
+              CAST(SUM(CAST(gap_s AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+              CAST(SUM(CAST(gap_s * gap_s AS DECIMAL(38,0))) AS DOUBLE) AS s2
+            FROM g WHERE gap_s IS NOT NULL GROUP BY 1
+            HAVING COUNT(*) >= 10),
+      m AS (SELECT user_id, n_gaps,
+              s1 / CAST(n_gaps AS DOUBLE) AS mean_gap_s,
+              GREATEST(s2 / CAST(n_gaps AS DOUBLE)
+                - (s1 / CAST(n_gaps AS DOUBLE)) * (s1 / CAST(n_gaps AS DOUBLE)),
+                CAST(0.0 AS DOUBLE)) AS varg
+            FROM a)
+      SELECT user_id, n_gaps,
+             round(mean_gap_s, 9) AS mean_gap_s,
+             round(sqrt(varg) / mean_gap_s, 9) AS cv_gap,
+             sqrt(varg) / mean_gap_s < 0.9 AS metronomic
+      FROM m ORDER BY user_id"""
+
   val queries: Map[String, Q] = Map(
     "e22_conversion_lag" -> e22_conversion_lag,
     "e23_ewma"           -> e23_ewma,
     "e24_markov"         -> e24_markov,
+    "e25_bot_score"      -> e25_bot_score,
   )
   val oracles: Map[String, String] = Map(
     "e22_conversion_lag" -> e22Sql,
     "e23_ewma"           -> e23Sql,
     "e24_markov"         -> e24Sql,
+    "e25_bot_score"      -> e25Sql,
   )
 }

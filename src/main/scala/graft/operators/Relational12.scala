@@ -120,14 +120,65 @@ object Relational12 {
              CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y
       FROM z GROUP BY 1 ORDER BY bucket"""
 
+  // ---- q88: period-over-period growth (MoM / YoY) ----
+  // The reporting staple: monthly revenue with month-over-month and
+  // year-over-year deltas. The usual formulation is lag() over the
+  // full month series — an UNPARTITIONED window, the single-task trap
+  // this suite bans outright. But after the fact-scale aggregate the
+  // series is metadata-sized (one row per month), so the engine shape
+  // is: ONE map-side-combinable monthly aggregate, then two BROADCAST
+  // self-joins on an integer month index (mi = y*12+m; mi-1 = MoM,
+  // mi-12 = YoY) — no window anywhere, no sort, and the month spine
+  // never touches a single-task funnel however many years of facts
+  // arrive. Revenue sums ride DECIMAL (exact, order-independent);
+  // growth is a fixed (cur-prev)/prev IEEE division of two identically
+  // derived doubles, so the oracle hash-matches bit-exact.
+  val q88_period_growth: Q = (s, d) => {
+    import org.apache.spark.sql.types.DecimalType
+    val monthly = Tables.orders(s, d)
+      .select(col("o_orderdate").cast("date").as("od"), col("o_totalprice"))
+      .groupBy((year(col("od")) * 12 + month(col("od"))).as("mi"))
+      .agg(min(trunc(col("od"), "month")).as("month"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(30, 6))).cast("double")
+          .as("rev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prev = monthly.select(col("mi").as("pmi"), col("rev").as("prev_rev"))
+    val yoy  = monthly.select(col("mi").as("ymi"), col("rev").as("yoy_rev"))
+    monthly
+      .join(broadcast(prev), col("mi") === col("pmi") + 1, "left")
+      .join(broadcast(yoy),  col("mi") === col("ymi") + 12, "left")
+      .select(col("month"), col("n_orders"), round(col("rev"), 6).as("revenue"),
+        round((col("rev") - col("prev_rev")) / col("prev_rev"), 9).as("mom_pct"),
+        round((col("rev") - col("yoy_rev")) / col("yoy_rev"), 9).as("yoy_pct"))
+      .orderBy("month")
+  }
+  val q88Sql: String =
+    """WITH m AS (
+        SELECT year(CAST(o_orderdate AS DATE)) * 12
+                 + month(CAST(o_orderdate AS DATE)) AS mi,
+               MIN(date_trunc('month', CAST(o_orderdate AS DATE))) AS month,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS rev
+        FROM orders GROUP BY 1)
+      SELECT c.month, c.n_orders, round(c.rev, 6) AS revenue,
+             round((c.rev - p.rev) / p.rev, 9) AS mom_pct,
+             round((c.rev - y.rev) / y.rev, 9) AS yoy_pct
+      FROM m c
+        LEFT JOIN m p ON c.mi = p.mi + 1
+        LEFT JOIN m y ON c.mi = y.mi + 12
+      ORDER BY c.month"""
+
   val queries: Map[String, Q] = Map(
     "q85_skyline"         -> q85_skyline,
     "q86_weighted_sample" -> q86_weighted_sample,
     "q87_zorder"          -> q87_zorder,
+    "q88_period_growth"   -> q88_period_growth,
   )
   val oracles: Map[String, String] = Map(
     "q85_skyline"         -> q85Sql,
     "q86_weighted_sample" -> q86Sql,
     "q87_zorder"          -> q87Sql,
+    "q88_period_growth"   -> q88Sql,
   )
 }

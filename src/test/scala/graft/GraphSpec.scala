@@ -74,6 +74,54 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("q88 period growth: month spine complete, growth matches revenue ratio") {
+    val rows = operators.Relational12.q88_period_growth(spark, sf).collect()
+    assert(rows.length >= 12, "needs a year of months to exercise YoY")
+    // months with a predecessor must carry MoM; the first month must not
+    assert(rows.head.isNullAt(rows.head.fieldIndex("mom_pct")))
+    val rev = rows.map(_.getAs[Double]("revenue"))
+    rows.zipWithIndex.drop(1).foreach { case (r, i) =>
+      val mom = r.getAs[Double]("mom_pct")
+      val expect = (rev(i) - rev(i - 1)) / rev(i - 1)
+      assert(math.abs(mom - expect) < 1e-6, s"month $i mom $mom vs $expect")
+    }
+    // first 12 months have no YoY; month 13+ do (spine is contiguous)
+    assert(rows.take(12).forall(_.isNullAt(rows.head.fieldIndex("yoy_pct"))))
+    assert(rows.drop(12).forall(!_.isNullAt(rows.head.fieldIndex("yoy_pct"))))
+  }
+
+  test("e25 bot score: cv non-negative, poisson-ish traffic not all flagged") {
+    val rows = operators.Events5.e25_bot_score(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_gaps") >= 10)
+      assert(r.getAs[Double]("mean_gap_s") > 0.0)
+      assert(r.getAs[Double]("cv_gap") >= 0.0)
+      assert(r.getAs[Boolean]("metronomic") == (r.getAs[Double]("cv_gap") < 0.9))
+    }
+  }
+
+  test("p05 mixture: binding domain kept whole, output mixture hits target") {
+    val rows = operators.CorpusPipeline.p05_mixture_sample(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("lang")).distinct.length == rows.length)
+    val rates = rows.map(_.getAs[Double]("rate"))
+    assert(rates.forall(r => r > 0.0 && r <= 1.0))
+    assert(rates.exists(_ >= 1.0 - 1e-9), "waterfill must keep one domain whole")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("docs_kept") >= 0L)
+      assert(r.getAs[Long]("toks_kept") <= r.getAs[Long]("toks_avail"))
+    }
+    // kept token mixture approximates the target shares (sampling noise
+    // bounded: sf0.01 has ~70+ docs per lang)
+    val kept = rows.map(r => r.getAs[String]("lang") -> r.getAs[Long]("toks_kept")).toMap
+    val tot = kept.values.sum.toDouble
+    val target = rows.map(r => r.getAs[String]("lang") ->
+      (if (r.getAs[String]("lang") == "en") 0.30 else 0.175)).toMap
+    kept.foreach { case (l, t) =>
+      assert(math.abs(t / tot - target(l)) < 0.08, s"$l share ${t / tot}")
+    }
+  }
+
   test("t23 pmi: every pair clears the count floor; scores descend") {
     val rows = operators.TextAnalysis9.t23_pmi_collocations(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 25)
