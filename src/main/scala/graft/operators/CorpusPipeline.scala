@@ -295,16 +295,65 @@ object CorpusPipeline {
       FROM r LEFT JOIN k ON r.lang = k.lang
       ORDER BY r.lang"""
 
+  // ---- p06: quality-threshold yield curve ----
+  // The question every filter-tuning session asks: "how many tokens
+  // survive at quality ≥ t?" — answered for the whole threshold grid
+  // in ONE job instead of ten re-runs. Each scored doc joins the
+  // broadcast 10-row grid (replication bounded by GRID SIZE, filtered
+  // map-side before any exchange) and the per-threshold rollup is one
+  // combinable aggregate; the grid spine left-joins back so empty
+  // thresholds stay visible as zero rows. The cumulative-sum window
+  // alternative is banned here (unpartitioned) — and unnecessary,
+  // because bounded replication IS the distributed cumulative. Yield
+  // ratios are one IEEE division of exact token counts against the
+  // broadcast corpus total.
+  val p06_threshold_yield: Q = (s, d) => {
+    val scored = TextAnalysis.t02_quality_score(s, d)
+      .select(col("doc_id"), col("n_words"), col("quality"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = scored.agg(sum("n_words").cast("double").as("tt"))
+    val grid = s.range(10).select(col("id").as("i"),
+      (col("id").cast("double") / lit(10.0)).as("threshold"))
+    val kept = scored.crossJoin(broadcast(grid))
+      .filter(col("quality") >= col("threshold"))
+      .groupBy("i")
+      .agg(count(lit(1)).as("docs_kept"), sum("n_words").as("tokens_kept"))
+    grid.join(kept, Seq("i"), "left").crossJoin(broadcast(tot))
+      .select(col("threshold"),
+        coalesce(col("docs_kept"), lit(0L)).as("docs_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"),
+        round(coalesce(col("tokens_kept"), lit(0L)).cast("double") / col("tt"), 9)
+          .as("token_yield"))
+      .orderBy("threshold")
+  }
+  val p06Sql: String =
+    s"""WITH t02 AS ($t02Core),
+      s AS (SELECT doc_id, n_words, quality FROM t02),
+      tot AS (SELECT CAST(SUM(n_words) AS DOUBLE) AS tt FROM s),
+      g AS (SELECT i, CAST(i AS DOUBLE) / 10.0 AS threshold
+            FROM generate_series(0, 9) t(i)),
+      k AS (SELECT i, COUNT(*) AS docs_kept,
+                   CAST(SUM(n_words) AS BIGINT) AS tokens_kept
+            FROM s, g WHERE quality >= threshold GROUP BY 1)
+      SELECT threshold,
+             CAST(COALESCE(docs_kept, 0) AS BIGINT) AS docs_kept,
+             CAST(COALESCE(tokens_kept, 0) AS BIGINT) AS tokens_kept,
+             round(CAST(COALESCE(tokens_kept, 0) AS DOUBLE) / tt, 9)
+               AS token_yield
+      FROM g LEFT JOIN k USING (i), tot ORDER BY threshold"""
+
   val queries: Map[String, Q] = Map(
     "p01_corpus_clean"     -> p01_corpus_clean,
     "p02_quality_resample" -> p02_quality_resample,
     "p03_declarative_job"  -> p03_declarative_job,
     "p04_dataset_card"     -> p04_dataset_card,
-    "p05_mixture_sample"   -> p05_mixture_sample)
+    "p05_mixture_sample"   -> p05_mixture_sample,
+    "p06_threshold_yield"  -> p06_threshold_yield)
   val oracles: Map[String, String] = Map(
     "p01_corpus_clean"     -> p01Sql,
     "p02_quality_resample" -> p02Sql,
     "p03_declarative_job"  -> p03Sql,
     "p04_dataset_card"     -> p04Sql,
-    "p05_mixture_sample"   -> p05Sql)
+    "p05_mixture_sample"   -> p05Sql,
+    "p06_threshold_yield"  -> p06Sql)
 }

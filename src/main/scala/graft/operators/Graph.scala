@@ -183,12 +183,82 @@ object Graph {
       ORDER BY n_orders DESC, part_a, part_b
       LIMIT 25"""
 
+  // ---- g03: triangle census / clustering coefficient ----
+  // Community structure in one number: triangles + wedges + the global
+  // clustering coefficient 3·T/W of the co-purchase graph. The edge
+  // list reuses g02's order-size-bounded in-row pair expansion (the
+  // fact-scale stage — linear, never part×part), thresholded at
+  // weight ≥ 2 so edges carry signal (pairs co-ordered once are noise
+  // at any scale, and the threshold is what keeps |E| metadata-sized
+  // on a dense corpus). Triangles run the classic "forward" algorithm:
+  // edges stored once in a < b orientation, wedge join e1(a,b)⋈e2(b,c)
+  // only extends FORWARD (a < b < c) so each triangle is found exactly
+  // once, closed by one hash join against e3(a,c). On the thresholded
+  // edge table every join side broadcasts; at 100 TB the refinement is
+  // degree-ordering the orientation (point the edge at the higher-
+  // degree endpoint) which bounds per-vertex forward lists by sqrt|E|
+  // — same plan shape, different sort key. Wedges are exact integer
+  // sums of deg·(deg−1)/2; the coefficient is one IEEE division.
+  val g03_triangles: Q = (s, d) => {
+    val edges = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+             transform(slice(ps, i + 2, size(ps)),
+               y -> struct(x AS a, y AS b))))""")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select("a", "b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.select(col("a").as("n"))
+      .unionAll(edges.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    val nE = edges.agg(count(lit(1)).as("n_edges"))
+    val tri = edges.as("e1")
+      .join(broadcast(edges.as("e2")), col("e1.b") === col("e2.a"))
+      .join(broadcast(edges.as("e3")),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    nodes.crossJoin(broadcast(nE)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") > 0,
+          round(lit(3.0) * col("n_triangles").cast("double")
+            / col("n_wedges").cast("double"), 9)).as("gcc"))
+  }
+  val g03Sql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                   FROM lineitem),
+      e AS (SELECT x.pk AS a, y.pk AS b
+            FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      deg AS (SELECT n, COUNT(*) AS deg FROM (
+                SELECT a AS n FROM e UNION ALL SELECT b FROM e) u
+              GROUP BY 1),
+      nd AS (SELECT COUNT(*) AS n_nodes,
+                    CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+             FROM deg),
+      ne AS (SELECT COUNT(*) AS n_edges FROM e),
+      tr AS (SELECT COUNT(*) AS n_triangles
+             FROM e e1 JOIN e e2 ON e1.b = e2.a
+                       JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+      SELECT n_nodes, n_edges, n_wedges, n_triangles,
+             CASE WHEN n_wedges > 0 THEN
+               round(3.0 * CAST(n_triangles AS DOUBLE)
+                     / CAST(n_wedges AS DOUBLE), 9) END AS gcc
+      FROM nd, ne, tr"""
+
   val queries: Map[String, Q] = Map(
     "g01_pagerank"   -> g01_pagerank,
     "g02_copurchase" -> g02_copurchase,
+    "g03_triangles"  -> g03_triangles,
   )
   val oracles: Map[String, String] = Map(
     "g01_pagerank"   -> g01Sql,
     "g02_copurchase" -> g02Sql,
+    "g03_triangles"  -> g03Sql,
   )
 }

@@ -321,8 +321,60 @@ object Similarity2 {
       FROM allp ORDER BY qid, pick"""
   }
 
+  // ---- s11: cluster exemplars (nearest-to-centroid top-k) ----
+  // The curation-review surface: for every cluster, the k most central
+  // members — what you actually LOOK AT when auditing a semantic-dedup
+  // or topic clustering ("show me 3 prototypical docs per cluster").
+  // Centroids are s03's decimal-exact per-dimension means (broadcast —
+  // cluster-count-sized); each vector scores ONE cosine against its
+  // own cluster's centroid in-row (sequential double fold, the
+  // engine-exact kernel s01 pinned against list_dot_product), and the
+  // top-3 ride a label-PARTITIONED rank window — per-cluster state
+  // only, no global sort, no pairwise anything. At 100 TB: one scan,
+  // one broadcast, one keyed window; cost is linear in corpus and
+  // independent of cluster count.
+  val s11_cluster_exemplars: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val cents = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg((sum(col("v").cast("double").cast(DecimalType(30, 10))).cast("double")
+        / count(lit(1))).as("mv"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("mv")))).as("pairs"))
+      .select(col("label"), expr("transform(pairs, p -> p.mv)").as("cvec"))
+    val w = Window.partitionBy("label").orderBy(desc("cosine"), col("vec_id"))
+    e.join(broadcast(cents), "label")
+      .withColumn("cosine", round(graft.functions.cosine_sim(
+        col("embedding").cast("array<double>"), col("cvec")), 9))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("label", "rank", "vec_id", "cosine")
+      .orderBy("label", "rank")
+  }
+  val s11Sql: String =
+    """WITH e AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+                       unnest(embedding) AS v FROM embeddings),
+      m AS (SELECT label, dim,
+              CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,10))) AS DOUBLE)
+                / COUNT(*) AS mv
+            FROM e GROUP BY 1, 2),
+      c AS (SELECT label, list(mv ORDER BY dim) AS cvec FROM m GROUP BY 1),
+      p AS (SELECT emb.label, vec_id,
+              round(list_dot_product(CAST(embedding AS DOUBLE[]), cvec)
+                / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[])))
+                   * sqrt(list_dot_product(cvec, cvec))), 9) AS cosine
+            FROM embeddings emb JOIN c ON emb.label = c.label)
+      SELECT label, rn AS rank, vec_id, cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY label
+                                     ORDER BY cosine DESC, vec_id) AS rn
+        FROM p) t
+      WHERE rn <= 3 ORDER BY label, rank"""
+
   val queries: Map[String, Q] = Map(
     "s06_kmeans_refine"  -> s06_kmeans_refine,
+    "s11_cluster_exemplars" -> s11_cluster_exemplars,
     "s07_pairwise_stats" -> s07_pairwise_stats,
     "s08_ann_recall"     -> s08_ann_recall,
     "s09_scalar_quant"   -> s09_scalar_quant,
@@ -330,6 +382,7 @@ object Similarity2 {
   )
   val oracles: Map[String, String] = Map(
     "s06_kmeans_refine"  -> s06Sql,
+    "s11_cluster_exemplars" -> s11Sql,
     "s07_pairwise_stats" -> s07Sql,
     "s08_ann_recall"     -> s08Sql,
     "s09_scalar_quant"   -> s09Sql,

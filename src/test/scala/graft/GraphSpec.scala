@@ -122,6 +122,48 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("g03 triangles: census internally consistent, gcc in [0,1]") {
+    val r = operators.Graph.g03_triangles(spark, sf).collect().head
+    val (nodes, edges, wedges, tris) =
+      (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"),
+        r.getAs[Long]("n_wedges"), r.getAs[Long]("n_triangles"))
+    assert(nodes > 0 && edges > 0)
+    // every edge contributes 2 degree endpoints; wedges >= edges - nodes
+    assert(wedges >= 0 && tris >= 0)
+    // each triangle closes 3 wedges, so 3T <= W always
+    assert(3 * tris <= wedges)
+    if (wedges > 0) {
+      val gcc = r.getAs[Double]("gcc")
+      assert(gcc >= 0.0 && gcc <= 1.0)
+      assert(math.abs(gcc - 3.0 * tris / wedges) < 1e-9)
+    }
+  }
+
+  test("s11 exemplars: top-3 per cluster, scores descend, members of own cluster") {
+    val rows = operators.Similarity2.s11_cluster_exemplars(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Int]("label")).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      val byRank = rs.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq == (1L to rs.length))
+      val cos = byRank.map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+      assert(cos.forall(c => c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9))
+    }
+  }
+
+  test("p06 yield curve: monotone non-increasing, threshold 0 keeps everything") {
+    val rows = operators.CorpusPipeline.p06_threshold_yield(spark, sf).collect()
+    assert(rows.length == 10)
+    val toks = rows.map(_.getAs[Long]("tokens_kept"))
+    assert(toks.zip(toks.tail).forall { case (a, b) => a >= b },
+      "yield must fall as the threshold rises")
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.head.getAs[Long]("docs_kept") == nDocs,
+      "quality >= 0.0 keeps every doc")
+    assert(math.abs(rows.head.getAs[Double]("token_yield") - 1.0) < 1e-9)
+  }
+
   test("t23 pmi: every pair clears the count floor; scores descend") {
     val rows = operators.TextAnalysis9.t23_pmi_collocations(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 25)
