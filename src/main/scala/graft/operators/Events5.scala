@@ -197,16 +197,51 @@ object Events5 {
              sqrt(varg) / mean_gap_s < 0.9 AS metronomic
       FROM m ORDER BY user_id"""
 
+  // ---- e26: day-of-week seasonality profile ----
+  // The capacity-planning / anomaly-baseline primitive: each event
+  // type's traffic profile across the week, as a seasonality INDEX —
+  // observed day-of-week count over the uniform expectation total/7.
+  // Index > 1 = that weekday runs hot. One map-side-combinable
+  // (type, dow) aggregate (42 cells at any fact scale), type totals by
+  // a second tiny rollup, one IEEE division of exact counts. Weekday
+  // numbering is pinned cross-engine: Spark dayofweek() is 1=Sunday,
+  // DuckDB dayofweek() is 0=Sunday — the Spark side subtracts 1 so
+  // both emit Sun=0..Sat=6.
+  val e26_seasonality: Q = (s, d) => {
+    val cells = Tables.events(s, d)
+      .groupBy(col("event_type"), (dayofweek(col("ts")) - 1).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy("event_type").agg(sum("n").as("tot"))
+    cells.join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("dow"), col("n"),
+        round(col("n").cast("double") / (col("tot").cast("double") / lit(7.0)), 9)
+          .as("season_idx"))
+      .orderBy("event_type", "dow")
+  }
+  val e26Sql: String =
+    """WITH c AS (SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+                       COUNT(*) AS n
+               FROM events GROUP BY 1, 2),
+      t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tot
+            FROM c GROUP BY 1)
+      SELECT c.event_type, dow, n,
+             round(CAST(n AS DOUBLE) / (CAST(tot AS DOUBLE) / 7.0), 9)
+               AS season_idx
+      FROM c JOIN t ON c.event_type = t.event_type
+      ORDER BY c.event_type, dow"""
+
   val queries: Map[String, Q] = Map(
     "e22_conversion_lag" -> e22_conversion_lag,
     "e23_ewma"           -> e23_ewma,
     "e24_markov"         -> e24_markov,
     "e25_bot_score"      -> e25_bot_score,
+    "e26_seasonality"    -> e26_seasonality,
   )
   val oracles: Map[String, String] = Map(
     "e22_conversion_lag" -> e22Sql,
     "e23_ewma"           -> e23Sql,
     "e24_markov"         -> e24Sql,
     "e25_bot_score"      -> e25Sql,
+    "e26_seasonality"    -> e26Sql,
   )
 }

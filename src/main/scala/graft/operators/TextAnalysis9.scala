@@ -72,10 +72,51 @@ object TextAnalysis9 {
       ORDER BY pmi_ratio DESC, w1, w2
       LIMIT 25"""
 
+  // ---- t24: language-ID confusion audit ----
+  // The classifier-vs-labels health check every corpus with both a
+  // predicted and a declared language needs: the full confusion matrix
+  // of t01's n-gram language ID against the catalog `lang` column,
+  // with each cell's share of its true-label row. t01's per-doc
+  // prediction is reused verbatim (same operator, same oracle SQL
+  // spliced as a CTE — one definition, two consumers); the label
+  // attach is a doc_id equi-join (at 100 TB the production form
+  // carries `lang` through the scoring pass instead — the audit keeps
+  // the join so it can run over any independently produced prediction
+  // table, which is the actual use case: auditing someone else's
+  // labels). Matrix is |langs|² — metadata-sized; shares are one IEEE
+  // division of exact counts.
+  val t24_lang_confusion: Q = (s, d) => {
+    val pred = TextAnalysis.t01_lang_id(s, d).select("doc_id", "pred_lang")
+    val cells = Tables.documents(s, d).select("doc_id", "lang")
+      .join(pred, "doc_id")
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy("lang").agg(sum("n").as("tot"))
+    cells.join(broadcast(totals), "lang")
+      .select(col("lang"), col("pred_lang"), col("n"),
+        round(col("n").cast("double") / col("tot").cast("double"), 9)
+          .as("share_of_lang"))
+      .orderBy("lang", "pred_lang")
+  }
+  private val t01Core =
+    TextAnalysis.t01Sql.substring(0, TextAnalysis.t01Sql.lastIndexOf("ORDER BY"))
+  val t24Sql: String =
+    s"""WITH t01 AS ($t01Core),
+      cells AS (SELECT d.lang, t01.pred_lang, COUNT(*) AS n
+                FROM documents d JOIN t01 ON d.doc_id = t01.doc_id
+                GROUP BY 1, 2),
+      tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS tot FROM cells GROUP BY 1)
+      SELECT cells.lang, pred_lang, n,
+             round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 9) AS share_of_lang
+      FROM cells JOIN tot ON cells.lang = tot.lang
+      ORDER BY cells.lang, pred_lang"""
+
   val queries: Map[String, Q] = Map(
     "t23_pmi_collocations" -> t23_pmi_collocations,
+    "t24_lang_confusion"   -> t24_lang_confusion,
   )
   val oracles: Map[String, String] = Map(
     "t23_pmi_collocations" -> t23Sql,
+    "t24_lang_confusion"   -> t24Sql,
   )
 }

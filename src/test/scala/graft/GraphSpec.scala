@@ -164,6 +164,43 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(rows.head.getAs[Double]("token_yield") - 1.0) < 1e-9)
   }
 
+  test("t24 confusion: rows partition the corpus, shares sum to 1 per label") {
+    val rows = operators.TextAnalysis9.t24_lang_confusion(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == Tables.documents(spark, sf).count())
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (l, rs) =>
+      val sh = rs.map(_.getAs[Double]("share_of_lang")).sum
+      assert(math.abs(sh - 1.0) < 1e-6, s"$l shares sum to $sh")
+    }
+    // the classifier only emits en/es/de — predictions stay in that set
+    assert(rows.map(_.getAs[String]("pred_lang")).toSet.subsetOf(Set("en", "es", "de")))
+  }
+
+  test("e26 seasonality: indexes average to 1 over a complete week") {
+    val rows = operators.Events5.e26_seasonality(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("dow") >= 0 && r.getAs[Long]("dow") <= 6))
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
+      // sum of n/(tot/7) over all present dows = 7 * (sum n)/tot = 7
+      val s = rs.map(_.getAs[Double]("season_idx")).sum
+      assert(math.abs(s - 7.0) < 1e-6, s"$t indexes sum to $s")
+    }
+  }
+
+  test("q89 window dedup: drops bounded, zero at infinite gap corpus") {
+    val rows = operators.Relational12.q89_window_dedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var dropped = 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dropped") < r.getAs[Long]("n_events"),
+        "keep-first can never drop a whole stream")
+      assert(r.getAs[Double]("drop_rate") >= 0.0 && r.getAs[Double]("drop_rate") < 1.0)
+      dropped += r.getAs[Long]("n_dropped")
+    }
+    assert(dropped > 0, "the 1h window must bite on this corpus (min gap ~8s)")
+  }
+
   test("t23 pmi: every pair clears the count floor; scores descend") {
     val rows = operators.TextAnalysis9.t23_pmi_collocations(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 25)
