@@ -201,6 +201,24 @@ class GraphSpec extends AnyFunSuite {
     assert(dropped > 0, "the 1h window must bite on this corpus (min gap ~8s)")
   }
 
+  test("m10 cdc: chunks reassemble the corpus, dedup finds repeated content") {
+    import org.apache.spark.sql.functions._
+    val r = operators.Multimodal3.m10_cdc_chunking(spark, sf).collect().head
+    // conservation: chunk chars referenced == total corpus chars (chunks
+    // partition every payload exactly)
+    val corpusChars = Tables.documents(spark, sf)
+      .agg(sum(length(col("text")))).collect().head.getLong(0)
+    assert(r.getAs[Long]("chars_total") == corpusChars)
+    assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_chunks"))
+    assert(r.getAs[Long]("chars_stored") <= r.getAs[Long]("chars_total"))
+    val ratio = r.getAs[Double]("dedup_ratio")
+    assert(ratio > 0.0 && ratio <= 1.0)
+    assert(ratio < 1.0, "word-salad corpus must share some 16-char chunks")
+    // mean chunk length near the 16-char design point (1/16 boundary prob)
+    val mean = r.getAs[Double]("mean_chunk_chars")
+    assert(mean > 8.0 && mean < 32.0, s"mean chunk $mean off design point")
+  }
+
   test("t23 pmi: every pair clears the count floor; scores descend") {
     val rows = operators.TextAnalysis9.t23_pmi_collocations(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 25)
