@@ -230,8 +230,68 @@ object Events5 {
       FROM c JOIN t ON c.event_type = t.event_type
       ORDER BY c.event_type, dow"""
 
+  // ---- e27: burst detection (trailing-baseline z-score, exact) ----
+  // The ops-monitoring staple: flag days where an event type's volume
+  // spikes above its own recent history. Baseline = the trailing 7 FULL
+  // days (frame rows -7..-1, rows with a short history are excluded, so
+  // the corpus edge never yields a degenerate sigma). The burst test
+  // c > mu + 3*sigma is evaluated IN INTEGERS — c*n - S > 0 and
+  // (c*n - S)^2 > 9*(n*SS - S^2), the mean/variance inequality cleared
+  // of divisions — so the flag is engine-exact with no floating-point
+  // threshold wobble; the z column itself is one sqrt+divide on those
+  // same integers, for humans. Plan: one partial-agg pass to daily
+  // counts (5 types x 30 days = metadata-sized), then a type-keyed
+  // window over ~30 rows per key — at 100 TB the window input is still
+  // types x days, never event-sized.
+  val e27_burst_detect: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    daily
+      .withColumn("trail_n", count(lit(1)).over(w))
+      .withColumn("trail_sum", sum("cnt").over(w))
+      .withColumn("trail_sumsq", sum(col("cnt") * col("cnt")).over(w))
+      .filter(col("trail_n") === 7)
+      .withColumn("dev_num", col("cnt") * 7 - col("trail_sum"))
+      .withColumn("var_num",
+        lit(7) * col("trail_sumsq") - col("trail_sum") * col("trail_sum"))
+      .withColumn("z", when(col("var_num") > 0,
+        round(col("dev_num").cast("double")
+          / sqrt(col("var_num").cast("double")), 9)))
+      .withColumn("is_burst",
+        when(col("dev_num") > 0 &&
+          col("dev_num") * col("dev_num") > lit(9) * col("var_num"), 1L)
+          .otherwise(0L))
+      .select("event_type", "day", "cnt", "trail_sum", "z", "is_burst")
+      .orderBy("event_type", "day")
+  }
+  val e27Sql: String =
+    """WITH c AS (SELECT event_type, date_trunc('day', ts) AS day,
+                       COUNT(*) AS cnt
+               FROM events GROUP BY 1, 2),
+      t AS (SELECT event_type, day, cnt,
+              COUNT(*) OVER w AS trail_n,
+              CAST(SUM(cnt) OVER w AS BIGINT) AS trail_sum,
+              CAST(SUM(cnt * cnt) OVER w AS BIGINT) AS trail_sumsq
+            FROM c
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      f AS (SELECT *, cnt * 7 - trail_sum AS dev_num,
+                   7 * trail_sumsq - trail_sum * trail_sum AS var_num
+            FROM t WHERE trail_n = 7)
+      SELECT event_type, day, cnt, trail_sum,
+             CASE WHEN var_num > 0
+                  THEN round(CAST(dev_num AS DOUBLE)
+                             / sqrt(CAST(var_num AS DOUBLE)), 9) END AS z,
+             CAST(CASE WHEN dev_num > 0
+                        AND dev_num * dev_num > 9 * var_num
+                       THEN 1 ELSE 0 END AS BIGINT) AS is_burst
+      FROM f ORDER BY event_type, day"""
+
   val queries: Map[String, Q] = Map(
     "e22_conversion_lag" -> e22_conversion_lag,
+    "e27_burst_detect"   -> e27_burst_detect,
     "e23_ewma"           -> e23_ewma,
     "e24_markov"         -> e24_markov,
     "e25_bot_score"      -> e25_bot_score,
@@ -239,6 +299,7 @@ object Events5 {
   )
   val oracles: Map[String, String] = Map(
     "e22_conversion_lag" -> e22Sql,
+    "e27_burst_detect"   -> e27Sql,
     "e23_ewma"           -> e23Sql,
     "e24_markov"         -> e24Sql,
     "e25_bot_score"      -> e25Sql,

@@ -192,9 +192,12 @@ object Multimodal3 {
   // stored chars, dedup ratio. Payload bytes never shuffle — only
   // (hash, count, length) triples move, m07's discipline at sub-asset
   // granularity.
-  val m10_cdc_chunking: Q = (s, d) => {
-    val chunked = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+  /** Content-defined chunk slicing, in-row: boundary wherever the md5 of
+    * the trailing 8-char window starts with '0' (1/16 of hash space).
+    * Input needs a `text` column; adds `n`, `bnds`, `chunks`.
+    */
+  private def withCdcChunks(df: DataFrame): DataFrame =
+    df.withColumn("n", length(col("text")))
       .withColumn("bnds", expr(
         """filter(sequence(8, greatest(length(text), 8)),
              i -> i <= length(text)
@@ -208,6 +211,10 @@ object Multimodal3 {
                       - (CASE WHEN j = 1 THEN 1
                               ELSE element_at(bnds, j - 1) + 1 END) + 1)),
              c -> c <> '')"""))
+
+  val m10_cdc_chunking: Q = (s, d) => {
+    val chunked = withCdcChunks(
+      Tables.documents(s, d).select(col("doc_id"), col("text")))
     chunked
       .select(explode(col("chunks")).as("chunk"))
       .groupBy(md5(encode(col("chunk"), "UTF-8")).as("h"))
@@ -257,16 +264,111 @@ object Multimodal3 {
                    / CAST(SUM(cnt) AS DOUBLE), 9) AS mean_chunk_chars
       FROM h"""
 
+  // ---- m11: incremental chunk upload (the CDC payoff, quantified) ----
+  // The follow-on crawl: 1-in-5 assets arrive edited (deterministic
+  // append — the metadata-tail case CDC is built for). A whole-file
+  // store re-uploads every changed asset in full; the chunk store
+  // uploads only chunks whose hash is absent from the v1 ledger — and
+  // because boundaries are content-defined, an appended tail disturbs
+  // only the final chunk, so the upload is a sliver of the naive bytes.
+  // Plan shape: two in-row chunkings (no extra scan — v2 derives from
+  // the same frame), two uniform hash aggregates, one hash anti-join,
+  // constant-size rollup. Payload text never shuffles; only
+  // (hash, len) pairs move — the m08/m10 discipline for the delta path.
+  val m11_incremental_chunks: Q = (s, d) => {
+    def chunkStore(df: DataFrame): DataFrame =
+      withCdcChunks(df)
+        .select(explode(col("chunks")).as("chunk"))
+        .groupBy(md5(encode(col("chunk"), "UTF-8")).as("h"))
+        .agg(min(length(col("chunk"))).as("clen"))
+    val docs = Tables.documents(s, d)
+    val v1 = docs.select(col("doc_id"), col("text"))
+    val v2 = docs.select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" rev "), col("lang")))
+        .otherwise(col("text")).as("text"))
+    val fresh = chunkStore(v2)
+      .join(chunkStore(v1).select("h"), Seq("h"), "left_anti")
+      .agg(count(lit(1)).as("new_chunks"),
+        coalesce(sum(col("clen").cast("long")), lit(0L)).as("cdc_upload_chars"))
+    val naive = v2.filter(col("doc_id") % 5 === 0)
+      .agg(count(lit(1)).as("edited_docs"),
+        sum(length(col("text")).cast("long")).as("naive_upload_chars"))
+    naive.join(fresh)
+      .select(col("edited_docs"), col("naive_upload_chars"),
+        col("new_chunks"), col("cdc_upload_chars"),
+        round(col("cdc_upload_chars").cast("double")
+          / col("naive_upload_chars").cast("double"), 9).as("cdc_ratio"))
+  }
+  val m11Sql: String =
+    """WITH v2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN text || ' rev ' || lang
+                    ELSE text END AS text
+        FROM documents),
+      b1 AS (
+        SELECT text, length(text) AS n,
+               list_filter(generate_series(8, greatest(length(text), 8)),
+                 i -> i <= length(text)
+                      AND substring(md5(substring(text, i - 7, 8)), 1, 1) = '0')
+                 AS bnds
+        FROM documents),
+      c1 AS (
+        SELECT list_filter(
+                 list_transform(generate_series(1, len(bnds) + 1),
+                   j -> substring(text,
+                          CASE WHEN j = 1 THEN 1 ELSE bnds[j - 1] + 1 END,
+                          (CASE WHEN j = len(bnds) + 1 THEN n
+                                ELSE bnds[j] END)
+                            - (CASE WHEN j = 1 THEN 1
+                                    ELSE bnds[j - 1] + 1 END) + 1)),
+                 s -> s <> '') AS chunks
+        FROM b1),
+      h1 AS (SELECT DISTINCT md5(chunk) AS h
+             FROM (SELECT unnest(chunks) AS chunk FROM c1)),
+      b2 AS (
+        SELECT text, length(text) AS n,
+               list_filter(generate_series(8, greatest(length(text), 8)),
+                 i -> i <= length(text)
+                      AND substring(md5(substring(text, i - 7, 8)), 1, 1) = '0')
+                 AS bnds
+        FROM v2),
+      c2 AS (
+        SELECT list_filter(
+                 list_transform(generate_series(1, len(bnds) + 1),
+                   j -> substring(text,
+                          CASE WHEN j = 1 THEN 1 ELSE bnds[j - 1] + 1 END,
+                          (CASE WHEN j = len(bnds) + 1 THEN n
+                                ELSE bnds[j] END)
+                            - (CASE WHEN j = 1 THEN 1
+                                    ELSE bnds[j - 1] + 1 END) + 1)),
+                 s -> s <> '') AS chunks
+        FROM b2),
+      h2 AS (SELECT md5(chunk) AS h, MIN(length(chunk)) AS clen
+             FROM (SELECT unnest(chunks) AS chunk FROM c2) GROUP BY 1),
+      nw AS (SELECT CAST(COUNT(*) AS BIGINT) AS new_chunks,
+                    CAST(COALESCE(SUM(clen), 0) AS BIGINT) AS cdc_upload_chars
+             FROM h2 WHERE h NOT IN (SELECT h FROM h1)),
+      nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS edited_docs,
+                    CAST(SUM(length(text)) AS BIGINT) AS naive_upload_chars
+             FROM v2 WHERE doc_id % 5 = 0)
+      SELECT edited_docs, naive_upload_chars, new_chunks, cdc_upload_chars,
+             round(CAST(cdc_upload_chars AS DOUBLE)
+                   / CAST(naive_upload_chars AS DOUBLE), 9) AS cdc_ratio
+      FROM nv CROSS JOIN nw"""
+
   val queries: Map[String, Q] = Map(
     "m07_asset_dedup"   -> m07_asset_dedup,
     "m08_asset_diff"    -> m08_asset_diff,
     "m09_asset_neardup" -> m09_asset_neardup,
     "m10_cdc_chunking"  -> m10_cdc_chunking,
+    "m11_incremental_chunks" -> m11_incremental_chunks,
   )
   val oracles: Map[String, String] = Map(
     "m07_asset_dedup"   -> m07Sql,
     "m08_asset_diff"    -> m08Sql,
     "m09_asset_neardup" -> m09Sql,
     "m10_cdc_chunking"  -> m10Sql,
+    "m11_incremental_chunks" -> m11Sql,
   )
 }

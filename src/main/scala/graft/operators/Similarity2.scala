@@ -372,9 +372,85 @@ object Similarity2 {
         FROM p) t
       WHERE rn <= 3 ORDER BY label, rank"""
 
+  // ---- s12: reciprocal-rank fusion (hybrid sparse + dense retrieval) ----
+  // The standard hybrid-search combiner (Cormack/Clarke/Buettcher 2009):
+  // fuse a keyword ranking (t14's BM25 top-25) with a vector ranking
+  // (top-25 cosine for one probe embedding) by summing 1/(60+rank) per
+  // list — rank-only fusion, so the two lists' incomparable score scales
+  // never touch. Each list is produced by globalTopK (per-partition
+  // heaps, no unpartitioned window, no full sort); the fuse is a
+  // full-outer join of two 25-row frames — driver-scale, exchange-free
+  // after broadcast. At 100 TB the cost is the two retrievals; fusion
+  // stays constant-size. 1/(60+r) is the same IEEE double op in both
+  // engines and the two-term sum has a fixed evaluation order, so the
+  // fused scores (and the final ranking) are engine-exact.
+  val s12_rrf_fusion: Q = (s, d) => {
+    import graft.api.GraftOps
+    val sparse = GraftOps.globalTopK(TextAnalysis4.t14_bm25(s, d), "bm25", "doc_id", 25)
+      .select(col("doc_id").as("id"), col("rank").as("sparse_rank"))
+    val e = Tables.embeddings(s, d)
+    val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val scored = e.filter(col("vec_id") =!= 0)
+      .join(broadcast(probe))
+      .withColumn("cosine", graft.functions.cosine_sim(col("qe"), col("embedding")))
+      .select("vec_id", "cosine")
+    val dense = GraftOps.globalTopK(scored, "cosine", "vec_id", 25)
+      .select(col("vec_id").as("id"), col("rank").as("dense_rank"))
+    val fused = sparse.join(dense, Seq("id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + col("sparse_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("dense_rank")), lit(0.0)), 9))
+    GraftOps.globalTopK(fused, "rrf", "id", 25)
+      .select("id", "rrf", "sparse_rank", "dense_rank", "rank")
+      .orderBy("rank")
+  }
+  val s12Sql: String =
+    """WITH words AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+                    FROM documents),
+      w AS (SELECT * FROM words WHERE word <> ''),
+      dl AS (SELECT doc_id, COUNT(*) AS dl FROM w GROUP BY 1),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                    CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+      tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w
+             WHERE word IN ('spark', 'hash', 'window') GROUP BY 1, 2),
+      df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      sc AS (SELECT t.doc_id,
+               round(ln(1.0 + (CAST(s.n_docs - f.df AS DOUBLE) + 0.5)
+                              / (CAST(f.df AS DOUBLE) + 0.5))
+                   * (CAST(t.tf AS DOUBLE) * 2.25)
+                   / (CAST(t.tf AS DOUBLE)
+                      + 1.25 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE)
+                                / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))), 6) AS score
+             FROM tf t JOIN df f USING (word) JOIN dl d USING (doc_id)
+             CROSS JOIN st s),
+      bm AS (SELECT doc_id,
+               round(CAST(SUM(CAST(score AS DECIMAL(30,6))) AS DOUBLE), 6) AS bm25
+             FROM sc GROUP BY doc_id),
+      sp AS (SELECT doc_id AS id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS sparse_rank
+             FROM bm QUALIFY sparse_rank <= 25),
+      pr AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      co AS (SELECT vec_id,
+               list_dot_product(CAST(qe AS DOUBLE[]), CAST(embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(qe AS DOUBLE[]), CAST(qe AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[])))) AS cosine
+             FROM embeddings CROSS JOIN pr WHERE vec_id <> 0),
+      dn AS (SELECT vec_id AS id,
+               row_number() OVER (ORDER BY cosine DESC, vec_id) AS dense_rank
+             FROM co QUALIFY dense_rank <= 25),
+      fu AS (SELECT COALESCE(sp.id, dn.id) AS id, sp.sparse_rank, dn.dense_rank,
+               round(COALESCE(1.0 / (60 + sp.sparse_rank), 0.0)
+                     + COALESCE(1.0 / (60 + dn.dense_rank), 0.0), 9) AS rrf
+             FROM sp FULL OUTER JOIN dn ON sp.id = dn.id)
+      SELECT id, rrf, sparse_rank, dense_rank,
+             row_number() OVER (ORDER BY rrf DESC, id) AS rank
+      FROM fu QUALIFY rank <= 25 ORDER BY rank"""
+
   val queries: Map[String, Q] = Map(
     "s06_kmeans_refine"  -> s06_kmeans_refine,
     "s11_cluster_exemplars" -> s11_cluster_exemplars,
+    "s12_rrf_fusion"     -> s12_rrf_fusion,
     "s07_pairwise_stats" -> s07_pairwise_stats,
     "s08_ann_recall"     -> s08_ann_recall,
     "s09_scalar_quant"   -> s09_scalar_quant,
@@ -383,6 +459,7 @@ object Similarity2 {
   val oracles: Map[String, String] = Map(
     "s06_kmeans_refine"  -> s06Sql,
     "s11_cluster_exemplars" -> s11Sql,
+    "s12_rrf_fusion"     -> s12Sql,
     "s07_pairwise_stats" -> s07Sql,
     "s08_ann_recall"     -> s08Sql,
     "s09_scalar_quant"   -> s09Sql,

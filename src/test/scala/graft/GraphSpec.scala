@@ -219,6 +219,62 @@ class GraphSpec extends AnyFunSuite {
     assert(mean > 8.0 && mean < 32.0, s"mean chunk $mean off design point")
   }
 
+  test("s12 rrf: fused ranking dense from 1, descending, sourced from a list") {
+    val rows = operators.Similarity2.s12_rrf_fusion(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to rows.length).toSeq)
+    val scores = rows.map(_.getAs[Double]("rrf"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // every fused row must come from at least one source list, and its
+    // score must equal the RRF closed form of its two ranks
+    rows.foreach { r =>
+      val sr = Option(r.getAs[java.lang.Long]("sparse_rank"))
+      val dr = Option(r.getAs[java.lang.Long]("dense_rank"))
+      assert(sr.isDefined || dr.isDefined)
+      val expect = sr.map(v => 1.0 / (60 + v)).getOrElse(0.0) +
+        dr.map(v => 1.0 / (60 + v)).getOrElse(0.0)
+      assert(math.abs(r.getAs[Double]("rrf") - expect) < 1e-8)
+    }
+    // ranks within each source list are unique
+    val srs = rows.flatMap(r => Option(r.getAs[java.lang.Long]("sparse_rank")))
+    val drs = rows.flatMap(r => Option(r.getAs[java.lang.Long]("dense_rank")))
+    assert(srs.distinct.length == srs.length)
+    assert(drs.distinct.length == drs.length)
+  }
+
+  test("m11 incremental chunks: CDC uploads a sliver of the naive bytes") {
+    val r = operators.Multimodal3.m11_incremental_chunks(spark, sf).collect().head
+    val edited = r.getAs[Long]("edited_docs")
+    assert(edited > 0)
+    val naive = r.getAs[Long]("naive_upload_chars")
+    val cdc = r.getAs[Long]("cdc_upload_chars")
+    assert(r.getAs[Long]("new_chunks") > 0, "an appended edit must mint >=1 new chunk")
+    assert(cdc > 0 && cdc < naive,
+      s"CDC must beat whole-file re-upload: cdc=$cdc naive=$naive")
+    // content-defined boundaries confine an append to the tail: the
+    // upload should be well under half the naive bytes even on this
+    // short-payload corpus (mean chunk ~16 chars vs ~300-char docs)
+    val ratio = r.getAs[Double]("cdc_ratio")
+    assert(ratio < 0.5, s"cdc_ratio $ratio not a sliver")
+  }
+
+  test("e27 burst: baseline always 7 full days, flag matches the integer test") {
+    val rows = operators.Events5.e27_burst_detect(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // groups are (type, day>=8th observed day): every surviving row's z
+    // and flag must be self-consistent, and flags only fire upward
+    rows.foreach { r =>
+      val z = Option(r.getAs[java.lang.Double]("z"))
+      val burst = r.getAs[Long]("is_burst")
+      assert(burst == 0L || burst == 1L)
+      if (burst == 1L) {
+        assert(z.isDefined && z.get > 3.0 - 1e-9,
+          s"flagged burst with z=$z must clear 3 sigma")
+      }
+      if (z.isDefined && z.get <= 3.0) assert(burst == 0L)
+    }
+  }
+
   test("t23 pmi: every pair clears the count floor; scores descend") {
     val rows = operators.TextAnalysis9.t23_pmi_collocations(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 25)
