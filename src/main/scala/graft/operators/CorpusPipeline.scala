@@ -342,18 +342,62 @@ object CorpusPipeline {
                AS token_yield
       FROM g LEFT JOIN k USING (i), tot ORDER BY threshold"""
 
+  // ---- p07: curriculum phase manifest (quality-ordered schedule) ----
+  // Curriculum training feeds the corpus easiest/cleanest-last (or
+  // first — the schedule is the caller's; the ENGINE op is the exact
+  // global quality ordering split into equal phases). Phase = quartile
+  // of the corpus-wide (quality, doc_id) order, computed WITHOUT an
+  // unpartitioned window: globalRank range-partitions on the sort key
+  // and adds broadcast prefix-sum offsets (the q75 discipline), then
+  // phase assignment is pure integer arithmetic on the rank, so the
+  // manifest is engine-exact — no percentile interpolation, no
+  // floating-point bucket edges. Output is the 4-row schedule a
+  // training loop consumes: docs, token budget, quality range per
+  // phase. One scan + one range exchange at any corpus size.
+  val p07_curriculum: Q = (s, d) => {
+    import graft.Stable
+    val scored = TextAnalysis.t02_quality_score(s, d)
+      .select(col("doc_id"), col("n_words"), col("quality"))
+    val n = scored.agg(count(lit(1)).as("nn"))
+    graft.api.GraftOps.globalRank(scored, col("quality"), col("doc_id"))
+      .crossJoin(broadcast(n))
+      .withColumn("phase", expr("((rank - 1) * 4) div nn + 1"))
+      .groupBy("phase")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("tokens"),
+        round(min("quality"), 9).as("min_q"),
+        round(max("quality"), 9).as("max_q"),
+        round(Stable.davg(col("quality")), 9).as("mean_q"))
+      .orderBy("phase")
+  }
+  val p07Sql: String =
+    s"""WITH t02 AS ($t02Core),
+      sc AS (SELECT doc_id, n_words, quality FROM t02),
+      n AS (SELECT COUNT(*) AS nn FROM sc),
+      r AS (SELECT doc_id, n_words, quality,
+              row_number() OVER (ORDER BY quality, doc_id) AS rank FROM sc)
+      SELECT ((rank - 1) * 4) // nn + 1 AS phase,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_words) AS BIGINT) AS tokens,
+             round(MIN(quality), 9) AS min_q,
+             round(MAX(quality), 9) AS max_q,
+             round(${graft.Stable.sqlAvg("quality")}, 9) AS mean_q
+      FROM r, n GROUP BY 1 ORDER BY phase"""
+
   val queries: Map[String, Q] = Map(
     "p01_corpus_clean"     -> p01_corpus_clean,
     "p02_quality_resample" -> p02_quality_resample,
     "p03_declarative_job"  -> p03_declarative_job,
     "p04_dataset_card"     -> p04_dataset_card,
     "p05_mixture_sample"   -> p05_mixture_sample,
-    "p06_threshold_yield"  -> p06_threshold_yield)
+    "p06_threshold_yield"  -> p06_threshold_yield,
+    "p07_curriculum"       -> p07_curriculum)
   val oracles: Map[String, String] = Map(
     "p01_corpus_clean"     -> p01Sql,
     "p02_quality_resample" -> p02Sql,
     "p03_declarative_job"  -> p03Sql,
     "p04_dataset_card"     -> p04Sql,
     "p05_mixture_sample"   -> p05Sql,
-    "p06_threshold_yield"  -> p06Sql)
+    "p06_threshold_yield"  -> p06Sql,
+    "p07_curriculum"       -> p07Sql)
 }

@@ -99,10 +99,101 @@ object Dedup5 {
       WHERE CAST(w_shared AS DOUBLE) / (ta.totw + tb.totw - w_shared) >= 0.5
       ORDER BY id_a, id_b"""
 
+  // ---- d24: MinHash-LSH recall/precision harness (oracle-exact) ----
+  // s08 measures ANN recall; this is the same evaluation surface for the
+  // DEDUP side: how much of the exact-Jaccard truth (d03's >=0.5 pairs)
+  // does a 16-perm / 4-band / 4-row MinHash banding recover, and how much
+  // candidate noise does it admit? d02/d06's production signatures use a
+  // native hash family DuckDB can't replay, so THIS harness builds its
+  // minhashes from md5(seed || shingle) — slower per byte, but every
+  // step (min over hex strings, band keys, candidate join, exact truth)
+  // is expressible in BOTH engines, making precision/recall themselves
+  // hash-exact oracle numbers instead of spec assertions. Theory check
+  // the spec pins: a J=1 pair agrees on every minhash, so exact dups are
+  // ALWAYS candidates; band-match prob at J=0.5 is 1-(1-J^4)^4 ~ 0.23,
+  // so recall lands between the exact-dup share and 1. Plan: shingles
+  // once, one (doc,seed)-keyed min-aggregate (16 rows/doc), band keys by
+  // sorted concat, candidates from a band-key equijoin (bucket-bounded,
+  // never all-pairs), truth from the shared-shingle join — all counts,
+  // one constant-size rollup.
+  val d24_lsh_recall: Q = (s, d) => {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(1, greatest(size(words) - 2, 0)),
+             i -> concat_ws(' ', slice(words, i, 3))))""")).as("sh"))
+    // 16 seeded minhashes, SQL-expressible: min over md5(seed || shingle)
+    val mh = sh.select(col("doc_id"), explode(sequence(lit(0), lit(15))).as("i"), col("sh"))
+      .groupBy("doc_id", "i")
+      .agg(min(md5(concat(col("i").cast("string"), lit("|"), col("sh")))).as("mh"))
+    val keys = mh.withColumn("band", expr("int(i div 4)"))
+      .groupBy("doc_id", "band")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(i, mh))), x -> x.mh), '|')").as("bkey"))
+      .select(col("doc_id"), concat_ws("#", col("band"), col("bkey")).as("k"))
+    val cands = keys.as("a").join(keys.as("b"), "k")
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val truth = sh.select(col("doc_id").as("da"), col("sh"))
+      .join(sh.select(col("doc_id").as("db"), col("sh")), "sh")
+      .where(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .where(col("shared").cast("double")
+        / (col("na") + col("nb") - col("shared")) >= 0.5)
+      .select("da", "db")
+    val hits = cands.join(truth, Seq("da", "db"))
+    cands.agg(count(lit(1)).as("n_cand"))
+      .join(truth.agg(count(lit(1)).as("n_truth")))
+      .join(hits.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        when(col("n_cand") > 0,
+          round(col("n_hit").cast("double") / col("n_cand"), 9)).as("precision"),
+        when(col("n_truth") > 0,
+          round(col("n_hit").cast("double") / col("n_truth"), 9)).as("recall"))
+  }
+  val d24Sql: String =
+    """WITH w AS (SELECT doc_id, generate_subscripts(string_split(text,' '),1) i,
+                       unnest(string_split(text,' ')) w FROM documents),
+      g AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+            FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.i=a.i+1
+                     JOIN w c ON c.doc_id=a.doc_id AND c.i=a.i+2),
+      dd AS (SELECT DISTINCT doc_id, sh FROM g),
+      mh AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || '|' || sh)) AS mh
+             FROM dd CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) s
+             GROUP BY 1, 2),
+      ky AS (SELECT doc_id,
+               CAST(i // 4 AS VARCHAR) || '#'
+                 || string_agg(mh, '|' ORDER BY i) AS k
+             FROM mh GROUP BY doc_id, i // 4),
+      cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+               FROM ky a JOIN ky b ON a.k = b.k AND a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, COUNT(*) n FROM dd GROUP BY 1),
+      tr AS (SELECT x.doc_id da, y.doc_id db, COUNT(*) shared
+             FROM dd x JOIN dd y ON x.sh = y.sh AND x.doc_id < y.doc_id
+             GROUP BY 1, 2),
+      truth AS (SELECT da, db FROM tr
+                JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+                WHERE CAST(shared AS DOUBLE)/(sa.n + sb.n - shared) >= 0.5),
+      hit AS (SELECT COUNT(*) AS n_hit
+              FROM cand JOIN truth USING (da, db)),
+      nc AS (SELECT COUNT(*) AS n_cand FROM cand),
+      nt AS (SELECT COUNT(*) AS n_truth FROM truth)
+      SELECT n_truth, n_cand, n_hit,
+             CASE WHEN n_cand > 0
+                  THEN round(CAST(n_hit AS DOUBLE) / n_cand, 9) END AS precision,
+             CASE WHEN n_truth > 0
+                  THEN round(CAST(n_hit AS DOUBLE) / n_truth, 9) END AS recall
+      FROM nt CROSS JOIN nc CROSS JOIN hit"""
+
   val queries: Map[String, Q] = Map(
     "d23_weighted_jaccard" -> d23_weighted_jaccard,
+    "d24_lsh_recall"       -> d24_lsh_recall,
   )
   val oracles: Map[String, String] = Map(
     "d23_weighted_jaccard" -> d23Sql,
+    "d24_lsh_recall"       -> d24Sql,
   )
 }

@@ -111,12 +111,60 @@ object TextAnalysis9 {
       FROM cells JOIN tot ON cells.lang = tot.lang
       ORDER BY cells.lang, pred_lang"""
 
+  // ---- t25: boilerplate phrase density (cross-doc repeated 8-grams) ----
+  // The curation signal CCNet/RefinedWeb strip on: word 8-grams that
+  // recur across DISTINCT documents of the same source are boilerplate
+  // (headers, footers, templates) — 8 random words repeating across
+  // docs essentially never happens organically, so df>=2 at gram length
+  // 8 is already a precise detector (the near/exact-dup clusters light
+  // it up on this corpus). Per-doc output: distinct 8-grams, how many
+  // are shared, and the boilerplate fraction a cleaning pass would
+  // strip. Plan: grams dedup'd IN-ROW (array_distinct before explode),
+  // one (source, gram-md5)-keyed doc-frequency aggregate (uniform
+  // 128-bit keys), gram-keyed join back, per-doc rollup — never
+  // doc x doc, linear in corpus grams at any scale.
+  val t25_boilerplate: Q = (s, d) => {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 8)
+      .select(col("doc_id"), col("source"), explode(expr(
+        """array_distinct(transform(sequence(1, size(w) - 7),
+             i -> md5(array_join(slice(w, i, 8), ' '))))""")).as("g"))
+    val df_ = grams.groupBy("source", "g").agg(count(lit(1)).as("df"))
+    grams.join(df_, Seq("source", "g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_frac",
+        round(col("n_boiler").cast("double") / col("n_grams"), 9))
+      .orderBy("doc_id")
+  }
+  val t25Sql: String =
+    """WITH d0 AS (SELECT doc_id, source, string_split(text, ' ') AS w
+               FROM documents WHERE len(string_split(text, ' ')) >= 8),
+      g0 AS (SELECT doc_id, source,
+               unnest(list_distinct(list_transform(
+                 generate_series(1, len(w) - 7),
+                 i -> md5(array_to_string(list_slice(w, i, i + 7), ' ')))))
+                 AS g
+             FROM d0),
+      df AS (SELECT source, g, COUNT(*) AS df FROM g0 GROUP BY 1, 2)
+      SELECT doc_id, COUNT(*) AS n_grams,
+             CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boiler,
+             round(CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*), 9) AS boiler_frac
+      FROM g0 JOIN df USING (source, g)
+      GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
     "t23_pmi_collocations" -> t23_pmi_collocations,
+    "t25_boilerplate"      -> t25_boilerplate,
     "t24_lang_confusion"   -> t24_lang_confusion,
   )
   val oracles: Map[String, String] = Map(
     "t23_pmi_collocations" -> t23Sql,
     "t24_lang_confusion"   -> t24Sql,
+    "t25_boilerplate"      -> t25Sql,
   )
 }

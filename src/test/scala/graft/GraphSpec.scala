@@ -275,6 +275,59 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("d24 lsh recall: exact dups always candidates, metrics in bounds") {
+    val r = operators.Dedup5.d24_lsh_recall(spark, sf).collect().head
+    val (nt, nc, nh) = (r.getAs[Long]("n_truth"), r.getAs[Long]("n_cand"),
+      r.getAs[Long]("n_hit"))
+    assert(nt > 0, "corpus must contain Jaccard>=0.5 truth pairs")
+    assert(nh <= nc && nh <= nt)
+    val rec = r.getAs[Double]("recall")
+    val prec = r.getAs[Double]("precision")
+    assert(rec > 0.0 && rec <= 1.0)
+    assert(prec > 0.0 && prec <= 1.0)
+    // theory floor: J=1 pairs agree on every minhash -> always recovered.
+    // exact-dup pairs = docs with identical text
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), md5(col("text")).as("h"))
+    val exactPairs = docs.as("a").join(docs.as("b"), "h")
+      .where(col("a.doc_id") < col("b.doc_id")).count()
+    assert(nh >= exactPairs,
+      s"banding must recover all $exactPairs exact-dup pairs, hit $nh")
+  }
+
+  test("t25 boilerplate: dup-cluster docs share 8-grams, singles don't") {
+    val rows = operators.TextAnalysis9.t25_boilerplate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ng, nb) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_boiler"))
+      assert(ng > 0 && nb >= 0 && nb <= ng)
+      val f = r.getAs[Double]("boiler_frac")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+    // the corpus has near/exact dup clusters: some docs must light up,
+    // and most organic word-salad docs must stay clean
+    val hot = rows.count(_.getAs[Long]("n_boiler") > 0)
+    assert(hot > 0, "dup clusters must produce shared 8-grams")
+    assert(hot < rows.length, "organic docs must not be flagged")
+  }
+
+  test("p07 curriculum: phases partition the corpus in quality order") {
+    val rows = operators.CorpusPipeline.p07_curriculum(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("phase")).toSeq == Seq(1L, 2L, 3L, 4L))
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val corpus = Tables.documents(spark, sf).count()
+    assert(total == corpus, "phases must partition every doc exactly once")
+    // equal split up to integer rounding
+    val sizes = rows.map(_.getAs[Long]("n_docs"))
+    assert(sizes.max - sizes.min <= 1)
+    // quality ranges must be ordered and non-overlapping across phases
+    val ranges = rows.map(r => (r.getAs[Double]("min_q"), r.getAs[Double]("max_q")))
+    ranges.foreach { case (lo, hi) => assert(lo <= hi) }
+    ranges.zip(ranges.tail).foreach { case ((_, hi1), (lo2, _)) =>
+      assert(hi1 <= lo2, s"phase ranges overlap: $hi1 > $lo2")
+    }
+  }
+
   test("t23 pmi: every pair clears the count floor; scores descend") {
     val rows = operators.TextAnalysis9.t23_pmi_collocations(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 25)
