@@ -16,7 +16,7 @@ object SparkEntry {
       operators.Relational7.queries ++ operators.Relational8.queries ++
       operators.Relational9.queries ++
       operators.Relational10.queries ++ operators.Relational11.queries ++
-      operators.Relational12.queries ++
+      operators.Relational12.queries ++ operators.Relational13.queries ++
       operators.Dedup.queries ++ operators.Dedup2.queries ++ operators.Dedup3.queries ++
       operators.Dedup4.queries ++ operators.Dedup5.queries ++
       operators.Similarity.queries ++ operators.Similarity2.queries ++
@@ -28,7 +28,8 @@ object SparkEntry {
       operators.Multimodal2.queries ++ operators.Multimodal3.queries ++
       operators.Events.queries ++ operators.Events2.queries ++
       operators.Events3.queries ++ operators.Events4.queries ++
-      operators.Events5.queries ++
+      operators.Events5.queries ++ operators.Events6.queries ++
+      operators.Events7.queries ++
       operators.CorpusPipeline.queries ++ operators.Quality.queries ++
       operators.Quality2.queries ++
       operators.MLPrep.queries
@@ -41,7 +42,7 @@ object SparkEntry {
       operators.Relational7.oracles ++ operators.Relational8.oracles ++
       operators.Relational9.oracles ++
       operators.Relational10.oracles ++ operators.Relational11.oracles ++
-      operators.Relational12.oracles ++
+      operators.Relational12.oracles ++ operators.Relational13.oracles ++
       operators.Dedup.oracles ++ operators.Dedup2.oracles ++ operators.Dedup3.oracles ++
       operators.Dedup4.oracles ++ operators.Dedup5.oracles ++
       operators.Similarity.oracles ++ operators.Similarity2.oracles ++
@@ -53,7 +54,8 @@ object SparkEntry {
       operators.Multimodal2.oracles ++ operators.Multimodal3.oracles ++
       operators.Events.oracles ++ operators.Events2.oracles ++
       operators.Events3.oracles ++ operators.Events4.oracles ++
-      operators.Events5.oracles ++
+      operators.Events5.oracles ++ operators.Events6.oracles ++
+      operators.Events7.oracles ++
       operators.CorpusPipeline.oracles ++ operators.Quality.oracles ++
       operators.Quality2.oracles ++
       operators.MLPrep.oracles

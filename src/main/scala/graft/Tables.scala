@@ -20,14 +20,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = read(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark has no native type
-    * for. Read nanos as long and truncate to micros — exactly what DuckDB
-    * (micro-precision timestamps) does, so oracle comparisons line up.
+  /** events.ts has shipped as both parquet TIMESTAMP(NANOS) (no native
+    * Spark type — read nanos as long, truncate to micros, exactly what
+    * micro-precision DuckDB does) and plain TIMESTAMP(MICROS) (read
+    * natively, as NTZ under Spark 4's parquet inference). Adapt on the
+    * schema actually read so either vintage of the generated data loads
+    * to the same session-UTC TimestampType column and oracle
+    * comparisons line up.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = read(s, d, "events")
+    val fixed = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
+      case _ =>
+        org.apache.spark.sql.functions.col("ts").cast("timestamp")
+    }
+    raw.withColumn("ts", fixed)
   }
   def documents(s: SparkSession, d: String): DataFrame  = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")

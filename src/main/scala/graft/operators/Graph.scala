@@ -251,14 +251,91 @@ object Graph {
                      / CAST(n_wedges AS DOUBLE), 9) END AS gcc
       FROM nd, ne, tr"""
 
+  // ---- g04: connected components of the co-purchase graph ----
+  // The workhorse graph primitive (substitutability clusters here;
+  // duplicate clusters, account linking, household resolution in
+  // general): components of g03's thresholded co-purchase graph by
+  // min-label propagation to fixpoint. The decomposition is the g01
+  // discipline: ONE fact-scale pass builds the edge list (order-size-
+  // bounded in-row pair expansion — linear, never part x part), then
+  // every iteration runs on the edge table alone (metadata-sized after
+  // the >= 2 threshold). Convergence in O(diameter) rounds, detected by
+  // an exact DECIMAL(38,0) label-sum fixpoint (strictly decreasing
+  // until converged — a one-row scalar per round, the d08 discipline);
+  // localCheckpoint truncates the growing lineage each round. At 100 TB
+  // the refinement is alternating large-star/small-star (Kiveris et al.
+  // 2014), which cuts rounds to O(log n) with the same per-round plan
+  // shape. The fixpoint itself is iteration-order independent — any
+  // engine, any schedule, same labels — which is what makes an exact
+  // DuckDB oracle possible (recursive-CTE transitive closure).
+  val g04_cc: Q = (s, d) => {
+    import org.apache.spark.sql.types.DecimalType
+    val edges = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+             transform(slice(ps, i + 2, size(ps)),
+               y -> struct(x AS a, y AS b))))""")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select("a", "b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ed = edges.select(col("a").as("v"), col("b").as("w"))
+      .unionAll(edges.select(col("b").as("v"), col("a").as("w")))
+    var labels = edges.select(col("a").as("node"))
+      .unionAll(edges.select(col("b").as("node")))
+      .distinct()
+      .withColumn("cluster_id", col("node"))
+      .localCheckpoint()
+    var prevSum: BigDecimal = null
+    var curSum = BigDecimal(labels
+      .agg(sum(col("cluster_id").cast(DecimalType(38, 0))))
+      .collect()(0).getDecimal(0))
+    while (prevSum == null || curSum < prevSum) {
+      val prop = ed
+        .join(labels.withColumnRenamed("node", "v"), "v")
+        .select(col("w").as("node"), col("cluster_id"))
+      labels = labels.unionAll(prop)
+        .groupBy("node").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint()
+      prevSum = curSum
+      curSum = BigDecimal(labels
+        .agg(sum(col("cluster_id").cast(DecimalType(38, 0))))
+        .collect()(0).getDecimal(0))
+    }
+    edges.unpersist()
+    labels.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"), max("node").as("max_part"))
+      .orderBy("cluster_id")
+  }
+  val g04Sql: String =
+    """WITH RECURSIVE
+      li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             FROM lineitem),
+      e AS (SELECT x.pk AS a, y.pk AS b
+            FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      ed AS (SELECT a AS v, b AS w FROM e UNION SELECT b, a FROM e),
+      reach(v, w) AS (
+        SELECT v, v FROM (SELECT DISTINCT v FROM ed) t
+        UNION
+        SELECT r.v, ed.w FROM reach r JOIN ed ON r.w = ed.v),
+      lbl AS (SELECT v AS node, min(w) AS cluster_id FROM reach GROUP BY v)
+      SELECT cluster_id, COUNT(*) AS n_members, max(node) AS max_part
+      FROM lbl GROUP BY cluster_id ORDER BY cluster_id"""
+
   val queries: Map[String, Q] = Map(
     "g01_pagerank"   -> g01_pagerank,
     "g02_copurchase" -> g02_copurchase,
     "g03_triangles"  -> g03_triangles,
+    "g04_cc"         -> g04_cc,
   )
   val oracles: Map[String, String] = Map(
     "g01_pagerank"   -> g01Sql,
     "g02_copurchase" -> g02Sql,
     "g03_triangles"  -> g03Sql,
+    "g04_cc"         -> g04Sql,
   )
 }

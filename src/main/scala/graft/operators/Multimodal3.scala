@@ -195,28 +195,49 @@ object Multimodal3 {
   /** Content-defined chunk slicing, in-row: boundary wherever the md5 of
     * the trailing 8-char window starts with '0' (1/16 of hash space).
     * Input needs a `text` column; adds `n`, `bnds`, `chunks`.
+    *
+    * PERF CONTRACT: `bnds` (the full per-position md5 scan) must be
+    * referenced a CONSTANT number of times per row, always OUTSIDE any
+    * lambda. CollapseProject inlines withColumn aliases into every use
+    * site, so an `element_at(bnds, j)` inside the slicing lambda would
+    * re-run the whole boundary scan per array ELEMENT — observed as a
+    * 14-minute single task on the 5k-doc corpus before the zip_with
+    * rewrite (chunk starts = [0]++bnds, ends = bnds++[n], both built
+    * once per row; the lambda touches only its own (s, e) pair).
+    *
+    * The leading repartition spreads payload rows across cores: the
+    * boundary scan is the CPU-bound stage (O(n_chars) hash judgments
+    * per row), and a small corpus arrives as ONE parquet row group =
+    * one task without it. The exchange moves the payload column once,
+    * before any expansion; on a production many-file corpus the scan
+    * is already parallel and this repartition is a no-op to remove.
     */
   private def withCdcChunks(df: DataFrame): DataFrame =
-    df.withColumn("n", length(col("text")))
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      .withColumn("n", length(col("text")))
       .withColumn("bnds", expr(
         """filter(sequence(8, greatest(length(text), 8)),
              i -> i <= length(text)
                   AND substring(md5(substring(text, i - 7, 8)), 1, 1) = '0')"""))
       .withColumn("chunks", expr(
-        """filter(transform(sequence(1, size(bnds) + 1),
-             j -> substring(text,
-                    CASE WHEN j = 1 THEN 1 ELSE element_at(bnds, j - 1) + 1 END,
-                    (CASE WHEN j = size(bnds) + 1 THEN n
-                          ELSE element_at(bnds, j) END)
-                      - (CASE WHEN j = 1 THEN 1
-                              ELSE element_at(bnds, j - 1) + 1 END) + 1)),
+        """filter(zip_with(concat(array(0), bnds), concat(bnds, array(n)),
+             (s, e) -> substring(text, s + 1, e - s)),
              c -> c <> '')"""))
 
   val m10_cdc_chunking: Q = (s, d) => {
     val chunked = withCdcChunks(
       Tables.documents(s, d).select(col("doc_id"), col("text")))
     chunked
-      .select(explode(col("chunks")).as("chunk"))
+      // explode_OUTER, deliberately: plain explode triggers
+      // InferFiltersFromGenerate, which synthesizes size(chunks) > 0
+      // with the WHOLE chunking expression inlined and pushes it below
+      // the repartition — i.e. the full boundary scan re-runs inside
+      // the single-task scan stage (measured 11 s of the op's 15 s).
+      // Outer explode infers no filter; the null guard above the
+      // Generate (cannot push below a generated column) keeps the
+      // row semantics identical for non-empty payloads.
+      .select(explode_outer(col("chunks")).as("chunk"))
+      .filter(col("chunk").isNotNull)
       .groupBy(md5(encode(col("chunk"), "UTF-8")).as("h"))
       .agg(count(lit(1)).as("cnt"), min(length(col("chunk"))).as("clen"))
       .agg(sum("cnt").as("n_chunks"),
@@ -278,7 +299,10 @@ object Multimodal3 {
   val m11_incremental_chunks: Q = (s, d) => {
     def chunkStore(df: DataFrame): DataFrame =
       withCdcChunks(df)
-        .select(explode(col("chunks")).as("chunk"))
+        // outer + null guard: see m10 — avoids the inferred
+        // size(chunks) > 0 scan-stage filter that re-runs the scan
+        .select(explode_outer(col("chunks")).as("chunk"))
+        .filter(col("chunk").isNotNull)
         .groupBy(md5(encode(col("chunk"), "UTF-8")).as("h"))
         .agg(min(length(col("chunk"))).as("clen"))
     val docs = Tables.documents(s, d)

@@ -214,18 +214,82 @@ object Relational12 {
                    / CAST(COUNT(*) AS DOUBLE), 9) AS drop_rate
       FROM g GROUP BY 1 ORDER BY event_type"""
 
+  // ---- q90: spend-decile migration matrix ----
+  // The churn-analytics staple: bucket customers into spend deciles in
+  // two periods and count the decile->decile transitions (who moved up,
+  // who lapsed toward the bottom). The naive ntile() is a GLOBAL sort
+  // window — the single-task trap — so deciles are assigned the q72
+  // way: per-period percentile BOUNDS (one tiny broadcast row) and a
+  // value-vs-bounds comparison per customer, no customer-level sort
+  // anywhere. Per-customer spend rides the dsum decimal discipline
+  // (exact, order-independent), so both engines see bit-identical
+  // doubles; bound interpolation is then the same arithmetic on the
+  // same sorted values, and decile assignment (strict > on raw bounds)
+  // is exact. Plan: two fact-scale combinable aggregates, two scalar
+  // broadcasts, one customer-keyed join, one 100-cell rollup.
+  val q90_decile_migration: Q = (s, d) => {
+    import graft.Stable.dsum
+    val split = lit("1998-05-01").cast("timestamp")
+    def spend(p: DataFrame): DataFrame =
+      p.groupBy("o_custkey").agg(dsum(col("o_totalprice")).as("spend"))
+    def decile(df: DataFrame): DataFrame = {
+      val bounds = df.agg(expr(
+        "percentile(spend, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))")
+        .as("bs"))
+      df.join(broadcast(bounds))
+        .withColumn("dec",
+          expr("CAST(size(filter(bs, b -> spend > b)) + 1 AS BIGINT)"))
+        .select("o_custkey", "dec")
+    }
+    val o = Tables.orders(s, d)
+    val d1 = decile(spend(o.filter(col("o_orderdate") < split)))
+      .withColumnRenamed("dec", "decile_p1")
+    val d2 = decile(spend(o.filter(col("o_orderdate") >= split)))
+      .withColumnRenamed("dec", "decile_p2")
+    d1.join(d2, "o_custkey")
+      .groupBy("decile_p1", "decile_p2")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("decile_p1", "decile_p2")
+  }
+  val q90Sql: String =
+    """WITH s1 AS (SELECT o_custkey,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS spend
+               FROM orders WHERE o_orderdate < TIMESTAMP '1998-05-01'
+               GROUP BY 1),
+      s2 AS (SELECT o_custkey,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS spend
+             FROM orders WHERE o_orderdate >= TIMESTAMP '1998-05-01'
+             GROUP BY 1),
+      b1 AS (SELECT quantile_cont(spend,
+               [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs FROM s1),
+      b2 AS (SELECT quantile_cont(spend,
+               [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs FROM s2),
+      d1 AS (SELECT o_custkey,
+                    len(list_filter(b1.bs, b -> spend > b)) + 1 AS decile_p1
+             FROM s1 CROSS JOIN b1),
+      d2 AS (SELECT o_custkey,
+                    len(list_filter(b2.bs, b -> spend > b)) + 1 AS decile_p2
+             FROM s2 CROSS JOIN b2)
+      SELECT CAST(decile_p1 AS BIGINT) AS decile_p1,
+             CAST(decile_p2 AS BIGINT) AS decile_p2,
+             COUNT(*) AS n_customers
+      FROM d1 JOIN d2 USING (o_custkey)
+      GROUP BY 1, 2 ORDER BY decile_p1, decile_p2"""
+
   val queries: Map[String, Q] = Map(
-    "q85_skyline"         -> q85_skyline,
-    "q86_weighted_sample" -> q86_weighted_sample,
-    "q87_zorder"          -> q87_zorder,
-    "q88_period_growth"   -> q88_period_growth,
-    "q89_window_dedup"    -> q89_window_dedup,
+    "q85_skyline"          -> q85_skyline,
+    "q86_weighted_sample"  -> q86_weighted_sample,
+    "q87_zorder"           -> q87_zorder,
+    "q88_period_growth"    -> q88_period_growth,
+    "q89_window_dedup"     -> q89_window_dedup,
+    "q90_decile_migration" -> q90_decile_migration,
   )
   val oracles: Map[String, String] = Map(
-    "q85_skyline"         -> q85Sql,
-    "q86_weighted_sample" -> q86Sql,
-    "q87_zorder"          -> q87Sql,
-    "q88_period_growth"   -> q88Sql,
-    "q89_window_dedup"    -> q89Sql,
+    "q85_skyline"          -> q85Sql,
+    "q86_weighted_sample"  -> q86Sql,
+    "q87_zorder"           -> q87Sql,
+    "q88_period_growth"    -> q88Sql,
+    "q89_window_dedup"     -> q89Sql,
+    "q90_decile_migration" -> q90Sql,
   )
 }

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational/ETL core, part 13. */
+object Relational13 {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- q91: join-key skew audit ----
+  // The audit that decides a join strategy BEFORE the join runs: for
+  // each candidate key, per-key counts (ONE combinable fact-scale
+  // aggregate), then key-population stats — max/avg skew ratio, top-1
+  // share, and the hot-key count (keys above 2x the mean). At 100 TB
+  // this is what tells you whether AQE skew-split suffices, salting is
+  // needed, or the dimension should broadcast; the audit itself never
+  // shuffles more than the key-sized count frame. The hot-key test is
+  // EXACT INTEGER arithmetic (cnt * n_keys > 2 * n_rows — no double
+  // threshold to diverge on), and the reported ratios are single IEEE
+  // divisions of exact int64 counts.
+  private def audit(df: DataFrame, key: Column, label: String): DataFrame = {
+    val counts = df.groupBy(key.as("k")).agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(
+      count(lit(1)).as("n_keys"), sum("cnt").as("n_rows"),
+      max("cnt").as("max_count"))
+    val hot = counts.crossJoin(broadcast(stats))
+      .filter(col("cnt") * col("n_keys") > lit(2L) * col("n_rows"))
+      .agg(count(lit(1)).as("n_hot_keys"))
+    stats.crossJoin(broadcast(hot))
+      .select(lit(label).as("key_name"), col("n_rows"), col("n_keys"),
+        col("max_count"),
+        round((col("max_count") * col("n_keys")).cast("double")
+          / col("n_rows").cast("double"), 9).as("skew_ratio"),
+        round(col("max_count").cast("double")
+          / col("n_rows").cast("double"), 9).as("top1_share"),
+        col("n_hot_keys"))
+  }
+  val q91_skew_audit: Q = (s, d) => {
+    audit(Tables.lineitem(s, d), col("l_partkey"), "lineitem.l_partkey")
+      .unionAll(audit(Tables.lineitem(s, d), col("l_suppkey"),
+        "lineitem.l_suppkey"))
+      .unionAll(audit(Tables.orders(s, d), col("o_custkey"),
+        "orders.o_custkey"))
+      .orderBy("key_name")
+  }
+  private def auditSql(table: String, key: String): String =
+    s"""SELECT '$table.$key' AS key_name,
+          CAST(SUM(cnt) AS BIGINT) AS n_rows,
+          COUNT(*) AS n_keys,
+          CAST(MAX(cnt) AS BIGINT) AS max_count,
+          round(CAST(MAX(cnt) * COUNT(*) AS DOUBLE)
+                / CAST(SUM(cnt) AS DOUBLE), 9) AS skew_ratio,
+          round(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 9)
+            AS top1_share,
+          (SELECT COUNT(*)
+           FROM (SELECT COUNT(*) AS c FROM $table GROUP BY $key) h
+           WHERE h.c * (SELECT COUNT(*) FROM
+                          (SELECT 1 FROM $table GROUP BY $key) z)
+                 > 2 * (SELECT COUNT(*) FROM $table)) AS n_hot_keys
+       FROM (SELECT COUNT(*) AS cnt FROM $table GROUP BY $key) g"""
+  val q91Sql: String =
+    s"""SELECT * FROM (
+        ${auditSql("lineitem", "l_partkey")}
+        UNION ALL
+        ${auditSql("lineitem", "l_suppkey")}
+        UNION ALL
+        ${auditSql("orders", "o_custkey")}
+      ) ORDER BY key_name"""
+
+  val queries: Map[String, Q] = Map(
+    "q91_skew_audit" -> q91_skew_audit,
+  )
+  val oracles: Map[String, String] = Map(
+    "q91_skew_audit" -> q91Sql,
+  )
+}

@@ -62,22 +62,31 @@ object StreamOps {
     spark.readStream.format("socket")
       .option("host", host).option("port", port).load()
 
-  /** events schema as stored (ts is TIMESTAMP(NANOS) -> read as long). */
-  val rawSchema: StructType = StructType(Seq(
+  /** events schema with ts read as the given type (TIMESTAMP(NANOS)
+    * vintage -> long; TIMESTAMP(MICROS) vintage -> native NTZ).
+    */
+  def rawSchema(tsType: org.apache.spark.sql.types.DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming read of the events table (nanos -> micros, like Tables.events). */
+  /** Streaming read of the events table, normalized to session-UTC
+    * TimestampType like Tables.events. The stored ts type has shipped
+    * as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS); a streaming read
+    * needs the schema up front, so peek at the batch footer once
+    * (metadata-only, no data scan) and adapt.
+    */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
+    val storedTs = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val raw = spark.readStream
+      .schema(rawSchema(storedTs))
       .parquet(s"$dir/events*") // glob: the file source requires a dir/glob, not a bare file
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    if (storedTs == LongType) raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** Tumbling 1-hour event-time windows with a 2-hour watermark. The

@@ -337,4 +337,155 @@ class GraphSpec extends AnyFunSuite {
     // PMI ratio of an observed bigram is strictly positive
     assert(scores.forall(_ > 0.0))
   }
+
+  test("e28 stickiness: ratio in (0,1], month DAU-sum dominates MAU") {
+    val rows = operators.Events6.e28_stickiness(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDays, sumDau, mau) = (r.getAs[Long]("n_days"),
+        r.getAs[Long]("sum_dau"), r.getAs[Long]("mau"))
+      assert(nDays >= 1 && nDays <= 31)
+      // every monthly-active user is active on >=1 day, and a day's DAU
+      // never exceeds the month's MAU: mau <= sum_dau <= n_days * mau
+      assert(mau <= sumDau && sumDau <= nDays * mau)
+      val s = r.getAs[Double]("stickiness")
+      assert(s > 0.0 && s <= 1.0 + 1e-12, s"stickiness $s out of (0,1]")
+    }
+    // months arrive sorted
+    val months = rows.map(_.getAs[java.sql.Date]("month").toString)
+    assert(months.sorted.sameElements(months))
+  }
+
+  test("g04 cc: labels agree with a local union-find on the same edges") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Graph.g04_cc(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // rebuild the same thresholded edge list and union-find it locally
+    val edges = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+             transform(slice(ps, i + 2, size(ps)),
+               y -> struct(x AS a, y AS b))))""")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+    }
+    val local = parent.keys.toSeq.groupBy(find).map { case (_, ms) =>
+      (ms.min, ms.size.toLong, ms.max)
+    }.toSet
+    val got = rows.map(r => (r.getAs[Long]("cluster_id"),
+      r.getAs[Long]("n_members"), r.getAs[Long]("max_part"))).toSet
+    assert(got == local, "component decomposition differs from union-find")
+  }
+
+  test("e30 gini: matches the row-level rank formula, bounded in [0,1)") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Events6.e30_gini(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val counts = Tables.events(spark, sf)
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[Long]("x")))
+      .groupBy(_._1).map { case (t, xs) => (t, xs.map(_._2).sorted) }
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val xs = counts(t)
+      val n = xs.length.toLong
+      val sx = xs.sum
+      val s1 = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      assert(r.getAs[Long]("n_users") == n)
+      assert(r.getAs[Long]("total_events") == sx)
+      val g = (2L * s1 - (n + 1) * sx).toDouble / (n * sx).toDouble
+      val got = r.getAs[Double]("gini")
+      assert(math.abs(got - g) < 1e-9, s"$t: $got vs $g")
+      assert(got >= 0.0 && got < 1.0)
+    }
+  }
+
+  test("q90 decile migration: cells in 1..10, total = dual-period customers") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Relational12.q90_decile_migration(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("decile_p1") >= 1 && r.getAs[Long]("decile_p1") <= 10)
+      assert(r.getAs[Long]("decile_p2") >= 1 && r.getAs[Long]("decile_p2") <= 10)
+      assert(r.getAs[Long]("n_customers") >= 1)
+    }
+    val o = Tables.orders(spark, sf)
+    val split = lit("1998-05-01").cast("timestamp")
+    val both = o.filter(col("o_orderdate") < split).select("o_custkey").distinct()
+      .join(o.filter(col("o_orderdate") >= split).select("o_custkey").distinct(),
+        "o_custkey").count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == both)
+  }
+
+  test("e31 assoc rules: count bounds, ratio consistency, ordered pairs") {
+    val rows = operators.Events7.e31_assoc_rules(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ab, a, b, n) = (r.getAs[Long]("n_ab"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"), r.getAs[Long]("n_baskets"))
+      assert(r.getAs[String]("type_a") < r.getAs[String]("type_b"))
+      assert(ab >= 1 && ab <= math.min(a, b) && math.max(a, b) <= n)
+      assert(math.abs(r.getAs[Double]("support") - ab.toDouble / n) < 1e-9)
+      assert(math.abs(r.getAs[Double]("conf_a_b") - ab.toDouble / a) < 1e-9)
+      assert(math.abs(r.getAs[Double]("conf_b_a") - ab.toDouble / b) < 1e-9)
+      val lift = r.getAs[Double]("lift")
+      assert(math.abs(lift - (ab * n).toDouble / (a * b)) < 1e-9 && lift > 0)
+    }
+  }
+
+  test("e32 forecast backtest: scored-day bound, MAE consistency") {
+    val rows = operators.Events7.e32_forecast_backtest(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, err) = (r.getAs[Long]("n_scored"), r.getAs[Long]("total_abs_err"))
+      // 30-day corpus: at most 23 days have a d-7 predecessor
+      assert(n >= 1 && n <= 23)
+      assert(math.abs(r.getAs[Double]("mae") - err.toDouble / n) < 1e-9)
+      assert(r.getAs[Double]("mape") >= 0.0)
+    }
+  }
+
+  test("q91 skew audit: three keys, ratios bounded, suppkey cross-check") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Relational13.q91_skew_audit(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("skew_ratio") >= 1.0 - 1e-9)
+      val t1 = r.getAs[Double]("top1_share")
+      assert(t1 > 0.0 && t1 <= 1.0)
+      assert(r.getAs[Long]("n_hot_keys") >= 0
+        && r.getAs[Long]("n_hot_keys") < r.getAs[Long]("n_keys"))
+    }
+    // cross-check the suppkey audit against a direct computation
+    val sk = rows.find(_.getAs[String]("key_name") == "lineitem.l_suppkey").get
+    val counts = Tables.lineitem(spark, sf).groupBy("l_suppkey").count()
+      .collect().map(_.getAs[Long]("count"))
+    assert(sk.getAs[Long]("n_keys") == counts.length)
+    assert(sk.getAs[Long]("n_rows") == counts.sum)
+    assert(sk.getAs[Long]("max_count") == counts.max)
+    assert(sk.getAs[Long]("n_hot_keys") ==
+      counts.count(c => c * counts.length > 2 * counts.sum))
+  }
+
+  test("e29 reactivation: dormancy floor 3 days, user count bounded") {
+    val rows = operators.Events6.e29_reactivation(spark, sf).collect()
+    assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
+    rows.foreach { r =>
+      val (n, users) = (r.getAs[Long]("n_reactivations"), r.getAs[Long]("n_users"))
+      assert(n >= 1 && users >= 1 && users <= n)
+      // gap_days > 2 means every contributing gap is >= 3 days
+      assert(r.getAs[Double]("mean_dormancy_days") >= 3.0)
+    }
+  }
 }
