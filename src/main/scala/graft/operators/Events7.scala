@@ -127,12 +127,87 @@ object Events7 {
                    / CAST(COUNT(*) AS DOUBLE), 9) AS mape
       FROM j GROUP BY 1 ORDER BY event_type"""
 
+  // ---- e33: weekly growth accounting (new / retained / resurrected / churned) ----
+  // The standard growth-accounting decomposition every subscription
+  // and engagement report is built on: each week's actives split into
+  // NEW (first-ever week), RETAINED (also active last week) and
+  // RESURRECTED (active before, but not last week); CHURNED-IN counts
+  // the users who were active last week and didn't return (attributed
+  // to the week they went missing; the final observed week is censored
+  // — no churn is claimed where the data ends). One (user, week)
+  // distinct pass, then ONE lag+lead in the user-keyed sort window
+  // (the e29 discipline), a combinable week rollup, and a broadcast of
+  // the scalar max-week. Weeks ride an integer index (days since a
+  // fixed Monday div 7) so state tests are exact integer comparisons
+  // on both engines. The by-construction invariant new + retained +
+  // resurrected = active is spec-pinned.
+  val e33_growth_accounting: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val uw = Tables.events(s, d)
+      .select(col("user_id"), trunc(to_date(col("ts")), "week").as("wk"))
+      .distinct()
+      .withColumn("wi",
+        expr("CAST(datediff(wk, DATE '1970-01-05') div 7 AS BIGINT)"))
+    val w = Window.partitionBy("user_id").orderBy("wi")
+    val st = uw
+      .withColumn("prev", lag(col("wi"), 1).over(w))
+      .withColumn("nxt", lead(col("wi"), 1).over(w))
+    val mx = uw.agg(max("wi").as("maxwi"))
+    val active = st.groupBy("wi").agg(
+      count(lit(1)).as("n_active"),
+      count(when(col("prev").isNull, 1)).as("n_new"),
+      count(when(col("prev") === col("wi") - 1, 1)).as("n_retained"),
+      count(when(col("prev").isNotNull && col("prev") < col("wi") - 1, 1))
+        .as("n_resurrected"))
+    val churn = st.crossJoin(broadcast(mx))
+      .filter((col("nxt").isNull && col("wi") < col("maxwi"))
+        || col("nxt") > col("wi") + 1)
+      .groupBy((col("wi") + 1).as("wi"))
+      .agg(count(lit(1)).as("n_churned_in"))
+    active.join(churn, Seq("wi"), "left")
+      .na.fill(0L, Seq("n_churned_in"))
+      .withColumn("week",
+        date_add(lit("1970-01-05").cast("date"), (col("wi") * 7).cast("int")))
+      .select("week", "n_active", "n_new", "n_retained", "n_resurrected",
+        "n_churned_in")
+      .orderBy("week")
+  }
+  val e33Sql: String =
+    """WITH uw AS (SELECT DISTINCT user_id,
+                       date_trunc('week', CAST(ts AS DATE)) AS wk
+                  FROM events),
+      ui AS (SELECT user_id,
+                    CAST((wk - DATE '1970-01-05') // 7 AS BIGINT) AS wi
+             FROM uw),
+      st AS (SELECT user_id, wi,
+                    lag(wi)  OVER (PARTITION BY user_id ORDER BY wi) AS prev,
+                    lead(wi) OVER (PARTITION BY user_id ORDER BY wi) AS nxt
+             FROM ui),
+      mx AS (SELECT MAX(wi) AS maxwi FROM ui),
+      a AS (SELECT wi, COUNT(*) AS n_active,
+                   COUNT(*) FILTER (WHERE prev IS NULL) AS n_new,
+                   COUNT(*) FILTER (WHERE prev = wi - 1) AS n_retained,
+                   COUNT(*) FILTER (WHERE prev IS NOT NULL AND prev < wi - 1)
+                     AS n_resurrected
+            FROM st GROUP BY 1),
+      c AS (SELECT wi + 1 AS wi, COUNT(*) AS n_churned_in
+            FROM st, mx
+            WHERE (nxt IS NULL AND wi < maxwi) OR nxt > wi + 1
+            GROUP BY 1)
+      SELECT DATE '1970-01-05' + CAST(a.wi * 7 AS INTEGER) AS week,
+             n_active, n_new, n_retained, n_resurrected,
+             COALESCE(n_churned_in, 0) AS n_churned_in
+      FROM a LEFT JOIN c ON a.wi = c.wi
+      ORDER BY week"""
+
   val queries: Map[String, Q] = Map(
-    "e31_assoc_rules"       -> e31_assoc_rules,
-    "e32_forecast_backtest" -> e32_forecast_backtest,
+    "e31_assoc_rules"        -> e31_assoc_rules,
+    "e32_forecast_backtest"  -> e32_forecast_backtest,
+    "e33_growth_accounting"  -> e33_growth_accounting,
   )
   val oracles: Map[String, String] = Map(
-    "e31_assoc_rules"       -> e31Sql,
-    "e32_forecast_backtest" -> e32Sql,
+    "e31_assoc_rules"        -> e31Sql,
+    "e32_forecast_backtest"  -> e32Sql,
+    "e33_growth_accounting"  -> e33Sql,
   )
 }

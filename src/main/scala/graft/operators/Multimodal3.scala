@@ -381,12 +381,86 @@ object Multimodal3 {
                    / CAST(naive_upload_chars AS DOUBLE), 9) AS cdc_ratio
       FROM nv CROSS JOIN nw"""
 
+  // ---- m12: chunk-store garbage collection plan (mark and sweep) ----
+  // The lifecycle closer for the m10/m11 chunk store: when a retention
+  // policy purges documents (simulated: doc_id % 7 = 0), chunks whose
+  // EVERY referencing doc is purged become orphans; chunks shared with
+  // a surviving doc must stay. This is content-addressed-store GC
+  // (Delta VACUUM / restic prune shape) as a pure relational plan:
+  // MARK = per-hash live-reference count (one combinable aggregate —
+  // same shuffle key as the m10 ledger build, uniform 128-bit, skew-
+  // free), SWEEP = the orphan census + reclaimable bytes, a constant-
+  // size rollup. Exactly the m10 exchange discipline: payload text
+  // never shuffles, only (hash, live_refs, len) triples; the orphan
+  // test live_refs = 0 is exact integer logic on both engines.
+  val m12_chunk_gc: Q = (s, d) => {
+    val chunks = withCdcChunks(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
+      // outer + null guard: see m10 — avoids the inferred
+      // size(chunks) > 0 scan-stage filter that re-runs the scan
+      .select(col("doc_id"), explode_outer(col("chunks")).as("chunk"))
+      .filter(col("chunk").isNotNull)
+    chunks
+      .groupBy(md5(encode(col("chunk"), "UTF-8")).as("h"))
+      .agg(count(lit(1)).as("n_refs"),
+        sum(when(col("doc_id") % 7 === 0, 0L).otherwise(1L)).as("live_refs"),
+        min(length(col("chunk"))).cast("long").as("clen"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("n_refs").as("n_refs_total"),
+        count(when(col("live_refs") === 0, 1)).as("n_orphans"),
+        sum(when(col("live_refs") === 0, col("clen")).otherwise(0L))
+          .as("chars_reclaimable"),
+        sum(when(col("live_refs") > 0, col("clen")).otherwise(0L))
+          .as("chars_live"))
+      .withColumn("reclaim_frac", round(
+        col("chars_reclaimable").cast("double")
+          / (col("chars_reclaimable") + col("chars_live")).cast("double"), 9))
+  }
+  val m12Sql: String =
+    """WITH b AS (
+        SELECT doc_id, text, length(text) AS n,
+               list_filter(generate_series(8, greatest(length(text), 8)),
+                 i -> i <= length(text)
+                      AND substring(md5(substring(text, i - 7, 8)), 1, 1) = '0')
+                 AS bnds
+        FROM documents),
+      c AS (
+        SELECT doc_id,
+               list_filter(
+                 list_transform(generate_series(1, len(bnds) + 1),
+                   j -> substring(text,
+                          CASE WHEN j = 1 THEN 1 ELSE bnds[j - 1] + 1 END,
+                          (CASE WHEN j = len(bnds) + 1 THEN n
+                                ELSE bnds[j] END)
+                            - (CASE WHEN j = 1 THEN 1
+                                    ELSE bnds[j - 1] + 1 END) + 1)),
+                 s -> s <> '') AS chunks
+        FROM b),
+      e AS (SELECT doc_id, unnest(chunks) AS chunk FROM c),
+      h AS (SELECT md5(chunk) AS h, COUNT(*) AS n_refs,
+                   CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END)
+                     AS BIGINT) AS live_refs,
+                   CAST(MIN(length(chunk)) AS BIGINT) AS clen
+            FROM e GROUP BY 1)
+      SELECT COUNT(*) AS n_chunks,
+             CAST(SUM(n_refs) AS BIGINT) AS n_refs_total,
+             COUNT(*) FILTER (WHERE live_refs = 0) AS n_orphans,
+             CAST(SUM(CASE WHEN live_refs = 0 THEN clen ELSE 0 END)
+               AS BIGINT) AS chars_reclaimable,
+             CAST(SUM(CASE WHEN live_refs > 0 THEN clen ELSE 0 END)
+               AS BIGINT) AS chars_live,
+             round(CAST(SUM(CASE WHEN live_refs = 0 THEN clen ELSE 0 END)
+                     AS DOUBLE)
+                   / CAST(SUM(clen) AS DOUBLE), 9) AS reclaim_frac
+      FROM h"""
+
   val queries: Map[String, Q] = Map(
     "m07_asset_dedup"   -> m07_asset_dedup,
     "m08_asset_diff"    -> m08_asset_diff,
     "m09_asset_neardup" -> m09_asset_neardup,
     "m10_cdc_chunking"  -> m10_cdc_chunking,
     "m11_incremental_chunks" -> m11_incremental_chunks,
+    "m12_chunk_gc"      -> m12_chunk_gc,
   )
   val oracles: Map[String, String] = Map(
     "m07_asset_dedup"   -> m07Sql,
@@ -394,5 +468,6 @@ object Multimodal3 {
     "m09_asset_neardup" -> m09Sql,
     "m10_cdc_chunking"  -> m10Sql,
     "m11_incremental_chunks" -> m11Sql,
+    "m12_chunk_gc"      -> m12Sql,
   )
 }

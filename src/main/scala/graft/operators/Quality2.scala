@@ -130,12 +130,84 @@ object Quality2 {
              round(abs(share - expected), 9) AS abs_dev
       FROM sh ORDER BY first_digit"""
 
+  // ---- v11: exact two-sample Kolmogorov-Smirnov statistic ----
+  // v04's PSI needs binning choices; KS is the bin-free drift test:
+  // D = max |ECDF₁ − ECDF₂|, here between the purchase and click value
+  // distributions. The textbook formulation sorts the pooled sample —
+  // a GLOBAL sort, banned. Engine shape instead: collapse to distinct
+  // values with per-sample counts (ONE combinable aggregate — the
+  // working set is distinct values from here on), then the globalRank
+  // prefix decomposition for the running sums: range-repartition on
+  // value, per-partition window cumsums in parallel, per-partition
+  // totals (partition-count rows) broadcast back as exclusive-prefix
+  // carry-ins. D's argmax runs on EXACT INTEGERS — |S₁·n₂ − S₂·n₁| —
+  // so the selected row is engine-exact (ties broken by min value, a
+  // total order), and the statistic itself is ONE IEEE division at
+  // the end. TakeOrderedAndProject prunes the argmax; no single task
+  // ever holds more than its value range.
+  val v11_ks_test: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_type"), col("value"))
+    val cells = ev.groupBy("value").agg(
+      count(when(col("event_type") === "purchase", 1)).as("c1"),
+      count(when(col("event_type") === "click", 1)).as("c2"))
+    val parted = cells.repartitionByRange(col("value"))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offsets = graft.api.GraftOps.boundedSingleGroup(
+        parted.groupBy("__pid").agg(sum("c1").as("t1"), sum("c2").as("t2")))
+      .withColumn("o1", coalesce(sum("t1").over(
+        Window.partitionBy("__g").orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("o2", coalesce(sum("t2").over(
+        Window.partitionBy("__g").orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "o1", "o2")
+    val wp = Window.partitionBy("__pid").orderBy("value")
+    val totals = cells.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    parted.join(broadcast(offsets), "__pid")
+      .withColumn("s1", sum("c1").over(wp) + col("o1"))
+      .withColumn("s2", sum("c2").over(wp) + col("o2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("d_numerator",
+        abs(col("s1") * col("n2") - col("s2") * col("n1")))
+      .orderBy(desc("d_numerator"), col("value"))
+      .limit(1)
+      .select(col("n1"), col("n2"), col("value").as("at_value"),
+        col("d_numerator"),
+        round(col("d_numerator").cast("double")
+          / (col("n1") * col("n2")).cast("double"), 9).as("ks_d"))
+  }
+  val v11Sql: String =
+    """WITH ev AS (SELECT event_type, value FROM events
+                  WHERE event_type IN ('purchase', 'click')),
+      cells AS (SELECT value,
+                  COUNT(*) FILTER (WHERE event_type = 'purchase') AS c1,
+                  COUNT(*) FILTER (WHERE event_type = 'click') AS c2
+                FROM ev GROUP BY 1),
+      n AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                   CAST(SUM(c2) AS BIGINT) AS n2 FROM cells),
+      cum AS (SELECT value,
+                CAST(SUM(c1) OVER (ORDER BY value) AS BIGINT) AS s1,
+                CAST(SUM(c2) OVER (ORDER BY value) AS BIGINT) AS s2
+              FROM cells)
+      SELECT n1, n2, value AS at_value,
+             abs(s1 * n2 - s2 * n1) AS d_numerator,
+             round(CAST(abs(s1 * n2 - s2 * n1) AS DOUBLE)
+                   / CAST(n1 * n2 AS DOUBLE), 9) AS ks_d
+      FROM cum, n
+      ORDER BY d_numerator DESC, value LIMIT 1"""
+
   val queries: Map[String, Q] = Map(
     "v08_schema_drift" -> v08_schema_drift,
     "v10_benford"      -> v10_benford,
+    "v11_ks_test"      -> v11_ks_test,
   )
   val oracles: Map[String, String] = Map(
     "v08_schema_drift" -> v08Sql,
     "v10_benford"      -> v10Sql,
+    "v11_ks_test"      -> v11Sql,
   )
 }

@@ -478,6 +478,61 @@ class GraphSpec extends AnyFunSuite {
       counts.count(c => c * counts.length > 2 * counts.sum))
   }
 
+  test("e33 growth accounting: states partition actives, churn bounded") {
+    val rows = operators.Events7.e33_growth_accounting(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var prevActive = -1L
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val (a, n, ret, res, ch) = (r.getAs[Long]("n_active"),
+        r.getAs[Long]("n_new"), r.getAs[Long]("n_retained"),
+        r.getAs[Long]("n_resurrected"), r.getAs[Long]("n_churned_in"))
+      // the decomposition is a partition of the week's actives
+      assert(n + ret + res == a, s"week $i: $n+$ret+$res != $a")
+      if (i == 0) assert(ret == 0 && res == 0 && ch == 0)
+      // churn into week w is bounded by last week's actives
+      if (i > 0) assert(ch >= 0 && ch <= prevActive)
+      prevActive = a
+    }
+  }
+
+  test("v11 ks test: matches a locally computed exact KS statistic") {
+    import org.apache.spark.sql.functions._
+    val row = operators.Quality2.v11_ks_test(spark, sf).collect()
+    assert(row.length == 1)
+    val r = row(0)
+    val vals = Tables.events(spark, sf)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select("event_type", "value").collect()
+      .map(x => (x.getAs[String]("event_type"), x.getAs[Double]("value")))
+    val s1 = vals.filter(_._1 == "purchase").map(_._2).sorted
+    val s2 = vals.filter(_._1 == "click").map(_._2).sorted
+    val (n1, n2) = (s1.length.toLong, s2.length.toLong)
+    assert(r.getAs[Long]("n1") == n1 && r.getAs[Long]("n2") == n2)
+    val pooled = (s1 ++ s2).distinct.sorted
+    val best = pooled.map { v =>
+      val c1 = s1.count(_ <= v).toLong
+      val c2 = s2.count(_ <= v).toLong
+      (math.abs(c1 * n2 - c2 * n1), v)
+    }.max
+    assert(r.getAs[Long]("d_numerator") == best._1)
+    assert(math.abs(r.getAs[Double]("ks_d")
+      - best._1.toDouble / (n1 * n2)) < 1e-9)
+  }
+
+  test("m12 chunk gc: ledger consistent with m10, orphans bounded") {
+    val gc = operators.Multimodal3.m12_chunk_gc(spark, sf).collect()(0)
+    val ledger = operators.Multimodal3.m10_cdc_chunking(spark, sf).collect()(0)
+    // same chunking: the GC's distinct-chunk and reference counts must
+    // equal the m10 ledger's
+    assert(gc.getAs[Long]("n_chunks") == ledger.getAs[Long]("n_distinct"))
+    assert(gc.getAs[Long]("n_refs_total") == ledger.getAs[Long]("n_chunks"))
+    assert(gc.getAs[Long]("chars_reclaimable") + gc.getAs[Long]("chars_live")
+      == ledger.getAs[Long]("chars_stored"))
+    assert(gc.getAs[Long]("n_orphans") <= gc.getAs[Long]("n_chunks"))
+    val f = gc.getAs[Double]("reclaim_frac")
+    assert(f >= 0.0 && f <= 1.0)
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
