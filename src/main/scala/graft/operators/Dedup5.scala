@@ -188,12 +188,61 @@ object Dedup5 {
                   THEN round(CAST(n_hit AS DOUBLE) / n_truth, 9) END AS recall
       FROM nt CROSS JOIN nc CROSS JOIN hit"""
 
+  // ---- d25: banded-LSH operating-point table (S-curve tuning) ----
+  // The table an engineer reads before picking d02/d06's (bands, rows)
+  // config: for every (b, r) split of a 64-hash signature and a grid
+  // of true Jaccard similarities j, the detection probability
+  // 1 − (1 − j^r)^b — the S-curve whose knee is the effective dedup
+  // threshold. Pure closed-form scalar math, but computed so both
+  // engines take the SAME IEEE path: all powers have INTEGER exponents
+  // and are evaluated as left-to-right multiplication chains
+  // (aggregate over sequence — identical operation order, bit-exact
+  // cross-engine), never libm pow() whose last ulp is
+  // platform-defined. The lone fractional power (the analytic
+  // threshold (1/b)^(1/r)) is rounded to 6 dp, far beyond pow's 1-ulp
+  // platform variance. Constant-size output; the generator is two
+  // in-row sequence explodes — no data read at all.
+  val d25_lsh_tuning: Q = (s, d) => {
+    val rs = Seq(1, 2, 4, 8, 16, 32, 64)
+    val rows = rs.map(r => s"($r, ${64 / r})").mkString(", ")
+    s.sql(
+      s"""SELECT r, b,
+            round(power(1.0D / b, 1.0D / r), 6) AS threshold, j,
+            round(1.0D - aggregate(sequence(1, b), 1.0D,
+                    (acc, x) -> acc * (1.0D - aggregate(sequence(1, r), 1.0D,
+                                         (a2, y) -> a2 * j))), 9) AS p_detect
+          FROM (SELECT col1 AS r, col2 AS b FROM VALUES $rows)
+          LATERAL VIEW explode(array(0.1D, 0.3D, 0.5D, 0.7D, 0.9D)) jt AS j
+          ORDER BY r, j""")
+  }
+  val d25Sql: String = {
+    val rows = Seq(1, 2, 4, 8, 16, 32, 64)
+      .map(r => s"($r, ${64 / r})").mkString(", ")
+    // every literal forced to DOUBLE: DuckDB's bare 0.1 / 1.0 are
+    // DECIMALs, and a DECIMAL product chain truncates 0.9^64 to 0
+    s"""SELECT r, b,
+          round(pow(CAST(1.0 AS DOUBLE) / b, CAST(1.0 AS DOUBLE) / r), 6)
+            AS threshold, j,
+          round(CAST(1.0 AS DOUBLE) - list_reduce(
+                  list_transform(generate_series(1, b), x ->
+                    CAST(1.0 AS DOUBLE) - list_reduce(
+                      list_transform(generate_series(1, r), y -> j),
+                      (a2, v2) -> a2 * v2)),
+                  (acc, v) -> acc * v), 9) AS p_detect
+        FROM (SELECT * FROM (VALUES $rows) t(r, b))
+        CROSS JOIN (SELECT unnest(CAST([0.1, 0.3, 0.5, 0.7, 0.9]
+                                       AS DOUBLE[])) AS j)
+        ORDER BY r, j"""
+  }
+
   val queries: Map[String, Q] = Map(
     "d23_weighted_jaccard" -> d23_weighted_jaccard,
     "d24_lsh_recall"       -> d24_lsh_recall,
+    "d25_lsh_tuning"       -> d25_lsh_tuning,
   )
   val oracles: Map[String, String] = Map(
     "d23_weighted_jaccard" -> d23Sql,
     "d24_lsh_recall"       -> d24Sql,
+    "d25_lsh_tuning"       -> d25Sql,
   )
 }

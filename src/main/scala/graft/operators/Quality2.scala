@@ -200,14 +200,60 @@ object Quality2 {
       FROM cum, n
       ORDER BY d_numerator DESC, value LIMIT 1"""
 
+  // ---- v12: completeness matrix (coverage grid with zero-fill) ----
+  // "Which feeds are missing which languages?" — the coverage heatmap a
+  // corpus owner checks before a training run. The expected grid is the
+  // cross product of the OBSERVED dimension values (sources × langs —
+  // both metadata-sized dimension pulls, broadcast cross join); observed
+  // cells come from ONE combinable (source, lang) count; absent combos
+  // surface explicitly as n_docs = 0 rather than silently not existing
+  // — the zero-fill is the entire point (a missing cell in a GROUP BY
+  // is invisible; a zero row is actionable). share_of_source is a
+  // single IEEE division of exact counts; present is an exact flag.
+  val v12_completeness: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val srcs  = docs.select(col("source")).distinct()
+    val langs = docs.select(col("lang")).distinct()
+    val counts = docs.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"))
+    val perSource = docs.groupBy("source").agg(count(lit(1)).as("n_source"))
+    srcs.crossJoin(broadcast(langs))
+      .join(counts, Seq("source", "lang"), "left")
+      .na.fill(0L, Seq("n_docs"))
+      .join(broadcast(perSource), "source")
+      .select(col("source"), col("lang"), col("n_docs"),
+        (col("n_docs") > 0).as("present"),
+        round(col("n_docs").cast("double") / col("n_source").cast("double"), 9)
+          .as("share_of_source"))
+      .orderBy("source", "lang")
+  }
+  val v12Sql: String =
+    """WITH g AS (SELECT s.source, l.lang
+               FROM (SELECT DISTINCT source FROM documents) s
+               CROSS JOIN (SELECT DISTINCT lang FROM documents) l),
+      c AS (SELECT source, lang, COUNT(*) AS n_docs
+            FROM documents GROUP BY 1, 2),
+      ps AS (SELECT source, COUNT(*) AS n_source
+             FROM documents GROUP BY 1)
+      SELECT g.source, g.lang,
+             COALESCE(c.n_docs, 0) AS n_docs,
+             COALESCE(c.n_docs, 0) > 0 AS present,
+             round(CAST(COALESCE(c.n_docs, 0) AS DOUBLE)
+                   / CAST(ps.n_source AS DOUBLE), 9) AS share_of_source
+      FROM g LEFT JOIN c ON g.source = c.source AND g.lang = c.lang
+             JOIN ps ON g.source = ps.source
+      ORDER BY g.source, g.lang"""
+
   val queries: Map[String, Q] = Map(
     "v08_schema_drift" -> v08_schema_drift,
     "v10_benford"      -> v10_benford,
     "v11_ks_test"      -> v11_ks_test,
+    "v12_completeness" -> v12_completeness,
   )
   val oracles: Map[String, String] = Map(
     "v08_schema_drift" -> v08Sql,
     "v10_benford"      -> v10Sql,
     "v11_ks_test"      -> v11Sql,
+    "v12_completeness" -> v12Sql,
   )
 }

@@ -68,10 +68,66 @@ object Relational13 {
         ${auditSql("orders", "o_custkey")}
       ) ORDER BY key_name"""
 
+  // ---- q92: incremental materialized-view refresh (partial-state merge) ----
+  // The incremental-view-maintenance kernel: a stored monthly rollup
+  // (facts before the cutoff) is refreshed by MERGING the new
+  // partition's partial aggregate — count/sum/min/max are all
+  // mergeable states, so the refresh touches only the delta facts plus
+  // the months-x-priorities state table, never re-scanning history.
+  // That is THE 100 TB refresh story: re-aggregation of partials is
+  // sum-of-sums / min-of-mins on a metadata-sized frame. The ORACLE is
+  // the direct full-table aggregate — so the hash compare PROVES
+  // merge(partial(base), partial(delta)) == full recompute, which is
+  // the algebraic property IVM rests on. Revenue sums ride DECIMAL
+  // end-to-end (exact, order- and split-independent); avg is derived
+  // from merged states with ONE IEEE division at the end.
+  val q92_view_refresh: Q = (s, d) => {
+    import org.apache.spark.sql.types.DecimalType
+    val D = DecimalType(30, 6)
+    val cutoff = lit("2000-01-01").cast("timestamp")
+    def partialState(df: DataFrame): DataFrame =
+      df.groupBy(trunc(col("o_orderdate").cast("date"), "month").as("month"),
+          col("o_orderpriority"))
+        .agg(count(lit(1)).as("c"),
+          sum(col("o_totalprice").cast(D)).cast(D).as("sm"),
+          min(col("o_totalprice")).as("mn"),
+          max(col("o_totalprice")).as("mx"))
+    val o = Tables.orders(s, d)
+    val base  = partialState(o.filter(col("o_orderdate") <  cutoff))
+    val delta = partialState(o.filter(col("o_orderdate") >= cutoff))
+    base.unionAll(delta)
+      .groupBy("month", "o_orderpriority")
+      .agg(sum("c").as("n_orders"),
+        sum(col("sm")).cast(D).as("__sm"),
+        min("mn").as("min_price"), max("mx").as("max_price"))
+      .select(col("month"), col("o_orderpriority"), col("n_orders"),
+        round(col("__sm").cast("double"), 6).as("revenue"),
+        col("min_price"), col("max_price"),
+        round(col("__sm").cast("double") / col("n_orders").cast("double"), 9)
+          .as("avg_price"))
+      .orderBy("month", "o_orderpriority")
+  }
+  // the oracle recomputes from scratch — equality proves the merge
+  val q92Sql: String =
+    """SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+          o_orderpriority,
+          COUNT(*) AS n_orders,
+          round(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+                  AS DECIMAL(30,6)) AS DOUBLE), 6) AS revenue,
+          MIN(o_totalprice) AS min_price,
+          MAX(o_totalprice) AS max_price,
+          round(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+                  AS DECIMAL(30,6)) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE), 9) AS avg_price
+      FROM orders
+      GROUP BY 1, 2 ORDER BY month, o_orderpriority"""
+
   val queries: Map[String, Q] = Map(
-    "q91_skew_audit" -> q91_skew_audit,
+    "q91_skew_audit"   -> q91_skew_audit,
+    "q92_view_refresh" -> q92_view_refresh,
   )
   val oracles: Map[String, String] = Map(
-    "q91_skew_audit" -> q91Sql,
+    "q91_skew_audit"   -> q91Sql,
+    "q92_view_refresh" -> q92Sql,
   )
 }

@@ -533,6 +533,64 @@ class GraphSpec extends AnyFunSuite {
     assert(f >= 0.0 && f <= 1.0)
   }
 
+  test("d25 lsh tuning: S-curve monotone in j, threshold near half-power point") {
+    val rows = operators.Dedup5.d25_lsh_tuning(spark, sf).collect()
+    assert(rows.length == 35)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("r") * r.getAs[Int]("b") == 64)
+      val p = r.getAs[Double]("p_detect")
+      assert(p >= 0.0 && p <= 1.0)
+      // closed form check against scala.math
+      val (rr, b, j) = (r.getAs[Int]("r"), r.getAs[Int]("b"), r.getAs[Double]("j"))
+      val expect = 1.0 - math.pow(1.0 - math.pow(j, rr), b)
+      assert(math.abs(p - expect) < 1e-6, s"($b,$rr,$j): $p vs $expect")
+    }
+    // for fixed r, p_detect is nondecreasing in j
+    rows.groupBy(_.getAs[Int]("r")).values.foreach { g =>
+      val ps = g.sortBy(_.getAs[Double]("j")).map(_.getAs[Double]("p_detect"))
+      assert(ps.zip(ps.tail).forall { case (a, b) => a <= b + 1e-12 })
+    }
+  }
+
+  test("q92 view refresh: merged partials equal a direct aggregate") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val rows = operators.Relational13.q92_view_refresh(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val direct = Tables.orders(spark, sf)
+      .groupBy(trunc(col("o_orderdate").cast("date"), "month").as("month"),
+        col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast(DecimalType(30, 6)))
+          .cast(DecimalType(30, 6)).cast("double"), 6).as("revenue"))
+      .collect()
+      .map(r => ((r.getAs[java.sql.Date]("month").toString,
+        r.getAs[String]("o_orderpriority")),
+        (r.getAs[Long]("n_orders"), r.getAs[Double]("revenue")))).toMap
+    assert(rows.length == direct.size)
+    rows.foreach { r =>
+      val k = (r.getAs[java.sql.Date]("month").toString,
+        r.getAs[String]("o_orderpriority"))
+      val (n, rev) = direct(k)
+      assert(r.getAs[Long]("n_orders") == n)
+      assert(r.getAs[Double]("revenue") == rev, s"$k revenue mismatch")
+    }
+  }
+
+  test("v12 completeness: full grid, shares sum to 1 per source") {
+    val rows = operators.Quality2.v12_completeness(spark, sf).collect()
+    val nSrc = rows.map(_.getAs[String]("source")).distinct.length
+    val nLang = rows.map(_.getAs[String]("lang")).distinct.length
+    assert(rows.length == nSrc * nLang, "grid must be complete")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("present") == (r.getAs[Long]("n_docs") > 0))
+    }
+    rows.groupBy(_.getAs[String]("source")).values.foreach { g =>
+      val tot = g.map(_.getAs[Double]("share_of_source")).sum
+      assert(math.abs(tot - 1.0) < 1e-6, s"shares sum $tot")
+    }
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
