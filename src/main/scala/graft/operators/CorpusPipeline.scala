@@ -384,6 +384,68 @@ object CorpusPipeline {
              round(${graft.Stable.sqlAvg("quality")}, 9) AS mean_q
       FROM r, n GROUP BY 1 ORDER BY phase"""
 
+  // ---- p08: pipeline canary comparison (A/B a filter change) ----
+  // Before a curation-formula change ships, the canary report: score
+  // every doc under the PRODUCTION quality formula (p01's 0.5/0.5
+  // word-count/alnum blend, keep >= 0.6) and the CANDIDATE one (0.7
+  // word-weight — rewarding length over cleanliness), then diff the
+  // kept sets per language: kept counts both sides, docs LOST by the
+  // change, docs GAINED, and the kept-set Jaccard overlap. ONE scan,
+  // both scores as row expressions, every metric a conditional count
+  // in a single combinable aggregate — the diff of two full pipeline
+  // runs collapses to one pass because the filters are row-local.
+  // Exact integer counts; overlap is one IEEE division.
+  val p08_canary_compare: Q = (s, d) => {
+    val scored = Tables.documents(s, d)
+      .withColumn("n_chars_m", length(col("text")).cast("long"))
+      .withColumn("n_words", size(split(trim(col("text")), " ")).cast("long"))
+      .withColumn("n_alnum",
+        length(regexp_replace(col("text"), "[^A-Za-z0-9]", "")).cast("long"))
+      .withColumn("wordpart", least(lit(1.0),
+        col("n_words").cast("double") / 100.0))
+      .withColumn("alnumpart",
+        col("n_alnum").cast("double") / col("n_chars_m"))
+      .withColumn("keep_prod",
+        lit(0.5) * col("wordpart") + lit(0.5) * col("alnumpart") >= 0.6)
+      .withColumn("keep_cand",
+        lit(0.7) * col("wordpart") + lit(0.3) * col("alnumpart") >= 0.6)
+    scored.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("keep_prod"), 1)).as("kept_prod"),
+        count(when(col("keep_cand"), 1)).as("kept_cand"),
+        count(when(col("keep_prod") && !col("keep_cand"), 1)).as("lost"),
+        count(when(!col("keep_prod") && col("keep_cand"), 1)).as("gained"),
+        count(when(col("keep_prod") && col("keep_cand"), 1)).as("kept_both"))
+      .withColumn("overlap_jaccard", round(
+        col("kept_both").cast("double")
+          / (col("kept_prod") + col("kept_cand") - col("kept_both"))
+            .cast("double"), 9))
+      .orderBy("lang")
+  }
+  val p08Sql: String =
+    """WITH sc AS (
+        SELECT lang,
+               0.5 * wp + 0.5 * ap >= 0.6 AS keep_prod,
+               0.7 * wp + 0.3 * ap >= 0.6 AS keep_cand
+        FROM (SELECT lang,
+                least(1.0, CAST(len(string_split(trim(text), ' ')) AS DOUBLE)
+                           / 100.0) AS wp,
+                CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+                     AS DOUBLE) / CAST(length(text) AS BIGINT) AS ap
+              FROM documents) t),
+      g AS (SELECT lang, COUNT(*) AS n_docs,
+              COUNT(*) FILTER (WHERE keep_prod) AS kept_prod,
+              COUNT(*) FILTER (WHERE keep_cand) AS kept_cand,
+              COUNT(*) FILTER (WHERE keep_prod AND NOT keep_cand) AS lost,
+              COUNT(*) FILTER (WHERE NOT keep_prod AND keep_cand) AS gained,
+              COUNT(*) FILTER (WHERE keep_prod AND keep_cand) AS kept_both
+            FROM sc GROUP BY 1)
+      SELECT lang, n_docs, kept_prod, kept_cand, lost, gained, kept_both,
+             round(CAST(kept_both AS DOUBLE)
+                   / CAST(kept_prod + kept_cand - kept_both AS DOUBLE), 9)
+               AS overlap_jaccard
+      FROM g ORDER BY lang"""
+
   val queries: Map[String, Q] = Map(
     "p01_corpus_clean"     -> p01_corpus_clean,
     "p02_quality_resample" -> p02_quality_resample,
@@ -391,7 +453,8 @@ object CorpusPipeline {
     "p04_dataset_card"     -> p04_dataset_card,
     "p05_mixture_sample"   -> p05_mixture_sample,
     "p06_threshold_yield"  -> p06_threshold_yield,
-    "p07_curriculum"       -> p07_curriculum)
+    "p07_curriculum"       -> p07_curriculum,
+    "p08_canary_compare"   -> p08_canary_compare)
   val oracles: Map[String, String] = Map(
     "p01_corpus_clean"     -> p01Sql,
     "p02_quality_resample" -> p02Sql,
@@ -399,5 +462,6 @@ object CorpusPipeline {
     "p04_dataset_card"     -> p04Sql,
     "p05_mixture_sample"   -> p05Sql,
     "p06_threshold_yield"  -> p06Sql,
-    "p07_curriculum"       -> p07Sql)
+    "p07_curriculum"       -> p07Sql,
+    "p08_canary_compare"   -> p08Sql)
 }

@@ -122,12 +122,93 @@ object Relational13 {
       FROM orders
       GROUP BY 1, 2 ORDER BY month, o_orderpriority"""
 
+  // ---- q93: point-in-time SCD2 lookup with late-arriving fallback ----
+  // The Kimball pattern q56 builds toward: facts joined to the
+  // slowly-changing dimension AS OF the fact date, with orders whose
+  // key has no valid version AT THAT DATE (the late-arriving-dimension
+  // case: key first appears in the 1998-06 load) falling back to an
+  // explicit UNKNOWN member instead of silently dropping. The dim is
+  // q56's two-version shape re-dated into the order-date domain
+  // (v1 from 1995-01-01, changed keys re-versioned at 1998-06-01;
+  // 1-in-97 keys arrive only in the second load). Plan: the dim is
+  // customer-sized -> BROADCAST; the compound join (equi on key +
+  // validity range) hash-joins on the key and post-filters the <= 2
+  // versions per key, so nothing range-shaped ever shuffles; the audit
+  // rollup (per matched-version class: orders, keys, DECIMAL-exact
+  // revenue) is combinable. Exact-date interval logic on both engines.
+  val q93_scd_lookup: Q = (s, d) => {
+    import graft.Stable.dsum
+    val d0 = to_date(lit("1995-01-01"))
+    val d1 = to_date(lit("1998-06-01"))
+    val cust = Tables.customer(s, d)
+    val early = cust.filter(col("c_custkey") % 97 =!= 0)
+    val changed = early.filter(col("c_custkey") % 3 === 0)
+    val dim =
+      changed.select(col("c_custkey").as("k"), col("c_acctbal").as("bal"),
+          d0.as("valid_from"), d1.as("valid_to"))
+        .unionAll(changed.select(col("c_custkey").as("k"),
+          (col("c_acctbal") + 100.0).as("bal"),
+          d1.as("valid_from"), lit(null).cast("date").as("valid_to")))
+        .unionAll(early.filter(col("c_custkey") % 3 =!= 0)
+          .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"),
+            d0.as("valid_from"), lit(null).cast("date").as("valid_to")))
+        .unionAll(cust.filter(col("c_custkey") % 97 === 0)
+          .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"),
+            d1.as("valid_from"), lit(null).cast("date").as("valid_to")))
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey").as("k"), to_date(col("o_orderdate")).as("od"),
+        col("o_totalprice"))
+    o.join(broadcast(dim),
+        o("k") === dim("k") && col("od") >= col("valid_from")
+          && (col("valid_to").isNull || col("od") < col("valid_to")),
+        "left")
+      .withColumn("version",
+        when(col("valid_from").isNull, lit("unknown_member"))
+          .when(col("valid_from") === d1, lit("v2"))
+          .otherwise(lit("v1")))
+      .groupBy("version")
+      .agg(count(lit(1)).as("n_orders"),
+        count_distinct(o("k")).as("n_keys"),
+        round(dsum(col("o_totalprice")), 6).as("revenue"))
+      .orderBy("version")
+  }
+  val q93Sql: String =
+    s"""WITH dim AS (
+        SELECT c_custkey AS k, c_acctbal AS bal,
+               DATE '1995-01-01' AS valid_from, DATE '1998-06-01' AS valid_to
+        FROM customer WHERE c_custkey % 97 <> 0 AND c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey, c_acctbal + 100.0,
+               DATE '1998-06-01', NULL
+        FROM customer WHERE c_custkey % 97 <> 0 AND c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey, c_acctbal, DATE '1995-01-01', NULL
+        FROM customer WHERE c_custkey % 97 <> 0 AND c_custkey % 3 <> 0
+        UNION ALL
+        SELECT c_custkey, c_acctbal, DATE '1998-06-01', NULL
+        FROM customer WHERE c_custkey % 97 = 0),
+      j AS (
+        SELECT CASE WHEN valid_from IS NULL THEN 'unknown_member'
+                    WHEN valid_from = DATE '1998-06-01' THEN 'v2'
+                    ELSE 'v1' END AS version,
+               o.o_custkey, o.o_totalprice
+        FROM orders o LEFT JOIN dim
+          ON o.o_custkey = dim.k
+             AND CAST(o.o_orderdate AS DATE) >= valid_from
+             AND (valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < valid_to))
+      SELECT version, COUNT(*) AS n_orders,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_keys,
+             round(${graft.Stable.sqlSum("o_totalprice")}, 6) AS revenue
+      FROM j GROUP BY 1 ORDER BY version"""
+
   val queries: Map[String, Q] = Map(
     "q91_skew_audit"   -> q91_skew_audit,
     "q92_view_refresh" -> q92_view_refresh,
+    "q93_scd_lookup"   -> q93_scd_lookup,
   )
   val oracles: Map[String, String] = Map(
     "q91_skew_audit"   -> q91Sql,
     "q92_view_refresh" -> q92Sql,
+    "q93_scd_lookup"   -> q93Sql,
   )
 }

@@ -447,6 +447,52 @@ object Similarity2 {
              row_number() OVER (ORDER BY rrf DESC, id) AS rank
       FROM fu QUALIFY rank <= 25 ORDER BY rank"""
 
+  // ---- s13: radius (range) similarity search ----
+  // The other half of vector retrieval: not "top-k nearest" but "ALL
+  // neighbors within a similarity radius" — the primitive behind
+  // near-duplicate sweeps, recommendation pools, and density probes.
+  // Per query vector: neighborhood size, max cosine, and mean cosine
+  // at radius cos >= 0.3 (d05's operating regime). Brute exact over a
+  // broadcast query set — the candidates stream map-side, per-query
+  // partial aggregates combine, and NOTHING pair-shaped ever shuffles
+  // (the exchange carries queries x 3 numbers). At 100 TB the same
+  // report runs on the s04 IVF route: probe cells first, identical
+  // rollup. Cosines come from the codegen'd CosineSim expression whose
+  // index-order folds are bit-identical to DuckDB's list_dot_product;
+  // the mean rides the dsum decimal discipline.
+  val s13_radius_search: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .crossJoin(broadcast(queries))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("cos", graft.functions.cosine_sim(col("qe"), col("ce")))
+      .filter(col("cos") >= 0.3)
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_neighbors"),
+        round(max(col("cos")), 9).as("max_cos"),
+        round(Stable.dsum(col("cos")) / count(lit(1)), 9).as("mean_cos"))
+      .orderBy("qid")
+  }
+  val s13Sql: String = {
+    val cos = """list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                  CAST(c.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[]))))"""
+    s"""WITH p AS (
+        SELECT q.vec_id AS qid, $cos AS cos
+        FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+        JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE $cos >= 0.3)
+      SELECT qid, COUNT(*) AS n_neighbors,
+             round(MAX(cos), 9) AS max_cos,
+             round(${Stable.sqlSum("cos")} / COUNT(*), 9) AS mean_cos
+      FROM p GROUP BY 1 ORDER BY qid"""
+  }
+
   val queries: Map[String, Q] = Map(
     "s06_kmeans_refine"  -> s06_kmeans_refine,
     "s11_cluster_exemplars" -> s11_cluster_exemplars,
@@ -455,6 +501,7 @@ object Similarity2 {
     "s08_ann_recall"     -> s08_ann_recall,
     "s09_scalar_quant"   -> s09_scalar_quant,
     "s10_mmr_diversify"  -> s10_mmr_diversify,
+    "s13_radius_search"  -> s13_radius_search,
   )
   val oracles: Map[String, String] = Map(
     "s06_kmeans_refine"  -> s06Sql,
@@ -464,5 +511,6 @@ object Similarity2 {
     "s08_ann_recall"     -> s08Sql,
     "s09_scalar_quant"   -> s09Sql,
     "s10_mmr_diversify"  -> s10Sql,
+    "s13_radius_search"  -> s13Sql,
   )
 }

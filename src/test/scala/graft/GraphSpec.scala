@@ -591,6 +591,68 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("s13 radius search: neighborhood bounds, brute-force cross-check") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Similarity2.s13_radius_search(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    val n = Tables.embeddings(spark, sf).count()
+    rows.foreach { r =>
+      val k = r.getAs[Long]("n_neighbors")
+      assert(k >= 1 && k < n)
+      val (mx, mean) = (r.getAs[Double]("max_cos"), r.getAs[Double]("mean_cos"))
+      // mean rides dsum's DECIMAL(30,6) per-row cast, so it can sit up
+      // to ~5e-7 above the unrounded max when all cosines are close
+      assert(mx <= 1.0 + 1e-9 && mean >= 0.3 - 1e-6 && mean <= mx + 1e-6)
+    }
+    // brute-force one query locally
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray))
+    val q = vecs.find(_._1 == rows.head.getAs[Long]("qid")).get
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val local = vecs.filter(_._1 != q._1).map(v => cos(q._2, v._2))
+      .count(_ >= 0.3)
+    assert(rows.head.getAs[Long]("n_neighbors") == local)
+  }
+
+  test("p08 canary compare: set algebra consistent per language") {
+    val rows = operators.CorpusPipeline.p08_canary_compare(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p, c, lost, gained, both) = (r.getAs[Long]("kept_prod"),
+        r.getAs[Long]("kept_cand"), r.getAs[Long]("lost"),
+        r.getAs[Long]("gained"), r.getAs[Long]("kept_both"))
+      assert(both + lost == p, "prod kept = both + lost")
+      assert(both + gained == c, "cand kept = both + gained")
+      assert(p <= r.getAs[Long]("n_docs") && c <= r.getAs[Long]("n_docs"))
+      if (p + c > 0) {
+        val j = r.getAs[Double]("overlap_jaccard")
+        assert(j >= 0.0 && j <= 1.0)
+      }
+    }
+  }
+
+  test("q93 scd lookup: every order lands exactly once, classes exhaustive") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Relational13.q93_scd_lookup(spark, sf).collect()
+    val versions = rows.map(_.getAs[String]("version")).toSet
+    assert(versions.subsetOf(Set("v1", "v2", "unknown_member")))
+    val totalOrders = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == totalOrders,
+      "the lookup must neither drop nor duplicate facts")
+    // unknown_member only exists for late-arriving keys (1-in-97)
+    rows.find(_.getAs[String]("version") == "unknown_member").foreach { u =>
+      val lateKeys = Tables.customer(spark, sf)
+        .filter(col("c_custkey") % 97 === 0).count()
+      assert(u.getAs[Long]("n_keys") <= lateKeys)
+    }
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
