@@ -244,16 +244,95 @@ object Quality2 {
              JOIN ps ON g.source = ps.source
       ORDER BY g.source, g.lang"""
 
+  // ---- v13: candidate key discovery (PK uniqueness + FK containment) ----
+  // The data-catalog profiler: given column PAIRS, measure what a key
+  // constraint would have to be true of — parent uniqueness
+  // (distinct/rows) and child containment (what fraction of child
+  // values exist in the parent) — and emit the verdict a catalog would
+  // record. v03 CHECKS declared integrity; this DISCOVERS it from the
+  // data. Per pair: two combinable distinct-aggregates + one distinct
+  // anti-join on the child's value set (value-set-sized, never
+  // row-sized). Exact integer ratios, exact boolean verdict.
+  val v13_key_discovery: Q = (s, d) => {
+    def profile(parent: DataFrame, pCol: String, child: DataFrame,
+        cCol: String, label: String): DataFrame = {
+      val p = parent.select(col(pCol).as("v"))
+      val c = child.select(col(cCol).as("v"))
+      val pStats = p.agg(count(lit(1)).as("parent_rows"),
+        count_distinct(col("v")).as("parent_distinct"))
+      val cDistinct = c.distinct()
+      val cStats = cDistinct.agg(count(lit(1)).as("child_distinct"))
+      val orphans = cDistinct.join(p.distinct(), Seq("v"), "left_anti")
+        .agg(count(lit(1)).as("child_orphans"))
+      pStats.crossJoin(broadcast(cStats)).crossJoin(broadcast(orphans))
+        .select(lit(label).as("pair"),
+          col("parent_rows"), col("parent_distinct"),
+          round(col("parent_distinct").cast("double")
+            / col("parent_rows").cast("double"), 9).as("uniqueness"),
+          col("child_distinct"), col("child_orphans"),
+          round((col("child_distinct") - col("child_orphans")).cast("double")
+            / col("child_distinct").cast("double"), 9).as("containment"),
+          (col("parent_distinct") === col("parent_rows")
+            && col("child_orphans") === 0).as("fk_candidate"))
+    }
+    profile(Tables.customer(s, d), "c_custkey",
+        Tables.orders(s, d), "o_custkey", "customer.c_custkey<-orders.o_custkey")
+      .unionAll(profile(Tables.part(s, d), "p_partkey",
+        Tables.lineitem(s, d), "l_partkey", "part.p_partkey<-lineitem.l_partkey"))
+      .unionAll(profile(Tables.orders(s, d), "o_orderkey",
+        Tables.lineitem(s, d), "l_orderkey", "orders.o_orderkey<-lineitem.l_orderkey"))
+      .unionAll(profile(Tables.orders(s, d), "o_orderpriority",
+        Tables.orders(s, d), "o_orderpriority", "orders.o_orderpriority<-self"))
+      .orderBy("pair")
+  }
+  private def v13PairSql(pt: String, pc: String, ct: String, cc: String,
+      label: String): String =
+    s"""SELECT '$label' AS pair,
+          (SELECT COUNT(*) FROM $pt) AS parent_rows,
+          (SELECT COUNT(DISTINCT $pc) FROM $pt) AS parent_distinct,
+          round(CAST((SELECT COUNT(DISTINCT $pc) FROM $pt) AS DOUBLE)
+                / CAST((SELECT COUNT(*) FROM $pt) AS DOUBLE), 9)
+            AS uniqueness,
+          (SELECT COUNT(DISTINCT $cc) FROM $ct) AS child_distinct,
+          (SELECT COUNT(*) FROM (SELECT DISTINCT $cc AS v FROM $ct) c
+           WHERE v NOT IN (SELECT DISTINCT $pc FROM $pt)) AS child_orphans,
+          round(CAST((SELECT COUNT(DISTINCT $cc) FROM $ct)
+                  - (SELECT COUNT(*) FROM (SELECT DISTINCT $cc AS v FROM $ct) c
+                     WHERE v NOT IN (SELECT DISTINCT $pc FROM $pt)) AS DOUBLE)
+                / CAST((SELECT COUNT(DISTINCT $cc) FROM $ct) AS DOUBLE), 9)
+            AS containment,
+          ((SELECT COUNT(DISTINCT $pc) FROM $pt)
+             = (SELECT COUNT(*) FROM $pt)
+           AND (SELECT COUNT(*) FROM (SELECT DISTINCT $cc AS v FROM $ct) c
+                WHERE v NOT IN (SELECT DISTINCT $pc FROM $pt)) = 0)
+            AS fk_candidate"""
+  val v13Sql: String =
+    s"""SELECT * FROM (
+        ${v13PairSql("customer", "c_custkey", "orders", "o_custkey",
+          "customer.c_custkey<-orders.o_custkey")}
+        UNION ALL
+        ${v13PairSql("part", "p_partkey", "lineitem", "l_partkey",
+          "part.p_partkey<-lineitem.l_partkey")}
+        UNION ALL
+        ${v13PairSql("orders", "o_orderkey", "lineitem", "l_orderkey",
+          "orders.o_orderkey<-lineitem.l_orderkey")}
+        UNION ALL
+        ${v13PairSql("orders", "o_orderpriority", "orders", "o_orderpriority",
+          "orders.o_orderpriority<-self")}
+      ) ORDER BY pair"""
+
   val queries: Map[String, Q] = Map(
     "v08_schema_drift" -> v08_schema_drift,
     "v10_benford"      -> v10_benford,
     "v11_ks_test"      -> v11_ks_test,
     "v12_completeness" -> v12_completeness,
+    "v13_key_discovery" -> v13_key_discovery,
   )
   val oracles: Map[String, String] = Map(
     "v08_schema_drift" -> v08Sql,
     "v10_benford"      -> v10Sql,
     "v11_ks_test"      -> v11Sql,
     "v12_completeness" -> v12Sql,
+    "v13_key_discovery" -> v13Sql,
   )
 }

@@ -201,14 +201,77 @@ object Relational13 {
              round(${graft.Stable.sqlSum("o_totalprice")}, 6) AS revenue
       FROM j GROUP BY 1 ORDER BY version"""
 
+  // ---- q94: price/volume/mix revenue-delta decomposition ----
+  // The finance-analytics staple behind every "why did revenue move"
+  // review: per segment (order priority), the period-over-period
+  // revenue delta splits EXACTLY into volume effect (Δvol × old avg
+  // price), price effect (old vol × Δprice) and the cross/mix term
+  // (Δvol × Δprice) — and the three effects sum to the delta by
+  // construction (spec-pinned). Two combinable fact-scale aggregates
+  // (one per period), a 5-row broadcast join, then pure row-local
+  // IEEE arithmetic on DECIMAL-exact revenue and count inputs — every
+  // derived number is a fixed sequence of ops on bit-identical
+  // doubles, so the oracle hash-matches with no tolerance.
+  val q94_mix_shift: Q = (s, d) => {
+    import org.apache.spark.sql.types.DecimalType
+    val D = DecimalType(30, 6)
+    val split = lit("1998-05-01").cast("timestamp")
+    def side(df: DataFrame, tag: String): DataFrame =
+      df.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as(s"vol_$tag"),
+          sum(col("o_totalprice").cast(D)).cast("double").as(s"rev_$tag"))
+    val o = Tables.orders(s, d)
+    side(o.filter(col("o_orderdate") < split), "old")
+      .join(broadcast(side(o.filter(col("o_orderdate") >= split), "new")),
+        "o_orderpriority")
+      .withColumn("p_old", col("rev_old") / col("vol_old").cast("double"))
+      .withColumn("p_new", col("rev_new") / col("vol_new").cast("double"))
+      .withColumn("dvol", (col("vol_new") - col("vol_old")).cast("double"))
+      .select(col("o_orderpriority"), col("vol_old"), col("vol_new"),
+        round(col("rev_old"), 6).as("rev_old"),
+        round(col("rev_new"), 6).as("rev_new"),
+        round(col("rev_new") - col("rev_old"), 6).as("delta_rev"),
+        round(col("dvol") * col("p_old"), 6).as("volume_effect"),
+        round(col("vol_old").cast("double") * (col("p_new") - col("p_old")), 6)
+          .as("price_effect"),
+        round(col("dvol") * (col("p_new") - col("p_old")), 6).as("mix_effect"))
+      .orderBy("o_orderpriority")
+  }
+  val q94Sql: String =
+    """WITH o1 AS (SELECT o_orderpriority, COUNT(*) AS vol_old,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+                   AS rev_old
+               FROM orders WHERE o_orderdate < TIMESTAMP '1998-05-01'
+               GROUP BY 1),
+      o2 AS (SELECT o_orderpriority, COUNT(*) AS vol_new,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+                   AS rev_new
+             FROM orders WHERE o_orderdate >= TIMESTAMP '1998-05-01'
+             GROUP BY 1),
+      j AS (SELECT o1.o_orderpriority, vol_old, vol_new, rev_old, rev_new,
+                   rev_old / CAST(vol_old AS DOUBLE) AS p_old,
+                   rev_new / CAST(vol_new AS DOUBLE) AS p_new,
+                   CAST(vol_new - vol_old AS DOUBLE) AS dvol
+            FROM o1 JOIN o2 USING (o_orderpriority))
+      SELECT o_orderpriority, vol_old, vol_new,
+             round(rev_old, 6) AS rev_old, round(rev_new, 6) AS rev_new,
+             round(rev_new - rev_old, 6) AS delta_rev,
+             round(dvol * p_old, 6) AS volume_effect,
+             round(CAST(vol_old AS DOUBLE) * (p_new - p_old), 6)
+               AS price_effect,
+             round(dvol * (p_new - p_old), 6) AS mix_effect
+      FROM j ORDER BY o_orderpriority"""
+
   val queries: Map[String, Q] = Map(
     "q91_skew_audit"   -> q91_skew_audit,
     "q92_view_refresh" -> q92_view_refresh,
     "q93_scd_lookup"   -> q93_scd_lookup,
+    "q94_mix_shift"    -> q94_mix_shift,
   )
   val oracles: Map[String, String] = Map(
     "q91_skew_audit"   -> q91Sql,
     "q92_view_refresh" -> q92Sql,
     "q93_scd_lookup"   -> q93Sql,
+    "q94_mix_shift"    -> q94Sql,
   )
 }

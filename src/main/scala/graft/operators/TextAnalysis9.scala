@@ -157,14 +157,68 @@ object TextAnalysis9 {
       FROM g0 JOIN df USING (source, g)
       GROUP BY doc_id ORDER BY doc_id"""
 
+  // ---- t26: encoding-health audit (mojibake / control-char census) ----
+  // The ingest gate nobody writes until a bad crawl poisons a training
+  // run: per source, how many docs carry U+FFFD replacement characters
+  // (the scar of a charset misdetection), C0 control characters
+  // (binary bleed-through), or any non-ASCII at all, plus the mean
+  // non-ASCII fraction. ONE narrow scan; every signal is a regexp
+  // count over explicit codepoint classes (plain character ranges —
+  // identical semantics in Java regex and RE2, no shorthand classes
+  // whose Unicode tables could differ); fractions are exact-int
+  // ratios, the mean rides the dsum decimal discipline. Combinable
+  // source rollup — linear at any corpus size.
+  val t26_encoding_audit: Q = (s, d) => {
+    import graft.Stable.dsum
+    val nonAscii = "[^\\x00-\\x7F]"
+    val scored = Tables.documents(s, d)
+      .withColumn("n_chars_m", length(col("text")).cast("long"))
+      .withColumn("n_nonascii",
+        (col("n_chars_m") -
+          length(regexp_replace(col("text"), nonAscii, ""))).cast("long"))
+      .withColumn("has_replacement", col("text").contains("�"))
+      .withColumn("has_control",
+        col("text").rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"))
+    scored.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("has_replacement"), 1)).as("n_replacement_docs"),
+        count(when(col("has_control"), 1)).as("n_control_docs"),
+        count(when(col("n_nonascii") > 0, 1)).as("n_nonascii_docs"),
+        round(dsum(col("n_nonascii").cast("double")
+          / col("n_chars_m").cast("double"))
+          / count(lit(1)), 9).as("mean_nonascii_frac"))
+      .orderBy("source")
+  }
+  val t26Sql: String =
+    s"""WITH sc AS (
+        SELECT source,
+               CAST(length(text) AS BIGINT) AS n_chars_m,
+               CAST(length(text)
+                    - length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))
+                 AS BIGINT) AS n_nonascii,
+               contains(text, chr(65533)) AS has_replacement,
+               regexp_matches(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')
+                 AS has_control
+        FROM documents)
+      SELECT source, COUNT(*) AS n_docs,
+             COUNT(*) FILTER (WHERE has_replacement) AS n_replacement_docs,
+             COUNT(*) FILTER (WHERE has_control) AS n_control_docs,
+             COUNT(*) FILTER (WHERE n_nonascii > 0) AS n_nonascii_docs,
+             round(${graft.Stable.sqlSum(
+               "CAST(n_nonascii AS DOUBLE) / CAST(n_chars_m AS DOUBLE)")}
+                   / COUNT(*), 9) AS mean_nonascii_frac
+      FROM sc GROUP BY 1 ORDER BY source"""
+
   val queries: Map[String, Q] = Map(
     "t23_pmi_collocations" -> t23_pmi_collocations,
     "t25_boilerplate"      -> t25_boilerplate,
     "t24_lang_confusion"   -> t24_lang_confusion,
+    "t26_encoding_audit"   -> t26_encoding_audit,
   )
   val oracles: Map[String, String] = Map(
     "t23_pmi_collocations" -> t23Sql,
     "t24_lang_confusion"   -> t24Sql,
     "t25_boilerplate"      -> t25Sql,
+    "t26_encoding_audit"   -> t26Sql,
   )
 }

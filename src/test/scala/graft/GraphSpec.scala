@@ -653,6 +653,53 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("q94 mix shift: effects sum exactly to the revenue delta") {
+    val rows = operators.Relational13.q94_mix_shift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sum = r.getAs[Double]("volume_effect") +
+        r.getAs[Double]("price_effect") + r.getAs[Double]("mix_effect")
+      // each term is rounded at 1e-6, so the identity holds to ~2e-6
+      assert(math.abs(sum - r.getAs[Double]("delta_rev")) < 5e-6,
+        s"${r.getAs[String]("o_orderpriority")}: $sum vs ${r.getAs[Double]("delta_rev")}")
+    }
+  }
+
+  test("t26 encoding audit: counts bounded, fraction consistent") {
+    val rows = operators.TextAnalysis9.t26_encoding_audit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      assert(r.getAs[Long]("n_replacement_docs") <= n)
+      assert(r.getAs[Long]("n_control_docs") <= n)
+      assert(r.getAs[Long]("n_nonascii_docs") <= n)
+      val f = r.getAs[Double]("mean_nonascii_frac")
+      assert(f >= 0.0 && f <= 1.0)
+      // a doc with nonzero non-ascii fraction must be counted
+      if (f > 0) assert(r.getAs[Long]("n_nonascii_docs") > 0)
+    }
+  }
+
+  test("v13 key discovery: true keys confirmed, non-key rejected") {
+    val rows = operators.Quality2.v13_key_discovery(spark, sf).collect()
+    assert(rows.length == 4)
+    val byPair = rows.map(r => r.getAs[String]("pair") -> r).toMap
+    // the three real PK<-FK pairs must verify
+    Seq("customer.c_custkey<-orders.o_custkey",
+      "part.p_partkey<-lineitem.l_partkey",
+      "orders.o_orderkey<-lineitem.l_orderkey").foreach { p =>
+      val r = byPair(p)
+      assert(r.getAs[Boolean]("fk_candidate"), s"$p must be a key")
+      assert(r.getAs[Double]("uniqueness") == 1.0)
+      assert(r.getAs[Double]("containment") == 1.0)
+    }
+    // the low-cardinality self pair is contained but NOT unique
+    val neg = byPair("orders.o_orderpriority<-self")
+    assert(!neg.getAs[Boolean]("fk_candidate"))
+    assert(neg.getAs[Double]("uniqueness") < 0.01)
+    assert(neg.getAs[Double]("containment") == 1.0)
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
