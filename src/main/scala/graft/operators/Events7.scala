@@ -200,14 +200,132 @@ object Events7 {
       FROM a LEFT JOIN c ON a.wi = c.wi
       ORDER BY week"""
 
+  // ---- e35: trend / seasonal / residual decomposition ----
+  // Classical decomposition (the moving-average core of STL) per event
+  // type: trend = centered 7-day mean of the daily counts, seasonal =
+  // per-weekday mean of the detrended series, residual = the rest —
+  // the decomposition every anomaly threshold (e11/e27) implicitly
+  // assumes. All windows run on the types×days frame (metadata-sized
+  // after the ONE fact-scale daily aggregate) and only FULL 7-day
+  // windows score (edge days are excluded, not padded — honesty over
+  // coverage). Trend is an exact-int sum with one division; seasonal
+  // means ride dsum; weekday numbering is pinned cross-engine (the
+  // e26 discipline: Spark dayofweek 1=Sun minus 1 = DuckDB dow 0=Sun).
+  val e35_seasonal_decompose: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("w_n", count(lit(1)).over(w))
+      .withColumn("w_sum", sum("n").over(w))
+      .filter(col("w_n") === 7)
+      .withColumn("trend", col("w_sum").cast("double") / lit(7.0))
+      .withColumn("detr", col("n").cast("double") - col("trend"))
+      .withColumn("dow", dayofweek(col("day")) - 1)
+    val seasonal = trended.groupBy("event_type", "dow")
+      .agg((dsum(col("detr")) / count(lit(1))).as("seasonal"))
+    trended.join(broadcast(seasonal), Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"), col("n"),
+        round(col("trend"), 9).as("trend"),
+        round(col("seasonal"), 9).as("seasonal"),
+        round(col("detr") - col("seasonal"), 9).as("residual"))
+      .orderBy("event_type", "day")
+  }
+  val e35Sql: String =
+    s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                           COUNT(*) AS n
+                    FROM events GROUP BY 1, 2),
+      tw AS (SELECT event_type, day, n,
+               COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w_n,
+               CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS w_sum
+             FROM daily),
+      tr AS (SELECT event_type, day, n,
+               CAST(w_sum AS DOUBLE) / CAST(7.0 AS DOUBLE) AS trend,
+               CAST(n AS DOUBLE)
+                 - CAST(w_sum AS DOUBLE) / CAST(7.0 AS DOUBLE) AS detr,
+               dayofweek(day) AS dow
+             FROM tw WHERE w_n = 7),
+      se AS (SELECT event_type, dow,
+               ${sqlSum("detr")} / COUNT(*) AS seasonal
+             FROM tr GROUP BY 1, 2)
+      SELECT tr.event_type, tr.day, tr.n,
+             round(trend, 9) AS trend,
+             round(seasonal, 9) AS seasonal,
+             round(detr - seasonal, 9) AS residual
+      FROM tr JOIN se ON tr.event_type = se.event_type AND tr.dow = se.dow
+      ORDER BY tr.event_type, tr.day"""
+
+  // ---- e36: SLO error-budget burn rate ----
+  // The SRE staple: daily error rate vs a 1% SLO, the 1-day and
+  // trailing-7-day burn rates, and breach flags. After the ONE
+  // combinable daily aggregate the series is days-sized, so the
+  // trailing window runs inside an explicitly bounded single group
+  // (GraftOps.boundedSingleGroup — the sanctioned shape for
+  // metadata-sized global series; WindowExec's unpartitioned path
+  // never engages). Breach tests are EXACT INTEGERS: 100·errors > n
+  // is rate > 1% with no double threshold; the reported burn rates
+  // are single IEEE divisions for humans.
+  val e36_slo_burn: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("event_type") === "error", 1)).as("errors"))
+    val g = graft.api.GraftOps.boundedSingleGroup(daily)
+    val w = Window.partitionBy("__g").orderBy("day").rowsBetween(-6, 0)
+    g.withColumn("n7", sum("n").over(w))
+      .withColumn("e7", sum("errors").over(w))
+      .withColumn("w_days", count(lit(1)).over(w))
+      .select(col("day"), col("n"), col("errors"),
+        round(col("errors").cast("double") / col("n").cast("double"), 9)
+          .as("rate"),
+        round(col("errors").cast("double") * lit(100.0)
+          / col("n").cast("double"), 9).as("burn_1d"),
+        round(col("e7").cast("double") * lit(100.0)
+          / col("n7").cast("double"), 9).as("burn_7d"),
+        (col("errors") * 100 > col("n")).as("breach_1d"),
+        (col("e7") * 100 > col("n7") && col("w_days") === 7).as("breach_7d"))
+      .orderBy("day")
+  }
+  val e36Sql: String =
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+                   COUNT(*) FILTER (WHERE event_type = 'error') AS errors
+            FROM events GROUP BY 1),
+      w AS (SELECT day, n, errors,
+              CAST(SUM(n) OVER (ORDER BY day
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n7,
+              CAST(SUM(errors) OVER (ORDER BY day
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS e7,
+              COUNT(*) OVER (ORDER BY day
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS w_days
+            FROM daily)
+      SELECT day, n, errors,
+             round(CAST(errors AS DOUBLE) / CAST(n AS DOUBLE), 9) AS rate,
+             round(CAST(errors AS DOUBLE) * 100.0 / CAST(n AS DOUBLE), 9)
+               AS burn_1d,
+             round(CAST(e7 AS DOUBLE) * 100.0 / CAST(n7 AS DOUBLE), 9)
+               AS burn_7d,
+             errors * 100 > n AS breach_1d,
+             (e7 * 100 > n7 AND w_days = 7) AS breach_7d
+      FROM w ORDER BY day"""
+
   val queries: Map[String, Q] = Map(
     "e31_assoc_rules"        -> e31_assoc_rules,
     "e32_forecast_backtest"  -> e32_forecast_backtest,
     "e33_growth_accounting"  -> e33_growth_accounting,
+    "e35_seasonal_decompose" -> e35_seasonal_decompose,
+    "e36_slo_burn"           -> e36_slo_burn,
   )
   val oracles: Map[String, String] = Map(
     "e31_assoc_rules"        -> e31Sql,
     "e32_forecast_backtest"  -> e32Sql,
     "e33_growth_accounting"  -> e33Sql,
+    "e35_seasonal_decompose" -> e35Sql,
+    "e36_slo_burn"           -> e36Sql,
   )
 }

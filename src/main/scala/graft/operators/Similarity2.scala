@@ -493,7 +493,76 @@ object Similarity2 {
       FROM p GROUP BY 1 ORDER BY qid"""
   }
 
+  // ---- d26: cluster-quality metrics (centroid silhouette) ----
+  // The evaluation half of the semantic-dedup family: before trusting
+  // d14/d22's clusters to delete data, measure how separated they are.
+  // Per label cluster: mean distance to the OWN centroid (cohesion a),
+  // mean distance to the NEAREST OTHER centroid (separation b), and
+  // the centroid-silhouette mean((b−a)/max(a,b)) — the simplified
+  // silhouette that needs vectors×centroids work, not vectors² (the
+  // only formulation that survives 100 TB). Centroids are the s03
+  // decimal-exact means broadcast as arrays; distances use the dot-
+  // product identity ‖x−c‖² = x·x − 2x·c + c·c with every dot an
+  // index-order fold (bit-identical to DuckDB's list_dot_product),
+  // so even the mins over other-centroid distances pick engine-
+  // identical values. One narrow pass over vectors; means ride dsum.
+  val d26_cluster_quality: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val cents = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg((sum(col("v").cast("double").cast(DecimalType(30, 10))).cast("double")
+        / count(lit(1))).as("mv"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("mv")))).as("ps"))
+      .select(col("label").as("cl"), expr("transform(ps, p -> p.mv)").as("cent"))
+    val dists = e.crossJoin(broadcast(cents))
+      .withColumn("d2",
+        graft.functions.dot_product(col("embedding"), col("embedding"))
+          - lit(2.0) * graft.functions.dot_product(col("embedding"), col("cent"))
+          + graft.functions.dot_product(col("cent"), col("cent")))
+      .withColumn("dist", sqrt(greatest(col("d2"), lit(0.0))))
+    val perVec = dists.groupBy(col("vec_id"), col("label"))
+      .agg(min(when(col("label") === col("cl"), col("dist"))).as("a"),
+        min(when(col("label") =!= col("cl"), col("dist"))).as("b"))
+      .withColumn("sil", (col("b") - col("a")) / greatest(col("a"), col("b")))
+    perVec.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(Stable.dsum(col("a")) / count(lit(1)), 6).as("mean_cohesion"),
+        round(Stable.dsum(col("b")) / count(lit(1)), 6).as("mean_separation"),
+        round(Stable.dsum(col("sil")) / count(lit(1)), 6).as("mean_silhouette"))
+      .orderBy("label")
+  }
+  val d26Sql: String = {
+    def dot(a: String, b: String) = s"list_dot_product($a, $b)"
+    s"""WITH ex AS (SELECT label, generate_subscripts(embedding,1)-1 AS dim,
+                       unnest(embedding) AS v FROM embeddings),
+      m AS (SELECT label, dim,
+              CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,10))) AS DOUBLE)
+                / COUNT(*) AS mv
+            FROM ex GROUP BY 1, 2),
+      c AS (SELECT label AS cl, list(mv ORDER BY dim) AS cent
+            FROM m GROUP BY label),
+      dd AS (SELECT e.vec_id, e.label, c.cl,
+               sqrt(greatest(
+                 ${dot("CAST(e.embedding AS DOUBLE[])", "CAST(e.embedding AS DOUBLE[])")}
+                 - 2.0 * ${dot("CAST(e.embedding AS DOUBLE[])", "c.cent")}
+                 + ${dot("c.cent", "c.cent")}, 0.0)) AS dist
+             FROM embeddings e CROSS JOIN c),
+      pv AS (SELECT vec_id, label,
+               MIN(CASE WHEN label = cl THEN dist END) AS a,
+               MIN(CASE WHEN label <> cl THEN dist END) AS b
+             FROM dd GROUP BY 1, 2),
+      sv AS (SELECT label, a, b, (b - a) / greatest(a, b) AS sil FROM pv)
+      SELECT label, COUNT(*) AS n_vecs,
+             round(${Stable.sqlSum("a")} / COUNT(*), 6) AS mean_cohesion,
+             round(${Stable.sqlSum("b")} / COUNT(*), 6) AS mean_separation,
+             round(${Stable.sqlSum("sil")} / COUNT(*), 6) AS mean_silhouette
+      FROM sv GROUP BY 1 ORDER BY label"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "d26_cluster_quality" -> d26_cluster_quality,
     "s06_kmeans_refine"  -> s06_kmeans_refine,
     "s11_cluster_exemplars" -> s11_cluster_exemplars,
     "s12_rrf_fusion"     -> s12_rrf_fusion,
@@ -504,6 +573,7 @@ object Similarity2 {
     "s13_radius_search"  -> s13_radius_search,
   )
   val oracles: Map[String, String] = Map(
+    "d26_cluster_quality" -> d26Sql,
     "s06_kmeans_refine"  -> s06Sql,
     "s11_cluster_exemplars" -> s11Sql,
     "s12_rrf_fusion"     -> s12Sql,

@@ -700,6 +700,50 @@ class GraphSpec extends AnyFunSuite {
     assert(neg.getAs[Double]("containment") == 1.0)
   }
 
+  test("d26 cluster quality: silhouette bounded, separation exceeds zero") {
+    val rows = operators.Similarity2.d26_cluster_quality(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var total = 0L
+    rows.foreach { r =>
+      total += r.getAs[Long]("n_vecs")
+      val (a, b) = (r.getAs[Double]("mean_cohesion"),
+        r.getAs[Double]("mean_separation"))
+      assert(a >= 0.0 && b > 0.0)
+      val s = r.getAs[Double]("mean_silhouette")
+      assert(s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9)
+    }
+    assert(total == Tables.embeddings(spark, sf).count(),
+      "every vector scored exactly once")
+  }
+
+  test("e35 seasonal decompose: identity n = trend + seasonal + residual + dow-mean-shift") {
+    val rows = operators.Events7.e35_seasonal_decompose(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // residual = (n - trend) - seasonal by construction
+      val lhs = r.getAs[Long]("n").toDouble - r.getAs[Double]("trend")
+      val rhs = r.getAs[Double]("seasonal") + r.getAs[Double]("residual")
+      assert(math.abs(lhs - rhs) < 1e-6, s"$lhs vs $rhs")
+    }
+    // full-window restriction: at most 24 scored days per type (30-day corpus)
+    rows.groupBy(_.getAs[String]("event_type")).values
+      .foreach(g => assert(g.size <= 24))
+  }
+
+  test("e36 slo burn: windows consistent, breach flags match exact test") {
+    val rows = operators.Events7.e36_slo_burn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ns = rows.map(_.getAs[Long]("n"))
+    val es = rows.map(_.getAs[Long]("errors"))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val lo = math.max(0, i - 6)
+      val (n7, e7) = (ns.slice(lo, i + 1).sum, es.slice(lo, i + 1).sum)
+      assert(math.abs(r.getAs[Double]("burn_7d") - e7.toDouble * 100 / n7) < 1e-6)
+      assert(r.getAs[Boolean]("breach_1d") == (es(i) * 100 > ns(i)))
+      assert(r.getAs[Boolean]("breach_7d") == (e7 * 100 > n7 && i >= 6))
+    }
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
