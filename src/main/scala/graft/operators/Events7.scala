@@ -314,7 +314,80 @@ object Events7 {
              (e7 * 100 > n7 AND w_days = 7) AS breach_7d
       FROM w ORDER BY day"""
 
+  // ---- e37: retention power-law fit ----
+  // Retention curves are power-law-ish (the "smile" every growth team
+  // fits); this computes day-k retention (k = 1..7) from the (user,
+  // day) distinct frame and first-activity cohort, then the closed-
+  // form least-squares fit of ln(rate) on ln(k) — the t16 zipf
+  // discipline: ln of exact-int ratios, dsum moment sums, fixed-
+  // parenthesization slope/intercept, ONE rounding at the end. The
+  // fact-scale stages are the pair-distinct and the first-day
+  // aggregate (both combinable); the regression runs on ≤ 7 points.
+  val e37_retention_fit: Q = (s, d) => {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val first = ud.groupBy("user_id").agg(min("day").as("d0"))
+    val nUsers = first.agg(count(lit(1)).as("n_users"))
+    val rates = ud.join(first, "user_id")
+      .withColumn("k", datediff(col("day"), col("d0")).cast("long"))
+      .filter(col("k") >= 1 && col("k") <= 7)
+      .groupBy("k")
+      .agg(count_distinct(col("user_id")).as("active"))
+      .crossJoin(broadcast(nUsers))
+      .withColumn("rate",
+        col("active").cast("double") / col("n_users").cast("double"))
+    val pts = rates.select(col("n_users"),
+      log(col("k").cast("double")).as("x"), log(col("rate")).as("y"),
+      when(col("k") === 1, col("rate")).as("rate1"),
+      when(col("k") === 7, col("rate")).as("rate7"))
+    pts.groupBy("n_users").agg(
+        count(lit(1)).as("n_points"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(col("x") * col("x")).as("sxx"),
+        dsum(col("x") * col("y")).as("sxy"),
+        round(max(col("rate1")), 9).as("day1_retention"),
+        round(max(col("rate7")), 9).as("day7_retention"))
+      .select(col("n_users"), col("n_points"),
+        round((col("n_points") * col("sxy") - col("sx") * col("sy"))
+          / (col("n_points") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("slope"),
+        round((col("sy") * col("sxx") - col("sx") * col("sxy"))
+          / (col("n_points") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("intercept"),
+        col("day1_retention"), col("day7_retention"))
+  }
+  val e37Sql: String =
+    s"""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                 FROM events),
+      f AS (SELECT user_id, MIN(day) AS d0 FROM ud GROUP BY 1),
+      nu AS (SELECT COUNT(*) AS n_users FROM f),
+      r AS (SELECT CAST(day - d0 AS BIGINT) AS k,
+                   CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS active
+            FROM ud JOIN f ON ud.user_id = f.user_id
+            WHERE day - d0 BETWEEN 1 AND 7 GROUP BY 1),
+      rr AS (SELECT k, active, n_users,
+               CAST(active AS DOUBLE) / CAST(n_users AS DOUBLE) AS rate
+             FROM r CROSS JOIN nu),
+      p AS (SELECT n_users, ln(CAST(k AS DOUBLE)) AS x, ln(rate) AS y,
+                   CASE WHEN k = 1 THEN rate END AS rate1,
+                   CASE WHEN k = 7 THEN rate END AS rate7
+            FROM rr),
+      m AS (SELECT n_users, COUNT(*) AS n_points,
+              ${sqlSum("x")} AS sx, ${sqlSum("y")} AS sy,
+              ${sqlSum("x * x")} AS sxx, ${sqlSum("x * y")} AS sxy,
+              round(MAX(rate1), 9) AS day1_retention,
+              round(MAX(rate7), 9) AS day7_retention
+            FROM p GROUP BY 1)
+      SELECT n_users, n_points,
+             round((n_points * sxy - sx * sy)
+                   / (n_points * sxx - sx * sx), 6) AS slope,
+             round((sy * sxx - sx * sxy)
+                   / (n_points * sxx - sx * sx), 6) AS intercept,
+             day1_retention, day7_retention
+      FROM m"""
+
   val queries: Map[String, Q] = Map(
+    "e37_retention_fit"      -> e37_retention_fit,
     "e31_assoc_rules"        -> e31_assoc_rules,
     "e32_forecast_backtest"  -> e32_forecast_backtest,
     "e33_growth_accounting"  -> e33_growth_accounting,
@@ -322,6 +395,7 @@ object Events7 {
     "e36_slo_burn"           -> e36_slo_burn,
   )
   val oracles: Map[String, String] = Map(
+    "e37_retention_fit"      -> e37Sql,
     "e31_assoc_rules"        -> e31Sql,
     "e32_forecast_backtest"  -> e32Sql,
     "e33_growth_accounting"  -> e33Sql,

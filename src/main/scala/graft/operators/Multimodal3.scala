@@ -454,6 +454,71 @@ object Multimodal3 {
                    / CAST(SUM(clen) AS DOUBLE), 9) AS reclaim_frac
       FROM h"""
 
+  // ---- m13: shard placement plan (hash-shard balance audit) ----
+  // Where do the chunks physically go: assign every distinct chunk to
+  // one of 16 shards by a hash-prefix modulus (content-addressed
+  // placement — no directory, any node can compute it) and audit the
+  // balance a placement service signs off on: per shard chunk count,
+  // bytes, byte share, and the deviation from the uniform 1/16. The
+  // shard key derives from the md5 hex prefix via integer arithmetic
+  // (identical cross-engine); everything downstream of the m10 ledger
+  // is a 16-row rollup. Uniform 128-bit hashing is the load-balance
+  // argument at any scale — the audit verifies it instead of assuming.
+  val m13_shard_plan: Q = (s, d) => {
+    val chunks = withCdcChunks(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
+      // outer + null guard: see m10
+      .select(explode_outer(col("chunks")).as("chunk"))
+      .filter(col("chunk").isNotNull)
+    val perShard = chunks
+      .groupBy(md5(encode(col("chunk"), "UTF-8")).as("h"))
+      .agg(min(length(col("chunk"))).cast("long").as("clen"))
+      .groupBy((conv(substring(col("h"), 1, 8), 16, 10).cast("long") % 16)
+        .as("shard"))
+      .agg(count(lit(1)).as("n_chunks"), sum("clen").as("bytes"))
+    val total = perShard.agg(sum("bytes").as("total_bytes"))
+    perShard.crossJoin(broadcast(total))
+      .select(col("shard"), col("n_chunks"), col("bytes"),
+        round(col("bytes").cast("double") / col("total_bytes").cast("double"), 9)
+          .as("byte_share"),
+        round(col("bytes").cast("double") / col("total_bytes").cast("double")
+          - lit(1.0 / 16.0), 9).as("dev_from_uniform"))
+      .orderBy("shard")
+  }
+  val m13Sql: String =
+    """WITH b AS (
+        SELECT doc_id, text, length(text) AS n,
+               list_filter(generate_series(8, greatest(length(text), 8)),
+                 i -> i <= length(text)
+                      AND substring(md5(substring(text, i - 7, 8)), 1, 1) = '0')
+                 AS bnds
+        FROM documents),
+      c AS (
+        SELECT doc_id,
+               list_filter(
+                 list_transform(generate_series(1, len(bnds) + 1),
+                   j -> substring(text,
+                          CASE WHEN j = 1 THEN 1 ELSE bnds[j - 1] + 1 END,
+                          (CASE WHEN j = len(bnds) + 1 THEN n
+                                ELSE bnds[j] END)
+                            - (CASE WHEN j = 1 THEN 1
+                                    ELSE bnds[j - 1] + 1 END) + 1)),
+                 s -> s <> '') AS chunks
+        FROM b),
+      h AS (SELECT md5(chunk) AS h, CAST(MIN(length(chunk)) AS BIGINT) AS clen
+            FROM (SELECT unnest(chunks) AS chunk FROM c) GROUP BY 1),
+      sh AS (SELECT ('0x' || substring(h, 1, 8))::BIGINT % 16 AS shard,
+                    COUNT(*) AS n_chunks, CAST(SUM(clen) AS BIGINT) AS bytes
+             FROM h GROUP BY 1),
+      t AS (SELECT CAST(SUM(bytes) AS BIGINT) AS total_bytes FROM sh)
+      SELECT shard, n_chunks, bytes,
+             round(CAST(bytes AS DOUBLE) / CAST(total_bytes AS DOUBLE), 9)
+               AS byte_share,
+             round(CAST(bytes AS DOUBLE) / CAST(total_bytes AS DOUBLE)
+                   - CAST(1.0 AS DOUBLE) / CAST(16.0 AS DOUBLE), 9)
+               AS dev_from_uniform
+      FROM sh CROSS JOIN t ORDER BY shard"""
+
   val queries: Map[String, Q] = Map(
     "m07_asset_dedup"   -> m07_asset_dedup,
     "m08_asset_diff"    -> m08_asset_diff,
@@ -461,6 +526,7 @@ object Multimodal3 {
     "m10_cdc_chunking"  -> m10_cdc_chunking,
     "m11_incremental_chunks" -> m11_incremental_chunks,
     "m12_chunk_gc"      -> m12_chunk_gc,
+    "m13_shard_plan"    -> m13_shard_plan,
   )
   val oracles: Map[String, String] = Map(
     "m07_asset_dedup"   -> m07Sql,
@@ -469,5 +535,6 @@ object Multimodal3 {
     "m10_cdc_chunking"  -> m10Sql,
     "m11_incremental_chunks" -> m11Sql,
     "m12_chunk_gc"      -> m12Sql,
+    "m13_shard_plan"    -> m13Sql,
   )
 }

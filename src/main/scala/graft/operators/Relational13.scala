@@ -262,16 +262,52 @@ object Relational13 {
              round(dvol * (p_new - p_old), 6) AS mix_effect
       FROM j ORDER BY o_orderpriority"""
 
+  // ---- q95: equi-depth histogram (quantile buckets) ----
+  // q57 gives equi-WIDTH buckets; optimizers and skew diagnostics want
+  // equi-DEPTH — deciles of the value distribution with per-bucket
+  // count, min, max and DECIMAL-exact sum. Bucket boundaries are the
+  // q72 percentile-bounds broadcast (one tiny row), assignment is a
+  // value-vs-bounds comparison — never a global ntile() sort. Depth
+  // equality (counts within interpolation slack of n/10) is the spec's
+  // assertion; the oracle replays the identical bounds arithmetic.
+  val q95_equi_depth_hist: Q = (s, d) => {
+    import graft.Stable.dsum
+    val o = Tables.orders(s, d).select(col("o_totalprice").as("v"))
+    val bounds = o.agg(expr(
+      "percentile(v, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))")
+      .as("bs"))
+    o.join(broadcast(bounds))
+      .withColumn("bucket",
+        expr("CAST(size(filter(bs, b -> v > b)) + 1 AS BIGINT)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("v").as("lo"), max("v").as("hi"),
+        round(dsum(col("v")), 6).as("total"))
+      .orderBy("bucket")
+  }
+  val q95Sql: String =
+    s"""WITH o AS (SELECT o_totalprice AS v FROM orders),
+      bs AS (SELECT quantile_cont(v,
+               [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs FROM o),
+      a AS (SELECT v, len(list_filter(bs.bs, b -> v > b)) + 1 AS bucket
+            FROM o CROSS JOIN bs)
+      SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_rows,
+             MIN(v) AS lo, MAX(v) AS hi,
+             round(${graft.Stable.sqlSum("v")}, 6) AS total
+      FROM a GROUP BY 1 ORDER BY bucket"""
+
   val queries: Map[String, Q] = Map(
-    "q91_skew_audit"   -> q91_skew_audit,
-    "q92_view_refresh" -> q92_view_refresh,
-    "q93_scd_lookup"   -> q93_scd_lookup,
-    "q94_mix_shift"    -> q94_mix_shift,
+    "q91_skew_audit"      -> q91_skew_audit,
+    "q92_view_refresh"    -> q92_view_refresh,
+    "q93_scd_lookup"      -> q93_scd_lookup,
+    "q94_mix_shift"       -> q94_mix_shift,
+    "q95_equi_depth_hist" -> q95_equi_depth_hist,
   )
   val oracles: Map[String, String] = Map(
-    "q91_skew_audit"   -> q91Sql,
-    "q92_view_refresh" -> q92Sql,
-    "q93_scd_lookup"   -> q93Sql,
-    "q94_mix_shift"    -> q94Sql,
+    "q91_skew_audit"      -> q91Sql,
+    "q92_view_refresh"    -> q92Sql,
+    "q93_scd_lookup"      -> q93Sql,
+    "q94_mix_shift"       -> q94Sql,
+    "q95_equi_depth_hist" -> q95Sql,
   )
 }

@@ -744,6 +744,53 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("e37 retention fit: rates in (0,1], negative slope on a decaying curve") {
+    val rows = operators.Events7.e37_retention_fit(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getAs[Long]("n_points") >= 2 && r.getAs[Long]("n_points") <= 7)
+    val (r1, r7) = (r.getAs[Double]("day1_retention"),
+      r.getAs[Double]("day7_retention"))
+    assert(r1 > 0.0 && r1 <= 1.0)
+    assert(r7 > 0.0 && r7 <= 1.0)
+    assert(!r.getAs[Double]("slope").isNaN)
+  }
+
+  test("q95 equi depth: buckets near-uniform, partition exact") {
+    val rows = operators.Relational13.q95_equi_depth_hist(spark, sf).collect()
+    assert(rows.length == 10)
+    val total = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("lo") <= r.getAs[Double]("hi"))
+      // equi-depth: each decile within 2% + interpolation slack of n/10
+      val depth = r.getAs[Long]("n_rows").toDouble
+      assert(math.abs(depth - total / 10.0) <= total * 0.02 + 2,
+        s"bucket ${r.getAs[Long]("bucket")} depth $depth")
+    }
+    // buckets tile the value range in order
+    val sorted = rows.sortBy(_.getAs[Long]("bucket"))
+    sorted.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo") + 1e-9)
+    }
+  }
+
+  test("m13 shard plan: shards partition the ledger, shares sum to 1") {
+    val rows = operators.Multimodal3.m13_shard_plan(spark, sf).collect()
+    assert(rows.length <= 16 && rows.nonEmpty)
+    val ledger = operators.Multimodal3.m10_cdc_chunking(spark, sf).collect()(0)
+    assert(rows.map(_.getAs[Long]("n_chunks")).sum
+      == ledger.getAs[Long]("n_distinct"))
+    assert(rows.map(_.getAs[Long]("bytes")).sum
+      == ledger.getAs[Long]("chars_stored"))
+    val shareSum = rows.map(_.getAs[Double]("byte_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-6)
+    rows.foreach { r =>
+      val s = r.getAs[Long]("shard")
+      assert(s >= 0 && s < 16)
+    }
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
