@@ -95,7 +95,11 @@ object ScaleStress {
     // similarity family (8x embeddings since round 4)
     "s01_knn_brute", "s02_knn_lsh", "s04_ann_ivf", "d05_embedding_neardup",
     "d14_semantic_dedup", "d22_semdedup_kmeans",
-    "s02_lsh[lossy 6x3]", "s04_ivf[nprobe=3]", "semdedup[k~n/230]")
+    "s02_lsh[lossy 6x3]", "s04_ivf[nprobe=3]", "semdedup[k~n/230]",
+    // graph + round-4 additions (20x facts / 10x events / 4x docs)
+    "g02_copurchase", "g03_triangles", "g04_cc", "d24_lsh_recall",
+    "e31_assoc_rules", "e33_growth_accounting", "v11_ks_test",
+    "m10_cdc_chunking", "m12_chunk_gc")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

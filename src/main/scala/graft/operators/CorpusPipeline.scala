@@ -446,6 +446,54 @@ object CorpusPipeline {
                AS overlap_jaccard
       FROM g ORDER BY lang"""
 
+  // ---- p09: temperature-scaled mixture weights ----
+  // The data-mixing math multilingual/multi-source training actually
+  // runs (mT5/XLM-R recipe): raw source shares are flattened with a
+  // temperature α — w_i = t_i^α / Σ t_j^α, α = 0.7 — so small sources
+  // are upsampled without letting any giant source dominate. Tokens
+  // per source is ONE combinable aggregate; the power uses libm pow
+  // (α is fractional) but every share divides by the SAME dsum-decimal
+  // denominator and rounds at 1e-9 — far beyond pow's 1-ulp platform
+  // variance — so the report is engine-stable. Boost = temp/raw share
+  // ratio; expected docs at a 10k-doc budget shows the resample plan.
+  val p09_temperature_mix: Q = (s, d) => {
+    import graft.Stable.{dsum, sqlSum}
+    val src = Tables.documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("tokens"))
+      .withColumn("w", pow(col("tokens").cast("double"), lit(0.7)))
+    val tot = src.agg(sum("tokens").as("all_tokens"),
+      dsum(col("w")).as("all_w"))
+    src.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        round(col("tokens").cast("double") / col("all_tokens").cast("double"), 9)
+          .as("raw_share"),
+        round(col("w") / col("all_w"), 9).as("temp_share"),
+        round((col("w") / col("all_w"))
+          / (col("tokens").cast("double") / col("all_tokens").cast("double")), 6)
+          .as("boost"),
+        round(col("w") / col("all_w") * 10000.0, 3).as("expected_docs_10k"))
+      .orderBy("source")
+  }
+  val p09Sql: String =
+    s"""WITH src AS (SELECT source, COUNT(*) AS n_docs,
+                  CAST(SUM(n_chars) AS BIGINT) AS tokens
+               FROM documents GROUP BY 1),
+      w AS (SELECT *, pow(CAST(tokens AS DOUBLE), CAST(0.7 AS DOUBLE)) AS w
+            FROM src),
+      t AS (SELECT CAST(SUM(tokens) AS BIGINT) AS all_tokens,
+                   ${graft.Stable.sqlSum("w")} AS all_w FROM w)
+      SELECT source, n_docs, tokens,
+             round(CAST(tokens AS DOUBLE) / CAST(all_tokens AS DOUBLE), 9)
+               AS raw_share,
+             round(w / all_w, 9) AS temp_share,
+             round((w / all_w)
+                   / (CAST(tokens AS DOUBLE) / CAST(all_tokens AS DOUBLE)), 6)
+               AS boost,
+             round(w / all_w * CAST(10000.0 AS DOUBLE), 3)
+               AS expected_docs_10k
+      FROM w CROSS JOIN t ORDER BY source"""
+
   val queries: Map[String, Q] = Map(
     "p01_corpus_clean"     -> p01_corpus_clean,
     "p02_quality_resample" -> p02_quality_resample,
@@ -454,7 +502,8 @@ object CorpusPipeline {
     "p05_mixture_sample"   -> p05_mixture_sample,
     "p06_threshold_yield"  -> p06_threshold_yield,
     "p07_curriculum"       -> p07_curriculum,
-    "p08_canary_compare"   -> p08_canary_compare)
+    "p08_canary_compare"   -> p08_canary_compare,
+    "p09_temperature_mix"  -> p09_temperature_mix)
   val oracles: Map[String, String] = Map(
     "p01_corpus_clean"     -> p01Sql,
     "p02_quality_resample" -> p02Sql,
@@ -463,5 +512,6 @@ object CorpusPipeline {
     "p05_mixture_sample"   -> p05Sql,
     "p06_threshold_yield"  -> p06Sql,
     "p07_curriculum"       -> p07Sql,
-    "p08_canary_compare"   -> p08Sql)
+    "p08_canary_compare"   -> p08Sql,
+    "p09_temperature_mix"  -> p09Sql)
 }

@@ -247,14 +247,74 @@ object Dedup5 {
         ORDER BY r, j"""
   }
 
+  // ---- d27: near-dup transitivity audit ----
+  // "Is Jaccard ≥ 0.5 an equivalence-ish relation on THIS corpus?" —
+  // the question behind every cluster-then-delete dedup policy (d08/
+  // d13 assume connected components are duplicate families; if the
+  // similarity graph's wedges rarely close, components chain unlike
+  // docs together). This measures it: over d03's verified pair set,
+  // count wedges (two pairs sharing a doc), closed wedges (the third
+  // pair also verified), and the transitivity ratio. All work runs on
+  // the PAIR table (candidate-bounded, metadata-sized relative to the
+  // corpus — wedges are pair-degree-bounded, never doc³); the ratio
+  // is one IEEE division of exact counts.
+  val d27_transitivity: Q = (s, d) => {
+    val e = Dedup.verifiedPairs(s, d).select("da", "db")
+    val ed = e.select(col("da").as("u"), col("db").as("v"))
+      .unionAll(e.select(col("db").as("u"), col("da").as("v")))
+    val wedges = ed.as("x").join(ed.as("y"),
+        col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .select(col("x.v").as("a"), col("y.v").as("c"))
+    val closed = wedges
+      .join(e.select(col("da").as("a"), col("db").as("c")), Seq("a", "c"),
+        "left_semi")
+    e.agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(wedges.agg(count(lit(1)).as("n_wedges"))))
+      .crossJoin(broadcast(closed.agg(count(lit(1)).as("n_closed"))))
+      .select(col("n_pairs"), col("n_wedges"), col("n_closed"),
+        when(col("n_wedges") > 0,
+          round(col("n_closed").cast("double")
+            / col("n_wedges").cast("double"), 9)).as("transitivity"))
+  }
+  val d27Sql: String =
+    """WITH w AS (SELECT doc_id, generate_subscripts(string_split(text,' '),1) i,
+                       unnest(string_split(text,' ')) w FROM documents),
+      g AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+            FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.i=a.i+1
+                     JOIN w c ON c.doc_id=a.doc_id AND c.i=a.i+2),
+      dd AS (SELECT DISTINCT doc_id, sh FROM g),
+      sizes AS (SELECT doc_id, count(*) n FROM dd GROUP BY doc_id),
+      pr AS (SELECT x.doc_id da, y.doc_id db, count(*) shared
+             FROM dd x JOIN dd y ON x.sh=y.sh AND x.doc_id<y.doc_id
+             GROUP BY 1,2),
+      e AS (SELECT da, db FROM pr
+            JOIN sizes sa ON da=sa.doc_id JOIN sizes sb ON db=sb.doc_id
+            WHERE CAST(shared AS DOUBLE)/(sa.n+sb.n-shared) >= 0.5),
+      ed AS (SELECT da AS u, db AS v FROM e
+             UNION ALL SELECT db, da FROM e),
+      wg AS (SELECT x.v AS a, y.v AS c
+             FROM ed x JOIN ed y ON x.u = y.u AND x.v < y.v),
+      cl AS (SELECT COUNT(*) AS n_closed
+             FROM wg WHERE EXISTS (SELECT 1 FROM e
+                                   WHERE e.da = wg.a AND e.db = wg.c)),
+      np AS (SELECT COUNT(*) AS n_pairs FROM e),
+      nw AS (SELECT COUNT(*) AS n_wedges FROM wg)
+      SELECT n_pairs, n_wedges, n_closed,
+             CASE WHEN n_wedges > 0 THEN
+               round(CAST(n_closed AS DOUBLE) / CAST(n_wedges AS DOUBLE), 9)
+             END AS transitivity
+      FROM np CROSS JOIN nw CROSS JOIN cl"""
+
   val queries: Map[String, Q] = Map(
     "d23_weighted_jaccard" -> d23_weighted_jaccard,
     "d24_lsh_recall"       -> d24_lsh_recall,
     "d25_lsh_tuning"       -> d25_lsh_tuning,
+    "d27_transitivity"     -> d27_transitivity,
   )
   val oracles: Map[String, String] = Map(
     "d23_weighted_jaccard" -> d23Sql,
     "d24_lsh_recall"       -> d24Sql,
     "d25_lsh_tuning"       -> d25Sql,
+    "d27_transitivity"     -> d27Sql,
   )
 }

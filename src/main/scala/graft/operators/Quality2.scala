@@ -321,12 +321,70 @@ object Quality2 {
           "orders.o_orderpriority<-self")}
       ) ORDER BY pair"""
 
+  // ---- v14: IQR outlier census ----
+  // The Tukey-fence profile (Q1 − 1.5·IQR, Q3 + 1.5·IQR) per audited
+  // numeric column — the robust outlier count every data-quality
+  // dashboard shows, immune to the outliers it is counting (unlike
+  // z-scores). Per column: ONE percentile-bounds broadcast (the q72
+  // discipline — never a sort) + ONE combinable conditional aggregate.
+  // Fence arithmetic is a fixed IEEE sequence on interpolated bounds
+  // both engines derive from the same sorted doubles; counts are exact
+  // ints, rates one division.
+  val v14_outlier_census: Q = (s, d) => {
+    def census(df: DataFrame, c: String, label: String): DataFrame = {
+      val v = df.select(col(c).cast("double").as("v"))
+      val q = v.agg(expr("percentile(v, array(0.25D, 0.75D))").as("qs"))
+      v.crossJoin(broadcast(q))
+        .withColumn("lo", expr("qs[0] - 1.5D * (qs[1] - qs[0])"))
+        .withColumn("hi", expr("qs[1] + 1.5D * (qs[1] - qs[0])"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(first(col("lo")), 6).as("fence_lo"),
+          round(first(col("hi")), 6).as("fence_hi"),
+          count(when(col("v") < col("lo"), 1)).as("n_below"),
+          count(when(col("v") > col("hi"), 1)).as("n_above"))
+        .select(lit(label).as("column_name"), col("n_rows"),
+          col("fence_lo"), col("fence_hi"), col("n_below"), col("n_above"),
+          round((col("n_below") + col("n_above")).cast("double")
+            / col("n_rows").cast("double"), 9).as("outlier_rate"))
+    }
+    census(Tables.orders(s, d), "o_totalprice", "orders.o_totalprice")
+      .unionAll(census(Tables.lineitem(s, d), "l_quantity",
+        "lineitem.l_quantity"))
+      .unionAll(census(Tables.lineitem(s, d), "l_extendedprice",
+        "lineitem.l_extendedprice"))
+      .orderBy("column_name")
+  }
+  private def v14CensusSql(table: String, c: String): String =
+    s"""SELECT '$table.$c' AS column_name,
+          COUNT(*) AS n_rows,
+          round(MIN(lo), 6) AS fence_lo, round(MIN(hi), 6) AS fence_hi,
+          COUNT(*) FILTER (WHERE v < lo) AS n_below,
+          COUNT(*) FILTER (WHERE v > hi) AS n_above,
+          round(CAST(COUNT(*) FILTER (WHERE v < lo OR v > hi) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE), 9) AS outlier_rate
+       FROM (
+         SELECT CAST($c AS DOUBLE) AS v,
+                qs[1] - CAST(1.5 AS DOUBLE) * (qs[2] - qs[1]) AS lo,
+                qs[2] + CAST(1.5 AS DOUBLE) * (qs[2] - qs[1]) AS hi
+         FROM $table CROSS JOIN
+           (SELECT quantile_cont(CAST($c AS DOUBLE), [0.25, 0.75]) AS qs
+            FROM $table) q)"""
+  val v14Sql: String =
+    s"""SELECT * FROM (
+        ${v14CensusSql("orders", "o_totalprice")}
+        UNION ALL
+        ${v14CensusSql("lineitem", "l_quantity")}
+        UNION ALL
+        ${v14CensusSql("lineitem", "l_extendedprice")}
+      ) ORDER BY column_name"""
+
   val queries: Map[String, Q] = Map(
     "v08_schema_drift" -> v08_schema_drift,
     "v10_benford"      -> v10_benford,
     "v11_ks_test"      -> v11_ks_test,
     "v12_completeness" -> v12_completeness,
     "v13_key_discovery" -> v13_key_discovery,
+    "v14_outlier_census" -> v14_outlier_census,
   )
   val oracles: Map[String, String] = Map(
     "v08_schema_drift" -> v08Sql,
@@ -334,5 +392,6 @@ object Quality2 {
     "v11_ks_test"      -> v11Sql,
     "v12_completeness" -> v12Sql,
     "v13_key_discovery" -> v13Sql,
+    "v14_outlier_census" -> v14Sql,
   )
 }

@@ -791,6 +791,74 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("d27 transitivity: counts consistent with the pair graph") {
+    val r = operators.Dedup5.d27_transitivity(spark, sf).collect()(0)
+    val (p, w, c) = (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_wedges"),
+      r.getAs[Long]("n_closed"))
+    assert(p >= 1)
+    assert(c <= w)
+    if (w > 0) {
+      val t = r.getAs[Double]("transitivity")
+      assert(t >= 0.0 && t <= 1.0)
+      assert(math.abs(t - c.toDouble / w) < 1e-9)
+    }
+    // local recomputation from the same pair set
+    val pairs = operators.Dedup.verifiedPairs(spark, sf)
+      .select("da", "db").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).toSet) }
+    val eSet = pairs.toSet
+    var wedges = 0L; var closed = 0L
+    adj.foreach { case (_, ns) =>
+      val sorted = ns.toSeq.sorted
+      for (i <- sorted.indices; j <- i + 1 until sorted.length) {
+        wedges += 1
+        if (eSet.contains((sorted(i), sorted(j)))) closed += 1
+      }
+    }
+    assert(w == wedges && c == closed)
+  }
+
+  test("p09 temperature mix: shares sum to 1, small sources boosted") {
+    val rows = operators.CorpusPipeline.p09_temperature_mix(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val rawSum = rows.map(_.getAs[Double]("raw_share")).sum
+    val tempSum = rows.map(_.getAs[Double]("temp_share")).sum
+    assert(math.abs(rawSum - 1.0) < 1e-6 && math.abs(tempSum - 1.0) < 1e-6)
+    // temperature flattens: the smallest source's boost >= the largest's
+    val bySize = rows.sortBy(_.getAs[Long]("tokens"))
+    assert(bySize.head.getAs[Double]("boost")
+      >= bySize.last.getAs[Double]("boost") - 1e-9)
+    assert(bySize.head.getAs[Double]("boost") >= 1.0 - 1e-9,
+      "smallest source must be upsampled")
+  }
+
+  test("v14 outlier census: fences ordered, counts match a local replay") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Quality2.v14_outlier_census(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("fence_lo") <= r.getAs[Double]("fence_hi"))
+      val rate = r.getAs[Double]("outlier_rate")
+      assert(rate >= 0.0 && rate < 0.5)
+    }
+    // replay one column locally
+    val vs = Tables.orders(spark, sf).select(col("o_totalprice")).collect()
+      .map(_.getDouble(0)).sorted
+    def q(p: Double): Double = {
+      val h = p * (vs.length - 1)
+      val lo = h.toInt
+      if (lo + 1 < vs.length) vs(lo) + (h - lo) * (vs(lo + 1) - vs(lo))
+      else vs(lo)
+    }
+    val (q1, q3) = (q(0.25), q(0.75))
+    val (lo, hi) = (q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1))
+    val r = rows.find(_.getAs[String]("column_name") == "orders.o_totalprice").get
+    assert(r.getAs[Long]("n_below") == vs.count(_ < lo))
+    assert(r.getAs[Long]("n_above") == vs.count(_ > hi))
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
