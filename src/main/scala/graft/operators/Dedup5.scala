@@ -305,16 +305,61 @@ object Dedup5 {
              END AS transitivity
       FROM np CROSS JOIN nw CROSS JOIN cl"""
 
+  // ---- d28: hard-negative mining (contrastive training pairs) ----
+  // The training-data op behind every embedding model's curriculum:
+  // pairs that LOOK alike (high cosine) but AREN'T (different labels)
+  // — the hard negatives contrastive losses need. Same d05 sample and
+  // pair regime (1-in-4 sample, pair volume bounded by it; the
+  // full-corpus version routes through s02/s04 buckets), cosine ≥ 0.3
+  // (the top of this corpus's cross-label cosine distribution — its
+  // max is ≈ 0.43, so 0.5 would be vacuous; the threshold is a corpus
+  // fact, the q89 honesty rule) with a label-mismatch filter, deterministic top-25 by (cosine
+  // desc, pair id) — a TakeOrderedAndProject, no global sort. Cosines
+  // are the codegen'd index-order folds both engines share bit-exact.
+  val d28_hard_negatives: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).filter(col("vec_id") % 4 === 0)
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
+      col("label").as("la"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+      col("label").as("lb"))
+    a.join(b, col("va") < col("vb"))
+      .filter(col("la") =!= col("lb"))
+      .withColumn("cosine",
+        graft.functions.cosine_sim(col("ea"), col("eb")))
+      .filter(col("cosine") >= 0.3)
+      .select(col("va"), col("la"), col("vb"), col("lb"),
+        round(col("cosine"), 9).as("cosine"))
+      .orderBy(desc("cosine"), col("va"), col("vb"))
+      .limit(25)
+  }
+  val d28Sql: String = {
+    val cos = """list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[]))))"""
+    s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings
+                  WHERE vec_id % 4 = 0)
+      SELECT a.vec_id AS va, a.label AS la, b.vec_id AS vb, b.label AS lb,
+             round($cos, 9) AS cosine
+      FROM e a JOIN e b ON a.vec_id < b.vec_id AND a.label <> b.label
+      WHERE $cos >= 0.3
+      ORDER BY cosine DESC, va, vb LIMIT 25"""
+  }
+
   val queries: Map[String, Q] = Map(
     "d23_weighted_jaccard" -> d23_weighted_jaccard,
     "d24_lsh_recall"       -> d24_lsh_recall,
     "d25_lsh_tuning"       -> d25_lsh_tuning,
     "d27_transitivity"     -> d27_transitivity,
+    "d28_hard_negatives"   -> d28_hard_negatives,
   )
   val oracles: Map[String, String] = Map(
     "d23_weighted_jaccard" -> d23Sql,
     "d24_lsh_recall"       -> d24Sql,
     "d25_lsh_tuning"       -> d25Sql,
     "d27_transitivity"     -> d27Sql,
+    "d28_hard_negatives"   -> d28Sql,
   )
 }

@@ -386,8 +386,69 @@ object Events7 {
              day1_retention, day7_retention
       FROM m"""
 
+  // ---- e39: Pareto concentration point (80/20 exactly) ----
+  // "What fraction of users produce 80% of events?" — the concentration
+  // number every capacity and abuse review quotes, computed EXACTLY:
+  // per-user counts (the one fact-scale stage), counts-of-counts
+  // blocks (metadata-sized — the e30 discipline), blocks sorted by
+  // count descending with cumulative sums inside an explicitly bounded
+  // single group, then pure integer arithmetic picks the block where
+  // the running total first clears T = ceil(0.8 · total) and the
+  // users-needed-within-block ceiling division. No per-user sort ever
+  // runs; every boundary test is exact int64 (no 0.8 · double).
+  val e39_pareto_point: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Tables.events(s, d)
+      .groupBy("user_id").agg(count(lit(1)).as("x"))
+    val blocks = perUser.groupBy("x").agg(count(lit(1)).as("m"))
+    val g = graft.api.GraftOps.boundedSingleGroup(blocks)
+    val w = Window.partitionBy("__g").orderBy(desc("x"))
+    val cum = g
+      .withColumn("cum_ev", sum(col("x") * col("m")).over(w))
+      .withColumn("cum_us", sum(col("m")).over(w))
+      .withColumn("tot_ev", sum(col("x") * col("m")).over(
+        Window.partitionBy("__g")))
+      .withColumn("tot_us", sum(col("m")).over(Window.partitionBy("__g")))
+      .withColumn("target", expr("(4 * tot_ev + 4) div 5"))
+    cum.filter(col("cum_ev") >= col("target")
+        && col("cum_ev") - col("x") * col("m") < col("target"))
+      .withColumn("before_ev", col("cum_ev") - col("x") * col("m"))
+      .withColumn("need_in_block",
+        expr("(target - before_ev + x - 1) div x"))
+      .select(col("tot_us").as("n_users"), col("tot_ev").as("n_events"),
+        (col("cum_us") - col("m") + col("need_in_block")).as("k_users"),
+        round((col("cum_us") - col("m") + col("need_in_block")).cast("double")
+          / col("tot_us").cast("double"), 9).as("user_frac"),
+        (col("before_ev") + col("need_in_block") * col("x")).as("events_covered"),
+        round((col("before_ev") + col("need_in_block") * col("x")).cast("double")
+          / col("tot_ev").cast("double"), 9).as("events_frac"))
+  }
+  val e39Sql: String =
+    """WITH pu AS (SELECT user_id, COUNT(*) AS x FROM events GROUP BY 1),
+      b AS (SELECT x, COUNT(*) AS m FROM pu GROUP BY 1),
+      c AS (SELECT x, m,
+              CAST(SUM(x * m) OVER (ORDER BY x DESC) AS BIGINT) AS cum_ev,
+              CAST(SUM(m) OVER (ORDER BY x DESC) AS BIGINT) AS cum_us,
+              CAST(SUM(x * m) OVER () AS BIGINT) AS tot_ev,
+              CAST(SUM(m) OVER () AS BIGINT) AS tot_us
+            FROM b),
+      t AS (SELECT *, (4 * tot_ev + 4) // 5 AS target,
+                   cum_ev - x * m AS before_ev
+            FROM c),
+      s AS (SELECT *, (target - before_ev + x - 1) // x AS need_in_block
+            FROM t WHERE cum_ev >= target AND before_ev < target)
+      SELECT tot_us AS n_users, tot_ev AS n_events,
+             CAST(cum_us - m + need_in_block AS BIGINT) AS k_users,
+             round(CAST(cum_us - m + need_in_block AS DOUBLE)
+                   / CAST(tot_us AS DOUBLE), 9) AS user_frac,
+             CAST(before_ev + need_in_block * x AS BIGINT) AS events_covered,
+             round(CAST(before_ev + need_in_block * x AS DOUBLE)
+                   / CAST(tot_ev AS DOUBLE), 9) AS events_frac
+      FROM s"""
+
   val queries: Map[String, Q] = Map(
     "e37_retention_fit"      -> e37_retention_fit,
+    "e39_pareto_point"       -> e39_pareto_point,
     "e31_assoc_rules"        -> e31_assoc_rules,
     "e32_forecast_backtest"  -> e32_forecast_backtest,
     "e33_growth_accounting"  -> e33_growth_accounting,
@@ -396,6 +457,7 @@ object Events7 {
   )
   val oracles: Map[String, String] = Map(
     "e37_retention_fit"      -> e37Sql,
+    "e39_pareto_point"       -> e39Sql,
     "e31_assoc_rules"        -> e31Sql,
     "e32_forecast_backtest"  -> e32Sql,
     "e33_growth_accounting"  -> e33Sql,

@@ -296,12 +296,72 @@ object Relational13 {
              round(${graft.Stable.sqlSum("v")}, 6) AS total
       FROM a GROUP BY 1 ORDER BY bucket"""
 
+  // ---- q96: rank-delta top movers ----
+  // The reporting staple behind every "biggest gainers / losers" panel:
+  // rank parts by period revenue in two periods, join on part, rank
+  // the |rank delta|. Global ranks use GraftOps.globalRank (range-
+  // partitioned prefix-count offsets — the sanctioned no-single-task
+  // shape), revenue ties broken by part key so the ordering is total;
+  // the final top-10 rides a TakeOrderedAndProject on (|Δrank| desc,
+  // part). Only parts ACTIVE IN BOTH periods are ranked against each
+  // other — rank deltas across different universes are meaningless
+  // (stated, not fudged). DECIMAL-exact revenue, integer rank math.
+  val q96_top_movers: Q = (s, d) => {
+    import graft.Stable.dsum
+    import graft.api.GraftOps.globalRank
+    val split = lit("1996-07-01").cast("timestamp")
+    val li = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+    def rev(p: DataFrame): DataFrame =
+      p.groupBy(col("l_partkey").as("part"))
+        .agg(dsum(col("l_extendedprice")).as("rev"))
+    val oldR = rev(li.filter(col("o_orderdate") < split))
+    val newR = rev(li.filter(col("o_orderdate") >= split))
+    val both = oldR.select(col("part"), col("rev").as("rev_old"))
+      .join(newR.select(col("part"), col("rev").as("rev_new")), "part")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val r1 = globalRank(both.select("part", "rev_old"),
+      desc("rev_old"), col("part")).withColumnRenamed("rank", "rank_old")
+    val r2 = globalRank(both.select("part", "rev_new"),
+      desc("rev_new"), col("part")).withColumnRenamed("rank", "rank_new")
+    r1.join(r2, "part")
+      .withColumn("rank_delta", col("rank_old") - col("rank_new"))
+      .withColumn("abs_delta", abs(col("rank_delta")))
+      .orderBy(desc("abs_delta"), col("part"))
+      .limit(10)
+      .select(col("part"), round(col("rev_old"), 6).as("rev_old"),
+        round(col("rev_new"), 6).as("rev_new"),
+        col("rank_old"), col("rank_new"), col("rank_delta"))
+  }
+  val q96Sql: String = {
+    import graft.Stable.sqlSum
+    s"""WITH li AS (SELECT l_partkey AS part, l_extendedprice, o_orderdate
+                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      o AS (SELECT part, ${sqlSum("l_extendedprice")} AS rev_old
+            FROM li WHERE o_orderdate < TIMESTAMP '1996-07-01' GROUP BY 1),
+      n AS (SELECT part, ${sqlSum("l_extendedprice")} AS rev_new
+            FROM li WHERE o_orderdate >= TIMESTAMP '1996-07-01' GROUP BY 1),
+      b AS (SELECT o.part, rev_old, rev_new FROM o JOIN n ON o.part = n.part),
+      r AS (SELECT part, rev_old, rev_new,
+              CAST(row_number() OVER (ORDER BY rev_old DESC, part) AS BIGINT)
+                AS rank_old,
+              CAST(row_number() OVER (ORDER BY rev_new DESC, part) AS BIGINT)
+                AS rank_new
+            FROM b)
+      SELECT part, round(rev_old, 6) AS rev_old, round(rev_new, 6) AS rev_new,
+             rank_old, rank_new, rank_old - rank_new AS rank_delta
+      FROM r
+      ORDER BY abs(rank_old - rank_new) DESC, part LIMIT 10"""
+  }
+
   val queries: Map[String, Q] = Map(
     "q91_skew_audit"      -> q91_skew_audit,
     "q92_view_refresh"    -> q92_view_refresh,
     "q93_scd_lookup"      -> q93_scd_lookup,
     "q94_mix_shift"       -> q94_mix_shift,
     "q95_equi_depth_hist" -> q95_equi_depth_hist,
+    "q96_top_movers"      -> q96_top_movers,
   )
   val oracles: Map[String, String] = Map(
     "q91_skew_audit"      -> q91Sql,
@@ -309,5 +369,6 @@ object Relational13 {
     "q93_scd_lookup"      -> q93Sql,
     "q94_mix_shift"       -> q94Sql,
     "q95_equi_depth_hist" -> q95Sql,
+    "q96_top_movers"      -> q96Sql,
   )
 }

@@ -859,6 +859,45 @@ class GraphSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_above") == vs.count(_ > hi))
   }
 
+  test("d28 hard negatives: cross-label only, cosine floor, descending") {
+    val rows = operators.Dedup5.d28_hard_negatives(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("la") != r.getAs[Int]("lb"))
+      assert(r.getAs[Long]("va") < r.getAs[Long]("vb"))
+      assert(r.getAs[Double]("cosine") >= 0.3 - 1e-9)
+    }
+    val cs = rows.map(_.getAs[Double]("cosine"))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("e39 pareto point: crossing is exact and minimal") {
+    val r = operators.Events7.e39_pareto_point(spark, sf).collect()(0)
+    val (k, tot, cov, ev) = (r.getAs[Long]("k_users"), r.getAs[Long]("n_users"),
+      r.getAs[Long]("events_covered"), r.getAs[Long]("n_events"))
+    assert(k >= 1 && k <= tot)
+    // covered clears 80% exactly (5*cov >= 4*total)
+    assert(5 * cov >= 4 * ev)
+    // minimality: replay locally — taking k-1 heaviest users must NOT clear it
+    val counts = Tables.events(spark, sf).groupBy("user_id").count()
+      .collect().map(_.getAs[Long]("count")).sorted.reverse
+    val topKm1 = counts.take((k - 1).toInt).sum
+    assert(5 * topKm1 < 4 * ev, "k must be minimal")
+    assert(counts.take(k.toInt).sum == cov)
+  }
+
+  test("q96 top movers: deltas consistent, ranks within both-universe") {
+    val rows = operators.Relational13.q96_top_movers(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rank_delta")
+        == r.getAs[Long]("rank_old") - r.getAs[Long]("rank_new"))
+      assert(r.getAs[Long]("rank_old") >= 1 && r.getAs[Long]("rank_new") >= 1)
+    }
+    val ds = rows.map(r => math.abs(r.getAs[Long]("rank_delta")))
+    assert(ds.zip(ds.tail).forall { case (a, b) => a >= b }, "sorted by |delta|")
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
