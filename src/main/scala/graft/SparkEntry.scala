@@ -31,7 +31,7 @@ object SparkEntry {
       operators.Events5.queries ++ operators.Events6.queries ++
       operators.Events7.queries ++
       operators.CorpusPipeline.queries ++ operators.Quality.queries ++
-      operators.Quality2.queries ++
+      operators.Quality2.queries ++ operators.Quality3.queries ++
       operators.MLPrep.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -57,6 +57,6 @@ object SparkEntry {
       operators.Events5.oracles ++ operators.Events6.oracles ++
       operators.Events7.oracles ++
       operators.CorpusPipeline.oracles ++ operators.Quality.oracles ++
-      operators.Quality2.oracles ++
+      operators.Quality2.oracles ++ operators.Quality3.oracles ++
       operators.MLPrep.oracles
 }

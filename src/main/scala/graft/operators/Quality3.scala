@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Stable.{dsum, sqlSum}
+
+/** Data-quality family, part 3: statistical audits. */
+object Quality3 {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- v15: chi-square independence audit ----
+  // "Does event mix depend on weekday?" — the χ² contingency test, the
+  // statistical backbone of segment-drift alarms. One combinable
+  // (type, dow) observed-count aggregate (35 cells at any fact scale);
+  // row/column totals re-aggregate from the CELLS, not the facts; each
+  // cell's term (o − e)²/e is a fixed IEEE sequence on exact-int-
+  // derived doubles and the statistic sums them through dsum. Output
+  // one row: N, degrees of freedom, χ², and Cramér's V — all exact
+  // ints plus deterministic scalar math (one sqrt).
+  val v15_chi_square: Q = (s, d) => {
+    val cells = Tables.events(s, d)
+      .groupBy(col("event_type").as("t"),
+        (dayofweek(to_date(col("ts"))) - 1).as("dow"))
+      .agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy("t").agg(sum("o").as("rt"))
+    val cols = cells.groupBy("dow").agg(sum("o").as("ct"))
+    val n = cells.agg(sum("o").as("n"),
+      count_distinct(col("t")).as("nr"),
+      count_distinct(col("dow")).as("nc"))
+    cells.join(broadcast(rows), "t").join(broadcast(cols), "dow")
+      .crossJoin(broadcast(n))
+      .withColumn("e",
+        (col("rt") * col("ct")).cast("double") / col("n").cast("double"))
+      .withColumn("term",
+        (col("o").cast("double") - col("e")) * (col("o").cast("double") - col("e"))
+          / col("e"))
+      .groupBy("n", "nr", "nc")
+      .agg(round(dsum(col("term")), 6).as("chi2"))
+      .select(col("n"), ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+        col("chi2"),
+        round(sqrt(col("chi2")
+          / (col("n") * least(col("nr") - 1, col("nc") - 1)).cast("double")), 9)
+          .as("cramers_v"))
+  }
+  val v15Sql: String =
+    s"""WITH cells AS (SELECT event_type AS t, dayofweek(CAST(ts AS DATE)) AS dow,
+                    COUNT(*) AS o
+             FROM events GROUP BY 1, 2),
+      r AS (SELECT t, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+      c AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+      n AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT t) AS BIGINT) AS nr,
+                   CAST(COUNT(DISTINCT dow) AS BIGINT) AS nc FROM cells),
+      term AS (SELECT n, nr, nc,
+                 (CAST(o AS DOUBLE)
+                    - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(o AS DOUBLE)
+                    - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)) AS term
+               FROM cells JOIN r USING (t) JOIN c USING (dow) CROSS JOIN n),
+      m AS (SELECT n, nr, nc, round(${sqlSum("term")}, 6) AS chi2
+            FROM term GROUP BY 1, 2, 3)
+      SELECT n, (nr - 1) * (nc - 1) AS dof, chi2,
+             round(sqrt(chi2 / CAST(n * least(nr - 1, nc - 1) AS DOUBLE)), 9)
+               AS cramers_v
+      FROM m"""
+
+  // ---- v16: assignment-order audit (id vs event-time monotonicity) ----
+  // Ingest sanity: are event ids assigned in time order? Per day, walk
+  // events in ID order (ONE day-partitioned lag window) and count
+  // adjacent inversions (previous event's timestamp strictly later).
+  // The signal every dedup/sessionize job implicitly trusts ("ids are
+  // roughly arrival order") — measured instead of assumed. Exact
+  // integer-microsecond comparisons; rate is one IEEE division.
+  val v16_order_audit: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("day").orderBy("event_id")
+    Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("prev_us") > col("us"), 1)).as("n_inversions"))
+      .withColumn("inversion_rate",
+        round(col("n_inversions").cast("double")
+          / (col("n_events") - 1).cast("double"), 9))
+      .orderBy("day")
+  }
+  val v16Sql: String =
+    """WITH g AS (SELECT CAST(ts AS DATE) AS day, event_id, epoch_us(ts) AS us,
+                lag(epoch_us(ts)) OVER (PARTITION BY CAST(ts AS DATE)
+                                        ORDER BY event_id) AS prev_us
+         FROM events)
+      SELECT day, COUNT(*) AS n_events,
+             COUNT(*) FILTER (WHERE prev_us > us) AS n_inversions,
+             round(CAST(COUNT(*) FILTER (WHERE prev_us > us) AS DOUBLE)
+                   / CAST(COUNT(*) - 1 AS DOUBLE), 9) AS inversion_rate
+      FROM g GROUP BY 1 ORDER BY day"""
+
+  val queries: Map[String, Q] = Map(
+    "v15_chi_square"  -> v15_chi_square,
+    "v16_order_audit" -> v16_order_audit,
+  )
+  val oracles: Map[String, String] = Map(
+    "v15_chi_square"  -> v15Sql,
+    "v16_order_audit" -> v16Sql,
+  )
+}

@@ -209,16 +209,95 @@ object TextAnalysis9 {
                    / COUNT(*), 9) AS mean_nonascii_frac
       FROM sc GROUP BY 1 ORDER BY source"""
 
+  // ---- t27: Heaps'-law vocabulary-growth fit ----
+  // How fast does vocabulary grow with corpus size — the V = K·nᵝ law
+  // that sizes tokenizer vocabularies and predicts dedup yield on the
+  // next crawl. Scale-right construction: per-word FIRST-arrival doc
+  // (one combinable min aggregate — never a cumulative distinct over a
+  // sorted corpus) + per-doc token counts; ten checkpoints at doc-id
+  // deciles (a broadcast percentile row); each checkpoint's vocab and
+  // token totals are conditional sums over those two metadata-shaped
+  // frames. The ln-ln least-squares fit follows the t16 discipline:
+  // dsum moment sums, fixed parenthesization, one final rounding.
+  val t27_heaps_fit: Q = (s, d) => {
+    import graft.Stable.{dsum, sqlSum}
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_words"))
+    val firstSeen = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(min("doc_id").as("first_doc"))
+    val cuts = docs.agg(expr(
+      """percentile(doc_id, array(0.1D,0.2D,0.3D,0.4D,0.5D,
+                                  0.6D,0.7D,0.8D,0.9D,1.0D))""").as("cs"))
+    val perCut = cuts.select(posexplode(col("cs")).as(Seq("i", "cut")))
+    val vocab = firstSeen.crossJoin(broadcast(perCut))
+      .filter(col("first_doc") <= col("cut"))
+      .groupBy("i", "cut").agg(count(lit(1)).as("vocab"))
+    val toks = docs.crossJoin(broadcast(perCut))
+      .filter(col("doc_id") <= col("cut"))
+      .groupBy("i").agg(sum("n_words").as("tokens"))
+    val pts = vocab.join(toks, "i")
+      .select(log(col("tokens").cast("double")).as("x"),
+        log(col("vocab").cast("double")).as("y"))
+    pts.agg(count(lit(1)).as("n_points"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(col("x") * col("x")).as("sxx"),
+        dsum(col("x") * col("y")).as("sxy"))
+      .select(col("n_points"),
+        round((col("n_points") * col("sxy") - col("sx") * col("sy"))
+          / (col("n_points") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("beta"),
+        round((col("sy") * col("sxx") - col("sx") * col("sxy"))
+          / (col("n_points") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("ln_k"))
+  }
+  val t27Sql: String = {
+    import graft.Stable.sqlSum
+    s"""WITH docs AS (SELECT doc_id,
+                   CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+                     AS n_words
+                FROM documents),
+      fs AS (SELECT w, MIN(doc_id) AS first_doc
+             FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                   FROM documents)
+             WHERE w <> '' GROUP BY 1),
+      cs AS (SELECT generate_subscripts(q, 1) - 1 AS i, unnest(q) AS cut
+             FROM (SELECT quantile_cont(doc_id,
+                     [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9,1.0]) AS q
+                   FROM docs)),
+      vc AS (SELECT i, COUNT(*) AS vocab
+             FROM fs CROSS JOIN cs WHERE first_doc <= cut GROUP BY 1),
+      tk AS (SELECT i, CAST(SUM(n_words) AS BIGINT) AS tokens
+             FROM docs CROSS JOIN cs WHERE doc_id <= cut GROUP BY 1),
+      p AS (SELECT ln(CAST(tokens AS DOUBLE)) AS x,
+                   ln(CAST(vocab AS DOUBLE)) AS y
+            FROM vc JOIN tk USING (i)),
+      m AS (SELECT COUNT(*) AS n_points,
+              ${sqlSum("x")} AS sx, ${sqlSum("y")} AS sy,
+              ${sqlSum("x * x")} AS sxx, ${sqlSum("x * y")} AS sxy
+            FROM p)
+      SELECT n_points,
+             round((n_points * sxy - sx * sy)
+                   / (n_points * sxx - sx * sx), 6) AS beta,
+             round((sy * sxx - sx * sxy)
+                   / (n_points * sxx - sx * sx), 6) AS ln_k
+      FROM m"""
+  }
+
   val queries: Map[String, Q] = Map(
     "t23_pmi_collocations" -> t23_pmi_collocations,
     "t25_boilerplate"      -> t25_boilerplate,
     "t24_lang_confusion"   -> t24_lang_confusion,
     "t26_encoding_audit"   -> t26_encoding_audit,
+    "t27_heaps_fit"        -> t27_heaps_fit,
   )
   val oracles: Map[String, String] = Map(
     "t23_pmi_collocations" -> t23Sql,
     "t24_lang_confusion"   -> t24Sql,
     "t25_boilerplate"      -> t25Sql,
     "t26_encoding_audit"   -> t26Sql,
+    "t27_heaps_fit"        -> t27Sql,
   )
 }

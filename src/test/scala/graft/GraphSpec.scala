@@ -898,6 +898,58 @@ class GraphSpec extends AnyFunSuite {
     assert(ds.zip(ds.tail).forall { case (a, b) => a >= b }, "sorted by |delta|")
   }
 
+  test("v15 chi square: dof correct, chi2 matches a local contingency replay") {
+    import org.apache.spark.sql.functions._
+    val r = operators.Quality3.v15_chi_square(spark, sf).collect()(0)
+    val cells = Tables.events(spark, sf)
+      .groupBy(col("event_type"), (dayofweek(to_date(col("ts"))) - 1).as("dow"))
+      .count().collect()
+      .map(x => ((x.getAs[String]("event_type"), x.getAs[Int]("dow")),
+        x.getAs[Long]("count"))).toMap
+    val ts = cells.keys.map(_._1).toSeq.distinct
+    val ds = cells.keys.map(_._2).toSeq.distinct
+    assert(r.getAs[Long]("dof") == (ts.length - 1).toLong * (ds.length - 1))
+    val n = cells.values.sum.toDouble
+    val rt = ts.map(t => t -> cells.filter(_._1._1 == t).values.sum).toMap
+    val ct = ds.map(dw => dw -> cells.filter(_._1._2 == dw).values.sum).toMap
+    val chi2 = cells.map { case ((t, dw), o) =>
+      val e = rt(t) * ct(dw) / n
+      (o - e) * (o - e) / e
+    }.sum
+    assert(math.abs(r.getAs[Double]("chi2") - chi2) < 1e-3,
+      s"${r.getAs[Double]("chi2")} vs $chi2")
+    val v = r.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.0)
+  }
+
+  test("v16 order audit: inversion counts match a local id-order walk") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Quality3.v16_order_audit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byDay = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day"), col("event_id"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString,
+        r.getAs[Long]("event_id"), r.getAs[Long]("us")))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val day = r.getAs[java.sql.Date]("day").toString
+      val seq = byDay(day).sortBy(_._2).map(_._3)
+      val inv = seq.zip(seq.tail).count { case (a, b) => a > b }
+      assert(r.getAs[Long]("n_events") == seq.length)
+      assert(r.getAs[Long]("n_inversions") == inv, s"$day")
+    }
+  }
+
+  test("t27 heaps fit: beta in (0,1), vocab monotone across checkpoints") {
+    val r = operators.TextAnalysis9.t27_heaps_fit(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_points") == 10)
+    val beta = r.getAs[Double]("beta")
+    // sublinear vocabulary growth is the law's content
+    assert(beta > 0.0 && beta < 1.0, s"beta $beta")
+    assert(!r.getAs[Double]("ln_k").isNaN)
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
