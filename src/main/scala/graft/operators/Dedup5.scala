@@ -348,12 +348,78 @@ object Dedup5 {
       ORDER BY cosine DESC, va, vb LIMIT 25"""
   }
 
+  // ---- d29: dedup composition impact (who loses what) ----
+  // Dedup is not composition-neutral: duplicate-heavy feeds shrink
+  // disproportionately, shifting the post-dedup source mixture — the
+  // thing a curation owner must see BEFORE the mixture weights (p05/
+  // p09) are re-tuned on deduped data. Per source: docs and chars
+  // before vs after exact dedup (min-doc-id keeper, d01/d09's norm),
+  // share before vs after, and the removal rate. One hash-keyed
+  // keeper aggregate (16-byte keys, payload never shuffles) + two
+  // combinable source rollups + broadcast totals; every number is an
+  // exact int or one IEEE division.
+  val d29_dedup_impact: Q = (s, d) => {
+    val norm = "md5(trim(regexp_replace(lower(text), '\\\\s+', ' ')))"
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"), expr(norm).as("h"))
+    val keepers = docs.groupBy("h").agg(min("doc_id").as("keeper"))
+    val kept = docs.join(keepers,
+      col("doc_id") === col("keeper"), "left_semi")
+    val before = docs.groupBy("source")
+      .agg(count(lit(1)).as("docs_before"), sum("n_chars").as("chars_before"))
+    val after = kept.groupBy("source")
+      .agg(count(lit(1)).as("docs_after"), sum("n_chars").as("chars_after"))
+    val tot = before.agg(sum("docs_before").as("tot_before"))
+      .crossJoin(after.agg(sum("docs_after").as("tot_after")))
+    before.join(after, Seq("source"), "left")
+      .na.fill(0L, Seq("docs_after", "chars_after"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("docs_before"), col("docs_after"),
+        col("chars_before"), col("chars_after"),
+        round((col("docs_before") - col("docs_after")).cast("double")
+          / col("docs_before").cast("double"), 9).as("removal_rate"),
+        round(col("docs_before").cast("double")
+          / col("tot_before").cast("double"), 9).as("share_before"),
+        round(col("docs_after").cast("double")
+          / col("tot_after").cast("double"), 9).as("share_after"))
+      .orderBy("source")
+  }
+  val d29Sql: String =
+    """WITH docs AS (SELECT doc_id, source, n_chars,
+                  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+               FROM documents),
+      keep AS (SELECT h, MIN(doc_id) AS keeper FROM docs GROUP BY 1),
+      kept AS (SELECT docs.* FROM docs JOIN keep
+               ON docs.doc_id = keep.keeper),
+      b AS (SELECT source, COUNT(*) AS docs_before,
+                   CAST(SUM(n_chars) AS BIGINT) AS chars_before
+            FROM docs GROUP BY 1),
+      a AS (SELECT source, COUNT(*) AS docs_after,
+                   CAST(SUM(n_chars) AS BIGINT) AS chars_after
+            FROM kept GROUP BY 1),
+      t AS (SELECT (SELECT CAST(SUM(docs_before) AS BIGINT) FROM b)
+                     AS tot_before,
+                   (SELECT CAST(SUM(docs_after) AS BIGINT) FROM a)
+                     AS tot_after)
+      SELECT b.source, docs_before,
+             COALESCE(docs_after, 0) AS docs_after,
+             chars_before, COALESCE(chars_after, 0) AS chars_after,
+             round(CAST(docs_before - COALESCE(docs_after, 0) AS DOUBLE)
+                   / CAST(docs_before AS DOUBLE), 9) AS removal_rate,
+             round(CAST(docs_before AS DOUBLE) / CAST(tot_before AS DOUBLE), 9)
+               AS share_before,
+             round(CAST(COALESCE(docs_after, 0) AS DOUBLE)
+                   / CAST(tot_after AS DOUBLE), 9) AS share_after
+      FROM b LEFT JOIN a ON b.source = a.source CROSS JOIN t
+      ORDER BY b.source"""
+
   val queries: Map[String, Q] = Map(
     "d23_weighted_jaccard" -> d23_weighted_jaccard,
     "d24_lsh_recall"       -> d24_lsh_recall,
     "d25_lsh_tuning"       -> d25_lsh_tuning,
     "d27_transitivity"     -> d27_transitivity,
     "d28_hard_negatives"   -> d28_hard_negatives,
+    "d29_dedup_impact"     -> d29_dedup_impact,
   )
   val oracles: Map[String, String] = Map(
     "d23_weighted_jaccard" -> d23Sql,
@@ -361,5 +427,6 @@ object Dedup5 {
     "d25_lsh_tuning"       -> d25Sql,
     "d27_transitivity"     -> d27Sql,
     "d28_hard_negatives"   -> d28Sql,
+    "d29_dedup_impact"     -> d29Sql,
   )
 }

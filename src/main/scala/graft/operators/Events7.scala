@@ -446,8 +446,59 @@ object Events7 {
                    / CAST(tot_ev AS DOUBLE), 9) AS events_frac
       FROM s"""
 
+  // ---- e40: behavioral-diversity entropy histogram ----
+  // Per-user Shannon entropy of the event-type mix (0 = monomaniac
+  // bot-ish, ln 5 = uniform explorer), rolled into a 10-bin histogram
+  // with per-bin mean — the behavioral-diversity fingerprint feeding
+  // abuse review and UX segmentation. Fact-scale stage: ONE (user,
+  // type) count; per-user entropy is an in-row fold over that user's
+  // <= 5 type counts (collect_list of exact ints, -SUM p ln p in a
+  // fixed index order after an integer sort — deterministic IEEE both
+  // engines); the histogram bins on exact comparisons of identical
+  // doubles with a LITERAL 0.05-nat bin width (a literal, not
+  // ln(5)/k, because ln(5) is a libm call whose last ulp could move a
+  // floor() boundary between engines; 0.05 nats resolves the observed
+  // 1.50–1.61 concentration into real bins). No window anywhere.
+  val e40_behavior_entropy: Q = (s, d) => {
+    val perType = Tables.events(s, d)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+    val ent = perType.groupBy("user_id")
+      .agg(sum("c").as("n"), sort_array(collect_list(col("c"))).as("cs"))
+      .withColumn("entropy", expr(
+        """aggregate(cs, CAST(0.0 AS DOUBLE),
+             (acc, c) -> acc - (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                         * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))"""))
+    ent.withColumn("bin",
+        least(floor(col("entropy") / lit(0.05)).cast("long"), lit(32L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_users"),
+        round(dsum(col("entropy")) / count(lit(1)), 9).as("mean_entropy"))
+      .orderBy("bin")
+  }
+  val e40Sql: String =
+    s"""WITH pt AS (SELECT user_id, event_type, COUNT(*) AS c
+                 FROM events GROUP BY 1, 2),
+      u AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+                   list_sort(list(c)) AS cs
+            FROM pt GROUP BY 1),
+      e AS (SELECT user_id,
+              list_reduce(
+                list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(cs, c ->
+                    -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                     * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))),
+                (acc, v) -> acc + v) AS entropy
+            FROM u),
+      b AS (SELECT least(CAST(floor(entropy / CAST(0.05 AS DOUBLE)) AS BIGINT),
+                         32) AS bin, entropy
+            FROM e)
+      SELECT bin, COUNT(*) AS n_users,
+             round(${sqlSum("entropy")} / COUNT(*), 9) AS mean_entropy
+      FROM b GROUP BY 1 ORDER BY bin"""
+
   val queries: Map[String, Q] = Map(
     "e37_retention_fit"      -> e37_retention_fit,
+    "e40_behavior_entropy"   -> e40_behavior_entropy,
     "e39_pareto_point"       -> e39_pareto_point,
     "e31_assoc_rules"        -> e31_assoc_rules,
     "e32_forecast_backtest"  -> e32_forecast_backtest,
@@ -457,6 +508,7 @@ object Events7 {
   )
   val oracles: Map[String, String] = Map(
     "e37_retention_fit"      -> e37Sql,
+    "e40_behavior_entropy"   -> e40Sql,
     "e39_pareto_point"       -> e39Sql,
     "e31_assoc_rules"        -> e31Sql,
     "e32_forecast_backtest"  -> e32Sql,

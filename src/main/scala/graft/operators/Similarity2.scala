@@ -561,8 +561,76 @@ object Similarity2 {
       FROM sv GROUP BY 1 ORDER BY label"""
   }
 
+  // ---- s14: embedding drift between cohorts ----
+  // The re-embedding monitor: when a model version (or crawl epoch)
+  // changes, did each label's centroid MOVE? Cohorts are the
+  // deterministic vec_id halves (production: old batch vs new batch);
+  // per label the report is centroid L2 shift, cosine between cohort
+  // centroids, and the size ratio — the numbers a drift alarm
+  // thresholds before trusting mixed-epoch ANN indexes. Centroids are
+  // s03's decimal-exact per-(label, dim) means (combinable, uniform
+  // shuffle); the comparison runs on labels×dims rows (metadata-
+  // sized); shift/cosine use index-order folds over the assembled
+  // arrays — deterministic IEEE both engines.
+  val s14_embedding_drift: Q = (s, d) => {
+    def centroid(df: DataFrame, tag: String): DataFrame =
+      df.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("label", "dim")
+        .agg((sum(col("v").cast("double").cast(DecimalType(30, 10)))
+          .cast("double") / count(lit(1))).as("mv"))
+        .groupBy("label")
+        .agg(count(lit(1)).as(s"nd_$tag"),
+          array_sort(collect_list(struct(col("dim"), col("mv")))).as("ps"))
+        .select(col("label"),
+          expr("transform(ps, p -> p.mv)").as(s"cent_$tag"))
+    val e = Tables.embeddings(s, d)
+    val a = e.filter(col("vec_id") % 2 === 0)
+    val b = e.filter(col("vec_id") % 2 === 1)
+    val na = a.groupBy("label").agg(count(lit(1)).as("n_a"))
+    val nb = b.groupBy("label").agg(count(lit(1)).as("n_b"))
+    centroid(a, "a").join(centroid(b, "b"), "label")
+      .join(broadcast(na), "label").join(broadcast(nb), "label")
+      .withColumn("daa", graft.functions.dot_product(col("cent_a"), col("cent_a")))
+      .withColumn("dbb", graft.functions.dot_product(col("cent_b"), col("cent_b")))
+      .withColumn("dab", graft.functions.dot_product(col("cent_a"), col("cent_b")))
+      .select(col("label"), col("n_a"), col("n_b"),
+        round(sqrt(greatest(col("daa") - lit(2.0) * col("dab") + col("dbb"),
+          lit(0.0))), 9).as("l2_shift"),
+        round(col("dab") / (sqrt(col("daa")) * sqrt(col("dbb"))), 9)
+          .as("centroid_cos"))
+      .orderBy("label")
+  }
+  val s14Sql: String = {
+    def cent(cond: String, tag: String) =
+      s"""SELECT label, list(mv ORDER BY dim) AS cent_$tag
+         FROM (SELECT label, dim,
+                 CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,10)))
+                   AS DOUBLE) / COUNT(*) AS mv
+               FROM (SELECT label, generate_subscripts(embedding,1)-1 AS dim,
+                            unnest(embedding) AS v
+                     FROM embeddings WHERE $cond)
+               GROUP BY 1, 2) GROUP BY label"""
+    s"""WITH ca AS (${cent("vec_id % 2 = 0", "a")}),
+      cb AS (${cent("vec_id % 2 = 1", "b")}),
+      na AS (SELECT label, COUNT(*) AS n_a FROM embeddings
+             WHERE vec_id % 2 = 0 GROUP BY 1),
+      nb AS (SELECT label, COUNT(*) AS n_b FROM embeddings
+             WHERE vec_id % 2 = 1 GROUP BY 1),
+      j AS (SELECT ca.label, n_a, n_b,
+              list_dot_product(cent_a, cent_a) AS daa,
+              list_dot_product(cent_b, cent_b) AS dbb,
+              list_dot_product(cent_a, cent_b) AS dab
+            FROM ca JOIN cb USING (label)
+                    JOIN na USING (label) JOIN nb USING (label))
+      SELECT label, n_a, n_b,
+             round(sqrt(greatest(daa - 2.0 * dab + dbb, 0.0)), 9) AS l2_shift,
+             round(dab / (sqrt(daa) * sqrt(dbb)), 9) AS centroid_cos
+      FROM j ORDER BY label"""
+  }
+
   val queries: Map[String, Q] = Map(
     "d26_cluster_quality" -> d26_cluster_quality,
+    "s14_embedding_drift" -> s14_embedding_drift,
     "s06_kmeans_refine"  -> s06_kmeans_refine,
     "s11_cluster_exemplars" -> s11_cluster_exemplars,
     "s12_rrf_fusion"     -> s12_rrf_fusion,
@@ -574,6 +642,7 @@ object Similarity2 {
   )
   val oracles: Map[String, String] = Map(
     "d26_cluster_quality" -> d26Sql,
+    "s14_embedding_drift" -> s14Sql,
     "s06_kmeans_refine"  -> s06Sql,
     "s11_cluster_exemplars" -> s11Sql,
     "s12_rrf_fusion"     -> s12Sql,

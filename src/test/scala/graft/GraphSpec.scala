@@ -950,6 +950,58 @@ class GraphSpec extends AnyFunSuite {
     assert(!r.getAs[Double]("ln_k").isNaN)
   }
 
+  test("s14 embedding drift: cohorts partition each label, metrics bounded") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Similarity2.s14_embedding_drift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val perLabel = Tables.embeddings(spark, sf).groupBy("label").count()
+      .collect().map(r => r.getAs[Int]("label") -> r.getAs[Long]("count")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
+      // the two cohorts partition the label's vectors
+      assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b")
+        == perLabel(r.getAs[Int]("label")))
+      assert(r.getAs[Double]("l2_shift") >= 0.0)
+      val c = r.getAs[Double]("centroid_cos")
+      // tiny cohorts (sf0.001 has ~5 vectors/half) can drift far; the
+      // metric itself just has to be a valid cosine
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9,
+        s"label ${r.getAs[Int]("label")}: $c")
+    }
+  }
+
+  test("d29 dedup impact: totals conserve, shares sum to 1 both sides") {
+    val rows = operators.Dedup5.d29_dedup_impact(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("docs_after") <= r.getAs[Long]("docs_before"))
+      val rr = r.getAs[Double]("removal_rate")
+      assert(rr >= 0.0 && rr <= 1.0)
+    }
+    assert(math.abs(rows.map(_.getAs[Double]("share_before")).sum - 1.0) < 1e-6)
+    assert(math.abs(rows.map(_.getAs[Double]("share_after")).sum - 1.0) < 1e-6)
+    val totalAfter = rows.map(_.getAs[Long]("docs_after")).sum
+    val distinctTexts = Tables.documents(spark, sf)
+      .selectExpr("count(distinct md5(trim(regexp_replace(lower(text), '\\\\s+', ' '))))")
+      .collect()(0).getLong(0)
+    assert(totalAfter == distinctTexts, "kept docs = distinct normalized texts")
+  }
+
+  test("e40 behavior entropy: bins ordered, population conserved") {
+    val rows = operators.Events7.e40_behavior_entropy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == nUsers)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bin")
+      val m = r.getAs[Double]("mean_entropy")
+      assert(b >= 0 && b <= 32)
+      // the bin's mean must lie inside the bin (cap bin excepted)
+      if (b < 32) assert(m >= b * 0.05 - 1e-9 && m < (b + 1) * 0.05 + 1e-9)
+      assert(m >= 0.0 && m <= math.log(5.0) + 1e-9)
+    }
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
