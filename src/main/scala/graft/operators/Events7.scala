@@ -496,8 +496,54 @@ object Events7 {
              round(${sqlSum("entropy")} / COUNT(*), 9) AS mean_entropy
       FROM b GROUP BY 1 ORDER BY bin"""
 
+  // ---- e41: peak concurrency (interval overlap maximum) ----
+  // Capacity's favorite number: the maximum number of simultaneously
+  // active users per day. Activity intervals are each user's [first,
+  // last] event of the day (the q27 session notion collapsed to the
+  // day grain); the classic sweep — +1 at starts, −1 at ends,
+  // running-sum maximum — runs per DAY partition in one window over
+  // the users×2 marker frame (users-sized, never event-sized; the
+  // fact-scale stage is the per-(user, day) min/max aggregate, map-
+  // side combinable). Touching intervals count as concurrent: starts
+  // sort before ends at equal timestamps (delta desc). All exact
+  // integer microseconds and counts.
+  val e41_peak_concurrency: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val iv = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi"))
+    val marks = iv.select(col("day"), col("lo").as("t"), lit(1L).as("delta"))
+      .unionAll(iv.select(col("day"), col("hi").as("t"), lit(-1L).as("delta")))
+    val w = Window.partitionBy("day").orderBy(col("t"), desc("delta"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    marks.withColumn("conc", sum("delta").over(w))
+      .groupBy("day")
+      .agg((sum(when(col("delta") === 1, 1L).otherwise(0L))).as("n_users"),
+        max("conc").as("peak_concurrency"))
+      .orderBy("day")
+  }
+  val e41Sql: String =
+    """WITH iv AS (SELECT CAST(ts AS DATE) AS day, user_id,
+                MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi
+         FROM events GROUP BY 1, 2),
+      mk AS (SELECT day, lo AS t, 1 AS delta FROM iv
+             UNION ALL SELECT day, hi, -1 FROM iv),
+      c AS (SELECT day, delta,
+              CAST(SUM(delta) OVER (PARTITION BY day
+                ORDER BY t, delta DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS conc
+            FROM mk)
+      SELECT day,
+             CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_users,
+             CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+      FROM c GROUP BY 1 ORDER BY day"""
+
   val queries: Map[String, Q] = Map(
     "e37_retention_fit"      -> e37_retention_fit,
+    "e41_peak_concurrency"   -> e41_peak_concurrency,
     "e40_behavior_entropy"   -> e40_behavior_entropy,
     "e39_pareto_point"       -> e39_pareto_point,
     "e31_assoc_rules"        -> e31_assoc_rules,
@@ -508,6 +554,7 @@ object Events7 {
   )
   val oracles: Map[String, String] = Map(
     "e37_retention_fit"      -> e37Sql,
+    "e41_peak_concurrency"   -> e41Sql,
     "e40_behavior_entropy"   -> e40Sql,
     "e39_pareto_point"       -> e39Sql,
     "e31_assoc_rules"        -> e31Sql,

@@ -355,7 +355,53 @@ object Relational13 {
       ORDER BY abs(rank_old - rank_new) DESC, part LIMIT 10"""
   }
 
+  // ---- q97: calendar dimension build ----
+  // The first dimension every warehouse ships: a day spine spanning the
+  // fact date range with the standard attributes (dow, week, month,
+  // quarter, month-end flags, day indexes). Spine = ONE broadcast
+  // min/max row + an in-row sequence explode — no fact-scale work at
+  // all beyond the 1-row bounds aggregate; attributes are pure
+  // deterministic date arithmetic. Weekday numbering pinned by the e26
+  // cross-engine discipline; week-of-year avoided entirely (ISO-week
+  // edge rules differ across engines — the spine carries an absolute
+  // week INDEX instead, days-since-fixed-Monday div 7, which is what
+  // joins and rollups actually need).
+  val q97_calendar_dim: Q = (s, d) => {
+    val bounds = Tables.orders(s, d)
+      .agg(to_date(min(col("o_orderdate"))).as("lo"),
+        to_date(max(col("o_orderdate"))).as("hi"))
+    bounds.select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+      .select(col("day"),
+        (dayofweek(col("day")) - 1).as("dow"),
+        expr("CAST(datediff(day, DATE '1970-01-05') div 7 AS BIGINT)")
+          .as("week_index"),
+        month(col("day")).as("month"),
+        quarter(col("day")).as("quarter"),
+        year(col("day")).as("year"),
+        dayofmonth(col("day")).as("day_of_month"),
+        (col("day") === last_day(col("day"))).as("is_month_end"),
+        (dayofweek(col("day")).isin(1, 7)).as("is_weekend"))
+      .orderBy("day")
+  }
+  val q97Sql: String =
+    """WITH b AS (SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+                       CAST(MAX(o_orderdate) AS DATE) AS hi FROM orders),
+      sp AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS dts
+             FROM b),
+      dd AS (SELECT CAST(dts AS DATE) AS day FROM sp)
+      SELECT day,
+             CAST(dayofweek(day) AS INT) AS dow,
+             CAST((day - DATE '1970-01-05') // 7 AS BIGINT) AS week_index,
+             CAST(month(day) AS INT) AS month,
+             CAST(quarter(day) AS INT) AS quarter,
+             CAST(year(day) AS INT) AS year,
+             CAST(dayofmonth(day) AS INT) AS day_of_month,
+             day = last_day(day) AS is_month_end,
+             dayofweek(day) IN (0, 6) AS is_weekend
+      FROM dd ORDER BY day"""
+
   val queries: Map[String, Q] = Map(
+    "q97_calendar_dim"    -> q97_calendar_dim,
     "q91_skew_audit"      -> q91_skew_audit,
     "q92_view_refresh"    -> q92_view_refresh,
     "q93_scd_lookup"      -> q93_scd_lookup,
@@ -364,6 +410,7 @@ object Relational13 {
     "q96_top_movers"      -> q96_top_movers,
   )
   val oracles: Map[String, String] = Map(
+    "q97_calendar_dim"    -> q97Sql,
     "q91_skew_audit"      -> q91Sql,
     "q92_view_refresh"    -> q92Sql,
     "q93_scd_lookup"      -> q93Sql,

@@ -628,8 +628,77 @@ object Similarity2 {
       FROM j ORDER BY label"""
   }
 
+  // ---- s15: k-NN label-prediction evaluation ----
+  // The eval loop that decides whether an embedding space is worth
+  // indexing: predict each held-out query's label by majority vote of
+  // its 10 nearest neighbors, report accuracy and the mean vote
+  // margin. 25 deterministic queries (vec_id < 25) against the rest of
+  // the corpus; per-query top-10 via a qid-partitioned rank window
+  // over scored candidates (cosine desc, vec_id tiebreak — a total
+  // order, so the neighbor SET is engine-exact); majority by (votes
+  // desc, label asc) — again total. At scale the scoring pass routes
+  // through s02/s04 buckets; the eval harness itself is query-bounded.
+  val s15_knn_eval: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val queries25 = e.filter(col("vec_id") < 25)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("true_label"))
+    val cands = e.select(col("vec_id").as("cid"),
+      col("embedding").as("ce"), col("label").as("clabel"))
+    val scored = cands.crossJoin(broadcast(queries25))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("cos",
+        round(graft.functions.cosine_sim(col("qe"), col("ce")), 9))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("cos"), col("cid"))))
+      .filter(col("rk") <= 10)
+    val votes = scored.groupBy("qid", "true_label", "clabel")
+      .agg(count(lit(1)).as("v"))
+      .withColumn("vr", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("v"), col("clabel"))))
+      .filter(col("vr") === 1)
+    votes.agg(count(lit(1)).as("n_queries"),
+        sum(when(col("clabel") === col("true_label"), 1L).otherwise(0L))
+          .as("n_correct"),
+        round(sum(col("v")).cast("double")
+          / (count(lit(1)) * 10).cast("double"), 9).as("mean_margin"))
+      .withColumn("accuracy", round(
+        col("n_correct").cast("double") / col("n_queries").cast("double"), 9))
+      .select("n_queries", "n_correct", "accuracy", "mean_margin")
+  }
+  val s15Sql: String = {
+    val cos = """list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                  CAST(c.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[]))))"""
+    s"""WITH q AS (SELECT vec_id AS qid, embedding, label AS true_label
+               FROM embeddings WHERE vec_id < 25),
+      sc AS (SELECT q.qid, q.true_label, c.vec_id AS cid, c.label AS clabel,
+               round($cos, 9) AS cos
+             FROM q JOIN embeddings c ON c.vec_id <> q.qid),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY cos DESC, cid) AS rk FROM sc),
+      top AS (SELECT qid, true_label, clabel FROM rk WHERE rk <= 10),
+      v AS (SELECT qid, true_label, clabel, COUNT(*) AS v FROM top
+            GROUP BY 1, 2, 3),
+      w AS (SELECT *, row_number() OVER (PARTITION BY qid
+                       ORDER BY v DESC, clabel) AS vr FROM v),
+      pick AS (SELECT * FROM w WHERE vr = 1)
+      SELECT COUNT(*) AS n_queries,
+             CAST(SUM(CASE WHEN clabel = true_label THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_correct,
+             round(CAST(SUM(CASE WHEN clabel = true_label THEN 1 ELSE 0 END)
+                     AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS accuracy,
+             round(CAST(SUM(v) AS DOUBLE)
+                   / CAST(COUNT(*) * 10 AS DOUBLE), 9) AS mean_margin
+      FROM pick"""
+  }
+
   val queries: Map[String, Q] = Map(
     "d26_cluster_quality" -> d26_cluster_quality,
+    "s15_knn_eval"        -> s15_knn_eval,
     "s14_embedding_drift" -> s14_embedding_drift,
     "s06_kmeans_refine"  -> s06_kmeans_refine,
     "s11_cluster_exemplars" -> s11_cluster_exemplars,
@@ -642,6 +711,7 @@ object Similarity2 {
   )
   val oracles: Map[String, String] = Map(
     "d26_cluster_quality" -> d26Sql,
+    "s15_knn_eval"        -> s15Sql,
     "s14_embedding_drift" -> s14Sql,
     "s06_kmeans_refine"  -> s06Sql,
     "s11_cluster_exemplars" -> s11Sql,

@@ -1002,6 +1002,45 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("q97 calendar dim: spine contiguous, attributes self-consistent") {
+    val rows = operators.Relational13.q97_calendar_dim(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val days = rows.map(_.getAs[java.sql.Date]("day").toLocalDate)
+    days.sliding(2).foreach { case Array(a, b) =>
+      assert(b == a.plusDays(1), s"spine gap between $a and $b")
+    }
+    rows.foreach { r =>
+      val d = r.getAs[java.sql.Date]("day").toLocalDate
+      assert(r.getAs[Int]("month") == d.getMonthValue)
+      assert(r.getAs[Int]("year") == d.getYear)
+      assert(r.getAs[Int]("day_of_month") == d.getDayOfMonth)
+      assert(r.getAs[Boolean]("is_month_end")
+        == (d.getDayOfMonth == d.lengthOfMonth))
+      // dow 0 = Sunday in our pinned numbering
+      assert(r.getAs[Int]("dow") == d.getDayOfWeek.getValue % 7)
+    }
+  }
+
+  test("e41 peak concurrency: bounded by users, at least 1 when active") {
+    val rows = operators.Events7.e41_peak_concurrency(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (u, p) = (r.getAs[Long]("n_users"), r.getAs[Long]("peak_concurrency"))
+      assert(p >= 1 && p <= u, s"${r.getAs[java.sql.Date]("day")}: $p vs $u")
+    }
+  }
+
+  test("s15 knn eval: every query voted once, accuracy consistent") {
+    val r = operators.Similarity2.s15_knn_eval(spark, sf).collect()(0)
+    val nq = r.getAs[Long]("n_queries")
+    assert(nq >= 1 && nq <= 25)
+    val acc = r.getAs[Double]("accuracy")
+    assert(math.abs(acc - r.getAs[Long]("n_correct").toDouble / nq) < 1e-9)
+    val m = r.getAs[Double]("mean_margin")
+    // majority winner holds between 1/5 and all of the 10 votes
+    assert(m >= 0.2 - 1e-9 && m <= 1.0 + 1e-9)
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
