@@ -413,8 +413,91 @@ object Dedup5 {
       FROM b LEFT JOIN a ON b.source = a.source CROSS JOIN t
       ORDER BY b.source"""
 
+  // ---- d30: shingle-size sensitivity (dedup parameter audit) ----
+  // The n in "n-gram Jaccard" is a policy choice: small n over-matches
+  // (more pairs, more false kinship), large n under-matches. This
+  // audit runs the SAME verified-pair computation at n = 2, 3, 4 and
+  // reports pairs found and docs affected per setting — the table a
+  // dedup owner reads before pinning the production n (d03 pins 3).
+  // Each setting is the standard shared-shingle bounded join (shingled
+  // once per n, never doc×doc); the three runs share one scan shape
+  // and union into a 3-row report. Exact counts only.
+  val d30_shingle_sensitivity: Q = (s, d) => {
+    def pairsAt(n: Int): DataFrame = {
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .select(col("doc_id"), explode(expr(
+          s"""array_distinct(transform(
+               sequence(1, greatest(size(words) - ${n - 1}, 0)),
+               i -> concat_ws(' ', slice(words, i, $n))))""")).as("sh"))
+      val sized = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      val x = sh.join(sized, "doc_id")
+        .select(col("doc_id").as("da"), col("nsh").as("na"), col("sh"))
+      val y = sh.join(sized, "doc_id")
+        .select(col("doc_id").as("db"), col("nsh").as("nb"), col("sh"))
+      x.join(y, "sh").where(col("da") < col("db"))
+        .groupBy("da", "db", "na", "nb")
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared").cast("double")
+          / (col("na") + col("nb") - col("shared")) >= 0.5)
+        .select("da", "db")
+    }
+    def report(n: Int): DataFrame = {
+      val p = pairsAt(n)
+      p.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(broadcast(
+          p.select(col("da").as("x")).unionAll(p.select(col("db").as("x")))
+            .distinct().agg(count(lit(1)).as("docs_affected"))))
+        .select(lit(n).as("shingle_n"), col("n_pairs"), col("docs_affected"))
+    }
+    report(2).unionAll(report(3)).unionAll(report(4)).orderBy("shingle_n")
+  }
+  private def d30PairSql(n: Int): String = {
+    val joins = (1 until n).map(i =>
+      s"JOIN w w$i ON w$i.doc_id = w0.doc_id AND w$i.i = w0.i + $i").mkString(" ")
+    val cat = (0 until n).map(i => s"w$i.w").mkString(" || ' ' || ")
+    s"""SELECT $n AS shingle_n, n_pairs, docs_affected FROM
+       (SELECT COUNT(*) AS n_pairs FROM (
+          WITH dd AS (SELECT DISTINCT w0.doc_id, $cat AS sh
+                      FROM w w0 $joins),
+          sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM dd GROUP BY 1)
+          SELECT x.doc_id
+          FROM dd x JOIN dd y ON x.sh = y.sh AND x.doc_id < y.doc_id
+          JOIN sizes sa ON x.doc_id = sa.doc_id
+          JOIN sizes sb ON y.doc_id = sb.doc_id
+          GROUP BY x.doc_id, y.doc_id, sa.nsh, sb.nsh
+          HAVING CAST(COUNT(*) AS DOUBLE)
+                 / (sa.nsh + sb.nsh - COUNT(*)) >= 0.5)) a
+       CROSS JOIN
+       (SELECT COUNT(*) AS docs_affected FROM (
+          WITH dd AS (SELECT DISTINCT w0.doc_id, $cat AS sh
+                      FROM w w0 $joins),
+          sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM dd GROUP BY 1),
+          pr AS (SELECT x.doc_id AS da, y.doc_id AS db
+                 FROM dd x JOIN dd y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                 JOIN sizes sa ON x.doc_id = sa.doc_id
+                 JOIN sizes sb ON y.doc_id = sb.doc_id
+                 GROUP BY x.doc_id, y.doc_id, sa.nsh, sb.nsh
+                 HAVING CAST(COUNT(*) AS DOUBLE)
+                        / (sa.nsh + sb.nsh - COUNT(*)) >= 0.5)
+          SELECT DISTINCT da AS x FROM pr
+          UNION SELECT DISTINCT db FROM pr)) b"""
+  }
+  val d30Sql: String =
+    s"""WITH w AS (SELECT doc_id,
+                generate_subscripts(string_split(text,' '),1) AS i,
+                unnest(string_split(text,' ')) AS w FROM documents)
+      SELECT * FROM (
+        ${d30PairSql(2)}
+        UNION ALL
+        ${d30PairSql(3)}
+        UNION ALL
+        ${d30PairSql(4)}
+      ) ORDER BY shingle_n"""
+
   val queries: Map[String, Q] = Map(
     "d23_weighted_jaccard" -> d23_weighted_jaccard,
+    "d30_shingle_sensitivity" -> d30_shingle_sensitivity,
     "d24_lsh_recall"       -> d24_lsh_recall,
     "d25_lsh_tuning"       -> d25_lsh_tuning,
     "d27_transitivity"     -> d27_transitivity,
@@ -423,6 +506,7 @@ object Dedup5 {
   )
   val oracles: Map[String, String] = Map(
     "d23_weighted_jaccard" -> d23Sql,
+    "d30_shingle_sensitivity" -> d30Sql,
     "d24_lsh_recall"       -> d24Sql,
     "d25_lsh_tuning"       -> d25Sql,
     "d27_transitivity"     -> d27Sql,

@@ -541,8 +541,47 @@ object Events7 {
              CAST(MAX(conc) AS BIGINT) AS peak_concurrency
       FROM c GROUP BY 1 ORDER BY day"""
 
+  // ---- e42: weekly load profile (dow x hour heatmap + per-dow peak) ----
+  // The autoscaling input: event volume by (weekday, hour) cell with
+  // each cell's share of total and the peak hour per weekday flagged.
+  // ONE combinable 168-cell aggregate at any fact scale; the peak is
+  // an exact-integer argmax via max(struct(count, hour)) per dow —
+  // count ties break toward the later hour, a total order, engine-
+  // exact. Weekday numbering on the e26 cross-engine pin; shares are
+  // single IEEE divisions.
+  val e42_load_profile: Q = (s, d) => {
+    val cells = Tables.events(s, d)
+      .groupBy((dayofweek(to_date(col("ts"))) - 1).as("dow"),
+        hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.agg(sum("n").as("total"))
+    val peaks = cells.groupBy("dow")
+      .agg(max(struct(col("n"), col("hr"))).as("pk"))
+      .select(col("dow"), col("pk.hr").as("peak_hr"))
+    cells.join(broadcast(peaks), "dow")
+      .crossJoin(broadcast(tot))
+      .select(col("dow"), col("hr"), col("n"),
+        round(col("n").cast("double") / col("total").cast("double"), 9)
+          .as("share"),
+        (col("hr") === col("peak_hr")).as("is_peak_hour"))
+      .orderBy("dow", "hr")
+  }
+  val e42Sql: String =
+    """WITH cells AS (SELECT dayofweek(CAST(ts AS DATE)) AS dow,
+                   CAST(hour(ts) AS INT) AS hr, COUNT(*) AS n
+            FROM events GROUP BY 1, 2),
+      t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cells),
+      pk AS (SELECT dow, max_by(hr, n * 100 + hr) AS peak_hr
+             FROM cells GROUP BY 1)
+      SELECT CAST(cells.dow AS INT) AS dow, hr, n,
+             round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 9) AS share,
+             hr = peak_hr AS is_peak_hour
+      FROM cells JOIN pk ON cells.dow = pk.dow CROSS JOIN t
+      ORDER BY dow, hr"""
+
   val queries: Map[String, Q] = Map(
     "e37_retention_fit"      -> e37_retention_fit,
+    "e42_load_profile"       -> e42_load_profile,
     "e41_peak_concurrency"   -> e41_peak_concurrency,
     "e40_behavior_entropy"   -> e40_behavior_entropy,
     "e39_pareto_point"       -> e39_pareto_point,
@@ -554,6 +593,7 @@ object Events7 {
   )
   val oracles: Map[String, String] = Map(
     "e37_retention_fit"      -> e37Sql,
+    "e42_load_profile"       -> e42Sql,
     "e41_peak_concurrency"   -> e41Sql,
     "e40_behavior_entropy"   -> e40Sql,
     "e39_pareto_point"       -> e39Sql,

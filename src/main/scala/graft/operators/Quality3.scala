@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import org.apache.spark.sql.types.DecimalType
 import graft.Stable.{dsum, sqlSum}
 
 /** Data-quality family, part 3: statistical audits. */
@@ -99,12 +100,64 @@ object Quality3 {
                    / CAST(COUNT(*) - 1 AS DOUBLE), 9) AS inversion_rate
       FROM g GROUP BY 1 ORDER BY day"""
 
+  // ---- v17: cross-table value reconciliation (header vs lines) ----
+  // The oldest integrity bug in commerce data: does the order header's
+  // total agree with the sum of its lines? Per order, ratio =
+  // o_totalprice / Σ(l_extendedprice); the report buckets orders by
+  // ratio band (exact-match near 1.0 within ±2%, under, over,
+  // line-less) and carries DECIMAL-exact magnitude sums — the triage
+  // table a feed owner reads to decide whether the header or the lines
+  // lie. ONE fact-scale line aggregate + one header join (both sides
+  // key-partitioned on orderkey); band tests are fixed IEEE compares
+  // on identically derived doubles; every count exact.
+  val v17_value_reconcile: Q = (s, d) => {
+    val lines = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("k"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(30, 6)))
+        .cast("double").as("line_sum"))
+    Tables.orders(s, d).select(col("o_orderkey").as("k"), col("o_totalprice"))
+      .join(lines, Seq("k"), "left")
+      .withColumn("band",
+        when(col("line_sum").isNull, lit("no_lines"))
+          .when(col("o_totalprice") >= col("line_sum") * 0.98
+            && col("o_totalprice") <= col("line_sum") * 1.02, lit("ok_2pct"))
+          .when(col("o_totalprice") < col("line_sum") * 0.98, lit("under"))
+          .otherwise(lit("over")))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast(DecimalType(30, 6)))
+          .cast("double"), 6).as("header_total"),
+        round(coalesce(sum(col("line_sum").cast(DecimalType(30, 6)))
+          .cast("double"), lit(0.0)), 6).as("line_total"))
+      .orderBy("band")
+  }
+  val v17Sql: String =
+    """WITH l AS (SELECT l_orderkey AS k,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+                  AS line_sum
+         FROM lineitem GROUP BY 1),
+      j AS (SELECT o.o_totalprice, l.line_sum,
+              CASE WHEN line_sum IS NULL THEN 'no_lines'
+                   WHEN o_totalprice >= line_sum * 0.98
+                        AND o_totalprice <= line_sum * 1.02 THEN 'ok_2pct'
+                   WHEN o_totalprice < line_sum * 0.98 THEN 'under'
+                   ELSE 'over' END AS band
+            FROM orders o LEFT JOIN l ON o.o_orderkey = l.k)
+      SELECT band, COUNT(*) AS n_orders,
+             round(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 6)
+               AS header_total,
+             round(COALESCE(CAST(SUM(CAST(line_sum AS DECIMAL(30,6)))
+               AS DOUBLE), 0.0), 6) AS line_total
+      FROM j GROUP BY 1 ORDER BY band"""
+
   val queries: Map[String, Q] = Map(
     "v15_chi_square"  -> v15_chi_square,
+    "v17_value_reconcile" -> v17_value_reconcile,
     "v16_order_audit" -> v16_order_audit,
   )
   val oracles: Map[String, String] = Map(
     "v15_chi_square"  -> v15Sql,
+    "v17_value_reconcile" -> v17Sql,
     "v16_order_audit" -> v16Sql,
   )
 }

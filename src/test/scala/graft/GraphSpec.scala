@@ -1041,6 +1041,45 @@ class GraphSpec extends AnyFunSuite {
     assert(m >= 0.2 - 1e-9 && m <= 1.0 + 1e-9)
   }
 
+  test("d30 shingle sensitivity: smaller n never finds fewer pairs") {
+    val rows = operators.Dedup5.d30_shingle_sensitivity(spark, sf).collect()
+    assert(rows.length == 3)
+    val byN = rows.map(r => r.getAs[Int]("shingle_n") ->
+      (r.getAs[Long]("n_pairs"), r.getAs[Long]("docs_affected"))).toMap
+    // at Jaccard >= 0.5, shorter shingles are more permissive on this
+    // corpus family: n=2 >= n=3 >= n=4 in found pairs
+    assert(byN(2)._1 >= byN(3)._1 && byN(3)._1 >= byN(4)._1,
+      s"pairs ${byN(2)._1}/${byN(3)._1}/${byN(4)._1}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("docs_affected") <= 2 * r.getAs[Long]("n_pairs"))
+    }
+  }
+
+  test("v17 value reconcile: bands partition orders, totals conserve") {
+    val rows = operators.Quality3.v17_value_reconcile(spark, sf).collect()
+    val total = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == total)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val headerSum = Tables.orders(spark, sf)
+      .agg(sum(col("o_totalprice").cast(DecimalType(30, 6))).cast("double"))
+      .collect()(0).getDouble(0)
+    val got = rows.map(_.getAs[Double]("header_total")).sum
+    assert(math.abs(got - headerSum) < 1.0, s"$got vs $headerSum")
+  }
+
+  test("e42 load profile: 168-cell grid bound, shares sum to 1, one peak per dow") {
+    val rows = operators.Events7.e42_load_profile(spark, sf).collect()
+    assert(rows.length <= 168 && rows.nonEmpty)
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-6)
+    rows.groupBy(_.getAs[Int]("dow")).values.foreach { g =>
+      val peaks = g.filter(_.getAs[Boolean]("is_peak_hour"))
+      assert(peaks.length == 1, "exactly one peak hour per dow")
+      val maxN = g.map(_.getAs[Long]("n")).max
+      assert(peaks.head.getAs[Long]("n") == maxN)
+    }
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
