@@ -495,8 +495,99 @@ object Dedup5 {
         ${d30PairSql(4)}
       ) ORDER BY shingle_n"""
 
+  // ---- d31: MinHash estimator calibration (bias by similarity band) ----
+  // d19 asserts the estimator's error bound; this MEASURES it: for
+  // every shared-shingle pair with exact Jaccard ≥ 0.01 (the floor
+  // keeps the 8k zero-ish boilerplate-only pairs out while retaining
+  // the low-similarity regime where quantization error dominates),
+  // compare the
+  // 16-perm MinHash agreement estimate against the exact value, banded
+  // by exact similarity — the calibration table that justifies reading
+  // d02's candidate scores as similarities. Same md5-seeded SQL-
+  // expressible hash family as d24 (wide 16-column aggregate, one row
+  // per doc); the per-pair match count is an in-row comparison of 16
+  // column pairs (exact ints); band means ride dsum, bias and MAE are
+  // single divisions.
+  val d31_estimator_calibration: Q = (s, d) => {
+    import graft.Stable.{dsum, sqlSum}
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(1, greatest(size(words) - 2, 0)),
+             i -> concat_ws(' ', slice(words, i, 3))))""")).as("sh"))
+    val sized = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val x = sh.join(sized, "doc_id")
+      .select(col("doc_id").as("da"), col("nsh").as("na"), col("sh"))
+    val y = sh.join(sized, "doc_id")
+      .select(col("doc_id").as("db"), col("nsh").as("nb"), col("sh"))
+    val pairs = x.join(y, "sh").where(col("da") < col("db"))
+      .groupBy("da", "db", "na", "nb")
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("j", col("shared").cast("double")
+        / (col("na") + col("nb") - col("shared")))
+      .filter(col("j") >= 0.01)
+    val mh = sh.groupBy("doc_id").agg(
+      min(md5(concat(lit("0|"), col("sh")))).as("mh0"),
+      (1 to 15).map(i =>
+        min(md5(concat(lit(s"$i|"), col("sh")))).as(s"mh$i")): _*)
+    val a = mh.select(col("doc_id").as("da") +:
+      (0 to 15).map(i => col(s"mh$i").as(s"a$i")): _*)
+    val b = mh.select(col("doc_id").as("db") +:
+      (0 to 15).map(i => col(s"mh$i").as(s"b$i")): _*)
+    val matches = (0 to 15).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
+    pairs.join(a, "da").join(b, "db")
+      .withColumn("est", matches.cast("double") / lit(16.0))
+      .withColumn("band", least(floor(col("j") / lit(0.2)).cast("long"), lit(4L)))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(dsum(col("j")) / count(lit(1)), 6).as("mean_exact"),
+        round(dsum(col("est")) / count(lit(1)), 6).as("mean_est"),
+        round(dsum(col("est") - col("j")) / count(lit(1)), 6).as("bias"),
+        round(dsum(abs(col("est") - col("j"))) / count(lit(1)), 6).as("mae"))
+      .orderBy("band")
+  }
+  val d31Sql: String = {
+    import graft.Stable.sqlSum
+    val mhCols = (0 to 15).map(i =>
+      s"MIN(md5('$i|' || sh)) AS mh$i").mkString(", ")
+    val matches = (0 to 15).map(i =>
+      s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, generate_subscripts(string_split(text,' '),1) i,
+                       unnest(string_split(text,' ')) w FROM documents),
+      g AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+            FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.i=a.i+1
+                     JOIN w c ON c.doc_id=a.doc_id AND c.i=a.i+2),
+      dd AS (SELECT DISTINCT doc_id, sh FROM g),
+      sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM dd GROUP BY 1),
+      pr AS (SELECT x.doc_id da, y.doc_id db, sa.nsh na, sb.nsh nb,
+                    COUNT(*) AS shared
+             FROM dd x JOIN dd y ON x.sh = y.sh AND x.doc_id < y.doc_id
+             JOIN sizes sa ON x.doc_id = sa.doc_id
+             JOIN sizes sb ON y.doc_id = sb.doc_id
+             GROUP BY 1, 2, 3, 4),
+      pj AS (SELECT da, db,
+                    CAST(shared AS DOUBLE) / (na + nb - shared) AS j
+             FROM pr
+             WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.01),
+      mh AS (SELECT doc_id, $mhCols FROM dd GROUP BY doc_id),
+      est AS (SELECT pj.j,
+                CAST($matches AS DOUBLE) / CAST(16.0 AS DOUBLE) AS est
+              FROM pj JOIN mh a ON pj.da = a.doc_id
+                      JOIN mh b ON pj.db = b.doc_id),
+      bd AS (SELECT least(CAST(floor(j / CAST(0.2 AS DOUBLE)) AS BIGINT), 4)
+                      AS band, j, est FROM est)
+      SELECT band, COUNT(*) AS n_pairs,
+             round(${sqlSum("j")} / COUNT(*), 6) AS mean_exact,
+             round(${sqlSum("est")} / COUNT(*), 6) AS mean_est,
+             round(${sqlSum("est - j")} / COUNT(*), 6) AS bias,
+             round(${sqlSum("abs(est - j)")} / COUNT(*), 6) AS mae
+      FROM bd GROUP BY 1 ORDER BY band"""
+  }
+
   val queries: Map[String, Q] = Map(
     "d23_weighted_jaccard" -> d23_weighted_jaccard,
+    "d31_estimator_calibration" -> d31_estimator_calibration,
     "d30_shingle_sensitivity" -> d30_shingle_sensitivity,
     "d24_lsh_recall"       -> d24_lsh_recall,
     "d25_lsh_tuning"       -> d25_lsh_tuning,
@@ -506,6 +597,7 @@ object Dedup5 {
   )
   val oracles: Map[String, String] = Map(
     "d23_weighted_jaccard" -> d23Sql,
+    "d31_estimator_calibration" -> d31Sql,
     "d30_shingle_sensitivity" -> d30Sql,
     "d24_lsh_recall"       -> d24Sql,
     "d25_lsh_tuning"       -> d25Sql,

@@ -579,8 +579,41 @@ object Events7 {
       FROM cells JOIN pk ON cells.dow = pk.dow CROSS JOIN t
       ORDER BY dow, hr"""
 
+  // ---- e44: daily new-vs-returning active mix ----
+  // The dashboard line every growth chart starts with: each day's
+  // actives split into first-ever-seen (new) and returning. One
+  // (user, day) distinct pass, first day per user via a combinable min
+  // aggregate, one users-sized join — never a window; new share is a
+  // single IEEE division of exact counts. (e33 is the weekly state
+  // machine; this is the daily mix it summarizes.)
+  val e44_new_vs_returning: Q = (s, d) => {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val first = ud.groupBy("user_id").agg(min("day").as("d0"))
+    ud.join(first, "user_id")
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_active"),
+        count(when(col("day") === col("d0"), 1)).as("n_new"))
+      .withColumn("n_returning", col("n_active") - col("n_new"))
+      .withColumn("new_share", round(
+        col("n_new").cast("double") / col("n_active").cast("double"), 9))
+      .orderBy("day")
+  }
+  val e44Sql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                 FROM events),
+      f AS (SELECT user_id, MIN(day) AS d0 FROM ud GROUP BY 1)
+      SELECT day, COUNT(*) AS n_active,
+             COUNT(*) FILTER (WHERE day = d0) AS n_new,
+             COUNT(*) - COUNT(*) FILTER (WHERE day = d0) AS n_returning,
+             round(CAST(COUNT(*) FILTER (WHERE day = d0) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 9) AS new_share
+      FROM ud JOIN f USING (user_id)
+      GROUP BY 1 ORDER BY day"""
+
   val queries: Map[String, Q] = Map(
     "e37_retention_fit"      -> e37_retention_fit,
+    "e44_new_vs_returning"   -> e44_new_vs_returning,
     "e42_load_profile"       -> e42_load_profile,
     "e41_peak_concurrency"   -> e41_peak_concurrency,
     "e40_behavior_entropy"   -> e40_behavior_entropy,
@@ -593,6 +626,7 @@ object Events7 {
   )
   val oracles: Map[String, String] = Map(
     "e37_retention_fit"      -> e37Sql,
+    "e44_new_vs_returning"   -> e44Sql,
     "e42_load_profile"       -> e42Sql,
     "e41_peak_concurrency"   -> e41Sql,
     "e40_behavior_entropy"   -> e40Sql,

@@ -400,8 +400,64 @@ object Relational13 {
              dayofweek(day) IN (0, 6) AS is_weekend
       FROM dd ORDER BY day"""
 
+  // ---- q99: within-group revenue concentration (top-3 share) ----
+  // "How much of each nation's revenue sits with its top-3 customers?"
+  // — the account-concentration risk metric. Per-customer revenue is
+  // ONE combinable fact-scale aggregate; top-3 per nation rides
+  // GraftOps.topKPerKey (per-partition bounded heaps prune BEFORE the
+  // rank window, so no nation's full customer list ever sorts in one
+  // task); shares are single IEEE divisions of DECIMAL-exact sums.
+  val q99_group_concentration: Q = (s, d) => {
+    import graft.Stable.{dsum, sqlSum}
+    val rev = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"), col("o_custkey"))
+      .agg(dsum(col("o_totalprice")).as("rev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val natTotal = rev.groupBy("nation")
+      .agg(sum(col("rev").cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+        .cast("double").as("nation_rev"),
+        count(lit(1)).as("n_customers"))
+    val top3 = graft.api.GraftOps
+      .topKPerKey(rev, "nation", "rev", "o_custkey", 3)
+      .groupBy("nation")
+      .agg(sum(col("rev").cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+        .cast("double").as("top3_rev"))
+    natTotal.join(top3, "nation")
+      .select(col("nation"), col("n_customers"),
+        round(col("nation_rev"), 6).as("nation_rev"),
+        round(col("top3_rev"), 6).as("top3_rev"),
+        round(col("top3_rev") / col("nation_rev"), 9).as("top3_share"))
+      .orderBy("nation")
+  }
+  val q99Sql: String = {
+    import graft.Stable.sqlSum
+    s"""WITH rev AS (SELECT c_nationkey AS nation, o_custkey,
+                  ${sqlSum("o_totalprice")} AS rev
+               FROM orders JOIN customer ON o_custkey = c_custkey
+               GROUP BY 1, 2),
+      nt AS (SELECT nation,
+               CAST(SUM(CAST(rev AS DECIMAL(30,6))) AS DOUBLE) AS nation_rev,
+               COUNT(*) AS n_customers
+             FROM rev GROUP BY 1),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY nation
+                        ORDER BY rev DESC, o_custkey) AS rn FROM rev),
+      t3 AS (SELECT nation,
+               CAST(SUM(CAST(rev AS DECIMAL(30,6))) AS DOUBLE) AS top3_rev
+             FROM rk WHERE rn <= 3 GROUP BY 1)
+      SELECT nation, n_customers,
+             round(nation_rev, 6) AS nation_rev,
+             round(top3_rev, 6) AS top3_rev,
+             round(top3_rev / nation_rev, 9) AS top3_share
+      FROM nt JOIN t3 USING (nation)
+      ORDER BY nation"""
+  }
+
   val queries: Map[String, Q] = Map(
     "q97_calendar_dim"    -> q97_calendar_dim,
+    "q99_group_concentration" -> q99_group_concentration,
     "q91_skew_audit"      -> q91_skew_audit,
     "q92_view_refresh"    -> q92_view_refresh,
     "q93_scd_lookup"      -> q93_scd_lookup,
@@ -411,6 +467,7 @@ object Relational13 {
   )
   val oracles: Map[String, String] = Map(
     "q97_calendar_dim"    -> q97Sql,
+    "q99_group_concentration" -> q99Sql,
     "q91_skew_audit"      -> q91Sql,
     "q92_view_refresh"    -> q92Sql,
     "q93_scd_lookup"      -> q93Sql,

@@ -1080,6 +1080,47 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("q99 group concentration: share bounded, top3 below total") {
+    val rows = operators.Relational13.q99_group_concentration(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("top3_rev") <= r.getAs[Double]("nation_rev") + 1e-6)
+      val s = r.getAs[Double]("top3_share")
+      assert(s > 0.0 && s <= 1.0 + 1e-9)
+      // with <= 3 customers the top-3 IS the nation
+      if (r.getAs[Long]("n_customers") <= 3)
+        assert(math.abs(s - 1.0) < 1e-9)
+    }
+  }
+
+  test("e44 new vs returning: day 1 all new, cumulative new = user count") {
+    val rows = operators.Events7.e44_new_vs_returning(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val first = rows.head
+    assert(first.getAs[Long]("n_new") == first.getAs[Long]("n_active"),
+      "on the first observed day everyone is new")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_new") + r.getAs[Long]("n_returning")
+        == r.getAs[Long]("n_active"))
+    }
+    val totalNew = rows.map(_.getAs[Long]("n_new")).sum
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(totalNew == users, "every user is new exactly once")
+  }
+
+  test("d31 calibration: estimate quantized to sixteenths, mae bounded") {
+    val rows = operators.Dedup5.d31_estimator_calibration(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (me, mx) = (r.getAs[Double]("mean_est"), r.getAs[Double]("mean_exact"))
+      assert(me >= 0.0 && me <= 1.0 && mx >= 0.0 && mx <= 1.0)
+      assert(math.abs(r.getAs[Double]("bias") - (me - mx)) < 1e-6)
+      // MAE of a 16-bucket estimator can't exceed 1
+      assert(r.getAs[Double]("mae") >= 0.0 && r.getAs[Double]("mae") <= 1.0)
+      assert(r.getAs[Long]("n_pairs") >= 1)
+    }
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
