@@ -494,8 +494,86 @@ object CorpusPipeline {
                AS expected_docs_10k
       FROM w CROSS JOIN t ORDER BY source"""
 
+  // ---- p12: eval-set decontamination gate ----
+  // The release step between t13's contamination REPORT and a shipped
+  // corpus: drop training docs whose 8-gram overlap with the held-out
+  // eval slice (doc_id % 10 = 0, t13's convention) exceeds 1%, and
+  // report the per-language yield — docs and chars kept/dropped — the
+  // numbers a release manager signs. Same engine shape as t13 (128-bit
+  // gram keys, broadcast eval index, per-doc combinable hit rollup),
+  // then ONE anti-join-by-threshold and a language rollup. The 1%
+  // threshold is exact-integer (100·hits > n_grams — no double
+  // boundary).
+  val p12_decontaminate: Q = (s, d) => {
+    def grams(df: DataFrame) = df
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(
+             sequence(1, greatest(size(w) - 7, 0)),
+             i -> unhex(md5(concat_ws(' ', slice(w, i, 8))))))""")).as("g"))
+    val docs = Tables.documents(s, d)
+    val evalIdx = grams(docs.filter(col("doc_id") % 10 === 0))
+      .select("g").distinct()
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val scored = grams(train)
+      .join(broadcast(evalIdx.withColumn("hit", lit(1L))), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+    train.join(scored, Seq("doc_id"), "left")
+      .withColumn("dropped",
+        col("n_hits").isNotNull && col("n_hits") * 100 > col("n_grams"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs_in"),
+        count(when(!col("dropped"), 1)).as("docs_kept"),
+        count(when(col("dropped"), 1)).as("docs_dropped"),
+        sum(when(!col("dropped"), col("n_chars")).otherwise(0L))
+          .as("chars_kept"),
+        sum(when(col("dropped"), col("n_chars")).otherwise(0L))
+          .as("chars_dropped"))
+      .withColumn("keep_rate", round(
+        col("docs_kept").cast("double") / col("docs_in").cast("double"), 9))
+      .orderBy("lang")
+  }
+  val p12Sql: String =
+    """WITH w AS (SELECT doc_id, generate_subscripts(string_split(text,' '),1) i,
+                       unnest(string_split(text,' ')) w FROM documents),
+      g8 AS (SELECT a.doc_id,
+               a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' ' ||
+               e.w || ' ' || f.w || ' ' || g.w || ' ' || h.w AS gr
+             FROM w a JOIN w b ON b.doc_id=a.doc_id AND b.i=a.i+1
+                      JOIN w c ON c.doc_id=a.doc_id AND c.i=a.i+2
+                      JOIN w d ON d.doc_id=a.doc_id AND d.i=a.i+3
+                      JOIN w e ON e.doc_id=a.doc_id AND e.i=a.i+4
+                      JOIN w f ON f.doc_id=a.doc_id AND f.i=a.i+5
+                      JOIN w g ON g.doc_id=a.doc_id AND g.i=a.i+6
+                      JOIN w h ON h.doc_id=a.doc_id AND h.i=a.i+7),
+      dd AS (SELECT DISTINCT doc_id, gr FROM g8),
+      ev AS (SELECT DISTINCT gr FROM dd WHERE doc_id % 10 = 0),
+      sc AS (SELECT dd.doc_id, COUNT(*) AS n_grams,
+               CAST(SUM(CASE WHEN ev.gr IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_hits
+             FROM dd LEFT JOIN ev ON dd.gr = ev.gr
+             WHERE dd.doc_id % 10 <> 0 GROUP BY 1),
+      tr AS (SELECT d.doc_id, d.lang, d.n_chars,
+               COALESCE(sc.n_hits, 0) * 100 > COALESCE(sc.n_grams, 1)
+                 AS dropped
+             FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+             WHERE d.doc_id % 10 <> 0)
+      SELECT lang, COUNT(*) AS docs_in,
+             COUNT(*) FILTER (WHERE NOT dropped) AS docs_kept,
+             COUNT(*) FILTER (WHERE dropped) AS docs_dropped,
+             CAST(SUM(CASE WHEN NOT dropped THEN n_chars ELSE 0 END)
+               AS BIGINT) AS chars_kept,
+             CAST(SUM(CASE WHEN dropped THEN n_chars ELSE 0 END)
+               AS BIGINT) AS chars_dropped,
+             round(CAST(COUNT(*) FILTER (WHERE NOT dropped) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 9) AS keep_rate
+      FROM tr GROUP BY 1 ORDER BY lang"""
+
   val queries: Map[String, Q] = Map(
     "p01_corpus_clean"     -> p01_corpus_clean,
+    "p12_decontaminate"    -> p12_decontaminate,
     "p02_quality_resample" -> p02_quality_resample,
     "p03_declarative_job"  -> p03_declarative_job,
     "p04_dataset_card"     -> p04_dataset_card,
@@ -513,5 +591,6 @@ object CorpusPipeline {
     "p06_threshold_yield"  -> p06Sql,
     "p07_curriculum"       -> p07Sql,
     "p08_canary_compare"   -> p08Sql,
-    "p09_temperature_mix"  -> p09Sql)
+    "p09_temperature_mix"  -> p09Sql,
+    "p12_decontaminate"    -> p12Sql)
 }

@@ -611,8 +611,46 @@ object Events7 {
       FROM ud JOIN f USING (user_id)
       GROUP BY 1 ORDER BY day"""
 
+  // ---- e45: active-day streak distribution ----
+  // Habit strength in one table: each user's LONGEST consecutive-day
+  // streak, rolled into a histogram. The islands trick — day-index
+  // minus row_number is constant within a consecutive run — runs in
+  // ONE user-partitioned window over the (user, day) distinct frame
+  // (active-days-sized, never event-sized); island lengths, per-user
+  // max, then a combinable histogram. Every step exact integers.
+  val e45_streaks: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("di", datediff(col("day"), lit("1970-01-01").cast("date"))
+        .cast("long"))
+    val w = Window.partitionBy("user_id").orderBy("di")
+    val runs = ud
+      .withColumn("grp", col("di") - row_number().over(w))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("user_id").agg(max("len").as("max_streak"))
+    runs.groupBy("max_streak")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("max_streak")
+  }
+  val e45Sql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                 FROM events),
+      di AS (SELECT user_id, CAST(day - DATE '1970-01-01' AS BIGINT) AS di
+             FROM ud),
+      g AS (SELECT user_id,
+                   di - row_number() OVER (PARTITION BY user_id ORDER BY di)
+                     AS grp
+            FROM di),
+      runs AS (SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY 1, 2),
+      mx AS (SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak
+             FROM runs GROUP BY 1)
+      SELECT max_streak, COUNT(*) AS n_users
+      FROM mx GROUP BY 1 ORDER BY max_streak"""
+
   val queries: Map[String, Q] = Map(
     "e37_retention_fit"      -> e37_retention_fit,
+    "e45_streaks"            -> e45_streaks,
     "e44_new_vs_returning"   -> e44_new_vs_returning,
     "e42_load_profile"       -> e42_load_profile,
     "e41_peak_concurrency"   -> e41_peak_concurrency,
@@ -626,6 +664,7 @@ object Events7 {
   )
   val oracles: Map[String, String] = Map(
     "e37_retention_fit"      -> e37Sql,
+    "e45_streaks"            -> e45Sql,
     "e44_new_vs_returning"   -> e44Sql,
     "e42_load_profile"       -> e42Sql,
     "e41_peak_concurrency"   -> e41Sql,

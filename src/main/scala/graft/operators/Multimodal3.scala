@@ -519,8 +519,53 @@ object Multimodal3 {
                AS dev_from_uniform
       FROM sh CROSS JOIN t ORDER BY shard"""
 
+  // ---- m15: asset integrity verification (bit-rot census) ----
+  // The periodic scrub every content-addressed store schedules: re-hash
+  // what is on disk and compare against the stored manifest. Simulated
+  // fault model: assets with doc_id % 101 = 0 read back altered (a
+  // deterministic corruption suffix). Per source: ok / corrupted
+  // counts, bytes at risk — ONE narrow dual-hash pass (manifest hash
+  // of the pristine payload vs re-hash of the read-back payload, both
+  // in-row md5s, no payload shuffle), one combinable rollup. The scrub
+  // at 100 TB is exactly this plan: linear scan, hash compare, tiny
+  // report.
+  val m15_integrity_check: Q = (s, d) => {
+    val scanned = Tables.documents(s, d)
+      .withColumn("manifest_h", md5(encode(col("text"), "UTF-8")))
+      .withColumn("readback",
+        when(col("doc_id") % 101 === 0, concat(col("text"), lit("~bitrot")))
+          .otherwise(col("text")))
+      .withColumn("disk_h", md5(encode(col("readback"), "UTF-8")))
+    scanned.groupBy("source")
+      .agg(count(lit(1)).as("n_assets"),
+        count(when(col("manifest_h") === col("disk_h"), 1)).as("n_ok"),
+        count(when(col("manifest_h") =!= col("disk_h"), 1)).as("n_corrupt"),
+        sum(when(col("manifest_h") =!= col("disk_h"), col("n_chars"))
+          .otherwise(0L)).as("chars_at_risk"))
+      .withColumn("corrupt_rate", round(
+        col("n_corrupt").cast("double") / col("n_assets").cast("double"), 9))
+      .orderBy("source")
+  }
+  val m15Sql: String =
+    """WITH sc AS (
+        SELECT source, n_chars,
+               md5(text) AS manifest_h,
+               md5(CASE WHEN doc_id % 101 = 0
+                        THEN text || '~bitrot'
+                        ELSE text END) AS disk_h
+        FROM documents)
+      SELECT source, COUNT(*) AS n_assets,
+             COUNT(*) FILTER (WHERE manifest_h = disk_h) AS n_ok,
+             COUNT(*) FILTER (WHERE manifest_h <> disk_h) AS n_corrupt,
+             CAST(SUM(CASE WHEN manifest_h <> disk_h THEN n_chars ELSE 0 END)
+               AS BIGINT) AS chars_at_risk,
+             round(CAST(COUNT(*) FILTER (WHERE manifest_h <> disk_h) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 9) AS corrupt_rate
+      FROM sc GROUP BY 1 ORDER BY source"""
+
   val queries: Map[String, Q] = Map(
     "m07_asset_dedup"   -> m07_asset_dedup,
+    "m15_integrity_check" -> m15_integrity_check,
     "m08_asset_diff"    -> m08_asset_diff,
     "m09_asset_neardup" -> m09_asset_neardup,
     "m10_cdc_chunking"  -> m10_cdc_chunking,
@@ -536,5 +581,6 @@ object Multimodal3 {
     "m11_incremental_chunks" -> m11Sql,
     "m12_chunk_gc"      -> m12Sql,
     "m13_shard_plan"    -> m13Sql,
+    "m15_integrity_check" -> m15Sql,
   )
 }

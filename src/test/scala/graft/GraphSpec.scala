@@ -1121,6 +1121,55 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("e45 streaks: users partition the histogram, streaks within corpus span") {
+    val rows = operators.Events7.e45_streaks(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == users)
+    rows.foreach { r =>
+      val s = r.getAs[Long]("max_streak")
+      assert(s >= 1 && s <= 31, s"streak $s outside the 30-day corpus")
+    }
+  }
+
+  test("m15 integrity: corruption census matches the fault model exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Multimodal3.m15_integrity_check(spark, sf).collect()
+    val expected = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 101 === 0).groupBy("source").count()
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("n_corrupt") == expected.getOrElse(src, 0L), src)
+      assert(r.getAs[Long]("n_ok") + r.getAs[Long]("n_corrupt")
+        == r.getAs[Long]("n_assets"))
+    }
+  }
+
+  test("p12 decontaminate: exact dups of eval docs always dropped") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.CorpusPipeline.p12_decontaminate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("docs_kept") + r.getAs[Long]("docs_dropped")
+        == r.getAs[Long]("docs_in"))
+      val kr = r.getAs[Double]("keep_rate")
+      assert(kr >= 0.0 && kr <= 1.0)
+    }
+    // any train doc sharing its FULL text with an eval doc (exact dup
+    // across the split) must be dropped when long enough to carry grams
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val evalTexts = docs.filter(_._1 % 10 == 0).map(_._2).toSet
+    val dupTrainLong = docs.filter { case (id, t) =>
+      id % 10 != 0 && evalTexts.contains(t) && t.split(" ").length >= 8
+    }
+    val totalDropped = rows.map(_.getAs[Long]("docs_dropped")).sum
+    assert(totalDropped >= dupTrainLong.length,
+      s"dropped $totalDropped < cross-split exact dups ${dupTrainLong.length}")
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
