@@ -326,14 +326,74 @@ object Graph {
       SELECT cluster_id, COUNT(*) AS n_members, max(node) AS max_part
       FROM lbl GROUP BY cluster_id ORDER BY cluster_id"""
 
+  // ---- g05: degree distribution (the first graph diagnostic) ----
+  // Before any graph algorithm is trusted, its degree distribution:
+  // per-degree node counts over the thresholded co-purchase graph plus
+  // the CCDF — heavy-tail or not decides whether skew mitigations
+  // (degree-ordered orientation in g03, salting in joins) are needed.
+  // Edge build is the one fact-scale pass (g02 shape); degrees and the
+  // degree histogram are two combinable aggregates; the CCDF's
+  // cumulative sum runs over the DISTINCT-DEGREE frame (dozens of
+  // rows) inside a bounded single group. Exact integers + one division
+  // per CCDF point.
+  val g05_degree_dist: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val edges = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+             transform(slice(ps, i + 2, size(ps)),
+               y -> struct(x AS a, y AS b))))""")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+    val deg = edges.select(col("a").as("n"))
+      .unionAll(edges.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val hist = deg.groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+    val tot = hist.agg(sum("n_nodes").as("n_total"))
+    val g = graft.api.GraftOps.boundedSingleGroup(hist)
+    val w = Window.partitionBy("__g").orderBy(desc("deg"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    g.withColumn("cum_ge", sum("n_nodes").over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("deg"), col("n_nodes"),
+        col("cum_ge"),
+        round(col("cum_ge").cast("double") / col("n_total").cast("double"), 9)
+          .as("ccdf"))
+      .orderBy("deg")
+  }
+  val g05Sql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                 FROM lineitem),
+      e AS (SELECT x.pk AS a, y.pk AS b
+            FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      dg AS (SELECT n, COUNT(*) AS deg FROM (
+               SELECT a AS n FROM e UNION ALL SELECT b FROM e) u
+             GROUP BY 1),
+      h AS (SELECT deg, COUNT(*) AS n_nodes FROM dg GROUP BY 1),
+      t AS (SELECT CAST(SUM(n_nodes) AS BIGINT) AS n_total FROM h),
+      c AS (SELECT deg, n_nodes,
+              CAST(SUM(n_nodes) OVER (ORDER BY deg DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_ge
+            FROM h)
+      SELECT deg, n_nodes, cum_ge,
+             round(CAST(cum_ge AS DOUBLE) / CAST(n_total AS DOUBLE), 9) AS ccdf
+      FROM c CROSS JOIN t ORDER BY deg"""
+
   val queries: Map[String, Q] = Map(
     "g01_pagerank"   -> g01_pagerank,
+    "g05_degree_dist" -> g05_degree_dist,
     "g02_copurchase" -> g02_copurchase,
     "g03_triangles"  -> g03_triangles,
     "g04_cc"         -> g04_cc,
   )
   val oracles: Map[String, String] = Map(
     "g01_pagerank"   -> g01Sql,
+    "g05_degree_dist" -> g05Sql,
     "g02_copurchase" -> g02Sql,
     "g03_triangles"  -> g03Sql,
     "g04_cc"         -> g04Sql,

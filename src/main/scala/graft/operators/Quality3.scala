@@ -150,13 +150,69 @@ object Quality3 {
                AS DOUBLE), 0.0), 6) AS line_total
       FROM j GROUP BY 1 ORDER BY band"""
 
+  // ---- v18: hash-sample representativeness check ----
+  // Every 1-in-k hash sample (q26's discipline) implicitly claims the
+  // sample looks like the population. This measures it on the event-
+  // type marginal: per type, population share vs 1-in-16 sample share
+  // (md5-prefix membership — the q26 engine-shared sampling family),
+  // the delta, and the worst absolute delta as a one-glance verdict
+  // column. ONE conditional aggregate computes both marginals in a
+  // single scan (the sample predicate is a row expression); exact
+  // counts, single divisions, max-delta via a broadcast scalar.
+  val v18_sample_check: Q = (s, d) => {
+    val flagged = Tables.events(s, d)
+      .withColumn("in_sample",
+        substring(md5(col("event_id").cast("string")), 1, 1) === "0")
+    val cells = flagged.groupBy("event_type")
+      .agg(count(lit(1)).as("n_pop"),
+        count(when(col("in_sample"), 1)).as("n_samp"))
+    val tot = cells.agg(sum("n_pop").as("t_pop"), sum("n_samp").as("t_samp"))
+    val shares = cells.crossJoin(broadcast(tot))
+      .withColumn("pop_share",
+        col("n_pop").cast("double") / col("t_pop").cast("double"))
+      .withColumn("samp_share",
+        col("n_samp").cast("double") / col("t_samp").cast("double"))
+      .withColumn("delta", col("samp_share") - col("pop_share"))
+    val worst = shares.agg(max(abs(col("delta"))).as("max_abs_delta"))
+    shares.crossJoin(broadcast(worst))
+      .select(col("event_type"), col("n_pop"), col("n_samp"),
+        round(col("pop_share"), 9).as("pop_share"),
+        round(col("samp_share"), 9).as("samp_share"),
+        round(col("delta"), 9).as("delta"),
+        round(col("max_abs_delta"), 9).as("max_abs_delta"))
+      .orderBy("event_type")
+  }
+  val v18Sql: String =
+    """WITH f AS (SELECT event_type,
+                CASE WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'
+                     THEN 1 ELSE 0 END AS ins
+         FROM events),
+      c AS (SELECT event_type, COUNT(*) AS n_pop,
+              CAST(SUM(ins) AS BIGINT) AS n_samp
+            FROM f GROUP BY 1),
+      t AS (SELECT CAST(SUM(n_pop) AS BIGINT) AS t_pop,
+                   CAST(SUM(n_samp) AS BIGINT) AS t_samp FROM c),
+      sh AS (SELECT event_type, n_pop, n_samp,
+               CAST(n_pop AS DOUBLE) / CAST(t_pop AS DOUBLE) AS pop_share,
+               CAST(n_samp AS DOUBLE) / CAST(t_samp AS DOUBLE) AS samp_share
+             FROM c CROSS JOIN t),
+      w AS (SELECT MAX(abs(samp_share - pop_share)) AS max_abs_delta FROM sh)
+      SELECT event_type, n_pop, n_samp,
+             round(pop_share, 9) AS pop_share,
+             round(samp_share, 9) AS samp_share,
+             round(samp_share - pop_share, 9) AS delta,
+             round(max_abs_delta, 9) AS max_abs_delta
+      FROM sh CROSS JOIN w ORDER BY event_type"""
+
   val queries: Map[String, Q] = Map(
     "v15_chi_square"  -> v15_chi_square,
+    "v18_sample_check" -> v18_sample_check,
     "v17_value_reconcile" -> v17_value_reconcile,
     "v16_order_audit" -> v16_order_audit,
   )
   val oracles: Map[String, String] = Map(
     "v15_chi_square"  -> v15Sql,
+    "v18_sample_check" -> v18Sql,
     "v17_value_reconcile" -> v17Sql,
     "v16_order_audit" -> v16Sql,
   )

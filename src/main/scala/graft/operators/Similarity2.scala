@@ -696,8 +696,63 @@ object Similarity2 {
       FROM pick"""
   }
 
+  // ---- s16: nearest-neighbor label confusion matrix ----
+  // s15 scores accuracy; this shows WHERE the space confuses labels:
+  // for every vector, the label of its single nearest neighbor, rolled
+  // into a (true_label, nn_label) matrix with row shares — the
+  // embedding-space confusion matrix that tells a curator which
+  // classes to merge or re-embed. Neighbor = top-1 by (cosine desc,
+  // id) over the 1-in-4 deterministic sample (pair volume sample-
+  // bounded; the full-corpus version routes through s02/s04 buckets);
+  // the argmax is a total order, so the matrix is engine-exact.
+  val s16_nn_confusion: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).filter(col("vec_id") % 4 === 0)
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
+      col("label").as("la"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+      col("label").as("lb"))
+    val nn = a.join(b, col("va") =!= col("vb"))
+      .withColumn("cos",
+        round(graft.functions.cosine_sim(col("ea"), col("eb")), 9))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("va").orderBy(desc("cos"), col("vb"))))
+      .filter(col("rk") === 1)
+    val rowTot = nn.groupBy("la").agg(count(lit(1)).as("row_n"))
+    nn.groupBy(col("la").as("true_label"), col("lb").as("nn_label"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(rowTot.withColumnRenamed("la", "true_label")),
+        "true_label")
+      .select(col("true_label"), col("nn_label"), col("n"),
+        round(col("n").cast("double") / col("row_n").cast("double"), 9)
+          .as("row_share"))
+      .orderBy("true_label", "nn_label")
+  }
+  val s16Sql: String = {
+    val cos = """list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[]))))"""
+    s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings
+                  WHERE vec_id % 4 = 0),
+      sc AS (SELECT a.vec_id AS va, a.label AS la, b.vec_id AS vb,
+               b.label AS lb, round($cos, 9) AS cos
+             FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY va
+                        ORDER BY cos DESC, vb) AS rk FROM sc),
+      nn AS (SELECT la, lb FROM rk WHERE rk = 1),
+      rt AS (SELECT la, COUNT(*) AS row_n FROM nn GROUP BY 1)
+      SELECT nn.la AS true_label, nn.lb AS nn_label, COUNT(*) AS n,
+             round(CAST(COUNT(*) AS DOUBLE) / CAST(MIN(row_n) AS DOUBLE), 9)
+               AS row_share
+      FROM nn JOIN rt ON nn.la = rt.la
+      GROUP BY 1, 2 ORDER BY true_label, nn_label"""
+  }
+
   val queries: Map[String, Q] = Map(
     "d26_cluster_quality" -> d26_cluster_quality,
+    "s16_nn_confusion"    -> s16_nn_confusion,
     "s15_knn_eval"        -> s15_knn_eval,
     "s14_embedding_drift" -> s14_embedding_drift,
     "s06_kmeans_refine"  -> s06_kmeans_refine,
@@ -711,6 +766,7 @@ object Similarity2 {
   )
   val oracles: Map[String, String] = Map(
     "d26_cluster_quality" -> d26Sql,
+    "s16_nn_confusion"    -> s16Sql,
     "s15_knn_eval"        -> s15Sql,
     "s14_embedding_drift" -> s14Sql,
     "s06_kmeans_refine"  -> s06Sql,

@@ -1170,6 +1170,43 @@ class GraphSpec extends AnyFunSuite {
       s"dropped $totalDropped < cross-split exact dups ${dupTrainLong.length}")
   }
 
+  test("g05 degree dist: histogram partitions nodes, ccdf monotone to 1") {
+    val rows = operators.Graph.g05_degree_dist(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val sorted = rows.sortBy(_.getAs[Long]("deg"))
+    // ccdf at the smallest degree covers every node
+    assert(math.abs(sorted.head.getAs[Double]("ccdf") - 1.0) < 1e-9)
+    val cs = sorted.map(_.getAs[Double]("ccdf"))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b - 1e-12 },
+      "ccdf must be non-increasing in degree")
+    val total = sorted.map(_.getAs[Long]("n_nodes")).sum
+    assert(sorted.head.getAs[Long]("cum_ge") <= total)
+  }
+
+  test("s16 nn confusion: rows sum to sample, shares sum to 1 per row") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Similarity2.s16_nn_confusion(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val sample = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 4 === 0).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == sample,
+      "every sampled vector contributes exactly one NN")
+    rows.groupBy(_.getAs[Int]("true_label")).values.foreach { g =>
+      val tot = g.map(_.getAs[Double]("row_share")).sum
+      assert(math.abs(tot - 1.0) < 1e-6, s"row shares sum $tot")
+    }
+  }
+
+  test("v18 sample check: marginals conserve, worst delta is the max") {
+    val rows = operators.Quality3.v18_sample_check(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val worst = rows.head.getAs[Double]("max_abs_delta")
+    val localMax = rows.map(r => math.abs(r.getAs[Double]("delta"))).max
+    assert(math.abs(worst - localMax) < 1e-6)
+    assert(math.abs(rows.map(_.getAs[Double]("pop_share")).sum - 1.0) < 1e-6)
+    assert(math.abs(rows.map(_.getAs[Double]("samp_share")).sum - 1.0) < 1e-6)
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
