@@ -585,8 +585,49 @@ object Dedup5 {
       FROM bd GROUP BY 1 ORDER BY band"""
   }
 
+  // ---- d32: duplicate-family size distribution ----
+  // The corpus's duplication PROFILE: how many families of exact/near
+  // duplicates exist at each size (d08's connected components,
+  // histogrammed, singletons included) — the one chart that says
+  // whether dedup will reclaim 3% or 60%, and the denominator behind
+  // every d15 manifest number. Reuses d08's fixpoint labels (min-label
+  // over verified pairs); the histogram is two combinable aggregates
+  // on the labels frame. Exact integers plus one share division.
+  val d32_dup_family_sizes: Q = (s, d) => {
+    val sizes = Dedup2.clusterLabels(s, d)
+      .groupBy("cluster_id").agg(count(lit(1)).as("family_size"))
+    val hist = sizes.groupBy("family_size")
+      .agg(count(lit(1)).as("n_families"))
+    val tot = hist.agg(sum(col("family_size") * col("n_families"))
+      .as("n_docs_total"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("family_size"), col("n_families"),
+        (col("family_size") * col("n_families")).as("n_docs"),
+        round((col("family_size") * col("n_families")).cast("double")
+          / col("n_docs_total").cast("double"), 9).as("doc_share"))
+      .orderBy("family_size")
+  }
+  val d32Sql: String =
+    Dedup2.d08Sql.substring(0, Dedup2.d08Sql.lastIndexOf("SELECT cluster_id")) +
+    """, fam AS (
+        SELECT cluster_id, COUNT(*) AS family_size FROM (
+          SELECT doc_id, cluster_id FROM lbl
+          UNION ALL
+          SELECT doc_id, doc_id AS cluster_id FROM documents
+          WHERE doc_id NOT IN (SELECT doc_id FROM lbl)) t
+        GROUP BY cluster_id),
+      h AS (SELECT family_size, COUNT(*) AS n_families FROM fam GROUP BY 1),
+      t2 AS (SELECT CAST(SUM(family_size * n_families) AS BIGINT)
+               AS n_docs_total FROM h)
+      SELECT family_size, n_families,
+             CAST(family_size * n_families AS BIGINT) AS n_docs,
+             round(CAST(family_size * n_families AS DOUBLE)
+                   / CAST(n_docs_total AS DOUBLE), 9) AS doc_share
+      FROM h CROSS JOIN t2 ORDER BY family_size"""
+
   val queries: Map[String, Q] = Map(
     "d23_weighted_jaccard" -> d23_weighted_jaccard,
+    "d32_dup_family_sizes" -> d32_dup_family_sizes,
     "d31_estimator_calibration" -> d31_estimator_calibration,
     "d30_shingle_sensitivity" -> d30_shingle_sensitivity,
     "d24_lsh_recall"       -> d24_lsh_recall,
@@ -597,6 +638,7 @@ object Dedup5 {
   )
   val oracles: Map[String, String] = Map(
     "d23_weighted_jaccard" -> d23Sql,
+    "d32_dup_family_sizes" -> d32Sql,
     "d31_estimator_calibration" -> d31Sql,
     "d30_shingle_sensitivity" -> d30Sql,
     "d24_lsh_recall"       -> d24Sql,

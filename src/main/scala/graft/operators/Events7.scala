@@ -648,8 +648,63 @@ object Events7 {
       SELECT max_streak, COUNT(*) AS n_users
       FROM mx GROUP BY 1 ORDER BY max_streak"""
 
+  // ---- e46: lag-k autocorrelation (periodicity detector) ----
+  // Is the series ACTUALLY weekly? Pearson correlation of each type's
+  // daily counts against themselves at lag 1 and lag 7 — the number
+  // that justifies (or debunks) e32's seasonal-naive lag choice and
+  // e26's dow index. After the ONE fact-scale daily aggregate, lagged
+  // pairs come from a broadcast self-join on the types×days frame (the
+  // e32 discipline — no window); every moment (n, Σx, Σy, Σxy, Σx²,
+  // Σy²) is an EXACT INT64 sum of counts, so r's numerator and the
+  // two variance terms are exact integers — two sqrts and one division
+  // at the very end, bit-identical cross-engine.
+  val e46_autocorr: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    def acf(lag: Int): DataFrame = {
+      val lagged = daily.select(col("event_type"),
+        date_add(col("day"), lag).as("day"), col("n").as("y"))
+      daily.join(broadcast(lagged), Seq("event_type", "day"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("np"),
+          sum("n").as("sx"), sum("y").as("sy"),
+          sum(col("n") * col("y")).as("sxy"),
+          sum(col("n") * col("n")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("event_type"), lit(lag).as("lag"), col("np").as("n_pairs"),
+          round((col("np") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt((col("np") * col("sxx") - col("sx") * col("sx"))
+                .cast("double"))
+              * sqrt((col("np") * col("syy") - col("sy") * col("sy"))
+                .cast("double"))), 9).as("r"))
+    }
+    acf(1).unionAll(acf(7)).orderBy("event_type", "lag")
+  }
+  private def e46AcfSql(lag: Int): String =
+    s"""SELECT event_type, $lag AS lag, COUNT(*) AS n_pairs,
+          round(CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
+                / (sqrt(CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)
+                         AS DOUBLE))
+                   * sqrt(CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y)
+                           AS DOUBLE))), 9) AS r
+       FROM (SELECT c.event_type, c.n AS x, p.n AS y
+             FROM daily c JOIN daily p
+               ON c.event_type = p.event_type AND c.day = p.day + $lag)
+       GROUP BY 1"""
+  val e46Sql: String =
+    s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                    COUNT(*) AS n
+             FROM events GROUP BY 1, 2)
+      SELECT * FROM (
+        ${e46AcfSql(1)}
+        UNION ALL
+        ${e46AcfSql(7)}
+      ) ORDER BY event_type, lag"""
+
   val queries: Map[String, Q] = Map(
     "e37_retention_fit"      -> e37_retention_fit,
+    "e46_autocorr"           -> e46_autocorr,
     "e45_streaks"            -> e45_streaks,
     "e44_new_vs_returning"   -> e44_new_vs_returning,
     "e42_load_profile"       -> e42_load_profile,
@@ -664,6 +719,7 @@ object Events7 {
   )
   val oracles: Map[String, String] = Map(
     "e37_retention_fit"      -> e37Sql,
+    "e46_autocorr"           -> e46Sql,
     "e45_streaks"            -> e45Sql,
     "e44_new_vs_returning"   -> e44Sql,
     "e42_load_profile"       -> e42Sql,

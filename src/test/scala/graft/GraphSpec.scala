@@ -1207,6 +1207,39 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(rows.map(_.getAs[Double]("samp_share")).sum - 1.0) < 1e-6)
   }
 
+  test("d32 family sizes: docs partition the corpus, families consistent with d08") {
+    val rows = operators.Dedup5.d32_dup_family_sizes(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs,
+      "families partition every document")
+    assert(math.abs(rows.map(_.getAs[Double]("doc_share")).sum - 1.0) < 1e-6)
+    // families of size > 1 must agree with d08's cluster report
+    val d08 = operators.Dedup2.d08_dup_clusters(spark, sf).collect()
+    val bigFromD08 = d08.groupBy(_.getAs[Long]("n_members"))
+      .map { case (k, v) => (k, v.length.toLong) }
+    rows.filter(_.getAs[Long]("family_size") > 1).foreach { r =>
+      assert(bigFromD08.getOrElse(r.getAs[Long]("family_size"), 0L)
+        == r.getAs[Long]("n_families"))
+    }
+  }
+
+  test("e46 autocorr: r bounded, weekly lag present for every type") {
+    val rows = operators.Events7.e46_autocorr(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getAs[Double]("r")
+      assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9)
+      assert(r.getAs[Long]("n_pairs") >= 3)
+      assert(r.getAs[Int]("lag") == 1 || r.getAs[Int]("lag") == 7)
+    }
+    val types = rows.map(_.getAs[String]("event_type")).distinct
+    types.foreach { t =>
+      assert(rows.count(_.getAs[String]("event_type") == t) == 2,
+        s"$t must carry both lags")
+    }
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
