@@ -416,9 +416,14 @@ object Dedup5 {
   // ---- d30: shingle-size sensitivity (dedup parameter audit) ----
   // The n in "n-gram Jaccard" is a policy choice: small n over-matches
   // (more pairs, more false kinship), large n under-matches. This
-  // audit runs the SAME verified-pair computation at n = 2, 3, 4 and
+  // audit runs the SAME verified-pair computation at n = 3, 4, 5 and
   // reports pairs found and docs affected per setting — the table a
   // dedup owner reads before pinning the production n (d03 pins 3).
+  // n = 2 is deliberately OUT of the sweep: 2-gram document
+  // frequencies are so high that the shared-gram candidate join
+  // expands df²-per-gram (measured 37 s at sf0.1 vs ~2 s for the 3/4/5
+  // sweep) — the audit's own demonstration of why no production
+  // near-dup filter shingles below 3.
   // Each setting is the standard shared-shingle bounded join (shingled
   // once per n, never doc×doc); the three runs share one scan shape
   // and union into a 3-row report. Exact counts only.
@@ -450,7 +455,7 @@ object Dedup5 {
             .distinct().agg(count(lit(1)).as("docs_affected"))))
         .select(lit(n).as("shingle_n"), col("n_pairs"), col("docs_affected"))
     }
-    report(2).unionAll(report(3)).unionAll(report(4)).orderBy("shingle_n")
+    report(3).unionAll(report(4)).unionAll(report(5)).orderBy("shingle_n")
   }
   private def d30PairSql(n: Int): String = {
     val joins = (1 until n).map(i =>
@@ -488,11 +493,11 @@ object Dedup5 {
                 generate_subscripts(string_split(text,' '),1) AS i,
                 unnest(string_split(text,' ')) AS w FROM documents)
       SELECT * FROM (
-        ${d30PairSql(2)}
-        UNION ALL
         ${d30PairSql(3)}
         UNION ALL
         ${d30PairSql(4)}
+        UNION ALL
+        ${d30PairSql(5)}
       ) ORDER BY shingle_n"""
 
   // ---- d31: MinHash estimator calibration (bias by similarity band) ----

@@ -1047,9 +1047,9 @@ class GraphSpec extends AnyFunSuite {
     val byN = rows.map(r => r.getAs[Int]("shingle_n") ->
       (r.getAs[Long]("n_pairs"), r.getAs[Long]("docs_affected"))).toMap
     // at Jaccard >= 0.5, shorter shingles are more permissive on this
-    // corpus family: n=2 >= n=3 >= n=4 in found pairs
-    assert(byN(2)._1 >= byN(3)._1 && byN(3)._1 >= byN(4)._1,
-      s"pairs ${byN(2)._1}/${byN(3)._1}/${byN(4)._1}")
+    // corpus family: n=3 >= n=4 >= n=5 in found pairs
+    assert(byN(3)._1 >= byN(4)._1 && byN(4)._1 >= byN(5)._1,
+      s"pairs ${byN(3)._1}/${byN(4)._1}/${byN(5)._1}")
     rows.foreach { r =>
       assert(r.getAs[Long]("docs_affected") <= 2 * r.getAs[Long]("n_pairs"))
     }
