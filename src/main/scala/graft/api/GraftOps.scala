@@ -1053,6 +1053,104 @@ object GraftOps {
       .filter(col("__rk") === 1)
       .drop("__rk")
   }
+
+  /** Join-key skew audit: per-key counts -> population stats (max/avg
+    * skew ratio, top-1 share, exact-integer hot-key census at 2x the
+    * mean). The strategy decision BEFORE a large join: AQE skew-split
+    * vs salting vs broadcast. One combinable aggregate; never shuffles
+    * more than the key-sized count frame. (q91's engine, as a verb.)
+    */
+  def skewAudit(df: DataFrame, key: Column, label: String): DataFrame = {
+    val counts = df.groupBy(key.as("k")).agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(count(lit(1)).as("n_keys"),
+      sum("cnt").as("n_rows"), max("cnt").as("max_count"))
+    val hot = counts.crossJoin(broadcast(stats))
+      .filter(col("cnt") * col("n_keys") > lit(2L) * col("n_rows"))
+      .agg(count(lit(1)).as("n_hot_keys"))
+    stats.crossJoin(broadcast(hot))
+      .select(lit(label).as("key_name"), col("n_rows"), col("n_keys"),
+        col("max_count"),
+        round((col("max_count") * col("n_keys")).cast("double")
+          / col("n_rows").cast("double"), 9).as("skew_ratio"),
+        round(col("max_count").cast("double")
+          / col("n_rows").cast("double"), 9).as("top1_share"),
+        col("n_hot_keys"))
+  }
+
+  /** Exact two-sample Kolmogorov-Smirnov D between the `value`
+    * distributions of two groups (group column equal to `a` vs `b`).
+    * Distinct-value cells + range-partitioned prefix sums — never a
+    * global sort; the argmax runs on exact integers. (v11's engine.)
+    */
+  def ksTest(df: DataFrame, group: Column, value: Column,
+             a: Any, b: Any): DataFrame = {
+    val ev = df.select(group.as("__g0"), value.as("value"))
+      .filter(col("__g0").isin(a, b))
+    val cells = ev.groupBy("value").agg(
+      count(when(col("__g0") === lit(a), 1)).as("c1"),
+      count(when(col("__g0") === lit(b), 1)).as("c2"))
+    val parted = cells.repartitionByRange(col("value"))
+      .withColumn("__pid", spark_partition_id())
+      .pipe(persistTracked)
+    val offsets = boundedSingleGroup(
+        parted.groupBy("__pid").agg(sum("c1").as("t1"), sum("c2").as("t2")))
+      .withColumn("o1", coalesce(sum("t1").over(
+        Window.partitionBy("__g").orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("o2", coalesce(sum("t2").over(
+        Window.partitionBy("__g").orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "o1", "o2")
+    val wp = Window.partitionBy("__pid").orderBy("value")
+    val totals = cells.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    parted.join(broadcast(offsets), "__pid")
+      .withColumn("s1", sum("c1").over(wp) + col("o1"))
+      .withColumn("s2", sum("c2").over(wp) + col("o2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("d_numerator",
+        abs(col("s1") * col("n2") - col("s2") * col("n1")))
+      .orderBy(desc("d_numerator"), col("value"))
+      .limit(1)
+      .select(col("n1"), col("n2"), col("value").as("at_value"),
+        col("d_numerator"),
+        round(col("d_numerator").cast("double")
+          / (col("n1") * col("n2")).cast("double"), 9).as("ks_d"))
+  }
+
+  /** Weekly growth accounting: per week the actives split into new /
+    * retained / resurrected, plus churned-in (censored at the final
+    * observed week). One (user, week) distinct pass + one user-keyed
+    * lag+lead window. (e33's engine, over any entity/timestamp.)
+    */
+  def growthAccounting(df: DataFrame, entity: Column, ts: Column): DataFrame = {
+    val uw = df.select(entity.as("user_id"), trunc(to_date(ts), "week").as("wk"))
+      .distinct()
+      .withColumn("wi",
+        expr("CAST(datediff(wk, DATE '1970-01-05') div 7 AS BIGINT)"))
+    val w = Window.partitionBy("user_id").orderBy("wi")
+    val st = uw
+      .withColumn("prev", lag(col("wi"), 1).over(w))
+      .withColumn("nxt", lead(col("wi"), 1).over(w))
+    val mx = uw.agg(max("wi").as("maxwi"))
+    val active = st.groupBy("wi").agg(
+      count(lit(1)).as("n_active"),
+      count(when(col("prev").isNull, 1)).as("n_new"),
+      count(when(col("prev") === col("wi") - 1, 1)).as("n_retained"),
+      count(when(col("prev").isNotNull && col("prev") < col("wi") - 1, 1))
+        .as("n_resurrected"))
+    val churn = st.crossJoin(broadcast(mx))
+      .filter((col("nxt").isNull && col("wi") < col("maxwi"))
+        || col("nxt") > col("wi") + 1)
+      .groupBy((col("wi") + 1).as("wi"))
+      .agg(count(lit(1)).as("n_churned_in"))
+    active.join(churn, Seq("wi"), "left")
+      .na.fill(0L, Seq("n_churned_in"))
+      .withColumn("week",
+        date_add(lit("1970-01-05").cast("date"), (col("wi") * 7).cast("int")))
+      .select("week", "n_active", "n_new", "n_retained", "n_resurrected",
+        "n_churned_in")
+      .orderBy("week")
+  }
 }
 
 /** `import graft.api.syntax._` for method-style calls on DataFrames. */
@@ -1135,6 +1233,12 @@ object syntax {
     def blockedMatch(id: Column, name: Column, block: Column,
                      maxDistance: Int = 1): DataFrame =
       GraftOps.blockedMatch(df, id, name, block, maxDistance)
+    def skewAudit(key: Column, label: String): DataFrame =
+      GraftOps.skewAudit(df, key, label)
+    def ksTest(group: Column, value: Column, a: Any, b: Any): DataFrame =
+      GraftOps.ksTest(df, group, value, a, b)
+    def growthAccounting(entity: Column, ts: Column): DataFrame =
+      GraftOps.growthAccounting(df, entity, ts)
     def bestMatch(id: Column, name: Column, block: Column): DataFrame =
       GraftOps.bestMatch(df, id, name, block)
   }

@@ -141,37 +141,12 @@ object Events7 {
   // fixed Monday div 7) so state tests are exact integer comparisons
   // on both engines. The by-construction invariant new + retained +
   // resurrected = active is spec-pinned.
-  val e33_growth_accounting: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
-    val uw = Tables.events(s, d)
-      .select(col("user_id"), trunc(to_date(col("ts")), "week").as("wk"))
-      .distinct()
-      .withColumn("wi",
-        expr("CAST(datediff(wk, DATE '1970-01-05') div 7 AS BIGINT)"))
-    val w = Window.partitionBy("user_id").orderBy("wi")
-    val st = uw
-      .withColumn("prev", lag(col("wi"), 1).over(w))
-      .withColumn("nxt", lead(col("wi"), 1).over(w))
-    val mx = uw.agg(max("wi").as("maxwi"))
-    val active = st.groupBy("wi").agg(
-      count(lit(1)).as("n_active"),
-      count(when(col("prev").isNull, 1)).as("n_new"),
-      count(when(col("prev") === col("wi") - 1, 1)).as("n_retained"),
-      count(when(col("prev").isNotNull && col("prev") < col("wi") - 1, 1))
-        .as("n_resurrected"))
-    val churn = st.crossJoin(broadcast(mx))
-      .filter((col("nxt").isNull && col("wi") < col("maxwi"))
-        || col("nxt") > col("wi") + 1)
-      .groupBy((col("wi") + 1).as("wi"))
-      .agg(count(lit(1)).as("n_churned_in"))
-    active.join(churn, Seq("wi"), "left")
-      .na.fill(0L, Seq("n_churned_in"))
-      .withColumn("week",
-        date_add(lit("1970-01-05").cast("date"), (col("wi") * 7).cast("int")))
-      .select("week", "n_active", "n_new", "n_retained", "n_resurrected",
-        "n_churned_in")
-      .orderBy("week")
-  }
+  // the library verb (GraftOps.growthAccounting) IS the implementation
+  // — the oracle gate certifies the facade itself
+  val e33_growth_accounting: Q = (s, d) =>
+    graft.api.GraftOps.growthAccounting(Tables.events(s, d),
+      col("user_id"), col("ts"))
+
   val e33Sql: String =
     """WITH uw AS (SELECT DISTINCT user_id,
                        date_trunc('week', CAST(ts AS DATE)) AS wk

@@ -145,41 +145,12 @@ object Quality2 {
   // total order), and the statistic itself is ONE IEEE division at
   // the end. TakeOrderedAndProject prunes the argmax; no single task
   // ever holds more than its value range.
-  val v11_ks_test: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
-    val ev = Tables.events(s, d)
-      .filter(col("event_type").isin("purchase", "click"))
-      .select(col("event_type"), col("value"))
-    val cells = ev.groupBy("value").agg(
-      count(when(col("event_type") === "purchase", 1)).as("c1"),
-      count(when(col("event_type") === "click", 1)).as("c2"))
-    val parted = cells.repartitionByRange(col("value"))
-      .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val offsets = graft.api.GraftOps.boundedSingleGroup(
-        parted.groupBy("__pid").agg(sum("c1").as("t1"), sum("c2").as("t2")))
-      .withColumn("o1", coalesce(sum("t1").over(
-        Window.partitionBy("__g").orderBy("__pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("o2", coalesce(sum("t2").over(
-        Window.partitionBy("__g").orderBy("__pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("__pid", "o1", "o2")
-    val wp = Window.partitionBy("__pid").orderBy("value")
-    val totals = cells.agg(sum("c1").as("n1"), sum("c2").as("n2"))
-    parted.join(broadcast(offsets), "__pid")
-      .withColumn("s1", sum("c1").over(wp) + col("o1"))
-      .withColumn("s2", sum("c2").over(wp) + col("o2"))
-      .crossJoin(broadcast(totals))
-      .withColumn("d_numerator",
-        abs(col("s1") * col("n2") - col("s2") * col("n1")))
-      .orderBy(desc("d_numerator"), col("value"))
-      .limit(1)
-      .select(col("n1"), col("n2"), col("value").as("at_value"),
-        col("d_numerator"),
-        round(col("d_numerator").cast("double")
-          / (col("n1") * col("n2")).cast("double"), 9).as("ks_d"))
-  }
+  // the library verb (GraftOps.ksTest) IS the implementation — the
+  // oracle gate certifies the facade itself
+  val v11_ks_test: Q = (s, d) =>
+    graft.api.GraftOps.ksTest(Tables.events(s, d),
+      col("event_type"), col("value"), "purchase", "click")
+
   val v11Sql: String =
     """WITH ev AS (SELECT event_type, value FROM events
                   WHERE event_type IN ('purchase', 'click')),

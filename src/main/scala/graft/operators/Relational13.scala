@@ -19,23 +19,10 @@ object Relational13 {
   // EXACT INTEGER arithmetic (cnt * n_keys > 2 * n_rows — no double
   // threshold to diverge on), and the reported ratios are single IEEE
   // divisions of exact int64 counts.
-  private def audit(df: DataFrame, key: Column, label: String): DataFrame = {
-    val counts = df.groupBy(key.as("k")).agg(count(lit(1)).as("cnt"))
-    val stats = counts.agg(
-      count(lit(1)).as("n_keys"), sum("cnt").as("n_rows"),
-      max("cnt").as("max_count"))
-    val hot = counts.crossJoin(broadcast(stats))
-      .filter(col("cnt") * col("n_keys") > lit(2L) * col("n_rows"))
-      .agg(count(lit(1)).as("n_hot_keys"))
-    stats.crossJoin(broadcast(hot))
-      .select(lit(label).as("key_name"), col("n_rows"), col("n_keys"),
-        col("max_count"),
-        round((col("max_count") * col("n_keys")).cast("double")
-          / col("n_rows").cast("double"), 9).as("skew_ratio"),
-        round(col("max_count").cast("double")
-          / col("n_rows").cast("double"), 9).as("top1_share"),
-        col("n_hot_keys"))
-  }
+  // the library verb (GraftOps.skewAudit) IS the implementation — the
+  // oracle gate below therefore certifies the facade itself
+  private def audit(df: DataFrame, key: Column, label: String): DataFrame =
+    graft.api.GraftOps.skewAudit(df, key, label)
   val q91_skew_audit: Q = (s, d) => {
     audit(Tables.lineitem(s, d), col("l_partkey"), "lineitem.l_partkey")
       .unionAll(audit(Tables.lineitem(s, d), col("l_suppkey"),
