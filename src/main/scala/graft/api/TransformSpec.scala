@@ -215,6 +215,23 @@ object TransformSpec {
         graft.plans.AsofJoin.asofJoin(df, catalog(rightName),
           step.path("leftKey").asText(), step.path("rightKey").asText(),
           step.path("leftTime").asText(), step.path("rightTime").asText())
+      case "skewAudit" =>
+        // join-strategy audit as a declarative step (q91's verb):
+        //   {"op": "skewAudit", "key": "l_partkey", "label": "li.partkey"}
+        GraftOps.skewAudit(df, expr(step.path("key").asText()),
+          step.path("label").asText())
+      case "ksTest" =>
+        // exact two-sample KS drift test (v11's verb):
+        //   {"op": "ksTest", "group": "event_type", "value": "value",
+        //    "a": "purchase", "b": "click"}
+        GraftOps.ksTest(df, expr(step.path("group").asText()),
+          expr(step.path("value").asText()),
+          step.path("a").asText(), step.path("b").asText())
+      case "growthAccounting" =>
+        // weekly growth accounting (e33's verb):
+        //   {"op": "growthAccounting", "entity": "user_id", "ts": "ts"}
+        GraftOps.growthAccounting(df, expr(step.path("entity").asText()),
+          expr(step.path("ts").asText()))
       case "conform" =>
         GraftOps.conform(df, step.path("schema").asText())
       case "profile" =>

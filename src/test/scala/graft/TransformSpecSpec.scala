@@ -341,4 +341,34 @@ class TransformSpecSpec extends AnyFunSuite {
       TransformSpec.run("""{"source": "nope", "steps": []}""", Map("d" -> docs))
     }
   }
+
+  test("skewAudit, ksTest and growthAccounting steps agree with their verbs") {
+    import graft.api.GraftOps
+    val li = Tables.lineitem(spark, sf)
+    val gotSkew = TransformSpec.run(
+      """{"source": "li", "steps": [
+        {"op": "skewAudit", "key": "l_partkey", "label": "li.partkey"}]}""",
+      Map("li" -> li)).collect().map(_.mkString("|"))
+    val wantSkew = GraftOps.skewAudit(li, col("l_partkey"), "li.partkey")
+      .collect().map(_.mkString("|"))
+    assert(gotSkew.sameElements(wantSkew))
+
+    val ev = Tables.events(spark, sf)
+    val gotKs = TransformSpec.run(
+      """{"source": "ev", "steps": [
+        {"op": "ksTest", "group": "event_type", "value": "value",
+         "a": "purchase", "b": "click"}]}""",
+      Map("ev" -> ev)).collect().map(_.mkString("|"))
+    val wantKs = GraftOps.ksTest(ev, col("event_type"), col("value"),
+      "purchase", "click").collect().map(_.mkString("|"))
+    assert(gotKs.sameElements(wantKs))
+
+    val gotGrow = TransformSpec.run(
+      """{"source": "ev", "steps": [
+        {"op": "growthAccounting", "entity": "user_id", "ts": "ts"}]}""",
+      Map("ev" -> ev)).collect().map(_.mkString("|"))
+    val wantGrow = GraftOps.growthAccounting(ev, col("user_id"), col("ts"))
+      .collect().map(_.mkString("|"))
+    assert(gotGrow.sameElements(wantGrow))
+  }
 }
