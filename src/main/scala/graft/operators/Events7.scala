@@ -677,8 +677,70 @@ object Events7 {
         ${e46AcfSql(7)}
       ) ORDER BY event_type, lag"""
 
+  // ---- e47: attribution-window sweep ----
+  // How long should the attribution window be? For every purchase, the
+  // gap to the SAME USER's most recent prior click — computed with ONE
+  // user-keyed carry-forward window over the interleaved event stream
+  // (max of click-timestamps up to the current row; never a
+  // purchases×clicks range join, whose expansion is per-user-activity²
+  // at 100 TB) — then one combinable sweep rollup: purchases attributed
+  // within 1, 3 and 7 days. Exact integer microseconds; rates are
+  // single divisions. The table that ends the "7-day vs 1-day window"
+  // argument with data.
+  val e47_attribution_window: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val gaps = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("last_click_us",
+        max(when(col("event_type") === "click", unix_micros(col("ts"))))
+          .over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("gap_us", unix_micros(col("ts")) - col("last_click_us"))
+    val day = 86400000000L
+    gaps.agg(count(lit(1)).as("n_purchases"),
+        count(when(col("gap_us") <= day, 1)).as("w1"),
+        count(when(col("gap_us") <= 3 * day, 1)).as("w3"),
+        count(when(col("gap_us") <= 7 * day, 1)).as("w7"))
+      .select(explode(array(
+        struct(lit(1L).as("k_days"), col("n_purchases"), col("w1").as("n_attributed")),
+        struct(lit(3L).as("k_days"), col("n_purchases"), col("w3").as("n_attributed")),
+        struct(lit(7L).as("k_days"), col("n_purchases"), col("w7").as("n_attributed"))))
+        .as("r"))
+      .select(col("r.k_days"), col("r.n_purchases"), col("r.n_attributed"))
+      .withColumn("attribution_rate", round(
+        col("n_attributed").cast("double") / col("n_purchases").cast("double"), 9))
+      .orderBy("k_days")
+  }
+  val e47Sql: String =
+    """WITH g AS (
+        SELECT user_id, ts, event_type,
+               MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS last_click_us
+        FROM events),
+      p AS (SELECT epoch_us(ts) - last_click_us AS gap_us
+            FROM g WHERE event_type = 'purchase'),
+      agg AS (SELECT COUNT(*) AS n_purchases,
+                COUNT(*) FILTER (WHERE gap_us <= 86400000000) AS w1,
+                COUNT(*) FILTER (WHERE gap_us <= 259200000000) AS w3,
+                COUNT(*) FILTER (WHERE gap_us <= 604800000000) AS w7
+              FROM p)
+      SELECT k_days, n_purchases, n_attributed,
+             round(CAST(n_attributed AS DOUBLE)
+                   / CAST(n_purchases AS DOUBLE), 9) AS attribution_rate
+      FROM (
+        SELECT CAST(1 AS BIGINT) AS k_days, n_purchases, w1 AS n_attributed
+        FROM agg
+        UNION ALL SELECT CAST(3 AS BIGINT), n_purchases, w3 FROM agg
+        UNION ALL SELECT CAST(7 AS BIGINT), n_purchases, w7 FROM agg)
+      ORDER BY k_days"""
+
   val queries: Map[String, Q] = Map(
     "e37_retention_fit"      -> e37_retention_fit,
+    "e47_attribution_window" -> e47_attribution_window,
     "e46_autocorr"           -> e46_autocorr,
     "e45_streaks"            -> e45_streaks,
     "e44_new_vs_returning"   -> e44_new_vs_returning,
@@ -694,6 +756,7 @@ object Events7 {
   )
   val oracles: Map[String, String] = Map(
     "e37_retention_fit"      -> e37Sql,
+    "e47_attribution_window" -> e47Sql,
     "e46_autocorr"           -> e46Sql,
     "e45_streaks"            -> e45Sql,
     "e44_new_vs_returning"   -> e44Sql,

@@ -1240,6 +1240,20 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("e47 attribution window: monotone in k, bounded by purchases") {
+    val rows = operators.Events7.e47_attribution_window(spark, sf).collect()
+    assert(rows.length == 3)
+    val byK = rows.map(r => r.getAs[Long]("k_days") ->
+      r.getAs[Long]("n_attributed")).toMap
+    // a wider window can only attribute more
+    assert(byK(1) <= byK(3) && byK(3) <= byK(7))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_attributed") <= r.getAs[Long]("n_purchases"))
+      val rate = r.getAs[Double]("attribution_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
