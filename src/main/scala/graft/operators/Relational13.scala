@@ -442,8 +442,67 @@ object Relational13 {
       ORDER BY nation"""
   }
 
+  // ---- q101: hierarchical share-of-parent rollup ----
+  // The drilldown every BI tool renders: revenue per nation with its
+  // share of the REGION (parent level), plus the region subtotal's
+  // share of the world — two levels of share-of-parent from ONE
+  // fact-scale aggregate and two broadcast dim joins (q61 gives share
+  // of total; this is the hierarchy form). DECIMAL-exact sums;
+  // each share one IEEE division.
+  val q101_hierarchy_share: Q = (s, d) => {
+    import graft.Stable.dsum
+    val rev = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nk"))
+      .agg(dsum(col("o_totalprice")).as("rev"))
+    val dims = Tables.nation(s, d)
+      .select(col("n_nationkey").as("nk"), col("n_name"),
+        col("n_regionkey").as("rk"))
+      .join(broadcast(Tables.region(s, d)
+        .select(col("r_regionkey").as("rk"), col("r_name"))), "rk")
+    val byNation = rev.join(broadcast(dims), "nk")
+    val D = org.apache.spark.sql.types.DecimalType(30, 6)
+    val byRegion = byNation.groupBy("rk", "r_name")
+      .agg(sum(col("rev").cast(D)).cast("double").as("region_rev"))
+    val world = byRegion.agg(sum(col("region_rev").cast(D)).cast("double")
+      .as("world_rev"))
+    byNation.join(broadcast(byRegion.select("rk", "region_rev")), "rk")
+      .crossJoin(broadcast(world))
+      .select(col("r_name").as("region"), col("n_name").as("nation"),
+        round(col("rev"), 6).as("nation_rev"),
+        round(col("region_rev"), 6).as("region_rev"),
+        round(col("rev") / col("region_rev"), 9).as("share_of_region"),
+        round(col("region_rev") / col("world_rev"), 9).as("region_share_of_world"))
+      .orderBy("region", "nation")
+  }
+  val q101Sql: String = {
+    import graft.Stable.sqlSum
+    s"""WITH rev AS (SELECT c_nationkey AS nk, ${sqlSum("o_totalprice")} AS rev
+               FROM orders JOIN customer ON o_custkey = c_custkey
+               GROUP BY 1),
+      dims AS (SELECT n_nationkey AS nk, n_name, n_regionkey AS rk, r_name
+               FROM nation JOIN region ON n_regionkey = r_regionkey),
+      bn AS (SELECT rev.nk, n_name, rk, r_name, rev
+             FROM rev JOIN dims ON rev.nk = dims.nk),
+      br AS (SELECT rk, r_name,
+               CAST(SUM(CAST(rev AS DECIMAL(30,6))) AS DOUBLE) AS region_rev
+             FROM bn GROUP BY 1, 2),
+      w AS (SELECT CAST(SUM(CAST(region_rev AS DECIMAL(30,6))) AS DOUBLE)
+              AS world_rev FROM br)
+      SELECT bn.r_name AS region, n_name AS nation,
+             round(rev, 6) AS nation_rev,
+             round(region_rev, 6) AS region_rev,
+             round(rev / region_rev, 9) AS share_of_region,
+             round(region_rev / world_rev, 9) AS region_share_of_world
+      FROM bn JOIN br ON bn.rk = br.rk CROSS JOIN w
+      ORDER BY region, nation"""
+  }
+
   val queries: Map[String, Q] = Map(
     "q97_calendar_dim"    -> q97_calendar_dim,
+    "q101_hierarchy_share" -> q101_hierarchy_share,
     "q99_group_concentration" -> q99_group_concentration,
     "q91_skew_audit"      -> q91_skew_audit,
     "q92_view_refresh"    -> q92_view_refresh,
@@ -454,6 +513,7 @@ object Relational13 {
   )
   val oracles: Map[String, String] = Map(
     "q97_calendar_dim"    -> q97Sql,
+    "q101_hierarchy_share" -> q101Sql,
     "q99_group_concentration" -> q99Sql,
     "q91_skew_audit"      -> q91Sql,
     "q92_view_refresh"    -> q92Sql,

@@ -286,8 +286,51 @@ object TextAnalysis9 {
       FROM m"""
   }
 
+  // ---- t28: doc-start template census ----
+  // Scraped corpora are full of documents that OPEN identically but
+  // diverge after the boilerplate header — invisible to exact dedup
+  // (bodies differ) and complementary to t25 (which looks at 8-grams
+  // anywhere). Key = the first 10 words; families with ≥ 2 docs split
+  // into exact duplicates (one distinct body) vs templates (several
+  // bodies behind one opening). One narrow prefix-hash pass, one
+  // 16-byte-key aggregate, constant rollup — payloads never shuffle.
+  val t28_template_census: Q = (s, d) => {
+    val keyed = Tables.documents(s, d)
+      .withColumn("title_h",
+        unhex(md5(expr("concat_ws(' ', slice(split(trim(text), ' '), 1, 10))"))))
+      .withColumn("body_h", unhex(md5(col("text"))))
+    val fams = keyed.groupBy("title_h")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("body_h")).as("n_bodies"))
+      .filter(col("n_docs") >= 2)
+      .withColumn("family_type",
+        when(col("n_bodies") === 1, lit("exact_dup")).otherwise(lit("template")))
+    fams.groupBy("family_type")
+      .agg(count(lit(1)).as("n_families"),
+        sum("n_docs").as("n_docs"),
+        sum("n_bodies").as("n_distinct_bodies"))
+      .orderBy("family_type")
+  }
+  val t28Sql: String =
+    """WITH k AS (
+        SELECT md5(array_to_string(string_split(trim(text), ' ')[1:10], ' '))
+                 AS title_h,
+               md5(text) AS body_h
+        FROM documents),
+      f AS (SELECT title_h, COUNT(*) AS n_docs,
+              CAST(COUNT(DISTINCT body_h) AS BIGINT) AS n_bodies
+            FROM k GROUP BY 1 HAVING COUNT(*) >= 2),
+      t AS (SELECT CASE WHEN n_bodies = 1 THEN 'exact_dup'
+                        ELSE 'template' END AS family_type,
+                   n_docs, n_bodies FROM f)
+      SELECT family_type, COUNT(*) AS n_families,
+             CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+             CAST(SUM(n_bodies) AS BIGINT) AS n_distinct_bodies
+      FROM t GROUP BY 1 ORDER BY family_type"""
+
   val queries: Map[String, Q] = Map(
     "t23_pmi_collocations" -> t23_pmi_collocations,
+    "t28_template_census"  -> t28_template_census,
     "t25_boilerplate"      -> t25_boilerplate,
     "t24_lang_confusion"   -> t24_lang_confusion,
     "t26_encoding_audit"   -> t26_encoding_audit,
@@ -295,6 +338,7 @@ object TextAnalysis9 {
   )
   val oracles: Map[String, String] = Map(
     "t23_pmi_collocations" -> t23Sql,
+    "t28_template_census"  -> t28Sql,
     "t24_lang_confusion"   -> t24Sql,
     "t25_boilerplate"      -> t25Sql,
     "t26_encoding_audit"   -> t26Sql,

@@ -1254,6 +1254,31 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("q101 hierarchy share: shares sum to 1 within each parent level") {
+    val rows = operators.Relational13.q101_hierarchy_share(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("region")).values.foreach { g =>
+      val tot = g.map(_.getAs[Double]("share_of_region")).sum
+      assert(math.abs(tot - 1.0) < 1e-6, s"region shares sum $tot")
+    }
+    val regionShares = rows.map(r => r.getAs[String]("region") ->
+      r.getAs[Double]("region_share_of_world")).distinct
+    assert(math.abs(regionShares.map(_._2).sum - 1.0) < 1e-6)
+  }
+
+  test("t28 template census: families consistent, exact dups have one body") {
+    val rows = operators.TextAnalysis9.t28_template_census(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getAs[String]("family_type")
+      val (nf, nd, nb) = (r.getAs[Long]("n_families"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_distinct_bodies"))
+      assert(nd >= 2 * nf, "every family has at least two docs")
+      if (t == "exact_dup") assert(nb == nf, "one body per exact-dup family")
+      else assert(nb > nf, "templates carry several bodies per family")
+    }
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
