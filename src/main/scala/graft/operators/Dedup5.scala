@@ -630,7 +630,65 @@ object Dedup5 {
                    / CAST(n_docs_total AS DOUBLE), 9) AS doc_share
       FROM h CROSS JOIN t2 ORDER BY family_size"""
 
+  // ---- d33: cross-shard dedup leakage plan ----
+  // THE question before sharding a 100 TB dedup job: if the corpus is
+  // hash-partitioned into S independent shards and dedup runs per
+  // shard, how many true near-dup pairs LEAK (land in different shards
+  // and are never compared)? Measured directly on d03's verified pair
+  // table for S ∈ {4, 16, 64}: shard = md5-bucket of doc_id (the
+  // engine-portable q65 hashing family — exactly how a real shard
+  // router would assign), leakage = cross-shard pairs / all pairs.
+  // Under uniform hashing leakage ≈ 1 − 1/S, which is the measured
+  // argument for GLOBAL candidate keying (LSH bands / shared shingles)
+  // instead of shard-local dedup — this table states it with data.
+  // Plan: the pair table is the only fact-scale work (d03's bounded
+  // candidate join); the S-sweep is a 3× literal expand over pairs —
+  // narrow — and one combinable rollup.
+  val d33_shard_leakage: Q = (s, d) => {
+    val pairs = Dedup.verifiedPairs(s, d).select(col("da"), col("db"))
+    pairs
+      .select(col("da"), col("db"),
+        explode(array(lit(4), lit(16), lit(64))).as("n_shards"))
+      .withColumn("sa",
+        conv(substring(md5(col("da").cast("string")), 1, 4), 16, 10)
+          .cast("long") % col("n_shards"))
+      .withColumn("sb",
+        conv(substring(md5(col("db").cast("string")), 1, 4), 16, 10)
+          .cast("long") % col("n_shards"))
+      .groupBy("n_shards")
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(col("sa") =!= col("sb"), 1)).as("n_cross"))
+      .withColumn("leakage", round(
+        col("n_cross").cast("double") / col("n_pairs").cast("double"), 9))
+      .select(col("n_shards").cast("long").as("n_shards"),
+        col("n_pairs"), col("n_cross"), col("leakage"))
+      .orderBy("n_shards")
+  }
+  val d33Sql: String =
+    """WITH w AS (SELECT doc_id, generate_subscripts(string_split(text,' '),1) i,
+                       unnest(string_split(text,' ')) w FROM documents),
+      g AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+            FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.i=a.i+1
+                     JOIN w c ON c.doc_id=a.doc_id AND c.i=a.i+2),
+      dd AS (SELECT DISTINCT doc_id, sh FROM g),
+      sizes AS (SELECT doc_id, count(*) n FROM dd GROUP BY doc_id),
+      pairs AS (SELECT x.doc_id da, y.doc_id db, count(*) shared
+                FROM dd x JOIN dd y ON x.sh=y.sh AND x.doc_id<y.doc_id GROUP BY 1,2),
+      vp AS (SELECT da, db
+             FROM pairs JOIN sizes sa ON da=sa.doc_id JOIN sizes sb ON db=sb.doc_id
+             WHERE CAST(shared AS DOUBLE)/(sa.n+sb.n-shared) >= 0.5),
+      sw AS (SELECT da, db, ns,
+               ('0x' || substring(md5(CAST(da AS VARCHAR)), 1, 4))::BIGINT % ns AS sa,
+               ('0x' || substring(md5(CAST(db AS VARCHAR)), 1, 4))::BIGINT % ns AS sb
+             FROM vp CROSS JOIN (VALUES (4), (16), (64)) AS v(ns))
+      SELECT CAST(ns AS BIGINT) AS n_shards, COUNT(*) AS n_pairs,
+             COUNT(*) FILTER (WHERE sa <> sb) AS n_cross,
+             round(CAST(COUNT(*) FILTER (WHERE sa <> sb) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 9) AS leakage
+      FROM sw GROUP BY 1 ORDER BY n_shards"""
+
   val queries: Map[String, Q] = Map(
+    "d33_shard_leakage"    -> d33_shard_leakage,
     "d23_weighted_jaccard" -> d23_weighted_jaccard,
     "d32_dup_family_sizes" -> d32_dup_family_sizes,
     "d31_estimator_calibration" -> d31_estimator_calibration,
@@ -642,6 +700,7 @@ object Dedup5 {
     "d29_dedup_impact"     -> d29_dedup_impact,
   )
   val oracles: Map[String, String] = Map(
+    "d33_shard_leakage"    -> d33Sql,
     "d23_weighted_jaccard" -> d23Sql,
     "d32_dup_family_sizes" -> d32Sql,
     "d31_estimator_calibration" -> d31Sql,

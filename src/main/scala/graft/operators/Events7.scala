@@ -738,7 +738,65 @@ object Events7 {
         UNION ALL SELECT CAST(7 AS BIGINT), n_purchases, w7 FROM agg)
       ORDER BY k_days"""
 
+  // ---- e48: censored time-to-conversion hazard curve ----
+  // Discrete survival analysis on the activation funnel: for each day
+  // offset d since a user's first event, the hazard = P(first purchase
+  // at exactly day d | still unconverted and OBSERVABLE at day d).
+  // Right-censoring is handled the Kaplan-Meier way — a user only
+  // enters day-d's risk set if the corpus horizon covers their day d
+  // (first_day + d <= max corpus day), so late cohorts don't drag the
+  // tail down. Plan shape: ONE user-keyed aggregate collapses the fact
+  // table to a per-user (first_day, conversion_offset) pair; the 14
+  // offsets then expand NARROWLY over that compact table (explode of a
+  // 14-element literal sequence — no window, no self-join) and a final
+  // combinable aggregate produces the 14-row curve. At 100 TB the only
+  // wide stage is the per-user collapse — the minimum any cohort
+  // statistic pays. Counts exact int64; the hazard is one division.
+  val e48_conversion_hazard: Q = (s, d) => {
+    val u = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy("user_id")
+      .agg(min(col("day")).as("f_day"),
+        min(when(col("event_type") === "purchase", col("day"))).as("c_day"))
+      .withColumn("off", datediff(col("c_day"), col("f_day")))
+    val mx = Tables.events(s, d).agg(max(to_date(col("ts"))).as("max_day"))
+    u.crossJoin(broadcast(mx))
+      .select(col("off"), col("f_day"), col("max_day"),
+        explode(sequence(lit(0), lit(13))).as("d"))
+      .filter(date_add(col("f_day"), col("d")) <= col("max_day"))
+      .filter(col("off").isNull || col("off") >= col("d"))
+      .groupBy("d")
+      .agg(count(lit(1)).as("at_risk"),
+        count(when(col("off") === col("d"), 1)).as("n_conv"))
+      .withColumn("hazard",
+        when(col("at_risk") > 0,
+          round(col("n_conv").cast("double") / col("at_risk").cast("double"), 9)))
+      .select(col("d").cast("long").as("d"), col("at_risk"), col("n_conv"), col("hazard"))
+      .orderBy("d")
+  }
+  val e48Sql: String =
+    """WITH u AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS f_day,
+               MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END)
+                 AS c_day
+             FROM events GROUP BY 1),
+      mx AS (SELECT MAX(CAST(ts AS DATE)) AS max_day FROM events),
+      x AS (SELECT datediff('day', f_day, c_day) AS off, f_day, max_day
+            FROM u CROSS JOIN mx),
+      g AS (SELECT d, off FROM x
+            CROSS JOIN (SELECT unnest(generate_series(0, 13)) AS d)
+            WHERE f_day + CAST(d AS INTEGER) <= max_day
+              AND (off IS NULL OR off >= d)),
+      h AS (SELECT d, COUNT(*) AS at_risk,
+              COUNT(*) FILTER (WHERE off = d) AS n_conv
+            FROM g GROUP BY 1)
+      SELECT CAST(d AS BIGINT) AS d, at_risk, n_conv,
+             CASE WHEN at_risk > 0
+                  THEN round(CAST(n_conv AS DOUBLE) / CAST(at_risk AS DOUBLE), 9)
+             END AS hazard
+      FROM h ORDER BY d"""
+
   val queries: Map[String, Q] = Map(
+    "e48_conversion_hazard"  -> e48_conversion_hazard,
     "e37_retention_fit"      -> e37_retention_fit,
     "e47_attribution_window" -> e47_attribution_window,
     "e46_autocorr"           -> e46_autocorr,
@@ -755,6 +813,7 @@ object Events7 {
     "e36_slo_burn"           -> e36_slo_burn,
   )
   val oracles: Map[String, String] = Map(
+    "e48_conversion_hazard"  -> e48Sql,
     "e37_retention_fit"      -> e37Sql,
     "e47_attribution_window" -> e47Sql,
     "e46_autocorr"           -> e46Sql,

@@ -384,7 +384,73 @@ object Graph {
              round(CAST(cum_ge AS DOUBLE) / CAST(n_total AS DOUBLE), 9) AS ccdf
       FROM c CROSS JOIN t ORDER BY deg"""
 
+  // ---- g06: link prediction via neighbor-set Jaccard ----
+  // "Which products WOULD co-sell but haven't yet?" — the classic
+  // common-neighbors / Jaccard link predictor over the co-purchase
+  // graph. Reuses g03's thresholded a<b edge list (fact-scale work is
+  // the order-bounded in-row pair expand — linear); candidates come
+  // from the FORWARD wedge join on the symmetric adjacency (per-center
+  // expansion bounded by deg² on a metadata-sized edge table; the
+  // 100 TB refinement is a per-vertex degree cap, same plan), existing
+  // edges removed by one anti join. Jaccard = cn / (deg_a + deg_b − cn)
+  // over exact int64 counts; ranking keys on the ROUNDED score with
+  // (cn, a, b) tie-breaks so order can't flip between engines; top-15
+  // via TakeOrderedAndProject — no global sort materializes.
+  val g06_link_prediction: Q = (s, d) => {
+    val edges = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+             transform(slice(ps, i + 2, size(ps)),
+               y -> struct(x AS a, y AS b))))""")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select("a", "b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = edges.select(col("a").as("n"), col("b").as("nbr"))
+      .unionAll(edges.select(col("b").as("n"), col("a").as("nbr")))
+    val deg = adj.groupBy("n").agg(count(lit(1)).as("deg"))
+    val wedges = adj.select(col("nbr").as("z"), col("n").as("x"))
+      .join(adj.select(col("n").as("z"), col("nbr").as("y")), "z")
+      .where(col("x") < col("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("cn"))
+    val cands = wedges.join(edges,
+        wedges("x") === edges("a") && wedges("y") === edges("b"), "left_anti")
+    cands
+      .join(deg.select(col("n").as("x"), col("deg").as("dx")), "x")
+      .join(deg.select(col("n").as("y"), col("deg").as("dy")), "y")
+      .withColumn("jaccard", round(col("cn").cast("double")
+        / (col("dx") + col("dy") - col("cn")).cast("double"), 9))
+      .select(col("x").as("part_a"), col("y").as("part_b"),
+        col("cn"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("cn").desc, col("part_a"), col("part_b"))
+      .limit(15)
+  }
+  val g06Sql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                   FROM lineitem),
+      e AS (SELECT x.pk AS a, y.pk AS b
+            FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      adj AS (SELECT a AS n, b AS nbr FROM e
+              UNION ALL SELECT b, a FROM e),
+      deg AS (SELECT n, COUNT(*) AS deg FROM adj GROUP BY 1),
+      wed AS (SELECT l.n AS x, r.nbr AS y, COUNT(*) AS cn
+              FROM adj l JOIN adj r ON l.nbr = r.n AND l.n < r.nbr
+              GROUP BY 1, 2),
+      cand AS (SELECT * FROM wed
+               WHERE NOT EXISTS (SELECT 1 FROM e
+                                 WHERE e.a = wed.x AND e.b = wed.y))
+      SELECT x AS part_a, y AS part_b, cn,
+             round(CAST(cn AS DOUBLE)
+                   / CAST(dx.deg + dy.deg - cn AS DOUBLE), 9) AS jaccard
+      FROM cand JOIN deg dx ON dx.n = x JOIN deg dy ON dy.n = y
+      ORDER BY jaccard DESC, cn DESC, part_a, part_b LIMIT 15"""
+
   val queries: Map[String, Q] = Map(
+    "g06_link_prediction" -> g06_link_prediction,
     "g01_pagerank"   -> g01_pagerank,
     "g05_degree_dist" -> g05_degree_dist,
     "g02_copurchase" -> g02_copurchase,
@@ -392,6 +458,7 @@ object Graph {
     "g04_cc"         -> g04_cc,
   )
   val oracles: Map[String, String] = Map(
+    "g06_link_prediction" -> g06Sql,
     "g01_pagerank"   -> g01Sql,
     "g05_degree_dist" -> g05Sql,
     "g02_copurchase" -> g02Sql,

@@ -204,13 +204,60 @@ object Quality3 {
              round(max_abs_delta, 9) AS max_abs_delta
       FROM sh CROSS JOIN w ORDER BY event_type"""
 
+  // ---- v19: functional-dependency audit ----
+  // Does column A determine column B? The data-contract question behind
+  // every "safe to denormalize / safe to use as a join key" decision.
+  // For each declared candidate (table, det → dep): number of distinct
+  // determinant values, how many of them map to >1 distinct dependent
+  // (violations), the worst fan-out, and the verdict. Each candidate is
+  // ONE groupBy on the determinant (map-side combinable count-distinct
+  // per group, then a one-row rollup) — no pair joins, no collects; the
+  // result set is candidate-count-sized. At 100 TB each audit costs one
+  // keyed shuffle of (det, dep) pairs — the minimum any exact FD check
+  // can pay.
+  private def fdCase(df: DataFrame, name: String, det: String, dep: String): DataFrame =
+    df.select(col(det).cast("string").as("det"), col(dep).cast("string").as("dep"))
+      .groupBy("det").agg(count_distinct(col("dep")).as("n_dep"))
+      .agg(count(lit(1)).as("n_det"),
+        count(when(col("n_dep") > 1, 1)).as("n_violating"),
+        max(col("n_dep")).as("max_fanout"))
+      .select(lit(name).as("candidate"), col("n_det"), col("n_violating"),
+        col("max_fanout"), (col("n_violating") === 0).as("holds"))
+  val v19_fd_audit: Q = (s, d) => {
+    val cases = Seq(
+      (Tables.nation(s, d),   "nation.n_nationkey->n_regionkey", "n_nationkey", "n_regionkey"),
+      (Tables.part(s, d),     "part.p_brand->p_type",            "p_brand",     "p_type"),
+      (Tables.customer(s, d), "customer.c_name->c_mktsegment",   "c_name",      "c_mktsegment"),
+      (Tables.orders(s, d),   "orders.o_custkey->o_orderpriority", "o_custkey", "o_orderpriority"),
+      (Tables.lineitem(s, d), "lineitem.l_partkey->l_suppkey",   "l_partkey",   "l_suppkey"))
+    cases.map { case (df, n, a, b) => fdCase(df, n, a, b) }
+      .reduce(_.unionAll(_)).orderBy("candidate")
+  }
+  private def fdSqlCase(table: String, name: String, det: String, dep: String): String =
+    s"""SELECT '$name' AS candidate, COUNT(*) AS n_det,
+          COUNT(*) FILTER (WHERE n_dep > 1) AS n_violating,
+          MAX(n_dep) AS max_fanout,
+          COUNT(*) FILTER (WHERE n_dep > 1) = 0 AS holds
+        FROM (SELECT CAST($det AS VARCHAR) AS det,
+                CAST(COUNT(DISTINCT CAST($dep AS VARCHAR)) AS BIGINT) AS n_dep
+              FROM $table GROUP BY 1)"""
+  val v19Sql: String = Seq(
+    fdSqlCase("nation",   "nation.n_nationkey->n_regionkey",   "n_nationkey", "n_regionkey"),
+    fdSqlCase("part",     "part.p_brand->p_type",              "p_brand",     "p_type"),
+    fdSqlCase("customer", "customer.c_name->c_mktsegment",     "c_name",      "c_mktsegment"),
+    fdSqlCase("orders",   "orders.o_custkey->o_orderpriority", "o_custkey",   "o_orderpriority"),
+    fdSqlCase("lineitem", "lineitem.l_partkey->l_suppkey",     "l_partkey",   "l_suppkey"))
+    .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY candidate")
+
   val queries: Map[String, Q] = Map(
+    "v19_fd_audit"    -> v19_fd_audit,
     "v15_chi_square"  -> v15_chi_square,
     "v18_sample_check" -> v18_sample_check,
     "v17_value_reconcile" -> v17_value_reconcile,
     "v16_order_audit" -> v16_order_audit,
   )
   val oracles: Map[String, String] = Map(
+    "v19_fd_audit"    -> v19Sql,
     "v15_chi_square"  -> v15Sql,
     "v18_sample_check" -> v18Sql,
     "v17_value_reconcile" -> v17Sql,

@@ -328,9 +328,126 @@ object TextAnalysis9 {
              CAST(SUM(n_bodies) AS BIGINT) AS n_distinct_bodies
       FROM t GROUP BY 1 ORDER BY family_type"""
 
+  // ---- t29: leave-one-source-out smoothed LM scoring ----
+  // t11 scores each doc under a bigram LM trained on the WHOLE corpus —
+  // which lets a big source certify its own text as fluent (the
+  // self-preference trap every LM-quality-filter paper warns about).
+  // t29 removes it: each doc is scored under the model trained on all
+  // the OTHER sources, computed without building per-holdout models —
+  // leave-one-out counts are just global-minus-own (c12_loo =
+  // c12_global − c12_own_source), so ONE global count table and ONE
+  // per-source count table serve every holdout simultaneously.
+  // Add-one smoothing over the global vocabulary V handles bigrams the
+  // held-out model never saw (P = (c12_loo+1)/(c1_loo+V)); all counts
+  // are exact int64, the probability is a single IEEE division, the
+  // per-row log is rounded at 1e-9, and the doc sum runs in decimal —
+  // partitioning-independent. Scale: the count tables are
+  // vocab(²)-bounded (broadcast-able), the explode is persisted once,
+  // and every aggregation is map-side combinable; nothing pairs docs.
+  val t29_loo_perplexity: Q = (s, d) => {
+    import org.apache.spark.storage.StorageLevel
+    val bigrams = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("source"), col("b.w1"), col("b.w2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val c2g = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12g"))
+    val c2s = bigrams.groupBy("source", "w1", "w2").agg(count(lit(1)).as("c12s"))
+    val c1g = bigrams.groupBy("w1").agg(count(lit(1)).as("c1g"))
+    val c1s = bigrams.groupBy("source", "w1").agg(count(lit(1)).as("c1s"))
+    val v   = bigrams.agg(count_distinct(col("w1")).as("v"))
+    val out = bigrams
+      .join(c2g, Seq("w1", "w2"))
+      .join(c2s, Seq("source", "w1", "w2"))
+      .join(c1g, Seq("w1"))
+      .join(c1s, Seq("source", "w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("lp", round(log(
+        (col("c12g") - col("c12s") + lit(1)).cast("double") /
+          (col("c1g") - col("c1s") + col("v")).cast("double")), 9))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-(sum(col("lp").cast("decimal(30,10)")).cast("double") / count(lit(1))), 6)
+          .as("loo_nll"))
+      .orderBy("doc_id")
+    out
+  }
+  val t29Sql: String =
+    """WITH w AS (SELECT doc_id, source,
+                    generate_subscripts(string_split(text,' '),1) i,
+                    unnest(string_split(text,' ')) w FROM documents),
+      b AS (SELECT a.doc_id, a.source, a.w AS w1, c.w AS w2
+            FROM w a JOIN w c ON a.doc_id = c.doc_id AND c.i = a.i + 1),
+      c2g AS (SELECT w1, w2, COUNT(*) AS c12g FROM b GROUP BY 1, 2),
+      c2s AS (SELECT source, w1, w2, COUNT(*) AS c12s FROM b GROUP BY 1, 2, 3),
+      c1g AS (SELECT w1, COUNT(*) AS c1g FROM b GROUP BY 1),
+      c1s AS (SELECT source, w1, COUNT(*) AS c1s FROM b GROUP BY 1, 2),
+      v AS (SELECT COUNT(DISTINCT w1) AS v FROM b),
+      sc AS (SELECT doc_id, source,
+               round(ln(CAST(c12g - c12s + 1 AS DOUBLE)
+                        / CAST(c1g - c1s + v AS DOUBLE)), 9) AS lp
+             FROM b JOIN c2g USING (w1, w2)
+                    JOIN c2s USING (source, w1, w2)
+                    JOIN c1g USING (w1)
+                    JOIN c1s USING (source, w1)
+                    CROSS JOIN v)
+      SELECT doc_id, source, COUNT(*) AS n_bigrams,
+             round(-(CAST(SUM(CAST(lp AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*)), 6)
+               AS loo_nll
+      FROM sc GROUP BY 1, 2 ORDER BY doc_id"""
+
+  // ---- t30: CCNet-style head/middle/tail bucket mix ----
+  // The artifact the CCNet pipeline ships: every doc bucketed into
+  // head / middle / tail by LM score WITHIN ITS LANGUAGE (per-language
+  // terciles, so low-resource languages aren't all condemned to tail by
+  // a high-resource model's fluency scale), then the (lang, bucket) mix
+  // table that downstream sampling reads. Scoring reuses t11's bigram
+  // LM verbatim; the tercile cut is ntile(3) over a lang-PARTITIONED
+  // window ranking on the ROUNDED score with doc_id tie-break —
+  // deterministic, engine-exact, and never an unpartitioned global
+  // sort. Counts exact int64, mean score via decimal sums.
+  val t30_ccnet_buckets: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val scored = TextAnalysis3.t11_bigram_lm(s, d)
+      .select(col("doc_id"), col("lm_score"))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("lm_score").desc, col("doc_id"))
+    scored.join(docs, "doc_id")
+      .withColumn("nt", ntile(3).over(w))
+      .withColumn("bucket",
+        when(col("nt") === 1, "head")
+          .when(col("nt") === 2, "middle").otherwise("tail"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        round(sum(col("lm_score").cast("decimal(30,10)")).cast("double")
+          / count(lit(1)), 9).as("mean_lm_score"))
+      .orderBy("lang", "bucket")
+  }
+  val t30Sql: String =
+    s"""WITH t11 AS (${graft.operators.TextAnalysis3.t11Sql}),
+      j AS (SELECT t11.doc_id, lang, n_chars, lm_score,
+              ntile(3) OVER (PARTITION BY lang
+                             ORDER BY lm_score DESC, t11.doc_id) AS nt
+            FROM t11 JOIN documents ON t11.doc_id = documents.doc_id)
+      SELECT lang,
+             CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                     ELSE 'tail' END AS bucket,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             round(CAST(SUM(CAST(lm_score AS DECIMAL(30,10))) AS DOUBLE)
+                   / COUNT(*), 9) AS mean_lm_score
+      FROM j GROUP BY 1, 2 ORDER BY lang, bucket"""
+
   val queries: Map[String, Q] = Map(
     "t23_pmi_collocations" -> t23_pmi_collocations,
     "t28_template_census"  -> t28_template_census,
+    "t29_loo_perplexity"   -> t29_loo_perplexity,
+    "t30_ccnet_buckets"    -> t30_ccnet_buckets,
     "t25_boilerplate"      -> t25_boilerplate,
     "t24_lang_confusion"   -> t24_lang_confusion,
     "t26_encoding_audit"   -> t26_encoding_audit,
@@ -339,6 +456,8 @@ object TextAnalysis9 {
   val oracles: Map[String, String] = Map(
     "t23_pmi_collocations" -> t23Sql,
     "t28_template_census"  -> t28Sql,
+    "t29_loo_perplexity"   -> t29Sql,
+    "t30_ccnet_buckets"    -> t30Sql,
     "t24_lang_confusion"   -> t24Sql,
     "t25_boilerplate"      -> t25Sql,
     "t26_encoding_audit"   -> t26Sql,

@@ -1279,6 +1279,109 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("t29 LOO perplexity: smoothed scores positive and finite, every multi-token doc scored") {
+    val rows = operators.TextAnalysis9.t29_loo_perplexity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nll = r.getAs[Double]("loo_nll")
+      val n = r.getAs[Long]("n_bigrams")
+      assert(n >= 1)
+      // add-one smoothing bounds every log-prob in (-inf, 0]: probability
+      // of a bigram is at most 1 and at least 1/(c1_loo + V) > 0, so the
+      // mean NLL is strictly positive and finite
+      assert(nll > 0.0 && !nll.isInfinite && !nll.isNaN, s"nll=$nll")
+    }
+    // every multi-token doc must be scored (coverage: no doc silently
+    // dropped by the LOO join chain — global counts always >= own counts)
+    val nDocs = operators.TextAnalysis9.t29_loo_perplexity(spark, sf).count()
+    val multi = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")) >= 2).count()
+    assert(nDocs == multi, s"scored $nDocs of $multi multi-token docs")
+  }
+
+  test("v19 FD audit: verdict consistent with violation count, keys hold") {
+    val rows = operators.Quality3.v19_fd_audit(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (nDet, nViol, fan) = (r.getAs[Long]("n_det"),
+        r.getAs[Long]("n_violating"), r.getAs[Long]("max_fanout"))
+      assert(nDet >= 1 && nViol >= 0 && nViol <= nDet)
+      assert(r.getAs[Boolean]("holds") == (nViol == 0))
+      if (nViol == 0) assert(fan == 1) else assert(fan >= 2)
+    }
+    // a primary key trivially determines any column
+    val byName = rows.map(r => r.getAs[String]("candidate") -> r).toMap
+    assert(byName("nation.n_nationkey->n_regionkey").getAs[Boolean]("holds"))
+  }
+
+  test("e48 hazard: risk sets shrink, conversions bounded, hazard in [0,1]") {
+    val rows = operators.Events7.e48_conversion_hazard(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 14)
+    val byD = rows.sortBy(_.getAs[Long]("d"))
+    byD.foreach { r =>
+      val (atRisk, conv) = (r.getAs[Long]("at_risk"), r.getAs[Long]("n_conv"))
+      assert(conv <= atRisk)
+      val h = r.getAs[Double]("hazard")
+      assert(h >= 0.0 && h <= 1.0)
+    }
+    // the risk set can only shrink with d: conversion AND censoring both
+    // remove users monotonically
+    byD.map(_.getAs[Long]("at_risk")).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a, s"risk set grew: $a -> $b")
+      case _ =>
+    }
+  }
+
+  test("g06 link prediction: no predicted pair is an existing edge, scores valid") {
+    val rows = operators.Graph.g06_link_prediction(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 15)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("part_a") < r.getAs[Long]("part_b"))
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0.0 && j <= 1.0)
+      assert(r.getAs[Long]("cn") >= 1)
+    }
+    // descending by (jaccard, cn) — the ranking the oracle hash pins
+    rows.map(r => (r.getAs[Double]("jaccard"), r.getAs[Long]("cn")))
+      .toSeq.sliding(2).foreach {
+        case Seq((j1, c1), (j2, c2)) =>
+          assert(j1 > j2 || (j1 == j2 && c1 >= c2))
+        case _ =>
+      }
+  }
+
+  test("d33 shard leakage: grows with shard count toward 1 - 1/S") {
+    val rows = operators.Dedup5.d33_shard_leakage(spark, sf).collect()
+    assert(rows.length == 3)
+    val byS = rows.map(r => r.getAs[Long]("n_shards") -> r).toMap
+    assert(byS.keySet == Set(4L, 16L, 64L))
+    val total = byS(4L).getAs[Long]("n_pairs")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pairs") == total, "same pair table for every S")
+      assert(r.getAs[Long]("n_cross") <= total)
+    }
+    // more shards can only scatter more (statistically ~1-1/S; assert
+    // the weaker monotone-ish bound that holds for uniform hashing on
+    // this corpus)
+    assert(byS(4L).getAs[Double]("leakage") <= byS(64L).getAs[Double]("leakage"))
+  }
+
+  test("t30 ccnet buckets: per-lang doc counts balanced, head scores above tail") {
+    val rows = operators.TextAnalysis9.t30_ccnet_buckets(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, g) =>
+      val byB = g.map(r => r.getAs[String]("bucket") -> r).toMap
+      // ntile(3) balance: bucket sizes differ by at most 1
+      val ns = g.map(_.getAs[Long]("n_docs"))
+      assert(ns.max - ns.min <= 1, s"$lang buckets unbalanced: ${ns.toList}")
+      for (h <- byB.get("head"); t <- byB.get("tail"))
+        assert(h.getAs[Double]("mean_lm_score") >= t.getAs[Double]("mean_lm_score"),
+          s"$lang head must outscore tail")
+    }
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
