@@ -571,7 +571,59 @@ object CorpusPipeline {
                    / CAST(COUNT(*) AS DOUBLE), 9) AS keep_rate
       FROM tr GROUP BY 1 ORDER BY lang"""
 
+  // ---- p13: source-interleaved shard assignment audit ----
+  // A 100 TB training corpus is written as N shards, and every shard
+  // must carry a representative SOURCE MIX — a shard that is all-src0
+  // poisons whatever training step consumes it. The deterministic
+  // assignment: rank docs WITHIN each source by (md5, doc_id) — a
+  // source-partitioned window, never a global sort — then shard =
+  // (rank − 1) mod 8, i.e. round-robin per source, which by
+  // construction gives every shard ⌈n_src/8⌉ or ⌊n_src/8⌋ docs of each
+  // source. The output is the audit table the writer checks before
+  // shipping: per shard, doc count, sources present, and the largest
+  // single-source share. Exact ints, one division; fact-scale work is
+  // one source-keyed window + one combinable rollup.
+  val p13_shard_interleave: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val assigned = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("shard", (row_number().over(w) - 1) % 8)
+    val bySrc = assigned.groupBy("shard", "source")
+      .agg(count(lit(1)).as("n_src"), sum("n_chars").as("chars_src"))
+    bySrc.groupBy("shard")
+      .agg(sum("n_src").as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        sum("chars_src").as("total_chars"),
+        max("n_src").as("max_src_docs"))
+      .withColumn("top_source_share",
+        round(col("max_src_docs").cast("double") / col("n_docs").cast("double"), 9))
+      .select(col("shard").cast("long").as("shard"), col("n_docs"),
+        col("n_sources"), col("total_chars"), col("top_source_share"))
+      .orderBy("shard")
+  }
+  val p13Sql: String =
+    """WITH a AS (SELECT doc_id, source, n_chars,
+               (row_number() OVER (PARTITION BY source
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) % 8
+                 AS shard
+             FROM documents),
+      bs AS (SELECT shard, source, COUNT(*) AS n_src,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_src
+             FROM a GROUP BY 1, 2),
+      sh AS (SELECT shard, CAST(SUM(n_src) AS BIGINT) AS n_docs,
+               COUNT(*) AS n_sources,
+               CAST(SUM(chars_src) AS BIGINT) AS total_chars,
+               CAST(MAX(n_src) AS BIGINT) AS max_src_docs
+             FROM bs GROUP BY 1)
+      SELECT CAST(shard AS BIGINT) AS shard, n_docs, n_sources, total_chars,
+             round(CAST(max_src_docs AS DOUBLE) / CAST(n_docs AS DOUBLE), 9)
+               AS top_source_share
+      FROM sh ORDER BY shard"""
+
   val queries: Map[String, Q] = Map(
+    "p13_shard_interleave" -> p13_shard_interleave,
     "p01_corpus_clean"     -> p01_corpus_clean,
     "p12_decontaminate"    -> p12_decontaminate,
     "p02_quality_resample" -> p02_quality_resample,
@@ -592,5 +644,6 @@ object CorpusPipeline {
     "p07_curriculum"       -> p07Sql,
     "p08_canary_compare"   -> p08Sql,
     "p09_temperature_mix"  -> p09Sql,
-    "p12_decontaminate"    -> p12Sql)
+    "p12_decontaminate"    -> p12Sql,
+    "p13_shard_interleave" -> p13Sql)
 }

@@ -750,7 +750,117 @@ object Similarity2 {
       GROUP BY 1, 2 ORDER BY true_label, nn_label"""
   }
 
+  // ---- s17: IVF nprobe/recall operating curve ----
+  // The table every ANN deployment tunes from: recall@5 at
+  // nprobe = 1/2/3 against s01's exact ground truth — s04 states its
+  // full-recall point structurally; this measures the LOSSY points,
+  // oracle-exact. Engine-exactness of a lossy sweep needs the cell
+  // ASSIGNMENT itself to be cross-engine deterministic, so (unlike
+  // s04, where probing everything makes assignment irrelevant) the
+  // centroids here use decimal-exact means and the cell ranking keys
+  // on the ROUNDED cosine with cell tie-break. The whole sweep is ONE
+  // plan: probe lists expand over a 3-element literal array (narrow),
+  // both rankings are partitioned windows, and the only fact-scale
+  // stages are the assignment pass and the probed-cell candidate join
+  // — candidates bounded by cells probed, exactly the IVF contract.
+  val s17_nprobe_recall: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val cents = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg((sum(col("v").cast("decimal(30,10)")).cast("double")
+        / count(lit(1))).as("mv"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("mv")))).as("ps"))
+      .select(col("label").as("cell"), expr("transform(ps, p -> p.mv)").as("centroid"))
+    val ranked = e.join(broadcast(cents))
+      .withColumn("csim",
+        round(graft.functions.cosine_sim(col("embedding"), col("centroid")), 9))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("csim"), col("cell"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = ranked.filter(col("r") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val probed = ranked.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("cell"), col("r"))
+      .withColumn("nprobe", explode(array(lit(1), lit(2), lit(3))))
+      .filter(col("r") <= col("nprobe"))
+    val res = assigned.join(probed, "cell")
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("cosine",
+        round(graft.functions.cosine_sim(col("qe"), col("embedding")), 9))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("nprobe", "qid").orderBy(desc("cosine"), col("vec_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("nprobe"), col("qid"), col("vec_id"))
+    val truth = Similarity.s01_knn_brute(s, d).select(col("qid"), col("vec_id"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    res.join(truth.withColumn("hit", lit(1)), Seq("qid", "vec_id"), "left")
+      .groupBy("nprobe")
+      .agg(count(lit(1)).as("n_returned"), count(col("hit")).as("n_hit"))
+      .crossJoin(broadcast(nTruth))
+      .select(col("nprobe").cast("long").as("nprobe"),
+        col("n_returned"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_truth").cast("double"), 9)
+          .as("recall"))
+      .orderBy("nprobe")
+  }
+  val s17Sql: String = {
+    def cos(a: String, b: String): String =
+      s"""round(list_dot_product($a, $b)
+           / (sqrt(list_dot_product($a, $a))
+              * sqrt(list_dot_product($b, $b))), 9)"""
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+               FROM embeddings),
+      dims AS (SELECT vec_id, label, generate_subscripts(emb, 1) AS i,
+                 unnest(emb) AS v FROM e),
+      cm AS (SELECT label AS cell, i,
+               CAST(SUM(CAST(v AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS mv
+             FROM dims GROUP BY 1, 2),
+      cents AS (SELECT cell, list(mv ORDER BY i) AS centroid FROM cm GROUP BY 1),
+      rk AS (SELECT vec_id, emb, cell, csim,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cell) AS r
+             FROM (SELECT vec_id, emb, cell,
+                     ${cos("emb", "centroid")} AS csim
+                   FROM e CROSS JOIN cents)),
+      a AS (SELECT vec_id, emb, cell FROM rk WHERE r = 1),
+      qcn AS (SELECT np, vec_id AS qid, emb AS qe, cell
+              FROM rk CROSS JOIN (VALUES (1), (2), (3)) AS n(np)
+              WHERE vec_id < 5 AND r <= np),
+      cand AS (SELECT np, qid, a.vec_id,
+                 ${cos("qe", "emb")} AS cosine
+               FROM a JOIN qcn USING (cell) WHERE a.vec_id <> qid),
+      res AS (SELECT np, qid, vec_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY np, qid
+                           ORDER BY cosine DESC, vec_id) AS rn
+                FROM cand) WHERE rn <= 5),
+      q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe2
+            FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+      p AS (SELECT qid, vec_id,
+              list_dot_product(qe2, ce)
+                / (sqrt(list_dot_product(qe2, qe2))
+                   * sqrt(list_dot_product(ce, ce))) AS cosine
+            FROM q, c WHERE vec_id <> qid),
+      truth AS (SELECT qid, vec_id FROM (
+                  SELECT *, row_number() OVER (PARTITION BY qid
+                             ORDER BY cosine DESC, vec_id) AS rn
+                  FROM p) WHERE rn <= 5),
+      nt AS (SELECT COUNT(*) AS n_truth FROM truth),
+      h AS (SELECT np, COUNT(*) AS n_returned,
+              COUNT(*) FILTER (WHERE EXISTS (
+                SELECT 1 FROM truth t
+                WHERE t.qid = res.qid AND t.vec_id = res.vec_id)) AS n_hit
+            FROM res GROUP BY 1)
+      SELECT CAST(np AS BIGINT) AS nprobe, n_returned, n_hit,
+             round(CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE), 9) AS recall
+      FROM h CROSS JOIN nt ORDER BY nprobe"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "s17_nprobe_recall"   -> s17_nprobe_recall,
     "d26_cluster_quality" -> d26_cluster_quality,
     "s16_nn_confusion"    -> s16_nn_confusion,
     "s15_knn_eval"        -> s15_knn_eval,
@@ -765,6 +875,7 @@ object Similarity2 {
     "s13_radius_search"  -> s13_radius_search,
   )
   val oracles: Map[String, String] = Map(
+    "s17_nprobe_recall"   -> s17Sql,
     "d26_cluster_quality" -> d26Sql,
     "s16_nn_confusion"    -> s16Sql,
     "s15_knn_eval"        -> s15Sql,

@@ -443,7 +443,65 @@ object TextAnalysis9 {
                    / COUNT(*), 9) AS mean_lm_score
       FROM j GROUP BY 1, 2 ORDER BY lang, bucket"""
 
+  // ---- t31: source stylometry (function-word cosine between sources) ----
+  // Same author / same template behind two "different" sources? The
+  // classic stylometric fingerprint: each source's usage profile over
+  // the corpus's 20 most frequent words (the corpus-derived analogue of
+  // a function-word list — topic-light, style-heavy), compared pairwise
+  // by cosine. Cosine is scale-invariant, so the vectors stay RAW
+  // INTEGER COUNTS — dot products and norms are exact decimal sums of
+  // int products, one sqrt/division at the end, engine-bit-exact. The
+  // basis is top-20 by (count, word) via TakeOrderedAndProject on the
+  // vocab aggregate (no global sort materializes, no unpartitioned
+  // window); the pair matrix is sources² — metadata-sized at any corpus
+  // scale — and the only fact-scale work is the one token-count pass.
+  val t31_source_stylometry: Q = (s, d) => {
+    val tokens = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val basis = tokens.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("w")).limit(20).select("w")
+    val sc = tokens.join(broadcast(basis), "w")
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norms = sc.groupBy("source")
+      .agg(sum((col("c") * col("c")).cast("decimal(38,0)")).cast("long").as("nrm"))
+    val dots = sc.select(col("source").as("src_a"), col("w"), col("c").as("ca"))
+      .join(sc.select(col("source").as("src_b"), col("w"), col("c").as("cb")), "w")
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(sum((col("ca") * col("cb")).cast("decimal(38,0)")).cast("long").as("dot"))
+    dots
+      .join(norms.select(col("source").as("src_a"), col("nrm").as("na")), "src_a")
+      .join(norms.select(col("source").as("src_b"), col("nrm").as("nb")), "src_b")
+      .select(col("src_a"), col("src_b"),
+        round(col("dot").cast("double")
+          / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 9)
+          .as("style_cosine"))
+      .orderBy("src_a", "src_b")
+  }
+  val t31Sql: String =
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+      basis AS (SELECT w FROM (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY 1)
+                ORDER BY cnt DESC, w LIMIT 20),
+      sc AS (SELECT source, tok.w, COUNT(*) AS c
+             FROM tok JOIN basis ON tok.w = basis.w GROUP BY 1, 2),
+      norms AS (SELECT source, CAST(SUM(c * c) AS BIGINT) AS nrm
+                FROM sc GROUP BY 1),
+      dots AS (SELECT x.source AS src_a, y.source AS src_b,
+                 CAST(SUM(x.c * y.c) AS BIGINT) AS dot
+               FROM sc x JOIN sc y ON x.w = y.w AND x.source < y.source
+               GROUP BY 1, 2)
+      SELECT src_a, src_b,
+             round(CAST(dot AS DOUBLE)
+                   / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))), 9)
+               AS style_cosine
+      FROM dots JOIN norms na ON na.source = src_a
+                JOIN norms nb ON nb.source = src_b
+      ORDER BY src_a, src_b"""
+
   val queries: Map[String, Q] = Map(
+    "t31_source_stylometry" -> t31_source_stylometry,
     "t23_pmi_collocations" -> t23_pmi_collocations,
     "t28_template_census"  -> t28_template_census,
     "t29_loo_perplexity"   -> t29_loo_perplexity,
@@ -458,6 +516,7 @@ object TextAnalysis9 {
     "t28_template_census"  -> t28Sql,
     "t29_loo_perplexity"   -> t29Sql,
     "t30_ccnet_buckets"    -> t30Sql,
+    "t31_source_stylometry" -> t31Sql,
     "t24_lang_confusion"   -> t24Sql,
     "t25_boilerplate"      -> t25Sql,
     "t26_encoding_audit"   -> t26Sql,

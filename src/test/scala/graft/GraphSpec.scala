@@ -1382,6 +1382,47 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("s17 nprobe curve: recall monotone in nprobe, bounded by 1") {
+    val rows = operators.Similarity2.s17_nprobe_recall(spark, sf).collect()
+    assert(rows.length == 3)
+    val byNp = rows.map(r => r.getAs[Long]("nprobe") -> r).toMap
+    assert(byNp.keySet == Set(1L, 2L, 3L))
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_returned"))
+    }
+    // probing more cells can only add candidates -> recall never drops
+    assert(byNp(1L).getAs[Double]("recall") <= byNp(2L).getAs[Double]("recall"))
+    assert(byNp(2L).getAs[Double]("recall") <= byNp(3L).getAs[Double]("recall"))
+  }
+
+  test("p13 shard interleave: 8 shards, per-source balance within 1") {
+    val rows = operators.CorpusPipeline.p13_shard_interleave(spark, sf).collect()
+    assert(rows.length == 8)
+    val docs = rows.map(_.getAs[Long]("n_docs"))
+    assert(docs.max - docs.min <= 20, "round-robin: at most +-1 per source (20 sources)")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sources") >= 1)
+      val share = r.getAs[Double]("top_source_share")
+      assert(share > 0.0 && share <= 1.0)
+      // with 20 balanced sources no shard should be source-dominated
+      assert(share < 0.5, s"shard dominated by one source: $share")
+    }
+  }
+
+  test("t31 stylometry: full pair matrix, cosines in (0,1], self-similarity excluded") {
+    val rows = operators.TextAnalysis9.t31_source_stylometry(spark, sf).collect()
+    val nSrc = Tables.documents(spark, sf)
+      .select("source").distinct().count().toInt
+    assert(rows.length == nSrc * (nSrc - 1) / 2)
+    rows.foreach { r =>
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
+      val c = r.getAs[Double]("style_cosine")
+      assert(c > 0.0 && c <= 1.0, s"cosine out of range: $c")
+    }
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
