@@ -1151,6 +1151,95 @@ object GraftOps {
         "n_churned_in")
       .orderBy("week")
   }
+
+  /** Functional-dependency audit: does `det` determine `dep` in this
+    * frame? One det-keyed shuffle (grouped count-distinct, map-side
+    * combinable) + a one-row rollup — the minimum any exact FD check
+    * pays. Returns (candidate, n_det, n_violating, max_fanout, holds).
+    * (v19's engine, as a verb.)
+    */
+  def fdAudit(df: DataFrame, det: Column, dep: Column, label: String): DataFrame =
+    df.select(det.cast("string").as("det"), dep.cast("string").as("dep"))
+      .groupBy("det").agg(count_distinct(col("dep")).as("n_dep"))
+      .agg(count(lit(1)).as("n_det"),
+        count(when(col("n_dep") > 1, 1)).as("n_violating"),
+        max(col("n_dep")).as("max_fanout"))
+      .select(lit(label).as("candidate"), col("n_det"), col("n_violating"),
+        col("max_fanout"), (col("n_violating") === 0).as("holds"))
+
+  /** Censored discrete time-to-conversion hazard curve (Kaplan-Meier
+    * style): P(conversion at day offset d | unconverted and observable
+    * at d), for d in 0..maxDays-1. `isConversion` marks converting
+    * rows. Right-censoring via the frame's max date: a user enters
+    * day-d's risk set only if the horizon covers their day d. The only
+    * wide stage is the per-entity collapse. (e48's engine, as a verb.)
+    */
+  def conversionHazard(df: DataFrame, entity: Column, ts: Column,
+                       isConversion: Column, maxDays: Int = 14): DataFrame = {
+    val u = df
+      .select(entity.as("__e"), to_date(ts).as("day"),
+        isConversion.as("__conv"))
+      .groupBy("__e")
+      .agg(min(col("day")).as("f_day"),
+        min(when(col("__conv"), col("day"))).as("c_day"))
+      .withColumn("off", datediff(col("c_day"), col("f_day")))
+    val mx = df.agg(max(to_date(ts)).as("max_day"))
+    u.crossJoin(broadcast(mx))
+      .select(col("off"), col("f_day"), col("max_day"),
+        explode(sequence(lit(0), lit(maxDays - 1))).as("d"))
+      .filter(date_add(col("f_day"), col("d")) <= col("max_day"))
+      .filter(col("off").isNull || col("off") >= col("d"))
+      .groupBy("d")
+      .agg(count(lit(1)).as("at_risk"),
+        count(when(col("off") === col("d"), 1)).as("n_conv"))
+      .withColumn("hazard",
+        when(col("at_risk") > 0,
+          round(col("n_conv").cast("double") / col("at_risk").cast("double"), 9)))
+      .select(col("d").cast("long").as("d"), col("at_risk"),
+        col("n_conv"), col("hazard"))
+      .orderBy("d")
+  }
+
+  /** Deterministic source-interleaved shard assignment: rank rows
+    * WITHIN each group by (md5(id), id) — a group-partitioned window,
+    * never a global sort — and round-robin the rank over `nShards`.
+    * Every shard gets each group's rows within ±1 by construction.
+    * Returns the input plus a `shard` column. (p13's engine.)
+    */
+  def shardInterleave(df: DataFrame, id: Column, group: Column,
+                      nShards: Int = 8): DataFrame = {
+    val w = Window.partitionBy(group).orderBy(md5(id.cast("string")), id)
+    df.withColumn("shard", ((row_number().over(w) - 1) % nShards).cast("long"))
+  }
+
+  /** Common-neighbor / Jaccard link prediction over an undirected
+    * a<b edge frame: forward wedge join on the symmetric adjacency
+    * (per-center expansion deg²-bounded), existing edges anti-joined
+    * away, Jaccard on exact int64 counts ranked by the ROUNDED score
+    * with full tie-breaks. (g06's engine, as a verb.)
+    */
+  def linkPredict(edges: DataFrame, a: Column, b: Column,
+                  topK: Int = 15): DataFrame = {
+    val e = persistTracked(edges.select(a.as("a"), b.as("b")))
+    val adj = e.select(col("a").as("n"), col("b").as("nbr"))
+      .unionAll(e.select(col("b").as("n"), col("a").as("nbr")))
+    val deg = adj.groupBy("n").agg(count(lit(1)).as("deg"))
+    val wedges = adj.select(col("nbr").as("z"), col("n").as("x"))
+      .join(adj.select(col("n").as("z"), col("nbr").as("y")), "z")
+      .where(col("x") < col("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("cn"))
+    val cands = wedges.join(e,
+      wedges("x") === e("a") && wedges("y") === e("b"), "left_anti")
+    cands
+      .join(deg.select(col("n").as("x"), col("deg").as("dx")), "x")
+      .join(deg.select(col("n").as("y"), col("deg").as("dy")), "y")
+      .withColumn("jaccard", round(col("cn").cast("double")
+        / (col("dx") + col("dy") - col("cn")).cast("double"), 9))
+      .select(col("x").as("part_a"), col("y").as("part_b"),
+        col("cn"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("cn").desc, col("part_a"), col("part_b"))
+      .limit(topK)
+  }
 }
 
 /** `import graft.api.syntax._` for method-style calls on DataFrames. */
@@ -1241,5 +1330,14 @@ object syntax {
       GraftOps.growthAccounting(df, entity, ts)
     def bestMatch(id: Column, name: Column, block: Column): DataFrame =
       GraftOps.bestMatch(df, id, name, block)
+    def fdAudit(det: Column, dep: Column, label: String): DataFrame =
+      GraftOps.fdAudit(df, det, dep, label)
+    def conversionHazard(entity: Column, ts: Column, isConversion: Column,
+                         maxDays: Int = 14): DataFrame =
+      GraftOps.conversionHazard(df, entity, ts, isConversion, maxDays)
+    def shardInterleave(id: Column, group: Column, nShards: Int = 8): DataFrame =
+      GraftOps.shardInterleave(df, id, group, nShards)
+    def linkPredict(a: Column, b: Column, topK: Int = 15): DataFrame =
+      GraftOps.linkPredict(df, a, b, topK)
   }
 }

@@ -232,6 +232,27 @@ object TransformSpec {
         //   {"op": "growthAccounting", "entity": "user_id", "ts": "ts"}
         GraftOps.growthAccounting(df, expr(step.path("entity").asText()),
           expr(step.path("ts").asText()))
+      case "fdAudit" =>
+        // functional-dependency audit (v19's verb):
+        //   {"op": "fdAudit", "det": "p_brand", "dep": "p_type",
+        //    "label": "part.brand->type"}
+        GraftOps.fdAudit(df, expr(step.path("det").asText()),
+          expr(step.path("dep").asText()), step.path("label").asText())
+      case "conversionHazard" =>
+        // censored time-to-conversion hazard curve (e48's verb):
+        //   {"op": "conversionHazard", "entity": "user_id", "ts": "ts",
+        //    "isConversion": "event_type = 'purchase'", "maxDays": 14}
+        GraftOps.conversionHazard(df, expr(step.path("entity").asText()),
+          expr(step.path("ts").asText()),
+          expr(step.path("isConversion").asText()),
+          if (step.has("maxDays")) step.path("maxDays").asInt() else 14)
+      case "shardInterleave" =>
+        // source-interleaved shard assignment (p13's verb):
+        //   {"op": "shardInterleave", "id": "doc_id", "group": "source",
+        //    "nShards": 8}
+        GraftOps.shardInterleave(df, expr(step.path("id").asText()),
+          expr(step.path("group").asText()),
+          if (step.has("nShards")) step.path("nShards").asInt() else 8)
       case "conform" =>
         GraftOps.conform(df, step.path("schema").asText())
       case "profile" =>

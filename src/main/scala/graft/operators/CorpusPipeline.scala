@@ -584,12 +584,11 @@ object CorpusPipeline {
   // single-source share. Exact ints, one division; fact-scale work is
   // one source-keyed window + one combinable rollup.
   val p13_shard_interleave: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("source")
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    val assigned = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), col("n_chars"))
-      .withColumn("shard", (row_number().over(w) - 1) % 8)
+    // assignment comes from the library verb (GraftOps.shardInterleave)
+    // — the oracle gate certifies the facade itself
+    val assigned = graft.api.GraftOps.shardInterleave(
+      Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+      col("doc_id"), col("source"), 8)
     val bySrc = assigned.groupBy("shard", "source")
       .agg(count(lit(1)).as("n_src"), sum("n_chars").as("chars_src"))
     bySrc.groupBy("shard")

@@ -752,28 +752,11 @@ object Events7 {
   // combinable aggregate produces the 14-row curve. At 100 TB the only
   // wide stage is the per-user collapse — the minimum any cohort
   // statistic pays. Counts exact int64; the hazard is one division.
-  val e48_conversion_hazard: Q = (s, d) => {
-    val u = Tables.events(s, d)
-      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
-      .groupBy("user_id")
-      .agg(min(col("day")).as("f_day"),
-        min(when(col("event_type") === "purchase", col("day"))).as("c_day"))
-      .withColumn("off", datediff(col("c_day"), col("f_day")))
-    val mx = Tables.events(s, d).agg(max(to_date(col("ts"))).as("max_day"))
-    u.crossJoin(broadcast(mx))
-      .select(col("off"), col("f_day"), col("max_day"),
-        explode(sequence(lit(0), lit(13))).as("d"))
-      .filter(date_add(col("f_day"), col("d")) <= col("max_day"))
-      .filter(col("off").isNull || col("off") >= col("d"))
-      .groupBy("d")
-      .agg(count(lit(1)).as("at_risk"),
-        count(when(col("off") === col("d"), 1)).as("n_conv"))
-      .withColumn("hazard",
-        when(col("at_risk") > 0,
-          round(col("n_conv").cast("double") / col("at_risk").cast("double"), 9)))
-      .select(col("d").cast("long").as("d"), col("at_risk"), col("n_conv"), col("hazard"))
-      .orderBy("d")
-  }
+  // the library verb (GraftOps.conversionHazard) IS the implementation —
+  // the oracle gate certifies the facade itself
+  val e48_conversion_hazard: Q = (s, d) =>
+    graft.api.GraftOps.conversionHazard(Tables.events(s, d),
+      col("user_id"), col("ts"), col("event_type") === "purchase", 14)
   val e48Sql: String =
     """WITH u AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS f_day,
                MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END)

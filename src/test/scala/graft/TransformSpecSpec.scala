@@ -371,4 +371,40 @@ class TransformSpecSpec extends AnyFunSuite {
       .collect().map(_.mkString("|"))
     assert(gotGrow.sameElements(wantGrow))
   }
+
+  test("fdAudit, conversionHazard and shardInterleave steps agree with their verbs") {
+    import graft.api.GraftOps
+    val part = Tables.part(spark, sf)
+    val gotFd = TransformSpec.run(
+      """{"source": "p", "steps": [
+        {"op": "fdAudit", "det": "p_brand", "dep": "p_type",
+         "label": "part.brand->type"}]}""",
+      Map("p" -> part)).collect().map(_.mkString("|"))
+    val wantFd = GraftOps.fdAudit(part, col("p_brand"), col("p_type"),
+      "part.brand->type").collect().map(_.mkString("|"))
+    assert(gotFd.sameElements(wantFd))
+
+    val ev = Tables.events(spark, sf)
+    val gotHz = TransformSpec.run(
+      """{"source": "ev", "steps": [
+        {"op": "conversionHazard", "entity": "user_id", "ts": "ts",
+         "isConversion": "event_type = 'purchase'", "maxDays": 7}]}""",
+      Map("ev" -> ev)).collect().map(_.mkString("|"))
+    val wantHz = GraftOps.conversionHazard(ev, col("user_id"), col("ts"),
+      col("event_type") === "purchase", 7).collect().map(_.mkString("|"))
+    assert(gotHz.sameElements(wantHz))
+
+    val docs = Tables.documents(spark, sf)
+    val gotSh = TransformSpec.run(
+      """{"source": "d", "steps": [
+        {"op": "shardInterleave", "id": "doc_id", "group": "source",
+         "nShards": 4},
+        {"op": "agg", "groupBy": ["shard"], "aggs": [["n", "count(*)"]]},
+        {"op": "orderBy", "cols": ["shard"]}]}""",
+      Map("d" -> docs)).collect().map(_.mkString("|"))
+    val wantSh = GraftOps.shardInterleave(docs, col("doc_id"), col("source"), 4)
+      .groupBy("shard").agg(count(lit(1)).as("n"))
+      .orderBy("shard").collect().map(_.mkString("|"))
+    assert(gotSh.sameElements(wantSh))
+  }
 }
