@@ -687,7 +687,59 @@ object Dedup5 {
                    / CAST(COUNT(*) AS DOUBLE), 9) AS leakage
       FROM sw GROUP BY 1 ORDER BY n_shards"""
 
+  // ---- d34: dedup survivor bias ----
+  // Does near-dedup silently skew the corpus? Duplicates are not
+  // uniform — boilerplate is LOW-quality and over-duplicated, so
+  // dropping dups should RAISE mean quality; if instead the dropped
+  // docs score HIGHER than the kept ones, the dedup stage is eating
+  // good data and the thresholds need review. Measured directly:
+  // d15's per-doc disposition joined to t02's quality scores, one
+  // combinable rollup per status (kept / exact_dup / near_dup) with
+  // share, decimal-exact mean quality, range, and mean length. The
+  // joins are doc-keyed (one shuffle each over id-narrow frames);
+  // d15's pair join is the only fact-scale stage and is reused as-is.
+  val d34_survivor_bias: Q = (s, d) => {
+    val man = Dedup3.d15_dedup_manifest(s, d).select(col("doc_id"), col("status"))
+    val q = TextAnalysis.t02_quality_score(s, d)
+      .select(col("doc_id"), round(col("quality"), 9).as("qv"))
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    val tot = man.agg(count(lit(1)).as("n_total"))
+    man.join(q, "doc_id").join(docs, "doc_id")
+      .crossJoin(broadcast(tot))
+      .groupBy("status", "n_total")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("qv").cast("decimal(30,10)")).cast("double")
+          / count(lit(1)), 9).as("mean_quality"),
+        round(min(col("qv")), 9).as("min_quality"),
+        round(max(col("qv")), 9).as("max_quality"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 9)
+          .as("mean_chars"))
+      .withColumn("share", round(
+        col("n_docs").cast("double") / col("n_total").cast("double"), 9))
+      .select(col("status"), col("n_docs"), col("share"), col("mean_quality"),
+        col("min_quality"), col("max_quality"), col("mean_chars"))
+      .orderBy("status")
+  }
+  val d34Sql: String =
+    s"""WITH man AS (${Dedup3.d15Sql}),
+      q AS (${graft.operators.TextAnalysis.t02Sql}),
+      tot AS (SELECT COUNT(*) AS n_total FROM man),
+      j AS (SELECT status, round(q.quality, 9) AS qv, d.n_chars
+            FROM man JOIN q ON man.doc_id = q.doc_id
+                     JOIN documents d ON d.doc_id = man.doc_id)
+      SELECT status, COUNT(*) AS n_docs,
+             round(CAST(COUNT(*) AS DOUBLE) / CAST(n_total AS DOUBLE), 9)
+               AS share,
+             round(CAST(SUM(CAST(qv AS DECIMAL(30,10))) AS DOUBLE)
+                   / COUNT(*), 9) AS mean_quality,
+             round(MIN(qv), 9) AS min_quality,
+             round(MAX(qv), 9) AS max_quality,
+             round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 9) AS mean_chars
+      FROM j CROSS JOIN tot
+      GROUP BY status, n_total ORDER BY status"""
+
   val queries: Map[String, Q] = Map(
+    "d34_survivor_bias"    -> d34_survivor_bias,
     "d33_shard_leakage"    -> d33_shard_leakage,
     "d23_weighted_jaccard" -> d23_weighted_jaccard,
     "d32_dup_family_sizes" -> d32_dup_family_sizes,
@@ -700,6 +752,7 @@ object Dedup5 {
     "d29_dedup_impact"     -> d29_dedup_impact,
   )
   val oracles: Map[String, String] = Map(
+    "d34_survivor_bias"    -> d34Sql,
     "d33_shard_leakage"    -> d33Sql,
     "d23_weighted_jaccard" -> d23Sql,
     "d32_dup_family_sizes" -> d32Sql,

@@ -433,7 +433,83 @@ object Graph {
       FROM cand JOIN deg dx ON dx.n = x JOIN deg dy ON dy.n = y
       ORDER BY jaccard DESC, cn DESC, part_a, part_b LIMIT 15"""
 
+  // ---- g07: user-user collaborative-filtering recommendations ----
+  // The classic neighborhood CF kernel end-to-end: customer similarity
+  // by Jaccard over purchased-part sets (part-keyed join — expansion
+  // bounded by part degree, the customers-per-part count; the 100 TB
+  // mitigation is inverse-frequency capping of ubiquitous parts, which
+  // only drops the least informative co-occurrences), top-3 neighbors
+  // per query customer, then parts OWNED BY neighbors but NOT by the
+  // user, scored by the decimal-exact sum of neighbor similarities.
+  // Every ranking keys on ROUNDED scores with id tie-breaks; the query
+  // set (custkey <= 10) is a deterministic sample, so the whole
+  // recommend table is engine-exact.
+  val g07_cf_recommend: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val cp = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = cp.groupBy("c").agg(count(lit(1)).as("n"))
+    val pairs = cp.select(col("c").as("cx"), col("p"))
+      .join(cp.select(col("c").as("cy"), col("p")), "p")
+      .where(col("cx") =!= col("cy"))
+      .groupBy("cx", "cy").agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("c").as("cx"), col("n").as("nx")), "cx")
+      .join(sizes.select(col("c").as("cy"), col("n").as("ny")), "cy")
+      .withColumn("jacc", round(col("shared").cast("double")
+        / (col("nx") + col("ny") - col("shared")).cast("double"), 9))
+    val nbrs = pairs.filter(col("cx") <= 10)
+      .withColumn("nr", row_number().over(
+        Window.partitionBy("cx").orderBy(desc("jacc"), col("cy"))))
+      .filter(col("nr") <= 3)
+      .select(col("cx"), col("cy"), col("jacc"))
+    val recs = nbrs
+      .join(cp.select(col("c").as("cy"), col("p")), "cy")
+      .join(cp.select(col("c").as("cx"), col("p")), Seq("cx", "p"), "left_anti")
+      .groupBy("cx", "p")
+      .agg(sum(col("jacc").cast("decimal(30,10)")).cast("double").as("score"))
+    recs
+      .withColumn("score", round(col("score"), 9))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("cx").orderBy(desc("score"), col("p"))).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("cx").as("custkey"), col("rank"),
+        col("p").as("partkey"), col("score"))
+      .orderBy("custkey", "rank")
+  }
+  val g07Sql: String =
+    """WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      sz AS (SELECT c, COUNT(*) AS n FROM cp GROUP BY 1),
+      pr AS (SELECT x.c AS cx, y.c AS cy, COUNT(*) AS shared
+             FROM cp x JOIN cp y ON x.p = y.p AND x.c <> y.c
+             GROUP BY 1, 2),
+      jc AS (SELECT cx, cy,
+               round(CAST(shared AS DOUBLE)
+                     / CAST(sx.n + sy.n - shared AS DOUBLE), 9) AS jacc
+             FROM pr JOIN sz sx ON sx.c = cx JOIN sz sy ON sy.c = cy),
+      nb AS (SELECT cx, cy, jacc FROM (
+               SELECT *, row_number() OVER (PARTITION BY cx
+                          ORDER BY jacc DESC, cy) AS nr
+               FROM jc WHERE cx <= 10) WHERE nr <= 3),
+      rec AS (SELECT cx, yp.p,
+                CAST(SUM(CAST(jacc AS DECIMAL(30,10))) AS DOUBLE) AS score
+              FROM nb JOIN cp yp ON yp.c = nb.cy
+              WHERE NOT EXISTS (SELECT 1 FROM cp xp
+                                WHERE xp.c = nb.cx AND xp.p = yp.p)
+              GROUP BY 1, 2)
+      SELECT custkey, rank, partkey, score FROM (
+        SELECT cx AS custkey, p AS partkey, round(score, 9) AS score,
+               CAST(row_number() OVER (PARTITION BY cx
+                      ORDER BY round(score, 9) DESC, p) AS BIGINT) AS rank
+        FROM rec) WHERE rank <= 3
+      ORDER BY custkey, rank"""
+
   val queries: Map[String, Q] = Map(
+    "g07_cf_recommend"    -> g07_cf_recommend,
     "g06_link_prediction" -> g06_link_prediction,
     "g01_pagerank"   -> g01_pagerank,
     "g05_degree_dist" -> g05_degree_dist,
@@ -442,6 +518,7 @@ object Graph {
     "g04_cc"         -> g04_cc,
   )
   val oracles: Map[String, String] = Map(
+    "g07_cf_recommend"    -> g07Sql,
     "g06_link_prediction" -> g06Sql,
     "g01_pagerank"   -> g01Sql,
     "g05_degree_dist" -> g05Sql,

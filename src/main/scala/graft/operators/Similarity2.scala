@@ -859,7 +859,98 @@ object Similarity2 {
       FROM h CROSS JOIN nt ORDER BY nprobe"""
   }
 
+  // ---- s18: quantizer reassignment rate (Lloyd stability) ----
+  // How settled is the coarse quantizer? One Lloyd step from the label
+  // seed (assign → recompute → reassign) and the per-cell fraction of
+  // vectors that CHANGE cells — the convergence diagnostic that decides
+  // whether an IVF index needs another training round before build-out
+  // (a high churn cell is a cell whose candidate lists will rot).
+  // Engine-exact by the s17 discipline: decimal-exact centroid means,
+  // ROUNDED-cosine assignment with cell tie-break, so both assignments
+  // replay bit-identically in SQL. Both assignment passes are narrow
+  // broadcast scans; the only shuffles are the two centroid aggregates
+  // and the per-cell rollup.
+  val s18_reassignment_rate: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val seed = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg((sum(col("v").cast("decimal(30,10)")).cast("double")
+        / count(lit(1))).as("mv"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("mv")))).as("ps"))
+      .select(col("label").as("cell"), expr("transform(ps, p -> p.mv)").as("cent"))
+    val a1 = e.join(broadcast(seed))
+      .withColumn("cs",
+        round(graft.functions.cosine_sim(col("embedding"), col("cent")), 9))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("cs"), col("cell"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell").as("c1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ref = a1
+      .select(col("c1"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("c1", "dim")
+      .agg((sum(col("v").cast("decimal(30,10)")).cast("double")
+        / count(lit(1))).as("mv"))
+      .groupBy("c1")
+      .agg(array_sort(collect_list(struct(col("dim"), col("mv")))).as("ps"))
+      .select(col("c1").as("cell2"), expr("transform(ps, p -> p.mv)").as("cent2"))
+    val a2 = a1.join(broadcast(ref))
+      .withColumn("cs2",
+        round(graft.functions.cosine_sim(col("embedding"), col("cent2")), 9))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("cs2"), col("cell2"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("c1"), col("cell2").as("c2"))
+    a2.groupBy("c1")
+      .agg(count(lit(1)).as("n_members"),
+        count(when(col("c1") =!= col("c2"), 1)).as("n_moved"))
+      .withColumn("churn", round(
+        col("n_moved").cast("double") / col("n_members").cast("double"), 9))
+      .select(col("c1").cast("long").as("cluster"), col("n_members"),
+        col("n_moved"), col("churn"))
+      .orderBy("cluster")
+  }
+  val s18Sql: String = {
+    def cos(a: String, b: String): String =
+      s"""round(list_dot_product($a, $b)
+           / (sqrt(list_dot_product($a, $a))
+              * sqrt(list_dot_product($b, $b))), 9)"""
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+               FROM embeddings),
+      dims AS (SELECT vec_id, label, generate_subscripts(emb, 1) AS i,
+                 unnest(emb) AS v FROM e),
+      sm AS (SELECT label AS cell, i,
+               CAST(SUM(CAST(v AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS mv
+             FROM dims GROUP BY 1, 2),
+      seed AS (SELECT cell, list(mv ORDER BY i) AS cent FROM sm GROUP BY 1),
+      a1 AS (SELECT vec_id, emb, cell AS c1 FROM (
+               SELECT vec_id, emb, cell,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY ${cos("emb", "cent")} DESC, cell) AS rk
+               FROM e CROSS JOIN seed) WHERE rk = 1),
+      d2 AS (SELECT c1, generate_subscripts(emb, 1) AS i, unnest(emb) AS v
+             FROM a1),
+      rm AS (SELECT c1, i,
+               CAST(SUM(CAST(v AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS mv
+             FROM d2 GROUP BY 1, 2),
+      ref AS (SELECT c1 AS cell2, list(mv ORDER BY i) AS cent2
+              FROM rm GROUP BY 1),
+      a2 AS (SELECT vec_id, c1, cell2 AS c2 FROM (
+               SELECT a1.vec_id, a1.c1, cell2,
+                 row_number() OVER (PARTITION BY a1.vec_id
+                   ORDER BY ${cos("emb", "cent2")} DESC, cell2) AS rk
+               FROM a1 CROSS JOIN ref) WHERE rk = 1)
+      SELECT CAST(c1 AS BIGINT) AS cluster, COUNT(*) AS n_members,
+             COUNT(*) FILTER (WHERE c1 <> c2) AS n_moved,
+             round(CAST(COUNT(*) FILTER (WHERE c1 <> c2) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 9) AS churn
+      FROM a2 GROUP BY 1 ORDER BY cluster"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "s18_reassignment_rate" -> s18_reassignment_rate,
     "s17_nprobe_recall"   -> s17_nprobe_recall,
     "d26_cluster_quality" -> d26_cluster_quality,
     "s16_nn_confusion"    -> s16_nn_confusion,
@@ -875,6 +966,7 @@ object Similarity2 {
     "s13_radius_search"  -> s13_radius_search,
   )
   val oracles: Map[String, String] = Map(
+    "s18_reassignment_rate" -> s18Sql,
     "s17_nprobe_recall"   -> s17Sql,
     "d26_cluster_quality" -> d26Sql,
     "s16_nn_confusion"    -> s16Sql,

@@ -1423,6 +1423,52 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("g07 cf recommend: no rec the user already owns, ranks dense per user") {
+    val rows = operators.Graph.g07_cf_recommend(spark, sf).collect()
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions.col
+    val owned = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_custkey") <= 10)
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      val (c, p) = (r.getAs[Long]("custkey"), r.getAs[Long]("partkey"))
+      assert(!owned.contains((c, p)), s"recommended owned part $p to $c")
+      assert(r.getAs[Double]("score") > 0.0)
+    }
+    rows.groupBy(_.getAs[Long]("custkey")).values.foreach { g =>
+      val ranks = g.map(_.getAs[Long]("rank")).sorted
+      assert(ranks.toSeq == (1L to ranks.length).toSeq, "ranks must be dense from 1")
+    }
+  }
+
+  test("d34 survivor bias: shares sum to 1, counts match corpus") {
+    val rows = operators.Dedup5.d34_survivor_bias(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-6)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("min_quality") <= r.getAs[Double]("mean_quality"))
+      assert(r.getAs[Double]("mean_quality") <= r.getAs[Double]("max_quality"))
+    }
+    assert(rows.exists(_.getAs[String]("status") == "kept"))
+  }
+
+  test("s18 reassignment: every vector accounted, churn in [0,1]") {
+    val rows = operators.Similarity2.s18_reassignment_rate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_moved") <= r.getAs[Long]("n_members"))
+      val c = r.getAs[Double]("churn")
+      assert(c >= 0.0 && c <= 1.0)
+    }
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
