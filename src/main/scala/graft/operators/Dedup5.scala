@@ -738,7 +738,59 @@ object Dedup5 {
       FROM j CROSS JOIN tot
       GROUP BY status, n_total ORDER BY status"""
 
+  // ---- d35: dedup threshold frontier (yield-vs-aggressiveness) ----
+  // The tuning table behind "what Jaccard threshold do we ship?": for
+  // θ ∈ {0.5 … 0.9}, how many docs would a predecessor-rule dedup drop
+  // (doc dropped iff it pairs at ≥ θ with ANY smaller id — d15's
+  // monotone rule) and what corpus yield survives. Pairs come from
+  // d03's verified table ONCE (the only fact-scale work; already
+  // thresholded at the loosest point 0.5, so every stricter θ is a
+  // filter over it); the sweep is a 5× literal expand + distinct +
+  // rollup over the metadata-sized pair set. Thresholds compare the
+  // exact IEEE jaccard both engines derive identically — row-stable.
+  val d35_threshold_frontier: Q = (s, d) => {
+    val pairs = Dedup.verifiedPairs(s, d).select(col("db"), col("jaccard"))
+    val total = Tables.documents(s, d).agg(count(lit(1)).as("n_total"))
+    val dropped = pairs
+      .select(col("db"), col("jaccard"),
+        explode(array(Seq(0.5, 0.6, 0.7, 0.8, 0.9).map(lit): _*)).as("theta"))
+      .filter(col("jaccard") >= col("theta"))
+      .select("theta", "db").distinct()
+      .groupBy("theta").agg(count(lit(1)).as("n_dropped"))
+    total.crossJoin(dropped)
+      .withColumn("n_kept", col("n_total") - col("n_dropped"))
+      .withColumn("yield", round(
+        col("n_kept").cast("double") / col("n_total").cast("double"), 9))
+      .select(col("theta"), col("n_dropped"), col("n_kept"), col("yield"))
+      .orderBy("theta")
+  }
+  val d35Sql: String =
+    """WITH w AS (SELECT doc_id, generate_subscripts(string_split(text,' '),1) i,
+                       unnest(string_split(text,' ')) w FROM documents),
+      g AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+            FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.i=a.i+1
+                     JOIN w c ON c.doc_id=a.doc_id AND c.i=a.i+2),
+      dd AS (SELECT DISTINCT doc_id, sh FROM g),
+      sizes AS (SELECT doc_id, count(*) n FROM dd GROUP BY doc_id),
+      pairs AS (SELECT x.doc_id da, y.doc_id db, count(*) shared
+                FROM dd x JOIN dd y ON x.sh=y.sh AND x.doc_id<y.doc_id GROUP BY 1,2),
+      vp AS (SELECT db, CAST(shared AS DOUBLE)/(sa.n+sb.n-shared) AS jaccard
+             FROM pairs JOIN sizes sa ON da=sa.doc_id JOIN sizes sb ON db=sb.doc_id
+             WHERE CAST(shared AS DOUBLE)/(sa.n+sb.n-shared) >= 0.5),
+      tot AS (SELECT COUNT(*) AS n_total FROM documents),
+      dr AS (SELECT theta, COUNT(*) AS n_dropped FROM (
+               SELECT DISTINCT CAST(t.th AS DOUBLE) AS theta, db
+               FROM vp CROSS JOIN (VALUES (0.5), (0.6), (0.7), (0.8), (0.9))
+                 AS t(th)
+               WHERE jaccard >= CAST(t.th AS DOUBLE)) GROUP BY 1)
+      SELECT theta, n_dropped,
+             n_total - n_dropped AS n_kept,
+             round(CAST(n_total - n_dropped AS DOUBLE)
+                   / CAST(n_total AS DOUBLE), 9) AS "yield"
+      FROM dr CROSS JOIN tot ORDER BY theta"""
+
   val queries: Map[String, Q] = Map(
+    "d35_threshold_frontier" -> d35_threshold_frontier,
     "d34_survivor_bias"    -> d34_survivor_bias,
     "d33_shard_leakage"    -> d33_shard_leakage,
     "d23_weighted_jaccard" -> d23_weighted_jaccard,
@@ -752,6 +804,7 @@ object Dedup5 {
     "d29_dedup_impact"     -> d29_dedup_impact,
   )
   val oracles: Map[String, String] = Map(
+    "d35_threshold_frontier" -> d35Sql,
     "d34_survivor_bias"    -> d34Sql,
     "d33_shard_leakage"    -> d33Sql,
     "d23_weighted_jaccard" -> d23Sql,

@@ -778,7 +778,76 @@ object Events7 {
              END AS hazard
       FROM h ORDER BY d"""
 
+  // ---- e49: funnel stage-duration profile ----
+  // e06 counts who converts; this measures HOW LONG each funnel hop
+  // takes — per user the first view, first click at-or-after it, first
+  // purchase at-or-after that, then one profile row per hop
+  // (view→click, click→purchase): users, mean / median / min / max
+  // duration. ONE user-keyed aggregate collapses the fact table to
+  // three first-timestamps per user (conditional mins — combinable);
+  // hop durations are exact integer microseconds; median is the
+  // interpolated percentile both engines define identically (q29's
+  // parity). No window, no self-join — the per-user collapse is the
+  // only wide stage at any scale.
+  val e49_funnel_durations: Q = (s, d) => {
+    val u = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("us"))).as("v"))
+    val u2 = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .join(u, "user_id")
+      .groupBy("user_id", "v")
+      .agg(min(when(col("event_type") === "click" && col("us") >= col("v"),
+        col("us"))).as("c"))
+    val u3 = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .join(u2, "user_id")
+      .groupBy("user_id", "v", "c")
+      .agg(min(when(col("event_type") === "purchase" && col("us") >= col("c"),
+        col("us"))).as("p"))
+    def hop(name: String, dur: org.apache.spark.sql.Column): DataFrame =
+      u3.select(dur.as("d")).filter(col("d").isNotNull)
+        .agg(count(lit(1)).as("n_users"),
+          round(sum(col("d").cast("decimal(30,0)")).cast("double")
+            / count(lit(1)), 6).as("mean_us"),
+          round(expr("percentile(d, 0.5)"), 6).as("p50_us"),
+          min("d").as("min_us"), max("d").as("max_us"))
+        .select(lit(name).as("hop"), col("n_users"), col("mean_us"),
+          col("p50_us"), col("min_us"), col("max_us"))
+    hop("1_view_to_click", col("c") - col("v"))
+      .unionAll(hop("2_click_to_purchase", col("p") - col("c")))
+      .orderBy("hop")
+  }
+  val e49Sql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      u1 AS (SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN us END) AS v
+             FROM ev GROUP BY 1),
+      u2 AS (SELECT ev.user_id, v,
+               MIN(CASE WHEN event_type = 'click' AND us >= v THEN us END) AS c
+             FROM ev JOIN u1 ON ev.user_id = u1.user_id GROUP BY 1, 2),
+      u3 AS (SELECT ev.user_id, v, c,
+               MIN(CASE WHEN event_type = 'purchase' AND us >= c THEN us END)
+                 AS p
+             FROM ev JOIN u2 ON ev.user_id = u2.user_id GROUP BY 1, 2, 3),
+      h1 AS (SELECT '1_view_to_click' AS hop, COUNT(*) AS n_users,
+               round(CAST(SUM(CAST(d AS DECIMAL(30,0))) AS DOUBLE)
+                     / COUNT(*), 6) AS mean_us,
+               round(quantile_cont(d, 0.5), 6) AS p50_us,
+               MIN(d) AS min_us, MAX(d) AS max_us
+             FROM (SELECT c - v AS d FROM u3 WHERE c IS NOT NULL)),
+      h2 AS (SELECT '2_click_to_purchase' AS hop, COUNT(*) AS n_users,
+               round(CAST(SUM(CAST(d AS DECIMAL(30,0))) AS DOUBLE)
+                     / COUNT(*), 6) AS mean_us,
+               round(quantile_cont(d, 0.5), 6) AS p50_us,
+               MIN(d) AS min_us, MAX(d) AS max_us
+             FROM (SELECT p - c AS d FROM u3 WHERE p IS NOT NULL))
+      SELECT * FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
+      ORDER BY hop"""
+
   val queries: Map[String, Q] = Map(
+    "e49_funnel_durations"   -> e49_funnel_durations,
     "e48_conversion_hazard"  -> e48_conversion_hazard,
     "e37_retention_fit"      -> e37_retention_fit,
     "e47_attribution_window" -> e47_attribution_window,
@@ -796,6 +865,7 @@ object Events7 {
     "e36_slo_burn"           -> e36_slo_burn,
   )
   val oracles: Map[String, String] = Map(
+    "e49_funnel_durations"   -> e49Sql,
     "e48_conversion_hazard"  -> e48Sql,
     "e37_retention_fit"      -> e37Sql,
     "e47_attribution_window" -> e47Sql,

@@ -949,7 +949,76 @@ object Similarity2 {
       FROM a2 GROUP BY 1 ORDER BY cluster"""
   }
 
+  // ---- s19: per-dimension variance screen ----
+  // PCA-less dimension pruning plan: which embedding dimensions carry
+  // signal? Per-dim variance from exact decimal moments (n·Σv² − (Σv)²
+  // over n² — decimal arithmetic end-to-end, one double rounding at
+  // the END), energy share, variance-descending rank and cumulative
+  // energy — the table an index builder reads to drop dead dims before
+  // building (a 64→48 dim cut is a 25% index-size and scan-rate win).
+  // One fact-scale explode+aggregate; ranking and the cumulative sum
+  // run on the dim-count-sized frame via the boundedSingleGroup idiom
+  // (documented-bounded, never an unpartitioned fact window).
+  val s19_dim_screen: Q = (s, d) => {
+    val m = Tables.embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("double").cast(DecimalType(30, 10))).as("s1"),
+        sum((col("v").cast("double") * col("v").cast("double"))
+          .cast(DecimalType(30, 10))).as("s2"))
+      .withColumn("variance", round(
+        (col("n").cast("double") * col("s2").cast("double")
+          - col("s1").cast("double") * col("s1").cast("double"))
+          / (col("n").cast("double") * col("n").cast("double")), 9))
+    val tot = m.agg(sum(col("variance").cast(DecimalType(30, 10)))
+      .cast("double").as("tot_var"))
+    val g = graft.api.GraftOps.boundedSingleGroup(
+      m.select(col("dim").cast("long").as("dim"), col("variance")))
+    val w = Window.partitionBy("__g")
+      .orderBy(desc("variance"), col("dim"))
+    val ranked = g
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_var",
+        sum(col("variance").cast(DecimalType(30, 10)))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
+    ranked.crossJoin(broadcast(tot))
+      .select(col("dim"), col("variance"), col("rank"),
+        round(col("variance") / col("tot_var"), 9).as("energy_share"),
+        round(col("cum_var") / col("tot_var"), 9).as("cum_energy"))
+      .orderBy("rank")
+  }
+  val s19Sql: String =
+    """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      dims AS (SELECT generate_subscripts(emb, 1) - 1 AS dim, unnest(emb) AS v
+               FROM e),
+      m AS (SELECT dim, COUNT(*) AS n,
+              SUM(CAST(v AS DECIMAL(30,10))) AS s1,
+              SUM(CAST(v * v AS DECIMAL(30,10))) AS s2
+            FROM dims GROUP BY 1),
+      mv AS (SELECT CAST(dim AS BIGINT) AS dim,
+               round((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 9)
+                 AS variance
+             FROM m),
+      tot AS (SELECT CAST(SUM(CAST(variance AS DECIMAL(30,10))) AS DOUBLE)
+                AS tot_var FROM mv),
+      rk AS (SELECT dim, variance,
+               CAST(row_number() OVER (ORDER BY variance DESC, dim) AS BIGINT)
+                 AS rank,
+               CAST(SUM(CAST(variance AS DECIMAL(30,10)))
+                 OVER (ORDER BY variance DESC, dim
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) AS cum_var
+             FROM mv)
+      SELECT dim, variance, rank,
+             round(variance / tot_var, 9) AS energy_share,
+             round(cum_var / tot_var, 9) AS cum_energy
+      FROM rk CROSS JOIN tot ORDER BY rank"""
+
   val queries: Map[String, Q] = Map(
+    "s19_dim_screen"        -> s19_dim_screen,
     "s18_reassignment_rate" -> s18_reassignment_rate,
     "s17_nprobe_recall"   -> s17_nprobe_recall,
     "d26_cluster_quality" -> d26_cluster_quality,
@@ -966,6 +1035,7 @@ object Similarity2 {
     "s13_radius_search"  -> s13_radius_search,
   )
   val oracles: Map[String, String] = Map(
+    "s19_dim_screen"        -> s19Sql,
     "s18_reassignment_rate" -> s18Sql,
     "s17_nprobe_recall"   -> s17Sql,
     "d26_cluster_quality" -> d26Sql,

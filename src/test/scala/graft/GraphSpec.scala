@@ -1469,6 +1469,49 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("d35 frontier: drops monotone non-increasing in theta, yield complements") {
+    val rows = operators.Dedup5.d35_threshold_frontier(spark, sf).collect()
+    assert(rows.length == 5)
+    val byT = rows.sortBy(_.getAs[Double]("theta"))
+    byT.map(_.getAs[Long]("n_dropped")).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a, "stricter threshold can only drop fewer")
+      case _ =>
+    }
+    val total = Tables.documents(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dropped") + r.getAs[Long]("n_kept") == total)
+      val y = r.getAs[Double]("yield")
+      assert(y > 0.0 && y <= 1.0)
+    }
+  }
+
+  test("e49 funnel durations: both hops present, stats ordered") {
+    val rows = operators.Events7.e49_funnel_durations(spark, sf).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_users") >= 1)
+      val (mn, p50, mean, mx) = (r.getAs[Long]("min_us").toDouble,
+        r.getAs[Double]("p50_us"), r.getAs[Double]("mean_us"),
+        r.getAs[Long]("max_us").toDouble)
+      assert(mn >= 0.0, "first click/purchase at-or-after the prior stage")
+      assert(mn <= p50 && p50 <= mx)
+      assert(mn <= mean && mean <= mx)
+    }
+  }
+
+  test("s19 dim screen: energy shares sum to 1, cum energy monotone to 1") {
+    val rows = operators.Similarity2.s19_dim_screen(spark, sf).collect()
+    assert(rows.length == 64)
+    assert(math.abs(rows.map(_.getAs[Double]("energy_share")).sum - 1.0) < 1e-6)
+    val byRank = rows.sortBy(_.getAs[Long]("rank"))
+    byRank.map(_.getAs[Double]("variance")).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a, "rank must be variance-descending")
+      case _ =>
+    }
+    assert(math.abs(byRank.last.getAs[Double]("cum_energy") - 1.0) < 1e-6)
+    rows.foreach(r => assert(r.getAs[Double]("variance") >= 0.0))
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
