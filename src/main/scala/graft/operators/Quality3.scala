@@ -245,7 +245,60 @@ object Quality3 {
     fdSqlCase("lineitem", "lineitem.l_partkey->l_suppkey",     "l_partkey",   "l_suppkey"))
     .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY candidate")
 
+  // ---- v20: cross-table volume contracts ----
+  // The cheapest ingest tripwire there is: row-count RATIOS between
+  // related tables, checked against declared bands. A feed that
+  // silently drops half its line items keeps every per-row check green
+  // — only the lineitem/orders ratio catches it. Counts are one
+  // metadata-cheap aggregate per table (parquet scans prune to
+  // nothing); the contract table is constant-sized; verdicts are exact
+  // comparisons on one IEEE division each.
+  val v20_volume_contracts: Q = (s, d) => {
+    def cnt(df: DataFrame): DataFrame = df.agg(count(lit(1)).as("c"))
+    val li = cnt(Tables.lineitem(s, d)).select(col("c").as("li"))
+    val or = cnt(Tables.orders(s, d)).select(col("c").as("orr"))
+    val cu = cnt(Tables.customer(s, d)).select(col("c").as("cu"))
+    val na = cnt(Tables.nation(s, d)).select(col("c").as("na"))
+    li.crossJoin(broadcast(or)).crossJoin(broadcast(cu))
+      .crossJoin(broadcast(na))
+      .select(explode(array(
+        struct(lit("lineitem/orders").as("contract"),
+          col("li").as("n_num"), col("orr").as("n_den"),
+          lit(1.0).as("lo"), lit(10.0).as("hi")),
+        struct(lit("orders/customer").as("contract"),
+          col("orr").as("n_num"), col("cu").as("n_den"),
+          lit(1.0).as("lo"), lit(50.0).as("hi")),
+        struct(lit("customer/nation").as("contract"),
+          col("cu").as("n_num"), col("na").as("n_den"),
+          lit(1.0).as("lo"), lit(1000000.0).as("hi")))).as("r"))
+      .select(col("r.contract"), col("r.n_num"), col("r.n_den"),
+        round(col("r.n_num").cast("double") / col("r.n_den").cast("double"), 9)
+          .as("ratio"),
+        col("r.lo"), col("r.hi"))
+      .withColumn("ok", col("ratio") >= col("lo") && col("ratio") <= col("hi"))
+      .orderBy("contract")
+  }
+  val v20Sql: String =
+    """WITH li AS (SELECT COUNT(*) AS li FROM lineitem),
+      orr AS (SELECT COUNT(*) AS orr FROM orders),
+      cu AS (SELECT COUNT(*) AS cu FROM customer),
+      na AS (SELECT COUNT(*) AS na FROM nation),
+      x AS (SELECT * FROM li, orr, cu, na),
+      r AS (
+        SELECT 'lineitem/orders' AS contract, li AS n_num, orr AS n_den,
+               1.0 AS lo, 10.0 AS hi FROM x
+        UNION ALL SELECT 'orders/customer', orr, cu, 1.0, 50.0 FROM x
+        UNION ALL SELECT 'customer/nation', cu, na, 1.0, 1000000.0 FROM x)
+      SELECT contract, n_num, n_den,
+             round(CAST(n_num AS DOUBLE) / CAST(n_den AS DOUBLE), 9) AS ratio,
+             CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi,
+             round(CAST(n_num AS DOUBLE) / CAST(n_den AS DOUBLE), 9) >= CAST(lo AS DOUBLE)
+               AND round(CAST(n_num AS DOUBLE) / CAST(n_den AS DOUBLE), 9) <= CAST(hi AS DOUBLE)
+               AS ok
+      FROM r ORDER BY contract"""
+
   val queries: Map[String, Q] = Map(
+    "v20_volume_contracts" -> v20_volume_contracts,
     "v19_fd_audit"    -> v19_fd_audit,
     "v15_chi_square"  -> v15_chi_square,
     "v18_sample_check" -> v18_sample_check,
@@ -253,6 +306,7 @@ object Quality3 {
     "v16_order_audit" -> v16_order_audit,
   )
   val oracles: Map[String, String] = Map(
+    "v20_volume_contracts" -> v20Sql,
     "v19_fd_audit"    -> v19Sql,
     "v15_chi_square"  -> v15Sql,
     "v18_sample_check" -> v18Sql,

@@ -500,7 +500,77 @@ object Relational13 {
       ORDER BY region, nation"""
   }
 
+  // ---- q102: join-cardinality estimator audit ----
+  // The CBO question before any fact-fact join: how big will the
+  // l_partkey self-join be? Three answers side by side — the textbook
+  // uniform estimate |A|²/ndv, the histogram estimate (exact top-20
+  // hot keys + uniform tail — what a real optimizer's MCV list does),
+  // and the EXACT size Σc(k)² — with relative errors. The table that
+  // shows WHY hot-key lists matter: on skewed keys the uniform formula
+  // undershoots by the skew factor while 20 MCVs close most of the
+  // gap. Cost: ONE combinable per-key count (the q91 frame), a
+  // TakeOrderedAndProject for the MCV list, decimal-exact Σc²; the
+  // estimate is what makes the 100 TB join plannable without running
+  // it.
+  val q102_join_size_estimate: Q = (s, d) => {
+    val cnts = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = cnts.agg(sum("cnt").as("n"),
+      count(lit(1)).as("ndv"),
+      sum((col("cnt") * col("cnt")).cast("decimal(38,0)")).cast("long")
+        .as("exact"))
+    val mcv = cnts.orderBy(desc("cnt"), col("l_partkey")).limit(20)
+      .agg(sum("cnt").as("top_n"),
+        sum((col("cnt") * col("cnt")).cast("decimal(38,0)")).cast("long")
+          .as("top_sq"))
+    tot.crossJoin(broadcast(mcv))
+      .withColumn("est_uniform", round(
+        col("n").cast("double") * col("n").cast("double")
+          / col("ndv").cast("double"), 3))
+      .withColumn("tail_n", (col("n") - col("top_n")).cast("double"))
+      .withColumn("est_topk", round(
+        col("top_sq").cast("double")
+          + col("tail_n") * col("tail_n")
+            / greatest(col("ndv") - 20, lit(1)).cast("double"), 3))
+      .select(explode(array(
+        struct(lit("1_uniform").as("method"), col("est_uniform").as("est"),
+          col("exact")),
+        struct(lit("2_mcv20").as("method"), col("est_topk").as("est"),
+          col("exact")),
+        struct(lit("3_exact").as("method"),
+          col("exact").cast("double").as("est"), col("exact")))).as("r"))
+      .select(col("r.method"), col("r.est"), col("r.exact"),
+        round((col("r.est") - col("r.exact").cast("double"))
+          / col("r.exact").cast("double"), 9).as("rel_error"))
+      .orderBy("method")
+  }
+  val q102Sql: String =
+    """WITH c AS (SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+      tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS ndv,
+                CAST(SUM(CAST(cnt * cnt AS DECIMAL(38,0))) AS BIGINT) AS exact
+              FROM c),
+      mcv AS (SELECT CAST(SUM(cnt) AS BIGINT) AS top_n,
+                CAST(SUM(CAST(cnt * cnt AS DECIMAL(38,0))) AS BIGINT) AS top_sq
+              FROM (SELECT cnt FROM c ORDER BY cnt DESC, l_partkey LIMIT 20)),
+      est AS (SELECT n, ndv, exact, top_n, top_sq,
+                round(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                      / CAST(ndv AS DOUBLE), 3) AS est_uniform,
+                round(CAST(top_sq AS DOUBLE)
+                      + CAST(n - top_n AS DOUBLE) * CAST(n - top_n AS DOUBLE)
+                        / CAST(greatest(ndv - 20, 1) AS DOUBLE), 3) AS est_topk
+              FROM tot CROSS JOIN mcv)
+      SELECT method, est, exact,
+             round((est - CAST(exact AS DOUBLE)) / CAST(exact AS DOUBLE), 9)
+               AS rel_error
+      FROM (
+        SELECT '1_uniform' AS method, est_uniform AS est, exact FROM est
+        UNION ALL SELECT '2_mcv20', est_topk, exact FROM est
+        UNION ALL SELECT '3_exact', CAST(exact AS DOUBLE), exact FROM est)
+      ORDER BY method"""
+
   val queries: Map[String, Q] = Map(
+    "q102_join_size_estimate" -> q102_join_size_estimate,
     "q97_calendar_dim"    -> q97_calendar_dim,
     "q101_hierarchy_share" -> q101_hierarchy_share,
     "q99_group_concentration" -> q99_group_concentration,
@@ -512,6 +582,7 @@ object Relational13 {
     "q96_top_movers"      -> q96_top_movers,
   )
   val oracles: Map[String, String] = Map(
+    "q102_join_size_estimate" -> q102Sql,
     "q97_calendar_dim"    -> q97Sql,
     "q101_hierarchy_share" -> q101Sql,
     "q99_group_concentration" -> q99Sql,

@@ -500,7 +500,56 @@ object TextAnalysis9 {
                 JOIN norms nb ON nb.source = src_b
       ORDER BY src_a, src_b"""
 
+  // ---- t32: per-source bigram entropy rate ----
+  // How predictable is each source's text? The conditional entropy
+  // H(w2|w1) = −Σ c12·ln(c12/c1) / N per source — the
+  // information-theoretic complement to t08's character entropy (t08
+  // sees alphabet mix; this sees SEQUENCE predictability, which is
+  // what separates templated boilerplate from organic prose even when
+  // the vocabularies match). Per-row logs rounded at 1e-9; the
+  // integer-weighted sum (c12 × rounded log — per-row IEEE identical)
+  // runs in decimal, one division at the end. Count tables are
+  // per-source-vocab-bounded; the explode is the one fact-scale pass.
+  val t32_entropy_rate: Q = (s, d) => {
+    val bigrams = Tables.documents(s, d)
+      .select(col("source"), split(col("text"), " ").as("w"))
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))"))
+        .as("b"))
+      .select(col("source"), col("b.w1"), col("b.w2"))
+    val c2 = bigrams.groupBy("source", "w1", "w2")
+      .agg(count(lit(1)).as("c12"))
+    val c1 = c2.groupBy("source", "w1").agg(sum("c12").as("c1"))
+    c2.join(c1, Seq("source", "w1"))
+      .withColumn("term",
+        col("c12") * round(log(col("c12").cast("double") / col("c1")), 9))
+      .groupBy("source")
+      .agg(sum("c12").as("n_bigrams"),
+        count(lit(1)).as("vocab_bigrams"),
+        round(-(sum(col("term").cast("decimal(30,8)")).cast("double"))
+          / sum("c12").cast("double"), 6).as("entropy_rate_nats"))
+      .orderBy("source")
+  }
+  val t32Sql: String =
+    """WITH w AS (SELECT doc_id, source,
+                    generate_subscripts(string_split(text,' '),1) i,
+                    unnest(string_split(text,' ')) w FROM documents),
+      b AS (SELECT a.source, a.w AS w1, c.w AS w2
+            FROM w a JOIN w c ON a.doc_id = c.doc_id AND c.i = a.i + 1),
+      c2 AS (SELECT source, w1, w2, COUNT(*) AS c12 FROM b GROUP BY 1, 2, 3),
+      c1 AS (SELECT source, w1, CAST(SUM(c12) AS BIGINT) AS c1
+             FROM c2 GROUP BY 1, 2),
+      t AS (SELECT c2.source, c12,
+              c12 * round(ln(CAST(c12 AS DOUBLE) / c1), 9) AS term
+            FROM c2 JOIN c1 ON c2.source = c1.source AND c2.w1 = c1.w1)
+      SELECT source, CAST(SUM(c12) AS BIGINT) AS n_bigrams,
+             COUNT(*) AS vocab_bigrams,
+             round(-(CAST(SUM(CAST(term AS DECIMAL(30,8))) AS DOUBLE))
+                   / CAST(SUM(c12) AS DOUBLE), 6) AS entropy_rate_nats
+      FROM t GROUP BY 1 ORDER BY source"""
+
   val queries: Map[String, Q] = Map(
+    "t32_entropy_rate"      -> t32_entropy_rate,
     "t31_source_stylometry" -> t31_source_stylometry,
     "t23_pmi_collocations" -> t23_pmi_collocations,
     "t28_template_census"  -> t28_template_census,
@@ -517,6 +566,7 @@ object TextAnalysis9 {
     "t29_loo_perplexity"   -> t29Sql,
     "t30_ccnet_buckets"    -> t30Sql,
     "t31_source_stylometry" -> t31Sql,
+    "t32_entropy_rate"      -> t32Sql,
     "t24_lang_confusion"   -> t24Sql,
     "t25_boilerplate"      -> t25Sql,
     "t26_encoding_audit"   -> t26Sql,

@@ -1512,6 +1512,45 @@ class GraphSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Double]("variance") >= 0.0))
   }
 
+  test("q102 join estimate: exact has zero error, mcv at least as good as uniform") {
+    val rows = operators.Relational13.q102_join_size_estimate(spark, sf).collect()
+    assert(rows.length == 3)
+    val byM = rows.map(r => r.getAs[String]("method") -> r).toMap
+    assert(byM("3_exact").getAs[Double]("rel_error") == 0.0)
+    val exact = byM("3_exact").getAs[Long]("exact")
+    assert(exact > 0)
+    rows.foreach(r => assert(r.getAs[Long]("exact") == exact))
+    val errU = math.abs(byM("1_uniform").getAs[Double]("rel_error"))
+    val errM = math.abs(byM("2_mcv20").getAs[Double]("rel_error"))
+    assert(errM <= errU + 1e-9,
+      s"MCV estimate ($errM) should not be worse than uniform ($errU)")
+  }
+
+  test("v20 volume contracts: ratios positive, verdict matches band") {
+    val rows = operators.Quality3.v20_volume_contracts(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (ratio, lo, hi) = (r.getAs[Double]("ratio"),
+        r.getAs[Double]("lo"), r.getAs[Double]("hi"))
+      assert(ratio > 0.0)
+      assert(r.getAs[Boolean]("ok") == (ratio >= lo && ratio <= hi))
+    }
+    // the structural contracts hold on the generated corpus
+    assert(rows.forall(_.getAs[Boolean]("ok")))
+  }
+
+  test("t32 entropy rate: non-negative, bounded by log vocab") {
+    val rows = operators.TextAnalysis9.t32_entropy_rate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy_rate_nats")
+      assert(h >= 0.0, s"conditional entropy must be non-negative: $h")
+      // H(w2|w1) <= ln(distinct bigram continuations) <= ln(vocab_bigrams)
+      val bound = math.log(r.getAs[Long]("vocab_bigrams").toDouble)
+      assert(h <= bound + 1e-6, s"entropy $h exceeds bound $bound")
+    }
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
