@@ -789,7 +789,70 @@ object Dedup5 {
                    / CAST(n_total AS DOUBLE), 9) AS "yield"
       FROM dr CROSS JOIN tot ORDER BY theta"""
 
+  // ---- d36: exact substring containment dedup ----
+  // The deduplicate-text-datasets kernel shingle methods approximate:
+  // is doc B literally a substring of doc A (truncated tail, quoted
+  // whole, re-wrapped)? d17 tests SET containment; this is EXACT
+  // SEQUENCE containment. Candidate discipline: if B occurs inside A,
+  // then B's FIRST word-3-gram occurs somewhere in A — so the probe
+  // side carries ONE gram per doc (linear) against the positional gram
+  // index, candidates per doc bounded by that gram's df, and the
+  // expensive contains() check runs only on candidates (texts joined
+  // back by id — payloads never ride the gram shuffle). Grams travel
+  // as xxhash64 (false positives die in verification — the
+  // Jaccard-verify family policy).
+  val d36_substring_dedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val probe = docs
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id").as("b"),
+        xxhash64(expr("concat_ws(' ', slice(split(text, ' '), 1, 3))")).as("g"),
+        length(col("text")).as("lb"))
+    val index = docs
+      .select(col("doc_id").as("a"), length(col("text")).as("la"),
+        explode(expr(
+          """array_distinct(transform(
+               sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
+               i -> xxhash64(concat_ws(' ', slice(split(text, ' '), i, 3)))))"""))
+          .as("g"))
+    val cands = probe.join(index, "g")
+      .where(col("a") =!= col("b") && col("la") >= col("lb"))
+      .select("a", "b").distinct()
+    cands
+      .join(docs.select(col("doc_id").as("a"), col("text").as("ta")), "a")
+      .join(docs.select(col("doc_id").as("b"), col("text").as("tb")), "b")
+      .withColumn("pos", instr(col("ta"), col("tb")).cast("long"))
+      .filter(col("pos") > 0)
+      .select(col("a").as("container_doc"), col("b").as("contained_doc"),
+        col("pos"))
+      .orderBy("container_doc", "contained_doc")
+  }
+  val d36Sql: String =
+    """WITH docs AS (SELECT doc_id, text FROM documents),
+      pr AS (SELECT doc_id AS b,
+               array_to_string(string_split(text, ' ')[1:3], ' ') AS g,
+               length(text) AS lb
+             FROM docs WHERE len(string_split(text, ' ')) >= 3),
+      w AS (SELECT doc_id, generate_subscripts(string_split(text,' '),1) i,
+              unnest(string_split(text,' ')) w FROM docs),
+      ix AS (SELECT DISTINCT a.doc_id AS a,
+               a.w || ' ' || x.w || ' ' || y.w AS g
+             FROM w a JOIN w x ON a.doc_id = x.doc_id AND x.i = a.i + 1
+                      JOIN w y ON y.doc_id = a.doc_id AND y.i = a.i + 2),
+      la AS (SELECT doc_id AS a, length(text) AS la FROM docs),
+      cand AS (SELECT DISTINCT ix.a, pr.b
+               FROM pr JOIN ix ON pr.g = ix.g
+                       JOIN la ON la.a = ix.a
+               WHERE ix.a <> pr.b AND la.la >= pr.lb)
+      SELECT cand.a AS container_doc, cand.b AS contained_doc,
+             CAST(strpos(da.text, db.text) AS BIGINT) AS pos
+      FROM cand JOIN docs da ON da.doc_id = cand.a
+                JOIN docs db ON db.doc_id = cand.b
+      WHERE strpos(da.text, db.text) > 0
+      ORDER BY container_doc, contained_doc"""
+
   val queries: Map[String, Q] = Map(
+    "d36_substring_dedup"  -> d36_substring_dedup,
     "d35_threshold_frontier" -> d35_threshold_frontier,
     "d34_survivor_bias"    -> d34_survivor_bias,
     "d33_shard_leakage"    -> d33_shard_leakage,
@@ -804,6 +867,7 @@ object Dedup5 {
     "d29_dedup_impact"     -> d29_dedup_impact,
   )
   val oracles: Map[String, String] = Map(
+    "d36_substring_dedup"  -> d36Sql,
     "d35_threshold_frontier" -> d35Sql,
     "d34_survivor_bias"    -> d34Sql,
     "d33_shard_leakage"    -> d33Sql,

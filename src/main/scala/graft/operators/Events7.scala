@@ -846,7 +846,80 @@ object Events7 {
       SELECT * FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
       ORDER BY hop"""
 
+  // ---- e50: behavior-sequence corpus (sessions as sentences) ----
+  // The behavioral-LM training-data builder: each 30-minute-gap session
+  // becomes an ordered event-type "sentence", and the output is the
+  // corpus vocabulary report — the top-10 most common session sentences
+  // with counts and share, plus the distinct-sentence count riding
+  // every row. Sessionization is q27's lag+cumsum (ONE user-keyed
+  // window); sentence assembly is an in-row array sort + join (ordered
+  // by exact microseconds with event_id tie-break, engine-exact);
+  // the sentence vocabulary aggregate is map-side combinable and the
+  // top-10 rides TakeOrderedAndProject. At 100 TB the user window and
+  // the sentence-key aggregate are the only wide stages.
+  val e50_behavior_corpus: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sessions = Tables.events(s, d)
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("is_new", when(col("prev_ts").isNull ||
+        col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L)
+        .otherwise(0L))
+      .withColumn("session_id",
+        sum("is_new").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(concat_ws(" ", expr(
+        "transform(array_sort(collect_list(struct(unix_micros(ts) AS us, event_id, event_type))), x -> x.event_type)"))
+        .as("sentence"))
+    val vocab = sessions.groupBy("sentence")
+      .agg(count(lit(1)).as("n_sessions"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = vocab.agg(sum("n_sessions").as("total_sessions"),
+      count(lit(1)).as("distinct_sentences"))
+    val top = graft.api.GraftOps.boundedSingleGroup(
+      vocab.orderBy(desc("n_sessions"), col("sentence")).limit(10))
+    top
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("__g")
+          .orderBy(desc("n_sessions"), col("sentence"))).cast("long"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share", round(
+        col("n_sessions").cast("double") / col("total_sessions").cast("double"), 9))
+      .select(col("rank"), col("sentence"), col("n_sessions"), col("share"),
+        col("distinct_sentences"))
+      .orderBy("rank")
+  }
+  val e50Sql: String =
+    """WITH st AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      se AS (SELECT user_id, ts, event_id, event_type,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             FROM st),
+      sen AS (SELECT user_id, session_id,
+                string_agg(event_type, ' ' ORDER BY epoch_us(ts), event_id)
+                  AS sentence
+              FROM se GROUP BY 1, 2),
+      voc AS (SELECT sentence, COUNT(*) AS n_sessions FROM sen GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n_sessions) AS BIGINT) AS total_sessions,
+                COUNT(*) AS distinct_sentences FROM voc),
+      top AS (SELECT sentence, n_sessions FROM voc
+              ORDER BY n_sessions DESC, sentence LIMIT 10)
+      SELECT CAST(row_number() OVER (ORDER BY n_sessions DESC, sentence)
+               AS BIGINT) AS rank,
+             sentence, n_sessions,
+             round(CAST(n_sessions AS DOUBLE)
+                   / CAST(total_sessions AS DOUBLE), 9) AS share,
+             distinct_sentences
+      FROM top CROSS JOIN tot ORDER BY rank"""
+
   val queries: Map[String, Q] = Map(
+    "e50_behavior_corpus"    -> e50_behavior_corpus,
     "e49_funnel_durations"   -> e49_funnel_durations,
     "e48_conversion_hazard"  -> e48_conversion_hazard,
     "e37_retention_fit"      -> e37_retention_fit,
@@ -865,6 +938,7 @@ object Events7 {
     "e36_slo_burn"           -> e36_slo_burn,
   )
   val oracles: Map[String, String] = Map(
+    "e50_behavior_corpus"    -> e50Sql,
     "e49_funnel_durations"   -> e49Sql,
     "e48_conversion_hazard"  -> e48Sql,
     "e37_retention_fit"      -> e37Sql,

@@ -297,7 +297,96 @@ object Quality3 {
                AS ok
       FROM r ORDER BY contract"""
 
+  // ---- v21: train/serve split skew (PSI between q65's splits) ----
+  // The MLOps check that catches a broken split before a model does:
+  // PSI of feature distributions between the deterministic train and
+  // test buckets (q65's md5 family). A sound hash split should show
+  // PSI ≈ 0 on every feature; a biased one (key correlated with the
+  // feature) lights up here first. One numeric feature (o_totalprice,
+  // 10 equi-width bins from broadcast global min/max) and one
+  // categorical (o_orderpriority) — both from ONE combinable counting
+  // pass each; v04's stable-sum PSI closed form (terms rounded 1e-12,
+  // scaled decimal sums, final 1e-9).
+  val v21_train_serve_skew: Q = (s, d) => {
+    val bucket = conv(substring(md5(col("o_orderkey").cast("string")), 1, 2), 16, 10)
+      .cast("int") % 10
+    val base = Tables.orders(s, d)
+      .withColumn("b", bucket)
+      .filter(col("b") <= 7 || col("b") === 9)
+      .withColumn("half", when(col("b") <= 7, "train").otherwise("test"))
+    val range = base.agg(min("o_totalprice").as("vmin"),
+      max("o_totalprice").as("vmax"))
+    def psiOf(cells: DataFrame, feature: String): DataFrame = {
+      val totals = cells.agg(sum("na").as("ta"), sum("nb").as("tb"))
+      cells.crossJoin(broadcast(totals))
+        .filter(col("na") > 0 && col("nb") > 0)
+        .withColumn("term",
+          (col("nb").cast("double") / col("tb") - col("na").cast("double") / col("ta"))
+            * log((col("nb").cast("double") / col("tb"))
+              / (col("na").cast("double") / col("ta"))))
+        .agg(count(lit(1)).as("n_cells"),
+          round(graft.Stable.dsum(round(col("term"), 12) * lit(1000000.0))
+            / lit(1000000.0), 9).as("psi"))
+        .select(lit(feature).as("feature"), col("n_cells"), col("psi"))
+    }
+    val numCells = base.crossJoin(broadcast(range))
+      .withColumn("cell",
+        least(lit(9), floor((col("o_totalprice") - col("vmin"))
+          / ((col("vmax") - col("vmin")) / 10.0)).cast("int")).cast("long"))
+      .groupBy("cell")
+      .agg(count(when(col("half") === "train", 1)).as("na"),
+        count(when(col("half") === "test", 1)).as("nb"))
+    val catCells = base.groupBy(col("o_orderpriority").as("cell"))
+      .agg(count(when(col("half") === "train", 1)).as("na"),
+        count(when(col("half") === "test", 1)).as("nb"))
+    psiOf(numCells, "o_totalprice_bins")
+      .unionAll(psiOf(catCells.drop("cell"), "o_orderpriority"))
+      .withColumn("verdict",
+        when(col("psi") < 0.1, "stable")
+          .when(col("psi") < 0.25, "moderate").otherwise("major"))
+      .orderBy("feature")
+  }
+  val v21Sql: String =
+    """WITH base AS (
+        SELECT o_totalprice, o_orderpriority,
+               ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2))::INT % 10 AS b
+        FROM orders),
+      f AS (SELECT *, CASE WHEN b <= 7 THEN 'train' ELSE 'test' END AS half
+            FROM base WHERE b <= 7 OR b = 9),
+      rg AS (SELECT MIN(o_totalprice) AS vmin, MAX(o_totalprice) AS vmax FROM f),
+      nc AS (SELECT least(9, CAST(floor((o_totalprice - vmin)
+                      / ((vmax - vmin) / 10.0)) AS INT)) AS cell,
+               COUNT(*) FILTER (WHERE half = 'train') AS na,
+               COUNT(*) FILTER (WHERE half = 'test') AS nb
+             FROM f CROSS JOIN rg GROUP BY 1),
+      cc AS (SELECT o_orderpriority AS cell,
+               COUNT(*) FILTER (WHERE half = 'train') AS na,
+               COUNT(*) FILTER (WHERE half = 'test') AS nb
+             FROM f GROUP BY 1),
+      pn AS (SELECT 'o_totalprice_bins' AS feature, COUNT(*) AS n_cells,
+               round(CAST(SUM(CAST(round(
+                 (CAST(nb AS DOUBLE) / tb - CAST(na AS DOUBLE) / ta)
+                 * ln((CAST(nb AS DOUBLE) / tb) / (CAST(na AS DOUBLE) / ta)), 12)
+                 * 1000000.0 AS DECIMAL(30,6))) AS DOUBLE) / 1000000.0, 9) AS psi
+             FROM nc CROSS JOIN (SELECT CAST(SUM(na) AS BIGINT) ta,
+                                   CAST(SUM(nb) AS BIGINT) tb FROM nc)
+             WHERE na > 0 AND nb > 0),
+      pc AS (SELECT 'o_orderpriority' AS feature, COUNT(*) AS n_cells,
+               round(CAST(SUM(CAST(round(
+                 (CAST(nb AS DOUBLE) / tb - CAST(na AS DOUBLE) / ta)
+                 * ln((CAST(nb AS DOUBLE) / tb) / (CAST(na AS DOUBLE) / ta)), 12)
+                 * 1000000.0 AS DECIMAL(30,6))) AS DOUBLE) / 1000000.0, 9) AS psi
+             FROM cc CROSS JOIN (SELECT CAST(SUM(na) AS BIGINT) ta,
+                                   CAST(SUM(nb) AS BIGINT) tb FROM cc)
+             WHERE na > 0 AND nb > 0)
+      SELECT feature, n_cells, psi,
+             CASE WHEN psi < 0.1 THEN 'stable'
+                  WHEN psi < 0.25 THEN 'moderate' ELSE 'major' END AS verdict
+      FROM (SELECT * FROM pn UNION ALL SELECT * FROM pc)
+      ORDER BY feature"""
+
   val queries: Map[String, Q] = Map(
+    "v21_train_serve_skew" -> v21_train_serve_skew,
     "v20_volume_contracts" -> v20_volume_contracts,
     "v19_fd_audit"    -> v19_fd_audit,
     "v15_chi_square"  -> v15_chi_square,
@@ -306,6 +395,7 @@ object Quality3 {
     "v16_order_audit" -> v16_order_audit,
   )
   val oracles: Map[String, String] = Map(
+    "v21_train_serve_skew" -> v21Sql,
     "v20_volume_contracts" -> v20Sql,
     "v19_fd_audit"    -> v19Sql,
     "v15_chi_square"  -> v15Sql,

@@ -1551,6 +1551,51 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("d36 substring dedup: exact dups contained both ways, containment verified") {
+    val rows = operators.Dedup5.d36_substring_dedup(spark, sf).collect()
+    assert(rows.nonEmpty, "corpus has exact dups, so containment pairs exist")
+    val texts = Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    rows.take(50).foreach { r =>
+      val (a, b) = (r.getAs[Long]("container_doc"), r.getAs[Long]("contained_doc"))
+      assert(a != b)
+      assert(texts(a).contains(texts(b)), s"$b not actually inside $a")
+      assert(r.getAs[Long]("pos") >= 1)
+    }
+  }
+
+  test("v21 train/serve skew: hash split shows no major drift") {
+    val rows = operators.Quality3.v21_train_serve_skew(spark, sf).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val psi = r.getAs[Double]("psi")
+      assert(psi >= 0.0, "PSI is a divergence, never negative")
+      // the md5 split is feature-independent, so no MAJOR drift can
+      // appear; PSI's small-sample bias (~(k-1)(1/na+1/nb), and the
+      // test bucket is only 10% of rows) legitimately lands small
+      // corpora in the moderate band, so 'stable' would over-assert
+      assert(r.getAs[String]("verdict") != "major", s"psi=$psi")
+      assert(psi < 0.25)
+      assert(r.getAs[Long]("n_cells") >= 2)
+    }
+  }
+
+  test("e50 behavior corpus: shares consistent, sentences well-formed") {
+    val rows = operators.Events7.e50_behavior_corpus(spark, sf).collect()
+    assert(rows.length == 10)
+    val types = Set("view", "click", "purchase", "signup", "error")
+    rows.foreach { r =>
+      r.getAs[String]("sentence").split(" ").foreach(t =>
+        assert(types.contains(t), s"unknown token $t"))
+      assert(r.getAs[Double]("share") > 0.0 && r.getAs[Double]("share") <= 1.0)
+    }
+    val counts = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("n_sessions"))
+    counts.toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a, "top-10 must be count-descending")
+      case _ =>
+    }
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
