@@ -142,6 +142,37 @@ object SqlSurface {
       case args => throw new IllegalArgumentException(
         s"graft_transform(spec_json): got ${args.size} args")
     },
+    "graft_fd_audit" -> {
+      case Seq(t, det, dep) =>
+        plan(GraftOps.fdAudit(table(str(t, "table")),
+          col(str(det, "det")), col(str(dep, "dep")),
+          s"${str(t, "table")}.${str(det, "det")}->${str(dep, "dep")}"))
+      case args => throw new IllegalArgumentException(
+        s"graft_fd_audit(table, det, dep): got ${args.size} args")
+    },
+    "graft_conversion_hazard" -> {
+      case Seq(t, e, ts, c) =>
+        plan(GraftOps.conversionHazard(table(str(t, "table")),
+          col(str(e, "entity")), col(str(ts, "ts")),
+          org.apache.spark.sql.functions.expr(str(c, "isConversion"))))
+      case Seq(t, e, ts, c, md) =>
+        plan(GraftOps.conversionHazard(table(str(t, "table")),
+          col(str(e, "entity")), col(str(ts, "ts")),
+          org.apache.spark.sql.functions.expr(str(c, "isConversion")),
+          int(md, "maxDays")))
+      case args => throw new IllegalArgumentException(
+        s"graft_conversion_hazard(table, entity, ts, is_conversion[, max_days]): got ${args.size} args")
+    },
+    "graft_link_predict" -> {
+      case Seq(t, a, b) =>
+        plan(GraftOps.linkPredict(table(str(t, "table")),
+          col(str(a, "a")), col(str(b, "b"))))
+      case Seq(t, a, b, k) =>
+        plan(GraftOps.linkPredict(table(str(t, "table")),
+          col(str(a, "a")), col(str(b, "b")), int(k, "topK")))
+      case args => throw new IllegalArgumentException(
+        s"graft_link_predict(edges_table, a, b[, top_k]): got ${args.size} args")
+    },
     "graft_snapshot_read" -> {
       case Seq(p) =>
         plan(graft.sources.SnapshotTable.read(SparkSession.active, str(p, "path")))

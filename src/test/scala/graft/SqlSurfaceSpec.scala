@@ -75,6 +75,40 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val sdVerb = GraftOps.semanticDedup(e, col("vec_id"), col("embedding"),
       col("label"), 0.3)
     assert(sdSql.exceptAll(sdVerb).isEmpty && sdVerb.exceptAll(sdSql).isEmpty)
+
+    val part = Tables.part(spark, sf)
+    part.createOrReplaceTempView("part_sql_v")
+    val fdSql = spark.sql(
+      "SELECT * FROM graft_fd_audit('part_sql_v', 'p_brand', 'p_type')")
+    val fdVerb = GraftOps.fdAudit(part, col("p_brand"), col("p_type"),
+      "part_sql_v.p_brand->p_type")
+    assert(fdSql.exceptAll(fdVerb).isEmpty && fdVerb.exceptAll(fdSql).isEmpty)
+
+    val ev = Tables.events(spark, sf)
+    ev.createOrReplaceTempView("ev_sql_v")
+    val hzSql = spark.sql(
+      "SELECT * FROM graft_conversion_hazard('ev_sql_v', 'user_id', 'ts', 'event_type = ''purchase''', 7)")
+    val hzVerb = GraftOps.conversionHazard(ev, col("user_id"), col("ts"),
+      col("event_type") === "purchase", 7)
+    assert(hzSql.exceptAll(hzVerb).isEmpty && hzVerb.exceptAll(hzSql).isEmpty)
+
+    val edges = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey")).agg(
+        org.apache.spark.sql.functions.sort_array(
+          org.apache.spark.sql.functions.collect_set(col("l_partkey"))).as("ps"))
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.expr(
+          """flatten(transform(ps, (x, i) ->
+               transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"""))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("w"))
+      .filter(col("w") >= 2).select("a", "b")
+    edges.createOrReplaceTempView("edges_sql_v")
+    val lpSql = spark.sql("SELECT * FROM graft_link_predict('edges_sql_v', 'a', 'b', 10)")
+    val lpVerb = GraftOps.linkPredict(edges, col("a"), col("b"), 10)
+    assert(lpSql.exceptAll(lpVerb).isEmpty && lpVerb.exceptAll(lpSql).isEmpty)
   }
 
   test("graft_transform runs a declarative job with session-catalog table resolution") {
