@@ -75,6 +75,19 @@ object ScaleStress {
     */
   private val extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s02_lsh[lossy 6x3]"  -> ((s, d) => operators.Similarity.knnLshAt(s, d, 6, 3)),
+    "g06[degcap=32]" -> { (s, d) =>
+      val edges = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+               transform(slice(ps, i + 2, size(ps)),
+                 y -> struct(x AS a, y AS b))))""")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2).select("a", "b")
+      graft.api.GraftOps.linkPredict(edges, col("a"), col("b"), 15, 32)
+    },
     "s04_ivf[nprobe=3]"   -> ((s, d) => operators.Similarity.annIvfAt(s, d, 3)),
     "semdedup[k~n/230]" -> { (s, d) =>
       import graft.api.GraftOps
@@ -99,7 +112,15 @@ object ScaleStress {
     // graph + round-4 additions (20x facts / 10x events / 4x docs)
     "g02_copurchase", "g03_triangles", "g04_cc", "d24_lsh_recall",
     "e31_assoc_rules", "e33_growth_accounting", "v11_ks_test",
-    "m10_cdc_chunking", "m12_chunk_gc")
+    "m10_cdc_chunking", "m12_chunk_gc",
+    // round-4 third-stretch additions
+    "t29_loo_perplexity", "t30_ccnet_buckets", "t31_source_stylometry",
+    "t32_entropy_rate", "d33_shard_leakage", "d34_survivor_bias",
+    "d35_threshold_frontier", "d36_substring_dedup", "g06_link_prediction",
+    "g07_cf_recommend", "s17_nprobe_recall", "s18_reassignment_rate",
+    "s19_dim_screen", "e48_conversion_hazard", "e49_funnel_durations",
+    "e50_behavior_corpus", "q102_join_size_estimate", "v19_fd_audit",
+    "v21_train_serve_skew", "p13_shard_interleave")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -120,7 +141,8 @@ object ScaleStress {
     }
     // queries whose near-dup pair join honors graft.neardup.strategy:
     // timed a second way with the banded-LSH routing (the 100 TB config)
-    val lshRouted = Set("d15_dedup_manifest", "p01_corpus_clean")
+    val lshRouted = Set("d15_dedup_manifest", "p01_corpus_clean",
+      "d33_shard_leakage", "d34_survivor_bias", "p14_leakage_split")
     println(f"""${"query"}%-24s ${"t_1x"}%8s ${"t_Nx"}%8s ratio""")
     qs.foreach { n =>
       val fn = allQueries(n)

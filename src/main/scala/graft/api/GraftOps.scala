@@ -1217,13 +1217,28 @@ object GraftOps {
     * (per-center expansion deg²-bounded), existing edges anti-joined
     * away, Jaccard on exact int64 counts ranked by the ROUNDED score
     * with full tie-breaks. (g06's engine, as a verb.)
+    *
+    * `maxDegree` caps each vertex's adjacency at its maxDegree
+    * smallest neighbors (deterministic) before the wedge join — the
+    * standard dense-graph mitigation: wedge work drops from Σdeg² to
+    * Σmin(deg,cap)², losing only candidates discovered exclusively
+    * through hub vertices (whose common-neighbor signal is weakest —
+    * a hub is a neighbor of everyone). Degrees for the Jaccard score
+    * stay UNCAPPED, so surviving pairs score exactly. Default = no
+    * cap = exact (the oracle's operating point); a densified 100 TB
+    * graph sets ~32-64 (measured in SURVEY §6).
     */
   def linkPredict(edges: DataFrame, a: Column, b: Column,
-                  topK: Int = 15): DataFrame = {
+                  topK: Int = 15, maxDegree: Int = Int.MaxValue): DataFrame = {
     val e = persistTracked(edges.select(a.as("a"), b.as("b")))
-    val adj = e.select(col("a").as("n"), col("b").as("nbr"))
+    val adjFull = e.select(col("a").as("n"), col("b").as("nbr"))
       .unionAll(e.select(col("b").as("n"), col("a").as("nbr")))
-    val deg = adj.groupBy("n").agg(count(lit(1)).as("deg"))
+    val deg = adjFull.groupBy("n").agg(count(lit(1)).as("deg"))
+    val adj = if (maxDegree == Int.MaxValue) adjFull else
+      adjFull.withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("n").orderBy("nbr")))
+        .filter(col("__r") <= maxDegree).drop("__r")
     val wedges = adj.select(col("nbr").as("z"), col("n").as("x"))
       .join(adj.select(col("n").as("z"), col("nbr").as("y")), "z")
       .where(col("x") < col("y"))

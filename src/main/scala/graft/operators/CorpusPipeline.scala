@@ -621,7 +621,99 @@ object CorpusPipeline {
                AS top_source_share
       FROM sh ORDER BY shard"""
 
+  // ---- p14: leakage-free train/test split ----
+  // The eval-integrity rule every LLM data paper states and most
+  // pipelines break: near-duplicate documents must land on the SAME
+  // side of a train/test split, or the test set leaks into training.
+  // The fix is structural — hash the near-dup FAMILY ROOT (d08's
+  // component label, singletons rooting at themselves), not the doc,
+  // so no verified pair can ever straddle the split. The output is the
+  // side-by-side audit: the naive doc-hash split vs the family-root
+  // split, each with sizes and its count of CROSS-SPLIT verified
+  // near-dup pairs — 0 for the family split BY CONSTRUCTION, measured
+  // (not assumed) here. Fact-scale work: d03's pair join + d08's
+  // fixpoint labels, both reused; the split itself is a narrow md5.
+  val p14_leakage_split: Q = (s, d) => {
+    val labels = Dedup2.clusterLabels(s, d) // (doc_id, cluster_id), singletons incl.
+    def bucket(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("string")), 1, 2), 16, 10).cast("int") % 10
+    val assign = labels
+      .withColumn("doc_split",
+        when(bucket(col("doc_id")) === 9, "test").otherwise("train"))
+      .withColumn("fam_split",
+        when(bucket(col("cluster_id")) === 9, "test").otherwise("train"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup.verifiedPairs(s, d).select(col("da"), col("db"))
+    def crossPairs(splitCol: String): DataFrame = pairs
+      .join(assign.select(col("doc_id").as("da"),
+        col(splitCol).as("sa")), "da")
+      .join(assign.select(col("doc_id").as("db"),
+        col(splitCol).as("sb")), "db")
+      .agg(count(when(col("sa") =!= col("sb"), 1)).as("cross_pairs"))
+    def sizes(splitCol: String, name: String): DataFrame = assign
+      .agg(count(when(col(splitCol) === "train", 1)).as("n_train"),
+        count(when(col(splitCol) === "test", 1)).as("n_test"))
+      .crossJoin(broadcast(crossPairs(splitCol)))
+      .select(lit(name).as("method"), col("n_train"), col("n_test"),
+        col("cross_pairs"))
+    sizes("doc_split", "1_doc_hash")
+      .unionAll(sizes("fam_split", "2_family_hash"))
+      .orderBy("method")
+  }
+  val p14Sql: String =
+    """WITH RECURSIVE
+      w AS (SELECT doc_id, generate_subscripts(string_split(text,' '),1) i,
+                   unnest(string_split(text,' ')) w FROM documents),
+      g AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+            FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.i=a.i+1
+                     JOIN w c ON c.doc_id=a.doc_id AND c.i=a.i+2),
+      dd AS (SELECT DISTINCT doc_id, sh FROM g),
+      sizes AS (SELECT doc_id, count(*) n FROM dd GROUP BY doc_id),
+      pairs AS (SELECT x.doc_id da, y.doc_id db, count(*) shared
+                FROM dd x JOIN dd y ON x.sh=y.sh AND x.doc_id<y.doc_id GROUP BY 1,2),
+      vp AS (SELECT da, db
+             FROM pairs JOIN sizes sa ON da=sa.doc_id JOIN sizes sb ON db=sb.doc_id
+             WHERE CAST(shared AS DOUBLE)/(sa.n+sb.n-shared) >= 0.5),
+      ed AS (SELECT da v, db w FROM vp UNION SELECT db, da FROM vp),
+      reach(v, w) AS (
+        SELECT v, v FROM (SELECT DISTINCT v FROM ed) t
+        UNION
+        SELECT r.v, ed.w FROM reach r JOIN ed ON r.w = ed.v),
+      lbl0 AS (SELECT v AS doc_id, min(w) AS cluster_id FROM reach GROUP BY v),
+      lbl AS (SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN lbl0 l ON d.doc_id = l.doc_id),
+      asg AS (SELECT doc_id, cluster_id,
+                CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT % 10 = 9
+                     THEN 'test' ELSE 'train' END AS doc_split,
+                CASE WHEN ('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 2))::INT % 10 = 9
+                     THEN 'test' ELSE 'train' END AS fam_split
+              FROM lbl),
+      cp AS (SELECT
+               (SELECT COUNT(*) FROM vp
+                JOIN asg a ON a.doc_id = vp.da
+                JOIN asg b ON b.doc_id = vp.db
+                WHERE a.doc_split <> b.doc_split) AS cross_doc,
+               (SELECT COUNT(*) FROM vp
+                JOIN asg a ON a.doc_id = vp.da
+                JOIN asg b ON b.doc_id = vp.db
+                WHERE a.fam_split <> b.fam_split) AS cross_fam),
+      sz AS (SELECT
+               COUNT(*) FILTER (WHERE doc_split = 'train') AS doc_train,
+               COUNT(*) FILTER (WHERE doc_split = 'test') AS doc_test,
+               COUNT(*) FILTER (WHERE fam_split = 'train') AS fam_train,
+               COUNT(*) FILTER (WHERE fam_split = 'test') AS fam_test
+             FROM asg)
+      SELECT method, n_train, n_test, cross_pairs FROM (
+        SELECT '1_doc_hash' AS method, doc_train AS n_train,
+               doc_test AS n_test, cross_doc AS cross_pairs
+        FROM sz CROSS JOIN cp
+        UNION ALL
+        SELECT '2_family_hash', fam_train, fam_test, cross_fam
+        FROM sz CROSS JOIN cp)
+      ORDER BY method"""
+
   val queries: Map[String, Q] = Map(
+    "p14_leakage_split"    -> p14_leakage_split,
     "p13_shard_interleave" -> p13_shard_interleave,
     "p01_corpus_clean"     -> p01_corpus_clean,
     "p12_decontaminate"    -> p12_decontaminate,
@@ -644,5 +736,6 @@ object CorpusPipeline {
     "p08_canary_compare"   -> p08Sql,
     "p09_temperature_mix"  -> p09Sql,
     "p12_decontaminate"    -> p12Sql,
-    "p13_shard_interleave" -> p13Sql)
+    "p13_shard_interleave" -> p13Sql,
+    "p14_leakage_split"    -> p14Sql)
 }

@@ -268,7 +268,11 @@ object Graph {
   // shape. The fixpoint itself is iteration-order independent — any
   // engine, any schedule, same labels — which is what makes an exact
   // DuckDB oracle possible (recursive-CTE transitive closure).
-  val g04_cc: Q = (s, d) => {
+  /** The thresholded a<b co-purchase edge list + min-label component
+    * labels (g04's fixpoint) — shared by g04 and g08. The returned
+    * edges frame is persisted; callers unpersist when done.
+    */
+  private def ccEdgesAndLabels(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.types.DecimalType
     val edges = Tables.lineitem(s, d)
       .groupBy(col("l_orderkey").as("ok"))
@@ -305,6 +309,11 @@ object Graph {
         .agg(sum(col("cluster_id").cast(DecimalType(38, 0))))
         .collect()(0).getDecimal(0))
     }
+    (edges, labels)
+  }
+
+  val g04_cc: Q = (s, d) => {
+    val (edges, labels) = ccEdgesAndLabels(s, d)
     edges.unpersist()
     labels.groupBy("cluster_id")
       .agg(count(lit(1)).as("n_members"), max("node").as("max_part"))
@@ -508,7 +517,84 @@ object Graph {
         FROM rec) WHERE rank <= 3
       ORDER BY custkey, rank"""
 
+  // ---- g08: partition modularity (are the components real communities?) ----
+  // Newman modularity Q = Σ_c [ m_c/m − (d_c/2m)² ] of g04's component
+  // partition over the co-purchase graph — the score that says whether
+  // the discovered clusters are denser than chance (Q≈0: the partition
+  // explains nothing; for pure connected components every edge is
+  // intra-cluster, so Q measures how evenly edge mass spreads across
+  // components). Per-cluster contributions + the global Q riding every
+  // row; all from exact int64 edge/degree counts (the fixpoint labels
+  // are the only iterative work, reused from g04), closed form in
+  // doubles rounded 1e-9.
+  val g08_modularity: Q = (s, d) => {
+    val (edges, labels) = ccEdgesAndLabels(s, d)
+    val m = edges.agg(count(lit(1)).as("m"))
+    val la = labels.select(col("node").as("a"), col("cluster_id").as("ca"))
+    val lb = labels.select(col("node").as("b"), col("cluster_id").as("cb"))
+    val mIn = edges.join(la, "a").join(lb, "b")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("cluster_id")).agg(count(lit(1)).as("m_in"))
+    val deg = edges.select(col("a").as("node"))
+      .unionAll(edges.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val dTot = deg.join(labels, "node")
+      .groupBy("cluster_id").agg(sum("deg").as("d_tot"),
+        count(lit(1)).as("n_members"))
+    val per = dTot.join(mIn, Seq("cluster_id"), "left")
+      .na.fill(0L, Seq("m_in"))
+      .crossJoin(broadcast(m))
+      .withColumn("q_contrib", round(
+        col("m_in").cast("double") / col("m").cast("double")
+          - (col("d_tot").cast("double") / (lit(2.0) * col("m").cast("double")))
+            * (col("d_tot").cast("double") / (lit(2.0) * col("m").cast("double"))), 9))
+    val qTot = per.agg(round(
+      sum(col("q_contrib").cast("decimal(30,10)")).cast("double"), 9)
+      .as("modularity"))
+    edges.unpersist()
+    per.crossJoin(broadcast(qTot))
+      .select(col("cluster_id"), col("n_members"), col("m_in"), col("d_tot"),
+        col("q_contrib"), col("modularity"))
+      .orderBy("cluster_id")
+  }
+  val g08Sql: String =
+    """WITH RECURSIVE
+      li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             FROM lineitem),
+      e AS (SELECT x.pk AS a, y.pk AS b
+            FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      ed AS (SELECT a AS v, b AS w FROM e UNION SELECT b, a FROM e),
+      reach(v, w) AS (
+        SELECT v, v FROM (SELECT DISTINCT v FROM ed) t
+        UNION
+        SELECT r.v, ed.w FROM reach r JOIN ed ON r.w = ed.v),
+      lbl AS (SELECT v AS node, min(w) AS cluster_id FROM reach GROUP BY v),
+      m AS (SELECT COUNT(*) AS m FROM e),
+      mi AS (SELECT la.cluster_id, COUNT(*) AS m_in
+             FROM e JOIN lbl la ON la.node = e.a
+                    JOIN lbl lb ON lb.node = e.b
+             WHERE la.cluster_id = lb.cluster_id GROUP BY 1),
+      dg AS (SELECT n AS node, COUNT(*) AS deg FROM (
+               SELECT a AS n FROM e UNION ALL SELECT b FROM e) u GROUP BY 1),
+      dt AS (SELECT cluster_id, CAST(SUM(deg) AS BIGINT) AS d_tot,
+               COUNT(*) AS n_members
+             FROM dg JOIN lbl ON dg.node = lbl.node GROUP BY 1),
+      per AS (SELECT dt.cluster_id, n_members,
+                COALESCE(m_in, 0) AS m_in, d_tot,
+                round(CAST(COALESCE(m_in, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
+                  - (CAST(d_tot AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+                    * (CAST(d_tot AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE))), 9)
+                  AS q_contrib
+              FROM dt LEFT JOIN mi ON dt.cluster_id = mi.cluster_id
+                      CROSS JOIN m),
+      qt AS (SELECT round(CAST(SUM(CAST(q_contrib AS DECIMAL(30,10)))
+                AS DOUBLE), 9) AS modularity FROM per)
+      SELECT cluster_id, n_members, m_in, d_tot, q_contrib, modularity
+      FROM per CROSS JOIN qt ORDER BY cluster_id"""
+
   val queries: Map[String, Q] = Map(
+    "g08_modularity"      -> g08_modularity,
     "g07_cf_recommend"    -> g07_cf_recommend,
     "g06_link_prediction" -> g06_link_prediction,
     "g01_pagerank"   -> g01_pagerank,
@@ -518,6 +604,7 @@ object Graph {
     "g04_cc"         -> g04_cc,
   )
   val oracles: Map[String, String] = Map(
+    "g08_modularity"      -> g08Sql,
     "g07_cf_recommend"    -> g07Sql,
     "g06_link_prediction" -> g06Sql,
     "g01_pagerank"   -> g01Sql,

@@ -1596,6 +1596,35 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("g08 modularity: contributions sum to Q, intra-edge mass conserved") {
+    val rows = operators.Graph.g08_modularity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val q = rows.head.getAs[Double]("modularity")
+    rows.foreach(r => assert(r.getAs[Double]("modularity") == q))
+    val contribSum = rows.map(_.getAs[Double]("q_contrib")).sum
+    assert(math.abs(contribSum - q) < 1e-6)
+    // connected components make every edge intra-cluster: sum(m_in) = m
+    // and sum(d_tot) = 2m
+    val mIn = rows.map(_.getAs[Long]("m_in")).sum
+    val dTot = rows.map(_.getAs[Long]("d_tot")).sum
+    assert(dTot == 2 * mIn, s"degree sum $dTot != 2 * edge sum $mIn")
+    assert(q >= -1.0 && q <= 1.0)
+  }
+
+  test("p14 leakage split: family split has zero cross pairs, doc split leaks") {
+    val rows = operators.CorpusPipeline.p14_leakage_split(spark, sf).collect()
+    assert(rows.length == 2)
+    val byM = rows.map(r => r.getAs[String]("method") -> r).toMap
+    assert(byM("2_family_hash").getAs[Long]("cross_pairs") == 0L,
+      "family-root hashing must never split a near-dup pair")
+    // both splits partition the whole corpus
+    val total = Tables.documents(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_test") == total)
+      assert(r.getAs[Long]("n_test") > 0, "test side must be non-empty")
+    }
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
