@@ -918,7 +918,73 @@ object Events7 {
              distinct_sentences
       FROM top CROSS JOIN tot ORDER BY rank"""
 
+  // ---- e51: value-volume elasticity (does spend scale with activity?) ----
+  // Per event type, the OLS fit of daily total value on daily event
+  // count across the corpus's days — slope ≈ mean value/event means
+  // value is VOLUME-driven; a flat slope with high intercept means a
+  // base load independent of activity. Day cells come from ONE
+  // combinable aggregate (daily value sums decimal-exact, rounded at
+  // 1e-6 so both engines regress on identical inputs); the regression
+  // is a closed form over five decimal-summed moments, one double
+  // rounding at the end. Day-cell table is calendar-sized — the fact
+  // scan is the only wide stage.
+  val e51_elasticity: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        round(dsum(col("value")), 6).as("v"))
+    daily
+      .withColumn("nn", (col("n") * col("n")).cast("decimal(30,6)"))
+      .withColumn("nv", round(col("n") * col("v"), 6).cast("decimal(30,6)"))
+      .withColumn("vv", round(col("v") * col("v"), 6).cast("decimal(30,6)"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("k"),
+        sum(col("n").cast("decimal(30,6)")).as("sn"),
+        sum(col("v").cast("decimal(30,6)")).as("sv"),
+        sum(col("nn")).as("snn"), sum(col("nv")).as("snv"),
+        sum(col("vv")).as("svv"))
+      .withColumn("den",
+        col("k").cast("double") * col("snn").cast("double")
+          - col("sn").cast("double") * col("sn").cast("double"))
+      .withColumn("slope", round(
+        (col("k").cast("double") * col("snv").cast("double")
+          - col("sn").cast("double") * col("sv").cast("double")) / col("den"), 9))
+      .withColumn("intercept", round(
+        (col("sv").cast("double") - col("slope") * col("sn").cast("double"))
+          / col("k").cast("double"), 9))
+      .withColumn("r2", round(
+        pow(col("k").cast("double") * col("snv").cast("double")
+          - col("sn").cast("double") * col("sv").cast("double"), 2)
+          / (col("den")
+            * (col("k").cast("double") * col("svv").cast("double")
+              - col("sv").cast("double") * col("sv").cast("double"))), 9))
+      .select(col("event_type"), col("k").as("n_days"), col("slope"),
+        col("intercept"), col("r2"))
+      .orderBy("event_type")
+  }
+  val e51Sql: String =
+    s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             COUNT(*) AS n, round(${sqlSum("value")}, 6) AS v
+           FROM events GROUP BY 1, 2),
+      m AS (SELECT event_type, COUNT(*) AS k,
+              CAST(SUM(CAST(n AS DECIMAL(30,6))) AS DOUBLE) AS sn,
+              CAST(SUM(CAST(v AS DECIMAL(30,6))) AS DOUBLE) AS sv,
+              CAST(SUM(CAST(n * n AS DECIMAL(30,6))) AS DOUBLE) AS snn,
+              CAST(SUM(CAST(round(n * v, 6) AS DECIMAL(30,6))) AS DOUBLE) AS snv,
+              CAST(SUM(CAST(round(v * v, 6) AS DECIMAL(30,6))) AS DOUBLE) AS svv
+            FROM daily GROUP BY 1),
+      f AS (SELECT event_type, k, sn, sv, snv, svv,
+              k * snn - sn * sn AS den,
+              round((k * snv - sn * sv) / (k * snn - sn * sn), 9) AS slope
+            FROM m)
+      SELECT event_type, k AS n_days, slope,
+             round((sv - slope * sn) / k, 9) AS intercept,
+             round(pow(k * snv - sn * sv, 2)
+                   / (den * (k * svv - sv * sv)), 9) AS r2
+      FROM f ORDER BY event_type"""
+
   val queries: Map[String, Q] = Map(
+    "e51_elasticity"         -> e51_elasticity,
     "e50_behavior_corpus"    -> e50_behavior_corpus,
     "e49_funnel_durations"   -> e49_funnel_durations,
     "e48_conversion_hazard"  -> e48_conversion_hazard,
@@ -938,6 +1004,7 @@ object Events7 {
     "e36_slo_burn"           -> e36_slo_burn,
   )
   val oracles: Map[String, String] = Map(
+    "e51_elasticity"         -> e51Sql,
     "e50_behavior_corpus"    -> e50Sql,
     "e49_funnel_durations"   -> e49Sql,
     "e48_conversion_hazard"  -> e48Sql,

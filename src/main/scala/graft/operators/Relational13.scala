@@ -569,7 +569,66 @@ object Relational13 {
         UNION ALL SELECT '3_exact', CAST(exact AS DOUBLE), exact FROM est)
       ORDER BY method"""
 
+  // ---- q103: top-P% revenue coverage (who makes up the top decile?) ----
+  // The BI verb between top-k and full ranking: per nation, the
+  // smallest prefix of customers (by revenue) that covers ≥ 10% of the
+  // nation's revenue — membership decided by "cumulative share BEFORE
+  // this row < 10%", so the set is the minimal covering prefix and
+  // engine-exact (cumulative sums are DECIMAL-exact over a
+  // nation-PARTITIONED window ranking on exact decimal revenue with
+  // custkey tie-break; one IEEE division per output row only).
+  // Fact-scale work: one aggregate + one partitioned window.
+  val q103_top_percent_cover: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val rev = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"), col("c_custkey").as("cust"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(30, 6))).as("rev"))
+    val tot = rev.groupBy("nation")
+      .agg(sum("rev").as("nat_rev"), count(lit(1)).as("n_cust"))
+    val w = Window.partitionBy("nation").orderBy(desc("rev"), col("cust"))
+    rev
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_before",
+        coalesce(sum("rev").over(
+          w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0).cast(DecimalType(30, 6))))
+      .join(tot, "nation")
+      .filter(col("cum_before") * 10 < col("nat_rev"))
+      .withColumn("cum_share", round(
+        ((col("cum_before") + col("rev")).cast("double"))
+          / col("nat_rev").cast("double"), 9))
+      .select(col("nation"), col("rank"), col("cust"),
+        col("rev").cast("double").as("revenue"), col("cum_share"),
+        col("n_cust"))
+      .orderBy("nation", "rank")
+  }
+  val q103Sql: String =
+    """WITH rev AS (SELECT c_nationkey AS nation, c_custkey AS cust,
+             SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS rev
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+      tot AS (SELECT nation, SUM(rev) AS nat_rev, COUNT(*) AS n_cust
+              FROM rev GROUP BY 1),
+      rk AS (SELECT nation, cust, rev,
+               CAST(row_number() OVER w AS BIGINT) AS rank,
+               COALESCE(SUM(rev) OVER (PARTITION BY nation
+                 ORDER BY rev DESC, cust
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS cum_before
+             FROM rev
+             WINDOW w AS (PARTITION BY nation ORDER BY rev DESC, cust))
+      SELECT nation, rank, cust, CAST(rev AS DOUBLE) AS revenue,
+             round(CAST(cum_before + rev AS DOUBLE)
+                   / CAST(nat_rev AS DOUBLE), 9) AS cum_share,
+             n_cust
+      FROM rk JOIN tot USING (nation)
+      WHERE cum_before * 10 < nat_rev
+      ORDER BY nation, rank"""
+
   val queries: Map[String, Q] = Map(
+    "q103_top_percent_cover"  -> q103_top_percent_cover,
     "q102_join_size_estimate" -> q102_join_size_estimate,
     "q97_calendar_dim"    -> q97_calendar_dim,
     "q101_hierarchy_share" -> q101_hierarchy_share,
@@ -582,6 +641,7 @@ object Relational13 {
     "q96_top_movers"      -> q96_top_movers,
   )
   val oracles: Map[String, String] = Map(
+    "q103_top_percent_cover"  -> q103Sql,
     "q102_join_size_estimate" -> q102Sql,
     "q97_calendar_dim"    -> q97Sql,
     "q101_hierarchy_share" -> q101Sql,

@@ -548,7 +548,103 @@ object TextAnalysis9 {
                    / CAST(SUM(c12) AS DOUBLE), 6) AS entropy_rate_nats
       FROM t GROUP BY 1 ORDER BY source"""
 
+  // ---- t33: template slot profile (how much of a family is boilerplate?) ----
+  // t28 finds template families; this measures their SHAPE: for each
+  // family, the word-level longest common prefix of its two
+  // smallest-id members (deterministic representatives), as a fraction
+  // of the shorter member — boilerplate_ratio ≈ 1 means a fixed header
+  // with a tiny varying tail; ≈ 0 means the shared opening is all they
+  // share. The rollup per family type is what decides whether span
+  // dedup (d18) or whole-doc dedup is the right treatment. LCP is an
+  // in-row array computation (zip_with equality + first-false
+  // position — no UDF, fully codegen-friendly); representatives come
+  // from two conditional-min aggregates on the family key; everything
+  // else is a constant-size rollup.
+  val t33_template_slots: Q = (s, d) => {
+    val keyed = Tables.documents(s, d)
+      .withColumn("title_h",
+        md5(expr("concat_ws(' ', slice(split(trim(text), ' '), 1, 10))")))
+      .withColumn("body_h", md5(col("text")))
+    val fams = keyed
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("title_h").orderBy("doc_id")))
+      .filter(col("rn") <= 2)
+      .groupBy("title_h")
+      .agg(count(lit(1)).as("n_reps"),
+        count_distinct(col("body_h")).as("n_bodies_sample"),
+        min(when(col("rn") === 1, col("text"))).as("ta"),
+        min(when(col("rn") === 2, col("text"))).as("tb"),
+        max("rn").as("max_rn"))
+      .filter(col("max_rn") === 2)
+    val sized = keyed.groupBy("title_h")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("body_h")).as("n_bodies"))
+      .filter(col("n_docs") >= 2)
+    fams.join(sized, "title_h")
+      .withColumn("wa", split(col("ta"), " "))
+      .withColumn("wb", split(col("tb"), " "))
+      .withColumn("minlen", least(size(col("wa")), size(col("wb"))).cast("long"))
+      .withColumn("mism",
+        expr("array_position(zip_with(slice(wa, 1, int(minlen)), slice(wb, 1, int(minlen)), (x, y) -> x = y), false)"))
+      .withColumn("lcp_words",
+        when(col("mism") === 0, col("minlen")).otherwise(col("mism") - 1))
+      .withColumn("family_type",
+        when(col("n_bodies") === 1, lit("exact_dup")).otherwise(lit("template")))
+      .withColumn("ratio", round(
+        col("lcp_words").cast("double") / col("minlen").cast("double"), 9))
+      .groupBy("family_type")
+      .agg(count(lit(1)).as("n_families"),
+        round(sum(col("ratio").cast("decimal(30,10)")).cast("double")
+          / count(lit(1)), 9).as("mean_boilerplate_ratio"),
+        round(min("ratio"), 9).as("min_ratio"),
+        round(max("ratio"), 9).as("max_ratio"))
+      .orderBy("family_type")
+  }
+  val t33Sql: String =
+    """WITH k AS (SELECT doc_id, text,
+             md5(array_to_string(string_split(trim(text), ' ')[1:10], ' '))
+               AS title_h,
+             md5(text) AS body_h
+           FROM documents),
+      reps AS (SELECT title_h, ta, tb FROM (
+                 SELECT title_h,
+                   MIN(CASE WHEN rn = 1 THEN text END) AS ta,
+                   MIN(CASE WHEN rn = 2 THEN text END) AS tb,
+                   MAX(rn) AS max_rn
+                 FROM (SELECT title_h, text,
+                         row_number() OVER (PARTITION BY title_h
+                                            ORDER BY doc_id) AS rn
+                       FROM k) r WHERE rn <= 2 GROUP BY 1)
+               WHERE max_rn = 2),
+      fams AS (SELECT title_h, COUNT(*) AS n_docs,
+                 CAST(COUNT(DISTINCT body_h) AS BIGINT) AS n_bodies
+               FROM k GROUP BY 1 HAVING COUNT(*) >= 2),
+      lc AS (SELECT f.title_h, n_bodies,
+               least(len(string_split(ta, ' ')), len(string_split(tb, ' ')))
+                 AS minlen,
+               list_position(list_transform(
+                 range(1, least(len(string_split(ta, ' ')),
+                                len(string_split(tb, ' '))) + 1),
+                 i -> string_split(ta, ' ')[i] = string_split(tb, ' ')[i]),
+                 false) AS mism
+             FROM fams f JOIN reps USING (title_h)),
+      pr AS (SELECT title_h,
+               CASE WHEN n_bodies = 1 THEN 'exact_dup' ELSE 'template' END
+                 AS family_type,
+               round(CAST(CASE WHEN mism IS NULL OR mism = 0 THEN minlen
+                               ELSE mism - 1 END AS DOUBLE)
+                     / CAST(minlen AS DOUBLE), 9) AS ratio
+             FROM lc)
+      SELECT family_type, COUNT(*) AS n_families,
+             round(CAST(SUM(CAST(ratio AS DECIMAL(30,10))) AS DOUBLE)
+                   / COUNT(*), 9) AS mean_boilerplate_ratio,
+             round(MIN(ratio), 9) AS min_ratio,
+             round(MAX(ratio), 9) AS max_ratio
+      FROM pr GROUP BY 1 ORDER BY family_type"""
+
   val queries: Map[String, Q] = Map(
+    "t33_template_slots"    -> t33_template_slots,
     "t32_entropy_rate"      -> t32_entropy_rate,
     "t31_source_stylometry" -> t31_source_stylometry,
     "t23_pmi_collocations" -> t23_pmi_collocations,
@@ -567,6 +663,7 @@ object TextAnalysis9 {
     "t30_ccnet_buckets"    -> t30Sql,
     "t31_source_stylometry" -> t31Sql,
     "t32_entropy_rate"      -> t32Sql,
+    "t33_template_slots"    -> t33Sql,
     "t24_lang_confusion"   -> t24Sql,
     "t25_boilerplate"      -> t25Sql,
     "t26_encoding_audit"   -> t26Sql,

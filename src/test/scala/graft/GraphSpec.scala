@@ -1625,6 +1625,51 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("t33 template slots: exact dups fully boilerplate, ratios in (0,1]") {
+    val rows = operators.TextAnalysis9.t33_template_slots(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mn, mean, mx) = (r.getAs[Double]("min_ratio"),
+        r.getAs[Double]("mean_boilerplate_ratio"), r.getAs[Double]("max_ratio"))
+      assert(mn > 0.0 && mx <= 1.0 && mn <= mean && mean <= mx)
+      if (r.getAs[String]("family_type") == "exact_dup")
+        assert(mn == 1.0, "identical bodies share everything")
+    }
+  }
+
+  test("e51 elasticity: r2 in [0,1], slope finite, every type fitted") {
+    val rows = operators.Events7.e51_elasticity(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9, s"r2=$r2")
+      assert(!r.getAs[Double]("slope").isNaN)
+      assert(r.getAs[Long]("n_days") >= 3)
+    }
+  }
+
+  test("q103 top-percent cover: minimal prefix, coverage reached, ranks dense") {
+    val rows = operators.Relational13.q103_top_percent_cover(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Number]("nation").longValue).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to sorted.length).toSeq, "prefix must be dense from rank 1")
+      // last kept row reaches coverage; all prior rows are below it
+      assert(sorted.last.getAs[Double]("cum_share") >= 0.10 - 1e-9 ||
+        sorted.length == g.head.getAs[Long]("n_cust"),
+        "prefix stops once 10% coverage is reached (or corpus exhausted)")
+      sorted.dropRight(1).foreach(r =>
+        assert(r.getAs[Double]("cum_share") < 0.10 + 1e-9 ||
+          r.getAs[Double]("cum_share") <= sorted.last.getAs[Double]("cum_share")))
+      // revenues inside the prefix are non-increasing
+      sorted.map(_.getAs[Double]("revenue")).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(b <= a)
+        case _ =>
+      }
+    }
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
