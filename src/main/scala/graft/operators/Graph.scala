@@ -593,7 +593,79 @@ object Graph {
       SELECT cluster_id, n_members, m_in, d_tot, q_contrib, modularity
       FROM per CROSS JOIN qt ORDER BY cluster_id"""
 
+  // ---- g09: degree assortativity (do hubs link to hubs?) ----
+  // Pearson correlation of endpoint degrees over the edge list — the
+  // diagnostic that decides whether hub-capping (g06's maxDegree) and
+  // skew salting actually matter: disassortative graphs (hubs link to
+  // leaves, r < 0) concentrate wedge work in hubs; assortative ones
+  // spread it. Each undirected edge contributes BOTH orientations (the
+  // standard Newman convention, making the correlation symmetric).
+  // Exact int64 degree moments, closed form in doubles rounded 1e-9;
+  // the edge build is the only fact-scale stage.
+  val g09_assortativity: Q = (s, d) => {
+    val edges = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+             transform(slice(ps, i + 2, size(ps)),
+               y -> struct(x AS a, y AS b))))""")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select("a", "b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.select(col("a").as("n"))
+      .unionAll(edges.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val dir = edges.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(edges.select(col("b").as("x"), col("a").as("y")))
+    val pairs = dir
+      .join(deg.select(col("n").as("x"), col("deg").as("dx")), "x")
+      .join(deg.select(col("n").as("y"), col("deg").as("dy")), "y")
+    pairs.agg(count(lit(1)).as("m2"),
+        sum(col("dx").cast("decimal(30,0)")).as("sx"),
+        sum(col("dy").cast("decimal(30,0)")).as("sy"),
+        sum((col("dx") * col("dy")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("dx") * col("dx")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("dy") * col("dy")).cast("decimal(38,0)")).as("syy"))
+      .select(col("m2").as("n_edge_ends"),
+        round((col("m2").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / (sqrt(col("m2").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+            * sqrt(col("m2").cast("double") * col("syy").cast("double")
+              - col("sy").cast("double") * col("sy").cast("double"))), 9)
+          .as("assortativity"))
+  }
+  val g09Sql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                   FROM lineitem),
+      e AS (SELECT x.pk AS a, y.pk AS b
+            FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      deg AS (SELECT n, COUNT(*) AS deg FROM (
+                SELECT a AS n FROM e UNION ALL SELECT b FROM e) u GROUP BY 1),
+      dir AS (SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e),
+      pr AS (SELECT dx.deg AS dx, dy.deg AS dy
+             FROM dir JOIN deg dx ON dx.n = dir.x
+                      JOIN deg dy ON dy.n = dir.y),
+      m AS (SELECT COUNT(*) AS m2,
+              CAST(SUM(CAST(dx AS DECIMAL(30,0))) AS DOUBLE) AS sx,
+              CAST(SUM(CAST(dy AS DECIMAL(30,0))) AS DOUBLE) AS sy,
+              CAST(SUM(CAST(dx * dy AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+              CAST(SUM(CAST(dx * dx AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+              CAST(SUM(CAST(dy * dy AS DECIMAL(38,0))) AS DOUBLE) AS syy
+            FROM pr)
+      SELECT m2 AS n_edge_ends,
+             round((CAST(m2 AS DOUBLE) * sxy - sx * sy)
+                   / (sqrt(CAST(m2 AS DOUBLE) * sxx - sx * sx)
+                      * sqrt(CAST(m2 AS DOUBLE) * syy - sy * sy)), 9)
+               AS assortativity
+      FROM m"""
+
   val queries: Map[String, Q] = Map(
+    "g09_assortativity"   -> g09_assortativity,
     "g08_modularity"      -> g08_modularity,
     "g07_cf_recommend"    -> g07_cf_recommend,
     "g06_link_prediction" -> g06_link_prediction,
@@ -604,6 +676,7 @@ object Graph {
     "g04_cc"         -> g04_cc,
   )
   val oracles: Map[String, String] = Map(
+    "g09_assortativity"   -> g09Sql,
     "g08_modularity"      -> g08Sql,
     "g07_cf_recommend"    -> g07Sql,
     "g06_link_prediction" -> g06Sql,

@@ -1017,7 +1017,54 @@ object Similarity2 {
              round(cum_var / tot_var, 9) AS cum_energy
       FROM rk CROSS JOIN tot ORDER BY rank"""
 
+  // ---- s20: metadata-filtered vector search ----
+  // THE vector-database feature plain ANN benchmarks skip: top-k under
+  // a metadata predicate (here: candidates must carry a DIFFERENT
+  // label than the query — the "recommend outside the user's own
+  // cluster" shape). The engine point is WHERE the filter runs:
+  // pushed BEFORE scoring, so the scan scores only qualifying vectors
+  // (predicate + column pruning reach the parquet scan; a post-filter
+  // top-k would have to over-fetch k·selectivity⁻¹ candidates and
+  // still might starve). Exact brute-force over the filtered
+  // candidate set — the oracle any filtered-ANN variant re-ranks
+  // against; ranking on ROUNDED cosine with id tie-break.
+  val s20_filtered_knn: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("vec_id"))
+    e.select(col("vec_id"), col("embedding").as("ce"), col("label"))
+      .join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .filter(col("label") =!= col("qlabel"))
+      .withColumn("cosine",
+        round(graft.functions.cosine_sim(col("qe"), col("ce")), 9))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("vec_id"),
+        col("label"), col("cosine"))
+      .orderBy("qid", "rank")
+  }
+  val s20Sql: String =
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe,
+               label AS qlabel
+             FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce, label
+            FROM embeddings),
+      p AS (SELECT qid, vec_id, label,
+              round(list_dot_product(qe, ce)
+                / (sqrt(list_dot_product(qe, qe))
+                   * sqrt(list_dot_product(ce, ce))), 9) AS cosine
+            FROM q JOIN c ON vec_id <> qid
+            WHERE label <> qlabel)
+      SELECT qid, rank, vec_id, label, cosine FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+        FROM p) WHERE rank <= 5
+      ORDER BY qid, rank"""
+
   val queries: Map[String, Q] = Map(
+    "s20_filtered_knn"      -> s20_filtered_knn,
     "s19_dim_screen"        -> s19_dim_screen,
     "s18_reassignment_rate" -> s18_reassignment_rate,
     "s17_nprobe_recall"   -> s17_nprobe_recall,
@@ -1035,6 +1082,7 @@ object Similarity2 {
     "s13_radius_search"  -> s13_radius_search,
   )
   val oracles: Map[String, String] = Map(
+    "s20_filtered_knn"      -> s20Sql,
     "s19_dim_screen"        -> s19Sql,
     "s18_reassignment_rate" -> s18Sql,
     "s17_nprobe_recall"   -> s17Sql,

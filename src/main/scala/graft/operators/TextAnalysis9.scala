@@ -643,7 +643,48 @@ object TextAnalysis9 {
              round(MAX(ratio), 9) AS max_ratio
       FROM pr GROUP BY 1 ORDER BY family_type"""
 
+  // ---- t34: cross-language template census ----
+  // The same doc OPENING (first-10-words template key, t28's family
+  // hash) carrying DIFFERENT language tags: either a lang-ID/routing
+  // failure, or shared boilerplate shipped into every language shard —
+  // both things a multilingual pipeline must know, because the same
+  // template then leaks into every language's token budget and its
+  // dedup family is split across language shards. One 16-byte prefix
+  // hash (payloads never shuffle), per-key distinct-lang set, and the
+  // (lang_a, lang_b) confusion census (in-row pair expansion of the
+  // sorted lang set — bounded by language count, never key×key).
+  val t34_lang_inconsistency: Q = (s, d) => {
+    val hashed = Tables.documents(s, d)
+      .select(md5(expr(
+        "concat_ws(' ', slice(split(trim(text), ' '), 1, 10))")).as("h"),
+        col("lang"))
+    val perBody = hashed.distinct()
+      .groupBy("h")
+      .agg(sort_array(collect_set(col("lang"))).as("langs"))
+      .filter(size(col("langs")) >= 2)
+    perBody
+      .select(explode(expr(
+        """flatten(transform(langs, (x, i) ->
+             transform(slice(langs, i + 2, size(langs)),
+               y -> struct(x AS lang_a, y AS lang_b))))""")).as("p"))
+      .groupBy(col("p.lang_a").as("lang_a"), col("p.lang_b").as("lang_b"))
+      .agg(count(lit(1)).as("n_bodies"))
+      .orderBy("lang_a", "lang_b")
+  }
+  val t34Sql: String =
+    """WITH h AS (SELECT DISTINCT
+             md5(array_to_string(string_split(trim(text), ' ')[1:10], ' '))
+               AS h, lang
+           FROM documents),
+      pb AS (SELECT h FROM h GROUP BY h HAVING COUNT(DISTINCT lang) >= 2),
+      pairs AS (SELECT x.lang AS lang_a, y.lang AS lang_b
+                FROM h x JOIN h y ON x.h = y.h AND x.lang < y.lang
+                WHERE x.h IN (SELECT h FROM pb))
+      SELECT lang_a, lang_b, COUNT(*) AS n_bodies
+      FROM pairs GROUP BY 1, 2 ORDER BY lang_a, lang_b"""
+
   val queries: Map[String, Q] = Map(
+    "t34_lang_inconsistency" -> t34_lang_inconsistency,
     "t33_template_slots"    -> t33_template_slots,
     "t32_entropy_rate"      -> t32_entropy_rate,
     "t31_source_stylometry" -> t31_source_stylometry,
@@ -664,6 +705,7 @@ object TextAnalysis9 {
     "t31_source_stylometry" -> t31Sql,
     "t32_entropy_rate"      -> t32Sql,
     "t33_template_slots"    -> t33Sql,
+    "t34_lang_inconsistency" -> t34Sql,
     "t24_lang_confusion"   -> t24Sql,
     "t25_boilerplate"      -> t25Sql,
     "t26_encoding_audit"   -> t26Sql,

@@ -1670,6 +1670,42 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("s20 filtered knn: predicate honored, ranks dense, cosine descending") {
+    val rows = operators.Similarity2.s20_filtered_knn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val qLabels = Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (qid, g) =>
+      assert(g.length == 5)
+      g.foreach(r => assert(r.getAs[Int]("label") != qLabels(qid),
+        "filter must exclude the query's own label"))
+      val sorted = g.sortBy(_.getAs[Long]("rank"))
+      sorted.map(_.getAs[Double]("cosine")).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(b <= a)
+        case _ =>
+      }
+    }
+  }
+
+  test("t34 cross-language templates: pairs ordered, counts positive") {
+    val rows = operators.TextAnalysis9.t34_lang_inconsistency(spark, sf).collect()
+    assert(rows.nonEmpty, "corpus has cross-lang shared openings")
+    rows.foreach { r =>
+      assert(r.getAs[String]("lang_a") < r.getAs[String]("lang_b"))
+      assert(r.getAs[Long]("n_bodies") >= 1)
+    }
+  }
+
+  test("g09 assortativity: coefficient in [-1,1]") {
+    val rows = operators.Graph.g09_assortativity(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head.getAs[Double]("assortativity")
+    assert(r >= -1.0 - 1e-9 && r <= 1.0 + 1e-9, s"r=$r")
+    assert(rows.head.getAs[Long]("n_edge_ends") % 2 == 0,
+      "both orientations of every edge")
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
