@@ -851,7 +851,77 @@ object Dedup5 {
       WHERE strpos(da.text, db.text) > 0
       ORDER BY container_doc, contained_doc"""
 
+  // ---- d37: shingle-join cost model (q102's discipline for dedup) ----
+  // The pre-flight estimate before ANY shared-shingle pair join runs at
+  // 100 TB: candidate volume = Σ_g df(g)·(df(g)−1)/2 over the gram
+  // document frequencies — computable from ONE gram-count pass, no
+  // pair join needed. Next to it, calibration numbers this corpus
+  // yields: the distinct candidate pairs the join actually forms and
+  // the verified near-dup pairs that survive, with expansion (est /
+  // distinct — how much the multiplicity overcounts) and yield
+  // (verified/distinct — how selective verification is). The estimate
+  // column is what a shard planner reads; the calibration columns are
+  // the q102-style proof the estimator tracks reality.
+  val d37_pairjoin_cost_model: Q = (s, d) => {
+    val shingled = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(
+             sequence(1, greatest(size(words) - 2, 0)),
+             i -> xxhash64(concat_ws(' ', slice(words, i, 3)))))""")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val est = shingled.groupBy("sh").agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum("df").as("n_postings"),
+        sum(expr("CAST(df * (df - 1) div 2 AS DECIMAL(38,0))"))
+          .cast("long").as("est_candidates"))
+    val x = shingled.select(col("doc_id").as("da"), col("sh"))
+    val y = shingled.select(col("doc_id").as("db"), col("sh"))
+    val distinctPairs = x.join(y, "sh").where(col("da") < col("db"))
+      .select("da", "db").distinct()
+      .agg(count(lit(1)).as("n_distinct_pairs"))
+    val verified = Dedup.verifiedPairs(s, d)
+      .agg(count(lit(1)).as("n_verified_pairs"))
+    est.crossJoin(broadcast(distinctPairs)).crossJoin(broadcast(verified))
+      .withColumn("expansion", round(
+        col("est_candidates").cast("double")
+          / col("n_distinct_pairs").cast("double"), 9))
+      .withColumn("yield_rate", round(
+        col("n_verified_pairs").cast("double")
+          / col("n_distinct_pairs").cast("double"), 9))
+  }
+  val d37Sql: String =
+    """WITH w AS (SELECT doc_id, generate_subscripts(string_split(text,' '),1) i,
+                       unnest(string_split(text,' ')) w FROM documents),
+      g AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+            FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.i=a.i+1
+                     JOIN w c ON c.doc_id=a.doc_id AND c.i=a.i+2),
+      dd AS (SELECT DISTINCT doc_id, sh FROM g),
+      dfs AS (SELECT sh, COUNT(*) AS df FROM dd GROUP BY 1),
+      est AS (SELECT COUNT(*) AS n_grams,
+                CAST(SUM(df) AS BIGINT) AS n_postings,
+                CAST(SUM(CAST(df * (df - 1) // 2 AS DECIMAL(38,0))) AS BIGINT)
+                  AS est_candidates
+              FROM dfs),
+      dp AS (SELECT COUNT(*) AS n_distinct_pairs FROM (
+               SELECT DISTINCT x.doc_id da, y.doc_id db
+               FROM dd x JOIN dd y ON x.sh = y.sh AND x.doc_id < y.doc_id)),
+      sizes AS (SELECT doc_id, count(*) n FROM dd GROUP BY doc_id),
+      pairs AS (SELECT x.doc_id da, y.doc_id db, count(*) shared
+                FROM dd x JOIN dd y ON x.sh=y.sh AND x.doc_id<y.doc_id GROUP BY 1,2),
+      vp AS (SELECT COUNT(*) AS n_verified_pairs
+             FROM pairs JOIN sizes sa ON da=sa.doc_id JOIN sizes sb ON db=sb.doc_id
+             WHERE CAST(shared AS DOUBLE)/(sa.n+sb.n-shared) >= 0.5)
+      SELECT n_grams, n_postings, est_candidates, n_distinct_pairs,
+             n_verified_pairs,
+             round(CAST(est_candidates AS DOUBLE)
+                   / CAST(n_distinct_pairs AS DOUBLE), 9) AS expansion,
+             round(CAST(n_verified_pairs AS DOUBLE)
+                   / CAST(n_distinct_pairs AS DOUBLE), 9) AS yield_rate
+      FROM est CROSS JOIN dp CROSS JOIN vp"""
+
   val queries: Map[String, Q] = Map(
+    "d37_pairjoin_cost_model" -> d37_pairjoin_cost_model,
     "d36_substring_dedup"  -> d36_substring_dedup,
     "d35_threshold_frontier" -> d35_threshold_frontier,
     "d34_survivor_bias"    -> d34_survivor_bias,
@@ -867,6 +937,7 @@ object Dedup5 {
     "d29_dedup_impact"     -> d29_dedup_impact,
   )
   val oracles: Map[String, String] = Map(
+    "d37_pairjoin_cost_model" -> d37Sql,
     "d36_substring_dedup"  -> d36Sql,
     "d35_threshold_frontier" -> d35Sql,
     "d34_survivor_bias"    -> d34Sql,

@@ -627,7 +627,75 @@ object Relational13 {
       WHERE cum_before * 10 < nat_rev
       ORDER BY nation, rank"""
 
+  // ---- q104: incremental JOIN-view maintenance (merge == recompute) ----
+  // q92 proves delta maintenance for an AGGREGATE view; this proves it
+  // for a JOIN view — the per-nation revenue rollup over orders⋈customer.
+  // With a static dimension the general two-sided delta Δ(A⋈B) =
+  // ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB collapses to ΔA⋈B (FK join, ΔB = ∅), so the
+  // refresh is: aggregate ONLY the delta batch through the same join,
+  // then merge partial aggregates (counts add, decimal sums add — both
+  // associative). The output shows the incrementally-maintained view
+  // and the full recompute side by side with a per-row match verdict —
+  // the correctness contract an IVM engine must exhibit. At 100 TB the
+  // win is the whole point: the refresh touches |Δ|, not |A|.
+  val q104_join_view_delta: Q = (s, d) => {
+    import org.apache.spark.sql.types.DecimalType
+    val bucket = conv(substring(md5(col("o_orderkey").cast("string")), 1, 2), 16, 10)
+      .cast("int") % 10
+    val orders = Tables.orders(s, d).withColumn("b", bucket)
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"))
+    def agg(o: DataFrame): DataFrame = o
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(30, 6))).as("rev"))
+    val baseView = agg(orders.filter(col("b") <= 7))
+    val deltaView = agg(orders.filter(col("b") > 7))
+    val incremental = baseView
+      .select(col("nation"), col("n"), col("rev"))
+      .unionAll(deltaView.select(col("nation"), col("n"), col("rev")))
+      .groupBy("nation")
+      .agg(sum("n").as("inc_n"), sum("rev").as("inc_rev"))
+    val recompute = agg(orders)
+      .select(col("nation"), col("n").as("rec_n"), col("rev").as("rec_rev"))
+    incremental.join(recompute, Seq("nation"), "full_outer")
+      .select(col("nation"),
+        col("inc_n"), round(col("inc_rev").cast("double"), 6).as("inc_rev"),
+        col("rec_n"), round(col("rec_rev").cast("double"), 6).as("rec_rev"))
+      .withColumn("matches",
+        col("inc_n") === col("rec_n") && col("inc_rev") === col("rec_rev"))
+      .orderBy("nation")
+  }
+  val q104Sql: String =
+    """WITH o AS (SELECT o_custkey, o_totalprice,
+             ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2))::INT % 10 AS b
+           FROM orders),
+      base AS (SELECT c_nationkey AS nation, COUNT(*) AS n,
+                 SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS rev
+               FROM o JOIN customer ON o_custkey = c_custkey
+               WHERE b <= 7 GROUP BY 1),
+      delta AS (SELECT c_nationkey AS nation, COUNT(*) AS n,
+                  SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS rev
+                FROM o JOIN customer ON o_custkey = c_custkey
+                WHERE b > 7 GROUP BY 1),
+      inc AS (SELECT nation, CAST(SUM(n) AS BIGINT) AS inc_n,
+                SUM(rev) AS inc_rev
+              FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+              GROUP BY 1),
+      rec AS (SELECT c_nationkey AS nation, COUNT(*) AS rec_n,
+                SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS rec_rev
+              FROM o JOIN customer ON o_custkey = c_custkey GROUP BY 1)
+      SELECT nation, inc_n, round(CAST(inc_rev AS DOUBLE), 6) AS inc_rev,
+             rec_n, round(CAST(rec_rev AS DOUBLE), 6) AS rec_rev,
+             inc_n = rec_n
+               AND round(CAST(inc_rev AS DOUBLE), 6)
+                   = round(CAST(rec_rev AS DOUBLE), 6) AS matches
+      FROM inc FULL OUTER JOIN rec USING (nation)
+      ORDER BY nation"""
+
   val queries: Map[String, Q] = Map(
+    "q104_join_view_delta"    -> q104_join_view_delta,
     "q103_top_percent_cover"  -> q103_top_percent_cover,
     "q102_join_size_estimate" -> q102_join_size_estimate,
     "q97_calendar_dim"    -> q97_calendar_dim,
@@ -641,6 +709,7 @@ object Relational13 {
     "q96_top_movers"      -> q96_top_movers,
   )
   val oracles: Map[String, String] = Map(
+    "q104_join_view_delta"    -> q104Sql,
     "q103_top_percent_cover"  -> q103Sql,
     "q102_join_size_estimate" -> q102Sql,
     "q97_calendar_dim"    -> q97Sql,

@@ -1706,6 +1706,30 @@ class GraphSpec extends AnyFunSuite {
       "both orientations of every edge")
   }
 
+  test("d37 cost model: estimate upper-bounds distinct pairs, yield <= 1") {
+    val rows = operators.Dedup5.d37_pairjoin_cost_model(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val (est, dist, ver) = (r.getAs[Long]("est_candidates"),
+      r.getAs[Long]("n_distinct_pairs"), r.getAs[Long]("n_verified_pairs"))
+    // multiplicity-counted volume can only exceed the distinct pair set
+    assert(est >= dist && dist >= ver && ver >= 0)
+    assert(r.getAs[Double]("expansion") >= 1.0)
+    val y = r.getAs[Double]("yield_rate")
+    assert(y >= 0.0 && y <= 1.0)
+    assert(r.getAs[Long]("n_postings") >= r.getAs[Long]("n_grams"))
+  }
+
+  test("q104 join-view delta: every nation matches, both paths total equally") {
+    val rows = operators.Relational13.q104_join_view_delta(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("matches"),
+        s"IVM mismatch on nation ${r.get(0)}")
+      assert(r.getAs[Long]("inc_n") == r.getAs[Long]("rec_n"))
+    }
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
