@@ -712,7 +712,119 @@ object CorpusPipeline {
         FROM sz CROSS JOIN cp)
       ORDER BY method"""
 
+  // ---- p15: cleaning-pipeline stage ledger ----
+  // The funnel table every corpus release ships: docs and bytes
+  // surviving each cleaning stage (raw → quality filter → exact dedup
+  // → near-dedup), with per-stage drop counts, drop rates, and
+  // cumulative yield — p01 emits the cleaned ROWS, this emits the
+  // LEDGER that explains where the other 34% went. Stage logic is
+  // p01's verbatim (same predicates, same keeper rule, same
+  // strategy-routed pair join); per-stage stats are one combinable
+  // aggregate each over frames the pipeline already materializes, and
+  // the 4-row ledger math runs in a boundedSingleGroup window.
+  val p15_stage_ledger: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val raw = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val qf = raw
+      .withColumn("n_chars_m", length(col("text")).cast("long"))
+      .withColumn("n_words", size(split(trim(col("text")), " ")).cast("long"))
+      .withColumn("n_alnum",
+        length(regexp_replace(col("text"), "[^A-Za-z0-9]", "")).cast("long"))
+      .withColumn("quality",
+        lit(0.5) * least(lit(1.0), col("n_words").cast("double") / 100.0)
+          + lit(0.5) * (col("n_alnum").cast("double") / col("n_chars_m")))
+      .filter(col("quality") >= 0.6)
+      .select(col("doc_id"), col("text"))
+      .persist(MEMORY_AND_DISK)
+    val keepers = qf.select(md5(expr(normExpr)).as("h"), col("doc_id"))
+      .groupBy("h").agg(min("doc_id").as("keeper")).select(col("keeper"))
+    val ed = qf.join(keepers, col("doc_id") === col("keeper"), "left_semi")
+      .persist(MEMORY_AND_DISK)
+    val doomed = graft.api.GraftOps
+      .nearDupPairs(ed, col("doc_id"), col("text"), 0.5, strategy = "session")
+      .select(col("id_b").as("doomed_id")).distinct()
+    val nd = ed.join(doomed, col("doc_id") === col("doomed_id"), "left_anti")
+    def stat(df: DataFrame, name: String): DataFrame = df
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("total_chars"))
+      .select(lit(name).as("stage"), col("n_docs"), col("total_chars"))
+    val ledger = stat(raw, "0_raw")
+      .unionAll(stat(qf, "1_quality"))
+      .unionAll(stat(ed, "2_exact_dedup"))
+      .unionAll(stat(nd, "3_near_dedup"))
+    val g = graft.api.GraftOps.boundedSingleGroup(ledger)
+    val w = Window.partitionBy("__g").orderBy("stage")
+    g.withColumn("prev_docs", lag("n_docs", 1).over(w))
+      .withColumn("raw_docs", first("n_docs").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("dropped_from_prev", col("prev_docs") - col("n_docs"))
+      .withColumn("drop_rate",
+        when(col("prev_docs").isNotNull, round(
+          (col("prev_docs") - col("n_docs")).cast("double")
+            / col("prev_docs").cast("double"), 9)))
+      .withColumn("cum_yield", round(
+        col("n_docs").cast("double") / col("raw_docs").cast("double"), 9))
+      .select(col("stage"), col("n_docs"), col("total_chars"),
+        col("dropped_from_prev"), col("drop_rate"), col("cum_yield"))
+      .orderBy("stage")
+  }
+  val p15Sql: String =
+    """WITH q AS (
+        SELECT doc_id, text,
+               0.5 * least(1.0, CAST(n_words AS DOUBLE) / 100.0)
+                 + 0.5 * (CAST(n_alnum AS DOUBLE) / n_chars_m) AS quality
+        FROM (SELECT doc_id, text,
+                CAST(length(text) AS BIGINT) AS n_chars_m,
+                len(string_split(trim(text), ' ')) AS n_words,
+                CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS BIGINT) AS n_alnum
+              FROM documents) a),
+      qf AS (SELECT doc_id, text FROM q WHERE quality >= 0.6),
+      ed AS (SELECT doc_id, text FROM (
+               SELECT *, row_number() OVER (
+                 PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                 ORDER BY doc_id) AS rn
+               FROM qf) t WHERE rn = 1),
+      w AS (SELECT doc_id, generate_subscripts(string_split(text,' '),1) i,
+                   unnest(string_split(text,' ')) w FROM ed),
+      g AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+            FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.i=a.i+1
+                     JOIN w c ON c.doc_id=a.doc_id AND c.i=a.i+2),
+      dd AS (SELECT DISTINCT doc_id, sh FROM g),
+      sizes AS (SELECT doc_id, count(*) n FROM dd GROUP BY doc_id),
+      doomed AS (SELECT DISTINCT y.doc_id AS doomed_id
+                 FROM dd x JOIN dd y ON x.sh=y.sh AND x.doc_id<y.doc_id
+                 JOIN sizes sa ON x.doc_id=sa.doc_id
+                 JOIN sizes sb ON y.doc_id=sb.doc_id
+                 GROUP BY x.doc_id, y.doc_id, sa.n, sb.n
+                 HAVING CAST(count(*) AS DOUBLE)/(sa.n+sb.n-count(*)) >= 0.5),
+      nd AS (SELECT doc_id, text FROM ed
+             WHERE doc_id NOT IN (SELECT doomed_id FROM doomed)),
+      led AS (
+        SELECT '0_raw' AS stage, COUNT(*) AS n_docs,
+               CAST(SUM(length(text)) AS BIGINT) AS total_chars FROM documents
+        UNION ALL SELECT '1_quality', COUNT(*),
+               CAST(SUM(length(text)) AS BIGINT) FROM qf
+        UNION ALL SELECT '2_exact_dedup', COUNT(*),
+               CAST(SUM(length(text)) AS BIGINT) FROM ed
+        UNION ALL SELECT '3_near_dedup', COUNT(*),
+               CAST(SUM(length(text)) AS BIGINT) FROM nd),
+      lg AS (SELECT stage, n_docs, total_chars,
+               lag(n_docs) OVER (ORDER BY stage) AS prev_docs,
+               first_value(n_docs) OVER (ORDER BY stage
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS raw_docs
+             FROM led)
+      SELECT stage, n_docs, total_chars,
+             prev_docs - n_docs AS dropped_from_prev,
+             CASE WHEN prev_docs IS NOT NULL THEN
+               round(CAST(prev_docs - n_docs AS DOUBLE)
+                     / CAST(prev_docs AS DOUBLE), 9) END AS drop_rate,
+             round(CAST(n_docs AS DOUBLE) / CAST(raw_docs AS DOUBLE), 9)
+               AS cum_yield
+      FROM lg ORDER BY stage"""
+
   val queries: Map[String, Q] = Map(
+    "p15_stage_ledger"     -> p15_stage_ledger,
     "p14_leakage_split"    -> p14_leakage_split,
     "p13_shard_interleave" -> p13_shard_interleave,
     "p01_corpus_clean"     -> p01_corpus_clean,
@@ -737,5 +849,6 @@ object CorpusPipeline {
     "p09_temperature_mix"  -> p09Sql,
     "p12_decontaminate"    -> p12Sql,
     "p13_shard_interleave" -> p13Sql,
-    "p14_leakage_split"    -> p14Sql)
+    "p14_leakage_split"    -> p14Sql,
+    "p15_stage_ledger"     -> p15Sql)
 }

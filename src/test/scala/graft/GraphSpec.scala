@@ -1730,6 +1730,25 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("p15 stage ledger: monotone shrink, ledger consistent with p01") {
+    val rows = operators.CorpusPipeline.p15_stage_ledger(spark, sf).collect()
+    assert(rows.length == 4)
+    val byStage = rows.sortBy(_.getAs[String]("stage"))
+    byStage.map(_.getAs[Long]("n_docs")).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a, "stages only drop docs")
+      case _ =>
+    }
+    // the final stage's survivors are exactly p01's output rows
+    val p01Rows = operators.CorpusPipeline.p01_corpus_clean(spark, sf).count()
+    assert(byStage.last.getAs[Long]("n_docs") == p01Rows)
+    assert(byStage.head.getAs[Double]("cum_yield") == 1.0)
+    byStage.tail.foreach { r =>
+      assert(r.getAs[Long]("dropped_from_prev") >= 0)
+      val dr = r.getAs[Double]("drop_rate")
+      assert(dr >= 0.0 && dr < 1.0)
+    }
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
