@@ -53,6 +53,10 @@ def _col(spark, name):
     return _jvm(spark).org.apache.spark.sql.functions.col(name)
 
 
+def _col_expr(spark, sql_expr):
+    return _jvm(spark).org.apache.spark.sql.functions.expr(sql_expr)
+
+
 def _graft_ops(spark):
     return _jvm(spark).graft.api.GraftOps
 
@@ -110,6 +114,49 @@ def kmeans(spark, df, id_col, vec_col, k, iters=2):
 def global_top_k(spark, df, score_col, tie_col, k):
     """Exact global top-k with rank, without a single-task sort."""
     jdf = _graft_ops(spark).globalTopK(df._jdf, score_col, tie_col, int(k))
+    return _wrap(spark, jdf)
+
+
+def fd_audit(spark, df, det_col, dep_col, label):
+    """Functional-dependency audit: does det determine dep?
+
+    Returns (candidate, n_det, n_violating, max_fanout, holds).
+    """
+    jdf = _graft_ops(spark).fdAudit(
+        df._jdf, _col(spark, det_col), _col(spark, dep_col), label)
+    return _wrap(spark, jdf)
+
+
+def conversion_hazard(spark, df, entity_col, ts_col, is_conversion_expr,
+                      max_days=14):
+    """Censored discrete time-to-conversion hazard curve.
+
+    ``is_conversion_expr`` is a SQL boolean expression over the frame,
+    e.g. "event_type = 'purchase'".
+    """
+    jdf = _graft_ops(spark).conversionHazard(
+        df._jdf, _col(spark, entity_col), _col(spark, ts_col),
+        _col_expr(spark, is_conversion_expr), int(max_days))
+    return _wrap(spark, jdf)
+
+
+def link_predict(spark, edges_df, a_col, b_col, top_k=15,
+                 max_degree=2147483647):
+    """Common-neighbor/Jaccard link prediction over an a<b edge frame.
+
+    ``max_degree`` caps per-vertex adjacency before the wedge join —
+    the dense-graph mitigation (SURVEY section 6); default = exact.
+    """
+    jdf = _graft_ops(spark).linkPredict(
+        edges_df._jdf, _col(spark, a_col), _col(spark, b_col),
+        int(top_k), int(max_degree))
+    return _wrap(spark, jdf)
+
+
+def shard_interleave(spark, df, id_col, group_col, n_shards=8):
+    """Deterministic source-interleaved shard assignment (adds 'shard')."""
+    jdf = _graft_ops(spark).shardInterleave(
+        df._jdf, _col(spark, id_col), _col(spark, group_col), int(n_shards))
     return _wrap(spark, jdf)
 
 

@@ -154,6 +154,15 @@ top = graft.global_top_k(spark, vocab, "n", "word", 5).orderBy("rank").collect()
 best = vocab.orderBy(F.desc("n"), "word").first()
 assert top[0].word == best.word and len(top) == 5
 
+# 5. round-4 verbs through the facade: FD audit + shard interleave
+fd = graft.fd_audit(spark, docs, "doc_id", "lang", "docs.id->lang").collect()
+assert len(fd) == 1 and fd[0].holds, "a primary key determines any column"
+sh = graft.shard_interleave(spark, docs, "doc_id", "source", 4)
+counts = sh.groupBy("shard").count().collect()
+assert len(counts) == 4 and max(c["count"] for c in counts) - \
+    min(c["count"] for c in counts) <= 20, "round-robin balance"
+
 print(f"PASS pysmoke: sql-functions, {len(out)}-row declarative job, "
-      f"{len(exact)} near-dup pairs (lsh == exact == TVF), top-k facade — all green")
+      f"{len(exact)} near-dup pairs (lsh == exact == TVF), top-k facade, "
+      f"fd-audit + shard-interleave verbs — all green")
 spark.stop()
