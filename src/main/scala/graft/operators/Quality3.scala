@@ -385,7 +385,47 @@ object Quality3 {
       FROM (SELECT * FROM pn UNION ALL SELECT * FROM pc)
       ORDER BY feature"""
 
+  // ---- v22: order-independent table fingerprints ----
+  // The replication-validation primitive: a content checksum of an
+  // entire table that any engine, any partitioning, any row order
+  // reproduces bit-for-bit — compare fingerprints after a migration /
+  // backfill / replica sync instead of shipping rows. Row digest =
+  // md5 of a canonical string encoding (engine-portable); table
+  // digest = bit_xor of the digest's first-16-hex-chars as int64 (XOR
+  // is commutative+associative → order-independent and map-side
+  // combinable; a 64-bit collision needs a crafted adversary, not a
+  // sync bug). One narrow scan per table, one 8-byte aggregate out.
+  val v22_table_fingerprint: Q = (s, d) => {
+    def fp(df: DataFrame, name: String, keyExpr: String): DataFrame = df
+      .select(expr(s"conv(substring(md5($keyExpr), 1, 15), 16, 10)")
+        .cast("decimal(38,0)").cast("long").as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("fingerprint"))
+      .select(lit(name).as("table_name"), col("n_rows"), col("fingerprint"))
+    fp(Tables.nation(s, d), "nation",
+        "concat_ws('|', n_nationkey, n_name, n_regionkey)")
+      .unionAll(fp(Tables.customer(s, d), "customer",
+        "concat_ws('|', c_custkey, c_name, c_nationkey, c_mktsegment)"))
+      .unionAll(fp(Tables.documents(s, d), "documents",
+        "concat_ws('|', doc_id, lang, source, n_chars)"))
+      .orderBy("table_name")
+  }
+  val v22Sql: String = {
+    def fpSql(table: String, key: String): String =
+      s"""SELECT '$table' AS table_name, COUNT(*) AS n_rows,
+            bit_xor(CAST(('0x' || substring(md5($key), 1, 15)) AS BIGINT))
+              AS fingerprint
+          FROM $table"""
+    Seq(
+      fpSql("nation", "concat_ws('|', n_nationkey, n_name, n_regionkey)"),
+      fpSql("customer",
+        "concat_ws('|', c_custkey, c_name, c_nationkey, c_mktsegment)"),
+      fpSql("documents", "concat_ws('|', doc_id, lang, source, n_chars)"))
+      .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY table_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "v22_table_fingerprint" -> v22_table_fingerprint,
     "v21_train_serve_skew" -> v21_train_serve_skew,
     "v20_volume_contracts" -> v20_volume_contracts,
     "v19_fd_audit"    -> v19_fd_audit,
@@ -395,6 +435,7 @@ object Quality3 {
     "v16_order_audit" -> v16_order_audit,
   )
   val oracles: Map[String, String] = Map(
+    "v22_table_fingerprint" -> v22Sql,
     "v21_train_serve_skew" -> v21Sql,
     "v20_volume_contracts" -> v20Sql,
     "v19_fd_audit"    -> v19Sql,

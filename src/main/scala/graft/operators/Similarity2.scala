@@ -1063,7 +1063,122 @@ object Similarity2 {
         FROM p) WHERE rank <= 5
       ORDER BY qid, rank"""
 
+  // ---- s21: dimension-pruned recall (what does s19's cut cost?) ----
+  // s19 ranks dimensions by variance; this measures what actually
+  // happens when an index keeps only the top-16 / top-32 of 64 dims:
+  // recall@5 of brute-force search in the PRUNED space against the
+  // full-space truth — the empirical justification (or refutation) of
+  // the prune before it ships. Determinism rides the s19/s17
+  // discipline end-to-end: decimal-exact variances pick the dim sets,
+  // pruned vectors are in-row array selections (narrow), cosines fold
+  // sequentially (the verified list_dot_product parity), rankings key
+  // on rounded scores with id tie-breaks. Both prune levels run in
+  // ONE plan via a 2-row broadcast dim-set table.
+  val s21_dim_prune_recall: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val mv = e.select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("double").cast(DecimalType(30, 10))).as("s1"),
+        sum((col("v").cast("double") * col("v").cast("double"))
+          .cast(DecimalType(30, 10))).as("s2"))
+      .withColumn("variance", round(
+        (col("n").cast("double") * col("s2").cast("double")
+          - col("s1").cast("double") * col("s1").cast("double"))
+          / (col("n").cast("double") * col("n").cast("double")), 9))
+    val ranked = graft.api.GraftOps.boundedSingleGroup(
+        mv.select(col("dim"), col("variance")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("__g").orderBy(desc("variance"), col("dim"))))
+    val kTable = {
+      import s.implicits._
+      Seq(16, 32).toDF("k_dims")
+    }
+    val dimSets = ranked.crossJoin(broadcast(kTable))
+      .filter(col("rank") <= col("k_dims"))
+      .groupBy("k_dims")
+      .agg(sort_array(collect_list(col("dim"))).as("dims"))
+    val base = e.crossJoin(broadcast(dimSets))
+      .withColumn("pe", expr("transform(dims, i -> embedding[i])"))
+    val q = base.filter(col("vec_id") < 5)
+      .select(col("k_dims"), col("vec_id").as("qid"), col("pe").as("pq"))
+    val c = base.select(col("k_dims"), col("vec_id"), col("pe").as("pc"))
+    val res = c.join(q, "k_dims")
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("cosine",
+        round(graft.functions.cosine_sim(col("pq"), col("pc")), 9))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("k_dims", "qid").orderBy(desc("cosine"), col("vec_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("k_dims"), col("qid"), col("vec_id"))
+    val truth = Similarity.s01_knn_brute(s, d).select(col("qid"), col("vec_id"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    res.join(truth.withColumn("hit", lit(1)), Seq("qid", "vec_id"), "left")
+      .groupBy("k_dims")
+      .agg(count(col("hit")).as("n_hit"))
+      .crossJoin(broadcast(nTruth))
+      .select(col("k_dims").cast("long").as("k_dims"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_truth").cast("double"), 9)
+          .as("recall"))
+      .orderBy("k_dims")
+  }
+  val s21Sql: String = {
+    def cos(a: String, b: String): String =
+      s"""round(list_dot_product($a, $b)
+           / (sqrt(list_dot_product($a, $a))
+              * sqrt(list_dot_product($b, $b))), 9)"""
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+      dims AS (SELECT vec_id, generate_subscripts(emb, 1) - 1 AS dim,
+                 unnest(emb) AS v FROM e),
+      m AS (SELECT dim, COUNT(*) AS n,
+              SUM(CAST(v AS DECIMAL(30,10))) AS s1,
+              SUM(CAST(v * v AS DECIMAL(30,10))) AS s2
+            FROM dims GROUP BY 1),
+      mv AS (SELECT dim,
+               round((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 9)
+                 AS variance
+             FROM m),
+      rk AS (SELECT dim,
+               row_number() OVER (ORDER BY variance DESC, dim) AS rank
+             FROM mv),
+      ds AS (SELECT k_dims, list(dim + 1 ORDER BY dim) AS sel
+             FROM rk CROSS JOIN (VALUES (16), (32)) AS kk(k_dims)
+             WHERE rank <= k_dims GROUP BY 1),
+      b AS (SELECT k_dims, vec_id, list_select(emb, sel) AS pe
+            FROM e CROSS JOIN ds),
+      qb AS (SELECT k_dims, vec_id AS qid, pe AS pq FROM b WHERE vec_id < 5),
+      res AS (SELECT k_dims, qid, vec_id FROM (
+                SELECT cb.k_dims, qid, cb.vec_id,
+                  row_number() OVER (PARTITION BY cb.k_dims, qid
+                    ORDER BY ${cos("pq", "pe")} DESC, cb.vec_id) AS rn
+                FROM b cb JOIN qb ON cb.k_dims = qb.k_dims
+                WHERE cb.vec_id <> qb.qid) WHERE rn <= 5),
+      q2 AS (SELECT vec_id AS qid, emb AS qe2 FROM e WHERE vec_id < 5),
+      p AS (SELECT qid, vec_id,
+              list_dot_product(qe2, emb)
+                / (sqrt(list_dot_product(qe2, qe2))
+                   * sqrt(list_dot_product(emb, emb))) AS cosine
+            FROM q2 JOIN e ON vec_id <> qid),
+      truth AS (SELECT qid, vec_id FROM (
+                  SELECT *, row_number() OVER (PARTITION BY qid
+                             ORDER BY cosine DESC, vec_id) AS rn
+                  FROM p) WHERE rn <= 5),
+      nt AS (SELECT COUNT(*) AS n_truth FROM truth),
+      h AS (SELECT k_dims,
+              COUNT(*) FILTER (WHERE EXISTS (
+                SELECT 1 FROM truth t
+                WHERE t.qid = res.qid AND t.vec_id = res.vec_id)) AS n_hit
+            FROM res GROUP BY 1)
+      SELECT CAST(k_dims AS BIGINT) AS k_dims, n_hit,
+             round(CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE), 9) AS recall
+      FROM h CROSS JOIN nt ORDER BY k_dims"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "s21_dim_prune_recall"  -> s21_dim_prune_recall,
     "s20_filtered_knn"      -> s20_filtered_knn,
     "s19_dim_screen"        -> s19_dim_screen,
     "s18_reassignment_rate" -> s18_reassignment_rate,
@@ -1082,6 +1197,7 @@ object Similarity2 {
     "s13_radius_search"  -> s13_radius_search,
   )
   val oracles: Map[String, String] = Map(
+    "s21_dim_prune_recall"  -> s21Sql,
     "s20_filtered_knn"      -> s20Sql,
     "s19_dim_screen"        -> s19Sql,
     "s18_reassignment_rate" -> s18Sql,

@@ -1749,6 +1749,38 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("v22 fingerprint: invariant under repartition and row order") {
+    val rows = operators.Quality3.v22_table_fingerprint(spark, sf).collect()
+    assert(rows.length == 3)
+    // recompute the documents fingerprint from a deliberately reshuffled
+    // frame — XOR must not care
+    import org.apache.spark.sql.functions._
+    val fp2 = Tables.documents(spark, sf)
+      .orderBy(desc("n_chars"), col("doc_id")).repartition(7)
+      .select(expr(
+        "conv(substring(md5(concat_ws('|', doc_id, lang, source, n_chars)), 1, 15), 16, 10)")
+        .cast("decimal(38,0)").cast("long").as("h"))
+      .agg(expr("bit_xor(h)").as("f")).collect()(0).getLong(0)
+    val docRow = rows.find(_.getAs[String]("table_name") == "documents").get
+    assert(docRow.getAs[Long]("fingerprint") == fp2,
+      "fingerprint must be order/partitioning independent")
+    assert(rows.map(_.getAs[Long]("fingerprint")).distinct.length == 3,
+      "different tables produce different fingerprints")
+  }
+
+  test("s21 dim prune: recall monotone in kept dims, bounded by 1") {
+    val rows = operators.Similarity2.s21_dim_prune_recall(spark, sf).collect()
+    assert(rows.length == 2)
+    val byK = rows.map(r => r.getAs[Long]("k_dims") -> r).toMap
+    assert(byK.keySet == Set(16L, 32L))
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    assert(byK(16L).getAs[Double]("recall") <= byK(32L).getAs[Double]("recall")
+      + 0.2, "keeping more variance should not collapse recall")
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
