@@ -983,7 +983,53 @@ object Events7 {
                    / (den * (k * svv - sv * sv)), 9) AS r2
       FROM f ORDER BY event_type"""
 
+  // ---- e52: repeat-purchase latency curve ----
+  // e49 measures the acquisition funnel; this measures the REPEAT
+  // loop: per purchase-order transition (1st→2nd, 2nd→3rd, 3rd→4th),
+  // how many users make it and how long they take — the curve lifetime
+  // models are fit to. ONE user-keyed window ranks each user's
+  // purchases (exact microsecond order, id tie-break); consecutive
+  // ranks join on (user, rank) — a metadata-thin equi-join, never a
+  // purchases×purchases expansion; per-transition stats are one
+  // combinable rollup. Exact integer gaps, q29-parity medians.
+  val e52_repeat_purchase_curve: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val p = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("k", row_number().over(w))
+      .filter(col("k") <= 4)
+    val gaps = p.select(col("user_id"), col("k"), col("us"))
+      .join(p.select(col("user_id"), (col("k") - 1).as("k"),
+        col("us").as("next_us")), Seq("user_id", "k"))
+      .withColumn("gap_us", col("next_us") - col("us"))
+    gaps.groupBy(col("k").cast("long").as("transition"))
+      .agg(count(lit(1)).as("n_users"),
+        round(sum(col("gap_us").cast("decimal(30,0)")).cast("double")
+          / count(lit(1)), 6).as("mean_gap_us"),
+        round(expr("percentile(gap_us, 0.5)"), 6).as("p50_gap_us"),
+        min("gap_us").as("min_gap_us"))
+      .orderBy("transition")
+  }
+  val e52Sql: String =
+    """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS k
+             FROM events WHERE event_type = 'purchase'),
+      p4 AS (SELECT * FROM p WHERE k <= 4),
+      g AS (SELECT a.user_id, a.k, b.us - a.us AS gap_us
+            FROM p4 a JOIN p4 b
+              ON a.user_id = b.user_id AND b.k = a.k + 1)
+      SELECT CAST(k AS BIGINT) AS transition, COUNT(*) AS n_users,
+             round(CAST(SUM(CAST(gap_us AS DECIMAL(30,0))) AS DOUBLE)
+                   / COUNT(*), 6) AS mean_gap_us,
+             round(quantile_cont(gap_us, 0.5), 6) AS p50_gap_us,
+             MIN(gap_us) AS min_gap_us
+      FROM g GROUP BY 1 ORDER BY transition"""
+
   val queries: Map[String, Q] = Map(
+    "e52_repeat_purchase_curve" -> e52_repeat_purchase_curve,
     "e51_elasticity"         -> e51_elasticity,
     "e50_behavior_corpus"    -> e50_behavior_corpus,
     "e49_funnel_durations"   -> e49_funnel_durations,
@@ -1004,6 +1050,7 @@ object Events7 {
     "e36_slo_burn"           -> e36_slo_burn,
   )
   val oracles: Map[String, String] = Map(
+    "e52_repeat_purchase_curve" -> e52Sql,
     "e51_elasticity"         -> e51Sql,
     "e50_behavior_corpus"    -> e50Sql,
     "e49_funnel_durations"   -> e49Sql,

@@ -664,7 +664,82 @@ object Graph {
                AS assortativity
       FROM m"""
 
+  // ---- g10: temporal graph diff (edge churn between periods) ----
+  // q54 diffs snapshots of a TABLE; this diffs snapshots of a GRAPH:
+  // the co-purchase edge set built from the first half of order
+  // history vs the second (median order-date split — an exact integer
+  // percentile, engine-identical), classified persisting / new /
+  // dropped by one full-outer join on the edge key. The churn table
+  // is how a recommender decides whether yesterday's edge weights are
+  // still trustworthy. Each period's edge build is the g02 fact-scale
+  // pass; the diff join runs on metadata-sized edge sets.
+  val g10_graph_diff: Q = (s, d) => {
+    val dated = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"),
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).as("dd"))
+    val mid = dated.agg(expr("CAST(floor(percentile(dd, 0.5D)) AS BIGINT)").as("mid"))
+    def edges(df: DataFrame): DataFrame = df
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+             transform(slice(ps, i + 2, size(ps)),
+               y -> struct(x AS a, y AS b))))""")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+    val withMid = dated.crossJoin(broadcast(mid))
+    val e1 = edges(withMid.filter(col("dd") <= col("mid")))
+      .select(col("a"), col("b"), col("w").as("w1"))
+    val e2 = edges(withMid.filter(col("dd") > col("mid")))
+      .select(col("a"), col("b"), col("w").as("w2"))
+    val classed = e1.join(e2, Seq("a", "b"), "full_outer")
+      .withColumn("edge_class",
+        when(col("w1").isNotNull && col("w2").isNotNull, "1_persisting")
+          .when(col("w2").isNotNull, "2_new").otherwise("3_dropped"))
+    val tot = classed.agg(count(lit(1)).as("n_total"))
+    classed.groupBy("edge_class")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(coalesce(col("w1"), lit(0L))).as("weight_p1"),
+        sum(coalesce(col("w2"), lit(0L))).as("weight_p2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share", round(
+        col("n_edges").cast("double") / col("n_total").cast("double"), 9))
+      .select(col("edge_class"), col("n_edges"), col("share"),
+        col("weight_p1"), col("weight_p2"))
+      .orderBy("edge_class")
+  }
+  val g10Sql: String =
+    """WITH dated AS (SELECT l_orderkey AS ok, l_partkey AS pk,
+             datediff('day', DATE '1970-01-01', o_orderdate) AS dd
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      mid AS (SELECT CAST(floor(quantile_cont(dd, 0.5)) AS BIGINT) AS mid
+              FROM dated),
+      li1 AS (SELECT DISTINCT ok, pk FROM dated CROSS JOIN mid WHERE dd <= mid),
+      li2 AS (SELECT DISTINCT ok, pk FROM dated CROSS JOIN mid WHERE dd > mid),
+      e1 AS (SELECT x.pk AS a, y.pk AS b, COUNT(*) AS w1
+             FROM li1 x JOIN li1 y ON x.ok = y.ok AND x.pk < y.pk
+             GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      e2 AS (SELECT x.pk AS a, y.pk AS b, COUNT(*) AS w2
+             FROM li2 x JOIN li2 y ON x.ok = y.ok AND x.pk < y.pk
+             GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      cl AS (SELECT COALESCE(e1.a, e2.a) AS a, COALESCE(e1.b, e2.b) AS b,
+               w1, w2,
+               CASE WHEN w1 IS NOT NULL AND w2 IS NOT NULL THEN '1_persisting'
+                    WHEN w2 IS NOT NULL THEN '2_new'
+                    ELSE '3_dropped' END AS edge_class
+             FROM e1 FULL OUTER JOIN e2 ON e1.a = e2.a AND e1.b = e2.b),
+      tot AS (SELECT COUNT(*) AS n_total FROM cl)
+      SELECT edge_class, COUNT(*) AS n_edges,
+             round(CAST(COUNT(*) AS DOUBLE) / CAST(n_total AS DOUBLE), 9)
+               AS share,
+             CAST(SUM(COALESCE(w1, 0)) AS BIGINT) AS weight_p1,
+             CAST(SUM(COALESCE(w2, 0)) AS BIGINT) AS weight_p2
+      FROM cl CROSS JOIN tot GROUP BY 1, n_total ORDER BY edge_class"""
+
   val queries: Map[String, Q] = Map(
+    "g10_graph_diff"      -> g10_graph_diff,
     "g09_assortativity"   -> g09_assortativity,
     "g08_modularity"      -> g08_modularity,
     "g07_cf_recommend"    -> g07_cf_recommend,
@@ -676,6 +751,7 @@ object Graph {
     "g04_cc"         -> g04_cc,
   )
   val oracles: Map[String, String] = Map(
+    "g10_graph_diff"      -> g10Sql,
     "g09_assortativity"   -> g09Sql,
     "g08_modularity"      -> g08Sql,
     "g07_cf_recommend"    -> g07Sql,

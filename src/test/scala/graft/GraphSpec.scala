@@ -1781,6 +1781,36 @@ class GraphSpec extends AnyFunSuite {
       + 0.2, "keeping more variance should not collapse recall")
   }
 
+  test("e52 repeat purchases: survivors shrink, gaps non-negative") {
+    val rows = operators.Events7.e52_repeat_purchase_curve(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 3)
+    val byT = rows.sortBy(_.getAs[Long]("transition"))
+    byT.map(_.getAs[Long]("n_users")).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a, "later transitions can only lose users")
+      case _ =>
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_gap_us") >= 0,
+        "purchase k+1 happens at or after purchase k")
+      assert(r.getAs[Double]("mean_gap_us") >= 0.0)
+    }
+  }
+
+  test("g10 graph diff: shares sum to 1, weights live on the correct side") {
+    val rows = operators.Graph.g10_graph_diff(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-6)
+    rows.foreach { r =>
+      r.getAs[String]("edge_class") match {
+        case "2_new"     => assert(r.getAs[Long]("weight_p1") == 0L)
+        case "3_dropped" => assert(r.getAs[Long]("weight_p2") == 0L)
+        case "1_persisting" =>
+          assert(r.getAs[Long]("weight_p1") > 0 && r.getAs[Long]("weight_p2") > 0)
+        case other => fail(s"unknown class $other")
+      }
+    }
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
