@@ -1028,7 +1028,73 @@ object Events7 {
              MIN(gap_us) AS min_gap_us
       FROM g GROUP BY 1 ORDER BY transition"""
 
+  // ---- e53: attribution model comparison (first-touch vs last-touch) ----
+  // The marketing-analytics argument, settled with one table: every
+  // purchase's value credited to the user's FIRST preceding
+  // non-purchase event type vs their LAST preceding one, side by side
+  // per type. e12 implements one model; this puts both on the same
+  // scan so the delta is readable. ONE user-keyed carry-forward window
+  // pass computes both touches simultaneously (first_value and
+  // last_value over the same running frame — one exchange serves
+  // both); credit rollups are combinable decimal-exact sums.
+  val e53_attribution_compare: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touched = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .withColumn("tch",
+        when(col("event_type") =!= "purchase", col("event_type")))
+      .withColumn("first_touch", first(col("tch"), ignoreNulls = true).over(w))
+      .withColumn("last_touch", last(col("tch"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .filter(col("first_touch").isNotNull)
+    val ft = touched.groupBy(col("first_touch").as("touch_type"))
+      .agg(count(lit(1)).as("n_first"),
+        round(dsum(col("value")), 6).as("value_first"))
+    val lt = touched.groupBy(col("last_touch").as("touch_type"))
+      .agg(count(lit(1)).as("n_last"),
+        round(dsum(col("value")), 6).as("value_last"))
+    ft.join(lt, Seq("touch_type"), "full_outer")
+      .na.fill(0L, Seq("n_first", "n_last"))
+      .na.fill(0.0, Seq("value_first", "value_last"))
+      .withColumn("credit_shift", col("n_last") - col("n_first"))
+      .orderBy("touch_type")
+  }
+  val e53Sql: String =
+    s"""WITH t AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               first_value(CASE WHEN event_type <> 'purchase'
+                                THEN event_type END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS first_touch,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS last_touch
+        FROM events),
+      p AS (SELECT * FROM t
+            WHERE event_type = 'purchase' AND first_touch IS NOT NULL),
+      f AS (SELECT first_touch AS touch_type, COUNT(*) AS n_first,
+              round(${sqlSum("value")}, 6) AS value_first
+            FROM p GROUP BY 1),
+      l AS (SELECT last_touch AS touch_type, COUNT(*) AS n_last,
+              round(${sqlSum("value")}, 6) AS value_last
+            FROM p GROUP BY 1)
+      SELECT touch_type,
+             COALESCE(n_first, 0) AS n_first,
+             COALESCE(value_first, 0.0) AS value_first,
+             COALESCE(n_last, 0) AS n_last,
+             COALESCE(value_last, 0.0) AS value_last,
+             COALESCE(n_last, 0) - COALESCE(n_first, 0) AS credit_shift
+      FROM f FULL OUTER JOIN l USING (touch_type)
+      ORDER BY touch_type"""
+
   val queries: Map[String, Q] = Map(
+    "e53_attribution_compare" -> e53_attribution_compare,
     "e52_repeat_purchase_curve" -> e52_repeat_purchase_curve,
     "e51_elasticity"         -> e51_elasticity,
     "e50_behavior_corpus"    -> e50_behavior_corpus,
@@ -1050,6 +1116,7 @@ object Events7 {
     "e36_slo_burn"           -> e36_slo_burn,
   )
   val oracles: Map[String, String] = Map(
+    "e53_attribution_compare" -> e53Sql,
     "e52_repeat_purchase_curve" -> e52Sql,
     "e51_elasticity"         -> e51Sql,
     "e50_behavior_corpus"    -> e50Sql,

@@ -424,7 +424,69 @@ object Quality3 {
       .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY table_name")
   }
 
+  // ---- v23: drill-down additivity audit ----
+  // The BI bug every dashboard eventually ships: drill-down levels
+  // that don't add up, because a dimension join fanned out or dropped
+  // rows. Audited directly: revenue rolled up at nation level, region
+  // level, and grand total — all from ONE fact aggregate — with exact
+  // DECIMAL equality verdicts (nation sums == their region total,
+  // region sums == grand). A fan-out would inflate a child level and
+  // trip the verdict; decimal arithmetic means no tolerance band is
+  // needed. Dim joins broadcast; the fact scan happens once.
+  val v23_drilldown_consistency: Q = (s, d) => {
+    val facts = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_nationkey").as("nat"), col("n_regionkey").as("reg"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(30, 6))).as("rev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val byRegion = facts.groupBy("reg")
+      .agg(sum("rev").as("reg_rev"), count(lit(1)).as("n_nations"))
+    val grand = facts.agg(sum("rev").as("grand_rev"))
+    // per-region: do its nations sum exactly to the region line?
+    val natCheck = facts
+      .groupBy("reg")
+      .agg(sum("rev").as("nat_sum"))
+      .join(byRegion, "reg")
+      .select(lit("1_region").as("level"),
+        col("reg").cast("long").as("group_key"),
+        col("n_nations"),
+        round(col("reg_rev").cast("double"), 6).as("total"),
+        (col("nat_sum") === col("reg_rev")).as("children_add_up"))
+    val grandRow = byRegion.agg(sum("reg_rev").as("region_sum"),
+        count(lit(1)).as("n_regions"))
+      .crossJoin(broadcast(grand))
+      .select(lit("0_grand").as("level"),
+        lit(-1L).as("group_key"),
+        col("n_regions").as("n_nations"),
+        round(col("grand_rev").cast("double"), 6).as("total"),
+        (col("region_sum") === col("grand_rev")).as("children_add_up"))
+    grandRow.unionAll(natCheck).orderBy("level", "group_key")
+  }
+  val v23Sql: String =
+    """WITH f AS (SELECT n_nationkey AS nat, n_regionkey AS reg,
+             SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS rev
+           FROM orders JOIN customer ON o_custkey = c_custkey
+                       JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1, 2),
+      br AS (SELECT reg, SUM(rev) AS reg_rev, COUNT(*) AS n_nations
+             FROM f GROUP BY 1),
+      g AS (SELECT SUM(rev) AS grand_rev FROM f),
+      nc AS (SELECT '1_region' AS level, CAST(reg AS BIGINT) AS group_key,
+               n_nations, round(CAST(reg_rev AS DOUBLE), 6) AS total,
+               ns.nat_sum = br.reg_rev AS children_add_up
+             FROM br JOIN (SELECT reg, SUM(rev) AS nat_sum FROM f GROUP BY 1) ns
+               USING (reg)),
+      gr AS (SELECT '0_grand' AS level, CAST(-1 AS BIGINT) AS group_key,
+               (SELECT COUNT(*) FROM br) AS n_nations,
+               round(CAST(grand_rev AS DOUBLE), 6) AS total,
+               (SELECT SUM(reg_rev) FROM br) = grand_rev AS children_add_up
+             FROM g)
+      SELECT * FROM (SELECT * FROM gr UNION ALL SELECT * FROM nc)
+      ORDER BY level, group_key"""
+
   val queries: Map[String, Q] = Map(
+    "v23_drilldown_consistency" -> v23_drilldown_consistency,
     "v22_table_fingerprint" -> v22_table_fingerprint,
     "v21_train_serve_skew" -> v21_train_serve_skew,
     "v20_volume_contracts" -> v20_volume_contracts,
@@ -435,6 +497,7 @@ object Quality3 {
     "v16_order_audit" -> v16_order_audit,
   )
   val oracles: Map[String, String] = Map(
+    "v23_drilldown_consistency" -> v23Sql,
     "v22_table_fingerprint" -> v22Sql,
     "v21_train_serve_skew" -> v21Sql,
     "v20_volume_contracts" -> v20Sql,

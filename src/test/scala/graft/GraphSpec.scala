@@ -1811,6 +1811,31 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("e53 attribution compare: both models conserve total credit") {
+    val rows = operators.Events7.e53_attribution_compare(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every attributed purchase is credited exactly once under each model
+    val nFirst = rows.map(_.getAs[Long]("n_first")).sum
+    val nLast = rows.map(_.getAs[Long]("n_last")).sum
+    assert(nFirst == nLast, s"models must credit the same purchases: $nFirst vs $nLast")
+    assert(rows.map(_.getAs[Long]("credit_shift")).sum == 0L,
+      "credit shifts are zero-sum across touch types")
+    rows.foreach(r =>
+      assert(r.getAs[String]("touch_type") != "purchase"))
+  }
+
+  test("v23 drilldown: every level adds up exactly") {
+    val rows = operators.Quality3.v23_drilldown_consistency(spark, sf).collect()
+    assert(rows.length >= 2)
+    rows.foreach(r => assert(r.getAs[Boolean]("children_add_up"),
+      s"level ${r.getAs[String]("level")} key ${r.get(1)} does not add up"))
+    val grand = rows.filter(_.getAs[String]("level") == "0_grand")
+    assert(grand.length == 1)
+    val regionSum = rows.filter(_.getAs[String]("level") == "1_region")
+      .map(_.getAs[Double]("total")).sum
+    assert(math.abs(regionSum - grand.head.getAs[Double]("total")) < 1e-3)
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
