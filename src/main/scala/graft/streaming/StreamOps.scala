@@ -103,6 +103,23 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming table fingerprint: v22's order-independent content
+    * checksum as a streaming aggregate. bit_xor is commutative,
+    * associative, and self-inverse, so the running fingerprint is
+    * exact under ANY micro-batch arrival order and merges for free in
+    * partial aggregation — after the last row, the streaming value
+    * equals the batch fingerprint bit-for-bit (spec-pinned). The
+    * incremental-replica-validation shape: fingerprint the stream as
+    * it lands instead of re-scanning the table afterwards.
+    */
+  def fingerprintStream(spark: SparkSession, dir: String): DataFrame =
+    readEvents(spark, dir)
+      .select(expr(
+        """conv(substring(md5(concat_ws('|', event_id, event_type, props)),
+                1, 15), 16, 10)""")
+        .cast("decimal(38,0)").cast("long").as("h"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("fingerprint"))
+
   /** Streaming exact dedup with bounded state: duplicates are dropped if
     * they arrive within the watermark window, and state for keys older
     * than the watermark is evicted — the only way exact streaming dedup

@@ -29,6 +29,24 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming fingerprint equals the batch fingerprint bit-for-bit") {
+    val q = streaming.StreamOps.fingerprintStream(spark, sf)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("fp_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("fp_out").collect()
+    assert(got.length == 1)
+    val batch = Tables.events(spark, sf)
+      .select(expr(
+        """conv(substring(md5(concat_ws('|', event_id, event_type, props)),
+                1, 15), 16, 10)""")
+        .cast("decimal(38,0)").cast("long").as("h"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("f")).collect()(0)
+    assert(got(0).getAs[Long]("n_rows") == batch.getAs[Long]("n"))
+    assert(got(0).getAs[Long]("fingerprint") == batch.getAs[Long]("f"),
+      "stream-accumulated XOR must equal the batch table fingerprint")
+  }
+
   test("streaming e01 windows are BYTE-identical to the oracled batch rows") {
     // not batch-vs-stream "consistency": the emitted window set must
     // equal, value-for-value, the rows of the DuckDB-oracled e01 query
