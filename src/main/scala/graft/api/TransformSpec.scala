@@ -246,6 +246,14 @@ object TransformSpec {
           expr(step.path("ts").asText()),
           expr(step.path("isConversion").asText()),
           if (step.has("maxDays")) step.path("maxDays").asInt() else 14)
+      case "linkPredict" =>
+        // common-neighbor link prediction over an a<b edge frame (g06's
+        // verb): {"op": "linkPredict", "a": "a", "b": "b", "topK": 15}
+        GraftOps.linkPredict(df, expr(step.path("a").asText()),
+          expr(step.path("b").asText()),
+          if (step.has("topK")) step.path("topK").asInt() else 15,
+          if (step.has("maxDegree")) step.path("maxDegree").asInt()
+          else Int.MaxValue)
       case "shardInterleave" =>
         // source-interleaved shard assignment (p13's verb):
         //   {"op": "shardInterleave", "id": "doc_id", "group": "source",

@@ -694,7 +694,60 @@ object Relational13 {
       FROM inc FULL OUTER JOIN rec USING (nation)
       ORDER BY nation"""
 
+  // ---- q105: storage/join layout advisor ----
+  // The two planning numbers every Spark job tunes by hand, computed
+  // from the data instead of guessed: per table, an exact serialized
+  // size estimate (string bytes measured, fixed-width columns at their
+  // storage width) → is it under the 10 MB broadcast threshold, and
+  // how many ~128 MB partitions should a shuffle write. One combinable
+  // aggregate per table — the scan is metadata-cheap because only the
+  // measured columns are read. (The inputs a real advisor feeds into
+  // autoBroadcastJoinThreshold / shuffle.partitions.)
+  val q105_layout_advisor: Q = (s, d) => {
+    def row(df: DataFrame, name: String, bytesExpr: String): DataFrame = df
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr(bytesExpr).cast("decimal(38,0)")).cast("long").as("est_bytes"))
+      .select(lit(name).as("table_name"), col("n_rows"), col("est_bytes"),
+        (col("est_bytes") < 10L * 1024 * 1024).as("broadcastable"),
+        greatest(lit(1L),
+          ceil(col("est_bytes").cast("double") / (128.0 * 1024 * 1024))
+            .cast("long")).as("n_partitions_128mb"))
+    row(Tables.nation(s, d), "nation",
+        "8 + length(n_name) + 8")
+      .unionAll(row(Tables.customer(s, d), "customer",
+        "8 + length(c_name) + 8 + 8 + length(c_mktsegment)"))
+      .unionAll(row(Tables.orders(s, d), "orders",
+        "8 + 8 + length(o_orderstatus) + 8 + 4 + length(o_orderpriority)"))
+      .unionAll(row(Tables.lineitem(s, d), "lineitem",
+        "8 * 7 + 4 + length(l_returnflag) + length(l_linestatus) + 4"))
+      .unionAll(row(Tables.documents(s, d), "documents",
+        "8 + length(text) + length(lang) + length(source) + 8"))
+      .orderBy("table_name")
+  }
+  val q105Sql: String = {
+    def rowSql(table: String, bytesExpr: String): String =
+      s"""SELECT '$table' AS table_name, COUNT(*) AS n_rows,
+            CAST(SUM(CAST($bytesExpr AS DECIMAL(38,0))) AS BIGINT) AS est_bytes,
+            CAST(SUM(CAST($bytesExpr AS DECIMAL(38,0))) AS BIGINT)
+              < 10 * 1024 * 1024 AS broadcastable,
+            greatest(1, CAST(ceil(CAST(SUM(CAST($bytesExpr AS DECIMAL(38,0)))
+              AS DOUBLE) / (128.0 * 1024 * 1024)) AS BIGINT))
+              AS n_partitions_128mb
+          FROM $table"""
+    Seq(
+      rowSql("nation", "8 + length(n_name) + 8"),
+      rowSql("customer", "8 + length(c_name) + 8 + 8 + length(c_mktsegment)"),
+      rowSql("orders",
+        "8 + 8 + length(o_orderstatus) + 8 + 4 + length(o_orderpriority)"),
+      rowSql("lineitem",
+        "8 * 7 + 4 + length(l_returnflag) + length(l_linestatus) + 4"),
+      rowSql("documents",
+        "8 + length(text) + length(lang) + length(source) + 8"))
+      .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY table_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q105_layout_advisor"     -> q105_layout_advisor,
     "q104_join_view_delta"    -> q104_join_view_delta,
     "q103_top_percent_cover"  -> q103_top_percent_cover,
     "q102_join_size_estimate" -> q102_join_size_estimate,
@@ -709,6 +762,7 @@ object Relational13 {
     "q96_top_movers"      -> q96_top_movers,
   )
   val oracles: Map[String, String] = Map(
+    "q105_layout_advisor"     -> q105Sql,
     "q104_join_view_delta"    -> q104Sql,
     "q103_top_percent_cover"  -> q103Sql,
     "q102_join_size_estimate" -> q102Sql,

@@ -1836,6 +1836,23 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(regionSum - grand.head.getAs[Double]("total")) < 1e-3)
   }
 
+  test("q105 layout advisor: sizes plausible, partition counts consistent") {
+    val rows = operators.Relational13.q105_layout_advisor(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (n, b) = (r.getAs[Long]("n_rows"), r.getAs[Long]("est_bytes"))
+      assert(n > 0 && b > n, "every row is more than one byte")
+      assert(r.getAs[Boolean]("broadcastable") == (b < 10L * 1024 * 1024))
+      val parts = r.getAs[Long]("n_partitions_128mb")
+      assert(parts >= 1)
+      assert(parts == math.max(1L, math.ceil(b / (128.0 * 1024 * 1024)).toLong))
+    }
+    val byName = rows.map(r => r.getAs[String]("table_name") -> r).toMap
+    assert(byName("nation").getAs[Boolean]("broadcastable"))
+    assert(byName("lineitem").getAs[Long]("est_bytes")
+      > byName("nation").getAs[Long]("est_bytes"))
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")

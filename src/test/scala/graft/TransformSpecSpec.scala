@@ -406,5 +406,22 @@ class TransformSpecSpec extends AnyFunSuite {
       .groupBy("shard").agg(count(lit(1)).as("n"))
       .orderBy("shard").collect().map(_.mkString("|"))
     assert(gotSh.sameElements(wantSh))
+
+    val li = Tables.lineitem(spark, sf)
+    val edges = li.groupBy(col("l_orderkey")).agg(
+        sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+             transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"""))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("w")).filter(col("w") >= 2).select("a", "b")
+    val gotLp = TransformSpec.run(
+      """{"source": "e", "steps": [
+        {"op": "linkPredict", "a": "a", "b": "b", "topK": 10}]}""",
+      Map("e" -> edges)).collect().map(_.mkString("|"))
+    val wantLp = GraftOps.linkPredict(edges, col("a"), col("b"), 10)
+      .collect().map(_.mkString("|"))
+    assert(gotLp.sameElements(wantLp))
   }
 }
