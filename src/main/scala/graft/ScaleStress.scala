@@ -120,7 +120,14 @@ object ScaleStress {
     "g07_cf_recommend", "s17_nprobe_recall", "s18_reassignment_rate",
     "s19_dim_screen", "e48_conversion_hazard", "e49_funnel_durations",
     "e50_behavior_corpus", "q102_join_size_estimate", "v19_fd_audit",
-    "v21_train_serve_skew", "p13_shard_interleave")
+    "v21_train_serve_skew", "p13_shard_interleave",
+    "g08_modularity", "g09_assortativity", "g10_graph_diff",
+    "e51_elasticity", "e52_repeat_purchase_curve", "e53_attribution_compare",
+    "t33_template_slots", "t34_lang_inconsistency", "d35_threshold_frontier",
+    "d36_substring_dedup", "d37_pairjoin_cost_model", "s20_filtered_knn",
+    "s21_dim_prune_recall", "v20_volume_contracts", "v22_table_fingerprint",
+    "v23_drilldown_consistency", "q103_top_percent_cover",
+    "q104_join_view_delta", "q105_layout_advisor", "p15_stage_ledger")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

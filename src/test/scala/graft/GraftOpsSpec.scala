@@ -597,4 +597,67 @@ class GraftOpsSpec extends AnyFunSuite {
     val frac = a.values.groupBy(identity).view.mapValues(_.size.toDouble / a.size)
     assert(math.abs(frac(0) - 0.8) < 0.1 && frac.size == 3, frac.toString)
   }
+
+  test("fdAudit on crafted frames: held and violated dependencies exact") {
+    import spark.implicits._
+    val held = Seq((1, "a"), (1, "a"), (2, "b"), (3, "a")).toDF("k", "v")
+    val h = GraftOps.fdAudit(held, col("k"), col("v"), "held").collect()(0)
+    assert(h.getAs[Boolean]("holds") && h.getAs[Long]("n_det") == 3
+      && h.getAs[Long]("max_fanout") == 1)
+    val broken = Seq((1, "a"), (1, "b"), (1, "c"), (2, "x")).toDF("k", "v")
+    val b = GraftOps.fdAudit(broken, col("k"), col("v"), "broken").collect()(0)
+    assert(!b.getAs[Boolean]("holds") && b.getAs[Long]("n_violating") == 1
+      && b.getAs[Long]("max_fanout") == 3)
+  }
+
+  test("conversionHazard on a hand-computed micro-case") {
+    import spark.implicits._
+    // users: u1 converts on its first day (off=0); u2 first seen day 0,
+    // converts day 2; u3 never converts, first seen the LAST corpus day
+    // (so it is only observable at offset 0)
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", true),
+      (2L, "2024-01-01 08:00:00", false),
+      (2L, "2024-01-03 09:00:00", true),
+      (3L, "2024-01-03 23:00:00", false)
+    ).toDF("u", "tss", "conv").withColumn("ts", col("tss").cast("timestamp"))
+    val h = GraftOps.conversionHazard(ev, col("u"), col("ts"), col("conv"), 4)
+      .collect().map(r => r.getAs[Long]("d") ->
+        (r.getAs[Long]("at_risk"), r.getAs[Long]("n_conv"))).toMap
+    // d=0: all three observable & unconverted-so-far -> u1 converts
+    assert(h(0L) == (3L, 1L))
+    // d=1: u2 (still unconverted, horizon covers day 1); u3 censored out
+    assert(h(1L) == (1L, 0L))
+    // d=2: u2 converts
+    assert(h(2L) == (1L, 1L))
+    // d=3: nobody left at risk -> no row
+    assert(!h.contains(3L))
+  }
+
+  test("linkPredict is invariant under edge order and partitioning") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L),
+      (2L, 5L)).toDF("a", "b")
+    val base = GraftOps.linkPredict(edges, col("a"), col("b"), 10)
+      .collect().map(_.mkString("|"))
+    val shuffled = GraftOps.linkPredict(
+      edges.orderBy(desc("b"), col("a")).repartition(5), col("a"), col("b"), 10)
+      .collect().map(_.mkString("|"))
+    assert(base.sameElements(shuffled))
+    // 1-4 share neighbors {2,3}: cn=2, deg(1)=2, deg(4)=3 -> j=2/3
+    val top = GraftOps.linkPredict(edges, col("a"), col("b"), 1).collect()(0)
+    assert(top.getAs[Long]("part_a") == 1L && top.getAs[Long]("part_b") == 4L)
+    assert(top.getAs[Long]("cn") == 2L)
+    assert(math.abs(top.getAs[Double]("jaccard") - 2.0 / 3.0) < 1e-8)
+  }
+
+  test("shardInterleave: per-(group, shard) balance within 1 by construction") {
+    val sh = GraftOps.shardInterleave(docs, col("doc_id"), col("source"), 8)
+    val counts = sh.groupBy("source", "shard")
+      .agg(count(lit(1)).as("n")).collect()
+    counts.groupBy(_.getAs[String]("source")).values.foreach { g =>
+      val ns = g.map(_.getAs[Long]("n"))
+      assert(ns.max - ns.min <= 1, s"within-source imbalance: ${ns.toList}")
+    }
+  }
 }
