@@ -149,7 +149,8 @@ object ScaleStress {
     // queries whose near-dup pair join honors graft.neardup.strategy:
     // timed a second way with the banded-LSH routing (the 100 TB config)
     val lshRouted = Set("d15_dedup_manifest", "p01_corpus_clean",
-      "d33_shard_leakage", "d34_survivor_bias", "p14_leakage_split")
+      "d33_shard_leakage", "d34_survivor_bias", "p14_leakage_split",
+      "p15_stage_ledger")
     println(f"""${"query"}%-24s ${"t_1x"}%8s ${"t_Nx"}%8s ratio""")
     qs.foreach { n =>
       val fn = allQueries(n)
