@@ -1212,6 +1212,41 @@ object GraftOps {
     df.withColumn("shard", ((row_number().over(w) - 1) % nShards).cast("long"))
   }
 
+  /** Exact substring containment pairs: rows of `df` whose text occurs
+    * LITERALLY inside another row's text (truncated tails, quoted-whole,
+    * re-wrapped — what shingle methods only approximate). Candidate
+    * discipline: if B occurs inside A, B's first word-3-gram occurs in
+    * A, so the probe side carries ONE xxhash64 gram per row against the
+    * positional gram index; contains() verifies candidates only, texts
+    * joined back by id — payloads never ride the gram shuffle. Returns
+    * (container_id, contained_id, pos). (d36's engine, as a verb.)
+    */
+  def substringContainment(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val docs = df.select(id.as("__id"), text.as("__t"))
+    val probe = docs
+      .filter(size(split(col("__t"), " ")) >= 3)
+      .select(col("__id").as("b"),
+        xxhash64(expr("concat_ws(' ', slice(split(__t, ' '), 1, 3))")).as("g"),
+        length(col("__t")).as("lb"))
+    val index = docs
+      .select(col("__id").as("a"), length(col("__t")).as("la"),
+        explode(expr(
+          """array_distinct(transform(
+               sequence(1, greatest(size(split(__t, ' ')) - 2, 0)),
+               i -> xxhash64(concat_ws(' ', slice(split(__t, ' '), i, 3)))))"""))
+          .as("g"))
+    val cands = probe.join(index, "g")
+      .where(col("a") =!= col("b") && col("la") >= col("lb"))
+      .select("a", "b").distinct()
+    cands
+      .join(docs.select(col("__id").as("a"), col("__t").as("ta")), "a")
+      .join(docs.select(col("__id").as("b"), col("__t").as("tb")), "b")
+      .withColumn("pos", instr(col("ta"), col("tb")).cast("long"))
+      .filter(col("pos") > 0)
+      .select(col("a").as("container_id"), col("b").as("contained_id"),
+        col("pos"))
+  }
+
   /** Common-neighbor / Jaccard link prediction over an undirected
     * a<b edge frame: forward wedge join on the symmetric adjacency
     * (per-center expansion deg²-bounded), existing edges anti-joined
@@ -1354,5 +1389,7 @@ object syntax {
       GraftOps.shardInterleave(df, id, group, nShards)
     def linkPredict(a: Column, b: Column, topK: Int = 15): DataFrame =
       GraftOps.linkPredict(df, a, b, topK)
+    def substringContainment(id: Column, text: Column): DataFrame =
+      GraftOps.substringContainment(df, id, text)
   }
 }

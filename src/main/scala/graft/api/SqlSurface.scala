@@ -173,6 +173,13 @@ object SqlSurface {
       case args => throw new IllegalArgumentException(
         s"graft_link_predict(edges_table, a, b[, top_k]): got ${args.size} args")
     },
+    "graft_substring_pairs" -> {
+      case Seq(t, id, tx) =>
+        plan(GraftOps.substringContainment(table(str(t, "table")),
+          col(str(id, "id")), col(str(tx, "text"))))
+      case args => throw new IllegalArgumentException(
+        s"graft_substring_pairs(table, id, text): got ${args.size} args")
+    },
     "graft_snapshot_read" -> {
       case Seq(p) =>
         plan(graft.sources.SnapshotTable.read(SparkSession.active, str(p, "path")))

@@ -801,32 +801,14 @@ object Dedup5 {
   // back by id — payloads never ride the gram shuffle). Grams travel
   // as xxhash64 (false positives die in verification — the
   // Jaccard-verify family policy).
-  val d36_substring_dedup: Q = (s, d) => {
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val probe = docs
-      .filter(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id").as("b"),
-        xxhash64(expr("concat_ws(' ', slice(split(text, ' '), 1, 3))")).as("g"),
-        length(col("text")).as("lb"))
-    val index = docs
-      .select(col("doc_id").as("a"), length(col("text")).as("la"),
-        explode(expr(
-          """array_distinct(transform(
-               sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
-               i -> xxhash64(concat_ws(' ', slice(split(text, ' '), i, 3)))))"""))
-          .as("g"))
-    val cands = probe.join(index, "g")
-      .where(col("a") =!= col("b") && col("la") >= col("lb"))
-      .select("a", "b").distinct()
-    cands
-      .join(docs.select(col("doc_id").as("a"), col("text").as("ta")), "a")
-      .join(docs.select(col("doc_id").as("b"), col("text").as("tb")), "b")
-      .withColumn("pos", instr(col("ta"), col("tb")).cast("long"))
-      .filter(col("pos") > 0)
-      .select(col("a").as("container_doc"), col("b").as("contained_doc"),
-        col("pos"))
+  // the library verb (GraftOps.substringContainment) IS the
+  // implementation — the oracle gate certifies the facade itself
+  val d36_substring_dedup: Q = (s, d) =>
+    graft.api.GraftOps.substringContainment(
+        Tables.documents(s, d), col("doc_id"), col("text"))
+      .select(col("container_id").as("container_doc"),
+        col("contained_id").as("contained_doc"), col("pos"))
       .orderBy("container_doc", "contained_doc")
-  }
   val d36Sql: String =
     """WITH docs AS (SELECT doc_id, text FROM documents),
       pr AS (SELECT doc_id AS b,

@@ -109,6 +109,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val lpSql = spark.sql("SELECT * FROM graft_link_predict('edges_sql_v', 'a', 'b', 10)")
     val lpVerb = GraftOps.linkPredict(edges, col("a"), col("b"), 10)
     assert(lpSql.exceptAll(lpVerb).isEmpty && lpVerb.exceptAll(lpSql).isEmpty)
+
+    val ssSql = spark.sql(
+      "SELECT * FROM graft_substring_pairs('docs_sql_v3', 'doc_id', 'text')")
+    val ssVerb = GraftOps.substringContainment(docs, col("doc_id"), col("text"))
+    assert(ssSql.exceptAll(ssVerb).isEmpty && ssVerb.exceptAll(ssSql).isEmpty)
   }
 
   test("graft_transform runs a declarative job with session-catalog table resolution") {
