@@ -902,7 +902,66 @@ object Dedup5 {
                    / CAST(n_distinct_pairs AS DOUBLE), 9) AS yield_rate
       FROM est CROSS JOIN dp CROSS JOIN vp"""
 
+  // ---- d38: gram document-frequency histogram ----
+  // d37 gives the total candidate volume; this shows WHERE it lives:
+  // grams bucketed by log₂ document frequency, with each bucket's gram
+  // count, posting mass, and — the decision column — its share of the
+  // Σdf(df−1)/2 candidate volume. A healthy corpus concentrates grams
+  // at df=1 (no pairs); a boilerplate-heavy one puts most candidate
+  // volume in the hottest bucket, which is exactly the signal to route
+  // the family through `graft.neardup.strategy=lsh` (banding is
+  // immune to hot grams — collisions are random, not df-driven). ONE
+  // gram-count pass + a log-bucket rollup; no pair join runs.
+  val d38_gram_df_histogram: Q = (s, d) => {
+    val dfs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(
+             sequence(1, greatest(size(words) - 2, 0)),
+             i -> xxhash64(concat_ws(' ', slice(words, i, 3)))))""")).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+    val buckets = dfs
+      .withColumn("bucket", floor(log2(col("df"))).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_grams"),
+        sum("df").as("postings"),
+        sum(expr("CAST(df * (df - 1) div 2 AS DECIMAL(38,0))"))
+          .cast("long").as("est_pairs"))
+    val tot = buckets.agg(
+      sum(col("est_pairs").cast("decimal(38,0)")).cast("long").as("tot_pairs"))
+    buckets.crossJoin(broadcast(tot))
+      .withColumn("pair_share",
+        when(col("tot_pairs") > 0, round(
+          col("est_pairs").cast("double") / col("tot_pairs").cast("double"), 9)))
+      .select((pow(lit(2.0), col("bucket").cast("double")).cast("long"))
+        .as("df_at_least"), col("n_grams"), col("postings"),
+        col("est_pairs"), col("pair_share"))
+      .orderBy("df_at_least")
+  }
+  val d38Sql: String =
+    """WITH w AS (SELECT doc_id, generate_subscripts(string_split(text,' '),1) i,
+                       unnest(string_split(text,' ')) w FROM documents),
+      g AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+            FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.i=a.i+1
+                     JOIN w c ON c.doc_id=a.doc_id AND c.i=a.i+2),
+      dd AS (SELECT DISTINCT doc_id, sh FROM g),
+      dfs AS (SELECT sh, COUNT(*) AS df FROM dd GROUP BY 1),
+      bk AS (SELECT CAST(floor(log2(df)) AS BIGINT) AS bucket,
+               COUNT(*) AS n_grams, CAST(SUM(df) AS BIGINT) AS postings,
+               CAST(SUM(CAST(df * (df - 1) // 2 AS DECIMAL(38,0))) AS BIGINT)
+                 AS est_pairs
+             FROM dfs GROUP BY 1),
+      tot AS (SELECT CAST(SUM(CAST(est_pairs AS DECIMAL(38,0))) AS BIGINT)
+                AS tot_pairs FROM bk)
+      SELECT CAST(pow(2.0, CAST(bucket AS DOUBLE)) AS BIGINT) AS df_at_least,
+             n_grams, postings, est_pairs,
+             CASE WHEN tot_pairs > 0 THEN
+               round(CAST(est_pairs AS DOUBLE) / CAST(tot_pairs AS DOUBLE), 9)
+             END AS pair_share
+      FROM bk CROSS JOIN tot ORDER BY df_at_least"""
+
   val queries: Map[String, Q] = Map(
+    "d38_gram_df_histogram"   -> d38_gram_df_histogram,
     "d37_pairjoin_cost_model" -> d37_pairjoin_cost_model,
     "d36_substring_dedup"  -> d36_substring_dedup,
     "d35_threshold_frontier" -> d35_threshold_frontier,
@@ -919,6 +978,7 @@ object Dedup5 {
     "d29_dedup_impact"     -> d29_dedup_impact,
   )
   val oracles: Map[String, String] = Map(
+    "d38_gram_df_histogram"   -> d38Sql,
     "d37_pairjoin_cost_model" -> d37Sql,
     "d36_substring_dedup"  -> d36Sql,
     "d35_threshold_frontier" -> d35Sql,

@@ -1853,6 +1853,22 @@ class GraphSpec extends AnyFunSuite {
       > byName("nation").getAs[Long]("est_bytes"))
   }
 
+  test("d38 gram histogram: bucket totals reconcile with d37's cost model") {
+    val rows = operators.Dedup5.d38_gram_df_histogram(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cost = operators.Dedup5.d37_pairjoin_cost_model(spark, sf).collect()(0)
+    assert(rows.map(_.getAs[Long]("n_grams")).sum == cost.getAs[Long]("n_grams"))
+    assert(rows.map(_.getAs[Long]("postings")).sum == cost.getAs[Long]("n_postings"))
+    assert(rows.map(_.getAs[Long]("est_pairs")).sum
+      == cost.getAs[Long]("est_candidates"))
+    // df=1 bucket contributes no pairs
+    rows.find(_.getAs[Long]("df_at_least") == 1L)
+      .foreach(r => assert(r.getAs[Long]("est_pairs") == 0L))
+    val shareSum = rows.flatMap(r =>
+      Option(r.getAs[java.lang.Double]("pair_share")).map(_.toDouble)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-6)
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
