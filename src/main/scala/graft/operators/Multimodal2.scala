@@ -148,13 +148,67 @@ object Multimodal2 {
              max(byte_len) AS max_bytes
       FROM m GROUP BY 1 ORDER BY 1"""
 
+  // ---- m16: per-modality CAS savings report ----
+  // m07 reports content-addressed dedup savings per SOURCE; capacity
+  // planning needs them per MODALITY (image dedup pays for a thumbnail
+  // cache, video dedup pays for a transcode farm). Same CAS ledger —
+  // one 128-bit payload hash, one keeper groupBy, bytes stored once
+  // per distinct payload — rolled up per m06's modality lanes, with
+  // the dedup ratio that sizes each lane's store. Payload bytes ride
+  // no shuffle; only (hash, modality, length) triples move.
+  val m16_modality_cas_savings: Q = (s, d) => {
+    val assets = Tables.documents(s, d)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .withColumn("magic", substring(md5(col("payload")), 1, 1))
+      .withColumn("modality",
+        when(col("magic") <= "5", "image")
+          .when(col("magic") <= "a", "audio")
+          .when(col("magic") <= "d", "video")
+          .otherwise("text"))
+      .select(col("doc_id"), col("modality"),
+        md5(col("payload")).as("h"),
+        length(col("payload")).cast("long").as("bytes"))
+    val owners = assets.groupBy("h").agg(min("doc_id").as("owner"))
+    assets.join(owners, "h")
+      .groupBy("modality")
+      .agg(count(lit(1)).as("n_assets"),
+        count(when(col("doc_id") === col("owner"), 1)).as("n_distinct"),
+        sum("bytes").as("bytes_referenced"),
+        sum(when(col("doc_id") === col("owner"), col("bytes"))
+          .otherwise(lit(0L))).as("bytes_stored"))
+      .withColumn("dedup_ratio", round(
+        col("bytes_referenced").cast("double") / col("bytes_stored").cast("double"), 9))
+      .orderBy("modality")
+  }
+  val m16Sql: String =
+    """WITH a AS (SELECT doc_id,
+             CASE WHEN substring(md5(text), 1, 1) <= '5' THEN 'image'
+                  WHEN substring(md5(text), 1, 1) <= 'a' THEN 'audio'
+                  WHEN substring(md5(text), 1, 1) <= 'd' THEN 'video'
+                  ELSE 'text' END AS modality,
+             md5(text) AS h,
+             CAST(octet_length(encode(text)) AS BIGINT) AS bytes
+           FROM documents),
+      o AS (SELECT h, MIN(doc_id) AS owner FROM a GROUP BY 1)
+      SELECT modality, COUNT(*) AS n_assets,
+             COUNT(*) FILTER (WHERE doc_id = owner) AS n_distinct,
+             CAST(SUM(bytes) AS BIGINT) AS bytes_referenced,
+             CAST(SUM(CASE WHEN doc_id = owner THEN bytes ELSE 0 END)
+               AS BIGINT) AS bytes_stored,
+             round(CAST(SUM(bytes) AS DOUBLE)
+                   / CAST(SUM(CASE WHEN doc_id = owner THEN bytes ELSE 0 END)
+                          AS DOUBLE), 9) AS dedup_ratio
+      FROM a JOIN o USING (h) GROUP BY 1 ORDER BY modality"""
+
   val queries: Map[String, Q] = Map(
+    "m16_modality_cas_savings" -> m16_modality_cas_savings,
     "m06_modality_route" -> m06_modality_route,
     "m03_size_batching" -> m03_size_batching,
     "m04_frame_sample"  -> m04_frame_sample,
     "m05_quarantine"    -> m05_quarantine,
   )
   val oracles: Map[String, String] = Map(
+    "m16_modality_cas_savings" -> m16Sql,
     "m06_modality_route" -> m06Sql,
     "m03_size_batching" -> m03Sql,
     "m04_frame_sample"  -> m04Sql,

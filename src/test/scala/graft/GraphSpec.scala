@@ -1869,6 +1869,22 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(shareSum - 1.0) < 1e-6)
   }
 
+  test("m16 modality CAS: ratios >= 1, totals reconcile with m07's ledger") {
+    val rows = operators.Multimodal2.m16_modality_cas_savings(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_assets"))
+      assert(r.getAs[Long]("bytes_stored") <= r.getAs[Long]("bytes_referenced"))
+      assert(r.getAs[Double]("dedup_ratio") >= 1.0)
+    }
+    // cross-report reconciliation: same ledger, different rollup key
+    val m07 = operators.Multimodal3.m07_asset_dedup(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("bytes_stored")).sum
+      == m07.map(_.getAs[Long]("bytes_stored")).sum)
+    assert(rows.map(_.getAs[Long]("bytes_referenced")).sum
+      == m07.map(_.getAs[Long]("bytes_referenced")).sum)
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
