@@ -367,7 +367,12 @@ object CorpusPipeline {
         sum("n_words").as("tokens"),
         round(min("quality"), 9).as("min_q"),
         round(max("quality"), 9).as("max_q"),
-        round(Stable.davg(col("quality")), 9).as("mean_q"))
+        // pre-round at 1e-9, THEN sum in decimal(30,10): casting the
+        // RAW double into a coarser decimal(30,6) let a near-boundary
+        // row round differently across engines at sf0.1 (SURVEY §4's
+        // cast-quantum rule; the t11 discipline applied here)
+        round(sum(round(col("quality"), 9).cast("decimal(30,10)"))
+          .cast("double") / count(col("quality")), 9).as("mean_q"))
       .orderBy("phase")
   }
   val p07Sql: String =
@@ -381,7 +386,8 @@ object CorpusPipeline {
              CAST(SUM(n_words) AS BIGINT) AS tokens,
              round(MIN(quality), 9) AS min_q,
              round(MAX(quality), 9) AS max_q,
-             round(${graft.Stable.sqlAvg("quality")}, 9) AS mean_q
+             round(CAST(SUM(CAST(round(quality, 9) AS DECIMAL(30,10)))
+                     AS DOUBLE) / COUNT(quality), 9) AS mean_q
       FROM r, n GROUP BY 1 ORDER BY phase"""
 
   // ---- p08: pipeline canary comparison (A/B a filter change) ----

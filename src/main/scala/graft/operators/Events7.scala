@@ -809,9 +809,11 @@ object Events7 {
     def hop(name: String, dur: org.apache.spark.sql.Column): DataFrame =
       u3.select(dur.as("d")).filter(col("d").isNotNull)
         .agg(count(lit(1)).as("n_users"),
-          round(sum(col("d").cast("decimal(30,0)")).cast("double")
-            / count(lit(1)), 6).as("mean_us"),
-          round(expr("percentile(d, 0.5)"), 6).as("p50_us"),
+          // exact integer mean: decimal-sum div count — no sub-ULP
+          // decimal rounding on 1e11-magnitude doubles (see SURVEY §4)
+          expr("CAST(CAST(SUM(CAST(d AS DECIMAL(30,0))) AS BIGINT) div COUNT(1) AS BIGINT)")
+            .as("mean_us"),
+          round(expr("percentile(d, 0.5)"), 1).as("p50_us"),
           min("d").as("min_us"), max("d").as("max_us"))
         .select(lit(name).as("hop"), col("n_users"), col("mean_us"),
           col("p50_us"), col("min_us"), col("max_us"))
@@ -832,15 +834,15 @@ object Events7 {
                  AS p
              FROM ev JOIN u2 ON ev.user_id = u2.user_id GROUP BY 1, 2, 3),
       h1 AS (SELECT '1_view_to_click' AS hop, COUNT(*) AS n_users,
-               round(CAST(SUM(CAST(d AS DECIMAL(30,0))) AS DOUBLE)
-                     / COUNT(*), 6) AS mean_us,
-               round(quantile_cont(d, 0.5), 6) AS p50_us,
+               CAST(CAST(SUM(CAST(d AS DECIMAL(30,0))) AS BIGINT) // COUNT(*) AS BIGINT)
+                 AS mean_us,
+               round(quantile_cont(d, 0.5), 1) AS p50_us,
                MIN(d) AS min_us, MAX(d) AS max_us
              FROM (SELECT c - v AS d FROM u3 WHERE c IS NOT NULL)),
       h2 AS (SELECT '2_click_to_purchase' AS hop, COUNT(*) AS n_users,
-               round(CAST(SUM(CAST(d AS DECIMAL(30,0))) AS DOUBLE)
-                     / COUNT(*), 6) AS mean_us,
-               round(quantile_cont(d, 0.5), 6) AS p50_us,
+               CAST(CAST(SUM(CAST(d AS DECIMAL(30,0))) AS BIGINT) // COUNT(*) AS BIGINT)
+                 AS mean_us,
+               round(quantile_cont(d, 0.5), 1) AS p50_us,
                MIN(d) AS min_us, MAX(d) AS max_us
              FROM (SELECT p - c AS d FROM u3 WHERE p IS NOT NULL))
       SELECT * FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
@@ -1006,9 +1008,10 @@ object Events7 {
       .withColumn("gap_us", col("next_us") - col("us"))
     gaps.groupBy(col("k").cast("long").as("transition"))
       .agg(count(lit(1)).as("n_users"),
-        round(sum(col("gap_us").cast("decimal(30,0)")).cast("double")
-          / count(lit(1)), 6).as("mean_gap_us"),
-        round(expr("percentile(gap_us, 0.5)"), 6).as("p50_gap_us"),
+        // exact integer mean — same §4 rationale as e49
+        expr("CAST(CAST(SUM(CAST(gap_us AS DECIMAL(30,0))) AS BIGINT) div COUNT(1) AS BIGINT)")
+          .as("mean_gap_us"),
+        round(expr("percentile(gap_us, 0.5)"), 1).as("p50_gap_us"),
         min("gap_us").as("min_gap_us"))
       .orderBy("transition")
   }
@@ -1022,9 +1025,9 @@ object Events7 {
             FROM p4 a JOIN p4 b
               ON a.user_id = b.user_id AND b.k = a.k + 1)
       SELECT CAST(k AS BIGINT) AS transition, COUNT(*) AS n_users,
-             round(CAST(SUM(CAST(gap_us AS DECIMAL(30,0))) AS DOUBLE)
-                   / COUNT(*), 6) AS mean_gap_us,
-             round(quantile_cont(gap_us, 0.5), 6) AS p50_gap_us,
+             CAST(CAST(SUM(CAST(gap_us AS DECIMAL(30,0))) AS BIGINT) // COUNT(*) AS BIGINT)
+               AS mean_gap_us,
+             round(quantile_cont(gap_us, 0.5), 1) AS p50_gap_us,
              MIN(gap_us) AS min_gap_us
       FROM g GROUP BY 1 ORDER BY transition"""
 

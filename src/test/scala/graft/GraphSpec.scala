@@ -1491,11 +1491,12 @@ class GraphSpec extends AnyFunSuite {
     rows.foreach { r =>
       assert(r.getAs[Long]("n_users") >= 1)
       val (mn, p50, mean, mx) = (r.getAs[Long]("min_us").toDouble,
-        r.getAs[Double]("p50_us"), r.getAs[Double]("mean_us"),
+        r.getAs[Double]("p50_us"), r.getAs[Long]("mean_us").toDouble,
         r.getAs[Long]("max_us").toDouble)
       assert(mn >= 0.0, "first click/purchase at-or-after the prior stage")
       assert(mn <= p50 && p50 <= mx)
-      assert(mn <= mean && mean <= mx)
+      // floor-division mean can undershoot by <1us, hence the -1 slack
+      assert(mn - 1 <= mean && mean <= mx)
     }
   }
 
@@ -1792,7 +1793,7 @@ class GraphSpec extends AnyFunSuite {
     rows.foreach { r =>
       assert(r.getAs[Long]("min_gap_us") >= 0,
         "purchase k+1 happens at or after purchase k")
-      assert(r.getAs[Double]("mean_gap_us") >= 0.0)
+      assert(r.getAs[Long]("mean_gap_us") >= 0L)
     }
   }
 
