@@ -24,12 +24,13 @@ object SparkEntry {
       operators.TextAnalysis3.queries ++ operators.TextAnalysis4.queries ++
       operators.TextAnalysis5.queries ++ operators.TextAnalysis6.queries ++
       operators.TextAnalysis7.queries ++ operators.TextAnalysis8.queries ++
-      operators.TextAnalysis9.queries ++ operators.Graph.queries ++
+      operators.TextAnalysis9.queries ++ operators.TextAnalysis10.queries ++
+      operators.Graph.queries ++ operators.Graph2.queries ++
       operators.Multimodal2.queries ++ operators.Multimodal3.queries ++
       operators.Events.queries ++ operators.Events2.queries ++
       operators.Events3.queries ++ operators.Events4.queries ++
       operators.Events5.queries ++ operators.Events6.queries ++
-      operators.Events7.queries ++
+      operators.Events7.queries ++ operators.Events8.queries ++
       operators.CorpusPipeline.queries ++ operators.Quality.queries ++
       operators.Quality2.queries ++ operators.Quality3.queries ++
       operators.MLPrep.queries
@@ -50,12 +51,13 @@ object SparkEntry {
       operators.TextAnalysis3.oracles ++ operators.TextAnalysis4.oracles ++
       operators.TextAnalysis5.oracles ++ operators.TextAnalysis6.oracles ++
       operators.TextAnalysis7.oracles ++ operators.TextAnalysis8.oracles ++
-      operators.TextAnalysis9.oracles ++ operators.Graph.oracles ++
+      operators.TextAnalysis9.oracles ++ operators.TextAnalysis10.oracles ++
+      operators.Graph.oracles ++ operators.Graph2.oracles ++
       operators.Multimodal2.oracles ++ operators.Multimodal3.oracles ++
       operators.Events.oracles ++ operators.Events2.oracles ++
       operators.Events3.oracles ++ operators.Events4.oracles ++
       operators.Events5.oracles ++ operators.Events6.oracles ++
-      operators.Events7.oracles ++
+      operators.Events7.oracles ++ operators.Events8.oracles ++
       operators.CorpusPipeline.oracles ++ operators.Quality.oracles ++
       operators.Quality2.oracles ++ operators.Quality3.oracles ++
       operators.MLPrep.oracles

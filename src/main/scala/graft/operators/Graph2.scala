@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Graph analytics, part 2: link-analysis beyond PageRank. */
+object Graph2 {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- g11: HITS hubs & authorities over the nation trade graph ----
+  // Kleinberg's HITS (J. ACM 1999) answers a question PageRank (g01)
+  // cannot: in a DIRECTED trade graph, which nations are strong
+  // *suppliers* (hubs — they ship to many important buyers) vs strong
+  // *buyers* (authorities — they receive from many important shippers)?
+  // PageRank collapses both roles into one score; HITS keeps the two
+  // sides of an asymmetric market separate, which is exactly the
+  // supplier-risk / demand-concentration split a trade analyst wants.
+  //
+  // Plan shape = g01's decomposition: ONE fact-scale star join builds
+  // the weighted edge list (shipment counts), then every mutual-
+  // reinforcement iteration runs on the aggregated edge table (≤|V|²
+  // rows — metadata-sized) with the current score vector riding a
+  // broadcast join. The fact table is read once; iterations cost
+  // ~nothing at any SF. Two iterations (enough for the ranking to
+  // stabilize on a dense small-diameter graph; more is one more CTE).
+  //
+  // Cross-engine exactness (the g01 discipline): iteration 1 runs on
+  // EXACT INTEGERS (h₀ = 1 exactly, so the inbound sum is Σw — BIGINT);
+  // each later inbound sum is per-edge w·score products (single IEEE
+  // ops on bit-identical inputs) accumulated through DECIMAL(38,15) so
+  // partial-agg order cannot perturb ulps; every score vector is L1-
+  // normalized (the standard HITS step) and rounded to 12 dp, which
+  // pins the one remaining ulp from the decimal→double cast exactly as
+  // g01's per-iteration round does. The DuckDB oracle replays both
+  // iterations as chained CTEs and matches hash-exact.
+  val g11_hits: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val edges = li
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").cast("long").as("src"),
+        col("c_nationkey").cast("long").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      // persisted: 3 of the 4 inbound-sum joins below read the edge
+      // table; without the barrier each would re-run the fact-scale
+      // star join (the g01 lesson)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long").as("node"))
+    val zero = lit(0).cast(DecimalType(38, 15))
+
+    // iteration 1 authority: h0 ≡ 1 ⇒ inbound sums are exact BIGINTs
+    val a1raw = edges.groupBy(col("dst").as("node")).agg(sum("w").as("araw"))
+    val a1tot = a1raw.agg(sum("araw").as("tot"))
+    val a1 = nodes.join(a1raw, Seq("node"), "left")
+      .crossJoin(broadcast(a1tot))
+      .select(col("node"),
+        round(coalesce(col("araw"), lit(0L)).cast("double")
+          / col("tot").cast("double"), 12).as("auth"))
+
+    // hub update from an authority vector: h_i = Σ_j w_ij·a_j, L1-norm
+    def hubFrom(a: DataFrame): DataFrame = {
+      val hraw = edges
+        .join(broadcast(a.withColumnRenamed("node", "dst")), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(sum((col("w").cast("double") * col("auth"))
+          .cast(DecimalType(38, 15))).as("hdec"))
+      val htot = hraw.agg(sum("hdec").as("tot"))
+      nodes.join(hraw, Seq("node"), "left").crossJoin(broadcast(htot))
+        .select(col("node"),
+          round(coalesce(col("hdec"), zero).cast("double")
+            / col("tot").cast("double"), 12).as("hub"))
+    }
+    val h1 = hubFrom(a1)
+
+    // iteration 2 authority from h1: a_j = Σ_i w_ij·h_i, L1-norm
+    val a2raw = edges
+      .join(broadcast(h1.withColumnRenamed("node", "src")), "src")
+      .groupBy(col("dst").as("node"))
+      .agg(sum((col("w").cast("double") * col("hub"))
+        .cast(DecimalType(38, 15))).as("adec"))
+    val a2tot = a2raw.agg(sum("adec").as("tot"))
+    val a2 = nodes.join(a2raw, Seq("node"), "left")
+      .crossJoin(broadcast(a2tot))
+      .select(col("node"),
+        round(coalesce(col("adec"), zero).cast("double")
+          / col("tot").cast("double"), 12).as("auth"))
+    val h2 = hubFrom(a2)
+
+    a2.join(h2, "node")
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").cast("long").as("node"), col("n_name"))),
+        "node")
+      .select("node", "n_name", "auth", "hub")
+      .orderBy("node")
+  }
+  val g11Sql: String =
+    """WITH e AS (
+        SELECT CAST(s_nationkey AS BIGINT) AS src,
+               CAST(c_nationkey AS BIGINT) AS dst, COUNT(*) AS w
+        FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey  = c_custkey
+          JOIN supplier ON l_suppkey  = s_suppkey
+        GROUP BY 1, 2),
+      n AS (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation),
+      a1r AS (SELECT dst AS node, SUM(w) AS araw FROM e GROUP BY 1),
+      a1t AS (SELECT SUM(araw) AS tot FROM a1r),
+      a1 AS (SELECT n.node,
+               round(CAST(COALESCE(araw, 0) AS DOUBLE)
+                     / CAST(tot AS DOUBLE), 12) AS auth
+             FROM n LEFT JOIN a1r USING (node), a1t),
+      h1r AS (SELECT src AS node,
+                SUM(CAST(CAST(w AS DOUBLE) * auth AS DECIMAL(38,15))) AS hdec
+              FROM e JOIN a1 ON e.dst = a1.node GROUP BY 1),
+      h1t AS (SELECT SUM(hdec) AS tot FROM h1r),
+      h1 AS (SELECT n.node,
+               round(CAST(COALESCE(hdec, CAST(0 AS DECIMAL(38,15))) AS DOUBLE)
+                     / CAST(tot AS DOUBLE), 12) AS hub
+             FROM n LEFT JOIN h1r USING (node), h1t),
+      a2r AS (SELECT dst AS node,
+                SUM(CAST(CAST(w AS DOUBLE) * hub AS DECIMAL(38,15))) AS adec
+              FROM e JOIN h1 ON e.src = h1.node GROUP BY 1),
+      a2t AS (SELECT SUM(adec) AS tot FROM a2r),
+      a2 AS (SELECT n.node,
+               round(CAST(COALESCE(adec, CAST(0 AS DECIMAL(38,15))) AS DOUBLE)
+                     / CAST(tot AS DOUBLE), 12) AS auth
+             FROM n LEFT JOIN a2r USING (node), a2t),
+      h2r AS (SELECT src AS node,
+                SUM(CAST(CAST(w AS DOUBLE) * auth AS DECIMAL(38,15))) AS hdec
+              FROM e JOIN a2 ON e.dst = a2.node GROUP BY 1),
+      h2t AS (SELECT SUM(hdec) AS tot FROM h2r),
+      h2 AS (SELECT n.node,
+               round(CAST(COALESCE(hdec, CAST(0 AS DECIMAL(38,15))) AS DOUBLE)
+                     / CAST(tot AS DOUBLE), 12) AS hub
+             FROM n LEFT JOIN h2r USING (node), h2t)
+      SELECT a2.node, n_name, auth, hub
+      FROM a2 JOIN h2 USING (node)
+        JOIN nation ON CAST(n_nationkey AS BIGINT) = a2.node
+      ORDER BY node"""
+
+  val queries: Map[String, Q] = Map(
+    "g11_hits" -> g11_hits,
+  )
+  val oracles: Map[String, String] = Map(
+    "g11_hits" -> g11Sql,
+  )
+}

@@ -1886,6 +1886,61 @@ class GraphSpec extends AnyFunSuite {
       == m07.map(_.getAs[Long]("bytes_referenced")).sum)
   }
 
+  test("g11 hits: both vectors L1-normalized, hub mass only on supplier nations") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Graph2.g11_hits(spark, sf).collect()
+    assert(rows.length == 25)
+    val auths = rows.map(_.getAs[Double]("auth"))
+    val hubs = rows.map(_.getAs[Double]("hub"))
+    assert(auths.forall(_ >= 0.0) && hubs.forall(_ >= 0.0))
+    // each iteration ends in an L1 normalize + 1e-12 round: 25 nodes of
+    // rounding slack at most
+    assert(math.abs(auths.sum - 1.0) < 1e-9, s"auth mass = ${auths.sum}")
+    assert(math.abs(hubs.sum - 1.0) < 1e-9, s"hub mass = ${hubs.sum}")
+    // a nation with no outgoing trade (no supplier shipped from it) can
+    // have no hub score — HITS hub mass lives on sources only
+    val srcNations = Tables.lineitem(spark, sf).select("l_suppkey")
+      .join(Tables.supplier(spark, sf),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      if (!srcNations.contains(r.getAs[Long]("node")))
+        assert(r.getAs[Double]("hub") == 0.0)
+    }
+  }
+
+  test("t35 readability: bands partition the corpus, ratios in sane ranges") {
+    val rows = operators.TextAnalysis10.t35_readability(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.foreach { r =>
+      // easy/standard/hard is a PARTITION of the source's docs
+      assert(r.getAs[Long]("n_easy") + r.getAs[Long]("n_standard")
+        + r.getAs[Long]("n_hard") == r.getAs[Long]("n_docs"))
+      assert(r.getAs[Double]("words_per_sentence") > 0.0)
+      val spw = r.getAs[Double]("syllables_per_word")
+      // a vowel-run count can't exceed ~half the word length; real text
+      // sits well inside [0.5, 5] syllables/word
+      assert(spw > 0.0 && spw < 5.0, s"spw = $spw")
+    }
+  }
+
+  test("e54 cusum: telescopes to ~0 at series end, exactly one peak day flagged") {
+    val rows = operators.Events8.e54_cusum(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // S_T = Σ(x_i − μ) = 0 exactly, up to the 6-dp decimal cast per day
+    val last = rows.last.getAs[Double]("cusum")
+    assert(math.abs(last) < rows.length * 1e-6 + 1e-9, s"S_T = $last")
+    val peaks = rows.filter(_.getAs[Boolean]("is_changepoint"))
+    assert(peaks.nonEmpty)
+    val peakAbs = peaks.head.getAs[Double]("cusum").abs
+    assert(rows.forall(_.getAs[Double]("cusum").abs <= peakAbs))
+    // daily counts reconcile with the raw event count
+    assert(rows.map(_.getAs[Long]("n")).sum == Tables.events(spark, sf).count())
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
