@@ -20,6 +20,7 @@ object SparkEntry {
       operators.Dedup.queries ++ operators.Dedup2.queries ++ operators.Dedup3.queries ++
       operators.Dedup4.queries ++ operators.Dedup5.queries ++
       operators.Similarity.queries ++ operators.Similarity2.queries ++
+      operators.Similarity3.queries ++
       operators.TextAnalysis.queries ++ operators.TextAnalysis2.queries ++
       operators.TextAnalysis3.queries ++ operators.TextAnalysis4.queries ++
       operators.TextAnalysis5.queries ++ operators.TextAnalysis6.queries ++
@@ -33,7 +34,7 @@ object SparkEntry {
       operators.Events7.queries ++ operators.Events8.queries ++
       operators.CorpusPipeline.queries ++ operators.Quality.queries ++
       operators.Quality2.queries ++ operators.Quality3.queries ++
-      operators.MLPrep.queries
+      operators.Quality4.queries ++ operators.MLPrep.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -47,6 +48,7 @@ object SparkEntry {
       operators.Dedup.oracles ++ operators.Dedup2.oracles ++ operators.Dedup3.oracles ++
       operators.Dedup4.oracles ++ operators.Dedup5.oracles ++
       operators.Similarity.oracles ++ operators.Similarity2.oracles ++
+      operators.Similarity3.oracles ++
       operators.TextAnalysis.oracles ++ operators.TextAnalysis2.oracles ++
       operators.TextAnalysis3.oracles ++ operators.TextAnalysis4.oracles ++
       operators.TextAnalysis5.oracles ++ operators.TextAnalysis6.oracles ++
@@ -60,5 +62,5 @@ object SparkEntry {
       operators.Events7.oracles ++ operators.Events8.oracles ++
       operators.CorpusPipeline.oracles ++ operators.Quality.oracles ++
       operators.Quality2.oracles ++ operators.Quality3.oracles ++
-      operators.MLPrep.oracles
+      operators.Quality4.oracles ++ operators.MLPrep.oracles
 }

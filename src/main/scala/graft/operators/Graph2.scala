@@ -145,10 +145,117 @@ object Graph2 {
         JOIN nation ON CAST(n_nationkey AS BIGINT) = a2.node
       ORDER BY node"""
 
+  // ---- g12: k-core peeling census (3-core, 3 unrolled rounds) ----
+  // The density primitive between degree (g05) and components (g04):
+  // the k-core is what survives REPEATEDLY deleting nodes of degree
+  // < k — the standard spam-farm / dense-community / "load-bearing
+  // catalog" extractor, and the cascade census (how many nodes fall
+  // per round) is the robustness read: a graph whose 3-core collapses
+  // in one round is hub-and-spoke; one that sheds slowly has a dense
+  // nucleus. Runs on the thresholded co-purchase graph (g03's edge
+  // build — the ONE fact-scale stage; weight ≥ 2 keeps |E| metadata-
+  // sized), then every peel round is a degree aggregate + two
+  // semi-joins on the EDGE table alone. Three rounds unrolled the g01
+  // way so the DuckDB oracle replays them as chained CTEs hash-exact;
+  // at 100 TB the full degeneracy peel is the same plan iterated to
+  // fixpoint (O(peel-depth) rounds), and the census row per round is
+  // what tells you when to stop.
+  //
+  // Exactness: everything is integer counts — no floating point at
+  // all; the census needs no rounding discipline.
+  val g12_kcore: Q = (s, d) => {
+    val k = 3
+    def deg(e: DataFrame): DataFrame =
+      e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+    val e0 = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+             transform(slice(ps, i + 2, size(ps)),
+               y -> struct(x AS a, y AS b))))""")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select("a", "b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var e = e0
+    var stats = Vector.empty[DataFrame]
+    for (r <- 1 to 3) {
+      val dg = deg(e)
+      val keep = dg.filter(col("deg") >= k).select("n")
+      val eNext = e
+        .join(broadcast(keep.withColumnRenamed("n", "a")), "a")
+        .join(broadcast(keep.withColumnRenamed("n", "b")), "b")
+        .select("a", "b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val before = dg.agg(count(lit(1)).as("n_nodes"),
+        count(when(col("deg") < k, 1)).as("n_peeled"))
+      val after = deg(eNext).agg(
+        count(lit(1)).as("n_nodes_after"),
+        coalesce(sum("deg"), lit(0L)).as("deg_sum"))
+      stats = stats :+ before.crossJoin(broadcast(after))
+        .select(lit(r).cast("long").as("round"), col("n_nodes"),
+          col("n_peeled"), col("n_nodes_after"),
+          expr("deg_sum div 2").as("n_edges_after"))
+      e = eNext
+    }
+    stats.reduce(_ unionAll _).orderBy("round")
+  }
+  val g12Sql: String =
+    """WITH b AS MATERIALIZED (SELECT l_orderkey AS ok,
+               list_sort(list_distinct(list(l_partkey))) AS ps
+             FROM lineitem GROUP BY 1),
+      pp AS MATERIALIZED (SELECT ok, unnest(ps) AS a FROM b),
+      e0 AS MATERIALIZED (SELECT x.a AS a, y.a AS b FROM pp x JOIN pp y
+             ON x.ok = y.ok AND x.a < y.a
+             GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      d0 AS MATERIALIZED (SELECT n, COUNT(*) AS deg FROM
+               (SELECT a AS n FROM e0 UNION ALL SELECT b AS n FROM e0)
+             GROUP BY 1),
+      k0 AS MATERIALIZED (SELECT n FROM d0 WHERE deg >= 3),
+      e1 AS MATERIALIZED (SELECT a, b FROM e0
+             WHERE a IN (SELECT n FROM k0) AND b IN (SELECT n FROM k0)),
+      d1 AS MATERIALIZED (SELECT n, COUNT(*) AS deg FROM
+               (SELECT a AS n FROM e1 UNION ALL SELECT b AS n FROM e1)
+             GROUP BY 1),
+      k1 AS MATERIALIZED (SELECT n FROM d1 WHERE deg >= 3),
+      e2 AS MATERIALIZED (SELECT a, b FROM e1
+             WHERE a IN (SELECT n FROM k1) AND b IN (SELECT n FROM k1)),
+      d2 AS MATERIALIZED (SELECT n, COUNT(*) AS deg FROM
+               (SELECT a AS n FROM e2 UNION ALL SELECT b AS n FROM e2)
+             GROUP BY 1),
+      k2 AS MATERIALIZED (SELECT n FROM d2 WHERE deg >= 3),
+      e3 AS MATERIALIZED (SELECT a, b FROM e2
+             WHERE a IN (SELECT n FROM k2) AND b IN (SELECT n FROM k2)),
+      d3 AS MATERIALIZED (SELECT n, COUNT(*) AS deg FROM
+               (SELECT a AS n FROM e3 UNION ALL SELECT b AS n FROM e3)
+             GROUP BY 1),
+      r1 AS (SELECT CAST(1 AS BIGINT) AS round,
+               (SELECT COUNT(*) FROM d0) AS n_nodes,
+               (SELECT COUNT(*) FROM d0 WHERE deg < 3) AS n_peeled,
+               (SELECT COUNT(*) FROM d1) AS n_nodes_after,
+               CAST((SELECT COALESCE(SUM(deg), 0) FROM d1) // 2 AS BIGINT) AS n_edges_after),
+      r2 AS (SELECT CAST(2 AS BIGINT) AS round,
+               (SELECT COUNT(*) FROM d1) AS n_nodes,
+               (SELECT COUNT(*) FROM d1 WHERE deg < 3) AS n_peeled,
+               (SELECT COUNT(*) FROM d2) AS n_nodes_after,
+               CAST((SELECT COALESCE(SUM(deg), 0) FROM d2) // 2 AS BIGINT) AS n_edges_after),
+      r3 AS (SELECT CAST(3 AS BIGINT) AS round,
+               (SELECT COUNT(*) FROM d2) AS n_nodes,
+               (SELECT COUNT(*) FROM d2 WHERE deg < 3) AS n_peeled,
+               (SELECT COUNT(*) FROM d3) AS n_nodes_after,
+               CAST((SELECT COALESCE(SUM(deg), 0) FROM d3) // 2 AS BIGINT) AS n_edges_after)
+      SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+      ORDER BY round"""
+
   val queries: Map[String, Q] = Map(
-    "g11_hits" -> g11_hits,
+    "g11_hits"  -> g11_hits,
+    "g12_kcore" -> g12_kcore,
   )
   val oracles: Map[String, String] = Map(
-    "g11_hits" -> g11Sql,
+    "g11_hits"  -> g11Sql,
+    "g12_kcore" -> g12Sql,
   )
 }

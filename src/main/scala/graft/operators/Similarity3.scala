@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Similarity search, part 3: embedding-space data quality. */
+object Similarity3 {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- s22: out-of-distribution audit (distance-to-own-centroid) ----
+  // The per-VECTOR quality gate the family lacked: s14 detects COHORT
+  // drift (did this week's embedding distribution move?), s16 scores
+  // label agreement via neighbors — but the curation question "which
+  // individual vectors don't belong to their own label?" (mislabeled
+  // rows, encoder failures, genuine OOD inputs) is a per-row score:
+  // cosine to the label's own centroid, z-scored against the label's
+  // similarity distribution. Vectors more than 2σ BELOW the label mean
+  // are flagged — the embedding-space analog of v14's outlier census,
+  // and the quarantine feed before semantic dedup (d14/d22) trusts the
+  // label structure.
+  //
+  // Engine shape: the fact-scale stages are the posexplode (corpus ×
+  // dims rows, narrow) and TWO (label|vec)-keyed combinable aggregates
+  // — centroid build (s03's decimal-mean recipe) and per-vector
+  // dot/norm accumulation against the broadcast label×dim centroid
+  // table. Per-label stats, flags, and worst-vector attribution all
+  // run on vector-count-sized frames; the min-cos window partitions by
+  // label (never unpartitioned).
+  //
+  // Cross-engine exactness: cosine is invariant to positive scaling
+  // of the centroid, so the centroid is the per-dim SUM, not the mean —
+  // an exact DECIMAL(30,10) whose double cast is bit-identical on both
+  // engines (unscaled value < 2^53, so int128→double is exact and the
+  // ÷10^scale is one correctly-rounded division on each side). No
+  // round() ever touches the centroid — this dodges the half-boundary
+  // trap: a decimal sum divided by a small integer count TERMINATES,
+  // often exactly on a .5×10⁻⁹ boundary, where Spark (exact-expansion
+  // HALF_UP) and DuckDB (multiply-then-std::round) disagree. Dot/norm
+  // sums ride decimals sized so their unscaled values also stay < 2^53
+  // (exact casts); cosine, mean, sd, and the 2σ threshold are then
+  // fixed-parenthesization IEEE ops on bit-identical doubles — the OOD
+  // verdict is an exact comparison, and only messy (non-terminating)
+  // quotients are ever rounded for output.
+  val s22_ood_audit: Q = (s, d) => {
+    val ex = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        col("v").cast("double").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cent = ex.groupBy("label", "dim")
+      .agg(sum(col("v").cast(DecimalType(30, 10))).cast("double").as("c"))
+    val cnorm = cent.groupBy("label")
+      .agg(sum((col("c") * col("c")).cast(DecimalType(30, 8)))
+        .cast("double").as("c2"))
+    val per = ex.join(broadcast(cent), Seq("label", "dim"))
+      .groupBy("vec_id", "label")
+      .agg(sum((col("v") * col("c")).cast(DecimalType(30, 8)))
+          .cast("double").as("dot"),
+        sum((col("v") * col("v")).cast(DecimalType(30, 12)))
+          .cast("double").as("v2"))
+      .join(broadcast(cnorm), "label")
+      .withColumn("cos", col("dot") / (sqrt(col("v2")) * sqrt(col("c2"))))
+    val st = per.groupBy("label").agg(
+      count(lit(1)).as("n_vecs"),
+      sum(col("cos").cast(DecimalType(30, 12))).cast("double").as("s1"),
+      sum((col("cos") * col("cos")).cast(DecimalType(30, 12)))
+        .cast("double").as("s2"))
+      .withColumn("mean_cos", col("s1") / col("n_vecs"))
+      .withColumn("sd_cos",
+        sqrt((col("s2") - col("s1") * col("s1") / col("n_vecs"))
+          / (col("n_vecs") - 1)))
+      .select("label", "mean_cos", "sd_cos")
+    per.join(broadcast(st), "label")
+      .withColumn("min_c", min("cos").over(Window.partitionBy("label")))
+      .groupBy("label").agg(
+        count(lit(1)).as("n_vecs"),
+        round(max("mean_cos"), 9).as("mean_cos"),
+        round(max("sd_cos"), 9).as("sd_cos"),
+        count(when(col("cos") < col("mean_cos") - lit(2.0) * col("sd_cos"),
+          1)).as("n_ood"),
+        round(min("cos"), 9).as("min_cos"),
+        min(when(col("cos") === col("min_c"), col("vec_id")))
+          .as("worst_vec_id"))
+      .orderBy("label")
+  }
+  val s22Sql: String =
+    """WITH ex AS (SELECT vec_id, label,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+             FROM embeddings),
+      cent AS (SELECT label, dim,
+                 CAST(SUM(CAST(v AS DECIMAL(30,10))) AS DOUBLE) AS c
+               FROM ex GROUP BY 1, 2),
+      cn AS (SELECT label,
+               CAST(SUM(CAST(c * c AS DECIMAL(30,8))) AS DOUBLE) AS c2
+             FROM cent GROUP BY 1),
+      per AS (SELECT vec_id, ex.label,
+                CAST(SUM(CAST(ex.v * cent.c AS DECIMAL(30,8))) AS DOUBLE)
+                  AS dot,
+                CAST(SUM(CAST(ex.v * ex.v AS DECIMAL(30,12))) AS DOUBLE)
+                  AS v2
+              FROM ex JOIN cent ON ex.label = cent.label AND ex.dim = cent.dim
+              GROUP BY 1, 2),
+      pc AS (SELECT vec_id, per.label, dot / (sqrt(v2) * sqrt(c2)) AS cos
+             FROM per JOIN cn ON per.label = cn.label),
+      st AS (SELECT label, COUNT(*) AS n,
+               CAST(SUM(CAST(cos AS DECIMAL(30,12))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(cos * cos AS DECIMAL(30,12))) AS DOUBLE) AS s2
+             FROM pc GROUP BY 1),
+      sm AS (SELECT label, s1 / n AS mean_cos,
+               sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd_cos
+             FROM st),
+      fl AS (SELECT pc.vec_id, pc.label, pc.cos, mean_cos, sd_cos,
+               min(cos) OVER (PARTITION BY pc.label) AS min_c
+             FROM pc JOIN sm ON pc.label = sm.label)
+      SELECT label, COUNT(*) AS n_vecs,
+        round(MAX(mean_cos), 9) AS mean_cos,
+        round(MAX(sd_cos), 9) AS sd_cos,
+        COUNT(CASE WHEN cos < mean_cos - CAST(2.0 AS DOUBLE) * sd_cos
+              THEN 1 END) AS n_ood,
+        round(MIN(cos), 9) AS min_cos,
+        MIN(CASE WHEN cos = min_c THEN vec_id END) AS worst_vec_id
+      FROM fl GROUP BY label ORDER BY label"""
+
+  val queries: Map[String, Q] = Map(
+    "s22_ood_audit" -> s22_ood_audit,
+  )
+  val oracles: Map[String, String] = Map(
+    "s22_ood_audit" -> s22Sql,
+  )
+}

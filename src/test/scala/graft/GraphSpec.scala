@@ -1941,6 +1941,51 @@ class GraphSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n")).sum == Tables.events(spark, sf).count())
   }
 
+  test("g12 kcore: peel cascade chains consistently, edges monotone non-increasing") {
+    val rows = operators.Graph2.g12_kcore(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_peeled") <= r.getAs[Long]("n_nodes"))
+      assert(r.getAs[Long]("n_nodes_after") <= r.getAs[Long]("n_nodes"))
+    }
+    // round r+1 sees exactly the nodes that survived round r with an edge
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_nodes") == a.getAs[Long]("n_nodes_after"))
+      assert(b.getAs[Long]("n_edges_after") <= a.getAs[Long]("n_edges_after"))
+    }
+  }
+
+  test("s22 ood audit: per-label accounting closes, flags bounded") {
+    val rows = operators.Similarity3.s22_ood_audit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum
+      == Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sd_cos") > 0.0)
+      assert(r.getAs[Long]("n_ood") <= r.getAs[Long]("n_vecs"))
+      assert(r.getAs[Double]("min_cos") <= r.getAs[Double]("mean_cos"))
+      assert(!r.isNullAt(r.fieldIndex("worst_vec_id")))
+    }
+  }
+
+  test("v24 money precision: raw feeds cents-clean, the rate product leaks pennies") {
+    val rows = operators.Quality4.v24_money_precision(spark, sf).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(rows.size == 4)
+    // the three stored money columns honor the cents contract
+    Seq("l_extendedprice", "o_totalprice", "event_value").foreach { c =>
+      assert(rows(c).getAs[Long]("n_subcent") == 0, s"$c has sub-cent rows")
+      assert(rows(c).getAs[Long]("n_cents_exact")
+        == rows(c).getAs[Long]("n_rows"))
+    }
+    // the deliberate positive: discount arithmetic leaks sub-cent residue
+    val d = rows("li_discounted")
+    assert(d.getAs[Long]("n_subcent") > 0)
+    assert(d.getAs[Long]("subcent_micros") > 0L)
+    assert(rows("l_extendedprice").getAs[Long]("n_rows")
+      == Tables.lineitem(spark, sf).count())
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
