@@ -17,6 +17,7 @@ object SparkEntry {
       operators.Relational9.queries ++
       operators.Relational10.queries ++ operators.Relational11.queries ++
       operators.Relational12.queries ++ operators.Relational13.queries ++
+      operators.Relational14.queries ++
       operators.Dedup.queries ++ operators.Dedup2.queries ++ operators.Dedup3.queries ++
       operators.Dedup4.queries ++ operators.Dedup5.queries ++
       operators.Similarity.queries ++ operators.Similarity2.queries ++
@@ -45,6 +46,7 @@ object SparkEntry {
       operators.Relational9.oracles ++
       operators.Relational10.oracles ++ operators.Relational11.oracles ++
       operators.Relational12.oracles ++ operators.Relational13.oracles ++
+      operators.Relational14.oracles ++
       operators.Dedup.oracles ++ operators.Dedup2.oracles ++ operators.Dedup3.oracles ++
       operators.Dedup4.oracles ++ operators.Dedup5.oracles ++
       operators.Similarity.oracles ++ operators.Similarity2.oracles ++

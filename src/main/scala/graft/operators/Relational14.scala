@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.{Stable, Tables}
+
+/** Relational / warehouse kernels, part 14: uncertainty + semi-additive. */
+object Relational14 {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- q106: Poisson-bootstrap confidence intervals ----
+  // Error bars for a 100 TB aggregate, without distributional
+  // assumptions and WITHOUT resampling shuffles: the Poisson bootstrap
+  // (Chamandy et al., Google 2012 — "Estimating Uncertainty for
+  // Massive Data Streams") replaces draw-with-replacement (which needs
+  // the whole sample in one place) with an independent per-row
+  // Poisson(1) replication weight per resample — so B=32 resamples are
+  // ONE narrow map (row × B in-row explode, collapsed immediately by
+  // the map-side-combinable weighted aggregate) and the statistic
+  // distribution falls out of a (group × B)-sized frame. This is THE
+  // scalable bootstrap: no row ever leaves its partition to be
+  // "redrawn".
+  //
+  // Determinism (what makes it oracle-replayable where rand() never
+  // is): the Poisson weights invert q26's md5-uniform on (orderkey:b)
+  // against FIXED CDF literals (e^-1 partial sums), so every engine
+  // draws the identical resample. Weighted sums ride DECIMAL(30,4) —
+  // EXACT, since w·x of an integer weight and a 2-dp price is a 2-dp
+  // value — and every decimal's unscaled value stays < 2^53 so the
+  // double casts are bit-identical. The ~90% CI is exact order
+  // statistics (ranks 2 and 31 of 32, b as tiebreak) over the
+  // group-partitioned resample frame; se is decimal-moment based.
+  val q106_bootstrap_ci: Q = (s, d) => {
+    val B = 32
+    val rs = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("grp"), col("o_totalprice").as("x"),
+        col("o_orderkey"))
+      .select(col("grp"), col("x"), col("o_orderkey"),
+        explode(expr(s"sequence(0, ${B - 1})")).as("b"))
+      .withColumn("u",
+        conv(substring(md5(concat_ws(":", col("o_orderkey"), col("b"))),
+          1, 8), 16, 10).cast("long").cast("double") / lit(4294967296.0))
+      .withColumn("w",
+        when(col("u") < 0.36787944117144233, 0)
+          .when(col("u") < 0.7357588823428847, 1)
+          .when(col("u") < 0.9196986029286058, 2)
+          .when(col("u") < 0.9810118431238462, 3)
+          .when(col("u") < 0.9963401531726563, 4)
+          .otherwise(5).cast("long"))
+    val means = rs.groupBy("grp", "b").agg(
+      (sum((col("w") * col("x")).cast(DecimalType(30, 4))).cast("double")
+        / sum("w")).as("mb"))
+    val ranked = means.withColumn("rk",
+      row_number().over(Window.partitionBy("grp").orderBy("mb", "b")))
+    val point = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(Stable.davg(col("o_totalprice")), 9).as("mean_x"))
+    ranked.groupBy("grp").agg(
+      round(min(when(col("rk") === 2, col("mb"))), 9).as("ci_lo"),
+      round(min(when(col("rk") === 31, col("mb"))), 9).as("ci_hi"),
+      sum(col("mb").cast(DecimalType(30, 6))).cast("double").as("s1"),
+      sum((col("mb") * col("mb")).cast(DecimalType(30, 2)))
+        .cast("double").as("s2"))
+      .withColumn("se",
+        round(sqrt((col("s2") - col("s1") * col("s1") / lit(B))
+          / lit(B - 1)), 9))
+      .join(broadcast(point), "grp")
+      .select("grp", "n_rows", "mean_x", "ci_lo", "ci_hi", "se")
+      .orderBy("grp")
+  }
+  val q106Sql: String =
+    """WITH rs AS (
+        SELECT o_orderpriority AS grp, o_totalprice AS x, o_orderkey, b,
+          ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || ':'
+                                 || CAST(b AS VARCHAR)), 1, 8))::BIGINT
+            / CAST(4294967296 AS DOUBLE) AS u
+        FROM orders, (SELECT unnest(range(0, 32)) AS b)),
+      wt AS (SELECT grp, x, b,
+               CAST(CASE WHEN u < 0.36787944117144233 THEN 0
+                    WHEN u < 0.7357588823428847 THEN 1
+                    WHEN u < 0.9196986029286058 THEN 2
+                    WHEN u < 0.9810118431238462 THEN 3
+                    WHEN u < 0.9963401531726563 THEN 4
+                    ELSE 5 END AS BIGINT) AS w
+             FROM rs),
+      mb AS (SELECT grp, b,
+               CAST(SUM(CAST(w * x AS DECIMAL(30,4))) AS DOUBLE) / SUM(w)
+                 AS mb
+             FROM wt GROUP BY 1, 2),
+      rk AS (SELECT grp, b, mb,
+               row_number() OVER (PARTITION BY grp ORDER BY mb, b) AS rk
+             FROM mb),
+      ci AS (SELECT grp,
+               round(MIN(CASE WHEN rk = 2 THEN mb END), 9) AS ci_lo,
+               round(MIN(CASE WHEN rk = 31 THEN mb END), 9) AS ci_hi,
+               CAST(SUM(CAST(mb AS DECIMAL(30,6))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(mb * mb AS DECIMAL(30,2))) AS DOUBLE) AS s2
+             FROM rk GROUP BY 1),
+      pt AS (SELECT o_orderpriority AS grp, COUNT(*) AS n_rows,
+               round(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+                     AS DOUBLE) / COUNT(o_totalprice), 9) AS mean_x
+             FROM orders GROUP BY 1)
+      SELECT ci.grp AS grp, n_rows, mean_x, ci_lo, ci_hi,
+        round(sqrt((s2 - s1 * s1 / 32) / 31), 9) AS se
+      FROM ci JOIN pt ON ci.grp = pt.grp
+      ORDER BY grp"""
+
+  // ---- q107: semi-additive month-end balance rollup ----
+  // The Kimball semi-additive kernel the q-family lacked: a BALANCE is
+  // summable across accounts but NOT across time — month-end portfolio
+  // value is Σ over entities of each entity's LAST observation as of
+  // the month end, with entities quiet that month CARRYING FORWARD
+  // their prior balance. (q68 compacts to one latest record; this
+  // builds the full periodic snapshot fact table behind every
+  // balance/AUM/inventory dashboard.) Balance here = the customer's
+  // latest order value, observed at order grain.
+  //
+  // Engine shape: ONE fact-scale pass collapses orders to
+  // (customer, month, last-order-value) via a keyed dense window; the
+  // carry-forward runs on the customer × month-spine frame (spine is a
+  // broadcast in-row sequence — q97's trick — so the expansion is a
+  // bounded metadata multiplier, exactly the periodic-snapshot build
+  // cost every warehouse pays), with last-non-null-value over the
+  // customer-keyed month window. Never an unpartitioned window; the
+  // monthly rollup is combinable.
+  //
+  // Exactness: balances are 2-dp prices picked by an integer-ordered
+  // window (date, orderkey tiebreak); monthly sums ride Stable's
+  // decimal; the one division per month is IEEE on identical doubles.
+  val q107_semi_additive: Q = (s, d) => {
+    val mo = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_totalprice"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+    val lastPerMonth = mo
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("o_custkey", "month")
+          .orderBy(desc("o_orderdate"), desc("o_orderkey"))))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("month"),
+        col("o_totalprice").as("balance"))
+    val bounds = mo.agg(min("month").as("mn"), max("month").as("mx"))
+    val spine = bounds.select(explode(expr(
+      "sequence(mn, mx, interval 1 month)")).as("month"))
+    val grid = Tables.customer(s, d).select(col("c_custkey"))
+      .crossJoin(broadcast(spine))
+    val carried = grid
+      .join(lastPerMonth,
+        col("c_custkey") === col("o_custkey")
+          && grid("month") === lastPerMonth("month"), "left")
+      .select(col("c_custkey"), grid("month").as("month"), col("balance"))
+      .withColumn("bal",
+        last(col("balance"), ignoreNulls = true).over(
+          Window.partitionBy("c_custkey").orderBy("month")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    carried.groupBy("month").agg(
+      count(col("bal")).as("n_with_balance"),
+      count(col("balance")).as("n_active_in_month"),
+      // NOT rounded: the sum of 2-dp balances is already an exact decimal
+      // whose double cast agrees bit-for-bit; round(·,9) at 1e9 magnitude
+      // is below the double's ULP and engine round() impls diverge there
+      // (the e52 lesson)
+      coalesce(Stable.dsum(col("bal")), lit(0.0)).as("total_balance"))
+      .withColumn("avg_balance",
+        when(col("n_with_balance") > 0,
+          round(col("total_balance") / col("n_with_balance"), 9)))
+      .orderBy("month")
+  }
+  val q107Sql: String =
+    """WITH mo AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month
+             FROM orders),
+      lpm AS (SELECT o_custkey, month, o_totalprice AS balance FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY o_custkey, month
+                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                FROM mo) t WHERE rn = 1),
+      b AS (SELECT min(month) AS mn, max(month) AS mx FROM mo),
+      spine AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 MONTH))
+                  ::DATE AS month FROM b),
+      grid AS (SELECT c_custkey, month FROM customer CROSS JOIN spine),
+      car AS (SELECT g.c_custkey, g.month, lpm.balance,
+               last_value(lpm.balance IGNORE NULLS) OVER (
+                 PARTITION BY g.c_custkey ORDER BY g.month
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bal
+             FROM grid g LEFT JOIN lpm
+               ON g.c_custkey = lpm.o_custkey AND g.month = lpm.month)
+      SELECT month, COUNT(bal) AS n_with_balance,
+        COUNT(balance) AS n_active_in_month,
+        COALESCE(CAST(SUM(CAST(bal AS DECIMAL(30,6))) AS DOUBLE),
+              CAST(0.0 AS DOUBLE)) AS total_balance,
+        CASE WHEN COUNT(bal) > 0 THEN
+          round(COALESCE(CAST(SUM(CAST(bal AS DECIMAL(30,6)))
+                AS DOUBLE), CAST(0.0 AS DOUBLE)) / COUNT(bal), 9)
+        END AS avg_balance
+      FROM car GROUP BY month ORDER BY month"""
+
+  val queries: Map[String, Q] = Map(
+    "q106_bootstrap_ci"  -> q106_bootstrap_ci,
+    "q107_semi_additive" -> q107_semi_additive,
+  )
+  val oracles: Map[String, String] = Map(
+    "q106_bootstrap_ci"  -> q106Sql,
+    "q107_semi_additive" -> q107Sql,
+  )
+}

@@ -92,10 +92,75 @@ object TextAnalysis10 {
       FROM f GROUP BY source ORDER BY source"""
   }
 
+  // ---- t36: word burstiness / dispersion census ----
+  // The corpus statistic between frequency (t05's tf-idf inputs) and
+  // rank-shape (t16's Zipf fit): HOW a word's occurrences distribute
+  // across documents. Church & Gale's burstiness (cf/df — mean
+  // occurrences per document that contains the word) and the index of
+  // dispersion (variance-to-mean of per-doc counts over containing
+  // docs) separate topical words (bursty: absent mostly, clumped where
+  // present) from function words (evenly spread) with no model at all —
+  // the signal behind keyword extraction, stopword induction, and
+  // "is this token a template artifact?" triage.
+  //
+  // Engine shape: tokenize once, (word, doc)-keyed combinable count,
+  // then a word-keyed combinable rollup of EXACT integer moments
+  // (cf = Σc, df = n, Σc²); both aggregates map-side combine, nothing
+  // wider than the vocabulary ever shuffles, and the top-25 rides
+  // TakeOrderedAndProject on (cf DESC, word) — a total order. Words
+  // under df ≥ 5 are dropped (a dispersion estimate over <5 docs is
+  // noise — stated, not hidden).
+  //
+  // Exactness: every moment is an exact BIGINT; burstiness, dispersion
+  // ((Σc² − cf²/df)/(df−1) ÷ mean), and doc-share are IEEE ops on
+  // those integers, rounded 1e-9 (non-terminating quotients — safe).
+  val t36_burstiness: Q = (s, d) => {
+    val wd = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("w", "doc_id").agg(count(lit(1)).as("c"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    wd.groupBy("w").agg(
+      count(lit(1)).as("df"),
+      sum("c").as("cf"),
+      sum(col("c") * col("c")).as("c2"))
+      .filter(col("df") >= 5)
+      .crossJoin(broadcast(nDocs))
+      .select(col("w"), col("df"), col("cf"),
+        round(col("cf").cast("double") / col("df").cast("double"), 9)
+          .as("burstiness"),
+        round((col("c2").cast("double")
+            - col("cf").cast("double") * col("cf").cast("double")
+              / col("df").cast("double"))
+          / (col("df").cast("double") - lit(1.0))
+          / (col("cf").cast("double") / col("df").cast("double")), 9)
+          .as("dispersion"),
+        round(col("df").cast("double") / col("n_docs").cast("double"), 9)
+          .as("doc_share"))
+      .orderBy(desc("cf"), col("w"))
+      .limit(25)
+  }
+  val t36Sql: String =
+    """WITH wd AS (SELECT w, doc_id, COUNT(*) AS c FROM (
+               SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents) t GROUP BY 1, 2),
+      nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+      m AS (SELECT w, COUNT(*) AS df, SUM(c) AS cf, SUM(c * c) AS c2
+            FROM wd GROUP BY 1 HAVING COUNT(*) >= 5)
+      SELECT w, df, CAST(cf AS BIGINT) AS cf,
+        round(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE), 9) AS burstiness,
+        round((CAST(c2 AS DOUBLE)
+            - CAST(cf AS DOUBLE) * CAST(cf AS DOUBLE) / CAST(df AS DOUBLE))
+          / (CAST(df AS DOUBLE) - CAST(1.0 AS DOUBLE))
+          / (CAST(cf AS DOUBLE) / CAST(df AS DOUBLE)), 9) AS dispersion,
+        round(CAST(df AS DOUBLE) / CAST(n_docs AS DOUBLE), 9) AS doc_share
+      FROM m, nd ORDER BY cf DESC, w LIMIT 25"""
+
   val queries: Map[String, Q] = Map(
     "t35_readability" -> t35_readability,
+    "t36_burstiness"  -> t36_burstiness,
   )
   val oracles: Map[String, String] = Map(
     "t35_readability" -> t35Sql,
+    "t36_burstiness"  -> t36Sql,
   )
 }

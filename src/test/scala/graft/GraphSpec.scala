@@ -1986,6 +1986,52 @@ class GraphSpec extends AnyFunSuite {
       == Tables.lineitem(spark, sf).count())
   }
 
+  test("q106 bootstrap: CI brackets the point estimate, se positive") {
+    val rows = operators.Relational14.q106_bootstrap_ci(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, hi, m) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"),
+        r.getAs[Double]("mean_x"))
+      assert(lo < hi)
+      // percentile-bootstrap CI of a mean over thousands of rows: the
+      // point estimate sits inside the ~90% band
+      assert(lo <= m && m <= hi, s"mean $m outside [$lo, $hi]")
+      assert(r.getAs[Double]("se") > 0.0)
+    }
+  }
+
+  test("q107 semi-additive: carried balances never un-carry, actives bounded") {
+    val rows = operators.Relational14.q107_semi_additive(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // once a customer has a balance it carries forward: the covered
+    // population is monotone non-decreasing over months
+    val nb = rows.map(_.getAs[Long]("n_with_balance"))
+    assert(nb.zip(nb.tail).forall { case (a, b) => b >= a })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_active_in_month")
+        <= r.getAs[Long]("n_with_balance"))
+    }
+    // by the last month every customer who EVER ordered carries a balance
+    import org.apache.spark.sql.functions._
+    val everOrdered = Tables.orders(spark, sf)
+      .select(countDistinct("o_custkey")).collect()(0).getLong(0)
+    assert(nb.last == everOrdered)
+  }
+
+  test("t36 burstiness: topical clumping bounds hold on every reported word") {
+    val rows = operators.TextAnalysis10.t36_burstiness(spark, sf).collect()
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("df") >= 5)
+      // cf >= df by construction, so burstiness >= 1
+      assert(r.getAs[Double]("burstiness") >= 1.0)
+      // a variance-to-mean ratio is non-negative
+      assert(r.getAs[Double]("dispersion") >= 0.0)
+      val share = r.getAs[Double]("doc_share")
+      assert(share > 0.0 && share <= 1.0)
+    }
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
