@@ -829,7 +829,67 @@ object CorpusPipeline {
                AS cum_yield
       FROM lg ORDER BY stage"""
 
+  // ---- p16: source-quota sampling (the "no source dominates" guard) ----
+  // The cap the mixture ops don't provide: p05/p09 pull a corpus TOWARD
+  // target source weights; this enforces a HARD CEILING — no source may
+  // exceed a fixed share of the total corpus (the anti-capture rule
+  // corpus builders apply before any mixture tuning, so one crawled
+  // domain can't swamp the run). Cap = 15% of the total document count;
+  // a source over quota keeps its quota's worth of docs chosen by the
+  // deterministic md5 rank (q26's engine-shared uniform family — the
+  // SAME docs on any cluster/partitioning/engine); under-quota sources
+  // keep everything, and freed budget is deliberately NOT redistributed
+  // (a quota is a ceiling, not a target — stated, not fudged).
+  //
+  // Engine shape: one count pass (combinable), the total as one
+  // broadcast scalar, one source-partitioned rank window at fact scale,
+  // and a source-sized report rollup. Exact integers everywhere; the
+  // only doubles are the human-facing share columns (one IEEE division
+  // each, rounded 1e-9).
+  val p16_quota_sample: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val ranked = docs
+      .select(col("doc_id"), col("source"))
+      .withColumn("u", md5(col("doc_id").cast("string")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy("u", "doc_id")).cast("long"))
+      .crossJoin(broadcast(total))
+      .withColumn("cap", expr("n_total * 15 div 100"))
+      .withColumn("kept", col("rk") <= col("cap"))
+    ranked.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      count(when(col("kept"), 1)).as("n_kept"),
+      count(when(!col("kept"), 1)).as("n_dropped"),
+      max("cap").as("quota"),
+      max("n_total").as("n_total"))
+      .select(col("source"), col("n_docs"), col("n_kept"), col("n_dropped"),
+        col("quota"),
+        round(col("n_docs").cast("double") / col("n_total").cast("double"), 9)
+          .as("share_before"),
+        (col("n_docs") > col("quota")).as("capped"))
+      .orderBy("source")
+  }
+  val p16Sql: String =
+    """WITH t AS (SELECT COUNT(*) AS n_total FROM documents),
+      r AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS u,
+              CAST(row_number() OVER (PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+                AS rk,
+              n_total, n_total * 15 // 100 AS cap
+            FROM documents, t)
+      SELECT source, COUNT(*) AS n_docs,
+        COUNT(CASE WHEN rk <= cap THEN 1 END) AS n_kept,
+        COUNT(CASE WHEN rk > cap THEN 1 END) AS n_dropped,
+        MAX(cap) AS quota,
+        round(CAST(COUNT(*) AS DOUBLE) / CAST(MAX(n_total) AS DOUBLE), 9)
+          AS share_before,
+        COUNT(*) > MAX(cap) AS capped
+      FROM r GROUP BY source ORDER BY source"""
+
   val queries: Map[String, Q] = Map(
+    "p16_quota_sample"     -> p16_quota_sample,
     "p15_stage_ledger"     -> p15_stage_ledger,
     "p14_leakage_split"    -> p14_leakage_split,
     "p13_shard_interleave" -> p13_shard_interleave,
@@ -854,6 +914,7 @@ object CorpusPipeline {
     "p08_canary_compare"   -> p08Sql,
     "p09_temperature_mix"  -> p09Sql,
     "p12_decontaminate"    -> p12Sql,
+    "p16_quota_sample"     -> p16Sql,
     "p13_shard_interleave" -> p13Sql,
     "p14_leakage_split"    -> p14Sql,
     "p15_stage_ledger"     -> p15Sql)

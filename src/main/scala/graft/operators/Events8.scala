@@ -69,10 +69,73 @@ object Events8 {
              abs(cusum) = max(abs(cusum)) OVER () AS is_changepoint
       FROM cs ORDER BY day"""
 
+  // ---- e55: per-user peak-rate audit (the rate-limit number) ----
+  // The abuse/capacity kernel between e25 (regularity: IS it a bot?)
+  // and e41 (global concurrency: how many at once?): how FAST does
+  // each principal burst — max events in any sliding 60-second window,
+  // which is precisely the number a rate limiter enforces and the
+  // evidence an abuse review wants ("user X hit 14 requests/minute").
+  //
+  // Engine shape: ONE user-keyed fact-scale window with a RANGE frame
+  // over exact integer microseconds (peers at equal timestamps count
+  // together — both engines' RANGE semantics), then a combinable
+  // per-user max + conditional-min for the earliest window achieving
+  // the peak; the top-20 offender panel rides TakeOrderedAndProject on
+  // (peak DESC, user) — a total order. Nothing unpartitioned, nothing
+  // wider than the user rollup after the one window pass.
+  //
+  // Exactness: all integers (counts, microseconds) — no rounding
+  // discipline needed anywhere.
+  val e55_rate_limit: Q = (s, d) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"))
+      .rangeBetween(-60000000L, 0L)
+    // one window pass, two rollup branches — the branches share an
+    // identical exchange+window subplan, which Spark's ReuseExchange
+    // dedups, so the fact table is scanned and windowed once
+    val iw = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("in_window", count(lit(1)).over(w))
+    iw.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max("in_window").as("peak_per_min"))
+      .join(
+        iw.groupBy("user_id", "in_window")
+          .agg(min("us").as("first_us"))
+          .select(col("user_id"), col("in_window").as("peak_per_min"),
+            col("first_us").as("peak_at_us")),
+        Seq("user_id", "peak_per_min"))
+      .orderBy(desc("peak_per_min"), col("user_id"))
+      .limit(20)
+  }
+  val e55Sql: String =
+    """WITH ev AS (SELECT user_id,
+               epoch_us(ts) AS us
+             FROM events),
+      iw AS (SELECT user_id, us,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW)
+                 AS in_window
+             FROM ev),
+      pk AS (SELECT user_id, COUNT(*) AS n_events,
+               MAX(in_window) AS peak_per_min
+             FROM iw GROUP BY 1),
+      at AS (SELECT user_id, in_window AS peak_per_min,
+               MIN(us) AS peak_at_us
+             FROM iw GROUP BY 1, 2)
+      SELECT pk.user_id AS user_id, n_events,
+        CAST(pk.peak_per_min AS BIGINT) AS peak_per_min,
+        peak_at_us
+      FROM pk JOIN at ON pk.user_id = at.user_id
+        AND pk.peak_per_min = at.peak_per_min
+      ORDER BY peak_per_min DESC, user_id LIMIT 20"""
+
   val queries: Map[String, Q] = Map(
-    "e54_cusum" -> e54_cusum,
+    "e54_cusum"      -> e54_cusum,
+    "e55_rate_limit" -> e55_rate_limit,
   )
   val oracles: Map[String, String] = Map(
-    "e54_cusum" -> e54Sql,
+    "e54_cusum"      -> e54Sql,
+    "e55_rate_limit" -> e55Sql,
   )
 }

@@ -250,12 +250,110 @@ object Graph2 {
       SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
       ORDER BY round"""
 
+  // ---- g13: k-hop reachability layers (BFS "blast radius") ----
+  // The distance primitive the family still lacked: g04 says WHICH
+  // nodes connect, this says HOW FAR — the blast-radius question
+  // behind recall campaigns ("every product within 2 co-purchase hops
+  // of the recalled part"), fraud ring expansion from a seed account,
+  // and cache/prefetch sizing. Source = the smallest node id in the
+  // thresholded co-purchase graph (deterministic at any SF); three BFS
+  // layers unrolled the g01/g12 way, each layer = one join of the
+  // frontier against the symmetric adjacency + an anti-join against
+  // everything already visited — all on the metadata-sized edge table;
+  // the fact-scale work is the one g02-shape edge build. At 100 TB the
+  // same plan iterates with the frontier as the only growing state,
+  // which is exactly how Pregel-style BFS schedules.
+  //
+  // Exactness: pure integer counts and ids — no floating point.
+  val g13_khop_reach: Q = (s, d) => {
+    val e0 = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+             transform(slice(ps, i + 2, size(ps)),
+               y -> struct(x AS a, y AS b))))""")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select("a", "b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = e0.select(col("a").as("v"), col("b").as("n"))
+      .unionAll(e0.select(col("b").as("v"), col("a").as("n")))
+    val src = e0.agg(least(min("a"), min("b")).as("node"))
+    var visited = src.select(col("node"), lit(0L).as("level"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var frontier = visited.select("node")
+    for (k <- 1 to 3) {
+      val next = adj.join(frontier.withColumnRenamed("node", "v"), "v")
+        .select(col("n").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .select(col("node"), lit(k.toLong).as("level"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      visited = visited.unionAll(next)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      frontier = next.select("node")
+    }
+    val nodes = adj.select(col("v").as("node")).distinct()
+    val unreached = nodes.join(visited, Seq("node"), "left_anti")
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n_nodes"),
+        min("node").as("min_node"), max("node").as("max_node"))
+      .select(lit(-1L).as("level"), col("n_nodes"), col("min_node"),
+        col("max_node"))
+    visited.groupBy("level")
+      .agg(count(lit(1)).as("n_nodes"), min("node").as("min_node"),
+        max("node").as("max_node"))
+      .unionAll(unreached)
+      .orderBy("level")
+  }
+  val g13Sql: String =
+    """WITH b AS MATERIALIZED (SELECT l_orderkey AS ok,
+               list_sort(list_distinct(list(l_partkey))) AS ps
+             FROM lineitem GROUP BY 1),
+      pp AS MATERIALIZED (SELECT ok, unnest(ps) AS a FROM b),
+      e0 AS MATERIALIZED (SELECT x.a AS a, y.a AS b FROM pp x JOIN pp y
+             ON x.ok = y.ok AND x.a < y.a
+             GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      adj AS MATERIALIZED (SELECT a AS v, b AS n FROM e0
+             UNION ALL SELECT b AS v, a AS n FROM e0),
+      src AS MATERIALIZED (SELECT LEAST(MIN(a), MIN(b)) AS node FROM e0),
+      l0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS level FROM src),
+      l1 AS MATERIALIZED (
+        SELECT DISTINCT adj.n AS node, CAST(1 AS BIGINT) AS level
+        FROM adj JOIN l0 ON adj.v = l0.node
+        WHERE adj.n NOT IN (SELECT node FROM l0)),
+      l2 AS MATERIALIZED (
+        SELECT DISTINCT adj.n AS node, CAST(2 AS BIGINT) AS level
+        FROM adj JOIN l1 ON adj.v = l1.node
+        WHERE adj.n NOT IN (SELECT node FROM l0)
+          AND adj.n NOT IN (SELECT node FROM l1)),
+      l3 AS MATERIALIZED (
+        SELECT DISTINCT adj.n AS node, CAST(3 AS BIGINT) AS level
+        FROM adj JOIN l2 ON adj.v = l2.node
+        WHERE adj.n NOT IN (SELECT node FROM l0)
+          AND adj.n NOT IN (SELECT node FROM l1)
+          AND adj.n NOT IN (SELECT node FROM l2)),
+      vis AS MATERIALIZED (
+        SELECT * FROM l0 UNION ALL SELECT * FROM l1
+        UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3),
+      unr AS (SELECT CAST(-1 AS BIGINT) AS level, COUNT(*) AS n_nodes,
+               MIN(node) AS min_node, MAX(node) AS max_node
+             FROM (SELECT DISTINCT v AS node FROM adj) t
+             WHERE node NOT IN (SELECT node FROM vis))
+      SELECT level, COUNT(*) AS n_nodes, MIN(node) AS min_node,
+             MAX(node) AS max_node
+      FROM vis GROUP BY level
+      UNION ALL SELECT * FROM unr
+      ORDER BY level"""
+
   val queries: Map[String, Q] = Map(
-    "g11_hits"  -> g11_hits,
-    "g12_kcore" -> g12_kcore,
+    "g11_hits"       -> g11_hits,
+    "g12_kcore"      -> g12_kcore,
+    "g13_khop_reach" -> g13_khop_reach,
   )
   val oracles: Map[String, String] = Map(
-    "g11_hits"  -> g11Sql,
-    "g12_kcore" -> g12Sql,
+    "g11_hits"       -> g11Sql,
+    "g12_kcore"      -> g12Sql,
+    "g13_khop_reach" -> g13Sql,
   )
 }

@@ -2032,6 +2032,55 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("g13 khop: layers disjoint by construction, accounting covers the node set") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Graph2.g13_khop_reach(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byLevel = rows.map(r =>
+      r.getAs[Long]("level") -> r.getAs[Long]("n_nodes")).toMap
+    assert(byLevel(0L) == 1L) // single seed
+    // every graph node is either in a layer or in the unreached row
+    val edges = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey")).agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+             transform(slice(ps, i + 2, size(ps)),
+               y -> struct(x AS a, y AS b))))""")).as("p"))
+      .groupBy(col("p.a"), col("p.b")).agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+    val nNodes = edges.select(col("a").as("n"))
+      .unionAll(edges.select(col("b").as("n"))).distinct().count()
+    assert(byLevel.values.sum == nNodes)
+  }
+
+  test("e55 rate limit: peak bounded by event count, floor of 1, panel ordered") {
+    val rows = operators.Events8.e55_rate_limit(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val (n, p) = (r.getAs[Long]("n_events"), r.getAs[Long]("peak_per_min"))
+      // the window that contains an event contains at least that event
+      assert(p >= 1 && p <= n)
+    }
+    val ps = rows.map(_.getAs[Long]("peak_per_min"))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("p16 quota: no kept count exceeds the quota, under-quota sources keep all") {
+    val rows = operators.CorpusPipeline.p16_quota_sample(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.documents(spark, sf).count()
+    val quota = total * 15 / 100
+    rows.foreach { r =>
+      assert(r.getAs[Long]("quota") == quota)
+      assert(r.getAs[Long]("n_kept") <= quota)
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped")
+        == r.getAs[Long]("n_docs"))
+      if (!r.getAs[Boolean]("capped"))
+        assert(r.getAs[Long]("n_dropped") == 0L)
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
