@@ -160,6 +160,15 @@ def shard_interleave(spark, df, id_col, group_col, n_shards=8):
     return _wrap(spark, jdf)
 
 
+def quota_sample(spark, df, id_col, source_col, cap_pct=15):
+    """Source-quota cap: annotates rows with a deterministic within-source
+    rank, the corpus-wide quota (cap_pct% of total rows) and a 'kept'
+    flag; filter on 'kept' to get the capped corpus."""
+    jdf = _graft_ops(spark).quotaSample(
+        df._jdf, _col(spark, id_col), _col(spark, source_col), int(cap_pct))
+    return _wrap(spark, jdf)
+
+
 def _field_names(schema):
     """Field names of a StructType or a DDL string (top-level commas
     only — nested ``struct<...>``/``array<...>`` commas are skipped)."""

@@ -1290,6 +1290,34 @@ object GraftOps {
       .orderBy(col("jaccard").desc, col("cn").desc, col("part_a"), col("part_b"))
       .limit(topK)
   }
+
+  /** Source-quota cap (the "no source dominates" anti-capture guard a
+    * corpus builder applies before mixture tuning): annotates every row
+    * with its deterministic within-source md5 rank, the corpus-wide
+    * quota (capPct% of the total row count, integer floor) and a `kept`
+    * flag — over-quota sources keep their quota's worth chosen by the
+    * engine-shared md5 uniform (same rows on any cluster/partitioning/
+    * engine), under-quota sources keep everything, and freed budget is
+    * NOT redistributed (a quota is a ceiling, not a target). One
+    * combinable count + one broadcast scalar + one source-partitioned
+    * rank window: linear at any corpus size. Callers filter on `kept`
+    * (the TransformSpec `quota` step does) or aggregate the annotations
+    * into a report (p16).
+    */
+  def quotaSample(df: DataFrame, id: Column, source: Column,
+                  capPct: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(capPct > 0 && capPct <= 100, s"capPct in (0,100], got $capPct")
+    val total = df.agg(count(lit(1)).as("__n_total"))
+    df.withColumn("__src", source)
+      .withColumn("__u", md5(id.cast("string")))
+      .withColumn("__quota_rank", row_number().over(
+        Window.partitionBy("__src").orderBy(col("__u"), id)).cast("long"))
+      .drop("__u")
+      .crossJoin(broadcast(total))
+      .withColumn("__quota", expr(s"__n_total * $capPct div 100"))
+      .withColumn("kept", col("__quota_rank") <= col("__quota"))
+  }
 }
 
 /** `import graft.api.syntax._` for method-style calls on DataFrames. */
@@ -1391,5 +1419,7 @@ object syntax {
       GraftOps.linkPredict(df, a, b, topK)
     def substringContainment(id: Column, text: Column): DataFrame =
       GraftOps.substringContainment(df, id, text)
+    def quotaSample(id: Column, source: Column, capPct: Int = 15): DataFrame =
+      GraftOps.quotaSample(df, id, source, capPct)
   }
 }

@@ -180,6 +180,16 @@ object SqlSurface {
       case args => throw new IllegalArgumentException(
         s"graft_substring_pairs(table, id, text): got ${args.size} args")
     },
+    "graft_quota_sample" -> {
+      case Seq(t, id, src) =>
+        plan(GraftOps.quotaSample(table(str(t, "table")),
+          col(str(id, "id")), col(str(src, "source"))))
+      case Seq(t, id, src, cap) =>
+        plan(GraftOps.quotaSample(table(str(t, "table")),
+          col(str(id, "id")), col(str(src, "source")), int(cap, "capPct")))
+      case args => throw new IllegalArgumentException(
+        s"graft_quota_sample(table, id, source[, cap_pct]): got ${args.size} args")
+    },
     "graft_snapshot_read" -> {
       case Seq(p) =>
         plan(graft.sources.SnapshotTable.read(SparkSession.active, str(p, "path")))

@@ -261,6 +261,18 @@ object TransformSpec {
         GraftOps.shardInterleave(df, expr(step.path("id").asText()),
           expr(step.path("group").asText()),
           if (step.has("nShards")) step.path("nShards").asInt() else 8)
+      case "quota" =>
+        // source-quota cap (GraftOps.quotaSample): keeps at most
+        // capPct% of the corpus per source, md5-deterministic picks,
+        // helper columns dropped — the config author gets back the
+        // capped corpus with the original schema:
+        //   {"op": "quota", "id": "doc_id", "source": "source",
+        //    "capPct": 15}
+        GraftOps.quotaSample(df, expr(step.path("id").asText()),
+          expr(step.path("source").asText()),
+          if (step.has("capPct")) step.path("capPct").asInt() else 15)
+          .filter(col("kept"))
+          .drop("kept", "__src", "__quota_rank", "__quota", "__n_total")
       case "conform" =>
         GraftOps.conform(df, step.path("schema").asText())
       case "profile" =>

@@ -847,23 +847,18 @@ object CorpusPipeline {
   // only doubles are the human-facing share columns (one IEEE division
   // each, rounded 1e-9).
   val p16_quota_sample: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, d)
-    val total = docs.agg(count(lit(1)).as("n_total"))
-    val ranked = docs
-      .select(col("doc_id"), col("source"))
-      .withColumn("u", md5(col("doc_id").cast("string")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("source").orderBy("u", "doc_id")).cast("long"))
-      .crossJoin(broadcast(total))
-      .withColumn("cap", expr("n_total * 15 div 100"))
-      .withColumn("kept", col("rk") <= col("cap"))
+    // delegates to the library verb (GraftOps.quotaSample — also the
+    // TransformSpec `quota` step and the graft_quota_sample TVF), so the
+    // oracle gate certifies the facade, not a parallel reimplementation
+    val ranked = graft.api.GraftOps.quotaSample(
+      Tables.documents(s, d).select(col("doc_id"), col("source")),
+      col("doc_id"), col("source"), 15)
     ranked.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       count(when(col("kept"), 1)).as("n_kept"),
       count(when(!col("kept"), 1)).as("n_dropped"),
-      max("cap").as("quota"),
-      max("n_total").as("n_total"))
+      max("__quota").as("quota"),
+      max("__n_total").as("n_total"))
       .select(col("source"), col("n_docs"), col("n_kept"), col("n_dropped"),
         col("quota"),
         round(col("n_docs").cast("double") / col("n_total").cast("double"), 9)

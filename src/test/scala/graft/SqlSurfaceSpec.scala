@@ -60,6 +60,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
         GraftOps.chunk(docs, col("text"), 64, 48),
       "SELECT * FROM graft_dedup_manifest('docs_sql_v3', 'doc_id', 'text', 0.5)" ->
         GraftOps.dedupManifest(docs, col("doc_id"), col("text"), 0.5),
+      "SELECT * FROM graft_quota_sample('docs_sql_v3', 'doc_id', 'source', 10)" ->
+        GraftOps.quotaSample(docs, col("doc_id"), col("source"), 10),
     )
     cases.foreach { case (sql, verb) =>
       val viaSql = spark.sql(sql)

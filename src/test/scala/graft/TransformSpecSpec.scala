@@ -372,6 +372,28 @@ class TransformSpecSpec extends AnyFunSuite {
     assert(gotGrow.sameElements(wantGrow))
   }
 
+  test("quota step filters to the verb's kept set and restores the schema") {
+    import graft.api.GraftOps
+    val docs = Tables.documents(spark, sf)
+    val got = TransformSpec.run(
+      """{"source": "d", "steps": [
+        {"op": "quota", "id": "doc_id", "source": "source", "capPct": 10},
+        {"op": "orderBy", "cols": ["doc_id"]}]}""",
+      Map("d" -> docs))
+    // schema restored: the step returns the capped corpus, no helper cols
+    assert(got.columns.sameElements(docs.columns))
+    val want = GraftOps.quotaSample(docs, col("doc_id"), col("source"), 10)
+      .filter(col("kept")).select(docs.columns.map(col): _*)
+      .orderBy("doc_id")
+    assert(got.collect().map(_.mkString("|"))
+      .sameElements(want.collect().map(_.mkString("|"))))
+    // the cap binds: no source exceeds 10% of the corpus
+    val total = docs.count()
+    val maxPerSource = got.groupBy("source").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxPerSource <= total * 10 / 100)
+  }
+
   test("fdAudit, conversionHazard and shardInterleave steps agree with their verbs") {
     import graft.api.GraftOps
     val part = Tables.part(spark, sf)
