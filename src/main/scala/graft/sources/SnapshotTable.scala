@@ -82,7 +82,9 @@ object SnapshotTable {
   private def storeFor(scheme: String): CommitStore =
     stores.getOrElse(scheme, DefaultCommitStore)
 
-  private case class Manifest(version: Int, schemaDdl: String, files: Seq[String])
+  private case class Manifest(version: Int, schemaDdl: String,
+                              files: Seq[String],
+                              txn: Map[String, Long] = Map.empty)
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -108,8 +110,12 @@ object SnapshotTable {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val n = om.readTree(json)
     import scala.jdk.CollectionConverters._
+    val txn = if (n.has("txn")) {
+      val t = n.path("txn")
+      t.fieldNames().asScala.map(k => k -> t.path(k).asLong()).toMap
+    } else Map.empty[String, Long]
     Manifest(n.path("version").asInt(), n.path("schema").asText(),
-      n.path("files").elements().asScala.map(_.asText()).toSeq)
+      n.path("files").elements().asScala.map(_.asText()).toSeq, txn)
   }
 
   private def render(m: Manifest): String = {
@@ -119,6 +125,10 @@ object SnapshotTable {
     root.put("schema", m.schemaDdl)
     val arr = root.putArray("files")
     m.files.foreach(arr.add)
+    if (m.txn.nonEmpty) {
+      val t = root.putObject("txn")
+      m.txn.toSeq.sortBy(_._1).foreach { case (k, v) => t.put(k, v) }
+    }
     om.writeValueAsString(root)
   }
 
@@ -153,14 +163,15 @@ object SnapshotTable {
 
   /** Atomic commit of `files` as version `base + 1`; throws on conflict. */
   private def commit(spark: SparkSession, path: String, base: Int,
-                     schemaDdl: String, files: Seq[String]): Int = {
+                     schemaDdl: String, files: Seq[String],
+                     txn: Map[String, Long] = Map.empty): Int = {
     val next = base + 1
     val f = fs(spark, path)
     val dir = manifestDir(path)
     f.mkdirs(dir)
     val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, false)
-    try out.write(render(Manifest(next, schemaDdl, files)).getBytes("UTF-8"))
+    try out.write(render(Manifest(next, schemaDdl, files, txn)).getBytes("UTF-8"))
     finally out.close()
     val target = new Path(dir, s"v$next.json")
     // publish-if-absent IS the transaction: exactly one writer wins
@@ -198,7 +209,8 @@ object SnapshotTable {
     val cur = readManifest(spark, path, base)
     require(shape(df.schema) == shapeOfDdl(cur.schemaDdl),
       s"append schema ${df.schema.toDDL} != table schema ${cur.schemaDdl}")
-    commit(spark, path, base, cur.schemaDdl, cur.files ++ writeSegment(df, path))
+    commit(spark, path, base, cur.schemaDdl,
+      cur.files ++ writeSegment(df, path), cur.txn)
   }
 
   /** Read a specific version (time travel), or the latest when `version`
@@ -247,7 +259,57 @@ object SnapshotTable {
     val merged = cur.join(changes.select(keyCols: _*).distinct(),
         keys, "left_anti")
       .unionByName(aligned)
-    commit(spark, path, base, cur.schema.toDDL, writeSegment(merged, path))
+    commit(spark, path, base, cur.schema.toDDL, writeSegment(merged, path),
+      readManifest(spark, path, base).txn)
+  }
+
+  /** Last transaction watermark committed for `appId` (-1 if none) —
+    * the idempotence handle for [[upsertBatch]].
+    */
+  def lastTxn(spark: SparkSession, path: String, appId: String): Long = {
+    val v = latestVersion(spark, path)
+    if (v == 0) -1L
+    else readManifest(spark, path, v).txn.getOrElse(appId, -1L)
+  }
+
+  /** Exactly-once streaming MERGE (the Delta txnAppId/txnVersion
+    * pattern, public knowledge): call from `foreachBatch`. The manifest
+    * carries a per-appId transaction watermark; a replayed batch —
+    * Structured Streaming re-runs the last in-flight batch after every
+    * restart, and foreachBatch alone is therefore only at-least-once —
+    * is detected by `batchId <= watermark` and SKIPPED, so the merge
+    * applies exactly once no matter how many times the stream restarts.
+    * The watermark rides the SAME atomic manifest swap as the data
+    * (single commit point — no window where data landed but the
+    * watermark didn't), and every other commit path preserves it, so
+    * interleaved maintenance (append/compact/delete) can't reopen a
+    * replay hole. Returns the (possibly unchanged) committed version.
+    */
+  def upsertBatch(spark: SparkSession, path: String, changes: DataFrame,
+                  keys: Seq[String], appId: String, batchId: Long): Int = {
+    val base = latestVersion(spark, path)
+    require(base > 0, s"snapshot table $path does not exist")
+    val curM = readManifest(spark, path, base)
+    if (curM.txn.getOrElse(appId, -1L) >= batchId) return base // replay
+    val cur = read(spark, path, base)
+    val aligned = changes.select(cur.columns.map(col): _*)
+    require(shape(aligned.schema) == shape(cur.schema),
+      s"upsertBatch schema ${aligned.schema.toDDL} != table schema ${cur.schema.toDDL}")
+    val keyCols = keys.map(col)
+    // same MERGE contract as upsert: at most one source row per key —
+    // the streaming wrapper (StreamOps.cdcUpsertStream) applies
+    // latest-per-key to the micro-batch before calling
+    val Array(nRows, nKeys) = changes
+      .agg(count(lit(1)), count_distinct(struct(keyCols: _*)))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    require(nRows == nKeys,
+      s"upsertBatch changes contain ${nRows - nKeys} duplicate row(s) per " +
+        s"key (${keys.mkString(",")}): dedupe the micro-batch first")
+    val merged = cur.join(changes.select(keyCols: _*).distinct(),
+        keys, "left_anti")
+      .unionByName(aligned)
+    commit(spark, path, base, cur.schema.toDDL, writeSegment(merged, path),
+      curM.txn + (appId -> batchId))
   }
 
   /** Write-audit-publish: run an Expectations rule suite over `df` and
@@ -269,7 +331,8 @@ object SnapshotTable {
     val base = latestVersion(spark, path)
     val cur = read(spark, path, base)
     commit(spark, path, base, cur.schema.toDDL,
-      writeSegment(cur.filter(!expr(predicate)), path))
+      writeSegment(cur.filter(!expr(predicate)), path),
+      readManifest(spark, path, base).txn)
   }
 
   /** Compaction (the OPTIMIZE analog): rewrite the current snapshot's
@@ -282,7 +345,8 @@ object SnapshotTable {
     val base = latestVersion(spark, path)
     val cur = read(spark, path, base)
     commit(spark, path, base, cur.schema.toDDL,
-      writeSegment(cur.repartition(numFiles), path))
+      writeSegment(cur.repartition(numFiles), path),
+      readManifest(spark, path, base).txn)
   }
 
   /** Retention cleanup (the VACUUM analog): drop every manifest older

@@ -258,6 +258,43 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming CDC apply: exactly-once MERGE of a change stream into a
+    * [[graft.sources.SnapshotTable]]. Each micro-batch is collapsed to
+    * its latest row per key (ts, then event_id as the total-order
+    * tiebreak — the MERGE contract wants one source row per key), then
+    * applied via `SnapshotTable.upsertBatch` with `(appId, batchId)` as
+    * the transaction watermark. Structured Streaming replays the last
+    * in-flight batch after every restart (foreachBatch alone is
+    * at-least-once); the watermark rides the table's atomic manifest
+    * swap, so replays are skipped and the table state is exactly-once —
+    * restart the query with the same appId+checkpoint and nothing
+    * double-applies. This is the streaming-merge sink pattern every
+    * lakehouse CDC pipeline runs.
+    */
+  def cdcUpsertStream(spark: SparkSession, srcDir: String, tablePath: String,
+                      checkpointDir: String, appId: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.sources.SnapshotTable
+    readEvents(spark, srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val latest = batch
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+          .select(col("user_id"), col("event_type").as("last_type"),
+            col("ts").as("last_ts"), col("value").as("last_value"))
+        SnapshotTable.upsertBatch(latest.sparkSession, tablePath, latest,
+          Seq("user_id"), appId, batchId)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                 event_type: String, value: Double)
   case class SessionAcc(startMicros: Long, lastMicros: Long, n: Int, value: Double)

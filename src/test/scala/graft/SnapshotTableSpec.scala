@@ -68,6 +68,57 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(viaSql == 55L)
   }
 
+  test("upsertBatch: replayed batches skip; the txn watermark survives other commits") {
+    val path = tmp()
+    SnapshotTable.create(
+      spark.range(0, 20).select(col("id"), lit(0L).as("v")), path)
+    val app = "cdc-app"
+    assert(SnapshotTable.lastTxn(spark, path, app) == -1L)
+
+    val b0 = spark.range(0, 5).select(col("id"), lit(10L).as("v"))
+    val v2 = SnapshotTable.upsertBatch(spark, path, b0, Seq("id"), app, 0L)
+    assert(v2 == 2 && SnapshotTable.lastTxn(spark, path, app) == 0L)
+
+    val b1 = spark.range(5, 8).select(col("id"), lit(20L).as("v"))
+    val v3 = SnapshotTable.upsertBatch(spark, path, b1, Seq("id"), app, 1L)
+    assert(v3 == 3)
+
+    // restart replay: same batch id, would double-apply without the
+    // watermark — must be a no-op returning the current version
+    val replay = SnapshotTable.upsertBatch(spark, path,
+      spark.range(5, 8).select(col("id"), lit(999L).as("v")),
+      Seq("id"), app, 1L)
+    assert(replay == 3)
+    assert(SnapshotTable.latestVersion(spark, path) == 3)
+    assert(SnapshotTable.read(spark, path).filter(col("v") === 999L).count() == 0)
+
+    // an interleaved maintenance commit must PRESERVE the watermark...
+    SnapshotTable.compact(spark, path)
+    assert(SnapshotTable.lastTxn(spark, path, app) == 1L)
+    // ...so the replay hole stays closed after compaction too
+    val replay2 = SnapshotTable.upsertBatch(spark, path,
+      spark.range(5, 8).select(col("id"), lit(999L).as("v")),
+      Seq("id"), app, 1L)
+    assert(SnapshotTable.read(spark, path, replay2)
+      .filter(col("v") === 999L).count() == 0)
+
+    // a NEW batch id still applies, and a second app has its own lane
+    SnapshotTable.upsertBatch(spark, path,
+      spark.range(8, 9).select(col("id"), lit(30L).as("v")), Seq("id"), app, 2L)
+    assert(SnapshotTable.lastTxn(spark, path, app) == 2L)
+    assert(SnapshotTable.lastTxn(spark, path, "other-app") == -1L)
+    val got = SnapshotTable.read(spark, path).orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) == 10L && got(5L) == 20L && got(8L) == 30L && got(19L) == 0L)
+
+    // MERGE contract: a multi-row-per-key micro-batch refuses
+    intercept[IllegalArgumentException] {
+      SnapshotTable.upsertBatch(spark, path,
+        spark.range(0, 2).select(lit(1L).as("id"), col("id").as("v")),
+        Seq("id"), app, 3L)
+    }
+  }
+
   test("commitGated: write-audit-publish refuses to publish failing data") {
     import graft.api.Expectations
     val path = tmp()

@@ -249,6 +249,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(written > 0)
   }
 
+  test("streaming CDC upsert: exactly-once into the snapshot table across a restart replay") {
+    import graft.sources.SnapshotTable
+    val base = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val table = s"$base/table"
+    val ckpt1 = s"$base/ckpt1"
+    // seed: an empty table with the target per-user schema
+    val seed = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, last_type STRING, last_ts TIMESTAMP, last_value DOUBLE"))
+    SnapshotTable.create(seed, table)
+
+    val q1 = streaming.StreamOps.cdcUpsertStream(spark, sf, table, ckpt1, "cdc-e2e")
+    try q1.awaitTermination() finally q1.stop()
+    val vAfter = SnapshotTable.latestVersion(spark, table)
+    val got = SnapshotTable.read(spark, table)
+
+    // final table == the batch latest-per-user computation, bit for bit
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val want = Tables.events(spark, sf)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .select(col("user_id"), col("event_type").as("last_type"),
+        col("ts").as("last_ts"), col("value").as("last_value"))
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+
+    // "restart" with a WIPED checkpoint: every batch replays with the
+    // same batch ids — the txn watermark must skip them all, leaving
+    // version and data untouched (this is the at-least-once -> exactly-
+    // once conversion the manifest watermark buys)
+    val q2 = streaming.StreamOps.cdcUpsertStream(spark, sf, table,
+      s"$base/ckpt2", "cdc-e2e")
+    try q2.awaitTermination() finally q2.stop()
+    assert(SnapshotTable.latestVersion(spark, table) == vAfter)
+    val got2 = SnapshotTable.read(spark, table)
+    assert(got2.exceptAll(want).isEmpty && want.exceptAll(got2).isEmpty)
+  }
+
   test("streaming sessionizer emits sessions consistent with batch q27") {
     val q = streaming.StreamOps.sessionize(spark, sf)
       .writeStream.outputMode("append").format("memory")
