@@ -130,12 +130,95 @@ object Events8 {
         AND pk.peak_per_min = at.peak_per_min
       ORDER BY peak_per_min DESC, user_id LIMIT 20"""
 
+  // ---- e56: in-order window funnel (the windowFunnel kernel) ----
+  // The funnel semantics the family's other funnels don't implement:
+  // stages must occur IN ORDER, all within a fixed time window of the
+  // FIRST stage (ClickHouse's windowFunnel / Amplitude's conversion
+  // window). e06 counts lifetime stage presence, e22/e49 measure lag —
+  // neither enforces "click after view, purchase after click, all
+  // inside 72 h of the first view", which is what product funnels
+  // actually mean. Per user: t1 = first view; t2 = first click after t1
+  // inside the window; t3 = first purchase after t2 inside the window;
+  // depth = how far the chain got, censused with shares.
+  //
+  // Engine shape: one filtered user-keyed aggregate per stage, chained
+  // by user-keyed joins — 3 modest shuffles on the same key (AQE reuses
+  // the layout), each stage's input pre-filtered to its event type so
+  // nothing fact-wide rides twice. (The one-shuffle alternative — an
+  // in-row sort_array+fold over each user's full history — is the
+  // classic sequential form, but its per-user state is unbounded on hot
+  // users; the cascade keeps every stage combinable.) Depth census +
+  // anti-join for never-viewed users are user-rollup-sized.
+  //
+  // Exactness: all comparisons on exact integer microseconds; shares
+  // are single IEEE divisions of exact counts rounded 1e-9.
+  val e56_window_funnel: Q = (s, d) => {
+    val winUs = 72L * 3600 * 1000000
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val a1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t1"))
+    val a2 = ev.filter(col("event_type") === "click")
+      .join(a1, "user_id")
+      .filter(col("us") > col("t1") && col("us") <= col("t1") + winUs)
+      .groupBy("user_id").agg(min("us").as("t2"))
+    val a3 = ev.filter(col("event_type") === "purchase")
+      .join(a2, "user_id").join(a1, "user_id")
+      .filter(col("us") > col("t2") && col("us") <= col("t1") + winUs)
+      .groupBy("user_id").agg(min("us").as("t3"))
+    val users = ev.select("user_id").distinct()
+    val depth = users
+      .join(a1, Seq("user_id"), "left")
+      .join(a2, Seq("user_id"), "left")
+      .join(a3, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("t3").isNotNull, 3L)
+          .when(col("t2").isNotNull, 2L)
+          .when(col("t1").isNotNull, 1L)
+          .otherwise(0L).as("depth"))
+    val tot = users.agg(count(lit(1)).as("n_total"))
+    depth.groupBy("depth").agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(tot))
+      .select(col("depth"), col("n_users"),
+        round(col("n_users").cast("double") / col("n_total").cast("double"), 9)
+          .as("share"))
+      .orderBy("depth")
+  }
+  val e56Sql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      a1 AS (SELECT user_id, MIN(us) AS t1 FROM ev
+             WHERE event_type = 'view' GROUP BY 1),
+      a2 AS (SELECT ev.user_id, MIN(us) AS t2
+             FROM ev JOIN a1 ON ev.user_id = a1.user_id
+             WHERE event_type = 'click'
+               AND us > t1 AND us <= t1 + 259200000000 GROUP BY 1),
+      a3 AS (SELECT ev.user_id, MIN(us) AS t3
+             FROM ev JOIN a2 ON ev.user_id = a2.user_id
+                     JOIN a1 ON ev.user_id = a1.user_id
+             WHERE event_type = 'purchase'
+               AND us > t2 AND us <= t1 + 259200000000 GROUP BY 1),
+      u AS (SELECT DISTINCT user_id FROM ev),
+      dep AS (SELECT u.user_id,
+               CASE WHEN t3 IS NOT NULL THEN 3
+                    WHEN t2 IS NOT NULL THEN 2
+                    WHEN t1 IS NOT NULL THEN 1
+                    ELSE 0 END AS depth
+             FROM u LEFT JOIN a1 ON u.user_id = a1.user_id
+                    LEFT JOIN a2 ON u.user_id = a2.user_id
+                    LEFT JOIN a3 ON u.user_id = a3.user_id),
+      t AS (SELECT COUNT(*) AS n_total FROM u)
+      SELECT CAST(depth AS BIGINT) AS depth, COUNT(*) AS n_users,
+        round(CAST(COUNT(*) AS DOUBLE) / CAST(n_total AS DOUBLE), 9) AS share
+      FROM dep, t GROUP BY depth, n_total ORDER BY depth"""
+
   val queries: Map[String, Q] = Map(
-    "e54_cusum"      -> e54_cusum,
-    "e55_rate_limit" -> e55_rate_limit,
+    "e54_cusum"         -> e54_cusum,
+    "e55_rate_limit"    -> e55_rate_limit,
+    "e56_window_funnel" -> e56_window_funnel,
   )
   val oracles: Map[String, String] = Map(
-    "e54_cusum"      -> e54Sql,
-    "e55_rate_limit" -> e55Sql,
+    "e54_cusum"         -> e54Sql,
+    "e55_rate_limit"    -> e55Sql,
+    "e56_window_funnel" -> e56Sql,
   )
 }

@@ -90,10 +90,77 @@ object Quality4 {
               / CAST(1000000.0 AS DOUBLE), 9) AS subcent_value
       FROM m GROUP BY col_name ORDER BY col_name"""
 
+  // ---- v26: duplicate-payment audit (same payer, same amount, days apart) ----
+  // The oldest finance-audit query there is: two orders from the SAME
+  // customer for the IDENTICAL amount within a week are, at minimum, a
+  // review queue (double-submission, retry bugs, fraud). Exact dedup
+  // (d01) only sees identical ROWS; q89 suppresses same-type telemetry
+  // re-fires by time alone — neither catches "same payer + same amount,
+  // different order, 3 days apart", which needs the (payer, amount)
+  // blocked pair join.
+  //
+  // Engine shape: the self-join is BLOCKED on the payer key, so pair
+  // expansion is bounded by per-payer order count² (single digits per
+  // month for real payers — a hot payer block is itself a finding),
+  // never orders²; the NEAR-identical-amount band (relative diff < 1% —
+  // real double submissions differ by fees/rounding, exact equality
+  // catches nothing, measured: zero exact repeats in this corpus) and
+  // the ≤30-day window are post-join filters. At 100 TB the amount
+  // band becomes a second join key via the standard banded-bucket trick
+  // (bucket width = band, probe adjacent buckets) — stated, not needed
+  // at payer-bounded block sizes. Top-20 panel via
+  // TakeOrderedAndProject on a total order; the total pair count rides
+  // one broadcast scalar.
+  //
+  // Exactness: the band test is fixed-parenthesization IEEE on the
+  // parquet-stored doubles; day diffs are exact integers; the output
+  // amount-gap is rounded 1e-9.
+  val v26_dup_payments: Q = (s, d) => {
+    val o = Tables.orders(s, d).select(
+      col("o_custkey").as("cust"), col("o_orderkey").as("ok"),
+      col("o_totalprice").as("amount"), to_date(col("o_orderdate")).as("day"))
+    val pairs = o.as("a")
+      .join(o.as("b"),
+        col("a.cust") === col("b.cust") && col("a.ok") < col("b.ok"))
+      .filter(abs(col("a.amount") - col("b.amount"))
+        / greatest(col("a.amount"), col("b.amount")) < 0.01)
+      .select(col("a.cust").as("cust"), col("a.ok").as("key_a"),
+        col("b.ok").as("key_b"), col("a.amount").as("amount_a"),
+        round(abs(col("a.amount") - col("b.amount")), 9).as("amount_gap"),
+        abs(datediff(col("b.day"), col("a.day"))).cast("long")
+          .as("days_apart"))
+      .filter(col("days_apart") <= 30)
+    val tot = pairs.agg(count(lit(1)).as("n_suspect_pairs"))
+    pairs.orderBy(col("days_apart"), col("cust"), col("key_a"), col("key_b"))
+      .limit(20)
+      .crossJoin(broadcast(tot))
+      .orderBy(col("days_apart"), col("cust"), col("key_a"), col("key_b"))
+  }
+  val v26Sql: String =
+    """WITH o AS (SELECT o_custkey AS cust, o_orderkey AS ok,
+               o_totalprice AS amount,
+               CAST(o_orderdate AS DATE) AS day FROM orders),
+      p AS (SELECT a.cust, a.ok AS key_a, b.ok AS key_b,
+              a.amount AS amount_a,
+              round(abs(a.amount - b.amount), 9) AS amount_gap,
+              CAST(abs(b.day - a.day) AS BIGINT) AS days_apart
+            FROM o a JOIN o b ON a.cust = b.cust AND a.ok < b.ok
+            WHERE abs(a.amount - b.amount)
+                    / greatest(a.amount, b.amount) < 0.01
+              AND abs(b.day - a.day) <= 30),
+      t AS (SELECT COUNT(*) AS n_suspect_pairs FROM p)
+      SELECT cust, key_a, key_b, amount_a, amount_gap, days_apart,
+             n_suspect_pairs
+      FROM (SELECT * FROM p ORDER BY days_apart, cust, key_a, key_b
+            LIMIT 20) s, t
+      ORDER BY days_apart, cust, key_a, key_b"""
+
   val queries: Map[String, Q] = Map(
     "v24_money_precision" -> v24_money_precision,
+    "v26_dup_payments"    -> v26_dup_payments,
   )
   val oracles: Map[String, String] = Map(
     "v24_money_precision" -> v24Sql,
+    "v26_dup_payments"    -> v26Sql,
   )
 }

@@ -126,10 +126,83 @@ object Similarity3 {
         MIN(CASE WHEN cos = min_c THEN vec_id END) AS worst_vec_id
       FROM fl GROUP BY label ORDER BY label"""
 
+  // ---- s23: kNN hubness audit (the curse-of-dimensionality gauge) ----
+  // The embedding-space pathology detector: in high dimensions some
+  // vectors ("hubs") appear in a wildly disproportionate share of other
+  // points' nearest-neighbor lists while many ("antihubs") appear in
+  // none — hubness (Radovanović et al., JMLR 2010) skews every kNN
+  // consumer downstream (s01/s15's eval, d05's near-dup pairs, g06-style
+  // recommendations) and is invisible to per-query checks because each
+  // individual list looks fine. Measured directly: in-degree of the
+  // kNN graph over a deterministic md5-picked query sample (~6% of the
+  // corpus — the sample is the honest cost bound: in-degrees are
+  // sample-relative, stated, and the sample scales with the corpus),
+  // top hubs + antihub count reported.
+  //
+  // Engine shape: s01's broadcast-queries brute pass (the corpus side
+  // streams once; candidates never leave their partition), one
+  // qid-partitioned rank window, one combinable in-degree count, and a
+  // TakeOrderedAndProject top-10 on a total order. At 100 TB the same
+  // audit runs the scan over the LSH/IVF candidate lists instead —
+  // identical downstream plan.
+  //
+  // Exactness: cosine via the codegen'd CosineSim primitive (verified
+  // bit-identical to the oracle's list_dot_product formula — the s01
+  // parity); everything after is integer counts.
+  val s23_hubness: Q = (s, d) => {
+    import graft.functions.cosine_sim
+    val e = Tables.embeddings(s, d)
+    val queries = e
+      .filter(conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100 < 6)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("vec_id"))
+    val knn = e.select(col("vec_id"), col("embedding").as("ce"))
+      .join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .withColumn("cosine", cosine_sim(col("qe"), col("ce")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+    val indeg = knn.groupBy("vec_id").agg(count(lit(1)).as("in_degree"))
+    val nq = queries.agg(count(lit(1)).as("n_queries"))
+    val nv = e.agg(count(lit(1)).as("n_vectors"))
+    val nApp = indeg.agg(count(lit(1)).as("n_appearing"))
+    indeg.orderBy(desc("in_degree"), col("vec_id")).limit(10)
+      .crossJoin(broadcast(nq)).crossJoin(broadcast(nv))
+      .crossJoin(broadcast(nApp))
+      .select(col("vec_id"), col("in_degree"), col("n_queries"),
+        (col("n_vectors") - col("n_appearing")).as("n_antihubs"))
+      .orderBy(desc("in_degree"), col("vec_id"))
+  }
+  private val duckCos =
+    """list_dot_product(CAST(qe AS DOUBLE[]), CAST(ce AS DOUBLE[]))
+       / (sqrt(list_dot_product(CAST(qe AS DOUBLE[]), CAST(qe AS DOUBLE[])))
+          * sqrt(list_dot_product(CAST(ce AS DOUBLE[]), CAST(ce AS DOUBLE[]))))"""
+  val s23Sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+             WHERE ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 100 < 6),
+      c AS (SELECT vec_id, embedding AS ce FROM embeddings),
+      p AS (SELECT qid, vec_id, $duckCos AS cosine
+            FROM q, c WHERE vec_id <> qid),
+      r AS (SELECT qid, vec_id, row_number() OVER (
+              PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
+            FROM p),
+      ind AS (SELECT vec_id, COUNT(*) AS in_degree FROM r
+              WHERE rk <= 10 GROUP BY 1),
+      nq AS (SELECT COUNT(*) AS n_queries FROM q),
+      nv AS (SELECT COUNT(*) AS n_vectors FROM embeddings),
+      na AS (SELECT COUNT(*) AS n_appearing FROM ind)
+      SELECT vec_id, in_degree, n_queries,
+        n_vectors - n_appearing AS n_antihubs
+      FROM ind, nq, nv, na
+      ORDER BY in_degree DESC, vec_id LIMIT 10"""
+
   val queries: Map[String, Q] = Map(
     "s22_ood_audit" -> s22_ood_audit,
+    "s23_hubness"   -> s23_hubness,
   )
   val oracles: Map[String, String] = Map(
     "s22_ood_audit" -> s22Sql,
+    "s23_hubness"   -> s23Sql,
   )
 }

@@ -2081,6 +2081,56 @@ class GraphSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
   }
 
+  test("e56 window funnel: depth census partitions users, shares sum to 1") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Events8.e56_window_funnel(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nUsers = Tables.events(spark, sf)
+      .select(countDistinct("user_id")).collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("n_users")).sum == nUsers)
+    val shareSum = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-8, s"shares sum to $shareSum")
+    // window-constrained depths are a subset of the unconstrained funnel:
+    // nobody can reach depth d here without having all d stage types
+    val lifetime = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(countDistinct(when(col("event_type") === "purchase", 1)).as("p"))
+    val everPurchased = lifetime.filter(col("p") > 0).count()
+    val depth3 = rows.find(_.getAs[Long]("depth") == 3L)
+      .map(_.getAs[Long]("n_users")).getOrElse(0L)
+    assert(depth3 <= everPurchased)
+  }
+
+  test("s23 hubness: in-degrees bounded by the query count, panel ordered") {
+    val rows = operators.Similarity3.s23_hubness(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val nq = rows.head.getAs[Long]("n_queries")
+    assert(nq > 0)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("in_degree")
+      // a vector can appear at most once per sampled query's top-10
+      assert(d >= 1 && d <= nq)
+      assert(r.getAs[Long]("n_antihubs") >= 0)
+    }
+    val ds = rows.map(_.getAs[Long]("in_degree"))
+    assert(ds.zip(ds.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("v26 dup payments: every reported pair is same-payer, in-band, in-window") {
+    val rows = operators.Quality4.v26_dup_payments(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("key_a") < r.getAs[Long]("key_b"))
+      assert(r.getAs[Long]("days_apart") <= 30)
+      val gap = r.getAs[Double]("amount_gap")
+      val amt = r.getAs[Double]("amount_a")
+      // the 1% relative band (gap measured against the larger amount,
+      // which is >= amount_a - gap)
+      assert(gap >= 0.0 && gap < 0.01 * (amt + gap) + 1e-6)
+    }
+    assert(rows.head.getAs[Long]("n_suspect_pairs") >= rows.length)
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
