@@ -211,14 +211,122 @@ object Events8 {
         round(CAST(COUNT(*) AS DOUBLE) / CAST(n_total AS DOUBLE), 9) AS share
       FROM dep, t GROUP BY depth, n_total ORDER BY depth"""
 
+  // ---- e57: incremental sessionization (merge == recompute, proven) ----
+  // The production form of q27: nightly batches can't re-sessionize all
+  // history, so sessions are computed incrementally — yesterday's OPEN
+  // sessions (those a future event could still continue: last event
+  // within the gap of the cutoff) are carried as state, today's events
+  // sessionize alone, and a user's first new session STITCHES onto the
+  // carried session when its first event falls inside the gap. The
+  // operator runs exactly this two-phase computation (split at
+  // min_ts + 15 days) — and its DuckDB oracle is the plain ONE-SHOT
+  // sessionization of all events, so the hash match PROVES the
+  // incremental decomposition exact (q92/q104's merge-equals-recompute
+  // discipline, applied to stateful sessionization). This is also the
+  // algebra the streaming sessionizer's state store relies on.
+  //
+  // Engine shape: two q27-shape keyed window passes (each over its
+  // half), state and stitching on session-rollup-sized frames via one
+  // full-outer user join. Session values ride DECIMAL through the
+  // stitch (exact partial + partial = exact total — the associativity
+  // the proof needs); gap tests on exact integer microseconds.
+  val e57_incremental_sessions: Q = (s, d) => {
+    val gapUs = 30L * 60 * 1000000
+    def sessionize(ev: DataFrame): DataFrame = {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      ev.withColumn("prev_ts", lag("ts", 1).over(byUser))
+        .withColumn("is_new", when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L)
+          .otherwise(0L))
+        .withColumn("sid",
+          sum("is_new").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(30, 6))).as("v6"))
+        .drop("sid")
+    }
+    val ev = Tables.events(s, d)
+      .select("user_id", "event_id", "ts", "value")
+    val cut = ev.agg((min(unix_micros(col("ts")))
+      + lit(15L * 24 * 3600 * 1000000)).as("cut_us"))
+    val tagged = ev.crossJoin(broadcast(cut))
+      .withColumn("us", unix_micros(col("ts")))
+    val s1 = sessionize(tagged.filter(col("us") < col("cut_us"))
+      .select("user_id", "event_id", "ts", "value"))
+      .crossJoin(broadcast(cut))
+    val closed1 = s1
+      .filter(unix_micros(col("session_end")) + gapUs < col("cut_us"))
+      .drop("cut_us")
+    val open = s1
+      .filter(unix_micros(col("session_end")) + gapUs >= col("cut_us"))
+      .drop("cut_us")
+    val s2 = sessionize(tagged.filter(col("us") >= col("cut_us"))
+      .select("user_id", "event_id", "ts", "value"))
+    val s2r = s2.withColumn("rn", row_number().over(
+      Window.partitionBy("user_id").orderBy("session_start")))
+    val rest2 = s2r.filter(col("rn") > 1).drop("rn")
+    val first2 = s2r.filter(col("rn") === 1).drop("rn")
+    val stitched = open.as("o")
+      .join(first2.as("f"), Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        col("o.session_start").as("o_start"), col("o.session_end").as("o_end"),
+        col("o.n_events").as("o_n"), col("o.v6").as("o_v"),
+        col("f.session_start").as("f_start"), col("f.session_end").as("f_end"),
+        col("f.n_events").as("f_n"), col("f.v6").as("f_v"))
+      .withColumn("merges",
+        col("o_end").isNotNull && col("f_start").isNotNull &&
+          unix_micros(col("f_start")) <= unix_micros(col("o_end")) + gapUs)
+    val merged = stitched.filter(col("merges"))
+      .select(col("user_id"), col("o_start").as("session_start"),
+        col("f_end").as("session_end"),
+        (col("o_n") + col("f_n")).as("n_events"),
+        (col("o_v") + col("f_v")).as("v6"))
+    val standing = stitched.filter(!col("merges"))
+      .select(col("user_id"), col("o_start"), col("o_end"), col("o_n"),
+        col("o_v"), col("f_start"), col("f_end"), col("f_n"), col("f_v"))
+    val openStand = standing.filter(col("o_start").isNotNull)
+      .select(col("user_id"), col("o_start").as("session_start"),
+        col("o_end").as("session_end"), col("o_n").as("n_events"),
+        col("o_v").as("v6"))
+    val firstStand = standing.filter(col("f_start").isNotNull)
+      .select(col("user_id"), col("f_start").as("session_start"),
+        col("f_end").as("session_end"), col("f_n").as("n_events"),
+        col("f_v").as("v6"))
+    closed1.unionByName(merged).unionByName(openStand)
+      .unionByName(firstStand).unionByName(rest2)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("v6").cast("double").as("session_value"))
+      .orderBy("user_id", "session_start")
+  }
+  val e57Sql: String =
+    """WITH l AS (SELECT user_id, event_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_ts
+             FROM events),
+      f AS (SELECT *, CASE WHEN prev_ts IS NULL
+                 OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+                 AS is_new
+            FROM l),
+      c AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+            FROM f)
+      SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS session_value
+      FROM c GROUP BY user_id, sid
+      ORDER BY user_id, session_start"""
+
   val queries: Map[String, Q] = Map(
     "e54_cusum"         -> e54_cusum,
     "e55_rate_limit"    -> e55_rate_limit,
     "e56_window_funnel" -> e56_window_funnel,
+    "e57_incremental_sessions" -> e57_incremental_sessions,
   )
   val oracles: Map[String, String] = Map(
     "e54_cusum"         -> e54Sql,
     "e55_rate_limit"    -> e55Sql,
     "e56_window_funnel" -> e56Sql,
+    "e57_incremental_sessions" -> e57Sql,
   )
 }

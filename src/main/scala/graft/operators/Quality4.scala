@@ -155,12 +155,114 @@ object Quality4 {
             LIMIT 20) s, t
       ORDER BY days_apart, cust, key_a, key_b"""
 
+  // ---- v27: zone-map skipping audit (is this layout worth anything?) ----
+  // The question behind every Delta/Iceberg OPTIMIZE decision, answered
+  // from the data instead of guessed: given a partition scheme (order
+  // month here) and its per-partition min/max zone maps, what fraction
+  // of partitions can a representative predicate SKIP? A date-
+  // correlated column (orderkey — keys roughly follow time) skips well;
+  // a value uncorrelated with layout (totalprice — every month spans
+  // the full price range) skips nothing, and THAT contrast is the
+  // measured argument for re-clustering (q87's z-order) or a different
+  // partition key. q105 sizes broadcasts/shuffles; q87 audits an
+  // existing interleave; this one scores the layout a table already
+  // has — the pre-flight for file skipping.
+  //
+  // Engine shape: ONE combinable per-partition zone-map aggregate at
+  // fact scale, then a literal predicate table crossed with the
+  // partition-count-sized zone frame (metadata × metadata). Exactness:
+  // skippability is interval disjointness on exact stored values —
+  // integer keys exactly, double prices compared bit-for-bit with
+  // fixed literals; counts exact, one IEEE division per rate.
+  val v27_skipping_audit: Q = (s, d) => {
+    val zm = Tables.orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+        .as("part"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("o_totalprice").as("min_p"), max("o_totalprice").as("max_p"),
+        min("o_orderkey").as("min_k"), max("o_orderkey").as("max_k"),
+        min(datediff(col("o_orderdate").cast("date"), lit("1970-01-01")))
+          .as("min_d"),
+        max(datediff(col("o_orderdate").cast("date"), lit("1970-01-01")))
+          .as("max_d"))
+    // (predicate label, column kind, lo, hi) — a closed probe interval;
+    // skippable iff [lo, hi] ∩ [zone min, zone max] = ∅. Dates probe in
+    // epoch days; key probes are corpus-range fractions.
+    val preds = s.createDataFrame(Seq(
+      ("date in 1996", "date", 9496.0, 9861.0),
+      ("date 1998-07", "date", 10408.0, 10438.0),
+      ("price > 400000", "price", 400000.0, Double.MaxValue),
+      ("key in first 5%", "key", 0.0, 0.05))).toDF("pred", "kind", "lo", "hi")
+    val bounds = Tables.orders(s, d)
+      .agg(min("o_orderkey").as("k0"), max("o_orderkey").as("k1"))
+    val scored = zm.crossJoin(broadcast(preds)).crossJoin(broadcast(bounds))
+      .withColumn("plo", when(col("kind") === "key",
+        col("k0") + col("lo") * (col("k1") - col("k0"))).otherwise(col("lo")))
+      .withColumn("phi", when(col("kind") === "key",
+        col("k0") + col("hi") * (col("k1") - col("k0"))).otherwise(col("hi")))
+      .withColumn("zlo", when(col("kind") === "price", col("min_p"))
+        .when(col("kind") === "date", col("min_d").cast("double"))
+        .otherwise(col("min_k").cast("double")))
+      .withColumn("zhi", when(col("kind") === "price", col("max_p"))
+        .when(col("kind") === "date", col("max_d").cast("double"))
+        .otherwise(col("max_k").cast("double")))
+      .withColumn("skippable", col("zhi") < col("plo") || col("zlo") > col("phi"))
+    scored.groupBy("pred").agg(
+      count(lit(1)).as("n_partitions"),
+      count(when(col("skippable"), 1)).as("n_skippable"),
+      coalesce(sum(when(!col("skippable"), col("n_rows"))), lit(0L))
+        .as("rows_scanned"))
+      .withColumn("skip_rate",
+        round(col("n_skippable").cast("double")
+          / col("n_partitions").cast("double"), 9))
+      .orderBy("pred")
+  }
+  val v27Sql: String =
+    """WITH zm AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+               AS part, COUNT(*) AS n_rows,
+               MIN(o_totalprice) AS min_p, MAX(o_totalprice) AS max_p,
+               MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k,
+               MIN(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS min_d,
+               MAX(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS max_d
+             FROM orders GROUP BY 1),
+      b AS (SELECT MIN(o_orderkey) AS k0, MAX(o_orderkey) AS k1 FROM orders),
+      preds(pred, kind, lo, hi) AS (VALUES
+        ('date in 1996', 'date', CAST(9496.0 AS DOUBLE),
+         CAST(9861.0 AS DOUBLE)),
+        ('date 1998-07', 'date', CAST(10408.0 AS DOUBLE),
+         CAST(10438.0 AS DOUBLE)),
+        ('price > 400000', 'price', CAST(400000.0 AS DOUBLE),
+         CAST(1.7976931348623157e308 AS DOUBLE)),
+        ('key in first 5%', 'key', CAST(0.0 AS DOUBLE),
+         CAST(0.05 AS DOUBLE))),
+      sc AS (SELECT pred, n_rows,
+               CASE WHEN kind = 'key' THEN k0 + lo * (k1 - k0)
+                    ELSE lo END AS plo,
+               CASE WHEN kind = 'key' THEN k0 + hi * (k1 - k0)
+                    ELSE hi END AS phi,
+               CASE WHEN kind = 'price' THEN min_p
+                    WHEN kind = 'date' THEN CAST(min_d AS DOUBLE)
+                    ELSE CAST(min_k AS DOUBLE) END AS zlo,
+               CASE WHEN kind = 'price' THEN max_p
+                    WHEN kind = 'date' THEN CAST(max_d AS DOUBLE)
+                    ELSE CAST(max_k AS DOUBLE) END AS zhi
+             FROM zm CROSS JOIN preds CROSS JOIN b)
+      SELECT pred, COUNT(*) AS n_partitions,
+        COUNT(CASE WHEN zhi < plo OR zlo > phi THEN 1 END) AS n_skippable,
+        CAST(COALESCE(SUM(CASE WHEN NOT (zhi < plo OR zlo > phi)
+              THEN n_rows END), 0) AS BIGINT) AS rows_scanned,
+        round(CAST(COUNT(CASE WHEN zhi < plo OR zlo > phi THEN 1 END)
+              AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS skip_rate
+      FROM sc GROUP BY pred ORDER BY pred"""
+
   val queries: Map[String, Q] = Map(
     "v24_money_precision" -> v24_money_precision,
     "v26_dup_payments"    -> v26_dup_payments,
+    "v27_skipping_audit"  -> v27_skipping_audit,
   )
   val oracles: Map[String, String] = Map(
     "v24_money_precision" -> v24Sql,
     "v26_dup_payments"    -> v26Sql,
+    "v27_skipping_audit"  -> v27Sql,
   )
 }

@@ -2131,6 +2131,47 @@ class GraphSpec extends AnyFunSuite {
     assert(rows.head.getAs[Long]("n_suspect_pairs") >= rows.length)
   }
 
+  test("e57 incremental sessions: event accounting closes, no session spans a gap") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Events8.e57_incremental_sessions(spark, sf)
+    // every event lands in exactly one session
+    assert(rows.agg(sum("n_events")).collect()(0).getLong(0)
+      == Tables.events(spark, sf).count())
+    // sessions of the same user never overlap within the 30-min gap:
+    // consecutive starts are separated by more than the gap from the
+    // previous end (otherwise they'd be one session)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("session_start")
+    val bad = rows
+      .withColumn("prev_end", lag("session_end", 1).over(w))
+      .filter(col("prev_end").isNotNull &&
+        unix_micros(col("session_start"))
+          <= unix_micros(col("prev_end")) + 30L * 60 * 1000000)
+      .count()
+    assert(bad == 0, s"$bad session pairs violate the gap invariant")
+  }
+
+  test("v27 skipping audit: date predicates skip, price predicates mostly cannot") {
+    val rows = operators.Quality4.v27_skipping_audit(spark, sf).collect()
+      .map(r => r.getAs[String]("pred") -> r).toMap
+    assert(rows.size == 4)
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_skippable") <= r.getAs[Long]("n_partitions"))
+      val rate = r.getAs[Double]("skip_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    // the measured contrast the operator exists to show: partition-
+    // aligned date predicates skip almost everything, layout-
+    // uncorrelated price predicates skip ~nothing (every month spans
+    // the full price range in this corpus)
+    val dateSkip = rows("date in 1996").getAs[Double]("skip_rate")
+    val priceSkip = rows("price > 400000").getAs[Double]("skip_rate")
+    assert(dateSkip > priceSkip,
+      s"date skip $dateSkip should beat price skip $priceSkip")
+    assert(dateSkip > 0.8)
+    assert(rows("date 1998-07").getAs[Double]("skip_rate") > dateSkip)
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
