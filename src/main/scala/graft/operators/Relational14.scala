@@ -198,12 +198,64 @@ object Relational14 {
         END AS avg_balance
       FROM car GROUP BY month ORDER BY month"""
 
+  // ---- q108: exact weighted quantiles (the weighted-median kernel) ----
+  // The statistic q29/q62 (unweighted percentiles) and q73 (weighted
+  // moments) both miss: order statistics where each row carries a
+  // WEIGHT — "the median price per unit shipped" weighs a 50-unit line
+  // 50×, and the unweighted median silently answers a different
+  // question. Weighted type-1 quantile: the smallest value whose
+  // cumulative weight reaches q·W.
+  //
+  // Engine shape: pre-aggregate to (group, value) with summed weights
+  // FIRST (map-side combinable — ties collapse before any window), then
+  // one group-partitioned sort window for the running weight, and the
+  // quantile picks are conditional mins. The quantile threshold tests
+  // run on EXACT INTEGERS (2·cumw ≥ W, 4·cumw ≥ W, 4·cumw ≥ 3·W —
+  // quantities are integral, so weights are exact longs and there is NO
+  // floating point anywhere until the output values themselves, which
+  // are picked, not computed).
+  val q108_weighted_median: Q = (s, d) => {
+    val byVal = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag").as("flag"),
+        col("l_extendedprice").as("v"))
+      .agg(sum(col("l_quantity").cast("long")).as("w"))
+    val wc = Window.partitionBy("flag").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wtot = Window.partitionBy("flag")
+    byVal
+      .withColumn("cumw", sum("w").over(wc))
+      .withColumn("totw", sum("w").over(wtot))
+      .groupBy("flag").agg(
+        max("totw").as("total_weight"),
+        min(when(col("cumw") * 4 >= col("totw"), col("v"))).as("wp25"),
+        min(when(col("cumw") * 2 >= col("totw"), col("v"))).as("wmedian"),
+        min(when(col("cumw") * 4 >= col("totw") * 3, col("v"))).as("wp75"))
+      .orderBy("flag")
+  }
+  val q108Sql: String =
+    """WITH bv AS (SELECT l_returnflag AS flag, l_extendedprice AS v,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+             FROM lineitem GROUP BY 1, 2),
+      cw AS (SELECT flag, v, w,
+               CAST(SUM(w) OVER (PARTITION BY flag ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cumw,
+               CAST(SUM(w) OVER (PARTITION BY flag) AS BIGINT) AS totw
+             FROM bv)
+      SELECT flag, MAX(totw) AS total_weight,
+        MIN(CASE WHEN cumw * 4 >= totw THEN v END) AS wp25,
+        MIN(CASE WHEN cumw * 2 >= totw THEN v END) AS wmedian,
+        MIN(CASE WHEN cumw * 4 >= totw * 3 THEN v END) AS wp75
+      FROM cw GROUP BY flag ORDER BY flag"""
+
   val queries: Map[String, Q] = Map(
     "q106_bootstrap_ci"  -> q106_bootstrap_ci,
     "q107_semi_additive" -> q107_semi_additive,
+    "q108_weighted_median" -> q108_weighted_median,
   )
   val oracles: Map[String, String] = Map(
     "q106_bootstrap_ci"  -> q106Sql,
     "q107_semi_additive" -> q107Sql,
+    "q108_weighted_median" -> q108Sql,
   )
 }

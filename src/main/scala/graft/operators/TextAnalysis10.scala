@@ -155,12 +155,75 @@ object TextAnalysis10 {
         round(CAST(df AS DOUBLE) / CAST(n_docs AS DOUBLE), 9) AS doc_share
       FROM m, nd ORDER BY cf DESC, w LIMIT 25"""
 
+  // ---- t37: length forensics (lognormal profile + truncation spike) ----
+  // Document LENGTH distributions are the cheapest corpus forensic and
+  // the most commonly faked: organic text is ~lognormal in length,
+  // while pipeline damage leaves signatures no mean/min/max (v05)
+  // shows — a TRUNCATION CAP puts a mass spike exactly at the maximum
+  // (the "every doc is 4096 chars" bug), over-aggressive cleaning
+  // hollows the short tail. Per source: log₁₀-length moments (the
+  // lognormal fit), the max, and the at-max spike count — a spike
+  // share ≫ 1/n is the truncation tripwire.
+  //
+  // Engine shape: ONE narrow map (log of a stored int), one combinable
+  // per-source moment aggregate + one source-keyed max join-back for
+  // the spike count — two fact passes over a 2-column projection,
+  // nothing wider than the source rollup shuffles. Exactness: per-row
+  // log10 is a single libm call on identical inputs ROUNDED 1e-9
+  // before the decimal moments (t32's log discipline — engine libm
+  // ulps pinned); spike counts are exact integer comparisons; sd via
+  // decimal moments, one sqrt.
+  val t37_length_forensics: Q = (s, d) => {
+    import org.apache.spark.sql.types.DecimalType
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("n_chars"))
+      .withColumn("lg", round(log10(col("n_chars").cast("double")), 9))
+    val mx = docs.groupBy("source").agg(max("n_chars").as("max_chars"))
+    docs.join(broadcast(mx), "source")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("lg").cast(DecimalType(30, 9))).cast("double").as("s1"),
+        sum((col("lg") * col("lg")).cast(DecimalType(30, 9)))
+          .cast("double").as("s2"),
+        max("max_chars").as("max_chars"),
+        count(when(col("n_chars") === col("max_chars"), 1)).as("n_at_max"))
+      .select(col("source"), col("n_docs"),
+        round(col("s1") / col("n_docs"), 9).as("mean_log10_len"),
+        round(sqrt((col("s2") - col("s1") * col("s1") / col("n_docs"))
+          / (col("n_docs") - 1)), 9).as("sd_log10_len"),
+        col("max_chars"), col("n_at_max"),
+        round(col("n_at_max").cast("double") / col("n_docs").cast("double"), 9)
+          .as("share_at_max"))
+      .orderBy("source")
+  }
+  val t37Sql: String =
+    """WITH d0 AS (SELECT source, n_chars,
+               round(log10(CAST(n_chars AS DOUBLE)), 9) AS lg
+             FROM documents),
+      mx AS (SELECT source, MAX(n_chars) AS max_chars FROM d0 GROUP BY 1),
+      m AS (SELECT d0.source AS source, COUNT(*) AS n_docs,
+              CAST(SUM(CAST(lg AS DECIMAL(30,9))) AS DOUBLE) AS s1,
+              CAST(SUM(CAST(lg * lg AS DECIMAL(30,9))) AS DOUBLE) AS s2,
+              MAX(mx.max_chars) AS max_chars,
+              COUNT(CASE WHEN n_chars = mx.max_chars THEN 1 END) AS n_at_max
+            FROM d0 JOIN mx ON d0.source = mx.source GROUP BY 1)
+      SELECT source, n_docs,
+        round(s1 / n_docs, 9) AS mean_log10_len,
+        round(sqrt((s2 - s1 * s1 / n_docs) / (n_docs - 1)), 9)
+          AS sd_log10_len,
+        max_chars, n_at_max,
+        round(CAST(n_at_max AS DOUBLE) / CAST(n_docs AS DOUBLE), 9)
+          AS share_at_max
+      FROM m ORDER BY source"""
+
   val queries: Map[String, Q] = Map(
     "t35_readability" -> t35_readability,
     "t36_burstiness"  -> t36_burstiness,
+    "t37_length_forensics" -> t37_length_forensics,
   )
   val oracles: Map[String, String] = Map(
     "t35_readability" -> t35Sql,
     "t36_burstiness"  -> t36Sql,
+    "t37_length_forensics" -> t37Sql,
   )
 }

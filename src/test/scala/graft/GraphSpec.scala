@@ -2172,6 +2172,45 @@ class GraphSpec extends AnyFunSuite {
     assert(rows("date 1998-07").getAs[Double]("skip_rate") > dateSkip)
   }
 
+  test("q108 weighted median: quantiles ordered, median dominated by weight") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Relational14.q108_weighted_median(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p25, p50, p75) = (r.getAs[Double]("wp25"),
+        r.getAs[Double]("wmedian"), r.getAs[Double]("wp75"))
+      assert(p25 <= p50 && p50 <= p75)
+      assert(r.getAs[Long]("total_weight") > 0)
+    }
+    // cross-check one group against a direct cumulative-weight replay
+    val flag = rows.head.getAs[String]("flag")
+    val vals = Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === flag)
+      .select(col("l_extendedprice").as("v"),
+        col("l_quantity").cast("long").as("w"))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val tot = vals.map(_._2).sum
+    var cum = 0L
+    val med = vals.find { case (_, w) => cum += w; cum * 2 >= tot }.get._1
+    assert(med == rows.head.getAs[Double]("wmedian"))
+  }
+
+  test("t37 length forensics: moments finite, spike accounting consistent") {
+    val rows = operators.TextAnalysis10.t37_length_forensics(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum
+      == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mean_log10_len") > 0.0)
+      assert(r.getAs[Double]("sd_log10_len") >= 0.0)
+      val atMax = r.getAs[Long]("n_at_max")
+      assert(atMax >= 1 && atMax <= r.getAs[Long]("n_docs"))
+      val share = r.getAs[Double]("share_at_max")
+      assert(share > 0.0 && share <= 1.0)
+    }
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
