@@ -248,14 +248,112 @@ object Relational14 {
         MIN(CASE WHEN cumw * 4 >= totw * 3 THEN v END) AS wp75
       FROM cw GROUP BY flag ORDER BY flag"""
 
+  // ---- q109: the distinct-count cube (mergeable KMV day-sketches) ----
+  // COUNT(DISTINCT) is the one common aggregate that is NOT additive —
+  // you cannot roll daily uniques up to weekly uniques, which is why
+  // every pre-aggregated dashboard either stores one row per (window,
+  // grain) combination or switches to mergeable sketches. This operator
+  // runs the sketch cube end-to-end and SHOWS the failure it fixes: per
+  // day, the KMV state (d07's k-minimum-values, k=64, the engine-shared
+  // 48-bit md5 hash both engines reproduce) materializes as k rows of
+  // pre-aggregated state; weeks then merge DAY STATE ONLY — union the
+  // day sketches, keep the k smallest, read the estimate off the k-th
+  // minimum — never re-touching fact rows (the IVM discipline of
+  // q92/q104 applied to distinct counting). Output per week: the exact
+  // distinct, the naive Σ-of-daily-distincts (wrong, overcounts — the
+  // non-additivity made visible), the sketch estimate, and its relative
+  // error.
+  //
+  // Engine shape: ONE fact-scale distinct-(day, hash) collapse, a
+  // day-partitioned rank window over the (days × uniques)-bounded hash
+  // frame to take day-local k-minima, then everything downstream is
+  // day-state-sized. Weeks use q97's absolute Monday-epoch index (ISO
+  // week-numbering rules differ across engines; integer day arithmetic
+  // doesn't).
+  //
+  // Exactness: hashes and k-th minima are exact integers; the estimate
+  // (k−1)·2⁴⁸/kth is one IEEE division of exact integers, the error one
+  // more — both rounded 1e-9; the oracle replays the whole pipeline.
+  val q109_distinct_cube: Q = (s, d) => {
+    val k = 64
+    val dh = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+      .select(col("day"),
+        expr("datediff(day, DATE '1970-01-05') div 7").as("week"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+          .cast("long").as("h"))
+    val daySketch = dh
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("day").orderBy("h")))
+      .filter(col("rk") <= k)
+      .select("week", "day", "h")
+    val weekMerged = daySketch.select("week", "h").distinct()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("week").orderBy("h")))
+      .filter(col("rk") <= k)
+      .groupBy("week")
+      .agg(count(lit(1)).as("n_heap"), max("h").as("kth_min"))
+      .withColumn("kmv_est",
+        when(col("n_heap") < k, col("n_heap").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(281474976710656.0)
+            / col("kth_min").cast("double")))
+    val exact = dh.groupBy("week")
+      .agg(countDistinct("h").as("exact_distinct"))
+    val dailySum = dh.groupBy("week", "day")
+      .agg(countDistinct("h").as("dd"))
+      .groupBy("week").agg(sum("dd").as("daily_sum"))
+    exact.join(dailySum, "week").join(weekMerged, "week")
+      .select(col("week"), col("exact_distinct"), col("daily_sum"),
+        round(col("kmv_est"), 9).as("kmv_est"),
+        round(abs(col("kmv_est") - col("exact_distinct").cast("double"))
+          / col("exact_distinct").cast("double"), 9).as("rel_err"))
+      .orderBy("week")
+  }
+  val q109Sql: String =
+    """WITH dh AS (SELECT day,
+               CAST((day - DATE '1970-01-05') // 7 AS BIGINT) AS week, h
+             FROM (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE)
+                     AS day,
+                     ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12))
+                       ::BIGINT AS h
+                   FROM events) t),
+      ds AS (SELECT week, day, h FROM (
+               SELECT *, row_number() OVER (PARTITION BY day ORDER BY h)
+                 AS rk FROM dh) r WHERE rk <= 64),
+      wm AS (SELECT week, COUNT(*) AS n_heap, MAX(h) AS kth_min FROM (
+               SELECT week, h, row_number() OVER (
+                   PARTITION BY week ORDER BY h) AS rk
+               FROM (SELECT DISTINCT week, h FROM ds) u) r
+             WHERE rk <= 64 GROUP BY 1),
+      we AS (SELECT week, n_heap, kth_min,
+               CASE WHEN n_heap < 64 THEN CAST(n_heap AS DOUBLE)
+                    ELSE CAST(63 AS DOUBLE) * CAST(281474976710656.0 AS DOUBLE)
+                         / CAST(kth_min AS DOUBLE) END AS kmv_est
+             FROM wm),
+      ex AS (SELECT week, COUNT(DISTINCT h) AS exact_distinct FROM dh
+             GROUP BY 1),
+      dsum AS (SELECT week, CAST(SUM(dd) AS BIGINT) AS daily_sum FROM (
+                 SELECT week, day, COUNT(DISTINCT h) AS dd FROM dh
+                 GROUP BY 1, 2) t GROUP BY 1)
+      SELECT ex.week AS week, exact_distinct, daily_sum,
+        round(kmv_est, 9) AS kmv_est,
+        round(abs(kmv_est - CAST(exact_distinct AS DOUBLE))
+              / CAST(exact_distinct AS DOUBLE), 9) AS rel_err
+      FROM ex JOIN dsum ON ex.week = dsum.week
+        JOIN we ON ex.week = we.week
+      ORDER BY week"""
+
   val queries: Map[String, Q] = Map(
     "q106_bootstrap_ci"  -> q106_bootstrap_ci,
     "q107_semi_additive" -> q107_semi_additive,
     "q108_weighted_median" -> q108_weighted_median,
+    "q109_distinct_cube" -> q109_distinct_cube,
   )
   val oracles: Map[String, String] = Map(
     "q106_bootstrap_ci"  -> q106Sql,
     "q107_semi_additive" -> q107Sql,
     "q108_weighted_median" -> q108Sql,
+    "q109_distinct_cube" -> q109Sql,
   )
 }

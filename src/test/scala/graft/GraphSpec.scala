@@ -2211,6 +2211,21 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("q109 distinct cube: non-additivity visible, sketch bounded-error") {
+    val rows = operators.Relational14.q109_distinct_cube(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_distinct")
+      // the failure the cube fixes: summed daily uniques overcount
+      assert(r.getAs[Long]("daily_sum") >= exact)
+      // KMV with k=64: exact below capacity, bounded error past it
+      // (theoretical se ~ 1/sqrt(k-2) ≈ 13%; allow 3 se)
+      assert(r.getAs[Double]("rel_err") < 0.40,
+        s"week ${r.getAs[Long]("week")}: rel_err ${r.getAs[Double]("rel_err")}")
+      if (exact < 64) assert(r.getAs[Double]("rel_err") == 0.0)
+    }
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
