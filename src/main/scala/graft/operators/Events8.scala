@@ -317,16 +317,87 @@ object Events8 {
       FROM c GROUP BY user_id, sid
       ORDER BY user_id, session_start"""
 
+  // ---- e58: sequence pattern matching (the MATCH_RECOGNIZE gap) ----
+  // SQL's MATCH_RECOGNIZE — find users whose EVENT SEQUENCE matches a
+  // pattern — has no Spark builtin, yet "purchase with no click in
+  // between" or "bought without ever browsing" are the questions
+  // product analytics actually asks (e24's Markov counts single hops;
+  // e18 mines frequent paths; neither answers an arbitrary pattern).
+  // The classic scalable reduction: collapse each user's ordered
+  // history to a LETTER STRING (V/C/P/S/E per event type), then any
+  // pattern is one regex over a per-user row — sequence questions
+  // become vectorized string ops.
+  //
+  // Engine shape: ONE user-keyed collapse (sort_array over in-row
+  // collected (µs, id, letter) structs — capped at the first 2000
+  // events per user, the hot-user bound that keeps row state finite at
+  // any scale, stated honestly), then a users × patterns in-row explode
+  // collapsed by a combinable census. Pattern syntax sticks to the
+  // regex subset with identical Java/RE2 semantics (anchors, literal
+  // letters, negated classes, *).
+  val e58_seq_match: Q = (s, d) => {
+    val seqs = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"),
+        when(col("event_type") === "view", "V")
+          .when(col("event_type") === "click", "C")
+          .when(col("event_type") === "purchase", "P")
+          .when(col("event_type") === "signup", "S")
+          .otherwise("E").as("l"))
+      .groupBy("user_id")
+      .agg(expr("""concat_ws('', transform(
+             slice(sort_array(collect_list(struct(us, event_id, l))), 1, 2000),
+             x -> x.l))""").as("seq"))
+    val pats = Seq(
+      ("view then purchase, no click between", "V[^CP]*P"),
+      ("purchase before any view", "^[^V]*P"),
+      ("error immediately before purchase", "EP"),
+      ("signup then eventual purchase", "S.*P"))
+    val tagged = seqs.select(col("user_id"), col("seq"),
+      explode(array(pats.map { case (n, p) =>
+        struct(lit(n).as("pattern"), lit(p).as("re")) }: _*)).as("x"))
+      .select(col("seq"), col("x.pattern").as("pattern"), col("x.re").as("re"))
+    val nu = seqs.agg(count(lit(1)).as("n_users"))
+    tagged.groupBy("pattern").agg(
+      count(when(regexp_like(col("seq"), col("re")), 1)).as("n_matched"))
+      .crossJoin(broadcast(nu))
+      .select(col("pattern"), col("n_users"), col("n_matched"),
+        round(col("n_matched").cast("double") / col("n_users").cast("double"),
+          9).as("share"))
+      .orderBy("pattern")
+  }
+  val e58Sql: String =
+    """WITH sq AS (SELECT user_id,
+               string_agg(CASE event_type WHEN 'view' THEN 'V'
+                 WHEN 'click' THEN 'C' WHEN 'purchase' THEN 'P'
+                 WHEN 'signup' THEN 'S' ELSE 'E' END, ''
+                 ORDER BY epoch_us(ts), event_id) AS seq
+             FROM events GROUP BY 1),
+      pats(pattern, re) AS (VALUES
+        ('view then purchase, no click between', 'V[^CP]*P'),
+        ('purchase before any view', '^[^V]*P'),
+        ('error immediately before purchase', 'EP'),
+        ('signup then eventual purchase', 'S.*P')),
+      nu AS (SELECT COUNT(*) AS n_users FROM sq)
+      SELECT pattern, n_users,
+        COUNT(CASE WHEN regexp_matches(seq, re) THEN 1 END) AS n_matched,
+        round(CAST(COUNT(CASE WHEN regexp_matches(seq, re) THEN 1 END)
+              AS DOUBLE) / CAST(n_users AS DOUBLE), 9) AS share
+      FROM sq CROSS JOIN pats, nu
+      GROUP BY pattern, n_users ORDER BY pattern"""
+
   val queries: Map[String, Q] = Map(
     "e54_cusum"         -> e54_cusum,
     "e55_rate_limit"    -> e55_rate_limit,
     "e56_window_funnel" -> e56_window_funnel,
     "e57_incremental_sessions" -> e57_incremental_sessions,
+    "e58_seq_match"     -> e58_seq_match,
   )
   val oracles: Map[String, String] = Map(
     "e54_cusum"         -> e54Sql,
     "e55_rate_limit"    -> e55Sql,
     "e56_window_funnel" -> e56Sql,
     "e57_incremental_sessions" -> e57Sql,
+    "e58_seq_match"     -> e58Sql,
   )
 }

@@ -255,14 +255,69 @@ object Quality4 {
               AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS skip_rate
       FROM sc GROUP BY pred ORDER BY pred"""
 
+  // ---- v29: contingency cell residuals (the drill-down of v15's χ²) ----
+  // v15 answers "are these two dimensions independent?" with ONE number;
+  // when it fires, the first question is WHICH cells — and that is the
+  // standardized residual r = (o − e)/√e per cell, the classic
+  // post-hoc of a χ² test: |r| > 3 marks a (lang, source) combination
+  // with far more or fewer documents than independence predicts (a
+  // source that only crawls one language, a language shard that lost a
+  // feed). The actionable complement of the global test.
+  //
+  // Engine shape: ONE combinable (lang, source) cell count at fact
+  // scale; row totals, column totals and N re-aggregate from CELLS
+  // (v15's discipline — never a second fact pass); expected counts and
+  // residuals are fixed IEEE arithmetic on exact integers, rounded
+  // 1e-9; the |r| > 3 flag compares bit-identical doubles.
+  val v29_cell_residuals: Q = (s, d) => {
+    val cells = Tables.documents(s, d)
+      .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+    val rowT = cells.groupBy("lang").agg(sum("n").as("row_n"))
+    val colT = cells.groupBy("source").agg(sum("n").as("col_n"))
+    val tot = cells.agg(sum("n").as("tot_n"))
+    cells.join(broadcast(rowT), "lang").join(broadcast(colT), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("expected",
+        col("row_n").cast("double") * col("col_n").cast("double")
+          / col("tot_n").cast("double"))
+      .withColumn("residual",
+        (col("n").cast("double") - col("expected")) / sqrt(col("expected")))
+      .select(col("lang"), col("source"), col("n"),
+        round(col("expected"), 9).as("expected"),
+        round(col("residual"), 9).as("residual"),
+        (abs(col("residual")) > 3.0).as("anomalous"))
+      .orderBy("lang", "source")
+  }
+  val v29Sql: String =
+    """WITH cells AS (SELECT lang, source, COUNT(*) AS n FROM documents
+             GROUP BY 1, 2),
+      rt AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS row_n FROM cells
+             GROUP BY 1),
+      ct AS (SELECT source, CAST(SUM(n) AS BIGINT) AS col_n FROM cells
+             GROUP BY 1),
+      t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot_n FROM cells),
+      e AS (SELECT cells.lang AS lang, cells.source AS source, n,
+              CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+                / CAST(tot_n AS DOUBLE) AS expected
+            FROM cells JOIN rt ON cells.lang = rt.lang
+              JOIN ct ON cells.source = ct.source CROSS JOIN t)
+      SELECT lang, source, n, round(expected, 9) AS expected,
+        round((CAST(n AS DOUBLE) - expected) / sqrt(expected), 9)
+          AS residual,
+        abs((CAST(n AS DOUBLE) - expected) / sqrt(expected)) > 3.0
+          AS anomalous
+      FROM e ORDER BY lang, source"""
+
   val queries: Map[String, Q] = Map(
     "v24_money_precision" -> v24_money_precision,
     "v26_dup_payments"    -> v26_dup_payments,
     "v27_skipping_audit"  -> v27_skipping_audit,
+    "v29_cell_residuals"  -> v29_cell_residuals,
   )
   val oracles: Map[String, String] = Map(
     "v24_money_precision" -> v24Sql,
     "v26_dup_payments"    -> v26Sql,
     "v27_skipping_audit"  -> v27Sql,
+    "v29_cell_residuals"  -> v29Sql,
   )
 }

@@ -2226,6 +2226,44 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("e58 seq match: match counts bounded and pattern-consistent") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Events8.e58_seq_match(spark, sf).collect()
+      .map(r => r.getAs[String]("pattern") -> r).toMap
+    assert(rows.size == 4)
+    val nUsers = Tables.events(spark, sf)
+      .select(countDistinct("user_id")).collect()(0).getLong(0)
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_users") == nUsers)
+      assert(r.getAs[Long]("n_matched") <= nUsers)
+    }
+    // the impulse pattern (view then purchase, no click between) is a
+    // sub-language of "signup then eventual purchase"? no — but every
+    // impulse matcher has at least a P, so it is bounded by users who
+    // ever purchased
+    val everP = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(countDistinct("user_id")).collect()(0).getLong(0)
+    assert(rows("view then purchase, no click between")
+      .getAs[Long]("n_matched") <= everP)
+    assert(rows("purchase before any view").getAs[Long]("n_matched") <= everP)
+  }
+
+  test("v29 cell residuals: residuals re-derivable from exact counts") {
+    val rows = operators.Quality4.v29_cell_residuals(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // cell counts reconcile with the corpus
+    assert(rows.map(_.getAs[Long]("n")).sum
+      == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val (o, e, res) = (r.getAs[Long]("n"), r.getAs[Double]("expected"),
+        r.getAs[Double]("residual"))
+      assert(e > 0.0)
+      assert(math.abs((o - e) / math.sqrt(e) - res) < 1e-8)
+      assert(r.getAs[Boolean]("anomalous") == (math.abs(res) > 3.0))
+    }
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
