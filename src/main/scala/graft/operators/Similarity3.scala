@@ -197,12 +197,87 @@ object Similarity3 {
       FROM ind, nq, nv, na
       ORDER BY in_degree DESC, vec_id LIMIT 10"""
 
+  // ---- s24: embedding norm audit (is this corpus cosine-ready?) ----
+  // The hygiene check every vector pipeline should run before trusting
+  // a similarity metric: encoders that L2-normalize let dot product
+  // stand in for cosine (and IVF/PQ quantizers assume it); a batch that
+  // silently mixes normalized and raw vectors (two encoder versions,
+  // one missing post-processing step) breaks that equivalence in ways
+  // no per-query result reveals. Per label: norm moments, the
+  // unit-norm share (|‖v‖ − 1| < 0.01), and the extremes — a share
+  // far from 0 or 1 means MIXED provenance, the actual bug signature.
+  //
+  // Engine shape: one posexplode + ONE (vec)-keyed combinable
+  // norm-square aggregate, then a label-sized moment rollup — nothing
+  // wider than the label frame shuffles twice. Exactness: Σv² rides
+  // DECIMAL(30,12) (unscaled < 2^53 ⇒ exact bit-identical casts), the
+  // norm is one sqrt, moments ride decimals again, the unit-band test
+  // compares bit-identical doubles.
+  val s24_norm_audit: Q = (s, d) => {
+    val norms = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("label"), col("v").cast("double").as("v"))
+      .groupBy("vec_id", "label")
+      .agg(sqrt(sum((col("v") * col("v")).cast(DecimalType(30, 12)))
+        .cast("double")).as("nrm"))
+    // dispersion is reported as mean |nrm - 1| (deviation from unit), NOT
+    // a variance: the norms sit so close to 1 that (s2 - s1^2/n) is pure
+    // catastrophic cancellation at the level where the two engines'
+    // double->decimal casts differ (DuckDB multiplies by 10^scale before
+    // rounding; Java rounds the exact expansion — a ~1e-12 divergence
+    // the cancellation amplifies 40%), while the absolute deviation is
+    // stable three orders of magnitude above it
+    norms.groupBy("label").agg(
+      count(lit(1)).as("n_vecs"),
+      sum(col("nrm").cast(DecimalType(30, 12))).cast("double").as("s1"),
+      sum(abs(col("nrm") - lit(1.0)).cast(DecimalType(30, 12)))
+        .cast("double").as("sdev"),
+      count(when(abs(col("nrm") - lit(1.0)) < 0.01, 1)).as("n_unit"),
+      round(min("nrm"), 9).as("min_norm"),
+      round(max("nrm"), 9).as("max_norm"))
+      .select(col("label"), col("n_vecs"),
+        round(col("s1") / col("n_vecs"), 9).as("mean_norm"),
+        round(col("sdev") / col("n_vecs"), 9).as("mean_unit_dev"),
+        col("n_unit"),
+        round(col("n_unit").cast("double") / col("n_vecs").cast("double"), 9)
+          .as("unit_share"),
+        col("min_norm"), col("max_norm"))
+      .orderBy("label")
+  }
+  val s24Sql: String =
+    """WITH ex AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE)
+               AS v FROM embeddings),
+      nr AS (SELECT vec_id, label,
+               sqrt(CAST(SUM(CAST(v * v AS DECIMAL(30,12))) AS DOUBLE))
+                 AS nrm
+             FROM ex GROUP BY 1, 2),
+      m AS (SELECT label, COUNT(*) AS n_vecs,
+              CAST(SUM(CAST(nrm AS DECIMAL(30,12))) AS DOUBLE) AS s1,
+              CAST(SUM(CAST(abs(nrm - CAST(1.0 AS DOUBLE))
+                    AS DECIMAL(30,12))) AS DOUBLE) AS sdev,
+              COUNT(CASE WHEN abs(nrm - CAST(1.0 AS DOUBLE)) < 0.01
+                    THEN 1 END) AS n_unit,
+              round(MIN(nrm), 9) AS min_norm,
+              round(MAX(nrm), 9) AS max_norm
+            FROM nr GROUP BY 1)
+      SELECT label, n_vecs,
+        round(s1 / n_vecs, 9) AS mean_norm,
+        round(sdev / n_vecs, 9) AS mean_unit_dev,
+        n_unit,
+        round(CAST(n_unit AS DOUBLE) / CAST(n_vecs AS DOUBLE), 9)
+          AS unit_share,
+        min_norm, max_norm
+      FROM m ORDER BY label"""
+
   val queries: Map[String, Q] = Map(
     "s22_ood_audit" -> s22_ood_audit,
     "s23_hubness"   -> s23_hubness,
+    "s24_norm_audit" -> s24_norm_audit,
   )
   val oracles: Map[String, String] = Map(
     "s22_ood_audit" -> s22Sql,
     "s23_hubness"   -> s23Sql,
+    "s24_norm_audit" -> s24Sql,
   )
 }

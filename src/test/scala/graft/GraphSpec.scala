@@ -2264,6 +2264,22 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("s24 norm audit: bounds consistent, unit share matches the band count") {
+    val rows = operators.Similarity3.s24_norm_audit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum
+      == Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      val (mn, mx, mean) = (r.getAs[Double]("min_norm"),
+        r.getAs[Double]("max_norm"), r.getAs[Double]("mean_norm"))
+      assert(mn <= mean && mean <= mx)
+      assert(r.getAs[Double]("mean_unit_dev") >= 0.0)
+      val share = r.getAs[Double]("unit_share")
+      assert(share >= 0.0 && share <= 1.0)
+      assert(r.getAs[Long]("n_unit") <= r.getAs[Long]("n_vecs"))
+    }
+  }
+
   test("e29 reactivation: dormancy floor 3 days, user count bounded") {
     val rows = operators.Events6.e29_reactivation(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus must contain 2+ day dormancies")
