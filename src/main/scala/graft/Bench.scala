@@ -74,21 +74,27 @@ object Bench {
     // scheduling noise (observed ±40% on sub-second queries); the min of
     // two runs is a stabler throughput estimate at 2x bench wall time.
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Drop leftover caches between EVERY timed run (including between
+      // the two best-of-2 runs): operators persist intermediates
+      // (shingle tables, candidate sets), so without this the second run
+      // rides the first run's still-resident blocks — best-of-2 then
+      // reports a warm-cache number for cache-heavy queries while the
+      // blocks themselves crowd execution memory for later shuffle-heavy
+      // joins (the round-2 in-suite q03/q04/q05 outliers, and the r4
+      // headline-drift suspect). releaseCaches() also drains GraftOps'
+      // tracked-persist queue so the queue itself can't pin frames.
+      def reset(): Unit = {
+        graft.api.GraftOps.releaseCaches()
+        spark.catalog.clearCache()
+      }
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        reset()
+        dt
       }
       val best = math.min(once(), once())
-      // Drop THIS query's leftover caches before the next query runs:
-      // operators persist intermediates (shingle tables, candidate sets)
-      // and a 172-query suite otherwise accumulates ~GBs of MEMORY_AND_DISK
-      // blocks that crowd execution memory for later shuffle-heavy joins —
-      // the leading suspect for the round-2 in-suite q03/q04/q05 outliers.
-      // Clearing BETWEEN queries (not between the two timed runs) keeps
-      // each query's own cache-reuse semantics unchanged while making the
-      // numbers independent of suite order.
-      spark.catalog.clearCache()
       name -> best
     }
     val total = round3(results.map(_._2).sum)

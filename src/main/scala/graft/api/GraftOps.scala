@@ -1308,6 +1308,12 @@ object GraftOps {
                   capPct: Int = 15): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(capPct > 0 && capPct <= 100, s"capPct in (0,100], got $capPct")
+    val helperCols =
+      Seq("__src", "__u", "__quota_rank", "__quota", "__n_total", "kept")
+    val clashes = df.columns.filter(helperCols.contains)
+    require(clashes.isEmpty,
+      s"quotaSample reserves column name(s) ${clashes.mkString(", ")}; " +
+        "rename them on the input before calling")
     val total = df.agg(count(lit(1)).as("__n_total"))
     df.withColumn("__src", source)
       .withColumn("__u", md5(id.cast("string")))

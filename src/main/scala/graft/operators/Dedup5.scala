@@ -117,11 +117,17 @@ object Dedup5 {
   // never all-pairs), truth from the shared-shingle join — all counts,
   // one constant-size rollup.
   val d24_lsh_recall: Q = (s, d) => {
+    // Shingle once, persist (the family rule d23/:47 and d37 follow):
+    // this frame feeds the minhash aggregate, the sizes aggregate, AND
+    // both sides of the exact-truth self-join — four corpus-scale
+    // explode scans without the persist, one with it. Bench's
+    // clearCache between queries reclaims it.
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .select(col("doc_id"), explode(expr(
         """array_distinct(transform(sequence(1, greatest(size(words) - 2, 0)),
              i -> concat_ws(' ', slice(words, i, 3))))""")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 16 seeded minhashes, SQL-expressible: min over md5(seed || shingle).
     // Computed as ONE wide aggregate (16 min columns) instead of a 16x
     // row explode + (doc, seed) shuffle: the md5 count is identical but

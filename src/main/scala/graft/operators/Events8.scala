@@ -328,14 +328,20 @@ object Events8 {
   // pattern is one regex over a per-user row — sequence questions
   // become vectorized string ops.
   //
-  // Engine shape: ONE user-keyed collapse (sort_array over in-row
-  // collected (µs, id, letter) structs — capped at the first 2000
-  // events per user, the hot-user bound that keeps row state finite at
-  // any scale, stated honestly), then a users × patterns in-row explode
-  // collapsed by a combinable census. Pattern syntax sticks to the
-  // regex subset with identical Java/RE2 semantics (anchors, literal
-  // letters, negated classes, *).
+  // Engine shape: a per-user row_number window (sorted, disk-spilling
+  // WindowExec) keeps only each user's FIRST 2000 events BEFORE any
+  // aggregation — so the collect_list buffer is ≤2000 structs per user
+  // by construction, not post-hoc: a 100M-event hot user costs the
+  // window sort (external, spills) but never a 100M-element agg buffer.
+  // Then ONE user-keyed collapse (sort_array over the capped in-row
+  // structs), then a users × patterns in-row explode collapsed by a
+  // combinable census. The SAME first-2000 cap is applied in the oracle
+  // (rank + filter before string_agg) so parity is exact for hot users
+  // too. Pattern syntax sticks to the regex subset with identical
+  // Java/RE2 semantics (anchors, literal letters, negated classes, *).
   val e58_seq_match: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us", "event_id")
     val seqs = Tables.events(s, d)
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
         col("event_id"),
@@ -344,9 +350,11 @@ object Events8 {
           .when(col("event_type") === "purchase", "P")
           .when(col("event_type") === "signup", "S")
           .otherwise("E").as("l"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= 2000)
       .groupBy("user_id")
       .agg(expr("""concat_ws('', transform(
-             slice(sort_array(collect_list(struct(us, event_id, l))), 1, 2000),
+             sort_array(collect_list(struct(us, event_id, l))),
              x -> x.l))""").as("seq"))
     val pats = Seq(
       ("view then purchase, no click between", "V[^CP]*P"),
@@ -367,12 +375,16 @@ object Events8 {
       .orderBy("pattern")
   }
   val e58Sql: String =
-    """WITH sq AS (SELECT user_id,
+    """WITH r AS (SELECT user_id, ts, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS rn
+             FROM events),
+      sq AS (SELECT user_id,
                string_agg(CASE event_type WHEN 'view' THEN 'V'
                  WHEN 'click' THEN 'C' WHEN 'purchase' THEN 'P'
                  WHEN 'signup' THEN 'S' ELSE 'E' END, ''
                  ORDER BY epoch_us(ts), event_id) AS seq
-             FROM events GROUP BY 1),
+             FROM r WHERE rn <= 2000 GROUP BY 1),
       pats(pattern, re) AS (VALUES
         ('view then purchase, no click between', 'V[^CP]*P'),
         ('purchase before any view', '^[^V]*P'),

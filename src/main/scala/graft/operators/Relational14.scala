@@ -280,7 +280,11 @@ object Relational14 {
       .select(to_date(col("ts")).as("day"), col("user_id"))
       .distinct()
       .select(col("day"),
-        expr("datediff(day, DATE '1970-01-05') div 7").as("week"),
+        // floor(.../7), not `div`: Spark div truncates toward zero while
+        // DuckDB // floors, and the two diverge for days before the
+        // 1970-01-05 Monday epoch — floor matches the oracle everywhere.
+        floor(expr("datediff(day, DATE '1970-01-05')") / 7)
+          .cast("long").as("week"),
         conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
           .cast("long").as("h"))
     val daySketch = dh

@@ -651,6 +651,19 @@ class GraftOpsSpec extends AnyFunSuite {
     assert(math.abs(top.getAs[Double]("jaccard") - 2.0 / 3.0) < 1e-8)
   }
 
+  test("quotaSample rejects inputs carrying its reserved helper columns") {
+    // silent withColumn replacement would corrupt a pre-existing `kept`
+    // (or __src/__u/...) column; the verb must refuse loudly instead
+    val clash = docs.withColumn("kept", lit(true))
+    val e = intercept[IllegalArgumentException] {
+      GraftOps.quotaSample(clash, col("doc_id"), col("source"), 10)
+    }
+    assert(e.getMessage.contains("kept"))
+    // clean inputs still work and annotate every row
+    val ok = GraftOps.quotaSample(docs, col("doc_id"), col("source"), 10)
+    assert(ok.count() == docs.count())
+  }
+
   test("shardInterleave: per-(group, shard) balance within 1 by construction") {
     val sh = GraftOps.shardInterleave(docs, col("doc_id"), col("source"), 8)
     val counts = sh.groupBy("source", "shard")

@@ -2249,6 +2249,44 @@ class GraphSpec extends AnyFunSuite {
     assert(rows("purchase before any view").getAs[Long]("n_matched") <= everP)
   }
 
+  test("e58 seq match: hot-user state is bounded BEFORE aggregation") {
+    import org.apache.spark.sql.functions._
+    // Synthetic corpus: one hot user with 100k events — 2000 views, then
+    // a signup and a purchase strictly AFTER the first 2000 events, then
+    // filler views. If the first-2000 cap is applied before the
+    // collect_list (rank-window pre-filter), the S and P never reach the
+    // letter string and neither purchase pattern can match; the
+    // uncapped shape would match both. This pins cap-before-aggregate
+    // behaviorally, so the agg buffer is <= 2000 structs per user by
+    // construction (a post-hoc slice could not pass this test).
+    val dir = java.nio.file.Files.createTempDirectory("graft_e58_hot")
+      .toString
+    val n = 100000
+    spark.range(n.toLong)
+      .select(col("id").as("event_id"),
+        expr("timestamp_millis(1704067200000 + id * 1000)").as("ts"),
+        lit(7L).as("user_id"),
+        when(col("id") === 2000, "signup")
+          .when(col("id") === 2001, "purchase")
+          .otherwise("view").as("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = operators.Events8.e58_seq_match(spark, dir).collect()
+      .map(r => r.getAs[String]("pattern") -> r.getAs[Long]("n_matched"))
+      .toMap
+    assert(rows("signup then eventual purchase") == 0L,
+      "S/P at positions 2001/2002 leaked past the first-2000 cap")
+    assert(rows("view then purchase, no click between") == 0L)
+    // the plan applies the cap upstream of the aggregate: a Filter on
+    // the row_number sits below the collect_list aggregate
+    val plan = operators.Events8.e58_seq_match(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("row_number"))
+    assert(plan.matches("(?s).*Aggregate.*Filter.*2000.*"),
+      "cap filter not below the aggregate in the optimized plan")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("v29 cell residuals: residuals re-derivable from exact counts") {
     val rows = operators.Quality4.v29_cell_residuals(spark, sf).collect()
     assert(rows.nonEmpty)
