@@ -69,6 +69,54 @@ object SnapshotTable {
       } else !f.exists(target) && f.rename(tmp, target)
   }
 
+  /** External mutual-exclusion seam for [[ObjectStoreCommitStore]]: an
+    * exclusive critical section keyed by commit target. Production
+    * bindings are a lock table (the public Delta S3 multi-writer design:
+    * DynamoDB conditional writes), a catalog service, or the store's own
+    * conditional-put token; [[InJvmCommitMutex]] binds it for
+    * single-driver deployments and tests.
+    */
+  trait CommitMutex {
+    def withLock[T](key: String)(body: => T): T
+  }
+
+  /** In-JVM striped mutex: correct whenever every writer shares this JVM
+    * (one driver, many threads/streams) — the single-writer-process case
+    * that covers most batch deployments. Multi-driver S3 writers must
+    * bind a distributed mutex instead.
+    */
+  object InJvmCommitMutex extends CommitMutex {
+    private val locks =
+      new java.util.concurrent.ConcurrentHashMap[String, Object]()
+    def withLock[T](key: String)(body: => T): T =
+      locks.computeIfAbsent(key, _ => new Object).synchronized(body)
+  }
+
+  /** CommitStore for object stores WITHOUT an atomic no-replace
+    * primitive (raw S3): existence check and a blindly-REPLACING put are
+    * separate, racy operations, so atomicity is restored by running
+    * check+put inside external mutual exclusion ([[CommitMutex]]). This
+    * is the shape of the public Delta-on-S3 LogStore: the mutex is the
+    * only store-specific part, and the race spec proves the ACID
+    * contract holds through exactly these non-atomic semantics.
+    */
+  final class ObjectStoreCommitStore(mutex: CommitMutex) extends CommitStore {
+    // observability hook the race spec asserts on: every blind PUT served
+    @volatile var puts: Int = 0
+    def publishIfAbsent(f: FileSystem, tmp: Path, target: Path): Boolean =
+      mutex.withLock(target.toString) {
+        if (f.exists(target)) false
+        else {
+          val in = f.open(tmp)
+          val bytes = try in.readAllBytes() finally in.close()
+          val out = f.create(target, true) // object-store PUT: replaces
+          try out.write(bytes) finally out.close()
+          puts += 1
+          true
+        }
+      }
+  }
+
   @volatile private var stores: Map[String, CommitStore] = Map.empty
 
   /** Bind a [[CommitStore]] for a filesystem scheme ("s3a", ...); pass
@@ -218,13 +266,19 @@ object SnapshotTable {
     */
   def read(spark: SparkSession, path: String, version: Int = 0): DataFrame = {
     val v = if (version > 0) version else latestVersion(spark, path)
-    val m = readManifest(spark, path, v)
+    readSnapshot(spark, path, readManifest(spark, path, v))
+  }
+
+  // frame for an already-parsed manifest — lets upsert/delete/compact
+  // parse each manifest exactly ONCE per operation (they need both the
+  // file list and .txn; re-calling read() would re-read it)
+  private def readSnapshot(spark: SparkSession, path: String,
+                           m: Manifest): DataFrame =
     if (m.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
     else spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
       .parquet(m.files.map(fp => s"$path/$fp"): _*)
-  }
 
   /** MERGE (upsert): rows in `changes` replace current rows with equal
     * `keys`; unmatched `changes` rows insert. Copy-on-write: one
@@ -236,7 +290,8 @@ object SnapshotTable {
              keys: Seq[String], expectedVersion: Int = 0): Int = {
     val base =
       if (expectedVersion > 0) expectedVersion else latestVersion(spark, path)
-    val cur = read(spark, path, base)
+    val curM = readManifest(spark, path, base)
+    val cur = readSnapshot(spark, path, curM)
     val aligned = changes.select(cur.columns.map(col): _*)
     // same guard as append: without it unionByName type-widening could
     // commit a segment whose parquet types diverge from the pinned
@@ -260,7 +315,7 @@ object SnapshotTable {
         keys, "left_anti")
       .unionByName(aligned)
     commit(spark, path, base, cur.schema.toDDL, writeSegment(merged, path),
-      readManifest(spark, path, base).txn)
+      curM.txn)
   }
 
   /** Last transaction watermark committed for `appId` (-1 if none) —
@@ -291,7 +346,7 @@ object SnapshotTable {
     require(base > 0, s"snapshot table $path does not exist")
     val curM = readManifest(spark, path, base)
     if (curM.txn.getOrElse(appId, -1L) >= batchId) return base // replay
-    val cur = read(spark, path, base)
+    val cur = readSnapshot(spark, path, curM)
     val aligned = changes.select(cur.columns.map(col): _*)
     require(shape(aligned.schema) == shape(cur.schema),
       s"upsertBatch schema ${aligned.schema.toDDL} != table schema ${cur.schema.toDDL}")
@@ -329,10 +384,10 @@ object SnapshotTable {
   /** Copy-on-write delete of rows matching `predicate` (SQL fragment). */
   def delete(spark: SparkSession, path: String, predicate: String): Int = {
     val base = latestVersion(spark, path)
-    val cur = read(spark, path, base)
+    val curM = readManifest(spark, path, base)
+    val cur = readSnapshot(spark, path, curM)
     commit(spark, path, base, cur.schema.toDDL,
-      writeSegment(cur.filter(!expr(predicate)), path),
-      readManifest(spark, path, base).txn)
+      writeSegment(cur.filter(!expr(predicate)), path), curM.txn)
   }
 
   /** Compaction (the OPTIMIZE analog): rewrite the current snapshot's
@@ -343,10 +398,10 @@ object SnapshotTable {
     */
   def compact(spark: SparkSession, path: String, numFiles: Int = 1): Int = {
     val base = latestVersion(spark, path)
-    val cur = read(spark, path, base)
+    val curM = readManifest(spark, path, base)
+    val cur = readSnapshot(spark, path, curM)
     commit(spark, path, base, cur.schema.toDDL,
-      writeSegment(cur.repartition(numFiles), path),
-      readManifest(spark, path, base).txn)
+      writeSegment(cur.repartition(numFiles), path), curM.txn)
   }
 
   /** Retention cleanup (the VACUUM analog): drop every manifest older

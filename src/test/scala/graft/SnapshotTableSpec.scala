@@ -263,33 +263,16 @@ class SnapshotTableSpec extends AnyFunSuite {
   }
 
   test("pluggable CommitStore: race holds on a store with object-store (non-atomic) semantics") {
-    // Emulates raw S3: no atomic no-replace primitive — existence check
-    // and a blindly-replacing PUT are separate operations. Atomicity
-    // comes from EXTERNAL mutual exclusion around the check+put (the
-    // public Delta S3 LogStore design: a lock table / conditional put);
-    // here an in-JVM mutex stands in for that coordination service.
-    // The race spec must still admit exactly one winner through this
-    // store — proving SnapshotTable's ACID contract survives the
-    // primitive swap, and the seam is where an S3 user plugs in.
-    object S3LikeStore extends SnapshotTable.CommitStore {
-      val mutex = new Object
-      var puts = 0
-      def publishIfAbsent(f: org.apache.hadoop.fs.FileSystem,
-                          tmp: org.apache.hadoop.fs.Path,
-                          target: org.apache.hadoop.fs.Path): Boolean =
-        mutex.synchronized {
-          if (f.exists(target)) false
-          else {
-            val in = f.open(tmp)
-            val bytes = try in.readAllBytes() finally in.close()
-            val out = f.create(target, true) // object-store PUT: replaces
-            try out.write(bytes) finally out.close()
-            puts += 1
-            true
-          }
-        }
-    }
-    SnapshotTable.register("file", S3LikeStore)
+    // The IN-TREE object-store CommitStore (no atomic no-replace
+    // primitive: existence check and a blindly-replacing PUT are
+    // separate operations; atomicity restored by the CommitMutex seam —
+    // here the in-JVM binding, in production a lock table / conditional
+    // put). The race spec must still admit exactly one winner through
+    // this store — proving SnapshotTable's ACID contract survives the
+    // primitive swap on exactly raw-S3 semantics.
+    val s3LikeStore = new SnapshotTable.ObjectStoreCommitStore(
+      SnapshotTable.InJvmCommitMutex)
+    SnapshotTable.register("file", s3LikeStore)
     try {
       val path = tmp()
       SnapshotTable.create(spark.range(0, 10).toDF("id"), path)
@@ -314,7 +297,7 @@ class SnapshotTableSpec extends AnyFunSuite {
         s"expected exactly one v2 winner through the fake store, got $results")
       assert(results.collect { case Left(t) => t }
         .forall(_.isInstanceOf[java.util.ConcurrentModificationException]))
-      assert(S3LikeStore.puts >= 2, "fake store must have served the commits")
+      assert(s3LikeStore.puts >= 2, "fake store must have served the commits")
       assert(SnapshotTable.read(spark, path).count() == 20)
     } finally SnapshotTable.register("file", null)
   }
