@@ -61,6 +61,16 @@ def _graft_ops(spark):
     return _jvm(spark).graft.api.GraftOps
 
 
+def _to_seq(spark, items):
+    """Python list -> scala Seq (py4j can't build one implicitly)."""
+    return _jvm(spark).org.apache.spark.api.python.PythonUtils.toSeq(items)
+
+
+def _default(obj, method, n):
+    """Fetch a Scala default-argument value (method$default$n)."""
+    return getattr(obj, "%s$default$%d" % (method, n))()
+
+
 def register(spark):
     """Register every graft custom SQL function on the session."""
     _jvm(spark).graft.functions.Register.all(spark._jsparkSession)
@@ -166,6 +176,139 @@ def quota_sample(spark, df, id_col, source_col, cap_pct=15):
     flag; filter on 'kept' to get the capped corpus."""
     jdf = _graft_ops(spark).quotaSample(
         df._jdf, _col(spark, id_col), _col(spark, source_col), int(cap_pct))
+    return _wrap(spark, jdf)
+
+
+def sessionize(spark, df, key_col, ts_col, gap="30 minutes",
+               tiebreak_cols=()):
+    """Gap-based sessionization: appends per-key 1-based ``session_id``.
+
+    Pass ``tiebreak_cols`` (e.g. an event id) whenever the timestamp can
+    repeat within a key — equal timestamps otherwise get
+    partition-dependent ordering.
+    """
+    jdf = _graft_ops(spark).sessionize(
+        df._jdf, _col(spark, key_col), _col(spark, ts_col), gap,
+        _to_seq(spark, [_col(spark, c) for c in tiebreak_cols]))
+    return _wrap(spark, jdf)
+
+
+def asof_join(spark, left, right, left_key, right_key, left_time,
+              right_time):
+    """As-of join: each left row gets the latest right row at-or-before
+    its time, per key (the custom plan — range-partition + merge, no
+    all-pairs blowup)."""
+    jdf = _jvm(spark).graft.plans.AsofJoin.asofJoin(
+        left._jdf, right._jdf, left_key, right_key, left_time, right_time)
+    return _wrap(spark, jdf)
+
+
+def expect_all(spark, df, rules):
+    """Data-quality report: ``rules`` is {name: sql_predicate}; returns
+    (rule, n_rows, violations, pass) — one aggregate pass, no throw
+    (filter on ``pass == False`` and act)."""
+    jmap = _jvm(spark).java.util.LinkedHashMap()
+    for name, predicate in rules.items():
+        jmap.put(name, predicate)
+    jdf = _jvm(spark).graft.api.Expectations.evaluateSql(df._jdf, jmap)
+    return _wrap(spark, jdf)
+
+
+def profile(spark, df, cols):
+    """Per-column profile (count/nulls/min/max/stable mean) in ONE scan:
+    returns a row per column."""
+    jdf = _graft_ops(spark).profile(df._jdf, _to_seq(spark, list(cols)))
+    return _wrap(spark, jdf)
+
+
+def gopher_filter(spark, df, text_col):
+    """Gopher-style quality rule suite over a text column: appends exact
+    rule metrics, a per-rule failure bitmask, and a keep flag."""
+    ops = _graft_ops(spark)
+    jdf = ops.gopherFilter(
+        df._jdf, _col(spark, text_col),
+        _default(ops, "gopherFilter", 3), _default(ops, "gopherFilter", 4),
+        _default(ops, "gopherFilter", 5))
+    return _wrap(spark, jdf)
+
+
+def span_dedup(spark, df, id_col, text_col, span_words=10):
+    """Span-level dedup: (id, n_spans, n_kept, text_kept) with repeated
+    cross-document spans removed (first occurrence wins)."""
+    jdf = _graft_ops(spark).spanDedup(
+        df._jdf, _col(spark, id_col), _col(spark, text_col),
+        int(span_words))
+    return _wrap(spark, jdf)
+
+
+def global_rank(spark, df, order_cols):
+    """Exact global 1-based rank in ``order_cols`` order without a
+    single-task sort (range partition + offset prefix-sum).
+
+    ``order_cols`` entries may be SQL expressions, optionally suffixed
+    with " DESC" (e.g. "n DESC", "word")."""
+    def ordered(c):
+        if c.upper().endswith(" DESC"):
+            return _col_expr(spark, c[:-5]).desc()
+        if c.upper().endswith(" ASC"):
+            return _col_expr(spark, c[:-4]).asc()
+        return _col_expr(spark, c)
+    jdf = _graft_ops(spark).globalRank(
+        df._jdf, _to_seq(spark, [ordered(c) for c in order_cols]))
+    return _wrap(spark, jdf)
+
+
+def skyline2d(spark, df, max_col, min_col):
+    """2-D Pareto frontier (maximize ``max_col``, minimize ``min_col``):
+    returns the non-dominated (max_col, min_col, n_rows) cells."""
+    jdf = _graft_ops(spark).skyline2d(df._jdf, max_col, min_col)
+    return _wrap(spark, jdf)
+
+
+def pagerank(spark, edges, src_col, dst_col, weight_expr="1", iters=3):
+    """Weighted PageRank over a (src, dst, weight) edge frame: (node, pr),
+    12-dp rounded per iteration, dangling mass redistributed."""
+    ops = _graft_ops(spark)
+    jdf = ops.pagerank(edges._jdf, _col(spark, src_col),
+                       _col(spark, dst_col), _col_expr(spark, weight_expr),
+                       _default(ops, "pagerank", 5), int(iters),
+                       _default(ops, "pagerank", 7))
+    return _wrap(spark, jdf)
+
+
+def connected_components(spark, edges, a_col, b_col):
+    """Min-label connected components over an undirected edge frame:
+    (node, cluster_id), cluster_id = component minimum."""
+    jdf = _graft_ops(spark).connectedComponents(
+        edges._jdf, _col(spark, a_col), _col(spark, b_col))
+    return _wrap(spark, jdf)
+
+
+def triangles(spark, edges, a_col, b_col):
+    """Triangle census over an undirected edge frame: one row
+    (n_nodes, n_edges, n_wedges, n_triangles, gcc)."""
+    jdf = _graft_ops(spark).triangleCensus(
+        edges._jdf, _col(spark, a_col), _col(spark, b_col))
+    return _wrap(spark, jdf)
+
+
+def verb(spark, name, df, *args):
+    """Generic escape hatch: call any GraftOps verb by name.
+
+    ``args`` entries are passed through, with two conveniences: strings
+    prefixed with ``col:`` become Columns, and lists become Seqs, e.g.::
+
+        verb(spark, "latestPerKey", df, "col:user_id", ["col:ts"])
+    """
+    def conv(a):
+        if isinstance(a, str) and a.startswith("col:"):
+            return _col_expr(spark, a[4:])
+        if isinstance(a, (list, tuple)):
+            return _to_seq(spark, [conv(x) for x in a])
+        if isinstance(a, DataFrame):
+            return a._jdf
+        return a
+    jdf = getattr(_graft_ops(spark), name)(df._jdf, *[conv(a) for a in args])
     return _wrap(spark, jdf)
 
 

@@ -24,6 +24,8 @@ object ScaleStress {
       }
     }.reduce(_ unionByName _)
 
+  private[graft] def ensureBuilt(spark: SparkSession): Unit = build(spark)
+
   private def build(spark: SparkSession): Unit = {
     // marker versioned: _DONE2 added the 8x embedding replication —
     // a stale round-3 stress set must rebuild
@@ -89,6 +91,11 @@ object ScaleStress {
       graft.api.GraftOps.linkPredict(edges, col("a"), col("b"), 15, 32)
     },
     "s04_ivf[nprobe=3]"   -> ((s, d) => operators.Similarity.annIvfAt(s, d, 3)),
+    "g03[degcap=64]" -> { (s, d) =>
+      s.conf.set("graft.graph.maxDegree", "64")
+      try operators.Graph.g03_triangles(s, d)
+      finally s.conf.unset("graft.graph.maxDegree")
+    },
     "semdedup[k~n/230]" -> { (s, d) =>
       import graft.api.GraftOps
       val e = Tables.embeddings(s, d)
@@ -133,6 +140,11 @@ object ScaleStress {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      // the stress set is ~20 files/table: at the default 128 MB split
+      // packing a 210 MB table scans as ~3 input partitions — 3 of 32
+      // cores on the fact-scale first stage. 16 MB splits restore the
+      // many-files/many-splits shape a real cluster sees.
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

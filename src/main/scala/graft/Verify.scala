@@ -42,6 +42,18 @@ object Verify {
           org.apache.spark.sql.functions.col("text"), 2).as("sh"))
       .coalesce(1).write.mode("overwrite")
       .parquet("/tmp/graft_aux/simhash_sigs")
+    // s05's PQ codes + codebook: decimal-summed quantizer makes both
+    // identical across executions, so the dump and the query agree
+    // bit-for-bit and DuckDB replays ADC scoring + re-rank exactly
+    locally {
+      val (codes, cents) = operators.Similarity.pqParts(spark, sfDir)
+      codes.select("vec_id", "m", "code")
+        .coalesce(1).write.mode("overwrite")
+        .parquet("/tmp/graft_aux/pq_codes")
+      cents.coalesce(1).write.mode("overwrite")
+        .parquet("/tmp/graft_aux/pq_codebook")
+      codes.unpersist()
+    }
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

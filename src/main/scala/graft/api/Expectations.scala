@@ -64,6 +64,18 @@ object Expectations {
         (col("violations") === 0).as("pass"))
   }
 
+  /** Name→SQL-predicate rule map entry point (ordered, so the report is
+    * deterministic): the py4j/JSON-friendly surface — every rule kind is
+    * expressible as a Satisfies predicate, and a plain LinkedHashMap
+    * crosses the Python bridge with zero case-class plumbing.
+    */
+  def evaluateSql(df: DataFrame,
+                  rules: java.util.LinkedHashMap[String, String]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    evaluate(df, rules.entrySet().asScala.toSeq.map(e =>
+      Satisfies(e.getKey, expr(e.getValue))))
+  }
+
   /** Throws (with the failing report) unless every rule passes — the
     * gate a pipeline calls between stages.
     */

@@ -1291,6 +1291,213 @@ object GraftOps {
       .limit(topK)
   }
 
+  // ---- graph verbs over arbitrary edge frames ----------------------
+  // The g01/g03/g04 engines, verb-ified: any (src, dst[, weight]) frame
+  // — clickstream referrers, citation pairs, dedup candidate pairs —
+  // not just the co-purchase build the oracled queries use. The query
+  // bodies delegate here, so the DuckDB hash compare pins the verbs.
+
+  /** Triangle census over an undirected edge frame (any orientation,
+    * duplicates tolerated — normalized to distinct lo<hi internally):
+    * one row (n_nodes, n_edges, n_wedges, n_triangles, gcc).
+    *
+    * The triangle join is conf-routable via `graft.graph.orientation`:
+    *  - "degree" (default): orient each edge at the higher-(degree,id)
+    *    endpoint and wedge-join on the apex — per-vertex forward lists
+    *    are O(sqrt|E|) (classic forward/compact-forward bound), so a
+    *    hub with degree d contributes ~d wedge candidates instead of
+    *    d², which is what survives a densified 100 TB co-occurrence
+    *    graph. Joins are plain hash joins — AQE broadcasts while the
+    *    edge table fits and shuffles when it doesn't.
+    *  - "id": the a<b orientation wedge join (the small-graph shape:
+    *    fewest stages when everything broadcasts).
+    * Both count each triangle exactly once — same census either way.
+    */
+  def triangleCensus(edges: DataFrame, a: Column, b: Column): DataFrame = {
+    val e = edges
+      .select(least(a, b).as("a"), greatest(a, b).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct()
+      .pipe(persistTracked)
+    triangleCensusOriented(e)
+  }
+
+  /** [[triangleCensus]] over an ALREADY distinct, a<b oriented edge
+    * frame with columns (a, b) — skips the normalization shuffle (the
+    * oracled g03 path: its groupBy edge build is distinct by
+    * construction).
+    */
+  def triangleCensusOriented(eRaw: DataFrame): DataFrame = {
+    // graft.graph.maxDegree > 0 routes the LOSSY capped census (the g06
+    // maxDegree play): each vertex keeps its maxDegree smallest
+    // neighbors per side (deterministic), and the census describes the
+    // capped graph — n_edges/wedges/triangles all shrink together. The
+    // exact default (0) is the oracle's operating point; a densified
+    // co-occurrence graph at 100 TB sets 32-64 when hub triangles are
+    // noise anyway (measured in SURVEY §6 stress rows).
+    val maxDeg = eRaw.sparkSession.conf
+      .get("graft.graph.maxDegree", "0").toInt
+    val e = if (maxDeg <= 0) eRaw else {
+      val wa = org.apache.spark.sql.expressions.Window
+        .partitionBy("a").orderBy("b")
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy("b").orderBy("a")
+      eRaw.withColumn("__ra", row_number().over(wa))
+        .withColumn("__rb", row_number().over(wb))
+        .filter(col("__ra") <= maxDeg && col("__rb") <= maxDeg)
+        .drop("__ra", "__rb")
+    }
+    val deg = e.select(col("a").as("n"))
+      .unionAll(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    val nE = e.agg(count(lit(1)).as("n_edges"))
+    val orientation = e.sparkSession.conf
+      .get("graft.graph.orientation", "degree")
+    val tri = orientation match {
+      case "id" =>
+        e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+          .join(e.as("e3"),
+            col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+          .agg(count(lit(1)).as("n_triangles"))
+      case "degree" =>
+        // compact-forward (Latapy 2008): rank(u) = (deg(u), u), each
+        // edge points at its HIGHER-rank endpoint, so forward adjacency
+        // is bounded by O(sqrt|E|) per vertex — a bounded array even on
+        // a graph with 10M-degree hubs. Triangles through edge u->v are
+        // |fwd(u) ∩ fwd(v)| (each triangle counted exactly once at its
+        // two lowest-rank vertices); the intersections run inside
+        // whole-stage codegen over the edge stream — no wedge-sized
+        // shuffle ever materializes, which is what the densified-graph
+        // stress sweep punishes in the join formulation.
+        val ranked = e
+          .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+          .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+        val fwd = ranked.select(expr(
+          """CASE WHEN da < db OR (da = db AND a < b)
+               THEN struct(a AS u, b AS v)
+               ELSE struct(b AS u, a AS v) END""").as("o"))
+          .select(col("o.u").as("u"), col("o.v").as("v"))
+          .pipe(persistTracked)
+        val lists = fwd.groupBy("u").agg(collect_list(col("v")).as("nb"))
+        // inner joins: a v with no forward list intersects empty -> 0
+        fwd
+          .join(lists.select(col("u"), col("nb").as("fu")), "u")
+          .join(lists.select(col("u").as("v"), col("nb").as("fv")), "v")
+          .select(size(array_intersect(col("fu"), col("fv")))
+            .cast("long").as("t"))
+          .agg(coalesce(sum("t"), lit(0L)).as("n_triangles"))
+      case other => throw new IllegalArgumentException(
+        s"graft.graph.orientation must be 'degree' or 'id', got '$other'")
+    }
+    nodes.crossJoin(broadcast(nE)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") > 0,
+          round(lit(3.0) * col("n_triangles").cast("double")
+            / col("n_wedges").cast("double"), 9)).as("gcc"))
+  }
+
+  /** Connected components of an undirected edge frame by min-label
+    * propagation to fixpoint: returns (node, cluster_id) with
+    * cluster_id = the component's minimum node id. Convergence is the
+    * exact DECIMAL(38,0) label-sum fixpoint (strictly decreasing until
+    * converged — one scalar per round); localCheckpoint truncates the
+    * growing lineage each round. O(diameter) rounds on metadata-sized
+    * label state; the 100 TB refinement (same contract, fewer rounds)
+    * is alternating large-star/small-star. (g04's engine, as a verb.)
+    */
+  def connectedComponents(edges: DataFrame, a: Column, b: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = edges.select(a.cast("long").as("a"), b.cast("long").as("b"))
+      .pipe(persistTracked)
+    val ed = e.select(col("a").as("v"), col("b").as("w"))
+      .unionAll(e.select(col("b").as("v"), col("a").as("w")))
+    var labels = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .distinct()
+      .withColumn("cluster_id", col("node"))
+      .localCheckpoint()
+    var prevSum: BigDecimal = null
+    var curSum = BigDecimal(labels
+      .agg(sum(col("cluster_id").cast(DecimalType(38, 0))))
+      .collect()(0).getDecimal(0))
+    while (prevSum == null || curSum < prevSum) {
+      val prop = ed
+        .join(labels.withColumnRenamed("node", "v"), "v")
+        .select(col("w").as("node"), col("cluster_id"))
+      // lazy checkpoint: the convergence aggregate below is the round's
+      // one action and materializes it as a side effect (one job/round)
+      labels = labels.unionAll(prop)
+        .groupBy("node").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint(false)
+      prevSum = curSum
+      curSum = BigDecimal(labels
+        .agg(sum(col("cluster_id").cast(DecimalType(38, 0))))
+        .collect()(0).getDecimal(0))
+    }
+    labels
+  }
+
+  /** Weighted PageRank over a (src, dst, weight) edge frame: returns
+    * (node, pr) after `iters` power iterations, pr rounded to 12 dp per
+    * iteration (the cross-engine ulp pin). `nodes` (single-column) fixes
+    * the vertex set — pass it when isolated vertices matter (they
+    * receive teleport + dangling mass); defaults to the edge endpoints.
+    * Dangling mass redistributes uniformly (total rank stays 1); inbound
+    * sums ride DECIMAL(38,18) so partial-agg order can't perturb ulps.
+    * Iterations run on the aggregated edge table only — the fact-scale
+    * input is collapsed once. (g01's engine, as a verb.)
+    */
+  def pagerank(edges: DataFrame, src: Column, dst: Column, weight: Column,
+               nodes: DataFrame = null, iters: Int = 3,
+               damping: Double = 0.85): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(iters >= 1, s"iters >= 1, got $iters")
+    // decimal-exact teleport constant: 1 - 0.85 in binary is NOT the
+    // double nearest 0.15, and the 12-dp round would drift cross-engine
+    val tele = (BigDecimal(1) - BigDecimal(damping.toString)).toDouble
+    val eAgg = edges.groupBy(src.cast("long").as("src"),
+        dst.cast("long").as("dst"))
+      .agg(sum(weight).as("w"))
+    val outw = eAgg.groupBy("src").agg(sum("w").as("wout"))
+    val ef = eAgg.join(outw, "src")
+      .select(col("src"), col("dst"),
+        (col("w").cast("double") / col("wout").cast("double")).as("frac"))
+      .pipe(persistTracked)
+    val nd = (if (nodes == null)
+        eAgg.select(col("src").as("node"))
+          .unionAll(eAgg.select(col("dst").as("node"))).distinct()
+      else nodes.toDF("node").select(col("node").cast("long").as("node")))
+      .pipe(persistTracked)
+    val nV = nd.count().toDouble
+    val dang = nd.join(outw.withColumnRenamed("src", "node"),
+      Seq("node"), "left_anti")
+    def step(r: DataFrame): DataFrame = {
+      // no broadcast hint on the rank vector: AQE broadcasts it while
+      // |V| is small and falls back to a hash join on a billion-node
+      // graph — identical arithmetic either way
+      val contrib = ef
+        .join(r.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("pr") * col("frac")).as("c"))
+      val sums = contrib.groupBy("node")
+        .agg(sum(col("c").cast(DecimalType(38, 18))).cast("double").as("s"))
+      val dmass = r.join(dang, "node")
+        .agg(coalesce(sum(col("pr").cast(DecimalType(38, 12))),
+          lit(0).cast(DecimalType(38, 12))).cast("double").as("dm"))
+      nd.join(sums, Seq("node"), "left").crossJoin(broadcast(dmass))
+        .select(col("node"),
+          round(lit(tele) / lit(nV)
+            + lit(damping)
+              * (coalesce(col("s"), lit(0.0)) + col("dm") / lit(nV)),
+            12).as("pr"))
+    }
+    (1 to iters).foldLeft(
+      nd.withColumn("pr", lit(1.0) / lit(nV)))((r, _) => step(r))
+  }
+
   /** Source-quota cap (the "no source dominates" anti-capture guard a
     * corpus builder applies before mixture tuning): annotates every row
     * with its deterministic within-source md5 rank, the corpus-wide
@@ -1427,5 +1634,12 @@ object syntax {
       GraftOps.substringContainment(df, id, text)
     def quotaSample(id: Column, source: Column, capPct: Int = 15): DataFrame =
       GraftOps.quotaSample(df, id, source, capPct)
+    def triangleCensus(a: Column, b: Column): DataFrame =
+      GraftOps.triangleCensus(df, a, b)
+    def connectedComponents(a: Column, b: Column): DataFrame =
+      GraftOps.connectedComponents(df, a, b)
+    def pagerank(src: Column, dst: Column, weight: Column,
+                 iters: Int = 3): DataFrame =
+      GraftOps.pagerank(df, src, dst, weight, iters = iters)
   }
 }

@@ -142,6 +142,33 @@ object SqlSurface {
       case args => throw new IllegalArgumentException(
         s"graft_transform(spec_json): got ${args.size} args")
     },
+    "graft_triangles" -> {
+      case Seq(t, a, b) =>
+        plan(GraftOps.triangleCensus(table(str(t, "table")),
+          col(str(a, "a")), col(str(b, "b"))))
+      case args => throw new IllegalArgumentException(
+        s"graft_triangles(table, a, b): got ${args.size} args")
+    },
+    "graft_connected_components" -> {
+      case Seq(t, a, b) =>
+        plan(GraftOps.connectedComponents(table(str(t, "table")),
+          col(str(a, "a")), col(str(b, "b"))))
+      case args => throw new IllegalArgumentException(
+        s"graft_connected_components(table, a, b): got ${args.size} args")
+    },
+    "graft_pagerank" -> {
+      case Seq(t, s, d, w) =>
+        plan(GraftOps.pagerank(table(str(t, "table")),
+          col(str(s, "src")), col(str(d, "dst")),
+          org.apache.spark.sql.functions.expr(str(w, "weight"))))
+      case Seq(t, s, d, w, it) =>
+        plan(GraftOps.pagerank(table(str(t, "table")),
+          col(str(s, "src")), col(str(d, "dst")),
+          org.apache.spark.sql.functions.expr(str(w, "weight")),
+          iters = int(it, "iters")))
+      case args => throw new IllegalArgumentException(
+        s"graft_pagerank(table, src, dst, weight[, iters]): got ${args.size} args")
+    },
     "graft_fd_audit" -> {
       case Seq(t, det, dep) =>
         plan(GraftOps.fdAudit(table(str(t, "table")),

@@ -273,6 +273,24 @@ object TransformSpec {
           if (step.has("capPct")) step.path("capPct").asInt() else 15)
           .filter(col("kept"))
           .drop("kept", "__src", "__quota_rank", "__quota", "__n_total")
+      case "triangles" =>
+        // triangle census over the frame-as-edge-list (g03's verb):
+        //   {"op": "triangles", "a": "a", "b": "b"}
+        GraftOps.triangleCensus(df, expr(step.path("a").asText()),
+          expr(step.path("b").asText()))
+      case "connectedComponents" =>
+        // min-label components over the frame-as-edge-list (g04's verb):
+        //   {"op": "connectedComponents", "a": "a", "b": "b"}
+        GraftOps.connectedComponents(df, expr(step.path("a").asText()),
+          expr(step.path("b").asText()))
+      case "pagerank" =>
+        // weighted PageRank over the frame-as-edge-list (g01's verb):
+        //   {"op": "pagerank", "src": "a", "dst": "b",
+        //    "weight": "1", "iters": 3}
+        GraftOps.pagerank(df, expr(step.path("src").asText()),
+          expr(step.path("dst").asText()),
+          expr(if (step.has("weight")) step.path("weight").asText() else "1"),
+          iters = if (step.has("iters")) step.path("iters").asInt() else 3)
       case "conform" =>
         GraftOps.conform(df, step.path("schema").asText())
       case "profile" =>

@@ -38,55 +38,24 @@ object Graph {
   // pr is exactly 12-dp after the per-iteration round, so that sum is
   // EXACT and its double conversion is a single correctly-rounded
   // division on both engines.
+  // Body = GraftOps.pagerank (the verb carries the full arithmetic
+  // discipline: DECIMAL(38,18) inbound sums, DECIMAL(38,12) dangling
+  // mass, per-iteration 12-dp round — see the verb's scaladoc); this
+  // query contributes the fact-scale edge build and the nation vertex
+  // set, and its DuckDB hash compare pins the verb.
   val g01_pagerank: Q = (s, d) => {
     val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
     val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
     val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
     val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
-    val edges = li
+    val raw = li
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .groupBy(col("s_nationkey").cast("long").as("src"),
-        col("c_nationkey").cast("long").as("dst"))
-      .agg(count(lit(1)).as("w"))
-    val outw = edges.groupBy("src").agg(sum("w").as("wout"))
-    // persisted: each of the 3 iterations joins the edge table; without
-    // the barrier every iteration re-runs the fact-scale edge build
-    val ef = edges.join(outw, "src")
-      .select(col("src"), col("dst"),
-        (col("w").cast("double") / col("wout").cast("double")).as("frac"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = Tables.nation(s, d)
       .select(col("n_nationkey").cast("long").as("node"))
-    // |V| is a schema constant (nation is fixed-cardinality at every
-    // TPC-H SF) but derived anyway so the operator survives any
-    // vertex-set change; a dimension-table count is metadata-scale.
-    val nV = nodes.count().toDouble
-    val dang = nodes.join(outw.withColumnRenamed("src", "node"),
-      Seq("node"), "left_anti")
-    val init = nodes.withColumn("pr", lit(1.0) / lit(nV))
-    def step(r: DataFrame): DataFrame = {
-      val contrib = ef
-        .join(broadcast(r.withColumnRenamed("node", "src")), "src")
-        .select(col("dst").as("node"), (col("pr") * col("frac")).as("c"))
-      val sums = contrib.groupBy("node")
-        .agg(sum(col("c").cast(DecimalType(38, 18))).cast("double").as("s"))
-      val dmass = r.join(dang, "node")
-        .agg(coalesce(sum(col("pr").cast(DecimalType(38, 12))),
-          lit(0).cast(DecimalType(38, 12))).cast("double").as("dm"))
-      // the per-iteration 1e-12 round pins the ulp: the decimal->double
-      // cast after the inbound sum is not identically rounded across
-      // engines (DuckDB goes int128->double->/1e18, two roundings;
-      // Java BigDecimal converts exactly), so without this the last ulp
-      // can diverge and compound across iterations
-      nodes.join(sums, Seq("node"), "left").crossJoin(broadcast(dmass))
-        .select(col("node"),
-          round(lit(0.15) / lit(nV)
-            + lit(0.85) * (coalesce(col("s"), lit(0.0)) + col("dm") / lit(nV)),
-            12).as("pr"))
-    }
-    val r3 = step(step(step(init)))
+    val r3 = graft.api.GraftOps.pagerank(raw,
+      col("s_nationkey"), col("c_nationkey"), lit(1L), nodes, iters = 3)
     r3.join(broadcast(Tables.nation(s, d)
         .select(col("n_nationkey").cast("long").as("node"), col("n_name"))),
         "node")
@@ -199,6 +168,12 @@ object Graph {
   // degree endpoint) which bounds per-vertex forward lists by sqrt|E|
   // — same plan shape, different sort key. Wedges are exact integer
   // sums of deg·(deg−1)/2; the coefficient is one IEEE division.
+  // Body = GraftOps.triangleCensusOriented over the thresholded edge
+  // build (distinct a<b by construction, so the verb's normalization
+  // shuffle is skipped). The triangle join is conf-routable
+  // (graft.graph.orientation, default "degree" — the sqrt|E| forward-
+  // list bound that survives the densified 20x stress edge set); the
+  // census is orientation-independent, so the oracle pins both paths.
   val g03_triangles: Q = (s, d) => {
     val edges = Tables.lineitem(s, d)
       .groupBy(col("l_orderkey").as("ok"))
@@ -212,22 +187,7 @@ object Graph {
       .filter(col("w") >= 2)
       .select("a", "b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = edges.select(col("a").as("n"))
-      .unionAll(edges.select(col("b").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("deg"))
-    val nodes = deg.agg(count(lit(1)).as("n_nodes"),
-      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
-    val nE = edges.agg(count(lit(1)).as("n_edges"))
-    val tri = edges.as("e1")
-      .join(broadcast(edges.as("e2")), col("e1.b") === col("e2.a"))
-      .join(broadcast(edges.as("e3")),
-        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
-      .agg(count(lit(1)).as("n_triangles"))
-    nodes.crossJoin(broadcast(nE)).crossJoin(broadcast(tri))
-      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
-        when(col("n_wedges") > 0,
-          round(lit(3.0) * col("n_triangles").cast("double")
-            / col("n_wedges").cast("double"), 9)).as("gcc"))
+    graft.api.GraftOps.triangleCensusOriented(edges)
   }
   val g03Sql: String =
     """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
@@ -272,8 +232,13 @@ object Graph {
     * labels (g04's fixpoint) — shared by g04 and g08. The returned
     * edges frame is persisted; callers unpersist when done.
     */
+  // Label propagation = GraftOps.connectedComponents (the verb carries
+  // the fixpoint discipline: exact decimal label-sum convergence, lazy
+  // localCheckpoint per round — one job/round; a measured pointer-jump
+  // dead end and the large-star/small-star 100 TB refinement are
+  // documented on the verb). This helper contributes the fact-scale
+  // edge build shared by g04/g08.
   private def ccEdgesAndLabels(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.types.DecimalType
     val edges = Tables.lineitem(s, d)
       .groupBy(col("l_orderkey").as("ok"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
@@ -286,42 +251,8 @@ object Graph {
       .filter(col("w") >= 2)
       .select("a", "b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ed = edges.select(col("a").as("v"), col("b").as("w"))
-      .unionAll(edges.select(col("b").as("v"), col("a").as("w")))
-    var labels = edges.select(col("a").as("node"))
-      .unionAll(edges.select(col("b").as("node")))
-      .distinct()
-      .withColumn("cluster_id", col("node"))
-      .localCheckpoint()
-    var prevSum: BigDecimal = null
-    var curSum = BigDecimal(labels
-      .agg(sum(col("cluster_id").cast(DecimalType(38, 0))))
-      .collect()(0).getDecimal(0))
-    while (prevSum == null || curSum < prevSum) {
-      val prop = ed
-        .join(labels.withColumnRenamed("node", "v"), "v")
-        .select(col("w").as("node"), col("cluster_id"))
-      // (measured dead end, kept as a note: a per-round label-of-label
-      // pointer-jump join does NOT cut rounds on this graph — synchronous
-      // single jumps only help when labels form long chains toward the
-      // minimum, and the min-label frontier here advances 1 hop/round
-      // regardless (simulated: 8 rounds either way at sf0.1) — while the
-      // extra join made each round ~20% slower. The real O(log n) round
-      // bound needs alternating large-star/small-star, which is the
-      // documented 100 TB refinement.)
-      // lazy checkpoint: the convergence aggregate right below is the
-      // round's one action and materializes the checkpoint as a side
-      // effect — one job per round instead of two (eager checkpoint +
-      // aggregate), which halves the per-round scheduling overhead that
-      // dominates on a metadata-sized label frame
-      labels = labels.unionAll(prop)
-        .groupBy("node").agg(min("cluster_id").as("cluster_id"))
-        .localCheckpoint(false)
-      prevSum = curSum
-      curSum = BigDecimal(labels
-        .agg(sum(col("cluster_id").cast(DecimalType(38, 0))))
-        .collect()(0).getDecimal(0))
-    }
+    val labels =
+      graft.api.GraftOps.connectedComponents(edges, col("a"), col("b"))
     (edges, labels)
   }
 

@@ -232,9 +232,20 @@ object Similarity {
   // what lets s05 share s01's oracle; the shortlist stays a small
   // constant (never corpus-sized), and DedupSimilaritySpec keeps the
   // independent recall assertion.
-  def pqAnnAt(s: SparkSession, d: String, shortlist: Int): DataFrame = {
+  /** PQ encode (s05's quantizer, shared with the Verify signature dump):
+    * returns (codes(vec_id, xnorm, m, sv, code), cents(m, code, cw)).
+    * Means and centroids aggregate through DECIMAL(38,18) — order-
+    * independent sums, so the SAME codes/codebook come out of every
+    * execution (the dump and the query must agree bit-for-bit; a plain
+    * double avg is shuffle-fetch-order dependent). The codes frame is
+    * persisted; callers release via clearCache/unpersist.
+    */
+  private[graft] def pqParts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val M = 8
     val D = 64 / M // dims per subspace
+    val davg18 = (c: org.apache.spark.sql.Column) =>
+      sum(c.cast(org.apache.spark.sql.types.DataTypes
+        .createDecimalType(38, 18))).cast("double") / count(c)
     val e = Tables.embeddings(s, d)
       .withColumn("xnorm", expr(
         "sqrt(aggregate(CAST(embedding AS ARRAY<DOUBLE>), 0D, (a, x) -> a + x * x))"))
@@ -245,7 +256,7 @@ object Similarity {
     // subspace mean vector (the quantization thresholds)
     val means = subvecs
       .select(col("m"), posexplode(col("sv")).as(Seq("i", "v")))
-      .groupBy("m", "i").agg(avg("v").as("mv"))
+      .groupBy("m", "i").agg(davg18(col("v")).as("mv"))
       .groupBy("m")
       .agg(array_sort(collect_list(struct(col("i"), col("mv")))).as("ps"))
       .select(col("m"), expr("transform(ps, p -> p.mv)").as("mu"))
@@ -261,10 +272,20 @@ object Similarity {
     // codebook: bucket centroids per (subspace, code)
     val cents = codes
       .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("i", "v")))
-      .groupBy("m", "code", "i").agg(avg("v").as("cv"))
+      .groupBy("m", "code", "i").agg(davg18(col("v")).as("cv"))
       .groupBy("m", "code")
       .agg(array_sort(collect_list(struct(col("i"), col("cv")))).as("ps"))
       .select(col("m"), col("code"), expr("transform(ps, p -> p.cv)").as("cw"))
+    (codes, cents)
+  }
+
+  def pqAnnAt(s: SparkSession, d: String, shortlist: Int): DataFrame = {
+    val M = 8
+    val D = 64 / M
+    val (codes, cents) = pqParts(s, d)
+    val e = Tables.embeddings(s, d)
+      .withColumn("xnorm", expr(
+        "sqrt(aggregate(CAST(embedding AS ARRAY<DOUBLE>), 0D, (a, x) -> a + x * x))"))
     // ADC lookup table: query subvector x every codeword dot product
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
@@ -275,10 +296,16 @@ object Similarity {
     val lut = qsub.join(broadcast(cents), "m")
       .withColumn("dot", dot_product(col("qsv"), col("cw")))
       .select(col("qid"), col("qnorm"), col("m"), col("code"), col("dot"))
-    // approx cosine = sum_m LUT(q, m, code) / (|q| |x|); top-30 then exact re-rank
+    // approx cosine = ordered fold of the 8 LUT hits / (|q| |x|): the
+    // m-sorted left-to-right sum is bit-reproducible on any engine (a
+    // plain SUM over doubles is fetch-order dependent), which is what
+    // lets the DuckDB oracle replay ADC scoring exactly from the dumped
+    // codes + codebook. Then top-`shortlist`, exact re-rank.
     val approx = codes.join(broadcast(lut), Seq("m", "code"))
       .groupBy("qid", "qnorm", "vec_id", "xnorm")
-      .agg(sum("dot").as("ip"))
+      .agg(expr(
+        """aggregate(transform(array_sort(collect_list(struct(m, dot))),
+             p -> p.dot), 0D, (a, x) -> a + x)""").as("ip"))
       .where(col("vec_id") =!= col("qid"))
       .withColumn("approx_cos", col("ip") / (col("qnorm") * col("xnorm")))
     val wApprox = Window.partitionBy("qid").orderBy(desc("approx_cos"), col("vec_id"))
@@ -295,10 +322,55 @@ object Similarity {
       .orderBy("qid", "rank")
   }
   // (shortlist 30: PQ code collisions cap attainable recall on this
-  // corpus — sweeping 30→120 left a residual top-5 miss, so the exact-
-  // parity oracle trick does not apply; s05 stays rows-only with the
-  // recall spec.)
+  // corpus — sweeping 30→120 left a residual top-5 miss, so s05 cannot
+  // share s01's oracle. Instead the oracle replays the APPROXIMATE
+  // pipeline itself from the Verify dump (the d02 signature-dump trick):
+  // DuckDB reads the dumped codes + codebook, rebuilds the ADC LUT with
+  // list_dot_product (bit-identical to the dot_product fold — the s01
+  // precedent), sums the 8 LUT hits in the same m-order, and replays
+  // shortlist + exact re-rank. Recall vs s01 stays spec-asserted.)
   val s05_pq_ann: Q = (s, d) => pqAnnAt(s, d, 30)
+  val s05Sql: String =
+    s"""WITH codes AS (SELECT vec_id, m, code
+             FROM read_parquet('/tmp/graft_aux/pq_codes/*.parquet')),
+       cb AS (SELECT m, code, cw
+              FROM read_parquet('/tmp/graft_aux/pq_codebook/*.parquet')),
+       xn AS (SELECT vec_id,
+                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                     CAST(embedding AS DOUBLE[]))) AS xnorm
+              FROM embeddings),
+       q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+             FROM embeddings WHERE vec_id < 5),
+       qn AS (SELECT qid, sqrt(list_dot_product(qe, qe)) AS qnorm FROM q),
+       ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+       qsub AS (SELECT qid, m, array_slice(qe, m*8 + 1, m*8 + 8) AS qsv
+                FROM q, ms),
+       lut AS (SELECT qid, qsub.m, cb.code,
+                 list_dot_product(qsv, cw) AS dot
+               FROM qsub JOIN cb ON qsub.m = cb.m),
+       ap AS (SELECT qid, vec_id,
+                list_reduce(list(dot ORDER BY lut.m), (a, x) -> a + x) AS ip
+              FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.code
+              WHERE vec_id <> qid
+              GROUP BY 1, 2),
+       sc AS (SELECT ap.qid, ap.vec_id, ip / (qn.qnorm * xn.xnorm) AS approx_cos
+              FROM ap JOIN qn ON ap.qid = qn.qid
+                      JOIN xn ON ap.vec_id = xn.vec_id),
+       pick AS (SELECT qid, vec_id FROM (
+                  SELECT *, row_number() OVER (
+                      PARTITION BY qid ORDER BY approx_cos DESC, vec_id) AS ar
+                  FROM sc) t WHERE ar <= 30),
+       rr AS (SELECT pick.qid, pick.vec_id,
+                list_dot_product(q.qe, CAST(c.embedding AS DOUBLE[]))
+                  / (sqrt(list_dot_product(q.qe, q.qe))
+                     * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                            CAST(c.embedding AS DOUBLE[])))) AS cosine
+              FROM pick JOIN q ON pick.qid = q.qid
+                        JOIN embeddings c ON pick.vec_id = c.vec_id)
+       SELECT qid, rn AS rank, vec_id, cosine FROM (
+         SELECT *, row_number() OVER (
+             PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn FROM rr) t
+       WHERE rn <= 5 ORDER BY qid, rank"""
 
   val queries: Map[String, Q] = Map(
     "s04_ann_ivf"           -> s04_ann_ivf,
@@ -319,7 +391,8 @@ object Similarity {
     // through knnLshAt/annIvfAt.
     "s02_knn_lsh"           -> s01Sql,
     "s04_ann_ivf"           -> s01Sql,
-    // s05 is approximate by design (PQ code collisions) — rows-only;
-    // DedupSimilaritySpec asserts recall against s01.
+    // s05: exact replay of the approximate pipeline from the Verify
+    // dump (codes + codebook); recall spec stays in DedupSimilaritySpec
+    "s05_pq_ann"            -> s05Sql,
   )
 }

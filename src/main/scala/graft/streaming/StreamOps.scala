@@ -282,13 +282,20 @@ object StreamOps {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("user_id")
           .orderBy(col("ts").desc, col("event_id").desc)
+        // persisted: upsertBatch consumes the changes THREE times (the
+        // duplicate-key guard aggregate, the anti-join key set, the
+        // union) — unpersisted, each consumption re-reads the source
+        // files, tripling per-batch input (measured by StreamStress:
+        // numInputRows 3x the file rows before this barrier)
         val latest = batch
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
           .select(col("user_id"), col("event_type").as("last_type"),
             col("ts").as("last_ts"), col("value").as("last_value"))
-        SnapshotTable.upsertBatch(latest.sparkSession, tablePath, latest,
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try SnapshotTable.upsertBatch(latest.sparkSession, tablePath, latest,
           Seq("user_id"), appId, batchId)
+        finally latest.unpersist(false)
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -664,6 +664,84 @@ class GraftOpsSpec extends AnyFunSuite {
     assert(ok.count() == docs.count())
   }
 
+  test("triangleCensus agrees with the oracled g03 on an independently built edge frame") {
+    import spark.implicits._
+    // independent edge build: plain self-join form, REVERSED orientation
+    // + a duplicate row, so the verb's normalization is exercised
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val e = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+      .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+      .select(col("b").as("hi"), col("a").as("lo"))   // reversed
+    val withDup = e.unionAll(e.limit(1))
+    val verb = withDup.triangleCensus(col("hi"), col("lo")).collect()(0)
+    val oracle = operators.Graph.g03_triangles(spark, sf).collect()(0)
+    assert(verb.toSeq == oracle.toSeq,
+      s"verb ${verb.toSeq} != g03 ${oracle.toSeq}")
+    // both orientations produce the identical census
+    spark.conf.set("graft.graph.orientation", "id")
+    try {
+      val idWay = withDup.triangleCensus(col("hi"), col("lo")).collect()(0)
+      assert(idWay.toSeq == verb.toSeq)
+    } finally spark.conf.unset("graft.graph.orientation")
+    // the capped census is a subgraph census: every count bounded above
+    spark.conf.set("graft.graph.maxDegree", "2")
+    try {
+      val capped = withDup.triangleCensus(col("hi"), col("lo")).collect()(0)
+      assert(capped.getAs[Long]("n_edges") <= verb.getAs[Long]("n_edges"))
+      assert(capped.getAs[Long]("n_triangles") <= verb.getAs[Long]("n_triangles"))
+    } finally spark.conf.unset("graft.graph.maxDegree")
+  }
+
+  test("connectedComponents agrees with the oracled g04 component census") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val e = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+      .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+      .select(col("b").as("s"), col("a").as("t"))     // reversed orientation
+    val labels = e.connectedComponents(col("s"), col("t"))
+    val got = labels.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"), max("node").as("max_part"))
+      .orderBy("cluster_id").collect().map(_.toSeq)
+    val want = operators.Graph.g04_cc(spark, sf).collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+    // every edge's endpoints share a label (it IS a valid partition)
+    val lab = labels.withColumnRenamed("node", "s")
+    val crossEdges = e.join(lab, "s")
+      .join(labels.withColumnRenamed("node", "t")
+        .withColumnRenamed("cluster_id", "c2"), "t")
+      .filter(col("cluster_id") =!= col("c2")).count()
+    assert(crossEdges == 0)
+  }
+
+  test("pagerank verb agrees with the oracled g01 ranks") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey")
+    val ord = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, sf).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(spark, sf).select("s_suppkey", "s_nationkey")
+    val raw = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+    val nodes = Tables.nation(spark, sf)
+      .select(col("n_nationkey").cast("long").as("node"))
+    val got = GraftOps.pagerank(raw, col("s_nationkey"), col("c_nationkey"),
+        lit(1L), nodes, iters = 3)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val want = operators.Graph.g01_pagerank(spark, sf)
+      .orderBy("node").collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Double]("pr")))
+    assert(got.toSeq == want.toSeq)
+    // derived vertex set (nodes = null): ranks still sum to ~1
+    val auto = GraftOps.pagerank(raw, col("s_nationkey"),
+      col("c_nationkey"), lit(1L))
+    val mass = auto.agg(sum("pr")).collect()(0).getDouble(0)
+    assert(math.abs(mass - 1.0) < 1e-9, s"mass=$mass")
+  }
+
   test("shardInterleave: per-(group, shard) balance within 1 by construction") {
     val sh = GraftOps.shardInterleave(docs, col("doc_id"), col("source"), 8)
     val counts = sh.groupBy("source", "shard")

@@ -118,6 +118,34 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(ssSql.exceptAll(ssVerb).isEmpty && ssVerb.exceptAll(ssSql).isEmpty)
   }
 
+  test("graph TVFs pin their plumbing against the verbs") {
+    SqlSurface.install(spark)
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+      .agg(count(lit(1)).as("w")).filter(col("w") >= 2).select("a", "b")
+    edges.createOrReplaceTempView("edges_sql_v")
+    val triSql = spark.sql(
+      "SELECT * FROM graft_triangles('edges_sql_v', 'a', 'b')")
+    val triApi = GraftOps.triangleCensus(edges, col("a"), col("b"))
+    assert(triSql.collect().toSeq == triApi.collect().toSeq)
+    val ccSql = spark.sql(
+      """SELECT cluster_id, count(*) AS n
+         FROM graft_connected_components('edges_sql_v', 'a', 'b')
+         GROUP BY 1 ORDER BY 1""")
+    val ccApi = GraftOps.connectedComponents(edges, col("a"), col("b"))
+      .groupBy("cluster_id").agg(count(lit(1)).as("n")).orderBy("cluster_id")
+    assert(ccSql.collect().toSeq == ccApi.collect().toSeq)
+    edges.withColumn("w", lit(1L)).createOrReplaceTempView("wedges_sql_v")
+    val prSql = spark.sql(
+      "SELECT * FROM graft_pagerank('wedges_sql_v', 'a', 'b', 'w', 2) ORDER BY node")
+    val prApi = GraftOps.pagerank(spark.table("wedges_sql_v"),
+      col("a"), col("b"), col("w"), iters = 2).orderBy("node")
+    assert(prSql.collect().toSeq == prApi.collect().toSeq)
+  }
+
   test("graft_transform runs a declarative job with session-catalog table resolution") {
     SqlSurface.install(spark)
     docs.createOrReplaceTempView("documents_sql_v")

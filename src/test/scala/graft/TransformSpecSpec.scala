@@ -445,5 +445,30 @@ class TransformSpecSpec extends AnyFunSuite {
     val wantLp = GraftOps.linkPredict(edges, col("a"), col("b"), 10)
       .collect().map(_.mkString("|"))
     assert(gotLp.sameElements(wantLp))
+
+    // graph steps agree with their verbs on the same edge frame
+    val gotTri = TransformSpec.run(
+      """{"source": "e", "steps": [{"op": "triangles", "a": "a", "b": "b"}]}""",
+      Map("e" -> edges)).collect()(0).toSeq
+    val wantTri = GraftOps.triangleCensus(edges, col("a"), col("b"))
+      .collect()(0).toSeq
+    assert(gotTri == wantTri)
+    val gotCc = TransformSpec.run(
+      """{"source": "e", "steps": [
+        {"op": "connectedComponents", "a": "a", "b": "b"},
+        {"op": "orderBy", "cols": ["node"]}]}""",
+      Map("e" -> edges)).collect().map(_.mkString("|"))
+    val wantCc = GraftOps.connectedComponents(edges, col("a"), col("b"))
+      .orderBy("node").collect().map(_.mkString("|"))
+    assert(gotCc.sameElements(wantCc))
+    val gotPr = TransformSpec.run(
+      """{"source": "e", "steps": [
+        {"op": "pagerank", "src": "a", "dst": "b", "iters": 2},
+        {"op": "orderBy", "cols": ["node"]}]}""",
+      Map("e" -> edges)).collect().map(_.mkString("|"))
+    val wantPr = GraftOps.pagerank(edges, col("a"), col("b"), lit(1L),
+        iters = 2)
+      .orderBy("node").collect().map(_.mkString("|"))
+    assert(gotPr.sameElements(wantPr))
   }
 }

@@ -162,7 +162,101 @@ counts = sh.groupBy("shard").count().collect()
 assert len(counts) == 4 and max(c["count"] for c in counts) - \
     min(c["count"] for c in counts) <= 20, "round-robin balance"
 
+# 6. round-5 parity sweep: each facade verb vs an independent PySpark
+# computation of the same semantics
+events = graft._wrap(  # Tables.events handles the TIMESTAMP(NANOS) vintage
+    spark, spark._jvm.graft.Tables.events(spark._jsparkSession, sf))
+
+# 6a. sessionize: session count == independent gap-split count
+sess = graft.sessionize(spark, events, "user_id", "ts",
+                        tiebreak_cols=["event_id"])
+n_sessions = (sess.groupBy("user_id")
+              .agg(F.max("session_id").alias("m")).agg(F.sum("m")).first()[0])
+wspec = Window.partitionBy("user_id").orderBy("ts", "event_id")
+ind = (events.withColumn("prev", F.lag("ts").over(wspec))
+       .withColumn("new", (F.col("prev").isNull() |
+                           (F.col("ts") > F.col("prev") +
+                            F.expr("INTERVAL 30 MINUTES"))).cast("long"))
+       .agg(F.sum("new")).first()[0])
+assert n_sessions == ind, f"sessionize {n_sessions} != independent {ind}"
+
+# 6b. asof_join: every event gets the latest at-or-before order per user
+orders_df = spark.read.parquet(f"{sf}/orders.parquet").select(
+    F.col("o_custkey").alias("user_id"),
+    F.col("o_orderdate").cast("timestamp").alias("ots"),
+    "o_orderkey")
+ev_small = events.select("user_id", "ts", "event_id").limit(500)
+aj = graft.asof_join(spark, ev_small, orders_df,
+                     "user_id", "user_id", "ts", "ots")
+ind_aj = (ev_small.join(orders_df, "user_id", "left")
+          .filter("ots <= ts")
+          .groupBy("user_id", "ts", "event_id").agg(F.max("ots").alias("mts"))
+          .count())
+got_aj = aj.filter(F.col("ots").isNotNull()).count()
+assert got_aj == ind_aj, f"asof_join matched {got_aj} != {ind_aj}"
+
+# 6c. expect_all: violation counts match direct filters
+rep = {r.rule: r for r in graft.expect_all(spark, docs, {
+    "doc_id_not_null": "doc_id IS NOT NULL",
+    "impossible": "length(text) < 0"}).collect()}
+assert rep["satisfies(doc_id_not_null)"].violations == 0
+assert (rep["satisfies(impossible)"].violations ==
+        docs.filter("NOT length(text) < 0 IS TRUE").count())
+
+# 6d. profile: mean/min/max match direct aggregates
+prof = {r.column_name: r for r in
+        graft.profile(spark, orders_df.select("o_orderkey"),
+                      ["o_orderkey"]).collect()}
+ok = orders_df.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+assert prof["o_orderkey"].min_v == float(ok[0])
+assert prof["o_orderkey"].max_v == float(ok[1])
+
+# 6e. gopher_filter: keep flag equals the documented word-count floor rule
+gf = graft.gopher_filter(spark, docs, "text")
+bad = gf.filter((F.col("n_words") < 40) & F.col("keep")).count()
+assert bad == 0, "kept a doc below the word floor"
+
+# 6f. span_dedup: total spans conserved, kept <= total
+sd = graft.span_dedup(spark, docs, "doc_id", "text").collect()
+assert all(0 <= r.n_kept <= r.n_spans for r in sd)
+assert len(sd) == docs.filter("length(trim(text)) > 0").count()
+
+# 6g. global_rank: rank 1 row == independent orderBy head
+gr = graft.global_rank(spark, vocab, ["n DESC", "word"])
+r1 = gr.filter("rank = 1").first()
+assert (r1.word, r1.n) == (best.word, best.n), "global_rank head mismatch"
+
+# 6h. skyline2d: frontier is exactly the non-dominated cell set
+cells = vocab.select(F.col("n").alias("score"),
+                     F.length("word").alias("cost"))
+sky = {(r.score, r.cost) for r in
+       graft.skyline2d(spark, cells, "score", "cost").collect()}
+grid = [(r.score, r.cost) for r in
+        cells.groupBy("score", "cost").count().collect()]
+ind_sky = {(s, c) for (s, c) in grid
+           if not any((s2 >= s and c2 < c) or (s2 > s and c2 <= c)
+                      for (s2, c2) in grid)}
+assert sky == ind_sky, f"skyline mismatch: {sky ^ ind_sky}"
+
+# 6j. graph verbs: census/cc/pagerank on a toy graph with known answers
+edges = spark.createDataFrame(
+    [(1, 2), (2, 3), (1, 3), (3, 4), (5, 6)], ["a", "b"])
+tri = graft.triangles(spark, edges, "a", "b").first()
+assert (tri.n_nodes, tri.n_edges, tri.n_triangles) == (6, 5, 1), tri
+cc = {(r.node, r.cluster_id) for r in
+      graft.connected_components(spark, edges, "a", "b").collect()}
+assert cc == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 5), (6, 5)}, cc
+pr = graft.pagerank(spark, edges, "a", "b")
+assert abs(sum(r.pr for r in pr.collect()) - 1.0) < 1e-9
+
+# 6i. generic verb dispatcher: latestPerKey via verb() == direct window
+lk = graft.verb(spark, "latestPerKey", events,
+                "col:user_id", ["col:ts", "col:event_id"])
+assert lk.count() == events.select("user_id").distinct().count()
+
 print(f"PASS pysmoke: sql-functions, {len(out)}-row declarative job, "
       f"{len(exact)} near-dup pairs (lsh == exact == TVF), top-k facade, "
-      f"fd-audit + shard-interleave verbs — all green")
+      f"fd-audit + shard-interleave verbs, and the round-5 parity sweep "
+      f"(sessionize/asof/expect/profile/gopher/span-dedup/global-rank/"
+      f"skyline/verb-dispatch) — all green")
 spark.stop()
