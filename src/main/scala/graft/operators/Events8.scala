@@ -398,12 +398,85 @@ object Events8 {
       FROM sq CROSS JOIN pats, nu
       GROUP BY pattern, n_users ORDER BY pattern"""
 
+  // ---- e59: A/B two-proportion z-test (experimentation readout) ----
+  // The analytics verb every experimentation platform reduces to: split
+  // users into deterministic arms (user_id parity here — production
+  // uses a salted hash, same shape), conversion = "ever purchased", and
+  // the pooled two-proportion z statistic decides significance. All
+  // counts are exact integers (one distinct-user collapse, one arm
+  // rollup); the z chain is replicated operation-for-operation in the
+  // oracle — pa-pb over sqrt(pool*(1-pool)*(1/na+1/nb)) — so the
+  // statistic itself is hash-exact, not approximately equal. One
+  // fact-scale distinct + a 2-row rollup: trivially 100 TB-shaped.
+  val e59_ab_proportion: Q = (s, d) => {
+    // conversion = a HIGH-VALUE purchase (value > 100): "any purchase"
+    // converts ~100% of this corpus (degenerate pool -> zero variance);
+    // the z guard below still nulls out a degenerate pool rather than
+    // dividing by zero under ANSI
+    val users = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 100,
+        1L).otherwise(0L)).as("converted"))
+      .withColumn("arm",
+        when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B"))
+    val arms = users.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("converted").as("conv"))
+    val a = arms.filter(col("arm") === "A")
+      .select(col("n").as("n_a"), col("conv").as("conv_a"))
+    val b = arms.filter(col("arm") === "B")
+      .select(col("n").as("n_b"), col("conv").as("conv_b"))
+    a.crossJoin(broadcast(b))
+      .withColumn("rate_a",
+        col("conv_a").cast("double") / col("n_a").cast("double"))
+      .withColumn("rate_b",
+        col("conv_b").cast("double") / col("n_b").cast("double"))
+      .withColumn("pool",
+        (col("conv_a") + col("conv_b")).cast("double")
+          / (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("z", when(col("pool") > 0 && col("pool") < 1, round(
+        (col("rate_a") - col("rate_b"))
+          / sqrt(col("pool") * (lit(1.0) - col("pool"))
+            * (lit(1.0) / col("n_a").cast("double")
+              + lit(1.0) / col("n_b").cast("double"))), 9)))
+      .withColumn("significant", abs(col("z")) > 1.96)
+      .select("n_a", "n_b", "conv_a", "conv_b",
+        "rate_a", "rate_b", "z", "significant")
+  }
+  val e59Sql: String =
+    """WITH u AS (SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 100
+                   THEN 1 ELSE 0 END) AS converted
+             FROM events GROUP BY 1),
+      arms AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+                 COUNT(*) AS n, CAST(SUM(converted) AS BIGINT) AS conv
+               FROM u GROUP BY 1),
+      a AS (SELECT n AS n_a, conv AS conv_a FROM arms WHERE arm = 'A'),
+      b AS (SELECT n AS n_b, conv AS conv_b FROM arms WHERE arm = 'B'),
+      j AS (SELECT *,
+              CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+              CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+              CAST(conv_a + conv_b AS DOUBLE)
+                / CAST(n_a + n_b AS DOUBLE) AS pool
+            FROM a CROSS JOIN b),
+      zz AS (SELECT *,
+              CASE WHEN pool > 0 AND pool < 1 THEN
+                round((rate_a - rate_b)
+                  / sqrt(pool * (CAST(1.0 AS DOUBLE) - pool)
+                    * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                      + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE))), 9)
+              END AS z
+             FROM j)
+      SELECT n_a, n_b, conv_a, conv_b, rate_a, rate_b, z,
+        abs(z) > 1.96 AS significant
+      FROM zz"""
+
   val queries: Map[String, Q] = Map(
     "e54_cusum"         -> e54_cusum,
     "e55_rate_limit"    -> e55_rate_limit,
     "e56_window_funnel" -> e56_window_funnel,
     "e57_incremental_sessions" -> e57_incremental_sessions,
     "e58_seq_match"     -> e58_seq_match,
+    "e59_ab_proportion" -> e59_ab_proportion,
   )
   val oracles: Map[String, String] = Map(
     "e54_cusum"         -> e54Sql,
@@ -411,5 +484,6 @@ object Events8 {
     "e56_window_funnel" -> e56Sql,
     "e57_incremental_sessions" -> e57Sql,
     "e58_seq_match"     -> e58Sql,
+    "e59_ab_proportion" -> e59Sql,
   )
 }

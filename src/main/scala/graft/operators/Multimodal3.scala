@@ -129,25 +129,38 @@ object Multimodal3 {
   // through MinHash bands over the byte shingles, as d03 does via
   // graft.neardup.strategy. Shingles ride the shuffle as 64-bit xxhash64
   // (Jaccard-verify family policy: a collision perturbs one score, not
-  // a count). Hex casing: Spark and DuckDB both emit uppercase hex, so
-  // shingle sets agree byte-for-byte.
+  // a count). The Spark side slices the RAW BINARY (substring on
+  // BinaryType is byte-addressed copyOfRange — O(gram) per slice);
+  // slicing the hex STRING instead is O(position) per slice because
+  // UTF8String.substring counts codepoints from the start, making the
+  // shingle stage QUADRATIC in asset size — measured 13.5 s vs 1.9 s
+  // on this corpus, and unbounded on real multi-MB assets. The oracle
+  // keeps the hex-substring formulation: hex is injective, so the
+  // byte-gram equality classes — all the join/count semantics depend
+  // on — are identical.
   val m09_asset_neardup: Q = (s, d) => {
     val assets = Tables.documents(s, d)
-      .select(col("doc_id"), hex(encode(col("text"), "UTF-8")).as("hx"))
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bs"))
     val shingled = assets
       .select(col("doc_id"), expr(
         """array_distinct(transform(
-             sequence(1, greatest(length(hx) - 31, 1), 2),
-             i -> xxhash64(substring(hx, i, 32))))""").as("shs"))
+             sequence(1, greatest(octet_length(bs) - 15, 1)),
+             i -> xxhash64(substring(bs, i, 16))))""").as("shs"))
       .select(col("doc_id"), size(col("shs")).cast("long").as("n"),
         explode(col("shs")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val x = shingled.select(col("doc_id").as("id_a"), col("n").as("na"), col("sh"))
-    val y = shingled.select(col("doc_id").as("id_b"), col("n").as("nb"), col("sh"))
+    // sizes join back AFTER the pair aggregate (doc-count-sized, AQE
+    // broadcasts it) instead of riding every shingle row through the
+    // self-join — the join shuffles bare (sh, id) pairs only
+    val sizes = shingled.select(col("doc_id"), col("n")).distinct()
+    val x = shingled.select(col("doc_id").as("id_a"), col("sh"))
+    val y = shingled.select(col("doc_id").as("id_b"), col("sh"))
     x.join(y, "sh")
       .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "na", "nb")
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
       .withColumn("jaccard",
         col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
       .filter(col("jaccard") >= 0.3)
@@ -563,9 +576,85 @@ object Multimodal3 {
                    / CAST(COUNT(*) AS DOUBLE), 9) AS corrupt_rate
       FROM sc GROUP BY 1 ORDER BY source"""
 
+  // ---- m17: hot-tier admission plan (storage tiering over the CAS) ----
+  // A 100 TB CAS keeps a small hot tier (NVMe/page cache) in front of
+  // cold object storage; admission is a knapsack the greedy
+  // value-density heuristic solves within 1 item of optimal: rank each
+  // DISTINCT asset by references-per-byte (the expected hit payoff per
+  // hot byte), admit down the ranking while the tier's byte budget
+  // (25% of the source's stored bytes here) lasts. Membership uses
+  // q103's minimal-prefix rule — "cumulative bytes BEFORE this asset
+  // fit the budget" — on an exact-integer cumulative over a
+  // source-PARTITIONED window (no global single-task sort; per-source
+  // plans ship independently, the m13 discipline). Ref counts, byte
+  // sums and the admitted set are all exact integers; the one IEEE
+  // division per source is the reported hit rate.
+  val m17_hot_tier_plan: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val refs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        md5(encode(col("text"), "UTF-8")).as("h"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("bytes"))
+    // one physical copy per (source, hash): the source's stored ledger
+    val assets = refs.groupBy("source", "h")
+      .agg(count(lit(1)).as("n_refs"), min("bytes").as("bytes"))
+      .withColumn("density",
+        col("n_refs").cast("double") / col("bytes").cast("double"))
+    val w = Window.partitionBy("source")
+      .orderBy(desc("density"), col("h"))
+    val budget = assets.groupBy("source")
+      .agg(sum("bytes").as("stored_bytes"))
+    val planned = assets
+      .withColumn("cum_before", coalesce(
+        sum("bytes").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .join(budget, "source")
+      .withColumn("hot",
+        (col("cum_before") + col("bytes")) * 4 <= col("stored_bytes"))
+    planned.groupBy("source")
+      .agg(count(lit(1)).as("n_assets"),
+        count(when(col("hot"), 1)).as("n_hot"),
+        max("stored_bytes").as("bytes_stored"),
+        sum(when(col("hot"), col("bytes")).otherwise(0L)).as("bytes_hot"),
+        sum("n_refs").as("refs_total"),
+        sum(when(col("hot"), col("n_refs")).otherwise(0L)).as("refs_hot"))
+      .withColumn("hit_rate", round(
+        col("refs_hot").cast("double") / col("refs_total").cast("double"), 9))
+      .orderBy("source")
+  }
+  val m17Sql: String =
+    """WITH r AS (SELECT doc_id, source, md5(text) AS h,
+               CAST(octet_length(encode(text)) AS BIGINT) AS bytes
+             FROM documents),
+      a AS (SELECT source, h, COUNT(*) AS n_refs, MIN(bytes) AS bytes,
+              CAST(COUNT(*) AS DOUBLE) / CAST(MIN(bytes) AS DOUBLE)
+                AS density
+            FROM r GROUP BY 1, 2),
+      bud AS (SELECT source, CAST(SUM(bytes) AS BIGINT) AS stored_bytes
+              FROM a GROUP BY 1),
+      pl AS (SELECT a.*, bud.stored_bytes,
+               COALESCE(SUM(bytes) OVER (PARTITION BY a.source
+                 ORDER BY density DESC, h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cum_before
+             FROM a JOIN bud ON a.source = bud.source),
+      f AS (SELECT *, (cum_before + bytes) * 4 <= stored_bytes AS hot
+            FROM pl)
+      SELECT source, COUNT(*) AS n_assets,
+        COUNT(CASE WHEN hot THEN 1 END) AS n_hot,
+        MAX(stored_bytes) AS bytes_stored,
+        CAST(SUM(CASE WHEN hot THEN bytes ELSE 0 END) AS BIGINT)
+          AS bytes_hot,
+        CAST(SUM(n_refs) AS BIGINT) AS refs_total,
+        CAST(SUM(CASE WHEN hot THEN n_refs ELSE 0 END) AS BIGINT)
+          AS refs_hot,
+        round(CAST(SUM(CASE WHEN hot THEN n_refs ELSE 0 END) AS DOUBLE)
+              / CAST(SUM(n_refs) AS DOUBLE), 9) AS hit_rate
+      FROM f GROUP BY source ORDER BY source"""
   val queries: Map[String, Q] = Map(
     "m07_asset_dedup"   -> m07_asset_dedup,
     "m15_integrity_check" -> m15_integrity_check,
+    "m17_hot_tier_plan" -> m17_hot_tier_plan,
     "m08_asset_diff"    -> m08_asset_diff,
     "m09_asset_neardup" -> m09_asset_neardup,
     "m10_cdc_chunking"  -> m10_cdc_chunking,
@@ -582,5 +671,8 @@ object Multimodal3 {
     "m12_chunk_gc"      -> m12Sql,
     "m13_shard_plan"    -> m13Sql,
     "m15_integrity_check" -> m15Sql,
+    "m17_hot_tier_plan" -> m17Sql,
   )
+
+
 }

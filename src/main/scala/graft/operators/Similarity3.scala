@@ -270,14 +270,86 @@ object Similarity3 {
         min_norm, max_norm
       FROM m ORDER BY label"""
 
+  // ---- s25: intrinsic dimension estimate (TwoNN, Facco 2017) ----
+  // The geometry audit behind every "why is my ANN recall bad" ticket:
+  // embeddings living on a low-dimensional manifold index well; ID
+  // close to the ambient dimension means distance concentration and no
+  // LSH/IVF config will save you. TwoNN needs only each point's two
+  // nearest neighbors: mu_i = r2/r1, and the MLE is n / Σ ln(mu_i) —
+  // no density assumptions, no k to tune. Computed on the d05-style
+  // deterministic subsample (vec_id % 8 — ID is a distribution
+  // property; at 100 TB you estimate it from a bounded sample, never
+  // the corpus, and the sample bound makes the demonstration pairwise
+  // pass constant-cost). Exactness discipline: distances stay SQUARED
+  // ((|a|²+|b|²) − 2a·b — three IEEE ops over bit-replayable dot
+  // folds; ln(r2/r1) = 0.5·ln(q2/q1) so no sqrt anywhere), per-point
+  // log ratios round to 9 (the t08 log discipline), and the Σ rides a
+  // DECIMAL(38,18) sum — order-independent, so the single-row estimate
+  // is hash-exact cross-engine.
+  val s25_intrinsic_dim: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).filter(col("vec_id") % 8 === 0)
+      .select(col("vec_id"),
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+      .withColumn("n2", graft.functions.dot_product(col("v"), col("v")))
+    val pairs = e.select(col("vec_id").as("qi"), col("v").as("qv"),
+        col("n2").as("qn"))
+      .join(e.select(col("vec_id").as("vj"), col("v").as("cv"),
+        col("n2").as("cn")), col("qi") =!= col("vj"))
+      .withColumn("d2",
+        (col("qn") + col("cn"))
+          - lit(2.0) * graft.functions.dot_product(col("qv"), col("cv")))
+    val w = Window.partitionBy("qi").orderBy(col("d2"), col("vj"))
+    val nn2 = pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy("qi")
+      .agg(min(when(col("rn") === 1, col("d2"))).as("q1"),
+        min(when(col("rn") === 2, col("d2"))).as("q2"))
+      .filter(col("q1") > 0)
+      .withColumn("ln_mu", round(lit(0.5) * log(col("q2") / col("q1")), 9))
+    nn2.agg(count(lit(1)).as("n_points"),
+        sum(col("ln_mu").cast(DecimalType(38, 18))).cast("double")
+          .as("sum_ln_mu"))
+      .withColumn("id_twonn", round(
+        col("n_points").cast("double") / col("sum_ln_mu"), 6))
+      .select(col("n_points"), round(col("sum_ln_mu"), 9).as("sum_ln_mu"),
+        col("id_twonn"))
+  }
+  val s25Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings WHERE vec_id % 8 = 0),
+      n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+      p AS (SELECT a.vec_id AS qi, b.vec_id AS vj,
+              (a.n2 + b.n2)
+                - CAST(2.0 AS DOUBLE) * list_dot_product(a.v, b.v) AS d2
+            FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+      r AS (SELECT qi, d2,
+              row_number() OVER (PARTITION BY qi ORDER BY d2, vj) AS rn
+            FROM p),
+      nn AS (SELECT qi,
+               MIN(CASE WHEN rn = 1 THEN d2 END) AS q1,
+               MIN(CASE WHEN rn = 2 THEN d2 END) AS q2
+             FROM r WHERE rn <= 2 GROUP BY qi),
+      lm AS (SELECT qi,
+               round(CAST(0.5 AS DOUBLE) * ln(q2 / q1), 9) AS ln_mu
+             FROM nn WHERE q1 > 0),
+      agg AS (SELECT COUNT(*) AS n_points,
+                CAST(SUM(CAST(ln_mu AS DECIMAL(38,18))) AS DOUBLE)
+                  AS sum_ln_mu
+              FROM lm)
+      SELECT n_points, round(sum_ln_mu, 9) AS sum_ln_mu,
+        round(CAST(n_points AS DOUBLE) / sum_ln_mu, 6) AS id_twonn
+      FROM agg"""
+
   val queries: Map[String, Q] = Map(
     "s22_ood_audit" -> s22_ood_audit,
     "s23_hubness"   -> s23_hubness,
     "s24_norm_audit" -> s24_norm_audit,
+    "s25_intrinsic_dim" -> s25_intrinsic_dim,
   )
   val oracles: Map[String, String] = Map(
     "s22_ood_audit" -> s22Sql,
     "s23_hubness"   -> s23Sql,
     "s24_norm_audit" -> s24Sql,
+    "s25_intrinsic_dim" -> s25Sql,
   )
 }

@@ -216,14 +216,86 @@ object TextAnalysis10 {
           AS share_at_max
       FROM m ORDER BY source"""
 
+  // ---- t38: code-vs-prose detection (the code-filtering gate) ----
+  // LLM corpora route code and prose to different pipelines (different
+  // dedup thresholds, different quality rules, different tokenizers);
+  // the router needs a cheap, exact, attributable signal — not a model.
+  // Three rule families per doc, all single-pass narrow ops: symbol
+  // density (share of {}();=<>[] characters — the most discriminative
+  // single feature in public code-detection heuristics), code keyword
+  // hits (def/class/return/import/function/var/const as standalone
+  // words), and digit density (tables/logs). A doc is code_like when
+  // symbols clear 2% or >= 2 distinct keyword families hit. Counting is
+  // subtraction-of-lengths after regexp_replace (identical Java/DuckDB
+  // semantics for these literal character classes; DuckDB needs the
+  // explicit 'g' flag Java implies); the per-source rollup is exact
+  // integers + one rounded division. On this synthetic prose corpus
+  // most rows score zero — the oracle pins the SEMANTICS, the spec pins
+  // the rules on a hand-built code/prose fixture.
+  val t38_code_detect: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .withColumn("n", length(col("text")).cast("long"))
+      .withColumn("n_sym", (length(col("text")) - length(
+        regexp_replace(col("text"), "[{}();=<>\\[\\]]", ""))).cast("long"))
+      .withColumn("n_dig", (length(col("text")) - length(
+        regexp_replace(col("text"), "[0-9]", ""))).cast("long"))
+      .withColumn("kw_hits",
+        (when(col("text").rlike("\\b(def|class)\\b"), 1).otherwise(0)
+          + when(col("text").rlike("\\b(return|import)\\b"), 1).otherwise(0)
+          + when(col("text").rlike("\\b(function|var|const)\\b"), 1)
+            .otherwise(0)).cast("long"))
+      .withColumn("code_like",
+        col("n_sym").cast("double") > col("n").cast("double") * 0.02
+          || col("kw_hits") >= 2)
+    base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("code_like"), 1)).as("n_code_like"),
+        sum("n_sym").as("sym_chars"),
+        sum("n_dig").as("digit_chars"),
+        sum("n").as("total_chars"))
+      .withColumn("code_share", round(
+        col("n_code_like").cast("double") / col("n_docs").cast("double"), 9))
+      .withColumn("sym_density", round(
+        col("sym_chars").cast("double") / col("total_chars").cast("double"), 9))
+      .orderBy("source")
+  }
+  val t38Sql: String =
+    """WITH b AS (SELECT source,
+               length(text) AS n,
+               length(text) - length(regexp_replace(text,
+                 '[{}();=<>\[\]]', '', 'g')) AS n_sym,
+               length(text) - length(regexp_replace(text,
+                 '[0-9]', '', 'g')) AS n_dig,
+               (CASE WHEN regexp_matches(text, '\b(def|class)\b')
+                     THEN 1 ELSE 0 END
+                + CASE WHEN regexp_matches(text, '\b(return|import)\b')
+                       THEN 1 ELSE 0 END
+                + CASE WHEN regexp_matches(text, '\b(function|var|const)\b')
+                       THEN 1 ELSE 0 END) AS kw_hits
+             FROM documents),
+      f AS (SELECT *, (CAST(n_sym AS DOUBLE) > CAST(n AS DOUBLE) * 0.02
+                       OR kw_hits >= 2) AS code_like FROM b)
+      SELECT source, COUNT(*) AS n_docs,
+        COUNT(CASE WHEN code_like THEN 1 END) AS n_code_like,
+        CAST(SUM(n_sym) AS BIGINT) AS sym_chars,
+        CAST(SUM(n_dig) AS BIGINT) AS digit_chars,
+        CAST(SUM(n) AS BIGINT) AS total_chars,
+        round(CAST(COUNT(CASE WHEN code_like THEN 1 END) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE), 9) AS code_share,
+        round(CAST(SUM(n_sym) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 9)
+          AS sym_density
+      FROM f GROUP BY source ORDER BY source"""
+
   val queries: Map[String, Q] = Map(
     "t35_readability" -> t35_readability,
     "t36_burstiness"  -> t36_burstiness,
     "t37_length_forensics" -> t37_length_forensics,
+    "t38_code_detect" -> t38_code_detect,
   )
   val oracles: Map[String, String] = Map(
     "t35_readability" -> t35Sql,
     "t36_burstiness"  -> t36Sql,
     "t37_length_forensics" -> t37Sql,
+    "t38_code_detect" -> t38Sql,
   )
 }

@@ -2287,6 +2287,77 @@ class GraphSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("t38 code detect: rules fire on code, stay quiet on prose") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_t38").toString
+    val rows = Seq(
+      (1L, "def main(x): return x + 1; class Foo { int y = 0; }", "en", "code"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again", "en", "prose"),
+      (3L, "function render(props) { const v = props.value; return v; }", "en", "code"))
+    spark.createDataFrame(rows).toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = operators.TextAnalysis10.t38_code_detect(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("code").getAs[Long]("n_code_like") == 2L,
+      s"code rows not flagged: ${out("code")}")
+    assert(out("prose").getAs[Long]("n_code_like") == 0L)
+    assert(out("code").getAs[Double]("sym_density") > 0.02)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    // corpus run: shares well-formed
+    val corpus = operators.TextAnalysis10.t38_code_detect(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      val share = r.getAs[Double]("code_share")
+      assert(share >= 0.0 && share <= 1.0)
+    }
+  }
+
+  test("e59 ab proportion: arms partition users, z consistent with counts") {
+    import org.apache.spark.sql.functions._
+    val r = operators.Events8.e59_ab_proportion(spark, sf).collect()(0)
+    val nUsers = Tables.events(spark, sf)
+      .select(countDistinct("user_id")).collect()(0).getLong(0)
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == nUsers)
+    assert(r.getAs[Long]("conv_a") <= r.getAs[Long]("n_a"))
+    assert(r.getAs[Long]("conv_b") <= r.getAs[Long]("n_b"))
+    // z re-derivable from the exact counts
+    val (na, nb) = (r.getAs[Long]("n_a").toDouble, r.getAs[Long]("n_b").toDouble)
+    val (ca, cb) = (r.getAs[Long]("conv_a").toDouble, r.getAs[Long]("conv_b").toDouble)
+    val pool = (ca + cb) / (na + nb)
+    val z = (ca / na - cb / nb) /
+      math.sqrt(pool * (1.0 - pool) * (1.0 / na + 1.0 / nb))
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-8)
+    assert(r.getAs[Boolean]("significant") == (math.abs(r.getAs[Double]("z")) > 1.96))
+  }
+
+  test("s25 intrinsic dim: estimate positive and below ambient dimension") {
+    val r = operators.Similarity3.s25_intrinsic_dim(spark, sf).collect()(0)
+    val sampled = Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 8 === 0).count()
+    assert(r.getAs[Long]("n_points") == sampled)
+    val id = r.getAs[Double]("id_twonn")
+    // random 64-dim embeddings: ID in (0, ambient]; log-ratio sum > 0
+    assert(r.getAs[Double]("sum_ln_mu") > 0.0)
+    assert(id > 0.0 && id <= 64.0 * 1.5, s"implausible ID $id")
+  }
+
+  test("m17 hot tier: budget respected, greedy beats proportional hit rate") {
+    val rows = operators.Multimodal3.m17_hot_tier_plan(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (stored, hot) = (r.getAs[Long]("bytes_stored"), r.getAs[Long]("bytes_hot"))
+      assert(hot * 4 <= stored, s"budget violated: $hot of $stored")
+      assert(r.getAs[Long]("n_hot") <= r.getAs[Long]("n_assets"))
+      // density-greedy admission: refs covered per hot byte >= corpus avg,
+      // so hit_rate >= hot byte share
+      if (hot > 0) {
+        val hitRate = r.getAs[Double]("hit_rate")
+        assert(hitRate >= hot.toDouble / stored.toDouble - 1e-9,
+          s"greedy worse than proportional: $r")
+      }
+    }
+  }
+
   test("v29 cell residuals: residuals re-derivable from exact counts") {
     val rows = operators.Quality4.v29_cell_residuals(spark, sf).collect()
     assert(rows.nonEmpty)
