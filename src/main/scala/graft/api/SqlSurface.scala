@@ -226,6 +226,18 @@ object SqlSurface {
       case args => throw new IllegalArgumentException(
         s"graft_snapshot_read(path[, version]): got ${args.size} args")
     },
+    // zone-map-pruned snapshot read: opens only files whose manifest
+    // stats can satisfy the predicate (SnapshotTable.readWhere)
+    "graft_snapshot_where" -> {
+      case Seq(p, pred) =>
+        plan(graft.sources.SnapshotTable.readWhere(SparkSession.active,
+          str(p, "path"), str(pred, "predicate")))
+      case Seq(p, pred, v) =>
+        plan(graft.sources.SnapshotTable.readWhere(SparkSession.active,
+          str(p, "path"), str(pred, "predicate"), int(v, "version")))
+      case args => throw new IllegalArgumentException(
+        s"graft_snapshot_where(path, predicate[, version]): got ${args.size} args")
+    },
   )
 
   /** Register every TVF on an existing session (idempotent) — the same

@@ -1,0 +1,266 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import scala.jdk.CollectionConverters._
+
+/** File-level zone maps for [[SnapshotTable]] — the data-skipping layer
+  * every production table format carries (Delta file stats, Iceberg
+  * manifest metrics, ORC/parquet zone maps surfaced to the PLANNER
+  * instead of being discovered row-group-late inside the scan).
+  *
+  * Collection is METADATA-ONLY: stats come from the parquet FOOTERS of
+  * the freshly written segment (one ~KB footer read per file — parquet
+  * already computed min/max/null counts during the write), never from a
+  * second scan of the data. At 100 TB the footer pass is O(files) tiny
+  * RPCs at commit time, and the payoff is that a selective `readWhere`
+  * opens only the files whose [min,max] interval can satisfy the
+  * predicate — the same reason v27_skipping_audit measures layout
+  * clustering: a sorted/z-ordered table turns a point query into a
+  * handful of file opens.
+  *
+  * Soundness rules (pruning may only ever SKIP files that provably
+  * cannot match — every "don't know" keeps the file):
+  *   - only top-level primitive columns with valid footer stats are
+  *     prunable; anything else answers "maybe";
+  *   - numeric compares go through BigDecimal (a long→double cast above
+  *     2^53 could mis-prune);
+  *   - string compares use unsigned UTF-8 byte order — parquet's UTF8
+  *     sort order for binary stats — NOT Java's UTF-16 compareTo (the
+  *     two diverge past the BMP); truncated binary stats stay sound
+  *     because parquet adjusts a truncated max upward;
+  *   - INT96 timestamps (deprecated ordering) are never collected;
+  *   - unknown null counts disable null-predicate pruning for the file.
+  */
+object FileStats {
+  /** Per-column zone map entry. `kind`: "l" integer-backed (int/long/
+    * date-days/timestamp-micros), "d" float/double, "s" UTF-8 string.
+    * `lo`/`hi` are None when the file holds no non-null value for the
+    * column. `nulls` is -1 when the footer did not record a null count.
+    */
+  final case class ColStat(kind: String, lo: Option[String],
+                           hi: Option[String], nulls: Long, rows: Long) {
+    def allNull: Boolean = nulls >= 0 && nulls == rows
+  }
+
+  /** Footer-read stats for `files` (paths relative to `tablePath`).
+    * Columns whose stats are missing/invalid in ANY row group of a file
+    * are dropped for that file — absent entries mean "cannot prune".
+    */
+  def collect(spark: SparkSession, tablePath: String,
+              files: Seq[String]): Map[String, Map[String, ColStat]] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.map { rel =>
+      rel -> footerStats(new Path(s"$tablePath/$rel"), conf)
+    }.toMap
+  }
+
+  private def footerStats(p: Path, conf: org.apache.hadoop.conf.Configuration)
+      : Map[String, ColStat] = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val footer = reader.getFooter
+      val blocks = footer.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      // merge row-group chunks per column; a column is prunable only if
+      // every row group contributed valid stats
+      val perCol = scala.collection.mutable.Map[String, Option[ColStat]]()
+      blocks.foreach { b =>
+        b.getColumns.asScala.foreach { c =>
+          val name = c.getPath.toDotString
+          if (!name.contains('.')) { // top-level leaves only
+            val next = chunkStat(c)
+            perCol(name) = (perCol.get(name), next) match {
+              case (None, n)                  => n
+              case (Some(Some(a)), Some(bb))  => mergeStat(a, bb)
+              case _                          => None
+            }
+          }
+        }
+      }
+      perCol.toMap.collect { case (k, Some(st)) =>
+        k -> st.copy(rows = rows)
+      }
+    } finally reader.close()
+  }
+
+  private def chunkStat(c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
+      : Option[ColStat] = {
+    val s = c.getStatistics
+    if (s == null || s.isEmpty) return None
+    val nulls = if (s.isNumNullsSet) s.getNumNulls else -1L
+    val prim = c.getPrimitiveType
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val logical = prim.getLogicalTypeAnnotation
+    val isUtf8 = logical != null && logical.isInstanceOf[
+      org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+    if (!s.hasNonNullValue) {
+      // no min/max recorded; only usable when we KNOW everything is null
+      return if (nulls >= 0) Some(ColStat(kindOf(prim.getPrimitiveTypeName, isUtf8)
+        .getOrElse("l"), None, None, nulls, 0L))
+      else None
+    }
+    kindOf(prim.getPrimitiveTypeName, isUtf8).map { kind =>
+      val (lo, hi) = (prim.getPrimitiveTypeName, kind) match {
+        case (INT32, _)  => (s.genericGetMin.toString, s.genericGetMax.toString)
+        case (INT64, _)  => (s.genericGetMin.toString, s.genericGetMax.toString)
+        case (FLOAT, _)  =>
+          (s.genericGetMin.asInstanceOf[java.lang.Float].doubleValue.toString,
+           s.genericGetMax.asInstanceOf[java.lang.Float].doubleValue.toString)
+        case (DOUBLE, _) => (s.genericGetMin.toString, s.genericGetMax.toString)
+        case (BINARY, "s") =>
+          (s.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+             .toStringUsingUTF8,
+           s.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+             .toStringUsingUTF8)
+        case other => throw new IllegalStateException(s"unreachable $other")
+      }
+      ColStat(kind, Some(lo), Some(hi), nulls, 0L)
+    }
+  }
+
+  private def kindOf(t: org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName,
+                     isUtf8: Boolean): Option[String] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    t match {
+      case INT32 | INT64        => Some("l")
+      case FLOAT | DOUBLE       => Some("d")
+      case BINARY if isUtf8     => Some("s")
+      case _                    => None // boolean/int96/fixed(decimal): skip
+    }
+  }
+
+  private def mergeStat(a: ColStat, b: ColStat): Option[ColStat] = {
+    if (a.kind != b.kind) return None
+    val nulls = if (a.nulls < 0 || b.nulls < 0) -1L else a.nulls + b.nulls
+    def pick(x: Option[String], y: Option[String], takeLo: Boolean) =
+      (x, y) match {
+        case (Some(u), Some(v)) =>
+          val c = cmpValues(a.kind, u, v)
+          Some(if ((c <= 0) == takeLo) u else v)
+        case (u, v) => u.orElse(v)
+      }
+    Some(ColStat(a.kind, pick(a.lo, b.lo, takeLo = true),
+      pick(a.hi, b.hi, takeLo = false), nulls, 0L))
+  }
+
+  // ---- pruning ----------------------------------------------------------
+
+  /** Conservative zone-map test: false ONLY when no row of a file with
+    * these stats can satisfy `pred` (unresolved Catalyst tree from
+    * `expr(...)`). Anything unrecognized answers true.
+    */
+  def mayMatch(pred: Expression, st: Map[String, ColStat]): Boolean = pred match {
+    case And(l, r) => mayMatch(l, st) && mayMatch(r, st)
+    case Or(l, r)  => mayMatch(l, st) || mayMatch(r, st)
+    // eq is symmetric: whichever orientation fails extraction answers
+    // true, so the && keeps exactly the valid orientation's verdict
+    case EqualTo(l, r) => cmpTest(l, r, st, "eq") && cmpTest(r, l, st, "eq")
+    case LessThan(a, lit: Literal)  => cmpTest(a, lit, st, "lt")
+    case LessThan(lit: Literal, a)  => cmpTest(a, lit, st, "gt")
+    case LessThanOrEqual(a, lit: Literal) => cmpTest(a, lit, st, "le")
+    case LessThanOrEqual(lit: Literal, a) => cmpTest(a, lit, st, "ge")
+    case GreaterThan(a, lit: Literal)     => cmpTest(a, lit, st, "gt")
+    case GreaterThan(lit: Literal, a)     => cmpTest(a, lit, st, "lt")
+    case GreaterThanOrEqual(a, lit: Literal) => cmpTest(a, lit, st, "ge")
+    case GreaterThanOrEqual(lit: Literal, a) => cmpTest(a, lit, st, "le")
+    case EqualNullSafe(a, Literal(null, _)) => nullTest(a, st, wantNull = true)
+    case EqualNullSafe(l, r) =>
+      cmpTest(l, r, st, "eq") && cmpTest(r, l, st, "eq")
+    case In(a, list) if list.forall(_.isInstanceOf[Literal]) =>
+      list.exists(l => cmpTest(a, l, st, "eq"))
+    case IsNull(a)    => nullTest(a, st, wantNull = true)
+    case IsNotNull(a) => nullTest(a, st, wantNull = false)
+    case Not(IsNull(a))    => nullTest(a, st, wantNull = false)
+    case Not(IsNotNull(a)) => nullTest(a, st, wantNull = true)
+    case _ => true
+  }
+
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: UnresolvedAttribute if a.nameParts.size == 1 => Some(a.nameParts.head)
+    case a: AttributeReference                           => Some(a.name)
+    case _                                               => None
+  }
+
+  private def nullTest(a: Expression, st: Map[String, ColStat],
+                       wantNull: Boolean): Boolean =
+    (for (n <- attrName(a); c <- st.get(n)) yield {
+      if (wantNull) c.nulls != 0 // unknown (-1) => maybe
+      else !c.allNull
+    }).getOrElse(true)
+
+  /** Interval test of `a <op> lit` against [lo, hi]; `op` already
+    * normalized so the attribute is on the left.
+    */
+  private def cmpTest(a: Expression, litE: Expression,
+                      st: Map[String, ColStat], op: String): Boolean = {
+    val r = for {
+      n    <- attrName(a)
+      c    <- st.get(n)
+      lit  <- litValue(litE, c.kind)
+    } yield {
+      if (c.lo.isEmpty || c.hi.isEmpty)
+        // no non-null values recorded: a comparison can only match if
+        // some non-null value exists — allNull files never match
+        !c.allNull
+      else {
+        val lo = cmpValues(c.kind, c.lo.get, lit)  // sign of (lo - lit)
+        val hi = cmpValues(c.kind, c.hi.get, lit)  // sign of (hi - lit)
+        op match {
+          case "eq" => lo <= 0 && hi >= 0
+          case "lt" => lo < 0   // some value < lit  iff  min < lit
+          case "le" => lo <= 0
+          case "gt" => hi > 0   // some value > lit  iff  max > lit
+          case "ge" => hi >= 0
+        }
+      }
+    }
+    r.getOrElse(true)
+  }
+
+  /** Literal rendered into the stat's comparison domain; None = cannot
+    * compare soundly (type mismatch, null, NaN) => caller keeps file.
+    */
+  private def litValue(e: Expression, kind: String): Option[String] = e match {
+    case Literal(null, _) => None
+    case Literal(v, dt) =>
+      import org.apache.spark.sql.types._
+      (dt, kind) match {
+        case (ByteType | ShortType | IntegerType | LongType, "l" | "d") =>
+          Some(v.toString)
+        case (DateType, "l")      => Some(v.toString)      // days since epoch
+        case (TimestampType, "l") => Some(v.toString)      // micros since epoch
+        case (FloatType, "l" | "d") =>
+          val d = v.asInstanceOf[Float].toDouble
+          if (d.isNaN) None else Some(d.toString)
+        case (DoubleType, "l" | "d") =>
+          val d = v.asInstanceOf[Double]
+          if (d.isNaN) None else Some(d.toString)
+        case (_: DecimalType, "l" | "d") => Some(v.toString)
+        case (StringType, "s") => Some(v.toString)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** Three-way compare in the stat domain: "l"/"d" BigDecimal, "s"
+    * unsigned UTF-8 bytes (parquet's UTF8 sort order).
+    */
+  private[sources] def cmpValues(kind: String, x: String, y: String): Int =
+    kind match {
+      case "s" =>
+        val (a, b) = (x.getBytes("UTF-8"), y.getBytes("UTF-8"))
+        var i = 0
+        while (i < a.length && i < b.length) {
+          val c = (a(i) & 0xff) - (b(i) & 0xff)
+          if (c != 0) return Integer.signum(c)
+          i += 1
+        }
+        Integer.signum(a.length - b.length)
+      case _ =>
+        new java.math.BigDecimal(x).compareTo(new java.math.BigDecimal(y))
+    }
+}

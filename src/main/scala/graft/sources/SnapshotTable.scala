@@ -132,7 +132,9 @@ object SnapshotTable {
 
   private case class Manifest(version: Int, schemaDdl: String,
                               files: Seq[String],
-                              txn: Map[String, Long] = Map.empty)
+                              txn: Map[String, Long] = Map.empty,
+                              stats: Map[String, Map[String, FileStats.ColStat]] =
+                                Map.empty)
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -162,8 +164,23 @@ object SnapshotTable {
       val t = n.path("txn")
       t.fieldNames().asScala.map(k => k -> t.path(k).asLong()).toMap
     } else Map.empty[String, Long]
+    // stats are OPTIONAL (pre-skipping manifests parse fine; files
+    // without an entry are simply never pruned)
+    val stats = if (n.has("stats")) {
+      val s = n.path("stats")
+      s.fieldNames().asScala.map { file =>
+        val cols = s.path(file)
+        file -> cols.fieldNames().asScala.map { cn =>
+          val c = cols.path(cn)
+          cn -> FileStats.ColStat(c.path("k").asText(),
+            if (c.has("lo")) Some(c.path("lo").asText()) else None,
+            if (c.has("hi")) Some(c.path("hi").asText()) else None,
+            c.path("nulls").asLong(), c.path("rows").asLong())
+        }.toMap
+      }.toMap
+    } else Map.empty[String, Map[String, FileStats.ColStat]]
     Manifest(n.path("version").asInt(), n.path("schema").asText(),
-      n.path("files").elements().asScala.map(_.asText()).toSeq, txn)
+      n.path("files").elements().asScala.map(_.asText()).toSeq, txn, stats)
   }
 
   private def render(m: Manifest): String = {
@@ -176,6 +193,20 @@ object SnapshotTable {
     if (m.txn.nonEmpty) {
       val t = root.putObject("txn")
       m.txn.toSeq.sortBy(_._1).foreach { case (k, v) => t.put(k, v) }
+    }
+    if (m.stats.nonEmpty) {
+      val s = root.putObject("stats")
+      m.stats.toSeq.sortBy(_._1).foreach { case (file, cols) =>
+        val fo = s.putObject(file)
+        cols.toSeq.sortBy(_._1).foreach { case (cn, c) =>
+          val co = fo.putObject(cn)
+          co.put("k", c.kind)
+          c.lo.foreach(co.put("lo", _))
+          c.hi.foreach(co.put("hi", _))
+          co.put("nulls", c.nulls)
+          co.put("rows", c.rows)
+        }
+      }
     }
     om.writeValueAsString(root)
   }
@@ -198,28 +229,37 @@ object SnapshotTable {
     try parse(new String(in.readAllBytes(), "UTF-8")) finally in.close()
   }
 
-  /** Write a new immutable segment and return its file paths. */
-  private def writeSegment(df: DataFrame, path: String): Seq[String] = {
+  /** Write a new immutable segment; returns its file paths PLUS their
+    * footer-derived zone maps ([[FileStats]] — metadata-only reads of
+    * what parquet already computed during the write), so every commit
+    * path ships skipping stats at zero extra scan cost.
+    */
+  private def writeSegment(df: DataFrame, path: String)
+      : (Seq[String], Map[String, Map[String, FileStats.ColStat]]) = {
     val seg = s"data/s${java.util.UUID.randomUUID().toString.take(12)}"
     val segPath = s"$path/$seg"
     df.write.mode("errorifexists").parquet(segPath)
     val f = fs(df.sparkSession, path)
-    f.listStatus(new Path(segPath)).map(_.getPath)
+    val files = f.listStatus(new Path(segPath)).map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet"))
       .map(p => s"$seg/${p.getName}").toSeq
+    (files, FileStats.collect(df.sparkSession, path, files))
   }
 
   /** Atomic commit of `files` as version `base + 1`; throws on conflict. */
   private def commit(spark: SparkSession, path: String, base: Int,
                      schemaDdl: String, files: Seq[String],
-                     txn: Map[String, Long] = Map.empty): Int = {
+                     txn: Map[String, Long] = Map.empty,
+                     stats: Map[String, Map[String, FileStats.ColStat]] =
+                       Map.empty): Int = {
     val next = base + 1
     val f = fs(spark, path)
     val dir = manifestDir(path)
     f.mkdirs(dir)
     val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, false)
-    try out.write(render(Manifest(next, schemaDdl, files, txn)).getBytes("UTF-8"))
+    try out.write(render(Manifest(next, schemaDdl, files, txn, stats))
+      .getBytes("UTF-8"))
     finally out.close()
     val target = new Path(dir, s"v$next.json")
     // publish-if-absent IS the transaction: exactly one writer wins
@@ -240,7 +280,8 @@ object SnapshotTable {
   def create(df: DataFrame, path: String): Int = {
     require(latestVersion(df.sparkSession, path) == 0,
       s"snapshot table $path already exists")
-    commit(df.sparkSession, path, 0, df.schema.toDDL, writeSegment(df, path))
+    val (files, st) = writeSegment(df, path)
+    commit(df.sparkSession, path, 0, df.schema.toDDL, files, stats = st)
   }
 
   /** Append-only commit: new segment + all prior files. `expectedVersion`
@@ -257,8 +298,9 @@ object SnapshotTable {
     val cur = readManifest(spark, path, base)
     require(shape(df.schema) == shapeOfDdl(cur.schemaDdl),
       s"append schema ${df.schema.toDDL} != table schema ${cur.schemaDdl}")
+    val (files, st) = writeSegment(df, path)
     commit(spark, path, base, cur.schemaDdl,
-      cur.files ++ writeSegment(df, path), cur.txn)
+      cur.files ++ files, cur.txn, cur.stats ++ st)
   }
 
   /** Read a specific version (time travel), or the latest when `version`
@@ -267,6 +309,43 @@ object SnapshotTable {
   def read(spark: SparkSession, path: String, version: Int = 0): DataFrame = {
     val v = if (version > 0) version else latestVersion(spark, path)
     readSnapshot(spark, path, readManifest(spark, path, v))
+  }
+
+  /** Predicate-pruned read: consult each file's manifest zone map
+    * ([[FileStats]]) and OPEN only files that can possibly satisfy
+    * `predicate`, then apply the full predicate as a normal filter —
+    * correctness never depends on pruning, which may only skip files
+    * that provably cannot match (files without stats are always read).
+    * This is planner-level data skipping: on a date-partitioned-ish or
+    * z-ordered 100 TB table, a selective predicate touches a handful of
+    * files instead of the whole file list, BEFORE any Spark job starts.
+    */
+  def readWhere(spark: SparkSession, path: String, predicate: String,
+                version: Int = 0): DataFrame = {
+    val v = if (version > 0) version else latestVersion(spark, path)
+    val m = readManifest(spark, path, v)
+    readSnapshot(spark, path, m.copy(files = prunedFiles(m, predicate)))
+      .filter(expr(predicate))
+  }
+
+  /** (total files, files kept after zone-map pruning) for `predicate` —
+    * the observability hook specs and layout audits (v27) assert on.
+    */
+  def pruneReport(spark: SparkSession, path: String, predicate: String,
+                  version: Int = 0): (Int, Int) = {
+    val v = if (version > 0) version else latestVersion(spark, path)
+    val m = readManifest(spark, path, v)
+    (m.files.size, prunedFiles(m, predicate).size)
+  }
+
+  private def prunedFiles(m: Manifest, predicate: String): Seq[String] = {
+    // parse (not analyze): pruning works on the unresolved tree, so no
+    // session catalog state is touched and column typos simply prune
+    // nothing (then fail normally in the filter)
+    val pred = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(predicate)
+    m.files.filter(f =>
+      FileStats.mayMatch(pred, m.stats.getOrElse(f, Map.empty)))
   }
 
   // frame for an already-parsed manifest — lets upsert/delete/compact
@@ -314,8 +393,8 @@ object SnapshotTable {
     val merged = cur.join(changes.select(keyCols: _*).distinct(),
         keys, "left_anti")
       .unionByName(aligned)
-    commit(spark, path, base, cur.schema.toDDL, writeSegment(merged, path),
-      curM.txn)
+    val (files, st) = writeSegment(merged, path)
+    commit(spark, path, base, cur.schema.toDDL, files, curM.txn, st)
   }
 
   /** Last transaction watermark committed for `appId` (-1 if none) —
@@ -363,8 +442,9 @@ object SnapshotTable {
     val merged = cur.join(changes.select(keyCols: _*).distinct(),
         keys, "left_anti")
       .unionByName(aligned)
-    commit(spark, path, base, cur.schema.toDDL, writeSegment(merged, path),
-      curM.txn + (appId -> batchId))
+    val (files, st) = writeSegment(merged, path)
+    commit(spark, path, base, cur.schema.toDDL, files,
+      curM.txn + (appId -> batchId), st)
   }
 
   /** Write-audit-publish: run an Expectations rule suite over `df` and
@@ -386,8 +466,8 @@ object SnapshotTable {
     val base = latestVersion(spark, path)
     val curM = readManifest(spark, path, base)
     val cur = readSnapshot(spark, path, curM)
-    commit(spark, path, base, cur.schema.toDDL,
-      writeSegment(cur.filter(!expr(predicate)), path), curM.txn)
+    val (files, st) = writeSegment(cur.filter(!expr(predicate)), path)
+    commit(spark, path, base, cur.schema.toDDL, files, curM.txn, st)
   }
 
   /** Compaction (the OPTIMIZE analog): rewrite the current snapshot's
@@ -400,8 +480,55 @@ object SnapshotTable {
     val base = latestVersion(spark, path)
     val curM = readManifest(spark, path, base)
     val cur = readSnapshot(spark, path, curM)
-    commit(spark, path, base, cur.schema.toDDL,
-      writeSegment(cur.repartition(numFiles), path), curM.txn)
+    val (files, st) = writeSegment(cur.repartition(numFiles), path)
+    commit(spark, path, base, cur.schema.toDDL, files, curM.txn, st)
+  }
+
+  /** Clustered rewrite (the OPTIMIZE ZORDER analog): range-partition the
+    * current snapshot on `cols` and sort within files, so each file owns
+    * a narrow interval of the clustering key and [[readWhere]]'s zone
+    * maps prune selective predicates to a handful of file opens. For one
+    * column this is plain sorted layout; for several, interleave with
+    * [[graft.functions.zorder2]] upstream and cluster on that. Rows,
+    * schema, and history are untouched — same copy-on-write commit as
+    * [[compact]], and the fresh segment's footer stats ride the manifest
+    * automatically, which is what makes the layout actually pay off.
+    */
+  def cluster(spark: SparkSession, path: String, cols: Seq[String],
+              numFiles: Int = 8): Int = {
+    require(cols.nonEmpty, "cluster needs at least one column")
+    val base = latestVersion(spark, path)
+    val curM = readManifest(spark, path, base)
+    val cur = readSnapshot(spark, path, curM)
+    val cs = cols.map(col)
+    val (files, st) = writeSegment(
+      cur.repartitionByRange(numFiles, cs: _*).sortWithinPartitions(cs: _*),
+      path)
+    commit(spark, path, base, cur.schema.toDDL, files, curM.txn, st)
+  }
+
+  /** Change feed between two committed versions (the CDF analog): rows
+    * present in `to` but not `from` surface as `insert`, rows present in
+    * `from` but not `to` as `delete` — an UPDATE under MERGE appears as
+    * its delete+insert pair, which is exactly what a downstream
+    * incremental consumer needs to apply. Whole-row NULL-SAFE comparison
+    * (no key required; row-SET semantics — duplicate multiplicities
+    * don't register): two distributed anti-joins over the two immutable
+    * snapshots, no driver data movement; at 100 TB feed it version pairs
+    * that share most segments and the anti-joins stay
+    * shuffle-partitioned on the row hash like any other join.
+    */
+  def changes(spark: SparkSession, path: String, fromVersion: Int,
+              toVersion: Int): DataFrame = {
+    require(fromVersion > 0 && toVersion > 0,
+      "changes() needs explicit committed versions")
+    val a = read(spark, path, fromVersion).alias("a")
+    val b = read(spark, path, toVersion).alias("b")
+    val cols = a.columns.toSeq
+    def cond = cols.map(c => col(s"a.$c") <=> col(s"b.$c")).reduce(_ && _)
+    b.join(a, cond, "left_anti").withColumn("_change_type", lit("insert"))
+      .unionByName(
+        a.join(b, cond, "left_anti").withColumn("_change_type", lit("delete")))
   }
 
   /** Retention cleanup (the VACUUM analog): drop every manifest older

@@ -302,6 +302,166 @@ class SnapshotTableSpec extends AnyFunSuite {
     } finally SnapshotTable.register("file", null)
   }
 
+  test("data skipping: range predicates prune files; results equal the unpruned filter") {
+    val path = tmp()
+    // range-partition on k so each of the 4 files owns a disjoint k-range
+    // (the layout a sorted/z-ordered 100 TB table has) — a selective
+    // predicate should then OPEN a strict subset of files
+    val df = spark.range(0, 4000)
+      .select(col("id").as("k"), (col("id") % 97).as("v"),
+        concat(lit("u"), lpad(col("id").cast("string"), 6, "0")).as("name"),
+        to_date(concat(lit("1994-01-"),
+          lpad((col("id") % 28 + 1).cast("string"), 2, "0"))).as("d"))
+      .repartitionByRange(4, col("k"))
+      .sortWithinPartitions("k")
+    SnapshotTable.create(df, path)
+
+    // numeric range: one file's k-range covers [3500, 3600)
+    val (total, kept) = SnapshotTable.pruneReport(spark, path, "k >= 3500 AND k < 3600")
+    assert(total == 4, s"expected 4 files, got $total")
+    assert(kept < total, s"no pruning happened ($kept of $total)")
+    val got = SnapshotTable.readWhere(spark, path, "k >= 3500 AND k < 3600")
+    val want = SnapshotTable.read(spark, path).filter("k >= 3500 AND k < 3600")
+    assert(got.count() == want.count() && got.count() == 100)
+
+    // string zone maps prune too (name is monotone in k)
+    val (_, keptS) = SnapshotTable.pruneReport(spark, path, "name = 'u000010'")
+    assert(keptS == 1, s"string point lookup should open 1 file, opened $keptS")
+    assert(SnapshotTable.readWhere(spark, path, "name = 'u000010'").count() == 1)
+
+    // a predicate no file satisfies opens ZERO files but still answers
+    val (_, keptNone) = SnapshotTable.pruneReport(spark, path, "k > 100000")
+    assert(keptNone == 0)
+    assert(SnapshotTable.readWhere(spark, path, "k > 100000").count() == 0)
+
+    // unprunable predicates (v is spread across every file) keep all
+    // files and stay correct
+    val all = SnapshotTable.readWhere(spark, path, "v = 5")
+    assert(all.count() == SnapshotTable.read(spark, path).filter("v = 5").count())
+
+    // same pruned read from plain SQL
+    graft.api.SqlSurface.install(spark)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_snapshot_where(" +
+      s"'$path', 'k >= 3500 AND k < 3600')").head().getLong(0) == 100)
+
+    // soundness sweep: pruned == unpruned for a batch of predicate shapes
+    val full = SnapshotTable.read(spark, path)
+    Seq("k = 1234", "k <= 17", "1000 < k", "k IN (3, 999, 3999)",
+        "d >= DATE '1994-01-27'", "name >= 'u003990'", "v = 5 OR k < 10",
+        "k IS NOT NULL", "k IS NULL").foreach { p =>
+      assert(SnapshotTable.readWhere(spark, path, p).count() ==
+        full.filter(p).count(), s"pruned result diverged for: $p")
+    }
+  }
+
+  test("data skipping: stats survive append/upsert/compact; stats-less manifests scan all") {
+    val path = tmp()
+    val part = (lo: Int, hi: Int) => spark.range(lo, hi)
+      .select(col("id").as("k"), lit("x").as("tag")).coalesce(1)
+    SnapshotTable.create(part(0, 100), path)
+    SnapshotTable.append(part(100, 200), path)
+    SnapshotTable.append(part(200, 300), path)
+    // three appended single-file segments = disjoint k-ranges
+    val (t1, k1) = SnapshotTable.pruneReport(spark, path, "k = 250")
+    assert(t1 == 3 && k1 == 1, s"append stats broken: $k1 of $t1")
+
+    // copy-on-write upsert rewrites the snapshot; fresh stats still prune
+    val changes = spark.range(0, 5).select(col("id").as("k"), lit("y").as("tag"))
+    SnapshotTable.upsert(spark, path, changes, Seq("k"))
+    val fullAfter = SnapshotTable.read(spark, path)
+    assert(SnapshotTable.readWhere(spark, path, "k < 5").count() == 5)
+    assert(SnapshotTable.readWhere(spark, path, "tag = 'y'").count() == 5)
+    assert(fullAfter.count() == 300)
+
+    // compact to 3 files, then prove a legacy (stats-less) manifest still
+    // reads fine and prunes nothing: strip the stats field from the
+    // latest manifest json in place
+    SnapshotTable.compact(spark, path, numFiles = 3)
+    val v = SnapshotTable.latestVersion(spark, path)
+    val mPath = java.nio.file.Paths.get(s"$path/_manifests/v$v.json")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(java.nio.file.Files.readString(mPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.remove("stats")
+    java.nio.file.Files.writeString(mPath, om.writeValueAsString(node))
+    val (t2, k2) = SnapshotTable.pruneReport(spark, path, "k = 250")
+    assert(t2 == k2, "stats-less manifest must scan every file")
+    assert(SnapshotTable.readWhere(spark, path, "k = 250").count() == 1)
+  }
+
+  test("data skipping: null-aware pruning and all-null files") {
+    val path = tmp()
+    // file A: k non-null; file B: k all null
+    val a = spark.range(0, 50).select(col("id").cast("long").as("k"),
+      lit("a").as("src")).coalesce(1)
+    val b = spark.range(0, 50).select(lit(null).cast("long").as("k"),
+      lit("b").as("src")).coalesce(1)
+    SnapshotTable.create(a, path)
+    SnapshotTable.append(b, path)
+    val (_, keptNotNull) = SnapshotTable.pruneReport(spark, path, "k IS NOT NULL")
+    assert(keptNotNull == 1, s"all-null file not pruned: $keptNotNull")
+    val (_, keptNull) = SnapshotTable.pruneReport(spark, path, "k IS NULL")
+    assert(keptNull == 1, s"no-null file not pruned: $keptNull")
+    // a comparison can never match the all-null file either
+    val (_, keptCmp) = SnapshotTable.pruneReport(spark, path, "k >= 0")
+    assert(keptCmp == 1, s"comparison kept the all-null file: $keptCmp")
+    assert(SnapshotTable.readWhere(spark, path, "k IS NULL").count() == 50)
+    assert(SnapshotTable.readWhere(spark, path, "k >= 0").count() == 50)
+  }
+
+  test("cluster: sorted rewrite turns a scattered point query into a one-file open") {
+    val path = tmp()
+    // write k round-robin so EVERY file spans the whole k-range —
+    // skipping can prune nothing
+    val scattered = spark.range(0, 4000)
+      .select((col("id") * 2654435761L % 4000).as("k"), col("id").as("v"))
+      .repartition(4)
+    SnapshotTable.create(scattered, path)
+    val (t0, k0) = SnapshotTable.pruneReport(spark, path, "k = 123")
+    assert(t0 == 4 && k0 == 4, s"scattered layout should prune nothing: $k0 of $t0")
+    // clustered rewrite: each file owns a narrow k-interval
+    SnapshotTable.cluster(spark, path, Seq("k"), numFiles = 4)
+    val (t1, k1) = SnapshotTable.pruneReport(spark, path, "k = 123")
+    assert(t1 == 4 && k1 == 1, s"clustered point query should open 1 file: $k1 of $t1")
+    // rows unchanged, result identical, history intact
+    assert(SnapshotTable.read(spark, path).count() == 4000)
+    assert(SnapshotTable.readWhere(spark, path, "k = 123").count() ==
+      SnapshotTable.read(spark, path, version = 1).filter("k = 123").count())
+  }
+
+  test("changes: version-pair change feed surfaces inserts, deletes, and update pairs") {
+    val path = tmp()
+    val v1 = spark.range(0, 100).select(col("id").as("k"),
+      when(col("id") === 7, lit(null).cast("string"))
+        .otherwise(lit("x")).as("tag"))
+    SnapshotTable.create(v1, path)                                  // v1
+    val changes = spark.range(0, 3).select(col("id").as("k"), lit("upd").as("tag"))
+      .unionByName(spark.range(200, 205).select(col("id").as("k"),
+        lit("new").as("tag")))
+    SnapshotTable.upsert(spark, path, changes, Seq("k"))            // v2
+    SnapshotTable.delete(spark, path, "k >= 90 AND k < 95")         // v3
+
+    val cdf12 = SnapshotTable.changes(spark, path, 1, 2)
+    val byType = cdf12.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 3 updates => 3 delete+insert pairs; 5 pure inserts
+    assert(byType("insert") == 8L, s"got $byType")
+    assert(byType("delete") == 3L, s"got $byType")
+
+    val cdf23 = SnapshotTable.changes(spark, path, 2, 3)
+    assert(cdf23.filter("_change_type = 'delete'").count() == 5L)
+    assert(cdf23.filter("_change_type = 'insert'").count() == 0L)
+
+    // null-safe: the row with a NULL field is NOT a spurious change
+    assert(SnapshotTable.changes(spark, path, 1, 2).filter("k = 7").count() == 0L)
+    // applying the feed reconstructs v2 from v1 (row-set semantics)
+    val rebuilt = SnapshotTable.read(spark, path, 1)
+      .exceptAll(cdf12.filter("_change_type = 'delete'").drop("_change_type"))
+      .unionByName(cdf12.filter("_change_type = 'insert'").drop("_change_type"))
+    assert(rebuilt.exceptAll(SnapshotTable.read(spark, path, 2)).count() == 0L)
+    assert(SnapshotTable.read(spark, path, 2).exceptAll(rebuilt).count() == 0L)
+  }
+
   test("racing writers: exactly one commit of a version wins (true concurrency)") {
     // 6 threads, same base version, simultaneous commits — the atomic
     // no-replace publish (hard link on local fs) must admit exactly one;
