@@ -250,12 +250,87 @@ object Dedup4 {
              COUNT(*) FILTER (WHERE vec_id IN (SELECT vec_id FROM doomed)) AS n_removed
       FROM a2 GROUP BY cluster ORDER BY cluster"""
 
+  // ---- d39: b-bit minhash (Li & König 2010) accuracy table ----
+  // The storage lever past d19: a 64×64-bit signature costs 512 B/doc —
+  // at 10^11 docs that is 50 TB of SIGNATURES. Keeping only the lowest
+  // b bits of each permutation's min-hash cuts that 16× (b=4) or 8×
+  // (b=8) at a quantified accuracy price: lower-bit collisions happen by
+  // chance at rate 1/2^b, so the estimator debiases the raw agreement
+  // C_b via Ĵ = (C_b − 2^-b)/(1 − 2^-b). This table puts the full-width
+  // estimate and both truncated estimates next to d03's exact Jaccard on
+  // the verified near-dup pairs — the evidence for choosing b before
+  // committing petabytes. Determinism: truncation is bitwise AND with a
+  // positive mask (no negative-modulo sign divergence between engines),
+  // agreement counts are exact integers, and both engines evaluate the
+  // identical debias arithmetic left-to-right before the 1e-6 round.
+  // Candidates are d03's bounded verified pairs — never all-pairs.
+  val d39_bbit_minhash: Q = (s, d) => {
+    val sigs = Tables.documents(s, d)
+      .select(col("doc_id"), minhash_signature(col("text"), 64, 3).as("sig"))
+    val pairs = Dedup.d03_ngram_jaccard(s, d)
+    def agree(mask: String) =
+      expr(s"aggregate(zip_with(sig_a, sig_b, (x, y) -> " +
+        s"CASE WHEN (x & $mask) = (y & $mask) THEN 1 ELSE 0 END), " +
+        "0, (acc, v) -> acc + v)").cast("double") / lit(64.0)
+    def debias(c: org.apache.spark.sql.Column, b: Int) = {
+      val r = lit(1.0) / lit(math.pow(2.0, b))
+      round((c - r) / (lit(1.0) - r), 6)
+    }
+    pairs
+      .join(sigs.withColumnRenamed("doc_id", "da")
+        .withColumnRenamed("sig", "sig_a"), "da")
+      .join(sigs.withColumnRenamed("doc_id", "db")
+        .withColumnRenamed("sig", "sig_b"), "db")
+      .select(col("da"), col("db"), col("jaccard").as("jaccard_exact"),
+        round(agree("-1"), 6).as("est_full"),
+        debias(agree("255"), 8).as("est_b8"),
+        debias(agree("15"), 4).as("est_b4"))
+      .orderBy("da", "db")
+  }
+  // oracle: same signature-dump replay as d19; the b-bit truncation and
+  // debias chain is pure arithmetic over the dumped longs
+  val d39Sql: String =
+    """WITH w AS (SELECT doc_id, generate_subscripts(string_split(text,' '),1) i,
+                       unnest(string_split(text,' ')) w FROM documents),
+      g AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+            FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.i=a.i+1
+                     JOIN w c ON c.doc_id=a.doc_id AND c.i=a.i+2),
+      dd AS (SELECT DISTINCT doc_id, sh FROM g),
+      sizes AS (SELECT doc_id, count(*) n FROM dd GROUP BY doc_id),
+      pairs AS (SELECT x.doc_id da, y.doc_id db, count(*) shared
+                FROM dd x JOIN dd y ON x.sh=y.sh AND x.doc_id<y.doc_id GROUP BY 1,2),
+      verified AS (SELECT da, db,
+                          CAST(shared AS DOUBLE)/(sa.n+sb.n-shared) AS jaccard
+                   FROM pairs JOIN sizes sa ON da=sa.doc_id
+                              JOIN sizes sb ON db=sb.doc_id
+                   WHERE CAST(shared AS DOUBLE)/(sa.n+sb.n-shared) >= 0.5),
+      sigs AS (SELECT doc_id, sig
+               FROM read_parquet('/tmp/graft_aux/minhash_sigs/*.parquet')),
+      i AS (SELECT unnest(generate_series(1, 64)) AS i),
+      agg AS (SELECT v.da, v.db, v.jaccard,
+               SUM(CASE WHEN sa.sig[i.i] = sb.sig[i.i] THEN 1 ELSE 0 END) AS k_full,
+               SUM(CASE WHEN (sa.sig[i.i] & 255) = (sb.sig[i.i] & 255)
+                   THEN 1 ELSE 0 END) AS k8,
+               SUM(CASE WHEN (sa.sig[i.i] & 15) = (sb.sig[i.i] & 15)
+                   THEN 1 ELSE 0 END) AS k4
+              FROM verified v JOIN sigs sa ON sa.doc_id = v.da
+                              JOIN sigs sb ON sb.doc_id = v.db, i
+              GROUP BY v.da, v.db, v.jaccard)
+      SELECT da, db, jaccard AS jaccard_exact,
+        round(CAST(k_full AS DOUBLE) / 64, 6) AS est_full,
+        round((CAST(k8 AS DOUBLE) / 64 - CAST(1 AS DOUBLE) / 256.0)
+              / (CAST(1 AS DOUBLE) - CAST(1 AS DOUBLE) / 256.0), 6) AS est_b8,
+        round((CAST(k4 AS DOUBLE) / 64 - CAST(1 AS DOUBLE) / 16.0)
+              / (CAST(1 AS DOUBLE) - CAST(1 AS DOUBLE) / 16.0), 6) AS est_b4
+      FROM agg ORDER BY da, db"""
+
   val queries: Map[String, Q] = Map(
     "d18_span_dedup"        -> d18_span_dedup,
     "d19_minhash_estimate"  -> d19_minhash_estimate,
     "d20_entity_resolution" -> d20_entity_resolution,
     "d21_fuzzy_scores"      -> d21_fuzzy_scores,
     "d22_semdedup_kmeans"   -> d22_semdedup_kmeans,
+    "d39_bbit_minhash"      -> d39_bbit_minhash,
   )
   val oracles: Map[String, String] = Map(
     "d18_span_dedup"        -> d18Sql,
@@ -263,5 +338,6 @@ object Dedup4 {
     "d20_entity_resolution" -> d20Sql,
     "d21_fuzzy_scores"      -> d21Sql,
     "d22_semdedup_kmeans"   -> d22Sql,
+    "d39_bbit_minhash"      -> d39Sql,
   )
 }

@@ -470,6 +470,92 @@ object Events8 {
         abs(z) > 1.96 AS significant
       FROM zz"""
 
+  // ---- e60: Kaplan–Meier survival curve with right-censoring ----
+  // The estimator e48's discrete hazard feeds: S(t) = Π_{u≤t} (1−d_u/n_u)
+  // over event times, with users who never convert CENSORED at their
+  // last observed activity instead of silently dropped — the difference
+  // between "conversion takes 9 days" and the truth when half the cohort
+  // is still mid-journey. Duration = days from first event to first
+  // purchase (event) or to last activity (censored); all d/n counts are
+  // exact integers from ONE user-keyed collapse + one duration rollup.
+  // Cross-engine determinism: per-time ln(1−d/n) terms are 1e-9-rounded
+  // BEFORE the ordered cumulative sum (t08's log discipline — identical
+  // terms + identical order ⇒ identical double sums), survival rounded
+  // at 1e-7; a time where d == n_risk (everyone remaining converts) uses
+  // a −1e9 sentinel term so exp underflows to exactly 0.0 in both
+  // engines rather than tripping ln(0) null-vs-error divergence. The
+  // duration frame is bounded by the corpus date span, so the cumulative
+  // windows ride boundedSingleGroup (partitioned, never corpus-wide).
+  val e60_kaplan_meier: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val u = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy("user_id")
+      .agg(min(col("day")).as("f_day"),
+        min(when(col("event_type") === "purchase", col("day"))).as("c_day"),
+        max(col("day")).as("last_day"))
+      .select(
+        when(col("c_day").isNotNull, datediff(col("c_day"), col("f_day")))
+          .otherwise(datediff(col("last_day"), col("f_day")))
+          .cast("long").as("t"),
+        col("c_day").isNotNull.as("ev"))
+    val byT = u.groupBy("t").agg(
+      sum(when(col("ev"), 1L).otherwise(0L)).as("n_events"),
+      sum(when(col("ev"), 0L).otherwise(1L)).as("n_censored"))
+    val b = graft.api.GraftOps.boundedSingleGroup(byT)
+    val w = Window.partitionBy("__g").orderBy("t")
+    val removed = coalesce(sum(col("n_events") + col("n_censored"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val total = sum(col("n_events") + col("n_censored"))
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    val r = b.withColumn("n_risk", total - removed)
+      .withColumn("term",
+        when(col("n_events") > 0 && col("n_events") < col("n_risk"),
+          round(log(lit(1.0) - col("n_events").cast("double")
+            / col("n_risk").cast("double")), 9))
+          .when(col("n_events") === col("n_risk"), lit(-1e9))
+          .otherwise(lit(0.0)))
+    r.withColumn("km_survival",
+        round(exp(sum("term")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))), 7))
+      .select("t", "n_risk", "n_events", "n_censored", "km_survival")
+      .orderBy("t")
+  }
+  val e60Sql: String =
+    """WITH u AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS f_day,
+               MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END)
+                 AS c_day,
+               MAX(CAST(ts AS DATE)) AS last_day
+             FROM events GROUP BY 1),
+      x AS (SELECT CASE WHEN c_day IS NOT NULL
+                     THEN datediff('day', f_day, c_day)
+                     ELSE datediff('day', f_day, last_day) END AS t,
+                   (c_day IS NOT NULL) AS ev
+            FROM u),
+      g AS (SELECT t, COUNT(*) FILTER (WHERE ev) AS n_events,
+              COUNT(*) FILTER (WHERE NOT ev) AS n_censored
+            FROM x GROUP BY 1),
+      w AS (SELECT *,
+              SUM(n_events + n_censored) OVER () AS n_total,
+              COALESCE(SUM(n_events + n_censored) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS removed
+            FROM g),
+      r AS (SELECT t, n_total - removed AS n_risk, n_events, n_censored,
+              CASE WHEN n_events > 0 AND n_events < n_total - removed
+                   THEN round(ln(1 - CAST(n_events AS DOUBLE)
+                     / CAST(n_total - removed AS DOUBLE)), 9)
+                   WHEN n_events = n_total - removed THEN -1e9
+                   ELSE CAST(0 AS DOUBLE) END AS term
+            FROM w)
+      SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+        CAST(n_events AS BIGINT) AS n_events,
+        CAST(n_censored AS BIGINT) AS n_censored,
+        round(exp(SUM(term) OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 7)
+          AS km_survival
+      FROM r ORDER BY t"""
+
   val queries: Map[String, Q] = Map(
     "e54_cusum"         -> e54_cusum,
     "e55_rate_limit"    -> e55_rate_limit,
@@ -477,6 +563,7 @@ object Events8 {
     "e57_incremental_sessions" -> e57_incremental_sessions,
     "e58_seq_match"     -> e58_seq_match,
     "e59_ab_proportion" -> e59_ab_proportion,
+    "e60_kaplan_meier"  -> e60_kaplan_meier,
   )
   val oracles: Map[String, String] = Map(
     "e54_cusum"         -> e54Sql,
@@ -485,5 +572,6 @@ object Events8 {
     "e57_incremental_sessions" -> e57Sql,
     "e58_seq_match"     -> e58Sql,
     "e59_ab_proportion" -> e59Sql,
+    "e60_kaplan_meier"  -> e60Sql,
   )
 }

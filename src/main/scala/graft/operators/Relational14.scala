@@ -348,16 +348,109 @@ object Relational14 {
         JOIN we ON ex.week = we.week
       ORDER BY week"""
 
+  // ---- q110: rolling OLS trend per group (28-day revenue slope) ----
+  // The trend-detection verb dashboards rebuild daily: per nation, the
+  // ordinary-least-squares slope of daily revenue against the calendar
+  // day over a trailing 28-day RANGE window (calendar-addressed, so gap
+  // days shrink n instead of silently stretching the window like a ROWS
+  // frame would). Numeric discipline: revenue is summed as exact INTEGER
+  // CENTS (2-dp decimal × 100 — lossless) so every windowed sum is a
+  // long, immune to the windowed-double hazard where engines disagree
+  // on summation ORDER inside sliding frames (segment-tree vs running
+  // accumulation); Σx/Σx²/Σxy all stay well under 2^53. The closed form
+  // slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is a RATIONAL — and rational
+  // quotients land exactly on .5×10⁻ᵏ rounding boundaries (the s22/e52
+  // half-boundary trap: this query's first draft diverged by 1 ulp at
+  // exactly such a row), so the published slope is an exact INTEGER of
+  // micro-dollars/day via shifted floor division (offset makes the
+  // numerator nonnegative, where Spark's truncating `div` and DuckDB's
+  // flooring `//` agree; DECIMAL(38,0)/HUGEINT intermediates since
+  // num·10⁴ overflows a long), with the display double derived FROM
+  // that integer — no double round() anywhere in the output path.
+  // Scale: one fact-scale day rollup, then windows over the
+  // nation×day frame (dimension-sized); no self-join.
+  val q110_rolling_regression: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        to_date(col("o_orderdate")).as("day"))
+      // cents via round-then-cast: the price is a 2-dp value stored as
+      // double, so x*100 sits a hair off an integer; a bare long cast
+      // TRUNCATES in Spark but ROUNDS in DuckDB — round() first makes
+      // both engines land on the same exact integer
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("y"))
+      .withColumn("x", datediff(col("day"), to_date(lit("1992-01-01")))
+        .cast("long"))
+    val w = Window.partitionBy("nation").orderBy("x").rangeBetween(-27, 0)
+    daily
+      .withColumn("n",   count(lit(1)).over(w))
+      .withColumn("sx",  sum("x").over(w))
+      .withColumn("sy",  sum("y").over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("slope_micro", when(col("den") > 0,
+        expr("""CAST((CAST(num AS DECIMAL(38,0)) * 10000
+                 + CAST(100000000000000 AS DECIMAL(38,0))
+                   * CAST(den AS DECIMAL(38,0)))
+                div CAST(den AS DECIMAL(38,0)) AS BIGINT)
+               - 100000000000000""")))
+      .withColumn("slope_per_day",
+        col("slope_micro").cast("double") / lit(1000000.0))
+      .select(col("nation"), col("day"), col("n").as("n_days"),
+        col("y").as("revenue_cents"), col("slope_micro"),
+        col("slope_per_day"))
+      .orderBy("nation", "day")
+  }
+  val q110Sql: String =
+    """WITH daily AS (SELECT n_name AS nation,
+               CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                 AS BIGINT) AS y
+             FROM orders JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey
+             GROUP BY 1, 2),
+      d2 AS (SELECT *, CAST(datediff('day', DATE '1992-01-01', day)
+               AS BIGINT) AS x FROM daily),
+      s AS (SELECT nation, day, y,
+              COUNT(*) OVER w AS n,
+              SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+              SUM(x * y) OVER w AS sxy, SUM(x * x) OVER w AS sxx
+            FROM d2
+            WINDOW w AS (PARTITION BY nation ORDER BY x
+              RANGE BETWEEN 27 PRECEDING AND CURRENT ROW)),
+      m AS (SELECT nation, day, n, y,
+              n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
+            FROM s),
+      f AS (SELECT nation, day, n, y,
+              CASE WHEN den > 0 THEN
+                CAST((CAST(num AS HUGEINT) * 10000
+                      + CAST(100000000000000 AS HUGEINT)
+                        * CAST(den AS HUGEINT))
+                     // CAST(den AS HUGEINT) AS BIGINT)
+                - 100000000000000
+              END AS slope_micro
+            FROM m)
+      SELECT nation, day, CAST(n AS BIGINT) AS n_days,
+        y AS revenue_cents, slope_micro,
+        CAST(slope_micro AS DOUBLE) / 1000000.0 AS slope_per_day
+      FROM f ORDER BY nation, day"""
+
   val queries: Map[String, Q] = Map(
     "q106_bootstrap_ci"  -> q106_bootstrap_ci,
     "q107_semi_additive" -> q107_semi_additive,
     "q108_weighted_median" -> q108_weighted_median,
     "q109_distinct_cube" -> q109_distinct_cube,
+    "q110_rolling_regression" -> q110_rolling_regression,
   )
   val oracles: Map[String, String] = Map(
     "q106_bootstrap_ci"  -> q106Sql,
     "q107_semi_additive" -> q107Sql,
     "q108_weighted_median" -> q108Sql,
     "q109_distinct_cube" -> q109Sql,
+    "q110_rolling_regression" -> q110Sql,
   )
 }

@@ -286,16 +286,77 @@ object TextAnalysis10 {
           AS sym_density
       FROM f GROUP BY source ORDER BY source"""
 
+  // ---- t39: marginal vocabulary yield per source ----
+  // The data-acquisition question t20 (coverage vs a reference vocab)
+  // and t17 (temporal novelty) don't answer: with sources ingested in a
+  // FIXED order, how many vocabulary types does each source add that no
+  // earlier source already contributed? The diminishing-returns curve —
+  // new types per 1k tokens scanned — is the marginal-utility table a
+  // corpus buyer reads before paying for another crawl of the same
+  // distribution. Deterministic first-owner attribution: a type belongs
+  // to its alphabetically-first source (MIN over the distinct
+  // source×type pairs — order-free, engine-neutral), so the cumulative
+  // curve is exactly the fixed-order greedy scan. Scale shape: the
+  // explode collapses map-side into (source, token) distincts, the only
+  // shuffles are vocab-sized (token-keyed), never corpus-sized; the
+  // final frame is |sources| rows, cumulated under boundedSingleGroup.
+  val t39_vocab_yield: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val firstSrc = toks.select("source", "tok").distinct()
+      .groupBy("tok").agg(min("source").as("source"))
+    val newBySrc = firstSrc.groupBy("source")
+      .agg(count(lit(1)).as("new_types"))
+    val srcStats = toks.groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        count_distinct(col("tok")).as("n_types"))
+    val joined = srcStats.join(newBySrc, Seq("source"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+    val b = graft.api.GraftOps.boundedSingleGroup(joined)
+    val w = Window.partitionBy("__g").orderBy("source")
+    b.withColumn("cum_new_types",
+        sum("new_types").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("yield_per_1k",
+        round(col("new_types").cast("double") * 1000.0
+          / col("n_tokens").cast("double"), 9))
+      .select("source", "n_tokens", "n_types", "new_types",
+        "cum_new_types", "yield_per_1k")
+      .orderBy("source")
+  }
+  val t39Sql: String =
+    """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+      t2 AS (SELECT source, tok FROM toks WHERE len(tok) > 0),
+      fs AS (SELECT tok, MIN(source) AS source
+             FROM (SELECT DISTINCT source, tok FROM t2) GROUP BY 1),
+      nb AS (SELECT source, COUNT(*) AS new_types FROM fs GROUP BY 1),
+      ss AS (SELECT source, COUNT(*) AS n_tokens,
+               COUNT(DISTINCT tok) AS n_types
+             FROM t2 GROUP BY 1)
+      SELECT ss.source, n_tokens, n_types,
+        CAST(COALESCE(new_types, 0) AS BIGINT) AS new_types,
+        CAST(SUM(COALESCE(new_types, 0)) OVER (ORDER BY ss.source
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_new_types,
+        round(CAST(COALESCE(new_types, 0) AS DOUBLE) * 1000.0
+              / CAST(n_tokens AS DOUBLE), 9) AS yield_per_1k
+      FROM ss LEFT JOIN nb USING (source) ORDER BY source"""
+
   val queries: Map[String, Q] = Map(
     "t35_readability" -> t35_readability,
     "t36_burstiness"  -> t36_burstiness,
     "t37_length_forensics" -> t37_length_forensics,
     "t38_code_detect" -> t38_code_detect,
+    "t39_vocab_yield" -> t39_vocab_yield,
   )
   val oracles: Map[String, String] = Map(
     "t35_readability" -> t35Sql,
     "t36_burstiness"  -> t36Sql,
     "t37_length_forensics" -> t37Sql,
     "t38_code_detect" -> t38Sql,
+    "t39_vocab_yield" -> t39Sql,
   )
 }

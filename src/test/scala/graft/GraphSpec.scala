@@ -2358,6 +2358,119 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("e60 kaplan-meier: survival non-increasing from 1, risk set conserved") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Events8.e60_kaplan_meier(spark, sf)
+      .orderBy("t").collect()
+    assert(rows.nonEmpty)
+    val nUsers = Tables.events(spark, sf)
+      .select(countDistinct("user_id")).collect()(0).getLong(0)
+    // first risk set is the whole cohort; risk sets strictly decrease
+    assert(rows.head.getAs[Long]("n_risk") == nUsers)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_risk") ==
+        a.getAs[Long]("n_risk") - a.getAs[Long]("n_events")
+          - a.getAs[Long]("n_censored"),
+        s"risk set not conserved between t=${a.getAs[Long]("t")} and next")
+      assert(b.getAs[Double]("km_survival") <= a.getAs[Double]("km_survival") + 1e-12,
+        "survival must be non-increasing")
+    }
+    assert(rows.forall { r =>
+      val s0 = r.getAs[Double]("km_survival"); s0 >= 0.0 && s0 <= 1.0
+    })
+    // replay the product form exactly from the integer counts
+    var surv = 1.0
+    rows.foreach { r =>
+      val (dd, nr) = (r.getAs[Long]("n_events"), r.getAs[Long]("n_risk"))
+      if (dd > 0) surv *= (1.0 - dd.toDouble / nr.toDouble)
+      assert(math.abs(r.getAs[Double]("km_survival") - surv) < 1e-5,
+        s"KM at t=${r.getAs[Long]("t")}: ${r.getAs[Double]("km_survival")} vs $surv")
+    }
+  }
+
+  test("t39 vocab yield: new-type attribution partitions the global vocabulary") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.TextAnalysis10.t39_vocab_yield(spark, sf)
+      .orderBy("source").collect()
+    assert(rows.nonEmpty)
+    val globalTypes = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(countDistinct("tok")).collect()(0).getLong(0)
+    // every type has exactly one owning source
+    assert(rows.map(_.getAs[Long]("new_types")).sum == globalTypes)
+    assert(rows.last.getAs[Long]("cum_new_types") == globalTypes)
+    // the first source owns its entire vocabulary
+    assert(rows.head.getAs[Long]("new_types") == rows.head.getAs[Long]("n_types"))
+    // cumulative curve is monotone and ends at the global count
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("cum_new_types") ==
+        a.getAs[Long]("cum_new_types") + b.getAs[Long]("new_types"))
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("new_types") <= r.getAs[Long]("n_types"))
+      assert(r.getAs[Double]("yield_per_1k") >= 0.0)
+    }
+  }
+
+  test("d39 b-bit minhash: debias chain re-derivable, truncation only loses precision") {
+    val rows = operators.Dedup4.d39_bbit_minhash(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val full = r.getAs[Double]("est_full")
+      val (b8, b4) = (r.getAs[Double]("est_b8"), r.getAs[Double]("est_b4"))
+      // a full-width match implies a b-bit match, so raw agreement can
+      // only grow as bits are dropped; debiasing never pushes the
+      // estimate below (C_full - r)/(1 - r)
+      def debias(c: Double, b: Int) = { val rr = math.pow(2.0, -b); (c - rr) / (1 - rr) }
+      // 1e-6 slack: published estimates are 6dp-rounded
+      assert(b8 >= debias(full, 8) - 1e-6, s"b8 below floor: $r")
+      assert(b4 >= debias(full, 4) - 1e-6, s"b4 below floor: $r")
+      // estimates stay in the debiased range
+      assert(b8 <= 1.0 + 1e-9 && b4 <= 1.0 + 1e-9)
+    }
+    // on >=0.5-Jaccard verified pairs the 8-bit estimate tracks the
+    // full one closely in aggregate (64 perms, chance collisions ~1/256)
+    val mad8 = rows.map(r => math.abs(r.getAs[Double]("est_b8") -
+      r.getAs[Double]("est_full"))).sum / rows.length
+    assert(mad8 < 0.05, s"b8 mean |error| vs full unexpectedly large: $mad8")
+  }
+
+  test("q110 rolling regression: slope equals exact OLS on the trailing window") {
+    import org.apache.spark.sql.functions._
+    val all = operators.Relational14.q110_rolling_regression(spark, sf)
+    val firstNation = all.select(min("nation")).collect()(0).getString(0)
+    val rows = all.filter(col("nation") === firstNation).orderBy("day").collect()
+    assert(rows.nonEmpty)
+    // rebuild the trailing-28-day window by hand for a few anchors
+    val series = rows.map(r => (r.getAs[java.sql.Date]("day").toLocalDate,
+      r.getAs[Long]("revenue_cents"))).toSeq
+    Seq(series.length / 3, series.length / 2, series.length - 1).foreach { i =>
+      val (anchor, _) = series(i)
+      val win = series.filter { case (d0, _) =>
+        !d0.isAfter(anchor) && !d0.isBefore(anchor.minusDays(27)) }
+      val xs = win.map { case (d0, _) =>
+        java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.parse("1992-01-01"), d0).toDouble }
+      val ys = win.map(_._2.toDouble)
+      val n = xs.length
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum
+      val den = n * sxx - sx * sx
+      val r = rows(i)
+      assert(r.getAs[Long]("n_days") == n)
+      if (den > 0) {
+        val slope = (n * sxy - sx * sy) / den / 100.0
+        assert(math.abs(r.getAs[Double]("slope_per_day") - slope) < 1e-4,
+          s"slope mismatch at $anchor: ${r.getAs[Double]("slope_per_day")} vs $slope")
+        // the integer is the floor of the exact micro-dollar slope
+        assert(r.getAs[Long]("slope_micro") <= slope * 1e6 + 1e-3 &&
+          r.getAs[Long]("slope_micro") > slope * 1e6 - 1 - 1e-3)
+      }
+    }
+  }
+
   test("v29 cell residuals: residuals re-derivable from exact counts") {
     val rows = operators.Quality4.v29_cell_residuals(spark, sf).collect()
     assert(rows.nonEmpty)
