@@ -292,6 +292,33 @@ def triangles(spark, edges, a_col, b_col):
     return _wrap(spark, jdf)
 
 
+def kaplan_meier(spark, df, entity_col, ts_col, is_event_expr):
+    """Right-censored Kaplan-Meier survival curve.
+
+    ``is_event_expr`` is a SQL boolean over the frame, e.g.
+    "event_type = 'purchase'"; entities without an event are censored
+    at their last observation. Returns one row per duration with
+    (t, n_risk, n_events, n_censored, km_survival).
+    """
+    jdf = _graft_ops(spark).kaplanMeier(
+        df._jdf, _col(spark, entity_col), _col(spark, ts_col),
+        _col_expr(spark, is_event_expr))
+    return _wrap(spark, jdf)
+
+
+def rolling_trend(spark, df, group_col, day_col, cents_expr,
+                  window_days=28):
+    """Trailing-window OLS slope of a daily integer-cents total, per
+    group. ``cents_expr`` is a SQL expression yielding exact integer
+    cents, e.g. "CAST(round(price * 100, 0) AS BIGINT)". Returns
+    (grp, day, n_days, cents, slope_micro, slope_per_day).
+    """
+    jdf = _graft_ops(spark).rollingTrend(
+        df._jdf, _col(spark, group_col), _col(spark, day_col),
+        _col_expr(spark, cents_expr), int(window_days))
+    return _wrap(spark, jdf)
+
+
 def verb(spark, name, df, *args):
     """Generic escape hatch: call any GraftOps verb by name.
 

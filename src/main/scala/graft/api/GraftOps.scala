@@ -1200,6 +1200,100 @@ object GraftOps {
       .orderBy("d")
   }
 
+  /** Kaplan–Meier survival curve with right-censoring (e60's engine):
+    * per entity, duration runs from first observation to first
+    * `isEvent` row (event) or to the LAST observation (censored) —
+    * non-converters count as still-at-risk instead of being dropped.
+    * S(t) = Π_{u≤t} (1 − d_u/n_u) over event times; d/n are exact
+    * integers from one entity collapse + one duration rollup. Numeric
+    * discipline: 1e-9-rounded ln(1−d/n) terms before the ordered
+    * cumulative sum, −1e9 sentinel where d == n_risk so exp underflows
+    * to exactly 0.0 (never ln(0)); survival rounded at 1e-7. The
+    * duration frame is bounded by the observation date span, so the
+    * cumulative windows ride [[boundedSingleGroup]] — never a
+    * corpus-wide unpartitioned window.
+    */
+  def kaplanMeier(df: DataFrame, entity: Column, ts: Column,
+                  isEvent: Column): DataFrame = {
+    val u = df
+      .select(entity.as("__e"), to_date(ts).as("day"), isEvent.as("__ev"))
+      .groupBy("__e")
+      .agg(min(col("day")).as("f_day"),
+        min(when(col("__ev"), col("day"))).as("c_day"),
+        max(col("day")).as("last_day"))
+      .select(
+        when(col("c_day").isNotNull, datediff(col("c_day"), col("f_day")))
+          .otherwise(datediff(col("last_day"), col("f_day")))
+          .cast("long").as("t"),
+        col("c_day").isNotNull.as("ev"))
+    val byT = u.groupBy("t").agg(
+      sum(when(col("ev"), 1L).otherwise(0L)).as("n_events"),
+      sum(when(col("ev"), 0L).otherwise(1L)).as("n_censored"))
+    val b = boundedSingleGroup(byT)
+    val w = Window.partitionBy("__g").orderBy("t")
+    val removed = coalesce(sum(col("n_events") + col("n_censored"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val total = sum(col("n_events") + col("n_censored"))
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    b.withColumn("n_risk", total - removed)
+      .withColumn("term",
+        when(col("n_events") > 0 && col("n_events") < col("n_risk"),
+          round(log(lit(1.0) - col("n_events").cast("double")
+            / col("n_risk").cast("double")), 9))
+          .when(col("n_events") === col("n_risk"), lit(-1e9))
+          .otherwise(lit(0.0)))
+      .withColumn("km_survival",
+        round(exp(sum("term")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))), 7))
+      .select("t", "n_risk", "n_events", "n_censored", "km_survival")
+      .orderBy("t")
+  }
+
+  /** Rolling OLS trend per group (q110's engine): daily rollup of
+    * `cents` (pass an EXACT integer-cents column — integer window sums
+    * are immune to the sliding-frame double summation-order divergence
+    * between engines), then the trailing `windowDays`-day RANGE-frame
+    * least-squares slope of daily total vs calendar day. The slope is
+    * published as an exact integer of micro-units/day via shifted floor
+    * division (DECIMAL(38,0) intermediates; the +10^14·den offset makes
+    * truncating `div` floor-exact for negative slopes too) because the
+    * closed-form slope is a rational that can land exactly on rounding
+    * half-boundaries; the display double derives from that integer.
+    * Output: (grp, day, n_days, cents, slope_micro, slope_per_day)
+    * where slope_per_day is in whole units (cents/100) per day.
+    */
+  def rollingTrend(df: DataFrame, group: Column, day: Column,
+                   cents: Column, windowDays: Int = 28): DataFrame = {
+    require(windowDays >= 2, s"windowDays must be >= 2, got $windowDays")
+    val daily = df.select(group.as("grp"), day.as("day"), cents.as("__c"))
+      .groupBy("grp", "day").agg(sum(col("__c")).as("cents"))
+      // slope is translation-invariant in x (exact algebraic identity
+      // over the integer sums), so the epoch choice cannot change it
+      .withColumn("x", datediff(col("day"), to_date(lit("1970-01-01")))
+        .cast("long"))
+    val w = Window.partitionBy("grp").orderBy("x")
+      .rangeBetween(-(windowDays - 1), 0)
+    daily
+      .withColumn("n",   count(lit(1)).over(w))
+      .withColumn("sx",  sum("x").over(w))
+      .withColumn("sy",  sum("cents").over(w))
+      .withColumn("sxy", sum(col("x") * col("cents")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("slope_micro", when(col("den") > 0,
+        expr("""CAST((CAST(num AS DECIMAL(38,0)) * 10000
+                 + CAST(100000000000000 AS DECIMAL(38,0))
+                   * CAST(den AS DECIMAL(38,0)))
+                div CAST(den AS DECIMAL(38,0)) AS BIGINT)
+               - 100000000000000""")))
+      .withColumn("slope_per_day",
+        col("slope_micro").cast("double") / lit(1000000.0))
+      .select(col("grp"), col("day"), col("n").as("n_days"),
+        col("cents"), col("slope_micro"), col("slope_per_day"))
+      .orderBy("grp", "day")
+  }
+
   /** Deterministic source-interleaved shard assignment: rank rows
     * WITHIN each group by (md5(id), id) — a group-partitioned window,
     * never a global sort — and round-robin the rank over `nShards`.
@@ -1628,6 +1722,11 @@ object syntax {
       GraftOps.conversionHazard(df, entity, ts, isConversion, maxDays)
     def shardInterleave(id: Column, group: Column, nShards: Int = 8): DataFrame =
       GraftOps.shardInterleave(df, id, group, nShards)
+    def kaplanMeier(entity: Column, ts: Column, isEvent: Column): DataFrame =
+      GraftOps.kaplanMeier(df, entity, ts, isEvent)
+    def rollingTrend(group: Column, day: Column, cents: Column,
+                     windowDays: Int = 28): DataFrame =
+      GraftOps.rollingTrend(df, group, day, cents, windowDays)
     def linkPredict(a: Column, b: Column, topK: Int = 15): DataFrame =
       GraftOps.linkPredict(df, a, b, topK)
     def substringContainment(id: Column, text: Column): DataFrame =

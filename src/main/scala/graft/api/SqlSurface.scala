@@ -226,6 +226,27 @@ object SqlSurface {
       case args => throw new IllegalArgumentException(
         s"graft_snapshot_read(path[, version]): got ${args.size} args")
     },
+    "graft_kaplan_meier" -> {
+      case Seq(t, e, ts, ev) =>
+        plan(GraftOps.kaplanMeier(table(str(t, "table")),
+          col(str(e, "entity")), col(str(ts, "ts")),
+          org.apache.spark.sql.functions.expr(str(ev, "isEvent"))))
+      case args => throw new IllegalArgumentException(
+        s"graft_kaplan_meier(table, entity, ts, is_event): got ${args.size} args")
+    },
+    "graft_rolling_trend" -> {
+      case Seq(t, g, dy, c) =>
+        plan(GraftOps.rollingTrend(table(str(t, "table")),
+          col(str(g, "group")), col(str(dy, "day")),
+          org.apache.spark.sql.functions.expr(str(c, "cents"))))
+      case Seq(t, g, dy, c, wd) =>
+        plan(GraftOps.rollingTrend(table(str(t, "table")),
+          col(str(g, "group")), col(str(dy, "day")),
+          org.apache.spark.sql.functions.expr(str(c, "cents")),
+          int(wd, "windowDays")))
+      case args => throw new IllegalArgumentException(
+        s"graft_rolling_trend(table, group, day, cents[, window_days]): got ${args.size} args")
+    },
     // zone-map-pruned snapshot read: opens only files whose manifest
     // stats can satisfy the predicate (SnapshotTable.readWhere)
     "graft_snapshot_where" -> {

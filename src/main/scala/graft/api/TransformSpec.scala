@@ -246,6 +246,21 @@ object TransformSpec {
           expr(step.path("ts").asText()),
           expr(step.path("isConversion").asText()),
           if (step.has("maxDays")) step.path("maxDays").asInt() else 14)
+      case "kaplanMeier" =>
+        // right-censored Kaplan–Meier survival curve (e60's verb):
+        //   {"op": "kaplanMeier", "entity": "user_id", "ts": "ts",
+        //    "isEvent": "event_type = 'purchase'"}
+        GraftOps.kaplanMeier(df, expr(step.path("entity").asText()),
+          expr(step.path("ts").asText()),
+          expr(step.path("isEvent").asText()))
+      case "rollingTrend" =>
+        // trailing-window OLS slope per group (q110's verb):
+        //   {"op": "rollingTrend", "group": "nation", "day": "day",
+        //    "cents": "cents", "windowDays": 28}
+        GraftOps.rollingTrend(df, expr(step.path("group").asText()),
+          expr(step.path("day").asText()),
+          expr(step.path("cents").asText()),
+          if (step.has("windowDays")) step.path("windowDays").asInt() else 28)
       case "linkPredict" =>
         // common-neighbor link prediction over an a<b edge frame (g06's
         // verb): {"op": "linkPredict", "a": "a", "b": "b", "topK": 15}

@@ -486,41 +486,10 @@ object Events8 {
   // engines rather than tripping ln(0) null-vs-error divergence. The
   // duration frame is bounded by the corpus date span, so the cumulative
   // windows ride boundedSingleGroup (partitioned, never corpus-wide).
-  val e60_kaplan_meier: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
-    val u = Tables.events(s, d)
-      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
-      .groupBy("user_id")
-      .agg(min(col("day")).as("f_day"),
-        min(when(col("event_type") === "purchase", col("day"))).as("c_day"),
-        max(col("day")).as("last_day"))
-      .select(
-        when(col("c_day").isNotNull, datediff(col("c_day"), col("f_day")))
-          .otherwise(datediff(col("last_day"), col("f_day")))
-          .cast("long").as("t"),
-        col("c_day").isNotNull.as("ev"))
-    val byT = u.groupBy("t").agg(
-      sum(when(col("ev"), 1L).otherwise(0L)).as("n_events"),
-      sum(when(col("ev"), 0L).otherwise(1L)).as("n_censored"))
-    val b = graft.api.GraftOps.boundedSingleGroup(byT)
-    val w = Window.partitionBy("__g").orderBy("t")
-    val removed = coalesce(sum(col("n_events") + col("n_censored"))
-      .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
-    val total = sum(col("n_events") + col("n_censored"))
-      .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-    val r = b.withColumn("n_risk", total - removed)
-      .withColumn("term",
-        when(col("n_events") > 0 && col("n_events") < col("n_risk"),
-          round(log(lit(1.0) - col("n_events").cast("double")
-            / col("n_risk").cast("double")), 9))
-          .when(col("n_events") === col("n_risk"), lit(-1e9))
-          .otherwise(lit(0.0)))
-    r.withColumn("km_survival",
-        round(exp(sum("term")
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))), 7))
-      .select("t", "n_risk", "n_events", "n_censored", "km_survival")
-      .orderBy("t")
-  }
+  // body IS GraftOps.kaplanMeier — the facade verb the oracle certifies
+  val e60_kaplan_meier: Q = (s, d) =>
+    graft.api.GraftOps.kaplanMeier(Tables.events(s, d),
+      col("user_id"), col("ts"), col("event_type") === "purchase")
   val e60Sql: String =
     """WITH u AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS f_day,
                MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END)

@@ -369,42 +369,25 @@ object Relational14 {
   // that integer — no double round() anywhere in the output path.
   // Scale: one fact-scale day rollup, then windows over the
   // nation×day frame (dimension-sized); no self-join.
-  val q110_rolling_regression: Q = (s, d) => {
-    val daily = Tables.orders(s, d)
-      .join(Tables.customer(s, d),
-        col("o_custkey") === col("c_custkey"))
-      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
-      .groupBy(col("n_name").as("nation"),
-        to_date(col("o_orderdate")).as("day"))
-      // cents via round-then-cast: the price is a 2-dp value stored as
-      // double, so x*100 sits a hair off an integer; a bare long cast
-      // TRUNCATES in Spark but ROUNDS in DuckDB — round() first makes
-      // both engines land on the same exact integer
-      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("y"))
-      .withColumn("x", datediff(col("day"), to_date(lit("1992-01-01")))
-        .cast("long"))
-    val w = Window.partitionBy("nation").orderBy("x").rangeBetween(-27, 0)
-    daily
-      .withColumn("n",   count(lit(1)).over(w))
-      .withColumn("sx",  sum("x").over(w))
-      .withColumn("sy",  sum("y").over(w))
-      .withColumn("sxy", sum(col("x") * col("y")).over(w))
-      .withColumn("sxx", sum(col("x") * col("x")).over(w))
-      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
-      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
-      .withColumn("slope_micro", when(col("den") > 0,
-        expr("""CAST((CAST(num AS DECIMAL(38,0)) * 10000
-                 + CAST(100000000000000 AS DECIMAL(38,0))
-                   * CAST(den AS DECIMAL(38,0)))
-                div CAST(den AS DECIMAL(38,0)) AS BIGINT)
-               - 100000000000000""")))
-      .withColumn("slope_per_day",
-        col("slope_micro").cast("double") / lit(1000000.0))
-      .select(col("nation"), col("day"), col("n").as("n_days"),
-        col("y").as("revenue_cents"), col("slope_micro"),
+  // body IS GraftOps.rollingTrend — the facade verb the oracle
+  // certifies. Cents via round-then-cast: the price is a 2-dp value
+  // stored as double, so x*100 sits a hair off an integer; a bare long
+  // cast TRUNCATES in Spark but ROUNDS in DuckDB — round() first makes
+  // both engines land on the same exact integer. (The verb's 1970 x
+  // epoch vs the oracle's 1992 one is immaterial: the OLS slope is
+  // translation-invariant in x as an exact algebraic identity over the
+  // integer sums.)
+  val q110_rolling_regression: Q = (s, d) =>
+    graft.api.GraftOps.rollingTrend(
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey")),
+      col("n_name"), to_date(col("o_orderdate")),
+      round(col("o_totalprice") * 100, 0).cast("long"))
+      .select(col("grp").as("nation"), col("day"), col("n_days"),
+        col("cents").as("revenue_cents"), col("slope_micro"),
         col("slope_per_day"))
       .orderBy("nation", "day")
-  }
   val q110Sql: String =
     """WITH daily AS (SELECT n_name AS nation,
                CAST(o_orderdate AS DATE) AS day,

@@ -146,6 +146,29 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(prSql.collect().toSeq == prApi.collect().toSeq)
   }
 
+  test("survival + trend TVFs pin their plumbing against the verbs") {
+    SqlSurface.install(spark)
+    Tables.events(spark, sf).createOrReplaceTempView("events_km_v")
+    val kmSql = spark.sql(
+      """SELECT * FROM graft_kaplan_meier('events_km_v', 'user_id', 'ts',
+           'event_type = ''purchase''') ORDER BY t""")
+    val kmApi = GraftOps.kaplanMeier(Tables.events(spark, sf),
+      col("user_id"), col("ts"), col("event_type") === "purchase").orderBy("t")
+    assert(kmSql.collect().toSeq == kmApi.collect().toSeq)
+
+    Tables.orders(spark, sf)
+      .select(col("o_orderpriority").as("g"),
+        to_date(col("o_orderdate")).as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .createOrReplaceTempView("orders_rt_v")
+    val rtSql = spark.sql(
+      """SELECT * FROM graft_rolling_trend('orders_rt_v', 'g', 'day',
+           'cents', 14) ORDER BY grp, day""")
+    val rtApi = GraftOps.rollingTrend(spark.table("orders_rt_v"),
+      col("g"), col("day"), col("cents"), 14).orderBy("grp", "day")
+    assert(rtSql.collect().toSeq == rtApi.collect().toSeq)
+  }
+
   test("graft_transform runs a declarative job with session-catalog table resolution") {
     SqlSurface.install(spark)
     docs.createOrReplaceTempView("documents_sql_v")

@@ -372,6 +372,32 @@ class TransformSpecSpec extends AnyFunSuite {
     assert(gotGrow.sameElements(wantGrow))
   }
 
+  test("kaplanMeier and rollingTrend steps agree with their verbs") {
+    import graft.api.GraftOps
+    val ev = Tables.events(spark, sf)
+    val gotKm = TransformSpec.run(
+      """{"source": "ev", "steps": [
+        {"op": "kaplanMeier", "entity": "user_id", "ts": "ts",
+         "isEvent": "event_type = 'purchase'"}]}""",
+      Map("ev" -> ev)).collect().map(_.mkString("|"))
+    val wantKm = GraftOps.kaplanMeier(ev, col("user_id"), col("ts"),
+      col("event_type") === "purchase").collect().map(_.mkString("|"))
+    assert(gotKm.sameElements(wantKm))
+
+    val daily = Tables.orders(spark, sf)
+      .select(col("o_orderpriority").as("g"),
+        to_date(col("o_orderdate")).as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val gotRt = TransformSpec.run(
+      """{"source": "o", "steps": [
+        {"op": "rollingTrend", "group": "g", "day": "day",
+         "cents": "cents", "windowDays": 14}]}""",
+      Map("o" -> daily)).collect().map(_.mkString("|"))
+    val wantRt = GraftOps.rollingTrend(daily, col("g"), col("day"),
+      col("cents"), 14).collect().map(_.mkString("|"))
+    assert(gotRt.sameElements(wantRt))
+  }
+
   test("quota step filters to the verb's kept set and restores the schema") {
     import graft.api.GraftOps
     val docs = Tables.documents(spark, sf)

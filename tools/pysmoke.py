@@ -249,6 +249,28 @@ assert cc == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 5), (6, 5)}, cc
 pr = graft.pagerank(spark, edges, "a", "b")
 assert abs(sum(r.pr for r in pr.collect()) - 1.0) < 1e-9
 
+# 6k. kaplan_meier: risk sets conserved against an independent count
+km = graft.kaplan_meier(spark, events, "user_id", "ts",
+                        "event_type = 'purchase'").orderBy("t").collect()
+n_users = events.select("user_id").distinct().count()
+assert km[0].n_risk == n_users, (km[0], n_users)
+assert sum(r.n_events + r.n_censored for r in km) == n_users
+surv = 1.0
+for r in km:
+    if r.n_events > 0:
+        surv *= 1.0 - r.n_events / r.n_risk
+    assert abs(r.km_survival - surv) < 1e-5, (r, surv)
+
+# 6l. rolling_trend: a perfectly linear synthetic series has its exact slope
+lin = spark.createDataFrame(
+    [("g", f"2020-01-{d:02d}", 100 * d) for d in range(1, 29)],
+    ["g", "day", "cents"]).select(
+        "g", F.to_date("day").alias("day"), "cents")
+rt = graft.rolling_trend(spark, lin, "g", "day", "cents").orderBy("day")
+last = rt.collect()[-1]
+# slope = 100 cents/day = 1.0 unit/day = 1_000_000 micro-units
+assert last.n_days == 28 and last.slope_micro == 1000000, last
+
 # 6i. generic verb dispatcher: latestPerKey via verb() == direct window
 lk = graft.verb(spark, "latestPerKey", events,
                 "col:user_id", ["col:ts", "col:event_id"])
@@ -258,5 +280,5 @@ print(f"PASS pysmoke: sql-functions, {len(out)}-row declarative job, "
       f"{len(exact)} near-dup pairs (lsh == exact == TVF), top-k facade, "
       f"fd-audit + shard-interleave verbs, and the round-5 parity sweep "
       f"(sessionize/asof/expect/profile/gopher/span-dedup/global-rank/"
-      f"skyline/verb-dispatch) — all green")
+      f"skyline/verb-dispatch/kaplan-meier/rolling-trend) — all green")
 spark.stop()
