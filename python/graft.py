@@ -292,6 +292,14 @@ def triangles(spark, edges, a_col, b_col):
     return _wrap(spark, jdf)
 
 
+def label_propagation(spark, edges, a_col, b_col, rounds=4):
+    """Deterministic synchronous label-propagation communities over an
+    (a, b) undirected edge frame. Returns (node, lbl)."""
+    jdf = _graft_ops(spark).labelPropagation(
+        edges._jdf, _col(spark, a_col), _col(spark, b_col), int(rounds))
+    return _wrap(spark, jdf)
+
+
 def kaplan_meier(spark, df, entity_col, ts_col, is_event_expr):
     """Right-censored Kaplan-Meier survival curve.
 

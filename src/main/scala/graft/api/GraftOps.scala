@@ -1535,6 +1535,43 @@ object GraftOps {
     labels
   }
 
+  /** Synchronous label-propagation communities (Raghavan 2007) over an
+    * (a, b) undirected edge frame — the near-linear community detector:
+    * every node adopts its neighbors' most frequent label each round.
+    * Deterministic by construction where vanilla LPA is run-to-run
+    * unstable: synchronous rounds from lbl(v,0)=v, a FIXED round count,
+    * and a total-order tie-break (count DESC, label ASC) per node.
+    * Returns (node, lbl). Engine shape: each round is one edge-sized
+    * join against node-sized labels + a node-partitioned rank window,
+    * lazily checkpointed (one materialization per round at the final
+    * action, lineage truncated — the g01/g04 Pregel-by-joins pattern);
+    * the edge frame is persist-tracked so the symmetric expansion scans
+    * it once. (g14's engine, as a verb.)
+    */
+  def labelPropagation(edges: DataFrame, a: Column, b: Column,
+                       rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(a.cast("long").as("a"), b.cast("long").as("b"))
+      .pipe(persistTracked)
+    val sym = e.select(col("a").as("v"), col("b").as("n"))
+      .unionAll(e.select(col("b").as("v"), col("a").as("n")))
+    var labels = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .distinct().withColumn("lbl", col("node"))
+      .localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      val votes = sym
+        .join(labels.withColumnRenamed("node", "n"), "n")
+        .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("v").orderBy(desc("c"), asc("lbl"))
+      labels = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("v").as("node"), col("lbl"))
+        .localCheckpoint(false)
+    }
+    labels
+  }
+
   /** Weighted PageRank over a (src, dst, weight) edge frame: returns
     * (node, pr) after `iters` power iterations, pr rounded to 12 dp per
     * iteration (the cross-engine ulp pin). `nodes` (single-column) fixes
@@ -1740,5 +1777,7 @@ object syntax {
     def pagerank(src: Column, dst: Column, weight: Column,
                  iters: Int = 3): DataFrame =
       GraftOps.pagerank(df, src, dst, weight, iters = iters)
+    def labelPropagation(a: Column, b: Column, rounds: Int = 4): DataFrame =
+      GraftOps.labelPropagation(df, a, b, rounds)
   }
 }

@@ -169,6 +169,16 @@ object SqlSurface {
       case args => throw new IllegalArgumentException(
         s"graft_pagerank(table, src, dst, weight[, iters]): got ${args.size} args")
     },
+    "graft_label_propagation" -> {
+      case Seq(t, a, b) =>
+        plan(GraftOps.labelPropagation(table(str(t, "table")),
+          col(str(a, "a")), col(str(b, "b"))))
+      case Seq(t, a, b, r) =>
+        plan(GraftOps.labelPropagation(table(str(t, "table")),
+          col(str(a, "a")), col(str(b, "b")), int(r, "rounds")))
+      case args => throw new IllegalArgumentException(
+        s"graft_label_propagation(table, a, b[, rounds]): got ${args.size} args")
+    },
     "graft_fd_audit" -> {
       case Seq(t, det, dep) =>
         plan(GraftOps.fdAudit(table(str(t, "table")),

@@ -306,6 +306,13 @@ object TransformSpec {
           expr(step.path("dst").asText()),
           expr(if (step.has("weight")) step.path("weight").asText() else "1"),
           iters = if (step.has("iters")) step.path("iters").asInt() else 3)
+      case "labelPropagation" =>
+        // synchronous LPA communities over the frame-as-edge-list
+        // (g14's verb): {"op": "labelPropagation", "a": "a", "b": "b",
+        //  "rounds": 4}
+        GraftOps.labelPropagation(df, expr(step.path("a").asText()),
+          expr(step.path("b").asText()),
+          if (step.has("rounds")) step.path("rounds").asInt() else 4)
       case "conform" =>
         GraftOps.conform(df, step.path("schema").asText())
       case "profile" =>

@@ -346,14 +346,86 @@ object Graph2 {
       UNION ALL SELECT * FROM unr
       ORDER BY level"""
 
+  // ---- g14: label-propagation communities (synchronous LPA) ----
+  // The near-linear community detector (Raghavan 2007) the family
+  // lacked: g04 finds CONNECTED components (one giant blob on any
+  // well-connected graph), g08 scores a given partition's modularity —
+  // LPA actually FINDS dense communities inside a connected graph by
+  // iterated majority vote: every node adopts its neighbors' most
+  // frequent label. Determinism (vanilla LPA is notoriously run-to-run
+  // unstable): SYNCHRONOUS rounds from lbl(v,0)=v, a FIXED 4 rounds (no
+  // convergence race), and a total-order tie-break (count DESC, label
+  // ASC) per node — both engines replay the identical vote sequence, so
+  // the oracle unrolls the rounds as chained CTEs (d22's Lloyd-replay
+  // discipline). Engine shape: the fact-scale edge build happens once
+  // (order-bounded in-row pair expand); each round is one edge-sized
+  // join against node-sized labels + a node-partitioned rank window —
+  // Pregel-by-joins on metadata-sized state, the g01/g04 pattern. At
+  // 100 TB the vote join shuffles on the node key and hot hubs ride the
+  // same degree-cap route g06 documents.
+  // body IS GraftOps.labelPropagation — the facade verb the oracle
+  // certifies (edge build shared with the g03/g04 family)
+  val g14_label_propagation: Q = (s, d) => {
+    val edges = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+             transform(slice(ps, i + 2, size(ps)),
+               y -> struct(x AS a, y AS b))))""")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select("a", "b")
+    graft.api.GraftOps.labelPropagation(edges, col("a"), col("b"), rounds = 4)
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"), min("node").as("min_member"))
+      .orderBy("community")
+  }
+  val g14Sql: String =
+    """WITH li AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e AS MATERIALIZED (
+        SELECT x.pk AS a, y.pk AS b
+        FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      sym AS MATERIALIZED (
+        SELECT a AS v, b AS n FROM e UNION ALL SELECT b, a FROM e),
+      l0 AS MATERIALIZED (SELECT DISTINCT v AS node, v AS lbl FROM sym),
+      r1 AS (SELECT s.v, l.lbl, COUNT(*) AS c
+             FROM sym s JOIN l0 l ON s.n = l.node GROUP BY 1, 2),
+      l1 AS MATERIALIZED (SELECT v AS node, lbl FROM (
+             SELECT v, lbl, row_number() OVER (PARTITION BY v
+               ORDER BY c DESC, lbl) AS rn FROM r1) WHERE rn = 1),
+      r2 AS (SELECT s.v, l.lbl, COUNT(*) AS c
+             FROM sym s JOIN l1 l ON s.n = l.node GROUP BY 1, 2),
+      l2 AS MATERIALIZED (SELECT v AS node, lbl FROM (
+             SELECT v, lbl, row_number() OVER (PARTITION BY v
+               ORDER BY c DESC, lbl) AS rn FROM r2) WHERE rn = 1),
+      r3 AS (SELECT s.v, l.lbl, COUNT(*) AS c
+             FROM sym s JOIN l2 l ON s.n = l.node GROUP BY 1, 2),
+      l3 AS MATERIALIZED (SELECT v AS node, lbl FROM (
+             SELECT v, lbl, row_number() OVER (PARTITION BY v
+               ORDER BY c DESC, lbl) AS rn FROM r3) WHERE rn = 1),
+      r4 AS (SELECT s.v, l.lbl, COUNT(*) AS c
+             FROM sym s JOIN l3 l ON s.n = l.node GROUP BY 1, 2),
+      l4 AS MATERIALIZED (SELECT v AS node, lbl FROM (
+             SELECT v, lbl, row_number() OVER (PARTITION BY v
+               ORDER BY c DESC, lbl) AS rn FROM r4) WHERE rn = 1)
+      SELECT lbl AS community, COUNT(*) AS n_members,
+        MIN(node) AS min_member
+      FROM l4 GROUP BY 1 ORDER BY community"""
+
   val queries: Map[String, Q] = Map(
     "g11_hits"       -> g11_hits,
     "g12_kcore"      -> g12_kcore,
     "g13_khop_reach" -> g13_khop_reach,
+    "g14_label_propagation" -> g14_label_propagation,
   )
   val oracles: Map[String, String] = Map(
     "g11_hits"       -> g11Sql,
     "g12_kcore"      -> g12Sql,
     "g13_khop_reach" -> g13Sql,
+    "g14_label_propagation" -> g14Sql,
   )
 }

@@ -2413,6 +2413,45 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("g14 label propagation: communities partition nodes and refine components") {
+    import org.apache.spark.sql.functions._
+    // toy graph with known answer: triangle+pendant converge to one
+    // label; the isolated 2-clique oscillates (classic sync-LPA) but
+    // stays disjoint from the blob
+    val toy = spark.createDataFrame(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (5L, 6L))).toDF("a", "b")
+    val lbls = graft.api.GraftOps.labelPropagation(toy, col("a"), col("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(1L, 2L, 3L, 4L).map(lbls).size == 1, s"blob not merged: $lbls")
+    assert(!Set(lbls(5L), lbls(6L)).exists(Set(1L, 2L, 3L, 4L).map(lbls)),
+      s"disjoint components share a label: $lbls")
+
+    // corpus: every node labeled exactly once, and each LPA community
+    // sits inside ONE connected component (LPA refines g04)
+    val edges = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+             transform(slice(ps, i + 2, size(ps)),
+               y -> struct(x AS a, y AS b))))""")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("w")).filter(col("w") >= 2).select("a", "b")
+      .persist()
+    val lpa = graft.api.GraftOps.labelPropagation(edges, col("a"), col("b"))
+    val cc = graft.api.GraftOps.connectedComponents(edges, col("a"), col("b"))
+    val nNodes = edges.select(col("a").as("n"))
+      .unionAll(edges.select(col("b").as("n"))).distinct().count()
+    assert(lpa.count() == nNodes)
+    assert(lpa.select("node").distinct().count() == nNodes)
+    val crossings = lpa.join(cc, "node")
+      .groupBy("lbl").agg(countDistinct("cluster_id").as("k"))
+      .filter(col("k") > 1).count()
+    assert(crossings == 0, "an LPA community spans connected components")
+    edges.unpersist()
+    graft.api.GraftOps.releaseCaches()
+  }
+
   test("d39 b-bit minhash: debias chain re-derivable, truncation only loses precision") {
     val rows = operators.Dedup4.d39_bbit_minhash(spark, sf).collect()
     assert(rows.nonEmpty)

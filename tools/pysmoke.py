@@ -249,6 +249,13 @@ assert cc == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 5), (6, 5)}, cc
 pr = graft.pagerank(spark, edges, "a", "b")
 assert abs(sum(r.pr for r in pr.collect()) - 1.0) < 1e-9
 
+# 6m. label_propagation: the dense 4-node blob converges to one label,
+# disjoint components never share one
+lpa = {r.node: r.lbl for r in
+       graft.label_propagation(spark, edges, "a", "b").collect()}
+assert len({lpa[n] for n in (1, 2, 3, 4)}) == 1, lpa
+assert {lpa[5], lpa[6]}.isdisjoint({lpa[n] for n in (1, 2, 3, 4)}), lpa
+
 # 6k. kaplan_meier: risk sets conserved against an independent count
 km = graft.kaplan_meier(spark, events, "user_id", "ts",
                         "event_type = 'purchase'").orderBy("t").collect()
