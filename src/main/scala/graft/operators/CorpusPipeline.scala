@@ -883,7 +883,83 @@ object CorpusPipeline {
         COUNT(*) > MAX(cap) AS capped
       FROM r GROUP BY source ORDER BY source"""
 
+  // ---- p17: greedy budget allocation across sources (water-filling) ----
+  // The corpus-buying decision p05/p09 parameterize but never SOLVE:
+  // given a token budget (20% of the corpus here) and per-source
+  // availability, which sources get funded? Quality-greedy allocation —
+  // rank sources by an exact integer quality score (stopword hits per
+  // million tokens: the t02 signal made order-stable by integer
+  // division; source name breaks ties), then fund top-down until the
+  // budget runs out, the marginal source funded partially. Every number
+  // is an exact integer (availability, floor-div budget, cumulative,
+  // clamp), so the whole allocation table is hash-exact with zero
+  // rounding discipline. One fact-scale token pass; the allocation
+  // itself runs on the |sources|-row frame under boundedSingleGroup.
+  val p17_budget_allocation: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val en = Seq("the", "a", "and", "of", "to", "in", "is", "for", "on", "with")
+    val arr = en.map(w => s"'$w'").mkString(", ")
+    val src = Tables.documents(s, d)
+      .select(col("source"),
+        expr("CAST(size(split(trim(text), ' ')) AS BIGINT)").as("nw"),
+        expr(s"CAST(size(filter(split(lower(text), ' '), " +
+          s"w -> array_contains(array($arr), w))) AS BIGINT)").as("sh"))
+      .groupBy("source")
+      .agg(sum("nw").as("tokens_available"), sum("sh").as("stop_hits"))
+      .withColumn("quality_score",
+        expr("CAST(stop_hits * 1000000 div tokens_available AS BIGINT)"))
+    val budget = src.agg(
+      expr("CAST(SUM(tokens_available) * 20 div 100 AS BIGINT)").as("budget"))
+    val b = graft.api.GraftOps.boundedSingleGroup(
+      src.crossJoin(broadcast(budget)))
+    val w = Window.partitionBy("__g")
+      .orderBy(desc("quality_score"), col("source"))
+    val cumBefore = coalesce(sum("tokens_available")
+      .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    b.withColumn("cum_before", cumBefore)
+      .withColumn("tokens_allocated",
+        greatest(lit(0L), least(col("tokens_available"),
+          col("budget") - col("cum_before"))))
+      .withColumn("funded",
+        when(col("tokens_allocated") === col("tokens_available"), "full")
+          .when(col("tokens_allocated") > 0, "partial")
+          .otherwise("none"))
+      .select(col("source"), col("quality_score"), col("tokens_available"),
+        col("tokens_allocated"),
+        (col("cum_before") + col("tokens_allocated")).as("cum_allocated"),
+        col("funded"))
+      .orderBy(desc("quality_score"), col("source"))
+  }
+  val p17Sql: String =
+    """WITH src AS (
+        SELECT source,
+          CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT)
+            AS tokens_available,
+          CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+            w -> list_contains(['the','a','and','of','to','in','is',
+                                'for','on','with'], w)))) AS BIGINT)
+            AS stop_hits
+        FROM documents GROUP BY 1),
+      q AS (SELECT *, CAST(stop_hits * 1000000 // tokens_available
+              AS BIGINT) AS quality_score FROM src),
+      bd AS (SELECT CAST(SUM(tokens_available) * 20 // 100 AS BIGINT)
+               AS budget FROM q),
+      r AS (SELECT *, COALESCE(SUM(tokens_available) OVER (
+               ORDER BY quality_score DESC, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+            FROM q CROSS JOIN bd),
+      al AS (SELECT *, CAST(greatest(0, least(tokens_available,
+               budget - cum_before)) AS BIGINT) AS tokens_allocated FROM r)
+      SELECT source, quality_score, tokens_available, tokens_allocated,
+        CAST(cum_before + tokens_allocated AS BIGINT) AS cum_allocated,
+        CASE WHEN tokens_allocated = tokens_available THEN 'full'
+             WHEN tokens_allocated > 0 THEN 'partial'
+             ELSE 'none' END AS funded
+      FROM al ORDER BY quality_score DESC, source"""
+
   val queries: Map[String, Q] = Map(
+    "p17_budget_allocation" -> p17_budget_allocation,
     "p16_quota_sample"     -> p16_quota_sample,
     "p15_stage_ledger"     -> p15_stage_ledger,
     "p14_leakage_split"    -> p14_leakage_split,
@@ -899,6 +975,7 @@ object CorpusPipeline {
     "p08_canary_compare"   -> p08_canary_compare,
     "p09_temperature_mix"  -> p09_temperature_mix)
   val oracles: Map[String, String] = Map(
+    "p17_budget_allocation" -> p17Sql,
     "p01_corpus_clean"     -> p01Sql,
     "p02_quality_resample" -> p02Sql,
     "p03_declarative_job"  -> p03Sql,

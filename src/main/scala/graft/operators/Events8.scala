@@ -525,6 +525,86 @@ object Events8 {
           AS km_survival
       FROM r ORDER BY t"""
 
+  // ---- e61: funnel conversion rates with Wilson confidence bands ----
+  // e06/e56 report funnel point rates; this adds the UNCERTAINTY every
+  // experiment readout needs before anyone reacts to a step's "drop":
+  // the Wilson score interval (Wilson 1927 — the binomial CI that stays
+  // sane at small n and extreme p, unlike the naive Wald interval that
+  // produces negative lower bounds). Steps are e49's in-order funnel
+  // (first view → first click at-or-after it → first purchase after
+  // that); n/c are exact integers from the same two-stage conditional
+  // MINs. The Wilson chain — denom = 1+z²/n, center = (p+z²/2n)/denom,
+  // half = z·√(p(1−p)/n + z²/4n²)/denom — is replicated operation-for-
+  // operation in the oracle from the identical exact integers, so the
+  // published 1e-9-rounded bounds are hash-exact. One fact-scale pass
+  // per stage collapse; output is 2 rows.
+  val e61_funnel_ci: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val u1 = ev.groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("us"))).as("v"))
+    val u2 = ev.join(u1, "user_id")
+      .groupBy("user_id", "v")
+      .agg(min(when(col("event_type") === "click" && col("us") >= col("v"),
+        col("us"))).as("c"))
+    val u3 = ev.join(u2, "user_id")
+      .groupBy("user_id", "v", "c")
+      .agg(min(when(col("event_type") === "purchase" && col("us") >= col("c"),
+        col("us"))).as("p"))
+    val counts = u3.agg(
+      count(col("v")).as("nv"), count(col("c")).as("nc"),
+      count(col("p")).as("np"))
+    def wilson(step: String, nC: org.apache.spark.sql.Column,
+               cC: org.apache.spark.sql.Column): DataFrame = {
+      val z = lit(1.96)
+      val n = nC.cast("double")
+      val p = cC.cast("double") / n
+      val denom = lit(1.0) + z * z / n
+      val center = (p + z * z / (lit(2.0) * n)) / denom
+      val half = z * sqrt(p * (lit(1.0) - p) / n
+        + z * z / (lit(4.0) * n * n)) / denom
+      counts.select(lit(step).as("step"), nC.as("n_entered"),
+        cC.as("n_converted"), round(p, 9).as("rate"),
+        round(center - half, 9).as("wilson_lo"),
+        round(center + half, 9).as("wilson_hi"))
+    }
+    wilson("1_view_to_click", col("nv"), col("nc"))
+      .unionAll(wilson("2_click_to_purchase", col("nc"), col("np")))
+      .orderBy("step")
+  }
+  val e61Sql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      u1 AS (SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN us END) AS v
+             FROM ev GROUP BY 1),
+      u2 AS (SELECT ev.user_id, v,
+               MIN(CASE WHEN event_type = 'click' AND us >= v THEN us END) AS c
+             FROM ev JOIN u1 ON ev.user_id = u1.user_id GROUP BY 1, 2),
+      u3 AS (SELECT ev.user_id, v, c,
+               MIN(CASE WHEN event_type = 'purchase' AND us >= c THEN us END) AS p
+             FROM ev JOIN u2 ON ev.user_id = u2.user_id GROUP BY 1, 2, 3),
+      k AS (SELECT COUNT(v) AS nv, COUNT(c) AS nc, COUNT(p) AS np FROM u3),
+      w AS (
+        SELECT '1_view_to_click' AS step, nv AS n_entered, nc AS n_converted,
+               CAST(nv AS DOUBLE) AS n, CAST(nc AS DOUBLE) / CAST(nv AS DOUBLE) AS p
+        FROM k
+        UNION ALL
+        SELECT '2_click_to_purchase', nc, np,
+               CAST(nc AS DOUBLE), CAST(np AS DOUBLE) / CAST(nc AS DOUBLE)
+        FROM k)
+      SELECT step, n_entered, n_converted, round(p, 9) AS rate,
+        round((p + 1.96 * 1.96 / (CAST(2.0 AS DOUBLE) * n))
+                / (CAST(1.0 AS DOUBLE) + 1.96 * 1.96 / n)
+              - 1.96 * sqrt(p * (CAST(1.0 AS DOUBLE) - p) / n
+                  + 1.96 * 1.96 / (CAST(4.0 AS DOUBLE) * n * n))
+                / (CAST(1.0 AS DOUBLE) + 1.96 * 1.96 / n), 9) AS wilson_lo,
+        round((p + 1.96 * 1.96 / (CAST(2.0 AS DOUBLE) * n))
+                / (CAST(1.0 AS DOUBLE) + 1.96 * 1.96 / n)
+              + 1.96 * sqrt(p * (CAST(1.0 AS DOUBLE) - p) / n
+                  + 1.96 * 1.96 / (CAST(4.0 AS DOUBLE) * n * n))
+                / (CAST(1.0 AS DOUBLE) + 1.96 * 1.96 / n), 9) AS wilson_hi
+      FROM w ORDER BY step"""
+
   val queries: Map[String, Q] = Map(
     "e54_cusum"         -> e54_cusum,
     "e55_rate_limit"    -> e55_rate_limit,
@@ -533,6 +613,7 @@ object Events8 {
     "e58_seq_match"     -> e58_seq_match,
     "e59_ab_proportion" -> e59_ab_proportion,
     "e60_kaplan_meier"  -> e60_kaplan_meier,
+    "e61_funnel_ci"     -> e61_funnel_ci,
   )
   val oracles: Map[String, String] = Map(
     "e54_cusum"         -> e54Sql,
@@ -542,5 +623,6 @@ object Events8 {
     "e58_seq_match"     -> e58Sql,
     "e59_ab_proportion" -> e59Sql,
     "e60_kaplan_meier"  -> e60Sql,
+    "e61_funnel_ci"     -> e61Sql,
   )
 }

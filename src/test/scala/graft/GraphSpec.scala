@@ -2452,6 +2452,49 @@ class GraphSpec extends AnyFunSuite {
     graft.api.GraftOps.releaseCaches()
   }
 
+  test("e61 funnel CI: Wilson bounds bracket the rate and tighten with n") {
+    val rows = operators.Events8.e61_funnel_ci(spark, sf).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val (lo, hi) = (r.getAs[Double]("wilson_lo"), r.getAs[Double]("wilson_hi"))
+      val p = r.getAs[Double]("rate")
+      assert(lo <= p && p <= hi, s"rate outside its own CI: $r")
+      assert(lo >= 0.0 && hi <= 1.0, s"Wilson left [0,1]: $r")
+      assert(r.getAs[Long]("n_converted") <= r.getAs[Long]("n_entered"))
+      // replay the closed form from the exact integers
+      val (n, c) = (r.getAs[Long]("n_entered").toDouble,
+        r.getAs[Long]("n_converted").toDouble)
+      val z = 1.96; val pp = c / n
+      val denom = 1.0 + z * z / n
+      val center = (pp + z * z / (2.0 * n)) / denom
+      val half = z * math.sqrt(pp * (1 - pp) / n + z * z / (4 * n * n)) / denom
+      assert(math.abs(lo - (center - half)) < 1e-8 &&
+        math.abs(hi - (center + half)) < 1e-8, s"CI not re-derivable: $r")
+    }
+  }
+
+  test("p17 budget allocation: greedy fills exactly the budget, prefix-funded") {
+    val rows = operators.CorpusPipeline.p17_budget_allocation(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val totalAvail = rows.map(_.getAs[Long]("tokens_available")).sum
+    val budget = totalAvail * 20 / 100
+    val allocated = rows.map(_.getAs[Long]("tokens_allocated")).sum
+    assert(allocated == math.min(budget, totalAvail),
+      s"allocated $allocated != budget $budget")
+    // rows come quality-ordered: funded states must be a full*,partial?,none* prefix shape
+    val states = rows.map(_.getAs[String]("funded")).toSeq
+    val order = Map("full" -> 0, "partial" -> 1, "none" -> 2)
+    assert(states.map(order).sliding(2).forall {
+      case Seq(a, b) => a <= b; case _ => true },
+      s"funding not a greedy prefix: $states")
+    assert(states.count(_ == "partial") <= 1)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tokens_allocated") <=
+        r.getAs[Long]("tokens_available"))
+    }
+  }
+
   test("d39 b-bit minhash: debias chain re-derivable, truncation only loses precision") {
     val rows = operators.Dedup4.d39_bbit_minhash(spark, sf).collect()
     assert(rows.nonEmpty)
