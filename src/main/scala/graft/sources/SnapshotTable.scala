@@ -290,16 +290,51 @@ object SnapshotTable {
     * version number first, the commit throws instead of silently
     * clobbering, and the caller re-reads and retries.
     */
-  def append(df: DataFrame, path: String, expectedVersion: Int = 0): Int = {
+  def append(df: DataFrame, path: String, expectedVersion: Int = 0): Int =
+    append(df, path, expectedVersion, mergeSchema = false)
+
+  /** Append with optional ADDITIVE schema evolution (`mergeSchema` —
+    * the Delta autoMerge / parquet-mergeSchema contract): columns new
+    * in `df` widen the table schema (appended, nullable); table columns
+    * absent from `df` are fine (the new segment simply doesn't store
+    * them). Because every read projects each immutable file BY NAME
+    * into the manifest schema, old segments surface NULL for
+    * later-added columns and new segments NULL for columns they never
+    * stored — no rewrite of any existing file, the evolution is one
+    * manifest swap. Same-name columns with a DIFFERENT type refuse
+    * loudly (type conflicts are never mergeable); with
+    * `mergeSchema=false` any shape difference refuses, as before.
+    */
+  def append(df: DataFrame, path: String, expectedVersion: Int,
+             mergeSchema: Boolean): Int = {
     val spark = df.sparkSession
     val base =
       if (expectedVersion > 0) expectedVersion else latestVersion(spark, path)
     require(base > 0, s"snapshot table $path does not exist")
     val cur = readManifest(spark, path, base)
-    require(shape(df.schema) == shapeOfDdl(cur.schemaDdl),
-      s"append schema ${df.schema.toDDL} != table schema ${cur.schemaDdl}")
+    val schemaDdl =
+      if (!mergeSchema) {
+        require(shape(df.schema) == shapeOfDdl(cur.schemaDdl),
+          s"append schema ${df.schema.toDDL} != table schema ${cur.schemaDdl}")
+        cur.schemaDdl
+      } else {
+        val tbl = org.apache.spark.sql.types.StructType.fromDDL(cur.schemaDdl)
+        val tblTypes = shape(tbl).toMap
+        val dfTypes = shape(df.schema).toMap
+        val conflicts = dfTypes.keySet.intersect(tblTypes.keySet)
+          .filter(k => dfTypes(k) != tblTypes(k))
+        require(conflicts.isEmpty,
+          s"mergeSchema type conflict on ${conflicts.mkString(", ")}: " +
+            s"table ${cur.schemaDdl} vs append ${df.schema.toDDL}")
+        val existing = tbl.fields.map(_.name).toSet
+        val added = df.schema.fields.filterNot(f => existing.contains(f.name))
+        // every field nullable: old files must legally surface NULL for
+        // added columns (and new files for columns they don't store)
+        org.apache.spark.sql.types.StructType(
+          (tbl.fields ++ added).map(_.copy(nullable = true))).toDDL
+      }
     val (files, st) = writeSegment(df, path)
-    commit(spark, path, base, cur.schemaDdl,
+    commit(spark, path, base, schemaDdl,
       cur.files ++ files, cur.txn, cur.stats ++ st)
   }
 

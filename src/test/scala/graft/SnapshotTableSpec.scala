@@ -409,6 +409,47 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.readWhere(spark, path, "k >= 0").count() == 50)
   }
 
+  test("mergeSchema append: additive evolution without rewriting any file") {
+    val path = tmp()
+    SnapshotTable.create(
+      spark.range(0, 10).select(col("id").as("k"), lit("x").as("tag")), path)
+    // widen with a new column; old rows surface NULL for it
+    SnapshotTable.append(
+      spark.range(10, 20).select(col("id").as("k"), lit("y").as("tag"),
+        (col("id") * 2).as("score")),
+      path, 0, mergeSchema = true)
+    val t = SnapshotTable.read(spark, path)
+    assert(t.columns.toSeq == Seq("k", "tag", "score"))
+    assert(t.count() == 20)
+    assert(t.filter("score IS NULL").count() == 10)
+    assert(t.filter("k >= 10 AND score = k * 2").count() == 10)
+    // a narrower append (missing columns) also works: they read as NULL
+    SnapshotTable.append(
+      spark.range(20, 25).select(col("id").as("k")),
+      path, 0, mergeSchema = true)
+    val t2 = SnapshotTable.read(spark, path)
+    assert(t2.count() == 25)
+    assert(t2.filter("k >= 20 AND tag IS NULL AND score IS NULL").count() == 5)
+    // time travel still shows the ORIGINAL schema for v1
+    assert(SnapshotTable.read(spark, path, version = 1).columns.toSeq ==
+      Seq("k", "tag"))
+    // data skipping still prunes on the original column across vintages
+    assert(SnapshotTable.readWhere(spark, path, "k = 22").count() == 1)
+    // same-name different-type refuses loudly
+    intercept[IllegalArgumentException] {
+      SnapshotTable.append(
+        spark.range(3).select(col("id").as("k"),
+          col("id").cast("string").as("score")),
+        path, 0, mergeSchema = true)
+    }
+    // and mergeSchema=false keeps the strict contract
+    intercept[IllegalArgumentException] {
+      SnapshotTable.append(
+        spark.range(3).select(col("id").as("k"), lit("z").as("tag"),
+          col("id").as("score"), lit(1L).as("extra")), path)
+    }
+  }
+
   test("cluster: sorted rewrite turns a scattered point query into a one-file open") {
     val path = tmp()
     // write k round-robin so EVERY file spans the whole k-range —
