@@ -422,12 +422,97 @@ object Relational14 {
         CAST(slope_micro AS DOUBLE) / 1000000.0 AS slope_per_day
       FROM f ORDER BY nation, day"""
 
+  // ---- q111: month-over-month revenue bridge (the waterfall) ----
+  // The decomposition e33 does for USERS, done for REVENUE — the
+  // finance readout behind every "why did revenue move" meeting:
+  // ΔMRR = new + reactivated + expansion − contraction − churn, by
+  // customer state transition. q88 reports the total delta; the bridge
+  // explains it, and the identity start + components == end is checked
+  // row-by-row because every term is an exact INTEGER of cents (the
+  // q110 round-then-cast discipline — no doubles anywhere).
+  // Engine shape: ONE fact-scale (customer, month) rollup; transitions
+  // come from a self-join of that rollup against itself shifted one
+  // month (customer-keyed shuffle on a customer×active-month-sized
+  // frame — NOT the customer×spine grid q107 pays, churn is detected
+  // by the full-outer null side instead); first-ever months (new vs
+  // reactivated) ride a tiny min-rollup broadcast. All rollups
+  // combinable.
+  val q111_revenue_bridge: Q = (s, d) => {
+    val r = Tables.orders(s, d)
+      .select(col("o_custkey").as("c"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("mi"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("c", "mi").agg(sum("cents").as("cents"))
+    val first = r.groupBy("c").agg(min("mi").as("f_mi"))
+    val bounds = r.agg(min("mi").as("lo"), max("mi").as("hi"))
+    val a = r.select(col("c"), (col("mi") + 1).as("mi"),
+      col("cents").as("prev"))
+    val j = r.select(col("c"), col("mi"), col("cents").as("cur"))
+      .join(a, Seq("c", "mi"), "full")
+      .join(broadcast(first), "c")
+      .crossJoin(broadcast(bounds))
+      .filter(col("mi") > col("lo") && col("mi") <= col("hi"))
+    j.groupBy("mi").agg(
+        sum(coalesce(col("prev"), lit(0L))).as("start_cents"),
+        sum(when(col("cur").isNotNull && col("prev").isNull
+          && col("mi") === col("f_mi"), col("cur")).otherwise(0L))
+          .as("new_cents"),
+        sum(when(col("cur").isNotNull && col("prev").isNull
+          && col("mi") > col("f_mi"), col("cur")).otherwise(0L))
+          .as("reactivated_cents"),
+        sum(when(col("cur") > col("prev"), col("cur") - col("prev"))
+          .otherwise(0L)).as("expansion_cents"),
+        sum(when(col("cur") < col("prev"), col("prev") - col("cur"))
+          .otherwise(0L)).as("contraction_cents"),
+        sum(when(col("cur").isNull, col("prev")).otherwise(0L))
+          .as("churned_cents"),
+        sum(coalesce(col("cur"), lit(0L))).as("end_cents"))
+      .withColumn("month", expr("make_date(mi div 12, mi % 12 + 1, 1)"))
+      .select("month", "start_cents", "new_cents", "reactivated_cents",
+        "expansion_cents", "contraction_cents", "churned_cents",
+        "end_cents")
+      .orderBy("month")
+  }
+  val q111Sql: String =
+    """WITH r AS (SELECT o_custkey AS c,
+               CAST(year(CAST(o_orderdate AS DATE)) * 12
+                 + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS mi,
+               CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                 AS BIGINT) AS cents
+             FROM orders GROUP BY 1, 2),
+      f AS (SELECT c, MIN(mi) AS f_mi FROM r GROUP BY 1),
+      bd AS (SELECT MIN(mi) AS lo, MAX(mi) AS hi FROM r),
+      a AS (SELECT c, mi + 1 AS mi, cents AS prev FROM r),
+      b AS (SELECT c, mi, cents AS cur FROM r),
+      j AS (SELECT COALESCE(a.c, b.c) AS c, COALESCE(a.mi, b.mi) AS mi,
+              prev, cur
+            FROM b FULL OUTER JOIN a ON a.c = b.c AND a.mi = b.mi),
+      jf AS (SELECT j.*, f_mi FROM j JOIN f ON j.c = f.c
+             CROSS JOIN bd WHERE j.mi > lo AND j.mi <= hi)
+      SELECT make_date(CAST(mi // 12 AS INTEGER),
+               CAST(mi % 12 + 1 AS INTEGER), 1) AS month,
+        CAST(SUM(COALESCE(prev, 0)) AS BIGINT) AS start_cents,
+        CAST(SUM(CASE WHEN cur IS NOT NULL AND prev IS NULL AND mi = f_mi
+             THEN cur ELSE 0 END) AS BIGINT) AS new_cents,
+        CAST(SUM(CASE WHEN cur IS NOT NULL AND prev IS NULL AND mi > f_mi
+             THEN cur ELSE 0 END) AS BIGINT) AS reactivated_cents,
+        CAST(SUM(CASE WHEN cur > prev THEN cur - prev ELSE 0 END)
+             AS BIGINT) AS expansion_cents,
+        CAST(SUM(CASE WHEN cur < prev THEN prev - cur ELSE 0 END)
+             AS BIGINT) AS contraction_cents,
+        CAST(SUM(CASE WHEN cur IS NULL THEN prev ELSE 0 END)
+             AS BIGINT) AS churned_cents,
+        CAST(SUM(COALESCE(cur, 0)) AS BIGINT) AS end_cents
+      FROM jf GROUP BY mi ORDER BY month"""
+
   val queries: Map[String, Q] = Map(
     "q106_bootstrap_ci"  -> q106_bootstrap_ci,
     "q107_semi_additive" -> q107_semi_additive,
     "q108_weighted_median" -> q108_weighted_median,
     "q109_distinct_cube" -> q109_distinct_cube,
     "q110_rolling_regression" -> q110_rolling_regression,
+    "q111_revenue_bridge" -> q111_revenue_bridge,
   )
   val oracles: Map[String, String] = Map(
     "q106_bootstrap_ci"  -> q106Sql,
@@ -435,5 +520,6 @@ object Relational14 {
     "q108_weighted_median" -> q108Sql,
     "q109_distinct_cube" -> q109Sql,
     "q110_rolling_regression" -> q110Sql,
+    "q111_revenue_bridge" -> q111Sql,
   )
 }

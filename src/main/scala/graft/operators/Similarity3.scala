@@ -340,16 +340,103 @@ object Similarity3 {
         round(CAST(n_points AS DOUBLE) / sum_ln_mu, 6) AS id_twonn
       FROM agg"""
 
+  // ---- s26: PQ codebook distortion audit ----
+  // The acceptance test for s05's product quantizer BEFORE anyone ships
+  // it: per subspace, the mean squared quantization error ||sv − cw||²
+  // against the subspace's total variance ||sv − μ||² — a
+  // distortion_ratio near 1 means that subspace's codebook explains
+  // nothing (its bits are wasted; re-partition the dimensions), near 0
+  // means near-lossless. Also counts codes actually USED: dead codes
+  // are reconstruction capacity thrown away. Cross-engine exactness:
+  // squared errors expand to dot products (sv·sv − 2·sv·cw + cw·cw) —
+  // the same in-row fold shape s05's oracle already pins — with
+  // centroids/means from the established DECIMAL(38,18) mean
+  // discipline, per-subspace averages decimal-summed, everything
+  // published at 1e-9. Oracle replays from the codes/codebook dump +
+  // the embeddings table. Scale: one encoded-rows pass (n_vec × M),
+  // codebook/means are broadcast-sized.
+  val s26_pq_distortion: Q = (s, d) => {
+    val davg18 = (c: org.apache.spark.sql.Column) =>
+      sum(c.cast(org.apache.spark.sql.types.DataTypes
+        .createDecimalType(38, 18))).cast("double") / count(c)
+    val (codes, cents) = Similarity.pqParts(s, d)
+    val mu = codes
+      .select(col("m"), posexplode(col("sv")).as(Seq("i", "v")))
+      .groupBy("m", "i").agg(davg18(col("v")).as("mv"))
+      .groupBy("m")
+      .agg(array_sort(collect_list(struct(col("i"), col("mv")))).as("ps"))
+      .select(col("m"), expr("transform(ps, p -> p.mv)").as("muv"))
+    def dot(a: String, b: String) = expr(
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    val err = codes.join(broadcast(cents), Seq("m", "code"))
+      .join(broadcast(mu), "m")
+      .select(col("m"), col("code"),
+        (dot("sv", "sv") - lit(2.0) * dot("sv", "cw") + dot("cw", "cw"))
+          .as("e2"),
+        (dot("sv", "sv") - lit(2.0) * dot("sv", "muv") + dot("muv", "muv"))
+          .as("v2"))
+    val out = err.groupBy("m").agg(
+      count(lit(1)).as("n_vectors"),
+      count_distinct(col("code")).as("n_codes_used"),
+      round(davg18(col("e2")), 9).as("mse"),
+      round(davg18(col("v2")), 9).as("var_total"))
+      .withColumn("distortion_ratio",
+        round(col("mse") / col("var_total"), 9))
+      .select("m", "n_vectors", "n_codes_used", "mse", "var_total",
+        "distortion_ratio")
+      .orderBy("m")
+    out
+  }
+  val s26Sql: String =
+    """WITH codes AS (SELECT vec_id, m, code
+             FROM read_parquet('/tmp/graft_aux/pq_codes/*.parquet')),
+      cb AS (SELECT m, code, cw
+             FROM read_parquet('/tmp/graft_aux/pq_codebook/*.parquet')),
+      ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+      sv AS (SELECT e.vec_id, ms.m,
+               array_slice(CAST(e.embedding AS DOUBLE[]),
+                 ms.m * 8 + 1, ms.m * 8 + 8) AS sv
+             FROM embeddings e, ms),
+      mui AS (SELECT m, i.i,
+                CAST(SUM(CAST(sv[i.i] AS DECIMAL(38,18))) AS DOUBLE)
+                  / COUNT(sv[i.i]) AS mv
+              FROM sv, (SELECT unnest(generate_series(1, 8)) AS i) i
+              GROUP BY 1, 2),
+      mu AS (SELECT m, list(mv ORDER BY i) AS mu FROM mui GROUP BY 1),
+      err AS (SELECT s.m, c.code,
+                list_dot_product(s.sv, s.sv)
+                  - 2.0 * list_dot_product(s.sv, cb.cw)
+                  + list_dot_product(cb.cw, cb.cw) AS e2,
+                list_dot_product(s.sv, s.sv)
+                  - 2.0 * list_dot_product(s.sv, mu.mu)
+                  + list_dot_product(mu.mu, mu.mu) AS v2
+              FROM sv s
+                JOIN codes c ON s.vec_id = c.vec_id AND s.m = c.m
+                JOIN cb ON c.m = cb.m AND c.code = cb.code
+                JOIN mu ON s.m = mu.m),
+      agg AS (SELECT m, COUNT(*) AS n_vectors,
+                COUNT(DISTINCT code) AS n_codes_used,
+                round(CAST(SUM(CAST(e2 AS DECIMAL(38,18))) AS DOUBLE)
+                      / COUNT(e2), 9) AS mse,
+                round(CAST(SUM(CAST(v2 AS DECIMAL(38,18))) AS DOUBLE)
+                      / COUNT(v2), 9) AS var_total
+              FROM err GROUP BY 1)
+      SELECT CAST(m AS INTEGER) AS m, n_vectors, n_codes_used, mse,
+        var_total, round(mse / var_total, 9) AS distortion_ratio
+      FROM agg ORDER BY m"""
+
   val queries: Map[String, Q] = Map(
     "s22_ood_audit" -> s22_ood_audit,
     "s23_hubness"   -> s23_hubness,
     "s24_norm_audit" -> s24_norm_audit,
     "s25_intrinsic_dim" -> s25_intrinsic_dim,
+    "s26_pq_distortion" -> s26_pq_distortion,
   )
   val oracles: Map[String, String] = Map(
     "s22_ood_audit" -> s22Sql,
     "s23_hubness"   -> s23Sql,
     "s24_norm_audit" -> s24Sql,
     "s25_intrinsic_dim" -> s25Sql,
+    "s26_pq_distortion" -> s26Sql,
   )
 }

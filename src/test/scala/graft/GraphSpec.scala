@@ -2495,6 +2495,51 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("q111 revenue bridge: waterfall identity holds exactly every month") {
+    val rows = operators.Relational14.q111_revenue_bridge(spark, sf)
+      .orderBy("month").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bridge = r.getAs[Long]("start_cents") +
+        r.getAs[Long]("new_cents") + r.getAs[Long]("reactivated_cents") +
+        r.getAs[Long]("expansion_cents") - r.getAs[Long]("contraction_cents") -
+        r.getAs[Long]("churned_cents")
+      assert(bridge == r.getAs[Long]("end_cents"),
+        s"bridge identity broken at ${r.getAs[java.sql.Date]("month")}: " +
+          s"$bridge != ${r.getAs[Long]("end_cents")}")
+      Seq("new_cents", "reactivated_cents", "expansion_cents",
+        "contraction_cents", "churned_cents").foreach { c =>
+        assert(r.getAs[Long](c) >= 0L, s"$c negative: $r")
+      }
+    }
+    // consecutive months chain: this month's end == next month's start
+    rows.sliding(2).foreach { case Array(a, b) =>
+      val (ma, mb) = (a.getAs[java.sql.Date]("month").toLocalDate,
+        b.getAs[java.sql.Date]("month").toLocalDate)
+      if (ma.plusMonths(1) == mb)
+        assert(a.getAs[Long]("end_cents") == b.getAs[Long]("start_cents"),
+          s"chain broken $ma -> $mb")
+    }
+  }
+
+  test("s26 pq distortion: quantization beats the mean, ratio in (0,1]") {
+    val rows = operators.Similarity3.s26_pq_distortion(spark, sf).collect()
+    assert(rows.length == 8) // M = 8 subspaces
+    rows.foreach { r =>
+      val (mse, v) = (r.getAs[Double]("mse"), r.getAs[Double]("var_total"))
+      // the codebook centroid of a cell is its cell-mean, so per-cell
+      // MSE <= global variance (centroids can't do worse than mu)
+      assert(mse >= 0.0 && v > 0.0 && mse <= v + 1e-9,
+        s"quantizer worse than the global mean: $r")
+      val ratio = r.getAs[Double]("distortion_ratio")
+      assert(ratio > 0.0 && ratio <= 1.0 + 1e-9)
+      val used = r.getAs[Long]("n_codes_used")
+      assert(used >= 1L && used <= 256L) // 8-bit codes
+      assert(r.getAs[Long]("n_vectors") ==
+        Tables.embeddings(spark, sf).count())
+    }
+  }
+
   test("d39 b-bit minhash: debias chain re-derivable, truncation only loses precision") {
     val rows = operators.Dedup4.d39_bbit_minhash(spark, sf).collect()
     assert(rows.nonEmpty)
