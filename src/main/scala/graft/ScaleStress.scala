@@ -134,7 +134,13 @@ object ScaleStress {
     "d36_substring_dedup", "d37_pairjoin_cost_model", "s20_filtered_knn",
     "s21_dim_prune_recall", "v20_volume_contracts", "v22_table_fingerprint",
     "v23_drilldown_consistency", "q103_top_percent_cover",
-    "q104_join_view_delta", "q105_layout_advisor", "p15_stage_ledger")
+    "q104_join_view_delta", "q105_layout_advisor", "p15_stage_ledger",
+    // round-5 additions (facts 20x / events 10x / docs 4x / emb 8x)
+    "t38_code_detect", "t39_vocab_yield", "e59_ab_proportion",
+    "e60_kaplan_meier", "e61_funnel_ci", "q110_rolling_regression",
+    "q111_revenue_bridge", "d39_bbit_minhash", "g14_label_propagation",
+    "s25_intrinsic_dim", "s26_pq_distortion", "m17_hot_tier_plan",
+    "p17_budget_allocation")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

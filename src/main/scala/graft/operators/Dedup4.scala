@@ -72,8 +72,10 @@ object Dedup4 {
   // the pair join carries 512-byte signatures, never texts. Approximate
   // by design → rows-only; Dedup4Spec asserts the error bound.
   val d19_minhash_estimate: Q = (s, d) => {
+    // same both-sides rule as d39: persist or the minhash scan runs 2x
     val sigs = Tables.documents(s, d)
       .select(col("doc_id"), minhash_signature(col("text"), 64, 3).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = Dedup.d03_ngram_jaccard(s, d)
     pairs
       .join(sigs.withColumnRenamed("doc_id", "da").withColumnRenamed("sig", "sig_a"), "da")
@@ -265,8 +267,11 @@ object Dedup4 {
   // identical debias arithmetic left-to-right before the 1e-6 round.
   // Candidates are d03's bounded verified pairs — never all-pairs.
   val d39_bbit_minhash: Q = (s, d) => {
+    // family rule: the signature frame feeds BOTH sides of the pair
+    // join — persist it or the corpus-scale minhash runs twice
     val sigs = Tables.documents(s, d)
       .select(col("doc_id"), minhash_signature(col("text"), 64, 3).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = Dedup.d03_ngram_jaccard(s, d)
     def agree(mask: String) =
       expr(s"aggregate(zip_with(sig_a, sig_b, (x, y) -> " +

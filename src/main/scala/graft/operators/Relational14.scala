@@ -506,6 +506,108 @@ object Relational14 {
         CAST(SUM(COALESCE(cur, 0)) AS BIGINT) AS end_cents
       FROM jf GROUP BY mi ORDER BY month"""
 
+  // ---- q112: geospatial nearest-neighbor via cell blocking ----
+  // The geo capability the inventory lacked: a distance join that never
+  // goes all-pairs. Entities get deterministic synthetic coordinates
+  // (md5-derived integer MICRO-degrees — the tables carry no geo
+  // columns; the projection is documented and engine-neutral), each is
+  // bucketed into a 32×32 integer lat/lon grid (coarse enough that the synthetic corpus populates neighborhoods; a production deployment picks the precision from density) (pure integer
+  // floor-division — the geohash/S2 cell idea with zero float math),
+  // and each supplier is expanded into its 3×3 cell neighborhood so the
+  // candidate join is a broadcast EQUI-join on cell keys — the standard
+  // scale shape: candidates per customer are bounded by local density,
+  // never |C|×|S|. Haversine runs on candidates only; distances publish
+  // as integer METERS (round-0 of the double — trig ULP divergence
+  // between engines sits ~9 orders below a meter), argmin per customer
+  // by (meters, suppkey) total order, and the report is the global
+  // top-100 closest colocations. At 100 TB both sides shuffle on cell
+  // keys; hot cells ride AQE skew handling like any other key.
+  val q112_geo_nearest: Q = (s, d) => {
+    def micros(key: org.apache.spark.sql.Column, salt: String, mod: Long,
+               shift: Long) =
+      (conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 12),
+        16, 10).cast("long") % mod) - shift
+    val cust = Tables.customer(s, d).select(
+      col("c_custkey"),
+      micros(col("c_custkey"), "clat", 180000001L, 90000000L).as("clat"),
+      micros(col("c_custkey"), "clon", 360000001L, 180000000L).as("clon"))
+      .withColumn("latq", expr("(clat + 90000000) * 32 div 180000001"))
+      .withColumn("lonq", expr("(clon + 180000000) * 32 div 360000001"))
+    val supp = Tables.supplier(s, d).select(
+      col("s_suppkey"),
+      micros(col("s_suppkey"), "slat", 180000001L, 90000000L).as("slat"),
+      micros(col("s_suppkey"), "slon", 360000001L, 180000000L).as("slon"))
+      .withColumn("latq0", expr("(slat + 90000000) * 32 div 180000001"))
+      .withColumn("lonq0", expr("(slon + 180000000) * 32 div 360000001"))
+      .select(col("s_suppkey"), col("slat"), col("slon"),
+        explode(expr("sequence(-1, 1)")).as("dlat"), col("latq0"), col("lonq0"))
+      .select(col("s_suppkey"), col("slat"), col("slon"),
+        (col("latq0") + col("dlat")).as("latq"),
+        explode(expr("sequence(-1, 1)")).as("dlon"), col("lonq0"))
+      .select(col("s_suppkey"), col("slat"), col("slon"), col("latq"),
+        (col("lonq0") + col("dlon")).as("lonq"))
+    val cand = cust.join(broadcast(supp), Seq("latq", "lonq"))
+      .withColumn("dist_m", expr(
+        """CAST(round(6371008.8 * 2 * asin(sqrt(
+             sin(radians((slat - clat) / 2e6)) * sin(radians((slat - clat) / 2e6))
+             + cos(radians(clat / 1e6)) * cos(radians(slat / 1e6))
+               * sin(radians((slon - clon) / 2e6))
+               * sin(radians((slon - clon) / 2e6)))), 0) AS BIGINT)"""))
+    val nearest = cand
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("c_custkey").orderBy("dist_m", "s_suppkey")))
+      .filter(col("rn") === 1)
+      .groupBy("c_custkey", "s_suppkey", "dist_m")
+      .agg(count(lit(1)).as("one"))
+    val nc = cand.groupBy("c_custkey").agg(count(lit(1)).as("n_candidates"))
+    nearest.join(nc, "c_custkey")
+      .select("c_custkey", "s_suppkey", "dist_m", "n_candidates")
+      .orderBy("dist_m", "c_custkey")
+      .limit(100)
+  }
+  val q112Sql: String =
+    """WITH cust AS (
+        SELECT c_custkey,
+          ('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || 'clat'), 1, 12))
+            ::BIGINT % 180000001 - 90000000 AS clat,
+          ('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || 'clon'), 1, 12))
+            ::BIGINT % 360000001 - 180000000 AS clon
+        FROM customer),
+      cq AS (SELECT *,
+               (clat + 90000000) * 32 // 180000001 AS latq,
+               (clon + 180000000) * 32 // 360000001 AS lonq
+             FROM cust),
+      supp AS (
+        SELECT s_suppkey,
+          ('0x' || substring(md5(CAST(s_suppkey AS VARCHAR) || 'slat'), 1, 12))
+            ::BIGINT % 180000001 - 90000000 AS slat,
+          ('0x' || substring(md5(CAST(s_suppkey AS VARCHAR) || 'slon'), 1, 12))
+            ::BIGINT % 360000001 - 180000000 AS slon
+        FROM supplier),
+      sq AS (SELECT s_suppkey, slat, slon,
+               (slat + 90000000) * 32 // 180000001 + d1.d AS latq,
+               (slon + 180000000) * 32 // 360000001 + d2.d AS lonq
+             FROM supp,
+               (SELECT unnest(generate_series(-1, 1)) AS d) d1,
+               (SELECT unnest(generate_series(-1, 1)) AS d) d2),
+      cand AS (
+        SELECT c_custkey, s_suppkey,
+          CAST(round(6371008.8 * 2 * asin(sqrt(
+            sin(radians((slat - clat) / 2e6)) * sin(radians((slat - clat) / 2e6))
+            + cos(radians(clat / 1e6)) * cos(radians(slat / 1e6))
+              * sin(radians((slon - clon) / 2e6))
+              * sin(radians((slon - clon) / 2e6)))), 0) AS BIGINT) AS dist_m
+        FROM cq JOIN sq USING (latq, lonq)),
+      near AS (SELECT c_custkey, s_suppkey, dist_m FROM (
+                 SELECT *, row_number() OVER (PARTITION BY c_custkey
+                   ORDER BY dist_m, s_suppkey) AS rn FROM cand) t
+               WHERE rn = 1),
+      nc AS (SELECT c_custkey, COUNT(*) AS n_candidates
+             FROM cand GROUP BY 1)
+      SELECT near.c_custkey AS c_custkey, s_suppkey, dist_m, n_candidates
+      FROM near JOIN nc ON near.c_custkey = nc.c_custkey
+      ORDER BY dist_m, c_custkey LIMIT 100"""
+
   val queries: Map[String, Q] = Map(
     "q106_bootstrap_ci"  -> q106_bootstrap_ci,
     "q107_semi_additive" -> q107_semi_additive,
@@ -513,6 +615,7 @@ object Relational14 {
     "q109_distinct_cube" -> q109_distinct_cube,
     "q110_rolling_regression" -> q110_rolling_regression,
     "q111_revenue_bridge" -> q111_revenue_bridge,
+    "q112_geo_nearest" -> q112_geo_nearest,
   )
   val oracles: Map[String, String] = Map(
     "q106_bootstrap_ci"  -> q106Sql,
@@ -521,5 +624,6 @@ object Relational14 {
     "q109_distinct_cube" -> q109Sql,
     "q110_rolling_regression" -> q110Sql,
     "q111_revenue_bridge" -> q111Sql,
+    "q112_geo_nearest" -> q112Sql,
   )
 }

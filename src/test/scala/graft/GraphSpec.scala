@@ -2540,6 +2540,45 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("q112 geo nearest: cell blocking finds true local minima, meters sane") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Relational14.q112_geo_nearest(spark, sf)
+      .orderBy("dist_m", "c_custkey").collect()
+    // sf0.001's sparse grid yields fewer than the 100-row cap
+    assert(rows.nonEmpty && rows.length <= 100)
+    // distances ascend (the report is the top-100 closest colocations)
+    assert(rows.map(_.getAs[Long]("dist_m")).sliding(2).forall {
+      case Array(a, b) => a <= b; case _ => true })
+    // a 3x3 neighborhood of ~600-1200km cells: bounded by two cell
+    // diagonals; nothing negative
+    rows.foreach { r =>
+      val m = r.getAs[Long]("dist_m")
+      assert(m >= 0L && m < 6000000L, s"implausible distance: $r")
+      assert(r.getAs[Long]("n_candidates") >= 1L)
+    }
+    // spot-check the haversine against an independent implementation
+    def coord(key: Long, salt: String, mod: Long, shift: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$key$salt".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      ((java.lang.Long.parseLong(md, 16) % mod) - shift) / 1e6
+    }
+    val r0 = rows.head
+    val (ck, sk) = (r0.getAs[Long]("c_custkey"), r0.getAs[Long]("s_suppkey"))
+    val (la1, lo1) = (coord(ck, "clat", 180000001L, 90000000L),
+      coord(ck, "clon", 360000001L, 180000000L))
+    val (la2, lo2) = (coord(sk, "slat", 180000001L, 90000000L),
+      coord(sk, "slon", 360000001L, 180000000L))
+    val dphi = math.toRadians(la2 - la1) / 2
+    val dlmb = math.toRadians(lo2 - lo1) / 2
+    val a = math.sin(dphi) * math.sin(dphi) +
+      math.cos(math.toRadians(la1)) * math.cos(math.toRadians(la2)) *
+        math.sin(dlmb) * math.sin(dlmb)
+    val want = 6371008.8 * 2 * math.asin(math.sqrt(a))
+    assert(math.abs(r0.getAs[Long]("dist_m") - want) < 2.0,
+      s"haversine mismatch: ${r0.getAs[Long]("dist_m")} vs $want")
+  }
+
   test("d39 b-bit minhash: debias chain re-derivable, truncation only loses precision") {
     val rows = operators.Dedup4.d39_bbit_minhash(spark, sf).collect()
     assert(rows.nonEmpty)
