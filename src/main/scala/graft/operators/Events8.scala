@@ -605,6 +605,70 @@ object Events8 {
                 / (CAST(1.0 AS DOUBLE) + 1.96 * 1.96 / n), 9) AS wilson_hi
       FROM w ORDER BY step"""
 
+  // ---- e62: A/B sample-size planner (power analysis) ----
+  // The question every experiment review asks BEFORE e59's z-test can
+  // run: how many users per arm to detect a given absolute lift at
+  // α=0.05 (two-sided) with 80% power? Standard two-proportion formula
+  // n = (z_{α/2}·√(2p̄(1−p̄)) + z_β·√(p₁(1−p₁)+p₂(1−p₂)))² / δ² with
+  // the baseline p₁ measured from the corpus (exact integer counts,
+  // e59's high-value-purchase conversion), one row per candidate lift.
+  // z literals (1.96, 0.8416) are fixed constants in BOTH engines; the
+  // whole chain is identical IEEE ops on identical doubles, and the
+  // ceil lands on identical integers. Feasibility compares the
+  // requirement against current traffic — the go/no-go column. One
+  // fact-scale distinct-user collapse; 3-row output.
+  val e62_sample_size: Q = (s, d) => {
+    val base = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 100,
+        1L).otherwise(0L)).as("conv"))
+      .agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"))
+    val lifts = Seq(0.01, 0.02, 0.05)
+    base
+      .select(col("n_users"), col("n_conv"),
+        (col("n_conv").cast("double") / col("n_users").cast("double"))
+          .as("p1"),
+        explode(array(lifts.map(lit): _*)).as("lift"))
+      .withColumn("p2", col("p1") + col("lift"))
+      .withColumn("n_required", ceil(
+        pow(lit(1.96) * sqrt(lit(2.0) * ((col("p1") + col("p2")) / lit(2.0))
+            * (lit(1.0) - (col("p1") + col("p2")) / lit(2.0)))
+          + lit(0.8416) * sqrt(col("p1") * (lit(1.0) - col("p1"))
+            + col("p2") * (lit(1.0) - col("p2"))), 2.0)
+          / (col("lift") * col("lift"))).cast("long"))
+      .select(col("lift"), round(col("p1"), 9).as("p1"),
+        round(col("p2"), 9).as("p2"), col("n_required"),
+        (col("n_required") * 2 <= col("n_users"))
+          .as("feasible_with_current_traffic"))
+      .orderBy("lift")
+  }
+  val e62Sql: String =
+    """WITH u AS (SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 100
+                   THEN 1 ELSE 0 END) AS conv
+             FROM events GROUP BY 1),
+      b AS (SELECT COUNT(*) AS n_users,
+              CAST(SUM(conv) AS BIGINT) AS n_conv FROM u),
+      l AS (SELECT unnest([0.01, 0.02, 0.05]) AS lift),
+      x AS (SELECT n_users, n_conv,
+              CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) AS p1,
+              CAST(lift AS DOUBLE) AS lift
+            FROM b, l),
+      y AS (SELECT *, p1 + lift AS p2 FROM x),
+      z AS (SELECT *,
+              CAST(ceil(
+                pow(1.96 * sqrt(CAST(2.0 AS DOUBLE) * ((p1 + p2)
+                      / CAST(2.0 AS DOUBLE))
+                    * (CAST(1.0 AS DOUBLE) - (p1 + p2)
+                      / CAST(2.0 AS DOUBLE)))
+                  + 0.8416 * sqrt(p1 * (CAST(1.0 AS DOUBLE) - p1)
+                    + p2 * (CAST(1.0 AS DOUBLE) - p2)), 2.0)
+                / (lift * lift)) AS BIGINT) AS n_required
+            FROM y)
+      SELECT lift, round(p1, 9) AS p1, round(p2, 9) AS p2, n_required,
+        n_required * 2 <= n_users AS feasible_with_current_traffic
+      FROM z ORDER BY lift"""
+
   val queries: Map[String, Q] = Map(
     "e54_cusum"         -> e54_cusum,
     "e55_rate_limit"    -> e55_rate_limit,
@@ -614,6 +678,7 @@ object Events8 {
     "e59_ab_proportion" -> e59_ab_proportion,
     "e60_kaplan_meier"  -> e60_kaplan_meier,
     "e61_funnel_ci"     -> e61_funnel_ci,
+    "e62_sample_size"   -> e62_sample_size,
   )
   val oracles: Map[String, String] = Map(
     "e54_cusum"         -> e54Sql,
@@ -624,5 +689,6 @@ object Events8 {
     "e59_ab_proportion" -> e59Sql,
     "e60_kaplan_meier"  -> e60Sql,
     "e61_funnel_ci"     -> e61Sql,
+    "e62_sample_size"   -> e62Sql,
   )
 }

@@ -345,12 +345,65 @@ object TextAnalysis10 {
               / CAST(n_tokens AS DOUBLE), 9) AS yield_per_1k
       FROM ss LEFT JOIN nb USING (source) ORDER BY source"""
 
+  // ---- t40: tokenizer fertility by language ----
+  // The "which tokenizer" budget table: FERTILITY (subword tokens per
+  // whitespace word) is the number that decides how many training
+  // tokens a corpus actually yields per language — a tokenizer with 2×
+  // fertility on one language halves that language's effective context
+  // and doubles its compute share. t03 counts tokens per DOCUMENT;
+  // this rolls the same two exact token definitions (whitespace split
+  // vs the BPE-ish word/punct regex, t03's) to the per-LANGUAGE table:
+  // fertility, chars/token, and each language's share of corpus
+  // tokens. All counts exact integers in one combinable pass; the
+  // three ratios are single IEEE divisions rounded 1e-9.
+  val t40_tokenizer_fertility: Q = (s, d) => {
+    val per = Tables.documents(s, d).select(col("lang"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("ws"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("re"),
+      length(col("text")).cast("long").as("ch"))
+    val tot = per.agg(sum("re").as("tot_re"))
+    per.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("ws").as("ws_tokens"),
+        sum("re").as("re_tokens"), sum("ch").as("chars"))
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"),
+        col("re_tokens"),
+        round(col("re_tokens").cast("double")
+          / col("ws_tokens").cast("double"), 9).as("fertility"),
+        round(col("chars").cast("double")
+          / col("re_tokens").cast("double"), 9).as("chars_per_token"),
+        round(col("re_tokens").cast("double")
+          / col("tot_re").cast("double"), 9).as("token_share"))
+      .orderBy("lang")
+  }
+  val t40Sql: String =
+    """WITH per AS (SELECT lang,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                 AS ws,
+               CAST(len(regexp_extract_all(text,
+                 '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS re,
+               CAST(length(text) AS BIGINT) AS ch
+             FROM documents),
+      tot AS (SELECT CAST(SUM(re) AS BIGINT) AS tot_re FROM per)
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+        CAST(SUM(re) AS BIGINT) AS re_tokens,
+        round(CAST(SUM(re) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE), 9)
+          AS fertility,
+        round(CAST(SUM(ch) AS DOUBLE) / CAST(SUM(re) AS DOUBLE), 9)
+          AS chars_per_token,
+        round(CAST(SUM(re) AS DOUBLE) / CAST(tot_re AS DOUBLE), 9)
+          AS token_share
+      FROM per CROSS JOIN tot GROUP BY lang, tot_re ORDER BY lang"""
+
   val queries: Map[String, Q] = Map(
     "t35_readability" -> t35_readability,
     "t36_burstiness"  -> t36_burstiness,
     "t37_length_forensics" -> t37_length_forensics,
     "t38_code_detect" -> t38_code_detect,
     "t39_vocab_yield" -> t39_vocab_yield,
+    "t40_tokenizer_fertility" -> t40_tokenizer_fertility,
   )
   val oracles: Map[String, String] = Map(
     "t35_readability" -> t35Sql,
@@ -358,5 +411,6 @@ object TextAnalysis10 {
     "t37_length_forensics" -> t37Sql,
     "t38_code_detect" -> t38Sql,
     "t39_vocab_yield" -> t39Sql,
+    "t40_tokenizer_fertility" -> t40Sql,
   )
 }

@@ -2579,6 +2579,39 @@ class GraphSpec extends AnyFunSuite {
       s"haversine mismatch: ${r0.getAs[Long]("dist_m")} vs $want")
   }
 
+  test("e62 sample size: formula re-derivable, n shrinks as lift grows") {
+    val rows = operators.Events8.e62_sample_size(spark, sf)
+      .orderBy("lift").collect()
+    assert(rows.length == 3)
+    // bigger detectable lift needs fewer users
+    assert(rows.map(_.getAs[Long]("n_required")).sliding(2).forall {
+      case Array(a, b) => a >= b; case _ => true })
+    rows.foreach { r =>
+      val (p1, lift) = (r.getAs[Double]("p1"), r.getAs[Double]("lift"))
+      val p2 = p1 + lift
+      val pbar = (p1 + p2) / 2
+      val n = math.ceil(math.pow(1.96 * math.sqrt(2 * pbar * (1 - pbar))
+        + 0.8416 * math.sqrt(p1 * (1 - p1) + p2 * (1 - p2)), 2)
+        / (lift * lift)).toLong
+      assert(math.abs(r.getAs[Long]("n_required") - n) <= 1,
+        s"n not re-derivable: $r vs $n")
+    }
+  }
+
+  test("t40 tokenizer fertility: shares sum to one, fertility >= 1") {
+    val rows = operators.TextAnalysis10.t40_tokenizer_fertility(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val shareSum = rows.map(_.getAs[Double]("token_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-6, s"shares sum to $shareSum")
+    rows.foreach { r =>
+      // the word/punct regex splits at least as fine as whitespace
+      assert(r.getAs[Double]("fertility") >= 1.0 - 1e-9, s"fertility < 1: $r")
+      assert(r.getAs[Double]("chars_per_token") > 0.0)
+      assert(r.getAs[Long]("re_tokens") >= r.getAs[Long]("ws_tokens"))
+    }
+  }
+
   test("d39 b-bit minhash: debias chain re-derivable, truncation only loses precision") {
     val rows = operators.Dedup4.d39_bbit_minhash(spark, sf).collect()
     assert(rows.nonEmpty)
