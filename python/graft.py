@@ -347,6 +347,72 @@ def verb(spark, name, df, *args):
     return _wrap(spark, jdf)
 
 
+def _snapshot(spark):
+    return _jvm(spark).graft.sources.SnapshotTable
+
+
+def snapshot_create(spark, df, path):
+    """Create version 1 of a transactional snapshot table."""
+    return _snapshot(spark).create(df._jdf, path)
+
+
+def snapshot_append(spark, df, path, expected_version=0, merge_schema=False):
+    """Append a segment; optional additive schema evolution."""
+    return _snapshot(spark).append(df._jdf, path, int(expected_version),
+                                   bool(merge_schema))
+
+
+def snapshot_upsert(spark, path, changes, keys, expected_version=0):
+    """Copy-on-write MERGE: at most one change row per key."""
+    return _snapshot(spark).upsert(spark._jsparkSession, path, changes._jdf,
+                                   _to_seq(spark, list(keys)),
+                                   int(expected_version))
+
+
+def snapshot_read(spark, path, version=0):
+    """Read a version (0 = latest) of a snapshot table."""
+    return _wrap(spark, _snapshot(spark).read(spark._jsparkSession, path,
+                                              int(version)))
+
+
+def snapshot_read_where(spark, path, predicate, version=0):
+    """Zone-map-pruned read: opens only files whose manifest stats can
+    satisfy ``predicate`` (full predicate still applied as a filter)."""
+    return _wrap(spark, _snapshot(spark).readWhere(
+        spark._jsparkSession, path, predicate, int(version)))
+
+
+def snapshot_prune_report(spark, path, predicate, version=0):
+    """(total files, files kept) for a predicate's zone-map pruning."""
+    t = _snapshot(spark).pruneReport(spark._jsparkSession, path, predicate,
+                                     int(version))
+    return (t._1(), t._2())
+
+
+def snapshot_changes(spark, path, from_version, to_version):
+    """Change feed between two versions: insert/delete rows with a
+    _change_type column (updates appear as delete+insert pairs)."""
+    return _wrap(spark, _snapshot(spark).changes(
+        spark._jsparkSession, path, int(from_version), int(to_version)))
+
+
+def snapshot_cluster(spark, path, cols, num_files=8):
+    """OPTIMIZE-ZORDER analog: range-partitioned sorted rewrite so zone
+    maps prune selective predicates to a handful of file opens."""
+    return _snapshot(spark).cluster(spark._jsparkSession, path,
+                                    _to_seq(spark, list(cols)),
+                                    int(num_files))
+
+
+def snapshot_compact(spark, path, num_files=1):
+    return _snapshot(spark).compact(spark._jsparkSession, path,
+                                    int(num_files))
+
+
+def snapshot_latest_version(spark, path):
+    return _snapshot(spark).latestVersion(spark._jsparkSession, path)
+
+
 def _field_names(schema):
     """Field names of a StructType or a DDL string (top-level commas
     only — nested ``struct<...>``/``array<...>`` commas are skipped)."""

@@ -36,10 +36,45 @@ object TransformSpec {
   def run(json: String, catalog: Map[String, DataFrame]): DataFrame = {
     val root = om.readTree(json)
     val src = root.path("source").asText()
-    require(catalog.contains(src), s"unknown source '$src'")
     root.path("steps").elements().asScala
-      .foldLeft(catalog(src))((df, step) => apply(df, step, catalog))
+      .foldLeft(resolve(src, catalog))((df, step) => apply(df, step, catalog))
   }
+
+  /** Resolve a table reference: the catalog first, then INLINE sources —
+    * `parquet:/path`, `csv:/path` (header + inferSchema), `json:/path`,
+    * `orc:/path`, and `snapshot:/path` (optionally `snapshot:/path@v`
+    * for time travel into a [[graft.sources.SnapshotTable]]) — so a
+    * declarative job can name its own inputs: the job file IS the whole
+    * pipeline, with no pre-registration step. That is the config-first
+    * migration contract; a production deployment still routes governed
+    * names through the catalog map / metastore.
+    */
+  private def resolve(name: String,
+                      catalog: Map[String, DataFrame]): DataFrame =
+    catalog.getOrElse(name, {
+      // active first (SQL/TVF callers), else the default session —
+      // worker-thread callers (tests, schedulers) often have no
+      // thread-local active session
+      val spark = org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .getOrElse(throw new IllegalStateException(
+          s"no SparkSession available to resolve inline source '$name'"))
+      name.split(":", 2) match {
+        case Array("parquet", p) => spark.read.parquet(p)
+        case Array("csv", p) => spark.read.option("header", "true")
+          .option("inferSchema", "true").csv(p)
+        case Array("json", p) => spark.read.json(p)
+        case Array("orc", p) => spark.read.orc(p)
+        case Array("snapshot", p) => p.split("@") match {
+          case Array(pp, v) if v.forall(_.isDigit) && v.nonEmpty =>
+            graft.sources.SnapshotTable.read(spark, pp, v.toInt)
+          case _ => graft.sources.SnapshotTable.read(spark, p)
+        }
+        case _ => throw new IllegalArgumentException(
+          s"unknown source '$name': not in the catalog, and inline " +
+            "sources use parquet:/csv:/json:/orc:/snapshot: prefixes")
+      }
+    })
 
   /** Java/py4j entry point — the PySpark facade (python/graft.py) calls
     * this with a java.util.Map catalog, since a Scala immutable Map
@@ -66,7 +101,8 @@ object TransformSpec {
           case _               => None
         }
       }
-    run(json, names.map(n => n -> spark.table(n)).toMap)
+    run(json, names.filterNot(_.contains(":"))
+      .map(n => n -> spark.table(n)).toMap)
   }
 
   private def strings(n: JsonNode): Seq[String] =
@@ -85,9 +121,8 @@ object TransformSpec {
       case "orderBy" => df.orderBy(strings(step.path("cols")).map(expr): _*)
       case "join" =>
         val rightName = step.path("right").asText()
-        require(catalog.contains(rightName), s"unknown join table '$rightName'")
         val how = if (step.has("how")) step.path("how").asText() else "inner"
-        df.join(catalog(rightName), strings(step.path("on")), how)
+        df.join(resolve(rightName, catalog), strings(step.path("on")), how)
       case "agg" =>
         val aggs = step.path("aggs").elements().asScala.map { pair =>
           expr(pair.get(1).asText()).as(pair.get(0).asText())
@@ -97,8 +132,7 @@ object TransformSpec {
         else df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
       case "union" =>
         val otherName = step.path("other").asText()
-        require(catalog.contains(otherName), s"unknown union table '$otherName'")
-        df.unionByName(catalog(otherName))
+        df.unionByName(resolve(otherName, catalog))
       case "rename" =>
         step.path("map").properties().asScala.foldLeft(df)((d, e) =>
           d.withColumnRenamed(e.getKey, e.getValue.asText()))
@@ -211,8 +245,7 @@ object TransformSpec {
         //   {"op": "asof", "right": "quotes", "leftKey": "k",
         //    "rightKey": "k", "leftTime": "ts", "rightTime": "ts"}
         val rightName = step.path("right").asText()
-        require(catalog.contains(rightName), s"unknown asof table '$rightName'")
-        graft.plans.AsofJoin.asofJoin(df, catalog(rightName),
+        graft.plans.AsofJoin.asofJoin(df, resolve(rightName, catalog),
           step.path("leftKey").asText(), step.path("rightKey").asText(),
           step.path("leftTime").asText(), step.path("rightTime").asText())
       case "skewAudit" =>

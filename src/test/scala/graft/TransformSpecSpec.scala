@@ -331,6 +331,50 @@ class TransformSpecSpec extends AnyFunSuite {
     }
   }
 
+  test("inline sources: a job spec names its own files and snapshot versions") {
+    import graft.api.TransformSpec
+    // the job file IS the pipeline: no pre-registered catalog at all
+    val got = TransformSpec.run(
+      s"""{"source": "parquet:$sf/documents.parquet",
+           "steps": [
+             {"op": "withColumn", "name": "nw", "expr": "size(split(text, ' '))"},
+             {"op": "filter", "expr": "nw >= 30"},
+             {"op": "join", "right": "parquet:$sf/documents.parquet",
+              "on": ["doc_id"], "how": "left_semi"},
+             {"op": "agg", "groupBy": ["lang"], "aggs": [["n", "count(1)"]]},
+             {"op": "orderBy", "cols": ["lang"]}]}""",
+      Map.empty[String, org.apache.spark.sql.DataFrame])
+      .collect().map(_.mkString("|"))
+    val want = Tables.documents(spark, sf)
+      .withColumn("nw", size(split(col("text"), " ")))
+      .filter(col("nw") >= 30)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .orderBy("lang").collect().map(_.mkString("|"))
+    assert(got.sameElements(want))
+
+    // snapshot: source with @version time travel
+    val dir = java.nio.file.Files.createTempDirectory("graft_ts_snap")
+      .toString + "/t"
+    graft.sources.SnapshotTable.create(
+      spark.range(0, 50).select(col("id").as("k")), dir)
+    graft.sources.SnapshotTable.append(
+      spark.range(50, 80).select(col("id").as("k")), dir)
+    def n(src: String): Long = TransformSpec.run(
+      s"""{"source": "$src", "steps": [
+           {"op": "agg", "groupBy": [], "aggs": [["n", "count(1)"]]}]}""",
+      Map.empty[String, org.apache.spark.sql.DataFrame])
+      .collect()(0).getLong(0)
+    assert(n(s"snapshot:$dir") == 80L)
+    assert(n(s"snapshot:$dir@1") == 50L)
+
+    // unknown prefixes refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      TransformSpec.run("""{"source": "mystery:/nope", "steps": []}""",
+        Map.empty[String, org.apache.spark.sql.DataFrame])
+    }
+    assert(e.getMessage.contains("inline sources"))
+  }
+
   test("unknown ops and unknown tables fail loudly") {
     val docs = Tables.documents(spark, sf)
     intercept[IllegalArgumentException] {

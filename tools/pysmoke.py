@@ -278,6 +278,27 @@ last = rt.collect()[-1]
 # slope = 100 cents/day = 1.0 unit/day = 1_000_000 micro-units
 assert last.n_days == 28 and last.slope_micro == 1000000, last
 
+# 6n. snapshot-table facade: ACID lifecycle + zone-map pruning from python
+import tempfile
+snap_path = tempfile.mkdtemp(prefix="graft_pysnap") + "/t"
+base = spark.range(0, 400).selectExpr("id AS k", "id % 7 AS v") \
+    .repartitionByRange(4, "k").sortWithinPartitions("k")
+assert graft.snapshot_create(spark, base, snap_path) == 1
+assert graft.snapshot_append(
+    spark, spark.range(400, 500).selectExpr("id AS k", "id % 7 AS v"),
+    snap_path) == 2
+assert graft.snapshot_read(spark, snap_path).count() == 500
+assert graft.snapshot_read(spark, snap_path, version=1).count() == 400
+chg = spark.range(0, 5).selectExpr("id AS k", "CAST(99 AS BIGINT) AS v")
+assert graft.snapshot_upsert(spark, snap_path, chg, ["k"]) == 3
+assert graft.snapshot_read(spark, snap_path).where("v = 99").count() == 5
+total, kept = graft.snapshot_prune_report(spark, snap_path, "k = 450")
+assert kept < total, f"no pruning: {kept}/{total}"
+assert graft.snapshot_read_where(spark, snap_path, "k = 450").count() == 1
+cdf = graft.snapshot_changes(spark, snap_path, 1, 2)
+assert cdf.where("_change_type = 'insert'").count() == 100
+assert cdf.where("_change_type = 'delete'").count() == 0
+
 # 6i. generic verb dispatcher: latestPerKey via verb() == direct window
 lk = graft.verb(spark, "latestPerKey", events,
                 "col:user_id", ["col:ts", "col:event_id"])
@@ -287,5 +308,7 @@ print(f"PASS pysmoke: sql-functions, {len(out)}-row declarative job, "
       f"{len(exact)} near-dup pairs (lsh == exact == TVF), top-k facade, "
       f"fd-audit + shard-interleave verbs, and the round-5 parity sweep "
       f"(sessionize/asof/expect/profile/gopher/span-dedup/global-rank/"
-      f"skyline/verb-dispatch/kaplan-meier/rolling-trend) — all green")
+      f"skyline/verb-dispatch/kaplan-meier/rolling-trend) plus the "
+      f"snapshot-table lifecycle (create/append/upsert/time-travel/"
+      f"zone-map-pruned read/change feed) — all green")
 spark.stop()
