@@ -669,6 +669,95 @@ object Events8 {
         n_required * 2 <= n_users AS feasible_with_current_traffic
       FROM z ORDER BY lift"""
 
+  // ---- e63: difference-in-differences (the quasi-experiment readout) ----
+  // When randomization isn't available (a feature shipped to one arm at
+  // a known date), the causal workhorse is DiD: compare each arm's
+  // BEFORE→AFTER change and difference the changes, so arm-level
+  // constants and period-level shocks both cancel. Completes the
+  // experimentation family: e59 tests a parallel A/B, e61 bounds the
+  // rates, e62 sizes the sample, e63 handles the launch-date design.
+  // Cells are (arm × period) conversion rates over deterministic user
+  // arms (e59's parity) and a deterministic cutover (the corpus
+  // midpoint date, computed as an exact integer day); a user's period
+  // membership = activity in that period, conversion measured per
+  // period so one user can appear in both cells (the repeated-cross-
+  // section DiD). All 8 cell counts are exact integers from ONE
+  // fact-scale pass; the four rates and the DiD estimate are
+  // fixed-parenthesization IEEE ops replicated in the oracle, 1e-9.
+  val e63_did: Q = (s, d) => {
+    val bounds = Tables.events(s, d)
+      .agg(min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"))
+      .select(expr("date_add(lo, CAST(datediff(hi, lo) div 2 AS INT))")
+        .as("cut"))
+    val cells = Tables.events(s, d)
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        when(pmod(col("user_id"), lit(2)) === 0, "treat")
+          .otherwise("control").as("arm"),
+        when(to_date(col("ts")) < col("cut"), "pre").otherwise("post")
+          .as("period"),
+        when(col("event_type") === "purchase" && col("value") > 100, 1L)
+          .otherwise(0L).as("conv"))
+      .groupBy("arm", "period", "user_id")
+      .agg(max("conv").as("converted"))
+      .groupBy("arm", "period")
+      .agg(count(lit(1)).as("n_users"), sum("converted").as("n_conv"))
+      .withColumn("rate",
+        col("n_conv").cast("double") / col("n_users").cast("double"))
+    val wide = cells.groupBy(lit(1).as("__one")).agg(
+      min(when(col("arm") === "treat" && col("period") === "pre",
+        col("rate"))).as("treat_pre"),
+      min(when(col("arm") === "treat" && col("period") === "post",
+        col("rate"))).as("treat_post"),
+      min(when(col("arm") === "control" && col("period") === "pre",
+        col("rate"))).as("control_pre"),
+      min(when(col("arm") === "control" && col("period") === "post",
+        col("rate"))).as("control_post"))
+    wide.select(
+      round(col("treat_pre"), 9).as("treat_pre"),
+      round(col("treat_post"), 9).as("treat_post"),
+      round(col("control_pre"), 9).as("control_pre"),
+      round(col("control_post"), 9).as("control_post"),
+      round((col("treat_post") - col("treat_pre"))
+        - (col("control_post") - col("control_pre")), 9).as("did"))
+  }
+  val e63Sql: String =
+    """WITH b AS (SELECT MIN(CAST(ts AS DATE)) AS lo,
+               MAX(CAST(ts AS DATE)) AS hi FROM events),
+      c AS (SELECT lo + CAST(datediff('day', lo, hi) // 2 AS INTEGER)
+              AS cut FROM b),
+      u AS (SELECT user_id,
+              CASE WHEN user_id % 2 = 0 THEN 'treat' ELSE 'control' END
+                AS arm,
+              CASE WHEN CAST(ts AS DATE) < cut THEN 'pre' ELSE 'post' END
+                AS period,
+              MAX(CASE WHEN event_type = 'purchase' AND value > 100
+                  THEN 1 ELSE 0 END) AS converted
+            FROM events, c GROUP BY 1, 2, 3),
+      g AS (SELECT arm, period, COUNT(*) AS n_users,
+              CAST(SUM(converted) AS BIGINT) AS n_conv
+            FROM u GROUP BY 1, 2),
+      r AS (SELECT arm, period,
+              CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) AS rate
+            FROM g),
+      w AS (SELECT
+              MIN(CASE WHEN arm = 'treat' AND period = 'pre'
+                  THEN rate END) AS treat_pre,
+              MIN(CASE WHEN arm = 'treat' AND period = 'post'
+                  THEN rate END) AS treat_post,
+              MIN(CASE WHEN arm = 'control' AND period = 'pre'
+                  THEN rate END) AS control_pre,
+              MIN(CASE WHEN arm = 'control' AND period = 'post'
+                  THEN rate END) AS control_post
+            FROM r)
+      SELECT round(treat_pre, 9) AS treat_pre,
+        round(treat_post, 9) AS treat_post,
+        round(control_pre, 9) AS control_pre,
+        round(control_post, 9) AS control_post,
+        round((treat_post - treat_pre) - (control_post - control_pre), 9)
+          AS did
+      FROM w"""
+
   val queries: Map[String, Q] = Map(
     "e54_cusum"         -> e54_cusum,
     "e55_rate_limit"    -> e55_rate_limit,
@@ -679,6 +768,7 @@ object Events8 {
     "e60_kaplan_meier"  -> e60_kaplan_meier,
     "e61_funnel_ci"     -> e61_funnel_ci,
     "e62_sample_size"   -> e62_sample_size,
+    "e63_did"           -> e63_did,
   )
   val oracles: Map[String, String] = Map(
     "e54_cusum"         -> e54Sql,
@@ -690,5 +780,6 @@ object Events8 {
     "e60_kaplan_meier"  -> e60Sql,
     "e61_funnel_ci"     -> e61Sql,
     "e62_sample_size"   -> e62Sql,
+    "e63_did"           -> e63Sql,
   )
 }

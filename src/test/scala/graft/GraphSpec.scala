@@ -2612,6 +2612,18 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("e63 DiD: estimate re-derivable from the four cells, rates in [0,1]") {
+    val r = operators.Events8.e63_did(spark, sf).collect()(0)
+    val (tp, tq) = (r.getAs[Double]("treat_pre"), r.getAs[Double]("treat_post"))
+    val (cp, cq) = (r.getAs[Double]("control_pre"),
+      r.getAs[Double]("control_post"))
+    Seq(tp, tq, cp, cq).foreach(v => assert(v >= 0.0 && v <= 1.0))
+    assert(math.abs(r.getAs[Double]("did") - ((tq - tp) - (cq - cp))) < 1e-8)
+    // parity arms on identical pre-cutover data: the "effect" of no
+    // treatment should be near zero (sanity band, not a sharp bound)
+    assert(math.abs(r.getAs[Double]("did")) < 0.5)
+  }
+
   test("d39 b-bit minhash: debias chain re-derivable, truncation only loses precision") {
     val rows = operators.Dedup4.d39_bbit_minhash(spark, sf).collect()
     assert(rows.nonEmpty)
