@@ -416,16 +416,105 @@ object Graph2 {
         MIN(node) AS min_member
       FROM l4 GROUP BY 1 ORDER BY community"""
 
+  // ---- g15: dyad census + reciprocity (directed-graph structure) ----
+  // The social-network primitive the directed family lacked: g11 ranks
+  // nodes, g09 correlates degrees — the DYAD census classifies every
+  // node PAIR as mutual (trade flows both ways), asymmetric (one-way),
+  // or null, and reciprocity (share of directed edges with a reverse
+  // counterpart; Wasserman–Faust's baseline statistic) says whether the
+  // trade graph is a market of exchanges or a hub-and-spoke of one-way
+  // suppliers. Weighted form reports the reciprocated-weight share
+  // (2·Σ min(w_ij,w_ji) over Σ w — volume, not just topology).
+  // Engine shape = g11's: ONE fact-scale star join builds the
+  // nation-level weighted edge list; the census is a full-outer
+  // self-pair join on the ≤|V|² metadata-sized edge table. All counts
+  // and weights exact integers; two IEEE divisions rounded 1e-9.
+  val g15_dyad_census: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val edges = li
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").cast("long").as("src"),
+        col("c_nationkey").cast("long").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("src") =!= col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fwd = edges.filter(col("src") < col("dst"))
+      .select(col("src").as("lo"), col("dst").as("hi"), col("w").as("w_f"))
+    val bwd = edges.filter(col("src") > col("dst"))
+      .select(col("dst").as("lo"), col("src").as("hi"), col("w").as("w_b"))
+    val pairs = fwd.join(bwd, Seq("lo", "hi"), "full_outer")
+    val nNations = Tables.nation(s, d).count()
+    val totals = edges.agg(count(lit(1)).as("n_edges"),
+      sum("w").as("total_w"))
+    val census = pairs.agg(
+      count(when(col("w_f").isNotNull && col("w_b").isNotNull, 1))
+        .as("n_mutual"),
+      count(when(col("w_f").isNull || col("w_b").isNull, 1)).as("n_asym"),
+      sum(when(col("w_f").isNotNull && col("w_b").isNotNull,
+        least(col("w_f"), col("w_b"))).otherwise(0L)).as("min_w_sum"))
+    census.crossJoin(broadcast(totals))
+      .select(
+        lit(nNations).as("n_nodes"),
+        col("n_edges"), col("n_mutual"), col("n_asym"),
+        (lit(nNations * (nNations - 1) / 2) - col("n_mutual")
+          - col("n_asym")).as("n_null"),
+        round(lit(2.0) * col("n_mutual").cast("double")
+          / col("n_edges").cast("double"), 9).as("reciprocity"),
+        round(lit(2.0) * col("min_w_sum").cast("double")
+          / col("total_w").cast("double"), 9).as("weighted_reciprocity"))
+  }
+  val g15Sql: String =
+    """WITH e AS (
+        SELECT CAST(s_nationkey AS BIGINT) AS src,
+               CAST(c_nationkey AS BIGINT) AS dst, COUNT(*) AS w
+        FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey  = c_custkey
+          JOIN supplier ON l_suppkey  = s_suppkey
+        GROUP BY 1, 2 HAVING CAST(s_nationkey AS BIGINT)
+          <> CAST(c_nationkey AS BIGINT)),
+      f AS (SELECT src AS lo, dst AS hi, w AS w_f FROM e WHERE src < dst),
+      b AS (SELECT dst AS lo, src AS hi, w AS w_b FROM e WHERE src > dst),
+      p AS (SELECT COALESCE(f.lo, b.lo) AS lo, COALESCE(f.hi, b.hi) AS hi,
+              w_f, w_b
+            FROM f FULL OUTER JOIN b ON f.lo = b.lo AND f.hi = b.hi),
+      nn AS (SELECT COUNT(*) AS n FROM nation),
+      t AS (SELECT COUNT(*) AS n_edges, CAST(SUM(w) AS BIGINT) AS total_w
+            FROM e),
+      c AS (SELECT
+              COUNT(CASE WHEN w_f IS NOT NULL AND w_b IS NOT NULL
+                    THEN 1 END) AS n_mutual,
+              COUNT(CASE WHEN w_f IS NULL OR w_b IS NULL THEN 1 END)
+                AS n_asym,
+              CAST(SUM(CASE WHEN w_f IS NOT NULL AND w_b IS NOT NULL
+                   THEN LEAST(w_f, w_b) ELSE 0 END) AS BIGINT)
+                AS min_w_sum
+            FROM p)
+      SELECT CAST(n AS BIGINT) AS n_nodes, n_edges, n_mutual, n_asym,
+        CAST(n * (n - 1) / 2 - n_mutual - n_asym AS BIGINT) AS n_null,
+        round(CAST(2.0 AS DOUBLE) * CAST(n_mutual AS DOUBLE)
+              / CAST(n_edges AS DOUBLE), 9) AS reciprocity,
+        round(CAST(2.0 AS DOUBLE) * CAST(min_w_sum AS DOUBLE)
+              / CAST(total_w AS DOUBLE), 9) AS weighted_reciprocity
+      FROM c CROSS JOIN nn CROSS JOIN t"""
+
   val queries: Map[String, Q] = Map(
     "g11_hits"       -> g11_hits,
     "g12_kcore"      -> g12_kcore,
     "g13_khop_reach" -> g13_khop_reach,
     "g14_label_propagation" -> g14_label_propagation,
+    "g15_dyad_census" -> g15_dyad_census,
   )
   val oracles: Map[String, String] = Map(
     "g11_hits"       -> g11Sql,
     "g12_kcore"      -> g12Sql,
     "g13_khop_reach" -> g13Sql,
     "g14_label_propagation" -> g14Sql,
+    "g15_dyad_census" -> g15Sql,
   )
 }

