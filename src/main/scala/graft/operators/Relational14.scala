@@ -608,6 +608,67 @@ object Relational14 {
       FROM near JOIN nc ON near.c_custkey = nc.c_custkey
       ORDER BY dist_m, c_custkey LIMIT 100"""
 
+  // ---- q113: top-N per group with an "Other" rollup ----
+  // The single most-requested BI report shape still missing from the
+  // q-family: per nation, the top-3 customers by revenue as NAMED rows
+  // plus ONE "Other" row aggregating everyone else — so the report is
+  // complete (shares sum to 1) without being unbounded. q09 ranks,
+  // q20 truncates; neither keeps the remainder, and a report that
+  // silently drops the tail misstates concentration. Engine shape: one
+  // fact-scale (nation, customer) rollup, a nation-partitioned rank
+  // window, then a combinable re-aggregate where rank > N collapses to
+  // the Other bucket — nothing global, nothing unbounded. Revenue in
+  // exact integer cents (q110's discipline); share is one IEEE
+  // division per row, 1e-9.
+  val q113_topn_other: Q = (s, d) => {
+    val byCust = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("c_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+    val ranked = byCust.withColumn("rk", row_number().over(
+      Window.partitionBy("nation").orderBy(desc("cents"), col("c_custkey"))))
+    val rolled = ranked
+      .withColumn("member",
+        when(col("rk") <= 3, concat(lit("cust_"), col("c_custkey")))
+          .otherwise(lit("OTHER")))
+      .withColumn("rk_out",
+        when(col("rk") <= 3, col("rk")).otherwise(lit(4)).cast("long"))
+      .groupBy("nation", "rk_out", "member")
+      .agg(count(lit(1)).as("n_customers"), sum("cents").as("cents"))
+    val tot = byCust.groupBy("nation").agg(sum("cents").as("tot_cents"))
+    rolled.join(tot, "nation")
+      .select(col("nation"), col("rk_out").as("rank"), col("member"),
+        col("n_customers"), col("cents"),
+        round(col("cents").cast("double") / col("tot_cents").cast("double"),
+          9).as("share"))
+      .orderBy("nation", "rank")
+  }
+  val q113Sql: String =
+    """WITH bc AS (SELECT n_name AS nation, c_custkey,
+               CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                 AS BIGINT) AS cents
+             FROM orders JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey
+             GROUP BY 1, 2),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY nation
+               ORDER BY cents DESC, c_custkey) AS rk FROM bc),
+      ro AS (SELECT nation,
+               CASE WHEN rk <= 3 THEN rk ELSE 4 END AS rank,
+               CASE WHEN rk <= 3 THEN 'cust_' || CAST(c_custkey AS VARCHAR)
+                    ELSE 'OTHER' END AS member,
+               COUNT(*) AS n_customers,
+               CAST(SUM(cents) AS BIGINT) AS cents
+             FROM rk GROUP BY 1, 2, 3),
+      t AS (SELECT nation, CAST(SUM(cents) AS BIGINT) AS tot_cents
+            FROM bc GROUP BY 1)
+      SELECT ro.nation AS nation, CAST(rank AS BIGINT) AS rank, member,
+        n_customers, cents,
+        round(CAST(cents AS DOUBLE) / CAST(tot_cents AS DOUBLE), 9)
+          AS share
+      FROM ro JOIN t ON ro.nation = t.nation
+      ORDER BY nation, rank"""
+
   val queries: Map[String, Q] = Map(
     "q106_bootstrap_ci"  -> q106_bootstrap_ci,
     "q107_semi_additive" -> q107_semi_additive,
@@ -616,6 +677,7 @@ object Relational14 {
     "q110_rolling_regression" -> q110_rolling_regression,
     "q111_revenue_bridge" -> q111_revenue_bridge,
     "q112_geo_nearest" -> q112_geo_nearest,
+    "q113_topn_other" -> q113_topn_other,
   )
   val oracles: Map[String, String] = Map(
     "q106_bootstrap_ci"  -> q106Sql,
@@ -625,5 +687,6 @@ object Relational14 {
     "q110_rolling_regression" -> q110Sql,
     "q111_revenue_bridge" -> q111Sql,
     "q112_geo_nearest" -> q112Sql,
+    "q113_topn_other" -> q113Sql,
   )
 }

@@ -2665,6 +2665,38 @@ class GraphSpec extends AnyFunSuite {
     assert(wrec >= 0.0 && wrec <= 1.0)
   }
 
+  test("q113 top-n other: shares complete to 1, Other carries the whole tail") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Relational14.q113_topn_other(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byNation = rows.groupBy(_.getAs[String]("nation"))
+    byNation.foreach { case (nation, rs) =>
+      val shares = rs.map(_.getAs[Double]("share")).sum
+      assert(math.abs(shares - 1.0) < 1e-6,
+        s"$nation shares sum to $shares, not 1")
+      assert(rs.count(_.getAs[String]("member") == "OTHER") <= 1)
+      val named = rs.filter(_.getAs[String]("member") != "OTHER")
+      assert(named.length <= 3)
+      named.foreach(r => assert(r.getAs[Long]("n_customers") == 1L))
+      // named rows descend in revenue by rank
+      named.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("cents"))
+        .sliding(2).foreach {
+          case Array(a, b) => assert(a >= b); case _ => ()
+        }
+    }
+    // cross-check one nation's total against an independent rollup
+    val n0 = rows.head.getAs[String]("nation")
+    val want = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === n0)
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")))
+      .collect()(0).getLong(0)
+    val got = rows.filter(_.getAs[String]("nation") == n0)
+      .map(_.getAs[Long]("cents")).sum
+    assert(got == want, s"$n0 totals: $got != $want")
+  }
+
   test("d39 b-bit minhash: debias chain re-derivable, truncation only loses precision") {
     val rows = operators.Dedup4.d39_bbit_minhash(spark, sf).collect()
     assert(rows.nonEmpty)
