@@ -329,6 +329,89 @@ object Dedup4 {
               / (CAST(1 AS DOUBLE) - CAST(1 AS DOUBLE) / 16.0), 6) AS est_b4
       FROM agg ORDER BY da, db"""
 
+  // ---- d41: lexical-vs-semantic dedup agreement audit ----
+  // The two near-dup modalities the pipeline runs (d03's shingle
+  // Jaccard, d14's embedding cosine) catch OVERLAPPING BUT DIFFERENT
+  // pair sets — paraphrases are semantic-only, boilerplate-sharing
+  // docs are lexical-only — and the cleaning plan (which detector
+  // gates which corpus slice, p01's composition question) should be
+  // set from their measured agreement, not from folklore. This is the
+  // confusion census: pairs found by both / lexical only / semantic
+  // only, plus the Jaccard agreement of the two pair SETS. Both pair
+  // generators are the library's own bounded candidate pipelines
+  // (shingle-join verified ≥0.5; within-label cosine ≥0.3 —
+  // vec_id==doc_id in this corpus, d05's established linkage); the
+  // census is a full-outer join on the pair key — pair-set-sized,
+  // never corpus². All exact integers + one IEEE agreement ratio.
+  val d41_modality_agreement: Q = (s, d) => {
+    val lex = Dedup.d03_ngram_jaccard(s, d)
+      .select(col("da").as("a"), col("db").as("b"), lit(1L).as("l"))
+    val e = Tables.embeddings(s, d)
+    val ea = e.select(col("label"), col("vec_id").as("a"),
+      col("embedding").as("emb_a"))
+    val eb = e.select(col("label"), col("vec_id").as("b"),
+      col("embedding").as("emb_b"))
+    val sem = ea.join(eb, "label")
+      .where(col("a") < col("b"))
+      .filter(graft.functions.cosine_sim(col("emb_a"), col("emb_b")) >= 0.3)
+      .select(col("a"), col("b"), lit(1L).as("r"))
+    lex.join(sem, Seq("a", "b"), "full_outer")
+      .agg(
+        count(when(col("l").isNotNull, 1)).as("n_lexical"),
+        count(when(col("r").isNotNull, 1)).as("n_semantic"),
+        count(when(col("l").isNotNull && col("r").isNotNull, 1))
+          .as("n_both"),
+        count(when(col("l").isNotNull && col("r").isNull, 1))
+          .as("n_lexical_only"),
+        count(when(col("l").isNull && col("r").isNotNull, 1))
+          .as("n_semantic_only"),
+        count(lit(1)).as("n_union"))
+      .withColumn("set_agreement",
+        round(col("n_both").cast("double") / col("n_union").cast("double"),
+          9))
+      .select("n_lexical", "n_semantic", "n_both", "n_lexical_only",
+        "n_semantic_only", "n_union", "set_agreement")
+  }
+  val d41Sql: String =
+    """WITH w AS (SELECT doc_id, generate_subscripts(string_split(text,' '),1) i,
+                       unnest(string_split(text,' ')) w FROM documents),
+      g AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+            FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.i=a.i+1
+                     JOIN w c ON c.doc_id=a.doc_id AND c.i=a.i+2),
+      dd AS (SELECT DISTINCT doc_id, sh FROM g),
+      sizes AS (SELECT doc_id, count(*) n FROM dd GROUP BY doc_id),
+      pairs AS (SELECT x.doc_id da, y.doc_id db, count(*) shared
+                FROM dd x JOIN dd y ON x.sh=y.sh AND x.doc_id<y.doc_id
+                GROUP BY 1,2),
+      lex AS (SELECT da AS a, db AS b, 1 AS l
+              FROM pairs JOIN sizes sa ON da=sa.doc_id
+                         JOIN sizes sb ON db=sb.doc_id
+              WHERE CAST(shared AS DOUBLE)/(sa.n+sb.n-shared) >= 0.5),
+      e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings),
+      sem AS (SELECT x.vec_id AS a, y.vec_id AS b, 1 AS r
+              FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id
+              WHERE list_dot_product(x.emb, y.emb)
+                / (sqrt(list_dot_product(x.emb, x.emb))
+                   * sqrt(list_dot_product(y.emb, y.emb))) >= 0.3),
+      j AS (SELECT COALESCE(lex.a, sem.a) AS a, COALESCE(lex.b, sem.b) AS b,
+              l, r
+            FROM lex FULL OUTER JOIN sem
+              ON lex.a = sem.a AND lex.b = sem.b)
+      SELECT COUNT(CASE WHEN l IS NOT NULL THEN 1 END) AS n_lexical,
+        COUNT(CASE WHEN r IS NOT NULL THEN 1 END) AS n_semantic,
+        COUNT(CASE WHEN l IS NOT NULL AND r IS NOT NULL THEN 1 END)
+          AS n_both,
+        COUNT(CASE WHEN l IS NOT NULL AND r IS NULL THEN 1 END)
+          AS n_lexical_only,
+        COUNT(CASE WHEN l IS NULL AND r IS NOT NULL THEN 1 END)
+          AS n_semantic_only,
+        COUNT(*) AS n_union,
+        round(CAST(COUNT(CASE WHEN l IS NOT NULL AND r IS NOT NULL
+                   THEN 1 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+          AS set_agreement
+      FROM j"""
+
   val queries: Map[String, Q] = Map(
     "d18_span_dedup"        -> d18_span_dedup,
     "d19_minhash_estimate"  -> d19_minhash_estimate,
@@ -336,6 +419,7 @@ object Dedup4 {
     "d21_fuzzy_scores"      -> d21_fuzzy_scores,
     "d22_semdedup_kmeans"   -> d22_semdedup_kmeans,
     "d39_bbit_minhash"      -> d39_bbit_minhash,
+    "d41_modality_agreement" -> d41_modality_agreement,
   )
   val oracles: Map[String, String] = Map(
     "d18_span_dedup"        -> d18Sql,
@@ -344,5 +428,6 @@ object Dedup4 {
     "d21_fuzzy_scores"      -> d21Sql,
     "d22_semdedup_kmeans"   -> d22Sql,
     "d39_bbit_minhash"      -> d39Sql,
+    "d41_modality_agreement" -> d41Sql,
   )
 }

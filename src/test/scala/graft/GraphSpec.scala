@@ -2697,6 +2697,20 @@ class GraphSpec extends AnyFunSuite {
     assert(got == want, s"$n0 totals: $got != $want")
   }
 
+  test("d41 modality agreement: census arithmetic closes, sets match generators") {
+    val r = operators.Dedup4.d41_modality_agreement(spark, sf).collect()(0)
+    val (nl, ns) = (r.getAs[Long]("n_lexical"), r.getAs[Long]("n_semantic"))
+    val (nb, nlo, nso) = (r.getAs[Long]("n_both"),
+      r.getAs[Long]("n_lexical_only"), r.getAs[Long]("n_semantic_only"))
+    assert(nl == nb + nlo && ns == nb + nso, "census must close")
+    assert(r.getAs[Long]("n_union") == nb + nlo + nso)
+    val agr = r.getAs[Double]("set_agreement")
+    assert(agr >= 0.0 && agr <= 1.0)
+    assert(math.abs(agr - nb.toDouble / r.getAs[Long]("n_union")) < 1e-8)
+    // lexical side equals the d03 generator's own count
+    assert(nl == operators.Dedup.d03_ngram_jaccard(spark, sf).count())
+  }
+
   test("d39 b-bit minhash: debias chain re-derivable, truncation only loses precision") {
     val rows = operators.Dedup4.d39_bbit_minhash(spark, sf).collect()
     assert(rows.nonEmpty)
