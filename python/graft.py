@@ -83,10 +83,15 @@ def install_sql(spark):
     _jvm(spark).graft.api.SqlSurface.install(spark._jsparkSession)
 
 
-def transform(spark, spec_json, tables):
-    """Run a TransformSpec JSON job; ``tables`` maps names -> DataFrames."""
+def transform(spark, spec_json, tables, allow_inline_sources=False):
+    """Run a TransformSpec JSON job; ``tables`` maps names -> DataFrames.
+
+    ``allow_inline_sources``: opt-in for specs that name their own
+    filesystem paths (``parquet:/...``, ``snapshot:/...@v``); the default
+    is catalog-only so untrusted specs cannot read arbitrary paths.
+    """
     jdf = _jvm(spark).graft.api.TransformSpec.run(
-        spec_json, _to_jdf_map(spark, tables))
+        spec_json, _to_jdf_map(spark, tables), allow_inline_sources)
     return _wrap(spark, jdf)
 
 

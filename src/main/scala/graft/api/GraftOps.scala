@@ -1275,12 +1275,19 @@ object GraftOps {
       .rangeBetween(-(windowDays - 1), 0)
     daily
       .withColumn("n",   count(lit(1)).over(w))
-      .withColumn("sx",  sum("x").over(w))
-      .withColumn("sy",  sum("cents").over(w))
-      .withColumn("sxy", sum(col("x") * col("cents")).over(w))
-      .withColumn("sxx", sum(col("x") * col("x")).over(w))
-      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
-      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      // num/den products overflow Long once x ≈ 2e4 epoch-days meets
+      // daily totals near 1e13 cents (n*sxy ≈ 28·2e4·1e13 > 2^63), so
+      // every factor is widened to DECIMAL(38,0) BEFORE multiplying; the
+      // window sums themselves (sxy ≤ 28·2e4·cents) stay in Long range
+      // for any realistic cents column and keep the cheap Long window agg
+      .withColumn("sx",  sum("x").over(w).cast("decimal(38,0)"))
+      .withColumn("sy",  sum("cents").over(w).cast("decimal(38,0)"))
+      .withColumn("sxy", sum(col("x") * col("cents")).over(w).cast("decimal(38,0)"))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w).cast("decimal(38,0)"))
+      .withColumn("num", (col("n").cast("decimal(38,0)") * col("sxy")
+        - col("sx") * col("sy")).cast("decimal(38,0)"))
+      .withColumn("den", (col("n").cast("decimal(38,0)") * col("sxx")
+        - col("sx") * col("sx")).cast("decimal(38,0)"))
       .withColumn("slope_micro", when(col("den") > 0,
         expr("""CAST((CAST(num AS DECIMAL(38,0)) * 10000
                  + CAST(100000000000000 AS DECIMAL(38,0))

@@ -33,11 +33,26 @@ object TransformSpec {
     * join `right` names to frames (a production deployment would back
     * this with a metastore lookup).
     */
-  def run(json: String, catalog: Map[String, DataFrame]): DataFrame = {
+  def run(json: String, catalog: Map[String, DataFrame]): DataFrame =
+    run(json, catalog, allowInlineSources = false)
+
+  /** As [[run]], with inline filesystem sources (`parquet:/csv:/json:/
+    * orc:/snapshot:` prefixes) gated behind an explicit opt-in. The
+    * DEFAULT is catalog-only: a declarative spec can then only touch
+    * frames the CALLER handed it, so specs arriving from untrusted or
+    * multi-tenant input cannot name arbitrary filesystem paths (a
+    * path-traversal / governance surface). Local self-contained jobs —
+    * where the job file IS the pipeline — pass `allowInlineSources =
+    * true` (or, for the SQL TVF, set the session conf
+    * `graft.transform.allowInlineSources=true`).
+    */
+  def run(json: String, catalog: Map[String, DataFrame],
+          allowInlineSources: Boolean): DataFrame = {
     val root = om.readTree(json)
     val src = root.path("source").asText()
     root.path("steps").elements().asScala
-      .foldLeft(resolve(src, catalog))((df, step) => apply(df, step, catalog))
+      .foldLeft(resolve(src, catalog, allowInlineSources))(
+        (df, step) => apply(df, step, catalog, allowInlineSources))
   }
 
   /** Resolve a table reference: the catalog first, then INLINE sources —
@@ -49,9 +64,15 @@ object TransformSpec {
     * migration contract; a production deployment still routes governed
     * names through the catalog map / metastore.
     */
-  private def resolve(name: String,
-                      catalog: Map[String, DataFrame]): DataFrame =
+  private def resolve(name: String, catalog: Map[String, DataFrame],
+                      allowInline: Boolean): DataFrame =
     catalog.getOrElse(name, {
+      if (!allowInline && name.contains(":"))
+        throw new IllegalArgumentException(
+          s"inline source '$name' refused: this job was compiled " +
+            "catalog-only. Pass allowInlineSources=true (Scala/py4j) or " +
+            "set graft.transform.allowInlineSources=true (SQL TVF) to " +
+            "let the spec name its own filesystem paths.")
       // active first (SQL/TVF callers), else the default session —
       // worker-thread callers (tests, schedulers) often have no
       // thread-local active session
@@ -83,6 +104,10 @@ object TransformSpec {
   def run(json: String, catalog: java.util.Map[String, DataFrame]): DataFrame =
     run(json, catalog.asScala.toMap)
 
+  def run(json: String, catalog: java.util.Map[String, DataFrame],
+          allowInlineSources: Boolean): DataFrame =
+    run(json, catalog.asScala.toMap, allowInlineSources)
+
   /** SQL entry point (the `graft_transform(json)` TVF): every table the
     * spec references — the `source` plus each join `right` — resolves
     * against the ACTIVE session's catalog (temp views, metastore tables),
@@ -101,15 +126,20 @@ object TransformSpec {
           case _               => None
         }
       }
+    // inline filesystem sources from SQL text are the least-governed
+    // channel, so they need the explicit session-conf opt-in
+    val allowInline = spark.conf
+      .getOption("graft.transform.allowInlineSources").contains("true")
     run(json, names.filterNot(_.contains(":"))
-      .map(n => n -> spark.table(n)).toMap)
+      .map(n => n -> spark.table(n)).toMap, allowInline)
   }
 
   private def strings(n: JsonNode): Seq[String] =
     n.elements().asScala.map(_.asText()).toSeq
 
   private def apply(df: DataFrame, step: JsonNode,
-                    catalog: Map[String, DataFrame]): DataFrame = {
+                    catalog: Map[String, DataFrame],
+                    allowInline: Boolean): DataFrame = {
     step.path("op").asText() match {
       case "filter" => df.filter(expr(step.path("expr").asText()))
       case "select" => df.select(strings(step.path("cols")).map(expr): _*)
@@ -122,7 +152,8 @@ object TransformSpec {
       case "join" =>
         val rightName = step.path("right").asText()
         val how = if (step.has("how")) step.path("how").asText() else "inner"
-        df.join(resolve(rightName, catalog), strings(step.path("on")), how)
+        df.join(resolve(rightName, catalog, allowInline),
+          strings(step.path("on")), how)
       case "agg" =>
         val aggs = step.path("aggs").elements().asScala.map { pair =>
           expr(pair.get(1).asText()).as(pair.get(0).asText())
@@ -132,7 +163,7 @@ object TransformSpec {
         else df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
       case "union" =>
         val otherName = step.path("other").asText()
-        df.unionByName(resolve(otherName, catalog))
+        df.unionByName(resolve(otherName, catalog, allowInline))
       case "rename" =>
         step.path("map").properties().asScala.foldLeft(df)((d, e) =>
           d.withColumnRenamed(e.getKey, e.getValue.asText()))
@@ -245,7 +276,8 @@ object TransformSpec {
         //   {"op": "asof", "right": "quotes", "leftKey": "k",
         //    "rightKey": "k", "leftTime": "ts", "rightTime": "ts"}
         val rightName = step.path("right").asText()
-        graft.plans.AsofJoin.asofJoin(df, resolve(rightName, catalog),
+        graft.plans.AsofJoin.asofJoin(df,
+          resolve(rightName, catalog, allowInline),
           step.path("leftKey").asText(), step.path("rightKey").asText(),
           step.path("leftTime").asText(), step.path("rightTime").asText())
       case "skewAudit" =>

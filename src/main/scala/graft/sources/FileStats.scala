@@ -99,11 +99,11 @@ object FileStats {
       org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation]
     if (!s.hasNonNullValue) {
       // no min/max recorded; only usable when we KNOW everything is null
-      return if (nulls >= 0) Some(ColStat(kindOf(prim.getPrimitiveTypeName, isUtf8)
+      return if (nulls >= 0) Some(ColStat(kindOf(prim.getPrimitiveTypeName, logical, isUtf8)
         .getOrElse("l"), None, None, nulls, 0L))
       else None
     }
-    kindOf(prim.getPrimitiveTypeName, isUtf8).map { kind =>
+    kindOf(prim.getPrimitiveTypeName, logical, isUtf8).map { kind =>
       val (lo, hi) = (prim.getPrimitiveTypeName, kind) match {
         case (INT32, _)  => (s.genericGetMin.toString, s.genericGetMax.toString)
         case (INT64, _)  => (s.genericGetMin.toString, s.genericGetMax.toString)
@@ -122,14 +122,35 @@ object FileStats {
     }
   }
 
+  /** Soundness gate on the LOGICAL annotation: INT32/INT64 stats are
+    * only comparable against the literal's rendered value when both live
+    * in the SAME domain. Spark writes decimal(<=9) as INT32 and
+    * decimal(<=18) as INT64 with UNSCALED values (12.34 stored as 1234),
+    * and TIMESTAMP(MILLIS) stores millis while TimestampType literals
+    * render micros — in those cases compare domains diverge and pruning
+    * would silently drop matching files, so we answer None (keep file).
+    * Accepted: no annotation (plain int/long), IntLogicalType, DATE
+    * (days, matches DateType literal), TIMESTAMP(MICROS) (matches
+    * TimestampType literal under Spark's default outputTimestampType).
+    */
   private def kindOf(t: org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName,
+                     logical: org.apache.parquet.schema.LogicalTypeAnnotation,
                      isUtf8: Boolean): Option[String] = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation._
+    def intLike: Boolean = logical match {
+      case null                         => true
+      case _: IntLogicalTypeAnnotation  => true
+      case _: DateLogicalTypeAnnotation => true
+      case ts: TimestampLogicalTypeAnnotation =>
+        ts.getUnit == TimeUnit.MICROS
+      case _ => false // decimal (unscaled), TIMESTAMP(MILLIS/NANOS), time…
+    }
     t match {
-      case INT32 | INT64        => Some("l")
-      case FLOAT | DOUBLE       => Some("d")
-      case BINARY if isUtf8     => Some("s")
-      case _                    => None // boolean/int96/fixed(decimal): skip
+      case INT32 | INT64 if intLike => Some("l")
+      case FLOAT | DOUBLE           => Some("d")
+      case BINARY if isUtf8         => Some("s")
+      case _                        => None // boolean/int96/fixed/decimal: skip
     }
   }
 

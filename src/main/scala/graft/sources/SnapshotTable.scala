@@ -101,8 +101,11 @@ object SnapshotTable {
     * contract holds through exactly these non-atomic semantics.
     */
   final class ObjectStoreCommitStore(mutex: CommitMutex) extends CommitStore {
-    // observability hook the race spec asserts on: every blind PUT served
-    @volatile var puts: Int = 0
+    // observability hook the race spec asserts on: every blind PUT served.
+    // Atomic: the per-key mutex serializes same-table commits only, so
+    // concurrent commits to DIFFERENT tables increment concurrently.
+    private val putCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    def puts: Int = putCount.get()
     def publishIfAbsent(f: FileSystem, tmp: Path, target: Path): Boolean =
       mutex.withLock(target.toString) {
         if (f.exists(target)) false
@@ -111,7 +114,7 @@ object SnapshotTable {
           val bytes = try in.readAllBytes() finally in.close()
           val out = f.create(target, true) // object-store PUT: replaces
           try out.write(bytes) finally out.close()
-          puts += 1
+          putCount.incrementAndGet()
           true
         }
       }
@@ -557,10 +560,22 @@ object SnapshotTable {
               toVersion: Int): DataFrame = {
     require(fromVersion > 0 && toVersion > 0,
       "changes() needs explicit committed versions")
-    val a = read(spark, path, fromVersion).alias("a")
-    val b = read(spark, path, toVersion).alias("b")
-    val cols = a.columns.toSeq
-    def cond = cols.map(c => col(s"a.$c") <=> col(s"b.$c")).reduce(_ && _)
+    val rawA = read(spark, path, fromVersion)
+    val rawB = read(spark, path, toVersion)
+    // align both snapshots to the UNION of columns (additive mergeSchema
+    // evolution between the versions surfaces the new column as NULL on
+    // the older side — the change feed then reports the backfill rows as
+    // update pairs, which is semantically exact for row-set CDF)
+    def q(c: String) = s"`${c.replace("`", "``")}`" // dots/backticks safe
+    val cols = (rawA.columns ++ rawB.columns.filterNot(rawA.columns.contains)).toSeq
+    // toMap keeps the LAST occurrence, so the newer snapshot's type wins
+    val types = (rawA.schema ++ rawB.schema).map(f => f.name -> f.dataType).toMap
+    def align(df: DataFrame) = df.select(cols.map { c =>
+      if (df.columns.contains(c)) col(q(c)) else lit(null).cast(types(c)).as(c)
+    }: _*)
+    val a = align(rawA).alias("a")
+    val b = align(rawB).alias("b")
+    def cond = cols.map(c => col(s"a.${q(c)}") <=> col(s"b.${q(c)}")).reduce(_ && _)
     b.join(a, cond, "left_anti").withColumn("_change_type", lit("insert"))
       .unionByName(
         a.join(b, cond, "left_anti").withColumn("_change_type", lit("delete")))

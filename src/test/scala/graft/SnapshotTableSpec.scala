@@ -409,6 +409,43 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.readWhere(spark, path, "k >= 0").count() == 50)
   }
 
+  test("data skipping soundness: decimal / timestamp-millis stats never mis-prune") {
+    // Spark writes decimal(<=9) as INT32 and decimal(<=18) as INT64 with
+    // UNSCALED values (12.34 stored as 1234). Footer stats therefore live
+    // in the unscaled domain while the predicate literal renders scaled;
+    // kindOf must refuse those columns (keep file) or readWhere silently
+    // drops matching rows. Same for INT64 TIMESTAMP(MILLIS) stats vs the
+    // micros-rendered TimestampType literal.
+    val path = tmp()
+    val df = spark.range(0, 400)
+      .select(col("id").as("k"),
+        (col("id").cast("decimal(9,2)") / 100).as("dec9"),   // INT32-backed
+        (col("id").cast("decimal(18,2)") / 100).as("dec18"), // INT64-backed
+        timestamp_millis(col("id") * 1000L).as("ts"))
+      .repartitionByRange(4, col("k"))
+      .sortWithinPartitions("k")
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    try SnapshotTable.create(df, path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None    => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+    val full = SnapshotTable.read(spark, path)
+    // with the old kindOf, "dec9 >= 1.00" compared lit 1.00 against the
+    // unscaled max (e.g. 99) of the first file and wrongly pruned others
+    Seq("dec9 >= 1.00", "dec9 = 2.50", "dec18 < 0.10",
+        "ts >= TIMESTAMP '1970-01-01 00:05:00'").foreach { p =>
+      val got  = SnapshotTable.readWhere(spark, path, p).count()
+      val want = full.filter(p).count()
+      assert(got == want, s"decimal/ts-millis mis-prune for `$p`: $got != $want")
+      assert(want > 0, s"vacuous predicate $p")
+    }
+    // plain long column in the same table still prunes
+    val (t, kept) = SnapshotTable.pruneReport(spark, path, "k >= 300")
+    assert(t == 4 && kept < t, s"long pruning regressed: $kept of $t")
+  }
+
   test("mergeSchema append: additive evolution without rewriting any file") {
     val path = tmp()
     SnapshotTable.create(

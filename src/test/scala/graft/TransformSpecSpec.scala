@@ -343,7 +343,8 @@ class TransformSpecSpec extends AnyFunSuite {
               "on": ["doc_id"], "how": "left_semi"},
              {"op": "agg", "groupBy": ["lang"], "aggs": [["n", "count(1)"]]},
              {"op": "orderBy", "cols": ["lang"]}]}""",
-      Map.empty[String, org.apache.spark.sql.DataFrame])
+      Map.empty[String, org.apache.spark.sql.DataFrame],
+      allowInlineSources = true)
       .collect().map(_.mkString("|"))
     val want = Tables.documents(spark, sf)
       .withColumn("nw", size(split(col("text"), " ")))
@@ -362,7 +363,8 @@ class TransformSpecSpec extends AnyFunSuite {
     def n(src: String): Long = TransformSpec.run(
       s"""{"source": "$src", "steps": [
            {"op": "agg", "groupBy": [], "aggs": [["n", "count(1)"]]}]}""",
-      Map.empty[String, org.apache.spark.sql.DataFrame])
+      Map.empty[String, org.apache.spark.sql.DataFrame],
+      allowInlineSources = true)
       .collect()(0).getLong(0)
     assert(n(s"snapshot:$dir") == 80L)
     assert(n(s"snapshot:$dir@1") == 50L)
@@ -370,9 +372,19 @@ class TransformSpecSpec extends AnyFunSuite {
     // unknown prefixes refuse loudly
     val e = intercept[IllegalArgumentException] {
       TransformSpec.run("""{"source": "mystery:/nope", "steps": []}""",
-        Map.empty[String, org.apache.spark.sql.DataFrame])
+        Map.empty[String, org.apache.spark.sql.DataFrame],
+        allowInlineSources = true)
     }
     assert(e.getMessage.contains("inline sources"))
+
+    // governance default: WITHOUT the opt-in, inline paths are refused —
+    // a spec from untrusted input can only see caller-provided frames
+    val refused = intercept[IllegalArgumentException] {
+      TransformSpec.run(
+        s"""{"source": "parquet:$sf/documents.parquet", "steps": []}""",
+        Map.empty[String, org.apache.spark.sql.DataFrame])
+    }
+    assert(refused.getMessage.contains("catalog-only"))
   }
 
   test("unknown ops and unknown tables fail loudly") {
