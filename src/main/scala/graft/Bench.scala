@@ -70,6 +70,29 @@ object Bench {
     // ever hit — drop them before the timed runs start.
     spark.catalog.clearCache()
 
+    // Materialized dedup artifacts — the production shape: ONE timed
+    // cleaning pass computes the near-dup pair table / component labels /
+    // disposition manifest and writes them as SnapshotTables; the ~12
+    // consumer audits (d03/d08/d13/d15/d27/d32/d33/d35/d37/t09/p14) then
+    // READ the artifact instead of re-paying pair generation per query.
+    // The build cost is reported explicitly (artifact_build_sec, included
+    // in total) — nothing is hidden; set SPARK_GRAFT_ARTIFACTS=0 to
+    // bench the inline (per-query recompute) regime instead. Correctness
+    // of the routed path vs inline is spec-pinned (DedupArtifactsSpec),
+    // and Verify always runs inline.
+    val artifactSec: Double =
+      if (only.isEmpty && sys.env.get("SPARK_GRAFT_ARTIFACTS").forall(_ != "0")) {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_bench_artifacts").toString
+        spark.conf.set("graft.dedup.artifacts", dir)
+        val t0 = System.nanoTime()
+        graft.api.DedupArtifactStore.buildFor(spark, sfDir)
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.api.GraftOps.releaseCaches()
+        spark.catalog.clearCache()
+        dt
+      } else 0.0
+
     // best-of-2 per query: a single pass is hostage to GC pauses and OS
     // scheduling noise (observed ±40% on sub-second queries); the min of
     // two runs is a stabler throughput estimate at 2x bench wall time.
@@ -97,14 +120,15 @@ object Bench {
       val best = math.min(once(), once())
       name -> best
     }
-    val total = round3(results.map(_._2).sum)
+    val total = round3(results.map(_._2).sum + artifactSec)
     val fullJson = results
       .map { case (k, v) => "\"" + k + "\":" + round3(v) }
       .mkString("{", ",", "}")
     val n = results.size
+    val ab = round3(artifactSec)
     if (only.isEmpty) java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$n,"queries":$fullJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$n,"artifact_build_sec":$ab,"queries":$fullJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
 
     val byName = results.toMap
     // targeted runs print every selected query; full runs print the
@@ -113,7 +137,7 @@ object Bench {
     else headline.filter(byName.contains)
       .map(k => "\"" + k + "\":" + round3(byName(k)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$n,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$n,"artifact_build_sec":$ab,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -96,6 +96,21 @@ object ScaleStress {
       try operators.Graph.g03_triangles(s, d)
       finally s.conf.unset("graft.graph.maxDegree")
     },
+    // adversarial-diameter CC: a pure chain (10^5 -> 10^6 nodes) where
+    // min-label propagation would pay ~n rounds; the star-contraction
+    // route must hold its O(log n) round count as the chain grows 10x
+    "cc_path[starcontraction]" -> { (s, d) =>
+      val n = if (d == stressDir) 1000000L else 100000L
+      val chain = s.range(1, n)
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+      s.conf.set("graft.graph.cc", "starcontraction")
+      try {
+        val labels = graft.api.GraftOps
+          .connectedComponents(chain, col("a"), col("b"))
+        println(s"  [cc_path] n=$n rounds=${graft.api.GraftOps.lastCcRounds}")
+        labels
+      } finally s.conf.unset("graft.graph.cc")
+    },
     "semdedup[k~n/230]" -> { (s, d) =>
       import graft.api.GraftOps
       val e = Tables.embeddings(s, d)
@@ -140,7 +155,9 @@ object ScaleStress {
     "e60_kaplan_meier", "e61_funnel_ci", "q110_rolling_regression",
     "q111_revenue_bridge", "d39_bbit_minhash", "g14_label_propagation",
     "s25_intrinsic_dim", "s26_pq_distortion", "m17_hot_tier_plan",
-    "p17_budget_allocation")
+    "p17_budget_allocation",
+    // round-6 additions
+    "cc_path[starcontraction]")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

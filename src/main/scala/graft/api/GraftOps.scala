@@ -993,6 +993,86 @@ object GraftOps {
     exactDups.unionByName(nearDups).unionByName(kept)
   }
 
+  /** Materialize the dedup-artifact trio for an (id, text) corpus — the
+    * production shape of a 100 TB cleaning run: the expensive near-dup
+    * pair join executes ONCE here, and every downstream audit
+    * (clustering, keep-best, leakage splits, transitivity/threshold
+    * censuses, stage ledgers) READS the written tables instead of
+    * re-paying pair generation. Writes three [[graft.sources.SnapshotTable]]s
+    * under `path`:
+    *
+    *   - `pairs`    (id_a, id_b, shared, jaccard) — verified near-dup
+    *     pairs at `threshold` ([[nearDupPairs]], strategy-routed);
+    *   - `labels`   (id, cluster_id) — connected components of the pair
+    *     graph with min-id labels, singletons included (own id);
+    *   - `manifest` (id, status, ref_id) — per-row disposition:
+    *     'exact_dup' (normalized-text keeper), 'near_dup' (smallest-id
+    *     verified predecessor among exact survivors), or 'kept'.
+    *
+    * The near-dup stage of the manifest is DERIVED from the full pair
+    * table (restricted to exact-survivor endpoints) rather than a second
+    * pair join — Jaccard between two documents is pointwise, so the
+    * restriction equals recomputation over survivors, for both the
+    * shingle and lsh strategies. Artifact tables are immutable snapshots
+    * of one cleaning run: re-running against the same path throws —
+    * write each run to a fresh path (and point consumers at it), the
+    * same append-only discipline every lakehouse manifest uses.
+    *
+    * Returns a summary frame (artifact, n_rows). Session routing: set
+    * spark conf `graft.dedup.artifacts` to a base directory and the
+    * corpus-reading operators resolve `base/<corpus-key>/<strategy>/` —
+    * see [[DedupArtifactStore]].
+    */
+  def dedupArtifacts(df: DataFrame, id: Column, text: Column, path: String,
+                     threshold: Double = 0.5,
+                     strategy: String = "session"): DataFrame = {
+    import graft.sources.SnapshotTable
+    val s = df.sparkSession
+    require(!SnapshotTable.exists(s, s"$path/pairs"),
+      s"dedup artifacts already exist at $path — write to a fresh path " +
+        "(artifact tables are immutable snapshots of one cleaning run)")
+    val base = df.select(id.as("id"), text.as("__t")).pipe(persistTracked)
+    val pairs = nearDupPairs(base, col("id"), col("__t"), threshold,
+        strategy = strategy)
+      .pipe(persistTracked) // consumed by the write, labels, and manifest
+    SnapshotTable.create(pairs, s"$path/pairs")
+    val cc = connectedComponents(pairs, col("id_a"), col("id_b"))
+      .withColumnRenamed("node", "id")
+    val labels = base.select("id")
+      .join(cc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    SnapshotTable.create(labels, s"$path/labels")
+    val hashed = base.select(col("id"), md5(expr(
+      "trim(regexp_replace(lower(__t), '\\\\s+', ' '))")).as("__h"))
+    val keepers = hashed.groupBy("__h").agg(min("id").as("__ref"))
+    val withRef = hashed.join(keepers, "__h").select("id", "__ref")
+      .pipe(persistTracked)
+    val exactDups = withRef.filter(col("id") =!= col("__ref"))
+      .select(col("id"), lit("exact_dup").as("status"),
+        col("__ref").as("ref_id"))
+    val survivorIds = withRef.filter(col("id") === col("__ref")).select("id")
+    val survPairs = pairs
+      .join(survivorIds.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_semi")
+      .join(survivorIds.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_semi")
+    val doomedRef = survPairs
+      .groupBy(col("id_b").as("id")).agg(min("id_a").as("ref_id"))
+      .pipe(persistTracked)
+    val nearDups = doomedRef
+      .select(col("id"), lit("near_dup").as("status"), col("ref_id"))
+    val kept = survivorIds.join(doomedRef, Seq("id"), "left_anti")
+      .select(col("id"), lit("kept").as("status"),
+        lit(null).cast(doomedRef.schema("ref_id").dataType).as("ref_id"))
+    val manifest = exactDups.unionByName(nearDups).unionByName(kept)
+    SnapshotTable.create(manifest, s"$path/manifest")
+    val rows = (n: String) =>
+      SnapshotTable.read(s, s"$path/$n").count()
+    import s.implicits._
+    Seq(("pairs", rows("pairs")), ("labels", rows("labels")),
+        ("manifest", rows("manifest")))
+      .toDF("artifact", "n_rows")
+  }
+
   /** Span-level dedup with reconstruction over any (id, text) frame:
     * fixed `spanWords`-word spans, first occurrence (min id, then span
     * position) survives corpus-wide, each row re-assembled from its
@@ -1500,16 +1580,42 @@ object GraftOps {
             / col("n_wedges").cast("double"), 9)).as("gcc"))
   }
 
-  /** Connected components of an undirected edge frame by min-label
-    * propagation to fixpoint: returns (node, cluster_id) with
-    * cluster_id = the component's minimum node id. Convergence is the
-    * exact DECIMAL(38,0) label-sum fixpoint (strictly decreasing until
-    * converged — one scalar per round); localCheckpoint truncates the
-    * growing lineage each round. O(diameter) rounds on metadata-sized
-    * label state; the 100 TB refinement (same contract, fewer rounds)
-    * is alternating large-star/small-star. (g04's engine, as a verb.)
+  /** Connected components of an undirected edge frame: returns
+    * (node, cluster_id) with cluster_id = the component's minimum node
+    * id. Two conf-routed algorithms with IDENTICAL output
+    * (`graft.graph.cc`, spec-pinned equal):
+    *
+    *   - `labelprop` (default) — min-label propagation to fixpoint,
+    *     O(diameter) rounds on metadata-sized label state. Right for
+    *     the dense low-diameter graphs the corpus produces (measured:
+    *     pointer-jumping variants lost here, audits/r4_g04_fixpoint_audit.md).
+    *   - `starcontraction` — alternating large-star/small-star
+    *     contraction (Kiveris et al. 2014, "Connected Components in
+    *     MapReduce and Beyond"): O(log n) rounds regardless of
+    *     diameter. The 100 TB/adversarial-topology path — a path- or
+    *     chain-shaped graph (web redirect chains, citation chains)
+    *     pays diameter rounds under labelprop but log n here.
+    *
+    * (g04's engine, as a verb; d08's cluster resolution routes through
+    * it too.)
     */
   def connectedComponents(edges: DataFrame, a: Column, b: Column)
+      : DataFrame =
+    edges.sparkSession.conf.get("graft.graph.cc", "labelprop") match {
+      case "labelprop"       => ccLabelProp(edges, a, b)
+      case "starcontraction" => ccStarContraction(edges, a, b)
+      case bad => throw new IllegalArgumentException(
+        s"graft.graph.cc must be 'labelprop' or 'starcontraction', got '$bad'")
+    }
+
+  /** Observability: rounds the most recent connectedComponents call in
+    * this JVM took (either algorithm) — read by specs and the
+    * ScaleStress path-graph row to verify the O(log n) vs O(diameter)
+    * round-count claims on real runs.
+    */
+  @volatile private[graft] var lastCcRounds: Int = 0
+
+  private def ccLabelProp(edges: DataFrame, a: Column, b: Column)
       : DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val e = edges.select(a.cast("long").as("a"), b.cast("long").as("b"))
@@ -1525,7 +1631,9 @@ object GraftOps {
     var curSum = BigDecimal(labels
       .agg(sum(col("cluster_id").cast(DecimalType(38, 0))))
       .collect()(0).getDecimal(0))
+    lastCcRounds = 0
     while (prevSum == null || curSum < prevSum) {
+      lastCcRounds += 1
       val prop = ed
         .join(labels.withColumnRenamed("node", "v"), "v")
         .select(col("w").as("node"), col("cluster_id"))
@@ -1540,6 +1648,75 @@ object GraftOps {
         .collect()(0).getDecimal(0))
     }
     labels
+  }
+
+  /** Alternating large-star/small-star contraction (Kiveris et al.
+    * 2014). Each round: large-star hangs every neighbor LARGER than a
+    * node onto that node's local minimum (so tall trees flatten
+    * geometrically), small-star hangs the smaller neighbors plus the
+    * node itself onto the minimum (canonicalizing toward stars). The
+    * edge set converges — in O(log n) rounds independent of graph
+    * diameter — to a star forest rooted at each component's min node,
+    * which IS the label assignment. Engine shape per round: two
+    * groupBy-min + join passes over the edge frame, each followed by a
+    * distinct (edges only shrink toward n-1 per component);
+    * convergence is an exact (count, hash-sum) fingerprint equality —
+    * a fixpoint leaves the edge set literally unchanged. Lineage is
+    * truncated per round via lazy localCheckpoint (the fingerprint
+    * aggregate is the round's one action and materializes it).
+    */
+  private def ccStarContraction(edges: DataFrame, a: Column, b: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val raw = edges.select(a.cast("long").as("u"), b.cast("long").as("v"))
+      .pipe(persistTracked)
+    val nodes = raw.select(col("u").as("node"))
+      .unionAll(raw.select(col("v").as("node")))
+      .distinct()
+    var e = raw.where(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    def fingerprint(df: DataFrame): (Long, BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast(DecimalType(38, 0))),
+          lit(0).cast(DecimalType(38, 0)))).collect()(0)
+      (r.getLong(0), BigDecimal(r.getDecimal(1)))
+    }
+    var prev: (Long, BigDecimal) = null
+    var cur = fingerprint(e)
+    lastCcRounds = 0
+    while (prev == null || cur != prev) {
+      lastCcRounds += 1
+      // large-star: node x with neighbors N, m = min(N ∪ {x}) — emit
+      // (m, nbr) for every nbr > x (m <= x < nbr keeps u<v orientation)
+      val sym = e.select(col("u").as("x"), col("v").as("nbr"))
+        .unionAll(e.select(col("v").as("x"), col("u").as("nbr")))
+      val mins = sym.groupBy("x").agg(min("nbr").as("mn"))
+        .select(col("x"), least(col("x"), col("mn")).as("m"))
+      val ls = sym.join(mins, "x")
+        .where(col("nbr") > col("x"))
+        .select(col("m").as("u"), col("nbr").as("v"))
+        .distinct()
+      // small-star: each (u, v) edge is owned by its LARGER endpoint v
+      // with smaller-neighbor set N, m = min(N); emit (m, x) for
+      // x ∈ N \ {m} and (m, v)
+      val mins2 = ls.groupBy("v").agg(min("u").as("m"))
+      val ss = ls.join(mins2, "v")
+        .where(col("u") =!= col("m"))
+        .select(col("m").as("u"), col("u").as("v"))
+        .unionAll(mins2.select(col("m").as("u"), col("v")))
+        .distinct()
+      e = ss.localCheckpoint(false)
+      prev = cur
+      cur = fingerprint(e) // the round's one action: materializes e
+    }
+    // star forest: every non-root points at its component min; roots
+    // and isolated/self-loop-only nodes label themselves
+    val nonRoots = e.groupBy(col("v").as("node")).agg(min("u").as("cluster_id"))
+    nodes.join(nonRoots, Seq("node"), "left")
+      .select(col("node"), coalesce(col("cluster_id"), col("node")).as("cluster_id"))
   }
 
   /** Synchronous label-propagation communities (Raghavan 2007) over an

@@ -52,8 +52,14 @@ object CorpusPipeline {
     // instead of shared-shingle df² — the setting a duplicated 100 TB
     // corpus runs with (SURVEY §6 stress table).
     val nearDedup: DataFrame => DataFrame = df => {
-      val doomed = graft.api.GraftOps
-        .nearDupPairs(df, col("doc_id"), col("text"), 0.5, strategy = "session")
+      // materialized-artifact route: pointwise Jaccard means the all-docs
+      // pair table restricted to THIS stage's survivors equals the pair
+      // join recomputed over them (DedupArtifactStore.doomedWithin)
+      val doomed = graft.api.DedupArtifactStore
+        .doomedWithin(s, d, df.select("doc_id"), "doc_id")
+        .getOrElse(graft.api.GraftOps
+          .nearDupPairs(df, col("doc_id"), col("text"), 0.5, strategy = "session")
+          .select(col("id_b")))
         .select(col("id_b").as("doomed_id")).distinct()
       df.join(doomed, col("doc_id") === col("doomed_id"), "left_anti")
     }
@@ -747,8 +753,12 @@ object CorpusPipeline {
       .groupBy("h").agg(min("doc_id").as("keeper")).select(col("keeper"))
     val ed = qf.join(keepers, col("doc_id") === col("keeper"), "left_semi")
       .persist(MEMORY_AND_DISK)
-    val doomed = graft.api.GraftOps
-      .nearDupPairs(ed, col("doc_id"), col("text"), 0.5, strategy = "session")
+    // artifact route as in p01: restriction == recomputation (pointwise)
+    val doomed = graft.api.DedupArtifactStore
+      .doomedWithin(s, d, ed.select("doc_id"), "doc_id")
+      .getOrElse(graft.api.GraftOps
+        .nearDupPairs(ed, col("doc_id"), col("text"), 0.5, strategy = "session")
+        .select(col("id_b")))
       .select(col("id_b").as("doomed_id")).distinct()
     val nd = ed.join(doomed, col("doc_id") === col("doomed_id"), "left_anti")
     def stat(df: DataFrame, name: String): DataFrame = df

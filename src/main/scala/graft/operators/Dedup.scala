@@ -124,6 +124,13 @@ object Dedup {
     * sets, and then d03/d08/d13/t09/d15/p01 all inherit it).
     */
   def verifiedPairs(s: SparkSession, d: String): DataFrame = {
+    // materialized-artifact route: a cleaning run wrote the pair table
+    // once (GraftOps.dedupArtifacts); audits read it instead of
+    // re-paying the candidate join — see DedupArtifactStore
+    graft.api.DedupArtifactStore.readIfPresent(s, d, "pairs").foreach { t =>
+      return t.select(col("id_a").as("da"), col("id_b").as("db"),
+        col("shared"), col("jaccard"))
+    }
     if (s.conf.get("graft.neardup.strategy", "shingle") == "lsh")
       return graft.api.GraftOps
         .jaccardJoinBanded(Tables.documents(s, d), col("doc_id"), col("text"), 0.5)

@@ -211,7 +211,15 @@ object Dedup3 {
   // immediate predecessor, not the cluster root — d08/d13 resolve full
   // clusters when that's needed. Cost: d01 + d03 on survivors, plus a
   // vocabulary of unions; nothing new is quadratic.
-  val d15_dedup_manifest: Q = (s, d) => {
+  val d15_dedup_manifest: Q = (s, d) =>
+    // materialized-artifact route (see DedupArtifactStore): the cleaning
+    // run already emitted the disposition manifest; read it
+    graft.api.DedupArtifactStore.readIfPresent(s, d, "manifest").map { t =>
+      t.select(col("id").as("doc_id"), col("status"),
+        col("ref_id").as("ref_doc")).orderBy("doc_id")
+    }.getOrElse(d15Inline(s, d))
+
+  private def d15Inline(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val normExpr = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))

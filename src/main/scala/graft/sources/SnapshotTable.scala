@@ -215,6 +215,10 @@ object SnapshotTable {
   }
 
   /** Highest committed version, 0 if the table does not exist yet. */
+  /** True when `path` holds at least one committed version. */
+  def exists(spark: SparkSession, path: String): Boolean =
+    latestVersion(spark, path) > 0
+
   def latestVersion(spark: SparkSession, path: String): Int = {
     val dir = manifestDir(path)
     val f = fs(spark, path)

@@ -2810,4 +2810,65 @@ class GraphSpec extends AnyFunSuite {
       assert(r.getAs[Double]("mean_dormancy_days") >= 3.0)
     }
   }
+
+  test("cc: star contraction == label propagation on corpus edges and d08 pairs") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    def labelsOf(edges: DataFrame, a: String, b: String,
+                 algo: String): Seq[(Long, Long)] = {
+      spark.conf.set("graft.graph.cc", algo)
+      try api.GraftOps.connectedComponents(edges, col(a), col(b))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      finally spark.conf.unset("graft.graph.cc")
+    }
+    // the co-purchase graph g04 runs on
+    val gEdges = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+             transform(slice(ps, i + 2, size(ps)),
+               y -> struct(x AS a, y AS b))))""")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("w")).filter(col("w") >= 2).select("a", "b")
+    assert(labelsOf(gEdges, "a", "b", "starcontraction")
+      == labelsOf(gEdges, "a", "b", "labelprop"))
+    // the near-dup pair graph d08/d13/p14 run on
+    val pairs = operators.Dedup.verifiedPairs(spark, sf).select("da", "db")
+    assert(labelsOf(pairs, "da", "db", "starcontraction")
+      == labelsOf(pairs, "da", "db", "labelprop"))
+    api.GraftOps.releaseCaches(); spark.catalog.clearCache()
+  }
+
+  test("cc: star contraction pays O(log n) rounds on a path-shaped graph") {
+    import org.apache.spark.sql.functions._
+    // a 4096-node chain — the adversarial-diameter topology where
+    // min-label propagation would pay ~4095 rounds (one hop per round)
+    val n = 4096
+    val chain = spark.range(1, n)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    spark.conf.set("graft.graph.cc", "starcontraction")
+    val labels = try
+      api.GraftOps.connectedComponents(chain, col("a"), col("b")).collect()
+    finally spark.conf.unset("graft.graph.cc")
+    assert(labels.length == n && labels.forall(_.getLong(1) == 1L),
+      "chain must collapse to one component rooted at 1")
+    val rounds = api.GraftOps.lastCcRounds
+    // O(log n): 2*log2(4096)=24 is the theory bound scale; allow slack
+    // for the final no-change detection round
+    assert(rounds <= 2 * 12 + 4,
+      s"star contraction took $rounds rounds on a 4096-path (expected O(log n))")
+    // sanity on the default path: labelprop on a SHORT chain (32 nodes)
+    // pays ~diameter rounds — the measured case for why the star path
+    // exists; both agree on labels
+    val short = spark.range(1, 32)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    val lp = api.GraftOps.connectedComponents(short, col("a"), col("b"))
+      .collect()
+    val lpRounds = api.GraftOps.lastCcRounds
+    assert(lp.forall(_.getLong(1) == 1L))
+    assert(lpRounds >= 16,
+      s"labelprop took $lpRounds rounds on a 31-hop path — expected ~diameter")
+    api.GraftOps.releaseCaches(); spark.catalog.clearCache()
+  }
 }
