@@ -54,6 +54,20 @@ object Verify {
         .parquet("/tmp/graft_aux/pq_codebook")
       codes.unpersist()
     }
+    // t41/t42's BPE merges: training (iterative data-dependent argmax)
+    // is not SQL-expressible, but ENCODING from a given merges table is
+    // pure string rewriting — so the oracles read this dump and replay
+    // encoding via a recursive CTE. Training is deterministic (BpeSpec:
+    // partition-independent greedy with total-order tie-breaks), so this
+    // dump equals what the queries train internally.
+    graft.api.GraftOps.bpeTrain(
+        Tables.documents(spark, sfDir),
+        org.apache.spark.sql.functions.col("text"),
+        numMerges = operators.TextAnalysis11.NumMerges,
+        vocabCap = operators.TextAnalysis11.VocabCap)
+      .coalesce(1).write.mode("overwrite")
+      .parquet("/tmp/graft_aux/bpe_merges")
+
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

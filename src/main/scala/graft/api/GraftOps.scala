@@ -993,6 +993,126 @@ object GraftOps {
     exactDups.unionByName(nearDups).unionByName(kept)
   }
 
+  // ---- BPE subword tokenizer ---------------------------------------
+  // State representation shared by training and encoding (and replayed
+  // verbatim by the DuckDB oracle): a word's symbol sequence is ONE
+  // string with every symbol wrapped in its own spaces —
+  // ' s1  s2  ...  sn ' (two spaces BETWEEN symbols = each symbol owns a
+  // leading and trailing space). Applying merge (l, r) is then a plain
+  // literal string replace of ' l  r ' with ' lr ': the consumed
+  // delimiters belong exclusively to the matched pair, so standard
+  // leftmost non-overlapping replace-all gives exactly one exhaustive
+  // left-to-right merge pass — the subword-nmt apply semantics — in ANY
+  // engine's replace(), with no regex or UDF.
+
+  private def bpeInitState(word: Column): Column =
+    concat(lit(" "), array_join(split(word, ""), "  "), lit("  </w> "))
+
+  /** Train a BPE merges table from a text corpus (Sennrich et al. 2016).
+    * The training object is the WORD-FREQUENCY table — vocab-bounded,
+    * never corpus-bounded: at 100 TB the distinct-word frame is the only
+    * thing the merge loop touches, and each round is one combinable
+    * pair-count aggregate over it plus a 1-row argmax fetch (the same
+    * metadata-scalar pattern as the CC convergence sum). `vocabCap`
+    * bounds the training vocabulary to the most frequent words (count
+    * DESC, word ASC — deterministic); rounds stop early when no pair
+    * occurs twice. Ties break (count DESC, l ASC, r ASC) so the merges
+    * table is reproducible on any cluster/partitioning. Returns
+    * (rank, l, r) with rank 1..numMerges.
+    */
+  def bpeTrain(df: DataFrame, text: Column, numMerges: Int = 48,
+               vocabCap: Int = 20000): DataFrame = {
+    require(numMerges >= 1 && vocabCap >= 1)
+    val s = df.sparkSession
+    val words = df.select(explode(split(text, " ")).as("w"))
+      .filter(col("w") =!= "")
+    // the one corpus-scale pass: distinct-word counts
+    var vocab = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("w")).limit(vocabCap)
+      .select(col("cnt"), bpeInitState(col("w")).as("s"))
+      .coalesce(1) // vocab-sized state: per-round jobs stay one task
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String)]()
+    var rank = 1
+    var done = false
+    while (!done && rank <= numMerges) {
+      val best = vocab
+        .select(col("cnt"), split(trim(col("s")), "  ").as("syms"))
+        // fully-merged words have ONE symbol; sequence(1, 0) would
+        // DESCEND ([1,0]) and index out of bounds — they carry no pairs
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+               i -> struct(element_at(syms, i) AS l,
+                           element_at(syms, i + 1) AS r))""")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("n"))
+        .orderBy(desc("n"), col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty || best(0).getAs[Long]("n") < 2) done = true
+      else {
+        val (l, r) = (best(0).getString(0), best(0).getString(1))
+        merges += ((rank, l, r))
+        vocab = vocab.withColumn("s", call_function("replace", col("s"),
+            lit(s" $l  $r "), lit(s" $l$r ")))
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    import s.implicits._
+    merges.toSeq.toDF("rank", "l", "r")
+  }
+
+  /** Encode a text corpus with a trained merges table and return
+    * per-row token accounting: (id, n_words, n_tokens). Engine shape:
+    * encode the DISTINCT-word table once (vocab-bounded — the merges
+    * ride ONE broadcast row as a rank-sorted struct array, and the
+    * in-row aggregate() folds them over the symbol string; no UDF, no
+    * per-occurrence re-encode), then join token counts back to the word
+    * occurrences and sum per row. This is the real-token number the
+    * token-budget operators want at training time, vs t03's regex
+    * approximation.
+    */
+  def bpeTokenCounts(df: DataFrame, id: Column, text: Column,
+                     merges: DataFrame): DataFrame = {
+    val marr = merges
+      .agg(array_sort(collect_list(struct(col("rank"), col("l"), col("r"))))
+        .as("__m"))
+    val words = df.select(id.as("id"), explode(split(text, " ")).as("w"))
+      .filter(col("w") =!= "")
+    val encoded = words.select("w").distinct()
+      .crossJoin(broadcast(marr))
+      .withColumn("__s", bpeInitState(col("w")))
+      .withColumn("__enc", expr(
+        """aggregate(__m, __s, (acc, m) ->
+             replace(acc, concat(' ', m.l, '  ', m.r, ' '),
+                          concat(' ', m.l, m.r, ' ')))"""))
+      .select(col("w"),
+        size(split(trim(col("__enc")), "  ")).cast("long").as("__nt"))
+    words.join(encoded, "w")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_words"), sum("__nt").as("n_tokens"))
+  }
+
+  /** Full encode: (word, tokens array) for every distinct word of the
+    * corpus — the inspection surface for specs and vocab analytics.
+    */
+  def bpeEncodeWords(df: DataFrame, text: Column,
+                     merges: DataFrame): DataFrame = {
+    val marr = merges
+      .agg(array_sort(collect_list(struct(col("rank"), col("l"), col("r"))))
+        .as("__m"))
+    df.select(explode(split(text, " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+      .crossJoin(broadcast(marr))
+      .withColumn("__s", bpeInitState(col("w")))
+      .withColumn("tokens", split(trim(expr(
+        """aggregate(__m, __s, (acc, m) ->
+             replace(acc, concat(' ', m.l, '  ', m.r, ' '),
+                          concat(' ', m.l, m.r, ' ')))""")), "  "))
+      .select(col("w").as("word"), col("tokens"))
+  }
+
   /** Materialize the dedup-artifact trio for an (id, text) corpus — the
     * production shape of a 100 TB cleaning run: the expensive near-dup
     * pair join executes ONCE here, and every downstream audit

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.api.GraftOps
+
+/** Round 6: the REAL subword tokenizer — trained BPE (Sennrich et al.
+  * 2016) replacing the "BPE-ish regex" approximation for token-budget
+  * arithmetic. Training is vocab-bounded (the word-frequency table is
+  * the only thing the merge loop touches — the 100 TB property), and
+  * encoding folds the broadcast merges table over each DISTINCT word
+  * in-row (no UDF; one literal string replace per merge). The DuckDB
+  * oracles replay ENCODING exactly from the dumped merges table
+  * (/tmp/graft_aux/bpe_merges, the d02 signature-dump recipe) via a
+  * recursive CTE — one rank per recursion step, the same two-space
+  * symbol representation, the same literal replace. Training itself is
+  * deterministic (ties break count DESC, l, r — partition-independent,
+  * BpeSpec) so the dump and the query's in-query training agree.
+  */
+object TextAnalysis11 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Shared training params: the dump in Verify.scala MUST match. */
+  val NumMerges = 32
+  val VocabCap = 20000
+
+  private def merges(s: SparkSession, d: String): DataFrame =
+    GraftOps.bpeTrain(Tables.documents(s, d), col("text"),
+      numMerges = NumMerges, vocabCap = VocabCap)
+
+  // ---- t41: per-document real-token accounting ----
+  // The number every budget operator wants: actual trained-subword
+  // tokens per document (with fertility = tokens/word). Engine shape:
+  // one corpus pass for word counts, encode the DISTINCT-word table
+  // once, join counts back — token arithmetic never re-encodes repeated
+  // words.
+  val t41_bpe_encode: Q = (s, d) => {
+    GraftOps.bpeTokenCounts(Tables.documents(s, d), col("doc_id"),
+        col("text"), merges(s, d))
+      .withColumnRenamed("id", "doc_id")
+      .withColumn("fertility",
+        round(col("n_tokens").cast("double") / col("n_words"), 9))
+      .orderBy("doc_id")
+  }
+  private val encCte: String =
+    """m AS (SELECT rank, l, r
+           FROM read_parquet('/tmp/graft_aux/bpe_merges/*.parquet')),
+      w0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             FROM documents),
+      w AS (SELECT doc_id, w FROM w0 WHERE w <> ''),
+      vocab AS (SELECT DISTINCT w FROM w),
+      init AS (SELECT w,
+                 ' ' || array_to_string(regexp_split_to_array(w, ''), '  ')
+                     || '  </w> ' AS s
+               FROM vocab),
+      e(w, s, rank) AS (
+        SELECT w, s, 1 FROM init
+        UNION ALL
+        SELECT e.w,
+               replace(e.s, ' '||m.l||'  '||m.r||' ', ' '||m.l||m.r||' '),
+               e.rank + 1
+        FROM e JOIN m ON m.rank = e.rank),
+      enc AS (SELECT w, s FROM e
+              WHERE rank = (SELECT coalesce(max(rank), 0) + 1 FROM m)),
+      toks AS (SELECT w,
+                 CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS nt
+               FROM enc)"""
+  val t41Sql: String =
+    s"""WITH RECURSIVE $encCte
+      SELECT doc_id, count(*) AS n_words,
+             CAST(sum(nt) AS BIGINT) AS n_tokens,
+             round(CAST(sum(nt) AS DOUBLE) / count(*), 9) AS fertility
+      FROM w JOIN toks USING (w)
+      GROUP BY doc_id ORDER BY doc_id"""
+
+  // ---- t42: per-language fertility through the REAL tokenizer ----
+  // t40's budget table rebuilt on trained subwords: languages whose
+  // fertility runs high consume proportionally more of a fixed token
+  // budget per word of content — the compute-share number a mixture
+  // planner actually needs. token_share rides a broadcast scalar (no
+  // unpartitioned window).
+  val t42_bpe_fertility: Q = (s, d) => {
+    val perDoc = GraftOps.bpeTokenCounts(Tables.documents(s, d),
+      col("doc_id"), col("text"), merges(s, d))
+    val byLang = perDoc
+      .join(Tables.documents(s, d).select(col("doc_id").as("id"), col("lang")),
+        "id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"),
+        sum("n_tokens").as("n_tokens"))
+    val total = byLang.agg(sum("n_tokens").as("__total"))
+    byLang.crossJoin(broadcast(total))
+      .withColumn("fertility",
+        round(col("n_tokens").cast("double") / col("n_words"), 9))
+      .withColumn("token_share",
+        round(col("n_tokens").cast("double") / col("__total"), 9))
+      .select("lang", "n_docs", "n_words", "n_tokens", "fertility",
+        "token_share")
+      .orderBy("lang")
+  }
+  val t42Sql: String =
+    s"""WITH RECURSIVE $encCte,
+      perdoc AS (SELECT doc_id, count(*) AS n_words,
+                   CAST(sum(nt) AS BIGINT) AS n_tokens
+                 FROM w JOIN toks USING (w) GROUP BY doc_id),
+      bylang AS (SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_words) AS BIGINT) AS n_words,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+                 FROM perdoc JOIN documents USING (doc_id) GROUP BY lang)
+      SELECT lang, n_docs, n_words, n_tokens,
+             round(CAST(n_tokens AS DOUBLE) / n_words, 9) AS fertility,
+             round(CAST(n_tokens AS DOUBLE)
+               / (SELECT sum(n_tokens) FROM bylang), 9) AS token_share
+      FROM bylang ORDER BY lang"""
+
+  val queries: Map[String, Q] = Map(
+    "t41_bpe_encode"    -> t41_bpe_encode,
+    "t42_bpe_fertility" -> t42_bpe_fertility)
+
+  val oracles: Map[String, String] = Map(
+    "t41_bpe_encode"    -> t41Sql,
+    "t42_bpe_fertility" -> t42Sql)
+}
