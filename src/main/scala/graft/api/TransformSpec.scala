@@ -91,9 +91,14 @@ object TransformSpec {
             graft.sources.SnapshotTable.read(spark, pp, v.toInt)
           case _ => graft.sources.SnapshotTable.read(spark, p)
         }
+        case Array("delta", p) => p.split("@") match {
+          case Array(pp, v) if v.forall(_.isDigit) && v.nonEmpty =>
+            graft.sources.DeltaRead.read(spark, pp, v.toLong)
+          case _ => graft.sources.DeltaRead.read(spark, p)
+        }
         case _ => throw new IllegalArgumentException(
           s"unknown source '$name': not in the catalog, and inline " +
-            "sources use parquet:/csv:/json:/orc:/snapshot: prefixes")
+            "sources use parquet:/csv:/json:/orc:/snapshot:/delta: prefixes")
       }
     })
 

@@ -1,0 +1,198 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Read-only Delta interop against a hand-written transaction log built
+  * purely from the PUBLIC protocol (PROTOCOL.md): 3 JSON commits
+  * including a remove, per-file stats driving a pruned read, version
+  * time travel, a parquet checkpoint base, hive-partitioned layout, and
+  * the reader-version gate.
+  */
+class DeltaReadSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import sources.DeltaRead
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_delta").toString + "/t"
+
+  private val schemaJson = StructType(Seq(
+    StructField("k", LongType), StructField("name", StringType))).json
+
+  /** Write `df` as ONE parquet file named `name` under `dir`. */
+  private def dataFile(dir: String, name: String,
+                       df: org.apache.spark.sql.DataFrame): Unit = {
+    val stage = Files.createTempDirectory("graft_delta_stage").toString
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val target = Paths.get(dir, name)
+    Files.createDirectories(target.getParent)
+    Files.copy(part.toPath, target, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def commit(dir: String, version: Long, lines: Seq[String]): Unit = {
+    val log = Paths.get(dir, "_delta_log")
+    Files.createDirectories(log)
+    Files.writeString(log.resolve(f"$version%020d.json"),
+      lines.mkString("\n") + "\n")
+  }
+
+  private def meta(json: String, parts: String = "[]"): String =
+    s"""{"metaData":{"id":"t","format":{"provider":"parquet"},""" +
+      s""""schemaString":${om(json)},"partitionColumns":$parts}}"""
+  private def om(s: String): String =
+    com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+      .writeValueAsString(s)
+  private def add(path: String, lo: Long, hi: Long, rows: Long): String =
+    s"""{"add":{"path":"$path","partitionValues":{},"size":1,""" +
+      s""""modificationTime":0,"dataChange":true,""" +
+      s""""stats":"{\\"numRecords\\":$rows,\\"minValues\\":{\\"k\\":$lo},""" +
+      s"""\\"maxValues\\":{\\"k\\":$hi},\\"nullCount\\":{\\"k\\":0}}"}}"""
+
+  private def range(lo: Long, hi: Long) = spark.range(lo, hi)
+    .select(col("id").as("k"),
+      concat(lit("u"), col("id").cast("string")).as("name"))
+
+  private def buildTable(): String = {
+    val dir = tmp()
+    dataFile(dir, "f0.parquet", range(0, 50))
+    dataFile(dir, "f1.parquet", range(50, 100))
+    dataFile(dir, "f2.parquet", range(100, 150))
+    dataFile(dir, "f3.parquet", range(150, 200))
+    commit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      meta(schemaJson),
+      add("f0.parquet", 0, 49, 50),
+      add("f1.parquet", 50, 99, 50)))
+    commit(dir, 1, Seq(
+      add("f2.parquet", 100, 149, 50),
+      """{"remove":{"path":"f1.parquet","deletionTimestamp":1,"dataChange":true}}"""))
+    commit(dir, 2, Seq(add("f3.parquet", 150, 199, 50)))
+    dir
+  }
+
+  test("3-commit log: adds minus removes, schema, and time travel") {
+    val dir = buildTable()
+    assert(DeltaRead.latestVersion(spark, dir) == 2)
+    val latest = DeltaRead.read(spark, dir)
+    assert(latest.columns.toSeq == Seq("k", "name"))
+    // live set at v2: f0 + f2 + f3 (f1 removed in v1)
+    assert(latest.count() == 150)
+    assert(latest.agg(sum("k")).head().getLong(0)
+      == (0L until 50).sum + (100L until 200).sum)
+    // v0: f0 + f1
+    val v0 = DeltaRead.read(spark, dir, 0)
+    assert(v0.count() == 100 && v0.agg(max("k")).head().getLong(0) == 99)
+    // v1: f0 + f2
+    val v1 = DeltaRead.read(spark, dir, 1)
+    assert(v1.count() == 100 && v1.agg(max("k")).head().getLong(0) == 149)
+  }
+
+  test("stats skipping: pruned read equals unpruned filter, opens fewer files") {
+    val dir = buildTable()
+    val (total, kept) = DeltaRead.pruneReport(spark, dir, "k >= 150")
+    assert(total == 3 && kept == 1, s"expected 1 of 3 files, got $kept of $total")
+    val got = DeltaRead.readWhere(spark, dir, "k >= 150")
+    val want = DeltaRead.read(spark, dir).filter("k >= 150")
+    assert(got.count() == want.count() && got.count() == 50)
+    // string-column predicate (no stats for name) keeps all files, stays correct
+    val (_, keptS) = DeltaRead.pruneReport(spark, dir, "name = 'u120'")
+    assert(keptS == 3)
+    assert(DeltaRead.readWhere(spark, dir, "name = 'u120'").count() == 1)
+    // impossible predicate opens zero files but still answers
+    val (_, none) = DeltaRead.pruneReport(spark, dir, "k > 10000")
+    assert(none == 0)
+    assert(DeltaRead.readWhere(spark, dir, "k > 10000").count() == 0)
+  }
+
+  test("checkpoint base: state reconstructed from parquet checkpoint + tail commits") {
+    val dir = buildTable()
+    // hand-build the v1 checkpoint (live: f0, f2) and drop commits 0-1
+    val cpSql = Seq(
+      s"""SELECT CAST(NULL AS struct<path:string,partitionValues:map<string,string>,stats:string>) AS add,
+                 CAST(NULL AS struct<path:string>) AS remove,
+                 named_struct('schemaString', '${schemaJson.replace("'", "''")}',
+                              'partitionColumns', array()) AS metaData,
+                 CAST(NULL AS struct<minReaderVersion:int>) AS protocol""",
+      s"""SELECT CAST(NULL AS struct<path:string,partitionValues:map<string,string>,stats:string>) AS add,
+                 CAST(NULL AS struct<path:string>) AS remove,
+                 CAST(NULL AS struct<schemaString:string,partitionColumns:array<string>>) AS metaData,
+                 named_struct('minReaderVersion', 1) AS protocol""",
+      s"""SELECT named_struct('path', 'f0.parquet', 'partitionValues', map('x','y'),
+                              'stats', '{"numRecords":50,"minValues":{"k":0},"maxValues":{"k":49},"nullCount":{"k":0}}') AS add,
+                 CAST(NULL AS struct<path:string>) AS remove,
+                 CAST(NULL AS struct<schemaString:string,partitionColumns:array<string>>) AS metaData,
+                 CAST(NULL AS struct<minReaderVersion:int>) AS protocol""",
+      s"""SELECT named_struct('path', 'f2.parquet', 'partitionValues', map('x','y'),
+                              'stats', '{"numRecords":50,"minValues":{"k":100},"maxValues":{"k":149},"nullCount":{"k":0}}') AS add,
+                 CAST(NULL AS struct<path:string>) AS remove,
+                 CAST(NULL AS struct<schemaString:string,partitionColumns:array<string>>) AS metaData,
+                 CAST(NULL AS struct<minReaderVersion:int>) AS protocol""")
+      .mkString(" UNION ALL ")
+    val stage = Files.createTempDirectory("graft_cp").toString
+    spark.sql(cpSql).coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath,
+      Paths.get(dir, "_delta_log", f"${1L}%020d.checkpoint.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    // delete the compacted commits — the checkpoint must carry the state
+    Files.delete(Paths.get(dir, "_delta_log", f"${0L}%020d.json"))
+    Files.delete(Paths.get(dir, "_delta_log", f"${1L}%020d.json"))
+    val latest = DeltaRead.read(spark, dir)
+    assert(latest.count() == 150)
+    // partitionValues map survives the checkpoint roundtrip; stats prune
+    val (total, kept) = DeltaRead.pruneReport(spark, dir, "k < 50")
+    assert(total == 3 && kept == 1)
+    // time travel below the checkpoint now fails loudly (log cleaned)
+    intercept[IllegalArgumentException] {
+      DeltaRead.read(spark, dir, 0)
+    }
+  }
+
+  test("hive-partitioned table: partition column recovered and typed") {
+    val dir = tmp()
+    val pSchema = StructType(Seq(
+      StructField("k", LongType), StructField("p", IntegerType))).json
+    dataFile(dir, "p=1/f0.parquet", spark.range(0, 10).select(col("id").as("k")))
+    dataFile(dir, "p=2/f1.parquet", spark.range(10, 30).select(col("id").as("k")))
+    commit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      meta(pSchema, """["p"]"""),
+      """{"add":{"path":"p=1/f0.parquet","partitionValues":{"p":"1"},"size":1,"modificationTime":0,"dataChange":true}}""",
+      """{"add":{"path":"p=2/f1.parquet","partitionValues":{"p":"2"},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    val df = DeltaRead.read(spark, dir)
+    assert(df.columns.toSeq == Seq("k", "p"))
+    assert(df.schema("p").dataType == IntegerType)
+    assert(df.filter(col("p") === 2).count() == 20)
+    assert(df.count() == 30)
+  }
+
+  test("delta: inline source in a declarative job (with @version time travel)") {
+    val dir = buildTable()
+    def n(src: String): Long = api.TransformSpec.run(
+      s"""{"source": "$src", "steps": [
+           {"op": "agg", "groupBy": [], "aggs": [["n", "count(1)"]]}]}""",
+      Map.empty[String, org.apache.spark.sql.DataFrame],
+      allowInlineSources = true)
+      .head().getLong(0)
+    assert(n(s"delta:$dir") == 150L)
+    assert(n(s"delta:$dir@0") == 100L)
+  }
+
+  test("reader-version gate: tables needing features are refused, not misread") {
+    val dir = tmp()
+    dataFile(dir, "f0.parquet", range(0, 10))
+    commit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      meta(schemaJson),
+      add("f0.parquet", 0, 9, 10)))
+    val e = intercept[IllegalArgumentException] {
+      DeltaRead.read(spark, dir)
+    }
+    assert(e.getMessage.contains("reader version"))
+  }
+}
