@@ -142,6 +142,13 @@ object TransformSpec {
   private def strings(n: JsonNode): Seq[String] =
     n.elements().asScala.map(_.asText()).toSeq
 
+  private def gateWrite(allowInline: Boolean, op: String): Unit =
+    if (!allowInline) throw new IllegalArgumentException(
+      s"writer step '$op' refused: this job was compiled catalog-only. " +
+        "Pass allowInlineSources=true (Scala/py4j) or set " +
+        "graft.transform.allowInlineSources=true (SQL TVF) to let the " +
+        "spec write filesystem paths.")
+
   private def apply(df: DataFrame, step: JsonNode,
                     catalog: Map[String, DataFrame],
                     allowInline: Boolean): DataFrame = {
@@ -169,6 +176,44 @@ object TransformSpec {
       case "union" =>
         val otherName = step.path("other").asText()
         df.unionByName(resolve(otherName, catalog, allowInline))
+      // ---- writer steps: a JSON spec is a WHOLE ingest job ----------
+      // Each writes a side effect and passes the frame through, so a
+      // spec can write a snapshot AND return the audit frame. Writing
+      // filesystem paths is the same governance surface as reading them
+      // — gated behind the same inline opt-in.
+      case "write" =>
+        gateWrite(allowInline, "write")
+        val fmt = if (step.has("format")) step.path("format").asText()
+                  else "parquet"
+        val mode = if (step.has("mode")) step.path("mode").asText()
+                   else "errorifexists"
+        df.write.format(fmt).mode(mode).save(step.path("path").asText())
+        df
+      case "snapshotCreate" =>
+        gateWrite(allowInline, "snapshotCreate")
+        graft.sources.SnapshotTable.create(df, step.path("path").asText())
+        df
+      case "snapshotAppend" =>
+        gateWrite(allowInline, "snapshotAppend")
+        val p = step.path("path").asText()
+        val spark = df.sparkSession
+        if (graft.sources.SnapshotTable.exists(spark, p))
+          graft.sources.SnapshotTable.append(df, p)
+        else graft.sources.SnapshotTable.create(df, p)
+        df
+      case "snapshotUpsert" =>
+        // MERGE by key; with appId+batchId it is the exactly-once
+        // upsertBatch (replayed batches detected and skipped via the
+        // manifest's per-appId transaction watermark)
+        gateWrite(allowInline, "snapshotUpsert")
+        val p = step.path("path").asText()
+        val keys = strings(step.path("keys"))
+        val spark = df.sparkSession
+        if (step.has("appId"))
+          graft.sources.SnapshotTable.upsertBatch(spark, p, df, keys,
+            step.path("appId").asText(), step.path("batchId").asLong())
+        else graft.sources.SnapshotTable.upsert(spark, p, df, keys)
+        df
       case "rename" =>
         step.path("map").properties().asScala.foldLeft(df)((d, e) =>
           d.withColumnRenamed(e.getKey, e.getValue.asText()))

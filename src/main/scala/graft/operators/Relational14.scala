@@ -669,7 +669,51 @@ object Relational14 {
       FROM ro JOIN t ON ro.nation = t.nation
       ORDER BY nation, rank"""
 
+  // ---- q114: approximate distinct, oracle-certified (q30's twin) ----
+  // The same query shape as the retired-from-registry q30 (per-flag
+  // approximate distinct orders and parts) but through the KMV sketch
+  // (d07's mergeable TypedImperativeAggregate) whose md5-prefix hash
+  // replays BIT-EXACTLY in DuckDB — the approximate-distinct FAMILY is
+  // thereby oracle-certified end to end, while Spark's engine-internal
+  // HLL keeps its ±5% property spec (RelationalSpec) for API coverage.
+  // One combinable aggregate pass; sketch state is k=64 longs per
+  // (group, column) — constant regardless of corpus size.
+  val q114_approx_distinct: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        graft.functions.kmv_distinct(col("l_orderkey"), 64).as("ko"),
+        graft.functions.kmv_distinct(col("l_partkey"), 64).as("kp"))
+      .select(col("l_returnflag"),
+        round(col("ko.est_distinct"), 6).as("approx_orders"),
+        round(col("kp.est_distinct"), 6).as("approx_parts"))
+      .orderBy("l_returnflag")
+  }
+  val q114Sql: String =
+    """WITH est AS (
+        SELECT l_returnflag, col,
+               round(CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                          ELSE CAST(63 AS DOUBLE)
+                            * CAST(281474976710656 AS DOUBLE) / max(hv)
+                     END, 6) AS est
+        FROM (SELECT l_returnflag, col, hv,
+                row_number() OVER (PARTITION BY l_returnflag, col
+                                   ORDER BY hv) AS rn
+              FROM (SELECT DISTINCT l_returnflag, 'o' AS col,
+                      ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 12))::BIGINT AS hv
+                    FROM lineitem
+                    UNION ALL
+                    SELECT DISTINCT l_returnflag, 'p' AS col,
+                      ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 12))::BIGINT AS hv
+                    FROM lineitem) h) r
+        WHERE rn <= 64 GROUP BY l_returnflag, col)
+      SELECT o.l_returnflag, o.est AS approx_orders, p.est AS approx_parts
+      FROM est o JOIN est p ON o.l_returnflag = p.l_returnflag
+      WHERE o.col = 'o' AND p.col = 'p'
+      ORDER BY o.l_returnflag"""
+
   val queries: Map[String, Q] = Map(
+    "q114_approx_distinct" -> q114_approx_distinct,
     "q106_bootstrap_ci"  -> q106_bootstrap_ci,
     "q107_semi_additive" -> q107_semi_additive,
     "q108_weighted_median" -> q108_weighted_median,
@@ -680,6 +724,7 @@ object Relational14 {
     "q113_topn_other" -> q113_topn_other,
   )
   val oracles: Map[String, String] = Map(
+    "q114_approx_distinct" -> q114Sql,
     "q106_bootstrap_ci"  -> q106Sql,
     "q107_semi_additive" -> q107Sql,
     "q108_weighted_median" -> q108Sql,

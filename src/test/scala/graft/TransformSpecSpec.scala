@@ -387,6 +387,61 @@ class TransformSpecSpec extends AnyFunSuite {
     assert(refused.getMessage.contains("catalog-only"))
   }
 
+  test("writer steps: a JSON spec is a whole ingest job") {
+    import graft.api.TransformSpec
+    import graft.sources.SnapshotTable
+    val base = java.nio.file.Files.createTempDirectory("graft_ts_write").toString
+    val docs = Tables.documents(spark, sf)
+
+    // config job == hand-built write (same rows, same schema)
+    val spec =
+      s"""{"source": "d", "steps": [
+           {"op": "withColumn", "name": "nw", "expr": "size(split(text, ' '))"},
+           {"op": "filter", "expr": "nw >= 30"},
+           {"op": "select", "cols": ["doc_id", "lang", "nw"]},
+           {"op": "snapshotCreate", "path": "$base/t1"},
+           {"op": "agg", "groupBy": ["lang"], "aggs": [["n", "count(1)"]]},
+           {"op": "orderBy", "cols": ["lang"]}]}"""
+    val audit = TransformSpec.run(spec, Map("d" -> docs),
+      allowInlineSources = true)
+    val hand = docs.withColumn("nw", size(split(col("text"), " ")))
+      .filter(col("nw") >= 30).select("doc_id", "lang", "nw")
+    val written = SnapshotTable.read(spark, s"$base/t1")
+    assert(written.columns.toSeq == Seq("doc_id", "lang", "nw"))
+    assert(written.count() == hand.count())
+    assert(written.exceptAll(hand).count() == 0)
+    // the job still RETURNS the downstream frame (audit rollup)
+    assert(audit.columns.toSeq == Seq("lang", "n"))
+
+    // exactly-once upsert: same appId+batchId replayed -> no new version
+    SnapshotTable.create(
+      spark.range(0, 10).select(col("id").as("k"), lit("x").as("tag")),
+      s"$base/t2")
+    val upSpec =
+      s"""{"source": "c", "steps": [
+           {"op": "snapshotUpsert", "path": "$base/t2", "keys": ["k"],
+            "appId": "job1", "batchId": 7}]}"""
+    TransformSpec.run(upSpec, Map("c" ->
+      spark.range(5, 12).select(col("id").as("k"), lit("y").as("tag"))),
+      allowInlineSources = true)
+    val v1 = SnapshotTable.latestVersion(spark, s"$base/t2")
+    assert(SnapshotTable.read(spark, s"$base/t2").count() == 12)
+    // replay the SAME batch: watermark detects it, version unchanged
+    TransformSpec.run(upSpec, Map("c" ->
+      spark.range(5, 12).select(col("id").as("k"), lit("y").as("tag"))),
+      allowInlineSources = true)
+    assert(SnapshotTable.latestVersion(spark, s"$base/t2") == v1)
+
+    // writer steps are governance-gated like inline sources
+    val refused = intercept[IllegalArgumentException] {
+      TransformSpec.run(
+        s"""{"source": "d", "steps": [
+             {"op": "write", "path": "$base/nope"}]}""",
+        Map("d" -> docs))
+    }
+    assert(refused.getMessage.contains("catalog-only"))
+  }
+
   test("unknown ops and unknown tables fail loudly") {
     val docs = Tables.documents(spark, sf)
     intercept[IllegalArgumentException] {
