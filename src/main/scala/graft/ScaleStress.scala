@@ -111,6 +111,35 @@ object ScaleStress {
         labels
       } finally s.conf.unset("graft.graph.cc")
     },
+    // density-adaptive geo join at 20x BOTH sides: the grid ladder must
+    // refine (G grows) so candidates per customer stay bounded instead
+    // of hot cells exploding — printed G proves the adaptation
+    "geo_nearest[20x]" -> { (s, d) =>
+      import graft.api.GraftOps
+      val mult = if (d == stressDir) 20 else 1
+      def micros(key: org.apache.spark.sql.Column, salt: String, mod: Long,
+                 shift: Long) =
+        (conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 12),
+          16, 10).cast("long") % mod) - shift
+      val cust = Tables.customer(s, baseDir)
+        .select(explode(expr(s"transform(sequence(0, ${mult - 1}), " +
+          s"i -> c_custkey * $mult + i)")).as("c_custkey"))
+        .select(col("c_custkey"),
+          micros(col("c_custkey"), "clat", 180000001L, 90000000L).as("clat"),
+          micros(col("c_custkey"), "clon", 360000001L, 180000000L).as("clon"))
+      val supp = Tables.supplier(s, baseDir)
+        .select(explode(expr(s"transform(sequence(0, ${mult - 1}), " +
+          s"i -> s_suppkey * $mult + i)")).as("s_suppkey"))
+        .select(col("s_suppkey"),
+          micros(col("s_suppkey"), "slat", 180000001L, 90000000L).as("slat"),
+          micros(col("s_suppkey"), "slon", 360000001L, 180000000L).as("slon"))
+      val out = GraftOps.geoNearest(
+        cust, col("c_custkey"), col("clat"), col("clon"),
+        supp, col("s_suppkey"), col("slat"), col("slon"))
+      val g = out.select("grid_cells").limit(1)
+      println(s"  [geo_nearest] mult=$mult G=${g.collect()(0).getLong(0)}")
+      out
+    },
     "semdedup[k~n/230]" -> { (s, d) =>
       import graft.api.GraftOps
       val e = Tables.embeddings(s, d)
@@ -157,7 +186,7 @@ object ScaleStress {
     "s25_intrinsic_dim", "s26_pq_distortion", "m17_hot_tier_plan",
     "p17_budget_allocation",
     // round-6 additions
-    "cc_path[starcontraction]")
+    "cc_path[starcontraction]", "geo_nearest[20x]")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

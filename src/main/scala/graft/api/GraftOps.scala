@@ -993,6 +993,71 @@ object GraftOps {
     exactDups.unionByName(nearDups).unionByName(kept)
   }
 
+  /** Density-adaptive geospatial nearest-neighbor join (q112's engine,
+    * as a verb): coordinates are integer MICRO-degrees; each side is
+    * bucketed into a G×G integer lat/lon grid where G is the smallest
+    * power of two in [8, 4096] with 4·G² >= |right| — expected right
+    * rows per cell stay ~<=4 as the data grows, so the 3×3-neighborhood
+    * candidate equi-join stays bounded by local density, never
+    * |L|×|R|. The pre-pass is one metadata count on a broadcast; the
+    * ladder is pure integer compares (no float divergence). Returns
+    * (left_id, right_id, dist_m, n_candidates, grid_cells): each left
+    * row's nearest candidate by (haversine meters, right_id) total
+    * order; left rows with an empty neighborhood are absent (this is a
+    * candidate-blocked nearest, the standard scale shape). Residual hot
+    * cells ride AQE skew handling.
+    */
+  def geoNearest(left: DataFrame, lId: Column, lLat: Column, lLon: Column,
+                 right: DataFrame, rId: Column, rLat: Column, rLon: Column)
+      : DataFrame = {
+    val grid = right.agg(count(lit(1)).as("__n"))
+      .select(gridCellsLadder(col("__n")).as("g"))
+    val l = left.select(lId.as("lid"), lLat.cast("long").as("clat"),
+        lLon.cast("long").as("clon"))
+      .crossJoin(broadcast(grid))
+      .withColumn("latq", expr("(clat + 90000000) * g div 180000001"))
+      .withColumn("lonq", expr("(clon + 180000000) * g div 360000001"))
+    val r = right.select(rId.as("rid"), rLat.cast("long").as("slat"),
+        rLon.cast("long").as("slon"))
+      .crossJoin(broadcast(grid))
+      .withColumn("latq0", expr("(slat + 90000000) * g div 180000001"))
+      .withColumn("lonq0", expr("(slon + 180000000) * g div 360000001"))
+      .select(col("rid"), col("slat"), col("slon"),
+        explode(expr("sequence(-1, 1)")).as("dlat"), col("latq0"),
+        col("lonq0"))
+      .select(col("rid"), col("slat"), col("slon"),
+        (col("latq0") + col("dlat")).as("latq"),
+        explode(expr("sequence(-1, 1)")).as("dlon"), col("lonq0"))
+      .select(col("rid"), col("slat"), col("slon"), col("latq"),
+        (col("lonq0") + col("dlon")).as("lonq"))
+    val cand = l.join(r, Seq("latq", "lonq"))
+      .withColumn("dist_m", expr(
+        """CAST(round(6371008.8 * 2 * asin(sqrt(
+             sin(radians((slat - clat) / 2e6)) * sin(radians((slat - clat) / 2e6))
+             + cos(radians(clat / 1e6)) * cos(radians(slat / 1e6))
+               * sin(radians((slon - clon) / 2e6))
+               * sin(radians((slon - clon) / 2e6)))), 0) AS BIGINT)"""))
+    val nearest = cand
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lid").orderBy("dist_m", "rid")))
+      .filter(col("rn") === 1)
+      .select(col("lid"), col("rid"), col("dist_m"))
+    val nc = cand.groupBy("lid").agg(count(lit(1)).as("n_candidates"))
+    nearest.join(nc, "lid")
+      .crossJoin(broadcast(grid.withColumnRenamed("g", "grid_cells")))
+      .select(col("lid").as("left_id"), col("rid").as("right_id"),
+        col("dist_m"), col("n_candidates"), col("grid_cells"))
+  }
+
+  /** Smallest power-of-two G in [8, 4096] with 4·G² >= n — the
+    * density-adaptive grid ladder, integer-exact (oracle-replayable).
+    */
+  private[graft] def gridCellsLadder(n: Column): Column =
+    Seq(8L, 16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L)
+      .foldRight(lit(4096L): Column) { (g, rest) =>
+        when(n <= lit(4L * g * g), lit(g)).otherwise(rest)
+      }
+
   // ---- BPE subword tokenizer ---------------------------------------
   // State representation shared by training and encoding (and replayed
   // verbatim by the DuckDB oracle): a word's symbol sequence is ONE

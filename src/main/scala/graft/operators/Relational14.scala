@@ -511,17 +511,27 @@ object Relational14 {
   // goes all-pairs. Entities get deterministic synthetic coordinates
   // (md5-derived integer MICRO-degrees — the tables carry no geo
   // columns; the projection is documented and engine-neutral), each is
-  // bucketed into a 32×32 integer lat/lon grid (coarse enough that the synthetic corpus populates neighborhoods; a production deployment picks the precision from density) (pure integer
-  // floor-division — the geohash/S2 cell idea with zero float math),
-  // and each supplier is expanded into its 3×3 cell neighborhood so the
-  // candidate join is a broadcast EQUI-join on cell keys — the standard
-  // scale shape: candidates per customer are bounded by local density,
-  // never |C|×|S|. Haversine runs on candidates only; distances publish
-  // as integer METERS (round-0 of the double — trig ULP divergence
-  // between engines sits ~9 orders below a meter), argmin per customer
-  // by (meters, suppkey) total order, and the report is the global
-  // top-100 closest colocations. At 100 TB both sides shuffle on cell
-  // keys; hot cells ride AQE skew handling like any other key.
+  // bucketed into a DENSITY-ADAPTIVE G×G integer lat/lon grid (round 6;
+  // previously fixed 32×32): G is the smallest power of two in
+  // [8, 4096] with 4·G² >= supplier count, so expected suppliers per
+  // cell stay ~<=4 and the 3×3 neighborhood candidate set stays bounded
+  // AS THE DATA GROWS — the grid refines itself at 20× or 100× instead
+  // of melting into hot cells. The pre-pass is ONE metadata-sized count
+  // riding a broadcast scalar; the selection ladder is pure integer
+  // compares (no log/sqrt floats to diverge between engines) and the
+  // chosen G is PUBLISHED as grid_cells so the oracle replays the
+  // parameter, not just the result. Cell assignment is pure integer
+  // floor-division (the geohash/S2 cell idea with zero float math);
+  // each supplier expands into its 3×3 cell neighborhood so the
+  // candidate join is an EQUI-join on cell keys — candidates per
+  // customer are bounded by local density, never |C|×|S|. Haversine
+  // runs on candidates only; distances publish as integer METERS
+  // (round-0 of the double — trig ULP divergence between engines sits
+  // ~9 orders below a meter), argmin per customer by (meters, suppkey)
+  // total order, and the report is the global top-100 closest
+  // colocations. At 100 TB both sides shuffle on cell keys; residual
+  // hot cells (real-world density is never uniform) still ride AQE
+  // skew handling.
   val q112_geo_nearest: Q = (s, d) => {
     def micros(key: org.apache.spark.sql.Column, salt: String, mod: Long,
                shift: Long) =
@@ -531,52 +541,42 @@ object Relational14 {
       col("c_custkey"),
       micros(col("c_custkey"), "clat", 180000001L, 90000000L).as("clat"),
       micros(col("c_custkey"), "clon", 360000001L, 180000000L).as("clon"))
-      .withColumn("latq", expr("(clat + 90000000) * 32 div 180000001"))
-      .withColumn("lonq", expr("(clon + 180000000) * 32 div 360000001"))
     val supp = Tables.supplier(s, d).select(
       col("s_suppkey"),
       micros(col("s_suppkey"), "slat", 180000001L, 90000000L).as("slat"),
       micros(col("s_suppkey"), "slon", 360000001L, 180000000L).as("slon"))
-      .withColumn("latq0", expr("(slat + 90000000) * 32 div 180000001"))
-      .withColumn("lonq0", expr("(slon + 180000000) * 32 div 360000001"))
-      .select(col("s_suppkey"), col("slat"), col("slon"),
-        explode(expr("sequence(-1, 1)")).as("dlat"), col("latq0"), col("lonq0"))
-      .select(col("s_suppkey"), col("slat"), col("slon"),
-        (col("latq0") + col("dlat")).as("latq"),
-        explode(expr("sequence(-1, 1)")).as("dlon"), col("lonq0"))
-      .select(col("s_suppkey"), col("slat"), col("slon"), col("latq"),
-        (col("lonq0") + col("dlon")).as("lonq"))
-    val cand = cust.join(broadcast(supp), Seq("latq", "lonq"))
-      .withColumn("dist_m", expr(
-        """CAST(round(6371008.8 * 2 * asin(sqrt(
-             sin(radians((slat - clat) / 2e6)) * sin(radians((slat - clat) / 2e6))
-             + cos(radians(clat / 1e6)) * cos(radians(slat / 1e6))
-               * sin(radians((slon - clon) / 2e6))
-               * sin(radians((slon - clon) / 2e6)))), 0) AS BIGINT)"""))
-    val nearest = cand
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("c_custkey").orderBy("dist_m", "s_suppkey")))
-      .filter(col("rn") === 1)
-      .groupBy("c_custkey", "s_suppkey", "dist_m")
-      .agg(count(lit(1)).as("one"))
-    val nc = cand.groupBy("c_custkey").agg(count(lit(1)).as("n_candidates"))
-    nearest.join(nc, "c_custkey")
-      .select("c_custkey", "s_suppkey", "dist_m", "n_candidates")
+    graft.api.GraftOps.geoNearest(
+        cust, col("c_custkey"), col("clat"), col("clon"),
+        supp, col("s_suppkey"), col("slat"), col("slon"))
+      .select(col("left_id").as("c_custkey"), col("right_id").as("s_suppkey"),
+        col("dist_m"), col("n_candidates"), col("grid_cells"))
       .orderBy("dist_m", "c_custkey")
       .limit(100)
   }
   val q112Sql: String =
-    """WITH cust AS (
+    """WITH g AS (
+        SELECT CASE WHEN COUNT(*) <= 4*8*8 THEN 8
+                    WHEN COUNT(*) <= 4*16*16 THEN 16
+                    WHEN COUNT(*) <= 4*32*32 THEN 32
+                    WHEN COUNT(*) <= 4*64*64 THEN 64
+                    WHEN COUNT(*) <= 4*128*128 THEN 128
+                    WHEN COUNT(*) <= 4*256*256 THEN 256
+                    WHEN COUNT(*) <= 4*512*512 THEN 512
+                    WHEN COUNT(*) <= 4*1024*1024 THEN 1024
+                    WHEN COUNT(*) <= 4*2048*2048 THEN 2048
+                    ELSE 4096 END::BIGINT AS g
+        FROM supplier),
+      cust AS (
         SELECT c_custkey,
           ('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || 'clat'), 1, 12))
             ::BIGINT % 180000001 - 90000000 AS clat,
           ('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || 'clon'), 1, 12))
             ::BIGINT % 360000001 - 180000000 AS clon
         FROM customer),
-      cq AS (SELECT *,
-               (clat + 90000000) * 32 // 180000001 AS latq,
-               (clon + 180000000) * 32 // 360000001 AS lonq
-             FROM cust),
+      cq AS (SELECT cust.*,
+               (clat + 90000000) * g.g // 180000001 AS latq,
+               (clon + 180000000) * g.g // 360000001 AS lonq
+             FROM cust, g),
       supp AS (
         SELECT s_suppkey,
           ('0x' || substring(md5(CAST(s_suppkey AS VARCHAR) || 'slat'), 1, 12))
@@ -585,9 +585,9 @@ object Relational14 {
             ::BIGINT % 360000001 - 180000000 AS slon
         FROM supplier),
       sq AS (SELECT s_suppkey, slat, slon,
-               (slat + 90000000) * 32 // 180000001 + d1.d AS latq,
-               (slon + 180000000) * 32 // 360000001 + d2.d AS lonq
-             FROM supp,
+               (slat + 90000000) * g.g // 180000001 + d1.d AS latq,
+               (slon + 180000000) * g.g // 360000001 + d2.d AS lonq
+             FROM supp, g,
                (SELECT unnest(generate_series(-1, 1)) AS d) d1,
                (SELECT unnest(generate_series(-1, 1)) AS d) d2),
       cand AS (
@@ -604,7 +604,8 @@ object Relational14 {
                WHERE rn = 1),
       nc AS (SELECT c_custkey, COUNT(*) AS n_candidates
              FROM cand GROUP BY 1)
-      SELECT near.c_custkey AS c_custkey, s_suppkey, dist_m, n_candidates
+      SELECT near.c_custkey AS c_custkey, s_suppkey, dist_m, n_candidates,
+        (SELECT g FROM g) AS grid_cells
       FROM near JOIN nc ON near.c_custkey = nc.c_custkey
       ORDER BY dist_m, c_custkey LIMIT 100"""
 
