@@ -302,6 +302,114 @@ object StreamOps {
       .start()
   }
 
+  case class BandMember(band: Int, bh: Long, doc_id: Long,
+                        sig: Array[Long], shs: Array[Long])
+  case class NearDupPair(id_a: Long, id_b: Long, shared: Long,
+                         jaccard: Double)
+
+  /** Streaming verified near-dup pairs — the d06 operating point
+    * (MinHash-banded candidates + EXACT shingle-set verification) as an
+    * incremental stream, closing the last batch/streaming capability
+    * asymmetry in the dedup family. `dropDuplicatesWithinWatermark`
+    * covers exact-hash dedup; this covers NEAR duplicates: each
+    * arriving document's signature is banded, and the band keys flow
+    * through the STATE STORE — state is keyed by (band, bucket-hash),
+    * holding the bucket's members (id, signature, shingle hashes), so a
+    * new member pairs only against its own bucket's history, never the
+    * corpus (candidate volume bounded by band-collision probability,
+    * exactly the batch jaccardJoinBanded discipline).
+    *
+    * Emit-once across bands without a second stateful dedup: a pair
+    * colliding in several bands is emitted only by its FIRST
+    * value-colliding band (both signatures sit in state, so the check
+    * is local — the same trick batch uses a `distinct` for). Pairs are
+    * verified with exact sorted-array intersection before emission, so
+    * the output equals batch `jaccardJoinBanded` row-for-row
+    * (StreamingSpec pins set equality). Within a micro-batch, members
+    * process in doc_id order — arrival-order-independent output.
+    *
+    * State contract at scale: per-bucket member lists are the
+    * signature+shingle working set of the dedup horizon. Here the
+    * corpus is finite so state is unbounded (NoTimeout); a production
+    * deployment keys documents by an event-time column and evicts with
+    * EventTimeTimeout exactly as [[sessionize]] does — the SAME bounded-
+    * state contract `dropDuplicatesWithinWatermark` applies to exact
+    * dedup. (The one documented divergence from batch: an xxhash64
+    * bucket collision between UNEQUAL band slices would make batch
+    * verify a candidate this path never sees — odds ~2^-64 per bucket,
+    * the d02 oracle's own collision argument.)
+    */
+  def nearDupPairsStream(spark: SparkSession, dir: String,
+                         threshold: Double = 0.5, numHashes: Int = 64,
+                         bands: Int = 16): Dataset[NearDupPair] = {
+    import spark.implicits._
+    val r = numHashes / bands
+    val banded = spark.readStream.schema(docsSchema).parquet(s"$dir/documents*")
+      .select(col("doc_id"),
+        graft.functions.minhash_signature(col("text"), numHashes, 3).as("sig"),
+        expr("""array_sort(array_distinct(transform(
+             sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
+             i -> xxhash64(concat_ws(' ', slice(split(text, ' '), i, 3))))))""")
+          .as("shs"))
+      .select(explode(expr(
+        s"""transform(sequence(0, ${bands - 1}), b ->
+            struct(b AS band,
+                   xxhash64(concat_ws(',', slice(sig, b * $r + 1, $r))) AS bh))"""))
+        .as("bk"), col("doc_id"), col("sig"), col("shs"))
+      .select(col("bk.band").as("band"), col("bk.bh").as("bh"),
+        col("doc_id"), col("sig"), col("shs"))
+      .as[BandMember]
+
+    def bandEq(a: Array[Long], b: Array[Long], band: Int): Boolean = {
+      var i = band * r
+      val end = (band + 1) * r
+      while (i < end) { if (a(i) != b(i)) return false; i += 1 }
+      true
+    }
+    def firstCollidingBand(a: Array[Long], b: Array[Long]): Int = {
+      var band = 0
+      while (band < bands) { if (bandEq(a, b, band)) return band; band += 1 }
+      -1
+    }
+    def sharedCount(a: Array[Long], b: Array[Long]): Long = {
+      var (i, j, n) = (0, 0, 0L)
+      while (i < a.length && j < b.length) {
+        if (a(i) == b(j)) { n += 1; i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1
+        else j += 1
+      }
+      n
+    }
+
+    banded
+      .groupByKey(m => (m.band, m.bh))
+      .flatMapGroupsWithState[List[BandMember], NearDupPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), rows: Iterator[BandMember],
+         state: GroupState[List[BandMember]]) =>
+          val prior = state.getOption.getOrElse(Nil)
+          val fresh = rows.toSeq.sortBy(_.doc_id).toList
+          val out = Seq.newBuilder[NearDupPair]
+          var seen = prior
+          fresh.foreach { nw =>
+            seen.foreach { m =>
+              if (m.doc_id != nw.doc_id
+                  && firstCollidingBand(m.sig, nw.sig) == key._1) {
+                val (a, b) = if (m.doc_id < nw.doc_id) (m, nw) else (nw, m)
+                val shared = sharedCount(a.shs, b.shs)
+                val union = a.shs.length.toLong + b.shs.length - shared
+                val jac = shared.toDouble / union
+                if (jac >= threshold)
+                  out += NearDupPair(a.doc_id, b.doc_id, shared, jac)
+              }
+            }
+            seen = nw :: seen
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+  }
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                 event_type: String, value: Double)
   case class SessionAcc(startMicros: Long, lastMicros: Long, n: Int, value: Double)

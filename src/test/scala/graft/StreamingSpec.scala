@@ -146,6 +146,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(n >= batchDistinct, s"$n < batch distinct $batchDistinct")
   }
 
+  test("streaming near-dup pairs equal batch jaccardJoinBanded (d06 operating point)") {
+    val q = streaming.StreamOps.nearDupPairsStream(spark, sf, 0.5)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("neardup_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e12))
+    val got = spark.table("neardup_out")
+      .select("id_a", "id_b", "shared", "jaccard")
+      .collect().map(key).toSet
+    val want = api.GraftOps.jaccardJoinBanded(
+        Tables.documents(spark, sf), col("doc_id"), col("text"), 0.5)
+      .select("id_a", "id_b", "shared", "jaccard")
+      .collect().map(key).toSet
+    assert(want.nonEmpty, "corpus must contain banded near-dup pairs")
+    assert(got == want,
+      s"stream != batch: only-stream=${(got -- want).take(3)} " +
+        s"only-batch=${(want -- got).take(3)}")
+    // no pair is emitted twice (the first-colliding-band emit-once trick)
+    val n = spark.table("neardup_out").count()
+    assert(n == got.size, s"$n emissions for ${got.size} distinct pairs")
+    api.GraftOps.releaseCaches(); spark.catalog.clearCache()
+  }
+
   test("KMV sketch aggregates incrementally: streaming windows equal batch") {
     val q = streaming.StreamOps.sketchedDistinct(spark, sf)
       .writeStream.outputMode("append").format("memory")
