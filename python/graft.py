@@ -332,6 +332,60 @@ def rolling_trend(spark, df, group_col, day_col, cents_expr,
     return _wrap(spark, jdf)
 
 
+def bpe_train(spark, df, text_col, num_merges=32, vocab_cap=20000):
+    """Train a BPE merges table (rank, l, r) from a text corpus.
+    Deterministic (partition-independent); training touches only the
+    word-frequency table."""
+    jdf = _graft_ops(spark).bpeTrain(
+        df._jdf, _col(spark, text_col), int(num_merges), int(vocab_cap))
+    return _wrap(spark, jdf)
+
+
+def bpe_token_counts(spark, df, id_col, text_col, merges):
+    """Per-row (id, n_words, n_tokens) under a trained merges table —
+    real subword token accounting (distinct words encoded once)."""
+    jdf = _graft_ops(spark).bpeTokenCounts(
+        df._jdf, _col(spark, id_col), _col(spark, text_col), merges._jdf)
+    return _wrap(spark, jdf)
+
+
+def dedup_artifacts(spark, df, id_col, text_col, path, threshold=0.5):
+    """Materialize the dedup-artifact trio (pairs / labels / manifest)
+    as SnapshotTables under ``path`` — one cleaning pass, every audit
+    reads. Set spark conf ``graft.dedup.artifacts`` to route the
+    corpus-reading operators through the artifacts."""
+    jdf = _graft_ops(spark).dedupArtifacts(
+        df._jdf, _col(spark, id_col), _col(spark, text_col), path,
+        float(threshold), "session")
+    return _wrap(spark, jdf)
+
+
+def geo_nearest(spark, left, l_id, l_lat, l_lon, right, r_id, r_lat, r_lon):
+    """Density-adaptive cell-blocked nearest neighbor (micro-degree
+    int coords): (left_id, right_id, dist_m, n_candidates, grid_cells).
+    """
+    jdf = _graft_ops(spark).geoNearest(
+        left._jdf, _col(spark, l_id), _col(spark, l_lat), _col(spark, l_lon),
+        right._jdf, _col(spark, r_id), _col(spark, r_lat), _col(spark, r_lon))
+    return _wrap(spark, jdf)
+
+
+def delta_read(spark, path, version=-1):
+    """Read-only Delta Lake table read (public transaction-log protocol;
+    time travel via ``version``)."""
+    jdf = _jvm(spark).graft.sources.DeltaRead.read(
+        spark._jsparkSession, path, int(version))
+    return _wrap(spark, jdf)
+
+
+def delta_read_where(spark, path, predicate, version=-1):
+    """Delta read with file-level stats skipping; equals
+    read+filter exactly (pruning is conservative-sound)."""
+    jdf = _jvm(spark).graft.sources.DeltaRead.readWhere(
+        spark._jsparkSession, path, predicate, int(version))
+    return _wrap(spark, jdf)
+
+
 def verb(spark, name, df, *args):
     """Generic escape hatch: call any GraftOps verb by name.
 

@@ -304,11 +304,55 @@ lk = graft.verb(spark, "latestPerKey", events,
                 "col:user_id", ["col:ts", "col:event_id"])
 assert lk.count() == events.select("user_id").distinct().count()
 
+# 6o. round-6 facade sweep: BPE tokenizer, dedup artifacts, delta read
+merges = graft.bpe_train(spark, docs, "text", num_merges=8)
+assert merges.count() >= 1 and merges.columns == ["rank", "l", "r"]
+tc = graft.bpe_token_counts(spark, docs, "doc_id", "text", merges)
+assert tc.count() == docs.count()
+row = tc.orderBy("id").collect()[0]
+assert 0 < row.n_tokens and row.n_words <= row.n_tokens, row
+
+art_path = tempfile.mkdtemp(prefix="graft_pyart") + "/a"
+summary = graft.dedup_artifacts(spark, docs, "doc_id", "text", art_path)
+arts = {r.artifact: r.n_rows for r in summary.collect()}
+assert set(arts) == {"pairs", "labels", "manifest"}, arts
+assert arts["labels"] == docs.count() and arts["manifest"] == docs.count()
+assert graft.snapshot_read(spark, art_path + "/pairs").count() == arts["pairs"]
+
+# hand-written public-protocol delta log read from python
+delta_dir = tempfile.mkdtemp(prefix="graft_pydelta") + "/t"
+os.makedirs(delta_dir + "/_delta_log")
+spark.range(0, 20).selectExpr("id AS k").coalesce(1) \
+    .write.mode("overwrite").parquet(delta_dir + "/stage")
+import glob as _glob, shutil as _shutil, json as _json
+part = _glob.glob(delta_dir + "/stage/*.parquet")[0]
+_shutil.copy(part, delta_dir + "/f0.parquet")
+schema_str = _json.dumps(
+    {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}}]})
+with open(delta_dir + "/_delta_log/" + "0" * 20 + ".json", "w") as fh:
+    fh.write(_json.dumps({"protocol": {"minReaderVersion": 1,
+                                       "minWriterVersion": 2}}) + "\n")
+    fh.write(_json.dumps({"metaData": {
+        "id": "t", "format": {"provider": "parquet"},
+        "schemaString": schema_str, "partitionColumns": []}}) + "\n")
+    fh.write(_json.dumps({"add": {
+        "path": "f0.parquet", "partitionValues": {}, "size": 1,
+        "modificationTime": 0, "dataChange": True,
+        "stats": _json.dumps({"numRecords": 20, "minValues": {"k": 0},
+                              "maxValues": {"k": 19},
+                              "nullCount": {"k": 0}})}}) + "\n")
+assert graft.delta_read(spark, delta_dir).count() == 20
+assert graft.delta_read_where(spark, delta_dir, "k >= 15").count() == 5
+assert graft.delta_read_where(spark, delta_dir, "k > 100").count() == 0
+
 print(f"PASS pysmoke: sql-functions, {len(out)}-row declarative job, "
       f"{len(exact)} near-dup pairs (lsh == exact == TVF), top-k facade, "
       f"fd-audit + shard-interleave verbs, and the round-5 parity sweep "
       f"(sessionize/asof/expect/profile/gopher/span-dedup/global-rank/"
       f"skyline/verb-dispatch/kaplan-meier/rolling-trend) plus the "
       f"snapshot-table lifecycle (create/append/upsert/time-travel/"
-      f"zone-map-pruned read/change feed) — all green")
+      f"zone-map-pruned read/change feed) and the round-6 sweep "
+      f"(bpe-train/encode, dedup-artifacts trio, delta-log read with "
+      f"stats skipping) — all green")
 spark.stop()
