@@ -386,6 +386,14 @@ def delta_read_where(spark, path, predicate, version=-1):
     return _wrap(spark, jdf)
 
 
+def iceberg_read(spark, path, snapshot_id=-1):
+    """Read-only Apache Iceberg table read (public table spec; time
+    travel via ``snapshot_id``)."""
+    jdf = _jvm(spark).graft.sources.IcebergRead.read(
+        spark._jsparkSession, path, int(snapshot_id))
+    return _wrap(spark, jdf)
+
+
 def verb(spark, name, df, *args):
     """Generic escape hatch: call any GraftOps verb by name.
 

@@ -96,9 +96,14 @@ object TransformSpec {
             graft.sources.DeltaRead.read(spark, pp, v.toLong)
           case _ => graft.sources.DeltaRead.read(spark, p)
         }
+        case Array("iceberg", p) => p.split("@") match {
+          case Array(pp, v) if v.forall(_.isDigit) && v.nonEmpty =>
+            graft.sources.IcebergRead.read(spark, pp, v.toLong)
+          case _ => graft.sources.IcebergRead.read(spark, p)
+        }
         case _ => throw new IllegalArgumentException(
           s"unknown source '$name': not in the catalog, and inline " +
-            "sources use parquet:/csv:/json:/orc:/snapshot:/delta: prefixes")
+            "sources use parquet:/csv:/json:/orc:/snapshot:/delta:/iceberg: prefixes")
       }
     })
 

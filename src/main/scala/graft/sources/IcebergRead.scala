@@ -1,0 +1,281 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/** Read-only Apache Iceberg table reader — the second open-table-format
+  * interop leg next to [[DeltaRead]], built purely from the PUBLIC
+  * Iceberg table spec (iceberg.apache.org/spec): table metadata JSON →
+  * snapshot → manifest-list avro → manifest avro → live data files,
+  * with per-column lower/upper bounds and null counts surfaced into the
+  * SAME [[FileStats.mayMatch]] zone-map machinery SnapshotTable and
+  * DeltaRead use.
+  *
+  * Scope and non-goals (loudly enforced):
+  *   - format-version 1 and 2 DATA reads; any row-level DELETE content
+  *     (v2 positional/equality delete manifests) is REFUSED rather than
+  *     misread;
+  *   - identity reads only — Iceberg data files carry ALL columns
+  *     including partition columns, so reading needs no hive-layout
+  *     recovery; partition transforms only affect pruning, which this
+  *     reader takes from the per-file column bounds instead;
+  *   - time travel by `snapshotId`;
+  *   - no writes.
+  *
+  * Metadata traversal is driver-side (manifest-list and manifests are
+  * KB-to-MB avro files — the same budget Iceberg's own planner spends);
+  * the data files are a pruned distributed parquet scan. Bounds decode
+  * per the spec's single-value binary serialization (little-endian
+  * int/long/float/double, UTF-8 strings); any type this reader can't
+  * decode soundly answers "keep the file".
+  */
+object IcebergRead {
+  private val om = new ObjectMapper()
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val MetaName = """v(\d+)\.metadata\.json""".r
+
+  /** Resolve the current metadata file: version-hint.text if present,
+    * else the highest vN.metadata.json in `metadata/`.
+    */
+  private def currentMetadata(spark: SparkSession, path: String): Path = {
+    val mdir = new Path(path, "metadata")
+    val f = fs(spark, path)
+    require(f.exists(mdir), s"$path has no metadata/ — not an Iceberg table")
+    val hint = new Path(mdir, "version-hint.text")
+    if (f.exists(hint)) {
+      val in = f.open(hint)
+      val v = try new String(in.readAllBytes(), "UTF-8").trim
+              finally in.close()
+      new Path(mdir, s"v$v.metadata.json")
+    } else {
+      val vs = f.listStatus(mdir).map(_.getPath.getName)
+        .collect { case MetaName(v) => v.toInt }
+      require(vs.nonEmpty, s"$path: no vN.metadata.json in metadata/")
+      new Path(mdir, s"v${vs.max}.metadata.json")
+    }
+  }
+
+  private def readJson(spark: SparkSession, p: Path): JsonNode = {
+    val f = fs(spark, p.toString)
+    val in = f.open(p)
+    try om.readTree(new String(in.readAllBytes(), "UTF-8"))
+    finally in.close()
+  }
+
+  /** Iceberg paths are absolute URIs in manifests; fixture tables may
+    * carry table-relative paths — accept both.
+    */
+  private def resolve(tablePath: String, p: String): String =
+    if (p.startsWith("/") || p.contains("://")) p else s"$tablePath/$p"
+
+  private def avroRows(spark: SparkSession, p: String): Seq[GenericRecord] = {
+    // manifests are KB-to-MB metadata: read fully, decode via avro-core
+    // (hadoop-client shades its own avro, so its AvroFSInput doesn't
+    // satisfy avro-core's SeekableInput)
+    val f = fs(spark, p)
+    val in = f.open(new Path(p))
+    val bytes = try in.readAllBytes() finally in.close()
+    val reader = new DataFileReader[GenericRecord](
+      new org.apache.avro.file.SeekableByteArrayInput(bytes),
+      new GenericDatumReader[GenericRecord]())
+    try reader.iterator().asScala.toVector finally reader.close()
+  }
+
+  /** Schema-checked optional field access: GenericRecord.get THROWS on
+    * fields absent from the writer schema (older-spec manifests omit
+    * v2 fields like `content`), so every optional read goes through
+    * this.
+    */
+  private def opt(r: GenericRecord, name: String): Option[AnyRef] =
+    if (r.getSchema.getField(name) == null) None else Option(r.get(name))
+
+  private final case class Field(id: Int, name: String, tpe: String)
+  private final case class FileEntry(path: String, rows: Long,
+    nulls: Map[Int, Long], lower: Map[Int, Array[Byte]],
+    upper: Map[Int, Array[Byte]])
+  private final case class Snapshot(fields: Seq[Field], files: Seq[FileEntry])
+
+  private def schemaFields(meta: JsonNode): Seq[Field] = {
+    // current-schema-id + schemas[] (v2), or the top-level schema (v1)
+    val schema: JsonNode =
+      if (meta.has("schemas")) {
+        val cur = meta.path("current-schema-id").asInt(0)
+        meta.path("schemas").elements().asScala
+          .find(_.path("schema-id").asInt(-1) == cur)
+          .getOrElse(meta.path("schemas").elements().asScala.toSeq.head)
+      } else meta.path("schema")
+    schema.path("fields").elements().asScala.map { fl =>
+      Field(fl.path("id").asInt(), fl.path("name").asText(),
+        fl.path("type").asText())
+    }.toSeq
+  }
+
+  private def load(spark: SparkSession, path: String,
+                   snapshotId: Long): Snapshot = {
+    val meta = readJson(spark, currentMetadata(spark, path))
+    val fields = schemaFields(meta)
+    val snapId =
+      if (snapshotId >= 0) snapshotId
+      else meta.path("current-snapshot-id").asLong(-1L)
+    require(snapId >= 0, s"$path: table has no current snapshot")
+    val snap = meta.path("snapshots").elements().asScala
+      .find(_.path("snapshot-id").asLong(-1L) == snapId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$path: snapshot $snapId not found"))
+    val manifestList = resolve(path, snap.path("manifest-list").asText())
+    val manifests = avroRows(spark, manifestList).map { r =>
+      val content = opt(r, "content").map(_.toString.toInt).getOrElse(0)
+      require(content == 0,
+        s"$path: manifest carries row-level DELETE content " +
+          "(Iceberg v2 delete files) — this read-only planner refuses " +
+          "rather than misreading")
+      r.get("manifest_path").toString
+    }
+    val files = manifests.flatMap { mp =>
+      avroRows(spark, resolve(path, mp)).flatMap { e =>
+        val status = opt(e, "status").map(_.toString.toInt).getOrElse(1)
+        if (status == 2) None // DELETED entry
+        else {
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          opt(df, "content").map(_.toString.toInt).foreach { c =>
+            require(c == 0, s"$path: delete data_file content — refused")
+          }
+          def idMap[T](field: String)(f: AnyRef => T): Map[Int, T] =
+            opt(df, field) match {
+              case Some(m: java.util.Map[_, _]) =>
+                m.asScala.map { case (k, v) =>
+                  k.toString.toInt -> f(v.asInstanceOf[AnyRef])
+                }.toMap
+              case Some(l: java.util.List[_]) => // key_value record form
+                l.asScala.map { kv =>
+                  val r = kv.asInstanceOf[GenericRecord]
+                  r.get("key").toString.toInt -> f(r.get("value"))
+                }.toMap
+              case _ => Map.empty[Int, T]
+            }
+          def bytesOf(v: AnyRef): Array[Byte] = v match {
+            case b: java.nio.ByteBuffer =>
+              val d = new Array[Byte](b.remaining()); b.duplicate().get(d); d
+            case a: Array[Byte] => a
+            case other => other.toString.getBytes("UTF-8")
+          }
+          Some(FileEntry(
+            df.get("file_path").toString,
+            df.get("record_count").toString.toLong,
+            idMap("null_value_counts")(_.toString.toLong),
+            idMap("lower_bounds")(bytesOf),
+            idMap("upper_bounds")(bytesOf)))
+        }
+      }
+    }
+    Snapshot(fields, files)
+  }
+
+  /** Single-value binary deserialization (spec Appendix D) into the
+    * FileStats compare domain; None = undecodable => no pruning.
+    */
+  private def decode(tpe: String, b: Array[Byte]): Option[(String, String)] = {
+    val buf = java.nio.ByteBuffer.wrap(b)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tpe match {
+      case "int" if b.length == 4  => Some(("l", buf.getInt.toString))
+      case "long" if b.length == 8 => Some(("l", buf.getLong.toString))
+      case "float" if b.length == 4 =>
+        val v = buf.getFloat; if (v.isNaN) None
+        else Some(("d", v.toDouble.toString))
+      case "double" if b.length == 8 =>
+        val v = buf.getDouble; if (v.isNaN) None
+        else Some(("d", v.toString))
+      case "string" => Some(("s", new String(b, "UTF-8")))
+      case _ => None // date/time/timestamp/decimal/uuid/fixed: keep file
+    }
+  }
+
+  private def colStats(fields: Seq[Field], fe: FileEntry)
+      : Map[String, FileStats.ColStat] =
+    fields.flatMap { f =>
+      val lo = fe.lower.get(f.id).flatMap(decode(f.tpe, _))
+      val hi = fe.upper.get(f.id).flatMap(decode(f.tpe, _))
+      val nulls = fe.nulls.getOrElse(f.id, -1L)
+      (lo, hi) match {
+        case (Some((k1, l)), Some((k2, h))) if k1 == k2 =>
+          Some(f.name -> FileStats.ColStat(k1, Some(l), Some(h), nulls,
+            fe.rows))
+        case (None, None) if nulls >= 0 && nulls == fe.rows =>
+          // all-null column for this file: kind from the type family
+          val k = f.tpe match {
+            case "int" | "long"     => Some("l")
+            case "float" | "double" => Some("d")
+            case "string"           => Some("s")
+            case _                  => None
+          }
+          k.map(kk => f.name ->
+            FileStats.ColStat(kk, None, None, nulls, fe.rows))
+        case _ => None
+      }
+    }.toMap
+
+  /** The table as a DataFrame at `snapshotId` (-1 = current snapshot).
+    * Column order follows the Iceberg schema.
+    */
+  def read(spark: SparkSession, path: String, snapshotId: Long = -1L)
+      : DataFrame = {
+    val st = load(spark, path, snapshotId)
+    assemble(spark, path, st, st.files)
+  }
+
+  private def assemble(spark: SparkSession, path: String, st: Snapshot,
+                       files: Seq[FileEntry]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val names = st.fields.map(_.name)
+    if (files.isEmpty) {
+      // empty snapshot: schema from the metadata field types
+      val struct = StructType(st.fields.map { f =>
+        val dt = f.tpe match {
+          case "int" => IntegerType;  case "long" => LongType
+          case "float" => FloatType;  case "double" => DoubleType
+          case "string" => StringType; case "boolean" => BooleanType
+          case "date" => DateType
+          case other => StringType
+        }
+        StructField(f.name, dt)
+      })
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], struct)
+    }
+    spark.read.parquet(files.map(f => resolve(path, f.path)): _*)
+      .select(names.map(col): _*)
+  }
+
+  /** Pruned read: bounds-based file skipping, predicate re-applied so
+    * the result equals `read(...).filter(predicate)` exactly.
+    */
+  def readWhere(spark: SparkSession, path: String, predicate: String,
+                snapshotId: Long = -1L): DataFrame = {
+    val st = load(spark, path, snapshotId)
+    val pred = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(predicate)
+    val kept = st.files.filter(f =>
+      FileStats.mayMatch(pred, colStats(st.fields, f)))
+    assemble(spark, path, st, kept)
+      .filter(org.apache.spark.sql.functions.expr(predicate))
+  }
+
+  /** (total live files, files a predicate would open). */
+  def pruneReport(spark: SparkSession, path: String, predicate: String,
+                  snapshotId: Long = -1L): (Int, Int) = {
+    val st = load(spark, path, snapshotId)
+    val pred = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(predicate)
+    (st.files.size,
+      st.files.count(f => FileStats.mayMatch(pred, colStats(st.fields, f))))
+  }
+}
