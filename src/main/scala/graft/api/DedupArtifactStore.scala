@@ -66,18 +66,53 @@ object DedupArtifactStore {
         .select(col("id_b"))
     }
 
+  /** Strategy-independent artifact directory (the BPE merges table does
+    * not depend on the near-dup strategy).
+    */
+  def sharedLocation(s: SparkSession, d: String): Option[String] =
+    s.conf.getOption("graft.dedup.artifacts").map { base =>
+      s"$base/${d.replaceAll("[^A-Za-z0-9._-]", "_")}"
+    }
+
+  /** The materialized BPE merges table for corpus `d` at the given
+    * training params, when routing is on and it has been built.
+    */
+  def readMerges(s: SparkSession, d: String, numMerges: Int,
+                 vocabCap: Int): Option[DataFrame] =
+    sharedLocation(s, d).flatMap { loc =>
+      val p = s"$loc/bpe_merges_${numMerges}_$vocabCap"
+      if (graft.sources.SnapshotTable.exists(s, p))
+        Some(graft.sources.SnapshotTable.read(s, p))
+      else None
+    }
+
   /** Build the artifact trio for the documents corpus at `d` into the
-    * conf-resolved location (idempotent: skips when already built).
+    * conf-resolved location, plus the BPE merges table at the t41/t42
+    * training params (each idempotent: skipped when already built).
     * Requires `graft.dedup.artifacts` to be set. Returns the summary
-    * frame of [[GraftOps.dedupArtifacts]], or None when already present.
+    * frame of [[GraftOps.dedupArtifacts]], or None when the trio was
+    * already present.
     */
   def buildFor(s: SparkSession, d: String,
                threshold: Double = 0.5): Option[DataFrame] = {
     val loc = location(s, d).getOrElse(throw new IllegalStateException(
       "graft.dedup.artifacts is not set — nothing to build into"))
-    if (graft.sources.SnapshotTable.exists(s, s"$loc/pairs")) None
-    else Some(GraftOps.dedupArtifacts(
-      graft.Tables.documents(s, d), col("doc_id"), col("text"), loc,
-      threshold = threshold, strategy = "session"))
+    val trio =
+      if (graft.sources.SnapshotTable.exists(s, s"$loc/pairs")) None
+      else Some(GraftOps.dedupArtifacts(
+        graft.Tables.documents(s, d), col("doc_id"), col("text"), loc,
+        threshold = threshold, strategy = "session"))
+    // the tokenizer artifact: trained ONCE per cleaning run, consumed by
+    // every token-budget operator (t41/t42/t43) — same convention
+    val (nm, vc) = (graft.operators.TextAnalysis11.NumMerges,
+      graft.operators.TextAnalysis11.VocabCap)
+    sharedLocation(s, d).foreach { shared =>
+      val mp = s"$shared/bpe_merges_${nm}_$vc"
+      if (!graft.sources.SnapshotTable.exists(s, mp))
+        graft.sources.SnapshotTable.create(
+          GraftOps.bpeTrain(graft.Tables.documents(s, d), col("text"),
+            numMerges = nm, vocabCap = vc), mp)
+    }
+    trio
   }
 }

@@ -26,8 +26,12 @@ object TextAnalysis11 {
   val VocabCap = 20000
 
   private def merges(s: SparkSession, d: String): DataFrame =
-    GraftOps.bpeTrain(Tables.documents(s, d), col("text"),
-      numMerges = NumMerges, vocabCap = VocabCap)
+    // materialized-artifact route: a cleaning run trains the merges once
+    // (DedupArtifactStore.buildFor); token-budget queries read the table.
+    // Training is deterministic, so the artifact equals inline training.
+    graft.api.DedupArtifactStore.readMerges(s, d, NumMerges, VocabCap)
+      .getOrElse(GraftOps.bpeTrain(Tables.documents(s, d), col("text"),
+        numMerges = NumMerges, vocabCap = VocabCap))
 
   // ---- t41: per-document real-token accounting ----
   // The number every budget operator wants: actual trained-subword
@@ -114,11 +118,80 @@ object TextAnalysis11 {
                / (SELECT sum(n_tokens) FROM bylang), 9) AS token_share
       FROM bylang ORDER BY lang"""
 
+  // ---- t43: dedup-aware token yield per source ----
+  // THE number a corpus buyer actually pays for: trained-subword tokens
+  // that SURVIVE deduplication, per source — raw token counts overstate
+  // a crawl's value by exactly its duplication factor, and the overstate
+  // ratio differs per source. Composition of two cleaning-run artifacts:
+  // the d15 disposition manifest (kept / exact_dup / near_dup) and the
+  // BPE token accounting — in a routed session (graft.dedup.artifacts)
+  // both are READS; inline they compute exactly once each. Oracle: one
+  // DuckDB query composing the manifest replay with the recursive-CTE
+  // encode over the dumped merges.
+  val t43_dedup_token_yield: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val toks = GraftOps.bpeTokenCounts(docs, col("doc_id"), col("text"),
+        merges(s, d))
+      .select(col("id").as("doc_id"), col("n_tokens"))
+    val kept = Dedup3.d15_dedup_manifest(s, d)
+      .filter(col("status") === "kept")
+      .select(col("doc_id"), lit(true).as("__kept"))
+    docs.select("doc_id", "source")
+      .join(toks, "doc_id")
+      .join(kept, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("tokens_total"),
+        sum(when(col("__kept"), col("n_tokens")).otherwise(0L))
+          .as("tokens_kept"))
+      .withColumn("token_yield",
+        round(col("tokens_kept").cast("double") / col("tokens_total"), 9))
+      .orderBy("source")
+  }
+  val t43Sql: String =
+    s"""WITH RECURSIVE $encCte,
+      perdoc AS (SELECT doc_id, CAST(sum(nt) AS BIGINT) AS n_tokens
+                 FROM w JOIN toks USING (w) GROUP BY doc_id),
+      mh AS (SELECT doc_id, text,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+             FROM documents),
+      mk AS (SELECT h, min(doc_id) AS ref FROM mh GROUP BY h),
+      mwr AS (SELECT mh.doc_id, mh.text, mk.ref FROM mh JOIN mk USING (h)),
+      msv AS (SELECT doc_id, text FROM mwr WHERE doc_id = ref),
+      mw AS (SELECT doc_id, generate_subscripts(string_split(text,' '),1) i,
+                  unnest(string_split(text,' ')) w FROM msv),
+      mg AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+             FROM mw a JOIN mw b ON a.doc_id=b.doc_id AND b.i=a.i+1
+                      JOIN mw c ON c.doc_id=a.doc_id AND c.i=a.i+2),
+      mdd AS (SELECT DISTINCT doc_id, sh FROM mg),
+      msizes AS (SELECT doc_id, count(*) n FROM mdd GROUP BY doc_id),
+      mpairs AS (SELECT x.doc_id da, y.doc_id db, count(*) shared
+                 FROM mdd x JOIN mdd y ON x.sh=y.sh AND x.doc_id<y.doc_id
+                 GROUP BY 1, 2),
+      mvp AS (SELECT da, db FROM mpairs JOIN msizes sa ON da=sa.doc_id
+                                        JOIN msizes sb ON db=sb.doc_id
+              WHERE CAST(shared AS DOUBLE)/(sa.n+sb.n-shared) >= 0.5),
+      mdoomed AS (SELECT DISTINCT db AS doc_id FROM mvp),
+      kept AS (SELECT doc_id FROM msv
+               WHERE doc_id NOT IN (SELECT doc_id FROM mdoomed))
+      SELECT d.source, count(*) AS n_docs,
+        CAST(sum(p.n_tokens) AS BIGINT) AS tokens_total,
+        CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN p.n_tokens
+                      ELSE 0 END) AS BIGINT) AS tokens_kept,
+        round(CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN p.n_tokens
+                            ELSE 0 END) AS DOUBLE)
+              / sum(p.n_tokens), 9) AS token_yield
+      FROM documents d JOIN perdoc p USING (doc_id)
+        LEFT JOIN kept k USING (doc_id)
+      GROUP BY d.source ORDER BY d.source"""
+
   val queries: Map[String, Q] = Map(
     "t41_bpe_encode"    -> t41_bpe_encode,
-    "t42_bpe_fertility" -> t42_bpe_fertility)
+    "t42_bpe_fertility" -> t42_bpe_fertility,
+    "t43_dedup_token_yield" -> t43_dedup_token_yield)
 
   val oracles: Map[String, String] = Map(
     "t41_bpe_encode"    -> t41Sql,
-    "t42_bpe_fertility" -> t42Sql)
+    "t42_bpe_fertility" -> t42Sql,
+    "t43_dedup_token_yield" -> t43Sql)
 }

@@ -37,7 +37,9 @@ class DedupArtifactsSpec extends AnyFunSuite {
         "d32_dup_family_sizes" -> ((s, d) => SparkEntry.queries("d32_dup_family_sizes")(s, d)),
         "p14_leakage_split" -> ((s, d) => SparkEntry.queries("p14_leakage_split")(s, d)),
         "p01_corpus_clean"  -> ((s, d) => SparkEntry.queries("p01_corpus_clean")(s, d)),
-        "p15_stage_ledger"  -> ((s, d) => SparkEntry.queries("p15_stage_ledger")(s, d)))
+        "p15_stage_ledger"  -> ((s, d) => SparkEntry.queries("p15_stage_ledger")(s, d)),
+        "t41_bpe_encode"    -> ((s, d) => SparkEntry.queries("t41_bpe_encode")(s, d)),
+        "t43_dedup_token_yield" -> ((s, d) => SparkEntry.queries("t43_dedup_token_yield")(s, d)))
     val inline = routed.map { case (n, fn) => n -> rows(fn(spark, sf)) }.toMap
     api.GraftOps.releaseCaches(); spark.catalog.clearCache()
     withArtifacts {
