@@ -386,6 +386,16 @@ def delta_read_where(spark, path, predicate, version=-1):
     return _wrap(spark, jdf)
 
 
+def delta_create(spark, df, path):
+    """Create a Delta table (append-only writer; public protocol)."""
+    return _jvm(spark).graft.sources.DeltaWrite.create(df._jdf, path)
+
+
+def delta_append(spark, df, path):
+    """Append to a Delta table with optimistic-concurrency commits."""
+    return _jvm(spark).graft.sources.DeltaWrite.append(df._jdf, path)
+
+
 def iceberg_read(spark, path, snapshot_id=-1):
     """Read-only Apache Iceberg table read (public table spec; time
     travel via ``snapshot_id``)."""

@@ -206,6 +206,17 @@ object TransformSpec {
           graft.sources.SnapshotTable.append(df, p)
         else graft.sources.SnapshotTable.create(df, p)
         df
+      case "deltaAppend" =>
+        // append-only Delta emit (create-if-absent): the output of a
+        // declarative job lands as a table any Delta reader consumes
+        gateWrite(allowInline, "deltaAppend")
+        val p = step.path("path").asText()
+        val spark = df.sparkSession
+        val hasLog = new org.apache.hadoop.fs.Path(p, "_delta_log")
+        val f = hasLog.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (f.exists(hasLog)) graft.sources.DeltaWrite.append(df, p)
+        else graft.sources.DeltaWrite.create(df, p)
+        df
       case "snapshotUpsert" =>
         // MERGE by key; with appId+batchId it is the exactly-once
         // upsertBatch (replayed batches detected and skipped via the

@@ -1,0 +1,194 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Append-only Delta Lake table WRITER — the emit side of the interop
+  * story: a graft pipeline can land its output as a Delta table that
+  * Spark+delta-io, Trino, DuckDB-delta, or any other reader of the
+  * public protocol consumes directly (and [[DeltaRead]] round-trips).
+  *
+  * What it writes, per the public PROTOCOL.md:
+  *   - data as immutable parquet files under the table root;
+  *   - commit `NNNN.json` with protocol (minReader 1 / minWriter 2),
+  *     metaData (Spark schema json, no partition columns), and add
+  *     actions carrying per-file stats (numRecords / minValues /
+  *     maxValues / nullCount) harvested METADATA-ONLY from the freshly
+  *     written parquet footers via [[FileStats]] — the same zero-rescan
+  *     discipline SnapshotTable's zone maps use. Stats are emitted only
+  *     for int/long/float/double/string columns whose footer domain
+  *     matches Delta's json stats domain; other types get no stats
+  *     (readers then simply don't prune on them — sound).
+  *
+  * Commit atomicity is the SAME put-if-absent primitive SnapshotTable
+  * commits through ([[SnapshotTable.CommitStore]] — hard link on local
+  * fs, no-replace rename on HDFS, mutex-guarded PUT on raw object
+  * stores): the Delta-on-filesystem contract is exactly "version N's
+  * json is created by at most one writer", so racing appends produce a
+  * loser who re-reads and retries rather than a clobbered log.
+  *
+  * Non-goals: no partitioned writes, no checkpoints (readers replay the
+  * json log; Delta only REQUIRES checkpoints for compaction), no
+  * update/delete/merge (append-only), no schema evolution (appends must
+  * match the table schema exactly — loud refusal otherwise).
+  */
+object DeltaWrite {
+  private val om = new ObjectMapper()
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Create the table: writes data files + commit 0. Fails if a log
+    * already exists.
+    */
+  def create(df: DataFrame, path: String): Long = {
+    val spark = df.sparkSession
+    require(!fs(spark, path).exists(new Path(path, "_delta_log")),
+      s"$path already has a _delta_log — use append")
+    commit(df, path, 0L, withMeta = true)
+  }
+
+  /** Append a new segment as the next version. Optimistic concurrency:
+    * resolves the latest version, writes the segment, then races the
+    * put-if-absent commit; on loss (someone else committed that
+    * version) it retries against the new head, up to 10 times. The
+    * appended schema must equal the table schema.
+    */
+  def append(df: DataFrame, path: String): Long = {
+    val spark = df.sparkSession
+    val cur = DeltaRead.latestVersion(spark, path) // also validates log
+    val tableSchema = DeltaRead.read(spark, path).schema
+    require(canonical(df.schema) == canonical(tableSchema),
+      s"append schema ${df.schema.toDDL} != table schema " +
+        s"${tableSchema.toDDL} (this writer does not evolve schemas)")
+    var version = cur + 1
+    var attempts = 0
+    var done = -1L
+    var files: Seq[(String, Map[String, FileStats.ColStat])] = null
+    while (done < 0) {
+      require(attempts < 10, s"$path: lost the commit race 10 times")
+      if (files == null) files = writeSegment(df, path)
+      if (publish(spark, path, version, actionsFor(df.schema, files,
+          withMeta = false))) done = version
+      else { attempts += 1; version = DeltaRead.latestVersion(spark, path) + 1 }
+    }
+    done
+  }
+
+  private def canonical(st: StructType): Seq[(String, DataType)] =
+    st.fields.toSeq.map(f => (f.name, f.dataType))
+
+  /** Write `df` as parquet files directly under the table root with
+    * Delta-style unique names; returns (relative path, footer stats).
+    */
+  private def writeSegment(df: DataFrame, path: String)
+      : Seq[(String, Map[String, FileStats.ColStat])] = {
+    val spark = df.sparkSession
+    val stage = new Path(path,
+      s".stage-${java.util.UUID.randomUUID().toString}")
+    df.write.parquet(stage.toString)
+    val f = fs(spark, path)
+    val parts = f.listStatus(stage).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val rels = parts.map { p =>
+      val rel = s"part-${java.util.UUID.randomUUID().toString}.parquet"
+      require(f.rename(p, new Path(path, rel)), s"rename failed for $p")
+      rel
+    }.toSeq
+    f.delete(stage, true)
+    val stats = FileStats.collect(spark, path, rels)
+    rels.map(r => r -> stats.getOrElse(r, Map.empty))
+  }
+
+  /** Render add/metaData/protocol actions as json lines. */
+  private def actionsFor(schema: StructType,
+                         files: Seq[(String, Map[String, FileStats.ColStat])],
+                         withMeta: Boolean): Seq[String] = {
+    val head =
+      if (!withMeta) Seq.empty
+      else Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}",""" +
+          s""""format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${om.writeValueAsString(schema.json)},""" +
+          s""""partitionColumns":[],"configuration":{},""" +
+          s""""createdTime":0}}""")
+    head ++ files.map { case (rel, st) =>
+      s"""{"add":{"path":"$rel","partitionValues":{},"size":1,""" +
+        s""""modificationTime":0,"dataChange":true""" +
+        statsJson(schema, st).fold("")(j =>
+          s""","stats":${om.writeValueAsString(j)}""") + "}}"
+    }
+  }
+
+  /** Delta per-file stats json from footer zone maps — emitted only for
+    * columns whose footer compare-domain equals Delta's json domain.
+    */
+  private def statsJson(schema: StructType,
+                        st: Map[String, FileStats.ColStat]): Option[String] = {
+    val rows = st.values.headOption.map(_.rows).getOrElse(-1L)
+    if (rows < 0) return None
+    val mins = om.createObjectNode(); val maxs = om.createObjectNode()
+    val nulls = om.createObjectNode()
+    schema.fields.foreach { f =>
+      st.get(f.name).foreach { c =>
+        val jsonable = (f.dataType, c.kind) match {
+          case (ByteType | ShortType | IntegerType | LongType, "l") => true
+          case (FloatType | DoubleType, "d")                        => true
+          case (StringType, "s")                                    => true
+          case _ => false // dates/timestamps/decimals: domains differ
+        }
+        if (jsonable) {
+          if (c.nulls >= 0) nulls.put(f.name, c.nulls)
+          (c.lo, c.hi) match {
+            case (Some(lo), Some(hi)) =>
+              c.kind match {
+                case "l" => mins.put(f.name, lo.toLong)
+                            maxs.put(f.name, hi.toLong)
+                case "d" => mins.put(f.name, lo.toDouble)
+                            maxs.put(f.name, hi.toDouble)
+                case _   => mins.put(f.name, lo); maxs.put(f.name, hi)
+              }
+            case _ => // all-null column: null count alone suffices
+          }
+        }
+      }
+    }
+    val root = om.createObjectNode()
+    root.put("numRecords", rows)
+    root.set[com.fasterxml.jackson.databind.JsonNode]("minValues", mins)
+    root.set[com.fasterxml.jackson.databind.JsonNode]("maxValues", maxs)
+    root.set[com.fasterxml.jackson.databind.JsonNode]("nullCount", nulls)
+    Some(om.writeValueAsString(root))
+  }
+
+  private def commit(df: DataFrame, path: String, version: Long,
+                     withMeta: Boolean): Long = {
+    val files = writeSegment(df, path)
+    require(publish(df.sparkSession, path, version,
+        actionsFor(df.schema, files, withMeta)),
+      s"$path: version $version was committed concurrently")
+    version
+  }
+
+  /** Atomic put-if-absent of the commit json through the SnapshotTable
+    * CommitStore registered for the filesystem scheme.
+    */
+  private def publish(spark: SparkSession, path: String, version: Long,
+                      actions: Seq[String]): Boolean = {
+    val f = fs(spark, path)
+    val dir = new Path(path, "_delta_log")
+    f.mkdirs(dir)
+    val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write((actions.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val target = new Path(dir, f"$version%020d.json")
+    val won = SnapshotTable.storeFor(f.getScheme)
+      .publishIfAbsent(f, tmp, target)
+    f.delete(tmp, false)
+    won
+  }
+}

@@ -130,7 +130,7 @@ object SnapshotTable {
     stores = if (store == null) stores - scheme else stores + (scheme -> store)
   }
 
-  private def storeFor(scheme: String): CommitStore =
+  private[sources] def storeFor(scheme: String): CommitStore =
     stores.getOrElse(scheme, DefaultCommitStore)
 
   private case class Manifest(version: Int, schemaDdl: String,

@@ -183,6 +183,60 @@ class DeltaReadSpec extends AnyFunSuite {
     assert(n(s"delta:$dir@0") == 100L)
   }
 
+  test("DeltaWrite: create+append round-trips through DeltaRead with pruning stats") {
+    import sources.DeltaWrite
+    val dir = tmp()
+    val v0 = DeltaWrite.create(
+      range(0, 100).repartitionByRange(2, col("k")).sortWithinPartitions("k"),
+      dir)
+    assert(v0 == 0)
+    val v1 = DeltaWrite.append(range(100, 150).coalesce(1), dir)
+    assert(v1 == 1)
+    val back = DeltaRead.read(spark, dir)
+    assert(back.count() == 150)
+    assert(back.columns.toSeq == Seq("k", "name"))
+    assert(back.agg(sum("k")).head().getLong(0) == (0L until 150).sum)
+    // footer-derived stats made it into the log and prune
+    val (total, kept) = DeltaRead.pruneReport(spark, dir, "k >= 120")
+    assert(total == 3 && kept == 1, s"stats skipping broken: $kept of $total")
+    assert(DeltaRead.readWhere(spark, dir, "k >= 120").count() == 30)
+    // schema drift refused loudly
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.append(
+        spark.range(0, 1).select(col("id").as("k")), dir)
+    }
+    assert(e.getMessage.contains("schema"))
+    // time travel sees the pre-append version
+    assert(DeltaRead.read(spark, dir, 0).count() == 100)
+  }
+
+  test("DeltaWrite: racing appends — every row lands exactly once") {
+    import sources.DeltaWrite
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val dir = tmp()
+    DeltaWrite.create(range(0, 10).coalesce(1), dir)
+    val pool = Executors.newFixedThreadPool(4)
+    val gate = new CountDownLatch(1)
+    val outcomes = (0 until 4).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          gate.await()
+          DeltaWrite.append(
+            range(100 + i * 10, 110 + i * 10).coalesce(1), dir)
+        }
+      })
+    }
+    gate.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    val versions = outcomes.map(_.get()).sorted
+    assert(versions == Seq(1L, 2L, 3L, 4L),
+      s"each append must win a distinct version: $versions")
+    val back = DeltaRead.read(spark, dir)
+    assert(back.count() == 50)
+    assert(back.select("k").distinct().count() == 50, "no row duplicated")
+  }
+
   test("reader-version gate: tables needing features are refused, not misread") {
     val dir = tmp()
     dataFile(dir, "f0.parquet", range(0, 10))
