@@ -758,7 +758,85 @@ object Events8 {
           AS did
       FROM w"""
 
+  // ---- e64: uplift by activity decile (the targeting table) ----
+  // e59 tests ONE proportion difference; e63 one diff-in-diff. The
+  // question a campaign owner actually asks is WHERE the treatment
+  // works: uplift (treatment conversion minus control conversion) per
+  // user-activity decile — heavy users often convert anyway (uplift ~0)
+  // while mid-deciles carry the causal effect, and targeting spends
+  // where uplift is, not where conversion is. Assignment is the
+  // deterministic md5 coin (":t" salt — independent of every other
+  // md5-derived quantity in the suite by salt disjointness); deciles
+  // come from broadcast percentile bounds over the USER frame (q72's
+  // recipe — never an unpartitioned ntile window). One fact-scale
+  // rollup to users; everything after is user-frame narrow work +
+  // one combinable aggregate. Exact integer counts; two IEEE divisions
+  // and a subtract per decile, rounded 1e-9.
+  val e64_uplift: Q = (s, d) => {
+    val users = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+      .withColumn("treated",
+        conv(substring(md5(concat(col("user_id").cast("string"), lit(":t"))),
+          1, 12), 16, 10).cast("long") % 2 === 1)
+    val bounds = users.agg(expr(
+      "percentile(n_events, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))")
+      .as("bs"))
+    users.join(broadcast(bounds))
+      .withColumn("decile",
+        expr("CAST(size(filter(bs, b -> n_events > b)) + 1 AS BIGINT)"))
+      .groupBy("decile")
+      .agg(
+        count(when(col("treated"), 1)).as("n_treat"),
+        count(when(!col("treated"), 1)).as("n_ctrl"),
+        sum(when(col("treated"), col("converted")).otherwise(0L))
+          .as("conv_treat"),
+        sum(when(!col("treated"), col("converted")).otherwise(0L))
+          .as("conv_ctrl"))
+      .withColumn("rate_treat",
+        round(col("conv_treat").cast("double") / col("n_treat"), 9))
+      .withColumn("rate_ctrl",
+        round(col("conv_ctrl").cast("double") / col("n_ctrl"), 9))
+      .withColumn("uplift",
+        round(col("conv_treat").cast("double") / col("n_treat")
+          - col("conv_ctrl").cast("double") / col("n_ctrl"), 9))
+      .select("decile", "n_treat", "n_ctrl", "conv_treat", "conv_ctrl",
+        "rate_treat", "rate_ctrl", "uplift")
+      .orderBy("decile")
+  }
+  val e64Sql: String =
+    """WITH u AS (
+        SELECT user_id, COUNT(*) AS n_events,
+          MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS converted,
+          ('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':t'), 1, 12))
+            ::BIGINT % 2 = 1 AS treated
+        FROM events GROUP BY user_id),
+      bs AS (SELECT quantile_cont(n_events,
+          [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs FROM u),
+      a AS (SELECT u.*,
+              len(list_filter(bs.bs, b -> u.n_events > b)) + 1 AS decile
+            FROM u CROSS JOIN bs),
+      g AS (SELECT decile,
+              COUNT(*) FILTER (WHERE treated) AS n_treat,
+              COUNT(*) FILTER (WHERE NOT treated) AS n_ctrl,
+              CAST(SUM(CASE WHEN treated THEN converted ELSE 0 END)
+                AS BIGINT) AS conv_treat,
+              CAST(SUM(CASE WHEN NOT treated THEN converted ELSE 0 END)
+                AS BIGINT) AS conv_ctrl
+            FROM a GROUP BY 1)
+      SELECT CAST(decile AS BIGINT) AS decile, n_treat, n_ctrl,
+        conv_treat, conv_ctrl,
+        round(CAST(conv_treat AS DOUBLE) / n_treat, 9) AS rate_treat,
+        round(CAST(conv_ctrl AS DOUBLE) / n_ctrl, 9) AS rate_ctrl,
+        round(CAST(conv_treat AS DOUBLE) / n_treat
+          - CAST(conv_ctrl AS DOUBLE) / n_ctrl, 9) AS uplift
+      FROM g ORDER BY decile"""
+
   val queries: Map[String, Q] = Map(
+    "e64_uplift"        -> e64_uplift,
     "e54_cusum"         -> e54_cusum,
     "e55_rate_limit"    -> e55_rate_limit,
     "e56_window_funnel" -> e56_window_funnel,
@@ -771,6 +849,7 @@ object Events8 {
     "e63_did"           -> e63_did,
   )
   val oracles: Map[String, String] = Map(
+    "e64_uplift"        -> e64Sql,
     "e54_cusum"         -> e54Sql,
     "e55_rate_limit"    -> e55Sql,
     "e56_window_funnel" -> e56Sql,

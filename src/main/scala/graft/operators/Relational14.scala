@@ -713,7 +713,105 @@ object Relational14 {
       WHERE o.col = 'o' AND p.col = 'p'
       ORDER BY o.l_returnflag"""
 
+  // ---- q115: bitemporal as-of (the restatement report) ----
+  // The second time axis the warehouse family lacked: VALID time (when
+  // a fact was true) vs TRANSACTION time (when we learned it). q56's
+  // SCD2 tracks valid time; SnapshotTable versions track transaction
+  // time of whole tables; this is the ROW-level combination — "what did
+  // we believe on date T about each month's revenue?" — the restatement
+  // view behind every finance close and every training-data freeze
+  // audit. The orders table carries no audit log, so one is DERIVED
+  // deterministically (documented projection, same style as q112's
+  // coordinates): every order's v1 is recorded ON its order date at its
+  // price in exact cents; orders with md5(orderkey) % 5 == 0 receive a
+  // CORRECTION (+500 cents) recorded 10 days later. The report compares
+  // per (month, priority) totals as-known-at T (T = global max order
+  // date - 10 days, so some corrections are still unknown) vs
+  // as-known-now, with the restatement delta — all exact integer cents;
+  // engine shape: one fact pass explodes <=2 versions IN-ROW, one keyed
+  // latest-per-order window per belief point over the version log
+  // (never the fact table twice), combinable monthly rollups.
+  val q115_bitemporal: Q = (s, d) => {
+    val ord = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val log = ord
+      .withColumn("corrected",
+        conv(substring(md5(col("o_orderkey").cast("string")), 1, 12),
+          16, 10).cast("long") % 5 === 0)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"),
+        explode(when(col("corrected"), expr(
+          """array(struct(o_orderdate AS recorded_at, cents AS v_cents),
+                   struct(date_add(o_orderdate, 10) AS recorded_at,
+                          cents + 500L AS v_cents))"""))
+          .otherwise(expr(
+            "array(struct(o_orderdate AS recorded_at, cents AS v_cents))")))
+          .as("v"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"),
+        col("v.recorded_at"), col("v.v_cents"))
+    val tx = ord.agg(date_sub(max("o_orderdate"), 10).as("t"))
+    def believed(versions: DataFrame, label: String): DataFrame = {
+      val w = Window.partitionBy("o_orderkey")
+        .orderBy(desc("recorded_at"), desc("v_cents"))
+      versions
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+          .as("month"), col("o_orderpriority").as("priority"))
+        .agg(sum("v_cents").as(label))
+    }
+    val asOfT = believed(
+      log.crossJoin(broadcast(tx)).filter(col("recorded_at") <= col("t")),
+      "cents_known_at_t")
+    val now = believed(log, "cents_known_now")
+    now.join(asOfT, Seq("month", "priority"), "left")
+      .select(col("month"), col("priority"),
+        coalesce(col("cents_known_at_t"), lit(0L)).as("cents_known_at_t"),
+        col("cents_known_now"),
+        (col("cents_known_now")
+          - coalesce(col("cents_known_at_t"), lit(0L))).as("restatement"))
+      .orderBy("month", "priority")
+  }
+  val q115Sql: String =
+    """WITH ord AS (SELECT o_orderkey, o_orderdate, o_orderpriority,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))
+                 ::BIGINT % 5 = 0 AS corrected
+             FROM orders),
+      log AS (SELECT o_orderkey, o_orderdate, o_orderpriority,
+                o_orderdate AS recorded_at, cents AS v_cents FROM ord
+              UNION ALL
+              SELECT o_orderkey, o_orderdate, o_orderpriority,
+                o_orderdate + INTERVAL 10 DAY, cents + 500 FROM ord
+              WHERE corrected),
+      tx AS (SELECT max(o_orderdate) - INTERVAL 10 DAY AS t FROM orders),
+      now_r AS (SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY o_orderkey
+            ORDER BY recorded_at DESC, v_cents DESC) AS rn FROM log) x
+        WHERE rn = 1),
+      t_r AS (SELECT * FROM (
+          SELECT l.*, row_number() OVER (PARTITION BY o_orderkey
+            ORDER BY recorded_at DESC, v_cents DESC) AS rn
+          FROM log l, tx WHERE l.recorded_at <= tx.t) x
+        WHERE rn = 1),
+      now_m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+                  AS month, o_orderpriority AS priority,
+                  CAST(SUM(v_cents) AS BIGINT) AS cents_known_now
+                FROM now_r GROUP BY 1, 2),
+      t_m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+                AS month, o_orderpriority AS priority,
+                CAST(SUM(v_cents) AS BIGINT) AS cents_known_at_t
+              FROM t_r GROUP BY 1, 2)
+      SELECT now_m.month AS month, now_m.priority AS priority,
+        COALESCE(cents_known_at_t, 0) AS cents_known_at_t,
+        cents_known_now,
+        cents_known_now - COALESCE(cents_known_at_t, 0) AS restatement
+      FROM now_m LEFT JOIN t_m
+        ON now_m.month = t_m.month AND now_m.priority = t_m.priority
+      ORDER BY month, priority"""
+
   val queries: Map[String, Q] = Map(
+    "q115_bitemporal" -> q115_bitemporal,
     "q114_approx_distinct" -> q114_approx_distinct,
     "q106_bootstrap_ci"  -> q106_bootstrap_ci,
     "q107_semi_additive" -> q107_semi_additive,
@@ -725,6 +823,7 @@ object Relational14 {
     "q113_topn_other" -> q113_topn_other,
   )
   val oracles: Map[String, String] = Map(
+    "q115_bitemporal" -> q115Sql,
     "q114_approx_distinct" -> q114Sql,
     "q106_bootstrap_ci"  -> q106Sql,
     "q107_semi_additive" -> q107Sql,
