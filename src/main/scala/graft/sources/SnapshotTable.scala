@@ -503,6 +503,53 @@ object SnapshotTable {
     else append(df, path)
   }
 
+  /** Full CDC apply (the MERGE WHEN MATCHED DELETE surface): `changes`
+    * carries the key columns, an op column with 'I'/'U'/'D' (insert and
+    * update are both "upsert by key"; 'D' removes the key), and the data
+    * columns for I/U rows. ONE copy-on-write commit applies the whole
+    * batch: current rows minus every changed key, union the I/U payloads
+    * — so a reader never observes a state where the delete landed but
+    * the upsert didn't. Same at-most-one-source-row-per-key MERGE
+    * contract as [[upsert]] (collapse the batch with latestPerKey
+    * first); optional `appId`/`batchId` rides the manifest transaction
+    * watermark for exactly-once replayed-batch skipping, identical to
+    * [[upsertBatch]].
+    */
+  def applyCdc(spark: SparkSession, path: String, changes: DataFrame,
+               keys: Seq[String], opCol: String,
+               appId: String = null, batchId: Long = -1L): Int = {
+    val base = latestVersion(spark, path)
+    require(base > 0, s"snapshot table $path does not exist")
+    val curM = readManifest(spark, path, base)
+    if (appId != null && curM.txn.getOrElse(appId, -1L) >= batchId)
+      return base // replayed batch: already applied exactly once
+    val cur = readSnapshot(spark, path, curM)
+    val keyCols = keys.map(col)
+    val ops = changes.select((keys.map(col) :+
+      upper(col(opCol)).as("__op")): _*)
+    val Array(nRows, nKeys) = ops
+      .agg(count(lit(1)), count_distinct(struct(keyCols: _*)))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    require(nRows == nKeys,
+      s"applyCdc changes carry ${nRows - nKeys} duplicate row(s) per key " +
+        s"(${keys.mkString(",")}): collapse the batch (latestPerKey) first")
+    val badOps = ops.filter(!col("__op").isin("I", "U", "D")).limit(1)
+      .collect()
+    require(badOps.isEmpty,
+      s"applyCdc op column '$opCol' carries '${badOps.headOption
+        .map(_.getString(keys.size)).getOrElse("")}' — expected I/U/D")
+    val upserts = changes.filter(upper(col(opCol)).isin("I", "U"))
+      .select(cur.columns.map(col): _*)
+    require(shape(upserts.schema) == shape(cur.schema),
+      s"applyCdc schema ${upserts.schema.toDDL} != table schema " +
+        s"${cur.schema.toDDL}")
+    val merged = cur.join(ops.select(keyCols: _*), keys, "left_anti")
+      .unionByName(upserts)
+    val (files, st) = writeSegment(merged, path)
+    val txn = if (appId == null) curM.txn else curM.txn + (appId -> batchId)
+    commit(spark, path, base, cur.schema.toDDL, files, txn, st)
+  }
+
   /** Copy-on-write delete of rows matching `predicate` (SQL fragment). */
   def delete(spark: SparkSession, path: String, predicate: String): Int = {
     val base = latestVersion(spark, path)

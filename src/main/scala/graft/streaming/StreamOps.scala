@@ -302,6 +302,47 @@ object StreamOps {
       .start()
   }
 
+  /** Full streaming CDC apply — upserts AND deletes (the Debezium-shaped
+    * feed: rows carry an op column with I/U/D). Each micro-batch is
+    * collapsed to its LAST op per key (ts then event id — a later
+    * delete beats an earlier update and vice versa), then applied in
+    * ONE atomic [[graft.sources.SnapshotTable.applyCdc]] commit riding
+    * the per-appId transaction watermark — exactly-once across restart
+    * replays, deletes and upserts never observable separately. The
+    * synthetic op derivation ('purchase' events delete the user's
+    * row — a stand-in for a tombstone feed; everything else upserts)
+    * keeps the demo self-contained on the events table; a real CDC
+    * topic supplies its own op column.
+    */
+  def cdcApplyStream(spark: SparkSession, srcDir: String, tablePath: String,
+                     checkpointDir: String, appId: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.sources.SnapshotTable
+    readEvents(spark, srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val latest = batch
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+          .select(col("user_id"),
+            when(col("event_type") === "purchase", lit("D"))
+              .otherwise(lit("U")).as("op"),
+            col("event_type").as("last_type"),
+            col("ts").as("last_ts"), col("value").as("last_value"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try SnapshotTable.applyCdc(latest.sparkSession, tablePath, latest,
+          Seq("user_id"), "op", appId, batchId)
+        finally latest.unpersist(false)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   case class BandMember(band: Int, bh: Long, doc_id: Long,
                         sig: Array[Long], shs: Array[Long])
   case class NearDupPair(id_a: Long, id_b: Long, shared: Long,

@@ -409,6 +409,43 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.readWhere(spark, path, "k >= 0").count() == 50)
   }
 
+  test("applyCdc: one atomic commit applies upserts AND deletes, exactly-once on replay") {
+    val path = tmp()
+    SnapshotTable.create(
+      spark.range(0, 20).select(col("id").as("k"),
+        concat(lit("v"), col("id")).as("v")), path)
+    // batch: update k=1, insert k=100, delete k=2 and k=3
+    val changes = spark.sql(
+      """SELECT * FROM VALUES
+           (1L, 'v1b', 'U'), (100L, 'v100', 'I'),
+           (2L, CAST(NULL AS STRING), 'D'), (3L, CAST(NULL AS STRING), 'D')
+         AS t(k, v, op)""")
+    val v = SnapshotTable.applyCdc(spark, path, changes, Seq("k"), "op",
+      appId = "cdc1", batchId = 5L)
+    val now = SnapshotTable.read(spark, path)
+    assert(now.count() == 19) // 20 - 2 deletes + 1 insert
+    assert(now.filter("k IN (2, 3)").count() == 0, "deletes must land")
+    assert(now.filter("k = 1").head().getString(1) == "v1b")
+    assert(now.filter("k = 100").count() == 1)
+    // replayed batch (same appId+batchId): version unchanged, no double
+    assert(SnapshotTable.applyCdc(spark, path, changes, Seq("k"), "op",
+      appId = "cdc1", batchId = 5L) == v)
+    assert(SnapshotTable.read(spark, path).count() == 19)
+    // duplicate keys in a batch refuse loudly (MERGE contract)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.applyCdc(spark, path,
+        spark.sql("""SELECT * FROM VALUES (7L, 'a', 'U'), (7L, 'b', 'D')
+                     AS t(k, v, op)"""), Seq("k"), "op")
+    }
+    // unknown op codes refuse loudly
+    intercept[IllegalArgumentException] {
+      SnapshotTable.applyCdc(spark, path,
+        spark.sql("SELECT 9L AS k, 'x' AS v, 'Z' AS op"), Seq("k"), "op")
+    }
+    // time travel still shows the pre-CDC state
+    assert(SnapshotTable.read(spark, path, 1).count() == 20)
+  }
+
   test("data skipping soundness: decimal / timestamp-millis stats never mis-prune") {
     // Spark writes decimal(<=9) as INT32 and decimal(<=18) as INT64 with
     // UNSCALED values (12.34 stored as 1234). Footer stats therefore live

@@ -314,6 +314,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(got2.exceptAll(want).isEmpty && want.exceptAll(got2).isEmpty)
   }
 
+  test("streaming CDC apply with DELETES: tombstones land atomically, exactly-once") {
+    import graft.sources.SnapshotTable
+    val base = java.nio.file.Files.createTempDirectory("graft_cdcd").toString
+    val table = s"$base/table"
+    val seed = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, last_type STRING, last_ts TIMESTAMP, last_value DOUBLE"))
+    SnapshotTable.create(seed, table)
+    val q1 = streaming.StreamOps.cdcApplyStream(spark, sf, table,
+      s"$base/ckpt1", "cdcd-e2e")
+    try q1.awaitTermination() finally q1.stop()
+    val vAfter = SnapshotTable.latestVersion(spark, table)
+    val got = SnapshotTable.read(spark, table)
+    // batch semantics: per user, last event wins; last=purchase => row
+    // deleted (tombstone), else upserted with the latest values
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val latest = Tables.events(spark, sf)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val want = latest.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_type").as("last_type"),
+        col("ts").as("last_ts"), col("value").as("last_value"))
+    val nTombstoned = latest.filter(col("event_type") === "purchase").count()
+    assert(nTombstoned > 0, "corpus must exercise the delete lane")
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // wiped checkpoint: replayed batch ids are skipped via the txn
+    // watermark — deletes are not re-applied, version unchanged
+    val q2 = streaming.StreamOps.cdcApplyStream(spark, sf, table,
+      s"$base/ckpt2", "cdcd-e2e")
+    try q2.awaitTermination() finally q2.stop()
+    assert(SnapshotTable.latestVersion(spark, table) == vAfter)
+    val got2 = SnapshotTable.read(spark, table)
+    assert(got2.exceptAll(want).isEmpty && want.exceptAll(got2).isEmpty)
+  }
+
   test("streaming sessionizer emits sessions consistent with batch q27") {
     val q = streaming.StreamOps.sessionize(spark, sf)
       .writeStream.outputMode("append").format("memory")
