@@ -186,7 +186,9 @@ object ScaleStress {
     "s25_intrinsic_dim", "s26_pq_distortion", "m17_hot_tier_plan",
     "p17_budget_allocation",
     // round-6 additions
-    "cc_path[starcontraction]", "geo_nearest[20x]")
+    "cc_path[starcontraction]", "geo_nearest[20x]",
+    "t41_bpe_encode", "t43_dedup_token_yield", "q115_bitemporal",
+    "e64_uplift")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
