@@ -346,6 +346,27 @@ assert graft.delta_read(spark, delta_dir).count() == 20
 assert graft.delta_read_where(spark, delta_dir, "k >= 15").count() == 5
 assert graft.delta_read_where(spark, delta_dir, "k > 100").count() == 0
 
+# 6p. delta WRITER round-trip + full CDC apply from python
+dw_dir = tempfile.mkdtemp(prefix="graft_pydw") + "/t"
+graft.delta_create(spark, spark.range(0, 30).selectExpr("id AS k"), dw_dir)
+graft.delta_append(spark, spark.range(30, 40).selectExpr("id AS k"), dw_dir)
+assert graft.delta_read(spark, dw_dir).count() == 40
+assert graft.delta_read_where(spark, dw_dir, "k >= 30").count() == 10
+
+cdc_dir = tempfile.mkdtemp(prefix="graft_pycdc") + "/t"
+graft.snapshot_create(
+    spark, spark.range(0, 10).selectExpr("id AS k", "'a' AS tag"), cdc_dir)
+cdc = spark.sql("""SELECT * FROM VALUES (1, 'b', 'U'), (2, NULL, 'D'),
+                   (50, 'n', 'I') AS t(k, tag, op)""") \
+    .selectExpr("CAST(k AS BIGINT) k", "tag", "op")
+spark._jvm.graft.sources.SnapshotTable.applyCdc(
+    spark._jsparkSession, cdc_dir, cdc._jdf,
+    graft._to_seq(spark, ["k"]), "op", "pycdc", 1)
+after = graft.snapshot_read(spark, cdc_dir)
+assert after.count() == 10  # 10 - 1 delete + 1 insert
+assert after.where("k = 2").count() == 0
+assert after.where("k = 1").first().tag == "b"
+
 print(f"PASS pysmoke: sql-functions, {len(out)}-row declarative job, "
       f"{len(exact)} near-dup pairs (lsh == exact == TVF), top-k facade, "
       f"fd-audit + shard-interleave verbs, and the round-5 parity sweep "
@@ -354,5 +375,5 @@ print(f"PASS pysmoke: sql-functions, {len(out)}-row declarative job, "
       f"snapshot-table lifecycle (create/append/upsert/time-travel/"
       f"zone-map-pruned read/change feed) and the round-6 sweep "
       f"(bpe-train/encode, dedup-artifacts trio, delta-log read with "
-      f"stats skipping) — all green")
+      f"stats skipping, delta write round-trip, full CDC apply) — all green")
 spark.stop()
