@@ -65,6 +65,14 @@ object StreamStress {
         streaming.StreamOps.sessionize(spark, dir).toDF(), tmp("se"))
     }
 
+    // streaming near-dup (round 6): band-keyed state-store candidates +
+    // exact verification; 1x = sf0.1 docs, 4x = the stress replica
+    // (state rows = bucket memberships = 16 bands x docs)
+    dirs.foreach { case (scale, dir) =>
+      runToNoop("neardup_pairs", scale,
+        streaming.StreamOps.nearDupPairsStream(spark, dir).toDF(), tmp("nd"))
+    }
+
     // cdcUpsertStream: MERGE throughput incl. the atomic manifest commit
     dirs.foreach { case (scale, dir) =>
       val base = tmp("cdc")
