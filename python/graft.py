@@ -486,6 +486,15 @@ def snapshot_compact(spark, path, num_files=1):
                                     int(num_files))
 
 
+def snapshot_build_blooms(spark, path, cols, num_bits=1 << 17,
+                          num_hashes=5):
+    """Attach per-(file, column) bloom filters for =/IN file skipping on
+    unclustered high-cardinality columns (commits a new version)."""
+    return _snapshot(spark).buildBlooms(
+        spark._jsparkSession, path, _to_seq(spark, list(cols)),
+        int(num_bits), int(num_hashes))
+
+
 def snapshot_latest_version(spark, path):
     return _snapshot(spark).latestVersion(spark._jsparkSession, path)
 

@@ -168,6 +168,18 @@ object FileStats {
       pick(a.hi, b.hi, takeLo = false), nulls, 0L))
   }
 
+  /** Per-(file, column) Bloom filter attached by an explicit
+    * `SnapshotTable.buildBlooms` pass — the point-lookup complement to
+    * zone maps: a high-cardinality unclustered column (ids, hashes,
+    * emails) spans nearly the full value range in EVERY file, so
+    * [min,max] intervals prune nothing, while a 16 KB bloom answers
+    * "definitely not in this file" for equality probes with ~1% false
+    * positives. `kind` is the compare domain ("s" string / "l"
+    * integer); bits are the [[graft.functions.BloomFilterAgg]]
+    * serialization, base64 in the manifest.
+    */
+  final case class FileBloom(kind: String, numHashes: Int, bitsB64: String)
+
   // ---- pruning ----------------------------------------------------------
 
   /** Conservative zone-map test: false ONLY when no row of a file with
@@ -198,6 +210,63 @@ object FileStats {
     case Not(IsNull(a))    => nullTest(a, st, wantNull = false)
     case Not(IsNotNull(a)) => nullTest(a, st, wantNull = true)
     case _ => true
+  }
+
+  /** Bloom test: false ONLY when the predicate requires an equality the
+    * file's bloom provably excludes (no false negatives by construction
+    * — absent blooms, unprobeable types, and every non-equality shape
+    * answer true). Layered AND-wise with [[mayMatch]] by the caller.
+    */
+  def mayMatchBloom(pred: Expression,
+                    blooms: Map[String, FileBloom]): Boolean = pred match {
+    case _ if blooms.isEmpty => true
+    case And(l, r) => mayMatchBloom(l, blooms) && mayMatchBloom(r, blooms)
+    case Or(l, r)  => mayMatchBloom(l, blooms) || mayMatchBloom(r, blooms)
+    case EqualTo(a, lit: Literal) => bloomProbe(a, lit, blooms)
+    case EqualTo(lit: Literal, a) => bloomProbe(a, lit, blooms)
+    case EqualNullSafe(a, lit: Literal) if lit.value != null =>
+      bloomProbe(a, lit, blooms)
+    case EqualNullSafe(lit: Literal, a) if lit.value != null =>
+      bloomProbe(a, lit, blooms)
+    case In(a, list) if list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
+      list.exists(l => bloomProbe(a, l.asInstanceOf[Literal], blooms))
+    case _ => true
+  }
+
+  private def bloomProbe(a: Expression, lit: Literal,
+                         blooms: Map[String, FileBloom]): Boolean = {
+    import org.apache.spark.sql.types._
+    val r = for {
+      n  <- attrName(a)
+      fb <- blooms.get(n)
+      // the bloom hashes the column VALUE's toString; only literal
+      // types whose toString matches that domain may probe
+      sv <- (lit.dataType, fb.kind) match {
+        case (StringType, "s") if lit.value != null =>
+          Some(lit.value.toString)
+        case (ByteType | ShortType | IntegerType | LongType, "l")
+            if lit.value != null =>
+          Some(lit.value.toString)
+        case _ => None
+      }
+    } yield bloomContains(fb, sv)
+    r.getOrElse(true)
+  }
+
+  private def bloomContains(fb: FileBloom, s: String): Boolean = {
+    val bytes = java.util.Base64.getDecoder.decode(fb.bitsB64)
+    val numBits = bytes.length * 8
+    val (h1, h2) = graft.functions.BloomUtil.hashPair(s)
+    var i = 0
+    while (i < fb.numHashes) {
+      val b = graft.functions.BloomUtil.bit(h1, h2, i, numBits)
+      // BloomFilterAgg serializes the long[] big-endian (see
+      // BloomMightContain for the same byte/bit arithmetic)
+      val byteIdx = (b >>> 6) * 8 + 7 - ((b & 63) >>> 3)
+      if ((bytes(byteIdx) & (1 << (b & 7))) == 0) return false
+      i += 1
+    }
+    true
   }
 
   private def attrName(e: Expression): Option[String] = e match {

@@ -137,6 +137,8 @@ object SnapshotTable {
                               files: Seq[String],
                               txn: Map[String, Long] = Map.empty,
                               stats: Map[String, Map[String, FileStats.ColStat]] =
+                                Map.empty,
+                              blooms: Map[String, Map[String, FileStats.FileBloom]] =
                                 Map.empty)
 
   private def fs(spark: SparkSession, path: String): FileSystem =
@@ -182,8 +184,21 @@ object SnapshotTable {
         }.toMap
       }.toMap
     } else Map.empty[String, Map[String, FileStats.ColStat]]
+    // blooms are OPTIONAL too (built by an explicit buildBlooms pass)
+    val blooms = if (n.has("blooms")) {
+      val b = n.path("blooms")
+      b.fieldNames().asScala.map { file =>
+        val cols = b.path(file)
+        file -> cols.fieldNames().asScala.map { cn =>
+          val c = cols.path(cn)
+          cn -> FileStats.FileBloom(c.path("k").asText(),
+            c.path("nh").asInt(), c.path("b").asText())
+        }.toMap
+      }.toMap
+    } else Map.empty[String, Map[String, FileStats.FileBloom]]
     Manifest(n.path("version").asInt(), n.path("schema").asText(),
-      n.path("files").elements().asScala.map(_.asText()).toSeq, txn, stats)
+      n.path("files").elements().asScala.map(_.asText()).toSeq, txn, stats,
+      blooms)
   }
 
   private def render(m: Manifest): String = {
@@ -208,6 +223,18 @@ object SnapshotTable {
           c.hi.foreach(co.put("hi", _))
           co.put("nulls", c.nulls)
           co.put("rows", c.rows)
+        }
+      }
+    }
+    if (m.blooms.nonEmpty) {
+      val b = root.putObject("blooms")
+      m.blooms.toSeq.sortBy(_._1).foreach { case (file, cols) =>
+        val fo = b.putObject(file)
+        cols.toSeq.sortBy(_._1).foreach { case (cn, fb) =>
+          val co = fo.putObject(cn)
+          co.put("k", fb.kind)
+          co.put("nh", fb.numHashes)
+          co.put("b", fb.bitsB64)
         }
       }
     }
@@ -258,6 +285,8 @@ object SnapshotTable {
                      schemaDdl: String, files: Seq[String],
                      txn: Map[String, Long] = Map.empty,
                      stats: Map[String, Map[String, FileStats.ColStat]] =
+                       Map.empty,
+                     blooms: Map[String, Map[String, FileStats.FileBloom]] =
                        Map.empty): Int = {
     val next = base + 1
     val f = fs(spark, path)
@@ -265,7 +294,8 @@ object SnapshotTable {
     f.mkdirs(dir)
     val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, false)
-    try out.write(render(Manifest(next, schemaDdl, files, txn, stats))
+    try out.write(render(Manifest(next, schemaDdl, files, txn, stats,
+        blooms.view.filterKeys(files.contains).toMap))
       .getBytes("UTF-8"))
     finally out.close()
     val target = new Path(dir, s"v$next.json")
@@ -342,7 +372,7 @@ object SnapshotTable {
       }
     val (files, st) = writeSegment(df, path)
     commit(spark, path, base, schemaDdl,
-      cur.files ++ files, cur.txn, cur.stats ++ st)
+      cur.files ++ files, cur.txn, cur.stats ++ st, cur.blooms)
   }
 
   /** Read a specific version (time travel), or the latest when `version`
@@ -387,7 +417,8 @@ object SnapshotTable {
     val pred = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
       .parseExpression(predicate)
     m.files.filter(f =>
-      FileStats.mayMatch(pred, m.stats.getOrElse(f, Map.empty)))
+      FileStats.mayMatch(pred, m.stats.getOrElse(f, Map.empty))
+        && FileStats.mayMatchBloom(pred, m.blooms.getOrElse(f, Map.empty)))
   }
 
   // frame for an already-parsed manifest — lets upsert/delete/compact
@@ -548,6 +579,65 @@ object SnapshotTable {
     val (files, st) = writeSegment(merged, path)
     val txn = if (appId == null) curM.txn else curM.txn + (appId -> batchId)
     commit(spark, path, base, cur.schema.toDDL, files, txn, st)
+  }
+
+  /** Attach per-(file, column) Bloom filters to the CURRENT version —
+    * the point-lookup complement to the footer zone maps: an
+    * unclustered high-cardinality column (ids, content hashes, emails)
+    * spans nearly the full value range in every file, so min/max prunes
+    * nothing, while a bloom answers "definitely not here" for equality
+    * and IN probes at ~1% false positives. Explicit maintenance pass
+    * (the ANALYZE shape): ONE distributed scan groups by
+    * input_file_name and builds all requested blooms via the mergeable
+    * [[graft.functions.BloomFilterAgg]] — map-side partial aggregation,
+    * no driver data movement beyond the numBits/8-byte filters
+    * themselves (metadata-sized: 16 KB per file-column at the default).
+    * Commits a new version with the SAME files; later appends keep
+    * their files unprobeable-but-kept until the next pass (sound);
+    * rewrites (upsert/compact/cluster) drop blooms with the files they
+    * replace. Only string and integral columns are bloomable.
+    */
+  def buildBlooms(spark: SparkSession, path: String, cols: Seq[String],
+                  numBits: Int = 1 << 17, numHashes: Int = 5): Int = {
+    import graft.functions.bloom_agg
+    require(cols.nonEmpty, "buildBlooms needs at least one column")
+    val base = latestVersion(spark, path)
+    require(base > 0, s"snapshot table $path does not exist")
+    val curM = readManifest(spark, path, base)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(curM.schemaDdl)
+    val kinds = cols.map { c =>
+      import org.apache.spark.sql.types._
+      val dt = schema(c).dataType
+      c -> (dt match {
+        case StringType => "s"
+        case ByteType | ShortType | IntegerType | LongType => "l"
+        case other => throw new IllegalArgumentException(
+          s"buildBlooms: column '$c' has unprobeable type $other " +
+            "(string and integral columns only)")
+      })
+    }.toMap
+    val aggs = cols.map(c => bloom_agg(col(c), numBits, numHashes).as(c))
+    val rows = readSnapshot(spark, path, curM)
+      .withColumn("__f", input_file_name())
+      .groupBy("__f").agg(aggs.head, aggs.tail: _*)
+      .collect()
+    // input_file_name is a URI; manifest paths are table-relative
+    // data/s<uuid>/<part> — match on the last three path components
+    // (segment dirs are uuid-unique)
+    def relOf(uri: String): String =
+      uri.split('/').takeRight(3).mkString("/")
+    val b64 = java.util.Base64.getEncoder
+    val fresh = rows.map { r =>
+      relOf(r.getString(0)) -> cols.zipWithIndex.map { case (c, i) =>
+        c -> FileStats.FileBloom(kinds(c), numHashes,
+          b64.encodeToString(r.getAs[Array[Byte]](i + 1)))
+      }.toMap
+    }.toMap
+    val merged = (curM.blooms.keySet ++ fresh.keySet).map { f =>
+      f -> (curM.blooms.getOrElse(f, Map.empty) ++ fresh.getOrElse(f, Map.empty))
+    }.toMap
+    commit(spark, path, base, curM.schemaDdl, curM.files, curM.txn,
+      curM.stats, merged)
   }
 
   /** Copy-on-write delete of rows matching `predicate` (SQL fragment). */

@@ -483,6 +483,47 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t == 4 && kept < t, s"long pruning regressed: $kept of $t")
   }
 
+  test("bloom skipping: point lookups on an unclustered column open ~1 file") {
+    val path = tmp()
+    // h = md5(k): every file spans the full hex range, so zone maps
+    // CANNOT prune a point lookup — the bloom is the only lever
+    val df = spark.range(0, 4000)
+      .select(col("id").as("k"), md5(col("id").cast("string")).as("h"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+    SnapshotTable.create(df, path)
+    val probe = df.filter("k = 1234").head().getString(1)
+    val (t0, k0) = SnapshotTable.pruneReport(spark, path, s"h = '$probe'")
+    assert(t0 == 4 && k0 == 4, "zone maps alone must NOT prune md5 points")
+
+    SnapshotTable.buildBlooms(spark, path, Seq("h", "k"))
+    val (t1, k1) = SnapshotTable.pruneReport(spark, path, s"h = '$probe'")
+    assert(t1 == 4 && k1 <= 2, s"bloom should skip non-owning files: $k1 of $t1")
+    assert(SnapshotTable.readWhere(spark, path, s"h = '$probe'").count() == 1)
+    // integral bloom + IN list
+    val (_, kIn) = SnapshotTable.pruneReport(spark, path,
+      "k IN (10, 2500)") // zone maps already split these; bloom agrees
+    assert(kIn == 2)
+    // absent value: bloom may prune everything; result still exact
+    assert(SnapshotTable.readWhere(spark, path,
+      "h = '0000deadbeef0000deadbeef0000dead'").count() == 0)
+    // soundness sweep with blooms attached: pruned == unpruned
+    val full = SnapshotTable.read(spark, path)
+    Seq(s"h = '$probe' OR k < 5", "h IS NOT NULL", "k >= 3990",
+        s"h IN ('$probe', 'nope')").foreach { p =>
+      assert(SnapshotTable.readWhere(spark, path, p).count() ==
+        full.filter(p).count(), s"bloom-pruned result diverged for: $p")
+    }
+    // appended files have no bloom yet -> kept (sound), still correct
+    SnapshotTable.append(spark.range(4000, 4100)
+      .select(col("id").as("k"), md5(col("id").cast("string")).as("h"))
+      .coalesce(1), path)
+    val probe2 = spark.sql("SELECT md5('4050')").head().getString(0)
+    assert(SnapshotTable.readWhere(spark, path, s"h = '$probe2'").count() == 1)
+    val (t2, k2) = SnapshotTable.pruneReport(spark, path, s"h = '$probe'")
+    assert(t2 == 5 && k2 <= 3,
+      s"old blooms must survive the append: $k2 of $t2")
+  }
+
   test("mergeSchema append: additive evolution without rewriting any file") {
     val path = tmp()
     SnapshotTable.create(
