@@ -236,6 +236,47 @@ object SqlSurface {
       case args => throw new IllegalArgumentException(
         s"graft_snapshot_read(path[, version]): got ${args.size} args")
     },
+    // ---- round-6 surfaces ------------------------------------------
+    "graft_delta_read" -> {
+      case Seq(p) =>
+        plan(graft.sources.DeltaRead.read(SparkSession.active, str(p, "path")))
+      case Seq(p, v) =>
+        plan(graft.sources.DeltaRead.read(SparkSession.active,
+          str(p, "path"), int(v, "version").toLong))
+      case args => throw new IllegalArgumentException(
+        s"graft_delta_read(path[, version]): got ${args.size} args")
+    },
+    "graft_iceberg_read" -> {
+      case Seq(p) =>
+        plan(graft.sources.IcebergRead.read(SparkSession.active,
+          str(p, "path")))
+      case Seq(p, v) =>
+        plan(graft.sources.IcebergRead.read(SparkSession.active,
+          str(p, "path"), int(v, "snapshotId").toLong))
+      case args => throw new IllegalArgumentException(
+        s"graft_iceberg_read(path[, snapshot_id]): got ${args.size} args")
+    },
+    "graft_bpe_tokens" -> {
+      case Seq(t, id, tx, n) =>
+        val tb = table(str(t, "table"))
+        val merges = GraftOps.bpeTrain(tb, col(str(tx, "text")),
+          numMerges = int(n, "numMerges"))
+        plan(GraftOps.bpeTokenCounts(tb, col(str(id, "id")),
+          col(str(tx, "text")), merges))
+      case args => throw new IllegalArgumentException(
+        s"graft_bpe_tokens(table, id, text, num_merges): got ${args.size} args")
+    },
+    "graft_geo_nearest" -> {
+      case Seq(lt, lid, llat, llon, rt, rid, rlat, rlon) =>
+        plan(GraftOps.geoNearest(
+          table(str(lt, "left")), col(str(lid, "lid")),
+          col(str(llat, "llat")), col(str(llon, "llon")),
+          table(str(rt, "right")), col(str(rid, "rid")),
+          col(str(rlat, "rlat")), col(str(rlon, "rlon"))))
+      case args => throw new IllegalArgumentException(
+        s"graft_geo_nearest(ltable, lid, llat, llon, rtable, rid, rlat, " +
+          s"rlon): got ${args.size} args")
+    },
     "graft_kaplan_meier" -> {
       case Seq(t, e, ts, ev) =>
         plan(GraftOps.kaplanMeier(table(str(t, "table")),

@@ -169,6 +169,38 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(rtSql.collect().toSeq == rtApi.collect().toSeq)
   }
 
+  test("round-6 TVFs: delta/iceberg reads, bpe tokens, geo nearest from plain SQL") {
+    graft.api.SqlSurface.install(spark)
+    // delta read through SQL (writer emits, TVF reads)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sql_delta")
+      .toString + "/t"
+    graft.sources.DeltaWrite.create(
+      spark.range(0, 25).select(col("id").as("k")), dir)
+    assert(spark.sql(s"SELECT count(*) n FROM graft_delta_read('$dir')")
+      .head().getLong(0) == 25)
+    // bpe tokens: TVF equals the verb
+    val docs = Tables.documents(spark, sf)
+    docs.createOrReplaceTempView("docs_sql_bpe")
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_bpe_tokens('docs_sql_bpe', 'doc_id', 'text', 8)")
+      .collect().map(_.mkString("|")).sorted
+    val merges = api.GraftOps.bpeTrain(docs, col("text"), numMerges = 8)
+    val direct = api.GraftOps
+      .bpeTokenCounts(docs, col("doc_id"), col("text"), merges)
+      .collect().map(_.mkString("|")).sorted
+    assert(viaSql.sameElements(direct))
+    // geo nearest: TVF answers with the adaptive grid column
+    spark.range(0, 50)
+      .select(col("id"), (col("id") * 1000000 - 20000000).as("lat"),
+        (col("id") * 2000000 - 40000000).as("lon"))
+      .createOrReplaceTempView("geo_pts")
+    val geo = spark.sql(
+      """SELECT * FROM graft_geo_nearest('geo_pts', 'id', 'lat', 'lon',
+                                         'geo_pts', 'id', 'lat', 'lon')""")
+    assert(geo.columns.contains("grid_cells") && geo.count() > 0)
+    api.GraftOps.releaseCaches(); spark.catalog.clearCache()
+  }
+
   test("graft_transform runs a declarative job with session-catalog table resolution") {
     SqlSurface.install(spark)
     docs.createOrReplaceTempView("documents_sql_v")
