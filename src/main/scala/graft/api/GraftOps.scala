@@ -1250,8 +1250,145 @@ object GraftOps {
         lit(null).cast(doomedRef.schema("ref_id").dataType).as("ref_id"))
     val manifest = exactDups.unionByName(nearDups).unionByName(kept)
     SnapshotTable.create(manifest, s"$path/manifest")
+    // incremental-update inputs (see [[updateDedupArtifacts]]): the
+    // shingle-signature INDEX (what a new batch's candidates join
+    // against — the production alternative to re-shingling the whole
+    // corpus per ingest) and the normalized-hash docmeta (what the
+    // exact stage of a new batch joins against). Shingle-strategy only:
+    // lsh sessions get their incremental path from the banded streaming
+    // operator instead (nearDupPairsStream).
+    if (effectiveStrategy(s, strategy) == "shingle") {
+      SnapshotTable.create(shingleSignatures(base), s"$path/signatures")
+      SnapshotTable.create(hashed.select(col("id"), col("__h").as("h")),
+        s"$path/docmeta")
+    }
     val rows = (n: String) =>
       SnapshotTable.read(s, s"$path/$n").count()
+    import s.implicits._
+    Seq(("pairs", rows("pairs")), ("labels", rows("labels")),
+        ("manifest", rows("manifest")))
+      .toDF("artifact", "n_rows")
+  }
+
+  private def effectiveStrategy(s: org.apache.spark.sql.SparkSession,
+                                strategy: String): String =
+    if (strategy == "session")
+      s.conf.get("graft.neardup.strategy", "shingle")
+    else strategy
+
+  /** (id, n, sh) exploded word-3-gram signature index — the same
+    * expression family as [[jaccardJoin]]'s candidate table.
+    */
+  private def shingleSignatures(base: DataFrame): DataFrame =
+    base.select(col("id"), split(col("__t"), " ").as("__w"))
+      .select(col("id"), expr(
+        """array_distinct(transform(
+             sequence(1, greatest(size(__w) - 2, 0)),
+             i -> xxhash64(concat_ws(' ', slice(__w, i, 3)))))""").as("__shs"))
+      .select(col("id"), size(col("__shs")).cast("long").as("n"),
+        explode(col("__shs")).as("sh"))
+
+  /** Incremental artifact update — the production INGEST loop closed:
+    * a cleaning run built the artifacts once ([[dedupArtifacts]]);
+    * every subsequent batch of NEW documents updates them without
+    * re-shingling the existing corpus. Requires every new id to be
+    * GREATER than every existing id (the append-only ingest contract —
+    * it is what keeps history immutable: old exact keepers stay keepers
+    * and old manifest rows stay true, because a keeper/predecessor is
+    * always the SMALLER id).
+    *
+    * Work per batch (shingle strategy only; lsh sessions use the banded
+    * streaming path):
+    *   - shingle the NEW docs only; candidates = new×new plus new×OLD
+    *     through the stored signature index (one equijoin on the
+    *     shingle key — never re-deriving old signatures);
+    *   - verified new pairs APPEND to `pairs`; new signatures and
+    *     docmeta append too;
+    *   - `labels` are REPLACED (upsert over all ids): a new document
+    *     can bridge two previously-separate clusters, lowering labels
+    *     of OLD docs — the CC rerun is over the pair table (tiny), not
+    *     the corpus;
+    *   - `manifest` appends the new docs' dispositions (old rows cannot
+    *     change under the id-ordering contract: exact stage joins the
+    *     stored docmeta hashes, near stage the appended pair set).
+    *
+    * Spec-pinned: build(A) + update(B) == build(A ∪ B) table-for-table.
+    */
+  def updateDedupArtifacts(newDocs: DataFrame, id: Column, text: Column,
+                           path: String,
+                           threshold: Double = 0.5): DataFrame = {
+    import graft.sources.SnapshotTable
+    val s = newDocs.sparkSession
+    require(SnapshotTable.exists(s, s"$path/signatures"),
+      s"no signature index at $path — build with dedupArtifacts first " +
+        "(shingle strategy)")
+    val base = newDocs.select(id.as("id"), text.as("__t")).pipe(persistTracked)
+    val oldSigs = SnapshotTable.read(s, s"$path/signatures")
+    val oldMeta = SnapshotTable.read(s, s"$path/docmeta")
+    // append-only ingest contract
+    val maxOld = oldMeta.agg(max("id")).head().getLong(0)
+    val minNew = base.agg(min(col("id").cast("long"))).head().getLong(0)
+    require(minNew > maxOld,
+      s"updateDedupArtifacts: new ids must exceed existing ids " +
+        s"(min new $minNew <= max old $maxOld) — the append-only contract")
+    val newSigs = shingleSignatures(base).pipe(persistTracked)
+    // candidates: new×(old + new-so-far), one shingle-key equijoin; the
+    // id_a < id_b orientation falls out of the ingest contract for the
+    // old side and the inequality for the new×new side
+    val x = oldSigs.unionByName(newSigs)
+      .select(col("id").as("id_a"), col("n").as("na"), col("sh"))
+    val y = newSigs.select(col("id").as("id_b"), col("n").as("nb"), col("sh"))
+    val newPairs = x.join(y, "sh")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "na", "nb")
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "shared", "jaccard")
+      .pipe(persistTracked)
+    SnapshotTable.append(newPairs, s"$path/pairs")
+    SnapshotTable.append(newSigs, s"$path/signatures")
+    // exact stage for the new docs against stored hashes + each other
+    val newHashed = base.select(col("id"), md5(expr(
+      "trim(regexp_replace(lower(__t), '\\\\s+', ' '))")).as("h"))
+      .pipe(persistTracked)
+    SnapshotTable.append(newHashed, s"$path/docmeta")
+    val allMeta = oldMeta.unionByName(newHashed)
+    val keepers = allMeta.groupBy("h").agg(min("id").as("__ref"))
+    val newRef = newHashed.join(keepers, "h").select("id", "__ref")
+      .pipe(persistTracked)
+    val exactDups = newRef.filter(col("id") =!= col("__ref"))
+      .select(col("id"), lit("exact_dup").as("status"),
+        col("__ref").as("ref_id"))
+    // near stage: a new survivor is doomed by its smallest verified
+    // predecessor among exact survivors (old OR new)
+    val allPairs = SnapshotTable.read(s, s"$path/pairs")
+    val allRef = allMeta.join(keepers, "h").select("id", "__ref")
+    val survivors = allRef.filter(col("id") === col("__ref")).select("id")
+    val newSurvivors = newRef.filter(col("id") === col("__ref")).select("id")
+    val doomedRef = allPairs
+      .join(survivors.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_semi")
+      .join(newSurvivors.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_semi")
+      .groupBy(col("id_b").as("id")).agg(min("id_a").as("ref_id"))
+      .pipe(persistTracked)
+    val nearDups = doomedRef
+      .select(col("id"), lit("near_dup").as("status"), col("ref_id"))
+    val kept = newSurvivors.join(doomedRef, Seq("id"), "left_anti")
+      .select(col("id"), lit("kept").as("status"),
+        lit(null).cast(doomedRef.schema("ref_id").dataType).as("ref_id"))
+    SnapshotTable.append(
+      exactDups.unionByName(nearDups).unionByName(kept), s"$path/manifest")
+    // labels: full CC over the (tiny) pair table, replaced via upsert —
+    // new docs can merge old clusters, so old labels may legally drop
+    val cc = connectedComponents(allPairs, col("id_a"), col("id_b"))
+      .withColumnRenamed("node", "id")
+    val labels = allMeta.select("id")
+      .join(cc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    SnapshotTable.upsert(s, s"$path/labels", labels, Seq("id"))
+    val rows = (n: String) => SnapshotTable.read(s, s"$path/$n").count()
     import s.implicits._
     Seq(("pairs", rows("pairs")), ("labels", rows("labels")),
         ("manifest", rows("manifest")))

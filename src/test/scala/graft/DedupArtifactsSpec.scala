@@ -51,6 +51,37 @@ class DedupArtifactsSpec extends AnyFunSuite {
     api.GraftOps.releaseCaches(); spark.catalog.clearCache()
   }
 
+  test("incremental update == full rebuild, table for table") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val cut = docs.agg(expr("percentile(doc_id, 0.7)")).head().getDouble(0)
+    val oldDocs = docs.filter(col("doc_id") <= cut)
+    val newDocs = docs.filter(col("doc_id") > cut)
+    assert(newDocs.count() > 0 && oldDocs.count() > 0)
+
+    val incPath = java.nio.file.Files
+      .createTempDirectory("graft_art_inc").toString + "/a"
+    val fullPath = java.nio.file.Files
+      .createTempDirectory("graft_art_full").toString + "/a"
+    api.GraftOps.dedupArtifacts(oldDocs, col("doc_id"), col("text"), incPath)
+    api.GraftOps.updateDedupArtifacts(newDocs, col("doc_id"), col("text"),
+      incPath)
+    api.GraftOps.dedupArtifacts(docs, col("doc_id"), col("text"), fullPath)
+
+    Seq("pairs", "labels", "manifest", "signatures", "docmeta").foreach { t =>
+      val inc = rows(sources.SnapshotTable.read(spark, s"$incPath/$t"))
+      val full = rows(sources.SnapshotTable.read(spark, s"$fullPath/$t"))
+      assert(inc == full, s"incremental '$t' diverged from rebuild " +
+        s"(inc ${inc.size} rows vs full ${full.size})")
+    }
+    // ordering contract refused loudly: replaying OLD ids must throw
+    intercept[IllegalArgumentException] {
+      api.GraftOps.updateDedupArtifacts(oldDocs.limit(1), col("doc_id"),
+        col("text"), incPath)
+    }
+    api.GraftOps.releaseCaches(); spark.catalog.clearCache()
+  }
+
   test("buildFor is idempotent and artifacts are immutable") {
     withArtifacts {
       // second build is a no-op (returns None), not a failure or rewrite
