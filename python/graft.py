@@ -360,6 +360,18 @@ def dedup_artifacts(spark, df, id_col, text_col, path, threshold=0.5):
     return _wrap(spark, jdf)
 
 
+def update_dedup_artifacts(spark, new_docs, id_col, text_col, path,
+                           threshold=0.5):
+    """Incremental artifact update: a NEW batch (ids above all existing
+    ids) candidates against the stored signature index — the existing
+    corpus is never re-shingled. Pairs/signatures/docmeta/manifest
+    append; labels are replaced by a CC rerun over the pair table."""
+    jdf = _graft_ops(spark).updateDedupArtifacts(
+        new_docs._jdf, _col(spark, id_col), _col(spark, text_col), path,
+        float(threshold))
+    return _wrap(spark, jdf)
+
+
 def geo_nearest(spark, left, l_id, l_lat, l_lon, right, r_id, r_lat, r_lon):
     """Density-adaptive cell-blocked nearest neighbor (micro-degree
     int coords): (left_id, right_id, dist_m, n_candidates, grid_cells).

@@ -185,13 +185,88 @@ object TextAnalysis11 {
         LEFT JOIN kept k USING (doc_id)
       GROUP BY d.source ORDER BY d.source"""
 
+  // ---- t44: character-class / script-mixing census ----
+  // The encoding-hygiene signal between t26 (mojibake markers) and t38
+  // (code detection): what a document's bytes actually ARE — per source,
+  // exact character-class totals (alpha / digit / space / common punct /
+  // OTHER) and the share of documents whose "other" mass exceeds 5% —
+  // the simplest robust tripwire for binary-in-text, wrong-charset
+  // scrapes, and emoji/markup-dominated spam, ahead of any model-based
+  // filter. One narrow pass of length-after-regexp_replace class counts
+  // (Java/DuckDB-identical character classes, the t38 technique), exact
+  // integer rollups per source, one IEEE division per published ratio
+  // at 1e-9 — never a mean-of-doubles.
+  val t44_script_census: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .withColumn("n", length(col("text")).cast("long"))
+      .withColumn("n_alpha", (length(col("text")) - length(
+        regexp_replace(col("text"), "[A-Za-z]", ""))).cast("long"))
+      .withColumn("n_digit", (length(col("text")) - length(
+        regexp_replace(col("text"), "[0-9]", ""))).cast("long"))
+      .withColumn("n_space", (length(col("text")) - length(
+        regexp_replace(col("text"), "[ ]", ""))).cast("long"))
+      .withColumn("n_punct", (length(col("text")) - length(
+        regexp_replace(col("text"), "[.,;:!?'\"()-]", ""))).cast("long"))
+      .withColumn("n_other",
+        col("n") - col("n_alpha") - col("n_digit") - col("n_space")
+          - col("n_punct"))
+      .withColumn("mixed",
+        col("n_other").cast("double") > col("n").cast("double") * 0.05)
+    base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n").as("total_chars"),
+        sum("n_alpha").as("alpha_chars"),
+        sum("n_digit").as("digit_chars"),
+        sum("n_other").as("other_chars"),
+        count(when(col("mixed"), 1)).as("n_mixed"))
+      .withColumn("alpha_density", round(
+        col("alpha_chars").cast("double") / col("total_chars"), 9))
+      .withColumn("other_density", round(
+        col("other_chars").cast("double") / col("total_chars"), 9))
+      .withColumn("mixed_share", round(
+        col("n_mixed").cast("double") / col("n_docs"), 9))
+      .orderBy("source")
+  }
+  val t44Sql: String =
+    """WITH b AS (
+        SELECT source,
+          CAST(length(text) AS BIGINT) AS n,
+          CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+            AS BIGINT) AS n_alpha,
+          CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+            AS BIGINT) AS n_digit,
+          CAST(length(text) - length(regexp_replace(text, '[ ]', '', 'g'))
+            AS BIGINT) AS n_space,
+          CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g'))
+            AS BIGINT) AS n_punct
+        FROM documents),
+      c AS (SELECT source, n, n_alpha, n_digit,
+              n - n_alpha - n_digit - n_space - n_punct AS n_other
+            FROM b),
+      g AS (SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM(n) AS BIGINT) AS total_chars,
+              CAST(SUM(n_alpha) AS BIGINT) AS alpha_chars,
+              CAST(SUM(n_digit) AS BIGINT) AS digit_chars,
+              CAST(SUM(n_other) AS BIGINT) AS other_chars,
+              COUNT(*) FILTER (WHERE CAST(n_other AS DOUBLE)
+                > CAST(n AS DOUBLE) * 0.05) AS n_mixed
+            FROM c GROUP BY source)
+      SELECT source, n_docs, total_chars, alpha_chars, digit_chars,
+        other_chars, n_mixed,
+        round(CAST(alpha_chars AS DOUBLE) / total_chars, 9) AS alpha_density,
+        round(CAST(other_chars AS DOUBLE) / total_chars, 9) AS other_density,
+        round(CAST(n_mixed AS DOUBLE) / n_docs, 9) AS mixed_share
+      FROM g ORDER BY source"""
+
   val queries: Map[String, Q] = Map(
     "t41_bpe_encode"    -> t41_bpe_encode,
     "t42_bpe_fertility" -> t42_bpe_fertility,
-    "t43_dedup_token_yield" -> t43_dedup_token_yield)
+    "t43_dedup_token_yield" -> t43_dedup_token_yield,
+    "t44_script_census" -> t44_script_census)
 
   val oracles: Map[String, String] = Map(
     "t41_bpe_encode"    -> t41Sql,
     "t42_bpe_fertility" -> t42Sql,
-    "t43_dedup_token_yield" -> t43Sql)
+    "t43_dedup_token_yield" -> t43Sql,
+    "t44_script_census" -> t44Sql)
 }
