@@ -360,6 +360,23 @@ def dedup_artifacts(spark, df, id_col, text_col, path, threshold=0.5):
     return _wrap(spark, jdf)
 
 
+def ann_index_build(spark, df, id_col, vec_col, path, k, iters=2):
+    """Build a persisted IVF index (centroids + cell-clustered rows)."""
+    jdf = _graft_ops(spark).annIndexBuild(
+        df._jdf, _col(spark, id_col), _col(spark, vec_col), path,
+        int(k), int(iters))
+    return _wrap(spark, jdf)
+
+
+def ann_search(spark, path, queries, q_id, q_vec, nprobe, top_k=10):
+    """Search a persisted IVF index: zone-map-pruned cell reads;
+    nprobe = k is exact."""
+    jdf = _graft_ops(spark).annSearch(
+        spark._jsparkSession, path, queries._jdf, _col(spark, q_id),
+        _col(spark, q_vec), int(nprobe), int(top_k))
+    return _wrap(spark, jdf)
+
+
 def update_dedup_artifacts(spark, new_docs, id_col, text_col, path,
                            threshold=0.5):
     """Incremental artifact update: a NEW batch (ids above all existing

@@ -1395,6 +1395,102 @@ object GraftOps {
       .toDF("artifact", "n_rows")
   }
 
+  // ---- persisted ANN index (the similarity-family artifact) --------
+
+  /** Build a persisted IVF index over an (id, embedding) frame — the
+    * ANN analog of [[dedupArtifacts]]: quantize ONCE, every search
+    * reads. Two SnapshotTables under `path`:
+    *
+    *   - `centroids` (cluster, centroid: array<double>) — the coarse
+    *     quantizer from the deterministic [[kmeans]] (k rows, rides a
+    *     broadcast at search time);
+    *   - `rows` (id, cluster, vec) — every vector tagged with its cell,
+    *     CLUSTERED on the cell id (SnapshotTable.cluster), so a probe
+    *     of nprobe cells is a ZONE-MAP-PRUNED read: searching 3 of 64
+    *     cells opens ~3/64 of the files, the same skipping machinery
+    *     point queries use.
+    *
+    * Centroid recompute uses the per-(cluster, dim) DECIMAL-exact mean
+    * (the kmeans discipline) so the index is reproducible bit-for-bit.
+    */
+  def annIndexBuild(df: DataFrame, id: Column, vec: Column, path: String,
+                    k: Int, iters: Int = 2): DataFrame = {
+    import graft.sources.SnapshotTable
+    import org.apache.spark.sql.types.DecimalType
+    val s = df.sparkSession
+    require(!SnapshotTable.exists(s, s"$path/rows"),
+      s"ANN index already exists at $path — build to a fresh path")
+    val e = df.select(id.as("id"),
+        transform(vec, x => x.cast("double")).as("vec"))
+      .pipe(persistTracked)
+    val asg = kmeans(e, col("id"), col("vec"), k, iters)
+      .withColumnRenamed("id", "__aid")
+    val rows = e.join(asg, col("id") === col("__aid"))
+      .select(col("id"), col("cluster"), col("vec"))
+    SnapshotTable.create(rows, s"$path/rows")
+    SnapshotTable.cluster(s, s"$path/rows", Seq("cluster"),
+      numFiles = math.max(4, math.min(k, 64)))
+    val cents = SnapshotTable.read(s, s"$path/rows")
+      .select(col("cluster"), posexplode(col("vec")).as(Seq("dim", "x")))
+      .groupBy("cluster", "dim")
+      .agg((sum(col("x").cast(DecimalType(30, 9)))
+        / count(lit(1))).cast("double").as("m"))
+      .groupBy("cluster")
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("p"))
+      .select(col("cluster"),
+        expr("transform(p, q -> q.m)").as("centroid"))
+    SnapshotTable.create(cents, s"$path/centroids")
+    import s.implicits._
+    Seq(("rows", SnapshotTable.read(s, s"$path/rows").count()),
+        ("centroids", SnapshotTable.read(s, s"$path/centroids").count()))
+      .toDF("artifact", "n_rows")
+  }
+
+  /** Search a persisted IVF index: assign each query to its `nprobe`
+    * nearest cells against the broadcast centroid table, read ONLY the
+    * probed cells from the clustered rows table (one zone-map-pruned
+    * IN-predicate read over the union of probed cells — bounded by
+    * nprobe × distinct query cells, never the corpus), exact cosine on
+    * the candidates, top-k per query on a (cosine DESC, id) total
+    * order. `nprobe = k` is exact search. Returns
+    * (query_id, id, cos, rank).
+    */
+  def annSearch(spark: org.apache.spark.sql.SparkSession, path: String,
+                queries: DataFrame, qId: Column, qVec: Column,
+                nprobe: Int, topK: Int = 10): DataFrame = {
+    import graft.sources.SnapshotTable
+    import graft.functions.cosine_sim
+    val cents = SnapshotTable.read(spark, s"$path/centroids")
+    val qv = queries
+      .select(qId.as("query_id"),
+        transform(qVec, x => x.cast("double")).as("qv"))
+    // nprobe nearest cells per query: queries × k (k bounded) against
+    // the broadcast centroid table, ranked on a (cos DESC, cluster)
+    // total order — the query frame, not the corpus, pays the fanout
+    val wc = Window.partitionBy("query_id")
+      .orderBy(desc("__ccos"), col("cluster"))
+    val q = qv.crossJoin(broadcast(cents))
+      .withColumn("__ccos", cosine_sim(col("qv"), col("centroid")))
+      .withColumn("__rk", row_number().over(wc))
+      .filter(col("__rk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cluster"))
+      .pipe(persistTracked)
+    val probed = q.select("cluster").distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (probed.isEmpty)
+      return q.select(col("query_id"), col("cluster").as("id"),
+        lit(0.0).as("cos"), lit(0L).as("rank")).limit(0)
+    val rows = SnapshotTable.readWhere(spark, s"$path/rows",
+      s"cluster IN (${probed.mkString(", ")})")
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("id"))
+    q.join(rows, "cluster")
+      .withColumn("cos", round(cosine_sim(col("qv"), col("vec")), 9))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("id"), col("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Span-level dedup with reconstruction over any (id, text) frame:
     * fixed `spanWords`-word spans, first occurrence (min id, then span
     * position) survives corpus-wide, each row re-assembled from its
