@@ -319,6 +319,26 @@ assert set(arts) == {"pairs", "labels", "manifest"}, arts
 assert arts["labels"] == docs.count() and arts["manifest"] == docs.count()
 assert graft.snapshot_read(spark, art_path + "/pairs").count() == arts["pairs"]
 
+# incremental artifact update from python: split by id, update == usable
+cut = docs.approxQuantile("doc_id", [0.7], 0.0)[0]
+old_docs = docs.where(f"doc_id <= {cut}")
+new_docs = docs.where(f"doc_id > {cut}")
+inc_path = tempfile.mkdtemp(prefix="graft_pyinc") + "/a"
+graft.dedup_artifacts(spark, old_docs, "doc_id", "text", inc_path)
+upd = graft.update_dedup_artifacts(spark, new_docs, "doc_id", "text", inc_path)
+arts2 = {r.artifact: r.n_rows for r in upd.collect()}
+assert arts2["labels"] == docs.count() and arts2["manifest"] == docs.count()
+
+# persisted ANN index from python: exact at nprobe=k, self at rank 1
+emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+ann_path = tempfile.mkdtemp(prefix="graft_pyann") + "/idx"
+graft.ann_index_build(spark, emb, "vec_id", "embedding", ann_path, k=4)
+qs = emb.limit(3).selectExpr("vec_id AS qid", "embedding")
+hits = graft.ann_search(spark, ann_path, qs, "qid", "embedding",
+                        nprobe=4, top_k=3)
+r1 = {r.query_id: r.id for r in hits.where("rank = 1").collect()}
+assert all(q == i for q, i in r1.items()), f"rank-1 must be self: {r1}"
+
 # hand-written public-protocol delta log read from python
 delta_dir = tempfile.mkdtemp(prefix="graft_pydelta") + "/t"
 os.makedirs(delta_dir + "/_delta_log")
