@@ -305,6 +305,19 @@ def label_propagation(spark, edges, a_col, b_col, rounds=4):
     return _wrap(spark, jdf)
 
 
+def shortest_paths(spark, edges, src_col, dst_col, weight_col, rounds=4):
+    """Hop-bounded weighted shortest paths (Bellman-Ford, ``rounds``
+    relaxations) over a directed (src, dst, weight) edge frame with
+    INTEGER weights. Returns (src, dst, cost, hops) for every reachable
+    pair — (cost, hops) minimized lexicographically, exactly (the verb
+    packs both into one BIGINT so min() is a combinable integer
+    aggregate)."""
+    jdf = _graft_ops(spark).shortestPaths(
+        edges._jdf, _col(spark, src_col), _col(spark, dst_col),
+        _col(spark, weight_col), None, int(rounds))
+    return _wrap(spark, jdf)
+
+
 def kaplan_meier(spark, df, entity_col, ts_col, is_event_expr):
     """Right-censored Kaplan-Meier survival curve.
 
@@ -357,6 +370,31 @@ def dedup_artifacts(spark, df, id_col, text_col, path, threshold=0.5):
     jdf = _graft_ops(spark).dedupArtifacts(
         df._jdf, _col(spark, id_col), _col(spark, text_col), path,
         float(threshold), "session")
+    return _wrap(spark, jdf)
+
+
+def graph_artifacts(spark, df, basket_col, item_col, path, min_weight=2):
+    """Materialize the graph-artifact pair (co-purchase ``pairs`` +
+    component ``cc_labels``) as SnapshotTables under ``path`` — the
+    fact-scale projection paid once, every graph analytic reads. Set
+    spark conf ``graft.graph.artifacts`` to route the graph operators
+    through the artifacts."""
+    jdf = _graft_ops(spark).graphArtifacts(
+        df._jdf, _col(spark, basket_col), _col(spark, item_col), path,
+        int(min_weight))
+    return _wrap(spark, jdf)
+
+
+def update_graph_artifacts(spark, df, basket_col, item_col, path,
+                           min_weight=2):
+    """Incrementally ingest a batch of WHOLE NEW baskets into existing
+    graph artifacts: pair counts key-sum via copy-on-write upsert,
+    components rerun over the merged metadata-sized pair table.
+    Refuses batches whose basket keys were already projected (pair
+    counts are per-basket — only whole new baskets add exactly)."""
+    jdf = _graft_ops(spark).updateGraphArtifacts(
+        df._jdf, _col(spark, basket_col), _col(spark, item_col), path,
+        int(min_weight))
     return _wrap(spark, jdf)
 
 

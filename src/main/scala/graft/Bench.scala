@@ -70,11 +70,13 @@ object Bench {
     // ever hit — drop them before the timed runs start.
     spark.catalog.clearCache()
 
-    // Materialized dedup artifacts — the production shape: ONE timed
-    // cleaning pass computes the near-dup pair table / component labels /
-    // disposition manifest and writes them as SnapshotTables; the ~12
-    // consumer audits (d03/d08/d13/d15/d27/d32/d33/d35/d37/t09/p14) then
-    // READ the artifact instead of re-paying pair generation per query.
+    // Materialized dedup + graph artifacts — the production shape: ONE
+    // timed pass computes the near-dup pair table / component labels /
+    // disposition manifest AND the co-purchase graph projection, writing
+    // them as SnapshotTables; the ~12 dedup consumer audits
+    // (d03/d08/d13/d15/d27/d32/d33/d35/d37/t09/p14) and the ten
+    // graph analytics (g02-g06/g08/g09/g12-g14) then READ the artifacts
+    // instead of re-paying pair/edge generation per query.
     // The build cost is reported explicitly (artifact_build_sec, included
     // in total) — nothing is hidden; set SPARK_GRAFT_ARTIFACTS=0 to
     // bench the inline (per-query recompute) regime instead. Correctness
@@ -85,8 +87,13 @@ object Bench {
         val dir = java.nio.file.Files
           .createTempDirectory("graft_bench_artifacts").toString
         spark.conf.set("graft.dedup.artifacts", dir)
+        spark.conf.set("graft.graph.artifacts", s"$dir/graph")
         val t0 = System.nanoTime()
         graft.api.DedupArtifactStore.buildFor(spark, sfDir)
+        // the graph-family analog: project the co-purchase graph + pay
+        // the component fixpoint ONCE; ten analytics then read the
+        // edge/label tables (GraphArtifactStore routes them)
+        graft.api.GraphArtifactStore.buildFor(spark, sfDir)
         val dt = (System.nanoTime() - t0) / 1e9
         graft.api.GraftOps.releaseCaches()
         spark.catalog.clearCache()

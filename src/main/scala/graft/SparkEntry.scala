@@ -34,6 +34,7 @@ object SparkEntry {
       operators.Events3.queries ++ operators.Events4.queries ++
       operators.Events5.queries ++ operators.Events6.queries ++
       operators.Events7.queries ++ operators.Events8.queries ++
+      operators.Events9.queries ++
       operators.CorpusPipeline.queries ++ operators.Quality.queries ++
       operators.Quality2.queries ++ operators.Quality3.queries ++
       operators.Quality4.queries ++ operators.MLPrep.queries
@@ -64,6 +65,7 @@ object SparkEntry {
       operators.Events3.oracles ++ operators.Events4.oracles ++
       operators.Events5.oracles ++ operators.Events6.oracles ++
       operators.Events7.oracles ++ operators.Events8.oracles ++
+      operators.Events9.oracles ++
       operators.CorpusPipeline.oracles ++ operators.Quality.oracles ++
       operators.Quality2.oracles ++ operators.Quality3.oracles ++
       operators.Quality4.oracles ++ operators.MLPrep.oracles

@@ -1,0 +1,88 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Session routing for materialized graph artifacts (the read side of
+  * [[GraftOps.graphArtifacts]]) — the [[DedupArtifactStore]] convention
+  * applied to the graph-analytics family.
+  *
+  * Ten of the graph analytics (co-purchase top pairs, triangle census,
+  * connected components, degree diagnostics, link prediction,
+  * modularity, assortativity, k-core, k-hop reach, label propagation)
+  * start from the SAME fact-scale stage: project the co-purchase graph
+  * from the order baskets. Per-query that plan is right; per RUN it is
+  * the recompute anti-pattern the dedup family already retired — a
+  * production job projects the graph ONCE and every analytic iterates
+  * over the metadata-sized edge table. When the session conf
+  * `graft.graph.artifacts` names a base directory AND the tables exist,
+  * consumers read them; otherwise they compute inline exactly as before
+  * (the correctness gate runs the inline path; GraphArtifactsSpec pins
+  * the two routes equal).
+  *
+  * Layout: `base/<corpus-key>/{pairs,cc_labels,baskets}` where
+  * corpus-key is the sanitized fact directory — artifacts from one
+  * scale factor are never served to queries over another. The cc
+  * labels need no algorithm key: both `graft.graph.cc` routes emit the
+  * canonical min-label per component (spec-pinned equal), so labels
+  * built under either serve any session. `baskets` is the
+  * [[GraftOps.updateGraphArtifacts]] ingest contract's membership set.
+  */
+object GraphArtifactStore {
+  /** The signal threshold the suite's co-purchase graph is built at:
+    * pairs co-ordered once are noise, `w >= 2` is signal. Fixed across
+    * build and read so the artifact and inline routes see one graph.
+    */
+  val MinWeight: Long = 2L
+
+  /** Resolved artifact directory for fact dir `d` under the session
+    * conf, or None when routing is off.
+    */
+  def location(s: SparkSession, d: String): Option[String] =
+    s.conf.getOption("graft.graph.artifacts").map { base =>
+      s"$base/${d.replaceAll("[^A-Za-z0-9._-]", "_")}"
+    }
+
+  /** The named artifact table for fact dir `d` when routing is on and
+    * the table has been built; None otherwise (caller computes inline).
+    */
+  def readIfPresent(s: SparkSession, d: String, table: String)
+      : Option[DataFrame] =
+    location(s, d).flatMap { loc =>
+      val p = s"$loc/$table"
+      if (graft.sources.SnapshotTable.exists(s, p))
+        Some(graft.sources.SnapshotTable.read(s, p))
+      else None
+    }
+
+  /** Full co-purchase pair counts (a, b, w) — every pair, w >= 1. */
+  def pairsIfPresent(s: SparkSession, d: String): Option[DataFrame] =
+    readIfPresent(s, d, "pairs")
+
+  /** The signal-thresholded undirected edge list (a, b) at
+    * [[MinWeight]] — the graph every iterative analytic runs on.
+    */
+  def edgesIfPresent(s: SparkSession, d: String): Option[DataFrame] =
+    pairsIfPresent(s, d).map(_.filter(col("w") >= MinWeight).select("a", "b"))
+
+  /** Connected-component labels (node, cluster_id) over the signal
+    * edges — the iterative fixpoint, paid once at build time.
+    */
+  def ccLabelsIfPresent(s: SparkSession, d: String): Option[DataFrame] =
+    readIfPresent(s, d, "cc_labels")
+
+  /** Build the artifact pair for the order-basket fact table at `d`
+    * into the conf-resolved location (idempotent: skipped when already
+    * built). Requires `graft.graph.artifacts` to be set. Returns the
+    * summary frame of [[GraftOps.graphArtifacts]], or None when the
+    * artifacts were already present.
+    */
+  def buildFor(s: SparkSession, d: String): Option[DataFrame] = {
+    val loc = location(s, d).getOrElse(throw new IllegalStateException(
+      "graft.graph.artifacts is not set — nothing to build into"))
+    if (graft.sources.SnapshotTable.exists(s, s"$loc/pairs")) None
+    else Some(GraftOps.graphArtifacts(
+      graft.Tables.lineitem(s, d), col("l_orderkey"), col("l_partkey"),
+      loc, minWeight = MinWeight))
+  }
+}

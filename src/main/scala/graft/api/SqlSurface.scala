@@ -179,6 +179,19 @@ object SqlSurface {
       case args => throw new IllegalArgumentException(
         s"graft_label_propagation(table, a, b[, rounds]): got ${args.size} args")
     },
+    "graft_shortest_paths" -> {
+      case Seq(t, s, d, w) =>
+        plan(GraftOps.shortestPaths(table(str(t, "table")),
+          col(str(s, "src")), col(str(d, "dst")),
+          org.apache.spark.sql.functions.expr(str(w, "weight"))))
+      case Seq(t, s, d, w, r) =>
+        plan(GraftOps.shortestPaths(table(str(t, "table")),
+          col(str(s, "src")), col(str(d, "dst")),
+          org.apache.spark.sql.functions.expr(str(w, "weight")),
+          rounds = int(r, "rounds")))
+      case args => throw new IllegalArgumentException(
+        s"graft_shortest_paths(table, src, dst, weight[, rounds]): got ${args.size} args")
+    },
     "graft_fd_audit" -> {
       case Seq(t, det, dep) =>
         plan(GraftOps.fdAudit(table(str(t, "table")),

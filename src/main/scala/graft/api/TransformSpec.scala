@@ -444,6 +444,16 @@ object TransformSpec {
         GraftOps.labelPropagation(df, expr(step.path("a").asText()),
           expr(step.path("b").asText()),
           if (step.has("rounds")) step.path("rounds").asInt() else 4)
+      case "shortestPaths" =>
+        // hop-bounded weighted shortest paths over the frame-as-edge-list
+        // (g16's verb): {"op": "shortestPaths", "src": "a", "dst": "b",
+        //  "weight": "w", "rounds": 4} — integer weights required (the
+        //  verb packs cost*8+hops into one BIGINT)
+        GraftOps.shortestPaths(df, expr(step.path("src").asText()),
+          expr(step.path("dst").asText()),
+          expr(step.path("weight").asText()),
+          rounds =
+            if (step.has("rounds")) step.path("rounds").asInt() else 4)
       case "conform" =>
         GraftOps.conform(df, step.path("schema").asText())
       case "profile" =>

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Experimentation continuation: CUPED variance reduction. */
+object Events9 {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- e65: CUPED-adjusted experiment readout ----
+  // The variance-reduction technique every mature experimentation
+  // platform runs (Deng et al. 2013, "Improving the Sensitivity of
+  // Online Controlled Experiments"): a user's PRE-period activity X
+  // predicts their experiment-period KPI Y, so regressing it out
+  // (Y' = Y - θ(X - X̄), θ = cov(X,Y)/var(X) pooled over all users)
+  // removes between-user variance the treatment never caused — the
+  // same experiment reads significant days earlier. e59 tests raw
+  // proportions; this is the adjusted-means readout plus the achieved
+  // variance-reduction factor.
+  //
+  // Exactness across engines is the design: per-event values become
+  // integer CENTS (round(value*100) — one identical IEEE op per row),
+  // per-user X/Y are exact BIGINT sums, and all five pooled moments
+  // (Σx, Σy, Σxy, Σx², Σy²) ride DECIMAL(38,0) products of those
+  // cents (magnitudes ≤1e26 ≪ 1e38, so Spark's precision-capped
+  // decimal multiply is EXACT; DuckDB mirrors in HUGEINT) — order-
+  // independent, map-side-combinable. θ and x̄ are then single rounded
+  // IEEE divisions, and every derived statistic (adjusted means, the
+  // closed-form var(Y') = var(Y) − 2θcov + θ²var(X) — algebra instead
+  // of a second order-dependent pass over per-user doubles) is the
+  // SAME fixed-order scalar expression in both engines, rounded 1e-9.
+  //
+  // Scale shape: one fact-scale user rollup (combinable), a 1-row
+  // moment frame broadcast onto a 2-row arm rollup. Pre-period =
+  // days 1-15, experiment = days 16-30 of the corpus month; arms by
+  // user parity (e59's deterministic assignment).
+  val e65_cuped: Q = (s, d) => {
+    val D = "DECIMAL(38,0)"
+    val users = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(
+        sum(when(dayofmonth(col("ts")) <= 15,
+          expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L))
+          .as("x"),
+        sum(when(dayofmonth(col("ts")) > 15
+            && col("event_type") === "purchase",
+          expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L))
+          .as("y"))
+      .withColumn("arm",
+        when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B"))
+    val m = users.agg(
+      count(lit(1)).as("n"),
+      sum(expr(s"CAST(x AS $D)")).as("sx"),
+      sum(expr(s"CAST(y AS $D)")).as("sy"),
+      sum(expr(s"CAST(x AS $D) * CAST(y AS $D)")).as("sxy"),
+      sum(expr(s"CAST(x AS $D) * CAST(x AS $D)")).as("sxx"),
+      sum(expr(s"CAST(y AS $D) * CAST(y AS $D)")).as("syy"))
+    val arms = users.groupBy("arm")
+      .agg(count(lit(1)).as("n_users"),
+        sum(expr(s"CAST(x AS $D)")).as("sx_a"),
+        sum(expr(s"CAST(y AS $D)")).as("sy_a"))
+    arms.crossJoin(broadcast(m))
+      // θ and x̄ rounded ONCE, then reused verbatim — the oracle
+      // replays the identical scalar chain
+      .withColumn("theta", round(
+        expr(s"CAST(n * sxy - sx * sy AS DOUBLE)")
+          / expr(s"CAST(n * sxx - sx * sx AS DOUBLE)"), 9))
+      .withColumn("mean_x", round(
+        expr("CAST(sx AS DOUBLE)") / col("n"), 9))
+      .withColumn("mean_y_dollars", round(
+        expr("CAST(sy_a AS DOUBLE)") / col("n_users") / lit(100.0), 9))
+      .withColumn("mean_y_cuped_dollars", round(
+        (expr("CAST(sy_a AS DOUBLE)") / col("n_users")
+          - col("theta") * (expr("CAST(sx_a AS DOUBLE)") / col("n_users")
+            - col("mean_x"))) / lit(100.0), 9))
+      .withColumn("var_reduction", round(
+        lit(1.0) - (expr("CAST(n * syy - sy * sy AS DOUBLE)")
+          - lit(2.0) * col("theta")
+            * expr("CAST(n * sxy - sx * sy AS DOUBLE)")
+          + col("theta") * col("theta")
+            * expr("CAST(n * sxx - sx * sx AS DOUBLE)"))
+          / expr("CAST(n * syy - sy * sy AS DOUBLE)"), 9))
+      .select("arm", "n_users", "mean_y_dollars", "mean_y_cuped_dollars",
+        "theta", "var_reduction")
+      .orderBy("arm")
+  }
+  val e65Sql: String =
+    """WITH u AS (
+        SELECT user_id,
+          CAST(SUM(CASE WHEN day(ts) <= 15
+            THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+            AS x,
+          CAST(SUM(CASE WHEN day(ts) > 15 AND event_type = 'purchase'
+            THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+            AS y,
+          CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+        FROM events GROUP BY user_id),
+      m AS (SELECT COUNT(*) AS n,
+          SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+          SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+          SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+          SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+        FROM u),
+      a AS (SELECT arm, COUNT(*) AS n_users,
+          SUM(CAST(x AS HUGEINT)) AS sx_a, SUM(CAST(y AS HUGEINT)) AS sy_a
+        FROM u GROUP BY arm),
+      t AS (SELECT a.*, m.*,
+          round(CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE), 9) AS theta,
+          round(CAST(sx AS DOUBLE) / n, 9) AS mean_x
+        FROM a CROSS JOIN m)
+      SELECT arm, n_users,
+        round(CAST(sy_a AS DOUBLE) / n_users / 100.0, 9) AS mean_y_dollars,
+        round((CAST(sy_a AS DOUBLE) / n_users
+          - theta * (CAST(sx_a AS DOUBLE) / n_users - mean_x)) / 100.0, 9)
+          AS mean_y_cuped_dollars,
+        theta,
+        round(1.0 - (CAST(n * syy - sy * sy AS DOUBLE)
+            - 2.0 * theta * CAST(n * sxy - sx * sy AS DOUBLE)
+            + theta * theta * CAST(n * sxx - sx * sx AS DOUBLE))
+          / CAST(n * syy - sy * sy AS DOUBLE), 9) AS var_reduction
+      FROM t ORDER BY arm"""
+
+  val queries: Map[String, Q] = Map(
+    "e65_cuped" -> e65_cuped,
+  )
+  val oracles: Map[String, String] = Map(
+    "e65_cuped" -> e65Sql,
+  )
+}

@@ -13,6 +13,31 @@ import graft.Tables
 object Graph {
   type Q = (SparkSession, String) => DataFrame
 
+  /** The co-purchase pair counts (a, b, w) — the ONE fact-scale stage
+    * the whole family shares (per-order sorted part sets, in-row pair
+    * expansion, pair-key count; a < b by construction; exactly two
+    * shuffles, never a self-join). Read from the materialized graph
+    * artifact when the session routes one (GraphArtifactStore — the
+    * production "project once, analyze many" shape), else computed
+    * inline — the artifact is written by GraftOps.graphArtifacts with
+    * this same expression, and GraphArtifactsSpec pins the routes
+    * equal. The correctness gate always runs inline.
+    */
+  private[operators] def copurchasePairs(s: SparkSession, d: String): DataFrame =
+    graft.api.GraphArtifactStore.pairsIfPresent(s, d).getOrElse {
+      graft.api.GraftOps.basketPairCounts(
+        Tables.lineitem(s, d), col("l_orderkey"), col("l_partkey"))
+    }
+
+  /** The signal-thresholded co-purchase edge list (a, b): pairs
+    * co-ordered once are noise, w >= 2 is signal — the graph every
+    * analytic in this family runs on.
+    */
+  private[operators] def copurchaseEdges(s: SparkSession, d: String): DataFrame =
+    copurchasePairs(s, d)
+      .filter(col("w") >= graft.api.GraphArtifactStore.MinWeight)
+      .select("a", "b")
+
   // ---- g01: weighted PageRank over the nation trade graph ----
   // Link-based importance (Page et al. 1999) on the supplier-nation ->
   // customer-nation trade graph: edge weight = shipment count. The
@@ -129,15 +154,9 @@ object Graph {
   // sorted set, then the pair-key count; the global top-25 rides
   // TakeOrderedAndProject — no single-task window, no full sort.
   val g02_copurchase: Q = (s, d) => {
-    Tables.lineitem(s, d)
-      .groupBy(col("l_orderkey").as("ok"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      .select(explode(expr(
-        """flatten(transform(ps, (a, i) ->
-             transform(slice(ps, i + 2, size(ps)),
-               b -> struct(a AS part_a, b AS part_b))))""")).as("p"))
-      .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
-      .agg(count(lit(1)).as("n_orders"))
+    copurchasePairs(s, d)
+      .select(col("a").as("part_a"), col("b").as("part_b"),
+        col("w").as("n_orders"))
       // deterministic top-25: weight desc, pair-id tiebreak — a total
       // order, so the selected SET is engine-exact without a rank col
       .orderBy(desc("n_orders"), col("part_a"), col("part_b"))
@@ -175,17 +194,7 @@ object Graph {
   // list bound that survives the densified 20x stress edge set); the
   // census is orientation-independent, so the oracle pins both paths.
   val g03_triangles: Q = (s, d) => {
-    val edges = Tables.lineitem(s, d)
-      .groupBy(col("l_orderkey").as("ok"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      .select(explode(expr(
-        """flatten(transform(ps, (x, i) ->
-             transform(slice(ps, i + 2, size(ps)),
-               y -> struct(x AS a, y AS b))))""")).as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
-      .select("a", "b")
+    val edges = copurchaseEdges(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.api.GraftOps.triangleCensusOriented(edges)
   }
@@ -239,20 +248,13 @@ object Graph {
   // documented on the verb). This helper contributes the fact-scale
   // edge build shared by g04/g08.
   private def ccEdgesAndLabels(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val edges = Tables.lineitem(s, d)
-      .groupBy(col("l_orderkey").as("ok"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      .select(explode(expr(
-        """flatten(transform(ps, (x, i) ->
-             transform(slice(ps, i + 2, size(ps)),
-               y -> struct(x AS a, y AS b))))""")).as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
-      .select("a", "b")
+    val edges = copurchaseEdges(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val labels =
-      graft.api.GraftOps.connectedComponents(edges, col("a"), col("b"))
+    // the component labels are the family's second artifact: the
+    // iterative fixpoint is paid once at build time and read here
+    val labels = graft.api.GraphArtifactStore.ccLabelsIfPresent(s, d)
+      .getOrElse(
+        graft.api.GraftOps.connectedComponents(edges, col("a"), col("b")))
     (edges, labels)
   }
 
@@ -291,16 +293,7 @@ object Graph {
   // per CCDF point.
   val g05_degree_dist: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val edges = Tables.lineitem(s, d)
-      .groupBy(col("l_orderkey").as("ok"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      .select(explode(expr(
-        """flatten(transform(ps, (x, i) ->
-             transform(slice(ps, i + 2, size(ps)),
-               y -> struct(x AS a, y AS b))))""")).as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
+    val edges = copurchaseEdges(s, d)
     val deg = edges.select(col("a").as("n"))
       .unionAll(edges.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
@@ -350,17 +343,7 @@ object Graph {
   // (cn, a, b) tie-breaks so order can't flip between engines; top-15
   // via TakeOrderedAndProject — no global sort materializes.
   val g06_link_prediction: Q = (s, d) => {
-    val edges = Tables.lineitem(s, d)
-      .groupBy(col("l_orderkey").as("ok"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      .select(explode(expr(
-        """flatten(transform(ps, (x, i) ->
-             transform(slice(ps, i + 2, size(ps)),
-               y -> struct(x AS a, y AS b))))""")).as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
-      .select("a", "b")
+    val edges = copurchaseEdges(s, d)
     // the library verb (GraftOps.linkPredict) IS the wedge/anti-join/
     // rank engine — the oracle gate certifies the facade itself
     graft.api.GraftOps.linkPredict(edges, col("a"), col("b"), 15)
@@ -547,17 +530,7 @@ object Graph {
   // Exact int64 degree moments, closed form in doubles rounded 1e-9;
   // the edge build is the only fact-scale stage.
   val g09_assortativity: Q = (s, d) => {
-    val edges = Tables.lineitem(s, d)
-      .groupBy(col("l_orderkey").as("ok"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      .select(explode(expr(
-        """flatten(transform(ps, (x, i) ->
-             transform(slice(ps, i + 2, size(ps)),
-               y -> struct(x AS a, y AS b))))""")).as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
-      .select("a", "b")
+    val edges = copurchaseEdges(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = edges.select(col("a").as("n"))
       .unionAll(edges.select(col("b").as("n")))

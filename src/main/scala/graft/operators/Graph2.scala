@@ -168,17 +168,7 @@ object Graph2 {
     def deg(e: DataFrame): DataFrame =
       e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg"))
-    val e0 = Tables.lineitem(s, d)
-      .groupBy(col("l_orderkey").as("ok"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      .select(explode(expr(
-        """flatten(transform(ps, (x, i) ->
-             transform(slice(ps, i + 2, size(ps)),
-               y -> struct(x AS a, y AS b))))""")).as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
-      .select("a", "b")
+    val e0 = Graph.copurchaseEdges(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var e = e0
     var stats = Vector.empty[DataFrame]
@@ -266,17 +256,7 @@ object Graph2 {
   //
   // Exactness: pure integer counts and ids — no floating point.
   val g13_khop_reach: Q = (s, d) => {
-    val e0 = Tables.lineitem(s, d)
-      .groupBy(col("l_orderkey").as("ok"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      .select(explode(expr(
-        """flatten(transform(ps, (x, i) ->
-             transform(slice(ps, i + 2, size(ps)),
-               y -> struct(x AS a, y AS b))))""")).as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
-      .select("a", "b")
+    val e0 = Graph.copurchaseEdges(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val adj = e0.select(col("a").as("v"), col("b").as("n"))
       .unionAll(e0.select(col("b").as("v"), col("a").as("n")))
@@ -366,17 +346,7 @@ object Graph2 {
   // body IS GraftOps.labelPropagation — the facade verb the oracle
   // certifies (edge build shared with the g03/g04 family)
   val g14_label_propagation: Q = (s, d) => {
-    val edges = Tables.lineitem(s, d)
-      .groupBy(col("l_orderkey").as("ok"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      .select(explode(expr(
-        """flatten(transform(ps, (x, i) ->
-             transform(slice(ps, i + 2, size(ps)),
-               y -> struct(x AS a, y AS b))))""")).as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
-      .select("a", "b")
+    val edges = Graph.copurchaseEdges(s, d)
     graft.api.GraftOps.labelPropagation(edges, col("a"), col("b"), rounds = 4)
       .groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_members"), min("node").as("min_member"))
@@ -503,12 +473,123 @@ object Graph2 {
               / CAST(total_w AS DOUBLE), 9) AS weighted_reciprocity
       FROM c CROSS JOIN nn CROSS JOIN t"""
 
+  // ---- g16: hop-bounded weighted shortest paths (trade routing) ----
+  // The routing primitive the family lacked: g04 says WHICH nodes
+  // connect, g13 how FAR by hops — this says how CHEAP. Over the
+  // directed nation trade graph with edge cost = the lane's average
+  // order-to-ship lag in MICRO-DAYS (exact integer division of the
+  // exact day-sum — both engines compute the identical BIGINT), the
+  // minimum total cost from every nation to every reachable nation
+  // over paths of ≤ 4 edges, plus the hop count of that cheapest
+  // route (ties to fewer hops). Body = GraftOps.shortestPaths — the
+  // verb packs (cost, hops) into one BIGINT (p = cost*8 + hops) so
+  // each Bellman-Ford relaxation is pure integer arithmetic
+  // (p + 8w + 1) and min(p) is an exact combinable aggregate: no
+  // floating point anywhere, the oracle replays all 4 unrolled
+  // rounds as chained CTEs bit-exact. The star-join edge build is
+  // the ONE fact-scale stage (g01's decomposition); every relaxation
+  // joins the |V|²-bounded dist frame against the aggregated edges.
+  val g16_shortest_paths: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey",
+      "l_shipdate")
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey",
+      "o_orderdate")
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val edges = li
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").cast("long").as("src"),
+        col("c_nationkey").cast("long").as("dst"))
+      .agg(expr(
+        "sum(datediff(l_shipdate, o_orderdate)) * 1000000L div count(1)")
+        .as("w"))
+      .filter(col("src") =!= col("dst"))
+    val nodes = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long").as("node"))
+    val sp = graft.api.GraftOps.shortestPaths(edges,
+      col("src"), col("dst"), col("w"), nodes, rounds = 4)
+    val names = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long").as("k"), col("n_name"))
+    sp.join(broadcast(names.select(col("k").as("src"),
+        col("n_name").as("src_nation"))), "src")
+      .join(broadcast(names.select(col("k").as("dst"),
+        col("n_name").as("dst_nation"))), "dst")
+      .select(col("src_nation"), col("dst_nation"),
+        col("cost").as("cost_micro_days"), col("hops"))
+      .orderBy("src_nation", "dst_nation")
+  }
+  val g16Sql: String = {
+    val relax = (k: Int) =>
+      s"""d$k AS (SELECT s, t, MIN(p) AS p FROM (
+            SELECT s, t, p FROM d${k - 1}
+            UNION ALL
+            SELECT d.s, e.dst AS t, d.p + 8 * e.w + 1 AS p
+            FROM d${k - 1} d JOIN e ON d.t = e.src) u
+          GROUP BY s, t)"""
+    s"""WITH e AS (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+               (CAST(SUM(datediff('day', o.o_orderdate, l.l_shipdate))
+                     AS BIGINT) * 1000000) // COUNT(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2 HAVING src <> dst),
+      d0 AS (SELECT n_nationkey AS s, n_nationkey AS t, CAST(0 AS BIGINT) AS p
+             FROM nation),
+      ${relax(1)}, ${relax(2)}, ${relax(3)}, ${relax(4)}
+      SELECT sn.n_name AS src_nation, dn.n_name AS dst_nation,
+             p // 8 AS cost_micro_days, p % 8 AS hops
+      FROM d4
+      JOIN nation sn ON s = sn.n_nationkey
+      JOIN nation dn ON t = dn.n_nationkey
+      ORDER BY src_nation, dst_nation"""
+  }
+
+  // ---- g17: hop-bounded closeness centrality (the hub ranking) ----
+  // Freeman's classic centrality over g16's routing fabric: which
+  // nation reaches the rest of the trade network CHEAPEST? For every
+  // source, n_reached (destinations within 4 hops, self excluded) and
+  // the exact BIGINT total micro-day cost of the cheapest routes;
+  // closeness = n_reached / total_cost (the standard definition, one
+  // IEEE division rounded 1e-9 — on a hop-bounded graph it already
+  // penalizes unreachable nodes by shrinking n_reached). Body reuses
+  // GraftOps.shortestPaths on g16's edge build, so the distance fabric
+  // is computed once per plan and this is one |V|²-bounded aggregate
+  // on top; the oracle replays the same Bellman-Ford CTE chain and
+  // aggregates identically. Ranking on (closeness DESC, name) is a
+  // total order — engine-exact.
+  val g17_closeness: Q = (s, d) => {
+    val sp = g16_shortest_paths(s, d)
+    sp.filter(col("src_nation") =!= col("dst_nation"))
+      .groupBy(col("src_nation").as("nation"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum("cost_micro_days").as("total_cost"))
+      .withColumn("closeness", round(
+        col("n_reached").cast("double")
+          / col("total_cost").cast("double"), 9))
+      .orderBy(desc("closeness"), col("nation"))
+  }
+  val g17Sql: String =
+    s"""WITH sp AS (${g16Sql.replace("ORDER BY src_nation, dst_nation", "")})
+       SELECT src_nation AS nation, COUNT(*) AS n_reached,
+              CAST(SUM(cost_micro_days) AS BIGINT) AS total_cost,
+              round(CAST(COUNT(*) AS DOUBLE)
+                / CAST(SUM(cost_micro_days) AS DOUBLE), 9) AS closeness
+       FROM sp WHERE src_nation <> dst_nation
+       GROUP BY src_nation
+       ORDER BY closeness DESC, nation"""
+
   val queries: Map[String, Q] = Map(
     "g11_hits"       -> g11_hits,
     "g12_kcore"      -> g12_kcore,
     "g13_khop_reach" -> g13_khop_reach,
     "g14_label_propagation" -> g14_label_propagation,
     "g15_dyad_census" -> g15_dyad_census,
+    "g16_shortest_paths" -> g16_shortest_paths,
+    "g17_closeness"  -> g17_closeness,
   )
   val oracles: Map[String, String] = Map(
     "g11_hits"       -> g11Sql,
@@ -516,5 +597,7 @@ object Graph2 {
     "g13_khop_reach" -> g13Sql,
     "g14_label_propagation" -> g14Sql,
     "g15_dyad_census" -> g15Sql,
+    "g16_shortest_paths" -> g16Sql,
+    "g17_closeness"  -> g17Sql,
   )
 }

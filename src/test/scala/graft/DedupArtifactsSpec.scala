@@ -39,7 +39,9 @@ class DedupArtifactsSpec extends AnyFunSuite {
         "p01_corpus_clean"  -> ((s, d) => SparkEntry.queries("p01_corpus_clean")(s, d)),
         "p15_stage_ledger"  -> ((s, d) => SparkEntry.queries("p15_stage_ledger")(s, d)),
         "t41_bpe_encode"    -> ((s, d) => SparkEntry.queries("t41_bpe_encode")(s, d)),
-        "t43_dedup_token_yield" -> ((s, d) => SparkEntry.queries("t43_dedup_token_yield")(s, d)))
+        "t43_dedup_token_yield" -> ((s, d) => SparkEntry.queries("t43_dedup_token_yield")(s, d)),
+        "d24_lsh_recall"    -> ((s, d) => SparkEntry.queries("d24_lsh_recall")(s, d)),
+        "d30_shingle_sensitivity" -> ((s, d) => SparkEntry.queries("d30_shingle_sensitivity")(s, d)))
     val inline = routed.map { case (n, fn) => n -> rows(fn(spark, sf)) }.toMap
     api.GraftOps.releaseCaches(); spark.catalog.clearCache()
     withArtifacts {

@@ -2452,6 +2452,42 @@ class GraphSpec extends AnyFunSuite {
     graft.api.GraftOps.releaseCaches()
   }
 
+  test("g16 shortestPaths: Bellman-Ford exact costs, ties to fewer hops, hop bound") {
+    import org.apache.spark.sql.functions._
+    // toy digraph with a known answer:
+    //   1->2 (10), 2->3 (10), 1->3 (25): cheapest 1->3 is 20 via 2 hops
+    //   1->4 (5), 4->5 (5), 1->5 (10): COST TIE at 10 — must pick 1 hop
+    //   chain 1->2->3->6->7 (len 4) reachable at rounds=4, not rounds=2
+    val toy = spark.createDataFrame(Seq(
+      (1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 25L),
+      (1L, 4L, 5L), (4L, 5L, 5L), (1L, 5L, 10L),
+      (3L, 6L, 1L), (6L, 7L, 1L))).toDF("s", "d", "w")
+    val sp = graft.api.GraftOps
+      .shortestPaths(toy, col("s"), col("d"), col("w"), rounds = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("cost"), r.getAs[Long]("hops"))).toMap
+    assert(sp((1L, 3L)) == (20L, 2L), s"relaxation missed: ${sp((1L, 3L))}")
+    assert(sp((1L, 5L)) == (10L, 1L), s"cost tie must go to fewer hops")
+    assert(sp((1L, 7L)) == (22L, 4L), s"4-hop chain: ${sp.get((1L, 7L))}")
+    assert(sp((1L, 1L)) == (0L, 0L), "a source reaches itself at cost 0")
+    val sp2 = graft.api.GraftOps
+      .shortestPaths(toy, col("s"), col("d"), col("w"), rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!sp2.contains((1L, 7L)), "hop bound must exclude 4-hop paths")
+    // explicit sources frame restricts the output rows
+    val one = spark.createDataFrame(Seq(Tuple1(1L))).toDF("n")
+    val sp1 = graft.api.GraftOps
+      .shortestPaths(toy, col("s"), col("d"), col("w"), one, rounds = 4)
+    assert(sp1.select("src").distinct().collect().map(_.getLong(0)).toSeq
+      == Seq(1L))
+    intercept[IllegalArgumentException] {
+      graft.api.GraftOps.shortestPaths(toy, col("s"), col("d"), col("w"),
+        rounds = 8)
+    }
+    graft.api.GraftOps.releaseCaches()
+  }
+
   test("e61 funnel CI: Wilson bounds bracket the rate and tighten with n") {
     val rows = operators.Events8.e61_funnel_ci(spark, sf).collect()
     assert(rows.length == 2)

@@ -144,6 +144,12 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val prApi = GraftOps.pagerank(spark.table("wedges_sql_v"),
       col("a"), col("b"), col("w"), iters = 2).orderBy("node")
     assert(prSql.collect().toSeq == prApi.collect().toSeq)
+    val spSql = spark.sql(
+      """SELECT * FROM graft_shortest_paths('wedges_sql_v', 'a', 'b', 'w', 3)
+         ORDER BY src, dst""")
+    val spApi = GraftOps.shortestPaths(spark.table("wedges_sql_v"),
+      col("a"), col("b"), col("w"), rounds = 3).orderBy("src", "dst")
+    assert(spSql.collect().toSeq == spApi.collect().toSeq)
   }
 
   test("survival + trend TVFs pin their plumbing against the verbs") {

@@ -607,5 +607,16 @@ class TransformSpecSpec extends AnyFunSuite {
         iters = 2)
       .orderBy("node").collect().map(_.mkString("|"))
     assert(gotPr.sameElements(wantPr))
+    val gotSp = TransformSpec.run(
+      """{"source": "e", "steps": [
+        {"op": "withColumn", "name": "w", "expr": "1"},
+        {"op": "shortestPaths", "src": "a", "dst": "b", "weight": "w",
+         "rounds": 2},
+        {"op": "orderBy", "cols": ["src", "dst"]}]}""",
+      Map("e" -> edges)).collect().map(_.mkString("|"))
+    val wantSp = GraftOps.shortestPaths(edges.withColumn("w", lit(1)),
+        col("a"), col("b"), col("w"), rounds = 2)
+      .orderBy("src", "dst").collect().map(_.mkString("|"))
+    assert(gotSp.sameElements(wantSp))
   }
 }

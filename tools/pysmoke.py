@@ -256,6 +256,14 @@ lpa = {r.node: r.lbl for r in
 assert len({lpa[n] for n in (1, 2, 3, 4)}) == 1, lpa
 assert {lpa[5], lpa[6]}.isdisjoint({lpa[n] for n in (1, 2, 3, 4)}), lpa
 
+# 6n. shortest_paths: cost-tie resolves to fewer hops, bit-exact ints
+wedges = spark.createDataFrame(
+    [(1, 2, 10), (2, 3, 10), (1, 3, 25), (1, 4, 5), (4, 5, 5), (1, 5, 10)],
+    ["s", "d", "w"])
+sp = {(r.src, r.dst): (r.cost, r.hops) for r in
+      graft.shortest_paths(spark, wedges, "s", "d", "w").collect()}
+assert sp[(1, 3)] == (20, 2) and sp[(1, 5)] == (10, 1), sp
+
 # 6k. kaplan_meier: risk sets conserved against an independent count
 km = graft.kaplan_meier(spark, events, "user_id", "ts",
                         "event_type = 'purchase'").orderBy("t").collect()
@@ -328,6 +336,30 @@ graft.dedup_artifacts(spark, old_docs, "doc_id", "text", inc_path)
 upd = graft.update_dedup_artifacts(spark, new_docs, "doc_id", "text", inc_path)
 arts2 = {r.artifact: r.n_rows for r in upd.collect()}
 assert arts2["labels"] == docs.count() and arts2["manifest"] == docs.count()
+
+# graph artifacts from python: project once, edge threshold holds,
+# incremental update refuses replayed baskets and ingests new ones
+li = spark.read.parquet(f"{sf}/lineitem.parquet")
+gart = tempfile.mkdtemp(prefix="graft_pygraph") + "/g"
+half = li.where("l_orderkey % 2 = 0")
+gsum = graft.graph_artifacts(spark, half, "l_orderkey", "l_partkey", gart)
+garts = {r.artifact: r.n_rows for r in gsum.collect()}
+assert set(garts) == {"pairs", "cc_labels", "baskets"}, garts
+gp = graft.snapshot_read(spark, gart + "/pairs")
+assert gp.count() == garts["pairs"]
+assert gp.where("w >= 2").count() >= garts["cc_labels"] / 2  # a<b edges cover nodes
+assert graft.snapshot_read(spark, gart + "/cc_labels").columns == [
+    "node", "cluster_id"]
+try:
+    graft.update_graph_artifacts(spark, half, "l_orderkey", "l_partkey", gart)
+    raise AssertionError("replayed baskets must be refused")
+except Exception as e:
+    assert "whole-basket" in str(e), e
+upd = {r.artifact: r.n_rows for r in graft.update_graph_artifacts(
+    spark, li.where("l_orderkey % 2 = 1"), "l_orderkey", "l_partkey",
+    gart).collect()}
+assert upd["baskets"] == li.select("l_orderkey").distinct().count(), upd
+assert upd["pairs"] >= garts["pairs"]
 
 # persisted ANN index from python: exact at nprobe=k, self at rank 1
 emb = spark.read.parquet(f"{sf}/embeddings.parquet")
