@@ -7,20 +7,22 @@ import org.apache.spark.sql.functions._
   * [[GraftOps.graphArtifacts]]) — the [[DedupArtifactStore]] convention
   * applied to the graph-analytics family.
   *
-  * Ten of the graph analytics (co-purchase top pairs, triangle census,
-  * connected components, degree diagnostics, link prediction,
-  * modularity, assortativity, k-core, k-hop reach, label propagation)
-  * start from the SAME fact-scale stage: project the co-purchase graph
-  * from the order baskets. Per-query that plan is right; per RUN it is
-  * the recompute anti-pattern the dedup family already retired — a
-  * production job projects the graph ONCE and every analytic iterates
-  * over the metadata-sized edge table. When the session conf
-  * `graft.graph.artifacts` names a base directory AND the tables exist,
-  * consumers read them; otherwise they compute inline exactly as before
-  * (the correctness gate runs the inline path; GraphArtifactsSpec pins
-  * the two routes equal).
+  * Fifteen of the graph analytics share two fact-scale stages. The
+  * UNDIRECTED ten (co-purchase top pairs, triangle census, connected
+  * components, degree diagnostics, link prediction, modularity,
+  * assortativity, k-core, k-hop reach, label propagation) project the
+  * co-purchase graph from the order baskets; the DIRECTED five
+  * (pagerank, HITS, dyad census, shortest paths, closeness) collapse
+  * the same lineitem star join to nation trade lanes. Per-query those
+  * plans are right; per RUN they are the recompute anti-pattern the
+  * dedup family already retired — a production job projects each graph
+  * ONCE and every analytic iterates over the metadata-sized edge
+  * table. When the session conf `graft.graph.artifacts` names a base
+  * directory AND the tables exist, consumers read them; otherwise they
+  * compute inline exactly as before (the correctness gate runs the
+  * inline path; GraphArtifactsSpec pins the two routes equal).
   *
-  * Layout: `base/<corpus-key>/{pairs,cc_labels,baskets}` where
+  * Layout: `base/<corpus-key>/{pairs,cc_labels,baskets,trade}` where
   * corpus-key is the sanitized fact directory — artifacts from one
   * scale factor are never served to queries over another. The cc
   * labels need no algorithm key: both `graft.graph.cc` routes emit the
@@ -71,6 +73,38 @@ object GraphArtifactStore {
   def ccLabelsIfPresent(s: SparkSession, d: String): Option[DataFrame] =
     readIfPresent(s, d, "cc_labels")
 
+  /** The DIRECTED nation trade lanes (src, dst, n_ship, lag_day_sum) —
+    * the graph family's second shared fact-scale stage: five analytics
+    * (g01 pagerank, g11 HITS, g15 dyad census, g16 shortest paths,
+    * g17 closeness) all collapse the same lineitem⋈orders⋈customer⋈
+    * supplier star join to nation-pair lanes and differ only in the
+    * weight they derive (shipment count vs exact lag-sum ratios).
+    * Reads the `trade` artifact when routed, else computes the star
+    * join inline — bit-identical either way (exact BIGINT count and
+    * day-sum).
+    */
+  def tradeLanes(s: SparkSession, d: String): DataFrame =
+    readIfPresent(s, d, "trade").getOrElse(tradeLanesInline(s, d))
+
+  private def tradeLanesInline(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables
+    Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)
+          .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)
+          .select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").cast("long").as("src"),
+        col("c_nationkey").cast("long").as("dst"))
+      .agg(count(lit(1)).as("n_ship"),
+        sum(datediff(col("l_shipdate"), col("o_orderdate")))
+          .as("lag_day_sum"))
+  }
+
   /** Build the artifact pair for the order-basket fact table at `d`
     * into the conf-resolved location (idempotent: skipped when already
     * built). Requires `graft.graph.artifacts` to be set. Returns the
@@ -81,8 +115,14 @@ object GraphArtifactStore {
     val loc = location(s, d).getOrElse(throw new IllegalStateException(
       "graft.graph.artifacts is not set — nothing to build into"))
     if (graft.sources.SnapshotTable.exists(s, s"$loc/pairs")) None
-    else Some(GraftOps.graphArtifacts(
-      graft.Tables.lineitem(s, d), col("l_orderkey"), col("l_partkey"),
-      loc, minWeight = MinWeight))
+    else {
+      val summary = GraftOps.graphArtifacts(
+        graft.Tables.lineitem(s, d), col("l_orderkey"), col("l_partkey"),
+        loc, minWeight = MinWeight)
+      // the directed-family analog: the trade star join paid once
+      graft.sources.SnapshotTable.create(tradeLanesInline(s, d),
+        s"$loc/trade")
+      Some(summary)
+    }
   }
 }

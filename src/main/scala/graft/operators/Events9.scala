@@ -86,7 +86,7 @@ object Events9 {
       .orderBy("arm")
   }
   val e65Sql: String =
-    """WITH u AS (
+    """WITH u AS MATERIALIZED (
         SELECT user_id,
           CAST(SUM(CASE WHEN day(ts) <= 15
             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)

@@ -69,18 +69,15 @@ object Graph {
   // query contributes the fact-scale edge build and the nation vertex
   // set, and its DuckDB hash compare pins the verb.
   val g01_pagerank: Q = (s, d) => {
-    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-    val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
-    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
-    val raw = li
-      .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+    // edge build = the shared trade-lane stage (artifact-routable);
+    // the verb's own (src, dst) re-aggregation of n_ship is the
+    // identity on the already-collapsed lanes, so artifact and inline
+    // routes feed pagerank the same exact BIGINT weights
+    val lanes = graft.api.GraphArtifactStore.tradeLanes(s, d)
     val nodes = Tables.nation(s, d)
       .select(col("n_nationkey").cast("long").as("node"))
-    val r3 = graft.api.GraftOps.pagerank(raw,
-      col("s_nationkey"), col("c_nationkey"), lit(1L), nodes, iters = 3)
+    val r3 = graft.api.GraftOps.pagerank(lanes,
+      col("src"), col("dst"), col("n_ship"), nodes, iters = 3)
     r3.join(broadcast(Tables.nation(s, d)
         .select(col("n_nationkey").cast("long").as("node"), col("n_name"))),
         "node")

@@ -36,17 +36,9 @@ object Graph2 {
   // g01's per-iteration round does. The DuckDB oracle replays both
   // iterations as chained CTEs and matches hash-exact.
   val g11_hits: Q = (s, d) => {
-    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-    val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
-    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
-    val edges = li
-      .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .groupBy(col("s_nationkey").cast("long").as("src"),
-        col("c_nationkey").cast("long").as("dst"))
-      .agg(count(lit(1)).as("w"))
+    // edge build = the shared trade-lane stage (artifact-routable)
+    val edges = graft.api.GraphArtifactStore.tradeLanes(s, d)
+      .select(col("src"), col("dst"), col("n_ship").as("w"))
       // persisted: 3 of the 4 inbound-sum joins below read the edge
       // table; without the barrier each would re-run the fact-scale
       // star join (the g01 lesson)
@@ -400,17 +392,9 @@ object Graph2 {
   // self-pair join on the ≤|V|² metadata-sized edge table. All counts
   // and weights exact integers; two IEEE divisions rounded 1e-9.
   val g15_dyad_census: Q = (s, d) => {
-    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-    val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
-    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
-    val edges = li
-      .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .groupBy(col("s_nationkey").cast("long").as("src"),
-        col("c_nationkey").cast("long").as("dst"))
-      .agg(count(lit(1)).as("w"))
+    // edge build = the shared trade-lane stage (artifact-routable)
+    val edges = graft.api.GraphArtifactStore.tradeLanes(s, d)
+      .select(col("src"), col("dst"), col("n_ship").as("w"))
       .filter(col("src") =!= col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fwd = edges.filter(col("src") < col("dst"))
@@ -490,21 +474,12 @@ object Graph2 {
   // the ONE fact-scale stage (g01's decomposition); every relaxation
   // joins the |V|²-bounded dist frame against the aggregated edges.
   val g16_shortest_paths: Q = (s, d) => {
-    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey",
-      "l_shipdate")
-    val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey",
-      "o_orderdate")
-    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
-    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
-    val edges = li
-      .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .groupBy(col("s_nationkey").cast("long").as("src"),
-        col("c_nationkey").cast("long").as("dst"))
-      .agg(expr(
-        "sum(datediff(l_shipdate, o_orderdate)) * 1000000L div count(1)")
-        .as("w"))
+    // edge build = the shared trade-lane stage (artifact-routable);
+    // the lane cost derives from the stored EXACT day-sum and count,
+    // so artifact and inline routes compute the identical BIGINT
+    val edges = graft.api.GraphArtifactStore.tradeLanes(s, d)
+      .select(col("src"), col("dst"),
+        expr("lag_day_sum * 1000000L div n_ship").as("w"))
       .filter(col("src") =!= col("dst"))
     val nodes = Tables.nation(s, d)
       .select(col("n_nationkey").cast("long").as("node"))
@@ -522,13 +497,13 @@ object Graph2 {
   }
   val g16Sql: String = {
     val relax = (k: Int) =>
-      s"""d$k AS (SELECT s, t, MIN(p) AS p FROM (
+      s"""d$k AS MATERIALIZED (SELECT s, t, MIN(p) AS p FROM (
             SELECT s, t, p FROM d${k - 1}
             UNION ALL
             SELECT d.s, e.dst AS t, d.p + 8 * e.w + 1 AS p
             FROM d${k - 1} d JOIN e ON d.t = e.src) u
           GROUP BY s, t)"""
-    s"""WITH e AS (
+    s"""WITH e AS MATERIALIZED (
         SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
                (CAST(SUM(datediff('day', o.o_orderdate, l.l_shipdate))
                      AS BIGINT) * 1000000) // COUNT(*) AS w
@@ -537,8 +512,8 @@ object Graph2 {
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
         GROUP BY 1, 2 HAVING src <> dst),
-      d0 AS (SELECT n_nationkey AS s, n_nationkey AS t, CAST(0 AS BIGINT) AS p
-             FROM nation),
+      d0 AS MATERIALIZED (SELECT n_nationkey AS s, n_nationkey AS t,
+               CAST(0 AS BIGINT) AS p FROM nation),
       ${relax(1)}, ${relax(2)}, ${relax(3)}, ${relax(4)}
       SELECT sn.n_name AS src_nation, dn.n_name AS dst_nation,
              p // 8 AS cost_micro_days, p % 8 AS hops
@@ -573,7 +548,7 @@ object Graph2 {
       .orderBy(desc("closeness"), col("nation"))
   }
   val g17Sql: String =
-    s"""WITH sp AS (${g16Sql.replace("ORDER BY src_nation, dst_nation", "")})
+    s"""WITH sp AS MATERIALIZED (${g16Sql.replace("ORDER BY src_nation, dst_nation", "")})
        SELECT src_nation AS nation, COUNT(*) AS n_reached,
               CAST(SUM(cost_micro_days) AS BIGINT) AS total_cost,
               round(CAST(COUNT(*) AS DOUBLE)

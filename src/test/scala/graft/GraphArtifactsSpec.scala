@@ -30,7 +30,10 @@ class GraphArtifactsSpec extends AnyFunSuite {
     val routed: Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)] =
       Seq("g02_copurchase", "g03_triangles", "g04_cc", "g05_degree_dist",
         "g06_link_prediction", "g08_modularity", "g09_assortativity",
-        "g12_kcore", "g13_khop_reach", "g14_label_propagation")
+        "g12_kcore", "g13_khop_reach", "g14_label_propagation",
+        // the directed family reads the `trade` lane artifact
+        "g01_pagerank", "g11_hits", "g15_dyad_census",
+        "g16_shortest_paths", "g17_closeness")
         .map(n => n -> SparkEntry.queries(n))
     val inline = routed.map { case (n, fn) => n -> rows(fn(spark, sf)) }.toMap
     api.GraftOps.releaseCaches(); spark.catalog.clearCache()
@@ -77,12 +80,17 @@ class GraphArtifactsSpec extends AnyFunSuite {
       assert(api.GraphArtifactStore.buildFor(spark, sf).isDefined)
       // second build: already present, skipped
       assert(api.GraphArtifactStore.buildFor(spark, sf).isEmpty)
-      // the two tables exist and the edge view threshold holds
+      // the tables exist and the edge view threshold holds
       val pairs = api.GraphArtifactStore.pairsIfPresent(spark, sf).get
       val edges = api.GraphArtifactStore.edgesIfPresent(spark, sf).get
       assert(pairs.columns.toSeq == Seq("a", "b", "w"))
       assert(edges.count() ==
         pairs.filter(org.apache.spark.sql.functions.col("w") >= 2).count())
+      // the directed trade-lane artifact landed with the build
+      assert(api.GraphArtifactStore.tradeLanes(spark, sf).columns.toSeq
+        == Seq("src", "dst", "n_ship", "lag_day_sum"))
+      assert(api.GraphArtifactStore
+        .readIfPresent(spark, sf, "trade").isDefined)
       // a DIFFERENT fact dir does not resolve to this build
       assert(api.GraphArtifactStore
         .readIfPresent(spark, sf + "_other", "pairs").isEmpty)
