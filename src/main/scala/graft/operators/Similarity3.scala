@@ -425,122 +425,74 @@ object Similarity3 {
         var_total, round(mse / var_total, 9) AS distortion_ratio
       FROM agg ORDER BY m"""
 
-  // ---- s27: MMR-diversified retrieval (the re-ranking stage) ----
-  // Maximal Marginal Relevance (Carbonell & Goldstein 1998) — the
-  // re-ranker every retrieval/RAG stack runs between ANN and the
-  // consumer: pure top-k returns near-duplicates of the best hit, MMR
-  // greedily picks argmax[λ·rel(c) − (1−λ)·max_{s∈selected} sim(c,s)]
-  // so each pick adds relevance AND novelty. Here: per query, an exact
-  // top-20 relevance pool (s01's broadcast-join recipe — at scale the
-  // pool comes from the ANN index instead, same downstream shape),
-  // then 5 greedy MMR rounds at λ=0.7.
+  // ---- s27: greedy k-center coreset (maxmin diverse selection) ----
+  // The data-curation selector the family lacked: s10 re-ranks ONE
+  // query's candidates (relevance vs redundancy), s11 shows each
+  // cluster's most central members — but "give me k exemplars that
+  // COVER the embedding space" (coreset for audit sets, few-shot
+  // pools, annotation budgets, active-learning seeds) is the k-center
+  // objective, and Gonzalez's greedy maxmin is its classic 2-approx:
+  // start from a deterministic seed, then repeatedly pick the point
+  // FARTHEST from everything selected so far (d(c,S) = 1 − max cos).
+  // The reported radius at each pick is the coverage curve — how far
+  // the worst-covered point sits after k exemplars, the number that
+  // says whether your audit sample actually spans the corpus.
   //
-  // Engine shape: the ONLY fact-scale stage is the pool build (corpus
-  // streams past broadcast queries); the pairwise-sim table and all 5
-  // greedy rounds run on pool-sized frames (queries × 20). The greedy
-  // argmax is engine-exact: cosine is the bit-identical double fold
-  // (s01's parity note), each round's score is one fixed-order IEEE
-  // expression with the 0.7/0.3 constants written LITERALLY in both
-  // engines (never 1−λ, whose double differs from the 0.3 literal),
-  // ranked on (round(score,9) DESC, vec_id) — a total order, so the
-  // selected SET and sequence replay exactly; the oracle unrolls the
-  // same 5 rounds as chained CTEs.
-  val s27_mmr_diversify: Q = (s, d) => {
+  // Engine shape: each of the 7 rounds is ONE corpus scan against the
+  // ≤k-row broadcast selected frame (the sanctioned crossJoin-of-
+  // metadata idiom), a combinable per-vector max, and a global
+  // TakeOrdered(1) argmax on the (round(dist,9) DESC, vec_id) total
+  // order — no pairwise corpus×corpus anything, and selected points
+  // eliminate themselves (their distance is exactly 0). Lineage is
+  // truncated per round (lazy localCheckpoint — the Pregel-by-joins
+  // discipline). Cosine is the bit-identical double fold (s01's parity
+  // note), so the greedy trajectory replays exactly; the oracle
+  // unrolls all rounds as chained MATERIALIZED CTEs.
+  val s27_kcenter_coreset: Q = (s, d) => {
     import graft.functions.cosine_sim
-    val e = Tables.embeddings(s, d)
-    val queries = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val wRel = Window.partitionBy("qid").orderBy(desc("rel"), col("vec_id"))
-    val pool = e.select(col("vec_id"), col("embedding").as("ce"))
-      .join(broadcast(queries), col("vec_id") =!= col("qid"))
-      .withColumn("rel", cosine_sim(col("qe"), col("ce")))
-      .withColumn("rk", row_number().over(wRel))
-      .filter(col("rk") <= 20)
-      .select("qid", "vec_id", "ce", "rel")
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = pool.as("x").join(pool.as("y"), "qid")
-      .where(col("x.vec_id") =!= col("y.vec_id"))
-      .select(col("qid"), col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        cosine_sim(col("x.ce"), col("y.ce")).as("sim"))
-    def pick1(scored: DataFrame, k: Int): DataFrame = {
-      val w = Window.partitionBy("qid").orderBy(desc("score"), col("vec_id"))
-      scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-        .select(col("qid"), col("vec_id"), lit(k.toLong).as("pick"),
-          col("score"))
+    val seed = e.orderBy("vec_id").limit(1)
+      .select(col("vec_id"), col("embedding"), lit(1L).as("pick"),
+        lit(null).cast("double").as("radius"))
+      .localCheckpoint(false)
+    val sel = (2 to 8).foldLeft(seed) { (selected, k) =>
+      val farthest = e
+        .crossJoin(broadcast(selected.select(col("embedding").as("se"))))
+        .select(col("vec_id"),
+          cosine_sim(col("embedding"), col("se")).as("c"))
+        .groupBy("vec_id")
+        .agg(round(lit(1.0) - max("c"), 9).as("dist"))
+        .orderBy(desc("dist"), col("vec_id")).limit(1)
+        .join(e, "vec_id")
+        .select(col("vec_id"), col("embedding"), lit(k.toLong).as("pick"),
+          col("dist").as("radius"))
+      selected.unionByName(farthest).localCheckpoint(false)
     }
-    val first = pick1(
-      pool.withColumn("score", round(lit(0.7) * col("rel"), 9)), 1)
-    val sel = (2 to 5).foldLeft(first) { (selected, k) =>
-      val pen = pairs
-        .join(selected.select(col("qid"), col("vec_id").as("b")),
-          Seq("qid", "b"))
-        .groupBy(col("qid"), col("a").as("vec_id"))
-        .agg(max("sim").as("pen"))
-      val scored = pool
-        .join(selected.select("qid", "vec_id"), Seq("qid", "vec_id"),
-          "left_anti")
-        .join(pen, Seq("qid", "vec_id"))
-        .withColumn("score",
-          round(lit(0.7) * col("rel") - lit(0.3) * col("pen"), 9))
-      selected.unionByName(pick1(scored, k))
-    }
-    sel.join(pool.select("qid", "vec_id", "rel"), Seq("qid", "vec_id"))
-      .select(col("qid"), col("pick"), col("vec_id"),
-        round(col("rel"), 9).as("relevance"), col("score"))
-      .orderBy("qid", "pick")
+    sel.select(col("pick"), col("vec_id"), col("radius")).orderBy("pick")
   }
   val s27Sql: String = {
-    val round2to5 = (2 to 5).map { k =>
-      s"""n$k AS MATERIALIZED (SELECT qid, vec_id, CAST($k AS BIGINT) AS pick, score
-           FROM (SELECT p.qid, p.vec_id,
-                   round(0.7 * p.rel - 0.3 * mx.pen, 9) AS score,
-                   row_number() OVER (PARTITION BY p.qid
-                     ORDER BY round(0.7 * p.rel - 0.3 * mx.pen, 9) DESC,
-                       p.vec_id) AS rk
-                 FROM pool p
-                 JOIN (SELECT pr.qid, pr.a AS vec_id, MAX(pr.sim) AS pen
-                       FROM pairs pr
-                       JOIN s${k - 1} s ON pr.qid = s.qid AND pr.b = s.vec_id
-                       GROUP BY 1, 2) mx
-                   ON p.qid = mx.qid AND p.vec_id = mx.vec_id
-                 WHERE NOT EXISTS (SELECT 1 FROM s${k - 1} s
-                   WHERE s.qid = p.qid AND s.vec_id = p.vec_id))
-           WHERE rk = 1),
+    val rounds = (2 to 8).map { k =>
+      s"""n$k AS MATERIALIZED (SELECT f.vec_id, e.ce,
+             CAST($k AS BIGINT) AS pick, f.dist AS radius
+           FROM (SELECT e.vec_id, round(1.0 - MAX(
+                   list_dot_product(e.ce, s.ce)
+                     / (sqrt(list_dot_product(e.ce, e.ce))
+                        * sqrt(list_dot_product(s.ce, s.ce)))), 9) AS dist
+                 FROM e CROSS JOIN s${k - 1} s
+                 GROUP BY e.vec_id
+                 ORDER BY dist DESC, e.vec_id LIMIT 1) f
+           JOIN e ON f.vec_id = e.vec_id),
          s$k AS MATERIALIZED (SELECT * FROM s${k - 1}
            UNION ALL SELECT * FROM n$k)"""
     }.mkString(",\n")
     s"""WITH e AS MATERIALIZED (SELECT vec_id,
           CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
-      q AS MATERIALIZED (SELECT vec_id AS qid, ce AS qe FROM e
-        WHERE vec_id < 5),
-      scored AS (SELECT q.qid, e.vec_id, e.ce,
-          list_dot_product(qe, ce)
-            / (sqrt(list_dot_product(qe, qe))
-               * sqrt(list_dot_product(ce, ce))) AS rel
-        FROM e JOIN q ON e.vec_id <> q.qid),
-      pool AS MATERIALIZED (SELECT qid, vec_id, ce, rel FROM (
-          SELECT *, row_number() OVER (PARTITION BY qid
-            ORDER BY rel DESC, vec_id) AS rk FROM scored)
-        WHERE rk <= 20),
-      pairs AS MATERIALIZED (SELECT x.qid, x.vec_id AS a, y.vec_id AS b,
-          list_dot_product(x.ce, y.ce)
-            / (sqrt(list_dot_product(x.ce, x.ce))
-               * sqrt(list_dot_product(y.ce, y.ce))) AS sim
-        FROM pool x JOIN pool y
-          ON x.qid = y.qid AND x.vec_id <> y.vec_id),
-      s1 AS MATERIALIZED (SELECT qid, vec_id, CAST(1 AS BIGINT) AS pick,
-          score FROM (
-          SELECT qid, vec_id, round(0.7 * rel, 9) AS score,
-            row_number() OVER (PARTITION BY qid
-              ORDER BY round(0.7 * rel, 9) DESC, vec_id) AS rk
-          FROM pool)
-        WHERE rk = 1),
-      $round2to5
-      SELECT sel.qid, sel.pick, sel.vec_id,
-        round(p.rel, 9) AS relevance, sel.score
-      FROM s5 sel JOIN pool p
-        ON sel.qid = p.qid AND sel.vec_id = p.vec_id
-      ORDER BY sel.qid, sel.pick"""
+      s1 AS MATERIALIZED (SELECT vec_id, ce, CAST(1 AS BIGINT) AS pick,
+          CAST(NULL AS DOUBLE) AS radius
+        FROM e ORDER BY vec_id LIMIT 1),
+      $rounds
+      SELECT pick, vec_id, radius FROM s8 ORDER BY pick"""
   }
 
   val queries: Map[String, Q] = Map(
@@ -549,7 +501,7 @@ object Similarity3 {
     "s24_norm_audit" -> s24_norm_audit,
     "s25_intrinsic_dim" -> s25_intrinsic_dim,
     "s26_pq_distortion" -> s26_pq_distortion,
-    "s27_mmr_diversify" -> s27_mmr_diversify,
+    "s27_kcenter_coreset" -> s27_kcenter_coreset,
   )
   val oracles: Map[String, String] = Map(
     "s22_ood_audit" -> s22Sql,
@@ -557,6 +509,6 @@ object Similarity3 {
     "s24_norm_audit" -> s24Sql,
     "s25_intrinsic_dim" -> s25Sql,
     "s26_pq_distortion" -> s26Sql,
-    "s27_mmr_diversify" -> s27Sql,
+    "s27_kcenter_coreset" -> s27Sql,
   )
 }
