@@ -82,8 +82,16 @@ object Bench {
     // bench the inline (per-query recompute) regime instead. Correctness
     // of the routed path vs inline is spec-pinned (DedupArtifactsSpec),
     // and Verify always runs inline.
+    // full runs default to the artifact regime; subset runs
+    // (SPARK_GRAFT_ONLY) default to inline so targeted loops don't pay
+    // the build, with SPARK_GRAFT_ARTIFACTS=1 as the explicit opt-in
+    val wantArtifacts = sys.env.get("SPARK_GRAFT_ARTIFACTS") match {
+      case Some("0") => false
+      case Some(_)   => true
+      case None      => only.isEmpty
+    }
     val artifactSec: Double =
-      if (only.isEmpty && sys.env.get("SPARK_GRAFT_ARTIFACTS").forall(_ != "0")) {
+      if (wantArtifacts) {
         val dir = java.nio.file.Files
           .createTempDirectory("graft_bench_artifacts").toString
         spark.conf.set("graft.dedup.artifacts", dir)
