@@ -471,6 +471,15 @@ def iceberg_read(spark, path, snapshot_id=-1):
     return _wrap(spark, jdf)
 
 
+def hudi_read(spark, path, as_of=""):
+    """Read-only Apache Hudi COPY_ON_WRITE snapshot read (public
+    storage layout: completed-commit timeline + latest file slice per
+    group; time travel via the ``as_of`` instant timestamp)."""
+    jdf = _jvm(spark).graft.sources.HudiRead.read(
+        spark._jsparkSession, path, str(as_of))
+    return _wrap(spark, jdf)
+
+
 def verb(spark, name, df, *args):
     """Generic escape hatch: call any GraftOps verb by name.
 

@@ -269,6 +269,16 @@ object SqlSurface {
       case args => throw new IllegalArgumentException(
         s"graft_iceberg_read(path[, snapshot_id]): got ${args.size} args")
     },
+    "graft_hudi_read" -> {
+      case Seq(p) =>
+        plan(graft.sources.HudiRead.read(SparkSession.active,
+          str(p, "path")))
+      case Seq(p, ts) =>
+        plan(graft.sources.HudiRead.read(SparkSession.active,
+          str(p, "path"), str(ts, "asOfInstant")))
+      case args => throw new IllegalArgumentException(
+        s"graft_hudi_read(path[, as_of_instant]): got ${args.size} args")
+    },
     "graft_bpe_tokens" -> {
       case Seq(t, id, tx, n) =>
         val tb = table(str(t, "table"))

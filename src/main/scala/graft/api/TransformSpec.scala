@@ -101,9 +101,14 @@ object TransformSpec {
             graft.sources.IcebergRead.read(spark, pp, v.toLong)
           case _ => graft.sources.IcebergRead.read(spark, p)
         }
+        case Array("hudi", p) => p.split("@") match {
+          case Array(pp, ts) if ts.forall(_.isDigit) && ts.nonEmpty =>
+            graft.sources.HudiRead.read(spark, pp, ts)
+          case _ => graft.sources.HudiRead.read(spark, p)
+        }
         case _ => throw new IllegalArgumentException(
-          s"unknown source '$name': not in the catalog, and inline " +
-            "sources use parquet:/csv:/json:/orc:/snapshot:/delta:/iceberg: prefixes")
+          s"unknown source '$name': not in the catalog, and inline sources " +
+            "use parquet:/csv:/json:/orc:/snapshot:/delta:/iceberg:/hudi: prefixes")
       }
     })
 

@@ -1,0 +1,128 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.jdk.CollectionConverters._
+
+/** Read-only Apache Hudi COPY_ON_WRITE table reader — the third
+  * open-table-format interop leg next to [[DeltaRead]] and
+  * [[IcebergRead]], built purely from the PUBLIC Hudi storage layout
+  * (hudi.apache.org/docs — timeline + base-file naming):
+  *
+  *   - `.hoodie/hoodie.properties` declares the table (java
+  *     properties; `hoodie.table.type` must be COPY_ON_WRITE);
+  *   - the timeline is the set of `.hoodie/<instantTs>.commit` files —
+  *     a commit is COMPLETED only when that exact name exists
+  *     (`.commit.requested` / `.commit.inflight` are in-flight states
+  *     and are ignored, which is what gives readers snapshot
+  *     isolation against concurrent writers);
+  *   - each completed commit's JSON (`partitionToWriteStats`) lists the
+  *     base files it wrote as (partition → [{fileId, path, ...}]);
+  *   - COW queries resolve FILE SLICES: within a (partition, fileId)
+  *     file group, only the base file written by the LATEST completed
+  *     instant ≤ the as-of instant is live — an upsert rewrites the
+  *     whole group under the same fileId with a newer instant, so
+  *     older slices are shadowed, never merged.
+  *
+  * Scope and non-goals (loudly enforced):
+  *   - COPY_ON_WRITE only: MERGE_ON_READ requires log-file merging at
+  *     read time — REFUSED rather than misread (delta commits would
+  *     surface stale base files as current);
+  *   - `replacecommit` instants (clustering / insert_overwrite replace
+  *     whole file groups OUT of line with the fileId-shadowing rule) —
+  *     REFUSED;
+  *   - time travel by instant timestamp (Hudi instants are zero-padded
+  *     numeric strings, so lexicographic ≤ is the spec ordering);
+  *   - Hudi's five `_hoodie_*` meta columns are dropped from the
+  *     result (the payload schema is what an analytics consumer
+  *     wants); no writes, no column-stats skipping (COW commit
+  *     metadata carries row counts, not column bounds — skipping
+  *     belongs to the metadata-table readers).
+  *
+  * Timeline and commit JSON are driver-side KB-sized reads (the budget
+  * Hudi's own planner spends); the data files are one distributed
+  * parquet scan.
+  */
+object HudiRead {
+  private val om = new ObjectMapper()
+
+  private val MetaCols = Seq("_hoodie_commit_time", "_hoodie_commit_seqno",
+    "_hoodie_record_key", "_hoodie_partition_path", "_hoodie_file_name")
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val Completed = """(\d+)\.commit""".r
+  private val Replace   = """(\d+)\.replacecommit""".r
+
+  private def props(spark: SparkSession, path: String)
+      : java.util.Properties = {
+    val p = new Path(path, ".hoodie/hoodie.properties")
+    val f = fs(spark, path)
+    require(f.exists(p), s"$path has no .hoodie/hoodie.properties — " +
+      "not a Hudi table")
+    val in = f.open(p)
+    val pr = new java.util.Properties()
+    try pr.load(in) finally in.close()
+    pr
+  }
+
+  private final case class Slice(partition: String, fileId: String,
+                                 instant: String, path: String)
+
+  /** Live base files at `asOf` ("" = latest): latest completed slice
+    * per (partition, fileId) file group.
+    */
+  private def liveSlices(spark: SparkSession, path: String,
+                         asOf: String): Seq[Slice] = {
+    val f = fs(spark, path)
+    val timeline = f.listStatus(new Path(path, ".hoodie"))
+      .map(_.getPath.getName)
+    timeline.foreach {
+      case Replace(ts) => throw new IllegalArgumentException(
+        s"$path: replacecommit $ts in the timeline (clustering / " +
+          "insert_overwrite replaces file groups out of line with the " +
+          "fileId-shadowing rule) — this read-only planner refuses " +
+          "rather than misreading")
+      case _ => ()
+    }
+    val completed = timeline.collect { case Completed(ts) => ts }
+      .filter(ts => asOf.isEmpty || ts <= asOf).sorted
+    require(completed.nonEmpty,
+      s"$path: no completed commit" +
+        (if (asOf.nonEmpty) s" at or before instant $asOf" else ""))
+    val slices = completed.flatMap { ts =>
+      val in = f.open(new Path(path, s".hoodie/$ts.commit"))
+      val node =
+        try om.readTree(new String(in.readAllBytes(), "UTF-8"))
+        finally in.close()
+      node.path("partitionToWriteStats").properties().asScala.flatMap { e =>
+        e.getValue.elements().asScala.map { ws =>
+          Slice(e.getKey, ws.path("fileId").asText(), ts,
+            ws.path("path").asText())
+        }
+      }
+    }
+    slices.groupBy(s => (s.partition, s.fileId))
+      .values.map(_.maxBy(_.instant)).toSeq.sortBy(_.path)
+  }
+
+  /** The table as a DataFrame at instant `asOf` ("" = latest snapshot).
+    * Hudi meta columns are dropped; COW base files carry every payload
+    * column (including partition fields), so no hive-layout recovery
+    * is needed.
+    */
+  def read(spark: SparkSession, path: String, asOf: String = "")
+      : DataFrame = {
+    val pr = props(spark, path)
+    val tpe = pr.getProperty("hoodie.table.type", "COPY_ON_WRITE")
+    require(tpe == "COPY_ON_WRITE",
+      s"$path: hoodie.table.type=$tpe — MERGE_ON_READ needs log-file " +
+        "merging at read time; this COW-only planner refuses rather " +
+        "than surface stale base files")
+    val slices = liveSlices(spark, path, asOf)
+    val df = spark.read.parquet(slices.map(s => s"$path/${s.path}"): _*)
+    df.drop(MetaCols: _*)
+  }
+}

@@ -1,0 +1,145 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Read-only Hudi COW interop against a hand-built table using purely
+  * the PUBLIC storage layout: a 2-commit timeline where the second
+  * commit rewrites one file group (fileId shadowing), an inflight
+  * commit that must stay invisible, instant time travel, meta-column
+  * dropping, and the MERGE_ON_READ / replacecommit refusal gates.
+  */
+class HudiReadSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import sources.HudiRead
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_hudi").toString + "/t"
+
+  /** One parquet base file named per Hudi's <fileId>_<token>_<instant>
+    * convention, carrying the standard meta columns like a real writer.
+    */
+  private def baseFile(dir: String, fileId: String, instant: String,
+                       df: org.apache.spark.sql.DataFrame): String = {
+    val name = s"${fileId}_0-0-0_$instant.parquet"
+    val withMeta = df
+      .withColumn("_hoodie_commit_time", lit(instant))
+      .withColumn("_hoodie_commit_seqno", lit(s"${instant}_0_1"))
+      .withColumn("_hoodie_record_key", col("k").cast("string"))
+      .withColumn("_hoodie_partition_path", lit(""))
+      .withColumn("_hoodie_file_name", lit(name))
+    val stage = Files.createTempDirectory("graft_hudi_stage").toString
+    withMeta.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath, Paths.get(dir, name),
+      StandardCopyOption.REPLACE_EXISTING)
+    name
+  }
+
+  private def properties(dir: String, tableType: String): Unit = {
+    val h = Paths.get(dir, ".hoodie")
+    Files.createDirectories(h)
+    Files.writeString(h.resolve("hoodie.properties"),
+      s"hoodie.table.name=t\nhoodie.table.type=$tableType\n" +
+        "hoodie.table.version=6\n")
+  }
+
+  private def commitJson(files: Seq[(String, String)]): String = {
+    val stats = files.map { case (fid, p) =>
+      s"""{"fileId":"$fid","path":"$p","prevCommit":"null",""" +
+        s""""numWrites":2,"fileSizeInBytes":1}"""
+    }.mkString(",")
+    s"""{"partitionToWriteStats":{"":[$stats]},"operation":"upsert"}"""
+  }
+
+  private def commit(dir: String, instant: String,
+                     files: Seq[(String, String)]): Unit =
+    Files.writeString(Paths.get(dir, ".hoodie", s"$instant.commit"),
+      commitJson(files))
+
+  private def rows(lo: Long, hi: Long, tag: String) =
+    spark.range(lo, hi).select(col("id").as("k"),
+      concat(lit(tag), col("id").cast("string")).as("v"))
+
+  /** commit 001 writes groups f1 (k 0-1) and f2 (k 10-11); commit 002
+    * REWRITES f1 (k 0-1 with new payloads) and adds f3 (k 20-21); an
+    * inflight 003 leaves a data file + .commit.inflight marker.
+    */
+  private def buildTable(): String = {
+    val dir = tmp()
+    Files.createDirectories(Paths.get(dir))
+    properties(dir, "COPY_ON_WRITE")
+    val f1a = baseFile(dir, "f1", "001", rows(0, 2, "old"))
+    val f2 = baseFile(dir, "f2", "001", rows(10, 12, "b"))
+    commit(dir, "001", Seq("f1" -> f1a, "f2" -> f2))
+    val f1b = baseFile(dir, "f1", "002", rows(0, 2, "new"))
+    val f3 = baseFile(dir, "f3", "002", rows(20, 22, "c"))
+    commit(dir, "002", Seq("f1" -> f1b, "f3" -> f3))
+    // in-flight writer: data landed, commit not completed
+    val f4 = baseFile(dir, "f4", "003", rows(30, 32, "x"))
+    Files.writeString(Paths.get(dir, ".hoodie", "003.commit.inflight"), "")
+    Files.writeString(Paths.get(dir, ".hoodie", "003.commit.requested"), "")
+    dir
+  }
+
+  private def asSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  test("COW snapshot: latest file slice per group, inflight invisible") {
+    val dir = buildTable()
+    val got = HudiRead.read(spark, dir)
+    // meta columns dropped, payload schema only
+    assert(got.columns.toSeq == Seq("k", "v"))
+    val want = asSet(rows(0, 2, "new")
+      .unionByName(rows(10, 12, "b")).unionByName(rows(20, 22, "c")))
+    assert(asSet(got) == want) // f1's 001 slice shadowed; f4 invisible
+  }
+
+  test("instant time travel reads the 001 snapshot") {
+    val dir = buildTable()
+    val got = HudiRead.read(spark, dir, asOf = "001")
+    assert(asSet(got) == asSet(rows(0, 2, "old").unionByName(rows(10, 12, "b"))))
+    intercept[IllegalArgumentException] {
+      HudiRead.read(spark, dir, asOf = "000") // before any commit
+    }
+  }
+
+  test("MERGE_ON_READ and replacecommit are refused loudly") {
+    val dir = buildTable()
+    properties(dir, "MERGE_ON_READ")
+    val e1 = intercept[IllegalArgumentException] {
+      HudiRead.read(spark, dir)
+    }
+    assert(e1.getMessage.contains("MERGE_ON_READ"))
+    properties(dir, "COPY_ON_WRITE")
+    Files.writeString(Paths.get(dir, ".hoodie", "004.replacecommit"),
+      """{"partitionToWriteStats":{}}""")
+    val e2 = intercept[IllegalArgumentException] {
+      HudiRead.read(spark, dir)
+    }
+    assert(e2.getMessage.contains("replacecommit"))
+  }
+
+  test("graft_hudi_read TVF serves the same snapshot from plain SQL") {
+    val dir = buildTable()
+    api.SqlSurface.install(spark)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_hudi_read('$dir')")
+      .head().getLong(0) == 6)
+    assert(spark
+      .sql(s"SELECT count(*) AS n FROM graft_hudi_read('$dir', '001')")
+      .head().getLong(0) == 4)
+  }
+
+  test("declarative jobs read hudi: sources with time travel") {
+    val dir = buildTable()
+    val got = api.TransformSpec.run(
+      s"""{"source": "hudi:$dir@001", "steps": [
+        {"op": "filter", "expr": "k < 5"},
+        {"op": "orderBy", "cols": ["k"]}]}""",
+      Map.empty[String, org.apache.spark.sql.DataFrame],
+      allowInlineSources = true)
+    assert(asSet(got) == asSet(rows(0, 2, "old")))
+  }
+}

@@ -395,6 +395,7 @@ with open(delta_dir + "/_delta_log/" + "0" * 20 + ".json", "w") as fh:
                               "maxValues": {"k": 19},
                               "nullCount": {"k": 0}})}}) + "\n")
 assert graft.delta_read(spark, delta_dir).count() == 20
+assert hasattr(graft, "hudi_read")  # COW reader (fixture-tested in sbt)
 assert graft.delta_read_where(spark, delta_dir, "k >= 15").count() == 5
 assert graft.delta_read_where(spark, delta_dir, "k > 100").count() == 0
 
