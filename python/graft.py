@@ -453,8 +453,12 @@ def delta_read_where(spark, path, predicate, version=-1):
     return _wrap(spark, jdf)
 
 
-def delta_create(spark, df, path):
-    """Create a Delta table (append-only writer; public protocol)."""
+def delta_create(spark, df, path, partition_by=None):
+    """Create a Delta table (append-only writer; public protocol).
+    ``partition_by`` declares hive-layout partition columns."""
+    if partition_by:
+        return _jvm(spark).graft.sources.DeltaWrite.create(
+            df._jdf, path, _to_seq(spark, list(partition_by)))
     return _jvm(spark).graft.sources.DeltaWrite.create(df._jdf, path)
 
 

@@ -220,7 +220,10 @@ object TransformSpec {
         val hasLog = new org.apache.hadoop.fs.Path(p, "_delta_log")
         val f = hasLog.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (f.exists(hasLog)) graft.sources.DeltaWrite.append(df, p)
-        else graft.sources.DeltaWrite.create(df, p)
+        else graft.sources.DeltaWrite.create(df, p,
+          // optional hive-layout partitioning for the create
+          if (step.has("partitionBy")) strings(step.path("partitionBy"))
+          else Nil)
         df
       case "snapshotUpsert" =>
         // MERGE by key; with appId+batchId it is the exactly-once

@@ -62,6 +62,13 @@ object DeltaRead {
     }.foldLeft(-1L)(math.max)
   }
 
+  /** Declared partition columns of the table (latest metaData action) —
+    * the writer's append-compatibility check reads this.
+    */
+  private[sources] def partitionColumns(spark: SparkSession,
+                                        path: String): Seq[String] =
+    replay(spark, path, -1L).partitionCols
+
   /** Snapshot the log at `version` (-1 = latest): schema + live files. */
   private def replay(spark: SparkSession, path: String,
                      version: Long): LogState = {

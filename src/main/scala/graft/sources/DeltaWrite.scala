@@ -29,10 +29,21 @@ import org.apache.spark.sql.types._
   * json is created by at most one writer", so racing appends produce a
   * loser who re-reads and retries rather than a clobbered log.
   *
-  * Non-goals: no partitioned writes, no checkpoints (readers replay the
-  * json log; Delta only REQUIRES checkpoints for compaction), no
-  * update/delete/merge (append-only), no schema evolution (appends must
-  * match the table schema exactly — loud refusal otherwise).
+  * Partitioned writes (round-6 continuation): `create(df, path, cols)`
+  * lands hive-layout data files (`p=v/part-*.parquet` — Spark's own
+  * partitionBy stage does the splitting and hive-encoding), declares
+  * `partitionColumns` in metaData, and carries each file's
+  * `partitionValues` map in its add action per the protocol (partition
+  * columns live ONLY in the directory/add action, never in the data
+  * files — exactly what protocol readers expect). Appends must match
+  * the table's declared partitioning. NULL partition values are
+  * refused loudly (the hive default-partition encoding is ambiguous
+  * across readers; a nullable partition key is a modeling bug anyway).
+  *
+  * Non-goals: no checkpoints (readers replay the json log; Delta only
+  * REQUIRES checkpoints for compaction), no update/delete/merge
+  * (append-only), no schema evolution (appends must match the table
+  * schema exactly — loud refusal otherwise).
   */
 object DeltaWrite {
   private val om = new ObjectMapper()
@@ -40,14 +51,20 @@ object DeltaWrite {
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Unpartitioned create — the py4j-friendly arity. */
+  def create(df: DataFrame, path: String): Long = create(df, path, Nil)
+
   /** Create the table: writes data files + commit 0. Fails if a log
-    * already exists.
+    * already exists. `partitionBy` declares hive-layout partitioning.
     */
-  def create(df: DataFrame, path: String): Long = {
+  def create(df: DataFrame, path: String,
+             partitionBy: Seq[String]): Long = {
     val spark = df.sparkSession
     require(!fs(spark, path).exists(new Path(path, "_delta_log")),
       s"$path already has a _delta_log — use append")
-    commit(df, path, 0L, withMeta = true)
+    partitionBy.foreach(c => require(df.columns.contains(c),
+      s"partition column $c not in ${df.columns.mkString(",")}"))
+    commit(df, path, 0L, withMeta = true, partitionBy)
   }
 
   /** Append a new segment as the next version. Optimistic concurrency:
@@ -63,15 +80,16 @@ object DeltaWrite {
     require(canonical(df.schema) == canonical(tableSchema),
       s"append schema ${df.schema.toDDL} != table schema " +
         s"${tableSchema.toDDL} (this writer does not evolve schemas)")
+    val partitionBy = DeltaRead.partitionColumns(spark, path)
     var version = cur + 1
     var attempts = 0
     var done = -1L
     var files: Seq[(String, Map[String, FileStats.ColStat])] = null
     while (done < 0) {
       require(attempts < 10, s"$path: lost the commit race 10 times")
-      if (files == null) files = writeSegment(df, path)
+      if (files == null) files = writeSegment(df, path, partitionBy)
       if (publish(spark, path, version, actionsFor(df.schema, files,
-          withMeta = false))) done = version
+          withMeta = false, partitionBy))) done = version
       else { attempts += 1; version = DeltaRead.latestVersion(spark, path) + 1 }
     }
     done
@@ -80,32 +98,65 @@ object DeltaWrite {
   private def canonical(st: StructType): Seq[(String, DataType)] =
     st.fields.toSeq.map(f => (f.name, f.dataType))
 
-  /** Write `df` as parquet files directly under the table root with
-    * Delta-style unique names; returns (relative path, footer stats).
+  /** Write `df` as parquet files under the table root with Delta-style
+    * unique names — hive partition directories when `partitionBy` is
+    * set (Spark's own partitionBy stage splits and hive-encodes; the
+    * files are then moved dir-for-dir) — returning (relative path,
+    * footer stats).
     */
-  private def writeSegment(df: DataFrame, path: String)
+  private def writeSegment(df: DataFrame, path: String,
+                           partitionBy: Seq[String])
       : Seq[(String, Map[String, FileStats.ColStat])] = {
     val spark = df.sparkSession
     val stage = new Path(path,
       s".stage-${java.util.UUID.randomUUID().toString}")
-    df.write.parquet(stage.toString)
+    if (partitionBy.isEmpty) df.write.parquet(stage.toString)
+    else df.write.partitionBy(partitionBy: _*).parquet(stage.toString)
     val f = fs(spark, path)
-    val parts = f.listStatus(stage).map(_.getPath)
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    def walk(p: Path): Seq[Path] = f.listStatus(p).toSeq.flatMap { s =>
+      if (s.isDirectory) walk(s.getPath)
+      else if (s.getPath.getName.endsWith(".parquet")) Seq(s.getPath)
+      else Seq.empty
+    }
+    val parts = walk(stage).sortBy(_.toString)
+    // listStatus returns scheme-qualified paths (file:/...) — qualify
+    // the stage prefix the same way before stripping
+    val stagePrefix = f.makeQualified(stage).toString
     val rels = parts.map { p =>
-      val rel = s"part-${java.util.UUID.randomUUID().toString}.parquet"
+      val relDir = f.makeQualified(p.getParent).toString
+        .stripPrefix(stagePrefix).stripPrefix("/")
+      require(!relDir.contains("__HIVE_DEFAULT_PARTITION__"),
+        s"NULL partition value in ${partitionBy.mkString(",")} — " +
+          "refused (the hive default-partition encoding is ambiguous " +
+          "across protocol readers)")
+      val name = s"part-${java.util.UUID.randomUUID().toString}.parquet"
+      val rel = if (relDir.isEmpty) name else s"$relDir/$name"
+      if (relDir.nonEmpty) f.mkdirs(new Path(path, relDir))
       require(f.rename(p, new Path(path, rel)), s"rename failed for $p")
       rel
-    }.toSeq
+    }
     f.delete(stage, true)
     val stats = FileStats.collect(spark, path, rels)
     rels.map(r => r -> stats.getOrElse(r, Map.empty))
   }
 
+  /** Hive-layout partition values of a relative file path, URL-decoded
+    * per the protocol's partitionValues map.
+    */
+  private def partitionValuesOf(rel: String): Seq[(String, String)] =
+    rel.split("/").dropRight(1).toSeq.map { seg =>
+      val Array(k, v) = seg.split("=", 2)
+      k -> java.net.URLDecoder.decode(v, "UTF-8")
+    }
+
   /** Render add/metaData/protocol actions as json lines. */
   private def actionsFor(schema: StructType,
                          files: Seq[(String, Map[String, FileStats.ColStat])],
-                         withMeta: Boolean): Seq[String] = {
+                         withMeta: Boolean,
+                         partitionBy: Seq[String] = Nil): Seq[String] = {
+    val partJson = om.writeValueAsString(
+      om.valueToTree[com.fasterxml.jackson.databind.JsonNode](
+        partitionBy.toArray))
     val head =
       if (!withMeta) Seq.empty
       else Seq(
@@ -113,10 +164,13 @@ object DeltaWrite {
         s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}",""" +
           s""""format":{"provider":"parquet","options":{}},""" +
           s""""schemaString":${om.writeValueAsString(schema.json)},""" +
-          s""""partitionColumns":[],"configuration":{},""" +
+          s""""partitionColumns":$partJson,"configuration":{},""" +
           s""""createdTime":0}}""")
     head ++ files.map { case (rel, st) =>
-      s"""{"add":{"path":"$rel","partitionValues":{},"size":1,""" +
+      val pv = om.createObjectNode()
+      partitionValuesOf(rel).foreach { case (k, v) => pv.put(k, v) }
+      s"""{"add":{"path":"$rel","partitionValues":${om
+          .writeValueAsString(pv)},"size":1,""" +
         s""""modificationTime":0,"dataChange":true""" +
         statsJson(schema, st).fold("")(j =>
           s""","stats":${om.writeValueAsString(j)}""") + "}}"
@@ -165,10 +219,11 @@ object DeltaWrite {
   }
 
   private def commit(df: DataFrame, path: String, version: Long,
-                     withMeta: Boolean): Long = {
-    val files = writeSegment(df, path)
+                     withMeta: Boolean,
+                     partitionBy: Seq[String] = Nil): Long = {
+    val files = writeSegment(df, path, partitionBy)
     require(publish(df.sparkSession, path, version,
-        actionsFor(df.schema, files, withMeta)),
+        actionsFor(df.schema, files, withMeta, partitionBy)),
       s"$path: version $version was committed concurrently")
     version
   }

@@ -210,6 +210,44 @@ class DeltaReadSpec extends AnyFunSuite {
     assert(DeltaRead.read(spark, dir, 0).count() == 100)
   }
 
+  test("DeltaWrite: partitioned create+append — hive layout, partitionValues, typed recovery") {
+    import sources.DeltaWrite
+    val dir = tmp()
+    val parted = (lo: Long, hi: Long) => range(lo, hi)
+      .withColumn("bucket", (col("k") % 3).cast("int"))
+    assert(DeltaWrite.create(parted(0, 30).coalesce(1), dir,
+      partitionBy = Seq("bucket")) == 0)
+    assert(DeltaWrite.append(parted(30, 60).coalesce(1), dir) == 1)
+    val back = DeltaRead.read(spark, dir)
+    assert(back.count() == 60)
+    assert(back.schema("bucket").dataType.typeName == "integer",
+      "partition column must come back with its declared type")
+    assert(back.filter(col("bucket") === 1).count() == 20)
+    assert(back.agg(sum("k")).head().getLong(0) == (0L until 60).sum)
+    // hive layout on disk: data files live under bucket=N dirs and do
+    // NOT carry the partition column
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("bucket="))
+    assert(files.length == 3, s"expected 3 partition dirs: ${files.toSeq}")
+    val one = new java.io.File(dir, "bucket=0").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    assert(!spark.read.parquet(one.toString).columns.contains("bucket"))
+    // the add actions carry the partitionValues map (protocol readers
+    // plan partitions from the LOG, not a directory listing)
+    val log = java.nio.file.Files.readString(
+      Paths.get(dir, "_delta_log", f"${0L}%020d.json"))
+    assert(log.contains(""""partitionColumns":["bucket"]"""))
+    assert(log.contains(""""partitionValues":{"bucket":"0"}"""))
+    // NULL partition value refused loudly
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.append(parted(60, 61)
+        .withColumn("bucket", lit(null).cast("int")), dir)
+    }
+    assert(e.getMessage.contains("NULL partition"))
+    // time travel sees only the create's partitions' rows
+    assert(DeltaRead.read(spark, dir, 0).count() == 30)
+  }
+
   test("DeltaWrite: racing appends — every row lands exactly once") {
     import sources.DeltaWrite
     import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}

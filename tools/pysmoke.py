@@ -406,6 +406,14 @@ graft.delta_append(spark, spark.range(30, 40).selectExpr("id AS k"), dw_dir)
 assert graft.delta_read(spark, dw_dir).count() == 40
 assert graft.delta_read_where(spark, dw_dir, "k >= 30").count() == 10
 
+# partitioned delta writer: hive layout + typed partition recovery
+dp_dir = tempfile.mkdtemp(prefix="graft_pydp") + "/t"
+graft.delta_create(spark, spark.range(0, 20).selectExpr(
+    "id AS k", "CAST(id % 2 AS INT) AS b"), dp_dir, partition_by=["b"])
+dp = graft.delta_read(spark, dp_dir)
+assert dp.count() == 20 and dp.where("b = 1").count() == 10
+assert dict(dp.dtypes)["b"] == "int"
+
 cdc_dir = tempfile.mkdtemp(prefix="graft_pycdc") + "/t"
 graft.snapshot_create(
     spark, spark.range(0, 10).selectExpr("id AS k", "'a' AS tag"), cdc_dir)
