@@ -2387,6 +2387,14 @@ object GraftOps {
       .filter(col("w") >= minWeight).select("a", "b")
     val labels = connectedComponents(edges, col("a"), col("b"))
     SnapshotTable.upsert(s, s"$path/cc_labels", labels, Seq("node"))
+    // the directed trade-lane artifact (a GraphArtifactStore.buildFor
+    // projection of the FULL fact snapshot) cannot be refreshed from a
+    // basket batch — a stale lane table must not outlive the update, so
+    // it is dropped here; directed consumers fall back to the inline
+    // star join until the next full build backfills it
+    val tradePath = new org.apache.hadoop.fs.Path(s"$path/trade")
+    val hfs = tradePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (hfs.exists(tradePath)) hfs.delete(tradePath, true)
     graphArtifactSummary(s, path)
   }
 

@@ -105,23 +105,39 @@ object GraphArtifactStore {
           .as("lag_day_sum"))
   }
 
-  /** Build the artifact pair for the order-basket fact table at `d`
-    * into the conf-resolved location (idempotent: skipped when already
-    * built). Requires `graft.graph.artifacts` to be set. Returns the
-    * summary frame of [[GraftOps.graphArtifacts]], or None when the
-    * artifacts were already present.
+  /** Build the artifact set for the order-basket fact table at `d`
+    * into the conf-resolved location. Idempotence is keyed on the LAST
+    * table the build writes (`trade`) — keying on the first would let
+    * a crashed partial build (or a store populated directly via
+    * [[GraftOps.graphArtifacts]], which never writes `trade`) pass as
+    * complete forever, silently re-paying the fixpoint/star-join per
+    * query; a partial store is instead BACKFILLED table by table.
+    * Requires `graft.graph.artifacts` to be set. Returns the summary
+    * frame of [[GraftOps.graphArtifacts]], or None when nothing beyond
+    * a backfill was needed.
     */
   def buildFor(s: SparkSession, d: String): Option[DataFrame] = {
     val loc = location(s, d).getOrElse(throw new IllegalStateException(
       "graft.graph.artifacts is not set — nothing to build into"))
-    if (graft.sources.SnapshotTable.exists(s, s"$loc/pairs")) None
-    else {
+    val sn = graft.sources.SnapshotTable
+    if (sn.exists(s, s"$loc/trade")) None
+    else if (sn.exists(s, s"$loc/pairs")) {
+      // partial store: backfill labels (from the stored pair table —
+      // metadata-sized) and the trade projection, never the pairs
+      if (!sn.exists(s, s"$loc/cc_labels")) {
+        val edges = sn.read(s, s"$loc/pairs")
+          .filter(col("w") >= MinWeight).select("a", "b")
+        sn.create(GraftOps.connectedComponents(edges, col("a"), col("b")),
+          s"$loc/cc_labels")
+      }
+      sn.create(tradeLanesInline(s, d), s"$loc/trade")
+      None
+    } else {
       val summary = GraftOps.graphArtifacts(
         graft.Tables.lineitem(s, d), col("l_orderkey"), col("l_partkey"),
         loc, minWeight = MinWeight)
       // the directed-family analog: the trade star join paid once
-      graft.sources.SnapshotTable.create(tradeLanesInline(s, d),
-        s"$loc/trade")
+      sn.create(tradeLanesInline(s, d), s"$loc/trade")
       Some(summary)
     }
   }

@@ -62,10 +62,16 @@ object Events9 {
         sum(expr(s"CAST(y AS $D)")).as("sy_a"))
     arms.crossJoin(broadcast(m))
       // θ and x̄ rounded ONCE, then reused verbatim — the oracle
-      // replays the identical scalar chain
-      .withColumn("theta", round(
-        expr(s"CAST(n * sxy - sx * sy AS DOUBLE)")
-          / expr(s"CAST(n * sxx - sx * sx AS DOUBLE)"), 9))
+      // replays the identical scalar chain. Degenerate variances are
+      // guarded (var(x)=0 ⇒ θ=0, no adjustment; var(y)=0 ⇒ reduction
+      // 0): double 0/0 is NaN in Spark but NULL in DuckDB, so an
+      // unguarded division would break the cross-engine contract on
+      // the one input shape where CUPED is a no-op anyway.
+      .withColumn("theta", when(
+        expr(s"CAST(n * sxx - sx * sx AS DOUBLE)") > 0, round(
+          expr(s"CAST(n * sxy - sx * sy AS DOUBLE)")
+            / expr(s"CAST(n * sxx - sx * sx AS DOUBLE)"), 9))
+        .otherwise(lit(0.0)))
       .withColumn("mean_x", round(
         expr("CAST(sx AS DOUBLE)") / col("n"), 9))
       .withColumn("mean_y_dollars", round(
@@ -74,13 +80,15 @@ object Events9 {
         (expr("CAST(sy_a AS DOUBLE)") / col("n_users")
           - col("theta") * (expr("CAST(sx_a AS DOUBLE)") / col("n_users")
             - col("mean_x"))) / lit(100.0), 9))
-      .withColumn("var_reduction", round(
-        lit(1.0) - (expr("CAST(n * syy - sy * sy AS DOUBLE)")
-          - lit(2.0) * col("theta")
-            * expr("CAST(n * sxy - sx * sy AS DOUBLE)")
-          + col("theta") * col("theta")
-            * expr("CAST(n * sxx - sx * sx AS DOUBLE)"))
-          / expr("CAST(n * syy - sy * sy AS DOUBLE)"), 9))
+      .withColumn("var_reduction", when(
+        expr("CAST(n * syy - sy * sy AS DOUBLE)") > 0, round(
+          lit(1.0) - (expr("CAST(n * syy - sy * sy AS DOUBLE)")
+            - lit(2.0) * col("theta")
+              * expr("CAST(n * sxy - sx * sy AS DOUBLE)")
+            + col("theta") * col("theta")
+              * expr("CAST(n * sxx - sx * sx AS DOUBLE)"))
+            / expr("CAST(n * syy - sy * sy AS DOUBLE)"), 9))
+        .otherwise(lit(0.0)))
       .select("arm", "n_users", "mean_y_dollars", "mean_y_cuped_dollars",
         "theta", "var_reduction")
       .orderBy("arm")
@@ -106,8 +114,10 @@ object Events9 {
           SUM(CAST(x AS HUGEINT)) AS sx_a, SUM(CAST(y AS HUGEINT)) AS sy_a
         FROM u GROUP BY arm),
       t AS (SELECT a.*, m.*,
-          round(CAST(n * sxy - sx * sy AS DOUBLE)
-            / CAST(n * sxx - sx * sx AS DOUBLE), 9) AS theta,
+          CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+            THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE), 9)
+            ELSE 0.0 END AS theta,
           round(CAST(sx AS DOUBLE) / n, 9) AS mean_x
         FROM a CROSS JOIN m)
       SELECT arm, n_users,
@@ -116,10 +126,12 @@ object Events9 {
           - theta * (CAST(sx_a AS DOUBLE) / n_users - mean_x)) / 100.0, 9)
           AS mean_y_cuped_dollars,
         theta,
-        round(1.0 - (CAST(n * syy - sy * sy AS DOUBLE)
-            - 2.0 * theta * CAST(n * sxy - sx * sy AS DOUBLE)
-            + theta * theta * CAST(n * sxx - sx * sx AS DOUBLE))
-          / CAST(n * syy - sy * sy AS DOUBLE), 9) AS var_reduction
+        CASE WHEN CAST(n * syy - sy * sy AS DOUBLE) > 0
+          THEN round(1.0 - (CAST(n * syy - sy * sy AS DOUBLE)
+              - 2.0 * theta * CAST(n * sxy - sx * sy AS DOUBLE)
+              + theta * theta * CAST(n * sxx - sx * sx AS DOUBLE))
+            / CAST(n * syy - sy * sy AS DOUBLE), 9)
+          ELSE 0.0 END AS var_reduction
       FROM t ORDER BY arm"""
 
   val queries: Map[String, Q] = Map(

@@ -110,44 +110,75 @@ object DeltaWrite {
     val spark = df.sparkSession
     val stage = new Path(path,
       s".stage-${java.util.UUID.randomUUID().toString}")
-    if (partitionBy.isEmpty) df.write.parquet(stage.toString)
-    else df.write.partitionBy(partitionBy: _*).parquet(stage.toString)
     val f = fs(spark, path)
-    def walk(p: Path): Seq[Path] = f.listStatus(p).toSeq.flatMap { s =>
-      if (s.isDirectory) walk(s.getPath)
-      else if (s.getPath.getName.endsWith(".parquet")) Seq(s.getPath)
-      else Seq.empty
-    }
-    val parts = walk(stage).sortBy(_.toString)
-    // listStatus returns scheme-qualified paths (file:/...) — qualify
-    // the stage prefix the same way before stripping
-    val stagePrefix = f.makeQualified(stage).toString
-    val rels = parts.map { p =>
-      val relDir = f.makeQualified(p.getParent).toString
-        .stripPrefix(stagePrefix).stripPrefix("/")
-      require(!relDir.contains("__HIVE_DEFAULT_PARTITION__"),
-        s"NULL partition value in ${partitionBy.mkString(",")} — " +
-          "refused (the hive default-partition encoding is ambiguous " +
-          "across protocol readers)")
-      val name = s"part-${java.util.UUID.randomUUID().toString}.parquet"
-      val rel = if (relDir.isEmpty) name else s"$relDir/$name"
-      if (relDir.nonEmpty) f.mkdirs(new Path(path, relDir))
-      require(f.rename(p, new Path(path, rel)), s"rename failed for $p")
-      rel
-    }
-    f.delete(stage, true)
-    val stats = FileStats.collect(spark, path, rels)
-    rels.map(r => r -> stats.getOrElse(r, Map.empty))
+    try {
+      if (partitionBy.isEmpty) df.write.parquet(stage.toString)
+      else df.write.partitionBy(partitionBy: _*).parquet(stage.toString)
+      def walk(p: Path): Seq[Path] = f.listStatus(p).toSeq.flatMap { s =>
+        if (s.isDirectory) walk(s.getPath)
+        else if (s.getPath.getName.endsWith(".parquet")) Seq(s.getPath)
+        else Seq.empty
+      }
+      val parts = walk(stage).sortBy(_.toString)
+      // listStatus returns scheme-qualified paths (file:/...) — qualify
+      // the stage prefix the same way before stripping
+      val stagePrefix = f.makeQualified(stage).toString
+      val dirs = parts.map(p => f.makeQualified(p.getParent).toString
+        .stripPrefix(stagePrefix).stripPrefix("/"))
+      // validate BEFORE the first rename — a mid-loop refusal would
+      // leak already-moved, never-logged orphan files into the table
+      dirs.foreach { relDir =>
+        require(!relDir.contains("__HIVE_DEFAULT_PARTITION__"),
+          s"NULL partition value in ${partitionBy.mkString(",")} — " +
+            "refused (the hive default-partition encoding is ambiguous " +
+            "across protocol readers)")
+      }
+      val rels = parts.zip(dirs).map { case (p, relDir) =>
+        val name = s"part-${java.util.UUID.randomUUID().toString}.parquet"
+        val rel = if (relDir.isEmpty) name else s"$relDir/$name"
+        if (relDir.nonEmpty) f.mkdirs(new Path(path, relDir))
+        require(f.rename(p, new Path(path, rel)), s"rename failed for $p")
+        rel
+      }
+      val stats = FileStats.collect(spark, path, rels)
+      rels.map(r => r -> stats.getOrElse(r, Map.empty))
+    } finally f.delete(stage, true)
   }
 
-  /** Hive-layout partition values of a relative file path, URL-decoded
-    * per the protocol's partitionValues map.
+  /** Protocol encoding of a physical relative path for `add.path`:
+    * readers URL-DECODE the logged path (PROTOCOL.md: "relative path
+    * ... percent-encoded"), so each segment is percent-encoded here —
+    * decode(encode(x)) == x recovers the hive-escaped PHYSICAL name
+    * exactly (a physical `t=12%3A30` logs as `t%3D12%253A30`). Plain
+    * alphanumeric/`-._` names pass through unchanged.
+    */
+  private def encodePath(rel: String): String =
+    rel.split("/").map(seg =>
+      java.net.URLEncoder.encode(seg, "UTF-8").replace("+", "%20"))
+      .mkString("/")
+
+  /** Hive-layout partition values of a PHYSICAL relative file path for
+    * the `partitionValues` map. Hive's escaping is %XX sequences ONLY
+    * ('+' stays literal — java.net.URLDecoder would corrupt it to a
+    * space), so this is the matching %XX-only unescape.
     */
   private def partitionValuesOf(rel: String): Seq[(String, String)] =
     rel.split("/").dropRight(1).toSeq.map { seg =>
       val Array(k, v) = seg.split("=", 2)
-      k -> java.net.URLDecoder.decode(v, "UTF-8")
+      k -> hiveUnescape(v)
     }
+
+  private def hiveUnescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
 
   /** Render add/metaData/protocol actions as json lines. */
   private def actionsFor(schema: StructType,
@@ -169,7 +200,7 @@ object DeltaWrite {
     head ++ files.map { case (rel, st) =>
       val pv = om.createObjectNode()
       partitionValuesOf(rel).foreach { case (k, v) => pv.put(k, v) }
-      s"""{"add":{"path":"$rel","partitionValues":${om
+      s"""{"add":{"path":"${encodePath(rel)}","partitionValues":${om
           .writeValueAsString(pv)},"size":1,""" +
         s""""modificationTime":0,"dataChange":true""" +
         statsJson(schema, st).fold("")(j =>

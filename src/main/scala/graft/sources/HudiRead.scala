@@ -32,6 +32,10 @@ import scala.jdk.CollectionConverters._
   *   - `replacecommit` instants (clustering / insert_overwrite replace
   *     whole file groups OUT of line with the fileId-shadowing rule) —
   *     REFUSED;
+  *   - a non-empty `.hoodie/archived` timeline — file groups last
+  *     written before the archival horizon appear in no active commit,
+  *     so planning from the active timeline alone would silently
+  *     return a row-subset — REFUSED;
   *   - time travel by instant timestamp (Hudi instants are zero-padded
   *     numeric strings, so lexicographic ≤ is the spec ordering);
   *   - Hudi's five `_hoodie_*` meta columns are dropped from the
@@ -77,6 +81,15 @@ object HudiRead {
   private def liveSlices(spark: SparkSession, path: String,
                          asOf: String): Seq[Slice] = {
     val f = fs(spark, path)
+    // an archived timeline means file groups whose LAST write was
+    // archived appear in no active commit — planning from the active
+    // timeline alone would silently return a row-subset; refuse
+    val archived = new Path(path, ".hoodie/archived")
+    require(!f.exists(archived) || f.listStatus(archived).isEmpty,
+      s"$path: .hoodie/archived is non-empty — file groups last " +
+        "written before the archival horizon are invisible to the " +
+        "active timeline, so this planner refuses rather than return " +
+        "a silent row-subset")
     val timeline = f.listStatus(new Path(path, ".hoodie"))
       .map(_.getPath.getName)
     timeline.foreach {

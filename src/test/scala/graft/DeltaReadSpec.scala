@@ -248,6 +248,32 @@ class DeltaReadSpec extends AnyFunSuite {
     assert(DeltaRead.read(spark, dir, 0).count() == 30)
   }
 
+  test("DeltaWrite: hive-escaped partition values round-trip (add.path encoded, values exact)") {
+    import sources.DeltaWrite
+    val dir = tmp()
+    // ':' is hive-escaped to %3A in the dir name; '+' is NOT escaped by
+    // hive but corrupted to a space by form-style URL decoding — both
+    // must come back exactly
+    val df = spark.createDataFrame(Seq(
+      (1L, "12:30"), (2L, "c++"), (3L, "plain"))).toDF("k", "slot")
+    assert(DeltaWrite.create(df.coalesce(1), dir,
+      partitionBy = Seq("slot")) == 0)
+    val back = DeltaRead.read(spark, dir)
+    assert(back.count() == 3)
+    assert(back.select("slot").collect().map(_.getString(0)).toSet
+      == Set("12:30", "c++", "plain"))
+    val log = java.nio.file.Files.readString(
+      Paths.get(dir, "_delta_log", f"${0L}%020d.json"))
+    // the partitionValues map carries the LOGICAL values
+    assert(log.contains(""""partitionValues":{"slot":"12:30"}"""))
+    assert(log.contains(""""partitionValues":{"slot":"c++"}"""))
+    // add.path is percent-encoded per the protocol: the physical
+    // hive-escaped dir slot=12%3A30 logs with its '%' escaped again
+    assert(log.contains("12%253A30"),
+      s"add.path must be URL-encoded so readers' decode recovers the " +
+        s"physical name: $log")
+  }
+
   test("DeltaWrite: racing appends — every row lands exactly once") {
     import sources.DeltaWrite
     import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}

@@ -72,6 +72,35 @@ class GraphArtifactsSpec extends AnyFunSuite {
     api.GraftOps.releaseCaches()
   }
 
+  test("buildFor backfills partial stores; updates drop the stale trade table") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_graph_backfill").toString
+    spark.conf.set("graft.graph.artifacts", dir)
+    try {
+      val loc = api.GraphArtifactStore.location(spark, sf).get
+      // a store built via the generic verb has no trade table...
+      api.GraftOps.graphArtifacts(
+        Tables.lineitem(spark, sf), col("l_orderkey"), col("l_partkey"), loc)
+      assert(api.GraphArtifactStore.readIfPresent(spark, sf, "trade").isEmpty)
+      // ...buildFor must BACKFILL it, not declare the store complete
+      assert(api.GraphArtifactStore.buildFor(spark, sf).isEmpty)
+      assert(api.GraphArtifactStore.readIfPresent(spark, sf, "trade").isDefined)
+      // a basket-batch update cannot refresh the full-snapshot trade
+      // projection — the stale table must be dropped, not served
+      val batch = Tables.lineitem(spark, sf)
+        .select((col("l_orderkey") + lit(1000000000L)).as("bk"),
+          col("l_partkey").as("it")).limit(50)
+      api.GraftOps.updateGraphArtifacts(batch, col("bk"), col("it"), loc)
+      assert(api.GraphArtifactStore.readIfPresent(spark, sf, "trade").isEmpty,
+        "stale trade lanes must not outlive an incremental update")
+      // and the next buildFor backfills it again
+      assert(api.GraphArtifactStore.buildFor(spark, sf).isEmpty)
+      assert(api.GraphArtifactStore.readIfPresent(spark, sf, "trade").isDefined)
+    } finally spark.conf.unset("graft.graph.artifacts")
+    api.GraftOps.releaseCaches()
+  }
+
   test("buildFor is idempotent and the store resolves per fact dir") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_graph_artifacts_idem").toString

@@ -122,6 +122,19 @@ class HudiReadSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("replacecommit"))
   }
 
+  test("a non-empty archived timeline is refused, not silently subset") {
+    val dir = buildTable()
+    val arch = Paths.get(dir, ".hoodie", "archived")
+    Files.createDirectories(arch)
+    assert(HudiRead.read(spark, dir).count() == 6,
+      "an EMPTY archived dir must not refuse")
+    Files.writeString(arch.resolve(".commits_.archive.1_1-0-1"), "x")
+    val e = intercept[IllegalArgumentException] {
+      HudiRead.read(spark, dir)
+    }
+    assert(e.getMessage.contains("archived"))
+  }
+
   test("graft_hudi_read TVF serves the same snapshot from plain SQL") {
     val dir = buildTable()
     api.SqlSurface.install(spark)
