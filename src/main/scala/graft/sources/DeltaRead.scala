@@ -2,7 +2,8 @@ package graft.sources
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import scala.jdk.CollectionConverters._
 
@@ -12,123 +13,222 @@ import scala.jdk.CollectionConverters._
   * runs against it unchanged.
   *
   * What it does:
-  *   - parses `_delta_log/NNNN.json` commits (and a parquet checkpoint
-  *     referenced by `_last_checkpoint` when present), replaying
-  *     add-file actions minus remove-file actions into the live file
-  *     set of the requested version;
-  *   - surfaces per-file stats (`numRecords`/`minValues`/`maxValues`/
-  *     `nullCount`) into the SAME zone-map machinery SnapshotTable uses
+  *   - parses `_delta_log/NNNN.json` commits and parquet checkpoints
+  *     (classic single-file AND multi-part `N.checkpoint.i.of.n`;
+  *     `_last_checkpoint` is consulted and validated), replaying
+  *     add-file minus remove-file actions into the live file set of the
+  *     requested version;
+  *   - **distributed state reconstruction**: checkpoint add/remove state
+  *     stays a DataFrame — tombstone subtraction is an anti-join, stats
+  *     pruning runs as a distributed typed filter, and the driver
+  *     collects ONLY the surviving file entries (a millions-of-files
+  *     table never materializes its full add set on the driver; the
+  *     JSON tail between checkpoints is bounded by the checkpoint
+  *     interval and parsed driver-side like every planner does);
+  *   - per-file stats (`numRecords`/`minValues`/`maxValues`/`nullCount`)
+  *     feed the SAME zone-map machinery SnapshotTable uses
   *     ([[FileStats.mayMatch]]), so `readWhere` opens only files whose
   *     [min,max] can satisfy the predicate;
+  *   - partition values come from the add action's `partitionValues`
+  *     map — the protocol's authority — NOT directory-name inference;
+  *     a hive-layout fast path keeps the single-scan plan when (and
+  *     only when) the physical directory names agree with the log;
+  *   - column mapping in `name` mode (minReaderVersion 2, or 3 with the
+  *     `columnMapping` feature): physical parquet names are mapped back
+  *     to logical schema names at projection time, stats and
+  *     partitionValues keys translated;
+  *   - deletion vectors (minReaderVersion 3 + `deletionVectors`):
+  *     inline (`i`), relative-UUID (`u`) and absolute-path (`p`)
+  *     descriptors decode per the public DV format (1-byte-version file,
+  *     big-endian length-prefixed entries, Z85, portable 64-bit
+  *     RoaringBitmapArray), applied as an anti-join on
+  *     (file, `_metadata.row_index`);
   *   - time travel via `version` (replays the log prefix).
   *
-  * Non-goals (documented, loudly enforced): NO writes, NO deletion
-  * vectors / column mapping / any reader-version-2+ table feature —
-  * tables demanding `minReaderVersion > 1` are rejected rather than
-  * silently misread. Log parsing is driver-side metadata work (the same
-  * discipline as SnapshotTable manifests): one listing plus one ~KB
-  * JSON read per commit, and the checkpoint is read through Spark. At
-  * a 100 TB table the file LIST is checkpoint-bounded; planning stays
-  * O(files) metadata, payload reads are pruned scans.
+  * Non-goals (loudly enforced): NO writes from this object, `id`-mode
+  * column mapping, v2/UUID-named checkpoints, and any reader feature
+  * outside {columnMapping, deletionVectors, timestampNtz} are refused
+  * by name rather than silently misread.
   */
 object DeltaRead {
   private val om = new ObjectMapper()
 
-  private final case class AddEntry(path: String, stats: Option[String],
-                                    partitionValues: Map[String, String])
+  /** Deletion-vector descriptor of an add action (PROTOCOL.md). */
+  private[graft] final case class Dv(storageType: String,
+                                     pathOrInlineDv: String, offset: Int,
+                                     sizeInBytes: Int, cardinality: Long)
 
-  private final case class LogState(
-    schemaJson: String,
-    partitionCols: Seq[String],
-    adds: Map[String, AddEntry])
+  /** One live file: the logged (still percent-encoded) relative path,
+    * raw stats json, the add action's partitionValues (physical keys),
+    * file size/mtime, and the deletion vector if any.
+    */
+  private[graft] final case class AddEntry(
+    path: String, stats: Option[String],
+    partitionValues: Map[String, String], size: Long,
+    modificationTime: Long, dv: Option[Dv])
+
+  private implicit lazy val addEnc
+      : org.apache.spark.sql.Encoder[AddEntry] =
+    org.apache.spark.sql.Encoders.product[AddEntry]
+
+  private[graft] final case class LogState(
+    schemaJson: String, partitionCols: Seq[String],
+    conf: Map[String, String], metaId: String, createdTime: Long,
+    minReaderVersion: Int, minWriterVersion: Int,
+    readerFeatures: Seq[String],
+    ckpt: Option[Dataset[AddEntry]],
+    tailAdds: Seq[AddEntry], tailRemoves: Set[String])
+
+  /** Instrumentation for the scale spec: how many AddEntry rows the
+    * last planning call materialized on the driver (readWhere collects
+    * survivors only; pruneReport collects none and leaves this at 0).
+    */
+  @volatile private[graft] var lastPlannedFiles: Long = -1L
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private val CommitName = """(\d{20})\.json""".r
-  private val CheckpointName = """(\d{20})\.checkpoint\.parquet""".r
+  private val CkptSingle = """(\d{20})\.checkpoint\.parquet""".r
+  private val CkptPart = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+  // v2 checkpoints are UUID-named; recognized only to refuse by name
+  private val CkptV2 = """(\d{20})\.checkpoint\.[0-9a-fA-F-]{36}\.(parquet|json)""".r
 
-  /** Latest committed version of the table (max of commit jsons and
-    * checkpoints present in the log).
+  /** Latest committed version of the table (max of commit jsons and any
+    * checkpoint form present in the log).
     */
   def latestVersion(spark: SparkSession, path: String): Long = {
     val dir = new Path(path, "_delta_log")
     val f = fs(spark, path)
     require(f.exists(dir), s"$path has no _delta_log — not a Delta table")
     f.listStatus(dir).map(_.getPath.getName).flatMap {
-      case CommitName(v)     => Some(v.toLong)
-      case CheckpointName(v) => Some(v.toLong)
-      case _                 => None
+      case CommitName(v)       => Some(v.toLong)
+      case CkptSingle(v)       => Some(v.toLong)
+      case CkptPart(v, _, _)   => Some(v.toLong)
+      case CkptV2(v, _)        => Some(v.toLong)
+      case _                   => None
     }.foldLeft(-1L)(math.max)
   }
 
-  /** Declared partition columns of the table (latest metaData action) —
-    * the writer's append-compatibility check reads this.
+  /** Declared partition columns (latest metaData action) — the writer's
+    * append-compatibility check reads this.
     */
   private[sources] def partitionColumns(spark: SparkSession,
                                         path: String): Seq[String] =
     replay(spark, path, -1L).partitionCols
 
-  /** Snapshot the log at `version` (-1 = latest): schema + live files. */
-  private def replay(spark: SparkSession, path: String,
-                     version: Long): LogState = {
+  private[sources] def minWriterVersion(spark: SparkSession,
+                                        path: String): Int =
+    replay(spark, path, -1L).minWriterVersion
+
+  /** `_last_checkpoint` content, when present and well-formed. */
+  private def lastCheckpointRef(f: org.apache.hadoop.fs.FileSystem,
+                                dir: Path): Option[(Long, Option[Int])] = {
+    val p = new Path(dir, "_last_checkpoint")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val n = om.readTree(text)
+      val v = n.path("version").asLong(-1L)
+      if (v < 0) None
+      else Some((v, Option(n.get("parts")).filterNot(_.isNull).map(_.asInt())))
+    }
+  }
+
+  /** Checkpoint candidates visible in the log dir: version → the
+    * parquet part files composing that checkpoint (multi-part groups
+    * count only when every part is present). `_last_checkpoint` is
+    * cross-checked: a reference to files the listing can't see is
+    * ignored (stale pointer) rather than failing the read.
+    */
+  private def checkpointsIn(names: Seq[String], dir: Path)
+      : Map[Long, Seq[Path]] = {
+    val singles = names.collect { case CkptSingle(v) =>
+      v.toLong -> Seq(new Path(dir, f"${v.toLong}%020d.checkpoint.parquet"))
+    }.toMap
+    val parts = names.collect { case CkptPart(v, i, n) =>
+      (v.toLong, n.toInt, i.toInt)
+    }
+    val multi = parts.groupBy(p => (p._1, p._2)).collect {
+      case ((v, n), grp) if grp.map(_._3).distinct.size == n =>
+        v -> (1 to n).map(i =>
+          new Path(dir, f"$v%020d.checkpoint.$i%010d.$n%010d.parquet"))
+    }
+    singles ++ multi
+  }
+
+  /** Snapshot the log at `version` (-1 = latest). */
+  private[graft] def replay(spark: SparkSession, path: String,
+                            version: Long): LogState = {
     val dir = new Path(path, "_delta_log")
     val f = fs(spark, path)
     require(f.exists(dir), s"$path has no _delta_log — not a Delta table")
-    val names = f.listStatus(dir).map(_.getPath.getName)
+    val names = f.listStatus(dir).map(_.getPath.getName).toSeq
     val commits = names.collect { case CommitName(v) => v.toLong }.sorted
-    val checkpoints = names.collect { case CheckpointName(v) => v.toLong }.sorted
+    val ckpts = checkpointsIn(names, dir)
+    val v2Names = names.filter {
+      case CkptV2(_, _) => true
+      case _            => false
+    }
     val target =
       if (version >= 0) version
-      else (commits ++ checkpoints).foldLeft(-1L)(math.max)
+      else (commits ++ ckpts.keys).foldLeft(-1L)(math.max)
     require(target >= 0, s"$path: empty _delta_log")
+
+    // newest usable checkpoint at or below the target; _last_checkpoint
+    // is consulted but must agree with the listing
+    lastCheckpointRef(f, dir).foreach { case (v, _) =>
+      if (v <= target && !ckpts.contains(v) && v2Names.isEmpty)
+        throw new IllegalArgumentException(
+          s"$path: _last_checkpoint names version $v but no classic or " +
+            "multi-part checkpoint parquet for it exists in the log")
+    }
+    val base = ckpts.keys.filter(_ <= target).toSeq.sorted.lastOption
 
     var schemaJson: String = null
     var partitionCols: Seq[String] = Nil
-    var adds = Map.empty[String, AddEntry]
+    var conf = Map.empty[String, String]
+    var metaId = ""
+    var createdTime = 0L
+    var mrv = 1
+    var mwv = 2
+    var features: Seq[String] = Nil
+    var ckptDs: Option[Dataset[AddEntry]] = None
 
-    // checkpoint base: the newest checkpoint at or below the target
-    val base = checkpoints.filter(_ <= target).lastOption
     base.foreach { cv =>
-      val cp = new Path(dir, f"$cv%020d.checkpoint.parquet").toString
-      val rows = spark.read.parquet(cp)
-        .selectExpr("add.path AS a_path", "add.stats AS a_stats",
-          "add.partitionValues AS a_pv",
-          "remove.path AS r_path",
-          "metaData.schemaString AS m_schema",
-          "metaData.partitionColumns AS m_parts",
-          "protocol.minReaderVersion AS p_mrv")
-        .collect()
-      rows.foreach { r =>
-        if (!r.isNullAt(6)) checkReader(r.getInt(6))
-        if (!r.isNullAt(4)) {
-          schemaJson = r.getString(4)
-          partitionCols =
-            if (r.isNullAt(5)) Nil else r.getSeq[String](5).toSeq
-        }
-        if (!r.isNullAt(0)) {
-          val pv: Map[String, String] =
-            if (r.isNullAt(2)) Map.empty
-            else r.getMap[String, String](2).toMap
-          adds += r.getString(0) -> AddEntry(r.getString(0),
-            Option(if (r.isNullAt(1)) null else r.getString(1)), pv)
-        }
-        if (!r.isNullAt(3)) adds -= r.getString(3)
+      val (ds, meta, proto) = loadCheckpoint(spark, ckpts(cv))
+      ckptDs = Some(ds)
+      meta.foreach { m =>
+        schemaJson = m._1; partitionCols = m._2; conf = m._3
+        metaId = m._4; createdTime = m._5
       }
+      proto.foreach { p => mrv = p._1; mwv = p._2; features = p._3 }
     }
 
     // replay JSON commits after the checkpoint up to the target
+    val tailAdds = scala.collection.mutable.LinkedHashMap[String, AddEntry]()
+    val tailRemoves = scala.collection.mutable.Set[String]()
     val from = base.map(_ + 1).getOrElse(0L)
     (from to target).foreach { v =>
       val p = new Path(dir, f"$v%020d.json")
       require(f.exists(p),
-        s"$path: missing commit $v (log cleaned past requested version?)")
+        s"$path: missing commit $v (log cleaned past requested version?" +
+          (if (v2Names.nonEmpty)
+             s" note: v2/UUID-named checkpoints present but unsupported " +
+               s"by this reader: ${v2Names.mkString(", ")}"
+           else "") + ")")
       val in = f.open(p)
       val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
       text.split("\n").filter(_.trim.nonEmpty).foreach { line =>
         val n = om.readTree(line)
-        if (n.has("protocol"))
-          checkReader(n.path("protocol").path("minReaderVersion").asInt(1))
+        if (n.has("protocol")) {
+          val pr = n.path("protocol")
+          mrv = pr.path("minReaderVersion").asInt(1)
+          mwv = pr.path("minWriterVersion").asInt(2)
+          features = Option(pr.get("readerFeatures")).filterNot(_.isNull)
+            .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+        }
         if (n.has("metaData")) {
           val md = n.path("metaData")
           require(md.path("format").path("provider").asText("parquet")
@@ -137,6 +237,12 @@ object DeltaRead {
           schemaJson = md.path("schemaString").asText()
           partitionCols = md.path("partitionColumns").elements().asScala
             .map(_.asText()).toSeq
+          conf = Option(md.get("configuration")).filterNot(_.isNull)
+            .map(_.properties().asScala.map(e =>
+              e.getKey -> e.getValue.asText()).toMap)
+            .getOrElse(Map.empty)
+          metaId = md.path("id").asText("")
+          createdTime = md.path("createdTime").asLong(0L)
         }
         if (n.has("add")) {
           val a = n.path("add")
@@ -146,73 +252,511 @@ object DeltaRead {
               .map(e => e.getKey ->
                 (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
             .getOrElse(Map.empty[String, String])
-          adds += rel -> AddEntry(rel,
-            Option(a.get("stats")).filterNot(_.isNull).map(_.asText()), pv)
+          val dv = Option(a.get("deletionVector")).filterNot(_.isNull)
+            .map { d =>
+              Dv(d.path("storageType").asText(),
+                d.path("pathOrInlineDv").asText(),
+                d.path("offset").asInt(0), d.path("sizeInBytes").asInt(0),
+                d.path("cardinality").asLong(0L))
+            }
+          tailAdds(rel) = AddEntry(rel,
+            Option(a.get("stats")).filterNot(_.isNull).map(_.asText()), pv,
+            a.path("size").asLong(0L), a.path("modificationTime").asLong(0L),
+            dv)
+          tailRemoves -= rel
         }
-        if (n.has("remove"))
-          adds -= n.path("remove").path("path").asText()
+        if (n.has("remove")) {
+          val rel = n.path("remove").path("path").asText()
+          tailAdds -= rel
+          tailRemoves += rel
+        }
       }
     }
     require(schemaJson != null, s"$path: log carries no metaData action")
-    LogState(schemaJson, partitionCols, adds)
+    checkProtocol(mrv, features)
+    LogState(schemaJson, partitionCols, conf, metaId, createdTime,
+      mrv, mwv, features, ckptDs, tailAdds.values.toSeq, tailRemoves.toSet)
   }
 
-  private def checkReader(minReaderVersion: Int): Unit =
-    require(minReaderVersion <= 1,
-      s"Delta table requires reader version $minReaderVersion " +
-        "(column mapping / deletion vectors / table features) — this " +
-        "read-only planner supports reader version 1 only, refusing " +
-        "rather than misreading")
+  /** Load checkpoint parquet(s) into a standardized Dataset[AddEntry]
+    * plus the (≤1-row, collected) metaData and protocol actions.
+    * Tolerates checkpoints missing optional fields (stats, size,
+    * deletionVector, configuration, readerFeatures...).
+    */
+  private def loadCheckpoint(spark: SparkSession, parts: Seq[Path])
+      : (Dataset[AddEntry],
+         Option[(String, Seq[String], Map[String, String], String, Long)],
+         Option[(Int, Int, Seq[String])]) = {
+    val df = spark.read.parquet(parts.map(_.toString): _*)
+    val sch = df.schema
+    def has(dotted: String): Boolean =
+      dotted.split('.').foldLeft(Option(sch: DataType)) {
+        case (Some(s: StructType), n) => s.fields.find(_.name == n).map(_.dataType)
+        case _                        => None
+      }.isDefined
 
-  private def decode(rel: String): String =
-    java.net.URLDecoder.decode(rel, "UTF-8")
+    val dvType = "struct<storageType:string,pathOrInlineDv:string," +
+      "offset:int,sizeInBytes:int,cardinality:bigint>"
+    val dvCol =
+      if (!has("add.deletionVector.storageType"))
+        expr(s"CAST(NULL AS $dvType)")
+      else when(col("add.deletionVector").isNull,
+          expr(s"CAST(NULL AS $dvType)"))
+        .otherwise(struct(
+          col("add.deletionVector.storageType").as("storageType"),
+          col("add.deletionVector.pathOrInlineDv").as("pathOrInlineDv"),
+          coalesce(col("add.deletionVector.offset"), lit(0))
+            .cast("int").as("offset"),
+          col("add.deletionVector.sizeInBytes").cast("int").as("sizeInBytes"),
+          col("add.deletionVector.cardinality").cast("long").as("cardinality")))
+    val statsCol =
+      if (has("add.stats")) col("add.stats") else lit(null).cast("string")
+    val pvCol =
+      if (has("add.partitionValues"))
+        coalesce(col("add.partitionValues")
+          .cast(MapType(StringType, StringType)),
+          expr("CAST(map() AS map<string,string>)"))
+      else expr("CAST(map() AS map<string,string>)")
+    val sizeCol =
+      if (has("add.size")) coalesce(col("add.size").cast("long"), lit(0L))
+      else lit(0L)
+    val modCol =
+      if (has("add.modificationTime"))
+        coalesce(col("add.modificationTime").cast("long"), lit(0L))
+      else lit(0L)
+
+    var adds: Dataset[AddEntry] =
+      if (!has("add.path")) spark.emptyDataset[AddEntry]
+      else df.where(col("add.path").isNotNull)
+        .select(col("add.path").as("path"), statsCol.as("stats"),
+          pvCol.as("partitionValues"), sizeCol.as("size"),
+          modCol.as("modificationTime"), dvCol.as("dv"))
+        .as[AddEntry]
+    // tombstones in the checkpoint subtract distributed (anti-join) —
+    // a reconciled checkpoint never carries both, but external writers
+    // may emit remove tombstones for VACUUM bookkeeping
+    if (has("remove.path")) {
+      val rm = df.where(col("remove.path").isNotNull)
+        .select(col("remove.path").as("path"))
+      adds = adds.join(rm, Seq("path"), "left_anti").as[AddEntry]
+    }
+
+    val meta =
+      if (!has("metaData.schemaString")) None
+      else {
+        val cols = Seq(
+          col("metaData.schemaString"),
+          if (has("metaData.partitionColumns"))
+            col("metaData.partitionColumns")
+          else expr("CAST(array() AS array<string>)"),
+          if (has("metaData.configuration"))
+            coalesce(col("metaData.configuration")
+              .cast(MapType(StringType, StringType)),
+              expr("CAST(map() AS map<string,string>)"))
+          else expr("CAST(map() AS map<string,string>)"),
+          if (has("metaData.id")) coalesce(col("metaData.id"), lit(""))
+          else lit(""),
+          if (has("metaData.createdTime"))
+            coalesce(col("metaData.createdTime").cast("long"), lit(0L))
+          else lit(0L))
+        df.where(col("metaData.schemaString").isNotNull).select(cols: _*)
+          .collect().lastOption.map { r =>
+            (r.getString(0),
+              Option(r.getSeq[String](1)).map(_.toSeq).getOrElse(Nil),
+              Option(r.getMap[String, String](2)).map(_.toMap)
+                .getOrElse(Map.empty),
+              r.getString(3), r.getLong(4))
+          }
+      }
+    val proto =
+      if (!has("protocol.minReaderVersion")) None
+      else {
+        val cols = Seq(
+          col("protocol.minReaderVersion"),
+          if (has("protocol.minWriterVersion"))
+            coalesce(col("protocol.minWriterVersion"), lit(2))
+          else lit(2),
+          if (has("protocol.readerFeatures"))
+            coalesce(col("protocol.readerFeatures"),
+              expr("CAST(array() AS array<string>)"))
+          else expr("CAST(array() AS array<string>)"))
+        df.where(col("protocol.minReaderVersion").isNotNull).select(cols: _*)
+          .collect().lastOption.map { r =>
+            (r.getInt(0), r.getInt(1),
+              Option(r.getSeq[String](2)).map(_.toSeq).getOrElse(Nil))
+          }
+      }
+    (adds, meta, proto)
+  }
+
+  private val SupportedFeatures =
+    Set("columnMapping", "deletionVectors", "timestampNtz")
+
+  private def checkProtocol(mrv: Int, features: Seq[String]): Unit = {
+    if (mrv <= 2) () // 2 = column mapping; the mode gate runs at read
+    else if (mrv == 3) {
+      val unknown = features.filterNot(SupportedFeatures)
+      require(unknown.isEmpty,
+        s"unsupported Delta reader features: ${unknown.mkString(", ")} — " +
+          s"this reader supports ${SupportedFeatures.mkString("/")} only, " +
+          "refusing rather than misreading")
+    } else throw new IllegalArgumentException(
+      s"Delta table requires reader version $mrv — unknown to this " +
+        "reader, refusing rather than misreading")
+  }
+
+  /** Column-mapping state: logical top-level name → the key stats and
+    * partitionValues are recorded under (the physical name in `name`
+    * mode, identity otherwise).
+    */
+  private def statsKeyOf(st: LogState, schema: StructType)
+      : Map[String, String] =
+    st.conf.get("delta.columnMapping.mode") match {
+      case Some("name") =>
+        schema.fields.map(f => f.name -> physName(f)).toMap
+      case Some("id") => throw new IllegalArgumentException(
+        "delta.columnMapping.mode=id (field-id matching) is unsupported " +
+          "— this reader handles name mode only, refusing rather than " +
+          "misreading")
+      case _ => schema.fieldNames.map(n => n -> n).toMap
+    }
+
+  private def mapped(st: LogState): Boolean =
+    st.conf.get("delta.columnMapping.mode").contains("name")
+
+  private def physName(f: StructField): String =
+    if (f.metadata.contains("delta.columnMapping.physicalName"))
+      f.metadata.getString("delta.columnMapping.physicalName")
+    else f.name
+
+  /** Recursively rename a logical type to physical parquet names. */
+  private def toPhysical(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      StructField(physName(f), toPhysical(f.dataType), f.nullable)))
+    case a: ArrayType => a.copy(elementType = toPhysical(a.elementType))
+    case m: MapType =>
+      m.copy(keyType = toPhysical(m.keyType),
+        valueType = toPhysical(m.valueType))
+    case o => o
+  }
 
   private def schemaOf(st: LogState): StructType =
     DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
 
+  /** Live entries at the snapshot, optionally stats-pruned. The
+    * checkpoint part prunes DISTRIBUTED and only survivors reach the
+    * driver; the JSON tail (bounded by the checkpoint interval) prunes
+    * driver-side.
+    */
+  private def liveEntries(st: LogState, pred: Option[
+      org.apache.spark.sql.catalyst.expressions.Expression]): Seq[AddEntry] = {
+    val schema = schemaOf(st)
+    val sk = statsKeyOf(st, schema)
+    val tailKeys = st.tailAdds.map(_.path).toSet
+    val rm = st.tailRemoves
+    val fromCkpt = st.ckpt.map { ds =>
+      val live = ds.filter(a =>
+        !rm.contains(a.path) && !tailKeys.contains(a.path))
+      val pruned = pred match {
+        case Some(p) =>
+          live.filter(a => FileStats.mayMatch(p, colStats(schema, sk, a)))
+        case None => live
+      }
+      pruned.collect().toSeq
+    }.getOrElse(Nil)
+    val fromTail = st.tailAdds.filter(a =>
+      pred.forall(p => FileStats.mayMatch(p, colStats(schema, sk, a))))
+    lastPlannedFiles = fromCkpt.size.toLong + fromTail.size.toLong
+    fromCkpt ++ fromTail
+  }
+
   /** The table as a DataFrame at `version` (-1 = latest). Column order
-    * follows the Delta schema; partition columns are recovered from the
-    * hive-style directory layout Delta writes.
+    * follows the Delta schema; partition values come from the add
+    * actions (protocol authority).
     */
   def read(spark: SparkSession, path: String, version: Long = -1L)
       : DataFrame = {
     val st = replay(spark, path, version)
-    assemble(spark, path, st, st.adds.values.toSeq)
+    assemble(spark, path, st, liveEntries(st, None))
   }
+
+  /** Pruned read: only files whose Delta stats can satisfy `predicate`
+    * are opened (files without usable stats are always kept). The
+    * predicate is re-applied after the scan, so the result equals
+    * `read(...).filter(predicate)` exactly.
+    */
+  def readWhere(spark: SparkSession, path: String, predicate: String,
+                version: Long = -1L): DataFrame = {
+    val st = replay(spark, path, version)
+    val pred = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(predicate)
+    assemble(spark, path, st, liveEntries(st, Some(pred)))
+      .filter(expr(predicate))
+  }
+
+  /** (total live files, files a predicate would open) — computed as
+    * distributed counts; no AddEntry reaches the driver.
+    */
+  def pruneReport(spark: SparkSession, path: String, predicate: String,
+                  version: Long = -1L): (Int, Int) = {
+    val st = replay(spark, path, version)
+    val schema = schemaOf(st)
+    val sk = statsKeyOf(st, schema)
+    val pred = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(predicate)
+    val tailKeys = st.tailAdds.map(_.path).toSet
+    val rm = st.tailRemoves
+    val (ckptTotal, ckptKept) = st.ckpt.map { ds =>
+      val live = ds.filter(a =>
+        !rm.contains(a.path) && !tailKeys.contains(a.path))
+      (live.count(),
+        live.filter(a => FileStats.mayMatch(pred, colStats(schema, sk, a)))
+          .count())
+    }.getOrElse((0L, 0L))
+    val tailKept = st.tailAdds.count(a =>
+      FileStats.mayMatch(pred, colStats(schema, sk, a)))
+    ((ckptTotal + st.tailAdds.size).toInt, (ckptKept + tailKept).toInt)
+  }
+
+  /** Full live state for the writer's checkpoint pass (the one caller
+    * that legitimately materializes every entry — a checkpoint IS the
+    * materialized state).
+    */
+  private[sources] def checkpointState(spark: SparkSession, path: String,
+                                       version: Long)
+      : (LogState, Seq[AddEntry]) = {
+    val st = replay(spark, path, version)
+    (st, liveEntries(st, None))
+  }
+
+  // ------------------------------------------------------------------
+  // assembly
+  // ------------------------------------------------------------------
+
+  private val FKey = "__graft_dv_file"
+  private val RIdx = "__graft_dv_ridx"
 
   private def assemble(spark: SparkSession, path: String, st: LogState,
                        files: Seq[AddEntry]): DataFrame = {
     val schema = schemaOf(st)
     if (files.isEmpty)
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val paths = files.map(a => s"$path/${decode(a.path)}")
-    val dataSchema = StructType(
-      schema.fields.filterNot(f => st.partitionCols.contains(f.name)))
-    val reader = spark.read
-      .option("basePath", path)
-      .schema(if (st.partitionCols.isEmpty) schema else dataSchema)
-    import org.apache.spark.sql.functions.col
-    val raw = reader.parquet(paths: _*)
-    if (st.partitionCols.isEmpty) raw.select(schema.fieldNames.map(col): _*)
-    else {
-      // partition values come off the directory names; cast to the
-      // declared schema types (inference would guess)
-      val casted = st.partitionCols.foldLeft(raw) { (df, c) =>
-        df.withColumn(c, col(c).cast(schema(c).dataType))
+        spark.sparkContext.emptyRDD[Row],
+        StructType(schema.fields.map(f =>
+          StructField(f.name, f.dataType, f.nullable))))
+    val (plain, dvd) = files.partition(_.dv.forall(_.cardinality == 0L))
+    val parts = Seq(
+      if (plain.nonEmpty) Some(scan(spark, path, st, schema, plain,
+        withMeta = false)) else None,
+      if (dvd.nonEmpty) Some(applyDvs(spark, path, st, schema, dvd))
+      else None).flatten
+    parts.reduce(_ unionByName _)
+  }
+
+  /** One scan over `files` projected to the logical schema. Three
+    * shapes, in preference order:
+    *   1. unpartitioned: single scan with the (physical) data schema;
+    *   2. hive-consistent layout, no column mapping: single scan with
+    *      basePath — Spark derives partition columns from the dirs the
+    *      log AGREES with (checked file-by-file), declared types cast;
+    *   3. authority fallback: files grouped by their add action's
+    *      partitionValues; each group scans data columns and attaches
+    *      the logged values as typed literals (handles non-hive
+    *      layouts, value/dir disagreement, NULL values, column
+    *      mapping). Group count is bounded by the partition count of
+    *      the SURVIVING file set — the same cardinality any
+    *      partition-pruned plan carries.
+    */
+  private def scan(spark: SparkSession, path: String, st: LogState,
+                   schema: StructType, files: Seq[AddEntry],
+                   withMeta: Boolean): DataFrame = {
+    val partCols = st.partitionCols
+    val isMapped = mapped(st)
+    val sk = statsKeyOf(st, schema)
+    val dataFields = schema.fields.filterNot(f => partCols.contains(f.name))
+    val physDataSchema = StructType(dataFields.map(f =>
+      StructField(if (isMapped) physName(f) else f.name,
+        toPhysical(f.dataType), f.nullable)))
+    def dataSelect = dataFields.map(f =>
+      col(if (isMapped) physName(f) else f.name)
+        .cast(f.dataType).as(f.name)).toSeq
+    def metaSelect =
+      if (!withMeta) Nil
+      else Seq(expr("substring_index(_metadata.file_path, '/', -1)")
+        .as(FKey), col("_metadata.row_index").as(RIdx))
+
+    if (partCols.isEmpty) {
+      val paths = files.map(a => s"$path/${PathCodec.percentDecode(a.path)}")
+      spark.read.schema(physDataSchema).parquet(paths: _*)
+        .select(dataSelect ++ metaSelect: _*)
+    } else if (!isMapped && layoutConsistent(files, partCols)) {
+      val paths = files.map(a => s"$path/${PathCodec.percentDecode(a.path)}")
+      val full = StructType(schema.fields.map(f =>
+        StructField(f.name, f.dataType, f.nullable)))
+      spark.read.option("basePath", path).schema(full).parquet(paths: _*)
+        .select(schema.fields.toSeq.map(f =>
+          col(f.name): org.apache.spark.sql.Column) ++ metaSelect: _*)
+    } else {
+      val ordered = schema.fieldNames.toSeq.map(col) ++
+        (if (withMeta) Seq(col(FKey), col(RIdx)) else Nil)
+      val groups = files.groupBy(a =>
+        partCols.map(c => a.partitionValues.get(sk(c)).orNull))
+      val scans = groups.toSeq.sortBy(_._1.map(String.valueOf).mkString("/")).map {
+        case (pvals, grp) =>
+          val paths = grp.map(a => s"$path/${PathCodec.percentDecode(a.path)}")
+          val base = spark.read.schema(physDataSchema).parquet(paths: _*)
+          val partSelect = partCols.zip(pvals).map { case (c, v) =>
+            (if (v == null) lit(null) else lit(v))
+              .cast(schema(c).dataType).as(c)
+          }
+          base.select(dataSelect ++ partSelect ++ metaSelect: _*)
+            .select(ordered: _*)
       }
-      casted.select(schema.fieldNames.map(col): _*)
+      scans.reduce(_ unionByName _)
     }
   }
+
+  /** True iff every file's physical directory layout textually agrees
+    * with its add action's partitionValues — the precondition for the
+    * single-scan basePath fast path.
+    */
+  private def layoutConsistent(files: Seq[AddEntry],
+                               partCols: Seq[String]): Boolean =
+    files.forall { a =>
+      val segs = PathCodec.percentDecode(a.path).split("/").dropRight(1)
+      segs.length == partCols.length &&
+        segs.zip(partCols).forall { case (seg, c) =>
+          val i = seg.indexOf('=')
+          i > 0 && seg.take(i) == c && {
+            val v = PathCodec.percentDecode(seg.drop(i + 1))
+            a.partitionValues.get(c).contains(v)
+          }
+        }
+    }
+
+  // ------------------------------------------------------------------
+  // deletion vectors
+  // ------------------------------------------------------------------
+
+  /** Scan files that carry deletion vectors and anti-join the deleted
+    * (file, row_index) pairs. Join key is the data file's basename
+    * (Delta file names are UUID-unique table-wide); if an external
+    * table ever collides basenames, each file scans tagged with its
+    * full relative path instead.
+    */
+  private def applyDvs(spark: SparkSession, path: String, st: LogState,
+                       schema: StructType, dvd: Seq[AddEntry]): DataFrame = {
+    def basename(a: AddEntry): String =
+      PathCodec.percentDecode(a.path).split("/").last
+    val collide = dvd.map(basename).distinct.size != dvd.size
+    val delRows: Seq[(String, Long)] = dvd.flatMap { a =>
+      val key = if (collide) PathCodec.percentDecode(a.path) else basename(a)
+      dvPositions(spark, path, a.dv.get).map(p => (key, p))
+    }
+    import spark.implicits._
+    val delDf = delRows.toDF(FKey, RIdx)
+    val scanned =
+      if (!collide) scan(spark, path, st, schema, dvd, withMeta = true)
+      else dvd.map { a =>
+        scan(spark, path, st, schema, Seq(a), withMeta = true)
+          .withColumn(FKey, lit(PathCodec.percentDecode(a.path)))
+      }.reduce(_ unionByName _)
+    scanned.join(broadcast(delDf), Seq(FKey, RIdx), "left_anti")
+      .drop(FKey, RIdx)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Deleted row positions of one descriptor, decoded per the public DV
+    * format. Driver-side and cardinality-bounded (the descriptor states
+    * it); the positions ride to executors as a broadcast anti-join side.
+    */
+  private[graft] def dvPositions(spark: SparkSession, tablePath: String,
+                                 dv: Dv): Array[Long] = {
+    val data: Array[Byte] = dv.storageType match {
+      case "i" => PathCodec.z85Decode(dv.pathOrInlineDv).take(dv.sizeInBytes)
+      case "u" =>
+        val enc = dv.pathOrInlineDv.takeRight(20)
+        val prefix = dv.pathOrInlineDv.dropRight(20)
+        val b = PathCodec.z85Decode(enc)
+        val bb = java.nio.ByteBuffer.wrap(b)
+        val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+        val rel = (if (prefix.nonEmpty) s"$prefix/" else "") +
+          s"deletion_vector_$uuid.bin"
+        readDvFile(spark, new Path(tablePath, rel), dv.offset, dv.sizeInBytes)
+      case "p" =>
+        readDvFile(spark, new Path(dv.pathOrInlineDv), dv.offset,
+          dv.sizeInBytes)
+      case other => throw new IllegalArgumentException(
+        s"unknown deletionVector storageType '$other' — refusing")
+    }
+    roaringPositions(data)
+  }
+
+  /** On-disk DV file: byte 0 is the format version (1); at `offset`
+    * sits a big-endian int32 length (must equal sizeInBytes) followed
+    * by the DV data.
+    */
+  private def readDvFile(spark: SparkSession, p: Path, offset: Int,
+                         size: Int): Array[Byte] = {
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = f.open(p)
+    try {
+      val ver = in.readByte()
+      require(ver == 1, s"$p: DV file format version $ver != 1")
+      in.seek(offset.toLong)
+      val len = in.readInt()
+      require(len == size,
+        s"$p: DV length prefix $len != descriptor sizeInBytes $size")
+      val buf = new Array[Byte](size)
+      in.readFully(buf)
+      buf
+    } finally in.close()
+  }
+
+  /** Portable 64-bit RoaringBitmapArray: int32 LE magic 1681511377,
+    * int64 LE bitmap count, then consecutive standard-serialized 32-bit
+    * RoaringBitmaps (key = array index; position = key*2^32 + value).
+    */
+  private def roaringPositions(data: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val magic = bb.getInt
+    require(magic == 1681511377,
+      s"deletion vector magic $magic != 1681511377 (portable " +
+        "RoaringBitmapArray)")
+    val n = bb.getLong
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(
+      data, bb.position(), data.length - bb.position()))
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    var k = 0L
+    while (k < n) {
+      val rb = new org.roaringbitmap.RoaringBitmap()
+      rb.deserialize(in)
+      val hi = k << 32
+      rb.forEach(new org.roaringbitmap.IntConsumer {
+        def accept(v: Int): Unit = out += (hi | (v & 0xFFFFFFFFL))
+      })
+      k += 1
+    }
+    out.toArray
+  }
+
+  // ------------------------------------------------------------------
+  // stats
+  // ------------------------------------------------------------------
 
   /** Zone-map stats for one add entry, in [[FileStats.ColStat]] form —
     * sound mapping only: int/long/float/double/string columns with
     * json-native stat values; everything else answers "cannot prune"
     * (dates, timestamps, decimals render engine-specifically in Delta
-    * stats json, so they are deliberately NOT mapped).
+    * stats json, so they are deliberately NOT mapped). `sk` maps the
+    * logical field name to the key stats are recorded under (physical
+    * name under column mapping). With a deletion vector present the
+    * stats still describe the pre-delete file — a superset, so pruning
+    * decisions remain sound (may only over-KEEP, never over-skip).
     */
-  private def colStats(schema: StructType, a: AddEntry)
-      : Map[String, FileStats.ColStat] =
+  private def colStats(schema: StructType, sk: Map[String, String],
+                       a: AddEntry): Map[String, FileStats.ColStat] =
     a.stats.toSeq.flatMap { js =>
       val n = om.readTree(js)
       val rows = n.path("numRecords").asLong(-1L)
@@ -225,11 +769,12 @@ object DeltaRead {
           case _                                             => None
         }
         kind.flatMap { k =>
+          val key = sk.getOrElse(f.name, f.name)
           def stat(section: String): Option[JsonNode] =
-            Option(n.path(section).get(f.name)).filterNot(_.isNull)
+            Option(n.path(section).get(key)).filterNot(_.isNull)
           val lo = stat("minValues")
           val hi = stat("maxValues")
-          val nulls = Option(n.path("nullCount").get(f.name))
+          val nulls = Option(n.path("nullCount").get(key))
             .filterNot(_.isNull).map(_.asLong(-1L)).getOrElse(-1L)
           def render(v: JsonNode): Option[String] = k match {
             case "s" => if (v.isTextual) Some(v.asText()) else None
@@ -241,43 +786,10 @@ object DeltaRead {
                 yield f.name -> FileStats.ColStat(k, Some(ls), Some(hs),
                   nulls, rows)
             case (None, None) if nulls == rows && rows >= 0 =>
-              // all-null file for this column
               Some(f.name -> FileStats.ColStat(k, None, None, nulls, rows))
             case _ => None
           }
         }
       }
     }.toMap
-
-  /** Pruned read: only files whose Delta stats can satisfy `predicate`
-    * are opened (files without usable stats are always kept — pruning
-    * may only ever SKIP provably-impossible files). The predicate is
-    * re-applied after the scan, so the result equals
-    * `read(...).filter(predicate)` exactly.
-    */
-  def readWhere(spark: SparkSession, path: String, predicate: String,
-                version: Long = -1L): DataFrame = {
-    val st = replay(spark, path, version)
-    val schema = schemaOf(st)
-    val pred = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-      .parseExpression(predicate)
-    val kept = st.adds.values.toSeq.filter { a =>
-      FileStats.mayMatch(pred, colStats(schema, a))
-    }
-    assemble(spark, path, st, kept)
-      .filter(org.apache.spark.sql.functions.expr(predicate))
-  }
-
-  /** (total live files, files a predicate would open) — observability
-    * for the skipping spec and layout audits.
-    */
-  def pruneReport(spark: SparkSession, path: String, predicate: String,
-                  version: Long = -1L): (Int, Int) = {
-    val st = replay(spark, path, version)
-    val schema = schemaOf(st)
-    val pred = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-      .parseExpression(predicate)
-    val all = st.adds.values.toSeq
-    (all.size, all.count(a => FileStats.mayMatch(pred, colStats(schema, a))))
-  }
 }
