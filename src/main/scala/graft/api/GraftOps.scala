@@ -146,6 +146,48 @@ object GraftOps {
       .select("id_a", "id_b", "shared", "jaccard")
   }
 
+  /** [[jaccardJoinBanded]] for a PRECOMPUTED 64-bit shingle-hash set
+    * column — the banding escape hatch for non-text shingles (byte
+    * grams on binary assets: m09). Signatures are MinHash over the
+    * hash set (h-seeded xxhash64 per element, all in-row codegen'd
+    * expressions), candidates come from band-bucket equijoins (≤
+    * `bands` bucket rows per asset regardless of gram document
+    * frequency — the property that caps a hot-gram df² blowup), and
+    * verification is exact set intersection on candidates only.
+    */
+  def jaccardJoinBandedSets(df: DataFrame, id: Column, shingles: Column,
+                            threshold: Double, numHashes: Int = 64,
+                            bands: Int = 16): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sets = df.select(id.as("__id"),
+        array_sort(array_distinct(shingles)).as("__shs"))
+      .withColumn("__n", size(col("__shs")).cast("long"))
+      .pipe(persistTracked)
+    val sigs = sets.select(col("__id"), expr(
+      s"""transform(sequence(0, ${numHashes - 1}), h ->
+           array_min(transform(__shs, s -> xxhash64(h, s))))""").as("__sig"))
+    val banded = sigs.select(col("__id"), explode(expr(
+      s"transform(sequence(0, ${bands - 1}), b -> " +
+        s"struct(b AS band, xxhash64(concat_ws(',', slice(__sig, b * $rowsPerBand + 1, $rowsPerBand))) AS bh))"))
+      .as("__b"))
+      .select(col("__id"), col("__b.band"), col("__b.bh"))
+    val cands = banded.as("x").join(banded.as("y"), Seq("band", "bh"))
+      .where(col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+      .distinct()
+    cands
+      .join(sets.select(col("__id").as("id_a"), col("__shs").as("__sa"),
+        col("__n").as("__na")), "id_a")
+      .join(sets.select(col("__id").as("id_b"), col("__shs").as("__sb"),
+        col("__n").as("__nb")), "id_b")
+      .withColumn("shared",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("__na") + col("__nb") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "shared", "jaccard")
+  }
+
   /** Near-dup pair strategy dispatch: "shingle" = exact shared-shingle
     * candidates ([[jaccardJoin]] — exact at any threshold, but per-hot-
     * shingle candidate cost O(df²)); "lsh" = MinHash-banded candidates

@@ -141,11 +141,27 @@ object Multimodal3 {
   val m09_asset_neardup: Q = (s, d) => {
     val assets = Tables.documents(s, d)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("bs"))
+    val gramExpr = expr(
+      """array_distinct(transform(
+           sequence(1, greatest(octet_length(bs) - 15, 1)),
+           i -> xxhash64(substring(bs, i, 16))))""")
+    // the duplicated-corpus escape hatch the text family has: conf
+    // graft.neardup.strategy=lsh reroutes candidates through MinHash
+    // bands over the byte grams (≤ bands bucket rows per asset, no df²
+    // exposure on a hot gram — long zero-runs / shared headers in real
+    // binary assets), verified exactly on candidates only
+    if (s.conf.get("graft.neardup.strategy", "shingle") == "lsh")
+      graft.api.GraftOps
+        .jaccardJoinBandedSets(assets, col("doc_id"), gramExpr, 0.3)
+        .orderBy("id_a", "id_b")
+    else m09ExactRoute(assets, gramExpr)
+  }
+
+  private def m09ExactRoute(assets: DataFrame,
+                            gramExpr: org.apache.spark.sql.Column)
+      : DataFrame = {
     val shingled = assets
-      .select(col("doc_id"), expr(
-        """array_distinct(transform(
-             sequence(1, greatest(octet_length(bs) - 15, 1)),
-             i -> xxhash64(substring(bs, i, 16))))""").as("shs"))
+      .select(col("doc_id"), gramExpr.as("shs"))
       .select(col("doc_id"), size(col("shs")).cast("long").as("n"),
         explode(col("shs")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

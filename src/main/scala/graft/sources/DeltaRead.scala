@@ -33,10 +33,13 @@ import scala.jdk.CollectionConverters._
   *     map — the protocol's authority — NOT directory-name inference;
   *     a hive-layout fast path keeps the single-scan plan when (and
   *     only when) the physical directory names agree with the log;
-  *   - column mapping in `name` mode (minReaderVersion 2, or 3 with the
-  *     `columnMapping` feature): physical parquet names are mapped back
-  *     to logical schema names at projection time, stats and
-  *     partitionValues keys translated;
+  *   - column mapping in `name` AND `id` modes (minReaderVersion 2, or
+  *     3 with the `columnMapping` feature): physical parquet names are
+  *     mapped back to logical schema names at projection time, stats
+  *     and partitionValues keys translated; in `id` mode the read
+  *     schema carries `parquet.field.id` metadata and Spark resolves
+  *     parquet columns by FIELD ID (files written before a rename carry
+  *     old names but stable ids — name matching would misread them);
   *   - deletion vectors (minReaderVersion 3 + `deletionVectors`):
   *     inline (`i`), relative-UUID (`u`) and absolute-path (`p`)
   *     descriptors decode per the public DV format (1-byte-version file,
@@ -45,10 +48,10 @@ import scala.jdk.CollectionConverters._
   *     (file, `_metadata.row_index`);
   *   - time travel via `version` (replays the log prefix).
   *
-  * Non-goals (loudly enforced): NO writes from this object, `id`-mode
-  * column mapping, v2/UUID-named checkpoints, and any reader feature
-  * outside {columnMapping, deletionVectors, timestampNtz} are refused
-  * by name rather than silently misread.
+  * Non-goals (loudly enforced): NO writes from this object; v2/UUID-
+  * named checkpoints, unknown column-mapping modes, and any reader
+  * feature outside {columnMapping, deletionVectors, timestampNtz} are
+  * refused by name rather than silently misread.
   */
 object DeltaRead {
   private val om = new ObjectMapper()
@@ -81,7 +84,7 @@ object DeltaRead {
 
   /** Instrumentation for the scale spec: how many AddEntry rows the
     * last planning call materialized on the driver (readWhere collects
-    * survivors only; pruneReport collects none and leaves this at 0).
+    * survivors only; pruneReport collects none and RESETS this to 0).
     */
   @volatile private[graft] var lastPlannedFiles: Long = -1L
 
@@ -176,15 +179,15 @@ object DeltaRead {
       else (commits ++ ckpts.keys).foldLeft(-1L)(math.max)
     require(target >= 0, s"$path: empty _delta_log")
 
-    // newest usable checkpoint at or below the target; _last_checkpoint
-    // is consulted but must agree with the listing
-    lastCheckpointRef(f, dir).foreach { case (v, _) =>
-      if (v <= target && !ckpts.contains(v) && v2Names.isEmpty)
-        throw new IllegalArgumentException(
-          s"$path: _last_checkpoint names version $v but no classic or " +
-            "multi-part checkpoint parquet for it exists in the log")
-    }
-    val base = ckpts.keys.filter(_ <= target).toSeq.sorted.lastOption
+    // newest usable checkpoint at or below the target. _last_checkpoint
+    // is a possibly-stale HINT per the protocol: a reference the listing
+    // cannot corroborate (checkpoint cleanup, eventually-consistent
+    // listing) is ignored and planning proceeds from the listed
+    // checkpoints/commits — never a refusal.
+    val hint = lastCheckpointRef(f, dir).map(_._1)
+      .filter(v => v <= target && ckpts.contains(v))
+    val base = (ckpts.keys.filter(_ <= target) ++ hint)
+      .toSeq.sorted.lastOption
 
     var schemaJson: String = null
     var partitionCols: Seq[String] = Nil
@@ -389,7 +392,7 @@ object DeltaRead {
     (adds, meta, proto)
   }
 
-  private val SupportedFeatures =
+  private[graft] val SupportedFeatures =
     Set("columnMapping", "deletionVectors", "timestampNtz")
 
   private def checkProtocol(mrv: Int, features: Seq[String]): Unit = {
@@ -406,38 +409,65 @@ object DeltaRead {
   }
 
   /** Column-mapping state: logical top-level name → the key stats and
-    * partitionValues are recorded under (the physical name in `name`
-    * mode, identity otherwise).
+    * partitionValues are recorded under. In BOTH `name` and `id` modes
+    * the protocol records stats/partitionValues under the PHYSICAL name
+    * (id mode also assigns physical names; the field id governs parquet
+    * column RESOLUTION, not the log keys); identity otherwise.
     */
   private def statsKeyOf(st: LogState, schema: StructType)
       : Map[String, String] =
     st.conf.get("delta.columnMapping.mode") match {
-      case Some("name") =>
+      case Some("name") | Some("id") =>
         schema.fields.map(f => f.name -> physName(f)).toMap
-      case Some("id") => throw new IllegalArgumentException(
-        "delta.columnMapping.mode=id (field-id matching) is unsupported " +
-          "— this reader handles name mode only, refusing rather than " +
-          "misreading")
+      case Some(other) if other != "none" =>
+        throw new IllegalArgumentException(
+          s"delta.columnMapping.mode=$other unknown to this reader — " +
+            "refusing rather than misreading")
       case _ => schema.fieldNames.map(n => n -> n).toMap
     }
 
-  private def mapped(st: LogState): Boolean =
-    st.conf.get("delta.columnMapping.mode").contains("name")
+  private def mapped(st: LogState): Boolean = {
+    val m = st.conf.get("delta.columnMapping.mode")
+    m.contains("name") || m.contains("id")
+  }
+
+  /** `id` mode: parquet columns resolve by FIELD ID (a file written
+    * before a rename carries old names but stable ids), so the read
+    * schema must carry `parquet.field.id` metadata and Spark's
+    * field-id resolution must be on.
+    */
+  private def idMode(st: LogState): Boolean =
+    st.conf.get("delta.columnMapping.mode").contains("id")
 
   private def physName(f: StructField): String =
     if (f.metadata.contains("delta.columnMapping.physicalName"))
       f.metadata.getString("delta.columnMapping.physicalName")
     else f.name
 
-  /** Recursively rename a logical type to physical parquet names. */
-  private def toPhysical(dt: DataType): DataType = dt match {
-    case s: StructType => StructType(s.fields.map(f =>
-      StructField(physName(f), toPhysical(f.dataType), f.nullable)))
-    case a: ArrayType => a.copy(elementType = toPhysical(a.elementType))
-    case m: MapType =>
-      m.copy(keyType = toPhysical(m.keyType),
-        valueType = toPhysical(m.valueType))
-    case o => o
+  /** Recursively rename a logical type to physical parquet names; with
+    * `withIds` each field also carries its `delta.columnMapping.id` as
+    * `parquet.field.id` metadata, which is what Spark's parquet reader
+    * keys field-id resolution on.
+    */
+  private def toPhysical(dt: DataType, withIds: Boolean): DataType =
+    dt match {
+      case s: StructType => StructType(s.fields.map(physField(_, withIds)))
+      case a: ArrayType =>
+        a.copy(elementType = toPhysical(a.elementType, withIds))
+      case m: MapType =>
+        m.copy(keyType = toPhysical(m.keyType, withIds),
+          valueType = toPhysical(m.valueType, withIds))
+      case o => o
+    }
+
+  private def physField(f: StructField, withIds: Boolean): StructField = {
+    val meta =
+      if (withIds && f.metadata.contains("delta.columnMapping.id"))
+        new MetadataBuilder().putLong("parquet.field.id",
+          f.metadata.getLong("delta.columnMapping.id")).build()
+      else Metadata.empty
+    StructField(physName(f), toPhysical(f.dataType, withIds),
+      f.nullable, meta)
   }
 
   private def schemaOf(st: LogState): StructType =
@@ -499,6 +529,7 @@ object DeltaRead {
     */
   def pruneReport(spark: SparkSession, path: String, predicate: String,
                   version: Long = -1L): (Int, Int) = {
+    lastPlannedFiles = 0L
     val st = replay(spark, path, version)
     val schema = schemaOf(st)
     val sk = statsKeyOf(st, schema)
@@ -536,6 +567,9 @@ object DeltaRead {
   private val FKey = "__graft_dv_file"
   private val RIdx = "__graft_dv_ridx"
 
+  private lazy val decodeBasename =
+    udf((p: String) => PathCodec.percentDecode(p.split("/").last))
+
   private def assemble(spark: SparkSession, path: String, st: LogState,
                        files: Seq[AddEntry]): DataFrame = {
     val schema = schemaOf(st)
@@ -572,18 +606,29 @@ object DeltaRead {
                    withMeta: Boolean): DataFrame = {
     val partCols = st.partitionCols
     val isMapped = mapped(st)
+    val withIds = idMode(st)
+    // field-id resolution is a session conf (no per-read option exists);
+    // it only affects read schemas that CARRY parquet.field.id metadata
+    // — i.e. exactly the schemas this branch builds — so leaving it
+    // enabled is inert for every other read in the session
+    if (withIds)
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val sk = statsKeyOf(st, schema)
     val dataFields = schema.fields.filterNot(f => partCols.contains(f.name))
     val physDataSchema = StructType(dataFields.map(f =>
-      StructField(if (isMapped) physName(f) else f.name,
-        toPhysical(f.dataType), f.nullable)))
+      if (isMapped) physField(f, withIds)
+      else StructField(f.name, toPhysical(f.dataType, withIds = false),
+        f.nullable)))
     def dataSelect = dataFields.map(f =>
       col(if (isMapped) physName(f) else f.name)
         .cast(f.dataType).as(f.name)).toSeq
+    // _metadata.file_path is URI-encoded (SparkPath) — decode the
+    // basename so it equals the percent-decoded logged name the delete
+    // side keys on. A UDF only ever runs on the DV exception path.
     def metaSelect =
       if (!withMeta) Nil
-      else Seq(expr("substring_index(_metadata.file_path, '/', -1)")
-        .as(FKey), col("_metadata.row_index").as(RIdx))
+      else Seq(decodeBasename(col("_metadata.file_path")).as(FKey),
+        col("_metadata.row_index").as(RIdx))
 
     if (partCols.isEmpty) {
       val paths = files.map(a => s"$path/${PathCodec.percentDecode(a.path)}")
@@ -639,58 +684,77 @@ object DeltaRead {
   // ------------------------------------------------------------------
 
   /** Scan files that carry deletion vectors and anti-join the deleted
-    * (file, row_index) pairs. Join key is the data file's basename
-    * (Delta file names are UUID-unique table-wide); if an external
-    * table ever collides basenames, each file scans tagged with its
-    * full relative path instead.
+    * (file, row_index) pairs.
+    *
+    * Scale shape: the driver reads only the COMPRESSED bitmap bytes of
+    * each descriptor (bounded by `sizeInBytes` — KBs/MBs even for
+    * hundreds of millions of deleted rows); the positions themselves
+    * decode on EXECUTORS via a flatMap over (fileKey, bytes), so a
+    * heavily-deleted table never materializes its delete set on the
+    * driver. The anti-join side carries no broadcast hint — AQE
+    * broadcasts it when it is actually small.
+    *
+    * Join-key discipline: `_metadata.file_path` is URI-ENCODED by Spark
+    * (a disk file `f name.parquet` surfaces as `f%20name.parquet`), so
+    * the scan side percent-decodes its basename before joining — the
+    * delete side keys on the percent-DECODED logged basename (Delta
+    * file names are UUID-unique table-wide). If an external table ever
+    * collides basenames, each file scans tagged with its full relative
+    * path as a literal instead (no string surgery at all).
     */
   private def applyDvs(spark: SparkSession, path: String, st: LogState,
                        schema: StructType, dvd: Seq[AddEntry]): DataFrame = {
     def basename(a: AddEntry): String =
       PathCodec.percentDecode(a.path).split("/").last
     val collide = dvd.map(basename).distinct.size != dvd.size
-    val delRows: Seq[(String, Long)] = dvd.flatMap { a =>
+    val keyedBytes: Seq[(String, Array[Byte])] = dvd.map { a =>
       val key = if (collide) PathCodec.percentDecode(a.path) else basename(a)
-      dvPositions(spark, path, a.dv.get).map(p => (key, p))
+      key -> dvBytes(spark, path, a.dv.get)
     }
     import spark.implicits._
-    val delDf = delRows.toDF(FKey, RIdx)
+    val delDf = spark.createDataset(keyedBytes)
+      .flatMap { case (k, bytes) => roaringPositions(bytes).map(p => (k, p)) }
+      .toDF(FKey, RIdx)
     val scanned =
       if (!collide) scan(spark, path, st, schema, dvd, withMeta = true)
       else dvd.map { a =>
         scan(spark, path, st, schema, Seq(a), withMeta = true)
           .withColumn(FKey, lit(PathCodec.percentDecode(a.path)))
       }.reduce(_ unionByName _)
-    scanned.join(broadcast(delDf), Seq(FKey, RIdx), "left_anti")
+    scanned.join(delDf, Seq(FKey, RIdx), "left_anti")
       .drop(FKey, RIdx)
       .select(schema.fieldNames.map(col).toSeq: _*)
   }
 
-  /** Deleted row positions of one descriptor, decoded per the public DV
-    * format. Driver-side and cardinality-bounded (the descriptor states
-    * it); the positions ride to executors as a broadcast anti-join side.
+  /** The raw (compressed-bitmap) bytes of one DV descriptor, per the
+    * public DV format. Driver-side but bounded by the descriptor's
+    * `sizeInBytes` — decode to positions happens on executors.
+    */
+  private[graft] def dvBytes(spark: SparkSession, tablePath: String,
+                             dv: Dv): Array[Byte] = dv.storageType match {
+    case "i" => PathCodec.z85Decode(dv.pathOrInlineDv).take(dv.sizeInBytes)
+    case "u" =>
+      val enc = dv.pathOrInlineDv.takeRight(20)
+      val prefix = dv.pathOrInlineDv.dropRight(20)
+      val b = PathCodec.z85Decode(enc)
+      val bb = java.nio.ByteBuffer.wrap(b)
+      val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+      val rel = (if (prefix.nonEmpty) s"$prefix/" else "") +
+        s"deletion_vector_$uuid.bin"
+      readDvFile(spark, new Path(tablePath, rel), dv.offset, dv.sizeInBytes)
+    case "p" =>
+      readDvFile(spark, new Path(dv.pathOrInlineDv), dv.offset,
+        dv.sizeInBytes)
+    case other => throw new IllegalArgumentException(
+      s"unknown deletionVector storageType '$other' — refusing")
+  }
+
+  /** Deleted row positions of one descriptor — test/audit surface; the
+    * read path decodes on executors instead.
     */
   private[graft] def dvPositions(spark: SparkSession, tablePath: String,
-                                 dv: Dv): Array[Long] = {
-    val data: Array[Byte] = dv.storageType match {
-      case "i" => PathCodec.z85Decode(dv.pathOrInlineDv).take(dv.sizeInBytes)
-      case "u" =>
-        val enc = dv.pathOrInlineDv.takeRight(20)
-        val prefix = dv.pathOrInlineDv.dropRight(20)
-        val b = PathCodec.z85Decode(enc)
-        val bb = java.nio.ByteBuffer.wrap(b)
-        val uuid = new java.util.UUID(bb.getLong, bb.getLong)
-        val rel = (if (prefix.nonEmpty) s"$prefix/" else "") +
-          s"deletion_vector_$uuid.bin"
-        readDvFile(spark, new Path(tablePath, rel), dv.offset, dv.sizeInBytes)
-      case "p" =>
-        readDvFile(spark, new Path(dv.pathOrInlineDv), dv.offset,
-          dv.sizeInBytes)
-      case other => throw new IllegalArgumentException(
-        s"unknown deletionVector storageType '$other' — refusing")
-    }
-    roaringPositions(data)
-  }
+                                 dv: Dv): Array[Long] =
+    roaringPositions(dvBytes(spark, tablePath, dv))
 
   /** On-disk DV file: byte 0 is the format version (1); at `offset`
     * sits a big-endian int32 length (must equal sizeInBytes) followed
@@ -714,10 +778,14 @@ object DeltaRead {
   }
 
   /** Portable 64-bit RoaringBitmapArray: int32 LE magic 1681511377,
-    * int64 LE bitmap count, then consecutive standard-serialized 32-bit
-    * RoaringBitmaps (key = array index; position = key*2^32 + value).
+    * int64 LE bitmap count, then per bitmap an int32 LE KEY (the high 32
+    * bits of every position it carries — keys may be sparse, so the key
+    * field is authoritative, not the array index) followed by one
+    * standard-serialized 32-bit RoaringBitmap. Position = key*2^32 +
+    * value. Runs on executors (see [[applyDvs]]) — keep it
+    * serialization-free of driver state.
     */
-  private def roaringPositions(data: Array[Byte]): Array[Long] = {
+  private[graft] def roaringPositions(data: Array[Byte]): Array[Long] = {
     val bb = java.nio.ByteBuffer.wrap(data)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val magic = bb.getInt
@@ -725,14 +793,17 @@ object DeltaRead {
       s"deletion vector magic $magic != 1681511377 (portable " +
         "RoaringBitmapArray)")
     val n = bb.getLong
-    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(
-      data, bb.position(), data.length - bb.position()))
     val out = scala.collection.mutable.ArrayBuffer[Long]()
     var k = 0L
     while (k < n) {
+      val key = bb.getInt
+      require(key >= 0, s"deletion vector bitmap key $key out of range")
       val rb = new org.roaringbitmap.RoaringBitmap()
-      rb.deserialize(in)
-      val hi = k << 32
+      rb.deserialize(bb)
+      // the ByteBuffer variant does NOT advance the position — the
+      // library contract is to skip the consumed bytes manually
+      bb.position(bb.position() + rb.serializedSizeInBytes())
+      val hi = key.toLong << 32
       rb.forEach(new org.roaringbitmap.IntConsumer {
         def accept(v: Int): Unit = out += (hi | (v & 0xFFFFFFFFL))
       })

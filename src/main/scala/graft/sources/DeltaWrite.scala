@@ -40,10 +40,18 @@ import org.apache.spark.sql.types._
   * refused loudly (the hive default-partition encoding is ambiguous
   * across readers; a nullable partition key is a modeling bug anyway).
   *
-  * Non-goals: no checkpoints (readers replay the json log; Delta only
-  * REQUIRES checkpoints for compaction), no update/delete/merge
-  * (append-only), no schema evolution (appends must match the table
-  * schema exactly — loud refusal otherwise).
+  * Checkpointing: every `graft.delta.checkpoint.interval` commits
+  * (default 10) the winning appender writes the classic single-file
+  * checkpoint parquet (reconciled protocol + metaData + live adds with
+  * dataChange=false) and points `_last_checkpoint` at it, so a
+  * long-lived table never accretes an unbounded JSON-only log; a
+  * checkpoint failure never fails the already-committed append, and
+  * tables carrying reader features this writer does not model are left
+  * un-checkpointed rather than mis-reconciled.
+  *
+  * Non-goals: no update/delete/merge (append-only), no schema evolution
+  * (appends must match the table schema exactly — loud refusal
+  * otherwise).
   */
 object DeltaWrite {
   private val om = new ObjectMapper()
@@ -84,7 +92,7 @@ object DeltaWrite {
     var version = cur + 1
     var attempts = 0
     var done = -1L
-    var files: Seq[(String, Map[String, FileStats.ColStat])] = null
+    var files: Seq[Written] = null
     while (done < 0) {
       require(attempts < 10, s"$path: lost the commit race 10 times")
       if (files == null) files = writeSegment(df, path, partitionBy)
@@ -92,21 +100,27 @@ object DeltaWrite {
           withMeta = false, partitionBy))) done = version
       else { attempts += 1; version = DeltaRead.latestVersion(spark, path) + 1 }
     }
+    maybeCheckpoint(spark, path, done)
     done
   }
 
   private def canonical(st: StructType): Seq[(String, DataType)] =
     st.fields.toSeq.map(f => (f.name, f.dataType))
 
+  /** One landed data file: relative path, REAL byte length and mtime
+    * from the filesystem (third-party readers trust `size` for split
+    * planning — never fabricated), and its footer zone-map stats.
+    */
+  private final case class Written(rel: String, size: Long, mtime: Long,
+                                   stats: Map[String, FileStats.ColStat])
+
   /** Write `df` as parquet files under the table root with Delta-style
     * unique names — hive partition directories when `partitionBy` is
     * set (Spark's own partitionBy stage splits and hive-encodes; the
-    * files are then moved dir-for-dir) — returning (relative path,
-    * footer stats).
+    * files are then moved dir-for-dir).
     */
   private def writeSegment(df: DataFrame, path: String,
-                           partitionBy: Seq[String])
-      : Seq[(String, Map[String, FileStats.ColStat])] = {
+                           partitionBy: Seq[String]): Seq[Written] = {
     val spark = df.sparkSession
     val stage = new Path(path,
       s".stage-${java.util.UUID.randomUUID().toString}")
@@ -141,48 +155,27 @@ object DeltaWrite {
         rel
       }
       val stats = FileStats.collect(spark, path, rels)
-      rels.map(r => r -> stats.getOrElse(r, Map.empty))
+      rels.map { r =>
+        val fst = f.getFileStatus(new Path(path, r))
+        Written(r, fst.getLen, fst.getModificationTime,
+          stats.getOrElse(r, Map.empty))
+      }
     } finally f.delete(stage, true)
   }
-
-  /** Protocol encoding of a physical relative path for `add.path`:
-    * readers URL-DECODE the logged path (PROTOCOL.md: "relative path
-    * ... percent-encoded"), so each segment is percent-encoded here —
-    * decode(encode(x)) == x recovers the hive-escaped PHYSICAL name
-    * exactly (a physical `t=12%3A30` logs as `t%3D12%253A30`). Plain
-    * alphanumeric/`-._` names pass through unchanged.
-    */
-  private def encodePath(rel: String): String =
-    rel.split("/").map(seg =>
-      java.net.URLEncoder.encode(seg, "UTF-8").replace("+", "%20"))
-      .mkString("/")
 
   /** Hive-layout partition values of a PHYSICAL relative file path for
     * the `partitionValues` map. Hive's escaping is %XX sequences ONLY
     * ('+' stays literal — java.net.URLDecoder would corrupt it to a
-    * space), so this is the matching %XX-only unescape.
+    * space): [[PathCodec.percentDecode]] is exactly that unescape.
     */
   private def partitionValuesOf(rel: String): Seq[(String, String)] =
     rel.split("/").dropRight(1).toSeq.map { seg =>
       val Array(k, v) = seg.split("=", 2)
-      k -> hiveUnescape(v)
+      k -> PathCodec.percentDecode(v)
     }
-
-  private def hiveUnescape(s: String): String = {
-    val sb = new StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      if (s.charAt(i) == '%' && i + 2 < s.length) {
-        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-        i += 3
-      } else { sb.append(s.charAt(i)); i += 1 }
-    }
-    sb.toString
-  }
 
   /** Render add/metaData/protocol actions as json lines. */
-  private def actionsFor(schema: StructType,
-                         files: Seq[(String, Map[String, FileStats.ColStat])],
+  private def actionsFor(schema: StructType, files: Seq[Written],
                          withMeta: Boolean,
                          partitionBy: Seq[String] = Nil): Seq[String] = {
     val partJson = om.writeValueAsString(
@@ -197,13 +190,14 @@ object DeltaWrite {
           s""""schemaString":${om.writeValueAsString(schema.json)},""" +
           s""""partitionColumns":$partJson,"configuration":{},""" +
           s""""createdTime":0}}""")
-    head ++ files.map { case (rel, st) =>
+    head ++ files.map { w =>
       val pv = om.createObjectNode()
-      partitionValuesOf(rel).foreach { case (k, v) => pv.put(k, v) }
-      s"""{"add":{"path":"${encodePath(rel)}","partitionValues":${om
-          .writeValueAsString(pv)},"size":1,""" +
-        s""""modificationTime":0,"dataChange":true""" +
-        statsJson(schema, st).fold("")(j =>
+      partitionValuesOf(w.rel).foreach { case (k, v) => pv.put(k, v) }
+      s"""{"add":{"path":"${PathCodec.percentEncodePath(w.rel)}",""" +
+        s""""partitionValues":${om.writeValueAsString(pv)},""" +
+        s""""size":${w.size},"modificationTime":${w.mtime},""" +
+        s""""dataChange":true""" +
+        statsJson(schema, w.stats).fold("")(j =>
           s""","stats":${om.writeValueAsString(j)}""") + "}}"
     }
   }
@@ -257,6 +251,105 @@ object DeltaWrite {
         actionsFor(df.schema, files, withMeta, partitionBy)),
       s"$path: version $version was committed concurrently")
     version
+  }
+
+  // --------------------------------------------------------------------
+  // checkpointing — a long-lived table must not accrete an unbounded
+  // JSON-only log that every reader replays
+  // --------------------------------------------------------------------
+
+  /** Classic checkpoint schema — one nullable struct per action type,
+    * the column shapes other protocol readers expect (remove is always
+    * null here: a reconciled checkpoint of an append-only log carries
+    * no live tombstones, but the column keeps the row shape standard).
+    */
+  private val ckptSchema = StructType(Seq(
+    StructField("add", StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType)))),
+    StructField("remove", StructType(Seq(
+      StructField("path", StringType),
+      StructField("deletionTimestamp", LongType),
+      StructField("dataChange", BooleanType)))),
+    StructField("metaData", StructType(Seq(
+      StructField("id", StringType),
+      StructField("format", StructType(Seq(
+        StructField("provider", StringType)))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType)),
+      StructField("createdTime", LongType)))),
+    StructField("protocol", StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType))))))
+
+  /** Number of commits between classic checkpoints (≤0 disables). */
+  private def checkpointInterval(spark: SparkSession): Int =
+    spark.conf.getOption("graft.delta.checkpoint.interval")
+      .map(_.toInt).getOrElse(10)
+
+  /** Best-effort checkpoint trigger after a won commit: the commit
+    * itself already succeeded, so a checkpoint failure must never fail
+    * the append — readers simply keep replaying JSON until the next
+    * interval hits.
+    */
+  private def maybeCheckpoint(spark: SparkSession, path: String,
+                              version: Long): Unit = {
+    val n = checkpointInterval(spark)
+    if (n > 0 && version > 0 && version % n == 0)
+      try writeCheckpoint(spark, path, version)
+      catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  /** Write the classic single-file checkpoint parquet for `version`
+    * (`NNNN.checkpoint.parquet` = reconciled protocol + metaData + every
+    * live add with dataChange=false, per PROTOCOL.md) and point
+    * `_last_checkpoint` at it. Readers may then clean commits ≤ version.
+    *
+    * Refuses (returns false) on tables whose protocol carries reader
+    * features or deletion vectors — this append-only writer cannot
+    * faithfully reconcile feature state it does not model, and a wrong
+    * checkpoint silently corrupts every future read.
+    */
+  private[sources] def writeCheckpoint(spark: SparkSession, path: String,
+                                       version: Long): Boolean = {
+    val (st, live) = DeltaRead.checkpointState(spark, path, version)
+    if (st.minReaderVersion > 2 || st.readerFeatures.nonEmpty ||
+        live.exists(_.dv.nonEmpty)) return false
+    val target = new Path(path,
+      f"_delta_log/$version%020d.checkpoint.parquet")
+    val f = fs(spark, path)
+    if (f.exists(target)) return true // idempotent: someone already did
+    import org.apache.spark.sql.Row
+    val rows: Seq[Row] =
+      Row(null, null, null, Row(st.minReaderVersion, st.minWriterVersion)) +:
+      Row(null, null, Row(st.metaId, Row("parquet"), st.schemaJson,
+        st.partitionCols, st.conf, st.createdTime), null) +:
+      live.map(a => Row(Row(a.path, a.partitionValues, a.size,
+        a.modificationTime, false, a.stats.orNull), null, null, null))
+    val stage = new Path(path,
+      s"_delta_log/.ckpt-stage-${java.util.UUID.randomUUID()}")
+    try {
+      spark.createDataFrame(
+          new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+            .SeqHasAsJava(rows).asJava), ckptSchema)
+        .coalesce(1).write.parquet(stage.toString)
+      val part = f.listStatus(stage).map(_.getPath)
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(
+          s"$stage: checkpoint stage produced no parquet part"))
+      if (!f.rename(part, target)) return f.exists(target)
+      val lc = new Path(path, "_delta_log/_last_checkpoint")
+      val out = f.create(lc, true)
+      try out.write(
+        s"""{"version":$version,"size":${rows.size}}""".getBytes("UTF-8"))
+      finally out.close()
+      true
+    } finally f.delete(stage, true)
   }
 
   /** Atomic put-if-absent of the commit json through the SnapshotTable

@@ -57,8 +57,14 @@ object HudiRead {
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private val Completed = """(\d+)\.commit""".r
-  private val Replace   = """(\d+)\.replacecommit""".r
+  // Completed-commit naming across table versions: pre-1.x
+  // `<instantTs>.commit`; Hudi 1.x `<instantTs>_<completionTs>.commit`
+  // (the requested instant still orders the timeline — completion time
+  // only disambiguates concurrency, which a snapshot reader plans by
+  // requested ts exactly as Hudi's own COW planner does).
+  private val Completed   = """(\d+)\.commit""".r
+  private val Completed1x = """(\d+)_(\d+)\.commit""".r
+  private val Replace     = """(\d+)(?:_\d+)?\.replacecommit""".r
 
   private def props(spark: SparkSession, path: String)
       : java.util.Properties = {
@@ -83,15 +89,26 @@ object HudiRead {
     val f = fs(spark, path)
     // an archived timeline means file groups whose LAST write was
     // archived appear in no active commit — planning from the active
-    // timeline alone would silently return a row-subset; refuse
-    val archived = new Path(path, ".hoodie/archived")
-    require(!f.exists(archived) || f.listStatus(archived).isEmpty,
-      s"$path: .hoodie/archived is non-empty — file groups last " +
-        "written before the archival horizon are invisible to the " +
-        "active timeline, so this planner refuses rather than return " +
-        "a silent row-subset")
-    val timeline = f.listStatus(new Path(path, ".hoodie"))
-      .map(_.getPath.getName)
+    // timeline alone would silently return a row-subset; refuse.
+    // Pre-1.x archives under .hoodie/archived; 1.x keeps an LSM history
+    // under .hoodie/timeline/history.
+    Seq(".hoodie/archived", ".hoodie/timeline/history").foreach { rel =>
+      val archived = new Path(path, rel)
+      require(!f.exists(archived) || f.listStatus(archived).isEmpty,
+        s"$path: $rel is non-empty — file groups last written before " +
+          "the archival horizon are invisible to the active timeline, " +
+          "so this planner refuses rather than return a silent " +
+          "row-subset")
+    }
+    // active timeline location: .hoodie (pre-1.x) or .hoodie/timeline
+    // (1.x moved instant files into a dedicated dir)
+    val timelineDir = {
+      val oneX = new Path(path, ".hoodie/timeline")
+      if (f.exists(oneX) && f.getFileStatus(oneX).isDirectory) oneX
+      else new Path(path, ".hoodie")
+    }
+    val timeline = f.listStatus(timelineDir)
+      .filter(_.isFile).map(_.getPath.getName)
     timeline.foreach {
       case Replace(ts) => throw new IllegalArgumentException(
         s"$path: replacecommit $ts in the timeline (clustering / " +
@@ -100,16 +117,27 @@ object HudiRead {
           "rather than misreading")
       case _ => ()
     }
-    val completed = timeline.collect { case Completed(ts) => ts }
-      .filter(ts => asOf.isEmpty || ts <= asOf).sorted
+    // (requested instant, completed-commit file name)
+    val completed = timeline.collect {
+      case n @ Completed(ts)      => (ts, n)
+      case n @ Completed1x(ts, _) => (ts, n)
+    }.filter { case (ts, _) => asOf.isEmpty || ts <= asOf }.sortBy(_._1)
     require(completed.nonEmpty,
       s"$path: no completed commit" +
         (if (asOf.nonEmpty) s" at or before instant $asOf" else ""))
-    val slices = completed.flatMap { ts =>
-      val in = f.open(new Path(path, s".hoodie/$ts.commit"))
+    val slices = completed.flatMap { case (ts, name) =>
+      val in = f.open(new Path(timelineDir, name))
       val node =
-        try om.readTree(new String(in.readAllBytes(), "UTF-8"))
-        finally in.close()
+        try {
+          val bytes = in.readAllBytes()
+          try om.readTree(new String(bytes, "UTF-8"))
+          catch {
+            case e: Exception => throw new IllegalArgumentException(
+              s"$path: $name commit metadata is not JSON (Hudi 1.x can " +
+                "store completed-instant metadata in Avro) — this " +
+                "planner refuses rather than misreading", e)
+          }
+        } finally in.close()
       node.path("partitionToWriteStats").properties().asScala.flatMap { e =>
         e.getValue.elements().asScala.map { ws =>
           Slice(e.getKey, ws.path("fileId").asText(), ts,

@@ -17,9 +17,15 @@ import scala.jdk.CollectionConverters._
   * DeltaRead use.
   *
   * Scope and non-goals (loudly enforced):
-  *   - format-version 1 and 2 DATA reads; any row-level DELETE content
-  *     (v2 positional/equality delete manifests) is REFUSED rather than
-  *     misread;
+  *   - format-version 1 and 2 DATA reads, plus v2 POSITION deletes
+  *     (content=1 delete manifests → `(file_path, pos)` delete parquet
+  *     files, applied as a distributed anti-join on the data scan's
+  *     `_metadata` file identity + row index — sound WITHOUT sequence-
+  *     number bookkeeping because Iceberg data-file paths are immutable
+  *     and never reused: a rewritten file gets a fresh path no old
+  *     delete references); EQUALITY deletes (content=2 delete files)
+  *     are REFUSED rather than misread (they require sequence-ordered
+  *     predicate evaluation);
   *   - identity reads only — Iceberg data files carry ALL columns
   *     including partition columns, so reading needs no hive-layout
   *     recovery; partition transforms only affect pruning, which this
@@ -101,7 +107,8 @@ object IcebergRead {
   private final case class FileEntry(path: String, rows: Long,
     nulls: Map[Int, Long], lower: Map[Int, Array[Byte]],
     upper: Map[Int, Array[Byte]])
-  private final case class Snapshot(fields: Seq[Field], files: Seq[FileEntry])
+  private final case class Snapshot(fields: Seq[Field],
+    files: Seq[FileEntry], deleteFiles: Seq[String])
 
   private def schemaFields(meta: JsonNode): Seq[Field] = {
     // current-schema-id + schemas[] (v2), or the top-level schema (v1)
@@ -131,22 +138,41 @@ object IcebergRead {
       .getOrElse(throw new IllegalArgumentException(
         s"$path: snapshot $snapId not found"))
     val manifestList = resolve(path, snap.path("manifest-list").asText())
-    val manifests = avroRows(spark, manifestList).map { r =>
-      val content = opt(r, "content").map(_.toString.toInt).getOrElse(0)
-      require(content == 0,
-        s"$path: manifest carries row-level DELETE content " +
-          "(Iceberg v2 delete files) — this read-only planner refuses " +
-          "rather than misreading")
-      r.get("manifest_path").toString
+    val (dataManifests, deleteManifests) =
+      avroRows(spark, manifestList).map { r =>
+        val content = opt(r, "content").map(_.toString.toInt).getOrElse(0)
+        require(content == 0 || content == 1,
+          s"$path: manifest-list content $content unknown to this " +
+            "reader — refusing rather than misreading")
+        (r.get("manifest_path").toString, content)
+      }.partition(_._2 == 0)
+    // delete manifests: POSITION delete files (content=1) collected for
+    // the anti-join; EQUALITY deletes (content=2) refused by name
+    val deleteFiles = deleteManifests.flatMap { case (mp, _) =>
+      avroRows(spark, resolve(path, mp)).flatMap { e =>
+        val status = opt(e, "status").map(_.toString.toInt).getOrElse(1)
+        if (status == 2) None
+        else {
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val c = opt(df, "content").map(_.toString.toInt).getOrElse(-1)
+          require(c == 1,
+            s"$path: delete manifest entry with content=$c — this " +
+              "reader applies POSITION deletes (content=1) only; " +
+              "equality deletes need sequence-ordered predicate " +
+              "evaluation, refusing rather than misreading")
+          Some(df.get("file_path").toString)
+        }
+      }
     }
-    val files = manifests.flatMap { mp =>
+    val files = dataManifests.map(_._1).flatMap { mp =>
       avroRows(spark, resolve(path, mp)).flatMap { e =>
         val status = opt(e, "status").map(_.toString.toInt).getOrElse(1)
         if (status == 2) None // DELETED entry
         else {
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           opt(df, "content").map(_.toString.toInt).foreach { c =>
-            require(c == 0, s"$path: delete data_file content — refused")
+            require(c == 0, s"$path: delete data_file content in a " +
+              "data manifest — refused")
           }
           def idMap[T](field: String)(f: AnyRef => T): Map[Int, T] =
             opt(df, field) match {
@@ -176,7 +202,7 @@ object IcebergRead {
         }
       }
     }
-    Snapshot(fields, files)
+    Snapshot(fields, files, deleteFiles)
   }
 
   /** Single-value binary deserialization (spec Appendix D) into the
@@ -234,7 +260,7 @@ object IcebergRead {
 
   private def assemble(spark: SparkSession, path: String, st: Snapshot,
                        files: Seq[FileEntry]): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, expr, lit, udf}
     val names = st.fields.map(_.name)
     if (files.isEmpty) {
       // empty snapshot: schema from the metadata field types
@@ -251,7 +277,45 @@ object IcebergRead {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], struct)
     }
-    spark.read.parquet(files.map(f => resolve(path, f.path)): _*)
+    val plain = spark.read
+      .parquet(files.map(f => resolve(path, f.path)): _*)
+    if (st.deleteFiles.isEmpty)
+      return plain.select(names.map(col): _*)
+
+    // v2 position deletes: the delete parquet files carry (file_path,
+    // pos) — a DISTRIBUTED scan (they can hold hundreds of millions of
+    // rows; nothing materializes on the driver) anti-joined against the
+    // data scan's (file identity, _metadata.row_index). File identity
+    // is the percent-decoded basename on BOTH sides (_metadata
+    // .file_path is URI-encoded by Spark; Iceberg data file names are
+    // UUID-unique table-wide); if an external table ever collides
+    // basenames, each file scans tagged with its manifest-verbatim path
+    // and deletes join on their verbatim file_path — exact string
+    // equality in the manifest domain, no representation guessing.
+    val FKey = "__graft_del_file"
+    val RIdx = "__graft_del_pos"
+    val decodeBase =
+      udf((p: String) => PathCodec.percentDecode(p.split("/").last))
+    def base(p: String): String = PathCodec.percentDecode(p.split("/").last)
+    val collide = files.map(f => base(f.path)).distinct.size != files.size
+    val delScan = spark.read
+      .parquet(st.deleteFiles.map(resolve(path, _)): _*)
+    val dels =
+      if (!collide) delScan
+        .select(decodeBase(col("file_path")).as(FKey),
+          col("pos").cast("long").as(RIdx))
+      else delScan.select(col("file_path").as(FKey),
+        col("pos").cast("long").as(RIdx))
+    val scanned =
+      if (!collide) plain.select(names.map(col) ++ Seq(
+        decodeBase(col("_metadata.file_path")).as(FKey),
+        expr("_metadata.row_index").as(RIdx)): _*)
+      else files.map { fe =>
+        spark.read.parquet(resolve(path, fe.path))
+          .select(names.map(col) ++ Seq(lit(fe.path).as(FKey),
+            expr("_metadata.row_index").as(RIdx)): _*)
+      }.reduce(_ unionByName _)
+    scanned.join(dels, Seq(FKey, RIdx), "left_anti")
       .select(names.map(col): _*)
   }
 

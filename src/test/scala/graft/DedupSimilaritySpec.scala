@@ -84,6 +84,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("m09 asset near-dup: lsh strategy route equals the exact byte-gram route") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    val exact = rows(operators.Multimodal3.m09_asset_neardup(spark, sf))
+    assert(exact.nonEmpty, "no seeded asset near-dups in testdata?")
+    spark.conf.set("graft.neardup.strategy", "lsh")
+    try {
+      // byte-gram banding recall is 1.0 on the seeded corpus, so the
+      // routed plan must reproduce the exact pairs AND jaccards
+      assert(rows(operators.Multimodal3.m09_asset_neardup(spark, sf)) == exact)
+    } finally {
+      spark.conf.unset("graft.neardup.strategy")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("d06 lsh-verified pairs: jaccard values exact, recall >= 0.9 vs d03") {
     val exact = operators.Dedup.d03_ngram_jaccard(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap

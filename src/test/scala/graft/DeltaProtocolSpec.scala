@@ -1,0 +1,495 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Byte-exact coverage of the Delta protocol surfaces added in round 7,
+  * all hand-built from the PUBLIC spec (delta.io PROTOCOL.md):
+  * deletion vectors (portable RoaringBitmapArray with the per-bitmap
+  * KEY field, inline/'u'/'p' storage, on-disk framing), column mapping
+  * in `name` mode (incl. nested physical names, physical stats keys,
+  * physical partitionValues keys), multi-part checkpoints +
+  * `_last_checkpoint` resolution, and the PathCodec percent/Z85 codecs.
+  */
+class DeltaProtocolSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import sources.{DeltaRead, PathCodec}
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_dvspec").toString + "/t"
+
+  private val schemaJson = StructType(Seq(
+    StructField("k", LongType), StructField("name", StringType))).json
+
+  private def dataFile(dir: String, name: String,
+                       df: org.apache.spark.sql.DataFrame): Unit = {
+    val stage = Files.createTempDirectory("graft_dv_stage").toString
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val target = Paths.get(dir, name)
+    Files.createDirectories(target.getParent)
+    Files.copy(part.toPath, target, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def commit(dir: String, version: Long, lines: Seq[String]): Unit = {
+    val log = Paths.get(dir, "_delta_log")
+    Files.createDirectories(log)
+    Files.writeString(log.resolve(f"$version%020d.json"),
+      lines.mkString("\n") + "\n")
+  }
+
+  private def js(s: String): String =
+    com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+      .writeValueAsString(s)
+
+  private def range(lo: Long, hi: Long) = spark.range(lo, hi)
+    .select(col("id").as("k"),
+      concat(lit("u"), col("id").cast("string")).as("name"))
+
+  // ------------------------------------------------------------------
+  // fixture builders — the serialized forms PROTOCOL.md specifies
+  // ------------------------------------------------------------------
+
+  /** Portable RoaringBitmapArray: LE magic 1681511377, LE int64 bitmap
+    * count, then per bitmap a LE int32 KEY + the standard-serialized
+    * 32-bit RoaringBitmap (this key field is what delta-spark's
+    * RoaringBitmapArray.serialize writes — a decoder that skips it
+    * misaligns on the very first bitmap).
+    */
+  private def roaringArrayBytes(positions: Seq[Long]): Array[Byte] = {
+    val byKey = positions.groupBy(p => (p >> 32).toInt).toSeq.sortBy(_._1)
+    val bitmaps = byKey.map { case (key, ps) =>
+      val rb = new org.roaringbitmap.RoaringBitmap()
+      ps.foreach(p => rb.add((p & 0xFFFFFFFFL).toInt))
+      rb.runOptimize()
+      (key, rb)
+    }
+    val size = 12 + bitmaps.map(4 + _._2.serializedSizeInBytes()).sum
+    val bb = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(1681511377)
+    bb.putLong(bitmaps.size.toLong)
+    bitmaps.foreach { case (key, rb) => bb.putInt(key); rb.serialize(bb) }
+    bb.array()
+  }
+
+  private def pad4(b: Array[Byte]): Array[Byte] =
+    if (b.length % 4 == 0) b
+    else b ++ Array.fill[Byte](4 - b.length % 4)(0)
+
+  /** Inline descriptor json fragment for an add action. */
+  private def inlineDv(positions: Seq[Long]): String = {
+    val data = roaringArrayBytes(positions)
+    val enc = PathCodec.z85Encode(pad4(data))
+    s""""deletionVector":{"storageType":"i","pathOrInlineDv":"$enc",""" +
+      s""""sizeInBytes":${data.length},"cardinality":${positions.size}}"""
+  }
+
+  /** On-disk DV file per the public framing: byte 0 = format version 1,
+    * at `offset` a BIG-endian int32 length == sizeInBytes, the data,
+    * then a checksum (not verified by this reader). Returns the bytes.
+    */
+  private def dvFileBytes(data: Array[Byte], offset: Int): Array[Byte] = {
+    require(offset >= 1)
+    val bb = ByteBuffer.allocate(offset + 4 + data.length + 4)
+    bb.put(1.toByte)
+    bb.position(offset)
+    bb.putInt(data.length)
+    bb.put(data)
+    bb.putInt(0)
+    bb.array()
+  }
+
+  private def addWithDv(path: String, rows: Long, dvJson: String): String =
+    s"""{"add":{"path":"$path","partitionValues":{},"size":1,""" +
+      s""""modificationTime":0,"dataChange":true,$dvJson}}"""
+
+  private def addPlain(path: String, rows: Long): String =
+    s"""{"add":{"path":"$path","partitionValues":{},"size":1,""" +
+      s""""modificationTime":0,"dataChange":true}}"""
+
+  private val protoDv =
+    """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+      """"readerFeatures":["deletionVectors"]}}"""
+
+  private def metaLine(json: String, parts: String = "[]",
+                       conf: String = "{}"): String =
+    s"""{"metaData":{"id":"t","format":{"provider":"parquet"},""" +
+      s""""schemaString":${js(json)},"partitionColumns":$parts,""" +
+      s""""configuration":$conf}}"""
+
+  // ------------------------------------------------------------------
+  // deletion vectors
+  // ------------------------------------------------------------------
+
+  test("roaringPositions: per-bitmap key field honored, sparse keys, >2^32 positions") {
+    val positions = Seq(0L, 5L, 70000L,                       // key 0
+      (1L << 32) + 3L, (1L << 32) + 4L,                       // key 1
+      (3L << 32) + 123456789L)                                // key 3 (sparse!)
+    val decoded = DeltaRead.roaringPositions(roaringArrayBytes(positions))
+    assert(decoded.sorted.toSeq == positions.sorted,
+      s"decoded ${decoded.toSeq} != $positions")
+    // single-bitmap fast case too
+    val one = Seq(1L, 2L, 1000L)
+    assert(DeltaRead.roaringPositions(roaringArrayBytes(one)).sorted.toSeq
+      == one)
+    // a wrong magic refuses loudly
+    val bad = roaringArrayBytes(one); bad(0) = 99.toByte
+    val e = intercept[IllegalArgumentException] {
+      DeltaRead.roaringPositions(bad)
+    }
+    assert(e.getMessage.contains("magic"))
+  }
+
+  test("inline deletion vector: deleted rows vanish, others unchanged") {
+    val dir = tmp()
+    dataFile(dir, "f0.parquet", range(0, 50))
+    dataFile(dir, "f1.parquet", range(50, 100))
+    // delete row positions 0, 7, 49 of f0 (k = 0, 7, 49)
+    commit(dir, 0, Seq(protoDv, metaLine(schemaJson),
+      addWithDv("f0.parquet", 50, inlineDv(Seq(0L, 7L, 49L))),
+      addPlain("f1.parquet", 50)))
+    val df = DeltaRead.read(spark, dir)
+    assert(df.count() == 97)
+    val ks = df.select("k").collect().map(_.getLong(0)).toSet
+    assert(!ks.contains(0L) && !ks.contains(7L) && !ks.contains(49L))
+    assert(ks.contains(1L) && ks.contains(48L) && ks.contains(99L))
+    // column order/schema preserved
+    assert(df.columns.toSeq == Seq("k", "name"))
+  }
+
+  test("'u' and 'p' storage: on-disk DV framing (version byte, offset, BE length)") {
+    val dir = tmp()
+    dataFile(dir, "f0.parquet", range(0, 50))
+    dataFile(dir, "f1.parquet", range(50, 100))
+    // 'u': UUID-named file under a 2-char prefix dir, data at offset 9
+    val data0 = roaringArrayBytes(Seq(1L, 2L, 3L))
+    val uuid = java.util.UUID.randomUUID()
+    val ub = ByteBuffer.allocate(16)
+    ub.putLong(uuid.getMostSignificantBits)
+    ub.putLong(uuid.getLeastSignificantBits)
+    val uEnc = "ab" + PathCodec.z85Encode(ub.array()) // prefix "ab"
+    Files.createDirectories(Paths.get(dir, "ab"))
+    Files.write(Paths.get(dir, "ab", s"deletion_vector_$uuid.bin"),
+      dvFileBytes(data0, offset = 9))
+    // 'p': absolute path, data at offset 1
+    val data1 = roaringArrayBytes(Seq(0L, 49L))
+    val pFile = Paths.get(dir, "external_dv.bin")
+    Files.write(pFile, dvFileBytes(data1, offset = 1))
+    commit(dir, 0, Seq(protoDv, metaLine(schemaJson),
+      addWithDv("f0.parquet", 50,
+        s""""deletionVector":{"storageType":"u","pathOrInlineDv":"$uEnc",""" +
+          s""""offset":9,"sizeInBytes":${data0.length},"cardinality":3}"""),
+      addWithDv("f1.parquet", 50,
+        s""""deletionVector":{"storageType":"p",""" +
+          s""""pathOrInlineDv":"$pFile","offset":1,""" +
+          s""""sizeInBytes":${data1.length},"cardinality":2}""")))
+    val df = DeltaRead.read(spark, dir)
+    // f0 loses k=1,2,3; f1 loses positions 0,49 => k=50,99
+    assert(df.count() == 95)
+    val ks = df.select("k").collect().map(_.getLong(0)).toSet
+    assert(Set(1L, 2L, 3L, 50L, 99L).forall(!ks.contains(_)))
+    assert(ks.contains(0L) && ks.contains(4L) && ks.contains(51L) &&
+      ks.contains(98L))
+    // a corrupted length prefix refuses loudly
+    val data2 = roaringArrayBytes(Seq(5L))
+    val badFile = Paths.get(dir, "bad_dv.bin")
+    Files.write(badFile, dvFileBytes(data2, offset = 1))
+    commit(dir, 1, Seq(
+      addWithDv("f1.parquet", 50,
+        s""""deletionVector":{"storageType":"p",""" +
+          s""""pathOrInlineDv":"$badFile","offset":1,""" +
+          s""""sizeInBytes":${data2.length + 7},"cardinality":1}""")))
+    val e = intercept[Exception] { DeltaRead.read(spark, dir).count() }
+    assert(e.getMessage.contains("sizeInBytes"))
+  }
+
+  test("DV on a percent-encodable file name: deleted rows do NOT reappear") {
+    // _metadata.file_path URI-encodes 'f name %3A.parquet' — a join key
+    // derived from it must percent-decode before matching the logged
+    // basename, else the anti-join silently matches nothing
+    val dir = tmp()
+    dataFile(dir, "f name %3A.parquet", range(0, 50))
+    commit(dir, 0, Seq(protoDv, metaLine(schemaJson),
+      addWithDv("f%20name%20%253A.parquet", 50, inlineDv(Seq(0L, 1L, 2L)))))
+    val df = DeltaRead.read(spark, dir)
+    assert(df.count() == 47,
+      "DV-deleted rows reappeared — scan/delete join keys disagree")
+    val ks = df.select("k").collect().map(_.getLong(0)).toSet
+    assert(!ks.contains(0L) && ks.contains(3L))
+  }
+
+  test("DV decode is executor-side: driver plan ships bytes, not positions") {
+    val dir = tmp()
+    dataFile(dir, "f0.parquet", range(0, 200000))
+    // delete 100k of 200k rows — position count far exceeds what any
+    // driver-side LocalRelation should carry
+    val dels = (0L until 200000L by 2L).toSeq
+    commit(dir, 0, Seq(protoDv, metaLine(schemaJson),
+      addWithDv("f0.parquet", 200000, inlineDv(dels))))
+    val df = DeltaRead.read(spark, dir)
+    assert(df.count() == 100000)
+    assert(df.agg(min("k")).head().getLong(0) == 1L)
+    val localSizes = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.data.size
+    }
+    assert(localSizes.nonEmpty && localSizes.max <= 1,
+      s"driver-side relation carries $localSizes rows — positions must " +
+        "decode on executors (one row per DV'd file, holding bytes)")
+  }
+
+  test("DVs compose with stats pruning and time travel") {
+    val dir = tmp()
+    dataFile(dir, "f0.parquet", range(0, 50))
+    dataFile(dir, "f1.parquet", range(50, 100))
+    def addStats(path: String, lo: Long, hi: Long, dvJson: String = ""): String =
+      s"""{"add":{"path":"$path","partitionValues":{},"size":1,""" +
+        s""""modificationTime":0,"dataChange":true,""" +
+        s""""stats":"{\\"numRecords\\":50,\\"minValues\\":{\\"k\\":$lo},""" +
+        s"""\\"maxValues\\":{\\"k\\":$hi},\\"nullCount\\":{\\"k\\":0}}"""" +
+        (if (dvJson.isEmpty) "" else s",$dvJson") + "}}"
+    commit(dir, 0, Seq(protoDv, metaLine(schemaJson),
+      addStats("f0.parquet", 0, 49),
+      addStats("f1.parquet", 50, 99)))
+    // v1 re-adds f1 with a DV deleting its first 10 rows (k=50..59)
+    commit(dir, 1, Seq(
+      addStats("f1.parquet", 50, 99, inlineDv((0L until 10L)))))
+    assert(DeltaRead.read(spark, dir).count() == 90)
+    assert(DeltaRead.read(spark, dir, 0).count() == 100, "time travel pre-DV")
+    // stats pruning still holds: the DV'd file's stats describe the
+    // pre-delete superset, so pruning may over-keep but never over-skip
+    val got = DeltaRead.readWhere(spark, dir, "k >= 55")
+    assert(got.count() == 40) // 60..99 (55..59 deleted by the DV)
+    val (_, kept) = DeltaRead.pruneReport(spark, dir, "k < 50")
+    assert(kept == 1)
+  }
+
+  // ------------------------------------------------------------------
+  // column mapping (name mode)
+  // ------------------------------------------------------------------
+
+  private def mappedField(name: String, dt: DataType, phys: String,
+                          id: Long): StructField =
+    StructField(name, dt, nullable = true,
+      new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id).build())
+
+  test("column mapping name mode: physical parquet names, nested structs, physical stats keys") {
+    val dir = tmp()
+    val logical = StructType(Seq(
+      mappedField("k", LongType, "col-aaa", 1),
+      mappedField("info", StructType(Seq(
+        mappedField("tag", StringType, "col-ccc", 3))), "col-bbb", 2)))
+    // data files carry ONLY physical names, nested included
+    val df = spark.range(0, 100).select(
+      col("id").as("col-aaa"),
+      struct(concat(lit("t"), col("id")).as("col-ccc")).as("col-bbb"))
+    dataFile(dir, "f0.parquet", df.filter(col("col-aaa") < 50))
+    dataFile(dir, "f1.parquet", df.filter(col("col-aaa") >= 50))
+    val conf = """{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"3"}"""
+    def addM(path: String, lo: Long, hi: Long): String =
+      s"""{"add":{"path":"$path","partitionValues":{},"size":1,""" +
+        s""""modificationTime":0,"dataChange":true,""" +
+        s""""stats":"{\\"numRecords\\":50,\\"minValues\\":{\\"col-aaa\\":$lo},""" +
+        s"""\\"maxValues\\":{\\"col-aaa\\":$hi},\\"nullCount\\":{\\"col-aaa\\":0}}"}}"""
+    commit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaLine(logical.json, conf = conf),
+      addM("f0.parquet", 0, 49), addM("f1.parquet", 50, 99)))
+    val back = DeltaRead.read(spark, dir)
+    // logical names come back, nested included
+    assert(back.columns.toSeq == Seq("k", "info"))
+    assert(back.select("info.tag").collect().map(_.getString(0)).toSet
+      .contains("t42"))
+    assert(back.count() == 100)
+    // stats recorded under PHYSICAL keys drive pruning on LOGICAL predicates
+    val (total, kept) = DeltaRead.pruneReport(spark, dir, "k >= 50")
+    assert(total == 2 && kept == 1, s"physical-key stats must prune: $kept/$total")
+    assert(DeltaRead.readWhere(spark, dir, "k >= 50").count() == 50)
+  }
+
+  test("column mapping: partitionValues keyed by PHYSICAL name recover typed logical column") {
+    val dir = tmp()
+    val logical = StructType(Seq(
+      mappedField("k", LongType, "col-k", 1),
+      mappedField("p", IntegerType, "col-p", 2)))
+    // partition column lives ONLY in partitionValues (physical key);
+    // data files sit FLAT (no hive dirs) and carry only physical col-k
+    dataFile(dir, "f0.parquet",
+      spark.range(0, 10).select(col("id").as("col-k")))
+    dataFile(dir, "f1.parquet",
+      spark.range(10, 30).select(col("id").as("col-k")))
+    val conf = """{"delta.columnMapping.mode":"name"}"""
+    commit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaLine(logical.json, parts = """["p"]""", conf = conf),
+      """{"add":{"path":"f0.parquet","partitionValues":{"col-p":"1"},"size":1,"modificationTime":0,"dataChange":true}}""",
+      """{"add":{"path":"f1.parquet","partitionValues":{"col-p":"2"},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    val back = DeltaRead.read(spark, dir)
+    assert(back.columns.toSeq == Seq("k", "p"))
+    assert(back.schema("p").dataType == IntegerType)
+    assert(back.filter(col("p") === 2).count() == 20)
+    assert(back.count() == 30)
+  }
+
+  test("column mapping id mode: parquet FIELD-ID matching when names disagree") {
+    val dir = tmp()
+    def fid(id: Long) = new MetadataBuilder()
+      .putLong("parquet.field.id", id).build()
+    // the rename-before scenario: the data file's column names bear NO
+    // relation to the logical OR physical names — only field ids line
+    // up; a name-matching reader would surface all-null columns
+    val df = spark.range(0, 100).select(
+      col("id").as("old_name_a", fid(1)),
+      struct(concat(lit("t"), col("id")).as("old_inner", fid(3)))
+        .as("old_outer", fid(2)))
+    dataFile(dir, "f0.parquet", df.filter(col("old_name_a") < 50))
+    dataFile(dir, "f1.parquet", df.filter(col("old_name_a") >= 50))
+    val logical = StructType(Seq(
+      mappedField("k", LongType, "col-aaa", 1),
+      mappedField("info", StructType(Seq(
+        mappedField("tag", StringType, "col-ccc", 3))), "col-bbb", 2)))
+    val conf = """{"delta.columnMapping.mode":"id"}"""
+    def addM(path: String, lo: Long, hi: Long): String =
+      s"""{"add":{"path":"$path","partitionValues":{},"size":1,""" +
+        s""""modificationTime":0,"dataChange":true,""" +
+        s""""stats":"{\\"numRecords\\":50,\\"minValues\\":{\\"col-aaa\\":$lo},""" +
+        s"""\\"maxValues\\":{\\"col-aaa\\":$hi},\\"nullCount\\":{\\"col-aaa\\":0}}"}}"""
+    commit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaLine(logical.json, conf = conf),
+      addM("f0.parquet", 0, 49), addM("f1.parquet", 50, 99)))
+    val back = DeltaRead.read(spark, dir)
+    assert(back.columns.toSeq == Seq("k", "info"))
+    assert(back.count() == 100)
+    // values NON-null proves resolution went by field id, not name
+    assert(back.agg(sum("k")).head().getLong(0) == (0L until 100).sum)
+    assert(back.select("info.tag").collect().map(_.getString(0)).toSet
+      .contains("t42"))
+    // stats stay keyed by PHYSICAL name in id mode too
+    val (total, kept) = DeltaRead.pruneReport(spark, dir, "k >= 50")
+    assert(total == 2 && kept == 1)
+    assert(DeltaRead.readWhere(spark, dir, "k >= 50").count() == 50)
+  }
+
+  test("unknown column-mapping modes refused loudly") {
+    val dir = tmp()
+    dataFile(dir, "f0.parquet", range(0, 10))
+    commit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaLine(schemaJson,
+        conf = """{"delta.columnMapping.mode":"zorder"}"""),
+      addPlain("f0.parquet", 10)))
+    val e = intercept[IllegalArgumentException] {
+      DeltaRead.read(spark, dir).count()
+    }
+    assert(e.getMessage.contains("zorder"))
+  }
+
+  // ------------------------------------------------------------------
+  // multi-part checkpoints + _last_checkpoint
+  // ------------------------------------------------------------------
+
+  private def writeCkptPart(dir: String, sql: String, name: String): Unit = {
+    val stage = Files.createTempDirectory("graft_ckpt").toString
+    spark.sql(sql).coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath, Paths.get(dir, "_delta_log", name),
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private val ckptNull =
+    "CAST(NULL AS struct<path:string,partitionValues:map<string,string>,stats:string>) AS add"
+  private def ckptRowSql(addSql: String, metaSql: String,
+                         protoSql: String): String =
+    s"SELECT $addSql, CAST(NULL AS struct<path:string>) AS remove, " +
+      s"$metaSql, $protoSql"
+
+  test("multi-part checkpoint: all parts required, resolved via listing; stale pointer ignored") {
+    val dir = tmp()
+    dataFile(dir, "f0.parquet", range(0, 50))
+    dataFile(dir, "f1.parquet", range(50, 100))
+    dataFile(dir, "f2.parquet", range(100, 150))
+    commit(dir, 2, Seq(addPlain("f2.parquet", 50)))
+    val metaSql = s"named_struct('schemaString', '${schemaJson.replace("'", "''")}', " +
+      "'partitionColumns', array()) AS metaData"
+    val nullMeta = "CAST(NULL AS struct<schemaString:string,partitionColumns:array<string>>) AS metaData"
+    val protoSql = "named_struct('minReaderVersion', 1) AS protocol"
+    val nullProto = "CAST(NULL AS struct<minReaderVersion:int>) AS protocol"
+    def addSql(p: String): String =
+      s"named_struct('path', '$p', 'partitionValues', map('a','b'), " +
+        "'stats', CAST(NULL AS string)) AS add"
+    // part 1 of 2: metaData + protocol; part 2 of 2: the adds
+    writeCkptPart(dir,
+      ckptRowSql(ckptNull, metaSql, nullProto) + " UNION ALL " +
+        ckptRowSql(ckptNull, nullMeta, protoSql),
+      f"${1L}%020d.checkpoint.${1}%010d.${2}%010d.parquet")
+    writeCkptPart(dir,
+      ckptRowSql(addSql("f0.parquet"), nullMeta, nullProto) +
+        " UNION ALL " + ckptRowSql(addSql("f1.parquet"), nullMeta, nullProto),
+      f"${1L}%020d.checkpoint.${2}%010d.${2}%010d.parquet")
+    Files.writeString(Paths.get(dir, "_delta_log", "_last_checkpoint"),
+      """{"version":1,"parts":2,"size":4}""")
+    val df = DeltaRead.read(spark, dir)
+    assert(df.count() == 150)
+    assert(df.agg(sum("k")).head().getLong(0) == (0L until 150).sum)
+    // drop one part: the group is incomplete, so the checkpoint must be
+    // IGNORED — and with commits 0/1 absent the read fails loudly on the
+    // missing commit rather than silently serving half a checkpoint
+    Files.delete(Paths.get(dir, "_delta_log",
+      f"${1L}%020d.checkpoint.${2}%010d.${2}%010d.parquet"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaRead.read(spark, dir)
+    }
+    assert(e.getMessage.contains("missing commit"))
+  }
+
+  // ------------------------------------------------------------------
+  // PathCodec
+  // ------------------------------------------------------------------
+
+  test("PathCodec: %XX-only decode — '+' literal, UTF-8, malformed passthrough") {
+    assert(PathCodec.percentDecode("a%20b") == "a b")
+    assert(PathCodec.percentDecode("c++") == "c++", "'+' must stay literal")
+    assert(PathCodec.percentDecode("t%3D12%253A30") == "t=12%3A30")
+    assert(PathCodec.percentDecode("%E2%82%AC") == "€", "UTF-8 multibyte")
+    assert(PathCodec.percentDecode("100%") == "100%", "trailing % passes through")
+    assert(PathCodec.percentDecode("%zz") == "%zz", "malformed escape passes through")
+    assert(PathCodec.percentDecode("plain-name_1.parquet") == "plain-name_1.parquet")
+  }
+
+  test("PathCodec: encode/decode round-trip on hostile segment names") {
+    Seq("t=12%3A30/part-1.parquet", "a b/c++.parquet", "p=€/f.parquet",
+      "100%/x.parquet").foreach { rel =>
+      val enc = PathCodec.percentEncodePath(rel)
+      assert(PathCodec.percentDecode(enc) == rel,
+        s"round-trip broke: $rel -> $enc -> ${PathCodec.percentDecode(enc)}")
+      assert(!enc.split("/").exists(_.contains(" ")),
+        s"encoded form must be URI-safe: $enc")
+    }
+  }
+
+  test("PathCodec: Z85 round-trip and rejection") {
+    val rnd = new scala.util.Random(7)
+    (1 to 20).foreach { i =>
+      val b = Array.fill[Byte](i * 4)(0)
+      rnd.nextBytes(b)
+      assert(PathCodec.z85Decode(PathCodec.z85Encode(b)).toSeq == b.toSeq)
+    }
+    intercept[IllegalArgumentException] { PathCodec.z85Encode(Array[Byte](1)) }
+    intercept[IllegalArgumentException] { PathCodec.z85Decode("abcd") }
+    intercept[IllegalArgumentException] { PathCodec.z85Decode("abéde") }
+    // the 0MQ spec test vector: 0x86 0x4F 0xD2 0x6F 0xB5 0x59 0xF7 0x5B
+    // encodes to "HelloWorld"
+    val spec = Array(0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B)
+      .map(_.toByte)
+    assert(PathCodec.z85Encode(spec) == "HelloWorld")
+    assert(PathCodec.z85Decode("HelloWorld").toSeq == spec.toSeq)
+  }
+}

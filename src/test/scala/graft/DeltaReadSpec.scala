@@ -301,16 +301,102 @@ class DeltaReadSpec extends AnyFunSuite {
     assert(back.select("k").distinct().count() == 50, "no row duplicated")
   }
 
-  test("reader-version gate: tables needing features are refused, not misread") {
+  test("reader-version gate: unknown features refused BY NAME, supported ones read") {
+    // a feature outside {columnMapping, deletionVectors, timestampNtz}
+    // refuses with the feature named
     val dir = tmp()
     dataFile(dir, "f0.parquet", range(0, 10))
     commit(dir, 0, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","v2Checkpoint"]}}""",
       meta(schemaJson),
       add("f0.parquet", 0, 9, 10)))
     val e = intercept[IllegalArgumentException] {
       DeltaRead.read(spark, dir)
     }
-    assert(e.getMessage.contains("reader version"))
+    assert(e.getMessage.contains("v2Checkpoint"))
+    assert(!e.getMessage.contains("deletionVectors,"),
+      "supported features must not be named as the refusal cause")
+    // a reader version beyond 3 refuses outright
+    val dir2 = tmp()
+    dataFile(dir2, "f0.parquet", range(0, 10))
+    commit(dir2, 0, Seq(
+      """{"protocol":{"minReaderVersion":4,"minWriterVersion":7,"readerFeatures":[]}}""",
+      meta(schemaJson),
+      add("f0.parquet", 0, 9, 10)))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaRead.read(spark, dir2)
+    }
+    assert(e2.getMessage.contains("reader version"))
+    // the SUPPORTED feature set alone is not a refusal: mrv=3 with
+    // deletionVectors+timestampNtz declared (but no DV on any file)
+    // reads normally
+    val dir3 = tmp()
+    dataFile(dir3, "f0.parquet", range(0, 10))
+    commit(dir3, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","timestampNtz"]}}""",
+      meta(schemaJson),
+      add("f0.parquet", 0, 9, 10)))
+    assert(DeltaRead.read(spark, dir3).count() == 10)
+  }
+
+  test("DeltaWrite: add actions carry the REAL file size and mtime") {
+    import sources.DeltaWrite
+    val dir = tmp()
+    DeltaWrite.create(range(0, 100).coalesce(1), dir)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val adds = java.nio.file.Files
+      .readString(Paths.get(dir, "_delta_log", f"${0L}%020d.json"))
+      .split("\n").filter(_.contains("\"add\""))
+      .map(l => mapper.readTree(l).path("add"))
+    assert(adds.nonEmpty)
+    adds.foreach { a =>
+      val rel = a.path("path").asText()
+      val f = new java.io.File(dir, rel)
+      assert(f.isFile, s"$rel missing on disk")
+      assert(a.path("size").asLong() == f.length(),
+        s"logged size ${a.path("size").asLong()} != actual ${f.length()}")
+      assert(a.path("modificationTime").asLong() > 0L,
+        "modificationTime must be the real mtime, not 0")
+    }
+  }
+
+  test("DeltaWrite: periodic checkpoint — json log ≤ interval is droppable") {
+    import sources.DeltaWrite
+    val dir = tmp()
+    spark.conf.set("graft.delta.checkpoint.interval", "10")
+    try {
+      DeltaWrite.create(range(0, 10).coalesce(1), dir)
+      (1 to 15).foreach { i =>
+        DeltaWrite.append(range(i * 10L, i * 10L + 10).coalesce(1), dir)
+      }
+      // the interval hit at version 10: classic checkpoint + pointer
+      val ckpt = Paths.get(dir, "_delta_log",
+        f"${10L}%020d.checkpoint.parquet")
+      assert(java.nio.file.Files.exists(ckpt),
+        "append 10 must have produced a classic checkpoint")
+      val lc = java.nio.file.Files.readString(
+        Paths.get(dir, "_delta_log", "_last_checkpoint"))
+      assert(lc.contains("\"version\":10"), s"_last_checkpoint: $lc")
+      // the checkpointed prefix of the json log is now droppable
+      (0L to 10L).foreach { v =>
+        java.nio.file.Files.delete(
+          Paths.get(dir, "_delta_log", f"$v%020d.json"))
+      }
+      val back = DeltaRead.read(spark, dir)
+      assert(back.count() == 160)
+      assert(back.agg(sum("k")).head().getLong(0) == (0L until 160).sum)
+      // time travel into the cleaned prefix fails loudly, at the
+      // checkpoint version it works
+      intercept[IllegalArgumentException] { DeltaRead.read(spark, dir, 5) }
+      assert(DeltaRead.read(spark, dir, 10).count() == 110)
+    } finally spark.conf.unset("graft.delta.checkpoint.interval")
+  }
+
+  test("stale _last_checkpoint is ignored, not fatal") {
+    val dir = buildTable()
+    Files.writeString(Paths.get(dir, "_delta_log", "_last_checkpoint"),
+      """{"version":1,"size":3}""") // no checkpoint parquet exists for v1
+    val df = DeltaRead.read(spark, dir)
+    assert(df.count() == 150, "stale pointer must fall back to commits")
   }
 }

@@ -145,6 +145,56 @@ class HudiReadSpec extends AnyFunSuite {
       .head().getLong(0) == 4)
   }
 
+  /** Hudi 1.x layout: instants live under .hoodie/timeline and
+    * completed commits are named <requestedTs>_<completionTs>.commit.
+    */
+  private def buildTable1x(): String = {
+    val dir = tmp()
+    Files.createDirectories(Paths.get(dir))
+    properties(dir, "COPY_ON_WRITE")
+    val tl = Paths.get(dir, ".hoodie", "timeline")
+    Files.createDirectories(tl)
+    val f1a = baseFile(dir, "f1", "001", rows(0, 2, "old"))
+    val f2 = baseFile(dir, "f2", "001", rows(10, 12, "b"))
+    Files.writeString(tl.resolve("001_005.commit"),
+      commitJson(Seq("f1" -> f1a, "f2" -> f2)))
+    val f1b = baseFile(dir, "f1", "002", rows(0, 2, "new"))
+    Files.writeString(tl.resolve("002_006.commit"),
+      commitJson(Seq("f1" -> f1b)))
+    // in-flight 1.x writer stays invisible
+    baseFile(dir, "f9", "003", rows(90, 92, "x"))
+    Files.writeString(tl.resolve("003.commit.requested"), "")
+    Files.writeString(tl.resolve("003.commit.inflight"), "")
+    dir
+  }
+
+  test("Hudi 1.x timeline: <ts>_<completionTs>.commit names under .hoodie/timeline") {
+    val dir = buildTable1x()
+    val got = HudiRead.read(spark, dir)
+    assert(asSet(got) == asSet(rows(0, 2, "new").unionByName(rows(10, 12, "b"))),
+      "1.x-named completed commits must resolve file slices (f1@002 shadows f1@001)")
+    // requested-instant time travel still orders the timeline
+    assert(asSet(HudiRead.read(spark, dir, asOf = "001"))
+      == asSet(rows(0, 2, "old").unionByName(rows(10, 12, "b"))))
+    // a non-empty 1.x LSM history dir refuses like pre-1.x archived
+    val hist = Paths.get(dir, ".hoodie", "timeline", "history")
+    Files.createDirectories(hist)
+    assert(HudiRead.read(spark, dir).count() == 4,
+      "an EMPTY history dir must not refuse")
+    Files.writeString(hist.resolve("0_1_1.parquet"), "x")
+    val e = intercept[IllegalArgumentException] { HudiRead.read(spark, dir) }
+    assert(e.getMessage.contains("history"))
+  }
+
+  test("Hudi 1.x: non-JSON (avro) commit metadata refused, not misread") {
+    val dir = buildTable1x()
+    // overwrite a completed instant with avro-container bytes
+    Files.write(Paths.get(dir, ".hoodie", "timeline", "002_006.commit"),
+      Array[Byte]('O', 'b', 'j', 1, 0, 0, 0x10, 0x7F))
+    val e = intercept[IllegalArgumentException] { HudiRead.read(spark, dir) }
+    assert(e.getMessage.contains("not JSON"))
+  }
+
   test("declarative jobs read hudi: sources with time travel") {
     val dir = buildTable()
     val got = api.TransformSpec.run(

@@ -185,15 +185,85 @@ class IcebergReadSpec extends AnyFunSuite {
     assert(IcebergRead.readWhere(spark, dir, "k > 10000").count() == 0)
   }
 
-  test("v2 delete manifests are refused, not misread") {
+  // delete-manifest entries: data_file carries content (1=position,
+  // 2=equality) + file_path
+  private val delFileSchema: Schema = SchemaBuilder.record("delete_file")
+    .fields()
+    .requiredInt("content")
+    .requiredString("file_path")
+    .requiredLong("record_count")
+    .endRecord()
+  private val delEntrySchema: Schema = SchemaBuilder.record("delete_entry")
+    .fields()
+    .requiredInt("status")
+    .name("data_file").`type`(delFileSchema).noDefault()
+    .endRecord()
+
+  private def delEntry(content: Int, path: String, rows: Long)
+      : GenericRecord = {
+    val df = new GenericData.Record(delFileSchema)
+    df.put("content", Int.box(content))
+    df.put("file_path", path)
+    df.put("record_count", Long.box(rows))
+    val e = new GenericData.Record(delEntrySchema)
+    e.put("status", Int.box(1))
+    e.put("data_file", df)
+    e
+  }
+
+  /** Write a positional-delete parquet (file_path, pos) under `dir`. */
+  private def posDeleteFile(dir: String, name: String,
+                            rows: Seq[(String, Long)]): Unit = {
+    import spark.implicits._
+    dataFile(dir, name, rows.toDF("file_path", "pos"))
+  }
+
+  test("v2 position deletes: deleted rows vanish, old snapshot intact") {
     val dir = buildTable()
-    // rewrite the current manifest list with a DELETES-content manifest
+    // delete positions 0,1,2 of f0 (k=0,1,2) and 49 of f2 (k=149)
+    posDeleteFile(dir, "data/del0.parquet",
+      Seq(("data/f0.parquet", 0L), ("data/f0.parquet", 1L),
+        ("data/f0.parquet", 2L), ("data/f2.parquet", 49L)))
+    writeAvro(s"$dir/metadata/dm0.avro", delEntrySchema,
+      Seq(delEntry(1, "data/del0.parquet", 4)))
     writeAvro(s"$dir/metadata/ml-200.avro", manifestListSchema, Seq(
       manifestListRow("metadata/m1.avro", 0),
-      manifestListRow("metadata/deletes.avro", 1)))
+      manifestListRow("metadata/dm0.avro", 1)))
+    val cur = IcebergRead.read(spark, dir)
+    assert(cur.count() == 96)
+    val ks = cur.select("k").collect().map(_.getLong(0)).toSet
+    assert(Set(0L, 1L, 2L, 149L).forall(!ks.contains(_)))
+    assert(ks.contains(3L) && ks.contains(148L))
+    assert(cur.columns.toSeq == Seq("k", "name"))
+    // snapshot 100's manifest list carries no delete manifest — intact
+    val old = IcebergRead.read(spark, dir, snapshotId = 100)
+    assert(old.count() == 100)
+    // deletes compose with bounds pruning: the pruned read re-applies
+    // both the deletes and the predicate
+    assert(IcebergRead.readWhere(spark, dir, "k < 50").count() == 47)
+    val (_, kept) = IcebergRead.pruneReport(spark, dir, "k < 50")
+    assert(kept == 1)
+  }
+
+  test("v2 equality deletes are refused by name, not misread") {
+    val dir = buildTable()
+    posDeleteFile(dir, "data/del1.parquet", Seq(("data/f0.parquet", 0L)))
+    writeAvro(s"$dir/metadata/dm1.avro", delEntrySchema,
+      Seq(delEntry(2, "data/del1.parquet", 1))) // content=2: equality
+    writeAvro(s"$dir/metadata/ml-200.avro", manifestListSchema, Seq(
+      manifestListRow("metadata/m1.avro", 0),
+      manifestListRow("metadata/dm1.avro", 1)))
     val e = intercept[IllegalArgumentException] {
       IcebergRead.read(spark, dir)
     }
-    assert(e.getMessage.contains("DELETE"))
+    assert(e.getMessage.toLowerCase.contains("equality"))
+    // and an unknown manifest-list content id refuses too
+    writeAvro(s"$dir/metadata/ml-200.avro", manifestListSchema, Seq(
+      manifestListRow("metadata/m1.avro", 0),
+      manifestListRow("metadata/dm1.avro", 7)))
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergRead.read(spark, dir)
+    }
+    assert(e2.getMessage.contains("content"))
   }
 }

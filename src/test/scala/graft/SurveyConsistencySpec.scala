@@ -48,4 +48,53 @@ class SurveyConsistencySpec extends AnyFunSuite {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
+
+  // ---- sources-section pinning (round-7 lesson: prose drift about the
+  // source readers was invisible to CI because only §2 query names were
+  // parsed) ----
+
+  private lazy val wholeDoc: Seq[String] = {
+    val src = Source.fromFile("SURVEY.md", "UTF-8")
+    try src.getLines().toVector finally src.close()
+  }
+
+  test("every fully-qualified graft class SURVEY.md cites exists") {
+    // backticked graft.* tokens whose last segment is a type name
+    // (uppercase first letter); conf keys like graft.neardup.strategy
+    // are lowercase and skipped
+    val ref = """`(graft(?:\.[a-z][a-z0-9]*)*\.[A-Z][A-Za-z0-9]*)""".r
+    val cited = wholeDoc.flatMap(l =>
+      ref.findAllMatchIn(l).map(_.group(1))).distinct
+    assert(cited.nonEmpty, "no graft class citations found — regex broke?")
+    val unresolved = cited.filterNot { name =>
+      def exists(n: String): Boolean =
+        try { Class.forName(n, false, getClass.getClassLoader); true }
+        catch { case _: ClassNotFoundException => false }
+      exists(name + "$") || exists(name) || {
+        // member citations like graft.api.SqlSurface.install
+        val p = name.split('.').init.mkString(".")
+        p.count(_ == '.') >= 1 && p.exists(_.isUpper) &&
+          (exists(p + "$") || exists(p))
+      }
+    }
+    assert(unresolved.isEmpty,
+      s"SURVEY.md cites classes that do not exist: $unresolved")
+  }
+
+  test("SURVEY's Delta reader-feature claims match the code's supported set") {
+    val srcSection = {
+      val start = wholeDoc.indexWhere(_.startsWith("### Sources / sinks"))
+      val end = wholeDoc.indexWhere(_.startsWith("## §3"))
+      wholeDoc.slice(start, end).mkString("\n")
+    }
+    sources.DeltaRead.SupportedFeatures.foreach { feat =>
+      assert(srcSection.contains(feat),
+        s"DeltaRead supports reader feature '$feat' but the SURVEY " +
+          "sources section never mentions it — doc drift")
+    }
+    // the round-7 stale claim shape must stay dead: the doc may not say
+    // deletion vectors are refused
+    assert(!srcSection.matches("(?s).*deletion vectors?\\)? are REFUSED.*"),
+      "SURVEY still claims deletion vectors are refused — stale")
+  }
 }
