@@ -462,9 +462,29 @@ def delta_create(spark, df, path, partition_by=None):
     return _jvm(spark).graft.sources.DeltaWrite.create(df._jdf, path)
 
 
-def delta_append(spark, df, path):
-    """Append to a Delta table with optimistic-concurrency commits."""
-    return _jvm(spark).graft.sources.DeltaWrite.append(df._jdf, path)
+def delta_append(spark, df, path, merge_schema=False):
+    """Append to a Delta table with optimistic-concurrency commits.
+    ``merge_schema=True`` allows ADDITIVE evolution: new columns append
+    nullable (a metaData action updates the schema in the same commit);
+    old files surface NULL for them with zero rewrites."""
+    return _jvm(spark).graft.sources.DeltaWrite.append(
+        df._jdf, path, bool(merge_schema))
+
+
+def delta_upsert(spark, df, path, keys):
+    """Copy-on-write MERGE into a Delta table: rows sharing ``keys``
+    are replaced, fresh keys insert, in one atomic commit. Only files
+    actually holding matched keys are rewritten (stats-pruned plan)."""
+    return _jvm(spark).graft.sources.DeltaWrite.upsert(
+        df._jdf, path, _to_seq(spark, list(keys)))
+
+
+def delta_delete(spark, path, predicate):
+    """Copy-on-write DELETE on a Delta table (SQL semantics: rows where
+    the predicate is NULL are kept). Only files holding matches are
+    rewritten."""
+    return _jvm(spark).graft.sources.DeltaWrite.delete(
+        spark._jsparkSession, path, predicate)
 
 
 def iceberg_read(spark, path, snapshot_id=-1):

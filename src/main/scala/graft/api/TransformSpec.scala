@@ -225,6 +225,20 @@ object TransformSpec {
           if (step.has("partitionBy")) strings(step.path("partitionBy"))
           else Nil)
         df
+      case "deltaUpsert" =>
+        // copy-on-write MERGE into a Delta table: rows sharing `keys`
+        // replaced, fresh keys inserted, one atomic commit
+        gateWrite(allowInline, "deltaUpsert")
+        graft.sources.DeltaWrite.upsert(df, step.path("path").asText(),
+          strings(step.path("keys")))
+        df
+      case "deltaDelete" =>
+        // copy-on-write DELETE on a Delta table; the step's input frame
+        // passes through untouched (the target is the `path` table)
+        gateWrite(allowInline, "deltaDelete")
+        graft.sources.DeltaWrite.delete(df.sparkSession,
+          step.path("path").asText(), step.path("predicate").asText())
+        df
       case "snapshotUpsert" =>
         // MERGE by key; with appId+batchId it is the exactly-once
         // upsertBatch (replayed batches detected and skipped via the

@@ -470,8 +470,16 @@ object DeltaRead {
       f.nullable, meta)
   }
 
-  private def schemaOf(st: LogState): StructType =
+  private[sources] def schemaOf(st: LogState): StructType =
     DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+
+  /** Zone-map stats of one live entry in FileStats form — the writer's
+    * copy-on-write planner prunes its rewrite candidates through this.
+    */
+  private[sources] def entryStats(st: LogState, schema: StructType,
+                                  a: AddEntry)
+      : Map[String, FileStats.ColStat] =
+    colStats(schema, statsKeyOf(st, schema), a)
 
   /** Live entries at the snapshot, optionally stats-pruned. The
     * checkpoint part prunes DISTRIBUTED and only survivors reach the
@@ -564,8 +572,8 @@ object DeltaRead {
   // assembly
   // ------------------------------------------------------------------
 
-  private val FKey = "__graft_dv_file"
-  private val RIdx = "__graft_dv_ridx"
+  private[sources] val FKey = "__graft_dv_file"
+  private[sources] val RIdx = "__graft_dv_ridx"
 
   private lazy val decodeBasename =
     udf((p: String) => PathCodec.percentDecode(p.split("/").last))
@@ -601,9 +609,10 @@ object DeltaRead {
     *      the SURVIVING file set — the same cardinality any
     *      partition-pruned plan carries.
     */
-  private def scan(spark: SparkSession, path: String, st: LogState,
-                   schema: StructType, files: Seq[AddEntry],
-                   withMeta: Boolean): DataFrame = {
+  private[sources] def scan(spark: SparkSession, path: String,
+                            st: LogState, schema: StructType,
+                            files: Seq[AddEntry],
+                            withMeta: Boolean): DataFrame = {
     val partCols = st.partitionCols
     val isMapped = mapped(st)
     val withIds = idMode(st)

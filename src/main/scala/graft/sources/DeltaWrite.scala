@@ -3,6 +3,7 @@ package graft.sources
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Append-only Delta Lake table WRITER — the emit side of the interop
@@ -81,14 +82,49 @@ object DeltaWrite {
     * version) it retries against the new head, up to 10 times. The
     * appended schema must equal the table schema.
     */
-  def append(df: DataFrame, path: String): Long = {
+  def append(df: DataFrame, path: String): Long =
+    append(df, path, mergeSchema = false)
+
+  /** Append with optional ADDITIVE schema evolution (the Delta
+    * autoMerge contract): with `mergeSchema=true`, columns the table
+    * already has must match by (name, type) exactly, NEW columns append
+    * nullable to the table schema (a metaData action in the same
+    * commit updates schemaString), and columns the batch OMITS are
+    * fine — old and new files each carry only their own columns, and
+    * the reader projects every file into the latest schema so missing
+    * columns surface NULL with zero file rewrites. Type conflicts
+    * refuse loudly.
+    */
+  def append(df: DataFrame, path: String, mergeSchema: Boolean): Long = {
     val spark = df.sparkSession
     val cur = DeltaRead.latestVersion(spark, path) // also validates log
     val tableSchema = DeltaRead.read(spark, path).schema
-    require(canonical(df.schema) == canonical(tableSchema),
-      s"append schema ${df.schema.toDDL} != table schema " +
-        s"${tableSchema.toDDL} (this writer does not evolve schemas)")
+    val newCols = df.schema.fields.filterNot(f =>
+      tableSchema.fieldNames.contains(f.name))
+    val merged: Option[StructType] =
+      if (!mergeSchema) {
+        require(canonical(df.schema) == canonical(tableSchema),
+          s"append schema ${df.schema.toDDL} != table schema " +
+            s"${tableSchema.toDDL} (pass mergeSchema=true to evolve)")
+        None
+      } else {
+        df.schema.fields.filter(f => tableSchema.fieldNames.contains(f.name))
+          .foreach { f =>
+            require(tableSchema(f.name).dataType == f.dataType,
+              s"column ${f.name}: batch type ${f.dataType.sql} conflicts " +
+                s"with table type ${tableSchema(f.name).dataType.sql} — " +
+                "additive evolution only, refusing")
+          }
+        if (newCols.isEmpty) None
+        else Some(StructType(tableSchema.fields ++
+          newCols.map(f => StructField(f.name, f.dataType, nullable = true))))
+      }
     val partitionBy = DeltaRead.partitionColumns(spark, path)
+    partitionBy.foreach(c => require(df.columns.contains(c),
+      s"append batch misses partition column $c"))
+    // an evolved append re-emits metaData — the table id must SURVIVE
+    // (readers key caches and streaming sources on it)
+    lazy val tableId = DeltaRead.replay(spark, path, -1L).metaId
     var version = cur + 1
     var attempts = 0
     var done = -1L
@@ -96,12 +132,193 @@ object DeltaWrite {
     while (done < 0) {
       require(attempts < 10, s"$path: lost the commit race 10 times")
       if (files == null) files = writeSegment(df, path, partitionBy)
-      if (publish(spark, path, version, actionsFor(df.schema, files,
-          withMeta = false, partitionBy))) done = version
+      val metaLine = merged.map(m =>
+        metaAction(m, partitionBy, tableId)).toSeq
+      if (publish(spark, path, version, metaLine ++
+          actionsFor(df.schema, files, withMeta = false, partitionBy)))
+        done = version
       else { attempts += 1; version = DeltaRead.latestVersion(spark, path) + 1 }
     }
     maybeCheckpoint(spark, path, done)
     done
+  }
+
+  // --------------------------------------------------------------------
+  // copy-on-write DELETE / UPSERT — the MERGE surface on the Delta side
+  // (SnapshotTable has had it since round 4; this brings the open
+  // format to parity)
+  // --------------------------------------------------------------------
+
+  /** Refusal gate for the copy-on-write paths: they rewrite raw data
+    * files, so any table state whose read semantics go beyond
+    * plain-parquet-plus-partitionValues (deletion vectors that must be
+    * applied during the rewrite, column-mapped physical names this
+    * writer would have to re-emit) is refused rather than corrupted.
+    */
+  private def requireRewritable(st: DeltaRead.LogState,
+                                live: Seq[DeltaRead.AddEntry]): Unit = {
+    require(st.minReaderVersion <= 1 && st.readerFeatures.isEmpty &&
+        !st.conf.contains("delta.columnMapping.mode"),
+      "copy-on-write DELETE/UPSERT supports plain (reader version 1, " +
+        "unmapped) tables only — refusing rather than corrupting")
+    require(live.forall(_.dv.forall(_.cardinality == 0L)),
+      "table carries deletion vectors — a rewrite that ignored them " +
+        "would resurrect deleted rows; refusing")
+  }
+
+  /** DELETE rows matching `predicate` (SQL), copy-on-write: candidate
+    * files are STATS-PRUNED on the predicate (a file whose zone maps
+    * cannot satisfy it is never opened), candidates are scanned once to
+    * find the files that actually hold matches, and only those are
+    * rewritten (complement rows re-land as a fresh segment, rewritten
+    * files get remove actions in the same commit — a reader never sees
+    * the delete half-applied). Rows where the predicate is NULL are
+    * KEPT (SQL DELETE semantics). Returns the committed version, or the
+    * current version if nothing matched.
+    */
+  def delete(spark: SparkSession, path: String, predicate: String): Long = {
+    var attempts = 0
+    while (true) {
+      require(attempts < 10, s"$path: lost the delete commit race 10 times")
+      val cur = DeltaRead.latestVersion(spark, path)
+      val (st, live) = DeltaRead.checkpointState(spark, path, cur)
+      requireRewritable(st, live)
+      val schema = DeltaRead.schemaOf(st)
+      val pred = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(predicate)
+      val candidates = live.filter(a =>
+        FileStats.mayMatch(pred, DeltaRead.entryStats(st, schema, a)))
+      if (candidates.isEmpty) return cur
+      // one distributed pass over candidates: which files hold matches?
+      val scanned = DeltaRead.scan(spark, path, st, schema, candidates,
+        withMeta = true)
+      val hit = scanned.filter(expr(predicate))
+        .select(DeltaRead.FKey).distinct()
+        .collect().map(_.getString(0)).toSet
+      if (hit.isEmpty) return cur
+      def base(a: DeltaRead.AddEntry): String =
+        PathCodec.percentDecode(a.path).split("/").last
+      // basename collisions make the scan key ambiguous — rewrite every
+      // candidate sharing a hit basename (conservative, still exact)
+      val affected = candidates.filter(a => hit.contains(base(a)))
+      val complement = DeltaRead
+        .scan(spark, path, st, schema, affected, withMeta = false)
+        .filter(!coalesce(expr(predicate), lit(false)))
+      val files = writeSegment(complement, path, st.partitionCols)
+      val actions = affected.map(removeAction) ++
+        actionsFor(schema, files, withMeta = false, st.partitionCols)
+      if (publish(spark, path, cur + 1, actions)) {
+        maybeCheckpoint(spark, path, cur + 1)
+        return cur + 1
+      }
+      attempts += 1 // concurrent commit: REPLAN against the new head
+    }
+    -1L // unreachable
+  }
+
+  /** UPSERT (MERGE): `source` rows REPLACE table rows sharing their
+    * `keys` and the rest INSERT, in one atomic commit. Source must
+    * carry the table schema exactly and at most one row per key.
+    * Copy-on-write plan: candidate files stats-pruned by the source key
+    * range (single-key tables), one scan finds files actually holding
+    * matched keys, only those rewrite (complement via key anti-join);
+    * the fresh segment carries complement + ALL source rows. Returns
+    * the committed version.
+    */
+  def upsert(source: DataFrame, path: String, keys: Seq[String]): Long = {
+    val spark = source.sparkSession
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    val dupes = source.groupBy(keys.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dupes.isEmpty,
+      s"upsert source has multiple rows for key ${dupes.headOption}" +
+        " — MERGE requires at most one source row per key")
+    var attempts = 0
+    while (true) {
+      require(attempts < 10, s"$path: lost the upsert commit race 10 times")
+      val cur = DeltaRead.latestVersion(spark, path)
+      val (st, live) = DeltaRead.checkpointState(spark, path, cur)
+      requireRewritable(st, live)
+      val schema = DeltaRead.schemaOf(st)
+      require(canonical(source.schema) == canonical(
+          StructType(schema.fields.map(f =>
+            StructField(f.name, f.dataType, f.nullable)))),
+        s"upsert source schema ${source.schema.toDDL} != table schema " +
+          s"${schema.toDDL}")
+      keys.foreach(k => require(schema.fieldNames.contains(k),
+        s"key column $k not in the table schema"))
+      // single-key stats pruning: candidates must overlap the source
+      // key range; multi-key (or stats-less) tables scan all live files
+      val candidates =
+        if (keys.size == 1) {
+          val k = keys.head
+          val mm = source.agg(min(col(k)).cast("string"),
+            max(col(k)).cast("string")).head()
+          if (mm.isNullAt(0)) Seq.empty
+          else {
+            val p = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+              .parseExpression(
+                s"$k >= ${sqlLit(mm.getString(0), schema(k).dataType)} AND " +
+                  s"$k <= ${sqlLit(mm.getString(1), schema(k).dataType)}")
+            live.filter(a =>
+              FileStats.mayMatch(p, DeltaRead.entryStats(st, schema, a)))
+          }
+        } else live
+      val keyFrame = source.select(keys.map(col): _*)
+      val hit =
+        if (candidates.isEmpty) Set.empty[String]
+        else DeltaRead.scan(spark, path, st, schema, candidates,
+            withMeta = true)
+          .join(keyFrame, keys, "left_semi")
+          .select(DeltaRead.FKey).distinct()
+          .collect().map(_.getString(0)).toSet
+      def base(a: DeltaRead.AddEntry): String =
+        PathCodec.percentDecode(a.path).split("/").last
+      val affected = candidates.filter(a => hit.contains(base(a)))
+      val complement =
+        if (affected.isEmpty) None
+        else Some(DeltaRead
+          .scan(spark, path, st, schema, affected, withMeta = false)
+          .join(keyFrame, keys, "left_anti"))
+      val ordered = schema.fieldNames.toSeq.map(col)
+      val segment = complement
+        .map(_.select(ordered: _*).unionByName(source.select(ordered: _*)))
+        .getOrElse(source.select(ordered: _*))
+      val files = writeSegment(segment, path, st.partitionCols)
+      val actions = affected.map(removeAction) ++
+        actionsFor(schema, files, withMeta = false, st.partitionCols)
+      if (publish(spark, path, cur + 1, actions)) {
+        maybeCheckpoint(spark, path, cur + 1)
+        return cur + 1
+      }
+      attempts += 1
+    }
+    -1L // unreachable
+  }
+
+  /** SQL literal rendering for the stats-prune predicate. */
+  private def sqlLit(v: String, dt: DataType): String = dt match {
+    case ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType => v
+    case _ => "'" + v.replace("'", "''") + "'"
+  }
+
+  private def removeAction(a: DeltaRead.AddEntry): String =
+    s"""{"remove":{"path":"${a.path}","deletionTimestamp":0,""" +
+      s""""dataChange":true}}"""
+
+  private def metaAction(schema: StructType, partitionBy: Seq[String],
+                         tableId: String): String = {
+    val partJson = om.writeValueAsString(
+      om.valueToTree[com.fasterxml.jackson.databind.JsonNode](
+        partitionBy.toArray))
+    val id = if (tableId.nonEmpty) tableId
+             else java.util.UUID.randomUUID().toString
+    s"""{"metaData":{"id":"$id",""" +
+      s""""format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${om.writeValueAsString(schema.json)},""" +
+      s""""partitionColumns":$partJson,"configuration":{},""" +
+      s""""createdTime":0}}"""
   }
 
   private def canonical(st: StructType): Seq[(String, DataType)] =

@@ -391,6 +391,38 @@ class DeltaProtocolSpec extends AnyFunSuite {
     assert(e.getMessage.contains("zorder"))
   }
 
+  test("copy-on-write DELETE/UPSERT refuse DV-bearing and column-mapped tables") {
+    import sources.DeltaWrite
+    // DV table: a rewrite that ignored the DV would resurrect rows
+    val dir = tmp()
+    dataFile(dir, "f0.parquet", range(0, 50))
+    commit(dir, 0, Seq(protoDv, metaLine(schemaJson),
+      addWithDv("f0.parquet", 50, inlineDv(Seq(0L)))))
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaWrite.delete(spark, dir, "k = 5")
+    }
+    assert(e1.getMessage.contains("refusing"))
+    // column-mapped table: physical-name re-emission unsupported
+    val dir2 = tmp()
+    val logical = StructType(Seq(
+      mappedField("k", LongType, "col-aaa", 1),
+      mappedField("name", StringType, "col-bbb", 2)))
+    dataFile(dir2, "f0.parquet", spark.range(0, 10).select(
+      col("id").as("col-aaa"),
+      concat(lit("u"), col("id")).as("col-bbb")))
+    commit(dir2, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaLine(logical.json,
+        conf = """{"delta.columnMapping.mode":"name"}"""),
+      addPlain("f0.parquet", 10)))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaWrite.upsert(
+        spark.createDataFrame(Seq((1L, "x"))).toDF("k", "name"),
+        dir2, Seq("k"))
+    }
+    assert(e2.getMessage.contains("refusing"))
+  }
+
   // ------------------------------------------------------------------
   // multi-part checkpoints + _last_checkpoint
   // ------------------------------------------------------------------

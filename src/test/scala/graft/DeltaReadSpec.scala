@@ -392,6 +392,130 @@ class DeltaReadSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.delta.checkpoint.interval")
   }
 
+  test("DeltaWrite: additive schema evolution on append (mergeSchema)") {
+    import sources.DeltaWrite
+    val dir = tmp()
+    DeltaWrite.create(range(0, 50).coalesce(1), dir)
+    val evolved = range(50, 100).withColumn("score", col("k") * 2)
+    // without the flag, drift still refuses
+    intercept[IllegalArgumentException] { DeltaWrite.append(evolved, dir) }
+    assert(DeltaWrite.append(evolved.coalesce(1), dir,
+      mergeSchema = true) == 1)
+    val back = DeltaRead.read(spark, dir)
+    assert(back.columns.toSeq == Seq("k", "name", "score"))
+    assert(back.count() == 100)
+    // old files surface NULL for the later-added column — no rewrite
+    assert(back.filter(col("k") < 50 && col("score").isNull).count() == 50)
+    assert(back.filter(col("k") >= 50 &&
+      col("score") === col("k") * 2).count() == 50)
+    // a batch OMITTING the evolved column still appends
+    assert(DeltaWrite.append(range(100, 110).coalesce(1), dir,
+      mergeSchema = true) == 2)
+    val back2 = DeltaRead.read(spark, dir)
+    assert(back2.count() == 110)
+    assert(back2.filter(col("k") >= 100 && col("score").isNull)
+      .count() == 10)
+    // type conflicts refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.append(
+        range(0, 1).withColumn("score", lit("not-a-number")), dir,
+        mergeSchema = true)
+    }
+    assert(e.getMessage.contains("conflict"))
+    // time travel shows each version's own schema
+    assert(DeltaRead.read(spark, dir, 0).columns.toSeq == Seq("k", "name"))
+    // the table id survives the evolution commit (readers key on it)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def metaId(v: Long): String = java.nio.file.Files
+      .readString(Paths.get(dir, "_delta_log", f"$v%020d.json"))
+      .split("\n").find(_.contains("metaData"))
+      .map(l => mapper.readTree(l).path("metaData").path("id").asText())
+      .getOrElse("")
+    assert(metaId(1).nonEmpty && metaId(0) == metaId(1),
+      "schema evolution must not mint a new table id")
+  }
+
+  test("DeltaWrite.delete: copy-on-write rewrites ONLY files holding matches") {
+    import sources.DeltaWrite
+    val dir = tmp()
+    DeltaWrite.create(range(0, 50).coalesce(1), dir)   // file A: k 0-49
+    DeltaWrite.append(range(50, 100).coalesce(1), dir) // file B: k 50-99
+    val v = DeltaWrite.delete(spark, dir, "k >= 90")
+    assert(v == 2)
+    val back = DeltaRead.read(spark, dir)
+    assert(back.count() == 90)
+    assert(back.agg(max("k")).head().getLong(0) == 89)
+    // exactly ONE file rewritten: stats pruned file A, the scan hit
+    // only file B
+    val c2 = java.nio.file.Files.readString(
+      Paths.get(dir, "_delta_log", f"${2L}%020d.json"))
+    assert(c2.split("\n").count(_.contains("\"remove\"")) == 1,
+      s"only the matching file may be rewritten: $c2")
+    // deleting nothing commits nothing
+    assert(DeltaWrite.delete(spark, dir, "k > 100000") == 2)
+    // time travel sees the pre-delete table
+    assert(DeltaRead.read(spark, dir, 1).count() == 100)
+    // SQL DELETE null semantics: NULL-predicate rows are KEPT
+    val dir2 = tmp()
+    val df = spark.createDataFrame(Seq(
+      (1L, "a"), (2L, null.asInstanceOf[String]), (3L, "b")))
+      .toDF("k", "name")
+    DeltaWrite.create(df.coalesce(1), dir2)
+    DeltaWrite.delete(spark, dir2, "name = 'a'")
+    val kept = DeltaRead.read(spark, dir2)
+    assert(kept.count() == 2)
+    assert(kept.select("k").collect().map(_.getLong(0)).toSet
+      == Set(2L, 3L), "NULL-predicate rows must survive a DELETE")
+  }
+
+  test("DeltaWrite.delete on a partitioned table keeps hive layout") {
+    import sources.DeltaWrite
+    val dir = tmp()
+    val parted = range(0, 60).withColumn("bucket", (col("k") % 3).cast("int"))
+    DeltaWrite.create(parted.coalesce(1), dir, partitionBy = Seq("bucket"))
+    val v = DeltaWrite.delete(spark, dir, "bucket = 1 AND k < 30")
+    assert(v == 1)
+    val back = DeltaRead.read(spark, dir)
+    assert(back.count() == 50) // bucket 1 had 20 rows, 10 of them k<30
+    assert(back.filter(col("bucket") === 1).count() == 10)
+    assert(back.schema("bucket").dataType.typeName == "integer")
+    // rewritten rows landed back under hive dirs with partitionValues
+    val c1 = java.nio.file.Files.readString(
+      Paths.get(dir, "_delta_log", f"${1L}%020d.json"))
+    assert(c1.contains(""""partitionValues":{"bucket":"1"}"""))
+    assert(c1.contains("bucket=1/") || c1.contains("bucket%3D1"))
+  }
+
+  test("DeltaWrite.upsert: MERGE — matched keys replaced, fresh keys inserted, one file rewritten") {
+    import sources.DeltaWrite
+    val dir = tmp()
+    DeltaWrite.create(range(0, 50).coalesce(1), dir)   // file A: k 0-49
+    DeltaWrite.append(range(50, 100).coalesce(1), dir) // file B: k 50-99
+    val src = spark.createDataFrame(Seq(
+      (10L, "updated"), (200L, "fresh"))).toDF("k", "name")
+    val v = DeltaWrite.upsert(src, dir, Seq("k"))
+    assert(v == 2)
+    val back = DeltaRead.read(spark, dir)
+    assert(back.count() == 101)
+    assert(back.filter(col("k") === 10).head().getString(1) == "updated")
+    assert(back.filter(col("k") === 200).count() == 1)
+    assert(back.filter(col("k") === 11).head().getString(1) == "u11",
+      "non-matched rows of the rewritten file must survive verbatim")
+    // hit detection: the key range [10,200] spans BOTH files but only
+    // file A holds a matched key — exactly one remove
+    val c2 = java.nio.file.Files.readString(
+      Paths.get(dir, "_delta_log", f"${2L}%020d.json"))
+    assert(c2.split("\n").count(_.contains("\"remove\"")) == 1,
+      s"only the matched file may be rewritten: $c2")
+    // MERGE contract: at most one source row per key
+    intercept[IllegalArgumentException] {
+      DeltaWrite.upsert(src.unionAll(src), dir, Seq("k"))
+    }
+    // time travel sees the pre-merge value
+    assert(DeltaRead.read(spark, dir, 1).filter(col("k") === 10)
+      .head().getString(1) == "u10")
+  }
+
   test("stale _last_checkpoint is ignored, not fatal") {
     val dir = buildTable()
     Files.writeString(Paths.get(dir, "_delta_log", "_last_checkpoint"),

@@ -432,6 +432,23 @@ class TransformSpecSpec extends AnyFunSuite {
       allowInlineSources = true)
     assert(SnapshotTable.latestVersion(spark, s"$base/t2") == v1)
 
+    // Delta copy-on-write steps: upsert by key, then a predicate delete
+    graft.sources.DeltaWrite.create(
+      spark.range(0, 10).select(col("id").as("k"), lit("x").as("tag"))
+        .coalesce(1), s"$base/t3")
+    TransformSpec.run(
+      s"""{"source": "c", "steps": [
+           {"op": "deltaUpsert", "path": "$base/t3", "keys": ["k"]},
+           {"op": "deltaDelete", "path": "$base/t3",
+            "predicate": "k >= 11"}]}""",
+      Map("c" ->
+        spark.range(5, 12).select(col("id").as("k"), lit("y").as("tag"))),
+      allowInlineSources = true)
+    val t3 = graft.sources.DeltaRead.read(spark, s"$base/t3")
+    assert(t3.count() == 11) // 0-10 survive, k=11 deleted
+    assert(t3.filter(col("k") === 7).head().getString(1) == "y")
+    assert(t3.filter(col("k") === 2).head().getString(1) == "x")
+
     // writer steps are governance-gated like inline sources
     val refused = intercept[IllegalArgumentException] {
       TransformSpec.run(
@@ -440,6 +457,16 @@ class TransformSpecSpec extends AnyFunSuite {
         Map("d" -> docs))
     }
     assert(refused.getMessage.contains("catalog-only"))
+    Seq("deltaUpsert", "deltaDelete").foreach { op =>
+      val r = intercept[IllegalArgumentException] {
+        TransformSpec.run(
+          s"""{"source": "d", "steps": [
+               {"op": "$op", "path": "$base/nope", "keys": ["doc_id"],
+                "predicate": "1=1"}]}""",
+          Map("d" -> docs))
+      }
+      assert(r.getMessage.contains("catalog-only"), s"$op must be gated")
+    }
   }
 
   test("unknown ops and unknown tables fail loudly") {

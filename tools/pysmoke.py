@@ -406,6 +406,20 @@ graft.delta_append(spark, spark.range(30, 40).selectExpr("id AS k"), dw_dir)
 assert graft.delta_read(spark, dw_dir).count() == 40
 assert graft.delta_read_where(spark, dw_dir, "k >= 30").count() == 10
 
+# round 8: copy-on-write MERGE/DELETE + additive evolution from python
+graft.delta_upsert(spark, spark.sql(
+    "SELECT CAST(5 AS BIGINT) AS k UNION ALL SELECT CAST(99 AS BIGINT)"),
+    dw_dir, ["k"])
+assert graft.delta_read(spark, dw_dir).count() == 41  # k=5 replaced, 99 new
+graft.delta_delete(spark, dw_dir, "k >= 35 AND k < 40")
+assert graft.delta_read(spark, dw_dir).count() == 36
+graft.delta_append(spark, spark.range(100, 110).selectExpr(
+    "id AS k", "id * 2 AS score"), dw_dir, merge_schema=True)
+evolved = graft.delta_read(spark, dw_dir)
+assert evolved.count() == 46
+assert evolved.where("score IS NULL").count() == 36
+assert evolved.where("k = 105").first().score == 210
+
 # partitioned delta writer: hive layout + typed partition recovery
 dp_dir = tempfile.mkdtemp(prefix="graft_pydp") + "/t"
 graft.delta_create(spark, spark.range(0, 20).selectExpr(
