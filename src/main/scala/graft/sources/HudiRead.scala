@@ -26,9 +26,13 @@ import scala.jdk.CollectionConverters._
   *     older slices are shadowed, never merged.
   *
   * Scope and non-goals (loudly enforced):
-  *   - COPY_ON_WRITE only: MERGE_ON_READ requires log-file merging at
-  *     read time — REFUSED rather than misread (delta commits would
-  *     surface stale base files as current);
+  *   - COPY_ON_WRITE fully; MERGE_ON_READ at COMPACTED or insert-only
+  *     instants (deltacommits join the timeline, base files are
+  *     authoritative once a compaction instant ≥ every log write in the
+  *     file group has landed) — a file group whose log files OUTRUN its
+  *     base file is REFUSED rather than served stale (log-block merging
+  *     at read time stays out of scope: the log format is a versioned
+  *     binary block stream this planner does not parse);
   *   - `replacecommit` instants (clustering / insert_overwrite replace
   *     whole file groups OUT of line with the fileId-shadowing rule) —
   *     REFUSED;
@@ -61,9 +65,12 @@ object HudiRead {
   // `<instantTs>.commit`; Hudi 1.x `<instantTs>_<completionTs>.commit`
   // (the requested instant still orders the timeline — completion time
   // only disambiguates concurrency, which a snapshot reader plans by
-  // requested ts exactly as Hudi's own COW planner does).
-  private val Completed   = """(\d+)\.commit""".r
-  private val Completed1x = """(\d+)_(\d+)\.commit""".r
+  // requested ts exactly as Hudi's own COW planner does). On
+  // MERGE_ON_READ tables, `deltacommit` is the completed write instant
+  // (log-file or insert base-file writes) and `commit` is a completed
+  // COMPACTION (log data folded into fresh base files).
+  private val Completed   = """(\d+)(?:_\d+)?\.commit""".r
+  private val CompletedDc = """(\d+)(?:_\d+)?\.deltacommit""".r
   private val Replace     = """(\d+)(?:_\d+)?\.replacecommit""".r
 
   private def props(spark: SparkSession, path: String)
@@ -117,10 +124,11 @@ object HudiRead {
           "rather than misreading")
       case _ => ()
     }
-    // (requested instant, completed-commit file name)
+    // (requested instant, completed-instant file name) — commits plus,
+    // on MOR tables, deltacommits
     val completed = timeline.collect {
-      case n @ Completed(ts)      => (ts, n)
-      case n @ Completed1x(ts, _) => (ts, n)
+      case n @ Completed(ts)   => (ts, n)
+      case n @ CompletedDc(ts) => (ts, n)
     }.filter { case (ts, _) => asOf.isEmpty || ts <= asOf }.sortBy(_._1)
     require(completed.nonEmpty,
       s"$path: no completed commit" +
@@ -145,7 +153,25 @@ object HudiRead {
         }
       }
     }
-    slices.groupBy(s => (s.partition, s.fileId))
+    // MOR: deltacommits may have landed LOG files (row updates pending
+    // compaction). A log write is superseded once a compaction lands a
+    // base file at a LATER instant in the same file group; a log write
+    // newer than its group's latest base file means the base file is
+    // STALE — merging is out of scope, so refuse loudly instead of
+    // silently serving pre-update rows.
+    val (logs, bases) = slices.partition(_.path.contains(".log."))
+    val latestBase = bases.groupBy(s => (s.partition, s.fileId))
+      .map { case (g, ss) => g -> ss.map(_.instant).max }
+    logs.foreach { l =>
+      val baseTs = latestBase.get((l.partition, l.fileId))
+      require(baseTs.exists(_ >= l.instant),
+        s"$path: file group ${l.fileId} has an uncompacted log file " +
+          s"(${l.path} at instant ${l.instant}, latest base " +
+          s"${baseTs.getOrElse("none")}) — log-file merging is out of " +
+          "scope for this planner; compact the table or read a " +
+          "compacted instant, refusing rather than serving stale rows")
+    }
+    bases.groupBy(s => (s.partition, s.fileId))
       .values.map(_.maxBy(_.instant)).toSeq.sortBy(_.path)
   }
 
@@ -158,10 +184,12 @@ object HudiRead {
       : DataFrame = {
     val pr = props(spark, path)
     val tpe = pr.getProperty("hoodie.table.type", "COPY_ON_WRITE")
-    require(tpe == "COPY_ON_WRITE",
-      s"$path: hoodie.table.type=$tpe — MERGE_ON_READ needs log-file " +
-        "merging at read time; this COW-only planner refuses rather " +
-        "than surface stale base files")
+    require(tpe == "COPY_ON_WRITE" || tpe == "MERGE_ON_READ",
+      s"$path: hoodie.table.type=$tpe unknown to this planner — refusing")
+    // MERGE_ON_READ reads are supported at COMPACTED (or insert-only)
+    // instants: base files are authoritative there. A file group whose
+    // log files outrun its base file refuses inside liveSlices — this
+    // planner never merges log blocks at read time.
     val slices = liveSlices(spark, path, asOf)
     val df = spark.read.parquet(slices.map(s => s"$path/${s.path}"): _*)
     df.drop(MetaCols: _*)

@@ -106,13 +106,13 @@ class HudiReadSpec extends AnyFunSuite {
     }
   }
 
-  test("MERGE_ON_READ and replacecommit are refused loudly") {
+  test("replacecommit is refused loudly; unknown table types too") {
     val dir = buildTable()
-    properties(dir, "MERGE_ON_READ")
+    properties(dir, "SOMETHING_NEW")
     val e1 = intercept[IllegalArgumentException] {
       HudiRead.read(spark, dir)
     }
-    assert(e1.getMessage.contains("MERGE_ON_READ"))
+    assert(e1.getMessage.contains("SOMETHING_NEW"))
     properties(dir, "COPY_ON_WRITE")
     Files.writeString(Paths.get(dir, ".hoodie", "004.replacecommit"),
       """{"partitionToWriteStats":{}}""")
@@ -120,6 +120,34 @@ class HudiReadSpec extends AnyFunSuite {
       HudiRead.read(spark, dir)
     }
     assert(e2.getMessage.contains("replacecommit"))
+  }
+
+  test("MERGE_ON_READ: compacted/insert-only instants read; uncompacted logs refuse") {
+    val dir = tmp()
+    Files.createDirectories(Paths.get(dir))
+    properties(dir, "MERGE_ON_READ")
+    // deltacommit 001: insert-only (base parquet files) — readable
+    val f1a = baseFile(dir, "f1", "001", rows(0, 2, "old"))
+    Files.writeString(Paths.get(dir, ".hoodie", "001.deltacommit"),
+      commitJson(Seq("f1" -> f1a)))
+    assert(asSet(HudiRead.read(spark, dir)) == asSet(rows(0, 2, "old")))
+    // deltacommit 002: UPDATE lands a log file for group f1 — the base
+    // file is now stale, snapshot read must refuse
+    val logName = s".f1_001.log.1_0-0-0"
+    Files.writeString(Paths.get(dir, logName), "opaque-log-bytes")
+    Files.writeString(Paths.get(dir, ".hoodie", "002.deltacommit"),
+      commitJson(Seq("f1" -> logName)))
+    val e = intercept[IllegalArgumentException] { HudiRead.read(spark, dir) }
+    assert(e.getMessage.contains("uncompacted log file"))
+    // time travel BEFORE the log write still reads
+    assert(asSet(HudiRead.read(spark, dir, asOf = "001"))
+      == asSet(rows(0, 2, "old")))
+    // compaction 003 folds the log into a fresh base file — the group's
+    // latest base now outranks the log, snapshot read works again
+    val f1b = baseFile(dir, "f1", "003", rows(0, 2, "new"))
+    Files.writeString(Paths.get(dir, ".hoodie", "003.commit"),
+      commitJson(Seq("f1" -> f1b)))
+    assert(asSet(HudiRead.read(spark, dir)) == asSet(rows(0, 2, "new")))
   }
 
   test("a non-empty archived timeline is refused, not silently subset") {
