@@ -479,7 +479,7 @@ object DeltaRead {
   private[sources] def entryStats(st: LogState, schema: StructType,
                                   a: AddEntry)
       : Map[String, FileStats.ColStat] =
-    colStats(schema, statsKeyOf(st, schema), a)
+    colStats(st, schema, statsKeyOf(st, schema), a)
 
   /** Live entries at the snapshot, optionally stats-pruned. The
     * checkpoint part prunes DISTRIBUTED and only survivors reach the
@@ -497,13 +497,13 @@ object DeltaRead {
         !rm.contains(a.path) && !tailKeys.contains(a.path))
       val pruned = pred match {
         case Some(p) =>
-          live.filter(a => FileStats.mayMatch(p, colStats(schema, sk, a)))
+          live.filter(a => FileStats.mayMatch(p, colStats(st, schema, sk, a)))
         case None => live
       }
       pruned.collect().toSeq
     }.getOrElse(Nil)
     val fromTail = st.tailAdds.filter(a =>
-      pred.forall(p => FileStats.mayMatch(p, colStats(schema, sk, a))))
+      pred.forall(p => FileStats.mayMatch(p, colStats(st, schema, sk, a))))
     lastPlannedFiles = fromCkpt.size.toLong + fromTail.size.toLong
     fromCkpt ++ fromTail
   }
@@ -549,11 +549,11 @@ object DeltaRead {
       val live = ds.filter(a =>
         !rm.contains(a.path) && !tailKeys.contains(a.path))
       (live.count(),
-        live.filter(a => FileStats.mayMatch(pred, colStats(schema, sk, a)))
+        live.filter(a => FileStats.mayMatch(pred, colStats(st, schema, sk, a)))
           .count())
     }.getOrElse((0L, 0L))
     val tailKept = st.tailAdds.count(a =>
-      FileStats.mayMatch(pred, colStats(schema, sk, a)))
+      FileStats.mayMatch(pred, colStats(st, schema, sk, a)))
     ((ckptTotal + st.tailAdds.size).toInt, (ckptKept + tailKept).toInt)
   }
 
@@ -834,9 +834,37 @@ object DeltaRead {
     * name under column mapping). With a deletion vector present the
     * stats still describe the pre-delete file — a superset, so pruning
     * decisions remain sound (may only over-KEEP, never over-skip).
+    *
+    * PARTITION columns never appear in the stats json — their zone map
+    * IS the add action's partitionValues entry (a single value, so
+    * lo == hi == v; a logged null is an all-null column). Without this,
+    * a predicate on the partition key — the single most common pruning
+    * predicate on a partitioned table — would open every file.
     */
-  private def colStats(schema: StructType, sk: Map[String, String],
-                       a: AddEntry): Map[String, FileStats.ColStat] =
+  private def colStats(st: LogState, schema: StructType,
+                       sk: Map[String, String], a: AddEntry)
+      : Map[String, FileStats.ColStat] = {
+    val partStats = st.partitionCols.flatMap { c =>
+      schema.fields.find(_.name == c).flatMap { f =>
+        val kind = f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType => Some("l")
+          case FloatType | DoubleType                        => Some("d")
+          case StringType                                    => Some("s")
+          case _                                             => None
+        }
+        kind.flatMap { k =>
+          a.partitionValues.get(sk.getOrElse(c, c)).map {
+            case null => c -> FileStats.ColStat(k, None, None, 1L, 1L)
+            case v    => c -> FileStats.ColStat(k, Some(v), Some(v), 0L, 1L)
+          }
+        }
+      }
+    }.toMap
+    statsOnly(schema, sk, a) ++ partStats
+  }
+
+  private def statsOnly(schema: StructType, sk: Map[String, String],
+                        a: AddEntry): Map[String, FileStats.ColStat] =
     a.stats.toSeq.flatMap { js =>
       val n = om.readTree(js)
       val rows = n.path("numRecords").asLong(-1L)

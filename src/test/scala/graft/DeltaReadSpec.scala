@@ -516,6 +516,34 @@ class DeltaReadSpec extends AnyFunSuite {
       .head().getString(1) == "u10")
   }
 
+  test("partition-value pruning: a partition predicate opens only matching files") {
+    import sources.DeltaWrite
+    val dir = tmp()
+    val parted = range(0, 60).withColumn("bucket", (col("k") % 3).cast("int"))
+    DeltaWrite.create(parted.coalesce(1), dir, partitionBy = Seq("bucket"))
+    // one file per hive dir; the partition predicate must prune via the
+    // add actions' partitionValues (no stats json carries bucket)
+    val (total, kept) = DeltaRead.pruneReport(spark, dir, "bucket = 1")
+    assert(total == 3 && kept == 1,
+      s"partitionValues must act as the partition column's zone map: " +
+        s"$kept of $total")
+    assert(DeltaRead.readWhere(spark, dir, "bucket = 1").count() == 20)
+    // combined partition + stats predicate prunes on both
+    val (_, kept2) = DeltaRead.pruneReport(spark, dir,
+      "bucket = 1 AND k > 1000")
+    assert(kept2 == 0)
+    // string partition values prune exactly, hive-escaped ones included
+    val dir2 = tmp()
+    val df = spark.createDataFrame(Seq(
+      (1L, "12:30"), (2L, "c++"), (3L, "plain"))).toDF("k", "slot")
+    DeltaWrite.create(df.repartition(3, col("slot")), dir2,
+      partitionBy = Seq("slot"))
+    val (t2, k2) = DeltaRead.pruneReport(spark, dir2, "slot = '12:30'")
+    assert(t2 == 3 && k2 == 1, s"string partition pruning: $k2 of $t2")
+    assert(DeltaRead.readWhere(spark, dir2, "slot = '12:30'")
+      .head().getLong(0) == 1L)
+  }
+
   test("stale _last_checkpoint is ignored, not fatal") {
     val dir = buildTable()
     Files.writeString(Paths.get(dir, "_delta_log", "_last_checkpoint"),
