@@ -487,6 +487,18 @@ def delta_delete(spark, path, predicate):
         spark._jsparkSession, path, predicate)
 
 
+def iceberg_create(spark, df, path):
+    """Create an Iceberg table (append-only writer; public table spec,
+    format-version 2). Returns the snapshot id (1)."""
+    return _jvm(spark).graft.sources.IcebergWrite.create(df._jdf, path)
+
+
+def iceberg_append(spark, df, path):
+    """Append a snapshot to an Iceberg table with optimistic-concurrency
+    metadata commits. Returns the new snapshot id."""
+    return _jvm(spark).graft.sources.IcebergWrite.append(df._jdf, path)
+
+
 def iceberg_read(spark, path, snapshot_id=-1):
     """Read-only Apache Iceberg table read (public table spec; time
     travel via ``snapshot_id``)."""

@@ -225,6 +225,17 @@ object TransformSpec {
           if (step.has("partitionBy")) strings(step.path("partitionBy"))
           else Nil)
         df
+      case "icebergAppend" =>
+        // append-only Iceberg emit (create-if-absent) — the Delta
+        // deltaAppend contract on the second open format
+        gateWrite(allowInline, "icebergAppend")
+        val p = step.path("path").asText()
+        val spark = df.sparkSession
+        val meta = new org.apache.hadoop.fs.Path(p, "metadata")
+        val f = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (f.exists(meta)) graft.sources.IcebergWrite.append(df, p)
+        else graft.sources.IcebergWrite.create(df, p)
+        df
       case "deltaUpsert" =>
         // copy-on-write MERGE into a Delta table: rows sharing `keys`
         // replaced, fresh keys inserted, one atomic commit

@@ -56,12 +56,17 @@ object IcebergRead {
     val f = fs(spark, path)
     require(f.exists(mdir), s"$path has no metadata/ — not an Iceberg table")
     val hint = new Path(mdir, "version-hint.text")
-    if (f.exists(hint)) {
-      val in = f.open(hint)
-      val v = try new String(in.readAllBytes(), "UTF-8").trim
-              finally in.close()
-      new Path(mdir, s"v$v.metadata.json")
-    } else {
+    val hinted: Option[Path] =
+      if (!f.exists(hint)) None
+      else {
+        val in = f.open(hint)
+        val v = try new String(in.readAllBytes(), "UTF-8").trim
+                finally in.close()
+        // the hint is best-effort (HadoopCatalog semantics): a pointer
+        // to a missing file falls back to the listing instead of failing
+        Some(new Path(mdir, s"v$v.metadata.json")).filter(f.exists)
+      }
+    hinted.getOrElse {
       val vs = f.listStatus(mdir).map(_.getPath.getName)
         .collect { case MetaName(v) => v.toInt }
       require(vs.nonEmpty, s"$path: no vN.metadata.json in metadata/")

@@ -449,6 +449,21 @@ class TransformSpecSpec extends AnyFunSuite {
     assert(t3.filter(col("k") === 7).head().getString(1) == "y")
     assert(t3.filter(col("k") === 2).head().getString(1) == "x")
 
+    // Iceberg emit: create-if-absent then append, read back by snapshot
+    TransformSpec.run(
+      s"""{"source": "c", "steps": [
+           {"op": "icebergAppend", "path": "$base/t4"}]}""",
+      Map("c" ->
+        spark.range(0, 8).select(col("id").as("k"), lit("x").as("tag"))),
+      allowInlineSources = true)
+    TransformSpec.run(
+      s"""{"source": "c", "steps": [
+           {"op": "icebergAppend", "path": "$base/t4"}]}""",
+      Map("c" ->
+        spark.range(8, 12).select(col("id").as("k"), lit("y").as("tag"))),
+      allowInlineSources = true)
+    assert(graft.sources.IcebergRead.read(spark, s"$base/t4").count() == 12)
+
     // writer steps are governance-gated like inline sources
     val refused = intercept[IllegalArgumentException] {
       TransformSpec.run(

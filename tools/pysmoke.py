@@ -420,6 +420,13 @@ assert evolved.count() == 46
 assert evolved.where("score IS NULL").count() == 36
 assert evolved.where("k = 105").first().score == 210
 
+# round 8: Iceberg WRITER round-trip from python
+iw_dir = tempfile.mkdtemp(prefix="graft_pyiw") + "/t"
+graft.iceberg_create(spark, spark.range(0, 30).selectExpr("id AS k"), iw_dir)
+graft.iceberg_append(spark, spark.range(30, 40).selectExpr("id AS k"), iw_dir)
+assert graft.iceberg_read(spark, iw_dir).count() == 40
+assert graft.iceberg_read(spark, iw_dir, snapshot_id=1).count() == 30
+
 # partitioned delta writer: hive layout + typed partition recovery
 dp_dir = tempfile.mkdtemp(prefix="graft_pydp") + "/t"
 graft.delta_create(spark, spark.range(0, 20).selectExpr(
