@@ -487,6 +487,15 @@ def delta_delete(spark, path, predicate):
         spark._jsparkSession, path, predicate)
 
 
+def delta_changes(spark, path, from_version, to_version):
+    """Change feed between two Delta versions as a file-level diff
+    (``_change_type`` insert/delete; replay-exact: read(from) minus
+    deletes plus inserts == read(to)). Scans only the changed files."""
+    jdf = _jvm(spark).graft.sources.DeltaRead.changes(
+        spark._jsparkSession, path, int(from_version), int(to_version))
+    return _wrap(spark, jdf)
+
+
 def iceberg_create(spark, df, path):
     """Create an Iceberg table (append-only writer; public table spec,
     format-version 2). Returns the snapshot id (1)."""

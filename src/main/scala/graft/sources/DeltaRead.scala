@@ -557,6 +557,44 @@ object DeltaRead {
     ((ckptTotal + st.tailAdds.size).toInt, (ckptKept + tailKept).toInt)
   }
 
+  /** Change feed between two versions as a file-level diff — the
+    * incremental-consumer contract: rows of files REMOVED between the
+    * versions surface as `_change_type='delete'`, rows of files ADDED
+    * as `'insert'` (a file re-added with a different deletion vector or
+    * size counts as both). Replay-exact by file-set algebra:
+    * read(fromV) minus deletes plus inserts == read(toV) as multisets —
+    * though a copy-on-write rewrite surfaces its UNCHANGED rows as
+    * delete+insert pairs (file granularity; minimal row diffs need CDC
+    * files, which this log-only reader does not require). Scans ONLY
+    * the changed files — the 100 TB shape; a whole-table diff never
+    * runs. Refused across a schema-evolution boundary (the two sides
+    * would not union soundly).
+    */
+  def changes(spark: SparkSession, path: String, fromV: Long,
+              toV: Long): DataFrame = {
+    require(fromV <= toV, s"changes: fromV $fromV > toV $toV")
+    val stFrom = replay(spark, path, fromV)
+    val stTo = replay(spark, path, toV)
+    require(stFrom.schemaJson == stTo.schemaJson,
+      s"$path: schema changed between v$fromV and v$toV — a change feed " +
+        "across an evolution boundary is refused (the sides would not " +
+        "union soundly)")
+    val schema = schemaOf(stTo)
+    def key(a: AddEntry) = (a.path, a.dv, a.size)
+    val fromFiles = liveEntries(stFrom, None)
+    val toFiles = liveEntries(stTo, None)
+    val fromKeys = fromFiles.map(key).toSet
+    val toKeys = toFiles.map(key).toSet
+    val removed = fromFiles.filterNot(a => toKeys.contains(key(a)))
+    val added = toFiles.filterNot(a => fromKeys.contains(key(a)))
+    val cols = schema.fieldNames.map(col).toSeq
+    def tagged(files: Seq[AddEntry], st: LogState, tag: String) =
+      assemble(spark, path, st, files)
+        .select(cols :+ lit(tag).as("_change_type"): _*)
+    tagged(removed, stFrom, "delete")
+      .unionByName(tagged(added, stTo, "insert"))
+  }
+
   /** Full live state for the writer's checkpoint pass (the one caller
     * that legitimately materializes every entry — a checkpoint IS the
     * materialized state).

@@ -544,6 +544,41 @@ class DeltaReadSpec extends AnyFunSuite {
       .head().getLong(0) == 1L)
   }
 
+  test("changes: file-level version diff replays exactly across COW commits") {
+    import sources.{DeltaWrite, DeltaRead}
+    val dir = tmp()
+    DeltaWrite.create(range(0, 50).coalesce(1), dir)   // v0
+    DeltaWrite.append(range(50, 100).coalesce(1), dir) // v1
+    DeltaWrite.delete(spark, dir, "k >= 90")           // v2: rewrite file B
+    DeltaWrite.upsert(spark.createDataFrame(Seq(
+      (10L, "updated"), (200L, "fresh"))).toDF("k", "name"),
+      dir, Seq("k"))                                   // v3: rewrite file A
+    val feed = DeltaRead.changes(spark, dir, 1, 3)
+    assert(feed.columns.toSeq == Seq("k", "name", "_change_type"))
+    val dels = feed.filter(col("_change_type") === "delete")
+      .drop("_change_type")
+    val ins = feed.filter(col("_change_type") === "insert")
+      .drop("_change_type")
+    // replay contract: read(v1) minus deletes plus inserts == read(v3)
+    val v1 = DeltaRead.read(spark, dir, 1)
+    val v3 = DeltaRead.read(spark, dir, 3)
+    val replay = v1.exceptAll(dels).unionAll(ins)
+    assert(replay.exceptAll(v3).count() == 0 &&
+      v3.exceptAll(replay).count() == 0,
+      "v1 + feed must replay to v3 exactly")
+    // an append-only range is a minimal insert-only feed
+    val f01 = DeltaRead.changes(spark, dir, 0, 1)
+    assert(f01.filter(col("_change_type") === "delete").count() == 0)
+    assert(f01.count() == 50)
+    // a schema-evolution boundary refuses loudly
+    DeltaWrite.append(range(200, 201).withColumn("score", lit(1L))
+      .coalesce(1), dir, mergeSchema = true)           // v4
+    val e = intercept[IllegalArgumentException] {
+      DeltaRead.changes(spark, dir, 3, 4)
+    }
+    assert(e.getMessage.contains("evolution"))
+  }
+
   test("stale _last_checkpoint is ignored, not fatal") {
     val dir = buildTable()
     Files.writeString(Paths.get(dir, "_delta_log", "_last_checkpoint"),
