@@ -471,6 +471,14 @@ def delta_append(spark, df, path, merge_schema=False):
         df._jdf, path, bool(merge_schema))
 
 
+def delta_append_batch(spark, df, path, app_id, batch_id):
+    """EXACTLY-ONCE append into a Delta table: the commit carries the
+    protocol's txn action {appId, version=batch_id}; a replayed batch id
+    is detected against the table's per-app watermark and skipped."""
+    return _jvm(spark).graft.sources.DeltaWrite.appendBatch(
+        df._jdf, path, app_id, int(batch_id))
+
+
 def delta_upsert(spark, df, path, keys):
     """Copy-on-write MERGE into a Delta table: rows sharing ``keys``
     are replaced, fresh keys insert, in one atomic commit. Only files

@@ -80,7 +80,8 @@ object DeltaRead {
     minReaderVersion: Int, minWriterVersion: Int,
     readerFeatures: Seq[String],
     ckpt: Option[Dataset[AddEntry]],
-    tailAdds: Seq[AddEntry], tailRemoves: Set[String])
+    tailAdds: Seq[AddEntry], tailRemoves: Set[String],
+    txns: Map[String, Long])
 
   /** Instrumentation for the scale spec: how many AddEntry rows the
     * last planning call materialized on the driver (readWhere collects
@@ -198,15 +199,19 @@ object DeltaRead {
     var mwv = 2
     var features: Seq[String] = Nil
     var ckptDs: Option[Dataset[AddEntry]] = None
+    val txns = scala.collection.mutable.Map[String, Long]()
 
     base.foreach { cv =>
-      val (ds, meta, proto) = loadCheckpoint(spark, ckpts(cv))
+      val (ds, meta, proto, ckptTxns) = loadCheckpoint(spark, ckpts(cv))
       ckptDs = Some(ds)
       meta.foreach { m =>
         schemaJson = m._1; partitionCols = m._2; conf = m._3
         metaId = m._4; createdTime = m._5
       }
       proto.foreach { p => mrv = p._1; mwv = p._2; features = p._3 }
+      ckptTxns.foreach { case (app, v) =>
+        txns(app) = math.max(v, txns.getOrElse(app, Long.MinValue))
+      }
     }
 
     // replay JSON commits after the checkpoint up to the target
@@ -273,23 +278,33 @@ object DeltaRead {
           tailAdds -= rel
           tailRemoves += rel
         }
+        if (n.has("txn")) {
+          val t = n.path("txn")
+          val app = t.path("appId").asText()
+          val v = t.path("version").asLong(Long.MinValue)
+          if (app.nonEmpty && v != Long.MinValue)
+            txns(app) = math.max(v, txns.getOrElse(app, Long.MinValue))
+        }
       }
     }
     require(schemaJson != null, s"$path: log carries no metaData action")
     checkProtocol(mrv, features)
     LogState(schemaJson, partitionCols, conf, metaId, createdTime,
-      mrv, mwv, features, ckptDs, tailAdds.values.toSeq, tailRemoves.toSet)
+      mrv, mwv, features, ckptDs, tailAdds.values.toSeq,
+      tailRemoves.toSet, txns.toMap)
   }
 
   /** Load checkpoint parquet(s) into a standardized Dataset[AddEntry]
-    * plus the (≤1-row, collected) metaData and protocol actions.
+    * plus the (≤1-row, collected) metaData and protocol actions and the
+    * per-appId txn watermarks (app-count-sized — tiny).
     * Tolerates checkpoints missing optional fields (stats, size,
     * deletionVector, configuration, readerFeatures...).
     */
   private def loadCheckpoint(spark: SparkSession, parts: Seq[Path])
       : (Dataset[AddEntry],
          Option[(String, Seq[String], Map[String, String], String, Long)],
-         Option[(Int, Int, Seq[String])]) = {
+         Option[(Int, Int, Seq[String])],
+         Map[String, Long]) = {
     val df = spark.read.parquet(parts.map(_.toString): _*)
     val sch = df.schema
     def has(dotted: String): Boolean =
@@ -389,7 +404,13 @@ object DeltaRead {
               Option(r.getSeq[String](2)).map(_.toSeq).getOrElse(Nil))
           }
       }
-    (adds, meta, proto)
+    val txns: Map[String, Long] =
+      if (!has("txn.appId")) Map.empty
+      else df.where(col("txn.appId").isNotNull)
+        .groupBy(col("txn.appId").as("app"))
+        .agg(max(col("txn.version").cast("long")).as("v"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (adds, meta, proto, txns)
   }
 
   private[graft] val SupportedFeatures =

@@ -143,6 +143,48 @@ object DeltaWrite {
     done
   }
 
+  /** EXACTLY-ONCE streaming append — the protocol's `txn` action: the
+    * commit carries `{appId, version = batchId}` and the table's
+    * per-appId watermark (tracked through commits AND checkpoints) makes
+    * a replayed micro-batch a detected no-op. Structured Streaming
+    * re-runs the last in-flight batch on every restart, so a bare
+    * foreachBatch append is only at-least-once; this is the
+    * at-most-once half that makes it exactly-once. Returns the committed
+    * version, or the current version when the batch was already applied.
+    * A loser of the commit race re-checks the fresh watermark before
+    * retrying (its already-moved data files stay unreferenced — invisible
+    * to every reader — if the check now says skip).
+    */
+  def appendBatch(df: DataFrame, path: String, appId: String,
+                  batchId: Long): Long = {
+    require(appId.nonEmpty, "appendBatch: appId must be non-empty")
+    val spark = df.sparkSession
+    val tableSchema = DeltaRead.read(spark, path).schema
+    require(canonical(df.schema) == canonical(tableSchema),
+      s"append schema ${df.schema.toDDL} != table schema " +
+        s"${tableSchema.toDDL}")
+    val partitionBy = DeltaRead.partitionColumns(spark, path)
+    var attempts = 0
+    var files: Seq[Written] = null
+    while (true) {
+      require(attempts < 10, s"$path: lost the commit race 10 times")
+      val st = DeltaRead.replay(spark, path, -1L)
+      val cur = DeltaRead.latestVersion(spark, path)
+      if (st.txns.get(appId).exists(_ >= batchId)) return cur // replayed
+      if (files == null) files = writeSegment(df, path, partitionBy)
+      val txnLine =
+        s"""{"txn":{"appId":${om.writeValueAsString(appId)},""" +
+          s""""version":$batchId}}"""
+      if (publish(spark, path, cur + 1, txnLine +:
+          actionsFor(df.schema, files, withMeta = false, partitionBy))) {
+        maybeCheckpoint(spark, path, cur + 1)
+        return cur + 1
+      }
+      attempts += 1
+    }
+    -1L // unreachable
+  }
+
   // --------------------------------------------------------------------
   // copy-on-write DELETE / UPSERT — the MERGE surface on the Delta side
   // (SnapshotTable has had it since round 4; this brings the open
@@ -502,7 +544,13 @@ object DeltaWrite {
       StructField("createdTime", LongType)))),
     StructField("protocol", StructType(Seq(
       StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType))))))
+      StructField("minWriterVersion", IntegerType)))),
+    // per-appId streaming watermarks MUST survive checkpointing — a
+    // cleaned json log would otherwise reopen the exactly-once replay
+    // hole (the SnapshotTable watermark-survives-compaction lesson)
+    StructField("txn", StructType(Seq(
+      StructField("appId", StringType),
+      StructField("version", LongType))))))
 
   /** Number of commits between classic checkpoints (≤0 disables). */
   private def checkpointInterval(spark: SparkSession): Int =
@@ -543,11 +591,16 @@ object DeltaWrite {
     if (f.exists(target)) return true // idempotent: someone already did
     import org.apache.spark.sql.Row
     val rows: Seq[Row] =
-      Row(null, null, null, Row(st.minReaderVersion, st.minWriterVersion)) +:
+      (Row(null, null, null,
+        Row(st.minReaderVersion, st.minWriterVersion), null) +:
       Row(null, null, Row(st.metaId, Row("parquet"), st.schemaJson,
-        st.partitionCols, st.conf, st.createdTime), null) +:
+        st.partitionCols, st.conf, st.createdTime), null, null) +:
       live.map(a => Row(Row(a.path, a.partitionValues, a.size,
-        a.modificationTime, false, a.stats.orNull), null, null, null))
+        a.modificationTime, false, a.stats.orNull), null, null, null,
+        null))) ++
+      st.txns.toSeq.sortBy(_._1).map { case (app, v) =>
+        Row(null, null, null, null, Row(app, v))
+      }
     val stage = new Path(path,
       s"_delta_log/.ckpt-stage-${java.util.UUID.randomUUID()}")
     try {

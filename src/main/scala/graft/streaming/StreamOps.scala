@@ -314,6 +314,39 @@ object StreamOps {
     * keeps the demo self-contained on the events table; a real CDC
     * topic supplies its own op column.
     */
+  /** EXACTLY-ONCE streaming append into an OPEN-FORMAT Delta table —
+    * the cdcUpsertStream contract pointed at [[graft.sources.DeltaWrite]]
+    * instead of SnapshotTable: each micro-batch commits through
+    * `appendBatch`, whose `txn` action (the public protocol's
+    * transaction identifier) makes a replayed batch a detected no-op, so
+    * a restart — or a full re-run with a wiped checkpoint — never
+    * double-appends. The watermark rides commits AND the periodic
+    * classic checkpoint, so log cleaning cannot reopen the replay hole.
+    */
+  def deltaAppendStream(spark: SparkSession, srcDir: String,
+                        tablePath: String, checkpointDir: String,
+                        appId: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    readEvents(spark, srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // create-if-absent with an EMPTY segment so the data itself
+        // always lands through the watermarked appendBatch — were the
+        // first batch part of the create, a wiped-checkpoint replay of
+        // batch 0 would double-append it
+        val lp = new org.apache.hadoop.fs.Path(tablePath, "_delta_log")
+        val f = lp.getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        if (!f.exists(lp))
+          graft.sources.DeltaWrite.create(batch.limit(0), tablePath)
+        graft.sources.DeltaWrite.appendBatch(
+          batch, tablePath, appId, batchId)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   def cdcApplyStream(spark: SparkSession, srcDir: String, tablePath: String,
                      checkpointDir: String, appId: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {

@@ -579,6 +579,36 @@ class DeltaReadSpec extends AnyFunSuite {
     assert(e.getMessage.contains("evolution"))
   }
 
+  test("DeltaWrite.appendBatch: txn watermark skips replays, survives checkpointing") {
+    import sources.DeltaWrite
+    val dir = tmp()
+    DeltaWrite.create(range(0, 10).coalesce(1), dir)
+    assert(DeltaWrite.appendBatch(range(10, 20).coalesce(1), dir,
+      "job1", 0L) == 1)
+    // replayed batch id: detected, version unchanged, rows land once
+    assert(DeltaWrite.appendBatch(range(10, 20).coalesce(1), dir,
+      "job1", 0L) == 1)
+    assert(DeltaRead.read(spark, dir).count() == 20)
+    // a different appId with the same batch id is independent state
+    assert(DeltaWrite.appendBatch(range(20, 30).coalesce(1), dir,
+      "job2", 0L) == 2)
+    // the watermark must survive a checkpoint + cleaned json prefix
+    spark.conf.set("graft.delta.checkpoint.interval", "3")
+    try {
+      assert(DeltaWrite.appendBatch(range(30, 40).coalesce(1), dir,
+        "job1", 1L) == 3) // interval hits: classic checkpoint at v3
+      assert(java.nio.file.Files.exists(
+        Paths.get(dir, "_delta_log", f"${3L}%020d.checkpoint.parquet")))
+      (0L to 3L).foreach(v => java.nio.file.Files.delete(
+        Paths.get(dir, "_delta_log", f"$v%020d.json")))
+      assert(DeltaWrite.appendBatch(range(30, 40).coalesce(1), dir,
+        "job1", 1L) == 3,
+        "replayed batch must stay skipped after log cleaning — the " +
+          "watermark rides the checkpoint")
+      assert(DeltaRead.read(spark, dir).count() == 40)
+    } finally spark.conf.unset("graft.delta.checkpoint.interval")
+  }
+
   test("stale _last_checkpoint is ignored, not fatal") {
     val dir = buildTable()
     Files.writeString(Paths.get(dir, "_delta_log", "_last_checkpoint"),

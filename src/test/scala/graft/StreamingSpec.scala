@@ -352,6 +352,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got2.exceptAll(want).isEmpty && want.exceptAll(got2).isEmpty)
   }
 
+  test("deltaAppendStream: exactly-once into the open format, wiped checkpoint changes nothing") {
+    import sources.{DeltaRead, DeltaWrite}
+    val base = java.nio.file.Files.createTempDirectory("graft_das")
+    val table = s"$base/t"
+    val q1 = streaming.StreamOps.deltaAppendStream(spark, sf, table,
+      s"$base/ckpt1", "das-e2e")
+    try q1.awaitTermination() finally q1.stop()
+    val want = Tables.events(spark, sf).count()
+    val got = DeltaRead.read(spark, table)
+    assert(got.count() == want && got.count() > 0)
+    val vAfter = DeltaRead.latestVersion(spark, table)
+    // restart with a WIPED checkpoint: every batch replays with the
+    // same ids — the protocol txn watermark skips them all
+    val q2 = streaming.StreamOps.deltaAppendStream(spark, sf, table,
+      s"$base/ckpt2", "das-e2e")
+    try q2.awaitTermination() finally q2.stop()
+    assert(DeltaRead.latestVersion(spark, table) == vAfter,
+      "wiped-checkpoint replay must not commit")
+    assert(DeltaRead.read(spark, table).count() == want)
+  }
+
   test("streaming sessionizer emits sessions consistent with batch q27") {
     val q = streaming.StreamOps.sessionize(spark, sf)
       .writeStream.outputMode("append").format("memory")
