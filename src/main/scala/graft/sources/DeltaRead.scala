@@ -637,8 +637,9 @@ object DeltaRead {
   private lazy val decodeBasename =
     udf((p: String) => PathCodec.percentDecode(p.split("/").last))
 
-  private def assemble(spark: SparkSession, path: String, st: LogState,
-                       files: Seq[AddEntry]): DataFrame = {
+  private[sources] def assemble(spark: SparkSession, path: String,
+                                st: LogState,
+                                files: Seq[AddEntry]): DataFrame = {
     val schema = schemaOf(st)
     if (files.isEmpty)
       return spark.createDataFrame(

@@ -192,20 +192,21 @@ object DeltaWrite {
   // --------------------------------------------------------------------
 
   /** Refusal gate for the copy-on-write paths: they rewrite raw data
-    * files, so any table state whose read semantics go beyond
-    * plain-parquet-plus-partitionValues (deletion vectors that must be
-    * applied during the rewrite, column-mapped physical names this
-    * writer would have to re-emit) is refused rather than corrupted.
+    * files, so table state this writer cannot faithfully re-emit
+    * (column-mapped physical names/field ids, reader features beyond
+    * deletion vectors) is refused rather than corrupted. DV-bearing
+    * tables ARE rewritable — the complement scan goes through the
+    * DV-applying assembler, and the rewritten file (a plain add)
+    * replaces the DV'd one in the same commit.
     */
   private def requireRewritable(st: DeltaRead.LogState,
                                 live: Seq[DeltaRead.AddEntry]): Unit = {
-    require(st.minReaderVersion <= 1 && st.readerFeatures.isEmpty &&
+    val okFeatures = Set("deletionVectors", "timestampNtz")
+    require(st.readerFeatures.forall(okFeatures) &&
         !st.conf.contains("delta.columnMapping.mode"),
-      "copy-on-write DELETE/UPSERT supports plain (reader version 1, " +
-        "unmapped) tables only — refusing rather than corrupting")
-    require(live.forall(_.dv.forall(_.cardinality == 0L)),
-      "table carries deletion vectors — a rewrite that ignored them " +
-        "would resurrect deleted rows; refusing")
+      "copy-on-write DELETE/UPSERT supports unmapped tables (features " +
+        "at most deletionVectors/timestampNtz) only — refusing rather " +
+        "than corrupting")
   }
 
   /** DELETE rows matching `predicate` (SQL), copy-on-write: candidate
@@ -243,8 +244,10 @@ object DeltaWrite {
       // basename collisions make the scan key ambiguous — rewrite every
       // candidate sharing a hit basename (conservative, still exact)
       val affected = candidates.filter(a => hit.contains(base(a)))
+      // assemble (not scan): DVs on affected files apply BEFORE the
+      // rewrite, so a copy-on-write can never resurrect deleted rows
       val complement = DeltaRead
-        .scan(spark, path, st, schema, affected, withMeta = false)
+        .assemble(spark, path, st, affected)
         .filter(!coalesce(expr(predicate), lit(false)))
       val files = writeSegment(complement, path, st.partitionCols)
       val actions = affected.map(removeAction) ++
@@ -320,7 +323,7 @@ object DeltaWrite {
       val complement =
         if (affected.isEmpty) None
         else Some(DeltaRead
-          .scan(spark, path, st, schema, affected, withMeta = false)
+          .assemble(spark, path, st, affected) // DV-applied rewrite source
           .join(keyFrame, keys, "left_anti"))
       val ordered = schema.fieldNames.toSeq.map(col)
       val segment = complement

@@ -391,17 +391,21 @@ class DeltaProtocolSpec extends AnyFunSuite {
     assert(e.getMessage.contains("zorder"))
   }
 
-  test("copy-on-write DELETE/UPSERT refuse DV-bearing and column-mapped tables") {
+  test("copy-on-write DELETE applies existing DVs during the rewrite; mapped tables refused") {
     import sources.DeltaWrite
-    // DV table: a rewrite that ignored the DV would resurrect rows
+    // DV table: the rewrite source is the DV-APPLIED assembly, so a
+    // copy-on-write can never resurrect DV-deleted rows
     val dir = tmp()
     dataFile(dir, "f0.parquet", range(0, 50))
     commit(dir, 0, Seq(protoDv, metaLine(schemaJson),
-      addWithDv("f0.parquet", 50, inlineDv(Seq(0L)))))
-    val e1 = intercept[IllegalArgumentException] {
-      DeltaWrite.delete(spark, dir, "k = 5")
-    }
-    assert(e1.getMessage.contains("refusing"))
+      addWithDv("f0.parquet", 50, inlineDv(Seq(0L, 1L))))) // k=0,1 gone
+    assert(DeltaWrite.delete(spark, dir, "k >= 40") == 1)
+    val back = DeltaRead.read(spark, dir)
+    assert(back.count() == 38, "50 - 2 DV-deleted - 10 predicate-deleted")
+    val ks = back.select("k").collect().map(_.getLong(0)).toSet
+    assert(!ks.contains(0L) && !ks.contains(1L),
+      "rewrite must not resurrect DV-deleted rows")
+    assert(!ks.contains(45L) && ks.contains(2L) && ks.contains(39L))
     // column-mapped table: physical-name re-emission unsupported
     val dir2 = tmp()
     val logical = StructType(Seq(
