@@ -259,6 +259,17 @@ object SqlSurface {
       case args => throw new IllegalArgumentException(
         s"graft_delta_read(path[, version]): got ${args.size} args")
     },
+    "graft_delta_changes" -> {
+      // file-level change feed between two versions (_change_type
+      // insert/delete; replay-exact, scans only the changed files)
+      case Seq(p, f, t) =>
+        plan(graft.sources.DeltaRead.changes(SparkSession.active,
+          str(p, "path"), int(f, "fromVersion").toLong,
+          int(t, "toVersion").toLong))
+      case args => throw new IllegalArgumentException(
+        s"graft_delta_changes(path, from_version, to_version): got " +
+          s"${args.size} args")
+    },
     "graft_iceberg_read" -> {
       case Seq(p) =>
         plan(graft.sources.IcebergRead.read(SparkSession.active,

@@ -184,6 +184,13 @@ class SqlSurfaceSpec extends AnyFunSuite {
       spark.range(0, 25).select(col("id").as("k")), dir)
     assert(spark.sql(s"SELECT count(*) n FROM graft_delta_read('$dir')")
       .head().getLong(0) == 25)
+    // change feed through SQL: v0 -> v1 is an insert-only diff
+    graft.sources.DeltaWrite.append(
+      spark.range(25, 30).select(col("id").as("k")), dir)
+    val feed = spark.sql(
+      s"SELECT _change_type, count(*) n FROM graft_delta_changes('$dir', 0, 1) GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(feed == Map("insert" -> 5L), s"unexpected feed: $feed")
     // bpe tokens: TVF equals the verb
     val docs = Tables.documents(spark, sf)
     docs.createOrReplaceTempView("docs_sql_bpe")
