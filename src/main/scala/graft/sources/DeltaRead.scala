@@ -78,10 +78,15 @@ object DeltaRead {
     schemaJson: String, partitionCols: Seq[String],
     conf: Map[String, String], metaId: String, createdTime: Long,
     minReaderVersion: Int, minWriterVersion: Int,
-    readerFeatures: Seq[String],
+    readerFeatures: Seq[String], writerFeatures: Seq[String],
     ckpt: Option[Dataset[AddEntry]],
     tailAdds: Seq[AddEntry], tailRemoves: Set[String],
-    txns: Map[String, Long])
+    txns: Map[String, Long],
+    // action keys / checkpoint columns this reader does not model —
+    // harmless to READ past (they don't affect the live file set), but
+    // a re-CHECKPOINT that dropped them would corrupt table state, so
+    // the checkpoint writer refuses when nonEmpty
+    unmodeledState: Set[String])
 
   /** Instrumentation for the scale spec: how many AddEntry rows the
     * last planning call materialized on the driver (readWhere collects
@@ -198,20 +203,26 @@ object DeltaRead {
     var mrv = 1
     var mwv = 2
     var features: Seq[String] = Nil
+    var wFeatures: Seq[String] = Nil
     var ckptDs: Option[Dataset[AddEntry]] = None
     val txns = scala.collection.mutable.Map[String, Long]()
+    val unmodeled = scala.collection.mutable.Set[String]()
 
     base.foreach { cv =>
-      val (ds, meta, proto, ckptTxns) = loadCheckpoint(spark, ckpts(cv))
+      val (ds, meta, proto, ckptTxns, ckptUnknown) =
+        loadCheckpoint(spark, ckpts(cv))
       ckptDs = Some(ds)
       meta.foreach { m =>
         schemaJson = m._1; partitionCols = m._2; conf = m._3
         metaId = m._4; createdTime = m._5
       }
-      proto.foreach { p => mrv = p._1; mwv = p._2; features = p._3 }
+      proto.foreach { p =>
+        mrv = p._1; mwv = p._2; features = p._3; wFeatures = p._4
+      }
       ckptTxns.foreach { case (app, v) =>
         txns(app) = math.max(v, txns.getOrElse(app, Long.MinValue))
       }
+      unmodeled ++= ckptUnknown
     }
 
     // replay JSON commits after the checkpoint up to the target
@@ -235,6 +246,8 @@ object DeltaRead {
           mrv = pr.path("minReaderVersion").asInt(1)
           mwv = pr.path("minWriterVersion").asInt(2)
           features = Option(pr.get("readerFeatures")).filterNot(_.isNull)
+            .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+          wFeatures = Option(pr.get("writerFeatures")).filterNot(_.isNull)
             .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
         }
         if (n.has("metaData")) {
@@ -285,13 +298,21 @@ object DeltaRead {
           if (app.nonEmpty && v != Long.MinValue)
             txns(app) = math.max(v, txns.getOrElse(app, Long.MinValue))
         }
+        // state-bearing actions this reader does not model (commitInfo
+        // and cdc are non-state / side-channel; everything else unknown
+        // is conservatively state)
+        n.fieldNames().asScala.foreach {
+          case "add" | "remove" | "metaData" | "protocol" | "txn" |
+               "commitInfo" | "cdc" => ()
+          case other => unmodeled += other
+        }
       }
     }
     require(schemaJson != null, s"$path: log carries no metaData action")
     checkProtocol(mrv, features)
     LogState(schemaJson, partitionCols, conf, metaId, createdTime,
-      mrv, mwv, features, ckptDs, tailAdds.values.toSeq,
-      tailRemoves.toSet, txns.toMap)
+      mrv, mwv, features, wFeatures, ckptDs, tailAdds.values.toSeq,
+      tailRemoves.toSet, txns.toMap, unmodeled.toSet)
   }
 
   /** Load checkpoint parquet(s) into a standardized Dataset[AddEntry]
@@ -303,8 +324,9 @@ object DeltaRead {
   private def loadCheckpoint(spark: SparkSession, parts: Seq[Path])
       : (Dataset[AddEntry],
          Option[(String, Seq[String], Map[String, String], String, Long)],
-         Option[(Int, Int, Seq[String])],
-         Map[String, Long]) = {
+         Option[(Int, Int, Seq[String], Seq[String])],
+         Map[String, Long],
+         Set[String]) = {
     val df = spark.read.parquet(parts.map(_.toString): _*)
     val sch = df.schema
     def has(dotted: String): Boolean =
@@ -389,19 +411,22 @@ object DeltaRead {
     val proto =
       if (!has("protocol.minReaderVersion")) None
       else {
+        def arr(name: String) =
+          if (has(s"protocol.$name"))
+            coalesce(col(s"protocol.$name"),
+              expr("CAST(array() AS array<string>)"))
+          else expr("CAST(array() AS array<string>)")
         val cols = Seq(
           col("protocol.minReaderVersion"),
           if (has("protocol.minWriterVersion"))
             coalesce(col("protocol.minWriterVersion"), lit(2))
           else lit(2),
-          if (has("protocol.readerFeatures"))
-            coalesce(col("protocol.readerFeatures"),
-              expr("CAST(array() AS array<string>)"))
-          else expr("CAST(array() AS array<string>)"))
+          arr("readerFeatures"), arr("writerFeatures"))
         df.where(col("protocol.minReaderVersion").isNotNull).select(cols: _*)
           .collect().lastOption.map { r =>
             (r.getInt(0), r.getInt(1),
-              Option(r.getSeq[String](2)).map(_.toSeq).getOrElse(Nil))
+              Option(r.getSeq[String](2)).map(_.toSeq).getOrElse(Nil),
+              Option(r.getSeq[String](3)).map(_.toSeq).getOrElse(Nil))
           }
       }
     val txns: Map[String, Long] =
@@ -410,7 +435,16 @@ object DeltaRead {
         .groupBy(col("txn.appId").as("app"))
         .agg(max(col("txn.version").cast("long")).as("v"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    (adds, meta, proto, txns)
+    // top-level checkpoint columns this reader does not model: their
+    // rows are table state a re-checkpoint must not drop
+    val known = Set("add", "remove", "metaData", "protocol", "txn",
+      "commitInfo", "cdc")
+    val unknownCols = sch.fieldNames.toSet -- known
+    val unknownWithRows = unknownCols.filter { c =>
+      sch(c).dataType.isInstanceOf[StructType] &&
+        df.where(col(c).isNotNull).limit(1).count() > 0
+    }
+    (adds, meta, proto, txns, unknownWithRows)
   }
 
   private[graft] val SupportedFeatures =

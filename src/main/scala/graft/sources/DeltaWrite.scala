@@ -532,7 +532,13 @@ object DeltaWrite {
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
-      StructField("stats", StringType)))),
+      StructField("stats", StringType),
+      StructField("deletionVector", StructType(Seq(
+        StructField("storageType", StringType),
+        StructField("pathOrInlineDv", StringType),
+        StructField("offset", IntegerType),
+        StructField("sizeInBytes", IntegerType),
+        StructField("cardinality", LongType))))))),
     StructField("remove", StructType(Seq(
       StructField("path", StringType),
       StructField("deletionTimestamp", LongType),
@@ -547,7 +553,9 @@ object DeltaWrite {
       StructField("createdTime", LongType)))),
     StructField("protocol", StructType(Seq(
       StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType)))),
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))),
     // per-appId streaming watermarks MUST survive checkpointing — a
     // cleaned json log would otherwise reopen the exactly-once replay
     // hole (the SnapshotTable watermark-survives-compaction lesson)
@@ -573,34 +581,52 @@ object DeltaWrite {
       catch { case scala.util.control.NonFatal(_) => () }
   }
 
+  /** Writer features whose table state this checkpointer carries in
+    * full (adds incl. deletion vectors, metaData conf, protocol, txn
+    * watermarks). Anything else — rowTracking's per-add baseRowId,
+    * domainMetadata actions, ... — is state a re-checkpoint would DROP,
+    * so those tables stay un-checkpointed.
+    */
+  private val CkptModeledWriterFeatures = Set("appendOnly", "invariants",
+    "deletionVectors", "columnMapping", "timestampNtz")
+
   /** Write the classic single-file checkpoint parquet for `version`
     * (`NNNN.checkpoint.parquet` = reconciled protocol + metaData + every
-    * live add with dataChange=false, per PROTOCOL.md) and point
-    * `_last_checkpoint` at it. Readers may then clean commits ≤ version.
+    * live add with dataChange=false + txn watermarks, per PROTOCOL.md)
+    * and point `_last_checkpoint` at it. Readers may then clean commits
+    * ≤ version. Protocol features and deletion vectors carry VERBATIM.
     *
-    * Refuses (returns false) on tables whose protocol carries reader
-    * features or deletion vectors — this append-only writer cannot
-    * faithfully reconcile feature state it does not model, and a wrong
-    * checkpoint silently corrupts every future read.
+    * Refuses (returns false) when the log holds state this writer does
+    * not model (unknown action types, unknown checkpoint columns with
+    * rows, writer features beyond [[CkptModeledWriterFeatures]]) — a
+    * checkpoint that silently dropped it would corrupt every future
+    * read.
     */
-  private[sources] def writeCheckpoint(spark: SparkSession, path: String,
-                                       version: Long): Boolean = {
+  private[graft] def writeCheckpoint(spark: SparkSession, path: String,
+                                     version: Long): Boolean = {
     val (st, live) = DeltaRead.checkpointState(spark, path, version)
-    if (st.minReaderVersion > 2 || st.readerFeatures.nonEmpty ||
-        live.exists(_.dv.nonEmpty)) return false
+    if (st.unmodeledState.nonEmpty ||
+        !st.writerFeatures.forall(CkptModeledWriterFeatures) ||
+        !st.readerFeatures.forall(DeltaRead.SupportedFeatures))
+      return false
     val target = new Path(path,
       f"_delta_log/$version%020d.checkpoint.parquet")
     val f = fs(spark, path)
     if (f.exists(target)) return true // idempotent: someone already did
     import org.apache.spark.sql.Row
+    def protoRow = Row(st.minReaderVersion, st.minWriterVersion,
+      if (st.minReaderVersion >= 3) st.readerFeatures else null,
+      if (st.minWriterVersion >= 7) st.writerFeatures else null)
+    def dvRow(a: DeltaRead.AddEntry) = a.dv.map(d =>
+      Row(d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes,
+        d.cardinality)).orNull
     val rows: Seq[Row] =
-      (Row(null, null, null,
-        Row(st.minReaderVersion, st.minWriterVersion), null) +:
+      (Row(null, null, null, protoRow, null) +:
       Row(null, null, Row(st.metaId, Row("parquet"), st.schemaJson,
         st.partitionCols, st.conf, st.createdTime), null, null) +:
       live.map(a => Row(Row(a.path, a.partitionValues, a.size,
-        a.modificationTime, false, a.stats.orNull), null, null, null,
-        null))) ++
+        a.modificationTime, false, a.stats.orNull, dvRow(a)), null, null,
+        null, null))) ++
       st.txns.toSeq.sortBy(_._1).map { case (app, v) =>
         Row(null, null, null, null, Row(app, v))
       }

@@ -427,6 +427,54 @@ class DeltaProtocolSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("refusing"))
   }
 
+  test("checkpointing a DV table: features + DVs carry verbatim, cleaned log reads back") {
+    import sources.{DeltaWrite, DeltaRead}
+    val dir = tmp()
+    dataFile(dir, "f0.parquet", range(0, 50))
+    commit(dir, 0, Seq(protoDv, metaLine(schemaJson),
+      addWithDv("f0.parquet", 50, inlineDv(Seq(0L, 1L, 2L))))) // k 0-2 gone
+    spark.conf.set("graft.delta.checkpoint.interval", "2")
+    try {
+      DeltaWrite.appendBatch(range(50, 60).coalesce(1), dir, "ckdv", 0L)
+      DeltaWrite.appendBatch(range(60, 70).coalesce(1), dir, "ckdv", 1L)
+      assert(java.nio.file.Files.exists(Paths.get(dir, "_delta_log",
+        f"${2L}%020d.checkpoint.parquet")),
+        "a DV table must checkpoint — its state carries verbatim")
+      (0L to 2L).foreach(v => java.nio.file.Files.delete(
+        Paths.get(dir, "_delta_log", f"$v%020d.json")))
+      val back = DeltaRead.read(spark, dir)
+      assert(back.count() == 67, "50 - 3 DV'd + 20 appended")
+      val ks = back.select("k").collect().map(_.getLong(0)).toSet
+      assert(!ks.contains(0L) && !ks.contains(2L),
+        "deletion vector must survive the checkpoint round-trip")
+      // txn watermark survived too
+      assert(DeltaWrite.appendBatch(range(60, 70).coalesce(1), dir,
+        "ckdv", 1L) == 2, "replayed batch must stay skipped")
+      // and the reader-version gate still enforces from checkpoint state
+      val st = DeltaRead.replay(spark, dir, -1L)
+      assert(st.minReaderVersion == 3 &&
+        st.readerFeatures.contains("deletionVectors"))
+    } finally spark.conf.unset("graft.delta.checkpoint.interval")
+  }
+
+  test("unmodeled log state (e.g. domainMetadata) blocks checkpointing, never reading") {
+    import sources.{DeltaWrite, DeltaRead}
+    val dir = tmp()
+    dataFile(dir, "f0.parquet", range(0, 10))
+    commit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaLine(schemaJson),
+      addPlain("f0.parquet", 10),
+      """{"domainMetadata":{"domain":"x","configuration":"{}","removed":false}}"""))
+    // reading past the unknown action is fine (it doesn't change files)
+    assert(DeltaRead.read(spark, dir).count() == 10)
+    // but a checkpoint would DROP it — refused
+    assert(!DeltaWrite.writeCheckpoint(spark, dir, 0L),
+      "unmodeled state must block checkpointing")
+    assert(!java.nio.file.Files.exists(Paths.get(dir, "_delta_log",
+      f"${0L}%020d.checkpoint.parquet")))
+  }
+
   // ------------------------------------------------------------------
   // multi-part checkpoints + _last_checkpoint
   // ------------------------------------------------------------------
