@@ -413,11 +413,17 @@ graft.delta_upsert(spark, spark.sql(
 assert graft.delta_read(spark, dw_dir).count() == 41  # k=5 replaced, 99 new
 graft.delta_delete(spark, dw_dir, "k >= 35 AND k < 40")
 assert graft.delta_read(spark, dw_dir).count() == 36
+# exactly-once batch append: the replayed batch id is a detected no-op
+graft.delta_append_batch(
+    spark, spark.range(70, 75).selectExpr("id AS k"), dw_dir, "pyjob", 0)
+graft.delta_append_batch(
+    spark, spark.range(70, 75).selectExpr("id AS k"), dw_dir, "pyjob", 0)
+assert graft.delta_read(spark, dw_dir).count() == 41
 graft.delta_append(spark, spark.range(100, 110).selectExpr(
     "id AS k", "id * 2 AS score"), dw_dir, merge_schema=True)
 evolved = graft.delta_read(spark, dw_dir)
-assert evolved.count() == 46
-assert evolved.where("score IS NULL").count() == 36
+assert evolved.count() == 51
+assert evolved.where("score IS NULL").count() == 41
 assert evolved.where("k = 105").first().score == 210
 
 # round 8: Iceberg WRITER round-trip from python
