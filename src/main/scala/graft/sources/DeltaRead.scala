@@ -80,7 +80,15 @@ object DeltaRead {
     minReaderVersion: Int, minWriterVersion: Int,
     readerFeatures: Seq[String], writerFeatures: Seq[String],
     ckpt: Option[Dataset[AddEntry]],
-    tailAdds: Seq[AddEntry], tailRemoves: Set[String],
+    // tombstones carried lazily from the base checkpoint as (path,
+    // deletionTimestamp) rows — only the checkpoint WRITER evaluates
+    // this (unexpired tombstones must survive re-checkpointing for
+    // VACUUM and concurrent-reader reconciliation); reads never do
+    ckptRemoves: Option[DataFrame],
+    tailAdds: Seq[AddEntry],
+    // JSON-tail tombstones: path → deletionTimestamp (an add for the
+    // same path cancels the tombstone, per log reconciliation)
+    tailRemoves: Map[String, Long],
     txns: Map[String, Long],
     // action keys / checkpoint columns this reader does not model —
     // harmless to READ past (they don't affect the live file set), but
@@ -205,13 +213,15 @@ object DeltaRead {
     var features: Seq[String] = Nil
     var wFeatures: Seq[String] = Nil
     var ckptDs: Option[Dataset[AddEntry]] = None
+    var ckptRm: Option[DataFrame] = None
     val txns = scala.collection.mutable.Map[String, Long]()
     val unmodeled = scala.collection.mutable.Set[String]()
 
     base.foreach { cv =>
-      val (ds, meta, proto, ckptTxns, ckptUnknown) =
+      val (ds, rm, meta, proto, ckptTxns, ckptUnknown) =
         loadCheckpoint(spark, ckpts(cv))
       ckptDs = Some(ds)
+      ckptRm = rm
       meta.foreach { m =>
         schemaJson = m._1; partitionCols = m._2; conf = m._3
         metaId = m._4; createdTime = m._5
@@ -227,7 +237,7 @@ object DeltaRead {
 
     // replay JSON commits after the checkpoint up to the target
     val tailAdds = scala.collection.mutable.LinkedHashMap[String, AddEntry]()
-    val tailRemoves = scala.collection.mutable.Set[String]()
+    val tailRemoves = scala.collection.mutable.LinkedHashMap[String, Long]()
     val from = base.map(_ + 1).getOrElse(0L)
     (from to target).foreach { v =>
       val p = new Path(dir, f"$v%020d.json")
@@ -287,9 +297,10 @@ object DeltaRead {
           tailRemoves -= rel
         }
         if (n.has("remove")) {
-          val rel = n.path("remove").path("path").asText()
+          val rm = n.path("remove")
+          val rel = rm.path("path").asText()
           tailAdds -= rel
-          tailRemoves += rel
+          tailRemoves(rel) = rm.path("deletionTimestamp").asLong(0L)
         }
         if (n.has("txn")) {
           val t = n.path("txn")
@@ -311,8 +322,9 @@ object DeltaRead {
     require(schemaJson != null, s"$path: log carries no metaData action")
     checkProtocol(mrv, features)
     LogState(schemaJson, partitionCols, conf, metaId, createdTime,
-      mrv, mwv, features, wFeatures, ckptDs, tailAdds.values.toSeq,
-      tailRemoves.toSet, txns.toMap, unmodeled.toSet)
+      mrv, mwv, features, wFeatures, ckptDs, ckptRm,
+      tailAdds.values.toSeq, tailRemoves.toMap, txns.toMap,
+      unmodeled.toSet)
   }
 
   /** Load checkpoint parquet(s) into a standardized Dataset[AddEntry]
@@ -323,6 +335,7 @@ object DeltaRead {
     */
   private def loadCheckpoint(spark: SparkSession, parts: Seq[Path])
       : (Dataset[AddEntry],
+         Option[DataFrame], // lazy (path, deletionTimestamp) tombstones
          Option[(String, Seq[String], Map[String, String], String, Long)],
          Option[(Int, Int, Seq[String], Seq[String])],
          Map[String, Long],
@@ -373,12 +386,20 @@ object DeltaRead {
           modCol.as("modificationTime"), dvCol.as("dv"))
         .as[AddEntry]
     // tombstones in the checkpoint subtract distributed (anti-join) —
-    // a reconciled checkpoint never carries both, but external writers
-    // may emit remove tombstones for VACUUM bookkeeping
-    if (has("remove.path")) {
-      val rm = df.where(col("remove.path").isNotNull)
-        .select(col("remove.path").as("path"))
-      adds = adds.join(rm, Seq("path"), "left_anti").as[AddEntry]
+    // a reconciled checkpoint never adds AND removes the same path, but
+    // external writers carry unexpired remove tombstones for VACUUM
+    // bookkeeping; they also flow back out (lazily) so a re-checkpoint
+    // never silently drops them
+    val removes: Option[DataFrame] =
+      if (!has("remove.path")) None
+      else Some(df.where(col("remove.path").isNotNull)
+        .select(col("remove.path").as("path"),
+          (if (has("remove.deletionTimestamp"))
+             coalesce(col("remove.deletionTimestamp").cast("long"), lit(0L))
+           else lit(0L)).as("deletionTimestamp")))
+    removes.foreach { rm =>
+      adds = adds.join(rm.select("path"), Seq("path"), "left_anti")
+        .as[AddEntry]
     }
 
     val meta =
@@ -444,7 +465,7 @@ object DeltaRead {
       sch(c).dataType.isInstanceOf[StructType] &&
         df.where(col(c).isNotNull).limit(1).count() > 0
     }
-    (adds, meta, proto, txns, unknownWithRows)
+    (adds, removes, meta, proto, txns, unknownWithRows)
   }
 
   private[graft] val SupportedFeatures =
@@ -546,7 +567,7 @@ object DeltaRead {
     val schema = schemaOf(st)
     val sk = statsKeyOf(st, schema)
     val tailKeys = st.tailAdds.map(_.path).toSet
-    val rm = st.tailRemoves
+    val rm = st.tailRemoves.keySet
     val fromCkpt = st.ckpt.map { ds =>
       val live = ds.filter(a =>
         !rm.contains(a.path) && !tailKeys.contains(a.path))
@@ -599,7 +620,7 @@ object DeltaRead {
     val pred = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
       .parseExpression(predicate)
     val tailKeys = st.tailAdds.map(_.path).toSet
-    val rm = st.tailRemoves
+    val rm = st.tailRemoves.keySet
     val (ckptTotal, ckptKept) = st.ckpt.map { ds =>
       val live = ds.filter(a =>
         !rm.contains(a.path) && !tailKeys.contains(a.path))

@@ -97,8 +97,12 @@ object DeltaWrite {
     */
   def append(df: DataFrame, path: String, mergeSchema: Boolean): Long = {
     val spark = df.sparkSession
-    val cur = DeltaRead.latestVersion(spark, path) // also validates log
-    val tableSchema = DeltaRead.read(spark, path).schema
+    val st = DeltaRead.replay(spark, path, -1L) // also validates the log
+    requireAppendable(st)
+    // schema from the log's schemaString (NOT an assembled DataFrame —
+    // that would strip per-field metadata, and an evolved metaData
+    // re-emitted from it would corrupt any table whose fields carry it)
+    val tableSchema = DeltaRead.schemaOf(st)
     val newCols = df.schema.fields.filterNot(f =>
       tableSchema.fieldNames.contains(f.name))
     val merged: Option[StructType] =
@@ -116,16 +120,20 @@ object DeltaWrite {
                 "additive evolution only, refusing")
           }
         if (newCols.isEmpty) None
-        else Some(StructType(tableSchema.fields ++
-          newCols.map(f => StructField(f.name, f.dataType, nullable = true))))
+        else {
+          // evolution re-emits metaData: refuse when the new fields
+          // would need writer-assigned state this writer does not model
+          // (column-mapping ids/physical names), or when unknown writer
+          // features could hang invariants off the schema
+          requireEvolvable(st)
+          Some(StructType(tableSchema.fields ++
+            newCols.map(f => StructField(f.name, f.dataType, nullable = true))))
+        }
       }
-    val partitionBy = DeltaRead.partitionColumns(spark, path)
+    val partitionBy = st.partitionCols
     partitionBy.foreach(c => require(df.columns.contains(c),
       s"append batch misses partition column $c"))
-    // an evolved append re-emits metaData — the table id must SURVIVE
-    // (readers key caches and streaming sources on it)
-    lazy val tableId = DeltaRead.replay(spark, path, -1L).metaId
-    var version = cur + 1
+    var version = DeltaRead.latestVersion(spark, path) + 1
     var attempts = 0
     var done = -1L
     var files: Seq[Written] = null
@@ -133,7 +141,7 @@ object DeltaWrite {
       require(attempts < 10, s"$path: lost the commit race 10 times")
       if (files == null) files = writeSegment(df, path, partitionBy)
       val metaLine = merged.map(m =>
-        metaAction(m, partitionBy, tableId)).toSeq
+        metaAction(m, partitionBy, st)).toSeq
       if (publish(spark, path, version, metaLine ++
           actionsFor(df.schema, files, withMeta = false, partitionBy)))
         done = version
@@ -141,6 +149,32 @@ object DeltaWrite {
     }
     maybeCheckpoint(spark, path, done)
     done
+  }
+
+  /** Gate for EVERY append: this writer lands parquet with LOGICAL
+    * column names, which a column-mapped table resolves by physical
+    * name / field id — appending would silently misread, so refuse.
+    */
+  private def requireAppendable(st: DeltaRead.LogState): Unit =
+    require(!st.conf.get("delta.columnMapping.mode")
+        .exists(m => m != "none"),
+      "append to a column-mapped Delta table is refused — this writer " +
+        "emits logical parquet column names, which a mapped table " +
+        "cannot resolve (physical-name re-emission is not modeled)")
+
+  /** Gate for schema EVOLUTION specifically: new columns on a table
+    * whose writer features this writer does not model (generated
+    * columns, identity columns, row tracking…) could invalidate state
+    * those features hang off the schema — refuse.
+    */
+  private def requireEvolvable(st: DeltaRead.LogState): Unit = {
+    val modeled = Set("appendOnly", "invariants", "deletionVectors",
+      "timestampNtz")
+    val unknown = st.writerFeatures.filterNot(modeled)
+    require(unknown.isEmpty,
+      s"mergeSchema evolution refused: table carries writer features " +
+        s"${unknown.mkString(", ")} this writer does not model — an " +
+        "evolved metaData could invalidate their schema-attached state")
   }
 
   /** EXACTLY-ONCE streaming append — the protocol's `txn` action: the
@@ -159,11 +193,13 @@ object DeltaWrite {
                   batchId: Long): Long = {
     require(appId.nonEmpty, "appendBatch: appId must be non-empty")
     val spark = df.sparkSession
-    val tableSchema = DeltaRead.read(spark, path).schema
+    val st0 = DeltaRead.replay(spark, path, -1L)
+    requireAppendable(st0)
+    val tableSchema = DeltaRead.schemaOf(st0)
     require(canonical(df.schema) == canonical(tableSchema),
       s"append schema ${df.schema.toDDL} != table schema " +
         s"${tableSchema.toDDL}")
-    val partitionBy = DeltaRead.partitionColumns(spark, path)
+    val partitionBy = st0.partitionCols
     var attempts = 0
     var files: Seq[Written] = null
     while (true) {
@@ -348,22 +384,38 @@ object DeltaWrite {
     case _ => "'" + v.replace("'", "''") + "'"
   }
 
+  /** Tombstone for a rewritten file. deletionTimestamp is the REAL wall
+    * clock: retention windows (VACUUM's deletedFileRetentionDuration)
+    * count from it — a zero timestamp would make every tombstone
+    * instantly expired and let a third-party VACUUM delete the data file
+    * out from under concurrent readers of older snapshots.
+    */
   private def removeAction(a: DeltaRead.AddEntry): String =
-    s"""{"remove":{"path":"${a.path}","deletionTimestamp":0,""" +
+    s"""{"remove":{"path":"${a.path}",""" +
+      s""""deletionTimestamp":${System.currentTimeMillis()},""" +
       s""""dataChange":true}}"""
 
+  /** Re-emitted metaData for a schema-evolution commit. Everything but
+    * schemaString carries FORWARD VERBATIM from the current state — the
+    * table id (readers key caches/streams on it), the configuration
+    * (dropping it would silently wipe delta.appendOnly / CDF /
+    * columnMapping properties), and createdTime.
+    */
   private def metaAction(schema: StructType, partitionBy: Seq[String],
-                         tableId: String): String = {
+                         st: DeltaRead.LogState): String = {
     val partJson = om.writeValueAsString(
       om.valueToTree[com.fasterxml.jackson.databind.JsonNode](
         partitionBy.toArray))
-    val id = if (tableId.nonEmpty) tableId
+    val confNode = om.createObjectNode()
+    st.conf.toSeq.sortBy(_._1).foreach { case (k, v) => confNode.put(k, v) }
+    val id = if (st.metaId.nonEmpty) st.metaId
              else java.util.UUID.randomUUID().toString
     s"""{"metaData":{"id":"$id",""" +
       s""""format":{"provider":"parquet","options":{}},""" +
       s""""schemaString":${om.writeValueAsString(schema.json)},""" +
-      s""""partitionColumns":$partJson,"configuration":{},""" +
-      s""""createdTime":0}}"""
+      s""""partitionColumns":$partJson,""" +
+      s""""configuration":${om.writeValueAsString(confNode)},""" +
+      s""""createdTime":${st.createdTime}}}"""
   }
 
   private def canonical(st: StructType): Seq[(String, DataType)] =
@@ -521,9 +573,11 @@ object DeltaWrite {
   // --------------------------------------------------------------------
 
   /** Classic checkpoint schema — one nullable struct per action type,
-    * the column shapes other protocol readers expect (remove is always
-    * null here: a reconciled checkpoint of an append-only log carries
-    * no live tombstones, but the column keeps the row shape standard).
+    * the column shapes other protocol readers expect. Remove rows carry
+    * the UNEXPIRED tombstones (deletionTimestamp within the table's
+    * deletedFileRetentionDuration): the protocol requires them to
+    * survive checkpointing so VACUUM and concurrent readers of older
+    * snapshots can still reconcile rewritten files.
     */
   private val ckptSchema = StructType(Seq(
     StructField("add", StructType(Seq(
@@ -581,11 +635,37 @@ object DeltaWrite {
       catch { case scala.util.control.NonFatal(_) => () }
   }
 
+  /** Tombstone retention window in millis: the table's
+    * `delta.deletedFileRetentionDuration` ("interval N units"), default
+    * 1 week per the protocol. Unparseable values fall back to the
+    * default (keeping MORE tombstones than needed is always sound; a
+    * parse failure must never silently shorten retention).
+    */
+  private[graft] def retentionMillis(conf: Map[String, String]): Long = {
+    val Default = 7L * 24 * 3600 * 1000
+    conf.get("delta.deletedFileRetentionDuration").map { s =>
+      val Pat = """(?i)\s*interval\s+(\d+)\s+(second|minute|hour|day|week)s?\s*""".r
+      s match {
+        case Pat(n, unit) =>
+          val mult = unit.toLowerCase match {
+            case "second" => 1000L
+            case "minute" => 60L * 1000
+            case "hour"   => 3600L * 1000
+            case "day"    => 24L * 3600 * 1000
+            case "week"   => 7L * 24 * 3600 * 1000
+          }
+          n.toLong * mult
+        case _ => Default
+      }
+    }.getOrElse(Default)
+  }
+
   /** Writer features whose table state this checkpointer carries in
     * full (adds incl. deletion vectors, metaData conf, protocol, txn
-    * watermarks). Anything else — rowTracking's per-add baseRowId,
-    * domainMetadata actions, ... — is state a re-checkpoint would DROP,
-    * so those tables stay un-checkpointed.
+    * watermarks, unexpired remove tombstones). Anything else —
+    * rowTracking's per-add baseRowId, domainMetadata actions, ... — is
+    * state a re-checkpoint would DROP, so those tables stay
+    * un-checkpointed.
     */
   private val CkptModeledWriterFeatures = Set("appendOnly", "invariants",
     "deletionVectors", "columnMapping", "timestampNtz")
@@ -620,6 +700,20 @@ object DeltaWrite {
     def dvRow(a: DeltaRead.AddEntry) = a.dv.map(d =>
       Row(d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes,
         d.cardinality)).orNull
+    // unexpired tombstones survive the checkpoint (protocol requirement
+    // for VACUUM / concurrent-reader reconciliation): base-checkpoint
+    // tombstones filter DISTRIBUTED on the retention cutoff before the
+    // (bounded) collect, tail tombstones filter driver-side; a path
+    // re-added after its remove is live again, so its tombstone drops
+    val cutoff = System.currentTimeMillis() - retentionMillis(st.conf)
+    val liveKeys = live.map(_.path).toSet
+    val ckptTombs: Seq[(String, Long)] = st.ckptRemoves.map { rm =>
+      rm.filter(col("deletionTimestamp") >= cutoff)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    }.getOrElse(Nil)
+    val tombs = (ckptTombs ++ st.tailRemoves.toSeq)
+      .filter { case (p, ts) => ts >= cutoff && !liveKeys.contains(p) }
+      .toMap.toSeq.sortBy(_._1)
     val rows: Seq[Row] =
       (Row(null, null, null, protoRow, null) +:
       Row(null, null, Row(st.metaId, Row("parquet"), st.schemaJson,
@@ -627,6 +721,9 @@ object DeltaWrite {
       live.map(a => Row(Row(a.path, a.partitionValues, a.size,
         a.modificationTime, false, a.stats.orNull, dvRow(a)), null, null,
         null, null))) ++
+      tombs.map { case (p, ts) =>
+        Row(null, Row(p, ts, false), null, null, null)
+      } ++
       st.txns.toSeq.sortBy(_._1).map { case (app, v) =>
         Row(null, null, null, null, Row(app, v))
       }

@@ -616,4 +616,141 @@ class DeltaReadSpec extends AnyFunSuite {
     val df = DeltaRead.read(spark, dir)
     assert(df.count() == 150, "stale pointer must fall back to commits")
   }
+
+  test("schema evolution carries configuration/createdTime forward verbatim") {
+    import sources.DeltaWrite
+    // a table created externally with table properties: an evolved
+    // metaData that re-emitted configuration:{} would silently wipe
+    // delta.appendOnly / retention / CDF settings
+    val dir = tmp()
+    dataFile(dir, "f0.parquet", range(0, 50))
+    val conf = """{"delta.deletedFileRetentionDuration":"interval 2 days",""" +
+      """"custom.tag":"keep-me"}"""
+    commit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"tbl-1","format":{"provider":"parquet"},""" +
+        s""""schemaString":${om(schemaJson)},"partitionColumns":[],""" +
+        s""""configuration":$conf,"createdTime":1700000000000}}""",
+      add("f0.parquet", 0, 49, 50)))
+    assert(DeltaWrite.append(
+      range(50, 60).withColumn("score", col("k") * 2).coalesce(1),
+      dir, mergeSchema = true) == 1)
+    val st = DeltaRead.replay(spark, dir, -1L)
+    assert(st.conf.get("custom.tag").contains("keep-me") &&
+      st.conf.get("delta.deletedFileRetentionDuration")
+        .contains("interval 2 days"),
+      s"evolution wiped table configuration: ${st.conf}")
+    assert(st.createdTime == 1700000000000L,
+      s"evolution reset createdTime to ${st.createdTime}")
+    assert(st.metaId == "tbl-1")
+    assert(DeltaRead.read(spark, dir).columns.toSeq
+      == Seq("k", "name", "score"))
+  }
+
+  test("append/evolution refuse column-mapped and unknown-feature tables") {
+    import sources.DeltaWrite
+    // column-mapped table: this writer emits LOGICAL parquet names the
+    // mapped reader cannot resolve — every append must refuse
+    val dir = tmp()
+    dataFile(dir, "f0.parquet", range(0, 10))
+    commit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet"},""" +
+        s""""schemaString":${om(schemaJson)},"partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name"}}}""",
+      add("f0.parquet", 0, 9, 10)))
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaWrite.append(range(10, 20).coalesce(1), dir)
+    }
+    assert(e1.getMessage.contains("column-mapped"))
+    // unknown writer feature: plain appends are fine (they add files
+    // only), but EVOLUTION re-emits metaData and must refuse
+    val dir2 = tmp()
+    dataFile(dir2, "f0.parquet", range(0, 10))
+    commit(dir2, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+        """"writerFeatures":["appendOnly","identityColumns"]}}""",
+      s"""{"metaData":{"id":"w","format":{"provider":"parquet"},""" +
+        s""""schemaString":${om(schemaJson)},"partitionColumns":[]}}""",
+      add("f0.parquet", 0, 9, 10)))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaWrite.append(
+        range(10, 20).withColumn("score", col("k")).coalesce(1),
+        dir2, mergeSchema = true)
+    }
+    assert(e2.getMessage.contains("identityColumns"))
+  }
+
+  test("remove tombstones: real deletionTimestamp, survive re-checkpointing, expire by retention") {
+    import sources.DeltaWrite
+    val dir = tmp()
+    val before = System.currentTimeMillis()
+    DeltaWrite.create(range(0, 50).coalesce(1), dir)   // v0: file A
+    DeltaWrite.append(range(50, 100).coalesce(1), dir) // v1: file B
+    DeltaWrite.delete(spark, dir, "k >= 90")           // v2: tombstone B
+    // the tombstone carries the REAL wall clock (a zero timestamp is
+    // instantly past every retention window — a third-party VACUUM
+    // could delete the rewritten file under concurrent readers)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rmLine = java.nio.file.Files
+      .readString(Paths.get(dir, "_delta_log", f"${2L}%020d.json"))
+      .split("\n").find(_.contains("\"remove\"")).get
+    val ts = mapper.readTree(rmLine).path("remove")
+      .path("deletionTimestamp").asLong()
+    assert(ts >= before && ts <= System.currentTimeMillis() + 1000,
+      s"deletionTimestamp must be wall clock, got $ts")
+    // checkpoint at v2: the unexpired tombstone must ride along
+    assert(DeltaWrite.writeCheckpoint(spark, dir, 2L))
+    val ckpt = spark.read.parquet(
+      Paths.get(dir, "_delta_log", f"${2L}%020d.checkpoint.parquet").toString)
+    val tombs = ckpt.filter(col("remove.path").isNotNull)
+      .select("remove.path", "remove.deletionTimestamp").collect()
+    assert(tombs.length == 1 && tombs.head.getLong(1) == ts,
+      s"checkpoint must carry the unexpired tombstone: ${tombs.toSeq}")
+    // tombstones survive RE-checkpointing from a checkpoint base
+    DeltaWrite.append(range(100, 110).coalesce(1), dir) // v3
+    assert(DeltaWrite.writeCheckpoint(spark, dir, 3L))
+    val ckpt3 = spark.read.parquet(
+      Paths.get(dir, "_delta_log", f"${3L}%020d.checkpoint.parquet").toString)
+    assert(ckpt3.filter(col("remove.path").isNotNull).count() == 1,
+      "re-checkpoint from a checkpoint base must not drop tombstones")
+    // the table still reads correctly from the checkpoint alone
+    (0L to 3L).foreach(v => java.nio.file.Files.delete(
+      Paths.get(dir, "_delta_log", f"$v%020d.json")))
+    assert(DeltaRead.read(spark, dir).count() == 100)
+    // an EXPIRED tombstone may drop: retention 0 expires it immediately
+    val dir2 = tmp()
+    DeltaWrite.create(range(0, 50).coalesce(1), dir2)
+    DeltaWrite.delete(spark, dir2, "k >= 40")
+    Thread.sleep(5) // strictly past the retention-0 cutoff
+    // rewrite the metaData with zero retention via an evolved append
+    dataFileRetention(dir2, "interval 0 seconds")
+    assert(DeltaWrite.writeCheckpoint(spark, dir2, 1L))
+    val ckpt2 = spark.read.parquet(Paths.get(dir2, "_delta_log",
+      f"${1L}%020d.checkpoint.parquet").toString)
+    assert(ckpt2.filter(col("remove.path").isNotNull).count() == 0,
+      "a tombstone past the retention window may be omitted")
+    assert(sources.DeltaWrite.retentionMillis(Map.empty)
+      == 7L * 24 * 3600 * 1000, "default retention is one week")
+    assert(sources.DeltaWrite.retentionMillis(Map(
+      "delta.deletedFileRetentionDuration" -> "interval 2 hours"))
+      == 2L * 3600 * 1000)
+    assert(sources.DeltaWrite.retentionMillis(Map(
+      "delta.deletedFileRetentionDuration" -> "garbage"))
+      == 7L * 24 * 3600 * 1000, "unparseable retention falls back, " +
+        "never silently shortens")
+  }
+
+  /** Overwrite commit 0's metaData configuration in-place (test rig for
+    * retention-sensitive checkpoint behavior).
+    */
+  private def dataFileRetention(dir: String, interval: String): Unit = {
+    val p = Paths.get(dir, "_delta_log", f"${0L}%020d.json")
+    val lines = java.nio.file.Files.readString(p).split("\n").map { l =>
+      if (!l.contains("metaData")) l
+      else l.replace(""""configuration":{}""",
+        s""""configuration":{"delta.deletedFileRetentionDuration":"$interval"}""")
+    }
+    java.nio.file.Files.writeString(p, lines.mkString("\n") + "\n")
+  }
 }
