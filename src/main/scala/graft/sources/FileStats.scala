@@ -57,6 +57,20 @@ object FileStats {
     }.toMap
   }
 
+  /** Exact row count of one parquet file from its footer alone — always
+    * available even when no column contributed usable zone-map stats
+    * (e.g. all-boolean schemas). Writers use this for per-file
+    * record counts; a whole-batch count would overstate every file.
+    */
+  def rowCount(spark: SparkSession, tablePath: String, rel: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new Path(s"$tablePath/$rel"), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    finally reader.close()
+  }
+
   private def footerStats(p: Path, conf: org.apache.hadoop.conf.Configuration)
       : Map[String, ColStat] = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)

@@ -115,13 +115,20 @@ object IcebergRead {
   private final case class Snapshot(fields: Seq[Field],
     files: Seq[FileEntry], deleteFiles: Seq[String])
 
-  private def schemaFields(meta: JsonNode): Seq[Field] = {
-    // current-schema-id + schemas[] (v2), or the top-level schema (v1)
+  /** Schema fields for a read: the SNAPSHOT's schema-id when time
+    * traveling (a snapshot taken before an evolution must read with its
+    * own narrower schema), else the table's current schema; v1
+    * metadata falls back to the top-level `schema`.
+    */
+  private def schemaFields(meta: JsonNode, snap: Option[JsonNode])
+      : Seq[Field] = {
     val schema: JsonNode =
       if (meta.has("schemas")) {
-        val cur = meta.path("current-schema-id").asInt(0)
+        val want = snap.flatMap(s => Option(s.get("schema-id"))
+            .filterNot(_.isNull).map(_.asInt()))
+          .getOrElse(meta.path("current-schema-id").asInt(0))
         meta.path("schemas").elements().asScala
-          .find(_.path("schema-id").asInt(-1) == cur)
+          .find(_.path("schema-id").asInt(-1) == want)
           .getOrElse(meta.path("schemas").elements().asScala.toSeq.head)
       } else meta.path("schema")
     schema.path("fields").elements().asScala.map { fl =>
@@ -133,7 +140,6 @@ object IcebergRead {
   private def load(spark: SparkSession, path: String,
                    snapshotId: Long): Snapshot = {
     val meta = readJson(spark, currentMetadata(spark, path))
-    val fields = schemaFields(meta)
     val snapId =
       if (snapshotId >= 0) snapshotId
       else meta.path("current-snapshot-id").asLong(-1L)
@@ -142,6 +148,7 @@ object IcebergRead {
       .find(_.path("snapshot-id").asLong(-1L) == snapId)
       .getOrElse(throw new IllegalArgumentException(
         s"$path: snapshot $snapId not found"))
+    val fields = schemaFields(meta, Some(snap))
     val manifestList = resolve(path, snap.path("manifest-list").asText())
     val (dataManifests, deleteManifests) =
       avroRows(spark, manifestList).map { r =>
@@ -263,26 +270,41 @@ object IcebergRead {
     assemble(spark, path, st, st.files)
   }
 
+  /** Spark type of an Iceberg primitive, None = unmappable (reads fall
+    * back to parquet inference for such schemas).
+    */
+  private def sparkTypeOf(tpe: String): Option[DataType] = tpe match {
+    case "int" => Some(IntegerType);  case "long" => Some(LongType)
+    case "float" => Some(FloatType);  case "double" => Some(DoubleType)
+    case "string" => Some(StringType); case "boolean" => Some(BooleanType)
+    case "date" => Some(DateType);     case "timestamptz" => Some(TimestampType)
+    case _ => None
+  }
+
   private def assemble(spark: SparkSession, path: String, st: Snapshot,
                        files: Seq[FileEntry]): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, lit, udf}
     val names = st.fields.map(_.name)
+    // metadata-declared Spark schema: files written BEFORE an additive
+    // evolution lack the new columns and must surface NULL (inference
+    // would instead pick one file's schema and misalign the union);
+    // any unmappable field type falls back to inference
+    val declared: Option[StructType] = {
+      val mapped = st.fields.map(f => sparkTypeOf(f.tpe))
+      if (mapped.exists(_.isEmpty)) None
+      else Some(StructType(st.fields.zip(mapped).map { case (f, dt) =>
+        StructField(f.name, dt.get)
+      }))
+    }
     if (files.isEmpty) {
-      // empty snapshot: schema from the metadata field types
-      val struct = StructType(st.fields.map { f =>
-        val dt = f.tpe match {
-          case "int" => IntegerType;  case "long" => LongType
-          case "float" => FloatType;  case "double" => DoubleType
-          case "string" => StringType; case "boolean" => BooleanType
-          case "date" => DateType
-          case other => StringType
-        }
-        StructField(f.name, dt)
-      })
+      val struct = declared.getOrElse(StructType(st.fields.map(f =>
+        StructField(f.name, sparkTypeOf(f.tpe).getOrElse(StringType)))))
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], struct)
     }
-    val plain = spark.read
+    val reader0 = spark.read
+    val reader = declared.fold(reader0)(reader0.schema)
+    val plain = reader
       .parquet(files.map(f => resolve(path, f.path)): _*)
     if (st.deleteFiles.isEmpty)
       return plain.select(names.map(col): _*)
@@ -316,7 +338,8 @@ object IcebergRead {
         decodeBase(col("_metadata.file_path")).as(FKey),
         expr("_metadata.row_index").as(RIdx)): _*)
       else files.map { fe =>
-        spark.read.parquet(resolve(path, fe.path))
+        declared.fold(spark.read)(spark.read.schema)
+          .parquet(resolve(path, fe.path))
           .select(names.map(col) ++ Seq(lit(fe.path).as(FKey),
             expr("_metadata.row_index").as(RIdx)): _*)
       }.reduce(_ unionByName _)

@@ -1,7 +1,7 @@
 package graft.sources
 
-import com.fasterxml.jackson.databind.ObjectMapper
-import org.apache.avro.{Schema, SchemaBuilder}
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.avro.Schema
 import org.apache.avro.file.DataFileWriter
 import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.fs.Path
@@ -9,42 +9,61 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types._
 import scala.jdk.CollectionConverters._
 
-/** Append-only Apache Iceberg table WRITER — the emit side of the
-  * Iceberg interop leg (mirror of [[DeltaWrite]] for the Delta leg),
-  * built purely from the PUBLIC table spec (iceberg.apache.org/spec,
-  * format-version 2): a graft pipeline's output lands as an Iceberg
-  * table that [[IcebergRead]] round-trips and any spec reader plans.
+/** Apache Iceberg table WRITER — the emit side of the Iceberg interop
+  * leg (mirror of [[DeltaWrite]] for the Delta leg), built purely from
+  * the PUBLIC table spec (iceberg.apache.org/spec, format-version 2): a
+  * graft pipeline's output lands as an Iceberg table that
+  * [[IcebergRead]] round-trips and any spec reader plans.
   *
-  * Per append it writes, bottom-up exactly as the spec layers them:
-  *   - data parquet files under `data/`;
-  *   - one manifest avro listing the new files as ADDED entries, each
-  *     `data_file` carrying record_count, file_size_in_bytes, and
-  *     per-field null counts + lower/upper bounds in the spec's
-  *     single-value binary serialization (little-endian long/double) —
-  *     harvested METADATA-ONLY from the fresh parquet footers via
-  *     [[FileStats]] (the zero-rescan discipline every graft writer
-  *     follows); string bounds are deliberately NOT emitted (parquet
-  *     footer string stats may be truncated — emitting them could
-  *     over-prune; absent bounds just mean "keep");
-  *   - one manifest-LIST avro naming every manifest of the snapshot
-  *     (previous manifests carry forward — their ADDED entries stay
-  *     live, the spec's own reuse rule);
-  *   - `vN.metadata.json` with the schema (stable field ids assigned at
-  *     create), the cumulative snapshot list, and the new
-  *     current-snapshot-id.
+  * Spec-complete v2 metadata (not a readable-by-us-only subset):
+  *   - table metadata carries `last-sequence-number`,
+  *     `last-partition-id`, the full `schemas` history (additive
+  *     evolution appends a new schema-id; prior snapshots keep
+  *     theirs), and snapshots persist their original `timestamp-ms` /
+  *     `sequence-number` VERBATIM across commits (each commit only
+  *     appends its own snapshot node — it never restamps history);
+  *   - manifest-list rows carry the v2-required `sequence_number` /
+  *     `min_sequence_number` and the added/existing/deleted file and
+  *     row counts;
+  *   - manifest entries carry explicit `sequence_number` (= the
+  *     committing snapshot's) and every `data_file` carries the
+  *     REQUIRED `partition` struct (empty record when unpartitioned)
+  *     plus per-field null counts and lower/upper bounds in the spec's
+  *     single-value binary serialization, harvested METADATA-ONLY from
+  *     the fresh parquet footers via [[FileStats]]; `record_count` is
+  *     the footer's row count per file, never a whole-batch figure;
+  *   - every avro field carries its spec `field-id` prop and the
+  *     manifest files carry the spec's file metadata (`schema`,
+  *     `partition-spec`, `format-version`, `content`) — what
+  *     field-id-resolving readers (Iceberg's own) key on.
+  *
+  * Partitioned writes (identity transforms): `create(df, path, cols)`
+  * splits data files so each holds exactly ONE partition tuple (via a
+  * duplicated shadow column through Spark's partitionBy stage — the
+  * real column STAYS in the data file, as Iceberg data files carry all
+  * columns), records the tuple in the manifest's `partition` struct,
+  * and declares the spec fields with ids 1000+. NULL partition values
+  * are refused loudly.
+  *
+  * Additive schema evolution: `append(df, path, mergeSchema=true)`
+  * appends NEW columns with fresh field ids and a fresh schema-id;
+  * existing columns must match by (name, type); batches may omit
+  * later-added columns (old files simply lack the column and the
+  * reader surfaces NULL). Type changes refuse loudly.
   *
   * Commit atomicity is the SAME put-if-absent primitive the other graft
   * writers use ([[SnapshotTable.storeFor]]): `vN.metadata.json` is
   * created by at most one writer (HadoopTableOperations' rename
   * contract), so racing appends produce a retrying loser, never a
-  * clobbered table; `version-hint.text` is refreshed best-effort after
-  * the win (readers fall back to the listing when it goes stale).
+  * clobbered table; auxiliary files are UUID-unique so a loser can
+  * never clobber the winner's manifests; `version-hint.text` is
+  * refreshed best-effort after the win.
   *
-  * Non-goals (loudly enforced): unpartitioned tables only (partition
-  * transforms change the manifest partition struct — out of scope), no
-  * deletes, no schema evolution (appends must match exactly), flat
-  * schemas of int/long/float/double/string/boolean/date/timestamp
-  * columns (nested/decimal/binary refused by name).
+  * Non-goals (loudly enforced): no deletes, flat schemas of
+  * int/long/float/double/string/boolean/date/timestamp columns
+  * (nested/decimal/binary refused by name), identity partition
+  * transforms only (bucket/truncate/temporal transforms change value
+  * derivation — out of scope).
   */
 object IcebergWrite {
   private val om = new ObjectMapper()
@@ -55,49 +74,85 @@ object IcebergWrite {
   private val MetaName = """v(\d+)\.metadata\.json""".r
 
   // ------------------------------------------------------------------
-  // avro shapes (field names per the spec; our reader consumes a
-  // subset and ignores the rest through schema-checked access)
+  // avro shapes — field names AND field-id props per the spec's
+  // manifest / manifest-list schemas (field-id is what Iceberg's own
+  // avro readers resolve by)
   // ------------------------------------------------------------------
 
-  private val kvBytes: Schema = SchemaBuilder.record("k_v_bytes").fields()
-    .requiredInt("key").requiredBytes("value").endRecord()
-  private val kvLong: Schema = SchemaBuilder.record("k_v_long").fields()
-    .requiredInt("key").requiredLong("value").endRecord()
-  private val dataFileSchema: Schema = SchemaBuilder.record("data_file")
-    .fields()
-    .requiredInt("content")
-    .requiredString("file_path")
-    .requiredString("file_format")
-    .requiredLong("record_count")
-    .requiredLong("file_size_in_bytes")
-    .name("null_value_counts").`type`().nullable()
-      .array().items(kvLong).noDefault()
-    .name("lower_bounds").`type`().nullable()
-      .array().items(kvBytes).noDefault()
-    .name("upper_bounds").`type`().nullable()
-      .array().items(kvBytes).noDefault()
-    .endRecord()
-  private val entrySchema: Schema = SchemaBuilder.record("manifest_entry")
-    .fields()
-    .requiredInt("status")
-    .name("snapshot_id").`type`().nullable().longType().noDefault()
-    .name("data_file").`type`(dataFileSchema).noDefault()
-    .endRecord()
-  private val manifestFileSchema: Schema = SchemaBuilder
-    .record("manifest_file").fields()
-    .requiredString("manifest_path")
-    .requiredLong("manifest_length")
-    .requiredInt("partition_spec_id")
-    .requiredInt("content")
-    .requiredLong("added_snapshot_id")
-    .endRecord()
+  private def fld(name: String, s: Schema, id: Int): Schema.Field = {
+    val f = new Schema.Field(name, s, null, null.asInstanceOf[AnyRef])
+    f.addProp("field-id", Int.box(id)); f
+  }
+  private def optFld(name: String, s: Schema, id: Int): Schema.Field = {
+    val u = Schema.createUnion(Schema.create(Schema.Type.NULL), s)
+    val f = new Schema.Field(name, u, null, Schema.Field.NULL_DEFAULT_VALUE)
+    f.addProp("field-id", Int.box(id)); f
+  }
+  private def rec(name: String, fields: Seq[Schema.Field]): Schema =
+    Schema.createRecord(name, null, null, false, fields.asJava)
+  private def s(t: Schema.Type): Schema = Schema.create(t)
+  import Schema.Type._
+
+  /** Array-backed avro map (the spec's k_v record form) with key/value
+    * field ids; the array carries logicalType=map per the Iceberg avro
+    * convention.
+    */
+  private def kvArray(recName: String, kId: Int, vId: Int,
+                      vType: Schema.Type): Schema = {
+    val r = rec(recName, Seq(fld("key", s(INT), kId),
+      fld("value", s(vType), vId)))
+    val arr = Schema.createArray(r)
+    arr.addProp("logicalType", "map")
+    arr
+  }
+
+  /** data_file partition struct: one optional field per identity
+    * partition column, carrying the spec field id (1000+).
+    */
+  private def partitionRecord(spec: Seq[PartField]): Schema =
+    rec("r102", spec.map(p => optFld(p.name, s(p.avroType), p.fieldId)))
+
+  private def dataFileSchema(part: Schema): Schema = rec("data_file", Seq(
+    fld("content", s(INT), 134),
+    fld("file_path", s(STRING), 100),
+    fld("file_format", s(STRING), 101),
+    fld("partition", part, 102),
+    fld("record_count", s(LONG), 103),
+    fld("file_size_in_bytes", s(LONG), 104),
+    optFld("null_value_counts", kvArray("k121_v122", 121, 122, LONG), 110),
+    optFld("lower_bounds", kvArray("k126_v127", 126, 127, BYTES), 125),
+    optFld("upper_bounds", kvArray("k129_v130", 129, 130, BYTES), 128)))
+
+  private def entrySchema(part: Schema): Schema = rec("manifest_entry", Seq(
+    fld("status", s(INT), 0),
+    optFld("snapshot_id", s(LONG), 1),
+    optFld("sequence_number", s(LONG), 3),
+    optFld("file_sequence_number", s(LONG), 4),
+    fld("data_file", dataFileSchema(part), 2)))
+
+  private val manifestFileSchema: Schema = rec("manifest_file", Seq(
+    fld("manifest_path", s(STRING), 500),
+    fld("manifest_length", s(LONG), 501),
+    fld("partition_spec_id", s(INT), 502),
+    fld("content", s(INT), 517),
+    fld("sequence_number", s(LONG), 515),
+    fld("min_sequence_number", s(LONG), 516),
+    fld("added_snapshot_id", s(LONG), 503),
+    fld("added_data_files_count", s(INT), 504),
+    fld("existing_data_files_count", s(INT), 505),
+    fld("deleted_data_files_count", s(INT), 506),
+    fld("added_rows_count", s(LONG), 512),
+    fld("existing_rows_count", s(LONG), 513),
+    fld("deleted_rows_count", s(LONG), 514)))
 
   private def writeAvro(f: org.apache.hadoop.fs.FileSystem, p: Path,
-                        schema: Schema, rows: Seq[GenericRecord]): Long = {
+                        schema: Schema, rows: Seq[GenericRecord],
+                        meta: Map[String, String]): Long = {
     val out = f.create(p, true)
     val w = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](schema))
     try {
+      meta.toSeq.sortBy(_._1).foreach { case (k, v) => w.setMeta(k, v) }
       w.create(schema, out) // DataFileWriter closes the stream
       rows.foreach(w.append)
     } finally w.close()
@@ -123,91 +178,232 @@ object IcebergWrite {
         "only) — refusing")
   }
 
-  private def schemaJson(schema: StructType): String = {
-    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
-      val n = om.createObjectNode()
-      n.put("id", i + 1)
-      n.put("name", f.name)
-      n.put("required", false)
-      n.put("type", icebergType(f.dataType))
-      n
-    }
+  /** Schema JSON with EXPLICIT field ids (stable across evolution —
+    * never re-derived from position).
+    */
+  private def schemaJson(fields: Seq[(String, String, Int)],
+                         schemaId: Int): JsonNode = {
     val root = om.createObjectNode()
     root.put("type", "struct")
-    root.put("schema-id", 0)
+    root.put("schema-id", schemaId)
     val arr = root.putArray("fields")
-    fields.foreach(arr.add)
-    om.writeValueAsString(root)
+    fields.foreach { case (name, tpe, id) =>
+      val n = om.createObjectNode()
+      n.put("id", id); n.put("name", name)
+      n.put("required", false); n.put("type", tpe)
+      arr.add(n)
+    }
+    root
+  }
+
+  // ------------------------------------------------------------------
+  // table state (parsed from the current metadata json — everything
+  // carried forward VERBATIM as JsonNodes so history never restamps)
+  // ------------------------------------------------------------------
+
+  /** One identity partition field: source column, its spec field id
+    * (1000+), the column's Spark type and the avro type its manifest
+    * values serialize as.
+    */
+  private final case class PartField(name: String, fieldId: Int,
+                                     sourceId: Int, sparkType: DataType,
+                                     avroType: Schema.Type)
+
+  private final case class TableState(
+    uuid: String, location: String,
+    lastColumnId: Int, lastPartitionId: Int, lastSeq: Long,
+    currentSchemaId: Int, schemas: Seq[JsonNode],
+    defaultSpecId: Int, specs: Seq[JsonNode],
+    snapshots: Seq[JsonNode], currentSnapId: Long,
+    properties: JsonNode)
+
+  private def parseState(meta: JsonNode, path: String): TableState = {
+    val schemas = meta.path("schemas").elements().asScala.toSeq
+    require(schemas.nonEmpty, s"$path: metadata carries no schemas[] — " +
+      "this writer appends to v2-style metadata only")
+    TableState(
+      uuid = meta.path("table-uuid").asText(),
+      location = meta.path("location").asText(path),
+      lastColumnId = meta.path("last-column-id").asInt(0),
+      lastPartitionId = meta.path("last-partition-id").asInt(999),
+      lastSeq = meta.path("last-sequence-number").asLong(0L),
+      currentSchemaId = meta.path("current-schema-id").asInt(0),
+      schemas = schemas,
+      defaultSpecId = meta.path("default-spec-id").asInt(0),
+      specs = meta.path("partition-specs").elements().asScala.toSeq,
+      snapshots = meta.path("snapshots").elements().asScala.toSeq,
+      currentSnapId = meta.path("current-snapshot-id").asLong(-1L),
+      properties = meta.path("properties"))
+  }
+
+  /** (name, type, id) fields of the state's current schema. */
+  private def currentFields(st: TableState): Seq[(String, String, Int)] = {
+    val cur = st.schemas
+      .find(_.path("schema-id").asInt(-1) == st.currentSchemaId)
+      .getOrElse(throw new IllegalStateException("no current schema"))
+    cur.path("fields").elements().asScala.map { n =>
+      (n.path("name").asText(), n.path("type").asText(),
+        n.path("id").asInt())
+    }.toSeq
+  }
+
+  /** Identity partition fields of the state's default spec, resolved
+    * against the current schema for types.
+    */
+  private def partFields(st: TableState): Seq[PartField] = {
+    val spec = st.specs
+      .find(_.path("spec-id").asInt(-1) == st.defaultSpecId)
+      .getOrElse(throw new IllegalStateException("no default spec"))
+    val byId = currentFields(st).map { case (n, t, id) => id -> (n, t) }.toMap
+    spec.path("fields").elements().asScala.map { fn =>
+      val transform = fn.path("transform").asText()
+      require(transform == "identity",
+        s"partition transform $transform unknown to this writer " +
+          "(identity only) — refusing")
+      val srcId = fn.path("source-id").asInt()
+      val (name, tpe) = byId.getOrElse(srcId, throw new
+          IllegalStateException(s"partition source-id $srcId not in schema"))
+      PartField(fn.path("name").asText(name), fn.path("field-id").asInt(),
+        srcId, sparkTypeOf(tpe), avroTypeOf(tpe))
+    }.toSeq
+  }
+
+  private def sparkTypeOf(t: String): DataType = t match {
+    case "int" => IntegerType; case "long" => LongType
+    case "string" => StringType; case "date" => DateType
+    case other => throw new IllegalArgumentException(
+      s"partition column type $other unsupported (int/long/string/date " +
+        "identity partitioning only) — refusing")
+  }
+  private def avroTypeOf(t: String): Schema.Type = t match {
+    case "int" | "date" => INT // date serializes as days-from-epoch int
+    case "long"         => LONG
+    case "string"       => STRING
+    case other => throw new IllegalArgumentException(
+      s"partition column type $other unsupported — refusing")
   }
 
   // ------------------------------------------------------------------
   // metadata json
   // ------------------------------------------------------------------
 
-  private final case class Snap(id: Long, manifestList: String)
-
-  private def metadataJson(path: String, uuid: String, schema: StructType,
-                           snaps: Seq[Snap], current: Long): String = {
-    val snapArr = snaps.map { s =>
-      val n = om.createObjectNode()
-      n.put("snapshot-id", s.id)
-      n.put("timestamp-ms", System.currentTimeMillis())
-      n.put("manifest-list", s.manifestList)
-      val sm = n.putObject("summary"); sm.put("operation", "append")
-      n
-    }
+  private def metadataJson(st: TableState, newSchemas: Seq[JsonNode],
+                           currentSchemaId: Int, lastColumnId: Int,
+                           newSnapshot: JsonNode, snapId: Long,
+                           seq: Long): String = {
     val root = om.createObjectNode()
     root.put("format-version", 2)
-    root.put("table-uuid", uuid)
-    root.put("location", path)
+    root.put("table-uuid", st.uuid)
+    root.put("location", st.location)
+    root.put("last-sequence-number", seq)
     root.put("last-updated-ms", System.currentTimeMillis())
-    root.put("last-column-id", schema.fields.length)
-    root.put("current-schema-id", 0)
+    root.put("last-column-id", lastColumnId)
+    root.put("current-schema-id", currentSchemaId)
     val schemas = root.putArray("schemas")
-    schemas.add(om.readTree(schemaJson(schema)))
+    newSchemas.foreach(schemas.add)
     val specs = root.putArray("partition-specs")
-    val spec0 = om.createObjectNode()
-    spec0.put("spec-id", 0); spec0.putArray("fields")
-    specs.add(spec0)
-    root.put("default-spec-id", 0)
+    st.specs.foreach(specs.add)
+    root.put("default-spec-id", st.defaultSpecId)
+    root.put("last-partition-id", st.lastPartitionId)
     val orders = root.putArray("sort-orders")
     val order0 = om.createObjectNode()
     order0.put("order-id", 0); order0.putArray("fields")
     orders.add(order0)
     root.put("default-sort-order-id", 0)
-    root.putObject("properties")
-    root.put("current-snapshot-id", current)
+    root.set[JsonNode]("properties",
+      if (st.properties.isObject) st.properties else om.createObjectNode())
+    root.put("current-snapshot-id", snapId)
     val arr = root.putArray("snapshots")
-    snapArr.foreach(arr.add)
+    // prior snapshots carry VERBATIM — timestamps/sequence numbers are
+    // history, never restamped
+    st.snapshots.foreach(arr.add)
+    arr.add(newSnapshot)
     om.writeValueAsString(root)
+  }
+
+  private def snapshotNode(snapId: Long, parentId: Long, seq: Long,
+                           schemaId: Int, manifestList: String,
+                           addedFiles: Long, addedRows: Long): JsonNode = {
+    val n = om.createObjectNode()
+    n.put("snapshot-id", snapId)
+    if (parentId >= 0) n.put("parent-snapshot-id", parentId)
+    n.put("sequence-number", seq)
+    n.put("timestamp-ms", System.currentTimeMillis())
+    n.put("manifest-list", manifestList)
+    n.put("schema-id", schemaId)
+    val sm = n.putObject("summary")
+    sm.put("operation", "append")
+    sm.put("added-data-files", addedFiles.toString)
+    sm.put("added-records", addedRows.toString)
+    n
   }
 
   // ------------------------------------------------------------------
   // public surface
   // ------------------------------------------------------------------
 
+  /** Unpartitioned create — the py4j-friendly arity. */
+  def create(df: DataFrame, path: String): Long = create(df, path, Nil)
+
   /** Create the table: data files + manifest + manifest list +
-    * v1.metadata.json. Fails if a metadata dir already exists. Returns
+    * v1.metadata.json. `partitionBy` declares identity-transform
+    * partition fields. Fails if a metadata dir already exists. Returns
     * the snapshot id (1).
     */
-  def create(df: DataFrame, path: String): Long = {
+  def create(df: DataFrame, path: String, partitionBy: Seq[String]): Long = {
     val spark = df.sparkSession
     val f = fs(spark, path)
     require(!f.exists(new Path(path, "metadata")),
       s"$path already has Iceberg metadata/ — use append")
     df.schema.fields.foreach(fl => icebergType(fl.dataType)) // loud gate
-    require(commit(df, path, metaVersion = 1, snapshotId = 1L,
-        uuid = java.util.UUID.randomUUID().toString,
-        schema = df.schema, priorManifests = Nil, priorSnaps = Nil),
+    partitionBy.foreach(c => require(df.columns.contains(c),
+      s"partition column $c not in ${df.columns.mkString(",")}"))
+    val fields = df.schema.fields.toSeq.zipWithIndex.map { case (fl, i) =>
+      (fl.name, icebergType(fl.dataType), i + 1)
+    }
+    val fieldId = fields.map { case (n, _, id) => n -> id }.toMap
+    val spec0 = om.createObjectNode()
+    spec0.put("spec-id", 0)
+    val sf = spec0.putArray("fields")
+    val parts = partitionBy.zipWithIndex.map { case (c, i) =>
+      val tpe = icebergType(df.schema(c).dataType)
+      sparkTypeOf(tpe) // loud gate on partitionable types
+      val pn = om.createObjectNode()
+      pn.put("name", c); pn.put("transform", "identity")
+      pn.put("source-id", fieldId(c)); pn.put("field-id", 1000 + i)
+      sf.add(pn)
+      PartField(c, 1000 + i, fieldId(c), df.schema(c).dataType,
+        avroTypeOf(tpe))
+    }
+    val st = TableState(
+      uuid = java.util.UUID.randomUUID().toString, location = path,
+      lastColumnId = fields.size,
+      lastPartitionId = if (parts.isEmpty) 999 else 999 + parts.size,
+      lastSeq = 0L, currentSchemaId = 0,
+      schemas = Seq(schemaJson(fields, 0)),
+      defaultSpecId = 0, specs = Seq(spec0),
+      snapshots = Nil, currentSnapId = -1L,
+      properties = om.createObjectNode())
+    require(commit(df, path, metaVersion = 1, snapshotId = 1L, st = st,
+        fields = fields, newSchemas = st.schemas,
+        currentSchemaId = 0, lastColumnId = fields.size,
+        priorManifests = Nil),
       s"$path: v1.metadata.json was committed concurrently")
     1L
   }
 
-  /** Append a new snapshot. Optimistic concurrency on the metadata
-    * version: on a lost race the whole plan replays against the new
-    * head (prior manifests carry forward). Schema must match exactly.
+  /** Append a new snapshot; schema must match exactly. */
+  def append(df: DataFrame, path: String): Long =
+    append(df, path, mergeSchema = false)
+
+  /** Append with optional ADDITIVE schema evolution (the mirror of
+    * [[DeltaWrite.append]]'s mergeSchema contract): NEW columns get
+    * fresh field ids and a fresh schema-id; existing columns must match
+    * by (name, type); batches may OMIT later-added columns. Optimistic
+    * concurrency: a lost race replays the whole plan against the new
+    * head (prior manifests carry forward).
     */
-  def append(df: DataFrame, path: String): Long = {
+  def append(df: DataFrame, path: String, mergeSchema: Boolean): Long = {
     val spark = df.sparkSession
     var attempts = 0
     while (true) {
@@ -219,40 +415,59 @@ object IcebergWrite {
         finally in.close()
       }
       val MetaName(curV) = metaP.getName
-      val uuid = meta.path("table-uuid").asText()
-      // table schema from the metadata (name -> iceberg type)
-      val tblFields = meta.path("schemas").elements().asScala.toSeq
-        .find(_.path("schema-id").asInt(-1) ==
-          meta.path("current-schema-id").asInt(0))
-        .getOrElse(throw new IllegalStateException("no current schema"))
-        .path("fields").elements().asScala
-        .map(n => n.path("name").asText() -> n.path("type").asText()).toSeq
+      val st = parseState(meta, path)
+      val tbl = currentFields(st)
+      val tblByName = tbl.map { case (n, t, _) => n -> t }.toMap
       val got = df.schema.fields.toSeq
         .map(fl => fl.name -> icebergType(fl.dataType))
-      require(got == tblFields,
-        s"append schema $got != table schema $tblFields " +
-          "(this writer does not evolve schemas)")
-      val snaps = meta.path("snapshots").elements().asScala.map(s =>
-        Snap(s.path("snapshot-id").asLong(),
-          s.path("manifest-list").asText())).toSeq
-      val snapId = snaps.map(_.id).foldLeft(0L)(math.max) + 1
-      // prior manifests carry forward: union of the CURRENT snapshot's
-      // manifest list (append-only lineage makes it the superset)
-      val currentList = snaps
-        .find(_.id == meta.path("current-snapshot-id").asLong(-1L))
-        .map(_.manifestList)
+      val newCols = got.filterNot { case (n, _) => tblByName.contains(n) }
+      val (fields, newSchemas, schemaId, lastColId) =
+        if (!mergeSchema) {
+          require(got == tbl.map { case (n, t, _) => (n, t) },
+            s"append schema $got != table schema " +
+              s"${tbl.map { case (n, t, _) => (n, t) }} " +
+              "(pass mergeSchema=true to evolve)")
+          (tbl, st.schemas, st.currentSchemaId, st.lastColumnId)
+        } else {
+          got.filter { case (n, _) => tblByName.contains(n) }.foreach {
+            case (n, t) => require(tblByName(n) == t,
+              s"column $n: batch type $t conflicts with table type " +
+                s"${tblByName(n)} — additive evolution only, refusing")
+          }
+          if (newCols.isEmpty) (tbl, st.schemas, st.currentSchemaId,
+            st.lastColumnId)
+          else {
+            val fresh = newCols.zipWithIndex.map { case ((n, t), i) =>
+              (n, t, st.lastColumnId + 1 + i)
+            }
+            val nextId = st.schemas
+              .map(_.path("schema-id").asInt(0)).max + 1
+            val evolved = tbl ++ fresh
+            (evolved, st.schemas :+ schemaJson(evolved, nextId), nextId,
+              st.lastColumnId + fresh.size)
+          }
+        }
+      partFields(st).foreach(p => require(df.columns.contains(p.name),
+        s"append batch misses partition column ${p.name}"))
+      val snapId = st.snapshots.map(_.path("snapshot-id").asLong())
+        .foldLeft(0L)(math.max) + 1
+      // prior manifests carry forward from the CURRENT snapshot's list
+      val currentList = st.snapshots
+        .find(_.path("snapshot-id").asLong(-1L) == st.currentSnapId)
+        .map(_.path("manifest-list").asText())
       val prior = currentList.toSeq.flatMap { ml =>
-        val rel = if (ml.startsWith("/") || ml.contains("://")) ml
-                  else s"$path/$ml"
-        readManifestList(spark, rel)
+        readManifestList(spark, resolve(path, ml))
       }
-      if (commit(df, path, curV.toInt + 1, snapId, uuid, df.schema,
-          prior, snaps))
+      if (commit(df, path, curV.toInt + 1, snapId, st, fields,
+          newSchemas, schemaId, lastColId, prior))
         return snapId
       attempts += 1
     }
     -1L // unreachable
   }
+
+  private def resolve(tablePath: String, p: String): String =
+    if (p.startsWith("/") || p.contains("://")) p else s"$tablePath/$p"
 
   private def currentMeta(spark: SparkSession, path: String): Path = {
     val mdir = new Path(path, "metadata")
@@ -264,9 +479,6 @@ object IcebergWrite {
     new Path(mdir, s"v${vs.max}.metadata.json")
   }
 
-  /** (manifest_path, manifest_length, partition_spec_id, content,
-    * added_snapshot_id) rows of an existing manifest list.
-    */
   private def readManifestList(spark: SparkSession, p: String)
       : Seq[GenericRecord] = {
     val f = fs(spark, p)
@@ -278,31 +490,116 @@ object IcebergWrite {
     try r.iterator().asScala.toVector finally r.close()
   }
 
+  /** Carried-forward manifest counts: copied from the prior record when
+    * present; a pre-spec-complete manifest (no count fields) is read
+    * once (KB-sized, driver) to reconstruct them.
+    */
+  private def carriedCounts(spark: SparkSession, path: String,
+                            r: GenericRecord): (Int, Int, Int, Long, Long, Long) = {
+    def optI(n: String): Option[Int] =
+      if (r.getSchema.getField(n) == null || r.get(n) == null) None
+      else Some(r.get(n).toString.toInt)
+    def optL(n: String): Option[Long] =
+      if (r.getSchema.getField(n) == null || r.get(n) == null) None
+      else Some(r.get(n).toString.toLong)
+    (optI("added_data_files_count"), optL("added_rows_count")) match {
+      case (Some(af), Some(ar)) =>
+        (af, optI("existing_data_files_count").getOrElse(0),
+          optI("deleted_data_files_count").getOrElse(0),
+          ar, optL("existing_rows_count").getOrElse(0L),
+          optL("deleted_rows_count").getOrElse(0L))
+      case _ =>
+        val entries = readManifestList(spark,
+          resolve(path, r.get("manifest_path").toString))
+        val live = entries.filterNot(e =>
+          Option(e.get("status")).exists(_.toString.toInt == 2))
+        val rows = live.map(_.get("data_file").asInstanceOf[GenericRecord]
+          .get("record_count").toString.toLong).sum
+        (live.size, 0, 0, rows, 0L, 0L)
+    }
+  }
+
+  /** One landed data file: table-relative path and its identity
+    * partition tuple (manifest-domain values).
+    */
+  private final case class Landed(rel: String, partition: Seq[AnyRef])
+
+  /** Write `df`'s data files under `data/`, split so each file holds
+    * exactly one partition tuple (via SHADOW columns through Spark's
+    * partitionBy stage — the real columns stay in the files, as Iceberg
+    * data files carry every column).
+    */
+  private def writeData(df: DataFrame, path: String,
+                        parts: Seq[PartField]): Seq[Landed] = {
+    val spark = df.sparkSession
+    val f = fs(spark, path)
+    val stage = new Path(path, s".stage-${java.util.UUID.randomUUID()}")
+    try {
+      import org.apache.spark.sql.functions.col
+      if (parts.isEmpty) df.write.parquet(stage.toString)
+      else {
+        val shadowed = parts.foldLeft(df)((d, p) =>
+          d.withColumn(s"__gpart_${p.name}", col(p.name)))
+        shadowed.write.partitionBy(parts.map(p => s"__gpart_${p.name}"): _*)
+          .parquet(stage.toString)
+      }
+      def walk(p: Path): Seq[Path] = f.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+        else Seq.empty
+      }
+      val found = walk(stage).sortBy(_.toString)
+      val stagePrefix = f.makeQualified(stage).toString
+      f.mkdirs(new Path(path, "data"))
+      found.map { p =>
+        val relDir = f.makeQualified(p.getParent).toString
+          .stripPrefix(stagePrefix).stripPrefix("/")
+        val segs = if (relDir.isEmpty) Nil else relDir.split("/").toSeq
+        val byName = segs.map { seg =>
+          val Array(k, v) = seg.split("=", 2)
+          require(v != "__HIVE_DEFAULT_PARTITION__",
+            s"NULL partition value in ${k.stripPrefix("__gpart_")} — " +
+              "refused (a nullable partition key is a modeling bug)")
+          k.stripPrefix("__gpart_") -> PathCodec.percentDecode(v)
+        }.toMap
+        val tuple: Seq[AnyRef] = parts.map { pf =>
+          val raw = byName.getOrElse(pf.name, throw new IllegalStateException(
+            s"partition column ${pf.name} missing from staged dir $relDir"))
+          pf.sparkType match {
+            case IntegerType => Int.box(raw.toInt)
+            case LongType    => Long.box(raw.toLong)
+            case StringType  => raw
+            case DateType    =>
+              Int.box(java.time.LocalDate.parse(raw).toEpochDay.toInt)
+            case other => throw new IllegalStateException(
+              s"unreachable partition type $other")
+          }
+        }
+        val rel = s"data/part-${java.util.UUID.randomUUID()}.parquet"
+        require(f.rename(p, new Path(path, rel)), s"rename failed for $p")
+        Landed(rel, tuple)
+      }
+    } finally f.delete(stage, true)
+  }
+
   /** Write one snapshot bottom-up and race the metadata json. Returns
     * true on a won commit.
     */
   private def commit(df: DataFrame, path: String, metaVersion: Int,
-                     snapshotId: Long, uuid: String, schema: StructType,
-                     priorManifests: Seq[GenericRecord],
-                     priorSnaps: Seq[Snap]): Boolean = {
+                     snapshotId: Long, st: TableState,
+                     fields: Seq[(String, String, Int)],
+                     newSchemas: Seq[JsonNode], currentSchemaId: Int,
+                     lastColumnId: Int,
+                     priorManifests: Seq[GenericRecord]): Boolean = {
     val spark = df.sparkSession
     val f = fs(spark, path)
+    val seq = st.lastSeq + 1
+    val parts = partFields(st)
     // 1. data files (stage + move, Delta-writer discipline)
-    val stage = new Path(path, s".stage-${java.util.UUID.randomUUID()}")
-    val rels = try {
-      df.write.parquet(stage.toString)
-      val parts = f.listStatus(stage).map(_.getPath)
-        .filter(_.getName.endsWith(".parquet")).sortBy(_.toString)
-      f.mkdirs(new Path(path, "data"))
-      parts.toSeq.map { p =>
-        val rel = s"data/part-${java.util.UUID.randomUUID()}.parquet"
-        require(f.rename(p, new Path(path, rel)), s"rename failed for $p")
-        rel
-      }
-    } finally f.delete(stage, true)
-    val stats = FileStats.collect(spark, path, rels)
-    val fieldId = schema.fieldNames.zipWithIndex
-      .map { case (n, i) => n -> (i + 1) }.toMap
+    val landed = writeData(df, path, parts)
+    val stats = FileStats.collect(spark, path, landed.map(_.rel))
+    val fieldId = fields.map { case (n, _, id) => n -> id }.toMap
+    val sparkSchema = df.schema
 
     // 2. manifest avro for the new files
     def leLong(v: Long): java.nio.ByteBuffer = {
@@ -320,79 +617,130 @@ object IcebergWrite {
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       b.putInt(v); b.flip(); b
     }
-    val entries = rels.map { rel =>
-      val st = stats.getOrElse(rel, Map.empty)
-      val rows = st.values.headOption.map(_.rows).getOrElse(-1L)
-      val dfRec = new GenericData.Record(dataFileSchema)
+    val partSchema = partitionRecord(parts)
+    val dfSchema = dataFileSchema(partSchema)
+    val eSchema = entrySchema(partSchema)
+    var addedRows = 0L
+    val entries = landed.map { l =>
+      val rel = l.rel
+      val colStats = stats.getOrElse(rel, Map.empty)
+      // record_count is PER-FILE from the parquet footer — a whole-batch
+      // figure would overstate planning counts for every reader
+      val rows = colStats.values.headOption.map(_.rows)
+        .getOrElse(FileStats.rowCount(spark, path, rel))
+      addedRows += rows
+      val dfRec = new GenericData.Record(dfSchema)
       dfRec.put("content", Int.box(0))
       dfRec.put("file_path", rel)
       dfRec.put("file_format", "PARQUET")
-      dfRec.put("record_count",
-        Long.box(if (rows >= 0) rows else df.count()))
+      val pRec = new GenericData.Record(partSchema)
+      parts.zip(l.partition).foreach { case (pf, v) => pRec.put(pf.name, v) }
+      dfRec.put("partition", pRec)
+      dfRec.put("record_count", Long.box(rows))
       dfRec.put("file_size_in_bytes",
         Long.box(f.getFileStatus(new Path(path, rel)).getLen))
       def kvRec(schema0: Schema, k: Int, v: AnyRef): GenericRecord = {
         val r = new GenericData.Record(schema0)
         r.put("key", Int.box(k)); r.put("value", v); r
       }
-      val nulls = schema.fields.toSeq.flatMap { fl =>
-        st.get(fl.name).filter(_.nulls >= 0).map(c =>
-          kvRec(kvLong, fieldId(fl.name), Long.box(c.nulls)))
-      }
+      val kvL = dfSchema.getField("null_value_counts").schema()
+        .getTypes.get(1).getElementType
+      val kvB = dfSchema.getField("lower_bounds").schema()
+        .getTypes.get(1).getElementType
+      val nulls = sparkSchema.fields.toSeq
+        .filter(fl => fieldId.contains(fl.name)).flatMap { fl =>
+          colStats.get(fl.name).filter(_.nulls >= 0).map(c =>
+            kvRec(kvL, fieldId(fl.name), Long.box(c.nulls)))
+        }
       // bounds: exact numeric domains only (footer string stats may be
       // truncated — absent bounds are sound, wrong bounds are not)
-      val (los, his) = schema.fields.toSeq.flatMap { fl =>
-        val id = fieldId(fl.name)
-        st.get(fl.name).flatMap { c =>
-          (fl.dataType, c.kind, c.lo, c.hi) match {
-            case (ByteType | ShortType | IntegerType, "l",
-                  Some(lo), Some(hi)) =>
-              Some((kvRec(kvBytes, id, leInt(lo.toInt)),
-                kvRec(kvBytes, id, leInt(hi.toInt))))
-            case (LongType, "l", Some(lo), Some(hi)) =>
-              Some((kvRec(kvBytes, id, leLong(lo.toLong)),
-                kvRec(kvBytes, id, leLong(hi.toLong))))
-            case (DoubleType, "d", Some(lo), Some(hi)) =>
-              Some((kvRec(kvBytes, id, leDouble(lo.toDouble)),
-                kvRec(kvBytes, id, leDouble(hi.toDouble))))
-            case _ => None
+      val (los, his) = sparkSchema.fields.toSeq
+        .filter(fl => fieldId.contains(fl.name)).flatMap { fl =>
+          val id = fieldId(fl.name)
+          colStats.get(fl.name).flatMap { c =>
+            (fl.dataType, c.kind, c.lo, c.hi) match {
+              case (ByteType | ShortType | IntegerType, "l",
+                    Some(lo), Some(hi)) =>
+                Some((kvRec(kvB, id, leInt(lo.toInt)),
+                  kvRec(kvB, id, leInt(hi.toInt))))
+              case (LongType, "l", Some(lo), Some(hi)) =>
+                Some((kvRec(kvB, id, leLong(lo.toLong)),
+                  kvRec(kvB, id, leLong(hi.toLong))))
+              case (DoubleType, "d", Some(lo), Some(hi)) =>
+                Some((kvRec(kvB, id, leDouble(lo.toDouble)),
+                  kvRec(kvB, id, leDouble(hi.toDouble))))
+              case _ => None
+            }
           }
-        }
-      }.unzip
+        }.unzip
       if (nulls.nonEmpty) dfRec.put("null_value_counts", nulls.asJava)
       if (los.nonEmpty) {
         dfRec.put("lower_bounds", los.asJava)
         dfRec.put("upper_bounds", his.asJava)
       }
-      val e = new GenericData.Record(entrySchema)
+      val e = new GenericData.Record(eSchema)
       e.put("status", Int.box(1)) // ADDED
       e.put("snapshot_id", Long.box(snapshotId))
+      e.put("sequence_number", Long.box(seq))
       e.put("data_file", dfRec)
       e
     }
+    val curSchemaNode = newSchemas
+      .find(_.path("schema-id").asInt(-1) == currentSchemaId).get
+    val specNode = st.specs
+      .find(_.path("spec-id").asInt(-1) == st.defaultSpecId).get
+    val manifestMeta = Map(
+      "schema" -> om.writeValueAsString(curSchemaNode),
+      "schema-id" -> currentSchemaId.toString,
+      "partition-spec" -> om.writeValueAsString(specNode.path("fields")),
+      "partition-spec-id" -> st.defaultSpecId.toString,
+      "format-version" -> "2",
+      "content" -> "data")
     val manifestRel =
       s"metadata/m-${java.util.UUID.randomUUID()}.avro"
-    val mLen = writeAvro(f, new Path(path, manifestRel), entrySchema,
-      entries)
+    val mLen = writeAvro(f, new Path(path, manifestRel), eSchema,
+      entries, manifestMeta)
 
     // 3. manifest list: prior manifests carried forward + the new one
     val newRow = new GenericData.Record(manifestFileSchema)
     newRow.put("manifest_path", manifestRel)
     newRow.put("manifest_length", Long.box(mLen))
-    newRow.put("partition_spec_id", Int.box(0))
+    newRow.put("partition_spec_id", Int.box(st.defaultSpecId))
     newRow.put("content", Int.box(0))
+    newRow.put("sequence_number", Long.box(seq))
+    newRow.put("min_sequence_number", Long.box(seq))
     newRow.put("added_snapshot_id", Long.box(snapshotId))
+    newRow.put("added_data_files_count", Int.box(entries.size))
+    newRow.put("existing_data_files_count", Int.box(0))
+    newRow.put("deleted_data_files_count", Int.box(0))
+    newRow.put("added_rows_count", Long.box(addedRows))
+    newRow.put("existing_rows_count", Long.box(0L))
+    newRow.put("deleted_rows_count", Long.box(0L))
     val carried = priorManifests.map { r =>
+      def optL(n: String, d: Long): Long =
+        if (r.getSchema.getField(n) == null || r.get(n) == null) d
+        else r.get(n).toString.toLong
+      val (af, ef, df0, ar, er, dr) = carriedCounts(spark, path, r)
       val c = new GenericData.Record(manifestFileSchema)
       c.put("manifest_path", r.get("manifest_path").toString)
       c.put("manifest_length",
         Long.box(r.get("manifest_length").toString.toLong))
-      c.put("partition_spec_id", Int.box(0))
+      c.put("partition_spec_id", Int.box(
+        Option(r.get("partition_spec_id")).map(_.toString.toInt)
+          .getOrElse(0)))
       c.put("content", Int.box(
-        Option(r.get("content")).map(_.toString.toInt).getOrElse(0)))
-      c.put("added_snapshot_id", Long.box(
-        Option(r.get("added_snapshot_id")).map(_.toString.toLong)
-          .getOrElse(0L)))
+        if (r.getSchema.getField("content") == null) 0
+        else Option(r.get("content")).map(_.toString.toInt).getOrElse(0)))
+      // prior sequence numbers persist VERBATIM (they order deletes)
+      c.put("sequence_number", Long.box(optL("sequence_number", 0L)))
+      c.put("min_sequence_number", Long.box(optL("min_sequence_number", 0L)))
+      c.put("added_snapshot_id", Long.box(optL("added_snapshot_id", 0L)))
+      c.put("added_data_files_count", Int.box(af))
+      c.put("existing_data_files_count", Int.box(ef))
+      c.put("deleted_data_files_count", Int.box(df0))
+      c.put("added_rows_count", Long.box(ar))
+      c.put("existing_rows_count", Long.box(er))
+      c.put("deleted_rows_count", Long.box(dr))
       c
     }
     // UUID-unique: a racing loser that shared a deterministic name
@@ -401,11 +749,18 @@ object IcebergWrite {
     val listRel =
       s"metadata/snap-$snapshotId-${java.util.UUID.randomUUID()}.avro"
     writeAvro(f, new Path(path, listRel), manifestFileSchema,
-      carried :+ newRow)
+      carried :+ newRow, Map(
+        "format-version" -> "2",
+        "snapshot-id" -> snapshotId.toString,
+        "parent-snapshot-id" ->
+          (if (st.currentSnapId >= 0) st.currentSnapId.toString else "null"),
+        "sequence-number" -> seq.toString))
 
     // 4. race the metadata json (put-if-absent; loser replans)
-    val metaText = metadataJson(path, uuid, schema,
-      priorSnaps :+ Snap(snapshotId, listRel), snapshotId)
+    val snapNode = snapshotNode(snapshotId, st.currentSnapId, seq,
+      currentSchemaId, listRel, entries.size.toLong, addedRows)
+    val metaText = metadataJson(st, newSchemas, currentSchemaId,
+      lastColumnId, snapNode, snapshotId, seq)
     val mdir = new Path(path, "metadata")
     f.mkdirs(mdir)
     val tmp = new Path(mdir, s".tmp-${java.util.UUID.randomUUID()}")

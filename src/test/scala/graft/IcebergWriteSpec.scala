@@ -97,6 +97,193 @@ class IcebergWriteSpec extends AnyFunSuite {
       "hint to a missing metadata file must fall back to the listing")
   }
 
+  test("v2 metadata is spec-complete; snapshot history persists verbatim") {
+    val dir = tmp()
+    IcebergWrite.create(range(0, 100).coalesce(2), dir)      // seq 1
+    IcebergWrite.append(range(100, 150).coalesce(1), dir)    // seq 2
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def meta(v: Int) = mapper.readTree(
+      Files.readString(java.nio.file.Paths.get(
+        dir, "metadata", s"v$v.metadata.json")))
+    val m2 = meta(2)
+    // v2-required top-level fields
+    assert(m2.path("format-version").asInt() == 2)
+    assert(m2.path("last-sequence-number").asLong() == 2L)
+    assert(m2.has("last-partition-id"))
+    assert(m2.path("last-column-id").asInt() == 2)
+    // snapshots carry sequence-number + schema-id; history persists
+    val snaps = m2.path("snapshots").elements()
+    val s1 = snaps.next(); val s2 = snaps.next()
+    assert(s1.path("sequence-number").asLong() == 1L)
+    assert(s2.path("sequence-number").asLong() == 2L)
+    assert(s2.path("parent-snapshot-id").asLong() == 1L)
+    val ts1AtV1 = meta(1).path("snapshots").elements().next()
+      .path("timestamp-ms").asLong()
+    assert(s1.path("timestamp-ms").asLong() == ts1AtV1,
+      "a commit must never restamp prior snapshots' timestamps")
+    // manifest list rows carry the v2 sequence/count fields
+    val listRel = s2.path("manifest-list").asText()
+    val rows = readAvro(s"$dir/$listRel")
+    assert(rows.size == 2, "prior manifest carries forward")
+    val newest = rows.maxBy(_.get("sequence_number").toString.toLong)
+    assert(newest.get("sequence_number").toString.toLong == 2L)
+    assert(newest.get("min_sequence_number").toString.toLong == 2L)
+    assert(newest.get("added_data_files_count").toString.toInt == 1)
+    assert(newest.get("added_rows_count").toString.toLong == 50L)
+    val carried = rows.minBy(_.get("sequence_number").toString.toLong)
+    assert(carried.get("sequence_number").toString.toLong == 1L)
+    assert(carried.get("added_rows_count").toString.toLong == 100L)
+    // record_count is PER FILE (create wrote 2 files of a 100-row batch)
+    val m1rows = readAvro(
+      s"$dir/${carried.get("manifest_path").toString}")
+    val counts = m1rows.map(_.get("data_file")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      .get("record_count").toString.toLong)
+    assert(counts.size == 2 && counts.sum == 100L && counts.forall(_ < 100L),
+      s"per-file record counts, not the batch total: $counts")
+    // manifest avro carries the spec's file metadata + field-id props
+    val mPath = s"$dir/${newest.get("manifest_path").toString}"
+    val (mMeta, mSchema) = avroMeta(mPath)
+    assert(mMeta.get("format-version").contains("2"))
+    assert(mMeta.contains("schema") && mMeta.contains("partition-spec"))
+    val dfField = mSchema.getField("data_file")
+    assert(dfField.getObjectProp("field-id") != null,
+      "avro fields must carry field-id props for id-resolving readers")
+    assert(dfField.schema().getField("partition") != null,
+      "data_file must carry the required partition struct")
+  }
+
+  test("identity-partitioned create: split files, partition struct, pruning") {
+    val dir = tmp()
+    val parted = range(0, 60)
+      .withColumn("bucket", (col("k") % 3).cast("int"))
+    IcebergWrite.create(parted.coalesce(1), dir, Seq("bucket"))
+    val back = IcebergRead.read(spark, dir)
+    // Iceberg data files carry ALL columns — bucket included
+    assert(back.columns.toSeq == Seq("k", "name", "bucket"))
+    assert(back.count() == 60)
+    assert(back.filter(col("bucket") === 1).count() == 20)
+    // one partition tuple per file → the partition predicate prunes
+    val (total, kept) = IcebergRead.pruneReport(spark, dir, "bucket = 1")
+    assert(total == 3 && kept == 1,
+      s"partition split must prune: $kept of $total")
+    // the manifest records the typed partition tuple
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(Files.readString(
+      java.nio.file.Paths.get(dir, "metadata", "v1.metadata.json")))
+    assert(meta.path("last-partition-id").asInt() == 1000)
+    val listRel = meta.path("snapshots").elements().next()
+      .path("manifest-list").asText()
+    val mPath = readAvro(s"$dir/$listRel").head
+      .get("manifest_path").toString
+    val tuples = readAvro(s"$dir/$mPath").map(_.get("data_file")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      .get("partition").asInstanceOf[org.apache.avro.generic.GenericRecord]
+      .get("bucket").toString.toInt).sorted
+    assert(tuples == Seq(0, 1, 2), s"partition tuples: $tuples")
+    // appends must carry the partition columns
+    val e = intercept[IllegalArgumentException] {
+      IcebergWrite.append(range(60, 70), dir)
+    }
+    assert(e.getMessage.contains("schema") ||
+      e.getMessage.contains("partition"))
+    // NULL partition values refuse loudly
+    val e2 = intercept[Exception] {
+      val withNull = range(0, 5).withColumn("bucket",
+        when(col("k") === 2L, lit(null)).otherwise(lit(1))
+          .cast("int"))
+      IcebergWrite.create(withNull.coalesce(1), tmp(), Seq("bucket"))
+    }
+    assert(e2.getMessage.contains("NULL partition"))
+  }
+
+  test("additive schema evolution: new ids, per-snapshot schemas, NULL backfill") {
+    val dir = tmp()
+    IcebergWrite.create(range(0, 50).coalesce(1), dir)
+    val evolved = range(50, 100).withColumn("score", col("k") * 2)
+    // without the flag, drift still refuses
+    intercept[IllegalArgumentException] { IcebergWrite.append(evolved, dir) }
+    assert(IcebergWrite.append(evolved.coalesce(1), dir,
+      mergeSchema = true) == 2L)
+    val back = IcebergRead.read(spark, dir)
+    assert(back.columns.toSeq == Seq("k", "name", "score"))
+    assert(back.count() == 100)
+    // old files surface NULL for the later-added column — no rewrite
+    assert(back.filter(col("k") < 50 && col("score").isNull).count() == 50)
+    assert(back.filter(col("k") >= 50 &&
+      col("score") === col("k") * 2).count() == 50)
+    // a batch OMITTING the evolved column still appends
+    assert(IcebergWrite.append(range(100, 110).coalesce(1), dir,
+      mergeSchema = true) == 3L)
+    assert(IcebergRead.read(spark, dir).count() == 110)
+    // per-snapshot schema under time travel
+    assert(IcebergRead.read(spark, dir, snapshotId = 1)
+      .columns.toSeq == Seq("k", "name"))
+    // stable field ids: the new column got id 3, schema-id bumped
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(Files.readString(
+      java.nio.file.Paths.get(dir, "metadata", "v3.metadata.json")))
+    assert(meta.path("current-schema-id").asInt() == 1)
+    assert(meta.path("last-column-id").asInt() == 3)
+    val sch1 = meta.path("schemas").elements().asScalaSeq
+      .find(_.path("schema-id").asInt() == 1).get
+    val ids = sch1.path("fields").elements().asScalaSeq
+      .map(f => f.path("name").asText() -> f.path("id").asInt()).toMap
+    assert(ids == Map("k" -> 1, "name" -> 2, "score" -> 3), s"$ids")
+    // type conflicts refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      IcebergWrite.append(
+        range(0, 1).withColumn("score", lit("not-a-number")), dir,
+        mergeSchema = true)
+    }
+    assert(e.getMessage.contains("conflict"))
+  }
+
+  private implicit class IterOps[T](it: java.util.Iterator[T]) {
+    def asScalaSeq: Seq[T] =
+      scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala.toSeq
+  }
+
+  private def readAvro(p: String)
+      : Seq[org.apache.avro.generic.GenericRecord] = {
+    val f = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = f.open(new org.apache.hadoop.fs.Path(p))
+    val bytes = try in.readAllBytes() finally in.close()
+    val r = new org.apache.avro.file.DataFileReader[
+        org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.file.SeekableByteArrayInput(bytes),
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    try {
+      val it = r.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer[
+        org.apache.avro.generic.GenericRecord]()
+      while (it.hasNext) buf += it.next()
+      buf.toSeq
+    } finally r.close()
+  }
+
+  /** (file metadata, record schema) of an avro file. */
+  private def avroMeta(p: String)
+      : (Map[String, String], org.apache.avro.Schema) = {
+    val f = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = f.open(new org.apache.hadoop.fs.Path(p))
+    val bytes = try in.readAllBytes() finally in.close()
+    val r = new org.apache.avro.file.DataFileReader[
+        org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.file.SeekableByteArrayInput(bytes),
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    try {
+      val keys = scala.jdk.CollectionConverters
+        .ListHasAsScala(r.getMetaKeys).asScala
+      (keys.filterNot(_.startsWith("avro."))
+        .map(k => k -> r.getMetaString(k)).toMap, r.getSchema)
+    } finally r.close()
+  }
+
   test("date/timestamp columns round-trip (no bounds, still correct)") {
     val dir = tmp()
     val df = spark.sql(
