@@ -2,44 +2,66 @@ package graft.sources
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
 import scala.jdk.CollectionConverters._
 
-/** Read-only Apache Hudi COPY_ON_WRITE table reader — the third
-  * open-table-format interop leg next to [[DeltaRead]] and
-  * [[IcebergRead]], built purely from the PUBLIC Hudi storage layout
-  * (hudi.apache.org/docs — timeline + base-file naming):
+/** Read-only Apache Hudi table reader — the third open-table-format
+  * interop leg next to [[DeltaRead]] and [[IcebergRead]], built purely
+  * from the PUBLIC Hudi storage layout and log-format tech spec
+  * (hudi.apache.org/docs + hudi.apache.org/tech-specs):
   *
   *   - `.hoodie/hoodie.properties` declares the table (java
-  *     properties; `hoodie.table.type` must be COPY_ON_WRITE);
+  *     properties; COPY_ON_WRITE and MERGE_ON_READ supported);
   *   - the timeline is the set of `.hoodie/<instantTs>.commit` files —
   *     a commit is COMPLETED only when that exact name exists
   *     (`.commit.requested` / `.commit.inflight` are in-flight states
   *     and are ignored, which is what gives readers snapshot
-  *     isolation against concurrent writers);
+  *     isolation against concurrent writers); Hudi 1.x timelines
+  *     (`.hoodie/timeline/<ts>_<completionTs>.commit`) resolve too;
   *   - each completed commit's JSON (`partitionToWriteStats`) lists the
-  *     base files it wrote as (partition → [{fileId, path, ...}]);
+  *     base/log files it wrote as (partition → [{fileId, path, ...}]);
   *   - COW queries resolve FILE SLICES: within a (partition, fileId)
   *     file group, only the base file written by the LATEST completed
   *     instant ≤ the as-of instant is live — an upsert rewrites the
   *     whole group under the same fileId with a newer instant, so
-  *     older slices are shadowed, never merged.
+  *     older slices are shadowed;
+  *   - MERGE_ON_READ queries MERGE uncompacted avro log blocks onto
+  *     the base file at read time (round 9; previously refused): a log
+  *     file named `.{fileId}_{baseInstant}.log.{version}_{token}`
+  *     belongs to the file slice whose base landed at `baseInstant`;
+  *     its `#HUDI#`-framed blocks decode per the public log-block
+  *     layout (8-byte block size, 4-byte format version, 4-byte block
+  *     type ordinal, ordinal-keyed header map, 8-byte content length,
+  *     content, footer map, 8-byte total length), AVRO_DATA_BLOCK
+  *     content decodes as (4-byte version, 4-byte count, then per
+  *     record 4-byte length + avro-binary bytes in the block's SCHEMA
+  *     header), and records merge LAST-WRITE-WINS per
+  *     `_hoodie_record_key` (file order → block order → record order —
+  *     the arrival order Hudi's own payload resolution follows across
+  *     commits), log records overriding base rows; COMMAND blocks of
+  *     type ROLLBACK skip the data blocks whose INSTANT_TIME header
+  *     matches their TARGET_INSTANT_TIME (two passes: a header-only
+  *     scan collects targets, the decode pass skips them), and blocks
+  *     of instants NOT in the completed-≤-asOf timeline (in-flight or
+  *     crashed writers) never serve. Block decode runs DISTRIBUTED (an
+  *     RDD over the planned log paths with executor-side reads —
+  *     Spark's file sources filter hidden dot-files, which every Hudi
+  *     log is; nothing row-scale reaches the driver).
   *
   * Scope and non-goals (loudly enforced):
-  *   - COPY_ON_WRITE fully; MERGE_ON_READ at COMPACTED or insert-only
-  *     instants (deltacommits join the timeline, base files are
-  *     authoritative once a compaction instant ≥ every log write in the
-  *     file group has landed) — a file group whose log files OUTRUN its
-  *     base file is REFUSED rather than served stale (log-block merging
-  *     at read time stays out of scope: the log format is a versioned
-  *     binary block stream this planner does not parse);
+  *   - log blocks other than AVRO_DATA_BLOCK / rollback COMMAND_BLOCK
+  *     (HFile/Parquet data blocks, DELETE blocks, CDC blocks) are
+  *     REFUSED BY NAME, as are corrupt/truncated frames — never
+  *     silently skipped;
   *   - `replacecommit` instants (clustering / insert_overwrite replace
   *     whole file groups OUT of line with the fileId-shadowing rule) —
   *     REFUSED;
-  *   - a non-empty `.hoodie/archived` timeline — file groups last
-  *     written before the archival horizon appear in no active commit,
-  *     so planning from the active timeline alone would silently
-  *     return a row-subset — REFUSED;
+  *   - a non-empty `.hoodie/archived` timeline (or 1.x
+  *     `.hoodie/timeline/history`) — file groups last written before
+  *     the archival horizon appear in no active commit, so planning
+  *     from the active timeline alone would silently return a
+  *     row-subset — REFUSED;
   *   - time travel by instant timestamp (Hudi instants are zero-padded
   *     numeric strings, so lexicographic ≤ is the spec ordering);
   *   - Hudi's five `_hoodie_*` meta columns are dropped from the
@@ -50,13 +72,14 @@ import scala.jdk.CollectionConverters._
   *
   * Timeline and commit JSON are driver-side KB-sized reads (the budget
   * Hudi's own planner spends); the data files are one distributed
-  * parquet scan.
+  * parquet scan, plus one distributed log scan when merging.
   */
 object HudiRead {
   private val om = new ObjectMapper()
 
   private val MetaCols = Seq("_hoodie_commit_time", "_hoodie_commit_seqno",
     "_hoodie_record_key", "_hoodie_partition_path", "_hoodie_file_name")
+  private val KeyCol = "_hoodie_record_key"
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -72,6 +95,8 @@ object HudiRead {
   private val Completed   = """(\d+)(?:_\d+)?\.commit""".r
   private val CompletedDc = """(\d+)(?:_\d+)?\.deltacommit""".r
   private val Replace     = """(\d+)(?:_\d+)?\.replacecommit""".r
+  // log basename: .{fileId}_{baseInstant}.log.{version}_{writeToken}
+  private val LogName = """\.(.+)_(\d+)\.log\.(\d+)(?:_(.+))?""".r
 
   private def props(spark: SparkSession, path: String)
       : java.util.Properties = {
@@ -88,11 +113,16 @@ object HudiRead {
   private final case class Slice(partition: String, fileId: String,
                                  instant: String, path: String)
 
-  /** Live base files at `asOf` ("" = latest): latest completed slice
-    * per (partition, fileId) file group.
+  /** (live base slices, log files of those slices) at `asOf` ("" =
+    * latest): latest completed BASE slice per (partition, fileId) file
+    * group, plus the log files whose NAME attaches them to that base
+    * instant (logs of older slices were folded by the compaction that
+    * created the newer base). A file group with log files but no base
+    * at their declared base instant refuses (log-only groups need the
+    * insert path this planner does not model).
     */
-  private def liveSlices(spark: SparkSession, path: String,
-                         asOf: String): Seq[Slice] = {
+  private def plan(spark: SparkSession, path: String, asOf: String)
+      : (Seq[Slice], Seq[Slice], Set[String]) = {
     val f = fs(spark, path)
     // an archived timeline means file groups whose LAST write was
     // archived appear in no active commit — planning from the active
@@ -153,32 +183,40 @@ object HudiRead {
         }
       }
     }
-    // MOR: deltacommits may have landed LOG files (row updates pending
-    // compaction). A log write is superseded once a compaction lands a
-    // base file at a LATER instant in the same file group; a log write
-    // newer than its group's latest base file means the base file is
-    // STALE — merging is out of scope, so refuse loudly instead of
-    // silently serving pre-update rows.
     val (logs, bases) = slices.partition(_.path.contains(".log."))
     val latestBase = bases.groupBy(s => (s.partition, s.fileId))
-      .map { case (g, ss) => g -> ss.map(_.instant).max }
-    logs.foreach { l =>
-      val baseTs = latestBase.get((l.partition, l.fileId))
-      require(baseTs.exists(_ >= l.instant),
-        s"$path: file group ${l.fileId} has an uncompacted log file " +
-          s"(${l.path} at instant ${l.instant}, latest base " +
-          s"${baseTs.getOrElse("none")}) — log-file merging is out of " +
-          "scope for this planner; compact the table or read a " +
-          "compacted instant, refusing rather than serving stale rows")
+      .map { case (g, ss) => g -> ss.maxBy(_.instant) }
+    // attach each log to its slice by the base instant in its NAME
+    val attached = logs.map { l =>
+      val baseTs = l.path.split("/").last match {
+        case LogName(_, ts, _, _) => ts
+        case other => throw new IllegalArgumentException(
+          s"$path: log file name $other does not follow the " +
+            ".{fileId}_{baseInstant}.log.{version}_{token} convention — " +
+            "refusing rather than guessing its file slice")
+      }
+      val base = latestBase.get((l.partition, l.fileId))
+      require(base.nonEmpty,
+        s"$path: file group ${l.fileId} has log file ${l.path} but no " +
+          "base file — log-only (insert-into-log) groups are not " +
+          "modeled by this planner, refusing")
+      require(baseTs <= base.get.instant,
+        s"$path: log file ${l.path} declares base instant $baseTs newer " +
+          s"than the group's latest base ${base.get.instant} — refusing")
+      (l, baseTs, base.get.instant)
     }
-    bases.groupBy(s => (s.partition, s.fileId))
-      .values.map(_.maxBy(_.instant)).toSeq.sortBy(_.path)
+    // logs of OLDER slices were folded by the compaction that created
+    // the newer base — only the latest slice's logs merge
+    val live = attached.collect { case (l, bt, lt) if bt == lt => l }
+    (latestBase.values.toSeq.sortBy(_.path), live.sortBy(_.path),
+      completed.map(_._1).toSet)
   }
 
   /** The table as a DataFrame at instant `asOf` ("" = latest snapshot).
-    * Hudi meta columns are dropped; COW base files carry every payload
+    * Hudi meta columns are dropped; base files carry every payload
     * column (including partition fields), so no hive-layout recovery
-    * is needed.
+    * is needed. MOR file slices with uncompacted log files merge the
+    * log records onto the base rows (last write wins per record key).
     */
   def read(spark: SparkSession, path: String, asOf: String = "")
       : DataFrame = {
@@ -186,12 +224,249 @@ object HudiRead {
     val tpe = pr.getProperty("hoodie.table.type", "COPY_ON_WRITE")
     require(tpe == "COPY_ON_WRITE" || tpe == "MERGE_ON_READ",
       s"$path: hoodie.table.type=$tpe unknown to this planner — refusing")
-    // MERGE_ON_READ reads are supported at COMPACTED (or insert-only)
-    // instants: base files are authoritative there. A file group whose
-    // log files outrun its base file refuses inside liveSlices — this
-    // planner never merges log blocks at read time.
-    val slices = liveSlices(spark, path, asOf)
-    val df = spark.read.parquet(slices.map(s => s"$path/${s.path}"): _*)
-    df.drop(MetaCols: _*)
+    val (bases, logs, completedTs) = plan(spark, path, asOf)
+    val df = spark.read.parquet(bases.map(s => s"$path/${s.path}"): _*)
+    if (logs.isEmpty) return df.drop(MetaCols: _*)
+    mergeLogs(spark, path, df, logs, completedTs)
+  }
+
+  // ------------------------------------------------------------------
+  // MOR log-block merging
+  // ------------------------------------------------------------------
+
+  // block type ordinals per the public log spec
+  private val CommandBlock = 0
+  private val DeleteBlock  = 1
+  private val CorruptBlock = 2
+  private val AvroBlock    = 3
+  private val BlockNames = Map(0 -> "COMMAND_BLOCK", 1 -> "DELETE_BLOCK",
+    2 -> "CORRUPT_BLOCK", 3 -> "AVRO_DATA_BLOCK", 4 -> "HFILE_DATA_BLOCK",
+    5 -> "PARQUET_DATA_BLOCK", 6 -> "CDC_DATA_BLOCK")
+  // header metadata key ordinals
+  private val HInstant = 0
+  private val HTarget  = 1
+  private val HSchema  = 2
+  private val HCommand = 3
+
+  private val Magic = "#HUDI#".getBytes("UTF-8")
+
+  private[graft] final case class LogBlock(tpe: Int,
+                                           header: Map[Int, String],
+                                           content: Array[Byte])
+
+  /** Decode the `#HUDI#`-framed blocks of one log file. Truncated or
+    * mis-framed bytes refuse loudly — a silent skip would serve a
+    * pre-update snapshot as if it were current.
+    */
+  private[graft] def parseBlocks(bytes: Array[Byte],
+                                 name: String): Seq[LogBlock] = {
+    val in = java.nio.ByteBuffer.wrap(bytes) // big-endian by default
+    val out = scala.collection.mutable.ArrayBuffer[LogBlock]()
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(
+      s"$name: corrupt Hudi log frame at byte ${in.position()}: $msg — " +
+        "refusing rather than serving a partial merge")
+    def metaMap(): Map[Int, String] = {
+      if (in.remaining() < 4) fail("truncated metadata map")
+      val n = in.getInt
+      if (n < 0 || n > 1000) fail(s"implausible metadata entry count $n")
+      (0 until n).map { _ =>
+        if (in.remaining() < 8) fail("truncated metadata entry")
+        val ord = in.getInt
+        val len = in.getInt
+        if (len < 0 || len > in.remaining()) fail("metadata length overrun")
+        val b = new Array[Byte](len); in.get(b)
+        ord -> new String(b, "UTF-8")
+      }.toMap
+    }
+    while (in.remaining() > 0) {
+      if (in.remaining() < Magic.length + 8) fail("truncated magic/frame")
+      val m = new Array[Byte](Magic.length); in.get(m)
+      if (!java.util.Arrays.equals(m, Magic)) fail("bad #HUDI# magic")
+      val blockStart = in.position()
+      val blockSize = in.getLong // excludes magic and this field
+      if (blockSize < 24 || blockSize > in.remaining()) fail(
+        s"block size $blockSize exceeds remaining ${in.remaining()}")
+      val version = in.getInt
+      if (version < 0 || version > 10) fail(s"log format version $version")
+      val tpe = in.getInt
+      val header = metaMap()
+      if (in.remaining() < 8) fail("truncated content length")
+      val clen = in.getLong
+      if (clen < 0 || clen > in.remaining()) fail("content overrun")
+      val content = new Array[Byte](clen.toInt); in.get(content)
+      metaMap() // footer — decoded for frame integrity, not consumed
+      if (in.remaining() < 8) fail("truncated total-length trailer")
+      in.getLong // total block length (reverse-traversal aid)
+      out += LogBlock(tpe, header, content)
+      // frame check: we must sit exactly blockSize past the size field
+      if (in.position() != blockStart + 8 + blockSize)
+        fail(s"frame length mismatch (declared $blockSize)")
+    }
+    out.toSeq
+  }
+
+  /** AVRO_DATA_BLOCK content: 4-byte version, 4-byte record count, then
+    * per record a 4-byte length + avro-binary bytes in `writerSchema`.
+    */
+  private def decodeAvroBlock(content: Array[Byte], writerSchema: String,
+                              name: String)
+      : Iterator[org.apache.avro.generic.GenericRecord] = {
+    val schema = new org.apache.avro.Schema.Parser().parse(writerSchema)
+    val reader =
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord](schema)
+    val in = java.nio.ByteBuffer.wrap(content)
+    in.getInt // data-block format version
+    val n = in.getInt
+    (0 until n).iterator.map { _ =>
+      val len = in.getInt
+      require(len >= 0 && len <= in.remaining(),
+        s"$name: avro data block record overrun — refusing")
+      val b = new Array[Byte](len); in.get(b)
+      reader.read(null,
+        org.apache.avro.io.DecoderFactory.get().binaryDecoder(b, null))
+    }
+  }
+
+  /** Merge uncompacted log records onto the base scan: one distributed
+    * pass over the log files collects rollback targets (command blocks
+    * are KB-sized; only instant strings reach the driver), a second
+    * decodes data blocks into typed rows, and last-write-wins per
+    * record key resolves via max_by over (file, block, record) arrival
+    * order.
+    */
+  private def mergeLogs(spark: SparkSession, path: String,
+                        base: DataFrame, logs: Seq[Slice],
+                        completedTs: Set[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(base.columns.contains(KeyCol),
+      s"$path: base files carry no $KeyCol meta column — merging needs " +
+        "materialized record keys (virtual-key tables are not modeled)")
+    val payload = base.drop(MetaCols: _*).schema
+    payload.fields.foreach { f =>
+      f.dataType match {
+        case IntegerType | LongType | FloatType | DoubleType |
+             StringType | BooleanType => ()
+        case other => throw new IllegalArgumentException(
+          s"$path: payload column ${f.name} of type ${other.sql} is not " +
+            "modeled by the log-merge decoder — refusing")
+      }
+    }
+    // log file order: slice base instant, then NUMERIC log version (the
+    // name's `.log.N` — lexicographic would put 10 before 2), then name
+    // — the order Hudi's own log scanner replays
+    def orderKey(rel: String): (String, Long, String) = {
+      rel.split("/").last match {
+        case LogName(_, baseTs, v, _) => (baseTs, v.toLong, rel)
+        case _                        => ("", Long.MaxValue, rel)
+      }
+    }
+    // a log file appended to across several deltacommits is listed by
+    // each of them — read it once
+    val ordered = logs.map(_.path).distinct.sortBy(orderKey)
+      .map(rel => s"$path/$rel").zipWithIndex
+    val fileOrder = ordered.toMap
+    val paths = ordered.map(_._1)
+    // log files are HIDDEN files (leading dot) — Spark's file sources
+    // filter those out unconditionally, so the scan is an RDD over the
+    // planned paths with executor-side Hadoop reads (log files are
+    // bounded by Hudi's roll size; one fits an executor)
+    val confW = new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration)
+    def bytesOf(p: String): Array[Byte] = {
+      val hp = new Path(p)
+      val f = hp.getFileSystem(confW.value)
+      val in = f.open(hp)
+      try in.readAllBytes() finally in.close()
+    }
+    val pathsRdd = spark.sparkContext.parallelize(paths,
+      math.max(1, math.min(paths.size, 64)))
+    // pass 1 (headers only): rollback targets
+    val targets: Set[String] = pathsRdd.flatMap { p =>
+      parseBlocks(bytesOf(p), p).iterator.collect {
+        case b if b.tpe == CommandBlock &&
+            b.header.get(HCommand).forall(_.trim == "0") =>
+          b.header.getOrElse(HTarget, "")
+      }.filter(_.nonEmpty)
+    }.collect().toSet
+    // pass 2: decode data blocks (skipping rolled-back instants) into
+    // (key, fileOrder, blockIdx, recIdx, payload...) rows
+    val names = payload.fieldNames.toSeq
+    val types = payload.fields.map(f => f.name -> f.dataType).toMap
+    val outSchema = StructType(
+      StructField(KeyCol, StringType) +:
+      StructField("__g_fo", IntegerType) +:
+      StructField("__g_bi", IntegerType) +:
+      StructField("__g_ri", IntegerType) +: payload.fields)
+    val foB = spark.sparkContext.broadcast(fileOrder)
+    val tgB = spark.sparkContext.broadcast(targets)
+    val okB = spark.sparkContext.broadcast(completedTs)
+    val blockNames = BlockNames
+    val rdd = pathsRdd.flatMap { p =>
+      val bytes = bytesOf(p)
+      val fo = foB.value(p)
+      parseBlocks(bytes, p).iterator.zipWithIndex.flatMap {
+        case (b, bi) =>
+          if (b.tpe == CommandBlock) Iterator.empty
+          else if (b.tpe != AvroBlock) throw new IllegalArgumentException(
+            s"$p: log block type ${blockNames.getOrElse(b.tpe,
+              b.tpe.toString)} is not modeled by this reader " +
+              "(AVRO_DATA_BLOCK and rollback COMMAND_BLOCK only) — " +
+              "refusing rather than serving a partial merge")
+          // snapshot isolation + time travel: blocks of instants NOT in
+          // the completed-≤-asOf timeline (in-flight appends, crashed
+          // writers, future commits) never serve; rolled-back instants
+          // skip via the command-block targets
+          else if (!okB.value.contains(b.header.getOrElse(HInstant, "")))
+            Iterator.empty
+          else if (tgB.value.contains(b.header.getOrElse(HInstant, "")))
+            Iterator.empty // rolled back
+          else {
+            val schema = b.header.getOrElse(HSchema,
+              throw new IllegalArgumentException(
+                s"$p: avro data block carries no SCHEMA header — refusing"))
+            decodeAvroBlock(b.content, schema, p).zipWithIndex.map {
+              case (rec, ri) =>
+                def v(n: String): AnyRef = {
+                  val f = rec.getSchema.getField(n)
+                  if (f == null) null else rec.get(n)
+                }
+                val key = Option(v(KeyCol)).map(_.toString).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"$p: log record carries no $KeyCol — refusing"))
+                val vals = names.map { n =>
+                  (Option(v(n)), types(n)) match {
+                    case (None, _)              => null
+                    case (Some(x), StringType)  => x.toString
+                    case (Some(x), LongType)    =>
+                      Long.box(x.toString.toLong)
+                    case (Some(x), IntegerType) =>
+                      Int.box(x.toString.toInt)
+                    case (Some(x), DoubleType)  =>
+                      Double.box(x.toString.toDouble)
+                    case (Some(x), FloatType)   =>
+                      Float.box(x.toString.toFloat)
+                    case (Some(x), BooleanType) =>
+                      Boolean.box(x.toString.toBoolean)
+                    case (Some(x), other) => throw new IllegalStateException(
+                      s"unreachable payload type $other for $x")
+                  }
+                }
+                Row.fromSeq(key +: Int.box(fo) +: Int.box(bi) +:
+                  Int.box(ri) +: vals)
+            }
+          }
+      }
+    }
+    val logRows = spark.createDataFrame(rdd, outSchema)
+    // last write wins per key: max_by over the arrival order
+    val latest = logRows.groupBy(KeyCol).agg(
+      max_by(struct(names.map(col): _*),
+        struct(col("__g_fo"), col("__g_bi"), col("__g_ri"))).as("__p"))
+      .select(col(KeyCol) +: names.map(n => col(s"__p.$n")): _*)
+    val baseKeyed = base.select(col(KeyCol) +: names.map(col): _*)
+    baseKeyed.join(latest.select(KeyCol), Seq(KeyCol), "left_anti")
+      .unionByName(latest)
+      .drop(KeyCol)
   }
 }

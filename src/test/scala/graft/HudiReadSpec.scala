@@ -122,7 +122,95 @@ class HudiReadSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("replacecommit"))
   }
 
-  test("MERGE_ON_READ: compacted/insert-only instants read; uncompacted logs refuse") {
+  // ---------------------------------------------------------------
+  // MOR log-file rig: blocks framed per the public log tech spec
+  // (#HUDI# magic, 8-byte block size, version, type ordinal,
+  // ordinal-keyed header map, content, footer map, total length)
+  // ---------------------------------------------------------------
+
+  private val logAvroSchema =
+    """{"type":"record","name":"rec","fields":[
+      {"name":"_hoodie_record_key","type":["null","string"],"default":null},
+      {"name":"k","type":["null","long"],"default":null},
+      {"name":"v","type":["null","string"],"default":null}]}"""
+      .replaceAll("\\s+", " ")
+
+  /** One avro-binary record of the fixture payload. */
+  private def avroRec(k: Long, v: String): Array[Byte] = {
+    val schema = new org.apache.avro.Schema.Parser().parse(logAvroSchema)
+    val rec = new org.apache.avro.generic.GenericData.Record(schema)
+    rec.put("_hoodie_record_key", k.toString)
+    rec.put("k", Long.box(k)); rec.put("v", v)
+    val bos = new java.io.ByteArrayOutputStream()
+    val enc = org.apache.avro.io.EncoderFactory.get()
+      .binaryEncoder(bos, null)
+    new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](schema).write(rec, enc)
+    enc.flush()
+    bos.toByteArray
+  }
+
+  /** AVRO_DATA_BLOCK content: 4-byte version, 4-byte count, then per
+    * record 4-byte length + avro-binary bytes.
+    */
+  private def avroBlockContent(recs: Seq[(Long, String)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(3); out.writeInt(recs.size)
+    recs.foreach { case (k, v) =>
+      val b = avroRec(k, v); out.writeInt(b.length); out.write(b)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  private def metaBytes(m: Map[Int, String]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(m.size)
+    m.toSeq.sortBy(_._1).foreach { case (ord, v) =>
+      val b = v.getBytes("UTF-8")
+      out.writeInt(ord); out.writeInt(b.length); out.write(b)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  /** One framed log block: magic, size, version, type, header map,
+    * content length, content, footer map, total length.
+    */
+  private def block(tpe: Int, header: Map[Int, String],
+                    content: Array[Byte]): Array[Byte] = {
+    val hdr = metaBytes(header)
+    val ftr = metaBytes(Map.empty)
+    val blockSize = 4L + 4 + hdr.length + 8 + content.length + ftr.length + 8
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.write("#HUDI#".getBytes("UTF-8"))
+    out.writeLong(blockSize)
+    out.writeInt(1)       // log format version
+    out.writeInt(tpe)     // block type ordinal
+    out.write(hdr)
+    out.writeLong(content.length.toLong)
+    out.write(content)
+    out.write(ftr)
+    out.writeLong(6L + 8 + blockSize) // total incl. magic + size field
+    out.flush(); bos.toByteArray
+  }
+
+  /** Avro data block at `instant` carrying (k, v) upserts. */
+  private def dataBlock(instant: String,
+                        recs: Seq[(Long, String)]): Array[Byte] =
+    block(3, Map(0 -> instant, 2 -> logAvroSchema),
+      avroBlockContent(recs))
+
+  private def writeLog(dir: String, name: String,
+                       blocks: Seq[Array[Byte]]): Unit =
+    Files.write(Paths.get(dir, name), blocks.flatten.toArray)
+
+  private def kv(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+    df.collect().map(r =>
+      r.getLong(r.fieldIndex("k")) -> r.getString(r.fieldIndex("v"))).toMap
+
+  test("MERGE_ON_READ: uncompacted avro log blocks merge onto the base file") {
     val dir = tmp()
     Files.createDirectories(Paths.get(dir))
     properties(dir, "MERGE_ON_READ")
@@ -131,23 +219,98 @@ class HudiReadSpec extends AnyFunSuite {
     Files.writeString(Paths.get(dir, ".hoodie", "001.deltacommit"),
       commitJson(Seq("f1" -> f1a)))
     assert(asSet(HudiRead.read(spark, dir)) == asSet(rows(0, 2, "old")))
-    // deltacommit 002: UPDATE lands a log file for group f1 — the base
-    // file is now stale, snapshot read must refuse
-    val logName = s".f1_001.log.1_0-0-0"
-    Files.writeString(Paths.get(dir, logName), "opaque-log-bytes")
+    // deltacommit 002: a log file UPDATES k=0 and INSERTS k=5
+    val log1 = ".f1_001.log.1_0-0-0"
+    writeLog(dir, log1, Seq(dataBlock("002",
+      Seq(0L -> "upd0", 5L -> "ins5"))))
     Files.writeString(Paths.get(dir, ".hoodie", "002.deltacommit"),
-      commitJson(Seq("f1" -> logName)))
-    val e = intercept[IllegalArgumentException] { HudiRead.read(spark, dir) }
-    assert(e.getMessage.contains("uncompacted log file"))
-    // time travel BEFORE the log write still reads
+      commitJson(Seq("f1" -> log1)))
+    val merged = HudiRead.read(spark, dir)
+    assert(merged.columns.toSeq == Seq("k", "v"), "meta columns dropped")
+    assert(kv(merged) == Map(0L -> "upd0", 1L -> "old1", 5L -> "ins5"))
+    // time travel BEFORE the log write serves the base alone
     assert(asSet(HudiRead.read(spark, dir, asOf = "001"))
       == asSet(rows(0, 2, "old")))
-    // compaction 003 folds the log into a fresh base file — the group's
-    // latest base now outranks the log, snapshot read works again
-    val f1b = baseFile(dir, "f1", "003", rows(0, 2, "new"))
-    Files.writeString(Paths.get(dir, ".hoodie", "003.commit"),
+    // deltacommit 003: a SECOND log file, two blocks — last write wins
+    // across files and blocks (k=0 updated twice more)
+    val log2 = ".f1_001.log.2_0-0-0"
+    writeLog(dir, log2, Seq(
+      dataBlock("003", Seq(0L -> "upd0b")),
+      dataBlock("003", Seq(0L -> "upd0c", 1L -> "upd1"))))
+    Files.writeString(Paths.get(dir, ".hoodie", "003.deltacommit"),
+      commitJson(Seq("f1" -> log2)))
+    assert(kv(HudiRead.read(spark, dir))
+      == Map(0L -> "upd0c", 1L -> "upd1", 5L -> "ins5"))
+    // ...and time travel between the log writes replays exactly
+    assert(kv(HudiRead.read(spark, dir, asOf = "002"))
+      == Map(0L -> "upd0", 1L -> "old1", 5L -> "ins5"))
+    // compaction 004 folds the merged view into a fresh base — the
+    // merged read at 003 must equal the post-compaction read
+    val preCompaction = kv(HudiRead.read(spark, dir, asOf = "003"))
+    val f1b = baseFile(dir, "f1", "004", spark.createDataFrame(
+      preCompaction.toSeq.sortBy(_._1)).toDF("k", "v"))
+    Files.writeString(Paths.get(dir, ".hoodie", "004.commit"),
       commitJson(Seq("f1" -> f1b)))
-    assert(asSet(HudiRead.read(spark, dir)) == asSet(rows(0, 2, "new")))
+    assert(kv(HudiRead.read(spark, dir)) == preCompaction,
+      "merged read must equal the post-compaction read")
+  }
+
+  test("MOR isolation: in-flight blocks invisible, rollback command skips, corrupt refuses") {
+    val dir = tmp()
+    Files.createDirectories(Paths.get(dir))
+    properties(dir, "MERGE_ON_READ")
+    val f1a = baseFile(dir, "f1", "001", rows(0, 2, "old"))
+    Files.writeString(Paths.get(dir, ".hoodie", "001.deltacommit"),
+      commitJson(Seq("f1" -> f1a)))
+    // one log file carrying: a committed block (002), a block whose
+    // instant 004 NEVER completed (crashed writer), and a block at 005
+    // that completed but was rolled back via a command block
+    val log1 = ".f1_001.log.1_0-0-0"
+    writeLog(dir, log1, Seq(
+      dataBlock("002", Seq(0L -> "upd0")),
+      dataBlock("004", Seq(1L -> "CRASHED")),
+      dataBlock("005", Seq(1L -> "ROLLEDBACK")),
+      // rollback COMMAND_BLOCK (type 0): COMMAND_BLOCK_TYPE=0 targets
+      // instant 005
+      block(0, Map(0 -> "006", 1 -> "005", 3 -> "0"), Array.emptyByteArray)))
+    Files.writeString(Paths.get(dir, ".hoodie", "002.deltacommit"),
+      commitJson(Seq("f1" -> log1)))
+    Files.writeString(Paths.get(dir, ".hoodie", "005.deltacommit"),
+      commitJson(Seq("f1" -> log1)))
+    assert(kv(HudiRead.read(spark, dir))
+      == Map(0L -> "upd0", 1L -> "old1"),
+      "in-flight and rolled-back blocks must never serve")
+    // an unmodeled block type refuses BY NAME (DELETE_BLOCK = 1)
+    val dir2 = tmp()
+    Files.createDirectories(Paths.get(dir2))
+    properties(dir2, "MERGE_ON_READ")
+    val f2a = baseFile(dir2, "f1", "001", rows(0, 2, "old"))
+    Files.writeString(Paths.get(dir2, ".hoodie", "001.deltacommit"),
+      commitJson(Seq("f1" -> f2a)))
+    writeLog(dir2, ".f1_001.log.1_0-0-0", Seq(
+      block(1, Map(0 -> "002"), Array[Byte](0, 0, 0, 0))))
+    Files.writeString(Paths.get(dir2, ".hoodie", "002.deltacommit"),
+      commitJson(Seq("f1" -> ".f1_001.log.1_0-0-0")))
+    val e = intercept[Exception] { HudiRead.read(spark, dir2).collect() }
+    assert(e.getMessage.contains("DELETE_BLOCK") ||
+      Option(e.getCause).exists(_.getMessage.contains("DELETE_BLOCK")))
+    // corrupt bytes refuse loudly, never silently skip
+    val dir3 = tmp()
+    Files.createDirectories(Paths.get(dir3))
+    properties(dir3, "MERGE_ON_READ")
+    val f3a = baseFile(dir3, "f1", "001", rows(0, 2, "old"))
+    Files.writeString(Paths.get(dir3, ".hoodie", "001.deltacommit"),
+      commitJson(Seq("f1" -> f3a)))
+    Files.writeString(Paths.get(dir3, ".f1_001.log.1_0-0-0"),
+      "opaque-log-bytes")
+    Files.writeString(Paths.get(dir3, ".hoodie", "002.deltacommit"),
+      commitJson(Seq("f1" -> ".f1_001.log.1_0-0-0")))
+    val e2 = intercept[Exception] { HudiRead.read(spark, dir3).collect() }
+    def anywhere(t: Throwable): Boolean =
+      t != null && (t.getMessage != null &&
+        (t.getMessage.contains("corrupt") || t.getMessage.contains("magic"))
+        || anywhere(t.getCause))
+    assert(anywhere(e2), s"corrupt log must refuse loudly: ${e2.getMessage}")
   }
 
   test("a non-empty archived timeline is refused, not silently subset") {
