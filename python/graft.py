@@ -496,24 +496,53 @@ def delta_delete(spark, path, predicate):
 
 
 def delta_changes(spark, path, from_version, to_version):
-    """Change feed between two Delta versions as a file-level diff
-    (``_change_type`` insert/delete; replay-exact: read(from) minus
-    deletes plus inserts == read(to)). Scans only the changed files."""
+    """ROW-LEVEL change feed between two Delta versions (per-commit CDF
+    semantics): commits with cdc files serve their minimal row diffs
+    (delete / update_preimage / update_postimage / insert), others
+    derive from dataChange adds/removes; every row carries
+    ``_change_type`` and ``_commit_version``. Replay-exact as multiset
+    algebra. Scans only changed/cdc files."""
     jdf = _jvm(spark).graft.sources.DeltaRead.changes(
         spark._jsparkSession, path, int(from_version), int(to_version))
     return _wrap(spark, jdf)
 
 
-def iceberg_create(spark, df, path):
-    """Create an Iceberg table (append-only writer; public table spec,
-    format-version 2). Returns the snapshot id (1)."""
+def iceberg_create(spark, df, path, partition_by=None):
+    """Create an Iceberg table (public table spec, format-version 2;
+    spec-complete v2 metadata). ``partition_by`` declares
+    identity-transform partition fields (data files split one partition
+    tuple per file). Returns the snapshot id (1)."""
+    if partition_by:
+        return _jvm(spark).graft.sources.IcebergWrite.create(
+            df._jdf, path, _to_seq(spark, list(partition_by)))
     return _jvm(spark).graft.sources.IcebergWrite.create(df._jdf, path)
 
 
-def iceberg_append(spark, df, path):
+def iceberg_append(spark, df, path, merge_schema=False):
     """Append a snapshot to an Iceberg table with optimistic-concurrency
-    metadata commits. Returns the new snapshot id."""
-    return _jvm(spark).graft.sources.IcebergWrite.append(df._jdf, path)
+    metadata commits. ``merge_schema=True`` allows ADDITIVE evolution:
+    new columns get fresh field ids and a fresh schema-id; old files
+    surface NULL. Returns the new snapshot id."""
+    return _jvm(spark).graft.sources.IcebergWrite.append(
+        df._jdf, path, bool(merge_schema))
+
+
+def delta_optimize(spark, path, target_bytes=128 * 1024 * 1024):
+    """OPTIMIZE a Delta table: bin-packing compaction per partition
+    tuple; files carrying deletion vectors fold them (DV-applied
+    rewrite). The commit is pure reorganization (dataChange=false).
+    Returns the committed version (or the current one if nothing
+    qualified)."""
+    return _jvm(spark).graft.sources.DeltaWrite.optimize(
+        spark._jsparkSession, path, int(target_bytes))
+
+
+def delta_vacuum(spark, path, retain_millis=-1):
+    """VACUUM a Delta table: delete data/DV files no reader can reach
+    (tombstone older than the retention window, or never-logged crash
+    orphans past it). Returns the number of files deleted."""
+    return _jvm(spark).graft.sources.DeltaWrite.vacuum(
+        spark._jsparkSession, path, int(retain_millis))
 
 
 def iceberg_read(spark, path, snapshot_id=-1):

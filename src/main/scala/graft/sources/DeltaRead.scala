@@ -48,10 +48,17 @@ import scala.jdk.CollectionConverters._
   *     (file, `_metadata.row_index`);
   *   - time travel via `version` (replays the log prefix).
   *
-  * Non-goals (loudly enforced): NO writes from this object; v2/UUID-
-  * named checkpoints, unknown column-mapping modes, and any reader
-  * feature outside {columnMapping, deletionVectors, timestampNtz} are
-  * refused by name rather than silently misread.
+  *
+  * Checkpoint forms: classic single-file, multi-part
+  * `N.checkpoint.i.of.n`, AND v2/UUID-named manifests (round 9 —
+  * parquet or json, with `sidecar` actions resolving to
+  * `_delta_log/_sidecars/` parquet holding the add/remove state; the
+  * sidecar scan stays distributed).
+  *
+  * Non-goals (loudly enforced): NO writes from this object; unknown
+  * column-mapping modes and any reader feature outside {columnMapping,
+  * deletionVectors, timestampNtz, v2Checkpoint} are refused by name
+  * rather than silently misread.
   */
 object DeltaRead {
   private val om = new ObjectMapper()
@@ -108,7 +115,7 @@ object DeltaRead {
   private val CommitName = """(\d{20})\.json""".r
   private val CkptSingle = """(\d{20})\.checkpoint\.parquet""".r
   private val CkptPart = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
-  // v2 checkpoints are UUID-named; recognized only to refuse by name
+  // v2 checkpoints are UUID-named manifests (round 9: read, not refused)
   private val CkptV2 = """(\d{20})\.checkpoint\.[0-9a-fA-F-]{36}\.(parquet|json)""".r
 
   /** Latest committed version of the table (max of commit jsons and any
@@ -175,6 +182,17 @@ object DeltaRead {
     singles ++ multi
   }
 
+  /** v2/UUID-named checkpoint manifests visible in the log dir. When a
+    * version has several (allowed: any writer may add one), any single
+    * manifest is complete by construction — pick the lexicographic
+    * first for determinism.
+    */
+  private def v2CheckpointsIn(names: Seq[String], dir: Path)
+      : Map[Long, Path] =
+    names.collect { case n @ CkptV2(v, _) => v.toLong -> n }
+      .groupBy(_._1)
+      .map { case (v, xs) => v -> new Path(dir, xs.map(_._2).min) }
+
   /** Snapshot the log at `version` (-1 = latest). */
   private[graft] def replay(spark: SparkSession, path: String,
                             version: Long): LogState = {
@@ -184,23 +202,22 @@ object DeltaRead {
     val names = f.listStatus(dir).map(_.getPath.getName).toSeq
     val commits = names.collect { case CommitName(v) => v.toLong }.sorted
     val ckpts = checkpointsIn(names, dir)
-    val v2Names = names.filter {
-      case CkptV2(_, _) => true
-      case _            => false
-    }
+    val v2s = v2CheckpointsIn(names, dir)
     val target =
       if (version >= 0) version
-      else (commits ++ ckpts.keys).foldLeft(-1L)(math.max)
+      else (commits ++ ckpts.keys ++ v2s.keys).foldLeft(-1L)(math.max)
     require(target >= 0, s"$path: empty _delta_log")
 
-    // newest usable checkpoint at or below the target. _last_checkpoint
-    // is a possibly-stale HINT per the protocol: a reference the listing
+    // newest usable checkpoint at or below the target (classic wins a
+    // tie — one file, no sidecar hops). _last_checkpoint is a
+    // possibly-stale HINT per the protocol: a reference the listing
     // cannot corroborate (checkpoint cleanup, eventually-consistent
     // listing) is ignored and planning proceeds from the listed
     // checkpoints/commits — never a refusal.
     val hint = lastCheckpointRef(f, dir).map(_._1)
-      .filter(v => v <= target && ckpts.contains(v))
-    val base = (ckpts.keys.filter(_ <= target) ++ hint)
+      .filter(v => v <= target && (ckpts.contains(v) || v2s.contains(v)))
+    val base = (ckpts.keys.filter(_ <= target) ++
+        v2s.keys.filter(_ <= target) ++ hint)
       .toSeq.sorted.lastOption
 
     var schemaJson: String = null
@@ -219,7 +236,8 @@ object DeltaRead {
 
     base.foreach { cv =>
       val (ds, rm, meta, proto, ckptTxns, ckptUnknown) =
-        loadCheckpoint(spark, ckpts(cv))
+        if (ckpts.contains(cv)) loadCheckpoint(spark, ckpts(cv))
+        else loadV2Checkpoint(spark, dir, v2s(cv))
       ckptDs = Some(ds)
       ckptRm = rm
       meta.foreach { m =>
@@ -242,11 +260,7 @@ object DeltaRead {
     (from to target).foreach { v =>
       val p = new Path(dir, f"$v%020d.json")
       require(f.exists(p),
-        s"$path: missing commit $v (log cleaned past requested version?" +
-          (if (v2Names.nonEmpty)
-             s" note: v2/UUID-named checkpoints present but unsupported " +
-               s"by this reader: ${v2Names.mkString(", ")}"
-           else "") + ")")
+        s"$path: missing commit $v (log cleaned past requested version?)")
       val in = f.open(p)
       val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
       text.split("\n").filter(_.trim.nonEmpty).foreach { line =>
@@ -333,14 +347,149 @@ object DeltaRead {
     * Tolerates checkpoints missing optional fields (stats, size,
     * deletionVector, configuration, readerFeatures...).
     */
-  private def loadCheckpoint(spark: SparkSession, parts: Seq[Path])
-      : (Dataset[AddEntry],
-         Option[DataFrame], // lazy (path, deletionTimestamp) tombstones
-         Option[(String, Seq[String], Map[String, String], String, Long)],
-         Option[(Int, Int, Seq[String], Seq[String])],
-         Map[String, Long],
-         Set[String]) = {
-    val df = spark.read.parquet(parts.map(_.toString): _*)
+  private type CkptState =
+    (Dataset[AddEntry],
+     Option[DataFrame], // lazy (path, deletionTimestamp) tombstones
+     Option[(String, Seq[String], Map[String, String], String, Long)],
+     Option[(Int, Int, Seq[String], Seq[String])],
+     Map[String, Long],
+     Set[String])
+
+  private def loadCheckpoint(spark: SparkSession,
+                             parts: Seq[Path]): CkptState =
+    standardizeCheckpoint(spark,
+      spark.read.parquet(parts.map(_.toString): _*))
+
+  /** v2/UUID checkpoint manifest: the top file carries protocol /
+    * metaData / txn / checkpointMetadata plus `sidecar` actions naming
+    * the `_delta_log/_sidecars/` parquet files that hold the add/remove
+    * state (a v2 file MAY also carry adds inline when it has no
+    * sidecars). Both forms standardize through the same walker as
+    * classic checkpoints; sidecar state unions in distributed.
+    */
+  private def loadV2Checkpoint(spark: SparkSession, logDir: Path,
+                               file: Path): CkptState = {
+    val (top, sidecarRels): (CkptState, Seq[String]) =
+      if (file.getName.endsWith(".parquet")) {
+        val df = spark.read.parquet(file.toString)
+        val rels =
+          if (!df.schema.fieldNames.contains("sidecar")) Nil
+          else df.where(col("sidecar.path").isNotNull)
+            .select(col("sidecar.path")).collect()
+            .map(_.getString(0)).toSeq
+        (standardizeCheckpoint(spark, df), rels)
+      } else { // json manifest: KB-sized action lines, driver-parsed
+        val f = fs(spark, logDir.toString)
+        val in = f.open(file)
+        val text = try new String(in.readAllBytes(), "UTF-8")
+                   finally in.close()
+        jsonCheckpoint(spark, text)
+      }
+    if (sidecarRels.isEmpty) top
+    else {
+      val paths = sidecarRels.map { rel =>
+        if (rel.startsWith("/") || rel.contains("://")) rel
+        else new Path(logDir, s"_sidecars/$rel").toString
+      }
+      val (scAdds, scRm, _, _, _, scUnknown) =
+        standardizeCheckpoint(spark, spark.read.parquet(paths: _*))
+      val (a, rm, meta, proto, txns, unk) = top
+      val adds = a.unionByName(scAdds)
+      // sidecar tombstones also subtract from any top-level adds; a
+      // real v2 layout keeps add/remove in sidecars only, so this is
+      // belt-and-braces, not a hot path
+      val addsFinal = scRm match {
+        case Some(r) =>
+          adds.join(r.select("path"), Seq("path"), "left_anti").as[AddEntry]
+        case None => adds
+      }
+      val removes = (rm, scRm) match {
+        case (Some(x), Some(y)) => Some(x.unionByName(y))
+        case (x, y)             => x.orElse(y)
+      }
+      (addsFinal, removes, meta, proto, txns, unk ++ scUnknown)
+    }
+  }
+
+  /** JSON v2 checkpoint manifest → standardized state + sidecar rels. */
+  private def jsonCheckpoint(spark: SparkSession, text: String)
+      : (CkptState, Seq[String]) = {
+    var meta: Option[(String, Seq[String], Map[String, String], String,
+      Long)] = None
+    var proto: Option[(Int, Int, Seq[String], Seq[String])] = None
+    val adds = scala.collection.mutable.LinkedHashMap[String, AddEntry]()
+    val removes = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val txns = scala.collection.mutable.Map[String, Long]()
+    val unknown = scala.collection.mutable.Set[String]()
+    val sidecars = scala.collection.mutable.Buffer[String]()
+    text.split("\n").filter(_.trim.nonEmpty).foreach { line =>
+      val n = om.readTree(line)
+      if (n.has("metaData")) {
+        val md = n.path("metaData")
+        meta = Some((md.path("schemaString").asText(),
+          md.path("partitionColumns").elements().asScala
+            .map(_.asText()).toSeq,
+          Option(md.get("configuration")).filterNot(_.isNull)
+            .map(_.properties().asScala.map(e =>
+              e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty),
+          md.path("id").asText(""), md.path("createdTime").asLong(0L)))
+      }
+      if (n.has("protocol")) {
+        val pr = n.path("protocol")
+        def arr(k: String) = Option(pr.get(k)).filterNot(_.isNull)
+          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+        proto = Some((pr.path("minReaderVersion").asInt(1),
+          pr.path("minWriterVersion").asInt(2),
+          arr("readerFeatures"), arr("writerFeatures")))
+      }
+      if (n.has("add")) {
+        val a = n.path("add")
+        val rel = a.path("path").asText()
+        val pv = Option(a.get("partitionValues"))
+          .map(_.properties().asScala.map(e => e.getKey ->
+            (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
+          .getOrElse(Map.empty[String, String])
+        val dv = Option(a.get("deletionVector")).filterNot(_.isNull)
+          .map(d => Dv(d.path("storageType").asText(),
+            d.path("pathOrInlineDv").asText(), d.path("offset").asInt(0),
+            d.path("sizeInBytes").asInt(0),
+            d.path("cardinality").asLong(0L)))
+        adds(rel) = AddEntry(rel,
+          Option(a.get("stats")).filterNot(_.isNull).map(_.asText()), pv,
+          a.path("size").asLong(0L),
+          a.path("modificationTime").asLong(0L), dv)
+      }
+      if (n.has("remove")) {
+        val r = n.path("remove")
+        removes(r.path("path").asText()) =
+          r.path("deletionTimestamp").asLong(0L)
+      }
+      if (n.has("txn")) {
+        val t = n.path("txn")
+        val app = t.path("appId").asText()
+        val v = t.path("version").asLong(Long.MinValue)
+        if (app.nonEmpty && v != Long.MinValue)
+          txns(app) = math.max(v, txns.getOrElse(app, Long.MinValue))
+      }
+      if (n.has("sidecar")) sidecars += n.path("sidecar").path("path").asText()
+      n.fieldNames().asScala.foreach {
+        case "add" | "remove" | "metaData" | "protocol" | "txn" |
+             "commitInfo" | "cdc" | "checkpointMetadata" | "sidecar" => ()
+        case other => unknown += other
+      }
+    }
+    val live = adds.filterNot { case (p, _) => removes.contains(p) }
+      .values.toSeq
+    import spark.implicits._
+    val rmDf =
+      if (removes.isEmpty) None
+      else Some(removes.toSeq.toDF("path", "deletionTimestamp"))
+    ((spark.createDataset(live), rmDf, meta, proto, txns.toMap,
+      unknown.toSet), sidecars.toSeq)
+  }
+
+  private def standardizeCheckpoint(spark: SparkSession,
+                                    df: DataFrame): CkptState = {
     val sch = df.schema
     def has(dotted: String): Boolean =
       dotted.split('.').foldLeft(Option(sch: DataType)) {
@@ -459,7 +608,7 @@ object DeltaRead {
     // top-level checkpoint columns this reader does not model: their
     // rows are table state a re-checkpoint must not drop
     val known = Set("add", "remove", "metaData", "protocol", "txn",
-      "commitInfo", "cdc")
+      "commitInfo", "cdc", "checkpointMetadata", "sidecar")
     val unknownCols = sch.fieldNames.toSet -- known
     val unknownWithRows = unknownCols.filter { c =>
       sch(c).dataType.isInstanceOf[StructType] &&
@@ -469,7 +618,7 @@ object DeltaRead {
   }
 
   private[graft] val SupportedFeatures =
-    Set("columnMapping", "deletionVectors", "timestampNtz")
+    Set("columnMapping", "deletionVectors", "timestampNtz", "v2Checkpoint")
 
   private def checkProtocol(mrv: Int, features: Seq[String]): Unit = {
     if (mrv <= 2) () // 2 = column mapping; the mode gate runs at read
@@ -633,42 +782,126 @@ object DeltaRead {
     ((ckptTotal + st.tailAdds.size).toInt, (ckptKept + tailKept).toInt)
   }
 
-  /** Change feed between two versions as a file-level diff — the
-    * incremental-consumer contract: rows of files REMOVED between the
-    * versions surface as `_change_type='delete'`, rows of files ADDED
-    * as `'insert'` (a file re-added with a different deletion vector or
-    * size counts as both). Replay-exact by file-set algebra:
-    * read(fromV) minus deletes plus inserts == read(toV) as multisets —
-    * though a copy-on-write rewrite surfaces its UNCHANGED rows as
-    * delete+insert pairs (file granularity; minimal row diffs need CDC
-    * files, which this log-only reader does not require). Scans ONLY
-    * the changed files — the 100 TB shape; a whole-table diff never
-    * runs. Refused across a schema-evolution boundary (the two sides
-    * would not union soundly).
+  /** Row-level change feed between two versions — a PER-COMMIT walk
+    * with the protocol's CDF semantics:
+    *
+    *   - a commit carrying `cdc` actions serves EXACTLY its
+    *     `_change_data` rows (`_change_type` of delete /
+    *     update_preimage / update_postimage / insert) — the minimal
+    *     row diff the writer materialized (see
+    *     `delta.enableChangeDataFeed` in [[DeltaWrite]]);
+    *   - a commit without cdc derives: rows of files removed (or
+    *     replaced by a re-add) with `dataChange=true` surface as
+    *     `'delete'` — assembled with the file's PRE-state deletion
+    *     vector, so a masked row never surfaces — and rows of added
+    *     files as `'insert'` (file granularity: a COW rewrite without
+    *     CDF surfaces its unchanged rows as delete+insert pairs);
+    *   - `dataChange=false` reorganizations (OPTIMIZE, checkpoints)
+    *     produce nothing.
+    *
+    * Every row carries `_change_type` and `_commit_version`.
+    * Replay-exact as multiset algebra: read(fromV) minus
+    * deletes/preimages plus inserts/postimages == read(toV). Scans
+    * ONLY changed/cdc files — the 100 TB shape; a whole-table diff
+    * never runs. Refused across a schema-evolution boundary and past
+    * cleaned commits (a checkpoint cannot reconstruct per-commit
+    * diffs).
     */
   def changes(spark: SparkSession, path: String, fromV: Long,
               toV: Long): DataFrame = {
     require(fromV <= toV, s"changes: fromV $fromV > toV $toV")
-    val stFrom = replay(spark, path, fromV)
-    val stTo = replay(spark, path, toV)
-    require(stFrom.schemaJson == stTo.schemaJson,
-      s"$path: schema changed between v$fromV and v$toV — a change feed " +
-        "across an evolution boundary is refused (the sides would not " +
-        "union soundly)")
-    val schema = schemaOf(stTo)
-    def key(a: AddEntry) = (a.path, a.dv, a.size)
-    val fromFiles = liveEntries(stFrom, None)
-    val toFiles = liveEntries(stTo, None)
-    val fromKeys = fromFiles.map(key).toSet
-    val toKeys = toFiles.map(key).toSet
-    val removed = fromFiles.filterNot(a => toKeys.contains(key(a)))
-    val added = toFiles.filterNot(a => fromKeys.contains(key(a)))
-    val cols = schema.fieldNames.map(col).toSeq
-    def tagged(files: Seq[AddEntry], st: LogState, tag: String) =
-      assemble(spark, path, st, files)
-        .select(cols :+ lit(tag).as("_change_type"): _*)
-    tagged(removed, stFrom, "delete")
-      .unionByName(tagged(added, stTo, "insert"))
+    val st0 = replay(spark, path, fromV)
+    val schema = schemaOf(st0)
+    val feedSchema = StructType(schema.fields :+
+      StructField("_change_type", StringType))
+    val state = scala.collection.mutable.Map[String, AddEntry](
+      liveEntries(st0, None).map(a => a.path -> a): _*)
+    val dir = new Path(path, "_delta_log")
+    val f = fs(spark, path)
+    val parts = scala.collection.mutable.Buffer[DataFrame]()
+    val outCols = schema.fieldNames.toSeq.map(col) ++
+      Seq(col("_change_type"), col("_commit_version"))
+    def tag(df: DataFrame, v: Long): DataFrame =
+      df.withColumn("_commit_version", lit(v)).select(outCols: _*)
+    (fromV + 1 to toV).foreach { v =>
+      val p = new Path(dir, f"$v%020d.json")
+      require(f.exists(p),
+        s"$path: commit $v missing (log cleaned?) — per-commit changes " +
+          "cannot be reconstructed from a checkpoint, refusing")
+      val in = f.open(p)
+      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val cdcEntries = scala.collection.mutable.Buffer[AddEntry]()
+      val dels = scala.collection.mutable.Buffer[AddEntry]()
+      val ins = scala.collection.mutable.Buffer[AddEntry]()
+      text.split("\n").filter(_.trim.nonEmpty).foreach { line =>
+        val n = om.readTree(line)
+        if (n.has("metaData"))
+          require(n.path("metaData").path("schemaString").asText()
+              == st0.schemaJson,
+            s"$path: schema changed at v$v — a change feed across an " +
+              "evolution boundary is refused (the sides would not " +
+              "union soundly)")
+        if (n.has("cdc")) {
+          val c = n.path("cdc")
+          val pv = Option(c.get("partitionValues"))
+            .map(_.properties().asScala.map(e => e.getKey ->
+              (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
+            .getOrElse(Map.empty[String, String])
+          cdcEntries += AddEntry(c.path("path").asText(), None, pv,
+            c.path("size").asLong(0L), 0L, None)
+        }
+        if (n.has("add")) {
+          val a = n.path("add")
+          val rel = a.path("path").asText()
+          val dataChange = a.path("dataChange").asBoolean(true)
+          val pv = Option(a.get("partitionValues"))
+            .map(_.properties().asScala.map(e => e.getKey ->
+              (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
+            .getOrElse(Map.empty[String, String])
+          val dv = Option(a.get("deletionVector")).filterNot(_.isNull)
+            .map { d =>
+              Dv(d.path("storageType").asText(),
+                d.path("pathOrInlineDv").asText(),
+                d.path("offset").asInt(0), d.path("sizeInBytes").asInt(0),
+                d.path("cardinality").asLong(0L))
+            }
+          val entry = AddEntry(rel,
+            Option(a.get("stats")).filterNot(_.isNull).map(_.asText()), pv,
+            a.path("size").asLong(0L),
+            a.path("modificationTime").asLong(0L), dv)
+          if (dataChange) {
+            // a re-add REPLACES the previous entry (protocol
+            // reconciliation — the DV-update pattern): its old visible
+            // rows are deletes, its new visible rows inserts
+            state.get(rel).foreach(old => dels += old)
+            ins += entry
+          }
+          state(rel) = entry
+        }
+        if (n.has("remove")) {
+          val r = n.path("remove")
+          val rel = r.path("path").asText()
+          val dataChange = r.path("dataChange").asBoolean(true)
+          state.remove(rel).foreach(old => if (dataChange) dels += old)
+        }
+      }
+      if (cdcEntries.nonEmpty)
+        parts += tag(scan(spark, path, st0, feedSchema, cdcEntries.toSeq,
+          withMeta = false), v)
+      else {
+        if (dels.nonEmpty)
+          parts += tag(assemble(spark, path, st0, dels.toSeq)
+            .withColumn("_change_type", lit("delete")), v)
+        if (ins.nonEmpty)
+          parts += tag(assemble(spark, path, st0, ins.toSeq)
+            .withColumn("_change_type", lit("insert")), v)
+      }
+    }
+    if (parts.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(feedSchema.fields :+
+          StructField("_commit_version", LongType, nullable = false)))
+    else parts.reduce(_ unionByName _)
   }
 
   /** Full live state for the writer's checkpoint pass (the one caller

@@ -286,7 +286,15 @@ object DeltaWrite {
         .assemble(spark, path, st, affected)
         .filter(!coalesce(expr(predicate), lit(false)))
       val files = writeSegment(complement, path, st.partitionCols)
-      val actions = affected.map(removeAction) ++
+      // CDF: the deleted rows (DV-applied view, so never a masked row)
+      // land as row-level 'delete' change data in the same commit
+      val cdc =
+        if (!cdfEnabled(st)) Nil
+        else cdcActionsFor(DeltaRead.assemble(spark, path, st, affected)
+            .filter(coalesce(expr(predicate), lit(false)))
+            .withColumn("_change_type", lit("delete")),
+          path, st.partitionCols)
+      val actions = cdc ++ affected.map(removeAction(_)) ++
         actionsFor(schema, files, withMeta = false, st.partitionCols)
       if (publish(spark, path, cur + 1, actions)) {
         maybeCheckpoint(spark, path, cur + 1)
@@ -366,7 +374,29 @@ object DeltaWrite {
         .map(_.select(ordered: _*).unionByName(source.select(ordered: _*)))
         .getOrElse(source.select(ordered: _*))
       val files = writeSegment(segment, path, st.partitionCols)
-      val actions = affected.map(removeAction) ++
+      // CDF on a rewriting MERGE: matched rows emit update_preimage
+      // (old, DV-applied) + update_postimage (new), unmatched source
+      // rows emit insert — all in the commit's _change_data files. A
+      // pure-insert merge (no rewrite) emits no cdc: readers derive
+      // inserts from its dataChange adds.
+      val cdc =
+        if (!cdfEnabled(st) || affected.isEmpty) Nil
+        else {
+          val pre = DeltaRead.assemble(spark, path, st, affected)
+            .join(keyFrame, keys, "left_semi")
+          val preKeys = pre.select(keys.map(col): _*).distinct()
+          val post = source.join(preKeys, keys, "left_semi")
+          val ins = source.join(preKeys, keys, "left_anti")
+          cdcActionsFor(
+            pre.select(ordered: _*)
+              .withColumn("_change_type", lit("update_preimage"))
+            .unionByName(post.select(ordered: _*)
+              .withColumn("_change_type", lit("update_postimage")))
+            .unionByName(ins.select(ordered: _*)
+              .withColumn("_change_type", lit("insert"))),
+            path, st.partitionCols)
+        }
+      val actions = cdc ++ affected.map(removeAction(_)) ++
         actionsFor(schema, files, withMeta = false, st.partitionCols)
       if (publish(spark, path, cur + 1, actions)) {
         maybeCheckpoint(spark, path, cur + 1)
@@ -377,11 +407,158 @@ object DeltaWrite {
     -1L // unreachable
   }
 
+  // --------------------------------------------------------------------
+  // table maintenance: OPTIMIZE (bin-packing compaction) + VACUUM —
+  // without them every COW delete/upsert and small append accretes
+  // files forever (SnapshotTable has had both since round 4; this
+  // brings the open format to parity)
+  // --------------------------------------------------------------------
+
+  /** OPTIMIZE: bin-packing compaction. Within each partition tuple,
+    * files smaller than `targetBytes` (and any file carrying a deletion
+    * vector — compacting FOLDS the DV, the rewrite reads DV-applied
+    * rows) are rewritten into ~targetBytes bins. The commit is pure
+    * reorganization: adds AND removes carry `dataChange=false`, so
+    * change-feed and streaming consumers never re-serve the rows. One
+    * atomic commit; a lost race replans. Returns the committed version,
+    * or the current version when nothing qualified.
+    */
+  def optimize(spark: SparkSession, path: String,
+               targetBytes: Long = 128L * 1024 * 1024): Long = {
+    var attempts = 0
+    while (true) {
+      require(attempts < 10, s"$path: lost the optimize race 10 times")
+      val cur = DeltaRead.latestVersion(spark, path)
+      val (st, live) = DeltaRead.checkpointState(spark, path, cur)
+      requireRewritable(st, live)
+      val schema = DeltaRead.schemaOf(st)
+      // a group is worth compacting when it can shrink the file count
+      // (≥2 small files) or fold a DV (rewriting one DV'd file drops
+      // the mask and the dead rows)
+      val groups = live.groupBy(_.partitionValues).values.map(_.filter(a =>
+          a.size < targetBytes || a.dv.exists(_.cardinality > 0L)))
+        .filter(g => g.size >= 2 || g.exists(_.dv.exists(_.cardinality > 0L)))
+        .toSeq
+      if (groups.isEmpty) return cur
+      val written = groups.flatMap { g =>
+        val bins = math.max(1L,
+          (g.map(_.size).sum + targetBytes - 1) / targetBytes).toInt
+        // DV-applied assembly: compaction must never resurrect rows
+        val rows = DeltaRead.assemble(spark, path, st, g)
+          .repartition(bins)
+        writeSegment(rows, path, st.partitionCols)
+      }
+      val actions = groups.flatten.map(removeAction(_, dataChange = false)) ++
+        actionsFor(schema, written, withMeta = false, st.partitionCols,
+          dataChange = false)
+      if (publish(spark, path, cur + 1, actions)) {
+        maybeCheckpoint(spark, path, cur + 1)
+        return cur + 1
+      }
+      attempts += 1
+    }
+    -1L // unreachable
+  }
+
+  /** VACUUM: delete data/DV files no reader can reach. A file is
+    * deletable when it is NOT referenced by the CURRENT version and
+    * either (a) its remove tombstone is older than the retention window
+    * (readers of snapshots that referenced it are past retention — the
+    * protocol's documented time-travel horizon), or (b) it has no
+    * tombstone at all (an orphan from a crashed writer, invisible to
+    * every reader) and its mtime is older than the window. Refuses on
+    * unmodeled log state. Returns the number of files deleted; the log
+    * itself is never touched.
+    */
+  def vacuum(spark: SparkSession, path: String,
+             retainMillis: Long = -1L): Int = {
+    val cur = DeltaRead.latestVersion(spark, path)
+    val (st, live) = DeltaRead.checkpointState(spark, path, cur)
+    require(st.unmodeledState.isEmpty,
+      s"$path: log carries unmodeled state ${st.unmodeledState} — " +
+        "vacuum cannot prove reachability, refusing")
+    val retain = if (retainMillis >= 0) retainMillis
+                 else retentionMillis(st.conf)
+    val cutoff = System.currentTimeMillis() - retain
+    val f = fs(spark, path)
+    // referenced: every live data file + every live on-disk DV file
+    def norm(rel: String): String = PathCodec.percentDecode(rel)
+    val refData = live.map(a => norm(a.path)).toSet
+    val refDv = live.flatMap(_.dv).flatMap { d =>
+      d.storageType match {
+        case "u" =>
+          val enc = d.pathOrInlineDv.takeRight(20)
+          val prefix = d.pathOrInlineDv.dropRight(20)
+          val b = PathCodec.z85Decode(enc)
+          val bb = java.nio.ByteBuffer.wrap(b)
+          val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+          Some((if (prefix.nonEmpty) s"$prefix/" else "") +
+            s"deletion_vector_$uuid.bin")
+        case _ => None // 'i' inline; 'p' absolute — outside the table dir
+      }
+    }.toSet
+    // tombstone timestamps: JSON tail + checkpoint carry-over
+    val tombTs: Map[String, Long] = st.ckptRemoves.map(
+        _.collect().map(r => norm(r.getString(0)) -> r.getLong(1)).toMap)
+      .getOrElse(Map.empty) ++
+      st.tailRemoves.map { case (p, ts) => norm(p) -> ts }
+    val root = f.makeQualified(new Path(path)).toString
+    def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      f.listStatus(p).toSeq.flatMap { s =>
+        val n = s.getPath.getName
+        if (n.startsWith(".") || n.startsWith("_")) Seq.empty // log/stage
+        else if (s.isDirectory) walk(s.getPath)
+        else if (n.endsWith(".parquet") || n.endsWith(".bin")) Seq(s)
+        else Seq.empty
+      }
+    var deleted = 0
+    walk(new Path(path)).foreach { s =>
+      val rel = f.makeQualified(s.getPath).toString
+        .stripPrefix(root).stripPrefix("/")
+      val isRef = refData.contains(rel) || refDv.contains(rel)
+      val deletable = !isRef && (tombTs.get(rel) match {
+        case Some(ts) => ts < cutoff
+        case None     => s.getModificationTime < cutoff // orphan
+      })
+      if (deletable && f.delete(s.getPath, false)) deleted += 1
+    }
+    deleted
+  }
+
   /** SQL literal rendering for the stats-prune predicate. */
   private def sqlLit(v: String, dt: DataType): String = dt match {
     case ByteType | ShortType | IntegerType | LongType |
          FloatType | DoubleType => v
     case _ => "'" + v.replace("'", "''") + "'"
+  }
+
+  // --------------------------------------------------------------------
+  // change data feed (delta.enableChangeDataFeed): COW commits that
+  // rewrite files also land row-level `_change_data/` parquet so
+  // incremental consumers get MINIMAL diffs instead of whole-file
+  // delete+insert pairs
+  // --------------------------------------------------------------------
+
+  private def cdfEnabled(st: DeltaRead.LogState): Boolean =
+    st.conf.get("delta.enableChangeDataFeed").exists(_.trim == "true")
+
+  /** Land `rows` (payload + `_change_type`) as `_change_data/` files and
+    * render their cdc actions. Per the protocol, a commit carrying ANY
+    * cdc action tells CDF readers to use ONLY the cdc files for that
+    * commit — so the caller must include every row-level change,
+    * inserts included.
+    */
+  private def cdcActionsFor(rows: DataFrame, path: String,
+                            partitionBy: Seq[String]): Seq[String] = {
+    val files = writeSegment(rows, path, partitionBy,
+      prefix = "_change_data/")
+    files.map { w =>
+      val pv = om.createObjectNode()
+      partitionValuesOf(w.rel).foreach { case (k, v) => pv.put(k, v) }
+      s"""{"cdc":{"path":"${PathCodec.percentEncodePath(w.rel)}",""" +
+        s""""partitionValues":${om.writeValueAsString(pv)},""" +
+        s""""size":${w.size},"dataChange":false}}"""
+    }
   }
 
   /** Tombstone for a rewritten file. deletionTimestamp is the REAL wall
@@ -390,10 +567,11 @@ object DeltaWrite {
     * instantly expired and let a third-party VACUUM delete the data file
     * out from under concurrent readers of older snapshots.
     */
-  private def removeAction(a: DeltaRead.AddEntry): String =
+  private def removeAction(a: DeltaRead.AddEntry,
+                           dataChange: Boolean = true): String =
     s"""{"remove":{"path":"${a.path}",""" +
       s""""deletionTimestamp":${System.currentTimeMillis()},""" +
-      s""""dataChange":true}}"""
+      s""""dataChange":$dataChange}}"""
 
   /** Re-emitted metaData for a schema-evolution commit. Everything but
     * schemaString carries FORWARD VERBATIM from the current state — the
@@ -431,10 +609,12 @@ object DeltaWrite {
   /** Write `df` as parquet files under the table root with Delta-style
     * unique names — hive partition directories when `partitionBy` is
     * set (Spark's own partitionBy stage splits and hive-encodes; the
-    * files are then moved dir-for-dir).
+    * files are then moved dir-for-dir). `prefix` relocates the segment
+    * under a subdirectory (the CDF path uses `_change_data/`).
     */
   private def writeSegment(df: DataFrame, path: String,
-                           partitionBy: Seq[String]): Seq[Written] = {
+                           partitionBy: Seq[String],
+                           prefix: String = ""): Seq[Written] = {
     val spark = df.sparkSession
     val stage = new Path(path,
       s".stage-${java.util.UUID.randomUUID().toString}")
@@ -461,7 +641,8 @@ object DeltaWrite {
             "refused (the hive default-partition encoding is ambiguous " +
             "across protocol readers)")
       }
-      val rels = parts.zip(dirs).map { case (p, relDir) =>
+      val rels = parts.zip(dirs).map { case (p, relDir0) =>
+        val relDir = s"$prefix$relDir0".stripSuffix("/")
         val name = s"part-${java.util.UUID.randomUUID().toString}.parquet"
         val rel = if (relDir.isEmpty) name else s"$relDir/$name"
         if (relDir.nonEmpty) f.mkdirs(new Path(path, relDir))
@@ -483,15 +664,21 @@ object DeltaWrite {
     * space): [[PathCodec.percentDecode]] is exactly that unescape.
     */
   private def partitionValuesOf(rel: String): Seq[(String, String)] =
-    rel.split("/").dropRight(1).toSeq.map { seg =>
-      val Array(k, v) = seg.split("=", 2)
-      k -> PathCodec.percentDecode(v)
-    }
+    rel.split("/").dropRight(1).toSeq
+      .filter(_.contains("=")) // non-kv segments: the _change_data prefix
+      .map { seg =>
+        val Array(k, v) = seg.split("=", 2)
+        k -> PathCodec.percentDecode(v)
+      }
 
-  /** Render add/metaData/protocol actions as json lines. */
+  /** Render add/metaData/protocol actions as json lines. `dataChange`
+    * is false for reorganization commits (OPTIMIZE) whose adds carry no
+    * new rows — streaming readers must not re-serve them.
+    */
   private def actionsFor(schema: StructType, files: Seq[Written],
                          withMeta: Boolean,
-                         partitionBy: Seq[String] = Nil): Seq[String] = {
+                         partitionBy: Seq[String] = Nil,
+                         dataChange: Boolean = true): Seq[String] = {
     val partJson = om.writeValueAsString(
       om.valueToTree[com.fasterxml.jackson.databind.JsonNode](
         partitionBy.toArray))
@@ -510,7 +697,7 @@ object DeltaWrite {
       s"""{"add":{"path":"${PathCodec.percentEncodePath(w.rel)}",""" +
         s""""partitionValues":${om.writeValueAsString(pv)},""" +
         s""""size":${w.size},"modificationTime":${w.mtime},""" +
-        s""""dataChange":true""" +
+        s""""dataChange":$dataChange""" +
         statsJson(schema, w.stats).fold("")(j =>
           s""","stats":${om.writeValueAsString(j)}""") + "}}"
     }

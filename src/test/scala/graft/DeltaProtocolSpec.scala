@@ -576,4 +576,173 @@ class DeltaProtocolSpec extends AnyFunSuite {
     assert(PathCodec.z85Encode(spec) == "HelloWorld")
     assert(PathCodec.z85Decode("HelloWorld").toSeq == spec.toSeq)
   }
+
+  test("v2/UUID checkpoint: parquet manifest + sidecars reconstruct state past a cleaned log") {
+    import org.apache.spark.sql.Row
+    val dir = tmp()
+    dataFile(dir, "f0.parquet", range(0, 50))
+    dataFile(dir, "f1.parquet", range(50, 100))
+    dataFile(dir, "f2.parquet", range(100, 150))
+    val protoV2 =
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint"],""" +
+        """"writerFeatures":["v2Checkpoint"]}}"""
+    def addL(p: String, lo: Long, hi: Long, n: Long): String =
+      s"""{"add":{"path":"$p","partitionValues":{},"size":1,""" +
+        s""""modificationTime":0,"dataChange":true,""" +
+        s""""stats":"{\\"numRecords\\":$n,\\"minValues\\":{\\"k\\":$lo},""" +
+        s"""\\"maxValues\\":{\\"k\\":$hi},\\"nullCount\\":{\\"k\\":0}}"}}"""
+    commit(dir, 0, Seq(protoV2, metaLine(schemaJson),
+      addL("f0.parquet", 0, 49, 50)))
+    commit(dir, 1, Seq(addL("f1.parquet", 50, 99, 50),
+      """{"remove":{"path":"f0.parquet","deletionTimestamp":1,"dataChange":true}}"""))
+    commit(dir, 2, Seq(addL("f2.parquet", 100, 149, 50)))
+
+    // hand-build the v2 manifest (parquet) + one sidecar holding state
+    val topSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType)))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType)),
+        StructField("createdTime", LongType)))),
+      StructField("checkpointMetadata", StructType(Seq(
+        StructField("version", LongType)))),
+      StructField("sidecar", StructType(Seq(
+        StructField("path", StringType),
+        StructField("sizeInBytes", LongType))))))
+    val topRows = Seq(
+      Row(Row(3, 7, Seq("v2Checkpoint"), Seq("v2Checkpoint")), null,
+        null, null),
+      Row(null, Row("t", Row("parquet"), schemaJson, Seq.empty[String],
+        Map.empty[String, String], 0L), null, null),
+      Row(null, null, Row(2L), null),
+      Row(null, null, null, Row("sc1.parquet", 123L)))
+    val sidecarSchema = StructType(Seq(
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType),
+        StructField("stats", StringType)))),
+      StructField("remove", StructType(Seq(
+        StructField("path", StringType),
+        StructField("deletionTimestamp", LongType),
+        StructField("dataChange", BooleanType))))))
+    def stats(lo: Long, hi: Long, n: Long): String =
+      s"""{"numRecords":$n,"minValues":{"k":$lo},""" +
+        s""""maxValues":{"k":$hi},"nullCount":{"k":0}}"""
+    val scRows = Seq(
+      Row(Row("f1.parquet", Map.empty[String, String], 1L, 0L, false,
+        stats(50, 99, 50)), null),
+      Row(Row("f2.parquet", Map.empty[String, String], 1L, 0L, false,
+        stats(100, 149, 50)), null),
+      Row(null, Row("f0.parquet", 1L, false)))
+    def writeExact(rows: Seq[Row], schema: StructType, rel: String): Unit = {
+      val stage = Files.createTempDirectory("graft_v2ck").toString
+      spark.createDataFrame(
+          new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+            .SeqHasAsJava(rows).asJava), schema)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val target = Paths.get(dir, rel)
+      Files.createDirectories(target.getParent)
+      Files.copy(part.toPath, target, StandardCopyOption.REPLACE_EXISTING)
+    }
+    val uuid = "0a1b2c3d-0000-4000-8000-9fedcba01234"
+    writeExact(topRows, topSchema,
+      f"_delta_log/${2L}%020d.checkpoint.$uuid.parquet")
+    writeExact(scRows, sidecarSchema, "_delta_log/_sidecars/sc1.parquet")
+    Files.writeString(Paths.get(dir, "_delta_log", "_last_checkpoint"),
+      """{"version":2}""")
+    // clean the checkpointed prefix — the v2 manifest must carry it
+    (0L to 2L).foreach(v => Files.delete(
+      Paths.get(dir, "_delta_log", f"$v%020d.json")))
+    val back = DeltaRead.read(spark, dir)
+    assert(back.count() == 100, s"got ${back.count()}")
+    assert(back.agg(min(col("k"))).head().getLong(0) == 50)
+    // sidecar stats drive pruning
+    val (total, kept) = DeltaRead.pruneReport(spark, dir, "k >= 100")
+    assert(total == 2 && kept == 1, s"sidecar stats must prune: $kept/$total")
+    // tail commits past the manifest still apply
+    dataFile(dir, "f3.parquet", range(150, 160))
+    commit(dir, 3, Seq(addL("f3.parquet", 150, 159, 10)))
+    assert(DeltaRead.read(spark, dir).count() == 110)
+    // time travel into the cleaned prefix refuses loudly
+    intercept[IllegalArgumentException] { DeltaRead.read(spark, dir, 1) }
+    // our CLASSIC checkpoint writer refuses v2Checkpoint tables (their
+    // writer feature is unmodeled) rather than mixing generations
+    assert(!graft.sources.DeltaWrite.writeCheckpoint(spark, dir, 3L))
+  }
+
+  test("v2 checkpoint: json manifest with inline adds and with sidecars") {
+    val dir = tmp()
+    dataFile(dir, "f0.parquet", range(0, 50))
+    dataFile(dir, "f1.parquet", range(50, 100))
+    commit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint"],""" +
+        """"writerFeatures":["v2Checkpoint"]}}""",
+      metaLine(schemaJson),
+      addPlain("f0.parquet", 50), addPlain("f1.parquet", 50)))
+    commit(dir, 1, Seq(
+      """{"remove":{"path":"f0.parquet","deletionTimestamp":1,"dataChange":true}}"""))
+    val uuid = "1a1b2c3d-0000-4000-8000-9fedcba01234"
+    // inline form: adds live in the manifest itself; a txn watermark
+    // rides along and must survive
+    Files.writeString(Paths.get(dir, "_delta_log",
+      f"${1L}%020d.checkpoint.$uuid.json"), Seq(
+      """{"checkpointMetadata":{"version":1}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint"],""" +
+        """"writerFeatures":["v2Checkpoint"]}}""",
+      metaLine(schemaJson),
+      addPlain("f1.parquet", 50),
+      """{"remove":{"path":"f0.parquet","deletionTimestamp":1,"dataChange":false}}""",
+      """{"txn":{"appId":"job9","version":7}}""").mkString("\n") + "\n")
+    (0L to 1L).foreach(v => Files.delete(
+      Paths.get(dir, "_delta_log", f"$v%020d.json")))
+    val back = DeltaRead.read(spark, dir)
+    assert(back.count() == 50)
+    assert(back.agg(min(col("k"))).head().getLong(0) == 50)
+    assert(DeltaRead.replay(spark, dir, -1L).txns.get("job9").contains(7L),
+      "txn watermark must survive a json v2 manifest")
+  }
+
+  test("optimize folds deletion vectors: rewritten file drops the DV, deleted rows stay gone") {
+    import graft.sources.DeltaWrite
+    val dir = tmp()
+    dataFile(dir, "f0.parquet", range(0, 50))
+    dataFile(dir, "f1.parquet", range(50, 100))
+    commit(dir, 0, Seq(protoDv, metaLine(schemaJson),
+      addWithDv("f0.parquet", 50, inlineDv(Seq(0L, 1L))), // k=0,1 deleted
+      addPlain("f1.parquet", 50)))
+    assert(DeltaRead.read(spark, dir).count() == 98)
+    val v = DeltaWrite.optimize(spark, dir)
+    assert(v == 1)
+    val back = DeltaRead.read(spark, dir)
+    assert(back.count() == 98, "folding a DV must not change the rows")
+    val ks = back.select("k").collect().map(_.getLong(0)).toSet
+    assert(!ks.contains(0L) && !ks.contains(1L),
+      "DV-deleted rows must NEVER resurrect through a compaction")
+    val c = java.nio.file.Files.readString(
+      Paths.get(dir, "_delta_log", f"${1L}%020d.json"))
+    val adds = c.split("\n").filter(_.contains("\"add\""))
+    assert(adds.length == 1 && !adds.head.contains("deletionVector"),
+      s"the compacted file must carry no DV: ${adds.toSeq}")
+    assert(c.split("\n").count(_.contains("\"remove\"")) == 2)
+    assert(!c.contains("\"dataChange\":true"))
+    // one packed live file remains
+    val (total, _) = DeltaRead.pruneReport(spark, dir, "k >= 0")
+    assert(total == 1)
+  }
 }

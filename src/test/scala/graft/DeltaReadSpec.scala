@@ -302,18 +302,18 @@ class DeltaReadSpec extends AnyFunSuite {
   }
 
   test("reader-version gate: unknown features refused BY NAME, supported ones read") {
-    // a feature outside {columnMapping, deletionVectors, timestampNtz}
-    // refuses with the feature named
+    // a feature outside {columnMapping, deletionVectors, timestampNtz,
+    // v2Checkpoint} refuses with the feature named
     val dir = tmp()
     dataFile(dir, "f0.parquet", range(0, 10))
     commit(dir, 0, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","v2Checkpoint"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","typeWidening"]}}""",
       meta(schemaJson),
       add("f0.parquet", 0, 9, 10)))
     val e = intercept[IllegalArgumentException] {
       DeltaRead.read(spark, dir)
     }
-    assert(e.getMessage.contains("v2Checkpoint"))
+    assert(e.getMessage.contains("typeWidening"))
     assert(!e.getMessage.contains("deletionVectors,"),
       "supported features must not be named as the refusal cause")
     // a reader version beyond 3 refuses outright
@@ -554,11 +554,15 @@ class DeltaReadSpec extends AnyFunSuite {
       (10L, "updated"), (200L, "fresh"))).toDF("k", "name"),
       dir, Seq("k"))                                   // v3: rewrite file A
     val feed = DeltaRead.changes(spark, dir, 1, 3)
-    assert(feed.columns.toSeq == Seq("k", "name", "_change_type"))
+    assert(feed.columns.toSeq
+      == Seq("k", "name", "_change_type", "_commit_version"))
+    // per-commit attribution: the delete rewrote at v2, the merge at v3
+    assert(feed.select("_commit_version").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(2L, 3L))
     val dels = feed.filter(col("_change_type") === "delete")
-      .drop("_change_type")
+      .drop("_change_type", "_commit_version")
     val ins = feed.filter(col("_change_type") === "insert")
-      .drop("_change_type")
+      .drop("_change_type", "_commit_version")
     // replay contract: read(v1) minus deletes plus inserts == read(v3)
     val v1 = DeltaRead.read(spark, dir, 1)
     val v3 = DeltaRead.read(spark, dir, 3)
@@ -577,6 +581,65 @@ class DeltaReadSpec extends AnyFunSuite {
       DeltaRead.changes(spark, dir, 3, 4)
     }
     assert(e.getMessage.contains("evolution"))
+  }
+
+  test("row-level CDF: cdc files serve minimal diffs with update pre/postimages") {
+    import sources.DeltaWrite
+    // table created externally with delta.enableChangeDataFeed=true
+    val dir = tmp()
+    dataFile(dir, "f0.parquet", range(0, 50))
+    commit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      s"""{"metaData":{"id":"cdf","format":{"provider":"parquet"},""" +
+        s""""schemaString":${om(schemaJson)},"partitionColumns":[],""" +
+        s""""configuration":{"delta.enableChangeDataFeed":"true"}}}""",
+      add("f0.parquet", 0, 49, 50)))
+    // COW DELETE: the commit lands _change_data and cdc actions
+    assert(DeltaWrite.delete(spark, dir, "k >= 40") == 1)
+    val c1 = java.nio.file.Files.readString(
+      Paths.get(dir, "_delta_log", f"${1L}%020d.json"))
+    assert(c1.contains("\"cdc\"") && c1.contains("_change_data"),
+      s"CDF commit must carry cdc actions: $c1")
+    val feed1 = DeltaRead.changes(spark, dir, 0, 1)
+    // MINIMAL diff: 10 deleted rows — NOT the whole rewritten file as
+    // delete+insert pairs (the file-level fallback's granularity)
+    assert(feed1.count() == 10, s"minimal row diff expected: ${feed1.count()}")
+    assert(feed1.select("_change_type").distinct().head().getString(0)
+      == "delete")
+    assert(feed1.agg(min("k")).head().getLong(0) == 40)
+    // COW MERGE: pre/postimage for the matched key, insert for the new
+    val src = spark.createDataFrame(Seq(
+      (10L, "updated"), (200L, "fresh"))).toDF("k", "name")
+    assert(DeltaWrite.upsert(src, dir, Seq("k")) == 2)
+    val feed2 = DeltaRead.changes(spark, dir, 1, 2)
+    assert(feed2.count() == 3)
+    val byType = feed2.collect().map(r =>
+      r.getString(2) -> (r.getLong(0), r.getString(1))).toMap
+    assert(byType("update_preimage") == ((10L, "u10")))
+    assert(byType("update_postimage") == ((10L, "updated")))
+    assert(byType("insert") == ((200L, "fresh")))
+    // replay algebra across the full range (pre counts as delete, post
+    // as insert)
+    val feed = DeltaRead.changes(spark, dir, 0, 2)
+    val minus = feed.filter(col("_change_type").isin("delete",
+      "update_preimage")).select("k", "name")
+    val plus = feed.filter(col("_change_type").isin("insert",
+      "update_postimage")).select("k", "name")
+    val replay = DeltaRead.read(spark, dir, 0).exceptAll(minus)
+      .unionAll(plus)
+    val v2 = DeltaRead.read(spark, dir, 2)
+    assert(replay.exceptAll(v2).count() == 0 &&
+      v2.exceptAll(replay).count() == 0,
+      "v0 + row-level feed must replay to v2 exactly")
+    // a dataChange=false reorganization produces NO changes
+    assert(DeltaWrite.optimize(spark, dir) == 3)
+    assert(DeltaRead.changes(spark, dir, 2, 3).count() == 0,
+      "OPTIMIZE must be invisible to the change feed")
+    // vacuum never deletes change data (readers may still consume it)
+    Thread.sleep(5)
+    DeltaWrite.vacuum(spark, dir, retainMillis = 0L)
+    assert(DeltaRead.changes(spark, dir, 0, 1).count() == 10,
+      "cdc files must survive vacuum")
   }
 
   test("DeltaWrite.appendBatch: txn watermark skips replays, survives checkpointing") {
@@ -739,6 +802,77 @@ class DeltaReadSpec extends AnyFunSuite {
       "delta.deletedFileRetentionDuration" -> "garbage"))
       == 7L * 24 * 3600 * 1000, "unparseable retention falls back, " +
         "never silently shortens")
+  }
+
+  test("DeltaWrite.optimize: bin-packs small files, dataChange=false, time travel intact") {
+    import sources.DeltaWrite
+    val dir = tmp()
+    DeltaWrite.create(range(0, 10).coalesce(1), dir)
+    (1 to 5).foreach(i =>
+      DeltaWrite.append(range(i * 10L, i * 10L + 10).coalesce(1), dir))
+    val (before, _) = DeltaRead.pruneReport(spark, dir, "k >= 0")
+    assert(before == 6)
+    val v = DeltaWrite.optimize(spark, dir)
+    assert(v == 6)
+    val back = DeltaRead.read(spark, dir)
+    assert(back.count() == 60)
+    assert(back.agg(sum("k")).head().getLong(0) == (0L until 60).sum)
+    val (after, _) = DeltaRead.pruneReport(spark, dir, "k >= 0")
+    assert(after == 1, s"6 small files must pack into 1, got $after")
+    // pure reorganization: every action carries dataChange=false
+    val c = java.nio.file.Files.readString(
+      Paths.get(dir, "_delta_log", f"${6L}%020d.json"))
+    assert(c.split("\n").count(_.contains("\"remove\"")) == 6)
+    assert(c.split("\n").count(_.contains("\"add\"")) == 1)
+    assert(!c.contains("\"dataChange\":true"),
+      s"OPTIMIZE must not signal data change: $c")
+    // nothing left to do: no new commit
+    assert(DeltaWrite.optimize(spark, dir) == 6)
+    // pre-optimize versions still read (vacuum, not optimize, deletes)
+    assert(DeltaRead.read(spark, dir, 5).count() == 60)
+    // partitioned: bins per partition tuple, hive layout kept
+    val dir2 = tmp()
+    val parted = range(0, 20).withColumn("bucket", (col("k") % 2).cast("int"))
+    DeltaWrite.create(parted.coalesce(1), dir2, partitionBy = Seq("bucket"))
+    (1 to 2).foreach(i => DeltaWrite.append(
+      range(20L * i, 20L * i + 20).withColumn("bucket",
+        (col("k") % 2).cast("int")).coalesce(1), dir2))
+    assert(DeltaWrite.optimize(spark, dir2) == 3)
+    val (t2, k2) = DeltaRead.pruneReport(spark, dir2, "bucket = 1")
+    assert(t2 == 2 && k2 == 1,
+      s"one packed file per partition expected: $k2 of $t2")
+    assert(DeltaRead.read(spark, dir2).count() == 60)
+  }
+
+  test("DeltaWrite.vacuum: deletes only unreachable files past retention") {
+    import sources.DeltaWrite
+    val dir = tmp()
+    DeltaWrite.create(range(0, 50).coalesce(1), dir)   // file A
+    DeltaWrite.append(range(50, 100).coalesce(1), dir) // file B
+    DeltaWrite.delete(spark, dir, "k >= 90")           // tombstones B, adds C
+    def parquets(): Int = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquets() == 3)
+    // fresh tombstone + default retention: nothing deletable
+    assert(DeltaWrite.vacuum(spark, dir) == 0)
+    // zero retention: the tombstoned file goes; live files stay
+    Thread.sleep(5)
+    assert(DeltaWrite.vacuum(spark, dir, retainMillis = 0L) == 1)
+    assert(parquets() == 2)
+    val back = DeltaRead.read(spark, dir)
+    assert(back.count() == 90 && back.agg(max("k")).head().getLong(0) == 89)
+    // time travel to a version referencing the vacuumed file now fails
+    // LOUDLY (the documented vacuum horizon), never silently subsets
+    intercept[Exception] { DeltaRead.read(spark, dir, 1).collect() }
+    // orphans (crashed writers — never logged): deletable once old
+    val stray = Paths.get(dir, "stray-orphan.parquet")
+    java.nio.file.Files.write(stray, Array[Byte](1, 2, 3))
+    assert(DeltaWrite.vacuum(spark, dir) == 0,
+      "a FRESH orphan must survive the default window (it may be a " +
+        "mid-commit segment)")
+    Thread.sleep(5)
+    assert(DeltaWrite.vacuum(spark, dir, retainMillis = 0L) == 1)
+    assert(!java.nio.file.Files.exists(stray))
   }
 
   /** Overwrite commit 0's metaData configuration in-place (test rig for

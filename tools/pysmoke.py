@@ -433,6 +433,32 @@ graft.iceberg_append(spark, spark.range(30, 40).selectExpr("id AS k"), iw_dir)
 assert graft.iceberg_read(spark, iw_dir).count() == 40
 assert graft.iceberg_read(spark, iw_dir, snapshot_id=1).count() == 30
 
+# round 9: Delta OPTIMIZE + VACUUM from python — the delete above left
+# small files + a tombstone; optimize packs, vacuum(0) reclaims
+# round 9: row-level change feed carries _commit_version (before
+# vacuum — a feed over vacuumed history fails loudly, as it should)
+feed = graft.delta_changes(spark, dw_dir, 0, 1)
+assert "_commit_version" in feed.columns and "_change_type" in feed.columns
+assert feed.where("_change_type = 'insert'").count() == 10
+
+v_opt = graft.delta_optimize(spark, dw_dir)
+assert graft.delta_read(spark, dw_dir).count() == 51
+import time as _t; _t.sleep(0.01)
+assert graft.delta_vacuum(spark, dw_dir, retain_millis=0) > 0
+assert graft.delta_read(spark, dw_dir).count() == 51
+
+# round 9: Iceberg identity-partitioned create + additive evolution
+ip_dir = tempfile.mkdtemp(prefix="graft_pyip") + "/t"
+graft.iceberg_create(spark, spark.range(0, 20).selectExpr(
+    "id AS k", "CAST(id % 2 AS INT) AS b"), ip_dir, partition_by=["b"])
+ip = graft.iceberg_read(spark, ip_dir)
+assert ip.count() == 20 and ip.where("b = 1").count() == 10
+graft.iceberg_append(spark, spark.range(20, 30).selectExpr(
+    "id AS k", "CAST(id % 2 AS INT) AS b", "id * 3 AS score"),
+    ip_dir, merge_schema=True)
+ipe = graft.iceberg_read(spark, ip_dir)
+assert ipe.count() == 30 and ipe.where("score IS NULL").count() == 20
+
 # partitioned delta writer: hive layout + typed partition recovery
 dp_dir = tempfile.mkdtemp(prefix="graft_pydp") + "/t"
 graft.delta_create(spark, spark.range(0, 20).selectExpr(
@@ -463,5 +489,5 @@ print(f"PASS pysmoke: sql-functions, {len(out)}-row declarative job, "
       f"snapshot-table lifecycle (create/append/upsert/time-travel/"
       f"zone-map-pruned read/change feed) and the round-6 sweep "
       f"(bpe-train/encode, dedup-artifacts trio, delta-log read with "
-      f"stats skipping, delta write round-trip, full CDC apply) — all green")
+      f"stats skipping, delta write round-trip, full CDC apply) and the round-9 sweep (delta optimize/vacuum, row-level change feed, partitioned+evolving iceberg writes) — all green")
 spark.stop()
