@@ -23,7 +23,8 @@ object Bench {
     "q09_window_rank", "q21_subquery_agg", "q27_sessionize",
     "q34_asof_join", "q43_agg_in_subquery", "q45_not_in_count",
     "d01_exact_dedup", "d06_lsh_verified", "d17_containment", "s01_knn_brute",
-    "s04_ann_ivf", "t05_tfidf", "e05_sliding_window", "p01_corpus_clean")
+    "s04_ann_ivf", "t05_tfidf", "e05_sliding_window", "p01_corpus_clean",
+    "m09_asset_neardup_lsh")
 
   private def round3(v: Double): Double = math.rint(v * 1000) / 1000
 
@@ -135,8 +136,34 @@ object Bench {
       val best = math.min(once(), once())
       name -> best
     }
+    // variant rows: alternate operating points, measured so the numbers
+    // sit next to the defaults, but NOT in total (totals stay comparable
+    // round-over-round). m09's default is the exact byte-gram join (the
+    // oracle shape); `graft.neardup.strategy=lsh` is the documented
+    // 100 TB escape hatch — this is its measured point.
+    val variants: Seq[(String, Double)] =
+      if (only.isDefined) Nil
+      else {
+        def reset(): Unit = {
+          graft.api.GraftOps.releaseCaches()
+          spark.catalog.clearCache()
+        }
+        spark.conf.set("graft.neardup.strategy", "lsh")
+        def one(): Double = {
+          val t0 = System.nanoTime()
+          try {
+            SparkEntry.queries("m09_asset_neardup")(spark, sfDir).count()
+          } catch { case _: Throwable => () }
+          val dt = (System.nanoTime() - t0) / 1e9
+          reset()
+          dt
+        }
+        val best = math.min(one(), one())
+        spark.conf.unset("graft.neardup.strategy")
+        Seq("m09_asset_neardup_lsh" -> best)
+      }
     val total = round3(results.map(_._2).sum + artifactSec)
-    val fullJson = results
+    val fullJson = (results ++ variants)
       .map { case (k, v) => "\"" + k + "\":" + round3(v) }
       .mkString("{", ",", "}")
     val n = results.size
@@ -145,7 +172,7 @@ object Bench {
       java.nio.file.Paths.get("bench_full.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$n,"artifact_build_sec":$ab,"queries":$fullJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
 
-    val byName = results.toMap
+    val byName = (results ++ variants).toMap
     // targeted runs print every selected query; full runs print the
     // short headline subset (the harness tail-buffer constraint above)
     val qs = if (only.isDefined) fullJson

@@ -97,4 +97,60 @@ class SurveyConsistencySpec extends AnyFunSuite {
     assert(!srcSection.matches("(?s).*deletion vectors?\\)? are REFUSED.*"),
       "SURVEY still claims deletion vectors are refused — stale")
   }
+
+  // ---- Iceberg/Hudi/Delta-maintenance feature pinning (round-9: the
+  // round-7 prose-drift lesson applied to the other two legs — each
+  // capability claim is tripwired to a code marker, so removing the
+  // code OR the claim alone fails here) ----
+
+  private def srcSection: String = {
+    val start = wholeDoc.indexWhere(_.startsWith("### Sources / sinks"))
+    val end = wholeDoc.indexWhere(_.startsWith("## §3"))
+    wholeDoc.slice(start, end).mkString("\n")
+  }
+
+  private def hasMethod(cls: String, name: String): Boolean =
+    try Class.forName(cls, false, getClass.getClassLoader)
+      .getDeclaredMethods.exists(_.getName.contains(name))
+    catch { case _: ClassNotFoundException => false }
+  private def hasClass(cls: String): Boolean =
+    try { Class.forName(cls, false, getClass.getClassLoader); true }
+    catch { case _: ClassNotFoundException => false }
+
+  test("SURVEY's Iceberg claims match the code (equality deletes, partitioned writes, evolution)") {
+    assert(hasClass("graft.sources.IcebergRead$EqDelete") ==
+      srcSection.contains("EQUALITY deletes (content=2"),
+      "Iceberg equality-delete claim and code marker disagree — doc drift")
+    // the round-8 stale shape must stay dead: the doc may not say
+    // equality deletes (as a feature) are refused
+    assert(!srcSection.contains(
+      "EQUALITY deletes (content=2, need sequence-ordered"),
+      "SURVEY still carries the round-8 equality-deletes-refused claim")
+    assert(hasMethod("graft.sources.IcebergWrite$", "partFields") ==
+      srcSection.contains("IDENTITY-PARTITIONED writes"),
+      "Iceberg partitioned-write claim and code marker disagree")
+    assert(srcSection.contains("ADDITIVE SCHEMA EVOLUTION (`append(df, path, mergeSchema=true)`"),
+      "Iceberg schema-evolution claim missing from SURVEY")
+  }
+
+  test("SURVEY's Hudi MOR claim matches the code (log-block merging)") {
+    assert(hasMethod("graft.sources.HudiRead$", "mergeLogs"),
+      "HudiRead.mergeLogs gone — update SURVEY's MOR claim")
+    assert(srcSection.contains("MERGES avro log blocks"),
+      "SURVEY no longer documents MOR log merging — doc drift")
+    assert(!srcSection.contains("log-BLOCK merging stays out of scope"),
+      "SURVEY still carries the round-8 MOR-refusal claim")
+  }
+
+  test("SURVEY's Delta maintenance + CDF claims match the code") {
+    Seq("optimize", "vacuum", "cdcActionsFor").foreach { m =>
+      assert(hasMethod("graft.sources.DeltaWrite$", m),
+        s"DeltaWrite.$m gone — update SURVEY's maintenance/CDF claims")
+    }
+    Seq("OPTIMIZE", "VACUUM", "_change_data", "ROW-LEVEL CHANGE FEED")
+      .foreach { claim =>
+        assert(srcSection.contains(claim),
+          s"SURVEY sources section lost the '$claim' claim — doc drift")
+      }
+  }
 }
