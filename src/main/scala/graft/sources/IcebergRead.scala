@@ -17,15 +17,18 @@ import scala.jdk.CollectionConverters._
   * DeltaRead use.
   *
   * Scope and non-goals (loudly enforced):
-  *   - format-version 1 and 2 DATA reads, plus v2 POSITION deletes
-  *     (content=1 delete manifests → `(file_path, pos)` delete parquet
+  *   - format-version 1 and 2 DATA reads, plus BOTH v2 delete kinds:
+  *     POSITION deletes (content=1 → `(file_path, pos)` delete parquet
   *     files, applied as a distributed anti-join on the data scan's
   *     `_metadata` file identity + row index — sound WITHOUT sequence-
   *     number bookkeeping because Iceberg data-file paths are immutable
   *     and never reused: a rewritten file gets a fresh path no old
-  *     delete references); EQUALITY deletes (content=2 delete files)
-  *     are REFUSED rather than misread (they require sequence-ordered
-  *     predicate evaluation);
+  *     delete references) and EQUALITY deletes (content=2, round 9 —
+  *     Flink and streaming-upsert writers emit these by default): each
+  *     delete file removes rows matching its `equality_ids` fields
+  *     (null-safe) from data files whose DATA SEQUENCE NUMBER is
+  *     strictly below the delete's, applied as distributed anti-joins
+  *     with the per-file sequence attached from the manifests;
   *   - identity reads only — Iceberg data files carry ALL columns
   *     including partition columns, so reading needs no hive-layout
   *     recovery; partition transforms only affect pruning, which this
@@ -111,9 +114,20 @@ object IcebergRead {
   private final case class Field(id: Int, name: String, tpe: String)
   private final case class FileEntry(path: String, rows: Long,
     nulls: Map[Int, Long], lower: Map[Int, Array[Byte]],
-    upper: Map[Int, Array[Byte]])
+    upper: Map[Int, Array[Byte]],
+    // data sequence number (v2): orders the file against equality
+    // deletes — explicit on the entry, else inherited from the
+    // manifest-list row, else 0 (v1 tables, which carry no deletes)
+    dataSeq: Long)
+  /** One equality-delete file: rows carry values for the columns named
+    * by `eqIds` (field ids); it deletes matching rows from data files
+    * with dataSeq STRICTLY below `seq`.
+    */
+  private final case class EqDelete(path: String, seq: Long,
+                                    eqIds: Seq[Int])
   private final case class Snapshot(fields: Seq[Field],
-    files: Seq[FileEntry], deleteFiles: Seq[String])
+    files: Seq[FileEntry], deleteFiles: Seq[String],
+    eqDeletes: Seq[EqDelete])
 
   /** Schema fields for a read: the SNAPSHOT's schema-id when time
     * traveling (a snapshot taken before an evolution must read with its
@@ -156,27 +170,43 @@ object IcebergRead {
         require(content == 0 || content == 1,
           s"$path: manifest-list content $content unknown to this " +
             "reader — refusing rather than misreading")
-        (r.get("manifest_path").toString, content)
+        val seq = opt(r, "sequence_number").map(_.toString.toLong)
+          .getOrElse(0L)
+        (r.get("manifest_path").toString, content, seq)
       }.partition(_._2 == 0)
-    // delete manifests: POSITION delete files (content=1) collected for
-    // the anti-join; EQUALITY deletes (content=2) refused by name
-    val deleteFiles = deleteManifests.flatMap { case (mp, _) =>
-      avroRows(spark, resolve(path, mp)).flatMap { e =>
+    // delete manifests: POSITION delete files (content=1) anti-join on
+    // (file, pos); EQUALITY delete files (content=2) apply as
+    // sequence-ordered null-safe anti-joins on their equality fields
+    var deleteFiles = Seq.empty[String]
+    var eqDeletes = Seq.empty[EqDelete]
+    deleteManifests.foreach { case (mp, _, mseq) =>
+      avroRows(spark, resolve(path, mp)).foreach { e =>
         val status = opt(e, "status").map(_.toString.toInt).getOrElse(1)
-        if (status == 2) None
-        else {
+        if (status != 2) {
           val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val seq = opt(e, "sequence_number").map(_.toString.toLong)
+            .getOrElse(mseq)
           val c = opt(df, "content").map(_.toString.toInt).getOrElse(-1)
-          require(c == 1,
-            s"$path: delete manifest entry with content=$c — this " +
-              "reader applies POSITION deletes (content=1) only; " +
-              "equality deletes need sequence-ordered predicate " +
-              "evaluation, refusing rather than misreading")
-          Some(df.get("file_path").toString)
+          c match {
+            case 1 => deleteFiles :+= df.get("file_path").toString
+            case 2 =>
+              val ids = opt(df, "equality_ids") match {
+                case Some(l: java.util.List[_]) =>
+                  l.asScala.map(_.toString.toInt).toSeq
+                case _ => throw new IllegalArgumentException(
+                  s"$path: equality-delete file in $mp carries no " +
+                    "equality_ids — cannot evaluate, refusing")
+              }
+              eqDeletes :+= EqDelete(df.get("file_path").toString, seq, ids)
+            case other => throw new IllegalArgumentException(
+              s"$path: delete manifest entry with content=$other — this " +
+                "reader applies position (1) and equality (2) deletes " +
+                "only, refusing rather than misreading")
+          }
         }
       }
     }
-    val files = dataManifests.map(_._1).flatMap { mp =>
+    val files = dataManifests.flatMap { case (mp, _, mseq) =>
       avroRows(spark, resolve(path, mp)).flatMap { e =>
         val status = opt(e, "status").map(_.toString.toInt).getOrElse(1)
         if (status == 2) None // DELETED entry
@@ -186,6 +216,8 @@ object IcebergRead {
             require(c == 0, s"$path: delete data_file content in a " +
               "data manifest — refused")
           }
+          val dataSeq = opt(e, "sequence_number")
+            .map(_.toString.toLong).getOrElse(mseq)
           def idMap[T](field: String)(f: AnyRef => T): Map[Int, T] =
             opt(df, field) match {
               case Some(m: java.util.Map[_, _]) =>
@@ -210,11 +242,12 @@ object IcebergRead {
             df.get("record_count").toString.toLong,
             idMap("null_value_counts")(_.toString.toLong),
             idMap("lower_bounds")(bytesOf),
-            idMap("upper_bounds")(bytesOf)))
+            idMap("upper_bounds")(bytesOf),
+            dataSeq))
         }
       }
     }
-    Snapshot(fields, files, deleteFiles)
+    Snapshot(fields, files, deleteFiles, eqDeletes)
   }
 
   /** Single-value binary deserialization (spec Appendix D) into the
@@ -283,7 +316,7 @@ object IcebergRead {
 
   private def assemble(spark: SparkSession, path: String, st: Snapshot,
                        files: Seq[FileEntry]): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr, lit, udf}
+    import org.apache.spark.sql.functions.{broadcast, col, expr, lit, udf}
     val names = st.fields.map(_.name)
     // metadata-declared Spark schema: files written BEFORE an additive
     // evolution lack the new columns and must surface NULL (inference
@@ -306,33 +339,22 @@ object IcebergRead {
     val reader = declared.fold(reader0)(reader0.schema)
     val plain = reader
       .parquet(files.map(f => resolve(path, f.path)): _*)
-    if (st.deleteFiles.isEmpty)
+    if (st.deleteFiles.isEmpty && st.eqDeletes.isEmpty)
       return plain.select(names.map(col): _*)
 
-    // v2 position deletes: the delete parquet files carry (file_path,
-    // pos) — a DISTRIBUTED scan (they can hold hundreds of millions of
-    // rows; nothing materializes on the driver) anti-joined against the
-    // data scan's (file identity, _metadata.row_index). File identity
-    // is the percent-decoded basename on BOTH sides (_metadata
-    // .file_path is URI-encoded by Spark; Iceberg data file names are
-    // UUID-unique table-wide); if an external table ever collides
-    // basenames, each file scans tagged with its manifest-verbatim path
-    // and deletes join on their verbatim file_path — exact string
-    // equality in the manifest domain, no representation guessing.
+    // v2 deletes need per-row FILE IDENTITY: the percent-decoded
+    // basename on BOTH sides (_metadata.file_path is URI-encoded by
+    // Spark; Iceberg data file names are UUID-unique table-wide); if an
+    // external table ever collides basenames, each file scans tagged
+    // with its manifest-verbatim path and deletes join on their
+    // verbatim file_path — exact string equality in the manifest
+    // domain, no representation guessing.
     val FKey = "__graft_del_file"
     val RIdx = "__graft_del_pos"
     val decodeBase =
       udf((p: String) => PathCodec.percentDecode(p.split("/").last))
     def base(p: String): String = PathCodec.percentDecode(p.split("/").last)
     val collide = files.map(f => base(f.path)).distinct.size != files.size
-    val delScan = spark.read
-      .parquet(st.deleteFiles.map(resolve(path, _)): _*)
-    val dels =
-      if (!collide) delScan
-        .select(decodeBase(col("file_path")).as(FKey),
-          col("pos").cast("long").as(RIdx))
-      else delScan.select(col("file_path").as(FKey),
-        col("pos").cast("long").as(RIdx))
     val scanned =
       if (!collide) plain.select(names.map(col) ++ Seq(
         decodeBase(col("_metadata.file_path")).as(FKey),
@@ -343,8 +365,61 @@ object IcebergRead {
           .select(names.map(col) ++ Seq(lit(fe.path).as(FKey),
             expr("_metadata.row_index").as(RIdx)): _*)
       }.reduce(_ unionByName _)
-    scanned.join(dels, Seq(FKey, RIdx), "left_anti")
-      .select(names.map(col): _*)
+
+    // position deletes: the delete parquet files carry (file_path, pos)
+    // — a DISTRIBUTED scan (they can hold hundreds of millions of rows;
+    // nothing materializes on the driver) anti-joined on (file
+    // identity, _metadata.row_index). Sound WITHOUT sequence ordering:
+    // paths are immutable and never reused, so a delete can only name
+    // rows that existed when it was written.
+    val afterPos =
+      if (st.deleteFiles.isEmpty) scanned
+      else {
+        val delScan = spark.read
+          .parquet(st.deleteFiles.map(resolve(path, _)): _*)
+        val dels =
+          if (!collide) delScan
+            .select(decodeBase(col("file_path")).as(FKey),
+              col("pos").cast("long").as(RIdx))
+          else delScan.select(col("file_path").as(FKey),
+            col("pos").cast("long").as(RIdx))
+        scanned.join(dels, Seq(FKey, RIdx), "left_anti")
+      }
+
+    // equality deletes (content=2): a delete file at sequence s removes
+    // rows MATCHING its equality fields (null-safe, per the spec) from
+    // data files with dataSeq STRICTLY below s. The per-file dataSeq
+    // attaches via a broadcast (file → seq) map — file-count-sized, the
+    // same budget the manifests already spent; the delete files scan
+    // distributed with their seq as a literal column.
+    val afterEq =
+      if (st.eqDeletes.isEmpty) afterPos
+      else {
+        val idToName = st.fields.map(f => f.id -> f.name).toMap
+        val SeqCol = "__graft_data_seq"
+        val DSeqCol = "__graft_del_seq"
+        import spark.implicits._
+        val seqDf = broadcast(files
+          .map(f => (if (collide) f.path else base(f.path)) -> f.dataSeq)
+          .toDF(FKey, SeqCol))
+        val withSeq = afterPos.join(seqDf, Seq(FKey), "left")
+        st.eqDeletes.groupBy(_.eqIds.sorted).values.foldLeft(withSeq) {
+          (acc, group) =>
+            val eqCols = group.head.eqIds.sorted.map(id =>
+              idToName.getOrElse(id, throw new IllegalArgumentException(
+                s"$path: equality_ids field $id not in the read schema " +
+                  "— cannot evaluate the delete, refusing")))
+            val dels = group.map { d =>
+              spark.read.parquet(resolve(path, d.path))
+                .select(eqCols.map(c => col(c).as(s"__gd_$c")) :+
+                  lit(d.seq).as(DSeqCol): _*)
+            }.reduce(_ unionByName _)
+            val cond = eqCols.map(c => col(c) <=> col(s"__gd_$c"))
+              .reduce(_ && _) && (col(SeqCol) < col(DSeqCol))
+            acc.join(dels, cond, "left_anti")
+        }
+      }
+    afterEq.select(names.map(col): _*)
   }
 
   /** Pruned read: bounds-based file skipping, predicate re-applied so

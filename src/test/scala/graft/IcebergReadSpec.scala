@@ -245,18 +245,18 @@ class IcebergReadSpec extends AnyFunSuite {
     assert(kept == 1)
   }
 
-  test("v2 equality deletes are refused by name, not misread") {
+  test("equality deletes without equality_ids refuse; unknown content ids refuse") {
     val dir = buildTable()
     posDeleteFile(dir, "data/del1.parquet", Seq(("data/f0.parquet", 0L)))
     writeAvro(s"$dir/metadata/dm1.avro", delEntrySchema,
-      Seq(delEntry(2, "data/del1.parquet", 1))) // content=2: equality
+      Seq(delEntry(2, "data/del1.parquet", 1))) // content=2, no eq ids
     writeAvro(s"$dir/metadata/ml-200.avro", manifestListSchema, Seq(
       manifestListRow("metadata/m1.avro", 0),
       manifestListRow("metadata/dm1.avro", 1)))
     val e = intercept[IllegalArgumentException] {
       IcebergRead.read(spark, dir)
     }
-    assert(e.getMessage.toLowerCase.contains("equality"))
+    assert(e.getMessage.contains("equality_ids"))
     // and an unknown manifest-list content id refuses too
     writeAvro(s"$dir/metadata/ml-200.avro", manifestListSchema, Seq(
       manifestListRow("metadata/m1.avro", 0),
@@ -265,5 +265,109 @@ class IcebergReadSpec extends AnyFunSuite {
       IcebergRead.read(spark, dir)
     }
     assert(e2.getMessage.contains("content"))
+  }
+
+  // ---- equality deletes: seq-aware fixture ------------------------------
+
+  private val manifestListSeqSchema: Schema = SchemaBuilder
+    .record("manifest_file_seq").fields()
+    .requiredString("manifest_path")
+    .requiredInt("content")
+    .requiredLong("sequence_number")
+    .endRecord()
+  private def mlSeqRow(path: String, content: Int, seq: Long)
+      : GenericRecord = {
+    val r = new GenericData.Record(manifestListSeqSchema)
+    r.put("manifest_path", path)
+    r.put("content", Int.box(content))
+    r.put("sequence_number", Long.box(seq))
+    r
+  }
+  private val eqDelFileSchema: Schema = SchemaBuilder.record("del_file_eq")
+    .fields()
+    .requiredInt("content")
+    .requiredString("file_path")
+    .requiredLong("record_count")
+    .name("equality_ids").`type`().nullable()
+      .array().items().intType().noDefault()
+    .endRecord()
+  private val eqDelEntrySchema: Schema = SchemaBuilder.record("del_entry_eq")
+    .fields()
+    .requiredInt("status")
+    .name("data_file").`type`(eqDelFileSchema).noDefault()
+    .endRecord()
+  private def eqDelEntry(content: Int, path: String,
+                         eqIds: Seq[Int]): GenericRecord = {
+    val df = new GenericData.Record(eqDelFileSchema)
+    df.put("content", Int.box(content))
+    df.put("file_path", path)
+    df.put("record_count", Long.box(1L))
+    if (eqIds.nonEmpty)
+      df.put("equality_ids", eqIds.map(Int.box).asJava)
+    val e = new GenericData.Record(eqDelEntrySchema)
+    e.put("status", Int.box(1))
+    e.put("data_file", df)
+    e
+  }
+
+  test("v2 equality deletes: sequence-ordered application, reinserts survive") {
+    import spark.implicits._
+    val dir = tmp()
+    // data: f0 at seq 1, f1 at seq 2; eq deletes at seq 3; f2 (which
+    // RE-INSERTS k=10/u10) at seq 4 — the delete must not touch it
+    dataFile(dir, "data/f0.parquet", range(0, 50))
+    dataFile(dir, "data/f1.parquet", range(50, 100))
+    dataFile(dir, "data/f2.parquet", range(10, 11))
+    writeAvro(s"$dir/metadata/m0s.avro", entrySchema, Seq(
+      entry(1, "data/f0.parquet", 50, 0, 49, "u0", "u9")))
+    writeAvro(s"$dir/metadata/m1s.avro", entrySchema, Seq(
+      entry(1, "data/f1.parquet", 50, 50, 99, "u50", "u99")))
+    writeAvro(s"$dir/metadata/m2s.avro", entrySchema, Seq(
+      entry(1, "data/f2.parquet", 1, 10, 10, "u10", "u10")))
+    // eq delete on name (field id 2): u10, u60
+    dataFile(dir, "data/deq.parquet",
+      Seq("u10", "u60").toDF("name"))
+    // multi-column eq delete on (k, name) = (70, 'u70')
+    dataFile(dir, "data/deq2.parquet",
+      Seq((70L, "u70")).toDF("k", "name"))
+    writeAvro(s"$dir/metadata/dmEq.avro", eqDelEntrySchema, Seq(
+      eqDelEntry(2, "data/deq.parquet", Seq(2)),
+      eqDelEntry(2, "data/deq2.parquet", Seq(1, 2))))
+    writeAvro(s"$dir/metadata/ml-300.avro", manifestListSeqSchema, Seq(
+      mlSeqRow("metadata/m0s.avro", 0, 1),
+      mlSeqRow("metadata/m1s.avro", 0, 2)))
+    writeAvro(s"$dir/metadata/ml-400.avro", manifestListSeqSchema, Seq(
+      mlSeqRow("metadata/m0s.avro", 0, 1),
+      mlSeqRow("metadata/m1s.avro", 0, 2),
+      mlSeqRow("metadata/dmEq.avro", 1, 3),
+      mlSeqRow("metadata/m2s.avro", 0, 4)))
+    val meta = s"""{
+      "format-version": 2,
+      "table-uuid": "00000000-0000-0000-0000-000000000001",
+      "location": "$dir",
+      "current-schema-id": 0,
+      "schemas": [$schemaJson],
+      "current-snapshot-id": 400,
+      "snapshots": [
+        {"snapshot-id": 300, "manifest-list": "metadata/ml-300.avro"},
+        {"snapshot-id": 400, "manifest-list": "metadata/ml-400.avro"}]
+    }"""
+    Files.createDirectories(Paths.get(dir, "metadata"))
+    Files.writeString(Paths.get(dir, "metadata", "v2.metadata.json"), meta)
+    Files.writeString(Paths.get(dir, "metadata", "version-hint.text"), "2")
+
+    val cur = IcebergRead.read(spark, dir)
+    // 101 live rows - u10@f0 - u60@f1 - (70,u70)@f1; f2's u10 (seq 4 >
+    // delete seq 3) SURVIVES
+    assert(cur.count() == 98, s"got ${cur.count()}")
+    val names = cur.select("name").collect().map(_.getString(0)).toSeq
+    assert(names.count(_ == "u10") == 1,
+      "the seq-4 reinsert of u10 must survive the seq-3 delete")
+    assert(!names.contains("u60") && !names.contains("u70"))
+    assert(names.contains("u11") && names.contains("u59"))
+    // the pre-delete snapshot is untouched
+    assert(IcebergRead.read(spark, dir, snapshotId = 300).count() == 100)
+    // pruning composes: the pruned read re-applies the deletes
+    assert(IcebergRead.readWhere(spark, dir, "k >= 50").count() == 48)
   }
 }
