@@ -133,17 +133,20 @@ object DeltaWrite {
     val partitionBy = st.partitionCols
     partitionBy.foreach(c => require(df.columns.contains(c),
       s"append batch misses partition column $c"))
+    val (physDf, physParts, keyOf) =
+      physicalize(df, st, merged.getOrElse(tableSchema), partitionBy)
     var version = DeltaRead.latestVersion(spark, path) + 1
     var attempts = 0
     var done = -1L
     var files: Seq[Written] = null
     while (done < 0) {
       require(attempts < 10, s"$path: lost the commit race 10 times")
-      if (files == null) files = writeSegment(df, path, partitionBy)
+      if (files == null) files = writeSegment(physDf, path, physParts)
       val metaLine = merged.map(m =>
         metaAction(m, partitionBy, st)).toSeq
       if (publish(spark, path, version, metaLine ++
-          actionsFor(df.schema, files, withMeta = false, partitionBy)))
+          actionsFor(df.schema, files, withMeta = false, physParts,
+            statKey = keyOf)))
         done = version
       else { attempts += 1; version = DeltaRead.latestVersion(spark, path) + 1 }
     }
@@ -151,16 +154,72 @@ object DeltaWrite {
     done
   }
 
-  /** Gate for EVERY append: this writer lands parquet with LOGICAL
-    * column names, which a column-mapped table resolves by physical
-    * name / field id — appending would silently misread, so refuse.
+  /** Gate for EVERY append into a mapped table: physical-name
+    * re-emission (round 9) supports FLAT mapped schemas — nested
+    * structs would need a recursive rename this writer does not model,
+    * so they refuse rather than corrupt.
     */
-  private def requireAppendable(st: DeltaRead.LogState): Unit =
-    require(!st.conf.get("delta.columnMapping.mode")
-        .exists(m => m != "none"),
-      "append to a column-mapped Delta table is refused — this writer " +
-        "emits logical parquet column names, which a mapped table " +
-        "cannot resolve (physical-name re-emission is not modeled)")
+  private def requireAppendable(st: DeltaRead.LogState): Unit = {
+    val mode = st.conf.getOrElse("delta.columnMapping.mode", "none")
+    if (mode != "none") {
+      require(mode == "name" || mode == "id",
+        s"delta.columnMapping.mode=$mode unknown to this writer — refusing")
+      DeltaRead.schemaOf(st).fields.foreach { f =>
+        require(!containsStruct(f.dataType),
+          s"column ${f.name}: nested fields on a column-mapped table — " +
+            "this writer re-emits physical names for FLAT mapped " +
+            "schemas only, refusing rather than corrupting")
+        require(f.metadata.contains("delta.columnMapping.physicalName"),
+          s"column ${f.name}: mapped table without physicalName " +
+            "metadata — refusing")
+        if (mode == "id")
+          require(f.metadata.contains("delta.columnMapping.id"),
+            s"column ${f.name}: id-mapped table without a field id — " +
+              "refusing")
+      }
+    }
+  }
+
+  private def containsStruct(dt: DataType): Boolean = dt match {
+    case _: StructType => true
+    case a: ArrayType  => containsStruct(a.elementType)
+    case m: MapType    => containsStruct(m.keyType) ||
+                          containsStruct(m.valueType)
+    case _             => false
+  }
+
+  /** Logical→physical projection for writing into a column-mapped
+    * table: renames top-level columns to their physical parquet names
+    * (`id` mode also stamps `parquet.field.id` so field-id readers
+    * resolve the new file), and returns the physical partition-column
+    * names plus the logical→physical stats key map. Identity on
+    * unmapped tables. `extra` columns (the CDF `_change_type`) pass
+    * through unrenamed.
+    */
+  private def physicalize(df: DataFrame, st: DeltaRead.LogState,
+                          schema: StructType, partitionBy: Seq[String],
+                          extra: Seq[String] = Nil)
+      : (DataFrame, Seq[String], Map[String, String]) = {
+    val mode = st.conf.getOrElse("delta.columnMapping.mode", "none")
+    val present = schema.fields.filter(f => df.columns.contains(f.name))
+    if (mode == "none")
+      return (df, partitionBy, present.map(f => f.name -> f.name).toMap)
+    requireAppendable(st) // flat mapped schema with metadata, validated
+    val keyOf = present.map(f => f.name ->
+      f.metadata.getString("delta.columnMapping.physicalName")).toMap
+    val cols = present.map { f =>
+      val phys = keyOf(f.name)
+      if (mode == "id") {
+        val meta = new MetadataBuilder().putLong("parquet.field.id",
+          f.metadata.getLong("delta.columnMapping.id")).build()
+        col(f.name).as(phys, meta)
+      } else col(f.name).as(phys)
+    } ++ extra.map(col)
+    if (mode == "id") // field ids only land when the writer conf is on
+      df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled",
+        "true")
+    (df.select(cols.toSeq: _*), partitionBy.map(keyOf), keyOf)
+  }
 
   /** Gate for schema EVOLUTION specifically: new columns on a table
     * whose writer features this writer does not model (generated
@@ -168,8 +227,12 @@ object DeltaWrite {
     * those features hang off the schema — refuse.
     */
   private def requireEvolvable(st: DeltaRead.LogState): Unit = {
+    require(!st.conf.get("delta.columnMapping.mode").exists(_ != "none"),
+      "mergeSchema evolution on a column-mapped table is refused — new " +
+        "columns need writer-assigned physical names/field ids this " +
+        "writer does not mint (plain appends and COW rewrites are fine)")
     val modeled = Set("appendOnly", "invariants", "deletionVectors",
-      "timestampNtz")
+      "timestampNtz", "columnMapping")
     val unknown = st.writerFeatures.filterNot(modeled)
     require(unknown.isEmpty,
       s"mergeSchema evolution refused: table carries writer features " +
@@ -200,6 +263,8 @@ object DeltaWrite {
       s"append schema ${df.schema.toDDL} != table schema " +
         s"${tableSchema.toDDL}")
     val partitionBy = st0.partitionCols
+    val (physDf, physParts, keyOf) =
+      physicalize(df, st0, tableSchema, partitionBy)
     var attempts = 0
     var files: Seq[Written] = null
     while (true) {
@@ -207,12 +272,13 @@ object DeltaWrite {
       val st = DeltaRead.replay(spark, path, -1L)
       val cur = DeltaRead.latestVersion(spark, path)
       if (st.txns.get(appId).exists(_ >= batchId)) return cur // replayed
-      if (files == null) files = writeSegment(df, path, partitionBy)
+      if (files == null) files = writeSegment(physDf, path, physParts)
       val txnLine =
         s"""{"txn":{"appId":${om.writeValueAsString(appId)},""" +
           s""""version":$batchId}}"""
       if (publish(spark, path, cur + 1, txnLine +:
-          actionsFor(df.schema, files, withMeta = false, partitionBy))) {
+          actionsFor(df.schema, files, withMeta = false, physParts,
+            statKey = keyOf))) {
         maybeCheckpoint(spark, path, cur + 1)
         return cur + 1
       }
@@ -229,20 +295,22 @@ object DeltaWrite {
 
   /** Refusal gate for the copy-on-write paths: they rewrite raw data
     * files, so table state this writer cannot faithfully re-emit
-    * (column-mapped physical names/field ids, reader features beyond
-    * deletion vectors) is refused rather than corrupted. DV-bearing
-    * tables ARE rewritable — the complement scan goes through the
-    * DV-applying assembler, and the rewritten file (a plain add)
-    * replaces the DV'd one in the same commit.
+    * (reader features beyond deletion vectors / column mapping) is
+    * refused rather than corrupted. DV-bearing tables ARE rewritable —
+    * the complement scan goes through the DV-applying assembler, and
+    * the rewritten file (a plain add) replaces the DV'd one in the same
+    * commit. Column-mapped tables ARE rewritable since round 9 (flat
+    * schemas; [[physicalize]] re-emits physical names/field ids).
     */
   private def requireRewritable(st: DeltaRead.LogState,
                                 live: Seq[DeltaRead.AddEntry]): Unit = {
-    val okFeatures = Set("deletionVectors", "timestampNtz")
-    require(st.readerFeatures.forall(okFeatures) &&
-        !st.conf.contains("delta.columnMapping.mode"),
-      "copy-on-write DELETE/UPSERT supports unmapped tables (features " +
-        "at most deletionVectors/timestampNtz) only — refusing rather " +
+    val okFeatures = Set("deletionVectors", "timestampNtz",
+      "columnMapping")
+    require(st.readerFeatures.forall(okFeatures),
+      "copy-on-write DELETE/UPSERT supports reader features at most " +
+        "deletionVectors/timestampNtz/columnMapping — refusing rather " +
         "than corrupting")
+    requireAppendable(st) // mapped tables: flat schema + metadata
   }
 
   /** DELETE rows matching `predicate` (SQL), copy-on-write: candidate
@@ -285,17 +353,24 @@ object DeltaWrite {
       val complement = DeltaRead
         .assemble(spark, path, st, affected)
         .filter(!coalesce(expr(predicate), lit(false)))
-      val files = writeSegment(complement, path, st.partitionCols)
+      val (physC, physParts, keyOf) =
+        physicalize(complement, st, schema, st.partitionCols)
+      val files = writeSegment(physC, path, physParts)
       // CDF: the deleted rows (DV-applied view, so never a masked row)
       // land as row-level 'delete' change data in the same commit
       val cdc =
         if (!cdfEnabled(st)) Nil
-        else cdcActionsFor(DeltaRead.assemble(spark, path, st, affected)
+        else {
+          val deleted = DeltaRead.assemble(spark, path, st, affected)
             .filter(coalesce(expr(predicate), lit(false)))
-            .withColumn("_change_type", lit("delete")),
-          path, st.partitionCols)
+            .withColumn("_change_type", lit("delete"))
+          val (physD, pp, _) = physicalize(deleted, st, schema,
+            st.partitionCols, extra = Seq("_change_type"))
+          cdcActionsFor(physD, path, pp)
+        }
       val actions = cdc ++ affected.map(removeAction(_)) ++
-        actionsFor(schema, files, withMeta = false, st.partitionCols)
+        actionsFor(schema, files, withMeta = false, physParts,
+          statKey = keyOf)
       if (publish(spark, path, cur + 1, actions)) {
         maybeCheckpoint(spark, path, cur + 1)
         return cur + 1
@@ -373,7 +448,9 @@ object DeltaWrite {
       val segment = complement
         .map(_.select(ordered: _*).unionByName(source.select(ordered: _*)))
         .getOrElse(source.select(ordered: _*))
-      val files = writeSegment(segment, path, st.partitionCols)
+      val (physSeg, physParts, keyOf) =
+        physicalize(segment, st, schema, st.partitionCols)
+      val files = writeSegment(physSeg, path, physParts)
       // CDF on a rewriting MERGE: matched rows emit update_preimage
       // (old, DV-applied) + update_postimage (new), unmatched source
       // rows emit insert — all in the commit's _change_data files. A
@@ -387,17 +464,19 @@ object DeltaWrite {
           val preKeys = pre.select(keys.map(col): _*).distinct()
           val post = source.join(preKeys, keys, "left_semi")
           val ins = source.join(preKeys, keys, "left_anti")
-          cdcActionsFor(
-            pre.select(ordered: _*)
+          val cdcRows = pre.select(ordered: _*)
               .withColumn("_change_type", lit("update_preimage"))
             .unionByName(post.select(ordered: _*)
               .withColumn("_change_type", lit("update_postimage")))
             .unionByName(ins.select(ordered: _*)
-              .withColumn("_change_type", lit("insert"))),
-            path, st.partitionCols)
+              .withColumn("_change_type", lit("insert")))
+          val (physCdc, pp, _) = physicalize(cdcRows, st, schema,
+            st.partitionCols, extra = Seq("_change_type"))
+          cdcActionsFor(physCdc, path, pp)
         }
       val actions = cdc ++ affected.map(removeAction(_)) ++
-        actionsFor(schema, files, withMeta = false, st.partitionCols)
+        actionsFor(schema, files, withMeta = false, physParts,
+          statKey = keyOf)
       if (publish(spark, path, cur + 1, actions)) {
         maybeCheckpoint(spark, path, cur + 1)
         return cur + 1
@@ -440,17 +519,22 @@ object DeltaWrite {
         .filter(g => g.size >= 2 || g.exists(_.dv.exists(_.cardinality > 0L)))
         .toSeq
       if (groups.isEmpty) return cur
+      var statKey = Map.empty[String, String]
       val written = groups.flatMap { g =>
         val bins = math.max(1L,
           (g.map(_.size).sum + targetBytes - 1) / targetBytes).toInt
         // DV-applied assembly: compaction must never resurrect rows
         val rows = DeltaRead.assemble(spark, path, st, g)
           .repartition(bins)
-        writeSegment(rows, path, st.partitionCols)
+        val (physRows, physParts, keyOf) =
+          physicalize(rows, st, schema, st.partitionCols)
+        statKey = keyOf
+        writeSegment(physRows, path, physParts)
       }
+      val physParts = st.partitionCols.map(c => statKey.getOrElse(c, c))
       val actions = groups.flatten.map(removeAction(_, dataChange = false)) ++
-        actionsFor(schema, written, withMeta = false, st.partitionCols,
-          dataChange = false)
+        actionsFor(schema, written, withMeta = false, physParts,
+          dataChange = false, statKey = statKey)
       if (publish(spark, path, cur + 1, actions)) {
         maybeCheckpoint(spark, path, cur + 1)
         return cur + 1
@@ -678,7 +762,9 @@ object DeltaWrite {
   private def actionsFor(schema: StructType, files: Seq[Written],
                          withMeta: Boolean,
                          partitionBy: Seq[String] = Nil,
-                         dataChange: Boolean = true): Seq[String] = {
+                         dataChange: Boolean = true,
+                         statKey: Map[String, String] = Map.empty)
+      : Seq[String] = {
     val partJson = om.writeValueAsString(
       om.valueToTree[com.fasterxml.jackson.databind.JsonNode](
         partitionBy.toArray))
@@ -698,21 +784,26 @@ object DeltaWrite {
         s""""partitionValues":${om.writeValueAsString(pv)},""" +
         s""""size":${w.size},"modificationTime":${w.mtime},""" +
         s""""dataChange":$dataChange""" +
-        statsJson(schema, w.stats).fold("")(j =>
+        statsJson(schema, w.stats, statKey).fold("")(j =>
           s""","stats":${om.writeValueAsString(j)}""") + "}}"
     }
   }
 
   /** Delta per-file stats json from footer zone maps — emitted only for
     * columns whose footer compare-domain equals Delta's json domain.
+    * On column-mapped tables the footer (and the protocol's stats json)
+    * keys are the PHYSICAL names — `statKey` carries the mapping.
     */
   private def statsJson(schema: StructType,
-                        st: Map[String, FileStats.ColStat]): Option[String] = {
+                        st: Map[String, FileStats.ColStat],
+                        statKey: Map[String, String] = Map.empty)
+      : Option[String] = {
     val rows = st.values.headOption.map(_.rows).getOrElse(-1L)
     if (rows < 0) return None
     val mins = om.createObjectNode(); val maxs = om.createObjectNode()
     val nulls = om.createObjectNode()
-    schema.fields.foreach { f =>
+    schema.fields.foreach { f0 =>
+      val f = StructField(statKey.getOrElse(f0.name, f0.name), f0.dataType)
       st.get(f.name).foreach { c =>
         val jsonable = (f.dataType, c.kind) match {
           case (ByteType | ShortType | IntegerType | LongType, "l") => true

@@ -391,7 +391,7 @@ class DeltaProtocolSpec extends AnyFunSuite {
     assert(e.getMessage.contains("zorder"))
   }
 
-  test("copy-on-write DELETE applies existing DVs during the rewrite; mapped tables refused") {
+  test("copy-on-write DELETE applies existing DVs during the rewrite; NESTED mapped refused") {
     import sources.DeltaWrite
     // DV table: the rewrite source is the DV-APPLIED assembly, so a
     // copy-on-write can never resurrect DV-deleted rows
@@ -406,25 +406,96 @@ class DeltaProtocolSpec extends AnyFunSuite {
     assert(!ks.contains(0L) && !ks.contains(1L),
       "rewrite must not resurrect DV-deleted rows")
     assert(!ks.contains(45L) && ks.contains(2L) && ks.contains(39L))
-    // column-mapped table: physical-name re-emission unsupported
+    // column-mapped NESTED schemas stay refused (the physicalizer
+    // handles flat mapped schemas only)
     val dir2 = tmp()
-    val logical = StructType(Seq(
+    val nested = StructType(Seq(
       mappedField("k", LongType, "col-aaa", 1),
-      mappedField("name", StringType, "col-bbb", 2)))
+      mappedField("info", StructType(Seq(
+        mappedField("tag", StringType, "col-ccc", 3))), "col-bbb", 2)))
     dataFile(dir2, "f0.parquet", spark.range(0, 10).select(
       col("id").as("col-aaa"),
-      concat(lit("u"), col("id")).as("col-bbb")))
+      struct(concat(lit("t"), col("id")).as("col-ccc")).as("col-bbb")))
     commit(dir2, 0, Seq(
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
-      metaLine(logical.json,
+      metaLine(nested.json,
         conf = """{"delta.columnMapping.mode":"name"}"""),
       addPlain("f0.parquet", 10)))
     val e2 = intercept[IllegalArgumentException] {
-      DeltaWrite.upsert(
-        spark.createDataFrame(Seq((1L, "x"))).toDF("k", "name"),
-        dir2, Seq("k"))
+      DeltaWrite.delete(spark, dir2, "k >= 5")
     }
-    assert(e2.getMessage.contains("refusing"))
+    assert(e2.getMessage.contains("nested"))
+  }
+
+  test("column-mapped writes: physical-name re-emission on append, COW, and id mode") {
+    import sources.DeltaWrite
+    // name mode: append + upsert + delete land PHYSICAL parquet names
+    // with physically-keyed stats; every read resolves logically
+    val dir = tmp()
+    val logical = StructType(Seq(
+      mappedField("k", LongType, "col-aaa", 1),
+      mappedField("name", StringType, "col-bbb", 2)))
+    dataFile(dir, "f0.parquet", spark.range(0, 50).select(
+      col("id").as("col-aaa"),
+      concat(lit("u"), col("id")).as("col-bbb")))
+    def statsM(lo: Long, hi: Long, n: Long): String =
+      s""""stats":"{\\"numRecords\\":$n,\\"minValues\\":{\\"col-aaa\\":$lo},""" +
+        s"""\\"maxValues\\":{\\"col-aaa\\":$hi},\\"nullCount\\":{\\"col-aaa\\":0}}""""
+    commit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaLine(logical.json,
+        conf = """{"delta.columnMapping.mode":"name"}"""),
+      s"""{"add":{"path":"f0.parquet","partitionValues":{},"size":1,""" +
+        s""""modificationTime":0,"dataChange":true,${statsM(0, 49, 50)}}}"""))
+    // append a LOGICAL-named batch
+    assert(DeltaWrite.append(range(50, 100).coalesce(1), dir) == 1)
+    val back = DeltaRead.read(spark, dir)
+    assert(back.columns.toSeq == Seq("k", "name"))
+    assert(back.count() == 100)
+    assert(back.agg(sum("k")).head().getLong(0) == (0L until 100).sum,
+      "appended file must resolve through the physical mapping")
+    // the new add's stats are keyed PHYSICALLY and drive pruning
+    val c1 = java.nio.file.Files.readString(
+      Paths.get(dir, "_delta_log", f"${1L}%020d.json"))
+    assert(c1.contains("col-aaa") && !c1.contains("\\\"k\\\""),
+      s"stats must be keyed by physical names: $c1")
+    val (total, kept) = DeltaRead.pruneReport(spark, dir, "k >= 50")
+    assert(total == 2 && kept == 1, s"pruning on the new file: $kept/$total")
+    // COW upsert + delete on the mapped table
+    assert(DeltaWrite.upsert(
+      spark.createDataFrame(Seq((10L, "updated"), (200L, "fresh")))
+        .toDF("k", "name"), dir, Seq("k")) == 2)
+    val afterUp = DeltaRead.read(spark, dir)
+    assert(afterUp.count() == 101)
+    assert(afterUp.filter(col("k") === 10).head().getString(1) == "updated")
+    assert(DeltaWrite.delete(spark, dir, "k >= 90 AND k < 100") == 3)
+    assert(DeltaRead.read(spark, dir).count() == 91)
+    // evolution on mapped stays refused (needs minted ids)
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.append(range(0, 1).withColumn("score", lit(1L)), dir,
+        mergeSchema = true)
+    }
+    assert(e.getMessage.contains("column-mapped"))
+
+    // id mode: the appended file must carry parquet field ids — prove
+    // it by resolution: rename-style logical/physical names with a
+    // field-id-resolving read
+    val dir2 = tmp()
+    def fid(id: Long) = new MetadataBuilder()
+      .putLong("parquet.field.id", id).build()
+    dataFile(dir2, "f0.parquet", spark.range(0, 50).select(
+      col("id").as("old_a", fid(1)),
+      concat(lit("u"), col("id")).as("old_b", fid(2))))
+    commit(dir2, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaLine(logical.json,
+        conf = """{"delta.columnMapping.mode":"id"}"""),
+      addPlain("f0.parquet", 50)))
+    assert(DeltaWrite.append(range(50, 100).coalesce(1), dir2) == 1)
+    val back2 = DeltaRead.read(spark, dir2)
+    assert(back2.count() == 100)
+    assert(back2.agg(sum("k")).head().getLong(0) == (0L until 100).sum,
+      "id-mode append must land field ids the reader resolves by")
   }
 
   test("checkpointing a DV table: features + DVs carry verbatim, cleaned log reads back") {

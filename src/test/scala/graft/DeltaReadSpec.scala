@@ -710,10 +710,12 @@ class DeltaReadSpec extends AnyFunSuite {
       == Seq("k", "name", "score"))
   }
 
-  test("append/evolution refuse column-mapped and unknown-feature tables") {
+  test("append/evolution refuse malformed-mapped and unknown-feature tables") {
     import sources.DeltaWrite
-    // column-mapped table: this writer emits LOGICAL parquet names the
-    // mapped reader cannot resolve — every append must refuse
+    // a DEGENERATE mapped table (mode=name but fields carry no
+    // physicalName metadata) cannot be physicalized — refuse, never
+    // guess (well-formed mapped tables append fine since round 9:
+    // DeltaProtocolSpec's column-mapped-writes suite)
     val dir = tmp()
     dataFile(dir, "f0.parquet", range(0, 10))
     commit(dir, 0, Seq(
@@ -725,7 +727,7 @@ class DeltaReadSpec extends AnyFunSuite {
     val e1 = intercept[IllegalArgumentException] {
       DeltaWrite.append(range(10, 20).coalesce(1), dir)
     }
-    assert(e1.getMessage.contains("column-mapped"))
+    assert(e1.getMessage.contains("physicalName"))
     // unknown writer feature: plain appends are fine (they add files
     // only), but EVOLUTION re-emits metaData and must refuse
     val dir2 = tmp()
