@@ -537,6 +537,17 @@ def delta_optimize(spark, path, target_bytes=128 * 1024 * 1024):
         spark._jsparkSession, path, int(target_bytes))
 
 
+def iceberg_expire_snapshots(spark, path, keep_last,
+                             orphan_retain_millis=7 * 24 * 3600 * 1000):
+    """Expire all but the last ``keep_last`` Iceberg snapshots and
+    delete storage no kept snapshot can reach (manifest lists,
+    manifests, expired-only data files, and mtime-gated crash
+    orphans). Returns the number of files deleted."""
+    return _jvm(spark).graft.sources.IcebergWrite.expireSnapshots(
+        spark._jsparkSession, path, int(keep_last),
+        int(orphan_retain_millis))
+
+
 def delta_vacuum(spark, path, retain_millis=-1):
     """VACUUM a Delta table: delete data/DV files no reader can reach
     (tombstone older than the retention window, or never-logged crash

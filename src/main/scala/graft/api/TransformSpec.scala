@@ -250,6 +250,23 @@ object TransformSpec {
         graft.sources.DeltaWrite.delete(df.sparkSession,
           step.path("path").asText(), step.path("predicate").asText())
         df
+      case "deltaOptimize" =>
+        // bin-packing compaction (dataChange=false; DVs fold); the
+        // input frame passes through untouched
+        gateWrite(allowInline, "deltaOptimize")
+        graft.sources.DeltaWrite.optimize(df.sparkSession,
+          step.path("path").asText(),
+          if (step.has("targetBytes")) step.path("targetBytes").asLong()
+          else 128L * 1024 * 1024)
+        df
+      case "deltaVacuum" =>
+        // retention-gated cleanup of unreachable data/DV files
+        gateWrite(allowInline, "deltaVacuum")
+        graft.sources.DeltaWrite.vacuum(df.sparkSession,
+          step.path("path").asText(),
+          if (step.has("retainMillis")) step.path("retainMillis").asLong()
+          else -1L)
+        df
       case "snapshotUpsert" =>
         // MERGE by key; with appId+batchId it is the exactly-once
         // upsertBatch (replayed batches detected and skipped via the

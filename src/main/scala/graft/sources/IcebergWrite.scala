@@ -469,6 +469,122 @@ object IcebergWrite {
   private def resolve(tablePath: String, p: String): String =
     if (p.startsWith("/") || p.contains("://")) p else s"$tablePath/$p"
 
+  /** EXPIRE SNAPSHOTS + file GC — the Iceberg-leg analog of Delta
+    * VACUUM: without it a long-lived table accretes snapshots,
+    * manifest lists, and manifests forever. Keeps the LAST `keepLast`
+    * snapshots (verbatim nodes — history never restamps), commits the
+    * pruned metadata via the same put-if-absent race as appends, then
+    * deletes storage no kept snapshot can reach: manifest
+    * lists/manifests of expired snapshots, data files whose every
+    * referencing snapshot expired, and (mtime-gated by
+    * `orphanRetainMillis`, default 7 days — a mid-commit racer's
+    * freshly moved files must survive) never-referenced orphans from
+    * crashed writers. Time travel to an expired snapshot fails LOUDLY
+    * afterwards ("snapshot not found"); kept snapshots stay readable.
+    * Returns the number of files deleted.
+    */
+  def expireSnapshots(spark: SparkSession, path: String, keepLast: Int,
+                      orphanRetainMillis: Long = 7L * 24 * 3600 * 1000)
+      : Int = {
+    require(keepLast >= 1, "expireSnapshots: keepLast must be >= 1")
+    val f = fs(spark, path)
+    var attempts = 0
+    while (true) {
+      require(attempts < 10, s"$path: lost the expire race 10 times")
+      val metaP = currentMeta(spark, path)
+      val meta = {
+        val in = f.open(metaP)
+        try om.readTree(new String(in.readAllBytes(), "UTF-8"))
+        finally in.close()
+      }
+      val MetaName(curV) = metaP.getName
+      val st = parseState(meta, path)
+      val ordered = st.snapshots.sortBy(_.path("snapshot-id").asLong())
+      val kept = ordered.takeRight(keepLast)
+      require(kept.exists(_.path("snapshot-id").asLong()
+          == st.currentSnapId),
+        s"$path: keepLast=$keepLast would expire the CURRENT snapshot — " +
+          "refusing")
+      val expiring = kept.size < ordered.size
+      // pruned metadata (only when something actually expires — a pure
+      // orphan sweep needs no commit): everything carries forward
+      // verbatim except the snapshots array
+      val won =
+        if (!expiring) true
+        else {
+          val root = om.readTree(om.writeValueAsString(meta))
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          val arr = root.putArray("snapshots")
+          kept.foreach(arr.add)
+          root.put("last-updated-ms", System.currentTimeMillis())
+          val mdir = new Path(path, "metadata")
+          val tmp = new Path(mdir, s".tmp-${java.util.UUID.randomUUID()}")
+          val out = f.create(tmp, true)
+          try out.write(om.writeValueAsString(root).getBytes("UTF-8"))
+          finally out.close()
+          val target = new Path(mdir, s"v${curV.toInt + 1}.metadata.json")
+          val w = SnapshotTable.storeFor(f.getScheme)
+            .publishIfAbsent(f, tmp, target)
+          f.delete(tmp, false)
+          if (w) {
+            val hint = f.create(new Path(mdir, "version-hint.text"), true)
+            try hint.write(s"${curV.toInt + 1}".getBytes("UTF-8"))
+            finally hint.close()
+          }
+          w
+        }
+      if (!won) { attempts += 1 }
+      else {
+        // GC: reachable = kept snapshots' manifest lists + manifests +
+        // every data file a non-DELETED entry references (all compared
+        // as scheme-QUALIFIED paths so file:/ and bare forms agree)
+        def q(p: String): String = f.makeQualified(new Path(p)).toString
+        val reachable = scala.collection.mutable.Set[String]()
+        kept.foreach { s =>
+          val ml = resolve(path, s.path("manifest-list").asText())
+          reachable += q(ml)
+          readManifestList(spark, ml).foreach { m =>
+            val mp = resolve(path, m.get("manifest_path").toString)
+            reachable += q(mp)
+            readManifestList(spark, mp).foreach { e =>
+              val status = Option(e.getSchema.getField("status"))
+                .flatMap(_ => Option(e.get("status")))
+                .map(_.toString.toInt).getOrElse(1)
+              if (status != 2)
+                reachable += q(resolve(path,
+                  e.get("data_file").asInstanceOf[GenericRecord]
+                    .get("file_path").toString))
+            }
+          }
+        }
+        val cutoff = System.currentTimeMillis() -
+          math.max(0L, orphanRetainMillis)
+        var deleted = 0
+        def sweep(dir: Path, exts: Seq[String],
+                  mtimeGated: Boolean): Unit =
+          if (f.exists(dir)) f.listStatus(dir).foreach { s0 =>
+            val p0 = s0.getPath
+            val name = p0.getName
+            if (s0.isFile && exts.exists(name.endsWith(_)) &&
+                !name.startsWith(".") &&
+                !reachable.contains(f.makeQualified(p0).toString) &&
+                (!mtimeGated || s0.getModificationTime < cutoff)) {
+              if (f.delete(p0, false)) deleted += 1
+            }
+          }
+        // manifests/lists of expired snapshots: referenced-by-log only,
+        // no mtime gate needed (a racing appender carries forward the
+        // CURRENT snapshot's manifests, which are kept by construction)
+        sweep(new Path(path, "metadata"), Seq(".avro"), mtimeGated = false)
+        // data files: expired-only references AND crash orphans — the
+        // mtime gate protects a mid-commit racer's freshly moved files
+        sweep(new Path(path, "data"), Seq(".parquet"), mtimeGated = true)
+        return deleted
+      }
+    }
+    -1 // unreachable
+  }
+
   private def currentMeta(spark: SparkSession, path: String): Path = {
     val mdir = new Path(path, "metadata")
     val f = fs(spark, path)

@@ -284,6 +284,50 @@ class IcebergWriteSpec extends AnyFunSuite {
     } finally r.close()
   }
 
+  test("expireSnapshots: pruned history, kept snapshots readable, unreachable files GC'd") {
+    val dir = tmp()
+    IcebergWrite.create(range(0, 10).coalesce(1), dir)            // snap 1
+    (1 to 3).foreach(i => IcebergWrite.append(
+      range(i * 10L, i * 10L + 10).coalesce(1), dir))             // 2..4
+    def avros(): Int = new java.io.File(s"$dir/metadata").listFiles()
+      .count(_.getName.endsWith(".avro"))
+    val before = avros()
+    // nothing to expire: no new metadata version, nothing deleted
+    assert(IcebergWrite.expireSnapshots(spark, dir, keepLast = 4) == 0)
+    assert(!Files.exists(java.nio.file.Paths.get(
+      dir, "metadata", "v6.metadata.json")))
+    // keepLast below the current snapshot refuses... (current is
+    // always newest here, so any keepLast >= 1 keeps it); expire to 2
+    val deleted = IcebergWrite.expireSnapshots(spark, dir, keepLast = 2)
+    assert(deleted > 0 && avros() < before,
+      s"expired manifest lists must be deleted: $deleted, ${avros()}")
+    // current + kept snapshot read fine (append-only: all data
+    // reachable from the latest snapshot)
+    assert(IcebergRead.read(spark, dir).count() == 40)
+    assert(IcebergRead.read(spark, dir, snapshotId = 3).count() == 30)
+    // expired snapshots fail LOUDLY
+    val e = intercept[IllegalArgumentException] {
+      IcebergRead.read(spark, dir, snapshotId = 1)
+    }
+    assert(e.getMessage.contains("not found"))
+    // appends continue normally after expiry
+    assert(IcebergWrite.append(range(40, 50).coalesce(1), dir) == 5L)
+    assert(IcebergRead.read(spark, dir).count() == 50)
+    // crash-orphan data files: mtime-gated sweep (fresh ones survive
+    // the default window, a zero window reclaims them)
+    val stray = java.nio.file.Paths.get(dir, "data", "orphan.parquet")
+    Files.write(stray, Array[Byte](1, 2, 3))
+    // keepLast=3 keeps all three live snapshots — nothing expires, and
+    // the fresh orphan survives the default window
+    assert(IcebergWrite.expireSnapshots(spark, dir, keepLast = 3) == 0,
+      "a FRESH orphan must survive the default retention window")
+    Thread.sleep(5)
+    assert(IcebergWrite.expireSnapshots(spark, dir, keepLast = 3,
+      orphanRetainMillis = 0L) == 1)
+    assert(!Files.exists(stray))
+    assert(IcebergRead.read(spark, dir).count() == 50)
+  }
+
   test("date/timestamp columns round-trip (no bounds, still correct)") {
     val dir = tmp()
     val df = spark.sql(

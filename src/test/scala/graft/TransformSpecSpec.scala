@@ -449,6 +449,22 @@ class TransformSpecSpec extends AnyFunSuite {
     assert(t3.filter(col("k") === 7).head().getString(1) == "y")
     assert(t3.filter(col("k") === 2).head().getString(1) == "x")
 
+    // maintenance steps: optimize packs the COW debris, vacuum(0)
+    // reclaims it — rows bit-identical throughout
+    TransformSpec.run(
+      s"""{"source": "c", "steps": [
+           {"op": "deltaOptimize", "path": "$base/t3"},
+           {"op": "deltaVacuum", "path": "$base/t3",
+            "retainMillis": 0}]}""",
+      Map("c" -> spark.range(0, 1).select(col("id").as("k"),
+        lit("z").as("tag"))),
+      allowInlineSources = true)
+    val t3b = graft.sources.DeltaRead.read(spark, s"$base/t3")
+    assert(t3b.count() == 11, "optimize+vacuum must not change rows")
+    val (liveFiles, _) = graft.sources.DeltaRead
+      .pruneReport(spark, s"$base/t3", "k >= 0")
+    assert(liveFiles == 1, s"optimize step must bin-pack: $liveFiles")
+
     // Iceberg emit: create-if-absent then append, read back by snapshot
     TransformSpec.run(
       s"""{"source": "c", "steps": [
@@ -472,7 +488,7 @@ class TransformSpecSpec extends AnyFunSuite {
         Map("d" -> docs))
     }
     assert(refused.getMessage.contains("catalog-only"))
-    Seq("deltaUpsert", "deltaDelete").foreach { op =>
+    Seq("deltaUpsert", "deltaDelete", "deltaOptimize", "deltaVacuum").foreach { op =>
       val r = intercept[IllegalArgumentException] {
         TransformSpec.run(
           s"""{"source": "d", "steps": [

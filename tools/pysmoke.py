@@ -458,6 +458,8 @@ graft.iceberg_append(spark, spark.range(20, 30).selectExpr(
     ip_dir, merge_schema=True)
 ipe = graft.iceberg_read(spark, ip_dir)
 assert ipe.count() == 30 and ipe.where("score IS NULL").count() == 20
+assert graft.iceberg_expire_snapshots(spark, ip_dir, keep_last=1) > 0
+assert graft.iceberg_read(spark, ip_dir).count() == 30
 
 # partitioned delta writer: hive layout + typed partition recovery
 dp_dir = tempfile.mkdtemp(prefix="graft_pydp") + "/t"
