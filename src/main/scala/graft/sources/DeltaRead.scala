@@ -814,26 +814,55 @@ object DeltaRead {
     val schema = schemaOf(st0)
     val feedSchema = StructType(schema.fields :+
       StructField("_change_type", StringType))
-    val state = scala.collection.mutable.Map[String, AddEntry](
-      liveEntries(st0, None).map(a => a.path -> a): _*)
     val dir = new Path(path, "_delta_log")
     val f = fs(spark, path)
+    // read the range's commits ONCE (driver; bounded by the version
+    // span, the budget any per-commit reader spends)
+    val commitsText: Seq[(Long, Seq[String])] =
+      (fromV + 1 to toV).map { v =>
+        val p = new Path(dir, f"$v%020d.json")
+        require(f.exists(p),
+          s"$path: commit $v missing (log cleaned?) — per-commit changes " +
+            "cannot be reconstructed from a checkpoint, refusing")
+        val in = f.open(p)
+        val text = try new String(in.readAllBytes(), "UTF-8")
+                   finally in.close()
+        v -> text.split("\n").filter(_.trim.nonEmpty).toSeq
+      }
+    // pre-state seeding stays BOUNDED: only paths the range actually
+    // removes (or re-adds) need their fromV entry — resolved from the
+    // tail driver-side and from the checkpoint via a DISTRIBUTED filter
+    // (a million-file snapshot never materializes for a change feed)
+    val touched: Set[String] = commitsText.flatMap { case (_, lines) =>
+      lines.flatMap { line =>
+        val n = om.readTree(line)
+        val rm = if (n.has("remove"))
+          Some(n.path("remove").path("path").asText()) else None
+        val ad = if (n.has("add"))
+          Some(n.path("add").path("path").asText()) else None
+        rm ++ ad
+      }
+    }.toSet
+    val state = scala.collection.mutable.Map[String, AddEntry]()
+    val tailKeys = st0.tailAdds.map(_.path).toSet
+    val rm0 = st0.tailRemoves.keySet
+    st0.ckpt.foreach { ds =>
+      ds.filter(a => touched.contains(a.path) && !rm0.contains(a.path) &&
+          !tailKeys.contains(a.path))
+        .collect().foreach(a => state(a.path) = a)
+    }
+    st0.tailAdds.filter(a => touched.contains(a.path))
+      .foreach(a => state(a.path) = a)
     val parts = scala.collection.mutable.Buffer[DataFrame]()
     val outCols = schema.fieldNames.toSeq.map(col) ++
       Seq(col("_change_type"), col("_commit_version"))
     def tag(df: DataFrame, v: Long): DataFrame =
       df.withColumn("_commit_version", lit(v)).select(outCols: _*)
-    (fromV + 1 to toV).foreach { v =>
-      val p = new Path(dir, f"$v%020d.json")
-      require(f.exists(p),
-        s"$path: commit $v missing (log cleaned?) — per-commit changes " +
-          "cannot be reconstructed from a checkpoint, refusing")
-      val in = f.open(p)
-      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    commitsText.foreach { case (v, lines) =>
       val cdcEntries = scala.collection.mutable.Buffer[AddEntry]()
       val dels = scala.collection.mutable.Buffer[AddEntry]()
       val ins = scala.collection.mutable.Buffer[AddEntry]()
-      text.split("\n").filter(_.trim.nonEmpty).foreach { line =>
+      lines.foreach { line =>
         val n = om.readTree(line)
         if (n.has("metaData"))
           require(n.path("metaData").path("schemaString").asText()

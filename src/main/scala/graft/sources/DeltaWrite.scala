@@ -519,19 +519,19 @@ object DeltaWrite {
         .filter(g => g.size >= 2 || g.exists(_.dv.exists(_.cardinality > 0L)))
         .toSeq
       if (groups.isEmpty) return cur
-      var statKey = Map.empty[String, String]
-      val written = groups.flatMap { g =>
+      // ONE unioned plan and ONE write job for every group: each branch
+      // holds a single partition tuple repartitioned to its own bin
+      // count, so a 10k-partition table compacts in one pass instead of
+      // 10k sequential jobs. DV-applied assembly: compaction must never
+      // resurrect rows.
+      val segment = groups.map { g =>
         val bins = math.max(1L,
           (g.map(_.size).sum + targetBytes - 1) / targetBytes).toInt
-        // DV-applied assembly: compaction must never resurrect rows
-        val rows = DeltaRead.assemble(spark, path, st, g)
-          .repartition(bins)
-        val (physRows, physParts, keyOf) =
-          physicalize(rows, st, schema, st.partitionCols)
-        statKey = keyOf
-        writeSegment(physRows, path, physParts)
-      }
-      val physParts = st.partitionCols.map(c => statKey.getOrElse(c, c))
+        DeltaRead.assemble(spark, path, st, g).repartition(bins)
+      }.reduce(_ unionByName _)
+      val (physRows, physParts, statKey) =
+        physicalize(segment, st, schema, st.partitionCols)
+      val written = writeSegment(physRows, path, physParts)
       val actions = groups.flatten.map(removeAction(_, dataChange = false)) ++
         actionsFor(schema, written, withMeta = false, physParts,
           dataChange = false, statKey = statKey)

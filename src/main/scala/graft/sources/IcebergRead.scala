@@ -409,11 +409,17 @@ object IcebergRead {
               idToName.getOrElse(id, throw new IllegalArgumentException(
                 s"$path: equality_ids field $id not in the read schema " +
                   "— cannot evaluate the delete, refusing")))
-            val dels = group.map { d =>
-              spark.read.parquet(resolve(path, d.path))
-                .select(eqCols.map(c => col(c).as(s"__gd_$c")) :+
-                  lit(d.seq).as(DSeqCol): _*)
-            }.reduce(_ unionByName _)
+            // ONE scan for the whole id-group (a streaming-upsert table
+            // can hold thousands of delete files — a per-file union
+            // would bloat the plan linearly); each delete row recovers
+            // its file's sequence via a broadcast (file → seq) map
+            val seqByFile = broadcast(group
+              .map(d => base(d.path) -> d.seq).toDF("__gd_file", DSeqCol))
+            val dels = spark.read
+              .parquet(group.map(d => resolve(path, d.path)): _*)
+              .select(eqCols.map(c => col(c).as(s"__gd_$c")) :+
+                decodeBase(col("_metadata.file_path")).as("__gd_file"): _*)
+              .join(seqByFile, Seq("__gd_file"))
             val cond = eqCols.map(c => col(c) <=> col(s"__gd_$c"))
               .reduce(_ && _) && (col(SeqCol) < col(DSeqCol))
             acc.join(dels, cond, "left_anti")
