@@ -537,6 +537,18 @@ def delta_optimize(spark, path, target_bytes=128 * 1024 * 1024):
         spark._jsparkSession, path, int(target_bytes))
 
 
+def delta_sync(spark, delta_path, snapshot_path, keys,
+               bootstrap_version=-1):
+    """Incremental Delta -> SnapshotTable mirror driven by the
+    row-level change feed: reads only changed/cdc files, collapses to
+    the last state per key, and lands one exactly-once CDC commit (the
+    sync watermark rides the target's transaction state). Returns the
+    Delta version the target is now synced to."""
+    return _jvm(spark).graft.sources.DeltaSync.sync(
+        spark._jsparkSession, delta_path, snapshot_path,
+        _to_seq(spark, list(keys)), int(bootstrap_version))
+
+
 def iceberg_expire_snapshots(spark, path, keep_last,
                              orphan_retain_millis=7 * 24 * 3600 * 1000):
     """Expire all but the last ``keep_last`` Iceberg snapshots and

@@ -642,6 +642,55 @@ class DeltaReadSpec extends AnyFunSuite {
       "cdc files must survive vacuum")
   }
 
+  test("DeltaSync: CDF-driven incremental mirror into a SnapshotTable, exactly-once") {
+    import sources.{DeltaSync, DeltaWrite, SnapshotTable}
+    // CDF-enabled source (hand-created so configuration carries it)
+    val dir = tmp()
+    dataFile(dir, "f0.parquet", range(0, 50))
+    commit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      s"""{"metaData":{"id":"src","format":{"provider":"parquet"},""" +
+        s""""schemaString":${om(schemaJson)},"partitionColumns":[],""" +
+        s""""configuration":{"delta.enableChangeDataFeed":"true"}}}""",
+      add("f0.parquet", 0, 49, 50)))
+    val snap = Files.createTempDirectory("graft_sync").toString + "/t"
+    def mirrored(): Boolean = {
+      val src = DeltaRead.read(spark, dir)
+      val tgt = SnapshotTable.read(spark, snap)
+      src.exceptAll(tgt).count() == 0 && tgt.exceptAll(src).count() == 0
+    }
+    // bootstrap lands the full read + watermark in one commit
+    assert(DeltaSync.sync(spark, dir, snap, Seq("k")) == 0)
+    assert(SnapshotTable.read(spark, snap).count() == 50 && mirrored())
+    // replayed call: detected no-op
+    val vAfterBootstrap = SnapshotTable.latestVersion(spark, snap)
+    assert(DeltaSync.sync(spark, dir, snap, Seq("k")) == 0)
+    assert(SnapshotTable.latestVersion(spark, snap) == vAfterBootstrap,
+      "a no-change sync must not commit")
+    // source mutates through CDF commits: delete + merge
+    DeltaWrite.delete(spark, dir, "k >= 40")                     // v1
+    DeltaWrite.upsert(spark.createDataFrame(Seq(
+      (10L, "updated"), (200L, "fresh"))).toDF("k", "name"),
+      dir, Seq("k"))                                             // v2
+    assert(DeltaSync.sync(spark, dir, snap, Seq("k")) == 2)
+    assert(mirrored(), "target must equal the source after CDF sync")
+    assert(SnapshotTable.read(spark, snap)
+      .filter(col("k") === 10).head().getString(1) == "updated")
+    assert(SnapshotTable.read(spark, snap)
+      .filter(col("k") >= 40 && col("k") < 100).count() == 0)
+    // append-only advance syncs via derived inserts
+    DeltaWrite.append(range(300, 310).coalesce(1), dir)          // v3
+    assert(DeltaSync.sync(spark, dir, snap, Seq("k")) == 3)
+    assert(mirrored())
+    // a foreign target without the sync watermark refuses loudly
+    val alien = Files.createTempDirectory("graft_sync2").toString + "/t"
+    SnapshotTable.create(range(0, 5), alien)
+    val e = intercept[IllegalArgumentException] {
+      DeltaSync.sync(spark, dir, alien, Seq("k"))
+    }
+    assert(e.getMessage.contains("watermark"))
+  }
+
   test("DeltaWrite.appendBatch: txn watermark skips replays, survives checkpointing") {
     import sources.DeltaWrite
     val dir = tmp()
