@@ -50,6 +50,14 @@ object Bench {
     // log4j noise (src/main/resources/log4j2.properties routes it to
     // stderr as a second line of defense) must never reach it.
     spark.sparkContext.setLogLevel("ERROR")
+    // targeted-loop escape hatch: SPARK_GRAFT_CONF="k=v,k2=v2" sets
+    // session confs (e.g. graft.neardup.strategy=lsh) so alternate
+    // operating points measure through the same rig
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",")
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
 
     // warmup: table footers/caches, then every query once at the smallest
     // scale factor — Janino/whole-stage compilation is per-plan-shape, so

@@ -267,6 +267,17 @@ object TransformSpec {
           if (step.has("retainMillis")) step.path("retainMillis").asLong()
           else -1L)
         df
+      case "deltaSync" =>
+        // incremental Delta -> SnapshotTable mirror over the row-level
+        // change feed (exactly-once; watermark on the target)
+        gateWrite(allowInline, "deltaSync")
+        graft.sources.DeltaSync.sync(df.sparkSession,
+          step.path("path").asText(), step.path("target").asText(),
+          strings(step.path("keys")),
+          if (step.has("bootstrapVersion"))
+            step.path("bootstrapVersion").asLong()
+          else -1L)
+        df
       case "snapshotUpsert" =>
         // MERGE by key; with appId+batchId it is the exactly-once
         // upsertBatch (replayed batches detected and skipped via the

@@ -465,6 +465,18 @@ class TransformSpecSpec extends AnyFunSuite {
       .pruneReport(spark, s"$base/t3", "k >= 0")
     assert(liveFiles == 1, s"optimize step must bin-pack: $liveFiles")
 
+    // deltaSync step: incremental mirror into a SnapshotTable
+    TransformSpec.run(
+      s"""{"source": "c", "steps": [
+           {"op": "deltaSync", "path": "$base/t3",
+            "target": "$base/t3_mirror", "keys": ["k"]}]}""",
+      Map("c" -> spark.range(0, 1).select(col("id").as("k"),
+        lit("z").as("tag"))),
+      allowInlineSources = true)
+    val mirror = graft.sources.SnapshotTable.read(spark, s"$base/t3_mirror")
+    assert(mirror.count() == 11 &&
+      mirror.exceptAll(t3b).count() == 0, "mirror must equal the source")
+
     // Iceberg emit: create-if-absent then append, read back by snapshot
     TransformSpec.run(
       s"""{"source": "c", "steps": [
@@ -488,7 +500,8 @@ class TransformSpecSpec extends AnyFunSuite {
         Map("d" -> docs))
     }
     assert(refused.getMessage.contains("catalog-only"))
-    Seq("deltaUpsert", "deltaDelete", "deltaOptimize", "deltaVacuum").foreach { op =>
+    Seq("deltaUpsert", "deltaDelete", "deltaOptimize", "deltaVacuum",
+        "deltaSync").foreach { op =>
       val r = intercept[IllegalArgumentException] {
         TransformSpec.run(
           s"""{"source": "d", "steps": [
