@@ -527,6 +527,22 @@ def iceberg_append(spark, df, path, merge_schema=False):
         df._jdf, path, bool(merge_schema))
 
 
+def iceberg_delete(spark, path, predicate):
+    """Merge-on-read DELETE on an Iceberg table: emits v2 position
+    delete files (no data-file rewrite); prior snapshots stay intact.
+    Returns the new snapshot id."""
+    return _jvm(spark).graft.sources.IcebergWrite.delete(
+        spark._jsparkSession, path, predicate)
+
+
+def iceberg_append_batch(spark, df, path, app_id, batch_id):
+    """EXACTLY-ONCE append into an Iceberg table: the per-app watermark
+    rides the table properties (graft.txn.<app_id>) in the same atomic
+    metadata commit; replayed batch ids are detected no-ops."""
+    return _jvm(spark).graft.sources.IcebergWrite.appendBatch(
+        df._jdf, path, app_id, int(batch_id))
+
+
 def delta_optimize(spark, path, target_bytes=128 * 1024 * 1024):
     """OPTIMIZE a Delta table: bin-packing compaction per partition
     tuple; files carrying deletion vectors fold them (DV-applied

@@ -469,6 +469,291 @@ object IcebergWrite {
   private def resolve(tablePath: String, p: String): String =
     if (p.startsWith("/") || p.contains("://")) p else s"$tablePath/$p"
 
+  /** Per-app transaction watermark, stored in the table PROPERTIES
+    * (`graft.txn.<appId>`): Iceberg has no txn action, but properties
+    * ride the SAME atomic metadata commit as the snapshot — and unlike
+    * snapshot summaries they survive snapshot expiration. -1 = none.
+    */
+  def lastTxn(spark: SparkSession, path: String, appId: String): Long = {
+    val f = fs(spark, path)
+    val in = f.open(currentMeta(spark, path))
+    val meta = try om.readTree(new String(in.readAllBytes(), "UTF-8"))
+               finally in.close()
+    Option(meta.path("properties").get(s"graft.txn.$appId"))
+      .filterNot(_.isNull).map(_.asText().toLong).getOrElse(-1L)
+  }
+
+  /** EXACTLY-ONCE streaming append (the [[DeltaWrite.appendBatch]]
+    * contract on the Iceberg leg): the commit carries
+    * `graft.txn.<appId> = batchId` in the table properties, so a
+    * replayed micro-batch (Structured Streaming re-runs the last
+    * in-flight batch on every restart) is a detected no-op. Returns the
+    * committed snapshot id, or the current one when the batch was
+    * already applied. A loser of the metadata race re-checks the fresh
+    * watermark before replanning.
+    */
+  def appendBatch(df: DataFrame, path: String, appId: String,
+                  batchId: Long): Long = {
+    require(appId.nonEmpty, "appendBatch: appId must be non-empty")
+    val spark = df.sparkSession
+    val f = fs(spark, path)
+    var attempts = 0
+    while (true) {
+      require(attempts < 10, s"$path: lost the commit race 10 times")
+      val metaP = currentMeta(spark, path)
+      val meta = {
+        val in = f.open(metaP)
+        try om.readTree(new String(in.readAllBytes(), "UTF-8"))
+        finally in.close()
+      }
+      val MetaName(curV) = metaP.getName
+      val st = parseState(meta, path)
+      val mark = Option(st.properties.get(s"graft.txn.$appId"))
+        .filterNot(_.isNull).map(_.asText().toLong).getOrElse(-1L)
+      if (mark >= batchId) return st.currentSnapId // replayed batch
+      val tbl = currentFields(st)
+      val got = df.schema.fields.toSeq
+        .map(fl => fl.name -> icebergType(fl.dataType))
+      require(got == tbl.map { case (n, t, _) => (n, t) },
+        s"appendBatch schema $got != table schema " +
+          s"${tbl.map { case (n, t, _) => (n, t) }}")
+      partFields(st).foreach(p => require(df.columns.contains(p.name),
+        s"append batch misses partition column ${p.name}"))
+      // the watermark rides the SAME metadata commit as the snapshot
+      val props = om.createObjectNode()
+      if (st.properties.isObject)
+        st.properties.properties().asScala.foreach(e =>
+          props.set[JsonNode](e.getKey, e.getValue))
+      props.put(s"graft.txn.$appId", batchId.toString)
+      val st2 = st.copy(properties = props)
+      val snapId = st.snapshots.map(_.path("snapshot-id").asLong())
+        .foldLeft(0L)(math.max) + 1
+      val currentList = st.snapshots
+        .find(_.path("snapshot-id").asLong(-1L) == st.currentSnapId)
+        .map(_.path("manifest-list").asText())
+      val prior = currentList.toSeq.flatMap { ml =>
+        readManifestList(spark, resolve(path, ml))
+      }
+      if (commit(df, path, curV.toInt + 1, snapId, st2, tbl,
+          st.schemas, st.currentSchemaId, st.lastColumnId, prior))
+        return snapId
+      attempts += 1
+    }
+    -1L // unreachable
+  }
+
+  /** DELETE rows matching `predicate` (SQL) by emitting v2 POSITION
+    * DELETE files — the merge-on-read delete the spec provides (no
+    * data-file rewrite): one distributed scan finds matching
+    * (file, row-position) pairs, they land as a `(file_path, pos)`
+    * delete parquet, and the commit adds a content=1 delete manifest
+    * to the snapshot. [[IcebergRead]] (and any v2 reader) anti-joins
+    * them at scan time; prior snapshots stay intact. Unpartitioned
+    * tables only (partitioned position-delete files must carry the
+    * target partition tuple — out of scope, refused by name). Returns
+    * the new snapshot id, or the current one when nothing matched.
+    */
+  def delete(spark: SparkSession, path: String, predicate: String): Long = {
+    val f = fs(spark, path)
+    var attempts = 0
+    while (true) {
+      require(attempts < 10, s"$path: lost the delete race 10 times")
+      val metaP = currentMeta(spark, path)
+      val meta = {
+        val in = f.open(metaP)
+        try om.readTree(new String(in.readAllBytes(), "UTF-8"))
+        finally in.close()
+      }
+      val MetaName(curV) = metaP.getName
+      val st = parseState(meta, path)
+      require(partFields(st).isEmpty,
+        s"$path: position-delete emission on a PARTITIONED table is " +
+          "not modeled (delete files must carry the partition tuple) — " +
+          "refusing")
+      val curSnap = st.snapshots
+        .find(_.path("snapshot-id").asLong(-1L) == st.currentSnapId)
+        .getOrElse(throw new IllegalArgumentException(
+          s"$path: no current snapshot to delete from"))
+      val listPath = resolve(path, curSnap.path("manifest-list").asText())
+      val prior = readManifestList(spark, listPath)
+      // data files of the current snapshot (live entries of content=0
+      // manifests)
+      val dataFiles: Seq[String] = prior
+        .filter(r => (if (r.getSchema.getField("content") == null) 0
+                      else Option(r.get("content")).map(_.toString.toInt)
+                        .getOrElse(0)) == 0)
+        .flatMap { m =>
+          readManifestList(spark,
+            resolve(path, m.get("manifest_path").toString)).flatMap { e =>
+            val status = Option(e.getSchema.getField("status"))
+              .flatMap(_ => Option(e.get("status")))
+              .map(_.toString.toInt).getOrElse(1)
+            if (status == 2) None
+            else Some(e.get("data_file").asInstanceOf[GenericRecord]
+              .get("file_path").toString)
+          }
+        }.distinct
+      if (dataFiles.isEmpty) return st.currentSnapId
+      // one distributed scan: matching rows → (manifest-verbatim
+      // file_path, row position). File identity via the percent-decoded
+      // basename (Iceberg data-file names are UUID-unique table-wide).
+      import org.apache.spark.sql.functions.{col, expr, udf}
+      val byBase = dataFiles.map(p =>
+        PathCodec.percentDecode(p.split("/").last) -> p).toMap
+      require(byBase.size == dataFiles.size,
+        s"$path: data-file basenames collide — cannot key positions, " +
+          "refusing")
+      val baseOf = udf((p: String) =>
+        PathCodec.percentDecode(p.split("/").last))
+      val bcast = spark.sparkContext.broadcast(byBase)
+      val toVerbatim = udf((b: String) => bcast.value(b))
+      val matches = spark.read
+        .parquet(dataFiles.map(resolve(path, _)): _*)
+        .filter(expr(predicate))
+        .select(
+          toVerbatim(baseOf(col("_metadata.file_path"))).as("file_path"),
+          col("_metadata.row_index").as("pos"))
+      // land the delete parquet (stage + move), sorted per the spec's
+      // recommendation
+      val stage = new Path(path, s".stage-${java.util.UUID.randomUUID()}")
+      val rels = try {
+        matches.sortWithinPartitions(col("file_path"), col("pos"))
+          .write.parquet(stage.toString)
+        val parts = f.listStatus(stage).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.toString)
+        f.mkdirs(new Path(path, "data"))
+        parts.toSeq.map { p =>
+          val rel = s"data/del-${java.util.UUID.randomUUID()}.parquet"
+          require(f.rename(p, new Path(path, rel)), s"rename failed for $p")
+          rel
+        }
+      } finally f.delete(stage, true)
+      val withRows = rels.map(r => r -> FileStats.rowCount(spark, path, r))
+        .filter(_._2 > 0L)
+      rels.filterNot(r => withRows.exists(_._1 == r))
+        .foreach(r => f.delete(new Path(path, r), false)) // empty parts
+      if (withRows.isEmpty) return st.currentSnapId // nothing matched
+      val seq = st.lastSeq + 1
+      val snapId = st.snapshots.map(_.path("snapshot-id").asLong())
+        .foldLeft(0L)(math.max) + 1
+      // delete manifest: content=1 entries whose data_file carries
+      // content=1 (position deletes)
+      val partSchema = partitionRecord(Nil)
+      val dfSchema = dataFileSchema(partSchema)
+      val eSchema = entrySchema(partSchema)
+      val entries = withRows.map { case (rel, n) =>
+        val dfRec = new GenericData.Record(dfSchema)
+        dfRec.put("content", Int.box(1)) // POSITION_DELETES
+        dfRec.put("file_path", rel)
+        dfRec.put("file_format", "PARQUET")
+        dfRec.put("partition", new GenericData.Record(partSchema))
+        dfRec.put("record_count", Long.box(n))
+        dfRec.put("file_size_in_bytes",
+          Long.box(f.getFileStatus(new Path(path, rel)).getLen))
+        val e = new GenericData.Record(eSchema)
+        e.put("status", Int.box(1))
+        e.put("snapshot_id", Long.box(snapId))
+        e.put("sequence_number", Long.box(seq))
+        e.put("data_file", dfRec)
+        e
+      }
+      val curSchemaNode = st.schemas
+        .find(_.path("schema-id").asInt(-1) == st.currentSchemaId).get
+      val specNode = st.specs
+        .find(_.path("spec-id").asInt(-1) == st.defaultSpecId).get
+      val manifestRel = s"metadata/m-${java.util.UUID.randomUUID()}.avro"
+      val mLen = writeAvro(f, new Path(path, manifestRel), eSchema,
+        entries, Map(
+          "schema" -> om.writeValueAsString(curSchemaNode),
+          "schema-id" -> st.currentSchemaId.toString,
+          "partition-spec" -> om.writeValueAsString(specNode.path("fields")),
+          "partition-spec-id" -> st.defaultSpecId.toString,
+          "format-version" -> "2",
+          "content" -> "deletes"))
+      val newRow = new GenericData.Record(manifestFileSchema)
+      newRow.put("manifest_path", manifestRel)
+      newRow.put("manifest_length", Long.box(mLen))
+      newRow.put("partition_spec_id", Int.box(st.defaultSpecId))
+      newRow.put("content", Int.box(1)) // DELETES manifest
+      newRow.put("sequence_number", Long.box(seq))
+      newRow.put("min_sequence_number", Long.box(seq))
+      newRow.put("added_snapshot_id", Long.box(snapId))
+      newRow.put("added_data_files_count", Int.box(entries.size))
+      newRow.put("existing_data_files_count", Int.box(0))
+      newRow.put("deleted_data_files_count", Int.box(0))
+      newRow.put("added_rows_count", Long.box(withRows.map(_._2).sum))
+      newRow.put("existing_rows_count", Long.box(0L))
+      newRow.put("deleted_rows_count", Long.box(0L))
+      val carried = prior.map { r =>
+        def optL(n: String, d: Long): Long =
+          if (r.getSchema.getField(n) == null || r.get(n) == null) d
+          else r.get(n).toString.toLong
+        val (af, ef, df0, ar, er, dr) = carriedCounts(spark, path, r)
+        val c = new GenericData.Record(manifestFileSchema)
+        c.put("manifest_path", r.get("manifest_path").toString)
+        c.put("manifest_length",
+          Long.box(r.get("manifest_length").toString.toLong))
+        c.put("partition_spec_id", Int.box(
+          Option(r.get("partition_spec_id")).map(_.toString.toInt)
+            .getOrElse(0)))
+        c.put("content", Int.box(
+          if (r.getSchema.getField("content") == null) 0
+          else Option(r.get("content")).map(_.toString.toInt).getOrElse(0)))
+        c.put("sequence_number", Long.box(optL("sequence_number", 0L)))
+        c.put("min_sequence_number",
+          Long.box(optL("min_sequence_number", 0L)))
+        c.put("added_snapshot_id", Long.box(optL("added_snapshot_id", 0L)))
+        c.put("added_data_files_count", Int.box(af))
+        c.put("existing_data_files_count", Int.box(ef))
+        c.put("deleted_data_files_count", Int.box(df0))
+        c.put("added_rows_count", Long.box(ar))
+        c.put("existing_rows_count", Long.box(er))
+        c.put("deleted_rows_count", Long.box(dr))
+        c
+      }
+      val listRel =
+        s"metadata/snap-$snapId-${java.util.UUID.randomUUID()}.avro"
+      writeAvro(f, new Path(path, listRel), manifestFileSchema,
+        carried :+ newRow, Map(
+          "format-version" -> "2",
+          "snapshot-id" -> snapId.toString,
+          "parent-snapshot-id" -> st.currentSnapId.toString,
+          "sequence-number" -> seq.toString))
+      val snapNode = {
+        val n = om.createObjectNode()
+        n.put("snapshot-id", snapId)
+        n.put("parent-snapshot-id", st.currentSnapId)
+        n.put("sequence-number", seq)
+        n.put("timestamp-ms", System.currentTimeMillis())
+        n.put("manifest-list", listRel)
+        n.put("schema-id", st.currentSchemaId)
+        val sm = n.putObject("summary")
+        sm.put("operation", "delete")
+        sm.put("added-delete-files", entries.size.toString)
+        sm.put("added-position-deletes", withRows.map(_._2).sum.toString)
+        n
+      }
+      val metaText = metadataJson(st, st.schemas, st.currentSchemaId,
+        st.lastColumnId, snapNode, snapId, seq)
+      val mdir = new Path(path, "metadata")
+      val tmp = new Path(mdir, s".tmp-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, true)
+      try out.write(metaText.getBytes("UTF-8")) finally out.close()
+      val target = new Path(mdir, s"v${curV.toInt + 1}.metadata.json")
+      val won = SnapshotTable.storeFor(f.getScheme)
+        .publishIfAbsent(f, tmp, target)
+      f.delete(tmp, false)
+      if (won) {
+        val hint = f.create(new Path(mdir, "version-hint.text"), true)
+        try hint.write(s"${curV.toInt + 1}".getBytes("UTF-8"))
+        finally hint.close()
+        return snapId
+      }
+      attempts += 1 // lost the race: replan against the new head
+    }
+    -1L // unreachable
+  }
+
   /** EXPIRE SNAPSHOTS + file GC — the Iceberg-leg analog of Delta
     * VACUUM: without it a long-lived table accretes snapshots,
     * manifest lists, and manifests forever. Keeps the LAST `keepLast`

@@ -347,6 +347,35 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** EXACTLY-ONCE streaming append into an Apache ICEBERG table — the
+    * [[deltaAppendStream]] contract on the other open-format leg: the
+    * per-app watermark lives in the table PROPERTIES
+    * (`graft.txn.<appId>`, riding the same atomic metadata commit as
+    * each snapshot), so a wiped-checkpoint re-run replays every batch
+    * as a detected no-op and the table stays bit-identical.
+    */
+  def icebergAppendStream(spark: SparkSession, srcDir: String,
+                          tablePath: String, checkpointDir: String,
+                          appId: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    readEvents(spark, srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // create-if-absent with an EMPTY snapshot so the data itself
+        // always lands through the watermarked appendBatch
+        val mp = new org.apache.hadoop.fs.Path(tablePath, "metadata")
+        val f = mp.getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        if (!f.exists(mp))
+          graft.sources.IcebergWrite.create(batch.limit(0), tablePath)
+        graft.sources.IcebergWrite.appendBatch(
+          batch, tablePath, appId, batchId)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   def cdcApplyStream(spark: SparkSession, srcDir: String, tablePath: String,
                      checkpointDir: String, appId: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {

@@ -284,6 +284,42 @@ class IcebergWriteSpec extends AnyFunSuite {
     } finally r.close()
   }
 
+  test("position-delete emission: merge-on-read DELETE round-trips through the reader") {
+    val dir = tmp()
+    IcebergWrite.create(range(0, 50).coalesce(1), dir)       // snap 1
+    IcebergWrite.append(range(50, 100).coalesce(1), dir)     // snap 2
+    val v = IcebergWrite.delete(spark, dir, "k >= 90 OR k = 5")
+    assert(v == 3L)
+    val back = IcebergRead.read(spark, dir)
+    assert(back.count() == 89, s"got ${back.count()}")
+    val ks = back.select("k").collect().map(_.getLong(0)).toSet
+    assert(!ks.contains(5L) && !ks.contains(95L) && ks.contains(89L))
+    // prior snapshots untouched (merge-on-read: no rewrite)
+    assert(IcebergRead.read(spark, dir, snapshotId = 2).count() == 100)
+    // deletes compose
+    assert(IcebergWrite.delete(spark, dir, "k = 6") == 4L)
+    assert(IcebergRead.read(spark, dir).count() == 88)
+    // appends after a delete carry the delete manifests forward
+    assert(IcebergWrite.append(range(200, 210).coalesce(1), dir) == 5L)
+    val after = IcebergRead.read(spark, dir)
+    assert(after.count() == 98)
+    assert(!after.select("k").collect().map(_.getLong(0)).toSet
+      .contains(5L), "delete manifests must survive later appends")
+    // nothing matched: no new snapshot
+    assert(IcebergWrite.delete(spark, dir, "k > 100000") == 5L)
+    assert(!Files.exists(java.nio.file.Paths.get(
+      dir, "metadata", "v7.metadata.json")))
+    // partitioned tables refuse by name
+    val dirP = tmp()
+    IcebergWrite.create(range(0, 10)
+      .withColumn("b", (col("k") % 2).cast("int")).coalesce(1),
+      dirP, Seq("b"))
+    val e = intercept[IllegalArgumentException] {
+      IcebergWrite.delete(spark, dirP, "k = 1")
+    }
+    assert(e.getMessage.contains("PARTITIONED"))
+  }
+
   test("expireSnapshots: pruned history, kept snapshots readable, unreachable files GC'd") {
     val dir = tmp()
     IcebergWrite.create(range(0, 10).coalesce(1), dir)            // snap 1

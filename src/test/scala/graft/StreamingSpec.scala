@@ -373,6 +373,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(DeltaRead.read(spark, table).count() == want)
   }
 
+  test("icebergAppendStream: exactly-once into Iceberg, wiped checkpoint changes nothing") {
+    import sources.{IcebergRead, IcebergWrite}
+    val base = java.nio.file.Files.createTempDirectory("graft_ias")
+    val table = s"$base/t"
+    val q1 = streaming.StreamOps.icebergAppendStream(spark, sf, table,
+      s"$base/ckpt1", "ias-e2e")
+    try q1.awaitTermination() finally q1.stop()
+    val want = Tables.events(spark, sf).count()
+    val got = IcebergRead.read(spark, table)
+    assert(got.count() == want && got.count() > 0)
+    val markAfter = IcebergWrite.lastTxn(spark, table, "ias-e2e")
+    assert(markAfter >= 0, "the properties watermark must be stamped")
+    val metaCount = new java.io.File(s"$table/metadata").listFiles()
+      .count(_.getName.endsWith(".metadata.json"))
+    // restart with a WIPED checkpoint: every batch replays with the
+    // same ids — the properties watermark skips them all
+    val q2 = streaming.StreamOps.icebergAppendStream(spark, sf, table,
+      s"$base/ckpt2", "ias-e2e")
+    try q2.awaitTermination() finally q2.stop()
+    assert(new java.io.File(s"$table/metadata").listFiles()
+      .count(_.getName.endsWith(".metadata.json")) == metaCount,
+      "wiped-checkpoint replay must not commit")
+    assert(IcebergRead.read(spark, table).count() == want)
+    // the watermark survives snapshot EXPIRATION (it lives in table
+    // properties, not in a snapshot summary)
+    IcebergWrite.expireSnapshots(spark, table, keepLast = 1)
+    assert(IcebergWrite.lastTxn(spark, table, "ias-e2e") == markAfter,
+      "expireSnapshots must not drop the exactly-once watermark")
+    assert(IcebergRead.read(spark, table).count() == want)
+  }
+
   test("streaming sessionizer emits sessions consistent with batch q27") {
     val q = streaming.StreamOps.sessionize(spark, sf)
       .writeStream.outputMode("append").format("memory")

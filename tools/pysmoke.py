@@ -461,6 +461,15 @@ assert ipe.count() == 30 and ipe.where("score IS NULL").count() == 20
 assert graft.iceberg_expire_snapshots(spark, ip_dir, keep_last=1) > 0
 assert graft.iceberg_read(spark, ip_dir).count() == 30
 
+# round 9: iceberg merge-on-read delete + exactly-once batch append
+assert graft.iceberg_delete(spark, iw_dir, "k >= 35") > 0
+assert graft.iceberg_read(spark, iw_dir).count() == 35
+graft.iceberg_append_batch(
+    spark, spark.range(70, 75).selectExpr("id AS k"), iw_dir, "pyice", 0)
+graft.iceberg_append_batch(
+    spark, spark.range(70, 75).selectExpr("id AS k"), iw_dir, "pyice", 0)
+assert graft.iceberg_read(spark, iw_dir).count() == 40
+
 # partitioned delta writer: hive layout + typed partition recovery
 dp_dir = tempfile.mkdtemp(prefix="graft_pydp") + "/t"
 graft.delta_create(spark, spark.range(0, 20).selectExpr(
@@ -491,5 +500,5 @@ print(f"PASS pysmoke: sql-functions, {len(out)}-row declarative job, "
       f"snapshot-table lifecycle (create/append/upsert/time-travel/"
       f"zone-map-pruned read/change feed) and the round-6 sweep "
       f"(bpe-train/encode, dedup-artifacts trio, delta-log read with "
-      f"stats skipping, delta write round-trip, full CDC apply) and the round-9 sweep (delta optimize/vacuum, row-level change feed, partitioned+evolving iceberg writes) — all green")
+      f"stats skipping, delta write round-trip, full CDC apply) and the round-9 sweep (delta optimize/vacuum, row-level change feed, partitioned+evolving iceberg writes, iceberg MOR delete + exactly-once batch append, delta sync) — all green")
 spark.stop()
