@@ -535,6 +535,15 @@ def iceberg_delete(spark, path, predicate):
         spark._jsparkSession, path, predicate)
 
 
+def iceberg_upsert(spark, df, path, keys):
+    """Merge-on-read UPSERT into an Iceberg table: one snapshot carries
+    an equality-delete file on ``keys`` plus the source rows — prior
+    versions of the keys vanish, the same commit's inserts survive, no
+    data-file rewrite (cost is O(source), not O(table))."""
+    return _jvm(spark).graft.sources.IcebergWrite.upsert(
+        df._jdf, path, _to_seq(spark, list(keys)))
+
+
 def iceberg_append_batch(spark, df, path, app_id, batch_id):
     """EXACTLY-ONCE append into an Iceberg table: the per-app watermark
     rides the table properties (graft.txn.<app_id>) in the same atomic

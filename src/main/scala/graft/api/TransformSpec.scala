@@ -267,6 +267,13 @@ object TransformSpec {
           if (step.has("retainMillis")) step.path("retainMillis").asLong()
           else -1L)
         df
+      case "icebergUpsert" =>
+        // merge-on-read MERGE into an Iceberg table: one snapshot with
+        // an equality delete on the keys + the source rows
+        gateWrite(allowInline, "icebergUpsert")
+        graft.sources.IcebergWrite.upsert(df, step.path("path").asText(),
+          strings(step.path("keys")))
+        df
       case "deltaSync" =>
         // incremental Delta -> SnapshotTable mirror over the row-level
         // change feed (exactly-once; watermark on the target)

@@ -469,6 +469,257 @@ object IcebergWrite {
   private def resolve(tablePath: String, p: String): String =
     if (p.startsWith("/") || p.contains("://")) p else s"$tablePath/$p"
 
+  /** MERGE-ON-READ UPSERT — the Flink/streaming-upsert pattern the v2
+    * spec exists for: ONE snapshot carries an EQUALITY-DELETE file on
+    * `keys` (the source's key tuples) plus the source rows as a new
+    * data file, both at sequence number N. The delete applies to data
+    * files with sequence STRICTLY below N, so prior versions of the
+    * keys vanish while the same commit's inserts survive — no data-file
+    * rewrite, no scan of the existing table at all (the 100 TB upsert
+    * shape: cost is O(source), not O(table)). [[IcebergRead]] resolves
+    * it through its sequence-ordered equality-delete path. Source must
+    * carry the table schema exactly and at most one row per key.
+    * Unpartitioned tables only. Returns the new snapshot id.
+    */
+  def upsert(source: DataFrame, path: String, keys: Seq[String]): Long = {
+    val spark = source.sparkSession
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    import org.apache.spark.sql.functions.{col, count, lit, struct}
+    val dupes = source.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).collect()
+    require(dupes.isEmpty,
+      s"upsert source has multiple rows for key ${dupes.headOption}" +
+        " — MERGE requires at most one source row per key")
+    val f = fs(spark, path)
+    var attempts = 0
+    while (true) {
+      require(attempts < 10, s"$path: lost the upsert race 10 times")
+      val metaP = currentMeta(spark, path)
+      val meta = {
+        val in = f.open(metaP)
+        try om.readTree(new String(in.readAllBytes(), "UTF-8"))
+        finally in.close()
+      }
+      val MetaName(curV) = metaP.getName
+      val st = parseState(meta, path)
+      require(partFields(st).isEmpty,
+        s"$path: merge-on-read upsert on a PARTITIONED table is not " +
+          "modeled — refusing")
+      val tbl = currentFields(st)
+      val got = source.schema.fields.toSeq
+        .map(fl => fl.name -> icebergType(fl.dataType))
+      require(got == tbl.map { case (n, t, _) => (n, t) },
+        s"upsert source schema $got != table schema " +
+          s"${tbl.map { case (n, t, _) => (n, t) }}")
+      val fieldId = tbl.map { case (n, _, id) => n -> id }.toMap
+      keys.foreach(k => require(fieldId.contains(k),
+        s"key column $k not in the table schema"))
+      val seq = st.lastSeq + 1
+      val snapId = st.snapshots.map(_.path("snapshot-id").asLong())
+        .foldLeft(0L)(math.max) + 1
+
+      // 1. the source rows land as ordinary data files
+      val landed = writeData(source, path, Nil)
+      val stats = FileStats.collect(spark, path, landed.map(_.rel))
+      // 2. the equality-delete file: the source's KEY tuples
+      val delStage = new Path(path,
+        s".stage-${java.util.UUID.randomUUID()}")
+      val delRels = try {
+        source.select(keys.map(col): _*)
+          .write.parquet(delStage.toString)
+        val parts = f.listStatus(delStage).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.toString)
+        parts.toSeq.map { p =>
+          val rel = s"data/eqdel-${java.util.UUID.randomUUID()}.parquet"
+          require(f.rename(p, new Path(path, rel)), s"rename failed for $p")
+          rel
+        }
+      } finally f.delete(delStage, true)
+      val delWithRows = delRels
+        .map(r => r -> FileStats.rowCount(spark, path, r))
+        .filter(_._2 > 0L)
+      delRels.filterNot(r => delWithRows.exists(_._1 == r))
+        .foreach(r => f.delete(new Path(path, r), false))
+
+      // 3. ONE manifest per content kind (data + deletes), then the
+      // manifest list carrying both plus every prior manifest
+      val partSchema = partitionRecord(Nil)
+      val dfSchema = dataFileSchema(partSchema)
+      val eSchema = entrySchema(partSchema)
+      def dataEntry(rel: String, content: Int, rows: Long): GenericRecord = {
+        val dfRec = new GenericData.Record(dfSchema)
+        dfRec.put("content", Int.box(content))
+        dfRec.put("file_path", rel)
+        dfRec.put("file_format", "PARQUET")
+        dfRec.put("partition", new GenericData.Record(partSchema))
+        dfRec.put("record_count", Long.box(rows))
+        dfRec.put("file_size_in_bytes",
+          Long.box(f.getFileStatus(new Path(path, rel)).getLen))
+        val e = new GenericData.Record(eSchema)
+        e.put("status", Int.box(1))
+        e.put("snapshot_id", Long.box(snapId))
+        e.put("sequence_number", Long.box(seq))
+        e.put("data_file", dfRec)
+        e
+      }
+      val curSchemaNode = st.schemas
+        .find(_.path("schema-id").asInt(-1) == st.currentSchemaId).get
+      val specNode = st.specs
+        .find(_.path("spec-id").asInt(-1) == st.defaultSpecId).get
+      def manifestMeta(content: String) = Map(
+        "schema" -> om.writeValueAsString(curSchemaNode),
+        "schema-id" -> st.currentSchemaId.toString,
+        "partition-spec" -> om.writeValueAsString(specNode.path("fields")),
+        "partition-spec-id" -> st.defaultSpecId.toString,
+        "format-version" -> "2",
+        "content" -> content)
+      val dataEntries = landed.map { l =>
+        val rows = stats.getOrElse(l.rel, Map.empty).values.headOption
+          .map(_.rows).getOrElse(FileStats.rowCount(spark, path, l.rel))
+        dataEntry(l.rel, 0, rows)
+      }
+      val dataManifestRel =
+        s"metadata/m-${java.util.UUID.randomUUID()}.avro"
+      val dataMLen = writeAvro(f, new Path(path, dataManifestRel),
+        eSchema, dataEntries, manifestMeta("data"))
+      // equality-delete entries need equality_ids — extend the entry
+      // with the ids via a dedicated schema
+      val eqDfSchema = rec("data_file_eq", Seq(
+        fld("content", s(INT), 134),
+        fld("file_path", s(STRING), 100),
+        fld("file_format", s(STRING), 101),
+        fld("partition", partSchema, 102),
+        fld("record_count", s(LONG), 103),
+        fld("file_size_in_bytes", s(LONG), 104),
+        optFld("equality_ids", Schema.createArray(s(INT)), 135)))
+      val eqESchema = rec("manifest_entry_eq", Seq(
+        fld("status", s(INT), 0),
+        optFld("snapshot_id", s(LONG), 1),
+        optFld("sequence_number", s(LONG), 3),
+        fld("data_file", eqDfSchema, 2)))
+      val eqEntries = delWithRows.map { case (rel, n) =>
+        val dfRec = new GenericData.Record(eqDfSchema)
+        dfRec.put("content", Int.box(2)) // EQUALITY_DELETES
+        dfRec.put("file_path", rel)
+        dfRec.put("file_format", "PARQUET")
+        dfRec.put("partition", new GenericData.Record(partSchema))
+        dfRec.put("record_count", Long.box(n))
+        dfRec.put("file_size_in_bytes",
+          Long.box(f.getFileStatus(new Path(path, rel)).getLen))
+        dfRec.put("equality_ids",
+          keys.map(k => Int.box(fieldId(k))).asJava)
+        val e = new GenericData.Record(eqESchema)
+        e.put("status", Int.box(1))
+        e.put("snapshot_id", Long.box(snapId))
+        e.put("sequence_number", Long.box(seq))
+        e.put("data_file", dfRec)
+        e
+      }
+      val eqManifestRel =
+        s"metadata/m-${java.util.UUID.randomUUID()}.avro"
+      val eqMLen = writeAvro(f, new Path(path, eqManifestRel),
+        eqESchema, eqEntries, manifestMeta("deletes"))
+
+      def listRow(rel: String, len: Long, content: Int, files: Int,
+                  rows: Long): GenericRecord = {
+        val r = new GenericData.Record(manifestFileSchema)
+        r.put("manifest_path", rel)
+        r.put("manifest_length", Long.box(len))
+        r.put("partition_spec_id", Int.box(st.defaultSpecId))
+        r.put("content", Int.box(content))
+        r.put("sequence_number", Long.box(seq))
+        r.put("min_sequence_number", Long.box(seq))
+        r.put("added_snapshot_id", Long.box(snapId))
+        r.put("added_data_files_count", Int.box(files))
+        r.put("existing_data_files_count", Int.box(0))
+        r.put("deleted_data_files_count", Int.box(0))
+        r.put("added_rows_count", Long.box(rows))
+        r.put("existing_rows_count", Long.box(0L))
+        r.put("deleted_rows_count", Long.box(0L))
+        r
+      }
+      val currentList = st.snapshots
+        .find(_.path("snapshot-id").asLong(-1L) == st.currentSnapId)
+        .map(_.path("manifest-list").asText())
+      val prior = currentList.toSeq.flatMap(ml =>
+        readManifestList(spark, resolve(path, ml)))
+      val carried = prior.map { r =>
+        def optL(n: String, d: Long): Long =
+          if (r.getSchema.getField(n) == null || r.get(n) == null) d
+          else r.get(n).toString.toLong
+        val (af, ef, df0, ar, er, dr) = carriedCounts(spark, path, r)
+        val c = new GenericData.Record(manifestFileSchema)
+        c.put("manifest_path", r.get("manifest_path").toString)
+        c.put("manifest_length",
+          Long.box(r.get("manifest_length").toString.toLong))
+        c.put("partition_spec_id", Int.box(
+          Option(r.get("partition_spec_id")).map(_.toString.toInt)
+            .getOrElse(0)))
+        c.put("content", Int.box(
+          if (r.getSchema.getField("content") == null) 0
+          else Option(r.get("content")).map(_.toString.toInt).getOrElse(0)))
+        c.put("sequence_number", Long.box(optL("sequence_number", 0L)))
+        c.put("min_sequence_number",
+          Long.box(optL("min_sequence_number", 0L)))
+        c.put("added_snapshot_id", Long.box(optL("added_snapshot_id", 0L)))
+        c.put("added_data_files_count", Int.box(af))
+        c.put("existing_data_files_count", Int.box(ef))
+        c.put("deleted_data_files_count", Int.box(df0))
+        c.put("added_rows_count", Long.box(ar))
+        c.put("existing_rows_count", Long.box(er))
+        c.put("deleted_rows_count", Long.box(dr))
+        c
+      }
+      val newRows = Seq(
+        listRow(dataManifestRel, dataMLen, 0, dataEntries.size,
+          dataEntries.map(_.get("data_file")
+            .asInstanceOf[GenericRecord].get("record_count")
+            .toString.toLong).sum)) ++
+        (if (eqEntries.isEmpty) Nil
+         else Seq(listRow(eqManifestRel, eqMLen, 1, eqEntries.size,
+           delWithRows.map(_._2).sum)))
+      if (eqEntries.isEmpty) f.delete(new Path(path, eqManifestRel), false)
+      val listRel =
+        s"metadata/snap-$snapId-${java.util.UUID.randomUUID()}.avro"
+      writeAvro(f, new Path(path, listRel), manifestFileSchema,
+        carried ++ newRows, Map(
+          "format-version" -> "2",
+          "snapshot-id" -> snapId.toString,
+          "parent-snapshot-id" -> st.currentSnapId.toString,
+          "sequence-number" -> seq.toString))
+      val snapNode = {
+        val n = om.createObjectNode()
+        n.put("snapshot-id", snapId)
+        n.put("parent-snapshot-id", st.currentSnapId)
+        n.put("sequence-number", seq)
+        n.put("timestamp-ms", System.currentTimeMillis())
+        n.put("manifest-list", listRel)
+        n.put("schema-id", st.currentSchemaId)
+        val sm = n.putObject("summary")
+        sm.put("operation", "overwrite")
+        n
+      }
+      val metaText = metadataJson(st, st.schemas, st.currentSchemaId,
+        st.lastColumnId, snapNode, snapId, seq)
+      val mdir = new Path(path, "metadata")
+      val tmp = new Path(mdir, s".tmp-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, true)
+      try out.write(metaText.getBytes("UTF-8")) finally out.close()
+      val target = new Path(mdir, s"v${curV.toInt + 1}.metadata.json")
+      val won = SnapshotTable.storeFor(f.getScheme)
+        .publishIfAbsent(f, tmp, target)
+      f.delete(tmp, false)
+      if (won) {
+        val hint = f.create(new Path(mdir, "version-hint.text"), true)
+        try hint.write(s"${curV.toInt + 1}".getBytes("UTF-8"))
+        finally hint.close()
+        return snapId
+      }
+      attempts += 1
+    }
+    -1L // unreachable
+  }
+
   /** Per-app transaction watermark, stored in the table PROPERTIES
     * (`graft.txn.<appId>`): Iceberg has no txn action, but properties
     * ride the SAME atomic metadata commit as the snapshot — and unlike

@@ -320,6 +320,51 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(e.getMessage.contains("PARTITIONED"))
   }
 
+  test("merge-on-read UPSERT: equality delete + insert in one snapshot, O(source) cost") {
+    val dir = tmp()
+    IcebergWrite.create(range(0, 50).coalesce(1), dir)       // snap 1
+    IcebergWrite.append(range(50, 100).coalesce(1), dir)     // snap 2
+    val src = spark.createDataFrame(Seq(
+      (10L, "updated"), (200L, "fresh"))).toDF("k", "name")
+    assert(IcebergWrite.upsert(src.coalesce(1), dir, Seq("k")) == 3L)
+    val back = IcebergRead.read(spark, dir)
+    assert(back.count() == 101, s"got ${back.count()}")
+    val k10 = back.filter(col("k") === 10).collect()
+    assert(k10.length == 1 && k10.head.getString(1) == "updated",
+      "the equality delete must remove the seq-below version, the " +
+        "same-sequence insert must survive")
+    assert(back.filter(col("k") === 200).count() == 1)
+    assert(back.filter(col("k") === 11).head().getString(1) == "u11")
+    // snapshot isolation: the pre-merge snapshot is untouched
+    val old = IcebergRead.read(spark, dir, snapshotId = 2)
+    assert(old.count() == 100 &&
+      old.filter(col("k") === 10).head().getString(1) == "u10")
+    // repeated upserts stack: each new sequence outranks the last
+    assert(IcebergWrite.upsert(spark.createDataFrame(Seq(
+      (10L, "updated2"))).toDF("k", "name").coalesce(1),
+      dir, Seq("k")) == 4L)
+    val again = IcebergRead.read(spark, dir)
+    assert(again.count() == 101)
+    assert(again.filter(col("k") === 10).head().getString(1) == "updated2")
+    // composes with position deletes
+    assert(IcebergWrite.delete(spark, dir, "k = 20") == 5L)
+    assert(IcebergRead.read(spark, dir).count() == 100)
+    // MERGE contract: at most one source row per key
+    intercept[IllegalArgumentException] {
+      IcebergWrite.upsert(src.unionAll(src), dir, Seq("k"))
+    }
+    // partitioned tables refuse by name
+    val dirP = tmp()
+    IcebergWrite.create(range(0, 10)
+      .withColumn("b", (col("k") % 2).cast("int")).coalesce(1),
+      dirP, Seq("b"))
+    val e = intercept[IllegalArgumentException] {
+      IcebergWrite.upsert(spark.createDataFrame(Seq((1L, "x", 1)))
+        .toDF("k", "name", "b"), dirP, Seq("k"))
+    }
+    assert(e.getMessage.contains("PARTITIONED"))
+  }
+
   test("expireSnapshots: pruned history, kept snapshots readable, unreachable files GC'd") {
     val dir = tmp()
     IcebergWrite.create(range(0, 10).coalesce(1), dir)            // snap 1

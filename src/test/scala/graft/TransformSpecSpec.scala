@@ -492,6 +492,19 @@ class TransformSpecSpec extends AnyFunSuite {
       allowInlineSources = true)
     assert(graft.sources.IcebergRead.read(spark, s"$base/t4").count() == 12)
 
+    // merge-on-read upsert step: k=2 replaced, k=50 inserted
+    TransformSpec.run(
+      s"""{"source": "u", "steps": [
+           {"op": "icebergUpsert", "path": "$base/t4", "keys": ["k"]}]}""",
+      Map("u" -> spark.range(0, 1).select(
+        (col("id") + 2).as("k"), lit("upd").as("tag"))
+        .unionAll(spark.range(0, 1).select(
+          (col("id") + 50).as("k"), lit("new").as("tag")))),
+      allowInlineSources = true)
+    val t4 = graft.sources.IcebergRead.read(spark, s"$base/t4")
+    assert(t4.count() == 13)
+    assert(t4.filter(col("k") === 2).head().getString(1) == "upd")
+
     // writer steps are governance-gated like inline sources
     val refused = intercept[IllegalArgumentException] {
       TransformSpec.run(
@@ -501,7 +514,7 @@ class TransformSpecSpec extends AnyFunSuite {
     }
     assert(refused.getMessage.contains("catalog-only"))
     Seq("deltaUpsert", "deltaDelete", "deltaOptimize", "deltaVacuum",
-        "deltaSync").foreach { op =>
+        "deltaSync", "icebergUpsert").foreach { op =>
       val r = intercept[IllegalArgumentException] {
         TransformSpec.run(
           s"""{"source": "d", "steps": [

@@ -469,6 +469,11 @@ graft.iceberg_append_batch(
 graft.iceberg_append_batch(
     spark, spark.range(70, 75).selectExpr("id AS k"), iw_dir, "pyice", 0)
 assert graft.iceberg_read(spark, iw_dir).count() == 40
+graft.iceberg_upsert(spark, spark.sql(
+    "SELECT CAST(5 AS BIGINT) AS k UNION ALL SELECT CAST(99 AS BIGINT)"),
+    iw_dir, ["k"])
+up = graft.iceberg_read(spark, iw_dir)
+assert up.count() == 41 and up.where("k = 5").count() == 1
 
 # partitioned delta writer: hive layout + typed partition recovery
 dp_dir = tempfile.mkdtemp(prefix="graft_pydp") + "/t"
