@@ -134,15 +134,21 @@ object Bench {
         graft.api.GraftOps.releaseCaches()
         spark.catalog.clearCache()
       }
+      // a FAILED run records the -1.0 sentinel, never its elapsed time —
+      // a failure duration masquerading as a throughput number would
+      // poison round-over-round comparison silently
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"BENCH FAIL $name: $e"); false }
         val dt = (System.nanoTime() - t0) / 1e9
         reset()
-        dt
+        if (ok) dt else -1.0
       }
-      val best = math.min(once(), once())
-      name -> best
+      val a = once(); val b = once()
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     // variant rows: alternate operating points, measured so the numbers
     // sit next to the defaults, but NOT in total (totals stay comparable
@@ -157,20 +163,30 @@ object Bench {
           spark.catalog.clearCache()
         }
         spark.conf.set("graft.neardup.strategy", "lsh")
+        // failure → -1.0 sentinel (same rule as the main loop): a conf
+        // error or OOM-adjacent failure must not record its elapsed time
+        // as a legitimate operating-point number
         def one(): Double = {
           val t0 = System.nanoTime()
-          try {
-            SparkEntry.queries("m09_asset_neardup")(spark, sfDir).count()
-          } catch { case _: Throwable => () }
+          val ok =
+            try {
+              SparkEntry.queries("m09_asset_neardup")(spark, sfDir).count()
+              true
+            } catch { case e: Throwable =>
+              System.err.println(s"BENCH FAIL m09_asset_neardup_lsh: $e")
+              false }
           val dt = (System.nanoTime() - t0) / 1e9
           reset()
-          dt
+          if (ok) dt else -1.0
         }
-        val best = math.min(one(), one())
+        val a = one(); val b = one()
         spark.conf.unset("graft.neardup.strategy")
-        Seq("m09_asset_neardup_lsh" -> best)
+        Seq("m09_asset_neardup_lsh" ->
+          (if (a < 0 || b < 0) -1.0 else math.min(a, b)))
       }
-    val total = round3(results.map(_._2).sum + artifactSec)
+    // -1.0 sentinels (failed runs) are excluded from the total — they are
+    // visible per-query in the JSON, never folded into throughput
+    val total = round3(results.map(_._2).filter(_ >= 0).sum + artifactSec)
     val fullJson = (results ++ variants)
       .map { case (k, v) => "\"" + k + "\":" + round3(v) }
       .mkString("{", ",", "}")

@@ -568,6 +568,7 @@ object DeltaWrite {
     // referenced: every live data file + every live on-disk DV file
     def norm(rel: String): String = PathCodec.percentDecode(rel)
     val refData = live.map(a => norm(a.path)).toSet
+    val rootQ = f.makeQualified(new Path(path)).toString
     val refDv = live.flatMap(_.dv).flatMap { d =>
       d.storageType match {
         case "u" =>
@@ -578,7 +579,15 @@ object DeltaWrite {
           val uuid = new java.util.UUID(bb.getLong, bb.getLong)
           Some((if (prefix.nonEmpty) s"$prefix/" else "") +
             s"deletion_vector_$uuid.bin")
-        case _ => None // 'i' inline; 'p' absolute — outside the table dir
+        case "p" =>
+          // absolute-path DV: when it lives INSIDE the table dir the
+          // walk below would otherwise sweep it as an orphan and break
+          // CURRENT reads; outside the table dir the walk never sees it
+          val qp = f.makeQualified(new Path(d.pathOrInlineDv)).toString
+          if (qp.startsWith(rootQ + "/"))
+            Some(qp.stripPrefix(rootQ + "/"))
+          else None
+        case _ => None // 'i' inline — no on-disk file
       }
     }.toSet
     // tombstone timestamps: JSON tail + checkpoint carry-over
@@ -595,6 +604,17 @@ object DeltaWrite {
         else if (n.endsWith(".parquet") || n.endsWith(".bin")) Seq(s)
         else Seq.empty
       }
+    // DV files carry NO remove tombstone of their own: when an add with
+    // a DV is rewritten (OPTIMIZE DV-folding, COW delete), only the
+    // DATA file gets a tombstone, and the orphaned .bin's mtime predates
+    // the rewrite — an mtime-only gate would delete it while time-travel
+    // readers of still-retained versions need it. Floor unreferenced-DV
+    // deletion on the NEWEST tombstone leaving retention: once every
+    // rewrite in the log is past the horizon, no retained snapshot can
+    // reference the DV. Coarse (a recent unrelated rewrite defers DV
+    // GC) but sound; true orphans still reclaim once the table quiesces.
+    val newestTomb =
+      if (tombTs.isEmpty) Long.MinValue else tombTs.values.max
     var deleted = 0
     walk(new Path(path)).foreach { s =>
       val rel = f.makeQualified(s.getPath).toString
@@ -602,7 +622,9 @@ object DeltaWrite {
       val isRef = refData.contains(rel) || refDv.contains(rel)
       val deletable = !isRef && (tombTs.get(rel) match {
         case Some(ts) => ts < cutoff
-        case None     => s.getModificationTime < cutoff // orphan
+        case None if rel.endsWith(".bin") =>
+          s.getModificationTime < cutoff && newestTomb < cutoff
+        case None => s.getModificationTime < cutoff // orphan
       })
       if (deletable && f.delete(s.getPath, false)) deleted += 1
     }

@@ -412,14 +412,32 @@ object IcebergRead {
             // ONE scan for the whole id-group (a streaming-upsert table
             // can hold thousands of delete files — a per-file union
             // would bloat the plan linearly); each delete row recovers
-            // its file's sequence via a broadcast (file → seq) map
-            val seqByFile = broadcast(group
-              .map(d => base(d.path) -> d.seq).toDF("__gd_file", DSeqCol))
-            val dels = spark.read
-              .parquet(group.map(d => resolve(path, d.path)): _*)
-              .select(eqCols.map(c => col(c).as(s"__gd_$c")) :+
-                decodeBase(col("_metadata.file_path")).as("__gd_file"): _*)
-              .join(seqByFile, Seq("__gd_file"))
+            // its file's sequence via a broadcast (file → seq) map.
+            // That map keys by BASENAME — two delete files sharing one
+            // would join the wrong sequence and mis-scope deletes, so a
+            // basename collision inside the group falls back to
+            // per-file scans tagged with their literal seq (bounded by
+            // the colliding group's size, the rare case).
+            val delCollide =
+              group.map(d => base(d.path)).distinct.size != group.size
+            val dels =
+              if (delCollide) group.map { d =>
+                spark.read.parquet(resolve(path, d.path))
+                  .select(eqCols.map(c => col(c).as(s"__gd_$c")) :+
+                    lit(d.seq).as(DSeqCol): _*)
+              }.reduce(_ unionByName _)
+              else {
+                val seqByFile = broadcast(group
+                  .map(d => base(d.path) -> d.seq)
+                  .toDF("__gd_file", DSeqCol))
+                spark.read
+                  .parquet(group.map(d => resolve(path, d.path)): _*)
+                  .select(eqCols.map(c => col(c).as(s"__gd_$c")) :+
+                    decodeBase(col("_metadata.file_path"))
+                      .as("__gd_file"): _*)
+                  .join(seqByFile, Seq("__gd_file"))
+                  .drop("__gd_file")
+              }
             val cond = eqCols.map(c => col(c) <=> col(s"__gd_$c"))
               .reduce(_ && _) && (col(SeqCol) < col(DSeqCol))
             acc.join(dels, cond, "left_anti")

@@ -1093,28 +1093,58 @@ object IcebergWrite {
             }
           }
         }
+        // avros provably owned by the snapshots this call just EXPIRED
+        // may delete immediately: they were referenced by the log we
+        // removed, so no racer can be about to reference them
+        val expiredAvros = scala.collection.mutable.Set[String]()
+        val expiredData = scala.collection.mutable.Set[String]()
+        ordered.filterNot(kept.contains).foreach { s =>
+          val ml = resolve(path, s.path("manifest-list").asText())
+          expiredAvros += q(ml)
+          if (f.exists(new Path(ml)))
+            readManifestList(spark, ml).foreach { m =>
+              val mp = resolve(path, m.get("manifest_path").toString)
+              expiredAvros += q(mp)
+              if (f.exists(new Path(mp)))
+                readManifestList(spark, mp).foreach { e =>
+                  expiredData += q(resolve(path,
+                    e.get("data_file").asInstanceOf[GenericRecord]
+                      .get("file_path").toString))
+                }
+            }
+        }
         val cutoff = System.currentTimeMillis() -
           math.max(0L, orphanRetainMillis)
         var deleted = 0
-        def sweep(dir: Path, exts: Seq[String],
-                  mtimeGated: Boolean): Unit =
+        def sweep(dir: Path, exts: Seq[String], mtimeGated: Boolean,
+                  ungatedOk: Set[String] = Set.empty): Unit =
           if (f.exists(dir)) f.listStatus(dir).foreach { s0 =>
             val p0 = s0.getPath
             val name = p0.getName
+            val qp = f.makeQualified(p0).toString
             if (s0.isFile && exts.exists(name.endsWith(_)) &&
                 !name.startsWith(".") &&
-                !reachable.contains(f.makeQualified(p0).toString) &&
-                (!mtimeGated || s0.getModificationTime < cutoff)) {
+                !reachable.contains(qp) &&
+                (!mtimeGated || ungatedOk.contains(qp) ||
+                  s0.getModificationTime < cutoff)) {
               if (f.delete(p0, false)) deleted += 1
             }
           }
-        // manifests/lists of expired snapshots: referenced-by-log only,
-        // no mtime gate needed (a racing appender carries forward the
-        // CURRENT snapshot's manifests, which are kept by construction)
-        sweep(new Path(path, "metadata"), Seq(".avro"), mtimeGated = false)
-        // data files: expired-only references AND crash orphans — the
-        // mtime gate protects a mid-commit racer's freshly moved files
-        sweep(new Path(path, "data"), Seq(".parquet"), mtimeGated = true)
+        // manifests/lists: expired-snapshot avros delete immediately
+        // (known provenance), but an UNKNOWN unreferenced avro is
+        // mtime-gated — a racing appender writes its fresh UUID
+        // manifest + manifest list BEFORE publishing the metadata json
+        // that references them, so an ungated sweep that wins the
+        // metadata race would delete files a replanning racer is about
+        // to commit a reference to.
+        sweep(new Path(path, "metadata"), Seq(".avro"), mtimeGated = true,
+          ungatedOk = expiredAvros.toSet)
+        // data files: expired-only references delete immediately (known
+        // provenance, same rule as the avros); crash orphans stay
+        // mtime-gated — the gate protects a mid-commit racer's freshly
+        // moved files
+        sweep(new Path(path, "data"), Seq(".parquet"), mtimeGated = true,
+          ungatedOk = expiredData.toSet)
         return deleted
       }
     }

@@ -816,4 +816,64 @@ class DeltaProtocolSpec extends AnyFunSuite {
     val (total, _) = DeltaRead.pruneReport(spark, dir, "k >= 0")
     assert(total == 1)
   }
+
+  test("vacuum DV reachability: in-table 'p' DV kept; orphan .bin floored on the newest tombstone") {
+    import graft.sources.DeltaWrite
+    val day = 24L * 3600 * 1000
+    // --- a 'p' (absolute-path) DV stored INSIDE the table dir is
+    // CURRENT-reachable: vacuum must never sweep it as an orphan ---
+    val dir = tmp()
+    dataFile(dir, "f0.parquet", range(0, 50))
+    val data0 = roaringArrayBytes(Seq(1L, 2L))
+    val pFile = Paths.get(dir, "dvs", "inside_dv.bin")
+    Files.createDirectories(pFile.getParent)
+    Files.write(pFile, dvFileBytes(data0, offset = 1))
+    commit(dir, 0, Seq(protoDv, metaLine(schemaJson),
+      addWithDv("f0.parquet", 50,
+        s""""deletionVector":{"storageType":"p",""" +
+          s""""pathOrInlineDv":"$pFile","offset":1,""" +
+          s""""sizeInBytes":${data0.length},"cardinality":2}""")))
+    DeltaWrite.vacuum(spark, dir, retainMillis = 0L)
+    assert(Files.exists(pFile),
+      "an in-table 'p' DV is referenced by the CURRENT version — " +
+        "vacuum deleting it would break every subsequent read")
+    assert(DeltaRead.read(spark, dir).count() == 48)
+
+    // --- an unreferenced .bin with NO tombstone (its add was
+    // rewritten) must wait for the NEWEST tombstone to exit retention:
+    // its own mtime predates the rewrite that orphaned it ---
+    val dir2 = tmp()
+    dataFile(dir2, "f0.parquet", range(0, 50))
+    dataFile(dir2, "f1.parquet", range(50, 100))
+    commit(dir2, 0, Seq(protoDv, metaLine(schemaJson),
+      addPlain("f0.parquet", 50), addPlain("f1.parquet", 50)))
+    commit(dir2, 1, Seq( // fresh rewrite: tombstone ts = now
+      s"""{"remove":{"path":"f1.parquet","deletionTimestamp":""" +
+        s"""${System.currentTimeMillis()},"dataChange":true}}"""))
+    val stale2 = Paths.get(dir2, "stale_dv.bin")
+    Files.write(stale2, dvFileBytes(roaringArrayBytes(Seq(5L)), 1))
+    stale2.toFile.setLastModified(System.currentTimeMillis() - 10 * day)
+    DeltaWrite.vacuum(spark, dir2) // default 7-day retention
+    assert(Files.exists(stale2),
+      "a time-travel reader inside retention may still need the DV " +
+        "of a freshly rewritten add — mtime alone must not reclaim it")
+
+    // --- once every tombstone is past the horizon, both the
+    // tombstoned file and the orphaned DV reclaim ---
+    val dir3 = tmp()
+    dataFile(dir3, "f0.parquet", range(0, 50))
+    dataFile(dir3, "f1.parquet", range(50, 100))
+    commit(dir3, 0, Seq(protoDv, metaLine(schemaJson),
+      addPlain("f0.parquet", 50), addPlain("f1.parquet", 50)))
+    val old = System.currentTimeMillis() - 10 * day
+    commit(dir3, 1, Seq(
+      s"""{"remove":{"path":"f1.parquet","deletionTimestamp":$old,""" +
+        s""""dataChange":true}}"""))
+    val stale3 = Paths.get(dir3, "stale_dv.bin")
+    Files.write(stale3, dvFileBytes(roaringArrayBytes(Seq(5L)), 1))
+    stale3.toFile.setLastModified(old)
+    val n = DeltaWrite.vacuum(spark, dir3)
+    assert(!Files.exists(stale3) && n >= 2,
+      s"stale DV + expired-tombstone data file both reclaim (got $n)")
+  }
 }

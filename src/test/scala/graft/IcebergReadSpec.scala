@@ -370,4 +370,55 @@ class IcebergReadSpec extends AnyFunSuite {
     // pruning composes: the pruned read re-applies the deletes
     assert(IcebergRead.readWhere(spark, dir, "k >= 50").count() == 48)
   }
+
+  test("equality-delete files sharing a BASENAME: per-file seq tagging, no mis-scoping") {
+    import spark.implicits._
+    val dir = tmp()
+    // data: f0+f1 at seq 1; f2 RE-INSERTS k=5/u5 at seq 3.
+    // deletes: data/a/deq.parquet (u5, seq 2) and data/b/deq.parquet
+    // (u60, seq 4) — SAME basename. A basename-keyed file→seq map would
+    // hand u5 the seq-4 row too and kill the seq-3 reinsert.
+    dataFile(dir, "data/f0.parquet", range(0, 50))
+    dataFile(dir, "data/f1.parquet", range(50, 100))
+    dataFile(dir, "data/f2.parquet", range(5, 6))
+    writeAvro(s"$dir/metadata/mA.avro", entrySchema, Seq(
+      entry(1, "data/f0.parquet", 50, 0, 49, "u0", "u9"),
+      entry(1, "data/f1.parquet", 50, 50, 99, "u50", "u99")))
+    writeAvro(s"$dir/metadata/mB.avro", entrySchema, Seq(
+      entry(1, "data/f2.parquet", 1, 5, 5, "u5", "u5")))
+    dataFile(dir, "data/a/deq.parquet", Seq("u5").toDF("name"))
+    dataFile(dir, "data/b/deq.parquet", Seq("u60").toDF("name"))
+    writeAvro(s"$dir/metadata/dmA.avro", eqDelEntrySchema, Seq(
+      eqDelEntry(2, "data/a/deq.parquet", Seq(2))))
+    writeAvro(s"$dir/metadata/dmB.avro", eqDelEntrySchema, Seq(
+      eqDelEntry(2, "data/b/deq.parquet", Seq(2))))
+    writeAvro(s"$dir/metadata/ml-500.avro", manifestListSeqSchema, Seq(
+      mlSeqRow("metadata/mA.avro", 0, 1),
+      mlSeqRow("metadata/dmA.avro", 1, 2),
+      mlSeqRow("metadata/mB.avro", 0, 3),
+      mlSeqRow("metadata/dmB.avro", 1, 4)))
+    val meta = s"""{
+      "format-version": 2,
+      "table-uuid": "00000000-0000-0000-0000-000000000002",
+      "location": "$dir",
+      "current-schema-id": 0,
+      "schemas": [$schemaJson],
+      "current-snapshot-id": 500,
+      "snapshots": [
+        {"snapshot-id": 500, "manifest-list": "metadata/ml-500.avro"}]
+    }"""
+    Files.createDirectories(Paths.get(dir, "metadata"))
+    Files.writeString(Paths.get(dir, "metadata", "v2.metadata.json"), meta)
+    Files.writeString(Paths.get(dir, "metadata", "version-hint.text"), "2")
+
+    val cur = IcebergRead.read(spark, dir)
+    // 101 live - u5@f0 (seq-2 delete) - u60@f1 (seq-4 delete) = 99;
+    // f2's u5 (data seq 3 >= delete seq 2) must survive
+    assert(cur.count() == 99, s"got ${cur.count()}")
+    val names = cur.select("name").collect().map(_.getString(0)).toSeq
+    assert(names.count(_ == "u5") == 1,
+      "the seq-3 reinsert of u5 must survive the seq-2 delete even " +
+        "when two delete files share a basename")
+    assert(!names.contains("u60"))
+  }
 }
