@@ -21,21 +21,24 @@ class HudiReadSpec extends AnyFunSuite {
     * convention, carrying the standard meta columns like a real writer.
     */
   private def baseFile(dir: String, fileId: String, instant: String,
-                       df: org.apache.spark.sql.DataFrame): String = {
+                       df: org.apache.spark.sql.DataFrame,
+                       partition: String = ""): String = {
     val name = s"${fileId}_0-0-0_$instant.parquet"
+    val rel = if (partition.isEmpty) name else s"$partition/$name"
     val withMeta = df
       .withColumn("_hoodie_commit_time", lit(instant))
       .withColumn("_hoodie_commit_seqno", lit(s"${instant}_0_1"))
       .withColumn("_hoodie_record_key", col("k").cast("string"))
-      .withColumn("_hoodie_partition_path", lit(""))
+      .withColumn("_hoodie_partition_path", lit(partition))
       .withColumn("_hoodie_file_name", lit(name))
     val stage = Files.createTempDirectory("graft_hudi_stage").toString
     withMeta.coalesce(1).write.mode("overwrite").parquet(stage)
     val part = new java.io.File(stage).listFiles()
       .find(_.getName.endsWith(".parquet")).get
-    Files.copy(part.toPath, Paths.get(dir, name),
+    Files.createDirectories(Paths.get(dir, rel).getParent)
+    Files.copy(part.toPath, Paths.get(dir, rel),
       StandardCopyOption.REPLACE_EXISTING)
-    name
+    rel
   }
 
   private def properties(dir: String, tableType: String): Unit = {
@@ -47,11 +50,19 @@ class HudiReadSpec extends AnyFunSuite {
   }
 
   private def commitJson(files: Seq[(String, String)]): String = {
-    val stats = files.map { case (fid, p) =>
-      s"""{"fileId":"$fid","path":"$p","prevCommit":"null",""" +
-        s""""numWrites":2,"fileSizeInBytes":1}"""
+    // partition key derived from the file's directory part, matching
+    // how a real writer groups partitionToWriteStats
+    val byPart = files.groupBy { case (_, p) =>
+      val i = p.lastIndexOf('/'); if (i < 0) "" else p.substring(0, i)
+    }
+    val parts = byPart.toSeq.sortBy(_._1).map { case (part, fs) =>
+      val stats = fs.map { case (fid, p) =>
+        s"""{"fileId":"$fid","path":"$p","prevCommit":"null",""" +
+          s""""numWrites":2,"fileSizeInBytes":1}"""
+      }.mkString(",")
+      s""""$part":[$stats]"""
     }.mkString(",")
-    s"""{"partitionToWriteStats":{"":[$stats]},"operation":"upsert"}"""
+    s"""{"partitionToWriteStats":{$parts},"operation":"upsert"}"""
   }
 
   private def commit(dir: String, instant: String,
@@ -202,6 +213,50 @@ class HudiReadSpec extends AnyFunSuite {
     block(3, Map(0 -> instant, 2 -> logAvroSchema),
       avroBlockContent(recs))
 
+  // the public HoodieDeleteRecordList model (content version >= 3)
+  private val deleteListSchema =
+    """{"namespace":"org.apache.hudi.avro.model","type":"record",
+        "name":"HoodieDeleteRecordList","fields":[
+          {"name":"deleteRecordList","type":{"type":"array","items":{
+            "type":"record","name":"HoodieDeleteRecord","fields":[
+              {"name":"recordKey","type":["null","string"],
+               "default":null},
+              {"name":"partitionPath","type":["null","string"],
+               "default":null},
+              {"name":"orderingVal","type":["null","string","int",
+               "long","float","double","bytes"],"default":null}]}},
+           "default":[]}]}"""
+
+  /** DELETE_BLOCK at `instant`: 4-byte content version (3), 4-byte
+    * length, avro-binary HoodieDeleteRecordList of the keys.
+    */
+  private def deleteBlock(instant: String,
+                          keys: Seq[String]): Array[Byte] = {
+    val schema =
+      new org.apache.avro.Schema.Parser().parse(deleteListSchema)
+    val itemS = schema.getField("deleteRecordList").schema()
+      .getElementType
+    val list = new java.util.ArrayList[AnyRef]()
+    keys.foreach { k =>
+      val r = new org.apache.avro.generic.GenericData.Record(itemS)
+      r.put("recordKey", k); r.put("partitionPath", "")
+      list.add(r)
+    }
+    val rec = new org.apache.avro.generic.GenericData.Record(schema)
+    rec.put("deleteRecordList", list)
+    val bos = new java.io.ByteArrayOutputStream()
+    val enc = org.apache.avro.io.EncoderFactory.get()
+      .binaryEncoder(bos, null)
+    new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](schema).write(rec, enc)
+    enc.flush()
+    val avro = bos.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(out)
+    d.writeInt(3); d.writeInt(avro.length); d.write(avro); d.flush()
+    block(1, Map(0 -> instant), out.toByteArray)
+  }
+
   private def writeLog(dir: String, name: String,
                        blocks: Seq[Array[Byte]]): Unit =
     Files.write(Paths.get(dir, name), blocks.flatten.toArray)
@@ -280,7 +335,8 @@ class HudiReadSpec extends AnyFunSuite {
     assert(kv(HudiRead.read(spark, dir))
       == Map(0L -> "upd0", 1L -> "old1"),
       "in-flight and rolled-back blocks must never serve")
-    // an unmodeled block type refuses BY NAME (DELETE_BLOCK = 1)
+    // a Kryo-era DELETE_BLOCK (content version < 3) refuses BY NAME,
+    // and an HFILE_DATA_BLOCK (type 4) stays refused by name too
     val dir2 = tmp()
     Files.createDirectories(Paths.get(dir2))
     properties(dir2, "MERGE_ON_READ")
@@ -288,12 +344,18 @@ class HudiReadSpec extends AnyFunSuite {
     Files.writeString(Paths.get(dir2, ".hoodie", "001.deltacommit"),
       commitJson(Seq("f1" -> f2a)))
     writeLog(dir2, ".f1_001.log.1_0-0-0", Seq(
-      block(1, Map(0 -> "002"), Array[Byte](0, 0, 0, 0))))
+      block(1, Map(0 -> "002"), Array[Byte](0, 0, 0, 0, 0, 0, 0, 0))))
     Files.writeString(Paths.get(dir2, ".hoodie", "002.deltacommit"),
       commitJson(Seq("f1" -> ".f1_001.log.1_0-0-0")))
+    def msgHas(t: Throwable, s: String): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains(s)) ||
+        msgHas(t.getCause, s))
     val e = intercept[Exception] { HudiRead.read(spark, dir2).collect() }
-    assert(e.getMessage.contains("DELETE_BLOCK") ||
-      Option(e.getCause).exists(_.getMessage.contains("DELETE_BLOCK")))
+    assert(msgHas(e, "DELETE_BLOCK"), s"got: ${e.getMessage}")
+    writeLog(dir2, ".f1_001.log.1_0-0-0", Seq(
+      block(4, Map(0 -> "002"), Array[Byte](0, 0, 0, 0))))
+    val eh = intercept[Exception] { HudiRead.read(spark, dir2).collect() }
+    assert(msgHas(eh, "HFILE_DATA_BLOCK"), s"got: ${eh.getMessage}")
     // corrupt bytes refuse loudly, never silently skip
     val dir3 = tmp()
     Files.createDirectories(Paths.get(dir3))
@@ -313,17 +375,93 @@ class HudiReadSpec extends AnyFunSuite {
     assert(anywhere(e2), s"corrupt log must refuse loudly: ${e2.getMessage}")
   }
 
-  test("a non-empty archived timeline is refused, not silently subset") {
+  test("archived timeline: fully-covered live groups read; an actual coverage gap refuses by name") {
     val dir = buildTable()
     val arch = Paths.get(dir, ".hoodie", "archived")
     Files.createDirectories(arch)
     assert(HudiRead.read(spark, dir).count() == 6,
       "an EMPTY archived dir must not refuse")
     Files.writeString(arch.resolve(".commits_.archive.1_1-0-1"), "x")
+    // every live file group's latest base instant is in the ACTIVE
+    // timeline (f1@002, f2@001, f3@002; f4@003 is a pending writer) —
+    // the read must match the pre-archival read, not refuse
+    assert(HudiRead.read(spark, dir).count() == 6,
+      "covered groups must read with an archived timeline present")
+    assert(HudiRead.read(spark, dir, asOf = "001").count() == 4,
+      "time travel inside the active window still works")
+    // an actual gap: a base file whose instant appears in NO active
+    // commit and carries no pending marker — its commit was archived
+    baseFile(dir, "f9", "000", rows(90, 92, "gone"))
     val e = intercept[IllegalArgumentException] {
       HudiRead.read(spark, dir)
     }
-    assert(e.getMessage.contains("archived"))
+    assert(e.getMessage.contains("f9") && e.getMessage.contains("000"),
+      s"the gapped group must refuse BY NAME: ${e.getMessage}")
+  }
+
+  test("MOR DELETE_BLOCK: interleaved data+delete blocks equal the post-compaction read") {
+    val dir = tmp()
+    Files.createDirectories(Paths.get(dir))
+    properties(dir, "MERGE_ON_READ")
+    val f1a = baseFile(dir, "f1", "001", rows(0, 2, "old")) // k=0,1
+    Files.writeString(Paths.get(dir, ".hoodie", "001.deltacommit"),
+      commitJson(Seq("f1" -> f1a)))
+    // 002 upserts k=0 + inserts k=5; 003 DELETES k=1 and k=5;
+    // 004 re-inserts k=5 — arrival order must win at every step
+    val log1 = ".f1_001.log.1_0-0-0"
+    writeLog(dir, log1, Seq(
+      dataBlock("002", Seq(0L -> "upd0", 5L -> "ins5")),
+      deleteBlock("003", Seq("1", "5")),
+      dataBlock("004", Seq(5L -> "re5"))))
+    Seq("002", "003", "004").foreach(ts =>
+      Files.writeString(Paths.get(dir, ".hoodie", s"$ts.deltacommit"),
+        commitJson(Seq("f1" -> log1))))
+    assert(kv(HudiRead.read(spark, dir))
+      == Map(0L -> "upd0", 5L -> "re5"),
+      "base k=1 deleted; k=5 deleted then re-inserted")
+    // time travel between the blocks replays the delete exactly
+    assert(kv(HudiRead.read(spark, dir, asOf = "003"))
+      == Map(0L -> "upd0"))
+    assert(kv(HudiRead.read(spark, dir, asOf = "002"))
+      == Map(0L -> "upd0", 1L -> "old1", 5L -> "ins5"))
+    // compaction folds the same view: merged read == post-compaction
+    val pre = kv(HudiRead.read(spark, dir))
+    val f1b = baseFile(dir, "f1", "005", spark.createDataFrame(
+      pre.toSeq.sortBy(_._1)).toDF("k", "v"))
+    Files.writeString(Paths.get(dir, ".hoodie", "005.commit"),
+      commitJson(Seq("f1" -> f1b)))
+    assert(kv(HudiRead.read(spark, dir)) == pre,
+      "merged-with-deletes read must equal the post-compaction read")
+  }
+
+  test("MOR merge is per FILE SLICE: a record key repeated across partitions never cross-merges") {
+    val dir = tmp()
+    Files.createDirectories(Paths.get(dir))
+    properties(dir, "MERGE_ON_READ")
+    // non-global index: key k=1 legally exists in BOTH partitions
+    val p1 = baseFile(dir, "f1", "001", rows(1, 2, "a"), "p1")
+    val p2 = baseFile(dir, "f2", "001", rows(1, 2, "b"), "p2")
+    Files.writeString(Paths.get(dir, ".hoodie", "001.deltacommit"),
+      commitJson(Seq("f1" -> p1, "f2" -> p2)))
+    // a log on p1's slice updates k=1; p2's k=1 must be untouched
+    val log1 = "p1/.f1_001.log.1_0-0-0"
+    writeLog(dir, log1, Seq(dataBlock("002", Seq(1L -> "a-upd"))))
+    Files.writeString(Paths.get(dir, ".hoodie", "002.deltacommit"),
+      commitJson(Seq("f1" -> log1)))
+    val got = HudiRead.read(spark, dir).collect()
+      .map(r => r.getString(r.fieldIndex("v"))).toSet
+    assert(got == Set("a-upd", "b1"),
+      s"p2's base row must survive a p1-slice log update, got $got")
+    // and a DELETE in p1's log kills only p1's key
+    writeLog(dir, log1, Seq(
+      dataBlock("002", Seq(1L -> "a-upd")),
+      deleteBlock("003", Seq("1"))))
+    Files.writeString(Paths.get(dir, ".hoodie", "003.deltacommit"),
+      commitJson(Seq("f1" -> log1)))
+    val got2 = HudiRead.read(spark, dir).collect()
+      .map(r => r.getString(r.fieldIndex("v"))).toSet
+    assert(got2 == Set("b1"),
+      s"a p1-slice delete must not touch p2's identical key, got $got2")
   }
 
   test("graft_hudi_read TVF serves the same snapshot from plain SQL") {
@@ -367,14 +505,18 @@ class HudiReadSpec extends AnyFunSuite {
     // requested-instant time travel still orders the timeline
     assert(asSet(HudiRead.read(spark, dir, asOf = "001"))
       == asSet(rows(0, 2, "old").unionByName(rows(10, 12, "b"))))
-    // a non-empty 1.x LSM history dir refuses like pre-1.x archived
+    // a non-empty 1.x LSM history dir triggers the same coverage check
+    // as pre-1.x archived: covered groups read, a gap refuses by name
     val hist = Paths.get(dir, ".hoodie", "timeline", "history")
     Files.createDirectories(hist)
     assert(HudiRead.read(spark, dir).count() == 4,
       "an EMPTY history dir must not refuse")
     Files.writeString(hist.resolve("0_1_1.parquet"), "x")
+    assert(HudiRead.read(spark, dir).count() == 4,
+      "covered groups must read with a 1.x history present")
+    baseFile(dir, "f8", "000", rows(80, 82, "gone"))
     val e = intercept[IllegalArgumentException] { HudiRead.read(spark, dir) }
-    assert(e.getMessage.contains("history"))
+    assert(e.getMessage.contains("f8"))
   }
 
   test("Hudi 1.x: non-JSON (avro) commit metadata refused, not misread") {
