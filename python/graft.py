@@ -601,10 +601,24 @@ def iceberg_read(spark, path, snapshot_id=-1):
     return _wrap(spark, jdf)
 
 
+def iceberg_changes(spark, path, from_snapshot_id, to_snapshot_id):
+    """Incremental change feed between two Iceberg snapshots (file
+    algebra per consecutive snapshot pair): added files serve inserts,
+    removed files deletes, NEW delete files surface exactly the rows
+    they kill from kept files; every row carries ``_change_type`` and
+    ``_snapshot_id``. Replay-exact as multisets ((from + inserts) -
+    deletes == to). Scans only changed/touched files."""
+    jdf = _jvm(spark).graft.sources.IcebergRead.changes(
+        spark._jsparkSession, path, int(from_snapshot_id),
+        int(to_snapshot_id))
+    return _wrap(spark, jdf)
+
+
 def hudi_read(spark, path, as_of=""):
-    """Read-only Apache Hudi COPY_ON_WRITE snapshot read (public
-    storage layout: completed-commit timeline + latest file slice per
-    group; time travel via the ``as_of`` instant timestamp)."""
+    """Read-only Apache Hudi snapshot read (public storage layout:
+    completed-commit timeline + latest file slice per group;
+    MERGE_ON_READ log blocks — avro data + delete — merge per file
+    slice; time travel via the ``as_of`` instant timestamp)."""
     jdf = _jvm(spark).graft.sources.HudiRead.read(
         spark._jsparkSession, path, str(as_of))
     return _wrap(spark, jdf)

@@ -190,6 +190,113 @@ object ScaleStress {
     "t41_bpe_encode", "t43_dedup_token_yield", "q115_bitemporal",
     "e64_uplift")
 
+  /** Format-path stress (`runMain graft.ScaleStress formats`) — the
+    * round-9/10 source shapes, measured rather than asserted:
+    *
+    *   1. `DeltaRead.changes` over a 1 000-commit log (driver commit
+    *      walk is span-bounded; chunked reads must concatenate at the
+    *      same cost shape);
+    *   2. `DeltaSync` bootstrap at 1x vs 10x source rows (the collapse
+    *      is distributed — ratio tracks data, not a driver sort);
+    *   3. Iceberg equality-delete read with 20 vs 200 delete files
+    *      (ONE scan per id-group + broadcast file→seq map: read time
+    *      must track data size, not delete-file count);
+    *   4. Delta OPTIMIZE over 100 partition groups vs 10 (one unioned
+    *      job: wall time tracks bytes, not group count).
+    */
+  private def formatStress(spark: SparkSession): Unit = {
+    import sources.{DeltaRead, DeltaSync, DeltaWrite, IcebergRead,
+      IcebergWrite}
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val root = "target/stress_formats"
+    def fresh(name: String): String = {
+      val d = new java.io.File(s"$root/$name")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      if (d.exists()) rm(d)
+      d.getParentFile.mkdirs()
+      d.toString
+    }
+    def time(f: => Any): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    // 1. changes() over a 1k-commit log --------------------------------
+    val dChanges = fresh("delta_1k_commits")
+    DeltaWrite.create(spark.range(0, 100)
+      .selectExpr("id AS k", "cast(id AS string) AS name"), dChanges)
+    val seed = new java.io.File(dChanges).listFiles()
+      .find(_.getName.endsWith(".parquet")).get.toPath
+    (1 to 1000).foreach { v =>
+      Files.copy(seed, Paths.get(dChanges, s"c$v.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.writeString(Paths.get(dChanges, "_delta_log", f"$v%020d.json"),
+        s"""{"add":{"path":"c$v.parquet","partitionValues":{},""" +
+          s""""size":1,"modificationTime":0,"dataChange":true}}\n""")
+    }
+    spark.conf.set("graft.delta.changes.maxSpan", "2000")
+    val tFull = time(DeltaRead.changes(spark, dChanges, 0, 1000).count())
+    spark.conf.unset("graft.delta.changes.maxSpan")
+    val tChunk = time((0 until 10).foreach(i =>
+      DeltaRead.changes(spark, dChanges, i * 100, (i + 1) * 100).count()))
+    println(f"changes[1k commits]      full=$tFull%7.2fs  " +
+      f"chunked 10x100=$tChunk%7.2fs")
+
+    // 2. DeltaSync bootstrap 1x vs 10x ---------------------------------
+    def evCols(d: String) = Tables.events(spark, d)
+      .selectExpr("event_id", "user_id", "event_type",
+        "cast(value AS double) AS value")
+    // warm the sync code path first (JIT/codegen dominate a cold 1x run
+    // and made the 1x number look WORSE than 10x)
+    val warm = fresh("sync_warm")
+    DeltaWrite.create(evCols(baseDir).limit(1000), warm)
+    DeltaSync.sync(spark, warm, fresh("sync_warm_dst"), Seq("event_id"))
+    val src1 = fresh("sync_src_1x")
+    DeltaWrite.create(evCols(baseDir), src1)
+    val t1s = time(DeltaSync.sync(spark, src1,
+      fresh("sync_dst_1x"), Seq("event_id")))
+    val srcN = fresh("sync_src_10x")
+    DeltaWrite.create(evCols(stressDir), srcN)
+    val tNs = time(DeltaSync.sync(spark, srcN,
+      fresh("sync_dst_10x"), Seq("event_id")))
+    println(f"deltaSync bootstrap      1x=$t1s%7.2fs  10x=$tNs%7.2fs  " +
+      f"ratio=${tNs / t1s}%4.1fx")
+
+    // 3. Iceberg equality-delete read: 20 vs 200 delete files ----------
+    val ice = fresh("ice_eqdel")
+    IcebergWrite.create(spark.range(0, 500000)
+      .selectExpr("id AS k", "cast(id % 97 AS double) AS v")
+      .repartition(4), ice)
+    def upserts(lo: Int, hi: Int): Unit = (lo until hi).foreach { i =>
+      IcebergWrite.upsert(spark.range(i * 10L, i * 10L + 5)
+        .selectExpr("id AS k", "cast(-1.0 AS double) AS v").coalesce(1),
+        ice, Seq("k"))
+    }
+    upserts(0, 20)
+    val tRead20 = time(IcebergRead.read(spark, ice).count())
+    upserts(20, 200)
+    val tRead200 = time(IcebergRead.read(spark, ice).count())
+    println(f"iceberg eq-delete read   20 files=$tRead20%7.2fs  " +
+      f"200 files=$tRead200%7.2fs  ratio=${tRead200 / tRead20}%4.1fx")
+
+    // 4. OPTIMIZE: 100 partition groups vs 10 — same bytes AND same
+    // file count (400), so the ratio isolates GROUP-COUNT overhead
+    def optTable(parts: Int): String = {
+      val d = fresh(s"delta_opt_$parts")
+      DeltaWrite.create(spark.range(0, 400000)
+        .selectExpr("id AS k", s"cast(id % $parts AS string) AS p")
+        .repartition(400 / parts), d, Seq("p"))
+      d
+    }
+    val d10 = optTable(10)
+    val tOpt10 = time(DeltaWrite.optimize(spark, d10))
+    val d100 = optTable(100)
+    val tOpt100 = time(DeltaWrite.optimize(spark, d100))
+    println(f"optimize partitions      10 grp=$tOpt10%7.2fs  " +
+      f"100 grp=$tOpt100%7.2fs  ratio=${tOpt100 / tOpt10}%4.1fx")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -205,6 +312,12 @@ object ScaleStress {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.headOption.contains("formats")) {
+      build(spark) // the 10x events table feeds the DeltaSync row
+      formatStress(spark)
+      spark.stop()
+      return
+    }
     build(spark)
 
     val qs = if (args.nonEmpty) args.toSeq else defaults

@@ -280,6 +280,18 @@ object SqlSurface {
       case args => throw new IllegalArgumentException(
         s"graft_iceberg_read(path[, snapshot_id]): got ${args.size} args")
     },
+    "graft_iceberg_changes" -> {
+      // incremental snapshot-range feed (_change_type insert/delete,
+      // _snapshot_id attribution; replay-exact, scans only changed
+      // files) — the Iceberg mirror of graft_delta_changes
+      case Seq(p, f, t) =>
+        plan(graft.sources.IcebergRead.changes(SparkSession.active,
+          str(p, "path"), int(f, "fromSnapshotId").toLong,
+          int(t, "toSnapshotId").toLong))
+      case args => throw new IllegalArgumentException(
+        s"graft_iceberg_changes(path, from_snapshot_id, " +
+          s"to_snapshot_id): got ${args.size} args")
+    },
     "graft_hudi_read" -> {
       case Seq(p) =>
         plan(graft.sources.HudiRead.read(SparkSession.active,

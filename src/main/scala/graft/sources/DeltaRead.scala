@@ -806,10 +806,27 @@ object DeltaRead {
     * never runs. Refused across a schema-evolution boundary and past
     * cleaned commits (a checkpoint cannot reconstruct per-commit
     * diffs).
+    *
+    * SPAN CONTRACT: the walk reads each commit JSON in (fromV, toV] on
+    * the driver — bounded by the version span, the budget any
+    * per-commit reader spends, but an accidental 100k-commit replay
+    * request would serialize there. Spans above
+    * `graft.delta.changes.maxSpan` (default 10 000 commits) refuse
+    * loudly; a polling consumer chunks the walk ([from, from+span],
+    * then advance) — the feed is per-commit, so chunked reads
+    * concatenate to exactly the full feed.
     */
   def changes(spark: SparkSession, path: String, fromV: Long,
               toV: Long): DataFrame = {
     require(fromV <= toV, s"changes: fromV $fromV > toV $toV")
+    val maxSpan = spark.conf.getOption("graft.delta.changes.maxSpan")
+      .map(_.toLong).getOrElse(10000L)
+    require(toV - fromV <= maxSpan,
+      s"changes: span ${toV - fromV} commits exceeds " +
+        s"graft.delta.changes.maxSpan=$maxSpan — the per-commit walk " +
+        "reads each commit JSON on the driver, so an unbounded replay " +
+        "would serialize there; chunk the walk (feeds concatenate " +
+        "exactly) or raise the conf")
     val st0 = replay(spark, path, fromV)
     val schema = schemaOf(st0)
     val feedSchema = StructType(schema.fields :+
@@ -854,6 +871,13 @@ object DeltaRead {
     st0.tailAdds.filter(a => touched.contains(a.path))
       .foreach(a => state(a.path) = a)
     val parts = scala.collection.mutable.Buffer[DataFrame]()
+    // DV-free insert adds pool across the WHOLE range into one scan:
+    // a streaming table's thousand append commits would otherwise
+    // union a thousand single-file branches and the feed's PLAN
+    // dominates wall time (measured at 1k commits: 86s planned
+    // per-commit vs seconds pooled); the per-file commit version
+    // re-attaches via a broadcast basename→version map
+    val pooledIns = scala.collection.mutable.Buffer[(AddEntry, Long)]()
     val outCols = schema.fieldNames.toSeq.map(col) ++
       Seq(col("_change_type"), col("_commit_version"))
     def tag(df: DataFrame, v: Long): DataFrame =
@@ -921,9 +945,38 @@ object DeltaRead {
         if (dels.nonEmpty)
           parts += tag(assemble(spark, path, st0, dels.toSeq)
             .withColumn("_change_type", lit("delete")), v)
-        if (ins.nonEmpty)
-          parts += tag(assemble(spark, path, st0, ins.toSeq)
-            .withColumn("_change_type", lit("insert")), v)
+        if (ins.nonEmpty) {
+          val (dvIns, plainIns) =
+            ins.partition(_.dv.exists(_.cardinality > 0L))
+          if (dvIns.nonEmpty) // DV-masked re-adds stay per-commit
+            parts += tag(assemble(spark, path, st0, dvIns.toSeq)
+              .withColumn("_change_type", lit("insert")), v)
+          pooledIns ++= plainIns.map(_ -> v)
+        }
+      }
+    }
+    if (pooledIns.nonEmpty) {
+      def base(p: String) = PathCodec.percentDecode(p.split("/").last)
+      // the scan's per-file identity is the percent-decoded BASENAME —
+      // a (rare) collision across partition dirs falls back to
+      // per-version batches rather than misattributing versions
+      if (pooledIns.map(e => base(e._1.path)).distinct.size
+          != pooledIns.size)
+        pooledIns.groupBy(_._2).toSeq.sortBy(_._1).foreach {
+          case (v, es) =>
+            parts += tag(assemble(spark, path, st0, es.map(_._1).toSeq)
+              .withColumn("_change_type", lit("insert")), v)
+        }
+      else {
+        import spark.implicits._
+        val vmap = broadcast(pooledIns.toSeq
+          .map { case (e, v) => (base(e.path), v) }
+          .toDF(FKey, "_commit_version"))
+        parts += scan(spark, path, st0, schema,
+            pooledIns.map(_._1).toSeq, withMeta = true)
+          .join(vmap, Seq(FKey))
+          .withColumn("_change_type", lit("insert"))
+          .select(outCols: _*)
       }
     }
     if (parts.isEmpty)

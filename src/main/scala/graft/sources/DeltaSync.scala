@@ -62,7 +62,18 @@ object DeltaSync {
         "not created by DeltaSync for this source; refusing to guess a " +
         "diff base")
     if (lastV >= curV) return lastV // nothing new
-    val feed = DeltaRead.changes(spark, deltaPath, lastV, curV)
+    // chunk the walk under the feed's span contract (changes() refuses
+    // spans above graft.delta.changes.maxSpan): a mirror that lagged a
+    // very long-lived source by 100k commits still syncs — chunked
+    // feeds concatenate exactly, and the collapse below ranks on
+    // _commit_version across the whole union
+    val maxSpan = spark.conf.getOption("graft.delta.changes.maxSpan")
+      .map(_.toLong).getOrElse(10000L)
+    val steps = (Iterator.iterate(lastV)(v => math.min(v + maxSpan, curV))
+      .takeWhile(_ < curV).toSeq :+ curV)
+    val feed = steps.zip(steps.tail).map { case (a, b) =>
+      DeltaRead.changes(spark, deltaPath, a, b)
+    }.reduce(_ unionByName _)
     // last state per key: version first, then surviving-state rank
     val rank = when(col("_change_type").isin("insert",
       "update_postimage"), 1).otherwise(0)

@@ -105,7 +105,9 @@ object DeltaWrite {
     val tableSchema = DeltaRead.schemaOf(st)
     val newCols = df.schema.fields.filterNot(f =>
       tableSchema.fieldNames.contains(f.name))
-    val merged: Option[StructType] =
+    // merged schema + any configuration delta the evolution commits
+    // (column-mapped tables bump delta.columnMapping.maxColumnId)
+    val merged: Option[(StructType, Map[String, String])] =
       if (!mergeSchema) {
         require(canonical(df.schema) == canonical(tableSchema),
           s"append schema ${df.schema.toDDL} != table schema " +
@@ -121,20 +123,48 @@ object DeltaWrite {
           }
         if (newCols.isEmpty) None
         else {
-          // evolution re-emits metaData: refuse when the new fields
-          // would need writer-assigned state this writer does not model
-          // (column-mapping ids/physical names), or when unknown writer
+          // evolution re-emits metaData: refuse when unknown writer
           // features could hang invariants off the schema
           requireEvolvable(st)
-          Some(StructType(tableSchema.fields ++
-            newCols.map(f => StructField(f.name, f.dataType, nullable = true))))
+          val mode = st.conf.getOrElse("delta.columnMapping.mode", "none")
+          if (mode == "none")
+            Some((StructType(tableSchema.fields ++ newCols.map(f =>
+              StructField(f.name, f.dataType, nullable = true))),
+              Map.empty))
+          else {
+            // column-mapped evolution (round 10): each new column mints
+            // a FRESH field id above delta.columnMapping.maxColumnId
+            // and a `col-<uuid>` physical name per the protocol, and
+            // the same commit's metaData bumps maxColumnId — reusing an
+            // id or a physical name would silently alias an old
+            // column's data into the new one
+            val maxId = st.conf.get("delta.columnMapping.maxColumnId")
+              .map(_.toLong).getOrElse(
+                tableSchema.fields.map(f =>
+                  if (f.metadata.contains("delta.columnMapping.id"))
+                    f.metadata.getLong("delta.columnMapping.id")
+                  else 0L).foldLeft(0L)(math.max))
+            var next = maxId
+            val minted = newCols.map { f =>
+              next += 1
+              val meta = new MetadataBuilder()
+                .putLong("delta.columnMapping.id", next)
+                .putString("delta.columnMapping.physicalName",
+                  s"col-${java.util.UUID.randomUUID()}")
+                .build()
+              StructField(f.name, f.dataType, nullable = true, meta)
+            }
+            Some((StructType(tableSchema.fields ++ minted),
+              Map("delta.columnMapping.maxColumnId" -> next.toString)))
+          }
         }
       }
     val partitionBy = st.partitionCols
     partitionBy.foreach(c => require(df.columns.contains(c),
       s"append batch misses partition column $c"))
     val (physDf, physParts, keyOf) =
-      physicalize(df, st, merged.getOrElse(tableSchema), partitionBy)
+      physicalize(df, st, merged.map(_._1).getOrElse(tableSchema),
+        partitionBy)
     var version = DeltaRead.latestVersion(spark, path) + 1
     var attempts = 0
     var done = -1L
@@ -142,8 +172,8 @@ object DeltaWrite {
     while (done < 0) {
       require(attempts < 10, s"$path: lost the commit race 10 times")
       if (files == null) files = writeSegment(physDf, path, physParts)
-      val metaLine = merged.map(m =>
-        metaAction(m, partitionBy, st)).toSeq
+      val metaLine = merged.map { case (m, extraConf) =>
+        metaAction(m, partitionBy, st, extraConf) }.toSeq
       if (publish(spark, path, version, metaLine ++
           actionsFor(df.schema, files, withMeta = false, physParts,
             statKey = keyOf)))
@@ -227,10 +257,8 @@ object DeltaWrite {
     * those features hang off the schema — refuse.
     */
   private def requireEvolvable(st: DeltaRead.LogState): Unit = {
-    require(!st.conf.get("delta.columnMapping.mode").exists(_ != "none"),
-      "mergeSchema evolution on a column-mapped table is refused — new " +
-        "columns need writer-assigned physical names/field ids this " +
-        "writer does not mint (plain appends and COW rewrites are fine)")
+    // column-mapped tables evolve too (round 10): the append path mints
+    // fresh field ids + physical names for the new columns
     val modeled = Set("appendOnly", "invariants", "deletionVectors",
       "timestampNtz", "columnMapping")
     val unknown = st.writerFeatures.filterNot(modeled)
@@ -686,12 +714,15 @@ object DeltaWrite {
     * columnMapping properties), and createdTime.
     */
   private def metaAction(schema: StructType, partitionBy: Seq[String],
-                         st: DeltaRead.LogState): String = {
+                         st: DeltaRead.LogState,
+                         extraConf: Map[String, String] = Map.empty)
+      : String = {
     val partJson = om.writeValueAsString(
       om.valueToTree[com.fasterxml.jackson.databind.JsonNode](
         partitionBy.toArray))
     val confNode = om.createObjectNode()
-    st.conf.toSeq.sortBy(_._1).foreach { case (k, v) => confNode.put(k, v) }
+    (st.conf ++ extraConf).toSeq.sortBy(_._1)
+      .foreach { case (k, v) => confNode.put(k, v) }
     val id = if (st.metaId.nonEmpty) st.metaId
              else java.util.UUID.randomUUID().toString
     s"""{"metaData":{"id":"$id",""" +
@@ -968,7 +999,7 @@ object DeltaWrite {
     * un-checkpointed.
     */
   private val CkptModeledWriterFeatures = Set("appendOnly", "invariants",
-    "deletionVectors", "columnMapping", "timestampNtz")
+    "deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoint")
 
   /** Write the classic single-file checkpoint parquet for `version`
     * (`NNNN.checkpoint.parquet` = reconciled protocol + metaData + every
@@ -989,6 +1020,12 @@ object DeltaWrite {
         !st.writerFeatures.forall(CkptModeledWriterFeatures) ||
         !st.readerFeatures.forall(DeltaRead.SupportedFeatures))
       return false
+    // tables declaring the v2Checkpoint feature get the v2 form (UUID
+    // manifest + _sidecars/): without it a long-lived v2 table this
+    // engine appends to would accrete an unbounded JSON-only log
+    if (st.writerFeatures.contains("v2Checkpoint") ||
+        st.readerFeatures.contains("v2Checkpoint"))
+      return writeV2Checkpoint(spark, path, version, st, live)
     val target = new Path(path,
       f"_delta_log/$version%020d.checkpoint.parquet")
     val f = fs(spark, path)
@@ -1000,20 +1037,7 @@ object DeltaWrite {
     def dvRow(a: DeltaRead.AddEntry) = a.dv.map(d =>
       Row(d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes,
         d.cardinality)).orNull
-    // unexpired tombstones survive the checkpoint (protocol requirement
-    // for VACUUM / concurrent-reader reconciliation): base-checkpoint
-    // tombstones filter DISTRIBUTED on the retention cutoff before the
-    // (bounded) collect, tail tombstones filter driver-side; a path
-    // re-added after its remove is live again, so its tombstone drops
-    val cutoff = System.currentTimeMillis() - retentionMillis(st.conf)
-    val liveKeys = live.map(_.path).toSet
-    val ckptTombs: Seq[(String, Long)] = st.ckptRemoves.map { rm =>
-      rm.filter(col("deletionTimestamp") >= cutoff)
-        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    }.getOrElse(Nil)
-    val tombs = (ckptTombs ++ st.tailRemoves.toSeq)
-      .filter { case (p, ts) => ts >= cutoff && !liveKeys.contains(p) }
-      .toMap.toSeq.sortBy(_._1)
+    val tombs = unexpiredTombstones(st, live)
     val rows: Seq[Row] =
       (Row(null, null, null, protoRow, null) +:
       Row(null, null, Row(st.metaId, Row("parquet"), st.schemaJson,
@@ -1046,6 +1070,128 @@ object DeltaWrite {
       finally out.close()
       true
     } finally f.delete(stage, true)
+  }
+
+  /** Unexpired tombstones that must survive a checkpoint (protocol
+    * requirement for VACUUM / concurrent-reader reconciliation):
+    * base-checkpoint tombstones filter DISTRIBUTED on the retention
+    * cutoff before the (bounded) collect, tail tombstones filter
+    * driver-side; a path re-added after its remove is live again, so
+    * its tombstone drops.
+    */
+  private def unexpiredTombstones(st: DeltaRead.LogState,
+                                  live: Seq[DeltaRead.AddEntry])
+      : Seq[(String, Long)] = {
+    val cutoff = System.currentTimeMillis() - retentionMillis(st.conf)
+    val liveKeys = live.map(_.path).toSet
+    val ckptTombs: Seq[(String, Long)] = st.ckptRemoves.map { rm =>
+      rm.filter(col("deletionTimestamp") >= cutoff)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    }.getOrElse(Nil)
+    (ckptTombs ++ st.tailRemoves.toSeq)
+      .filter { case (p, ts) => ts >= cutoff && !liveKeys.contains(p) }
+      .toMap.toSeq.sortBy(_._1)
+  }
+
+  /** Stage a tiny metadata parquet (driver-built rows) and rename it
+    * into place. False when the rename lost to a concurrent writer and
+    * the target did not appear.
+    */
+  private def stageParquet(spark: SparkSession,
+                           f: org.apache.hadoop.fs.FileSystem,
+                           logDir: Path, rows: Seq[org.apache.spark.sql.Row],
+                           schema: StructType, target: Path): Boolean = {
+    val stage = new Path(logDir,
+      s".ckpt-stage-${java.util.UUID.randomUUID()}")
+    try {
+      spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+          schema)
+        .coalesce(1).write.parquet(stage.toString)
+      val part = f.listStatus(stage).map(_.getPath)
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(
+          s"$stage: checkpoint stage produced no parquet part"))
+      f.mkdirs(target.getParent)
+      if (!f.rename(part, target)) f.exists(target) else true
+    } finally f.delete(stage, true)
+  }
+
+  // sidecar files carry FILE ACTIONS ONLY (add/remove), per the spec
+  private val sidecarSchema =
+    StructType(Seq(ckptSchema("add"), ckptSchema("remove")))
+  private val v2ManifestSchema = StructType(Seq(
+    ckptSchema("metaData"), ckptSchema("protocol"), ckptSchema("txn"),
+    StructField("checkpointMetadata", StructType(Seq(
+      StructField("version", LongType)))),
+    StructField("sidecar", StructType(Seq(
+      StructField("path", StringType),
+      StructField("sizeInBytes", LongType),
+      StructField("modificationTime", LongType))))))
+
+  /** V2/UUID checkpoint (PROTOCOL.md "V2 Checkpoints") — written for
+    * tables declaring the `v2Checkpoint` feature, which the classic
+    * single-file form would otherwise leave accreting an unbounded
+    * JSON-only log tail: file actions (live adds + unexpired remove
+    * tombstones) land in a `_delta_log/_sidecars/<uuid>.parquet`
+    * sidecar, and the top manifest `<version>.checkpoint.<uuid>.parquet`
+    * carries protocol + metaData + txn watermarks + a
+    * `checkpointMetadata{version}` action + one `sidecar` action naming
+    * the sidecar with its REQUIRED sizeInBytes/modificationTime.
+    * `_last_checkpoint` then points at the version (readers that cannot
+    * corroborate the hint — including this repo's — fall back to
+    * listing, where the UUID manifest name is discovered directly).
+    * The sidecar lands before the manifest, so a crash between the two
+    * leaves only an unreferenced orphan, never a dangling reference.
+    */
+  private def writeV2Checkpoint(spark: SparkSession, path: String,
+                                version: Long, st: DeltaRead.LogState,
+                                live: Seq[DeltaRead.AddEntry]): Boolean = {
+    import org.apache.spark.sql.Row
+    val f = fs(spark, path)
+    val logDir = new Path(path, "_delta_log")
+    val prefix = f"$version%020d.checkpoint."
+    if (f.listStatus(logDir).exists(s =>
+        s.isFile && s.getPath.getName.startsWith(prefix)))
+      return true // idempotent: a checkpoint for this version exists
+    def dvRow(a: DeltaRead.AddEntry) = a.dv.map(d =>
+      Row(d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes,
+        d.cardinality)).orNull
+    val tombs = unexpiredTombstones(st, live)
+    val sidecarRows: Seq[Row] =
+      live.map(a => Row(Row(a.path, a.partitionValues, a.size,
+        a.modificationTime, false, a.stats.orNull, dvRow(a)), null)) ++
+      tombs.map { case (p, ts) => Row(null, Row(p, ts, false)) }
+    val uuid = java.util.UUID.randomUUID().toString
+    val scName = s"$uuid.parquet"
+    val scTarget = new Path(logDir, s"_sidecars/$scName")
+    if (!stageParquet(spark, f, logDir, sidecarRows, sidecarSchema,
+        scTarget)) return false
+    val scStat = f.getFileStatus(scTarget)
+    val protoRow = Row(st.minReaderVersion, st.minWriterVersion,
+      if (st.minReaderVersion >= 3) st.readerFeatures else null,
+      if (st.minWriterVersion >= 7) st.writerFeatures else null)
+    val manifestRows: Seq[Row] =
+      (Row(null, protoRow, null, null, null) +:
+       Row(Row(st.metaId, Row("parquet"), st.schemaJson,
+         st.partitionCols, st.conf, st.createdTime),
+         null, null, null, null) +:
+       st.txns.toSeq.sortBy(_._1).map { case (app, v) =>
+         Row(null, null, Row(app, v), null, null) }) ++
+      Seq(Row(null, null, null, Row(version), null),
+          Row(null, null, null, null,
+            Row(scName, scStat.getLen, scStat.getModificationTime)))
+    val manifest = new Path(logDir, s"$prefix$uuid.parquet")
+    if (!stageParquet(spark, f, logDir, manifestRows, v2ManifestSchema,
+        manifest)) return false
+    val lc = new Path(logDir, "_last_checkpoint")
+    val out = f.create(lc, true)
+    try out.write((s"""{"version":$version,""" +
+      s""""size":${sidecarRows.size + manifestRows.size}}""")
+        .getBytes("UTF-8"))
+    finally out.close()
+    true
   }
 
   /** Atomic put-if-absent of the commit json through the SnapshotTable

@@ -111,11 +111,38 @@ object FileStats {
     val logical = prim.getLogicalTypeAnnotation
     val isUtf8 = logical != null && logical.isInstanceOf[
       org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+    // decimal stats (round 10): footer min/max live in the UNSCALED
+    // domain (decimal(9,2) 12.34 stored as 1234) — rendered here into
+    // the SCALED BigDecimal domain as "d" stats, which cmpValues
+    // compares via BigDecimal, so this is EXACT, never lossy
+    val decScale: Option[Int] = logical match {
+      case d: org.apache.parquet.schema.LogicalTypeAnnotation
+          .DecimalLogicalTypeAnnotation => Some(d.getScale)
+      case _ => None
+    }
     if (!s.hasNonNullValue) {
       // no min/max recorded; only usable when we KNOW everything is null
-      return if (nulls >= 0) Some(ColStat(kindOf(prim.getPrimitiveTypeName, logical, isUtf8)
+      return if (nulls >= 0) Some(ColStat(decScale.map(_ => "d")
+        .orElse(kindOf(prim.getPrimitiveTypeName, logical, isUtf8))
         .getOrElse("l"), None, None, nulls, 0L))
       else None
+    }
+    if (decScale.isDefined) {
+      val scale = decScale.get
+      def dec(v: AnyRef): Option[String] = v match {
+        case i: java.lang.Integer => Some(java.math.BigDecimal
+          .valueOf(i.longValue, scale).toPlainString)
+        case l: java.lang.Long => Some(java.math.BigDecimal
+          .valueOf(l.longValue, scale).toPlainString)
+        case b: org.apache.parquet.io.api.Binary =>
+          Some(new java.math.BigDecimal(
+            new java.math.BigInteger(b.getBytes), scale).toPlainString)
+        case _ => None
+      }
+      return for {
+        lo <- dec(s.genericGetMin.asInstanceOf[AnyRef])
+        hi <- dec(s.genericGetMax.asInstanceOf[AnyRef])
+      } yield ColStat("d", Some(lo), Some(hi), nulls, 0L)
     }
     kindOf(prim.getPrimitiveTypeName, logical, isUtf8).map { kind =>
       val (lo, hi) = (prim.getPrimitiveTypeName, kind) match {

@@ -266,9 +266,16 @@ object IcebergRead {
         val v = buf.getDouble; if (v.isNaN) None
         else Some(("d", v.toString))
       case "string" => Some(("s", new String(b, "UTF-8")))
-      case _ => None // date/time/timestamp/decimal/uuid/fixed: keep file
+      case DecimalPat(_, sc) =>
+        // unscaled two's-complement big-endian → SCALED plain string in
+        // the "d" domain (FileStats compares "d" via BigDecimal: exact)
+        Some(("d", new java.math.BigDecimal(
+          new java.math.BigInteger(b), sc.toInt).toPlainString))
+      case _ => None // date/time/timestamp/uuid/fixed: keep file
     }
   }
+
+  private val DecimalPat = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
 
   private def colStats(fields: Seq[Field], fe: FileEntry)
       : Map[String, FileStats.ColStat] =
@@ -311,6 +318,7 @@ object IcebergRead {
     case "float" => Some(FloatType);  case "double" => Some(DoubleType)
     case "string" => Some(StringType); case "boolean" => Some(BooleanType)
     case "date" => Some(DateType);     case "timestamptz" => Some(TimestampType)
+    case DecimalPat(p, s) => Some(DecimalType(p.toInt, s.toInt))
     case _ => None
   }
 
@@ -468,5 +476,117 @@ object IcebergRead {
       .parseExpression(predicate)
     (st.files.size,
       st.files.count(f => FileStats.mayMatch(pred, colStats(st.fields, f))))
+  }
+
+  /** Incremental change feed between two snapshots — the Iceberg-leg
+    * mirror of [[DeltaRead.changes]], derived from the file algebra of
+    * each CONSECUTIVE snapshot pair in `(fromSnapshotId, toSnapshotId]`
+    * so every row is attributed to the snapshot that changed it
+    * (`_snapshot_id`):
+    *
+    *   - data files only in the newer snapshot serve their live rows
+    *     as `'insert'` (the newer snapshot's deletes applied);
+    *   - data files only in the older snapshot serve their live rows
+    *     as `'delete'` (the older snapshot's deletes applied — a row
+    *     already dead at `from` never re-surfaces);
+    *   - NEW delete files (position or equality) landing on KEPT data
+    *     files surface exactly the rows they kill as `'delete'`:
+    *     live-at-from EXCEPT ALL live-at-to over the TOUCHED kept files
+    *     only — position deletes touch the data files their rows name,
+    *     an equality delete touches every kept file below its sequence
+    *     (it is global below seq by construction).
+    *
+    * Scans ONLY changed/touched files — never a whole-table diff.
+    * File granularity like the Delta non-CDF derive: a compaction
+    * (`replace`) surfaces its rewritten rows as delete+insert pairs.
+    * Replay-exact as multisets: (read(from) + inserts) - deletes ==
+    * read(to) — union before except, so a row inserted and then
+    * deleted inside the range cancels correctly.
+    * REFUSED by name: a schema change inside the range,
+    * an expired endpoint, and delete files VANISHING between snapshots
+    * (a delete-compaction would silently resurrect rows).
+    */
+  def changes(spark: SparkSession, path: String, fromSnapshotId: Long,
+              toSnapshotId: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val meta = readJson(spark, currentMetadata(spark, path))
+    // the snapshots array is commit-append-ordered (expiration keeps
+    // relative order) — walk it between the endpoints
+    val ids = meta.path("snapshots").elements().asScala.toSeq
+      .map(_.path("snapshot-id").asLong(-1L))
+    val iFrom = ids.indexOf(fromSnapshotId)
+    val iTo = ids.indexOf(toSnapshotId)
+    require(iFrom >= 0, s"$path: snapshot $fromSnapshotId not found " +
+      "(expired?) — an incremental feed cannot start there, refusing")
+    require(iTo >= 0, s"$path: snapshot $toSnapshotId not found")
+    require(iTo >= iFrom,
+      s"$path: snapshot $toSnapshotId precedes $fromSnapshotId")
+    val walk = ids.slice(iFrom, iTo + 1)
+    val parts = walk.zip(walk.drop(1)).map { case (a, b) =>
+      pairChanges(spark, path, a, b)
+    }
+    if (parts.isEmpty) {
+      val st = load(spark, path, toSnapshotId)
+      assemble(spark, path, st, Nil)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_snapshot_id", lit(toSnapshotId)).limit(0)
+    } else parts.reduce(_ unionByName _)
+  }
+
+  private def pairChanges(spark: SparkSession, path: String,
+                          a: Long, b: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val from = load(spark, path, a)
+    val to = load(spark, path, b)
+    require(from.fields == to.fields,
+      s"$path: schema changed at snapshot $b — a change feed across " +
+        "an evolution boundary would mix row shapes, refusing (read " +
+        "the ranges on each side separately)")
+    val fromDelP = from.deleteFiles.toSet
+    val fromEqP = from.eqDeletes.map(_.path).toSet
+    require(fromDelP.subsetOf(to.deleteFiles.toSet) &&
+        fromEqP.subsetOf(to.eqDeletes.map(_.path).toSet),
+      s"$path: delete files vanished between snapshots $a and $b (a " +
+        "delete compaction/rewrite) — the file algebra would silently " +
+        "resurrect rows, refusing")
+    val fromPaths = from.files.map(_.path).toSet
+    val toPaths = to.files.map(_.path).toSet
+    val added = to.files.filterNot(f => fromPaths.contains(f.path))
+    val removed = from.files.filterNot(f => toPaths.contains(f.path))
+    val ins = assemble(spark, path, to, added)
+      .withColumn("_change_type", lit("insert"))
+    val del = assemble(spark, path, from, removed)
+      .withColumn("_change_type", lit("delete"))
+    // new delete files killing rows of KEPT data files
+    val newPos = to.deleteFiles.filterNot(fromDelP)
+    val newEq = to.eqDeletes.filterNot(d => fromEqP.contains(d.path))
+    val keptDel =
+      if (newPos.isEmpty && newEq.isEmpty) None
+      else {
+        def base(p: String): String =
+          PathCodec.percentDecode(p.split("/").last)
+        // position deletes name their targets (file-count-sized
+        // collect); an equality delete is global below its sequence
+        val posTouched: Set[String] =
+          if (newPos.isEmpty) Set.empty
+          else spark.read.parquet(newPos.map(resolve(path, _)): _*)
+            .select("file_path").distinct().collect()
+            .map(r => base(r.getString(0))).toSet
+        val eqMaxSeq =
+          if (newEq.isEmpty) Long.MinValue else newEq.map(_.seq).max
+        val touched = toPaths.intersect(fromPaths).filter { p =>
+          val entry = to.files.find(_.path == p).get
+          entry.dataSeq < eqMaxSeq || posTouched.contains(base(p))
+        }
+        if (touched.isEmpty) None
+        else Some(
+          assemble(spark, path, from,
+              from.files.filter(f => touched.contains(f.path)))
+            .exceptAll(assemble(spark, path, to,
+              to.files.filter(f => touched.contains(f.path))))
+            .withColumn("_change_type", lit("delete")))
+      }
+    (Seq(ins, del) ++ keptDel).reduce(_ unionByName _)
+      .withColumn("_snapshot_id", lit(b))
   }
 }

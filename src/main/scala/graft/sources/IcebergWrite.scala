@@ -59,11 +59,12 @@ import scala.jdk.CollectionConverters._
   * never clobber the winner's manifests; `version-hint.text` is
   * refreshed best-effort after the win.
   *
-  * Non-goals (loudly enforced): no deletes, flat schemas of
-  * int/long/float/double/string/boolean/date/timestamp columns
-  * (nested/decimal/binary refused by name), identity partition
-  * transforms only (bucket/truncate/temporal transforms change value
-  * derivation — out of scope).
+  * Non-goals (loudly enforced): flat schemas of int/long/float/double/
+  * decimal/string/boolean/date/timestamp columns (nested/binary refused
+  * by name; decimals landed in round 10 with spec-Appendix-D bounds —
+  * unscaled two's-complement big-endian), identity partition transforms
+  * only (bucket/truncate/temporal transforms change value derivation —
+  * out of scope).
   */
 object IcebergWrite {
   private val om = new ObjectMapper()
@@ -172,10 +173,11 @@ object IcebergWrite {
     case BooleanType   => "boolean"
     case DateType      => "date"
     case TimestampType => "timestamptz"
+    case d: DecimalType => s"decimal(${d.precision},${d.scale})"
     case other => throw new IllegalArgumentException(
       s"column type ${other.sql} unsupported by this Iceberg writer " +
-        "(flat int/long/float/double/string/boolean/date/timestamp " +
-        "only) — refusing")
+        "(flat int/long/float/double/decimal/string/boolean/date/" +
+        "timestamp only) — refusing")
   }
 
   /** Schema JSON with EXPLICIT field ids (stable across evolution —
@@ -1351,6 +1353,15 @@ object IcebergWrite {
               case (DoubleType, "d", Some(lo), Some(hi)) =>
                 Some((kvRec(kvB, id, leDouble(lo.toDouble)),
                   kvRec(kvB, id, leDouble(hi.toDouble))))
+              case (dt: DecimalType, "d", Some(lo), Some(hi)) =>
+                // spec Appendix D: decimal single-value serialization is
+                // the UNSCALED value as minimal two's-complement
+                // BIG-endian bytes (exactly BigInteger.toByteArray)
+                def beDec(v: String): java.nio.ByteBuffer =
+                  java.nio.ByteBuffer.wrap(new java.math.BigDecimal(v)
+                    .setScale(dt.scale).unscaledValue().toByteArray)
+                Some((kvRec(kvB, id, beDec(lo)),
+                  kvRec(kvB, id, beDec(hi))))
               case _ => None
             }
           }

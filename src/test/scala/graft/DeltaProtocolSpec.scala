@@ -470,12 +470,45 @@ class DeltaProtocolSpec extends AnyFunSuite {
     assert(afterUp.filter(col("k") === 10).head().getString(1) == "updated")
     assert(DeltaWrite.delete(spark, dir, "k >= 90 AND k < 100") == 3)
     assert(DeltaRead.read(spark, dir).count() == 91)
-    // evolution on mapped stays refused (needs minted ids)
-    val e = intercept[IllegalArgumentException] {
-      DeltaWrite.append(range(0, 1).withColumn("score", lit(1L)), dir,
-        mergeSchema = true)
-    }
-    assert(e.getMessage.contains("column-mapped"))
+    // round 10: mergeSchema evolution on a mapped table MINTS a fresh
+    // field id (above maxColumnId / existing ids) + a col-<uuid>
+    // physical name and bumps delta.columnMapping.maxColumnId in the
+    // same commit's metaData
+    val preV = DeltaRead.latestVersion(spark, dir)
+    val evoV = DeltaWrite.append(
+      range(300, 302).withColumn("score", col("k") * 2L), dir,
+      mergeSchema = true)
+    val evolved = DeltaRead.read(spark, dir)
+    assert(evolved.columns.toSeq == Seq("k", "name", "score"))
+    assert(evolved.count() == 93)
+    assert(evolved.filter(col("k") === 300).head().getLong(2) == 600L)
+    assert(evolved.filter(col("score").isNull).count() == 91,
+      "pre-evolution rows surface NULL for the minted column")
+    val cEvo = java.nio.file.Files.readString(
+      Paths.get(dir, "_delta_log", f"$evoV%020d.json"))
+    assert(cEvo.contains("\"delta.columnMapping.maxColumnId\":\"3\""),
+      s"maxColumnId must bump to the minted id: $cEvo")
+    assert(cEvo.contains("delta.columnMapping.id\\\":3"),
+      s"the new column must carry the minted field id: $cEvo")
+    // the new add's stats are keyed by the MINTED physical name, and
+    // the physicalName follows the protocol's col-<uuid> convention
+    val physScore = """col-[0-9a-fA-F-]{36}""".r
+      .findFirstIn(cEvo).getOrElse(fail(s"no col-<uuid> name in $cEvo"))
+    assert(cEvo.contains(s"""\\"$physScore\\":600"""),
+      s"stats for the new column must key physically: $cEvo")
+    // per-version schemas: time travel BEFORE the evolution shows the
+    // original two columns
+    assert(DeltaRead.read(spark, dir, preV).columns.toSeq
+      == Seq("k", "name"))
+    // a second evolution keeps minting upward, never reusing an id
+    val evoV2 = DeltaWrite.append(
+      range(302, 303).withColumn("score", lit(0L))
+        .withColumn("tag2", lit("x")), dir, mergeSchema = true)
+    val cEvo2 = java.nio.file.Files.readString(
+      Paths.get(dir, "_delta_log", f"$evoV2%020d.json"))
+    assert(cEvo2.contains("\"delta.columnMapping.maxColumnId\":\"4\""))
+    assert(DeltaRead.read(spark, dir).columns.toSeq
+      == Seq("k", "name", "score", "tag2"))
 
     // id mode: the appended file must carry parquet field ids — prove
     // it by resolution: rename-style logical/physical names with a
@@ -750,9 +783,18 @@ class DeltaProtocolSpec extends AnyFunSuite {
     assert(DeltaRead.read(spark, dir).count() == 110)
     // time travel into the cleaned prefix refuses loudly
     intercept[IllegalArgumentException] { DeltaRead.read(spark, dir, 1) }
-    // our CLASSIC checkpoint writer refuses v2Checkpoint tables (their
-    // writer feature is unmodeled) rather than mixing generations
-    assert(!graft.sources.DeltaWrite.writeCheckpoint(spark, dir, 3L))
+    // round 10: the writer CHECKPOINTS v2Checkpoint tables in the v2
+    // form (previously refused) — re-checkpoint on top of the fixture
+    // manifest and read back through it
+    assert(graft.sources.DeltaWrite.writeCheckpoint(spark, dir, 3L))
+    val v2s = new java.io.File(Paths.get(dir, "_delta_log").toString)
+      .list().filter(_.matches(
+        "0{19}3\\.checkpoint\\.[0-9a-fA-F-]{36}\\.parquet"))
+    assert(v2s.length == 1, s"expected one v3 v2-manifest, got ${v2s.toSeq}")
+    Files.deleteIfExists(
+      Paths.get(dir, "_delta_log", f"${3L}%020d.json"))
+    assert(DeltaRead.read(spark, dir).count() == 110,
+      "read past the cleaned v3 commit via the freshly written manifest")
   }
 
   test("v2 checkpoint: json manifest with inline adds and with sidecars") {
@@ -815,6 +857,73 @@ class DeltaProtocolSpec extends AnyFunSuite {
     // one packed live file remains
     val (total, _) = DeltaRead.pruneReport(spark, dir, "k >= 0")
     assert(total == 1)
+  }
+
+  test("v2 checkpoint WRITER: UUID manifest + sidecar, cleaned prefix, time travel, txn watermark") {
+    import graft.sources.DeltaWrite
+    val dir = tmp()
+    // a v2Checkpoint-feature table this engine appends to: commit 0 is
+    // the feature-declaring protocol + metaData, appends follow
+    dataFile(dir, "f0.parquet", range(0, 10))
+    commit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint"],""" +
+        """"writerFeatures":["v2Checkpoint"]}}""",
+      metaLine(schemaJson),
+      addPlain("f0.parquet", 10)))
+    // 14 more appends through the writer; the default interval (10)
+    // fires at version 10 and must write the V2 form, not classic
+    (1 to 14).foreach(i =>
+      DeltaWrite.append(range(i * 10L, i * 10L + 10), dir))
+    val logDir = Paths.get(dir, "_delta_log")
+    val names = new java.io.File(logDir.toString).list().toSeq
+    val v2Name = names.find(_.matches(
+      "0{18}10\\.checkpoint\\.[0-9a-fA-F-]{36}\\.parquet"))
+    assert(v2Name.nonEmpty, s"expected a v2 UUID manifest, got $names")
+    assert(!names.contains(f"${10L}%020d.checkpoint.parquet"),
+      "a v2Checkpoint table must get the v2 form, not classic")
+    val sidecars = new java.io.File(logDir.resolve("_sidecars").toString)
+      .list().toSeq.filter(_.endsWith(".parquet"))
+    assert(sidecars.size == 1, s"one sidecar expected, got $sidecars")
+    // the manifest carries checkpointMetadata + a sidecar ref with real
+    // size/mtime (required fields third-party readers trust)
+    val manifest = spark.read.parquet(
+      logDir.resolve(v2Name.get).toString)
+    assert(manifest.where("checkpointMetadata.version = 10").count() == 1)
+    val sc = manifest.where("sidecar.path is not null")
+      .select("sidecar.path", "sidecar.sizeInBytes").head()
+    assert(sc.getString(0) == sidecars.head)
+    assert(sc.getLong(1) ==
+      Files.size(logDir.resolve("_sidecars").resolve(sidecars.head)))
+    // clean the checkpointed prefix: reads must reconstruct from the
+    // v2 manifest + sidecar alone
+    (0L to 10L).foreach(v =>
+      Files.deleteIfExists(logDir.resolve(f"$v%020d.json")))
+    assert(DeltaRead.read(spark, dir).count() == 150)
+    assert(DeltaRead.read(spark, dir, version = 12).count() == 130,
+      "time travel through the v2 checkpoint must work")
+    // txn watermarks survive the v2 checkpoint: a replayed batch is a
+    // no-op even after the commits carrying the txn action are gone
+    val dir2 = tmp()
+    dataFile(dir2, "f0.parquet", range(0, 10))
+    commit(dir2, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint"],""" +
+        """"writerFeatures":["v2Checkpoint"]}}""",
+      metaLine(schemaJson),
+      addPlain("f0.parquet", 10)))
+    (1 to 9).foreach(i =>
+      DeltaWrite.append(range(i * 10L, i * 10L + 10), dir2))
+    DeltaWrite.appendBatch(range(100, 110), dir2, "appA", 7L) // v10 → ckpt
+    val log2 = Paths.get(dir2, "_delta_log")
+    assert(new java.io.File(log2.toString).list().exists(_.matches(
+      "0{18}10\\.checkpoint\\.[0-9a-fA-F-]{36}\\.parquet")))
+    (0L to 10L).foreach(v =>
+      Files.deleteIfExists(log2.resolve(f"$v%020d.json")))
+    val before = DeltaRead.read(spark, dir2).count()
+    DeltaWrite.appendBatch(range(100, 110), dir2, "appA", 7L) // replay
+    assert(DeltaRead.read(spark, dir2).count() == before,
+      "replayed batch must stay skipped across the v2 checkpoint")
   }
 
   test("vacuum DV reachability: in-table 'p' DV kept; orphan .bin floored on the newest tombstone") {

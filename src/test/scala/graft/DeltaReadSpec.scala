@@ -581,6 +581,21 @@ class DeltaReadSpec extends AnyFunSuite {
       DeltaRead.changes(spark, dir, 3, 4)
     }
     assert(e.getMessage.contains("evolution"))
+    // span contract: an over-bound replay request refuses by conf name
+    // and chunked walks concatenate to exactly the full feed
+    spark.conf.set("graft.delta.changes.maxSpan", "2")
+    try {
+      val eSpan = intercept[IllegalArgumentException] {
+        DeltaRead.changes(spark, dir, 0, 3)
+      }
+      assert(eSpan.getMessage.contains("graft.delta.changes.maxSpan"))
+      val full = DeltaRead.changes(spark, dir, 1, 3)
+      val chunked = DeltaRead.changes(spark, dir, 1, 2)
+        .unionAll(DeltaRead.changes(spark, dir, 2, 3))
+      assert(chunked.exceptAll(full).count() == 0 &&
+        full.exceptAll(chunked).count() == 0,
+        "chunked feeds must concatenate to the full feed")
+    } finally spark.conf.unset("graft.delta.changes.maxSpan")
   }
 
   test("row-level CDF: cdc files serve minimal diffs with update pre/postimages") {
@@ -682,6 +697,15 @@ class DeltaReadSpec extends AnyFunSuite {
     DeltaWrite.append(range(300, 310).coalesce(1), dir)          // v3
     assert(DeltaSync.sync(spark, dir, snap, Seq("k")) == 3)
     assert(mirrored())
+    // a mirror lagging past the feed's span bound CHUNKS the walk
+    // instead of inheriting the refusal
+    DeltaWrite.append(range(310, 315).coalesce(1), dir)          // v4
+    DeltaWrite.delete(spark, dir, "k = 300")                     // v5
+    DeltaWrite.append(range(315, 320).coalesce(1), dir)          // v6
+    spark.conf.set("graft.delta.changes.maxSpan", "1")
+    try assert(DeltaSync.sync(spark, dir, snap, Seq("k")) == 6)
+    finally spark.conf.unset("graft.delta.changes.maxSpan")
+    assert(mirrored(), "chunked sync must mirror exactly")
     // a foreign target without the sync watermark refuses loudly
     val alien = Files.createTempDirectory("graft_sync2").toString + "/t"
     SnapshotTable.create(range(0, 5), alien)

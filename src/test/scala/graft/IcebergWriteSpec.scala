@@ -37,6 +37,112 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(IcebergRead.readWhere(spark, dir, "k >= 120").count() == 30)
   }
 
+  test("changes: snapshot-range feed replays exactly across append/upsert/delete") {
+    val dir = tmp()
+    IcebergWrite.create(range(0, 50).coalesce(1), dir)     // snap 1
+    IcebergWrite.append(range(50, 100).coalesce(1), dir)   // snap 2
+    IcebergWrite.upsert(spark.createDataFrame(               // snap 3:
+        Seq((10L, "updated"), (200L, "fresh")))              // eq-delete
+      .toDF("k", "name"), dir, Seq("k"))                     // + insert
+    IcebergWrite.delete(spark, dir, "k >= 90 AND k < 95")  // snap 4: pos
+    val feed = IcebergRead.changes(spark, dir, 1, 4)
+    assert(feed.columns.toSeq
+      == Seq("k", "name", "_change_type", "_snapshot_id"))
+    assert(feed.select("_snapshot_id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(2L, 3L, 4L),
+      "per-snapshot attribution")
+    val dels = feed.filter(col("_change_type") === "delete")
+      .drop("_change_type", "_snapshot_id")
+    val ins = feed.filter(col("_change_type") === "insert")
+      .drop("_change_type", "_snapshot_id")
+    // replay contract (multiset): (read@1 + inserts) - deletes == read@4
+    // — union BEFORE except, so a row inserted and then deleted inside
+    // the range cancels correctly
+    val v1 = IcebergRead.read(spark, dir, snapshotId = 1)
+    val v4 = IcebergRead.read(spark, dir)
+    val replay = v1.unionAll(ins).exceptAll(dels)
+    assert(replay.exceptAll(v4).count() == 0 &&
+      v4.exceptAll(replay).count() == 0,
+      "snap1 + feed must replay to snap4 exactly")
+    // the upsert surfaces its MINIMAL pair: old row out, new row in
+    assert(feed.filter(col("k") === 10 &&
+      col("_change_type") === "delete").head().getString(1) == "u10")
+    assert(feed.filter(col("k") === 10 &&
+      col("_change_type") === "insert").head().getString(1) == "updated")
+    // an append-only pair contributes inserts only
+    assert(feed.filter(col("_snapshot_id") === 2 &&
+      col("_change_type") === "delete").count() == 0)
+    // the position delete kills exactly its 5 rows of the KEPT file
+    val s4 = feed.filter(col("_snapshot_id") === 4)
+    assert(s4.count() == 5 &&
+      s4.filter(col("_change_type") === "delete").count() == 5)
+    // same feed from plain SQL
+    api.SqlSurface.install(spark)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft_iceberg_changes('$dir', 1, 4)")
+      .head().getLong(0) == feed.count())
+    // refusals: unknown endpoint; schema evolution inside the range
+    val e = intercept[IllegalArgumentException] {
+      IcebergRead.changes(spark, dir, 99, 4)
+    }
+    assert(e.getMessage.contains("not found"))
+    IcebergWrite.append(range(200, 201)
+      .withColumn("score", lit(1L)).coalesce(1), dir,
+      mergeSchema = true)                                   // snap 5
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergRead.changes(spark, dir, 4, 5)
+    }
+    assert(e2.getMessage.contains("schema changed"))
+  }
+
+  test("decimal columns: create/append/upsert round-trip with bounds pruning") {
+    import org.apache.spark.sql.types._
+    val dir = tmp()
+    // all three parquet backings: INT32 (<=9), INT64 (<=18), FLBA (38)
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id").as("k"),
+      col("id").cast("decimal(9,2)").as("d9"),
+      col("id").cast("decimal(18,4)").as("d18"),
+      col("id").cast("decimal(38,6)").as("d38"))
+    IcebergWrite.create(
+      mk(0, 100).repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      dir)
+    val back = IcebergRead.read(spark, dir)
+    assert(back.schema("d9").dataType == DecimalType(9, 2))
+    assert(back.schema("d18").dataType == DecimalType(18, 4))
+    assert(back.schema("d38").dataType == DecimalType(38, 6))
+    assert(back.count() == 100)
+    assert(back.agg(sum("d9")).head().getDecimal(0)
+      .compareTo(new java.math.BigDecimal((0L until 100).sum)) == 0)
+    // decimal bounds landed (unscaled big-endian two's complement) and
+    // prune through the scaled-BigDecimal compare domain
+    val (t9, k9) = IcebergRead.pruneReport(spark, dir, "d9 >= 75.00")
+    assert(t9 == 4 && k9 == 1, s"d9 pruning: $k9 of $t9")
+    val (t18, k18) = IcebergRead.pruneReport(spark, dir, "d18 < 25.0")
+    assert(t18 == 4 && k18 == 1, s"d18 pruning: $k18 of $t18")
+    val (t38, k38) = IcebergRead.pruneReport(spark, dir, "d38 = 50.5")
+    assert(t38 == 4 && k38 <= 1, s"d38 pruning: $k38 of $t38")
+    Seq("d9 >= 75.00", "d18 < 25.0", "d38 >= 50.0 AND d38 < 75.0")
+      .foreach { p =>
+        assert(IcebergRead.readWhere(spark, dir, p).count()
+          == back.filter(p).count(), s"pruned read mismatch for $p")
+      }
+    // append + merge-on-read upsert keep the decimal leg whole
+    IcebergWrite.append(mk(100, 120).coalesce(1), dir)
+    assert(IcebergRead.read(spark, dir).count() == 120)
+    val upd = spark.createDataFrame(Seq((5L, "999.99", "1.2345", "7.000001")))
+      .toDF("k", "d9", "d18", "d38")
+      .select(col("k"), col("d9").cast("decimal(9,2)").as("d9"),
+        col("d18").cast("decimal(18,4)").as("d18"),
+        col("d38").cast("decimal(38,6)").as("d38"))
+    IcebergWrite.upsert(upd, dir, Seq("k"))
+    val after = IcebergRead.read(spark, dir)
+    assert(after.count() == 120)
+    assert(after.filter(col("k") === 5).head().getDecimal(1)
+      .compareTo(new java.math.BigDecimal("999.99")) == 0,
+      "the upserted decimal row must win")
+  }
+
   test("schema drift and unsupported types refuse loudly") {
     val dir = tmp()
     IcebergWrite.create(range(0, 10).coalesce(1), dir)

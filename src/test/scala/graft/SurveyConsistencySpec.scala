@@ -153,4 +153,31 @@ class SurveyConsistencySpec extends AnyFunSuite {
           s"SURVEY sources section lost the '$claim' claim — doc drift")
       }
   }
+
+  test("SURVEY's round-10 claims match the code (v2 ckpt writer, mapped evolution, decimals, Hudi coverage, iceberg changes)") {
+    assert(hasMethod("graft.sources.DeltaWrite$", "writeV2Checkpoint") ==
+      srcSection.contains("WRITTEN since round 10"),
+      "Delta v2-checkpoint writer claim and code marker disagree")
+    // the round-9 stale shape must stay dead
+    assert(!srcSection.contains(
+      "WRITER still refuses v2Checkpoint tables"),
+      "SURVEY still carries the round-9 v2-writer-refusal claim")
+    assert(!srcSection.contains(
+      "mergeSchema evolution on mapped tables stays refused"),
+      "SURVEY still carries the round-9 mapped-evolution refusal claim")
+    assert(srcSection.contains("col-<uuid>"),
+      "SURVEY lost the mapped-evolution minting claim — doc drift")
+    assert(srcSection.contains("INCLUDING decimals"),
+      "SURVEY lost the Iceberg decimal-writer claim — doc drift")
+    assert(hasMethod("graft.sources.HudiRead$",
+        "verifyArchivalCoverage") ==
+      srcSection.contains("PER-FILE-GROUP COVERAGE CHECK"),
+      "Hudi archived-coverage claim and code marker disagree")
+    assert(hasMethod("graft.sources.HudiRead$", "decodeDeleteBlock") ==
+      srcSection.contains("DELETE_BLOCKs decode too"),
+      "Hudi DELETE_BLOCK claim and code marker disagree")
+    assert(hasMethod("graft.sources.IcebergRead$", "pairChanges") ==
+      srcSection.contains("graft_iceberg_changes"),
+      "Iceberg change-feed claim and code marker disagree")
+  }
 }

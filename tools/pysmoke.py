@@ -475,6 +475,14 @@ graft.iceberg_upsert(spark, spark.sql(
 up = graft.iceberg_read(spark, iw_dir)
 assert up.count() == 41 and up.where("k = 5").count() == 1
 
+# round 10: iceberg snapshot-range change feed
+ic_dir = tempfile.mkdtemp(prefix="graft_pyic") + "/t"
+graft.iceberg_create(spark, spark.range(0, 10).selectExpr("id AS k"), ic_dir)
+graft.iceberg_append(spark, spark.range(10, 20).selectExpr("id AS k"), ic_dir)
+ifeed = graft.iceberg_changes(spark, ic_dir, 1, 2)
+assert "_snapshot_id" in ifeed.columns
+assert ifeed.where("_change_type = 'insert'").count() == 10
+
 # partitioned delta writer: hive layout + typed partition recovery
 dp_dir = tempfile.mkdtemp(prefix="graft_pydp") + "/t"
 graft.delta_create(spark, spark.range(0, 20).selectExpr(
@@ -505,5 +513,5 @@ print(f"PASS pysmoke: sql-functions, {len(out)}-row declarative job, "
       f"snapshot-table lifecycle (create/append/upsert/time-travel/"
       f"zone-map-pruned read/change feed) and the round-6 sweep "
       f"(bpe-train/encode, dedup-artifacts trio, delta-log read with "
-      f"stats skipping, delta write round-trip, full CDC apply) and the round-9 sweep (delta optimize/vacuum, row-level change feed, partitioned+evolving iceberg writes, iceberg MOR delete + exactly-once batch append, delta sync) — all green")
+      f"stats skipping, delta write round-trip, full CDC apply) and the round-9 sweep (delta optimize/vacuum, row-level change feed, partitioned+evolving iceberg writes, iceberg MOR delete + exactly-once batch append, delta sync) and the round-10 iceberg snapshot-range change feed — all green")
 spark.stop()
