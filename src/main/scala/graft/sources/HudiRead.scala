@@ -64,9 +64,15 @@ import scala.jdk.CollectionConverters._
   *     COMMAND_BLOCK (HFile/Parquet data blocks, CDC blocks) are
   *     REFUSED BY NAME, as are corrupt/truncated frames — never
   *     silently skipped;
-  *   - `replacecommit` instants (clustering / insert_overwrite replace
-  *     whole file groups OUT of line with the fileId-shadowing rule) —
-  *     REFUSED;
+  *   - `replacecommit` instants READ (round 10; previously refused):
+  *     clustering / insert_overwrite replace whole file groups out of
+  *     line with the fileId-shadowing rule, so a completed
+  *     replacecommit's `partitionToWriteStats` contributes its NEW file
+  *     groups like any commit while its `partitionToReplaceFileIds`
+  *     kills the listed (partition, fileId) groups — a killed group's
+  *     bases AND logs drop from the plan unless a strictly newer write
+  *     revived the fileId; time travel to an instant before the
+  *     replacement still serves the pre-clustering groups;
   *   - a non-empty `.hoodie/archived` timeline (or 1.x
   *     `.hoodie/timeline/history`) triggers a PER-FILE-GROUP coverage
   *     check (round 10; previously a blanket refusal): a group whose
@@ -161,24 +167,19 @@ object HudiRead {
     }
     val timeline = f.listStatus(timelineDir)
       .filter(_.isFile).map(_.getPath.getName)
-    timeline.foreach {
-      case Replace(ts) => throw new IllegalArgumentException(
-        s"$path: replacecommit $ts in the timeline (clustering / " +
-          "insert_overwrite replaces file groups out of line with the " +
-          "fileId-shadowing rule) — this read-only planner refuses " +
-          "rather than misreading")
-      case _ => ()
-    }
-    // (requested instant, completed-instant file name) — commits plus,
-    // on MOR tables, deltacommits
+    // (requested instant, completed-instant file name, isReplace) —
+    // commits plus, on MOR tables, deltacommits, plus replacecommits
+    // (clustering / insert_overwrite: write stats contribute new file
+    // groups like any commit; partitionToReplaceFileIds kills groups)
     val completed = timeline.collect {
-      case n @ Completed(ts)   => (ts, n)
-      case n @ CompletedDc(ts) => (ts, n)
-    }.filter { case (ts, _) => asOf.isEmpty || ts <= asOf }.sortBy(_._1)
+      case n @ Completed(ts)   => (ts, n, false)
+      case n @ CompletedDc(ts) => (ts, n, false)
+      case n @ Replace(ts)     => (ts, n, true)
+    }.filter { case (ts, _, _) => asOf.isEmpty || ts <= asOf }.sortBy(_._1)
     require(completed.nonEmpty,
       s"$path: no completed commit" +
         (if (asOf.nonEmpty) s" at or before instant $asOf" else ""))
-    val slices = completed.flatMap { case (ts, name) =>
+    val parsed = completed.map { case (ts, name, isReplace) =>
       val in = f.open(new Path(timelineDir, name))
       val node =
         try {
@@ -191,16 +192,40 @@ object HudiRead {
                 "planner refuses rather than misreading", e)
           }
         } finally in.close()
-      node.path("partitionToWriteStats").properties().asScala.flatMap { e =>
-        e.getValue.elements().asScala.map { ws =>
-          Slice(e.getKey, ws.path("fileId").asText(), ts,
-            ws.path("path").asText())
-        }
-      }
+      val ss = node.path("partitionToWriteStats").properties().asScala
+        .flatMap { e =>
+          e.getValue.elements().asScala.map { ws =>
+            Slice(e.getKey, ws.path("fileId").asText(), ts,
+              ws.path("path").asText())
+          }
+        }.toSeq
+      val killed: Seq[((String, String), String)] =
+        if (!isReplace) Seq.empty
+        else node.path("partitionToReplaceFileIds").properties().asScala
+          .toSeq.flatMap { e =>
+            e.getValue.elements().asScala.map { fid =>
+              ((e.getKey, fid.asText()), ts)
+            }
+          }
+      (ss, killed)
     }
-    val (logs, bases) = slices.partition(_.path.contains(".log."))
-    val latestBase = bases.groupBy(s => (s.partition, s.fileId))
+    val slices = parsed.flatMap(_._1)
+    // latest replacement instant per killed (partition, fileId) group
+    val replacedAt: Map[(String, String), String] = parsed.flatMap(_._2)
+      .groupBy(_._1).map { case (g, ks) => g -> ks.map(_._2).max }
+    val (logsAll, bases) = slices.partition(_.path.contains(".log."))
+    val latestBaseAll = bases.groupBy(s => (s.partition, s.fileId))
       .map { case (g, ss) => g -> ss.maxBy(_.instant) }
+    // a replaced group is DEAD unless a strictly newer write revived
+    // the fileId (Hudi never reuses replaced fileIds, but a newer base
+    // must win if one exists); log-only groups with no base are dead
+    // too when replaced
+    def groupDead(g: (String, String)): Boolean =
+      replacedAt.get(g).exists { r =>
+        latestBaseAll.get(g).forall(_.instant <= r)
+      }
+    val latestBase = latestBaseAll.filterNot { case (g, _) => groupDead(g) }
+    val logs = logsAll.filterNot(l => groupDead((l.partition, l.fileId)))
     // attach each log to its slice by the base instant in its NAME
     val attached = logs.map { l =>
       val baseTs = l.path.split("/").last match {
@@ -224,7 +249,8 @@ object HudiRead {
     // the newer base — only the latest slice's logs merge
     val live = attached.collect { case (l, bt, lt) if bt == lt => l }
     if (hasArchived)
-      verifyArchivalCoverage(f, path, asOf, timeline, latestBase)
+      verifyArchivalCoverage(f, path, asOf, timeline, latestBase,
+        replacedAt)
     (latestBase.values.toSeq.sortBy(_.path), live.sortBy(_.path),
       completed.map(_._1).toSet)
   }
@@ -256,7 +282,8 @@ object HudiRead {
   private def verifyArchivalCoverage(
       f: org.apache.hadoop.fs.FileSystem, path: String, asOf: String,
       timeline: Seq[String],
-      latestBase: Map[(String, String), Slice]): Unit = {
+      latestBase: Map[(String, String), Slice],
+      replacedAt: Map[(String, String), String]): Unit = {
     val pending = timeline.collect { case PendingName(ts) => ts }.toSet
     def walk(p: Path, rel: String): Seq[(String, String)] =
       f.listStatus(p).toSeq.flatMap { s =>
@@ -270,6 +297,7 @@ object HudiRead {
       case (part, n @ BaseName(fid, _, ts)) =>
         val planned = latestBase.get((part, fid))
         val covered = planned.exists(ts <= _.instant) ||
+          replacedAt.get((part, fid)).exists(ts <= _) ||
           pending.contains(ts) || (asOf.nonEmpty && ts > asOf)
         require(covered,
           s"$path: file group (partition='$part', fileId=$fid) has " +

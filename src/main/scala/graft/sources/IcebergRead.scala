@@ -146,8 +146,11 @@ object IcebergRead {
           .getOrElse(meta.path("schemas").elements().asScala.toSeq.head)
       } else meta.path("schema")
     schema.path("fields").elements().asScala.map { fl =>
-      Field(fl.path("id").asInt(), fl.path("name").asText(),
-        fl.path("type").asText())
+      val t =
+        if (fl.path("type").isObject)
+          om.writeValueAsString(fl.path("type")) // nested: JSON node
+        else fl.path("type").asText()
+      Field(fl.path("id").asInt(), fl.path("name").asText(), t)
     }.toSeq
   }
 
@@ -317,9 +320,37 @@ object IcebergRead {
     case "int" => Some(IntegerType);  case "long" => Some(LongType)
     case "float" => Some(FloatType);  case "double" => Some(DoubleType)
     case "string" => Some(StringType); case "boolean" => Some(BooleanType)
+    case "binary" => Some(BinaryType)
     case "date" => Some(DateType);     case "timestamptz" => Some(TimestampType)
     case DecimalPat(p, s) => Some(DecimalType(p.toInt, s.toInt))
+    case t if t.startsWith("{") => nestedSparkType(om.readTree(t))
     case _ => None
+  }
+
+  /** Spark type of a NESTED Iceberg type node (struct/list/map), None
+    * when any inner leaf is unmappable — the caller falls back to
+    * parquet inference for such schemas.
+    */
+  private def nestedSparkType(root: JsonNode): Option[DataType] = {
+    def of(t: JsonNode): Option[DataType] =
+      if (t.isTextual) sparkTypeOf(t.asText())
+      else t.path("type").asText() match {
+        case "struct" =>
+          val fs = t.path("fields").elements().asScala.toSeq.map { f =>
+            of(f.path("type"))
+              .map(dt => StructField(f.path("name").asText(), dt))
+          }
+          if (fs.exists(_.isEmpty)) None
+          else Some(StructType(fs.map(_.get)))
+        case "list" =>
+          of(t.path("element"))
+            .map(ArrayType(_, containsNull = true))
+        case "map" =>
+          for { k <- of(t.path("key")); v <- of(t.path("value")) }
+            yield MapType(k, v, valueContainsNull = true)
+        case _ => None
+      }
+    of(root)
   }
 
   private def assemble(spark: SparkSession, path: String, st: Snapshot,

@@ -59,12 +59,18 @@ import scala.jdk.CollectionConverters._
   * never clobber the winner's manifests; `version-hint.text` is
   * refreshed best-effort after the win.
   *
-  * Non-goals (loudly enforced): flat schemas of int/long/float/double/
-  * decimal/string/boolean/date/timestamp columns (nested/binary refused
-  * by name; decimals landed in round 10 with spec-Appendix-D bounds —
-  * unscaled two's-complement big-endian), identity partition transforms
-  * only (bucket/truncate/temporal transforms change value derivation —
-  * out of scope).
+  * Type coverage: int/long/float/double/decimal/string/boolean/binary/
+  * date/timestamp leaves (decimals landed in round 10 with
+  * spec-Appendix-D bounds — unscaled two's-complement big-endian) and
+  * NESTED struct/array/map containers (round 10): nested types emit
+  * the spec's JSON type nodes with table-wide-unique ids for every
+  * inner field (depth-first pre-order; `last-column-id` covers them),
+  * evolution compares LOGICAL types (ids stripped — a batch can't know
+  * the table's nested ids), and nested columns simply carry no bounds
+  * (absent bounds are sound). Equality-delete keys must stay top-level
+  * primitives. Non-goals (loudly enforced): identity partition
+  * transforms only (bucket/truncate/temporal transforms change value
+  * derivation — out of scope), nested partition columns refused.
   */
 object IcebergWrite {
   private val om = new ObjectMapper()
@@ -171,14 +177,84 @@ object IcebergWrite {
     case DoubleType    => "double"
     case StringType    => "string"
     case BooleanType   => "boolean"
+    case BinaryType    => "binary"
     case DateType      => "date"
     case TimestampType => "timestamptz"
     case d: DecimalType => s"decimal(${d.precision},${d.scale})"
     case other => throw new IllegalArgumentException(
-      s"column type ${other.sql} unsupported by this Iceberg writer " +
-        "(flat int/long/float/double/decimal/string/boolean/date/" +
-        "timestamp only) — refusing")
+      s"leaf type ${other.sql} unsupported by this Iceberg writer " +
+        "(int/long/float/double/decimal/string/boolean/binary/date/" +
+        "timestamp leaves, struct/array/map containers) — refusing")
   }
+
+  /** Type as it lands in the schema JSON: the primitive name, or for
+    * NESTED (struct/array/map) types the canonical JSON type node with
+    * EXPLICIT fresh ids for every nested field drawn from `alloc` —
+    * the spec requires table-wide-unique field ids at every nesting
+    * level, and `last-column-id` must cover them all. Nested forms
+    * start with '{'; unsupported leaves refuse via [[icebergType]].
+    */
+  private def typeString(dt: DataType, alloc: () => Int): String =
+    dt match {
+      case s: StructType =>
+        val node = om.createObjectNode()
+        node.put("type", "struct")
+        val arr = node.putArray("fields")
+        s.fields.foreach { fl =>
+          val n = om.createObjectNode()
+          n.put("id", alloc()); n.put("name", fl.name)
+          n.put("required", false)
+          putType(n, "type", typeString(fl.dataType, alloc))
+          arr.add(n)
+        }
+        om.writeValueAsString(node)
+      case a: ArrayType =>
+        val node = om.createObjectNode()
+        node.put("type", "list")
+        node.put("element-id", alloc())
+        putType(node, "element", typeString(a.elementType, alloc))
+        node.put("element-required", false)
+        om.writeValueAsString(node)
+      case m: MapType =>
+        val node = om.createObjectNode()
+        node.put("type", "map")
+        node.put("key-id", alloc())
+        putType(node, "key", typeString(m.keyType, alloc))
+        node.put("value-id", alloc())
+        putType(node, "value", typeString(m.valueType, alloc))
+        node.put("value-required", false)
+        om.writeValueAsString(node)
+      case other => icebergType(other)
+    }
+
+  private def putType(n: com.fasterxml.jackson.databind.node.ObjectNode,
+                      field: String, t: String): Unit =
+    if (t.startsWith("{")) { n.set[JsonNode](field, om.readTree(t)); () }
+    else { n.put(field, t); () }
+
+  /** id-free canonical form of a stored type string — evolution
+    * compares LOGICAL types (a batch can't know the table's nested
+    * field ids, and must not need to).
+    */
+  private def logicalType(t: String): String =
+    if (!t.startsWith("{")) t
+    else {
+      def strip(n: JsonNode): Unit = n match {
+        case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+          o.remove(java.util.List.of(
+            "id", "element-id", "key-id", "value-id"))
+          o.properties().asScala.foreach(e => strip(e.getValue))
+        case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+          a.elements().asScala.foreach(strip)
+        case _ => ()
+      }
+      val node = om.readTree(t)
+      strip(node)
+      om.writeValueAsString(node)
+    }
+
+  private def logicalOf(dt: DataType): String =
+    logicalType(typeString(dt, () => 0))
 
   /** Schema JSON with EXPLICIT field ids (stable across evolution —
     * never re-derived from position).
@@ -192,7 +268,7 @@ object IcebergWrite {
     fields.foreach { case (name, tpe, id) =>
       val n = om.createObjectNode()
       n.put("id", id); n.put("name", name)
-      n.put("required", false); n.put("type", tpe)
+      n.put("required", false); putType(n, "type", tpe)
       arr.add(n)
     }
     root
@@ -244,8 +320,10 @@ object IcebergWrite {
       .find(_.path("schema-id").asInt(-1) == st.currentSchemaId)
       .getOrElse(throw new IllegalStateException("no current schema"))
     cur.path("fields").elements().asScala.map { n =>
-      (n.path("name").asText(), n.path("type").asText(),
-        n.path("id").asInt())
+      val t =
+        if (n.path("type").isObject) om.writeValueAsString(n.path("type"))
+        else n.path("type").asText()
+      (n.path("name").asText(), t, n.path("id").asInt())
     }.toSeq
   }
 
@@ -357,11 +435,15 @@ object IcebergWrite {
     val f = fs(spark, path)
     require(!f.exists(new Path(path, "metadata")),
       s"$path already has Iceberg metadata/ — use append")
-    df.schema.fields.foreach(fl => icebergType(fl.dataType)) // loud gate
     partitionBy.foreach(c => require(df.columns.contains(c),
       s"partition column $c not in ${df.columns.mkString(",")}"))
-    val fields = df.schema.fields.toSeq.zipWithIndex.map { case (fl, i) =>
-      (fl.name, icebergType(fl.dataType), i + 1)
+    // depth-first pre-order id assignment (a nested column's inner ids
+    // follow its own id) — typeString is also the loud type gate
+    var nextColId = 0
+    def alloc(): Int = { nextColId += 1; nextColId }
+    val fields = df.schema.fields.toSeq.map { fl =>
+      val id = alloc()
+      (fl.name, typeString(fl.dataType, () => alloc()), id)
     }
     val fieldId = fields.map { case (n, _, id) => n -> id }.toMap
     val spec0 = om.createObjectNode()
@@ -379,7 +461,7 @@ object IcebergWrite {
     }
     val st = TableState(
       uuid = java.util.UUID.randomUUID().toString, location = path,
-      lastColumnId = fields.size,
+      lastColumnId = nextColId,
       lastPartitionId = if (parts.isEmpty) 999 else 999 + parts.size,
       lastSeq = 0L, currentSchemaId = 0,
       schemas = Seq(schemaJson(fields, 0)),
@@ -388,7 +470,7 @@ object IcebergWrite {
       properties = om.createObjectNode())
     require(commit(df, path, metaVersion = 1, snapshotId = 1L, st = st,
         fields = fields, newSchemas = st.schemas,
-        currentSchemaId = 0, lastColumnId = fields.size,
+        currentSchemaId = 0, lastColumnId = nextColId,
         priorManifests = Nil),
       s"$path: v1.metadata.json was committed concurrently")
     1L
@@ -419,34 +501,44 @@ object IcebergWrite {
       val MetaName(curV) = metaP.getName
       val st = parseState(meta, path)
       val tbl = currentFields(st)
-      val tblByName = tbl.map { case (n, t, _) => n -> t }.toMap
+      // evolution compares LOGICAL types (nested field ids stripped —
+      // a batch can't know the table's nested ids and must not need to)
+      val tblByName = tbl.map { case (n, t, _) => n -> logicalType(t) }
+        .toMap
       val got = df.schema.fields.toSeq
-        .map(fl => fl.name -> icebergType(fl.dataType))
-      val newCols = got.filterNot { case (n, _) => tblByName.contains(n) }
+        .map(fl => (fl.name, fl.dataType, logicalOf(fl.dataType)))
+      val newCols = got.filterNot { case (n, _, _) =>
+        tblByName.contains(n) }
       val (fields, newSchemas, schemaId, lastColId) =
         if (!mergeSchema) {
-          require(got == tbl.map { case (n, t, _) => (n, t) },
-            s"append schema $got != table schema " +
-              s"${tbl.map { case (n, t, _) => (n, t) }} " +
+          val gotL = got.map { case (n, _, l) => (n, l) }
+          val tblL = tbl.map { case (n, t, _) => (n, logicalType(t)) }
+          require(gotL == tblL,
+            s"append schema $gotL != table schema $tblL " +
               "(pass mergeSchema=true to evolve)")
           (tbl, st.schemas, st.currentSchemaId, st.lastColumnId)
         } else {
-          got.filter { case (n, _) => tblByName.contains(n) }.foreach {
-            case (n, t) => require(tblByName(n) == t,
-              s"column $n: batch type $t conflicts with table type " +
+          got.filter { case (n, _, _) => tblByName.contains(n) }.foreach {
+            case (n, _, l) => require(tblByName(n) == l,
+              s"column $n: batch type $l conflicts with table type " +
                 s"${tblByName(n)} — additive evolution only, refusing")
           }
           if (newCols.isEmpty) (tbl, st.schemas, st.currentSchemaId,
             st.lastColumnId)
           else {
-            val fresh = newCols.zipWithIndex.map { case ((n, t), i) =>
-              (n, t, st.lastColumnId + 1 + i)
+            // fresh ids continue past last-column-id, depth-first —
+            // nested new columns consume one id per inner field too
+            var nextColId = st.lastColumnId
+            def alloc(): Int = { nextColId += 1; nextColId }
+            val fresh = newCols.map { case (n, dt, _) =>
+              val id = alloc()
+              (n, typeString(dt, () => alloc()), id)
             }
             val nextId = st.schemas
               .map(_.path("schema-id").asInt(0)).max + 1
             val evolved = tbl ++ fresh
             (evolved, st.schemas :+ schemaJson(evolved, nextId), nextId,
-              st.lastColumnId + fresh.size)
+              nextColId)
           }
         }
       partFields(st).foreach(p => require(df.columns.contains(p.name),
@@ -509,13 +601,17 @@ object IcebergWrite {
           "modeled — refusing")
       val tbl = currentFields(st)
       val got = source.schema.fields.toSeq
-        .map(fl => fl.name -> icebergType(fl.dataType))
-      require(got == tbl.map { case (n, t, _) => (n, t) },
+        .map(fl => fl.name -> logicalOf(fl.dataType))
+      require(got == tbl.map { case (n, t, _) => (n, logicalType(t)) },
         s"upsert source schema $got != table schema " +
-          s"${tbl.map { case (n, t, _) => (n, t) }}")
+          s"${tbl.map { case (n, t, _) => (n, logicalType(t)) }}")
       val fieldId = tbl.map { case (n, _, id) => n -> id }.toMap
+      val tblType = tbl.map { case (n, t, _) => n -> t }.toMap
       keys.foreach(k => require(fieldId.contains(k),
         s"key column $k not in the table schema"))
+      keys.foreach(k => require(!tblType(k).startsWith("{"),
+        s"key column $k is a nested type — equality-delete keys must " +
+          "be top-level primitive columns, refusing"))
       val seq = st.lastSeq + 1
       val snapId = st.snapshots.map(_.path("snapshot-id").asLong())
         .foldLeft(0L)(math.max) + 1
@@ -766,10 +862,10 @@ object IcebergWrite {
       if (mark >= batchId) return st.currentSnapId // replayed batch
       val tbl = currentFields(st)
       val got = df.schema.fields.toSeq
-        .map(fl => fl.name -> icebergType(fl.dataType))
-      require(got == tbl.map { case (n, t, _) => (n, t) },
+        .map(fl => fl.name -> logicalOf(fl.dataType))
+      require(got == tbl.map { case (n, t, _) => (n, logicalType(t)) },
         s"appendBatch schema $got != table schema " +
-          s"${tbl.map { case (n, t, _) => (n, t) }}")
+          s"${tbl.map { case (n, t, _) => (n, logicalType(t)) }}")
       partFields(st).foreach(p => require(df.columns.contains(p.name),
         s"append batch misses partition column ${p.name}"))
       // the watermark rides the SAME metadata commit as the snapshot

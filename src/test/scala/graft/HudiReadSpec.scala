@@ -8,7 +8,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * the PUBLIC storage layout: a 2-commit timeline where the second
   * commit rewrites one file group (fileId shadowing), an inflight
   * commit that must stay invisible, instant time travel, meta-column
-  * dropping, and the MERGE_ON_READ / replacecommit refusal gates.
+  * dropping, replacecommit (clustering) planning, and the refusal gates.
   */
 class HudiReadSpec extends AnyFunSuite {
   import SparkTestSession._
@@ -117,20 +117,74 @@ class HudiReadSpec extends AnyFunSuite {
     }
   }
 
-  test("replacecommit is refused loudly; unknown table types too") {
+  test("unknown table types are refused loudly") {
     val dir = buildTable()
     properties(dir, "SOMETHING_NEW")
     val e1 = intercept[IllegalArgumentException] {
       HudiRead.read(spark, dir)
     }
     assert(e1.getMessage.contains("SOMETHING_NEW"))
-    properties(dir, "COPY_ON_WRITE")
-    Files.writeString(Paths.get(dir, ".hoodie", "004.replacecommit"),
-      """{"partitionToWriteStats":{}}""")
-    val e2 = intercept[IllegalArgumentException] {
-      HudiRead.read(spark, dir)
-    }
-    assert(e2.getMessage.contains("replacecommit"))
+  }
+
+  /** A replacecommit: write stats like any commit PLUS the killed
+    * (partition → fileIds) map, matching the layout Hudi's clustering
+    * and insert_overwrite emit.
+    */
+  private def replaceCommit(dir: String, instant: String,
+      files: Seq[(String, String)],
+      replaced: Map[String, Seq[String]]): Unit = {
+    val base = commitJson(files) // ends in `"operation":"upsert"}`
+    val rep = replaced.toSeq.sortBy(_._1).map { case (p, fids) =>
+      s""""$p":[${fids.map(f => s""""$f"""").mkString(",")}]"""
+    }.mkString(",")
+    val json = base.dropRight(1) +
+      s""","partitionToReplaceFileIds":{$rep}}"""
+    Files.writeString(
+      Paths.get(dir, ".hoodie", s"$instant.replacecommit"), json)
+  }
+
+  test("replacecommit (clustering): replaced groups die, new groups " +
+      "serve, time travel sees the pre-clustering slices") {
+    val dir = buildTable()
+    // cluster f1+f2 into one new group c1 at instant 004 — the data is
+    // the same rows re-organized, as Hudi clustering produces
+    val c1 = baseFile(dir, "c1", "004",
+      rows(0, 2, "new").unionByName(rows(10, 12, "b")))
+    replaceCommit(dir, "004", Seq("c1" -> c1),
+      Map("" -> Seq("f1", "f2")))
+    val got = HudiRead.read(spark, dir)
+    val want = asSet(rows(0, 2, "new").unionByName(rows(10, 12, "b"))
+      .unionByName(rows(20, 22, "c")))
+    assert(asSet(got) == want) // same rows, now from c1 + f3
+    // time travel to before the clustering serves the old groups
+    val at002 = HudiRead.read(spark, dir, asOf = "002")
+    assert(asSet(at002) == want)
+    // insert_overwrite semantics: replace c1 with DIFFERENT rows
+    val o1 = baseFile(dir, "o1", "005", rows(100, 102, "ow"))
+    replaceCommit(dir, "005", Seq("o1" -> o1), Map("" -> Seq("c1")))
+    val after = HudiRead.read(spark, dir)
+    assert(asSet(after) ==
+      asSet(rows(100, 102, "ow").unionByName(rows(20, 22, "c"))))
+  }
+
+  test("replacecommit + archived timeline: replaced on-disk bases are " +
+      "covered, not refused") {
+    val dir = buildTable()
+    val c1 = baseFile(dir, "c1", "004",
+      rows(0, 2, "new").unionByName(rows(10, 12, "b")))
+    replaceCommit(dir, "004", Seq("c1" -> c1),
+      Map("" -> Seq("f1", "f2")))
+    // a non-empty archived dir triggers the per-group coverage check;
+    // f1/f2's on-disk bases must be excused via the replacement, and
+    // the shadowed f1@001 slice via the live f1@002... which is itself
+    // replaced — both lanes go through replacedAt
+    val arch = Paths.get(dir, ".hoodie", "archived")
+    Files.createDirectories(arch)
+    Files.writeString(arch.resolve(".commits_.archive.1_1-0-1"), "x")
+    val got = HudiRead.read(spark, dir)
+    val want = asSet(rows(0, 2, "new").unionByName(rows(10, 12, "b"))
+      .unionByName(rows(20, 22, "c")))
+    assert(asSet(got) == want)
   }
 
   // ---------------------------------------------------------------
@@ -308,6 +362,31 @@ class HudiReadSpec extends AnyFunSuite {
       commitJson(Seq("f1" -> f1b)))
     assert(kv(HudiRead.read(spark, dir)) == preCompaction,
       "merged read must equal the post-compaction read")
+  }
+
+  test("MOR clustering: a replaced group's logs drop with its base") {
+    val dir = tmp()
+    Files.createDirectories(Paths.get(dir))
+    properties(dir, "MERGE_ON_READ")
+    val f1a = baseFile(dir, "f1", "001", rows(0, 2, "old"))
+    Files.writeString(Paths.get(dir, ".hoodie", "001.deltacommit"),
+      commitJson(Seq("f1" -> f1a)))
+    val log1 = ".f1_001.log.1_0-0-0"
+    writeLog(dir, log1, Seq(dataBlock("002",
+      Seq(0L -> "upd0", 5L -> "ins5"))))
+    Files.writeString(Paths.get(dir, ".hoodie", "002.deltacommit"),
+      commitJson(Seq("f1" -> log1)))
+    val merged = kv(HudiRead.read(spark, dir))
+    assert(merged == Map(0L -> "upd0", 1L -> "old1", 5L -> "ins5"))
+    // clustering 003 folds the merged view into fresh group c1 and
+    // replaces f1 — both the f1 base AND its log must leave the plan
+    val c1 = baseFile(dir, "c1", "003", spark.createDataFrame(
+      merged.toSeq.sortBy(_._1)).toDF("k", "v"))
+    replaceCommit(dir, "003", Seq("c1" -> c1), Map("" -> Seq("f1")))
+    assert(kv(HudiRead.read(spark, dir)) == merged,
+      "clustered read must equal the pre-clustering merged read")
+    // time travel before the clustering still merges f1's log
+    assert(kv(HudiRead.read(spark, dir, asOf = "002")) == merged)
   }
 
   test("MOR isolation: in-flight blocks invisible, rollback command skips, corrupt refuses") {

@@ -143,6 +143,92 @@ class IcebergWriteSpec extends AnyFunSuite {
       "the upserted decimal row must win")
   }
 
+  test("nested struct/array/map + binary columns round-trip (round 10)") {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val dir = tmp()
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id").as("k"),
+      struct(col("id").as("a"),
+        concat(lit("s"), col("id").cast("string")).as("b")).as("st"),
+      array(col("id"), col("id") * 2).as("ar"),
+      map(concat(lit("m"), col("id").cast("string")), col("id")).as("mp"),
+      col("id").cast("string").cast("binary").as("bin"))
+    IcebergWrite.create(mk(0, 50).coalesce(2), dir)
+    val back = IcebergRead.read(spark, dir)
+    // the METADATA-declared schema is served, not parquet inference
+    assert(back.schema("st").dataType ==
+      StructType(Seq(StructField("a", LongType),
+        StructField("b", StringType))))
+    assert(back.schema("ar").dataType == ArrayType(LongType))
+    assert(back.schema("mp").dataType == MapType(StringType, LongType))
+    assert(back.schema("bin").dataType == BinaryType)
+    assert(back.count() == 50)
+    assert(back.select(sum(col("st.a"))).head().getLong(0)
+      == (0L until 50).sum)
+    assert(new String(back.filter(col("k") === 7)
+      .head().getAs[Array[Byte]]("bin"), "UTF-8") == "7")
+    // schema JSON: nested ids are table-wide-unique and last-column-id
+    // covers them (the spec's invariant for every nesting level)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val metaFile = new java.io.File(dir, "metadata").listFiles()
+      .filter(_.getName.matches("v\\d+\\.metadata\\.json"))
+      .maxBy(_.getName.stripPrefix("v")
+        .stripSuffix(".metadata.json").toInt)
+    val root = om.readTree(metaFile)
+    val curId = root.path("current-schema-id").asInt
+    val schemaNode = root.path("schemas").elements().asScala
+      .find(_.path("schema-id").asInt == curId).get
+    def ids(n: com.fasterxml.jackson.databind.JsonNode): Seq[Int] = {
+      val own = Seq("id", "element-id", "key-id", "value-id")
+        .flatMap(k => if (n.has(k)) Seq(n.path(k).asInt) else Nil)
+      val kids = n.properties().asScala.toSeq
+        .filterNot(e => e.getKey == "schema-id")
+        .flatMap(e => e.getValue match {
+          case a if a.isArray  => a.elements().asScala.toSeq.flatMap(ids)
+          case o if o.isObject => ids(o)
+          case _ => Nil
+        })
+      own ++ kids
+    }
+    val allIds = ids(schemaNode)
+    assert(allIds.distinct.size == allIds.size,
+      s"nested field ids collide: $allIds")
+    assert(root.path("last-column-id").asInt >= allIds.max,
+      "last-column-id must cover nested ids")
+    // plain append: the batch can't know the table's nested ids —
+    // evolution comparison is LOGICAL
+    IcebergWrite.append(mk(50, 70).coalesce(1), dir)
+    assert(IcebergRead.read(spark, dir).count() == 70)
+    // merge-on-read upsert with a primitive key carries nested payloads
+    val upd = mk(5, 6).withColumn("bin", lit("zz").cast("binary"))
+    IcebergWrite.upsert(upd, dir, Seq("k"))
+    val after = IcebergRead.read(spark, dir)
+    assert(after.count() == 70)
+    assert(new String(after.filter(col("k") === 5)
+      .head().getAs[Array[Byte]]("bin"), "UTF-8") == "zz")
+    // a NESTED equality key refuses by name
+    val eK = intercept[IllegalArgumentException] {
+      IcebergWrite.upsert(mk(6, 7), dir, Seq("st"))
+    }
+    assert(eK.getMessage.contains("nested"))
+    // evolution: a NEW nested column mints fresh ids past
+    // last-column-id; old files surface NULL
+    val beforeLast = root.path("last-column-id").asInt
+    IcebergWrite.append(
+      mk(70, 75).withColumn("st2", struct(col("k").as("z"))),
+      dir, mergeSchema = true)
+    val b2 = IcebergRead.read(spark, dir)
+    assert(b2.filter(col("st2").isNotNull).count() == 5)
+    assert(b2.filter(col("st2").isNull).count() == 70)
+    val root2 = om.readTree(new java.io.File(dir, "metadata").listFiles()
+      .filter(_.getName.matches("v\\d+\\.metadata\\.json"))
+      .maxBy(_.getName.stripPrefix("v")
+        .stripSuffix(".metadata.json").toInt))
+    assert(root2.path("last-column-id").asInt >= beforeLast + 2,
+      "st2 and its inner field must each consume a fresh id")
+  }
+
   test("schema drift and unsupported types refuse loudly") {
     val dir = tmp()
     IcebergWrite.create(range(0, 10).coalesce(1), dir)
@@ -151,10 +237,10 @@ class IcebergWriteSpec extends AnyFunSuite {
         spark.range(0, 1).select(col("id").as("k")), dir)
     }
     assert(e.getMessage.contains("schema"))
-    // nested types refused at create
+    // an unsupported LEAF inside a nested type still refuses loudly
     val e2 = intercept[IllegalArgumentException] {
       IcebergWrite.create(
-        spark.range(0, 1).select(struct(col("id").as("a")).as("s")), tmp())
+        spark.range(0, 1).select(struct(lit(null).as("a")).as("s")), tmp())
     }
     assert(e2.getMessage.contains("unsupported"))
     // double-create refused

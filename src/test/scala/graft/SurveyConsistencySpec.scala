@@ -179,5 +179,16 @@ class SurveyConsistencySpec extends AnyFunSuite {
     assert(hasMethod("graft.sources.IcebergRead$", "pairChanges") ==
       srcSection.contains("graft_iceberg_changes"),
       "Iceberg change-feed claim and code marker disagree")
+    assert(srcSection.contains("`replacecommit` instants READ since round 10"),
+      "SURVEY lost the Hudi replacecommit-read claim — doc drift")
+    assert(!srcSection.contains(
+      "`replacecommit` instants (both namings), non-JSON"),
+      "SURVEY still carries the replacecommit-refusal claim")
+    assert(hasMethod("graft.sources.IcebergWrite$", "typeString") ==
+      srcSection.contains("NESTED struct/array/map AND binary columns"),
+      "Iceberg nested-writer claim and code marker disagree")
+    assert(!srcSection.contains("nested/binary types and non-identity " +
+      "transforms refused by name"),
+      "SURVEY still carries the nested/binary-refusal claim")
   }
 }
