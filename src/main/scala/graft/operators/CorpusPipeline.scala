@@ -968,7 +968,102 @@ object CorpusPipeline {
              ELSE 'none' END AS funded
       FROM al ORDER BY quality_score DESC, source"""
 
+  // ---- p18: multi-epoch allocation under a data-constrained budget ----
+  // p17 answers "which sources get funded ONCE when the budget is
+  // smaller than the corpus"; this is the OTHER regime every frontier
+  // run lives in (Muennighoff et al. 2023, "Scaling Data-Constrained
+  // Language Models"): the token budget EXCEEDS the unique corpus, so
+  // sources must REPEAT — but repeated epochs are worth less than
+  // fresh data. Greedy water-filling over (source, epoch) units:
+  // each source offers up to 4 epochs whose marginal utility is
+  // quality_score × an integer decay schedule (100/70/49/34 basis
+  // points ≈ 0.7^k — exact integers, no pow()), units are funded
+  // top-down by marginal utility until the 250%-of-corpus budget
+  // runs out (the marginal unit partially), and effective tokens are
+  // the decay-weighted floor sum. Every number is an exact integer —
+  // the p17 discipline extended to the repeat regime, hash-exact with
+  // zero rounding discipline. One fact-scale token pass; the
+  // allocation runs on the |sources|×4-row frame under
+  // boundedSingleGroup.
+  val p18_epoch_allocation: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val en = Seq("the", "a", "and", "of", "to", "in", "is", "for", "on", "with")
+    val arr = en.map(w => s"'$w'").mkString(", ")
+    val src = Tables.documents(s, d)
+      .select(col("source"),
+        expr("CAST(size(split(trim(text), ' ')) AS BIGINT)").as("nw"),
+        expr(s"CAST(size(filter(split(lower(text), ' '), " +
+          s"w -> array_contains(array($arr), w))) AS BIGINT)").as("sh"))
+      .groupBy("source")
+      .agg(sum("nw").as("tokens_available"), sum("sh").as("stop_hits"))
+      .withColumn("quality_score",
+        expr("CAST(stop_hits * 1000000 div tokens_available AS BIGINT)"))
+    val budget = src.agg(
+      expr("CAST(SUM(tokens_available) * 250 div 100 AS BIGINT)")
+        .as("budget"))
+    val units = src
+      .withColumn("epoch", explode(expr("array(1, 2, 3, 4)")))
+      .withColumn("decay", expr(
+        "CAST(CASE epoch WHEN 1 THEN 100 WHEN 2 THEN 70 " +
+          "WHEN 3 THEN 49 ELSE 34 END AS BIGINT)"))
+      .withColumn("marginal", col("quality_score") * col("decay"))
+    val b = graft.api.GraftOps.boundedSingleGroup(
+      units.crossJoin(broadcast(budget)))
+    val w = Window.partitionBy("__g")
+      .orderBy(desc("marginal"), col("source"), col("epoch"))
+    val cumBefore = coalesce(sum("tokens_available")
+      .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    b.withColumn("cum_before", cumBefore)
+      .withColumn("alloc_e",
+        greatest(lit(0L), least(col("tokens_available"),
+          col("budget") - col("cum_before"))))
+      .groupBy("source")
+      .agg(max("tokens_available").as("tokens_available"),
+        max("quality_score").as("quality_score"),
+        sum(when(col("alloc_e") === col("tokens_available"), 1L)
+          .otherwise(0L)).as("full_epochs"),
+        sum("alloc_e").as("tokens_allocated"),
+        expr("CAST(SUM(alloc_e * decay) div 100 AS BIGINT)")
+          .as("effective_tokens"))
+      .orderBy("source")
+  }
+  val p18Sql: String =
+    """WITH src AS (
+        SELECT source,
+          CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT)
+            AS tokens_available,
+          CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+            w -> list_contains(['the','a','and','of','to','in','is',
+                                'for','on','with'], w)))) AS BIGINT)
+            AS stop_hits
+        FROM documents GROUP BY 1),
+      q AS (SELECT *, CAST(stop_hits * 1000000 // tokens_available
+              AS BIGINT) AS quality_score FROM src),
+      bd AS (SELECT CAST(SUM(tokens_available) * 250 // 100 AS BIGINT)
+               AS budget FROM q),
+      u AS (SELECT q.*, epoch,
+              CAST(CASE epoch WHEN 1 THEN 100 WHEN 2 THEN 70
+                   WHEN 3 THEN 49 ELSE 34 END AS BIGINT) AS decay
+            FROM q CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS epoch)),
+      m AS (SELECT *, quality_score * decay AS marginal FROM u),
+      r AS (SELECT *, COALESCE(SUM(tokens_available) OVER (
+              ORDER BY marginal DESC, source, epoch
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS cum_before
+            FROM m CROSS JOIN bd),
+      a AS (SELECT *, GREATEST(0, LEAST(tokens_available,
+              budget - cum_before)) AS alloc_e FROM r)
+      SELECT source,
+        CAST(MAX(tokens_available) AS BIGINT) AS tokens_available,
+        CAST(MAX(quality_score) AS BIGINT) AS quality_score,
+        CAST(SUM(CASE WHEN alloc_e = tokens_available THEN 1 ELSE 0 END)
+          AS BIGINT) AS full_epochs,
+        CAST(SUM(alloc_e) AS BIGINT) AS tokens_allocated,
+        CAST(SUM(alloc_e * decay) // 100 AS BIGINT) AS effective_tokens
+      FROM a GROUP BY source ORDER BY source"""
+
   val queries: Map[String, Q] = Map(
+    "p18_epoch_allocation" -> p18_epoch_allocation,
     "p17_budget_allocation" -> p17_budget_allocation,
     "p16_quota_sample"     -> p16_quota_sample,
     "p15_stage_ledger"     -> p15_stage_ledger,
@@ -985,6 +1080,7 @@ object CorpusPipeline {
     "p08_canary_compare"   -> p08_canary_compare,
     "p09_temperature_mix"  -> p09_temperature_mix)
   val oracles: Map[String, String] = Map(
+    "p18_epoch_allocation" -> p18Sql,
     "p17_budget_allocation" -> p17Sql,
     "p01_corpus_clean"     -> p01Sql,
     "p02_quality_resample" -> p02Sql,

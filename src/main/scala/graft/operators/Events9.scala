@@ -134,10 +134,88 @@ object Events9 {
           ELSE 0.0 END AS var_reduction
       FROM t ORDER BY arm"""
 
+  // ---- e66: per-user burstiness census ----
+  // Goh & Barabási's burstiness coefficient B = (σ−μ)/(σ+μ) over each
+  // user's inter-event gaps — the canonical temporal-pattern signal
+  // (B≈−1 periodic / metronome-bot, B≈0 Poisson-random, B→1 bursty
+  // human sessions) that e25's rule-based bot score and e15's per-type
+  // gap stats don't capture: it is PER USER and scale-free (a user
+  // twice as active but equally bursty scores the same). Reported as
+  // the band census — how much of the user base is periodic vs random
+  // vs bursty — the shape a fraud/engagement analyst actually reads.
+  //
+  // Exactness: gaps are exact integer MICROS from one partitioned
+  // (user, ts, event_id)-ordered lag (the e15 idiom; tie order can't
+  // perturb the gap multiset), per-user moments (m, Σg, Σg²) ride
+  // DECIMAL(38,0) — exact, combinable — and σ, μ, B are the SAME
+  // fixed-order scalar chain in both engines (sqrt is correctly
+  // rounded IEEE), B rounded 1e-9 before banding so a boundary can't
+  // flip between engines. Band means ride Stable.dsum. Scale shape:
+  // one user-partitioned window + one combinable user rollup + a
+  // 3-row band census — no global sort, no driver state.
+  val e66_user_burstiness: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val D = "DECIMAL(38,0)"
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gaps = Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap", col("us") - lag("us", 1).over(w))
+      .filter(col("gap").isNotNull)
+    val users = gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("m"),
+        sum(expr(s"CAST(gap AS $D)")).as("sx"),
+        sum(expr(s"CAST(gap AS $D) * CAST(gap AS $D)")).as("sxx"))
+      .filter(col("m") >= 2) // σ needs at least two gaps
+      .withColumn("sigma",
+        sqrt(expr(s"CAST(m * sxx - sx * sx AS DOUBLE)"))
+          / col("m").cast("double"))
+      .withColumn("mu", expr("CAST(sx AS DOUBLE)") / col("m"))
+      .withColumn("b", when(col("sigma") + col("mu") === 0.0, 0.0)
+        .otherwise(round((col("sigma") - col("mu"))
+          / (col("sigma") + col("mu")), 9)))
+      .withColumn("band", when(col("b") < -0.2, "regular")
+        .when(col("b") < 0.2, "random").otherwise("bursty"))
+    users.groupBy("band")
+      .agg(count(lit(1)).as("n_users"),
+        round(graft.Stable.dsum(col("b")) / count(lit(1)), 9)
+          .as("mean_burstiness"),
+        sum("m").as("total_gaps"))
+      .orderBy("band")
+  }
+  val e66Sql: String =
+    s"""WITH g AS (SELECT user_id,
+          epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events),
+      u AS (SELECT user_id, COUNT(*) AS m,
+          SUM(CAST(gap AS HUGEINT)) AS sx,
+          SUM(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS sxx
+        FROM g WHERE gap IS NOT NULL GROUP BY user_id
+        HAVING COUNT(*) >= 2),
+      b AS (SELECT user_id, m,
+          sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) / CAST(m AS DOUBLE)
+            AS sigma,
+          CAST(sx AS DOUBLE) / m AS mu
+        FROM u),
+      s AS (SELECT user_id, m,
+          CASE WHEN sigma + mu = 0.0 THEN 0.0
+               ELSE round((sigma - mu) / (sigma + mu), 9) END AS b
+        FROM b),
+      c AS (SELECT *, CASE WHEN b < -0.2 THEN 'regular'
+               WHEN b < 0.2 THEN 'random' ELSE 'bursty' END AS band
+            FROM s)
+      SELECT band, COUNT(*) AS n_users,
+        round(${graft.Stable.sqlSum("b")} / COUNT(*), 9)
+          AS mean_burstiness,
+        CAST(SUM(m) AS BIGINT) AS total_gaps
+      FROM c GROUP BY band ORDER BY band"""
+
   val queries: Map[String, Q] = Map(
     "e65_cuped" -> e65_cuped,
+    "e66_user_burstiness" -> e66_user_burstiness,
   )
   val oracles: Map[String, String] = Map(
     "e65_cuped" -> e65Sql,
+    "e66_user_burstiness" -> e66Sql,
   )
 }

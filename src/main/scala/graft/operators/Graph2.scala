@@ -557,6 +557,74 @@ object Graph2 {
        GROUP BY src_nation
        ORDER BY closeness DESC, nation"""
 
+  // ---- g18: rich-club coefficient curve ----
+  // Colizza et al. 2006: do high-degree products co-sell preferentially
+  // with EACH OTHER? φ(k) = 2·E_k / (N_k·(N_k−1)) — density of the
+  // subgraph induced by nodes of degree > k, swept over doubling
+  // thresholds. φ rising with k = an elite core (hub products bundle
+  // together — assortative concentration g09's single global number
+  // can't localize); flat/falling = hubs connect mostly to the
+  // periphery. Plan shape: degrees from one pass over the (metadata-
+  // sized) co-purchase edge table, the threshold sweep is an in-row
+  // array explode on the degree/edge frames (each edge/node row lands
+  // in the thresholds it clears — never a per-k rescan), exact BIGINT
+  // counts, ONE rounded IEEE division per k. At 100 TB the fact-scale
+  // cost stays the shared copurchasePairs stage; everything here runs
+  // on the aggregated graph.
+  val g18_rich_club: Q = (s, d) => {
+    val ks = Seq(1, 2, 4, 8, 16, 32)
+    val kArr = s"array(${ks.mkString(", ")})"
+    val edges = Graph.copurchaseEdges(s, d)
+    val deg = edges.select(col("a").as("n"))
+      .unionAll(edges.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    // nodes per threshold: explode each node into the ks it clears
+    val nk = deg
+      .select(explode(expr(s"filter($kArr, k -> deg > k)")).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_nodes"))
+    // edges per threshold: both endpoints must clear k
+    val ek = edges
+      .join(deg.withColumnRenamed("n", "a")
+        .withColumnRenamed("deg", "deg_a"), "a")
+      .join(deg.withColumnRenamed("n", "b")
+        .withColumnRenamed("deg", "deg_b"), "b")
+      .select(explode(expr(
+        s"filter($kArr, k -> deg_a > k AND deg_b > k)")).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_edges"))
+    nk.join(ek, Seq("k"), "left")
+      .select(col("k").cast("long").as("k"), col("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+      .withColumn("phi", when(col("n_nodes") < 2, lit(0.0))
+        .otherwise(round(lit(2.0) * col("n_edges").cast("double")
+          / (col("n_nodes") * (col("n_nodes") - 1)).cast("double"), 9)))
+      .orderBy("k")
+  }
+  val g18Sql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                 FROM lineitem),
+      e AS (SELECT x.pk AS a, y.pk AS b
+            FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      dg AS (SELECT n, COUNT(*) AS deg FROM (
+               SELECT a AS n FROM e UNION ALL SELECT b FROM e) u
+             GROUP BY 1),
+      ks AS (SELECT unnest([1, 2, 4, 8, 16, 32]) AS k),
+      nk AS (SELECT k, COUNT(*) AS n_nodes
+             FROM dg JOIN ks ON deg > k GROUP BY k),
+      ek AS (SELECT k, COUNT(*) AS n_edges
+             FROM e
+             JOIN dg da ON da.n = e.a
+             JOIN dg db ON db.n = e.b
+             JOIN ks ON da.deg > k AND db.deg > k
+             GROUP BY k)
+      SELECT CAST(nk.k AS BIGINT) AS k, nk.n_nodes,
+        CAST(COALESCE(ek.n_edges, 0) AS BIGINT) AS n_edges,
+        CASE WHEN nk.n_nodes < 2 THEN 0.0
+             ELSE round(2.0 * CAST(COALESCE(ek.n_edges, 0) AS DOUBLE)
+               / CAST(nk.n_nodes * (nk.n_nodes - 1) AS DOUBLE), 9)
+        END AS phi
+      FROM nk LEFT JOIN ek ON nk.k = ek.k ORDER BY k"""
+
   val queries: Map[String, Q] = Map(
     "g11_hits"       -> g11_hits,
     "g12_kcore"      -> g12_kcore,
@@ -565,8 +633,10 @@ object Graph2 {
     "g15_dyad_census" -> g15_dyad_census,
     "g16_shortest_paths" -> g16_shortest_paths,
     "g17_closeness"  -> g17_closeness,
+    "g18_rich_club"  -> g18_rich_club,
   )
   val oracles: Map[String, String] = Map(
+    "g18_rich_club"  -> g18Sql,
     "g11_hits"       -> g11Sql,
     "g12_kcore"      -> g12Sql,
     "g13_khop_reach" -> g13Sql,

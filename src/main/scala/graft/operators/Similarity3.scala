@@ -495,7 +495,77 @@ object Similarity3 {
       SELECT pick, vec_id, radius FROM s8 ORDER BY pick"""
   }
 
+  // ---- s28: nearest-neighbor margin audit ----
+  // How DECISIVE is each query's nearest neighbor? margin = cos(1st) −
+  // cos(2nd): near zero means the top hit is interchangeable with the
+  // runner-up (threshold-based dedup and top-1 retrieval are both
+  // unstable there; any ANN recall loss flips answers), large means a
+  // clear winner. The margin distribution is the signal that picks
+  // d05-style near-dup thresholds and says whether top-1 eval metrics
+  // (s15) are even meaningful — s16's confusion matrix tells you WHO
+  // the neighbor is, this tells you by HOW MUCH it wins. Absolute
+  // margin (a difference, not a ratio) so exact-duplicate top hits
+  // (cos=1) need no divide-by-zero guard.
+  //
+  // Exactness: cosine is the shared [[graft.functions.cosine_sim]]
+  // expression (bit-identical to the DuckDB replay — the s01
+  // precedent), top-2 per query via a (cosine DESC, vec_id)-ordered
+  // partitioned rank, the margin one IEEE subtraction rounded 1e-9
+  // before banding, band means through Stable.dsum. Scale shape: this
+  // is the EVAL harness (hash-sampled query panel × corpus, one
+  // partitioned window) — production candidate generation stays
+  // s02/s04's bucketed path; only top-2 scoring per query lands here.
+  val s28_knn_margin: Q = (s, d) => {
+    import graft.functions.cosine_sim
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cands = e.select(col("vec_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("vec_id"))
+    val top2 = cands.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .withColumn("cosine", cosine_sim(col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 2)
+    val margins = top2.groupBy("qid")
+      .agg(max(when(col("rank") === 1, col("cosine"))).as("cos1"),
+        max(when(col("rank") === 2, col("cosine"))).as("cos2"))
+      .withColumn("margin", round(col("cos1") - col("cos2"), 9))
+      .withColumn("band", when(col("margin") < 0.01, "ambiguous")
+        .when(col("margin") < 0.05, "close").otherwise("clear"))
+    margins.groupBy("band")
+      .agg(count(lit(1)).as("n_queries"),
+        round(graft.Stable.dsum(col("margin")) / count(lit(1)), 9)
+          .as("mean_margin"),
+        round(graft.Stable.dsum(col("cos1")) / count(lit(1)), 9)
+          .as("mean_top1_cosine"))
+      .orderBy("band")
+  }
+  val s28Sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+             WHERE vec_id % 10 = 0),
+      c AS (SELECT vec_id, embedding AS ce FROM embeddings),
+      p AS (SELECT qid, vec_id, $duckCos AS cosine
+            FROM q, c WHERE vec_id <> qid),
+      r AS (SELECT qid, cosine, row_number() OVER (
+              PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
+            FROM p),
+      m AS (SELECT qid,
+              round(MAX(CASE WHEN rk = 1 THEN cosine END)
+                - MAX(CASE WHEN rk = 2 THEN cosine END), 9) AS margin,
+              MAX(CASE WHEN rk = 1 THEN cosine END) AS cos1
+            FROM r WHERE rk <= 2 GROUP BY qid),
+      b AS (SELECT *, CASE WHEN margin < 0.01 THEN 'ambiguous'
+              WHEN margin < 0.05 THEN 'close' ELSE 'clear' END AS band
+            FROM m)
+      SELECT band, COUNT(*) AS n_queries,
+        round(${graft.Stable.sqlSum("margin")} / COUNT(*), 9)
+          AS mean_margin,
+        round(${graft.Stable.sqlSum("cos1")} / COUNT(*), 9)
+          AS mean_top1_cosine
+      FROM b GROUP BY band ORDER BY band"""
+
   val queries: Map[String, Q] = Map(
+    "s28_knn_margin" -> s28_knn_margin,
     "s22_ood_audit" -> s22_ood_audit,
     "s23_hubness"   -> s23_hubness,
     "s24_norm_audit" -> s24_norm_audit,
@@ -504,6 +574,7 @@ object Similarity3 {
     "s27_kcenter_coreset" -> s27_kcenter_coreset,
   )
   val oracles: Map[String, String] = Map(
+    "s28_knn_margin" -> s28Sql,
     "s22_ood_audit" -> s22Sql,
     "s23_hubness"   -> s23Sql,
     "s24_norm_audit" -> s24Sql,

@@ -258,15 +258,78 @@ object TextAnalysis11 {
         round(CAST(n_mixed AS DOUBLE) / n_docs, 9) AS mixed_share
       FROM g ORDER BY source"""
 
+  // ---- t45: per-source unigram KL divergence vs the corpus LM ----
+  // The mixture-drift signal in TOKEN space (t31's stylometry works on
+  // surface ratios; this measures how far each source's word
+  // DISTRIBUTION sits from the blended corpus — the quantity that
+  // predicts how much a mixture reweighting will shift the trained
+  // model): KL(P_source ‖ P_corpus) = Σ_w p_sw · ln(p_sw / p_w) in
+  // nats. Finite by construction (the corpus contains every source, so
+  // q > 0 wherever p > 0). Exact integer counts feed one fixed-order
+  // IEEE expression per (source, word) — p and q are single divisions
+  // of BIGINTs, ln on bit-identical doubles (the t05 precedent), the
+  // per-term product rounded 1e-9 — and the per-source sum rides
+  // Stable.dsum so partial-agg order can't perturb ulps. Scale shape:
+  // one fact-scale (source, word) count (combinable), a vocab-scale
+  // equijoin onto the corpus word counts, a broadcast 1-row total —
+  // no per-doc state, no all-pairs anything.
+  val t45_unigram_kl: Q = (s, d) => {
+    val words = Tables.documents(s, d)
+      .select(col("source"),
+        explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val sw = words.groupBy("source", "word").agg(count(lit(1)).as("c_sw"))
+    // corpus counts derive from sw (no second fact pass; identical
+    // subplan → ReuseExchange computes the shuffle once)
+    val cw = sw.groupBy("word").agg(sum("c_sw").as("c_w"))
+    val ns = sw.groupBy("source").agg(sum("c_sw").as("n_s"),
+      count(lit(1)).as("vocab"))
+    val n = cw.agg(sum("c_w").as("n_total"))
+    sw.join(cw, "word").join(ns, "source").join(broadcast(n))
+      .withColumn("term", round(
+        (col("c_sw").cast("double") / col("n_s").cast("double"))
+          * log((col("c_sw").cast("double") * col("n_total").cast("double"))
+            / (col("c_w").cast("double") * col("n_s").cast("double"))), 9))
+      .groupBy("source")
+      .agg(max("n_s").as("n_tokens"), max("vocab").as("vocab"),
+        round(graft.Stable.dsum(col("term")), 6).as("kl_nats"))
+      .orderBy("source")
+  }
+  val t45Sql: String =
+    s"""WITH words AS (
+        SELECT source, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents),
+      w AS (SELECT * FROM words WHERE word <> ''),
+      sw AS (SELECT source, word, COUNT(*) AS c_sw FROM w GROUP BY 1, 2),
+      cw AS (SELECT word, CAST(SUM(c_sw) AS BIGINT) AS c_w
+             FROM sw GROUP BY 1),
+      ns AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s,
+               COUNT(*) AS vocab FROM sw GROUP BY 1),
+      n AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n_total FROM cw),
+      t AS (SELECT sw.source, n_s, vocab,
+              round((CAST(c_sw AS DOUBLE) / CAST(n_s AS DOUBLE))
+                * ln((CAST(c_sw AS DOUBLE) * CAST(n_total AS DOUBLE))
+                  / (CAST(c_w AS DOUBLE) * CAST(n_s AS DOUBLE))), 9)
+                AS term
+            FROM sw JOIN cw USING (word) JOIN ns USING (source)
+            CROSS JOIN n)
+      SELECT source,
+        CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+        CAST(MAX(vocab) AS BIGINT) AS vocab,
+        round(${graft.Stable.sqlSum("term")}, 6) AS kl_nats
+      FROM t GROUP BY source ORDER BY source"""
+
   val queries: Map[String, Q] = Map(
     "t41_bpe_encode"    -> t41_bpe_encode,
     "t42_bpe_fertility" -> t42_bpe_fertility,
     "t43_dedup_token_yield" -> t43_dedup_token_yield,
-    "t44_script_census" -> t44_script_census)
+    "t44_script_census" -> t44_script_census,
+    "t45_unigram_kl"    -> t45_unigram_kl)
 
   val oracles: Map[String, String] = Map(
     "t41_bpe_encode"    -> t41Sql,
     "t42_bpe_fertility" -> t42Sql,
     "t43_dedup_token_yield" -> t43Sql,
-    "t44_script_census" -> t44Sql)
+    "t44_script_census" -> t44Sql,
+    "t45_unigram_kl"    -> t45Sql)
 }
