@@ -585,6 +585,18 @@ def iceberg_expire_snapshots(spark, path, keep_last,
         int(orphan_retain_millis))
 
 
+def delta_restore(spark, path, version):
+    """RESTORE a Delta table to a prior version as a NEW commit:
+    files live then but not now are re-added verbatim (refusing
+    loudly if vacuum already deleted their bytes), files live now but
+    not then get remove tombstones, and the old metaData is re-emitted
+    when schema/partitioning/configuration drifted. History is kept -
+    time travel to pre-restore versions still works. Returns the
+    committed version (or the current one when already identical)."""
+    return _jvm(spark).graft.sources.DeltaWrite.restore(
+        spark._jsparkSession, path, int(version))
+
+
 def delta_vacuum(spark, path, retain_millis=-1):
     """VACUUM a Delta table: delete data/DV files no reader can reach
     (tombstone older than the retention window, or never-logged crash

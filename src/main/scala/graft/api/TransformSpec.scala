@@ -267,6 +267,13 @@ object TransformSpec {
           if (step.has("retainMillis")) step.path("retainMillis").asLong()
           else -1L)
         df
+      case "deltaRestore" =>
+        // restore to a prior version as a new commit (history kept);
+        // the input frame passes through untouched
+        gateWrite(allowInline, "deltaRestore")
+        graft.sources.DeltaWrite.restore(df.sparkSession,
+          step.path("path").asText(), step.path("version").asLong())
+        df
       case "icebergUpsert" =>
         // merge-on-read MERGE into an Iceberg table: one snapshot with
         // an equality delete on the keys + the source rows

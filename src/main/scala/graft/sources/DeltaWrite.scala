@@ -659,6 +659,120 @@ object DeltaWrite {
     deleted
   }
 
+  /** RESTORE the table to a prior version as a NEW commit (the Delta
+    * RESTORE command): files live at `toVersion` but not now are
+    * RE-ADDED with their original partitionValues/stats/size/DV (the
+    * bytes are still on disk; a vacuum-eaten file refuses loudly —
+    * restoring a dangling path would serve a missing file), files live
+    * now but not then get remove tombstones, and the metaData of
+    * `toVersion` is re-emitted when schema/partitioning/configuration
+    * drifted (the table id carries forward — readers key caches and
+    * streams on it). History is PRESERVED: time travel to pre-restore
+    * versions still works, and the restore itself is one more commit.
+    * dataChange=true, so a change-feed reader sees the restore as
+    * row-level deletes + inserts via the add/remove derivation —
+    * Delta's own RESTORE emits no `_change_data` either. File identity
+    * is (path, DV descriptor): a file whose DV changed between the
+    * versions restores to the OLD mask. Returns the committed version,
+    * or the current version when the states already match (no-op).
+    */
+  def restore(spark: SparkSession, path: String, toVersion: Long): Long = {
+    var attempts = 0
+    while (true) {
+      require(attempts < 10, s"$path: lost the restore race 10 times")
+      val cur = DeltaRead.latestVersion(spark, path)
+      require(toVersion >= 0 && toVersion <= cur,
+        s"$path: cannot restore to version $toVersion (latest is $cur)")
+      if (toVersion == cur) return cur
+      val (stTo, liveTo) = DeltaRead.checkpointState(spark, path, toVersion)
+      val (stCur, liveCur) = DeltaRead.checkpointState(spark, path, cur)
+      require(stCur.unmodeledState.isEmpty,
+        s"$path: log carries unmodeled state ${stCur.unmodeledState} — " +
+          "restore would re-emit adds without it, refusing")
+      def key(a: DeltaRead.AddEntry) = (a.path, a.dv)
+      val curKeys = liveCur.map(key).toSet
+      val toKeys = liveTo.map(key).toSet
+      val adds = liveTo.filterNot(a => curKeys(key(a)))
+      val removes = liveCur.filterNot(a => toKeys(key(a)))
+      val metaChanged = stTo.schemaJson != stCur.schemaJson ||
+        stTo.partitionCols != stCur.partitionCols ||
+        stTo.conf != stCur.conf
+      if (adds.isEmpty && removes.isEmpty && !metaChanged) return cur
+      val f = fs(spark, path)
+      // every re-added file (and its on-disk DV) must still exist
+      adds.foreach { a =>
+        val rel = PathCodec.percentDecode(a.path)
+        require(f.exists(new Path(path, rel)),
+          s"$path: restore to version $toVersion needs $rel which is " +
+            "no longer on disk (vacuumed past retention?) — refusing")
+        a.dv.foreach { d =>
+          val onDisk = d.storageType match {
+            case "u" =>
+              val enc = d.pathOrInlineDv.takeRight(20)
+              val prefix = d.pathOrInlineDv.dropRight(20)
+              val b = PathCodec.z85Decode(enc)
+              val bb = java.nio.ByteBuffer.wrap(b)
+              val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+              Some(new Path(path, (if (prefix.nonEmpty) s"$prefix/"
+                else "") + s"deletion_vector_$uuid.bin"))
+            case "p" => Some(new Path(d.pathOrInlineDv))
+            case _   => None // 'i' inline rides the log itself
+          }
+          onDisk.foreach(p => require(f.exists(p),
+            s"$path: restore to version $toVersion needs DV $p which " +
+              "is no longer on disk (vacuumed past retention?) — " +
+              "refusing"))
+        }
+      }
+      val metaAct =
+        if (!metaChanged) Seq.empty
+        else {
+          val partJson = om.writeValueAsString(
+            om.valueToTree[com.fasterxml.jackson.databind.JsonNode](
+              stTo.partitionCols.toArray))
+          val confNode = om.createObjectNode()
+          stTo.conf.toSeq.sortBy(_._1)
+            .foreach { case (k, v) => confNode.put(k, v) }
+          Seq(s"""{"metaData":{"id":"${stCur.metaId}",""" +
+            s""""format":{"provider":"parquet","options":{}},""" +
+            s""""schemaString":${om.writeValueAsString(stTo.schemaJson)},""" +
+            s""""partitionColumns":$partJson,""" +
+            s""""configuration":${om.writeValueAsString(confNode)},""" +
+            s""""createdTime":${stTo.createdTime}}}""")
+        }
+      val actions = metaAct ++
+        removes.map(removeAction(_, dataChange = true)) ++
+        adds.map(readdAction)
+      if (publish(spark, path, cur + 1, actions)) {
+        maybeCheckpoint(spark, path, cur + 1)
+        return cur + 1
+      }
+      attempts += 1
+    }
+    -1L // unreachable
+  }
+
+  /** Re-emit a live AddEntry verbatim (restore: the file already
+    * exists — path still percent-encoded, original partitionValues /
+    * stats / size / mtime / DV descriptor preserved).
+    */
+  private def readdAction(a: DeltaRead.AddEntry): String = {
+    val pv = om.createObjectNode()
+    a.partitionValues.toSeq.sortBy(_._1)
+      .foreach { case (k, v) =>
+        if (v == null) pv.putNull(k) else pv.put(k, v) }
+    s"""{"add":{"path":"${a.path}",""" +
+      s""""partitionValues":${om.writeValueAsString(pv)},""" +
+      s""""size":${a.size},"modificationTime":${a.modificationTime},""" +
+      s""""dataChange":true""" +
+      a.stats.fold("")(j => s""","stats":${om.writeValueAsString(j)}""") +
+      a.dv.fold("")(d =>
+        s""","deletionVector":{"storageType":"${d.storageType}",""" +
+          s""""pathOrInlineDv":"${d.pathOrInlineDv}",""" +
+          s""""offset":${d.offset},"sizeInBytes":${d.sizeInBytes},""" +
+          s""""cardinality":${d.cardinality}}""") + "}}"
+  }
+
   /** SQL literal rendering for the stats-prune predicate. */
   private def sqlLit(v: String, dt: DataType): String = dt match {
     case ByteType | ShortType | IntegerType | LongType |

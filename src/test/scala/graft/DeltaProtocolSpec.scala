@@ -985,4 +985,46 @@ class DeltaProtocolSpec extends AnyFunSuite {
     assert(!Files.exists(stale3) && n >= 2,
       s"stale DV + expired-tombstone data file both reclaim (got $n)")
   }
+
+  test("RESTORE: prior version re-served, history kept, schema restored, vacuumed files refuse") {
+    import graft.sources.DeltaWrite
+    val dir = tmp()
+    DeltaWrite.create(range(0, 10).coalesce(1), dir)          // v0
+    DeltaWrite.append(range(10, 20).coalesce(1), dir)         // v1
+    val v2 = DeltaWrite.delete(spark, dir, "k >= 15")          // v2: COW
+    assert(v2 == 2L)
+    val atV1 = DeltaRead.read(spark, dir, version = 1L)
+      .collect().map(_.toSeq).toSet
+    // restore to v1: one NEW commit, table equals the v1 snapshot
+    val v3 = DeltaWrite.restore(spark, dir, 1L)
+    assert(v3 == 3L)
+    assert(DeltaRead.read(spark, dir)
+      .collect().map(_.toSeq).toSet == atV1)
+    // history is preserved — time travel to the deleted state works
+    assert(DeltaRead.read(spark, dir, version = 2L).count() == 15)
+    // no-op restore: states already match
+    assert(DeltaWrite.restore(spark, dir, 3L) == 3L)
+    assert(DeltaWrite.restore(spark, dir, 1L) == 3L,
+      "restoring to an identical state must not commit")
+    // schema restore: evolve, then restore to the pre-evolution shape
+    DeltaWrite.append(range(20, 25)
+      .withColumn("extra", lit(7L)).coalesce(1), dir,
+      mergeSchema = true)                                     // v4
+    assert(DeltaRead.read(spark, dir).columns.contains("extra"))
+    val v5 = DeltaWrite.restore(spark, dir, 3L)
+    assert(v5 == 5L)
+    val back = DeltaRead.read(spark, dir)
+    assert(!back.columns.contains("extra"),
+      "restore must re-emit the old metaData")
+    assert(back.collect().map(_.toSeq).toSet == atV1)
+    // a vacuumed file refuses loudly instead of serving a dangling add
+    val dir2 = tmp()
+    DeltaWrite.create(range(0, 10).coalesce(1), dir2)         // v0
+    DeltaWrite.delete(spark, dir2, "k >= 5")                  // v1: rewrite
+    DeltaWrite.vacuum(spark, dir2, retainMillis = 0L)         // v0 file gone
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.restore(spark, dir2, 0L)
+    }
+    assert(e.getMessage.contains("no longer on disk"))
+  }
 }

@@ -187,6 +187,9 @@ class SurveyConsistencySpec extends AnyFunSuite {
     assert(hasMethod("graft.sources.IcebergWrite$", "typeString") ==
       srcSection.contains("NESTED struct/array/map AND binary columns"),
       "Iceberg nested-writer claim and code marker disagree")
+    assert(hasMethod("graft.sources.DeltaWrite$", "restore") ==
+      srcSection.contains("round 10 adds RESTORE"),
+      "Delta RESTORE claim and code marker disagree")
     assert(!srcSection.contains("nested/binary types and non-identity " +
       "transforms refused by name"),
       "SURVEY still carries the nested/binary-refusal claim")

@@ -477,6 +477,20 @@ class TransformSpecSpec extends AnyFunSuite {
     assert(mirror.count() == 11 &&
       mirror.exceptAll(t3b).count() == 0, "mirror must equal the source")
 
+    // deltaRestore step: roll t5 back to its first version
+    graft.sources.DeltaWrite.create(
+      spark.range(0, 6).select(col("id").as("k"), lit("x").as("tag"))
+        .coalesce(1), s"$base/t5")
+    graft.sources.DeltaWrite.delete(spark, s"$base/t5", "k >= 3")
+    TransformSpec.run(
+      s"""{"source": "c", "steps": [
+           {"op": "deltaRestore", "path": "$base/t5", "version": 0}]}""",
+      Map("c" -> spark.range(0, 1).select(col("id").as("k"),
+        lit("z").as("tag"))),
+      allowInlineSources = true)
+    assert(graft.sources.DeltaRead.read(spark, s"$base/t5").count() == 6,
+      "restore step must re-serve the pre-delete snapshot")
+
     // Iceberg emit: create-if-absent then append, read back by snapshot
     TransformSpec.run(
       s"""{"source": "c", "steps": [
@@ -514,7 +528,7 @@ class TransformSpecSpec extends AnyFunSuite {
     }
     assert(refused.getMessage.contains("catalog-only"))
     Seq("deltaUpsert", "deltaDelete", "deltaOptimize", "deltaVacuum",
-        "deltaSync", "icebergUpsert").foreach { op =>
+        "deltaSync", "deltaRestore", "icebergUpsert").foreach { op =>
       val r = intercept[IllegalArgumentException] {
         TransformSpec.run(
           s"""{"source": "d", "steps": [

@@ -447,6 +447,16 @@ import time as _t; _t.sleep(0.01)
 assert graft.delta_vacuum(spark, dw_dir, retain_millis=0) > 0
 assert graft.delta_read(spark, dw_dir).count() == 51
 
+# round 10: RESTORE to a prior version as a new commit (history kept)
+dr_dir = tempfile.mkdtemp(prefix="graft_pydr") + "/t"
+graft.delta_create(spark, spark.range(0, 8).selectExpr("id AS k"), dr_dir)
+graft.delta_delete(spark, dr_dir, "k >= 5")
+assert graft.delta_read(spark, dr_dir).count() == 5
+v_restored = graft.delta_restore(spark, dr_dir, 0)
+assert v_restored == 2
+assert graft.delta_read(spark, dr_dir).count() == 8
+assert graft.delta_read(spark, dr_dir, version=1).count() == 5
+
 # round 9: Iceberg identity-partitioned create + additive evolution
 ip_dir = tempfile.mkdtemp(prefix="graft_pyip") + "/t"
 graft.iceberg_create(spark, spark.range(0, 20).selectExpr(
@@ -513,5 +523,5 @@ print(f"PASS pysmoke: sql-functions, {len(out)}-row declarative job, "
       f"snapshot-table lifecycle (create/append/upsert/time-travel/"
       f"zone-map-pruned read/change feed) and the round-6 sweep "
       f"(bpe-train/encode, dedup-artifacts trio, delta-log read with "
-      f"stats skipping, delta write round-trip, full CDC apply) and the round-9 sweep (delta optimize/vacuum, row-level change feed, partitioned+evolving iceberg writes, iceberg MOR delete + exactly-once batch append, delta sync) and the round-10 iceberg snapshot-range change feed — all green")
+      f"stats skipping, delta write round-trip, full CDC apply) and the round-9 sweep (delta optimize/vacuum, row-level change feed, partitioned+evolving iceberg writes, iceberg MOR delete + exactly-once batch append, delta sync) and the round-10 sweep (iceberg snapshot-range change feed, delta RESTORE to a prior version) — all green")
 spark.stop()
