@@ -574,6 +574,16 @@ def delta_sync(spark, delta_path, snapshot_path, keys,
         _to_seq(spark, list(keys)), int(bootstrap_version))
 
 
+def iceberg_rollback(spark, path, snapshot_id):
+    """Roll an Iceberg table back to a prior snapshot (metadata-only
+    commit: no data or history touched, so the rollback is itself
+    revertible; reads serve the old snapshot's own schema). Refuses
+    loudly if the snapshot was expired. Returns the new metadata
+    version."""
+    return _jvm(spark).graft.sources.IcebergWrite.rollbackTo(
+        spark._jsparkSession, path, int(snapshot_id))
+
+
 def iceberg_expire_snapshots(spark, path, keep_last,
                              orphan_retain_millis=7 * 24 * 3600 * 1000):
     """Expire all but the last ``keep_last`` Iceberg snapshots and

@@ -281,6 +281,13 @@ object TransformSpec {
         graft.sources.IcebergWrite.upsert(df, step.path("path").asText(),
           strings(step.path("keys")))
         df
+      case "icebergRollback" =>
+        // metadata-only rollback to a prior snapshot (history kept);
+        // the input frame passes through untouched
+        gateWrite(allowInline, "icebergRollback")
+        graft.sources.IcebergWrite.rollbackTo(df.sparkSession,
+          step.path("path").asText(), step.path("snapshotId").asLong())
+        df
       case "deltaSync" =>
         // incremental Delta -> SnapshotTable mirror over the row-level
         // change feed (exactly-once; watermark on the target)

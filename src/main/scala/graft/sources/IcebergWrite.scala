@@ -1117,6 +1117,61 @@ object IcebergWrite {
     * afterwards ("snapshot not found"); kept snapshots stay readable.
     * Returns the number of files deleted.
     */
+  /** ROLLBACK: set the current snapshot back to `snapshotId` as a NEW
+    * metadata version (Iceberg's rollback_to_snapshot — a metadata-only
+    * commit: no data, manifests, or history are touched, every snapshot
+    * stays listed, so the rollback is itself revertible and pre-rollback
+    * time travel still works). Reads after the rollback serve the old
+    * snapshot's OWN schema (the reader resolves schema by the
+    * snapshot's schema-id), so a rollback across a schema evolution
+    * rolls the schema back too. The target must still be in the
+    * snapshots list — an expired snapshot refuses loudly. Returns the
+    * committed metadata version; no-op (current metadata version) when
+    * already current.
+    */
+  def rollbackTo(spark: SparkSession, path: String, snapshotId: Long)
+      : Long = {
+    val f = fs(spark, path)
+    var attempts = 0
+    while (true) {
+      require(attempts < 10, s"$path: lost the rollback race 10 times")
+      val metaP = currentMeta(spark, path)
+      val meta = {
+        val in = f.open(metaP)
+        try om.readTree(new String(in.readAllBytes(), "UTF-8"))
+        finally in.close()
+      }
+      val MetaName(curV) = metaP.getName
+      val st = parseState(meta, path)
+      require(st.snapshots.exists(
+          _.path("snapshot-id").asLong() == snapshotId),
+        s"$path: snapshot $snapshotId is not in the table's snapshot " +
+          "list (expired?) — cannot roll back to it")
+      if (st.currentSnapId == snapshotId) return curV.toLong
+      val root = om.readTree(om.writeValueAsString(meta))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      root.put("current-snapshot-id", snapshotId)
+      root.put("last-updated-ms", System.currentTimeMillis())
+      val mdir = new Path(path, "metadata")
+      val tmp = new Path(mdir, s".tmp-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, true)
+      try out.write(om.writeValueAsString(root).getBytes("UTF-8"))
+      finally out.close()
+      val target = new Path(mdir, s"v${curV.toInt + 1}.metadata.json")
+      val won = SnapshotTable.storeFor(f.getScheme)
+        .publishIfAbsent(f, tmp, target)
+      f.delete(tmp, false)
+      if (won) {
+        val hint = f.create(new Path(mdir, "version-hint.text"), true)
+        try hint.write(s"${curV.toInt + 1}".getBytes("UTF-8"))
+        finally hint.close()
+        return curV.toInt + 1L
+      }
+      attempts += 1
+    }
+    -1L // unreachable
+  }
+
   def expireSnapshots(spark: SparkSession, path: String, keepLast: Int,
                       orphanRetainMillis: Long = 7L * 24 * 3600 * 1000)
       : Int = {

@@ -557,6 +557,38 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(e.getMessage.contains("PARTITIONED"))
   }
 
+  test("rollbackTo: metadata-only rollback, history kept, schema rolled back, expired refuses") {
+    val dir = tmp()
+    IcebergWrite.create(range(0, 10).coalesce(1), dir)          // snap 1
+    IcebergWrite.append(range(10, 20).coalesce(1), dir)         // snap 2
+    IcebergWrite.append(range(20, 25)
+      .withColumn("extra", lit(1L)).coalesce(1), dir,
+      mergeSchema = true)                                       // snap 3
+    assert(IcebergRead.read(spark, dir).count() == 25)
+    // roll back to snap 2: reads serve it, history intact
+    IcebergWrite.rollbackTo(spark, dir, 2L)
+    val back = IcebergRead.read(spark, dir)
+    assert(back.count() == 20)
+    assert(!back.columns.contains("extra"),
+      "rollback across an evolution must serve the old schema")
+    // pre-rollback snapshots still time-travel
+    assert(IcebergRead.read(spark, dir, snapshotId = 3L).count() == 25)
+    // the rollback is itself revertible (snap 3 still listed)
+    IcebergWrite.rollbackTo(spark, dir, 3L)
+    assert(IcebergRead.read(spark, dir).count() == 25)
+    // no-op when already current; unknown snapshot refuses
+    val v = IcebergWrite.rollbackTo(spark, dir, 3L)
+    assert(IcebergWrite.rollbackTo(spark, dir, 3L) == v)
+    val e = intercept[IllegalArgumentException] {
+      IcebergWrite.rollbackTo(spark, dir, 99L)
+    }
+    assert(e.getMessage.contains("not in the table's snapshot list"))
+    // appends continue normally after a rollback cycle
+    IcebergWrite.append(range(25, 30).withColumn("extra", lit(2L))
+      .coalesce(1), dir)
+    assert(IcebergRead.read(spark, dir).count() == 30)
+  }
+
   test("expireSnapshots: pruned history, kept snapshots readable, unreachable files GC'd") {
     val dir = tmp()
     IcebergWrite.create(range(0, 10).coalesce(1), dir)            // snap 1

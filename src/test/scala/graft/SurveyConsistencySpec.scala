@@ -190,6 +190,9 @@ class SurveyConsistencySpec extends AnyFunSuite {
     assert(hasMethod("graft.sources.DeltaWrite$", "restore") ==
       srcSection.contains("round 10 adds RESTORE"),
       "Delta RESTORE claim and code marker disagree")
+    assert(hasMethod("graft.sources.IcebergWrite$", "rollbackTo") ==
+      srcSection.contains("plus SNAPSHOT ROLLBACK"),
+      "Iceberg rollback claim and code marker disagree")
     assert(!srcSection.contains("nested/binary types and non-identity " +
       "transforms refused by name"),
       "SURVEY still carries the nested/binary-refusal claim")

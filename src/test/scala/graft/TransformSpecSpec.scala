@@ -528,7 +528,8 @@ class TransformSpecSpec extends AnyFunSuite {
     }
     assert(refused.getMessage.contains("catalog-only"))
     Seq("deltaUpsert", "deltaDelete", "deltaOptimize", "deltaVacuum",
-        "deltaSync", "deltaRestore", "icebergUpsert").foreach { op =>
+        "deltaSync", "deltaRestore", "icebergUpsert", "icebergRollback")
+      .foreach { op =>
       val r = intercept[IllegalArgumentException] {
         TransformSpec.run(
           s"""{"source": "d", "steps": [

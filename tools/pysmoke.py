@@ -433,6 +433,12 @@ graft.iceberg_append(spark, spark.range(30, 40).selectExpr("id AS k"), iw_dir)
 assert graft.iceberg_read(spark, iw_dir).count() == 40
 assert graft.iceberg_read(spark, iw_dir, snapshot_id=1).count() == 30
 
+# round 10: metadata-only rollback to a prior snapshot, then back
+graft.iceberg_rollback(spark, iw_dir, 1)
+assert graft.iceberg_read(spark, iw_dir).count() == 30
+graft.iceberg_rollback(spark, iw_dir, 2)
+assert graft.iceberg_read(spark, iw_dir).count() == 40
+
 # round 9: Delta OPTIMIZE + VACUUM from python — the delete above left
 # small files + a tombstone; optimize packs, vacuum(0) reclaims
 # round 9: row-level change feed carries _commit_version (before
