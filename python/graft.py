@@ -636,6 +636,41 @@ def iceberg_changes(spark, path, from_snapshot_id, to_snapshot_id):
     return _wrap(spark, jdf)
 
 
+def hudi_create(spark, df, path, key):
+    """Create an unpartitioned COPY_ON_WRITE Hudi table (public storage
+    layout) and land the first commit. Returns the instant."""
+    return _jvm(spark).graft.sources.HudiWrite.create(df._jdf, path, key)
+
+
+def hudi_insert(spark, df, path, key):
+    """Bulk-insert new file groups (no key merging - the caller owns
+    key uniqueness across inserts). Returns the instant."""
+    return _jvm(spark).graft.sources.HudiWrite.insert(df._jdf, path, key)
+
+
+def hudi_upsert(spark, df, path, key):
+    """Copy-on-write MERGE: affected file groups rewrite under the same
+    fileId at a new instant (matched keys replaced, new keys inserted
+    as a fresh group). At most one source row per key. Returns the
+    instant."""
+    return _jvm(spark).graft.sources.HudiWrite.upsert(df._jdf, path, key)
+
+
+def hudi_delete(spark, path, predicate):
+    """Copy-on-write DELETE of rows matching the SQL predicate
+    (NULL-predicate rows kept). Returns the instant."""
+    return _jvm(spark).graft.sources.HudiWrite.delete(
+        spark._jsparkSession, path, predicate)
+
+
+def hudi_insert_batch(spark, df, path, key, app_id, batch_id):
+    """Exactly-once streaming insert: the per-app watermark rides the
+    commit's extraMetadata, so a replayed micro-batch is a detected
+    no-op. Returns the instant."""
+    return _jvm(spark).graft.sources.HudiWrite.insertBatch(
+        df._jdf, path, key, app_id, int(batch_id))
+
+
 def hudi_read(spark, path, as_of=""):
     """Read-only Apache Hudi snapshot read (public storage layout:
     completed-commit timeline + latest file slice per group;

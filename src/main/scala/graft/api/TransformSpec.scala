@@ -281,6 +281,31 @@ object TransformSpec {
         graft.sources.IcebergWrite.upsert(df, step.path("path").asText(),
           strings(step.path("keys")))
         df
+      case "hudiInsert" =>
+        // Hudi COW insert (create-if-absent, like icebergAppend); the
+        // input frame is what lands
+        gateWrite(allowInline, "hudiInsert")
+        val p = step.path("path").asText()
+        val key = step.path("key").asText()
+        val f = new org.apache.hadoop.fs.Path(p, ".hoodie")
+          .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+        if (!f.exists(new org.apache.hadoop.fs.Path(p,
+            ".hoodie/hoodie.properties")))
+          graft.sources.HudiWrite.create(df, p, key)
+        else graft.sources.HudiWrite.insert(df, p, key)
+        df
+      case "hudiUpsert" =>
+        // Hudi COW MERGE by the table's declared record key
+        gateWrite(allowInline, "hudiUpsert")
+        graft.sources.HudiWrite.upsert(df, step.path("path").asText(),
+          step.path("key").asText())
+        df
+      case "hudiDelete" =>
+        // Hudi COW predicate DELETE; input frame passes through
+        gateWrite(allowInline, "hudiDelete")
+        graft.sources.HudiWrite.delete(df.sparkSession,
+          step.path("path").asText(), step.path("predicate").asText())
+        df
       case "icebergRollback" =>
         // metadata-only rollback to a prior snapshot (history kept);
         // the input frame passes through untouched

@@ -129,8 +129,8 @@ object HudiRead {
     pr
   }
 
-  private final case class Slice(partition: String, fileId: String,
-                                 instant: String, path: String)
+  private[sources] final case class Slice(partition: String, fileId: String,
+                                          instant: String, path: String)
 
   /** (live base slices, log files of those slices) at `asOf` ("" =
     * latest): latest completed BASE slice per (partition, fileId) file
@@ -140,7 +140,7 @@ object HudiRead {
     * at their declared base instant refuses (log-only groups need the
     * insert path this planner does not model).
     */
-  private def plan(spark: SparkSession, path: String, asOf: String)
+  private[sources] def plan(spark: SparkSession, path: String, asOf: String)
       : (Seq[Slice], Seq[Slice], Set[String]) = {
     val f = fs(spark, path)
     // An archived timeline (pre-1.x: .hoodie/archived; 1.x: LSM history

@@ -1,0 +1,513 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** Apache Hudi COPY_ON_WRITE writer — the write side of the third
+  * open-table-format leg, built purely from the PUBLIC Hudi storage
+  * layout (hudi.apache.org/tech-specs), and cross-validated against
+  * this repo's own [[HudiRead]] exactly the way the Delta and Iceberg
+  * legs validate writer-against-reader:
+  *
+  *   - `create(df, path, keyCol)` lays down `.hoodie/hoodie.properties`
+  *     (COPY_ON_WRITE, record key field declared) and the first commit;
+  *   - `insert(df, path, keyCol)` lands new FILE GROUPS (Hudi's
+  *     bulk-insert shape — no key merging; the caller owns key
+  *     uniqueness across inserts, exactly Hudi's insert contract);
+  *   - `upsert(source, path, keyCol)` is copy-on-write MERGE: affected
+  *     file groups (footer-stats-pruned on the record-key range, then
+  *     one distributed membership scan) are rewritten under the SAME
+  *     fileId at the new instant — the fileId-shadowing rule readers
+  *     plan by — with source rows replacing matched keys; unmatched
+  *     source keys land as a fresh file group;
+  *   - `delete(spark, path, predicate)` rewrites only the groups whose
+  *     files actually hold matches (SQL semantics: NULL-predicate rows
+  *     are kept);
+  *   - `insertBatch(df, path, keyCol, appId, batchId)` is EXACTLY-ONCE
+  *     streaming insert: the per-app watermark rides the commit's
+  *     `extraMetadata` (the same public mechanism Hudi's own streaming
+  *     ingest uses for its checkpoint key), so a replayed micro-batch
+  *     is a detected no-op.
+  *
+  * Every write lands the five `_hoodie_*` meta columns a Hudi data file
+  * carries (commit time, seqno, record key, partition path, file name —
+  * the file name is derivable IN-ROW because file groups are named
+  * `{fileId}_{token}_{instant}.parquet` and the fileId rides the write
+  * plan as a shadow column).
+  *
+  * Timeline protocol: instants are 17-digit numeric strings ordered
+  * lexicographically (wall-clock `yyyyMMddHHmmssSSS` at create, then
+  * STRICTLY max+1 — so two racing writers target the SAME next instant
+  * and the `<instant>.commit` file is published put-if-absent through
+  * [[SnapshotTable.storeFor]]: exactly one wins, the loser replans
+  * against the new timeline — the optimistic-concurrency discipline
+  * every other graft writer follows, here doubling as Hudi's
+  * single-writer-per-instant rule). `.commit.requested` and
+  * `.commit.inflight` markers land first per the protocol, so a
+  * crashed writer leaves an in-flight instant readers ignore (and the
+  * archival coverage check excuses).
+  *
+  * Scope (loudly enforced): unpartitioned COPY_ON_WRITE tables —
+  * MERGE_ON_READ, partitioned layouts, and tables holding log files
+  * refuse by name; one record-key column, cast to string per Hudi's
+  * key encoding.
+  */
+object HudiWrite {
+  private val om = new ObjectMapper()
+
+  private val MetaCols = Seq("_hoodie_commit_time", "_hoodie_commit_seqno",
+    "_hoodie_record_key", "_hoodie_partition_path", "_hoodie_file_name")
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val CompletedName = """(\d+)(?:_\d+)?\.(commit|deltacommit|replacecommit)""".r
+  private val AnyInstant = """(\d+)(?:_\d+)?\..*""".r
+
+  private def instantFmt = {
+    val f = new java.text.SimpleDateFormat("yyyyMMddHHmmssSSS")
+    f.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    f
+  }
+
+  /** Next instant: strictly greater than every instant NAME in the
+    * timeline (completed, inflight, or requested — a pending writer's
+    * instant must not be reused), and at least wall-clock so a fresh
+    * table starts at a Hudi-shaped timestamp.
+    */
+  private def nextInstant(f: org.apache.hadoop.fs.FileSystem,
+                          path: String): String = {
+    val dir = new Path(path, ".hoodie")
+    val seen =
+      if (!f.exists(dir)) Seq.empty
+      else f.listStatus(dir).map(_.getPath.getName).toSeq.collect {
+        case AnyInstant(ts) => ts
+      }
+    val wall = instantFmt.format(new java.util.Date())
+    val floor = if (seen.isEmpty) wall else seen.max
+    if (wall > floor) wall
+    else (BigInt(floor) + 1).toString.reverse.padTo(17, '0').reverse
+  }
+
+  private def tableProps(spark: SparkSession, path: String)
+      : java.util.Properties = {
+    val p = new Path(path, ".hoodie/hoodie.properties")
+    val f = fs(spark, path)
+    require(f.exists(p), s"$path is not a Hudi table — use create")
+    val in = f.open(p)
+    val pr = new java.util.Properties()
+    try pr.load(in) finally in.close()
+    pr
+  }
+
+  private def requireCowUnpartitioned(spark: SparkSession, path: String)
+      : Unit = {
+    val pr = tableProps(spark, path)
+    require(pr.getProperty("hoodie.table.type") == "COPY_ON_WRITE",
+      s"$path: this writer is COPY_ON_WRITE only — refusing")
+  }
+
+  /** The table's declared record-key field (written by create). */
+  private def recordKeyOf(spark: SparkSession, path: String): String = {
+    val k = tableProps(spark, path)
+      .getProperty("hoodie.table.recordkey.fields")
+    require(k != null && k.nonEmpty && !k.contains(","),
+      s"$path: hoodie.table.recordkey.fields must declare exactly one " +
+        "column for this writer — refusing")
+    k
+  }
+
+  /** One write unit bound for the table: the target fileId, the prior
+    * instant of that group ("null" for a fresh group), and the rows.
+    */
+  private final case class Landed(fileId: String, rel: String, rows: Long,
+                                  size: Long, prevCommit: String)
+
+  /** Land `df` (payload columns only) as one file PER DISTINCT value of
+    * its `__fg` shadow column, named `{fileId}_0-0-0_{instant}.parquet`,
+    * with the five Hudi meta columns written in-row. Returns the landed
+    * files. The stage write repartitions BY `__fg` so each group is a
+    * single task's single file; `partitionBy` strips the shadow column
+    * from the data.
+    */
+  private def land(df: DataFrame, path: String, keyCol: String,
+                   instant: String, prevOf: Map[String, String])
+      : Seq[Landed] = {
+    val spark = df.sparkSession
+    val f = fs(spark, path)
+    val withMeta = df
+      .withColumn("_hoodie_commit_time", lit(instant))
+      .withColumn("_hoodie_commit_seqno",
+        concat(lit(s"${instant}_0_"), monotonically_increasing_id()))
+      .withColumn("_hoodie_record_key", col(keyCol).cast("string"))
+      .withColumn("_hoodie_partition_path", lit(""))
+      .withColumn("_hoodie_file_name",
+        concat(col("__fg"), lit(s"_0-0-0_$instant.parquet")))
+      // meta columns FIRST, payload after — the column order Hudi's own
+      // writer produces
+      .select((MetaCols.map(col) ++
+        df.columns.filterNot(_ == "__fg").map(col) :+ col("__fg")): _*)
+    val stage = new Path(path,
+      s".stage-${java.util.UUID.randomUUID().toString}")
+    try {
+      withMeta.repartition(col("__fg"))
+        .write.partitionBy("__fg").parquet(stage.toString)
+      val dirs = f.listStatus(stage).filter(_.isDirectory)
+        .filter(_.getPath.getName.startsWith("__fg="))
+      dirs.toSeq.map { d =>
+        val fileId = PathCodec.percentDecode(
+          d.getPath.getName.stripPrefix("__fg="))
+        val parts = f.listStatus(d.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        require(parts.length == 1,
+          s"$path: group $fileId staged ${parts.length} files — the " +
+            "repartition-by-group invariant broke, refusing")
+        val rel = s"${fileId}_0-0-0_$instant.parquet"
+        val target = new Path(path, rel)
+        require(f.rename(parts.head.getPath, target),
+          s"$path: failed to land $rel")
+        Landed(fileId, rel, FileStats.rowCount(spark, path, rel),
+          f.getFileStatus(target).getLen,
+          prevOf.getOrElse(fileId, "null"))
+      }
+    } finally {
+      f.delete(stage, true)
+    }
+  }
+
+  /** Land one EMPTY shadowing slice (a group whose every row was
+    * deleted): `coalesce(1)` keeps Spark emitting exactly one part file
+    * even for zero rows, so the new slice exists on disk and shadows
+    * the old one.
+    */
+  private def landEmptySlice(payload: DataFrame, path: String,
+                             keyCol: String, fileId: String,
+                             instant: String, prev: String): Landed = {
+    val spark = payload.sparkSession
+    val f = fs(spark, path)
+    val rel = s"${fileId}_0-0-0_$instant.parquet"
+    val empty = payload.limit(0)
+    val withMeta = empty
+      .withColumn("_hoodie_commit_time", lit(instant))
+      .withColumn("_hoodie_commit_seqno", lit(s"${instant}_0_0"))
+      .withColumn("_hoodie_record_key", col(keyCol).cast("string"))
+      .withColumn("_hoodie_partition_path", lit(""))
+      .withColumn("_hoodie_file_name", lit(rel))
+      .select((MetaCols.map(col) ++ empty.columns.map(col)): _*)
+    val stage = new Path(path,
+      s".stage-${java.util.UUID.randomUUID().toString}")
+    try {
+      withMeta.coalesce(1).write.parquet(stage.toString)
+      val part = f.listStatus(stage)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      require(part.length == 1,
+        s"$path: empty-slice stage wrote ${part.length} files")
+      require(f.rename(part.head.getPath, new Path(path, rel)),
+        s"$path: failed to land $rel")
+      Landed(fileId, rel, 0L,
+        f.getFileStatus(new Path(path, rel)).getLen, prev)
+    } finally f.delete(stage, true)
+  }
+
+  private def commitJson(landed: Seq[Landed], operation: String,
+                         extraMetadata: Map[String, String]): String = {
+    val stats = landed.sortBy(_.rel).map { l =>
+      s"""{"fileId":"${l.fileId}","path":"${l.rel}",""" +
+        s""""prevCommit":"${l.prevCommit}","numWrites":${l.rows},""" +
+        s""""fileSizeInBytes":${l.size}}"""
+    }.mkString(",")
+    val extra =
+      if (extraMetadata.isEmpty) ""
+      else {
+        val n = om.createObjectNode()
+        extraMetadata.toSeq.sortBy(_._1)
+          .foreach { case (k, v) => n.put(k, v) }
+        s""","extraMetadata":${om.writeValueAsString(n)}"""
+      }
+    s"""{"partitionToWriteStats":{"":[$stats]},""" +
+      s""""operation":"$operation"$extra}"""
+  }
+
+  /** Publish `<instant>.commit` put-if-absent after landing the
+    * protocol's requested/inflight markers. Returns false when another
+    * writer completed this instant first (caller replans).
+    */
+  private def publish(spark: SparkSession, path: String, instant: String,
+                      json: String): Boolean = {
+    val f = fs(spark, path)
+    val dir = new Path(path, ".hoodie")
+    f.mkdirs(dir)
+    Seq(s"$instant.commit.requested", s"$instant.commit.inflight")
+      .foreach { n =>
+        val out = f.create(new Path(dir, n), true)
+        out.close()
+      }
+    val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    val won = SnapshotTable.storeFor(f.getScheme)
+      .publishIfAbsent(f, tmp, new Path(dir, s"$instant.commit"))
+    f.delete(tmp, false)
+    won
+  }
+
+  /** Per-app exactly-once watermark: max batchId over every completed
+    * commit's `extraMetadata` entry for this app (the public
+    * extraMetadata mechanism Hudi streaming ingest checkpoints with).
+    */
+  private def watermark(spark: SparkSession, path: String,
+                        appId: String): Long = {
+    val f = fs(spark, path)
+    val dir = new Path(path, ".hoodie")
+    if (!f.exists(dir)) return -1L
+    f.listStatus(dir).map(_.getPath.getName).collect {
+      case n @ CompletedName(_, "commit") =>
+        val in = f.open(new Path(dir, n))
+        val node = try om.readTree(new String(in.readAllBytes(), "UTF-8"))
+                   finally in.close()
+        val e = node.path("extraMetadata").path(s"graft.txn.$appId")
+        if (e.isMissingNode || e.isNull) -1L else e.asText().toLong
+    }.foldLeft(-1L)(math.max)
+  }
+
+  /** Create the table and land the first commit. Returns the instant. */
+  def create(df: DataFrame, path: String, keyCol: String): String = {
+    val spark = df.sparkSession
+    val f = fs(spark, path)
+    require(!f.exists(new Path(path, ".hoodie/hoodie.properties")),
+      s"$path already is a Hudi table — use insert/upsert")
+    require(df.columns.contains(keyCol),
+      s"record key column $keyCol not in ${df.columns.mkString(",")}")
+    val h = new Path(path, ".hoodie")
+    f.mkdirs(h)
+    val props = new Path(h, "hoodie.properties")
+    val out = f.create(props, false)
+    try out.write(
+      ("hoodie.table.name=" + new Path(path).getName + "\n" +
+        "hoodie.table.type=COPY_ON_WRITE\n" +
+        "hoodie.table.version=6\n" +
+        s"hoodie.table.recordkey.fields=$keyCol\n").getBytes("UTF-8"))
+    finally out.close()
+    insert(df, path, keyCol)
+  }
+
+  /** Land new file groups (bulk-insert shape: no key merging). Group
+    * count follows the input's partition count (capped), groups
+    * assigned by a hash of the record key so re-runs distribute
+    * identically. Returns the instant.
+    */
+  def insert(df: DataFrame, path: String, keyCol: String): String =
+    insertInternal(df, path, keyCol, Map.empty)
+
+  private def insertInternal(df: DataFrame, path: String, keyCol: String,
+                             extraMetadata: Map[String, String]): String = {
+    val spark = df.sparkSession
+    requireCowUnpartitioned(spark, path)
+    var attempts = 0
+    while (true) {
+      require(attempts < 10, s"$path: lost the commit race 10 times")
+      val f = fs(spark, path)
+      val instant = nextInstant(f, path)
+      // group count from a cheap upper bound (partition count), groups
+      // assigned by key hash — deterministic across retries
+      val nGroups = math.max(1, math.min(256,
+        df.rdd.getNumPartitions)).toInt
+      val ids = Seq.fill(nGroups)(java.util.UUID.randomUUID().toString)
+      val idArr = array(ids.map(lit): _*)
+      val tagged = df.withColumn("__fg",
+        element_at(idArr,
+          (pmod(xxhash64(col(keyCol).cast("string")), lit(nGroups)) + 1)
+            .cast("int")))
+      val landed = land(tagged, path, keyCol, instant, Map.empty)
+      if (publish(spark, path, instant,
+          commitJson(landed, "insert", extraMetadata))) return instant
+      // lost the instant to a racer: clean our data files and replan
+      landed.foreach(l => f.delete(new Path(path, l.rel), false))
+      attempts += 1
+    }
+    "" // unreachable
+  }
+
+  /** EXACTLY-ONCE streaming insert: replayed (appId, batchId ≤
+    * watermark) is a detected no-op returning the existing latest
+    * instant.
+    */
+  def insertBatch(df: DataFrame, path: String, keyCol: String,
+                  appId: String, batchId: Long): String = {
+    val spark = df.sparkSession
+    requireCowUnpartitioned(spark, path)
+    if (watermark(spark, path, appId) >= batchId) {
+      val (bases, _, _) = HudiRead.plan(spark, path, "")
+      return bases.map(_.instant).max
+    }
+    insertInternal(df, path, keyCol,
+      Map(s"graft.txn.$appId" -> batchId.toString))
+  }
+
+  /** Copy-on-write UPSERT: at-most-one-source-row-per-key MERGE.
+    * Affected file groups rewrite under the SAME fileId at the new
+    * instant; unmatched keys land as one fresh group. Returns the
+    * instant (or the current latest when the source is empty).
+    */
+  def upsert(source: DataFrame, path: String, keyCol: String): String = {
+    val spark = source.sparkSession
+    requireCowUnpartitioned(spark, path)
+    require(source.columns.contains(keyCol),
+      s"record key column $keyCol not in ${source.columns.mkString(",")}")
+    require(keyCol == recordKeyOf(spark, path),
+      s"$path: upsert key $keyCol != the table's declared record key " +
+        s"${recordKeyOf(spark, path)} — refusing")
+    val dups = source.groupBy(col(keyCol)).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dups.isEmpty,
+      s"upsert source has multiple rows for key ${dups.headOption}" +
+        " — at most one source row per key")
+    var attempts = 0
+    while (true) {
+      require(attempts < 10, s"$path: lost the commit race 10 times")
+      val f = fs(spark, path)
+      val (bases, logs, _) = HudiRead.plan(spark, path, "")
+      require(logs.isEmpty,
+        s"$path: table holds log files — this writer is COW only")
+      require(bases.forall(_.partition.isEmpty),
+        s"$path: partitioned table — this writer is unpartitioned only")
+      val instant = nextInstant(f, path)
+      // 1. footer-stats prune on the record key range (the Delta-upsert
+      // discipline: files whose key interval can't meet the source
+      // range are never opened)
+      val stats = FileStats.collect(spark, path, bases.map(_.path))
+      val keyRange = source.agg(
+        min(col(keyCol).cast("string")), max(col(keyCol).cast("string")))
+        .head()
+      val (loK, hiK) = (keyRange.getString(0), keyRange.getString(1))
+      val candidates =
+        if (loK == null) Seq.empty
+        else bases.filter { b =>
+          stats.get(b.path).flatMap(_.get("_hoodie_record_key")) match {
+            case Some(cs) if cs.kind == "s" &&
+                cs.lo.isDefined && cs.hi.isDefined =>
+              !(cs.hi.get < loK || cs.lo.get > hiK)
+            case _ => true // no usable stats: must scan
+          }
+        }
+      // 2. one distributed membership scan finds the groups actually
+      // holding source keys
+      val hitIds: Set[String] =
+        if (candidates.isEmpty) Set.empty
+        else {
+          val cand = spark.read
+            .parquet(candidates.map(b => s"$path/${b.path}"): _*)
+            .select(col("_hoodie_record_key").as("k"),
+              col("_hoodie_file_name").as("fn"))
+          cand.join(broadcast(source.select(col(keyCol).cast("string")
+              .as("k")).distinct()), "k")
+            .select("fn").distinct().collect()
+            .map(_.getString(0).split("_")(0)).toSet
+        }
+      val hit = bases.filter(b => hitIds.contains(b.fileId))
+      // 3. rewrite each hit group: base rows minus matched keys, plus
+      // the source rows whose key lived in THAT group; unmatched source
+      // keys become one fresh group
+      val srcKeyed = source.withColumn("__k", col(keyCol).cast("string"))
+      val payloadCols = source.columns.filterNot(MetaCols.contains)
+      val rewritten: Option[DataFrame] =
+        if (hit.isEmpty) None
+        else Some {
+          val baseRows = spark.read
+            .parquet(hit.map(b => s"$path/${b.path}"): _*)
+            .withColumn("__fg",
+              split(col("_hoodie_file_name"), "_").getItem(0))
+          val keep = baseRows
+            .join(broadcast(srcKeyed.select("__k").distinct()),
+              baseRows("_hoodie_record_key") === col("__k"), "left_anti")
+            .select((payloadCols.map(col) :+ col("__fg")): _*)
+          val replaced = baseRows
+            .select(col("_hoodie_record_key").as("__k"), col("__fg"))
+            .join(srcKeyed, "__k")
+            .select((payloadCols.map(col) :+ col("__fg")): _*)
+          keep.unionByName(replaced)
+        }
+      val matchedKeys =
+        if (hit.isEmpty) broadcast(spark.emptyDataFrame
+          .withColumn("__k", lit("")).select("__k").limit(0))
+        else spark.read.parquet(hit.map(b => s"$path/${b.path}"): _*)
+          .select(col("_hoodie_record_key").as("__k")).distinct()
+      val fresh = srcKeyed
+        .join(matchedKeys, Seq("__k"), "left_anti")
+        .select(payloadCols.map(col): _*)
+        .withColumn("__fg", lit(java.util.UUID.randomUUID().toString))
+      val plan0 = rewritten match {
+        case Some(r) => r.unionByName(
+          fresh.select((payloadCols.map(col) :+ col("__fg")): _*))
+        case None    => fresh
+      }
+      val prevOf = hit.map(b => b.fileId -> b.instant).toMap
+      val landed = land(plan0, path, keyCol, instant, prevOf)
+      // invariant: every hit group survives the rewrite — its replaced
+      // rows carry that group's __fg, so the staged write always emits
+      // the shadowing slice
+      val missing = hit.map(_.fileId).toSet -- landed.map(_.fileId).toSet
+      require(missing.isEmpty,
+        s"$path: rewrite lost file groups $missing — refusing to " +
+          "commit a plan that would resurrect their old slices")
+      if (landed.isEmpty) return bases.map(_.instant).max
+      if (publish(spark, path, instant,
+          commitJson(landed, "upsert", Map.empty))) return instant
+      landed.foreach(l => f.delete(new Path(path, l.rel), false))
+      attempts += 1
+    }
+    "" // unreachable
+  }
+
+  /** Copy-on-write DELETE of rows matching `predicate` (SQL NULL
+    * semantics: NULL-predicate rows are kept). Only groups whose files
+    * actually hold matches rewrite. Returns the instant, or the current
+    * latest when nothing matched.
+    */
+  def delete(spark: SparkSession, path: String, predicate: String)
+      : String = {
+    requireCowUnpartitioned(spark, path)
+    var attempts = 0
+    while (true) {
+      require(attempts < 10, s"$path: lost the commit race 10 times")
+      val f = fs(spark, path)
+      val (bases, logs, _) = HudiRead.plan(spark, path, "")
+      require(logs.isEmpty,
+        s"$path: table holds log files — this writer is COW only")
+      val instant = nextInstant(f, path)
+      val all = spark.read.parquet(bases.map(b => s"$path/${b.path}"): _*)
+      val hitIds = all.filter(expr(predicate))
+        .select(split(col("_hoodie_file_name"), "_").getItem(0).as("fg"))
+        .distinct().collect().map(_.getString(0)).toSet
+      if (hitIds.isEmpty) return bases.map(_.instant).max
+      val hit = bases.filter(b => hitIds.contains(b.fileId))
+      val payloadCols = all.columns.filterNot(MetaCols.contains)
+      val keep = spark.read
+        .parquet(hit.map(b => s"$path/${b.path}"): _*)
+        .filter(not(coalesce(expr(predicate), lit(false))))
+        .withColumn("__fg", split(col("_hoodie_file_name"), "_").getItem(0))
+        .select((payloadCols.map(col) :+ col("__fg")): _*)
+      val prevOf = hit.map(b => b.fileId -> b.instant).toMap
+      val keyCol = recordKeyOf(spark, path)
+      val landed0 = land(keep, path, keyCol, instant, prevOf)
+      // a group whose EVERY row matched still needs an empty shadowing
+      // slice — otherwise the reader would keep serving the old one
+      val missing = hit.map(_.fileId).toSet -- landed0.map(_.fileId).toSet
+      val landed = landed0 ++ missing.toSeq.sorted.map { fid =>
+        val src = spark.read
+          .parquet(s"$path/${hit.find(_.fileId == fid).get.path}")
+          .select(payloadCols.map(col): _*)
+        landEmptySlice(src, path, keyCol, fid, instant,
+          prevOf.getOrElse(fid, "null"))
+      }
+      if (publish(spark, path, instant,
+          commitJson(landed, "delete", Map.empty))) return instant
+      landed.foreach(l => f.delete(new Path(path, l.rel), false))
+      attempts += 1
+    }
+    "" // unreachable
+  }
+}

@@ -1,0 +1,149 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Hudi COPY_ON_WRITE writer round-trips: create/insert/upsert/delete
+  * through [[HudiWrite]] read back via [[HudiRead]] (the same
+  * writer-against-reader cross-validation the Delta and Iceberg legs
+  * get), instant time travel, exactly-once insertBatch, the commit
+  * race, and the loud refusal gates.
+  */
+class HudiWriteSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import sources.{HudiRead, HudiWrite}
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_hudiw").toString + "/t"
+
+  private def range(lo: Long, hi: Long, tag: String = "x") =
+    spark.range(lo, hi).select(col("id").as("k"),
+      concat(lit(tag), col("id").cast("string")).as("v"))
+
+  private def kv(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+    df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("create + insert round-trip with instant time travel") {
+    val dir = tmp()
+    val i1 = HudiWrite.create(range(0, 10).coalesce(1), dir, "k")
+    assert(HudiRead.read(spark, dir).count() == 10)
+    val i2 = HudiWrite.insert(range(10, 20).coalesce(1), dir, "k")
+    assert(i2 > i1, "instants must be strictly increasing")
+    val all = HudiRead.read(spark, dir)
+    assert(all.columns.toSeq == Seq("k", "v"), "meta columns dropped")
+    assert(kv(all) == kv(range(0, 20)))
+    // time travel to the first instant
+    assert(kv(HudiRead.read(spark, dir, asOf = i1)) == kv(range(0, 10)))
+  }
+
+  test("upsert: matched keys replaced in their own group, new keys inserted, shadowed slice time-travels") {
+    val dir = tmp()
+    val i1 = HudiWrite.create(range(0, 10).coalesce(2), dir, "k")
+    val src = range(5, 12, "upd") // 5-9 update, 10-11 insert
+    val i2 = HudiWrite.upsert(src, dir, "k")
+    val after = kv(HudiRead.read(spark, dir))
+    val want = kv(range(0, 5)) ++ kv(range(5, 12, "upd"))
+    assert(after == want)
+    // the pre-upsert state is still served at the old instant
+    assert(kv(HudiRead.read(spark, dir, asOf = i1)) == kv(range(0, 10)))
+    // second upsert over the rewritten groups composes
+    HudiWrite.upsert(range(5, 6, "upd2"), dir, "k")
+    assert(kv(HudiRead.read(spark, dir))
+      == want + (5L -> "upd25"))
+    // duplicate source keys refuse
+    val e = intercept[IllegalArgumentException] {
+      HudiWrite.upsert(range(0, 1).unionAll(range(0, 1)), dir, "k")
+    }
+    assert(e.getMessage.contains("one source row per key"))
+    // a wrong key column refuses against the declared record key
+    val e2 = intercept[IllegalArgumentException] {
+      HudiWrite.upsert(range(0, 1), dir, "v")
+    }
+    assert(e2.getMessage.contains("declared record key"))
+  }
+
+  test("delete: only matching groups rewrite; a fully-deleted group shadows with an empty slice") {
+    val dir = tmp()
+    HudiWrite.create(range(0, 10).coalesce(1), dir, "k")
+    // second group holds 100-104 only — deleting all of them must
+    // still shadow the group (empty slice), not resurrect it
+    HudiWrite.insert(range(100, 105).coalesce(1), dir, "k")
+    HudiWrite.delete(spark, dir, "k >= 100")
+    assert(kv(HudiRead.read(spark, dir)) == kv(range(0, 10)))
+    // partial delete rewrites the remaining group
+    val i = HudiWrite.delete(spark, dir, "k >= 7")
+    assert(kv(HudiRead.read(spark, dir)) == kv(range(0, 7)))
+    // no-op delete commits nothing (same latest instant)
+    assert(HudiWrite.delete(spark, dir, "k >= 1000") == i)
+    // NULL-predicate rows are kept (SQL DELETE semantics)
+    HudiWrite.delete(spark, dir,
+      "CASE WHEN k = 3 THEN NULL ELSE k = 2 END")
+    assert(kv(HudiRead.read(spark, dir)).keySet
+      == Set(0L, 1L, 3L, 4L, 5L, 6L))
+  }
+
+  test("insertBatch is exactly-once per (appId, batchId)") {
+    val dir = tmp()
+    HudiWrite.create(range(0, 5).coalesce(1), dir, "k")
+    HudiWrite.insertBatch(range(5, 10).coalesce(1), dir, "k", "app", 0L)
+    assert(HudiRead.read(spark, dir).count() == 10)
+    // replayed batch: detected no-op
+    HudiWrite.insertBatch(range(5, 10).coalesce(1), dir, "k", "app", 0L)
+    assert(HudiRead.read(spark, dir).count() == 10)
+    // next batch lands; an unrelated app has its own watermark
+    HudiWrite.insertBatch(range(10, 12).coalesce(1), dir, "k", "app", 1L)
+    HudiWrite.insertBatch(range(12, 13).coalesce(1), dir, "k", "b", 0L)
+    assert(HudiRead.read(spark, dir).count() == 13)
+  }
+
+  test("racing inserts: both land exactly once on distinct instants") {
+    val dir = tmp()
+    HudiWrite.create(range(0, 2).coalesce(1), dir, "k")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val fs = (0 until 4).map { i =>
+      Future(HudiWrite.insert(
+        range(10L + i * 10, 10L + i * 10 + 5).coalesce(1), dir, "k"))
+    }
+    val instants = Await.result(Future.sequence(fs), 120.seconds)
+    pool.shutdown()
+    assert(instants.distinct.size == 4, s"instants collided: $instants")
+    assert(HudiRead.read(spark, dir).count() == 2 + 4 * 5,
+      "every racing insert must land exactly once")
+  }
+
+  test("meta columns land per the storage layout; MOR and partitioned writes refuse") {
+    val dir = tmp()
+    val i1 = HudiWrite.create(range(0, 4).coalesce(1), dir, "k")
+    // raw read (reader drops meta cols — verify them directly)
+    val raw = spark.read.parquet(
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.toString): _*)
+    assert(raw.columns.take(5).toSeq == Seq("_hoodie_commit_time",
+      "_hoodie_commit_seqno", "_hoodie_record_key",
+      "_hoodie_partition_path", "_hoodie_file_name"))
+    val r = raw.filter(col("k") === 2).head()
+    assert(r.getString(0) == i1)
+    assert(r.getString(2) == "2")
+    assert(r.getString(4).endsWith(s"_0-0-0_$i1.parquet"))
+    // a MOR table refuses
+    val morDir = tmp()
+    Files.createDirectories(java.nio.file.Paths.get(morDir, ".hoodie"))
+    Files.writeString(
+      java.nio.file.Paths.get(morDir, ".hoodie", "hoodie.properties"),
+      "hoodie.table.name=t\nhoodie.table.type=MERGE_ON_READ\n")
+    val e = intercept[IllegalArgumentException] {
+      HudiWrite.insert(range(0, 1), morDir, "k")
+    }
+    assert(e.getMessage.contains("COPY_ON_WRITE only"))
+    // double-create refuses
+    val e2 = intercept[IllegalArgumentException] {
+      HudiWrite.create(range(0, 1), dir, "k")
+    }
+    assert(e2.getMessage.contains("already"))
+  }
+}

@@ -193,6 +193,9 @@ class SurveyConsistencySpec extends AnyFunSuite {
     assert(hasMethod("graft.sources.IcebergWrite$", "rollbackTo") ==
       srcSection.contains("plus SNAPSHOT ROLLBACK"),
       "Iceberg rollback claim and code marker disagree")
+    assert(hasClass("graft.sources.HudiWrite$") ==
+      srcSection.contains("Apache Hudi COPY_ON_WRITE WRITER"),
+      "Hudi writer claim and code marker disagree")
     assert(!srcSection.contains("nested/binary types and non-identity " +
       "transforms refused by name"),
       "SURVEY still carries the nested/binary-refusal claim")

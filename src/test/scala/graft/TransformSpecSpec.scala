@@ -491,6 +491,27 @@ class TransformSpecSpec extends AnyFunSuite {
     assert(graft.sources.DeltaRead.read(spark, s"$base/t5").count() == 6,
       "restore step must re-serve the pre-delete snapshot")
 
+    // hudiInsert (create-if-absent) + hudiUpsert + hudiDelete steps
+    TransformSpec.run(
+      s"""{"source": "c", "steps": [
+           {"op": "hudiInsert", "path": "$base/t6", "key": "k"}]}""",
+      Map("c" ->
+        spark.range(0, 6).select(col("id").as("k"), lit("x").as("tag"))
+          .coalesce(1)),
+      allowInlineSources = true)
+    TransformSpec.run(
+      s"""{"source": "u", "steps": [
+           {"op": "hudiUpsert", "path": "$base/t6", "key": "k"},
+           {"op": "hudiDelete", "path": "$base/t6",
+            "predicate": "k >= 7"}]}""",
+      Map("u" -> spark.range(4, 8).select(col("id").as("k"),
+        lit("y").as("tag")).coalesce(1)),
+      allowInlineSources = true)
+    val t6 = graft.sources.HudiRead.read(spark, s"$base/t6")
+    assert(t6.count() == 7) // 0-6 survive, k=7 deleted
+    assert(t6.filter(col("k") === 5).head().getString(1) == "y")
+    assert(t6.filter(col("k") === 2).head().getString(1) == "x")
+
     // Iceberg emit: create-if-absent then append, read back by snapshot
     TransformSpec.run(
       s"""{"source": "c", "steps": [
@@ -528,7 +549,8 @@ class TransformSpecSpec extends AnyFunSuite {
     }
     assert(refused.getMessage.contains("catalog-only"))
     Seq("deltaUpsert", "deltaDelete", "deltaOptimize", "deltaVacuum",
-        "deltaSync", "deltaRestore", "icebergUpsert", "icebergRollback")
+        "deltaSync", "deltaRestore", "icebergUpsert", "icebergRollback",
+        "hudiInsert", "hudiUpsert", "hudiDelete")
       .foreach { op =>
       val r = intercept[IllegalArgumentException] {
         TransformSpec.run(

@@ -463,6 +463,27 @@ assert v_restored == 2
 assert graft.delta_read(spark, dr_dir).count() == 8
 assert graft.delta_read(spark, dr_dir, version=1).count() == 5
 
+# round 10: Hudi COPY_ON_WRITE writer round-trip through HudiRead
+hw_dir = tempfile.mkdtemp(prefix="graft_pyhw") + "/t"
+graft.hudi_create(
+    spark, spark.range(0, 10).selectExpr("id AS k", "id * 2 AS v"),
+    hw_dir, "k")
+assert graft.hudi_read(spark, hw_dir).count() == 10
+graft.hudi_upsert(
+    spark, spark.range(8, 12).selectExpr("id AS k", "id * 100 AS v"),
+    hw_dir, "k")
+hu = graft.hudi_read(spark, hw_dir)
+assert hu.count() == 12 and hu.where("k = 9").first().v == 900
+graft.hudi_delete(spark, hw_dir, "k >= 10")
+assert graft.hudi_read(spark, hw_dir).count() == 10
+graft.hudi_insert_batch(
+    spark, spark.range(20, 22).selectExpr("id AS k", "id AS v"),
+    hw_dir, "k", "pyapp", 0)
+graft.hudi_insert_batch(
+    spark, spark.range(20, 22).selectExpr("id AS k", "id AS v"),
+    hw_dir, "k", "pyapp", 0)
+assert graft.hudi_read(spark, hw_dir).count() == 12
+
 # round 9: Iceberg identity-partitioned create + additive evolution
 ip_dir = tempfile.mkdtemp(prefix="graft_pyip") + "/t"
 graft.iceberg_create(spark, spark.range(0, 20).selectExpr(
@@ -529,5 +550,5 @@ print(f"PASS pysmoke: sql-functions, {len(out)}-row declarative job, "
       f"snapshot-table lifecycle (create/append/upsert/time-travel/"
       f"zone-map-pruned read/change feed) and the round-6 sweep "
       f"(bpe-train/encode, dedup-artifacts trio, delta-log read with "
-      f"stats skipping, delta write round-trip, full CDC apply) and the round-9 sweep (delta optimize/vacuum, row-level change feed, partitioned+evolving iceberg writes, iceberg MOR delete + exactly-once batch append, delta sync) and the round-10 sweep (iceberg snapshot-range change feed, delta RESTORE to a prior version) — all green")
+      f"stats skipping, delta write round-trip, full CDC apply) and the round-9 sweep (delta optimize/vacuum, row-level change feed, partitioned+evolving iceberg writes, iceberg MOR delete + exactly-once batch append, delta sync) and the round-10 sweep (iceberg snapshot-range change feed + rollback, delta RESTORE, hudi COW write/upsert/delete/exactly-once round-trip) — all green")
 spark.stop()
