@@ -636,10 +636,13 @@ def iceberg_changes(spark, path, from_snapshot_id, to_snapshot_id):
     return _wrap(spark, jdf)
 
 
-def hudi_create(spark, df, path, key):
-    """Create an unpartitioned COPY_ON_WRITE Hudi table (public storage
-    layout) and land the first commit. Returns the instant."""
-    return _jvm(spark).graft.sources.HudiWrite.create(df._jdf, path, key)
+def hudi_create(spark, df, path, key, partition_field=""):
+    """Create a COPY_ON_WRITE Hudi table (public storage layout) and
+    land the first commit; with ``partition_field``, file groups live
+    under one directory per partition value and upsert/delete merge per
+    (partition, key). Returns the instant."""
+    return _jvm(spark).graft.sources.HudiWrite.create(
+        df._jdf, path, key, partition_field)
 
 
 def hudi_insert(spark, df, path, key):

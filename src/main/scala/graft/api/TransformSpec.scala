@@ -291,7 +291,9 @@ object TransformSpec {
           .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
         if (!f.exists(new org.apache.hadoop.fs.Path(p,
             ".hoodie/hoodie.properties")))
-          graft.sources.HudiWrite.create(df, p, key)
+          graft.sources.HudiWrite.create(df, p, key,
+            if (step.has("partitionField"))
+              step.path("partitionField").asText() else "")
         else graft.sources.HudiWrite.insert(df, p, key)
         df
       case "hudiUpsert" =>

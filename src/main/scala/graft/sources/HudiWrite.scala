@@ -50,10 +50,19 @@ import scala.jdk.CollectionConverters._
   * crashed writer leaves an in-flight instant readers ignore (and the
   * archival coverage check excuses).
   *
-  * Scope (loudly enforced): unpartitioned COPY_ON_WRITE tables —
-  * MERGE_ON_READ, partitioned layouts, and tables holding log files
-  * refuse by name; one record-key column, cast to string per Hudi's
-  * key encoding.
+  * Partitioned tables (round-10 continuation): `create(df, path, key,
+  * partitionField)` declares `hoodie.table.partition.fields`; file
+  * groups live under one directory per partition VALUE (Hudi's default
+  * non-hive partition-path encoding), `_hoodie_partition_path` is
+  * written in-row, and upsert/delete merge per (partition, key) — the
+  * NON-GLOBAL index semantics HudiRead's per-slice merge expects, so a
+  * key legally repeated across partitions never cross-merges. NULL or
+  * empty partition values refuse loudly (their directory encoding is
+  * ambiguous across readers).
+  *
+  * Scope (loudly enforced): COPY_ON_WRITE tables — MERGE_ON_READ and
+  * tables holding log files refuse by name; one record-key column and
+  * at most one partition field, cast to string per Hudi's encoding.
   */
 object HudiWrite {
   private val om = new ObjectMapper()
@@ -103,7 +112,7 @@ object HudiWrite {
     pr
   }
 
-  private def requireCowUnpartitioned(spark: SparkSession, path: String)
+  private def requireCow(spark: SparkSession, path: String)
       : Unit = {
     val pr = tableProps(spark, path)
     require(pr.getProperty("hoodie.table.type") == "COPY_ON_WRITE",
@@ -120,56 +129,96 @@ object HudiWrite {
     k
   }
 
-  /** One write unit bound for the table: the target fileId, the prior
-    * instant of that group ("null" for a fresh group), and the rows.
-    */
-  private final case class Landed(fileId: String, rel: String, rows: Long,
-                                  size: Long, prevCommit: String)
+  /** The table's declared partition field (None = unpartitioned). */
+  private def partitionFieldOf(spark: SparkSession, path: String)
+      : Option[String] = {
+    val p = tableProps(spark, path)
+      .getProperty("hoodie.table.partition.fields")
+    Option(p).filter(_.nonEmpty).map { v =>
+      require(!v.contains(","),
+        s"$path: at most one partition field for this writer — refusing")
+      v
+    }
+  }
 
-  /** Land `df` (payload columns only) as one file PER DISTINCT value of
-    * its `__fg` shadow column, named `{fileId}_0-0-0_{instant}.parquet`,
-    * with the five Hudi meta columns written in-row. Returns the landed
-    * files. The stage write repartitions BY `__fg` so each group is a
-    * single task's single file; `partitionBy` strips the shadow column
-    * from the data.
+  /** One write unit bound for the table: the target (partition, fileId),
+    * the prior instant of that group ("null" for a fresh group), and
+    * the rows.
+    */
+  private final case class Landed(partition: String, fileId: String,
+                                  rel: String, rows: Long, size: Long,
+                                  prevCommit: String)
+
+  /** Land `df` (payload columns plus the `__pp`/`__fg` shadow columns:
+    * target partition path — "" on unpartitioned tables — and target
+    * fileId) as one file PER (partition, fileId), named
+    * `[{partition}/]{fileId}_0-0-0_{instant}.parquet`, with the five
+    * Hudi meta columns written in-row. The stage write repartitions BY
+    * `__fg` so each group is a single task's single file; `partitionBy`
+    * strips the shadow columns from the data. Empty-string/NULL
+    * partition values on a partitioned table refuse (their directory
+    * encoding is ambiguous).
     */
   private def land(df: DataFrame, path: String, keyCol: String,
-                   instant: String, prevOf: Map[String, String])
-      : Seq[Landed] = {
+                   instant: String, prevOf: Map[String, String],
+                   partitioned: Boolean): Seq[Landed] = {
     val spark = df.sparkSession
     val f = fs(spark, path)
+    if (partitioned) {
+      val bad = df.filter(col("__pp").isNull || col("__pp") === "")
+        .limit(1).collect()
+      require(bad.isEmpty,
+        s"$path: NULL/empty partition value in the write batch — the " +
+          "directory encoding is ambiguous across readers, refusing")
+    }
     val withMeta = df
       .withColumn("_hoodie_commit_time", lit(instant))
       .withColumn("_hoodie_commit_seqno",
         concat(lit(s"${instant}_0_"), monotonically_increasing_id()))
       .withColumn("_hoodie_record_key", col(keyCol).cast("string"))
-      .withColumn("_hoodie_partition_path", lit(""))
+      .withColumn("_hoodie_partition_path",
+        if (partitioned) col("__pp") else lit(""))
       .withColumn("_hoodie_file_name",
         concat(col("__fg"), lit(s"_0-0-0_$instant.parquet")))
       // meta columns FIRST, payload after — the column order Hudi's own
       // writer produces
       .select((MetaCols.map(col) ++
-        df.columns.filterNot(_ == "__fg").map(col) :+ col("__fg")): _*)
+        df.columns.filterNot(Set("__fg", "__pp")).map(col) ++
+        (if (partitioned) Seq(col("__pp")) else Nil) :+ col("__fg")): _*)
     val stage = new Path(path,
       s".stage-${java.util.UUID.randomUUID().toString}")
+    val stageCols = if (partitioned) Seq("__pp", "__fg") else Seq("__fg")
     try {
       withMeta.repartition(col("__fg"))
-        .write.partitionBy("__fg").parquet(stage.toString)
-      val dirs = f.listStatus(stage).filter(_.isDirectory)
-        .filter(_.getPath.getName.startsWith("__fg="))
-      dirs.toSeq.map { d =>
+        .write.partitionBy(stageCols: _*).parquet(stage.toString)
+      def groupDirs: Seq[(String, Path)] =
+        if (!partitioned)
+          f.listStatus(stage).filter(_.isDirectory).toSeq
+            .filter(_.getPath.getName.startsWith("__fg="))
+            .map(d => ("", d.getPath))
+        else f.listStatus(stage).filter(_.isDirectory).toSeq
+          .filter(_.getPath.getName.startsWith("__pp=")).flatMap { pd =>
+            val pp = PathCodec.percentDecode(
+              pd.getPath.getName.stripPrefix("__pp="))
+            f.listStatus(pd.getPath).filter(_.isDirectory)
+              .filter(_.getPath.getName.startsWith("__fg="))
+              .map(d => (pp, d.getPath))
+          }
+      groupDirs.map { case (pp, d) =>
         val fileId = PathCodec.percentDecode(
-          d.getPath.getName.stripPrefix("__fg="))
-        val parts = f.listStatus(d.getPath)
+          d.getName.stripPrefix("__fg="))
+        val parts = f.listStatus(d)
           .filter(_.getPath.getName.endsWith(".parquet"))
         require(parts.length == 1,
           s"$path: group $fileId staged ${parts.length} files — the " +
             "repartition-by-group invariant broke, refusing")
-        val rel = s"${fileId}_0-0-0_$instant.parquet"
+        val name = s"${fileId}_0-0-0_$instant.parquet"
+        val rel = if (pp.isEmpty) name else s"$pp/$name"
         val target = new Path(path, rel)
+        f.mkdirs(target.getParent)
         require(f.rename(parts.head.getPath, target),
           s"$path: failed to land $rel")
-        Landed(fileId, rel, FileStats.rowCount(spark, path, rel),
+        Landed(pp, fileId, rel, FileStats.rowCount(spark, path, rel),
           f.getFileStatus(target).getLen,
           prevOf.getOrElse(fileId, "null"))
       }
@@ -184,18 +233,20 @@ object HudiWrite {
     * the old one.
     */
   private def landEmptySlice(payload: DataFrame, path: String,
-                             keyCol: String, fileId: String,
-                             instant: String, prev: String): Landed = {
+                             keyCol: String, partition: String,
+                             fileId: String, instant: String,
+                             prev: String): Landed = {
     val spark = payload.sparkSession
     val f = fs(spark, path)
-    val rel = s"${fileId}_0-0-0_$instant.parquet"
+    val name = s"${fileId}_0-0-0_$instant.parquet"
+    val rel = if (partition.isEmpty) name else s"$partition/$name"
     val empty = payload.limit(0)
     val withMeta = empty
       .withColumn("_hoodie_commit_time", lit(instant))
       .withColumn("_hoodie_commit_seqno", lit(s"${instant}_0_0"))
       .withColumn("_hoodie_record_key", col(keyCol).cast("string"))
-      .withColumn("_hoodie_partition_path", lit(""))
-      .withColumn("_hoodie_file_name", lit(rel))
+      .withColumn("_hoodie_partition_path", lit(partition))
+      .withColumn("_hoodie_file_name", lit(name))
       .select((MetaCols.map(col) ++ empty.columns.map(col)): _*)
     val stage = new Path(path,
       s".stage-${java.util.UUID.randomUUID().toString}")
@@ -205,20 +256,26 @@ object HudiWrite {
         .filter(_.getPath.getName.endsWith(".parquet"))
       require(part.length == 1,
         s"$path: empty-slice stage wrote ${part.length} files")
-      require(f.rename(part.head.getPath, new Path(path, rel)),
+      val target = new Path(path, rel)
+      f.mkdirs(target.getParent)
+      require(f.rename(part.head.getPath, target),
         s"$path: failed to land $rel")
-      Landed(fileId, rel, 0L,
-        f.getFileStatus(new Path(path, rel)).getLen, prev)
+      Landed(partition, fileId, rel, 0L,
+        f.getFileStatus(target).getLen, prev)
     } finally f.delete(stage, true)
   }
 
   private def commitJson(landed: Seq[Landed], operation: String,
                          extraMetadata: Map[String, String]): String = {
-    val stats = landed.sortBy(_.rel).map { l =>
-      s"""{"fileId":"${l.fileId}","path":"${l.rel}",""" +
-        s""""prevCommit":"${l.prevCommit}","numWrites":${l.rows},""" +
-        s""""fileSizeInBytes":${l.size}}"""
-    }.mkString(",")
+    val byPart = landed.groupBy(_.partition).toSeq.sortBy(_._1)
+      .map { case (pp, ls) =>
+        val stats = ls.sortBy(_.rel).map { l =>
+          s"""{"fileId":"${l.fileId}","path":"${l.rel}",""" +
+            s""""prevCommit":"${l.prevCommit}","numWrites":${l.rows},""" +
+            s""""fileSizeInBytes":${l.size}}"""
+        }.mkString(",")
+        s""""$pp":[$stats]"""
+      }.mkString(",")
     val extra =
       if (extraMetadata.isEmpty) ""
       else {
@@ -227,7 +284,7 @@ object HudiWrite {
           .foreach { case (k, v) => n.put(k, v) }
         s""","extraMetadata":${om.writeValueAsString(n)}"""
       }
-    s"""{"partitionToWriteStats":{"":[$stats]},""" +
+    s"""{"partitionToWriteStats":{$byPart},""" +
       s""""operation":"$operation"$extra}"""
   }
 
@@ -273,14 +330,22 @@ object HudiWrite {
     }.foldLeft(-1L)(math.max)
   }
 
-  /** Create the table and land the first commit. Returns the instant. */
-  def create(df: DataFrame, path: String, keyCol: String): String = {
+  /** Create the table and land the first commit. `partitionField`
+    * (optional) declares one partition column — file groups then live
+    * under one directory per partition value. Returns the instant.
+    */
+  def create(df: DataFrame, path: String, keyCol: String,
+             partitionField: String = ""): String = {
     val spark = df.sparkSession
     val f = fs(spark, path)
     require(!f.exists(new Path(path, ".hoodie/hoodie.properties")),
       s"$path already is a Hudi table — use insert/upsert")
     require(df.columns.contains(keyCol),
       s"record key column $keyCol not in ${df.columns.mkString(",")}")
+    if (partitionField.nonEmpty)
+      require(df.columns.contains(partitionField),
+        s"partition column $partitionField not in " +
+          df.columns.mkString(","))
     val h = new Path(path, ".hoodie")
     f.mkdirs(h)
     val props = new Path(h, "hoodie.properties")
@@ -289,7 +354,10 @@ object HudiWrite {
       ("hoodie.table.name=" + new Path(path).getName + "\n" +
         "hoodie.table.type=COPY_ON_WRITE\n" +
         "hoodie.table.version=6\n" +
-        s"hoodie.table.recordkey.fields=$keyCol\n").getBytes("UTF-8"))
+        s"hoodie.table.recordkey.fields=$keyCol\n" +
+        (if (partitionField.isEmpty) ""
+         else s"hoodie.table.partition.fields=$partitionField\n"))
+        .getBytes("UTF-8"))
     finally out.close()
     insert(df, path, keyCol)
   }
@@ -305,23 +373,35 @@ object HudiWrite {
   private def insertInternal(df: DataFrame, path: String, keyCol: String,
                              extraMetadata: Map[String, String]): String = {
     val spark = df.sparkSession
-    requireCowUnpartitioned(spark, path)
+    requireCow(spark, path)
+    val partField = partitionFieldOf(spark, path)
+    partField.foreach(pf => require(df.columns.contains(pf),
+      s"insert batch misses partition column $pf"))
     var attempts = 0
     while (true) {
       require(attempts < 10, s"$path: lost the commit race 10 times")
       val f = fs(spark, path)
       val instant = nextInstant(f, path)
-      // group count from a cheap upper bound (partition count), groups
-      // assigned by key hash — deterministic across retries
+      // bin count from a cheap upper bound (input partition count);
+      // fileIds derive IN-ROW from (instant, partition, bin) — unique
+      // per commit, no driver-side knowledge of the partition values
       val nGroups = math.max(1, math.min(256,
         df.rdd.getNumPartitions)).toInt
-      val ids = Seq.fill(nGroups)(java.util.UUID.randomUUID().toString)
-      val idArr = array(ids.map(lit): _*)
-      val tagged = df.withColumn("__fg",
-        element_at(idArr,
-          (pmod(xxhash64(col(keyCol).cast("string")), lit(nGroups)) + 1)
-            .cast("int")))
-      val landed = land(tagged, path, keyCol, instant, Map.empty)
+      val pp = partField.map(pf => col(pf).cast("string"))
+        .getOrElse(lit(""))
+      val bin = pmod(xxhash64(col(keyCol).cast("string")), lit(nGroups))
+      // a per-attempt salt keeps fileIds unique across RACING writers
+      // that computed the same next instant (the loser's files delete
+      // on publish failure, but their names must never collide with
+      // the winner's)
+      val salt = java.util.UUID.randomUUID().toString
+      val tagged = df
+        .withColumn("__pp", pp)
+        .withColumn("__fg",
+          md5(concat_ws("#", lit(instant), lit(salt), col("__pp"),
+            bin.cast("string"))))
+      val landed = land(tagged, path, keyCol, instant, Map.empty,
+        partitioned = partField.nonEmpty)
       if (publish(spark, path, instant,
           commitJson(landed, "insert", extraMetadata))) return instant
       // lost the instant to a racer: clean our data files and replan
@@ -338,7 +418,7 @@ object HudiWrite {
   def insertBatch(df: DataFrame, path: String, keyCol: String,
                   appId: String, batchId: Long): String = {
     val spark = df.sparkSession
-    requireCowUnpartitioned(spark, path)
+    requireCow(spark, path)
     if (watermark(spark, path, appId) >= batchId) {
       val (bases, _, _) = HudiRead.plan(spark, path, "")
       return bases.map(_.instant).max
@@ -354,17 +434,22 @@ object HudiWrite {
     */
   def upsert(source: DataFrame, path: String, keyCol: String): String = {
     val spark = source.sparkSession
-    requireCowUnpartitioned(spark, path)
+    requireCow(spark, path)
     require(source.columns.contains(keyCol),
       s"record key column $keyCol not in ${source.columns.mkString(",")}")
     require(keyCol == recordKeyOf(spark, path),
       s"$path: upsert key $keyCol != the table's declared record key " +
         s"${recordKeyOf(spark, path)} — refusing")
-    val dups = source.groupBy(col(keyCol)).count()
+    val partField = partitionFieldOf(spark, path)
+    partField.foreach(pf => require(source.columns.contains(pf),
+      s"upsert source misses partition column $pf"))
+    // record keys are unique PER PARTITION under the non-global index
+    val dupCols = col(keyCol) +: partField.map(col).toSeq
+    val dups = source.groupBy(dupCols: _*).count()
       .filter(col("count") > 1).limit(1).collect()
     require(dups.isEmpty,
       s"upsert source has multiple rows for key ${dups.headOption}" +
-        " — at most one source row per key")
+        " — at most one source row per (partition, key)")
     var attempts = 0
     while (true) {
       require(attempts < 10, s"$path: lost the commit race 10 times")
@@ -372,8 +457,6 @@ object HudiWrite {
       val (bases, logs, _) = HudiRead.plan(spark, path, "")
       require(logs.isEmpty,
         s"$path: table holds log files — this writer is COW only")
-      require(bases.forall(_.partition.isEmpty),
-        s"$path: partitioned table — this writer is unpartitioned only")
       val instant = nextInstant(f, path)
       // 1. footer-stats prune on the record key range (the Delta-upsert
       // discipline: files whose key interval can't meet the source
@@ -394,25 +477,31 @@ object HudiWrite {
           }
         }
       // 2. one distributed membership scan finds the groups actually
-      // holding source keys
+      // holding source (partition, key) pairs
+      val srcPp = partField.map(pf => col(pf).cast("string"))
+        .getOrElse(lit(""))
+      val srcKeyed = source
+        .withColumn("__k", col(keyCol).cast("string"))
+        .withColumn("__pp", srcPp)
       val hitIds: Set[String] =
         if (candidates.isEmpty) Set.empty
         else {
           val cand = spark.read
             .parquet(candidates.map(b => s"$path/${b.path}"): _*)
-            .select(col("_hoodie_record_key").as("k"),
+            .select(col("_hoodie_record_key").as("__k"),
+              col("_hoodie_partition_path").as("__pp"),
               col("_hoodie_file_name").as("fn"))
-          cand.join(broadcast(source.select(col(keyCol).cast("string")
-              .as("k")).distinct()), "k")
+          cand.join(broadcast(srcKeyed.select("__k", "__pp").distinct()),
+              Seq("__k", "__pp"))
             .select("fn").distinct().collect()
             .map(_.getString(0).split("_")(0)).toSet
         }
       val hit = bases.filter(b => hitIds.contains(b.fileId))
-      // 3. rewrite each hit group: base rows minus matched keys, plus
-      // the source rows whose key lived in THAT group; unmatched source
-      // keys become one fresh group
-      val srcKeyed = source.withColumn("__k", col(keyCol).cast("string"))
+      // 3. rewrite each hit group: base rows minus matched pairs, plus
+      // the source rows whose (partition, key) lived in THAT group;
+      // unmatched source rows become one fresh group per partition
       val payloadCols = source.columns.filterNot(MetaCols.contains)
+      val shadowed = Seq(col("__pp"), col("__fg"))
       val rewritten: Option[DataFrame] =
         if (hit.isEmpty) None
         else Some {
@@ -420,32 +509,41 @@ object HudiWrite {
             .parquet(hit.map(b => s"$path/${b.path}"): _*)
             .withColumn("__fg",
               split(col("_hoodie_file_name"), "_").getItem(0))
+            .withColumn("__pp", col("_hoodie_partition_path"))
           val keep = baseRows
-            .join(broadcast(srcKeyed.select("__k").distinct()),
-              baseRows("_hoodie_record_key") === col("__k"), "left_anti")
-            .select((payloadCols.map(col) :+ col("__fg")): _*)
+            .join(broadcast(srcKeyed.select("__k", "__pp").distinct()
+                .withColumnRenamed("__pp", "__spp")),
+              baseRows("_hoodie_record_key") === col("__k") &&
+                baseRows("__pp") === col("__spp"), "left_anti")
+            .select((payloadCols.map(col) ++ shadowed): _*)
+          // match on (key, partition) — the non-global-index identity;
+          // a key repeated across partitions must only replace in its
+          // own partition
           val replaced = baseRows
-            .select(col("_hoodie_record_key").as("__k"), col("__fg"))
-            .join(srcKeyed, "__k")
-            .select((payloadCols.map(col) :+ col("__fg")): _*)
+            .select(col("_hoodie_record_key").as("__k"),
+              col("__pp"), col("__fg"))
+            .join(srcKeyed, Seq("__k", "__pp"))
+            .select((payloadCols.map(col) ++ shadowed): _*)
           keep.unionByName(replaced)
         }
-      val matchedKeys =
-        if (hit.isEmpty) broadcast(spark.emptyDataFrame
-          .withColumn("__k", lit("")).select("__k").limit(0))
+      val matchedPairs =
+        if (hit.isEmpty) srcKeyed.select("__k", "__pp").limit(0)
         else spark.read.parquet(hit.map(b => s"$path/${b.path}"): _*)
-          .select(col("_hoodie_record_key").as("__k")).distinct()
+          .select(col("_hoodie_record_key").as("__k"),
+            col("_hoodie_partition_path").as("__pp")).distinct()
       val fresh = srcKeyed
-        .join(matchedKeys, Seq("__k"), "left_anti")
-        .select(payloadCols.map(col): _*)
-        .withColumn("__fg", lit(java.util.UUID.randomUUID().toString))
+        .join(matchedPairs, Seq("__k", "__pp"), "left_anti")
+        .withColumn("__fg",
+          md5(concat_ws("#", lit(instant),
+            lit(java.util.UUID.randomUUID().toString), col("__pp"))))
+        .select((payloadCols.map(col) ++ shadowed): _*)
       val plan0 = rewritten match {
-        case Some(r) => r.unionByName(
-          fresh.select((payloadCols.map(col) :+ col("__fg")): _*))
+        case Some(r) => r.unionByName(fresh)
         case None    => fresh
       }
       val prevOf = hit.map(b => b.fileId -> b.instant).toMap
-      val landed = land(plan0, path, keyCol, instant, prevOf)
+      val landed = land(plan0, path, keyCol, instant, prevOf,
+        partitioned = partField.nonEmpty)
       // invariant: every hit group survives the rewrite — its replaced
       // rows carry that group's __fg, so the staged write always emits
       // the shadowing slice
@@ -469,7 +567,7 @@ object HudiWrite {
     */
   def delete(spark: SparkSession, path: String, predicate: String)
       : String = {
-    requireCowUnpartitioned(spark, path)
+    requireCow(spark, path)
     var attempts = 0
     while (true) {
       require(attempts < 10, s"$path: lost the commit race 10 times")
@@ -485,22 +583,25 @@ object HudiWrite {
       if (hitIds.isEmpty) return bases.map(_.instant).max
       val hit = bases.filter(b => hitIds.contains(b.fileId))
       val payloadCols = all.columns.filterNot(MetaCols.contains)
+      val partitioned = partitionFieldOf(spark, path).nonEmpty
       val keep = spark.read
         .parquet(hit.map(b => s"$path/${b.path}"): _*)
         .filter(not(coalesce(expr(predicate), lit(false))))
         .withColumn("__fg", split(col("_hoodie_file_name"), "_").getItem(0))
-        .select((payloadCols.map(col) :+ col("__fg")): _*)
+        .withColumn("__pp", col("_hoodie_partition_path"))
+        .select((payloadCols.map(col) :+ col("__pp") :+ col("__fg")): _*)
       val prevOf = hit.map(b => b.fileId -> b.instant).toMap
       val keyCol = recordKeyOf(spark, path)
-      val landed0 = land(keep, path, keyCol, instant, prevOf)
+      val landed0 = land(keep, path, keyCol, instant, prevOf,
+        partitioned = partitioned)
       // a group whose EVERY row matched still needs an empty shadowing
       // slice — otherwise the reader would keep serving the old one
       val missing = hit.map(_.fileId).toSet -- landed0.map(_.fileId).toSet
       val landed = landed0 ++ missing.toSeq.sorted.map { fid =>
-        val src = spark.read
-          .parquet(s"$path/${hit.find(_.fileId == fid).get.path}")
+        val old = hit.find(_.fileId == fid).get
+        val src = spark.read.parquet(s"$path/${old.path}")
           .select(payloadCols.map(col): _*)
-        landEmptySlice(src, path, keyCol, fid, instant,
+        landEmptySlice(src, path, keyCol, old.partition, fid, instant,
           prevOf.getOrElse(fid, "null"))
       }
       if (publish(spark, path, instant,

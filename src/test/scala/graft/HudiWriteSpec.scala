@@ -55,7 +55,7 @@ class HudiWriteSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] {
       HudiWrite.upsert(range(0, 1).unionAll(range(0, 1)), dir, "k")
     }
-    assert(e.getMessage.contains("one source row per key"))
+    assert(e.getMessage.contains("one source row per"))
     // a wrong key column refuses against the declared record key
     val e2 = intercept[IllegalArgumentException] {
       HudiWrite.upsert(range(0, 1), dir, "v")
@@ -81,6 +81,55 @@ class HudiWriteSpec extends AnyFunSuite {
       "CASE WHEN k = 3 THEN NULL ELSE k = 2 END")
     assert(kv(HudiRead.read(spark, dir)).keySet
       == Set(0L, 1L, 3L, 4L, 5L, 6L))
+  }
+
+  test("partitioned COW: per-partition groups, (partition,key) merge, cross-partition keys isolated") {
+    val dir = tmp()
+    def rows(lo: Long, hi: Long, p: String, tag: String = "x") =
+      spark.range(lo, hi).select(col("id").as("k"),
+        lit(p).as("p"),
+        concat(lit(tag), col("id").cast("string")).as("v"))
+    HudiWrite.create(
+      rows(0, 5, "A").unionAll(rows(0, 5, "B")).coalesce(1), dir, "k", "p")
+    val t0 = HudiRead.read(spark, dir)
+    assert(t0.count() == 10)
+    // file groups live under one directory per partition value
+    assert(new java.io.File(dir, "A").listFiles()
+      .exists(_.getName.endsWith(".parquet")))
+    assert(new java.io.File(dir, "B").listFiles()
+      .exists(_.getName.endsWith(".parquet")))
+    // upsert keyed per (partition, key): k=2 updates ONLY partition A;
+    // the same key in partition B must stay untouched
+    HudiWrite.upsert(rows(2, 3, "A", "upd"), dir, "k")
+    val t1 = HudiRead.read(spark, dir)
+    assert(t1.filter(col("p") === "A" && col("k") === 2)
+      .head().getString(2) == "upd2")
+    assert(t1.filter(col("p") === "B" && col("k") === 2)
+      .head().getString(2) == "x2")
+    // the same key appearing in BOTH partitions of one source batch is
+    // legal under the non-global index
+    HudiWrite.upsert(rows(3, 4, "A", "a3").unionAll(rows(3, 4, "B", "b3")),
+      dir, "k")
+    val t2 = HudiRead.read(spark, dir)
+    assert(t2.filter(col("p") === "A" && col("k") === 3)
+      .head().getString(2) == "a33")
+    assert(t2.filter(col("p") === "B" && col("k") === 3)
+      .head().getString(2) == "b33")
+    // fresh keys land in their own partition's new group
+    HudiWrite.upsert(rows(100, 102, "B", "new"), dir, "k")
+    assert(HudiRead.read(spark, dir).count() == 12)
+    // per-partition delete: B's k>=100 vanish, A untouched
+    HudiWrite.delete(spark, dir, "p = 'B' AND k >= 100")
+    val t3 = HudiRead.read(spark, dir)
+    assert(t3.count() == 10)
+    assert(t3.filter(col("p") === "A").count() == 5)
+    // NULL/empty partition values refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      HudiWrite.insert(spark.range(0, 1).select(col("id").as("k"),
+        lit(null.asInstanceOf[String]).as("p"), lit("z").as("v")),
+        dir, "k")
+    }
+    assert(e.getMessage.contains("partition value"))
   }
 
   test("insertBatch is exactly-once per (appId, batchId)") {
@@ -116,7 +165,7 @@ class HudiWriteSpec extends AnyFunSuite {
       "every racing insert must land exactly once")
   }
 
-  test("meta columns land per the storage layout; MOR and partitioned writes refuse") {
+  test("meta columns land per the storage layout; MOR tables and double-create refuse") {
     val dir = tmp()
     val i1 = HudiWrite.create(range(0, 4).coalesce(1), dir, "k")
     // raw read (reader drops meta cols — verify them directly)
