@@ -376,6 +376,34 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Exactly-once streaming insert into a Hudi COPY_ON_WRITE table —
+    * the [[deltaAppendStream]] contract on the third open-format leg:
+    * `HudiWrite.insertBatch` watermarks (appId, batchId) in the
+    * commit's extraMetadata, so Structured Streaming's at-least-once
+    * foreachBatch replays are detected no-ops. Create-if-absent with
+    * an EMPTY first commit so batch 0 itself is always watermarked.
+    */
+  def hudiInsertStream(spark: SparkSession, srcDir: String,
+                       tablePath: String, checkpointDir: String,
+                       appId: String, keyCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    readEvents(spark, srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val hp = new org.apache.hadoop.fs.Path(tablePath,
+          ".hoodie/hoodie.properties")
+        val f = hp.getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        if (!f.exists(hp))
+          graft.sources.HudiWrite.create(batch.limit(0), tablePath, keyCol)
+        graft.sources.HudiWrite.insertBatch(
+          batch, tablePath, keyCol, appId, batchId)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   def cdcApplyStream(spark: SparkSession, srcDir: String, tablePath: String,
                      checkpointDir: String, appId: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {

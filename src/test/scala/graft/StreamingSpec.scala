@@ -404,6 +404,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(IcebergRead.read(spark, table).count() == want)
   }
 
+  test("hudiInsertStream: exactly-once into Hudi COW, wiped checkpoint changes nothing") {
+    import sources.HudiRead
+    val base = java.nio.file.Files.createTempDirectory("graft_hes")
+    val table = s"$base/t"
+    val q1 = streaming.StreamOps.hudiInsertStream(spark, sf, table,
+      s"$base/ckpt1", "hes-e2e", "event_id")
+    try q1.awaitTermination() finally q1.stop()
+    val want = Tables.events(spark, sf).count()
+    assert(HudiRead.read(spark, table).count() == want && want > 0)
+    val commits = new java.io.File(s"$table/.hoodie").listFiles()
+      .count(_.getName.endsWith(".commit"))
+    // restart with a WIPED checkpoint: every batch replays with the
+    // same ids — the extraMetadata watermark skips them all
+    val q2 = streaming.StreamOps.hudiInsertStream(spark, sf, table,
+      s"$base/ckpt2", "hes-e2e", "event_id")
+    try q2.awaitTermination() finally q2.stop()
+    assert(new java.io.File(s"$table/.hoodie").listFiles()
+      .count(_.getName.endsWith(".commit")) == commits,
+      "wiped-checkpoint replay must not commit")
+    assert(HudiRead.read(spark, table).count() == want)
+  }
+
   test("streaming sessionizer emits sessions consistent with batch q27") {
     val q = streaming.StreamOps.sessionize(spark, sf)
       .writeStream.outputMode("append").format("memory")
