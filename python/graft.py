@@ -674,6 +674,16 @@ def hudi_insert_batch(spark, df, path, key, app_id, batch_id):
         df._jdf, path, key, app_id, int(batch_id))
 
 
+def hudi_read_where(spark, path, predicate, as_of=""):
+    """Pruned Hudi COW read: open only base files whose footer zone
+    maps can satisfy the predicate (Hudi commit metadata carries no
+    column bounds, so the zone maps are footer-harvested at plan
+    time). Refuses on tables with uncompacted log files."""
+    jdf = _jvm(spark).graft.sources.HudiRead.readWhere(
+        spark._jsparkSession, path, predicate, as_of)
+    return _wrap(spark, jdf)
+
+
 def hudi_read(spark, path, as_of=""):
     """Read-only Apache Hudi snapshot read (public storage layout:
     completed-commit timeline + latest file slice per group;

@@ -295,6 +295,28 @@ object ScaleStress {
     val tOpt100 = time(DeltaWrite.optimize(spark, d100))
     println(f"optimize partitions      10 grp=$tOpt10%7.2fs  " +
       f"100 grp=$tOpt100%7.2fs  ratio=${tOpt100 / tOpt10}%4.1fx")
+
+    // 5. Hudi COW upsert: 4 vs 40 file groups, SAME source size — the
+    // membership scan + per-group rewrite must track the bytes the
+    // source keys actually touch (stats-pruned), not the group count
+    def hudiTable(groups: Int): String = {
+      val d = fresh(s"hudi_up_$groups")
+      sources.HudiWrite.create(spark.range(0, 400000)
+        .selectExpr("id AS k", "cast(id % 97 AS double) AS v")
+        .repartition(groups), d, "k")
+      d
+    }
+    def hudiUp(d: String): Unit =
+      sources.HudiWrite.upsert(spark.range(0, 50)
+        .selectExpr("id AS k", "cast(-1.0 AS double) AS v").coalesce(1),
+        d, "k")
+    val h4 = hudiTable(4)
+    hudiUp(h4) // warm the write path
+    val tH4 = time(hudiUp(h4))
+    val h40 = hudiTable(40)
+    val tH40 = time(hudiUp(h40))
+    println(f"hudi upsert groups       4 grp=$tH4%7.2fs  " +
+      f"40 grp=$tH40%7.2fs  ratio=${tH40 / tH4}%4.1fx")
   }
 
   def main(args: Array[String]): Unit = {

@@ -316,6 +316,51 @@ object HudiRead {
     * is needed. MOR file slices with uncompacted log files merge the
     * log records onto the base rows (last write wins per record key).
     */
+  /** Pruned read: open only base files whose footer zone maps can
+    * satisfy `predicate` — the Delta/Iceberg `readWhere` contract on
+    * the Hudi leg. Hudi COW commit metadata carries NO column bounds
+    * (bounds live in the optional metadata table this reader doesn't
+    * model), so the zone maps are FOOTER-HARVESTED at plan time: one
+    * KB-sized footer read per live file, driver-side — the same budget
+    * [[FileStats]] spends at write time on the other legs, honest
+    * about where Hudi keeps (or doesn't keep) its stats. Tables with
+    * uncompacted log files refuse: pruning a file slice on its BASE
+    * bounds could drop log-inserted rows the bounds know nothing
+    * about.
+    */
+  def readWhere(spark: SparkSession, path: String, predicate: String,
+                asOf: String = ""): DataFrame = {
+    val (bases, logs, _) = plan(spark, path, asOf)
+    require(logs.isEmpty,
+      s"$path: uncompacted log files present — base-file zone maps " +
+        "cannot prune a merged slice soundly, refusing (read() merges)")
+    val pred = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(predicate)
+    val stats = FileStats.collect(spark, path, bases.map(_.path))
+    val kept = bases.filter(b =>
+      FileStats.mayMatch(pred, stats.getOrElse(b.path, Map.empty)))
+    val src =
+      if (kept.nonEmpty)
+        spark.read.parquet(kept.map(b => s"$path/${b.path}"): _*)
+      else // schema-only: zero files matched
+        spark.read.parquet(s"$path/${bases.head.path}").limit(0)
+    src.drop(MetaCols: _*)
+      .filter(org.apache.spark.sql.functions.expr(predicate))
+  }
+
+  /** (total live base files, files `predicate` would open). */
+  def pruneReport(spark: SparkSession, path: String, predicate: String,
+                  asOf: String = ""): (Int, Int) = {
+    val (bases, logs, _) = plan(spark, path, asOf)
+    require(logs.isEmpty,
+      s"$path: uncompacted log files present — refusing, see readWhere")
+    val pred = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(predicate)
+    val stats = FileStats.collect(spark, path, bases.map(_.path))
+    (bases.size, bases.count(b =>
+      FileStats.mayMatch(pred, stats.getOrElse(b.path, Map.empty))))
+  }
+
   def read(spark: SparkSession, path: String, asOf: String = "")
       : DataFrame = {
     val pr = props(spark, path)

@@ -146,6 +146,25 @@ class HudiWriteSpec extends AnyFunSuite {
     assert(HudiRead.read(spark, dir).count() == 13)
   }
 
+  test("readWhere/pruneReport: footer zone maps open only matching groups") {
+    val dir = tmp()
+    // three groups with DISJOINT key ranges (one commit each)
+    HudiWrite.create(range(0, 10).coalesce(1), dir, "k")
+    HudiWrite.insert(range(100, 110).coalesce(1), dir, "k")
+    HudiWrite.insert(range(200, 210).coalesce(1), dir, "k")
+    val (total, kept) = HudiRead.pruneReport(spark, dir, "k >= 200")
+    assert(total == 3 && kept == 1, s"pruning: $kept of $total")
+    val got = HudiRead.readWhere(spark, dir, "k >= 200")
+    assert(got.columns.toSeq == Seq("k", "v"), "meta columns dropped")
+    assert(kv(got) == kv(range(200, 210)))
+    // pruned == unpruned on a mid-range predicate
+    assert(kv(HudiRead.readWhere(spark, dir, "k >= 100 AND k < 205"))
+      == kv(HudiRead.read(spark, dir)
+        .filter("k >= 100 AND k < 205")))
+    // zero-file predicate still answers with the right schema
+    assert(HudiRead.readWhere(spark, dir, "k < 0").count() == 0)
+  }
+
   test("racing inserts: both land exactly once on distinct instants") {
     val dir = tmp()
     HudiWrite.create(range(0, 2).coalesce(1), dir, "k")

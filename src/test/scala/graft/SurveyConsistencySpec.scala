@@ -196,6 +196,11 @@ class SurveyConsistencySpec extends AnyFunSuite {
     assert(hasClass("graft.sources.HudiWrite$") ==
       srcSection.contains("Apache Hudi COPY_ON_WRITE WRITER"),
       "Hudi writer claim and code marker disagree")
+    assert(hasMethod("graft.sources.HudiRead$", "readWhere") ==
+      srcSection.contains("column-stats skipping via `readWhere`"),
+      "Hudi readWhere claim and code marker disagree")
+    assert(!srcSection.contains("no column-stats skipping"),
+      "SURVEY still carries the Hudi no-skipping claim")
     assert(!srcSection.contains("nested/binary types and non-identity " +
       "transforms refused by name"),
       "SURVEY still carries the nested/binary-refusal claim")
