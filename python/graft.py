@@ -636,13 +636,24 @@ def iceberg_changes(spark, path, from_snapshot_id, to_snapshot_id):
     return _wrap(spark, jdf)
 
 
-def hudi_create(spark, df, path, key, partition_field=""):
-    """Create a COPY_ON_WRITE Hudi table (public storage layout) and
-    land the first commit; with ``partition_field``, file groups live
-    under one directory per partition value and upsert/delete merge per
-    (partition, key). Returns the instant."""
+def hudi_create(spark, df, path, key, partition_field="",
+                table_type="COPY_ON_WRITE"):
+    """Create a Hudi table (public storage layout) and land the first
+    commit; with ``partition_field``, file groups live under one
+    directory per partition value and upsert/delete merge per
+    (partition, key). ``table_type`` may be MERGE_ON_READ for the
+    log-upsert write path. Returns the instant."""
     return _jvm(spark).graft.sources.HudiWrite.create(
-        df._jdf, path, key, partition_field)
+        df._jdf, path, key, partition_field, table_type)
+
+
+def hudi_upsert_log(spark, df, path, key):
+    """MERGE_ON_READ log-upsert: matched keys append one avro log
+    block per affected file slice (O(source) - the read pays the
+    merge); unmatched keys land as a fresh base group in the same
+    deltacommit. Returns the instant."""
+    return _jvm(spark).graft.sources.HudiWrite.upsertLog(
+        df._jdf, path, key)
 
 
 def hudi_insert(spark, df, path, key):

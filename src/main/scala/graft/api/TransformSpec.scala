@@ -296,6 +296,12 @@ object TransformSpec {
               step.path("partitionField").asText() else "")
         else graft.sources.HudiWrite.insert(df, p, key)
         df
+      case "hudiUpsertLog" =>
+        // MOR log-upsert: one avro log block per affected file slice
+        gateWrite(allowInline, "hudiUpsertLog")
+        graft.sources.HudiWrite.upsertLog(df, step.path("path").asText(),
+          step.path("key").asText())
+        df
       case "hudiUpsert" =>
         // Hudi COW MERGE by the table's declared record key
         gateWrite(allowInline, "hudiUpsert")

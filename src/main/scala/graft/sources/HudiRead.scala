@@ -536,6 +536,82 @@ object HudiRead {
     * against its own slice's base rows only. A winning DELETE record
     * suppresses the key from its slice entirely.
     */
+  /** (partition, fileId, record key) of every LIVE log record — data
+    * AND delete rows both count: a deleted key's slice attachment
+    * still pins where a re-insert must go. The light sibling of
+    * [[mergeLogs]]'s decode pass, used by [[HudiWrite.upsertLog]] to
+    * route source keys to the slice that currently holds them
+    * (log-inserted keys are invisible to the base files alone).
+    * Distributed: executor-side block decode, output is
+    * log-record-scale, deduplicated per (partition, fileId, key).
+    */
+  private[sources] def logKeyPlacement(spark: SparkSession, path: String,
+                                       logs: Seq[Slice],
+                                       completedTs: Set[String])
+      : DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (logs.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("__pp", StringType),
+          StructField("__fid", StringType),
+          StructField("__k", StringType))))
+    val paths = logs.map(_.path).distinct.map(rel => s"$path/$rel")
+    val confW = new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration)
+    def bytesOf(p: String): Array[Byte] = {
+      val hp = new Path(p)
+      val f = hp.getFileSystem(confW.value)
+      val in = f.open(hp)
+      try in.readAllBytes() finally in.close()
+    }
+    val pathsRdd = spark.sparkContext.parallelize(paths,
+      math.max(1, math.min(paths.size, 64)))
+    val targets: Set[String] = pathsRdd.flatMap { p =>
+      parseBlocks(bytesOf(p), p).iterator.collect {
+        case b if b.tpe == CommandBlock &&
+            b.header.get(HCommand).forall(_.trim == "0") =>
+          b.header.getOrElse(HTarget, "")
+      }.filter(_.nonEmpty)
+    }.collect().toSet
+    val sliceOf: Map[String, (String, String)] = logs
+      .map(l => s"$path/${l.path}" -> (l.partition, l.fileId)).toMap
+    val slB = spark.sparkContext.broadcast(sliceOf)
+    val tgB = spark.sparkContext.broadcast(targets)
+    val okB = spark.sparkContext.broadcast(completedTs)
+    val rdd = pathsRdd.flatMap { p =>
+      val (part, fid) = slB.value(p)
+      def live(b: LogBlock): Boolean =
+        okB.value.contains(b.header.getOrElse(HInstant, "")) &&
+          !tgB.value.contains(b.header.getOrElse(HInstant, ""))
+      parseBlocks(bytesOf(p), p).iterator.flatMap { b =>
+        if (b.tpe == CommandBlock || !live(b)) Iterator.empty
+        else if (b.tpe == DeleteBlock)
+          decodeDeleteBlock(b.content, p).iterator
+            .map(k => Row(part, fid, k))
+        else if (b.tpe == AvroBlock) {
+          val schema = b.header.getOrElse(HSchema,
+            throw new IllegalArgumentException(
+              s"$p: avro data block carries no SCHEMA header — refusing"))
+          decodeAvroBlock(b.content, schema, p).map { rec =>
+            val f = rec.getSchema.getField(KeyCol)
+            val k = if (f == null) null else rec.get(KeyCol)
+            require(k != null,
+              s"$p: log record carries no $KeyCol — refusing")
+            Row(part, fid, k.toString)
+          }
+        } else throw new IllegalArgumentException(
+          s"$p: log block type ${BlockNames.getOrElse(b.tpe,
+            b.tpe.toString)} is not modeled — refusing")
+      }
+    }
+    spark.createDataFrame(rdd,
+      StructType(Seq(StructField("__pp", StringType),
+        StructField("__fid", StringType),
+        StructField("__k", StringType))))
+      .distinct()
+  }
+
   private def mergeLogs(spark: SparkSession, path: String,
                         base: DataFrame, logs: Seq[Slice],
                         bases: Seq[Slice],

@@ -60,9 +60,21 @@ import scala.jdk.CollectionConverters._
   * empty partition values refuse loudly (their directory encoding is
   * ambiguous across readers).
   *
-  * Scope (loudly enforced): COPY_ON_WRITE tables — MERGE_ON_READ and
-  * tables holding log files refuse by name; one record-key column and
-  * at most one partition field, cast to string per Hudi's encoding.
+  * MERGE_ON_READ tables (round-10 continuation): `create(..,
+  * tableType="MERGE_ON_READ")` + `upsertLog(source, path, key)` — the
+  * streaming-upsert shape Hudi exists for: matched keys APPEND one
+  * avro log block per affected file slice (O(source); the read pays
+  * the merge) instead of rewriting whole groups, unmatched keys land
+  * as a fresh base group in the SAME deltacommit, and routing is by
+  * the slice that currently HOLDS each (partition, key) — base files
+  * plus the live log records — so a log-inserted key updates in place
+  * instead of duplicating. MOR writes publish `deltacommit` instants;
+  * COW-rewrite `upsert`/`delete` refuse on MOR tables by name (and
+  * `upsertLog` refuses on COW).
+  *
+  * Scope (loudly enforced): one record-key column and at most one
+  * partition field, cast to string per Hudi's encoding; unknown table
+  * types refuse every write.
   */
 object HudiWrite {
   private val om = new ObjectMapper()
@@ -112,12 +124,30 @@ object HudiWrite {
     pr
   }
 
-  private def requireCow(spark: SparkSession, path: String)
-      : Unit = {
-    val pr = tableProps(spark, path)
-    require(pr.getProperty("hoodie.table.type") == "COPY_ON_WRITE",
-      s"$path: this writer is COPY_ON_WRITE only — refusing")
+  private def tableTypeOf(spark: SparkSession, path: String): String = {
+    val t = tableProps(spark, path).getProperty("hoodie.table.type")
+    require(t == "COPY_ON_WRITE" || t == "MERGE_ON_READ",
+      s"$path: hoodie.table.type=$t unknown to this writer — refusing")
+    t
   }
+
+  private def requireCow(spark: SparkSession, path: String): Unit =
+    require(tableTypeOf(spark, path) == "COPY_ON_WRITE",
+      s"$path: this operation is COPY_ON_WRITE only (MERGE_ON_READ " +
+        "tables take upsertLog) — refusing")
+
+  private def requireMor(spark: SparkSession, path: String): Unit =
+    require(tableTypeOf(spark, path) == "MERGE_ON_READ",
+      s"$path: upsertLog is MERGE_ON_READ only (COPY_ON_WRITE tables " +
+        "take upsert) — refusing")
+
+  /** The completed-instant kind this table's writes publish:
+    * deltacommit on MOR (log-file or insert base-file writes), commit
+    * on COW — exactly the naming [[HudiRead]] plans by.
+    */
+  private def instantKind(spark: SparkSession, path: String): String =
+    if (tableTypeOf(spark, path) == "MERGE_ON_READ") "deltacommit"
+    else "commit"
 
   /** The table's declared record-key field (written by create). */
   private def recordKeyOf(spark: SparkSession, path: String): String = {
@@ -294,10 +324,11 @@ object HudiWrite {
     */
   private def publish(spark: SparkSession, path: String, instant: String,
                       json: String): Boolean = {
+    val kind = instantKind(spark, path)
     val f = fs(spark, path)
     val dir = new Path(path, ".hoodie")
     f.mkdirs(dir)
-    Seq(s"$instant.commit.requested", s"$instant.commit.inflight")
+    Seq(s"$instant.$kind.requested", s"$instant.$kind.inflight")
       .foreach { n =>
         val out = f.create(new Path(dir, n), true)
         out.close()
@@ -306,7 +337,7 @@ object HudiWrite {
     val out = f.create(tmp, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
     val won = SnapshotTable.storeFor(f.getScheme)
-      .publishIfAbsent(f, tmp, new Path(dir, s"$instant.commit"))
+      .publishIfAbsent(f, tmp, new Path(dir, s"$instant.$kind"))
     f.delete(tmp, false)
     won
   }
@@ -321,7 +352,7 @@ object HudiWrite {
     val dir = new Path(path, ".hoodie")
     if (!f.exists(dir)) return -1L
     f.listStatus(dir).map(_.getPath.getName).collect {
-      case n @ CompletedName(_, "commit") =>
+      case n @ CompletedName(_, "commit" | "deltacommit") =>
         val in = f.open(new Path(dir, n))
         val node = try om.readTree(new String(in.readAllBytes(), "UTF-8"))
                    finally in.close()
@@ -335,13 +366,16 @@ object HudiWrite {
     * under one directory per partition value. Returns the instant.
     */
   def create(df: DataFrame, path: String, keyCol: String,
-             partitionField: String = ""): String = {
+             partitionField: String = "",
+             tableType: String = "COPY_ON_WRITE"): String = {
     val spark = df.sparkSession
     val f = fs(spark, path)
     require(!f.exists(new Path(path, ".hoodie/hoodie.properties")),
       s"$path already is a Hudi table — use insert/upsert")
     require(df.columns.contains(keyCol),
       s"record key column $keyCol not in ${df.columns.mkString(",")}")
+    require(tableType == "COPY_ON_WRITE" || tableType == "MERGE_ON_READ",
+      s"tableType $tableType unknown — refusing")
     if (partitionField.nonEmpty)
       require(df.columns.contains(partitionField),
         s"partition column $partitionField not in " +
@@ -352,7 +386,7 @@ object HudiWrite {
     val out = f.create(props, false)
     try out.write(
       ("hoodie.table.name=" + new Path(path).getName + "\n" +
-        "hoodie.table.type=COPY_ON_WRITE\n" +
+        s"hoodie.table.type=$tableType\n" +
         "hoodie.table.version=6\n" +
         s"hoodie.table.recordkey.fields=$keyCol\n" +
         (if (partitionField.isEmpty) ""
@@ -373,7 +407,7 @@ object HudiWrite {
   private def insertInternal(df: DataFrame, path: String, keyCol: String,
                              extraMetadata: Map[String, String]): String = {
     val spark = df.sparkSession
-    requireCow(spark, path)
+    tableTypeOf(spark, path) // loud gate; insert works on COW and MOR
     val partField = partitionFieldOf(spark, path)
     partField.foreach(pf => require(df.columns.contains(pf),
       s"insert batch misses partition column $pf"))
@@ -418,7 +452,7 @@ object HudiWrite {
   def insertBatch(df: DataFrame, path: String, keyCol: String,
                   appId: String, batchId: Long): String = {
     val spark = df.sparkSession
-    requireCow(spark, path)
+    tableTypeOf(spark, path) // loud gate; works on COW and MOR
     if (watermark(spark, path, appId) >= batchId) {
       val (bases, _, _) = HudiRead.plan(spark, path, "")
       return bases.map(_.instant).max
@@ -606,6 +640,243 @@ object HudiWrite {
       }
       if (publish(spark, path, instant,
           commitJson(landed, "delete", Map.empty))) return instant
+      landed.foreach(l => f.delete(new Path(path, l.rel), false))
+      attempts += 1
+    }
+    "" // unreachable
+  }
+
+  // ------------------------------------------------------------------
+  // MERGE_ON_READ log-upsert
+  // ------------------------------------------------------------------
+
+  private val LogVerName = """\.(.+)_(\d+)\.log\.(\d+)(?:_(.+))?""".r
+
+  /** Avro schema JSON for log records: `_hoodie_record_key` plus the
+    * payload columns as nullable unions — exactly the leaf set
+    * [[HudiRead]]'s merge decoder models.
+    */
+  private def logAvroSchema(
+      payload: org.apache.spark.sql.types.StructType): String = {
+    import org.apache.spark.sql.types._
+    def avroT(dt: DataType): String = dt match {
+      case IntegerType => "int";    case LongType => "long"
+      case FloatType => "float";    case DoubleType => "double"
+      case StringType => "string";  case BooleanType => "boolean"
+      case other => throw new IllegalArgumentException(
+        s"payload type ${other.sql} is outside the log-merge decoder's " +
+          "modeled set (int/long/float/double/string/boolean) — refusing")
+    }
+    val fields = (("_hoodie_record_key", "string") +:
+      payload.fields.toSeq.map(f => (f.name, avroT(f.dataType))))
+      .map { case (n, t) =>
+        s"""{"name":"$n","type":["null","$t"],"default":null}"""
+      }.mkString(",")
+    s"""{"type":"record","name":"graft_log_rec","fields":[$fields]}"""
+  }
+
+  /** Ordinal-keyed header/footer map per the public log-block layout. */
+  private def metaBytes(m: Map[Int, String]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(m.size)
+    m.toSeq.sortBy(_._1).foreach { case (ord, v) =>
+      val b = v.getBytes("UTF-8")
+      out.writeInt(ord); out.writeInt(b.length); out.write(b)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  /** One `#HUDI#`-framed log block (magic, block size, format version,
+    * type ordinal, header map, content length, content, footer map,
+    * total length) — the exact layout [[HudiRead.parseBlocks]] decodes.
+    */
+  private def frameBlock(tpe: Int, header: Map[Int, String],
+                         content: Array[Byte]): Array[Byte] = {
+    val hdr = metaBytes(header)
+    val ftr = metaBytes(Map.empty)
+    val blockSize = 4L + 4 + hdr.length + 8 + content.length +
+      ftr.length + 8
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.write("#HUDI#".getBytes("UTF-8"))
+    out.writeLong(blockSize)
+    out.writeInt(1)   // log format version
+    out.writeInt(tpe) // block type ordinal
+    out.write(hdr)
+    out.writeLong(content.length.toLong)
+    out.write(content)
+    out.write(ftr)
+    out.writeLong(6L + 8 + blockSize)
+    out.flush(); bos.toByteArray
+  }
+
+  /** AVRO_DATA_BLOCK content: 4-byte version, 4-byte record count, then
+    * per record a 4-byte length + avro-binary bytes.
+    */
+  private def avroBlockContent(schemaJson: String,
+                               recs: Iterator[Seq[AnyRef]],
+                               names: Seq[String]): Array[Byte] = {
+    val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+    val writer = new org.apache.avro.generic.GenericDatumWriter[
+      org.apache.avro.generic.GenericRecord](schema)
+    val recBytes = recs.map { vals =>
+      val r = new org.apache.avro.generic.GenericData.Record(schema)
+      names.zip(vals).foreach { case (n, v) => r.put(n, v) }
+      val bos = new java.io.ByteArrayOutputStream()
+      val enc = org.apache.avro.io.EncoderFactory.get()
+        .binaryEncoder(bos, null)
+      writer.write(r, enc); enc.flush()
+      bos.toByteArray
+    }.toVector
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(3); out.writeInt(recBytes.size)
+    recBytes.foreach { b => out.writeInt(b.length); out.write(b) }
+    out.flush(); bos.toByteArray
+  }
+
+  /** MERGE_ON_READ log-upsert — the streaming-upsert shape Hudi exists
+    * for: instead of rewriting whole file groups (COW `upsert`),
+    * matched keys APPEND one avro log block per affected file slice
+    * (O(source), the read pays the merge), and unmatched keys land as
+    * a fresh BASE group in the SAME deltacommit. Routing is by the
+    * slice that currently HOLDS each (partition, key) — base files
+    * plus [[HudiRead.logKeyPlacement]]'s live log records, so a key
+    * inserted by an earlier log block updates IN PLACE instead of
+    * duplicating into a new group. Log files are written EXECUTOR-side
+    * (one task writes each slice's block; the write token is
+    * attempt-unique so a racing loser can never clobber the winner's
+    * file), named `.{fileId}_{baseInstant}.log.{version}_{token}` with
+    * version = the slice's max existing log version + 1. The commit is
+    * one deltacommit; losing the instant race deletes this attempt's
+    * files and replans.
+    */
+  def upsertLog(source: DataFrame, path: String, keyCol: String): String = {
+    val spark = source.sparkSession
+    requireMor(spark, path)
+    require(source.columns.contains(keyCol),
+      s"record key column $keyCol not in ${source.columns.mkString(",")}")
+    require(keyCol == recordKeyOf(spark, path),
+      s"$path: upsertLog key $keyCol != the table's declared record " +
+        s"key ${recordKeyOf(spark, path)} — refusing")
+    val partField = partitionFieldOf(spark, path)
+    partField.foreach(pf => require(source.columns.contains(pf),
+      s"upsertLog source misses partition column $pf"))
+    val dupCols = col(keyCol) +: partField.map(col).toSeq
+    val dups = source.groupBy(dupCols: _*).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dups.isEmpty,
+      s"upsertLog source has multiple rows for key ${dups.headOption}" +
+        " — at most one source row per (partition, key)")
+    val payload = org.apache.spark.sql.types.StructType(
+      source.schema.fields.filterNot(f => MetaCols.contains(f.name)))
+    val schemaJson = logAvroSchema(payload) // also the loud type gate
+    var attempts = 0
+    while (true) {
+      require(attempts < 10, s"$path: lost the commit race 10 times")
+      val f = fs(spark, path)
+      val (bases, logs, completedTs) = HudiRead.plan(spark, path, "")
+      val instant = nextInstant(f, path)
+      // placement of every live (partition, key): base files + live
+      // log records (data AND delete rows — a deleted key re-inserts
+      // into its own slice)
+      val basePlace =
+        if (bases.isEmpty)
+          HudiRead.logKeyPlacement(spark, path, Nil, completedTs)
+        else spark.read
+          .parquet(bases.map(b => s"$path/${b.path}"): _*)
+          .select(col("_hoodie_partition_path").as("__pp"),
+            split(col("_hoodie_file_name"), "_").getItem(0).as("__fid"),
+            col("_hoodie_record_key").as("__k"))
+      val place = basePlace
+        .unionByName(HudiRead.logKeyPlacement(spark, path, logs,
+          completedTs))
+        .distinct()
+      val srcPp = partField.map(pf => col(pf).cast("string"))
+        .getOrElse(lit(""))
+      val srcKeyed = source
+        .withColumn("__k", col(keyCol).cast("string"))
+        .withColumn("__pp", srcPp)
+      val names = payload.fieldNames.toSeq
+      val routed = srcKeyed.join(place, Seq("__k", "__pp"))
+        .select((Seq(col("__pp"), col("__fid"), col("__k")) ++
+          names.map(col)): _*)
+      // per-slice log metadata (touched slices only — metadata-sized)
+      val touched = routed.select("__pp", "__fid").distinct().collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      val baseOf = bases.map(b => (b.partition, b.fileId) -> b.instant)
+        .toMap
+      val maxVer: Map[(String, String), Long] = logs
+        .groupBy(l => (l.partition, l.fileId))
+        .map { case (g, ls) =>
+          g -> ls.map(_.path.split("/").last match {
+            case LogVerName(_, _, v, _) => v.toLong
+            case _                      => 0L
+          }).max
+        }
+      val token = java.util.UUID.randomUUID().toString
+      val logRelOf: Map[(String, String), (String, String)] =
+        touched.map { case (pp, fid) =>
+          val baseTs = baseOf.getOrElse((pp, fid),
+            throw new IllegalStateException(
+              s"$path: placement found no base for group ($pp, $fid)"))
+          val ver = maxVer.getOrElse((pp, fid), 0L) + 1
+          val name = s".${fid}_$baseTs.log.${ver}_0-$token"
+          ((pp, fid), (if (pp.isEmpty) name else s"$pp/$name", baseTs))
+        }.toMap
+      // write one log file per touched slice, EXECUTOR-side
+      val confW = new org.apache.spark.SerializableWritable(
+        spark.sparkContext.hadoopConfiguration)
+      val relB = spark.sparkContext.broadcast(logRelOf)
+      val tablePath = path
+      val schemaJ = schemaJson
+      val inst = instant
+      val fieldNames = "_hoodie_record_key" +: names
+      val written: Seq[(String, String, Long, Long)] =
+        routed.repartition(col("__pp"), col("__fid")).rdd
+          .mapPartitions { it =>
+            val bySlice = it.toVector.groupBy(r =>
+              (r.getString(0), r.getString(1)))
+            bySlice.iterator.map { case ((pp, fid), rows) =>
+              val recs = rows.iterator.map { r =>
+                r.getString(2).asInstanceOf[AnyRef] +:
+                  names.indices.map(i => r.get(3 + i)
+                    .asInstanceOf[AnyRef])
+              }
+              val content =
+                avroBlockContent(schemaJ, recs, fieldNames)
+              val bytes = frameBlock(3, // AVRO_DATA_BLOCK
+                Map(0 -> inst, 2 -> schemaJ), content)
+              val (rel, _) = relB.value((pp, fid))
+              val hp = new Path(s"$tablePath/$rel")
+              val hf = hp.getFileSystem(confW.value)
+              val out = hf.create(hp, false)
+              try out.write(bytes) finally out.close()
+              (pp, fid, rows.size.toLong,
+                hf.getFileStatus(hp).getLen)
+            }
+          }.collect().toSeq
+      // fresh keys: a new BASE group per partition in the same commit
+      val fresh = srcKeyed
+        .join(place.select("__k", "__pp").distinct(),
+          Seq("__k", "__pp"), "left_anti")
+        .withColumn("__fg", md5(concat_ws("#", lit(instant),
+          lit(token), col("__pp"))))
+        .select((names.map(col) :+ col("__pp") :+ col("__fg")): _*)
+      val freshLanded = land(fresh, path, keyCol, instant, Map.empty,
+        partitioned = partField.nonEmpty)
+      val logLanded = written.map { case (pp, fid, n, size) =>
+        val (rel, baseTs) = logRelOf((pp, fid))
+        Landed(pp, fid, rel, n, size, baseTs)
+      }
+      val landed = logLanded ++ freshLanded
+      if (landed.isEmpty) {
+        if (bases.isEmpty) return completedTs.max
+        return bases.map(_.instant).max
+      }
+      if (publish(spark, path, instant,
+          commitJson(landed, "upsert", Map.empty))) return instant
       landed.foreach(l => f.delete(new Path(path, l.rel), false))
       attempts += 1
     }

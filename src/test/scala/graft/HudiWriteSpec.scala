@@ -165,6 +165,118 @@ class HudiWriteSpec extends AnyFunSuite {
     assert(HudiRead.readWhere(spark, dir, "k < 0").count() == 0)
   }
 
+  // -- minimal log-block rig (the public #HUDI# layout, used to plant
+  // a log-INSERTED key the writer's placement must then find) --------
+  private val rigSchema =
+    """{"type":"record","name":"rec","fields":[
+      {"name":"_hoodie_record_key","type":["null","string"],"default":null},
+      {"name":"k","type":["null","long"],"default":null},
+      {"name":"v","type":["null","string"],"default":null}]}"""
+      .replaceAll("\\s+", " ")
+  private def rigMeta(m: Map[Int, String]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(m.size)
+    m.toSeq.sortBy(_._1).foreach { case (o, v) =>
+      val b = v.getBytes("UTF-8")
+      out.writeInt(o); out.writeInt(b.length); out.write(b)
+    }
+    out.flush(); bos.toByteArray
+  }
+  private def rigDataBlock(instant: String,
+                           recs: Seq[(Long, String)]): Array[Byte] = {
+    val schema = new org.apache.avro.Schema.Parser().parse(rigSchema)
+    val w = new org.apache.avro.generic.GenericDatumWriter[
+      org.apache.avro.generic.GenericRecord](schema)
+    val recBytes = recs.map { case (k, v) =>
+      val r = new org.apache.avro.generic.GenericData.Record(schema)
+      r.put("_hoodie_record_key", k.toString)
+      r.put("k", Long.box(k)); r.put("v", v)
+      val bos = new java.io.ByteArrayOutputStream()
+      val enc = org.apache.avro.io.EncoderFactory.get()
+        .binaryEncoder(bos, null)
+      w.write(r, enc); enc.flush(); bos.toByteArray
+    }
+    val cb = new java.io.ByteArrayOutputStream()
+    val co = new java.io.DataOutputStream(cb)
+    co.writeInt(3); co.writeInt(recBytes.size)
+    recBytes.foreach { b => co.writeInt(b.length); co.write(b) }
+    co.flush()
+    val content = cb.toByteArray
+    val hdr = rigMeta(Map(0 -> instant, 2 -> rigSchema))
+    val ftr = rigMeta(Map.empty)
+    val blockSize = 4L + 4 + hdr.length + 8 + content.length +
+      ftr.length + 8
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.write("#HUDI#".getBytes("UTF-8"))
+    out.writeLong(blockSize); out.writeInt(1); out.writeInt(3)
+    out.write(hdr); out.writeLong(content.length.toLong)
+    out.write(content); out.write(ftr)
+    out.writeLong(6L + 8 + blockSize)
+    out.flush(); bos.toByteArray
+  }
+
+  test("MOR upsertLog: log-block upserts merge; log-inserted keys update in place, not duplicate") {
+    val dir = tmp()
+    val i1 = HudiWrite.create(range(0, 6).coalesce(1), dir, "k", "",
+      "MERGE_ON_READ")
+    assert(kv(HudiRead.read(spark, dir)) == kv(range(0, 6)))
+    // matched keys append a log block; new keys land as a fresh base
+    // group in the SAME deltacommit
+    val i2 = HudiWrite.upsertLog(
+      range(2, 4, "u1").unionAll(range(10, 12, "new")), dir, "k")
+    val after = kv(HudiRead.read(spark, dir))
+    assert(after == kv(range(0, 2)) ++ kv(range(2, 4, "u1"))
+      ++ kv(range(4, 6)) ++ kv(range(10, 12, "new")))
+    // pre-upsert snapshot still serves at the old instant
+    assert(kv(HudiRead.read(spark, dir, asOf = i1)) == kv(range(0, 6)))
+    // a second log upsert composes (version 2 of the slice's log)
+    HudiWrite.upsertLog(range(2, 3, "u2"), dir, "k")
+    assert(kv(HudiRead.read(spark, dir))(2L) == "u22")
+    // plant a log-INSERTED key (100) via a hand-built block on the
+    // 0-5 slice, exactly what a real Hudi streaming writer produces
+    val baseName = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(_.getName).find(_.endsWith(s"_$i1.parquet")).get
+    val fid = baseName.split("_")(0)
+    val logName = s".${fid}_$i1.log.9_0-rig"
+    val nextInst = (BigInt(
+      new java.io.File(dir, ".hoodie").listFiles()
+        .map(_.getName.takeWhile(_.isDigit)).filter(_.nonEmpty)
+        .max) + 1).toString
+    Files.write(java.nio.file.Paths.get(dir, logName),
+      rigDataBlock(nextInst, Seq(100L -> "logins")))
+    Files.writeString(
+      java.nio.file.Paths.get(dir, ".hoodie", s"$nextInst.deltacommit"),
+      s"""{"partitionToWriteStats":{"":[{"fileId":"$fid",""" +
+        s""""path":"$logName","prevCommit":"$i1","numWrites":1,""" +
+        s""""fileSizeInBytes":1}]},"operation":"upsert"}""")
+    assert(kv(HudiRead.read(spark, dir))(100L) == "logins")
+    val countBefore = HudiRead.read(spark, dir).count()
+    // upserting the log-inserted key must route to ITS slice (via the
+    // log placement scan), never duplicate into a fresh group
+    HudiWrite.upsertLog(range(100, 101, "upd"), dir, "k")
+    val t = HudiRead.read(spark, dir)
+    assert(t.count() == countBefore, "log-inserted key must not duplicate")
+    assert(kv(t)(100L) == "upd100")
+    // COW ops refuse on MOR; upsertLog refuses on COW
+    val e1 = intercept[IllegalArgumentException] {
+      HudiWrite.upsert(range(0, 1), dir, "k")
+    }
+    assert(e1.getMessage.contains("COPY_ON_WRITE only"))
+    val cowDir = tmp()
+    HudiWrite.create(range(0, 2).coalesce(1), cowDir, "k")
+    val e2 = intercept[IllegalArgumentException] {
+      HudiWrite.upsertLog(range(0, 1), cowDir, "k")
+    }
+    assert(e2.getMessage.contains("MERGE_ON_READ only"))
+    // insertBatch on MOR publishes deltacommits and stays exactly-once
+    HudiWrite.insertBatch(range(200, 202).coalesce(1), dir, "k", "m", 0L)
+    HudiWrite.insertBatch(range(200, 202).coalesce(1), dir, "k", "m", 0L)
+    assert(HudiRead.read(spark, dir).count() == countBefore + 2)
+  }
+
   test("racing inserts: both land exactly once on distinct instants") {
     val dir = tmp()
     HudiWrite.create(range(0, 2).coalesce(1), dir, "k")
@@ -184,7 +296,7 @@ class HudiWriteSpec extends AnyFunSuite {
       "every racing insert must land exactly once")
   }
 
-  test("meta columns land per the storage layout; MOR tables and double-create refuse") {
+  test("meta columns land per the storage layout; unknown types and double-create refuse") {
     val dir = tmp()
     val i1 = HudiWrite.create(range(0, 4).coalesce(1), dir, "k")
     // raw read (reader drops meta cols — verify them directly)
@@ -198,16 +310,16 @@ class HudiWriteSpec extends AnyFunSuite {
     assert(r.getString(0) == i1)
     assert(r.getString(2) == "2")
     assert(r.getString(4).endsWith(s"_0-0-0_$i1.parquet"))
-    // a MOR table refuses
-    val morDir = tmp()
-    Files.createDirectories(java.nio.file.Paths.get(morDir, ".hoodie"))
+    // an unknown table type refuses every write
+    val oddDir = tmp()
+    Files.createDirectories(java.nio.file.Paths.get(oddDir, ".hoodie"))
     Files.writeString(
-      java.nio.file.Paths.get(morDir, ".hoodie", "hoodie.properties"),
-      "hoodie.table.name=t\nhoodie.table.type=MERGE_ON_READ\n")
+      java.nio.file.Paths.get(oddDir, ".hoodie", "hoodie.properties"),
+      "hoodie.table.name=t\nhoodie.table.type=SOMETHING_NEW\n")
     val e = intercept[IllegalArgumentException] {
-      HudiWrite.insert(range(0, 1), morDir, "k")
+      HudiWrite.insert(range(0, 1), oddDir, "k")
     }
-    assert(e.getMessage.contains("COPY_ON_WRITE only"))
+    assert(e.getMessage.contains("SOMETHING_NEW"))
     // double-create refuses
     val e2 = intercept[IllegalArgumentException] {
       HudiWrite.create(range(0, 1), dir, "k")

@@ -550,7 +550,7 @@ class TransformSpecSpec extends AnyFunSuite {
     assert(refused.getMessage.contains("catalog-only"))
     Seq("deltaUpsert", "deltaDelete", "deltaOptimize", "deltaVacuum",
         "deltaSync", "deltaRestore", "icebergUpsert", "icebergRollback",
-        "hudiInsert", "hudiUpsert", "hudiDelete")
+        "hudiInsert", "hudiUpsert", "hudiUpsertLog", "hudiDelete")
       .foreach { op =>
       val r = intercept[IllegalArgumentException] {
         TransformSpec.run(
