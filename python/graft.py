@@ -647,6 +647,14 @@ def hudi_create(spark, df, path, key, partition_field="",
         df._jdf, path, key, partition_field, table_type)
 
 
+def hudi_delete_log(spark, keys_df, path, key):
+    """MERGE_ON_READ log-delete: emits one DELETE_BLOCK per affected
+    file slice (O(matched keys) - the read suppresses the rows at
+    merge time). Unmatched keys are a no-op. Returns the instant."""
+    return _jvm(spark).graft.sources.HudiWrite.deleteLog(
+        keys_df._jdf, path, key)
+
+
 def hudi_upsert_log(spark, df, path, key):
     """MERGE_ON_READ log-upsert: matched keys append one avro log
     block per affected file slice (O(source) - the read pays the

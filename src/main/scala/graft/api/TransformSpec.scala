@@ -302,6 +302,13 @@ object TransformSpec {
         graft.sources.HudiWrite.upsertLog(df, step.path("path").asText(),
           step.path("key").asText())
         df
+      case "hudiDeleteLog" =>
+        // MOR log-delete: one DELETE_BLOCK per affected file slice;
+        // the input frame carries the keys to delete
+        gateWrite(allowInline, "hudiDeleteLog")
+        graft.sources.HudiWrite.deleteLog(df, step.path("path").asText(),
+          step.path("key").asText())
+        df
       case "hudiUpsert" =>
         // Hudi COW MERGE by the table's declared record key
         gateWrite(allowInline, "hudiUpsert")

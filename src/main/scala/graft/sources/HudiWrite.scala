@@ -138,8 +138,8 @@ object HudiWrite {
 
   private def requireMor(spark: SparkSession, path: String): Unit =
     require(tableTypeOf(spark, path) == "MERGE_ON_READ",
-      s"$path: upsertLog is MERGE_ON_READ only (COPY_ON_WRITE tables " +
-        "take upsert) — refusing")
+      s"$path: log operations (upsertLog/deleteLog) are MERGE_ON_READ " +
+        "only (COPY_ON_WRITE tables take upsert/delete) — refusing")
 
   /** The completed-instant kind this table's writes publish:
     * deltacommit on MOR (log-file or insert base-file writes), commit
@@ -877,6 +877,160 @@ object HudiWrite {
       }
       if (publish(spark, path, instant,
           commitJson(landed, "upsert", Map.empty))) return instant
+      landed.foreach(l => f.delete(new Path(path, l.rel), false))
+      attempts += 1
+    }
+    "" // unreachable
+  }
+
+  /** The public HoodieDeleteRecordList avro model — DELETE_BLOCK
+    * content version ≥ 3 serializes deletes with it (the exact schema
+    * [[HudiRead]]'s decodeDeleteBlock consumes).
+    */
+  private val DeleteRecordListSchema =
+    """{"namespace":"org.apache.hudi.avro.model","type":"record",
+        "name":"HoodieDeleteRecordList","fields":[
+          {"name":"deleteRecordList","type":{"type":"array","items":{
+            "type":"record","name":"HoodieDeleteRecord","fields":[
+              {"name":"recordKey","type":["null","string"],
+               "default":null},
+              {"name":"partitionPath","type":["null","string"],
+               "default":null},
+              {"name":"orderingVal","type":["null","string","int",
+               "long","float","double","bytes"],"default":null}]}},
+           "default":[]}]}"""
+
+  /** DELETE_BLOCK content: 4-byte content version (3), 4-byte length,
+    * avro-binary HoodieDeleteRecordList of the keys.
+    */
+  private def deleteBlockContent(keys: Iterator[(String, String)])
+      : Array[Byte] = {
+    val schema =
+      new org.apache.avro.Schema.Parser().parse(DeleteRecordListSchema)
+    val itemS = schema.getField("deleteRecordList").schema()
+      .getElementType
+    val list = new java.util.ArrayList[AnyRef]()
+    keys.foreach { case (k, pp) =>
+      val r = new org.apache.avro.generic.GenericData.Record(itemS)
+      r.put("recordKey", k); r.put("partitionPath", pp)
+      list.add(r)
+    }
+    val rec = new org.apache.avro.generic.GenericData.Record(schema)
+    rec.put("deleteRecordList", list)
+    val bos = new java.io.ByteArrayOutputStream()
+    val enc = org.apache.avro.io.EncoderFactory.get()
+      .binaryEncoder(bos, null)
+    new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](schema).write(rec, enc)
+    enc.flush()
+    val avro = bos.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(out)
+    d.writeInt(3); d.writeInt(avro.length); d.write(avro); d.flush()
+    out.toByteArray
+  }
+
+  /** MERGE_ON_READ log-delete — DELETE_BLOCK emission per affected file
+    * slice (O(matched keys); the read suppresses the rows at merge
+    * time — streaming deletes without COW rewrites, the write shape
+    * whose READ side landed in round 10's DELETE_BLOCK decode). Keys
+    * route by the same base+log placement scan as [[upsertLog]];
+    * source keys matching NO live (partition, key) are a no-op, per
+    * Hudi's delete semantics. Returns the instant (the current latest
+    * when nothing matched).
+    */
+  def deleteLog(keys: DataFrame, path: String, keyCol: String): String = {
+    val spark = keys.sparkSession
+    requireMor(spark, path)
+    require(keys.columns.contains(keyCol),
+      s"record key column $keyCol not in ${keys.columns.mkString(",")}")
+    require(keyCol == recordKeyOf(spark, path),
+      s"$path: deleteLog key $keyCol != the table's declared record " +
+        s"key ${recordKeyOf(spark, path)} — refusing")
+    val partField = partitionFieldOf(spark, path)
+    partField.foreach(pf => require(keys.columns.contains(pf),
+      s"deleteLog source misses partition column $pf"))
+    var attempts = 0
+    while (true) {
+      require(attempts < 10, s"$path: lost the commit race 10 times")
+      val f = fs(spark, path)
+      val (bases, logs, completedTs) = HudiRead.plan(spark, path, "")
+      val instant = nextInstant(f, path)
+      val basePlace =
+        if (bases.isEmpty)
+          HudiRead.logKeyPlacement(spark, path, Nil, completedTs)
+        else spark.read
+          .parquet(bases.map(b => s"$path/${b.path}"): _*)
+          .select(col("_hoodie_partition_path").as("__pp"),
+            split(col("_hoodie_file_name"), "_").getItem(0).as("__fid"),
+            col("_hoodie_record_key").as("__k"))
+      val place = basePlace
+        .unionByName(HudiRead.logKeyPlacement(spark, path, logs,
+          completedTs))
+        .distinct()
+      val srcPp = partField.map(pf => col(pf).cast("string"))
+        .getOrElse(lit(""))
+      val srcKeyed = keys
+        .select(col(keyCol).cast("string").as("__k"), srcPp.as("__pp"))
+        .distinct()
+      val routed = srcKeyed.join(place, Seq("__k", "__pp"))
+        .select("__pp", "__fid", "__k")
+      val touched = routed.select("__pp", "__fid").distinct().collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      if (touched.isEmpty) {
+        if (bases.isEmpty) return completedTs.max
+        return bases.map(_.instant).max
+      }
+      val baseOf = bases.map(b => (b.partition, b.fileId) -> b.instant)
+        .toMap
+      val maxVer: Map[(String, String), Long] = logs
+        .groupBy(l => (l.partition, l.fileId))
+        .map { case (g, ls) =>
+          g -> ls.map(_.path.split("/").last match {
+            case LogVerName(_, _, v, _) => v.toLong
+            case _                      => 0L
+          }).max
+        }
+      val token = java.util.UUID.randomUUID().toString
+      val logRelOf: Map[(String, String), (String, String)] =
+        touched.map { case (pp, fid) =>
+          val baseTs = baseOf.getOrElse((pp, fid),
+            throw new IllegalStateException(
+              s"$path: placement found no base for group ($pp, $fid)"))
+          val ver = maxVer.getOrElse((pp, fid), 0L) + 1
+          val name = s".${fid}_$baseTs.log.${ver}_0-$token"
+          ((pp, fid), (if (pp.isEmpty) name else s"$pp/$name", baseTs))
+        }.toMap
+      val confW = new org.apache.spark.SerializableWritable(
+        spark.sparkContext.hadoopConfiguration)
+      val relB = spark.sparkContext.broadcast(logRelOf)
+      val tablePath = path
+      val inst = instant
+      val written: Seq[(String, String, Long, Long)] =
+        routed.repartition(col("__pp"), col("__fid")).rdd
+          .mapPartitions { it =>
+            val bySlice = it.toVector.groupBy(r =>
+              (r.getString(0), r.getString(1)))
+            bySlice.iterator.map { case ((pp, fid), rows) =>
+              val content = deleteBlockContent(
+                rows.iterator.map(r => (r.getString(2), pp)))
+              val bytes = frameBlock(1, // DELETE_BLOCK
+                Map(0 -> inst), content)
+              val (rel, _) = relB.value((pp, fid))
+              val hp = new Path(s"$tablePath/$rel")
+              val hf = hp.getFileSystem(confW.value)
+              val out = hf.create(hp, false)
+              try out.write(bytes) finally out.close()
+              (pp, fid, rows.size.toLong,
+                hf.getFileStatus(hp).getLen)
+            }
+          }.collect().toSeq
+      val landed = written.map { case (pp, fid, n, size) =>
+        val (rel, baseTs) = logRelOf((pp, fid))
+        Landed(pp, fid, rel, n, size, baseTs)
+      }
+      if (publish(spark, path, instant,
+          commitJson(landed, "delete", Map.empty))) return instant
       landed.foreach(l => f.delete(new Path(path, l.rel), false))
       attempts += 1
     }

@@ -270,11 +270,44 @@ class HudiWriteSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException] {
       HudiWrite.upsertLog(range(0, 1), cowDir, "k")
     }
-    assert(e2.getMessage.contains("MERGE_ON_READ only"))
+    assert(e2.getMessage.contains("MERGE_ON_READ"))
     // insertBatch on MOR publishes deltacommits and stays exactly-once
     HudiWrite.insertBatch(range(200, 202).coalesce(1), dir, "k", "m", 0L)
     HudiWrite.insertBatch(range(200, 202).coalesce(1), dir, "k", "m", 0L)
     assert(HudiRead.read(spark, dir).count() == countBefore + 2)
+  }
+
+  test("MOR deleteLog: DELETE_BLOCKs suppress rows; update-after-delete re-inserts") {
+    val dir = tmp()
+    val i1 = HudiWrite.create(range(0, 6).coalesce(1), dir, "k", "",
+      "MERGE_ON_READ")
+    // delete two keys via a log DELETE_BLOCK — no rewrite
+    val i2 = HudiWrite.deleteLog(
+      spark.range(2, 4).select(col("id").as("k")), dir, "k")
+    assert(kv(HudiRead.read(spark, dir)).keySet == Set(0L, 1L, 4L, 5L))
+    // the pre-delete snapshot still serves
+    assert(kv(HudiRead.read(spark, dir, asOf = i1)) == kv(range(0, 6)))
+    // a later log UPSERT of a deleted key re-inserts it (arrival-order
+    // last-write-wins, the contract the reader merges by)
+    HudiWrite.upsertLog(range(2, 3, "back"), dir, "k")
+    val t = kv(HudiRead.read(spark, dir))
+    assert(t.keySet == Set(0L, 1L, 2L, 4L, 5L) && t(2L) == "back2")
+    // ...and deleting a log-upserted key routes to its slice too
+    HudiWrite.deleteLog(
+      spark.range(2, 3).select(col("id").as("k")), dir, "k")
+    assert(kv(HudiRead.read(spark, dir)).keySet == Set(0L, 1L, 4L, 5L))
+    // unmatched keys are a no-op that commits nothing
+    val latest = HudiWrite.deleteLog(
+      spark.range(900, 901).select(col("id").as("k")), dir, "k")
+    assert(kv(HudiRead.read(spark, dir)).keySet == Set(0L, 1L, 4L, 5L))
+    // deleteLog refuses on COW tables
+    val cowDir = tmp()
+    HudiWrite.create(range(0, 2).coalesce(1), cowDir, "k")
+    val e = intercept[IllegalArgumentException] {
+      HudiWrite.deleteLog(
+        spark.range(0, 1).select(col("id").as("k")), cowDir, "k")
+    }
+    assert(e.getMessage.contains("MERGE_ON_READ"))
   }
 
   test("racing inserts: both land exactly once on distinct instants") {

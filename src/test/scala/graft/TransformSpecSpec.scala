@@ -550,7 +550,7 @@ class TransformSpecSpec extends AnyFunSuite {
     assert(refused.getMessage.contains("catalog-only"))
     Seq("deltaUpsert", "deltaDelete", "deltaOptimize", "deltaVacuum",
         "deltaSync", "deltaRestore", "icebergUpsert", "icebergRollback",
-        "hudiInsert", "hudiUpsert", "hudiUpsertLog", "hudiDelete")
+        "hudiInsert", "hudiUpsert", "hudiUpsertLog", "hudiDeleteLog", "hudiDelete")
       .foreach { op =>
       val r = intercept[IllegalArgumentException] {
         TransformSpec.run(
