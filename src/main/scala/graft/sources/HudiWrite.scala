@@ -200,6 +200,18 @@ object HudiWrite {
       require(bad.isEmpty,
         s"$path: NULL/empty partition value in the write batch — the " +
           "directory encoding is ambiguous across readers, refusing")
+      // partition values become DIRECTORY names read back through
+      // Hadoop's glob-expanding path resolution: a separator, glob
+      // metacharacter, or control char would land fine and then make
+      // every read of the partition fail (or match the wrong paths) —
+      // refuse at write time instead of bricking reads
+      val unsafe = df
+        .filter(col("__pp").rlike("[/\\\\*?\\[\\]{}\\x00-\\x1f]"))
+        .limit(1).collect()
+      require(unsafe.isEmpty,
+        s"$path: partition value ${unsafe.headOption} contains a path " +
+          "separator, glob metacharacter, or control character — its " +
+          "directory encoding is not round-trippable, refusing")
     }
     val withMeta = df
       .withColumn("_hoodie_commit_time", lit(instant))
@@ -295,27 +307,35 @@ object HudiWrite {
     } finally f.delete(stage, true)
   }
 
+  // Serialized with the ObjectMapper throughout: partition values and
+  // file paths are DATA (a quote/backslash/control char in a partition
+  // value is legal where the land gate only refuses NULL/empty), and a
+  // hand-built string would emit invalid JSON the reader's om.readTree
+  // then refuses — one bad value permanently bricking the table.
   private def commitJson(landed: Seq[Landed], operation: String,
                          extraMetadata: Map[String, String]): String = {
-    val byPart = landed.groupBy(_.partition).toSeq.sortBy(_._1)
-      .map { case (pp, ls) =>
-        val stats = ls.sortBy(_.rel).map { l =>
-          s"""{"fileId":"${l.fileId}","path":"${l.rel}",""" +
-            s""""prevCommit":"${l.prevCommit}","numWrites":${l.rows},""" +
-            s""""fileSizeInBytes":${l.size}}"""
-        }.mkString(",")
-        s""""$pp":[$stats]"""
-      }.mkString(",")
-    val extra =
-      if (extraMetadata.isEmpty) ""
-      else {
-        val n = om.createObjectNode()
-        extraMetadata.toSeq.sortBy(_._1)
-          .foreach { case (k, v) => n.put(k, v) }
-        s""","extraMetadata":${om.writeValueAsString(n)}"""
+    val root = om.createObjectNode()
+    val parts = root.putObject("partitionToWriteStats")
+    landed.groupBy(_.partition).toSeq.sortBy(_._1).foreach {
+      case (pp, ls) =>
+        val arr = parts.putArray(pp)
+        ls.sortBy(_.rel).foreach { l =>
+          val n = arr.addObject()
+          n.put("fileId", l.fileId)
+          n.put("path", l.rel)
+          n.put("prevCommit", l.prevCommit)
+          n.put("numWrites", l.rows)
+          n.put("fileSizeInBytes", l.size)
+        }
+    }
+    root.put("operation", operation)
+    if (extraMetadata.nonEmpty) {
+      val e = root.putObject("extraMetadata")
+      extraMetadata.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        e.put(k, v)
       }
-    s"""{"partitionToWriteStats":{$byPart},""" +
-      s""""operation":"$operation"$extra}"""
+    }
+    om.writeValueAsString(root)
   }
 
   /** Publish `<instant>.commit` put-if-absent after landing the
@@ -402,18 +422,42 @@ object HudiWrite {
     * identically. Returns the instant.
     */
   def insert(df: DataFrame, path: String, keyCol: String): String =
-    insertInternal(df, path, keyCol, Map.empty)
+    insertInternal(df, path, keyCol, None)
+
+  /** Latest COMPLETED instant of the timeline — the honest "current
+    * head" for no-op returns (the latest base-file instant understates
+    * it on tables whose newest write landed only logs or deletes).
+    */
+  private def latestCompletedInstant(spark: SparkSession,
+                                     path: String): String = {
+    val f = fs(spark, path)
+    val ts = f.listStatus(new Path(path, ".hoodie"))
+      .map(_.getPath.getName).collect { case CompletedName(t, _) => t }
+    require(ts.nonEmpty, s"$path: no completed instant in the timeline")
+    ts.max
+  }
 
   private def insertInternal(df: DataFrame, path: String, keyCol: String,
-                             extraMetadata: Map[String, String]): String = {
+                             txn: Option[(String, Long)]): String = {
     val spark = df.sparkSession
     tableTypeOf(spark, path) // loud gate; insert works on COW and MOR
     val partField = partitionFieldOf(spark, path)
     partField.foreach(pf => require(df.columns.contains(pf),
       s"insert batch misses partition column $pf"))
+    val extraMetadata = txn.map { case (appId, batchId) =>
+      Map(s"graft.txn.$appId" -> batchId.toString)
+    }.getOrElse(Map.empty[String, String])
     var attempts = 0
     while (true) {
       require(attempts < 10, s"$path: lost the commit race 10 times")
+      // exactly-once gate re-checked on EVERY attempt: a lost race means
+      // another writer just landed an instant — possibly a concurrent
+      // replay of this very (appId, batchId) — so checking the watermark
+      // only once before the loop would let both replays commit
+      txn.foreach { case (appId, batchId) =>
+        if (watermark(spark, path, appId) >= batchId)
+          return latestCompletedInstant(spark, path)
+      }
       val f = fs(spark, path)
       val instant = nextInstant(f, path)
       // bin count from a cheap upper bound (input partition count);
@@ -450,16 +494,10 @@ object HudiWrite {
     * instant.
     */
   def insertBatch(df: DataFrame, path: String, keyCol: String,
-                  appId: String, batchId: Long): String = {
-    val spark = df.sparkSession
-    tableTypeOf(spark, path) // loud gate; works on COW and MOR
-    if (watermark(spark, path, appId) >= batchId) {
-      val (bases, _, _) = HudiRead.plan(spark, path, "")
-      return bases.map(_.instant).max
-    }
-    insertInternal(df, path, keyCol,
-      Map(s"graft.txn.$appId" -> batchId.toString))
-  }
+                  appId: String, batchId: Long): String =
+    // the watermark check (and its replayed-batch no-op, safe on tables
+    // with no base files) lives INSIDE insertInternal's retry loop
+    insertInternal(df, path, keyCol, Some((appId, batchId)))
 
   /** Copy-on-write UPSERT: at-most-one-source-row-per-key MERGE.
     * Affected file groups rewrite under the SAME fileId at the new
@@ -585,7 +623,7 @@ object HudiWrite {
       require(missing.isEmpty,
         s"$path: rewrite lost file groups $missing — refusing to " +
           "commit a plan that would resurrect their old slices")
-      if (landed.isEmpty) return bases.map(_.instant).max
+      if (landed.isEmpty) return latestCompletedInstant(spark, path)
       if (publish(spark, path, instant,
           commitJson(landed, "upsert", Map.empty))) return instant
       landed.foreach(l => f.delete(new Path(path, l.rel), false))
@@ -614,7 +652,7 @@ object HudiWrite {
       val hitIds = all.filter(expr(predicate))
         .select(split(col("_hoodie_file_name"), "_").getItem(0).as("fg"))
         .distinct().collect().map(_.getString(0)).toSet
-      if (hitIds.isEmpty) return bases.map(_.instant).max
+      if (hitIds.isEmpty) return latestCompletedInstant(spark, path)
       val hit = bases.filter(b => hitIds.contains(b.fileId))
       val payloadCols = all.columns.filterNot(MetaCols.contains)
       val partitioned = partitionFieldOf(spark, path).nonEmpty

@@ -1121,13 +1121,17 @@ object IcebergWrite {
     * metadata version (Iceberg's rollback_to_snapshot — a metadata-only
     * commit: no data, manifests, or history are touched, every snapshot
     * stays listed, so the rollback is itself revertible and pre-rollback
-    * time travel still works). Reads after the rollback serve the old
-    * snapshot's OWN schema (the reader resolves schema by the
-    * snapshot's schema-id), so a rollback across a schema evolution
-    * rolls the schema back too. The target must still be in the
-    * snapshots list — an expired snapshot refuses loudly. Returns the
-    * committed metadata version; no-op (current metadata version) when
-    * already current.
+    * time travel still works). A rollback across a schema evolution
+    * rolls the schema back for BOTH sides: reads resolve the old
+    * snapshot's own schema via its schema-id, and `current-schema-id`
+    * is reset to the target snapshot's schema-id so subsequent appends
+    * validate against the rolled-back schema too (leaving it at the
+    * evolved id would split the table into old-schema reads vs
+    * new-schema writes). The full `schemas` history stays listed, so
+    * re-rolling forward restores the evolved schema. The target must
+    * still be in the snapshots list — an expired snapshot refuses
+    * loudly. Returns the committed metadata version; no-op (current
+    * metadata version) when already current.
     */
   def rollbackTo(spark: SparkSession, path: String, snapshotId: Long)
       : Long = {
@@ -1151,6 +1155,13 @@ object IcebergWrite {
       val root = om.readTree(om.writeValueAsString(meta))
         .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
       root.put("current-snapshot-id", snapshotId)
+      // roll the WRITE schema back with the snapshot: v2 snapshots
+      // record their schema-id, and a listed schema-id always resolves
+      // in the carried-forward schemas history (v1 snapshots without
+      // one leave the current schema as-is)
+      st.snapshots.find(_.path("snapshot-id").asLong() == snapshotId)
+        .flatMap(s => Option(s.get("schema-id")).filterNot(_.isNull))
+        .foreach(sid => root.put("current-schema-id", sid.asInt()))
       root.put("last-updated-ms", System.currentTimeMillis())
       val mdir = new Path(path, "metadata")
       val tmp = new Path(mdir, s".tmp-${java.util.UUID.randomUUID()}")

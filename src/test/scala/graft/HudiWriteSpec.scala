@@ -146,6 +146,45 @@ class HudiWriteSpec extends AnyFunSuite {
     assert(HudiRead.read(spark, dir).count() == 13)
   }
 
+  test("insertBatch replay no-ops on a table with no base files") {
+    val dir = tmp()
+    // the stream-sink shape: create with an EMPTY first commit, then an
+    // empty batch 0 — the table has completed instants but zero base
+    // files, and a restart's replay of batch 0 must still no-op
+    HudiWrite.create(range(0, 0).coalesce(1), dir, "k")
+    HudiWrite.insertBatch(range(0, 0).coalesce(1), dir, "k", "app", 0L)
+    val replayed =
+      HudiWrite.insertBatch(range(0, 0).coalesce(1), dir, "k", "app", 0L)
+    assert(replayed.nonEmpty, "replay must return the latest instant")
+    // the next real batch lands on the (base-file-less) table
+    HudiWrite.insertBatch(range(0, 3).coalesce(1), dir, "k", "app", 1L)
+    assert(HudiRead.read(spark, dir).count() == 3)
+  }
+
+  test("commit JSON survives partition values needing JSON escaping; glob-unsafe values refuse") {
+    val dir = tmp()
+    // quotes are legal partition VALUES — a hand-built commit JSON
+    // would emit invalid bytes here and brick every subsequent read
+    val df = spark.range(0, 4).select(col("id").as("k"),
+      concat(lit("x"), col("id").cast("string")).as("v"),
+      lit("""he said "hi"""").as("p"))
+    HudiWrite.create(df.coalesce(1), dir, "k", partitionField = "p")
+    val got = HudiRead.read(spark, dir)
+    assert(got.count() == 4)
+    assert(got.select("p").distinct().collect().map(_.getString(0)).toSet
+      == Set("""he said "hi""""))
+    // upsert into the quoted partition composes (reads its commit JSON)
+    HudiWrite.upsert(df.filter(col("id") === 0)
+      .withColumn("v", lit("upd")), dir, "k")
+    assert(HudiRead.read(spark, dir).filter(col("v") === "upd").count() == 1)
+    // a backslash (Hadoop glob escape) would land fine and then make
+    // every read of the partition fail — the write gate refuses it
+    val e = intercept[IllegalArgumentException] {
+      HudiWrite.insert(df.withColumn("p", lit("""back\slash""")), dir, "k")
+    }
+    assert(e.getMessage.contains("glob metacharacter"))
+  }
+
   test("readWhere/pruneReport: footer zone maps open only matching groups") {
     val dir = tmp()
     // three groups with DISJOINT key ranges (one commit each)

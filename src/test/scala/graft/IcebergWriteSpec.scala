@@ -571,6 +571,12 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(back.count() == 20)
     assert(!back.columns.contains("extra"),
       "rollback across an evolution must serve the old schema")
+    // the WRITE schema rolled back too: an append in the old shape
+    // lands and current reads stay old-shaped (no read/write split)
+    IcebergWrite.append(range(90, 95).coalesce(1), dir)
+    val appended = IcebergRead.read(spark, dir)
+    assert(appended.count() == 25 && !appended.columns.contains("extra"),
+      "append after rollback must follow the rolled-back schema")
     // pre-rollback snapshots still time-travel
     assert(IcebergRead.read(spark, dir, snapshotId = 3L).count() == 25)
     // the rollback is itself revertible (snap 3 still listed)
