@@ -615,7 +615,20 @@ object HudiRead {
   private def mergeLogs(spark: SparkSession, path: String,
                         base: DataFrame, logs: Seq[Slice],
                         bases: Seq[Slice],
-                        completedTs: Set[String]): DataFrame = {
+                        completedTs: Set[String]): DataFrame =
+    mergeSliced(spark, path, base, logs, bases, completedTs)
+      .drop("__g_part", "__g_fid")
+
+  /** [[mergeLogs]] with the slice identity RETAINED (`__g_part`,
+    * `__g_fid` columns) — the shape [[HudiWrite.compact]] needs to
+    * rewrite each merged slice under its own fileId. `base`/`bases` may
+    * be restricted to a subset of file groups; only their slices (and
+    * `logs` attached to them) contribute rows.
+    */
+  private[sources] def mergeSliced(spark: SparkSession, path: String,
+                                   base: DataFrame, logs: Seq[Slice],
+                                   bases: Seq[Slice],
+                                   completedTs: Set[String]): DataFrame = {
     import org.apache.spark.sql.functions._
     require(base.columns.contains(KeyCol),
       s"$path: base files carry no $KeyCol meta column — merging needs " +
@@ -780,6 +793,6 @@ object HudiRead {
     baseKeyed
       .join(winner.select(SliceKey.map(col): _*), SliceKey, "left_anti")
       .unionByName(winner.filter(!col("__g_del")).drop("__g_del"))
-      .drop(SliceKey: _*)
+      .drop(KeyCol)
   }
 }

@@ -191,7 +191,8 @@ object HudiWrite {
     */
   private def land(df: DataFrame, path: String, keyCol: String,
                    instant: String, prevOf: Map[String, String],
-                   partitioned: Boolean): Seq[Landed] = {
+                   partitioned: Boolean,
+                   token: String = "0-0-0"): Seq[Landed] = {
     val spark = df.sparkSession
     val f = fs(spark, path)
     if (partitioned) {
@@ -221,7 +222,7 @@ object HudiWrite {
       .withColumn("_hoodie_partition_path",
         if (partitioned) col("__pp") else lit(""))
       .withColumn("_hoodie_file_name",
-        concat(col("__fg"), lit(s"_0-0-0_$instant.parquet")))
+        concat(col("__fg"), lit(s"_${token}_$instant.parquet")))
       // meta columns FIRST, payload after — the column order Hudi's own
       // writer produces
       .select((MetaCols.map(col) ++
@@ -254,7 +255,7 @@ object HudiWrite {
         require(parts.length == 1,
           s"$path: group $fileId staged ${parts.length} files — the " +
             "repartition-by-group invariant broke, refusing")
-        val name = s"${fileId}_0-0-0_$instant.parquet"
+        val name = s"${fileId}_${token}_$instant.parquet"
         val rel = if (pp.isEmpty) name else s"$pp/$name"
         val target = new Path(path, rel)
         f.mkdirs(target.getParent)
@@ -277,10 +278,11 @@ object HudiWrite {
   private def landEmptySlice(payload: DataFrame, path: String,
                              keyCol: String, partition: String,
                              fileId: String, instant: String,
-                             prev: String): Landed = {
+                             prev: String,
+                             token: String = "0-0-0"): Landed = {
     val spark = payload.sparkSession
     val f = fs(spark, path)
-    val name = s"${fileId}_0-0-0_$instant.parquet"
+    val name = s"${fileId}_${token}_$instant.parquet"
     val rel = if (partition.isEmpty) name else s"$partition/$name"
     val empty = payload.limit(0)
     val withMeta = empty
@@ -341,13 +343,30 @@ object HudiWrite {
   /** Publish `<instant>.commit` put-if-absent after landing the
     * protocol's requested/inflight markers. Returns false when another
     * writer completed this instant first (caller replans).
+    * `kindOverride` lets a MOR COMPACTION publish `commit` (the spec's
+    * name for a completed compaction on a MERGE_ON_READ timeline)
+    * where ordinary MOR writes publish `deltacommit`.
     */
   private def publish(spark: SparkSession, path: String, instant: String,
-                      json: String): Boolean = {
-    val kind = instantKind(spark, path)
+                      json: String,
+                      kindOverride: Option[String] = None): Boolean = {
+    val kind = kindOverride.getOrElse(instantKind(spark, path))
     val f = fs(spark, path)
     val dir = new Path(path, ".hoodie")
     f.mkdirs(dir)
+    val store = SnapshotTable.storeFor(f.getScheme)
+    // Kind-NEUTRAL instant reservation first: two racers of DIFFERENT
+    // completed kinds (a deltacommit ingest vs a compaction's commit)
+    // would otherwise arbitrate on different completed file names and
+    // both win the same instant. The lock file matches the protocol's
+    // pending shape (readers ignore it; the archival coverage check
+    // excuses it; nextInstant counts it so the loser replans forward).
+    val lockTmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
+    f.create(lockTmp, true).close()
+    val reserved = store.publishIfAbsent(f, lockTmp,
+      new Path(dir, s"$instant.inflight"))
+    f.delete(lockTmp, false)
+    if (!reserved) return false
     Seq(s"$instant.$kind.requested", s"$instant.$kind.inflight")
       .foreach { n =>
         val out = f.create(new Path(dir, n), true)
@@ -356,7 +375,7 @@ object HudiWrite {
     val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
-    val won = SnapshotTable.storeFor(f.getScheme)
+    val won = store
       .publishIfAbsent(f, tmp, new Path(dir, s"$instant.$kind"))
     f.delete(tmp, false)
     won
@@ -1070,6 +1089,109 @@ object HudiWrite {
       if (publish(spark, path, instant,
           commitJson(landed, "delete", Map.empty))) return instant
       landed.foreach(l => f.delete(new Path(path, l.rel), false))
+      attempts += 1
+    }
+    "" // unreachable
+  }
+
+  // ------------------------------------------------------------------
+  // MERGE_ON_READ compaction
+  // ------------------------------------------------------------------
+
+  /** COMPACTION — fold every file slice's uncompacted log blocks into a
+    * fresh base file under a `commit` instant (the spec's name for a
+    * completed compaction on a MERGE_ON_READ timeline, vs the
+    * `deltacommit` ordinary MOR writes publish): the read-side merge
+    * [[HudiRead.mergeSliced]] already implements, run ONCE at write
+    * time, so log chains stay bounded and base-only planning
+    * (`readWhere` zone-map pruning, which refuses on live logs) works
+    * again. Each affected group rewrites under its OWN fileId at the
+    * compaction instant — the fileId-shadowing rule — and a group whose
+    * every row was log-deleted lands an empty shadowing slice exactly
+    * like COW delete. Untouched groups (no live logs) are not rewritten
+    * or listed: their existing slices stay live, so compaction cost is
+    * O(affected slices), not O(table). Time travel to a pre-compaction
+    * instant still merges the old base + logs (the log files stay on
+    * disk until [[clean]]); post-compaction reads never consult them
+    * because their named base instant is older than the new base.
+    * Returns the compaction instant, or the current latest when the
+    * table has no live logs (no-op).
+    *
+    * Concurrency: unlike inserts (which may land on ANY free instant),
+    * compaction commits at exactly TIMELINE-HEAD + 1 — the Delta-style
+    * serialized-commit discipline. A racer that fails the instant
+    * reservation waits (bounded) for that instant to COMPLETE, then
+    * replans: if the winner was a concurrent compaction, the replan
+    * sees the logs folded and no-ops, so N racing compactions land
+    * exactly ONE compaction commit. A writer that reserved head+1 and
+    * crashed without completing it starves compaction until its marker
+    * is cleaned up — the refusal after 10 bounded waits is loud.
+    * Out of modeled scope (as in Hudi itself without a lock provider +
+    * scheduled compaction plans): a log upsert RUNNING CONCURRENTLY
+    * with compaction may attach its blocks to the pre-compaction base
+    * instant and lose them — run table services and log writers
+    * serially, or behind one driver.
+    */
+  def compact(spark: SparkSession, path: String): String = {
+    requireMor(spark, path)
+    val keyCol = recordKeyOf(spark, path)
+    val partitioned = partitionFieldOf(spark, path).nonEmpty
+    def bump(ts: String): String =
+      (BigInt(ts) + 1).toString.reverse.padTo(17, '0').reverse
+    var attempts = 0
+    while (true) {
+      require(attempts < 10,
+        s"$path: could not reserve timeline-head+1 after 10 bounded " +
+          "waits — a crashed writer's pending instant may be starving " +
+          "compaction")
+      val f = fs(spark, path)
+      val (bases, logs, completedTs) = HudiRead.plan(spark, path, "")
+      if (logs.isEmpty) return latestCompletedInstant(spark, path)
+      val instant = bump(completedTs.max)
+      val affected = logs.map(l => (l.partition, l.fileId)).toSet
+      val hit = bases.filter(b => affected.contains((b.partition, b.fileId)))
+      val baseDf = spark.read
+        .parquet(hit.map(b => s"$path/${b.path}"): _*)
+      val merged = HudiRead
+        .mergeSliced(spark, path, baseDf, logs, hit, completedTs)
+        .withColumnRenamed("__g_part", "__pp")
+        .withColumnRenamed("__g_fid", "__fg")
+      val payloadCols = merged.columns.filterNot(Set("__pp", "__fg"))
+      val prevOf = hit.map(b => b.fileId -> b.instant).toMap
+      // fileId AND instant are both fixed by the compaction contract, so
+      // racing compactors disambiguate their staged files via the WRITE
+      // TOKEN (the name segment Hudi reserves for task attempts); the
+      // reservation then arbitrates and the loser deletes its files
+      val wToken = s"0-0-${java.util.UUID.randomUUID().toString.take(8)}"
+      val landed0 = land(
+        merged.select((payloadCols.map(col) :+ col("__pp")
+          :+ col("__fg")): _*),
+        path, keyCol, instant, prevOf, partitioned, token = wToken)
+      // groups whose every row was log-deleted still need an empty
+      // shadowing slice — otherwise the old base + logs would stay live
+      val missing = affected -- landed0.map(l => (l.partition, l.fileId))
+      val landed = landed0 ++ missing.toSeq.sorted.map { case (pp, fid) =>
+        val old = hit.find(b => b.partition == pp && b.fileId == fid).get
+        val src = spark.read.parquet(s"$path/${old.path}")
+          .drop(MetaCols: _*)
+        landEmptySlice(src, path, keyCol, pp, fid, instant,
+          prevOf.getOrElse(fid, "null"), token = wToken)
+      }
+      if (publish(spark, path, instant,
+          commitJson(landed, "compact", Map.empty),
+          kindOverride = Some("commit"))) return instant
+      landed.foreach(l => f.delete(new Path(path, l.rel), false))
+      // head+1 was reserved by a concurrent writer: wait (bounded) for
+      // SOME instant ≥ it to complete so the replan sees the winner's
+      // effect — a concurrent compaction folds our logs and the replan
+      // no-ops instead of folding the same blocks twice
+      val deadline = System.currentTimeMillis() + 60000
+      def moved(): Boolean = f.listStatus(new Path(path, ".hoodie"))
+        .map(_.getPath.getName)
+        .collect { case CompletedName(ts, _) => ts }
+        .exists(_ >= instant)
+      while (!moved() && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
       attempts += 1
     }
     "" // unreachable

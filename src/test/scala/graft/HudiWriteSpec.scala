@@ -349,6 +349,82 @@ class HudiWriteSpec extends AnyFunSuite {
     assert(e.getMessage.contains("MERGE_ON_READ"))
   }
 
+  test("MOR compact: log blocks fold into new bases; time travel intact; pruning unlocked") {
+    val dir = tmp()
+    HudiWrite.create(range(0, 10).coalesce(2), dir, "k", "",
+      "MERGE_ON_READ")
+    HudiWrite.upsertLog(
+      range(0, 5, "u1").unionAll(range(10, 13, "new")), dir, "k")
+    HudiWrite.upsertLog(range(0, 1, "u2"), dir, "k")
+    val iDel = HudiWrite.deleteLog(range(1, 2), dir, "k")
+    val pre = kv(HudiRead.read(spark, dir))
+    assert(pre(0L) == "u20" && !pre.contains(1L) && pre(10L) == "new10")
+    // live logs block zone-map pruning pre-compaction
+    intercept[IllegalArgumentException] {
+      HudiRead.readWhere(spark, dir, "k >= 10")
+    }
+    val ci = HudiWrite.compact(spark, dir)
+    // merged read is unchanged bit-for-bit
+    assert(kv(HudiRead.read(spark, dir)) == pre)
+    // published as a `commit` instant (the MOR compaction kind)
+    val timeline = new java.io.File(dir, ".hoodie").listFiles()
+      .map(_.getName)
+    assert(timeline.contains(s"$ci.commit"))
+    // time travel to pre-compaction instants still merges base + logs
+    assert(kv(HudiRead.read(spark, dir, asOf = iDel)) == pre)
+    // pruned reads open post-compaction: only the 10..12 group matches
+    val (total, kept) = HudiRead.pruneReport(spark, dir, "k >= 10")
+    assert(total == 3 && kept == 1, s"pruning: $kept of $total")
+    assert(kv(HudiRead.readWhere(spark, dir, "k >= 10"))
+      == pre.filter(_._1 >= 10))
+    // further log upserts onto the COMPACTED slices compose
+    HudiWrite.upsertLog(range(0, 1, "u3"), dir, "k")
+    assert(kv(HudiRead.read(spark, dir))(0L) == "u30")
+    // no live logs after a second compact folds u3; then no-op
+    HudiWrite.compact(spark, dir)
+    val commits = new java.io.File(dir, ".hoodie").listFiles()
+      .map(_.getName).count(_.matches("""\d+\.commit"""))
+    assert(commits == 2, s"expected 2 compaction commits, saw $commits")
+    HudiWrite.compact(spark, dir) // nothing to fold: detected no-op
+    assert(new java.io.File(dir, ".hoodie").listFiles()
+      .map(_.getName).count(_.matches("""\d+\.commit""")) == 2)
+  }
+
+  test("MOR compact: a fully log-deleted group lands an empty shadowing slice") {
+    val dir = tmp()
+    HudiWrite.create(range(0, 4).coalesce(1), dir, "k", "",
+      "MERGE_ON_READ")
+    HudiWrite.deleteLog(range(0, 4), dir, "k")
+    assert(HudiRead.read(spark, dir).count() == 0)
+    HudiWrite.compact(spark, dir)
+    assert(HudiRead.read(spark, dir).count() == 0,
+      "compaction must not resurrect log-deleted rows")
+    // and the group stays writable
+    HudiWrite.upsertLog(range(0, 2, "back"), dir, "k")
+    assert(kv(HudiRead.read(spark, dir)) == kv(range(0, 2, "back")))
+  }
+
+  test("racing compactions: a 4-way race lands exactly one compaction commit") {
+    val dir = tmp()
+    HudiWrite.create(range(0, 8).coalesce(1), dir, "k", "",
+      "MERGE_ON_READ")
+    HudiWrite.upsertLog(range(0, 4, "u"), dir, "k")
+    val pre = kv(HudiRead.read(spark, dir))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val fs = (0 until 4).map(_ => Future(HudiWrite.compact(spark, dir)))
+    val instants = Await.result(Future.sequence(fs), 180.seconds)
+    pool.shutdown()
+    assert(instants.distinct.size == 1,
+      s"racing compactions must converge on one instant: $instants")
+    assert(new java.io.File(dir, ".hoodie").listFiles()
+      .map(_.getName).count(_.matches("""\d+\.commit""")) == 1)
+    assert(kv(HudiRead.read(spark, dir)) == pre)
+  }
+
   test("racing inserts: both land exactly once on distinct instants") {
     val dir = tmp()
     HudiWrite.create(range(0, 2).coalesce(1), dir, "k")

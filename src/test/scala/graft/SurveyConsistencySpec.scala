@@ -205,4 +205,10 @@ class SurveyConsistencySpec extends AnyFunSuite {
       "transforms refused by name"),
       "SURVEY still carries the nested/binary-refusal claim")
   }
+
+  test("SURVEY's round-11 claims match the code (Hudi compaction)") {
+    assert(hasMethod("graft.sources.HudiWrite$", "compact") ==
+      srcSection.contains("MOR COMPACTION"),
+      "Hudi compaction claim and code marker disagree — doc drift")
+  }
 }
