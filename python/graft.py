@@ -693,6 +693,35 @@ def hudi_insert_batch(spark, df, path, key, app_id, batch_id):
         df._jdf, path, key, app_id, int(batch_id))
 
 
+def hudi_compact(spark, path):
+    """MERGE_ON_READ compaction: fold every file slice's live log
+    blocks into a fresh base file under a ``commit`` instant (the
+    read-side merge run once at write time). O(affected slices);
+    pre-compaction instants still time-travel. Returns the instant."""
+    return _jvm(spark).graft.sources.HudiWrite.compact(
+        spark._jsparkSession, path)
+
+
+def hudi_clean(spark, path, retain_instants):
+    """Delete file slices shadowed beyond the retention horizon (the
+    ``retain_instants``-th-latest completed instant) plus the log
+    files folded into them - the Delta VACUUM analog. Time travel
+    below the horizon refuses loudly afterwards. Returns the number
+    of files deleted."""
+    return _jvm(spark).graft.sources.HudiWrite.clean(
+        spark._jsparkSession, path, int(retain_instants))
+
+
+def hudi_archive(spark, path, keep_last):
+    """Trim the active timeline to its last ``keep_last`` completed
+    data instants by moving older completed files into
+    ``.hoodie/archived/``. Watermarks and instant monotonicity
+    survive; an archive that would orphan a file group's latest write
+    refuses and rolls back. Returns the number of instants archived."""
+    return _jvm(spark).graft.sources.HudiWrite.archive(
+        spark._jsparkSession, path, int(keep_last))
+
+
 def hudi_read_where(spark, path, predicate, as_of=""):
     """Pruned Hudi COW read: open only base files whose footer zone
     maps can satisfy the predicate (Hudi commit metadata carries no

@@ -1,6 +1,6 @@
 package graft.sources
 
-import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
@@ -132,6 +132,20 @@ object HudiRead {
   private[sources] final case class Slice(partition: String, fileId: String,
                                           instant: String, path: String)
 
+  /** Full parsed timeline: every slice every completed instant ever
+    * wrote (not just the live ones — [[HudiWrite.clean]] needs the
+    * shadowed history), the replacement kills, the completed instant
+    * set, and the clean horizon. `cleanedBefore` is the max
+    * `earliestRetained` over completed `.clean` instants: file slices
+    * shadowed before it were PHYSICALLY DELETED, so time travel below
+    * it must refuse rather than chase missing files.
+    */
+  private[sources] final case class TimelineState(
+      dir: Path, completed: Seq[String], slices: Seq[Slice],
+      replacedAt: Map[(String, String), String],
+      cleanedBefore: Option[String], hasArchived: Boolean,
+      activeNames: Seq[String])
+
   /** (live base slices, log files of those slices) at `asOf` ("" =
     * latest): latest completed BASE slice per (partition, fileId) file
     * group, plus the log files whose NAME attaches them to that base
@@ -140,8 +154,18 @@ object HudiRead {
     * at their declared base instant refuses (log-only groups need the
     * insert path this planner does not model).
     */
-  private[sources] def plan(spark: SparkSession, path: String, asOf: String)
-      : (Seq[Slice], Seq[Slice], Set[String]) = {
+  private val CleanName = """(\d+)(?:_\d+)?\.clean""".r
+
+  /** Parse the timeline into [[TimelineState]] (completed instants ≤
+    * `asOf`, every slice they wrote, replacement kills, the clean
+    * horizon). Time travel below the clean horizon refuses here: the
+    * shadowed slices it would need were physically deleted, and a
+    * FileNotFound mid-scan is not a loud answer. The horizon considers
+    * ALL `.clean` instants (not just ≤ asOf) — deletion is physical
+    * and irreversible.
+    */
+  private[sources] def timelineState(spark: SparkSession, path: String,
+                                     asOf: String): TimelineState = {
     val f = fs(spark, path)
     // An archived timeline (pre-1.x: .hoodie/archived; 1.x: LSM history
     // under .hoodie/timeline/history) means SOME instants are invisible
@@ -152,7 +176,7 @@ object HudiRead {
     // archives by default after ~30 commits, so the blanket refusal
     // this check replaces made essentially every long-lived production
     // table unreadable. The per-group coverage check runs after
-    // planning (below); here we only note whether it is needed.
+    // planning (in [[plan]]); here we only note whether it is needed.
     val hasArchived =
       Seq(".hoodie/archived", ".hoodie/timeline/history").exists { rel =>
         val archived = new Path(path, rel)
@@ -167,6 +191,34 @@ object HudiRead {
     }
     val timeline = f.listStatus(timelineDir)
       .filter(_.isFile).map(_.getPath.getName)
+    def jsonOf(name: String): JsonNode = {
+      val in = f.open(new Path(timelineDir, name))
+      try {
+        val bytes = in.readAllBytes()
+        try om.readTree(new String(bytes, "UTF-8"))
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"$path: $name commit metadata is not JSON (Hudi 1.x can " +
+              "store completed-instant metadata in Avro) — this " +
+              "planner refuses rather than misreading", e)
+        }
+      } finally in.close()
+    }
+    // clean horizon gate BEFORE planning: slices shadowed before the
+    // max earliestRetained were physically deleted by HudiWrite.clean
+    val cleanedBefore: Option[String] =
+      timeline.collect { case n @ CleanName(_) =>
+        val er = jsonOf(n).path("earliestRetained")
+        require(er.isTextual && er.asText().nonEmpty,
+          s"$path: clean instant $n carries no earliestRetained — refusing")
+        er.asText()
+      }.maxOption
+    cleanedBefore.foreach { er =>
+      require(asOf.isEmpty || asOf >= er,
+        s"$path: instants before $er were CLEANED — their shadowed " +
+          s"file slices are physically deleted, so time travel to " +
+          s"$asOf cannot be served, refusing")
+    }
     // (requested instant, completed-instant file name, isReplace) —
     // commits plus, on MOR tables, deltacommits, plus replacecommits
     // (clustering / insert_overwrite: write stats contribute new file
@@ -180,18 +232,7 @@ object HudiRead {
       s"$path: no completed commit" +
         (if (asOf.nonEmpty) s" at or before instant $asOf" else ""))
     val parsed = completed.map { case (ts, name, isReplace) =>
-      val in = f.open(new Path(timelineDir, name))
-      val node =
-        try {
-          val bytes = in.readAllBytes()
-          try om.readTree(new String(bytes, "UTF-8"))
-          catch {
-            case e: Exception => throw new IllegalArgumentException(
-              s"$path: $name commit metadata is not JSON (Hudi 1.x can " +
-                "store completed-instant metadata in Avro) — this " +
-                "planner refuses rather than misreading", e)
-          }
-        } finally in.close()
+      val node = jsonOf(name)
       val ss = node.path("partitionToWriteStats").properties().asScala
         .flatMap { e =>
           e.getValue.elements().asScala.map { ws =>
@@ -213,6 +254,16 @@ object HudiRead {
     // latest replacement instant per killed (partition, fileId) group
     val replacedAt: Map[(String, String), String] = parsed.flatMap(_._2)
       .groupBy(_._1).map { case (g, ks) => g -> ks.map(_._2).max }
+    TimelineState(timelineDir, completed.map(_._1), slices, replacedAt,
+      cleanedBefore, hasArchived, timeline.toSeq)
+  }
+
+  private[sources] def plan(spark: SparkSession, path: String, asOf: String)
+      : (Seq[Slice], Seq[Slice], Set[String]) = {
+    val f = fs(spark, path)
+    val st = timelineState(spark, path, asOf)
+    val (slices, replacedAt, hasArchived, timeline) =
+      (st.slices, st.replacedAt, st.hasArchived, st.activeNames)
     val (logsAll, bases) = slices.partition(_.path.contains(".log."))
     val latestBaseAll = bases.groupBy(s => (s.partition, s.fileId))
       .map { case (g, ss) => g -> ss.maxBy(_.instant) }
@@ -252,7 +303,7 @@ object HudiRead {
       verifyArchivalCoverage(f, path, asOf, timeline, latestBase,
         replacedAt)
     (latestBase.values.toSeq.sortBy(_.path), live.sortBy(_.path),
-      completed.map(_._1).toSet)
+      st.completed.toSet)
   }
 
   // base file basename: {fileId}_{writeToken}_{instant}.parquet —

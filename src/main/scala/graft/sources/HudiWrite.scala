@@ -101,12 +101,14 @@ object HudiWrite {
     */
   private def nextInstant(f: org.apache.hadoop.fs.FileSystem,
                           path: String): String = {
-    val dir = new Path(path, ".hoodie")
-    val seen =
-      if (!f.exists(dir)) Seq.empty
-      else f.listStatus(dir).map(_.getPath.getName).toSeq.collect {
-        case AnyInstant(ts) => ts
-      }
+    // the ARCHIVED timeline counts too: after archive() moves the
+    // completed prefix aside, a fresh instant must still be strictly
+    // greater than every instant the table has EVER used — reusing an
+    // archived number would shadow archived history
+    val seen = Seq(".hoodie", ".hoodie/archived")
+      .map(new Path(path, _)).filter(f.exists)
+      .flatMap(d => f.listStatus(d).map(_.getPath.getName).toSeq)
+      .collect { case AnyInstant(ts) => ts }
     val wall = instantFmt.format(new java.util.Date())
     val floor = if (seen.isEmpty) wall else seen.max
     if (wall > floor) wall
@@ -388,16 +390,21 @@ object HudiWrite {
   private def watermark(spark: SparkSession, path: String,
                         appId: String): Long = {
     val f = fs(spark, path)
-    val dir = new Path(path, ".hoodie")
-    if (!f.exists(dir)) return -1L
-    f.listStatus(dir).map(_.getPath.getName).collect {
-      case n @ CompletedName(_, "commit" | "deltacommit") =>
-        val in = f.open(new Path(dir, n))
-        val node = try om.readTree(new String(in.readAllBytes(), "UTF-8"))
-                   finally in.close()
-        val e = node.path("extraMetadata").path(s"graft.txn.$appId")
-        if (e.isMissingNode || e.isNull) -1L else e.asText().toLong
-    }.foldLeft(-1L)(math.max)
+    // the ARCHIVED timeline counts: archive() moves old completed
+    // instants aside but their extraMetadata watermarks must survive —
+    // a replayed batch whose commit was archived is still a replay
+    Seq(".hoodie", ".hoodie/archived").map(new Path(path, _))
+      .filter(f.exists).flatMap { dir =>
+        f.listStatus(dir).map(_.getPath.getName).collect {
+          case n @ CompletedName(_, "commit" | "deltacommit") =>
+            val in = f.open(new Path(dir, n))
+            val node =
+              try om.readTree(new String(in.readAllBytes(), "UTF-8"))
+              finally in.close()
+            val e = node.path("extraMetadata").path(s"graft.txn.$appId")
+            if (e.isMissingNode || e.isNull) -1L else e.asText().toLong
+        }
+      }.foldLeft(-1L)(math.max)
   }
 
   /** Create the table and land the first commit. `partitionField`
@@ -1195,5 +1202,159 @@ object HudiWrite {
       attempts += 1
     }
     "" // unreachable
+  }
+
+  // ------------------------------------------------------------------
+  // Retention: clean (physical file GC) + archive (timeline trimming)
+  // ------------------------------------------------------------------
+
+  /** CLEAN — the Delta-VACUUM analog: physically delete file slices
+    * SHADOWED beyond a retention horizon (KEEP_LATEST_COMMITS shape:
+    * the horizon is the `retainInstants`-th-latest completed instant,
+    * so every read at or after it — latest reads and bounded time
+    * travel — stays bit-identical). Per file group, every base file
+    * strictly older than the group's live-at-horizon slice is deleted,
+    * along with the log files attached (by the base instant in their
+    * NAME) to those deleted bases — which is where logs folded by a
+    * compaction are finally reclaimed; groups killed by a
+    * replacecommit at or before the horizon lose all their pre-horizon
+    * files. ORDERING: a completed `<instant>.clean` record (JSON
+    * `earliestRetained` + the deleted paths) publishes FIRST, so time
+    * travel below the horizon refuses LOUDLY by name
+    * ([[HudiRead.timelineState]]'s gate) before any file is missing —
+    * a crash between publish and delete leaves only harmlessly
+    * undeleted files a re-clean removes. Clean instants are never
+    * archived: the gate must outlive the commits it covers. Returns
+    * the number of files deleted (0 = nothing qualified, no instant
+    * published).
+    */
+  def clean(spark: SparkSession, path: String,
+            retainInstants: Int): Int = {
+    require(retainInstants >= 1,
+      s"clean: retainInstants must be >= 1, got $retainInstants")
+    tableTypeOf(spark, path) // loud gate
+    val f = fs(spark, path)
+    val ts = HudiRead.timelineState(spark, path, "")
+    val completed = ts.completed.distinct.sorted
+    if (completed.size <= retainInstants) return 0
+    val horizon = completed(completed.size - retainInstants)
+    val (logsAll, bases) = ts.slices.partition(_.path.contains(".log."))
+    // per group: the slice live AT THE HORIZON (latest base ≤ horizon)
+    // stays — everything it shadows goes; a group dead at the horizon
+    // (replaced, not revived by then) loses all its pre-horizon files
+    val removable: Seq[String] = bases
+      .groupBy(s => (s.partition, s.fileId)).toSeq.flatMap {
+        case (g, bs) =>
+          val pre = bs.filter(_.instant <= horizon)
+          val deadAtHorizon = ts.replacedAt.get(g).exists { r =>
+            r <= horizon && !pre.exists(_.instant > r)
+          }
+          val removedBases =
+            if (deadAtHorizon) pre
+            else pre.sortBy(_.instant).dropRight(1)
+          val removedTs = removedBases.map(_.instant).toSet
+          val liveTs = pre.map(_.instant).toSet -- removedTs
+          val logs = logsAll
+            .filter(l => (l.partition, l.fileId) == g)
+            .filter { l =>
+              l.path.split("/").last match {
+                case LogVerName(_, baseTs, _, _) =>
+                  removedTs.contains(baseTs) ||
+                    (deadAtHorizon && baseTs <= horizon &&
+                      !liveTs.contains(baseTs))
+                case _ => false
+              }
+            }
+          (removedBases ++ logs).map(_.path)
+      }.distinct
+      // commit metadata still lists files an earlier clean already
+      // deleted — only files actually on disk count (re-clean no-ops)
+      .filter(rel => f.exists(new Path(path, rel)))
+    if (removable.isEmpty) return 0
+    // publish the gate BEFORE deleting: a reader time traveling below
+    // the horizon mid-clean must hit the loud refusal, never a
+    // FileNotFound
+    val json = {
+      val root = om.createObjectNode()
+      root.put("earliestRetained", horizon)
+      val arr = root.putArray("deletedFiles")
+      removable.sorted.foreach(arr.add)
+      om.writeValueAsString(root)
+    }
+    var attempts = 0
+    var published = false
+    while (!published) {
+      require(attempts < 10, s"$path: lost the clean race 10 times")
+      val instant = nextInstant(f, path)
+      published = publish(spark, path, instant, json,
+        kindOverride = Some("clean"))
+      attempts += 1
+    }
+    removable.foreach(rel => f.delete(new Path(path, rel), false))
+    removable.size
+  }
+
+  /** ARCHIVE — trim the ACTIVE timeline to its last `keepLast`
+    * completed data instants by moving the older completed files (and
+    * their pending markers) into `.hoodie/archived/`, the layout
+    * [[HudiRead]]'s per-file-group coverage check already plans
+    * around. Exactly-once watermarks survive (the watermark scan
+    * includes the archived dir) and instant monotonicity survives
+    * (nextInstant counts archived instants). SAFETY: after the move,
+    * the table is re-planned through [[HudiRead.plan]] — if any file
+    * group's latest write just became invisible (its last slice landed
+    * in an archived instant and was never shadowed), every file moves
+    * BACK and the archive refuses loudly, advising clean/compact
+    * first. Time travel into the archived range refuses loudly ("no
+    * completed commit at or before"). `.clean` instants are never
+    * archived — their horizon gate must outlive the commits they
+    * cover. Returns the number of instants archived.
+    */
+  def archive(spark: SparkSession, path: String, keepLast: Int): Int = {
+    require(keepLast >= 1,
+      s"archive: keepLast must be >= 1, got $keepLast")
+    tableTypeOf(spark, path) // loud gate
+    val f = fs(spark, path)
+    require(!f.exists(new Path(path, ".hoodie/timeline")),
+      s"$path: 1.x timeline layout — this archiver writes the pre-1.x " +
+        ".hoodie/archived layout only, refusing")
+    val dir = new Path(path, ".hoodie")
+    val names = f.listStatus(dir).filter(_.isFile)
+      .map(_.getPath.getName).toSeq
+    val completed = names.collect { case n @ CompletedName(ts, _) => ts }
+      .distinct.sorted
+    if (completed.size <= keepLast) return 0
+    val archTs = completed.dropRight(keepLast).toSet
+    val adir = new Path(dir, "archived")
+    f.mkdirs(adir)
+    // move the completed files + their kind markers + neutral instant
+    // locks; never the .clean records (their gate must stay active)
+    val toMove = names.filter {
+      case n @ AnyInstant(ts) =>
+        archTs.contains(ts) && !n.contains(".clean")
+      case _ => false
+    }
+    toMove.foreach { n =>
+      require(f.rename(new Path(dir, n), new Path(adir, n)),
+        s"$path: failed to archive $n")
+    }
+    // validate: every file group's live slice must still be covered by
+    // the remaining active timeline (the reader's own coverage check);
+    // roll the move back and refuse loudly otherwise
+    try HudiRead.plan(spark, path, "")
+    catch {
+      case e: Exception =>
+        toMove.foreach { n =>
+          require(f.rename(new Path(adir, n), new Path(dir, n)),
+            s"$path: failed to ROLL BACK archive of $n — timeline " +
+              "left split, manual repair needed")
+        }
+        throw new IllegalArgumentException(
+          s"$path: archiving past keepLast=$keepLast would orphan a " +
+            "file group whose latest write sits in the archived range " +
+            "— clean/compact first so newer slices cover it; rolled " +
+            s"back (${e.getMessage})", e)
+    }
+    archTs.size
   }
 }

@@ -425,6 +425,98 @@ class HudiWriteSpec extends AnyFunSuite {
     assert(kv(HudiRead.read(spark, dir)) == pre)
   }
 
+  private def dataParquets(dir: String): Set[String] =
+    new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getName).toSet
+
+  test("clean: shadowed slices beyond retention deleted; covered reads identical; gapped time travel refuses") {
+    val dir = tmp()
+    val i1 = HudiWrite.create(range(0, 6).coalesce(1), dir, "k")
+    HudiWrite.upsert(range(0, 3, "u1"), dir, "k")
+    val i3 = HudiWrite.upsert(range(0, 3, "u2"), dir, "k")
+    HudiWrite.upsert(range(3, 6, "u3"), dir, "k")
+    val preAll = kv(HudiRead.read(spark, dir))
+    val preAtI3 = kv(HudiRead.read(spark, dir, asOf = i3))
+    val before = dataParquets(dir)
+    // retain the last 2 instants: the i1/i2 slices are shadowed there
+    val deleted = HudiWrite.clean(spark, dir, 2)
+    assert(deleted == 2, s"expected the 2 shadowed bases gone: $deleted")
+    assert((before -- dataParquets(dir)).size == 2, "files must be gone")
+    // covered reads identical (latest + time travel at/after horizon)
+    assert(kv(HudiRead.read(spark, dir)) == preAll)
+    assert(kv(HudiRead.read(spark, dir, asOf = i3)) == preAtI3)
+    // gapped time travel refuses loudly by name
+    val e = intercept[IllegalArgumentException] {
+      HudiRead.read(spark, dir, asOf = i1)
+    }
+    assert(e.getMessage.contains("CLEANED"))
+    // idempotent: nothing further qualifies
+    assert(HudiWrite.clean(spark, dir, 2) == 0)
+  }
+
+  test("clean reclaims log files folded by a compaction") {
+    val dir = tmp()
+    HudiWrite.create(range(0, 4).coalesce(1), dir, "k", "",
+      "MERGE_ON_READ")
+    HudiWrite.upsertLog(range(0, 2, "u"), dir, "k")
+    HudiWrite.compact(spark, dir)
+    def logsOnDisk(): Int = new java.io.File(dir).listFiles()
+      .count(f => f.getName.contains(".log.") &&
+        !f.getName.endsWith(".crc"))
+    assert(logsOnDisk() == 1, "fixture needs the folded log on disk")
+    val pre = kv(HudiRead.read(spark, dir))
+    // retain only the head: the pre-compaction base AND its folded log go
+    val deleted = HudiWrite.clean(spark, dir, 1)
+    assert(deleted == 2, s"expected old base + folded log gone: $deleted")
+    assert(logsOnDisk() == 0)
+    assert(kv(HudiRead.read(spark, dir)) == pre)
+  }
+
+  test("archive: timeline trims; reads identical; watermarks survive; orphaning archive refuses and rolls back") {
+    val dir = tmp()
+    HudiWrite.create(range(0, 6).coalesce(1), dir, "k")
+    HudiWrite.insertBatch(range(6, 8).coalesce(1), dir, "k", "app", 0L)
+    HudiWrite.upsert(range(0, 8, "u1"), dir, "k")
+    HudiWrite.upsert(range(0, 8, "u2"), dir, "k")
+    val pre = kv(HudiRead.read(spark, dir))
+    val n = HudiWrite.archive(spark, dir, 2)
+    assert(n == 2, s"expected 2 instants archived: $n")
+    assert(new java.io.File(dir, ".hoodie/archived").listFiles()
+      .nonEmpty)
+    // covered reads identical through the per-group coverage check
+    assert(kv(HudiRead.read(spark, dir)) == pre)
+    // the exactly-once watermark SURVIVES its commit being archived
+    HudiWrite.insertBatch(range(6, 8).coalesce(1), dir, "k", "app", 0L)
+    assert(kv(HudiRead.read(spark, dir)) == pre,
+      "replay of an archived batch must still no-op")
+    // time travel into the archived range refuses loudly
+    val old = new java.io.File(dir, ".hoodie/archived").listFiles()
+      .map(_.getName).filter(_.endsWith(".commit")).min
+      .takeWhile(_.isDigit)
+    val e = intercept[IllegalArgumentException] {
+      HudiRead.read(spark, dir, asOf = old)
+    }
+    assert(e.getMessage.contains("no completed commit"))
+    // and new writes continue on strictly newer instants
+    val i = HudiWrite.insert(range(100, 102).coalesce(1), dir, "k")
+    assert(HudiRead.read(spark, dir).count() == pre.size + 2)
+    assert(i.nonEmpty)
+    // a group whose ONLY write would be archived: refuse + roll back
+    val dir2 = tmp()
+    HudiWrite.create(range(0, 3).coalesce(1), dir2, "k")
+    HudiWrite.insert(range(100, 103).coalesce(1), dir2, "k")
+    HudiWrite.upsert(range(100, 101, "u1"), dir2, "k")
+    HudiWrite.upsert(range(100, 101, "u2"), dir2, "k")
+    val pre2 = kv(HudiRead.read(spark, dir2))
+    val e2 = intercept[IllegalArgumentException] {
+      HudiWrite.archive(spark, dir2, 2)
+    }
+    assert(e2.getMessage.contains("orphan"))
+    assert(kv(HudiRead.read(spark, dir2)) == pre2,
+      "rollback must leave the table readable and identical")
+  }
+
   test("racing inserts: both land exactly once on distinct instants") {
     val dir = tmp()
     HudiWrite.create(range(0, 2).coalesce(1), dir, "k")

@@ -206,9 +206,18 @@ class SurveyConsistencySpec extends AnyFunSuite {
       "SURVEY still carries the nested/binary-refusal claim")
   }
 
-  test("SURVEY's round-11 claims match the code (Hudi compaction)") {
+  test("SURVEY's round-11 claims match the code (Hudi compaction, retention)") {
     assert(hasMethod("graft.sources.HudiWrite$", "compact") ==
       srcSection.contains("MOR COMPACTION"),
       "Hudi compaction claim and code marker disagree — doc drift")
+    assert(hasMethod("graft.sources.HudiWrite$", "clean") ==
+      srcSection.contains("RETENTION verbs (round 11)"),
+      "Hudi clean claim and code marker disagree — doc drift")
+    assert(hasMethod("graft.sources.HudiWrite$", "archive") ==
+      srcSection.contains("REFUSES AND ROLLS BACK"),
+      "Hudi archive claim and code marker disagree — doc drift")
+    assert(hasMethod("graft.sources.HudiRead$", "timelineState") ==
+      srcSection.contains("the reader's timelineState gate"),
+      "Hudi clean-gate claim and code marker disagree — doc drift")
   }
 }

@@ -484,6 +484,27 @@ graft.hudi_insert_batch(
     hw_dir, "k", "pyapp", 0)
 assert graft.hudi_read(spark, hw_dir).count() == 12
 
+# round 11: Hudi MOR compaction + retention (clean/archive)
+hm_dir = tempfile.mkdtemp(prefix="graft_pyhm") + "/t"
+graft.hudi_create(
+    spark,
+    spark.range(0, 8).selectExpr("id AS k", "id * 2 AS v").coalesce(1),
+    hm_dir, "k", table_type="MERGE_ON_READ")
+graft.hudi_upsert_log(
+    spark, spark.range(0, 4).selectExpr("id AS k", "id * 100 AS v"),
+    hm_dir, "k")
+pre_hm = sorted((r.k, r.v) for r in graft.hudi_read(spark, hm_dir).collect())
+graft.hudi_compact(spark, hm_dir)
+assert sorted((r.k, r.v)
+              for r in graft.hudi_read(spark, hm_dir).collect()) == pre_hm
+assert graft.hudi_clean(spark, hm_dir, 1) == 2  # old base + folded log
+graft.hudi_upsert_log(
+    spark, spark.range(0, 1).selectExpr("id AS k", "id + 7 AS v"),
+    hm_dir, "k")
+assert graft.hudi_archive(spark, hm_dir, 2) >= 1
+hm = graft.hudi_read(spark, hm_dir)
+assert hm.count() == 8 and hm.where("k = 0").first().v == 7
+
 # round 9: Iceberg identity-partitioned create + additive evolution
 ip_dir = tempfile.mkdtemp(prefix="graft_pyip") + "/t"
 graft.iceberg_create(spark, spark.range(0, 20).selectExpr(
@@ -550,5 +571,5 @@ print(f"PASS pysmoke: sql-functions, {len(out)}-row declarative job, "
       f"snapshot-table lifecycle (create/append/upsert/time-travel/"
       f"zone-map-pruned read/change feed) and the round-6 sweep "
       f"(bpe-train/encode, dedup-artifacts trio, delta-log read with "
-      f"stats skipping, delta write round-trip, full CDC apply) and the round-9 sweep (delta optimize/vacuum, row-level change feed, partitioned+evolving iceberg writes, iceberg MOR delete + exactly-once batch append, delta sync) and the round-10 sweep (iceberg snapshot-range change feed + rollback, delta RESTORE, hudi COW write/upsert/delete/exactly-once round-trip) — all green")
+      f"stats skipping, delta write round-trip, full CDC apply) and the round-9 sweep (delta optimize/vacuum, row-level change feed, partitioned+evolving iceberg writes, iceberg MOR delete + exactly-once batch append, delta sync) and the round-10 sweep (iceberg snapshot-range change feed + rollback, delta RESTORE, hudi COW write/upsert/delete/exactly-once round-trip) and the round-11 sweep (hudi MOR compact + clean + archive) — all green")
 spark.stop()
