@@ -693,6 +693,14 @@ def hudi_insert_batch(spark, df, path, key, app_id, batch_id):
         df._jdf, path, key, app_id, int(batch_id))
 
 
+def hudi_upsert_log_batch(spark, df, path, key, app_id, batch_id):
+    """Exactly-once streaming MOR log-upsert: the per-app watermark
+    rides the deltacommit's extraMetadata (as hudi_insert_batch), so a
+    replayed micro-batch is a detected no-op. Returns the instant."""
+    return _jvm(spark).graft.sources.HudiWrite.upsertLogBatch(
+        df._jdf, path, key, app_id, int(batch_id))
+
+
 def hudi_compact(spark, path):
     """MERGE_ON_READ compaction: fold every file slice's live log
     blocks into a fresh base file under a ``commit`` instant (the

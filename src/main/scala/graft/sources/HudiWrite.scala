@@ -816,7 +816,23 @@ object HudiWrite {
     * one deltacommit; losing the instant race deletes this attempt's
     * files and replans.
     */
-  def upsertLog(source: DataFrame, path: String, keyCol: String): String = {
+  def upsertLog(source: DataFrame, path: String, keyCol: String): String =
+    upsertLogInternal(source, path, keyCol, None)
+
+  /** EXACTLY-ONCE streaming MOR log-upsert: the per-app watermark rides
+    * the deltacommit's `extraMetadata` exactly like [[insertBatch]],
+    * re-checked inside the commit-race retry loop, so a replayed
+    * (appId, batchId ≤ watermark) micro-batch — including a
+    * wiped-checkpoint restart — is a detected no-op returning the
+    * current latest instant.
+    */
+  def upsertLogBatch(source: DataFrame, path: String, keyCol: String,
+                     appId: String, batchId: Long): String =
+    upsertLogInternal(source, path, keyCol, Some((appId, batchId)))
+
+  private def upsertLogInternal(source: DataFrame, path: String,
+                                keyCol: String,
+                                txn: Option[(String, Long)]): String = {
     val spark = source.sparkSession
     requireMor(spark, path)
     require(source.columns.contains(keyCol),
@@ -836,9 +852,18 @@ object HudiWrite {
     val payload = org.apache.spark.sql.types.StructType(
       source.schema.fields.filterNot(f => MetaCols.contains(f.name)))
     val schemaJson = logAvroSchema(payload) // also the loud type gate
+    val extraMetadata = txn.map { case (appId, batchId) =>
+      Map(s"graft.txn.$appId" -> batchId.toString)
+    }.getOrElse(Map.empty[String, String])
     var attempts = 0
     while (true) {
       require(attempts < 10, s"$path: lost the commit race 10 times")
+      // exactly-once gate re-checked on EVERY attempt (see
+      // insertInternal: a lost race may BE the concurrent replay)
+      txn.foreach { case (appId, batchId) =>
+        if (watermark(spark, path, appId) >= batchId)
+          return latestCompletedInstant(spark, path)
+      }
       val f = fs(spark, path)
       val (bases, logs, completedTs) = HudiRead.plan(spark, path, "")
       val instant = nextInstant(f, path)
@@ -936,11 +961,15 @@ object HudiWrite {
       }
       val landed = logLanded ++ freshLanded
       if (landed.isEmpty) {
-        if (bases.isEmpty) return completedTs.max
-        return bases.map(_.instant).max
+        // an empty batch still needs its watermark recorded — otherwise
+        // the NEXT batch's replay detection regresses past it
+        if (extraMetadata.isEmpty) {
+          if (bases.isEmpty) return completedTs.max
+          return bases.map(_.instant).max
+        }
       }
       if (publish(spark, path, instant,
-          commitJson(landed, "upsert", Map.empty))) return instant
+          commitJson(landed, "upsert", extraMetadata))) return instant
       landed.foreach(l => f.delete(new Path(path, l.rel), false))
       attempts += 1
     }

@@ -426,6 +426,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(HudiRead.read(spark, table).count() == want)
   }
 
+  test("hudiUpsertStream: exactly-once MOR log-upserts, wiped checkpoint leaves table bit-identical") {
+    import sources.HudiRead
+    val base = java.nio.file.Files.createTempDirectory("graft_hus")
+    val table = s"$base/t"
+    val q1 = streaming.StreamOps.hudiUpsertStream(spark, sf, table,
+      s"$base/ckpt1", "hus-e2e")
+    try q1.awaitTermination() finally q1.stop()
+    val wantUsers = Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    val got = HudiRead.read(spark, table)
+    assert(got.count() == wantUsers && wantUsers > 0,
+      "one merged row per user after log-upserts")
+    def fingerprint(): (Seq[String], Seq[String]) = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        d.listFiles().toSeq.flatMap(f =>
+          if (f.isDirectory) walk(f) else Seq(f))
+      val files = walk(new java.io.File(table))
+        .filterNot(_.getName.endsWith(".crc"))
+        .map(f => s"${f.getName}:${f.length()}").sorted
+      val rows = HudiRead.read(spark, table).collect()
+        .map(_.toString).sorted.toSeq
+      (files, rows)
+    }
+    val before = fingerprint()
+    // restart with a WIPED checkpoint: every batch replays with the
+    // same ids — the deltacommit extraMetadata watermark skips them all
+    val q2 = streaming.StreamOps.hudiUpsertStream(spark, sf, table,
+      s"$base/ckpt2", "hus-e2e")
+    try q2.awaitTermination() finally q2.stop()
+    assert(fingerprint() == before,
+      "wiped-checkpoint replay must leave the table bit-identical")
+  }
+
   test("streaming sessionizer emits sessions consistent with batch q27") {
     val q = streaming.StreamOps.sessionize(spark, sf)
       .writeStream.outputMode("append").format("memory")

@@ -219,5 +219,8 @@ class SurveyConsistencySpec extends AnyFunSuite {
     assert(hasMethod("graft.sources.HudiRead$", "timelineState") ==
       srcSection.contains("the reader's timelineState gate"),
       "Hudi clean-gate claim and code marker disagree — doc drift")
+    assert(hasMethod("graft.sources.HudiWrite$", "upsertLogBatch") ==
+      srcSection.contains("StreamOps.hudiUpsertStream"),
+      "Hudi streaming MOR ingest claim and code marker disagree")
   }
 }
