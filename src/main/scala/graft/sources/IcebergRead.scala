@@ -112,13 +112,29 @@ object IcebergRead {
     if (r.getSchema.getField(name) == null) None else Option(r.get(name))
 
   private final case class Field(id: Int, name: String, tpe: String)
+
+  /** One stored partition value of a data file: the SOURCE column
+    * (name + iceberg type, resolved through the spec's source-id), the
+    * spec transform string, and the file's tuple value (None when the
+    * manifest carried none, or the value's shape was unexpected —
+    * absent values prune nothing). Transform-aware pruning: identity
+    * values compare exactly; day/truncate are ORDER-PRESERVING, so a
+    * range predicate transforms its literal and compares loosened
+    * (v < lit  ⇒  T(v) ≤ T(lit)); bucket prunes EQUALITY probes only
+    * (the stored value is `bucket(lit)`'s only possible home).
+    */
+  private final case class PartVal(source: String, srcType: String,
+                                   transform: String,
+                                   value: Option[AnyRef])
+
   private final case class FileEntry(path: String, rows: Long,
     nulls: Map[Int, Long], lower: Map[Int, Array[Byte]],
     upper: Map[Int, Array[Byte]],
     // data sequence number (v2): orders the file against equality
     // deletes — explicit on the entry, else inherited from the
     // manifest-list row, else 0 (v1 tables, which carry no deletes)
-    dataSeq: Long)
+    dataSeq: Long,
+    parts: Seq[PartVal])
   /** One equality-delete file: rows carry values for the columns named
     * by `eqIds` (field ids); it deletes matching rows from data files
     * with dataSeq STRICTLY below `seq`.
@@ -166,6 +182,18 @@ object IcebergRead {
       .getOrElse(throw new IllegalArgumentException(
         s"$path: snapshot $snapId not found"))
     val fields = schemaFields(meta, Some(snap))
+    // partition specs by id: (field name, transform, source-id) — the
+    // reader prunes on stored tuples only for transforms it models;
+    // unknown transforms/specs contribute no PartVal (no pruning)
+    val specsById: Map[Int, Seq[(String, String, Int)]] =
+      meta.path("partition-specs").elements().asScala.map { sp =>
+        sp.path("spec-id").asInt(0) ->
+          sp.path("fields").elements().asScala.map { fn =>
+            (fn.path("name").asText(), fn.path("transform").asText(),
+              fn.path("source-id").asInt())
+          }.toSeq
+      }.toMap
+    val fieldById = fields.map(f => f.id -> f).toMap
     val manifestList = resolve(path, snap.path("manifest-list").asText())
     val (dataManifests, deleteManifests) =
       avroRows(spark, manifestList).map { r =>
@@ -175,14 +203,16 @@ object IcebergRead {
             "reader — refusing rather than misreading")
         val seq = opt(r, "sequence_number").map(_.toString.toLong)
           .getOrElse(0L)
-        (r.get("manifest_path").toString, content, seq)
+        val specId = opt(r, "partition_spec_id")
+          .map(_.toString.toInt).getOrElse(0)
+        (r.get("manifest_path").toString, content, seq, specId)
       }.partition(_._2 == 0)
     // delete manifests: POSITION delete files (content=1) anti-join on
     // (file, pos); EQUALITY delete files (content=2) apply as
     // sequence-ordered null-safe anti-joins on their equality fields
     var deleteFiles = Seq.empty[String]
     var eqDeletes = Seq.empty[EqDelete]
-    deleteManifests.foreach { case (mp, _, mseq) =>
+    deleteManifests.foreach { case (mp, _, mseq, _) =>
       avroRows(spark, resolve(path, mp)).foreach { e =>
         val status = opt(e, "status").map(_.toString.toInt).getOrElse(1)
         if (status != 2) {
@@ -209,7 +239,8 @@ object IcebergRead {
         }
       }
     }
-    val files = dataManifests.flatMap { case (mp, _, mseq) =>
+    val files = dataManifests.flatMap { case (mp, _, mseq, mspec) =>
+      val specFields = specsById.getOrElse(mspec, Seq.empty)
       avroRows(spark, resolve(path, mp)).flatMap { e =>
         val status = opt(e, "status").map(_.toString.toInt).getOrElse(1)
         if (status == 2) None // DELETED entry
@@ -240,13 +271,29 @@ object IcebergRead {
             case a: Array[Byte] => a
             case other => other.toString.getBytes("UTF-8")
           }
+          // stored partition tuple → PartVals for modeled transforms
+          val parts: Seq[PartVal] = opt(df, "partition").toSeq.flatMap {
+            case pr: GenericRecord =>
+              specFields.flatMap { case (pname, transform, srcId) =>
+                fieldById.get(srcId).map { src =>
+                  val v = if (pr.getSchema.getField(pname) == null) None
+                          else Option(pr.get(pname)).map {
+                            case u: org.apache.avro.util.Utf8 => u.toString
+                            case other => other
+                          }
+                  PartVal(src.name, src.tpe, transform, v)
+                }
+              }
+            case _ => Seq.empty
+          }
           Some(FileEntry(
             df.get("file_path").toString,
             df.get("record_count").toString.toLong,
             idMap("null_value_counts")(_.toString.toLong),
             idMap("lower_bounds")(bytesOf),
             idMap("upper_bounds")(bytesOf),
-            dataSeq))
+            dataSeq,
+            parts))
         }
       }
     }
@@ -485,8 +532,168 @@ object IcebergRead {
     afterEq.select(names.map(col): _*)
   }
 
-  /** Pruned read: bounds-based file skipping, predicate re-applied so
-    * the result equals `read(...).filter(predicate)` exactly.
+  // ------------------------------------------------------------------
+  // partition-transform pruning
+  // ------------------------------------------------------------------
+
+  private def attrNameOf(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    e match {
+      case a: UnresolvedAttribute if a.nameParts.size == 1 =>
+        Some(a.nameParts.head)
+      case a: AttributeReference => Some(a.name)
+      case _                     => None
+    }
+  }
+
+  private val BucketT = """bucket\[(\d+)\]""".r
+  private val TruncT  = """truncate\[(\d+)\]""".r
+
+  /** May a file whose stored tuple value is `pv` hold rows matching
+    * `<source> op literal`? Sound by construction: every unmodeled
+    * shape answers true.
+    *
+    *   - identity: the stored value IS the column value for every row
+    *     — exact numeric compares (BigDecimal), string equality only
+    *     (string RANGE compares would mix UTF-16 and UTF-8 collation);
+    *   - day / numeric truncate: order-preserving, so
+    *     `v < lit ⇒ T(v) ≤ T(lit)` — ranges compare loosened on the
+    *     transformed literal; string truncate prunes equality only
+    *     (prefix equality), same collation caution;
+    *   - bucket: equality probes only — `bucket(lit)` is the single
+    *     bucket rows equal to `lit` can live in, per the spec's
+    *     murmur3 hash this repo pins to the published test vectors.
+    */
+  private def partLeafOk(pv: PartVal, litDt: DataType, litVal: Any,
+                         op: String): Boolean = {
+    if (litVal == null || pv.value.isEmpty) return true
+    val v = pv.value.get
+    def asLongV: Option[Long] = v match {
+      case i: java.lang.Integer => Some(i.longValue())
+      case l: java.lang.Long    => Some(l.longValue())
+      case _                    => None
+    }
+    // the literal in the SOURCE column's value domain, type-checked —
+    // a string literal probed against a long column must not prune
+    def litLong: Option[Long] = (litDt, pv.srcType) match {
+      case (ByteType | ShortType | IntegerType | LongType,
+            "int" | "long") => Some(litVal.toString.toLong)
+      case (DateType, "date") => Some(litVal.toString.toLong)
+      case _ => None
+    }
+    def litStr: Option[String] = (litDt, pv.srcType) match {
+      case (StringType, "string") => Some(litVal.toString)
+      case _                      => None
+    }
+    // loosened ordered compare of the file's single transformed value
+    // against the transformed literal
+    def ordered(fv: Long, tl: Long): Boolean = op match {
+      case "eq"        => fv == tl
+      case "lt" | "le" => fv <= tl
+      case "gt" | "ge" => fv >= tl
+      case _           => true
+    }
+    pv.transform match {
+      case "identity" =>
+        (asLongV, litLong) match {
+          case (Some(fv), Some(tl)) =>
+            op match {
+              case "eq" => fv == tl
+              case "lt" => fv < tl
+              case "le" => fv <= tl
+              case "gt" => fv > tl
+              case "ge" => fv >= tl
+              case _    => true
+            }
+          case _ => (v, litStr) match {
+            case (fv: String, Some(tl)) if op == "eq" => fv == tl
+            case _                                    => true
+          }
+        }
+      case "day" =>
+        val tl: Option[Long] = (litDt, pv.srcType) match {
+          case (TimestampType, "timestamptz" | "timestamp") =>
+            Some(IcebergTransforms
+              .dayOfMicros(litVal.asInstanceOf[Long]).toLong)
+          case (DateType, _) => Some(litVal.toString.toLong)
+          case _             => None
+        }
+        (asLongV, tl) match {
+          case (Some(fv), Some(t)) => ordered(fv, t)
+          case _                   => true
+        }
+      case BucketT(n) =>
+        if (op != "eq") true
+        else {
+          val b: Option[Int] = litLong
+            .map(l => IcebergTransforms.bucketOfLong(l, n.toInt))
+            .orElse(litStr
+              .map(sv => IcebergTransforms.bucketOfString(sv, n.toInt)))
+          (asLongV, b) match {
+            case (Some(fv), Some(tb)) => fv == tb.toLong
+            case _                    => true
+          }
+        }
+      case TruncT(w) =>
+        (asLongV, litLong) match {
+          case (Some(fv), Some(tl)) =>
+            ordered(fv, IcebergTransforms.truncateLong(tl, w.toLong))
+          case _ => (v, litStr) match {
+            case (fv: String, Some(tl)) if op == "eq" =>
+              fv == IcebergTransforms.truncateString(tl, w.toInt)
+            case _ => true
+          }
+        }
+      case _ => true
+    }
+  }
+
+  /** Transform-aware partition pruning over one file's stored tuple —
+    * layered AND-wise with [[FileStats.mayMatch]]'s column bounds.
+    * Mirrors its predicate shapes; several transforms over one source
+    * must ALL allow the file.
+    */
+  private def partMayMatch(
+      pred: org.apache.spark.sql.catalyst.expressions.Expression,
+      parts: Seq[PartVal]): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    if (parts.isEmpty) return true
+    def leaf(a: Expression, l: Literal, op: String): Boolean =
+      attrNameOf(a) match {
+        case Some(n) => parts.filter(_.source == n)
+          .forall(pv => partLeafOk(pv, l.dataType, l.value, op))
+        case None => true
+      }
+    pred match {
+      case And(l, r) => partMayMatch(l, parts) && partMayMatch(r, parts)
+      case Or(l, r)  => partMayMatch(l, parts) || partMayMatch(r, parts)
+      case EqualTo(a, l: Literal) => leaf(a, l, "eq")
+      case EqualTo(l: Literal, a) => leaf(a, l, "eq")
+      case EqualNullSafe(a, l: Literal) if l.value != null =>
+        leaf(a, l, "eq")
+      case EqualNullSafe(l: Literal, a) if l.value != null =>
+        leaf(a, l, "eq")
+      case LessThan(a, l: Literal)           => leaf(a, l, "lt")
+      case LessThan(l: Literal, a)           => leaf(a, l, "gt")
+      case LessThanOrEqual(a, l: Literal)    => leaf(a, l, "le")
+      case LessThanOrEqual(l: Literal, a)    => leaf(a, l, "ge")
+      case GreaterThan(a, l: Literal)        => leaf(a, l, "gt")
+      case GreaterThan(l: Literal, a)        => leaf(a, l, "lt")
+      case GreaterThanOrEqual(a, l: Literal) => leaf(a, l, "ge")
+      case GreaterThanOrEqual(l: Literal, a) => leaf(a, l, "le")
+      case In(a, list) if list.forall(_.isInstanceOf[Literal]) =>
+        list.exists(l => leaf(a, l.asInstanceOf[Literal], "eq"))
+      case _ => true
+    }
+  }
+
+  /** Pruned read: bounds-based file skipping PLUS transform-aware
+    * partition-tuple skipping (identity/day/bucket/truncate),
+    * predicate re-applied so the result equals
+    * `read(...).filter(predicate)` exactly.
     */
   def readWhere(spark: SparkSession, path: String, predicate: String,
                 snapshotId: Long = -1L): DataFrame = {
@@ -494,7 +701,8 @@ object IcebergRead {
     val pred = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
       .parseExpression(predicate)
     val kept = st.files.filter(f =>
-      FileStats.mayMatch(pred, colStats(st.fields, f)))
+      FileStats.mayMatch(pred, colStats(st.fields, f)) &&
+        partMayMatch(pred, f.parts))
     assemble(spark, path, st, kept)
       .filter(org.apache.spark.sql.functions.expr(predicate))
   }
@@ -506,7 +714,9 @@ object IcebergRead {
     val pred = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
       .parseExpression(predicate)
     (st.files.size,
-      st.files.count(f => FileStats.mayMatch(pred, colStats(st.fields, f))))
+      st.files.count(f =>
+        FileStats.mayMatch(pred, colStats(st.fields, f)) &&
+          partMayMatch(pred, f.parts)))
   }
 
   /** Incremental change feed between two snapshots — the Iceberg-leg

@@ -279,13 +279,107 @@ object IcebergWrite {
   // carried forward VERBATIM as JsonNodes so history never restamps)
   // ------------------------------------------------------------------
 
-  /** One identity partition field: source column, its spec field id
-    * (1000+), the column's Spark type and the avro type its manifest
-    * values serialize as.
+  /** One partition field: spec field name, its spec field id (1000+),
+    * the SOURCE column (id + name), the transform ("identity", "day",
+    * "bucket[N]", "truncate[W]" — the spec's canonical strings), the
+    * Spark type of the transform's OUTPUT value (what the staged
+    * shadow column holds and the manifest partition struct records)
+    * and the avro type it serializes as.
     */
   private final case class PartField(name: String, fieldId: Int,
-                                     sourceId: Int, sparkType: DataType,
+                                     sourceId: Int, source: String,
+                                     transform: String,
+                                     sparkType: DataType,
                                      avroType: Schema.Type)
+
+  private val BucketT = """bucket\[(\d+)\]""".r
+  private val TruncT  = """truncate\[(\d+)\]""".r
+
+  /** (output Spark type, output avro type) of a transform over an
+    * Iceberg source type — the loud gate for unsupported pairs.
+    */
+  private def resolveTransform(transform: String, srcType: String)
+      : (DataType, Schema.Type) = transform match {
+    case "identity" => (sparkTypeOf(srcType), avroTypeOf(srcType))
+    case "day" => srcType match {
+      case "date" | "timestamp" | "timestamptz" => (IntegerType, INT)
+      case other => throw new IllegalArgumentException(
+        s"day transform over source type $other unsupported " +
+          "(date/timestamp only) — refusing")
+    }
+    case BucketT(_) => srcType match {
+      case "int" | "long" | "string" | "date" => (IntegerType, INT)
+      case other => throw new IllegalArgumentException(
+        s"bucket transform over source type $other unsupported " +
+          "(int/long/string/date only) — refusing")
+    }
+    case TruncT(_) => srcType match {
+      case "int"    => (IntegerType, INT)
+      case "long"   => (LongType, LONG)
+      case "string" => (StringType, STRING)
+      case other => throw new IllegalArgumentException(
+        s"truncate transform over source type $other unsupported " +
+          "(int/long/string only) — refusing")
+    }
+    case other => throw new IllegalArgumentException(
+      s"partition transform $other unknown to this writer " +
+        "(identity/day/bucket[N]/truncate[W]) — refusing")
+  }
+
+  /** The Spark column computing a transform's output value — the spec
+    * semantics IcebergTransforms pins to the published test vectors
+    * (day = floor division of UTC micros; bucket = murmur3 of the
+    * widened long / UTF-8 bytes; truncate = floored mod / leading
+    * characters).
+    */
+  private def transformCol(pf: PartField, dt: DataType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, expr, udf}
+    val c = pf.source
+    pf.transform match {
+      case "identity" => col(c)
+      case "day" => dt match {
+        case DateType =>
+          expr(s"CAST(datediff(`$c`, DATE'1970-01-01') AS INT)")
+        case TimestampType | TimestampNTZType =>
+          // floor division in exact integer arithmetic: pmod is
+          // non-negative, so (us - pmod(us, d)) div d floors toward
+          // -infinity (a double division would lose ulps past 2^53)
+          expr(s"CAST((unix_micros(`$c`) - pmod(unix_micros(`$c`), " +
+            "86400000000)) div 86400000000 AS INT)")
+        case other => throw new IllegalArgumentException(
+          s"day transform over Spark type $other — refusing")
+      }
+      case BucketT(n) =>
+        val nn = n.toInt
+        dt match {
+          case IntegerType | LongType | DateType =>
+            val u = udf((v: Long) => IcebergTransforms.bucketOfLong(v, nn))
+            u(col(c).cast(LongType))
+          case StringType =>
+            val u = udf((v: String) =>
+              IcebergTransforms.bucketOfString(v, nn))
+            u(col(c))
+          case other => throw new IllegalArgumentException(
+            s"bucket transform over Spark type $other — refusing")
+        }
+      case TruncT(w) => dt match {
+        case IntegerType =>
+          expr(s"CAST(`$c` - pmod(`$c`, $w) AS INT)")
+        case LongType =>
+          expr(s"CAST(`$c` - pmod(`$c`, CAST($w AS BIGINT)) AS BIGINT)")
+        case StringType =>
+          val ww = w.toInt
+          val u = udf((v: String) =>
+            IcebergTransforms.truncateString(v, ww))
+          u(col(c))
+        case other => throw new IllegalArgumentException(
+          s"truncate transform over Spark type $other — refusing")
+      }
+      case other => throw new IllegalArgumentException(
+        s"partition transform $other unknown to this writer — refusing")
+    }
+  }
 
   private final case class TableState(
     uuid: String, location: String,
@@ -327,8 +421,9 @@ object IcebergWrite {
     }.toSeq
   }
 
-  /** Identity partition fields of the state's default spec, resolved
-    * against the current schema for types.
+  /** Partition fields of the state's default spec, resolved against
+    * the current schema for types; modeled transforms are identity,
+    * day, bucket[N], truncate[W] — anything else refuses by name.
     */
   private def partFields(st: TableState): Seq[PartField] = {
     val spec = st.specs
@@ -337,14 +432,12 @@ object IcebergWrite {
     val byId = currentFields(st).map { case (n, t, id) => id -> (n, t) }.toMap
     spec.path("fields").elements().asScala.map { fn =>
       val transform = fn.path("transform").asText()
-      require(transform == "identity",
-        s"partition transform $transform unknown to this writer " +
-          "(identity only) — refusing")
       val srcId = fn.path("source-id").asInt()
       val (name, tpe) = byId.getOrElse(srcId, throw new
           IllegalStateException(s"partition source-id $srcId not in schema"))
+      val (vt, at) = resolveTransform(transform, tpe)
       PartField(fn.path("name").asText(name), fn.path("field-id").asInt(),
-        srcId, sparkTypeOf(tpe), avroTypeOf(tpe))
+        srcId, name, transform, vt, at)
     }.toSeq
   }
 
@@ -425,18 +518,35 @@ object IcebergWrite {
   /** Unpartitioned create — the py4j-friendly arity. */
   def create(df: DataFrame, path: String): Long = create(df, path, Nil)
 
+  private val DaysArg  = """days?\(\s*([^)]+?)\s*\)""".r
+  private val BucketArg = """bucket\(\s*(\d+)\s*,\s*([^)]+?)\s*\)""".r
+  private val TruncArg  = """truncate\(\s*(\d+)\s*,\s*([^)]+?)\s*\)""".r
+
   /** Create the table: data files + manifest + manifest list +
-    * v1.metadata.json. `partitionBy` declares identity-transform
-    * partition fields. Fails if a metadata dir already exists. Returns
-    * the snapshot id (1).
+    * v1.metadata.json. `partitionBy` entries declare partition fields:
+    * a bare column name (identity transform), `days(col)`,
+    * `bucket(N, col)`, or `truncate(W, col)` — recorded in the spec
+    * with the canonical transform strings and pruned by IcebergRead's
+    * transform-aware zone maps. Fails if a metadata dir already
+    * exists. Returns the snapshot id (1).
     */
   def create(df: DataFrame, path: String, partitionBy: Seq[String]): Long = {
     val spark = df.sparkSession
     val f = fs(spark, path)
     require(!f.exists(new Path(path, "metadata")),
       s"$path already has Iceberg metadata/ — use append")
-    partitionBy.foreach(c => require(df.columns.contains(c),
-      s"partition column $c not in ${df.columns.mkString(",")}"))
+    // (source column, spec transform string, spec field name)
+    val declared = partitionBy.map {
+      case DaysArg(c)      => (c, "day", s"${c}_day")
+      case BucketArg(n, c) => (c, s"bucket[$n]", s"${c}_bucket")
+      case TruncArg(w, c)  => (c, s"truncate[$w]", s"${c}_trunc")
+      case c               => (c, "identity", c)
+    }
+    declared.foreach { case (c, t, _) =>
+      require(df.columns.contains(c),
+        s"partition column $c (transform $t) not in " +
+          df.columns.mkString(","))
+    }
     // depth-first pre-order id assignment (a nested column's inner ids
     // follow its own id) — typeString is also the loud type gate
     var nextColId = 0
@@ -449,15 +559,14 @@ object IcebergWrite {
     val spec0 = om.createObjectNode()
     spec0.put("spec-id", 0)
     val sf = spec0.putArray("fields")
-    val parts = partitionBy.zipWithIndex.map { case (c, i) =>
+    val parts = declared.zipWithIndex.map { case ((c, transform, pname), i) =>
       val tpe = icebergType(df.schema(c).dataType)
-      sparkTypeOf(tpe) // loud gate on partitionable types
+      val (vt, at) = resolveTransform(transform, tpe) // loud type gate
       val pn = om.createObjectNode()
-      pn.put("name", c); pn.put("transform", "identity")
+      pn.put("name", pname); pn.put("transform", transform)
       pn.put("source-id", fieldId(c)); pn.put("field-id", 1000 + i)
       sf.add(pn)
-      PartField(c, 1000 + i, fieldId(c), df.schema(c).dataType,
-        avroTypeOf(tpe))
+      PartField(pname, 1000 + i, fieldId(c), c, transform, vt, at)
     }
     val st = TableState(
       uuid = java.util.UUID.randomUUID().toString, location = path,
@@ -541,8 +650,8 @@ object IcebergWrite {
               nextColId)
           }
         }
-      partFields(st).foreach(p => require(df.columns.contains(p.name),
-        s"append batch misses partition column ${p.name}"))
+      partFields(st).foreach(p => require(df.columns.contains(p.source),
+        s"append batch misses partition column ${p.source}"))
       val snapId = st.snapshots.map(_.path("snapshot-id").asLong())
         .foldLeft(0L)(math.max) + 1
       // prior manifests carry forward from the CURRENT snapshot's list
@@ -866,8 +975,8 @@ object IcebergWrite {
       require(got == tbl.map { case (n, t, _) => (n, logicalType(t)) },
         s"appendBatch schema $got != table schema " +
           s"${tbl.map { case (n, t, _) => (n, logicalType(t)) }}")
-      partFields(st).foreach(p => require(df.columns.contains(p.name),
-        s"append batch misses partition column ${p.name}"))
+      partFields(st).foreach(p => require(df.columns.contains(p.source),
+        s"append batch misses partition column ${p.source}"))
       // the watermark rides the SAME metadata commit as the snapshot
       val props = om.createObjectNode()
       if (st.properties.isObject)
@@ -1385,7 +1494,8 @@ object IcebergWrite {
       if (parts.isEmpty) df.write.parquet(stage.toString)
       else {
         val shadowed = parts.foldLeft(df)((d, p) =>
-          d.withColumn(s"__gpart_${p.name}", col(p.name)))
+          d.withColumn(s"__gpart_${p.name}",
+            transformCol(p, df.schema(p.source).dataType)))
         shadowed.write.partitionBy(parts.map(p => s"__gpart_${p.name}"): _*)
           .parquet(stage.toString)
       }

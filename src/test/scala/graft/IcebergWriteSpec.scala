@@ -345,6 +345,88 @@ class IcebergWriteSpec extends AnyFunSuite {
       "data_file must carry the required partition struct")
   }
 
+  test("partition transforms: days(ts) create+append round-trip with 1-of-N pruning") {
+    val dir = tmp()
+    // 30 rows over three distinct UTC days (an hour past midnight)
+    val df = spark.range(0, 30).select(col("id").as("k"),
+      expr("timestamp_micros(CAST(id DIV 10 AS BIGINT) * 86400000000 " +
+        "+ 3600000000)").as("ts"))
+    IcebergWrite.create(df.coalesce(1), dir, Seq("days(ts)"))
+    val back = IcebergRead.read(spark, dir)
+    assert(back.columns.toSeq == Seq("k", "ts") && back.count() == 30,
+      "data files carry the SOURCE columns; the day value is spec-only")
+    // one file per day → a timestamp range predicate opens 1 of 3
+    val pred = "ts >= TIMESTAMP'1970-01-03 00:00:00'"
+    val (total, kept) = IcebergRead.pruneReport(spark, dir, pred)
+    assert(total == 3 && kept == 1, s"day pruning: $kept of $total")
+    // readWhere == read.filter exactly
+    assert(IcebergRead.readWhere(spark, dir, pred).collect().toSet
+      == IcebergRead.read(spark, dir).filter(expr(pred)).collect().toSet)
+    // equality inside a day keeps exactly that day's file
+    val eqPred = "ts = TIMESTAMP'1970-01-02 01:00:00'"
+    assert(IcebergRead.pruneReport(spark, dir, eqPred)._2 == 1)
+    // appends flow through the same transform (a fourth day)
+    IcebergWrite.append(spark.range(30, 40).select(col("id").as("k"),
+      expr("timestamp_micros(3 * 86400000000 + 3600000000)").as("ts"))
+      .coalesce(1), dir)
+    val (t2, k2) = IcebergRead.pruneReport(spark, dir,
+      "ts >= TIMESTAMP'1970-01-04 00:00:00'")
+    assert(t2 == 4 && k2 == 1, s"append pruning: $k2 of $t2")
+    assert(IcebergRead.read(spark, dir).count() == 40)
+    // the spec records the canonical transform string
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(Files.readString(
+      java.nio.file.Paths.get(dir, "metadata", "v1.metadata.json")))
+    val fld = meta.path("partition-specs").elements().next()
+      .path("fields").elements().next()
+    assert(fld.path("transform").asText() == "day"
+      && fld.path("name").asText() == "ts_day")
+  }
+
+  test("partition transforms: bucket(N, k) prunes equality probes to one file") {
+    val dir = tmp()
+    IcebergWrite.create(range(0, 40).coalesce(1), dir, Seq("bucket(8, k)"))
+    val back = IcebergRead.read(spark, dir)
+    assert(back.count() == 40)
+    val (total, kept) = IcebergRead.pruneReport(spark, dir, "k = 5")
+    assert(total > 1 && kept == 1, s"bucket pruning: $kept of $total")
+    assert(IcebergRead.readWhere(spark, dir, "k = 5").collect().toSet
+      == back.filter(col("k") === 5).collect().toSet)
+    // IN-lists keep the union of probed buckets; ranges keep everything
+    val inKept = IcebergRead.pruneReport(spark, dir, "k IN (5, 17)")._2
+    assert(inKept >= 1 && inKept <= 2)
+    assert(IcebergRead.pruneReport(spark, dir, "k >= 5")._2 == total,
+      "bucket is not order-preserving — ranges must not prune")
+    // string buckets prune too (spec murmur3 over UTF-8 bytes)
+    val dir2 = tmp()
+    IcebergWrite.create(range(0, 40).coalesce(1), dir2,
+      Seq("bucket(4, name)"))
+    val nm = range(0, 1).head().getString(1)
+    val (t2, k2) = IcebergRead.pruneReport(spark, dir2, s"name = '$nm'")
+    assert(t2 > 1 && k2 == 1, s"string bucket pruning: $k2 of $t2")
+    assert(IcebergRead.readWhere(spark, dir2, s"name = '$nm'")
+      .collect().toSet
+      == IcebergRead.read(spark, dir2)
+        .filter(col("name") === nm).collect().toSet)
+  }
+
+  test("partition transforms: truncate(W, k) zone-maps ranges; unknown transforms refuse") {
+    val dir = tmp()
+    IcebergWrite.create(range(0, 30).coalesce(1), dir,
+      Seq("truncate(10, k)"))
+    val (total, kept) = IcebergRead.pruneReport(spark, dir, "k >= 20")
+    assert(total == 3 && kept == 1, s"truncate pruning: $kept of $total")
+    assert(IcebergRead.pruneReport(spark, dir, "k = 5")._2 == 1)
+    assert(IcebergRead.readWhere(spark, dir, "k >= 20").collect().toSet
+      == IcebergRead.read(spark, dir)
+        .filter(col("k") >= 20).collect().toSet)
+    // unknown transforms still refuse by name at create
+    val e = intercept[IllegalArgumentException] {
+      IcebergWrite.create(range(0, 5), tmp(), Seq("zorder(k)"))
+    }
+    assert(e.getMessage.contains("not in"))
+  }
+
   test("identity-partitioned create: split files, partition struct, pruning") {
     val dir = tmp()
     val parted = range(0, 60)

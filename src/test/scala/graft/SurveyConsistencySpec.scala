@@ -222,5 +222,11 @@ class SurveyConsistencySpec extends AnyFunSuite {
     assert(hasMethod("graft.sources.HudiWrite$", "upsertLogBatch") ==
       srcSection.contains("StreamOps.hudiUpsertStream"),
       "Hudi streaming MOR ingest claim and code marker disagree")
+    assert(hasClass("graft.sources.IcebergTransforms$") ==
+      srcSection.contains("PARTITION TRANSFORMS (round 11"),
+      "Iceberg partition-transform claim and code marker disagree")
+    assert(hasMethod("graft.sources.IcebergRead$", "partMayMatch") ==
+      srcSection.contains("STORED PARTITION TUPLES"),
+      "Iceberg transform-pruning claim and code marker disagree")
   }
 }
