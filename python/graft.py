@@ -730,6 +730,24 @@ def hudi_archive(spark, path, keep_last):
         spark._jsparkSession, path, int(keep_last))
 
 
+def hudi_sync_metadata(spark, path):
+    """Build/refresh the modeled metadata table at .hoodie/metadata
+    (files + column_stats partitions + sync marker); incremental -
+    only files new since the last sync pay a footer read. Returns the
+    synced head instant."""
+    return _jvm(spark).graft.sources.HudiWrite.syncMetadata(
+        spark._jsparkSession, path)
+
+
+def hudi_read_where_meta(spark, path, predicate):
+    """Pruned Hudi read planned from the METADATA TABLE (one table
+    read instead of one footer RPC per data file). Refuses loudly when
+    the metadata table is absent, stale, or an unmodeled layout."""
+    jdf = _jvm(spark).graft.sources.HudiRead.readWhereMeta(
+        spark._jsparkSession, path, predicate)
+    return _wrap(spark, jdf)
+
+
 def hudi_read_where(spark, path, predicate, as_of=""):
     """Pruned Hudi COW read: open only base files whose footer zone
     maps can satisfy the predicate (Hudi commit metadata carries no

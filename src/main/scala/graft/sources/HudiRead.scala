@@ -412,6 +412,116 @@ object HudiRead {
       FileStats.mayMatch(pred, stats.getOrElse(b.path, Map.empty))))
   }
 
+  // ------------------------------------------------------------------
+  // metadata-table planning (files + column_stats partitions)
+  // ------------------------------------------------------------------
+
+  /** Parse the modeled metadata table at `.hoodie/metadata/` into
+    * (synced head instant, per-file column zone maps). None when no
+    * metadata table exists or it is not the modeled layout — callers
+    * that REQUIRE it ([[readWhereMeta]]) refuse loudly; the sync verb
+    * treats None as "harvest everything".
+    */
+  private[sources] def tryMetaStats(spark: SparkSession, path: String)
+      : Option[(String, Map[String, Map[String, FileStats.ColStat]])] = {
+    val mpath = s"$path/.hoodie/metadata"
+    val f = fs(spark, path)
+    if (!f.exists(new Path(mpath, ".hoodie/hoodie.properties")))
+      return None
+    val rows =
+      try read(spark, mpath).collect()
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"$path: .hoodie/metadata exists but is not a readable " +
+            "modeled metadata table (real Hudi metadata tables are " +
+            "HFile-based MOR internals this reader does not decode) — " +
+            s"refusing rather than misreading (${e.getMessage})", e)
+      }
+    val cols = Set("mkey", "part", "path", "col", "kind", "lo", "hi",
+      "nulls", "rows")
+    require(rows.isEmpty ||
+        rows.head.schema.fieldNames.toSet == cols,
+      s"$path: metadata table carries an unmodeled schema " +
+        s"${rows.headOption.map(_.schema.fieldNames.mkString(","))} — " +
+        "refusing")
+    val sync = rows.filter(_.getAs[String]("part") == "sync")
+    require(sync.length == 1 &&
+        sync.head.getAs[String]("kind") == "graft-colstats-v1",
+      s"$path: metadata table carries no graft-colstats-v1 sync marker " +
+        "— unmodeled metadata version, refusing")
+    val head = sync.head.getAs[String]("path")
+    val stats = rows.filter(_.getAs[String]("part") == "column_stats")
+      .groupBy(_.getAs[String]("path")).map { case (p, rs) =>
+        p -> rs.map { r =>
+          r.getAs[String]("col") -> FileStats.ColStat(
+            r.getAs[String]("kind"),
+            Option(r.getAs[String]("lo")), Option(r.getAs[String]("hi")),
+            r.getAs[Long]("nulls"), r.getAs[Long]("rows"))
+        }.toMap
+      }
+    // files listed without stats still count (unprunable but present)
+    val bare = rows.filter(_.getAs[String]("part") == "files")
+      .map(_.getAs[String]("path"))
+      .filterNot(stats.contains).map(_ -> Map.empty[String,
+        FileStats.ColStat]).toMap
+    Some((head, stats ++ bare))
+  }
+
+  /** [[readWhere]] planned from the METADATA TABLE: zone maps come
+    * from ONE read of `.hoodie/metadata` (written by
+    * [[HudiWrite.syncMetadata]]) instead of one footer RPC per data
+    * file — the plan-time budget that matters at 100 TB file counts.
+    * Refuses loudly when the metadata table is absent, an unmodeled
+    * layout/version, or STALE (synced head ≠ the table's head — stats
+    * missing a newer commit's files could silently drop rows).
+    */
+  def readWhereMeta(spark: SparkSession, path: String,
+                    predicate: String): DataFrame = {
+    val (bases, logs, completedTs) = plan(spark, path, "")
+    require(logs.isEmpty,
+      s"$path: uncompacted log files present — refusing, see readWhere")
+    val (head, stats) = tryMetaStats(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path: no modeled metadata table — run " +
+          "HudiWrite.syncMetadata, or use readWhere's footer harvest"))
+    require(head == completedTs.max,
+      s"$path: metadata table synced at $head but the table head is " +
+        s"${completedTs.max} — STALE stats could silently drop rows; " +
+        "re-run HudiWrite.syncMetadata")
+    val pred = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(predicate)
+    val kept = bases.filter(b =>
+      FileStats.mayMatch(pred, stats.getOrElse(b.path, Map.empty)))
+    val src =
+      if (kept.nonEmpty)
+        spark.read.parquet(kept.map(b => s"$path/${b.path}"): _*)
+      else
+        spark.read.parquet(s"$path/${bases.head.path}").limit(0)
+    src.drop(MetaCols: _*)
+      .filter(org.apache.spark.sql.functions.expr(predicate))
+  }
+
+  /** (total live base files, files `predicate` would open) planned
+    * from the metadata table — same refusals as [[readWhereMeta]].
+    */
+  def pruneReportMeta(spark: SparkSession, path: String,
+                      predicate: String): (Int, Int) = {
+    val (bases, logs, completedTs) = plan(spark, path, "")
+    require(logs.isEmpty,
+      s"$path: uncompacted log files present — refusing, see readWhere")
+    val (head, stats) = tryMetaStats(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path: no modeled metadata table — run " +
+          "HudiWrite.syncMetadata, or use readWhere's footer harvest"))
+    require(head == completedTs.max,
+      s"$path: metadata table synced at $head but the table head is " +
+        s"${completedTs.max} — re-run HudiWrite.syncMetadata")
+    val pred = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(predicate)
+    (bases.size, bases.count(b =>
+      FileStats.mayMatch(pred, stats.getOrElse(b.path, Map.empty))))
+  }
+
   def read(spark: SparkSession, path: String, asOf: String = "")
       : DataFrame = {
     val pr = props(spark, path)

@@ -1323,6 +1323,75 @@ object HudiWrite {
     removable.size
   }
 
+  /** SYNC THE METADATA TABLE — the modeled analog of Hudi's
+    * `.hoodie/metadata` (in real Hudi an internal MOR table whose
+    * `files` and `column_stats` partitions let the planner prune from
+    * ONE table read instead of N data-file footers — the difference
+    * between O(files) KB-sized RPCs and one scan at 100 TB file
+    * counts). Here the metadata table is itself a graft-Hudi COW table
+    * at `.hoodie/metadata/`, partitioned by `part`:
+    *
+    *   - `files`: one row per live base file (`path`, `rows`);
+    *   - `column_stats`: one row per (column, file) with the
+    *     [[FileStats.ColStat]] zone map (`kind`, `lo`, `hi`, `nulls`,
+    *     `rows`) — the same compare domain `readWhere` harvests from
+    *     footers;
+    *   - `sync`: one marker row carrying the synced head instant and
+    *     the layout version `graft-colstats-v1` ([[HudiRead]]'s
+    *     readWhereMeta refuses anything else by name).
+    *
+    * INCREMENTAL: stats of files already present in a valid existing
+    * metadata table carry forward without re-reading their footers —
+    * only files new since the last sync are harvested (the write is
+    * file-count-sized either way; footer RPCs are the scale cost).
+    * Tables with live log files refuse (the same base-bounds
+    * soundness rule as readWhere). Returns the synced head instant.
+    */
+  def syncMetadata(spark: SparkSession, path: String): String = {
+    tableTypeOf(spark, path) // loud gate
+    val f = fs(spark, path)
+    val (bases, logs, completedTs) = HudiRead.plan(spark, path, "")
+    require(logs.isEmpty,
+      s"$path: uncompacted log files present — base-file column stats " +
+        "cannot cover log rows; compact first")
+    val head = completedTs.max
+    val mpath = s"$path/.hoodie/metadata"
+    // carry forward stats of still-live files from a valid prior sync
+    val carried: Map[String, Map[String, FileStats.ColStat]] =
+      HudiRead.tryMetaStats(spark, path)
+        .map(_._2).getOrElse(Map.empty)
+    val livePaths = bases.map(_.path)
+    val fresh = livePaths.filterNot(carried.contains)
+    val harvested = FileStats.collect(spark, path, fresh)
+    val all: Map[String, Map[String, FileStats.ColStat]] =
+      livePaths.map(p =>
+        p -> carried.getOrElse(p, harvested.getOrElse(p, Map.empty))).toMap
+    import spark.implicits._
+    val statRows = all.toSeq.flatMap { case (p, cols) =>
+      cols.toSeq.map { case (c, st) =>
+        (s"$c#$p", "column_stats", p, c, st.kind,
+          st.lo.orNull, st.hi.orNull, st.nulls, st.rows)
+      }
+    }
+    val fileRows = livePaths.map { p =>
+      val rows = all.get(p).flatMap(_.values.headOption)
+        .map(_.rows).getOrElse(-1L)
+      (s"file#$p", "files", p, null: String, null: String,
+        null: String, null: String, -1L, rows)
+    }
+    val syncRow = Seq((s"sync#$head", "sync", head, null: String,
+      "graft-colstats-v1", null: String, null: String, -1L, -1L))
+    val df = (statRows ++ fileRows ++ syncRow)
+      .toDF("mkey", "part", "path", "col", "kind", "lo", "hi",
+        "nulls", "rows")
+      .coalesce(1)
+    // rebuild atomically enough for the modeled single-driver scope: a
+    // reader racing the wipe hits the loud not-a-metadata-table refusal
+    f.delete(new Path(mpath), true)
+    create(df, mpath, "mkey", partitionField = "part")
+    head
+  }
+
   /** ARCHIVE — trim the ACTIVE timeline to its last `keepLast`
     * completed data instants by moving the older completed files (and
     * their pending markers) into `.hoodie/archived/`, the layout

@@ -517,6 +517,59 @@ class HudiWriteSpec extends AnyFunSuite {
       "rollback must leave the table readable and identical")
   }
 
+  test("metadata table: one-table pruning identical to footer harvest; stale/unmodeled refuse") {
+    val dir = tmp()
+    HudiWrite.create(range(0, 10).coalesce(1), dir, "k")
+    HudiWrite.insert(range(100, 110).coalesce(1), dir, "k")
+    HudiWrite.insert(range(200, 210).coalesce(1), dir, "k")
+    // no metadata table yet: loud refusal pointing at the sync verb
+    val e0 = intercept[IllegalArgumentException] {
+      HudiRead.pruneReportMeta(spark, dir, "k >= 200")
+    }
+    assert(e0.getMessage.contains("syncMetadata"))
+    HudiWrite.syncMetadata(spark, dir)
+    // prunes IDENTICALLY to the footer harvest, predicate by predicate
+    Seq("k >= 200", "k < 5", "k >= 100 AND k < 110", "v = 'x0'")
+      .foreach { p =>
+        assert(HudiRead.pruneReportMeta(spark, dir, p)
+          == HudiRead.pruneReport(spark, dir, p), s"prune counts: $p")
+        assert(HudiRead.readWhereMeta(spark, dir, p).collect().toSet
+          == HudiRead.readWhere(spark, dir, p).collect().toSet,
+          s"rows: $p")
+      }
+    // a new commit makes the stats STALE: loud refusal until re-sync
+    HudiWrite.insert(range(300, 305).coalesce(1), dir, "k")
+    val e1 = intercept[IllegalArgumentException] {
+      HudiRead.readWhereMeta(spark, dir, "k >= 200")
+    }
+    assert(e1.getMessage.contains("syncMetadata"))
+    // incremental re-sync: carried stats + the one new file
+    HudiWrite.syncMetadata(spark, dir)
+    assert(HudiRead.pruneReportMeta(spark, dir, "k >= 300")
+      == HudiRead.pruneReport(spark, dir, "k >= 300"))
+    assert(HudiRead.pruneReportMeta(spark, dir, "k >= 300") == (4, 1))
+    // an unmodeled metadata layout refuses loudly by name
+    val mpath = s"$dir/.hoodie/metadata"
+    val f = new org.apache.hadoop.fs.Path(mpath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(mpath), true)
+    HudiWrite.create(range(0, 2).coalesce(1), mpath, "k")
+    val e2 = intercept[IllegalArgumentException] {
+      HudiRead.pruneReportMeta(spark, dir, "k >= 200")
+    }
+    assert(e2.getMessage.contains("unmodeled"))
+    // a MOR table with live logs refuses the sync (base bounds cannot
+    // cover log rows)
+    val dir2 = tmp()
+    HudiWrite.create(range(0, 4).coalesce(1), dir2, "k", "",
+      "MERGE_ON_READ")
+    HudiWrite.upsertLog(range(0, 2, "u"), dir2, "k")
+    val e3 = intercept[IllegalArgumentException] {
+      HudiWrite.syncMetadata(spark, dir2)
+    }
+    assert(e3.getMessage.contains("compact first"))
+  }
+
   test("racing inserts: both land exactly once on distinct instants") {
     val dir = tmp()
     HudiWrite.create(range(0, 2).coalesce(1), dir, "k")

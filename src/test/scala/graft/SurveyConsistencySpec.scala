@@ -228,5 +228,11 @@ class SurveyConsistencySpec extends AnyFunSuite {
     assert(hasMethod("graft.sources.IcebergRead$", "partMayMatch") ==
       srcSection.contains("STORED PARTITION TUPLES"),
       "Iceberg transform-pruning claim and code marker disagree")
+    assert(hasMethod("graft.sources.HudiWrite$", "syncMetadata") ==
+      srcSection.contains("graft-colstats-v1"),
+      "Hudi metadata-table claim and code marker disagree")
+    assert(hasMethod("graft.sources.HudiRead$", "readWhereMeta") ==
+      srcSection.contains("pruneReportMeta"),
+      "Hudi meta-pruning claim and code marker disagree")
   }
 }

@@ -504,6 +504,9 @@ graft.hudi_upsert_log(
 assert graft.hudi_archive(spark, hm_dir, 2) >= 1
 hm = graft.hudi_read(spark, hm_dir)
 assert hm.count() == 8 and hm.where("k = 0").first().v == 7
+graft.hudi_compact(spark, hm_dir)
+graft.hudi_sync_metadata(spark, hm_dir)
+assert graft.hudi_read_where_meta(spark, hm_dir, "k >= 4").count() == 4
 
 # round 9: Iceberg identity-partitioned create + additive evolution
 ip_dir = tempfile.mkdtemp(prefix="graft_pyip") + "/t"
