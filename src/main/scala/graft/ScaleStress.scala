@@ -296,6 +296,25 @@ object ScaleStress {
     println(f"optimize partitions      10 grp=$tOpt10%7.2fs  " +
       f"100 grp=$tOpt100%7.2fs  ratio=${tOpt100 / tOpt10}%4.1fx")
 
+    // 4b. OPTIMIZE branch-count ceiling (the round-10 §6 watch item):
+    // 100 vs 1000 partition groups at the SAME per-group shape (2
+    // small files each, so every group qualifies) — does the
+    // one-unioned-plan strategy survive 1k union branches, or does
+    // plan size become the bottleneck at real partition counts?
+    def optWide(groups: Int): String = {
+      val d = fresh(s"delta_optw_$groups")
+      DeltaWrite.create(spark.range(0, 400000)
+        .selectExpr("id AS k", s"cast(id % $groups AS string) AS p")
+        .repartition(2), d, Seq("p"))
+      d
+    }
+    val w100 = optWide(100)
+    val tW100 = time(DeltaWrite.optimize(spark, w100))
+    val w1000 = optWide(1000)
+    val tW1000 = time(DeltaWrite.optimize(spark, w1000))
+    println(f"optimize branch ceiling  100 grp=$tW100%7.2fs  " +
+      f"1000 grp=$tW1000%7.2fs  ratio=${tW1000 / tW100}%5.1fx")
+
     // 5. Hudi COW upsert: 4 vs 40 file groups, SAME source size — the
     // membership scan + per-group rewrite must track the bytes the
     // source keys actually touch (stats-pruned), not the group count

@@ -547,19 +547,35 @@ object DeltaWrite {
         .filter(g => g.size >= 2 || g.exists(_.dv.exists(_.cardinality > 0L)))
         .toSeq
       if (groups.isEmpty) return cur
-      // ONE unioned plan and ONE write job for every group: each branch
+      // BOUNDED-WIDTH unioned plans, ONE atomic commit: each branch
       // holds a single partition tuple repartitioned to its own bin
-      // count, so a 10k-partition table compacts in one pass instead of
-      // 10k sequential jobs. DV-applied assembly: compaction must never
-      // resurrect rows.
-      val segment = groups.map { g =>
-        val bins = math.max(1L,
-          (g.map(_.size).sum + targetBytes - 1) / targetBytes).toInt
-        DeltaRead.assemble(spark, path, st, g).repartition(bins)
-      }.reduce(_ unionByName _)
-      val (physRows, physParts, statKey) =
-        physicalize(segment, st, schema, st.partitionCols)
-      val written = writeSegment(physRows, path, physParts)
+      // count, so groups compact in wide passes instead of one
+      // sequential job each — but the union width is capped (default
+      // 128 branches; `graft.delta.optimize.maxBranches`): Catalyst
+      // analysis cost grows superlinearly in plan size, so a
+      // 10k-partition table runs ~80 bounded jobs rather than one
+      // 10k-branch plan (measured at 1k groups in ScaleStress's
+      // `optimize branch ceiling` row). All batches' files land before
+      // the single publish, so atomicity is untouched. DV-applied
+      // assembly: compaction must never resurrect rows.
+      val maxBranches = spark.conf.getOption(
+        "graft.delta.optimize.maxBranches").map(_.toInt).getOrElse(128)
+      require(maxBranches >= 1,
+        s"graft.delta.optimize.maxBranches must be >= 1: $maxBranches")
+      var statKey: Map[String, String] = Map.empty
+      var physParts: Seq[String] = st.partitionCols
+      val written = groups.grouped(maxBranches).toSeq.flatMap { batch =>
+        val segment = batch.map { g =>
+          val bins = math.max(1L,
+            (g.map(_.size).sum + targetBytes - 1) / targetBytes).toInt
+          DeltaRead.assemble(spark, path, st, g).repartition(bins)
+        }.reduce(_ unionByName _)
+        // physicalize is schema-determined — identical across batches
+        val (physRows, pp, sk) =
+          physicalize(segment, st, schema, st.partitionCols)
+        statKey = sk; physParts = pp
+        writeSegment(physRows, path, pp)
+      }
       val actions = groups.flatten.map(removeAction(_, dataChange = false)) ++
         actionsFor(schema, written, withMeta = false, physParts,
           dataChange = false, statKey = statKey)
