@@ -730,6 +730,17 @@ def hudi_archive(spark, path, keep_last):
         spark._jsparkSession, path, int(keep_last))
 
 
+def hudi_cluster(spark, path, target_bytes=128 * 1024 * 1024,
+                 sort_by=()):
+    """CLUSTERING (replacecommit): bin-pack small file groups into
+    ~target_bytes groups under fresh fileIds; with sort_by, rewrite
+    every group range-partitioned and sorted on the keys so range
+    predicates prune to 1-of-N files. Returns the instant."""
+    return _jvm(spark).graft.sources.HudiWrite.cluster(
+        spark._jsparkSession, path, int(target_bytes),
+        _to_seq(spark, list(sort_by)))
+
+
 def hudi_sync_metadata(spark, path):
     """Build/refresh the modeled metadata table at .hoodie/metadata
     (files + column_stats partitions + sync marker); incremental -

@@ -321,6 +321,45 @@ object TransformSpec {
         graft.sources.HudiWrite.delete(df.sparkSession,
           step.path("path").asText(), step.path("predicate").asText())
         df
+      case "hudiCluster" =>
+        // replacecommit layout rewrite: bin-pack small groups, or (with
+        // sortBy) range-sort every group for 1-of-N pruned reads
+        gateWrite(allowInline, "hudiCluster")
+        graft.sources.HudiWrite.cluster(df.sparkSession,
+          step.path("path").asText(),
+          if (step.has("targetBytes")) step.path("targetBytes").asLong()
+          else 128L * 1024 * 1024,
+          strings(step.path("sortBy")))
+        df
+      case "hudiCompact" =>
+        // MOR compaction: fold live log blocks into fresh base files
+        // under a commit instant; input frame passes through
+        gateWrite(allowInline, "hudiCompact")
+        graft.sources.HudiWrite.compact(df.sparkSession,
+          step.path("path").asText())
+        df
+      case "hudiClean" =>
+        // retention: physically delete slices shadowed beyond the
+        // horizon (time travel below it refuses loudly afterwards)
+        gateWrite(allowInline, "hudiClean")
+        graft.sources.HudiWrite.clean(df.sparkSession,
+          step.path("path").asText(),
+          step.path("retainInstants").asInt())
+        df
+      case "hudiArchive" =>
+        // trim the active timeline into .hoodie/archived (refuses and
+        // rolls back if it would orphan a group's latest write)
+        gateWrite(allowInline, "hudiArchive")
+        graft.sources.HudiWrite.archive(df.sparkSession,
+          step.path("path").asText(), step.path("keepLast").asInt())
+        df
+      case "hudiSyncMetadata" =>
+        // build/refresh the modeled metadata table (files +
+        // column_stats) for one-read plan-time pruning
+        gateWrite(allowInline, "hudiSyncMetadata")
+        graft.sources.HudiWrite.syncMetadata(df.sparkSession,
+          step.path("path").asText())
+        df
       case "icebergRollback" =>
         // metadata-only rollback to a prior snapshot (history kept);
         // the input frame passes through untouched

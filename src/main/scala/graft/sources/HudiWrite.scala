@@ -194,7 +194,8 @@ object HudiWrite {
   private def land(df: DataFrame, path: String, keyCol: String,
                    instant: String, prevOf: Map[String, String],
                    partitioned: Boolean,
-                   token: String = "0-0-0"): Seq[Landed] = {
+                   token: String = "0-0-0",
+                   prePartitioned: Boolean = false): Seq[Landed] = {
     val spark = df.sparkSession
     val f = fs(spark, path)
     if (partitioned) {
@@ -234,7 +235,12 @@ object HudiWrite {
       s".stage-${java.util.UUID.randomUUID().toString}")
     val stageCols = if (partitioned) Seq("__pp", "__fg") else Seq("__fg")
     try {
-      withMeta.repartition(col("__fg"))
+      // prePartitioned: the caller already co-located each __fg in one
+      // task (e.g. cluster's range bins, whose sort order a reshuffle
+      // would destroy) — partitionBy alone then emits one file per
+      // (task, __fg), and __fg is task-unique by construction
+      (if (prePartitioned) withMeta
+       else withMeta.repartition(col("__fg")))
         .write.partitionBy(stageCols: _*).parquet(stage.toString)
       def groupDirs: Seq[(String, Path)] =
         if (!partitioned)
@@ -317,7 +323,9 @@ object HudiWrite {
   // hand-built string would emit invalid JSON the reader's om.readTree
   // then refuses — one bad value permanently bricking the table.
   private def commitJson(landed: Seq[Landed], operation: String,
-                         extraMetadata: Map[String, String]): String = {
+                         extraMetadata: Map[String, String],
+                         replaced: Map[String, Seq[String]] = Map.empty)
+      : String = {
     val root = om.createObjectNode()
     val parts = root.putObject("partitionToWriteStats")
     landed.groupBy(_.partition).toSeq.sortBy(_._1).foreach {
@@ -331,6 +339,13 @@ object HudiWrite {
           n.put("numWrites", l.rows)
           n.put("fileSizeInBytes", l.size)
         }
+    }
+    if (replaced.nonEmpty) {
+      val rep = root.putObject("partitionToReplaceFileIds")
+      replaced.toSeq.sortBy(_._1).foreach { case (pp, fids) =>
+        val arr = rep.putArray(pp)
+        fids.sorted.foreach(arr.add)
+      }
     }
     root.put("operation", operation)
     if (extraMetadata.nonEmpty) {
@@ -1168,12 +1183,33 @@ object HudiWrite {
     * instant and lose them — run table services and log writers
     * serially, or behind one driver.
     */
+  /** Strictly-next instant after `ts`, zero-padded to the timeline
+    * shape — table services (compact/cluster) commit at exactly
+    * timeline-head+1 so racers collide on the reservation.
+    */
+  private def bumpInstant(ts: String): String =
+    (BigInt(ts) + 1).toString.reverse.padTo(17, '0').reverse
+
+  /** Bounded wait for SOME completed instant ≥ `instant` — the
+    * serialized-commit loser's backoff before replanning (see
+    * [[compact]]'s concurrency note).
+    */
+  private def awaitTimeline(f: org.apache.hadoop.fs.FileSystem,
+                            path: String, instant: String): Unit = {
+    val deadline = System.currentTimeMillis() + 60000
+    def moved(): Boolean = f.listStatus(new Path(path, ".hoodie"))
+      .map(_.getPath.getName)
+      .collect { case CompletedName(ts, _) => ts }
+      .exists(_ >= instant)
+    while (!moved() && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+  }
+
   def compact(spark: SparkSession, path: String): String = {
     requireMor(spark, path)
     val keyCol = recordKeyOf(spark, path)
     val partitioned = partitionFieldOf(spark, path).nonEmpty
-    def bump(ts: String): String =
-      (BigInt(ts) + 1).toString.reverse.padTo(17, '0').reverse
+    def bump(ts: String): String = bumpInstant(ts)
     var attempts = 0
     while (true) {
       require(attempts < 10,
@@ -1221,13 +1257,91 @@ object HudiWrite {
       // SOME instant ≥ it to complete so the replan sees the winner's
       // effect — a concurrent compaction folds our logs and the replan
       // no-ops instead of folding the same blocks twice
-      val deadline = System.currentTimeMillis() + 60000
-      def moved(): Boolean = f.listStatus(new Path(path, ".hoodie"))
-        .map(_.getPath.getName)
-        .collect { case CompletedName(ts, _) => ts }
-        .exists(_ >= instant)
-      while (!moved() && System.currentTimeMillis() < deadline)
-        Thread.sleep(50)
+      awaitTimeline(f, path, instant)
+      attempts += 1
+    }
+    "" // unreachable
+  }
+
+  /** CLUSTERING — the write side of the `replacecommit` instants the
+    * reader has consumed since round 10, and the Hudi analog of Delta
+    * OPTIMIZE: rewrite file groups into ~`targetBytes` bins under
+    * FRESH fileIds, publishing one `replacecommit` whose
+    * `partitionToWriteStats` lists the new groups and
+    * `partitionToReplaceFileIds` kills the old ones (the out-of-line
+    * shadowing rule [[HudiRead]] plans by — time travel before the
+    * clustering still serves the old groups, and [[clean]] reclaims
+    * their files once the horizon passes).
+    *
+    * Two operating points: with `sortBy` EMPTY, bin-packs only the
+    * small groups (size < targetBytes, ≥2 of them — a lone small group
+    * gains nothing); with `sortBy` given, rewrites EVERY group with
+    * rows range-partitioned and sorted on the keys — the layout
+    * rewrite that turns `readWhere` range predicates into 1-of-N file
+    * opens (each new group holds a disjoint key range, zone maps do
+    * the rest). COW only; commits serialized at timeline-head+1
+    * exactly like [[compact]] (concurrent COW upserts during a
+    * clustering are out of modeled scope without a lock provider, as
+    * in Hudi itself). Returns the replacecommit instant, or the
+    * current latest when nothing qualifies.
+    */
+  def cluster(spark: SparkSession, path: String,
+              targetBytes: Long = 128L * 1024 * 1024,
+              sortBy: Seq[String] = Nil): String = {
+    requireCow(spark, path)
+    val keyCol = recordKeyOf(spark, path)
+    val partitioned = partitionFieldOf(spark, path).nonEmpty
+    var attempts = 0
+    while (true) {
+      require(attempts < 10,
+        s"$path: could not reserve timeline-head+1 after 10 bounded " +
+          "waits — a crashed writer's pending instant may be starving " +
+          "clustering")
+      val f = fs(spark, path)
+      val (bases, logs, completedTs) = HudiRead.plan(spark, path, "")
+      require(logs.isEmpty,
+        s"$path: table holds log files — this writer is COW only")
+      def sizeOf(b: HudiRead.Slice): Long =
+        f.getFileStatus(new Path(path, b.path)).getLen
+      val candidates =
+        if (sortBy.nonEmpty) bases
+        else bases.filter(b => sizeOf(b) < targetBytes)
+      if (candidates.size < 2)
+        return latestCompletedInstant(spark, path)
+      val instant = bumpInstant(completedTs.max)
+      val rows = spark.read
+        .parquet(candidates.map(b => s"$path/${b.path}"): _*)
+      val payloadCols = rows.columns.filterNot(MetaCols.contains)
+      val totalBytes = candidates.map(sizeOf).sum
+      val bins = math.max(1L,
+        (totalBytes + targetBytes - 1) / targetBytes).toInt
+      val salt = java.util.UUID.randomUUID().toString
+      val keyed = rows
+        .withColumn("__pp", col("_hoodie_partition_path"))
+        .select((payloadCols.map(col) :+ col("__pp")): _*)
+      // bin assignment WITHOUT a second shuffle: the physical partition
+      // id after the (range-)repartition IS the bin, so land() must not
+      // re-shuffle (prePartitioned) — with sortBy, bins hold disjoint
+      // (partition, key) ranges and rows arrive sorted, which is what
+      // makes the new groups' zone maps selective
+      val arranged =
+        if (sortBy.nonEmpty)
+          keyed.repartitionByRange(bins,
+              (col("__pp") +: sortBy.map(col)): _*)
+            .sortWithinPartitions((col("__pp") +: sortBy.map(col)): _*)
+        else keyed.repartition(bins)
+      val tagged = arranged
+        .withColumn("__fg", md5(concat_ws("#", lit(instant), lit(salt),
+          col("__pp"), spark_partition_id().cast("string"))))
+      val landed = land(tagged, path, keyCol, instant, Map.empty,
+        partitioned, prePartitioned = true)
+      val replaced = candidates.groupBy(_.partition)
+        .map { case (pp, bs) => pp -> bs.map(_.fileId).distinct.toSeq }
+      if (publish(spark, path, instant,
+          commitJson(landed, "cluster", Map.empty, replaced),
+          kindOverride = Some("replacecommit"))) return instant
+      landed.foreach(l => f.delete(new Path(path, l.rel), false))
+      awaitTimeline(f, path, instant)
       attempts += 1
     }
     "" // unreachable

@@ -517,6 +517,53 @@ class HudiWriteSpec extends AnyFunSuite {
       "rollback must leave the table readable and identical")
   }
 
+  test("cluster: replacecommit layout rewrite; sortBy unlocks range pruning; clean reclaims replaced groups") {
+    val dir = tmp()
+    // 4 hash-binned groups: interleaved key ranges, so range predicates
+    // cannot prune
+    val i1 = HudiWrite.create(range(0, 2000).coalesce(4), dir, "k")
+    val pre = kv(HudiRead.read(spark, dir))
+    val (t0, k0) = HudiRead.pruneReport(spark, dir, "k >= 1500")
+    assert(t0 == 4 && k0 == 4, "hash-binned groups must not range-prune")
+    val ci = HudiWrite.cluster(spark, dir, targetBytes = 8192,
+      sortBy = Seq("k"))
+    assert(new java.io.File(dir, ".hoodie").listFiles()
+      .exists(_.getName == s"$ci.replacecommit"))
+    // read identical; time travel before the clustering serves the old
+    // groups
+    assert(kv(HudiRead.read(spark, dir)) == pre)
+    assert(kv(HudiRead.read(spark, dir, asOf = i1)) == pre)
+    // the sorted layout turns the range predicate into a subset open
+    val (t1, k1) = HudiRead.pruneReport(spark, dir, "k >= 1500")
+    assert(t1 >= 3 && k1 <= 2,
+      s"sorted clustering must range-prune: $k1 of $t1")
+    assert(kv(HudiRead.readWhere(spark, dir, "k >= 1500"))
+      == pre.filter(_._1 >= 1500))
+    // clean reclaims the replaced groups once the horizon passes
+    val deleted = HudiWrite.clean(spark, dir, 1)
+    assert(deleted == 4, s"the 4 replaced group files must go: $deleted")
+    assert(kv(HudiRead.read(spark, dir)) == pre)
+    // small-group bin-packing point (no sortBy): 4 tiny groups -> 1
+    val dir2 = tmp()
+    HudiWrite.create(range(0, 40).coalesce(4), dir2, "k")
+    assert(HudiRead.pruneReport(spark, dir2, "k >= 0")._1 == 4)
+    HudiWrite.cluster(spark, dir2, targetBytes = 1L << 30)
+    assert(HudiRead.pruneReport(spark, dir2, "k >= 0")._1 == 1,
+      "4 small groups must bin-pack into 1")
+    assert(kv(HudiRead.read(spark, dir2)) == kv(range(0, 40)))
+    // a lone group is a no-op; MOR tables refuse by name
+    val before = new java.io.File(dir2, ".hoodie").listFiles().length
+    HudiWrite.cluster(spark, dir2, targetBytes = 1L << 30)
+    assert(new java.io.File(dir2, ".hoodie").listFiles().length == before)
+    val dir3 = tmp()
+    HudiWrite.create(range(0, 4).coalesce(1), dir3, "k", "",
+      "MERGE_ON_READ")
+    val e = intercept[IllegalArgumentException] {
+      HudiWrite.cluster(spark, dir3)
+    }
+    assert(e.getMessage.contains("COPY_ON_WRITE only"))
+  }
+
   test("metadata table: one-table pruning identical to footer harvest; stale/unmodeled refuse") {
     val dir = tmp()
     HudiWrite.create(range(0, 10).coalesce(1), dir, "k")

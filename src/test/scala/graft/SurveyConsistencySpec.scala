@@ -234,5 +234,8 @@ class SurveyConsistencySpec extends AnyFunSuite {
     assert(hasMethod("graft.sources.HudiRead$", "readWhereMeta") ==
       srcSection.contains("pruneReportMeta"),
       "Hudi meta-pruning claim and code marker disagree")
+    assert(hasMethod("graft.sources.HudiWrite$", "cluster") ==
+      srcSection.contains("CLUSTERING (round 11"),
+      "Hudi clustering claim and code marker disagree")
   }
 }

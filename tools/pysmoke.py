@@ -507,6 +507,13 @@ assert hm.count() == 8 and hm.where("k = 0").first().v == 7
 graft.hudi_compact(spark, hm_dir)
 graft.hudi_sync_metadata(spark, hm_dir)
 assert graft.hudi_read_where_meta(spark, hm_dir, "k >= 4").count() == 4
+# clustering (replacecommit write side): sorted layout rewrite on a COW
+hc_dir = tempfile.mkdtemp(prefix="graft_pyhc") + "/t"
+graft.hudi_create(
+    spark, spark.range(0, 400).selectExpr("id AS k", "id * 2 AS v")
+    .coalesce(4), hc_dir, "k")
+graft.hudi_cluster(spark, hc_dir, target_bytes=4096, sort_by=["k"])
+assert graft.hudi_read(spark, hc_dir).count() == 400
 
 # round 9: Iceberg identity-partitioned create + additive evolution
 ip_dir = tempfile.mkdtemp(prefix="graft_pyip") + "/t"
