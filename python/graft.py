@@ -636,6 +636,17 @@ def iceberg_changes(spark, path, from_snapshot_id, to_snapshot_id):
     return _wrap(spark, jdf)
 
 
+def iceberg_rewrite_data_files(spark, path,
+                               target_bytes=128 * 1024 * 1024):
+    """Bin-pack live data files smaller than target_bytes into
+    ~target_bytes files in one replace snapshot (the Iceberg OPTIMIZE
+    analog); rewritten rows carry the current snapshot's deletes
+    applied, so a rewrite never resurrects deleted rows. Returns the
+    new snapshot id."""
+    return _jvm(spark).graft.sources.IcebergWrite.rewriteDataFiles(
+        spark._jsparkSession, path, int(target_bytes))
+
+
 def hudi_create(spark, df, path, key, partition_field="",
                 table_type="COPY_ON_WRITE"):
     """Create a Hudi table (public storage layout) and land the first

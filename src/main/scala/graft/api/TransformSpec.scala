@@ -360,6 +360,15 @@ object TransformSpec {
         graft.sources.HudiWrite.syncMetadata(df.sparkSession,
           step.path("path").asText())
         df
+      case "icebergRewrite" =>
+        // bin-pack small data files in one replace snapshot (deletes
+        // applied); input frame passes through
+        gateWrite(allowInline, "icebergRewrite")
+        graft.sources.IcebergWrite.rewriteDataFiles(df.sparkSession,
+          step.path("path").asText(),
+          if (step.has("targetBytes")) step.path("targetBytes").asLong()
+          else 128L * 1024 * 1024)
+        df
       case "icebergRollback" =>
         // metadata-only rollback to a prior snapshot (history kept);
         // the input frame passes through untouched

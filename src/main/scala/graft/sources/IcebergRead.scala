@@ -360,6 +360,29 @@ object IcebergRead {
     assemble(spark, path, st, st.files)
   }
 
+  /** LIVE rows of exactly the named data files (current snapshot,
+    * deletes applied) — what [[IcebergWrite.rewriteDataFiles]]
+    * materializes before replacing them: the rewrite must never
+    * resurrect deleted rows.
+    */
+  private[sources] def liveRows(spark: SparkSession, path: String,
+                                paths: Set[String]): DataFrame = {
+    val st = load(spark, path, -1L)
+    assemble(spark, path, st, st.files.filter(f => paths.contains(f.path)))
+  }
+
+  /** (manifest-verbatim path, on-disk size) of the current snapshot's
+    * live data files — the rewrite's candidate-selection input.
+    */
+  private[sources] def liveFileSizes(spark: SparkSession, path: String)
+      : Seq[(String, Long)] = {
+    val st = load(spark, path, -1L)
+    val f = fs(spark, path)
+    st.files.map { fe =>
+      fe.path -> f.getFileStatus(new Path(resolve(path, fe.path))).getLen
+    }
+  }
+
   /** Spark type of an Iceberg primitive, None = unmappable (reads fall
     * back to parquet inference for such schemas).
     */

@@ -496,7 +496,8 @@ object IcebergWrite {
 
   private def snapshotNode(snapId: Long, parentId: Long, seq: Long,
                            schemaId: Int, manifestList: String,
-                           addedFiles: Long, addedRows: Long): JsonNode = {
+                           addedFiles: Long, addedRows: Long,
+                           operation: String = "append"): JsonNode = {
     val n = om.createObjectNode()
     n.put("snapshot-id", snapId)
     if (parentId >= 0) n.put("parent-snapshot-id", parentId)
@@ -505,7 +506,7 @@ object IcebergWrite {
     n.put("manifest-list", manifestList)
     n.put("schema-id", schemaId)
     val sm = n.putObject("summary")
-    sm.put("operation", "append")
+    sm.put("operation", operation)
     sm.put("added-data-files", addedFiles.toString)
     sm.put("added-records", addedRows.toString)
     n
@@ -1424,6 +1425,152 @@ object IcebergWrite {
     -1 // unreachable
   }
 
+  /** Full avro read: records + writer schema + the file metadata keys
+    * this writer emits — what [[rewriteDataFiles]] needs to write a
+    * FILTERED copy of a manifest without degrading its metadata.
+    */
+  private def readAvroFull(spark: SparkSession, p: String)
+      : (Seq[GenericRecord], Schema, Map[String, String]) = {
+    val f = fs(spark, p)
+    val in = f.open(new Path(p))
+    val bytes = try in.readAllBytes() finally in.close()
+    val r = new org.apache.avro.file.DataFileReader[GenericRecord](
+      new org.apache.avro.file.SeekableByteArrayInput(bytes),
+      new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+    try {
+      val recs = r.iterator().asScala.toVector
+      val meta = Seq("schema", "schema-id", "partition-spec",
+        "partition-spec-id", "format-version", "content")
+        .flatMap(k => Option(r.getMetaString(k)).map(k -> _)).toMap
+      (recs, r.getSchema, meta)
+    } finally r.close()
+  }
+
+  /** REWRITE DATA FILES — the Iceberg-leg OPTIMIZE analog, closing the
+    * compaction symmetry across all three format legs (Delta
+    * `optimize`, Hudi `compact`/`cluster`): bin-pack live data files
+    * smaller than `targetBytes` into ~targetBytes files in ONE
+    * `replace` snapshot. The rewritten rows are materialized WITH the
+    * current snapshot's deletes applied ([[IcebergRead.liveRows]]), so
+    * a rewrite never resurrects deleted rows, and the new files land
+    * at a fresh data sequence number ABOVE every existing equality
+    * delete (none can apply to them). Replaced files drop from the new
+    * snapshot by REWRITING the affected manifests (filtered copies
+    * with their original entry schema + file metadata; untouched
+    * manifests carry forward verbatim), exactly the spec's
+    * RewriteFiles shape — prior snapshots keep their original
+    * manifest lists, so time travel to the pre-rewrite layout still
+    * works and `expireSnapshots` reclaims the replaced files once
+    * those snapshots expire. Delete files carry forward: they still
+    * scope remaining old files (sequence-ordered), and name no live
+    * path among the rewritten ones. Returns the new snapshot id, or
+    * the current one when fewer than 2 files qualify.
+    */
+  def rewriteDataFiles(spark: SparkSession, path: String,
+                       targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val f = fs(spark, path)
+    var attempts = 0
+    while (true) {
+      require(attempts < 10, s"$path: lost the rewrite race 10 times")
+      val metaP = currentMeta(spark, path)
+      val meta = {
+        val in = f.open(metaP)
+        try om.readTree(new String(in.readAllBytes(), "UTF-8"))
+        finally in.close()
+      }
+      val MetaName(curV) = metaP.getName
+      val st = parseState(meta, path)
+      val sizes = IcebergRead.liveFileSizes(spark, path)
+      val candidates = sizes.filter(_._2 < targetBytes).map(_._1).toSet
+      if (candidates.size < 2) return st.currentSnapId
+      val totalBytes = sizes.filter(s0 => candidates.contains(s0._1))
+        .map(_._2).sum
+      val bins = math.max(1L,
+        (totalBytes + targetBytes - 1) / targetBytes).toInt
+      val merged = IcebergRead.liveRows(spark, path, candidates)
+        .repartition(bins)
+      // rewrite affected manifests as filtered copies; carry the rest
+      val curSnap = st.snapshots
+        .find(_.path("snapshot-id").asLong(-1L) == st.currentSnapId)
+        .getOrElse(throw new IllegalArgumentException(
+          s"$path: no current snapshot to rewrite"))
+      val prior = readManifestList(spark,
+        resolve(path, curSnap.path("manifest-list").asText()))
+      val filtered: Seq[GenericRecord] = prior.flatMap { row =>
+        val content =
+          if (row.getSchema.getField("content") == null) 0
+          else Option(row.get("content")).map(_.toString.toInt)
+            .getOrElse(0)
+        val mp = row.get("manifest_path").toString
+        if (content != 0) Some(row) // delete manifests carry verbatim
+        else {
+          val (entries, eSchema0, mMeta) =
+            readAvroFull(spark, resolve(path, mp))
+          val (dead, live) = entries.partition { e =>
+            val status = Option(e.getSchema.getField("status"))
+              .flatMap(_ => Option(e.get("status")))
+              .map(_.toString.toInt).getOrElse(1)
+            status != 2 && candidates.contains(
+              e.get("data_file").asInstanceOf[GenericRecord]
+                .get("file_path").toString)
+          }
+          if (dead.isEmpty) Some(row) // untouched: carry verbatim
+          else {
+            val newRel =
+              s"metadata/m-${java.util.UUID.randomUUID()}.avro"
+            val len = writeAvro(f, new Path(path, newRel), eSchema0,
+              live, mMeta)
+            def optL(n: String, d: Long): Long =
+              if (row.getSchema.getField(n) == null || row.get(n) == null)
+                d
+              else row.get(n).toString.toLong
+            val liveData = live.filterNot(e =>
+              Option(e.getSchema.getField("status"))
+                .flatMap(_ => Option(e.get("status")))
+                .exists(_.toString.toInt == 2))
+            if (liveData.isEmpty) {
+              // every entry replaced: the filtered manifest would be
+              // empty — drop it from the new list entirely
+              f.delete(new Path(path, newRel), false)
+              None
+            } else {
+            val liveRowsN = liveData.map(
+              _.get("data_file").asInstanceOf[GenericRecord]
+                .get("record_count").toString.toLong).sum
+            val c = new GenericData.Record(manifestFileSchema)
+            c.put("manifest_path", newRel)
+            c.put("manifest_length", Long.box(len))
+            c.put("partition_spec_id", Int.box(
+              Option(row.get("partition_spec_id")).map(_.toString.toInt)
+                .getOrElse(0)))
+            c.put("content", Int.box(0))
+            c.put("sequence_number", Long.box(optL("sequence_number", 0L)))
+            c.put("min_sequence_number",
+              Long.box(optL("min_sequence_number", 0L)))
+            c.put("added_snapshot_id",
+              Long.box(optL("added_snapshot_id", 0L)))
+            c.put("added_data_files_count", Int.box(liveData.size))
+            c.put("existing_data_files_count", Int.box(0))
+            c.put("deleted_data_files_count", Int.box(0))
+            c.put("added_rows_count", Long.box(liveRowsN))
+            c.put("existing_rows_count", Long.box(0L))
+            c.put("deleted_rows_count", Long.box(0L))
+            Some(c)
+            }
+          }
+        }
+      }
+      val snapId = st.snapshots.map(_.path("snapshot-id").asLong())
+        .foldLeft(0L)(math.max) + 1
+      if (commit(merged, path, curV.toInt + 1, snapId, st,
+          currentFields(st), st.schemas, st.currentSchemaId,
+          st.lastColumnId, filtered, operation = "replace"))
+        return snapId
+      attempts += 1
+    }
+    -1L // unreachable
+  }
+
   private def currentMeta(spark: SparkSession, path: String): Path = {
     val mdir = new Path(path, "metadata")
     val f = fs(spark, path)
@@ -1546,7 +1693,8 @@ object IcebergWrite {
                      fields: Seq[(String, String, Int)],
                      newSchemas: Seq[JsonNode], currentSchemaId: Int,
                      lastColumnId: Int,
-                     priorManifests: Seq[GenericRecord]): Boolean = {
+                     priorManifests: Seq[GenericRecord],
+                     operation: String = "append"): Boolean = {
     val spark = df.sparkSession
     val f = fs(spark, path)
     val seq = st.lastSeq + 1
@@ -1723,7 +1871,8 @@ object IcebergWrite {
 
     // 4. race the metadata json (put-if-absent; loser replans)
     val snapNode = snapshotNode(snapshotId, st.currentSnapId, seq,
-      currentSchemaId, listRel, entries.size.toLong, addedRows)
+      currentSchemaId, listRel, entries.size.toLong, addedRows,
+      operation)
     val metaText = metadataJson(st, newSchemas, currentSchemaId,
       lastColumnId, snapNode, snapshotId, seq)
     val mdir = new Path(path, "metadata")

@@ -427,6 +427,46 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not in"))
   }
 
+  test("rewriteDataFiles: small files bin-pack in a replace snapshot; deletes never resurrect") {
+    val dir = tmp()
+    IcebergWrite.create(range(0, 20).coalesce(1), dir)     // snap 1
+    (1 to 3).foreach(i => IcebergWrite.append(
+      range(i * 20L, i * 20L + 20).coalesce(1), dir))      // snaps 2..4
+    // a merge-on-read upsert: k=0 replaced via equality delete
+    IcebergWrite.upsert(spark.range(0, 1).select(col("id").as("k"),
+      lit("upd0").as("name")).coalesce(1), dir, Seq("k"))
+    // and a position delete: k=70..79 gone
+    IcebergWrite.delete(spark, dir, "k >= 70")
+    val pre = IcebergRead.read(spark, dir).collect().toSet
+    assert(pre.size == 70 &&
+      pre.exists(r => r.getLong(0) == 0 && r.getString(1) == "upd0"))
+    def dataFiles(): Int = new java.io.File(s"$dir/data").listFiles()
+      .count(f => f.getName.endsWith(".parquet")
+        && !f.getName.startsWith("del-") && !f.getName.startsWith("eqdel-"))
+    val before = dataFiles()
+    assert(before >= 5, s"fixture needs several small files: $before")
+    val snapId = IcebergWrite.rewriteDataFiles(spark, dir,
+      targetBytes = 1L << 30)
+    // everything bin-packed into ONE file; rows identical (the upsert'd
+    // value survives, deleted rows stay dead)
+    assert(IcebergRead.read(spark, dir).collect().toSet == pre)
+    // time travel to the pre-rewrite snapshot serves the OLD layout
+    assert(IcebergRead.read(spark, dir, snapshotId = snapId - 1)
+      .collect().toSet == pre)
+    // the new snapshot plans exactly the merged file count
+    val (total, _) = IcebergRead.pruneReport(spark, dir, "k >= 0")
+    assert(total == 1, s"expected 1 merged data file, planned $total")
+    // no-op when fewer than 2 small files qualify
+    assert(IcebergWrite.rewriteDataFiles(spark, dir, 1L << 30) == snapId)
+    // appends continue; expireSnapshots reclaims the replaced files
+    IcebergWrite.append(range(100, 105).coalesce(1), dir)
+    assert(IcebergRead.read(spark, dir).count() == 75)
+    IcebergWrite.expireSnapshots(spark, dir, keepLast = 2)
+    assert(dataFiles() < before,
+      "expire must reclaim the replaced small files")
+    assert(IcebergRead.read(spark, dir).count() == 75)
+  }
+
   test("identity-partitioned create: split files, partition struct, pruning") {
     val dir = tmp()
     val parted = range(0, 60)

@@ -237,5 +237,8 @@ class SurveyConsistencySpec extends AnyFunSuite {
     assert(hasMethod("graft.sources.HudiWrite$", "cluster") ==
       srcSection.contains("CLUSTERING (round 11"),
       "Hudi clustering claim and code marker disagree")
+    assert(hasMethod("graft.sources.IcebergWrite$", "rewriteDataFiles") ==
+      srcSection.contains("REWRITE DATA FILES"),
+      "Iceberg rewrite claim and code marker disagree")
   }
 }

@@ -582,7 +582,7 @@ class TransformSpecSpec extends AnyFunSuite {
         "deltaSync", "deltaRestore", "icebergUpsert", "icebergRollback",
         "hudiInsert", "hudiUpsert", "hudiUpsertLog", "hudiDeleteLog",
         "hudiDelete", "hudiCompact", "hudiClean", "hudiArchive",
-        "hudiSyncMetadata", "hudiCluster")
+        "hudiSyncMetadata", "hudiCluster", "icebergRewrite")
       .foreach { op =>
       val r = intercept[IllegalArgumentException] {
         TransformSpec.run(
