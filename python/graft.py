@@ -741,6 +741,15 @@ def hudi_archive(spark, path, keep_last):
         spark._jsparkSession, path, int(keep_last))
 
 
+def hudi_insert_overwrite(spark, df, path, key):
+    """INSERT OVERWRITE (replacecommit): land df as fresh file groups
+    and kill every existing group of the partitions the batch touches
+    (whole-table replacement on unpartitioned tables). Returns the
+    instant."""
+    return _jvm(spark).graft.sources.HudiWrite.insertOverwrite(
+        df._jdf, path, key)
+
+
 def hudi_cluster(spark, path, target_bytes=128 * 1024 * 1024,
                  sort_by=()):
     """CLUSTERING (replacecommit): bin-pack small file groups into

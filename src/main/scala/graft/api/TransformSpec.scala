@@ -321,6 +321,13 @@ object TransformSpec {
         graft.sources.HudiWrite.delete(df.sparkSession,
           step.path("path").asText(), step.path("predicate").asText())
         df
+      case "hudiInsertOverwrite" =>
+        // replacecommit partition recompute: the input frame replaces
+        // every group of the partitions it touches
+        gateWrite(allowInline, "hudiInsertOverwrite")
+        graft.sources.HudiWrite.insertOverwrite(df,
+          step.path("path").asText(), step.path("key").asText())
+        df
       case "hudiCluster" =>
         // replacecommit layout rewrite: bin-pack small groups, or (with
         // sortBy) range-sort every group for 1-of-N pruned reads

@@ -1347,6 +1347,67 @@ object HudiWrite {
     "" // unreachable
   }
 
+  /** INSERT OVERWRITE — the second `replacecommit` producer next to
+    * [[cluster]]: land `source` as fresh file groups and KILL every
+    * existing group of the partitions the batch touches (whole-table
+    * replacement on unpartitioned tables — Hudi's
+    * insert_overwrite_table). The batch-ETL "recompute this
+    * partition" shape: untouched partitions are not listed, read, or
+    * rewritten; time travel before the overwrite serves the old
+    * groups; [[clean]] reclaims them past the horizon. Works on COW
+    * and MOR (killed groups drop bases AND logs). Commits serialized
+    * at timeline-head+1 like every replace publisher here. Returns
+    * the instant, or the current latest when the source is empty.
+    */
+  def insertOverwrite(source: DataFrame, path: String,
+                      keyCol: String): String = {
+    val spark = source.sparkSession
+    tableTypeOf(spark, path) // loud gate; COW and MOR
+    require(source.columns.contains(keyCol),
+      s"record key column $keyCol not in ${source.columns.mkString(",")}")
+    val partField = partitionFieldOf(spark, path)
+    partField.foreach(pf => require(source.columns.contains(pf),
+      s"insertOverwrite source misses partition column $pf"))
+    var attempts = 0
+    while (true) {
+      require(attempts < 10,
+        s"$path: could not reserve timeline-head+1 after 10 bounded " +
+          "waits — a crashed writer's pending instant may be starving " +
+          "the overwrite")
+      val f = fs(spark, path)
+      val (bases, logs, completedTs) = HudiRead.plan(spark, path, "")
+      val instant = bumpInstant(completedTs.max)
+      val nGroups = math.max(1, math.min(256,
+        source.rdd.getNumPartitions)).toInt
+      val pp = partField.map(pf => col(pf).cast("string"))
+        .getOrElse(lit(""))
+      val bin = pmod(xxhash64(col(keyCol).cast("string")), lit(nGroups))
+      val salt = java.util.UUID.randomUUID().toString
+      val tagged = source
+        .withColumn("__pp", pp)
+        .withColumn("__fg",
+          md5(concat_ws("#", lit(instant), lit(salt), col("__pp"),
+            bin.cast("string"))))
+      val landed = land(tagged, path, keyCol, instant, Map.empty,
+        partitioned = partField.nonEmpty)
+      if (landed.isEmpty) return latestCompletedInstant(spark, path)
+      // kill every existing group of the partitions this batch landed
+      // in (all of them on an unpartitioned table — partition "")
+      val touched = landed.map(_.partition).toSet
+      val replaced = (bases.map(b => (b.partition, b.fileId)) ++
+          logs.map(l => (l.partition, l.fileId)))
+        .distinct.filter { case (p, _) => touched.contains(p) }
+        .groupBy(_._1).map { case (p, g) => p -> g.map(_._2).toSeq }
+      if (publish(spark, path, instant,
+          commitJson(landed, "insert_overwrite", Map.empty, replaced),
+          kindOverride = Some("replacecommit"))) return instant
+      landed.foreach(l => f.delete(new Path(path, l.rel), false))
+      awaitTimeline(f, path, instant)
+      attempts += 1
+    }
+    "" // unreachable
+  }
+
   // ------------------------------------------------------------------
   // Retention: clean (physical file GC) + archive (timeline trimming)
   // ------------------------------------------------------------------

@@ -564,6 +564,44 @@ class HudiWriteSpec extends AnyFunSuite {
     assert(e.getMessage.contains("COPY_ON_WRITE only"))
   }
 
+  test("insertOverwrite: touched partitions replaced wholesale; untouched intact; MOR logs die too") {
+    val dir = tmp()
+    val df0 = spark.range(0, 6).select(col("id").as("k"),
+      concat(lit("x"), col("id").cast("string")).as("v"),
+      when(col("id") < 3, lit("a")).otherwise(lit("b")).as("p"))
+    val i1 = HudiWrite.create(df0.coalesce(1), dir, "k",
+      partitionField = "p")
+    // overwrite partition a with a 2-row recompute (different keys!)
+    val over = spark.range(100, 102).select(col("id").as("k"),
+      lit("new").as("v"), lit("a").as("p"))
+    val oi = HudiWrite.insertOverwrite(over.coalesce(1), dir, "k")
+    val after = HudiRead.read(spark, dir)
+    assert(after.filter(col("p") === "a").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+      == Set((100L, "new"), (101L, "new")),
+      "partition a must hold ONLY the overwrite batch")
+    assert(after.filter(col("p") === "b").count() == 3,
+      "partition b untouched")
+    assert(new java.io.File(dir, ".hoodie").listFiles()
+      .exists(_.getName == s"$oi.replacecommit"))
+    // time travel before the overwrite serves the old partition a
+    assert(kv(HudiRead.read(spark, dir, asOf = i1)
+      .select("k", "v")) == kv(range(0, 6)))
+    // unpartitioned + MOR: the whole table (bases AND logs) replaces
+    val dir2 = tmp()
+    HudiWrite.create(range(0, 4).coalesce(1), dir2, "k", "",
+      "MERGE_ON_READ")
+    HudiWrite.upsertLog(range(0, 2, "u"), dir2, "k")
+    HudiWrite.insertOverwrite(range(50, 53, "ow").coalesce(1), dir2, "k")
+    assert(kv(HudiRead.read(spark, dir2)) == kv(range(50, 53, "ow")),
+      "whole-table overwrite must drop old bases and logs")
+    // empty source: detected no-op, no instant published
+    val before = new java.io.File(dir2, ".hoodie").listFiles().length
+    HudiWrite.insertOverwrite(range(0, 0), dir2, "k")
+    assert(new java.io.File(dir2, ".hoodie").listFiles().length
+      == before)
+  }
+
   test("metadata table: one-table pruning identical to footer harvest; stale/unmodeled refuse") {
     val dir = tmp()
     HudiWrite.create(range(0, 10).coalesce(1), dir, "k")

@@ -240,5 +240,8 @@ class SurveyConsistencySpec extends AnyFunSuite {
     assert(hasMethod("graft.sources.IcebergWrite$", "rewriteDataFiles") ==
       srcSection.contains("REWRITE DATA FILES"),
       "Iceberg rewrite claim and code marker disagree")
+    assert(hasMethod("graft.sources.HudiWrite$", "insertOverwrite") ==
+      srcSection.contains("the SECOND replacecommit producer"),
+      "Hudi insertOverwrite claim and code marker disagree")
   }
 }

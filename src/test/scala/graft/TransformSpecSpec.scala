@@ -582,7 +582,8 @@ class TransformSpecSpec extends AnyFunSuite {
         "deltaSync", "deltaRestore", "icebergUpsert", "icebergRollback",
         "hudiInsert", "hudiUpsert", "hudiUpsertLog", "hudiDeleteLog",
         "hudiDelete", "hudiCompact", "hudiClean", "hudiArchive",
-        "hudiSyncMetadata", "hudiCluster", "icebergRewrite")
+        "hudiSyncMetadata", "hudiCluster", "hudiInsertOverwrite",
+        "icebergRewrite")
       .foreach { op =>
       val r = intercept[IllegalArgumentException] {
         TransformSpec.run(
