@@ -205,14 +205,39 @@ object HudiRead {
       } finally in.close()
     }
     // clean horizon gate BEFORE planning: slices shadowed before the
-    // max earliestRetained were physically deleted by HudiWrite.clean
-    val cleanedBefore: Option[String] =
+    // max earliestRetained were physically deleted by HudiWrite.clean.
+    // Only GRAFT-written clean records (JSON, first byte '{') carry a
+    // readable horizon: real Hudi serializes completed clean metadata
+    // as Avro (HoodieCleanMetadata), and the default cleaner runs on
+    // virtually every production table. A latest-snapshot read is safe
+    // under ANY cleaner — it touches only live slices — so a foreign
+    // clean record must not refuse it; only time travel (which may
+    // need slices the unreadable horizon says are gone) refuses.
+    val cleanRecords: Seq[(String, Option[String])] =
       timeline.collect { case n @ CleanName(_) =>
-        val er = jsonOf(n).path("earliestRetained")
-        require(er.isTextual && er.asText().nonEmpty,
-          s"$path: clean instant $n carries no earliestRetained — refusing")
-        er.asText()
-      }.maxOption
+        val in = f.open(new Path(timelineDir, n))
+        val bytes = try in.readAllBytes() finally in.close()
+        val first = bytes.dropWhile(b =>
+          b == ' ' || b == '\n' || b == '\r' || b == '\t').headOption
+        if (first.contains('{'.toByte)) {
+          val er = om.readTree(new String(bytes, "UTF-8"))
+            .path("earliestRetained")
+          require(er.isTextual && er.asText().nonEmpty,
+            s"$path: JSON clean instant $n carries no earliestRetained " +
+              "— refusing")
+          (n, Some(er.asText()))
+        } else (n, None) // foreign (Avro HoodieCleanMetadata)
+      }.toSeq
+    val cleanedBefore: Option[String] = cleanRecords.flatMap(_._2).maxOption
+    val foreignClean = cleanRecords.collect { case (n, None) => n }
+    if (asOf.nonEmpty && foreignClean.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$path: time travel to $asOf with non-JSON .clean metadata " +
+          s"(${foreignClean.mkString(", ")} — real Hudi writes completed " +
+          "clean metadata as Avro HoodieCleanMetadata): the clean horizon " +
+          "is unreadable and shadowed slices may be physically deleted, " +
+          "so this planner refuses rather than risking FileNotFound " +
+          "mid-scan. Latest-snapshot reads are unaffected.")
     cleanedBefore.foreach { er =>
       require(asOf.isEmpty || asOf >= er,
         s"$path: instants before $er were CLEANED — their shadowed " +
@@ -258,7 +283,16 @@ object HudiRead {
       cleanedBefore, hasArchived, timeline.toSeq)
   }
 
-  private[sources] def plan(spark: SparkSession, path: String, asOf: String)
+  /** Data-tree files the last planning call LISTED on the driver (the
+    * archival-coverage walk) — 0 when the walk was skipped or not
+    * needed. Instrumentation for the scale spec: metadata-table
+    * planning must be LISTING-FREE.
+    */
+  @volatile private[graft] var lastWalkedFiles: Long = 0L
+
+  private[sources] def plan(spark: SparkSession, path: String,
+                            asOf: String,
+                            skipArchivalWalk: Boolean = false)
       : (Seq[Slice], Seq[Slice], Set[String]) = {
     val f = fs(spark, path)
     val st = timelineState(spark, path, asOf)
@@ -299,7 +333,11 @@ object HudiRead {
     // logs of OLDER slices were folded by the compaction that created
     // the newer base — only the latest slice's logs merge
     val live = attached.collect { case (l, bt, lt) if bt == lt => l }
-    if (hasArchived)
+    lastWalkedFiles = 0L
+    // callers that reconcile against the metadata table's files
+    // partition skip the O(data files) walk — the reconcile catches
+    // exactly the drift the walk exists to catch (see readWhereMeta)
+    if (hasArchived && !skipArchivalWalk)
       verifyArchivalCoverage(f, path, asOf, timeline, latestBase,
         replacedAt)
     (latestBase.values.toSeq.sortBy(_.path), live.sortBy(_.path),
@@ -344,7 +382,9 @@ object HudiRead {
           walk(s.getPath, if (rel.isEmpty) n else s"$rel/$n")
         else Seq((rel, n))
       }
-    walk(new Path(path), "").foreach {
+    val walked = walk(new Path(path), "")
+    lastWalkedFiles = walked.size.toLong
+    walked.foreach {
       case (part, n @ BaseName(fid, _, ts)) =>
         val planned = latestBase.get((part, fid))
         val covered = planned.exists(ts <= _.instant) ||
@@ -423,7 +463,8 @@ object HudiRead {
     * treats None as "harvest everything".
     */
   private[sources] def tryMetaStats(spark: SparkSession, path: String)
-      : Option[(String, Map[String, Map[String, FileStats.ColStat]])] = {
+      : Option[(String, Map[String, Map[String, FileStats.ColStat]],
+                Set[String])] = {
     val mpath = s"$path/.hoodie/metadata"
     val f = fs(spark, path)
     if (!f.exists(new Path(mpath, ".hoodie/hoodie.properties")))
@@ -459,28 +500,35 @@ object HudiRead {
             r.getAs[Long]("nulls"), r.getAs[Long]("rows"))
         }.toMap
       }
-    // files listed without stats still count (unprunable but present)
-    val bare = rows.filter(_.getAs[String]("part") == "files")
-      .map(_.getAs[String]("path"))
-      .filterNot(stats.contains).map(_ -> Map.empty[String,
-        FileStats.ColStat]).toMap
-    Some((head, stats ++ bare))
+    // the FILES partition is the authoritative live-file listing —
+    // files without stats still count (unprunable but present)
+    val fileList = rows.filter(_.getAs[String]("part") == "files")
+      .map(_.getAs[String]("path")).toSet
+    val bare = fileList.filterNot(stats.contains)
+      .map(_ -> Map.empty[String, FileStats.ColStat]).toMap
+    Some((head, stats ++ bare, fileList))
   }
 
-  /** [[readWhere]] planned from the METADATA TABLE: zone maps come
-    * from ONE read of `.hoodie/metadata` (written by
-    * [[HudiWrite.syncMetadata]]) instead of one footer RPC per data
-    * file — the plan-time budget that matters at 100 TB file counts.
-    * Refuses loudly when the metadata table is absent, an unmodeled
-    * layout/version, or STALE (synced head ≠ the table's head — stats
-    * missing a newer commit's files could silently drop rows).
+  /** The shared metadata-table planning path: timeline plan WITHOUT
+    * the archival-coverage FS walk, reconciled against the metadata
+    * table's `files` partition instead. The walk exists to catch file
+    * groups whose latest commit a (possibly foreign) archiver moved
+    * out of the active timeline — but a VALID metadata table synced at
+    * the CURRENT head proves coverage without listing a single data
+    * directory: syncMetadata's own plan ran the walk, a graft archive
+    * re-plans and rolls back rather than orphan, and a foreign archive
+    * after the sync leaves the metadata `files` set a strict SUPERSET
+    * of the timeline plan — which the reconcile refuses by name. So
+    * plan time is O(active timeline), not O(data files): the budget
+    * the metadata table exists to win at 100 TB file counts.
     */
-  def readWhereMeta(spark: SparkSession, path: String,
-                    predicate: String): DataFrame = {
-    val (bases, logs, completedTs) = plan(spark, path, "")
+  private def planMeta(spark: SparkSession, path: String)
+      : (Seq[Slice], Map[String, Map[String, FileStats.ColStat]]) = {
+    val (bases, logs, completedTs) =
+      plan(spark, path, "", skipArchivalWalk = true)
     require(logs.isEmpty,
       s"$path: uncompacted log files present — refusing, see readWhere")
-    val (head, stats) = tryMetaStats(spark, path).getOrElse(
+    val (head, stats, fileList) = tryMetaStats(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"$path: no modeled metadata table — run " +
           "HudiWrite.syncMetadata, or use readWhere's footer harvest"))
@@ -488,6 +536,33 @@ object HudiRead {
       s"$path: metadata table synced at $head but the table head is " +
         s"${completedTs.max} — STALE stats could silently drop rows; " +
         "re-run HudiWrite.syncMetadata")
+    val planned = bases.map(_.path).toSet
+    require(fileList == planned, {
+      val missing = (planned -- fileList).take(3)
+      val extra = (fileList -- planned).take(3)
+      s"$path: metadata table FILES partition disagrees with the " +
+        s"timeline plan (not in metadata: ${missing.mkString(", ")}; " +
+        s"not in plan: ${extra.mkString(", ")}) — a foreign archiver " +
+        "or writer bypassed syncMetadata; re-run HudiWrite.syncMetadata " +
+        "or fall back to readWhere's walking plan"
+    })
+    (bases, stats)
+  }
+
+  /** [[readWhere]] planned from the METADATA TABLE: zone maps come
+    * from ONE read of `.hoodie/metadata` (written by
+    * [[HudiWrite.syncMetadata]]) instead of one footer RPC per data
+    * file, and the live-file listing comes from its `files` partition
+    * reconciled against the timeline instead of the data-tree walk —
+    * the plan-time budget that matters at 100 TB file counts. Refuses
+    * loudly when the metadata table is absent, an unmodeled
+    * layout/version, STALE (synced head ≠ the table's head — stats
+    * missing a newer commit's files could silently drop rows), or in
+    * files-partition disagreement with the timeline.
+    */
+  def readWhereMeta(spark: SparkSession, path: String,
+                    predicate: String): DataFrame = {
+    val (bases, stats) = planMeta(spark, path)
     val pred = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
       .parseExpression(predicate)
     val kept = bases.filter(b =>
@@ -506,16 +581,7 @@ object HudiRead {
     */
   def pruneReportMeta(spark: SparkSession, path: String,
                       predicate: String): (Int, Int) = {
-    val (bases, logs, completedTs) = plan(spark, path, "")
-    require(logs.isEmpty,
-      s"$path: uncompacted log files present — refusing, see readWhere")
-    val (head, stats) = tryMetaStats(spark, path).getOrElse(
-      throw new IllegalArgumentException(
-        s"$path: no modeled metadata table — run " +
-          "HudiWrite.syncMetadata, or use readWhere's footer harvest"))
-    require(head == completedTs.max,
-      s"$path: metadata table synced at $head but the table head is " +
-        s"${completedTs.max} — re-run HudiWrite.syncMetadata")
+    val (bases, stats) = planMeta(spark, path)
     val pred = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
       .parseExpression(predicate)
     (bases.size, bases.count(b =>

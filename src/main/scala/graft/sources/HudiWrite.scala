@@ -398,6 +398,18 @@ object HudiWrite {
     won
   }
 
+  /** Archived instants are immutable once moved — [[archive]] only
+    * ADDS files under `.hoodie/archived` — so their per-app watermark
+    * fold is cached per (path, appId): each micro-batch then pays
+    * O(active timeline) JSON parses plus ONE archived-dir listing,
+    * parsing only archived names not yet folded. Without this, the
+    * exactly-once check inside every insertBatch/upsertLogBatch retry
+    * cost O(all instants ever written) driver RPCs per batch and grew
+    * without bound on long-lived streaming tables.
+    */
+  private val archivedWmCache = new java.util.concurrent
+    .ConcurrentHashMap[(String, String), (Set[String], Long)]()
+
   /** Per-app exactly-once watermark: max batchId over every completed
     * commit's `extraMetadata` entry for this app (the public
     * extraMetadata mechanism Hudi streaming ingest checkpoints with).
@@ -405,21 +417,39 @@ object HudiWrite {
   private def watermark(spark: SparkSession, path: String,
                         appId: String): Long = {
     val f = fs(spark, path)
+    def wmOf(dir: Path, names: Seq[String]): Long =
+      names.collect {
+        case n @ CompletedName(_, "commit" | "deltacommit") =>
+          val in = f.open(new Path(dir, n))
+          val node =
+            try om.readTree(new String(in.readAllBytes(), "UTF-8"))
+            finally in.close()
+          val e = node.path("extraMetadata").path(s"graft.txn.$appId")
+          if (e.isMissingNode || e.isNull) -1L else e.asText().toLong
+      }.foldLeft(-1L)(math.max)
+    val activeDir = new Path(path, ".hoodie")
+    val active =
+      if (!f.exists(activeDir)) -1L
+      else wmOf(activeDir,
+        f.listStatus(activeDir).map(_.getPath.getName).toSeq)
     // the ARCHIVED timeline counts: archive() moves old completed
     // instants aside but their extraMetadata watermarks must survive —
     // a replayed batch whose commit was archived is still a replay
-    Seq(".hoodie", ".hoodie/archived").map(new Path(path, _))
-      .filter(f.exists).flatMap { dir =>
-        f.listStatus(dir).map(_.getPath.getName).collect {
-          case n @ CompletedName(_, "commit" | "deltacommit") =>
-            val in = f.open(new Path(dir, n))
-            val node =
-              try om.readTree(new String(in.readAllBytes(), "UTF-8"))
-              finally in.close()
-            val e = node.path("extraMetadata").path(s"graft.txn.$appId")
-            if (e.isMissingNode || e.isNull) -1L else e.asText().toLong
-        }
-      }.foldLeft(-1L)(math.max)
+    val archivedDir = new Path(path, ".hoodie/archived")
+    val archived =
+      if (!f.exists(archivedDir)) -1L
+      else {
+        val names =
+          f.listStatus(archivedDir).map(_.getPath.getName).toSet
+        val key = (path, appId)
+        val (seen, prevMax) = Option(archivedWmCache.get(key))
+          .getOrElse((Set.empty[String], -1L))
+        val newMax =
+          math.max(prevMax, wmOf(archivedDir, (names -- seen).toSeq))
+        archivedWmCache.put(key, (seen ++ names, newMax))
+        newMax
+      }
+    math.max(active, archived)
   }
 
   /** Create the table and land the first commit. `partitionField`
@@ -1329,12 +1359,31 @@ object HudiWrite {
           keyed.repartitionByRange(bins,
               (col("__pp") +: sortBy.map(col)): _*)
             .sortWithinPartitions((col("__pp") +: sortBy.map(col)): _*)
-        else keyed.repartition(bins)
+        else
+          // bin-pack WITHIN table partitions: range-partition on
+          // (__pp, key) so each bin holds a contiguous run of ONE
+          // partition's rows (two only at a range boundary) — a plain
+          // repartition(bins) would scatter every partition round-robin
+          // across every bin and emit up to partitions×bins groups of
+          // ~total/(P×B) bytes, the opposite of packing. Groups out ≤
+          // bins + (#partitions − 1) by construction.
+          keyed.repartitionByRange(bins, col("__pp"), col(keyCol))
       val tagged = arranged
         .withColumn("__fg", md5(concat_ws("#", lit(instant), lit(salt),
           col("__pp"), spark_partition_id().cast("string"))))
       val landed = land(tagged, path, keyCol, instant, Map.empty,
         partitioned, prePartitioned = true)
+      // no-churn guard: a bin-pack that does not REDUCE the group count
+      // is pure write amplification (plus a replacecommit readers must
+      // replay) — unland and report the current latest instead
+      val oldGroups =
+        candidates.map(b => (b.partition, b.fileId)).distinct.size
+      if (sortBy.isEmpty &&
+          landed.map(l => (l.partition, l.fileId)).distinct.size >=
+            oldGroups) {
+        landed.foreach(l => f.delete(new Path(path, l.rel), false))
+        return latestCompletedInstant(spark, path)
+      }
       val replaced = candidates.groupBy(_.partition)
         .map { case (pp, bs) => pp -> bs.map(_.fileId).distinct.toSeq }
       if (publish(spark, path, instant,
@@ -1535,6 +1584,10 @@ object HudiWrite {
     val carried: Map[String, Map[String, FileStats.ColStat]] =
       HudiRead.tryMetaStats(spark, path)
         .map(_._2).getOrElse(Map.empty)
+        // a carried-forward entry with no stats rows is a files-only
+        // record — re-harvesting it would defeat the carry, but its
+        // empty map must not shadow a real harvest either
+        .filter(_._2.nonEmpty)
     val livePaths = bases.map(_.path)
     val fresh = livePaths.filterNot(carried.contains)
     val harvested = FileStats.collect(spark, path, fresh)

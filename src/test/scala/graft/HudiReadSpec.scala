@@ -607,6 +607,35 @@ class HudiReadSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not JSON"))
   }
 
+  test("foreign (avro) clean metadata: latest reads fine, time travel refuses by name") {
+    // real Hudi serializes completed clean metadata as Avro
+    // (HoodieCleanMetadata) and the default cleaner runs on virtually
+    // every production table — a latest-snapshot read must survive it
+    val dir = buildTable()
+    Files.write(Paths.get(dir, ".hoodie", "0025.clean"),
+      Array[Byte]('O', 'b', 'j', 1, 0, 0, 0x10, 0x7F))
+    assert(asSet(HudiRead.read(spark, dir).select("k", "v"))
+      == asSet(rows(0, 2, "new").union(rows(10, 12, "b"))
+        .union(rows(20, 22, "c"))),
+      "latest read must ignore an unreadable foreign clean horizon")
+    // time travel cannot know what the foreign cleaner deleted
+    val e = intercept[IllegalArgumentException] {
+      HudiRead.read(spark, dir, asOf = "001")
+    }
+    assert(e.getMessage.contains("Avro") &&
+      e.getMessage.contains(".clean"),
+      s"refusal must name the Avro clean metadata: ${e.getMessage}")
+    // a graft-written (JSON) clean record still gates time travel
+    val dir2 = buildTable()
+    Files.writeString(Paths.get(dir2, ".hoodie", "0025.clean"),
+      """{"earliestRetained":"002","deleted":[]}""")
+    assert(asSet(HudiRead.read(spark, dir2).select("k", "v")).size == 6)
+    val e2 = intercept[IllegalArgumentException] {
+      HudiRead.read(spark, dir2, asOf = "001")
+    }
+    assert(e2.getMessage.contains("CLEANED"))
+  }
+
   test("declarative jobs read hudi: sources with time travel") {
     val dir = buildTable()
     val got = api.TransformSpec.run(

@@ -564,6 +564,38 @@ class HudiWriteSpec extends AnyFunSuite {
     assert(e.getMessage.contains("COPY_ON_WRITE only"))
   }
 
+  test("cluster bin-pack on a PARTITIONED table packs within partitions; no-churn rewrites don't publish") {
+    // 4 partitions × 3 small groups: bin-pack must REDUCE the group
+    // count (a round-robin repartition would scatter every partition
+    // across every bin and emit partitions×bins groups — no reduction)
+    val dir = tmp()
+    def batch(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(col("id").as("k"), lit("v").as("v"),
+        (col("id") % 4).cast("string").as("p"))
+    HudiWrite.create(batch(0, 40).coalesce(1), dir, "k",
+      partitionField = "p")
+    HudiWrite.insert(batch(40, 80).coalesce(1), dir, "k")
+    HudiWrite.insert(batch(80, 120).coalesce(1), dir, "k")
+    val pre = kv(HudiRead.read(spark, dir).select("k", "v"))
+    val (t0, _) = HudiRead.pruneReport(spark, dir, "k >= 0")
+    assert(t0 == 12, s"expected 12 groups before: $t0")
+    val ci = HudiWrite.cluster(spark, dir, targetBytes = 1L << 30)
+    assert(new java.io.File(dir, ".hoodie").listFiles()
+      .exists(_.getName == s"$ci.replacecommit"))
+    val (t1, _) = HudiRead.pruneReport(spark, dir, "k >= 0")
+    assert(t1 == 4, s"bin-pack must leave one group per partition: $t1")
+    assert(kv(HudiRead.read(spark, dir).select("k", "v")) == pre)
+    // partition pruning still works on the packed layout
+    assert(kv(HudiRead.readWhere(spark, dir, "p = '1'").select("k", "v"))
+      == pre.filter(_._1 % 4 == 1))
+    // no-churn guard: re-clustering the already-packed table would
+    // land the same 4 groups — nothing publishes, timeline untouched
+    val before = new java.io.File(dir, ".hoodie").listFiles().length
+    HudiWrite.cluster(spark, dir, targetBytes = 1L << 30)
+    assert(new java.io.File(dir, ".hoodie").listFiles().length == before,
+      "a rewrite that does not reduce the group count must not publish")
+  }
+
   test("insertOverwrite: touched partitions replaced wholesale; untouched intact; MOR logs die too") {
     val dir = tmp()
     val df0 = spark.range(0, 6).select(col("id").as("k"),
@@ -653,6 +685,63 @@ class HudiWriteSpec extends AnyFunSuite {
       HudiWrite.syncMetadata(spark, dir2)
     }
     assert(e3.getMessage.contains("compact first"))
+  }
+
+  test("metadata table serves the FILE LISTING: archived tables plan walk-free; drift refuses") {
+    // archived timeline = the case where plan() must otherwise WALK the
+    // data tree (O(files) driver listing) to prove per-group coverage
+    val dir = tmp()
+    HudiWrite.create(range(0, 10).coalesce(1), dir, "k")
+    HudiWrite.upsert(range(0, 2, "u1"), dir, "k") // rewrites group A
+    HudiWrite.upsert(range(0, 2, "u2"), dir, "k") // rewrites A again
+    HudiWrite.insert(range(100, 105).coalesce(1), dir, "k") // group B
+    HudiWrite.upsert(range(0, 2, "u3"), dir, "k") // A's live slice
+    // the two oldest instants' slices are fully shadowed → archivable
+    assert(HudiWrite.archive(spark, dir, 3) == 2)
+    HudiWrite.syncMetadata(spark, dir)
+    val expect = HudiRead.readWhere(spark, dir, "k >= 100")
+      .collect().toSet
+    assert(HudiRead.lastWalkedFiles > 0,
+      "the walking plan must have listed the data tree on an " +
+        "archived table")
+    // metadata planning: identical rows, ZERO data files listed
+    assert(HudiRead.readWhereMeta(spark, dir, "k >= 100")
+      .collect().toSet == expect)
+    assert(HudiRead.lastWalkedFiles == 0L,
+      "metadata planning must be LISTING-FREE")
+    assert(HudiRead.pruneReportMeta(spark, dir, "k >= 100")
+      == HudiRead.pruneReport(spark, dir, "k >= 100"))
+    assert(HudiRead.lastWalkedFiles > 0, "pruneReport walks again")
+    // FOREIGN archive after the sync: a NON-HEAD commit whose file is
+    // still its group's latest moves out of the active timeline (the
+    // head stays, so the staleness check passes) — the files partition
+    // now holds a file the timeline plan cannot see, and the reconcile
+    // refuses BY NAME instead of silently dropping its rows
+    val h = new java.io.File(dir, ".hoodie")
+    val victim = h.listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".commit"))
+      .sortBy(_.getName).dropRight(1).last // second-newest active
+    // a real archiver moves the instant's MARKERS too — leaving them
+    // would read as a pending concurrent writer, a different (excused)
+    // state
+    val instant = victim.getName.stripSuffix(".commit")
+    h.listFiles().filter(f => f.isFile &&
+        f.getName.startsWith(instant)).foreach { f =>
+      java.nio.file.Files.move(f.toPath,
+        new java.io.File(h, "archived/" + f.getName).toPath)
+    }
+    val e = intercept[IllegalArgumentException] {
+      HudiRead.readWhereMeta(spark, dir, "k >= 100")
+    }
+    assert(e.getMessage.contains("FILES partition disagrees"),
+      e.getMessage)
+    // the walking plan refuses the same table (uncovered group) — the
+    // reconcile catches exactly what the walk catches
+    val e2 = intercept[IllegalArgumentException] {
+      HudiRead.readWhere(spark, dir, "k >= 100")
+    }
+    assert(e2.getMessage.contains("no ACTIVE completed commit covers"),
+      e2.getMessage)
   }
 
   test("racing inserts: both land exactly once on distinct instants") {
