@@ -648,6 +648,27 @@ object IcebergRead {
           case (Some(fv), Some(t)) => ordered(fv, t)
           case _                   => true
         }
+      case t @ ("year" | "month" | "hour") =>
+        // order-preserving like day: ranges compare loosened on the
+        // transformed literal
+        val tl: Option[Long] = (litDt, pv.srcType) match {
+          case (TimestampType, "timestamptz" | "timestamp") =>
+            val us = litVal.asInstanceOf[Long]
+            Some((t match {
+              case "hour"  => IcebergTransforms.hourOfMicros(us)
+              case "month" => IcebergTransforms.monthOfMicros(us)
+              case _       => IcebergTransforms.yearOfMicros(us)
+            }).toLong)
+          case (DateType, "date") if t != "hour" =>
+            val days = litVal.toString.toInt
+            Some((if (t == "month") IcebergTransforms.monthOfDays(days)
+                  else IcebergTransforms.yearOfDays(days)).toLong)
+          case _ => None
+        }
+        (asLongV, tl) match {
+          case (Some(fv), Some(tv)) => ordered(fv, tv)
+          case _                    => true
+        }
       case BucketT(n) =>
         if (op != "eq") true
         else {

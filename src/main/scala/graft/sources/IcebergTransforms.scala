@@ -105,6 +105,30 @@ private[graft] object IcebergTransforms {
     java.lang.Math.floorDiv(us, d).toInt
   }
 
+  /** Hours from epoch of a timestamp in MICROseconds, floor division
+    * (the spec's `hour` transform — timestamps only).
+    */
+  def hourOfMicros(us: Long): Int =
+    java.lang.Math.floorDiv(us, 3600000000L).toInt
+
+  /** Months from 1970-01 of an epoch-days value (the spec's `month`
+    * transform: 2017-11-16 → 574). Proleptic Gregorian via java.time,
+    * matching the spec's calendar.
+    */
+  def monthOfDays(days: Int): Int = {
+    val d = java.time.LocalDate.ofEpochDay(days.toLong)
+    (d.getYear - 1970) * 12 + (d.getMonthValue - 1)
+  }
+
+  /** Years from 1970 of an epoch-days value (the spec's `year`
+    * transform: 2017-11-16 → 47).
+    */
+  def yearOfDays(days: Int): Int =
+    java.time.LocalDate.ofEpochDay(days.toLong).getYear - 1970
+
+  def monthOfMicros(us: Long): Int = monthOfDays(dayOfMicros(us))
+  def yearOfMicros(us: Long): Int = yearOfDays(dayOfMicros(us))
+
   /** Floored integer truncation: negatives truncate toward -inf. */
   def truncateLong(v: Long, w: Long): Long =
     v - java.lang.Math.floorMod(v, w)

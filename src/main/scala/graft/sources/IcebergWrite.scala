@@ -301,11 +301,17 @@ object IcebergWrite {
   private def resolveTransform(transform: String, srcType: String)
       : (DataType, Schema.Type) = transform match {
     case "identity" => (sparkTypeOf(srcType), avroTypeOf(srcType))
-    case "day" => srcType match {
+    case "day" | "month" | "year" => srcType match {
       case "date" | "timestamp" | "timestamptz" => (IntegerType, INT)
       case other => throw new IllegalArgumentException(
-        s"day transform over source type $other unsupported " +
+        s"$transform transform over source type $other unsupported " +
           "(date/timestamp only) — refusing")
+    }
+    case "hour" => srcType match {
+      case "timestamp" | "timestamptz" => (IntegerType, INT)
+      case other => throw new IllegalArgumentException(
+        s"hour transform over source type $other unsupported " +
+          "(timestamp only, per the spec) — refusing")
     }
     case BucketT(_) => srcType match {
       case "int" | "long" | "string" | "date" => (IntegerType, INT)
@@ -323,7 +329,7 @@ object IcebergWrite {
     }
     case other => throw new IllegalArgumentException(
       s"partition transform $other unknown to this writer " +
-        "(identity/day/bucket[N]/truncate[W]) — refusing")
+        "(identity/year/month/day/hour/bucket[N]/truncate[W]) — refusing")
   }
 
   /** The Spark column computing a transform's output value — the spec
@@ -350,15 +356,55 @@ object IcebergWrite {
         case other => throw new IllegalArgumentException(
           s"day transform over Spark type $other — refusing")
       }
+      case "hour" => dt match {
+        // UTC floor division — deliberately NOT hour(`c`), which would
+        // bind the session timezone; the spec transforms timestamptz
+        // in UTC
+        case TimestampType | TimestampNTZType =>
+          expr(s"CAST((unix_micros(`$c`) - pmod(unix_micros(`$c`), " +
+            "3600000000)) div 3600000000 AS INT)")
+        case other => throw new IllegalArgumentException(
+          s"hour transform over Spark type $other — refusing")
+      }
+      case t @ ("month" | "year") =>
+        // epoch days (UTC, same arithmetic as `day`) → calendar fold
+        // via the shared spec functions; primitive UDF input, so NULLs
+        // null-propagate to the NULL-partition refusal
+        val fold = udf((days: Int) =>
+          if (t == "month") IcebergTransforms.monthOfDays(days)
+          else IcebergTransforms.yearOfDays(days))
+        dt match {
+          case DateType =>
+            fold(expr(s"CAST(datediff(`$c`, DATE'1970-01-01') AS INT)"))
+          case TimestampType | TimestampNTZType =>
+            fold(expr(s"CAST((unix_micros(`$c`) - " +
+              "pmod(unix_micros(`$c`), 86400000000)) div " +
+              "86400000000 AS INT)"))
+          case other => throw new IllegalArgumentException(
+            s"$t transform over Spark type $other — refusing")
+        }
       case BucketT(n) =>
         val nn = n.toInt
         dt match {
-          case IntegerType | LongType | DateType =>
+          case IntegerType | LongType =>
+            // primitive UDF inputs null-propagate, so NULL partition
+            // values flow to writeData's loud refusal unchanged
             val u = udf((v: Long) => IcebergTransforms.bucketOfLong(v, nn))
             u(col(c).cast(LongType))
+          case DateType =>
+            // ANSI Spark disallows DATE→BIGINT casts; the spec hashes
+            // the DAYS-from-epoch int widened to long, so compute the
+            // day count explicitly before the hash
+            val u = udf((v: Long) => IcebergTransforms.bucketOfLong(v, nn))
+            u(expr(s"CAST(datediff(`$c`, DATE'1970-01-01') AS BIGINT)"))
           case StringType =>
+            // reference-typed inputs do NOT null-propagate: guard so a
+            // NULL partition value reaches writeData's refusal instead
+            // of dying as an NPE task failure mid-stage
             val u = udf((v: String) =>
-              IcebergTransforms.bucketOfString(v, nn))
+              if (v == null) null
+              else java.lang.Integer
+                .valueOf(IcebergTransforms.bucketOfString(v, nn)))
             u(col(c))
           case other => throw new IllegalArgumentException(
             s"bucket transform over Spark type $other — refusing")
@@ -371,7 +417,8 @@ object IcebergWrite {
         case StringType =>
           val ww = w.toInt
           val u = udf((v: String) =>
-            IcebergTransforms.truncateString(v, ww))
+            if (v == null) null
+            else IcebergTransforms.truncateString(v, ww))
           u(col(c))
         case other => throw new IllegalArgumentException(
           s"truncate transform over Spark type $other — refusing")
@@ -519,17 +566,21 @@ object IcebergWrite {
   /** Unpartitioned create — the py4j-friendly arity. */
   def create(df: DataFrame, path: String): Long = create(df, path, Nil)
 
-  private val DaysArg  = """days?\(\s*([^)]+?)\s*\)""".r
+  private val DaysArg   = """days?\(\s*([^)]+?)\s*\)""".r
+  private val HoursArg  = """hours?\(\s*([^)]+?)\s*\)""".r
+  private val MonthsArg = """months?\(\s*([^)]+?)\s*\)""".r
+  private val YearsArg  = """years?\(\s*([^)]+?)\s*\)""".r
   private val BucketArg = """bucket\(\s*(\d+)\s*,\s*([^)]+?)\s*\)""".r
   private val TruncArg  = """truncate\(\s*(\d+)\s*,\s*([^)]+?)\s*\)""".r
 
   /** Create the table: data files + manifest + manifest list +
     * v1.metadata.json. `partitionBy` entries declare partition fields:
-    * a bare column name (identity transform), `days(col)`,
-    * `bucket(N, col)`, or `truncate(W, col)` — recorded in the spec
-    * with the canonical transform strings and pruned by IcebergRead's
-    * transform-aware zone maps. Fails if a metadata dir already
-    * exists. Returns the snapshot id (1).
+    * a bare column name (identity transform), `years(col)`,
+    * `months(col)`, `days(col)`, `hours(col)`, `bucket(N, col)`, or
+    * `truncate(W, col)` — recorded in the spec with the canonical
+    * transform strings and pruned by IcebergRead's transform-aware
+    * zone maps. Fails if a metadata dir already exists. Returns the
+    * snapshot id (1).
     */
   def create(df: DataFrame, path: String, partitionBy: Seq[String]): Long = {
     val spark = df.sparkSession
@@ -538,7 +589,10 @@ object IcebergWrite {
       s"$path already has Iceberg metadata/ — use append")
     // (source column, spec transform string, spec field name)
     val declared = partitionBy.map {
+      case YearsArg(c)     => (c, "year", s"${c}_year")
+      case MonthsArg(c)    => (c, "month", s"${c}_month")
       case DaysArg(c)      => (c, "day", s"${c}_day")
+      case HoursArg(c)     => (c, "hour", s"${c}_hour")
       case BucketArg(n, c) => (c, s"bucket[$n]", s"${c}_bucket")
       case TruncArg(w, c)  => (c, s"truncate[$w]", s"${c}_trunc")
       case c               => (c, "identity", c)
@@ -1465,9 +1519,18 @@ object IcebergWrite {
     * scope remaining old files (sequence-ordered), and name no live
     * path among the rewritten ones. Returns the new snapshot id, or
     * the current one when fewer than 2 files qualify.
+    *
+    * `sortBy` switches to the SORTED layout rewrite (the spec's
+    * sort-order rewrite, mirror of Hudi `cluster(sortBy)` and Delta
+    * `optimize(zorderBy)`): EVERY live data file rewrites with rows
+    * range-partitioned + sorted on the keys, so the new files carry
+    * DISJOINT key ranges into the existing bounds pruning — a range
+    * predicate on the leading key opens 1-of-N. Numeric keys prune
+    * (string bounds are deliberately not emitted — footer truncation).
     */
   def rewriteDataFiles(spark: SparkSession, path: String,
-                       targetBytes: Long = 128L * 1024 * 1024): Long = {
+                       targetBytes: Long = 128L * 1024 * 1024,
+                       sortBy: Seq[String] = Nil): Long = {
     val f = fs(spark, path)
     var attempts = 0
     while (true) {
@@ -1481,14 +1544,24 @@ object IcebergWrite {
       val MetaName(curV) = metaP.getName
       val st = parseState(meta, path)
       val sizes = IcebergRead.liveFileSizes(spark, path)
-      val candidates = sizes.filter(_._2 < targetBytes).map(_._1).toSet
+      val candidates =
+        (if (sortBy.nonEmpty) sizes // layout rewrite: every live file
+         else sizes.filter(_._2 < targetBytes)).map(_._1).toSet
       if (candidates.size < 2) return st.currentSnapId
       val totalBytes = sizes.filter(s0 => candidates.contains(s0._1))
         .map(_._2).sum
       val bins = math.max(1L,
         (totalBytes + targetBytes - 1) / targetBytes).toInt
-      val merged = IcebergRead.liveRows(spark, path, candidates)
-        .repartition(bins)
+      val rows0 = IcebergRead.liveRows(spark, path, candidates)
+      val merged =
+        if (sortBy.isEmpty) rows0.repartition(bins)
+        else {
+          import org.apache.spark.sql.functions.col
+          sortBy.foreach(c => require(rows0.columns.contains(c),
+            s"sortBy column $c not in ${rows0.columns.mkString(",")}"))
+          rows0.repartitionByRange(bins, sortBy.map(col): _*)
+            .sortWithinPartitions(sortBy.map(col): _*)
+        }
       // rewrite affected manifests as filtered copies; carry the rest
       val curSnap = st.snapshots
         .find(_.path("snapshot-id").asLong(-1L) == st.currentSnapId)

@@ -42,6 +42,30 @@ class IcebergTransformsSpec extends AnyFunSuite {
     assert(dayOfMicros(1510871468000000L) == 17486)
   }
 
+  test("year/month/hour: spec example values, floor semantics, java.time cross-check") {
+    // the spec's Partition Transforms examples: 2017-11-16 is epoch
+    // day 17486 → year 47 ("2017"), month 574 ("2017-11");
+    // 2017-11-16T22:31:08 UTC → hour 17486*24 + 22 = 419686
+    assert(yearOfDays(17486) == 47)
+    assert(monthOfDays(17486) == 574)
+    assert(hourOfMicros(1510871468000000L) == 419686)
+    assert(yearOfMicros(1510871468000000L) == 47)
+    assert(monthOfMicros(1510871468000000L) == 574)
+    // boundaries: Dec 31 / Jan 1 straddle; pre-epoch floors down
+    assert(yearOfDays(364) == 0 && yearOfDays(365) == 1) // 1970-12-31 / 1971-01-01
+    assert(monthOfDays(30) == 0 && monthOfDays(31) == 1) // 1970-01-31 / 02-01
+    assert(yearOfDays(-1) == -1, "1969-12-31 is year -1")
+    assert(monthOfDays(-1) == -1, "1969-12-31 is month -1")
+    assert(hourOfMicros(-1L) == -1, "pre-epoch micros floor to hour -1")
+    // java.time cross-check over a broad sweep
+    (-1000 to 30000 by 97).foreach { d =>
+      val ld = java.time.LocalDate.ofEpochDay(d.toLong)
+      assert(yearOfDays(d) == ld.getYear - 1970)
+      assert(monthOfDays(d)
+        == (ld.getYear - 1970) * 12 + ld.getMonthValue - 1)
+    }
+  }
+
   test("truncate: floored integers, codepoint strings") {
     assert(truncateLong(17L, 10L) == 10L)
     assert(truncateLong(-3L, 10L) == -10L)

@@ -383,6 +383,67 @@ class IcebergWriteSpec extends AnyFunSuite {
       && fld.path("name").asText() == "ts_day")
   }
 
+  test("partition transforms: hours(ts) + months(d)/years(d) prune 1-of-N; hour-of-date refuses") {
+    // hour-partitioned event table — the streaming-ingest default
+    val dir = tmp()
+    val df = spark.range(0, 40).select(col("id").as("k"),
+      expr("timestamp_micros(CAST(id DIV 10 AS BIGINT) * 3600000000 " +
+        "+ 60000000)").as("ts")) // 4 distinct hours, a minute past each
+    IcebergWrite.create(df.coalesce(1), dir, Seq("hours(ts)"))
+    assert(IcebergRead.read(spark, dir).count() == 40)
+    val pred = "ts >= TIMESTAMP'1970-01-01 03:00:00'"
+    val (total, kept) = IcebergRead.pruneReport(spark, dir, pred)
+    assert(total == 4 && kept == 1, s"hour pruning: $kept of $total")
+    assert(IcebergRead.readWhere(spark, dir, pred).collect().toSet
+      == IcebergRead.read(spark, dir).filter(expr(pred)).collect().toSet)
+    assert(IcebergRead.pruneReport(spark, dir,
+      "ts = TIMESTAMP'1970-01-01 01:01:00'")._2 == 1)
+    // appends flow through the same transform (a fifth hour)
+    IcebergWrite.append(spark.range(40, 45).select(col("id").as("k"),
+      expr("timestamp_micros(4 * 3600000000 + 60000000)").as("ts"))
+      .coalesce(1), dir)
+    val (t2, k2) = IcebergRead.pruneReport(spark, dir,
+      "ts >= TIMESTAMP'1970-01-01 04:00:00'")
+    assert(t2 == 5 && k2 == 1, s"append hour pruning: $k2 of $t2")
+    // canonical transform string in the spec
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(Files.readString(
+      java.nio.file.Paths.get(dir, "metadata", "v1.metadata.json")))
+    val fld = meta.path("partition-specs").elements().next()
+      .path("fields").elements().next()
+    assert(fld.path("transform").asText() == "hour"
+      && fld.path("name").asText() == "ts_hour")
+    // months(d) and years(d) over DATE sources
+    val dir2 = tmp()
+    val dfd = spark.sql(
+      """SELECT id AS k, DATE'2024-01-15' + CAST(id DIV 10 AS INT) * 40 AS d
+         FROM range(0, 40)""") // 4 dates spanning 4 months, 2 years
+    IcebergWrite.create(dfd.coalesce(1), dir2, Seq("months(d)"))
+    val (tm, km) =
+      IcebergRead.pruneReport(spark, dir2, "d >= DATE'2024-05-01'")
+    assert(tm == 4 && km == 1, s"month pruning: $km of $tm")
+    assert(IcebergRead.readWhere(spark, dir2, "d = DATE'2024-02-24'")
+      .count() == 10)
+    val dir3 = tmp()
+    val dfy = spark.sql(
+      """SELECT id AS k, DATE'2023-06-01' + CAST(id DIV 10 AS INT) * 365 AS d
+         FROM range(0, 30)""")
+    IcebergWrite.create(dfy.coalesce(1), dir3, Seq("years(d)"))
+    val (ty, ky) =
+      IcebergRead.pruneReport(spark, dir3, "d >= DATE'2025-01-01'")
+    assert(ty == 3 && ky == 1, s"year pruning: $ky of $ty")
+    assert(IcebergRead.readWhere(spark, dir3, "d >= DATE'2025-01-01'")
+      .collect().toSet
+      == IcebergRead.read(spark, dir3)
+        .filter(col("d") >= lit("2025-01-01").cast("date"))
+        .collect().toSet)
+    // hour over a DATE source refuses by name (spec: timestamps only)
+    val e = intercept[IllegalArgumentException] {
+      IcebergWrite.create(dfd.coalesce(1), tmp(), Seq("hours(d)"))
+    }
+    assert(e.getMessage.contains("timestamp only"), e.getMessage)
+  }
+
   test("partition transforms: bucket(N, k) prunes equality probes to one file") {
     val dir = tmp()
     IcebergWrite.create(range(0, 40).coalesce(1), dir, Seq("bucket(8, k)"))
@@ -408,6 +469,40 @@ class IcebergWriteSpec extends AnyFunSuite {
       .collect().toSet
       == IcebergRead.read(spark, dir2)
         .filter(col("name") === nm).collect().toSet)
+  }
+
+  test("bucket(N, date) writes under ANSI; NULL string partition sources refuse, not NPE") {
+    // ANSI Spark disallows DATE→BIGINT casts: the writer must compute
+    // epoch days explicitly before the murmur3 hash (the reader side
+    // already hashes date-days for external tables)
+    val dir = tmp()
+    val df = spark.sql(
+      """SELECT id AS k, DATE'2024-01-01' + CAST(id AS INT) AS d
+         FROM range(0, 40)""")
+    IcebergWrite.create(df.coalesce(1), dir, Seq("bucket(8, d)"))
+    val back = IcebergRead.read(spark, dir)
+    assert(back.count() == 40)
+    val (total, kept) =
+      IcebergRead.pruneReport(spark, dir, "d = DATE'2024-01-05'")
+    assert(total > 1 && kept == 1, s"date bucket pruning: $kept of $total")
+    assert(IcebergRead.readWhere(spark, dir, "d = DATE'2024-01-05'")
+      .collect().toSet
+      == back.filter(col("d") === lit("2024-01-05").cast("date"))
+        .collect().toSet)
+    // NULL STRING partition sources flow to the modeled refusal (the
+    // UDF null-guards) instead of dying as an NPE task failure
+    val withNull = range(0, 5).withColumn("name",
+      when(col("k") === 2, lit(null)).otherwise(col("name")))
+    val e = intercept[IllegalArgumentException] {
+      IcebergWrite.create(withNull.coalesce(1), tmp(),
+        Seq("bucket(4, name)"))
+    }
+    assert(e.getMessage.contains("NULL partition"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergWrite.create(withNull.coalesce(1), tmp(),
+        Seq("truncate(2, name)"))
+    }
+    assert(e2.getMessage.contains("NULL partition"), e2.getMessage)
   }
 
   test("partition transforms: truncate(W, k) zone-maps ranges; unknown transforms refuse") {
@@ -465,6 +560,38 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(dataFiles() < before,
       "expire must reclaim the replaced small files")
     assert(IcebergRead.read(spark, dir).count() == 75)
+  }
+
+  test("rewriteDataFiles sortBy: sorted layout turns range predicates into 1-of-N opens") {
+    val dir = tmp()
+    // 4 files with INTERLEAVED key ranges (k % 4 stripes): every file
+    // spans the full domain, so range predicates cannot prune
+    def stripe(r: Long) = spark.range(0, 8000)
+      .filter(col("id") % 4 === r)
+      .select(col("id").as("k"),
+        concat(lit("u"), col("id").cast("string")).as("name"))
+    IcebergWrite.create(stripe(0).coalesce(1), dir)
+    (1L to 3L).foreach(r => IcebergWrite.append(stripe(r).coalesce(1), dir))
+    val pre = IcebergRead.read(spark, dir).collect().toSet
+    val (t0, k0) = IcebergRead.pruneReport(spark, dir, "k >= 7000")
+    assert(t0 == 4 && k0 == 4, s"striped files must not prune: $k0 of $t0")
+    val snap = IcebergWrite.rewriteDataFiles(spark, dir,
+      targetBytes = 16384, sortBy = Seq("k"))
+    assert(IcebergRead.read(spark, dir).collect().toSet == pre)
+    val (t1, k1) = IcebergRead.pruneReport(spark, dir, "k >= 7000")
+    assert(t1 >= 3 && k1 <= 2,
+      s"sorted rewrite must range-prune: $k1 of $t1")
+    assert(IcebergRead.readWhere(spark, dir, "k >= 7000").collect().toSet
+      == IcebergRead.read(spark, dir).filter(col("k") >= 7000)
+        .collect().toSet)
+    // pre-rewrite snapshots still serve the striped layout
+    assert(IcebergRead.read(spark, dir, snapshotId = snap - 1)
+      .collect().toSet == pre)
+    // unknown sort column refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      IcebergWrite.rewriteDataFiles(spark, dir, sortBy = Seq("zz"))
+    }
+    assert(e.getMessage.contains("sortBy column zz"))
   }
 
   test("identity-partitioned create: split files, partition struct, pruning") {
