@@ -1251,6 +1251,40 @@ object DeltaRead {
     out.toArray
   }
 
+  /** Inverse of [[roaringPositions]]: 64-bit row positions → portable
+    * RoaringBitmapArray bytes (the WRITE half of the DV lifecycle —
+    * [[DeltaWrite.deleteDv]]/[[DeltaWrite.upsertDv]] author descriptors
+    * whose blobs this produces). One 32-bit RoaringBitmap per high-word
+    * key, keys ascending, each standard-serialized; header magic +
+    * count little-endian, exactly what [[roaringPositions]] (and the
+    * reference implementation) decodes. Runs on EXECUTORS — one
+    * compressed blob per data file, so a heavily-deleted table never
+    * materializes its delete set on the driver.
+    */
+  private[graft] def roaringSerialize(positions: Array[Long]): Array[Byte] = {
+    require(positions.forall(p => p >= 0 && (p >>> 32) <= Int.MaxValue),
+      "DV position outside the portable RoaringBitmapArray domain")
+    val byKey = positions.groupBy(p => (p >>> 32).toInt).toSeq.sortBy(_._1)
+    val bitmaps = byKey.map { case (k, ps) =>
+      val rb = new org.roaringbitmap.RoaringBitmap()
+      ps.foreach(p => rb.add((p & 0xFFFFFFFFL).toInt))
+      rb.runOptimize()
+      // RoaringBitmap's DataOutput serializer emits the portable
+      // little-endian wire format regardless of DataOutput's own
+      // big-endian convention — the library handles byte order
+      val bos = new java.io.ByteArrayOutputStream()
+      rb.serialize(new java.io.DataOutputStream(bos))
+      (k, bos.toByteArray)
+    }
+    val bb = java.nio.ByteBuffer
+      .allocate(12 + bitmaps.map(4 + _._2.length).sum)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(1681511377)
+    bb.putLong(bitmaps.size.toLong)
+    bitmaps.foreach { case (k, b) => bb.putInt(k); bb.put(b) }
+    bb.array()
+  }
+
   // ------------------------------------------------------------------
   // stats
   // ------------------------------------------------------------------

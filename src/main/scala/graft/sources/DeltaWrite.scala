@@ -515,11 +515,335 @@ object DeltaWrite {
   }
 
   // --------------------------------------------------------------------
+  // merge-on-read DELETE / UPSERT — deletion-vector AUTHORING. The COW
+  // paths above pay O(matched files' bytes) per operation; these pay
+  // O(matched ROWS' bitmap bytes): the data files stay put and a
+  // compressed row mask re-attaches them. At 100 TB this is the
+  // difference between a streaming delete rewriting terabytes per
+  // micro-batch and appending kilobytes. [[DeltaRead]] has applied DVs
+  // since round 8; these author descriptors it (and any protocol
+  // reader) decodes. OPTIMIZE folds the masks back into clean files;
+  // VACUUM already treats live DV files as referenced.
+  // --------------------------------------------------------------------
+
+  private def baseOf(a: DeltaRead.AddEntry): String =
+    PathCodec.percentDecode(a.path).split("/").last
+
+  /** (file-basename, position) rows of the EXISTING deletion vectors on
+    * `files`, decoded on executors exactly like the read side — the
+    * authored replacement DV must be a SUPERSET of the old mask (the
+    * protocol replaces, never stacks, descriptors).
+    */
+  private def existingDvDf(spark: SparkSession, path: String,
+                           files: Seq[DeltaRead.AddEntry]): DataFrame = {
+    import spark.implicits._
+    val keyed: Seq[(String, Array[Byte])] =
+      files.filter(_.dv.exists(_.cardinality > 0L)).map { a =>
+        baseOf(a) -> DeltaRead.dvBytes(spark, path, a.dv.get)
+      }
+    spark.createDataset(keyed)
+      .flatMap { case (k, b) =>
+        DeltaRead.roaringPositions(b).map(p => (k, p)) }
+      .toDF(DeltaRead.FKey, DeltaRead.RIdx)
+  }
+
+  /** Serialize per-file DV blobs on EXECUTORS from (file, position)
+    * rows and collect only the compressed bytes: (basename, blob,
+    * cardinality). Driver memory is bounded by the BITMAP bytes —
+    * KBs/MBs even for hundreds of millions of deleted rows — never by
+    * the position count.
+    */
+  private def dvBlobsOf(spark: SparkSession, delRows: DataFrame)
+      : Seq[(String, Array[Byte], Long)] = {
+    import spark.implicits._
+    delRows.groupBy(col(DeltaRead.FKey))
+      .agg(collect_list(col(DeltaRead.RIdx)).as("ps"))
+      .as[(String, Seq[Long])]
+      .map { case (k, ps) =>
+        val arr = ps.toArray.distinct
+        (k, DeltaRead.roaringSerialize(arr), arr.length.toLong)
+      }.collect().toSeq
+  }
+
+  /** Write ONE on-disk DV file carrying every blob of the commit, per
+    * the public protocol's deletion-vector file format: version byte 1,
+    * then per DV a 4-byte big-endian length, the portable
+    * RoaringBitmapArray bytes, and a 4-byte big-endian CRC-32 of those
+    * bytes. Returns each key's descriptor (storageType `u`,
+    * pathOrInlineDv = z85(uuid) with no directory prefix, offset at the
+    * length word — the exact shape [[DeltaRead.dvBytes]] and vacuum's
+    * reachability walk already decode) plus the file's path for
+    * lost-race cleanup.
+    */
+  private def writeDvFile(spark: SparkSession, path: String,
+                          blobs: Seq[(String, Array[Byte], Long)])
+      : (Map[String, DeltaRead.Dv], Path) = {
+    val f = fs(spark, path)
+    val uuid = java.util.UUID.randomUUID()
+    val bb = java.nio.ByteBuffer.allocate(16)
+    bb.putLong(uuid.getMostSignificantBits)
+    bb.putLong(uuid.getLeastSignificantBits)
+    val enc = PathCodec.z85Encode(bb.array())
+    val target = new Path(path, s"deletion_vector_$uuid.bin")
+    val out = f.create(target, false)
+    val res = scala.collection.mutable.Map[String, DeltaRead.Dv]()
+    try {
+      out.write(1) // format version
+      var offset = 1
+      blobs.foreach { case (key, bytes, card) =>
+        out.writeInt(bytes.length) // DataOutput: big-endian
+        out.write(bytes)
+        val crc = new java.util.zip.CRC32()
+        crc.update(bytes)
+        out.writeInt(crc.getValue.toInt)
+        res(key) = DeltaRead.Dv("u", enc, offset, bytes.length, card)
+        offset += 4 + bytes.length + 4
+      }
+    } finally out.close()
+    (res.toMap, target)
+  }
+
+  /** Protocol line enabling `deletionVectors` when the table lacks it.
+    * Upgrading a legacy protocol to table features must LIST the
+    * features the legacy version numbers implied — otherwise readers
+    * and writers that keyed on the version would silently lose them.
+    */
+  private def dvProtocolUpgrade(st: DeltaRead.LogState): Seq[String] = {
+    if (st.minReaderVersion >= 3 &&
+        st.readerFeatures.contains("deletionVectors")) return Nil
+    val impliedW = Map(
+      2 -> Seq("appendOnly", "invariants"),
+      3 -> Seq("checkConstraints"),
+      4 -> Seq("changeDataFeed", "generatedColumns"),
+      5 -> Seq("columnMapping"),
+      6 -> Seq("identityColumns"))
+    val rf = ((if (st.minReaderVersion >= 3) st.readerFeatures
+               else if (st.minReaderVersion == 2) Seq("columnMapping")
+               else Nil) :+ "deletionVectors").distinct
+    val wf = ((if (st.minWriterVersion >= 7) st.writerFeatures
+               else (2 to st.minWriterVersion)
+                 .flatMap(v => impliedW.getOrElse(v, Nil)) ++
+                 st.writerFeatures) :+ "deletionVectors").distinct
+    def arr(xs: Seq[String]) =
+      xs.map(om.writeValueAsString(_)).mkString("[", ",", "]")
+    Seq(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+      s""""readerFeatures":${arr(rf)},"writerFeatures":${arr(wf)}}}""")
+  }
+
+  /** DELETE rows matching `predicate`, MERGE-ON-READ: candidate files
+    * stats-prune exactly like [[delete]], but matched files are NOT
+    * rewritten — each gets a deletion vector (the union of its existing
+    * mask and the fresh matches, since a descriptor REPLACES its
+    * predecessor) and re-attaches via remove + re-add of the same data
+    * file in one atomic commit. Write cost is O(bitmap bytes), not
+    * O(matched files' bytes); stats carry forward (they describe the
+    * physical file — a superset of the visible rows, so pruning may
+    * over-keep but never over-skips). Rows whose predicate is NULL are
+    * KEPT. Upgrades a legacy protocol to table features with
+    * `deletionVectors` in the same commit. Returns the committed
+    * version, or the current one when nothing (newly) matched.
+    */
+  def deleteDv(spark: SparkSession, path: String,
+               predicate: String): Long = {
+    import spark.implicits._
+    var attempts = 0
+    while (true) {
+      require(attempts < 10,
+        s"$path: lost the DV-delete commit race 10 times")
+      val cur = DeltaRead.latestVersion(spark, path)
+      val (st, live) = DeltaRead.checkpointState(spark, path, cur)
+      requireRewritable(st, live)
+      val schema = DeltaRead.schemaOf(st)
+      val pred = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(predicate)
+      val candidates = live.filter(a =>
+        FileStats.mayMatch(pred, DeltaRead.entryStats(st, schema, a)))
+      if (candidates.isEmpty) return cur
+      val scanned = DeltaRead.scan(spark, path, st, schema, candidates,
+        withMeta = true)
+      val existing = existingDvDf(spark, path, candidates)
+      // fresh deletes: rows matching NOW and not already masked — a
+      // file whose matches are all historical must not churn the log
+      val fresh = scanned.filter(expr(predicate))
+        .select(col(DeltaRead.FKey), col(DeltaRead.RIdx))
+        .join(existing, Seq(DeltaRead.FKey, DeltaRead.RIdx), "left_anti")
+      val freshKeys = fresh.select(DeltaRead.FKey).distinct()
+        .as[String].collect().toSet
+      if (freshKeys.isEmpty) return cur
+      val affected = candidates.filter(a => freshKeys.contains(baseOf(a)))
+      // replacement mask per affected file = existing ∪ fresh,
+      // unioned/serialized on executors, collected compressed
+      val blobs = dvBlobsOf(spark, fresh.unionByName(
+        existing.filter(
+          col(DeltaRead.FKey).isin(freshKeys.toSeq: _*))))
+      val (dvOf, dvPath) = writeDvFile(spark, path, blobs)
+      // CDF: the freshly-deleted rows (DV-applied view) as row-level
+      // 'delete' change data in the same commit
+      val cdc =
+        if (!cdfEnabled(st)) Nil
+        else {
+          val deleted = DeltaRead.assemble(spark, path, st, affected)
+            .filter(coalesce(expr(predicate), lit(false)))
+            .withColumn("_change_type", lit("delete"))
+          val (physD, pp, _) = physicalize(deleted, st, schema,
+            st.partitionCols, extra = Seq("_change_type"))
+          cdcActionsFor(physD, path, pp)
+        }
+      val actions = dvProtocolUpgrade(st) ++ cdc ++
+        affected.map(removeAction(_)) ++
+        affected.map(a => readdAction(a.copy(dv = Some(dvOf(baseOf(a))))))
+      if (publish(spark, path, cur + 1, actions)) {
+        maybeCheckpoint(spark, path, cur + 1)
+        return cur + 1
+      }
+      // lost the race: this attempt's DV file is unreferenced — remove
+      // it and replan against the new head
+      fs(spark, path).delete(dvPath, false)
+      attempts += 1
+    }
+    -1L // unreachable
+  }
+
+  /** UPSERT (MERGE), MERGE-ON-READ: matched table rows are masked with
+    * deletion vectors on their files (no data-file rewrite) and the
+    * FULL source lands as a fresh segment — one atomic commit, write
+    * cost O(source + bitmap bytes). Same contract as [[upsert]]: source
+    * carries the table schema exactly, at most one row per key. Returns
+    * the committed version.
+    */
+  def upsertDv(source: DataFrame, path: String,
+               keys: Seq[String]): Long = {
+    val spark = source.sparkSession
+    import spark.implicits._
+    require(keys.nonEmpty, "upsertDv needs at least one key column")
+    val dupes = source.groupBy(keys.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dupes.isEmpty,
+      s"upsertDv source has multiple rows for key ${dupes.headOption}" +
+        " — MERGE requires at most one source row per key")
+    var attempts = 0
+    while (true) {
+      require(attempts < 10,
+        s"$path: lost the DV-upsert commit race 10 times")
+      val cur = DeltaRead.latestVersion(spark, path)
+      val (st, live) = DeltaRead.checkpointState(spark, path, cur)
+      requireRewritable(st, live)
+      val schema = DeltaRead.schemaOf(st)
+      require(canonical(source.schema) == canonical(
+          StructType(schema.fields.map(f =>
+            StructField(f.name, f.dataType, f.nullable)))),
+        s"upsertDv source schema ${source.schema.toDDL} != table " +
+          s"schema ${schema.toDDL}")
+      keys.foreach(k => require(schema.fieldNames.contains(k),
+        s"key column $k not in the table schema"))
+      val candidates =
+        if (keys.size == 1) {
+          val k = keys.head
+          val mm = source.agg(min(col(k)).cast("string"),
+            max(col(k)).cast("string")).head()
+          if (mm.isNullAt(0)) Seq.empty
+          else {
+            val p = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+              .parseExpression(
+                s"$k >= ${sqlLit(mm.getString(0), schema(k).dataType)} AND " +
+                  s"$k <= ${sqlLit(mm.getString(1), schema(k).dataType)}")
+            live.filter(a =>
+              FileStats.mayMatch(p, DeltaRead.entryStats(st, schema, a)))
+          }
+        } else live
+      val keyFrame = source.select(keys.map(col): _*)
+      val existing = existingDvDf(spark, path, candidates)
+      // fresh masks: visible rows sharing a source key
+      val fresh =
+        if (candidates.isEmpty)
+          spark.emptyDataset[(String, Long)]
+            .toDF(DeltaRead.FKey, DeltaRead.RIdx)
+        else DeltaRead.scan(spark, path, st, schema, candidates,
+            withMeta = true)
+          .join(keyFrame, keys, "left_semi")
+          .select(col(DeltaRead.FKey), col(DeltaRead.RIdx))
+          .join(existing, Seq(DeltaRead.FKey, DeltaRead.RIdx), "left_anti")
+      val freshKeys = fresh.select(DeltaRead.FKey).distinct()
+        .as[String].collect().toSet
+      val affected = candidates.filter(a => freshKeys.contains(baseOf(a)))
+      val dvWritten =
+        if (affected.isEmpty) None
+        else Some(writeDvFile(spark, path, dvBlobsOf(spark,
+          fresh.unionByName(existing.filter(
+            col(DeltaRead.FKey).isin(freshKeys.toSeq: _*))))))
+      val ordered = schema.fieldNames.toSeq.map(col)
+      val (physSeg, physParts, keyOf) =
+        physicalize(source.select(ordered: _*), st, schema,
+          st.partitionCols)
+      val files = writeSegment(physSeg, path, physParts)
+      // CDF mirrors [[upsert]]: matched rows emit preimage (DV-applied
+      // old) + postimage, unmatched source rows emit insert; a
+      // pure-insert merge emits no cdc
+      val cdc =
+        if (!cdfEnabled(st) || affected.isEmpty) Nil
+        else {
+          val pre = DeltaRead.assemble(spark, path, st, affected)
+            .join(keyFrame, keys, "left_semi")
+          val preKeys = pre.select(keys.map(col): _*).distinct()
+          val post = source.join(preKeys, keys, "left_semi")
+          val ins = source.join(preKeys, keys, "left_anti")
+          val cdcRows = pre.select(ordered: _*)
+              .withColumn("_change_type", lit("update_preimage"))
+            .unionByName(post.select(ordered: _*)
+              .withColumn("_change_type", lit("update_postimage")))
+            .unionByName(ins.select(ordered: _*)
+              .withColumn("_change_type", lit("insert")))
+          val (physCdc, pp, _) = physicalize(cdcRows, st, schema,
+            st.partitionCols, extra = Seq("_change_type"))
+          cdcActionsFor(physCdc, path, pp)
+        }
+      val dvActions = dvWritten.fold(Seq.empty[String]) { case (dvOf, _) =>
+        affected.map(removeAction(_)) ++
+          affected.map(a =>
+            readdAction(a.copy(dv = Some(dvOf(baseOf(a))))))
+      }
+      val actions =
+        (if (affected.isEmpty) Nil else dvProtocolUpgrade(st)) ++
+        cdc ++ dvActions ++
+        actionsFor(schema, files, withMeta = false, physParts,
+          statKey = keyOf)
+      if (publish(spark, path, cur + 1, actions)) {
+        maybeCheckpoint(spark, path, cur + 1)
+        return cur + 1
+      }
+      dvWritten.foreach { case (_, p) => fs(spark, path).delete(p, false) }
+      attempts += 1
+    }
+    -1L // unreachable
+  }
+
+  // --------------------------------------------------------------------
   // table maintenance: OPTIMIZE (bin-packing compaction) + VACUUM —
   // without them every COW delete/upsert and small append accretes
   // files forever (SnapshotTable has had both since round 4; this
   // brings the open format to parity)
   // --------------------------------------------------------------------
+
+  /** Per-group (lo, hi) of one z-order dimension, folded from the
+    * files' LOGGED zone maps — zero extra jobs, no rescan. Every file
+    * must carry a numeric stat for the column (a DV'd file's stats
+    * describe the pre-delete superset — a looser range, still a sound
+    * scaling domain).
+    */
+  private def zRange(st: DeltaRead.LogState, schema: StructType,
+                     g: Seq[DeltaRead.AddEntry], c: String)
+      : (Double, Double) = {
+    val ranges = g.map { a =>
+      val cs = DeltaRead.entryStats(st, schema, a).get(c)
+      require(cs.exists(s => (s.kind == "l" || s.kind == "d") &&
+          s.lo.nonEmpty && s.hi.nonEmpty),
+        s"zorderBy $c: file ${a.path} carries no numeric zone map — " +
+          "the z-coordinate scaling folds logged stats (no rescan), " +
+          "refusing")
+      (cs.get.lo.get.toDouble, cs.get.hi.get.toDouble)
+    }
+    (ranges.map(_._1).min, ranges.map(_._2).max)
+  }
 
   /** OPTIMIZE: bin-packing compaction. Within each partition tuple,
     * files smaller than `targetBytes` (and any file carrying a deletion
@@ -529,9 +853,20 @@ object DeltaWrite {
     * change-feed and streaming consumers never re-serve the rows. One
     * atomic commit; a lost race replans. Returns the committed version,
     * or the current version when nothing qualified.
+    *
+    * `zorderBy` (exactly two numeric columns) switches to the LAYOUT
+    * rewrite: EVERY group rewrites with rows range-partitioned and
+    * sorted on the 32-bit Morton interleave of the two dimensions
+    * (each scaled to 16 bits against the group's stats-folded min/max
+    * — [[graft.functions.ZOrder2]], the codegen'd expression q87
+    * oracle-pins), so every new file carries NARROW min/max on BOTH
+    * columns and a range predicate on EITHER prunes to 1-of-N opens —
+    * the Delta OPTIMIZE ZORDER BY operating point, mirroring Hudi
+    * `cluster(sortBy)`.
     */
   def optimize(spark: SparkSession, path: String,
-               targetBytes: Long = 128L * 1024 * 1024): Long = {
+               targetBytes: Long = 128L * 1024 * 1024,
+               zorderBy: Seq[String] = Nil): Long = {
     var attempts = 0
     while (true) {
       require(attempts < 10, s"$path: lost the optimize race 10 times")
@@ -539,13 +874,34 @@ object DeltaWrite {
       val (st, live) = DeltaRead.checkpointState(spark, path, cur)
       requireRewritable(st, live)
       val schema = DeltaRead.schemaOf(st)
+      if (zorderBy.nonEmpty) {
+        require(zorderBy.size == 2,
+          s"zorderBy interleaves exactly two dimensions (got " +
+            s"${zorderBy.size}) — ZOrder2 is the 2-D Morton curve")
+        zorderBy.foreach { c =>
+          require(schema.fieldNames.contains(c),
+            s"zorderBy column $c not in the table schema")
+          require(schema(c).dataType match {
+            case ByteType | ShortType | IntegerType | LongType |
+                 FloatType | DoubleType => true
+            case _ => false
+          }, s"zorderBy $c: z-coordinates scale NUMERIC dimensions " +
+            "only (strings/dates would need a rank pass) — refusing")
+        }
+      }
       // a group is worth compacting when it can shrink the file count
       // (≥2 small files) or fold a DV (rewriting one DV'd file drops
-      // the mask and the dead rows)
-      val groups = live.groupBy(_.partitionValues).values.map(_.filter(a =>
-          a.size < targetBytes || a.dv.exists(_.cardinality > 0L)))
-        .filter(g => g.size >= 2 || g.exists(_.dv.exists(_.cardinality > 0L)))
-        .toSeq
+      // the mask and the dead rows); the zorder layout rewrite takes
+      // EVERY group — even a lone large file splits into z-range bins
+      // that prune
+      val groups =
+        if (zorderBy.nonEmpty)
+          live.groupBy(_.partitionValues).values.map(_.toSeq).toSeq
+        else live.groupBy(_.partitionValues).values.map(_.filter(a =>
+            a.size < targetBytes || a.dv.exists(_.cardinality > 0L)))
+          .filter(g => g.size >= 2 ||
+            g.exists(_.dv.exists(_.cardinality > 0L)))
+          .toSeq
       if (groups.isEmpty) return cur
       // BOUNDED-WIDTH unioned plans, ONE atomic commit: each branch
       // holds a single partition tuple repartitioned to its own bin
@@ -568,7 +924,27 @@ object DeltaWrite {
         val segment = batch.map { g =>
           val bins = math.max(1L,
             (g.map(_.size).sum + targetBytes - 1) / targetBytes).toInt
-          DeltaRead.assemble(spark, path, st, g).repartition(bins)
+          val assembled = DeltaRead.assemble(spark, path, st, g)
+          if (zorderBy.isEmpty) assembled.repartition(bins)
+          else {
+            // scale each dimension to 16 bits against the group's
+            // stats-folded range, interleave, range-partition so bins
+            // hold disjoint z-ranges, sort within so row groups are
+            // tight too
+            val coords = zorderBy.map { c =>
+              val (lo, hi) = zRange(st, schema, g, c)
+              if (hi <= lo) lit(0)
+              else least(lit(65535), greatest(lit(0),
+                ((col(c).cast("double") - lit(lo)) /
+                  lit(hi - lo) * 65535).cast("int")))
+            }
+            val zc = "__graft_zkey"
+            assembled
+              .withColumn(zc, graft.functions.zorder2(coords(0), coords(1)))
+              .repartitionByRange(bins, col(zc))
+              .sortWithinPartitions(col(zc))
+              .drop(zc)
+          }
         }.reduce(_ unionByName _)
         // physicalize is schema-determined — identical across batches
         val (physRows, pp, sk) =

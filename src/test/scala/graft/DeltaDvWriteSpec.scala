@@ -1,0 +1,239 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Deletion-vector AUTHORING ([[sources.DeltaWrite.deleteDv]] /
+  * [[sources.DeltaWrite.upsertDv]]): merge-on-read deletes whose write
+  * cost is the bitmap, not the data files — round-tripped through this
+  * repo's own DV-applying reader, composed with time travel, OPTIMIZE
+  * folding, VACUUM reachability, restore, and the change data feed.
+  */
+class DeltaDvWriteSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import sources.{DeltaRead, DeltaWrite}
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_dvw").toString + "/t"
+
+  private def rows(lo: Long, hi: Long, tag: String = "u") =
+    spark.range(lo, hi).select(col("id").as("k"),
+      concat(lit(tag), col("id").cast("string")).as("name"))
+
+  private def kv(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    df.select("k", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+  private def parquetFiles(dir: String): Set[String] =
+    new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getName).toSet
+
+  private def dvFiles(dir: String): Set[String] =
+    new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("deletion_vector_"))
+      .map(_.getName).toSet
+
+  test("roaringSerialize round-trips through roaringPositions (sparse keys, >2^32)") {
+    val cases = Seq(
+      Array.empty[Long],
+      Array(0L, 1L, 2L),
+      Array(5L, 100000L, 7L, 5L), // dup tolerated upstream via distinct
+      Array(1L, (1L << 32) + 3L, (5L << 32) + 9L), // sparse keys
+      (0L until 10000L by 3).toArray)
+    cases.foreach { ps =>
+      val back = DeltaRead.roaringPositions(
+        DeltaRead.roaringSerialize(ps.distinct))
+      assert(back.sorted.toSeq == ps.distinct.sorted.toSeq,
+        s"round-trip failed for ${ps.take(5).mkString(",")}…")
+    }
+    // out-of-domain positions refuse rather than truncate
+    intercept[IllegalArgumentException] {
+      DeltaRead.roaringSerialize(Array(-1L))
+    }
+  }
+
+  test("deleteDv: O(bitmap) delete, data files untouched, replay no-op, masks merge") {
+    val dir = tmp()
+    DeltaWrite.create(rows(0, 50).coalesce(1), dir)
+    DeltaWrite.append(rows(50, 100).coalesce(1), dir)
+    val dataBefore = parquetFiles(dir)
+    assert(dataBefore.size == 2)
+    val v = DeltaWrite.deleteDv(spark, dir, "k >= 40 AND k < 45")
+    assert(v == 2)
+    // data files byte-identical set: the delete wrote NO parquet
+    assert(parquetFiles(dir) == dataBefore,
+      "merge-on-read delete must not rewrite or add data files")
+    assert(dvFiles(dir).size == 1, "one DV file per commit")
+    assert(kv(DeltaRead.read(spark, dir))
+      == kv(rows(0, 40).union(rows(45, 100))))
+    // time travel: prior versions intact
+    assert(kv(DeltaRead.read(spark, dir, 1)) == kv(rows(0, 100)))
+    // protocol upgraded to table features in the same commit
+    val c2 = Files.readString(
+      Paths.get(dir, "_delta_log", f"${2L}%020d.json"))
+    assert(c2.contains("\"minReaderVersion\":3") &&
+      c2.contains("deletionVectors") &&
+      c2.contains("appendOnly"), // legacy-implied writer feature listed
+      s"protocol upgrade missing: $c2")
+    // replaying the SAME delete is a detected no-op (no new version,
+    // no new DV file) — the exactly-once half of a foreachBatch delete
+    assert(DeltaWrite.deleteDv(spark, dir, "k >= 40 AND k < 45") == 2)
+    assert(dvFiles(dir).size == 1)
+    // a second predicate on the SAME file MERGES the masks (descriptor
+    // replacement is a superset, per the protocol)
+    assert(DeltaWrite.deleteDv(spark, dir, "k = 7") == 3)
+    assert(kv(DeltaRead.read(spark, dir))
+      == kv(rows(0, 40).union(rows(45, 100))).filterNot(_._1 == 7))
+    assert(kv(DeltaRead.read(spark, dir, 2))
+      == kv(rows(0, 40).union(rows(45, 100))),
+      "the pre-merge snapshot must keep serving the old mask")
+    // stats pruning survives: the untouched file still prunes away
+    val (total, kept) = DeltaRead.pruneReport(spark, dir, "k < 10")
+    assert(total == 2 && kept == 1,
+      s"carried-forward stats must still prune: $kept of $total")
+  }
+
+  test("upsertDv: matched rows masked in place, source lands as a fresh segment") {
+    val dir = tmp()
+    DeltaWrite.create(rows(0, 50).coalesce(1), dir)
+    DeltaWrite.append(rows(50, 100).coalesce(1), dir)
+    val dataBefore = parquetFiles(dir)
+    val src = rows(40, 60, "new") // straddles both files
+    val v = DeltaWrite.upsertDv(src, dir, Seq("k"))
+    assert(v == 2)
+    // the two original data files are still there, plus the new segment
+    assert(dataBefore.subsetOf(parquetFiles(dir)),
+      "DV upsert must not rewrite existing data files")
+    assert(kv(DeltaRead.read(spark, dir))
+      == kv(rows(0, 40).union(rows(40, 60, "new")).union(rows(60, 100))))
+    assert(kv(DeltaRead.read(spark, dir, 1)) == kv(rows(0, 100)))
+    // pure-insert merge: no DV file, no mask, just the segment
+    val dir2 = tmp()
+    DeltaWrite.create(rows(0, 10).coalesce(1), dir2)
+    assert(DeltaWrite.upsertDv(rows(100, 105, "ins"), dir2, Seq("k")) == 1)
+    assert(dvFiles(dir2).isEmpty)
+    assert(kv(DeltaRead.read(spark, dir2))
+      == kv(rows(0, 10).union(rows(100, 105, "ins"))))
+    // upserting the SAME source again: keys now match the new segment —
+    // masks it and re-lands, read stays fixed-point
+    assert(DeltaWrite.upsertDv(rows(100, 105, "ins"), dir2, Seq("k")) == 2)
+    assert(kv(DeltaRead.read(spark, dir2))
+      == kv(rows(0, 10).union(rows(100, 105, "ins"))))
+  }
+
+  test("lifecycle: vacuum keeps live DV files; optimize folds the mask; then vacuum GCs it") {
+    val dir = tmp()
+    DeltaWrite.create(rows(0, 50).coalesce(1), dir)
+    DeltaWrite.deleteDv(spark, dir, "k % 10 = 3")
+    val dv = dvFiles(dir)
+    assert(dv.size == 1)
+    val expected = kv(rows(0, 50)).filterNot(_._1 % 10 == 3)
+    // a LIVE DV file is referenced — vacuum must not touch it
+    Thread.sleep(5)
+    DeltaWrite.vacuum(spark, dir, retainMillis = 0L)
+    assert(dvFiles(dir) == dv, "vacuum must keep live DV files")
+    assert(kv(DeltaRead.read(spark, dir)) == expected)
+    // optimize folds: rewritten file drops the mask and the dead rows
+    val vOpt = DeltaWrite.optimize(spark, dir)
+    assert(vOpt == 2)
+    val cOpt = Files.readString(
+      Paths.get(dir, "_delta_log", f"$vOpt%020d.json"))
+    assert(!cOpt.contains("deletionVector"),
+      s"optimize must fold authored DVs, not carry them: $cOpt")
+    assert(kv(DeltaRead.read(spark, dir)) == expected)
+    // the folded DV file is unreachable from the CURRENT version and
+    // carries no tombstone — the orphan clause reclaims it
+    Thread.sleep(5)
+    DeltaWrite.vacuum(spark, dir, retainMillis = 0L)
+    assert(dvFiles(dir).isEmpty, "folded DV file must be GC'd")
+    assert(kv(DeltaRead.read(spark, dir)) == expected)
+  }
+
+  test("restore across a DV delete round-trips both directions") {
+    val dir = tmp()
+    DeltaWrite.create(rows(0, 30).coalesce(1), dir)
+    DeltaWrite.deleteDv(spark, dir, "k < 5")
+    val masked = kv(rows(5, 30))
+    assert(kv(DeltaRead.read(spark, dir)) == masked)
+    // back to the pre-delete table: full rows, no mask
+    DeltaWrite.restore(spark, dir, 0)
+    assert(kv(DeltaRead.read(spark, dir)) == kv(rows(0, 30)))
+    // forward again: the DV descriptor (and its on-disk file) re-attach
+    DeltaWrite.restore(spark, dir, 1)
+    assert(kv(DeltaRead.read(spark, dir)) == masked)
+  }
+
+  test("CDF: deleteDv and upsertDv emit minimal row-level change data") {
+    // CDF-enabled table (hand-written commit 0 so configuration
+    // carries delta.enableChangeDataFeed)
+    val dir = tmp()
+    Files.createDirectories(Paths.get(dir))
+    val df = rows(0, 50)
+    val stage = Files.createTempDirectory("graft_dvw_stage").toString
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.createDirectories(Paths.get(dir))
+    Files.copy(part.toPath, Paths.get(dir, "f0.parquet"))
+    Files.createDirectories(Paths.get(dir, "_delta_log"))
+    val schemaJson = df.schema.json.replace("\"", "\\\"")
+    Files.writeString(Paths.get(dir, "_delta_log", f"${0L}%020d.json"),
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+        s"""{"metaData":{"id":"cdf","format":{"provider":"parquet"},""" +
+          s""""schemaString":"$schemaJson","partitionColumns":[],""" +
+          s""""configuration":{"delta.enableChangeDataFeed":"true"}}}""",
+        s"""{"add":{"path":"f0.parquet","partitionValues":{},""" +
+          s""""size":${Files.size(Paths.get(dir, "f0.parquet"))},""" +
+          s""""modificationTime":0,"dataChange":true}}""").mkString("\n"))
+    // DV delete: the feed carries EXACTLY the 5 deleted rows
+    assert(DeltaWrite.deleteDv(spark, dir, "k >= 45") == 1)
+    val feed1 = DeltaRead.changes(spark, dir, 0, 1)
+    assert(feed1.count() == 5, s"minimal diff expected: ${feed1.count()}")
+    assert(feed1.select("_change_type").distinct().head().getString(0)
+      == "delete")
+    assert(feed1.agg(min("k")).head().getLong(0) == 45)
+    // DV upsert: pre/postimage for the matched key, insert for the new
+    val src = spark.createDataFrame(Seq(
+      (10L, "updated"), (200L, "fresh"))).toDF("k", "name")
+    assert(DeltaWrite.upsertDv(src, dir, Seq("k")) == 2)
+    val feed2 = DeltaRead.changes(spark, dir, 1, 2)
+    assert(feed2.count() == 3)
+    val byType = feed2.collect().map(r =>
+      r.getString(2) -> (r.getLong(0), r.getString(1))).toMap
+    assert(byType("update_preimage") == ((10L, "u10")))
+    assert(byType("update_postimage") == ((10L, "updated")))
+    assert(byType("insert") == ((200L, "fresh")))
+    // replay algebra: v0 + feed == v2
+    val feed = DeltaRead.changes(spark, dir, 0, 2)
+    val minus = feed.filter(col("_change_type").isin("delete",
+      "update_preimage")).select("k", "name")
+    val plus = feed.filter(col("_change_type").isin("insert",
+      "update_postimage")).select("k", "name")
+    val replay = DeltaRead.read(spark, dir, 0).exceptAll(minus)
+      .unionAll(plus)
+    val v2 = DeltaRead.read(spark, dir, 2)
+    assert(replay.exceptAll(v2).count() == 0 &&
+      v2.exceptAll(replay).count() == 0,
+      "v0 + row-level feed must replay to v2 exactly")
+  }
+
+  test("deleteDv on a PARTITIONED table: only the touched partition's files get masks") {
+    val dir = tmp()
+    val df = spark.range(0, 40).select(col("id").as("k"),
+      concat(lit("u"), col("id").cast("string")).as("name"),
+      (col("id") % 2).cast("string").as("p"))
+    DeltaWrite.create(df.coalesce(1), dir, Seq("p"))
+    val v = DeltaWrite.deleteDv(spark, dir, "p = '1' AND k < 10")
+    val maskedAdds = Files.readString(
+      Paths.get(dir, "_delta_log", f"$v%020d.json"))
+      .split("\n").filter(_.contains("\"deletionVector\":")).toSeq
+    assert(maskedAdds.nonEmpty &&
+      maskedAdds.forall(_.contains(""""p":"1"""")),
+      s"only partition p=1 files may carry masks: $maskedAdds")
+    assert(DeltaRead.read(spark, dir).count() == 35)
+    assert(kv(DeltaRead.read(spark, dir).select("k", "name"))
+      == kv(rows(0, 40)).filterNot { case (k, _) => k % 2 == 1 && k < 10 })
+  }
+}

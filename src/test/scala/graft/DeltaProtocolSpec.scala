@@ -859,6 +859,51 @@ class DeltaProtocolSpec extends AnyFunSuite {
     assert(total == 1)
   }
 
+  test("optimize zorderBy: layout rewrite prunes range predicates on BOTH dimensions") {
+    import graft.sources.DeltaWrite
+    val dir = tmp()
+    // 64×64 grid: y correlates with the id-contiguous input split, x is
+    // uniform everywhere — so pre-optimize an x-range opens every file
+    val df = spark.range(0, 4096).select(col("id").as("k"),
+      (col("id") % 64).cast("int").as("x"),
+      (col("id") / 64).cast("int").as("y"))
+    DeltaWrite.create(df.repartition(4), dir) // hash split: both dims everywhere
+    val pre = DeltaRead.read(spark, dir).collect().toSet
+    val (t0, k0) = DeltaRead.pruneReport(spark, dir, "x >= 60")
+    assert(t0 == 4 && k0 == 4, s"pre-optimize x must not prune: $k0 of $t0")
+    val v = DeltaWrite.optimize(spark, dir, targetBytes = 8192,
+      zorderBy = Seq("x", "y"))
+    assert(DeltaRead.read(spark, dir).collect().toSet == pre)
+    assert(DeltaRead.read(spark, dir, v - 1).collect().toSet == pre,
+      "time travel to the pre-optimize layout")
+    // a range predicate on EITHER dimension now opens a subset
+    val (t1, k1) = DeltaRead.pruneReport(spark, dir, "x >= 60")
+    assert(t1 >= 4 && k1 * 2 <= t1 + 2,
+      s"x-range must prune post-zorder: $k1 of $t1")
+    val (t2, k2) = DeltaRead.pruneReport(spark, dir, "y >= 60")
+    assert(k2 * 2 <= t2 + 2, s"y-range must prune post-zorder: $k2 of $t2")
+    // pure reorganization: dataChange=false throughout
+    val c = java.nio.file.Files.readString(
+      Paths.get(dir, "_delta_log", f"$v%020d.json"))
+    assert(!c.contains("\"dataChange\":true"))
+    // refusal gates: arity and non-numeric dimensions
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.optimize(spark, dir, zorderBy = Seq("x"))
+    }
+    assert(e.getMessage.contains("exactly two dimensions"))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaWrite.optimize(spark, tmp2(), zorderBy = Seq("k", "name"))
+    }
+    assert(e2.getMessage.contains("NUMERIC"), e2.getMessage)
+  }
+
+  private def tmp2(): String = {
+    import graft.sources.DeltaWrite
+    val d = tmp()
+    DeltaWrite.create(range(0, 10), d)
+    d
+  }
+
   test("v2 checkpoint WRITER: UUID manifest + sidecar, cleaned prefix, time travel, txn watermark") {
     import graft.sources.DeltaWrite
     val dir = tmp()
