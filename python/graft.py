@@ -552,14 +552,38 @@ def iceberg_append_batch(spark, df, path, app_id, batch_id):
         df._jdf, path, app_id, int(batch_id))
 
 
-def delta_optimize(spark, path, target_bytes=128 * 1024 * 1024):
+def delta_optimize(spark, path, target_bytes=128 * 1024 * 1024,
+                   zorder_by=()):
     """OPTIMIZE a Delta table: bin-packing compaction per partition
     tuple; files carrying deletion vectors fold them (DV-applied
     rewrite). The commit is pure reorganization (dataChange=false).
+    With zorder_by (exactly two numeric columns), the Z-ORDER layout
+    rewrite: every group re-lands sorted on the Morton interleave so
+    range predicates on either dimension prune to 1-of-N files.
     Returns the committed version (or the current one if nothing
     qualified)."""
     return _jvm(spark).graft.sources.DeltaWrite.optimize(
-        spark._jsparkSession, path, int(target_bytes))
+        spark._jsparkSession, path, int(target_bytes),
+        _to_seq(spark, list(zorder_by)))
+
+
+def delta_delete_dv(spark, path, predicate):
+    """Merge-on-read DELETE: matched files get a deletion vector (the
+    union of any existing mask and the fresh matches) instead of a
+    rewrite — O(bitmap bytes), never O(matched files' bytes). Upgrades
+    a legacy protocol to table features in the same commit. Returns
+    the committed version (or the current one when nothing newly
+    matched)."""
+    return _jvm(spark).graft.sources.DeltaWrite.deleteDv(
+        spark._jsparkSession, path, predicate)
+
+
+def delta_upsert_dv(spark, df, path, keys):
+    """Merge-on-read MERGE: matched table rows masked via deletion
+    vectors on their files, the full source landing as a fresh
+    segment — O(source + bitmap bytes)."""
+    return _jvm(spark).graft.sources.DeltaWrite.upsertDv(
+        df._jdf, path, _to_seq(spark, list(keys)))
 
 
 def delta_sync(spark, delta_path, snapshot_path, keys,
@@ -637,14 +661,18 @@ def iceberg_changes(spark, path, from_snapshot_id, to_snapshot_id):
 
 
 def iceberg_rewrite_data_files(spark, path,
-                               target_bytes=128 * 1024 * 1024):
+                               target_bytes=128 * 1024 * 1024,
+                               sort_by=()):
     """Bin-pack live data files smaller than target_bytes into
     ~target_bytes files in one replace snapshot (the Iceberg OPTIMIZE
     analog); rewritten rows carry the current snapshot's deletes
-    applied, so a rewrite never resurrects deleted rows. Returns the
-    new snapshot id."""
+    applied, so a rewrite never resurrects deleted rows. With sort_by,
+    the SORTED layout rewrite: every live file re-lands range-
+    partitioned + sorted so the new files carry disjoint key ranges
+    into bounds pruning. Returns the new snapshot id."""
     return _jvm(spark).graft.sources.IcebergWrite.rewriteDataFiles(
-        spark._jsparkSession, path, int(target_bytes))
+        spark._jsparkSession, path, int(target_bytes),
+        _to_seq(spark, list(sort_by)))
 
 
 def hudi_create(spark, df, path, key, partition_field="",

@@ -336,6 +336,78 @@ object ScaleStress {
     val tH40 = time(hudiUp(h40))
     println(f"hudi upsert groups       4 grp=$tH4%7.2fs  " +
       f"40 grp=$tH40%7.2fs  ratio=${tH40 / tH4}%4.1fx")
+
+    // 6. Hudi MOR compact at 1x vs 10x accumulated log blocks (SAME
+    // base bytes): compact rewrites only affected slices, so wall must
+    // track the log bytes folded, never the table size
+    def morTable(logs: Int): String = {
+      val d = fresh(s"hudi_mor_$logs")
+      sources.HudiWrite.create(spark.range(0, 200000)
+        .selectExpr("id AS k", "cast(id % 97 AS double) AS v")
+        .repartition(4), d, "k", "", "MERGE_ON_READ")
+      (0 until logs).foreach { i =>
+        sources.HudiWrite.upsertLog(
+          spark.range(i * 100L, i * 100L + 100)
+            .selectExpr("id AS k", "cast(-2.0 AS double) AS v")
+            .coalesce(1), d, "k")
+      }
+      d
+    }
+    val m5 = morTable(5)
+    val tC5 = time(sources.HudiWrite.compact(spark, m5))
+    val m50 = morTable(50)
+    val tC50 = time(sources.HudiWrite.compact(spark, m50))
+    println(f"hudi compact log blocks  5 dc=$tC5%7.2fs  " +
+      f"50 dc=$tC50%7.2fs  ratio=${tC50 / tC5}%4.1fx")
+
+    // 7. Hudi CLUSTER bin-pack at 10 vs 100 small groups (same bytes):
+    // one staged range-partitioned write — wall tracks bytes, not the
+    // input group count
+    def clTable(groups: Int): String = {
+      val d = fresh(s"hudi_cl_$groups")
+      sources.HudiWrite.create(spark.range(0, 400000)
+        .selectExpr("id AS k", "cast(id % 97 AS double) AS v")
+        .repartition(groups), d, "k")
+      d
+    }
+    val c10 = clTable(10)
+    val tCl10 = time(sources.HudiWrite.cluster(spark, c10))
+    val c100 = clTable(100)
+    val tCl100 = time(sources.HudiWrite.cluster(spark, c100))
+    println(f"hudi cluster groups      10 grp=$tCl10%7.2fs  " +
+      f"100 grp=$tCl100%7.2fs  ratio=${tCl100 / tCl10}%4.1fx")
+
+    // 8. syncMetadata: full sync at 1x vs 10x files, then INCREMENTAL
+    // after one new commit — only NEW files may pay footer RPCs
+    def metaTable(files: Int, rows: Long = 100000L): String = {
+      val d = fresh(s"hudi_meta_$files")
+      sources.HudiWrite.create(spark.range(0, rows)
+        .selectExpr("id AS k", "cast(id % 97 AS double) AS v")
+        .repartition(files), d, "k")
+      d
+    }
+    val mt40 = metaTable(40)
+    val tSync40 = time(sources.HudiWrite.syncMetadata(spark, mt40))
+    val mt400 = metaTable(400)
+    val tSync400 = time(sources.HudiWrite.syncMetadata(spark, mt400))
+    sources.HudiWrite.insert(spark.range(200000, 200100)
+      .selectExpr("id AS k", "cast(-3.0 AS double) AS v").coalesce(1),
+      mt400, "k")
+    val tSyncInc = time(sources.HudiWrite.syncMetadata(spark, mt400))
+    println(f"hudi syncMetadata        full 40f=$tSync40%7.2fs  " +
+      f"full 400f=$tSync400%7.2fs  incr +1f=$tSyncInc%7.2fs")
+
+    // 9. PLAN time at ~1k files: footer harvest (O(files) KB-sized
+    // RPCs) vs metadata table (ONE read) — the claim the metadata
+    // table exists to win
+    val big = metaTable(1000, rows = 1000000L)
+    sources.HudiWrite.syncMetadata(spark, big)
+    val tPlanFoot =
+      time(sources.HudiRead.pruneReport(spark, big, "k >= 990000"))
+    val tPlanMeta =
+      time(sources.HudiRead.pruneReportMeta(spark, big, "k >= 990000"))
+    println(f"hudi plan 1000 files     footers=$tPlanFoot%7.2fs  " +
+      f"metadata=$tPlanMeta%7.2fs  ratio=${tPlanFoot / tPlanMeta}%4.1fx")
   }
 
   def main(args: Array[String]): Unit = {

@@ -251,13 +251,29 @@ object TransformSpec {
           step.path("path").asText(), step.path("predicate").asText())
         df
       case "deltaOptimize" =>
-        // bin-packing compaction (dataChange=false; DVs fold); the
+        // bin-packing compaction (dataChange=false; DVs fold); with
+        // zorderBy, the two-dimension Morton layout rewrite; the
         // input frame passes through untouched
         gateWrite(allowInline, "deltaOptimize")
         graft.sources.DeltaWrite.optimize(df.sparkSession,
           step.path("path").asText(),
           if (step.has("targetBytes")) step.path("targetBytes").asLong()
-          else 128L * 1024 * 1024)
+          else 128L * 1024 * 1024,
+          strings(step.path("zorderBy")))
+        df
+      case "deltaDeleteDv" =>
+        // merge-on-read DELETE: deletion vectors instead of file
+        // rewrites; the input frame passes through untouched
+        gateWrite(allowInline, "deltaDeleteDv")
+        graft.sources.DeltaWrite.deleteDv(df.sparkSession,
+          step.path("path").asText(), step.path("predicate").asText())
+        df
+      case "deltaUpsertDv" =>
+        // merge-on-read MERGE: matched rows masked via deletion
+        // vectors, the input frame lands as the fresh segment
+        gateWrite(allowInline, "deltaUpsertDv")
+        graft.sources.DeltaWrite.upsertDv(df, step.path("path").asText(),
+          strings(step.path("keys")))
         df
       case "deltaVacuum" =>
         // retention-gated cleanup of unreachable data/DV files
@@ -369,12 +385,14 @@ object TransformSpec {
         df
       case "icebergRewrite" =>
         // bin-pack small data files in one replace snapshot (deletes
-        // applied); input frame passes through
+        // applied); with sortBy, the sorted layout rewrite; input
+        // frame passes through
         gateWrite(allowInline, "icebergRewrite")
         graft.sources.IcebergWrite.rewriteDataFiles(df.sparkSession,
           step.path("path").asText(),
           if (step.has("targetBytes")) step.path("targetBytes").asLong()
-          else 128L * 1024 * 1024)
+          else 128L * 1024 * 1024,
+          strings(step.path("sortBy")))
         df
       case "icebergRollback" =>
         // metadata-only rollback to a prior snapshot (history kept);

@@ -405,48 +405,64 @@ object StreamOps {
       .start()
 
   /** EXACTLY-ONCE streaming LOG-UPSERT into a Hudi MERGE_ON_READ
-    * table — the MOR twin of [[hudiInsertStream]] and the shape Hudi's
-    * streaming ingest exists for: each micro-batch reduces to its
-    * latest state per key (ts, event_id order — foreachBatch may carry
-    * several events per user) and lands as avro log blocks via
-    * `HudiWrite.upsertLogBatch`, O(batch) not O(table). The per-app
-    * watermark rides each deltacommit's `extraMetadata`, so a
+    * table, as a LIBRARY verb (round 12 — previously a hardcoded
+    * events-schema demo): `source` is ANY streaming DataFrame; each
+    * micro-batch keeps its LATEST row per `keyCol` (latest = first
+    * under `orderBy` — give a unique tiebreaker so replays are
+    * deterministic), projects through `projection` (identity by
+    * default; must keep `keyCol`), and lands as avro log blocks via
+    * `HudiWrite.upsertLogBatch` — O(batch), never O(table). The
+    * per-app watermark rides each deltacommit's `extraMetadata`, so a
     * wiped-checkpoint re-run replays every batch as a detected no-op
     * and the table stays bit-identical. Create-if-absent with an EMPTY
     * first commit so batch 0 itself is always watermarked.
     */
-  def hudiUpsertStream(spark: SparkSession, srcDir: String,
-                       tablePath: String, checkpointDir: String,
-                       appId: String)
+  def hudiUpsertStreamOf(source: DataFrame, tablePath: String,
+                         checkpointDir: String, appId: String,
+                         keyCol: String,
+                         orderBy: Seq[org.apache.spark.sql.Column],
+                         projection: DataFrame => DataFrame =
+                           identity[DataFrame])
       : org.apache.spark.sql.streaming.StreamingQuery =
-    readEvents(spark, srcDir)
-      .writeStream
+    source.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // at-most-one-source-row-per-key is upsertLog's contract
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCol).orderBy(orderBy: _*)
+        val latest = projection(batch
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn"))
+        require(latest.columns.contains(keyCol),
+          s"hudiUpsertStreamOf: projection must keep key column $keyCol")
         val hp = new org.apache.hadoop.fs.Path(tablePath,
           ".hoodie/hoodie.properties")
         val f = hp.getFileSystem(
           batch.sparkSession.sparkContext.hadoopConfiguration)
         if (!f.exists(hp))
-          graft.sources.HudiWrite.create(batch.limit(0), tablePath,
-            "user_id", "", "MERGE_ON_READ")
-        // at-most-one-source-row-per-key is upsertLog's contract: keep
-        // each user's LATEST event in the batch (ts, event_id order)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("user_id")
-          .orderBy(col("ts").desc, col("event_id").desc)
-        val latest = batch
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
-          .select(col("user_id"), col("event_type").as("last_type"),
-            col("event_id").as("last_event"),
-            col("value").as("last_value"))
+          graft.sources.HudiWrite.create(latest.limit(0), tablePath,
+            keyCol, "", "MERGE_ON_READ")
         graft.sources.HudiWrite.upsertLogBatch(
-          latest, tablePath, "user_id", appId, batchId)
+          latest, tablePath, keyCol, appId, batchId)
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  /** The events-table wiring of [[hudiUpsertStreamOf]] (one merged row
+    * per user, latest by (ts, event_id)) — the e2e-spec fixture.
+    */
+  def hudiUpsertStream(spark: SparkSession, srcDir: String,
+                       tablePath: String, checkpointDir: String,
+                       appId: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    hudiUpsertStreamOf(readEvents(spark, srcDir), tablePath,
+      checkpointDir, appId, keyCol = "user_id",
+      orderBy = Seq(col("ts").desc, col("event_id").desc),
+      projection = df => df.select(col("user_id"),
+        col("event_type").as("last_type"),
+        col("event_id").as("last_event"),
+        col("value").as("last_value")))
 
   def cdcApplyStream(spark: SparkSession, srcDir: String, tablePath: String,
                      checkpointDir: String, appId: String)

@@ -459,6 +459,42 @@ class StreamingSpec extends AnyFunSuite {
       "wiped-checkpoint replay must leave the table bit-identical")
   }
 
+  test("hudiUpsertStreamOf: the general MOR sink on a SECOND schema, exactly-once") {
+    import sources.HudiRead
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft_hus2")
+    val src = s"$base/src"
+    val table = s"$base/t"
+    // sensor-reading schema — nothing like the events table
+    spark.range(0, 30).select((col("id") % 10).as("sensor"),
+      (col("id") * 2).as("reading"), col("id").as("seq"))
+      .coalesce(2).write.parquet(src)
+    val schema = StructType(Seq(StructField("sensor", LongType),
+      StructField("reading", LongType), StructField("seq", LongType)))
+    def run(ckpt: String) = {
+      val q = streaming.StreamOps.hudiUpsertStreamOf(
+        spark.readStream.schema(schema).parquet(src), table,
+        s"$base/$ckpt", "hus2-e2e", keyCol = "sensor",
+        orderBy = Seq(col("seq").desc))
+      try q.awaitTermination() finally q.stop()
+    }
+    run("ckpt1")
+    val got = HudiRead.read(spark, table)
+    assert(got.count() == 10, "one merged row per sensor")
+    // latest seq for sensor 3 is 23 → reading 46
+    assert(got.filter(col("sensor") === 3).head()
+      .getAs[Long]("reading") == 46L)
+    val rowsBefore = got.collect().map(_.toString).sorted.toSeq
+    val filesBefore = new java.io.File(s"$table/.hoodie").listFiles()
+      .map(_.getName).sorted.toSeq
+    // wiped checkpoint: replay detected, table bit-identical
+    run("ckpt2")
+    assert(new java.io.File(s"$table/.hoodie").listFiles()
+      .map(_.getName).sorted.toSeq == filesBefore)
+    assert(HudiRead.read(spark, table).collect()
+      .map(_.toString).sorted.toSeq == rowsBefore)
+  }
+
   test("streaming sessionizer emits sessions consistent with batch q27") {
     val q = streaming.StreamOps.sessionize(spark, sf)
       .writeStream.outputMode("append").format("memory")

@@ -244,4 +244,42 @@ class SurveyConsistencySpec extends AnyFunSuite {
       srcSection.contains("the SECOND replacecommit producer"),
       "Hudi insertOverwrite claim and code marker disagree")
   }
+
+  test("SURVEY's round-12 claims match the code (Delta DVs, calendar transforms, ADVICE fixes)") {
+    assert(hasMethod("graft.sources.DeltaWrite$", "deleteDv") ==
+      srcSection.contains("DELETION-VECTOR AUTHORING"),
+      "Delta DV-authoring claim and code marker disagree — doc drift")
+    assert(hasMethod("graft.sources.DeltaWrite$", "upsertDv") ==
+      srcSection.contains("the merge-on-read MERGE"),
+      "Delta upsertDv claim and code marker disagree")
+    assert(hasMethod("graft.sources.DeltaRead$", "roaringSerialize") ==
+      srcSection.contains("the exact inverse of the round-8 decoder"),
+      "DV serializer claim and code marker disagree")
+    assert(hasMethod("graft.sources.IcebergTransforms$", "hourOfMicros") ==
+      srcSection.contains("round 12 completes the calendar family"),
+      "Iceberg hour/month/year claim and code marker disagree")
+    assert(hasMethod("graft.sources.IcebergTransforms$", "monthOfDays") ==
+      srcSection.contains("proleptic-Gregorian java.time"),
+      "Iceberg month fold claim and code marker disagree")
+    // round-12 ADVICE fixes
+    assert(srcSection.contains("FOREIGN clean record leaves " +
+      "latest-snapshot reads untouched"),
+      "Hudi foreign-clean claim missing")
+    assert(srcSection.contains("the no-churn guard"),
+      "Hudi cluster bin-pack-within-partitions claim missing")
+    assert(srcSection.contains("cached per (path, appId)"),
+      "Hudi archived-watermark cache claim missing")
+    // round-12 layout + listing verbs
+    assert(hasMethod("graft.sources.HudiRead$", "readWhereMeta") ==
+      srcSection.contains("serve the FILE LISTING too"),
+      "Hudi metadata file-listing claim and code marker disagree")
+    assert(hasMethod("graft.sources.DeltaWrite$", "zRange") ==
+      srcSection.contains("Z-ORDER OPERATING POINT"),
+      "Delta zorder claim and code marker disagree")
+    assert(srcSection.contains("SORTED layout rewrite"),
+      "Iceberg sortBy rewrite claim missing")
+    assert(hasMethod("graft.streaming.StreamOps$", "hudiUpsertStreamOf") ==
+      srcSection.contains("hudiUpsertStreamOf"),
+      "general MOR sink claim and code marker disagree")
+  }
 }

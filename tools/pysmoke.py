@@ -453,6 +453,33 @@ import time as _t; _t.sleep(0.01)
 assert graft.delta_vacuum(spark, dw_dir, retain_millis=0) > 0
 assert graft.delta_read(spark, dw_dir).count() == 51
 
+# round 12: merge-on-read DELETE/UPSERT via deletion vectors — no data
+# files rewritten, masks round-trip through the DV-applying reader,
+# optimize folds them
+dv_dir = tempfile.mkdtemp(prefix="graft_pydv") + "/t"
+graft.delta_create(spark, spark.range(0, 40).selectExpr(
+    "id AS k", "id * 2 AS v"), dv_dir)
+v_dv = graft.delta_delete_dv(spark, dv_dir, "k >= 35")
+assert v_dv == 1 and graft.delta_read(spark, dv_dir).count() == 35
+assert graft.delta_read(spark, dv_dir, version=0).count() == 40
+graft.delta_upsert_dv(
+    spark, spark.range(30, 33).selectExpr("id AS k", "id * 10 AS v"),
+    dv_dir, ["k"])
+got_dv = graft.delta_read(spark, dv_dir)
+assert got_dv.count() == 35
+assert got_dv.where("k = 31").collect()[0][1] == 310
+graft.delta_optimize(spark, dv_dir)
+assert graft.delta_read(spark, dv_dir).count() == 35
+
+# round 12: Z-ORDER operating point from python
+zo_dir = tempfile.mkdtemp(prefix="graft_pyzo") + "/t"
+graft.delta_create(spark, spark.range(0, 1024).selectExpr(
+    "id AS k", "CAST(id % 32 AS int) AS x", "CAST(id DIV 32 AS int) AS y")
+    .repartition(4), zo_dir)
+graft.delta_optimize(spark, zo_dir, target_bytes=4096,
+                     zorder_by=["x", "y"])
+assert graft.delta_read(spark, zo_dir).count() == 1024
+
 # round 10: RESTORE to a prior version as a new commit (history kept)
 dr_dir = tempfile.mkdtemp(prefix="graft_pydr") + "/t"
 graft.delta_create(spark, spark.range(0, 8).selectExpr("id AS k"), dr_dir)
@@ -581,5 +608,5 @@ print(f"PASS pysmoke: sql-functions, {len(out)}-row declarative job, "
       f"snapshot-table lifecycle (create/append/upsert/time-travel/"
       f"zone-map-pruned read/change feed) and the round-6 sweep "
       f"(bpe-train/encode, dedup-artifacts trio, delta-log read with "
-      f"stats skipping, delta write round-trip, full CDC apply) and the round-9 sweep (delta optimize/vacuum, row-level change feed, partitioned+evolving iceberg writes, iceberg MOR delete + exactly-once batch append, delta sync) and the round-10 sweep (iceberg snapshot-range change feed + rollback, delta RESTORE, hudi COW write/upsert/delete/exactly-once round-trip) and the round-11 sweep (hudi MOR compact + clean + archive) — all green")
+      f"stats skipping, delta write round-trip, full CDC apply) and the round-9 sweep (delta optimize/vacuum, row-level change feed, partitioned+evolving iceberg writes, iceberg MOR delete + exactly-once batch append, delta sync) and the round-10 sweep (iceberg snapshot-range change feed + rollback, delta RESTORE, hudi COW write/upsert/delete/exactly-once round-trip) and the round-11 sweep (hudi MOR compact + clean + archive) and the round-12 sweep (delta DV delete/upsert + fold, Z-ORDER optimize) — all green")
 spark.stop()
