@@ -578,6 +578,15 @@ def delta_delete_dv(spark, path, predicate):
         spark._jsparkSession, path, predicate)
 
 
+def delta_delete_dv_batch(spark, path, predicate, app_id, batch_id):
+    """Exactly-once streaming DV delete: a replayed micro-batch id <=
+    the table's per-app txn watermark is a detected no-op even when
+    the predicate would newly match; a no-match batch still publishes
+    its watermark in an empty commit."""
+    return _jvm(spark).graft.sources.DeltaWrite.deleteDvBatch(
+        spark._jsparkSession, path, predicate, app_id, int(batch_id))
+
+
 def delta_upsert_dv(spark, df, path, keys):
     """Merge-on-read MERGE: matched table rows masked via deletion
     vectors on their files, the full source landing as a fresh

@@ -1062,7 +1062,82 @@ object CorpusPipeline {
         CAST(SUM(alloc_e * decay) // 100 AS BIGINT) AS effective_tokens
       FROM a GROUP BY source ORDER BY source"""
 
+  // ---- p19: raking (iterative proportional fitting) ----
+  // Mixture calibration: a cheap hash-sample drifts from the corpus's
+  // (lang, source) composition, and any training-mix decision made on
+  // the sample inherits the drift. Raking fixes the sample's WEIGHTS
+  // instead of resampling — the survey-statistics IPF estimator: scale
+  // each cell by the lang margin ratio, then by the source margin
+  // ratio computed over the round-1 masses; after the two rounds the
+  // weighted sample reproduces the corpus source margins exactly and
+  // the lang margins to one further round's residual.
+  //
+  // Engine shape: ONE corpus scan feeds the cell grid and both margin
+  // tables (all langs×sources-sized — broadcast at any corpus scale);
+  // the two IPF rounds are joins against those broadcast tables, never
+  // a second pass over the documents. Exactness: margins are exact
+  // int64 counts, each ratio is one IEEE division, per-cell masses
+  // round to 6 decimals before the cross-cell DECIMAL sum
+  // (Stable.dsum) that feeds round 2 — bit-identical across engines
+  // and partitionings.
+  val p19_raking: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("lang"), col("source"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").cast("double") / lit(4294967296.0) < lit(0.2))
+          .as("in_sample"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = docs.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_corpus"),
+        sum(when(col("in_sample"), 1L).otherwise(0L)).as("n_sample"))
+    val langM = docs.groupBy("lang")
+      .agg(count(lit(1)).as("lf"),
+        sum(when(col("in_sample"), 1L).otherwise(0L)).as("ls"))
+      .filter(col("ls") > 0)
+    val srcM = docs.groupBy("source").agg(count(lit(1)).as("sf"))
+    val r1 = cells.join(broadcast(langM), "lang")
+      .withColumn("m1", round(col("n_sample").cast("double") *
+        (col("lf").cast("double") / col("ls").cast("double")), 6))
+    val s1 = r1.groupBy("source")
+      .agg(graft.Stable.dsum(col("m1")).as("s1"))
+      .filter(col("s1") > 0.0)
+    r1.join(broadcast(srcM), "source")
+      .join(broadcast(s1), "source")
+      .select(col("lang"), col("source"), col("n_corpus"),
+        col("n_sample"), col("m1"),
+        round(col("m1") *
+          (col("sf").cast("double") / col("s1")), 6).as("m2"))
+      .orderBy("lang", "source")
+  }
+  val p19Sql: String =
+    """WITH docs AS (
+        SELECT lang, source,
+          (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             / CAST(4294967296 AS DOUBLE) < 0.2) AS in_sample
+        FROM documents),
+      cells AS (SELECT lang, source, COUNT(*) AS n_corpus,
+          CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_sample
+        FROM docs GROUP BY 1, 2),
+      lm AS (SELECT lang, COUNT(*) AS lf,
+          CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT) AS ls
+        FROM docs GROUP BY 1 HAVING ls > 0),
+      sm AS (SELECT source, COUNT(*) AS sf FROM docs GROUP BY 1),
+      r1 AS (SELECT c.lang, c.source, c.n_corpus, c.n_sample,
+          round(CAST(c.n_sample AS DOUBLE) *
+            (CAST(lf AS DOUBLE) / CAST(ls AS DOUBLE)), 6) AS m1
+        FROM cells c JOIN lm ON c.lang = lm.lang),
+      s1 AS (SELECT source,
+          CAST(SUM(CAST(m1 AS DECIMAL(30,6))) AS DOUBLE) AS s1
+        FROM r1 GROUP BY 1 HAVING s1 > 0)
+      SELECT r1.lang, r1.source, n_corpus, n_sample, m1,
+        round(m1 * (CAST(sf AS DOUBLE) / s1.s1), 6) AS m2
+      FROM r1 JOIN sm ON r1.source = sm.source
+            JOIN s1 ON r1.source = s1.source
+      ORDER BY r1.lang, r1.source"""
+
   val queries: Map[String, Q] = Map(
+    "p19_raking"           -> p19_raking,
     "p18_epoch_allocation" -> p18_epoch_allocation,
     "p17_budget_allocation" -> p17_budget_allocation,
     "p16_quota_sample"     -> p16_quota_sample,
@@ -1080,6 +1155,7 @@ object CorpusPipeline {
     "p08_canary_compare"   -> p08_canary_compare,
     "p09_temperature_mix"  -> p09_temperature_mix)
   val oracles: Map[String, String] = Map(
+    "p19_raking"           -> p19Sql,
     "p18_epoch_allocation" -> p18Sql,
     "p17_budget_allocation" -> p17Sql,
     "p01_corpus_clean"     -> p01Sql,

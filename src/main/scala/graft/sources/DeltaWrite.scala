@@ -644,21 +644,63 @@ object DeltaWrite {
     * version, or the current one when nothing (newly) matched.
     */
   def deleteDv(spark: SparkSession, path: String,
-               predicate: String): Long = {
+               predicate: String): Long =
+    deleteDvImpl(spark, path, predicate, None)
+
+  /** EXACTLY-ONCE streaming DV delete — [[deleteDv]] carrying the
+    * protocol's `txn` watermark: a replayed micro-batch id ≤ the
+    * table's per-app watermark is a detected no-op EVEN when the
+    * predicate would newly match (replay semantics are batch-identity,
+    * not predicate idempotence — rows inserted after the original run
+    * must not be deleted by a restart's replay). A batch that matches
+    * NOTHING still publishes its watermark in an empty commit, so
+    * replay detection never regresses (the [[appendBatch]] /
+    * upsertLogBatch contract on the delete side).
+    */
+  def deleteDvBatch(spark: SparkSession, path: String,
+                    predicate: String, appId: String,
+                    batchId: Long): Long = {
+    require(appId.nonEmpty, "deleteDvBatch: appId must be non-empty")
+    deleteDvImpl(spark, path, predicate, Some((appId, batchId)))
+  }
+
+  private def deleteDvImpl(spark: SparkSession, path: String,
+                           predicate: String,
+                           txn: Option[(String, Long)]): Long = {
     import spark.implicits._
+    def txnLines: Seq[String] = txn.toSeq.map { case (a, b) =>
+      s"""{"txn":{"appId":${om.writeValueAsString(a)},"version":$b}}"""
+    }
     var attempts = 0
     while (true) {
       require(attempts < 10,
         s"$path: lost the DV-delete commit race 10 times")
       val cur = DeltaRead.latestVersion(spark, path)
       val (st, live) = DeltaRead.checkpointState(spark, path, cur)
+      txn.foreach { case (a, b) =>
+        if (st.txns.get(a).exists(_ >= b)) return cur // replayed batch
+      }
       requireRewritable(st, live)
       val schema = DeltaRead.schemaOf(st)
       val pred = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
         .parseExpression(predicate)
+      // a no-match batch with a txn STILL publishes its watermark in
+      // an empty commit — a later replay against a changed table must
+      // stay a detected no-op, not re-evaluate the predicate
+      def watermarkOnly(): Long = txn match {
+        case None => cur
+        case Some(_) =>
+          if (publish(spark, path, cur + 1, txnLines)) {
+            maybeCheckpoint(spark, path, cur + 1)
+            cur + 1
+          } else -1L // lost the race: caller loop replans
+      }
       val candidates = live.filter(a =>
         FileStats.mayMatch(pred, DeltaRead.entryStats(st, schema, a)))
-      if (candidates.isEmpty) return cur
+      if (candidates.isEmpty) {
+        val v = watermarkOnly(); if (v >= 0) return v
+        attempts += 1
+      } else {
       val scanned = DeltaRead.scan(spark, path, st, schema, candidates,
         withMeta = true)
       val existing = existingDvDf(spark, path, candidates)
@@ -669,7 +711,10 @@ object DeltaWrite {
         .join(existing, Seq(DeltaRead.FKey, DeltaRead.RIdx), "left_anti")
       val freshKeys = fresh.select(DeltaRead.FKey).distinct()
         .as[String].collect().toSet
-      if (freshKeys.isEmpty) return cur
+      if (freshKeys.isEmpty) {
+        val v = watermarkOnly(); if (v >= 0) return v
+        attempts += 1
+      } else {
       val affected = candidates.filter(a => freshKeys.contains(baseOf(a)))
       // replacement mask per affected file = existing ∪ fresh,
       // unioned/serialized on executors, collected compressed
@@ -689,7 +734,7 @@ object DeltaWrite {
             st.partitionCols, extra = Seq("_change_type"))
           cdcActionsFor(physD, path, pp)
         }
-      val actions = dvProtocolUpgrade(st) ++ cdc ++
+      val actions = txnLines ++ dvProtocolUpgrade(st) ++ cdc ++
         affected.map(removeAction(_)) ++
         affected.map(a => readdAction(a.copy(dv = Some(dvOf(baseOf(a))))))
       if (publish(spark, path, cur + 1, actions)) {
@@ -700,6 +745,7 @@ object DeltaWrite {
       // it and replan against the new head
       fs(spark, path).delete(dvPath, false)
       attempts += 1
+      } }
     }
     -1L // unreachable
   }

@@ -165,6 +165,30 @@ class DeltaDvWriteSpec extends AnyFunSuite {
     assert(kv(DeltaRead.read(spark, dir)) == masked)
   }
 
+  test("deleteDvBatch: exactly-once replay semantics — batch identity, not predicate idempotence") {
+    val dir = tmp()
+    DeltaWrite.create(rows(0, 50).coalesce(1), dir)
+    assert(DeltaWrite.deleteDvBatch(spark, dir, "k >= 40", "app", 0L) == 1)
+    assert(kv(DeltaRead.read(spark, dir)) == kv(rows(0, 40)))
+    // replaying batch 0 is a detected no-op
+    assert(DeltaWrite.deleteDvBatch(spark, dir, "k >= 40", "app", 0L) == 1)
+    // a NO-MATCH batch still publishes its watermark (empty commit)
+    assert(DeltaWrite.deleteDvBatch(spark, dir, "k >= 1000", "app", 1L)
+      == 2)
+    // rows matching batch 1's predicate arrive LATER…
+    DeltaWrite.append(rows(1000, 1005).coalesce(1), dir)
+    // …a restart's replay of batch 1 must NOT delete them: replay
+    // semantics are batch identity, not predicate idempotence
+    assert(DeltaWrite.deleteDvBatch(spark, dir, "k >= 1000", "app", 1L)
+      == 3)
+    assert(kv(DeltaRead.read(spark, dir))
+      == kv(rows(0, 40).union(rows(1000, 1005))))
+    // the NEXT batch with the same predicate deletes them
+    assert(DeltaWrite.deleteDvBatch(spark, dir, "k >= 1000", "app", 2L)
+      == 4)
+    assert(kv(DeltaRead.read(spark, dir)) == kv(rows(0, 40)))
+  }
+
   test("CDF: deleteDv and upsertDv emit minimal row-level change data") {
     // CDF-enabled table (hand-written commit 0 so configuration
     // carries delta.enableChangeDataFeed)

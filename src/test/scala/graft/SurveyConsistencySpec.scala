@@ -255,6 +255,9 @@ class SurveyConsistencySpec extends AnyFunSuite {
     assert(hasMethod("graft.sources.DeltaRead$", "roaringSerialize") ==
       srcSection.contains("the exact inverse of the round-8 decoder"),
       "DV serializer claim and code marker disagree")
+    assert(hasMethod("graft.sources.DeltaWrite$", "deleteDvBatch") ==
+      srcSection.contains("BATCH IDENTITY, not predicate idempotence"),
+      "DV batch-delete claim and code marker disagree")
     assert(hasMethod("graft.sources.IcebergTransforms$", "hourOfMicros") ==
       srcSection.contains("round 12 completes the calendar family"),
       "Iceberg hour/month/year claim and code marker disagree")
