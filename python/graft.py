@@ -595,6 +595,14 @@ def delta_upsert_dv(spark, df, path, keys):
         df._jdf, path, _to_seq(spark, list(keys)))
 
 
+def delta_delete_dv_keys(spark, df, path, keys):
+    """Merge-on-read DELETE BY KEYS (the forget-queue shape): mask every
+    row whose key tuple appears in ``df`` — a distributed semi-join,
+    never a predicate string, so the key set can be millions of rows."""
+    return _jvm(spark).graft.sources.DeltaWrite.deleteDvKeys(
+        df._jdf, path, _to_seq(spark, list(keys)))
+
+
 def delta_sync(spark, delta_path, snapshot_path, keys,
                bootstrap_version=-1):
     """Incremental Delta -> SnapshotTable mirror driven by the

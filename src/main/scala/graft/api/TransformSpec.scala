@@ -268,6 +268,13 @@ object TransformSpec {
         graft.sources.DeltaWrite.deleteDv(df.sparkSession,
           step.path("path").asText(), step.path("predicate").asText())
         df
+      case "deltaDeleteDvKeys" =>
+        // merge-on-read DELETE BY KEYS (forget queue): the input frame
+        // IS the key set; rows sharing its key tuples get masked
+        gateWrite(allowInline, "deltaDeleteDvKeys")
+        graft.sources.DeltaWrite.deleteDvKeys(df,
+          step.path("path").asText(), strings(step.path("keys")))
+        df
       case "deltaUpsertDv" =>
         // merge-on-read MERGE: matched rows masked via deletion
         // vectors, the input frame lands as the fresh segment

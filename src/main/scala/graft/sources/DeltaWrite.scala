@@ -736,7 +736,8 @@ object DeltaWrite {
         }
       val actions = txnLines ++ dvProtocolUpgrade(st) ++ cdc ++
         affected.map(removeAction(_)) ++
-        affected.map(a => readdAction(a.copy(dv = Some(dvOf(baseOf(a))))))
+        affected.map(a => readdAction(
+          loosenedStats(a).copy(dv = Some(dvOf(baseOf(a))))))
       if (publish(spark, path, cur + 1, actions)) {
         maybeCheckpoint(spark, path, cur + 1)
         return cur + 1
@@ -746,6 +747,131 @@ object DeltaWrite {
       fs(spark, path).delete(dvPath, false)
       attempts += 1
       } }
+    }
+    -1L // unreachable
+  }
+
+  /** DELETE BY KEYS, merge-on-read — the right-to-be-forgotten shape:
+    * mask every row whose `keyCols` tuple appears in the `keys` frame.
+    * Positions come from a distributed SEMI-JOIN (never a rendered
+    * predicate string), so the key set can be millions of rows — a
+    * forget queue draining into a 100 TB table at O(bitmap bytes) per
+    * batch. Single-key deletes stats-prune candidates by the key range
+    * exactly like [[upsert]]; rows already masked never churn the log.
+    * Returns the committed version, or the current one when nothing
+    * newly matched.
+    */
+  def deleteDvKeys(keys: DataFrame, path: String,
+                   keyCols: Seq[String]): Long =
+    deleteDvKeysImpl(keys, path, keyCols, None)
+
+  /** EXACTLY-ONCE [[deleteDvKeys]] — the protocol's `txn` watermark
+    * with [[deleteDvBatch]]'s replay semantics: a replayed micro-batch
+    * is a detected no-op even when its keys would newly match, and a
+    * no-match batch still publishes its watermark. The foreachBatch
+    * body of a streaming forget pipeline
+    * ([[graft.streaming.StreamOps.deltaForgetStream]]).
+    */
+  def deleteDvKeysBatch(keys: DataFrame, path: String,
+                        keyCols: Seq[String], appId: String,
+                        batchId: Long): Long = {
+    require(appId.nonEmpty, "deleteDvKeysBatch: appId must be non-empty")
+    deleteDvKeysImpl(keys, path, keyCols, Some((appId, batchId)))
+  }
+
+  private def deleteDvKeysImpl(keys: DataFrame, path: String,
+                               keyCols: Seq[String],
+                               txn: Option[(String, Long)]): Long = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    require(keyCols.nonEmpty, "deleteDvKeys needs at least one key column")
+    keyCols.foreach(k => require(keys.columns.contains(k),
+      s"key column $k not in ${keys.columns.mkString(",")}"))
+    val keyFrame = keys.select(keyCols.map(col): _*).dropDuplicates()
+    def txnLines: Seq[String] = txn.toSeq.map { case (a, b) =>
+      s"""{"txn":{"appId":${om.writeValueAsString(a)},"version":$b}}"""
+    }
+    var attempts = 0
+    while (true) {
+      require(attempts < 10,
+        s"$path: lost the DV key-delete commit race 10 times")
+      val cur = DeltaRead.latestVersion(spark, path)
+      val (st, live) = DeltaRead.checkpointState(spark, path, cur)
+      txn.foreach { case (a, b) =>
+        if (st.txns.get(a).exists(_ >= b)) return cur // replayed batch
+      }
+      requireRewritable(st, live)
+      val schema = DeltaRead.schemaOf(st)
+      keyCols.foreach(k => require(schema.fieldNames.contains(k),
+        s"key column $k not in the table schema"))
+      def watermarkOnly(): Long = txn match {
+        case None => cur
+        case Some(_) =>
+          if (publish(spark, path, cur + 1, txnLines)) {
+            maybeCheckpoint(spark, path, cur + 1)
+            cur + 1
+          } else -1L
+      }
+      // single-key stats pruning by the key range (the upsert plan)
+      val candidates =
+        if (keyCols.size == 1) {
+          val k = keyCols.head
+          val mm = keyFrame.agg(min(col(k)).cast("string"),
+            max(col(k)).cast("string")).head()
+          if (mm.isNullAt(0)) Seq.empty
+          else {
+            val p = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+              .parseExpression(
+                s"$k >= ${sqlLit(mm.getString(0), schema(k).dataType)} AND " +
+                  s"$k <= ${sqlLit(mm.getString(1), schema(k).dataType)}")
+            live.filter(a =>
+              FileStats.mayMatch(p, DeltaRead.entryStats(st, schema, a)))
+          }
+        } else live
+      if (candidates.isEmpty) {
+        val v = watermarkOnly(); if (v >= 0) return v
+        attempts += 1
+      } else {
+        val existing = existingDvDf(spark, path, candidates)
+        val fresh = DeltaRead.scan(spark, path, st, schema, candidates,
+            withMeta = true)
+          .join(keyFrame, keyCols, "left_semi")
+          .select(col(DeltaRead.FKey), col(DeltaRead.RIdx))
+          .join(existing, Seq(DeltaRead.FKey, DeltaRead.RIdx), "left_anti")
+        val freshKeys = fresh.select(DeltaRead.FKey).distinct()
+          .as[String].collect().toSet
+        if (freshKeys.isEmpty) {
+          val v = watermarkOnly(); if (v >= 0) return v
+          attempts += 1
+        } else {
+          val affected =
+            candidates.filter(a => freshKeys.contains(baseOf(a)))
+          val blobs = dvBlobsOf(spark, fresh.unionByName(
+            existing.filter(
+              col(DeltaRead.FKey).isin(freshKeys.toSeq: _*))))
+          val (dvOf, dvPath) = writeDvFile(spark, path, blobs)
+          val cdc =
+            if (!cdfEnabled(st)) Nil
+            else {
+              val deleted = DeltaRead.assemble(spark, path, st, affected)
+                .join(keyFrame, keyCols, "left_semi")
+                .withColumn("_change_type", lit("delete"))
+              val (physD, pp, _) = physicalize(deleted, st, schema,
+                st.partitionCols, extra = Seq("_change_type"))
+              cdcActionsFor(physD, path, pp)
+            }
+          val actions = txnLines ++ dvProtocolUpgrade(st) ++ cdc ++
+            affected.map(removeAction(_)) ++
+            affected.map(a => readdAction(
+              loosenedStats(a).copy(dv = Some(dvOf(baseOf(a))))))
+          if (publish(spark, path, cur + 1, actions)) {
+            maybeCheckpoint(spark, path, cur + 1)
+            return cur + 1
+          }
+          fs(spark, path).delete(dvPath, false)
+          attempts += 1
+        }
+      }
     }
     -1L // unreachable
   }
@@ -845,8 +971,8 @@ object DeltaWrite {
         }
       val dvActions = dvWritten.fold(Seq.empty[String]) { case (dvOf, _) =>
         affected.map(removeAction(_)) ++
-          affected.map(a =>
-            readdAction(a.copy(dv = Some(dvOf(baseOf(a))))))
+          affected.map(a => readdAction(
+            loosenedStats(a).copy(dv = Some(dvOf(baseOf(a))))))
       }
       val actions =
         (if (affected.isEmpty) Nil else dvProtocolUpgrade(st)) ++
@@ -1251,13 +1377,39 @@ object DeltaWrite {
     * clock: retention windows (VACUUM's deletedFileRetentionDuration)
     * count from it — a zero timestamp would make every tombstone
     * instantly expired and let a third-party VACUUM delete the data file
-    * out from under concurrent readers of older snapshots.
+    * out from under concurrent readers of older snapshots. A removed
+    * file's DV descriptor rides the tombstone per the protocol, so
+    * third-party vacuum accounting can track the OLD deletion-vector
+    * file's reachability too.
     */
   private def removeAction(a: DeltaRead.AddEntry,
                            dataChange: Boolean = true): String =
     s"""{"remove":{"path":"${a.path}",""" +
       s""""deletionTimestamp":${System.currentTimeMillis()},""" +
-      s""""dataChange":$dataChange}}"""
+      s""""dataChange":$dataChange""" +
+      a.dv.fold("")(d =>
+        s""","deletionVector":{"storageType":"${d.storageType}",""" +
+          s""""pathOrInlineDv":"${d.pathOrInlineDv}",""" +
+          s""""offset":${d.offset},"sizeInBytes":${d.sizeInBytes},""" +
+          s""""cardinality":${d.cardinality}}""") + "}}"
+
+  /** Stats of a DV re-add marked LOOSE per the protocol
+    * (`tightBounds: false`): min/max still describe the PHYSICAL file —
+    * a superset of the visible rows, sound for pruning — and
+    * `numRecords` stays the physical count (protocol readers derive
+    * the logical count as numRecords − dv.cardinality). Third-party
+    * writers key tightness decisions on this flag, so a DV author must
+    * set it.
+    */
+  private def loosenedStats(a: DeltaRead.AddEntry): DeltaRead.AddEntry =
+    a.copy(stats = a.stats.map { j =>
+      try {
+        val node = om.readTree(j)
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        node.put("tightBounds", false)
+        om.writeValueAsString(node)
+      } catch { case _: Exception => j } // unparseable: carry verbatim
+    })
 
   /** Re-emitted metaData for a schema-evolution commit. Everything but
     * schemaString carries FORWARD VERBATIM from the current state — the

@@ -449,6 +449,29 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** STREAMING FORGET (right-to-be-forgotten) into a Delta table:
+    * `source` is a stream of key tuples to delete; each micro-batch
+    * masks matching rows with deletion vectors via
+    * `DeltaWrite.deleteDvKeysBatch` — O(bitmap bytes) per batch, never
+    * a file rewrite, exactly-once under restart replays (the txn
+    * watermark detects a replayed batch even when its keys would newly
+    * match — rows inserted after the original run survive). The shape
+    * a GDPR erasure queue drains through on a 100 TB table.
+    */
+  def deltaForgetStream(source: DataFrame, tablePath: String,
+                        checkpointDir: String, appId: String,
+                        keyCols: Seq[String])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.DeltaWrite.deleteDvKeysBatch(
+          batch, tablePath, keyCols, appId, batchId)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** The events-table wiring of [[hudiUpsertStreamOf]] (one merged row
     * per user, latest by (ts, event_id)) — the e2e-spec fixture.
     */

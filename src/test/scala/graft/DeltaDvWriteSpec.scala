@@ -81,9 +81,20 @@ class DeltaDvWriteSpec extends AnyFunSuite {
     // no new DV file) — the exactly-once half of a foreachBatch delete
     assert(DeltaWrite.deleteDv(spark, dir, "k >= 40 AND k < 45") == 2)
     assert(dvFiles(dir).size == 1)
+    // the re-add's stats are marked LOOSE per the protocol (min/max
+    // describe the physical file, numRecords stays physical)
+    assert(c2.contains("tightBounds"),
+      "a DV re-add must mark its stats tightBounds:false")
     // a second predicate on the SAME file MERGES the masks (descriptor
     // replacement is a superset, per the protocol)
     assert(DeltaWrite.deleteDv(spark, dir, "k = 7") == 3)
+    // the replaced file's tombstone carries its OLD DV descriptor so
+    // third-party vacuum accounting can track the old .bin file
+    val c3 = Files.readString(
+      Paths.get(dir, "_delta_log", f"${3L}%020d.json"))
+    val rm3 = c3.split("\n").filter(_.contains("\"remove\"")).toSeq
+    assert(rm3.exists(_.contains("\"deletionVector\"")),
+      s"the remove of a DV'd file must carry its descriptor: $rm3")
     assert(kv(DeltaRead.read(spark, dir))
       == kv(rows(0, 40).union(rows(45, 100))).filterNot(_._1 == 7))
     assert(kv(DeltaRead.read(spark, dir, 2))
@@ -140,7 +151,8 @@ class DeltaDvWriteSpec extends AnyFunSuite {
     assert(vOpt == 2)
     val cOpt = Files.readString(
       Paths.get(dir, "_delta_log", f"$vOpt%020d.json"))
-    assert(!cOpt.contains("deletionVector"),
+    assert(!cOpt.split("\n").filter(_.contains("\"add\""))
+        .exists(_.contains("deletionVector")),
       s"optimize must fold authored DVs, not carry them: $cOpt")
     assert(kv(DeltaRead.read(spark, dir)) == expected)
     // the folded DV file is unreachable from the CURRENT version and
@@ -187,6 +199,36 @@ class DeltaDvWriteSpec extends AnyFunSuite {
     assert(DeltaWrite.deleteDvBatch(spark, dir, "k >= 1000", "app", 2L)
       == 4)
     assert(kv(DeltaRead.read(spark, dir)) == kv(rows(0, 40)))
+  }
+
+  test("deleteDvKeys: key-frame semi-join masking (the forget-queue shape), no data-file writes") {
+    val dir = tmp()
+    DeltaWrite.create(rows(0, 50).coalesce(1), dir)
+    DeltaWrite.append(rows(50, 100).coalesce(1), dir)
+    val dataBefore = parquetFiles(dir)
+    // keys spanning both files, plus absent keys (must be inert)
+    val keys = spark.range(0, 6).select((col("id") * 20).as("k"))
+      .union(spark.range(0, 3).select((col("id") + 5000).as("k")))
+    val v = DeltaWrite.deleteDvKeys(keys, dir, Seq("k"))
+    assert(v == 2)
+    assert(parquetFiles(dir) == dataBefore,
+      "key-delete must not rewrite or add data files")
+    val gone = Set(0L, 20L, 40L, 60L, 80L)
+    assert(kv(DeltaRead.read(spark, dir))
+      == kv(rows(0, 100)).filterNot(r => gone(r._1)))
+    // re-deleting the same keys: nothing newly matched, no new version
+    assert(DeltaWrite.deleteDvKeys(keys, dir, Seq("k")) == 2)
+    // stats pruning: a key set bounded to one file's range masks only
+    // that file (single-key range prune, the upsert plan)
+    val dir2 = tmp()
+    DeltaWrite.create(rows(0, 50).coalesce(1), dir2)
+    DeltaWrite.append(rows(50, 100).coalesce(1), dir2)
+    DeltaWrite.deleteDvKeys(
+      spark.range(10, 12).select(col("id").as("k")), dir2, Seq("k"))
+    val c = Files.readString(
+      Paths.get(dir2, "_delta_log", f"${2L}%020d.json"))
+    assert(c.split("\n").count(_.contains("\"deletionVector\":")) == 1,
+      s"only the file holding the key range may get a mask: $c")
   }
 
   test("CDF: deleteDv and upsertDv emit minimal row-level change data") {

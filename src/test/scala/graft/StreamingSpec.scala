@@ -495,6 +495,50 @@ class StreamingSpec extends AnyFunSuite {
       .map(_.toString).sorted.toSeq == rowsBefore)
   }
 
+  test("deltaForgetStream: exactly-once streaming right-to-be-forgotten, replays never over-delete") {
+    import sources.{DeltaRead, DeltaWrite}
+    val base = java.nio.file.Files.createTempDirectory("graft_forget")
+    val table = s"$base/t"
+    val src = s"$base/keys"
+    DeltaWrite.create(spark.range(0, 100).selectExpr("id AS k",
+      "concat('u', id) AS name").coalesce(1), table)
+    val dataBefore = new java.io.File(table).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getName).toSet
+    // the forget queue: two parquet drops of key tuples
+    spark.range(10, 15).selectExpr("id AS k").coalesce(1)
+      .write.parquet(src)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    def run(ckpt: String) = {
+      val q = streaming.StreamOps.deltaForgetStream(
+        spark.readStream.schema(schema).parquet(src), table,
+        s"$base/$ckpt", "forget-e2e", Seq("k"))
+      try q.awaitTermination() finally q.stop()
+    }
+    run("ckpt1")
+    assert(DeltaRead.read(spark, table).count() == 95)
+    assert(new java.io.File(table).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getName).toSet == dataBefore,
+      "the forget stream must never rewrite data files")
+    // a previously-forgotten key is RE-INSERTED after the stream ran…
+    DeltaWrite.append(spark.range(12, 13).selectExpr("id AS k",
+      "concat('new', id) AS name").coalesce(1), table)
+    assert(DeltaRead.read(spark, table).count() == 96)
+    // …and a wiped-checkpoint replay of the SAME batches must NOT
+    // delete it: replay detection is batch identity
+    run("ckpt2")
+    assert(DeltaRead.read(spark, table).count() == 96,
+      "a replayed forget batch must not re-delete re-inserted keys")
+    // a NEW forget drop picks it up through a fresh batch
+    spark.range(12, 13).selectExpr("id AS k").coalesce(1)
+      .write.mode("append").parquet(src)
+    run("ckpt1") // same checkpoint: only the new file forms a batch
+    assert(DeltaRead.read(spark, table).count() == 95)
+  }
+
   test("streaming sessionizer emits sessions consistent with batch q27") {
     val q = streaming.StreamOps.sessionize(spark, sf)
       .writeStream.outputMode("append").format("memory")
