@@ -677,6 +677,15 @@ def iceberg_changes(spark, path, from_snapshot_id, to_snapshot_id):
     return _wrap(spark, jdf)
 
 
+def iceberg_delete_keys(spark, df, path, keys):
+    """Pure equality-delete snapshot (the forget-queue shape): one
+    content=2 delete file of the key tuples at a fresh sequence — no
+    table scan, no data file; prior versions of the keys vanish below
+    that sequence at O(keys) cost regardless of table size."""
+    return _jvm(spark).graft.sources.IcebergWrite.deleteKeys(
+        df._jdf, path, _to_seq(spark, list(keys)))
+
+
 def iceberg_rewrite_data_files(spark, path,
                                target_bytes=128 * 1024 * 1024,
                                sort_by=()):

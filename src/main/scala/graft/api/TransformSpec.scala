@@ -297,6 +297,12 @@ object TransformSpec {
         graft.sources.DeltaWrite.restore(df.sparkSession,
           step.path("path").asText(), step.path("version").asLong())
         df
+      case "icebergDeleteKeys" =>
+        // pure equality-delete snapshot: the input frame IS the key set
+        gateWrite(allowInline, "icebergDeleteKeys")
+        graft.sources.IcebergWrite.deleteKeys(df,
+          step.path("path").asText(), strings(step.path("keys")))
+        df
       case "icebergUpsert" =>
         // merge-on-read MERGE into an Iceberg table: one snapshot with
         // an equality delete on the keys + the source rows

@@ -740,14 +740,44 @@ object IcebergWrite {
     * Unpartitioned tables only. Returns the new snapshot id.
     */
   def upsert(source: DataFrame, path: String, keys: Seq[String]): Long = {
-    val spark = source.sparkSession
     require(keys.nonEmpty, "upsert needs at least one key column")
-    import org.apache.spark.sql.functions.{col, count, lit, struct}
+    import org.apache.spark.sql.functions.{col, count, lit}
     val dupes = source.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).limit(1).collect()
     require(dupes.isEmpty,
       s"upsert source has multiple rows for key ${dupes.headOption}" +
         " — MERGE requires at most one source row per key")
+    mergeOnRead(source, path, keys, insertSource = true)
+  }
+
+  /** DELETE BY KEYS — the pure equality-delete snapshot (the
+    * right-to-be-forgotten shape on the Iceberg leg, completing the
+    * forget symmetry with Delta `deleteDvKeys` and Hudi `deleteLog`):
+    * ONE content=2 delete file of the key tuples at sequence N, NO
+    * table scan and NO data file — prior versions of the keys vanish
+    * below N at O(keys) cost regardless of table size. Duplicate keys
+    * in the frame are fine (deduplicated). Unpartitioned tables only,
+    * top-level primitive keys only (the [[upsert]] rules).
+    */
+  def deleteKeys(keys: DataFrame, path: String,
+                 keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "deleteKeys needs at least one key column")
+    import org.apache.spark.sql.functions.col
+    keyCols.foreach(k => require(keys.columns.contains(k),
+      s"key column $k not in ${keys.columns.mkString(",")}"))
+    mergeOnRead(keys.select(keyCols.map(col): _*).dropDuplicates(),
+      path, keyCols, insertSource = false)
+  }
+
+  /** Shared merge-on-read commit: an equality-delete file on `keys`
+    * (always) plus, with `insertSource`, the source rows as data files
+    * — both at the same fresh sequence number.
+    */
+  private def mergeOnRead(source: DataFrame, path: String,
+                          keys: Seq[String],
+                          insertSource: Boolean): Long = {
+    val spark = source.sparkSession
+    import org.apache.spark.sql.functions.col
     val f = fs(spark, path)
     var attempts = 0
     while (true) {
@@ -761,14 +791,16 @@ object IcebergWrite {
       val MetaName(curV) = metaP.getName
       val st = parseState(meta, path)
       require(partFields(st).isEmpty,
-        s"$path: merge-on-read upsert on a PARTITIONED table is not " +
-          "modeled — refusing")
+        s"$path: merge-on-read upsert/delete on a PARTITIONED table " +
+          "is not modeled — refusing")
       val tbl = currentFields(st)
-      val got = source.schema.fields.toSeq
-        .map(fl => fl.name -> logicalOf(fl.dataType))
-      require(got == tbl.map { case (n, t, _) => (n, logicalType(t)) },
-        s"upsert source schema $got != table schema " +
-          s"${tbl.map { case (n, t, _) => (n, logicalType(t)) }}")
+      if (insertSource) {
+        val got = source.schema.fields.toSeq
+          .map(fl => fl.name -> logicalOf(fl.dataType))
+        require(got == tbl.map { case (n, t, _) => (n, logicalType(t)) },
+          s"upsert source schema $got != table schema " +
+            s"${tbl.map { case (n, t, _) => (n, logicalType(t)) }}")
+      }
       val fieldId = tbl.map { case (n, _, id) => n -> id }.toMap
       val tblType = tbl.map { case (n, t, _) => n -> t }.toMap
       keys.foreach(k => require(fieldId.contains(k),
@@ -780,8 +812,10 @@ object IcebergWrite {
       val snapId = st.snapshots.map(_.path("snapshot-id").asLong())
         .foldLeft(0L)(math.max) + 1
 
-      // 1. the source rows land as ordinary data files
-      val landed = writeData(source, path, Nil)
+      // 1. the source rows land as ordinary data files (upsert only —
+      // a pure key delete writes no data)
+      val landed =
+        if (insertSource) writeData(source, path, Nil) else Seq.empty
       val stats = FileStats.collect(spark, path, landed.map(_.rel))
       // 2. the equality-delete file: the source's KEY tuples
       val delStage = new Path(path,
@@ -840,10 +874,14 @@ object IcebergWrite {
           .map(_.rows).getOrElse(FileStats.rowCount(spark, path, l.rel))
         dataEntry(l.rel, 0, rows)
       }
-      val dataManifestRel =
-        s"metadata/m-${java.util.UUID.randomUUID()}.avro"
-      val dataMLen = writeAvro(f, new Path(path, dataManifestRel),
-        eSchema, dataEntries, manifestMeta("data"))
+      // a pure key delete writes NO data manifest at all
+      val dataManifest: Option[(String, Long)] =
+        if (dataEntries.isEmpty) None
+        else {
+          val rel = s"metadata/m-${java.util.UUID.randomUUID()}.avro"
+          Some(rel -> writeAvro(f, new Path(path, rel),
+            eSchema, dataEntries, manifestMeta("data")))
+        }
       // equality-delete entries need equality_ids — extend the entry
       // with the ids via a dedicated schema
       val eqDfSchema = rec("data_file_eq", Seq(
@@ -932,11 +970,12 @@ object IcebergWrite {
         c.put("deleted_rows_count", Long.box(dr))
         c
       }
-      val newRows = Seq(
-        listRow(dataManifestRel, dataMLen, 0, dataEntries.size,
+      val newRows = dataManifest.toSeq.map { case (rel, len) =>
+        listRow(rel, len, 0, dataEntries.size,
           dataEntries.map(_.get("data_file")
             .asInstanceOf[GenericRecord].get("record_count")
-            .toString.toLong).sum)) ++
+            .toString.toLong).sum)
+      } ++
         (if (eqEntries.isEmpty) Nil
          else Seq(listRow(eqManifestRel, eqMLen, 1, eqEntries.size,
            delWithRows.map(_._2).sum)))
@@ -958,7 +997,7 @@ object IcebergWrite {
         n.put("manifest-list", listRel)
         n.put("schema-id", st.currentSchemaId)
         val sm = n.putObject("summary")
-        sm.put("operation", "overwrite")
+        sm.put("operation", if (insertSource) "overwrite" else "delete")
         n
       }
       val metaText = metadataJson(st, st.schemas, st.currentSchemaId,

@@ -806,6 +806,42 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(e.getMessage.contains("PARTITIONED"))
   }
 
+  test("deleteKeys: pure equality-delete snapshot — no scan, no data file, sequence-scoped") {
+    val dir = tmp()
+    IcebergWrite.create(range(0, 100).coalesce(1), dir)
+    def dataFiles(): Set[String] = new java.io.File(s"$dir/data")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(_.getName).toSet
+    val before = dataFiles()
+    // duplicate + absent keys are fine (deduped / inert)
+    val keys = spark.range(0, 4).select((col("id") * 25).as("k"))
+      .union(spark.range(0, 2).select(lit(50L).as("k")))
+      .union(spark.range(0, 1).select(lit(9999L).as("k")))
+    val snap = IcebergWrite.deleteKeys(keys, dir, Seq("k"))
+    assert(snap == 2)
+    assert(IcebergRead.read(spark, dir).count() == 96,
+      "k in {0,25,50,75} must vanish")
+    // the forget shape: ONE equality-delete file, zero data writes
+    val added = dataFiles() -- before
+    assert(added.size == 1 && added.head.startsWith("eqdel-"),
+      s"a pure key delete must write only the delete file: $added")
+    assert(IcebergRead.read(spark, dir, snapshotId = 1).count() == 100,
+      "prior snapshots intact")
+    // sequence scoping: re-inserting a deleted key AFTER the delete
+    // lands at a higher sequence — the old delete must not apply
+    IcebergWrite.append(spark.range(50, 51).select(col("id").as("k"),
+      lit("back").as("name")).coalesce(1), dir)
+    val back = IcebergRead.read(spark, dir)
+    assert(back.count() == 97)
+    assert(back.filter(col("k") === 50).count() == 1,
+      "an equality delete applies only below its sequence number")
+    // key column must exist
+    val e = intercept[IllegalArgumentException] {
+      IcebergWrite.deleteKeys(keys, dir, Seq("zz"))
+    }
+    assert(e.getMessage.contains("zz"))
+  }
+
   test("rollbackTo: metadata-only rollback, history kept, schema rolled back, expired refuses") {
     val dir = tmp()
     IcebergWrite.create(range(0, 10).coalesce(1), dir)          // snap 1

@@ -261,6 +261,9 @@ class SurveyConsistencySpec extends AnyFunSuite {
     assert(hasMethod("graft.streaming.StreamOps$", "deltaForgetStream") ==
       srcSection.contains("RIGHT-TO-BE-FORGOTTEN shape"),
       "forget-stream claim and code marker disagree")
+    assert(hasMethod("graft.sources.IcebergWrite$", "deleteKeys") ==
+      srcSection.contains("the PURE equality-delete snapshot"),
+      "Iceberg deleteKeys claim and code marker disagree")
     assert(hasMethod("graft.sources.IcebergTransforms$", "hourOfMicros") ==
       srcSection.contains("round 12 completes the calendar family"),
       "Iceberg hour/month/year claim and code marker disagree")
