@@ -529,6 +529,20 @@ object DeltaWrite {
   private def baseOf(a: DeltaRead.AddEntry): String =
     PathCodec.percentDecode(a.path).split("/").last
 
+  /** The DV authoring paths key matched positions by file BASENAME
+    * (graft-written names are UUID-unique table-wide). An EXTERNAL
+    * table that collides basenames across partition directories would
+    * let one file's mask absorb another's positions — refuse loudly
+    * instead (the read side handles collisions with full-path tagging;
+    * the write side stays conservative).
+    */
+  private def requireUniqueBasenames(files: Seq[DeltaRead.AddEntry],
+                                     op: String): Unit =
+    require(files.map(baseOf).distinct.size == files.size,
+      s"$op: candidate files collide on basename — position masks " +
+        "would cross files, refusing (rewrite with the copy-on-write " +
+        "path instead)")
+
   /** (file-basename, position) rows of the EXISTING deletion vectors on
     * `files`, decoded on executors exactly like the read side — the
     * authored replacement DV must be a SUPERSET of the old mask (the
@@ -701,6 +715,7 @@ object DeltaWrite {
         val v = watermarkOnly(); if (v >= 0) return v
         attempts += 1
       } else {
+      requireUniqueBasenames(candidates, "deleteDv")
       val scanned = DeltaRead.scan(spark, path, st, schema, candidates,
         withMeta = true)
       val existing = existingDvDf(spark, path, candidates)
@@ -832,6 +847,7 @@ object DeltaWrite {
         val v = watermarkOnly(); if (v >= 0) return v
         attempts += 1
       } else {
+        requireUniqueBasenames(candidates, "deleteDvKeys")
         val existing = existingDvDf(spark, path, candidates)
         val fresh = DeltaRead.scan(spark, path, st, schema, candidates,
             withMeta = true)
@@ -924,6 +940,8 @@ object DeltaWrite {
           }
         } else live
       val keyFrame = source.select(keys.map(col): _*)
+      if (candidates.nonEmpty)
+        requireUniqueBasenames(candidates, "upsertDv")
       val existing = existingDvDf(spark, path, candidates)
       // fresh masks: visible rows sharing a source key
       val fresh =

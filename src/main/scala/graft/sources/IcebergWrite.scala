@@ -765,8 +765,17 @@ object IcebergWrite {
     import org.apache.spark.sql.functions.col
     keyCols.foreach(k => require(keys.columns.contains(k),
       s"key column $k not in ${keys.columns.mkString(",")}"))
-    mergeOnRead(keys.select(keyCols.map(col): _*).dropDuplicates(),
-      path, keyCols, insertSource = false)
+    val keyFrame = keys.select(keyCols.map(col): _*).dropDuplicates()
+    if (keyFrame.isEmpty) {
+      // nothing to delete: don't publish an empty snapshot
+      val spark = keys.sparkSession
+      val f = fs(spark, path)
+      val in = f.open(currentMeta(spark, path))
+      val meta = try om.readTree(new String(in.readAllBytes(), "UTF-8"))
+                 finally in.close()
+      return parseState(meta, path).currentSnapId
+    }
+    mergeOnRead(keyFrame, path, keyCols, insertSource = false)
   }
 
   /** Shared merge-on-read commit: an equality-delete file on `keys`

@@ -201,6 +201,52 @@ class DeltaDvWriteSpec extends AnyFunSuite {
     assert(kv(DeltaRead.read(spark, dir)) == kv(rows(0, 40)))
   }
 
+  test("DV authoring refuses colliding basenames (external layout) rather than crossing masks") {
+    // hand-built partitioned table whose two files SHARE a basename —
+    // the position-mask keying would cross files, so the writer must
+    // refuse (the reader side handles this case with full-path tags)
+    val dir = tmp()
+    val df = rows(0, 10)
+    def drop(rel: String, lo: Long, hi: Long): Long = {
+      val stage = Files.createTempDirectory("graft_dvc").toString
+      rows(lo, hi).coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.createDirectories(Paths.get(dir, rel).getParent)
+      Files.copy(part.toPath, Paths.get(dir, rel))
+      Files.size(Paths.get(dir, rel))
+    }
+    val s1 = drop("p=a/f0.parquet", 0, 5)
+    val s2 = drop("p=b/f0.parquet", 5, 10)
+    Files.createDirectories(Paths.get(dir, "_delta_log"))
+    val schemaJson = spark.sql(
+      "SELECT CAST(1 AS BIGINT) k, 'x' name, 'a' p").schema.json
+      .replace("\"", "\\\"")
+    Files.writeString(Paths.get(dir, "_delta_log", f"${0L}%020d.json"),
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"c","format":{"provider":"parquet"},""" +
+          s""""schemaString":"$schemaJson","partitionColumns":["p"],""" +
+          s""""configuration":{}}}""",
+        s"""{"add":{"path":"p=a/f0.parquet","partitionValues":{"p":"a"},""" +
+          s""""size":$s1,"modificationTime":0,"dataChange":true}}""",
+        s"""{"add":{"path":"p=b/f0.parquet","partitionValues":{"p":"b"},""" +
+          s""""size":$s2,"modificationTime":0,"dataChange":true}}""")
+        .mkString("\n"))
+    assert(DeltaRead.read(spark, dir).count() == 10)
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.deleteDv(spark, dir, "k >= 0")
+    }
+    assert(e.getMessage.contains("collide on basename"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaWrite.deleteDvKeys(
+        spark.range(0, 10).select(col("id").as("k")), dir, Seq("k"))
+    }
+    assert(e2.getMessage.contains("collide on basename"), e2.getMessage)
+    // the copy-on-write path still serves this table
+    assert(DeltaWrite.delete(spark, dir, "k >= 8") == 1)
+    assert(DeltaRead.read(spark, dir).count() == 8)
+  }
+
   test("deleteDvKeys: key-frame semi-join masking (the forget-queue shape), no data-file writes") {
     val dir = tmp()
     DeltaWrite.create(rows(0, 50).coalesce(1), dir)

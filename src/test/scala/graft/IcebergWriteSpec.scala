@@ -840,6 +840,13 @@ class IcebergWriteSpec extends AnyFunSuite {
       IcebergWrite.deleteKeys(keys, dir, Seq("zz"))
     }
     assert(e.getMessage.contains("zz"))
+    // an EMPTY key frame is a detected no-op: no snapshot published
+    val metaCount = new java.io.File(s"$dir/metadata").listFiles()
+      .count(_.getName.endsWith(".metadata.json"))
+    assert(IcebergWrite.deleteKeys(range(0, 0), dir, Seq("k")) == 3)
+    assert(new java.io.File(s"$dir/metadata").listFiles()
+      .count(_.getName.endsWith(".metadata.json")) == metaCount,
+      "an empty forget batch must not publish a snapshot")
   }
 
   test("rollbackTo: metadata-only rollback, history kept, schema rolled back, expired refuses") {
