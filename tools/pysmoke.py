@@ -471,6 +471,22 @@ assert got_dv.where("k = 31").collect()[0][1] == 310
 graft.delta_optimize(spark, dv_dir)
 assert graft.delta_read(spark, dv_dir).count() == 35
 
+# round 12: the forget family from python — key-frame DV delete on
+# Delta, pure equality-delete snapshot on Iceberg
+fk = spark.range(0, 3).selectExpr("id * 10 AS k")
+graft.delta_delete_dv_keys(spark, fk, dv_dir, ["k"])
+assert graft.delta_read(spark, dv_dir).count() == 32  # 0,10,20 gone
+graft.delta_delete_dv_batch(spark, dv_dir, "k = 1", "pyapp", 0)
+assert graft.delta_read(spark, dv_dir).count() == 31
+# replayed batch: detected no-op
+graft.delta_delete_dv_batch(spark, dv_dir, "k = 2", "pyapp", 0)
+assert graft.delta_read(spark, dv_dir).count() == 31
+ik_dir = tempfile.mkdtemp(prefix="graft_pyik") + "/t"
+graft.iceberg_create(spark, spark.range(0, 30).selectExpr("id AS k"),
+                     ik_dir)
+graft.iceberg_delete_keys(spark, fk, ik_dir, ["k"])
+assert graft.iceberg_read(spark, ik_dir).count() == 27
+
 # round 12: Z-ORDER operating point from python
 zo_dir = tempfile.mkdtemp(prefix="graft_pyzo") + "/t"
 graft.delta_create(spark, spark.range(0, 1024).selectExpr(
@@ -608,5 +624,5 @@ print(f"PASS pysmoke: sql-functions, {len(out)}-row declarative job, "
       f"snapshot-table lifecycle (create/append/upsert/time-travel/"
       f"zone-map-pruned read/change feed) and the round-6 sweep "
       f"(bpe-train/encode, dedup-artifacts trio, delta-log read with "
-      f"stats skipping, delta write round-trip, full CDC apply) and the round-9 sweep (delta optimize/vacuum, row-level change feed, partitioned+evolving iceberg writes, iceberg MOR delete + exactly-once batch append, delta sync) and the round-10 sweep (iceberg snapshot-range change feed + rollback, delta RESTORE, hudi COW write/upsert/delete/exactly-once round-trip) and the round-11 sweep (hudi MOR compact + clean + archive) and the round-12 sweep (delta DV delete/upsert + fold, Z-ORDER optimize) — all green")
+      f"stats skipping, delta write round-trip, full CDC apply) and the round-9 sweep (delta optimize/vacuum, row-level change feed, partitioned+evolving iceberg writes, iceberg MOR delete + exactly-once batch append, delta sync) and the round-10 sweep (iceberg snapshot-range change feed + rollback, delta RESTORE, hudi COW write/upsert/delete/exactly-once round-trip) and the round-11 sweep (hudi MOR compact + clean + archive) and the round-12 sweep (delta DV delete/upsert + fold, forget family: key-frame DV deletes + exactly-once batch delete + iceberg equality-delete keys, Z-ORDER optimize) — all green")
 spark.stop()
