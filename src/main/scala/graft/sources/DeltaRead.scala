@@ -68,6 +68,23 @@ object DeltaRead {
                                      pathOrInlineDv: String, offset: Int,
                                      sizeInBytes: Int, cardinality: Long)
 
+  /** The protocol's DV uniqueId — file actions reconcile by
+    * (path, dvUniqueId), NOT path alone: a deleteDv/upsertDv commit
+    * removes (path, oldDv) and re-adds (path, newDv) in one commit, and
+    * the remove tombstone must SURVIVE that re-add so VACUUM can still
+    * see when the superseded deletion_vector_*.bin left the retention
+    * window.
+    */
+  private[graft] def dvUid(d: Dv): String =
+    d.storageType + d.pathOrInlineDv + "@" + d.offset
+
+  /** A remove tombstone that carried a DV descriptor: the data path it
+    * was attached to, the remove's deletionTimestamp, and the
+    * descriptor itself (re-emitted verbatim at checkpoint time).
+    */
+  private[graft] final case class DvTomb(path: String,
+                                         deletionTimestamp: Long, dv: Dv)
+
   /** One live file: the logged (still percent-encoded) relative path,
     * raw stats json, the add action's partitionValues (physical keys),
     * file size/mtime, and the deletion vector if any.
@@ -88,7 +105,7 @@ object DeltaRead {
     readerFeatures: Seq[String], writerFeatures: Seq[String],
     ckpt: Option[Dataset[AddEntry]],
     // tombstones carried lazily from the base checkpoint as (path,
-    // deletionTimestamp) rows — only the checkpoint WRITER evaluates
+    // deletionTimestamp, dv) rows — only the checkpoint WRITER evaluates
     // this (unexpired tombstones must survive re-checkpointing for
     // VACUUM and concurrent-reader reconciliation); reads never do
     ckptRemoves: Option[DataFrame],
@@ -96,6 +113,11 @@ object DeltaRead {
     // JSON-tail tombstones: path → deletionTimestamp (an add for the
     // same path cancels the tombstone, per log reconciliation)
     tailRemoves: Map[String, Long],
+    // JSON-tail DV tombstones keyed by dvUid — NEVER cancelled by a
+    // re-add of the same data path (the protocol keys reconciliation by
+    // (path, dvUniqueId)); VACUUM gates superseded deletion_vector
+    // .bin files on these, and re-checkpointing carries them forward
+    tailDvTombs: Map[String, DvTomb],
     txns: Map[String, Long],
     // action keys / checkpoint columns this reader does not model —
     // harmless to READ past (they don't affect the live file set), but
@@ -256,6 +278,7 @@ object DeltaRead {
     // replay JSON commits after the checkpoint up to the target
     val tailAdds = scala.collection.mutable.LinkedHashMap[String, AddEntry]()
     val tailRemoves = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val tailDvTombs = scala.collection.mutable.LinkedHashMap[String, DvTomb]()
     val from = base.map(_ + 1).getOrElse(0L)
     (from to target).foreach { v =>
       val p = new Path(dir, f"$v%020d.json")
@@ -313,8 +336,23 @@ object DeltaRead {
         if (n.has("remove")) {
           val rm = n.path("remove")
           val rel = rm.path("path").asText()
+          val ts = rm.path("deletionTimestamp").asLong(0L)
           tailAdds -= rel
-          tailRemoves(rel) = rm.path("deletionTimestamp").asLong(0L)
+          tailRemoves(rel) = ts
+          // a remove carrying a DV descriptor tombstones the OLD
+          // on-disk .bin too — keyed by dvUid so the same-commit re-add
+          // of the data path (deleteDv superseding a mask) cannot
+          // cancel it; inline ('i') DVs have no file to protect
+          Option(rm.get("deletionVector")).filterNot(_.isNull).foreach { d =>
+            val dv = Dv(d.path("storageType").asText(),
+              d.path("pathOrInlineDv").asText(), d.path("offset").asInt(0),
+              d.path("sizeInBytes").asInt(0), d.path("cardinality").asLong(0L))
+            if (dv.storageType != "i") {
+              val uid = dvUid(dv)
+              if (tailDvTombs.get(uid).forall(_.deletionTimestamp <= ts))
+                tailDvTombs(uid) = DvTomb(rel, ts, dv)
+            }
+          }
         }
         if (n.has("txn")) {
           val t = n.path("txn")
@@ -337,8 +375,8 @@ object DeltaRead {
     checkProtocol(mrv, features)
     LogState(schemaJson, partitionCols, conf, metaId, createdTime,
       mrv, mwv, features, wFeatures, ckptDs, ckptRm,
-      tailAdds.values.toSeq, tailRemoves.toMap, txns.toMap,
-      unmodeled.toSet)
+      tailAdds.values.toSeq, tailRemoves.toMap, tailDvTombs.toMap,
+      txns.toMap, unmodeled.toSet)
   }
 
   /** Load checkpoint parquet(s) into a standardized Dataset[AddEntry]
@@ -347,6 +385,23 @@ object DeltaRead {
     * Tolerates checkpoints missing optional fields (stats, size,
     * deletionVector, configuration, readerFeatures...).
     */
+  /** DV descriptor struct shape shared by add and remove actions. */
+  private[graft] val dvStructType: StructType = StructType(Seq(
+    StructField("storageType", StringType),
+    StructField("pathOrInlineDv", StringType),
+    StructField("offset", IntegerType),
+    StructField("sizeInBytes", IntegerType),
+    StructField("cardinality", LongType)))
+
+  /** Standardized checkpoint tombstone rows: (path, deletionTimestamp,
+    * dv) — dv is null for classic path tombstones and carries the
+    * superseded descriptor for DV tombstones.
+    */
+  private val rmRowSchema = StructType(Seq(
+    StructField("path", StringType),
+    StructField("deletionTimestamp", LongType),
+    StructField("dv", dvStructType)))
+
   private type CkptState =
     (Dataset[AddEntry],
      Option[DataFrame], // lazy (path, deletionTimestamp) tombstones
@@ -399,9 +454,8 @@ object DeltaRead {
       // real v2 layout keeps add/remove in sidecars only, so this is
       // belt-and-braces, not a hot path
       val addsFinal = scRm match {
-        case Some(r) =>
-          adds.join(r.select("path"), Seq("path"), "left_anti").as[AddEntry]
-        case None => adds
+        case Some(r) => subtractRemoves(adds, r)
+        case None    => adds
       }
       val removes = (rm, scRm) match {
         case (Some(x), Some(y)) => Some(x.unionByName(y))
@@ -419,6 +473,8 @@ object DeltaRead {
     var proto: Option[(Int, Int, Seq[String], Seq[String])] = None
     val adds = scala.collection.mutable.LinkedHashMap[String, AddEntry]()
     val removes = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val keyedRemoves =
+      scala.collection.mutable.LinkedHashMap[(String, String), (Long, Dv)]()
     val txns = scala.collection.mutable.Map[String, Long]()
     val unknown = scala.collection.mutable.Set[String]()
     val sidecars = scala.collection.mutable.Buffer[String]()
@@ -461,8 +517,16 @@ object DeltaRead {
       }
       if (n.has("remove")) {
         val r = n.path("remove")
-        removes(r.path("path").asText()) =
-          r.path("deletionTimestamp").asLong(0L)
+        val rel = r.path("path").asText()
+        val ts = r.path("deletionTimestamp").asLong(0L)
+        val dv = Option(r.get("deletionVector")).filterNot(_.isNull)
+          .map(d => Dv(d.path("storageType").asText(),
+            d.path("pathOrInlineDv").asText(), d.path("offset").asInt(0),
+            d.path("sizeInBytes").asInt(0), d.path("cardinality").asLong(0L)))
+        dv match {
+          case Some(d) => keyedRemoves((rel, dvUid(d))) = (ts, d)
+          case None    => removes(rel) = ts
+        }
       }
       if (n.has("txn")) {
         val t = n.path("txn")
@@ -478,14 +542,50 @@ object DeltaRead {
         case other => unknown += other
       }
     }
-    val live = adds.filterNot { case (p, _) => removes.contains(p) }
-      .values.toSeq
-    import spark.implicits._
+    val live = adds.filterNot { case (p, a) =>
+      removes.contains(p) ||
+        a.dv.exists(d => keyedRemoves.contains((p, dvUid(d))))
+    }.values.toSeq
     val rmDf =
-      if (removes.isEmpty) None
-      else Some(removes.toSeq.toDF("path", "deletionTimestamp"))
+      if (removes.isEmpty && keyedRemoves.isEmpty) None
+      else {
+        import org.apache.spark.sql.Row
+        val rows: Seq[Row] =
+          removes.toSeq.map { case (p, ts) => Row(p, ts, null) } ++
+          keyedRemoves.toSeq.map { case ((p, _), (ts, d)) =>
+            Row(p, ts, Row(d.storageType, d.pathOrInlineDv, d.offset,
+              d.sizeInBytes, d.cardinality))
+          }
+        Some(spark.createDataFrame(
+          new java.util.ArrayList[Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+          rmRowSchema))
+      }
     ((spark.createDataset(live), rmDf, meta, proto, txns.toMap,
       unknown.toSet), sidecars.toSeq)
+  }
+
+  /** Subtract checkpoint remove rows from add rows with the protocol's
+    * reconciliation key: a remove WITHOUT a DV descriptor tombstones
+    * every add of its path (the classic shape), while a remove CARRYING
+    * one tombstones only the add with the same (path, dvUniqueId) — so
+    * a superseded-DV tombstone rides the checkpoint next to the live
+    * re-add of the same data path without killing it.
+    */
+  private def subtractRemoves(adds: Dataset[AddEntry],
+                              rm: DataFrame): Dataset[AddEntry] = {
+    val wild = rm.where(col("dv").isNull).select("path")
+    val keyed = rm.where(col("dv").isNotNull)
+      .select(col("path"), concat(col("dv.storageType"),
+        col("dv.pathOrInlineDv"), lit("@"),
+        col("dv.offset").cast("string")).as("_uid"))
+    val addUid = when(col("dv").isNull, lit(""))
+      .otherwise(concat(col("dv.storageType"), col("dv.pathOrInlineDv"),
+        lit("@"), col("dv.offset").cast("string")))
+    adds.join(wild, Seq("path"), "left_anti")
+      .withColumn("_uid", addUid)
+      .join(keyed, Seq("path", "_uid"), "left_anti")
+      .drop("_uid").as[AddEntry]
   }
 
   private def standardizeCheckpoint(spark: SparkSession,
@@ -539,17 +639,29 @@ object DeltaRead {
     // external writers carry unexpired remove tombstones for VACUUM
     // bookkeeping; they also flow back out (lazily) so a re-checkpoint
     // never silently drops them
+    val rmDvCol =
+      if (!has("remove.deletionVector.storageType"))
+        expr(s"CAST(NULL AS $dvType)")
+      else when(col("remove.deletionVector").isNull,
+          expr(s"CAST(NULL AS $dvType)"))
+        .otherwise(struct(
+          col("remove.deletionVector.storageType").as("storageType"),
+          col("remove.deletionVector.pathOrInlineDv").as("pathOrInlineDv"),
+          coalesce(col("remove.deletionVector.offset"), lit(0))
+            .cast("int").as("offset"),
+          col("remove.deletionVector.sizeInBytes").cast("int")
+            .as("sizeInBytes"),
+          col("remove.deletionVector.cardinality").cast("long")
+            .as("cardinality")))
     val removes: Option[DataFrame] =
       if (!has("remove.path")) None
       else Some(df.where(col("remove.path").isNotNull)
         .select(col("remove.path").as("path"),
           (if (has("remove.deletionTimestamp"))
              coalesce(col("remove.deletionTimestamp").cast("long"), lit(0L))
-           else lit(0L)).as("deletionTimestamp")))
-    removes.foreach { rm =>
-      adds = adds.join(rm.select("path"), Seq("path"), "left_anti")
-        .as[AddEntry]
-    }
+           else lit(0L)).as("deletionTimestamp"),
+          rmDvCol.as("dv")))
+    removes.foreach { rm => adds = subtractRemoves(adds, rm) }
 
     val meta =
       if (!has("metaData.schemaString")) None
@@ -1265,9 +1377,23 @@ object DeltaRead {
     require(positions.forall(p => p >= 0 && (p >>> 32) <= Int.MaxValue),
       "DV position outside the portable RoaringBitmapArray domain")
     val byKey = positions.groupBy(p => (p >>> 32).toInt).toSeq.sortBy(_._1)
-    val bitmaps = byKey.map { case (k, ps) =>
-      val rb = new org.roaringbitmap.RoaringBitmap()
-      ps.foreach(p => rb.add((p & 0xFFFFFFFFL).toInt))
+      .map { case (k, ps) =>
+        val rb = new org.roaringbitmap.RoaringBitmap()
+        ps.foreach(p => rb.add((p & 0xFFFFFFFFL).toInt))
+        (k, rb)
+      }
+    roaringSerializeBitmaps(byKey)
+  }
+
+  /** Wire-format half of [[roaringSerialize]], taking already-built
+    * 32-bit bitmaps keyed by high word (keys must be ascending) — the
+    * incremental DV authoring path feeds bitmaps it filled while
+    * STREAMING positions, so a heavily-masked file costs bitmap bytes,
+    * never 8 bytes per deleted row.
+    */
+  private[graft] def roaringSerializeBitmaps(
+      byKey: Seq[(Int, org.roaringbitmap.RoaringBitmap)]): Array[Byte] = {
+    val bitmaps = byKey.map { case (k, rb) =>
       rb.runOptimize()
       // RoaringBitmap's DataOutput serializer emits the portable
       // little-endian wire format regardless of DataOutput's own

@@ -570,12 +570,33 @@ object DeltaWrite {
   private def dvBlobsOf(spark: SparkSession, delRows: DataFrame)
       : Seq[(String, Array[Byte], Long)] = {
     import spark.implicits._
-    delRows.groupBy(col(DeltaRead.FKey))
-      .agg(collect_list(col(DeltaRead.RIdx)).as("ps"))
-      .as[(String, Seq[Long])]
-      .map { case (k, ps) =>
-        val arr = ps.toArray.distinct
-        (k, DeltaRead.roaringSerialize(arr), arr.length.toLong)
+    // positions STREAM into per-high-word roaring bitmaps (mapGroups
+    // iterates the sorted shuffle run lazily) — executor memory per
+    // file is the COMPRESSED bitmap, never a collect_list buffer of
+    // 8 bytes per deleted row; roaring add dedups, so cardinality is
+    // the distinct count by construction
+    delRows.select(col(DeltaRead.FKey).cast("string"),
+        col(DeltaRead.RIdx).cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (key, it) =>
+        val byKey =
+          new java.util.TreeMap[Int, org.roaringbitmap.RoaringBitmap]()
+        it.foreach { case (_, p) =>
+          require(p >= 0 && (p >>> 32) <= Int.MaxValue,
+            "DV position outside the portable RoaringBitmapArray domain")
+          val hi = (p >>> 32).toInt
+          var rb = byKey.get(hi)
+          if (rb == null) {
+            rb = new org.roaringbitmap.RoaringBitmap(); byKey.put(hi, rb)
+          }
+          rb.add((p & 0xFFFFFFFFL).toInt)
+        }
+        import scala.jdk.CollectionConverters._
+        val maps = byKey.entrySet().asScala.toSeq
+          .map(e => (e.getKey.intValue(), e.getValue))
+        val card = maps.map(_._2.getLongCardinality).sum
+        (key, DeltaRead.roaringSerializeBitmaps(maps), card)
       }.collect().toSeq
   }
 
@@ -643,6 +664,18 @@ object DeltaWrite {
     Seq(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
       s""""readerFeatures":${arr(rf)},"writerFeatures":${arr(wf)}}}""")
   }
+
+  /** Table-property line for a DV-authoring commit: the public protocol
+    * keys third-party DV AUTHORING on `delta.enableDeletionVectors`
+    * being true (feature support in the protocol action alone is
+    * "supported", not "enabled"), so the first graft DV commit re-emits
+    * metaData with the property set — schema, partitioning, table id
+    * and every other property carry forward verbatim.
+    */
+  private def dvEnableProperty(st: DeltaRead.LogState): Seq[String] =
+    if (st.conf.get("delta.enableDeletionVectors").contains("true")) Nil
+    else Seq(metaAction(DeltaRead.schemaOf(st), st.partitionCols, st,
+      extraConf = Map("delta.enableDeletionVectors" -> "true")))
 
   /** DELETE rows matching `predicate`, MERGE-ON-READ: candidate files
     * stats-prune exactly like [[delete]], but matched files are NOT
@@ -749,7 +782,7 @@ object DeltaWrite {
             st.partitionCols, extra = Seq("_change_type"))
           cdcActionsFor(physD, path, pp)
         }
-      val actions = txnLines ++ dvProtocolUpgrade(st) ++ cdc ++
+      val actions = txnLines ++ dvProtocolUpgrade(st) ++ dvEnableProperty(st) ++ cdc ++
         affected.map(removeAction(_)) ++
         affected.map(a => readdAction(
           loosenedStats(a).copy(dv = Some(dvOf(baseOf(a))))))
@@ -876,7 +909,7 @@ object DeltaWrite {
                 st.partitionCols, extra = Seq("_change_type"))
               cdcActionsFor(physD, path, pp)
             }
-          val actions = txnLines ++ dvProtocolUpgrade(st) ++ cdc ++
+          val actions = txnLines ++ dvProtocolUpgrade(st) ++ dvEnableProperty(st) ++ cdc ++
             affected.map(removeAction(_)) ++
             affected.map(a => readdAction(
               loosenedStats(a).copy(dv = Some(dvOf(baseOf(a))))))
@@ -993,7 +1026,8 @@ object DeltaWrite {
             loosenedStats(a).copy(dv = Some(dvOf(baseOf(a))))))
       }
       val actions =
-        (if (affected.isEmpty) Nil else dvProtocolUpgrade(st)) ++
+        (if (affected.isEmpty) Nil
+         else dvProtocolUpgrade(st) ++ dvEnableProperty(st)) ++
         cdc ++ dvActions ++
         actionsFor(schema, files, withMeta = false, physParts,
           statKey = keyOf)
@@ -1179,32 +1213,43 @@ object DeltaWrite {
     def norm(rel: String): String = PathCodec.percentDecode(rel)
     val refData = live.map(a => norm(a.path)).toSet
     val rootQ = f.makeQualified(new Path(path)).toString
-    val refDv = live.flatMap(_.dv).flatMap { d =>
-      d.storageType match {
-        case "u" =>
-          val enc = d.pathOrInlineDv.takeRight(20)
-          val prefix = d.pathOrInlineDv.dropRight(20)
-          val b = PathCodec.z85Decode(enc)
-          val bb = java.nio.ByteBuffer.wrap(b)
-          val uuid = new java.util.UUID(bb.getLong, bb.getLong)
-          Some((if (prefix.nonEmpty) s"$prefix/" else "") +
-            s"deletion_vector_$uuid.bin")
-        case "p" =>
-          // absolute-path DV: when it lives INSIDE the table dir the
-          // walk below would otherwise sweep it as an orphan and break
-          // CURRENT reads; outside the table dir the walk never sees it
-          val qp = f.makeQualified(new Path(d.pathOrInlineDv)).toString
-          if (qp.startsWith(rootQ + "/"))
-            Some(qp.stripPrefix(rootQ + "/"))
-          else None
-        case _ => None // 'i' inline — no on-disk file
-      }
-    }.toSet
+    def dvFileRel(d: DeltaRead.Dv): Option[String] = d.storageType match {
+      case "u" =>
+        val enc = d.pathOrInlineDv.takeRight(20)
+        val prefix = d.pathOrInlineDv.dropRight(20)
+        val b = PathCodec.z85Decode(enc)
+        val bb = java.nio.ByteBuffer.wrap(b)
+        val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+        Some((if (prefix.nonEmpty) s"$prefix/" else "") +
+          s"deletion_vector_$uuid.bin")
+      case "p" =>
+        // absolute-path DV: when it lives INSIDE the table dir the
+        // walk below would otherwise sweep it as an orphan and break
+        // CURRENT reads; outside the table dir the walk never sees it
+        val qp = f.makeQualified(new Path(d.pathOrInlineDv)).toString
+        if (qp.startsWith(rootQ + "/"))
+          Some(qp.stripPrefix(rootQ + "/"))
+        else None
+      case _ => None // 'i' inline — no on-disk file
+    }
+    val refDv = live.flatMap(_.dv).flatMap(dvFileRel).toSet
     // tombstone timestamps: JSON tail + checkpoint carry-over
-    val tombTs: Map[String, Long] = st.ckptRemoves.map(
-        _.collect().map(r => norm(r.getString(0)) -> r.getLong(1)).toMap)
-      .getOrElse(Map.empty) ++
+    val ckptRmRows = st.ckptRemoves.map(_.collect().toSeq).getOrElse(Nil)
+    val tombTs: Map[String, Long] =
+      ckptRmRows.map(r => norm(r.getString(0)) -> r.getLong(1)).toMap ++
       st.tailRemoves.map { case (p, ts) => norm(p) -> ts }
+    // superseded-DV tombstones: .bin file → the deletionTimestamp of
+    // the remove that retired that descriptor ((path, dvUniqueId)
+    // reconciliation keeps these alive across the same-commit re-add)
+    val dvTombTs: Map[String, Long] =
+      (ckptRmRows.filterNot(_.isNullAt(2)).map { r =>
+        val d = r.getStruct(2)
+        DeltaRead.DvTomb(r.getString(0), r.getLong(1),
+          DeltaRead.Dv(d.getString(0), d.getString(1), d.getInt(2),
+            d.getInt(3), d.getLong(4)))
+      } ++ st.tailDvTombs.values.toSeq)
+        .flatMap(t => dvFileRel(t.dv).map(_ -> t.deletionTimestamp))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
     val root = f.makeQualified(new Path(path)).toString
     def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       f.listStatus(p).toSeq.flatMap { s =>
@@ -1214,28 +1259,32 @@ object DeltaWrite {
         else if (n.endsWith(".parquet") || n.endsWith(".bin")) Seq(s)
         else Seq.empty
       }
-    // DV files carry NO remove tombstone of their own: when an add with
-    // a DV is rewritten (OPTIMIZE DV-folding, COW delete), only the
-    // DATA file gets a tombstone, and the orphaned .bin's mtime predates
-    // the rewrite — an mtime-only gate would delete it while time-travel
-    // readers of still-retained versions need it. Floor unreferenced-DV
-    // deletion on the NEWEST tombstone leaving retention: once every
-    // rewrite in the log is past the horizon, no retained snapshot can
-    // reference the DV. Coarse (a recent unrelated rewrite defers DV
-    // GC) but sound; true orphans still reclaim once the table quiesces.
-    val newestTomb =
-      if (tombTs.isEmpty) Long.MinValue else tombTs.values.max
+    // A .bin with its OWN DV tombstone (the remove that superseded it,
+    // (path, dvUniqueId)-keyed so the same-commit re-add cannot cancel
+    // it) gates on THAT timestamp — precise retention per mask. .bins
+    // without one (legacy logs, third-party writers that drop the
+    // descriptor from removes, OPTIMIZE folds) fall back to the coarse
+    // floor: the NEWEST tombstone anywhere in the log must be past the
+    // horizon before any undated .bin goes. Coarse but sound; true
+    // orphans still reclaim once the table quiesces.
+    val newestTomb = (tombTs.values ++ dvTombTs.values)
+      .foldLeft(Long.MinValue)(math.max)
     var deleted = 0
     walk(new Path(path)).foreach { s =>
       val rel = f.makeQualified(s.getPath).toString
         .stripPrefix(root).stripPrefix("/")
       val isRef = refData.contains(rel) || refDv.contains(rel)
-      val deletable = !isRef && (tombTs.get(rel) match {
-        case Some(ts) => ts < cutoff
-        case None if rel.endsWith(".bin") =>
-          s.getModificationTime < cutoff && newestTomb < cutoff
-        case None => s.getModificationTime < cutoff // orphan
-      })
+      val deletable = !isRef && (
+        if (rel.endsWith(".bin"))
+          dvTombTs.get(rel).orElse(tombTs.get(rel)) match {
+            case Some(ts) => ts < cutoff
+            case None =>
+              s.getModificationTime < cutoff && newestTomb < cutoff
+          }
+        else tombTs.get(rel) match {
+          case Some(ts) => ts < cutoff
+          case None => s.getModificationTime < cutoff // orphan
+        })
       if (deletable && f.delete(s.getPath, false)) deleted += 1
     }
     deleted
@@ -1649,7 +1698,11 @@ object DeltaWrite {
     StructField("remove", StructType(Seq(
       StructField("path", StringType),
       StructField("deletionTimestamp", LongType),
-      StructField("dataChange", BooleanType)))),
+      StructField("dataChange", BooleanType),
+      // superseded-DV tombstones carry the removed descriptor so
+      // reconciliation stays keyed by (path, dvUniqueId) across a
+      // checkpoint and VACUUM can still date the old .bin
+      StructField("deletionVector", DeltaRead.dvStructType)))),
     StructField("metaData", StructType(Seq(
       StructField("id", StringType),
       StructField("format", StructType(Seq(
@@ -1759,7 +1812,9 @@ object DeltaWrite {
     def dvRow(a: DeltaRead.AddEntry) = a.dv.map(d =>
       Row(d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes,
         d.cardinality)).orNull
-    val tombs = unexpiredTombstones(st, live)
+    val (tombs, dvTombs) = unexpiredTombstones(st, live)
+    def dvTombRow(t: DeltaRead.DvTomb) = Row(t.dv.storageType,
+      t.dv.pathOrInlineDv, t.dv.offset, t.dv.sizeInBytes, t.dv.cardinality)
     val rows: Seq[Row] =
       (Row(null, null, null, protoRow, null) +:
       Row(null, null, Row(st.metaId, Row("parquet"), st.schemaJson,
@@ -1768,7 +1823,11 @@ object DeltaWrite {
         a.modificationTime, false, a.stats.orNull, dvRow(a)), null, null,
         null, null))) ++
       tombs.map { case (p, ts) =>
-        Row(null, Row(p, ts, false), null, null, null)
+        Row(null, Row(p, ts, false, null), null, null, null)
+      } ++
+      dvTombs.map { t =>
+        Row(null, Row(t.path, t.deletionTimestamp, false, dvTombRow(t)),
+          null, null, null)
       } ++
       st.txns.toSeq.sortBy(_._1).map { case (app, v) =>
         Row(null, null, null, null, Row(app, v))
@@ -1799,20 +1858,38 @@ object DeltaWrite {
     * base-checkpoint tombstones filter DISTRIBUTED on the retention
     * cutoff before the (bounded) collect, tail tombstones filter
     * driver-side; a path re-added after its remove is live again, so
-    * its tombstone drops.
+    * its PATH tombstone drops — but a tombstone carrying a superseded
+    * DV descriptor survives as long as that descriptor is not attached
+    * to any live add (reconciliation is keyed by (path, dvUniqueId)),
+    * so VACUUM after a re-checkpoint can still date the old .bin.
     */
   private def unexpiredTombstones(st: DeltaRead.LogState,
                                   live: Seq[DeltaRead.AddEntry])
-      : Seq[(String, Long)] = {
+      : (Seq[(String, Long)], Seq[DeltaRead.DvTomb]) = {
     val cutoff = System.currentTimeMillis() - retentionMillis(st.conf)
     val liveKeys = live.map(_.path).toSet
-    val ckptTombs: Seq[(String, Long)] = st.ckptRemoves.map { rm =>
-      rm.filter(col("deletionTimestamp") >= cutoff)
-        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val ckptRows = st.ckptRemoves.map { rm =>
+      rm.filter(col("deletionTimestamp") >= cutoff).collect().toSeq
     }.getOrElse(Nil)
-    (ckptTombs ++ st.tailRemoves.toSeq)
+    val ckptTombs: Seq[(String, Long)] =
+      ckptRows.map(r => (r.getString(0), r.getLong(1)))
+    val data = (ckptTombs ++ st.tailRemoves.toSeq)
       .filter { case (p, ts) => ts >= cutoff && !liveKeys.contains(p) }
       .toMap.toSeq.sortBy(_._1)
+    val liveUids = live.flatMap(_.dv).map(DeltaRead.dvUid).toSet
+    val ckptDvTombs = ckptRows.filterNot(_.isNullAt(2)).map { r =>
+      val d = r.getStruct(2)
+      DeltaRead.DvTomb(r.getString(0), r.getLong(1),
+        DeltaRead.Dv(d.getString(0), d.getString(1), d.getInt(2),
+          d.getInt(3), d.getLong(4)))
+    }
+    val dv = (ckptDvTombs ++ st.tailDvTombs.values.toSeq)
+      .filter(t => t.deletionTimestamp >= cutoff &&
+        !liveUids.contains(DeltaRead.dvUid(t.dv)))
+      .groupBy(t => DeltaRead.dvUid(t.dv))
+      .map(_._2.maxBy(_.deletionTimestamp)).toSeq
+      .sortBy(t => (t.path, DeltaRead.dvUid(t.dv)))
+    (data, dv)
   }
 
   /** Stage a tiny metadata parquet (driver-built rows) and rename it
@@ -1880,11 +1957,14 @@ object DeltaWrite {
     def dvRow(a: DeltaRead.AddEntry) = a.dv.map(d =>
       Row(d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes,
         d.cardinality)).orNull
-    val tombs = unexpiredTombstones(st, live)
+    val (tombs, dvTombs) = unexpiredTombstones(st, live)
     val sidecarRows: Seq[Row] =
       live.map(a => Row(Row(a.path, a.partitionValues, a.size,
         a.modificationTime, false, a.stats.orNull, dvRow(a)), null)) ++
-      tombs.map { case (p, ts) => Row(null, Row(p, ts, false)) }
+      tombs.map { case (p, ts) => Row(null, Row(p, ts, false, null)) } ++
+      dvTombs.map(t => Row(null, Row(t.path, t.deletionTimestamp, false,
+        Row(t.dv.storageType, t.dv.pathOrInlineDv, t.dv.offset,
+          t.dv.sizeInBytes, t.dv.cardinality))))
     val uuid = java.util.UUID.randomUUID().toString
     val scName = s"$uuid.parquet"
     val scTarget = new Path(logDir, s"_sidecars/$scName")

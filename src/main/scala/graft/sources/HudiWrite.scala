@@ -442,11 +442,19 @@ object HudiWrite {
         val names =
           f.listStatus(archivedDir).map(_.getPath.getName).toSet
         val key = (path, appId)
-        val (seen, prevMax) = Option(archivedWmCache.get(key))
+        val (seen0, prevMax0) = Option(archivedWmCache.get(key))
           .getOrElse((Set.empty[String], -1L))
+        // a previously-seen archived instant that is GONE means this
+        // is not the table the cache folded (dropped and recreated at
+        // the same path) — carrying the old incarnation's watermark
+        // forward would make the new table's first batches look like
+        // replays (silent data loss), so re-fold from scratch
+        val (seen, prevMax) =
+          if ((seen0 -- names).nonEmpty) (Set.empty[String], -1L)
+          else (seen0, prevMax0)
         val newMax =
           math.max(prevMax, wmOf(archivedDir, (names -- seen).toSeq))
-        archivedWmCache.put(key, (seen ++ names, newMax))
+        archivedWmCache.put(key, (names, newMax))
         newMax
       }
     math.max(active, archived)

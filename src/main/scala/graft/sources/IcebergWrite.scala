@@ -488,6 +488,15 @@ object IcebergWrite {
     }.toSeq
   }
 
+  /** Iceberg primitive → Spark type for equality-delete key casting
+    * (the types [[mergeOnRead]] can author key tuples for).
+    */
+  private val keySparkType: Map[String, DataType] = Map(
+    "int" -> IntegerType, "long" -> LongType, "string" -> StringType,
+    "date" -> DateType, "boolean" -> BooleanType,
+    "float" -> FloatType, "double" -> DoubleType,
+    "timestamptz" -> TimestampType)
+
   private def sparkTypeOf(t: String): DataType = t match {
     case "int" => IntegerType; case "long" => LongType
     case "string" => StringType; case "date" => DateType
@@ -817,6 +826,31 @@ object IcebergWrite {
       keys.foreach(k => require(!tblType(k).startsWith("{"),
         s"key column $k is a nested type — equality-delete keys must " +
           "be top-level primitive columns, refusing"))
+      // the equality-delete parquet's PHYSICAL types must agree with
+      // the equality_ids' field types (spec requirement — a mismatched
+      // delete file silently fails to delete under strict readers), so
+      // the pure-delete leg normalizes each key column to the table's
+      // type: lossless widenings cast, anything else refuses — the
+      // same schema discipline upsert enforces on the whole row
+      val delKeySource =
+        if (insertSource) source
+        else keys.foldLeft(source) { (df, k) =>
+          val have = df.schema(k).dataType
+          if (logicalOf(have) == logicalType(tblType(k))) df
+          else {
+            val want = keySparkType.getOrElse(tblType(k),
+              throw new IllegalArgumentException(
+                s"deleteKeys: key column $k has table type " +
+                  s"${tblType(k)} which this writer cannot author an " +
+                  "equality-delete for — refusing"))
+            require(org.apache.spark.sql.catalyst.expressions.Cast
+              .canUpCast(have, want),
+              s"deleteKeys: key column $k is ${have.simpleString} but " +
+                s"the table field is ${tblType(k)} — not a lossless " +
+                "widening, refusing (cast the key frame explicitly)")
+            df.withColumn(k, col(k).cast(want))
+          }
+        }
       val seq = st.lastSeq + 1
       val snapId = st.snapshots.map(_.path("snapshot-id").asLong())
         .foldLeft(0L)(math.max) + 1
@@ -830,7 +864,7 @@ object IcebergWrite {
       val delStage = new Path(path,
         s".stage-${java.util.UUID.randomUUID()}")
       val delRels = try {
-        source.select(keys.map(col): _*)
+        delKeySource.select(keys.map(col): _*)
           .write.parquet(delStage.toString)
         val parts = f.listStatus(delStage).map(_.getPath)
           .filter(_.getName.endsWith(".parquet")).sortBy(_.toString)

@@ -247,6 +247,90 @@ class DeltaDvWriteSpec extends AnyFunSuite {
     assert(DeltaRead.read(spark, dir).count() == 8)
   }
 
+  test("superseded DV keeps its tombstone: vacuum dates the old .bin by the retiring remove, not mtime") {
+    // the ADVICE r12 scenario: deleteDv twice on the same file — the
+    // second commit removes (path, oldDv) and re-adds (path, newDv);
+    // path-keyed replay would cancel the tombstone and an mtime-gated
+    // vacuum could eat a .bin superseded MINUTES ago. Reconciliation is
+    // keyed by (path, dvUniqueId), so the old descriptor's tombstone
+    // survives the re-add and gates its .bin precisely.
+    val dir = tmp()
+    DeltaWrite.create(rows(0, 50).coalesce(1), dir)
+    DeltaWrite.deleteDv(spark, dir, "k = 1")
+    val bin1 = dvFiles(dir)
+    assert(bin1.size == 1)
+    DeltaWrite.deleteDv(spark, dir, "k = 2") // supersedes bin1's mask
+    val bins = dvFiles(dir)
+    assert(bins.size == 2)
+    // quiet-table shape: the old .bin's mtime is 8 days past, but its
+    // retiring remove happened just now — default 7-day retention must
+    // KEEP it (readers of version 1 are still inside the window)
+    assert(new java.io.File(dir, bin1.head).setLastModified(
+      System.currentTimeMillis() - 8L * 24 * 3600 * 1000))
+    DeltaWrite.vacuum(spark, dir)
+    assert(dvFiles(dir) == bins,
+      "a .bin superseded inside the retention window must survive vacuum")
+    // time travel to the superseded version still applies the OLD mask
+    assert(kv(DeltaRead.read(spark, dir, 1))
+      == kv(rows(0, 50)).filterNot(_._1 == 1))
+    // once retention lapses the PRECISE per-bin gate reclaims it —
+    // even though a fresh unrelated tombstone would have frozen the
+    // old coarse newest-tombstone floor
+    Thread.sleep(5)
+    DeltaWrite.vacuum(spark, dir, retainMillis = 0L)
+    assert(dvFiles(dir).size == 1 && !dvFiles(dir).contains(bin1.head),
+      "past retention the superseded .bin must be reclaimed")
+    assert(kv(DeltaRead.read(spark, dir))
+      == kv(rows(0, 50)).filterNot(t => t._1 == 1 || t._1 == 2))
+  }
+
+  test("DV tombstone survives re-checkpointing; keyed reconciliation keeps the live re-add") {
+    val dir = tmp()
+    DeltaWrite.create(rows(0, 50).coalesce(1), dir)
+    DeltaWrite.deleteDv(spark, dir, "k = 1")
+    val bin1 = dvFiles(dir)
+    DeltaWrite.deleteDv(spark, dir, "k = 2")
+    val bins = dvFiles(dir)
+    val head = DeltaRead.latestVersion(spark, dir)
+    assert(DeltaWrite.writeCheckpoint(spark, dir, head))
+    // the checkpoint carries add(path, newDv) NEXT TO remove(path,
+    // oldDv) — (path, dvUniqueId)-keyed subtraction must not kill the
+    // live add
+    assert(kv(DeltaRead.read(spark, dir))
+      == kv(rows(0, 50)).filterNot(t => t._1 == 1 || t._1 == 2))
+    // retention protection survives the checkpoint boundary (the JSON
+    // tail is gone; the tombstone now rides the checkpoint's remove row)
+    assert(new java.io.File(dir, bin1.head).setLastModified(
+      System.currentTimeMillis() - 8L * 24 * 3600 * 1000))
+    DeltaWrite.vacuum(spark, dir)
+    assert(dvFiles(dir) == bins,
+      "checkpointed DV tombstone must still protect the superseded .bin")
+    Thread.sleep(5)
+    DeltaWrite.vacuum(spark, dir, retainMillis = 0L)
+    assert(dvFiles(dir).size == 1 && !dvFiles(dir).contains(bin1.head))
+    assert(kv(DeltaRead.read(spark, dir))
+      == kv(rows(0, 50)).filterNot(t => t._1 == 1 || t._1 == 2))
+  }
+
+  test("first DV commit re-emits metaData with delta.enableDeletionVectors=true") {
+    val dir = tmp()
+    DeltaWrite.create(rows(0, 30).coalesce(1), dir)
+    DeltaWrite.deleteDv(spark, dir, "k = 3")
+    val c1 = Files.readString(
+      Paths.get(dir, "_delta_log", f"${1L}%020d.json"))
+    assert(c1.contains("\"delta.enableDeletionVectors\":\"true\""),
+      s"DV-authoring commit must enable the table property: $c1")
+    // second DV commit: property already true — no metaData churn
+    DeltaWrite.deleteDv(spark, dir, "k = 4")
+    val c2 = Files.readString(
+      Paths.get(dir, "_delta_log", f"${2L}%020d.json"))
+    assert(!c2.contains("\"metaData\""),
+      s"property already enabled — no metaData re-emit expected: $c2")
+    // and the reader carries the property in table conf
+    assert(kv(DeltaRead.read(spark, dir))
+      == kv(rows(0, 30)).filterNot(t => t._1 == 3 || t._1 == 4))
+  }
+
   test("deleteDvKeys: key-frame semi-join masking (the forget-queue shape), no data-file writes") {
     val dir = tmp()
     DeltaWrite.create(rows(0, 50).coalesce(1), dir)

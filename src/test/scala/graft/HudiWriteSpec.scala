@@ -517,6 +517,47 @@ class HudiWriteSpec extends AnyFunSuite {
       "rollback must leave the table readable and identical")
   }
 
+  test("archived watermark cache resets when the table is rebuilt at the same path") {
+    // ADVICE r12: the (path, appId) cache held the OLD incarnation's
+    // folded watermark across a drop-and-recreate in one JVM, making
+    // the NEW table's first batches look like replays — silent data
+    // loss on the exactly-once path. Previously-seen archived names
+    // vanishing is the rebuild signal: the fold restarts from scratch.
+    val dir = tmp()
+    HudiWrite.create(range(0, 4).coalesce(1), dir, "k")
+    HudiWrite.insertBatch(range(4, 6).coalesce(1), dir, "k", "app", 7L)
+    HudiWrite.upsert(range(0, 6, "u1"), dir, "k")
+    HudiWrite.upsert(range(0, 6, "u2"), dir, "k")
+    HudiWrite.archive(spark, dir, 2)
+    // prime the cache: a replay check folds the archived timeline
+    HudiWrite.insertBatch(range(4, 6).coalesce(1), dir, "k", "app", 7L)
+    assert(HudiRead.read(spark, dir).count() == 6)
+    // drop and recreate AT THE SAME PATH
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(dir))
+    HudiWrite.create(range(0, 2).coalesce(1), dir, "k")
+    // make the NEW table have an archived dir too (different names) so
+    // the archived fold actually runs against the cached entry
+    HudiWrite.insert(range(2, 4).coalesce(1), dir, "k")
+    HudiWrite.upsert(range(0, 4, "n1"), dir, "k")
+    HudiWrite.upsert(range(0, 4, "n2"), dir, "k")
+    HudiWrite.archive(spark, dir, 2)
+    // batchId 7 on the NEW incarnation is NOT a replay — the stale
+    // cached watermark must not swallow it
+    HudiWrite.insertBatch(range(100, 103).coalesce(1), dir, "k",
+      "app", 7L)
+    assert(HudiRead.read(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("k") >= 100L)
+      .count() == 3,
+      "first batch of a rebuilt table must land, not read as a replay")
+    // and exactly-once still holds on the new incarnation
+    HudiWrite.insertBatch(range(100, 103).coalesce(1), dir, "k",
+      "app", 7L)
+    assert(HudiRead.read(spark, dir).count() == 7)
+  }
+
   test("cluster: replacecommit layout rewrite; sortBy unlocks range pruning; clean reclaims replaced groups") {
     val dir = tmp()
     // 4 hash-binned groups: interleaved key ranges, so range predicates

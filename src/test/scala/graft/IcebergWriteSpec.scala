@@ -849,6 +849,28 @@ class IcebergWriteSpec extends AnyFunSuite {
       "an empty forget batch must not publish a snapshot")
   }
 
+  test("deleteKeys normalizes key types to the table schema: widenings cast, lossy refuses") {
+    // the spec requires the equality-delete parquet's physical types to
+    // agree with the equality_ids' field types — an int key frame
+    // against a long table column must CAST, not write a mismatched
+    // delete file that strict readers ignore
+    val dir = tmp()
+    IcebergWrite.create(range(0, 20).coalesce(1), dir) // k is long
+    val intKeys = spark.range(0, 3)
+      .select((col("id") * 5).cast("int").as("k"))
+    val snap = IcebergWrite.deleteKeys(intKeys, dir, Seq("k"))
+    assert(snap == 2)
+    assert(IcebergRead.read(spark, dir).count() == 17,
+      "int keys must widen to the table's long and delete")
+    // a narrowing / unrelated type refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      IcebergWrite.deleteKeys(
+        spark.range(0, 1).select(lit("5").as("k")), dir, Seq("k"))
+    }
+    assert(e.getMessage.contains("lossless") ||
+      e.getMessage.contains("widening"), e.getMessage)
+  }
+
   test("rollbackTo: metadata-only rollback, history kept, schema rolled back, expired refuses") {
     val dir = tmp()
     IcebergWrite.create(range(0, 10).coalesce(1), dir)          // snap 1
