@@ -746,7 +746,11 @@ object IcebergWrite {
     * shape: cost is O(source), not O(table)). [[IcebergRead]] resolves
     * it through its sequence-ordered equality-delete path. Source must
     * carry the table schema exactly and at most one row per key.
-    * Unpartitioned tables only. Returns the new snapshot id.
+    * PARTITIONED tables: data files split per partition tuple exactly
+    * like append; the delete files are partition-scoped (tuple carried
+    * in file + manifest) when every partition source column is a key,
+    * else GLOBAL equality deletes under the unpartitioned spec.
+    * Returns the new snapshot id.
     */
   def upsert(source: DataFrame, path: String, keys: Seq[String]): Long = {
     require(keys.nonEmpty, "upsert needs at least one key column")
@@ -765,8 +769,11 @@ object IcebergWrite {
     * ONE content=2 delete file of the key tuples at sequence N, NO
     * table scan and NO data file — prior versions of the keys vanish
     * below N at O(keys) cost regardless of table size. Duplicate keys
-    * in the frame are fine (deduplicated). Unpartitioned tables only,
-    * top-level primitive keys only (the [[upsert]] rules).
+    * in the frame are fine (deduplicated). Top-level primitive keys
+    * only (the [[upsert]] rules). Partitioned tables work: the delete
+    * files are partition-scoped when the keys determine the partition,
+    * else global under the unpartitioned spec — so a forget queue
+    * keyed by user id drains into a date-partitioned table.
     */
   def deleteKeys(keys: DataFrame, path: String,
                  keyCols: Seq[String]): Long = {
@@ -808,9 +815,17 @@ object IcebergWrite {
       }
       val MetaName(curV) = metaP.getName
       val st = parseState(meta, path)
-      require(partFields(st).isEmpty,
-        s"$path: merge-on-read upsert/delete on a PARTITIONED table " +
-          "is not modeled — refusing")
+      val parts = partFields(st)
+      // PARTITION-SCOPING of the equality-delete files: when every
+      // partition SOURCE column is among the keys, a key tuple maps to
+      // exactly ONE partition — delete files split per tuple and carry
+      // it (prunable, the Flink upsert contract). Otherwise the deletes
+      // are GLOBAL: written with the UNPARTITIONED spec per the spec's
+      // global-delete provision ("equality delete files in an
+      // unpartitioned spec apply to all data files") — the
+      // right-to-be-forgotten shape, where the forget key (user id)
+      // does not determine the partition (date).
+      val scoped = parts.nonEmpty && parts.forall(p => keys.contains(p.source))
       val tbl = currentFields(st)
       if (insertSource) {
         val got = source.schema.fields.toSeq
@@ -856,44 +871,40 @@ object IcebergWrite {
         .foldLeft(0L)(math.max) + 1
 
       // 1. the source rows land as ordinary data files (upsert only —
-      // a pure key delete writes no data)
+      // a pure key delete writes no data), split per partition tuple
+      // exactly like append
       val landed =
-        if (insertSource) writeData(source, path, Nil) else Seq.empty
+        if (insertSource) writeData(source, path, parts) else Seq.empty
       val stats = FileStats.collect(spark, path, landed.map(_.rel))
-      // 2. the equality-delete file: the source's KEY tuples
-      val delStage = new Path(path,
-        s".stage-${java.util.UUID.randomUUID()}")
-      val delRels = try {
-        delKeySource.select(keys.map(col): _*)
-          .write.parquet(delStage.toString)
-        val parts = f.listStatus(delStage).map(_.getPath)
-          .filter(_.getName.endsWith(".parquet")).sortBy(_.toString)
-        parts.toSeq.map { p =>
-          val rel = s"data/eqdel-${java.util.UUID.randomUUID()}.parquet"
-          require(f.rename(p, new Path(path, rel)), s"rename failed for $p")
-          rel
-        }
-      } finally f.delete(delStage, true)
-      val delWithRows = delRels
-        .map(r => r -> FileStats.rowCount(spark, path, r))
+      // 2. the equality-delete file(s): the source's KEY tuples —
+      // per-partition files carrying their tuple when scoped, one
+      // global (unpartitioned-spec) file otherwise
+      val delParts = if (scoped) parts else Nil
+      val delLanded = writeData(delKeySource.select(keys.map(col): _*),
+        path, delParts, prefix = "eqdel-")
+      val delWithRows = delLanded
+        .map(l => l -> FileStats.rowCount(spark, path, l.rel))
         .filter(_._2 > 0L)
-      delRels.filterNot(r => delWithRows.exists(_._1 == r))
-        .foreach(r => f.delete(new Path(path, r), false))
+      delLanded.filterNot(l => delWithRows.exists(_._1.rel == l.rel))
+        .foreach(l => f.delete(new Path(path, l.rel), false))
 
       // 3. ONE manifest per content kind (data + deletes), then the
       // manifest list carrying both plus every prior manifest
-      val partSchema = partitionRecord(Nil)
-      val dfSchema = dataFileSchema(partSchema)
-      val eSchema = entrySchema(partSchema)
-      def dataEntry(rel: String, content: Int, rows: Long): GenericRecord = {
+      val dataPartSchema = partitionRecord(parts)
+      val dfSchema = dataFileSchema(dataPartSchema)
+      val eSchema = entrySchema(dataPartSchema)
+      def dataEntry(l: Landed, content: Int, rows: Long): GenericRecord = {
         val dfRec = new GenericData.Record(dfSchema)
         dfRec.put("content", Int.box(content))
-        dfRec.put("file_path", rel)
+        dfRec.put("file_path", l.rel)
         dfRec.put("file_format", "PARQUET")
-        dfRec.put("partition", new GenericData.Record(partSchema))
+        val pRec = new GenericData.Record(dataPartSchema)
+        parts.zip(l.partition).foreach { case (pf, v) =>
+          pRec.put(pf.name, v) }
+        dfRec.put("partition", pRec)
         dfRec.put("record_count", Long.box(rows))
         dfRec.put("file_size_in_bytes",
-          Long.box(f.getFileStatus(new Path(path, rel)).getLen))
+          Long.box(f.getFileStatus(new Path(path, l.rel)).getLen))
         val e = new GenericData.Record(eSchema)
         e.put("status", Int.box(1))
         e.put("snapshot_id", Long.box(snapId))
@@ -905,17 +916,36 @@ object IcebergWrite {
         .find(_.path("schema-id").asInt(-1) == st.currentSchemaId).get
       val specNode = st.specs
         .find(_.path("spec-id").asInt(-1) == st.defaultSpecId).get
-      def manifestMeta(content: String) = Map(
+      // the DELETE manifest's spec: the table default when the deletes
+      // are partition-scoped (or the table is unpartitioned), else the
+      // UNPARTITIONED spec — reused from partition-specs when present,
+      // otherwise ADDED to the new metadata (ordinary spec evolution)
+      val (stMeta, delSpecId, delSpecFields) =
+        if (scoped || parts.isEmpty)
+          (st, st.defaultSpecId, specNode.path("fields"))
+        else st.specs.find(_.path("fields").size() == 0) match {
+          case Some(sp) =>
+            (st, sp.path("spec-id").asInt(0), sp.path("fields"))
+          case None =>
+            val id = st.specs.map(_.path("spec-id").asInt(0)).max + 1
+            val n = om.createObjectNode()
+            n.put("spec-id", id); n.putArray("fields")
+            (st.copy(specs = st.specs :+ (n: JsonNode)), id,
+              n.path("fields"))
+        }
+      val delPartSchema = partitionRecord(delParts)
+      def manifestMeta(content: String, fieldsNode: JsonNode,
+                       specId: Int) = Map(
         "schema" -> om.writeValueAsString(curSchemaNode),
         "schema-id" -> st.currentSchemaId.toString,
-        "partition-spec" -> om.writeValueAsString(specNode.path("fields")),
-        "partition-spec-id" -> st.defaultSpecId.toString,
+        "partition-spec" -> om.writeValueAsString(fieldsNode),
+        "partition-spec-id" -> specId.toString,
         "format-version" -> "2",
         "content" -> content)
       val dataEntries = landed.map { l =>
         val rows = stats.getOrElse(l.rel, Map.empty).values.headOption
           .map(_.rows).getOrElse(FileStats.rowCount(spark, path, l.rel))
-        dataEntry(l.rel, 0, rows)
+        dataEntry(l, 0, rows)
       }
       // a pure key delete writes NO data manifest at all
       val dataManifest: Option[(String, Long)] =
@@ -923,7 +953,9 @@ object IcebergWrite {
         else {
           val rel = s"metadata/m-${java.util.UUID.randomUUID()}.avro"
           Some(rel -> writeAvro(f, new Path(path, rel),
-            eSchema, dataEntries, manifestMeta("data")))
+            eSchema, dataEntries,
+            manifestMeta("data", specNode.path("fields"),
+              st.defaultSpecId)))
         }
       // equality-delete entries need equality_ids — extend the entry
       // with the ids via a dedicated schema
@@ -931,7 +963,7 @@ object IcebergWrite {
         fld("content", s(INT), 134),
         fld("file_path", s(STRING), 100),
         fld("file_format", s(STRING), 101),
-        fld("partition", partSchema, 102),
+        fld("partition", delPartSchema, 102),
         fld("record_count", s(LONG), 103),
         fld("file_size_in_bytes", s(LONG), 104),
         optFld("equality_ids", Schema.createArray(s(INT)), 135)))
@@ -940,15 +972,18 @@ object IcebergWrite {
         optFld("snapshot_id", s(LONG), 1),
         optFld("sequence_number", s(LONG), 3),
         fld("data_file", eqDfSchema, 2)))
-      val eqEntries = delWithRows.map { case (rel, n) =>
+      val eqEntries = delWithRows.map { case (l, n) =>
         val dfRec = new GenericData.Record(eqDfSchema)
         dfRec.put("content", Int.box(2)) // EQUALITY_DELETES
-        dfRec.put("file_path", rel)
+        dfRec.put("file_path", l.rel)
         dfRec.put("file_format", "PARQUET")
-        dfRec.put("partition", new GenericData.Record(partSchema))
+        val pRec = new GenericData.Record(delPartSchema)
+        delParts.zip(l.partition).foreach { case (pf, v) =>
+          pRec.put(pf.name, v) }
+        dfRec.put("partition", pRec)
         dfRec.put("record_count", Long.box(n))
         dfRec.put("file_size_in_bytes",
-          Long.box(f.getFileStatus(new Path(path, rel)).getLen))
+          Long.box(f.getFileStatus(new Path(path, l.rel)).getLen))
         dfRec.put("equality_ids",
           keys.map(k => Int.box(fieldId(k))).asJava)
         val e = new GenericData.Record(eqESchema)
@@ -961,14 +996,15 @@ object IcebergWrite {
       val eqManifestRel =
         s"metadata/m-${java.util.UUID.randomUUID()}.avro"
       val eqMLen = writeAvro(f, new Path(path, eqManifestRel),
-        eqESchema, eqEntries, manifestMeta("deletes"))
+        eqESchema, eqEntries,
+        manifestMeta("deletes", delSpecFields, delSpecId))
 
       def listRow(rel: String, len: Long, content: Int, files: Int,
-                  rows: Long): GenericRecord = {
+                  rows: Long, specId: Int): GenericRecord = {
         val r = new GenericData.Record(manifestFileSchema)
         r.put("manifest_path", rel)
         r.put("manifest_length", Long.box(len))
-        r.put("partition_spec_id", Int.box(st.defaultSpecId))
+        r.put("partition_spec_id", Int.box(specId))
         r.put("content", Int.box(content))
         r.put("sequence_number", Long.box(seq))
         r.put("min_sequence_number", Long.box(seq))
@@ -1017,11 +1053,11 @@ object IcebergWrite {
         listRow(rel, len, 0, dataEntries.size,
           dataEntries.map(_.get("data_file")
             .asInstanceOf[GenericRecord].get("record_count")
-            .toString.toLong).sum)
+            .toString.toLong).sum, st.defaultSpecId)
       } ++
         (if (eqEntries.isEmpty) Nil
          else Seq(listRow(eqManifestRel, eqMLen, 1, eqEntries.size,
-           delWithRows.map(_._2).sum)))
+           delWithRows.map(_._2).sum, delSpecId)))
       if (eqEntries.isEmpty) f.delete(new Path(path, eqManifestRel), false)
       val listRel =
         s"metadata/snap-$snapId-${java.util.UUID.randomUUID()}.avro"
@@ -1043,7 +1079,7 @@ object IcebergWrite {
         sm.put("operation", if (insertSource) "overwrite" else "delete")
         n
       }
-      val metaText = metadataJson(st, st.schemas, st.currentSchemaId,
+      val metaText = metadataJson(stMeta, st.schemas, st.currentSchemaId,
         st.lastColumnId, snapNode, snapId, seq)
       val mdir = new Path(path, "metadata")
       val tmp = new Path(mdir, s".tmp-${java.util.UUID.randomUUID()}")
@@ -1143,9 +1179,9 @@ object IcebergWrite {
     * (file, row-position) pairs, they land as a `(file_path, pos)`
     * delete parquet, and the commit adds a content=1 delete manifest
     * to the snapshot. [[IcebergRead]] (and any v2 reader) anti-joins
-    * them at scan time; prior snapshots stay intact. Unpartitioned
-    * tables only (partitioned position-delete files must carry the
-    * target partition tuple — out of scope, refused by name). Returns
+    * them at scan time; prior snapshots stay intact. On a PARTITIONED
+    * table the delete files split per target-file partition tuple and
+    * carry it in file and manifest, exactly as data files do. Returns
     * the new snapshot id, or the current one when nothing matched.
     */
   def delete(spark: SparkSession, path: String, predicate: String): Long = {
@@ -1161,10 +1197,7 @@ object IcebergWrite {
       }
       val MetaName(curV) = metaP.getName
       val st = parseState(meta, path)
-      require(partFields(st).isEmpty,
-        s"$path: position-delete emission on a PARTITIONED table is " +
-          "not modeled (delete files must carry the partition tuple) — " +
-          "refusing")
+      val parts = partFields(st)
       val curSnap = st.snapshots
         .find(_.path("snapshot-id").asLong(-1L) == st.currentSnapId)
         .getOrElse(throw new IllegalArgumentException(
@@ -1172,22 +1205,47 @@ object IcebergWrite {
       val listPath = resolve(path, curSnap.path("manifest-list").asText())
       val prior = readManifestList(spark, listPath)
       // data files of the current snapshot (live entries of content=0
-      // manifests)
-      val dataFiles: Seq[String] = prior
+      // manifests) WITH their partition tuple — position-delete files
+      // must carry the tuple of the files they reference, so each
+      // matched file's tuple comes from its manifest entry verbatim
+      val dataFilesWithPart: Seq[(String, Seq[AnyRef])] = prior
         .filter(r => (if (r.getSchema.getField("content") == null) 0
                       else Option(r.get("content")).map(_.toString.toInt)
                         .getOrElse(0)) == 0)
         .flatMap { m =>
+          if (parts.nonEmpty) {
+            val mspec = Option(m.get("partition_spec_id"))
+              .map(_.toString.toInt).getOrElse(0)
+            require(mspec == st.defaultSpecId,
+              s"$path: data manifest under evolved partition spec " +
+                s"$mspec != default ${st.defaultSpecId} — position " +
+                "deletes across spec evolution are not modeled, refusing")
+          }
           readManifestList(spark,
             resolve(path, m.get("manifest_path").toString)).flatMap { e =>
             val status = Option(e.getSchema.getField("status"))
               .flatMap(_ => Option(e.get("status")))
               .map(_.toString.toInt).getOrElse(1)
             if (status == 2) None
-            else Some(e.get("data_file").asInstanceOf[GenericRecord]
-              .get("file_path").toString)
+            else {
+              val dfr = e.get("data_file").asInstanceOf[GenericRecord]
+              val tuple: Seq[AnyRef] =
+                if (parts.isEmpty) Nil
+                else {
+                  val pRec = dfr.get("partition")
+                    .asInstanceOf[GenericRecord]
+                  parts.map { pf =>
+                    pRec.get(pf.name) match {
+                      case u: org.apache.avro.util.Utf8 => u.toString
+                      case other                        => other
+                    }
+                  }
+                }
+              Some(dfr.get("file_path").toString -> tuple)
+            }
           }
-        }.distinct
+        }.distinctBy(_._1)
+      val dataFiles = dataFilesWithPart.map(_._1)
       if (dataFiles.isEmpty) return st.currentSnapId
       // one distributed scan: matching rows → (manifest-verbatim
       // file_path, row position). File identity via the percent-decoded
@@ -1209,39 +1267,72 @@ object IcebergWrite {
           toVerbatim(baseOf(col("_metadata.file_path"))).as("file_path"),
           col("_metadata.row_index").as("pos"))
       // land the delete parquet (stage + move), sorted per the spec's
-      // recommendation
+      // recommendation; on a partitioned table the positions stage
+      // SPLIT BY TARGET-FILE PARTITION TUPLE (a shadow index column
+      // through partitionBy, the writeData discipline) so each delete
+      // file references one tuple and carries it in its manifest entry
+      val tuples: Seq[Seq[AnyRef]] = dataFilesWithPart.map(_._2).distinct
+      val idxOf: Map[String, Int] = dataFilesWithPart.map { case (p, t) =>
+        p -> tuples.indexOf(t)
+      }.toMap
+      val idxB = spark.sparkContext.broadcast(idxOf)
+      val toIdx = udf((p: String) => idxB.value(p))
       val stage = new Path(path, s".stage-${java.util.UUID.randomUUID()}")
-      val rels = try {
-        matches.sortWithinPartitions(col("file_path"), col("pos"))
-          .write.parquet(stage.toString)
-        val parts = f.listStatus(stage).map(_.getPath)
-          .filter(_.getName.endsWith(".parquet")).sortBy(_.toString)
+      // (rel, tuple index; 0 when unpartitioned)
+      val rels: Seq[(String, Int)] = try {
+        if (parts.isEmpty)
+          matches.sortWithinPartitions(col("file_path"), col("pos"))
+            .write.parquet(stage.toString)
+        else
+          matches.withColumn("__gti", toIdx(col("file_path")))
+            .sortWithinPartitions(col("file_path"), col("pos"))
+            .write.partitionBy("__gti").parquet(stage.toString)
+        def walk(p: Path): Seq[Path] =
+          f.listStatus(p).toSeq.flatMap { s0 =>
+            if (s0.isDirectory) walk(s0.getPath)
+            else if (s0.getPath.getName.endsWith(".parquet")) Seq(s0.getPath)
+            else Seq.empty
+          }
+        val found = walk(stage).sortBy(_.toString)
         f.mkdirs(new Path(path, "data"))
-        parts.toSeq.map { p =>
+        found.map { p =>
+          val ti =
+            if (parts.isEmpty) 0
+            else {
+              val dirName = p.getParent.getName
+              require(dirName.startsWith("__gti="),
+                s"$path: staged delete part $p missing its tuple dir")
+              dirName.stripPrefix("__gti=").toInt
+            }
           val rel = s"data/del-${java.util.UUID.randomUUID()}.parquet"
           require(f.rename(p, new Path(path, rel)), s"rename failed for $p")
-          rel
+          rel -> ti
         }
       } finally f.delete(stage, true)
-      val withRows = rels.map(r => r -> FileStats.rowCount(spark, path, r))
-        .filter(_._2 > 0L)
-      rels.filterNot(r => withRows.exists(_._1 == r))
-        .foreach(r => f.delete(new Path(path, r), false)) // empty parts
+      val withRows = rels
+        .map { case (r, ti) => (r, ti, FileStats.rowCount(spark, path, r)) }
+        .filter(_._3 > 0L)
+      rels.filterNot(r => withRows.exists(_._1 == r._1))
+        .foreach(r => f.delete(new Path(path, r._1), false)) // empty parts
       if (withRows.isEmpty) return st.currentSnapId // nothing matched
       val seq = st.lastSeq + 1
       val snapId = st.snapshots.map(_.path("snapshot-id").asLong())
         .foldLeft(0L)(math.max) + 1
       // delete manifest: content=1 entries whose data_file carries
-      // content=1 (position deletes)
-      val partSchema = partitionRecord(Nil)
+      // content=1 (position deletes), each with the partition tuple of
+      // the data files its rows reference
+      val partSchema = partitionRecord(parts)
       val dfSchema = dataFileSchema(partSchema)
       val eSchema = entrySchema(partSchema)
-      val entries = withRows.map { case (rel, n) =>
+      val entries = withRows.map { case (rel, ti, n) =>
         val dfRec = new GenericData.Record(dfSchema)
         dfRec.put("content", Int.box(1)) // POSITION_DELETES
         dfRec.put("file_path", rel)
         dfRec.put("file_format", "PARQUET")
-        dfRec.put("partition", new GenericData.Record(partSchema))
+        val pRec = new GenericData.Record(partSchema)
+        parts.zip(tuples(ti)).foreach { case (pf, v) =>
+          pRec.put(pf.name, v) }
+        dfRec.put("partition", pRec)
         dfRec.put("record_count", Long.box(n))
         dfRec.put("file_size_in_bytes",
           Long.box(f.getFileStatus(new Path(path, rel)).getLen))
@@ -1276,7 +1367,7 @@ object IcebergWrite {
       newRow.put("added_data_files_count", Int.box(entries.size))
       newRow.put("existing_data_files_count", Int.box(0))
       newRow.put("deleted_data_files_count", Int.box(0))
-      newRow.put("added_rows_count", Long.box(withRows.map(_._2).sum))
+      newRow.put("added_rows_count", Long.box(withRows.map(_._3).sum))
       newRow.put("existing_rows_count", Long.box(0L))
       newRow.put("deleted_rows_count", Long.box(0L))
       val carried = prior.map { r =>
@@ -1325,7 +1416,7 @@ object IcebergWrite {
         val sm = n.putObject("summary")
         sm.put("operation", "delete")
         sm.put("added-delete-files", entries.size.toString)
-        sm.put("added-position-deletes", withRows.map(_._2).sum.toString)
+        sm.put("added-position-deletes", withRows.map(_._3).sum.toString)
         n
       }
       val metaText = metadataJson(st, st.schemas, st.currentSchemaId,
@@ -1787,7 +1878,8 @@ object IcebergWrite {
     * data files carry every column).
     */
   private def writeData(df: DataFrame, path: String,
-                        parts: Seq[PartField]): Seq[Landed] = {
+                        parts: Seq[PartField],
+                        prefix: String = "part-"): Seq[Landed] = {
     val spark = df.sparkSession
     val f = fs(spark, path)
     val stage = new Path(path, s".stage-${java.util.UUID.randomUUID()}")
@@ -1833,7 +1925,7 @@ object IcebergWrite {
               s"unreachable partition type $other")
           }
         }
-        val rel = s"data/part-${java.util.UUID.randomUUID()}.parquet"
+        val rel = s"data/$prefix${java.util.UUID.randomUUID()}.parquet"
         require(f.rename(p, new Path(path, rel)), s"rename failed for $p")
         Landed(rel, tuple)
       }

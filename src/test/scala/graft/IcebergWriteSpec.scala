@@ -750,15 +750,13 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(IcebergWrite.delete(spark, dir, "k > 100000") == 5L)
     assert(!Files.exists(java.nio.file.Paths.get(
       dir, "metadata", "v7.metadata.json")))
-    // partitioned tables refuse by name
+    // partitioned tables work too (round-13: tuple-carrying deletes)
     val dirP = tmp()
     IcebergWrite.create(range(0, 10)
       .withColumn("b", (col("k") % 2).cast("int")).coalesce(1),
       dirP, Seq("b"))
-    val e = intercept[IllegalArgumentException] {
-      IcebergWrite.delete(spark, dirP, "k = 1")
-    }
-    assert(e.getMessage.contains("PARTITIONED"))
+    IcebergWrite.delete(spark, dirP, "k = 1")
+    assert(IcebergRead.read(spark, dirP).count() == 9)
   }
 
   test("merge-on-read UPSERT: equality delete + insert in one snapshot, O(source) cost") {
@@ -794,16 +792,22 @@ class IcebergWriteSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       IcebergWrite.upsert(src.unionAll(src), dir, Seq("k"))
     }
-    // partitioned tables refuse by name
+    // partitioned tables work too: key (k) does not cover partition
+    // source b → the delete leg goes GLOBAL, and the update still
+    // replaces the row even though the source moves it to the other
+    // partition (the case scoped deletes could not express)
     val dirP = tmp()
     IcebergWrite.create(range(0, 10)
       .withColumn("b", (col("k") % 2).cast("int")).coalesce(1),
       dirP, Seq("b"))
-    val e = intercept[IllegalArgumentException] {
-      IcebergWrite.upsert(spark.createDataFrame(Seq((1L, "x", 1)))
-        .toDF("k", "name", "b"), dirP, Seq("k"))
-    }
-    assert(e.getMessage.contains("PARTITIONED"))
+    IcebergWrite.upsert(spark.createDataFrame(Seq((1L, "moved", 0)))
+      .toDF("k", "name", "b").coalesce(1), dirP, Seq("k"))
+    val backP = IcebergRead.read(spark, dirP)
+    assert(backP.count() == 10)
+    val r1 = backP.filter(col("k") === 1L).collect()
+    assert(r1.length == 1 && r1.head.getString(1) == "moved" &&
+      r1.head.getInt(2) == 0,
+      "a global delete must cover the old row in its OLD partition")
   }
 
   test("deleteKeys: pure equality-delete snapshot — no scan, no data file, sequence-scoped") {
@@ -847,6 +851,111 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(new java.io.File(s"$dir/metadata").listFiles()
       .count(_.getName.endsWith(".metadata.json")) == metaCount,
       "an empty forget batch must not publish a snapshot")
+  }
+
+  test("partitioned MOR upsert: scoped per-tuple delete files; reads, pruning, time travel") {
+    val dir = tmp()
+    val base = spark.range(0, 40).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("name"),
+      (col("id") % 4).cast("int").as("b"))
+    IcebergWrite.create(base.coalesce(1), dir, Seq("b")) // snap 1
+    // keys (k, b) cover the partition source b → the equality-delete
+    // files are PARTITION-SCOPED: one per touched tuple, tuple carried
+    val src = spark.range(0, 6).select((col("id") * 5).as("k"),
+      concat(lit("u"), col("id")).as("name"),
+      ((col("id") * 5) % 4).cast("int").as("b")).coalesce(1)
+    val snap = IcebergWrite.upsert(src, dir, Seq("k", "b"))
+    assert(snap == 2)
+    val got = IcebergRead.read(spark, dir)
+    assert(got.count() == 40, "upsert of existing keys must not grow")
+    assert(got.filter(col("name").startsWith("u")).count() == 6)
+    assert(got.filter(col("k") === 5L && col("name") === "u1").count() == 1)
+    // k ∈ {0,5,10,15,20,25} → b ∈ {0,1,2,3,0,1}: 4 touched tuples
+    val eqdels = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.startsWith("eqdel-"))
+    assert(eqdels.length == 4,
+      s"one scoped delete file per touched partition: ${eqdels.toSeq}")
+    // partition pruning still holds after the MOR commit
+    val (total, kept) = IcebergRead.pruneReport(spark, dir, "b = 0")
+    assert(kept < total, s"b=0 must prune ($kept of $total)")
+    assert(IcebergRead.readWhere(spark, dir, "b = 0").count()
+      == got.filter(col("b") === 0).count())
+    // time travel: snapshot 1 predates the upsert
+    assert(IcebergRead.read(spark, dir, snapshotId = 1)
+      .filter(col("name").startsWith("u")).count() == 0)
+  }
+
+  test("partitioned deleteKeys: GLOBAL equality delete under the unpartitioned spec (forget shape)") {
+    val dir = tmp()
+    val base = spark.range(0, 40).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("name"),
+      (col("id") % 4).cast("int").as("b"))
+    IcebergWrite.create(base.coalesce(1), dir, Seq("b")) // snap 1
+    // forget keys (user ids) do NOT determine the partition (date) —
+    // the delete file must be global, written under an unpartitioned
+    // spec the commit ADDS to partition-specs
+    val snap = IcebergWrite.deleteKeys(
+      spark.range(0, 3).select((col("id") * 7).as("k")), dir, Seq("k"))
+    assert(snap == 2)
+    val got = IcebergRead.read(spark, dir)
+    assert(got.count() == 37, "k in {0,7,14} must vanish table-wide")
+    assert(got.filter(col("k").isin(0L, 7L, 14L)).count() == 0)
+    // the metadata now carries an unpartitioned spec NEXT TO the
+    // default partitioned one (default-spec-id unchanged)
+    val metaDir = new java.io.File(s"$dir/metadata")
+    val latest = metaDir.listFiles()
+      .filter(_.getName.endsWith(".metadata.json"))
+      .maxBy(_.getName)
+    val metaText = Files.readString(latest.toPath)
+    val metaNode = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(metaText)
+    val specs = metaNode.path("partition-specs").elements()
+    val specSizes = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(specs).asScala
+      .map(sp => sp.path("fields").size()).toSeq
+    assert(specSizes.contains(0) && specSizes.contains(1),
+      s"expected both the partitioned and the added unpartitioned " +
+        s"spec: $specSizes")
+    assert(metaNode.path("default-spec-id").asInt(-1) == 0,
+      "the default spec must stay the partitioned one")
+    // prior snapshot intact; sequence scoping survives: a re-insert of
+    // a forgotten key AFTER the delete is above its sequence
+    assert(IcebergRead.read(spark, dir, snapshotId = 1).count() == 40)
+    IcebergWrite.append(spark.range(0, 1).select(col("id").as("k"),
+      lit("back").as("name"), lit(0).cast("int").as("b")).coalesce(1), dir)
+    val after = IcebergRead.read(spark, dir)
+    assert(after.count() == 38)
+    assert(after.filter(col("k") === 0L).count() == 1,
+      "an equality delete applies only below its sequence number")
+    // replaying the same forget batch removes it again
+    IcebergWrite.deleteKeys(
+      spark.range(0, 1).select(col("id").as("k")), dir, Seq("k"))
+    assert(IcebergRead.read(spark, dir).count() == 37)
+  }
+
+  test("partitioned position delete: per-tuple delete files; reads and time travel hold") {
+    val dir = tmp()
+    val base = spark.range(0, 40).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("name"),
+      (col("id") % 4).cast("int").as("b"))
+    IcebergWrite.create(base.coalesce(1), dir, Seq("b")) // snap 1
+    // odd k live only in partitions b ∈ {1, 3}
+    val snap = IcebergWrite.delete(spark, dir, "k % 2 = 1 AND k < 20")
+    assert(snap == 2)
+    val got = IcebergRead.read(spark, dir)
+    assert(got.count() == 30)
+    assert(got.filter(col("k") % 2 === 1 && col("k") < 20).count() == 0)
+    // the delete parquet split per touched partition tuple
+    val dels = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.startsWith("del-"))
+    assert(dels.length == 2,
+      s"one position-delete file per touched tuple: ${dels.toSeq}")
+    // untouched partitions keep every row; time travel intact
+    assert(got.filter(col("b") === 0).count() == 10)
+    assert(IcebergRead.read(spark, dir, snapshotId = 1).count() == 40)
+    // pruning on the partition key still works through the delete
+    assert(IcebergRead.readWhere(spark, dir, "b = 1").count()
+      == got.filter(col("b") === 1).count())
   }
 
   test("deleteKeys normalizes key types to the table schema: widenings cast, lossy refuses") {

@@ -129,6 +129,17 @@ class SurveyConsistencySpec extends AnyFunSuite {
     assert(hasMethod("graft.sources.IcebergWrite$", "partFields") ==
       srcSection.contains("IDENTITY-PARTITIONED writes"),
       "Iceberg partitioned-write claim and code marker disagree")
+    // round 13: merge-on-read verbs reach partitioned tables — the
+    // refusal claims must stay dead and the tuple/global story present
+    assert(!srcSection.contains(
+      "partitioned tables refused by name (delete files would need"),
+      "SURVEY still carries the r12 partitioned position-delete refusal")
+    assert(hasMethod("graft.sources.IcebergWrite$", "deleteKeys") ==
+      srcSection.contains("GLOBAL under the UNPARTITIONED spec"),
+      "partitioned deleteKeys global-delete claim and code disagree")
+    assert(hasMethod("graft.sources.IcebergWrite$", "keySparkType") ==
+      srcSection.contains("lossless widenings cast, lossy refuses"),
+      "deleteKeys key-typing claim and code marker disagree")
     assert(srcSection.contains("ADDITIVE SCHEMA EVOLUTION (`append(df, path, mergeSchema=true)`"),
       "Iceberg schema-evolution claim missing from SURVEY")
   }
