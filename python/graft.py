@@ -479,6 +479,15 @@ def delta_append_batch(spark, df, path, app_id, batch_id):
         df._jdf, path, app_id, int(batch_id))
 
 
+def delta_upsert_batch(spark, df, path, keys, app_id, batch_id):
+    """EXACTLY-ONCE upsert (MERGE) into a Delta table: the commit carries
+    the protocol's txn action {appId, version=batch_id} — a replayed
+    batch is a detected no-op, and an empty batch still publishes its
+    watermark. The foreachBatch body of a streaming CDC mirror."""
+    return _jvm(spark).graft.sources.DeltaWrite.upsertBatch(
+        df._jdf, path, _to_seq(spark, list(keys)), app_id, int(batch_id))
+
+
 def delta_upsert(spark, df, path, keys):
     """Copy-on-write MERGE into a Delta table: rows sharing ``keys``
     are replaced, fresh keys insert, in one atomic commit. Only files

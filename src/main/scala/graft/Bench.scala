@@ -149,7 +149,19 @@ object Bench {
         if (ok) dt else -1.0
       }
       val a = once(); val b = once()
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      // sub-second queries are where three rounds of driver-session
+      // audits found the noise (q21/q34/q27 read 1.4–1.6× under
+      // contention with the code untouched, r11/r12 VERDICTs): give
+      // FAST queries a third run and take the min — a few extra
+      // seconds of wall total buys headline deltas that stay inside
+      // ±10% of an exclusive run without a manual re-measure audit
+      val best0 = if (a < 0 || b < 0) -1.0 else math.min(a, b)
+      val best =
+        if (best0 >= 0 && best0 < 3.0) {
+          val c = once()
+          if (c < 0) best0 else math.min(best0, c)
+        } else best0
+      name -> best
     }
     // variant rows: alternate operating points, measured so the numbers
     // sit next to the defaults, but NOT in total (totals stay comparable

@@ -408,6 +408,96 @@ object ScaleStress {
       time(sources.HudiRead.pruneReportMeta(spark, big, "k >= 990000"))
     println(f"hudi plan 1000 files     footers=$tPlanFoot%7.2fs  " +
       f"metadata=$tPlanMeta%7.2fs  ratio=${tPlanFoot / tPlanMeta}%4.1fx")
+
+    // ------------------------------------------------------------------
+    // round-13 rows: the round-12 verbs, measured not asserted
+    // ------------------------------------------------------------------
+
+    // 10. deleteDv at 4 vs 40 files (same bytes, same matched rows) —
+    // the mask write is per-affected-file; wall must track matched
+    // bytes/rows, not the table's file count
+    def dvTable(files: Int): String = {
+      val d = fresh(s"delta_dv_$files")
+      DeltaWrite.create(spark.range(0, 400000)
+        .selectExpr("id AS k", "cast(id % 97 AS double) AS v")
+        .repartition(files), d)
+      d
+    }
+    val dv4 = dvTable(4)
+    DeltaWrite.deleteDv(spark, dv4, "k = 1") // warm the DV write path
+    val tDv4 = time(DeltaWrite.deleteDv(spark, dv4, "k % 1000 = 7"))
+    val dv40 = dvTable(40)
+    val tDv40 = time(DeltaWrite.deleteDv(spark, dv40, "k % 1000 = 7"))
+    println(f"deleteDv file count      4 files=$tDv4%7.2fs  " +
+      f"40 files=$tDv40%7.2fs  ratio=${tDv40 / tDv4}%4.1fx")
+
+    // 10b. deleteDv with ACCUMULATED masks: the replacement mask is
+    // existing ∪ fresh — per-batch cost must stay O(bitmap bytes) as
+    // masks accumulate, not grow with the number of prior deletes
+    val dvAcc = dvTable(4)
+    (0 until 3).foreach(i =>
+      DeltaWrite.deleteDv(spark, dvAcc, s"k % 100 = $i"))
+    val tAccEarly = time(DeltaWrite.deleteDv(spark, dvAcc, "k % 100 = 3"))
+    (4 until 30).foreach(i =>
+      DeltaWrite.deleteDv(spark, dvAcc, s"k % 100 = $i"))
+    val tAccLate = time(DeltaWrite.deleteDv(spark, dvAcc, "k % 100 = 30"))
+    println(f"deleteDv mask accum      4th mask=$tAccEarly%7.2fs  " +
+      f"31st mask=$tAccLate%7.2fs  ratio=${tAccLate / tAccEarly}%4.1fx")
+
+    // 11. forget-queue drain: deleteDvKeys with 100k vs 1M keys against
+    // the SAME table — the semi-join + bitmap write is O(keys), so the
+    // ratio must track the key count, never the table
+    val fq = dvTable(8)
+    DeltaWrite.deleteDvKeys(spark.range(0, 1000)
+      .selectExpr("id * 397 AS k"), fq, Seq("k")) // warm
+    val t100k = time(DeltaWrite.deleteDvKeys(
+      spark.range(0, 100000).selectExpr("id * 3 AS k"), fq, Seq("k")))
+    val t1m = time(DeltaWrite.deleteDvKeys(
+      spark.range(0, 1000000).selectExpr("id * 7 + 1 AS k"),
+      fq, Seq("k")))
+    println(f"deleteDvKeys queue       100k keys=$t100k%7.2fs  " +
+      f"1M keys=$t1m%7.2fs  ratio=${t1m / t100k}%4.1fx")
+
+    // 12. Iceberg rewriteDataFiles(sortBy) at 20 vs 200 files (same
+    // bytes): the sorted rewrite is one range-partitioned shuffle —
+    // wall tracks bytes, not input file count
+    def iceSortTable(files: Int): String = {
+      val d = fresh(s"ice_sort_$files")
+      IcebergWrite.create(spark.range(0, 400000)
+        .selectExpr("id AS k", "cast(id % 97 AS double) AS v")
+        .repartition(files), d)
+      d
+    }
+    val is20 = iceSortTable(20)
+    val tIs20 = time(IcebergWrite.rewriteDataFiles(spark, is20,
+      256L * 1024 * 1024, Seq("k")))
+    val is200 = iceSortTable(200)
+    val tIs200 = time(IcebergWrite.rewriteDataFiles(spark, is200,
+      256L * 1024 * 1024, Seq("k")))
+    println(f"iceberg sorted rewrite   20 files=$tIs20%7.2fs  " +
+      f"200 files=$tIs200%7.2fs  ratio=${tIs200 / tIs20}%4.1fx")
+
+    // 13. optimize(zorderBy) at 10 vs 100 partition groups (same
+    // bytes, same file count): the layout rewrite is per-group
+    // range-partitioned bins in bounded-width unioned plans — wall
+    // tracks bytes, group-count overhead stays bounded like row 4
+    def zTable(parts: Int): String = {
+      val d = fresh(s"delta_zo_$parts")
+      DeltaWrite.create(spark.range(0, 400000)
+        .selectExpr("id AS k", "cast(id % 631 AS int) AS x",
+          "cast(id div 631 AS int) AS y",
+          s"cast(id % $parts AS string) AS p")
+        .repartition(400 / parts), d, Seq("p"))
+      d
+    }
+    val z10 = zTable(10)
+    val tZ10 = time(DeltaWrite.optimize(spark, z10,
+      zorderBy = Seq("x", "y")))
+    val z100 = zTable(100)
+    val tZ100 = time(DeltaWrite.optimize(spark, z100,
+      zorderBy = Seq("x", "y")))
+    println(f"zorder partition groups  10 grp=$tZ10%7.2fs  " +
+      f"100 grp=$tZ100%7.2fs  ratio=${tZ100 / tZ10}%4.1fx")
   }
 
   def main(args: Array[String]): Unit = {

@@ -39,6 +39,31 @@ object Layout {
     * callers bucket/modulo their dimensions first (q87 does).
     */
   def morton2(x: Int, y: Int): Long = spread16(x) | (spread16(y) << 1)
+
+  /** Bits each of N interleaved dimensions gets in a 63-bit key:
+    * 16 (the 2-D operating point) down to 63/n for wide curves.
+    */
+  def bitsPerDim(n: Int): Int = math.min(16, 63 / n)
+
+  /** N-way Morton interleave: output bit (b*n + d) = coords(d) bit b.
+    * For n == 2 and bits == 16 this is EXACTLY [[morton2]] (x on even
+    * bits, y on odd), so the 2-D operating point is unchanged. Plain
+    * O(bits·n) loop — static call, stays inside whole-stage codegen.
+    */
+  def mortonN(coords: Array[Int], bits: Int): Long = {
+    val n = coords.length
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      var d = 0
+      while (d < n) {
+        out |= ((coords(d).toLong >> b) & 1L) << (b * n + d)
+        d += 1
+      }
+      b += 1
+    }
+    out
+  }
 }
 
 /** zorder2(x, y): 32-bit Morton interleave of two int coordinates
@@ -58,4 +83,59 @@ case class ZOrder2(left: Expression, right: Expression)
   override def prettyName: String = "zorder2"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** zorderN(x1, …, xn): N-way Morton interleave of int coordinates,
+  * each masked to [[Layout.bitsPerDim]](n) bits — the arity-N curve
+  * behind OPTIMIZE ZORDER BY on more than two columns. For n == 2 the
+  * key equals [[ZOrder2]] bit for bit. NULL coordinates propagate NULL
+  * (a null dimension has no z-position; OPTIMIZE scales its inputs
+  * null-free).
+  */
+case class ZOrderN(children: Seq[Expression])
+    extends Expression with ExpectsInputTypes {
+  require(children.size >= 2, "zorderN needs at least two dimensions")
+  override def inputTypes: Seq[DataType] = children.map(_ => IntegerType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def foldable: Boolean = children.forall(_.foldable)
+  private lazy val bits = Layout.bitsPerDim(children.size)
+  private lazy val mask = (1 << bits) - 1
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val coords = new Array[Int](children.size)
+    var i = 0
+    while (i < children.size) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      coords(i) = v.asInstanceOf[Int] & mask
+      i += 1
+    }
+    Layout.mortonN(coords, bits)
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val evals = children.map(_.genCode(ctx))
+    val arr = ctx.freshName("zcoords")
+    // isNull latches once set; later children still evaluate (cheap,
+    // side-effect-free) so the emitted code stays straight-line
+    val assigns = evals.zipWithIndex.map { case (e, i) =>
+      s"""${e.code.toString}
+         |if (${e.isNull}) { ${ev.isNull} = true; }
+         |else { $arr[$i] = ${e.value} & $mask; }""".stripMargin
+    }.mkString("\n")
+    ev.copy(code =
+      code"""
+        boolean ${ev.isNull} = false;
+        long ${ev.value} = 0L;
+        int[] $arr = new int[${children.size}];
+        $assigns
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.Layout.mortonN($arr, $bits);
+        }""")
+  }
+  override def prettyName: String = "zorder_n"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
 }

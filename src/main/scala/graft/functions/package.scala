@@ -68,4 +68,9 @@ package object functions {
     * the multi-dimensional clustering key for layout-aware writes. */
   def zorder2(x: Column, y: Column): Column =
     toCol(ZOrder2(toExpr(x), toExpr(y)))
+
+  /** N-way Morton interleave ([[ZOrderN]]) — OPTIMIZE ZORDER BY on
+    * more than two columns; equals [[zorder2]] bit for bit at n=2. */
+  def zorder_n(cols: Column*): Column =
+    toCol(ZOrderN(cols.map(toExpr)))
 }

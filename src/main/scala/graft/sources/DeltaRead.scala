@@ -1343,6 +1343,17 @@ object DeltaRead {
     require(magic == 1681511377,
       s"deletion vector magic $magic != 1681511377 (portable " +
         "RoaringBitmapArray)")
+    roaringPositions64(bb)
+  }
+
+  /** Portable 64-bit roaring decode from a little-endian buffer
+    * positioned at the 8-byte bitmap count — the body shared by
+    * Delta's RoaringBitmapArray (magic-prefixed, above) and Iceberg
+    * v3 puffin deletion vectors (magic'd differently by the puffin
+    * blob framing, same portable body).
+    */
+  private[graft] def roaringPositions64(
+      bb: java.nio.ByteBuffer): Array[Long] = {
     val n = bb.getLong
     val out = scala.collection.mutable.ArrayBuffer[Long]()
     var k = 0L

@@ -417,7 +417,25 @@ object DeltaWrite {
     * the fresh segment carries complement + ALL source rows. Returns
     * the committed version.
     */
-  def upsert(source: DataFrame, path: String, keys: Seq[String]): Long = {
+  def upsert(source: DataFrame, path: String, keys: Seq[String]): Long =
+    upsertImpl(source, path, keys, None)
+
+  /** EXACTLY-ONCE streaming UPSERT — [[upsert]] carrying the protocol's
+    * `txn` watermark (the [[appendBatch]] / [[deleteDvBatch]] contract
+    * on the merge side, completing the three-leg symmetry with
+    * SnapshotTable.upsertBatch and Hudi upsertLogBatch): a replayed
+    * micro-batch is a detected no-op, and an empty batch still
+    * publishes its watermark so replay detection never regresses.
+    */
+  def upsertBatch(source: DataFrame, path: String, keys: Seq[String],
+                  appId: String, batchId: Long): Long = {
+    require(appId.nonEmpty, "upsertBatch: appId must be non-empty")
+    upsertImpl(source, path, keys, Some((appId, batchId)))
+  }
+
+  private def upsertImpl(source: DataFrame, path: String,
+                         keys: Seq[String],
+                         txn: Option[(String, Long)]): Long = {
     val spark = source.sparkSession
     require(keys.nonEmpty, "upsert needs at least one key column")
     val dupes = source.groupBy(keys.map(col): _*).count()
@@ -425,11 +443,17 @@ object DeltaWrite {
     require(dupes.isEmpty,
       s"upsert source has multiple rows for key ${dupes.headOption}" +
         " — MERGE requires at most one source row per key")
+    def txnLines: Seq[String] = txn.toSeq.map { case (a, b) =>
+      s"""{"txn":{"appId":${om.writeValueAsString(a)},"version":$b}}"""
+    }
     var attempts = 0
     while (true) {
       require(attempts < 10, s"$path: lost the upsert commit race 10 times")
       val cur = DeltaRead.latestVersion(spark, path)
       val (st, live) = DeltaRead.checkpointState(spark, path, cur)
+      txn.foreach { case (a, b) =>
+        if (st.txns.get(a).exists(_ >= b)) return cur // replayed batch
+      }
       requireRewritable(st, live)
       val schema = DeltaRead.schemaOf(st)
       require(canonical(source.schema) == canonical(
@@ -502,7 +526,7 @@ object DeltaWrite {
             st.partitionCols, extra = Seq("_change_type"))
           cdcActionsFor(physCdc, path, pp)
         }
-      val actions = cdc ++ affected.map(removeAction(_)) ++
+      val actions = txnLines ++ cdc ++ affected.map(removeAction(_)) ++
         actionsFor(schema, files, withMeta = false, physParts,
           statKey = keyOf)
       if (publish(spark, path, cur + 1, actions)) {
@@ -1069,6 +1093,60 @@ object DeltaWrite {
     (ranges.map(_._1).min, ranges.map(_._2).max)
   }
 
+  /** Characters shared by every value of a string z-dimension within
+    * the group, folded from the files' LOGGED string zone maps: the
+    * 2-byte coordinate window starts AFTER this common prefix, so
+    * "user_00".."user_15" scale on "00".."15" instead of collapsing
+    * onto the shared "us". Truncated or missing string stats only
+    * shorten the detected prefix — a mis-scaled coordinate degrades
+    * CLUSTERING, never pruning correctness (files always carry their
+    * real min/max).
+    */
+  /** Value of the two UTF-8 bytes of `s` after dropping `skip` chars
+    * (zero-padded) — the order-preserving 16-bit window a string
+    * z-coordinate scales in.
+    */
+  private def zPairVal(s: String, skip: Int): Int = {
+    val b = s.drop(skip).getBytes("UTF-8")
+    val b0 = if (b.length > 0) b(0) & 0xff else 0
+    val b1 = if (b.length > 1) b(1) & 0xff else 0
+    (b0 << 8) | b1
+  }
+
+  /** String z-dimension scaling, folded from the group's LOGGED string
+    * zone maps: (chars of common prefix to skip, lo, hi) where lo/hi
+    * are the [[zPairVal]] bounds of the group. Skipping the shared
+    * prefix keeps "user_00".."user_15" from collapsing onto "us", and
+    * range-scaling the window keeps the string dimension competitive
+    * with the full-range numerics in the bit interleave. Truncated or
+    * missing stats only mis-scale — clustering degrades, pruning
+    * correctness never does (files always carry their real min/max).
+    */
+  private def zStringScale(st: DeltaRead.LogState, schema: StructType,
+                           g: Seq[DeltaRead.AddEntry], c: String)
+      : (Int, Int, Int) = {
+    val stats = g.flatMap(a => DeltaRead.entryStats(st, schema, a).get(c))
+    def cmpBytes(a: String, b: String): Int = {
+      val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+    val los = stats.flatMap(_.lo)
+    val his = stats.flatMap(_.hi)
+    if (los.isEmpty || his.isEmpty) (0, 0, 0)
+    else {
+      val lo = los.reduce((a, b) => if (cmpBytes(a, b) <= 0) a else b)
+      val hi = his.reduce((a, b) => if (cmpBytes(a, b) >= 0) a else b)
+      val skip = lo.zip(hi).takeWhile { case (a, b) => a == b }.length
+      (skip, zPairVal(lo, skip), zPairVal(hi, skip))
+    }
+  }
+
   /** OPTIMIZE: bin-packing compaction. Within each partition tuple,
     * files smaller than `targetBytes` (and any file carrying a deletion
     * vector — compacting FOLDS the DV, the rewrite reads DV-applied
@@ -1078,15 +1156,19 @@ object DeltaWrite {
     * atomic commit; a lost race replans. Returns the committed version,
     * or the current version when nothing qualified.
     *
-    * `zorderBy` (exactly two numeric columns) switches to the LAYOUT
-    * rewrite: EVERY group rewrites with rows range-partitioned and
-    * sorted on the 32-bit Morton interleave of the two dimensions
-    * (each scaled to 16 bits against the group's stats-folded min/max
-    * — [[graft.functions.ZOrder2]], the codegen'd expression q87
-    * oracle-pins), so every new file carries NARROW min/max on BOTH
-    * columns and a range predicate on EITHER prunes to 1-of-N opens —
-    * the Delta OPTIMIZE ZORDER BY operating point, mirroring Hudi
-    * `cluster(sortBy)`.
+    * `zorderBy` (two OR MORE numeric/string columns) switches to the
+    * LAYOUT rewrite: EVERY group rewrites with rows range-partitioned
+    * and sorted on the Morton interleave of the dimensions — numerics
+    * scaled to the curve's per-dimension bit budget
+    * ([[graft.functions.Layout.bitsPerDim]]: 16 bits up to 4 dims,
+    * 63/n beyond) against the group's stats-folded min/max, strings by
+    * their order-preserving 2-byte UTF-8 prefix — via
+    * [[graft.functions.ZOrder2]] at arity 2 (the codegen'd expression
+    * q87 oracle-pins; [[graft.functions.ZOrderN]] equals it bit for
+    * bit there) and ZOrderN beyond, so every new file carries NARROW
+    * min/max on EVERY participating column and a range predicate on
+    * ANY of them prunes to ~1-of-N opens — the Delta OPTIMIZE ZORDER
+    * BY surface, mirroring Hudi `cluster(sortBy)`.
     */
   def optimize(spark: SparkSession, path: String,
                targetBytes: Long = 128L * 1024 * 1024,
@@ -1099,18 +1181,20 @@ object DeltaWrite {
       requireRewritable(st, live)
       val schema = DeltaRead.schemaOf(st)
       if (zorderBy.nonEmpty) {
-        require(zorderBy.size == 2,
-          s"zorderBy interleaves exactly two dimensions (got " +
-            s"${zorderBy.size}) — ZOrder2 is the 2-D Morton curve")
+        require(zorderBy.size >= 2,
+          s"zorderBy interleaves at least two dimensions (got " +
+            s"${zorderBy.size}) — a single column is a plain sort, " +
+            "use Hudi-style cluster semantics instead")
         zorderBy.foreach { c =>
           require(schema.fieldNames.contains(c),
             s"zorderBy column $c not in the table schema")
           require(schema(c).dataType match {
             case ByteType | ShortType | IntegerType | LongType |
-                 FloatType | DoubleType => true
+                 FloatType | DoubleType | StringType => true
             case _ => false
-          }, s"zorderBy $c: z-coordinates scale NUMERIC dimensions " +
-            "only (strings/dates would need a rank pass) — refusing")
+          }, s"zorderBy $c: z-coordinates scale NUMERIC and STRING " +
+            "dimensions only (dates/decimals would need a rank pass) " +
+            "— refusing")
         }
       }
       // a group is worth compacting when it can shrink the file count
@@ -1151,20 +1235,44 @@ object DeltaWrite {
           val assembled = DeltaRead.assemble(spark, path, st, g)
           if (zorderBy.isEmpty) assembled.repartition(bins)
           else {
-            // scale each dimension to 16 bits against the group's
-            // stats-folded range, interleave, range-partition so bins
-            // hold disjoint z-ranges, sort within so row groups are
-            // tight too
+            // scale each NUMERIC dimension to the curve's bit budget
+            // against the group's stats-folded range; STRING dimensions
+            // take the 2 UTF-8 bytes AFTER the group's stats-folded
+            // common prefix (order-preserving — Spark string comparison
+            // is binary UTF-8 — and group-relative, so shared prefixes
+            // don't collapse the dimension; truncated stats only
+            // shorten the prefix, degrading clustering, never pruning).
+            // Interleave, range-partition so bins hold disjoint
+            // z-ranges, sort within so row groups are tight too.
+            val bits =
+              graft.functions.Layout.bitsPerDim(zorderBy.size)
+            val maxCoord = (1 << bits) - 1
             val coords = zorderBy.map { c =>
-              val (lo, hi) = zRange(st, schema, g, c)
-              if (hi <= lo) lit(0)
-              else least(lit(65535), greatest(lit(0),
-                ((col(c).cast("double") - lit(lo)) /
-                  lit(hi - lo) * 65535).cast("int")))
+              schema(c).dataType match {
+                case StringType =>
+                  val (skip, lov, hiv) = zStringScale(st, schema, g, c)
+                  val raw = s"CAST(conv(hex(rpad(coalesce(encode(" +
+                    s"substring(`$c`, ${skip + 1}, 2), 'UTF-8'), X'')," +
+                    s" 2, X'00')), 16, 10) AS INT)"
+                  if (hiv <= lov) lit(0)
+                  else least(lit(maxCoord), greatest(lit(0),
+                    ((expr(raw).cast("double") - lit(lov.toDouble)) /
+                      lit((hiv - lov).toDouble) * maxCoord).cast("int")))
+                case _ =>
+                  val (lo, hi) = zRange(st, schema, g, c)
+                  if (hi <= lo) lit(0)
+                  else least(lit(maxCoord), greatest(lit(0),
+                    ((col(c).cast("double") - lit(lo)) /
+                      lit(hi - lo) * maxCoord).cast("int")))
+              }
             }
             val zc = "__graft_zkey"
+            val zkey =
+              if (zorderBy.size == 2)
+                graft.functions.zorder2(coords(0), coords(1))
+              else graft.functions.zorder_n(coords: _*)
             assembled
-              .withColumn(zc, graft.functions.zorder2(coords(0), coords(1)))
+              .withColumn(zc, zkey)
               .repartitionByRange(bins, col(zc))
               .sortWithinPartitions(col(zc))
               .drop(zc)

@@ -60,10 +60,17 @@ import scala.jdk.CollectionConverters._
   *     Hudi record keys are only unique per partition under a
   *     non-global index, so a key legally repeated across partitions
   *     merges against its own slice's base rows only;
-  *   - log blocks other than AVRO_DATA_BLOCK / DELETE_BLOCK / rollback
-  *     COMMAND_BLOCK (HFile/Parquet data blocks, CDC blocks) are
-  *     REFUSED BY NAME, as are corrupt/truncated frames — never
-  *     silently skipped;
+  *   - PARQUET_DATA_BLOCKs decode (round 13): content is one complete
+  *     parquet file (what `hoodie.logfile.data.block.format=parquet`
+  *     writes — the most common foreign block format after avro),
+  *     read in-memory with parquet-hadoop's Group reader (no extra
+  *     dependencies, no temp files), merged by the SAME arrival-order
+  *     last-write-wins rule as avro blocks; flat primitive payload
+  *     schemas only, nested fields refuse by name;
+  *   - log blocks other than AVRO_DATA_BLOCK / PARQUET_DATA_BLOCK /
+  *     DELETE_BLOCK / rollback COMMAND_BLOCK (HFile data blocks, CDC
+  *     blocks) are REFUSED BY NAME, as are corrupt/truncated frames —
+  *     never silently skipped;
   *   - `replacecommit` instants READ (round 10; previously refused):
   *     clustering / insert_overwrite replace whole file groups out of
   *     line with the fileId-shadowing rule, so a completed
@@ -609,6 +616,7 @@ object HudiRead {
   private val DeleteBlock  = 1
   private val CorruptBlock = 2
   private val AvroBlock    = 3
+  private val ParquetBlock = 5
   private val BlockNames = Map(0 -> "COMMAND_BLOCK", 1 -> "DELETE_BLOCK",
     2 -> "CORRUPT_BLOCK", 3 -> "AVRO_DATA_BLOCK", 4 -> "HFILE_DATA_BLOCK",
     5 -> "PARQUET_DATA_BLOCK", 6 -> "CDC_DATA_BLOCK")
@@ -696,6 +704,105 @@ object HudiRead {
       reader.read(null,
         org.apache.avro.io.DecoderFactory.get().binaryDecoder(b, null))
     }
+  }
+
+  /** In-memory [[org.apache.parquet.io.InputFile]] over a log block's
+    * content bytes — PARQUET_DATA_BLOCK content is a complete parquet
+    * file (what `hoodie.logfile.data.block.format=parquet` writes), so
+    * it decodes with the parquet-hadoop reader Spark already ships,
+    * without touching disk.
+    */
+  private final class BytesInputFile(bytes: Array[Byte])
+      extends org.apache.parquet.io.InputFile {
+    override def getLength: Long = bytes.length.toLong
+    override def newStream(): org.apache.parquet.io.SeekableInputStream =
+      new org.apache.parquet.io.SeekableInputStream {
+        private val bb = java.nio.ByteBuffer.wrap(bytes)
+        override def getPos: Long = bb.position().toLong
+        override def seek(newPos: Long): Unit = bb.position(newPos.toInt)
+        override def read(): Int =
+          if (bb.hasRemaining) bb.get() & 0xFF else -1
+        override def read(b: Array[Byte], off: Int, len: Int): Int = {
+          if (!bb.hasRemaining) return -1
+          val n = math.min(len, bb.remaining())
+          bb.get(b, off, n); n
+        }
+        override def read(buf: java.nio.ByteBuffer): Int = {
+          if (!bb.hasRemaining) return -1
+          val n = math.min(buf.remaining(), bb.remaining())
+          val slice = bb.slice(); slice.limit(n)
+          buf.put(slice); bb.position(bb.position() + n); n
+        }
+        override def readFully(b: Array[Byte]): Unit = bb.get(b)
+        override def readFully(b: Array[Byte], off: Int, len: Int): Unit =
+          bb.get(b, off, len)
+        override def readFully(buf: java.nio.ByteBuffer): Unit = {
+          val n = read(buf)
+          require(n == 0 || buf.remaining() == 0,
+            "parquet block: readFully past end of content")
+          while (buf.remaining() > 0) {
+            require(read(buf) > 0,
+              "parquet block: readFully past end of content")
+          }
+        }
+      }
+  }
+
+  /** PARQUET_DATA_BLOCK content: one complete parquet file. Decoded
+    * with parquet-hadoop's Group reader (no extra dependencies) into
+    * field-name → primitive-value maps, row-group order = arrival
+    * order. Values surface as the boxed forms the payload conversion
+    * already normalizes via toString.
+    */
+  private def decodeParquetBlock(content: Array[Byte], name: String)
+      : Iterator[Map[String, AnyRef]] = {
+    import org.apache.parquet.example.data.Group
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val reader = org.apache.parquet.hadoop.ParquetFileReader
+      .open(new BytesInputFile(content))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      val fields = schema.getFields.asScala.toSeq
+      fields.foreach(f => require(f.isPrimitive,
+        s"$name: parquet log block carries nested field ${f.getName} — " +
+          "flat payload schemas only, refusing"))
+      val colIO = new org.apache.parquet.io.ColumnIOFactory()
+        .getColumnIO(schema)
+      val out = scala.collection.mutable.ArrayBuffer[Map[String, AnyRef]]()
+      var pages = reader.readNextRowGroup()
+      while (pages != null) {
+        val rr = colIO.getRecordReader(pages,
+          new org.apache.parquet.example.data.simple.convert
+            .GroupRecordConverter(schema))
+        val n = pages.getRowCount
+        var i = 0L
+        while (i < n) {
+          val g: Group = rr.read()
+          val m = fields.flatMap { f =>
+            val fn = f.getName
+            if (g.getFieldRepetitionCount(fn) == 0) None
+            else {
+              val v: AnyRef = f.asPrimitiveType().getPrimitiveTypeName match {
+                case BINARY  => g.getString(fn, 0)
+                case INT64   => Long.box(g.getLong(fn, 0))
+                case INT32   => Int.box(g.getInteger(fn, 0))
+                case DOUBLE  => Double.box(g.getDouble(fn, 0))
+                case FLOAT   => Float.box(g.getFloat(fn, 0))
+                case BOOLEAN => Boolean.box(g.getBoolean(fn, 0))
+                case other => throw new IllegalArgumentException(
+                  s"$name: parquet log block field $fn has physical " +
+                    s"type $other — not a modeled payload type, refusing")
+              }
+              Some(fn -> v)
+            }
+          }.toMap
+          out += m
+          i += 1
+        }
+        pages = reader.readNextRowGroup()
+      }
+      out.iterator
+    } finally reader.close()
   }
 
   /** The public HoodieDeleteRecordList avro model (hudi-common) —
@@ -943,19 +1050,47 @@ object HudiRead {
       parseBlocks(bytes, p).iterator.zipWithIndex.flatMap {
         case (b, bi) =>
           if (b.tpe == CommandBlock) Iterator.empty
-          else if (b.tpe != AvroBlock && b.tpe != DeleteBlock)
+          else if (b.tpe != AvroBlock && b.tpe != DeleteBlock &&
+              b.tpe != ParquetBlock)
             throw new IllegalArgumentException(
               s"$p: log block type ${blockNames.getOrElse(b.tpe,
                 b.tpe.toString)} is not modeled by this reader " +
-                "(AVRO_DATA_BLOCK, DELETE_BLOCK and rollback " +
-                "COMMAND_BLOCK only) — refusing rather than serving a " +
-                "partial merge")
+                "(AVRO_DATA_BLOCK, PARQUET_DATA_BLOCK, DELETE_BLOCK " +
+                "and rollback COMMAND_BLOCK only) — refusing rather " +
+                "than serving a partial merge")
           else if (!live(b)) Iterator.empty
           else if (b.tpe == DeleteBlock)
             decodeDeleteBlock(b.content, p).iterator.zipWithIndex.map {
               case (key, ri) =>
                 Row.fromSeq(key +: part +: fid +: Boolean.box(true) +:
                   Int.box(fo) +: Int.box(bi) +: Int.box(ri) +: nulls)
+            }
+          else if (b.tpe == ParquetBlock)
+            decodeParquetBlock(b.content, p).zipWithIndex.map {
+              case (rec, ri) =>
+                val key = rec.get(KeyCol).map(_.toString).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"$p: parquet log record carries no $KeyCol — refusing"))
+                val vals = names.map { n =>
+                  (rec.get(n), types(n)) match {
+                    case (None, _)              => null
+                    case (Some(x), StringType)  => x.toString
+                    case (Some(x), LongType)    =>
+                      Long.box(x.toString.toLong)
+                    case (Some(x), IntegerType) =>
+                      Int.box(x.toString.toInt)
+                    case (Some(x), DoubleType)  =>
+                      Double.box(x.toString.toDouble)
+                    case (Some(x), FloatType)   =>
+                      Float.box(x.toString.toFloat)
+                    case (Some(x), BooleanType) =>
+                      Boolean.box(x.toString.toBoolean)
+                    case (Some(x), other) => throw new IllegalStateException(
+                      s"unreachable payload type $other for $x")
+                  }
+                }
+                Row.fromSeq(key +: part +: fid +: Boolean.box(false) +:
+                  Int.box(fo) +: Int.box(bi) +: Int.box(ri) +: vals)
             }
           else {
             val schema = b.header.getOrElse(HSchema,

@@ -808,8 +808,8 @@ object HudiWrite {
     * type ordinal, header map, content length, content, footer map,
     * total length) — the exact layout [[HudiRead.parseBlocks]] decodes.
     */
-  private def frameBlock(tpe: Int, header: Map[Int, String],
-                         content: Array[Byte]): Array[Byte] = {
+  private[graft] def frameBlock(tpe: Int, header: Map[Int, String],
+                                content: Array[Byte]): Array[Byte] = {
     val hdr = metaBytes(header)
     val ftr = metaBytes(Map.empty)
     val blockSize = 4L + 4 + hdr.length + 8 + content.length +

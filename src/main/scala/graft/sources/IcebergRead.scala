@@ -141,9 +141,17 @@ object IcebergRead {
     */
   private final case class EqDelete(path: String, seq: Long,
                                     eqIds: Seq[Int])
+  /** One v3 deletion vector: a puffin-stored position-delete blob
+    * scoped to ONE data file (spec "Deletion vectors"): the blob at
+    * [offset, offset+length) of `puffinPath` masks row positions of
+    * `referencedFile`.
+    */
+  private final case class DvRef(puffinPath: String,
+                                 referencedFile: String,
+                                 offset: Long, length: Long)
   private final case class Snapshot(fields: Seq[Field],
     files: Seq[FileEntry], deleteFiles: Seq[String],
-    eqDeletes: Seq[EqDelete])
+    eqDeletes: Seq[EqDelete], dvRefs: Seq[DvRef])
 
   /** Schema fields for a read: the SNAPSHOT's schema-id when time
     * traveling (a snapshot taken before an evolution must read with its
@@ -168,6 +176,35 @@ object IcebergRead {
         else fl.path("type").asText()
       Field(fl.path("id").asInt(), fl.path("name").asText(), t)
     }.toSeq
+  }
+
+  /** Decode one puffin `deletion-vector-v1` blob (Iceberg v3 spec):
+    * 4-byte BE combined length of magic+vector, the magic D1 D3 39 64,
+    * the vector in portable 64-bit roaring serialization, and a 4-byte
+    * BE CRC-32 of magic+vector. Unknown magics and CRC mismatches
+    * refuse loudly — a silently-misread mask would serve deleted rows.
+    */
+  private[graft] def decodePuffinDv(bytes: Array[Byte],
+                                    name: String): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes) // big-endian by default
+    require(bb.remaining() >= 12,
+      s"$name: puffin DV blob truncated (${bytes.length} bytes)")
+    val combined = bb.getInt
+    require(combined >= 4 && combined <= bb.remaining() - 4,
+      s"$name: puffin DV length $combined out of range — refusing")
+    val magic = new Array[Byte](4); bb.get(magic)
+    require(java.util.Arrays.equals(magic,
+        Array(0xD1.toByte, 0xD3.toByte, 0x39.toByte, 0x64.toByte)),
+      s"$name: puffin DV magic ${magic.map("%02X".format(_))
+        .mkString} != D1D33964 — unknown blob layout, refusing")
+    val vec = new Array[Byte](combined - 4); bb.get(vec)
+    val crcStored = bb.getInt
+    val crc = new java.util.zip.CRC32()
+    crc.update(magic); crc.update(vec)
+    require(crc.getValue.toInt == crcStored,
+      s"$name: puffin DV CRC mismatch — refusing a corrupt mask")
+    DeltaRead.roaringPositions64(java.nio.ByteBuffer.wrap(vec)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN))
   }
 
   private def load(spark: SparkSession, path: String,
@@ -212,6 +249,7 @@ object IcebergRead {
     // sequence-ordered null-safe anti-joins on their equality fields
     var deleteFiles = Seq.empty[String]
     var eqDeletes = Seq.empty[EqDelete]
+    var dvRefs = Seq.empty[DvRef]
     deleteManifests.foreach { case (mp, _, mseq, _) =>
       avroRows(spark, resolve(path, mp)).foreach { e =>
         val status = opt(e, "status").map(_.toString.toInt).getOrElse(1)
@@ -221,7 +259,35 @@ object IcebergRead {
             .getOrElse(mseq)
           val c = opt(df, "content").map(_.toString.toInt).getOrElse(-1)
           c match {
-            case 1 => deleteFiles :+= df.get("file_path").toString
+            case 1 =>
+              // v3 deletion vectors: position deletes stored as puffin
+              // blobs, file_format=PUFFIN with the spec's required
+              // referenced-data-file + content offset/size fields;
+              // classic parquet position-delete files otherwise
+              val fmt = opt(df, "file_format").map(_.toString)
+                .getOrElse("PARQUET").toUpperCase
+              fmt match {
+                case "PARQUET" =>
+                  deleteFiles :+= df.get("file_path").toString
+                case "PUFFIN" =>
+                  val ref = opt(df, "referenced_data_file")
+                    .map(_.toString)
+                  val off = opt(df, "content_offset")
+                    .map(_.toString.toLong)
+                  val len = opt(df, "content_size_in_bytes")
+                    .map(_.toString.toLong)
+                  require(ref.nonEmpty && off.nonEmpty && len.nonEmpty,
+                    s"$path: puffin deletion vector in $mp misses " +
+                      "referenced_data_file/content_offset/" +
+                      "content_size_in_bytes (spec-required for DVs) " +
+                      "— refusing")
+                  dvRefs :+= DvRef(df.get("file_path").toString,
+                    ref.get, off.get, len.get)
+                case other => throw new IllegalArgumentException(
+                  s"$path: position-delete file format $other in $mp " +
+                    "— PARQUET and PUFFIN (deletion vectors) only, " +
+                    "refusing rather than misreading")
+              }
             case 2 =>
               val ids = opt(df, "equality_ids") match {
                 case Some(l: java.util.List[_]) =>
@@ -297,7 +363,7 @@ object IcebergRead {
         }
       }
     }
-    Snapshot(fields, files, deleteFiles, eqDeletes)
+    Snapshot(fields, files, deleteFiles, eqDeletes, dvRefs)
   }
 
   /** Single-value binary deserialization (spec Appendix D) into the
@@ -448,7 +514,8 @@ object IcebergRead {
     val reader = declared.fold(reader0)(reader0.schema)
     val plain = reader
       .parquet(files.map(f => resolve(path, f.path)): _*)
-    if (st.deleteFiles.isEmpty && st.eqDeletes.isEmpty)
+    if (st.deleteFiles.isEmpty && st.eqDeletes.isEmpty &&
+        st.dvRefs.isEmpty)
       return plain.select(names.map(col): _*)
 
     // v2 deletes need per-row FILE IDENTITY: the percent-decoded
@@ -480,18 +547,52 @@ object IcebergRead {
     // nothing materializes on the driver) anti-joined on (file
     // identity, _metadata.row_index). Sound WITHOUT sequence ordering:
     // paths are immutable and never reused, so a delete can only name
-    // rows that existed when it was written.
-    val afterPos =
-      if (st.deleteFiles.isEmpty) scanned
+    // rows that existed when it was written. v3 puffin deletion vectors
+    // contribute the same (file, pos) rows: blobs decode ON EXECUTORS
+    // (an RDD over the blob descriptors — per-task memory is one
+    // compressed bitmap, the Delta DV budget) and union in.
+    val dvDels: Option[DataFrame] =
+      if (st.dvRefs.isEmpty) None
       else {
-        val delScan = spark.read
-          .parquet(st.deleteFiles.map(resolve(path, _)): _*)
+        val refs = st.dvRefs.map(r =>
+          (resolve(path, r.puffinPath), r.referencedFile,
+            r.offset, r.length))
+        val posSchema = StructType(Seq(
+          StructField("file_path", StringType),
+          StructField("pos", LongType)))
+        val rdd = spark.sparkContext
+          .parallelize(refs, math.max(1, math.min(refs.size, 32)))
+          .flatMap { case (pp, rf, off, len) =>
+            val p = new org.apache.hadoop.fs.Path(pp)
+            val f = p.getFileSystem(
+              new org.apache.hadoop.conf.Configuration())
+            val in = f.open(p)
+            val bytes = try {
+              in.seek(off)
+              val b = new Array[Byte](len.toInt)
+              in.readFully(b); b
+            } finally in.close()
+            decodePuffinDv(bytes, pp)
+              .map(pos => org.apache.spark.sql.Row(rf, pos))
+          }
+        Some(spark.createDataFrame(rdd, posSchema))
+      }
+    val afterPos =
+      if (st.deleteFiles.isEmpty && dvDels.isEmpty) scanned
+      else {
+        val parquetDels =
+          if (st.deleteFiles.isEmpty) None
+          else Some(spark.read
+            .parquet(st.deleteFiles.map(resolve(path, _)): _*)
+            .select(col("file_path"), col("pos").cast("long").as("pos")))
+        val delScan = (parquetDels.toSeq ++ dvDels.toSeq)
+          .reduce(_ unionByName _)
         val dels =
           if (!collide) delScan
             .select(decodeBase(col("file_path")).as(FKey),
-              col("pos").cast("long").as(RIdx))
+              col("pos").as(RIdx))
           else delScan.select(col("file_path").as(FKey),
-            col("pos").cast("long").as(RIdx))
+            col("pos").as(RIdx))
         scanned.join(dels, Seq(FKey, RIdx), "left_anti")
       }
 
@@ -834,6 +935,10 @@ object IcebergRead {
       s"$path: delete files vanished between snapshots $a and $b (a " +
         "delete compaction/rewrite) — the file algebra would silently " +
         "resurrect rows, refusing")
+    require(from.dvRefs.isEmpty && to.dvRefs.isEmpty,
+      s"$path: snapshot-range changes over puffin deletion vectors is " +
+        "not modeled (a DV REPLACES its predecessor, breaking the " +
+        "additive delete-file algebra) — refusing; read each snapshot")
     val fromPaths = from.files.map(_.path).toSet
     val toPaths = to.files.map(_.path).toSet
     val added = to.files.filterNot(f => fromPaths.contains(f.path))

@@ -302,6 +302,57 @@ object StreamOps {
       .start()
   }
 
+  /** ONE CDC stream fanned into ALL THREE table legs — SnapshotTable +
+    * Delta + Hudi MOR — inside a single foreachBatch: each micro-batch
+    * collapses to its latest state per key ONCE, then lands through
+    * each leg's exactly-once batch verb (`SnapshotTable.upsertBatch`,
+    * `DeltaWrite.upsertBatch`, `HudiWrite.upsertLogBatch`), every one
+    * carrying the SAME (appId, batchId) watermark in its own
+    * transaction mechanism. A restart — or a full re-run with a wiped
+    * checkpoint — replays batches that each leg independently detects
+    * and skips, so all three tables stay bit-identical to a single
+    * clean run (spec-pinned three ways). The Delta and Hudi tables
+    * must exist (same schema as the collapsed frame, Hudi
+    * MERGE_ON_READ keyed by user_id); SnapshotTable creates itself.
+    */
+  def cdcFanoutStream(spark: SparkSession, srcDir: String,
+                      snapPath: String, deltaPath: String,
+                      hudiPath: String, checkpointDir: String,
+                      appId: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.sources.{DeltaWrite, HudiWrite, SnapshotTable}
+    readEvents(spark, srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        // last_ts rides as epoch MICROS (BIGINT): the one scalar shape
+        // every leg's payload codec carries identically — the
+        // bit-identical contract is then schema-for-schema the same on
+        // all three tables
+        val latest = batch
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+          .select(col("user_id"), col("event_type").as("last_type"),
+            expr("unix_micros(ts)").as("last_ts_us"),
+            col("value").as("last_value"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          SnapshotTable.upsertBatch(latest.sparkSession, snapPath,
+            latest, Seq("user_id"), appId, batchId)
+          DeltaWrite.upsertBatch(latest, deltaPath, Seq("user_id"),
+            appId, batchId)
+          HudiWrite.upsertLogBatch(latest, hudiPath, "user_id",
+            appId, batchId)
+        } finally latest.unpersist(false)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Full streaming CDC apply — upserts AND deletes (the Debezium-shaped
     * feed: rows carry an op column with I/U/D). Each micro-batch is
     * collapsed to its LAST op per key (ts then event id — a later
@@ -544,8 +595,9 @@ object StreamOps {
     *
     * State contract at scale: per-bucket member lists are the
     * signature+shingle working set of the dedup horizon. Here the
-    * corpus is finite so state is unbounded (NoTimeout); a production
-    * deployment keys documents by an event-time column and evicts with
+    * corpus is finite so state is unbounded (NoTimeout); the PRODUCTION
+    * bounded form is [[nearDupPairsBoundedStream]] — documents keyed by
+    * an event-time column, bucket members EVICTED past the horizon with
     * EventTimeTimeout exactly as [[sessionize]] does — the SAME bounded-
     * state contract `dropDuplicatesWithinWatermark` applies to exact
     * dedup. (The one documented divergence from batch: an xxhash64
@@ -621,6 +673,127 @@ object StreamOps {
           }
           state.update(seen)
           out.result().iterator
+      }
+  }
+
+  // carries the WATERMARKED event-time column itself (the analyzer
+  // requires it to reach the stateful operator for EventTimeTimeout)
+  case class BandMemberT(band: Int, bh: Long, doc_id: Long,
+                         sig: Array[Long], shs: Array[Long],
+                         ts: java.sql.Timestamp) {
+    def ms: Long = ts.getTime
+  }
+
+  /** BOUNDED-STATE streaming near-dup — the production form of
+    * [[nearDupPairsStream]]: documents carry an event-time column, the
+    * stream is watermarked, and every (band, bucket) group EVICTS
+    * members once the watermark passes `eventTime + horizonMillis`
+    * (EventTimeTimeout, the [[sessionize]] discipline) — state is the
+    * horizon's working set, never the corpus. A pair emits only when
+    * the two documents are within the horizon of EACH OTHER, so the
+    * output equals batch jaccardJoinBanded restricted to
+    * |ts_a − ts_b| ≤ horizon regardless of WHEN eviction fires (the
+    * pair window is checked explicitly; timeouts only bound state).
+    * Emit-once via the first-colliding-band trick, verification by
+    * exact sorted-array intersection — both unchanged from the
+    * unbounded form.
+    */
+  def nearDupPairsBoundedStream(source: DataFrame, idCol: String,
+                                textCol: String, tsCol: String,
+                                horizonMillis: Long,
+                                watermarkDelay: String = "1 hour",
+                                threshold: Double = 0.5,
+                                numHashes: Int = 64,
+                                bands: Int = 16): Dataset[NearDupPair] = {
+    val spark = source.sparkSession
+    import spark.implicits._
+    val r = numHashes / bands
+    val banded = source.withWatermark(tsCol, watermarkDelay)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.minhash_signature(col(textCol), numHashes, 3)
+          .as("sig"),
+        expr(s"""array_sort(array_distinct(transform(
+             sequence(1, greatest(size(split(`$textCol`, ' ')) - 2, 0)),
+             i -> xxhash64(concat_ws(' ', slice(split(`$textCol`, ' '), i, 3))))))""")
+          .as("shs"),
+        col(tsCol).as("ts"))
+      .select(explode(expr(
+        s"""transform(sequence(0, ${bands - 1}), b ->
+            struct(b AS band,
+                   xxhash64(concat_ws(',', slice(sig, b * $r + 1, $r))) AS bh))"""))
+        .as("bk"), col("doc_id"), col("sig"), col("shs"), col("ts"))
+      .select(col("bk.band").as("band"), col("bk.bh").as("bh"),
+        col("doc_id"), col("sig"), col("shs"), col("ts"))
+      .as[BandMemberT]
+
+    def bandEq(a: Array[Long], b: Array[Long], band: Int): Boolean = {
+      var i = band * r
+      val end = (band + 1) * r
+      while (i < end) { if (a(i) != b(i)) return false; i += 1 }
+      true
+    }
+    def firstCollidingBand(a: Array[Long], b: Array[Long]): Int = {
+      var band = 0
+      while (band < bands) { if (bandEq(a, b, band)) return band; band += 1 }
+      -1
+    }
+    def sharedCount(a: Array[Long], b: Array[Long]): Long = {
+      var (i, j, n) = (0, 0, 0L)
+      while (i < a.length && j < b.length) {
+        if (a(i) == b(j)) { n += 1; i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1
+        else j += 1
+      }
+      n
+    }
+    // re-arm the group's wake-up at the EARLIEST member expiry (must
+    // land strictly past the current watermark per the state contract)
+    def rearm(state: GroupState[List[BandMemberT]],
+              kept: List[BandMemberT], wm: Long): Unit =
+      if (kept.isEmpty) state.remove()
+      else {
+        state.update(kept)
+        state.setTimeoutTimestamp(
+          math.max(kept.map(_.ms + horizonMillis).min, wm + 1))
+      }
+
+    banded
+      .groupByKey(m => (m.band, m.bh))
+      .flatMapGroupsWithState[List[BandMemberT], NearDupPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, Long), rows: Iterator[BandMemberT],
+         state: GroupState[List[BandMemberT]]) =>
+          val wm = state.getCurrentWatermarkMs()
+          if (state.hasTimedOut) {
+            // age out members past the horizon; keep (and re-arm) the rest
+            rearm(state, state.getOption.getOrElse(Nil)
+              .filter(_.ms + horizonMillis >= wm), wm)
+            Iterator.empty
+          } else {
+            val prior = state.getOption.getOrElse(Nil)
+              .filter(_.ms + horizonMillis >= wm)
+            val fresh = rows.toSeq.sortBy(m => (m.ms, m.doc_id)).toList
+            val out = Seq.newBuilder[NearDupPair]
+            var seen = prior
+            fresh.foreach { nw =>
+              seen.foreach { m =>
+                if (m.doc_id != nw.doc_id
+                    && math.abs(nw.ms - m.ms) <= horizonMillis
+                    && firstCollidingBand(m.sig, nw.sig) == key._1) {
+                  val (a, b) =
+                    if (m.doc_id < nw.doc_id) (m, nw) else (nw, m)
+                  val shared = sharedCount(a.shs, b.shs)
+                  val union = a.shs.length.toLong + b.shs.length - shared
+                  val jac = shared.toDouble / union
+                  if (jac >= threshold)
+                    out += NearDupPair(a.doc_id, b.doc_id, shared, jac)
+                }
+              }
+              seen = nw :: seen
+            }
+            rearm(state, seen.filter(_.ms + horizonMillis >= wm), wm)
+            out.result().iterator
+          }
       }
   }
 

@@ -886,15 +886,51 @@ class DeltaProtocolSpec extends AnyFunSuite {
     val c = java.nio.file.Files.readString(
       Paths.get(dir, "_delta_log", f"$v%020d.json"))
     assert(!c.contains("\"dataChange\":true"))
-    // refusal gates: arity and non-numeric dimensions
+    // refusal gates: arity-1 and unknown dimensions
     val e = intercept[IllegalArgumentException] {
       DeltaWrite.optimize(spark, dir, zorderBy = Seq("x"))
     }
-    assert(e.getMessage.contains("exactly two dimensions"))
+    assert(e.getMessage.contains("at least two dimensions"))
     val e2 = intercept[IllegalArgumentException] {
-      DeltaWrite.optimize(spark, tmp2(), zorderBy = Seq("k", "name"))
+      DeltaWrite.optimize(spark, tmp2(), zorderBy = Seq("k", "nope"))
     }
-    assert(e2.getMessage.contains("NUMERIC"), e2.getMessage)
+    assert(e2.getMessage.contains("nope"), e2.getMessage)
+  }
+
+  test("optimize zorderBy arity-3 incl. a string dimension: every dim prunes") {
+    import graft.sources.DeltaWrite
+    val dir = tmp()
+    // 16×16×16 cube: x/y/z vary independently; s is z's zero-padded
+    // string rendering, so string-prefix scaling sees ordered prefixes
+    val df = spark.range(0, 4096).selectExpr("id AS k",
+      "CAST(id % 16 AS INT) AS x",
+      "CAST((id div 16) % 16 AS INT) AS y",
+      "concat('s', lpad(CAST(id div 256 AS STRING), 2, '0')) AS s")
+    DeltaWrite.create(df.repartition(4), dir) // hash split: no dim prunes
+    val pre = DeltaRead.read(spark, dir).collect().toSet
+    val (t0, k0) = DeltaRead.pruneReport(spark, dir, "x >= 12")
+    assert(t0 == 4 && k0 == 4, s"pre-optimize x must not prune: $k0/$t0")
+    // enough z-range bins that the range cuts reach ALL THREE dims'
+    // top bits (4 bins would cut only the two most-significant
+    // dimensions of the 48-bit key)
+    val v = DeltaWrite.optimize(spark, dir, targetBytes = 512,
+      zorderBy = Seq("x", "y", "s"))
+    assert(DeltaRead.read(spark, dir).collect().toSet == pre,
+      "zorder rewrite must preserve the rows exactly")
+    assert(DeltaRead.read(spark, dir, v - 1).collect().toSet == pre)
+    // 1-of-N-ish opens on EVERY participating dimension
+    val (t1, k1) = DeltaRead.pruneReport(spark, dir, "x >= 12")
+    assert(t1 >= 4 && k1 * 2 <= t1 + 2,
+      s"x-range must prune post-zorder3: $k1 of $t1")
+    val (t2, k2) = DeltaRead.pruneReport(spark, dir, "y >= 12")
+    assert(k2 * 2 <= t2 + 2, s"y-range must prune post-zorder3: $k2 of $t2")
+    val (t3, k3) = DeltaRead.pruneReport(spark, dir, "s >= 's12'")
+    assert(k3 * 2 <= t3 + 2,
+      s"string-range must prune post-zorder3: $k3 of $t3")
+    // still a pure reorganization
+    val c = java.nio.file.Files.readString(
+      Paths.get(dir, "_delta_log", f"$v%020d.json"))
+    assert(!c.contains("\"dataChange\":true"))
   }
 
   private def tmp2(): String = {

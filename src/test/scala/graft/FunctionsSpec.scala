@@ -168,6 +168,56 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.forall(row => row.getLong(2) == ref(row.getInt(0), row.getInt(1))))
   }
 
+  test("zorderN: arity-2 equals zorder2 bit for bit; N-dim fuzz vs bit-loop reference; null propagates") {
+    import graft.functions.Layout
+    def refN(cs: Array[Int], bits: Int): Long = {
+      var z = 0L
+      for (b <- 0 until bits; d <- cs.indices)
+        z |= ((cs(d) >> b) & 1).toLong << (b * cs.length + d)
+      z
+    }
+    val rnd = new scala.util.Random(1337)
+    // arity-2 at 16 bits IS morton2 — the q87-pinned operating point
+    for (_ <- 0 until 5000) {
+      val x = rnd.nextInt() & 0xffff
+      val y = rnd.nextInt() & 0xffff
+      assert(Layout.mortonN(Array(x, y), 16) == Layout.morton2(x, y))
+    }
+    // N-dim fuzz at the curve's own bit budget, incl. monotonicity in
+    // one dim with the others fixed
+    for (n <- 3 to 6) {
+      val bits = Layout.bitsPerDim(n)
+      assert(n * bits <= 63, s"$n dims × $bits bits must fit a long")
+      for (_ <- 0 until 2000) {
+        val cs = Array.fill(n)(rnd.nextInt() & ((1 << bits) - 1))
+        assert(Layout.mortonN(cs, bits) == refN(cs, bits))
+      }
+      val fixed = Array.fill(n)(rnd.nextInt() & ((1 << bits) - 1))
+      for (_ <- 0 until 300) {
+        val a = rnd.nextInt() & ((1 << bits) - 1)
+        val b = rnd.nextInt() & ((1 << bits) - 1)
+        val ca = fixed.clone(); ca(0) = a
+        val cb = fixed.clone(); cb(0) = b
+        if (a < b) assert(Layout.mortonN(ca, bits) < Layout.mortonN(cb, bits))
+      }
+    }
+    // the Expression: eval parity with the reference + NULL propagation
+    import spark.implicits._
+    val df = Seq((1, 2, 3), (15, 0, 7)).toDF("a", "b", "c")
+      .select(functions.zorder_n(col("a"), col("b"), col("c")).as("z"),
+        col("a"), col("b"), col("c"))
+    df.collect().foreach { r =>
+      assert(r.getLong(0) == refN(
+        Array(r.getInt(1), r.getInt(2), r.getInt(3)),
+        Layout.bitsPerDim(3)))
+    }
+    val withNull = Seq((Some(1), Option.empty[Int], Some(3)))
+      .toDF("a", "b", "c")
+      .select(functions.zorder_n(col("a"), col("b"), col("c")).as("z"))
+      .collect()
+    assert(withNull.head.isNullAt(0), "a null dimension must yield NULL")
+  }
+
   test("m02 batch decode: deterministic, schema-typed, row-preserving") {
     val out = operators.Multimodal.decodeBatch(spark, sf)
     val n = Tables.documents(spark, sf).count()

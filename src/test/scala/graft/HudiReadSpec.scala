@@ -513,6 +513,60 @@ class HudiReadSpec extends AnyFunSuite {
       "merged-with-deletes read must equal the post-compaction read")
   }
 
+  test("MOR PARQUET_DATA_BLOCK: foreign parquet log blocks merge like avro blocks") {
+    // what a writer with hoodie.logfile.data.block.format=parquet
+    // produces: block content is one COMPLETE parquet file of payload
+    // records (self-describing — no SCHEMA header needed)
+    def parquetBlockContent(recs: Seq[(Long, String)]): Array[Byte] = {
+      val stage = Files.createTempDirectory("graft_hudi_pqblk").toString
+      spark.createDataFrame(recs).toDF("k", "v")
+        .selectExpr("CAST(k AS STRING) AS _hoodie_record_key", "k", "v")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.readAllBytes(part.toPath)
+    }
+    def parquetBlock(instant: String,
+                     recs: Seq[(Long, String)]): Array[Byte] =
+      block(5, Map(0 -> instant), parquetBlockContent(recs))
+    val dir = tmp()
+    Files.createDirectories(Paths.get(dir))
+    properties(dir, "MERGE_ON_READ")
+    val f1a = baseFile(dir, "f1", "001", rows(0, 2, "old"))
+    Files.writeString(Paths.get(dir, ".hoodie", "001.deltacommit"),
+      commitJson(Seq("f1" -> f1a)))
+    // deltacommit 002: a PARQUET block updates k=0 and inserts k=5
+    val log1 = ".f1_001.log.1_0-0-0"
+    writeLog(dir, log1, Seq(parquetBlock("002",
+      Seq(0L -> "pupd0", 5L -> "pins5"))))
+    Files.writeString(Paths.get(dir, ".hoodie", "002.deltacommit"),
+      commitJson(Seq("f1" -> log1)))
+    assert(kv(HudiRead.read(spark, dir))
+      == Map(0L -> "pupd0", 1L -> "old1", 5L -> "pins5"),
+      "parquet log block must merge last-write-wins onto the base")
+    // deltacommit 003: parquet and AVRO blocks interleave in ONE log
+    // file — arrival order wins across formats
+    val log2 = ".f1_001.log.2_0-0-0"
+    writeLog(dir, log2, Seq(
+      parquetBlock("003", Seq(0L -> "pupd0b")),
+      dataBlock("003", Seq(0L -> "aupd0c", 1L -> "aupd1"))))
+    Files.writeString(Paths.get(dir, ".hoodie", "003.deltacommit"),
+      commitJson(Seq("f1" -> log2)))
+    assert(kv(HudiRead.read(spark, dir))
+      == Map(0L -> "aupd0c", 1L -> "aupd1", 5L -> "pins5"),
+      "avro after parquet must win by arrival order")
+    // time travel between the writes replays exactly
+    assert(kv(HudiRead.read(spark, dir, asOf = "002"))
+      == Map(0L -> "pupd0", 1L -> "old1", 5L -> "pins5"))
+    // and the post-compaction read equals the merged view
+    val preCompaction = kv(HudiRead.read(spark, dir, asOf = "003"))
+    val f1b = baseFile(dir, "f1", "004", spark.createDataFrame(
+      preCompaction.toSeq.sortBy(_._1)).toDF("k", "v"))
+    Files.writeString(Paths.get(dir, ".hoodie", "004.commit"),
+      commitJson(Seq("f1" -> f1b)))
+    assert(kv(HudiRead.read(spark, dir)) == preCompaction)
+  }
+
   test("MOR merge is per FILE SLICE: a record key repeated across partitions never cross-merges") {
     val dir = tmp()
     Files.createDirectories(Paths.get(dir))

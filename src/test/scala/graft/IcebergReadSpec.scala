@@ -245,6 +245,147 @@ class IcebergReadSpec extends AnyFunSuite {
     assert(kept == 1)
   }
 
+  // ---- v3 deletion vectors (puffin-stored position deletes) -----------
+
+  private val dvFileSchema: Schema = SchemaBuilder.record("delete_file_dv")
+    .fields()
+    .requiredInt("content")
+    .requiredString("file_path")
+    .requiredString("file_format")
+    .requiredLong("record_count")
+    .requiredString("referenced_data_file")
+    .requiredLong("content_offset")
+    .requiredLong("content_size_in_bytes")
+    .endRecord()
+  private val dvEntrySchema: Schema = SchemaBuilder.record("del_entry_dv")
+    .fields()
+    .requiredInt("status")
+    .name("data_file").`type`(dvFileSchema).noDefault()
+    .endRecord()
+  private def dvEntry(puffin: String, fmt: String, referenced: String,
+                      off: Long, len: Long, rows: Long): GenericRecord = {
+    val df = new GenericData.Record(dvFileSchema)
+    df.put("content", Int.box(1))
+    df.put("file_path", puffin)
+    df.put("file_format", fmt)
+    df.put("record_count", Long.box(rows))
+    df.put("referenced_data_file", referenced)
+    df.put("content_offset", Long.box(off))
+    df.put("content_size_in_bytes", Long.box(len))
+    val e = new GenericData.Record(dvEntrySchema)
+    e.put("status", Int.box(1))
+    e.put("data_file", df)
+    e
+  }
+
+  /** Portable 64-bit roaring serialization of 32-bit positions: LE
+    * 8-byte bitmap count, 4-byte high key, standard 32-bit roaring.
+    */
+  private def portable64(ps: Seq[Int]): Array[Byte] = {
+    val rb = new org.roaringbitmap.RoaringBitmap()
+    ps.foreach(rb.add)
+    val bos = new java.io.ByteArrayOutputStream()
+    rb.serialize(new java.io.DataOutputStream(bos))
+    val body = bos.toByteArray
+    val bb = java.nio.ByteBuffer.allocate(12 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(1L); bb.putInt(0); bb.put(body)
+    bb.array()
+  }
+
+  /** The spec's deletion-vector-v1 blob: BE combined length of
+    * magic+vector, magic D1 D3 39 64, the vector, BE CRC-32 of
+    * magic+vector.
+    */
+  private def dvBlob(vec: Array[Byte]): Array[Byte] = {
+    val magic =
+      Array(0xD1.toByte, 0xD3.toByte, 0x39.toByte, 0x64.toByte)
+    val crc = new java.util.zip.CRC32()
+    crc.update(magic); crc.update(vec)
+    val bb = java.nio.ByteBuffer.allocate(12 + vec.length) // big-endian
+    bb.putInt(4 + vec.length); bb.put(magic); bb.put(vec)
+    bb.putInt(crc.getValue.toInt)
+    bb.array()
+  }
+
+  /** Minimal spec-shaped puffin file: magic, the blob, footer (magic +
+    * json payload + LE payload size + flags + magic). Returns the
+    * blob's offset.
+    */
+  private def puffinFile(dir: String, name: String,
+                         blob: Array[Byte]): Long = {
+    val magic = "PFA1".getBytes("UTF-8")
+    val payload = (s"""{"blobs":[{"type":"deletion-vector-v1",""" +
+      s""""fields":[],"snapshot-id":200,"sequence-number":1,""" +
+      s""""offset":4,"length":${blob.length}}],"properties":{}}""")
+      .getBytes("UTF-8")
+    val bb = java.nio.ByteBuffer.allocate(
+      4 + blob.length + 4 + payload.length + 8 + 4)
+    bb.put(magic); bb.put(blob)
+    bb.put(magic); bb.put(payload)
+    val tail = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tail.putInt(payload.length); tail.putInt(0); tail.flip()
+    bb.put(tail); bb.put(magic)
+    val target = Paths.get(dir, name)
+    Files.createDirectories(target.getParent)
+    Files.write(target, bb.array())
+    4L
+  }
+
+  test("v3 puffin deletion vectors: blob-masked rows vanish; corrupt magic and foreign formats refuse") {
+    val dir = buildTable()
+    // mask positions 0,1,2 of f0 (k=0,1,2) via ONE puffin DV blob
+    val blob = dvBlob(portable64(Seq(0, 1, 2)))
+    val off = puffinFile(dir, "data/dv0.puffin", blob)
+    writeAvro(s"$dir/metadata/dmv.avro", dvEntrySchema, Seq(
+      dvEntry("data/dv0.puffin", "PUFFIN", "data/f0.parquet",
+        off, blob.length.toLong, 3)))
+    writeAvro(s"$dir/metadata/ml-200.avro", manifestListSchema, Seq(
+      manifestListRow("metadata/m1.avro", 0),
+      manifestListRow("metadata/dmv.avro", 1)))
+    val cur = IcebergRead.read(spark, dir)
+    assert(cur.count() == 97, s"got ${cur.count()}")
+    val ks = cur.select("k").collect().map(_.getLong(0)).toSet
+    assert(Set(0L, 1L, 2L).forall(!ks.contains(_)) && ks.contains(3L),
+      "the DV must mask exactly its positions")
+    // old snapshot (no delete manifest) intact; pruning composes
+    assert(IcebergRead.read(spark, dir, snapshotId = 100).count() == 100)
+    assert(IcebergRead.readWhere(spark, dir, "k < 50").count() == 47)
+    // DVs compose with classic parquet position deletes in one snapshot
+    posDeleteFile(dir, "data/delx.parquet", Seq(("data/f2.parquet", 0L)))
+    writeAvro(s"$dir/metadata/dmx.avro", delEntrySchema,
+      Seq(delEntry(1, "data/delx.parquet", 1)))
+    writeAvro(s"$dir/metadata/ml-200.avro", manifestListSchema, Seq(
+      manifestListRow("metadata/m1.avro", 0),
+      manifestListRow("metadata/dmv.avro", 1),
+      manifestListRow("metadata/dmx.avro", 1)))
+    val both = IcebergRead.read(spark, dir)
+    assert(both.count() == 96)
+    assert(!both.select("k").collect().map(_.getLong(0)).toSet
+      .contains(100L), "parquet position delete must compose with DVs")
+    // refusal: a corrupted blob magic must refuse, never serve a
+    // partial mask
+    val corrupt = blob.clone(); corrupt(4) = 0x00
+    puffinFile(dir, "data/dv_bad.puffin", corrupt)
+    writeAvro(s"$dir/metadata/dmv.avro", dvEntrySchema, Seq(
+      dvEntry("data/dv_bad.puffin", "PUFFIN", "data/f0.parquet",
+        off, corrupt.length.toLong, 3)))
+    val e = intercept[Exception] { IcebergRead.read(spark, dir).count() }
+    def msgHas(t: Throwable, s: String): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains(s)) ||
+        msgHas(t.getCause, s))
+    assert(msgHas(e, "D1D33964"), s"got: ${e.getMessage}")
+    // refusal: an unknown position-delete file format
+    writeAvro(s"$dir/metadata/dmv.avro", dvEntrySchema, Seq(
+      dvEntry("data/dv0.puffin", "ORC", "data/f0.parquet",
+        off, blob.length.toLong, 3)))
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergRead.read(spark, dir)
+    }
+    assert(e2.getMessage.contains("ORC"), e2.getMessage)
+  }
+
   test("equality deletes without equality_ids refuse; unknown content ids refuse") {
     val dir = buildTable()
     posDeleteFile(dir, "data/del1.parquet", Seq(("data/f0.parquet", 0L)))

@@ -171,6 +171,87 @@ class StreamingSpec extends AnyFunSuite {
     api.GraftOps.releaseCaches(); spark.catalog.clearCache()
   }
 
+  test("bounded near-dup: horizon-windowed pairs equal batch; stale bucket members age out") {
+    // three arrival waves: near-dups WITHIN the 30-minute horizon must
+    // pair, a textual near-dup arriving 2 hours later must NOT — and
+    // once the watermark passes wave-1's horizon the state store
+    // shrinks (EventTimeTimeout eviction, the sessionize discipline)
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_nddstream").toString
+    def words(seed: Int, n: Int): String =
+      (0 until n).map(i => s"w${(i * 2654435761L + seed) % 97}")
+        .mkString(" ")
+    val base = words(0, 40)
+    val tweak = base.split(" ").updated(5, "CHANGED").mkString(" ")
+    val tweak2 = base.split(" ").updated(9, "OTHER").mkString(" ")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(minutes: Int) =
+      new java.sql.Timestamp(t0.getTime + minutes * 60000L)
+    val wave1 = Seq((1L, base, at(0)), (2L, tweak, at(1)),
+      (3L, words(500, 40), at(2)), (4L, words(900, 40), at(3)))
+    val wave2 = Seq((5L, tweak2, at(10)), (6L, words(1300, 40), at(11)))
+    val wave3 = Seq((7L, base.split(" ").updated(2, "LATE").mkString(" "),
+      at(120)), (8L, words(1700, 40), at(121)))
+    def write(wave: Seq[(Long, String, java.sql.Timestamp)], n: Int): Unit =
+      wave.toDF("doc_id", "text", "ts").coalesce(1)
+        .write.mode("append").parquet(s"$dir/docs")
+    write(wave1, 1)
+    val horizonMs = 30L * 60000
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/docs")
+    val q = streaming.StreamOps.nearDupPairsBoundedStream(
+        src, "doc_id", "text", "ts", horizonMs,
+        watermarkDelay = "0 seconds", threshold = 0.5)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ndd_out").start()
+    try {
+      q.processAllAvailable()
+      write(wave2, 2); q.processAllAvailable()
+      write(wave3, 3); q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e12))
+    val got = spark.table("ndd_out")
+      .select("id_a", "id_b", "shared", "jaccard")
+      .collect().map(key).toSet
+    // batch oracle: jaccardJoinBanded restricted to the horizon window
+    val all = (wave1 ++ wave2 ++ wave3).toDF("doc_id", "text", "ts")
+    val ts = all.select("doc_id", "ts").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    val want = api.GraftOps.jaccardJoinBanded(
+        all, col("doc_id"), col("text"), 0.5)
+      .select("id_a", "id_b", "shared", "jaccard")
+      .collect().map(key)
+      .filter(p => math.abs(ts(p._1) - ts(p._2)) <= horizonMs).toSet
+    assert(want.nonEmpty, "fixture must contain in-horizon pairs")
+    assert(want.exists(p => p._1 == 1L && p._2 == 5L),
+      "cross-wave in-horizon pair (1,5) must be in the oracle")
+    // and the out-of-horizon textual near-dup is NOT a pair
+    assert(!got.exists(p => p._2 == 7L && p._1 <= 2L),
+      "a near-dup arriving past the horizon must not pair")
+    assert(got == want,
+      s"stream != horizon-batch: only-stream=${(got -- want).take(3)} " +
+        s"only-batch=${(want -- got).take(3)}")
+    // eviction observable in the state store: the final progress holds
+    // fewer state rows than the high-water mark (wave-1/2 groups aged
+    // out once the watermark passed their horizon)
+    val rows = q.recentProgress.toSeq
+      .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+      .map(_.numRowsTotal)
+    assert(rows.nonEmpty && rows.last < rows.max,
+      s"state must shrink after eviction: $rows")
+    api.GraftOps.releaseCaches(); spark.catalog.clearCache()
+  }
+
   test("KMV sketch aggregates incrementally: streaming windows equal batch") {
     val q = streaming.StreamOps.sketchedDistinct(spark, sf)
       .writeStream.outputMode("append").format("memory")
@@ -312,6 +393,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(SnapshotTable.latestVersion(spark, table) == vAfter)
     val got2 = SnapshotTable.read(spark, table)
     assert(got2.exceptAll(want).isEmpty && want.exceptAll(got2).isEmpty)
+  }
+
+  test("CDC fan-out: one stream into SnapshotTable + Delta + Hudi, wiped-checkpoint replay bit-identical on all three") {
+    import graft.sources.{DeltaWrite, HudiRead, HudiWrite, SnapshotTable}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_fanout").toString
+    val (snapT, deltaT, hudiT) =
+      (s"$base/snap", s"$base/delta", s"$base/hudi")
+    val seed = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, last_type STRING, last_ts_us BIGINT, " +
+          "last_value DOUBLE"))
+    SnapshotTable.create(seed, snapT)
+    DeltaWrite.create(seed, deltaT)
+    HudiWrite.create(seed, hudiT, "user_id", "", "MERGE_ON_READ")
+
+    val q1 = streaming.StreamOps.cdcFanoutStream(spark, sf, snapT,
+      deltaT, hudiT, s"$base/ckpt1", "fanout-e2e")
+    try q1.awaitTermination() finally q1.stop()
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val want = Tables.events(spark, sf)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .select(col("user_id"), col("event_type").as("last_type"),
+        expr("unix_micros(ts)").as("last_ts_us"),
+        col("value").as("last_value"))
+    val ordered = Seq("user_id", "last_type", "last_ts_us", "last_value")
+    def same(df: org.apache.spark.sql.DataFrame, leg: String): Unit = {
+      val g = df.select(ordered.map(col): _*)
+      assert(g.count() == want.count() && g.count() > 0, leg)
+      assert(g.exceptAll(want).isEmpty && want.exceptAll(g).isEmpty,
+        s"$leg diverged from the batch latest-per-user oracle")
+    }
+    same(SnapshotTable.read(spark, snapT), "snapshot")
+    same(sources.DeltaRead.read(spark, deltaT), "delta")
+    same(HudiRead.read(spark, hudiT), "hudi")
+    val (vSnap, vDelta) = (SnapshotTable.latestVersion(spark, snapT),
+      sources.DeltaRead.latestVersion(spark, deltaT))
+    val hudiInstants = new java.io.File(hudiT, ".hoodie").listFiles()
+      .map(_.getName).filter(_.endsWith(".deltacommit")).sorted.toSeq
+
+    // wiped checkpoint: every batch replays — EACH leg's own
+    // transaction watermark must detect and skip, leaving all three
+    // tables (and their timelines) untouched
+    val q2 = streaming.StreamOps.cdcFanoutStream(spark, sf, snapT,
+      deltaT, hudiT, s"$base/ckpt2", "fanout-e2e")
+    try q2.awaitTermination() finally q2.stop()
+    assert(SnapshotTable.latestVersion(spark, snapT) == vSnap,
+      "snapshot leg must not re-apply replayed batches")
+    assert(sources.DeltaRead.latestVersion(spark, deltaT) == vDelta,
+      "delta leg must not re-apply replayed batches")
+    assert(new java.io.File(hudiT, ".hoodie").listFiles()
+      .map(_.getName).filter(_.endsWith(".deltacommit")).sorted.toSeq
+      == hudiInstants, "hudi leg must not re-apply replayed batches")
+    same(SnapshotTable.read(spark, snapT), "snapshot-replay")
+    same(sources.DeltaRead.read(spark, deltaT), "delta-replay")
+    same(HudiRead.read(spark, hudiT), "hudi-replay")
   }
 
   test("streaming CDC apply with DELETES: tombstones land atomically, exactly-once") {

@@ -301,5 +301,28 @@ class SurveyConsistencySpec extends AnyFunSuite {
     assert(hasMethod("graft.streaming.StreamOps$", "hudiUpsertStreamOf") ==
       srcSection.contains("hudiUpsertStreamOf"),
       "general MOR sink claim and code marker disagree")
+    // round-13 additions
+    assert(hasMethod("graft.streaming.StreamOps$",
+      "nearDupPairsBoundedStream") ==
+      wholeDoc.exists(_.contains("nearDupPairsBoundedStream")),
+      "bounded streaming near-dup claim and code marker disagree")
+    assert(hasMethod("graft.sources.DeltaRead$", "dvUid") ==
+      srcSection.contains("(path, dvUniqueId)"),
+      "keyed DV tombstone claim and code marker disagree")
+    assert(hasClass("graft.functions.ZOrderN") ==
+      srcSection.contains("ARITY-N WITH STRING DIMENSIONS"),
+      "arity-N zorder claim and code marker disagree")
+    assert(hasMethod("graft.sources.HudiRead$", "decodeParquetBlock") ==
+      srcSection.contains("PARQUET_DATA_BLOCKs decode too"),
+      "Hudi parquet log block claim and code marker disagree")
+    assert(hasMethod("graft.sources.IcebergRead$", "decodePuffinDv") ==
+      srcSection.contains("DELETION VECTORS, read side"),
+      "Iceberg puffin DV claim and code marker disagree")
+    assert(hasMethod("graft.streaming.StreamOps$", "cdcFanoutStream") ==
+      srcSection.contains("THREE-LEG CDC FAN-OUT"),
+      "CDC fan-out claim and code marker disagree")
+    assert(hasMethod("graft.sources.DeltaWrite$", "upsertBatch") ==
+      srcSection.contains("DeltaWrite.upsertBatch"),
+      "Delta upsertBatch claim and code marker disagree")
   }
 }

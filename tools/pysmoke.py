@@ -419,6 +419,15 @@ graft.delta_append_batch(
 graft.delta_append_batch(
     spark, spark.range(70, 75).selectExpr("id AS k"), dw_dir, "pyjob", 0)
 assert graft.delta_read(spark, dw_dir).count() == 41
+# round 13: exactly-once batch UPSERT (the CDC-mirror foreachBatch verb)
+graft.delta_upsert_batch(
+    spark, spark.sql("SELECT CAST(70 AS BIGINT) AS k"),
+    dw_dir, ["k"], "pyjob", 1)
+graft.delta_upsert_batch(
+    spark, spark.sql("SELECT CAST(7000 AS BIGINT) AS k"),
+    dw_dir, ["k"], "pyjob", 1)  # replayed id: detected no-op
+assert graft.delta_read(spark, dw_dir).count() == 41
+assert graft.delta_read(spark, dw_dir).where("k = 7000").count() == 0
 graft.delta_append(spark, spark.range(100, 110).selectExpr(
     "id AS k", "id * 2 AS score"), dw_dir, merge_schema=True)
 evolved = graft.delta_read(spark, dw_dir)
