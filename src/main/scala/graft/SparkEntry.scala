@@ -27,7 +27,7 @@ object SparkEntry {
       operators.TextAnalysis5.queries ++ operators.TextAnalysis6.queries ++
       operators.TextAnalysis7.queries ++ operators.TextAnalysis8.queries ++
       operators.TextAnalysis9.queries ++ operators.TextAnalysis10.queries ++
-      operators.TextAnalysis11.queries ++
+      operators.TextAnalysis11.queries ++ operators.TextAnalysis12.queries ++
       operators.Graph.queries ++ operators.Graph2.queries ++
       operators.Multimodal2.queries ++ operators.Multimodal3.queries ++
       operators.Events.queries ++ operators.Events2.queries ++
@@ -58,7 +58,7 @@ object SparkEntry {
       operators.TextAnalysis5.oracles ++ operators.TextAnalysis6.oracles ++
       operators.TextAnalysis7.oracles ++ operators.TextAnalysis8.oracles ++
       operators.TextAnalysis9.oracles ++ operators.TextAnalysis10.oracles ++
-      operators.TextAnalysis11.oracles ++
+      operators.TextAnalysis11.oracles ++ operators.TextAnalysis12.oracles ++
       operators.Graph.oracles ++ operators.Graph2.oracles ++
       operators.Multimodal2.oracles ++ operators.Multimodal3.oracles ++
       operators.Events.oracles ++ operators.Events2.oracles ++

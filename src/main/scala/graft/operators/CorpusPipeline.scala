@@ -1136,7 +1136,51 @@ object CorpusPipeline {
             JOIN s1 ON r1.source = s1.source
       ORDER BY r1.lang, r1.source"""
 
+  // ---- p20: dedup shrinkage per source ----
+  // The number a mixture planner needs BEFORE trusting any source
+  // weight: how much of each source survives exact dedup, and how the
+  // corpus shares SHIFT once duplicates collapse (a source that is 40%
+  // self-copies claims a pre-dedup share it never delivers in unique
+  // tokens). One pass: per-source raw and distinct-payload counts
+  // (md5 of normalized text — the d01 key), totals via a broadcast
+  // one-row frame, exact integer counts, rounded IEEE divisions only
+  // at the end. At 100 TB the distinct count is the same hash-groupBy
+  // d01 pays; nothing here adds a fact-scale stage.
+  val p20_dedup_shrinkage: Q = (s, d) => {
+    val per = Tables.documents(s, d)
+      .select(col("source"), md5(lower(col("text"))).as("h"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_raw"),
+        countDistinct(col("h")).as("n_unique"))
+    val tot = per.agg(sum("n_raw").as("tot_raw"),
+      sum("n_unique").as("tot_unique"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_raw"), col("n_unique"),
+        round(lit(1.0) - col("n_unique").cast("double")
+          / col("n_raw").cast("double"), 9).as("shrinkage"),
+        round(col("n_raw").cast("double")
+          / col("tot_raw").cast("double"), 9).as("share_before"),
+        round(col("n_unique").cast("double")
+          / col("tot_unique").cast("double"), 9).as("share_after"))
+      .orderBy("source")
+  }
+  val p20Sql: String =
+    """WITH per AS (SELECT source, count(*) AS n_raw,
+                 count(DISTINCT md5(lower(text))) AS n_unique
+          FROM documents GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_raw) AS BIGINT) AS tot_raw,
+                     CAST(sum(n_unique) AS BIGINT) AS tot_unique FROM per)
+      SELECT source, n_raw, n_unique,
+             round(1.0 - CAST(n_unique AS DOUBLE)
+                   / CAST(n_raw AS DOUBLE), 9) AS shrinkage,
+             round(CAST(n_raw AS DOUBLE)
+                   / CAST(tot_raw AS DOUBLE), 9) AS share_before,
+             round(CAST(n_unique AS DOUBLE)
+                   / CAST(tot_unique AS DOUBLE), 9) AS share_after
+      FROM per, tot ORDER BY source"""
+
   val queries: Map[String, Q] = Map(
+    "p20_dedup_shrinkage"  -> p20_dedup_shrinkage,
     "p19_raking"           -> p19_raking,
     "p18_epoch_allocation" -> p18_epoch_allocation,
     "p17_budget_allocation" -> p17_budget_allocation,
@@ -1155,6 +1199,7 @@ object CorpusPipeline {
     "p08_canary_compare"   -> p08_canary_compare,
     "p09_temperature_mix"  -> p09_temperature_mix)
   val oracles: Map[String, String] = Map(
+    "p20_dedup_shrinkage"  -> p20Sql,
     "p19_raking"           -> p19Sql,
     "p18_epoch_allocation" -> p18Sql,
     "p17_budget_allocation" -> p17Sql,

@@ -625,6 +625,68 @@ object Graph2 {
         END AS phi
       FROM nk LEFT JOIN ek ON nk.k = ek.k ORDER BY k"""
 
+  // ---- g19: ego-network density of the top hubs ----
+  // Local clustering around the HIGHEST-degree nodes — the
+  // hub-cohesion question g03's single global coefficient can't
+  // answer: is a hub the center of one tight community (dense ego) or
+  // a bridge gluing unrelated neighborhoods (sparse ego)? Plan shape:
+  // degrees on the aggregated edge table, a DRIVER-BOUNDED top-25 hub
+  // pick (deterministic ties: deg DESC, node ASC), hub neighbor sets
+  // via broadcast semi-joins, then ego edges = one edge-table pass
+  // joined against the (hub, neighbor) membership on BOTH endpoints —
+  // cost ≤ edges × hub-memberships, bounded by k·maxdeg, never graph².
+  // Exact BIGINT counts, ONE rounded IEEE division per hub.
+  val g19_ego_density: Q = (s, d) => {
+    val edges = Graph.copurchaseEdges(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.select(col("a").as("n"))
+      .unionAll(edges.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val hubs = deg.orderBy(col("deg").desc, col("n").asc).limit(25)
+    val nbr = edges.join(broadcast(hubs.select(col("n").as("a"))), "a")
+      .select(col("a").as("hub"), col("b").as("nb"))
+      .unionAll(
+        edges.join(broadcast(hubs.select(col("n").as("b"))), "b")
+          .select(col("b").as("hub"), col("a").as("nb")))
+    val ego = edges
+      .join(nbr.select(col("hub"), col("nb").as("a")), "a")
+      .join(nbr.select(col("hub").as("hub2"), col("nb").as("b")), "b")
+      .filter(col("hub") === col("hub2"))
+      .groupBy("hub").agg(count(lit(1)).as("ego_edges"))
+    hubs.join(ego.withColumnRenamed("hub", "n"), Seq("n"), "left")
+      .select(col("n").as("hub"), col("deg"),
+        coalesce(col("ego_edges"), lit(0L)).as("ego_edges"))
+      .withColumn("density", when(col("deg") < 2, lit(0.0))
+        .otherwise(round(lit(2.0) * col("ego_edges").cast("double")
+          / (col("deg") * (col("deg") - 1)).cast("double"), 9)))
+      .orderBy("hub")
+  }
+  val g19Sql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                 FROM lineitem),
+      e AS (SELECT x.pk AS a, y.pk AS b
+            FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      dg AS (SELECT n, COUNT(*) AS deg FROM (
+               SELECT a AS n FROM e UNION ALL SELECT b FROM e) u
+             GROUP BY 1),
+      hubs AS (SELECT n, deg FROM dg ORDER BY deg DESC, n LIMIT 25),
+      nbr AS (SELECT h.n AS hub, e.b AS nb FROM e JOIN hubs h ON e.a = h.n
+              UNION ALL
+              SELECT h.n AS hub, e.a AS nb FROM e JOIN hubs h ON e.b = h.n),
+      ego AS (SELECT nu.hub, COUNT(*) AS ego_edges
+              FROM e JOIN nbr nu ON e.a = nu.nb
+                     JOIN nbr nv ON e.b = nv.nb AND nv.hub = nu.hub
+              GROUP BY 1)
+      SELECT h.n AS hub, h.deg,
+             CAST(COALESCE(ego.ego_edges, 0) AS BIGINT) AS ego_edges,
+             CASE WHEN h.deg < 2 THEN 0.0
+                  ELSE round(2.0 * CAST(COALESCE(ego.ego_edges, 0) AS DOUBLE)
+                    / CAST(h.deg * (h.deg - 1) AS DOUBLE), 9)
+             END AS density
+      FROM hubs h LEFT JOIN ego ON ego.hub = h.n
+      ORDER BY hub"""
+
   val queries: Map[String, Q] = Map(
     "g11_hits"       -> g11_hits,
     "g12_kcore"      -> g12_kcore,
@@ -634,6 +696,7 @@ object Graph2 {
     "g16_shortest_paths" -> g16_shortest_paths,
     "g17_closeness"  -> g17_closeness,
     "g18_rich_club"  -> g18_rich_club,
+    "g19_ego_density" -> g19_ego_density,
   )
   val oracles: Map[String, String] = Map(
     "g18_rich_club"  -> g18Sql,
@@ -644,5 +707,6 @@ object Graph2 {
     "g15_dyad_census" -> g15Sql,
     "g16_shortest_paths" -> g16Sql,
     "g17_closeness"  -> g17Sql,
+    "g19_ego_density" -> g19Sql,
   )
 }

@@ -46,6 +46,38 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("round-13 operators: novelty curve, ego density, dedup shrinkage hold their invariants") {
+    // t46: buckets are 0-9, novelty in [0,1], and the FIRST arrival
+    // bucket is the most novel (first docs can only introduce grams)
+    val t46 = operators.TextAnalysis12.t46_prefix_novelty(spark, sf)
+      .collect()
+    assert(t46.nonEmpty && t46.forall { r =>
+      val b = r.getLong(0); val nov = r.getDouble(4)
+      b >= 0 && b <= 9 && nov >= 0.0 && nov <= 1.0 &&
+        r.getLong(2) <= r.getLong(3) // new <= total
+    })
+    val byBucket = t46.map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(byBucket(0L) >= byBucket.values.min &&
+      byBucket(0L) == byBucket.values.max,
+      s"bucket 0 must be the most novel: $byBucket")
+    // g19: 25 hubs, density in [0,1], ego edges bounded by deg choose 2
+    val g19 = operators.Graph2.g19_ego_density(spark, sf).collect()
+    assert(g19.length == 25)
+    assert(g19.forall { r =>
+      val deg = r.getLong(1); val ego = r.getLong(2)
+      val den = r.getDouble(3)
+      ego <= deg * (deg - 1) / 2 && den >= 0.0 && den <= 1.0
+    })
+    // p20: shares each sum to 1 (6dp), unique <= raw
+    val p20 = operators.CorpusPipeline.p20_dedup_shrinkage(spark, sf)
+      .collect()
+    assert(p20.nonEmpty && p20.forall(r => r.getLong(2) <= r.getLong(1)))
+    def sums(i: Int) = math.round(p20.map(_.getDouble(i)).sum * 1e6)
+    assert(sums(4) == 1000000L && sums(5) == 1000000L,
+      s"shares must sum to 1: before=${sums(4)} after=${sums(5)}")
+    api.GraftOps.releaseCaches(); spark.catalog.clearCache()
+  }
+
   test("p01 corpus pipeline output is a subset of input docs") {
     val out = operators.CorpusPipeline.p01_corpus_clean(spark, sf)
     val n = out.count()
