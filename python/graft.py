@@ -686,6 +686,15 @@ def iceberg_changes(spark, path, from_snapshot_id, to_snapshot_id):
     return _wrap(spark, jdf)
 
 
+def iceberg_delete_dv(spark, path, predicate):
+    """DELETE rows matching the SQL predicate by authoring Iceberg v3
+    DELETION VECTORS (puffin-stored roaring masks, one blob per
+    affected data file; a re-mask replaces the file's DV per the v3
+    at-most-one rule). No data files are rewritten."""
+    return _jvm(spark).graft.sources.IcebergWrite.deleteDv(
+        spark._jsparkSession, path, predicate)
+
+
 def iceberg_delete_keys(spark, df, path, keys):
     """Pure equality-delete snapshot (the forget-queue shape): one
     content=2 delete file of the key tuples at a fresh sequence — no

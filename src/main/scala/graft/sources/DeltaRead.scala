@@ -1404,6 +1404,21 @@ object DeltaRead {
     */
   private[graft] def roaringSerializeBitmaps(
       byKey: Seq[(Int, org.roaringbitmap.RoaringBitmap)]): Array[Byte] = {
+    val body = roaringSerializeBitmaps64(byKey)
+    val bb = java.nio.ByteBuffer.allocate(4 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(1681511377)
+    bb.put(body)
+    bb.array()
+  }
+
+  /** Magic-less portable 64-bit roaring body (LE bitmap count, 4-byte
+    * key + standard 32-bit roaring per bitmap) — what Delta wraps with
+    * its RoaringBitmapArray magic above and Iceberg v3 puffin DV blobs
+    * carry bare (their framing magic is the blob's own).
+    */
+  private[graft] def roaringSerializeBitmaps64(
+      byKey: Seq[(Int, org.roaringbitmap.RoaringBitmap)]): Array[Byte] = {
     val bitmaps = byKey.map { case (k, rb) =>
       rb.runOptimize()
       // RoaringBitmap's DataOutput serializer emits the portable
@@ -1414,9 +1429,8 @@ object DeltaRead {
       (k, bos.toByteArray)
     }
     val bb = java.nio.ByteBuffer
-      .allocate(12 + bitmaps.map(4 + _._2.length).sum)
+      .allocate(8 + bitmaps.map(4 + _._2.length).sum)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.putInt(1681511377)
     bb.putLong(bitmaps.size.toLong)
     bitmaps.foreach { case (k, b) => bb.putInt(k); bb.put(b) }
     bb.array()

@@ -363,6 +363,14 @@ object IcebergRead {
         }
       }
     }
+    // v3: AT MOST ONE deletion vector per data file per snapshot — a
+    // stacked pair is a writer bug (the spec's replacement rule) and
+    // silently unioning it would mask the violation
+    val dvDup = dvRefs.groupBy(_.referencedFile).filter(_._2.size > 1)
+    require(dvDup.isEmpty,
+      s"$path: data file(s) ${dvDup.keys.take(2).mkString(", ")} carry " +
+        "MULTIPLE deletion vectors in one snapshot — v3 allows at most " +
+        "one (a DV REPLACES its predecessor), refusing")
     Snapshot(fields, files, deleteFiles, eqDeletes, dvRefs)
   }
 

@@ -1440,6 +1440,383 @@ object IcebergWrite {
     -1L // unreachable
   }
 
+  private def gOpt(r: GenericRecord, name: String): Option[AnyRef] =
+    Option(r.getSchema.getField(name)).flatMap(_ => Option(r.get(name)))
+
+  /** DELETE rows matching `predicate` by authoring Iceberg v3
+    * DELETION VECTORS — the puffin-stored position deletes replacing
+    * classic delete parquet in v3: matched positions become ONE
+    * roaring blob per affected data file (built STREAMING on
+    * executors, the Delta dvBlobsOf discipline), all blobs land in ONE
+    * spec-shaped puffin file (PFA1 framing, deletion-vector-v1 blob
+    * layout, JSON footer), and a content=1 delete manifest carries one
+    * entry per referenced file (`file_format=PUFFIN`,
+    * `referenced_data_file`, `content_offset`/`content_size_in_bytes`,
+    * the referenced file's partition tuple). A file ALREADY carrying a
+    * DV gets its mask REPLACED by the union — the spec's
+    * at-most-one-DV-per-file rule — with the superseded entries
+    * dropped via filtered-copy manifest rewrites (the rewriteDataFiles
+    * pattern), so prior snapshots still serve the old mask and the
+    * current snapshot never stacks. Rows already masked never churn
+    * the log (a no-new-matches call returns the current snapshot).
+    */
+  def deleteDv(spark: SparkSession, path: String,
+               predicate: String): Long = {
+    val f = fs(spark, path)
+    var attempts = 0
+    while (true) {
+      require(attempts < 10, s"$path: lost the deleteDv race 10 times")
+      val metaP = currentMeta(spark, path)
+      val meta = {
+        val in = f.open(metaP)
+        try om.readTree(new String(in.readAllBytes(), "UTF-8"))
+        finally in.close()
+      }
+      val MetaName(curV) = metaP.getName
+      val st = parseState(meta, path)
+      val parts = partFields(st)
+      val curSnap = st.snapshots
+        .find(_.path("snapshot-id").asLong(-1L) == st.currentSnapId)
+        .getOrElse(throw new IllegalArgumentException(
+          s"$path: no current snapshot to delete from"))
+      val prior = readManifestList(spark,
+        resolve(path, curSnap.path("manifest-list").asText()))
+      def contentOf(row: GenericRecord): Int =
+        if (row.getSchema.getField("content") == null) 0
+        else Option(row.get("content")).map(_.toString.toInt).getOrElse(0)
+      // live data files + their partition tuples (the delete() walk)
+      val dataFilesWithPart: Seq[(String, Seq[AnyRef])] = prior
+        .filter(contentOf(_) == 0)
+        .flatMap { m =>
+          readManifestList(spark,
+            resolve(path, m.get("manifest_path").toString)).flatMap { e =>
+            val status = gOpt(e, "status").map(_.toString.toInt)
+              .getOrElse(1)
+            if (status == 2) None
+            else {
+              val dfr = e.get("data_file").asInstanceOf[GenericRecord]
+              val tuple: Seq[AnyRef] =
+                if (parts.isEmpty) Nil
+                else {
+                  val pRec = dfr.get("partition")
+                    .asInstanceOf[GenericRecord]
+                  parts.map { pf =>
+                    pRec.get(pf.name) match {
+                      case u: org.apache.avro.util.Utf8 => u.toString
+                      case other                        => other
+                    }
+                  }
+                }
+              Some(dfr.get("file_path").toString -> tuple)
+            }
+          }
+        }.distinctBy(_._1)
+      if (dataFilesWithPart.isEmpty) return st.currentSnapId
+      val dataFiles = dataFilesWithPart.map(_._1)
+      // existing DVs of the current snapshot: referenced file →
+      // (puffin path, offset, length); their entries are the ones a
+      // re-mask must supersede
+      val priorDv: Map[String, (String, Long, Long)] = prior
+        .filter(contentOf(_) == 1)
+        .flatMap { m =>
+          readManifestList(spark,
+            resolve(path, m.get("manifest_path").toString)).flatMap { e =>
+            val status = gOpt(e, "status").map(_.toString.toInt)
+              .getOrElse(1)
+            val dfr = e.get("data_file").asInstanceOf[GenericRecord]
+            val fmt = gOpt(dfr, "file_format").map(_.toString)
+              .getOrElse("PARQUET").toUpperCase
+            if (status == 2 || fmt != "PUFFIN") None
+            else Some(gOpt(dfr, "referenced_data_file").get.toString ->
+              (dfr.get("file_path").toString,
+                gOpt(dfr, "content_offset").get.toString.toLong,
+                gOpt(dfr, "content_size_in_bytes").get.toString.toLong))
+          }
+        }.toMap
+      // one distributed scan: matching (verbatim file_path, pos)
+      import org.apache.spark.sql.functions.{col, expr, udf}
+      val byBase = dataFiles.map(p =>
+        PathCodec.percentDecode(p.split("/").last) -> p).toMap
+      require(byBase.size == dataFiles.size,
+        s"$path: data-file basenames collide — cannot key positions, " +
+          "refusing")
+      val baseOf = udf((p: String) =>
+        PathCodec.percentDecode(p.split("/").last))
+      val bcast = spark.sparkContext.broadcast(byBase)
+      val toVerbatim = udf((b: String) => bcast.value(b))
+      val matches = spark.read
+        .parquet(dataFiles.map(resolve(path, _)): _*)
+        .filter(expr(predicate))
+        .select(
+          toVerbatim(baseOf(col("_metadata.file_path"))).as("fp"),
+          col("_metadata.row_index").as("pos"))
+      // existing masks decode ON EXECUTORS into (file, pos) rows; fresh
+      // = matches not already masked (no-churn rule)
+      import spark.implicits._
+      val existing: DataFrame =
+        if (priorDv.isEmpty)
+          Seq.empty[(String, Long)].toDF("fp", "pos")
+        else {
+          val refs = priorDv.toSeq.map { case (rf, (pp, off, len)) =>
+            (resolve(path, pp), rf, off, len)
+          }
+          spark.sparkContext
+            .parallelize(refs, math.max(1, math.min(refs.size, 32)))
+            .flatMap { case (pp, rf, off, len) =>
+              val p = new Path(pp)
+              val fsx = p.getFileSystem(
+                new org.apache.hadoop.conf.Configuration())
+              val in = fsx.open(p)
+              val bytes = try {
+                in.seek(off)
+                val b = new Array[Byte](len.toInt)
+                in.readFully(b); b
+              } finally in.close()
+              IcebergRead.decodePuffinDv(bytes, pp).map(pos => (rf, pos))
+            }.toDF("fp", "pos")
+        }
+      val fresh = matches.join(existing, Seq("fp", "pos"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val affected = fresh.select("fp").distinct()
+        .as[String].collect().toSet
+      if (affected.isEmpty) { fresh.unpersist(false); return st.currentSnapId }
+      // replacement mask per affected file = existing ∪ fresh, built
+      // streaming into per-high-word roaring bitmaps on executors
+      val blobs: Seq[(String, Array[Byte], Long)] = fresh
+        .unionByName(existing.filter(col("fp").isin(affected.toSeq: _*)))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (fp, it) =>
+          val byKey =
+            new java.util.TreeMap[Int, org.roaringbitmap.RoaringBitmap]()
+          it.foreach { case (_, p) =>
+            require(p >= 0 && (p >>> 32) <= Int.MaxValue,
+              "DV position outside the portable roaring domain")
+            val hi = (p >>> 32).toInt
+            var rb = byKey.get(hi)
+            if (rb == null) {
+              rb = new org.roaringbitmap.RoaringBitmap()
+              byKey.put(hi, rb)
+            }
+            rb.add((p & 0xFFFFFFFFL).toInt)
+          }
+          val maps = byKey.entrySet().asScala.toSeq
+            .map(e => (e.getKey.intValue(), e.getValue))
+          val card = maps.map(_._2.getLongCardinality).sum
+          (fp, DeltaRead.roaringSerializeBitmaps64(maps), card)
+        }.collect().toSeq.sortBy(_._1)
+      fresh.unpersist(false)
+      // ONE puffin file: PFA1, per-file blobs (BE combined length,
+      // magic D1D33964, vector, BE CRC-32), footer (PFA1 + JSON +
+      // LE payload size + flags + PFA1)
+      val pfMagic = "PFA1".getBytes("UTF-8")
+      val dvMagic =
+        Array(0xD1.toByte, 0xD3.toByte, 0x39.toByte, 0x64.toByte)
+      val framed = blobs.map { case (fp, vec, card) =>
+        val crc = new java.util.zip.CRC32()
+        crc.update(dvMagic); crc.update(vec)
+        val bb = java.nio.ByteBuffer.allocate(12 + vec.length)
+        bb.putInt(4 + vec.length); bb.put(dvMagic); bb.put(vec)
+        bb.putInt(crc.getValue.toInt)
+        (fp, bb.array(), card)
+      }
+      var off = pfMagic.length.toLong
+      val placed = framed.map { case (fp, b, card) =>
+        val o = off; off += b.length
+        (fp, b, card, o, b.length.toLong)
+      }
+      val footerBlobs = placed.map { case (fp, _, card, o, len) =>
+        s"""{"type":"deletion-vector-v1","fields":[],""" +
+          s""""snapshot-id":-1,"sequence-number":-1,""" +
+          s""""offset":$o,"length":$len,"properties":{""" +
+          s""""referenced-data-file":${om.writeValueAsString(fp)},""" +
+          s""""cardinality":"$card"}}"""
+      }.mkString("[", ",", "]")
+      val payload =
+        (s"""{"blobs":$footerBlobs,"properties":{}}""").getBytes("UTF-8")
+      val puffinRel = s"data/dv-${java.util.UUID.randomUUID()}.puffin"
+      val out = f.create(new Path(path, puffinRel), false)
+      try {
+        out.write(pfMagic)
+        placed.foreach { case (_, b, _, _, _) => out.write(b) }
+        out.write(pfMagic)
+        out.write(payload)
+        val tail = java.nio.ByteBuffer.allocate(8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        tail.putInt(payload.length); tail.putInt(0)
+        out.write(tail.array())
+        out.write(pfMagic)
+      } finally out.close()
+      val puffinLen = f.getFileStatus(new Path(path, puffinRel)).getLen
+      val seq = st.lastSeq + 1
+      val snapId = st.snapshots.map(_.path("snapshot-id").asLong())
+        .foldLeft(0L)(math.max) + 1
+      // the DV delete manifest: one entry per referenced file with the
+      // referenced file's partition tuple
+      val partSchema = partitionRecord(parts)
+      val dvDfSchema = rec("data_file_dv", Seq(
+        fld("content", s(INT), 134),
+        fld("file_path", s(STRING), 100),
+        fld("file_format", s(STRING), 101),
+        fld("partition", partSchema, 102),
+        fld("record_count", s(LONG), 103),
+        fld("file_size_in_bytes", s(LONG), 104),
+        optFld("referenced_data_file", s(STRING), 143),
+        optFld("content_offset", s(LONG), 144),
+        optFld("content_size_in_bytes", s(LONG), 145)))
+      val dvESchema = rec("manifest_entry_dv", Seq(
+        fld("status", s(INT), 0),
+        optFld("snapshot_id", s(LONG), 1),
+        optFld("sequence_number", s(LONG), 3),
+        fld("data_file", dvDfSchema, 2)))
+      val tupleOf = dataFilesWithPart.toMap
+      val dvEntries = placed.map { case (fp, _, card, o, len) =>
+        val dfr = new GenericData.Record(dvDfSchema)
+        dfr.put("content", Int.box(1)) // POSITION_DELETES (DV form)
+        dfr.put("file_path", puffinRel)
+        dfr.put("file_format", "PUFFIN")
+        val pRec = new GenericData.Record(partSchema)
+        parts.zip(tupleOf(fp)).foreach { case (pf, v) =>
+          pRec.put(pf.name, v) }
+        dfr.put("partition", pRec)
+        dfr.put("record_count", Long.box(card))
+        dfr.put("file_size_in_bytes", Long.box(puffinLen))
+        dfr.put("referenced_data_file", fp)
+        dfr.put("content_offset", Long.box(o))
+        dfr.put("content_size_in_bytes", Long.box(len))
+        val e = new GenericData.Record(dvESchema)
+        e.put("status", Int.box(1))
+        e.put("snapshot_id", Long.box(snapId))
+        e.put("sequence_number", Long.box(seq))
+        e.put("data_file", dfr)
+        e
+      }
+      val curSchemaNode = st.schemas
+        .find(_.path("schema-id").asInt(-1) == st.currentSchemaId).get
+      val specNode = st.specs
+        .find(_.path("spec-id").asInt(-1) == st.defaultSpecId).get
+      val dvManifestRel = s"metadata/m-${java.util.UUID.randomUUID()}.avro"
+      val dvMLen = writeAvro(f, new Path(path, dvManifestRel), dvESchema,
+        dvEntries, Map(
+          "schema" -> om.writeValueAsString(curSchemaNode),
+          "schema-id" -> st.currentSchemaId.toString,
+          "partition-spec" -> om.writeValueAsString(specNode.path("fields")),
+          "partition-spec-id" -> st.defaultSpecId.toString,
+          "format-version" -> "2",
+          "content" -> "deletes"))
+      // carry prior manifests; DELETE manifests holding a superseded
+      // PUFFIN entry for an affected file rewrite as filtered copies
+      // (empty ones drop)
+      val carried: Seq[GenericRecord] = prior.flatMap { row =>
+        if (contentOf(row) != 1) Some(row)
+        else {
+          val mp = row.get("manifest_path").toString
+          val (entries, eSchema0, mMeta) =
+            readAvroFull(spark, resolve(path, mp))
+          def superseded(e: GenericRecord): Boolean = {
+            val dfr = e.get("data_file").asInstanceOf[GenericRecord]
+            gOpt(dfr, "file_format").map(_.toString.toUpperCase)
+              .contains("PUFFIN") &&
+              gOpt(dfr, "referenced_data_file")
+                .exists(r => affected.contains(r.toString))
+          }
+          val keep = entries.filterNot(superseded)
+          if (keep.size == entries.size) Some(row)
+          else if (keep.isEmpty) None
+          else {
+            val newRel =
+              s"metadata/m-${java.util.UUID.randomUUID()}.avro"
+            val len = writeAvro(f, new Path(path, newRel), eSchema0,
+              keep, mMeta)
+            def optL(n: String, d: Long): Long =
+              if (row.getSchema.getField(n) == null ||
+                  row.get(n) == null) d
+              else row.get(n).toString.toLong
+            val rows = keep.map(e =>
+              gOpt(e.get("data_file").asInstanceOf[GenericRecord],
+                "record_count").map(_.toString.toLong).getOrElse(0L)).sum
+            val c = new GenericData.Record(manifestFileSchema)
+            c.put("manifest_path", newRel)
+            c.put("manifest_length", Long.box(len))
+            c.put("partition_spec_id", Int.box(
+              Option(row.get("partition_spec_id")).map(_.toString.toInt)
+                .getOrElse(0)))
+            c.put("content", Int.box(1))
+            c.put("sequence_number", Long.box(optL("sequence_number", 0L)))
+            c.put("min_sequence_number",
+              Long.box(optL("min_sequence_number", 0L)))
+            c.put("added_snapshot_id",
+              Long.box(optL("added_snapshot_id", 0L)))
+            c.put("added_data_files_count", Int.box(keep.size))
+            c.put("existing_data_files_count", Int.box(0))
+            c.put("deleted_data_files_count", Int.box(0))
+            c.put("added_rows_count", Long.box(rows))
+            c.put("existing_rows_count", Long.box(0L))
+            c.put("deleted_rows_count", Long.box(0L))
+            Some(c)
+          }
+        }
+      }
+      val dvRow = new GenericData.Record(manifestFileSchema)
+      dvRow.put("manifest_path", dvManifestRel)
+      dvRow.put("manifest_length", Long.box(dvMLen))
+      dvRow.put("partition_spec_id", Int.box(st.defaultSpecId))
+      dvRow.put("content", Int.box(1))
+      dvRow.put("sequence_number", Long.box(seq))
+      dvRow.put("min_sequence_number", Long.box(seq))
+      dvRow.put("added_snapshot_id", Long.box(snapId))
+      dvRow.put("added_data_files_count", Int.box(dvEntries.size))
+      dvRow.put("existing_data_files_count", Int.box(0))
+      dvRow.put("deleted_data_files_count", Int.box(0))
+      dvRow.put("added_rows_count",
+        Long.box(placed.map(_._3).sum))
+      dvRow.put("existing_rows_count", Long.box(0L))
+      dvRow.put("deleted_rows_count", Long.box(0L))
+      val listRel =
+        s"metadata/snap-$snapId-${java.util.UUID.randomUUID()}.avro"
+      writeAvro(f, new Path(path, listRel), manifestFileSchema,
+        carried :+ dvRow, Map(
+          "format-version" -> "2",
+          "snapshot-id" -> snapId.toString,
+          "parent-snapshot-id" -> st.currentSnapId.toString,
+          "sequence-number" -> seq.toString))
+      val snapNode = {
+        val n = om.createObjectNode()
+        n.put("snapshot-id", snapId)
+        n.put("parent-snapshot-id", st.currentSnapId)
+        n.put("sequence-number", seq)
+        n.put("timestamp-ms", System.currentTimeMillis())
+        n.put("manifest-list", listRel)
+        n.put("schema-id", st.currentSchemaId)
+        val sm = n.putObject("summary")
+        sm.put("operation", "delete")
+        sm.put("added-delete-files", dvEntries.size.toString)
+        sm.put("added-position-deletes", placed.map(_._3).sum.toString)
+        n
+      }
+      val metaText = metadataJson(st, st.schemas, st.currentSchemaId,
+        st.lastColumnId, snapNode, snapId, seq)
+      val mdir = new Path(path, "metadata")
+      val tmp = new Path(mdir, s".tmp-${java.util.UUID.randomUUID()}")
+      val o2 = f.create(tmp, true)
+      try o2.write(metaText.getBytes("UTF-8")) finally o2.close()
+      val target = new Path(mdir, s"v${curV.toInt + 1}.metadata.json")
+      val won = SnapshotTable.storeFor(f.getScheme)
+        .publishIfAbsent(f, tmp, target)
+      f.delete(tmp, false)
+      if (won) {
+        val hint = f.create(new Path(mdir, "version-hint.text"), true)
+        try hint.write(s"${curV.toInt + 1}".getBytes("UTF-8"))
+        finally hint.close()
+        return snapId
+      }
+      // lost the race: this attempt's puffin file is unreferenced
+      f.delete(new Path(path, puffinRel), false)
+      attempts += 1
+    }
+    -1L // unreachable
+  }
+
   /** EXPIRE SNAPSHOTS + file GC — the Iceberg-leg analog of Delta
     * VACUUM: without it a long-lived table accretes snapshots,
     * manifest lists, and manifests forever. Keeps the LAST `keepLast`

@@ -980,6 +980,57 @@ class IcebergWriteSpec extends AnyFunSuite {
       e.getMessage.contains("widening"), e.getMessage)
   }
 
+  test("v3 deletion vectors WRITE: puffin blobs mask rows; a re-mask REPLACES, never stacks") {
+    val dir = tmp()
+    IcebergWrite.create(range(0, 100).coalesce(1), dir)   // snap 1
+    IcebergWrite.append(range(100, 200).coalesce(1), dir) // snap 2
+    def dataFiles() = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    def puffins() = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.endsWith(".puffin")).map(_.getName).toSet
+    val before = dataFiles()
+    val s3 = IcebergWrite.deleteDv(spark, dir, "k % 10 = 3")
+    assert(s3 == 3)
+    assert(dataFiles() == before,
+      "a DV delete must write no data or delete parquet")
+    assert(puffins().size == 1, "one puffin file per commit")
+    val got = IcebergRead.read(spark, dir)
+    assert(got.count() == 180)
+    assert(got.filter(col("k") % 10 === 3).count() == 0)
+    assert(IcebergRead.read(spark, dir, snapshotId = 2).count() == 200,
+      "prior snapshots intact")
+    // replaying the same predicate: nothing newly matched, no snapshot
+    assert(IcebergWrite.deleteDv(spark, dir, "k % 10 = 3") == 3)
+    assert(puffins().size == 1)
+    // a SECOND mask on the same files REPLACES (union) — the v3
+    // at-most-one-DV-per-file rule; the reader REFUSES stacked DVs, so
+    // a clean current read is itself the uniqueness proof
+    val s4 = IcebergWrite.deleteDv(spark, dir, "k % 10 = 7")
+    assert(s4 == 4)
+    val got2 = IcebergRead.read(spark, dir)
+    assert(got2.count() == 160)
+    assert(got2.filter(col("k") % 10 === 7).count() == 0 &&
+      got2.filter(col("k") % 10 === 3).count() == 0)
+    assert(IcebergRead.read(spark, dir, snapshotId = 3).count() == 180,
+      "the pre-re-mask snapshot still serves the OLD mask alone")
+    // composes with the MOR equality-delete upsert on top
+    IcebergWrite.upsert(spark.createDataFrame(Seq((4L, "upd")))
+      .toDF("k", "name").coalesce(1), dir, Seq("k"))
+    val got3 = IcebergRead.read(spark, dir)
+    assert(got3.count() == 160)
+    assert(got3.filter(col("k") === 4L).head().getString(1) == "upd")
+    // partitioned table: DV entries carry the referenced file's tuple
+    val dirP = tmp()
+    IcebergWrite.create(spark.range(0, 40).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("name"),
+      (col("id") % 4).cast("int").as("b")).coalesce(1), dirP, Seq("b"))
+    IcebergWrite.deleteDv(spark, dirP, "k % 2 = 1 AND b = 1")
+    val gp = IcebergRead.read(spark, dirP)
+    assert(gp.count() == 30, s"got ${gp.count()}")
+    assert(IcebergRead.readWhere(spark, dirP, "b = 1").count() == 0,
+      "the whole b=1 partition's odd rows were exactly its rows")
+  }
+
   test("rollbackTo: metadata-only rollback, history kept, schema rolled back, expired refuses") {
     val dir = tmp()
     IcebergWrite.create(range(0, 10).coalesce(1), dir)          // snap 1

@@ -316,8 +316,11 @@ class SurveyConsistencySpec extends AnyFunSuite {
       srcSection.contains("PARQUET_DATA_BLOCKs decode too"),
       "Hudi parquet log block claim and code marker disagree")
     assert(hasMethod("graft.sources.IcebergRead$", "decodePuffinDv") ==
-      srcSection.contains("DELETION VECTORS, read side"),
-      "Iceberg puffin DV claim and code marker disagree")
+      srcSection.contains("DELETION VECTORS, read AND write"),
+      "Iceberg puffin DV read claim and code marker disagree")
+    assert(hasMethod("graft.sources.IcebergWrite$", "deleteDv") ==
+      srcSection.contains("IcebergWrite.deleteDv"),
+      "Iceberg puffin DV write claim and code marker disagree")
     assert(hasMethod("graft.streaming.StreamOps$", "cdcFanoutStream") ==
       srcSection.contains("THREE-LEG CDC FAN-OUT"),
       "CDC fan-out claim and code marker disagree")

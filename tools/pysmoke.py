@@ -506,6 +506,9 @@ graft.iceberg_delete_keys(spark, fk, ikp_dir, ["k"])
 assert graft.iceberg_read(spark, ikp_dir).count() == 27
 assert graft.iceberg_read(spark, ikp_dir).where("k IN (0,10,20)") \
     .count() == 0
+# round 13: v3 deletion vectors (puffin) from python — no rewrite
+graft.iceberg_delete_dv(spark, ikp_dir, "k % 10 = 5")
+assert graft.iceberg_read(spark, ikp_dir).count() == 24
 
 # round 12: Z-ORDER operating point from python
 zo_dir = tempfile.mkdtemp(prefix="graft_pyzo") + "/t"
@@ -644,5 +647,5 @@ print(f"PASS pysmoke: sql-functions, {len(out)}-row declarative job, "
       f"snapshot-table lifecycle (create/append/upsert/time-travel/"
       f"zone-map-pruned read/change feed) and the round-6 sweep "
       f"(bpe-train/encode, dedup-artifacts trio, delta-log read with "
-      f"stats skipping, delta write round-trip, full CDC apply) and the round-9 sweep (delta optimize/vacuum, row-level change feed, partitioned+evolving iceberg writes, iceberg MOR delete + exactly-once batch append, delta sync) and the round-10 sweep (iceberg snapshot-range change feed + rollback, delta RESTORE, hudi COW write/upsert/delete/exactly-once round-trip) and the round-11 sweep (hudi MOR compact + clean + archive) and the round-12 sweep (delta DV delete/upsert + fold, forget family: key-frame DV deletes + exactly-once batch delete + iceberg equality-delete keys, Z-ORDER optimize) and the round-13 partitioned forget (iceberg_delete_keys on a partitioned table via the global equality delete) — all green")
+      f"stats skipping, delta write round-trip, full CDC apply) and the round-9 sweep (delta optimize/vacuum, row-level change feed, partitioned+evolving iceberg writes, iceberg MOR delete + exactly-once batch append, delta sync) and the round-10 sweep (iceberg snapshot-range change feed + rollback, delta RESTORE, hudi COW write/upsert/delete/exactly-once round-trip) and the round-11 sweep (hudi MOR compact + clean + archive) and the round-12 sweep (delta DV delete/upsert + fold, forget family: key-frame DV deletes + exactly-once batch delete + iceberg equality-delete keys, Z-ORDER optimize) and the round-13 sweep (partitioned forget via iceberg_delete_keys' global equality delete, exactly-once delta_upsert_batch, v3 puffin deletion vectors via iceberg_delete_dv) — all green")
 spark.stop()
