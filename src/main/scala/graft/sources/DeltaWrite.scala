@@ -1271,10 +1271,18 @@ object DeltaWrite {
               if (zorderBy.size == 2)
                 graft.functions.zorder2(coords(0), coords(1))
               else graft.functions.zorder_n(coords: _*)
-            assembled
-              .withColumn(zc, zkey)
-              .repartitionByRange(bins, col(zc))
-              .sortWithinPartitions(col(zc))
+            // single-bin groups (the common shape when optimizing a
+            // many-partition table of small groups) skip
+            // repartitionByRange: its range sampling costs one extra
+            // job PER GROUP and a 1-bin range partition is just "all
+            // rows, sorted" — measured 2.7× group-count overhead in
+            // audits/r13_measurements.md before this fast path
+            val keyed = assembled.withColumn(zc, zkey)
+            (if (bins == 1)
+               keyed.repartition(1).sortWithinPartitions(col(zc))
+             else
+               keyed.repartitionByRange(bins, col(zc))
+                 .sortWithinPartitions(col(zc)))
               .drop(zc)
           }
         }.reduce(_ unionByName _)

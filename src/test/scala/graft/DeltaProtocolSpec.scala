@@ -897,6 +897,26 @@ class DeltaProtocolSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("nope"), e2.getMessage)
   }
 
+  test("zorder on many small partition groups: single-bin fast path keeps rows, one file per group") {
+    import graft.sources.DeltaWrite
+    val dir = tmp()
+    val df = spark.range(0, 4000).selectExpr("id AS k",
+      "CAST(id % 40 AS INT) AS x", "CAST(id div 40 AS INT) AS y",
+      "CAST(id % 4 AS STRING) AS p")
+    DeltaWrite.create(df.repartition(3), dir, Seq("p"))
+    val pre = DeltaRead.read(spark, dir).collect().toSet
+    // default targetBytes: every group is one bin → the sampling-free
+    // repartition(1) path
+    val v = DeltaWrite.optimize(spark, dir, zorderBy = Seq("x", "y"))
+    assert(v > 0)
+    assert(DeltaRead.read(spark, dir).collect().toSet == pre,
+      "the fast path must preserve rows exactly")
+    val (total, _) = DeltaRead.pruneReport(spark, dir, "k >= 0")
+    assert(total == 4, s"one z-sorted file per partition group: $total")
+    assert(DeltaRead.pruneReport(spark, dir, "p = '1'")._2 == 1,
+      "partition pruning intact through the rewrite")
+  }
+
   test("optimize zorderBy arity-3 incl. a string dimension: every dim prunes") {
     import graft.sources.DeltaWrite
     val dir = tmp()
