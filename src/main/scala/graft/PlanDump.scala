@@ -24,6 +24,14 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // same escape hatch as Bench: SPARK_GRAFT_CONF="k=v,..." so variant
+    // operating points (e.g. graft.neardup.strategy=lsh) dump through
+    // the same rig
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",")
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
     names.foreach { n =>
       val fn = SparkEntry.queries.getOrElse(n,
         throw new IllegalArgumentException(s"unknown query $n"))

@@ -68,8 +68,12 @@ object GraftOps {
                         numHashes: Int = 64, bands: Int = 16,
                         shingleWords: Int = 3): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = df.select(id.as("__id"),
-      minhash_signature(text, numHashes, shingleWords).as("__sig"))
+    // single-row-group input → single-task signature stage without this
+    // (see jaccardJoinBandedSets); no-op on a parallel production scan
+    val sigs = df
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(id.as("__id"),
+        minhash_signature(text, numHashes, shingleWords).as("__sig"))
     val banded = sigs.select(col("__id"), explode(expr(
       s"transform(sequence(0, ${bands - 1}), b -> " +
         s"struct(b AS band, xxhash64(concat_ws(',', slice(__sig, b * $rowsPerBand + 1, $rowsPerBand))) AS bh))"))
@@ -90,8 +94,13 @@ object GraftOps {
     // Same shape as the d03 operator: the per-row shingle count is
     // computed narrowly before the explode and carried through the join
     // (no separate sizes aggregation), and the signature table is
-    // persisted so both self-join sides read one cache.
+    // persisted so both self-join sides read one cache. The leading
+    // repartition spreads the shingle+hash stage (and the cache it
+    // builds) across cores when the corpus arrives as one row group
+    // (see jaccardJoinBandedSets) — this is also the artifact build's
+    // pair-generation path, so the cleaning run pays it too.
     val shingled = df
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
       .select(id.as("__id"), split(text, " ").as("__w"))
       .select(col("__id"), expr(
         s"""array_distinct(transform(
@@ -127,7 +136,10 @@ object GraftOps {
   def jaccardJoinBanded(df: DataFrame, id: Column, text: Column,
                         threshold: Double, n: Int = 3,
                         numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    // shingle-set build parallelized for one-row-group corpora (see
+    // jaccardJoinBandedSets); minhashCandidates spreads its own input
     val sets = df
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
       .select(id.as("__id"), split(text, " ").as("__w"))
       .select(col("__id"), expr(
         s"""array_sort(array_distinct(transform(
@@ -159,7 +171,18 @@ object GraftOps {
                             threshold: Double, numHashes: Int = 64,
                             bands: Int = 16): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sets = df.select(id.as("__id"),
+    // Leading repartition (m10's pattern, guide §2.5 input skew): the
+    // signature stage below is the CPU-bound heart of the verb —
+    // numHashes minhash folds over every shingle set — and a small
+    // corpus arrives as ONE parquet row group = one task, serializing
+    // it (and the cache it builds) on a single core. Measured on m09's
+    // lsh route at sf0.1: two ~8.5 s single-task stages → sub-second
+    // across 32 cores. The exchange moves the scan bytes exactly once,
+    // before any expansion; on a many-file production corpus the scan
+    // is already parallel and this is a no-op to remove.
+    val spread = df.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+    val sets = spread.select(id.as("__id"),
         array_sort(array_distinct(shingles)).as("__shs"))
       .withColumn("__n", size(col("__shs")).cast("long"))
       .pipe(persistTracked)

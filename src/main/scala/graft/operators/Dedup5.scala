@@ -56,6 +56,11 @@ object Dedup5 {
       .join(rare.select(col("doc_id").as("id_b"), col("k")), "k")
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+    // r13 audit note: an array-intersect verification (one doc-keyed
+    // (k, wt)-array aggregate + in-row intersection, replacing the two
+    // postings joins below) was built and same-session A/B'd: 5.63 s
+    // vs 5.14 s min-of-3 — the struct arrays shuffle FATTER than the
+    // bare postings, so the rewrite lost and this shape stays.
     val shared = cand
       .join(tok.select(col("doc_id").as("id_a"), col("k"), col("wt")), "id_a")
       .join(tok.select(col("doc_id").as("id_b"), col("k")), Seq("id_b", "k"))
@@ -123,6 +128,10 @@ object Dedup5 {
     // explode scans without the persist, one with it. Bench's
     // clearCache between queries reclaims it.
     val sh = Tables.documents(s, d)
+      // one-row-group corpus → the shingle pass, the persisted cache,
+      // and all four downstream md5-heavy partial aggregates would run
+      // single-task without this (measured 4×~2.9 s serial stages)
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .select(col("doc_id"), explode(expr(
         """array_distinct(transform(sequence(1, greatest(size(words) - 2, 0)),
@@ -460,6 +469,11 @@ object Dedup5 {
     def pairsAt(n: Int): DataFrame =
       if (n == 3 && artifactPairs3.isDefined) artifactPairs3.get
       else pairsAtInline(n)
+    // r13 audit note: a persist+narrow-count restructure of these legs
+    // (the verifiedPairs shape) was built and same-session A/B'd: old
+    // min-of-3 4.07 s vs new 4.94 s — the persisted string cache costs
+    // more to build than the re-shingles it saves on two-consumer legs,
+    // so the original shape stays.
     def pairsAtInline(n: Int): DataFrame = {
       val sh = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("words"))
@@ -547,16 +561,28 @@ object Dedup5 {
   // single divisions.
   val d31_estimator_calibration: Q = (s, d) => {
     import graft.Stable.{dsum, sqlSum}
+    // r13 restructure to the d03/verifiedPairs family shape: the per-doc
+    // shingle count is computed NARROWLY (size of the distinct array,
+    // before the explode) and carried through the join instead of a
+    // separate sizes aggregate joined back doc-keyed onto BOTH self-join
+    // sides (which re-shuffled every posting row twice more); and the
+    // exploded table is persisted — x, y, and the minhash aggregate all
+    // read one cache instead of re-shingling the corpus per consumer.
+    // The leading repartition is m10's pattern: the suite corpus is ONE
+    // parquet row group, so without it the shingle scan AND every
+    // partial aggregate over the persisted cache run as ONE task
+    // (measured: 4×~2.5 s single-task stages while 31 cores idle).
     val sh = Tables.documents(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), split(col("text"), " ").as("words"))
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), expr(
         """array_distinct(transform(sequence(1, greatest(size(words) - 2, 0)),
-             i -> concat_ws(' ', slice(words, i, 3))))""")).as("sh"))
-    val sized = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val x = sh.join(sized, "doc_id")
-      .select(col("doc_id").as("da"), col("nsh").as("na"), col("sh"))
-    val y = sh.join(sized, "doc_id")
-      .select(col("doc_id").as("db"), col("nsh").as("nb"), col("sh"))
+             i -> concat_ws(' ', slice(words, i, 3))))""").as("shs"))
+      .select(col("doc_id"), size(col("shs")).cast("long").as("nsh"),
+        explode(col("shs")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val x = sh.select(col("doc_id").as("da"), col("nsh").as("na"), col("sh"))
+    val y = sh.select(col("doc_id").as("db"), col("nsh").as("nb"), col("sh"))
     val pairs = x.join(y, "sh").where(col("da") < col("db"))
       .groupBy("da", "db", "na", "nb")
       .agg(count(lit(1)).as("shared"))

@@ -160,7 +160,11 @@ object Multimodal3 {
   private def m09ExactRoute(assets: DataFrame,
                             gramExpr: org.apache.spark.sql.Column)
       : DataFrame = {
+    // leading repartition (m10's pattern): the byte-gram hash stage is
+    // the CPU-bound pass and a one-row-group corpus serializes it on a
+    // single core otherwise; no-op to remove on a parallel real scan
     val shingled = assets
+      .repartition(assets.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), gramExpr.as("shs"))
       .select(col("doc_id"), size(col("shs")).cast("long").as("n"),
         explode(col("shs")).as("sh"))

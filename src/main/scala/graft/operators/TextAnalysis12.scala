@@ -17,23 +17,37 @@ object TextAnalysis12 {
   // its DISTINCT 3-gram shingles whose corpus-wide FIRST occurrence is
   // this doc. Rolled to 10 arrival buckets (doc_id range arithmetic —
   // integer div, NO unpartitioned window). Engine shape: one shingle
-  // explode (linear), a min-aggregate per shingle (the only shuffle at
-  // gram cardinality), a broadcast (lo, hi) scalar for the bucketing —
-  // at 100 TB the gram table is the d38 df-histogram working set, and
+  // explode (linear, persisted — both aggregates read one cache), a
+  // min-aggregate per shingle (the only shuffle at gram cardinality),
+  // and — the r13 restructure — n_new per doc derived from THAT
+  // aggregate alone: n_new(doc) = |{g : first(g) = doc}|, i.e. a
+  // doc-keyed rollup of the gram table, so the gram-keyed
+  // postings⋈first join the first formulation paid (re-shuffling every
+  // posting a second time) is gone outright; the per-doc frames meet
+  // in one doc-keyed join of two doc-count-sized aggregates. Measured
+  // 3.7 s -> 0.8–0.9 s at sf0.1 (the postings⋈first SortMergeJoin is
+  // gone; n_new arrives by BroadcastHashJoin of a doc-sized rollup —
+  // plans/r13/t46_prefix_novelty_{before,after}.txt). At 100 TB
+  // the gram table is the d38 df-histogram working set, and
   // novelty-by-arrival is exactly the incremental-dedup ledger d09
   // maintains, read as a curve.
   val t46_prefix_novelty: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val sh = docs.select(col("doc_id"),
-      explode(expr("""array_distinct(transform(
-          sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
-          i -> concat_ws(' ', slice(split(text, ' '), i, 3))))"""))
-        .as("sh"))
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"),
+        explode(expr("""array_distinct(transform(
+            sequence(1, greatest(size(words) - 2, 0)),
+            i -> concat_ws(' ', slice(words, i, 3))))"""))
+          .as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val first = sh.groupBy("sh").agg(min("doc_id").as("first_doc"))
-    val perDoc = sh.join(first, "sh")
-      .groupBy("doc_id").agg(
-        count(lit(1)).as("n_shingles"),
-        count(when(col("first_doc") === col("doc_id"), 1)).as("n_new"))
+    val nNew = first.groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_new"))
+    val perDoc = sh.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"))
+      .join(nNew, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_new"))
     val mm = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
     perDoc.crossJoin(broadcast(mm))
       .withColumn("bucket",
