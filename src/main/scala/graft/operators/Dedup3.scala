@@ -26,7 +26,11 @@ import graft.Tables
 object Dedup3 {
   type Q = (SparkSession, String) => DataFrame
 
-  /** (doc_id, sh: sorted distinct 3-gram hashes, n = |sh|). */
+  /** (doc_id, sh: sorted distinct 3-gram hashes, n = |sh|). A leading
+    * repartition was A/B'd flat here (see GraftOps.containmentJoin's
+    * audit note — the prefix window's exchange already parallelizes
+    * the heavy stages), so the scan stays exchange-free.
+    */
   private def shingleSets(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("words"))
@@ -126,19 +130,33 @@ object Dedup3 {
     // keys (a collision there perturbs one similarity score, not an
     // exact count).
     val grams = Tables.documents(s, d)
+      // spread the md5-heavy 5-gram explode (and the cache) across
+      // cores on a one-row-group corpus — the m10/jaccardJoin pattern
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(expr(
         """array_distinct(transform(
              sequence(1, greatest(size(w) - 4, 0)),
              i -> unhex(md5(concat_ws(' ', slice(w, i, 5))))))""")).as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dfTbl = grams.groupBy("g").agg(count(lit(1)).as("df"))
-    grams.join(dfTbl, "g")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        count(when(col("df") >= 2, 1)).as("n_shared"))
+    // r13 (the t46 restructure, complement form): a doc's SHARED gram
+    // count is n_grams − n_unique, and a df=1 gram's sole owner is
+    // min(doc_id) of its posting — carried on the df aggregate for
+    // free (map-side combinable), so the unique counts come from a
+    // doc-keyed rollup of the VOCAB-sized aggregate and the gram-keyed
+    // join-back of the full posting table is gone outright.
+    val nUnique = grams.groupBy("g")
+      .agg(count(lit(1)).as("df"), min("doc_id").as("owner"))
+      .filter(col("df") === 1)
+      .groupBy(col("owner").as("doc_id"))
+      .agg(count(lit(1)).as("n_unique"))
+    grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(nUnique, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_unique"))
+      .withColumn("n_shared", col("n_grams") - col("n_unique"))
       .withColumn("dup_frac",
         round(col("n_shared").cast("double") / col("n_grams"), 9))
+      .select("doc_id", "n_grams", "n_shared", "dup_frac")
       .orderBy("doc_id")
   }
   val d12Sql: String =

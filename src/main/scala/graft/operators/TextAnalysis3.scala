@@ -21,6 +21,9 @@ object TextAnalysis3 {
   // decimal, so the score is partitioning-independent.
   val t11_bigram_lm: Q = (s, d) => {
     val bigrams = Tables.documents(s, d)
+      // spread the bigram explode on a one-row-group corpus (the
+      // m10/jaccardJoin pattern)
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))"))
@@ -32,9 +35,17 @@ object TextAnalysis3 {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
-    bigrams
-      .join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+    // r13 (the t29 restructure): lp is a function of (w1, w2) alone, so
+    // the unigram counts join into the vocab²-bounded c2 table and the
+    // postings pay ONE join instead of two — 2 postings-scale
+    // exchanges → 1, per-row lp values bit-identical.
+    val lpTbl = c2.join(c1, Seq("w1"))
       .withColumn("lp", round(log(col("c12").cast("double") / col("c1")), 9))
+      .select("w1", "w2", "lp")
+    // explicit hint — vocab²-bounded but estimate-opaque behind the
+    // join; see t29's note (Spark otherwise broadcasts the postings)
+    bigrams
+      .join(broadcast(lpTbl), Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round((sum(col("lp").cast("decimal(30,10)")).cast("double") / count(lit(1))), 6)

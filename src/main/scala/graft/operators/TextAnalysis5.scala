@@ -65,20 +65,29 @@ object TextAnalysis5 {
     // cached postings, the min-doc shuffle, and the join-back move
     // 16-byte keys, not strings, and first-occurrence counts stay
     // collision-exact at 1e12-gram scale
+    // r13 (the t46 restructure): n_novel(doc) = |{g : first(g) = doc}|
+    // is a doc-keyed rollup of the first-occurrence aggregate ITSELF —
+    // the gram-keyed join-back of the full posting table (its second
+    // postings-scale exchange) is gone outright; per-doc frames meet in
+    // one doc-keyed left join. The leading repartition spreads the
+    // md5 explode across cores on a one-row-group corpus.
     val grams = Tables.documents(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(expr(
         """array_distinct(transform(
              sequence(1, greatest(size(w) - 3, 0)),
              i -> unhex(md5(concat_ws(' ', slice(w, i, 4))))))""")).as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val firstSeen = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
-    grams.join(firstSeen, "g")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+    val nNovel = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+      .groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(nNovel, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_novel"))
       .withColumn("novelty",
         round(col("n_novel").cast("double") / col("n_grams"), 9))
+      .select("doc_id", "n_grams", "n_novel", "novelty")
       .orderBy("doc_id")
   }
   val t17Sql: String =

@@ -124,19 +124,35 @@ object TextAnalysis9 {
   // 128-bit keys), gram-keyed join back, per-doc rollup — never
   // doc x doc, linear in corpus grams at any scale.
   val t25_boilerplate: Q = (s, d) => {
+    // r13 (the t46/d12 restructure, complement form): a doc's boiler
+    // count is n_grams − n_unique, and a within-source df=1 gram's sole
+    // owner is min(doc_id) of its posting — carried on the df aggregate
+    // for free, so the per-doc counts come from a doc-keyed rollup of
+    // the vocab-sized aggregate and the gram-keyed join-back of the
+    // full posting table is gone. Gram keys ride as 16-byte
+    // unhex(md5) (the d12 width discipline); the leading repartition
+    // spreads the md5 8-gram explode on a one-row-group corpus. The
+    // persisted postings feed the two aggregates from one explode.
     val grams = Tables.documents(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 8)
       .select(col("doc_id"), col("source"), explode(expr(
         """array_distinct(transform(sequence(1, size(w) - 7),
-             i -> md5(array_join(slice(w, i, 8), ' '))))""")).as("g"))
-    val df_ = grams.groupBy("source", "g").agg(count(lit(1)).as("df"))
-    grams.join(df_, Seq("source", "g"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_boiler"))
+             i -> unhex(md5(array_join(slice(w, i, 8), ' ')))))""")).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nUnique = grams.groupBy("source", "g")
+      .agg(count(lit(1)).as("df"), min("doc_id").as("owner"))
+      .filter(col("df") === 1)
+      .groupBy(col("owner").as("doc_id"))
+      .agg(count(lit(1)).as("n_unique"))
+    grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(nUnique, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_unique"))
+      .withColumn("n_boiler", col("n_grams") - col("n_unique"))
       .withColumn("boiler_frac",
         round(col("n_boiler").cast("double") / col("n_grams"), 9))
+      .select("doc_id", "n_grams", "n_boiler", "boiler_frac")
       .orderBy("doc_id")
   }
   val t25Sql: String =
@@ -346,7 +362,18 @@ object TextAnalysis9 {
   // and every aggregation is map-side combinable; nothing pairs docs.
   val t29_loo_perplexity: Q = (s, d) => {
     import org.apache.spark.storage.StorageLevel
+    // r13 restructure: the first formulation chained FOUR joins onto the
+    // full posting table (keys (w1,w2), (source,w1,w2), (w1),
+    // (source,w1)) — four postings-scale exchanges. The log-prob is a
+    // function of (source, w1, w2) alone, so the count tables now join
+    // into ONE vocab²-bounded lp table (c2s is its spine — every
+    // posting's (source,w1,w2) appears in c2s by construction) and the
+    // postings pay a single join. 4 postings-scale exchanges → 1; the
+    // per-row lp values, their decimal doc-sum, and the output are
+    // bit-identical. The leading repartition spreads the bigram explode
+    // on a one-row-group corpus.
     val bigrams = Tables.documents(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), col("source"), explode(expr(
         "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))"))
@@ -358,15 +385,22 @@ object TextAnalysis9 {
     val c1g = bigrams.groupBy("w1").agg(count(lit(1)).as("c1g"))
     val c1s = bigrams.groupBy("source", "w1").agg(count(lit(1)).as("c1s"))
     val v   = bigrams.agg(count_distinct(col("w1")).as("v"))
-    val out = bigrams
+    val lpTbl = c2s
       .join(c2g, Seq("w1", "w2"))
-      .join(c2s, Seq("source", "w1", "w2"))
-      .join(c1g, Seq("w1"))
       .join(c1s, Seq("source", "w1"))
+      .join(c1g, Seq("w1"))
       .crossJoin(broadcast(v))
       .withColumn("lp", round(log(
         (col("c12g") - col("c12s") + lit(1)).cast("double") /
           (col("c1g") - col("c1s") + col("v")).cast("double")), 9))
+      .select("source", "w1", "w2", "lp")
+    // explicit hint: lpTbl is vocab²-bounded (the scaladoc's standing
+    // claim) but sits behind a 4-way join whose size estimate is
+    // garbage — without the hint Spark broadcast the 1.5M-row POSTINGS
+    // cache instead (accurate cached stats beat an inflated estimate)
+    // and streamed the tiny lp table
+    val out = bigrams
+      .join(broadcast(lpTbl), Seq("source", "w1", "w2"))
       .groupBy("doc_id", "source")
       .agg(count(lit(1)).as("n_bigrams"),
         round(-(sum(col("lp").cast("decimal(30,10)")).cast("double") / count(lit(1))), 6)
