@@ -89,8 +89,11 @@ object Bench {
       try { fn(spark, warmDir).count() } catch { case _: Throwable => }
     }
     // warmup runs persist sf0.001-plan caches that no sf-dir query will
-    // ever hit — drop them before the timed runs start.
+    // ever hit — drop them before the timed runs start. The GC frees the
+    // warmup pass's accumulated shuffle/broadcast state (see the
+    // periodicGC note above) so the artifact build doesn't inherit it.
     spark.catalog.clearCache()
+    System.gc()
 
     // Materialized dedup + graph artifacts — the production shape: ONE
     // timed pass computes the near-dup pair table / component labels /
