@@ -106,8 +106,15 @@ object GraftOps {
         s"""array_distinct(transform(
              sequence(1, greatest(size(__w) - ${n - 1}, 0)),
              i -> xxhash64(concat_ws(' ', slice(__w, i, $n)))))""").as("__shs"))
+      // explode_outer, NOT explode (the m09 lesson, guide §7.2): explode
+      // lets InferFiltersFromGenerate add `size(__shs) > 0`, and pushdown
+      // re-runs the WHOLE per-gram xxhash64 transform as a scan-side
+      // Filter below the repartition — serial on a one-row-group corpus,
+      // then computed AGAIN above the exchange. The shingle array is
+      // never empty (sequence(1, greatest(n, 0)) yields [1, 0] even when
+      // n <= 0), so outer-explode output is row-identical.
       .select(col("__id"), size(col("__shs")).cast("long").as("__n"),
-        explode(col("__shs")).as("__sh"))
+        explode_outer(col("__shs")).as("__sh"))
       .pipe(persistTracked)
     val x = shingled.select(col("__id").as("id_a"), col("__n").as("__na"), col("__sh"))
     val y = shingled.select(col("__id").as("id_b"), col("__n").as("__nb"), col("__sh"))
@@ -1160,36 +1167,77 @@ object GraftOps {
     val s = df.sparkSession
     val words = df.select(explode(split(text, " ")).as("w"))
       .filter(col("w") =!= "")
-    // the one corpus-scale pass: distinct-word counts
-    var vocab = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+    // the one corpus-scale pass: distinct-word counts (distributed,
+    // unchanged). The merge loop below then runs DRIVER-LOCAL over the
+    // collected state: the loop's object is vocabCap-bounded BY
+    // CONSTRUCTION (<= 20k rows, same class of metadata-sized collect as
+    // the per-round limit(1) argmax it replaces), and the r13 profile
+    // showed the previous one-task-per-round Spark loop spending ~4.5 s
+    // of artifact-build time on 2×48 job round-trips over a frame the
+    // driver can hold outright. Every step replicates the engine
+    // semantics the oracle replays: pair counts sum exact int64 over
+    // adjacent symbols of the ' s1  s2 ' state string, the argmax
+    // tie-break is (count DESC, l ASC, r ASC) in UTF-8 BINARY order
+    // (Spark's string ordering), and the merge is the same literal
+    // leftmost non-overlapping replace-all — output merges are
+    // bit-identical to the former in-engine loop (BpeSpec + the t41/t42
+    // oracle replay pin the semantics).
+    val state: Array[(Long, String)] = words
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), col("w")).limit(vocabCap)
       .select(col("cnt"), bpeInitState(col("w")).as("s"))
-      .coalesce(1) // vocab-sized state: per-round jobs stay one task
-      .localCheckpoint()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // UTF-8 unsigned-byte comparison = Spark's UTF8String binary order
+    def utf8Lt(a: String, b: String): Boolean = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    val vocab = state.map { case (c, st) => (c, new StringBuilder(st)) }
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String)]()
     var rank = 1
     var done = false
     while (!done && rank <= numMerges) {
-      val best = vocab
-        .select(col("cnt"), split(trim(col("s")), "  ").as("syms"))
-        // fully-merged words have ONE symbol; sequence(1, 0) would
-        // DESCEND ([1,0]) and index out of bounds — they carry no pairs
-        .filter(size(col("syms")) >= 2)
-        .select(col("cnt"), explode(expr(
-          """transform(sequence(1, size(syms) - 1),
-               i -> struct(element_at(syms, i) AS l,
-                           element_at(syms, i + 1) AS r))""")).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum("cnt").as("n"))
-        .orderBy(desc("n"), col("l"), col("r"))
-        .limit(1).collect()
-      if (best.isEmpty || best(0).getAs[Long]("n") < 2) done = true
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (cnt, sb) =>
+        // same tokenization as the engine formulation: trim, split on
+        // the two-space delimiter (symbols are non-empty, no trailing
+        // separators — Java and Spark split agree here), adjacent pairs
+        val syms = sb.toString.trim.split("  ")
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + cnt)
+          i += 1
+        }
+      }
+      // argmax with the engine tie-break: n DESC, then (l, r) ASC in
+      // UTF-8 binary order
+      var best: ((String, String), Long) = null
+      counts.foreach { kv =>
+        if (best == null || kv._2 > best._2 ||
+          (kv._2 == best._2 && (utf8Lt(kv._1._1, best._1._1) ||
+            (kv._1._1 == best._1._1 && utf8Lt(kv._1._2, best._1._2)))))
+          best = kv
+      }
+      if (best == null || best._2 < 2) done = true
       else {
-        val (l, r) = (best(0).getString(0), best(0).getString(1))
+        val (l, r) = best._1
         merges += ((rank, l, r))
-        vocab = vocab.withColumn("s", call_function("replace", col("s"),
-            lit(s" $l  $r "), lit(s" $l$r ")))
-          .localCheckpoint()
+        val from = s" $l  $r "; val to = s" $l$r "
+        var i = 0
+        while (i < vocab.length) {
+          val sb = vocab(i)._2
+          val replaced = sb.toString.replace(from, to) // literal, leftmost, non-overlapping — same as the engine's replace()
+          sb.clear(); sb.append(replaced)
+          i += 1
+        }
         rank += 1
       }
     }

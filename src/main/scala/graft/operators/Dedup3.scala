@@ -317,7 +317,12 @@ object Dedup3 {
     // d12 discipline): 2.5x narrower than the ~40-byte strings AND
     // collision-exact at 1e12-gram scale, where the previous 64-bit
     // keys made shared-gram counts probabilistic
+    // leading repartition (m10's pattern, r13 second pass): the md5
+    // 5-gram transform is the CPU-bound stage and ran as ONE task on the
+    // one-row-group corpus (it sits inside the Generate, scan-side);
+    // no-op to remove on a parallel production scan
     val idx = Tables.documents(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .select(col("source"), split(col("text"), " ").as("w"))
       .select(col("source"), explode(expr(
         """array_distinct(transform(

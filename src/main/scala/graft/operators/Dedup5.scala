@@ -42,7 +42,11 @@ object Dedup5 {
         """array_distinct(transform(
              sequence(1, greatest(size(words) - 2, 0)),
              i -> concat_ws(' ', slice(words, i, 3))))""").as("shs"))
-      .select(col("doc_id"), explode(col("shs")).as("sh"))
+      // explode_outer, NOT explode (the m09 lesson): explode makes
+      // InferFiltersFromGenerate re-run the 3-gram concat transform as a
+      // scan-side Filter, serial on a one-row-group corpus; the array is
+      // never empty (sequence(1, greatest(n, 0)) is [1, 0] at n <= 0).
+      .select(col("doc_id"), explode_outer(col("shs")).as("sh"))
       .select(col("doc_id"), unhex(md5(col("sh"))).as("k"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val weights = sh.groupBy("k").agg(count(lit(1)).as("df"))
@@ -578,8 +582,13 @@ object Dedup5 {
       .select(col("doc_id"), expr(
         """array_distinct(transform(sequence(1, greatest(size(words) - 2, 0)),
              i -> concat_ws(' ', slice(words, i, 3))))""").as("shs"))
+      // explode_outer, NOT explode (the m09 lesson): explode makes
+      // InferFiltersFromGenerate re-run the whole shingle transform as a
+      // scan-side Filter below the repartition, serial on a one-row-group
+      // corpus; the array is never empty (sequence(1, greatest(n, 0)) is
+      // [1, 0] even at n <= 0), so output is row-identical.
       .select(col("doc_id"), size(col("shs")).cast("long").as("nsh"),
-        explode(col("shs")).as("sh"))
+        explode_outer(col("shs")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val x = sh.select(col("doc_id").as("da"), col("nsh").as("na"), col("sh"))
     val y = sh.select(col("doc_id").as("db"), col("nsh").as("nb"), col("sh"))

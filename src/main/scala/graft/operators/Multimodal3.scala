@@ -163,24 +163,33 @@ object Multimodal3 {
     // leading repartition (m10's pattern): the byte-gram hash stage is
     // the CPU-bound pass and a one-row-group corpus serializes it on a
     // single core otherwise; no-op to remove on a parallel real scan
+    // explode_outer, NOT explode (r13, guide §7.2 plan audit): explode
+    // makes InferFiltersFromGenerate add `size(shs) > 0`, and predicate
+    // pushdown drags that below the repartition — the WHOLE per-gram
+    // xxhash64 pass re-runs as a scan-side Filter on ONE task (the
+    // one-row-group floor), then again above the exchange (StageProfile:
+    // a 2.2 s single-task stage on a query that otherwise runs ~2 s).
+    // The gram array is never empty (sequence(1, greatest(..., 1)) has
+    // >= 1 element), so outer-explode output is row-identical.
     val shingled = assets
       .repartition(assets.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), gramExpr.as("shs"))
       .select(col("doc_id"), size(col("shs")).cast("long").as("n"),
-        explode(col("shs")).as("sh"))
+        explode_outer(col("shs")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // sizes join back AFTER the pair aggregate (doc-count-sized, AQE
-    // broadcasts it) instead of riding every shingle row through the
-    // self-join — the join shuffles bare (sh, id) pairs only
-    val sizes = shingled.select(col("doc_id"), col("n")).distinct()
-    val x = shingled.select(col("doc_id").as("id_a"), col("sh"))
-    val y = shingled.select(col("doc_id").as("id_b"), col("sh"))
+    // r13 second pass: n rides THROUGH the join (jaccardJoin's shape)
+    // instead of joining a sizes table back after the pair aggregate —
+    // StageProfile showed the two sizes passes re-scanning the whole
+    // postings cache for ~1 s each while the pair join is a broadcast
+    // (n costs 8 bytes/row in the broadcast build, nothing on the
+    // unshuffled probe side); 3 postings-cache scans → 1, two
+    // doc-keyed join-backs gone.
+    val x = shingled.select(col("doc_id").as("id_a"), col("n").as("na"), col("sh"))
+    val y = shingled.select(col("doc_id").as("id_b"), col("n").as("nb"), col("sh"))
     x.join(y, "sh")
       .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
+      .groupBy("id_a", "id_b", "na", "nb")
       .agg(count(lit(1)).as("shared"))
-      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
       .withColumn("jaccard",
         col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
       .filter(col("jaccard") >= 0.3)
