@@ -974,7 +974,17 @@ object GraftOps {
     val dfTbl = rows.groupBy("__tok").agg(count(lit(1)).as("__df"))
     // prefix of the (potentially) smaller side, rarest shingles first;
     // the window is doc-partitioned — parallel across the corpus
-    val pref = rows.join(dfTbl, "__tok")
+    // r13 second pass: the window's implicit exchange carries ~1–4 MiB
+    // here, so AQE's bytes-based coalescing (1 MB floor) collapsed this
+    // CPU-dense stage to 1–3 tasks (StageProfile: 1.7 s on one core).
+    // An EXPLICIT repartition on the window key satisfies the window's
+    // required partitioning (same exchange count) but is never
+    // AQE-coalesced; numShufflePartitions is the session's scale knob,
+    // so the shape is unchanged at production byte sizes.
+    val pref = rows
+      .join(dfTbl, "__tok")
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("__id"))
       .withColumn("__rn", row_number()
         .over(Window.partitionBy("__id").orderBy("__df", "__tok")))
       .filter(col("__rn") <=
@@ -992,6 +1002,10 @@ object GraftOps {
       .select(least(col("__xa"), col("__xb")).as("id_a"),
         greatest(col("__xa"), col("__xb")).as("id_b"))
       .distinct()
+      // spread the per-pair array_intersect verification: the distinct
+      // pair set is byte-light but CPU-dense, the same AQE-coalescing
+      // exposure as the window above
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
     cand
       .join(sets.select(col("__id").as("id_a"), col("__shs").as("__sa"),
         col("__n").as("n_a")), "id_a")

@@ -77,7 +77,13 @@ object Dedup3 {
     val rows = sets.select(col("doc_id"), explode(col("sh")).as("tok"))
     val dfTbl = rows.groupBy("tok").agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy("doc_id")
+    // explicit repartition on the window key (r13 second pass, see
+    // GraftOps.containmentJoin): same exchange the window requires, but
+    // never AQE-coalesced — the 1–4 MiB shuffle otherwise collapses this
+    // CPU-dense stage to 1–3 tasks on a small corpus
     val pref = rows.join(dfTbl, "tok")
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
       .withColumn("rn", row_number().over(byDoc.orderBy("df", "tok")))
       .withColumn("n", count(lit(1)).over(byDoc))
       .filter(col("rn") <= col("n") - ceil(lit(t) * col("n")).cast("int") + 1)
@@ -90,6 +96,9 @@ object Dedup3 {
         greatest(col("x.n"), col("y.n")) * t <= least(col("x.n"), col("y.n")))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
+      // spread the per-pair array_intersect verification (same
+      // AQE-coalescing exposure; see GraftOps.containmentJoin)
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
     cands
       .join(sets.select(col("doc_id").as("da"), col("sh").as("sha"), col("n").as("na")), "da")
       .join(sets.select(col("doc_id").as("db"), col("sh").as("shb"), col("n").as("nb")), "db")

@@ -60,6 +60,10 @@ object Dedup5 {
       .join(rare.select(col("doc_id").as("id_b"), col("k")), "k")
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+      // spread the verification probe (r13 second pass): the distinct
+      // candidate set is byte-light, so AQE coalesced the CPU-dense
+      // two-join verify to ~5 tasks (see GraftOps.containmentJoin)
+      .repartition(s.sessionState.conf.numShufflePartitions)
     // r13 audit note: an array-intersect verification (one doc-keyed
     // (k, wt)-array aggregate + in-row intersection, replacing the two
     // postings joins below) was built and same-session A/B'd: 5.63 s
@@ -479,7 +483,15 @@ object Dedup5 {
     // more to build than the re-shingles it saves on two-consumer legs,
     // so the original shape stays.
     def pairsAtInline(n: Int): DataFrame = {
+      // leading repartition (r13 second pass): sh has THREE unpersisted
+      // consumers (sizes, x, y), each re-running the scan+explode as a
+      // single task on a one-row-group corpus (StageProfile: a 2.0 s and
+      // several 0.5 s one-task stages); the spread parallelizes each
+      // re-run. (This is distinct from the REJECTED persist+narrow
+      // restructure in the audit note above — the explode still runs
+      // per consumer, just not serially.)
       val sh = Tables.documents(s, d)
+        .repartition(s.sessionState.conf.numShufflePartitions)
         .select(col("doc_id"), split(col("text"), " ").as("words"))
         .select(col("doc_id"), explode(expr(
           s"""array_distinct(transform(
