@@ -50,6 +50,89 @@ object GraftOps {
     while (df != null) { df.unpersist(false); df = trackedCaches.poll() }
   }
 
+  // ---- scan-parallelism-gated spread -------------------------------
+  /** Round-robin spread of a scan-shaped input across the session's
+    * parallelism, applied ONLY when the scan cannot parallelize by
+    * itself. A tiny corpus arrives as ONE parquet row group — the
+    * minimum input split — so a CPU-dense map stage over it (shingle
+    * hashing, MinHash folds, CDC boundary scans) runs as a single task
+    * while every other core idles; the exchange fixes that by moving
+    * the scan bytes once, before any expansion. On a many-file
+    * production corpus the scan is already parallel, and an
+    * unconditional repartition here would be a full-corpus shuffle
+    * added in front of the map stage — the one thing the 100 TB story
+    * cannot afford. So the spread is decided at PLAN-BUILD time from
+    * the input's estimated scan task count: file-source leaves use
+    * Spark's own split math (maxPartitionBytes / openCostInBytes /
+    * minPartitionNum over the FileIndex's size and file count), cached
+    * inputs report their cached partitioning, and lineage that already
+    * crosses a shuffle (join / aggregate / window / repartition)
+    * inherits numShufflePartitions and is returned unchanged. No job
+    * runs to make the decision, and the decision is deterministic for
+    * a given corpus + session conf.
+    */
+  def spreadNarrowScan(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (estimatedInputPartitions(df) >= want) df
+    else df.repartition(want)
+  }
+
+  /** Plan-build-time estimate of the task count of the stage that will
+    * scan `df` (no jobs run; see [[spreadNarrowScan]]).
+    */
+  private[graft] def estimatedInputPartitions(df: DataFrame): Int = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+      Join => LJoin, RepartitionOperation, Sort => LSort, Window => LWindow}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val spark = df.sparkSession
+    val conf = spark.sessionState.conf
+    val plan = df.queryExecution.optimizedPlan
+    val crossesShuffle = plan.exists {
+      case _: LJoin | _: Aggregate | _: LWindow | _: LSort |
+           _: RepartitionOperation => true
+      case _ => false
+    }
+    if (crossesShuffle) return conf.numShufflePartitions
+    val est = plan.collectLeaves().map {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation =>
+          // Spark's FilePartition.maxSplitBytes math over the already-
+          // listed FileIndex totals: never a fresh listing, never a job
+          val openCost = conf.filesOpenCostInBytes
+          val maxBytes = conf.filesMaxPartitionBytes
+          val minParts = conf.filesMinPartitionNum
+            .getOrElse(spark.sparkContext.defaultParallelism).max(1)
+          val nFiles = fs.location.inputFiles.length.toLong
+          val totalBytes = fs.location.sizeInBytes + nFiles * openCost
+          val bytesPerCore = totalBytes / minParts
+          val maxSplit = math.min(maxBytes, math.max(openCost, bytesPerCore)).max(1L)
+          math.max(nFiles, totalBytes / maxSplit)
+        case _ => 1L
+      }
+      case m: InMemoryRelation =>
+        m.cachedPlan.outputPartitioning.numPartitions.toLong
+      case _ => 1L // LocalRelation / in-memory test frames: tiny, spread
+    }.sum
+    math.min(est, Int.MaxValue.toLong).toInt
+  }
+
+  /** SQL fragment: the 1-based shingle start positions over a size-
+    * `sizeExpr` token array with window `k` — `sequence(1, size-k+1)`
+    * when the doc is long enough, the EMPTY array otherwise. The naive
+    * `sequence(1, greatest(size-k+1, 0))` yields [1, 0] for a doc
+    * SHORTER than the window (Spark infers step -1 when start > stop),
+    * and the shingle transform then evaluates slice(arr, 0, k), which
+    * throws — SQL array indices start at 1. The slice guard keeps the
+    * positions genuinely empty for short docs (matching DuckDB, where
+    * generate_series(1, n) is [] at n <= 0) with no CASE branch in the
+    * hot expression.
+    */
+  private[graft] def shinglePositions(sizeExpr: String, k: Int): String = {
+    val m = s"$sizeExpr - ${k - 1}"
+    s"slice(sequence(1, greatest($m, 1)), 1, greatest($m, 0))"
+  }
+
   /** Exact dedup: keep one row (min orderBy key) per normalized key.
     * One shuffle on the hash; payloads move only in the final semi-join.
     */
@@ -68,10 +151,10 @@ object GraftOps {
                         numHashes: Int = 64, bands: Int = 16,
                         shingleWords: Int = 3): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // single-row-group input → single-task signature stage without this
-    // (see jaccardJoinBandedSets); no-op on a parallel production scan
-    val sigs = df
-      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+    // single-row-group input → single-task signature stage without the
+    // spread (see jaccardJoinBandedSets); GATED on scan parallelism so a
+    // production many-file corpus pays no exchange (spreadNarrowScan)
+    val sigs = spreadNarrowScan(df)
       .select(id.as("__id"),
         minhash_signature(text, numHashes, shingleWords).as("__sig"))
     val banded = sigs.select(col("__id"), explode(expr(
@@ -95,24 +178,25 @@ object GraftOps {
     // computed narrowly before the explode and carried through the join
     // (no separate sizes aggregation), and the signature table is
     // persisted so both self-join sides read one cache. The leading
-    // repartition spreads the shingle+hash stage (and the cache it
-    // builds) across cores when the corpus arrives as one row group
-    // (see jaccardJoinBandedSets) — this is also the artifact build's
-    // pair-generation path, so the cleaning run pays it too.
-    val shingled = df
-      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+    // spread parallelizes the shingle+hash stage (and the cache it
+    // builds) when the corpus arrives as one row group, and is GATED on
+    // scan parallelism (spreadNarrowScan) — a production many-file scan
+    // pays no exchange. This is also the artifact build's
+    // pair-generation path, so the cleaning run benefits too.
+    val shingled = spreadNarrowScan(df)
       .select(id.as("__id"), split(text, " ").as("__w"))
       .select(col("__id"), expr(
         s"""array_distinct(transform(
-             sequence(1, greatest(size(__w) - ${n - 1}, 0)),
+             ${shinglePositions("size(__w)", n)},
              i -> xxhash64(concat_ws(' ', slice(__w, i, $n)))))""").as("__shs"))
       // explode_outer, NOT explode (the m09 lesson, guide §7.2): explode
       // lets InferFiltersFromGenerate add `size(__shs) > 0`, and pushdown
       // re-runs the WHOLE per-gram xxhash64 transform as a scan-side
       // Filter below the repartition — serial on a one-row-group corpus,
-      // then computed AGAIN above the exchange. The shingle array is
-      // never empty (sequence(1, greatest(n, 0)) yields [1, 0] even when
-      // n <= 0), so outer-explode output is row-identical.
+      // then computed AGAIN above the exchange. Docs of >= n words (every
+      // doc in a shingle-eligible corpus) yield a non-empty array, so
+      // outer-explode output is row-identical; a shorter doc yields one
+      // null-gram row, which the null-rejecting equi-join below drops.
       .select(col("__id"), size(col("__shs")).cast("long").as("__n"),
         explode_outer(col("__shs")).as("__sh"))
       .pipe(persistTracked)
@@ -143,14 +227,14 @@ object GraftOps {
   def jaccardJoinBanded(df: DataFrame, id: Column, text: Column,
                         threshold: Double, n: Int = 3,
                         numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    // shingle-set build parallelized for one-row-group corpora (see
-    // jaccardJoinBandedSets); minhashCandidates spreads its own input
-    val sets = df
-      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+    // shingle-set build parallelized for one-row-group corpora, gated on
+    // scan parallelism (see spreadNarrowScan); minhashCandidates spreads
+    // its own input
+    val sets = spreadNarrowScan(df)
       .select(id.as("__id"), split(text, " ").as("__w"))
       .select(col("__id"), expr(
         s"""array_sort(array_distinct(transform(
-             sequence(1, greatest(size(__w) - ${n - 1}, 0)),
+             ${shinglePositions("size(__w)", n)},
              i -> xxhash64(concat_ws(' ', slice(__w, i, $n))))))""").as("__shs"))
       .withColumn("__n", size(col("__shs")).cast("long"))
     minhashCandidates(df, id, text, numHashes, bands, n)
@@ -178,17 +262,16 @@ object GraftOps {
                             threshold: Double, numHashes: Int = 64,
                             bands: Int = 16): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // Leading repartition (m10's pattern, guide §2.5 input skew): the
+    // Leading spread (m10's pattern, guide §2.5 input skew): the
     // signature stage below is the CPU-bound heart of the verb —
     // numHashes minhash folds over every shingle set — and a small
     // corpus arrives as ONE parquet row group = one task, serializing
     // it (and the cache it builds) on a single core. Measured on m09's
     // lsh route at sf0.1: two ~8.5 s single-task stages → sub-second
-    // across 32 cores. The exchange moves the scan bytes exactly once,
-    // before any expansion; on a many-file production corpus the scan
-    // is already parallel and this is a no-op to remove.
-    val spread = df.repartition(
-      df.sparkSession.sessionState.conf.numShufflePartitions)
+    // across 32 cores. GATED on scan parallelism (spreadNarrowScan): on
+    // a many-file production corpus the scan is already parallel and no
+    // exchange is added.
+    val spread = spreadNarrowScan(df)
     val sets = spread.select(id.as("__id"),
         array_sort(array_distinct(shingles)).as("__shs"))
       .withColumn("__n", size(col("__shs")).cast("long"))
@@ -622,7 +705,7 @@ object GraftOps {
       .select(id.as("__id"), split(text, "\\s+").as("__w"))
       .select(col("__id"), explode(expr(
         s"""array_distinct(transform(
-             sequence(1, greatest(size(__w) - ${n - 1}, 0)),
+             ${shinglePositions("size(__w)", n)},
              i -> unhex(md5(concat_ws(' ', slice(__w, i, $n))))))""")).as("__g"))
       .pipe(persistTracked)
     val firstSeen = grams.groupBy("__g").agg(min("__id").as("__first"))
@@ -966,7 +1049,7 @@ object GraftOps {
       .select(id.as("__id"), split(text, " ").as("__w"))
       .select(col("__id"), expr(
         s"""array_sort(array_distinct(transform(
-             sequence(1, greatest(size(__w) - ${n - 1}, 0)),
+             ${shinglePositions("size(__w)", n)},
              i -> xxhash64(concat_ws(' ', slice(__w, i, $n))))))""").as("__shs"))
       .withColumn("__n", size(col("__shs")).cast("long"))
       .pipe(persistTracked)
@@ -1220,10 +1303,15 @@ object GraftOps {
     while (!done && rank <= numMerges) {
       val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
       vocab.foreach { case (cnt, sb) =>
-        // same tokenization as the engine formulation: trim, split on
-        // the two-space delimiter (symbols are non-empty, no trailing
-        // separators — Java and Spark split agree here), adjacent pairs
-        val syms = sb.toString.trim.split("  ")
+        // same tokenization as the engine formulation. The state string
+        // carries EXACTLY one leading and one trailing space by
+        // construction (bpeInitState and every merge replace preserve
+        // them), so strip exactly those — Java's String.trim would also
+        // strip control chars <= U+0020, silently dropping the first
+        // symbol of a word that starts with e.g. a tab (words are split
+        // on single spaces only, so such words occur in raw corpora)
+        // and diverging from the Spark trim() the engine loop used.
+        val syms = sb.toString.stripPrefix(" ").stripSuffix(" ").split("  ")
         var i = 0
         while (i < syms.length - 1) {
           val k = (syms(i), syms(i + 1))
@@ -1413,8 +1501,8 @@ object GraftOps {
   private def shingleSignatures(base: DataFrame): DataFrame =
     base.select(col("id"), split(col("__t"), " ").as("__w"))
       .select(col("id"), expr(
-        """array_distinct(transform(
-             sequence(1, greatest(size(__w) - 2, 0)),
+        s"""array_distinct(transform(
+             ${shinglePositions("size(__w)", 3)},
              i -> xxhash64(concat_ws(' ', slice(__w, i, 3)))))""").as("__shs"))
       .select(col("id"), size(col("__shs")).cast("long").as("n"),
         explode(col("__shs")).as("sh"))
@@ -1953,9 +2041,9 @@ object GraftOps {
     */
   def substringContainment(df: DataFrame, id: Column, text: Column): DataFrame = {
     // spread a one-row-group scan: the positional-gram index explode
-    // below is the CPU-bound stage (see jaccardJoinBandedSets)
-    val docs = df
-      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+    // below is the CPU-bound stage; gated on scan parallelism
+    // (spreadNarrowScan) so a production many-file scan adds no exchange
+    val docs = spreadNarrowScan(df)
       .select(id.as("__id"), text.as("__t"))
     val probe = docs
       .filter(size(split(col("__t"), " ")) >= 3)
@@ -1965,8 +2053,8 @@ object GraftOps {
     val index = docs
       .select(col("__id").as("a"), length(col("__t")).as("la"),
         explode(expr(
-          """array_distinct(transform(
-               sequence(1, greatest(size(split(__t, ' ')) - 2, 0)),
+          s"""array_distinct(transform(
+               ${shinglePositions("size(split(__t, ' '))", 3)},
                i -> xxhash64(concat_ws(' ', slice(split(__t, ' '), i, 3)))))"""))
           .as("g"))
     val cands = probe.join(index, "g")

@@ -521,7 +521,7 @@ object CorpusPipeline {
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(expr(
         """array_distinct(transform(
-             sequence(1, greatest(size(w) - 7, 0)),
+             slice(sequence(1, greatest(size(w) - 7, 1)), 1, greatest(size(w) - 7, 0)),
              i -> unhex(md5(concat_ws(' ', slice(w, i, 8))))))""")).as("g"))
     val docs = Tables.documents(s, d)
     val evalIdx = grams(docs.filter(col("doc_id") % 10 === 0))

@@ -141,7 +141,7 @@ object Dedup {
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .select(col("doc_id"), expr(
         """array_distinct(transform(
-             sequence(1, greatest(size(words) - 2, 0)),
+             slice(sequence(1, greatest(size(words) - 2, 1)), 1, greatest(size(words) - 2, 0)),
              i -> xxhash64(concat_ws(' ', slice(words, i, 3)))))""").as("shs"))
       .select(col("doc_id"), size(col("shs")).cast("long").as("n"),
         explode(col("shs")).as("sh"))
@@ -243,7 +243,7 @@ object Dedup {
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .select(col("doc_id"), expr(
         """array_distinct(transform(
-             sequence(1, greatest(size(words) - 2, 0)),
+             slice(sequence(1, greatest(size(words) - 2, 1)), 1, greatest(size(words) - 2, 0)),
              i -> xxhash64(concat_ws(' ', slice(words, i, 3)))))""").as("shs"))
     cand
       .join(shingleSets.select(col("doc_id").as("da"), col("shs").as("sa")), "da")

@@ -36,7 +36,7 @@ object Dedup3 {
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .select(col("doc_id"), expr(
         """array_sort(array_distinct(transform(
-             sequence(1, greatest(size(words) - 2, 0)),
+             slice(sequence(1, greatest(size(words) - 2, 1)), 1, greatest(size(words) - 2, 0)),
              i -> xxhash64(concat_ws(' ', slice(words, i, 3))))))""").as("sh"))
       .withColumn("n", size(col("sh")))
 
@@ -138,14 +138,15 @@ object Dedup3 {
     // (d12/d16/t13/t17/novelty); the Jaccard-verify family keeps 64-bit
     // keys (a collision there perturbs one similarity score, not an
     // exact count).
-    val grams = Tables.documents(s, d)
-      // spread the md5-heavy 5-gram explode (and the cache) across
-      // cores on a one-row-group corpus — the m10/jaccardJoin pattern
-      .repartition(s.sessionState.conf.numShufflePartitions)
+    // spread the md5-heavy 5-gram explode (and the cache) across cores
+    // on a one-row-group corpus — gated on scan parallelism
+    // (GraftOps.spreadNarrowScan): a many-file production scan is
+    // already parallel and pays no exchange
+    val grams = graft.api.GraftOps.spreadNarrowScan(Tables.documents(s, d))
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(expr(
         """array_distinct(transform(
-             sequence(1, greatest(size(w) - 4, 0)),
+             slice(sequence(1, greatest(size(w) - 4, 1)), 1, greatest(size(w) - 4, 0)),
              i -> unhex(md5(concat_ws(' ', slice(w, i, 5))))))""")).as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // r13 (the t46 restructure, complement form): a doc's SHARED gram
@@ -326,16 +327,16 @@ object Dedup3 {
     // d12 discipline): 2.5x narrower than the ~40-byte strings AND
     // collision-exact at 1e12-gram scale, where the previous 64-bit
     // keys made shared-gram counts probabilistic
-    // leading repartition (m10's pattern, r13 second pass): the md5
-    // 5-gram transform is the CPU-bound stage and ran as ONE task on the
+    // leading spread (m10's pattern, r13 second pass): the md5 5-gram
+    // transform is the CPU-bound stage and ran as ONE task on the
     // one-row-group corpus (it sits inside the Generate, scan-side);
-    // no-op to remove on a parallel production scan
-    val idx = Tables.documents(s, d)
-      .repartition(s.sessionState.conf.numShufflePartitions)
+    // gated on scan parallelism (GraftOps.spreadNarrowScan) so a
+    // parallel production scan pays no exchange
+    val idx = graft.api.GraftOps.spreadNarrowScan(Tables.documents(s, d))
       .select(col("source"), split(col("text"), " ").as("w"))
       .select(col("source"), explode(expr(
         """array_distinct(transform(
-             sequence(1, greatest(size(w) - 4, 0)),
+             slice(sequence(1, greatest(size(w) - 4, 1)), 1, greatest(size(w) - 4, 0)),
              i -> unhex(md5(concat_ws(' ', slice(w, i, 5))))))""")).as("g"))
       .distinct()
     idx.as("x")

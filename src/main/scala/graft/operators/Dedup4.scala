@@ -171,11 +171,12 @@ object Dedup4 {
     // task (StageProfile: 2.1 s of the query's 2.55 s in a single-task
     // stage). Spreading the probe side before the broadcast self-join
     // parallelizes the scorer; the build side stays unspread (it only
-    // feeds the broadcast hash table). No-op on a many-file real scan.
+    // feeds the broadcast hash table). Gated on scan parallelism
+    // (GraftOps.spreadNarrowScan): a many-file real scan pays no exchange.
     val recs = Tables.customer(s, d)
       .select(col("c_custkey"), col("c_name"),
         substring(col("c_name"), 10, 7).as("blk"))
-    val spread = recs.repartition(s.sessionState.conf.numShufflePartitions)
+    val spread = graft.api.GraftOps.spreadNarrowScan(recs)
     val w = Window.partitionBy("id_a").orderBy(desc("jw"), col("id_b"))
     spread.as("a").join(recs.as("b"),
         col("a.blk") === col("b.blk") && col("a.c_custkey") =!= col("b.c_custkey"))

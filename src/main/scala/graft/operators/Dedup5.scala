@@ -40,12 +40,14 @@ object Dedup5 {
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .select(col("doc_id"), expr(
         """array_distinct(transform(
-             sequence(1, greatest(size(words) - 2, 0)),
+             slice(sequence(1, greatest(size(words) - 2, 1)), 1, greatest(size(words) - 2, 0)),
              i -> concat_ws(' ', slice(words, i, 3))))""").as("shs"))
       // explode_outer, NOT explode (the m09 lesson): explode makes
       // InferFiltersFromGenerate re-run the 3-gram concat transform as a
-      // scan-side Filter, serial on a one-row-group corpus; the array is
-      // never empty (sequence(1, greatest(n, 0)) is [1, 0] at n <= 0).
+      // scan-side Filter, serial on a one-row-group corpus. Docs of >= 3
+      // words (all of them here) give a non-empty array, so output is
+      // row-identical; a shorter doc gives one null-gram row, which no
+      // null-rejecting equi-join downstream ever matches.
       .select(col("doc_id"), explode_outer(col("shs")).as("sh"))
       .select(col("doc_id"), unhex(md5(col("sh"))).as("k"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -135,14 +137,14 @@ object Dedup5 {
     // both sides of the exact-truth self-join — four corpus-scale
     // explode scans without the persist, one with it. Bench's
     // clearCache between queries reclaims it.
-    val sh = Tables.documents(s, d)
-      // one-row-group corpus → the shingle pass, the persisted cache,
-      // and all four downstream md5-heavy partial aggregates would run
-      // single-task without this (measured 4×~2.9 s serial stages)
-      .repartition(s.sessionState.conf.numShufflePartitions)
+    // one-row-group corpus → the shingle pass, the persisted cache, and
+    // all four downstream md5-heavy partial aggregates would run
+    // single-task without the spread (measured 4×~2.9 s serial stages);
+    // gated on scan parallelism (GraftOps.spreadNarrowScan)
+    val sh = graft.api.GraftOps.spreadNarrowScan(Tables.documents(s, d))
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .select(col("doc_id"), explode(expr(
-        """array_distinct(transform(sequence(1, greatest(size(words) - 2, 0)),
+        """array_distinct(transform(slice(sequence(1, greatest(size(words) - 2, 1)), 1, greatest(size(words) - 2, 0)),
              i -> concat_ws(' ', slice(words, i, 3))))""")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 16 seeded minhashes, SQL-expressible: min over md5(seed || shingle).
@@ -490,12 +492,11 @@ object Dedup5 {
       // re-run. (This is distinct from the REJECTED persist+narrow
       // restructure in the audit note above — the explode still runs
       // per consumer, just not serially.)
-      val sh = Tables.documents(s, d)
-        .repartition(s.sessionState.conf.numShufflePartitions)
+      val sh = graft.api.GraftOps.spreadNarrowScan(Tables.documents(s, d))
         .select(col("doc_id"), split(col("text"), " ").as("words"))
         .select(col("doc_id"), explode(expr(
           s"""array_distinct(transform(
-               sequence(1, greatest(size(words) - ${n - 1}, 0)),
+               slice(sequence(1, greatest(size(words) - ${n - 1}, 1)), 1, greatest(size(words) - ${n - 1}, 0)),
                i -> concat_ws(' ', slice(words, i, $n))))""")).as("sh"))
       val sized = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
       val x = sh.join(sized, "doc_id")
@@ -588,17 +589,17 @@ object Dedup5 {
     // parquet row group, so without it the shingle scan AND every
     // partial aggregate over the persisted cache run as ONE task
     // (measured: 4×~2.5 s single-task stages while 31 cores idle).
-    val sh = Tables.documents(s, d)
-      .repartition(s.sessionState.conf.numShufflePartitions)
+    val sh = graft.api.GraftOps.spreadNarrowScan(Tables.documents(s, d))
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .select(col("doc_id"), expr(
-        """array_distinct(transform(sequence(1, greatest(size(words) - 2, 0)),
+        """array_distinct(transform(slice(sequence(1, greatest(size(words) - 2, 1)), 1, greatest(size(words) - 2, 0)),
              i -> concat_ws(' ', slice(words, i, 3))))""").as("shs"))
       // explode_outer, NOT explode (the m09 lesson): explode makes
       // InferFiltersFromGenerate re-run the whole shingle transform as a
       // scan-side Filter below the repartition, serial on a one-row-group
-      // corpus; the array is never empty (sequence(1, greatest(n, 0)) is
-      // [1, 0] even at n <= 0), so output is row-identical.
+      // corpus. Docs of >= 3 words (all of them here) give a non-empty
+      // array, so output is row-identical; a shorter doc gives one
+      // null-gram row, dropped by the null-rejecting self-join on sh.
       .select(col("doc_id"), size(col("shs")).cast("long").as("nsh"),
         explode_outer(col("shs")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -928,7 +929,7 @@ object Dedup5 {
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .select(col("doc_id"), explode(expr(
         """array_distinct(transform(
-             sequence(1, greatest(size(words) - 2, 0)),
+             slice(sequence(1, greatest(size(words) - 2, 1)), 1, greatest(size(words) - 2, 0)),
              i -> xxhash64(concat_ws(' ', slice(words, i, 3)))))""")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val est = shingled.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -996,7 +997,7 @@ object Dedup5 {
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .select(col("doc_id"), explode(expr(
         """array_distinct(transform(
-             sequence(1, greatest(size(words) - 2, 0)),
+             slice(sequence(1, greatest(size(words) - 2, 1)), 1, greatest(size(words) - 2, 0)),
              i -> xxhash64(concat_ws(' ', slice(words, i, 3)))))""")).as("sh"))
       .groupBy("sh").agg(count(lit(1)).as("df"))
     val buckets = dfs

@@ -160,9 +160,10 @@ object Multimodal3 {
   private def m09ExactRoute(assets: DataFrame,
                             gramExpr: org.apache.spark.sql.Column)
       : DataFrame = {
-    // leading repartition (m10's pattern): the byte-gram hash stage is
-    // the CPU-bound pass and a one-row-group corpus serializes it on a
-    // single core otherwise; no-op to remove on a parallel real scan
+    // leading spread (m10's pattern): the byte-gram hash stage is the
+    // CPU-bound pass and a one-row-group corpus serializes it on a
+    // single core otherwise; gated on scan parallelism
+    // (GraftOps.spreadNarrowScan) — a parallel real scan pays no exchange
     // explode_outer, NOT explode (r13, guide §7.2 plan audit): explode
     // makes InferFiltersFromGenerate add `size(shs) > 0`, and predicate
     // pushdown drags that below the repartition — the WHOLE per-gram
@@ -171,8 +172,7 @@ object Multimodal3 {
     // a 2.2 s single-task stage on a query that otherwise runs ~2 s).
     // The gram array is never empty (sequence(1, greatest(..., 1)) has
     // >= 1 element), so outer-explode output is row-identical.
-    val shingled = assets
-      .repartition(assets.sparkSession.sessionState.conf.numShufflePartitions)
+    val shingled = graft.api.GraftOps.spreadNarrowScan(assets)
       .select(col("doc_id"), gramExpr.as("shs"))
       .select(col("doc_id"), size(col("shs")).cast("long").as("n"),
         explode_outer(col("shs")).as("sh"))
@@ -247,17 +247,18 @@ object Multimodal3 {
     * rewrite (chunk starts = [0]++bnds, ends = bnds++[n], both built
     * once per row; the lambda touches only its own (s, e) pair).
     *
-    * The leading repartition spreads payload rows across cores: the
+    * The leading spread parallelizes payload rows across cores: the
     * boundary scan is the CPU-bound stage (O(n_chars) hash judgments
     * per row), and a small corpus arrives as ONE parquet row group =
     * one task without it. The exchange moves the payload column once,
-    * before any expansion; on a production many-file corpus the scan
-    * is already parallel and this repartition is a no-op to remove.
+    * before any expansion, and is GATED on scan parallelism
+    * (GraftOps.spreadNarrowScan): a production many-file corpus scans
+    * parallel already and pays no exchange.
     */
   private def withCdcChunks(df: DataFrame,
       bnd: String = "substring(md5(substring(text, i - 7, 8)), 1, 1) = '0'")
       : DataFrame =
-    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+    graft.api.GraftOps.spreadNarrowScan(df)
       .withColumn("n", length(col("text")))
       .withColumn("bnds", expr(
         s"""filter(sequence(8, greatest(length(text), 8)),
@@ -350,15 +351,23 @@ object Multimodal3 {
         .agg(min(length(col("chunk"))).as("clen"))
     val docs = Tables.documents(s, d)
     val v1 = docs.select(col("doc_id"), col("text"))
-    val v2 = docs.select(col("doc_id"),
-      when(col("doc_id") % 5 === 0,
-        concat(col("text"), lit(" rev "), col("lang")))
-        .otherwise(col("text")).as("text"))
-    val fresh = chunkStore(v2)
+    // r14 (§6): chunk only the EDITED v2 docs, not the whole v2 corpus.
+    // Unedited docs are byte-identical to their v1 rows, so every chunk
+    // hash they contribute is in the v1 ledger by construction and can
+    // never survive the anti-join; conversely a hash that survives has
+    // ALL its v2 occurrences in edited docs (one unedited occurrence
+    // would put it in v1), so min(clen) over edited-only occurrences
+    // equals min over full v2 for every surviving hash. The delta pass
+    // thus pays a 1-in-5 boundary scan instead of a full one —
+    // new_chunks / cdc_upload_chars are bit-identical.
+    val v2edited = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" rev "), col("lang")).as("text"))
+    val fresh = chunkStore(v2edited)
       .join(chunkStore(v1).select("h"), Seq("h"), "left_anti")
       .agg(count(lit(1)).as("new_chunks"),
         coalesce(sum(col("clen").cast("long")), lit(0L)).as("cdc_upload_chars"))
-    val naive = v2.filter(col("doc_id") % 5 === 0)
+    val naive = v2edited
       .agg(count(lit(1)).as("edited_docs"),
         sum(length(col("text")).cast("long")).as("naive_upload_chars"))
     naive.join(fresh)
@@ -695,8 +704,40 @@ object Multimodal3 {
   // (exact doubles); everything else integer counts + 1e-9 ratios.
   val m18_chunk_tuning: Q = (s, d) => {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    def pass(cfg: String, p: Double, bnd: String): DataFrame =
-      withCdcChunks(docs, bnd)
+    // r14 (§6 one-pass I/O): the three configs classify the SAME
+    // per-position md5 — the hash is ~all the query's CPU, and the old
+    // shape re-ran the whole boundary scan per config (3 corpus passes).
+    // Compute the hash ONCE per position as a small int (the first two
+    // hex chars as 0..255 — conv is exact on md5's lowercase hex) and
+    // persist; each config then derives its boundary list from the
+    // cached array with an integer predicate (fine: v < 32 ⇔ first char
+    // in ('0','1'); default: v < 16 ⇔ '0'; coarse: v = 0 ⇔ '00') —
+    // boundary sets, chunks and ledgers are bit-identical to the
+    // three-pass form. The persist trades one corpus-scale int-array
+    // cache (~1 int per payload char, spilling to disk beyond memory)
+    // for two full md5 scans — the right trade wherever the tuning
+    // table is worth running at all. positions: null past end-of-text
+    // keeps the transform index-free of filter (same trick as
+    // withCdcChunks' i <= length guard).
+    val pref = graft.api.GraftOps.spreadNarrowScan(docs)
+      .withColumn("n", length(col("text")))
+      .withColumn("pp", expr(
+        """transform(sequence(8, greatest(length(text), 8)),
+             i -> IF(i <= length(text),
+               CAST(conv(substring(md5(substring(text, i - 7, 8)), 1, 2),
+                         16, 10) AS INT),
+               CAST(NULL AS INT)))"""))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def pass(cfg: String, p: Double, pred: String): DataFrame =
+      pref
+        .withColumn("bnds", expr(
+          s"""filter(transform(pp, (v, j) ->
+               IF(v IS NOT NULL AND $pred, j + 8, CAST(NULL AS INT))),
+               x -> x IS NOT NULL)"""))
+        .withColumn("chunks", expr(
+          """filter(zip_with(concat(array(0), bnds), concat(bnds, array(n)),
+               (s, e) -> substring(text, s + 1, e - s)),
+               c -> c <> '')"""))
         .select(explode_outer(col("chunks")).as("chunk"))
         .filter(col("chunk").isNotNull)
         .groupBy(md5(encode(col("chunk"), "UTF-8")).as("h"))
@@ -710,12 +751,9 @@ object Multimodal3 {
             / col("chars_total").cast("double"), 9).as("dedup_ratio"),
           round(col("chars_total").cast("double")
             / col("n_chunks").cast("double"), 9).as("mean_chunk_chars"))
-    pass("fine_p8", 0.125,
-        "substring(md5(substring(text, i - 7, 8)), 1, 1) IN ('0', '1')")
-      .unionAll(pass("default_p16", 0.0625,
-        "substring(md5(substring(text, i - 7, 8)), 1, 1) = '0'"))
-      .unionAll(pass("coarse_p256", 0.00390625,
-        "substring(md5(substring(text, i - 7, 8)), 1, 2) = '00'"))
+    pass("fine_p8", 0.125, "v < 32")
+      .unionAll(pass("default_p16", 0.0625, "v < 16"))
+      .unionAll(pass("coarse_p256", 0.00390625, "v = 0"))
       .orderBy(desc("p_boundary"))
   }
   val m18Sql: String = {

@@ -178,14 +178,32 @@ object Relational9 {
   val q75_id_gaps: Q = (s, d) => {
     val keys = Tables.lineitem(s, d).select(col("l_orderkey").as("k")).distinct()
     val bounds = keys.agg(min("k").as("mn"), max("k").as("mx"))
-    val starts = keys.as("a")
-      .join(keys.as("b"), col("a.k") + 1 === col("b.k"), "left_anti")
-      .join(broadcast(bounds)).filter(col("k") < col("mx"))
-      .select((col("k") + 1).as("gap_lo"))
-    val ends = keys.as("a")
-      .join(keys.as("b"), col("a.k") - 1 === col("b.k"), "left_anti")
-      .join(broadcast(bounds)).filter(col("k") > col("mn"))
-      .select((col("k") - 1).as("gap_hi"))
+    // r14 (§2.4): gap boundaries from ONE value-keyed aggregate instead
+    // of two self anti-joins. Every key votes three facts about the
+    // value line — "v is present" (v = k), "v-1 is present" (v = k+1),
+    // "v+1 is present" (v = k-1) — and one combinable groupBy(v) fuses
+    // them: a gap STARTS at v iff v is absent but v-1 present, ENDS at
+    // v iff v is absent but v+1 present. Replaces the two key-keyed
+    // anti-join exchanges (each shuffling the key set twice) with one
+    // exchange of 3x key votes that partial aggregation collapses
+    // map-side; output boundaries identical, bounds clamps unchanged
+    // (v <= mx ⇔ old k < mx at v = k+1; v >= mn ⇔ old k > mn).
+    val votes = keys.select(col("k").as("v"),
+        lit(true).as("p"), lit(false).as("sw"), lit(false).as("ew"))
+      .unionAll(keys.select((col("k") + 1).as("v"),
+        lit(false).as("p"), lit(true).as("sw"), lit(false).as("ew")))
+      .unionAll(keys.select((col("k") - 1).as("v"),
+        lit(false).as("p"), lit(false).as("sw"), lit(true).as("ew")))
+      .groupBy("v")
+      .agg(max("p").as("present"), max("sw").as("prev_present"),
+        max("ew").as("next_present"))
+      .filter(!col("present"))
+      .join(broadcast(bounds))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val starts = votes.filter(col("prev_present") && col("v") <= col("mx"))
+      .select(col("v").as("gap_lo"))
+    val ends = votes.filter(col("next_present") && col("v") >= col("mn"))
+      .select(col("v").as("gap_hi"))
     // boundary numbering via GraftOps.globalRank (range-partitioned
     // rank + metadata-sized offsets): healthy data has an audit-sized
     // gap set, but pathological input can make it key-count-sized —

@@ -37,7 +37,7 @@ object TextAnalysis12 {
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .select(col("doc_id"),
         explode(expr("""array_distinct(transform(
-            sequence(1, greatest(size(words) - 2, 0)),
+            slice(sequence(1, greatest(size(words) - 2, 1)), 1, greatest(size(words) - 2, 0)),
             i -> concat_ws(' ', slice(words, i, 3))))"""))
           .as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -20,10 +20,10 @@ object TextAnalysis3 {
   // rounded at 1e-9 (transcendental ulp), then summed exactly in
   // decimal, so the score is partitioning-independent.
   val t11_bigram_lm: Q = (s, d) => {
-    val bigrams = Tables.documents(s, d)
-      // spread the bigram explode on a one-row-group corpus (the
-      // m10/jaccardJoin pattern)
-      .repartition(s.sessionState.conf.numShufflePartitions)
+    // spread the bigram explode on a one-row-group corpus (the
+    // m10/jaccardJoin pattern), gated on scan parallelism
+    // (GraftOps.spreadNarrowScan)
+    val bigrams = graft.api.GraftOps.spreadNarrowScan(Tables.documents(s, d))
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))"))
@@ -129,7 +129,7 @@ object TextAnalysis3 {
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(expr(
         """array_distinct(transform(
-             sequence(1, greatest(size(w) - 7, 0)),
+             slice(sequence(1, greatest(size(w) - 7, 1)), 1, greatest(size(w) - 7, 0)),
              i -> unhex(md5(concat_ws(' ', slice(w, i, 8))))))""")).as("g"))
     val docs = Tables.documents(s, d)
     val evalIdx = grams(docs.filter(col("doc_id") % 10 === 0))

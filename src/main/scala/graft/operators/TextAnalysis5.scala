@@ -71,12 +71,11 @@ object TextAnalysis5 {
     // postings-scale exchange) is gone outright; per-doc frames meet in
     // one doc-keyed left join. The leading repartition spreads the
     // md5 explode across cores on a one-row-group corpus.
-    val grams = Tables.documents(s, d)
-      .repartition(s.sessionState.conf.numShufflePartitions)
+    val grams = graft.api.GraftOps.spreadNarrowScan(Tables.documents(s, d))
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(expr(
         """array_distinct(transform(
-             sequence(1, greatest(size(w) - 3, 0)),
+             slice(sequence(1, greatest(size(w) - 3, 1)), 1, greatest(size(w) - 3, 0)),
              i -> unhex(md5(concat_ws(' ', slice(w, i, 4))))))""")).as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nNovel = grams.groupBy("g").agg(min("doc_id").as("first_doc"))

@@ -133,8 +133,7 @@ object TextAnalysis9 {
     // unhex(md5) (the d12 width discipline); the leading repartition
     // spreads the md5 8-gram explode on a one-row-group corpus. The
     // persisted postings feed the two aggregates from one explode.
-    val grams = Tables.documents(s, d)
-      .repartition(s.sessionState.conf.numShufflePartitions)
+    val grams = graft.api.GraftOps.spreadNarrowScan(Tables.documents(s, d))
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 8)
       .select(col("doc_id"), col("source"), explode(expr(
@@ -372,8 +371,7 @@ object TextAnalysis9 {
     // per-row lp values, their decimal doc-sum, and the output are
     // bit-identical. The leading repartition spreads the bigram explode
     // on a one-row-group corpus.
-    val bigrams = Tables.documents(s, d)
-      .repartition(s.sessionState.conf.numShufflePartitions)
+    val bigrams = graft.api.GraftOps.spreadNarrowScan(Tables.documents(s, d))
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), col("source"), explode(expr(
         "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))"))

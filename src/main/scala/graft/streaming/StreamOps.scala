@@ -614,7 +614,7 @@ object StreamOps {
       .select(col("doc_id"),
         graft.functions.minhash_signature(col("text"), numHashes, 3).as("sig"),
         expr("""array_sort(array_distinct(transform(
-             sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
+             slice(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), 1, greatest(size(split(text, ' ')) - 2, 0)),
              i -> xxhash64(concat_ws(' ', slice(split(text, ' '), i, 3))))))""")
           .as("shs"))
       .select(explode(expr(
@@ -713,7 +713,7 @@ object StreamOps {
         graft.functions.minhash_signature(col(textCol), numHashes, 3)
           .as("sig"),
         expr(s"""array_sort(array_distinct(transform(
-             sequence(1, greatest(size(split(`$textCol`, ' ')) - 2, 0)),
+             slice(sequence(1, greatest(size(split(`$textCol`, ' ')) - 2, 1)), 1, greatest(size(split(`$textCol`, ' ')) - 2, 0)),
              i -> xxhash64(concat_ws(' ', slice(split(`$textCol`, ' '), i, 3))))))""")
           .as("shs"),
         col(tsCol).as("ts"))
