@@ -1041,11 +1041,13 @@ object GraftOps {
     */
   def containmentJoin(df: DataFrame, id: Column, text: Column,
                       threshold: Double, n: Int = 3, maxDf: Long = 0L): DataFrame = {
-    // r13 audit note: a leading repartition (the jaccardJoinBandedSets
-    // pattern) was same-session A/B'd here: min-of-3 2.85 s vs 2.78 s —
-    // flat, because the doc-partitioned prefix window's exchange already
-    // parallelizes everything downstream; not applied.
-    val sets = df
+    // r14 revisit of the r13 "spread A/B'd flat" note: StageProfile now
+    // shows the UN-spread sets cache racing its materialization — the
+    // five concurrent consumers (rows ×2, join-backs ×2, df table) each
+    // recompute the single-task shingle transform (~0.9 s apiece at
+    // sf0.1) before any cache block lands. The gated spread makes the
+    // cache (and each racer) 32-task; production scans skip it.
+    val sets = spreadNarrowScan(df)
       .select(id.as("__id"), split(text, " ").as("__w"))
       .select(col("__id"), expr(
         s"""array_sort(array_distinct(transform(
@@ -1262,7 +1264,9 @@ object GraftOps {
                vocabCap: Int = 20000): DataFrame = {
     require(numMerges >= 1 && vocabCap >= 1)
     val s = df.sparkSession
-    val words = df.select(explode(split(text, " ")).as("w"))
+    // gated spread (see spreadNarrowScan): the split+explode+partial
+    // count over a one-row-group corpus is otherwise a single task
+    val words = spreadNarrowScan(df).select(explode(split(text, " ")).as("w"))
       .filter(col("w") =!= "")
     // the one corpus-scale pass: distinct-word counts (distributed,
     // unchanged). The merge loop below then runs DRIVER-LOCAL over the
@@ -1435,7 +1439,14 @@ object GraftOps {
     require(!SnapshotTable.exists(s, s"$path/pairs"),
       s"dedup artifacts already exist at $path — write to a fresh path " +
         "(artifact tables are immutable snapshots of one cleaning run)")
-    val base = df.select(id.as("id"), text.as("__t")).pipe(persistTracked)
+    // spread the one-row-group corpus BEFORE the persist (gated — see
+    // spreadNarrowScan): the cache and everything reading it (the
+    // signature explode + its parquet write, the md5 normalize pass,
+    // the pair build) otherwise run single-task; the r14 ArtifactProfile
+    // showed the signatures write alone serializing ~1.9 s. Downstream
+    // verbs see the 32-partition cache and skip their own spread.
+    val base = spreadNarrowScan(df.select(id.as("id"), text.as("__t")))
+      .pipe(persistTracked)
     val pairs = nearDupPairs(base, col("id"), col("__t"), threshold,
         strategy = strategy)
       .pipe(persistTracked) // consumed by the write, labels, and manifest
@@ -1481,8 +1492,10 @@ object GraftOps {
       SnapshotTable.create(hashed.select(col("id"), col("__h").as("h")),
         s"$path/docmeta")
     }
-    val rows = (n: String) =>
-      SnapshotTable.read(s, s"$path/$n").count()
+    // metadata-only counts (manifest footer stats): the summary was
+    // three count() scans of tables this build just wrote — §5 driver
+    // discipline says read the commit metadata instead
+    val rows = (n: String) => SnapshotTable.countRows(s, s"$path/$n")
     import s.implicits._
     Seq(("pairs", rows("pairs")), ("labels", rows("labels")),
         ("manifest", rows("manifest")))
@@ -1607,7 +1620,8 @@ object GraftOps {
       .select(col("id"),
         coalesce(col("cluster_id"), col("id")).as("cluster_id"))
     SnapshotTable.upsert(s, s"$path/labels", labels, Seq("id"))
-    val rows = (n: String) => SnapshotTable.read(s, s"$path/$n").count()
+    // metadata-only counts — see dedupArtifacts' summary note
+    val rows = (n: String) => SnapshotTable.countRows(s, s"$path/$n")
     import s.implicits._
     Seq(("pairs", rows("pairs")), ("labels", rows("labels")),
         ("manifest", rows("manifest")))
@@ -2554,7 +2568,8 @@ object GraftOps {
   private def graphArtifactSummary(s: org.apache.spark.sql.SparkSession,
                                    path: String): DataFrame = {
     import graft.sources.SnapshotTable
-    val rows = (n: String) => SnapshotTable.read(s, s"$path/$n").count()
+    // metadata-only counts — see dedupArtifacts' summary note
+    val rows = (n: String) => SnapshotTable.countRows(s, s"$path/$n")
     import s.implicits._
     Seq(("pairs", rows("pairs")), ("cc_labels", rows("cc_labels")),
         ("baskets", rows("baskets")))

@@ -26,13 +26,15 @@ import graft.Tables
 object Dedup3 {
   type Q = (SparkSession, String) => DataFrame
 
-  /** (doc_id, sh: sorted distinct 3-gram hashes, n = |sh|). A leading
-    * repartition was A/B'd flat here (see GraftOps.containmentJoin's
-    * audit note — the prefix window's exchange already parallelizes
-    * the heavy stages), so the scan stays exchange-free.
+  /** (doc_id, sh: sorted distinct 3-gram hashes, n = |sh|). r14: the
+    * r13 "spread A/B'd flat" note is superseded — StageProfile showed
+    * the un-spread cache's concurrent consumers racing materialization,
+    * each recomputing the single-task shingle pass (see
+    * GraftOps.containmentJoin); the gated spread parallelizes the cache
+    * build and every racer, and is a no-op on a parallel production scan.
     */
   private def shingleSets(docs: DataFrame): DataFrame =
-    docs
+    graft.api.GraftOps.spreadNarrowScan(docs)
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .select(col("doc_id"), expr(
         """array_sort(array_distinct(transform(

@@ -379,6 +379,11 @@ object Graph {
   // recommend table is engine-exact.
   val g07_cf_recommend: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
+    // r14 audit note: a gated spread of the fact side (the g10/v06 fix)
+    // was A/B'd here and REJECTED — min-of-5 pairs read NEW 1.80 s vs
+    // OLD 1.64 s at 32 cores: g07's map stage is cheap (distinct
+    // partial-agg over two ints), so the added exchange outweighs the
+    // 3-task scan floor it removes.
     val cp = Tables.orders(s, d)
       .join(Tables.lineitem(s, d),
         col("o_orderkey") === col("l_orderkey"))
@@ -588,7 +593,9 @@ object Graph {
   // still trustworthy. Each period's edge build is the g02 fact-scale
   // pass; the diff join runs on metadata-sized edge sets.
   val g10_graph_diff: Q = (s, d) => {
-    val dated = Tables.lineitem(s, d)
+    // gated spread of the fact side — see g07's note (the join map
+    // stage was 1.2 s over 3 row-group tasks at sf0.1)
+    val dated = graft.api.GraftOps.spreadNarrowScan(Tables.lineitem(s, d))
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"),
         datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).as("dd"))

@@ -328,7 +328,13 @@ object Quality {
         sum(dc(c) * dc(c)).cast("double").as(s"ss_$c"))) ++
         pairs.map { case (a, b) =>
           sum(dc(a) * dc(b)).cast("double").as(s"sp_${a}_$b") })
-    val wide = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+    // gated spread (GraftOps.spreadNarrowScan): the 15-decimal-moment
+    // partial aggregate ran on the 3 row groups of the local lineitem
+    // file (StageProfile: one 2.3 s 3-task stage = the whole query);
+    // spreading the scan makes it 32-task, and a production many-file
+    // scan pays no exchange
+    val wide = graft.api.GraftOps.spreadNarrowScan(Tables.lineitem(s, d))
+      .agg(aggs.head, aggs.tail: _*)
     val stack = pairs.map { case (a, b) =>
       s"'$a', '$b', sp_${a}_$b, s_$a, ss_$a, s_$b, ss_$b"
     }.mkString(", ")

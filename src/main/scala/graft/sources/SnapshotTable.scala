@@ -383,6 +383,24 @@ object SnapshotTable {
     readSnapshot(spark, path, readManifest(spark, path, v))
   }
 
+  /** Exact row count of a committed version from COMMIT METADATA alone —
+    * no Spark job, no data scan. Segments are immutable plain parquet
+    * (deletes are copy-on-write rewrites), so the footer-derived
+    * per-file row counts the manifest stats already carry ARE the live
+    * counts; a file whose manifest entry has no column stats (e.g. an
+    * all-boolean schema) falls back to one ~KB footer read. This is the
+    * count every production format serves from its manifest layer —
+    * the r14 artifact-build fix replaced six count() scans with it.
+    */
+  def countRows(spark: SparkSession, path: String, version: Int = 0): Long = {
+    val v = if (version > 0) version else latestVersion(spark, path)
+    val m = readManifest(spark, path, v)
+    m.files.map { f =>
+      m.stats.get(f).flatMap(_.values.headOption).map(_.rows)
+        .getOrElse(FileStats.rowCount(spark, path, f))
+    }.sum
+  }
+
   /** Predicate-pruned read: consult each file's manifest zone map
     * ([[FileStats]]) and OPEN only files that can possibly satisfy
     * `predicate`, then apply the full predicate as a normal filter —
