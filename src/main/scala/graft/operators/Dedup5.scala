@@ -36,7 +36,11 @@ object Dedup5 {
   val d23_weighted_jaccard: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val sh = docs
+    // r14 re-try of the r13 "leading spread flat" rejection: the shape
+    // has changed since (explode_outer landed after that A/B), and the
+    // profile now shows the 1-partition sh cache serializing its
+    // consumers (~0.56 s single-task scans); gated spread as elsewhere.
+    val sh = graft.api.GraftOps.spreadNarrowScan(docs)
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .select(col("doc_id"), expr(
         """array_distinct(transform(

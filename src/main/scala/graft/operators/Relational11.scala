@@ -29,6 +29,10 @@ object Relational11 {
   // no correlated re-scans of lineitem, which is what the textbook
   // nested form would cost at 100 TB.
   val q84_sole_blame: Q = (s, d) => {
+    // r14 audit note: a gated spread of the fact side (the g10/v06
+    // pattern) was A/B'd here and REJECTED — 1.69/1.83 s vs 1.29/1.43 s
+    // at 32 cores: the map side (join probe + plain partial max) is too
+    // cheap to amortize the added exchange, the g07 lesson again.
     val li = Tables.lineitem(s, d)
       .select("l_orderkey", "l_suppkey", "l_shipdate")
     val ord = Tables.orders(s, d).select("o_orderkey", "o_orderdate")
